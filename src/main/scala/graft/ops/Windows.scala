@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequential/window operators (SURVEY.md §2.5, W1-W7). All are expressed
+  * as Spark window functions partitioned by a subject key so no global
+  * single-task sort exists at scale (SURVEY.md §4 risk note). */
+object Windows {
+
+  private def w(partitionCols: Seq[String], orderCols: Seq[String]) =
+    Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+
+  /** W1: dedup-consecutive — keep change points
+    * (`extract_kind`, /root/reference/activity_categorize.py:68-72). */
+  def dedupConsecutive(df: DataFrame, valueCol: String,
+                       partitionCols: Seq[String],
+                       orderCols: Seq[String]): DataFrame = {
+    val prev = lag(col(valueCol), 1).over(w(partitionCols, orderCols))
+    df.withColumn("_prev", prev)
+      .filter(col("_prev").isNull || col(valueCol) =!= col("_prev"))
+      .drop("_prev")
+  }
+
+  /** W2: cumulative-counter → sleep intervals
+    * (`preliminary_intervals`, /root/reference/activity_categorize.py:74-90).
+    * Semantics (incl. quirk Q5):
+    *  - gap to previous row > `resetGapHours` ⇒ timer reset: prev counter
+    *    treated as 0;
+    *  - minutes = counter − prev when counter increased, else counter
+    *    (numpy `where=` aliasing keeps the unmodified original);
+    *  - interval = [ts − minutes, ts].
+    */
+  /** W2 core: the per-row counter delta (column `mins`), exposing quirk Q5
+    * semantics; [[counterIntervals]] turns it into intervals. */
+  def counterDelta(df: DataFrame, tsCol: String, counterCol: String,
+                   partitionCols: Seq[String],
+                   orderCols: Seq[String] = Nil,
+                   resetGapHours: Int = 12): DataFrame = {
+    val ord = if (orderCols.nonEmpty) orderCols else Seq(tsCol)
+    val win = w(partitionCols, ord)
+    val prevTs = lag(col(tsCol), 1).over(win)
+    val prevRaw = lag(col(counterCol), 1).over(win)
+    val gapReset = prevTs.isNull ||
+      (unix_micros(col(tsCol)) - unix_micros(prevTs)) >
+        lit(resetGapHours * 3600L * 1000000L)
+    val prev = when(gapReset, lit(0.0)).otherwise(prevRaw)
+    val minutes = when(col(counterCol) > prev, col(counterCol) - prev)
+      .otherwise(col(counterCol))
+    df.withColumn("mins", minutes)
+  }
+
+  def counterIntervals(df: DataFrame, tsCol: String, counterCol: String,
+                       partitionCols: Seq[String],
+                       resetGapHours: Int = 12): DataFrame =
+    counterDelta(df, tsCol, counterCol, partitionCols,
+      resetGapHours = resetGapHours)
+      .withColumn("start_time",
+        col(tsCol) - TimeOps.minutesInterval(col("mins").cast("long")))
+      .withColumn("end_time", col(tsCol))
+      .drop("mins")
+
+  /** W3: merge overlapping intervals
+    * (`merge_intervals`, /root/reference/activity_categorize.py:92-102).
+    * Touching endpoints merge (J2: `check_overlap` counts touching as
+    * overlap, activity_categorize.py:145-149). Cumulative-max island:
+    * a new island starts where start > max(end) over all preceding rows. */
+  def mergeIntervals(df: DataFrame,
+                     partitionCols: Seq[String] = Nil): DataFrame = {
+    val part = partitionCols.map(col)
+    val ord = Window.partitionBy(part: _*)
+      .orderBy(col("start_time"), col("end_time"))
+    val prevMaxEnd = max(col("end_time"))
+      .over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    val newIsland = when(
+      prevMaxEnd.isNull || col("start_time") > prevMaxEnd, 1).otherwise(0)
+    df.withColumn("_new", newIsland)
+      .withColumn("_island", sum(col("_new"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(part :+ col("_island"): _*)
+      .agg(min(col("start_time")).as("start_time"),
+        max(col("end_time")).as("end_time"))
+      .drop("_island")
+  }
+
+  /** W4: merge adjacent same-category windows — contiguous (next.start ==
+    * cur.end) AND same category
+    * (`merge_windows`, /root/reference/activity_categorize.py:194-207). */
+  def mergeAdjacentWindows(df: DataFrame,
+                           partitionCols: Seq[String] = Nil): DataFrame = {
+    val part = partitionCols.map(col)
+    val ord = Window.partitionBy(part: _*)
+      .orderBy(col("start_time"), col("end_time"))
+    val newRun = when(
+      lag(col("end_time"), 1).over(ord).isNull ||
+        col("category") =!= lag(col("category"), 1).over(ord) ||
+        col("start_time") =!= lag(col("end_time"), 1).over(ord),
+      1).otherwise(0)
+    df.withColumn("_new", newRun)
+      .withColumn("_run", sum(col("_new"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(part :+ col("_run") :+ col("category"): _*)
+      .agg(min(col("start_time")).as("start_time"),
+        max(col("end_time")).as("end_time"))
+      .drop("_run")
+  }
+
+  /** W5: session id on time gap — gap > `gapSeconds` starts a new session
+    * (/root/reference/acc_reformat.py:121-125). */
+  def sessionize(df: DataFrame, tsCol: String, partitionCols: Seq[String],
+                 gapSeconds: Double = 1.0): DataFrame = {
+    val win = w(partitionCols, Seq(tsCol))
+    val gapUs = (unix_micros(col(tsCol)) -
+      unix_micros(lag(col(tsCol), 1).over(win)))
+    val newSession =
+      when(gapUs.isNull || gapUs > lit((gapSeconds * 1e6).toLong), 1)
+        .otherwise(0)
+    df.withColumn("session_id",
+      sum(newSession).over(
+        w(partitionCols, Seq(tsCol))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** W7: step-increase events → trailing intervals [ts − windowMinutes, ts]
+    * (/root/reference/activity_categorize.py:298-301). */
+  def trailingIntervals(df: DataFrame, tsCol: String, valueCol: String,
+                        windowMinutes: Int = 10,
+                        keepCols: Seq[String] = Nil,
+                        threshold: Double = 0.0): DataFrame =
+    df.filter(col(valueCol) > threshold)
+      .select(keepCols.map(col) ++ Seq(
+        (col(tsCol) - TimeOps.minutesInterval(lit(windowMinutes)))
+          .as("start_time"),
+        col(tsCol).as("end_time")): _*)
+}

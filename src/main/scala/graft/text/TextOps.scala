@@ -1,0 +1,106 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data curation (engine
+  * extension — no reference analogue; the reference's string work stops at
+  * regex extraction, SURVEY.md §2.2 P18-P19).
+  *
+  * All pure column expressions → whole-stage codegen, no UDFs; every
+  * operator is embarrassingly parallel over documents (no shuffle).
+  */
+object TextOps {
+
+  /** Top English function words for the n-gram/stopword language heuristic
+    * and quality ratios. */
+  val EnStopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of",
+    "to", "in", "is", "it", "that", "for", "on", "with", "as", "at", "by",
+    "from", "this", "be", "are", "was", "not", "but", "have", "has")
+
+  /** Whitespace tokenization. `split` on single spaces matches the oracle's
+    * `string_split(text, ' ')` exactly (empty tokens preserved). */
+  def wsTokens(text: Column): Column = split(text, " ")
+
+  /** Token count (whitespace). */
+  def tokenCount(text: Column): Column = size(wsTokens(text))
+
+  /** BPE-ish subword count: words + digits + punctuation runs — a regex
+    * proxy for tokenizer load (one token per word-piece of ≤4 chars). */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"),
+      lit(0)))
+
+  /** Fraction of whitespace tokens that are English stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = wsTokens(lower(text))
+    val stops = filter(toks, t => t.isin(EnStopwords: _*))
+    when(size(toks) > 0, size(stops).cast("double") / size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) -
+        length(regexp_replace(text, "[^A-Za-z0-9\\s]", "")))
+        .cast("double") / length(text))
+      .otherwise(lit(0.0))
+
+  /** Mean whitespace-token length. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = wsTokens(text)
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Language-ID heuristic: stopword hit-rate over function words. Returns
+    * "en" above `threshold`, else "other". (A real model would use char
+    * n-gram profiles; the stopword rate is the standard cheap first pass.) */
+  def langIdEn(text: Column, threshold: Double = 0.12): Column =
+    when(stopwordRatio(text) >= threshold, "en").otherwise("other")
+
+  /** Composite quality score in [0,1]: length band + stopword presence −
+    * punctuation noise. Deterministic, codegen'd, tunable weights. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4, lit(1.0))
+    val punctPenalty = least(punctRatio(text) * 5, lit(1.0))
+    greatest(lit(0.0), least(lit(1.0),
+      lenScore * 0.4 + stopScore * 0.4 + (lit(1.0) - punctPenalty) * 0.2))
+  }
+
+  /** Document fingerprint: stable 64-bit content hash (xxhash64) plus a
+    * normalized-content variant (case/whitespace folded) for near-exact
+    * dedup. */
+  def fingerprint(text: Column): Column = xxhash64(text)
+
+  def normalizedFingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Word n-gram shingles (lowercased), for Jaccard/MinHash dedup. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = wsTokens(lower(text))
+    val k = size(toks) - (n - 1)
+    when(k > 0,
+      array_distinct(transform(sequence(lit(0), k - 1),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Full per-document profile. */
+  def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_subwords", subwordCount(t))
+      .withColumn("stopword_ratio", stopwordRatio(t))
+      .withColumn("punct_ratio", punctRatio(t))
+      .withColumn("mean_token_len", meanTokenLen(t))
+      .withColumn("lang_pred", langIdEn(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}
