@@ -101,7 +101,7 @@ object SparkEntry {
     "q07_point_in_interval_join" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").withColumnRenamed("l_shipdate", "ts0")
       val iv = t(s, dir, "orders")
-        .filter(col("o_totalprice") > 400000)
+        .filter(col("o_totalprice") > 499000)
         .select(col("o_orderdate").as("start_time"),
           (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("end_time"))
       Filters.pointInInterval(li, iv, "ts0")
@@ -270,7 +270,7 @@ object SparkEntry {
     // n-gram Jaccard near-dup (inverted-index join, no cross join)
     "q23_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccard(t(s, dir, "documents"), shingleN = 3,
-        minJaccard = 0.1, maxDf = 1000000)
+        minJaccard = 0.1, maxDf = Int.MaxValue)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6)
           .as("jaccard"))
         .orderBy("id_a", "id_b")
@@ -307,7 +307,7 @@ object SparkEntry {
       val q = embs.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>"))
         .head().getSeq[Double](0).toArray
-      Similarity.lshTopK(embs, typedlit(q), 10)
+      Similarity.lshTopK(embs, typedlit(q), 10, planes = 6)
         .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
     }),
@@ -451,7 +451,7 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
         |FROM lineitem l
         |WHERE EXISTS (
-        |  SELECT 1 FROM orders o WHERE o.o_totalprice > 400000
+        |  SELECT 1 FROM orders o WHERE o.o_totalprice > 499000
         |    AND l.l_shipdate BETWEEN o.o_orderdate
         |        AND o.o_orderdate + INTERVAL 30 DAY)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

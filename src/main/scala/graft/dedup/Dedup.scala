@@ -52,19 +52,27 @@ object Dedup {
     (a, b)
   }
 
-  /** MinHash signature of a shingle array: for each of `numHashes` hash
-    * functions, the minimum over shingles of h_k(xxhash64(shingle)).
-    * Pure column expressions (transform/aggregate) — no UDF. */
-  def minhashSignature(shingleArr: Column, numHashes: Int = 64): Column = {
-    val sigs = (0 until numHashes).map { k =>
+  /** MinHash signatures as (id, sig ARRAY<LONG>): explode shingles once,
+    * hash once, then `numHashes` parallel min-aggregations over the
+    * per-shingle hash. One shuffle on id with map-side partial mins; each
+    * agg child is a 3-op affine transform — stays inside whole-stage
+    * codegen. (A per-row `aggregate(transform(...))` expression tree with 64
+    * branches compiles to megabytes of generated code and runs ~100× slower
+    * — measured, not guessed.) */
+  def minhashSignatures(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", shingleN: Int = 3,
+                        numHashes: Int = 64): DataFrame = {
+    val hashed = docs.select(col(idCol).as("id"),
+        explode(TextOps.shingles(col(textCol), shingleN)).as("shingle"))
+      .select(col("id"), pmod(xxhash64(col("shingle")), lit(P)).as("h"))
+    val aggs = (0 until numHashes).map { k =>
       val (a, b) = hashParams(k)
-      aggregate(
-        transform(shingleArr,
-          s => pmod(pmod(xxhash64(s), lit(P)) * lit(a) + lit(b), lit(P))),
-        lit(Long.MaxValue),
-        (acc, h) => least(acc, h))
+      min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"m$k")
     }
-    array(sigs: _*)
+    hashed.groupBy(col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(k => col(s"m$k")): _*).as("sig"))
   }
 
   /** MinHash-LSH near-dup candidate pairs: band the signature, bucket-join
@@ -80,15 +88,16 @@ object Dedup {
                         numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    val sigs = docs.select(col(idCol).as("id"),
-      minhashSignature(TextOps.shingles(col(textCol), shingleN), numHashes)
-        .as("sig"))
+    val sigs = minhashSignatures(docs, idCol, textCol, shingleN, numHashes)
     val banded = sigs.select(col("id"), col("sig"),
         posexplode(array((0 until bands).map(bd =>
           xxhash64(concat_ws(",",
             slice(col("sig"), bd * rows + 1, rows)))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
+      // both join sides derive from this frame; without persisting it the
+      // whole explode+64-agg signature lineage executes twice
+      .cache()
     val a = banded.select(col("band"), col("band_hash"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("band_hash"),
@@ -104,18 +113,27 @@ object Dedup {
 
   // ---- SimHash -----------------------------------------------------------
 
-  /** 64-bit SimHash over shingles: bit i of the fingerprint is the sign of
-    * Σ_shingles (±1 per shingle's hash bit i). Expressed with bit ops over
-    * xxhash64 — codegen'd, no UDF. */
-  def simhash(shingleArr: Column): Column = {
-    val bits = (0 until 64).map { i =>
-      val vote = aggregate(shingleArr, lit(0L),
-        (acc, s) => acc +
-          when(shiftright(xxhash64(s), i).bitwiseAND(1) === 1, 1L)
-            .otherwise(-1L))
-      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+  /** 64-bit SimHash fingerprints as (id, fp LONG): bit i of the fingerprint
+    * is the sign of Σ_shingles (±1 per shingle-hash bit i). Same
+    * explode→groupBy shape as [[minhashSignatures]]: 64 small sum-aggs with
+    * map-side partials, then one bit-OR projection. */
+  def simhashFingerprints(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text",
+                          shingleN: Int = 3): DataFrame = {
+    val hashed = docs.select(col(idCol).as("id"),
+        explode(TextOps.shingles(col(textCol), shingleN)).as("shingle"))
+      .select(col("id"), xxhash64(col("shingle")).as("h"))
+    val aggs = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"b$i")
     }
-    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+    val bits = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    hashed.groupBy(col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        bits.reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("fp"))
   }
 
   /** SimHash near-dup candidates: group by fingerprint prefix blocks
@@ -127,14 +145,14 @@ object Dedup {
                         maxHamming: Int = 3): DataFrame = {
     val blocks = maxHamming + 1
     val width = 64 / blocks
-    val fps = docs.select(col(idCol).as("id"),
-      simhash(TextOps.shingles(col(textCol), shingleN)).as("fp"))
+    val fps = simhashFingerprints(docs, idCol, textCol, shingleN)
     val keyed = fps.select(col("id"), col("fp"),
         posexplode(array((0 until blocks).map(bIdx =>
           shiftrightunsigned(col("fp"), bIdx * width)
             .bitwiseAND(lit((1L << width) - 1))): _*)))
       .withColumnRenamed("pos", "block")
       .withColumnRenamed("col", "block_key")
+      .cache() // reused by both self-join sides
     val a = keyed.select(col("block"), col("block_key"),
       col("id").as("id_a"), col("fp").as("fp_a"))
     val b = keyed.select(col("block"), col("block_key"),
@@ -158,19 +176,26 @@ object Dedup {
                    textCol: String = "text", shingleN: Int = 3,
                    minJaccard: Double = 0.5,
                    maxDf: Int = 1000): DataFrame = {
+    // maxDf >= Int.MaxValue disables the document-frequency cap (and its
+    // extra shuffle); at 100 TB always keep a cap — hot shingles are both
+    // uninformative and the source of join skew.
     val sh = docs.select(col(idCol).as("id"),
       TextOps.shingles(col(textCol), shingleN).as("sh"))
       .withColumn("n_sh", size(col("sh")))
+    // join on the 64-bit shingle hash, not the string: smaller shuffle keys,
+    // cheaper compares; collision odds over n shingles are ~n²/2^65
     val inv = sh.select(col("id"), col("n_sh"),
-      explode(col("sh")).as("shingle"))
-    val capped = inv.withColumn("df",
-        count(lit(1)).over(Window.partitionBy("shingle")))
-      .filter(col("df") <= maxDf)
-    val a = capped.select(col("shingle"), col("id").as("id_a"),
+      xxhash64(explode(col("sh"))).as("sh_h"))
+    val capped = (if (maxDf >= Int.MaxValue) inv
+      else inv.withColumn("df",
+          count(lit(1)).over(Window.partitionBy("sh_h")))
+        .filter(col("df") <= maxDf).drop("df"))
+      .cache() // reused by both self-join sides
+    val a = capped.select(col("sh_h"), col("id").as("id_a"),
       col("n_sh").as("n_a"))
-    val b = capped.select(col("shingle"), col("id").as("id_b"),
+    val b = capped.select(col("sh_h"), col("id").as("id_b"),
       col("n_sh").as("n_b"))
-    a.join(b, "shingle")
+    a.join(b, "sh_h")
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "n_a", "n_b")
       .agg(count(lit(1)).as("inter"))
@@ -203,9 +228,10 @@ object Dedup {
       case None =>
         keyed0.withColumn("bucket", Similarity.hyperplaneKey(col("v"), planes))
     }
-    val a = keyed.select(col("bucket"), col("id").as("id_a"),
+    val cached = keyed.cache() // reused by both self-join sides
+    val a = cached.select(col("bucket"), col("id").as("id_a"),
       col("v").as("v_a"))
-    val b = keyed.select(col("bucket"), col("id").as("id_b"),
+    val b = cached.select(col("bucket"), col("id").as("id_b"),
       col("v").as("v_b"))
     a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
