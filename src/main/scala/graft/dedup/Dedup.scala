@@ -185,7 +185,8 @@ object Dedup {
     // join on the 64-bit shingle hash, not the string: smaller shuffle keys,
     // cheaper compares; collision odds over n shingles are ~n²/2^65
     val inv = sh.select(col("id"), col("n_sh"),
-      xxhash64(explode(col("sh"))).as("sh_h"))
+        explode(col("sh")).as("shingle"))
+      .select(col("id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
     val capped = (if (maxDf >= Int.MaxValue) inv
       else inv.withColumn("df",
           count(lit(1)).over(Window.partitionBy("sh_h")))
@@ -218,7 +219,8 @@ object Dedup {
                        vecCol: String = "embedding",
                        minCosine: Double = 0.95,
                        planes: Int = 12,
-                       blockCol: Option[String] = None): DataFrame = {
+                       blockCol: Option[String] = None,
+                       dim: Int = graft.ml.Similarity.DefaultDim): DataFrame = {
     import graft.ml.Similarity
     val keyed0 = embs.select((col(idCol).as("id") +:
       col(vecCol).cast("array<double>").as("v") +:
@@ -226,7 +228,8 @@ object Dedup {
     val keyed = blockCol match {
       case Some(c) => keyed0.withColumnRenamed(c, "bucket")
       case None =>
-        keyed0.withColumn("bucket", Similarity.hyperplaneKey(col("v"), planes))
+        keyed0.withColumn("bucket",
+          Similarity.hyperplaneKey(col("v"), planes, dim))
     }
     val cached = keyed.cache() // reused by both self-join sides
     val a = cached.select(col("bucket"), col("id").as("id_a"),
@@ -236,7 +239,7 @@ object Dedup {
     a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
+        Similarity.cosine(col("v_a"), col("v_b"), dim).as("cosine"))
       .filter(col("cosine") >= minCosine)
       .distinct()
   }

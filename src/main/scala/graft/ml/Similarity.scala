@@ -74,9 +74,10 @@ object Similarity {
     * corpus, only of k·partitions candidates. */
   def bruteForceTopK(embs: DataFrame, query: Column, k: Int,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame =
+                     vecCol: String = "embedding",
+                     dim: Int = DefaultDim): DataFrame =
     embs.select(col(idCol),
-        cosine(col(vecCol).cast("array<double>"), query).as("cosine"))
+        cosine(col(vecCol).cast("array<double>"), query, dim).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
 
@@ -86,16 +87,18 @@ object Similarity {
     * making a query a partition-pruned scan. */
   def lshTopK(embs: DataFrame, query: Column, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              planes: Int = 12, multiProbe: Boolean = true): DataFrame = {
+              planes: Int = 12, multiProbe: Boolean = true,
+              dim: Int = DefaultDim): DataFrame = {
     val keyed = embs.select(col(idCol),
       col(vecCol).cast("array<double>").as("v"),
-      hyperplaneKey(col(vecCol).cast("array<double>"), planes).as("bucket"))
-    val qKey = hyperplaneKey(query, planes)
+      hyperplaneKey(col(vecCol).cast("array<double>"), planes, dim)
+        .as("bucket"))
+    val qKey = hyperplaneKey(query, planes, dim)
     val probes: Column = if (multiProbe)
       array((qKey +: (0 until planes).map(p => qKey.bitwiseXOR(lit(1L << p)))): _*)
     else array(qKey)
     keyed.filter(array_contains(probes, col("bucket")))
-      .select(col(idCol), cosine(col("v"), query).as("cosine"))
+      .select(col(idCol), cosine(col("v"), query, dim).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
@@ -105,11 +108,11 @@ object Similarity {
     * count; `planes` tunes recall vs cost. */
   def allPairsTopK(embs: DataFrame, k: Int, idCol: String = "vec_id",
                    vecCol: String = "embedding",
-                   planes: Int = 8): DataFrame = {
+                   planes: Int = 8, dim: Int = DefaultDim): DataFrame = {
     val keyed = embs.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
       .withColumn("bucket",
-        hyperplaneKey(col("v"), planes))
+        hyperplaneKey(col("v"), planes, dim))
       .cache() // reused by both self-join sides
     val a = keyed.select(col("bucket"), col("id").as("id_a"),
       col("v").as("v_a"))
@@ -118,7 +121,7 @@ object Similarity {
     val scored = a.join(b, "bucket")
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("v_a"), col("v_b")).as("cosine"))
+        cosine(col("v_a"), col("v_b"), dim).as("cosine"))
     val w = Window.partitionBy("id_a")
       .orderBy(col("cosine").desc, col("id_b").asc)
     scored.withColumn("rank", row_number().over(w))

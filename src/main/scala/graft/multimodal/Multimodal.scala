@@ -64,7 +64,7 @@ object Multimodal {
           val payload = r.getAs[Array[Byte]](payloadCol)
           val bytes = if (payload == null) Array.emptyByteArray else payload
           Row(r.getAs[Long]("asset_id"), r.getAs[String]("modality"),
-            bytes.length.toLong, decodeStub(bytes).toSeq)
+            bytes.length.toLong, decodeStub(bytes).toIndexedSeq)
         }
       }
   }
@@ -93,7 +93,7 @@ object Multimodal {
           val off = if (payload.isEmpty) 0
             else ((ms * 31) % payload.length).toInt
           val slice = payload.drop(off).take(256)
-          Row(r.getAs[Long]("asset_id"), ms, decodeStub(slice).toSeq)
+          Row(r.getAs[Long]("asset_id"), ms, decodeStub(slice).toIndexedSeq)
         }
       }
   }

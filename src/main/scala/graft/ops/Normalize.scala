@@ -37,7 +37,8 @@ object Normalize {
       .withColumn("arr", from_json(col("data"), arr))
       // defensive scalar extraction, P13: `x[0] if list else x`
       .withColumn("scalar",
-        coalesce(element_at(col("arr"), 1), col("data").cast(DoubleType)))
+        coalesce(element_at(col("arr"), 1),
+          expr("try_cast(data AS DOUBLE)")))
 
     val ids = Seq("jname", "date_time")
 
@@ -71,11 +72,11 @@ object Normalize {
     val mmInner = from_json(element_at(mmArr, 3), arr)
     val mm = parsed.filter(col("kind") === "multi measure")
       .select(ids.map(col) :+
-        element_at(mmArr, 1).cast(DoubleType).as("mm_hr") :+
-        element_at(mmArr, 2).cast(DoubleType).as("mm_spo2") :+
-        element_at(mmInner, 1).as("mm_bp_sys") :+
-        element_at(mmInner, 2).as("mm_bp_dia") :+
-        element_at(mmArr, 4).cast(DoubleType).as("mm_st"): _*)
+        mmArr.getItem(0).cast(DoubleType).as("mm_hr") :+
+        mmArr.getItem(1).cast(DoubleType).as("mm_spo2") :+
+        mmInner.getItem(0).as("mm_bp_sys") :+
+        mmInner.getItem(1).as("mm_bp_dia") :+
+        mmArr.getItem(3).cast(DoubleType).as("mm_st"): _*)
       .unpivot(ids.map(col).toArray,
         Array("mm_hr", "mm_spo2", "mm_bp_sys", "mm_bp_dia", "mm_st")
           .map(col), "kind", "data")

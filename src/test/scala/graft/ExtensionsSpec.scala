@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.AsOf
+import graft.dedup.Dedup
+import graft.ml.Similarity
+import graft.text.TextOps
+import graft.multimodal.Multimodal
+
+/** Training-data extensions: as-of, dedup family, ANN, text, multimodal. */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- as-of -------------------------------------------------------------
+
+  test("asofBackward picks latest right row at-or-before; strict excludes ties") {
+    val left = Seq((1L, ts("2024-01-01 00:10:00"), "a"),
+      (1L, ts("2024-01-01 00:30:00"), "b"),
+      (2L, ts("2024-01-01 00:10:00"), "c")).toDF("k", "ts", "tag")
+    val right = Seq((1L, ts("2024-01-01 00:10:00"), 10.0),
+      (1L, ts("2024-01-01 00:20:00"), 20.0)).toDF("k", "ts", "value")
+    val got = AsOf.asofBackward(left, right, Seq("k"), "ts", "ts",
+      Seq("value")).orderBy("k", "ts").collect()
+    assert(got(0).getAs[Double]("asof_value") == 10.0) // tie included
+    assert(got(1).getAs[Double]("asof_value") == 20.0)
+    assert(got(2).isNullAt(got(2).fieldIndex("asof_value"))) // no match
+
+    val strict = AsOf.asofBackward(left, right, Seq("k"), "ts", "ts",
+      Seq("value"), strict = true).orderBy("k", "ts").collect()
+    assert(strict(0).isNullAt(strict(0).fieldIndex("asof_value")))
+  }
+
+  // ---- dedup -------------------------------------------------------------
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy cat again and again"),
+    (3L, "completely different words about spark catalyst tungsten engine"),
+    (4L, "THE  quick Brown fox jumps over the lazy dog again and again")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val got = Dedup.exact(docs).orderBy("keep_id").collect()
+      .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies")))
+    assert(got.toSeq == Seq((0L, 2L), (2L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("normalized dedup folds case/whitespace") {
+    val got = Dedup.normalized(docs).orderBy("keep_id").collect()
+      .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies")))
+    assert(got.toSeq == Seq((0L, 3L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("minhash: identical docs get est_jaccard 1.0; near-dups rank high") {
+    val got = Dedup.minhashCandidates(docs).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Double]("est_jaccard"))).toMap
+    assert(got((0L, 1L)) == 1.0)
+    assert(got.get((0L, 2L)).forall(_ < 1.0))
+    assert(!got.contains((0L, 3L)) && !got.contains((2L, 3L)))
+  }
+
+  test("simhash: identical docs at hamming 0; unrelated docs not candidates") {
+    val got = Dedup.simhashCandidates(docs).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Int]("hamming").toLong)).toMap
+    assert(got((0L, 1L)) == 0L)
+    assert(!got.contains((0L, 3L)))
+  }
+
+  test("ngramJaccard: identical 1.0, near-dup in (0,1), unrelated absent") {
+    val got = Dedup.ngramJaccard(docs, minJaccard = 0.2).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Double]("jaccard"))).toMap
+    assert(got((0L, 1L)) == 1.0)
+    assert(got((0L, 2L)) > 0.2 && got((0L, 2L)) < 1.0)
+    assert(!got.contains((0L, 3L)))
+  }
+
+  // ---- similarity --------------------------------------------------------
+
+  private val dim = 8
+  private def vec(seed: Int): Seq[Float] =
+    (0 until dim).map(i => (math.sin(seed * 31 + i) * 10).toFloat)
+
+  test("bruteForceTopK: self-similarity ranks first with cosine 1") {
+    val embs = (0L until 20L).map(i => (i, vec(i.toInt), i.toInt % 3))
+      .toDF("vec_id", "embedding", "label")
+    val q = vec(5).map(_.toDouble).toArray
+    val got = Similarity.bruteForceTopK(
+      embs.withColumn("embedding", col("embedding").cast("array<double>")),
+      typedlit(q), 3, dim = dim).collect()
+    assert(got.head.getAs[Long]("vec_id") == 5L)
+    assert(math.abs(got.head.getAs[Double]("cosine") - 1.0) < 1e-12)
+  }
+
+  test("embeddingNearDup with label blocking finds in-label pairs only") {
+    val embs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), 0),
+      (1L, Seq(1f, 0.01f, 0f, 0f, 0f, 0f, 0f, 0f), 0), // near-dup of 0
+      (2L, Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), 1), // same vec, other label
+      (3L, Seq(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Dedup.embeddingNearDup(embs, minCosine = 0.9,
+      blockCol = Some("label"), dim = 8).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSeq
+    assert(got == Seq((0L, 1L)))
+  }
+
+  // ---- text --------------------------------------------------------------
+
+  test("token counts, stopword ratio, langid") {
+    val df = Seq(
+      "the cat sat on the mat",
+      "lorem ipsum dolor sit amet consectetur").toDF("text")
+    val got = TextOps.profile(df, "text").collect()
+    assert(got(0).getAs[Int]("n_tokens") == 6)
+    assert(math.abs(got(0).getAs[Double]("stopword_ratio") - 3.0 / 6) < 1e-12)
+    assert(got(0).getAs[String]("lang_pred") == "en")
+    assert(got(1).getAs[String]("lang_pred") == "other")
+  }
+
+  test("shingles produce n-grams with whole-text fallback") {
+    val df = Seq("a b c d", "a b").toDF("text")
+    val got = df.select(TextOps.shingles(col("text"), 3)).collect()
+      .map(_.getSeq[String](0).toSeq)
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq("a b"))
+  }
+
+  // ---- multimodal --------------------------------------------------------
+
+  test("extractFeatures: deterministic stub features, FeatureDim wide") {
+    val assets = Multimodal.assetsFromText(
+      Seq((0L, "hello world"), (1L, "hello world"), (2L, "different"))
+        .toDF("doc_id", "text"))
+    val got = Multimodal.extractFeatures(assets).orderBy("asset_id").collect()
+    assert(got.length == 3)
+    val f0 = got(0).getAs[scala.collection.Seq[Double]]("features").toSeq
+    val f1 = got(1).getAs[scala.collection.Seq[Double]]("features").toSeq
+    val f2 = got(2).getAs[scala.collection.Seq[Double]]("features").toSeq
+    assert(f0.length == Multimodal.FeatureDim)
+    assert(f0 == f1) // same payload → same features
+    assert(f0 != f2)
+    assert(got(0).getAs[Long]("n_bytes") == 11L)
+  }
+
+  test("sampleFrames: video assets only, capped frame count, deterministic") {
+    val assets = Multimodal.assetsFromText(
+      Seq((2L, "x" * 100), (0L, "not video")).toDF("doc_id", "text"))
+    // doc 2 → modality video, duration 100·10 = 1000 ms → frames at 0 ms
+    // (everyMs 400 → 0,400,800)
+    val got = Multimodal.sampleFrames(assets, everyMs = 400L, maxFrames = 2)
+      .collect()
+    assert(got.forall(_.getAs[Long]("asset_id") == 2L))
+    assert(got.length == 2) // capped
+  }
+
+  test("hyperplaneKey is deterministic and groups identical vectors") {
+    val embs = Seq((0L, Seq.fill(8)(1f)), (1L, Seq.fill(8)(1f)))
+      .toDF("vec_id", "embedding")
+    val keys = embs.select(Similarity.hyperplaneKey(
+      col("embedding").cast("array<double>"), 8, 8)).as[Long]
+      .collect().toSeq
+    assert(keys(0) == keys(1))
+  }
+}

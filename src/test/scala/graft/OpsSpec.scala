@@ -1,0 +1,211 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import graft.ops._
+
+/** Core operator semantics, quirk-dense cases first (SURVEY.md §2.12). */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- TimeOps -----------------------------------------------------------
+
+  test("Q1: timeBucket floors by the given width, not a hardcoded 5") {
+    val df = Seq("2024-01-01 00:13:59", "2024-01-01 00:14:00")
+      .map(ts).toDF("t")
+    val got = df.select(TimeOps.timeBucket(col("t"), 120L).cast("string"))
+      .as[String].collect().toSeq
+    // 2-minute buckets (epoch-aligned): 13:59 → 00:12:00, 14:00 → 00:14:00
+    assert(got == Seq("2024-01-01 00:12:00", "2024-01-01 00:14:00"))
+  }
+
+  test("P19: durationToMinutes parses XhYm") {
+    val got = Seq("7h23m", "0h5m", "12h0m").toDF("s")
+      .select(TimeOps.durationToMinutes(col("s"))).as[Int].collect().toSeq
+    assert(got == Seq(443, 5, 720))
+  }
+
+  test("P7: clock offset rounds to 15-minute quantum") {
+    val raw = Seq(1000000L, 2000000L).toDF("time")
+    // ref − min = 1 800 000 ms = 2 quanta exactly
+    assert(TimeOps.deriveClockOffsetMs(raw, 2800000L) == 1800000L)
+    // 1 000 000 ms ≈ 1.11 quanta → rounds to 1
+    assert(TimeOps.deriveClockOffsetMs(raw, 2000000L) == 900000L)
+  }
+
+  // ---- Filters -----------------------------------------------------------
+
+  test("P3: band predicate keeps NaN when asked") {
+    val df = Seq(49.0, 50.0, 100.0, Double.NaN).toDF("data")
+    assert(df.filter(Filters.bandPredicate(col("data"), 50, 1e6)).count == 3)
+    assert(df.filter(Filters.bandPredicate(col("data"), 50, 1e6,
+      keepNaN = false)).count == 2)
+  }
+
+  test("A5: flatline islands — run of exactly maxRun is kept, maxRun+1 excluded") {
+    // 21 identical hr values → exclude; 20 identical → include (threshold
+    // is STRICTLY more than 20, filtering_data.py:100)
+    def run(n: Int, v: Double, t0: Int) =
+      (0 until n).map(i => (ts(f"2024-01-01 00:${t0 + i}%02d:00"), v))
+    val rows = run(21, 60.0, 0) ++ run(3, 61.0, 21) // 21-flat then 3 normal
+    val df = rows.toDF("ts", "v")
+    val got = Filters.flatlineIntervals(df, "ts", "v", Nil, maxRun = 20)
+      .orderBy("start_time").collect()
+    assert(got.length == 2)
+    assert(!got(0).getAs[Boolean]("include") && got(0).getAs[Long]("n") == 21)
+    assert(got(1).getAs[Boolean]("include") && got(1).getAs[Long]("n") == 3)
+
+    val df20 = run(20, 60.0, 0).toDF("ts", "v")
+    val got20 = Filters.flatlineIntervals(df20, "ts", "v", Nil, maxRun = 20)
+      .collect()
+    assert(got20.length == 1 && got20(0).getAs[Boolean]("include"))
+  }
+
+  test("J1: point-in-interval join is inclusive on both ends (Q9)") {
+    val facts = Seq(ts("2024-01-01 00:00:00"), ts("2024-01-01 00:05:00"),
+      ts("2024-01-01 00:10:00"), ts("2024-01-01 00:10:01")).toDF("date_time")
+    val iv = Seq((ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00")))
+      .toDF("start_time", "end_time")
+    assert(Filters.pointInInterval(facts, iv).count == 3)
+  }
+
+  // ---- Windows -----------------------------------------------------------
+
+  test("W1: dedupConsecutive keeps first row and change points") {
+    val df = Seq((1, 1.0), (2, 1.0), (3, 2.0), (4, 2.0), (5, 1.0))
+      .toDF("i", "v")
+    val got = Windows.dedupConsecutive(df, "v", Nil, Seq("i"))
+      .select("i").as[Int].collect().toSeq
+    assert(got.sorted == Seq(1, 3, 5))
+  }
+
+  test("W2/Q5: counter delta — non-increase keeps the TOTAL, not zero") {
+    val df = Seq(
+      (ts("2024-01-01 00:00:00"), 10.0), // first row: reset → mins = 10
+      (ts("2024-01-01 01:00:00"), 25.0), // increase → 15
+      (ts("2024-01-01 02:00:00"), 25.0), // no increase → Q5: mins = 25
+      (ts("2024-01-01 03:00:00"), 20.0), // decrease → Q5: mins = 20
+      (ts("2024-01-02 00:00:00"), 30.0)  // 21h gap > 12h → reset → 30
+    ).toDF("ts", "c")
+    val got = Windows.counterDelta(df, "ts", "c", Nil)
+      .orderBy("ts").select("mins").as[Double].collect().toSeq
+    assert(got == Seq(10.0, 15.0, 25.0, 20.0, 30.0))
+  }
+
+  test("W3: mergeIntervals merges overlapping AND touching (J2 semantics)") {
+    val df = Seq(
+      (ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00")),
+      (ts("2024-01-01 01:00:00"), ts("2024-01-01 02:00:00")), // touching
+      (ts("2024-01-01 01:30:00"), ts("2024-01-01 01:40:00")), // contained
+      (ts("2024-01-01 03:00:00"), ts("2024-01-01 04:00:00"))  // separate
+    ).toDF("start_time", "end_time")
+    val got = intervalsOf(Windows.mergeIntervals(df))
+    assert(got == Seq(
+      ("2024-01-01 00:00:00.0", "2024-01-01 02:00:00.0"),
+      ("2024-01-01 03:00:00.0", "2024-01-01 04:00:00.0")))
+  }
+
+  test("W4: mergeAdjacentWindows needs same category AND contiguity") {
+    val df = Seq(
+      (ts("2024-01-01 00:00:00"), ts("2024-01-01 00:05:00"), "rest"),
+      (ts("2024-01-01 00:05:00"), ts("2024-01-01 00:10:00"), "rest"),
+      (ts("2024-01-01 00:10:00"), ts("2024-01-01 00:15:00"), "active"),
+      (ts("2024-01-01 00:20:00"), ts("2024-01-01 00:25:00"), "active") // gap
+    ).toDF("start_time", "end_time", "category")
+    val got = Windows.mergeAdjacentWindows(df)
+      .orderBy("start_time")
+      .select("category", "start_time", "end_time").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString)).toSeq
+    assert(got == Seq(
+      ("rest", "2024-01-01 00:00:00.0", "2024-01-01 00:10:00.0"),
+      ("active", "2024-01-01 00:10:00.0", "2024-01-01 00:15:00.0"),
+      ("active", "2024-01-01 00:20:00.0", "2024-01-01 00:25:00.0")))
+  }
+
+  test("W5: sessionize splits on gap > threshold") {
+    val df = Seq(
+      ts("2024-01-01 00:00:00.0"), ts("2024-01-01 00:00:00.5"),
+      ts("2024-01-01 00:00:02.0"), // 1.5 s gap → new session
+      ts("2024-01-01 00:00:02.9")).toDF("ts")
+    val got = Windows.sessionize(df, "ts", Nil, 1.0)
+      .orderBy("ts").select("session_id").as[Long].collect().toSeq
+    assert(got == Seq(1, 1, 2, 2))
+  }
+
+  // ---- Intervals ---------------------------------------------------------
+
+  test("J2: overlaps counts touching endpoints") {
+    val df = Seq((1, 2, 2, 3), (1, 2, 3, 4)).toDF("as", "ae", "bs", "be")
+    val got = df.select(Intervals.overlaps(col("as"), col("ae"),
+      col("bs"), col("be"))).as[Boolean].collect().toSeq
+    assert(got == Seq(true, false))
+  }
+
+  test("J3: subtract clips, splits, keeps touching endpoints, drops degenerates (Q8)") {
+    val base = Seq((ts("2024-01-01 00:00:00"), ts("2024-01-01 10:00:00")))
+      .toDF("start_time", "end_time")
+    val sub = Seq(
+      (ts("2024-01-01 03:00:00"), ts("2024-01-01 05:00:00")), // middle
+      (ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00")), // left edge
+      (ts("2024-01-01 09:00:00"), ts("2024-01-01 12:00:00"))  // right overhang
+    ).toDF("start_time", "end_time")
+    val got = intervalsOf(Intervals.subtractIntervals(base, sub))
+    assert(got == Seq(
+      ("2024-01-01 01:00:00.0", "2024-01-01 03:00:00.0"),
+      ("2024-01-01 05:00:00.0", "2024-01-01 09:00:00.0")))
+  }
+
+  test("J3: subtract with empty sub returns merged base; x − x = ∅ (Q8 empties)") {
+    val base = Seq(
+      (ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00")),
+      (ts("2024-01-01 00:30:00"), ts("2024-01-01 02:00:00"))
+    ).toDF("start_time", "end_time")
+    val empty = base.filter(lit(false))
+    assert(intervalsOf(Intervals.subtractIntervals(base, empty)) ==
+      Seq(("2024-01-01 00:00:00.0", "2024-01-01 02:00:00.0")))
+    assert(Intervals.subtractIntervals(base, base).count == 0)
+    assert(Intervals.subtractIntervals(empty, base).count == 0)
+  }
+
+  test("J3/W3 property: subtract covers no point of sub; merge is idempotent") {
+    // pseudo-random fixed-seed intervals, checked against a brute-force
+    // minute-resolution bitmap oracle
+    val rnd = new scala.util.Random(42)
+    def mk(n: Int) = Seq.fill(n) {
+      val s = rnd.nextInt(500); val e = s + 1 + rnd.nextInt(120)
+      (new java.sql.Timestamp(86400000L + s * 60000L),
+        new java.sql.Timestamp(86400000L + e * 60000L))
+    }
+    val base = mk(15).toDF("start_time", "end_time")
+    val sub = mk(10).toDF("start_time", "end_time")
+    val got = Intervals.subtractIntervals(base, sub).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("start_time").getTime,
+        r.getAs[java.sql.Timestamp]("end_time").getTime))
+
+    def cover(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().flatMap { r =>
+        val s = r.getAs[java.sql.Timestamp]("start_time").getTime
+        val e = r.getAs[java.sql.Timestamp]("end_time").getTime
+        // open-interval midpoints at 30 s resolution
+        (s until e by 30000L).map(_ + 15000L)
+      }.toSet
+    val baseCover = cover(base); val subCover = cover(sub)
+    val gotCover = got.flatMap { case (s, e) =>
+      (s until e by 30000L).map(_ + 15000L)
+    }.toSet
+    assert(gotCover == (baseCover -- subCover))
+
+    val merged = Windows.mergeIntervals(base)
+    assert(intervalsOf(Windows.mergeIntervals(merged)) == intervalsOf(merged))
+  }
+
+  test("intersect: base ∩ sub via sweep") {
+    val a = Seq((ts("2024-01-01 00:00:00"), ts("2024-01-01 02:00:00")))
+      .toDF("start_time", "end_time")
+    val b = Seq((ts("2024-01-01 01:00:00"), ts("2024-01-01 03:00:00")))
+      .toDF("start_time", "end_time")
+    assert(intervalsOf(Intervals.intersectIntervals(a, b)) ==
+      Seq(("2024-01-01 01:00:00.0", "2024-01-01 02:00:00.0")))
+  }
+}
