@@ -23,15 +23,20 @@ object Readers {
     * tagged-union payload is parsed per-kind downstream.
     */
   def loadRawJson(spark: SparkSession, dir: String,
-                  recursive: Boolean = true): DataFrame =
+                  recursive: Boolean = true,
+                  multiLine: Boolean = true): DataFrame =
     spark.read
       .schema(Schemas.rawJson)
       .option("pathGlobFilter", "*.json")
       .option("recursiveFileLookup", recursive.toString)
+      // watch uploads are JSON-array files (one array per upload)
+      .option("multiLine", multiLine.toString)
       .option("primitivesAsString", "true")
       .json(dir)
+      // input_file_name() is URL-encoded (space → %20): decode before the
+      // timestamp-pattern match
       .withColumn("jname",
-        regexp_extract(input_file_name(), JnamePattern, 0))
+        regexp_extract(url_decode(input_file_name()), JnamePattern, 0))
 
   /** S4: typed CSV scan — schema is the column pruning + casts the reference
     * does by hand (/root/reference/activity_categorize.py:50-66). */

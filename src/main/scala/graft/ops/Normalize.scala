@@ -81,7 +81,17 @@ object Normalize {
         Array("mm_hr", "mm_spo2", "mm_bp_sys", "mm_bp_dia", "mm_st")
           .map(col), "kind", "data")
 
+    // any other kind passes through with its scalar payload (normalize is
+    // total — SURVEY.md §7.4-4); waveform kinds are handled by [[waveforms]]
+    val known = ScalarKinds ++ Seq("bp", "activity", "multi measure",
+      "ppg", "acx", "acy", "acz")
+    val others = parsed
+      .filter(!col("kind").isin(known: _*))
+      .select((ids.map(col) :+ col("kind") :+
+        col("scalar").as("data")): _*)
+
     scalars.unionByName(bp).unionByName(activity).unionByName(mm)
+      .unionByName(others)
   }
 
   /** ppg / acc split (P1 family, /root/reference/raw_data_reformat.py:76-80):

@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Readers
+import graft.ops._
+
+/** The reference's three entry points (SURVEY.md §3, E1-E3) as lazy
+  * DataFrame compositions. Each stage is one declarative DAG — the CSV
+  * hand-offs of the reference become plain DataFrame values (persist them
+  * with [[graft.io.Writers]] if the on-disk contract is needed).
+  *
+  * All window/island steps take `partitionCols` so multi-subject corpora
+  * parallelise; the reference is implicitly single-subject per run
+  * (organize_raw_files.sh:3), which is the empty-partition case.
+  */
+object Pipelines {
+
+  /** E1 — raw_data_reformat.py (/root/reference/raw_data_reformat.py:204-264):
+    * glob-scan watch JSON, align the watch clock, convert epoch-ms, split
+    * and normalize the tagged-union payloads.
+    *
+    * @param refEpochMs optional reference-clock instant (the Excel min time
+    *                   in the reference) from which the offset is derived
+    * @param offsetMs   explicit offset (the reference's `-t`); wins over
+    *                   refEpochMs
+    */
+  case class ReformatOut(measurements: DataFrame, ppg: DataFrame,
+                         ac: DataFrame, offsetMs: Long)
+
+  def reformat(spark: SparkSession, inputDir: String,
+               refEpochMs: Option[Long] = None,
+               offsetMs: Option[Long] = None): ReformatOut = {
+    val raw = Readers.loadRawJson(spark, inputDir)
+    val offset = offsetMs
+      .orElse(refEpochMs.map(r => TimeOps.deriveClockOffsetMs(raw, r)))
+      .getOrElse(0L)
+    val converted = TimeOps.convertDateTime(raw, offset)
+    ReformatOut(
+      measurements = Normalize.normalizeMeasurements(converted),
+      ppg = Normalize.waveforms(converted, Seq("ppg")),
+      ac = Normalize.waveforms(converted, Seq("acx", "acy", "acz")),
+      offsetMs = offset)
+  }
+
+  /** E2 — filtering_data.py (/root/reference/filtering_data.py:126-221):
+    * drop flatlined time ranges (hr run-length > 20), then clamp vitals to
+    * physiological ranges. */
+  def filterNoise(measurements: DataFrame,
+                  partitionCols: Seq[String] = Nil,
+                  flatlineKind: String = "hr",
+                  maxRun: Int = 20,
+                  ranges: Map[String, (Double, Double)] =
+                    Filters.VitalRanges): DataFrame = {
+    val hr = measurements.filter(col("kind") === flatlineKind)
+    val include = Filters
+      .flatlineIntervals(hr, "date_time", "data", partitionCols, maxRun)
+      .filter(col("include"))
+      .select((partitionCols.map(col) :+ col("start_time") :+
+        col("end_time")): _*)
+    val kept = Filters.pointInInterval(measurements, include, "date_time")
+    Filters.clampKinds(kept, ranges)
+  }
+
+  /** E2.5 — acc_reformat.py: align the 3 axis streams, smooth, derive
+    * seconds/bin/g-force. */
+  def accReformat(acTall: DataFrame, partitionCols: Seq[String],
+                  binSize: Int = 300): DataFrame =
+    Acc.accDerived(Acc.alignAxes(acTall, partitionCols), binSize)
+
+  /** E3 — activity_categorize.py (/root/reference/activity_categorize.py:209-343):
+    * sleep intervals from the cumulative counter, minus step activity;
+    * resting-band acc categorization; interval algebra to the final
+    * sleep / rest / low active / high active timeline. */
+  def categorize(measurements: DataFrame, accWide: DataFrame,
+                 partitionCols: Seq[String] = Nil):
+      (Double, Double, DataFrame) = {
+    val part = partitionCols.map(col)
+    def iv(df: DataFrame) =
+      df.select((part :+ col("start_time") :+ col("end_time")): _*)
+
+    // sleep: dedup-consecutive counter → counter-reset intervals → merge
+    val sleepTotal = Windows.dedupConsecutive(
+      measurements.filter(col("kind") === "sleep_total"),
+      "data", partitionCols, Seq("date_time"))
+    val prelim = Windows.counterIntervals(sleepTotal, "date_time", "data",
+      partitionCols)
+    val sleepMerged = Windows.mergeIntervals(iv(prelim), partitionCols)
+
+    // steps: step>0 → trailing 10-min intervals; sleep −= steps
+    val stepIv = Windows.trailingIntervals(
+      measurements.filter(col("kind") === "step"), "date_time", "data",
+      windowMinutes = 10, keepCols = partitionCols)
+    val sleep = Intervals.subtractIntervals(sleepMerged, iv(stepIv),
+      partitionCols)
+
+    // resting band from acc within sleep; 5-min bin categorize; merge runs
+    val (lo, hi) = Acc.restingBand(accWide, sleep)
+    val cat = Windows.mergeAdjacentWindows(
+      Acc.binCategorize(accWide, lo, hi, partitionCols)
+        .select((part :+ col("start_time") :+ col("end_time") :+
+          col("category")): _*),
+      partitionCols)
+
+    // timeline algebra: active windows win over sleep; wake-rest is
+    // rest-windows minus sleep
+    val active = cat.filter(col("category") =!= "rest")
+    val sleepFinal = Intervals.subtractIntervals(sleep, iv(active),
+      partitionCols).withColumn("category", lit("sleep"))
+    val restWin = cat.filter(col("category") === "rest")
+    val wakeRest = Intervals.subtractIntervals(iv(restWin), iv(sleepFinal),
+      partitionCols).withColumn("category", lit("rest"))
+
+    val timeline = sleepFinal
+      .unionByName(active.select(sleepFinal.columns.map(col): _*))
+      .unionByName(wakeRest)
+      .orderBy((part :+ col("start_time")): _*)
+    (lo, hi, timeline)
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.functions._
+import graft.pipeline.Pipelines
+
+/** Golden end-to-end: synthetic watch JSON (FIXTURES.md §1) through
+  * E1 reformat → E2 filter → E3 categorize. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Epoch ms for 2024-01-01 00:00:00 UTC. */
+  private val Day = 1704067200000L
+
+  private def writeFixture(): Path = {
+    val dir = Files.createTempDirectory("graft_fixture")
+    def f(name: String, body: String): Unit =
+      Files.writeString(dir.resolve(name), body)
+
+    // records across one day: hr stream with a 25-flatline then varied;
+    // sleep_total cumulative counter; steps; bp/activity/multi measure
+    val hrFlat = (0 until 25).map(i =>
+      s"""{"time": ${Day + i * 60000}, "kind": "hr", "data": [70]}""")
+    val hrVar = (0 until 30).map(i =>
+      s"""{"time": ${Day + 1500000 + i * 60000}, "kind": "hr",
+         |"data": [${60 + (i % 13)}]}""".stripMargin.replace("\n", " "))
+    val hrLow = // below the 50-floor: clamped by E2
+      Seq(s"""{"time": ${Day + 3600000}, "kind": "hr", "data": [30]}""")
+    val sleep = Seq( // counter: 0 → 120 → 120 (Q5) → reset next day
+      s"""{"time": ${Day + 6 * 3600000}, "kind": "sleep_total", "data": [0]}""",
+      s"""{"time": ${Day + 8 * 3600000}, "kind": "sleep_total", "data": [120]}""",
+      s"""{"time": ${Day + 9 * 3600000}, "kind": "sleep_total", "data": [120]}""")
+    val steps = Seq(
+      s"""{"time": ${Day + 12 * 3600000}, "kind": "activity",
+         |"data": [500, 20, 0, 0, 0]}""".stripMargin.replace("\n", " "),
+      s"""{"time": ${Day + 13 * 3600000}, "kind": "activity",
+         |"data": [0, 5, 10, 20, 1]}""".stripMargin.replace("\n", " "))
+    val misc = Seq(
+      s"""{"time": ${Day + 1000}, "kind": "bp", "data": [118, 76]}""",
+      s"""{"time": ${Day + 2000}, "kind": "multi measure",
+         |"data": [70, 97, [117, 75], 36.4]}""".stripMargin.replace("\n", " "),
+      s"""{"time": ${Day + 3000}, "kind": "ppg", "data": [1, 2, 3]}""")
+
+    f("watch 2024-01-01 08-00-00.json",
+      (hrFlat ++ hrVar ++ misc).mkString("[", ",\n", "]"))
+    f("watch 2024-01-01 20-00-00.json",
+      (hrLow ++ sleep ++ steps).mkString("[", ",\n", "]"))
+    dir
+  }
+
+  test("E1 reformat: jname tagging, offset, tagged-union normalize") {
+    val dir = writeFixture()
+    val out = Pipelines.reformat(spark, dir.toString)
+    assert(out.offsetMs == 0L)
+    val m = out.measurements.cache()
+    // jname extracted from the file name pattern
+    assert(m.select("jname").distinct().as[String].collect().toSet ==
+      Set("2024-01-01 08-00-00", "2024-01-01 20-00-00"))
+    val kinds = m.select("kind").distinct().as[String].collect().toSet
+    assert(Set("hr", "bp_sys", "bp_dia", "step", "Calories", "mm_hr",
+      "sleep_total").subsetOf(kinds))
+    assert(out.ppg.count() == 1)
+    // explicit offset shifts timestamps by the quantum
+    val shifted = Pipelines.reformat(spark, dir.toString,
+      offsetMs = Some(900000L))
+    assert(shifted.offsetMs == 900000L)
+    val t0 = m.agg(min("date_time")).head().getTimestamp(0).getTime
+    val t1 = shifted.measurements.agg(min("date_time")).head()
+      .getTimestamp(0).getTime
+    assert(t1 - t0 == 900000L)
+  }
+
+  test("E2 filter: flatline interval removal + vital clamping") {
+    val dir = writeFixture()
+    val m = Pipelines.reformat(spark, dir.toString).measurements.cache()
+    val filtered = Pipelines.filterNoise(m).cache()
+    // the 25-run flatline window is excluded; the 30 varied hr rows form
+    // singleton include intervals and survive; the below-range hr=30 row
+    // is outside every include interval (and below the clamp anyway)
+    assert(filtered.filter($"kind" === "hr").count() == 30)
+    assert(filtered.filter($"kind" === "hr" && $"data" < 50).count() == 0)
+    // rows of other kinds outside the hr-derived include intervals are
+    // dropped too — the reference's df_filter semantics (quirk Q9)
+    assert(filtered.filter($"kind" === "step").count() == 0)
+  }
+
+  test("E3 categorize: sleep/rest/active timeline tiles without overlap") {
+    val dir = writeFixture()
+    val m = Pipelines.reformat(spark, dir.toString).measurements
+    // synthetic wide acc: quiet during sleep hours (6-9h), active at 12-13h
+    val acc = (0 until 24 * 12).map { i =>
+      val t = new java.sql.Timestamp(Day + i * 300000L)
+      val g = if (i >= 144 && i < 156) 5.0 + (i % 3) else 1.0 + (i % 5) * 0.01
+      (t, 0.0, 0.0, g, g)
+    }.toDF("date_time", "acx", "acy", "acz", "g_force")
+      .withColumn("seconds", graft.ops.TimeOps.secondsOfDay($"date_time"))
+      .withColumn("bin", graft.ops.TimeOps.secondsBin($"seconds"))
+    val (lo, hi, timeline) = Pipelines.categorize(m, acc)
+    assert(lo <= hi)
+    val cats = timeline.select("category").distinct().as[String]
+      .collect().toSet
+    assert(cats.contains("sleep"))
+    assert(cats.exists(Set("high active", "low active", "rest")))
+    // no two timeline intervals overlap (touching allowed)
+    val ivs = timeline.select("start_time", "end_time").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime))
+      .sortBy(_._1)
+    ivs.sliding(2).foreach {
+      case Array((_, e1), (s2, _)) => assert(e1 <= s2)
+      case _ =>
+    }
+  }
+}
