@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming-compatible shapes of the engine's windowed operators
+  * (SURVEY.md §2.10 — an engine extension; the reference is batch-only,
+  * /root/reference/filtering_data.py:126-221 et al are one-shot CLIs).
+  *
+  * The same column expressions serve batch and streaming: pass a
+  * `readStream` DataFrame and these return an unstarted streaming frame;
+  * pass a batch frame and they behave like their `graft.ops` equivalents.
+  */
+object Streaming {
+
+  /** A3/A4 streaming form: tumbling-window outlier-fraction categorize with
+    * a watermark for state eviction (late rows beyond `watermark` are
+    * dropped instead of growing state forever — the 100 TB stream
+    * posture). */
+  def windowCategorize(stream: DataFrame, tsCol: String, valueCol: String,
+                       lo: Double, hi: Double,
+                       keyCols: Seq[String] = Nil,
+                       binMinutes: Int = 5,
+                       watermark: String = "10 minutes"): DataFrame = {
+    val outlier = when(col(valueCol) < lo || col(valueCol) > hi, 1.0)
+      .otherwise(0.0)
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy((window(col(tsCol), s"$binMinutes minutes") +:
+        keyCols.map(col)): _*)
+      .agg((avg(outlier) * 100).as("outlier_pct"),
+        count(lit(1)).as("n"))
+      .select((Seq(col("window.start").as("start_time"),
+        col("window.end").as("end_time")) ++ keyCols.map(col) ++ Seq(
+        when(col("outlier_pct") > 10, "high active")
+          .when(col("outlier_pct") > 5, "low active")
+          .otherwise("rest").as("category"),
+        col("outlier_pct"), col("n"))): _*)
+  }
+
+  /** W5 streaming form: gap-based sessions via `session_window` — the
+    * native streaming equivalent of [[graft.ops.Windows.sessionize]]. */
+  def sessionAgg(stream: DataFrame, tsCol: String, keyCols: Seq[String],
+                 gap: String = "1 second",
+                 watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy((session_window(col(tsCol), gap) +: keyCols.map(col)): _*)
+      .agg(count(lit(1)).as("n"), min(col(tsCol)).as("first_ts"),
+        max(col(tsCol)).as("last_ts"))
+      .select((keyCols.map(col) ++ Seq(
+        col("session_window.start").as("start_time"),
+        col("session_window.end").as("end_time"),
+        col("n"), col("first_ts"), col("last_ts"))): _*)
+
+  /** One observation of a keyed value stream. */
+  case class Obs(key: String, ts: java.sql.Timestamp, value: Double)
+
+  /** A completed run of identical consecutive values. */
+  case class Run(key: String, value: Double,
+                 start_time: java.sql.Timestamp,
+                 end_time: java.sql.Timestamp,
+                 n: Long, include: Boolean)
+
+  /** Open-run state carried between micro-batches. */
+  case class RunState(value: Double, startMs: Long, endMs: Long,
+                      runLen: Long)
+
+  /** A5 streaming form: run-length flatline detection as
+    * `flatMapGroupsWithState` — emits each run when the value changes
+    * (the open run stays in state). Within-batch rows are time-sorted;
+    * cross-batch order relies on upstream watermarking. */
+  def flatlineRuns(ds: Dataset[Obs], maxRun: Int = 20)
+      (implicit spark: SparkSession): Dataset[Run] = {
+    import spark.implicits._
+    def fn(key: String, rows: Iterator[Obs],
+           state: GroupState[RunState]): Iterator[Run] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Run]
+      var cur = state.getOption
+      sorted.foreach { o =>
+        cur match {
+          case Some(s) if s.value == o.value =>
+            cur = Some(s.copy(endMs = o.ts.getTime, runLen = s.runLen + 1))
+          case Some(s) =>
+            out += Run(key, s.value, new java.sql.Timestamp(s.startMs),
+              new java.sql.Timestamp(s.endMs), s.runLen, s.runLen <= maxRun)
+            cur = Some(RunState(o.value, o.ts.getTime, o.ts.getTime, 1))
+          case None =>
+            cur = Some(RunState(o.value, o.ts.getTime, o.ts.getTime, 1))
+        }
+      }
+      cur.foreach(state.update)
+      out.iterator
+    }
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streaming
+
+/** Streaming shapes driven through MemoryStream → memory sink. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("windowCategorize aggregates a stream into categorized bins") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val out = Streaming.windowCategorize(df, "ts", "value", 5.0, 200.0,
+      keyCols = Seq("event_type"))
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName("cat_out").start()
+    try {
+      in.addData(
+        (t("2024-01-01 00:00:10"), "click", 50.0),
+        (t("2024-01-01 00:01:10"), "click", 60.0),
+        (t("2024-01-01 00:02:10"), "click", 300.0), // outlier
+        (t("2024-01-01 00:06:10"), "click", 70.0))
+      q.processAllAvailable()
+      val rows = spark.table("cat_out").orderBy("start_time").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[String]("category") == "high active") // 1/3 out
+      assert(rows(0).getAs[Long]("n") == 3)
+      assert(rows(1).getAs[String]("category") == "rest")
+    } finally q.stop()
+  }
+
+  test("sessionAgg groups a stream into gap-based sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val df = in.toDF().toDF("ts", "user")
+    val out = Streaming.sessionAgg(df, "ts", Seq("user"), gap = "2 seconds")
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName("sess_out").start()
+    try {
+      in.addData(
+        (t("2024-01-01 00:00:00"), "u1"),
+        (t("2024-01-01 00:00:01"), "u1"),
+        (t("2024-01-01 00:00:10"), "u1"), // 9 s gap → new session
+        (t("2024-01-01 00:00:00"), "u2"))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").collect()
+      assert(rows.count(_.getAs[String]("user") == "u1") == 2)
+      assert(rows.count(_.getAs[String]("user") == "u2") == 1)
+    } finally q.stop()
+  }
+
+  test("flatlineRuns emits completed runs with the include flag") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sess = spark
+    val in = MemoryStream[Streaming.Obs]
+    val out = Streaming.flatlineRuns(in.toDS(), maxRun = 2)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("runs_out").start()
+    try {
+      in.addData(
+        Streaming.Obs("k", t("2024-01-01 00:00:00"), 70.0),
+        Streaming.Obs("k", t("2024-01-01 00:01:00"), 70.0),
+        Streaming.Obs("k", t("2024-01-01 00:02:00"), 70.0),
+        Streaming.Obs("k", t("2024-01-01 00:03:00"), 71.0),
+        Streaming.Obs("k", t("2024-01-01 00:04:00"), 72.0))
+      q.processAllAvailable()
+      val rows = spark.table("runs_out").orderBy("start_time").collect()
+      // two completed runs: the 3-long flatline (exclude) and the 71
+      // singleton; the open 72-run stays in state
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Double]("value") == 70.0 &&
+        rows(0).getAs[Long]("n") == 3 && !rows(0).getAs[Boolean]("include"))
+      assert(rows(1).getAs[Double]("value") == 71.0 &&
+        rows(1).getAs[Boolean]("include"))
+    } finally q.stop()
+  }
+}
