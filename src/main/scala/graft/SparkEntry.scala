@@ -366,6 +366,25 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // A6/A7: per-group counts + distinct
+    "q36_distinct_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          round(avg("n_chars"), 4).as("avg_chars"))
+        .orderBy("source")
+    }),
+
+    // U1: union-by-name of differently-shaped relations
+    "q37_union_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(lit("order").as("src"),
+        col("o_orderkey").as("id"), col("o_totalprice").as("amount"))
+      val l = t(s, dir, "lineitem").select(lit("line").as("src"),
+        col("l_orderkey").as("id"), col("l_extendedprice").as("amount"))
+      o.unionByName(l).orderBy("src", "id", "amount")
+    }),
+
     // multimodal plumbing: binary decode stub → features (rows-only)
     "q34_multimodal_features" -> ((s, dir) => {
       val assets = Multimodal.assetsFromText(t(s, dir, "documents"))
@@ -720,6 +739,19 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS fp,
         |       md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q36_distinct_count" ->
+      """SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+        |       round(avg(n_chars), 4) AS avg_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q37_union_all" ->
+      """SELECT src, id, amount FROM (
+        |  SELECT 'order' AS src, o_orderkey AS id, o_totalprice AS amount
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'line', l_orderkey, l_extendedprice FROM lineitem)
+        |ORDER BY src, id, amount""".stripMargin,
 
     "q33_sessionize" ->
       """SELECT event_id, user_id,
