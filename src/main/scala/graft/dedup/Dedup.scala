@@ -231,15 +231,22 @@ object Dedup {
         keyed0.withColumn("bucket",
           Similarity.hyperplaneKey(col("v"), planes, dim))
     }
-    val cached = keyed.cache() // reused by both self-join sides
+    // precompute the norm once per vector: each candidate pair then costs
+    // one dot product instead of three (dot + 2 norms)
+    val cached = keyed
+      .withColumn("nrm", Similarity.norm(col("v"), dim))
+      .cache() // reused by both self-join sides
     val a = cached.select(col("bucket"), col("id").as("id_a"),
-      col("v").as("v_a"))
+      col("v").as("v_a"), col("nrm").as("nrm_a"))
     val b = cached.select(col("bucket"), col("id").as("id_b"),
-      col("v").as("v_b"))
+      col("v").as("v_b"), col("nrm").as("nrm_b"))
     a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("v_a"), col("v_b"), dim).as("cosine"))
+        when(col("nrm_a") * col("nrm_b") > 0,
+          Similarity.dot(col("v_a"), col("v_b"), dim) /
+            (col("nrm_a") * col("nrm_b")))
+          .otherwise(lit(0.0)).as("cosine"))
       .filter(col("cosine") >= minCosine)
       .distinct()
   }
