@@ -321,6 +321,27 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // rolling-hash content-defined fingerprints
+    "q38_rolling_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.rollingFingerprints(col("text")).as("fps"))
+        .select(col("doc_id"), size(col("fps")).as("n_fps"),
+          array_min(col("fps")).as("min_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // IVF ANN: label-quantized probe + exact rescore (rows-only)
+    "q39_ivf_topk" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val q = embs.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      Similarity.ivfTopK(embs, typedlit(q), 10, "label", nProbe = 3)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+    }),
+
     // language-ID heuristic
     "q29_lang_id" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -689,6 +710,19 @@ object SparkEntry {
         |             CAST(q.qe AS DOUBLE[])), 6) AS cosine
         |FROM embeddings e, q
         |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    "q38_rolling_fingerprint" ->
+      """WITH fps AS (
+        |  SELECT doc_id,
+        |         list_filter([md5(substr(text, CAST(i AS INTEGER), 16))
+        |                      FOR i IN generate_series(1, greatest(len(text) - 15, 1))],
+        |                     h -> h LIKE '0%') AS sampled,
+        |         md5(text) AS whole
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(CASE WHEN len(sampled) > 0 THEN len(sampled) ELSE 1 END AS INTEGER) AS n_fps,
+        |       CASE WHEN len(sampled) > 0 THEN list_min(sampled) ELSE whole END AS min_fp
+        |FROM fps ORDER BY doc_id""".stripMargin,
 
     "q29_lang_id" ->
       s"""WITH r AS (

@@ -99,6 +99,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-style ANN: coarse-quantize the corpus by a cluster column (any
+    * precomputed assignment — a k-means label, a category, a shard key),
+    * pick the `nProbe` centroids nearest the query, exact-rescore only
+    * those clusters. At 100 TB the corpus is stored partitioned by
+    * `clusterCol`, so the probe is a partition-pruned scan.
+    *
+    * Centroids are computed per cluster as the element-wise mean
+    * (posexplode → groupBy(cluster, pos) → re-assemble) — one small
+    * aggregation, cacheable across queries. */
+  def ivfTopK(embs: DataFrame, query: Column, k: Int,
+              clusterCol: String, idCol: String = "vec_id",
+              vecCol: String = "embedding", nProbe: Int = 2,
+              dim: Int = DefaultDim): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val centroids = embs
+      .select(col(clusterCol).as("cluster"), posexplode(v))
+      .groupBy("cluster", "pos").agg(avg("col").as("m"))
+      .groupBy("cluster")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+    val probes = centroids
+      .select(col("cluster"), cosine(col("centroid"), query, dim).as("sim"))
+      .orderBy(col("sim").desc, col("cluster"))
+      .limit(nProbe)
+      .select("cluster")
+    embs.join(broadcast(probes),
+        embs(clusterCol) === probes("cluster"), "left_semi")
+      .select(col(idCol), cosine(v, query, dim).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** All-pairs top-k neighbors per vector via LSH buckets (batch ANN):
     * join within bucket, rank per source id. Bucket sizes bound the pair
     * count; `planes` tunes recall vs cost. */

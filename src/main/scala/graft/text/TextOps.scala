@@ -80,6 +80,20 @@ object TextOps {
   def normalizedFingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Content-defined rolling-hash fingerprints: hash every character
+    * k-gram, keep the content-defined sample (hash prefix '0' → 1/16 rate).
+    * The winnowing-style selection is position-independent, so shared
+    * passages produce shared fingerprints regardless of offset — the
+    * standard near-dup/plagiarism fingerprint. Returns the sampled hash
+    * array (empty → whole-text hash). */
+  def rollingFingerprints(text: Column, k: Int = 16): Column = {
+    val n = greatest(length(text) - (k - 1), lit(1))
+    val sampled = filter(
+      transform(sequence(lit(1), n), i => md5(text.substr(i, lit(k)))),
+      h => h.startsWith("0"))
+    when(size(sampled) > 0, sampled).otherwise(array(md5(text)))
+  }
+
   /** Word n-gram shingles (lowercased), for Jaccard/MinHash dedup. */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = wsTokens(lower(text))

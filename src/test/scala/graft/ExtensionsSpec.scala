@@ -157,6 +157,36 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.length == 2) // capped
   }
 
+  test("rollingFingerprints: shared passages share fingerprints across offsets") {
+    val passage = "the quick brown fox jumps over the lazy dog " * 4
+    val df = Seq(
+      "PREFIX padding words here. " + passage,
+      passage + " totally different suffix material",
+      "unrelated content entirely about catalyst planner internals x y z"
+    ).toDF("text")
+    val got = df.select(TextOps.rollingFingerprints(col("text")).as("f"))
+      .collect().map(_.getSeq[String](0).toSet)
+    // content-defined sampling → the common passage yields common hashes
+    assert((got(0) intersect got(1)).nonEmpty)
+    assert((got(0) intersect got(2)).isEmpty)
+  }
+
+  test("ivfTopK probes nearest clusters and rescores exactly") {
+    val embs = (0L until 30L).map { i =>
+      val base = (i % 3).toInt // 3 clusters along different axes
+      val v = Array.fill(8)(0.01f)
+      v(base) = 1f + (i % 5) * 0.01f
+      (i, v.toSeq, base)
+    }.toDF("vec_id", "embedding", "label")
+    val q = Array.fill(8)(0.01); q(1) = 1.0 // near cluster 1
+    val got = Similarity.ivfTopK(embs, typedlit(q), 5, "label",
+      nProbe = 1, dim = 8).collect()
+    assert(got.length == 5)
+    // every result comes from cluster 1 (vec_id % 3 == 1)
+    assert(got.forall(_.getAs[Long]("vec_id") % 3 == 1))
+    assert(got.head.getAs[Double]("cosine") > 0.99)
+  }
+
   test("hyperplaneKey is deterministic and groups identical vectors") {
     val embs = Seq((0L, Seq.fill(8)(1f)), (1L, Seq.fill(8)(1f)))
       .toDF("vec_id", "embedding")

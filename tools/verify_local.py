@@ -29,10 +29,10 @@ def run_spark():
 
 
 def canon(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(round(v, 9))
+    # strict: exact repr, no tolerance — the whole query set passes
+    # bit-for-bit, so keep the gate at full strength
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
     return repr(v)
 
 
