@@ -72,4 +72,74 @@ object VectorExpressions {
   /** Column-level dot product over two ARRAY<DOUBLE> columns. */
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column-level word shingles (see [[WordShingles]]). */
+  def wordShingles(text: Column, n: Int): Column =
+    Bridge.column(WordShingles(Bridge.expression(text), n))
+}
+
+/** Distinct lowercase word n-gram shingles of a text column, in first-
+  * occurrence order — the native form of
+  * `array_distinct(transform(sequence(...), i → concat_ws(" ",
+  * slice(split(lower(text)," "), i, n))))`, whose lambda tree costs seconds
+  * of fixed codegen per query and re-slices per position. Single pass,
+  * exact same output (single-space split keeping empties; < n tokens →
+  * one whole-text shingle). CodegenFallback: the row kernel is plain JVM
+  * code; there is nothing useful to generate.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"word_shingles expects STRING, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toLowerCase.toString
+    val toks = text.split(" ", -1)
+    val out =
+      if (toks.length >= n) {
+        val seen = new java.util.LinkedHashSet[String]()
+        var i = 0
+        val sb = new java.lang.StringBuilder()
+        while (i <= toks.length - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          seen.add(sb.toString)
+          i += 1
+        }
+        val arr = new Array[Any](seen.size)
+        val it = seen.iterator()
+        var k = 0
+        while (it.hasNext) {
+          arr(k) = org.apache.spark.unsafe.types.UTF8String
+            .fromString(it.next())
+          k += 1
+        }
+        arr
+      } else {
+        Array[Any](org.apache.spark.unsafe.types.UTF8String
+          .fromString(toks.mkString(" ")))
+      }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }

@@ -94,15 +94,13 @@ object TextOps {
     when(size(sampled) > 0, sampled).otherwise(array(md5(text)))
   }
 
-  /** Word n-gram shingles (lowercased), for Jaccard/MinHash dedup. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = wsTokens(lower(text))
-    val k = size(toks) - (n - 1)
-    when(k > 0,
-      array_distinct(transform(sequence(lit(0), k - 1),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-      .otherwise(array(concat_ws(" ", toks)))
-  }
+  /** Word n-gram shingles (lowercased, distinct, first-occurrence order),
+    * for Jaccard/MinHash dedup. Native single-pass kernel
+    * ([[graft.functions.WordShingles]]) — semantically identical to the
+    * `array_distinct(transform(sequence…))` composition but without its
+    * per-query codegen cost or per-position re-slicing. */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.VectorExpressions.wordShingles(text, n)
 
   /** Full per-document profile. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
