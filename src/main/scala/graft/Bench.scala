@@ -10,17 +10,29 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm up session machinery (codegen, parquet committer, scheduler) so
-    // the first measured query isn't charged one-time init
-    spark.read.parquet(s"$sfDir/region.parquet").limit(1).count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // warm up session machinery (codegen, Janino, parquet committer,
+    // window/HOF paths, scheduler) so the first measured query isn't
+    // charged one-time init
+    locally {
+      import org.apache.spark.sql.functions._
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      r.groupBy("r_regionkey").count().count()
+      val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+      spark.range(100)
+        .select(col("id"), sum("id").over(w).as("s"),
+          md5(col("id").cast("string")).as("h"),
+          transform(sequence(lit(0), lit(3)), i => i * 2).as("t"))
+        .count()
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
