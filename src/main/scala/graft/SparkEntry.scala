@@ -387,6 +387,24 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // star-schema multi-join: fact ⋈ 4 dims, broadcast-planned
+    "q40_star_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("r_name", "n_name")
+    }),
+
     // A6/A7: per-group counts + distinct
     "q36_distinct_count" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -704,12 +722,41 @@ object SparkEntry {
 
     "q26_embedding_topk" ->
       """WITH q AS (
-        |  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-        |SELECT e.vec_id,
-        |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-        |             CAST(q.qe AS DOUBLE[])), 6) AS cosine
-        |FROM embeddings e, q
-        |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+        |  WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                q.qe) AS c
+        |  FROM embeddings e, q
+        |  ORDER BY c DESC, e.vec_id LIMIT 10)
+        |SELECT vec_id, round(c, 6) AS cosine FROM scored
+        |ORDER BY cosine DESC, vec_id""".stripMargin,
+
+    "q39_ivf_topk" ->
+      """WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+        |  WHERE vec_id = 0),
+        |cent AS (
+        |  SELECT label, list(m ORDER BY pos) AS centroid FROM (
+        |    SELECT label, i AS pos,
+        |           avg(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS m
+        |    FROM embeddings, generate_series(1, 64) t(i)
+        |    GROUP BY label, i)
+        |  GROUP BY label),
+        |probes AS (
+        |  SELECT label FROM cent, q
+        |  ORDER BY list_cosine_similarity(centroid, qe) DESC, label
+        |  LIMIT 3),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                q.qe) AS c
+        |  FROM embeddings e, q
+        |  WHERE e.label IN (SELECT label FROM probes)
+        |  ORDER BY c DESC, e.vec_id LIMIT 10)
+        |SELECT vec_id, round(c, 6) AS cosine FROM scored
+        |ORDER BY cosine DESC, vec_id""".stripMargin,
 
     "q38_rolling_fingerprint" ->
       """WITH fps AS (
@@ -773,6 +820,17 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS fp,
         |       md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q40_star_join" ->
+      """SELECT r_name, n_name, count(*) AS n_lines,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
 
     "q36_distinct_count" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
