@@ -276,6 +276,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // dedup clusters: candidate pairs → connected components
+    "q41_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccard(docs, minJaccard = 0.4,
+        maxDf = Int.MaxValue)
+      Dedup.connectedComponents(
+        docs.select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     // MinHash+LSH near-dup candidates (no SQL oracle: rows-only check)
     "q24_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashCandidates(t(s, dir, "documents"))
@@ -719,6 +730,39 @@ object SparkEntry {
         |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.e, b.e) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q41_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(tk) >= 3 THEN
+        |           list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |                          FOR i IN generate_series(1, len(tk) - 2)])
+        |         ELSE [array_to_string(tk, ' ')] END AS sh
+        |  FROM toks),
+        |inv AS (
+        |  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM inv a JOIN inv b ON a.shingle = b.shingle
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+        |  HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.4),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |comp AS (
+        |  SELECT u, min(v) AS m FROM (
+        |    SELECT u, v FROM reach
+        |    UNION SELECT doc_id, doc_id FROM documents) GROUP BY u)
+        |SELECT d.doc_id, comp.m AS cluster_id
+        |FROM documents d JOIN comp ON d.doc_id = comp.u
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q26_embedding_topk" ->
       """WITH q AS (

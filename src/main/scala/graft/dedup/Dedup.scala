@@ -207,6 +207,45 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ---- clustering --------------------------------------------------------
+
+  /** Duplicate clusters from candidate pairs: connected components via
+    * iterative min-label propagation. Each iteration is one distributed
+    * join+agg; convergence needs O(graph diameter) iterations (near-dup
+    * graphs are shallow — dup groups are cliques or short chains).
+    * `localCheckpoint` truncates lineage so plans stay bounded.
+    *
+    * @param nodes (id) — every element, including singletons
+    * @param pairs (id_a, id_b) — undirected candidate edges
+    * @return (id, cluster_id) with cluster_id = min id of the component
+    */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .distinct().cache()
+    var labels = nodes.select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("v") === labels("id"))
+        .groupBy("u").agg(min("label").as("nbr"))
+      val newLabels = labels.as("l")
+        .join(nbrMin, col("l.id") === nbrMin("u"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.label"), coalesce(col("nbr"), col("l.label")))
+            .as("label"))
+        .localCheckpoint()
+      changed = newLabels.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = newLabels
+      iter += 1
+    }
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
   // ---- embedding cosine --------------------------------------------------
 
   /** Embedding near-dup: pairs with cosine ≥ threshold, blocked by an LSH

@@ -78,6 +78,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(!got.contains((0L, 3L)))
   }
 
+  test("connectedComponents: chains collapse to min-id clusters, singletons kept") {
+    val nodes = (0L to 6L).toDF("id")
+    // chain 0-1-2, pair 4-5, singletons 3 and 6
+    val pairs = Seq((0L, 1L), (1L, 2L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L,
+      4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
   // ---- similarity --------------------------------------------------------
 
   private val dim = 8
