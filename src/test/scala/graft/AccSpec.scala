@@ -76,6 +76,38 @@ class AccSpec extends SparkSpec {
       == "2024-01-01 00:00:19.6")
   }
 
+  test("alignAxesRelational matches the faithful sweep on clean streams") {
+    val rows = alignedStream(12).toDF("subject", "date_time", "kind", "data")
+    val faithful = Acc.alignAxes(rows, Seq("subject"))
+      .orderBy("date_time").collect()
+    val relational = Acc.alignAxesRelational(rows, Seq("subject"))
+      .orderBy("date_time").collect()
+    // relational keeps all 12 records (no tail discard) → 60 rows; the
+    // first 30 coincide exactly with the faithful sweep's output
+    assert(relational.length == 60)
+    assert(faithful.length == 30)
+    faithful.zip(relational.take(30)).foreach { case (f, r) =>
+      assert(f.getAs[java.sql.Timestamp]("date_time") ==
+        r.getAs[java.sql.Timestamp]("date_time"))
+      assert(f.getAs[Double]("acx") == r.getAs[Double]("acx"))
+      assert(f.getAs[Double]("acy") == r.getAs[Double]("acy"))
+      assert(f.getAs[Double]("acz") == r.getAs[Double]("acz"))
+    }
+  }
+
+  test("alignAxesRelational drops x records with no in-tolerance match") {
+    // y stream missing entirely for the second half
+    val rows = (alignedStream(12).filterNot { case (_, t, k, _) =>
+      k == "acy" && t.getTime > ts("2024-01-01 00:00:12").getTime
+    }).toDF("subject", "date_time", "kind", "data")
+    val got = Acc.alignAxesRelational(rows, Seq("subject")).collect()
+    // records after 12 s have no y within 0.5 s → dropped
+    assert(got.nonEmpty)
+    assert(got.forall(
+      _.getAs[java.sql.Timestamp]("date_time").getTime <
+        ts("2024-01-01 00:00:13").getTime))
+  }
+
   test("accDerived computes seconds-of-day, bin, g-force") {
     val df = Seq((ts("2024-01-01 00:05:30.5"), 3.0, 4.0, 12.0))
       .toDF("date_time", "acx", "acy", "acz")
