@@ -19,17 +19,17 @@ object Dedup {
 
   // ---- exact -------------------------------------------------------------
 
-  /** Exact dedup: one survivor (min id) per identical content. Single
-    * hash-shuffle on the content hash — the 100 TB-safe form of
-    * `dropDuplicates(text)` (grouping by the 64-bit hash + length instead
-    * of the full text keeps shuffle keys small; confirm on hash collision
-    * by grouping on text within the hash bucket). */
+  /** Exact dedup: one survivor (min id) per identical content — a single
+    * hash-partitioned groupBy on the text. At 100 TB, avoid shuffling
+    * full documents: dedup on [[normalized]]'s digest (or map texts to
+    * (xxhash64, length) buckets and confirm within-bucket) so only
+    * fixed-width keys move. */
   def exact(docs: DataFrame, idCol: String = "doc_id",
             textCol: String = "text"): DataFrame =
     docs
-      .groupBy(xxhash64(col(textCol)).as("h"), col(textCol))
+      .groupBy(col(textCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
-      .drop("h")
+      .drop(textCol)
 
   /** Exact near-dup on normalized content (case/whitespace folded). */
   def normalized(docs: DataFrame, idCol: String = "doc_id",
@@ -145,6 +145,9 @@ object Dedup {
                         maxHamming: Int = 3): DataFrame = {
     val blocks = maxHamming + 1
     val width = 64 / blocks
+    require(blocks >= 2,
+      "maxHamming=0 means exact fingerprint equality; group on the full " +
+        "fingerprint instead of block keys (a 64-bit mask would be 0)")
     val fps = simhashFingerprints(docs, idCol, textCol, shingleN)
     val keyed = fps.select(col("id"), col("fp"),
         posexplode(array((0 until blocks).map(bIdx =>
@@ -187,10 +190,16 @@ object Dedup {
     val inv = sh.select(col("id"), col("n_sh"),
         explode(col("sh")).as("shingle"))
       .select(col("id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
+    // df cap via groupBy (map-side partial counts) + broadcast anti-join:
+    // a window over the shingle key would route every occurrence of a hot
+    // shingle into one task — the exact skew the cap exists to prevent.
+    // Hot shingles are few by definition, so the anti-join side is tiny.
     val capped = (if (maxDf >= Int.MaxValue) inv
-      else inv.withColumn("df",
-          count(lit(1)).over(Window.partitionBy("sh_h")))
-        .filter(col("df") <= maxDf).drop("df"))
+      else {
+        val hot = inv.groupBy("sh_h").count()
+          .filter(col("count") > maxDf).select("sh_h")
+        inv.join(broadcast(hot), Seq("sh_h"), "left_anti")
+      })
       .cache() // reused by both self-join sides
     val a = capped.select(col("sh_h"), col("id").as("id_a"),
       col("n_sh").as("n_a"))
@@ -243,6 +252,10 @@ object Dedup {
       labels = newLabels
       iter += 1
     }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter iterations " +
+        s"($changed labels still changing) — component diameter exceeds " +
+        "maxIter; raise it")
     labels.withColumnRenamed("label", "cluster_id")
   }
 

@@ -87,16 +87,20 @@ object AsOf {
                   toleranceSec: Double): DataFrame = {
     val (all, leftCols) = tagged(left, right, keys, leftTs, rightTs,
       rightVals)
-    // a right row AT the left timestamp is visible to both passes (diff 0)
+    // a right row AT the left timestamp is visible to both passes (diff 0).
+    // Both passes use an (unboundedPreceding, current) frame — Spark
+    // computes that incrementally in O(n); an unboundedFollowing frame
+    // would rescan to partition end per row (O(n^2) on skewed keys). The
+    // forward pass just orders time DESCENDING.
     val wb = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_ts").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val wf = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts").asc, col("_side").desc)
-      .rowsBetween(0, Window.unboundedFollowing)
+      .orderBy(col("_ts").desc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
     val carried = all
       .withColumn("_b", last(col("_pack"), ignoreNulls = true).over(wb))
-      .withColumn("_f", first(col("_pack"), ignoreNulls = true).over(wf))
+      .withColumn("_f", last(col("_pack"), ignoreNulls = true).over(wf))
 
     val tolUs = (toleranceSec * 1e6).toLong
     val lts = unix_micros(col("_ts"))
