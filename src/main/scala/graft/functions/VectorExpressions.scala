@@ -34,6 +34,10 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // null ELEMENTS contribute 0 (sparse-vector semantics) — the input types
+  // allow containsNull=true, so both paths must guard each slot; reading a
+  // null slot unguarded returns garbage from UnsafeArrayData and NPEs from
+  // GenericArrayData
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -41,7 +45,9 @@ case class DotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getDouble(i) * y.getDouble(i)
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        acc += x.getDouble(i) * y.getDouble(i)
+      }
       i += 1
     }
     acc
@@ -57,7 +63,9 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -76,6 +84,71 @@ object VectorExpressions {
   /** Column-level word shingles (see [[WordShingles]]). */
   def wordShingles(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))
+
+  /** Column-level rolling fingerprints (see [[RollingFingerprints]]). */
+  def rollingFingerprints(text: Column, k: Int): Column =
+    Bridge.column(RollingFingerprints(Bridge.expression(text), k))
+}
+
+/** Content-defined rolling-hash fingerprints: md5 of every character
+  * k-gram, keeping only hashes starting with '0' (1/16 content-defined
+  * sample); empty sample → one whole-text hash. Native single pass — the
+  * `transform(sequence…)` composition materializes one 32-char hex string
+  * per character position (~60× the text size) before filtering, which
+  * OOMs on curation-scale documents.
+  */
+case class RollingFingerprints(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(k >= 1, "k-gram width must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"rolling_fingerprints expects STRING, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  private def md5Hex(md: java.security.MessageDigest, s: String): String = {
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = math.max(text.length - (k - 1), 1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < n) {
+      val h = md5Hex(md, text.substring(i, math.min(i + k, text.length)))
+      if (h.charAt(0) == '0') {
+        out += org.apache.spark.unsafe.types.UTF8String.fromString(h)
+      }
+      i += 1
+    }
+    if (out.isEmpty) {
+      out += org.apache.spark.unsafe.types.UTF8String
+        .fromString(md5Hex(md, text))
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** Distinct lowercase word n-gram shingles of a text column, in first-

@@ -133,7 +133,12 @@ object Similarity {
 
   /** All-pairs top-k neighbors per vector via LSH buckets (batch ANN):
     * join within bucket, rank per source id. Bucket sizes bound the pair
-    * count; `planes` tunes recall vs cost. */
+    * count; `planes` tunes recall vs cost.
+    *
+    * NOTE: caches the keyed corpus for the duration of the query (both
+    * self-join sides read it); callers own release —
+    * `spark.catalog.clearCache()` or unpersist when done (the Bench/Verify
+    * harnesses do). The same applies to the Dedup pair generators. */
   def allPairsTopK(embs: DataFrame, k: Int, idCol: String = "vec_id",
                    vecCol: String = "embedding",
                    planes: Int = 8, dim: Int = DefaultDim): DataFrame = {

@@ -25,9 +25,17 @@ object Multimodal {
 
   val FeatureDim = 16
 
-  /** Deterministic fake decode: payload bytes → FeatureDim doubles in
-    * [0, 1). Stands in for pixel/spectrogram statistics; keyed off content
-    * so tests are reproducible. Replace with a real decoder at deploy. */
+  /** Stub codec with per-instance (per-partition) initialization — the
+    * shape a real decoder needs: construct once per partition so codec
+    * handles / JNI contexts amortize across the partition's rows. */
+  private[multimodal] final class StubDecoder {
+    def decode(payload: Array[Byte]): Array[Double] =
+      Multimodal.decodeStub(payload)
+  }
+
+  /** Deterministic fake decode: payload bytes → FeatureDim doubles.
+    * Keyed off content so tests are reproducible. Replace with a real
+    * decoder at deploy. */
   private[multimodal] def decodeStub(payload: Array[Byte]): Array[Double] = {
     val out = new Array[Double](FeatureDim)
     var h = 0xcbf29ce484222325L // FNV offset basis
@@ -48,8 +56,9 @@ object Multimodal {
     (0L until durationMs by math.max(1L, everyMs)).take(maxFrames)
 
   /** Decode + feature-extract: (asset_id, modality, payload, meta) →
-    * (asset_id, modality, n_bytes, features ARRAY<DOUBLE>). Batched
-    * per-partition iteration — the JVM analogue of a Pandas-UDF batch. */
+    * (asset_id, modality, n_bytes, features ARRAY<DOUBLE>). The decoder is
+    * constructed once per partition (codec-handle init amortizes across the
+    * partition's rows); the per-row work is the decode itself. */
   def extractFeatures(assets: DataFrame,
                       payloadCol: String = "payload"): DataFrame = {
     val outSchema = StructType(Seq(
@@ -60,11 +69,12 @@ object Multimodal {
     implicit val enc = RowEncoder.encoderFor(outSchema)
     assets.select(col("asset_id"), col("modality"), col(payloadCol))
       .mapPartitions { rows =>
+        val decoder = new StubDecoder() // per-partition init
         rows.map { r =>
           val payload = r.getAs[Array[Byte]](payloadCol)
           val bytes = if (payload == null) Array.emptyByteArray else payload
           Row(r.getAs[Long]("asset_id"), r.getAs[String]("modality"),
-            bytes.length.toLong, decodeStub(bytes).toIndexedSeq)
+            bytes.length.toLong, decoder.decode(bytes).toIndexedSeq)
         }
       }
   }

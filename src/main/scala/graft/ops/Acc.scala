@@ -296,6 +296,17 @@ object Acc {
     * (`acc_categorize`/`bin_categorize`,
     * /root/reference/activity_categorize.py:164-192). Map-side partial agg;
     * one shuffle on (partitionCols, window). */
+  /** A4 building blocks, shared by the batch and streaming categorizers
+    * (`bin_categorize`, /root/reference/activity_categorize.py:184-192). */
+  def outlierFlag(value: org.apache.spark.sql.Column, lo: Double,
+                  hi: Double): org.apache.spark.sql.Column =
+    when(value < lo || value > hi, 1.0).otherwise(0.0)
+
+  def categoryOf(outlierPct: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(outlierPct > 10, "high active")
+      .when(outlierPct > 5, "low active")
+      .otherwise("rest")
+
   def binCategorize(acc: DataFrame, lo: Double, hi: Double,
                     partitionCols: Seq[String] = Nil,
                     binSizeMinutes: Int = 5,
@@ -303,17 +314,13 @@ object Acc {
                     valueCol: String = "g_force"): DataFrame = {
     val part = partitionCols.map(col)
     val win = TimeOps.timeBucket(col(tsCol), binSizeMinutes * 60L)
-    val outlier = when(col(valueCol) < lo || col(valueCol) > hi, 1.0)
-      .otherwise(0.0)
+    val outlier = outlierFlag(col(valueCol), lo, hi)
     acc.withColumn("start_time", win)
       .groupBy(part :+ col("start_time"): _*)
       .agg((avg(outlier) * 100).as("outlier_pct"))
       .withColumn("end_time",
         col("start_time") + TimeOps.minutesInterval(lit(binSizeMinutes)))
-      .withColumn("category",
-        when(col("outlier_pct") > 10, "high active")
-          .when(col("outlier_pct") > 5, "low active")
-          .otherwise("rest"))
+      .withColumn("category", categoryOf(col("outlier_pct")))
       .select(part ++ Seq(col("start_time"), col("end_time"),
         col("category"), col("outlier_pct")): _*)
   }

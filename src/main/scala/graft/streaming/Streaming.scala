@@ -23,8 +23,7 @@ object Streaming {
                        keyCols: Seq[String] = Nil,
                        binMinutes: Int = 5,
                        watermark: String = "10 minutes"): DataFrame = {
-    val outlier = when(col(valueCol) < lo || col(valueCol) > hi, 1.0)
-      .otherwise(0.0)
+    val outlier = graft.ops.Acc.outlierFlag(col(valueCol), lo, hi)
     stream
       .withWatermark(tsCol, watermark)
       .groupBy((window(col(tsCol), s"$binMinutes minutes") +:
@@ -33,9 +32,7 @@ object Streaming {
         count(lit(1)).as("n"))
       .select((Seq(col("window.start").as("start_time"),
         col("window.end").as("end_time")) ++ keyCols.map(col) ++ Seq(
-        when(col("outlier_pct") > 10, "high active")
-          .when(col("outlier_pct") > 5, "low active")
-          .otherwise("rest").as("category"),
+        graft.ops.Acc.categoryOf(col("outlier_pct")).as("category"),
         col("outlier_pct"), col("n"))): _*)
   }
 

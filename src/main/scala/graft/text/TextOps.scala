@@ -86,13 +86,8 @@ object TextOps {
     * passages produce shared fingerprints regardless of offset — the
     * standard near-dup/plagiarism fingerprint. Returns the sampled hash
     * array (empty → whole-text hash). */
-  def rollingFingerprints(text: Column, k: Int = 16): Column = {
-    val n = greatest(length(text) - (k - 1), lit(1))
-    val sampled = filter(
-      transform(sequence(lit(1), n), i => md5(text.substr(i, lit(k)))),
-      h => h.startsWith("0"))
-    when(size(sampled) > 0, sampled).otherwise(array(md5(text)))
-  }
+  def rollingFingerprints(text: Column, k: Int = 16): Column =
+    graft.functions.VectorExpressions.rollingFingerprints(text, k)
 
   /** Word n-gram shingles (lowercased, distinct, first-occurrence order),
     * for Jaccard/MinHash dedup. Native single-pass kernel
