@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.DotProduct
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import graft.functions.{DotProduct, MinHashSignature, SimHash64, WordShingles}
 
 /** SQL surface for the engine's custom expressions.
   *
@@ -15,17 +16,38 @@ import graft.functions.DotProduct
   * or at runtime on an existing session via [[GraftFunctions.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftFunctions._
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      exprs => DotProduct(exprs(0), exprs(1))))
+    builders.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[DotProduct].getName, name),
+        builder))
+    }
   }
 }
 
 object GraftFunctions {
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal INT argument, got $other")
+  }
+
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] =
+    Seq(
+      "dot_product" -> (exprs => DotProduct(exprs(0), exprs(1))),
+      "word_shingles" ->
+        (exprs => WordShingles(exprs(0), intLit(exprs(1), "word_shingles"))),
+      "minhash_sig" ->
+        (exprs => MinHashSignature(exprs(0),
+          intLit(exprs(1), "minhash_sig"))),
+      "simhash64" -> (exprs => SimHash64(exprs(0))))
+
   /** Runtime registration (temp functions) for an existing session. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
 }

@@ -40,40 +40,19 @@ object Dedup {
 
   // ---- MinHash + LSH -----------------------------------------------------
 
-  /** Per-shingle universal hash k: h_k(x) = (a_k·x + b_k) mod p. Seeds are
-    * deterministic (splitmix-style constants) so results are reproducible
-    * across runs/executors. */
-  private val P = 2147483647L // 2^31 − 1
-  private def hashParams(k: Int): (Long, Long) = {
-    var s = k.toLong * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
-    s ^= s >>> 31; s *= 0x94D049BB133111EBL; s ^= s >>> 27
-    val a = (s & 0x7FFFFFFFL) | 1L
-    val b = (s >>> 33) % P
-    (a, b)
-  }
-
-  /** MinHash signatures as (id, sig ARRAY<LONG>): explode shingles once,
-    * hash once, then `numHashes` parallel min-aggregations over the
-    * per-shingle hash. One shuffle on id with map-side partial mins; each
-    * agg child is a 3-op affine transform — stays inside whole-stage
-    * codegen. (A per-row `aggregate(transform(...))` expression tree with 64
-    * branches compiles to megabytes of generated code and runs ~100× slower
-    * — measured, not guessed.) */
+  /** MinHash signatures as (id, sig ARRAY<LONG>) via the native
+    * [[graft.functions.MinHashSignature]] kernel: one map-only projection,
+    * no row explosion, no shuffle. (Two prior formulations measured slower:
+    * a per-row `aggregate(transform(...))` tree with 64 branches compiles
+    * megabytes of Janino and runs ~100× slower; explode→groupBy(64 min-aggs)
+    * shuffles one row per shingle and pays ~10 s of wide-agg codegen per
+    * query. The kernel emits identical signatures to both.) */
   def minhashSignatures(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", shingleN: Int = 3,
-                        numHashes: Int = 64): DataFrame = {
-    val hashed = docs.select(col(idCol).as("id"),
-        explode(TextOps.shingles(col(textCol), shingleN)).as("shingle"))
-      .select(col("id"), pmod(xxhash64(col("shingle")), lit(P)).as("h"))
-    val aggs = (0 until numHashes).map { k =>
-      val (a, b) = hashParams(k)
-      min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"m$k")
-    }
-    hashed.groupBy(col("id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("id"),
-        array((0 until numHashes).map(k => col(s"m$k")): _*).as("sig"))
-  }
+                        numHashes: Int = 64): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.functions.HashExpressions.minhashSignature(
+        TextOps.shingles(col(textCol), shingleN), numHashes).as("sig"))
 
   /** MinHash-LSH near-dup candidate pairs: band the signature, bucket-join
     * within (band index, band hash), emit distinct candidate id pairs with
@@ -114,27 +93,16 @@ object Dedup {
   // ---- SimHash -----------------------------------------------------------
 
   /** 64-bit SimHash fingerprints as (id, fp LONG): bit i of the fingerprint
-    * is the sign of Σ_shingles (±1 per shingle-hash bit i). Same
-    * explode→groupBy shape as [[minhashSignatures]]: 64 small sum-aggs with
-    * map-side partials, then one bit-OR projection. */
+    * is the sign of Σ_shingles (±1 per shingle-hash bit i). Native
+    * single-pass kernel ([[graft.functions.SimHash64]]) — map-only, no
+    * explode/shuffle; same rationale and identical output as
+    * [[minhashSignatures]]'s kernel. */
   def simhashFingerprints(docs: DataFrame, idCol: String = "doc_id",
                           textCol: String = "text",
-                          shingleN: Int = 3): DataFrame = {
-    val hashed = docs.select(col(idCol).as("id"),
-        explode(TextOps.shingles(col(textCol), shingleN)).as("shingle"))
-      .select(col("id"), xxhash64(col("shingle")).as("h"))
-    val aggs = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L)
-        .otherwise(-1L)).as(s"b$i")
-    }
-    val bits = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    hashed.groupBy(col("id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("id"),
-        bits.reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("fp"))
-  }
+                          shingleN: Int = 3): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.functions.HashExpressions.simhash64(
+        TextOps.shingles(col(textCol), shingleN)).as("fp"))
 
   /** SimHash near-dup candidates: group by fingerprint prefix blocks
     * (Charikar/Manku-style rotation blocking): two fingerprints within
@@ -219,43 +187,58 @@ object Dedup {
   // ---- clustering --------------------------------------------------------
 
   /** Duplicate clusters from candidate pairs: connected components via
-    * iterative min-label propagation. Each iteration is one distributed
-    * join+agg; convergence needs O(graph diameter) iterations (near-dup
-    * graphs are shallow — dup groups are cliques or short chains).
-    * `localCheckpoint` truncates lineage so plans stay bounded.
+    * iterative min-label propagation. The edge set carries a self-loop per
+    * node, so one propagation step is exactly one join + one min-agg (no
+    * left-join repair for isolated or unimproved nodes), and
+    * `stepsPerRound` steps are unrolled into a single plan between
+    * `localCheckpoint` materializations — near-dup graphs are shallow
+    * (cliques / short chains), so most runs finish in one or two rounds.
+    * Convergence is detected from the label sum: labels only ever
+    * decrease, so an unchanged Σlabel between rounds ⟺ a fixed point —
+    * one tiny aggregate per round instead of a join against the previous
+    * iteration.
     *
     * @param nodes (id) — every element, including singletons
     * @param pairs (id_a, id_b) — undirected candidate edges
+    * @param maxIter max rounds (each round = `stepsPerRound` propagation
+    *                steps); supports component diameters up to
+    *                maxIter·stepsPerRound
     * @return (id, cluster_id) with cluster_id = min id of the component
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          stepsPerRound: Int = 2): DataFrame = {
+    require(stepsPerRound >= 1)
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .unionAll(nodes.select(col("id").as("u"), col("id").as("v")))
       .distinct().cache()
+    def step(labels: DataFrame): DataFrame =
+      edges.join(labels, edges("v") === labels("id"))
+        .groupBy("u").agg(min("label").as("label"))
+        .withColumnRenamed("u", "id")
     var labels = nodes.select(col("id"), col("id").as("label"))
       .localCheckpoint()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val nbrMin = edges.join(labels, edges("v") === labels("id"))
-        .groupBy("u").agg(min("label").as("nbr"))
-      val newLabels = labels.as("l")
-        .join(nbrMin, col("l.id") === nbrMin("u"), "left")
-        .select(col("l.id").as("id"),
-          least(col("l.label"), coalesce(col("nbr"), col("l.label")))
-            .as("label"))
+    // Σlabel as decimal — immune to long overflow at curation-scale id
+    // ranges; strictly decreases until the fixed point
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIter) {
+      labels = Iterator.iterate(labels)(step).drop(stepsPerRound).next()
         .localCheckpoint()
-      changed = newLabels.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = newLabels
-      iter += 1
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      round += 1
     }
-    require(changed == 0,
-      s"connectedComponents did not converge in $maxIter iterations " +
-        s"($changed labels still changing) — component diameter exceeds " +
-        "maxIter; raise it")
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds of " +
+        s"$stepsPerRound steps — component diameter exceeds the budget; " +
+        "raise maxIter")
     labels.withColumnRenamed("label", "cluster_id")
   }
 

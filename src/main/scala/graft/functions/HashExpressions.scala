@@ -1,0 +1,151 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared seed schedule for the MinHash family: deterministic splitmix64
+  * constants so signatures are reproducible across runs and executors (no
+  * RNG state to ship to 1000 executors). Kept identical to the former
+  * explode→groupBy formulation so signatures are stable across engine
+  * versions.
+  */
+private[functions] object MinHashParams {
+  /** 2^31 − 1 (Mersenne prime) — the universal-hash modulus. */
+  val P = 2147483647L
+
+  /** Affine per-hash params h_k(x) = (a_k·x + b_k) mod P. */
+  def hashParams(k: Int): (Long, Long) = {
+    var s = k.toLong * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
+    s ^= s >>> 31; s *= 0x94D049BB133111EBL; s ^= s >>> 27
+    val a = (s & 0x7FFFFFFFL) | 1L
+    val b = (s >>> 33) % P
+    (a, b)
+  }
+
+  /** Matches Spark SQL `xxhash64(s)` (seed 42). */
+  def shingleHash64(s: UTF8String): Long =
+    XxHash64Function.hash(s, StringType, 42L)
+}
+
+/** MinHash signature of a shingle set in one pass per row: for each of
+  * `numHashes` universal hashes h_k, the minimum of h_k over the row's
+  * shingles. Output is exactly what the explode→groupBy(64 min-aggs)
+  * formulation produced — but as a map-only projection: no row explosion
+  * (~10^2-10^3 shingles/doc), no shuffle, and the downstream LSH band join
+  * shuffles one signature row per document instead of one row per shingle.
+  * At 100 TB that is the difference between shuffling the corpus's shingle
+  * multiset and shuffling |docs|·64 longs.
+  *
+  * Per shingle: h = pmod(xxhash64(shingle), P); per k: pmod(a_k·h + b_k, P)
+  * (h < P < 2^31 and a_k < 2^31, so a_k·h + b_k < 2^63 — no overflow).
+  * CodegenFallback: the kernel is a tight JVM loop; nothing useful to
+  * generate.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(numHashes >= 1, "numHashes must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig expects ARRAY<STRING>, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    import MinHashParams._
+    val shingles = input.asInstanceOf[ArrayData]
+    val n = shingles.numElements()
+    val as = new Array[Long](numHashes)
+    val bs = new Array[Long](numHashes)
+    var k = 0
+    while (k < numHashes) {
+      val (a, b) = hashParams(k); as(k) = a; bs(k) = b; k += 1
+    }
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val h = java.lang.Math.floorMod(
+          shingleHash64(shingles.getUTF8String(i)), P)
+        k = 0
+        while (k < numHashes) {
+          val v = java.lang.Math.floorMod(as(k) * h + bs(k), P)
+          if (v < mins(k)) mins(k) = v
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(Long.box(_): Any))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** 64-bit SimHash fingerprint of a shingle set in one pass per row: bit i
+  * of the output is the sign of Σ_shingles(±1 per xxhash64 bit i). Output
+  * matches the former explode→groupBy(64 sum-aggs) formulation; same
+  * map-only-projection scale argument as [[MinHashSignature]].
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"simhash64 expects ARRAY<STRING>, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val shingles = input.asInstanceOf[ArrayData]
+    val n = shingles.numElements()
+    val counts = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val h = MinHashParams.shingleHash64(shingles.getUTF8String(i))
+        var bit = 0
+        while (bit < 64) {
+          counts(bit) += (if (((h >>> bit) & 1L) == 1L) 1L else -1L)
+          bit += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (counts(bit) > 0) fp |= (1L << bit)
+      bit += 1
+    }
+    fp
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object HashExpressions {
+  /** Column-level MinHash signature over an ARRAY<STRING> shingle column. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(shingles), numHashes))
+
+  /** Column-level 64-bit SimHash over an ARRAY<STRING> shingle column. */
+  def simhash64(shingles: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(shingles)))
+}

@@ -69,6 +69,56 @@ class ExtensionsSpec extends SparkSpec {
     assert(!got.contains((0L, 3L)))
   }
 
+  test("native MinHashSignature matches explode+groupBy reference formulation") {
+    // reference: the former 64-min-agg relational shape (kept here as the
+    // spec of the kernel's semantics)
+    val P = 2147483647L
+    def hashParams(k: Int): (Long, Long) = {
+      var s = k.toLong * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
+      s ^= s >>> 31; s *= 0x94D049BB133111EBL; s ^= s >>> 27
+      ((s & 0x7FFFFFFFL) | 1L, (s >>> 33) % P)
+    }
+    val numHashes = 16
+    val hashed = docs.select(col("doc_id").as("id"),
+        explode(TextOps.shingles(col("text"), 3)).as("shingle"))
+      .select(col("id"), pmod(xxhash64(col("shingle")), lit(P)).as("h"))
+    val aggs = (0 until numHashes).map { k =>
+      val (a, b) = hashParams(k)
+      min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"m$k")
+    }
+    val expected = hashed.groupBy(col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(k => col(s"m$k")): _*).as("sig"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getSeq[Long](1)).toMap
+    val got = Dedup.minhashSignatures(docs, numHashes = numHashes)
+      .collect().map(r => r.getAs[Long]("id") -> r.getSeq[Long](1)).toMap
+    assert(got == expected)
+  }
+
+  test("native SimHash64 matches explode+groupBy reference formulation") {
+    val hashed = docs.select(col("doc_id").as("id"),
+        explode(TextOps.shingles(col("text"), 3)).as("shingle"))
+      .select(col("id"), xxhash64(col("shingle")).as("h"))
+    val aggs = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"b$i")
+    }
+    val bits = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    val expected = hashed.groupBy(col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        bits.reduce((a: org.apache.spark.sql.Column,
+                     b: org.apache.spark.sql.Column) => a.bitwiseOR(b))
+          .as("fp"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("fp")).toMap
+    val got = Dedup.simhashFingerprints(docs)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("fp")).toMap
+    assert(got == expected)
+  }
+
   test("ngramJaccard: identical 1.0, near-dup in (0,1), unrelated absent") {
     val got = Dedup.ngramJaccard(docs, minJaccard = 0.2).collect()
       .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
