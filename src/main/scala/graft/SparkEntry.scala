@@ -287,17 +287,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // MinHash+LSH near-dup candidates (no SQL oracle: rows-only check)
+    // MinHash+LSH near-dup candidates. Portable (md5-based) hashing so the
+    // full signature→band→candidate pipeline is strictly DuckDB-verifiable;
+    // production callers default to the faster xxhash64 mode.
     "q24_minhash_lsh" -> ((s, dir) => {
-      Dedup.minhashCandidates(t(s, dir, "documents"))
+      Dedup.minhashCandidates(t(s, dir, "documents"),
+        numHashes = 16, bands = 4, portable = true)
         .select(col("id_a"), col("id_b"),
           round(col("est_jaccard"), 6).as("est_jaccard"))
         .orderBy("id_a", "id_b")
     }),
 
-    // SimHash near-dup candidates (rows-only check)
+    // SimHash near-dup candidates (portable 60-bit fingerprints — same
+    // strict-oracle rationale as q24)
     "q25_simhash" -> ((s, dir) => {
-      Dedup.simhashCandidates(t(s, dir, "documents"))
+      Dedup.simhashCandidates(t(s, dir, "documents"), portable = true)
         .orderBy("id_a", "id_b")
     }),
 
@@ -435,21 +439,27 @@ object SparkEntry {
       o.unionByName(l).orderBy("src", "id", "amount")
     }),
 
-    // multimodal plumbing: binary decode stub → features (rows-only)
+    // multimodal plumbing: binary decode stub → features. The stub codec's
+    // numeric output is unverifiable in SQL by construction; the oracle
+    // pins everything else (row set, modality routing, byte counts, and —
+    // via size(features), which forces the decode to run — that every
+    // asset decoded to exactly FeatureDim features).
     "q34_multimodal_features" -> ((s, dir) => {
       val assets = Multimodal.assetsFromText(t(s, dir, "documents"))
       Multimodal.extractFeatures(assets)
         .select(col("asset_id"), col("modality"), col("n_bytes"),
-          round(element_at(col("features"), 1), 6).as("f0"))
+          size(col("features")).as("n_features"))
         .orderBy("asset_id")
     }),
 
-    // multimodal frame sampling (rows-only)
+    // multimodal frame sampling — oracle pins the sampled frame grid
+    // (every 1000 ms of duration_ms, capped at 8) and per-frame decode
+    // arity; same stub-codec caveat as q34
     "q35_frame_sample" -> ((s, dir) => {
       val assets = Multimodal.assetsFromText(t(s, dir, "documents"))
       Multimodal.sampleFrames(assets, everyMs = 1000L, maxFrames = 8)
         .select(col("asset_id"), col("frame_ms"),
-          round(element_at(col("features"), 1), 6).as("f0"))
+          size(col("features")).as("n_features"))
         .orderBy("asset_id", "frame_ms")
     })
   )
@@ -461,7 +471,159 @@ object SparkEntry {
   private val enStopList = TextOps.EnStopwords
     .map(w => s"'$w'").mkString(", ")
 
+  /** Shared oracle CTE: distinct lowercase word-3-gram shingles with the
+    * portable 60-bit md5-prefix hash (graft.functions.MinHashParams
+    * .shingleHashPortable's SQL equivalent). */
+  private val shingleHashCte =
+    """toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(tk) >= 3 THEN
+      |           list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+      |                          FOR i IN generate_series(1, len(tk) - 2)])
+      |         ELSE [array_to_string(tk, ' ')] END AS sh
+      |  FROM toks),
+      |hx AS (
+      |  SELECT doc_id,
+      |         ('0x' || substr(md5(s), 1, 15))::BIGINT AS h60
+      |  FROM (SELECT doc_id, unnest(sh) AS s FROM sh))""".stripMargin
+
+  /** q24 oracle: the full portable MinHash→LSH pipeline in SQL — per-doc
+    * 16-hash signature, 4 bands of 4, candidate pairs from band-bucket
+    * equality, est_jaccard = matching signature positions / 16. */
+  private def minhashOracle: String = {
+    import graft.functions.MinHashParams.{P, hashParams}
+    val numHashes = 16; val bands = 4; val rows = numHashes / bands
+    val minCols = (0 until numHashes).map { k =>
+      val (a, b) = hashParams(k)
+      s"min(($a * h + $b) % $P) AS m$k"
+    }.mkString(",\n         ")
+    val bandSelects = (0 until bands).map { bd =>
+      val ms = (bd * rows until (bd + 1) * rows).map(k => s"m$k")
+        .mkString(", ")
+      s"  SELECT doc_id, $bd AS band, concat_ws(',', $ms) AS key FROM sig"
+    }.mkString("\n  UNION ALL\n")
+    val matchSum = (0 until numHashes).map(k =>
+      s"CASE WHEN sa.m$k = sb.m$k THEN 1 ELSE 0 END").mkString("\n         + ")
+    s"""WITH $shingleHashCte,
+       |h AS (SELECT doc_id, h60 % $P AS h FROM hx),
+       |sig AS (
+       |  SELECT doc_id,
+       |         $minCols
+       |  FROM h GROUP BY doc_id),
+       |band AS (
+       |$bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM band a JOIN band b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |       round(($matchSum) / 16.0, 6) AS est_jaccard
+       |FROM cand
+       |JOIN sig sa ON sa.doc_id = id_a
+       |JOIN sig sb ON sb.doc_id = id_b
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q25 oracle: portable 60-bit SimHash in SQL — per-bit ±1 sums, sign
+    * bits re-assembled, Manku 4-block candidate join, exact Hamming
+    * verification. */
+  private def simhashOracle: String = {
+    val bitSums = (0 until 60).map(i =>
+      s"sum(CASE WHEN (h60 >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(",\n         ")
+    val fpTerms = (0 until 60).map(i =>
+      s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString("\n       + ")
+    val blockSelects = (0 until 4).map(b =>
+      s"  SELECT doc_id, fp, $b AS block, (fp >> ${b * 15}) & 32767 AS key" +
+        " FROM fp").mkString("\n  UNION ALL\n")
+    s"""WITH $shingleHashCte,
+       |bits AS (
+       |  SELECT doc_id,
+       |         $bitSums
+       |  FROM hx GROUP BY doc_id),
+       |fp AS (
+       |  SELECT doc_id,
+       |       $fpTerms AS fp
+       |  FROM bits),
+       |blocks AS (
+       |$blockSelects)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+       |FROM blocks a JOIN blocks b
+       |  ON a.block = b.block AND a.key = b.key AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q27 oracle: the LSH-bucketed ANN pipeline in SQL. The hyperplane
+    * components are plan-time constants (Similarity.planeComponent), so
+    * they embed as double literals; every dot product is written as an
+    * explicit left-associated 64-term chain to reproduce the native
+    * kernel's sequential summation order bit-for-bit. */
+  private def lshTopkOracle: String = {
+    val planes = 6; val dim = 64
+    def dotChain(a: Int => String, b: Int => String): String =
+      (0 until dim).map(i => s"${a(i)} * ${b(i)}").mkString(" + ")
+    def planeDot(vec: String, p: Int): String =
+      dotChain(i => s"$vec[${i + 1}]",
+        i => java.lang.Double.toString(Similarity.planeComponent(p, i)))
+    def bucketExpr(vec: String): String =
+      (0 until planes).map(p =>
+        s"CASE WHEN ${planeDot(vec, p)} >= 0 THEN ${1L << p} ELSE 0 END")
+        .mkString("\n       + ")
+    val vq = dotChain(i => s"e[${i + 1}]", i => s"qe[${i + 1}]")
+    val vv = dotChain(i => s"e[${i + 1}]", i => s"e[${i + 1}]")
+    val qq = dotChain(i => s"qe[${i + 1}]", i => s"qe[${i + 1}]")
+    val probeList = (0 until planes).map(p => s"xor(qkey, ${1L << p})")
+      .mkString(", ")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+       |keyed AS (
+       |  SELECT vec_id, e,
+       |       ${bucketExpr("e")} AS bucket
+       |  FROM v),
+       |qk AS (
+       |  SELECT ${bucketExpr("qe")} AS qkey FROM q),
+       |scored AS (
+       |  SELECT k.vec_id,
+       |         CASE WHEN sqrt($vv) * sqrt($qq) > 0
+       |              THEN ($vq) / (sqrt($vv) * sqrt($qq))
+       |              ELSE 0.0 END AS cosine
+       |  FROM keyed k, q, qk
+       |  WHERE k.bucket IN (qkey, $probeList)
+       |  ORDER BY cosine DESC, vec_id LIMIT 10)
+       |SELECT vec_id, round(cosine, 6) AS cosine
+       |FROM scored ORDER BY cosine DESC, vec_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q24_minhash_lsh" -> minhashOracle,
+
+    "q27_lsh_topk" -> lshTopkOracle,
+
+    "q25_simhash" -> simhashOracle,
+
+    "q34_multimodal_features" ->
+      """SELECT doc_id AS asset_id,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |            WHEN doc_id % 3 = 1 THEN 'audio'
+        |            ELSE 'video' END AS modality,
+        |       CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |       16 AS n_features
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    "q35_frame_sample" ->
+      """SELECT doc_id AS asset_id,
+        |       unnest(list_slice(
+        |         generate_series(0, length(text) * 10 - 1, 1000), 1, 8))
+        |         AS frame_ms,
+        |       16 AS n_features
+        |FROM documents WHERE doc_id % 3 = 2
+        |ORDER BY asset_id, frame_ms""".stripMargin,
+
     "q01_range_filter" ->
       """SELECT event_id, ts, user_id, event_type, value
         |FROM events WHERE value BETWEEN 5 AND 300

@@ -47,12 +47,18 @@ object Dedup {
     * megabytes of Janino and runs ~100× slower; explode→groupBy(64 min-aggs)
     * shuffles one row per shingle and pays ~10 s of wide-agg codegen per
     * query. The kernel emits identical signatures to both.) */
+  /** @param portable md5-based 60-bit shingle hashing instead of xxhash64 —
+    *                  ~2× hash cost, but reproducible in any engine with
+    *                  md5 (the correctness harness cross-checks it in
+    *                  DuckDB); production default stays xxhash64 */
   def minhashSignatures(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", shingleN: Int = 3,
-                        numHashes: Int = 64): DataFrame =
+                        numHashes: Int = 64,
+                        portable: Boolean = false): DataFrame =
     docs.select(col(idCol).as("id"),
       graft.functions.HashExpressions.minhashSignature(
-        TextOps.shingles(col(textCol), shingleN), numHashes).as("sig"))
+        TextOps.shingles(col(textCol), shingleN), numHashes, portable)
+        .as("sig"))
 
   /** MinHash-LSH near-dup candidate pairs: band the signature, bucket-join
     * within (band index, band hash), emit distinct candidate id pairs with
@@ -64,14 +70,21 @@ object Dedup {
     */
   def minhashCandidates(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", shingleN: Int = 3,
-                        numHashes: Int = 64, bands: Int = 16): DataFrame = {
+                        numHashes: Int = 64, bands: Int = 16,
+                        portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    val sigs = minhashSignatures(docs, idCol, textCol, shingleN, numHashes)
+    val sigs = minhashSignatures(docs, idCol, textCol, shingleN, numHashes,
+      portable)
+    // portable mode keeps the raw comma-joined band values as the bucket
+    // key (reproducible in SQL); default re-hashes to a fixed-width long
+    // for a smaller shuffle key
+    def bandKey(bd: Int): Column = {
+      val joined = concat_ws(",", slice(col("sig"), bd * rows + 1, rows))
+      if (portable) joined else xxhash64(joined).cast("string")
+    }
     val banded = sigs.select(col("id"), col("sig"),
-        posexplode(array((0 until bands).map(bd =>
-          xxhash64(concat_ws(",",
-            slice(col("sig"), bd * rows + 1, rows)))): _*)))
+        posexplode(array((0 until bands).map(bandKey): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
       // both join sides derive from this frame; without persisting it the
@@ -99,10 +112,11 @@ object Dedup {
     * [[minhashSignatures]]'s kernel. */
   def simhashFingerprints(docs: DataFrame, idCol: String = "doc_id",
                           textCol: String = "text",
-                          shingleN: Int = 3): DataFrame =
+                          shingleN: Int = 3,
+                          portable: Boolean = false): DataFrame =
     docs.select(col(idCol).as("id"),
       graft.functions.HashExpressions.simhash64(
-        TextOps.shingles(col(textCol), shingleN)).as("fp"))
+        TextOps.shingles(col(textCol), shingleN), portable).as("fp"))
 
   /** SimHash near-dup candidates: group by fingerprint prefix blocks
     * (Charikar/Manku-style rotation blocking): two fingerprints within
@@ -110,13 +124,14 @@ object Dedup {
     * bucket-join per block, verify Hamming distance exactly. */
   def simhashCandidates(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", shingleN: Int = 3,
-                        maxHamming: Int = 3): DataFrame = {
+                        maxHamming: Int = 3,
+                        portable: Boolean = false): DataFrame = {
     val blocks = maxHamming + 1
-    val width = 64 / blocks
+    val width = (if (portable) 60 else 64) / blocks
     require(blocks >= 2,
       "maxHamming=0 means exact fingerprint equality; group on the full " +
         "fingerprint instead of block keys (a 64-bit mask would be 0)")
-    val fps = simhashFingerprints(docs, idCol, textCol, shingleN)
+    val fps = simhashFingerprints(docs, idCol, textCol, shingleN, portable)
     val keyed = fps.select(col("id"), col("fp"),
         posexplode(array((0 until blocks).map(bIdx =>
           shiftrightunsigned(col("fp"), bIdx * width)

@@ -15,7 +15,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * explode→groupBy formulation so signatures are stable across engine
   * versions.
   */
-private[functions] object MinHashParams {
+private[graft] object MinHashParams {
   /** 2^31 − 1 (Mersenne prime) — the universal-hash modulus. */
   val P = 2147483647L
 
@@ -31,6 +31,25 @@ private[functions] object MinHashParams {
   /** Matches Spark SQL `xxhash64(s)` (seed 42). */
   def shingleHash64(s: UTF8String): Long =
     XxHash64Function.hash(s, StringType, 42L)
+
+  /** Portable 60-bit shingle hash: the first 15 hex digits of md5(s) as a
+    * long — exactly `('0x' || substr(md5(s),1,15))::BIGINT` in DuckDB /
+    * `conv(substr(md5(s),1,15),16,10)` in Spark SQL, so signatures built
+    * on it are reproducible (and strictly verifiable) in any engine with
+    * md5. ~2× the cost of xxhash64 — use for verification surfaces;
+    * default production hashing stays xxhash64. */
+  def shingleHashPortable(md: java.security.MessageDigest,
+                          s: UTF8String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) >> 4) & 0xfL)
+  }
+
+  def newMd5(): java.security.MessageDigest =
+    java.security.MessageDigest.getInstance("MD5")
 }
 
 /** MinHash signature of a shingle set in one pass per row: for each of
@@ -47,7 +66,8 @@ private[functions] object MinHashParams {
   * CodegenFallback: the kernel is a tight JVM loop; nothing useful to
   * generate.
   */
-case class MinHashSignature(child: Expression, numHashes: Int)
+case class MinHashSignature(child: Expression, numHashes: Int,
+                            portable: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   require(numHashes >= 1, "numHashes must be >= 1")
@@ -73,11 +93,13 @@ case class MinHashSignature(child: Expression, numHashes: Int)
       val (a, b) = hashParams(k); as(k) = a; bs(k) = b; k += 1
     }
     val mins = Array.fill(numHashes)(Long.MaxValue)
+    val md = if (portable) newMd5() else null
     var i = 0
     while (i < n) {
       if (!shingles.isNullAt(i)) {
         val h = java.lang.Math.floorMod(
-          shingleHash64(shingles.getUTF8String(i)), P)
+          if (portable) shingleHashPortable(md, shingles.getUTF8String(i))
+          else shingleHash64(shingles.getUTF8String(i)), P)
         k = 0
         while (k < numHashes) {
           val v = java.lang.Math.floorMod(as(k) * h + bs(k), P)
@@ -99,8 +121,12 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   * matches the former explode→groupBy(64 sum-aggs) formulation; same
   * map-only-projection scale argument as [[MinHashSignature]].
   */
-case class SimHash64(child: Expression)
+case class SimHash64(child: Expression, portable: Boolean = false)
     extends UnaryExpression with CodegenFallback {
+
+  /** Portable mode uses the 60-bit md5-prefix hash, so the fingerprint
+    * occupies bits 0..59 (always non-negative). */
+  val bits: Int = if (portable) 60 else 64
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -112,15 +138,19 @@ case class SimHash64(child: Expression)
   override def dataType: DataType = LongType
 
   override protected def nullSafeEval(input: Any): Any = {
+    import MinHashParams._
     val shingles = input.asInstanceOf[ArrayData]
     val n = shingles.numElements()
-    val counts = new Array[Long](64)
+    val counts = new Array[Long](bits)
+    val md = if (portable) newMd5() else null
     var i = 0
     while (i < n) {
       if (!shingles.isNullAt(i)) {
-        val h = MinHashParams.shingleHash64(shingles.getUTF8String(i))
+        val h =
+          if (portable) shingleHashPortable(md, shingles.getUTF8String(i))
+          else shingleHash64(shingles.getUTF8String(i))
         var bit = 0
-        while (bit < 64) {
+        while (bit < bits) {
           counts(bit) += (if (((h >>> bit) & 1L) == 1L) 1L else -1L)
           bit += 1
         }
@@ -129,7 +159,7 @@ case class SimHash64(child: Expression)
     }
     var fp = 0L
     var bit = 0
-    while (bit < 64) {
+    while (bit < bits) {
       if (counts(bit) > 0) fp |= (1L << bit)
       bit += 1
     }
@@ -142,10 +172,13 @@ case class SimHash64(child: Expression)
 
 object HashExpressions {
   /** Column-level MinHash signature over an ARRAY<STRING> shingle column. */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    Bridge.column(MinHashSignature(Bridge.expression(shingles), numHashes))
+  def minhashSignature(shingles: Column, numHashes: Int,
+                       portable: Boolean = false): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(shingles), numHashes,
+      portable))
 
-  /** Column-level 64-bit SimHash over an ARRAY<STRING> shingle column. */
-  def simhash64(shingles: Column): Column =
-    Bridge.column(SimHash64(Bridge.expression(shingles)))
+  /** Column-level SimHash fingerprint over an ARRAY<STRING> shingle column
+    * (64-bit; 60-bit in portable mode). */
+  def simhash64(shingles: Column, portable: Boolean = false): Column =
+    Bridge.column(SimHash64(Bridge.expression(shingles), portable))
 }
