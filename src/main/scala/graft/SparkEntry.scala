@@ -461,6 +461,77 @@ object SparkEntry {
         .select(col("asset_id"), col("frame_ms"),
           size(col("features")).as("n_features"))
         .orderBy("asset_id", "frame_ms")
+    }),
+
+    // deterministic md5 train/val/test split — membership is a pure
+    // function of the id, stable across engines and runs
+    "q42_hash_split" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.hashBucket(col("doc_id")).as("bucket"),
+          TextOps.hashSplit(col("doc_id")).as("split"))
+        .orderBy("doc_id")
+    }),
+
+    // PII scrubbing (emails + phone suffixes) over deterministic contact
+    // strings constructed from the corpus
+    "q43_pii_scrub" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.scrubPii(concat_ws(" ",
+            concat(col("source"), lit("+"), col("doc_id").cast("string"),
+              lit("@mail.example.org")),
+            concat(lit("call 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")),
+            substring(col("text"), 1, 40))).as("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
+    // top-k per group: best-3 documents per source by length
+    "q44_topk_per_group" -> ((s, dir) => {
+      Windows.topKPerGroup(t(s, dir, "documents"), Seq("source"),
+        Seq(col("n_chars").desc, col("doc_id").asc), 3)
+        .select("source", "doc_id", "n_chars", "rk")
+        .orderBy("source", "rk")
+    }),
+
+    // anti-join: orders with no high-discount line (filtered build side)
+    "q45_anti_join" -> ((s, dir) => {
+      val hot = t(s, dir, "lineitem").filter(col("l_discount") > 0.07)
+      t(s, dir, "orders")
+        .join(hot, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // rollup: flag × status hierarchy with subtotal rows
+    "q46_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("rflag", "lstatus")
+    }),
+
+    // fixed-width length histogram
+    "q47_histogram" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy((floor(col("n_chars") / 50) * 50).cast("long").as("bin_lo"))
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+        .orderBy("bin_lo")
+    }),
+
+    // pivot: per-source char volume by language (explicit value list so
+    // the output schema is static — no collect-distinct planning pass)
+    "q48_pivot" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("source")
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(sum("n_chars"))
+        .orderBy("source")
     })
   )
 
@@ -623,6 +694,63 @@ object SparkEntry {
         |       16 AS n_features
         |FROM documents WHERE doc_id % 3 = 2
         |ORDER BY asset_id, frame_ms""".stripMargin,
+
+    "q42_hash_split" ->
+      """SELECT doc_id,
+        |       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |         % 100 AS bucket,
+        |       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+        |            WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q43_pii_scrub" ->
+      """SELECT doc_id,
+        |       regexp_replace(regexp_replace(regexp_replace(
+        |         concat_ws(' ',
+        |           source || '+' || CAST(doc_id AS VARCHAR) || '@mail.example.org',
+        |           'call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        |           substr(text, 1, 40)),
+        |         '[A-Za-z0-9.+_-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '\d{3}-\d{4}', '<PHONE>', 'g'),
+        |         '\d{16}', '<CARD>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q44_topk_per_group" ->
+      """SELECT source, doc_id, n_chars, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT source, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+
+    "q45_anti_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey NOT IN (
+        |  SELECT l_orderkey FROM lineitem WHERE l_discount > 0.07)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q46_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |       coalesce(l_linestatus, 'ALL') AS lstatus,
+        |       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+
+    "q47_histogram" ->
+      """SELECT CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bin_lo,
+        |       count(*) AS n_docs, min(n_chars) AS min_chars,
+        |       max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1 ORDER BY bin_lo""".stripMargin,
+
+    "q48_pivot" ->
+      """SELECT source,
+        |       CAST(sum(CASE WHEN lang = 'de' THEN n_chars END) AS BIGINT) AS de,
+        |       CAST(sum(CASE WHEN lang = 'en' THEN n_chars END) AS BIGINT) AS en,
+        |       CAST(sum(CASE WHEN lang = 'es' THEN n_chars END) AS BIGINT) AS es,
+        |       CAST(sum(CASE WHEN lang = 'fr' THEN n_chars END) AS BIGINT) AS fr,
+        |       CAST(sum(CASE WHEN lang = 'zh' THEN n_chars END) AS BIGINT) AS zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q01_range_filter" ->
       """SELECT event_id, ts, user_id, event_type, value

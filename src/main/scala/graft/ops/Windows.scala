@@ -134,4 +134,15 @@ object Windows {
         (col(tsCol) - TimeOps.minutesInterval(lit(windowMinutes)))
           .as("start_time"),
         col(tsCol).as("end_time")): _*)
+
+  /** Top-k rows per group (curation staple: best-k documents per domain,
+    * latest-k events per user). One hash-partitioned window; no global
+    * sort. Order columns must make ranks deterministic (include a
+    * tiebreaker id). Adds `rk` (1-based). */
+  def topKPerGroup(df: DataFrame, partitionCols: Seq[String],
+                   orderCols: Seq[Column], k: Int): DataFrame =
+    df.withColumn("rk", row_number().over(
+        Window.partitionBy(partitionCols.map(col): _*)
+          .orderBy(orderCols: _*)))
+      .filter(col("rk") <= k)
 }

@@ -77,6 +77,39 @@ object TextOps {
     * dedup. */
   def fingerprint(text: Column): Column = xxhash64(text)
 
+  /** PII scrubbing: apply (pattern → replacement) rules in order. Patterns
+    * must stay in the Java-regex ∩ RE2 common subset (no backreferences /
+    * lookaround) so results are portable across engines — the correctness
+    * harness cross-checks them in DuckDB. */
+  def scrubPii(text: Column,
+               rules: Seq[(String, String)] = DefaultPiiRules): Column =
+    rules.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** Email + phone-suffix + 16-digit-card defaults; replace-all. */
+  val DefaultPiiRules: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9.+_-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\d{3}-\\d{4}" -> "<PHONE>",
+    "\\d{16}" -> "<CARD>")
+
+  /** Deterministic hash bucket in [0, buckets): first 8 hex digits of
+    * md5(key) mod buckets. Portable (md5-only) on purpose: the same
+    * expression works in any SQL engine, so train/val/test membership is
+    * stable across the whole data platform, not just this engine. */
+  def hashBucket(key: Column, buckets: Int = 100): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long"), lit(buckets.toLong))
+
+  /** Deterministic train/val/test split label from [[hashBucket]]:
+    * [0,trainPct) → train, [trainPct,trainPct+valPct) → val, rest test. */
+  def hashSplit(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val b = hashBucket(key, 100)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
   def normalizedFingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 

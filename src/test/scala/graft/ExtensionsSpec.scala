@@ -182,6 +182,40 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(1).getAs[String]("lang_pred") == "other")
   }
 
+  test("scrubPii masks emails, phone suffixes, and 16-digit runs") {
+    val df = Seq("mail bob.smith+x@corp.example.co or call 555-0199 " +
+      "card 1234567812345678 end").toDF("text")
+    val got = df.select(TextOps.scrubPii(col("text")).as("s"))
+      .head().getString(0)
+    assert(got == "mail <EMAIL> or call <PHONE> card <CARD> end")
+  }
+
+  test("hashBucket/hashSplit: deterministic, in-range, ~80/10/10") {
+    val df = (0L until 1000L).toDF("id")
+    val rows = df.select(col("id"), TextOps.hashBucket(col("id")).as("b"),
+      TextOps.hashSplit(col("id")).as("s")).collect()
+    assert(rows.forall(r => r.getAs[Long]("b") >= 0 &&
+      r.getAs[Long]("b") < 100))
+    val bySplit = rows.groupBy(_.getAs[String]("s")).view.mapValues(_.length)
+    assert(bySplit("train") > 700 && bySplit("train") < 900)
+    assert(bySplit("val") > 50 && bySplit("test") > 50)
+    // stable across evaluations
+    val again = df.select(TextOps.hashBucket(col("id"))).collect()
+      .map(_.getLong(0)).toSeq
+    assert(again == rows.map(_.getAs[Long]("b")).toSeq)
+  }
+
+  test("topKPerGroup keeps k rows per group with deterministic ranks") {
+    val df = Seq(("a", 1L, 10), ("a", 2L, 30), ("a", 3L, 30), ("a", 4L, 5),
+      ("b", 5L, 1)).toDF("g", "id", "v")
+    val got = graft.ops.Windows.topKPerGroup(df, Seq("g"),
+      Seq(col("v").desc, col("id").asc), 2)
+      .orderBy("g", "rk").collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("id"),
+        r.getAs[Int]("rk")))
+    assert(got.toSeq == Seq(("a", 2L, 1), ("a", 3L, 2), ("b", 5L, 1)))
+  }
+
   test("shingles produce n-grams with whole-text fallback") {
     val df = Seq("a b c d", "a b").toDF("text")
     val got = df.select(TextOps.shingles(col("text"), 3)).collect()
