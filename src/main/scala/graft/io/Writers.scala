@@ -27,4 +27,20 @@ object Writers {
     * (/root/reference/raw_data_reformat.py:246-264). */
   def parquetIfAbsent(df: DataFrame, path: String): Unit =
     df.write.mode("ignore").parquet(path)
+
+  /** Bucketed (and optionally sort-bucketed) parquet table: rows are
+    * hash-clustered into `buckets` files per partition on `bucketCols`.
+    * Joins and aggregations keyed on the bucket columns then plan with NO
+    * shuffle (Catalyst recognizes the bucketing as a satisfied
+    * distribution) — at 100 TB this turns every fact⋈fact join on the
+    * bucket key from a full-network shuffle into a local zip of bucket
+    * files. Registered through the catalog because bucketing metadata
+    * lives there, not in the parquet footers. */
+  def bucketedTable(df: DataFrame, table: String, bucketCols: Seq[String],
+                    buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.format("parquet").mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
+     else w).saveAsTable(table)
+  }
 }

@@ -64,6 +64,18 @@ object Streaming {
   case class RunState(value: Double, startMs: Long, endMs: Long,
                       runLen: Long)
 
+  /** Streaming exact dedup: first occurrence per id wins; duplicate
+    * arrivals inside the watermark horizon are dropped, and state for ids
+    * older than the watermark is evicted (bounded state — the difference
+    * between a dedup that survives a 100 TB backfill and one that OOMs).
+    * Late duplicates beyond the watermark are NOT caught (they would need
+    * unbounded state); pair with a batch [[graft.dedup.Dedup.exact]] pass
+    * for the archival layer. */
+  def dedupStream(stream: DataFrame, idCols: Seq[String], tsCol: String,
+                  watermark: String = "10 minutes"): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** A5 streaming form: run-length flatline detection as
     * `flatMapGroupsWithState` — emits each run when the value changes
     * (the open run stays in state). Within-batch rows are time-sorted;

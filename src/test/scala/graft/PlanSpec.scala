@@ -1,0 +1,52 @@
+package graft
+
+/** Physical-plan assertions: the properties that make the engine viable at
+  * 100 TB are plan shapes, not results — filters reaching the parquet
+  * scan, dimension broadcasts, partial aggregation, and the absence of
+  * accidental cartesian products. Asserted here so a regression in plan
+  * quality fails CI even when results stay correct. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan.toString
+
+  test("q01 band filter is pushed into the parquet scan") {
+    val p = plan("q01_range_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(value), " +
+      "GreaterThanOrEqual(value,5.0), LessThanOrEqual(value,300.0)]"),
+      s"filter not pushed:\n$p")
+  }
+
+  test("q40 star join broadcasts dimensions and prunes the fact scan") {
+    val p = plan("q40_star_join")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // column pruning: the lineitem scan must not read unused columns
+    assert(!p.contains("l_shipdate"), s"fact scan not pruned:\n$p")
+  }
+
+  test("q21 exact dedup aggregates with a map-side partial") {
+    val p = plan("q21_dedup_exact")
+    assert(p.contains("partial_"), s"no partial aggregation:\n$p")
+  }
+
+  test("q07 point-in-interval is a broadcast nested-loop, not a cartesian") {
+    val p = plan("q07_point_in_interval_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q45 plans a left anti join") {
+    val p = plan("q45_anti_join")
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("no query plans a cartesian product") {
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      assert(!plan(name).contains("CartesianProduct"),
+        s"$name plans a cartesian product")
+    }
+  }
+}

@@ -53,6 +53,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops within-watermark duplicate ids, keeps state bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = in.toDF().toDF("id", "ts", "v")
+    val out = Streaming.dedupStream(df, Seq("id"), "ts", "10 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      in.addData(
+        (1L, t("2024-01-01 00:00:00"), "a"),
+        (1L, t("2024-01-01 00:00:01"), "a-dup"),
+        (2L, t("2024-01-01 00:00:02"), "b"))
+      q.processAllAvailable()
+      in.addData((1L, t("2024-01-01 00:00:03"), "a-dup2"),
+        (3L, t("2024-01-01 00:00:04"), "c"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").collect()
+      assert(rows.map(_.getAs[Long]("id")).sorted.toSeq == Seq(1L, 2L, 3L))
+      assert(rows.find(_.getAs[Long]("id") == 1L).get
+        .getAs[String]("v") == "a")
+    } finally q.stop()
+  }
+
   test("flatlineRuns emits completed runs with the include flag") {
     implicit val sqlCtx = spark.sqlContext
     implicit val sess = spark

@@ -27,4 +27,27 @@ class WritersSpec extends SparkSpec {
     Writers.parquetIfAbsent(Seq(9).toDF("v"), dir) // ignored
     assert(spark.read.parquet(dir).count() == 3)
   }
+
+  test("bucketedTable join on the bucket key plans without a shuffle") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // disable broadcast so the join would otherwise need an exchange
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val facts = (0L until 200L).map(i => (i % 40, i)).toDF("k", "a")
+      val dims = (0L until 40L).map(i => (i, i * 10)).toDF("k", "b")
+      Writers.bucketedTable(facts, "bt_facts", Seq("k"), 4,
+        sortCols = Seq("k"))
+      Writers.bucketedTable(dims, "bt_dims", Seq("k"), 4, sortCols = Seq("k"))
+      val joined = spark.table("bt_facts")
+        .join(spark.table("bt_dims"), "k")
+      val p = joined.queryExecution.sparkPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed join still shuffles:\n$p")
+      assert(joined.count() == 200)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bt_facts")
+      spark.sql("DROP TABLE IF EXISTS bt_dims")
+    }
+  }
 }
