@@ -111,14 +111,33 @@ object Similarity {
   def ivfTopK(embs: DataFrame, query: Column, k: Int,
               clusterCol: String, idCol: String = "vec_id",
               vecCol: String = "embedding", nProbe: Int = 2,
-              dim: Int = DefaultDim): DataFrame = {
-    val v = col(vecCol).cast("array<double>")
-    val centroids = embs
-      .select(col(clusterCol).as("cluster"), posexplode(v))
+              dim: Int = DefaultDim): DataFrame =
+    ivfTopKWithIndex(embs, ivfIndex(embs, clusterCol, vecCol), query, k,
+      clusterCol, idCol, vecCol, nProbe, dim)
+
+  /** Build the IVF coarse index once: per-cluster element-wise mean
+    * centroids as (cluster, centroid ARRAY<DOUBLE>). At 100 TB this is
+    * precomputed, persisted, and reused by every query — recomputing it
+    * per query scans the corpus twice. */
+  def ivfIndex(embs: DataFrame, clusterCol: String,
+               vecCol: String = "embedding"): DataFrame =
+    embs
+      .select(col(clusterCol).as("cluster"),
+        posexplode(col(vecCol).cast("array<double>")))
       .groupBy("cluster", "pos").agg(avg("col").as("m"))
       .groupBy("cluster")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("centroid"))
+
+  /** [[ivfTopK]] against a prebuilt [[ivfIndex]] — the steady-state shape:
+    * probe selection touches only the (tiny) centroid table; the corpus
+    * scan is restricted to the probed clusters (partition-pruned when the
+    * corpus is stored partitioned by `clusterCol`). */
+  def ivfTopKWithIndex(embs: DataFrame, centroids: DataFrame, query: Column,
+                       k: Int, clusterCol: String, idCol: String = "vec_id",
+                       vecCol: String = "embedding", nProbe: Int = 2,
+                       dim: Int = DefaultDim): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
     val probes = centroids
       .select(col("cluster"), cosine(col("centroid"), query, dim).as("sim"))
       .orderBy(col("sim").desc, col("cluster"))

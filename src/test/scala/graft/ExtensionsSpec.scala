@@ -282,6 +282,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.head.getAs[Double]("cosine") > 0.99)
   }
 
+  test("ivfTopKWithIndex over a prebuilt (cached) index matches ivfTopK") {
+    val embs = (0L until 30L).map { i =>
+      val v = Array.fill(8)(0.01f)
+      v((i % 3).toInt) = 1f
+      (i, v.toSeq, (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val idx = Similarity.ivfIndex(embs, "label").cache()
+    val q = Array.fill(8)(0.01); q(2) = 1.0
+    val direct = Similarity.ivfTopK(embs, typedlit(q), 4, "label",
+      nProbe = 1, dim = 8).collect().map(_.toSeq).toSeq
+    val viaIndex = Similarity.ivfTopKWithIndex(embs, idx, typedlit(q), 4,
+      "label", nProbe = 1, dim = 8).collect().map(_.toSeq).toSeq
+    idx.unpersist()
+    assert(direct == viaIndex)
+  }
+
   test("hyperplaneKey is deterministic and groups identical vectors") {
     val embs = Seq((0L, Seq.fill(8)(1f)), (1L, Seq.fill(8)(1f)))
       .toDF("vec_id", "embedding")
