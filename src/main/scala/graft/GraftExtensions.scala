@@ -18,10 +18,10 @@ import graft.functions.{DotProduct, MinHashSignature, SimHash64, WordShingles}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftFunctions._
   override def apply(e: SparkSessionExtensions): Unit = {
-    builders.foreach { case (name, builder) =>
+    builders.foreach { case (name, className, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[DotProduct].getName, name),
+        new ExpressionInfo(className, name),
         builder))
     }
   }
@@ -34,19 +34,20 @@ object GraftFunctions {
       s"$fn expects a literal INT argument, got $other")
   }
 
-  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] =
-    Seq(
-      "dot_product" -> (exprs => DotProduct(exprs(0), exprs(1))),
-      "word_shingles" ->
-        (exprs => WordShingles(exprs(0), intLit(exprs(1), "word_shingles"))),
-      "minhash_sig" ->
-        (exprs => MinHashSignature(exprs(0),
-          intLit(exprs(1), "minhash_sig"))),
-      "simhash64" -> (exprs => SimHash64(exprs(0))))
+  private[graft] val builders
+      : Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("dot_product", classOf[DotProduct].getName,
+      exprs => DotProduct(exprs(0), exprs(1))),
+    ("word_shingles", classOf[WordShingles].getName,
+      exprs => WordShingles(exprs(0), intLit(exprs(1), "word_shingles"))),
+    ("minhash_sig", classOf[MinHashSignature].getName,
+      exprs => MinHashSignature(exprs(0), intLit(exprs(1), "minhash_sig"))),
+    ("simhash64", classOf[SimHash64].getName,
+      exprs => SimHash64(exprs(0))))
 
   /** Runtime registration (temp functions) for an existing session. */
   def register(spark: SparkSession): Unit =
-    builders.foreach { case (name, builder) =>
+    builders.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "scala_udf")
     }

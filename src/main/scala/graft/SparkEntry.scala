@@ -725,9 +725,13 @@ object SparkEntry {
         |WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
 
     "q45_anti_join" ->
-      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |WHERE o_orderkey NOT IN (
-        |  SELECT l_orderkey FROM lineitem WHERE l_discount > 0.07)
+      // NOT EXISTS, not NOT IN: a NULL l_orderkey would make NOT IN return
+      // zero rows (three-valued logic) while Spark's left_anti keeps all
+      // unmatched orders
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.07)
         |ORDER BY o_orderkey""".stripMargin,
 
     "q46_rollup" ->

@@ -59,6 +59,10 @@ object Dedup {
       graft.functions.HashExpressions.minhashSignature(
         TextOps.shingles(col(textCol), shingleN), numHashes, portable)
         .as("sig"))
+      // null-text docs have no signature; keep them out of the pipeline
+      // (otherwise they'd all share one degenerate band bucket and
+      // cross-join into O(null²) spurious candidates)
+      .filter(col("sig").isNotNull)
 
   /** MinHash-LSH near-dup candidate pairs: band the signature, bucket-join
     * within (band index, band hash), emit distinct candidate id pairs with
@@ -78,10 +82,11 @@ object Dedup {
       portable)
     // portable mode keeps the raw comma-joined band values as the bucket
     // key (reproducible in SQL); default re-hashes to a fixed-width long
-    // for a smaller shuffle key
+    // for a smaller shuffle key (the array is homogeneous either way —
+    // `portable` is constant per call)
     def bandKey(bd: Int): Column = {
       val joined = concat_ws(",", slice(col("sig"), bd * rows + 1, rows))
-      if (portable) joined else xxhash64(joined).cast("string")
+      if (portable) joined else xxhash64(joined)
     }
     val banded = sigs.select(col("id"), col("sig"),
         posexplode(array((0 until bands).map(bandKey): _*)))
@@ -117,6 +122,8 @@ object Dedup {
     docs.select(col(idCol).as("id"),
       graft.functions.HashExpressions.simhash64(
         TextOps.shingles(col(textCol), shingleN), portable).as("fp"))
+      // symmetric with minhashSignatures: null text → no fingerprint
+      .filter(col("fp").isNotNull)
 
   /** SimHash near-dup candidates: group by fingerprint prefix blocks
     * (Charikar/Manku-style rotation blocking): two fingerprints within
@@ -224,9 +231,16 @@ object Dedup {
                           maxIter: Int = 20,
                           stepsPerRound: Int = 2): DataFrame = {
     require(stepsPerRound >= 1)
+    val nodeIds = nodes.select(col("id"))
+    // restrict edges to the node set: pair endpoints outside `nodes` must
+    // not leak into the output (the contract is one row per node), and a
+    // growing label set would also invalidate the Σlabel convergence test
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .unionAll(nodes.select(col("id").as("u"), col("id").as("v")))
+      .join(nodeIds.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
+      .join(nodeIds.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
+      .select("u", "v")
+      .unionAll(nodeIds.select(col("id").as("u"), col("id").as("v")))
       .distinct().cache()
     def step(labels: DataFrame): DataFrame =
       edges.join(labels, edges("v") === labels("id"))
@@ -235,10 +249,11 @@ object Dedup {
     var labels = nodes.select(col("id"), col("id").as("label"))
       .localCheckpoint()
     // Σlabel as decimal — immune to long overflow at curation-scale id
-    // ranges; strictly decreases until the fixed point
+    // ranges; strictly decreases until the fixed point. Empty input sums
+    // to SQL NULL → normalize to 0 so the convergence compare is total.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head()
-        .getDecimal(0)
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+        .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = false
     var round = 0

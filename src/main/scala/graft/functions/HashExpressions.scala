@@ -48,8 +48,16 @@ private[graft] object MinHashParams {
     (v << 4) | ((d(7) >> 4) & 0xfL)
   }
 
-  def newMd5(): java.security.MessageDigest =
-    java.security.MessageDigest.getInstance("MD5")
+  private val localMd5 =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** Per-thread reusable digest — MessageDigest is stateful and not
+    * thread-safe, and a per-row getInstance pays a JCA provider lookup on
+    * the hot path. */
+  def threadMd5(): java.security.MessageDigest = localMd5.get()
 }
 
 /** MinHash signature of a shingle set in one pass per row: for each of
@@ -82,25 +90,26 @@ case class MinHashSignature(child: Expression, numHashes: Int,
   override def dataType: DataType =
     ArrayType(LongType, containsNull = false)
 
+  // per-instance hash schedule, built once (not per row); immutable → safe
+  // to share across threads
+  @transient private lazy val as: Array[Long] =
+    Array.tabulate(numHashes)(k => MinHashParams.hashParams(k)._1)
+  @transient private lazy val bs: Array[Long] =
+    Array.tabulate(numHashes)(k => MinHashParams.hashParams(k)._2)
+
   override protected def nullSafeEval(input: Any): Any = {
     import MinHashParams._
     val shingles = input.asInstanceOf[ArrayData]
     val n = shingles.numElements()
-    val as = new Array[Long](numHashes)
-    val bs = new Array[Long](numHashes)
-    var k = 0
-    while (k < numHashes) {
-      val (a, b) = hashParams(k); as(k) = a; bs(k) = b; k += 1
-    }
     val mins = Array.fill(numHashes)(Long.MaxValue)
-    val md = if (portable) newMd5() else null
+    val md = if (portable) threadMd5() else null
     var i = 0
     while (i < n) {
       if (!shingles.isNullAt(i)) {
         val h = java.lang.Math.floorMod(
           if (portable) shingleHashPortable(md, shingles.getUTF8String(i))
           else shingleHash64(shingles.getUTF8String(i)), P)
-        k = 0
+        var k = 0
         while (k < numHashes) {
           val v = java.lang.Math.floorMod(as(k) * h + bs(k), P)
           if (v < mins(k)) mins(k) = v
@@ -142,7 +151,7 @@ case class SimHash64(child: Expression, portable: Boolean = false)
     val shingles = input.asInstanceOf[ArrayData]
     val n = shingles.numElements()
     val counts = new Array[Long](bits)
-    val md = if (portable) newMd5() else null
+    val md = if (portable) threadMd5() else null
     var i = 0
     while (i < n) {
       if (!shingles.isNullAt(i)) {

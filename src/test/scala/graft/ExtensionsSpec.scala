@@ -128,6 +128,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(!got.contains((0L, 3L)))
   }
 
+  test("null-text docs are dropped from minhash/simhash pipelines") {
+    val withNulls = docs.unionByName(
+      Seq((8L, null: String), (9L, null: String)).toDF("doc_id", "text"))
+    val mh = Dedup.minhashCandidates(withNulls).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    // no spurious (8,9) pair from a shared degenerate band bucket
+    assert(!mh.contains((8L, 9L)))
+    assert(Dedup.minhashSignatures(withNulls).count() == 5)
+    assert(Dedup.simhashFingerprints(withNulls).count() == 5)
+  }
+
+  test("connectedComponents: empty nodes and foreign pair ids are handled") {
+    val empty = spark.emptyDataFrame.select(lit(0L).as("id")).filter(lit(false))
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty, noPairs).count() == 0)
+
+    // pairs referencing ids outside `nodes` must not leak into the output
+    val nodes = (0L to 2L).toDF("id")
+    val pairs = Seq((0L, 1L), (1L, 99L), (98L, 99L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 2L))
+  }
+
   test("connectedComponents: chains collapse to min-id clusters, singletons kept") {
     val nodes = (0L to 6L).toDF("id")
     // chain 0-1-2, pair 4-5, singletons 3 and 6
