@@ -532,6 +532,33 @@ object SparkEntry {
         .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
         .agg(sum("n_chars"))
         .orderBy("source")
+    }),
+
+    // nearest-within-tolerance as-of join (J4 relational form): each click
+    // matched to the nearest error observation within 10 min, backward
+    // winning ties
+    "q49_asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "ts")
+      val errors = ev.filter(col("event_type") === "error")
+        .groupBy("user_id", "ts").agg(max("value").as("value"))
+      AsOf.asofNearest(clicks, errors, Seq("user_id"), "ts", "ts",
+        Seq("value"), toleranceSec = 600.0)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("nearest_value"), col("nearest_ts"), col("nearest_diff_us"))
+        .orderBy("event_id")
+    }),
+
+    // bounded-frame window aggregate: trailing 4-row moving average
+    "q50_moving_avg" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-3, 0)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          round(avg("value").over(w), 6).as("mv"))
+        .orderBy("event_id")
     })
   )
 
@@ -733,6 +760,47 @@ object SparkEntry {
         |  SELECT 1 FROM lineitem l
         |  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.07)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q49_asof_nearest" ->
+      // two ASOF joins (latest-at-or-before, earliest-at-or-after) then the
+      // same pick rule as AsOf.asofNearest: within tolerance, smaller
+      // |diff| wins, backward wins ties
+      """WITH clicks AS (
+        |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+        |errors AS (
+        |  SELECT user_id, ts, max(value) AS value FROM events
+        |  WHERE event_type = 'error' GROUP BY user_id, ts),
+        |b AS (
+        |  SELECT c.event_id, c.user_id, c.ts, e.value AS bval, e.ts AS bts
+        |  FROM clicks c ASOF LEFT JOIN errors e
+        |    ON c.user_id = e.user_id AND e.ts <= c.ts),
+        |f AS (
+        |  SELECT c.event_id, e.value AS fval, e.ts AS fts
+        |  FROM clicks c ASOF LEFT JOIN errors e
+        |    ON c.user_id = e.user_id AND e.ts >= c.ts),
+        |j AS (
+        |  SELECT b.event_id, b.user_id, b.ts, bval, bts, fval, fts,
+        |         epoch_us(b.ts) - epoch_us(bts) AS bdiff,
+        |         epoch_us(fts) - epoch_us(b.ts) AS fdiff,
+        |         (bts IS NOT NULL AND epoch_us(b.ts) - epoch_us(bts) <= 600000000
+        |          AND (fts IS NULL OR epoch_us(fts) - epoch_us(b.ts) > 600000000
+        |               OR epoch_us(b.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(b.ts)))
+        |           AS use_b,
+        |         (fts IS NOT NULL AND epoch_us(fts) - epoch_us(b.ts) <= 600000000)
+        |           AS use_f
+        |  FROM b JOIN f USING (event_id))
+        |SELECT event_id, user_id, ts,
+        |       CASE WHEN use_b THEN bval WHEN use_f THEN fval END AS nearest_value,
+        |       CASE WHEN use_b THEN bts WHEN use_f THEN fts END AS nearest_ts,
+        |       CASE WHEN use_b THEN bdiff WHEN use_f THEN fdiff END AS nearest_diff_us
+        |FROM j ORDER BY event_id""".stripMargin,
+
+    "q50_moving_avg" ->
+      """SELECT event_id, user_id,
+        |       round(avg(value) OVER (PARTITION BY user_id
+        |         ORDER BY ts, event_id
+        |         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mv
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q46_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
