@@ -51,6 +51,27 @@ object Streaming {
         col("session_window.end").as("end_time"),
         col("n"), col("first_ts"), col("last_ts"))): _*)
 
+  /** Stream-stream interval join: each left row matched to right rows with
+    * the same key whose timestamp lies in [leftTs − lowerSec,
+    * leftTs + upperSec]. Watermarks on BOTH sides plus the time-range
+    * predicate let Spark bound the join state (right rows are evicted once
+    * the left watermark passes their last possible match) — the streaming
+    * analogue of the batch point-in-interval join, viable on unbounded
+    * streams. Columns must be disjoint apart from `key`. */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame, key: String,
+                          leftTs: String, rightTs: String,
+                          lowerSec: Long, upperSec: Long,
+                          watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+      .withColumnRenamed(key, s"_r_$key")
+    l.join(r,
+      col(key) === col(s"_r_$key") &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lowerSec SECOND") &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $upperSec SECOND"))
+      .drop(s"_r_$key")
+  }
+
   /** One observation of a keyed value stream. */
   case class Obs(key: String, ts: java.sql.Timestamp, value: Double)
 

@@ -53,6 +53,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinStreams matches rows within the time band per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(String, java.sql.Timestamp)]
+    val errors = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val out = Streaming.intervalJoinStreams(
+      clicks.toDF().toDF("user", "cts"),
+      errors.toDF().toDF("user", "ets", "value"),
+      "user", "cts", "ets", lowerSec = 5, upperSec = 5,
+      watermark = "10 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ij_out").start()
+    try {
+      clicks.addData(("u1", t("2024-01-01 00:00:10")),
+        ("u2", t("2024-01-01 00:00:10")))
+      errors.addData(
+        ("u1", t("2024-01-01 00:00:08"), 1.0), // within −5 s
+        ("u1", t("2024-01-01 00:00:14"), 2.0), // within +5 s
+        ("u1", t("2024-01-01 00:00:30"), 3.0), // outside
+        ("u2", t("2024-01-01 00:00:11"), 4.0)) // other key
+      q.processAllAvailable()
+      val rows = spark.table("ij_out").collect()
+        .map(r => (r.getAs[String]("user"), r.getAs[Double]("value")))
+        .sorted.toSeq
+      assert(rows == Seq(("u1", 1.0), ("u1", 2.0), ("u2", 4.0)))
+    } finally q.stop()
+  }
+
   test("dedupStream drops within-watermark duplicate ids, keeps state bounded") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, java.sql.Timestamp, String)]
