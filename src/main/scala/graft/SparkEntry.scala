@@ -559,6 +559,18 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           round(avg("value").over(w), 6).as("mv"))
         .orderBy("event_id")
+    }),
+
+    // typed-Aggregator UDAF (§2.9): interval-union coverage per user —
+    // map-side partial merges of disjoint interval lists, exact result
+    "q51_interval_coverage" -> ((s, dir) => {
+      val cov = Aggregators.intervalCoverageUs
+      t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) + lit(300000000L)).as("e_us"))
+        .groupBy("user_id")
+        .agg(cov(col("s_us"), col("e_us")).as("covered_us"))
+        .orderBy("user_id")
     })
   )
 
@@ -801,6 +813,29 @@ object SparkEntry {
         |         ORDER BY ts, event_id
         |         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mv
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q51_interval_coverage" ->
+      // merged-island union length (q06's merge shape) — exact integer µs
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, s, e,
+        |         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |              OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |         THEN 1 ELSE 0 END AS newi
+        |  FROM iv),
+        |g AS (
+        |  SELECT user_id, s, e, sum(newi) OVER (PARTITION BY user_id ORDER BY s, e
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m),
+        |isl AS (
+        |  SELECT user_id, min(s) AS ms, max(e) AS me
+        |  FROM g GROUP BY user_id, island)
+        |SELECT user_id, CAST(sum(me - ms) AS BIGINT) AS covered_us
+        |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q46_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rflag,

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Typed `Aggregator` surface (SURVEY.md §2.9): the one aggregation the
+  * relational operators don't express in a single pass — interval-set
+  * union ("total covered time") — as a UDAF. The relational route
+  * ([[Windows.mergeIntervals]] → sum of lengths) needs a window over the
+  * full interval list per key; this aggregator computes the same result
+  * with map-side partial merges (each task pre-unions its slice, only
+  * disjoint interval lists shuffle), which is the shape that scales when
+  * one key has millions of intervals spread over many partitions.
+  */
+object Aggregators {
+
+  /** One interval, microseconds, half-open-ish ([s,e]; touching intervals
+    * merge — same convention as [[Windows.mergeIntervals]]). */
+  case class Iv(s: Long, e: Long)
+
+  /** Buffer invariant: sorted by start, pairwise disjoint and
+    * non-touching. */
+  private def insert(buf: List[Iv], iv: Iv): List[Iv] = {
+    // split around the insertion point, merge everything that overlaps or
+    // touches [iv.s, iv.e], stitch back — O(n) with n = disjoint regions
+    val (before, rest) = buf.span(_.e < iv.s)
+    val (overlap, after) = rest.span(_.s <= iv.e)
+    val merged =
+      if (overlap.isEmpty) iv
+      else Iv(math.min(iv.s, overlap.head.s),
+        math.max(iv.e, overlap.map(_.e).max))
+    before ::: merged :: after
+  }
+
+  /** Interval-union aggregator: total covered microseconds of the union of
+    * (possibly overlapping) [s,e] micro-timestamp intervals. */
+  class IntervalUnion extends Aggregator[Iv, List[Iv], Long] {
+    override def zero: List[Iv] = Nil
+    override def reduce(buf: List[Iv], iv: Iv): List[Iv] = insert(buf, iv)
+    override def merge(a: List[Iv], b: List[Iv]): List[Iv] =
+      b.foldLeft(a)(insert)
+    override def finish(buf: List[Iv]): Long =
+      buf.iterator.map(iv => iv.e - iv.s).sum
+    override def bufferEncoder: Encoder[List[Iv]] =
+      ExpressionEncoder[List[Iv]]()
+    override def outputEncoder: Encoder[Long] =
+      ExpressionEncoder[Long]()
+  }
+
+  /** Column form: `intervalCoverageUs(startUs, endUs)` inside an `agg`. */
+  def intervalCoverageUs: (Column, Column) => Column = {
+    val fn = udaf(new IntervalUnion())
+    (s, e) => fn(s, e)
+  }
+}

@@ -207,6 +207,34 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(1).getAs[String]("lang_pred") == "other")
   }
 
+  test("IntervalUnion aggregator matches mergeIntervals sum across partitions") {
+    import graft.ops.{Aggregators, Windows}
+    // overlapping, touching, disjoint, duplicate — across 2 keys
+    val ivs = Seq(
+      ("a", 0L, 10L), ("a", 5L, 15L), ("a", 15L, 20L), ("a", 30L, 40L),
+      ("a", 0L, 10L), ("b", 100L, 200L))
+      .toDF("k", "s_us", "e_us")
+      .repartition(5) // force the merge() (partial-combine) path
+    val cov = Aggregators.intervalCoverageUs
+    val got = ivs.groupBy("k").agg(cov(col("s_us"), col("e_us"))
+        .as("covered_us"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("covered_us"))
+      .toMap
+    assert(got == Map("a" -> 30L, "b" -> 100L)) // [0,20]∪[30,40]; [100,200]
+
+    // relational cross-check on timestamps
+    val asTs = ivs.select(col("k"),
+      timestamp_micros(col("s_us")).as("start_time"),
+      timestamp_micros(col("e_us")).as("end_time"))
+    val rel = Windows.mergeIntervals(asTs, partitionCols = Seq("k"))
+      .select(col("k"), (unix_micros(col("end_time")) -
+        unix_micros(col("start_time"))).as("len"))
+      .groupBy("k").agg(sum("len").as("covered_us"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("covered_us"))
+      .toMap
+    assert(rel == got)
+  }
+
   test("scrubPii masks emails, phone suffixes, and 16-digit runs") {
     val df = Seq("mail bob.smith+x@corp.example.co or call 555-0199 " +
       "card 1234567812345678 end").toDF("text")
