@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate aggregates for corpus profiling at scale (engine
+  * extension). At 100 TB the exact forms are the wrong default: exact
+  * distinct shuffles every key and exact quantiles sort the column;
+  * HyperLogLog++ and the Greenwald-Khanna sketch aggregate in one pass
+  * with map-side partials and fixed-size state. Error bounds are
+  * configurable; specs assert them on the test corpus. These are
+  * deliberately NOT in the strict-oracle query set — sketch
+  * implementations differ across engines by design. */
+object Stats {
+
+  /** HyperLogLog++ distinct count; `rsd` = max relative standard
+    * deviation (default 5%). */
+  def approxDistinct(keys: Column, rsd: Double = 0.05): Column =
+    approx_count_distinct(keys, rsd)
+
+  /** Approximate percentiles (Greenwald-Khanna): `accuracy` trades memory
+    * for error ≤ 1/accuracy of rank. */
+  def approxQuantiles(value: Column, percentiles: Seq[Double],
+                      accuracy: Int = 10000): Column =
+    percentile_approx(value,
+      array(percentiles.map(lit): _*), lit(accuracy))
+
+  /** One-pass per-group profile: count, approx distinct users, approx
+    * p50/p95/p99 of `valueCol`. */
+  def profile(df: DataFrame, groupCols: Seq[String], keyCol: String,
+              valueCol: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        approxDistinct(col(keyCol)).as("approx_keys"),
+        approxQuantiles(col(valueCol), Seq(0.5, 0.95, 0.99))
+          .as("approx_pcts"))
+}

@@ -207,6 +207,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(1).getAs[String]("lang_pred") == "other")
   }
 
+  test("approx distinct and quantiles stay within their error bounds") {
+    import graft.ops.Stats
+    val n = 5000
+    val df = (0 until n).map(i => (i.toLong % 1000, i.toDouble))
+      .toDF("k", "v")
+    val ad = df.agg(Stats.approxDistinct(col("k"), 0.05)).head().getLong(0)
+    assert(math.abs(ad - 1000) <= 1000 * 0.15, s"approx distinct $ad")
+    val q = df.agg(Stats.approxQuantiles(col("v"), Seq(0.5), 10000))
+      .head().getSeq[Double](0)
+    assert(math.abs(q.head - n / 2.0) <= n / 100.0, s"approx median $q")
+  }
+
   test("IntervalUnion aggregator matches mergeIntervals sum across partitions") {
     import graft.ops.{Aggregators, Windows}
     // overlapping, touching, disjoint, duplicate — across 2 keys
