@@ -208,38 +208,57 @@ object Dedup {
 
   // ---- clustering --------------------------------------------------------
 
-  /** Duplicate clusters from candidate pairs: connected components via
-    * iterative min-label propagation. The edge set carries a self-loop per
-    * node, so one propagation step is exactly one join + one min-agg (no
-    * left-join repair for isolated or unimproved nodes), and
+  /** Duplicate clusters from candidate pairs: connected components, with a
+    * size-gated hybrid execution strategy.
+    *
+    * Near-dup candidate graphs are SPARSE by construction — LSH banding /
+    * Hamming blocks emit far fewer edges than nodes have bytes, so even at
+    * 100 TB of documents the thresholded edge set is usually a few million
+    * rows. When it fits under `driverMaxEdges`, collect ONLY the edges
+    * (never the node table, which stays distributed) and run union-find on
+    * the driver: one job to gather, one broadcast hash join to label —
+    * no iteration at all. Above the gate, fall back to distributed
+    * min-label propagation (BSP): the edge set carries a self-loop per
+    * node, so one propagation step is exactly one join + one min-agg, and
     * `stepsPerRound` steps are unrolled into a single plan between
-    * `localCheckpoint` materializations — near-dup graphs are shallow
-    * (cliques / short chains), so most runs finish in one or two rounds.
-    * Convergence is detected from the label sum: labels only ever
-    * decrease, so an unchanged Σlabel between rounds ⟺ a fixed point —
-    * one tiny aggregate per round instead of a join against the previous
-    * iteration.
+    * `localCheckpoint` materializations. Convergence is detected from the
+    * label sum: labels only ever decrease, so an unchanged Σlabel between
+    * rounds ⟺ a fixed point.
     *
     * @param nodes (id) — every element, including singletons
     * @param pairs (id_a, id_b) — undirected candidate edges
-    * @param maxIter max rounds (each round = `stepsPerRound` propagation
-    *                steps); supports component diameters up to
+    * @param maxIter max BSP rounds (each round = `stepsPerRound`
+    *                propagation steps); supports component diameters up to
     *                maxIter·stepsPerRound
+    * @param driverMaxEdges edge-count gate for the driver union-find path
+    *                       (0 forces the distributed loop)
     * @return (id, cluster_id) with cluster_id = min id of the component
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           maxIter: Int = 20,
-                          stepsPerRound: Int = 2): DataFrame = {
+                          stepsPerRound: Int = 2,
+                          driverMaxEdges: Long = 2000000L): DataFrame = {
     require(stepsPerRound >= 1)
     val nodeIds = nodes.select(col("id"))
     // restrict edges to the node set: pair endpoints outside `nodes` must
     // not leak into the output (the contract is one row per node), and a
     // growing label set would also invalidate the Σlabel convergence test
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    val restricted = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .filter(col("u") =!= col("v"))
       .join(nodeIds.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
       .join(nodeIds.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
-      .select("u", "v")
+      .select("u", "v") // a USING join moves its key to column 0
+      .distinct().cache()
+    val idType = nodeIds.schema("id").dataType
+    val smallEnough = driverMaxEdges > 0 &&
+      idOrdering(idType).isDefined && restricted.count() <= driverMaxEdges
+    if (smallEnough) {
+      val out = driverUnionFind(nodeIds, restricted, idType)
+      restricted.unpersist(false)
+      return out
+    }
+    val edges = restricted
+      .unionAll(restricted.select(col("v").as("u"), col("u").as("v")))
       .unionAll(nodeIds.select(col("id").as("u"), col("id").as("v")))
       .distinct().cache()
     def step(labels: DataFrame): DataFrame =
@@ -269,7 +288,94 @@ object Dedup {
       s"connectedComponents did not converge in $maxIter rounds of " +
         s"$stepsPerRound steps — component diameter exceeds the budget; " +
         "raise maxIter")
+    edges.unpersist(false) // final labels are checkpointed, lineage-free
     labels.withColumnRenamed("label", "cluster_id")
+  }
+
+  /** Min-id ordering for driver-side union-find, matching Spark's `min`
+    * semantics for the type (strings compare as unsigned UTF-8 bytes —
+    * binary collation — not UTF-16 code units). Types without a defined
+    * ordering here take the BSP path. */
+  private def idOrdering(dt: org.apache.spark.sql.types.DataType)
+      : Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        Some(Ordering.by((a: Any) => a.asInstanceOf[Number].longValue))
+      case StringType =>
+        Some(new Ordering[Any] {
+          def compare(x: Any, y: Any): Int = {
+            val a = x.asInstanceOf[String].getBytes("UTF-8")
+            val b = y.asInstanceOf[String].getBytes("UTF-8")
+            var i = 0
+            val n = math.min(a.length, b.length)
+            while (i < n) {
+              val c = (a(i) & 0xff) - (b(i) & 0xff)
+              if (c != 0) return c
+              i += 1
+            }
+            a.length - b.length
+          }
+        })
+      case _ => None
+    }
+  }
+
+  /** Driver union-find over a collected edge list (edges only — nodes stay
+    * distributed). Produces a non-identity (id → cluster_id) mapping,
+    * broadcast-joined back onto the node table; singletons and nodes
+    * already labeled by their own id never enter the mapping, keeping the
+    * broadcast ≤ |edges| entries regardless of node count. */
+  private def driverUnionFind(nodeIds: DataFrame, edges: DataFrame,
+                              idType: org.apache.spark.sql.types.DataType)
+      : DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    import scala.collection.mutable
+    val ord = idOrdering(idType).get
+    val rows = edges.collect()
+    val index = mutable.HashMap.empty[Any, Int]
+    val ids = mutable.ArrayBuffer.empty[Any]
+    val parent = mutable.ArrayBuffer.empty[Int]
+    def intern(a: Any): Int = index.getOrElseUpdate(a, {
+      ids += a; parent += parent.length; parent.length - 1
+    })
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    rows.foreach { r =>
+      val (u, v) = (intern(r.get(0)), intern(r.get(1)))
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(ru) = rv
+    }
+    // min id per component root
+    val minOf = mutable.HashMap.empty[Int, Any]
+    var i = 0
+    while (i < ids.length) {
+      val r = find(i)
+      val cur = minOf.get(r)
+      if (cur.isEmpty || ord.lt(ids(i), cur.get)) minOf(r) = ids(i)
+      i += 1
+    }
+    val mapping = (0 until ids.length).iterator
+      .map(j => (ids(j), minOf(find(j))))
+      .filter { case (id, cl) => id != cl }
+      .map { case (id, cl) => Row(id, cl) }
+      .toSeq
+    val spark = nodeIds.sparkSession
+    val schema = StructType(Seq(StructField("id", idType),
+      StructField("cluster_id", idType)))
+    val mapDf = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(mapping).asJava), schema)
+    nodeIds.join(broadcast(mapDf), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
   // ---- embedding cosine --------------------------------------------------

@@ -157,11 +157,30 @@ class ExtensionsSpec extends SparkSpec {
     val nodes = (0L to 6L).toDF("id")
     // chain 0-1-2, pair 4-5, singletons 3 and 6
     val pairs = Seq((0L, 1L), (1L, 2L), (4L, 5L)).toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(nodes, pairs)
-      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id"))
-      .toMap
-    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L,
-      4L -> 4L, 5L -> 4L, 6L -> 6L))
+    val expect = Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L,
+      4L -> 4L, 5L -> 4L, 6L -> 6L)
+    // driver union-find path (default gate) and forced BSP path
+    // (driverMaxEdges = 0) must agree exactly
+    for (gate <- Seq(2000000L, 0L)) {
+      val got = Dedup.connectedComponents(nodes, pairs,
+          driverMaxEdges = gate)
+        .collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id"))
+        .toMap
+      assert(got == expect, s"driverMaxEdges=$gate")
+    }
+  }
+
+  test("connectedComponents: driver and BSP paths agree on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val nodes = (0L until 60L).toDF("id")
+    val pairs = Seq.fill(40)((rnd.nextInt(60).toLong,
+      rnd.nextInt(60).toLong)).toDF("id_a", "id_b")
+    val a = Dedup.connectedComponents(nodes, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Dedup.connectedComponents(nodes, pairs, driverMaxEdges = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
   }
 
   // ---- similarity --------------------------------------------------------
