@@ -571,6 +571,48 @@ object SparkEntry {
         .groupBy("user_id")
         .agg(cov(col("s_us"), col("e_us")).as("covered_us"))
         .orderBy("user_id")
+    }),
+
+    // JSON field extraction (S2's jname-parse shape generalized): pull a
+    // typed value out of a JSON string column, then aggregate — extraction
+    // stays inside whole-stage codegen, no UDF
+    "q52_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min("k").as("min_k"),
+          max("k").as("max_k"), round(avg("k"), 4).as("avg_k"))
+        .orderBy("event_type")
+    }),
+
+    // TF-IDF top-3 terms per document (smoothed idf)
+    "q53_tfidf_topk" -> ((s, dir) => {
+      TextOps.tfidfTopTerms(t(s, dir, "documents"), k = 3)
+        .select(col("id").as("doc_id"), col("term"),
+          round(col("score"), 6).as("score"), col("rk"))
+        .orderBy("doc_id", "rk")
+    }),
+
+    // benchmark decontamination: training split minus docs sharing any
+    // 8-gram with the held-out test split
+    "q54_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("split", TextOps.hashSplit(col("doc_id")))
+      val train = docs.filter(col("split") === "train")
+      val evalSet = docs.filter(col("split") === "test")
+      TextOps.decontaminate(train, evalSet, n = 8)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // within-document repetition: duplicate word-bigram fraction
+    "q55_repetition" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextOps.duplicateNgramFraction(col("text"), 2), 6)
+            .as("rep2"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1296,6 +1338,76 @@ object SparkEntry {
         |                OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 3600000000
         |              THEN 1 ELSE 0 END AS new_s
         |  FROM events)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "q52_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+        |       round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q53_tfidf_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+        |      WHERE text IS NOT NULL),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         tf.tf * (ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0) AS score
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, score,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY score DESC, term ASC) AS rk
+        |  FROM scored)
+        |SELECT doc_id, term, round(score, 6) AS score, rk
+        |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "q54_decontaminate" ->
+      // split definition must mirror q42's md5 bucket; shingle definition
+      // must mirror q23's CASE (whole-text fallback under 8 tokens)
+      """WITH split AS (
+        |  SELECT *, CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+        |                 WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+        |                 ELSE 'test' END AS split
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, split,
+        |         CASE WHEN len(tk) >= 8 THEN
+        |           list_distinct([array_to_string(tk[i:i+7], ' ')
+        |                          FOR i IN generate_series(1, len(tk) - 7)])
+        |         ELSE [array_to_string(tk, ' ')] END AS sh
+        |  FROM (SELECT doc_id, split, string_split(lower(text), ' ') AS tk
+        |        FROM split WHERE text IS NOT NULL)),
+        |contaminated AS (
+        |  SELECT DISTINCT a.doc_id
+        |  FROM (SELECT doc_id, unnest(sh) AS g FROM sh WHERE split = 'train') a
+        |  JOIN (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE split = 'test') b
+        |    ON a.g = b.g)
+        |SELECT doc_id, n_chars FROM split
+        |WHERE split = 'train'
+        |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q55_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |         CASE WHEN tk IS NULL OR len(tk) < 2 THEN NULL
+        |              ELSE [tk[i] || ' ' || tk[i+1]
+        |                    FOR i IN generate_series(1, len(tk) - 1)] END AS bg
+        |  FROM g)
+        |SELECT doc_id,
+        |       CASE WHEN bg IS NULL THEN 0.0
+        |            ELSE round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)
+        |                             / len(bg), 6) END AS rep2
+        |FROM b ORDER BY doc_id""".stripMargin
   )
 }

@@ -130,6 +130,73 @@ object TextOps {
   def shingles(text: Column, n: Int = 3): Column =
     graft.functions.VectorExpressions.wordShingles(text, n)
 
+  /** Gopher-style within-document repetition signal: fraction of word
+    * n-grams that are duplicates of an earlier n-gram in the same document
+    * (1 − distinct/total). 0.0 for null/short texts. Pure per-row column
+    * expression — map-only, no shuffle at any scale. */
+  def duplicateNgramFraction(text: Column, n: Int = 2): Column = {
+    val toks = split(lower(text), " ")
+    val total = size(toks) - (n - 1)
+    val grams = transform(sequence(lit(1), total),
+      i => array_join(slice(toks, i, lit(n)), " "))
+    when(text.isNull.or(total < 1), lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(grams)).cast("double") / size(grams))
+  }
+
+  /** TF-IDF top-k terms per document (whitespace terms, lowercased;
+    * sklearn-style smoothed idf = ln((1+N)/(1+df)) + 1).
+    *
+    * Shuffle ledger at 100 TB: one (doc, term) partial-agg shuffle for tf,
+    * one term-keyed shuffle for df (counts only — hot terms are a single
+    * long per partition thanks to map-side combine), the corpus size N is
+    * a 1-row broadcast, and the final top-k window repartitions by doc.
+    * In production prune stopwords/min-df first — they dominate df volume
+    * and never reach any top-k. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", k: Int = 3): DataFrame = {
+    val present = docs.filter(col(textCol).isNotNull)
+    val tf = present
+      .select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = present.agg(count(lit(1)).cast("double").as("n_docs"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") *
+        (log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) + lit(1.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("id"), col("term"), col("score"), col("rk"))
+  }
+
+  /** Benchmark decontamination: drop training documents that share any
+    * word `n`-gram with the evaluation set (the standard guard against
+    * test-set leakage into LLM training data).
+    *
+    * Eval shingles are deduped before the semi-join; at 100 TB the eval
+    * side is tiny (benchmarks, not corpora), so Catalyst broadcasts it and
+    * the train corpus is filtered map-side — the full text never shuffles,
+    * only (id, shingle) pairs for the semi-join probe. Null-text training
+    * rows produce no shingles and are trivially clean. */
+  def decontaminate(train: DataFrame, evalSet: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    n: Int = 8): DataFrame = {
+    val trainSh = train.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), n)).as("shingle"))
+    val evalSh = evalSet
+      .select(explode(shingles(col(textCol), n)).as("shingle"))
+      .distinct()
+    val contaminated = trainSh.join(evalSh, Seq("shingle"), "left_semi")
+      .select(col("id")).distinct()
+    train.join(contaminated, train(idCol) === contaminated("id"),
+      "left_anti")
+  }
+
   /** Full per-document profile. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

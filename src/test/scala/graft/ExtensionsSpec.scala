@@ -289,6 +289,45 @@ class ExtensionsSpec extends SparkSpec {
     assert(again == rows.map(_.getAs[Long]("b")).toSeq)
   }
 
+  test("duplicateNgramFraction: repeated bigrams raise it, edge cases are 0") {
+    val df = Seq(
+      (1L, "a b a b a"),     // bigrams: ab, ba, ab, ba -> 2/4 duplicates
+      (2L, "all words differ here"),
+      (3L, "x"),             // too short for a bigram
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = df.select(col("id"),
+        TextOps.duplicateNgramFraction(col("text"), 2).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 0.5 && got(2L) == 0.0 && got(3L) == 0.0 &&
+      got(4L) == 0.0)
+  }
+
+  test("tfidfTopTerms ranks rare terms above ubiquitous ones") {
+    val df = Seq(
+      (1L, "common rare"),
+      (2L, "common other"),
+      (3L, "common another")).toDF("doc_id", "text")
+    val top1 = TextOps.tfidfTopTerms(df, k = 1).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("term")).toMap
+    // equal tf: the corpus-wide term takes the smoothed-idf floor (ln 1 + 1)
+    // while the unique term gets ln(4/2) + 1 — rare must outrank common
+    assert(top1(1L) == "rare")
+  }
+
+  test("decontaminate drops train docs sharing an 8-gram with eval") {
+    val eight = "one two three four five six seven eight"
+    val train = Seq(
+      (1L, s"prefix $eight suffix"),            // contaminated
+      (2L, "totally unrelated training text"),  // clean
+      (3L, null.asInstanceOf[String])           // no shingles -> clean
+    ).toDF("doc_id", "text")
+    val evalSet = Seq((100L, s"$eight trailing words")).toDF("doc_id", "text")
+    val kept = TextOps.decontaminate(train, evalSet).collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(kept == Seq(2L, 3L))
+  }
+
   test("topKPerGroup keeps k rows per group with deterministic ranks") {
     val df = Seq(("a", 1L, 10), ("a", 2L, 30), ("a", 3L, 30), ("a", 4L, 5),
       ("b", 5L, 1)).toDF("g", "id", "v")
