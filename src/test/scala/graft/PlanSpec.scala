@@ -43,6 +43,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("q54 decontamination broadcasts eval shingles and contaminated ids") {
+    val p = plan("q54_decontaminate")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    // both probe sides broadcast; the train text column never shuffles
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q53 tf-idf keeps partial aggregation and broadcasts the 1-row N") {
+    val p = plan("q53_tfidf_topk")
+    assert(p.contains("partial_"), s"no partial aggregation:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"),
