@@ -37,13 +37,17 @@ object Bench {
         name -> dt
       }
 
-    // warmup at the smallest scale factor that exists (same schemas ⇒ same
-    // generated code ⇒ codegen-cache hits in the measured pass); fall back
-    // to the target dir if no smaller one is present
-    val warmDir = Seq("sf0.001", "sf0.01")
-      .map(sf => sfDir.replaceAll("sf[0-9.]+$", sf))
-      .find(d => d != sfDir && new java.io.File(d).isDirectory)
-      .getOrElse(sfDir)
+    // warmup at the smallest STRICTLY SMALLER scale factor that exists
+    // (same schemas ⇒ same generated code ⇒ codegen-cache hits in the
+    // measured pass); fall back to the target dir itself otherwise
+    val target = sfDir.replaceAll("/+$", "")
+    val sfOfTarget = "sf([0-9.]+)$".r.findFirstMatchIn(target)
+      .map(_.group(1).toDouble)
+    val warmDir = sfOfTarget.flatMap { sf =>
+      Seq(0.001, 0.01, 0.1).filter(_ < sf).sorted
+        .map(v => target.replaceAll("sf[0-9.]+$", s"sf$v"))
+        .find(d => new java.io.File(d).isDirectory)
+    }.getOrElse(target)
     runAll(warmDir)
 
     val results = runAll(sfDir)

@@ -586,10 +586,15 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
-    // TF-IDF top-3 terms per document (smoothed idf)
+    // TF-IDF top-3 terms per document (smoothed idf). Parity note: this is
+    // the one oracle whose rounded doubles pass through a transcendental
+    // (ln); JVM and libm ln may differ by 1 ulp, which could in principle
+    // flip a round(…,6) boundary on some corpus — accepted because the
+    // gate's fixtures and engines are pinned, and score ties from equal
+    // (tf, df) are exact and broken by the deterministic term ordering.
     "q53_tfidf_topk" -> ((s, dir) => {
       TextOps.tfidfTopTerms(t(s, dir, "documents"), k = 3)
-        .select(col("id").as("doc_id"), col("term"),
+        .select(col("doc_id"), col("term"),
           round(col("score"), 6).as("score"), col("rk"))
         .orderBy("doc_id", "rk")
     }),

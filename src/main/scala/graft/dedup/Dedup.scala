@@ -288,7 +288,9 @@ object Dedup {
       s"connectedComponents did not converge in $maxIter rounds of " +
         s"$stepsPerRound steps — component diameter exceeds the budget; " +
         "raise maxIter")
-    edges.unpersist(false) // final labels are checkpointed, lineage-free
+    // final labels are checkpointed (lineage-free), so both caches can go
+    edges.unpersist(false)
+    restricted.unpersist(false)
     labels.withColumnRenamed("label", "cluster_id")
   }
 
@@ -333,6 +335,10 @@ object Dedup {
     import org.apache.spark.sql.types.{StructField, StructType}
     import scala.collection.mutable
     val ord = idOrdering(idType).get
+    // the BSP path's groupBy collapses duplicate node ids to one output
+    // row; match that cardinality here (ids are fixed-width, so the
+    // distinct is one cheap hash shuffle even when nodes are huge)
+    val distinctIds = nodeIds.distinct()
     val rows = edges.collect()
     val index = mutable.HashMap.empty[Any, Int]
     val ids = mutable.ArrayBuffer.empty[Any]
@@ -373,7 +379,7 @@ object Dedup {
     val mapDf = spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
         .SeqHasAsJava(mapping).asJava), schema)
-    nodeIds.join(broadcast(mapDf), Seq("id"), "left")
+    distinctIds.join(broadcast(mapDf), Seq("id"), "left")
       .select(col("id"),
         coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }

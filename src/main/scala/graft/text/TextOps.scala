@@ -135,13 +135,14 @@ object TextOps {
     * (1 − distinct/total). 0.0 for null/short texts. Pure per-row column
     * expression — map-only, no shuffle at any scale. */
   def duplicateNgramFraction(text: Column, n: Int = 2): Column = {
-    val toks = split(lower(text), " ")
-    val total = size(toks) - (n - 1)
-    val grams = transform(sequence(lit(1), total),
-      i => array_join(slice(toks, i, lit(n)), " "))
+    val total = size(split(lower(text), " ")) - (n - 1)
+    // distinct n-gram count via the native single-pass WordShingles kernel
+    // (the guard keeps its whole-text fallback branch unreachable); the
+    // equivalent transform(sequence…)+array_distinct lambda tree costs
+    // seconds of fixed codegen per query and re-slices per position
     when(text.isNull.or(total < 1), lit(0.0))
       .otherwise(lit(1.0) -
-        size(array_distinct(grams)).cast("double") / size(grams))
+        size(shingles(text, n)).cast("double") / total.cast("double"))
   }
 
   /** TF-IDF top-k terms per document (whitespace terms, lowercased;
@@ -157,10 +158,10 @@ object TextOps {
                     textCol: String = "text", k: Int = 3): DataFrame = {
     val present = docs.filter(col(textCol).isNotNull)
     val tf = present
-      .select(col(idCol).as("id"),
+      .select(col(idCol).as(idCol),
         explode(split(lower(col(textCol)), " ")).as("term"))
       .filter(col("term") =!= "")
-      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = present.agg(count(lit(1)).cast("double").as("n_docs"))
     val scored = tf.join(df, "term")
@@ -168,10 +169,10 @@ object TextOps {
       .withColumn("score", col("tf") *
         (log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) + lit(1.0)))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("score").desc, col("term").asc)
+      .partitionBy(idCol).orderBy(col("score").desc, col("term").asc)
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select(col("id"), col("term"), col("score"), col("rk"))
+      .select(col(idCol), col("term"), col("score"), col("rk"))
   }
 
   /** Benchmark decontamination: drop training documents that share any

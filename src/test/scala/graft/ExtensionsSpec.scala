@@ -171,6 +171,16 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: duplicate node ids collapse to one row on both paths") {
+    val nodes = Seq(0L, 1L, 1L, 2L).toDF("id")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    for (gate <- Seq(2000000L, 0L)) {
+      val got = Dedup.connectedComponents(nodes, pairs, driverMaxEdges = gate)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == Seq((0L, 0L), (1L, 1L), (2L, 1L)), s"gate=$gate")
+    }
+  }
+
   test("connectedComponents: driver and BSP paths agree on a random graph") {
     val rnd = new scala.util.Random(7)
     val nodes = (0L until 60L).toDF("id")
@@ -309,7 +319,7 @@ class ExtensionsSpec extends SparkSpec {
       (2L, "common other"),
       (3L, "common another")).toDF("doc_id", "text")
     val top1 = TextOps.tfidfTopTerms(df, k = 1).collect()
-      .map(r => r.getAs[Long]("id") -> r.getAs[String]("term")).toMap
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("term")).toMap
     // equal tf: the corpus-wide term takes the smoothed-idf floor (ln 1 + 1)
     // while the unique term gets ln(4/2) + 1 — rare must outrank common
     assert(top1(1L) == "rare")
