@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.text.TextOps
+
+/** Dev tool: scaling evidence for the curation operators. Replicates the
+  * sf0.1 documents corpus K times (ids offset, a per-replica token appended
+  * so replicas are near- but not exact duplicates) and times the heavy
+  * operators at 1x and Kx. Near-linear growth validates the SURVEY.md §9
+  * ledger claims (bounded buckets, no hidden quadratic pair blow-up);
+  * superlinear growth flags an operator to fix.
+  *
+  * `sbt "runMain graft.ScaleProbe [K]"` (default 10 — ~50k docs ≈ sf1).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(10)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    val maxId = base.agg(max("doc_id")).head().getLong(0) + 1
+    def replicate(times: Int): DataFrame =
+      (0 until times).map { r =>
+        base.select((col("doc_id") + lit(r * maxId)).as("doc_id"),
+          (if (r == 0) col("text")
+           else concat(col("text"), lit(s" replica$r"))).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionAll _)
+
+    def time(label: String)(f: => Long): Double = {
+      val t0 = System.nanoTime()
+      val n = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"  $label: $dt%.2f s ($n rows)")
+      spark.catalog.clearCache()
+      dt
+    }
+
+    def suite(docs: DataFrame): Map[String, Double] = {
+      val d = docs.cache()
+      d.count()
+      val r = Map(
+        "exact" -> time("exact") { Dedup.exact(d).count() },
+        "normalized" -> time("normalized") { Dedup.normalized(d).count() },
+        "minhash_lsh" -> time("minhash_lsh") {
+          Dedup.minhashCandidates(d).count() },
+        "simhash" -> time("simhash") { Dedup.simhashCandidates(d).count() },
+        "ngram_jaccard_df1000" -> time("ngram_jaccard_df1000") {
+          Dedup.ngramJaccard(d, minJaccard = 0.4, maxDf = 1000).count() },
+        "cc_clusters" -> time("cc_clusters") {
+          val pairs = Dedup.ngramJaccard(d, minJaccard = 0.4, maxDf = 1000)
+          Dedup.connectedComponents(d.select(col("doc_id").as("id")), pairs)
+            .count() },
+        "neardup_pipeline" -> time("neardup_pipeline") {
+          Dedup.nearDupClusters(d, minJaccard = 0.4).count() },
+        "tfidf_top3" -> time("tfidf_top3") {
+          TextOps.tfidfTopTerms(d, k = 3).count() },
+        "decontaminate" -> time("decontaminate") {
+          val split = d.withColumn("s", TextOps.hashSplit(col("doc_id")))
+          TextOps.decontaminate(split.filter(col("s") === "train"),
+            split.filter(col("s") === "test"), n = 8).count() })
+      d.unpersist(false)
+      r
+    }
+
+    println(s"== pass 0: warmup (codegen) ==")
+    suite(replicate(1))
+    println(s"== pass 1: 1x (${maxId} docs) ==")
+    val t1 = suite(replicate(1))
+    println(s"== pass 2: ${k}x (${k * maxId} docs) ==")
+    val tk = suite(replicate(k))
+    println(f"%nop             | 1x (s) | ${k}%dx (s) | ratio (linear=$k%d.0)")
+    t1.keys.toSeq.sorted.foreach { op =>
+      println(f"$op%-22s ${t1(op)}%7.2f ${tk(op)}%9.2f ${tk(op) / t1(op)}%8.1f")
+    }
+    spark.stop()
+  }
+}

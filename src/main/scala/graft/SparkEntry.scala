@@ -618,6 +618,15 @@ object SparkEntry {
           round(TextOps.duplicateNgramFraction(col("text"), 2), 6)
             .as("rep2"))
         .orderBy("doc_id")
+    }),
+
+    // the full scalable near-dup pipeline as one operator: MinHash-LSH
+    // candidates → exact Jaccard verify on candidates only → connected
+    // components (portable hashing so every stage is SQL-reproducible)
+    "q56_neardup_pipeline" -> ((s, dir) => {
+      Dedup.nearDupClusters(t(s, dir, "documents"), shingleN = 3,
+        minJaccard = 0.4, numHashes = 16, bands = 4, portable = true)
+        .orderBy("doc_id")
     })
   )
 
@@ -646,10 +655,11 @@ object SparkEntry {
       |         ('0x' || substr(md5(s), 1, 15))::BIGINT AS h60
       |  FROM (SELECT doc_id, unnest(sh) AS s FROM sh))""".stripMargin
 
-  /** q24 oracle: the full portable MinHash→LSH pipeline in SQL — per-doc
-    * 16-hash signature, 4 bands of 4, candidate pairs from band-bucket
-    * equality, est_jaccard = matching signature positions / 16. */
-  private def minhashOracle: String = {
+  /** Shared CTE chain for the portable MinHash→LSH candidate pipeline
+    * (16-hash signature, 4 bands of 4): `sig` (per-doc min-hashes),
+    * `band`, and `cand` (distinct candidate id pairs). Prefix with
+    * [[shingleHashCte]]. */
+  private def minhashCandCtes: String = {
     import graft.functions.MinHashParams.{P, hashParams}
     val numHashes = 16; val bands = 4; val rows = numHashes / bands
     val minCols = (0 until numHashes).map { k =>
@@ -661,10 +671,7 @@ object SparkEntry {
         .mkString(", ")
       s"  SELECT doc_id, $bd AS band, concat_ws(',', $ms) AS key FROM sig"
     }.mkString("\n  UNION ALL\n")
-    val matchSum = (0 until numHashes).map(k =>
-      s"CASE WHEN sa.m$k = sb.m$k THEN 1 ELSE 0 END").mkString("\n         + ")
-    s"""WITH $shingleHashCte,
-       |h AS (SELECT doc_id, h60 % $P AS h FROM hx),
+    s"""h AS (SELECT doc_id, h60 % $P AS h FROM hx),
        |sig AS (
        |  SELECT doc_id,
        |         $minCols
@@ -674,7 +681,16 @@ object SparkEntry {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM band a JOIN band b
-       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** q24 oracle: the full portable MinHash→LSH pipeline in SQL — candidate
+    * pairs plus est_jaccard = matching signature positions / 16. */
+  private def minhashOracle: String = {
+    val matchSum = (0 until 16).map(k =>
+      s"CASE WHEN sa.m$k = sb.m$k THEN 1 ELSE 0 END").mkString("\n         + ")
+    s"""WITH $shingleHashCte,
+       |$minhashCandCtes
        |SELECT id_a, id_b,
        |       round(($matchSum) / 16.0, 6) AS est_jaccard
        |FROM cand
@@ -682,6 +698,36 @@ object SparkEntry {
        |JOIN sig sb ON sb.doc_id = id_b
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** q56 oracle: [[minhashCandCtes]] → exact Jaccard verification on the
+    * candidate pairs only → recursive-CTE connected components (q41's
+    * shape) — the whole scalable near-dup pipeline, end to end in SQL. */
+  private def neardupPipelineOracle: String =
+    s"""WITH RECURSIVE $shingleHashCte,
+       |$minhashCandCtes,
+       |inv AS (
+       |  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
+       |verified AS (
+       |  SELECT c.id_a, c.id_b
+       |  FROM cand c
+       |  JOIN inv a ON a.doc_id = c.id_a
+       |  JOIN inv b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+       |  GROUP BY c.id_a, c.id_b, a.n_sh, b.n_sh
+       |  HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.4),
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM verified
+       |  UNION SELECT id_b, id_a FROM verified),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |comp AS (
+       |  SELECT u, min(v) AS m FROM (
+       |    SELECT u, v FROM reach
+       |    UNION SELECT doc_id, doc_id FROM documents) GROUP BY u)
+       |SELECT d.doc_id, comp.m AS cluster_id
+       |FROM documents d JOIN comp ON d.doc_id = comp.u
+       |ORDER BY d.doc_id""".stripMargin
 
   /** q25 oracle: portable 60-bit SimHash in SQL — per-bit ±1 sums, sign
     * bits re-assembled, Manku 4-block candidate join, exact Hamming
@@ -758,6 +804,8 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q24_minhash_lsh" -> minhashOracle,
+
+    "q56_neardup_pipeline" -> neardupPipelineOracle,
 
     "q27_lsh_topk" -> lshTopkOracle,
 

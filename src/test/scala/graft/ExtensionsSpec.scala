@@ -171,6 +171,35 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("jaccardForPairs matches ngramJaccard on the pairs it's given") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different words live here now")).toDF("doc_id", "text")
+    val all = Dedup.ngramJaccard(docs, minJaccard = 0.0,
+        maxDf = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val byName = Dedup.jaccardForPairs(docs, pairs).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(byName((1L, 2L)) == all((1L, 2L)))
+    assert(byName((1L, 3L)) == all.getOrElse((1L, 3L), 0.0))
+  }
+
+  test("nearDupClusters groups near-identical docs, leaves distinct ones alone") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of 1
+      (3L, "one two three four five six seven eight"),
+      (4L, "unrelated totally separate content goes here")).toDF(
+      "doc_id", "text")
+    val got = Dedup.nearDupClusters(docs, minJaccard = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 1L && got(2L) == 1L) // clustered together
+    assert(got(3L) == 3L && got(4L) == 4L) // singletons
+  }
+
   test("connectedComponents: duplicate node ids collapse to one row on both paths") {
     val nodes = Seq(0L, 1L, 1L, 2L).toDF("id")
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
