@@ -16,8 +16,11 @@ class WritersSpec extends SparkSpec {
     assert(back.count() == 3)
     val oneDay = back.filter($"date" === "2024-01-01")
     assert(oneDay.count() == 2)
-    // partition pruning: the physical plan's read path names the partition
+    // partition pruning: the filter must land in the scan's
+    // PartitionFilters (directory-level pruning), not a post-scan Filter
     val plan = oneDay.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*date".r.findFirstIn(plan).isDefined,
+      s"date filter not pruning partitions:\n$plan")
     assert(new java.io.File(dir, "date=2024-01-02").exists)
   }
 
