@@ -627,6 +627,29 @@ object SparkEntry {
       Dedup.nearDupClusters(t(s, dir, "documents"), shingleN = 3,
         minJaccard = 0.4, numHashes = 16, bands = 4, portable = true)
         .orderBy("doc_id")
+    }),
+
+    // deterministic per-group downsampling: cap docs per language, chosen
+    // by md5 order (portable "random" sample, stable across engines/runs)
+    "q57_group_cap" -> ((s, dir) => {
+      Windows.topKPerGroup(t(s, dir, "documents"), Seq("lang"),
+        Seq(md5(col("doc_id").cast("string")).asc, col("doc_id").asc), 5)
+        .select("lang", "doc_id", "rk")
+        .orderBy("lang", "rk")
+    }),
+
+    // one Lloyd assignment step with driver-held centroids (vec_id 0-2 as
+    // seeds): the map-only k-means shape — corpus never shuffles or joins
+    "q58_kmeans_assign" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val seeds = embs.filter(col("vec_id") < 3)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      Similarity.assignToCentroids(embs, seeds)
+        .select(col("vec_id"), col("cluster"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy("vec_id")
     })
   )
 
@@ -806,6 +829,32 @@ object SparkEntry {
     "q24_minhash_lsh" -> minhashOracle,
 
     "q56_neardup_pipeline" -> neardupPipelineOracle,
+
+    "q57_group_cap" ->
+      """SELECT lang, doc_id, rk FROM (
+        |  SELECT lang, doc_id,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |           AS INTEGER) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+
+    "q58_kmeans_assign" ->
+      """WITH seeds AS (
+        |  SELECT vec_id AS cluster, CAST(embedding AS DOUBLE[]) AS c
+        |  FROM embeddings WHERE vec_id < 3),
+        |sims AS (
+        |  SELECT e.vec_id, s.cluster,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.c)
+        |           AS sim
+        |  FROM embeddings e CROSS JOIN seeds s),
+        |r AS (
+        |  SELECT vec_id, cluster, sim,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY sim DESC, cluster ASC) AS rk
+        |  FROM sims)
+        |SELECT vec_id, cluster, round(sim, 6) AS sim
+        |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin,
 
     "q27_lsh_topk" -> lshTopkOracle,
 

@@ -129,6 +129,61 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("centroid"))
 
+  /** Nearest-centroid assignment with DRIVER-HELD centroids: the k
+    * centroid vectors inline as literals, so assignment is a map-only
+    * projection — the corpus neither shuffles nor joins (contrast a
+    * centroid-table join, which moves n·k rows through a window/agg).
+    * Centroid counts that fit a broadcast always fit the driver; this is
+    * the standard Lloyd-iteration shape at any corpus size.
+    *
+    * Ties (equal cosine) go to the smallest cluster id. Returns the input
+    * plus `cluster` and `sim` columns. */
+  def assignToCentroids(embs: DataFrame,
+                        centroids: Seq[(Long, Array[Double])],
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        dim: Int = DefaultDim): DataFrame = {
+    require(centroids.nonEmpty)
+    val v = col(vecCol).cast("array<double>")
+    // array_max orders structs lexicographically: best sim first, then
+    // -cluster so equal sims resolve to the smallest cluster id
+    val entries = centroids.map { case (cid, c) =>
+      struct(cosine(v, typedlit(c.toSeq), dim).as("sim"),
+        lit(-cid).as("neg"), lit(cid).as("cluster"))
+    }
+    val best = array_max(array(entries: _*))
+    embs.withColumn("cluster", best.getField("cluster"))
+      .withColumn("sim", best.getField("sim"))
+  }
+
+  /** Mini-batch-free Lloyd k-means over an embedding column: seeds are the
+    * k smallest ids (deterministic — no RNG, reproducible across engines
+    * and runs), each iteration is one map-only assignment
+    * ([[assignToCentroids]]) plus one small centroid aggregation
+    * ([[ivfIndex]] shape) collected to the driver (k·dim doubles). The
+    * result's `cluster` column feeds [[ivfTopKWithIndex]] (as the stored
+    * partition key at scale) and [[graft.dedup.Dedup.embeddingNearDup]]'s
+    * `blockCol`. */
+  def kmeans(embs: DataFrame, k: Int, iters: Int = 5,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             dim: Int = DefaultDim): DataFrame = {
+    require(k >= 1 && iters >= 1)
+    val seedRows = embs.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol).cast("array<double>")).collect()
+    var cents: Seq[(Long, Array[Double])] = seedRows.toSeq.zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](0).toArray) }
+    var assigned = assignToCentroids(embs, cents, idCol, vecCol, dim)
+    var it = 1
+    while (it < iters) {
+      cents = ivfIndex(assigned, "cluster", vecCol).collect().toSeq
+        .map(r => (r.getAs[Long]("cluster"),
+          r.getSeq[Double](r.fieldIndex("centroid")).toArray))
+      assigned = assignToCentroids(embs, cents, idCol, vecCol, dim)
+      it += 1
+    }
+    assigned
+  }
+
   /** [[ivfTopK]] against a prebuilt [[ivfIndex]] — the steady-state shape:
     * probe selection touches only the (tiny) centroid table; the corpus
     * scan is restricted to the probed clusters (partition-pruned when the

@@ -254,6 +254,26 @@ class ExtensionsSpec extends SparkSpec {
 
   // ---- text --------------------------------------------------------------
 
+  test("kmeans recovers two well-separated clusters; assignment is map-only") {
+    // two tight groups on opposite axes of an 8-dim space
+    def v(axis: Int, jitter: Double): Seq[Float] =
+      (0 until dim).map(i => (if (i == axis) 10.0 + jitter else jitter / 10)
+        .toFloat)
+    val embs = ((0L until 5L).map(i => (i, v(0, i * 0.1), 0)) ++
+      (5L until 10L).map(i => (i, v(4, (i - 5) * 0.1), 0))).toDF(
+      "vec_id", "embedding", "label")
+    val got = Similarity.kmeans(embs, k = 2, iters = 3, dim = dim)
+    val byCluster = got.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster"))
+      .groupBy(_._2).view.mapValues(_.map(_._1).sorted.toSeq).toMap
+    assert(byCluster.values.toSet ==
+      Set(Seq(0L, 1L, 2L, 3L, 4L), Seq(5L, 6L, 7L, 8L, 9L)))
+    // the assignment stage must not shuffle or join the corpus
+    val plan = got.queryExecution.sparkPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"assignment is not map-only:\n$plan")
+  }
+
   test("token counts, stopword ratio, langid") {
     val df = Seq(
       "the cat sat on the mat",
