@@ -650,6 +650,19 @@ object SparkEntry {
         .select(col("vec_id"), col("cluster"),
           round(col("sim"), 6).as("sim"))
         .orderBy("vec_id")
+    }),
+
+    // SemDeDup: semantic dedup within coarse clusters — one-step centroid
+    // assignment as blocking, cosine near-dup pairs, CC representative
+    "q59_semdedup" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val seeds = embs.filter(col("vec_id") < 3)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val assigned = Similarity.assignToCentroids(embs, seeds)
+      Dedup.semDeDup(assigned, blockCol = "cluster", minCosine = 0.5)
+        .orderBy("vec_id")
     })
   )
 
@@ -838,6 +851,44 @@ object SparkEntry {
         |           AS INTEGER) AS rk
         |  FROM documents)
         |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+
+    "q59_semdedup" ->
+      // q58's assignment CTE as blocking, q28's cosine pair shape within
+      // blocks, q41's recursive-CTE components for the representatives
+      """WITH RECURSIVE seeds AS (
+        |  SELECT vec_id AS cluster, CAST(embedding AS DOUBLE[]) AS c
+        |  FROM embeddings WHERE vec_id < 3),
+        |sims AS (
+        |  SELECT e.vec_id, s.cluster,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.c)
+        |           AS sim,
+        |         CAST(e.embedding AS DOUBLE[]) AS v
+        |  FROM embeddings e CROSS JOIN seeds s),
+        |assigned AS (
+        |  SELECT vec_id, cluster, v FROM (
+        |    SELECT vec_id, cluster, v,
+        |           row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY sim DESC, cluster ASC) AS rk
+        |    FROM sims) WHERE rk = 1),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |comp AS (
+        |  SELECT u, min(v) AS m FROM (
+        |    SELECT u, v FROM reach
+        |    UNION SELECT vec_id, vec_id FROM embeddings) GROUP BY u)
+        |SELECT e.vec_id, comp.m AS rep_id, e.vec_id = comp.m AS keep
+        |FROM embeddings e JOIN comp ON e.vec_id = comp.u
+        |ORDER BY e.vec_id""".stripMargin,
 
     "q58_kmeans_assign" ->
       """WITH seeds AS (

@@ -431,6 +431,27 @@ object Dedup {
         coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
+  /** SemDeDup-style semantic deduplication: embedding near-dup pairs
+    * within coarse clusters (k-means labels — see
+    * [[graft.ml.Similarity.kmeans]] — or any blocking column) → connected
+    * components → keep one representative (min id) per semantic-duplicate
+    * group. Returns every row with its representative and a `keep` flag so
+    * callers can either filter or audit.
+    *
+    * Shuffle ledger: vectors move once on the block key (bounded buckets),
+    * pair volume is bounded by true duplicate density, CC follows the
+    * size-gated hybrid. */
+  def semDeDup(embs: DataFrame, blockCol: String,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               minCosine: Double = 0.95,
+               dim: Int = graft.ml.Similarity.DefaultDim): DataFrame = {
+    val pairs = embeddingNearDup(embs, idCol, vecCol, minCosine,
+      blockCol = Some(blockCol), dim = dim)
+    connectedComponents(embs.select(col(idCol).as("id")), pairs)
+      .select(col("id").as(idCol), col("cluster_id").as("rep_id"),
+        (col("id") === col("cluster_id")).as("keep"))
+  }
+
   // ---- embedding cosine --------------------------------------------------
 
   /** Embedding near-dup: pairs with cosine ≥ threshold, blocked by an LSH

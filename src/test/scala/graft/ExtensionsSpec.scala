@@ -274,6 +274,23 @@ class ExtensionsSpec extends SparkSpec {
       s"assignment is not map-only:\n$plan")
   }
 
+  test("semDeDup keeps one representative per semantic-duplicate group") {
+    // vec 1 ≈ vec 0 (same direction), vec 2 orthogonal, all in block 0;
+    // vec 3 alone in block 1
+    def axis(a: Int, scale: Double): Seq[Float] =
+      (0 until dim).map(i => (if (i == a) scale else 0.0).toFloat)
+    val embs = Seq(
+      (0L, axis(0, 1.0), 0), (1L, axis(0, 2.0), 0), (2L, axis(3, 1.0), 0),
+      (3L, axis(0, 1.0), 1)).toDF("vec_id", "embedding", "block")
+    val got = Dedup.semDeDup(embs, blockCol = "block", minCosine = 0.9,
+        dim = dim)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("rep_id"), r.getAs[Boolean]("keep")))).toMap
+    assert(got(0L) == ((0L, true)) && got(1L) == ((0L, false)))
+    assert(got(2L) == ((2L, true)) && got(3L) == ((3L, true)))
+  }
+
   test("token counts, stopword ratio, langid") {
     val df = Seq(
       "the cat sat on the mat",
