@@ -663,6 +663,17 @@ object SparkEntry {
       val assigned = Similarity.assignToCentroids(embs, seeds)
       Dedup.semDeDup(assigned, blockCol = "cluster", minCosine = 0.5)
         .orderBy("vec_id")
+    }),
+
+    // int8 embedding quantization (4-8x storage cut for ANN serving):
+    // summary stats of the quantized vector are integer-exact
+    "q60_quantize_int8" -> ((s, dir) => {
+      Similarity.quantizeInt8(t(s, dir, "embeddings"))
+        .select(col("vec_id"), round(col("qscale"), 6).as("qscale"),
+          array_min(col("qvec")).as("q_min"),
+          array_max(col("qvec")).as("q_max"),
+          aggregate(col("qvec"), lit(0L), (acc, x) => acc + x).as("q_sum"))
+        .orderBy("vec_id")
     })
   )
 
@@ -851,6 +862,25 @@ object SparkEntry {
         |           AS INTEGER) AS rk
         |  FROM documents)
         |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+
+    "q60_quantize_int8" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, e,
+        |         list_max(list_transform(e, x -> abs(x))) AS mx
+        |  FROM v),
+        |q AS (
+        |  SELECT vec_id,
+        |         CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS qscale,
+        |         list_transform(e, x -> CAST(round(x *
+        |           CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END)
+        |           AS INTEGER)) AS qvec
+        |  FROM s)
+        |SELECT vec_id, round(qscale, 6) AS qscale,
+        |       list_min(qvec) AS q_min, list_max(qvec) AS q_max,
+        |       CAST(list_sum(qvec) AS BIGINT) AS q_sum
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "q59_semdedup" ->
       // q58's assignment CTE as blocking, q28's cosine pair shape within

@@ -129,6 +129,22 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("centroid"))
 
+  /** Symmetric int8 quantization of an embedding column: per-vector scale
+    * = 127 / max|x|, q_i = round(x_i · scale). Map-only; cuts vector
+    * storage 4x (float32) / 8x (float64) — at 100 TB the quantized corpus
+    * is what ships to ANN serving, with the scale kept alongside for
+    * dequantized rescoring. Returns (…, qvec ARRAY<INT>, qscale DOUBLE);
+    * all-zero vectors quantize to zeros with scale 0. */
+  def quantizeInt8(embs: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val maxAbs = array_max(transform(v, x => abs(x)))
+    val scale = when(maxAbs > 0, lit(127.0) / maxAbs).otherwise(lit(0.0))
+    embs
+      .withColumn("qscale", scale)
+      .withColumn("qvec",
+        transform(v, x => round(x * col("qscale")).cast("int")))
+  }
+
   /** Nearest-centroid assignment with DRIVER-HELD centroids: the k
     * centroid vectors inline as literals, so assignment is a map-only
     * projection — the corpus neither shuffles nor joins (contrast a

@@ -117,4 +117,43 @@ object Pipelines {
       .orderBy((part :+ col("start_time")): _*)
     (lo, hi, timeline)
   }
+
+  /** E4 (engine extension — no reference analogue): the standard
+    * LLM-training-data curation sweep over a document corpus, composed
+    * from the dedup/text operators:
+    *
+    *  1. gate       — non-null text, quality ≥ `minQuality`, language "en"
+    *                  (map-only column expressions)
+    *  2. exact      — one survivor per normalized fingerprint
+    *  3. near-dup   — [[graft.dedup.Dedup.nearDupClusters]] (LSH
+    *                  candidates → exact verify → components), keep each
+    *                  component's representative
+    *  4. split      — deterministic md5 train/val/test
+    *  5. decontam   — drop training docs sharing any word
+    *                  `decontamN`-gram with the held-out test split
+    *
+    * Returns the curated corpus with the `split` column. Every stage's
+    * shuffle posture is the operator's own (see SURVEY.md §9); the gate
+    * runs first so all downstream shuffles move only surviving docs. */
+  def curate(docs: DataFrame, minQuality: Double = 0.3,
+             minJaccard: Double = 0.8, decontamN: Int = 8): DataFrame = {
+    import graft.text.TextOps
+    import graft.dedup.Dedup
+    val gated = docs
+      .filter(col("text").isNotNull)
+      .filter(TextOps.qualityScore(col("text")) >= minQuality &&
+        TextOps.langIdEn(col("text")) === "en")
+    val exactKeep = Dedup.normalized(gated)
+      .select(col("keep_id").as("doc_id"))
+    val exact = gated.join(exactKeep, Seq("doc_id"), "left_semi")
+    val reps = Dedup.nearDupClusters(exact, minJaccard = minJaccard)
+      .filter(col("doc_id") === col("cluster_id")).select("doc_id")
+    val deduped = exact.join(reps, Seq("doc_id"), "left_semi")
+    val split = deduped.withColumn("split",
+      TextOps.hashSplit(col("doc_id")))
+    val cleanTrain = TextOps.decontaminate(
+      split.filter(col("split") === "train"),
+      split.filter(col("split") === "test"), n = decontamN)
+    cleanTrain.unionByName(split.filter(col("split") =!= "train"))
+  }
 }

@@ -110,4 +110,36 @@ class PipelineSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("E4 curate: gate, exact dedup, near-dup, split, decontamination") {
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "it runs far away to the old stone house by the river bank"
+    val docs = Seq(
+      (10L, good),
+      (11L, good.toUpperCase),           // normalized-exact dup of 10
+      (12L, good.replace("river", "sea")), // near-dup of 10
+      (13L, "zzz@@@ qq##"),              // low quality -> gated
+      (14L, null.asInstanceOf[String]),  // null text -> gated
+      (15L, "an entirely different but still quite reasonable english " +
+        "sentence that it is for the test and with many of the words")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text"))
+    val out = Pipelines.curate(docs, minJaccard = 0.5).cache()
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(13L) && !ids.contains(14L)) // gated
+    assert(ids.contains(10L) && !ids.contains(11L))  // exact dedup
+    assert(!ids.contains(12L))                       // near-dup dedup
+    assert(ids.contains(15L))
+    // split column partitions the survivors
+    assert(out.select("split").as[String].collect()
+      .forall(Set("train", "val", "test")))
+    // decontamination holds as a property of the output: no surviving
+    // train doc shares an 8-gram with any surviving test doc
+    val train = out.filter($"split" === "train")
+    val clean = graft.text.TextOps.decontaminate(train,
+      out.filter($"split" === "test"))
+    assert(clean.count() == train.count())
+    out.unpersist()
+  }
 }
