@@ -42,7 +42,7 @@ object Bench {
     // measured pass); fall back to the target dir itself otherwise
     val target = sfDir.replaceAll("/+$", "")
     val sfOfTarget = "sf([0-9.]+)$".r.findFirstMatchIn(target)
-      .map(_.group(1).toDouble)
+      .flatMap(_.group(1).toDoubleOption)
     val warmDir = sfOfTarget.flatMap { sf =>
       Seq(0.001, 0.01, 0.1).filter(_ < sf).sorted
         .map(v => target.replaceAll("sf[0-9.]+$", s"sf$v"))

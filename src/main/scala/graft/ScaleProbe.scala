@@ -35,39 +35,45 @@ object ScaleProbe {
           col("lang"), col("source"), col("n_chars"))
       }.reduce(_ unionAll _)
 
-    def time(label: String)(f: => Long): Double = {
-      val t0 = System.nanoTime()
-      val n = f
-      val dt = (System.nanoTime() - t0) / 1e9
-      println(f"  $label: $dt%.2f s ($n rows)")
-      spark.catalog.clearCache()
-      dt
-    }
-
     def suite(docs: DataFrame): Map[String, Double] = {
-      val d = docs.cache()
+      var d = docs.cache()
       d.count()
+      def time(label: String)(f: DataFrame => Long): Double = {
+        val t0 = System.nanoTime()
+        val n = f(d)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"  $label: $dt%.2f s ($n rows)")
+        // drop the operator-internal caches, then re-materialize the
+        // shared input OUTSIDE the next op's timing — clearCache alone
+        // would charge the corpus scan+union to whichever op runs next
+        spark.catalog.clearCache()
+        d = docs.cache()
+        d.count()
+        dt
+      }
       val r = Map(
-        "exact" -> time("exact") { Dedup.exact(d).count() },
-        "normalized" -> time("normalized") { Dedup.normalized(d).count() },
-        "minhash_lsh" -> time("minhash_lsh") {
+        "exact" -> time("exact") { d => Dedup.exact(d).count() },
+        "normalized" -> time("normalized") { d =>
+          Dedup.normalized(d).count() },
+        "minhash_lsh" -> time("minhash_lsh") { d =>
           Dedup.minhashCandidates(d).count() },
-        "simhash" -> time("simhash") { Dedup.simhashCandidates(d).count() },
-        "ngram_jaccard_df1000" -> time("ngram_jaccard_df1000") {
+        "simhash" -> time("simhash") { d =>
+          Dedup.simhashCandidates(d).count() },
+        "ngram_jaccard_df1000" -> time("ngram_jaccard_df1000") { d =>
           Dedup.ngramJaccard(d, minJaccard = 0.4, maxDf = 1000).count() },
-        "cc_clusters" -> time("cc_clusters") {
+        "cc_clusters" -> time("cc_clusters") { d =>
           val pairs = Dedup.ngramJaccard(d, minJaccard = 0.4, maxDf = 1000)
           Dedup.connectedComponents(d.select(col("doc_id").as("id")), pairs)
             .count() },
-        "neardup_pipeline" -> time("neardup_pipeline") {
+        "neardup_pipeline" -> time("neardup_pipeline") { d =>
           Dedup.nearDupClusters(d, minJaccard = 0.4).count() },
-        "tfidf_top3" -> time("tfidf_top3") {
+        "tfidf_top3" -> time("tfidf_top3") { d =>
           TextOps.tfidfTopTerms(d, k = 3).count() },
-        "decontaminate" -> time("decontaminate") {
+        "decontaminate" -> time("decontaminate") { d =>
           val split = d.withColumn("s", TextOps.hashSplit(col("doc_id")))
           TextOps.decontaminate(split.filter(col("s") === "train"),
             split.filter(col("s") === "test"), n = 8).count() })
-      d.unpersist(false)
+      spark.catalog.clearCache()
       r
     }
 

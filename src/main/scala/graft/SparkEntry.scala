@@ -20,6 +20,15 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Readers.table(s, dir, name)
 
+  /** Shared by q58/q59: the first `k` embedding vectors as deterministic
+    * seed centroids (cluster id = vec_id). */
+  private def seedCentroids(embs: DataFrame,
+                            k: Int = 3): Seq[(Long, Array[Double])] =
+    embs.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
   /** Flagship: the stage-3/4 composition (clamp → 5-min categorize → merge
     * adjacent) on the events stream. Driver smoke-checks rows > 0 at
     * sf0.001. */
@@ -642,11 +651,7 @@ object SparkEntry {
     // seeds): the map-only k-means shape — corpus never shuffles or joins
     "q58_kmeans_assign" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
-      val seeds = embs.filter(col("vec_id") < 3)
-        .select(col("vec_id"), col("embedding").cast("array<double>"))
-        .collect().toSeq
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      Similarity.assignToCentroids(embs, seeds)
+      Similarity.assignToCentroids(embs, seedCentroids(embs))
         .select(col("vec_id"), col("cluster"),
           round(col("sim"), 6).as("sim"))
         .orderBy("vec_id")
@@ -656,11 +661,7 @@ object SparkEntry {
     // assignment as blocking, cosine near-dup pairs, CC representative
     "q59_semdedup" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
-      val seeds = embs.filter(col("vec_id") < 3)
-        .select(col("vec_id"), col("embedding").cast("array<double>"))
-        .collect().toSeq
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      val assigned = Similarity.assignToCentroids(embs, seeds)
+      val assigned = Similarity.assignToCentroids(embs, seedCentroids(embs))
       Dedup.semDeDup(assigned, blockCol = "cluster", minCosine = 0.5)
         .orderBy("vec_id")
     }),

@@ -221,8 +221,15 @@ object Dedup {
   def jaccardForPairs(docs: DataFrame, pairs: DataFrame,
                       idCol: String = "doc_id", textCol: String = "text",
                       shingleN: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("jid"),
-      TextOps.shingles(col(textCol), shingleN).as("jsh"))
+    // shingle only the docs that appear in a pair (candidates touch far
+    // fewer docs than the corpus), and cache: both joins consume this
+    // frame (release is harness/caller-owned, as with the pair generators)
+    val pairIds = pairs.select(col("id_a").as("jid"))
+      .unionAll(pairs.select(col("id_b").as("jid"))).distinct()
+    val sh = docs.select(col(idCol).as("jid"), col(textCol))
+      .join(pairIds, Seq("jid"), "left_semi")
+      .select(col("jid"), TextOps.shingles(col(textCol), shingleN).as("jsh"))
+      .cache()
     pairs.select(col("id_a"), col("id_b"))
       .join(sh.select(col("jid").as("id_a"), col("jsh").as("sh_a")),
         Seq("id_a"))

@@ -191,9 +191,12 @@ object Similarity {
     var assigned = assignToCentroids(embs, cents, idCol, vecCol, dim)
     var it = 1
     while (it < iters) {
-      cents = ivfIndex(assigned, "cluster", vecCol).collect().toSeq
+      val updated = ivfIndex(assigned, "cluster", vecCol).collect()
         .map(r => (r.getAs[Long]("cluster"),
-          r.getSeq[Double](r.fieldIndex("centroid")).toArray))
+          r.getSeq[Double](r.fieldIndex("centroid")).toArray)).toMap
+      // a cluster that captured no vectors this round keeps its previous
+      // centroid instead of silently shrinking k
+      cents = cents.map { case (cid, c) => (cid, updated.getOrElse(cid, c)) }
       assigned = assignToCentroids(embs, cents, idCol, vecCol, dim)
       it += 1
     }

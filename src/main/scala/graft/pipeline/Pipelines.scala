@@ -149,8 +149,12 @@ object Pipelines {
     val reps = Dedup.nearDupClusters(exact, minJaccard = minJaccard)
       .filter(col("doc_id") === col("cluster_id")).select("doc_id")
     val deduped = exact.join(reps, Seq("doc_id"), "left_semi")
+    // three consumers below (train branch, test branch, non-train union);
+    // without persisting, the gate + both dedup subtrees execute 3x per
+    // action (release is caller/harness-owned, as with the pair
+    // generators)
     val split = deduped.withColumn("split",
-      TextOps.hashSplit(col("doc_id")))
+      TextOps.hashSplit(col("doc_id"))).cache()
     val cleanTrain = TextOps.decontaminate(
       split.filter(col("split") === "train"),
       split.filter(col("split") === "test"), n = decontamN)
