@@ -666,6 +666,19 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // batched ANN serving: top-5 neighbors for a 3-query batch in one
+    // pass — broadcast queries, map-side scoring, bounded TopK aggregator
+    // (only queries*k rows shuffle, never the score matrix)
+    "q61_batch_ann" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val queries = embs.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.batchTopK(embs, queries, k = 5)
+        .select(col("q_id"), col("rk"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("q_id", "rk")
+    }),
+
     // int8 embedding quantization (4-8x storage cut for ANN serving):
     // summary stats of the quantized vector are integer-exact
     "q60_quantize_int8" -> ((s, dir) => {
@@ -863,6 +876,23 @@ object SparkEntry {
         |           AS INTEGER) AS rk
         |  FROM documents)
         |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+
+    "q61_batch_ann" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 3),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+        |           AS cosine
+        |  FROM embeddings e CROSS JOIN q),
+        |r AS (
+        |  SELECT q_id, vec_id, cosine,
+        |         CAST(row_number() OVER (PARTITION BY q_id
+        |           ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rk
+        |  FROM scored)
+        |SELECT q_id, rk, vec_id, round(cosine, 6) AS cosine
+        |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
 
     "q60_quantize_int8" ->
       """WITH v AS (

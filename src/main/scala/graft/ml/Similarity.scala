@@ -129,6 +129,33 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("centroid"))
 
+  /** Batched ANN serving: top-k corpus neighbors for EVERY query vector
+    * in one pass. The query batch broadcasts (serving batches are small
+    * relative to the corpus); scoring runs map-side under the broadcast
+    * join; the bounded [[graft.ops.Aggregators.TopK]] aggregator keeps
+    * fixed per-query state so only queries·k candidate rows shuffle —
+    * never the queries×corpus score matrix (a window/rank formulation
+    * shuffles all of it). */
+  def batchTopK(embs: DataFrame, queries: DataFrame, k: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                qIdCol: String = "q_id", qVecCol: String = "q_vec",
+                dim: Int = DefaultDim): DataFrame = {
+    val q = broadcast(queries.select(col(qIdCol).as("q_id"),
+      col(qVecCol).cast("array<double>").as("qv")))
+    val scored = embs
+      .select(col(idCol).as("nid"), col(vecCol).cast("array<double>")
+        .as("v"))
+      .crossJoin(q)
+      .select(col("q_id"), cosine(col("v"), col("qv"), dim).as("score"),
+        col("nid"))
+    scored.groupBy("q_id")
+      .agg(graft.ops.Aggregators.topK(k)(col("score"), col("nid"))
+        .as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rk"),
+        col("col.id").as(idCol), col("col.score").as("cosine"))
+  }
+
   /** Symmetric int8 quantization of an embedding column: per-vector scale
     * = 127 / max|x|, q_i = round(x_i · scale). Map-only; cuts vector
     * storage 4x (float32) / 8x (float64) — at 100 TB the quantized corpus

@@ -54,4 +54,44 @@ object Aggregators {
     val fn = udaf(new IntervalUnion())
     (s, e) => fn(s, e)
   }
+
+  /** One scored candidate for [[TopK]]. */
+  case class Scored(score: Double, id: Long)
+
+  /** Bounded top-k aggregator: keeps the k best (score desc, id asc as
+    * tie-break) with FIXED per-group state — each task shuffles at most k
+    * rows per group instead of every scored row. This is what makes
+    * batched ANN serving scale: a window/rank over queries×corpus scored
+    * rows shuffles n·m rows; this shuffles q·k.
+    *
+    * Buffer is a sorted Seq (worst last); insert is O(k) — fine for the
+    * serving-shaped k (tens). */
+  class TopK(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    require(k >= 1)
+    private def better(a: Scored, b: Scored): Boolean =
+      a.score > b.score || (a.score == b.score && a.id < b.id)
+    private def insert(buf: Seq[Scored], s: Scored): Seq[Scored] =
+      if (buf.size >= k && better(buf.last, s)) buf
+      else {
+        val (hi, lo) = buf.span(better(_, s))
+        (hi :+ s) ++ lo.take(k - hi.size - 1)
+      }
+    override def zero: Seq[Scored] = Vector.empty
+    override def reduce(buf: Seq[Scored], s: Scored): Seq[Scored] =
+      insert(buf, s)
+    override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] =
+      b.foldLeft(a)(insert)
+    override def finish(buf: Seq[Scored]): Seq[Scored] = buf
+    override def bufferEncoder: Encoder[Seq[Scored]] =
+      ExpressionEncoder[Seq[Scored]]()
+    override def outputEncoder: Encoder[Seq[Scored]] =
+      ExpressionEncoder[Seq[Scored]]()
+  }
+
+  /** Column form: `topK(k)(score, id)` inside an `agg` — returns an array
+    * of (score, id) structs, best first. */
+  def topK(k: Int): (Column, Column) => Column = {
+    val fn = udaf(new TopK(k))
+    (score, id) => fn(score, id)
+  }
 }

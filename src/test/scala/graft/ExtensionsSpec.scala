@@ -274,6 +274,46 @@ class ExtensionsSpec extends SparkSpec {
       s"assignment is not map-only:\n$plan")
   }
 
+  test("TopK aggregator matches a sort-and-take across partitions") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(500)((rnd.nextInt(4).toLong,
+      rnd.nextInt(100) / 10.0, rnd.nextLong(1000)))
+    val df = rows.toDF("g", "score", "id").repartition(7)
+    val agg = graft.ops.Aggregators.topK(3)
+    val got = df.groupBy("g").agg(agg(col("score"), col("id")).as("top"))
+      .collect().map(r => r.getAs[Long]("g") ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(s => (s.getDouble(0), s.getLong(1)))).toMap
+    // duplicates of the same (score, id) may both enter the top list;
+    // the reference keeps duplicates too
+    val expectDup = rows.groupBy(_._1).view.mapValues(_
+      .map(t => (t._2, t._3))
+      .sortBy { case (s, id) => (-s, id) }.take(3)).toMap
+    got.foreach { case (g, tops) => assert(tops == expectDup(g), s"g=$g") }
+  }
+
+  test("batchTopK agrees with bruteForceTopK per query") {
+    val embs = (0L until 30L).map(i => (i, vec(i.toInt), i.toInt % 3))
+      .toDF("vec_id", "embedding", "label")
+    val queries = embs.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val batch = Similarity.batchTopK(embs, queries, k = 4, dim = dim)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rk")) ->
+        r.getAs[Long]("vec_id")).toMap
+    for (qid <- Seq(0L, 1L)) {
+      val qv = embs.filter(col("vec_id") === qid)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      val brute = Similarity.bruteForceTopK(embs, typedlit(qv), 4, dim = dim)
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .collect().map(_.getAs[Long]("vec_id"))
+      brute.zipWithIndex.foreach { case (id, i) =>
+        assert(batch((qid, i + 1)) == id, s"q=$qid rk=${i + 1}")
+      }
+    }
+  }
+
   test("semDeDup keeps one representative per semantic-duplicate group") {
     // vec 1 ≈ vec 0 (same direction), vec 2 orthogonal, all in block 0;
     // vec 3 alone in block 1
