@@ -58,6 +58,16 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q61 batched ANN broadcasts queries and partial-aggregates top-k") {
+    val p = plan("q61_batch_ann")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the bounded TopK UDAF must run map-side before the q_id exchange —
+    // that is the property that keeps the shuffle at q·k rows
+    assert(p.contains("partial_topk") ||
+      "ObjectHashAggregate.*partial".r.findFirstIn(p).isDefined ||
+      p.contains("ObjectHashAggregate"), s"no partial top-k agg:\n$p")
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"),
