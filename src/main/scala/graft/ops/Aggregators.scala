@@ -68,8 +68,14 @@ object Aggregators {
     * serving-shaped k (tens). */
   class TopK(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
     require(k >= 1)
-    private def better(a: Scored, b: Scored): Boolean =
-      a.score > b.score || (a.score == b.score && a.id < b.id)
+    // total order via Double.compare so NaN scores cannot make results
+    // partition-order-dependent (NaN compares greatest → ranks first,
+    // deterministically, ties broken by id; filter NaNs upstream when an
+    // engine-portable ordering matters)
+    private def better(a: Scored, b: Scored): Boolean = {
+      val c = java.lang.Double.compare(a.score, b.score)
+      c > 0 || (c == 0 && a.id < b.id)
+    }
     private def insert(buf: Seq[Scored], s: Scored): Seq[Scored] =
       if (buf.size >= k && better(buf.last, s)) buf
       else {

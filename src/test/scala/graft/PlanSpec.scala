@@ -63,9 +63,7 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     // the bounded TopK UDAF must run map-side before the q_id exchange —
     // that is the property that keeps the shuffle at q·k rows
-    assert(p.contains("partial_topk") ||
-      "ObjectHashAggregate.*partial".r.findFirstIn(p).isDefined ||
-      p.contains("ObjectHashAggregate"), s"no partial top-k agg:\n$p")
+    assert(p.contains("partial_topk"), s"no partial top-k agg:\n$p")
   }
 
   test("no query plans a cartesian product") {
