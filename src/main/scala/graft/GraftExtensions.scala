@@ -28,6 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftFunctions {
+  import org.apache.spark.sql.graftbridge.Bridge.{column, catalystExpression}
+
   private def intLit(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
@@ -43,7 +45,23 @@ object GraftFunctions {
     ("minhash_sig", classOf[MinHashSignature].getName,
       exprs => MinHashSignature(exprs(0), intLit(exprs(1), "minhash_sig"))),
     ("simhash64", classOf[SimHash64].getName,
-      exprs => SimHash64(exprs(0))))
+      exprs => SimHash64(exprs(0))),
+    // composed text-curation functions: builders expand to the same
+    // Column compositions the Scala API uses (one source of truth)
+    ("quality_score", graft.text.TextOps.getClass.getName,
+      exprs => colFn(exprs, graft.text.TextOps.qualityScore)),
+    ("lang_id_en", graft.text.TextOps.getClass.getName,
+      exprs => colFn(exprs, graft.text.TextOps.langIdEn(_))),
+    ("hash_split", graft.text.TextOps.getClass.getName,
+      exprs => colFn(exprs, graft.text.TextOps.hashSplit(_))),
+    ("dup_ngram_fraction", graft.text.TextOps.getClass.getName,
+      exprs => catalystExpression(graft.text.TextOps.duplicateNgramFraction(
+        column(exprs(0)), intLit(exprs(1), "dup_ngram_fraction")))))
+
+  private def colFn(exprs: Seq[Expression],
+                    fn: org.apache.spark.sql.Column =>
+                      org.apache.spark.sql.Column): Expression =
+    catalystExpression(fn(column(exprs.head)))
 
   /** Runtime registration (temp functions) for an existing session. */
   def register(spark: SparkSession): Unit =

@@ -36,4 +36,24 @@ class SkewAndSqlSpec extends SparkSpec {
       .head().getDouble(0)
     assert(r == 32.0)
   }
+
+  test("composed text functions are callable from SQL") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT quality_score('the quick brown fox is on the mat') AS q,
+        |       lang_id_en('the quick brown fox is on the mat') AS l,
+        |       hash_split(42) AS s,
+        |       dup_ngram_fraction('a b a b a', 2) AS r""".stripMargin)
+      .head()
+    assert(row.getDouble(0) > 0 && row.getDouble(0) <= 1.0)
+    assert(row.getString(1) == "en")
+    assert(Set("train", "val", "test")(row.getString(2)))
+    assert(row.getDouble(3) == 0.5)
+    // SQL and Column API must agree exactly
+    import org.apache.spark.sql.functions._
+    val api = Seq("a b a b a").toDF("t")
+      .select(graft.text.TextOps.duplicateNgramFraction(col("t"), 2))
+      .head().getDouble(0)
+    assert(api == row.getDouble(3))
+  }
 }
