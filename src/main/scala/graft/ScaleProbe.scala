@@ -77,12 +77,53 @@ object ScaleProbe {
       r
     }
 
+    // embedding-family probe: replicate embeddings with coordinate jitter
+    // derived from the replica index (deterministic, no RNG)
+    val ebase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val eMax = ebase.agg(max("vec_id")).head().getLong(0) + 1
+    def replicateEmb(times: Int): DataFrame =
+      (0 until times).map { r =>
+        ebase.select((col("vec_id") + lit(r * eMax)).as("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => x + lit(r * 0.001)).as("embedding"), col("label"))
+      }.reduce(_ unionAll _)
+
+    def embSuite(embs: DataFrame): Map[String, Double] = {
+      var d = embs.cache()
+      d.count()
+      def time(label: String)(f: DataFrame => Long): Double = {
+        val t0 = System.nanoTime()
+        val n = f(d)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"  $label: $dt%.2f s ($n rows)")
+        spark.catalog.clearCache()
+        d = embs.cache()
+        d.count()
+        dt
+      }
+      import graft.ml.Similarity
+      val r = Map(
+        "kmeans_3x8" -> time("kmeans_3x8") { d =>
+          Similarity.kmeans(d, k = 8, iters = 3).count() },
+        "batch_topk_q16" -> time("batch_topk_q16") { d =>
+          val q = d.filter(col("vec_id") < 16)
+            .select(col("vec_id").as("q_id"),
+              col("embedding").as("q_vec"))
+          Similarity.batchTopK(d, q, k = 10).count() },
+        "semdedup_label" -> time("semdedup_label") { d =>
+          Dedup.semDeDup(d, blockCol = "label", minCosine = 0.99).count() },
+        "quantize_int8" -> time("quantize_int8") { d =>
+          Similarity.quantizeInt8(d).count() })
+      spark.catalog.clearCache()
+      r
+    }
+
     println(s"== pass 0: warmup (codegen) ==")
-    suite(replicate(1))
-    println(s"== pass 1: 1x (${maxId} docs) ==")
-    val t1 = suite(replicate(1))
-    println(s"== pass 2: ${k}x (${k * maxId} docs) ==")
-    val tk = suite(replicate(k))
+    suite(replicate(1)); embSuite(replicateEmb(1))
+    println(s"== pass 1: 1x (${maxId} docs, ${eMax} vecs) ==")
+    val t1 = suite(replicate(1)) ++ embSuite(replicateEmb(1))
+    println(s"== pass 2: ${k}x (${k * maxId} docs, ${k * eMax} vecs) ==")
+    val tk = suite(replicate(k)) ++ embSuite(replicateEmb(k))
     println(f"%nop             | 1x (s) | ${k}%dx (s) | ratio (linear=$k%d.0)")
     t1.keys.toSeq.sorted.foreach { op =>
       println(f"$op%-22s ${t1(op)}%7.2f ${tk(op)}%9.2f ${tk(op) / t1(op)}%8.1f")
