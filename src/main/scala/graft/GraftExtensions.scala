@@ -36,32 +36,55 @@ object GraftFunctions {
       s"$fn expects a literal INT argument, got $other")
   }
 
+  private def doubleLit(e: Expression, fn: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: Int, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal numeric argument, got $other")
+  }
+
+  private def arity(fn: String, exprs: Seq[Expression],
+                    min: Int, max: Int): Unit =
+    if (exprs.size < min || exprs.size > max)
+      throw new IllegalArgumentException(
+        s"$fn expects ${if (min == max) s"$min" else s"$min to $max"} " +
+          s"argument(s), got ${exprs.size}")
+
   private[graft] val builders
       : Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("dot_product", classOf[DotProduct].getName,
-      exprs => DotProduct(exprs(0), exprs(1))),
+      exprs => { arity("dot_product", exprs, 2, 2)
+        DotProduct(exprs(0), exprs(1)) }),
     ("word_shingles", classOf[WordShingles].getName,
-      exprs => WordShingles(exprs(0), intLit(exprs(1), "word_shingles"))),
+      exprs => { arity("word_shingles", exprs, 2, 2)
+        WordShingles(exprs(0), intLit(exprs(1), "word_shingles")) }),
     ("minhash_sig", classOf[MinHashSignature].getName,
-      exprs => MinHashSignature(exprs(0), intLit(exprs(1), "minhash_sig"))),
+      exprs => { arity("minhash_sig", exprs, 2, 2)
+        MinHashSignature(exprs(0), intLit(exprs(1), "minhash_sig")) }),
     ("simhash64", classOf[SimHash64].getName,
-      exprs => SimHash64(exprs(0))),
+      exprs => { arity("simhash64", exprs, 1, 1)
+        SimHash64(exprs(0)) }),
     // composed text-curation functions: builders expand to the same
-    // Column compositions the Scala API uses (one source of truth)
+    // Column compositions the Scala API uses (one source of truth).
+    // Optional trailing arguments mirror the Scala defaults.
     ("quality_score", graft.text.TextOps.getClass.getName,
-      exprs => colFn(exprs, graft.text.TextOps.qualityScore)),
+      exprs => { arity("quality_score", exprs, 1, 1)
+        catalystExpression(graft.text.TextOps.qualityScore(column(exprs(0)))) }),
     ("lang_id_en", graft.text.TextOps.getClass.getName,
-      exprs => colFn(exprs, graft.text.TextOps.langIdEn(_))),
+      exprs => { arity("lang_id_en", exprs, 1, 2)
+        val th = if (exprs.size > 1) doubleLit(exprs(1), "lang_id_en") else 0.12
+        catalystExpression(graft.text.TextOps.langIdEn(column(exprs(0)), th)) }),
     ("hash_split", graft.text.TextOps.getClass.getName,
-      exprs => colFn(exprs, graft.text.TextOps.hashSplit(_))),
+      exprs => { arity("hash_split", exprs, 1, 3)
+        val train = if (exprs.size > 1) intLit(exprs(1), "hash_split") else 80
+        val valP = if (exprs.size > 2) intLit(exprs(2), "hash_split") else 10
+        catalystExpression(
+          graft.text.TextOps.hashSplit(column(exprs(0)), train, valP)) }),
     ("dup_ngram_fraction", graft.text.TextOps.getClass.getName,
-      exprs => catalystExpression(graft.text.TextOps.duplicateNgramFraction(
-        column(exprs(0)), intLit(exprs(1), "dup_ngram_fraction")))))
-
-  private def colFn(exprs: Seq[Expression],
-                    fn: org.apache.spark.sql.Column =>
-                      org.apache.spark.sql.Column): Expression =
-    catalystExpression(fn(column(exprs.head)))
+      exprs => { arity("dup_ngram_fraction", exprs, 1, 2)
+        val n = if (exprs.size > 1) intLit(exprs(1), "dup_ngram_fraction") else 2
+        catalystExpression(graft.text.TextOps.duplicateNgramFraction(
+          column(exprs(0)), n)) }))
 
   /** Runtime registration (temp functions) for an existing session. */
   def register(spark: SparkSession): Unit =

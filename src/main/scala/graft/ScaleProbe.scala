@@ -35,47 +35,47 @@ object ScaleProbe {
           col("lang"), col("source"), col("n_chars"))
       }.reduce(_ unionAll _)
 
-    def suite(docs: DataFrame): Map[String, Double] = {
-      var d = docs.cache()
+    // shared timing harness: runs each op against a cached copy of `input`;
+    // between ops, drops operator-internal caches then re-materializes the
+    // shared input OUTSIDE the next op's timing — clearCache alone would
+    // charge the corpus scan+union to whichever op runs next
+    def timedSuite(input: DataFrame)(
+        ops: Seq[(String, DataFrame => Long)]): Map[String, Double] = {
+      var d = input.cache()
       d.count()
-      def time(label: String)(f: DataFrame => Long): Double = {
+      val r = ops.map { case (label, f) =>
         val t0 = System.nanoTime()
         val n = f(d)
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"  $label: $dt%.2f s ($n rows)")
-        // drop the operator-internal caches, then re-materialize the
-        // shared input OUTSIDE the next op's timing — clearCache alone
-        // would charge the corpus scan+union to whichever op runs next
         spark.catalog.clearCache()
-        d = docs.cache()
+        d = input.cache()
         d.count()
-        dt
-      }
-      val r = Map(
-        "exact" -> time("exact") { d => Dedup.exact(d).count() },
-        "normalized" -> time("normalized") { d =>
-          Dedup.normalized(d).count() },
-        "minhash_lsh" -> time("minhash_lsh") { d =>
-          Dedup.minhashCandidates(d).count() },
-        "simhash" -> time("simhash") { d =>
-          Dedup.simhashCandidates(d).count() },
-        "ngram_jaccard_df1000" -> time("ngram_jaccard_df1000") { d =>
-          Dedup.ngramJaccard(d, minJaccard = 0.4, maxDf = 1000).count() },
-        "cc_clusters" -> time("cc_clusters") { d =>
-          val pairs = Dedup.ngramJaccard(d, minJaccard = 0.4, maxDf = 1000)
-          Dedup.connectedComponents(d.select(col("doc_id").as("id")), pairs)
-            .count() },
-        "neardup_pipeline" -> time("neardup_pipeline") { d =>
-          Dedup.nearDupClusters(d, minJaccard = 0.4).count() },
-        "tfidf_top3" -> time("tfidf_top3") { d =>
-          TextOps.tfidfTopTerms(d, k = 3).count() },
-        "decontaminate" -> time("decontaminate") { d =>
-          val split = d.withColumn("s", TextOps.hashSplit(col("doc_id")))
-          TextOps.decontaminate(split.filter(col("s") === "train"),
-            split.filter(col("s") === "test"), n = 8).count() })
+        label -> dt
+      }.toMap
       spark.catalog.clearCache()
       r
     }
+
+    def suite(docs: DataFrame): Map[String, Double] =
+      timedSuite(docs)(Seq(
+        "exact" -> { d => Dedup.exact(d).count() },
+        "normalized" -> { d => Dedup.normalized(d).count() },
+        "minhash_lsh" -> { d => Dedup.minhashCandidates(d).count() },
+        "simhash" -> { d => Dedup.simhashCandidates(d).count() },
+        "ngram_jaccard_df1000" -> { d =>
+          Dedup.ngramJaccard(d, minJaccard = 0.4, maxDf = 1000).count() },
+        "cc_clusters" -> { d =>
+          val pairs = Dedup.ngramJaccard(d, minJaccard = 0.4, maxDf = 1000)
+          Dedup.connectedComponents(d.select(col("doc_id").as("id")), pairs)
+            .count() },
+        "neardup_pipeline" -> { d =>
+          Dedup.nearDupClusters(d, minJaccard = 0.4).count() },
+        "tfidf_top3" -> { d => TextOps.tfidfTopTerms(d, k = 3).count() },
+        "decontaminate" -> { d =>
+          val split = d.withColumn("s", TextOps.hashSplit(col("doc_id")))
+          TextOps.decontaminate(split.filter(col("s") === "train"),
+            split.filter(col("s") === "test"), n = 8).count() }))
 
     // embedding-family probe: replicate embeddings with coordinate jitter
     // derived from the replica index (deterministic, no RNG)
@@ -89,33 +89,17 @@ object ScaleProbe {
       }.reduce(_ unionAll _)
 
     def embSuite(embs: DataFrame): Map[String, Double] = {
-      var d = embs.cache()
-      d.count()
-      def time(label: String)(f: DataFrame => Long): Double = {
-        val t0 = System.nanoTime()
-        val n = f(d)
-        val dt = (System.nanoTime() - t0) / 1e9
-        println(f"  $label: $dt%.2f s ($n rows)")
-        spark.catalog.clearCache()
-        d = embs.cache()
-        d.count()
-        dt
-      }
       import graft.ml.Similarity
-      val r = Map(
-        "kmeans_3x8" -> time("kmeans_3x8") { d =>
-          Similarity.kmeans(d, k = 8, iters = 3).count() },
-        "batch_topk_q16" -> time("batch_topk_q16") { d =>
+      timedSuite(embs)(Seq(
+        "kmeans_3x8" -> { d => Similarity.kmeans(d, k = 8, iters = 3).count() },
+        "batch_topk_q16" -> { d =>
           val q = d.filter(col("vec_id") < 16)
             .select(col("vec_id").as("q_id"),
               col("embedding").as("q_vec"))
           Similarity.batchTopK(d, q, k = 10).count() },
-        "semdedup_label" -> time("semdedup_label") { d =>
+        "semdedup_label" -> { d =>
           Dedup.semDeDup(d, blockCol = "label", minCosine = 0.99).count() },
-        "quantize_int8" -> time("quantize_int8") { d =>
-          Similarity.quantizeInt8(d).count() })
-      spark.catalog.clearCache()
-      r
+        "quantize_int8" -> { d => Similarity.quantizeInt8(d).count() }))
     }
 
     println(s"== pass 0: warmup (codegen) ==")

@@ -68,12 +68,20 @@ object Aggregators {
     * serving-shaped k (tens). */
   class TopK(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
     require(k >= 1)
-    // total order via Double.compare so NaN scores cannot make results
-    // partition-order-dependent (NaN compares greatest → ranks first,
-    // deterministically, ties broken by id; filter NaNs upstream when an
-    // engine-portable ordering matters)
+    // Spark-SQL sort semantics (nanSafeCompareDoubles): NaN compares
+    // greatest (deterministic even with NaN scores), -0.0 == 0.0 (unlike
+    // raw Double.compare, which would rank +0.0 above -0.0 and diverge
+    // from orderBy/DuckDB ordering); ties broken by id asc
+    private def cmpScore(x: Double, y: Double): Int = {
+      val xn = java.lang.Double.isNaN(x)
+      val yn = java.lang.Double.isNaN(y)
+      if ((xn && yn) || x == y) 0
+      else if (xn) 1
+      else if (yn) -1
+      else if (x > y) 1 else -1
+    }
     private def better(a: Scored, b: Scored): Boolean = {
-      val c = java.lang.Double.compare(a.score, b.score)
+      val c = cmpScore(a.score, b.score)
       c > 0 || (c == 0 && a.id < b.id)
     }
     private def insert(buf: Seq[Scored], s: Scored): Seq[Scored] =

@@ -292,6 +292,20 @@ class ExtensionsSpec extends SparkSpec {
     got.foreach { case (g, tops) => assert(tops == expectDup(g), s"g=$g") }
   }
 
+  test("TopK treats -0.0 and +0.0 as equal (Spark sort semantics)") {
+    // -0.0 scores arise from legitimate float dot products; raw
+    // Double.compare would rank +0.0 strictly above -0.0 and diverge
+    // from orderBy / the DuckDB oracle, which break ties by id
+    val df = Seq((1L, -0.0, 5L), (1L, 0.0, 2L), (1L, 0.0, 9L),
+      (1L, -1.0, 1L)).toDF("g", "score", "id").repartition(3)
+    val agg = graft.ops.Aggregators.topK(2)
+    val top = df.groupBy("g").agg(agg(col("score"), col("id")).as("top"))
+      .head().getSeq[org.apache.spark.sql.Row](1)
+      .map(s => (s.getDouble(0), s.getLong(1)))
+    // ids 2 then 5 — zero-sign must not influence rank
+    assert(top.map(_._2) == Seq(2L, 5L))
+  }
+
   test("batchTopK agrees with bruteForceTopK per query") {
     val embs = (0L until 30L).map(i => (i, vec(i.toInt), i.toInt % 3))
       .toDF("vec_id", "embedding", "label")

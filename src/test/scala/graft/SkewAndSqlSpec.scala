@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.ops.Skew
 
@@ -55,5 +56,71 @@ class SkewAndSqlSpec extends SparkSpec {
       .select(graft.text.TextOps.duplicateNgramFraction(col("t"), 2))
       .head().getDouble(0)
     assert(api == row.getDouble(3))
+  }
+
+  test("SQL functions over column references match the Column API") {
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      (1L, "the quick brown fox is on the mat and the dog is here"),
+      (2L, "xyzzy plugh zork grue"),
+      (3L, "a b a b a b a b"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("sql_surface_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, quality_score(text) AS q, lang_id_en(text) AS l,
+        |       hash_split(doc_id) AS s, dup_ngram_fraction(text, 2) AS r
+        |FROM sql_surface_docs ORDER BY doc_id""".stripMargin).collect()
+    val viaApi = docs.select($"doc_id",
+      graft.text.TextOps.qualityScore($"text").as("q"),
+      graft.text.TextOps.langIdEn($"text").as("l"),
+      graft.text.TextOps.hashSplit($"doc_id").as("s"),
+      graft.text.TextOps.duplicateNgramFraction($"text", 2).as("r"))
+      .orderBy($"doc_id").collect()
+    assert(viaSql.toSeq == viaApi.toSeq)
+  }
+
+  test("SQL optional arguments are honored and bad arity is rejected") {
+    GraftFunctions.register(spark)
+    // hash_split(key, 100, 0): every key must land in 'train'
+    val splits = spark.sql(
+      "SELECT hash_split(id, 100, 0) AS s FROM range(0, 200)")
+      .collect().map(_.getString(0)).toSet
+    assert(splits == Set("train"))
+    // lang_id_en threshold 1.0: ordinary English text no longer passes
+    val strict = spark.sql(
+      "SELECT lang_id_en('the quick brown fox is on the mat', 1.0d) AS l")
+      .head().getString(0)
+    assert(strict == "other")
+    // wrong arity fails with a message naming the function, not a raw
+    // collection exception
+    val err = intercept[Exception] {
+      spark.sql("SELECT quality_score('a', 'b')").collect()
+    }
+    assert(err.getMessage.contains("quality_score"))
+  }
+
+  test("functions install via SparkSessionExtensions (injectFunction path)") {
+    // build a sibling session on the shared SparkContext with the
+    // extensions applied at construction — the production install path
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val extSession = SparkSession.builder()
+        .master("local[4]")
+        .appName("graft-ext-test")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = extSession.sql(
+        "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+          "lang_id_en('the quick brown fox is on the mat') AS l")
+        .head()
+      assert(r.getDouble(0) == 11.0)
+      assert(r.getString(1) == "en")
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
   }
 }
