@@ -688,6 +688,21 @@ object SparkEntry {
           array_max(col("qvec")).as("q_max"),
           aggregate(col("qvec"), lit(0L), (acc, x) => acc + x).as("q_sum"))
         .orderBy("vec_id")
+    }),
+
+    // q07's semantics on the non-broadcastable scale path: equi-join on
+    // coarse time buckets instead of BroadcastNestedLoopJoin (same oracle)
+    "q62_binned_interval_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").withColumnRenamed("l_shipdate", "ts0")
+      val iv = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 499000)
+        .select(col("o_orderdate").as("start_time"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("end_time"))
+      Filters.pointInIntervalBinned(li, iv, "ts0",
+          binWidthSec = 30L * 86400)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -1622,6 +1637,17 @@ object SparkEntry {
         |       CASE WHEN bg IS NULL THEN 0.0
         |            ELSE round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)
         |                             / len(bg), 6) END AS rep2
-        |FROM b ORDER BY doc_id""".stripMargin
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // identical semantics to q07 — the binned execution path must produce
+    // the exact same relation
+    "q62_binned_interval_join" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem l
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_totalprice > 499000
+        |    AND l.l_shipdate BETWEEN o.o_orderdate
+        |        AND o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

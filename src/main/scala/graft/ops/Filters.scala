@@ -78,4 +78,40 @@ object Filters {
       fact(tsCol) >= intervals("start_time") &&
         fact(tsCol) <= intervals("end_time"),
       "left_semi")
+
+  /** J1 at scale: binned point-in-interval semi-join. Same semantics as
+    * [[pointInInterval]] (boundaries inclusive both ends) but the join is
+    * an EQUI-join on a coarse time bucket — each interval explodes into
+    * the buckets it overlaps, each fact row maps to one bucket, and the
+    * exact range predicate filters within the bucket match. Spark plans a
+    * hash-partitioned SortMergeJoin/ShuffledHashJoin instead of
+    * BroadcastNestedLoopJoin, so the interval side may be arbitrarily
+    * large (broadcast would OOM past ~tens of MB, and a nested-loop scan
+    * is O(facts × intervals) regardless).
+    *
+    * Choose `binWidthSec` near the p99 interval length: wider bins mean
+    * fewer replica rows per interval but more false bucket matches to
+    * filter; an interval spanning B bins contributes B rows to the
+    * exploded side. Intervals with `end_time < start_time` match nothing
+    * and are dropped before the explode (a negative-range `sequence`
+    * would error). */
+  def pointInIntervalBinned(fact: DataFrame, intervals: DataFrame,
+                            tsCol: String = "date_time",
+                            binWidthSec: Long = 3600L): DataFrame = {
+    require(binWidthSec > 0)
+    val wUs = binWidthSec * 1000000L
+    def binOf(c: Column): Column = floor(unix_micros(c.cast("timestamp")) / wUs)
+    val iv = intervals
+      .filter(col("end_time") >= col("start_time"))
+      .select(col("start_time"), col("end_time"),
+        explode(sequence(binOf(col("start_time")), binOf(col("end_time"))))
+          .as("_pib_bin"))
+    val keyed = fact.withColumn("_pib_bin", binOf(col(tsCol)))
+    keyed.join(iv,
+        keyed("_pib_bin") === iv("_pib_bin") &&
+          keyed(tsCol) >= iv("start_time") &&
+          keyed(tsCol) <= iv("end_time"),
+        "left_semi")
+      .drop("_pib_bin")
+  }
 }

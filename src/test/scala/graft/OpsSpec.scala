@@ -69,6 +69,37 @@ class OpsSpec extends SparkSpec {
     assert(Filters.pointInInterval(facts, iv).count == 3)
   }
 
+  test("J1 binned: pointInIntervalBinned matches the broadcast path") {
+    val rnd = new scala.util.Random(7)
+    val facts = (0 until 400).map(i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + rnd.nextInt(2000000) * 1000L)))
+      .toDF("id", "date_time")
+    val iv = (0 until 30).map { _ =>
+      val s = 1700000000000L + rnd.nextInt(2000000) * 1000L
+      (new java.sql.Timestamp(s),
+        new java.sql.Timestamp(s + rnd.nextInt(200000) * 1000L))
+    }.toDF("start_time", "end_time") // overlapping intervals on purpose
+    // bins much smaller than intervals (many replicas) and much larger
+    // (coarse buckets) must both agree with the broadcast nested loop
+    val expect = Filters.pointInInterval(facts, iv)
+      .select("id").as[Long].collect().sorted.toSeq
+    for (w <- Seq(60L, 3600L, 7 * 86400L)) {
+      val got = Filters.pointInIntervalBinned(facts, iv, binWidthSec = w)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(got == expect, s"binWidthSec=$w")
+    }
+    // boundary inclusivity survives the binned path (Q9)
+    val bf = Seq(ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00"),
+      ts("2024-01-01 00:10:01")).toDF("date_time")
+    val biv = Seq((ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00")))
+      .toDF("start_time", "end_time")
+    assert(Filters.pointInIntervalBinned(bf, biv, binWidthSec = 600).count == 2)
+    // inverted intervals match nothing rather than erroring in sequence()
+    val inv = Seq((ts("2024-01-01 00:10:00"), ts("2024-01-01 00:00:00")))
+      .toDF("start_time", "end_time")
+    assert(Filters.pointInIntervalBinned(bf, inv).count == 0)
+  }
+
   // ---- Windows -----------------------------------------------------------
 
   test("W1: dedupConsecutive keeps first row and change points") {

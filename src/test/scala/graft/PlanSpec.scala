@@ -66,6 +66,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_topk"), s"no partial top-k agg:\n$p")
   }
 
+  test("q62 binned interval join plans an equi semi-join, no nested loop") {
+    val p = plan("q62_binned_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"binned path fell back to a nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"),
