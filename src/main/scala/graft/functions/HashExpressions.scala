@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -71,12 +71,13 @@ private[graft] object MinHashParams {
   *
   * Per shingle: h = pmod(xxhash64(shingle), P); per k: pmod(a_k·h + b_k, P)
   * (h < P < 2^31 and a_k < 2^31, so a_k·h + b_k < 2^63 — no overflow).
-  * CodegenFallback: the kernel is a tight JVM loop; nothing useful to
-  * generate.
+  * Codegen emits a call to the JVM kernel via a reference object — the
+  * loop itself gains nothing from generation, but a CodegenFallback would
+  * evict the whole enclosing stage from WholeStageCodegen.
   */
 case class MinHashSignature(child: Expression, numHashes: Int,
                             portable: Boolean = false)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(numHashes >= 1, "numHashes must be >= 1")
 
@@ -97,9 +98,10 @@ case class MinHashSignature(child: Expression, numHashes: Int,
   @transient private lazy val bs: Array[Long] =
     Array.tabulate(numHashes)(k => MinHashParams.hashParams(k)._2)
 
-  override protected def nullSafeEval(input: Any): Any = {
+  /** Row kernel — public so generated code can call it. */
+  def kernel(shinglesRaw: ArrayData): ArrayData = {
     import MinHashParams._
-    val shingles = input.asInstanceOf[ArrayData]
+    val shingles = shinglesRaw
     val n = shingles.numElements()
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val md = if (portable) threadMd5() else null
@@ -121,6 +123,16 @@ case class MinHashSignature(child: Expression, numHashes: Int,
     new GenericArrayData(mins.map(Long.box(_): Any))
   }
 
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSig", this,
+      classOf[MinHashSignature].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
@@ -131,7 +143,7 @@ case class MinHashSignature(child: Expression, numHashes: Int,
   * map-only-projection scale argument as [[MinHashSignature]].
   */
 case class SimHash64(child: Expression, portable: Boolean = false)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   /** Portable mode uses the 60-bit md5-prefix hash, so the fingerprint
     * occupies bits 0..59 (always non-negative). */
@@ -146,9 +158,9 @@ case class SimHash64(child: Expression, portable: Boolean = false)
 
   override def dataType: DataType = LongType
 
-  override protected def nullSafeEval(input: Any): Any = {
+  /** Row kernel — public so generated code can call it. */
+  def kernel(shingles: ArrayData): Long = {
     import MinHashParams._
-    val shingles = input.asInstanceOf[ArrayData]
     val n = shingles.numElements()
     val counts = new Array[Long](bits)
     val md = if (portable) threadMd5() else null
@@ -173,6 +185,15 @@ case class SimHash64(child: Expression, portable: Boolean = false)
       bit += 1
     }
     fp
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

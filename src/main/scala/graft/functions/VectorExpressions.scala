@@ -98,8 +98,7 @@ object VectorExpressions {
   * OOMs on curation-scale documents.
   */
 case class RollingFingerprints(child: Expression, k: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   require(k >= 1, "k-gram width must be >= 1")
 
@@ -126,10 +125,11 @@ case class RollingFingerprints(child: Expression, k: Int)
     sb.toString
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      .toString
-    val md = java.security.MessageDigest.getInstance("MD5")
+  /** Row kernel — public so generated code can call it. */
+  def kernel(input: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val text = input.toString
+    val md = MinHashParams.threadMd5() // per-row getInstance pays a JCA
+                                       // provider lookup on the hot path
     val n = math.max(text.length - (k - 1), 1)
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     var i = 0
@@ -147,6 +147,16 @@ case class RollingFingerprints(child: Expression, k: Int)
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rollingFp", this,
+      classOf[RollingFingerprints].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
@@ -157,12 +167,11 @@ case class RollingFingerprints(child: Expression, k: Int)
   * slice(split(lower(text)," "), i, n))))`, whose lambda tree costs seconds
   * of fixed codegen per query and re-slices per position. Single pass,
   * exact same output (single-space split keeping empties; < n tokens →
-  * one whole-text shingle). CodegenFallback: the row kernel is plain JVM
-  * code; there is nothing useful to generate.
+  * one whole-text shingle). Codegen calls the JVM kernel via a reference
+  * object so the enclosing stage stays in WholeStageCodegen.
   */
 case class WordShingles(child: Expression, n: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   require(n >= 1, "shingle width must be >= 1")
 
@@ -177,9 +186,9 @@ case class WordShingles(child: Expression, n: Int)
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      .toLowerCase.toString
+  /** Row kernel — public so generated code can call it. */
+  def kernel(input: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val text = input.toLowerCase.toString
     val toks = text.split(" ", -1)
     val out =
       if (toks.length >= n) {
@@ -211,6 +220,16 @@ case class WordShingles(child: Expression, n: Int)
           .fromString(toks.mkString(" ")))
       }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordShingles", this,
+      classOf[WordShingles].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

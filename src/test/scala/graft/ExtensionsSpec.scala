@@ -119,6 +119,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("native kernels stay inside WholeStageCodegen") {
+    // a CodegenFallback expression evicts its whole stage from codegen;
+    // the kernels generate a reference-object call instead, so the
+    // projection must appear under a WholeStageCodegen span (the `*(n)`
+    // prefix in the executed plan)
+    // repartition keeps the optimizer from folding the projection into
+    // the eager LocalTableScan, so a real stage exists to inspect
+    val base = docs.repartition(2)
+    val plans = Seq(
+      base.select(graft.functions.HashExpressions.minhashSignature(
+        TextOps.shingles(col("text"), 3), 16)),
+      base.select(graft.functions.HashExpressions.simhash64(
+        TextOps.shingles(col("text"), 3))),
+      base.select(graft.functions.VectorExpressions.wordShingles(
+        col("text"), 3)),
+      base.select(graft.functions.VectorExpressions.rollingFingerprints(
+        col("text"), 8)))
+      .map { df =>
+        df.collect() // AQE finalizes codegen stages only on execution
+        df.queryExecution.executedPlan.toString
+      }
+    plans.foreach { p =>
+      assert(p.contains("*(1) Project"), s"kernel fell out of codegen:\n$p")
+    }
+  }
+
   test("ngramJaccard: identical 1.0, near-dup in (0,1), unrelated absent") {
     val got = Dedup.ngramJaccard(docs, minJaccard = 0.2).collect()
       .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
