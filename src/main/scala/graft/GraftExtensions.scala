@@ -38,7 +38,11 @@ object GraftFunctions {
 
   private def doubleLit(e: Expression, fn: String): Double = e match {
     case Literal(v: Double, _) => v
+    case Literal(v: Float, _) => v.toDouble
     case Literal(v: Int, _) => v.toDouble
+    case Literal(v: Long, _) => v.toDouble
+    // plain SQL decimals like 0.12 parse as DecimalType literals
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
     case other => throw new IllegalArgumentException(
       s"$fn expects a literal numeric argument, got $other")
   }
@@ -70,21 +74,31 @@ object GraftFunctions {
     ("quality_score", graft.text.TextOps.getClass.getName,
       exprs => { arity("quality_score", exprs, 1, 1)
         catalystExpression(graft.text.TextOps.qualityScore(column(exprs(0)))) }),
+    // absent optional args call the Scala overload with its own default —
+    // never a copied constant, so the two surfaces cannot diverge
     ("lang_id_en", graft.text.TextOps.getClass.getName,
       exprs => { arity("lang_id_en", exprs, 1, 2)
-        val th = if (exprs.size > 1) doubleLit(exprs(1), "lang_id_en") else 0.12
-        catalystExpression(graft.text.TextOps.langIdEn(column(exprs(0)), th)) }),
+        catalystExpression(
+          if (exprs.size > 1)
+            graft.text.TextOps.langIdEn(column(exprs(0)),
+              doubleLit(exprs(1), "lang_id_en"))
+          else graft.text.TextOps.langIdEn(column(exprs(0)))) }),
     ("hash_split", graft.text.TextOps.getClass.getName,
       exprs => { arity("hash_split", exprs, 1, 3)
-        val train = if (exprs.size > 1) intLit(exprs(1), "hash_split") else 80
-        val valP = if (exprs.size > 2) intLit(exprs(2), "hash_split") else 10
-        catalystExpression(
-          graft.text.TextOps.hashSplit(column(exprs(0)), train, valP)) }),
+        catalystExpression(exprs match {
+          case Seq(k) => graft.text.TextOps.hashSplit(column(k))
+          case Seq(k, tr) => graft.text.TextOps.hashSplit(column(k),
+            intLit(tr, "hash_split"))
+          case Seq(k, tr, vp) => graft.text.TextOps.hashSplit(column(k),
+            intLit(tr, "hash_split"), intLit(vp, "hash_split"))
+        }) }),
     ("dup_ngram_fraction", graft.text.TextOps.getClass.getName,
       exprs => { arity("dup_ngram_fraction", exprs, 1, 2)
-        val n = if (exprs.size > 1) intLit(exprs(1), "dup_ngram_fraction") else 2
-        catalystExpression(graft.text.TextOps.duplicateNgramFraction(
-          column(exprs(0)), n)) }))
+        catalystExpression(
+          if (exprs.size > 1)
+            graft.text.TextOps.duplicateNgramFraction(column(exprs(0)),
+              intLit(exprs(1), "dup_ngram_fraction"))
+          else graft.text.TextOps.duplicateNgramFraction(column(exprs(0)))) }))
 
   /** Runtime registration (temp functions) for an existing session. */
   def register(spark: SparkSession): Unit =

@@ -43,14 +43,16 @@ object ScaleProbe {
         ops: Seq[(String, DataFrame => Long)]): Map[String, Double] = {
       var d = input.cache()
       d.count()
-      val r = ops.map { case (label, f) =>
+      val r = ops.zipWithIndex.map { case ((label, f), i) =>
         val t0 = System.nanoTime()
         val n = f(d)
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"  $label: $dt%.2f s ($n rows)")
         spark.catalog.clearCache()
-        d = input.cache()
-        d.count()
+        if (i < ops.size - 1) { // after the last op there is nothing to prime
+          d = input.cache()
+          d.count()
+        }
         label -> dt
       }.toMap
       spark.catalog.clearCache()

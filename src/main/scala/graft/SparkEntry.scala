@@ -20,6 +20,19 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Readers.table(s, dir, name)
 
+  /** Shared by q07/q62: same fact (lineitem) and interval (high-value
+    * order windows) inputs, so the broadcast and binned paths stay
+    * semantically locked to one oracle. */
+  private def pointInIntervalInputs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val li = t(s, dir, "lineitem").withColumnRenamed("l_shipdate", "ts0")
+    val iv = t(s, dir, "orders")
+      .filter(col("o_totalprice") > 499000)
+      .select(col("o_orderdate").as("start_time"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("end_time"))
+    (li, iv)
+  }
+
   /** Shared by q58/q59: the first `k` embedding vectors as deterministic
     * seed centroids (cluster id = vec_id). */
   private def seedCentroids(embs: DataFrame,
@@ -108,11 +121,7 @@ object SparkEntry {
 
     // J1: point-in-interval semi-join (broadcast non-equi)
     "q07_point_in_interval_join" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").withColumnRenamed("l_shipdate", "ts0")
-      val iv = t(s, dir, "orders")
-        .filter(col("o_totalprice") > 499000)
-        .select(col("o_orderdate").as("start_time"),
-          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("end_time"))
+      val (li, iv) = pointInIntervalInputs(s, dir)
       Filters.pointInInterval(li, iv, "ts0")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
@@ -691,13 +700,10 @@ object SparkEntry {
     }),
 
     // q07's semantics on the non-broadcastable scale path: equi-join on
-    // coarse time buckets instead of BroadcastNestedLoopJoin (same oracle)
+    // coarse time buckets instead of BroadcastNestedLoopJoin (same inputs
+    // and oracle as q07 — the shared builder locks the equivalence)
     "q62_binned_interval_join" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").withColumnRenamed("l_shipdate", "ts0")
-      val iv = t(s, dir, "orders")
-        .filter(col("o_totalprice") > 499000)
-        .select(col("o_orderdate").as("start_time"),
-          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("end_time"))
+      val (li, iv) = pointInIntervalInputs(s, dir)
       Filters.pointInIntervalBinned(li, iv, "ts0",
           binWidthSec = 30L * 86400)
         .groupBy("l_returnflag")

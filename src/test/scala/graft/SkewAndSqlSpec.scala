@@ -86,11 +86,15 @@ class SkewAndSqlSpec extends SparkSpec {
       "SELECT hash_split(id, 100, 0) AS s FROM range(0, 200)")
       .collect().map(_.getString(0)).toSet
     assert(splits == Set("train"))
-    // lang_id_en threshold 1.0: ordinary English text no longer passes
-    val strict = spark.sql(
-      "SELECT lang_id_en('the quick brown fox is on the mat', 1.0d) AS l")
-      .head().getString(0)
-    assert(strict == "other")
+    // lang_id_en threshold 1.0: ordinary English text no longer passes.
+    // Plain decimal spelling (no 'd' suffix) parses as a DecimalType
+    // literal and must be accepted too
+    for (litSpelling <- Seq("1.0d", "1.0")) {
+      val strict = spark.sql(
+        s"SELECT lang_id_en('the quick brown fox is on the mat', $litSpelling) AS l")
+        .head().getString(0)
+      assert(strict == "other", s"literal $litSpelling")
+    }
     // wrong arity fails with a message naming the function, not a raw
     // collection exception
     val err = intercept[Exception] {
