@@ -48,13 +48,28 @@ object Bench {
         .map(v => target.replaceAll("sf[0-9.]+$", s"sf$v"))
         .find(d => new java.io.File(d).isDirectory)
     }.getOrElse(target)
+    if (warmDir == target)
+      System.err.println(s"[bench] WARNING: no smaller SF dir found below " +
+        s"$target — warmup runs the full suite AT TARGET SCALE (2x wall)")
+    else System.err.println(s"[bench] warmup dir: $warmDir")
     runAll(warmDir)
 
     val results = runAll(sfDir)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal seconds keep the line short (stdout tails get clipped);
+    // Locale.ROOT so the decimal separator is always '.' (valid JSON)
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout can truncate under the harness tail; persist to a file too
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: $e") }
+    println(line)
     spark.stop()
   }
 }

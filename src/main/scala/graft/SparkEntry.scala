@@ -906,7 +906,10 @@ object SparkEntry {
         |  SELECT q.q_id, e.vec_id,
         |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
         |           AS cosine
-        |  FROM embeddings e CROSS JOIN q),
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE list_sum(list_transform(CAST(e.embedding AS DOUBLE[]),
+        |          x -> abs(x))) > 0
+        |    AND list_sum(list_transform(q.qv, x -> abs(x))) > 0),
         |r AS (
         |  SELECT q_id, vec_id, cosine,
         |         CAST(row_number() OVER (PARTITION BY q_id

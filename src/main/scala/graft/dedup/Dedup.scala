@@ -220,17 +220,26 @@ object Dedup {
     * jaccard. */
   def jaccardForPairs(docs: DataFrame, pairs: DataFrame,
                       idCol: String = "doc_id", textCol: String = "text",
-                      shingleN: Int = 3): DataFrame = {
+                      shingleN: Int = 3): DataFrame =
+    jaccardForPairsWithHandle(docs, pairs, idCol, textCol, shingleN)._1
+
+  /** [[jaccardForPairs]] plus the cached shingle frame, so callers that
+    * materialize the result (e.g. [[nearDupClusters]]) can `unpersist` it —
+    * a long-running job invoking the public API repeatedly would otherwise
+    * accumulate unreleasable storage memory. */
+  private[graft] def jaccardForPairsWithHandle(
+      docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleN: Int = 3): (DataFrame, DataFrame) = {
     // shingle only the docs that appear in a pair (candidates touch far
-    // fewer docs than the corpus), and cache: both joins consume this
-    // frame (release is harness/caller-owned, as with the pair generators)
+    // fewer docs than the corpus), and cache: both joins consume this frame
     val pairIds = pairs.select(col("id_a").as("jid"))
       .unionAll(pairs.select(col("id_b").as("jid"))).distinct()
     val sh = docs.select(col(idCol).as("jid"), col(textCol))
       .join(pairIds, Seq("jid"), "left_semi")
       .select(col("jid"), TextOps.shingles(col(textCol), shingleN).as("jsh"))
       .cache()
-    pairs.select(col("id_a"), col("id_b"))
+    val out = pairs.select(col("id_a"), col("id_b"))
       .join(sh.select(col("jid").as("id_a"), col("jsh").as("sh_a")),
         Seq("id_a"))
       .join(sh.select(col("jid").as("id_b"), col("jsh").as("sh_b")),
@@ -241,6 +250,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+    (out, sh)
   }
 
   /** End-to-end scalable near-dup clustering: MinHash-LSH candidates →
@@ -254,10 +264,16 @@ object Dedup {
                       portable: Boolean = false): DataFrame = {
     val cand = minhashCandidates(docs, idCol, textCol, shingleN, numHashes,
       bands, portable)
-    val verified = jaccardForPairs(docs, cand, idCol, textCol, shingleN)
-      .filter(col("jaccard") >= minJaccard)
-    connectedComponents(docs.select(col(idCol).as("id")), verified)
+    val (jac, shCache) =
+      jaccardForPairsWithHandle(docs, cand, idCol, textCol, shingleN)
+    val verified = jac.filter(col("jaccard") >= minJaccard)
+    // connectedComponents materializes its edge set before returning (the
+    // gate count + either the driver collect or the checkpointed BSP
+    // labels), so the shingle cache has served every consumer by here
+    val out = connectedComponents(docs.select(col(idCol).as("id")), verified)
       .select(col("id").as(idCol), col("cluster_id"))
+    shCache.unpersist(false)
+    out
   }
 
   // ---- clustering --------------------------------------------------------
@@ -285,13 +301,22 @@ object Dedup {
     *                propagation steps); supports component diameters up to
     *                maxIter·stepsPerRound
     * @param driverMaxEdges edge-count gate for the driver union-find path
-    *                       (0 forces the distributed loop)
+    *                       (0 forces the distributed loop). Collected edges
+    *                       cost far more than their raw id bytes on the
+    *                       driver (GenericRow wrappers, boxing, hash-map
+    *                       interning), so the gate also bounds ESTIMATED
+    *                       heap via `driverMaxBytes`; at the defaults plan
+    *                       for ~0.5 GB of driver headroom
+    * @param driverMaxBytes estimated-driver-heap gate for the union-find
+    *                       path: edge count x (avg id width + per-row
+    *                       overhead) must stay under this
     * @return (id, cluster_id) with cluster_id = min id of the component
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           maxIter: Int = 20,
                           stepsPerRound: Int = 2,
-                          driverMaxEdges: Long = 2000000L): DataFrame = {
+                          driverMaxEdges: Long = 2000000L,
+                          driverMaxBytes: Long = 256L << 20): DataFrame = {
     require(stepsPerRound >= 1)
     val nodeIds = nodes.select(col("id"))
     // restrict edges to the node set: pair endpoints outside `nodes` must
@@ -304,8 +329,20 @@ object Dedup {
       .select("u", "v") // a USING join moves its key to column 0
       .distinct().cache()
     val idType = nodeIds.schema("id").dataType
+    // one pass gives both gate inputs: edge count and average id width
+    // (digit count for numerics — a fair proxy for their boxed size)
+    val gateRow = restricted.agg(
+      count(lit(1)),
+      avg(length(col("u").cast("string")) + length(col("v").cast("string"))))
+      .head()
+    val edgeCount = gateRow.getLong(0)
+    val avgIdWidth = if (gateRow.isNullAt(1)) 0.0 else gateRow.getDouble(1)
+    // ~112 bytes/edge of driver overhead beyond the ids themselves:
+    // GenericRow + Object[] wrapper, two boxed values, union-find interning
+    val estDriverBytes = edgeCount * (avgIdWidth + 112.0)
     val smallEnough = driverMaxEdges > 0 &&
-      idOrdering(idType).isDefined && restricted.count() <= driverMaxEdges
+      idOrdering(idType).isDefined && edgeCount <= driverMaxEdges &&
+      estDriverBytes <= driverMaxBytes
     if (smallEnough) {
       val out = driverUnionFind(nodeIds, restricted, idType)
       restricted.unpersist(false)

@@ -150,10 +150,13 @@ object Similarity {
         .as("v"))
       .withColumn("vn", norm(col("v"), dim))
       .crossJoin(q)
+      // cosine is undefined for zero-norm vectors; exclude such pairs
+      // outright (the q61 oracle applies the same symmetric filter) rather
+      // than inventing a 0.0 score that would rank them arbitrarily
+      .filter(col("vn") * col("qn") > 0)
       .select(col("q_id"),
-        when(col("vn") * col("qn") > 0,
-          dot(col("v"), col("qv"), dim) / (col("vn") * col("qn")))
-          .otherwise(lit(0.0)).as("score"),
+        (dot(col("v"), col("qv"), dim) / (col("vn") * col("qn")))
+          .as("score"),
         col("nid"))
     scored.groupBy("q_id")
       .agg(graft.ops.Aggregators.topK(k)(col("score"), col("nid"))
@@ -220,6 +223,10 @@ object Similarity {
     require(k >= 1 && iters >= 1)
     val seedRows = embs.orderBy(col(idCol)).limit(k)
       .select(col(vecCol).cast("array<double>")).collect()
+    // a corpus with < k rows would silently shrink k (and duplicate seed
+    // vectors would pin empty clusters forever via the keep-previous rule)
+    require(seedRows.length == k,
+      s"kmeans: corpus has only ${seedRows.length} rows for k=$k seeds")
     var cents: Seq[(Long, Array[Double])] = seedRows.toSeq.zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Double](0).toArray) }
     var assigned = assignToCentroids(embs, cents, idCol, vecCol, dim)

@@ -151,10 +151,12 @@ object Pipelines {
     val deduped = exact.join(reps, Seq("doc_id"), "left_semi")
     // three consumers below (train branch, test branch, non-train union);
     // without persisting, the gate + both dedup subtrees execute 3x per
-    // action (release is caller/harness-owned, as with the pair
-    // generators)
+    // action. localCheckpoint (lazy) rather than cache: blocks are
+    // reclaimed by the ContextCleaner once the frame is unreferenced, so
+    // repeated curate calls in a long-running job don't accumulate
+    // unreleasable storage memory
     val split = deduped.withColumn("split",
-      TextOps.hashSplit(col("doc_id"))).cache()
+      TextOps.hashSplit(col("doc_id"))).localCheckpoint(false)
     val cleanTrain = TextOps.decontaminate(
       split.filter(col("split") === "train"),
       split.filter(col("split") === "test"), n = decontamN)
