@@ -105,7 +105,27 @@ object Normalize {
   def parseListString(df: DataFrame, column: String): DataFrame =
     df.withColumn(column, from_json(col(column), arr))
 
-  /** P21 + S3 tail: Excel header rename map
+  /** S3: the reference's `feature_rename` header map, verbatim
+    * (/root/reference/raw_data_reformat.py:153-162) — applied by
+    * [[graft.io.Xlsx.loadComputed]] before melting, exactly as
+    * `load_excel` does. `Body temperature (F)` is deliberately absent:
+    * unrenamed, it survives the melt and is dropped by kind (:175). */
+  val FeatureRenames: Map[String, String] = Map(
+    "Heart rate (bpm)" -> "hr",
+    "Diastolic (mmHg)" -> "bp_dia",
+    "Systolic (mmHg)" -> "bp_sys",
+    "SaO2 (%)" -> "spo2",
+    "Body temperature (C)" -> "st",
+    "Pedometer" -> "step",
+    "Total sleep" -> "sleep_total",
+    "Deep sleep" -> "sleep_deep",
+    "Light sleep" -> "sleep_light",
+    "Event Markers" -> "Event_markers"
+  )
+
+  /** P21 + S3 tail: header rename map for the pre-converted CSV/parquet
+    * workbook stand-in (long descriptive headers; see FIXTURES.md §5).
+    * Native xlsx ingest uses [[FeatureRenames]] instead
     * (/root/reference/raw_data_reformat.py:153-167). */
   val ExcelRenames: Map[String, String] = Map(
     "Heart rate" -> "hr",
