@@ -1,0 +1,420 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.io.{Readers, Writers, Xlsx}
+import graft.ops.{Acc, Normalize, TimeOps}
+import graft.pipeline.Pipelines
+
+/** Stage CLI — one spark-submit-able main reproducing the reference's
+  * script workflow and its file-layout / skip-if-exists contracts
+  * (VERDICT r2 item 3). Subcommands map 1:1 to the reference scripts:
+  *
+  *   organize   — organize_raw_files.{sh,py}:63-170: unzip, make per-date
+  *                dirs, sort .json files into them
+  *   reformat   — raw_data_reformat.py:204-264: raw JSON dir →
+  *                `0_<dir>_{measurements,ppg,ac}.csv` (skip when present),
+  *                optional clock alignment from a computed workbook (-e,
+  *                read natively via [[graft.io.Xlsx]]) or a
+  *                timestamp-diff file (-t); writes `timestamp_diff.txt`
+  *                two levels up exactly as adjust_time does (:51-55)
+  *   acc        — acc_reformat.py:8-86: ac CSV →
+  *                `0_<dir>_ac_reformatted.csv` (skip when present)
+  *   filter     — filtering_data.py:126-221: computed xlsx/csv →
+  *                flatline-filtered, range-clamped CSV
+  *   categorize — activity_categorize.py:209-343: measurements + acc →
+  *                `<stem>_sleep_acc_thresholds.csv`,
+  *                `<stem>_acc_category.csv`,
+  *                `<stem>_activity_categorized.csv` (with `--acc_cat`
+  *                skipping the first two, as the reference does)
+  *   all        — the four stages chained over one directory tree
+  *
+  * CSV outputs are single files with the reference's exact names — written
+  * through one task, which is the right shape for per-subject-day outputs
+  * (they are small by construction). `--parquet` additionally writes the
+  * measurements as a date-partitioned parquet layout, which is the scale
+  * path (partition pruning at read; S7).
+  */
+object Run {
+
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { println(help); return }
+    val (cmd, rest) = (args.head, args.tail.toSeq)
+    if (cmd == "-h" || cmd == "--help" || cmd == "help") {
+      println(help); return
+    }
+    val opts = parseOpts(rest)
+    cmd match {
+      case "organize" => organize(opts)
+      case "reformat" => reformat(sparkSession(), opts)
+      case "acc" => acc(sparkSession(), opts)
+      case "filter" => filterCmd(sparkSession(), opts)
+      case "categorize" => categorize(sparkSession(), opts)
+      case "all" => all(sparkSession(), opts)
+      case other =>
+        System.err.println(s"Unknown subcommand: $other\n$help")
+        sys.exit(2)
+    }
+  }
+
+  private def help: String =
+    """graft.Run <organize|reformat|acc|filter|categorize|all> [options]
+      |  organize   -d <dir> -o <stem> [-j] [-c]
+      |  reformat   -d <json dir> [-e <computed.xlsx>] [-t <tdiff file>] [--tz <zone>] [--parquet]
+      |  acc        -f <ac csv> [-b <bin seconds>]
+      |  filter     -f <file> | -d <dir> [-p <pattern>] -s <save.csv>
+      |  categorize -f <file|dir> [-e <ext>] -a <acc file|dir> | --acc_cat <csv> -s <stem>
+      |  all        -d <root dir> [-o <stem>] [-e <computed.xlsx>] [--parquet]""".stripMargin
+
+  /** getopt-lite: `-x val` / `--long val` for value opts, bare flags for
+    * booleans (the reference's flag set). */
+  private val BoolFlags = Set("-v", "-r", "-j", "-c", "-h", "--help",
+    "--parquet")
+  private def parseOpts(args: Seq[String]): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (BoolFlags(a)) { out += a -> "true"; i += 1 }
+      else if (a.startsWith("-") && i + 1 < args.length) {
+        out += a -> args(i + 1); i += 2
+      } else i += 1
+    }
+    out.result()
+  }
+
+  private def sparkSession(): SparkSession = {
+    // respect an external master (spark-submit / env); default local
+    val conf = new org.apache.spark.SparkConf()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val b = SparkSession.builder().appName("graft-run")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    val s = (if (conf.contains("spark.master")) b
+             else b.master(s"local[$cpus]")).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  // ---- shared IO helpers -------------------------------------------------
+
+  /** Single-file CSV with the reference's exact name: write through one
+    * task into a scratch dir, move the part file onto the target. Compat
+    * path only — per-subject-day outputs are small by construction; the
+    * scale path is `--parquet`. */
+  private[graft] def writeSingleCsv(df: DataFrame, target: Path): Unit = {
+    val tmp = Files.createTempDirectory(
+      target.getParent, "." + target.getFileName.toString)
+    stringifyComplex(df).coalesce(1).write
+      .option("header", "true")
+      .option("timestampFormat", TsFmt)
+      .mode("overwrite")
+      .csv(tmp.toString)
+    val part = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".csv"))
+      .getOrElse(sys.error(s"no csv part produced under $tmp"))
+    Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+    Files.list(tmp).iterator().asScala.foreach(Files.delete)
+    Files.delete(tmp)
+  }
+
+  /** Array columns → the reference's `str(list)` form ("[1.0, 2.0]") so
+    * CSV round-trips through [[Normalize.parseListString]] /
+    * `literal_eval` (acc_reformat.py:66). */
+  private def stringifyComplex(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) {
+      case (d, StructField(name, _: ArrayType, _, _)) =>
+        d.withColumn(name, concat(lit("["),
+          array_join(transform(col(name), _.cast("string")), ", "),
+          lit("]")))
+      case (d, _) => d
+    }
+
+  private def readCsv(spark: SparkSession, path: String,
+                      schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true")
+      .option("timestampFormat", TsFmt.replace(".SSSSSS", "[.SSSSSS]"))
+      .csv(path)
+
+  private def globExists(dir: Path, pattern: String): Boolean = {
+    val m = dir.getFileSystem.getPathMatcher("glob:" + pattern)
+    Files.list(dir).iterator().asScala
+      .exists(p => m.matches(p.getFileName))
+  }
+
+  /** date/time columns re-derived from date_time, then the reference's
+    * CSV column order (kind,data,jname,date_time,date,time — pandas keeps
+    * the pre-melt frame's order, raw_data_reformat.py:58-65,87). */
+  private def refLayout(df: DataFrame): DataFrame =
+    df.withColumn("date", to_date(col("date_time")))
+      .withColumn("time", date_format(col("date_time"), "HH:mm:ss.SSSSSS"))
+      .select("kind", "data", "jname", "date_time", "date", "time")
+
+  // ---- organize (organize_raw_files.py:63-170) --------------------------
+
+  private val DatePattern = """\d{4}-\d{2}-\d{2}""".r
+
+  private def organize(opts: Map[String, String]): Unit = {
+    val dir = Paths.get(opts.getOrElse("-d",
+      exit2("Missing -d argument")))
+    val stemArg = opts.getOrElse("-o", exit2("Missing -o argument"))
+    val json = opts.contains("-j")
+    // -c: auto-detect the stem from computed .xlsx names (:21-43)
+    val stem =
+      if (opts.contains("-c")) {
+        val names = Files.list(Paths.get(stemArg)).iterator().asScala
+          .map(_.getFileName.toString).filter(_.endsWith(".xlsx"))
+          .map(n => n.stripSuffix(".xlsx"))
+          .map(n => n.substring(0, math.max(0, n.length - 11)))
+          .toSet
+        if (names.size != 1)
+          exit2(s"Could not auto-detect a unique stem: $names")
+        names.head
+      } else stemArg
+    if (!json) {
+      // unzip all archives in place (extract_zip, :7-20)
+      Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".zip")).foreach { z =>
+          val zin = new java.util.zip.ZipInputStream(
+            Files.newInputStream(z))
+          try {
+            var e = zin.getNextEntry
+            while (e != null) {
+              val out = dir.resolve(e.getName).normalize()
+              require(out.startsWith(dir), s"zip-slip entry: ${e.getName}")
+              if (e.isDirectory) Files.createDirectories(out)
+              else {
+                Files.createDirectories(out.getParent)
+                Files.copy(zin, out, StandardCopyOption.REPLACE_EXISTING)
+              }
+              e = zin.getNextEntry
+            }
+          } finally zin.close()
+        }
+    }
+    // per-date dirs + move (make_dirs/sort_files, :44-60)
+    var moved = 0
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json")).toSeq
+      .foreach { f =>
+        DatePattern.findFirstIn(f.getFileName.toString).foreach { d =>
+          val dst = dir.resolve(s"${stem}_$d")
+          Files.createDirectories(dst)
+          Files.move(f, dst.resolve(f.getFileName),
+            StandardCopyOption.REPLACE_EXISTING)
+          moved += 1
+        }
+      }
+    println(s"All files sorted. Total files moved: $moved")
+  }
+
+  // ---- reformat (raw_data_reformat.py:204-264) --------------------------
+
+  private def reformat(spark: SparkSession, opts: Map[String, String],
+                       dirOverride: Option[Path] = None): Unit = {
+    val dir = dirOverride.getOrElse(Paths.get(opts.getOrElse("-d",
+      exit2("Directory containing all .json files is not defined."))))
+    if (!Files.isDirectory(dir)) exit2(s"Invalid path: $dir")
+    if (!Files.list(dir).iterator().hasNext) {
+      println("Empty directory, skipping."); return
+    }
+    // skip-if-exists contract (:248, :263-264)
+    if (globExists(dir, "0_*_measurements.csv") &&
+        globExists(dir, "0_*_ppg.csv") && globExists(dir, "0_*_ac.csv")) {
+      println("Files exist, skipping."); return
+    }
+    val refEpochMs = opts.get("-e").map { xlsx =>
+      Xlsx.loadComputed(spark, xlsx)
+        .agg(min("date_time")).head().getTimestamp(0).getTime
+    }
+    val offsetMs = opts.get("-t").map(f =>
+      Files.readAllLines(Paths.get(f)).get(0).trim.toLong)
+    val zone = opts.getOrElse("--tz", "UTC")
+    val out = Pipelines.reformat(spark, dir.toString, refEpochMs, offsetMs,
+      zone)
+    // adjust_time persists the derived offset two levels up (:51-55)
+    val tdiffDir = Option(dir.toAbsolutePath.getParent)
+      .flatMap(p => Option(p.getParent))
+    tdiffDir.filter(Files.isDirectory(_)).foreach(p =>
+      Files.writeString(p.resolve("timestamp_diff.txt"),
+        out.offsetMs.toString))
+    val base = dir.getFileName.toString
+    writeSingleCsv(refLayout(out.measurements)
+      .orderBy("kind", "date_time"),
+      dir.resolve(s"0_${base}_measurements.csv"))
+    writeSingleCsv(refLayout(out.ppg), dir.resolve(s"0_${base}_ppg.csv"))
+    writeSingleCsv(refLayout(out.ac).orderBy("date_time"),
+      dir.resolve(s"0_${base}_ac.csv"))
+    if (opts.contains("--parquet"))
+      Writers.partitionedParquet(
+        out.measurements.withColumn("date", to_date(col("date_time"))),
+        dir.resolve(s"0_${base}_measurements.parquet").toString,
+        Seq("date"))
+  }
+
+  // ---- acc (acc_reformat.py:8-86) ---------------------------------------
+
+  private val AcCsvSchema = StructType(Seq(
+    StructField("kind", StringType), StructField("data", StringType),
+    StructField("jname", StringType),
+    StructField("date_time", TimestampType),
+    StructField("date", DateType), StructField("time", StringType)))
+
+  private def acc(spark: SparkSession, opts: Map[String, String],
+                  fileOverride: Option[Path] = None): Unit = {
+    val file = fileOverride.getOrElse(
+      Paths.get(opts.getOrElse("-f", exit2("Missing file name."))))
+    val binSize = opts.get("-b").map(_.toInt).getOrElse(300)
+    val base = file.toAbsolutePath.getParent.getFileName.toString
+    val out = file.toAbsolutePath.getParent
+      .resolve(s"0_${base}_ac_reformatted.csv")
+    if (Files.exists(out)) { println(s"$out already exist, skipping."); return }
+    val tall = Normalize.parseListString(
+      readCsv(spark, file.toString, AcCsvSchema), "data")
+    val wide = Pipelines.accReformat(tall, Nil, binSize)
+      .select("date_time", "acx", "acy", "acz", "seconds", "bin", "g_force")
+      .orderBy("date_time")
+    writeSingleCsv(wide, out)
+  }
+
+  // ---- filter (filtering_data.py:126-221) -------------------------------
+
+  private val ComputedCsvSchema = StructType(Seq(
+    StructField("date_time", TimestampType),
+    StructField("kind", StringType), StructField("data", StringType)))
+
+  private def loadComputedAny(spark: SparkSession, paths: Seq[String])
+      : DataFrame = {
+    val (xlsx, csv) = paths.partition(_.endsWith(".xlsx"))
+    val frames =
+      xlsx.map(p => Xlsx.loadComputed(spark, p)
+        .select("date_time", "kind", "data")) ++
+      csv.map(p => readCsv(spark, p, ComputedCsvSchema))
+    frames.reduceOption(_ unionByName _)
+      .getOrElse(exit2("No input files."))
+      .withColumn("data", col("data").cast(DoubleType))
+  }
+
+  private def filterCmd(spark: SparkSession, opts: Map[String, String])
+      : Unit = {
+    val save = opts.getOrElse("-s",
+      exit2("Output file name or directory not provided (-s)"))
+    val files = inputFiles(opts, opts.getOrElse("-p", "*.xlsx"))
+    val filtered = Pipelines.filterNoise(loadComputedAny(spark, files))
+      .orderBy("kind", "date_time")
+    writeSingleCsv(filtered.select("date_time", "kind", "data"),
+      Paths.get(save))
+  }
+
+  /** -f file | -f dir | -d dir, matching the reference's tolerant
+    * argument handling (activity_categorize.py:247-253). */
+  private def inputFiles(opts: Map[String, String],
+                         pattern: String): Seq[String] =
+    opts.get("-f").filter(f => Files.isRegularFile(Paths.get(f)))
+      .map(Seq(_)).getOrElse {
+      val dir = Paths.get(opts.get("-f").filter(f =>
+          Files.isDirectory(Paths.get(f)))
+        .orElse(opts.get("-d"))
+        .getOrElse(exit2("Require either -d or -f.")))
+      val m = dir.getFileSystem.getPathMatcher("glob:" + pattern)
+      val fs = Files.list(dir).iterator().asScala
+        .filter(p => m.matches(p.getFileName)).map(_.toString)
+        .toSeq.sorted
+      if (fs.isEmpty)
+        exit2(s"No file with pattern \"$pattern\" found within $dir.")
+      fs
+    }
+
+  // ---- categorize (activity_categorize.py:209-343) ----------------------
+
+  private val AccWideSchema = StructType(Seq(
+    StructField("date_time", TimestampType),
+    StructField("acx", DoubleType), StructField("acy", DoubleType),
+    StructField("acz", DoubleType), StructField("seconds", DoubleType),
+    StructField("bin", IntegerType), StructField("g_force", DoubleType)))
+
+  private val AccCatSchema = StructType(Seq(
+    StructField("start_time", TimestampType),
+    StructField("end_time", TimestampType),
+    StructField("category", StringType)))
+
+  private def categorize(spark: SparkSession, opts: Map[String, String])
+      : Unit = {
+    val stem = opts.getOrElse("-s", exit2("Missing -s save stem."))
+    val ext = opts.getOrElse("-e", "csv")
+    val measurements = loadComputedAny(spark,
+      inputFiles(opts, s"*.$ext"))
+    val sleep = Pipelines.sleepIntervals(measurements)
+    val timeline = opts.get("--acc_cat") match {
+      case Some(catFile) =>
+        // pre-categorized acc: skip thresholds + categorization (:285-286)
+        val cat = readCsv(spark, catFile, AccCatSchema)
+        Pipelines.timelineFromCategorized(sleep, cat)
+      case None =>
+        val accPaths = opts.get("-a").map { a =>
+          val p = Paths.get(a)
+          if (Files.isDirectory(p))
+            Files.walk(p).iterator().asScala
+              .filter(_.getFileName.toString.endsWith("ac_reformatted.csv"))
+              .map(_.toString).toSeq.sorted
+          else Seq(a)
+        }.getOrElse(exit2("Missing -a or --acc_cat."))
+        val accWide = accPaths.map(p => readCsv(spark, p, AccWideSchema))
+          .reduce(_ unionByName _)
+        val out = Pipelines.categorizeFull(measurements, accWide)
+        Files.writeString(Paths.get(s"${stem}_sleep_acc_thresholds.csv"),
+          s"lower_threshold,${out.lo}\nupper_threshold,${out.hi}\n")
+        writeSingleCsv(out.categorizedAcc
+          .select("start_time", "end_time", "category")
+          .orderBy("start_time"),
+          Paths.get(s"${stem}_acc_category.csv"))
+        out.timeline
+    }
+    writeSingleCsv(timeline
+      .select("start_time", "end_time", "category").orderBy("start_time"),
+      Paths.get(s"${stem}_activity_categorized.csv"))
+  }
+
+  // ---- all: the four stages chained over one tree -----------------------
+
+  private def all(spark: SparkSession, opts: Map[String, String]): Unit = {
+    val root = Paths.get(opts.getOrElse("-d", exit2("Missing -d.")))
+    val stem = opts.getOrElse("-o", "subject")
+    // stage 0: loose json/zip files → per-date dirs
+    if (globExists(root, "*.json") || globExists(root, "*.zip"))
+      organize(Map("-d" -> root.toString, "-o" -> stem) ++
+        (if (globExists(root, "*.zip")) Map.empty[String, String]
+         else Map("-j" -> "true")))
+    // stage 1+2 per date dir: reformat then acc-reformat
+    val dateDirs = Files.list(root).iterator().asScala
+      .filter(Files.isDirectory(_)).toSeq.sortBy(_.toString)
+    dateDirs.foreach { d =>
+      if (globExists(d, "*.json")) {
+        reformat(spark, opts - "-d", dirOverride = Some(d))
+        Files.list(d).iterator().asScala
+          .find(_.getFileName.toString.matches("0_.*_ac\\.csv"))
+          .foreach(f => acc(spark, Map.empty, fileOverride = Some(f)))
+      }
+    }
+    // stage 3+4: with a computed workbook, filter it then categorize
+    // against every ac_reformatted table under the tree
+    opts.get("-e").foreach { xlsx =>
+      val filteredOut = root.resolve(s"${stem}_filtered.csv")
+      filterCmd(spark, Map("-f" -> xlsx, "-s" -> filteredOut.toString))
+      categorize(spark, Map("-f" -> filteredOut.toString,
+        "-a" -> root.toString, "-s" -> root.resolve(stem).toString))
+    }
+    println("All stages complete.")
+  }
+
+  private def exit2(msg: String): Nothing = {
+    println(msg); sys.exit(2)
+  }
+}

@@ -23,15 +23,27 @@ object TimeOps {
   }
 
   /** P7 apply + P8: epoch-ms (+offset) → timestamp, plus derived date and
-    * time-of-day (/root/reference/raw_data_reformat.py:39-65). The reference
-    * used machine-local time (quirk Q11); engine semantics are the session
-    * time zone (pinned UTC). */
-  def convertDateTime(df: DataFrame, offsetMs: Long = 0L): DataFrame =
-    df.withColumn("date_time", timestamp_millis(col("time") + lit(offsetMs)))
+    * time-of-day (/root/reference/raw_data_reformat.py:39-65).
+    *
+    * The reference converts with `datetime.fromtimestamp`, i.e. in
+    * MACHINE-LOCAL time (quirk Q11); engine semantics default to UTC. Pass
+    * `zone` (an IANA id, e.g. "America/Los_Angeles") to reproduce the
+    * reference's wall-clock output for goldens produced in another TZ:
+    * the rendered date_time/date/time_of_day then match
+    * `datetime.fromtimestamp` on a machine in that zone. (As in the
+    * reference, the zone is then baked into the wall-clock values — this
+    * is a compat mode, not instant-preserving arithmetic.) */
+  def convertDateTime(df: DataFrame, offsetMs: Long = 0L,
+                      zone: String = "UTC"): DataFrame = {
+    val base = timestamp_millis(col("time") + lit(offsetMs))
+    val local =
+      if (zone == "UTC") base else from_utc_timestamp(base, zone)
+    df.withColumn("date_time", local)
       .withColumn("date", to_date(col("date_time")))
       .withColumn("time_of_day",
         date_format(col("date_time"), "HH:mm:ss.SSSSSS"))
       .drop("time")
+  }
 
   /** P9: seconds-of-day with fractional part
     * (/root/reference/acc_reformat.py:74-76). */

@@ -30,12 +30,13 @@ object Pipelines {
 
   def reformat(spark: SparkSession, inputDir: String,
                refEpochMs: Option[Long] = None,
-               offsetMs: Option[Long] = None): ReformatOut = {
+               offsetMs: Option[Long] = None,
+               zone: String = "UTC"): ReformatOut = {
     val raw = Readers.loadRawJson(spark, inputDir)
     val offset = offsetMs
       .orElse(refEpochMs.map(r => TimeOps.deriveClockOffsetMs(raw, r)))
       .getOrElse(0L)
-    val converted = TimeOps.convertDateTime(raw, offset)
+    val converted = TimeOps.convertDateTime(raw, offset, zone)
     ReformatOut(
       measurements = Normalize.normalizeMeasurements(converted),
       ppg = Normalize.waveforms(converted, Seq("ppg")),
@@ -68,54 +69,78 @@ object Pipelines {
                   binSize: Int = 300): DataFrame =
     Acc.accDerived(Acc.alignAxes(acTall, partitionCols), binSize)
 
-  /** E3 — activity_categorize.py (/root/reference/activity_categorize.py:209-343):
-    * sleep intervals from the cumulative counter, minus step activity;
-    * resting-band acc categorization; interval algebra to the final
-    * sleep / rest / low active / high active timeline. */
-  def categorize(measurements: DataFrame, accWide: DataFrame,
-                 partitionCols: Seq[String] = Nil):
-      (Double, Double, DataFrame) = {
-    val part = partitionCols.map(col)
-    def iv(df: DataFrame) =
-      df.select((part :+ col("start_time") :+ col("end_time")): _*)
+  private def iv(df: DataFrame, partitionCols: Seq[String]): DataFrame =
+    df.select((partitionCols.map(col) :+ col("start_time") :+
+      col("end_time")): _*)
 
-    // sleep: dedup-consecutive counter → counter-reset intervals → merge
+  /** E3 stage 1 — net sleep intervals
+    * (/root/reference/activity_categorize.py:291-304): dedup-consecutive
+    * cumulative counter → counter-reset intervals → merge → minus trailing
+    * 10-minute step windows. */
+  def sleepIntervals(measurements: DataFrame,
+                     partitionCols: Seq[String] = Nil): DataFrame = {
     val sleepTotal = Windows.dedupConsecutive(
       measurements.filter(col("kind") === "sleep_total"),
       "data", partitionCols, Seq("date_time"))
     val prelim = Windows.counterIntervals(sleepTotal, "date_time", "data",
       partitionCols)
-    val sleepMerged = Windows.mergeIntervals(iv(prelim), partitionCols)
-
-    // steps: step>0 → trailing 10-min intervals; sleep −= steps
+    val sleepMerged = Windows.mergeIntervals(iv(prelim, partitionCols),
+      partitionCols)
     val stepIv = Windows.trailingIntervals(
       measurements.filter(col("kind") === "step"), "date_time", "data",
       windowMinutes = 10, keepCols = partitionCols)
-    val sleep = Intervals.subtractIntervals(sleepMerged, iv(stepIv),
+    Intervals.subtractIntervals(sleepMerged, iv(stepIv, partitionCols),
       partitionCols)
+  }
 
-    // resting band from acc within sleep; 5-min bin categorize; merge runs
+  /** E3 stage 3 — the timeline algebra over net sleep and a categorized
+    * acc window table (activity_categorize.py:312-330): active windows win
+    * over sleep; wake-rest is rest windows minus final sleep. The
+    * categorized input may come from [[categorizeFull]] or from a stored
+    * `*_acc_category.csv` (the reference's `--acc_cat` shortcut). */
+  def timelineFromCategorized(sleep: DataFrame, cat: DataFrame,
+                              partitionCols: Seq[String] = Nil): DataFrame = {
+    val part = partitionCols.map(col)
+    val active = cat.filter(col("category") =!= "rest")
+    val sleepFinal = Intervals.subtractIntervals(sleep,
+      iv(active, partitionCols), partitionCols)
+      .withColumn("category", lit("sleep"))
+    val restWin = cat.filter(col("category") === "rest")
+    val wakeRest = Intervals.subtractIntervals(iv(restWin, partitionCols),
+      iv(sleepFinal, partitionCols), partitionCols)
+      .withColumn("category", lit("rest"))
+    sleepFinal
+      .unionByName(active.select(sleepFinal.columns.map(col): _*))
+      .unionByName(wakeRest)
+      .orderBy((part :+ col("start_time")): _*)
+  }
+
+  /** E3 — activity_categorize.py (/root/reference/activity_categorize.py:209-343):
+    * sleep intervals from the cumulative counter, minus step activity;
+    * resting-band acc categorization; interval algebra to the final
+    * sleep / rest / low active / high active timeline. */
+  case class CategorizeOut(lo: Double, hi: Double, categorizedAcc: DataFrame,
+                           timeline: DataFrame)
+
+  def categorizeFull(measurements: DataFrame, accWide: DataFrame,
+                     partitionCols: Seq[String] = Nil): CategorizeOut = {
+    val part = partitionCols.map(col)
+    val sleep = sleepIntervals(measurements, partitionCols)
     val (lo, hi) = Acc.restingBand(accWide, sleep)
     val cat = Windows.mergeAdjacentWindows(
       Acc.binCategorize(accWide, lo, hi, partitionCols)
         .select((part :+ col("start_time") :+ col("end_time") :+
           col("category")): _*),
       partitionCols)
+    CategorizeOut(lo, hi, cat,
+      timelineFromCategorized(sleep, cat, partitionCols))
+  }
 
-    // timeline algebra: active windows win over sleep; wake-rest is
-    // rest-windows minus sleep
-    val active = cat.filter(col("category") =!= "rest")
-    val sleepFinal = Intervals.subtractIntervals(sleep, iv(active),
-      partitionCols).withColumn("category", lit("sleep"))
-    val restWin = cat.filter(col("category") === "rest")
-    val wakeRest = Intervals.subtractIntervals(iv(restWin), iv(sleepFinal),
-      partitionCols).withColumn("category", lit("rest"))
-
-    val timeline = sleepFinal
-      .unionByName(active.select(sleepFinal.columns.map(col): _*))
-      .unionByName(wakeRest)
-      .orderBy((part :+ col("start_time")): _*)
-    (lo, hi, timeline)
+  def categorize(measurements: DataFrame, accWide: DataFrame,
+                 partitionCols: Seq[String] = Nil):
+      (Double, Double, DataFrame) = {
+    val out = categorizeFull(measurements, accWide, partitionCols)
+    (out.lo, out.hi, out.timeline)
   }
 
   /** E4 (engine extension — no reference analogue): the standard

@@ -66,4 +66,21 @@ class NormalizeSpec extends SparkSpec {
     assert(r.getAs[java.sql.Date]("date").toString == "2024-01-01")
     assert(r.getAs[String]("time_of_day") == "00:00:00.123000")
   }
+
+  test("Q11: convertDateTime zone flag reproduces machine-local goldens") {
+    // the reference converts with datetime.fromtimestamp — machine-local
+    // wall time (raw_data_reformat.py:58-65). 2024-01-01 00:00:00.123 UTC
+    // on a Los Angeles machine renders as 2023-12-31 16:00:00.123 (PST,
+    // UTC-8); the zone flag must reproduce that wall clock byte-for-byte.
+    val df = Seq((1704067200123L, "hr")).toDF("time", "kind")
+    val r = TimeOps.convertDateTime(df, zone = "America/Los_Angeles").head()
+    assert(r.getAs[java.sql.Timestamp]("date_time").toString
+      == "2023-12-31 16:00:00.123")
+    assert(r.getAs[java.sql.Date]("date").toString == "2023-12-31")
+    assert(r.getAs[String]("time_of_day") == "16:00:00.123000")
+    // DST side: a July instant renders at UTC-7
+    val summer = Seq((1721994123456L, "hr")).toDF("time", "kind") // 2024-07-26 11:42:03.456 UTC
+    val s = TimeOps.convertDateTime(summer, zone = "America/Los_Angeles").head()
+    assert(s.getAs[String]("time_of_day") == "04:42:03.456000")
+  }
 }

@@ -1,0 +1,190 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+/** Stage-CLI golden (VERDICT r2 item 3): the reference's script workflow
+  * driven end to end through `graft.Run` — raw watch JSON → reformat CSVs
+  * (+ skip-if-exists) → acc reformat (+ skip) → filter → categorize, with
+  * the reference's exact output names
+  * (raw_data_reformat.py:246-264, acc_reformat.py:58-62,
+  * filtering_data.py:126-221, activity_categorize.py:209-343). */
+class RunSpec extends SparkSpec {
+
+  private val Day = 1704067200000L // 2024-01-01 00:00:00 UTC
+
+  /** JSON files under root/sub/watch_2024-01-01 — two levels deep so the
+    * reference's `timestamp_diff.txt` contract (two levels up) is
+    * observable. */
+  private def writeFixture(): (Path, Path) = {
+    val root = Files.createTempDirectory("graft_run")
+    val dir = root.resolve("sub").resolve("watch_2024-01-01")
+    Files.createDirectories(dir)
+    val hrFlat = (0 until 25).map(i =>
+      s"""{"time": ${Day + i * 60000}, "kind": "hr", "data": [70]}""")
+    val hrVar = (0 until 30).map(i =>
+      s"""{"time": ${Day + 1500000 + i * 60000}, "kind": "hr", "data": [${60 + (i % 13)}]}""")
+    val sleep = Seq( // cumulative counter: one 06:00→08:00 interval
+      s"""{"time": ${Day + 6 * 3600000}, "kind": "sleep_total", "data": [0]}""",
+      s"""{"time": ${Day + 8 * 3600000}, "kind": "sleep_total", "data": [120]}""",
+      s"""{"time": ${Day + 9 * 3600000}, "kind": "sleep_total", "data": [120]}""")
+    val steps = Seq(
+      s"""{"time": ${Day + 16 * 3600000}, "kind": "activity", "data": [500, 20, 0, 0, 0]}""")
+    val ppg = Seq(
+      s"""{"time": ${Day + 3000}, "kind": "ppg", "data": [1, 2, 3]}""")
+    // 3-axis records: quiet (|g|=1) hourly 07:00-07:55 inside sleep,
+    // active (|g|=5) 12:00-12:55; 10 samples per record, axes aligned
+    def ac(kind: String, v: Double) =
+      (0 until 12).flatMap { i =>
+        Seq(7, 12).map { h =>
+          val t = Day + h * 3600000L + i * 300000L
+          val z = if (h == 12) v * 5 else v
+          val arr = Seq.fill(10)(z).mkString("[", ", ", "]")
+          s"""{"time": $t, "kind": "$kind", "data": $arr}"""
+        }
+      }
+    val acx = ac("acx", 0.0)
+    val acy = ac("acy", 0.0)
+    val acz = ac("acz", 1.0)
+    Files.writeString(dir.resolve("watch 2024-01-01 08-00-00.json"),
+      (hrFlat ++ hrVar ++ sleep ++ steps ++ ppg ++ acx ++ acy ++ acz)
+        .mkString("[", ",\n", "]"))
+    (root, dir)
+  }
+
+  /** Computed-table CSV (date_time,kind,data) the filter/categorize stages
+    * consume, with the same sleep/step content plus an hr stream. */
+  private def writeComputedCsv(root: Path): Path = {
+    def row(offsetMs: Long, kind: String, v: Double) = {
+      val t = new java.sql.Timestamp(Day + offsetMs)
+      s"$t,$kind,$v"
+    }
+    val hr = (0 until 30).map(i => row(1500000 + i * 60000, "hr", 60 + (i % 13)))
+    val rows = Seq(
+      row(6 * 3600000, "sleep_total", 0),
+      row(8 * 3600000, "sleep_total", 120),
+      row(9 * 3600000, "sleep_total", 120),
+      row(16 * 3600000, "step", 500)) ++ hr
+    val f = root.resolve("computed.csv")
+    Files.writeString(f, ("date_time,kind,data" +: rows).mkString("\n"))
+    f
+  }
+
+  private def lines(p: Path): Seq[String] =
+    Files.readAllLines(p).asScala.toSeq
+
+  test("reformat CLI: reference file layout, tdiff file, skip-if-exists") {
+    val (root, dir) = writeFixture()
+    Run.main(Array("reformat", "-d", dir.toString))
+    val base = dir.getFileName.toString
+    val m = dir.resolve(s"0_${base}_measurements.csv")
+    val ppg = dir.resolve(s"0_${base}_ppg.csv")
+    val ac = dir.resolve(s"0_${base}_ac.csv")
+    assert(Files.exists(m) && Files.exists(ppg) && Files.exists(ac))
+    // reference column order
+    assert(lines(m).head == "kind,data,jname,date_time,date,time")
+    // jname from the file-name timestamp pattern
+    assert(lines(m).exists(_.contains("2024-01-01 08-00-00")))
+    // arrays round-trip in str(list) form
+    assert(lines(ppg)(1).contains("\"[1.0, 2.0, 3.0]\""))
+    // adjust_time persists the offset two levels up (:51-55)
+    assert(lines(root.resolve("timestamp_diff.txt")) == Seq("0"))
+    // second invocation honors the skip contract (:263-264)
+    val mtime = Files.getLastModifiedTime(m)
+    Run.main(Array("reformat", "-d", dir.toString))
+    assert(Files.getLastModifiedTime(m) == mtime)
+  }
+
+  test("acc CLI: ac_reformatted layout and skip-if-exists") {
+    val (_, dir) = writeFixture()
+    Run.main(Array("reformat", "-d", dir.toString))
+    val base = dir.getFileName.toString
+    Run.main(Array("acc", "-f",
+      dir.resolve(s"0_${base}_ac.csv").toString))
+    val out = dir.resolve(s"0_${base}_ac_reformatted.csv")
+    assert(Files.exists(out))
+    val ls = lines(out)
+    assert(ls.head == "date_time,acx,acy,acz,seconds,bin,g_force")
+    // 24 records − the 6-record search-window tail the reference discards
+    // (acc_reformat.py:204-210), x 5 smoothed samples per record
+    assert(ls.length == 1 + (24 - 6) * 5)
+    // g_force magnitudes survive the pipeline
+    assert(ls.tail.forall(l => l.endsWith("1.0") || l.endsWith("5.0")))
+    val mtime = Files.getLastModifiedTime(out)
+    Run.main(Array("acc", "-f",
+      dir.resolve(s"0_${base}_ac.csv").toString))
+    assert(Files.getLastModifiedTime(out) == mtime)
+  }
+
+  test("filter CLI: flatline + clamp over a computed table") {
+    val (root, _) = writeFixture()
+    val computed = writeComputedCsv(root)
+    val save = root.resolve("filtered.csv")
+    Run.main(Array("filter", "-f", computed.toString, "-s", save.toString))
+    val ls = lines(save)
+    assert(ls.head == "date_time,kind,data")
+    val hr = ls.tail.filter(_.contains(",hr,"))
+    assert(hr.length == 30) // varied hr survives; no flatline in this table
+    assert(hr.forall(_.split(",")(2).toDouble >= 50.0))
+  }
+
+  test("categorize CLI: thresholds, acc categories, activity timeline") {
+    val (root, dir) = writeFixture()
+    Run.main(Array("reformat", "-d", dir.toString))
+    val base = dir.getFileName.toString
+    Run.main(Array("acc", "-f",
+      dir.resolve(s"0_${base}_ac.csv").toString))
+    val computed = writeComputedCsv(root)
+    val stem = root.resolve("subj23").toString
+    Run.main(Array("categorize", "-f", computed.toString,
+      "-a", root.toString, "-s", stem))
+    val thresh = lines(java.nio.file.Paths.get(s"${stem}_sleep_acc_thresholds.csv"))
+    assert(thresh.head.startsWith("lower_threshold,"))
+    assert(thresh(1).startsWith("upper_threshold,"))
+    val lo = thresh.head.split(",")(1).toDouble
+    val hi = thresh(1).split(",")(1).toDouble
+    assert(lo <= hi)
+    val cat = lines(java.nio.file.Paths.get(s"${stem}_acc_category.csv"))
+    assert(cat.head == "start_time,end_time,category")
+    assert(cat.exists(_.endsWith("high active")))
+    val timeline = lines(java.nio.file.Paths.get(s"${stem}_activity_categorized.csv"))
+    assert(timeline.head == "start_time,end_time,category")
+    assert(timeline.exists(_.endsWith("sleep")))
+    assert(timeline.exists(_.endsWith("high active")))
+  }
+
+  test("categorize CLI --acc_cat: reuses stored categories, skips thresholds") {
+    val (root, _) = writeFixture()
+    val computed = writeComputedCsv(root)
+    val accCat = root.resolve("acc_cat.csv")
+    def t(offsetMs: Long) = new java.sql.Timestamp(Day + offsetMs).toString
+    Files.writeString(accCat,
+      Seq("start_time,end_time,category",
+        s"${t(7 * 3600000)},${t(7 * 3600000 + 3600000)},rest",
+        s"${t(12 * 3600000)},${t(12 * 3600000 + 3600000)},high active")
+        .mkString("\n"))
+    val stem = root.resolve("subj24").toString
+    Run.main(Array("categorize", "-f", computed.toString,
+      "--acc_cat", accCat.toString, "-s", stem))
+    assert(!Files.exists(
+      java.nio.file.Paths.get(s"${stem}_sleep_acc_thresholds.csv")))
+    assert(!Files.exists(
+      java.nio.file.Paths.get(s"${stem}_acc_category.csv")))
+    val timeline = lines(
+      java.nio.file.Paths.get(s"${stem}_activity_categorized.csv"))
+    assert(timeline.exists(_.endsWith("sleep")))
+    assert(timeline.exists(_.endsWith("high active")))
+  }
+
+  test("organize CLI: json files sorted into per-date dirs") {
+    val dir = Files.createTempDirectory("graft_org")
+    Files.writeString(dir.resolve("w 2024-01-01 08-00-00.json"), "[]")
+    Files.writeString(dir.resolve("w 2024-01-02 08-00-00.json"), "[]")
+    Run.main(Array("organize", "-d", dir.toString, "-o",
+      dir.resolve("subj").toString, "-j"))
+    assert(Files.exists(
+      dir.resolve("subj_2024-01-01").resolve("w 2024-01-01 08-00-00.json")))
+    assert(Files.exists(
+      dir.resolve("subj_2024-01-02").resolve("w 2024-01-02 08-00-00.json")))
+  }
+}
