@@ -32,8 +32,8 @@ object Acc {
     * only — |x−z| is computed as |y−z| twice (quirk Q2,
     * acc_reformat.py:137-139). `allPairs=true` gives the intended
     * semantics. */
-  private def xyzMatch(x: Long, y: Long, z: Long, tolUs: Long,
-                       allPairs: Boolean): Boolean = {
+  private[graft] def xyzMatch(x: Long, y: Long, z: Long, tolUs: Long,
+                              allPairs: Boolean): Boolean = {
     val a = math.abs(x - y)
     val b = math.abs(y - z)
     val c = if (allPairs) math.abs(x - z) else b

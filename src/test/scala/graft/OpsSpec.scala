@@ -239,4 +239,84 @@ class OpsSpec extends SparkSpec {
     assert(intervalsOf(Intervals.intersectIntervals(a, b)) ==
       Seq(("2024-01-01 01:00:00.0", "2024-01-01 02:00:00.0")))
   }
+
+  // ---- CompatMode matrix (SURVEY §7.4-3; VERDICT r2 item 6) --------------
+
+  test("CompatMode matrix: Q1/Q2/Q4/Q6 — Faithful replays each reference " +
+    "quirk, Intended fixes it, and they agree on the quirk-free inputs") {
+    import CompatMode.{Faithful, Intended}
+    for (mode <- Seq(Faithful, Intended)) {
+      val faithful = mode == Faithful
+
+      // Q1 — bin label arithmetic. 00:13:00 UTC in a 10-minute bucket:
+      // intended = floor(epoch/600)·600 → 00:10:00. Faithful multiplies
+      // the bin INDEX by the 5-minute literal (floor(epoch/600)·300),
+      // which halves the whole timeline — the label lands in 1996. That
+      // absurdity is the point: the reference's labels are only
+      // meaningful at the default width.
+      val q1 = Seq(ts("2024-01-01 00:13:00")).toDF("t")
+        .select(CompatMode.timeBucket(col("t"), 600L, mode).cast("string"))
+        .as[String].head()
+      assert(q1 == (if (faithful) "1996-12-31 12:05:00"
+                    else "2024-01-01 00:10:00"), s"Q1 $mode")
+      // both modes agree at the reference's default 300 s width
+      val q1Agree = Seq(ts("2024-01-01 00:13:00")).toDF("t")
+        .select(CompatMode.timeBucket(col("t"), 300L, mode).cast("string"))
+        .as[String].head()
+      assert(q1Agree == "2024-01-01 00:10:00", s"Q1-default $mode")
+
+      // Q2 — |x−z| never checked when faithful: x=0, y=40, z=80, tol=50
+      // passes pairwise (40, 40) but fails all-pairs (|x−z| = 80).
+      assert(Acc.xyzMatch(0L, 40L, 80L, 50L,
+        CompatMode.xyzAllPairs(mode)) == faithful, s"Q2 $mode")
+      // agree when all three pairs are within tolerance
+      assert(Acc.xyzMatch(0L, 20L, 40L, 50L,
+        CompatMode.xyzAllPairs(mode)), s"Q2-clean $mode")
+
+      // Q4 — the no-op sort_values: faithful preserves concat order.
+      val q4 = CompatMode.cleanupOrder(
+        Seq(3, 1, 2).toDF("v"), Seq(col("v")), mode).as[Int].collect().toSeq
+      assert(q4 == (if (faithful) Seq(3, 1, 2) else Seq(1, 2, 3)),
+        s"Q4 $mode")
+
+      // Q6 — merge walks INPUT order when faithful. Input (out of time
+      // order, one within-pair swap): [10:00,10:50], [11:40,11:30](swapped),
+      // [10:20,10:30]. Faithful: pair-sort normalizes row 2 to
+      // [11:30,11:40]; the walk puts row 3 inside the CURRENT island
+      // ([11:30,11:40], since 11:40 >= 10:20) and keeps that island's
+      // FIRST start → [10:00,10:50], [11:30,11:40]. Intended sorts by
+      // start first but does not repair the swapped pair: [10:20,10:30]
+      // merges into [10:00,10:50]; the malformed [11:40,11:30] stands.
+      val q6in = Seq(
+        (ts("2024-01-01 10:00:00"), ts("2024-01-01 10:50:00")),
+        (ts("2024-01-01 11:40:00"), ts("2024-01-01 11:30:00")),
+        (ts("2024-01-01 10:20:00"), ts("2024-01-01 10:30:00")))
+        .toDF("start_time", "end_time").coalesce(1)
+      val q6 = intervalsOf(CompatMode.mergeIntervals(q6in, Nil, mode))
+      val q6want =
+        if (faithful) Seq(
+          ("2024-01-01 10:00:00.0", "2024-01-01 10:50:00.0"),
+          ("2024-01-01 11:30:00.0", "2024-01-01 11:40:00.0"))
+        else Seq(
+          ("2024-01-01 10:00:00.0", "2024-01-01 10:50:00.0"),
+          ("2024-01-01 11:40:00.0", "2024-01-01 11:30:00.0"))
+      assert(q6 == q6want, s"Q6 $mode")
+      // agree on time-ordered well-formed input (incl. partition cols)
+      val q6clean = Seq(
+        ("a", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")),
+        ("a", ts("2024-01-01 10:30:00"), ts("2024-01-01 11:00:00")),
+        ("a", ts("2024-01-01 12:00:00"), ts("2024-01-01 12:10:00")),
+        ("b", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00")))
+        .toDF("subject", "start_time", "end_time").coalesce(1)
+      val got = CompatMode.mergeIntervals(q6clean, Seq("subject"), mode)
+        .select("subject", "start_time", "end_time").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString)).sorted.toSeq
+      assert(got == Seq(
+        ("a", "2024-01-01 10:00:00.0", "2024-01-01 11:00:00.0"),
+        ("a", "2024-01-01 12:00:00.0", "2024-01-01 12:10:00.0"),
+        ("b", "2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0")),
+        s"Q6-clean $mode")
+    }
+  }
 }
