@@ -265,6 +265,34 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF serving against a STORED index: the corpus lives on disk laid
+    * out `partitionBy(clusterCol)` ([[graft.io.Writers.partitionedParquet]])
+    * and the centroid table is the tiny [[ivfIndex]] output. Probe
+    * selection collects the nProbe winning cluster ids (nProbe scalars —
+    * the index is k rows by construction) and pushes them as a LITERAL
+    * partition predicate, so the corpus scan is statically
+    * partition-pruned at plan time: at 100 TB with k=4096 clusters and
+    * nProbe=8, only ~0.2% of the corpus files are ever opened, and no
+    * runtime (DPP) machinery is needed. This is the steady-state serving
+    * shape; [[ivfTopKWithIndex]] is the in-memory equivalent. */
+  def ivfTopKStored(spark: org.apache.spark.sql.SparkSession,
+                    corpusPath: String, centroids: DataFrame, query: Column,
+                    k: Int, clusterCol: String = "cluster",
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    nProbe: Int = 2, dim: Int = DefaultDim): DataFrame = {
+    val probeIds = centroids
+      .select(col("cluster"), cosine(col("centroid"), query, dim).as("sim"))
+      .orderBy(col("sim").desc, col("cluster"))
+      .limit(nProbe)
+      .select("cluster").collect().map(_.get(0)).toSeq
+    spark.read.parquet(corpusPath)
+      .filter(col(clusterCol).isInCollection(probeIds))
+      .select(col(idCol),
+        cosine(col(vecCol).cast("array<double>"), query, dim).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** All-pairs top-k neighbors per vector via LSH buckets (batch ANN):
     * join within bucket, rank per source id. Bucket sizes bound the pair
     * count; `planes` tunes recall vs cost.
