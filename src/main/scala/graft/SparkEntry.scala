@@ -709,8 +709,35 @@ object SparkEntry {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
         .orderBy("l_returnflag")
+    }),
+
+    // overlapping token-window chunking (32-token chunks, 8-token overlap)
+    "q63_chunk_tokens" -> ((s, dir) => {
+      TextOps.chunkTokens(t(s, dir, "documents"),
+          chunkSize = 32, overlap = 8)
+        .orderBy("doc_id", "token_start")
+    }),
+
+    // largest-feasible-mixture quota sampling over `source` strata
+    "q64_mixture_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rates = TextOps.mixtureRates(docs, MixtureShares)
+      TextOps.mixtureSample(docs, rates)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
+    // corpus vocabulary top-k by occurrence count
+    "q65_vocab_topk" -> ((s, dir) => {
+      TextOps.vocabulary(t(s, dir, "documents"), k = 50)
+        .orderBy(col("n").desc, col("token"))
     })
   )
+
+  /** q64's target mixture (fractions sum to 1; src2 is deliberately
+    * over-asked so it binds and keeps everything). */
+  private val MixtureShares: Map[String, Double] =
+    Map("src0" -> 0.3, "src1" -> 0.3, "src2" -> 0.4)
 
   // ----------------------------------------------------------------------
   // DuckDB oracles — identical column names/ordering as the Spark side
@@ -1657,6 +1684,44 @@ object SparkEntry {
         |  SELECT 1 FROM orders o WHERE o.o_totalprice > 499000
         |    AND l.l_shipdate BETWEEN o.o_orderdate
         |        AND o.o_orderdate + INTERVAL 30 DAY)
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q63_chunk_tokens" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |  WHERE text IS NOT NULL)
+        |SELECT doc_id, s AS token_start,
+        |       array_to_string(list_slice(tk, s + 1, s + 32), ' ')
+        |         AS chunk_text
+        |FROM toks, unnest(range(0, len(tk), 24)) AS t(s)
+        |ORDER BY doc_id, token_start""".stripMargin,
+
+    "q64_mixture_sample" ->
+      """WITH shares(stratum, share) AS (
+        |  VALUES ('src0', CAST(0.3 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+        |         ('src2', CAST(0.4 AS DOUBLE))),
+        |counts AS (
+        |  SELECT source AS stratum, count(*) AS c FROM documents
+        |  JOIN shares ON source = stratum GROUP BY source),
+        |tmax AS (
+        |  SELECT min(CAST(c AS DOUBLE) / share) AS t
+        |  FROM counts JOIN shares USING (stratum)),
+        |rates AS (
+        |  SELECT stratum,
+        |         CAST(floor(least(1.0, share * tmax.t / CAST(c AS DOUBLE))
+        |                    * 1000000) AS BIGINT) AS rate_ppm
+        |  FROM counts JOIN shares USING (stratum), tmax)
+        |SELECT d.doc_id, d.source FROM documents d
+        |JOIN rates r ON d.source = r.stratum
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |        % 1000000 < r.rate_ppm
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q65_vocab_topk" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+        |      FROM documents)
+        |WHERE len(token) > 0
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin
   )
 }

@@ -198,6 +198,84 @@ object TextOps {
       "left_anti")
   }
 
+  /** Overlapping token-window chunking — the standard preprocessing step
+    * for embedding / context-window-bounded training: each document yields
+    * chunks of `chunkSize` whitespace tokens starting every
+    * `chunkSize − overlap` tokens. Pure per-row generator (split +
+    * sequence + posexplode + slice): map-only at any scale, chunk count
+    * per row is ⌈tokens/step⌉ so output size is linear in corpus tokens.
+    * Null text yields no chunks. `token_start` identifies the chunk
+    * (chunk ordinal = token_start / step). */
+  def chunkTokens(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", chunkSize: Int = 32,
+                  overlap: Int = 8): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0,
+      s"need chunkSize > overlap >= 0, got $chunkSize/$overlap")
+    val step = chunkSize - overlap
+    val words = wsTokens(col(textCol))
+    docs
+      .select(col(idCol), col(textCol), posexplode(
+        sequence(lit(0), size(words) - 1, lit(step)))
+        .as(Seq("pos", "token_start")))
+      .select(col(idCol), col("token_start"),
+        array_join(slice(wsTokens(col(textCol)), col("token_start") + 1,
+          lit(chunkSize)), " ").as("chunk_text"))
+  }
+
+  /** Largest feasible mixture: per-stratum deterministic keep-rates that
+    * hit target shares WITHOUT upsampling. With counts c_s and target
+    * shares w_s (Σw = 1), the largest total T every stratum can serve is
+    * T = min_s(c_s / w_s); each stratum then keeps rate_s = w_s·T / c_s
+    * (the binding stratum keeps everything). Returns (stratum, rate_ppm)
+    * with the rate floored to parts-per-million — the same integer the
+    * sampling predicate compares against, so engines agree exactly.
+    *
+    * The counts aggregation is one map-side-combined pass; the result is
+    * |strata| rows — broadcast it into [[mixtureSample]]. */
+  def mixtureRates(docs: DataFrame, targetShares: Map[String, Double],
+                   stratumCol: String = "source"): DataFrame = {
+    require(targetShares.nonEmpty && targetShares.values.forall(_ > 0))
+    val session = docs.sparkSession
+    val shares = session.createDataFrame(
+      targetShares.toSeq.map { case (k, v) => (k, v) })
+      .toDF("stratum", "share")
+    val counts = docs.select(col(stratumCol).as("stratum"))
+      .join(broadcast(shares.select("stratum")), Seq("stratum"), "left_semi")
+      .groupBy("stratum").agg(count(lit(1)).as("c"))
+      .join(broadcast(shares), Seq("stratum"))
+    val t = counts.agg(min(col("c").cast("double") / col("share")).as("t"))
+    counts.crossJoin(broadcast(t))
+      .select(col("stratum"),
+        floor(least(lit(1.0),
+          col("share") * col("t") / col("c").cast("double")) * 1000000L)
+          .cast("long").as("rate_ppm"))
+  }
+
+  /** Apply [[mixtureRates]]: keep a row iff its portable hash bucket (ppm)
+    * falls under its stratum's rate — deterministic, reproducible in any
+    * engine with md5, and a single broadcast-join + map-side filter over
+    * the corpus (the rates table is |strata| rows). */
+  def mixtureSample(docs: DataFrame, rates: DataFrame,
+                    idCol: String = "doc_id",
+                    stratumCol: String = "source"): DataFrame =
+    docs.join(broadcast(rates),
+        docs(stratumCol) === rates("stratum"), "inner")
+      .filter(hashBucket(docs(idCol), 1000000) < col("rate_ppm"))
+      .drop("stratum", "rate_ppm")
+
+  /** Corpus vocabulary: token → document-independent occurrence count,
+    * top `k` by count. One explode + map-side-combined aggregation; the
+    * final top-k is an orderBy(limit) over the distinct-token table, which
+    * is vastly smaller than the corpus. Empty tokens (runs of spaces) are
+    * dropped; case-folded. */
+  def vocabulary(docs: DataFrame, textCol: String = "text",
+                 k: Int = 100): DataFrame =
+    docs.select(explode(wsTokens(lower(col(textCol)))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
   /** Full per-document profile. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -585,4 +585,56 @@ class ExtensionsSpec extends SparkSpec {
       .collect().toSeq
     assert(keys(0) == keys(1))
   }
+
+  test("chunkTokens: overlapping windows cover every token; short and " +
+    "null docs behave") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "solo"),                                   // 1 token
+      (3L, null.asInstanceOf[String]))                // no chunks
+      .toDF("doc_id", "text")
+    val got = TextOps.chunkTokens(docs, chunkSize = 4, overlap = 2)
+      .orderBy("doc_id", "token_start")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // step = 2: starts 0,2,4,6,8 for doc 1 (tails shrink below chunkSize)
+    assert(got.toSeq == Seq(
+      (1L, 0, "w1 w2 w3 w4"), (1L, 2, "w3 w4 w5 w6"),
+      (1L, 4, "w5 w6 w7 w8"), (1L, 6, "w7 w8 w9 w10"),
+      (1L, 8, "w9 w10"),
+      (2L, 0, "solo")))
+    // every token of doc 1 appears in at least one chunk
+    val covered = got.filter(_._1 == 1L).flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"w$i").toSet)
+  }
+
+  test("mixtureRates: binding stratum keeps everything, others scale to " +
+    "the target shares; unlisted strata are excluded") {
+    // counts: a=20, b=10; shares 0.5/0.5 → T = min(40, 20) = 20 →
+    // rate_a = 0.5·20/20 = 0.5, rate_b = 0.5·20/10 = 1.0 (binding)
+    val docs = ((1 to 20).map(i => (i.toLong, "a")) ++
+      (21 to 30).map(i => (i.toLong, "b")) ++
+      Seq((31L, "noise"))).toDF("doc_id", "source")
+    val rates = TextOps.mixtureRates(docs,
+      Map("a" -> 0.5, "b" -> 0.5)).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rates == Map("a" -> 500000L, "b" -> 1000000L))
+    val kept = TextOps.mixtureSample(docs,
+      TextOps.mixtureRates(docs, Map("a" -> 0.5, "b" -> 0.5)))
+    // all of b survives; noise is excluded entirely; a is subsampled
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(bySrc.getOrElse("b", 0L) == 10L)
+    assert(!bySrc.contains("noise"))
+    assert(bySrc("a") < 20L && bySrc("a") > 0L)
+  }
+
+  test("vocabulary: case-folded counts, deterministic tie order, empty " +
+    "tokens dropped") {
+    val docs = Seq((1L, "The the  a b"), (2L, "b a")).toDF("doc_id", "text")
+    val got = TextOps.vocabulary(docs, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // "The the" folds to the×2; a×2, b×2 tie → lexicographic; the double
+    // space yields an empty token that must not appear
+    assert(got == Seq(("a", 2L), ("b", 2L), ("the", 2L)))
+  }
 }
