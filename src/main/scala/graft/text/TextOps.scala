@@ -198,6 +198,52 @@ object TextOps {
       "left_anti")
   }
 
+  /** [[decontaminate]]'s scale path: when the eval/benchmark shingle set
+    * is too large to broadcast exactly (point-in-time snapshots of many
+    * benchmarks, contamination sweeps against other training corpora),
+    * build a Bloom filter over the eval shingle hashes — one aggregation
+    * whose result is `numBits/8` bytes regardless of eval size — and
+    * probe it map-side as a literal. Same plan shape as Spark's own
+    * runtime bloom joins (BloomFilterAggregate + BloomFilterMightContain,
+    * both codegen-capable), with the guarantee that matters for
+    * decontamination: NO FALSE NEGATIVES — every truly contaminated
+    * training document is dropped; false positives only drop extra clean
+    * docs at ~2% with the default 8 bits/item, which is the safe failure
+    * direction for training data.
+    *
+    * Sizing: `numBits ≈ 8 × expected distinct eval shingles` gives ~2.2%
+    * fp; 16× gives ~0.05%. */
+  def bloomDecontaminate(train: DataFrame, evalSet: DataFrame,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         n: Int = 8, expectedItems: Long = 1L << 20,
+                         numBits: Long = 1L << 23): DataFrame = {
+    require(expectedItems > 0 && numBits > 0)
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    val evalSh = evalSet
+      .select(explode(shingles(col(textCol), n)).as("shingle"))
+    val bloomAgg = Bridge.column(new BloomFilterAggregate(
+      Bridge.catalystExpression(xxhash64(col("shingle"))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    val bloomRow = evalSh.select(bloomAgg.as("bf")).head()
+    if (bloomRow.isNullAt(0)) return train // empty eval set: nothing to drop
+    val bloom = bloomRow.getAs[Array[Byte]](0)
+    // the serialized filter rides the closure as a literal — one copy per
+    // executor via the task broadcast, probed inside codegen
+    val probe = Bridge.column(new BloomFilterMightContain(
+      Literal(bloom, BinaryType),
+      Bridge.catalystExpression(xxhash64(col("shingle")))))
+    val contaminated = train
+      .select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("shingle"))
+      .filter(probe)
+      .select("id").distinct()
+    train.join(contaminated, train(idCol) === contaminated("id"),
+      "left_anti")
+  }
+
   /** Overlapping token-window chunking — the standard preprocessing step
     * for embedding / context-window-bounded training: each document yields
     * chunks of `chunkSize` whitespace tokens starting every

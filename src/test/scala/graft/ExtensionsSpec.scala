@@ -628,6 +628,36 @@ class ExtensionsSpec extends SparkSpec {
     assert(bySrc("a") < 20L && bySrc("a") > 0L)
   }
 
+  test("bloomDecontaminate: no false negatives vs exact decontaminate; " +
+    "generous sizing gives exact parity; empty eval is identity") {
+    def doc(id: Long, words: Seq[String]) = (id, words.mkString(" "))
+    val evalSet = Seq(doc(100L, (1 to 10).map(i => s"e$i")))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      doc(1L, (1 to 10).map(i => s"e$i")),           // contaminated (same 8-grams)
+      doc(2L, (1 to 20).map(i => s"c$i")),           // clean
+      doc(3L, (3 to 12).map(i => s"e$i")),           // contaminated (shares e3..e10)
+      doc(4L, (1 to 9).map(i => s"d$i")))            // clean
+      .toDF("doc_id", "text")
+    val exact = TextOps.decontaminate(train, evalSet)
+      .select("doc_id").as[Long].collect().toSet
+    val bloom = TextOps.bloomDecontaminate(train, evalSet,
+      expectedItems = 64, numBits = 1 << 14) // ~256 bits/item: fp ~ 0
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact == Set(2L, 4L))
+    assert(bloom == exact, "generously sized bloom must match exact")
+    // no-false-negative guarantee holds even when undersized (fp may drop
+    // extra clean docs, never keep a contaminated one)
+    val tiny = TextOps.bloomDecontaminate(train, evalSet,
+      expectedItems = 4, numBits = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tiny.subsetOf(exact), s"kept a contaminated doc: $tiny")
+    // empty eval set: identity
+    val none = TextOps.bloomDecontaminate(train,
+      evalSet.filter(col("doc_id") < 0))
+    assert(none.count() == 4)
+  }
+
   test("vocabulary: case-folded counts, deterministic tie order, empty " +
     "tokens dropped") {
     val docs = Seq((1L, "The the  a b"), (2L, "b a")).toDF("doc_id", "text")

@@ -74,6 +74,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("q63 chunking is a pure generator: no join, no aggregation") {
+    val p = plan("q63_chunk_tokens")
+    assert(p.contains("Generate"), s"no generator (posexplode):\n$p")
+    assert(!p.contains("Join"), s"chunking must not join:\n$p")
+    assert(!p.contains("HashAggregate"), s"chunking must not aggregate:\n$p")
+  }
+
+  test("q64 mixture sampling broadcasts the rates table") {
+    val p = plan("q64_mixture_sample")
+    assert(p.contains("BroadcastHashJoin"), s"rates join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled for a |strata|-row join:\n$p")
+  }
+
+  test("q65 vocabulary partial-aggregates and takes an ordered limit") {
+    val p = plan("q65_vocab_topk")
+    assert(p.contains("partial_"), s"no map-side combine:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k not pushed into a bounded take:\n$p")
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"),
