@@ -731,6 +731,25 @@ object SparkEntry {
     "q65_vocab_topk" -> ((s, dir) => {
       TextOps.vocabulary(t(s, dir, "documents"), k = 50)
         .orderBy(col("n").desc, col("token"))
+    }),
+
+    // strict ordered funnel, 12 h per-step deadline
+    "q66_funnel" -> ((s, dir) => {
+      Events.funnel(t(s, dir, "events"),
+          Seq("view", "click", "purchase"), maxGapSec = 43200L)
+        .orderBy("step")
+    }),
+
+    // weekly cohort retention from first signup
+    "q67_retention" -> ((s, dir) => {
+      Events.cohortRetention(t(s, dir, "events"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // first-view → first-later-purchase delay histogram (minutes)
+    "q68_time_to_convert" -> ((s, dir) => {
+      Events.timeToConvert(t(s, dir, "events"), "view", "purchase")
+        .orderBy("delay_minutes")
     })
   )
 
@@ -1722,6 +1741,55 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
         |      FROM documents)
         |WHERE len(token) > 0
-        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    "q66_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id AS u, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.u
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t
+        |    AND e.ts <= s1.t + INTERVAL 12 HOUR GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.u
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        |    AND e.ts <= s2.t + INTERVAL 12 HOUR GROUP BY 1)
+        |SELECT 1 AS step, 'view' AS event_type,
+        |       (SELECT count(*) FROM s1) AS users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        |ORDER BY step""".stripMargin,
+
+    "q67_retention" ->
+      """WITH cohorts AS (
+        |  SELECT user_id AS u,
+        |         CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |acts AS (
+        |  SELECT DISTINCT cohort_week,
+        |         CAST(floor(date_diff('day', cohort_week,
+        |                              CAST(e.ts AS DATE)) / 7) AS INTEGER)
+        |           AS week_offset,
+        |         e.user_id AS u
+        |  FROM events e JOIN cohorts ON e.user_id = cohorts.u
+        |  WHERE CAST(e.ts AS DATE) >= cohort_week)
+        |SELECT cohort_week, week_offset, count(*) AS active_users
+        |FROM acts GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q68_time_to_convert" ->
+      """WITH f AS (
+        |  SELECT user_id AS u, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t AS (
+        |  SELECT e.user_id AS u, f.t0, min(e.ts) AS t1 FROM events e
+        |  JOIN f ON e.user_id = f.u
+        |  WHERE e.event_type = 'purchase' AND e.ts > f.t0 GROUP BY 1, 2)
+        |SELECT CAST(floor(date_diff('microseconds', t0, t1) / 60000000)
+        |            AS BIGINT) AS delay_minutes,
+        |       count(*) AS users
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

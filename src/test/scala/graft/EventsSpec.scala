@@ -1,0 +1,88 @@
+package graft
+
+import graft.ops.Events
+
+/** Event-sequence analytics: strict-funnel ordering, deadline boundaries,
+  * cohort week arithmetic, first-occurrence conversion delay. */
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, String)*) =
+    rows.map { case (u, t, k) => (u, ts(t), k) }
+      .toDF("user_id", "ts", "event_type")
+
+  test("funnel: ordered steps, inclusive deadline, pre-step events ignored") {
+    val events = ev(
+      // u1 completes all three: view 10:00, click 10:30, buy 10:45
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 10:30:00", "click"),
+      (1L, "2024-01-01 10:45:00", "purchase"),
+      // u2: click exactly at the 1 h deadline (inclusive) but buys too late
+      (2L, "2024-01-01 09:00:00", "view"),
+      (2L, "2024-01-01 10:00:00", "click"),
+      (2L, "2024-01-01 11:00:01", "purchase"),
+      // u3: click happens BEFORE the first view — order violated, no step 2
+      (3L, "2024-01-01 08:00:00", "click"),
+      (3L, "2024-01-01 09:00:00", "view"),
+      // u4: view only
+      (4L, "2024-01-01 12:00:00", "view"))
+    val got = Events.funnel(events, Seq("view", "click", "purchase"),
+        maxGapSec = 3600L)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1, "view", 4L), (2, "click", 2L),
+      (3, "purchase", 1L)))
+  }
+
+  test("funnel: greedy first-occurrence — deadline runs from the EARLIEST " +
+    "qualifying prior step, not the friendliest") {
+    // u1's first click (10:05) starts the purchase clock; the purchase at
+    // 11:30 misses that clock even though a later click (11:00) would have
+    // caught it — strict first-occurrence semantics
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 10:05:00", "click"),
+      (1L, "2024-01-01 11:00:00", "click"),
+      (1L, "2024-01-01 11:30:00", "purchase"))
+    val got = Events.funnel(events, Seq("view", "click", "purchase"),
+        maxGapSec = 3600L)
+      .orderBy("step").collect().map(_.getLong(2)).toSeq
+    assert(got == Seq(1L, 1L, 0L))
+  }
+
+  test("cohortRetention: Monday-week cohorts, sparse offsets, pre-signup " +
+    "activity excluded") {
+    val events = ev(
+      // 2024-01-01 is a Monday. u1 signs up Wed Jan 3; cohort week Jan 1.
+      (1L, "2024-01-03 12:00:00", "signup"),
+      (1L, "2024-01-02 12:00:00", "click"), // before cohort week? no —
+      // Jan 2 is within cohort week (>= Jan 1) → offset 0
+      (1L, "2024-01-20 12:00:00", "view"), // offset 2
+      // u2 signs up the next week; one later event at offset 1
+      (2L, "2024-01-09 08:00:00", "signup"),
+      (2L, "2024-01-16 08:00:00", "purchase"),
+      // u3 never signs up — not cohorted
+      (3L, "2024-01-05 10:00:00", "view"))
+    val got = Events.cohortRetention(events)
+      .orderBy("cohort_week", "week_offset").collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("2024-01-01", 0, 1L), // u1: signup + Jan-2 click both in week 0
+      ("2024-01-01", 2, 1L), // u1 active again offset 2
+      ("2024-01-08", 0, 1L), // u2 signup week
+      ("2024-01-08", 1, 1L))) // u2 purchase
+  }
+
+  test("timeToConvert: minutes floor, only post-view purchases count") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 11:30:30", "purchase"), // 90.5 min → 90
+      (2L, "2024-01-01 10:00:00", "purchase"), // pre-view purchase ignored
+      (2L, "2024-01-01 11:00:00", "view"),
+      (2L, "2024-01-01 12:30:00", "purchase")) // 90 min
+    val got = Events.timeToConvert(events, "view", "purchase")
+      .orderBy("delay_minutes").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((90L, 2L)))
+  }
+}
