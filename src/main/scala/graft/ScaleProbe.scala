@@ -77,7 +77,12 @@ object ScaleProbe {
         "decontaminate" -> { d =>
           val split = d.withColumn("s", TextOps.hashSplit(col("doc_id")))
           TextOps.decontaminate(split.filter(col("s") === "train"),
-            split.filter(col("s") === "test"), n = 8).count() }))
+            split.filter(col("s") === "test"), n = 8).count() },
+        "bloom_decontaminate" -> { d =>
+          val split = d.withColumn("s", TextOps.hashSplit(col("doc_id")))
+          TextOps.bloomDecontaminate(split.filter(col("s") === "train"),
+            split.filter(col("s") === "test"), n = 8).count() },
+        "chunk_tokens" -> { d => TextOps.chunkTokens(d).count() }))
 
     // embedding-family probe: replicate embeddings with coordinate jitter
     // derived from the replica index (deterministic, no RNG)
@@ -104,12 +109,34 @@ object ScaleProbe {
         "quantize_int8" -> { d => Similarity.quantizeInt8(d).count() }))
     }
 
+    // event-family probe: replicate by user-id offset (funnel/retention
+    // cost scales with users × their events; replicas are disjoint users)
+    val evbase = graft.io.Readers.table(spark, sfDir, "events")
+      .select("user_id", "ts", "event_type")
+    val uMax = evbase.agg(max("user_id")).head().getLong(0) + 1
+    def replicateEv(times: Int): DataFrame =
+      (0 until times).map { r =>
+        evbase.select((col("user_id") + lit(r * uMax)).as("user_id"),
+          col("ts"), col("event_type"))
+      }.reduce(_ unionAll _)
+
+    def evSuite(ev: DataFrame): Map[String, Double] = {
+      import graft.ops.Events
+      timedSuite(ev)(Seq(
+        "funnel3" -> { d =>
+          Events.funnel(d, Seq("view", "click", "purchase"),
+            maxGapSec = 43200L).count() },
+        "retention" -> { d => Events.cohortRetention(d).count() }))
+    }
+
     println(s"== pass 0: warmup (codegen) ==")
-    suite(replicate(1)); embSuite(replicateEmb(1))
+    suite(replicate(1)); embSuite(replicateEmb(1)); evSuite(replicateEv(1))
     println(s"== pass 1: 1x (${maxId} docs, ${eMax} vecs) ==")
-    val t1 = suite(replicate(1)) ++ embSuite(replicateEmb(1))
+    val t1 = suite(replicate(1)) ++ embSuite(replicateEmb(1)) ++
+      evSuite(replicateEv(1))
     println(s"== pass 2: ${k}x (${k * maxId} docs, ${k * eMax} vecs) ==")
-    val tk = suite(replicate(k)) ++ embSuite(replicateEmb(k))
+    val tk = suite(replicate(k)) ++ embSuite(replicateEmb(k)) ++
+      evSuite(replicateEv(k))
     println(f"%nop             | 1x (s) | ${k}%dx (s) | ratio (linear=$k%d.0)")
     t1.keys.toSeq.sorted.foreach { op =>
       println(f"$op%-22s ${t1(op)}%7.2f ${tk(op)}%9.2f ${tk(op) / t1(op)}%8.1f")
