@@ -78,14 +78,19 @@ object Pipelines {
     * cumulative counter → counter-reset intervals → merge → minus trailing
     * 10-minute step windows. */
   def sleepIntervals(measurements: DataFrame,
-                     partitionCols: Seq[String] = Nil): DataFrame = {
+                     partitionCols: Seq[String] = Nil,
+                     mode: CompatMode = CompatMode.Intended): DataFrame = {
     val sleepTotal = Windows.dedupConsecutive(
       measurements.filter(col("kind") === "sleep_total"),
       "data", partitionCols, Seq("date_time"))
     val prelim = Windows.counterIntervals(sleepTotal, "date_time", "data",
       partitionCols)
-    val sleepMerged = Windows.mergeIntervals(iv(prelim, partitionCols),
-      partitionCols)
+    // Faithful mode walks the reference's row order — the counter rows'
+    // time order, i.e. each interval's end timestamp (OpsSpec shows the
+    // modes agree whenever that order is already sorted by start)
+    val sleepMerged = CompatMode.mergeIntervals(iv(prelim, partitionCols),
+      partitionCols, mode,
+      seqCol = Some(unix_micros(col("end_time"))))
     val stepIv = Windows.trailingIntervals(
       measurements.filter(col("kind") === "step"), "date_time", "data",
       windowMinutes = 10, keepCols = partitionCols)
@@ -123,9 +128,10 @@ object Pipelines {
                            timeline: DataFrame)
 
   def categorizeFull(measurements: DataFrame, accWide: DataFrame,
-                     partitionCols: Seq[String] = Nil): CategorizeOut = {
+                     partitionCols: Seq[String] = Nil,
+                     mode: CompatMode = CompatMode.Intended): CategorizeOut = {
     val part = partitionCols.map(col)
-    val sleep = sleepIntervals(measurements, partitionCols)
+    val sleep = sleepIntervals(measurements, partitionCols, mode)
     val (lo, hi) = Acc.restingBand(accWide, sleep)
     val cat = Windows.mergeAdjacentWindows(
       Acc.binCategorize(accWide, lo, hi, partitionCols)
@@ -137,9 +143,10 @@ object Pipelines {
   }
 
   def categorize(measurements: DataFrame, accWide: DataFrame,
-                 partitionCols: Seq[String] = Nil):
+                 partitionCols: Seq[String] = Nil,
+                 mode: CompatMode = CompatMode.Intended):
       (Double, Double, DataFrame) = {
-    val out = categorizeFull(measurements, accWide, partitionCols)
+    val out = categorizeFull(measurements, accWide, partitionCols, mode)
     (out.lo, out.hi, out.timeline)
   }
 

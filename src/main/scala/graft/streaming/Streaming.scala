@@ -128,4 +128,70 @@ object Streaming {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(fn)
   }
+
+  case class Ev(user: Long, ts: java.sql.Timestamp, kind: String)
+  /** stage = steps completed so far; −1 = funnel dead (deadline missed).
+    * lastMs = event-time of the chosen stage event. */
+  case class FunnelState(stage: Int, lastMs: Long)
+  case class Conversion(user: Long, step: Int, kind: String,
+                        ts: java.sql.Timestamp)
+
+  /** Streaming form of [[graft.ops.Events.funnel]]: a per-user state
+    * machine emitting one [[Conversion]] row the moment a user completes
+    * each step — same strict-order, first-occurrence, per-step-deadline
+    * semantics as the batch operator (EventsSpec/StreamingSpec assert
+    * parity on shared scenarios).
+    *
+    * State is ONE (stage, ts) pair per in-flight user, and is evicted
+    * eagerly: completed and dead funnels are removed immediately, and
+    * in-flight funnels carry an event-time timeout at their current
+    * deadline, so the watermark clears abandoned users — state stays
+    * bounded by the number of users active inside one deadline window,
+    * regardless of stream length. Within-batch rows are time-sorted;
+    * cross-batch order relies on the watermark, as with [[flatlineRuns]]. */
+  def funnelStream(ds: Dataset[Ev], steps: Seq[String],
+                   maxGapSec: Long = 3600L,
+                   watermark: String = "10 minutes")
+      (implicit spark: SparkSession): Dataset[Conversion] = {
+    import spark.implicits._
+    require(steps.nonEmpty)
+    val gapMs = maxGapSec * 1000L
+    def fn(user: Long, rows: Iterator[Ev],
+           state: GroupState[FunnelState]): Iterator[Conversion] = {
+      if (state.hasTimedOut) { // deadline passed with no qualifying event
+        state.remove()
+        return Iterator.empty
+      }
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var st = state.getOption.getOrElse(FunnelState(0, 0L))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Conversion]
+      sorted.foreach { e =>
+        if (st.stage >= 0 && st.stage < steps.length &&
+          e.kind == steps(st.stage)) {
+          val tMs = e.ts.getTime
+          if (st.stage == 0) {
+            st = FunnelState(1, tMs)
+            out += Conversion(user, 1, e.kind, e.ts)
+          } else if (tMs > st.lastMs && tMs <= st.lastMs + gapMs) {
+            st = FunnelState(st.stage + 1, tMs)
+            out += Conversion(user, st.stage, e.kind, e.ts)
+          } else if (tMs > st.lastMs + gapMs) {
+            // the FIRST qualifying event is already past the deadline; no
+            // earlier one can arrive in event-time order → terminal
+            st = FunnelState(-1, tMs)
+          } // tMs <= lastMs: not strictly after the chosen event — ignore
+        }
+      }
+      if (st.stage == -1 || st.stage >= steps.length) state.remove()
+      else {
+        state.update(st)
+        if (st.stage > 0) state.setTimeoutTimestamp(st.lastMs + gapMs)
+      }
+      out.iterator
+    }
+    ds.withWatermark("ts", watermark)
+      .groupByKey(_.user)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 }

@@ -109,6 +109,18 @@ class PipelineSpec extends SparkSpec {
       case Array((_, e1), (s2, _)) => assert(e1 <= s2)
       case _ =>
     }
+    // CompatMode.Faithful must produce the IDENTICAL timeline here: the
+    // pipeline's intermediate frames satisfy the reference's implicit
+    // assumptions (time-ordered, well-formed pairs, 5-minute bins), which
+    // is exactly when the quirks are invisible. The dial only diverges on
+    // inputs that violate those assumptions (OpsSpec matrix covers that).
+    val (_, _, faithful) = Pipelines.categorize(m, acc,
+      mode = graft.ops.CompatMode.Faithful)
+    val a = timeline.select("category", "start_time", "end_time").collect()
+      .map(_.toString).sorted.toSeq
+    val b = faithful.select("category", "start_time", "end_time").collect()
+      .map(_.toString).sorted.toSeq
+    assert(a == b, "Faithful diverged from Intended on assumption-clean input")
   }
 
   test("E4 curate: gate, exact dedup, near-dup, split, decontamination") {

@@ -128,4 +128,46 @@ class StreamingSpec extends SparkSpec {
         rows(1).getAs[Boolean]("include"))
     } finally q.stop()
   }
+
+  test("funnelStream matches the batch funnel on the shared scenario and " +
+    "evicts terminal state") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sess = spark
+    val in = MemoryStream[Streaming.Ev]
+    val out = Streaming.funnelStream(in.toDS(),
+      Seq("view", "click", "purchase"), maxGapSec = 3600L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out").start()
+    // same scenario as EventsSpec's first funnel test
+    val events = Seq(
+      Streaming.Ev(1L, t("2024-01-01 10:00:00"), "view"),
+      Streaming.Ev(1L, t("2024-01-01 10:30:00"), "click"),
+      Streaming.Ev(1L, t("2024-01-01 10:45:00"), "purchase"),
+      Streaming.Ev(2L, t("2024-01-01 09:00:00"), "view"),
+      Streaming.Ev(2L, t("2024-01-01 10:00:00"), "click"),
+      Streaming.Ev(2L, t("2024-01-01 11:00:01"), "purchase"),
+      Streaming.Ev(3L, t("2024-01-01 08:00:00"), "click"),
+      Streaming.Ev(3L, t("2024-01-01 09:00:00"), "view"),
+      Streaming.Ev(4L, t("2024-01-01 12:00:00"), "view"))
+    try {
+      in.addData(events: _*)
+      q.processAllAvailable()
+      val rows = spark.table("funnel_out")
+      val stepCounts = rows.groupBy("step").count().orderBy("step")
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      // batch oracle: per-step user counts on identical data
+      val batch = graft.ops.Events.funnel(
+        events.map(e => (e.user, e.ts, e.kind))
+          .toDF("user_id", "ts", "event_type"),
+        Seq("view", "click", "purchase"), maxGapSec = 3600L)
+        .filter(col("users") > 0)
+        .collect().map(r => (r.getInt(0), r.getLong(2))).toSeq
+      assert(stepCounts == batch,
+        s"stream $stepCounts != batch $batch")
+      // u1 completed all steps → emitted exactly 3 conversions
+      assert(rows.filter(col("user") === 1L).count() == 3)
+      // u2's purchase was 1 s past the deadline → only steps 1-2
+      assert(rows.filter(col("user") === 2L).count() == 2)
+    } finally q.stop()
+  }
 }
