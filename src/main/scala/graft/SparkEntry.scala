@@ -750,6 +750,32 @@ object SparkEntry {
     "q68_time_to_convert" -> ((s, dir) => {
       Events.timeToConvert(t(s, dir, "events"), "view", "purchase")
         .orderBy("delay_minutes")
+    }),
+
+    // blocked edit-distance join over the distinct name domain
+    "q69_fuzzy_pairs" -> ((s, dir) => {
+      Dedup.fuzzyPairs(t(s, dir, "part"), "p_name", maxDist = 3)
+        .orderBy("v_a", "v_b")
+    }),
+
+    // hopping (sliding) tumbling-window aggregate: 10 min windows every 5
+    "q70_hopping_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+        .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("avg_value"))
+        .select(col("window.start").as("ws"), col("n"), col("avg_value"))
+        .orderBy("ws")
+    }),
+
+    // cube subtotals over returnflag × linestatus (q46's rollup, full cube)
+    "q71_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("rflag", "lstatus")
     })
   )
 
@@ -1790,6 +1816,34 @@ object SparkEntry {
         |SELECT CAST(floor(date_diff('microseconds', t0, t1) / 60000000)
         |            AS BIGINT) AS delay_minutes,
         |       count(*) AS users
-        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q69_fuzzy_pairs" ->
+      """WITH d AS (SELECT DISTINCT p_name AS v FROM part
+        |           WHERE p_name IS NOT NULL)
+        |SELECT a.v AS v_a, b.v AS v_b,
+        |       CAST(levenshtein(a.v, b.v) AS INTEGER) AS dist
+        |FROM d a JOIN d b
+        |  ON split_part(a.v, ' ', 1) = split_part(b.v, ' ', 1)
+        | AND a.v < b.v
+        |WHERE levenshtein(a.v, b.v) <= 3
+        |ORDER BY v_a, v_b""".stripMargin,
+
+    "q70_hopping_window" ->
+      """SELECT make_timestamp(ws_us) AS ws, count(*) AS n,
+        |       round(avg(value), 6) AS avg_value
+        |FROM (
+        |  SELECT (CAST(floor(epoch(ts) / 300) AS BIGINT) - o) * 300000000
+        |           AS ws_us,
+        |         value
+        |  FROM events, unnest([0, 1]) AS t(o))
+        |GROUP BY ws_us ORDER BY ws""".stripMargin,
+
+    "q71_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |       coalesce(l_linestatus, 'ALL') AS lstatus,
+        |       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin
   )
 }

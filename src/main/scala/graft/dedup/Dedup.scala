@@ -276,6 +276,31 @@ object Dedup {
     out
   }
 
+  /** Blocked edit-distance join over the DISTINCT value domain — fuzzy
+    * matching of names/titles/keys (typo dedup, entity resolution). Two
+    * scale levers: (1) the join runs on `distinct(valueCol)`, so cost
+    * scales with the value DOMAIN, not the row count — name/title domains
+    * grow orders of magnitude slower than fact tables; (2) candidate
+    * pairs are generated per `blockExpr` bucket (default: first
+    * whitespace token), never all-pairs, and the quadratic-in-bucket-size
+    * levenshtein verification is bounded by the largest block. Returns
+    * (v_a, v_b, dist) with v_a < v_b; join it back to fact rows by value
+    * when row-level pairs are needed. */
+  def fuzzyPairs(values: DataFrame, valueCol: String, maxDist: Int = 2,
+                 blockExpr: Column => Column =
+                   v => element_at(split(v, " "), 1)): DataFrame = {
+    val d = values.select(col(valueCol).as("v"))
+      .filter(col("v").isNotNull).distinct()
+      .withColumn("blk", blockExpr(col("v")))
+    val a = d.select(col("blk"), col("v").as("v_a"))
+    val b = d.select(col("blk"), col("v").as("v_b"))
+    a.join(b, "blk")
+      .filter(col("v_a") < col("v_b"))
+      .withColumn("dist", levenshtein(col("v_a"), col("v_b")))
+      .filter(col("dist") <= maxDist)
+      .select("v_a", "v_b", "dist")
+  }
+
   // ---- clustering --------------------------------------------------------
 
   /** Duplicate clusters from candidate pairs: connected components, with a

@@ -658,6 +658,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(none.count() == 4)
   }
 
+  test("fuzzyPairs: within-block edit-distance pairs over the distinct " +
+    "domain; cross-block near-misses are the documented blocking tradeoff") {
+    import graft.dedup.Dedup
+    val vals = Seq("red widget", "red widgets", "red gadget",
+      "red widget", // duplicate row — must not duplicate pairs
+      "ted widget", // 1 edit from "red widget" but different block
+      null.asInstanceOf[String])
+      .toDF("p_name")
+    val got = Dedup.fuzzyPairs(vals, "p_name", maxDist = 2)
+      .orderBy("v_a", "v_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    // "widget"↔"widgets" dist 1; "gadget"↔"widget" dist 2 (g↔w, a↔i);
+    // "gadget"↔"widgets" dist 3 — excluded at maxDist 2; "ted widget" is
+    // 1 edit from "red widget" but lands in another block (the recall
+    // tradeoff every blocked fuzzy join makes); null and the duplicate
+    // row contribute nothing
+    assert(got == Seq(
+      ("red gadget", "red widget", 2),
+      ("red widget", "red widgets", 1)), s"got $got")
+  }
+
   test("vocabulary: case-folded counts, deterministic tie order, empty " +
     "tokens dropped") {
     val docs = Seq((1L, "The the  a b"), (2L, "b a")).toDF("doc_id", "text")
