@@ -95,6 +95,26 @@ class PlanSpec extends SparkSpec {
       s"top-k not pushed into a bounded take:\n$p")
   }
 
+  test("q69 fuzzy join aggregates to the distinct domain before joining") {
+    val p = plan("q69_fuzzy_pairs")
+    // the distinct() must run BEFORE the self-join: the join then sees the
+    // value domain, not the row count
+    assert(p.contains("HashAggregate"), s"no distinct aggregation:\n$p")
+    assert(p.contains("Join"), s"no join:\n$p")
+    val firstJoin = p.indexOf("Join")
+    val lastAgg = p.lastIndexOf("HashAggregate")
+    // plan strings print top-down: an aggregate BELOW the join appears
+    // after it textually
+    assert(lastAgg > firstJoin,
+      s"distinct does not feed the join:\n$p")
+  }
+
+  test("q71 cube expands grouping sets with partial aggregation") {
+    val p = plan("q71_cube")
+    assert(p.contains("Expand"), s"no grouping-set expansion:\n$p")
+    assert(p.contains("partial_"), s"no map-side combine:\n$p")
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"),
