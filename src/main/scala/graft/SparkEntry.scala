@@ -1746,16 +1746,21 @@ object SparkEntry {
         |  VALUES ('src0', CAST(0.3 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
         |         ('src2', CAST(0.4 AS DOUBLE))),
         |counts AS (
-        |  SELECT source AS stratum, count(*) AS c FROM documents
-        |  JOIN shares ON source = stratum GROUP BY source),
+        |  SELECT s.stratum, s.share, coalesce(rc.c0, 0) AS c
+        |  FROM shares s LEFT JOIN (
+        |    SELECT source AS stratum, count(*) AS c0 FROM documents
+        |    JOIN shares ON source = stratum GROUP BY source) rc
+        |  USING (stratum)),
         |tmax AS (
-        |  SELECT min(CAST(c AS DOUBLE) / share) AS t
-        |  FROM counts JOIN shares USING (stratum)),
+        |  SELECT min(CAST(c AS DOUBLE) / share) AS t FROM counts),
         |rates AS (
         |  SELECT stratum,
-        |         CAST(floor(least(1.0, share * tmax.t / CAST(c AS DOUBLE))
-        |                    * 1000000) AS BIGINT) AS rate_ppm
-        |  FROM counts JOIN shares USING (stratum), tmax)
+        |         CASE WHEN CAST(c AS DOUBLE) / share <= tmax.t
+        |              THEN 1000000
+        |              ELSE CAST(floor(least(1.0,
+        |                     share * tmax.t / CAST(c AS DOUBLE))
+        |                     * 1000000) AS BIGINT) END AS rate_ppm
+        |  FROM counts, tmax)
         |SELECT d.doc_id, d.source FROM documents d
         |JOIN rates r ON d.source = r.stratum
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT

@@ -274,7 +274,11 @@ object Similarity {
     * partition-pruned at plan time: at 100 TB with k=4096 clusters and
     * nProbe=8, only ~0.2% of the corpus files are ever opened, and no
     * runtime (DPP) machinery is needed. This is the steady-state serving
-    * shape; [[ivfTopKWithIndex]] is the in-memory equivalent. */
+    * shape; [[ivfTopKWithIndex]] is the in-memory equivalent.
+    *
+    * `clusterCol` names the CORPUS partition column only; the `centroids`
+    * frame must follow [[ivfIndex]]'s fixed (cluster, centroid) schema,
+    * as with [[ivfTopKWithIndex]]. */
   def ivfTopKStored(spark: org.apache.spark.sql.SparkSession,
                     corpusPath: String, centroids: DataFrame, query: Column,
                     k: Int, clusterCol: String = "cluster",

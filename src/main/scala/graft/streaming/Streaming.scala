@@ -142,24 +142,43 @@ object Streaming {
     * semantics as the batch operator (EventsSpec/StreamingSpec assert
     * parity on shared scenarios).
     *
-    * State is ONE (stage, ts) pair per in-flight user, and is evicted
-    * eagerly: completed and dead funnels are removed immediately, and
-    * in-flight funnels carry an event-time timeout at their current
-    * deadline, so the watermark clears abandoned users — state stays
-    * bounded by the number of users active inside one deadline window,
-    * regardless of stream length. Within-batch rows are time-sorted;
+    * State is ONE (stage, ts) pair per user and stays bounded three ways:
+    * stage-0 state is never stored (it is identical to the absent-state
+    * default, so users who never emit the first step leave nothing
+    * behind); in-flight funnels carry an event-time timeout at their
+    * current deadline and transition to a dead marker when it passes; and
+    * terminal markers (completed or dead) are RETAINED for `retentionSec`
+    * of event time before eviction, so a user cannot re-enter the funnel
+    * and double-count within that horizon. Exact first-occurrence parity
+    * with the batch operator over an UNBOUNDED stream would require
+    * remembering every user forever — the retention horizon is the
+    * explicit, documented bound; past it a returning user is
+    * indistinguishable from a new one. Within-batch rows are time-sorted;
     * cross-batch order relies on the watermark, as with [[flatlineRuns]]. */
   def funnelStream(ds: Dataset[Ev], steps: Seq[String],
                    maxGapSec: Long = 3600L,
-                   watermark: String = "10 minutes")
+                   watermark: String = "10 minutes",
+                   retentionSec: Long = 86400L)
       (implicit spark: SparkSession): Dataset[Conversion] = {
     import spark.implicits._
     require(steps.nonEmpty)
     val gapMs = maxGapSec * 1000L
+    val retentionMs = retentionSec * 1000L
+    def isTerminal(st: FunnelState): Boolean =
+      st.stage == -1 || st.stage >= steps.length
     def fn(user: Long, rows: Iterator[Ev],
            state: GroupState[FunnelState]): Iterator[Conversion] = {
-      if (state.hasTimedOut) { // deadline passed with no qualifying event
-        state.remove()
+      // timeouts fire past the watermark: an in-flight funnel's deadline
+      // passed with no qualifying event → keep a dead marker for the
+      // retention horizon; a terminal marker past retention → evict
+      if (state.hasTimedOut) {
+        val st = state.get
+        if (isTerminal(st)) state.remove()
+        else {
+          state.update(FunnelState(-1, st.lastMs))
+          state.setTimeoutTimestamp(math.max(st.lastMs + retentionMs,
+            state.getCurrentWatermarkMs() + 1))
+        }
         return Iterator.empty
       }
       val sorted = rows.toSeq.sortBy(_.ts.getTime)
@@ -182,10 +201,12 @@ object Streaming {
           } // tMs <= lastMs: not strictly after the chosen event — ignore
         }
       }
-      if (st.stage == -1 || st.stage >= steps.length) state.remove()
-      else {
+      if (st.stage != 0) { // stage 0 == absent-state default: store nothing
         state.update(st)
-        if (st.stage > 0) state.setTimeoutTimestamp(st.lastMs + gapMs)
+        val horizon = if (isTerminal(st)) st.lastMs + retentionMs
+                      else st.lastMs + gapMs
+        state.setTimeoutTimestamp(math.max(horizon,
+          state.getCurrentWatermarkMs() + 1))
       }
       out.iterator
     }

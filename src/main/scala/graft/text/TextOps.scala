@@ -272,9 +272,16 @@ object TextOps {
     * hit target shares WITHOUT upsampling. With counts c_s and target
     * shares w_s (Σw = 1), the largest total T every stratum can serve is
     * T = min_s(c_s / w_s); each stratum then keeps rate_s = w_s·T / c_s
-    * (the binding stratum keeps everything). Returns (stratum, rate_ppm)
+    * (a binding stratum — one where c_s/w_s equals T — keeps everything,
+    * asserted via the binding PREDICATE rather than the floating-point
+    * quotient, which can land at 0.999…). Returns (stratum, rate_ppm)
     * with the rate floored to parts-per-million — the same integer the
     * sampling predicate compares against, so engines agree exactly.
+    *
+    * A target stratum ABSENT from the corpus has c_s = 0, making T = 0 and
+    * every present stratum's rate 0: the requested mixture is infeasible
+    * and the sample comes back EMPTY — loudly, instead of silently
+    * returning a mixture with the wrong composition.
     *
     * The counts aggregation is one map-side-combined pass; the result is
     * |strata| rows — broadcast it into [[mixtureSample]]. */
@@ -285,16 +292,21 @@ object TextOps {
     val shares = session.createDataFrame(
       targetShares.toSeq.map { case (k, v) => (k, v) })
       .toDF("stratum", "share")
-    val counts = docs.select(col(stratumCol).as("stratum"))
+    val rawCounts = docs.select(col(stratumCol).as("stratum"))
       .join(broadcast(shares.select("stratum")), Seq("stratum"), "left_semi")
-      .groupBy("stratum").agg(count(lit(1)).as("c"))
-      .join(broadcast(shares), Seq("stratum"))
+      .groupBy("stratum").agg(count(lit(1)).as("c0"))
+    val counts = shares.join(rawCounts, Seq("stratum"), "left")
+      .select(col("stratum"), col("share"),
+        coalesce(col("c0"), lit(0L)).as("c"))
     val t = counts.agg(min(col("c").cast("double") / col("share")).as("t"))
     counts.crossJoin(broadcast(t))
       .select(col("stratum"),
-        floor(least(lit(1.0),
-          col("share") * col("t") / col("c").cast("double")) * 1000000L)
-          .cast("long").as("rate_ppm"))
+        when(col("c").cast("double") / col("share") <= col("t"),
+          lit(1000000L))
+          .otherwise(floor(least(lit(1.0),
+            col("share") * col("t") / col("c").cast("double")) * 1000000L)
+            .cast("long"))
+          .as("rate_ppm"))
   }
 
   /** Apply [[mixtureRates]]: keep a row iff its portable hash bucket (ppm)

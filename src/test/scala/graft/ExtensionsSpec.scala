@@ -626,6 +626,12 @@ class ExtensionsSpec extends SparkSpec {
     assert(bySrc.getOrElse("b", 0L) == 10L)
     assert(!bySrc.contains("noise"))
     assert(bySrc("a") < 20L && bySrc("a") > 0L)
+    // a target stratum absent from the corpus makes the mixture
+    // infeasible: T = 0, every present stratum's rate 0 → EMPTY sample
+    // (loud failure, not a silently wrong composition)
+    val infeasible = TextOps.mixtureSample(docs,
+      TextOps.mixtureRates(docs, Map("a" -> 0.5, "missing" -> 0.5)))
+    assert(infeasible.count() == 0L)
   }
 
   test("bloomDecontaminate: no false negatives vs exact decontaminate; " +

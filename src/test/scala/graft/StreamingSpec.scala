@@ -168,6 +168,13 @@ class StreamingSpec extends SparkSpec {
       assert(rows.filter(col("user") === 1L).count() == 3)
       // u2's purchase was 1 s past the deadline → only steps 1-2
       assert(rows.filter(col("user") === 2L).count() == 2)
+      // re-entry guard: u1's funnel is complete — a later view must NOT
+      // start a second funnel (terminal state is retained, not removed)
+      in.addData(Streaming.Ev(1L, t("2024-01-01 13:00:00"), "view"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_out")
+        .filter(col("user") === 1L).count() == 3,
+        "completed user re-entered the funnel")
     } finally q.stop()
   }
 }
