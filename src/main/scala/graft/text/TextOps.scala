@@ -334,6 +334,24 @@ object TextOps {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** [[vocabulary]]'s sketch-based scale path: corpus-wide heavy-hitter
+    * tokens via the fixed-size mergeable Misra-Gries sketch
+    * ([[graft.functions.SketchAggregates.frequentItems]]) — one map-side
+    * pass + |partitions| sketch merges, NO token-keyed shuffle, state
+    * bounded by `maxMapSize` counters regardless of the distinct-token
+    * domain. No false negatives above the sketch's error bound; exact
+    * (estimate = lower = upper = true count) when the domain fits the
+    * map. Returns (token, estimate, lower, upper), estimate-desc. */
+  def frequentTokens(docs: DataFrame, textCol: String = "text",
+                     maxMapSize: Int = 1024): DataFrame =
+    docs.select(explode(wsTokens(lower(col(textCol)))).as("token"))
+      .filter(length(col("token")) > 0)
+      .agg(graft.functions.SketchAggregates
+        .frequentItems(col("token"), maxMapSize).as("fi"))
+      .select(explode(col("fi")).as("f"))
+      .select(col("f.token").as("token"), col("f.estimate").as("estimate"),
+        col("f.lower").as("lower"), col("f.upper").as("upper"))
+
   /** Full per-document profile. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -685,6 +685,33 @@ class ExtensionsSpec extends SparkSpec {
       ("red widget", "red widgets", 1)), s"got $got")
   }
 
+  test("frequentTokens: exact when the domain fits the sketch (across " +
+    "partitions); no false negatives under a tiny map on skewed data") {
+    // small domain, many partitions → partial sketches must merge exactly
+    val docs = Seq.tabulate(40)(i =>
+      (i.toLong, if (i % 4 == 0) "alpha beta" else "alpha gamma"))
+      .toDF("doc_id", "text").repartition(7)
+    val got = TextOps.frequentTokens(docs, maxMapSize = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // exact: estimate == lower == upper == true count
+    assert(got == Seq(("alpha", 40L, 40L, 40L), ("gamma", 30L, 30L, 30L),
+      ("beta", 10L, 10L, 10L)), s"got $got")
+
+    // skew: one token at 500, 200 singletons, map of only 8 counters —
+    // Misra-Gries must still surface the heavy hitter (no false
+    // negatives) with lower <= true <= upper
+    val skewed = (Seq.fill(500)("hot") ++ (0 until 200).map(i => s"cold$i"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text").repartition(5)
+    val hh = TextOps.frequentTokens(skewed, maxMapSize = 8)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    val hot = hh.find(_._1 == "hot")
+    assert(hot.isDefined, s"heavy hitter missing from $hh")
+    assert(hot.get._2 <= 500L && 500L <= hot.get._3,
+      s"true count outside [lower, upper]: ${hot.get}")
+  }
+
   test("vocabulary: case-folded counts, deterministic tie order, empty " +
     "tokens dropped") {
     val docs = Seq((1L, "The the  a b"), (2L, "b a")).toDF("doc_id", "text")
