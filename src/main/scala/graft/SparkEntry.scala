@@ -767,6 +767,14 @@ object SparkEntry {
         .orderBy("ws")
     }),
 
+    // sketch heavy hitters in the EXACT regime: the corpus vocabulary
+    // (~31 tokens) fits a 4096-counter map, so Misra-Gries degenerates to
+    // exact counting and the sketch output is strictly oracle-checkable
+    "q72_frequent_tokens" -> ((s, dir) => {
+      TextOps.frequentTokens(t(s, dir, "documents"), maxMapSize = 4096)
+        .orderBy(col("estimate").desc, col("token"))
+    }),
+
     // cube subtotals over returnflag × linestatus (q46's rollup, full cube)
     "q71_cube" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -1843,6 +1851,14 @@ object SparkEntry {
         |         value
         |  FROM events, unnest([0, 1]) AS t(o))
         |GROUP BY ws_us ORDER BY ws""".stripMargin,
+
+    "q72_frequent_tokens" ->
+      """SELECT token, count(*) AS estimate, count(*) AS lower,
+        |       count(*) AS upper
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+        |      FROM documents)
+        |WHERE len(token) > 0
+        |GROUP BY token ORDER BY estimate DESC, token""".stripMargin,
 
     "q71_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
