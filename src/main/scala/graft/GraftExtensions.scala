@@ -98,7 +98,12 @@ object GraftFunctions {
           if (exprs.size > 1)
             graft.text.TextOps.duplicateNgramFraction(column(exprs(0)),
               intLit(exprs(1), "dup_ngram_fraction"))
-          else graft.text.TextOps.duplicateNgramFraction(column(exprs(0)))) }))
+          else graft.text.TextOps.duplicateNgramFraction(column(exprs(0)))) }),
+    ("frequent_items", classOf[graft.functions.FrequentItemsAggregate].getName,
+      exprs => { arity("frequent_items", exprs, 1, 2)
+        graft.functions.FrequentItemsAggregate(exprs(0),
+          if (exprs.size > 1) intLit(exprs(1), "frequent_items") else 1024)
+          .toAggregateExpression() }))
 
   /** Runtime registration (temp functions) for an existing session. */
   def register(spark: SparkSession): Unit =

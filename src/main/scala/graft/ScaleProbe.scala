@@ -82,7 +82,9 @@ object ScaleProbe {
           val split = d.withColumn("s", TextOps.hashSplit(col("doc_id")))
           TextOps.bloomDecontaminate(split.filter(col("s") === "train"),
             split.filter(col("s") === "test"), n = 8).count() },
-        "chunk_tokens" -> { d => TextOps.chunkTokens(d).count() }))
+        "chunk_tokens" -> { d => TextOps.chunkTokens(d).count() },
+        "frequent_tokens" -> { d =>
+          TextOps.frequentTokens(d, maxMapSize = 1024).count() }))
 
     // embedding-family probe: replicate embeddings with coordinate jitter
     // derived from the replica index (deterministic, no RNG)

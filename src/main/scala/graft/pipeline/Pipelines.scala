@@ -167,6 +167,27 @@ object Pipelines {
     * Returns the curated corpus with the `split` column. Every stage's
     * shuffle posture is the operator's own (see SURVEY.md §9); the gate
     * runs first so all downstream shuffles move only surviving docs. */
+  /** WARC → documents-shaped ingest: crawl records become (doc_id, text,
+    * lang, source, n_chars) rows ready for [[curate]]. `conversion`
+    * records (Common Crawl's pre-extracted text) pass through bare;
+    * `response` records get the HTTP envelope stripped. doc_id is the
+    * xxhash64 of the WARC record id (stable across re-reads), source is
+    * the target host, lang the engine's heuristic — all map-only. */
+  def ingestWarc(spark: SparkSession, path: String,
+                 types: Seq[String] = Seq("conversion", "response"))
+      : DataFrame = {
+    import graft.text.TextOps
+    val recs = graft.io.Warc.records(spark, path)
+      .filter(col("warc_type").isin(types: _*))
+    recs.select(
+      xxhash64(col("record_id")).as("doc_id"),
+      graft.io.Warc.httpPayload(col("content")).as("text"),
+      regexp_extract(col("target_uri"), "https?://([^/]+)", 1).as("source"))
+      .withColumn("lang", TextOps.langIdEn(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   def curate(docs: DataFrame, minQuality: Double = 0.3,
              minJaccard: Double = 0.8, decontamN: Int = 8): DataFrame = {
     import graft.text.TextOps

@@ -38,6 +38,22 @@ class SkewAndSqlSpec extends SparkSpec {
     assert(r == 32.0)
   }
 
+  test("frequent_items aggregates from SQL with the default and explicit " +
+    "map size") {
+    GraftFunctions.register(spark)
+    Seq("a", "a", "b", "a").toDF("w").createOrReplaceTempView("fi_words")
+    val r = spark.sql(
+      "SELECT frequent_items(w) AS fi FROM fi_words").head()
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(r.map(x => (x.getString(0), x.getLong(1))) ==
+      Seq(("a", 3L), ("b", 1L)))
+    val r2 = spark.sql(
+      "SELECT frequent_items(w, 64) AS fi FROM fi_words").head()
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(r2.map(x => (x.getString(0), x.getLong(1))) ==
+      Seq(("a", 3L), ("b", 1L)))
+  }
+
   test("composed text functions are callable from SQL") {
     GraftFunctions.register(spark)
     val row = spark.sql(

@@ -58,4 +58,22 @@ class WarcSpec extends SparkSpec {
       .select(Warc.httpPayload(col("content"))).head().getString(0)
     assert(conv == "hello crawl")
   }
+
+  test("ingestWarc: documents-shaped frame, envelope stripped, stable ids") {
+    val path = fixture()
+    val docs = graft.pipeline.Pipelines.ingestWarc(spark, path)
+    assert(docs.columns.toSeq ==
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = docs.orderBy("text").collect()
+    assert(rows.length == 2) // warcinfo excluded
+    assert(rows.map(_.getAs[String]("text")).toSeq ==
+      Seq("<html>hello crawl</html>", "hello crawl"))
+    assert(rows.forall(_.getAs[String]("source") == "example.org"))
+    assert(rows.forall(r =>
+      r.getAs[Long]("n_chars") == r.getAs[String]("text").length))
+    // ids are stable across re-reads of the same segment
+    val again = graft.pipeline.Pipelines.ingestWarc(spark, path)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == rows.map(_.getAs[Long]("doc_id")).toSet)
+  }
 }
