@@ -775,6 +775,16 @@ object SparkEntry {
         .orderBy(col("estimate").desc, col("token"))
     }),
 
+    // sequence packing: contiguous 1024-token packs per source
+    "q73_sequence_packing" -> ((s, dir) => {
+      TextOps.packSequences(t(s, dir, "documents"), budgetTokens = 1024,
+          partitionCols = Seq("source"))
+        .groupBy("source", "pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"))
+        .orderBy("source", "pack_id")
+    }),
+
     // cube subtotals over returnflag × linestatus (q46's rollup, full cube)
     "q71_cube" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -1859,6 +1869,23 @@ object SparkEntry {
         |      FROM documents)
         |WHERE len(token) > 0
         |GROUP BY token ORDER BY estimate DESC, token""".stripMargin,
+
+    "q73_sequence_packing" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |packed AS (
+        |  SELECT source, n_tokens,
+        |         CAST(floor(CAST(coalesce(sum(n_tokens) OVER (
+        |             PARTITION BY source ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) / 1024.0) AS BIGINT) AS pack_id
+        |  FROM toks)
+        |SELECT source, pack_id, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM packed GROUP BY source, pack_id
+        |ORDER BY source, pack_id""".stripMargin,
 
     "q71_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rflag,

@@ -352,6 +352,35 @@ object TextOps {
       .select(col("f.token").as("token"), col("f.estimate").as("estimate"),
         col("f.lower").as("lower"), col("f.upper").as("upper"))
 
+  /** Sequence packing for training-batch construction: assign rows to
+    * contiguous packs of at most `budgetTokens` whitespace tokens within
+    * each partition group, walking rows in `orderCols` order — the
+    * streaming first-fit packing every training pipeline uses to minimize
+    * padding. `pack_id = floor(cum_tokens_before / budget)`: one window
+    * cumsum per group, no shuffle beyond the group key, deterministic in
+    * any engine. Rows longer than the budget still advance the cursor
+    * (they occupy their own packs) rather than erroring — the trainer's
+    * truncation policy is downstream's concern. */
+  def packSequences(docs: DataFrame, budgetTokens: Int,
+                    partitionCols: Seq[String] = Nil,
+                    orderCols: Seq[String] = Seq("doc_id"),
+                    textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val tokens = size(wsTokens(col(textCol)))
+    docs
+      .withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("_cum_before",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)))
+      .withColumn("pack_id",
+        floor(col("_cum_before") / lit(budgetTokens.toDouble)).cast("long"))
+      .drop("_cum_before")
+  }
+
   /** Full per-document profile. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

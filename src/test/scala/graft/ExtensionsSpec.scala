@@ -712,6 +712,27 @@ class ExtensionsSpec extends SparkSpec {
       s"true count outside [lower, upper]: ${hot.get}")
   }
 
+  test("packSequences: contiguous start-of-row packing per group, " +
+    "deterministic order, oversized rows advance the cursor") {
+    def words(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    val docs = Seq(
+      ("a", 1L, words(6)), ("a", 2L, words(6)), ("a", 3L, words(6)),
+      ("a", 4L, words(25)), // oversized vs budget 10 — own pack(s)
+      ("a", 5L, words(2)),
+      ("b", 1L, words(3)))
+      .toDF("source", "doc_id", "text")
+    val got = TextOps.packSequences(docs, budgetTokens = 10,
+        partitionCols = Seq("source"))
+      .select("source", "doc_id", "pack_id", "n_tokens").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // cum_before per a-row: 0, 6, 12, 18, 43 → packs 0, 0, 1, 1, 4.
+    // A row starting inside a pack belongs to it even if it overflows
+    // (start-of-row semantics); the 25-token row pushes the next row to
+    // pack 4, leaving packs 2-3 empty — gaps are fine, ids stay ordered.
+    assert(got == Seq(("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 1L),
+      ("a", 4L, 1L), ("a", 5L, 4L), ("b", 1L, 0L)), s"got $got")
+  }
+
   test("vocabulary: case-folded counts, deterministic tie order, empty " +
     "tokens dropped") {
     val docs = Seq((1L, "The the  a b"), (2L, "b a")).toDF("doc_id", "text")
