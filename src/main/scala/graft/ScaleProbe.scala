@@ -84,7 +84,11 @@ object ScaleProbe {
             split.filter(col("s") === "test"), n = 8).count() },
         "chunk_tokens" -> { d => TextOps.chunkTokens(d).count() },
         "frequent_tokens" -> { d =>
-          TextOps.frequentTokens(d, maxMapSize = 1024).count() }))
+          TextOps.frequentTokens(d, maxMapSize = 1024).count() },
+        "bm25_top100" -> { d =>
+          TextOps.bm25TopK(d, Seq("spark", "window", "dup"),
+            k = 100).count() },
+        "adaptive_gate" -> { d => TextOps.adaptiveQualityGate(d).count() }))
 
     // embedding-family probe: replicate embeddings with coordinate jitter
     // derived from the replica index (deterministic, no RNG)
@@ -114,12 +118,14 @@ object ScaleProbe {
     // event-family probe: replicate by user-id offset (funnel/retention
     // cost scales with users × their events; replicas are disjoint users)
     val evbase = graft.io.Readers.table(spark, sfDir, "events")
-      .select("user_id", "ts", "event_type")
+      .select("user_id", "ts", "event_type", "event_id", "value")
     val uMax = evbase.agg(max("user_id")).head().getLong(0) + 1
+    val evMax = evbase.agg(max("event_id")).head().getLong(0) + 1
     def replicateEv(times: Int): DataFrame =
       (0 until times).map { r =>
         evbase.select((col("user_id") + lit(r * uMax)).as("user_id"),
-          col("ts"), col("event_type"))
+          col("ts"), col("event_type"),
+          (col("event_id") + lit(r * evMax)).as("event_id"), col("value"))
       }.reduce(_ unionAll _)
 
     def evSuite(ev: DataFrame): Map[String, Double] = {
@@ -128,7 +134,11 @@ object ScaleProbe {
         "funnel3" -> { d =>
           Events.funnel(d, Seq("view", "click", "purchase"),
             maxGapSec = 43200L).count() },
-        "retention" -> { d => Events.cohortRetention(d).count() }))
+        "retention" -> { d => Events.cohortRetention(d).count() },
+        "transitions" -> { d => Events.transitionCounts(d).count() },
+        "mad_outliers" -> { d =>
+          graft.ops.Stats.madOutliers(d, Seq("event_type"), "value")
+            .count() }))
     }
 
     println(s"== pass 0: warmup (codegen) ==")

@@ -794,8 +794,81 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
           col("n"), col("sum_qty"))
         .orderBy("rflag", "lstatus")
+    }),
+
+    // BM25 retrieval: top-15 docs for a 3-term query ('dup' is the rare,
+    // high-idf discriminator); ranking on the rounded score so the
+    // k-boundary can't flip across engines
+    "q74_bm25_topk" -> ((s, dir) => {
+      TextOps.bm25TopK(t(s, dir, "documents"), Bm25Terms, k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // per-source adaptive quality gate: keep docs above their source's
+    // 20th-percentile quality (exact per-group percentile threshold)
+    "q75_adaptive_gate" -> ((s, dir) => {
+      TextOps.adaptiveQualityGate(t(s, dir, "documents"), pct = 0.2)
+        .select(col("doc_id"), col("source"),
+          round(col("quality"), 6).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // q56's near-dup pipeline with quality-aware representatives: keep the
+    // LONGEST doc per cluster (integer-exact order), not the min id
+    "q76_keep_best" -> ((s, dir) => {
+      Dedup.nearDupKeepBest(t(s, dir, "documents"), shingleN = 3,
+        minJaccard = 0.4, numHashes = 16, bands = 4, portable = true)
+        .orderBy("doc_id")
+    }),
+
+    // robust outliers: modified z-score (median + MAD) per event type —
+    // the multiply-through form, no division by MAD
+    "q77_mad_outliers" -> ((s, dir) => {
+      Stats.madOutliers(t(s, dir, "events"), Seq("event_type"), "value")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("is_outlier").as("n_outliers"),
+          round(max("med"), 6).as("med"), round(max("mad"), 6).as("mad"))
+        .orderBy("event_type")
+    }),
+
+    // first-order event-transition matrix (Markov view of user flows)
+    "q78_transitions" -> ((s, dir) => {
+      Events.transitionCounts(t(s, dir, "events"))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // equal-frequency decile discretizer per event type (ntile)
+    "q79_quantile_buckets" -> ((s, dir) => {
+      Windows.quantileBuckets(t(s, dir, "events"), Seq("event_type"),
+          Seq(col("value").asc, col("event_id").asc), 10)
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"), round(min("value"), 2).as("lo"),
+          round(max("value"), 2).as("hi"))
+        .orderBy("event_type", "bucket")
+    }),
+
+    // deterministic A/B readout: md5-bucket variants, conversion = a
+    // high-value purchase, rates + two-proportion z — one row out
+    "q80_ab_test" -> ((s, dir) => {
+      Events.abTest(t(s, dir, "events"),
+        col("event_type") === "purchase" && col("value") > 300)
+    }),
+
+    // within-doc co-occurrence with PMI scoring (collocation mining)
+    "q81_pmi_pairs" -> ((s, dir) => {
+      TextOps.pmiPairs(t(s, dir, "documents"), minPairCount = 50, k = 40)
+    }),
+
+    // 30-min inactivity sessions, one row per session with conversion flag
+    "q82_session_stats" -> ((s, dir) => {
+      Events.sessionStats(t(s, dir, "events"), gapSeconds = 1800)
+        .orderBy("user_id", "session_id")
     })
   )
+
+  /** q74's query-term bag (vocabulary members with contrasting df). */
+  private val Bm25Terms: Seq[String] = Seq("spark", "window", "dup")
 
   /** q64's target mixture (fractions sum to 1; src2 is deliberately
     * over-asked so it binds and keeps everything). */
@@ -871,11 +944,13 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** q56 oracle: [[minhashCandCtes]] → exact Jaccard verification on the
-    * candidate pairs only → recursive-CTE connected components (q41's
-    * shape) — the whole scalable near-dup pipeline, end to end in SQL. */
-  private def neardupPipelineOracle: String =
-    s"""WITH RECURSIVE $shingleHashCte,
+  /** Shared CTE chain for the near-dup pipeline oracles (q56, q76):
+    * [[minhashCandCtes]] → exact Jaccard verification on the candidate
+    * pairs only → recursive-CTE connected components (q41's shape) ending
+    * in `comp(u, m)` = (doc, min-id cluster). Prefix with
+    * `WITH RECURSIVE`. */
+  private def neardupCompCtes: String =
+    s"""$shingleHashCte,
        |$minhashCandCtes,
        |inv AS (
        |  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
@@ -896,10 +971,30 @@ object SparkEntry {
        |comp AS (
        |  SELECT u, min(v) AS m FROM (
        |    SELECT u, v FROM reach
-       |    UNION SELECT doc_id, doc_id FROM documents) GROUP BY u)
+       |    UNION SELECT doc_id, doc_id FROM documents) GROUP BY u)""".stripMargin
+
+  /** q56 oracle: the whole scalable near-dup pipeline, end to end in SQL. */
+  private def neardupPipelineOracle: String =
+    s"""WITH RECURSIVE $neardupCompCtes
        |SELECT d.doc_id, comp.m AS cluster_id
        |FROM documents d JOIN comp ON d.doc_id = comp.u
        |ORDER BY d.doc_id""".stripMargin
+
+  /** q76 oracle: [[neardupCompCtes]] + longest-doc-wins representative
+    * ranking per cluster (tie → min id). */
+  private def neardupKeepBestOracle: String =
+    s"""WITH RECURSIVE $neardupCompCtes,
+       |clustered AS (
+       |  SELECT d.doc_id, comp.m AS cluster_id, len(d.text) AS tl
+       |  FROM documents d JOIN comp ON d.doc_id = comp.u),
+       |ranked AS (
+       |  SELECT doc_id, cluster_id,
+       |         CAST(row_number() OVER (PARTITION BY cluster_id
+       |              ORDER BY tl DESC, doc_id) AS INTEGER) AS rk
+       |  FROM clustered)
+       |SELECT doc_id, cluster_id, rk,
+       |       CASE WHEN rk = 1 THEN 1 ELSE 0 END AS keep
+       |FROM ranked ORDER BY doc_id""".stripMargin
 
   /** q25 oracle: portable 60-bit SimHash in SQL — per-bit ±1 sums, sign
     * bits re-assembled, Manku 4-block candidate join, exact Hamming
@@ -1892,6 +1987,198 @@ object SparkEntry {
         |       coalesce(l_linestatus, 'ALL') AS lstatus,
         |       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
-        |ORDER BY rflag, lstatus""".stripMargin
+        |ORDER BY rflag, lstatus""".stripMargin,
+
+    "q74_bm25_topk" -> bm25Oracle,
+
+    "q75_adaptive_gate" -> adaptiveGateOracle,
+
+    "q76_keep_best" -> neardupKeepBestOracle,
+
+    "q77_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type,
+        |         quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |  FROM events e JOIN med m USING (event_type) GROUP BY 1),
+        |flags AS (
+        |  SELECT e.event_type, m.med, d.mad,
+        |         CASE WHEN 0.6745 * abs(e.value - m.med) > 3.5 * d.mad
+        |              THEN 1 ELSE 0 END AS is_outlier
+        |  FROM events e JOIN med m USING (event_type)
+        |                JOIN mad d USING (event_type))
+        |SELECT event_type, count(*) AS n,
+        |       CAST(sum(is_outlier) AS BIGINT) AS n_outliers,
+        |       round(max(med), 6) AS med, round(max(mad), 6) AS mad
+        |FROM flags GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q78_transitions" ->
+      """SELECT from_type, to_type, count(*) AS n
+        |FROM (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS from_type,
+        |         event_type AS to_type
+        |  FROM events)
+        |WHERE from_type IS NOT NULL
+        |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
+
+    "q79_quantile_buckets" ->
+      """SELECT event_type, CAST(bucket AS INTEGER) AS bucket,
+        |       count(*) AS n, round(min(value), 2) AS lo,
+        |       round(max(value), 2) AS hi
+        |FROM (
+        |  SELECT event_type, value,
+        |         ntile(10) OVER (PARTITION BY event_type
+        |           ORDER BY value, event_id) AS bucket
+        |  FROM events)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q80_ab_test" ->
+      """WITH va AS (
+        |  SELECT u, ('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 8))::BIGINT
+        |           % 2 AS variant
+        |  FROM (SELECT DISTINCT user_id AS u FROM events)),
+        |conv AS (
+        |  SELECT DISTINCT user_id AS u FROM events
+        |  WHERE event_type = 'purchase' AND value > 300),
+        |pu AS (
+        |  SELECT va.variant, CASE WHEN conv.u IS NULL THEN 0 ELSE 1 END AS c
+        |  FROM va LEFT JOIN conv ON va.u = conv.u),
+        |counts AS (
+        |  SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS users_a,
+        |         CAST(sum(CASE WHEN variant = 0 THEN c ELSE 0 END) AS BIGINT)
+        |           AS conv_a,
+        |         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS users_b,
+        |         CAST(sum(CASE WHEN variant = 1 THEN c ELSE 0 END) AS BIGINT)
+        |           AS conv_b
+        |  FROM pu)
+        |SELECT users_a, conv_a, users_b, conv_b,
+        |       round(CAST(conv_a AS DOUBLE) / users_a, 6) AS rate_a,
+        |       round(CAST(conv_b AS DOUBLE) / users_b, 6) AS rate_b,
+        |       CASE WHEN conv_a + conv_b > 0
+        |             AND conv_a + conv_b < users_a + users_b THEN
+        |         round((CAST(conv_a AS DOUBLE) / users_a
+        |                - CAST(conv_b AS DOUBLE) / users_b)
+        |           / sqrt(CAST(conv_a + conv_b AS DOUBLE)
+        |                    / (users_a + users_b)
+        |                  * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+        |                           / (users_a + users_b))
+        |                  * (1.0 / users_a + 1.0 / users_b)), 6)
+        |       END AS z
+        |FROM counts""".stripMargin,
+
+    "q81_pmi_pairs" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id AS id, t AS token FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE len(t) > 0),
+        |vocab AS (
+        |  SELECT token, count(*) AS n_t FROM dt GROUP BY token
+        |  ORDER BY n_t DESC, token LIMIT 10000),
+        |n AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+        |  WHERE text IS NOT NULL),
+        |pairs AS (
+        |  SELECT a.token AS t_a, b.token AS t_b, count(*) AS n_ab
+        |  FROM dt a JOIN dt b ON a.id = b.id AND a.token < b.token
+        |  GROUP BY 1, 2 HAVING count(*) >= 50)
+        |SELECT t_a, t_b, n_ab,
+        |       round(ln(CAST(n_ab AS DOUBLE) * n_docs
+        |             / (CAST(va.n_t AS DOUBLE) * CAST(vb.n_t AS DOUBLE))), 6)
+        |         AS pmi
+        |FROM pairs
+        |JOIN vocab va ON va.token = t_a
+        |JOIN vocab vb ON vb.token = t_b
+        |CROSS JOIN n
+        |ORDER BY pmi DESC, t_a, t_b LIMIT 40""".stripMargin,
+
+    "q82_session_stats" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_type,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR date_diff('microsecond', lag(ts) OVER w, ts)
+        |                 > 1800000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, event_type,
+        |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS session_id
+        |  FROM o)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       round(date_diff('microsecond', min(ts), max(ts)) / 1000000.0,
+        |             3) AS duration_sec,
+        |       max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |         AS converted
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
+
+  /** q74 oracle: Okapi BM25 end to end in SQL. The k1/b/(k1+1) constants
+    * interpolate from the SAME Scala doubles the engine uses, so both
+    * sides evaluate identical literals. */
+  private def bm25Oracle: String = {
+    val k1 = 1.2; val b = 0.75
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(lower(text), ' '),
+       |                     t -> len(t) > 0) AS tk
+       |  FROM documents WHERE text IS NOT NULL),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |         avg(CAST(len(tk) AS DOUBLE)) AS avgdl FROM toks),
+       |tf AS (
+       |  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl,
+       |               unnest(tk) AS term FROM toks)
+       |  WHERE term IN ($termList)
+       |  GROUP BY doc_id, dl, term),
+       |df AS (
+       |  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term)
+       |SELECT doc_id,
+       |       round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |             * tf * ${k1 + 1}
+       |             / (tf + $k1 * (1.0 - $b + $b * dl / avgdl))), 6)
+       |         AS score,
+       |       count(*) AS n_terms
+       |FROM tf JOIN df USING (term) CROSS JOIN stats
+       |GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+  }
+
+  /** q75 oracle: q30's quality formula + per-source exact 20th-percentile
+    * gate. */
+  private def adaptiveGateOracle: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, source,
+       |         CASE WHEN len(text) > 0 THEN
+       |           CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / len(text)
+       |         ELSE 0.0 END AS pr,
+       |         CASE WHEN len(string_split(lower(text), ' ')) > 0 THEN
+       |           CAST(len(list_filter(string_split(lower(text), ' '),
+       |                t -> t IN ($enStopList))) AS DOUBLE)
+       |           / len(string_split(lower(text), ' '))
+       |         ELSE 0.0 END AS sr,
+       |         least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) AS ls
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, source,
+       |         greatest(0.0, least(1.0,
+       |           ls * 0.4 + least(sr * 4, 1.0) * 0.4 +
+       |           (1.0 - least(pr * 5, 1.0)) * 0.2)) AS quality
+       |  FROM f),
+       |thr AS (
+       |  SELECT source AS g, quantile_cont(quality, 0.2) AS thr
+       |  FROM q GROUP BY source)
+       |SELECT q.doc_id, q.source, round(q.quality, 6) AS quality
+       |FROM q JOIN thr ON q.source = thr.g
+       |WHERE q.quality >= thr.thr
+       |ORDER BY q.doc_id""".stripMargin
 }

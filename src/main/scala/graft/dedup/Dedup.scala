@@ -276,6 +276,59 @@ object Dedup {
     out
   }
 
+  /** Incremental-ingest dedup: from a NEW batch, keep only documents whose
+    * normalized content digest is (a) unseen in the existing corpus and
+    * (b) the first occurrence (min id) within the batch itself. The
+    * continuous-crawl shape: the corpus side reduces to its digest set, so
+    * a 100 TB corpus participates as fixed-width md5 keys — never text —
+    * and daily batches dedup against it with one anti-join. Persist the
+    * digest table ([[graft.io.Writers.bucketedTable]] on `digest`) and the
+    * anti-join plans with no corpus-side Exchange at all. */
+  def incrementalNew(batch: DataFrame, corpus: DataFrame,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val digest = (d: Column) =>
+      md5(regexp_replace(lower(d), "\\s+", " "))
+    val seen = corpus.select(digest(col(textCol)).as("digest")).distinct()
+    val withDigest = batch.withColumn("digest", digest(col(textCol)))
+    val w = Window.partitionBy("digest").orderBy(col(idCol).asc)
+    withDigest
+      .join(seen, Seq("digest"), "left_anti")
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .drop("_rk", "digest")
+  }
+
+  /** [[nearDupClusters]] with quality-aware representative selection: keep
+    * the BEST document of each near-dup cluster instead of the min-id one.
+    * Real curation keeps the longest / highest-quality copy of a duplicated
+    * page, not an arbitrary member; `orderCols` decides "best" (default:
+    * longest text, then min id — integer-exact and portable, no
+    * float-ordering hazard across engines).
+    *
+    * One extra row_number window over the clustered frame, partitioned by
+    * cluster — clusters are near-dup-density-sized, so the added shuffle
+    * keys on cluster_id with one row per doc. Returns every input row with
+    * its cluster, rank, and an integer keep flag (rank 1). */
+  def nearDupKeepBest(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", shingleN: Int = 3,
+                      minJaccard: Double = 0.5, numHashes: Int = 64,
+                      bands: Int = 16, portable: Boolean = false,
+                      orderCols: Option[DataFrame => Seq[Column]] = None)
+      : DataFrame = {
+    val ord = orderCols.getOrElse((d: DataFrame) =>
+      Seq(length(d(textCol)).desc, d(idCol).asc))
+    val clusters = nearDupClusters(docs, idCol, textCol, shingleN,
+      minJaccard, numHashes, bands, portable)
+    val joined = docs.join(clusters, idCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(ord(joined): _*)
+    joined
+      .withColumn("rk", row_number().over(w))
+      .withColumn("keep", when(col("rk") === 1, 1).otherwise(0))
+      .select(col(idCol), col("cluster_id"), col("rk"), col("keep"))
+  }
+
   /** Blocked edit-distance join over the DISTINCT value domain — fuzzy
     * matching of names/titles/keys (typo dedup, entity resolution). Two
     * scale levers: (1) the join runs on `distinct(valueCol)`, so cost

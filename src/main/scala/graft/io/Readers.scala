@@ -44,6 +44,35 @@ object Readers {
               schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).option("header", "true").csv(path)
 
+  /** JSONL scan with corrupt-record routing (the data-engineering staple
+    * for crawled/third-party feeds): PERMISSIVE parse against an explicit
+    * schema, malformed lines land whole in `_corrupt_record`, and the
+    * result splits into (good, bad) frames — bad rows keep their raw line
+    * for quarantine sinks instead of poisoning the batch or failing it.
+    *
+    * The parsed frame is cached before splitting: Spark refuses a filter
+    * that references ONLY the internal corrupt-record column of a live
+    * JSON scan (SPARK-21610), and the cache also makes the two branches
+    * share one parse. Caller unpersists via the returned handle when both
+    * sides are consumed. */
+  def loadJsonlRouted(spark: SparkSession, path: String,
+                      schema: org.apache.spark.sql.types.StructType)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val corruptCol = "_corrupt_record"
+    val full = schema.add(corruptCol,
+      org.apache.spark.sql.types.StringType)
+    val parsed = spark.read
+      .schema(full)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+      .cache()
+    val good = parsed.filter(col(corruptCol).isNull).drop(corruptCol)
+    val bad = parsed.filter(col(corruptCol).isNotNull)
+      .select(col(corruptCol).as("raw_line"))
+    (good, bad, parsed)
+  }
+
   /** Parquet table from a testdata scale-factor directory (TESTDATA.md).
     *
     * `events.parquet` carries TIMESTAMP(NANOS), which Spark's parquet

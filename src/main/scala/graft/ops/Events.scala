@@ -79,6 +79,91 @@ object Events {
       .agg(count(lit(1)).as("active_users"))
   }
 
+  /** First-order transition matrix over per-user event sequences: count
+    * every consecutive (from_type → to_type) pair walking each user's
+    * events in (ts, event_id) order — the Markov-chain view of user
+    * behavior (next-step prediction, anomalous-flow detection).
+    *
+    * One lag window keyed on user (per-user history fits a task by the
+    * same argument as every W-row), then a map-side-combined count over
+    * the |types|² transition domain — the corpus-sized shuffle carries
+    * (user, ts, type) triples once, and the report aggregation moves
+    * |types|² rows. Returns (from_type, to_type, n). */
+  def transitionCounts(events: DataFrame, userCol: String = "user_id",
+                       tsCol: String = "ts", typeCol: String = "event_type",
+                       tieCol: String = "event_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("from_type", lag(col(typeCol), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Deterministic A/B experiment readout: users are assigned to 2
+    * variants by the portable md5 hash bucket ([[graft.text.TextOps
+    * .hashBucket]] — the same assignment any engine in the platform
+    * computes), a user converts when they have ≥1 event satisfying
+    * `convPredicate`, and the result is one row with per-variant counts,
+    * rates, and the two-proportion z-statistic (pooled standard error;
+    * NULL when the pooled rate is degenerate — all or none converted —
+    * instead of a division by zero).
+    *
+    * Everything aggregates by user first (|users| rows), then collapses
+    * to a single row — the z arithmetic runs on the driver-bound 1-row
+    * frame, not per event. */
+  def abTest(events: DataFrame, convPredicate: Column,
+             userCol: String = "user_id"): DataFrame = {
+    val u = col(userCol)
+    val assigned = events.select(u.as("u")).distinct()
+      .withColumn("variant",
+        graft.text.TextOps.hashBucket(col("u"), 2))
+    val conv = events.filter(convPredicate)
+      .select(u.as("u")).distinct().withColumn("c", lit(1))
+    val perUser = assigned.join(conv, Seq("u"), "left")
+      .select(col("variant"), coalesce(col("c"), lit(0)).as("c"))
+    val counts = perUser.agg(
+      sum(when(col("variant") === 0, 1).otherwise(0)).as("users_a"),
+      sum(when(col("variant") === 0, col("c")).otherwise(0)).as("conv_a"),
+      sum(when(col("variant") === 1, 1).otherwise(0)).as("users_b"),
+      sum(when(col("variant") === 1, col("c")).otherwise(0)).as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("users_a")
+    val pb = col("conv_b").cast("double") / col("users_b")
+    val pooled = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("users_a") + col("users_b"))
+    val nConv = col("conv_a") + col("conv_b")
+    val nUsers = col("users_a") + col("users_b")
+    counts.select(col("users_a"), col("conv_a"), col("users_b"),
+      col("conv_b"), round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
+      when(nConv > 0 && nConv < nUsers,
+        round((pa - pb) /
+          sqrt(pooled * (lit(1.0) - pooled) *
+            (lit(1.0) / col("users_a") + lit(1.0) / col("users_b"))), 6))
+        .as("z"))
+  }
+
+  /** Session-level rollup: sessionize each user's stream on an inactivity
+    * gap ([[graft.ops.Windows.sessionize]]'s W5 shape at product-analytics
+    * timescales), then aggregate one row per session — event count,
+    * wall-clock duration, and a converted flag (≥1 `convType` event in the
+    * session). The standard unit of engagement analysis.
+    *
+    * One user-keyed window pass plus one (user, session) aggregation —
+    * both shuffles key on the user; session rows ≪ event rows. */
+  def sessionStats(events: DataFrame, gapSeconds: Double = 1800,
+                   convType: String = "purchase",
+                   userCol: String = "user_id", tsCol: String = "ts",
+                   typeCol: String = "event_type"): DataFrame = {
+    val s = Windows.sessionize(events, tsCol, Seq(userCol), gapSeconds)
+    s.groupBy(col(userCol), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round((unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol))))
+          / lit(1000000.0), 3).as("duration_sec"),
+        max(when(col(typeCol) === convType, 1).otherwise(0))
+          .as("converted"))
+  }
+
   /** Time-to-convert distribution between two event types, bucketed to
     * minutes: for each user with both events, the delay from first
     * `fromType` to the first `toType` AFTER it. Deterministic

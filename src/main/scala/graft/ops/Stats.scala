@@ -34,4 +34,35 @@ object Stats {
         approxDistinct(col(keyCol)).as("approx_keys"),
         approxQuantiles(col(valueCol), Seq(0.5, 0.95, 0.99))
           .as("approx_pcts"))
+
+  /** Robust outlier flagging via the modified z-score: a row is an outlier
+    * when 0.6745·|x − median| > cutoff·MAD (MAD = median absolute
+    * deviation), both statistics per group. Unlike mean/stddev bands
+    * (A4's shape), the breakdown point is 50% — the contamination you are
+    * hunting cannot drag the threshold. The multiply-through form avoids
+    * dividing by MAD, so all-constant groups (MAD = 0) flag any deviation
+    * and never divide by zero.
+    *
+    * Exact medians here (oracle-checkable, interpolated percentile —
+    * matching DuckDB's quantile_cont); this is the one exact-statistics
+    * member of this object, kept here because the 100 TB swap is the same
+    * as [[approxQuantiles]]: replace both percentile calls, keep the
+    * two-pass shape — one |groups|-row aggregation per pass, broadcast
+    * back, corpus filtered map-side. */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  cutoff: Double = 3.5): DataFrame = {
+    val v = col(valueCol)
+    val gcols = groupCols.map(col)
+    val med = df.groupBy(gcols: _*)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val withMed = df.join(broadcast(med), groupCols)
+    val mad = withMed
+      .withColumn("absdev", abs(v - col("med")))
+      .groupBy(gcols: _*)
+      .agg(expr("percentile(absdev, 0.5)").as("mad"))
+    withMed.join(broadcast(mad), groupCols)
+      .withColumn("is_outlier",
+        when(lit(0.6745) * abs(v - col("med")) > lit(cutoff) * col("mad"),
+          1).otherwise(0))
+  }
 }

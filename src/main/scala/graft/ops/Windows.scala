@@ -145,4 +145,22 @@ object Windows {
         Window.partitionBy(partitionCols.map(col): _*)
           .orderBy(orderCols: _*)))
       .filter(col("rk") <= k)
+
+  /** Equal-frequency quantile discretizer: `ntile(buckets)` per group over
+    * a deterministic order (pass a tiebreaker — ntile on a non-unique
+    * order is engine-dependent). The standard feature-binning step before
+    * histogramming / monotonic-feature training; SQL-standard remainder
+    * semantics (first `n mod buckets` tiles get the extra row), so any
+    * engine agrees exactly. One hash-partitioned window — per-group data
+    * fits a task by the partitioning argument used for every W-row; for
+    * a single giant group at 100 TB use percentile cut-points
+    * ([[graft.ops.Stats.approxQuantiles]]) + a map-side bin lookup
+    * instead of a window. Adds `bucket` (1-based). */
+  def quantileBuckets(df: DataFrame, partitionCols: Seq[String],
+                      orderCols: Seq[Column], buckets: Int): DataFrame = {
+    require(buckets > 0)
+    df.withColumn("bucket", ntile(buckets).over(
+      Window.partitionBy(partitionCols.map(col): _*)
+        .orderBy(orderCols: _*)))
+  }
 }

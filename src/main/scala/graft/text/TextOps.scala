@@ -381,6 +381,117 @@ object TextOps {
       .drop("_cum_before")
   }
 
+  /** BM25 full-text retrieval: score every document against a bag of query
+    * terms (Okapi BM25, k1/b defaults) and return the top `k`.
+    *
+    * score(d) = Σ_t ln(1 + (N − df_t + 0.5)/(df_t + 0.5)) ·
+    *            tf_td·(k1+1) / (tf_td + k1·(1 − b + b·dl_d/avgdl))
+    *
+    * Plan shape at 100 TB: the corpus token explode is filtered to the
+    * query-term literal IN-list BEFORE any shuffle, so the only (doc, term)
+    * rows that move are actual hits; document length rides the explode (no
+    * corpus-wide length join); df is |queryTerms| rows and the (N, avgdl)
+    * stats are one row — both broadcast. The final top-k is a
+    * TakeOrderedAndProject over hit docs only. Ranking uses the ROUNDED
+    * score (6 dp) so the k-boundary is stable across engines. */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String],
+               idCol: String = "doc_id", textCol: String = "text",
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val toks = filter(wsTokens(lower(col(textCol))), t => length(t) > 0)
+    val present = docs.filter(col(textCol).isNotNull)
+    val stats = present
+      .select(size(toks).as("dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl").cast("double")).as("avgdl"))
+    val tf = present
+      .select(col(idCol), size(toks).cast("double").as("dl"),
+        explode(toks).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val contrib = tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("w", col("idf") * col("tf") * (k1 + 1) /
+        (col("tf") +
+          lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
+    contrib.groupBy(idCol)
+      .agg(round(sum("w"), 6).as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Within-document token co-occurrence with PMI scoring: for every
+    * unordered pair of DISTINCT tokens sharing a document,
+    * pmi = ln(n_ab·N / (n_a·n_b)) over document frequencies — the classic
+    * collocation / word-association statistic. Returns pairs with
+    * n_ab ≥ `minPairCount`, top `k` by (pmi, pair), pmi rounded.
+    *
+    * Scale levers: pair generation is a per-document self-join, quadratic
+    * in per-doc DISTINCT tokens — `maxVocab` restricts tokens to the
+    * corpus's top-V vocabulary FIRST (broadcast semi-join, map-side), so
+    * the pair domain is ≤ V² and per-doc fan-out is capped by how many of
+    * the V terms one document can contain. Document frequencies (|V| rows)
+    * broadcast back onto the pair aggregate. */
+  def pmiPairs(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text", minPairCount: Long = 5,
+               k: Int = 50, maxVocab: Int = 10000): DataFrame = {
+    val dt = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(
+          filter(wsTokens(lower(col(textCol))), t => length(t) > 0)))
+          .as("token"))
+    val vocab = dt.groupBy("token").agg(count(lit(1)).as("n_t"))
+      .orderBy(col("n_t").desc, col("token")).limit(maxVocab)
+    val dv = dt.join(broadcast(vocab.select("token")), Seq("token"),
+      "left_semi")
+    val n = docs.filter(col(textCol).isNotNull)
+      .agg(count(lit(1)).cast("double").as("n_docs"))
+    val pairs = dv.select(col("id"), col("token").as("t_a"))
+      .join(dv.select(col("id"), col("token").as("t_b")), Seq("id"))
+      .filter(col("t_a") < col("t_b"))
+      .groupBy("t_a", "t_b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+    pairs
+      .join(broadcast(vocab.select(col("token").as("t_a"),
+        col("n_t").as("n_a"))), Seq("t_a"))
+      .join(broadcast(vocab.select(col("token").as("t_b"),
+        col("n_t").as("n_b"))), Seq("t_b"))
+      .crossJoin(broadcast(n))
+      .select(col("t_a"), col("t_b"), col("n_ab"),
+        round(log(col("n_ab").cast("double") * col("n_docs") /
+          (col("n_a").cast("double") * col("n_b").cast("double"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("t_a"), col("t_b"))
+      .limit(k)
+  }
+
+  /** Adaptive quality gate: keep documents whose [[qualityScore]] clears
+    * their group's `pct` exact quantile — per-source thresholds instead of
+    * one global cutoff, so a high-quality source isn't decimated by a
+    * corpus-wide bar and a low-quality source doesn't flood through it.
+    *
+    * Two passes: one per-group exact-percentile aggregation (|groups| rows
+    * out — broadcast back), then a map-side filter of the corpus against
+    * its group threshold. At 100 TB swap the exact percentile for
+    * [[graft.ops.Stats.approxQuantiles]]; the gate shape is unchanged. */
+  def adaptiveQualityGate(docs: DataFrame, groupCol: String = "source",
+                          pct: Double = 0.2, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    require(pct > 0 && pct < 1, s"pct must be in (0,1), got $pct")
+    val scored = docs.withColumn("quality", qualityScore(col(textCol)))
+    val thresholds = scored.groupBy(col(groupCol).as("g"))
+      .agg(expr(s"percentile(quality, $pct)").as("thr"))
+    scored.join(broadcast(thresholds), col(groupCol) === col("g"))
+      .filter(col("quality") >= col("thr"))
+      .drop("g")
+  }
+
   /** Full per-document profile. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -73,6 +73,66 @@ class EventsSpec extends SparkSpec {
       ("2024-01-08", 1, 1L))) // u2 purchase
   }
 
+  test("transitionCounts: consecutive pairs per user, (ts, id) order, " +
+    "single-event users produce no transitions") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view", 1L),
+      (1L, ts("2024-01-01 10:05:00"), "click", 2L),
+      // same-ts tie broken by event_id: click(2) → view(3)
+      (1L, ts("2024-01-01 10:05:00"), "view", 3L),
+      (2L, ts("2024-01-01 09:00:00"), "view", 4L),
+      (2L, ts("2024-01-01 09:30:00"), "view", 5L),
+      (3L, ts("2024-01-01 09:00:00"), "purchase", 6L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = Events.transitionCounts(events)
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("click", "view", 1L), ("view", "click", 1L),
+      ("view", "view", 1L)))
+  }
+
+  test("abTest: variants partition users, z defined only for " +
+    "non-degenerate pooled rates, sign follows the rate gap") {
+    import org.apache.spark.sql.functions.col
+    val ev = (1L to 20L).flatMap { u =>
+      Seq((u, ts("2024-01-01 10:00:00"), "view", 1.0),
+        (u, ts("2024-01-01 11:00:00"), "purchase",
+          if (u <= 4) 100.0 else 1.0)) // users 1-4 convert at >50
+    }.toDF("user_id", "ts", "event_type", "value")
+    val r = Events.abTest(ev,
+      col("event_type") === "purchase" && col("value") > 50).head()
+    val (ua, ca, ub, cb) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))
+    assert(ua + ub == 20 && ca + cb == 4)
+    assert(ua > 0 && ub > 0) // md5 split uses both variants on 20 users
+    val z = r.getDouble(6)
+    val gap = r.getDouble(4) - r.getDouble(5)
+    assert(math.signum(z) == math.signum(gap), s"z=$z gap=$gap")
+    // degenerate: nobody converts → NULL z, zero rates
+    val none = Events.abTest(ev, col("value") > 1e9).head()
+    assert(none.isNullAt(6) && none.getDouble(4) == 0.0)
+    // degenerate: everybody converts → NULL z
+    val all = Events.abTest(ev, col("value") > 0).head()
+    assert(all.isNullAt(6))
+  }
+
+  test("sessionStats: gap splits sessions, duration and conversion " +
+    "per session") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:10:00"), "click"),
+      // 50 min gap > 30 min → new session
+      (1L, ts("2024-01-01 11:00:00"), "purchase"),
+      (2L, ts("2024-01-01 09:00:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Events.sessionStats(events, gapSeconds = 1800)
+      .orderBy("user_id", "session_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSeq
+    assert(got == Seq((1L, 1L, 2L, 600.0, 0), (1L, 2L, 1L, 0.0, 1),
+      (2L, 1L, 1L, 0.0, 0)), s"got $got")
+  }
+
   test("timeToConvert: minutes floor, only post-view purchases count") {
     val events = ev(
       (1L, "2024-01-01 10:00:00", "view"),

@@ -742,4 +742,133 @@ class ExtensionsSpec extends SparkSpec {
     // space yields an empty token that must not appear
     assert(got == Seq(("a", 2L), ("b", 2L), ("the", 2L)))
   }
+
+  test("bm25TopK: scores match the closed-form Okapi formula, rare terms " +
+    "dominate, no-hit docs excluded") {
+    val docs = Seq(
+      (1L, "apple banana apple"), // tf(apple)=2, dl=3
+      (2L, "apple cherry"),       // tf(apple)=1, dl=2
+      (3L, "banana banana banana"), // no query term → excluded
+      (4L, "durian durian"))      // tf(durian)=2, dl=2; df(durian)=1
+      .toDF("doc_id", "text")
+    val got = TextOps.bm25TopK(docs, Seq("apple", "durian"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .toSeq
+    // closed form with N=4, avgdl=2.5, k1=1.2, b=0.75
+    def idf(df: Double) = math.log(1 + (4 - df + 0.5) / (df + 0.5))
+    def w(tf: Double, df: Double, dl: Double) =
+      idf(df) * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 2.5))
+    val exp = Seq(
+      (4L, w(2, 1, 2), 1L), // rare durian outranks common apple
+      (1L, w(2, 2, 3), 1L),
+      (2L, w(1, 2, 2), 1L))
+    assert(got.map(_._1) == exp.map(_._1), s"ranking: $got")
+    assert(got.map(_._3) == exp.map(_._3), s"n_terms: $got")
+    got.zip(exp).foreach { case ((_, g, _), (_, e, _)) =>
+      assert(math.abs(g - e) < 1e-6, s"score $g vs $e") }
+    assert(got.head._2 > got(1)._2)
+  }
+
+  test("bm25TopK: k bounds the result and ranking uses the rounded score") {
+    val docs = Seq((1L, "x y"), (2L, "x z"), (3L, "x q"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bm25TopK(docs, Seq("x"), k = 2).collect()
+    // identical tf/dl/df → identical scores; rounded-score tie breaks by id
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("adaptiveQualityGate: per-group thresholds — each source gated by " +
+    "its own quantile, constant groups keep everything") {
+    def words(n: Int) = (1 to n).map(i => "xy").mkString(" ")
+    // source a: five docs with strictly increasing length → quality is
+    // monotonic (no stopwords, no punctuation); pct=0.2 lands between the
+    // two shortest, so exactly the shortest is dropped
+    val a = (1 to 5).map(i => (i.toLong, "a", words(i * 10)))
+    // source b: all-equal quality → threshold equals it → all kept
+    val b = (6 to 8).map(i => (i.toLong, "b", words(20)))
+    val docs = (a ++ b).toDF("doc_id", "source", "text")
+    val kept = TextOps.adaptiveQualityGate(docs, pct = 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(kept == Seq(2L, 3L, 4L, 5L, 6L, 7L, 8L), s"got $kept")
+  }
+
+  test("nearDupKeepBest: longest cluster member wins, singletons keep " +
+    "themselves") {
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (10L, base),              // near-dup of 11, shorter
+      (11L, base + " extra"),   // longest → representative
+      (12L, "entirely different words " + (1 to 8).map(i => s"z$i")
+        .mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.nearDupKeepBest(docs, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3))).toSeq.sortBy(_._1)
+    assert(got == Seq((10L, 10L, 2, 0), (11L, 10L, 1, 1),
+      (12L, 12L, 1, 1)), s"got $got")
+  }
+
+  test("madOutliers: modified z-score flags the contaminant, MAD=0 " +
+    "groups flag any deviation without dividing by zero") {
+    val rows =
+      (1 to 9).map(i => ("a", i.toDouble)) :+ ("a", 100.0) :++
+        Seq(("b", 7.0), ("b", 7.0), ("b", 7.0), ("b", 42.0))
+    val df = rows.toDF("k", "v")
+    val got = graft.ops.Stats.madOutliers(df, Seq("k"), "v")
+      .filter(col("is_outlier") === 1)
+      .select("k", "v").collect().map(r => (r.getString(0), r.getDouble(1)))
+      .toSeq.sorted
+    // a: med 5.5, mad 2.5 → only 100 clears 0.6745·|x−5.5| > 8.75;
+    // b: med 7, mad 0 → any deviation flags (42), constants never do
+    assert(got == Seq(("a", 100.0), ("b", 42.0)), s"got $got")
+  }
+
+  test("pmiPairs: document-frequency PMI over distinct within-doc pairs, " +
+    "repeats inside a doc count once") {
+    val docs = Seq(
+      (1L, "a a b"), // repeated 'a' → still one (a,b) co-occurrence
+      (2L, "a b"),
+      (3L, "a c"),
+      (4L, "b c"))
+      .toDF("doc_id", "text")
+    val got = TextOps.pmiPairs(docs, minPairCount = 1, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    def pmi(nab: Double, na: Double, nb: Double) =
+      math.log(nab * 4 / (na * nb))
+    assert(got.map(t => (t._1, t._2, t._3)) ==
+      Seq(("a", "b", 2L), ("a", "c", 1L), ("b", "c", 1L)), s"got $got")
+    val exp = Seq(pmi(2, 3, 3), pmi(1, 3, 2), pmi(1, 3, 2))
+    got.map(_._4).zip(exp).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-6, s"$g vs $e") }
+  }
+
+  test("incrementalNew: batch dedups against corpus digests and within " +
+    "itself, normalization folds case/whitespace") {
+    val corpus = Seq((1L, "hello world"), (2L, "foo bar"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "hello world"),   // exact corpus dup → dropped
+      (11L, "Hello   WORLD"), // normalized corpus dup → dropped
+      (12L, "fresh text"),    // new → kept
+      (13L, "fresh text"),    // in-batch dup → dropped (min id wins)
+      (14L, "another one"))   // new → kept
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNew(batch, corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == Seq(12L, 14L), s"got $got")
+  }
+
+  test("quantileBuckets: SQL-standard remainder semantics — first tiles " +
+    "take the extra rows") {
+    val df = (1 to 7).map(i => ("g", i.toDouble, i.toLong))
+      .toDF("k", "v", "id")
+    val got = graft.ops.Windows.quantileBuckets(df, Seq("k"),
+        Seq(col("v").asc, col("id").asc), 3)
+      .select("id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+    // 7 rows / 3 buckets → sizes 3,2,2
+    assert(got == Seq((1L, 1), (2L, 1), (3L, 1), (4L, 2), (5L, 2),
+      (6L, 3), (7L, 3)), s"got $got")
+  }
 }

@@ -115,6 +115,59 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"no map-side combine:\n$p")
   }
 
+  test("q74 BM25 filters the explode before any shuffle and broadcasts " +
+    "df + stats") {
+    val p = plan("q74_bm25_topk")
+    // the query-term IN-list must sit under Generate (map-side), so only
+    // hit rows reach the (doc, term) aggregation
+    assert(p.contains("Generate"), s"no token explode:\n$p")
+    assert(p.contains("partial_"), s"no map-side combine:\n$p")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), s"df/stats not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k not a bounded take:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-sized shuffle join in BM25:\n$p")
+  }
+
+  test("q75 adaptive gate broadcasts the per-group thresholds") {
+    val p = plan("q75_adaptive_gate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"threshold join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled against a |groups|-row table:\n$p")
+  }
+
+  test("q77 MAD outliers broadcasts both statistics tables") {
+    val p = plan("q77_mad_outliers")
+    assert(p.contains("BroadcastHashJoin"), s"stats joins not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled against |groups|-row stats:\n$p")
+    assert(p.contains("partial_"), s"no map-side combine:\n$p")
+  }
+
+  test("q78 transitions partial-aggregate after one user-keyed window") {
+    val p = plan("q78_transitions")
+    assert(p.contains("partial_"), s"no map-side combine:\n$p")
+    assert(!p.contains("Join"), s"transition matrix must not join:\n$p")
+  }
+
+  test("q81 PMI broadcasts the vocabulary and corpus-size frames") {
+    val p = plan("q81_pmi_pairs")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"vocab/N not broadcast:\n$p")
+    assert(p.contains("partial_"), s"no map-side combine:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k not a bounded take:\n$p")
+  }
+
+  test("q82 session stats never join — one user-keyed window + agg") {
+    val p = plan("q82_session_stats")
+    assert(!p.contains("Join"), s"session rollup must not join:\n$p")
+    assert(p.contains("partial_"), s"no map-side combine:\n$p")
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"),
