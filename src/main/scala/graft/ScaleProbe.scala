@@ -12,11 +12,18 @@ import graft.text.TextOps
   * ledger claims (bounded buckets, no hidden quadratic pair blow-up);
   * superlinear growth flags an operator to fix.
   *
-  * `sbt "runMain graft.ScaleProbe [K]"` (default 10 — ~50k docs ≈ sf1).
+  * `sbt "runMain graft.ScaleProbe [K] [opFilter]"` (default 10 — ~50k docs
+  * ≈ sf1; opFilter = comma-separated op labels to probe, default all).
+  * Each op is timed twice per pass and the MINIMUM recorded — single runs
+  * at these sizes swing with GC/host state exactly like Bench measurements
+  * (BENCH_NOTES.md), and a scaling RATIO built from two noisy singles
+  * compounds the error.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)
+    val opFilter: Set[String] =
+      if (args.length > 1) args(1).split(",").toSet else Set.empty
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -40,13 +47,21 @@ object ScaleProbe {
     // shared input OUTSIDE the next op's timing — clearCache alone would
     // charge the corpus scan+union to whichever op runs next
     def timedSuite(input: DataFrame)(
-        ops: Seq[(String, DataFrame => Long)]): Map[String, Double] = {
+        allOps: Seq[(String, DataFrame => Long)]): Map[String, Double] = {
+      val ops = allOps.filter { case (l, _) =>
+        opFilter.isEmpty || opFilter(l) }
+      if (ops.isEmpty) return Map.empty
       var d = input.cache()
       d.count()
       val r = ops.zipWithIndex.map { case ((label, f), i) =>
-        val t0 = System.nanoTime()
-        val n = f(d)
-        val dt = (System.nanoTime() - t0) / 1e9
+        def once(): (Double, Long) = {
+          val t0 = System.nanoTime()
+          val n = f(d)
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        val (t1, n) = once()
+        val (t2, _) = once() // min-of-2: see scaladoc
+        val dt = math.min(t1, t2)
         println(f"  $label: $dt%.2f s ($n rows)")
         spark.catalog.clearCache()
         if (i < ops.size - 1) { // after the last op there is nothing to prime

@@ -864,6 +864,30 @@ object SparkEntry {
     "q82_session_stats" -> ((s, dir) => {
       Events.sessionStats(t(s, dir, "events"), gapSeconds = 1800)
         .orderBy("user_id", "session_id")
+    }),
+
+    // two-phase salted aggregation must equal the direct groupBy — the
+    // skew tool under the strict gate (oracle is the UNSALTED form)
+    "q83_salted_agg" -> ((s, dir) => {
+      Skew.twoPhaseAgg(t(s, dir, "events"), Seq("event_type"),
+          col("event_id"), buckets = 16,
+          partial = sum(col("value")), finalAgg = sum(col("_partial")))
+        .select(col("event_type"), round(col("agg"), 4).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // salted equi-join must equal the plain join (unsalted oracle)
+    "q84_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+      val ord = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"))
+      Skew.saltedJoin(li, ord, Seq("o_orderkey"), col("l_linenumber"),
+          buckets = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_extendedprice"), 4).as("sum_price"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -2096,6 +2120,16 @@ object SparkEntry {
         |JOIN vocab vb ON vb.token = t_b
         |CROSS JOIN n
         |ORDER BY pmi DESC, t_a, t_b LIMIT 40""".stripMargin,
+
+    "q83_salted_agg" ->
+      """SELECT event_type, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q84_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       round(sum(l_extendedprice), 4) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q82_session_stats" ->
       """WITH o AS (

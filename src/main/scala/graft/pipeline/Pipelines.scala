@@ -189,13 +189,24 @@ object Pipelines {
   }
 
   def curate(docs: DataFrame, minQuality: Double = 0.3,
-             minJaccard: Double = 0.8, decontamN: Int = 8): DataFrame = {
+             minJaccard: Double = 0.8, decontamN: Int = 8,
+             adaptivePct: Option[Double] = None,
+             priorCorpus: Option[DataFrame] = None): DataFrame = {
     import graft.text.TextOps
     import graft.dedup.Dedup
-    val gated = docs
+    // incremental-ingest mode: drop docs already in the prior corpus
+    // (digest anti-join) before spending any curation work on them
+    val fresh = priorCorpus
+      .map(c => Dedup.incrementalNew(docs, c)).getOrElse(docs)
+    val gatedFixed = fresh
       .filter(col("text").isNotNull)
       .filter(TextOps.qualityScore(col("text")) >= minQuality &&
         TextOps.langIdEn(col("text")) === "en")
+    // optional per-source adaptive bar on top of the absolute floor
+    val gated = adaptivePct
+      .map(p => TextOps.adaptiveQualityGate(gatedFixed, pct = p)
+        .drop("quality", "thr"))
+      .getOrElse(gatedFixed)
     val exactKeep = Dedup.normalized(gated)
       .select(col("keep_id").as("doc_id"))
     val exact = gated.join(exactKeep, Seq("doc_id"), "left_semi")

@@ -51,6 +51,33 @@ object Streaming {
         col("session_window.end").as("end_time"),
         col("n"), col("first_ts"), col("last_ts"))): _*)
 
+  /** Streaming heavy hitters: per tumbling window, the Misra-Gries
+    * frequent-items sketch ([[graft.functions.SketchAggregates]]) over the
+    * token stream of a text column — trending-terms / hot-key detection on
+    * an unbounded stream. The sketch is a TypedImperativeAggregate with
+    * fixed-size mergeable state, so each window's state is `maxMapSize`
+    * counters regardless of token volume, partial-merged map-side exactly
+    * as in batch; the watermark bounds how many windows stay open. Returns
+    * one row per (window, surviving token) with the estimate bounds. */
+  def frequentTokensStream(stream: DataFrame, tsCol: String,
+                           textCol: String,
+                           windowDur: String = "5 minutes",
+                           maxMapSize: Int = 1024,
+                           watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol),
+        explode(split(lower(col(textCol)), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(graft.functions.SketchAggregates
+        .frequentItems(col("token"), maxMapSize).as("fi"))
+      .select(col("window.start").as("start_time"),
+        col("window.end").as("end_time"), explode(col("fi")).as("f"))
+      .select(col("start_time"), col("end_time"),
+        col("f.token").as("token"), col("f.estimate").as("estimate"),
+        col("f.lower").as("lower"), col("f.upper").as("upper"))
+
   /** Stream-stream interval join: each left row matched to right rows with
     * the same key whose timestamp lies in [leftTs − lowerSec,
     * leftTs + upperSec]. Watermarks on BOTH sides plus the time-range

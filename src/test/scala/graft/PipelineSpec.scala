@@ -152,6 +152,15 @@ class PipelineSpec extends SparkSpec {
     val clean = graft.text.TextOps.decontaminate(train,
       out.filter($"split" === "test"))
     assert(clean.count() == train.count())
+
+    // incremental mode: a prior corpus containing doc 15's text removes
+    // it before curation; the remaining survivors are unchanged
+    val prior = Seq((100L, docs.filter($"doc_id" === 15L)
+      .select("text").as[String].head())).toDF("doc_id", "text")
+    val inc = Pipelines.curate(docs, minJaccard = 0.5,
+      priorCorpus = Some(prior))
+    val incIds = inc.select("doc_id").as[Long].collect().toSet
+    assert(!incIds.contains(15L) && incIds.contains(10L), s"got $incIds")
     out.unpersist()
   }
 }

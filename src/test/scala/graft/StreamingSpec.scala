@@ -53,6 +53,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("frequentTokensStream: windowed sketch heavy hitters, exact in " +
+    "the small-domain regime") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val df = in.toDF().toDF("ts", "text")
+    val out = Streaming.frequentTokensStream(df, "ts", "text",
+      windowDur = "1 minute", maxMapSize = 64)
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName("ft_out").start()
+    try {
+      in.addData(
+        (t("2024-01-01 00:00:05"), "spark spark shuffle"),
+        (t("2024-01-01 00:00:20"), "spark join"),
+        (t("2024-01-01 00:01:10"), "join join")) // next window
+      q.processAllAvailable()
+      val rows = spark.table("ft_out")
+        .orderBy("start_time", "token").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(2),
+          r.getLong(3))).toSeq
+      assert(rows == Seq(
+        ("2024-01-01 00:00:00.0", "join", 1L),
+        ("2024-01-01 00:00:00.0", "shuffle", 1L),
+        ("2024-01-01 00:00:00.0", "spark", 3L),
+        ("2024-01-01 00:01:00.0", "join", 2L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("intervalJoinStreams matches rows within the time band per key") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(String, java.sql.Timestamp)]
