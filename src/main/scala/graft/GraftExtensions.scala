@@ -68,6 +68,9 @@ object GraftFunctions {
     ("simhash64", classOf[SimHash64].getName,
       exprs => { arity("simhash64", exprs, 1, 1)
         SimHash64(exprs(0)) }),
+    ("token_entropy", classOf[graft.functions.TokenEntropy].getName,
+      exprs => { arity("token_entropy", exprs, 1, 1)
+        graft.functions.TokenEntropy(exprs(0)) }),
     // composed text-curation functions: builders expand to the same
     // Column compositions the Scala API uses (one source of truth).
     // Optional trailing arguments mirror the Scala defaults.

@@ -876,6 +876,30 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // hourly grid resample with forward fill (as-of onto the grid);
+    // DuckDB's native ASOF LEFT JOIN is the oracle
+    "q85_resample_ffill" -> ((s, dir) => {
+      AsOf.resampleFfill(t(s, dir, "events"), Seq("user_id"), "ts",
+          Seq("value"), stepSec = 3600L)
+        .orderBy("user_id", "grid_ts")
+    }),
+
+    // deterministic weighted sampling (A-ES, md5 uniform, n_chars weight)
+    "q86_weighted_sample" -> ((s, dir) => {
+      TextOps.weightedSample(t(s, dir, "documents"), col("n_chars"),
+          k = 100)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // native single-pass unigram entropy kernel vs relational SQL form
+    "q87_token_entropy" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextOps.tokenEntropy(col("text")), 6).as("entropy"))
+        .orderBy("doc_id")
+    }),
+
     // salted equi-join must equal the plain join (unsalted oracle)
     "q84_salted_join" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -2124,6 +2148,51 @@ object SparkEntry {
     "q83_salted_agg" ->
       """SELECT event_type, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q85_resample_ffill" ->
+      """WITH b AS (
+        |  SELECT user_id,
+        |         make_timestamp(CAST(floor(epoch(min(ts)) / 3600) AS BIGINT)
+        |                        * 3600 * 1000000) AS t0,
+        |         make_timestamp(CAST(floor(epoch(max(ts)) / 3600) AS BIGINT)
+        |                        * 3600 * 1000000) AS t1
+        |  FROM events GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR))
+        |           AS grid_ts
+        |  FROM b)
+        |SELECT g.user_id, g.grid_ts, e.value AS asof_value
+        |FROM grid g ASOF LEFT JOIN events e
+        |  ON g.user_id = e.user_id AND g.grid_ts >= e.ts
+        |ORDER BY g.user_id, g.grid_ts""".stripMargin,
+
+    "q86_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |         pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |              ::BIGINT % 1000000 + 1) / 1000000.0,
+        |             1.0 / n_chars) AS skey
+        |  FROM documents
+        |  ORDER BY skey DESC, doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q87_token_entropy" ->
+      """WITH tk AS (
+        |  SELECT doc_id, t AS token FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |    FROM documents)
+        |  WHERE len(t) > 0),
+        |cnt AS (SELECT doc_id, token, count(*) AS c FROM tk GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n
+        |        FROM cnt GROUP BY 1),
+        |e AS (
+        |  SELECT cnt.doc_id,
+        |         0.0 - sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n))
+        |           AS ent
+        |  FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id)
+        |SELECT d.doc_id, round(coalesce(e.ent, 0.0), 6) AS entropy
+        |FROM documents d LEFT JOIN e USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q84_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n,

@@ -88,6 +88,71 @@ object VectorExpressions {
   /** Column-level rolling fingerprints (see [[RollingFingerprints]]). */
   def rollingFingerprints(text: Column, k: Int): Column =
     Bridge.column(RollingFingerprints(Bridge.expression(text), k))
+
+  /** Column-level unigram entropy (see [[TokenEntropy]]). */
+  def tokenEntropy(text: Column): Column =
+    Bridge.column(TokenEntropy(Bridge.expression(text)))
+}
+
+/** Unigram (whitespace-token) Shannon entropy of a text column in nats —
+  * the repetitiveness/diversity signal quality filters cut on (boilerplate
+  * and keyword-stuffed pages score low). Native single pass: one token
+  * HashMap per row, NO (doc, token) explode/shuffle — the relational form
+  * shuffles every token of every document just to count within the row.
+  * Tokens are lowercased, empty tokens (split artifacts) skipped; no
+  * tokens → 0.0. Accumulation iterates the map in insertion order, which
+  * is deterministic per text; cross-engine float agreement is handled by
+  * rounding at the query edge like every computed double.
+  */
+case class TokenEntropy(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"token_entropy expects STRING, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  /** Row kernel — public so generated code can call it. */
+  def kernel(input: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val toks = input.toLowerCase.toString.split(" ", -1)
+    val counts = new java.util.LinkedHashMap[String, Long]()
+    var n = 0L
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        counts.merge(t, 1L, (a, b) => a + b)
+        n += 1
+      }
+      i += 1
+    }
+    if (n == 0L) return 0.0
+    var acc = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().toDouble / n
+      acc += p * math.log(p)
+    }
+    0.0 - acc // 0.0 - x, not -x: keeps the single-token case at +0.0
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenEntropy", this,
+      classOf[TokenEntropy].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** Content-defined rolling-hash fingerprints: md5 of every character

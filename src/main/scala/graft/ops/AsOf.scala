@@ -72,6 +72,34 @@ object AsOf {
         rightVals.map(c => col(s"_carried.$c").as(s"asof_$c")): _*)
   }
 
+  /** Fixed-interval resampling with forward fill — the time-series
+    * normalization step (align irregular sensor/event streams onto a
+    * regular grid, carrying the latest observation forward). Generates a
+    * per-key grid from floor(min ts) to floor(max ts) at `stepSec`, then
+    * [[asofBackward]]s the observations onto it; grid points before the
+    * first observation get nulls.
+    *
+    * The grid generator is one |keys|-row aggregation + a map-side
+    * `sequence` explode (rows = span/step per key — the caller prices
+    * that); the fill is the as-of union-window, one shuffle on the key.
+    * Same 100 TB posture as every as-of here: no pair blow-up, per-key
+    * windows. */
+  def resampleFfill(df: DataFrame, keys: Seq[String], tsCol: String,
+                    vals: Seq[String], stepSec: Long): DataFrame = {
+    require(stepSec > 0)
+    val stepUs = stepSec * 1000000L
+    val floorTs = (c: Column) =>
+      timestamp_micros(floor(unix_micros(c) / stepUs).cast("long") * stepUs)
+    val grid = df.groupBy(keys.map(col): _*)
+      .agg(floorTs(min(col(tsCol))).as("_t0"),
+        floorTs(max(col(tsCol))).as("_t1"))
+      .select(keys.map(col) :+ explode(sequence(col("_t0"), col("_t1"),
+        expr(s"INTERVAL $stepSec SECONDS"))).as("grid_ts"): _*)
+    asofBackward(grid, df.select((keys.map(col) :+ col(tsCol)) ++
+        vals.map(col): _*),
+      keys, "grid_ts", tsCol, vals)
+  }
+
   /** Nearest-neighbor tolerance join — the relational re-spec of the
     * reference's 3-axis timestamp matching (SURVEY.md §7.4-1: closest
     * match within tolerance instead of the greedy cursor sweep). For each

@@ -130,6 +130,15 @@ object TextOps {
   def shingles(text: Column, n: Int = 3): Column =
     graft.functions.VectorExpressions.wordShingles(text, n)
 
+  /** Unigram Shannon entropy (nats) of the whitespace tokens — the
+    * diversity/repetitiveness quality signal (boilerplate and keyword
+    * stuffing score low; natural prose high). Native single-pass kernel
+    * ([[graft.functions.TokenEntropy]]): one token-count map per row,
+    * map-only at any scale — the relational form would shuffle every
+    * (doc, token) pair just to count within the document. */
+  def tokenEntropy(text: Column): Column =
+    graft.functions.VectorExpressions.tokenEntropy(text)
+
   /** Gopher-style within-document repetition signal: fraction of word
     * n-grams that are duplicates of an earlier n-gram in the same document
     * (1 − distinct/total). 0.0 for null/short texts. Pure per-row column
@@ -424,6 +433,25 @@ object TextOps {
       .agg(round(sum("w"), 6).as("score"), count(lit(1)).as("n_terms"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Deterministic weighted sampling without replacement (Efraimidis-
+    * Spirakis A-ES): each row draws a reproducible uniform u ∈ (0,1] from
+    * the portable md5 hash of its id and takes key u^(1/w); the k largest
+    * keys ARE a weighted sample without replacement. Higher `weightCol`
+    * (must be > 0) → proportionally higher inclusion odds — the standard
+    * quality-weighted corpus subsampling, reproducible in any engine with
+    * md5/pow and mapped straight onto a bounded TakeOrdered: no shuffle
+    * beyond k rows per partition. */
+  def weightedSample(docs: DataFrame, weightCol: Column, k: Int,
+                     idCol: String = "doc_id"): DataFrame = {
+    require(k > 0)
+    val u = (hashBucket(col(idCol), 1000000) + 1).cast("double") / 1000000.0
+    docs
+      .withColumn("_skey", pow(u, lit(1.0) / weightCol))
+      .orderBy(col("_skey").desc, col(idCol))
+      .limit(k)
+      .drop("_skey")
   }
 
   /** Within-document token co-occurrence with PMI scoring: for every

@@ -859,6 +859,71 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == Seq(12L, 14L), s"got $got")
   }
 
+  test("resampleFfill: hourly grid per key, latest value carried, nulls " +
+    "before the first observation") {
+    val obs = Seq(
+      (1L, ts("2024-01-01 10:30:00"), 5.0),
+      (1L, ts("2024-01-01 12:10:00"), 7.0),
+      (2L, ts("2024-01-01 00:15:00"), 1.0))
+      .toDF("user_id", "ts", "value")
+    val got = AsOf.resampleFfill(obs, Seq("user_id"), "ts", Seq("value"),
+        stepSec = 3600L)
+      .orderBy("user_id", "grid_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSeq
+    // user 1: grid 10:00..12:00; 10:00 precedes the first obs → null
+    assert(got == Seq(
+      (1L, "2024-01-01 10:00:00.0", -1.0),
+      (1L, "2024-01-01 11:00:00.0", 5.0),
+      (1L, "2024-01-01 12:00:00.0", 5.0),
+      (2L, "2024-01-01 00:00:00.0", -1.0)), s"got $got")
+  }
+
+  test("weightedSample: deterministic, and weight dominates inclusion") {
+    val docs = Seq((1L, 1L), (2L, 1L), (3L, 1000000L))
+      .toDF("doc_id", "w")
+    // u^(1/1000000) ≈ 1 for any u → the heavy doc always ranks first
+    val top = TextOps.weightedSample(docs, col("w"), k = 1)
+      .select("doc_id").head().getLong(0)
+    assert(top == 3L)
+    // deterministic: same call, same sample
+    val a = TextOps.weightedSample(docs, col("w"), k = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val b = TextOps.weightedSample(docs, col("w"), k = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(a == b && a.size == 2)
+  }
+
+  test("tokenEntropy: closed-form values, +0.0 for constant docs, null " +
+    "passthrough, kernel ≡ relational form") {
+    val docs = Seq((1L, "a a b b"), (2L, "a a a"), (3L, "A b c d"),
+      (4L, null.asInstanceOf[String]), (5L, "x"))
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextOps.tokenEntropy(col("text")).as("e"))
+      .orderBy("doc_id").collect()
+      .map(r => if (r.isNullAt(1)) Double.NaN else r.getDouble(1)).toSeq
+    assert(math.abs(got(0) - math.log(2)) < 1e-12)
+    assert(got(1) == 0.0 &&
+      java.lang.Double.doubleToRawLongBits(got(1)) == 0L) // +0.0, not -0.0
+    assert(math.abs(got(2) - math.log(4)) < 1e-12) // case-folded, 4 distinct
+    assert(got(3).isNaN) // null text → null entropy
+    assert(got(4) == 0.0)
+    // kernel ≡ explode + group + sum relational form
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val rel = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(lower(col("text")), " "))
+        .as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .withColumn("p", col("c").cast("double") / sum("c").over(w))
+      .groupBy("doc_id")
+      .agg((lit(0.0) - sum(col("p") * log(col("p")))).as("e"))
+      .orderBy("doc_id").collect().map(_.getDouble(1)).toSeq
+    got.zipWithIndex.filter(!_._1.isNaN).map(_._2).zip(rel).foreach {
+      case (i, r) => assert(math.abs(got(i) - r) < 1e-12, s"doc $i") }
+  }
+
   test("quantileBuckets: SQL-standard remainder semantics — first tiles " +
     "take the extra rows") {
     val df = (1 to 7).map(i => ("g", i.toDouble, i.toLong))

@@ -168,6 +168,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"no map-side combine:\n$p")
   }
 
+  test("q86 weighted sample is a bounded ordered take, no shuffle join") {
+    val p = plan("q86_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"sample not a bounded take:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q87 token entropy is map-only: no join, no aggregation, " +
+    "no generator") {
+    val p = plan("q87_token_entropy")
+    assert(!p.contains("Join"), s"entropy must not join:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"entropy must not aggregate — the kernel counts within the row:\n$p")
+    assert(!p.contains("Generate"), s"entropy must not explode:\n$p")
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"),
