@@ -900,6 +900,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CUSUM drift detection per event type (level shifts, not points)
+    "q88_cusum" -> ((s, dir) => {
+      Stats.cusum(t(s, dir, "events"), Seq("event_type"), "value",
+          Seq(col("ts"), col("event_id")), threshold = 2000.0)
+        .groupBy("event_type")
+        .agg(sum("drift").as("n_drift"),
+          round(max(abs(col("cusum"))), 4).as("max_abs_cusum"))
+        .orderBy("event_type")
+    }),
+
+    // declarative data-quality expectations — one scan, |checks| rows out
+    "q89_dq_report" -> ((s, dir) => {
+      Quality.expectationsReport(t(s, dir, "events"),
+        Seq(
+          "value_not_null" -> col("value").isNotNull,
+          "value_range" -> col("value").between(0.0, 1000.0),
+          "known_type" -> col("event_type").isin("view", "click",
+            "purchase", "signup", "error"),
+          "value_le_300" -> (col("value") <= 300.0), // deliberately tight
+          "ts_in_2024" -> (year(col("ts")) === 2024)),
+        uniqueCols = Seq("event_id"))
+        .orderBy("check")
+    }),
+
     // salted equi-join must equal the plain join (unsalted oracle)
     "q84_salted_join" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -2148,6 +2172,47 @@ object SparkEntry {
     "q83_salted_agg" ->
       """SELECT event_type, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q88_cusum" ->
+      """WITH m AS (
+        |  SELECT event_type, avg(value) AS mean FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT e.event_type,
+        |         sum(e.value - m.mean) OVER (PARTITION BY e.event_type
+        |           ORDER BY e.ts, e.event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |  FROM events e JOIN m USING (event_type))
+        |SELECT event_type,
+        |       CAST(sum(CASE WHEN abs(s) > 2000.0 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_drift,
+        |       round(max(abs(s)), 4) AS max_abs_cusum
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q89_dq_report" ->
+      """WITH a AS (
+        |  SELECT count(*) AS total,
+        |    CAST(sum(CASE WHEN value IS NOT NULL THEN 0 ELSE 1 END)
+        |         AS BIGINT) AS v0,
+        |    CAST(sum(CASE WHEN value BETWEEN 0.0 AND 1000.0 THEN 0 ELSE 1
+        |         END) AS BIGINT) AS v1,
+        |    CAST(sum(CASE WHEN event_type IN ('view', 'click', 'purchase',
+        |         'signup', 'error') THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+        |    CAST(sum(CASE WHEN value <= 300.0 THEN 0 ELSE 1 END)
+        |         AS BIGINT) AS v3,
+        |    CAST(sum(CASE WHEN year(ts) = 2024 THEN 0 ELSE 1 END)
+        |         AS BIGINT) AS v4,
+        |    count(DISTINCT event_id) AS d0
+        |  FROM events)
+        |SELECT "check", total, violations,
+        |       CASE WHEN violations = 0 THEN 1 ELSE 0 END AS pass
+        |FROM (
+        |  SELECT 'value_not_null' AS "check", total, v0 AS violations FROM a
+        |  UNION ALL SELECT 'value_range', total, v1 FROM a
+        |  UNION ALL SELECT 'known_type', total, v2 FROM a
+        |  UNION ALL SELECT 'value_le_300', total, v3 FROM a
+        |  UNION ALL SELECT 'ts_in_2024', total, v4 FROM a
+        |  UNION ALL SELECT 'unique_event_id', total, total - d0 FROM a)
+        |ORDER BY "check"""".stripMargin,
 
     "q85_resample_ffill" ->
       """WITH b AS (

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations — the dbt-test / Great-
+  * Expectations shape as one engine operator (engine extension; the
+  * reference's only quality mechanism is ad-hoc range clamps, SURVEY.md
+  * §2.2 P3).
+  *
+  * All row-level checks evaluate in a SINGLE aggregation pass over the
+  * frame (one conditional-sum column per check, map-side combined), plus
+  * one distinct-count per uniqueness column — there is no per-check scan,
+  * so a 50-check suite on 100 TB still reads the data once. The report is
+  * |checks| rows.
+  */
+object Quality {
+
+  /** One row per expectation: (check, total, violations, pass).
+    *
+    * @param checks (name, predicate) — a row VIOLATES when the predicate
+    *               is false OR null (null comparisons count as failures,
+    *               matching SQL CASE semantics)
+    * @param uniqueCols columns that must be unique; violations =
+    *                   total − exact distinct count
+    */
+  def expectationsReport(df: DataFrame, checks: Seq[(String, Column)],
+                         uniqueCols: Seq[String] = Nil): DataFrame = {
+    require(checks.nonEmpty || uniqueCols.nonEmpty,
+      "expectationsReport needs at least one check")
+    val violationCols = checks.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(pred, 0L).otherwise(1L)).as(s"_v$i")
+    }
+    val distinctCols = uniqueCols.zipWithIndex.map { case (c, i) =>
+      countDistinct(col(c)).as(s"_d$i")
+    }
+    val aggd = df.agg(count(lit(1)).as("_total"),
+      (violationCols ++ distinctCols): _*)
+    val rows = checks.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("check"), col("_total").as("total"),
+        col(s"_v$i").as("violations"))
+    } ++ uniqueCols.zipWithIndex.map { case (c, i) =>
+      struct(lit(s"unique_$c").as("check"), col("_total").as("total"),
+        (col("_total") - col(s"_d$i")).as("violations"))
+    }
+    aggd
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.check").as("check"), col("r.total").as("total"),
+        col("r.violations").as("violations"),
+        when(col("r.violations") === 0, 1).otherwise(0).as("pass"))
+  }
+}

@@ -65,4 +65,30 @@ object Stats {
         when(lit(0.6745) * abs(v - col("med")) > lit(cutoff) * col("mad"),
           1).otherwise(0))
   }
+
+  /** CUSUM change-point signal: the running sum of deviations from the
+    * group mean, walked in `orderCols` order — drift in the level shows up
+    * as |cusum| escaping a band long before any single point looks
+    * anomalous (the classic complement to [[madOutliers]]'s point
+    * outliers). Adds `cusum` and a `drift` flag (|cusum| > threshold).
+    *
+    * Two-pass like the other statistics here: a |groups|-row mean
+    * aggregation broadcast back, then one per-group window cumsum — the
+    * prefix sum is computed incrementally left-to-right, O(n) per group,
+    * partitioned by the group key. */
+  def cusum(df: DataFrame, groupCols: Seq[String], valueCol: String,
+            orderCols: Seq[Column], threshold: Double): DataFrame = {
+    val gcols = groupCols.map(col)
+    val means = df.groupBy(gcols: _*)
+      .agg(avg(col(valueCol)).as("_mean"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*).orderBy(orderCols: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    df.join(broadcast(means), groupCols)
+      .withColumn("cusum", sum(col(valueCol) - col("_mean")).over(w))
+      .withColumn("drift",
+        when(abs(col("cusum")) > threshold, 1).otherwise(0))
+      .drop("_mean")
+  }
 }

@@ -924,6 +924,49 @@ class ExtensionsSpec extends SparkSpec {
       case (i, r) => assert(math.abs(got(i) - r) < 1e-12, s"doc $i") }
   }
 
+  test("expectationsReport: null predicates count as violations, " +
+    "uniqueness via distinct, one row per check") {
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 5.0), (2L, 50.0), (2L, null), (3L, 7.0))
+      .toDF("id", "v")
+    val got = graft.ops.Quality.expectationsReport(df,
+        Seq("v_not_null" -> col("v").isNotNull,
+          "v_small" -> (col("v") < 10.0)),
+        uniqueCols = Seq("id"))
+      .orderBy("check").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSeq
+    // v_small: 50.0 fails, null v fails (null predicate = violation)
+    assert(got == Seq(
+      ("unique_id", 4L, 1L, 0),
+      ("v_not_null", 4L, 1L, 0),
+      ("v_small", 4L, 2L, 0)), s"got $got")
+    val clean = graft.ops.Quality.expectationsReport(df,
+      Seq("id_positive" -> (col("id") > 0)))
+      .collect()(0)
+    assert(clean.getLong(2) == 0L && clean.getInt(3) == 1)
+  }
+
+  test("cusum: matches the closed-form prefix sums; sustained shift " +
+    "trips the band, and the final cusum returns to zero by definition") {
+    val vs = (1 to 10).map(i => if (i % 2 == 0) 7.0 else 3.0) ++
+      Seq.fill(4)(15.0)
+    val df = vs.zipWithIndex.map { case (v, i) => ("k", (i + 1).toLong, v) }
+      .toDF("k", "i", "v")
+    val got = graft.ops.Stats.cusum(df, Seq("k"), "v", Seq(col("i")),
+        threshold = 15.0)
+      .orderBy("i").collect()
+    val m = vs.sum / vs.size
+    val exp = vs.scanLeft(0.0)(_ + _ - m).tail
+    got.map(_.getAs[Double]("cusum")).zip(exp).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-9, s"$g vs $e") }
+    val flags = got.map(_.getAs[Int]("drift")).toSeq
+    assert(flags == exp.map(x => if (math.abs(x) > 15.0) 1 else 0),
+      s"flags $flags")
+    assert(flags.head == 0 && flags.contains(1) && flags.last == 0)
+    assert(math.abs(exp.last) < 1e-9) // Σ(v − mean) ≡ 0
+  }
+
   test("quantileBuckets: SQL-standard remainder semantics — first tiles " +
     "take the extra rows") {
     val df = (1 to 7).map(i => ("g", i.toDouble, i.toLong))

@@ -184,6 +184,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Generate"), s"entropy must not explode:\n$p")
   }
 
+  test("q89 expectations evaluate in one aggregation pass — a single " +
+    "scan regardless of check count") {
+    val p = plan("q89_dq_report")
+    // one scan + one (expanded, for the distinct) aggregation tree; more
+    // than one FileScan would mean per-check passes
+    val scans = "FileScan|BatchScan".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"),
