@@ -1764,28 +1764,11 @@ object SparkEntry {
          |FROM r ORDER BY doc_id""".stripMargin,
 
     "q30_quality_score" ->
-      s"""WITH f AS (
-         |  SELECT doc_id,
-         |         CASE WHEN len(text) > 0 THEN
-         |           CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / len(text)
-         |         ELSE 0.0 END AS pr,
-         |         CASE WHEN len(string_split(text, ' ')) > 0 THEN
-         |           CAST(list_sum(list_transform(string_split(text, ' '), t -> len(t))) AS DOUBLE)
-         |           / len(string_split(text, ' '))
-         |         ELSE 0.0 END AS mtl,
-         |         CASE WHEN len(string_split(lower(text), ' ')) > 0 THEN
-         |           CAST(len(list_filter(string_split(lower(text), ' '),
-         |                t -> t IN ($enStopList))) AS DOUBLE)
-         |           / len(string_split(lower(text), ' '))
-         |         ELSE 0.0 END AS sr,
-         |         least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) AS ls
-         |  FROM documents)
+      s"""WITH $qualityCtes
          |SELECT doc_id, round(pr, 6) AS punct_ratio,
          |       round(mtl, 6) AS mean_tok_len,
-         |       round(greatest(0.0, least(1.0,
-         |         ls * 0.4 + least(sr * 4, 1.0) * 0.4 +
-         |         (1.0 - least(pr * 5, 1.0)) * 0.2)), 6) AS quality
-         |FROM f ORDER BY doc_id""".stripMargin,
+         |       round(quality, 6) AS quality
+         |FROM q ORDER BY doc_id""".stripMargin,
 
     "q31_token_count" ->
       """SELECT doc_id,
@@ -2234,9 +2217,9 @@ object SparkEntry {
     "q86_weighted_sample" ->
       """SELECT doc_id, n_chars FROM (
         |  SELECT doc_id, n_chars,
-        |         pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-        |              ::BIGINT % 1000000 + 1) / 1000000.0,
-        |             1.0 / n_chars) AS skey
+        |         round(pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |                     1, 8))::BIGINT % 1000000 + 1) / 1000000.0,
+        |                   1.0 / n_chars), 9) AS skey
         |  FROM documents
         |  ORDER BY skey DESC, doc_id LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
@@ -2255,7 +2238,9 @@ object SparkEntry {
         |         0.0 - sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n))
         |           AS ent
         |  FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id)
-        |SELECT d.doc_id, round(coalesce(e.ent, 0.0), 6) AS entropy
+        |SELECT d.doc_id,
+        |       CASE WHEN d.text IS NULL THEN NULL
+        |            ELSE round(coalesce(e.ent, 0.0), 6) END AS entropy
         |FROM documents d LEFT JOIN e USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
@@ -2321,14 +2306,19 @@ object SparkEntry {
        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
   }
 
-  /** q75 oracle: q30's quality formula + per-source exact 20th-percentile
-    * gate. */
-  private def adaptiveGateOracle: String =
-    s"""WITH f AS (
+  /** Shared oracle CTE chain ending in `q(doc_id, source, pr, mtl, sr,
+    * ls, quality)` — TextOps.qualityScore's SQL form, used by q30 and
+    * q75 so the formula cannot drift between them. */
+  private def qualityCtes: String =
+    s"""f AS (
        |  SELECT doc_id, source,
        |         CASE WHEN len(text) > 0 THEN
        |           CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / len(text)
        |         ELSE 0.0 END AS pr,
+       |         CASE WHEN len(string_split(text, ' ')) > 0 THEN
+       |           CAST(list_sum(list_transform(string_split(text, ' '), t -> len(t))) AS DOUBLE)
+       |           / len(string_split(text, ' '))
+       |         ELSE 0.0 END AS mtl,
        |         CASE WHEN len(string_split(lower(text), ' ')) > 0 THEN
        |           CAST(len(list_filter(string_split(lower(text), ' '),
        |                t -> t IN ($enStopList))) AS DOUBLE)
@@ -2337,11 +2327,16 @@ object SparkEntry {
        |         least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) AS ls
        |  FROM documents),
        |q AS (
-       |  SELECT doc_id, source,
+       |  SELECT doc_id, source, pr, mtl, sr, ls,
        |         greatest(0.0, least(1.0,
        |           ls * 0.4 + least(sr * 4, 1.0) * 0.4 +
        |           (1.0 - least(pr * 5, 1.0)) * 0.2)) AS quality
-       |  FROM f),
+       |  FROM f)""".stripMargin
+
+  /** q75 oracle: [[qualityCtes]] + per-source exact 20th-percentile
+    * gate. */
+  private def adaptiveGateOracle: String =
+    s"""WITH $qualityCtes,
        |thr AS (
        |  SELECT source AS g, quantile_cont(quality, 0.2) AS thr
        |  FROM q GROUP BY source)

@@ -287,16 +287,24 @@ object Dedup {
   def incrementalNew(batch: DataFrame, corpus: DataFrame,
                      idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
-    val digest = (d: Column) =>
-      md5(regexp_replace(lower(d), "\\s+", " "))
-    val seen = corpus.select(digest(col(textCol)).as("digest")).distinct()
-    val withDigest = batch.withColumn("digest", digest(col(textCol)))
+    // the digest IS TextOps.normalizedFingerprint — same function, not a
+    // copy: persisted corpus digest tables must keep matching new batches
+    // even if the normalization is ever tuned
+    val digest = (d: Column) => TextOps.normalizedFingerprint(d)
+    // null text has no content to be a duplicate OF — those rows pass
+    // through untouched rather than collapsing into one NULL-digest group
+    val nullText = batch.filter(col(textCol).isNull)
+    val seen = corpus.filter(col(textCol).isNotNull)
+      .select(digest(col(textCol)).as("digest")).distinct()
+    val withDigest = batch.filter(col(textCol).isNotNull)
+      .withColumn("digest", digest(col(textCol)))
     val w = Window.partitionBy("digest").orderBy(col(idCol).asc)
     withDigest
       .join(seen, Seq("digest"), "left_anti")
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") === 1)
       .drop("_rk", "digest")
+      .unionByName(nullText)
   }
 
   /** [[nearDupClusters]] with quality-aware representative selection: keep

@@ -28,8 +28,10 @@ object Quality {
                          uniqueCols: Seq[String] = Nil): DataFrame = {
     require(checks.nonEmpty || uniqueCols.nonEmpty,
       "expectationsReport needs at least one check")
+    // coalesce: sum() over an empty frame is NULL, which would report a
+    // vacuously-true check as FAILED with a NULL violation count
     val violationCols = checks.zipWithIndex.map { case ((_, pred), i) =>
-      sum(when(pred, 0L).otherwise(1L)).as(s"_v$i")
+      coalesce(sum(when(pred, 0L).otherwise(1L)), lit(0L)).as(s"_v$i")
     }
     val distinctCols = uniqueCols.zipWithIndex.map { case (c, i) =>
       countDistinct(col(c)).as(s"_d$i")

@@ -448,7 +448,11 @@ object TextOps {
     require(k > 0)
     val u = (hashBucket(col(idCol), 1000000) + 1).cast("double") / 1000000.0
     docs
-      .withColumn("_skey", pow(u, lit(1.0) / weightCol))
+      // ranking on the ROUNDED key (same convention as bm25TopK): JVM and
+      // libm pow may differ in the last ulp, and an unrounded k-boundary
+      // could flip across engines. 9 dp ≫ the ulp noise yet ≪ the ~3e-8
+      // spacing of adjacent keys, so no real ties are created
+      .withColumn("_skey", round(pow(u, lit(1.0) / weightCol), 9))
       .orderBy(col("_skey").desc, col(idCol))
       .limit(k)
       .drop("_skey")

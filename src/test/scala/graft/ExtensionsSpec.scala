@@ -852,11 +852,13 @@ class ExtensionsSpec extends SparkSpec {
       (11L, "Hello   WORLD"), // normalized corpus dup → dropped
       (12L, "fresh text"),    // new → kept
       (13L, "fresh text"),    // in-batch dup → dropped (min id wins)
-      (14L, "another one"))   // new → kept
+      (14L, "another one"),   // new → kept
+      (15L, null.asInstanceOf[String]),  // null text: not a duplicate
+      (16L, null.asInstanceOf[String]))  //  relation — BOTH pass through
       .toDF("doc_id", "text")
     val got = Dedup.incrementalNew(batch, corpus)
       .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
-    assert(got == Seq(12L, 14L), s"got $got")
+    assert(got == Seq(12L, 14L, 15L, 16L), s"got $got")
   }
 
   test("resampleFfill: hourly grid per key, latest value carried, nulls " +
@@ -945,6 +947,16 @@ class ExtensionsSpec extends SparkSpec {
       Seq("id_positive" -> (col("id") > 0)))
       .collect()(0)
     assert(clean.getLong(2) == 0L && clean.getInt(3) == 1)
+    // empty frame: checks pass vacuously (sum() over zero rows is NULL —
+    // must coalesce to 0, not report a failure with NULL violations)
+    val empty = graft.ops.Quality.expectationsReport(
+      df.filter(col("id") < 0),
+      Seq("v_not_null" -> col("v").isNotNull), uniqueCols = Seq("id"))
+      .orderBy("check").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSeq
+    assert(empty == Seq(("unique_id", 0L, 0L, 1), ("v_not_null", 0L, 0L, 1)),
+      s"got $empty")
   }
 
   test("cusum: matches the closed-form prefix sums; sustained shift " +
