@@ -103,7 +103,12 @@ object ScaleProbe {
         "bm25_top100" -> { d =>
           TextOps.bm25TopK(d, Seq("spark", "window", "dup"),
             k = 100).count() },
-        "adaptive_gate" -> { d => TextOps.adaptiveQualityGate(d).count() }))
+        "adaptive_gate" -> { d => TextOps.adaptiveQualityGate(d).count() },
+        "token_entropy" -> { d =>
+          d.select(TextOps.tokenEntropy(col("text")).as("e"))
+            .agg(sum("e")).count() },
+        "weighted_sample" -> { d =>
+          TextOps.weightedSample(d, col("n_chars"), k = 100).count() }))
 
     // embedding-family probe: replicate embeddings with coordinate jitter
     // derived from the replica index (deterministic, no RNG)
@@ -153,7 +158,15 @@ object ScaleProbe {
         "transitions" -> { d => Events.transitionCounts(d).count() },
         "mad_outliers" -> { d =>
           graft.ops.Stats.madOutliers(d, Seq("event_type"), "value")
-            .count() }))
+            .count() },
+        "cusum" -> { d =>
+          graft.ops.Stats.cusum(d, Seq("event_type"), "value",
+            Seq(col("ts"), col("event_id")), 2000.0).count() },
+        "dq_report" -> { d =>
+          graft.ops.Quality.expectationsReport(d,
+            Seq("v_not_null" -> col("value").isNotNull,
+              "v_range" -> col("value").between(0.0, 1000.0)),
+            uniqueCols = Seq("event_id")).count() }))
     }
 
     println(s"== pass 0: warmup (codegen) ==")
