@@ -910,6 +910,12 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // dataset-card per-source summary (corpus release statistics)
+    "q90_dataset_card" -> ((s, dir) => {
+      TextOps.datasetCard(t(s, dir, "documents"))
+        .orderBy("source")
+    }),
+
     // declarative data-quality expectations — one scan, |checks| rows out
     "q89_dq_report" -> ((s, dir) => {
       Quality.expectationsReport(t(s, dir, "events"),
@@ -2046,6 +2052,8 @@ object SparkEntry {
 
     "q74_bm25_topk" -> bm25Oracle,
 
+    "q90_dataset_card" -> datasetCardOracle,
+
     "q75_adaptive_gate" -> adaptiveGateOracle,
 
     "q76_keep_best" -> neardupKeepBestOracle,
@@ -2332,6 +2340,17 @@ object SparkEntry {
        |           ls * 0.4 + least(sr * 4, 1.0) * 0.4 +
        |           (1.0 - least(pr * 5, 1.0)) * 0.2)) AS quality
        |  FROM f)""".stripMargin
+
+  /** q90 oracle: [[qualityCtes]] joined back for the per-source card. */
+  private def datasetCardOracle: String =
+    s"""WITH $qualityCtes
+       |SELECT d.source, count(*) AS docs,
+       |       CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS tokens,
+       |       round(avg(CAST(len(d.text) AS DOUBLE)), 2) AS avg_chars,
+       |       CAST(count(DISTINCT d.lang) AS BIGINT) AS langs,
+       |       round(avg(q.quality), 6) AS avg_quality
+       |FROM documents d JOIN q USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
   /** q75 oracle: [[qualityCtes]] + per-source exact 20th-percentile
     * gate. */

@@ -44,6 +44,16 @@ object Readers {
               schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).option("header", "true").csv(path)
 
+  /** Schema-evolution parquet read: merges the footers of files written
+    * with drifting schemas (a column added mid-stream by an upstream
+    * producer) into one superset schema, null-backfilling older files.
+    * At 100 TB prefer passing the known superset schema explicitly
+    * (`spark.read.schema(...)`) — mergeSchema reads every file footer up
+    * front; this wrapper is for the exploration / first-contact pass that
+    * DISCOVERS the drift. */
+  def parquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** JSONL scan with corrupt-record routing (the data-engineering staple
     * for crawled/third-party feeds): PERMISSIVE parse against an explicit
     * schema, malformed lines land whole in `_corrupt_record`, and the

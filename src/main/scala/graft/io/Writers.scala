@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Sinks (SURVEY.md §2.1, S5/S7/S8). Parquet-first; CSV kept for
   * compatibility with the reference's on-disk contract
@@ -27,6 +27,44 @@ object Writers {
     * (/root/reference/raw_data_reformat.py:246-264). */
   def parquetIfAbsent(df: DataFrame, path: String): Unit =
     df.write.mode("ignore").parquet(path)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ≈`targetFileMB`-sized files. Streaming sinks, per-batch ingests, and
+    * over-parallel writers leave thousands of KB-scale files per
+    * partition; at 100 TB that turns every scan into a metadata storm
+    * (one task + one footer read per tiny file) and throttles the object
+    * store. File count = ceil(bytes / target), via `repartition` — a full
+    * shuffle, which is the point: coalesce would merely glue existing
+    * partitions and skew output sizes. Optional `sortCols` cluster rows
+    * within files so min/max footer stats prune at read (poor man's
+    * Z-order). Writes to `tmpPath` then swaps, so a crash mid-compaction
+    * never destroys the source directory. */
+  def compact(spark: SparkSession, path: String,
+              targetFileMB: Int = 512,
+              sortCols: Seq[String] = Nil): Long = {
+    import org.apache.hadoop.fs.Path
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hPath).getLength
+    val nFiles = math.max(1L, (bytes + targetFileMB.toLong * (1 << 20) - 1)
+      / (targetFileMB.toLong * (1 << 20)))
+    val df0 = spark.read.parquet(path)
+    val df =
+      if (sortCols.nonEmpty)
+        df0.repartitionByRange(nFiles.toInt,
+          sortCols.map(org.apache.spark.sql.functions.col): _*)
+          .sortWithinPartitions(sortCols.map(
+            org.apache.spark.sql.functions.col): _*)
+      else df0.repartition(nFiles.toInt)
+    val tmp = new Path(hPath.getParent, s".${hPath.getName}_compact_tmp")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val bak = new Path(hPath.getParent, s".${hPath.getName}_compact_old")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    fs.rename(hPath, bak)
+    fs.rename(tmp, hPath)
+    fs.delete(bak, true)
+    nFiles
+  }
 
   /** Bucketed (and optionally sort-bucketed) parquet table: rows are
     * hash-clustered into `buckets` files per partition on `bucketCols`.

@@ -524,6 +524,22 @@ object TextOps {
       .drop("g")
   }
 
+  /** Dataset-card summary: the per-source statistics a corpus release
+    * ships with — document and token counts, size, language spread, and
+    * mean quality. One map-side-combined aggregation over the corpus
+    * (|sources| rows out); the quality/token expressions are the same
+    * map-only columns the gates use, so the card is consistent with the
+    * pipeline that produced the data. */
+  def datasetCard(docs: DataFrame, sourceCol: String = "source",
+                  textCol: String = "text",
+                  langCol: String = "lang"): DataFrame =
+    docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("docs"),
+        sum(tokenCount(col(textCol))).as("tokens"),
+        round(avg(length(col(textCol)).cast("double")), 2).as("avg_chars"),
+        countDistinct(col(langCol)).as("langs"),
+        round(avg(qualityScore(col(textCol))), 6).as("avg_quality"))
+
   /** Full per-document profile. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -25,6 +25,42 @@ class WritersSpec extends SparkSpec {
     assert(new java.io.File(dir, "date=2024-01-02").exists)
   }
 
+  test("compact rewrites a many-small-files directory into the target " +
+    "count, preserving rows; sorted variant clusters by key") {
+    val dir = Files.createTempDirectory("graft_compact").resolve("t")
+    val df = (1 to 2000).map(i => (i.toLong, i % 7, s"row$i"))
+      .toDF("id", "k", "s")
+    df.repartition(50).write.parquet(dir.toString)
+    def parquetFiles = new java.io.File(dir.toString).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles == 50)
+    val n = Writers.compact(spark, dir.toString, targetFileMB = 512)
+    assert(n == 1 && parquetFiles == 1, s"n=$n files=$parquetFiles")
+    val back = spark.read.parquet(dir.toString)
+    assert(back.count() == 2000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head()
+      .getLong(0) == 2000L * 2001 / 2)
+    // sorted compaction keeps rows range-clustered within the file
+    Writers.compact(spark, dir.toString, targetFileMB = 512,
+      sortCols = Seq("id"))
+    val ids = spark.read.parquet(dir.toString).select("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == ids.sorted)
+  }
+
+  test("parquetMerged unifies drifted schemas and null-backfills old " +
+    "files") {
+    val dir = Files.createTempDirectory("graft_merge").resolve("t")
+    Seq((1L, "a")).toDF("id", "v").write.parquet(dir.toString)
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score")
+      .write.mode("append").parquet(dir.toString)
+    val merged = graft.io.Readers.parquetMerged(spark, dir.toString)
+    assert(merged.columns.sorted.toSeq == Seq("id", "score", "v"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score")))
+    assert(rows(1).getDouble(rows(1).fieldIndex("score")) == 9.5)
+  }
+
   test("parquetIfAbsent is a no-op when output exists (S8)") {
     val dir = Files.createTempDirectory("graft_w2").resolve("out").toString
     Writers.parquetIfAbsent(Seq(1, 2, 3).toDF("v"), dir)
