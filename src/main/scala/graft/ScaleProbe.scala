@@ -105,8 +105,10 @@ object ScaleProbe {
             k = 100).count() },
         "adaptive_gate" -> { d => TextOps.adaptiveQualityGate(d).count() },
         "token_entropy" -> { d =>
+          // head(), not count(): count(1) above the agg lets Catalyst
+          // prune sum(e) and the kernel out of the plan entirely
           d.select(TextOps.tokenEntropy(col("text")).as("e"))
-            .agg(sum("e")).count() },
+            .agg(sum("e")).head(); 1L },
         "weighted_sample" -> { d =>
           TextOps.weightedSample(d, col("n_chars"), k = 100).count() }))
 
@@ -160,8 +162,11 @@ object ScaleProbe {
           graft.ops.Stats.madOutliers(d, Seq("event_type"), "value")
             .count() },
         "cusum" -> { d =>
+          // aggregate the window output — .count() would prune the
+          // prefix-sum Window node and time only the scan
           graft.ops.Stats.cusum(d, Seq("event_type"), "value",
-            Seq(col("ts"), col("event_id")), 2000.0).count() },
+            Seq(col("ts"), col("event_id")), 2000.0)
+            .agg(sum("cusum"), sum("drift")).head(); 1L },
         "dq_report" -> { d =>
           graft.ops.Quality.expectationsReport(d,
             Seq("v_not_null" -> col("value").isNotNull,

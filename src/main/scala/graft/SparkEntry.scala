@@ -2225,9 +2225,9 @@ object SparkEntry {
     "q86_weighted_sample" ->
       """SELECT doc_id, n_chars FROM (
         |  SELECT doc_id, n_chars,
-        |         round(pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
-        |                     1, 8))::BIGINT % 1000000 + 1) / 1000000.0,
-        |                   1.0 / n_chars), 9) AS skey
+        |         ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |              1, 8))::BIGINT % 1000000 + 1) / 1000000.0)
+        |           / n_chars AS skey
         |  FROM documents
         |  ORDER BY skey DESC, doc_id LIMIT 100)
         |ORDER BY doc_id""".stripMargin,

@@ -37,31 +37,58 @@ object Writers {
     * shuffle, which is the point: coalesce would merely glue existing
     * partitions and skew output sizes. Optional `sortCols` cluster rows
     * within files so min/max footer stats prune at read (poor man's
-    * Z-order). Writes to `tmpPath` then swaps, so a crash mid-compaction
-    * never destroys the source directory. */
+    * Z-order). A `key=value`-partitioned tree is preserved: the rewrite
+    * shuffles on the partition columns and writes back `partitionBy`, so
+    * pruning survives compaction.
+    *
+    * Durability: the rewrite lands in a sibling tmp dir, then two renames
+    * swap it in; both renames are CHECKED (Hadoop reports most failures
+    * by returning false, not throwing) and a failed swap rolls the
+    * original back. A crash between the renames leaves the data intact
+    * under `.<name>_compact_old` — recoverable by a rename, never
+    * deleted until the swap has fully succeeded. */
   def compact(spark: SparkSession, path: String,
               targetFileMB: Int = 512,
               sortCols: Seq[String] = Nil): Long = {
+    require(targetFileMB > 0, s"targetFileMB must be > 0, got $targetFileMB")
     import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.col
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(hPath).getLength
     val nFiles = math.max(1L, (bytes + targetFileMB.toLong * (1 << 20) - 1)
       / (targetFileMB.toLong * (1 << 20)))
+    // hive-style partition dirs (date=2024-01-01/...) — walk one leaf
+    // chain to recover the partition column names
+    def partCols(p: Path, acc: Seq[String]): Seq[String] = {
+      val sub = fs.listStatus(p).filter(_.isDirectory)
+        .map(_.getPath).find(_.getName.contains("="))
+      sub match {
+        case Some(d) => partCols(d, acc :+ d.getName.split("=", 2)(0))
+        case None => acc
+      }
+    }
+    val parts = partCols(hPath, Nil)
     val df0 = spark.read.parquet(path)
+    val shuffleCols = (parts ++ sortCols).map(col)
     val df =
-      if (sortCols.nonEmpty)
-        df0.repartitionByRange(nFiles.toInt,
-          sortCols.map(org.apache.spark.sql.functions.col): _*)
-          .sortWithinPartitions(sortCols.map(
-            org.apache.spark.sql.functions.col): _*)
+      if (shuffleCols.nonEmpty)
+        df0.repartitionByRange(nFiles.toInt, shuffleCols: _*)
+          .sortWithinPartitions(shuffleCols: _*)
       else df0.repartition(nFiles.toInt)
     val tmp = new Path(hPath.getParent, s".${hPath.getName}_compact_tmp")
-    df.write.mode("overwrite").parquet(tmp.toString)
+    val w = df.write.mode("overwrite")
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
+      .parquet(tmp.toString)
     val bak = new Path(hPath.getParent, s".${hPath.getName}_compact_old")
     if (fs.exists(bak)) fs.delete(bak, true)
-    fs.rename(hPath, bak)
-    fs.rename(tmp, hPath)
+    if (!fs.rename(hPath, bak))
+      throw new java.io.IOException(s"compact: could not move $hPath aside")
+    if (!fs.rename(tmp, hPath)) {
+      fs.rename(bak, hPath) // roll back — original data untouched
+      throw new java.io.IOException(
+        s"compact: swap failed for $hPath; original restored")
+    }
     fs.delete(bak, true)
     nFiles
   }

@@ -448,11 +448,14 @@ object TextOps {
     require(k > 0)
     val u = (hashBucket(col(idCol), 1000000) + 1).cast("double") / 1000000.0
     docs
-      // ranking on the ROUNDED key (same convention as bm25TopK): JVM and
-      // libm pow may differ in the last ulp, and an unrounded k-boundary
-      // could flip across engines. 9 dp ≫ the ulp noise yet ≪ the ~3e-8
-      // spacing of adjacent keys, so no real ties are created
-      .withColumn("_skey", round(pow(u, lit(1.0) / weightCol), 9))
+      // ln(u)/w orders identically to u^(1/w) (monotone transform) but is
+      // robust to the JVM-vs-libm last-ulp difference WITHOUT rounding:
+      // adjacent grid keys are ≥ ~1e-6/(u·w) apart while the ulp noise is
+      // ~1e-16·|ln u|/w — nine orders smaller at any weight. (Rounding the
+      // power-domain key would instead TIE large-weight keys, where
+      // u^(1/w) compresses toward 1.0, and bias the sample toward small
+      // ids.)
+      .withColumn("_skey", log(u) / weightCol)
       .orderBy(col("_skey").desc, col(idCol))
       .limit(k)
       .drop("_skey")

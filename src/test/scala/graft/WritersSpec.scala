@@ -48,6 +48,23 @@ class WritersSpec extends SparkSpec {
     assert(ids == ids.sorted)
   }
 
+  test("compact preserves a hive-partitioned layout — partition dirs " +
+    "and pruning survive the rewrite") {
+    val dir = Files.createTempDirectory("graft_compact_p").resolve("t")
+    val df = (1 to 400).map(i => (i.toLong, s"d${i % 3}")).toDF("id", "dt")
+    df.repartition(20).write.partitionBy("dt").parquet(dir.toString)
+    Writers.compact(spark, dir.toString, targetFileMB = 512)
+    val subdirs = new java.io.File(dir.toString).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(subdirs == Seq("dt=d0", "dt=d1", "dt=d2"), s"got $subdirs")
+    val back = spark.read.parquet(dir.toString)
+    assert(back.count() == 400)
+    // partition pruning still works on the compacted tree
+    val plan = back.filter($"dt" === "d1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(dt"), plan)
+  }
+
   test("parquetMerged unifies drifted schemas and null-backfills old " +
     "files") {
     val dir = Files.createTempDirectory("graft_merge").resolve("t")
