@@ -12,6 +12,13 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan.toString
 
+  private def executed(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect() // run it: AQE only materializes codegen spans in the
+                 // FINAL plan (isFinalPlan=true)
+    df.queryExecution.executedPlan.toString
+  }
+
   test("q01 band filter is pushed into the parquet scan") {
     val p = plan("q01_range_filter")
     assert(p.contains("PushedFilters: [IsNotNull(value), " +
@@ -192,6 +199,21 @@ class PlanSpec extends SparkSpec {
     val scans = "FileScan|BatchScan".r.findAllIn(p).size
     assert(scans == 1, s"expected 1 scan, got $scans:\n$p")
     assert(!p.contains("Join"), p)
+  }
+
+  test("native kernels stay inside WholeStageCodegen spans") {
+    // the custom Expressions generate code via nullSafeCodeGen, so the
+    // operator evaluating them must sit inside a codegen span — the
+    // `*(n)` prefix in the final AQE plan. A fallback to interpreted
+    // eval would print the kernel on an unstarred operator line.
+    Seq("q87_token_entropy" -> "tokenentropy",
+      "q26_embedding_topk" -> "dotproduct",
+      "q24_minhash_lsh" -> "minhashsignature").foreach { case (q, pat) =>
+      val p = executed(q).toLowerCase
+      val starred = s"\\*\\(\\d+\\)[^\\n]*$pat".r
+      assert(starred.findFirstIn(p).isDefined,
+        s"$q: kernel '$pat' not inside a codegen span:\n$p")
+    }
   }
 
   test("no query plans a cartesian product") {
