@@ -916,6 +916,28 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // forward as-of: value of each view's NEXT purchase per user
+    // (oracle: DuckDB ASOF on negated epoch micros)
+    "q91_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts", "event_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("value"))
+      AsOf.asofForward(views, purchases, Seq("user_id"), "ts", "pts",
+          Seq("value"))
+        .select(col("event_id"), col("user_id"), col("asof_value"))
+        .orderBy("event_id")
+    }),
+
+    // per-language sketch heavy hitters in the exact regime (q72's
+    // grouped form — one fixed-size sketch per language)
+    "q92_frequent_by_lang" -> ((s, dir) => {
+      TextOps.frequentTokensByGroup(t(s, dir, "documents"), "lang",
+          maxMapSize = 4096)
+        .orderBy(col("lang"), col("estimate").desc, col("token"))
+    }),
+
     // declarative data-quality expectations — one scan, |checks| rows out
     "q89_dq_report" -> ((s, dir) => {
       Quality.expectationsReport(t(s, dir, "events"),
@@ -2053,6 +2075,26 @@ object SparkEntry {
     "q74_bm25_topk" -> bm25Oracle,
 
     "q90_dataset_card" -> datasetCardOracle,
+
+    "q91_asof_forward" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id, -epoch_us(ts) AS nts FROM events
+        |  WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, value, -epoch_us(ts) AS nts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT v.event_id, v.user_id, p.value AS asof_value
+        |FROM v ASOF LEFT JOIN p
+        |  ON v.user_id = p.user_id AND v.nts >= p.nts
+        |ORDER BY v.event_id""".stripMargin,
+
+    "q92_frequent_by_lang" ->
+      """SELECT lang, token, count(*) AS estimate
+        |FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+        |      FROM documents)
+        |WHERE len(token) > 0
+        |GROUP BY lang, token
+        |ORDER BY lang, estimate DESC, token""".stripMargin,
 
     "q75_adaptive_gate" -> adaptiveGateOracle,
 

@@ -72,6 +72,34 @@ object AsOf {
         rightVals.map(c => col(s"_carried.$c").as(s"asof_$c")): _*)
   }
 
+  /** Forward as-of join: each left row picks the EARLIEST right row with
+    * rightTs >= leftTs (or > for `strict`) within the same key — "time
+    * until next event" semantics (next purchase after a view, next error
+    * after a deploy). Same union + window machinery as [[asofBackward]],
+    * walked in descending time order; one shuffle on the key, no pair
+    * blow-up. Carried columns come out as `asof_<c>` (null when no later
+    * right row exists). */
+  def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTs: String, rightTs: String,
+                  rightVals: Seq[String],
+                  strict: Boolean = false): DataFrame = {
+    val (all, leftCols) = tagged(left, right, keys, leftTs, rightTs,
+      rightVals)
+    // descending time: the window sees rows with _ts >= current. For the
+    // inclusive join a right row AT the left timestamp must be visible →
+    // right (side 0) sorts first among equal _ts; for strict, left first.
+    val sideOrder = if (strict) col("_side").desc else col("_side").asc
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ts").desc, sideOrder)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    all
+      .withColumn("_carried", last(col("_pack"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(keys.map(col) ++
+        leftCols.map(c => col(s"_l_$c").as(c)) ++
+        rightVals.map(c => col(s"_carried.$c").as(s"asof_$c")): _*)
+  }
+
   /** Fixed-interval resampling with forward fill — the time-series
     * normalization step (align irregular sensor/event streams onto a
     * regular grid, carrying the latest observation forward). Generates a

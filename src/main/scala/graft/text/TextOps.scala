@@ -361,6 +361,23 @@ object TextOps {
       .select(col("f.token").as("token"), col("f.estimate").as("estimate"),
         col("f.lower").as("lower"), col("f.upper").as("upper"))
 
+  /** [[frequentTokens]] per group: one Misra-Gries sketch per `groupCol`
+    * value (language, source, time bucket) — trending terms BY SEGMENT
+    * with the same fixed-size mergeable state per group and no token-
+    * keyed shuffle; only |groups| sketches move. */
+  def frequentTokensByGroup(docs: DataFrame, groupCol: String,
+                            textCol: String = "text",
+                            maxMapSize: Int = 1024): DataFrame =
+    docs.select(col(groupCol),
+        explode(wsTokens(lower(col(textCol)))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(groupCol)
+      .agg(graft.functions.SketchAggregates
+        .frequentItems(col("token"), maxMapSize).as("fi"))
+      .select(col(groupCol), explode(col("fi")).as("f"))
+      .select(col(groupCol), col("f.token").as("token"),
+        col("f.estimate").as("estimate"))
+
   /** Sequence packing for training-batch construction: assign rows to
     * contiguous packs of at most `budgetTokens` whitespace tokens within
     * each partition group, walking rows in `orderCols` order — the

@@ -881,6 +881,27 @@ class ExtensionsSpec extends SparkSpec {
       (2L, "2024-01-01 00:00:00.0", -1.0)), s"got $got")
   }
 
+  test("asofForward: earliest later right row, inclusive vs strict at " +
+    "equal timestamps") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "L1"))
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1.0), // earlier — never matches
+      (1L, ts("2024-01-01 10:00:00"), 2.0), // coincident
+      (1L, ts("2024-01-01 11:00:00"), 3.0)) // later
+      .toDF("k", "rts", "v")
+    def run(strict: Boolean) =
+      AsOf.asofForward(left, right, Seq("k"), "ts", "rts", Seq("v"),
+        strict = strict).head().getAs[Double]("asof_v")
+    assert(run(strict = false) == 2.0) // inclusive: coincident row wins
+    assert(run(strict = true) == 3.0)  // strict: next later row
+    // no later right row → null
+    val none = AsOf.asofForward(left,
+      right.filter(col("v") === 1.0), Seq("k"), "ts", "rts", Seq("v"))
+      .head()
+    assert(none.isNullAt(none.fieldIndex("asof_v")))
+  }
+
   test("weightedSample: deterministic, and weight dominates inclusion") {
     val docs = Seq((1L, 1L), (2L, 1L), (3L, 1000000L))
       .toDF("doc_id", "w")
