@@ -938,6 +938,14 @@ object SparkEntry {
         .orderBy(col("lang"), col("estimate").desc, col("token"))
     }),
 
+    // hourly OHLC bars per user — aggregate-in-cell downsampling
+    // (values are carried, not computed: exact across engines)
+    "q93_ohlc_bars" -> ((s, dir) => {
+      TimeOps.ohlcBars(t(s, dir, "events"), Seq("user_id"), "ts",
+          "value", bucketSeconds = 3600L, tieCol = "event_id")
+        .orderBy("user_id", "bucket_ts")
+    }),
+
     // declarative data-quality expectations — one scan, |checks| rows out
     "q89_dq_report" -> ((s, dir) => {
       Quality.expectationsReport(t(s, dir, "events"),
@@ -2095,6 +2103,18 @@ object SparkEntry {
         |WHERE len(token) > 0
         |GROUP BY lang, token
         |ORDER BY lang, estimate DESC, token""".stripMargin,
+
+    "q93_ohlc_bars" ->
+      """SELECT user_id,
+        |       make_timestamp(CAST(floor(epoch_us(ts) / 3600000000)
+        |                      AS BIGINT) * 3600000000) AS bucket_ts,
+        |       first(value ORDER BY ts, event_id) AS open,
+        |       max(value) AS high, min(value) AS low,
+        |       last(value ORDER BY ts, event_id) AS close,
+        |       count(*) AS n
+        |FROM events
+        |GROUP BY user_id, bucket_ts
+        |ORDER BY user_id, bucket_ts""".stripMargin,
 
     "q75_adaptive_gate" -> adaptiveGateOracle,
 

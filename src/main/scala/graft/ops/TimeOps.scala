@@ -65,6 +65,25 @@ object TimeOps {
       floor(unix_micros(ts) / lit(widthSeconds * 1000000L)) *
         lit(widthSeconds))
 
+  /** OHLC bar aggregation — downsample a value stream into per-bucket
+    * open/high/low/close/count bars (the time-series complement of
+    * [[graft.ops.AsOf.resampleFfill]]: aggregate within the grid cell
+    * instead of carrying the last point onto it). Open/close are
+    * min_by/max_by over the (ts, tiebreaker) struct — one map-side-
+    * combined aggregation keyed on (keys, bucket), no window, no sort. */
+  def ohlcBars(df: DataFrame, keys: Seq[String], tsCol: String,
+               valueCol: String, bucketSeconds: Long,
+               tieCol: String): DataFrame = {
+    val ord = struct(col(tsCol), col(tieCol))
+    df.groupBy((keys.map(col) :+
+        timeBucket(col(tsCol), bucketSeconds).as("bucket_ts")): _*)
+      .agg(min_by(col(valueCol), ord).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), ord).as("close"),
+        count(lit(1)).as("n"))
+  }
+
   /** Minutes → calendar interval (make_interval is positional-only). */
   def minutesInterval(m: Column): Column =
     make_interval(lit(0), lit(0), lit(0), lit(0), lit(0), m)

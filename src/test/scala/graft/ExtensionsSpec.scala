@@ -881,6 +881,27 @@ class ExtensionsSpec extends SparkSpec {
       (2L, "2024-01-01 00:00:00.0", -1.0)), s"got $got")
   }
 
+  test("ohlcBars: open/close by (ts, tie) order, high/low extremes, " +
+    "bucket boundaries") {
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 5.0, 1L),
+      (1L, ts("2024-01-01 10:20:00"), 9.0, 2L),
+      (1L, ts("2024-01-01 10:50:00"), 2.0, 3L),
+      // same ts as id 3 — tiebreaker decides close
+      (1L, ts("2024-01-01 10:50:00"), 7.0, 4L),
+      (1L, ts("2024-01-01 11:10:00"), 4.0, 5L)) // next bucket
+      .toDF("user_id", "ts", "value", "event_id")
+    val got = graft.ops.TimeOps.ohlcBars(rows, Seq("user_id"), "ts",
+        "value", 3600L, "event_id")
+      .orderBy("bucket_ts").collect()
+      .map(r => (r.getTimestamp(1).toString, r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+      .toSeq
+    assert(got == Seq(
+      ("2024-01-01 10:00:00.0", 5.0, 9.0, 2.0, 7.0, 4L),
+      ("2024-01-01 11:00:00.0", 4.0, 4.0, 4.0, 4.0, 1L)), s"got $got")
+  }
+
   test("asofForward: earliest later right row, inclusive vs strict at " +
     "equal timestamps") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"), "L1"))
