@@ -47,22 +47,26 @@ object AsOf {
     (l.unionByName(r), leftCols)
   }
 
-  /** Backward as-of join: each left row picks the latest right row with
-    * rightTs <= leftTs (or < for `strict`) within the same key. Carried
-    * columns are emitted as `asof_<c>` (null when no match).
-    */
-  def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
-                   leftTs: String, rightTs: String,
-                   rightVals: Seq[String],
-                   strict: Boolean = false): DataFrame = {
+  /** Shared carry pass for [[asofBackward]]/[[asofForward]]: one
+    * direction-ordered window over the tagged union. When several right
+    * rows share (key, ts), the pick among them is engine-arbitrary —
+    * pre-dedup the right side (e.g. `ohlcBars`-style min_by/max_by or
+    * `dedupConsecutive`) when that matters; oracle queries over such a
+    * join must use tie-free inputs (q91's are — verified at all three
+    * fixture scales). */
+  private def asofCarry(left: DataFrame, right: DataFrame,
+                        keys: Seq[String], leftTs: String, rightTs: String,
+                        rightVals: Seq[String], strict: Boolean,
+                        descending: Boolean): DataFrame = {
     val (all, leftCols) = tagged(left, right, keys, leftTs, rightTs,
       rightVals)
     // right rows sort before coincident left rows iff the join is
-    // inclusive (<=): side 0 first ⇒ a right row at t is visible to a left
-    // row at t. For strict (<), left first.
+    // inclusive: side 0 first ⇒ a right row at t is visible to a left row
+    // at t. For strict, left first.
     val sideOrder = if (strict) col("_side").desc else col("_side").asc
+    val tsOrder = if (descending) col("_ts").desc else col("_ts").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts").asc, sideOrder)
+      .orderBy(tsOrder, sideOrder)
       .rowsBetween(Window.unboundedPreceding, 0)
     all
       .withColumn("_carried", last(col("_pack"), ignoreNulls = true).over(w))
@@ -71,6 +75,17 @@ object AsOf {
         leftCols.map(c => col(s"_l_$c").as(c)) ++
         rightVals.map(c => col(s"_carried.$c").as(s"asof_$c")): _*)
   }
+
+  /** Backward as-of join: each left row picks the latest right row with
+    * rightTs <= leftTs (or < for `strict`) within the same key. Carried
+    * columns are emitted as `asof_<c>` (null when no match).
+    */
+  def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String,
+                   rightVals: Seq[String],
+                   strict: Boolean = false): DataFrame =
+    asofCarry(left, right, keys, leftTs, rightTs, rightVals, strict,
+      descending = false)
 
   /** Forward as-of join: each left row picks the EARLIEST right row with
     * rightTs >= leftTs (or > for `strict`) within the same key — "time
@@ -82,23 +97,9 @@ object AsOf {
   def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
                   leftTs: String, rightTs: String,
                   rightVals: Seq[String],
-                  strict: Boolean = false): DataFrame = {
-    val (all, leftCols) = tagged(left, right, keys, leftTs, rightTs,
-      rightVals)
-    // descending time: the window sees rows with _ts >= current. For the
-    // inclusive join a right row AT the left timestamp must be visible →
-    // right (side 0) sorts first among equal _ts; for strict, left first.
-    val sideOrder = if (strict) col("_side").desc else col("_side").asc
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts").desc, sideOrder)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    all
-      .withColumn("_carried", last(col("_pack"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
-      .select(keys.map(col) ++
-        leftCols.map(c => col(s"_l_$c").as(c)) ++
-        rightVals.map(c => col(s"_carried.$c").as(s"asof_$c")): _*)
-  }
+                  strict: Boolean = false): DataFrame =
+    asofCarry(left, right, keys, leftTs, rightTs, rightVals, strict,
+      descending = true)
 
   /** Fixed-interval resampling with forward fill — the time-series
     * normalization step (align irregular sensor/event streams onto a

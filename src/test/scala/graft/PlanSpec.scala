@@ -209,10 +209,29 @@ class PlanSpec extends SparkSpec {
     Seq("q87_token_entropy" -> "tokenentropy",
       "q26_embedding_topk" -> "dotproduct",
       "q24_minhash_lsh" -> "minhashsignature").foreach { case (q, pat) =>
-      val p = executed(q).toLowerCase
+      // judge only the FINAL plan — the "== Initial Plan ==" section AQE
+      // appends prints every operator unstarred
+      val full = executed(q).toLowerCase
+      val p = full.indexOf("== initial plan ==") match {
+        case -1 => full
+        case i => full.substring(0, i)
+      }
       val starred = s"\\*\\(\\d+\\)[^\\n]*$pat".r
       assert(starred.findFirstIn(p).isDefined,
         s"$q: kernel '$pat' not inside a codegen span:\n$p")
+      // ...and on NO unstarred operator line: a partial interpreted-eval
+      // fallback (kernel in one starred and one unstarred operator) is
+      // exactly the regression this test exists to catch
+      val offenders = p.linesIterator
+        .filter(_.contains(pat))
+        .filterNot(l => "\\*\\(\\d+\\)".r.findFirstIn(l).isDefined)
+        // scan lines ECHO referenced filters in their DataFilters
+        // metadata; evaluation happens in the starred Filter above
+        .filterNot(l => l.contains("filescan") || l.contains("batchscan"))
+        .toSeq
+      assert(offenders.isEmpty,
+        s"$q: kernel '$pat' evaluated outside codegen:\n" +
+          offenders.mkString("\n"))
     }
   }
 
