@@ -78,6 +78,36 @@ object Streaming {
         col("f.token").as("token"), col("f.estimate").as("estimate"),
         col("f.lower").as("lower"), col("f.upper").as("upper"))
 
+  /** Continuous data-quality monitoring: [[graft.ops.Quality
+    * .expectationsReport]]'s conditional-sum shape per tumbling window —
+    * one row per (window, check) with violation counts, suitable for an
+    * alerting sink. Row-level checks only (uniqueness needs global state
+    * and stays a batch concern); all checks still evaluate in the one
+    * windowed aggregation, and the watermark bounds open-window state. */
+  def expectationsStream(stream: DataFrame, tsCol: String,
+                         checks: Seq[(String, org.apache.spark.sql.Column)],
+                         windowDur: String = "5 minutes",
+                         watermark: String = "10 minutes"): DataFrame = {
+    require(checks.nonEmpty, "expectationsStream needs at least one check")
+    val violationCols = checks.zipWithIndex.map { case ((_, pred), i) =>
+      coalesce(sum(when(pred, 0L).otherwise(1L)), lit(0L)).as(s"_v$i")
+    }
+    val rows = checks.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("check"), col("_total").as("total"),
+        col(s"_v$i").as("violations"))
+    }
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(count(lit(1)).as("_total"), violationCols: _*)
+      .select(col("window.start").as("start_time"),
+        col("window.end").as("end_time"), explode(array(rows: _*)).as("r"))
+      .select(col("start_time"), col("end_time"),
+        col("r.check").as("check"), col("r.total").as("total"),
+        col("r.violations").as("violations"),
+        when(col("r.violations") === 0, 1).otherwise(0).as("pass"))
+  }
+
   /** Stream-stream interval join: each left row matched to right rows with
     * the same key whose timestamp lies in [leftTs − lowerSec,
     * leftTs + upperSec]. Watermarks on BOTH sides plus the time-range

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.text.TextOps
+
+/** Randomized invariants over the analytics operators (scalacheck
+  * generators driven through the shared Spark session). Each property
+  * runs a small number of samples — the goal is shape coverage the
+  * hand-picked spec fixtures can't enumerate, not volume. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val params = SCTest.Parameters.default
+    .withMinSuccessfulTests(8)
+    .withWorkers(1)
+
+  private def check(p: Prop, label: String): Unit = {
+    val r = SCTest.check(params, p)
+    assert(r.passed, s"$label: $r")
+  }
+
+  private val word: Gen[String] = Gen.oneOf("a", "b", "c", "dd", "eee")
+  private val doc: Gen[String] =
+    Gen.nonEmptyListOf(word).map(_.mkString(" "))
+
+  test("tokenEntropy ∈ [0, ln(distinct)] with equality at the extremes") {
+    check(Prop.forAll(doc) { text =>
+      val h = Seq(text).toDF("text")
+        .select(TextOps.tokenEntropy(col("text"))).head().getDouble(0)
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val maxH = math.log(toks.distinct.length)
+      h >= -1e-12 && h <= maxH + 1e-12 &&
+        (toks.distinct.length != 1 || h == 0.0)
+    }, "entropy bounds")
+  }
+
+  test("quantileBuckets: sizes differ by ≤1 and buckets are " +
+    "order-consistent") {
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      b <- Gen.choose(1, 7)
+      vs <- Gen.listOfN(n, Gen.choose(-100.0, 100.0))
+    } yield (b, vs)
+    check(Prop.forAll(gen) { case (b, vs) =>
+      val df = vs.zipWithIndex.map { case (v, i) => ("g", v, i.toLong) }
+        .toDF("k", "v", "id")
+      val got = graft.ops.Windows.quantileBuckets(df, Seq("k"),
+          Seq(col("v").asc, col("id").asc), b)
+        .select("v", "bucket").collect()
+        .map(r => (r.getDouble(0), r.getInt(1)))
+      val sizes = got.groupBy(_._2).view.mapValues(_.length).values.toSeq
+      val sizesOk = sizes.max - sizes.min <= 1
+      // order consistency: max of bucket i ≤ min of bucket i+1
+      val byBucket = got.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (_, rows) => (rows.map(_._1).min, rows.map(_._1).max) }
+      val ordered = byBucket.sliding(2).forall {
+        case Seq((_, hi), (lo, _)) => hi <= lo
+        case _ => true
+      }
+      sizesOk && ordered
+    }, "ntile invariants")
+  }
+
+  test("cusum: steps equal centered values and the final sum returns " +
+    "to zero") {
+    val gen = Gen.nonEmptyListOf(Gen.choose(-50.0, 50.0))
+      .suchThat(_.nonEmpty)
+    check(Prop.forAll(gen) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+        .toDF("k", "i", "v")
+      val cusums = graft.ops.Stats.cusum(df, Seq("k"), "v",
+          Seq(col("i")), 1e18)
+        .orderBy("i").collect().map(_.getAs[Double]("cusum")).toSeq
+      val m = vs.sum / vs.size
+      val exp = vs.scanLeft(0.0)(_ + _ - m).tail
+      cusums.zip(exp).forall { case (g, e) => math.abs(g - e) < 1e-6 } &&
+        math.abs(cusums.last) < 1e-6
+    }, "cusum closed form")
+  }
+
+  test("transitionCounts conserve mass: Σn = Σ_user (events − 1)") {
+    val gen = Gen.nonEmptyListOf(for {
+      u <- Gen.choose(1L, 4L)
+      t <- Gen.choose(0L, 1000L)
+      k <- Gen.oneOf("x", "y", "z")
+    } yield (u, t, k))
+    check(Prop.forAll(gen) { rows =>
+      val df = rows.zipWithIndex.map { case ((u, t, k), i) =>
+        (u, new java.sql.Timestamp(t * 1000), k, i.toLong)
+      }.toDF("user_id", "ts", "event_type", "event_id")
+      val total = graft.ops.Events.transitionCounts(df)
+        .agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+      val exp = rows.groupBy(_._1).values.map(_.size - 1).sum
+      total == exp
+    }, "transition mass")
+  }
+
+  test("weightedSample is invariant under positive weight scaling") {
+    val gen = for {
+      n <- Gen.choose(3, 25)
+      ws <- Gen.listOfN(n, Gen.choose(1L, 100000L))
+      c <- Gen.oneOf(2L, 10L, 1000L)
+    } yield (ws, c)
+    check(Prop.forAll(gen) { case (ws, c) =>
+      val df = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("doc_id", "w")
+      def sample(col0: org.apache.spark.sql.Column) =
+        TextOps.weightedSample(df, col0, k = 3)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq
+      sample(col("w")) == sample(col("w") * c)
+    }, "A-ES scale invariance")
+  }
+}

@@ -53,6 +53,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("expectationsStream: per-window violation counts for every check") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Double)]
+    val df = in.toDF().toDF("ts", "v")
+    val out = Streaming.expectationsStream(df, "ts",
+      Seq("v_positive" -> (col("v") > 0), "v_small" -> (col("v") < 10)),
+      windowDur = "1 minute")
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName("dq_out").start()
+    try {
+      in.addData(
+        (t("2024-01-01 00:00:05"), 5.0),
+        (t("2024-01-01 00:00:20"), -1.0), // fails v_positive
+        (t("2024-01-01 00:01:10"), 50.0)) // next window, fails v_small
+      q.processAllAvailable()
+      val rows = spark.table("dq_out")
+        .orderBy("start_time", "check").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(2),
+          r.getLong(3), r.getLong(4), r.getInt(5))).toSeq
+      assert(rows == Seq(
+        ("2024-01-01 00:00:00.0", "v_positive", 2L, 1L, 0),
+        ("2024-01-01 00:00:00.0", "v_small", 2L, 0L, 1),
+        ("2024-01-01 00:01:00.0", "v_positive", 1L, 0L, 1),
+        ("2024-01-01 00:01:00.0", "v_small", 1L, 1L, 0)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("frequentTokensStream: windowed sketch heavy hitters, exact in " +
     "the small-domain regime") {
     implicit val sqlCtx = spark.sqlContext
