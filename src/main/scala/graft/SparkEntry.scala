@@ -938,6 +938,16 @@ object SparkEntry {
         .orderBy(col("lang"), col("estimate").desc, col("token"))
     }),
 
+    // per-label embedding centroids (class prototypes) — the IVF index
+    // builder driven by a semantic label instead of a cluster id
+    "q94_label_centroids" -> ((s, dir) => {
+      Similarity.ivfIndex(t(s, dir, "embeddings"), "label")
+        .select(col("cluster").as("label"),
+          posexplode(col("centroid")).as(Seq("pos", "m")))
+        .select(col("label"), col("pos"), round(col("m"), 6).as("m"))
+        .orderBy("label", "pos")
+    }),
+
     // hourly OHLC bars per user — aggregate-in-cell downsampling
     // (values are carried, not computed: exact across engines)
     "q93_ohlc_bars" -> ((s, dir) => {
@@ -2103,6 +2113,14 @@ object SparkEntry {
         |WHERE len(token) > 0
         |GROUP BY lang, token
         |ORDER BY lang, estimate DESC, token""".stripMargin,
+
+    "q94_label_centroids" ->
+      """SELECT label, CAST(p - 1 AS INTEGER) AS pos, round(avg(x), 6) AS m
+        |FROM (
+        |  SELECT label, unnest(embedding) AS x,
+        |         generate_subscripts(embedding, 1) AS p
+        |  FROM embeddings)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
     "q93_ohlc_bars" ->
       """SELECT user_id,
