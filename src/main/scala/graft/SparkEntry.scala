@@ -938,6 +938,26 @@ object SparkEntry {
         .orderBy(col("lang"), col("estimate").desc, col("token"))
     }),
 
+    // corpus-relative unigram NLL (KenLM-style typicality scoring)
+    "q95_unigram_nll" -> ((s, dir) => {
+      TextOps.unigramNll(t(s, dir, "documents"))
+        .orderBy("doc_id")
+    }),
+
+    // vocabulary-overlap Jaccard between sources (corpus comparison)
+    "q96_vocab_overlap" -> ((s, dir) => {
+      TextOps.vocabOverlap(t(s, dir, "documents"))
+        .orderBy("g_a", "g_b")
+    }),
+
+    // Population Stability Index between two md5-split cohorts of value
+    "q97_psi" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("coh",
+        when(TextOps.hashBucket(col("event_id"), 2) === 0, "a")
+          .otherwise("b"))
+      Stats.psi(ev, "coh", "value", "a", "b", binWidth = 50.0)
+    }),
+
     // per-label embedding centroids (class prototypes) — the IVF index
     // builder driven by a semantic label instead of a cluster id
     "q94_label_centroids" -> ((s, dir) => {
@@ -2113,6 +2133,53 @@ object SparkEntry {
         |WHERE len(token) > 0
         |GROUP BY lang, token
         |ORDER BY lang, estimate DESC, token""".stripMargin,
+
+    "q95_unigram_nll" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t AS token FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE len(t) > 0),
+        |vocab AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total FROM vocab),
+        |probs AS (SELECT token, c / n_total AS p FROM vocab CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens, round(avg(-ln(p)), 6) AS nll
+        |FROM tok JOIN probs USING (token)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q96_vocab_overlap" ->
+      """WITH gt AS (
+        |  SELECT DISTINCT source AS g, t AS token FROM (
+        |    SELECT source, unnest(string_split(lower(text), ' ')) AS t
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE len(t) > 0),
+        |sizes AS (SELECT g, count(*) AS n FROM gt GROUP BY 1),
+        |inter AS (
+        |  SELECT a.g AS g_a, b.g AS g_b, count(*) AS n_shared
+        |  FROM gt a JOIN gt b ON a.token = b.token AND a.g < b.g
+        |  GROUP BY 1, 2)
+        |SELECT g_a, g_b, n_shared,
+        |       round(CAST(n_shared AS DOUBLE)
+        |             / (sa.n + sb.n - n_shared), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.g = g_a
+        |JOIN sizes sb ON sb.g = g_b
+        |ORDER BY g_a, g_b""".stripMargin,
+
+    "q97_psi" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+        |                    1, 8))::BIGINT % 2 = 0
+        |              THEN 'a' ELSE 'b' END AS coh,
+        |         CAST(floor(value / 50.0) AS BIGINT) AS bin
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT coh, bin, count(*) AS n FROM e GROUP BY 1, 2),
+        |tot AS (SELECT coh, CAST(sum(n) AS DOUBLE) AS t FROM b GROUP BY 1),
+        |s AS (SELECT coh, bin, n / t AS p FROM b JOIN tot USING (coh))
+        |SELECT count(*) AS n_bins,
+        |       round(sum((sa.p - sb.p) * ln(sa.p / sb.p)), 6) AS psi
+        |FROM (SELECT bin, p FROM s WHERE coh = 'a') sa
+        |JOIN (SELECT bin, p FROM s WHERE coh = 'b') sb USING (bin)""".stripMargin,
 
     "q94_label_centroids" ->
       """SELECT label, CAST(p - 1 AS INTEGER) AS pos, round(avg(x), 6) AS m

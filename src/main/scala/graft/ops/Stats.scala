@@ -66,6 +66,39 @@ object Stats {
           1).otherwise(0))
   }
 
+  /** Population Stability Index between two cohorts of one numeric
+    * column — the standard ML-monitoring drift metric (PSI < 0.1 stable,
+    * 0.1-0.25 moderate, > 0.25 action). Rows are split by `cohortCol`
+    * (exactly two values expected), binned equal-width by
+    * `floor(value / binWidth)`, and PSI sums (p_a − p_b)·ln(p_a/p_b)
+    * over bins PRESENT IN BOTH cohorts (inner join — the conservative
+    * convention; an epsilon-smoothed variant is a parameter away).
+    * Returns one row: (n_bins, psi).
+    *
+    * One (cohort, bin) count aggregation + a |bins|-row join — corpus
+    * scanned once, report is O(1). */
+  def psi(df: DataFrame, cohortCol: String, valueCol: String,
+          cohortA: String, cohortB: String,
+          binWidth: Double): DataFrame = {
+    require(binWidth > 0)
+    val binned = df
+      .filter(col(cohortCol).isin(cohortA, cohortB) &&
+        col(valueCol).isNotNull)
+      .select(col(cohortCol).as("coh"),
+        floor(col(valueCol) / binWidth).cast("long").as("bin"))
+      .groupBy("coh", "bin").agg(count(lit(1)).as("n"))
+    val tot = binned.groupBy("coh").agg(sum("n").cast("double").as("t"))
+    val shares = binned.join(broadcast(tot), "coh")
+      .select(col("coh"), col("bin"), (col("n") / col("t")).as("p"))
+    shares.filter(col("coh") === cohortA)
+      .select(col("bin"), col("p").as("p_a"))
+      .join(shares.filter(col("coh") === cohortB)
+        .select(col("bin"), col("p").as("p_b")), "bin")
+      .agg(count(lit(1)).as("n_bins"),
+        round(sum((col("p_a") - col("p_b")) *
+          log(col("p_a") / col("p_b"))), 6).as("psi"))
+  }
+
   /** CUSUM change-point signal: the running sum of deviations from the
     * group mean, walked in `orderCols` order — drift in the level shows up
     * as |cusum| escaping a band long before any single point looks

@@ -544,6 +544,63 @@ object TextOps {
       .drop("g")
   }
 
+  /** Corpus-relative unigram negative log-likelihood per document — the
+    * simplified KenLM-style fluency/typicality score: docs whose tokens
+    * are globally rare score high (gibberish, boilerplate in another
+    * register), average docs score near the corpus cross-entropy. MLE
+    * unigram probabilities, no smoothing needed because every scored
+    * token is by construction in the vocabulary.
+    *
+    * Shuffle ledger: one token-keyed count aggregation (map-side
+    * combined), the 1-row total broadcast, one (token)-keyed join of
+    * tokens to probabilities — broadcast when the vocabulary fits, hash
+    * join on the distinct-token domain otherwise — then a doc-keyed avg.
+    * Never a corpus self-join. */
+  def unigramNll(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val tok = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(wsTokens(lower(col(textCol))))
+        .as("token"))
+      .filter(length(col("token")) > 0)
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum("c").cast("double").as("n_total"))
+    val probs = vocab.crossJoin(broadcast(total))
+      .select(col("token"), (col("c") / col("n_total")).as("p"))
+    tok.join(probs, "token")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("p"))), 6).as("nll"))
+  }
+
+  /** Vocabulary-overlap similarity between corpus segments: Jaccard of
+    * the distinct-token sets for every pair of `groupCol` values — which
+    * sources/languages/time-slices speak the same vocabulary. Pairs with
+    * zero shared tokens are absent (inner join on token).
+    *
+    * Cost scales with the DISTINCT (group, token) domain, not the corpus:
+    * the self-join is token-keyed and the per-group sizes broadcast. */
+  def vocabOverlap(docs: DataFrame, groupCol: String = "source",
+                   textCol: String = "text"): DataFrame = {
+    val gt = docs.filter(col(textCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        explode(wsTokens(lower(col(textCol)))).as("token"))
+      .filter(length(col("token")) > 0)
+      .distinct()
+    val sizes = gt.groupBy("g").agg(count(lit(1)).as("n"))
+    val inter = gt.select(col("g").as("g_a"), col("token"))
+      .join(gt.select(col("g").as("g_b"), col("token")), "token")
+      .filter(col("g_a") < col("g_b"))
+      .groupBy("g_a", "g_b").agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(broadcast(sizes.select(col("g").as("g_a"),
+        col("n").as("n_a"))), "g_a")
+      .join(broadcast(sizes.select(col("g").as("g_b"),
+        col("n").as("n_b"))), "g_b")
+      .select(col("g_a"), col("g_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
+  }
+
   /** Dataset-card summary: the per-source statistics a corpus release
     * ships with — document and token counts, size, language spread, and
     * mean quality. One map-side-combined aggregation over the corpus

@@ -881,6 +881,47 @@ class ExtensionsSpec extends SparkSpec {
       (2L, "2024-01-01 00:00:00.0", -1.0)), s"got $got")
   }
 
+  test("unigramNll: rare tokens score high, closed-form check") {
+    // corpus: 'a' x3, 'b' x1 → p(a)=3/4, p(b)=1/4
+    val docs = Seq((1L, "a a"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextOps.unigramNll(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val pa = 0.75; val pb = 0.25
+    assert(got(0)._3 == r6(-math.log(pa)))
+    assert(got(1)._3 == r6((-math.log(pa) - math.log(pb)) / 2))
+    assert(got(1)._3 > got(0)._3) // the rare-token doc scores higher
+  }
+
+  test("vocabOverlap: exact jaccard over distinct token sets, ordered " +
+    "pairs only") {
+    val docs = Seq(
+      (1L, "a", "x y z"), (2L, "a", "x y"), // A = {x,y,z}
+      (3L, "b", "y z q"),                   // B = {y,z,q}
+      (4L, "c", "mm nn"))                   // C disjoint → no rows with C
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.vocabOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq(("a", "b", 2L, 0.5)), s"got $got") // 2/(3+3-2)
+  }
+
+  test("psi: identical cohorts score zero, a shifted cohort scores " +
+    "positive") {
+    val same = (1 to 100).map(i => (if (i % 2 == 0) "a" else "b",
+      (i % 10).toDouble))
+    val df = same.toDF("coh", "v")
+    val z = graft.ops.Stats.psi(df, "coh", "v", "a", "b", 2.0).head()
+    assert(z.getDouble(1) == 0.0, s"psi=${z.getDouble(1)}")
+    // concentrate cohort b's mass into one bin → strictly positive drift
+    val shifted = (1 to 100).map { i =>
+      if (i % 2 == 0) ("a", (i % 10).toDouble)
+      else ("b", math.min(i % 10, 4).toDouble)
+    }.toDF("coh", "v")
+    val p = graft.ops.Stats.psi(shifted, "coh", "v", "a", "b", 2.0).head()
+    assert(p.getDouble(1) > 0.0)
+  }
+
   test("ohlcBars: open/close by (ts, tie) order, high/low extremes, " +
     "bucket boundaries") {
     val rows = Seq(
