@@ -555,7 +555,12 @@ object TextOps {
     * combined), the 1-row total broadcast, one (token)-keyed join of
     * tokens to probabilities — broadcast when the vocabulary fits, hash
     * join on the distinct-token domain otherwise — then a doc-keyed avg.
-    * Never a corpus self-join. */
+    * Never a corpus self-join. The corpus IS scanned+exploded twice
+    * (vocab-building pass, scoring pass) — deliberate: the two exchanges
+    * are not canonically identical so ReuseExchange can't dedup them, and
+    * caching a corpus-scale token explode is the wrong trade at 100 TB.
+    * In steady state, persist the tiny `probs` table once and reuse it
+    * across batches — then each scoring run is a single pass. */
   def unigramNll(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
     val tok = docs.filter(col(textCol).isNotNull)
