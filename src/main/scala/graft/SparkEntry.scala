@@ -938,6 +938,30 @@ object SparkEntry {
         .orderBy(col("lang"), col("estimate").desc, col("token"))
     }),
 
+    // percent_rank window function over (type, value) — CDF position
+    "q98_percent_rank" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          round(percent_rank().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("event_type")
+              .orderBy(col("value"), col("event_id"))), 6).as("pr"))
+        .orderBy("event_id")
+    }),
+
+    // pairwise Pearson r between hourly event-type counts, from exact
+    // integer sufficient statistics (bit-stable across engines)
+    "q99_hourly_corr" -> ((s, dir) => {
+      Events.hourlyTypeCorrelation(t(s, dir, "events"))
+        .orderBy("t_a", "t_b")
+    }),
+
+    // market-basket over 30-min sessions: sessions containing both types
+    "q100_session_baskets" -> ((s, dir) => {
+      Events.sessionBaskets(t(s, dir, "events"), gapSeconds = 1800)
+        .orderBy("t_a", "t_b")
+    }),
+
     // corpus-relative unigram NLL (KenLM-style typicality scoring)
     "q95_unigram_nll" -> ((s, dir) => {
       TextOps.unigramNll(t(s, dir, "documents"))
@@ -2133,6 +2157,65 @@ object SparkEntry {
         |WHERE len(token) > 0
         |GROUP BY lang, token
         |ORDER BY lang, estimate DESC, token""".stripMargin,
+
+    "q98_percent_rank" ->
+      """SELECT event_id, event_type,
+        |       round(percent_rank() OVER (PARTITION BY event_type
+        |             ORDER BY value, event_id), 6) AS pr
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q99_hourly_corr" ->
+      """WITH c AS (
+        |  SELECT make_timestamp(CAST(floor(epoch_us(ts) / 3600000000)
+        |           AS BIGINT) * 3600000000) AS h,
+        |         event_type AS t, count(*) AS n0
+        |  FROM events GROUP BY 1, 2),
+        |dense AS (
+        |  SELECT b.h, ty.t, coalesce(c.n0, 0) AS n
+        |  FROM (SELECT DISTINCT h FROM c) b
+        |  CROSS JOIN (SELECT DISTINCT t FROM c) ty
+        |  LEFT JOIN c ON c.h = b.h AND c.t = ty.t),
+        |p AS (
+        |  SELECT a.t AS t_a, b.t AS t_b, a.n AS x, b.n AS y
+        |  FROM dense a JOIN dense b ON a.h = b.h AND a.t < b.t),
+        |st AS (
+        |  SELECT t_a, t_b, count(*) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM p GROUP BY 1, 2)
+        |SELECT t_a, t_b, n,
+        |       CASE WHEN n * sxx - sx * sx > 0
+        |             AND n * syy - sy * sy > 0 THEN
+        |         round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+        |       END AS r
+        |FROM st ORDER BY t_a, t_b""".stripMargin,
+
+    "q100_session_baskets" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_type,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR date_diff('microsecond', lag(ts) OVER w, ts)
+        |                 > 1800000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, event_type,
+        |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS session_id
+        |  FROM o),
+        |st AS (SELECT DISTINCT user_id, session_id, event_type AS t FROM s)
+        |SELECT a.t AS t_a, b.t AS t_b, count(*) AS support
+        |FROM st a JOIN st b
+        |  ON a.user_id = b.user_id AND a.session_id = b.session_id
+        | AND a.t < b.t
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q95_unigram_nll" ->
       """WITH tok AS (

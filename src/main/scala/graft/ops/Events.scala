@@ -164,6 +164,71 @@ object Events {
           .as("converted"))
   }
 
+  /** Pairwise Pearson correlation between per-bucket event-type counts —
+    * which metrics move together hour by hour (co-incident errors and
+    * purchases, cannibalizing features). Computed EXPLICITLY from the
+    * integer sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²), never an
+    * engine-internal corr() — the integer sums are exact in any engine
+    * and the closing formula is a handful of IEEE ops, so results are
+    * reproducible bit-for-bit where a streaming Welford corr is not.
+    *
+    * Shuffle ledger: one (bucket) aggregation with a conditional count
+    * per type (map-side combined), a bucket-keyed self-join of the tall
+    * (bucket, type, n) frame — |buckets|·|types| rows — and a |types|²
+    * report aggregation. */
+  def hourlyTypeCorrelation(events: DataFrame, bucketSeconds: Long = 3600L,
+                            tsCol: String = "ts",
+                            typeCol: String = "event_type"): DataFrame = {
+    val counts = events
+      .groupBy(TimeOps.timeBucket(col(tsCol), bucketSeconds).as("h"),
+        col(typeCol).as("t"))
+      .agg(count(lit(1)).as("n0"))
+    // densify: every (bucket, type) cell, zero-filled — correlation over
+    // sparse rows would silently skip the hours one series sat at zero
+    val buckets = counts.select("h").distinct()
+    val types = counts.select("t").distinct()
+    val dense = buckets.crossJoin(broadcast(types))
+      .join(counts, Seq("h", "t"), "left")
+      .select(col("h"), col("t"), coalesce(col("n0"), lit(0L)).as("n"))
+    val pairs = dense.select(col("h"), col("t").as("t_a"),
+        col("n").as("x"))
+      .join(dense.select(col("h"), col("t").as("t_b"), col("n").as("y")),
+        "h")
+      .filter(col("t_a") < col("t_b"))
+    val stats = pairs.groupBy("t_a", "t_b")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val denA = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val denB = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    stats.select(col("t_a"), col("t_b"), col("n"),
+      when(denA > 0 && denB > 0,
+        round(num / (sqrt(denA) * sqrt(denB)), 6)).as("r"))
+  }
+
+  /** Market-basket analysis over sessions: for every unordered pair of
+    * event types, the number of sessions in which BOTH occur — the
+    * behavioral co-occurrence matrix ("users who error in a session also
+    * purchase in it"). Sessions come from [[Windows.sessionize]]'s gap
+    * rule; the pair generation runs per session over its ≤|types|
+    * DISTINCT types, so cost is bounded by |sessions|·|types|², never by
+    * event volume. */
+  def sessionBaskets(events: DataFrame, gapSeconds: Double = 1800,
+                     userCol: String = "user_id", tsCol: String = "ts",
+                     typeCol: String = "event_type"): DataFrame = {
+    val s = Windows.sessionize(events, tsCol, Seq(userCol), gapSeconds)
+      .select(col(userCol).as("u"), col("session_id").as("sid"),
+        col(typeCol).as("t"))
+      .distinct()
+    s.select(col("u"), col("sid"), col("t").as("t_a"))
+      .join(s.select(col("u"), col("sid"), col("t").as("t_b")),
+        Seq("u", "sid"))
+      .filter(col("t_a") < col("t_b"))
+      .groupBy("t_a", "t_b").agg(count(lit(1)).as("support"))
+  }
+
   /** Time-to-convert distribution between two event types, bucketed to
     * minutes: for each user with both events, the delay from first
     * `fromType` to the first `toType` AFTER it. Deterministic

@@ -133,6 +133,47 @@ class EventsSpec extends SparkSpec {
       (2L, 1L, 1L, 0.0, 0)), s"got $got")
   }
 
+  test("hourlyTypeCorrelation: perfect co-movement r=1, anti-movement " +
+    "r=-1, zero-variance series yields NULL") {
+    import org.apache.spark.sql.functions.col
+    // 3 hourly buckets: x = (1,2,3), y = (2,4,6) → r=1; z = (3,2,1) →
+    // r(x,z) = -1; w constant → zero variance → NULL r
+    val rows = Seq(0, 1, 2).flatMap { h =>
+      def at(n: Int, k: String) = (1 to n).map(i =>
+        (ts(f"2024-01-01 1$h%d:05:00"), k))
+      at(h + 1, "x") ++ at(2 * (h + 1), "y") ++ at(3 - h, "z") ++
+        at(2, "w")
+    }.toDF("ts", "event_type")
+    val got = Events.hourlyTypeCorrelation(rows)
+      .orderBy("t_a", "t_b").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(("x", "y")) == Some(1.0))
+    assert(got(("x", "z")) == Some(-1.0))
+    assert(got(("w", "x")).isEmpty) // constant series: no defined r
+  }
+
+  test("sessionBaskets: pair support counts sessions containing both " +
+    "types, per-session types deduped") {
+    val events = Seq(
+      // u1 session 1: view + click (click twice — counted once)
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:05:00"), "click"),
+      (1L, ts("2024-01-01 10:06:00"), "click"),
+      // u1 session 2 (gap > 30 min): view only — no pair
+      (1L, ts("2024-01-01 12:00:00"), "view"),
+      // u2 session 1: view + click + purchase → 3 pairs
+      (2L, ts("2024-01-01 09:00:00"), "view"),
+      (2L, ts("2024-01-01 09:10:00"), "click"),
+      (2L, ts("2024-01-01 09:20:00"), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Events.sessionBaskets(events, gapSeconds = 1800)
+      .orderBy("t_a", "t_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("click", "purchase", 1L), ("click", "view", 2L),
+      ("purchase", "view", 1L)), s"got $got")
+  }
+
   test("timeToConvert: minutes floor, only post-view purchases count") {
     val events = ev(
       (1L, "2024-01-01 10:00:00", "view"),
