@@ -942,10 +942,14 @@ object SparkEntry {
     "q98_percent_rank" -> ((s, dir) => {
       t(s, dir, "events")
         .select(col("event_id"), col("event_type"),
+          // null ordering pinned on BOTH sides: Spark defaults NULLS
+          // FIRST where DuckDB defaults NULLS LAST — a nullable value
+          // column would silently shift every rank
           round(percent_rank().over(
             org.apache.spark.sql.expressions.Window
               .partitionBy("event_type")
-              .orderBy(col("value"), col("event_id"))), 6).as("pr"))
+              .orderBy(col("value").asc_nulls_last, col("event_id"))), 6)
+            .as("pr"))
         .orderBy("event_id")
     }),
 
@@ -2161,7 +2165,7 @@ object SparkEntry {
     "q98_percent_rank" ->
       """SELECT event_id, event_type,
         |       round(percent_rank() OVER (PARTITION BY event_type
-        |             ORDER BY value, event_id), 6) AS pr
+        |             ORDER BY value ASC NULLS LAST, event_id), 6) AS pr
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q99_hourly_corr" ->
@@ -2185,15 +2189,21 @@ object SparkEntry {
         |         CAST(sum(x * y) AS BIGINT) AS sxy,
         |         CAST(sum(x * x) AS BIGINT) AS sxx,
         |         CAST(sum(y * y) AS BIGINT) AS syy
-        |  FROM p GROUP BY 1, 2)
+        |  FROM p GROUP BY 1, 2),
+        |d AS (
+        |  SELECT t_a, t_b, n,
+        |         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        |         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den_a,
+        |         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS den_b
+        |  FROM st)
         |SELECT t_a, t_b, n,
-        |       CASE WHEN n * sxx - sx * sx > 0
-        |             AND n * syy - sy * sy > 0 THEN
-        |         round(CAST(n * sxy - sx * sy AS DOUBLE)
-        |               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-        |                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+        |       CASE WHEN den_a > 0 AND den_b > 0 THEN
+        |         round(num / (sqrt(den_a) * sqrt(den_b)), 6)
         |       END AS r
-        |FROM st ORDER BY t_a, t_b""".stripMargin,
+        |FROM d ORDER BY t_a, t_b""".stripMargin,
 
     "q100_session_baskets" ->
       """WITH o AS (

@@ -200,9 +200,15 @@ object Events {
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
-    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-    val denA = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-    val denB = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    // close the formula in DOUBLE: n·sxx products overflow Long silently
+    // in Spark (and loudly in other engines) once sums pass ~1e18; double
+    // products stay IEEE-identical across engines and exact below 2^53
+    val n = col("n").cast("double"); val sx = col("sx").cast("double")
+    val sy = col("sy").cast("double"); val sxy = col("sxy").cast("double")
+    val sxx = col("sxx").cast("double"); val syy = col("syy").cast("double")
+    val num = n * sxy - sx * sy
+    val denA = n * sxx - sx * sx
+    val denB = n * syy - sy * sy
     stats.select(col("t_a"), col("t_b"), col("n"),
       when(denA > 0 && denB > 0,
         round(num / (sqrt(denA) * sqrt(denB)), 6)).as("r"))

@@ -135,7 +135,6 @@ class EventsSpec extends SparkSpec {
 
   test("hourlyTypeCorrelation: perfect co-movement r=1, anti-movement " +
     "r=-1, zero-variance series yields NULL") {
-    import org.apache.spark.sql.functions.col
     // 3 hourly buckets: x = (1,2,3), y = (2,4,6) → r=1; z = (3,2,1) →
     // r(x,z) = -1; w constant → zero variance → NULL r
     val rows = Seq(0, 1, 2).flatMap { h =>
