@@ -457,27 +457,29 @@ object SparkEntry {
       o.unionByName(l).orderBy("src", "id", "amount")
     }),
 
-    // multimodal plumbing: binary decode stub → features. The stub codec's
-    // numeric output is unverifiable in SQL by construction; the oracle
-    // pins everything else (row set, modality routing, byte counts, and —
-    // via size(features), which forces the decode to run — that every
-    // asset decoded to exactly FeatureDim features).
+    // multimodal decode with REAL JDK codecs (ImageIO PNG, AudioSystem
+    // WAV): payloads are synthesized from pure integer formulas of doc_id,
+    // round-tripped through the lossless encoders/decoders, and the oracle
+    // recomputes the exact expected dimensions + channel/sample statistics
+    // from the same formulas in SQL — the decoded numerics themselves are
+    // the gate, not just routing/arity
     "q34_multimodal_features" -> ((s, dir) => {
-      val assets = Multimodal.assetsFromText(t(s, dir, "documents"))
+      val assets = Multimodal.synthesizeAssets(t(s, dir, "documents"))
       Multimodal.extractFeatures(assets)
-        .select(col("asset_id"), col("modality"), col("n_bytes"),
-          size(col("features")).as("n_features"))
+        .select(col("asset_id"), col("modality"), col("width"),
+          col("height"), round(col("m0"), 6).as("m0"),
+          round(col("m1"), 6).as("m1"), round(col("m2"), 6).as("m2"))
         .orderBy("asset_id")
     }),
 
-    // multimodal frame sampling — oracle pins the sampled frame grid
-    // (every 1000 ms of duration_ms, capped at 8) and per-frame decode
-    // arity; same stub-codec caveat as q34
+    // multimodal frame sampling — seeks + ImageIO-decodes each sampled
+    // GFV1 frame; oracle pins the frame grid (every 1000 ms, capped at 8)
+    // AND each frame's decoded dimensions + all-channel pixel mean
     "q35_frame_sample" -> ((s, dir) => {
-      val assets = Multimodal.assetsFromText(t(s, dir, "documents"))
+      val assets = Multimodal.synthesizeAssets(t(s, dir, "documents"))
       Multimodal.sampleFrames(assets, everyMs = 1000L, maxFrames = 8)
-        .select(col("asset_id"), col("frame_ms"),
-          size(col("features")).as("n_features"))
+        .select(col("asset_id"), col("frame_ms"), col("width"),
+          col("height"), round(col("mean_all"), 6).as("mean_all"))
         .orderBy("asset_id", "frame_ms")
     }),
 
@@ -1347,22 +1349,60 @@ object SparkEntry {
 
     "q25_simhash" -> simhashOracle,
 
+    // recomputes the synthesized pixel/sample formulas independently in
+    // SQL; a hash match proves the engine's ImageIO/AudioSystem decode
+    // returned the exact encoded numerics (PNG + PCM WAV are lossless)
     "q34_multimodal_features" ->
-      """SELECT doc_id AS asset_id,
-        |       CASE WHEN doc_id % 3 = 0 THEN 'image'
-        |            WHEN doc_id % 3 = 1 THEN 'audio'
-        |            ELSE 'video' END AS modality,
-        |       CAST(strlen(text) AS BIGINT) AS n_bytes,
-        |       16 AS n_features
-        |FROM documents ORDER BY asset_id""".stripMargin,
+      """WITH gx AS (SELECT unnest(generate_series(0, 15)) AS x),
+        |     gy AS (SELECT unnest(generate_series(0, 9)) AS y),
+        |     gi AS (SELECT unnest(generate_series(0, 113)) AS i),
+        |     img AS (
+        |       SELECT d.doc_id,
+        |              avg((d.doc_id * 1 + gx.x * 3 + gy.y * 7) % 256) AS m0,
+        |              avg((d.doc_id * 2 + gx.x * 3 + gy.y * 7) % 256) AS m1,
+        |              avg((d.doc_id * 3 + gx.x * 3 + gy.y * 7) % 256) AS m2
+        |       FROM documents d CROSS JOIN gx CROSS JOIN gy
+        |       WHERE gx.x < 4 + d.doc_id % 13 AND gy.y < 4 + d.doc_id % 7
+        |       GROUP BY d.doc_id),
+        |     aud AS (
+        |       SELECT d.doc_id,
+        |              avg((d.doc_id * 31 + gi.i * 17) % 2001 - 1000) AS m0,
+        |              avg(abs((d.doc_id * 31 + gi.i * 17) % 2001 - 1000)) AS m1,
+        |              sqrt(avg(((d.doc_id * 31 + gi.i * 17) % 2001 - 1000)
+        |                * ((d.doc_id * 31 + gi.i * 17) % 2001 - 1000))) AS m2
+        |       FROM documents d CROSS JOIN gi
+        |       WHERE gi.i < 64 + d.doc_id % 50
+        |       GROUP BY d.doc_id)
+        |SELECT i.doc_id AS asset_id, 'image' AS modality,
+        |       4 + i.doc_id % 13 AS width, 4 + i.doc_id % 7 AS height,
+        |       round(i.m0, 6) AS m0, round(i.m1, 6) AS m1,
+        |       round(i.m2, 6) AS m2
+        |FROM img i WHERE i.doc_id % 3 = 0
+        |UNION ALL
+        |SELECT a.doc_id, 'audio', 64 + a.doc_id % 50, 1,
+        |       round(a.m0, 6), round(a.m1, 6), round(a.m2, 6)
+        |FROM aud a WHERE a.doc_id % 3 = 1
+        |UNION ALL
+        |SELECT i.doc_id, 'video', 4 + i.doc_id % 13, 4 + i.doc_id % 7,
+        |       round(i.m0, 6), round(i.m1, 6), round(i.m2, 6)
+        |FROM img i WHERE i.doc_id % 3 = 2
+        |ORDER BY asset_id""".stripMargin,
 
     "q35_frame_sample" ->
-      """SELECT doc_id AS asset_id,
-        |       unnest(list_slice(
-        |         generate_series(0, length(text) * 10 - 1, 1000), 1, 8))
-        |         AS frame_ms,
-        |       16 AS n_features
-        |FROM documents WHERE doc_id % 3 = 2
+      """WITH v AS (SELECT doc_id, 4 + doc_id % 13 AS w,
+        |                  4 + doc_id % 7 AS h, 3 + doc_id % 10 AS nf
+        |           FROM documents WHERE doc_id % 3 = 2),
+        |     gf AS (SELECT unnest(generate_series(0, 7)) AS f),
+        |     gc AS (SELECT unnest(generate_series(0, 2)) AS c),
+        |     gx AS (SELECT unnest(generate_series(0, 15)) AS x),
+        |     gy AS (SELECT unnest(generate_series(0, 9)) AS y)
+        |SELECT v.doc_id AS asset_id, gf.f * 1000 AS frame_ms,
+        |       v.w AS width, v.h AS height,
+        |       round(avg((v.doc_id * (gc.c + 1) + gf.f * 11
+        |         + gx.x * 3 + gy.y * 7) % 256), 6) AS mean_all
+        |FROM v CROSS JOIN gf CROSS JOIN gc CROSS JOIN gx CROSS JOIN gy
+        |WHERE gf.f < v.nf AND gx.x < v.w AND gy.y < v.h
+        |GROUP BY v.doc_id, gf.f, v.w, v.h
         |ORDER BY asset_id, frame_ms""".stripMargin,
 
     "q42_hash_split" ->

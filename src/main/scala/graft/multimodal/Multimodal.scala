@@ -1,52 +1,224 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal (image/audio/video) column plumbing for training-data
-  * pipelines (engine extension).
+  * pipelines (engine extension; the reference has no analogue — this is
+  * the brief's multimodal mandate).
   *
-  * Payloads are opaque `BINARY` columns with typed metadata
-  * ([[graft.model.Schemas.multimodalAsset]]). The Spark-side plumbing —
-  * schema, partition sizing, per-partition batched decode, feature schema —
-  * is real and tested; the codec itself is STUBBED with a deterministic
-  * fake (this container ships no image/audio libraries). Swapping
-  * `decodeStub` for a real decoder (JNI/ffmpeg/javacv) changes no plan
-  * shape: the operator stays a `mapPartitions` over binary batches.
+  * Payloads are opaque `BINARY` columns with typed metadata. The codecs
+  * are REAL JDK codecs — `javax.imageio.ImageIO` for PNG frames and
+  * `javax.sound.sampled.AudioSystem` for 16-bit PCM WAV — so the decoded
+  * numerics (dimensions, per-channel pixel means, sample statistics) are
+  * verifiable end to end. Test/demo payloads are synthesized from pure
+  * integer formulas of `doc_id` ([[pixel]], [[audioSample]]), encoded
+  * through the real encoder, and decoded back through the real decoder;
+  * because PNG and PCM WAV are lossless, an independent oracle can
+  * recompute the exact expected statistics from the same formulas without
+  * ever touching the binary.
   *
   * Scale posture: binary payloads are large → keep them out of shuffles.
-  * Decode/feature-extract runs map-side on the scan partition
-  * (`spark.sql.files.maxPartitionBytes` bounds task input); only the small
-  * feature vectors flow downstream.
+  * Synthesis and decode/feature-extract run map-side on the scan
+  * partition (`spark.sql.files.maxPartitionBytes` bounds task input);
+  * only the small per-asset stat rows flow downstream. Codec state that
+  * needs init (none for ImageIO/AudioSystem statics) would amortize
+  * per-partition in the `mapPartitions` shape used here.
   */
 object Multimodal {
 
-  val FeatureDim = 16
+  // --- deterministic synthesis parameters (pure functions of doc_id) ----
+  // The q34/q35 oracles recompute expected stats from these same integer
+  // formulas in SQL; keep them in sync with SparkEntry's oracle strings.
 
-  /** Stub codec with per-instance (per-partition) initialization — the
-    * shape a real decoder needs: construct once per partition so codec
-    * handles / JNI contexts amortize across the partition's rows. */
-  private[multimodal] final class StubDecoder {
-    def decode(payload: Array[Byte]): Array[Double] =
-      Multimodal.decodeStub(payload)
+  /** Image width for a doc: 4..16. */
+  def imgWidth(docId: Long): Int = 4 + (docId % 13).toInt
+
+  /** Image height for a doc: 4..10. */
+  def imgHeight(docId: Long): Int = 4 + (docId % 7).toInt
+
+  /** Pixel value for channel c (0=R,1=G,2=B) at (x, y) of frame `frame`. */
+  def pixel(docId: Long, frame: Int, c: Int, x: Int, y: Int): Int =
+    ((docId * (c + 1) + frame * 11L + x * 3L + y * 7L) % 256L).toInt
+
+  /** Audio sample count for a doc: 64..113. */
+  def audioSamples(docId: Long): Int = 64 + (docId % 50).toInt
+
+  /** Signed 16-bit sample i in [−1000, 1000]. */
+  def audioSample(docId: Long, i: Int): Int =
+    (((docId * 31L + i * 17L) % 2001L) - 1000L).toInt
+
+  /** Video frame count for a doc: 3..12 (so maxFrames caps some). */
+  def videoFrames(docId: Long): Int = 3 + (docId % 10).toInt
+
+  /** One stored video frame per second. */
+  val FrameMs = 1000L
+
+  val SampleRate = 16000
+
+  private val VideoMagic = Array[Byte]('G', 'F', 'V', '1')
+
+  // --- encoders (real JDK codecs; used by synthesis and tests) ----------
+
+  /** Deterministic PNG: pixel (x,y,c) = [[pixel]](docId, frame, c, x, y),
+    * encoded with `ImageIO.write` (lossless). */
+  def encodePng(docId: Long, frame: Int): Array[Byte] = {
+    val w = imgWidth(docId); val h = imgHeight(docId)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = pixel(docId, frame, 0, x, y)
+        val g = pixel(docId, frame, 1, x, y)
+        val b = pixel(docId, frame, 2, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
-  /** Deterministic fake decode: payload bytes → FeatureDim doubles.
-    * Keyed off content so tests are reproducible. Replace with a real
-    * decoder at deploy. */
-  private[multimodal] def decodeStub(payload: Array[Byte]): Array[Double] = {
-    val out = new Array[Double](FeatureDim)
-    var h = 0xcbf29ce484222325L // FNV offset basis
+  /** Deterministic 16-bit mono PCM WAV via `AudioSystem.write`. */
+  def encodeWav(docId: Long): Array[Byte] = {
+    val n = audioSamples(docId)
+    val pcm = new Array[Byte](n * 2)
     var i = 0
-    while (i < payload.length) {
-      h = (h ^ (payload(i) & 0xffL)) * 0x100000001b3L
-      out(i % FeatureDim) += ((h >>> 11).toDouble / (1L << 53).toDouble)
+    while (i < n) {
+      val s = audioSample(docId, i)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1
     }
-    val n = math.max(1, payload.length / FeatureDim)
-    out.map(v => v / n)
+    val fmt = new AudioFormat(SampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Video container: `GFV1` magic, int32 frame count, then per frame
+    * an int32 length + PNG bytes. A length-indexed layout so frame seek
+    * is a skip, not a parse. */
+  def encodeVideo(docId: Long): Array[Byte] = {
+    val nf = videoFrames(docId)
+    val bos = new ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.write(VideoMagic)
+    out.writeInt(nf)
+    var f = 0
+    while (f < nf) {
+      val png = encodePng(docId, f)
+      out.writeInt(png.length)
+      out.write(png)
+      f += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  // --- decoders (real JDK codecs) ---------------------------------------
+
+  /** Decoded image statistics: dimensions, exact integer channel sums,
+    * and per-channel means (each an exact integer sum divided ONCE, so an
+    * independent oracle's `avg` over the same integers agrees
+    * bit-for-bit). */
+  final case class ImageStats(width: Int, height: Int,
+                              sumR: Long, sumG: Long, sumB: Long) {
+    private def n = (width.toLong * height).toDouble
+    def meanR: Double = sumR / n
+    def meanG: Double = sumG / n
+    def meanB: Double = sumB / n
+    /** Mean over all three channels as one division — NOT the mean of the
+      * three per-channel means, which differs in the last ulp. */
+    def meanAll: Double = (sumR + sumG + sumB) / (3.0 * width * height)
+  }
+
+  /** Real PNG/BMP/GIF decode via `ImageIO.read`. */
+  def decodeImage(bytes: Array[Byte]): ImageStats = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "ImageIO could not decode payload")
+    val w = img.getWidth; val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff
+        sg += (rgb >> 8) & 0xff
+        sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    ImageStats(w, h, sr, sg, sb)
+  }
+
+  /** Decoded audio statistics over the 16-bit PCM samples. */
+  final case class AudioStats(nSamples: Int, mean: Double,
+                              meanAbs: Double, rms: Double)
+
+  /** Real WAV decode via `AudioSystem.getAudioInputStream`. */
+  def decodeWav(bytes: Array[Byte]): AudioStats = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"expected 16-bit mono PCM, got $fmt")
+      val pcm = in.readAllBytes()
+      val n = pcm.length / 2
+      var sum = 0L; var sumAbs = 0L; var sumSq = 0L
+      var i = 0
+      while (i < n) {
+        // little-endian signed 16-bit
+        val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+        sum += s
+        sumAbs += math.abs(s)
+        sumSq += s.toLong * s
+        i += 1
+      }
+      val d = math.max(n, 1).toDouble
+      AudioStats(n, sum / d, sumAbs / d, math.sqrt(sumSq / d))
+    } finally in.close()
+  }
+
+  /** Frame count of a GFV1 container (header read only — no decode). */
+  def videoFrameCount(bytes: Array[Byte]): Int = {
+    require(bytes.length >= 8 && bytes(0) == 'G' && bytes(1) == 'F' &&
+      bytes(2) == 'V' && bytes(3) == '1', "not a GFV1 container")
+    ((bytes(4) & 0xff) << 24) | ((bytes(5) & 0xff) << 16) |
+      ((bytes(6) & 0xff) << 8) | (bytes(7) & 0xff)
+  }
+
+  /** Seek to frame `idx` (length-skips, no decode of earlier frames) and
+    * ImageIO-decode it. */
+  def decodeVideoFrame(bytes: Array[Byte], idx: Int): ImageStats = {
+    val nf = videoFrameCount(bytes)
+    require(idx >= 0 && idx < nf, s"frame $idx out of 0..${nf - 1}")
+    val in = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
+    in.skipBytes(8)
+    var f = 0
+    while (f < idx) {
+      val len = in.readInt()
+      in.skipBytes(len)
+      f += 1
+    }
+    val len = in.readInt()
+    val png = new Array[Byte](len)
+    in.readFully(png)
+    decodeImage(png)
   }
 
   /** Frame-sample positions for a video payload: every `everyMs`
@@ -55,71 +227,114 @@ object Multimodal {
                      maxFrames: Int = 32): Seq[Long] =
     (0L until durationMs by math.max(1L, everyMs)).take(maxFrames)
 
-  /** Decode + feature-extract: (asset_id, modality, payload, meta) →
-    * (asset_id, modality, n_bytes, features ARRAY<DOUBLE>). The decoder is
-    * constructed once per partition (codec-handle init amortizes across the
-    * partition's rows); the per-row work is the decode itself. */
+  // --- Spark plumbing ---------------------------------------------------
+
+  /** Synthesize an asset table from a `documents`-shaped frame: modality
+    * routed by doc_id % 3 (0→image, 1→audio, 2→video), payload a REAL
+    * encoded PNG / WAV / GFV1 container. Map-side (`mapPartitions`); the
+    * binary is born on the scan partition and never shuffles. */
+  def synthesizeAssets(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("modality", StringType),
+      StructField("payload", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("width", IntegerType),
+        StructField("height", IntegerType),
+        StructField("sample_rate", IntegerType),
+        StructField("duration_ms", LongType),
+        StructField("n_frames", IntegerType),
+        StructField("codec", StringType))))))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    docs.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        (id % 3) match {
+          case 0 =>
+            Row(id, "image", encodePng(id, 0),
+              Row(imgWidth(id), imgHeight(id), 0, 0L, 1, "png"))
+          case 1 =>
+            val n = audioSamples(id)
+            Row(id, "audio", encodeWav(id),
+              Row(n, 1, SampleRate, n * 1000L / SampleRate, 0, "pcm_s16le"))
+          case _ =>
+            val nf = videoFrames(id)
+            Row(id, "video", encodeVideo(id),
+              Row(imgWidth(id), imgHeight(id), 0, nf * FrameMs, nf, "gfv1"))
+        }
+      }
+    }
+  }
+
+  /** Decode + feature-extract with the REAL codecs: one stat row per
+    * asset, unified schema across modalities —
+    * image/video(frame 0): (width, height, meanR, meanG, meanB);
+    * audio: (n_samples, 1, mean, mean|s|, rms).
+    * Decode runs map-side where the binary lives; only the small stat
+    * rows flow downstream. */
   def extractFeatures(assets: DataFrame,
                       payloadCol: String = "payload"): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType),
       StructField("modality", StringType),
-      StructField("n_bytes", LongType),
-      StructField("features", ArrayType(DoubleType))))
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("m0", DoubleType),
+      StructField("m1", DoubleType),
+      StructField("m2", DoubleType)))
     implicit val enc = RowEncoder.encoderFor(outSchema)
     assets.select(col("asset_id"), col("modality"), col(payloadCol))
       .mapPartitions { rows =>
-        val decoder = new StubDecoder() // per-partition init
         rows.map { r =>
+          val id = r.getAs[Long]("asset_id")
+          val mod = r.getAs[String]("modality")
           val payload = r.getAs[Array[Byte]](payloadCol)
-          val bytes = if (payload == null) Array.emptyByteArray else payload
-          Row(r.getAs[Long]("asset_id"), r.getAs[String]("modality"),
-            bytes.length.toLong, decoder.decode(bytes).toIndexedSeq)
+          mod match {
+            case "image" =>
+              val s = decodeImage(payload)
+              Row(id, mod, s.width.toLong, s.height.toLong,
+                s.meanR, s.meanG, s.meanB)
+            case "audio" =>
+              val s = decodeWav(payload)
+              Row(id, mod, s.nSamples.toLong, 1L, s.mean, s.meanAbs, s.rms)
+            case _ =>
+              val s = decodeVideoFrame(payload, 0)
+              Row(id, mod, s.width.toLong, s.height.toLong,
+                s.meanR, s.meanG, s.meanB)
+          }
         }
       }
   }
 
-  /** Video frame sampling: one row per sampled frame with a per-frame
-    * feature vector (stub decodes a byte-slice per frame). Explode happens
-    * AFTER the map-side decode, so the binary never shuffles. */
+  /** Video frame sampling: one row per sampled position with that frame's
+    * REAL decoded stats. Sampling positions come from the metadata
+    * (`meta.duration_ms`), the stored frame for position `ms` is
+    * `ms / FrameMs`; the explode happens AFTER the map-side decode, so
+    * the binary never shuffles. */
   def sampleFrames(assets: DataFrame, everyMs: Long = 1000L,
                    maxFrames: Int = 32): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType),
       StructField("frame_ms", LongType),
-      StructField("features", ArrayType(DoubleType))))
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("mean_all", DoubleType)))
     implicit val enc = RowEncoder.encoderFor(outSchema)
     assets
       .filter(col("modality") === "video")
       .select(col("asset_id"), col("payload"),
         col("meta.duration_ms").as("duration_ms"))
       .flatMap { r =>
-        val payload = Option(r.getAs[Array[Byte]]("payload"))
-          .getOrElse(Array.emptyByteArray)
+        val id = r.getAs[Long]("asset_id")
+        val payload = r.getAs[Array[Byte]]("payload")
         val dur = Option(r.getAs[Any]("duration_ms"))
           .map(_.asInstanceOf[Long]).getOrElse(0L)
+        val nf = videoFrameCount(payload)
         framePositions(dur, everyMs, maxFrames).map { ms =>
-          // stub "seek": hash a deterministic slice per frame position
-          val off = if (payload.isEmpty) 0
-            else ((ms * 31) % payload.length).toInt
-          val slice = payload.drop(off).take(256)
-          Row(r.getAs[Long]("asset_id"), ms, decodeStub(slice).toIndexedSeq)
+          val idx = math.min((ms / FrameMs).toInt, nf - 1)
+          val s = decodeVideoFrame(payload, idx)
+          Row(id, ms, s.width.toLong, s.height.toLong, s.meanAll)
         }
       }
   }
-
-  /** Build a synthetic asset table from any binary-able column — used by
-    * tests and the demo queries (documents.text → utf8 bytes as payload). */
-  def assetsFromText(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id").as("asset_id"),
-      when(col("doc_id") % 3 === 0, "image")
-        .when(col("doc_id") % 3 === 1, "audio")
-        .otherwise("video").as("modality"),
-      encode(col("text"), "UTF-8").as("payload"),
-      struct(
-        lit(64).as("width"), lit(64).as("height"),
-        lit(16000).as("sample_rate"),
-        (length(col("text")) * 10).cast("long").as("duration_ms"),
-        lit("stub").as("codec")).as("meta"))
 }

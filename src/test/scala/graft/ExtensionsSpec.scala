@@ -505,30 +505,86 @@ class ExtensionsSpec extends SparkSpec {
 
   // ---- multimodal --------------------------------------------------------
 
-  test("extractFeatures: deterministic stub features, FeatureDim wide") {
-    val assets = Multimodal.assetsFromText(
-      Seq((0L, "hello world"), (1L, "hello world"), (2L, "different"))
-        .toDF("doc_id", "text"))
-    val got = Multimodal.extractFeatures(assets).orderBy("asset_id").collect()
-    assert(got.length == 3)
-    val f0 = got(0).getAs[scala.collection.Seq[Double]]("features").toSeq
-    val f1 = got(1).getAs[scala.collection.Seq[Double]]("features").toSeq
-    val f2 = got(2).getAs[scala.collection.Seq[Double]]("features").toSeq
-    assert(f0.length == Multimodal.FeatureDim)
-    assert(f0 == f1) // same payload → same features
-    assert(f0 != f2)
-    assert(got(0).getAs[Long]("n_bytes") == 11L)
+  test("multimodal: PNG encode → ImageIO decode round-trips exact stats") {
+    val id = 7L; val frame = 2
+    val st = Multimodal.decodeImage(Multimodal.encodePng(id, frame))
+    val w = Multimodal.imgWidth(id); val h = Multimodal.imgHeight(id)
+    assert(st.width == w && st.height == h)
+    def sum(c: Int): Long =
+      (for { y <- 0 until h; x <- 0 until w }
+        yield Multimodal.pixel(id, frame, c, x, y).toLong).sum
+    assert(st.sumR == sum(0) && st.sumG == sum(1) && st.sumB == sum(2))
   }
 
-  test("sampleFrames: video assets only, capped frame count, deterministic") {
-    val assets = Multimodal.assetsFromText(
-      Seq((2L, "x" * 100), (0L, "not video")).toDF("doc_id", "text"))
-    // doc 2 → modality video, duration 100·10 = 1000 ms → frames at 0 ms
-    // (everyMs 400 → 0,400,800)
-    val got = Multimodal.sampleFrames(assets, everyMs = 400L, maxFrames = 2)
-      .collect()
+  test("multimodal: WAV encode → AudioSystem decode round-trips samples") {
+    val id = 11L
+    val st = Multimodal.decodeWav(Multimodal.encodeWav(id))
+    val n = Multimodal.audioSamples(id)
+    assert(st.nSamples == n)
+    val samples = (0 until n).map(Multimodal.audioSample(id, _))
+    assert(st.mean == samples.sum.toDouble / n)
+    assert(st.meanAbs == samples.map(s => math.abs(s).toLong).sum.toDouble / n)
+    assert(st.rms ==
+      math.sqrt(samples.map(s => s.toLong * s).sum.toDouble / n))
+  }
+
+  test("multimodal: checked-in PNG fixture decodes to known pixel stats") {
+    // fixture = encodePng(42, 0) committed at test/resources; expected
+    // sums are hand-derived from the pixel formula (no code under test
+    // involved): 7x4, Σ(42(c+1) + 3x + 7y) = 1722 / 2898 / 4074
+    val in = getClass.getResourceAsStream("/graft/fixture_img.png")
+    assert(in != null, "fixture_img.png missing from test resources")
+    val bytes = in.readAllBytes(); in.close()
+    val st = Multimodal.decodeImage(bytes)
+    assert(st.width == 7 && st.height == 4)
+    assert(st.sumR == 1722L && st.sumG == 2898L && st.sumB == 4074L)
+    assert(st.meanR == 1722.0 / 28)
+  }
+
+  test("extractFeatures: real per-modality decoded stats") {
+    val assets = Multimodal.synthesizeAssets(Seq(0L, 1L, 2L).toDF("doc_id"))
+    val got = Multimodal.extractFeatures(assets).orderBy("asset_id").collect()
+    assert(got.length == 3)
+    // doc 0 → image 4x4; m0 = mean of (3x + 7y) % 256 over 16 pixels
+    val img0 = got(0)
+    assert(img0.getAs[String]("modality") == "image")
+    assert(img0.getAs[Long]("width") == 4L &&
+      img0.getAs[Long]("height") == 4L)
+    val exp0 = (for { y <- 0 until 4; x <- 0 until 4 }
+      yield Multimodal.pixel(0L, 0, 0, x, y)).sum / 16.0
+    assert(img0.getAs[Double]("m0") == exp0)
+    // doc 1 → audio with 64 + 1 = 65 samples
+    val aud = got(1)
+    assert(aud.getAs[String]("modality") == "audio")
+    assert(aud.getAs[Long]("width") == 65L && aud.getAs[Long]("height") == 1L)
+    val s1 = (0 until 65).map(Multimodal.audioSample(1L, _))
+    assert(aud.getAs[Double]("m0") == s1.sum.toDouble / 65)
+    // doc 2 → video; q34 reports frame 0 = the image formula at frame 0
+    val vid = got(2)
+    assert(vid.getAs[String]("modality") == "video")
+    assert(vid.getAs[Long]("width") == Multimodal.imgWidth(2L).toLong)
+  }
+
+  test("sampleFrames: seeks + decodes the right stored frame per position") {
+    val assets = Multimodal.synthesizeAssets(Seq(2L, 0L).toDF("doc_id"))
+    // doc 2 → video with 3 + 2 = 5 frames / 5000 ms; everyMs 2000 →
+    // positions 0, 2000, 4000 → stored frames 0, 2, 4
+    val got = Multimodal.sampleFrames(assets, everyMs = 2000L, maxFrames = 8)
+      .orderBy("frame_ms").collect()
     assert(got.forall(_.getAs[Long]("asset_id") == 2L))
-    assert(got.length == 2) // capped
+    assert(got.map(_.getAs[Long]("frame_ms")).toSeq ==
+      Seq(0L, 2000L, 4000L))
+    val w = Multimodal.imgWidth(2L); val h = Multimodal.imgHeight(2L)
+    def meanAll(frame: Int): Double =
+      (for { c <- 0 until 3; y <- 0 until h; x <- 0 until w }
+        yield Multimodal.pixel(2L, frame, c, x, y).toLong).sum /
+        (3.0 * w * h)
+    assert(got(1).getAs[Double]("mean_all") == meanAll(2))
+    assert(got(2).getAs[Double]("mean_all") == meanAll(4))
+    // maxFrames caps the grid
+    val capped = Multimodal.sampleFrames(assets, everyMs = 1000L,
+      maxFrames = 2).collect()
+    assert(capped.length == 2)
   }
 
   test("rollingFingerprints: shared passages share fingerprints across offsets") {
