@@ -81,6 +81,13 @@ object VectorExpressions {
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Column-level nearest-centroid assignment against a BROADCAST centroid
+    * set (see [[NearestCentroid]]). */
+  def nearestCentroid(v: Column,
+      bc: org.apache.spark.broadcast.Broadcast[NearestCentroid.Centroids])
+      : Column =
+    Bridge.column(NearestCentroid(Bridge.expression(v), bc))
+
   /** Column-level word shingles (see [[WordShingles]]). */
   def wordShingles(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))
@@ -92,6 +99,105 @@ object VectorExpressions {
   /** Column-level unigram entropy (see [[TokenEntropy]]). */
   def tokenEntropy(text: Column): Column =
     Bridge.column(TokenEntropy(Bridge.expression(text)))
+}
+
+/** Nearest-centroid assignment with the centroid matrix read from a Spark
+  * BROADCAST variable instead of k·dim plan literals: at k=4096, dim=256
+  * the literal form puts >1M literals in one projection — Janino and plan
+  * serialization blow up long before the corpus matters — while this node
+  * keeps the plan O(1) in k (the serialized expression carries only the
+  * broadcast handle) and ships the matrix once per executor via torrent
+  * broadcast. Arithmetic matches the literal path bit-for-bit: per-pair
+  * cosine = seqdot(v,c) / (sqrt(seqdot(v,v)) · precomputed ‖c‖), 0 when
+  * either norm is 0, null elements skipped ([[DotProduct]] semantics);
+  * ties (equal sim) resolve to the smallest cluster id. Returns
+  * STRUCT<cluster: BIGINT, sim: DOUBLE>.
+  */
+case class NearestCentroid(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[NearestCentroid.Centroids])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"nearest_centroid expects ARRAY<DOUBLE>, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cluster",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("sim", DoubleType,
+      nullable = false)))
+
+  override def prettyName: String = "nearest_centroid"
+
+  /** Row kernel — public so generated code can call it. */
+  def kernel(v: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val cs = bc.value
+    val n = v.numElements()
+    var vv = 0.0
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) { val x = v.getDouble(i); vv += x * x }
+      i += 1
+    }
+    val nv = math.sqrt(vv)
+    var bestSim = Double.NegativeInfinity
+    var bestCid = Long.MaxValue
+    var j = 0
+    while (j < cs.ids.length) {
+      val c = cs.vecs(j)
+      val m = math.min(n, c.length)
+      var d = 0.0
+      i = 0
+      while (i < m) {
+        if (!v.isNullAt(i)) d += v.getDouble(i) * c(i)
+        i += 1
+      }
+      val nn = nv * cs.norms(j)
+      val sim = if (nn > 0) d / nn else 0.0
+      val cid = cs.ids(j)
+      if (sim > bestSim || (sim == bestSim && cid < bestCid)) {
+        bestSim = sim; bestCid = cid
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestCid, bestSim))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroid", this,
+      classOf[NearestCentroid].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object NearestCentroid {
+  /** Broadcast payload: parallel arrays of cluster ids, centroid vectors,
+    * and precomputed L2 norms (same sequential summation as the runtime
+    * dot, so the product ‖v‖·‖c‖ matches the literal path exactly). */
+  final case class Centroids(ids: Array[Long], vecs: Array[Array[Double]],
+                             norms: Array[Double])
+
+  def build(centroids: Seq[(Long, Array[Double])]): Centroids = {
+    val ids = centroids.map(_._1).toArray
+    val vecs = centroids.map(_._2).toArray
+    val norms = vecs.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+    Centroids(ids, vecs, norms)
+  }
 }
 
 /** Unigram (whitespace-token) Shannon entropy of a text column in nats —

@@ -182,12 +182,22 @@ object Similarity {
         transform(v, x => round(x * col("qscale")).cast("int")))
   }
 
-  /** Nearest-centroid assignment with DRIVER-HELD centroids: the k
-    * centroid vectors inline as literals, so assignment is a map-only
-    * projection — the corpus neither shuffles nor joins (contrast a
-    * centroid-table join, which moves n·k rows through a window/agg).
-    * Centroid counts that fit a broadcast always fit the driver; this is
-    * the standard Lloyd-iteration shape at any corpus size.
+  /** Plan-literal budget for [[assignToCentroids]]: centroid sets whose
+    * total double count stays under this inline as literals (smallest
+    * plan, fully codegen'd); larger sets route to the broadcast-backed
+    * [[graft.functions.NearestCentroid]] kernel — at k=4096, dim=256 the
+    * literal form is >1M literals in one projection, which breaks
+    * Janino/plan serialization long before the corpus size matters. */
+  val LiteralCentroidDoubles = 4096
+
+  /** Nearest-centroid assignment with DRIVER-HELD centroids: assignment
+    * is a map-only projection — the corpus neither shuffles nor joins
+    * (contrast a centroid-table join, which moves n·k rows through a
+    * window/agg). Small centroid sets (≤ `literalLimit` total doubles)
+    * inline as plan literals; larger sets ship ONCE per executor as a
+    * torrent broadcast read by a native expression, keeping the plan O(1)
+    * in k. Both paths produce bit-identical results (parity-spec'd);
+    * this is the standard Lloyd-iteration shape at any corpus size.
     *
     * Ties (equal cosine) go to the smallest cluster id. Returns the input
     * plus `cluster` and `sim` columns. */
@@ -195,18 +205,31 @@ object Similarity {
                         centroids: Seq[(Long, Array[Double])],
                         idCol: String = "vec_id",
                         vecCol: String = "embedding",
-                        dim: Int = DefaultDim): DataFrame = {
+                        dim: Int = DefaultDim,
+                        literalLimit: Int = LiteralCentroidDoubles)
+      : DataFrame = {
     require(centroids.nonEmpty)
     val v = col(vecCol).cast("array<double>")
-    // array_max orders structs lexicographically: best sim first, then
-    // -cluster so equal sims resolve to the smallest cluster id
-    val entries = centroids.map { case (cid, c) =>
-      struct(cosine(v, typedlit(c.toSeq), dim).as("sim"),
-        lit(-cid).as("neg"), lit(cid).as("cluster"))
+    val totalDoubles = centroids.iterator.map(_._2.length.toLong).sum
+    if (totalDoubles <= literalLimit) {
+      // array_max orders structs lexicographically: best sim first, then
+      // -cluster so equal sims resolve to the smallest cluster id
+      val entries = centroids.map { case (cid, c) =>
+        struct(cosine(v, typedlit(c.toSeq), dim).as("sim"),
+          lit(-cid).as("neg"), lit(cid).as("cluster"))
+      }
+      val best = array_max(array(entries: _*))
+      embs.withColumn("cluster", best.getField("cluster"))
+        .withColumn("sim", best.getField("sim"))
+    } else {
+      val bc = embs.sparkSession.sparkContext.broadcast(
+        graft.functions.NearestCentroid.build(centroids))
+      val best = graft.functions.VectorExpressions.nearestCentroid(v, bc)
+      embs.withColumn("best", best)
+        .withColumn("cluster", col("best.cluster"))
+        .withColumn("sim", col("best.sim"))
+        .drop("best")
     }
-    val best = array_max(array(entries: _*))
-    embs.withColumn("cluster", best.getField("cluster"))
-      .withColumn("sim", best.getField("sim"))
   }
 
   /** Mini-batch-free Lloyd k-means over an embedding column: seeds are the

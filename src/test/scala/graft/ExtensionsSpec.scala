@@ -601,6 +601,54 @@ class ExtensionsSpec extends SparkSpec {
     assert((got(0) intersect got(2)).isEmpty)
   }
 
+  test("assignToCentroids: broadcast path ≡ literal path bit-for-bit") {
+    val embs = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 3.7 + d).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    // duplicate centroid (3 ≡ 1) forces equal-sim ties; zero centroid and
+    // a zero vector row exercise the nn=0 branch on both paths
+    val base = (0L until 3L).map { c =>
+      (c, Array.tabulate(8)(d => math.cos(c * 1.3 + d)))
+    }
+    val cents = base ++ Seq((3L, base(1)._2.clone()),
+      (4L, Array.fill(8)(0.0)))
+    val withZero = embs.union(
+      Seq((99L, Seq.fill(8)(0.0f))).toDF("vec_id", "embedding"))
+    def run(limit: Int) =
+      Similarity.assignToCentroids(withZero, cents, dim = 8,
+        literalLimit = limit)
+        .select("vec_id", "cluster", "sim").orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val viaLiterals = run(Int.MaxValue)
+    val viaBroadcast = run(0)
+    assert(viaLiterals == viaBroadcast) // exact double equality
+    // ties resolved to the smallest cluster id on both paths
+    assert(viaLiterals.forall(_._2 != 3L))
+  }
+
+  test("assignToCentroids: large k routes to broadcast, plan stays O(1)") {
+    val embs = (0L until 20L).map { i =>
+      (i, Array.tabulate(16)(d => (i + d).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val cents = (0L until 1024L).map { c =>
+      (c, Array.tabulate(16)(d => math.sin(c * 0.31 + d)))
+    }
+    // 1024·16 = 16384 doubles > LiteralCentroidDoubles → broadcast kernel
+    val df = Similarity.assignToCentroids(embs, cents, dim = 16)
+    // analyzed plan: over a local relation the optimizer constant-folds
+    // the whole projection away, so the optimized plan hides the kernel
+    val usesKernel = df.queryExecution.analyzed
+      .collect { case p => p.expressions }.flatten.exists(
+        _.find(_.isInstanceOf[graft.functions.NearestCentroid]).isDefined)
+    assert(usesKernel, "expected the broadcast NearestCentroid kernel")
+    // the literal path at this k inlines 16k doubles (>150 KB of plan
+    // text); the broadcast plan carries only the expression node
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.length < 20000, s"plan unexpectedly large: ${plan.length}")
+    val got = df.select("vec_id", "cluster").collect()
+    assert(got.length == 20 && got.forall(_.getLong(1) >= 0L))
+  }
+
   test("ivfTopK probes nearest clusters and rescores exactly") {
     val embs = (0L until 30L).map { i =>
       val base = (i % 3).toInt // 3 clusters along different axes
