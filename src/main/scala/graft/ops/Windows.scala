@@ -152,15 +152,73 @@ object Windows {
     * histogramming / monotonic-feature training; SQL-standard remainder
     * semantics (first `n mod buckets` tiles get the extra row), so any
     * engine agrees exactly. One hash-partitioned window — per-group data
-    * fits a task by the partitioning argument used for every W-row; for
-    * a single giant group at 100 TB use percentile cut-points
-    * ([[graft.ops.Stats.approxQuantiles]]) + a map-side bin lookup
-    * instead of a window. Adds `bucket` (1-based). */
+    * fits a task by the partitioning argument used for every W-row; when
+    * one group dominates, use [[quantileBucketsByCutpoints]] (map-side
+    * binning, no per-group sort) or let [[quantileBucketsAuto]] route.
+    * Adds `bucket` (1-based). */
   def quantileBuckets(df: DataFrame, partitionCols: Seq[String],
                       orderCols: Seq[Column], buckets: Int): DataFrame = {
     require(buckets > 0)
     df.withColumn("bucket", ntile(buckets).over(
       Window.partitionBy(partitionCols.map(col): _*)
         .orderBy(orderCols: _*)))
+  }
+
+  /** Giant-group quantile binning: per-group percentile cut-points (one
+    * partial-aggregated pass — `percentile` exact when `accuracy` is 0,
+    * `percentile_approx` otherwise) broadcast back, then a MAP-SIDE bin
+    * lookup. No window, no per-group sort: a 100 TB group that would
+    * serialize into one window task costs one aggregation plus a map.
+    *
+    * Semantics are value-based (left-closed: a row lands in bucket i+1
+    * iff exactly i cut-points are < value), so on distinct values with
+    * group sizes divisible by `buckets` it reproduces `ntile`; massively
+    * tied values all land in one bucket where ntile would split them —
+    * the standard cut-point trade-off, spec'd. Adds `bucket` (1-based). */
+  def quantileBucketsByCutpoints(df: DataFrame, partitionCols: Seq[String],
+                                 valueCol: String, buckets: Int,
+                                 accuracy: Int = 0): DataFrame = {
+    require(buckets > 0)
+    val probs = array((1 until buckets)
+      .map(i => lit(i.toDouble / buckets)): _*)
+    val v = col(valueCol).cast("double")
+    val cpAgg = (if (accuracy > 0) percentile_approx(v, probs, lit(accuracy))
+                 else percentile(v, probs)).as("cuts")
+    val cuts =
+      if (partitionCols.isEmpty) df.agg(cpAgg)
+      else df.groupBy(partitionCols.map(col): _*).agg(cpAgg)
+    val joined =
+      if (partitionCols.isEmpty) df.crossJoin(broadcast(cuts))
+      else df.join(broadcast(cuts), partitionCols)
+    joined
+      .withColumn("bucket",
+        (size(filter(col("cuts"), c => c < v)) + 1))
+      .drop("cuts")
+  }
+
+  /** Routed quantile discretizer: probes the largest group size (one
+    * cheap partial-aggregated count — the AQE-style runtime stat this
+    * decision needs) and picks the window path for normal groups or the
+    * cut-point path when a group exceeds `maxWindowGroupRows` (the
+    * one-giant-group 100 TB degenerate case, where a per-group window
+    * sort serializes into a single task). `orderCols` should order by
+    * `valueCol` first plus a tiebreaker; it is used by the window path
+    * only. */
+  def quantileBucketsAuto(df: DataFrame, partitionCols: Seq[String],
+                          valueCol: String, orderCols: Seq[Column],
+                          buckets: Int,
+                          maxWindowGroupRows: Long = 50000000L,
+                          accuracy: Int = 10000): DataFrame = {
+    val maxGroup: Long =
+      if (partitionCols.isEmpty) df.count()
+      else {
+        val r = df.groupBy(partitionCols.map(col): _*).count()
+          .agg(max("count")).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+    if (maxGroup > maxWindowGroupRows)
+      quantileBucketsByCutpoints(df, partitionCols, valueCol, buckets,
+        accuracy)
+    else quantileBuckets(df, partitionCols, orderCols, buckets)
   }
 }

@@ -1178,4 +1178,48 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == Seq((1L, 1), (2L, 1), (3L, 1), (4L, 2), (5L, 2),
       (6L, 3), (7L, 3)), s"got $got")
   }
+
+  test("quantileBucketsByCutpoints ≡ ntile on distinct uniform data") {
+    // two groups of 100 distinct values, shuffled row order; group size
+    // divisible by buckets and exact percentiles → cut-point binning
+    // reproduces ntile's rank-based tiles exactly
+    val rows = for {
+      g <- Seq("a", "b"); i <- 0 until 100
+    } yield (g, ((i * 37) % 100).toDouble + (if (g == "a") 0 else 1000), i.toLong)
+    val df = rows.toDF("k", "v", "id")
+    val viaWindow = graft.ops.Windows.quantileBuckets(df, Seq("k"),
+        Seq(col("v").asc, col("id").asc), 4)
+      .select("k", "v", "bucket").collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getInt(2)).toMap
+    val viaCuts = graft.ops.Windows.quantileBucketsByCutpoints(
+        df, Seq("k"), "v", 4)
+      .select("k", "v", "bucket").collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getInt(2)).toMap
+    assert(viaCuts == viaWindow)
+    // documented trade-off: massively tied values collapse into one
+    // bucket on the cut-point path (ntile would split them by rank)
+    val tied = Seq.fill(40)(("t", 5.0)).toDF("k", "v")
+    val tiedBuckets = graft.ops.Windows.quantileBucketsByCutpoints(
+      tied, Seq("k"), "v", 4).select("bucket").distinct().collect()
+    assert(tiedBuckets.map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("quantileBucketsAuto routes the giant group away from the window") {
+    val df = (0 until 120).map(i => ("g", (i * 7 % 120).toDouble, i.toLong))
+      .toDF("k", "v", "id")
+    val routed = graft.ops.Windows.quantileBucketsAuto(df, Seq("k"), "v",
+      Seq(col("v").asc, col("id").asc), 4, maxWindowGroupRows = 10,
+      accuracy = 0)
+    // routed path must not plan a window (no per-group sort task)
+    assert(!routed.queryExecution.sparkPlan.toString.contains("Window"),
+      "giant-group path still plans a window")
+    // and must agree with ntile here (120 distinct, 120 % 4 == 0)
+    val viaWindow = graft.ops.Windows.quantileBucketsAuto(df, Seq("k"), "v",
+      Seq(col("v").asc, col("id").asc), 4, maxWindowGroupRows = 1000000)
+    assert(viaWindow.queryExecution.sparkPlan.toString.contains("Window"))
+    def m(d: org.apache.spark.sql.DataFrame) =
+      d.select("id", "bucket").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(m(routed) == m(viaWindow))
+  }
 }

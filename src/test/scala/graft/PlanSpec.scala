@@ -241,4 +241,17 @@ class PlanSpec extends SparkSpec {
         s"$name plans a cartesian product")
     }
   }
+
+  test("giant-group quantile fallback: no window sort, cuts broadcast") {
+    // the routed cut-point path over a real parquet scan: one
+    // partial-aggregated percentile pass + broadcast join + map-side bin
+    // — no Window and no per-group Sort anywhere in the plan
+    val events = graft.io.Readers.table(spark, dir, "events")
+    val p = graft.ops.Windows.quantileBucketsByCutpoints(
+      events, Seq("event_type"), "value", 8, accuracy = 10000)
+      .queryExecution.sparkPlan.toString
+    assert(!p.contains("Window"), s"fallback plans a window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"cuts not broadcast:\n$p")
+    assert(p.contains("partial_"), s"percentiles not partial-agged:\n$p")
+  }
 }
