@@ -968,6 +968,22 @@ object SparkEntry {
         .orderBy("t_a", "t_b")
     }),
 
+    // interval intersection via the same boundary sweep as q10's subtract
+    // (kept segments are those covered by BOTH families); merged/disjoint
+    // output, same per-user partitioning
+    "q101_interval_intersect" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("start_time"),
+          (col("ts") + expr("INTERVAL 60 MINUTES")).as("end_time"))
+      val sub = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("start_time"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("end_time"))
+      Intervals.intersectIntervals(base, sub, Seq("user_id"))
+        .select("user_id", "start_time", "end_time")
+        .orderBy("user_id", "start_time")
+    }),
+
     // corpus-relative unigram NLL (KenLM-style typicality scoring)
     "q95_unigram_nll" -> ((s, dir) => {
       TextOps.unigramNll(t(s, dir, "documents"))
@@ -1637,6 +1653,49 @@ object SparkEntry {
         |seg AS (
         |  SELECT user_id, t AS s, nt AS e FROM cov
         |  WHERE nt IS NOT NULL AND bc > 0 AND sc = 0 AND t < nt),
+        |m AS (
+        |  SELECT user_id, s, e,
+        |         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |              OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |         THEN 1 ELSE 0 END AS newi
+        |  FROM seg),
+        |g AS (
+        |  SELECT user_id, s, e, sum(newi) OVER (PARTITION BY user_id ORDER BY s, e
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m)
+        |SELECT user_id, min(s) AS start_time, max(e) AS end_time
+        |FROM g GROUP BY user_id, island
+        |ORDER BY user_id, start_time""".stripMargin,
+
+    // same sweep as q10 with the keep-condition flipped to BOTH-covered
+    "q101_interval_intersect" ->
+      """WITH base AS (
+        |  SELECT user_id, ts AS s, ts + INTERVAL 60 MINUTE AS e
+        |  FROM events WHERE event_type = 'click'),
+        |sub AS (
+        |  SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+        |  FROM events WHERE event_type = 'error'),
+        |ev AS (
+        |  SELECT user_id, s AS t, 1 AS bd, 0 AS sd FROM base
+        |  UNION ALL SELECT user_id, e, -1, 0 FROM base
+        |  UNION ALL SELECT user_id, s, 0, 1 FROM sub
+        |  UNION ALL SELECT user_id, e, 0, -1 FROM sub),
+        |agg AS (
+        |  SELECT user_id, t, sum(bd) AS bd, sum(sd) AS sd
+        |  FROM ev GROUP BY user_id, t),
+        |cov AS (
+        |  SELECT user_id, t,
+        |         sum(bd) OVER (PARTITION BY user_id ORDER BY t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bc,
+        |         sum(sd) OVER (PARTITION BY user_id ORDER BY t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sc,
+        |         lead(t) OVER (PARTITION BY user_id ORDER BY t) AS nt
+        |  FROM agg),
+        |seg AS (
+        |  SELECT user_id, t AS s, nt AS e FROM cov
+        |  WHERE nt IS NOT NULL AND bc > 0 AND sc > 0 AND t < nt),
         |m AS (
         |  SELECT user_id, s, e,
         |         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
