@@ -171,7 +171,21 @@ object ScaleProbe {
           graft.ops.Quality.expectationsReport(d,
             Seq("v_not_null" -> col("value").isNotNull,
               "v_range" -> col("value").between(0.0, 1000.0)),
-            uniqueCols = Seq("event_id")).count() }))
+            uniqueCols = Seq("event_id")).count() },
+        // round-5 report operators (all emit tiny reports — aggregate the
+        // OUTPUT columns so Catalyst can't prune the operator under test)
+        "psi" -> { d =>
+          val coh = d.withColumn("coh",
+            when(TextOps.hashBucket(col("event_id"), 2) === 0, "a")
+              .otherwise("b"))
+          graft.ops.Stats.psi(coh, "coh", "value", "a", "b",
+            binWidth = 50.0).head(); 1L },
+        "hourly_corr" -> { d =>
+          graft.ops.Events.hourlyTypeCorrelation(d)
+            .agg(sum("r"), sum("n")).head(); 1L },
+        "session_baskets" -> { d =>
+          graft.ops.Events.sessionBaskets(d, gapSeconds = 1800)
+            .agg(sum("support")).head(); 1L }))
     }
 
     println(s"== pass 0: warmup (codegen) ==")
