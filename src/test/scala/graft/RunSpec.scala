@@ -176,6 +176,99 @@ class RunSpec extends SparkSpec {
     assert(timeline.exists(_.endsWith("high active")))
   }
 
+  test("all CLI: multi-day corpus; date-partitioned parquet prunes on " +
+    "read-back; faithful sweep parallelizes across day groups") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_all")
+    // two days of loose raw json — `all` organizes them into per-date
+    // dirs, then reformats + acc-reformats each
+    def dayJson(dayMs: Long): String = {
+      val hr = (0 until 20).map(i =>
+        s"""{"time": ${dayMs + 1500000 + i * 60000}, "kind": "hr", "data": [${60 + (i % 13)}]}""")
+      val ac = Seq("acx", "acy", "acz").flatMap { kind =>
+        (0 until 12).map { i =>
+          val t = dayMs + 7 * 3600000L + i * 300000L
+          val v = if (kind == "acz") 1.0 else 0.0
+          val arr = Seq.fill(10)(v).mkString("[", ", ", "]")
+          s"""{"time": $t, "kind": "$kind", "data": $arr}"""
+        }
+      }
+      (hr ++ ac).mkString("[", ",\n", "]")
+    }
+    Files.writeString(root.resolve("watch 2024-01-01 08-00-00.json"),
+      dayJson(Day))
+    Files.writeString(root.resolve("watch 2024-01-02 08-00-00.json"),
+      dayJson(Day + 86400000L))
+    Run.main(Array("all", "-d", root.toString, "-o", "subj", "--parquet"))
+    val days = Seq("2024-01-01", "2024-01-02")
+    val pqs = days.map { d =>
+      val dir = root.resolve(s"subj_$d")
+      assert(Files.exists(dir.resolve(s"0_subj_${d}_measurements.csv")))
+      assert(Files.exists(dir.resolve(s"0_subj_${d}_ac_reformatted.csv")))
+      val pq = dir.resolve(s"0_subj_${d}_measurements.parquet")
+      // hive-style date partition directory per day
+      assert(Files.isDirectory(pq.resolve(s"date=$d")), s"no date dir in $pq")
+      pq.toString
+    }
+    // read-back across the whole corpus with a day predicate: the filter
+    // must reach the scan as a PARTITION filter (static pruning), and the
+    // row count must match the single-day read
+    val corpus = pqs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    val oneDay = corpus.filter(col("date") === lit("2024-01-01"))
+    val plan = oneDay.queryExecution.sparkPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(date"),
+      s"date predicate not a partition filter:\n$plan")
+    val d1Rows = spark.read.parquet(pqs.head).count()
+    assert(oneDay.count() == d1Rows && corpus.count() > d1Rows)
+    // the faithful alignAxes sweep distributes one task per group key:
+    // with per-day group keys, >1 task (spark partition) does the work
+    val acSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("kind",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("data",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("jname",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("date_time",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("date",
+        org.apache.spark.sql.types.DateType),
+      org.apache.spark.sql.types.StructField("time",
+        org.apache.spark.sql.types.StringType)))
+    // 8 (day, subject-replica) group keys so the per-group task
+    // distribution is observable over the test shuffle-partition count
+    val tall = days.flatMap { d =>
+      (0 until 4).map { rep =>
+        graft.ops.Normalize.parseListString(
+          spark.read.schema(acSchema).option("header", "true")
+            .csv(root.resolve(s"subj_$d").resolve(s"0_subj_${d}_ac.csv")
+              .toString), "data")
+          .withColumn("grp", lit(s"$d#$rep"))
+      }
+    }.reduce(_ unionByName _)
+    // AQE coalesces the tiny test shuffle into one partition, masking the
+    // per-group task distribution the assertion is about — turn just the
+    // coalescing off while measuring (at scale partitions aren't tiny)
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    val byGroup = try {
+      spark.conf.set(coalesceKey, "false")
+      graft.ops.Acc.alignAxes(tall, Seq("grp"))
+        .withColumn("pid", spark_partition_id())
+        .groupBy("grp")
+        .agg(countDistinct("pid").as("pids"), count(lit(1)).as("rows"),
+          first("pid").as("apid"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    } finally spark.conf.set(coalesceKey, prev)
+    assert(byGroup.size == 8, s"missing groups: $byGroup")
+    // every group's sweep ran in exactly one task, with rows out
+    assert(byGroup.values.forall(v => v._1 == 1L && v._2 > 0))
+    val distinctPids = byGroup.values.map(_._3).toSet.size
+    assert(distinctPids > 1,
+      s"sweep ran in a single task for all groups: $byGroup")
+  }
+
   test("organize CLI: json files sorted into per-date dirs") {
     val dir = Files.createTempDirectory("graft_org")
     Files.writeString(dir.resolve("w 2024-01-01 08-00-00.json"), "[]")
