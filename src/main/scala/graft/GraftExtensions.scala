@@ -24,6 +24,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(className, name),
         builder))
     }
+    tableBuilders.foreach { case (name, className, builder) =>
+      e.injectTableFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(className, name),
+        builder))
+    }
   }
 }
 
@@ -108,10 +114,81 @@ object GraftFunctions {
           if (exprs.size > 1) intLit(exprs(1), "frequent_items") else 1024)
           .toAggregateExpression() }))
 
+  // ---- table functions: whole-operator SQL surface ----------------------
+  // The interval-algebra signature operators are DataFrame→DataFrame
+  // transforms; a SQL-only user reaches them as table-valued functions
+  // taking view/table NAMES as string literals (the classic TVF argument
+  // form — polymorphic TABLE(...) args are a parser feature these
+  // builders don't need):
+  //   SELECT * FROM graft_merge_intervals('iv_view', 'user_id')
+  //   SELECT * FROM graft_subtract_intervals('base_v', 'sub_v', 'user_id')
+  //   SELECT * FROM graft_intersect_intervals('base_v', 'sub_v', 'user_id')
+  //   SELECT * FROM graft_interval_coverage('iv_view', 'user_id')
+  // Views follow the engine's interval convention (partition keys...,
+  // start_time, end_time); the trailing keys argument is a
+  // comma-separated list, omitted for un-keyed (global) algebra. Each
+  // builder expands to the SAME Column-API composition the Scala surface
+  // uses (one source of truth), so the two surfaces cannot diverge.
+
+  private def strLit(e: Expression, fn: String): String = e match {
+    case Literal(v, org.apache.spark.sql.types.StringType) if v != null =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal STRING argument, got $other")
+  }
+
+  private def keysArg(exprs: Seq[Expression], idx: Int,
+                      fn: String): Seq[String] =
+    if (exprs.size > idx)
+      strLit(exprs(idx), fn).split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq
+    else Nil
+
+  private def viewDf(name: String) = SparkSession.active.table(name)
+
+  private[graft] val tableBuilders: Seq[(String, String,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    ("graft_merge_intervals", graft.ops.Windows.getClass.getName,
+      exprs => { arity("graft_merge_intervals", exprs, 1, 2)
+        graft.ops.Windows.mergeIntervals(
+          viewDf(strLit(exprs(0), "graft_merge_intervals")),
+          keysArg(exprs, 1, "graft_merge_intervals"))
+          .queryExecution.logical }),
+    ("graft_subtract_intervals", graft.ops.Intervals.getClass.getName,
+      exprs => { arity("graft_subtract_intervals", exprs, 2, 3)
+        graft.ops.Intervals.subtractIntervals(
+          viewDf(strLit(exprs(0), "graft_subtract_intervals")),
+          viewDf(strLit(exprs(1), "graft_subtract_intervals")),
+          keysArg(exprs, 2, "graft_subtract_intervals"))
+          .queryExecution.logical }),
+    ("graft_intersect_intervals", graft.ops.Intervals.getClass.getName,
+      exprs => { arity("graft_intersect_intervals", exprs, 2, 3)
+        graft.ops.Intervals.intersectIntervals(
+          viewDf(strLit(exprs(0), "graft_intersect_intervals")),
+          viewDf(strLit(exprs(1), "graft_intersect_intervals")),
+          keysArg(exprs, 2, "graft_intersect_intervals"))
+          .queryExecution.logical }),
+    ("graft_interval_coverage", graft.ops.Aggregators.getClass.getName,
+      exprs => { arity("graft_interval_coverage", exprs, 1, 2)
+        import org.apache.spark.sql.functions.{col, unix_micros}
+        val df = viewDf(strLit(exprs(0), "graft_interval_coverage"))
+        val keys = keysArg(exprs, 1, "graft_interval_coverage")
+        val cov = graft.ops.Aggregators.intervalCoverageUs(
+          unix_micros(col("start_time")), unix_micros(col("end_time")))
+          .as("covered_us")
+        (if (keys.isEmpty) df.agg(cov)
+         else df.groupBy(keys.map(col): _*).agg(cov))
+          .queryExecution.logical }))
+
   /** Runtime registration (temp functions) for an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "scala_udf")
     }
+    tableBuilders.foreach { case (name, _, builder) =>
+      spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
+  }
 }

@@ -121,6 +121,58 @@ class SkewAndSqlSpec extends SparkSpec {
     assert(err.getMessage.contains("quality_score"))
   }
 
+  test("interval algebra is reachable from SQL as table functions") {
+    GraftFunctions.register(spark)
+    // overlapping/nested/touching intervals across two keys
+    Seq(
+      ("u1", ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00")),
+      ("u1", ts("2024-01-01 00:30:00"), ts("2024-01-01 02:00:00")),
+      ("u1", ts("2024-01-01 03:00:00"), ts("2024-01-01 04:00:00")),
+      ("u2", ts("2024-01-01 05:00:00"), ts("2024-01-01 06:00:00")))
+      .toDF("user_id", "start_time", "end_time")
+      .createOrReplaceTempView("iv_base")
+    Seq(
+      ("u1", ts("2024-01-01 00:45:00"), ts("2024-01-01 01:15:00")),
+      ("u2", ts("2024-01-01 05:30:00"), ts("2024-01-01 05:40:00")))
+      .toDF("user_id", "start_time", "end_time")
+      .createOrReplaceTempView("iv_sub")
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "start_time", "end_time").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString)).sorted.toSeq
+
+    val mergeSql = spark.sql(
+      "SELECT * FROM graft_merge_intervals('iv_base', 'user_id')")
+    assert(canon(mergeSql) == canon(graft.ops.Windows.mergeIntervals(
+      spark.table("iv_base"), Seq("user_id"))))
+    assert(canon(mergeSql).count(_._1 == "u1") == 2) // [0,2h] + [3h,4h]
+
+    val subSql = spark.sql(
+      "SELECT * FROM graft_subtract_intervals('iv_base', 'iv_sub', 'user_id')")
+    assert(canon(subSql) == canon(graft.ops.Intervals.subtractIntervals(
+      spark.table("iv_base"), spark.table("iv_sub"), Seq("user_id"))))
+
+    val interSql = spark.sql(
+      "SELECT * FROM graft_intersect_intervals('iv_base', 'iv_sub', 'user_id')")
+    assert(canon(interSql) == canon(graft.ops.Intervals.intersectIntervals(
+      spark.table("iv_base"), spark.table("iv_sub"), Seq("user_id"))))
+    // u1's intersection is exactly the sub interval (nested in base)
+    assert(canon(interSql).filter(_._1 == "u1") == Seq(
+      ("u1", "2024-01-01 00:45:00.0", "2024-01-01 01:15:00.0")))
+
+    val covSql = spark.sql(
+      "SELECT * FROM graft_interval_coverage('iv_base', 'user_id')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // u1: merged [0,2h] + [3h,4h] = 3h; u2: 1h (in microseconds)
+    assert(covSql == Map("u1" -> 3L * 3600000000L,
+      "u2" -> 1L * 3600000000L))
+    // un-keyed (global) coverage: one row
+    val covAll = spark.sql(
+      "SELECT * FROM graft_interval_coverage('iv_base')").head().getLong(0)
+    assert(covAll == 4L * 3600000000L)
+  }
+
   test("functions install via SparkSessionExtensions (injectFunction path)") {
     // build a sibling session on the shared SparkContext with the
     // extensions applied at construction — the production install path
@@ -140,6 +192,17 @@ class SkewAndSqlSpec extends SparkSpec {
         .head()
       assert(r.getDouble(0) == 11.0)
       assert(r.getString(1) == "en")
+      // table functions install through the same extensions object
+      extSession.sql(
+        "SELECT timestamp'2024-01-01 00:00:00' AS start_time, " +
+          "timestamp'2024-01-01 01:00:00' AS end_time " +
+        "UNION ALL SELECT timestamp'2024-01-01 00:30:00', " +
+          "timestamp'2024-01-01 02:00:00'")
+        .createOrReplaceTempView("ext_iv")
+      val merged = extSession.sql(
+        "SELECT * FROM graft_merge_intervals('ext_iv')").collect()
+      assert(merged.length == 1)
+      assert(merged.head.getTimestamp(1).toString == "2024-01-01 02:00:00.0")
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
