@@ -483,6 +483,28 @@ object SparkEntry {
         .orderBy("asset_id", "frame_ms")
     }),
 
+    // nearest-neighbor image resize to 8x8 with re-extracted channel
+    // means — the sampling rule (⌊X·w/W⌋) is explicit, so the oracle
+    // recomputes the resized stats from the synthesis formulas exactly
+    "q102_image_resize" -> ((s, dir) => {
+      val assets = Multimodal.synthesizeAssets(t(s, dir, "documents"))
+      Multimodal.resizeImages(assets, targetW = 8, targetH = 8)
+        .select(col("asset_id"), col("width"), col("height"),
+          round(col("m0"), 6).as("m0"), round(col("m1"), 6).as("m1"),
+          round(col("m2"), 6).as("m2"))
+        .orderBy("asset_id")
+    }),
+
+    // frame-level audio features over the real decoded PCM stream: 32
+    // samples per frame, trailing partial frame kept with its true count
+    "q103_audio_frames" -> ((s, dir) => {
+      val assets = Multimodal.synthesizeAssets(t(s, dir, "documents"))
+      Multimodal.audioFrames(assets, frameSamples = 32)
+        .select(col("asset_id"), col("frame_idx"), col("n_samples"),
+          round(col("mean"), 6).as("mean"), round(col("rms"), 6).as("rms"))
+        .orderBy("asset_id", "frame_idx")
+    }),
+
     // deterministic md5 train/val/test split — membership is a pure
     // function of the id, stable across engines and runs
     "q42_hash_split" -> ((s, dir) => {
@@ -1403,6 +1425,47 @@ object SparkEntry {
         |       round(i.m0, 6), round(i.m1, 6), round(i.m2, 6)
         |FROM img i WHERE i.doc_id % 3 = 2
         |ORDER BY asset_id""".stripMargin,
+
+    // resized pixel (X,Y) samples source (X*w/8, Y*h/8) integer-floored;
+    // the oracle evaluates the synthesis formula at those coordinates
+    "q102_image_resize" ->
+      """WITH gx AS (SELECT unnest(generate_series(0, 7)) AS x),
+        |     gy AS (SELECT unnest(generate_series(0, 7)) AS y)
+        |SELECT d.doc_id AS asset_id,
+        |       CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        |       round(avg((d.doc_id * 1
+        |         + ((gx.x * (4 + d.doc_id % 13)) // 8) * 3
+        |         + ((gy.y * (4 + d.doc_id % 7)) // 8) * 7) % 256), 6) AS m0,
+        |       round(avg((d.doc_id * 2
+        |         + ((gx.x * (4 + d.doc_id % 13)) // 8) * 3
+        |         + ((gy.y * (4 + d.doc_id % 7)) // 8) * 7) % 256), 6) AS m1,
+        |       round(avg((d.doc_id * 3
+        |         + ((gx.x * (4 + d.doc_id % 13)) // 8) * 3
+        |         + ((gy.y * (4 + d.doc_id % 7)) // 8) * 7) % 256), 6) AS m2
+        |FROM documents d CROSS JOIN gx CROSS JOIN gy
+        |WHERE d.doc_id % 3 = 0
+        |GROUP BY d.doc_id
+        |ORDER BY asset_id""".stripMargin,
+
+    // sample i of frame f is global sample f*32+i; mean/rms per frame
+    // from the same integer sample formula as q34's audio branch
+    "q103_audio_frames" ->
+      """WITH a AS (SELECT doc_id, 64 + doc_id % 50 AS n
+        |           FROM documents WHERE doc_id % 3 = 1),
+        |     gf AS (SELECT unnest(generate_series(0, 3)) AS f),
+        |     gi AS (SELECT unnest(generate_series(0, 31)) AS i)
+        |SELECT a.doc_id AS asset_id, gf.f AS frame_idx,
+        |       count(*) AS n_samples,
+        |       round(avg((a.doc_id * 31 + (gf.f * 32 + gi.i) * 17)
+        |         % 2001 - 1000), 6) AS mean,
+        |       round(sqrt(avg(((a.doc_id * 31 + (gf.f * 32 + gi.i) * 17)
+        |           % 2001 - 1000)
+        |         * ((a.doc_id * 31 + (gf.f * 32 + gi.i) * 17)
+        |           % 2001 - 1000))), 6) AS rms
+        |FROM a CROSS JOIN gf CROSS JOIN gi
+        |WHERE gf.f * 32 + gi.i < a.n
+        |GROUP BY a.doc_id, gf.f
+        |ORDER BY asset_id, frame_idx""".stripMargin,
 
     "q35_frame_sample" ->
       """WITH v AS (SELECT doc_id, 4 + doc_id % 13 AS w,

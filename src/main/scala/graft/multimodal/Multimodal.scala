@@ -306,6 +306,96 @@ object Multimodal {
       }
   }
 
+  /** Nearest-neighbor image resize + re-extract: decode, sample the
+    * source at (⌊X·w/W⌋, ⌊Y·h/H⌋) for each target pixel (X, Y), emit the
+    * resized dimensions and exact channel means of the RESIZED image.
+    * The sampling rule is explicit (not Graphics2D, whose interpolation
+    * is implementation-defined) so an independent oracle can recompute
+    * the expected stats from the synthesis formulas. Applies to image
+    * assets; map-side like every decode here. */
+  def resizeImages(assets: DataFrame, targetW: Int, targetH: Int,
+                   payloadCol: String = "payload"): DataFrame = {
+    require(targetW > 0 && targetH > 0)
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("m0", DoubleType),
+      StructField("m1", DoubleType),
+      StructField("m2", DoubleType)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    assets.filter(col("modality") === "image")
+      .select(col("asset_id"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = ImageIO.read(new ByteArrayInputStream(
+            r.getAs[Array[Byte]](payloadCol)))
+          require(img != null, "ImageIO could not decode payload")
+          val w = img.getWidth; val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < targetH) {
+            val sy = y * h / targetH
+            var x = 0
+            while (x < targetW) {
+              val sx = x * w / targetW
+              val rgb = img.getRGB(sx, sy)
+              sr += (rgb >> 16) & 0xff
+              sg += (rgb >> 8) & 0xff
+              sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = (targetW.toLong * targetH).toDouble
+          Row(r.getAs[Long]("asset_id"), targetW.toLong, targetH.toLong,
+            sr / n, sg / n, sb / n)
+        }
+      }
+  }
+
+  /** Frame-level audio features: the decoded PCM stream split into
+    * fixed-size sample frames (default 160 = 10 ms at 16 kHz), one row
+    * per frame with its exact mean and RMS; a trailing partial frame is
+    * emitted with its true sample count. The explode happens after the
+    * map-side decode — binary never shuffles. */
+  def audioFrames(assets: DataFrame, frameSamples: Int = 160,
+                  payloadCol: String = "payload"): DataFrame = {
+    require(frameSamples > 0)
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("frame_idx", LongType),
+      StructField("n_samples", LongType),
+      StructField("mean", DoubleType),
+      StructField("rms", DoubleType)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    assets.filter(col("modality") === "audio")
+      .select(col("asset_id"), col(payloadCol))
+      .flatMap { r =>
+        val id = r.getAs[Long]("asset_id")
+        val in = AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(r.getAs[Array[Byte]](payloadCol)))
+        val pcm = try in.readAllBytes() finally in.close()
+        val n = pcm.length / 2
+        (0 until (n + frameSamples - 1) / frameSamples).map { f =>
+          val lo = f * frameSamples
+          val hi = math.min(lo + frameSamples, n)
+          var sum = 0L; var sumSq = 0L
+          var i = lo
+          while (i < hi) {
+            val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8))
+              .toShort.toInt
+            sum += s
+            sumSq += s.toLong * s
+            i += 1
+          }
+          val cnt = (hi - lo).toDouble
+          Row(id, f.toLong, (hi - lo).toLong, sum / cnt,
+            math.sqrt(sumSq / cnt))
+        }
+      }
+  }
+
   /** Video frame sampling: one row per sampled position with that frame's
     * REAL decoded stats. Sampling positions come from the metadata
     * (`meta.duration_ms`), the stored frame for position `ms` is

@@ -565,6 +565,36 @@ class ExtensionsSpec extends SparkSpec {
     assert(vid.getAs[Long]("width") == Multimodal.imgWidth(2L).toLong)
   }
 
+  test("resizeImages: nearest-neighbor sampling rule, exact resized stats") {
+    val assets = Multimodal.synthesizeAssets(Seq(0L, 3L).toDF("doc_id"))
+    val got = Multimodal.resizeImages(assets, targetW = 8, targetH = 8)
+      .orderBy("asset_id").collect()
+    assert(got.length == 2 && got.forall(r =>
+      r.getAs[Long]("width") == 8L && r.getAs[Long]("height") == 8L))
+    // expected means from the formula at the sampled source coordinates
+    def exp(id: Long, c: Int): Double = {
+      val w = Multimodal.imgWidth(id); val h = Multimodal.imgHeight(id)
+      (for { y <- 0 until 8; x <- 0 until 8 }
+        yield Multimodal.pixel(id, 0, c, x * w / 8, y * h / 8).toLong)
+        .sum / 64.0
+    }
+    assert(got(0).getAs[Double]("m0") == exp(0L, 0))
+    assert(got(1).getAs[Double]("m2") == exp(3L, 2))
+  }
+
+  test("audioFrames: fixed frames over decoded PCM, partial tail kept") {
+    // doc 7 → audio? 7 % 3 == 1 → yes; n = 64 + 7 = 71 samples
+    val assets = Multimodal.synthesizeAssets(Seq(7L).toDF("doc_id"))
+    val got = Multimodal.audioFrames(assets, frameSamples = 32)
+      .orderBy("frame_idx").collect()
+    // 71 = 32 + 32 + 7
+    assert(got.map(_.getAs[Long]("n_samples")).toSeq == Seq(32L, 32L, 7L))
+    val tail = (64 until 71).map(Multimodal.audioSample(7L, _))
+    assert(got(2).getAs[Double]("mean") == tail.sum.toDouble / 7)
+    assert(got(2).getAs[Double]("rms") ==
+      math.sqrt(tail.map(s => s.toLong * s).sum.toDouble / 7))
+  }
+
   test("sampleFrames: seeks + decodes the right stored frame per position") {
     val assets = Multimodal.synthesizeAssets(Seq(2L, 0L).toDF("doc_id"))
     // doc 2 → video with 3 + 2 = 5 frames / 5000 ms; everyMs 2000 →
