@@ -345,6 +345,19 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("vec_id"))
     }),
 
+    // ANN quality gauge: recall@10 of the LSH-bucketed result against
+    // the exact brute-force baseline — a 2×k-row semi-join + count,
+    // O(k) whatever the corpus size
+    "q105_ann_recall" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val q = embs.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      Similarity.recallAtK(
+        Similarity.bruteForceTopK(embs, typedlit(q), 10),
+        Similarity.lshTopK(embs, typedlit(q), 10, planes = 6), 10)
+    }),
+
     // embedding-cosine near-dup pairs, IVF-style label blocking
     "q28_embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), minCosine = 0.3,
@@ -752,6 +765,14 @@ object SparkEntry {
     }),
 
     // corpus vocabulary top-k by occurrence count
+    // Zipf power-law fit over the top-100 token frequencies (dataset-card
+    // statistic); slope/intercept from exact sufficient statistics
+    "q104_zipf_slope" -> ((s, dir) => {
+      TextOps.zipfSlope(t(s, dir, "documents"), maxVocab = 100)
+        .select(col("n_tokens"), round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"))
+    }),
+
     "q65_vocab_topk" -> ((s, dir) => {
       TextOps.vocabulary(t(s, dir, "documents"), k = 50)
         .orderBy(col("n").desc, col("token"))
@@ -1275,8 +1296,81 @@ object SparkEntry {
        |FROM scored ORDER BY cosine DESC, vec_id""".stripMargin
   }
 
+  /** Recall@10 oracle: brute-force and LSH top-10 recomputed in SQL with
+    * the same plane constants ([[Similarity.planeComponent]]) as the
+    * engine, then |∩|/10. */
+  private def annRecallOracle: String = {
+    val planes = 6; val dim = 64
+    def dotChain(a: Int => String, b: Int => String): String =
+      (0 until dim).map(i => s"${a(i)} * ${b(i)}").mkString(" + ")
+    def planeDot(vec: String, p: Int): String =
+      dotChain(i => s"$vec[${i + 1}]",
+        i => java.lang.Double.toString(Similarity.planeComponent(p, i)))
+    def bucketExpr(vec: String): String =
+      (0 until planes).map(p =>
+        s"CASE WHEN ${planeDot(vec, p)} >= 0 THEN ${1L << p} ELSE 0 END")
+        .mkString("\n       + ")
+    val vq = dotChain(i => s"e[${i + 1}]", i => s"qe[${i + 1}]")
+    val vv = dotChain(i => s"e[${i + 1}]", i => s"e[${i + 1}]")
+    val qq = dotChain(i => s"qe[${i + 1}]", i => s"qe[${i + 1}]")
+    val probeList = (0 until planes).map(p => s"xor(qkey, ${1L << p})")
+      .mkString(", ")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+       |keyed AS (
+       |  SELECT vec_id, e,
+       |       ${bucketExpr("e")} AS bucket
+       |  FROM v),
+       |qk AS (
+       |  SELECT ${bucketExpr("qe")} AS qkey FROM q),
+       |brute AS (
+       |  SELECT vec_id FROM (
+       |    SELECT k.vec_id,
+       |           CASE WHEN sqrt($vv) * sqrt($qq) > 0
+       |                THEN ($vq) / (sqrt($vv) * sqrt($qq))
+       |                ELSE 0.0 END AS cosine
+       |    FROM keyed k, q)
+       |  ORDER BY cosine DESC, vec_id LIMIT 10),
+       |lsh AS (
+       |  SELECT vec_id FROM (
+       |    SELECT k.vec_id,
+       |           CASE WHEN sqrt($vv) * sqrt($qq) > 0
+       |                THEN ($vq) / (sqrt($vv) * sqrt($qq))
+       |                ELSE 0.0 END AS cosine
+       |    FROM keyed k, q, qk
+       |    WHERE k.bucket IN (qkey, $probeList))
+       |  ORDER BY cosine DESC, vec_id LIMIT 10)
+       |SELECT count(*) AS hits, round(count(*) / 10.0, 6) AS recall
+       |FROM brute WHERE vec_id IN (SELECT vec_id FROM lsh)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q24_minhash_lsh" -> minhashOracle,
+
+    "q105_ann_recall" -> annRecallOracle,
+
+    "q104_zipf_slope" ->
+      """WITH tf AS (
+        |  SELECT token, count(*) AS n
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+        |        FROM documents)
+        |  WHERE len(token) > 0
+        |  GROUP BY token ORDER BY n DESC, token LIMIT 100),
+        |r AS (
+        |  SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, token)
+        |           AS DOUBLE)) AS x,
+        |         ln(CAST(n AS DOUBLE)) AS y
+        |  FROM tf),
+        |s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS c, sum(x) AS sx, sum(y) AS sy,
+        |         sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM r)
+        |SELECT CAST(c AS BIGINT) AS n_tokens,
+        |       round((c * sxy - sx * sy) / (c * sxx - sx * sx), 6) AS slope,
+        |       round((sy - ((c * sxy - sx * sy) / (c * sxx - sx * sx)) * sx)
+        |         / c, 6) AS intercept
+        |FROM s""".stripMargin,
 
     "q56_neardup_pipeline" -> neardupPipelineOracle,
 

@@ -320,6 +320,22 @@ object Similarity {
       .limit(k)
   }
 
+  /** Recall@k of an approximate ANN result against the exact baseline —
+    * the standard quality gauge when tuning `planes`/`nProbe`: recall =
+    * |approx ∩ exact| / k. Both inputs are top-k result frames (id
+    * column + scores); the measurement is a semi-join of two k-row
+    * frames + one count, O(k) regardless of corpus size. Returns one row
+    * (hits, recall). */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int,
+                idCol: String = "vec_id"): DataFrame = {
+    require(k > 0)
+    exact.select(col(idCol))
+      .join(approx.select(col(idCol)), Seq(idCol), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .select(col("hits"),
+        round(col("hits").cast("double") / k, 6).as("recall"))
+  }
+
   /** All-pairs top-k neighbors per vector via LSH buckets (batch ANN):
     * join within bucket, rank per source id. Bucket sizes bound the pair
     * count; `planes` tunes recall vs cost.

@@ -343,6 +343,33 @@ object TextOps {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Zipf power-law fit over the top-`maxVocab` token frequencies: the
+    * least-squares slope (and intercept) of ln(freq) on ln(rank) — the
+    * dataset-card statistic that flags unnatural corpora (natural text
+    * slopes ≈ −1; boilerplate/templated corpora flatten, keyword-stuffed
+    * ones steepen). Cost beyond [[vocabulary]] is one window + one
+    * aggregation over the `maxVocab`-row table, never the corpus; the
+    * report is one row (n_tokens, slope, intercept). Ranks tie-break on
+    * token for determinism; computed doubles round at the query edge
+    * like every cross-engine float. */
+  def zipfSlope(docs: DataFrame, textCol: String = "text",
+                maxVocab: Int = 100): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token"))
+    val xy = vocabulary(docs, textCol, maxVocab)
+      .withColumn("rk", row_number().over(w))
+      .select(log(col("rk").cast("double")).as("x"),
+        log(col("n").cast("double")).as("y"))
+    val s = xy.agg(count(lit(1)).cast("double").as("c"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val slope = (col("c") * col("sxy") - col("sx") * col("sy")) /
+      (col("c") * col("sxx") - col("sx") * col("sx"))
+    s.select(col("c").cast("long").as("n_tokens"), slope.as("slope"),
+        ((col("sy") - slope * col("sx")) / col("c")).as("intercept"))
+  }
+
   /** [[vocabulary]]'s sketch-based scale path: corpus-wide heavy-hitter
     * tokens via the fixed-size mergeable Misra-Gries sketch
     * ([[graft.functions.SketchAggregates.frequentItems]]) — one map-side

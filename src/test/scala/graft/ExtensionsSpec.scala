@@ -631,6 +631,29 @@ class ExtensionsSpec extends SparkSpec {
     assert((got(0) intersect got(2)).isEmpty)
   }
 
+  test("zipfSlope recovers the exponent of an exact power-law corpus") {
+    // token w_r appears (60/r)² times — exact squares for ranks 1..5
+    // (60, 30, 20, 15, 12), so ln(freq) = 2·ln 60 − 2·ln(rank) is
+    // EXACTLY linear in ln(rank) and the least-squares slope is −2
+    val corpus = (1 to 10).flatMap { r =>
+      Seq.fill((60 / r) * (60 / r))(f"w$r%02d")
+    }.map(Tuple1(_))
+    val got = graft.text.TextOps.zipfSlope(corpus.toDF("text"),
+      maxVocab = 5).head()
+    assert(got.getAs[Long]("n_tokens") == 5L)
+    assert(math.abs(got.getAs[Double]("slope") - (-2.0)) < 1e-9)
+    assert(math.abs(got.getAs[Double]("intercept") - 2 * math.log(60))
+      < 1e-9)
+  }
+
+  test("recallAtK counts the overlap of approx vs exact top-k") {
+    val exact = (1L to 10L).map(Tuple1(_)).toDF("vec_id")
+    val approx = (6L to 15L).map(Tuple1(_)).toDF("vec_id")
+    val r = Similarity.recallAtK(exact, approx, 10).head()
+    assert(r.getAs[Long]("hits") == 5L)
+    assert(r.getAs[Double]("recall") == 0.5)
+  }
+
   test("assignToCentroids: broadcast path ≡ literal path bit-for-bit") {
     val embs = (0L until 40L).map { i =>
       (i, Array.tabulate(8)(d => math.sin(i * 3.7 + d).toFloat).toSeq)
