@@ -358,6 +358,16 @@ object SparkEntry {
         Similarity.lshTopK(embs, typedlit(q), 10, planes = 6), 10)
     }),
 
+    // product-quantization encode: 8 subspaces × 16-centroid codebook
+    // (deterministic first-16 vectors) → one small int per subspace;
+    // map-only broadcast-kernel encode, integer output = exact oracle
+    "q106_pq_encode" -> ((s, dir) => {
+      Similarity.pqEncode(t(s, dir, "embeddings"), m = 8, k = 16)
+        .select(col("vec_id"),
+          posexplode(col("codes")).as(Seq("subspace", "code")))
+        .orderBy("vec_id", "subspace")
+    }),
+
     // embedding-cosine near-dup pairs, IVF-style label blocking
     "q28_embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), minCosine = 0.3,
@@ -1345,10 +1355,40 @@ object SparkEntry {
        |FROM brute WHERE vec_id IN (SELECT vec_id FROM lsh)""".stripMargin
   }
 
+  /** PQ-encode oracle: same subspace squared-L2 argmin with the same
+    * sequential term order, codebook = first 16 vectors by id. */
+  private def pqEncodeOracle: String = {
+    val sub = 8
+    val dist = (0 until sub).map { t =>
+      val a = s"v.e[8 * gj.j + ${t + 1}]"
+      val b = s"cb.ce[8 * gj.j + ${t + 1}]"
+      s"($a - $b) * ($a - $b)"
+    }.mkString("\n         + ")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cb AS (
+       |  SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 16),
+       |gj AS (SELECT unnest(generate_series(0, 7)) AS j),
+       |d AS (
+       |  SELECT v.vec_id, gj.j, cb.cid,
+       |         $dist AS dist
+       |  FROM v CROSS JOIN gj CROSS JOIN cb),
+       |best AS (
+       |  SELECT vec_id, j, cid,
+       |         row_number() OVER (PARTITION BY vec_id, j
+       |           ORDER BY dist, cid) AS rk
+       |  FROM d)
+       |SELECT vec_id, CAST(j AS INTEGER) AS subspace,
+       |       CAST(cid AS INTEGER) AS code
+       |FROM best WHERE rk = 1 ORDER BY vec_id, subspace""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q24_minhash_lsh" -> minhashOracle,
 
     "q105_ann_recall" -> annRecallOracle,
+
+    "q106_pq_encode" -> pqEncodeOracle,
 
     "q104_zipf_slope" ->
       """WITH tf AS (

@@ -88,6 +88,12 @@ object VectorExpressions {
       : Column =
     Bridge.column(NearestCentroid(Bridge.expression(v), bc))
 
+  /** Column-level product-quantization encode against a BROADCAST
+    * codebook (see [[PqEncode]]). */
+  def pqEncode(v: Column,
+      bc: org.apache.spark.broadcast.Broadcast[PqEncode.Codebook]): Column =
+    Bridge.column(PqEncode(Bridge.expression(v), bc))
+
   /** Column-level word shingles (see [[WordShingles]]). */
   def wordShingles(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))
@@ -198,6 +204,86 @@ object NearestCentroid {
     }
     Centroids(ids, vecs, norms)
   }
+}
+
+/** Product-quantization encode against a BROADCAST codebook: the vector
+  * splits into `m` contiguous subspaces and each subspace maps to the
+  * index of its nearest (squared-L2) codebook centroid — the classic
+  * 8-bytes-per-vector compression ANN serving ships instead of raw
+  * floats. One expression node, map-only, plan O(1) in the codebook size
+  * (same broadcast shape as [[NearestCentroid]]). Distances accumulate
+  * sequentially over each subspace, so an independent sequential oracle
+  * computes bit-identical doubles and therefore identical argmins; ties
+  * go to the smallest centroid index. Returns ARRAY<INT> of length `m`.
+  */
+case class PqEncode(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[PqEncode.Codebook])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pq_encode expects ARRAY<DOUBLE>, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def prettyName: String = "pq_encode"
+
+  /** Row kernel — public so generated code can call it. */
+  def kernel(v: ArrayData): ArrayData = {
+    val cb = bc.value
+    val m = cb.m; val sub = cb.sub
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      var bestI = 0
+      var bestD = Double.PositiveInfinity
+      var i = 0
+      while (i < cb.centroids.length) {
+        val c = cb.centroids(i)
+        var d = 0.0
+        var t = 0
+        val base = j * sub
+        while (t < sub) {
+          val idx = base + t
+          val x = if (idx < v.numElements() && !v.isNullAt(idx))
+            v.getDouble(idx) else 0.0
+          val diff = x - c(idx)
+          d += diff * diff
+          t += 1
+        }
+        if (d < bestD) { bestD = d; bestI = i } // strict < keeps ties at
+                                               // the smallest index
+        i += 1
+      }
+      out(j) = bestI
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncode", this,
+      classOf[PqEncode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object PqEncode {
+  /** Broadcast payload: full-width centroid vectors (subspace j of
+    * centroid i is `centroids(i)` at offsets [j·sub, (j+1)·sub)). */
+  final case class Codebook(centroids: Array[Array[Double]], m: Int,
+                            sub: Int)
 }
 
 /** Unigram (whitespace-token) Shannon entropy of a text column in nats —

@@ -320,6 +320,31 @@ object Similarity {
       .limit(k)
   }
 
+  /** Product-quantization encode: split each vector into `m` contiguous
+    * subspaces and store only the index of the nearest codebook centroid
+    * per subspace — m small ints instead of `dim` floats (the 8-byte PQ
+    * code ANN serving ships at 100 TB; rescoring dequantizes via the same
+    * codebook). The codebook here is the deterministic first-`k` vectors
+    * by id (no RNG — reproducible and SQL-replicable; swap in k-means
+    * centroids per subspace for production recall). Encode is MAP-ONLY
+    * via the broadcast-backed [[graft.functions.PqEncode]] kernel — the
+    * corpus never shuffles and the plan is O(1) in k·dim. Returns
+    * (idCol, codes ARRAY<INT>[m]). */
+  def pqEncode(embs: DataFrame, m: Int = 8, k: Int = 16,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               dim: Int = DefaultDim): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val cb = embs.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(cb.length == k, s"corpus has only ${cb.length} rows for k=$k")
+    val bc = embs.sparkSession.sparkContext.broadcast(
+      graft.functions.PqEncode.Codebook(cb, m, dim / m))
+    embs.select(col(idCol),
+      graft.functions.VectorExpressions.pqEncode(
+        col(vecCol).cast("array<double>"), bc).as("codes"))
+  }
+
   /** Recall@k of an approximate ANN result against the exact baseline —
     * the standard quality gauge when tuning `planes`/`nProbe`: recall =
     * |approx ∩ exact| / k. Both inputs are top-k result frames (id

@@ -646,6 +646,19 @@ class ExtensionsSpec extends SparkSpec {
       < 1e-9)
   }
 
+  test("pqEncode: codebook members self-encode, neighbors snap to them") {
+    // ids 0..15 are constant vectors [i, i, ...] and form the codebook;
+    // id 100 sits nearest constant-2 in every subspace
+    val embs = ((0L until 16L).map(i => (i, Seq.fill(16)(i.toFloat))) :+
+      ((100L, Seq.fill(16)(2.2f)))).toDF("vec_id", "embedding")
+    val got = Similarity.pqEncode(embs, m = 4, k = 16, dim = 16)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Int](1).toSeq).toMap
+    assert(got(5L) == Seq(5, 5, 5, 5)) // zero distance to itself
+    assert(got(100L) == Seq(2, 2, 2, 2))
+    assert(got.keySet.size == 17)
+  }
+
   test("recallAtK counts the overlap of approx vs exact top-k") {
     val exact = (1L to 10L).map(Tuple1(_)).toDF("vec_id")
     val approx = (6L to 15L).map(Tuple1(_)).toDF("vec_id")
