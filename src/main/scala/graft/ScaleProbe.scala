@@ -134,7 +134,12 @@ object ScaleProbe {
           Similarity.batchTopK(d, q, k = 10).count() },
         "semdedup_label" -> { d =>
           Dedup.semDeDup(d, blockCol = "label", minCosine = 0.99).count() },
-        "quantize_int8" -> { d => Similarity.quantizeInt8(d).count() }))
+        "quantize_int8" -> { d => Similarity.quantizeInt8(d).count() },
+        "pq_encode" -> { d =>
+          // aggregate the codes so the kernel can't be pruned
+          Similarity.pqEncode(d, m = 8, k = 16)
+            .select(explode(col("codes")).as("c"))
+            .agg(sum("c")).head(); 1L }))
     }
 
     // event-family probe: replicate by user-id offset (funnel/retention

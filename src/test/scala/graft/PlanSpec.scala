@@ -242,6 +242,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("multimodal decode family is map-only: no join, no aggregation") {
+    // q34 decode, q102 resize, q103 audio frames: per-row/flat-map codec
+    // kernels — any Join or HashAggregate would mean stats are being
+    // computed relationally from exploded pixels/samples (the shape that
+    // shuffles the binary-derived domain)
+    Seq("q34_multimodal_features", "q102_image_resize",
+      "q103_audio_frames").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q plans a join:\n$p")
+      assert(!p.contains("HashAggregate"), s"$q plans an aggregation:\n$p")
+    }
+  }
+
+  test("q106 PQ encode is a map-only projection — no join, no agg") {
+    val p = plan("q106_pq_encode")
+    assert(!p.contains("Join"), s"broadcast codebook must not join:\n$p")
+    assert(!p.contains("HashAggregate"), s"unexpected aggregation:\n$p")
+  }
+
   test("giant-group quantile fallback: no window sort, cuts broadcast") {
     // the routed cut-point path over a real parquet scan: one
     // partial-aggregated percentile pass + broadcast join + map-side bin
