@@ -35,6 +35,12 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache — a temp file created
+  // and deleted per encode/decode call, which dominates the cost of
+  // codec work on small frames. These payloads are in-memory byte
+  // arrays; cache in memory. Object init runs once per executor JVM.
+  ImageIO.setUseCache(false)
+
   // --- deterministic synthesis parameters (pure functions of doc_id) ----
   // The q34/q35 oracles recompute expected stats from these same integer
   // formulas in SQL; keep them in sync with SparkEntry's oracle strings.
