@@ -316,6 +316,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // split-leakage report: near-dup candidates crossing the train/val/
+    // test hash split — the eval-integrity composition of q24 and q42
+    "q108_split_leakage" -> ((s, dir) => {
+      Dedup.splitLeakage(t(s, dir, "documents"),
+        numHashes = 16, bands = 4, portable = true)
+        .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
+          round(col("est_jaccard"), 6).as("est_jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // SimHash near-dup candidates (portable 60-bit fingerprints — same
     // strict-oracle rationale as q24)
     "q25_simhash" -> ((s, dir) => {
@@ -1049,6 +1059,14 @@ object SparkEntry {
         .orderBy("g_a", "g_b")
     }),
 
+    // pairwise two-sample KS distance between per-source length
+    // distributions — exact CDFs from integer cumsums, unbinned
+    "q107_ks_distance" -> ((s, dir) => {
+      Stats.ksDistance(t(s, dir, "documents"), "source", "n_chars")
+        .select(col("g_a"), col("g_b"), round(col("ks"), 6).as("ks"))
+        .orderBy("g_a", "g_b")
+    }),
+
     // Population Stability Index between two md5-split cohorts of value
     "q97_psi" -> ((s, dir) => {
       val ev = t(s, dir, "events").withColumn("coh",
@@ -1383,12 +1401,62 @@ object SparkEntry {
        |FROM best WHERE rk = 1 ORDER BY vec_id, subspace""".stripMargin
   }
 
+  /** q108 oracle: q24's candidate CTEs + q42's split expression, keeping
+    * only pairs whose splits differ. */
+  private def splitLeakageOracle: String = {
+    val matchSum = (0 until 16).map(k =>
+      s"CASE WHEN sa.m$k = sb.m$k THEN 1 ELSE 0 END").mkString("\n         + ")
+    val bucket =
+      "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+    s"""WITH $shingleHashCte,
+       |$minhashCandCtes,
+       |sp AS (
+       |  SELECT doc_id,
+       |         CASE WHEN $bucket < 80 THEN 'train'
+       |              WHEN $bucket < 90 THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT c.id_a, c.id_b, pa.split AS split_a, pb.split AS split_b,
+       |       round(($matchSum) / 16.0, 6) AS est_jaccard
+       |FROM cand c
+       |JOIN sig sa ON sa.doc_id = c.id_a
+       |JOIN sig sb ON sb.doc_id = c.id_b
+       |JOIN sp pa ON pa.doc_id = c.id_a
+       |JOIN sp pb ON pb.doc_id = c.id_b
+       |WHERE pa.split <> pb.split
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q24_minhash_lsh" -> minhashOracle,
+
+    "q108_split_leakage" -> splitLeakageOracle,
 
     "q105_ann_recall" -> annRecallOracle,
 
     "q106_pq_encode" -> pqEncodeOracle,
+
+    "q107_ks_distance" ->
+      """WITH c AS (
+        |  SELECT source AS g, n_chars AS v, count(*) AS n0
+        |  FROM documents GROUP BY 1, 2),
+        |d AS (
+        |  SELECT dv.v, dg.g, coalesce(c.n0, 0) AS n
+        |  FROM (SELECT DISTINCT v FROM c) dv
+        |  CROSS JOIN (SELECT DISTINCT g FROM c) dg
+        |  LEFT JOIN c ON c.g = dg.g AND c.v = dv.v),
+        |t AS (SELECT g, sum(n0) AS tt FROM c GROUP BY g),
+        |f AS (
+        |  SELECT d.g, d.v,
+        |         CAST(CAST(sum(d.n) OVER (PARTITION BY d.g ORDER BY d.v
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS DOUBLE)
+        |           / CAST(t.tt AS DOUBLE) AS f
+        |  FROM d JOIN t ON t.g = d.g)
+        |SELECT a.g AS g_a, b.g AS g_b,
+        |       round(max(abs(a.f - b.f)), 6) AS ks
+        |FROM f a JOIN f b ON a.v = b.v AND a.g < b.g
+        |GROUP BY 1, 2 ORDER BY g_a, g_b""".stripMargin,
 
     "q104_zipf_slope" ->
       """WITH tf AS (

@@ -253,6 +253,31 @@ object Dedup {
     (out, sh)
   }
 
+  /** Split-leakage report: near-dup candidate pairs whose members landed
+    * in DIFFERENT train/val/test splits — the eval-integrity check run
+    * after any hash split (a test document with a near-duplicate in
+    * train inflates benchmark scores). Composition of
+    * [[minhashCandidates]] with [[graft.text.TextOps.hashSplit]]; cost
+    * is the candidate generation, the split join adds two broadcast-size
+    * probes of the candidate frame. Returns (id_a, id_b, split_a,
+    * split_b, est_jaccard) for crossing pairs only. */
+  def splitLeakage(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", shingleN: Int = 3,
+                   numHashes: Int = 64, bands: Int = 16,
+                   portable: Boolean = false): DataFrame = {
+    val split = docs.select(col(idCol).as("sid"),
+      TextOps.hashSplit(col(idCol)).as("split"))
+    minhashCandidates(docs, idCol, textCol, shingleN, numHashes, bands,
+      portable)
+      .join(split.select(col("sid").as("id_a"),
+        col("split").as("split_a")), "id_a")
+      .join(split.select(col("sid").as("id_b"),
+        col("split").as("split_b")), "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
+        col("est_jaccard"))
+  }
+
   /** End-to-end scalable near-dup clustering: MinHash-LSH candidates →
     * exact Jaccard verification on candidates only → connected components.
     * Every stage's volume is bounded by true near-dup density, never by

@@ -99,6 +99,48 @@ object Stats {
           log(col("p_a") / col("p_b"))), 6).as("psi"))
   }
 
+  /** Pairwise two-sample Kolmogorov-Smirnov distance between the
+    * per-group distributions of `valueCol`: D = max |F_a(x) − F_b(x)|
+    * over the joint value domain, F the empirical CDF — the dataset-card
+    * metric for "do these sources/shards draw from the same
+    * distribution" (complements [[psi]]'s binned two-cohort drift with
+    * an unbinned all-pairs view).
+    *
+    * Shuffle ledger: one (group, value) count aggregation (map-side
+    * combined), a densified |domain|·|groups| frame (broadcast group
+    * list — CDFs must step at every joint value or the sup is wrong), a
+    * per-group window cumsum, one value-keyed self-join, and a |groups|²
+    * report aggregation. CDF values are exact integer cumsums divided
+    * once, so engines agree bit-for-bit. */
+  def ksDistance(df: DataFrame, groupCol: String,
+                 valueCol: String): DataFrame = {
+    val counts = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("n0"))
+    val domain = counts.select("v").distinct()
+    val groups = counts.select("g").distinct()
+    val dense = domain.crossJoin(broadcast(groups))
+      .join(counts, Seq("g", "v"), "left")
+      .select(col("g"), col("v"), coalesce(col("n0"), lit(0L)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val tot = counts.groupBy("g").agg(sum("n0").as("t"))
+    val cdf = dense
+      .withColumn("cum", sum("n").over(w))
+      .join(broadcast(tot), "g")
+      .select(col("g"), col("v"),
+        (col("cum").cast("double") / col("t").cast("double")).as("f"))
+    cdf.select(col("v"), col("g").as("g_a"), col("f").as("f_a"))
+      .join(cdf.select(col("v"), col("g").as("g_b"), col("f").as("f_b")),
+        "v")
+      .filter(col("g_a") < col("g_b"))
+      .groupBy("g_a", "g_b")
+      .agg(max(abs(col("f_a") - col("f_b"))).as("ks"))
+  }
+
   /** CUSUM change-point signal: the running sum of deviations from the
     * group mean, walked in `orderCols` order — drift in the level shows up
     * as |cusum| escaping a band long before any single point looks

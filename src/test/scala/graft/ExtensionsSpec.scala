@@ -631,6 +631,47 @@ class ExtensionsSpec extends SparkSpec {
     assert((got(0) intersect got(2)).isEmpty)
   }
 
+  test("splitLeakage: exactly the candidate pairs whose splits differ") {
+    // duplicate texts across many ids → plenty of LSH candidates; the
+    // leakage report must be the split-crossing subset of them
+    val docs = (0L until 40L).map(i =>
+      (i, s"shared near duplicate content block number ${i % 4} with " +
+        "enough overlapping shingled words to collide"))
+      .toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = pairs(graft.dedup.Dedup.minhashCandidates(docs,
+      numHashes = 16, bands = 4, portable = true))
+    val leak = graft.dedup.Dedup.splitLeakage(docs,
+      numHashes = 16, bands = 4, portable = true).collect()
+    val leakPairs = leak.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(leakPairs.subsetOf(cands))
+    assert(leak.forall(r => r.getString(2) != r.getString(3)))
+    // expected crossing set from the split function itself
+    val split = docs.select(col("doc_id"),
+        graft.text.TextOps.hashSplit(col("doc_id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(leakPairs == cands.filter { case (a, b) => split(a) != split(b) })
+    assert(leakPairs.nonEmpty)
+  }
+
+  test("ksDistance: identical → 0, disjoint → 1, half-shift → 0.5") {
+    val df = (
+      Seq.tabulate(10)(i => ("a", i.toLong)) ++   // a: 0..9
+      Seq.tabulate(10)(i => ("b", i.toLong)) ++   // b identical to a
+      Seq.tabulate(10)(i => ("c", i + 100L)) ++   // c disjoint from a
+      Seq.tabulate(10)(i => ("d", i + 5L))        // d overlaps a's top half
+    ).toDF("g", "v")
+    val got = graft.ops.Stats.ksDistance(df, "g", "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getDouble(2)).toMap
+    assert(got(("a", "b")) == 0.0)
+    assert(got(("a", "c")) == 1.0)
+    // F_a(4) = 0.5, F_d(4) = 0 → sup is exactly 0.5
+    assert(got(("a", "d")) == 0.5)
+  }
+
   test("zipfSlope recovers the exponent of an exact power-law corpus") {
     // token w_r appears (60/r)² times — exact squares for ranks 1..5
     // (60, 30, 20, 15, 12), so ln(freq) = 2·ln 60 − 2·ln(rank) is
