@@ -110,7 +110,11 @@ object ScaleProbe {
           d.select(TextOps.tokenEntropy(col("text")).as("e"))
             .agg(sum("e")).head(); 1L },
         "weighted_sample" -> { d =>
-          TextOps.weightedSample(d, col("n_chars"), k = 100).count() }))
+          TextOps.weightedSample(d, col("n_chars"), k = 100).count() },
+        "ks_distance" -> { d =>
+          graft.ops.Stats.ksDistance(d, "source", "n_chars")
+            .agg(sum("ks")).head(); 1L },
+        "split_leakage" -> { d => Dedup.splitLeakage(d).count() }))
 
     // embedding-family probe: replicate embeddings with coordinate jitter
     // derived from the replica index (deterministic, no RNG)
