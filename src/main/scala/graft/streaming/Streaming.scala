@@ -36,6 +36,53 @@ object Streaming {
         col("outlier_pct"), col("n"))): _*)
   }
 
+  /** Continuous drift monitoring, step 1 of 2: per tumbling window,
+    * equal-width bin counts of `valueCol` (the sufficient statistics of
+    * [[graft.ops.Stats.psi]]). One watermarked streaming aggregation —
+    * append mode emits each window's finalized (bin, n) rows once the
+    * watermark passes; Spark does not allow stacking the PSI reduction
+    * as a second streaming aggregation, so the finisher
+    * [[psiFromCounts]] runs batch-side (foreachBatch, or a query over
+    * the sink table). State per open window is |bins| counters. */
+  def psiBinCountsStream(stream: DataFrame, tsCol: String,
+                         valueCol: String, binWidth: Double,
+                         windowMinutes: Int = 5,
+                         watermark: String = "10 minutes"): DataFrame = {
+    require(binWidth > 0)
+    stream
+      .filter(col(valueCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), s"$windowMinutes minutes"),
+        floor(col(valueCol) / binWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("start_time"),
+        col("window.end").as("end_time"), col("bin"), col("n"))
+  }
+
+  /** Step 2 of 2: PSI of each emitted window against a static REFERENCE
+    * distribution (bin, p_ref with Σ p_ref = 1 over the reference's
+    * bins). Same inner-join-on-common-bins convention as
+    * [[graft.ops.Stats.psi]]; the reference broadcasts. Returns one row
+    * per window: (start_time, end_time, n_bins, psi). */
+  def psiFromCounts(counts: DataFrame, reference: DataFrame): DataFrame = {
+    // rename the aggregate side's keys: a straight self-join of a sink
+    // VIEW against its own aggregation trips conflicting-reference
+    // resolution
+    val tot = counts.groupBy("start_time", "end_time")
+      .agg(sum("n").cast("double").as("t"))
+      .withColumnRenamed("start_time", "st")
+      .withColumnRenamed("end_time", "et")
+    counts.join(tot,
+        col("start_time") === col("st") && col("end_time") === col("et"))
+      .select(col("start_time"), col("end_time"), col("bin"),
+        (col("n") / col("t")).as("p"))
+      .join(broadcast(reference), "bin")
+      .groupBy("start_time", "end_time")
+      .agg(count(lit(1)).as("n_bins"),
+        sum((col("p") - col("p_ref")) *
+          log(col("p") / col("p_ref"))).as("psi"))
+  }
+
   /** W5 streaming form: gap-based sessions via `session_window` — the
     * native streaming equivalent of [[graft.ops.Windows.sessionize]]. */
   def sessionAgg(stream: DataFrame, tsCol: String, keyCols: Seq[String],

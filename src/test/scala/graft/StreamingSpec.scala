@@ -33,6 +33,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("psiBinCountsStream + psiFromCounts: windowed drift vs reference") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Double)]
+    val df = in.toDF().toDF("ts", "value")
+    val out = Streaming.psiBinCountsStream(df, "ts", "value",
+      binWidth = 10.0, windowMinutes = 5, watermark = "1 minute")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("psi_counts").start()
+    try {
+      // window [00:00, 00:05): bins 0 and 1, two rows each
+      in.addData(
+        (t("2024-01-01 00:00:10"), 1.0), (t("2024-01-01 00:00:20"), 9.0),
+        (t("2024-01-01 00:01:10"), 11.0), (t("2024-01-01 00:02:10"), 19.0))
+      q.processAllAvailable()
+      // advance the watermark far past the window so append finalizes it
+      in.addData((t("2024-01-01 00:20:00"), 5.0))
+      q.processAllAvailable()
+      val counts = spark.table("psi_counts")
+        .filter(col("start_time") === t("2024-01-01 00:00:00"))
+      assert(counts.count() == 2) // bins 0 and 1
+      val ref = Seq((0L, 0.8), (1L, 0.2)).toDF("bin", "p_ref")
+      val psi = Streaming.psiFromCounts(counts, ref).head()
+      assert(psi.getAs[Long]("n_bins") == 2L)
+      // (.5-.8)·ln(.5/.8) + (.5-.2)·ln(.5/.2)
+      val expected = (0.5 - 0.8) * math.log(0.5 / 0.8) +
+        (0.5 - 0.2) * math.log(0.5 / 0.2)
+      assert(math.abs(psi.getAs[Double]("psi") - expected) < 1e-12)
+    } finally q.stop()
+  }
+
   test("sessionAgg groups a stream into gap-based sessions") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String)]
