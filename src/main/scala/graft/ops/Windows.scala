@@ -179,6 +179,9 @@ object Windows {
                                  valueCol: String, buckets: Int,
                                  accuracy: Int = 0): DataFrame = {
     require(buckets > 0)
+    // one bucket needs no cut-points — and percentile over an EMPTY
+    // probability array returns a null row, so short-circuit
+    if (buckets == 1) return df.withColumn("bucket", lit(1))
     val probs = array((1 until buckets)
       .map(i => lit(i.toDouble / buckets)): _*)
     val v = col(valueCol).cast("double")

@@ -111,4 +111,56 @@ class PropertySpec extends SparkSpec {
       sample(col("w")) == sample(col("w") * c)
     }, "A-ES scale invariance")
   }
+
+  test("ksDistance ∈ [0, 1]; 0 iff the two samples are identical") {
+    val gen = for {
+      n <- Gen.choose(1, 20)
+      a <- Gen.listOfN(n, Gen.choose(0L, 8L))
+      b <- Gen.listOfN(n, Gen.choose(0L, 8L))
+    } yield (a, b)
+    check(Prop.forAll(gen) { case (a, b) =>
+      val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v")
+      val ks = graft.ops.Stats.ksDistance(df, "g", "v")
+        .head().getDouble(2)
+      val same = a.sorted == b.sorted
+      ks >= -1e-12 && ks <= 1 + 1e-12 && ((ks == 0.0) == same)
+    }, "KS bounds + identity of indiscernibles")
+  }
+
+  test("pqEncode: m codes per vector, all within the codebook") {
+    val gen = for {
+      n <- Gen.choose(16, 30)
+      m <- Gen.oneOf(1, 2, 4, 8)
+      seed <- Gen.choose(0, 1000)
+    } yield (n, m, seed)
+    check(Prop.forAll(gen) { case (n, m, seed) =>
+      val embs = (0L until n.toLong).map { i =>
+        (i, Seq.tabulate(16)(d => math.sin(seed + i * 2.7 + d).toFloat))
+      }.toDF("vec_id", "embedding")
+      val got = graft.ml.Similarity.pqEncode(embs, m = m, k = 16, dim = 16)
+        .collect().map(_.getSeq[Int](1).toSeq)
+      got.length == n &&
+        got.forall(c => c.length == m && c.forall(x => x >= 0 && x < 16))
+    }, "PQ code shape and range")
+  }
+
+  test("quantileBucketsByCutpoints: monotone in value within a group") {
+    val gen = for {
+      n <- Gen.choose(2, 40)
+      b <- Gen.choose(1, 7)
+      vs <- Gen.listOfN(n, Gen.choose(-100.0, 100.0))
+    } yield (b, vs)
+    check(Prop.forAll(gen) { case (b, vs) =>
+      val df = vs.map(("g", _)).toDF("k", "v")
+      val got = graft.ops.Windows.quantileBucketsByCutpoints(
+          df, Seq("k"), "v", b)
+        .select("v", "bucket").collect()
+        .map(r => (r.getDouble(0), r.getInt(1))).sortBy(_._1)
+      val monotone = got.sliding(2).forall {
+        case Array((_, b1), (_, b2)) => b1 <= b2
+        case _ => true
+      }
+      monotone && got.forall { case (_, bk) => bk >= 1 && bk <= b }
+    }, "cut-point binning monotonicity")
+  }
 }
