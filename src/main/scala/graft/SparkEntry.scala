@@ -1053,6 +1053,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // bigram-transition NLL — the fluency upgrade over q95 (word salad
+    // with plausible unigrams scores high on rare TRANSITIONS)
+    "q109_bigram_nll" -> ((s, dir) => {
+      TextOps.bigramNll(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("nll"), 6).as("nll"))
+        .orderBy("doc_id")
+    }),
+
+    // HashingTF vectorization: portable md5 token buckets, tall counts
+    "q110_feature_hashing" -> ((s, dir) => {
+      TextOps.hashFeatures(t(s, dir, "documents"), numBuckets = 64)
+        .orderBy("doc_id", "bucket")
+    }),
+
     // vocabulary-overlap Jaccard between sources (corpus comparison)
     "q96_vocab_overlap" -> ((s, dir) => {
       TextOps.vocabOverlap(t(s, dir, "documents"))
@@ -2603,6 +2618,33 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_tokens, round(avg(-ln(p)), 6) AS nll
         |FROM tok JOIN probs USING (token)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q109_bigram_nll" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(lower(text), ' '),
+        |                     x -> len(x) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |gi AS (SELECT unnest(generate_series(1, 98)) AS i),
+        |bg AS (
+        |  SELECT l.doc_id, l.toks[gi.i] || ' ' || l.toks[gi.i + 1] AS bigram,
+        |         l.toks[gi.i] AS w1
+        |  FROM l CROSS JOIN gi WHERE gi.i < len(l.toks)),
+        |cbg AS (SELECT bigram, count(*) AS c_bg FROM bg GROUP BY 1),
+        |cw AS (SELECT w1, count(*) AS c_w1 FROM bg GROUP BY 1)
+        |SELECT bg.doc_id, count(*) AS n_bigrams,
+        |       round(avg(-ln(CAST(cbg.c_bg AS DOUBLE) / cw.c_w1)), 6) AS nll
+        |FROM bg JOIN cbg USING (bigram) JOIN cw USING (w1)
+        |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q110_feature_hashing" ->
+      """SELECT doc_id,
+        |       ('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS bucket,
+        |       count(*) AS n
+        |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |      FROM documents WHERE text IS NOT NULL)
+        |WHERE len(t) > 0
+        |GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
 
     "q96_vocab_overlap" ->
       """WITH gt AS (

@@ -604,6 +604,51 @@ object TextOps {
         round(avg(-log(col("p"))), 6).as("nll"))
   }
 
+  /** Corpus-relative bigram NLL: mean −ln P(w_i | w_{i−1}) per document
+    * under the corpus MLE bigram model (P = c(w1 w2) / c(w1 ·), contexts
+    * counted over bigram starts so probabilities sum to 1 exactly).
+    * The fluency upgrade over [[unigramNll]] — word-salad that passes a
+    * unigram filter scores high here because its TRANSITIONS are rare.
+    * Leave-in scoring (every doc's bigrams are in the corpus), so P > 0
+    * by construction. Docs with < 2 tokens have no transitions and drop
+    * out. Cost: one (doc, bigram) explode + two token-domain
+    * aggregations joined back — the same shuffle ledger as unigramNll
+    * with bigram keys. */
+  def bigramNll(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        filter(wsTokens(lower(col(textCol))),
+          t => length(t) > 0).as("toks"))
+      .filter(size(col("toks")) > 1)
+    val bg = toks.select(col(idCol),
+        explode(expr("transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(concat(toks[i - 1], ' ', toks[i]) AS bigram, " +
+          "toks[i - 1] AS w1))")).as("b"))
+      .select(col(idCol), col("b.bigram").as("bigram"), col("b.w1").as("w1"))
+    val cbg = bg.groupBy("bigram").agg(count(lit(1)).as("c_bg"))
+    val cw = bg.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+    bg.join(cbg, "bigram").join(cw, "w1")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(-log(col("c_bg").cast("double") / col("c_w1"))).as("nll"))
+  }
+
+  /** Feature hashing (HashingTF): token → md5 bucket, per-doc bucket
+    * counts in tall form — the fixed-width vectorization step that needs
+    * no vocabulary table (the hash IS the index), so it is map-side +
+    * one (doc, bucket) aggregation at any corpus size. Portable md5
+    * bucketing ([[hashBucket]]) keeps it engine-reproducible. */
+  def hashFeatures(docs: DataFrame, numBuckets: Int = 64,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(wsTokens(lower(col(textCol))))
+        .as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col(idCol), hashBucket(col("token"), numBuckets).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
   /** Vocabulary-overlap similarity between corpus segments: Jaccard of
     * the distinct-token sets for every pair of `groupCol` values — which
     * sources/languages/time-slices speak the same vocabulary. Pairs with

@@ -631,6 +631,34 @@ class ExtensionsSpec extends SparkSpec {
     assert((got(0) intersect got(2)).isEmpty)
   }
 
+  test("bigramNll: closed form on a two-transition corpus") {
+    // bigrams: doc1 "a b", doc2 "a c" → c("a ·") = 2, each p = 1/2
+    // doc3 "x x x" → c("x x") = 2 = c("x ·") → p = 1, nll = 0
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "x x x"))
+      .toDF("doc_id", "text")
+    val got = graft.text.TextOps.bigramNll(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got(0) == ((1L, 1L, math.log(2.0))))
+    assert(got(1) == ((2L, 1L, math.log(2.0))))
+    assert(got(2) == ((3L, 2L, 0.0)))
+    // single-token docs have no transitions and drop out
+    assert(graft.text.TextOps.bigramNll(
+      Seq((9L, "solo")).toDF("doc_id", "text")).count() == 0)
+  }
+
+  test("hashFeatures: counts conserve tokens, buckets are deterministic") {
+    val docs = Seq((1L, "a b a"), (2L, "a")).toDF("doc_id", "text")
+    val got = graft.text.TextOps.hashFeatures(docs, numBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // per-doc bucket counts sum to the doc's token count
+    assert(got.filter(_._1 == 1L).map(_._3).sum == 3L)
+    assert(got.filter(_._1 == 2L).map(_._3).sum == 1L)
+    // the same token lands in the same bucket in every doc
+    val aBuckets = got.filter(r => r._3 >= 1 && r._1 == 2L).map(_._2)
+    assert(got.filter(_._1 == 1L).map(_._2).toSet.contains(aBuckets.head))
+    assert(got.forall(r => r._2 >= 0 && r._2 < 8))
+  }
+
   test("splitLeakage: exactly the candidate pairs whose splits differ") {
     // duplicate texts across many ids → plenty of LSH candidates; the
     // leakage report must be the split-crossing subset of them
