@@ -294,6 +294,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // directed containment pairs — the quote/expansion detector symmetric
+    // Jaccard misses; threshold low enough to exercise both directions
+    "q111_containment" -> ((s, dir) => {
+      Dedup.containmentPairs(t(s, dir, "documents"), shingleN = 3,
+        minContainment = 0.3, maxDf = Int.MaxValue)
+        .select(col("id_a"), col("id_b"),
+          round(col("cont_a_in_b"), 6).as("cont_a_in_b"),
+          round(col("cont_b_in_a"), 6).as("cont_b_in_a"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // dedup clusters: candidate pairs → connected components
     "q41_dedup_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1074,6 +1085,17 @@ object SparkEntry {
         .orderBy("g_a", "g_b")
     }),
 
+    // per-type z-score + min-max normalization; σ from explicit Σv/Σv²
+    // so both engines compute the same arithmetic, rounded at the edge
+    "q112_normalize" -> ((s, dir) => {
+      Stats.normalizeByGroup(t(s, dir, "events"), Seq("event_type"),
+          "value")
+        .select(col("event_id"), col("event_type"),
+          round(col("zscore"), 4).as("zscore"),
+          round(col("minmax"), 6).as("minmax"))
+        .orderBy("event_id")
+    }),
+
     // pairwise two-sample KS distance between per-source length
     // distributions — exact CDFs from integer cumsums, unbinned
     "q107_ks_distance" -> ((s, dir) => {
@@ -1450,6 +1472,23 @@ object SparkEntry {
     "q105_ann_recall" -> annRecallOracle,
 
     "q106_pq_encode" -> pqEncodeOracle,
+
+    "q112_normalize" ->
+      """WITH st AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |         sum(value) AS s, sum(value * value) AS ss,
+        |         min(value) AS mn, max(value) AS mx
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type,
+        |       CASE WHEN sqrt(st.ss / st.n - (st.s / st.n) * (st.s / st.n)) > 0
+        |            THEN round((e.value - st.s / st.n)
+        |              / sqrt(st.ss / st.n - (st.s / st.n) * (st.s / st.n)), 4)
+        |       END AS zscore,
+        |       CASE WHEN st.mx - st.mn > 0
+        |            THEN round((e.value - st.mn) / (st.mx - st.mn), 6)
+        |       END AS minmax
+        |FROM events e JOIN st USING (event_type)
+        |ORDER BY event_id""".stripMargin,
 
     "q107_ks_distance" ->
       """WITH c AS (
@@ -2126,6 +2165,32 @@ object SparkEntry {
         |       round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) AS jaccard
         |FROM pairs
         |WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q111_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(tk) >= 3 THEN
+        |           list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |                          FOR i IN generate_series(1, len(tk) - 2)])
+        |         ELSE [array_to_string(tk, ' ')] END AS sh
+        |  FROM toks),
+        |inv AS (
+        |  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a,
+        |         b.n_sh AS n_b, count(*) AS inter
+        |  FROM inv a JOIN inv b ON a.shingle = b.shingle
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b,
+        |       round(CAST(inter AS DOUBLE) / n_a, 6) AS cont_a_in_b,
+        |       round(CAST(inter AS DOUBLE) / n_b, 6) AS cont_b_in_a
+        |FROM pairs
+        |WHERE greatest(CAST(inter AS DOUBLE) / n_a,
+        |               CAST(inter AS DOUBLE) / n_b) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q28_embedding_neardup" ->

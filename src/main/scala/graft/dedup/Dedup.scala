@@ -253,6 +253,47 @@ object Dedup {
     (out, sh)
   }
 
+  /** Directed shingle-containment pairs: c(a⊆b) = |Sa ∩ Sb| / |Sa| per
+    * ordered pair — the quote/expansion detector symmetric Jaccard
+    * misses (a short doc fully quoted inside a long one has tiny Jaccard
+    * but containment ≈ 1). Same inverted-index + df-cap machinery as
+    * [[ngramJaccard]], emitting BOTH directions; pairs kept when either
+    * direction reaches `minContainment`. Same verification-only caveat
+    * as ngramJaccard: at scale generate candidates with LSH first. */
+  def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", shingleN: Int = 3,
+                       minContainment: Double = 0.8,
+                       maxDf: Int = 1000): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      TextOps.shingles(col(textCol), shingleN).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val inv = sh.select(col("id"), col("n_sh"),
+        explode(col("sh")).as("shingle"))
+      .select(col("id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
+    val capped = (if (maxDf >= Int.MaxValue) inv
+      else {
+        val hot = inv.groupBy("sh_h").count()
+          .filter(col("count") > maxDf).select("sh_h")
+        inv.join(broadcast(hot), Seq("sh_h"), "left_anti")
+      })
+      .cache() // reused by both self-join sides
+    val a = capped.select(col("sh_h"), col("id").as("id_a"),
+      col("n_sh").as("n_a"))
+    val b = capped.select(col("sh_h"), col("id").as("id_b"),
+      col("n_sh").as("n_b"))
+    a.join(b, "sh_h")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("cont_a_in_b",
+        col("inter").cast("double") / col("n_a"))
+      .withColumn("cont_b_in_a",
+        col("inter").cast("double") / col("n_b"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >=
+        minContainment)
+      .select("id_a", "id_b", "cont_a_in_b", "cont_b_in_a")
+  }
+
   /** Split-leakage report: near-dup candidate pairs whose members landed
     * in DIFFERENT train/val/test splits — the eval-integrity check run
     * after any hash split (a test document with a near-duplicate in

@@ -99,6 +99,29 @@ object Stats {
           log(col("p_a") / col("p_b"))), 6).as("psi"))
   }
 
+  /** Per-group feature normalization: z-score (population σ built
+    * explicitly from Σv and Σv² — NOT `stddev_pop`, whose Welford merge
+    * order is engine-specific) and min-max, both as added columns. The
+    * feature-scaling step before any distance-based model; one
+    * |groups|-row stats aggregation broadcast back, map-side per-row
+    * arithmetic. Degenerate groups (σ = 0 or max = min) yield NULL for
+    * the affected column rather than a division blow-up. */
+  def normalizeByGroup(df: DataFrame, groupCols: Seq[String],
+                       valueCol: String): DataFrame = {
+    val gcols = groupCols.map(col)
+    val v = col(valueCol).cast("double")
+    val stats = df.groupBy(gcols: _*).agg(
+      count(lit(1)).cast("double").as("_n"), sum(v).as("_s"),
+      sum(v * v).as("_ss"), min(v).as("_min"), max(v).as("_max"))
+    val mean = col("_s") / col("_n")
+    val sd = sqrt(col("_ss") / col("_n") - mean * mean)
+    val span = col("_max") - col("_min")
+    df.join(broadcast(stats), groupCols)
+      .withColumn("zscore", when(sd > 0, (v - mean) / sd))
+      .withColumn("minmax", when(span > 0, (v - col("_min")) / span))
+      .drop("_n", "_s", "_ss", "_min", "_max")
+  }
+
   /** Pairwise two-sample Kolmogorov-Smirnov distance between the
     * per-group distributions of `valueCol`: D = max |F_a(x) − F_b(x)|
     * over the joint value domain, F the empirical CDF — the dataset-card

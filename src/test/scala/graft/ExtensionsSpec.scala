@@ -631,6 +631,46 @@ class ExtensionsSpec extends SparkSpec {
     assert((got(0) intersect got(2)).isEmpty)
   }
 
+  test("containmentPairs: full quote scores 1.0 directed, low Jaccard") {
+    // doc 2 fully contains doc 1's text plus much more: every shingle of
+    // 1 appears in 2, so cont_1_in_2 = 1.0 while Jaccard stays low
+    val quoted = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, quoted),
+      (2L, quoted + " plus lots of additional words " +
+        (1 to 20).map(i => s"filler$i").mkString(" ")),
+      (3L, "entirely different content with no overlap at all"))
+      .toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.containmentPairs(docs,
+        minContainment = 0.9, maxDf = Int.MaxValue)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set((1L, 2L)))
+    assert(got((1L, 2L))._1 == 1.0) // a fully inside b
+    assert(got((1L, 2L))._2 < 0.2)  // b mostly not in a
+    // the symmetric-Jaccard detector misses this pair at the same bar
+    val jac = graft.dedup.Dedup.ngramJaccard(docs, minJaccard = 0.9,
+      maxDf = Int.MaxValue).count()
+    assert(jac == 0)
+  }
+
+  test("normalizeByGroup: closed form, degenerate group yields nulls") {
+    val df = Seq(("g", 0.0), ("g", 10.0), ("g", 20.0),
+      ("flat", 7.0), ("flat", 7.0)).toDF("k", "v")
+    val got = graft.ops.Stats.normalizeByGroup(df, Seq("k"), "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    val g = got.filter(_._1 == "g").sortBy(_._2)
+    // mean 10, population sd = sqrt(200/3 - 0)... sd = sqrt((0+100+400)/3 - 100)
+    val sd = math.sqrt(500.0 / 3 - 100.0)
+    assert(g.map(_._3.get).toSeq == Seq(-10.0 / sd, 0.0, 10.0 / sd))
+    assert(g.map(_._4.get).toSeq == Seq(0.0, 0.5, 1.0))
+    // constant group: sd = 0 and span = 0 → both null
+    assert(got.filter(_._1 == "flat").forall(r =>
+      r._3.isEmpty && r._4.isEmpty))
+  }
+
   test("bigramNll: closed form on a two-transition corpus") {
     // bigrams: doc1 "a b", doc2 "a c" → c("a ·") = 2, each p = 1/2
     // doc3 "x x x" → c("x x") = 2 = c("x ·") → p = 1, nll = 0
