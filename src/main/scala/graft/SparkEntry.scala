@@ -294,6 +294,15 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // cross-document boilerplate: per-doc fraction of shingles appearing
+    // in other docs too — no pair generation, the scale-path dup signal
+    "q113_boilerplate" -> ((s, dir) => {
+      Dedup.duplicatedShingleFraction(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_shingles"), col("n_duplicated"),
+          round(col("dup_fraction"), 6).as("dup_fraction"))
+        .orderBy("doc_id")
+    }),
+
     // directed containment pairs — the quote/expansion detector symmetric
     // Jaccard misses; threshold low enough to exercise both directions
     "q111_containment" -> ((s, dir) => {
@@ -2166,6 +2175,27 @@ object SparkEntry {
         |FROM pairs
         |WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.1
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q113_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(tk) >= 3 THEN
+        |           list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |                          FOR i IN generate_series(1, len(tk) - 2)])
+        |         ELSE [array_to_string(tk, ' ')] END AS sh
+        |  FROM toks),
+        |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        |df AS (SELECT shingle, count(DISTINCT doc_id) AS df
+        |       FROM inv GROUP BY 1)
+        |SELECT i.doc_id, count(*) AS n_shingles,
+        |       CAST(sum(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_duplicated,
+        |       round(CAST(sum(CASE WHEN df.df > 1 THEN 1 ELSE 0 END)
+        |           AS DOUBLE) / count(*), 6) AS dup_fraction
+        |FROM inv i JOIN df USING (shingle)
+        |GROUP BY i.doc_id ORDER BY doc_id""".stripMargin,
 
     "q111_containment" ->
       """WITH toks AS (

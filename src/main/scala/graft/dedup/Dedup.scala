@@ -253,6 +253,30 @@ object Dedup {
     (out, sh)
   }
 
+  /** Per-document duplicated-shingle fraction: the share of a doc's
+    * distinct shingles that also appear in at least one OTHER document —
+    * the boilerplate/memorization signal (headers, footers, templates)
+    * that per-doc repetition filters can't see because the repetition is
+    * ACROSS documents. One inverted-index aggregation to per-shingle doc
+    * frequency, one join back, one per-doc aggregation; no pair
+    * generation at all, so unlike the pair ops this IS the scale path.
+    * Returns (idCol, n_shingles, n_duplicated, dup_fraction). */
+  def duplicatedShingleFraction(docs: DataFrame, idCol: String = "doc_id",
+                                textCol: String = "text",
+                                shingleN: Int = 3): DataFrame = {
+    val inv = docs.select(col(idCol).as("id"),
+        explode(TextOps.shingles(col(textCol), shingleN)).as("shingle"))
+      .select(col("id"), xxhash64(col("shingle")).as("sh_h"))
+    val df = inv.groupBy("sh_h")
+      .agg(countDistinct("id").as("df"))
+    inv.join(df, "sh_h")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_duplicated"))
+      .withColumn("dup_fraction",
+        col("n_duplicated").cast("double") / col("n_shingles"))
+  }
+
   /** Directed shingle-containment pairs: c(a⊆b) = |Sa ∩ Sb| / |Sa| per
     * ordered pair — the quote/expansion detector symmetric Jaccard
     * misses (a short doc fully quoted inside a long one has tiny Jaccard

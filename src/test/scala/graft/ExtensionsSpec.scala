@@ -631,6 +631,22 @@ class ExtensionsSpec extends SparkSpec {
     assert((got(0) intersect got(2)).isEmpty)
   }
 
+  test("duplicatedShingleFraction: shared template scores, unique doesn't") {
+    val template = "standard footer text appears in every page here"
+    val docs = Seq(
+      (1L, "unique first content words " + template),
+      (2L, "second page body differs completely " + template),
+      (3L, "totally original document with no repeats whatsoever"))
+      .toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.duplicatedShingleFraction(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // docs 1 and 2 share the template's shingles; doc 3 shares none
+    assert(got(1L)._1 > 0 && got(2L)._1 > 0)
+    assert(got(1L)._2 > 0.4 && got(1L)._2 < 1.0)
+    assert(got(3L) == ((0L, 0.0)))
+  }
+
   test("containmentPairs: full quote scores 1.0 directed, low Jaccard") {
     // doc 2 fully contains doc 1's text plus much more: every shingle of
     // 1 appears in 2, so cont_1_in_2 = 1.0 while Jaccard stays low

@@ -261,6 +261,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), s"unexpected aggregation:\n$p")
   }
 
+  test("q110 feature hashing partial-aggregates with no join") {
+    val p = plan("q110_feature_hashing")
+    assert(p.contains("partial_"), s"no map-side combine:\n$p")
+    assert(!p.contains("Join"), s"vocabulary-free op must not join:\n$p")
+  }
+
+  test("q112 normalization broadcasts the per-group stats") {
+    val p = plan("q112_normalize")
+    assert(p.contains("BroadcastHashJoin"), s"stats not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"|groups|-row stats must never sort-merge:\n$p")
+  }
+
   test("giant-group quantile fallback: no window sort, cuts broadcast") {
     // the routed cut-point path over a real parquet scan: one
     // partial-aggregated percentile pass + broadcast join + map-side bin
