@@ -114,7 +114,13 @@ object ScaleProbe {
         "ks_distance" -> { d =>
           graft.ops.Stats.ksDistance(d, "source", "n_chars")
             .agg(sum("ks")).head(); 1L },
-        "split_leakage" -> { d => Dedup.splitLeakage(d).count() }))
+        "split_leakage" -> { d => Dedup.splitLeakage(d).count() },
+        "boilerplate" -> { d =>
+          Dedup.duplicatedShingleFraction(d)
+            .agg(sum("dup_fraction")).head(); 1L },
+        "bigram_nll" -> { d =>
+          TextOps.bigramNll(d).agg(sum("nll")).head(); 1L },
+        "hash_features" -> { d => TextOps.hashFeatures(d).count() }))
 
     // embedding-family probe: replicate embeddings with coordinate jitter
     // derived from the replica index (deterministic, no RNG)
