@@ -226,4 +226,23 @@ object Pipelines {
       split.filter(col("split") === "test"), n = decontamN)
     cleanTrain.unionByName(split.filter(col("split") =!= "train"))
   }
+
+  /** E5: release-audit bundle for a (curated) corpus — the reports a
+    * dataset release ships alongside the parquet: per-source dataset
+    * card, split-leakage pairs (should be sparse after [[curate]]),
+    * per-doc boilerplate fraction, and the Zipf fit. One call, four
+    * frames; each underlying operator is individually oracle-gated
+    * (q90/q108/q113/q104), this composition is the wiring. */
+  final case class ReleaseAudit(card: DataFrame, leakage: DataFrame,
+                                boilerplate: DataFrame, zipf: DataFrame)
+
+  def releaseAudit(docs: DataFrame): ReleaseAudit = {
+    import graft.text.TextOps
+    import graft.dedup.Dedup
+    ReleaseAudit(
+      card = TextOps.datasetCard(docs),
+      leakage = Dedup.splitLeakage(docs),
+      boilerplate = Dedup.duplicatedShingleFraction(docs),
+      zipf = TextOps.zipfSlope(docs))
+  }
 }

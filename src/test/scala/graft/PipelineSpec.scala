@@ -163,4 +163,29 @@ class PipelineSpec extends SparkSpec {
     assert(!incIds.contains(15L) && incIds.contains(10L), s"got $incIds")
     out.unpersist()
   }
+
+  test("E5 releaseAudit: one call yields the four audit frames") {
+    val base = "the quick brown fox jumps over the lazy dog near the " +
+      "old stone house by the river bank in the quiet morning light"
+    val docs = (0L until 30L).map { i =>
+      (i, s"doc $i " + base + s" variant ${i % 3}")
+    }.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", concat(lit("s"), $"doc_id" % 2))
+      .withColumn("n_chars", length($"text"))
+    val audit = Pipelines.releaseAudit(docs)
+    val card = audit.card.collect()
+    assert(card.length == 2) // one row per source
+    // heavily-templated corpus: every doc shares the base shingles
+    val bp = audit.boilerplate.collect()
+    assert(bp.length == 30)
+    assert(bp.forall(_.getAs[Double]("dup_fraction") > 0.5))
+    // leakage frame has the crossing-pair schema (may legitimately be
+    // empty on a tiny fixture); zipf is a single fitted row
+    assert(audit.leakage.columns.toSeq ==
+      Seq("id_a", "id_b", "split_a", "split_b", "est_jaccard"))
+    val z = audit.zipf.head()
+    assert(z.getAs[Long]("n_tokens") > 0)
+    assert(z.getAs[Double]("slope") < 0.0) // frequencies decay with rank
+  }
 }
