@@ -303,6 +303,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // exact substring dedup WITH removal rewrite: chunk-level boilerplate
+    // removed globally (keep-first owner), documents rewritten in place —
+    // pass 2 is the broadcast map-only kernel, no text shuffle
+    "q114_substring_dedup" -> ((s, dir) => {
+      Dedup.substringDedup(t(s, dir, "documents"), chunkLen = 32)
+        .orderBy("doc_id")
+    }),
+
     // directed containment pairs — the quote/expansion detector symmetric
     // Jaccard misses; threshold low enough to exercise both directions
     "q111_containment" -> ((s, dir) => {
@@ -2196,6 +2204,27 @@ object SparkEntry {
         |           AS DOUBLE) / count(*), 6) AS dup_fraction
         |FROM inv i JOIN df USING (shingle)
         |GROUP BY i.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q114_substring_dedup" ->
+      """WITH ch0 AS (
+        |  SELECT doc_id,
+        |         [{'pos': i, 'c': substr(text, i*32+1, 32)}
+        |          FOR i IN generate_series(0, (length(text)-1) // 32)] AS chs
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, u.pos AS pos, u.c AS c
+        |  FROM (SELECT doc_id, unnest(chs) AS u FROM ch0)),
+        |dup AS (
+        |  SELECT c, min(doc_id) AS owner FROM ch
+        |  GROUP BY c HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT ch.doc_id, count(*) AS n_chunks,
+        |       count(*) FILTER (WHERE dup.c IS NULL OR dup.owner = ch.doc_id)
+        |         AS kept_chunks,
+        |       coalesce(string_agg(ch.c, '' ORDER BY ch.pos)
+        |                FILTER (WHERE dup.c IS NULL OR dup.owner = ch.doc_id),
+        |                '') AS clean_text
+        |FROM ch LEFT JOIN dup ON ch.c = dup.c
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "q111_containment" ->
       """WITH toks AS (

@@ -715,4 +715,84 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
       .distinct()
   }
+
+  // ---- exact substring dedup with removal rewrite ------------------------
+
+  /** Non-overlapping `chunkLen`-character chunks of `textCol` (ragged tail
+    * kept), as ARRAY<STRING> — the fixed-stride unit of
+    * [[substringDedup]]. Character = code point, matching SQL `substr`. */
+  private def chunks(textCol: String, chunkLen: Int): Column =
+    when(length(col(textCol)) > 0,
+      transform(
+        sequence(lit(0),
+          expr(s"(length($textCol) - 1) div $chunkLen").cast("int")),
+        i => col(textCol).substr(i * chunkLen + 1, lit(chunkLen))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Exact substring dedup WITH removal rewrite (the C4 / "Deduplicating
+    * Training Data Makes Language Models Better" cleanup, fixed-stride
+    * variant): split every document into non-overlapping `chunkLen`-char
+    * chunks, find chunk VALUES occurring in ≥ 2 distinct documents, and
+    * remove every occurrence except in the owner document (min id among
+    * docs containing the value — keep-first). Catches long boilerplate
+    * runs (headers, license blocks, templated passages) that whole-doc
+    * dedup misses and that [[duplicatedShingleFraction]] only MEASURES;
+    * this operator actually rewrites the corpus. Returns
+    * (idCol, n_chunks, kept_chunks, clean_text) for every input doc.
+    *
+    * Scale shape — the two-pass exact-substring plan:
+    * pass 1 aggregates chunk → (owner, doc frequency) and keeps only
+    * duplicated values (shuffles one row per chunk; at 100 TB substitute
+    * the xxhash64 digest for the raw chunk to make that shuffle
+    * fixed-width). Pass 2 is MAP-ONLY: duplicated chunks are rare
+    * relative to the corpus, so the duplicate table broadcasts as a hash
+    * map ([[graft.functions.CleanDupChunks]]) and each document
+    * re-chunks and filters ITSELF — no join, no aggregation, document
+    * text never shuffles, plan size O(1) in the table. If the duplicate
+    * table exceeds `maxDupChunks` entries the operator falls back to the
+    * relational explode → left-join → re-assemble plan (correct at any
+    * duplicate volume, but kept text moves through one groupBy) — the
+    * same gated-hybrid shape as [[connectedComponents]].
+    */
+  def substringDedup(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", chunkLen: Int = 32,
+                     maxDupChunks: Int = 4000000): DataFrame = {
+    require(chunkLen > 0, "chunkLen must be positive")
+    val ch = docs.select(col(idCol).cast("long").as("id"),
+        posexplode(chunks(textCol, chunkLen)).as(Seq("pos", "c")))
+    val dup = ch.groupBy("c")
+      .agg(min("id").as("owner"), countDistinct("id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select("c", "owner")
+    // one bounded job: ≤ maxDupChunks + 1 rows ever reach the driver
+    val dupRows = dup.limit(maxDupChunks + 1).collect()
+    if (dupRows.length <= maxDupChunks) {
+      val bc = docs.sparkSession.sparkContext.broadcast(
+        graft.functions.CleanDupChunks.build(chunkLen,
+          dupRows.iterator.map(r => r.getString(0) -> r.getLong(1)).toSeq))
+      docs.select(col(idCol),
+          graft.functions.HashExpressions.cleanDupChunks(
+            col(idCol).cast("long"), col(textCol), bc).as("r"))
+        .select(col(idCol), col("r.n_chunks").as("n_chunks"),
+          col("r.kept_chunks").as("kept_chunks"),
+          col("r.clean_text").as("clean_text"))
+    } else {
+      val keep = col("owner").isNull || col("owner") === col("id")
+      val agg = ch.join(dup, Seq("c"), "left")
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(keep, 1L).otherwise(0L)).as("kept_chunks"),
+          array_join(transform(
+            array_sort(collect_list(when(keep,
+              struct(col("pos"), col("c"))))),
+            s => s.getField("c")), "").as("clean_text"))
+      // reinstate empty-text docs (zero chunk rows) with an empty rewrite
+      docs.select(col(idCol), col(idCol).cast("long").as("id"))
+        .join(agg, Seq("id"), "left")
+        .select(col(idCol),
+          coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+          coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+    }
+  }
 }

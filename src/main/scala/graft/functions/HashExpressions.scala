@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -200,6 +200,95 @@ case class SimHash64(child: Expression, portable: Boolean = false)
     copy(child = c)
 }
 
+/** Map-only exact-substring-dedup rewrite against a BROADCAST duplicate
+  * table: re-chunks the document into fixed `chunkLen`-code-point
+  * non-overlapping chunks (ragged tail kept), drops every chunk whose
+  * value appears in the broadcast (chunk → owner id) map UNLESS this row
+  * IS the owner, and re-assembles the survivors in place. The whole
+  * rewrite — pass 2 of [[graft.dedup.Dedup.substringDedup]] — happens
+  * inside the row, so no document text ever shuffles; the plan is O(1)
+  * in the duplicate-table size (the serialized node carries only the
+  * broadcast handle, same shape as
+  * [[graft.functions.NearestCentroid]]). Chunking counts Unicode code
+  * points, matching Spark's and DuckDB's character-based `substr`.
+  * Returns STRUCT<n_chunks: BIGINT, kept_chunks: BIGINT,
+  * clean_text: STRING>.
+  */
+case class CleanDupChunks(left: Expression, right: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[CleanDupChunks.DupTable])
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"clean_dup_chunks expects (BIGINT id, STRING text), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_chunks", LongType,
+      nullable = false),
+    org.apache.spark.sql.types.StructField("kept_chunks", LongType,
+      nullable = false),
+    org.apache.spark.sql.types.StructField("clean_text", StringType,
+      nullable = false)))
+
+  override def prettyName: String = "clean_dup_chunks"
+
+  /** Row kernel — public so generated code can call it. */
+  def kernel(id: Long, text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val t = bc.value
+    val s = text.toString
+    val cpCount = s.codePointCount(0, s.length)
+    val n = if (cpCount == 0) 0 else (cpCount - 1) / t.chunkLen + 1
+    val sb = new java.lang.StringBuilder(s.length)
+    var kept = 0L
+    var start = 0 // UTF-16 index of the current chunk start
+    var k = 0
+    while (k < n) {
+      val cps = math.min(t.chunkLen, cpCount - k * t.chunkLen)
+      val end = s.offsetByCodePoints(start, cps)
+      val c = s.substring(start, end)
+      val owner = t.owners.get(c)
+      if (owner == null || owner.longValue() == id) {
+        sb.append(c); kept += 1L
+      }
+      start = end; k += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, kept, UTF8String.fromString(sb.toString)))
+  }
+
+  override protected def nullSafeEval(id: Any, text: Any): Any =
+    kernel(id.asInstanceOf[Long], text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cleanDupChunks", this,
+      classOf[CleanDupChunks].getName)
+    nullSafeCodeGen(ctx, ev, (id, text) =>
+      s"${ev.value} = $ref.kernel($id, $text);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CleanDupChunks {
+  /** Broadcast payload: chunk length (code points) and the duplicated
+    * chunk values with their owner (min id over containing docs). */
+  final case class DupTable(chunkLen: Int,
+                            owners: java.util.HashMap[String, java.lang.Long])
+
+  def build(chunkLen: Int, dup: Iterable[(String, Long)]): DupTable = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    dup.foreach { case (c, owner) => m.put(c, java.lang.Long.valueOf(owner)) }
+    DupTable(chunkLen, m)
+  }
+}
+
 object HashExpressions {
   /** Column-level MinHash signature over an ARRAY<STRING> shingle column. */
   def minhashSignature(shingles: Column, numHashes: Int,
@@ -211,4 +300,12 @@ object HashExpressions {
     * (64-bit; 60-bit in portable mode). */
   def simhash64(shingles: Column, portable: Boolean = false): Column =
     Bridge.column(SimHash64(Bridge.expression(shingles), portable))
+
+  /** Column-level substring-dedup rewrite against a BROADCAST duplicate
+    * table (see [[CleanDupChunks]]). */
+  def cleanDupChunks(id: Column, text: Column,
+      bc: org.apache.spark.broadcast.Broadcast[CleanDupChunks.DupTable])
+      : Column =
+    Bridge.column(CleanDupChunks(Bridge.expression(id),
+      Bridge.expression(text), bc))
 }

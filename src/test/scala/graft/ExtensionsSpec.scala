@@ -647,6 +647,34 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(3L) == ((0L, 0.0)))
   }
 
+  test("substringDedup: owner keeps the boilerplate block, later docs " +
+    "lose it; broadcast and relational paths agree (incl. non-ASCII)") {
+    val block = "0123456789abcdef0123456789abcdef" // exactly one 32-chunk
+    val docs = Seq(
+      (5L, block + "tail of the owner doc"),
+      (9L, block + "different trailing content"),
+      (7L, "completely original text here"),
+      (3L, "统计模型的基本概念与术语介绍第一章机器学习方法概述统计模型的基本概念与术语介绍第一章机器学习方法概述额外"),
+      (11L, "")).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.substringDedup(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // block appears in docs 5 and 9 → owner is 5 (min id); doc 9's copy
+    // is removed, everything else survives verbatim
+    assert(got(5L) == ((2L, 2L, block + "tail of the owner doc")))
+    assert(got(9L) == ((2L, 1L, "different trailing content")))
+    assert(got(7L) == ((1L, 1L, "completely original text here")))
+    assert(got(3L)._1 == 2L && got(3L)._2 == 2L) // 51 cp → 2 chunks, kept
+    assert(got(11L) == ((0L, 0L, ""))) // empty text → empty rewrite
+    // parity: maxDupChunks = 0 forces the relational fallback; both paths
+    // must agree row-for-row (also locks the kernel's code-point chunking
+    // to Spark's character-based substr on the CJK doc)
+    val fb = graft.dedup.Dedup.substringDedup(docs, maxDupChunks = 0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(fb == got)
+  }
+
   test("containmentPairs: full quote scores 1.0 directed, low Jaccard") {
     // doc 2 fully contains doc 1's text plus much more: every shingle of
     // 1 appears in 2, so cont_1_in_2 = 1.0 while Jaccard stays low

@@ -255,6 +255,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q114 substring-dedup rewrite is map-only: no join, no agg, " +
+    "no explode") {
+    // pass 2 (the returned plan): the duplicate table rides a broadcast
+    // inside CleanDupChunks — a Join, HashAggregate, or Generate here
+    // would mean the rewrite shuffles document text relationally
+    val p = plan("q114_substring_dedup")
+    assert(!p.contains("Join"), s"rewrite must not join:\n$p")
+    assert(!p.contains("HashAggregate"), s"rewrite must not aggregate:\n$p")
+    assert(!p.contains("Generate"), s"rewrite must not explode:\n$p")
+  }
+
   test("q106 PQ encode is a map-only projection — no join, no agg") {
     val p = plan("q106_pq_encode")
     assert(!p.contains("Join"), s"broadcast codebook must not join:\n$p")
