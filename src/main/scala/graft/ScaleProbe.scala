@@ -120,6 +120,11 @@ object ScaleProbe {
             .agg(sum("dup_fraction")).head(); 1L },
         "bigram_nll" -> { d =>
           TextOps.bigramNll(d).agg(sum("nll")).head(); 1L },
+        "substring_dedup" -> { d =>
+          // replicas share nearly every 32-char chunk with their source
+          // doc, so the duplicate table at Kx approaches the full distinct
+          // chunk domain — the broadcast path's worst realistic case
+          Dedup.substringDedup(d).agg(sum("kept_chunks")).head(); 1L },
         "hash_features" -> { d => TextOps.hashFeatures(d).count() }))
 
     // embedding-family probe: replicate embeddings with coordinate jitter
