@@ -851,6 +851,15 @@ object SparkEntry {
         .orderBy("v_a", "v_b")
     }),
 
+    // Jaro-Winkler fuzzy pairs over the distinct name domain — the
+    // transposition-tolerant record-linkage scorer levenshtein isn't;
+    // native kernel, blocked candidates, strict cross-engine score parity
+    "q115_jaro_pairs" -> ((s, dir) => {
+      Dedup.fuzzyPairsJaro(t(s, dir, "part"), "p_name", minSim = 0.85)
+        .select(col("v_a"), col("v_b"), round(col("sim"), 6).as("sim"))
+        .orderBy("v_a", "v_b")
+    }),
+
     // hopping (sliding) tumbling-window aggregate: 10 min windows every 5
     "q70_hopping_window" -> ((s, dir) => {
       t(s, dir, "events")
@@ -2597,6 +2606,17 @@ object SparkEntry {
         |  ON split_part(a.v, ' ', 1) = split_part(b.v, ' ', 1)
         | AND a.v < b.v
         |WHERE levenshtein(a.v, b.v) <= 3
+        |ORDER BY v_a, v_b""".stripMargin,
+
+    "q115_jaro_pairs" ->
+      """WITH d AS (SELECT DISTINCT p_name AS v FROM part
+        |           WHERE p_name IS NOT NULL)
+        |SELECT a.v AS v_a, b.v AS v_b,
+        |       round(jaro_winkler_similarity(a.v, b.v), 6) AS sim
+        |FROM d a JOIN d b
+        |  ON split_part(a.v, ' ', 1) = split_part(b.v, ' ', 1)
+        | AND a.v < b.v
+        |WHERE jaro_winkler_similarity(a.v, b.v) >= 0.85
         |ORDER BY v_a, v_b""".stripMargin,
 
     "q70_hopping_window" ->

@@ -452,6 +452,31 @@ object Dedup {
       .select("v_a", "v_b", "dist")
   }
 
+  /** [[fuzzyPairs]] scored with Jaro-Winkler instead of edit distance —
+    * the record-linkage scorer that weights shared prefixes and forgives
+    * transpositions, better suited to names/titles than raw levenshtein
+    * (which charges a transposition two edits). Same two scale levers:
+    * distinct value domain, per-block candidate generation. Scores come
+    * from the native [[graft.functions.JaroWinkler]] kernel (codegen'd,
+    * matches DuckDB's `jaro_winkler_similarity` bit-for-bit). Returns
+    * (v_a, v_b, sim) with v_a < v_b and sim ≥ `minSim`. */
+  def fuzzyPairsJaro(values: DataFrame, valueCol: String,
+                     minSim: Double = 0.85,
+                     blockExpr: Column => Column =
+                       v => element_at(split(v, " "), 1)): DataFrame = {
+    val d = values.select(col(valueCol).as("v"))
+      .filter(col("v").isNotNull).distinct()
+      .withColumn("blk", blockExpr(col("v")))
+    val a = d.select(col("blk"), col("v").as("v_a"))
+    val b = d.select(col("blk"), col("v").as("v_b"))
+    a.join(b, "blk")
+      .filter(col("v_a") < col("v_b"))
+      .withColumn("sim", graft.functions.HashExpressions.jaroWinkler(
+        col("v_a"), col("v_b")))
+      .filter(col("sim") >= minSim)
+      .select("v_a", "v_b", "sim")
+  }
+
   // ---- clustering --------------------------------------------------------
 
   /** Duplicate clusters from candidate pairs: connected components, with a

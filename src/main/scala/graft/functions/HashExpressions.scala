@@ -276,6 +276,92 @@ case class CleanDupChunks(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Jaro-Winkler similarity over Unicode code points — the standard
+  * record-linkage scorer for short keys (names, titles) where
+  * transpositions dominate edit counts. Spark ships levenshtein but no
+  * Jaro family; this node fills the gap with the boost-threshold variant
+  * (Winkler's prefix bonus — scale 0.1, prefix ≤ 4 — applies only when
+  * base Jaro ≥ 0.7), which is what DuckDB's `jaro_winkler_similarity`
+  * computes, so scores are strictly verifiable cross-engine (pinned
+  * empirically on boundary pairs: below-0.7 prefix-sharing pairs return
+  * plain Jaro in both engines). Map-only scalar; codegen via the shared
+  * reference-object kernel pattern.
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"jaro_winkler expects (STRING, STRING), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def prettyName: String = "jaro_winkler"
+
+  /** Row kernel — public so generated code can call it. */
+  def kernel(ua: UTF8String, ub: UTF8String): Double = {
+    val a = ua.toString.codePoints().toArray
+    val b = ub.toString.codePoints().toArray
+    if (java.util.Arrays.equals(a, b)) return 1.0
+    val l1 = a.length; val l2 = b.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var matches = 0
+    var i = 0
+    while (i < l1) {
+      var j = math.max(0, i - window)
+      val hi = math.min(i + window + 1, l2)
+      var done = false
+      while (j < hi && !done) {
+        if (!m2(j) && a(i) == b(j)) {
+          m1(i) = true; m2(j) = true; matches += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    // transpositions: matched code points compared in order
+    var t = 0; var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (a(i) != b(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val m = matches.toDouble
+    val jaro = (m / l1 + m / l2 + (m - t / 2) / m) / 3.0
+    if (jaro < 0.7) return jaro // boost threshold: no prefix bonus
+    var l = 0
+    val pMax = math.min(4, math.min(l1, l2))
+    while (l < pMax && a(l) == b(l)) l += 1
+    jaro + l * 0.1 * (1.0 - jaro)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    kernel(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jaroWinkler", this,
+      classOf[JaroWinkler].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.kernel($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object CleanDupChunks {
   /** Broadcast payload: chunk length (code points) and the duplicated
     * chunk values with their owner (min id over containing docs). */
@@ -300,6 +386,10 @@ object HashExpressions {
     * (64-bit; 60-bit in portable mode). */
   def simhash64(shingles: Column, portable: Boolean = false): Column =
     Bridge.column(SimHash64(Bridge.expression(shingles), portable))
+
+  /** Column-level Jaro-Winkler similarity (see [[JaroWinkler]]). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    Bridge.column(JaroWinkler(Bridge.expression(a), Bridge.expression(b)))
 
   /** Column-level substring-dedup rewrite against a BROADCAST duplicate
     * table (see [[CleanDupChunks]]). */

@@ -647,6 +647,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(3L) == ((0L, 0.0)))
   }
 
+  test("jaroWinkler: textbook scores, boost threshold, code-point " +
+    "transpositions") {
+    import graft.functions.HashExpressions.jaroWinkler
+    val df = Seq(
+      ("martha", "marhta"), ("dixon", "dicksonx"), ("abc", "xyz"),
+      ("abcdzzzzzz", "abcdyyyyyy"), // jaro 0.6 < 0.7 boost threshold
+      ("统计学习", "统学计习")).toDF("a", "b")
+    val got = df.select(round(jaroWinkler(col("a"), col("b")), 6))
+      .collect().map(_.getDouble(0))
+    assert(got(0) == 0.961111) // the Winkler paper's example
+    assert(got(1) == 0.813333)
+    assert(got(2) == 0.0) // zero matches
+    // shares a 4-char prefix but jaro 0.6 < 0.7 → NO prefix bonus (the
+    // DuckDB-compatible boost-threshold variant; the unboosted variant
+    // would return 0.76 here)
+    assert(got(3) == 0.6)
+    // CJK swap: one transposition over code points, prefix length 1
+    // → jaro 11/12, jw = 11/12 + 0.1·(1/12) = 0.925
+    assert(got(4) == 0.925)
+  }
+
   test("substringDedup: owner keeps the boilerplate block, later docs " +
     "lose it; broadcast and relational paths agree (incl. non-ASCII)") {
     val block = "0123456789abcdef0123456789abcdef" // exactly one 32-chunk
