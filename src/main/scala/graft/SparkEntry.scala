@@ -1122,6 +1122,15 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // per-group winsorization: clip into the [p05, p95] band — row-count
+    // preserving outlier treatment; |groups|-row quantile broadcast
+    "q116_winsorize" -> ((s, dir) => {
+      Stats.winsorize(t(s, dir, "events"), Seq("event_type"), "value")
+        .select(col("event_id"), col("event_type"),
+          round(col("clipped"), 6).as("clipped"), col("was_clipped"))
+        .orderBy("event_id")
+    }),
+
     // pairwise two-sample KS distance between per-source length
     // distributions — exact CDFs from integer cumsums, unbinned
     "q107_ks_distance" -> ((s, dir) => {
@@ -1498,6 +1507,19 @@ object SparkEntry {
     "q105_ann_recall" -> annRecallOracle,
 
     "q106_pq_encode" -> pqEncodeOracle,
+
+    "q116_winsorize" ->
+      """WITH st AS (
+        |  SELECT event_type, quantile_cont(value, 0.05) AS qlo,
+        |         quantile_cont(value, 0.95) AS qhi
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type,
+        |       round(greatest(least(e.value, st.qhi), st.qlo), 6)
+        |         AS clipped,
+        |       CASE WHEN e.value < st.qlo OR e.value > st.qhi
+        |            THEN 1 ELSE 0 END AS was_clipped
+        |FROM events e JOIN st USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
 
     "q112_normalize" ->
       """WITH st AS (

@@ -122,6 +122,32 @@ object Stats {
       .drop("_n", "_s", "_ss", "_min", "_max")
   }
 
+  /** Per-group winsorization: clip `valueCol` into its group's
+    * [`lo`, `hi`] quantile band (linear-interpolated, `percentile` ≡
+    * DuckDB `quantile_cont`) — the outlier treatment that preserves row
+    * count where MAD filtering drops rows; standard before computing
+    * means/regressions over heavy-tailed metrics. Same scale shape as
+    * [[normalizeByGroup]]: one |groups|-row exact-quantile aggregation
+    * (Spark's `percentile` buffers per-group value multisets — at
+    * extreme group cardinality swap in `approx_percentile`) broadcast
+    * back, then a map-side `greatest(least())` clip; adds `clipped` and
+    * an integer `was_clipped` flag. */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"bad band [$lo, $hi]")
+    val gcols = groupCols.map(col)
+    val v = col(valueCol).cast("double")
+    val stats = df.groupBy(gcols: _*).agg(
+      expr(s"percentile($valueCol, array($lo, $hi))").as("_q"))
+      .select(gcols :+ element_at(col("_q"), 1).as("_lo") :+
+        element_at(col("_q"), 2).as("_hi"): _*)
+    df.join(broadcast(stats), groupCols)
+      .withColumn("clipped", greatest(least(v, col("_hi")), col("_lo")))
+      .withColumn("was_clipped",
+        when(v < col("_lo") || v > col("_hi"), 1).otherwise(0))
+      .drop("_lo", "_hi")
+  }
+
   /** Pairwise two-sample Kolmogorov-Smirnov distance between the
     * per-group distributions of `valueCol`: D = max |F_a(x) − F_b(x)|
     * over the joint value domain, F the empirical CDF — the dataset-card

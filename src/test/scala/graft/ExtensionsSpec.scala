@@ -736,6 +736,24 @@ class ExtensionsSpec extends SparkSpec {
       r._3.isEmpty && r._4.isEmpty))
   }
 
+  test("winsorize: clips into the interpolated [p05, p95] band and " +
+    "flags only the clipped rows") {
+    val df = (1 to 20).map(i => (i.toLong, "a", i.toDouble))
+      .toDF("event_id", "g", "v")
+    val got = graft.ops.Stats.winsorize(df, Seq("g"), "v")
+      .select("event_id", "clipped", "was_clipped").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).sortBy(_._1)
+    // 1..20: p05 = 1 + 0.95·1 = 1.95, p95 = 19 + 0.05·1 = 19.05
+    // (compare with tolerance: the interpolation fraction 19·0.05 is
+    // inexact in binary)
+    assert(got(0)._1 == 1L && math.abs(got(0)._2 - 1.95) < 1e-9 &&
+      got(0)._3 == 1)
+    assert(got(19)._1 == 20L && math.abs(got(19)._2 - 19.05) < 1e-9 &&
+      got(19)._3 == 1)
+    assert(got(9) == ((10L, 10.0, 0)))
+    assert(got.count(_._3 == 1) == 2)
+  }
+
   test("bigramNll: closed form on a two-transition corpus") {
     // bigrams: doc1 "a b", doc2 "a c" → c("a ·") = 2, each p = 1/2
     // doc3 "x x x" → c("x x") = 2 = c("x ·") → p = 1, nll = 0

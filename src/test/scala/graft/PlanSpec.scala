@@ -285,6 +285,13 @@ class PlanSpec extends SparkSpec {
       s"|groups|-row stats must never sort-merge:\n$p")
   }
 
+  test("q116 winsorize broadcasts the per-group quantile band") {
+    val p = plan("q116_winsorize")
+    assert(p.contains("BroadcastHashJoin"), s"band not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"|groups|-row band must never sort-merge:\n$p")
+  }
+
   test("giant-group quantile fallback: no window sort, cuts broadcast") {
     // the routed cut-point path over a real parquet scan: one
     // partial-aggregated percentile pass + broadcast join + map-side bin
