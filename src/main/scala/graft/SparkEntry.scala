@@ -311,6 +311,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // intra-document repeated-chunk removal — the within-page half of the
+    // C4 cleanup (q114 is the cross-doc half); pure built-ins, zero
+    // shuffle. chunkLen 6 because the synthetic docs are short token
+    // soup; web-scale corpora use 32+ like q114
+    "q117_intradoc_dedup" -> ((s, dir) => {
+      Dedup.dedupChunksWithinDoc(t(s, dir, "documents"), chunkLen = 6)
+        .orderBy("doc_id")
+    }),
+
     // directed containment pairs — the quote/expansion detector symmetric
     // Jaccard misses; threshold low enough to exercise both directions
     "q111_containment" -> ((s, dir) => {
@@ -2256,6 +2265,19 @@ object SparkEntry {
         |                '') AS clean_text
         |FROM ch LEFT JOIN dup ON ch.c = dup.c
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q117_intradoc_dedup" ->
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |         [substr(text, i*6+1, 6)
+        |          FOR i IN generate_series(0, (length(text)-1) // 6)] AS chs
+        |  FROM documents)
+        |SELECT doc_id, len(chs) AS n_chunks,
+        |       len([chs[i] FOR i IN generate_series(1, len(chs))
+        |            IF list_position(chs, chs[i]) = i]) AS kept_chunks,
+        |       array_to_string([chs[i] FOR i IN generate_series(1, len(chs))
+        |            IF list_position(chs, chs[i]) = i], '') AS clean_text
+        |FROM ch ORDER BY doc_id""".stripMargin,
 
     "q111_containment" ->
       """WITH toks AS (

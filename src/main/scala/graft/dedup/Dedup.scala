@@ -779,6 +779,31 @@ object Dedup {
     * duplicate volume, but kept text moves through one groupBy) — the
     * same gated-hybrid shape as [[connectedComponents]].
     */
+  /** INTRA-document repeated-chunk removal: within each document, keep
+    * only the FIRST occurrence of each `chunkLen`-char chunk value — the
+    * within-page half of the C4 cleanup ([[substringDedup]] is the
+    * cross-document half; composed they remove both template runs and
+    * self-repetition, the failure mode [[graft.text.TextOps]]'s
+    * repetition score only measures). Entirely Spark built-ins
+    * (`filter` with index + `array_position`), so the plan is one
+    * map-only projection: NO shuffle of any kind, not even the ownership
+    * aggregation [[substringDedup]]'s pass 1 needs. `array_position`
+    * rescans the chunk array per element (quadratic per document) —
+    * fine for web-page-sized docs; for book-length inputs swap in a
+    * hash-set kernel of the [[graft.functions.CleanDupChunks]] shape.
+    * Returns (idCol, n_chunks, kept_chunks, clean_text). */
+  def dedupChunksWithinDoc(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text",
+                           chunkLen: Int = 32): DataFrame = {
+    require(chunkLen > 0, "chunkLen must be positive")
+    val kept = filter(col("_chs"),
+      (c, i) => array_position(col("_chs"), c) === i.cast("long") + 1L)
+    docs.withColumn("_chs", chunks(textCol, chunkLen))
+      .select(col(idCol), size(col("_chs")).cast("long").as("n_chunks"),
+        size(kept).cast("long").as("kept_chunks"),
+        array_join(kept, "").as("clean_text"))
+  }
+
   def substringDedup(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text", chunkLen: Int = 32,
                      maxDupChunks: Int = 4000000): DataFrame = {

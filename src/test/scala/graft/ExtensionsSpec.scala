@@ -696,6 +696,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(fb == got)
   }
 
+  test("dedupChunksWithinDoc: first occurrence survives, later repeats " +
+    "drop, ragged tail is its own chunk") {
+    val df = Seq(
+      (1L, "abcdefabcdefxyzxyz"), // [abcdef, abcdef, xyzxyz]
+      (2L, "aaaaaa"),
+      (3L, ""),
+      (4L, "abcdefabc")) // tail "abc" ≠ "abcdef" → both kept
+      .toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.dedupChunksWithinDoc(df, chunkLen = 6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((3L, 2L, "abcdefxyzxyz")))
+    assert(got(2L) == ((1L, 1L, "aaaaaa")))
+    assert(got(3L) == ((0L, 0L, "")))
+    assert(got(4L) == ((2L, 2L, "abcdefabc")))
+  }
+
   test("containmentPairs: full quote scores 1.0 directed, low Jaccard") {
     // doc 2 fully contains doc 1's text plus much more: every shingle of
     // 1 appears in 2, so cont_1_in_2 = 1.0 while Jaccard stays low

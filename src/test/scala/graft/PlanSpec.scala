@@ -266,6 +266,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Generate"), s"rewrite must not explode:\n$p")
   }
 
+  test("q117 intra-doc dedup is one map-only projection: no join, " +
+    "no agg, no explode") {
+    val p = plan("q117_intradoc_dedup")
+    assert(!p.contains("Join"), s"must not join:\n$p")
+    assert(!p.contains("HashAggregate"), s"must not aggregate:\n$p")
+    assert(!p.contains("Generate"), s"must not explode:\n$p")
+  }
+
   test("q106 PQ encode is a map-only projection — no join, no agg") {
     val p = plan("q106_pq_encode")
     assert(!p.contains("Join"), s"broadcast codebook must not join:\n$p")
