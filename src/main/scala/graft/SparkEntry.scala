@@ -1131,6 +1131,16 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // SCD2 dimension history: change log → type-2 validity intervals
+    // (collapse consecutive repeats, valid_to = next change, NULL open);
+    // state = floor(value/50) so the log actually has repeats to collapse
+    "q118_scd2" -> ((s, dir) => {
+      val log = t(s, dir, "events")
+        .withColumn("state", floor(col("value") / 50).cast("long"))
+      Windows.scd2(log, Seq("user_id", "event_type"), "ts", "state")
+        .orderBy("user_id", "event_type", "valid_from")
+    }),
+
     // per-group winsorization: clip into the [p05, p95] band — row-count
     // preserving outlier treatment; |groups|-row quantile broadcast
     "q116_winsorize" -> ((s, dir) => {
@@ -1516,6 +1526,23 @@ object SparkEntry {
     "q105_ann_recall" -> annRecallOracle,
 
     "q106_pq_encode" -> pqEncodeOracle,
+
+    "q118_scd2" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type, ts,
+        |         CAST(floor(value / 50) AS BIGINT) AS state
+        |  FROM events),
+        |c AS (
+        |  SELECT *, lag(state) OVER
+        |           (PARTITION BY user_id, event_type ORDER BY ts) AS prev
+        |  FROM s),
+        |ch AS (SELECT user_id, event_type, ts, state FROM c
+        |       WHERE prev IS NULL OR state <> prev)
+        |SELECT user_id, event_type, state, ts AS valid_from,
+        |       lead(ts) OVER
+        |         (PARTITION BY user_id, event_type ORDER BY ts) AS valid_to
+        |FROM ch
+        |ORDER BY user_id, event_type, valid_from""".stripMargin,
 
     "q116_winsorize" ->
       """WITH st AS (

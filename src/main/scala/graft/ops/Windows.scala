@@ -24,6 +24,27 @@ object Windows {
       .drop("_prev")
   }
 
+  /** SCD2 dimension-history builder: turn a change log (key, ts, value)
+    * into type-2 validity intervals — collapse consecutive repeats of the
+    * same value per key ([[dedupConsecutive]]), then `valid_from` = the
+    * change timestamp and `valid_to` = the NEXT change's timestamp (NULL
+    * for the current version, the open interval). The warehouse-standard
+    * dimension shape that [[graft.ops.AsOf]] point-in-time joins read.
+    * One window pass over data already partitioned by key — same
+    * key-partitioned posture as every window op here; no join, no second
+    * shuffle (the lag filter and the lead share one sort). */
+  def scd2(df: DataFrame, keyCols: Seq[String], tsCol: String,
+           valueCol: String): DataFrame = {
+    val changes = dedupConsecutive(df
+        .select((keyCols :+ tsCol :+ valueCol).map(col): _*),
+      valueCol, keyCols, Seq(tsCol))
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to",
+        lead(col(tsCol), 1).over(w(keyCols, Seq(tsCol))))
+      .drop(tsCol)
+  }
+
   /** W2: cumulative-counter → sleep intervals
     * (`preliminary_intervals`, /root/reference/activity_categorize.py:74-90).
     * Semantics (incl. quirk Q5):

@@ -110,6 +110,24 @@ class OpsSpec extends SparkSpec {
     assert(got.sorted == Seq(1, 3, 5))
   }
 
+  test("scd2: consecutive repeats collapse, valid_to chains to the next " +
+    "change, current version stays open") {
+    val df = Seq(
+      ("u", 1L, 10L), ("u", 2L, 10L), // repeat collapses into version 1
+      ("u", 3L, 20L),
+      ("u", 4L, 10L), // value returns → NEW version, not merged with v1
+      ("w", 7L, 5L)).toDF("k", "ts", "state")
+    val got = Windows.scd2(df, Seq("k"), "ts", "state")
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(got.toSeq == Seq(
+      ("u", 10L, 1L, Some(3L)),
+      ("u", 20L, 3L, Some(4L)),
+      ("u", 10L, 4L, None),
+      ("w", 5L, 7L, None)))
+  }
+
   test("W2/Q5: counter delta — non-increase keeps the TOTAL, not zero") {
     val df = Seq(
       (ts("2024-01-01 00:00:00"), 10.0), // first row: reset → mins = 10
