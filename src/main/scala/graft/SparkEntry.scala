@@ -1141,6 +1141,25 @@ object SparkEntry {
         .orderBy("user_id", "event_type", "valid_from")
     }),
 
+    // point-in-time enrichment: purchases pick up the signup-state
+    // version valid at their timestamp — SCD2 (q118) composed with the
+    // backward as-of join (J4 machinery); versions tile time, so as-of
+    // on valid_from ≡ interval membership, and the oracle cross-checks
+    // that equivalence relationally
+    "q119_pit_enrich" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val dim = Windows.scd2(
+        ev.filter(col("event_type") === "signup")
+          .withColumn("state", floor(col("value") / 50).cast("long")),
+        Seq("user_id"), "ts", "state")
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      AsOf.asofBackward(probes, dim, Seq("user_id"), "ts", "valid_from",
+          Seq("state"))
+        .select("event_id", "user_id", "asof_state")
+        .orderBy("event_id")
+    }),
+
     // per-group winsorization: clip into the [p05, p95] band — row-count
     // preserving outlier treatment; |groups|-row quantile broadcast
     "q116_winsorize" -> ((s, dir) => {
@@ -1526,6 +1545,28 @@ object SparkEntry {
     "q105_ann_recall" -> annRecallOracle,
 
     "q106_pq_encode" -> pqEncodeOracle,
+
+    "q119_pit_enrich" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, CAST(floor(value / 50) AS BIGINT) AS state
+        |  FROM events WHERE event_type = 'signup'),
+        |c AS (
+        |  SELECT *, lag(state) OVER
+        |           (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM s),
+        |sg AS (
+        |  SELECT user_id, state, ts AS valid_from,
+        |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           AS valid_to
+        |  FROM (SELECT user_id, ts, state FROM c
+        |        WHERE prev IS NULL OR state <> prev)),
+        |p AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, sg.state AS asof_state
+        |FROM p LEFT JOIN sg ON p.user_id = sg.user_id
+        |  AND sg.valid_from <= p.ts
+        |  AND (sg.valid_to IS NULL OR p.ts < sg.valid_to)
+        |ORDER BY event_id""".stripMargin,
 
     "q118_scd2" ->
       """WITH s AS (
