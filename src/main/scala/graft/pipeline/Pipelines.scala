@@ -227,6 +227,33 @@ object Pipelines {
     cleanTrain.unionByName(split.filter(col("split") =!= "train"))
   }
 
+  /** E6 (engine extension): content-REWRITE cleanup — the two chunk-level
+    * rewrite passes [[curate]]'s doc-level keep/drop gates don't perform.
+    * First intra-document repeated-chunk removal
+    * ([[graft.dedup.Dedup.dedupChunksWithinDoc]], map-only), then
+    * cross-document substring dedup on the already-self-deduped text
+    * ([[graft.dedup.Dedup.substringDedup]], broadcast rewrite) — the C4
+    * order: self-repetition must go first or a doc repeating a shared
+    * template N times would survive cross-doc dedup as the "owner" of its
+    * own spam. Docs whose doubly-cleaned text keeps less than
+    * `minKeptFrac` of their original chunks are boilerplate shells and
+    * are dropped. Returns (doc_id, text, orig_chunks, kept_chunks) with
+    * `text` rewritten. Components oracle-gated by q117/q114; this
+    * composition is the wiring. */
+  def rewriteClean(docs: DataFrame, chunkLen: Int = 32,
+                   minKeptFrac: Double = 0.2): DataFrame = {
+    import graft.dedup.Dedup
+    val intra = Dedup.dedupChunksWithinDoc(docs, chunkLen = chunkLen)
+      .select(col("doc_id"), col("clean_text").as("text"),
+        col("n_chunks").as("orig_chunks"))
+    val cross = Dedup.substringDedup(intra, chunkLen = chunkLen)
+    cross.join(intra.select("doc_id", "orig_chunks"), Seq("doc_id"))
+      .filter(col("kept_chunks") >=
+        col("orig_chunks").cast("double") * minKeptFrac)
+      .select(col("doc_id"), col("clean_text").as("text"),
+        col("orig_chunks"), col("kept_chunks"))
+  }
+
   /** E5: release-audit bundle for a (curated) corpus — the reports a
     * dataset release ships alongside the parquet: per-source dataset
     * card, split-leakage pairs (should be sparse after [[curate]]),

@@ -188,4 +188,30 @@ class PipelineSpec extends SparkSpec {
     assert(z.getAs[Long]("n_tokens") > 0)
     assert(z.getAs[Double]("slope") < 0.0) // frequencies decay with rank
   }
+
+  test("E6 rewriteClean: self-repetition collapses first, cross-doc " +
+    "boilerplate keeps one owner, shells drop") {
+    val block = "0123456789abcdef0123456789abcdef" // one 32-char chunk
+    val docs = Seq(
+      // self-spam: repeats the shared block 4x — intra pass collapses it
+      // to ONE copy before cross-doc ownership is decided
+      (1L, block * 4),
+      // owner candidate with original tail
+      (2L, block + "original tail content here ok"),
+      // pure boilerplate shell: nothing but the shared block — after
+      // losing it to the owner, kept_frac = 0 → dropped
+      (9L, block),
+      (5L, "entirely original document text")).toDF("doc_id", "text")
+    val got = Pipelines.rewriteClean(docs, minKeptFrac = 0.2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 self-dedups to one block copy, then OWNS the block (min id)
+    assert(got(1L) == ((block, 4L, 1L)))
+    // doc 2 loses the block to doc 1 but keeps its tail
+    assert(got(2L) == (("original tail content here ok", 2L, 1L)))
+    // doc 5 untouched
+    assert(got(5L) == (("entirely original document text", 1L, 1L)))
+    // doc 9 kept nothing → filtered out entirely
+    assert(!got.contains(9L))
+  }
 }
