@@ -1131,6 +1131,14 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // token-budget corpus selection: quality-ranked prefix under a token
+    // budget — bin-offset + per-bin windows, no global doc sort
+    "q120_budget_select" -> ((s, dir) => {
+      TextOps.selectUnderTokenBudget(t(s, dir, "documents"),
+          budgetTokens = 12000L)
+        .orderBy("doc_id")
+    }),
+
     // SCD2 dimension history: change log → type-2 validity intervals
     // (collapse consecutive repeats, valid_to = next change, NULL open);
     // state = floor(value/50) so the log actually has repeats to collapse
@@ -1545,6 +1553,22 @@ object SparkEntry {
     "q105_ann_recall" -> annRecallOracle,
 
     "q106_pq_encode" -> pqEncodeOracle,
+
+    "q120_budget_select" ->
+      s"""WITH $qualityCtes,
+         |t AS (
+         |  SELECT q.doc_id, round(q.quality, 6) AS quality,
+         |         CAST(len(string_split(d.text, ' ')) AS BIGINT)
+         |           AS n_tokens
+         |  FROM q JOIN documents d USING (doc_id)),
+         |c AS (
+         |  SELECT doc_id, quality, n_tokens,
+         |         CAST(sum(n_tokens) OVER
+         |           (ORDER BY quality DESC, doc_id) AS BIGINT)
+         |           AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, quality, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= 12000 ORDER BY doc_id""".stripMargin,
 
     "q119_pit_enrich" ->
       """WITH s AS (

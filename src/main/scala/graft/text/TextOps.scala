@@ -707,4 +707,49 @@ object TextOps {
       .withColumn("quality", qualityScore(t))
       .withColumn("fingerprint", fingerprint(t))
   }
+
+  /** Token-budget-constrained corpus selection: keep the quality-ranked
+    * prefix of the corpus whose cumulative token count fits
+    * `budgetTokens` — the "fill a 10B-token budget with the best
+    * documents" step between scoring and training. Selection order is
+    * (quality DESC, id ASC), quality rounded to `qualityDp` decimals so
+    * the ranking key is portable across engines.
+    *
+    * Scale shape — the naive global `SUM OVER (ORDER BY quality)` window
+    * is a single-task sort of the whole corpus; this routes around it the
+    * same way [[graft.ops.Windows.quantileBucketsByCutpoints]] does:
+    * (1) aggregate per-quality-bin token totals (|bins| ≤ 10^`qualityDp`,
+    * driver-tiny), (2) one window over the BINS computes each bin's
+    * prior-tokens offset, (3) broadcast the offsets back and run the
+    * per-document prefix sum WITHIN each bin — windows partitioned by
+    * bin, fully parallel, no global sort anywhere. Exact: global cum =
+    * bin prior + within-bin prefix, because bins tile the ranking order.
+    * Returns (idCol, quality, n_tokens, cum_tokens) for kept docs. */
+  def selectUnderTokenBudget(docs: DataFrame, budgetTokens: Long,
+                             idCol: String = "doc_id",
+                             textCol: String = "text",
+                             qualityDp: Int = 6): DataFrame = {
+    require(budgetTokens >= 0, "budget must be non-negative")
+    val t = docs.select(col(idCol),
+      round(qualityScore(col(textCol)), qualityDp).as("quality"),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val bins = t.groupBy("quality")
+      .agg(sum("n_tokens").as("_btok"))
+    val wBins = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality").desc)
+    val offsets = bins
+      .withColumn("_prior", sum("_btok").over(wBins) - col("_btok"))
+      // bins whose offset already exceeds the budget can't contribute a
+      // single doc — prune them before the broadcast
+      .filter(col("_prior") < budgetTokens)
+      .select("quality", "_prior")
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("quality").orderBy(col(idCol))
+    t.join(broadcast(offsets), Seq("quality"))
+      .withColumn("cum_tokens",
+        col("_prior") + sum("n_tokens").over(wDoc))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col(idCol), col("quality"), col("n_tokens"),
+        col("cum_tokens"))
+  }
 }

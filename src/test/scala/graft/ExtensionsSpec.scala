@@ -753,6 +753,32 @@ class ExtensionsSpec extends SparkSpec {
       r._3.isEmpty && r._4.isEmpty))
   }
 
+  test("selectUnderTokenBudget: bin-decomposed selection equals the " +
+    "naive quality-ranked prefix sum") {
+    // varied lengths/stopword mixes → spread of quality scores and ties
+    val docs = (1L to 40L).map { i =>
+      val body = Seq.fill((i % 7).toInt + 1)(s"word$i content the a of")
+        .mkString(" ")
+      (i, if (i % 3 == 0) body + " !!! ???" else body)
+    }.toDF("doc_id", "text")
+    val budget = 150L
+    val got = graft.text.TextOps.selectUnderTokenBudget(docs, budget)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    // naive definition: global (quality DESC, id) prefix under budget
+    val scored = docs.select(col("doc_id"),
+        round(graft.text.TextOps.qualityScore(col("text")), 6).as("q"),
+        graft.text.TextOps.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy { case (id, q, _) => (-q, id) }
+    var cum = 0L
+    val expected = scored.flatMap { case (id, _, n) =>
+      cum += n
+      if (cum <= budget) Some(id -> cum) else None
+    }.toMap
+    assert(expected.nonEmpty && expected.size < 40) // budget actually cuts
+    assert(got == expected)
+  }
+
   test("winsorize: clips into the interpolated [p05, p95] band and " +
     "flags only the clipped rows") {
     val df = (1 to 20).map(i => (i.toLong, "a", i.toDouble))

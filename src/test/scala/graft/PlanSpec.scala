@@ -293,6 +293,20 @@ class PlanSpec extends SparkSpec {
       s"|groups|-row stats must never sort-merge:\n$p")
   }
 
+  test("q120 budget selection broadcasts bin offsets; doc windows " +
+    "partition by bin") {
+    val p = plan("q120_budget_select")
+    assert(p.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"|bins|-row offsets must never sort-merge:\n$p")
+    // the per-document window must be keyed by the quality bin — a
+    // global (unpartitioned) doc window would be the single-task sort
+    // this operator exists to avoid
+    val docWindow = "Window \\[[^\\]]*n_tokens[^\\]]*\\]".r.findFirstIn(p)
+    assert(docWindow.exists(_.contains("quality")),
+      s"doc prefix-sum window not partitioned by quality bin:\n$p")
+  }
+
   test("q116 winsorize broadcasts the per-group quantile band") {
     val p = plan("q116_winsorize")
     assert(p.contains("BroadcastHashJoin"), s"band not broadcast:\n$p")
