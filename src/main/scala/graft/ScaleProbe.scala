@@ -120,6 +120,16 @@ object ScaleProbe {
             .agg(sum("dup_fraction")).head(); 1L },
         "bigram_nll" -> { d =>
           TextOps.bigramNll(d).agg(sum("nll")).head(); 1L },
+        "intradoc_dedup" -> { d =>
+          Dedup.dedupChunksWithinDoc(d).agg(sum("kept_chunks")).head(); 1L },
+        "winsorize" -> { d =>
+          graft.ops.Stats.winsorize(d, Seq("source"), "n_chars")
+            .agg(sum("clipped")).head(); 1L },
+        "budget_select" -> { d =>
+          // budget far above the corpus total so selection never truncates
+          // the scan — measures the full bin-decomposed pipeline
+          TextOps.selectUnderTokenBudget(d, budgetTokens = 10000000000L)
+            .agg(sum("cum_tokens")).head(); 1L },
         "substring_dedup" -> { d =>
           // replicas share nearly every 32-char chunk with their source
           // doc, so the duplicate table at Kx approaches the full distinct
