@@ -1139,6 +1139,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // per-source token quotas: each source fills its own budget with its
+    // best docs (mixture-weighted selection); unlisted sources drop
+    "q121_quota_select" -> ((s, dir) => {
+      TextOps.selectUnderTokenBudgetByGroup(t(s, dir, "documents"),
+          Map("src0" -> 700L, "src1" -> 400L, "src2" -> 1000L,
+            "src3" -> 99999L))
+        .orderBy("doc_id")
+    }),
+
     // SCD2 dimension history: change log → type-2 validity intervals
     // (collapse consecutive repeats, valid_to = next change, NULL open);
     // state = floor(value/50) so the log actually has repeats to collapse
@@ -1553,6 +1562,25 @@ object SparkEntry {
     "q105_ann_recall" -> annRecallOracle,
 
     "q106_pq_encode" -> pqEncodeOracle,
+
+    "q121_quota_select" ->
+      s"""WITH $qualityCtes,
+         |b AS (SELECT * FROM (VALUES ('src0', 700), ('src1', 400),
+         |        ('src2', 1000), ('src3', 99999)) AS b(source, budget)),
+         |t AS (
+         |  SELECT q.doc_id, q.source, round(q.quality, 6) AS quality,
+         |         CAST(len(string_split(d.text, ' ')) AS BIGINT)
+         |           AS n_tokens, b.budget
+         |  FROM q JOIN documents d USING (doc_id)
+         |         JOIN b ON q.source = b.source),
+         |c AS (
+         |  SELECT doc_id, source, quality, n_tokens, budget,
+         |         CAST(sum(n_tokens) OVER (PARTITION BY source
+         |           ORDER BY quality DESC, doc_id) AS BIGINT)
+         |           AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, source, quality, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= budget ORDER BY doc_id""".stripMargin,
 
     "q120_budget_select" ->
       s"""WITH $qualityCtes,

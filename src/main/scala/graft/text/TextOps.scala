@@ -725,6 +725,49 @@ object TextOps {
     * bin, fully parallel, no global sort anywhere. Exact: global cum =
     * bin prior + within-bin prefix, because bins tile the ranking order.
     * Returns (idCol, quality, n_tokens, cum_tokens) for kept docs. */
+  /** Per-group [[selectUnderTokenBudget]]: each group (source, domain,
+    * language…) fills its OWN token quota with its best documents — the
+    * mixture-weighted selection step (quota_g = weight_g · total budget)
+    * that keeps one runaway-quality source from eating the whole budget.
+    * Groups absent from `budgets` are dropped (a quota of 0 tokens).
+    * Same bin-offset decomposition as the global form, with every window
+    * additionally keyed by the group — the offsets table grows to
+    * |groups|·|bins| rows, still driver-tiny, and the budget rides the
+    * broadcast alongside the offsets. */
+  def selectUnderTokenBudgetByGroup(docs: DataFrame,
+                                    budgets: Map[String, Long],
+                                    groupCol: String = "source",
+                                    idCol: String = "doc_id",
+                                    textCol: String = "text",
+                                    qualityDp: Int = 6): DataFrame = {
+    require(budgets.nonEmpty, "need at least one group quota")
+    require(budgets.valuesIterator.forall(_ >= 0), "quotas must be >= 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bl = budgets.toSeq.toDF(groupCol, "_budget")
+    val t = docs.join(broadcast(bl), Seq(groupCol))
+      .select(col(groupCol), col(idCol),
+        round(qualityScore(col(textCol)), qualityDp).as("quality"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        col("_budget"))
+    val bins = t.groupBy(groupCol, "quality")
+      .agg(sum("n_tokens").as("_btok"), first("_budget").as("_b"))
+    val wBins = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("quality").desc)
+    val offsets = bins
+      .withColumn("_prior", sum("_btok").over(wBins) - col("_btok"))
+      .filter(col("_prior") < col("_b"))
+      .select(groupCol, "quality", "_prior")
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol, "quality").orderBy(col(idCol))
+    t.join(broadcast(offsets), Seq(groupCol, "quality"))
+      .withColumn("cum_tokens",
+        col("_prior") + sum("n_tokens").over(wDoc))
+      .filter(col("cum_tokens") <= col("_budget"))
+      .select(col(idCol), col(groupCol), col("quality"), col("n_tokens"),
+        col("cum_tokens"))
+  }
+
   def selectUnderTokenBudget(docs: DataFrame, budgetTokens: Long,
                              idCol: String = "doc_id",
                              textCol: String = "text",

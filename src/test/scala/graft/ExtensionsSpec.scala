@@ -779,6 +779,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("selectUnderTokenBudgetByGroup: quotas fill independently, " +
+    "unlisted groups drop") {
+    // identical text across sources → identical quality and token counts,
+    // so quota arithmetic is exact: 6 tokens per doc
+    val text = "alpha beta gamma the of a"
+    val docs = (1L to 10L).map { i =>
+      (i, if (i <= 5) "sa" else "sb", text)
+    }.toDF("doc_id", "source", "text")
+    val got = graft.text.TextOps.selectUnderTokenBudgetByGroup(docs,
+        Map("sa" -> 13L, "sb" -> 6L), groupCol = "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4)))
+      .sortBy(_._1)
+    // sa: 13 tokens → 2 docs (ties break by id: 1, 2); sb: 6 → 1 doc (6)
+    assert(got.toSeq == Seq((1L, "sa", 6L), (2L, "sa", 12L),
+      (6L, "sb", 6L)))
+  }
+
   test("winsorize: clips into the interpolated [p05, p95] band and " +
     "flags only the clipped rows") {
     val df = (1 to 20).map(i => (i.toLong, "a", i.toDouble))
