@@ -754,31 +754,6 @@ object Dedup {
         i => col(textCol).substr(i * chunkLen + 1, lit(chunkLen))))
       .otherwise(array().cast("array<string>"))
 
-  /** Exact substring dedup WITH removal rewrite (the C4 / "Deduplicating
-    * Training Data Makes Language Models Better" cleanup, fixed-stride
-    * variant): split every document into non-overlapping `chunkLen`-char
-    * chunks, find chunk VALUES occurring in ≥ 2 distinct documents, and
-    * remove every occurrence except in the owner document (min id among
-    * docs containing the value — keep-first). Catches long boilerplate
-    * runs (headers, license blocks, templated passages) that whole-doc
-    * dedup misses and that [[duplicatedShingleFraction]] only MEASURES;
-    * this operator actually rewrites the corpus. Returns
-    * (idCol, n_chunks, kept_chunks, clean_text) for every input doc.
-    *
-    * Scale shape — the two-pass exact-substring plan:
-    * pass 1 aggregates chunk → (owner, doc frequency) and keeps only
-    * duplicated values (shuffles one row per chunk; at 100 TB substitute
-    * the xxhash64 digest for the raw chunk to make that shuffle
-    * fixed-width). Pass 2 is MAP-ONLY: duplicated chunks are rare
-    * relative to the corpus, so the duplicate table broadcasts as a hash
-    * map ([[graft.functions.CleanDupChunks]]) and each document
-    * re-chunks and filters ITSELF — no join, no aggregation, document
-    * text never shuffles, plan size O(1) in the table. If the duplicate
-    * table exceeds `maxDupChunks` entries the operator falls back to the
-    * relational explode → left-join → re-assemble plan (correct at any
-    * duplicate volume, but kept text moves through one groupBy) — the
-    * same gated-hybrid shape as [[connectedComponents]].
-    */
   /** INTRA-document repeated-chunk removal: within each document, keep
     * only the FIRST occurrence of each `chunkLen`-char chunk value — the
     * within-page half of the C4 cleanup ([[substringDedup]] is the
@@ -804,22 +779,62 @@ object Dedup {
         array_join(kept, "").as("clean_text"))
   }
 
+  /** Exact substring dedup WITH removal rewrite (the C4 / "Deduplicating
+    * Training Data Makes Language Models Better" cleanup, fixed-stride
+    * variant): split every document into non-overlapping `chunkLen`-char
+    * chunks, find chunk VALUES occurring in ≥ 2 distinct documents, and
+    * remove every occurrence except in the owner document (min id among
+    * docs containing the value — keep-first). Catches long boilerplate
+    * runs (headers, license blocks, templated passages) that whole-doc
+    * dedup misses and that [[duplicatedShingleFraction]] only MEASURES;
+    * this operator actually rewrites the corpus. Returns
+    * (idCol, n_chunks, kept_chunks, clean_text) for every input doc.
+    *
+    * Scale shape — the two-pass exact-substring plan:
+    * pass 1 aggregates chunk → (owner, doc frequency) and keeps only
+    * duplicated values (shuffles one row per chunk; at 100 TB substitute
+    * the xxhash64 digest for the raw chunk to make that shuffle
+    * fixed-width). Pass 2 is MAP-ONLY: duplicated chunks are rare
+    * relative to the corpus, so the duplicate table broadcasts as a hash
+    * map ([[graft.functions.CleanDupChunks]]) and each document
+    * re-chunks and filters ITSELF — no join, no aggregation, document
+    * text never shuffles, plan size O(1) in the table. If the duplicate
+    * table exceeds `maxDupChunks` entries the operator falls back to the
+    * relational explode → left-join → re-assemble plan (correct at any
+    * duplicate volume, but kept text moves through one groupBy) — the
+    * same gated-hybrid shape as [[connectedComponents]].
+    *
+    * `digestKeys = true` is the implemented 100 TB mode: ownership is
+    * keyed by the chunk's `xxhash64` digest instead of the chunk string,
+    * so pass 1 shuffles FIXED-WIDTH 8-byte keys and the broadcast holds
+    * 16 bytes per duplicate regardless of `chunkLen` (a 2^-64-per-pair
+    * collision could misattribute one chunk — the standard exact-dedup
+    * trade; keep the default string keys when bit-exact auditability
+    * matters more than shuffle width). Both paths honor the flag.
+    */
   def substringDedup(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text", chunkLen: Int = 32,
-                     maxDupChunks: Int = 4000000): DataFrame = {
+                     maxDupChunks: Int = 4000000,
+                     digestKeys: Boolean = false): DataFrame = {
     require(chunkLen > 0, "chunkLen must be positive")
     val ch = docs.select(col(idCol).cast("long").as("id"),
         posexplode(chunks(textCol, chunkLen)).as(Seq("pos", "c")))
-    val dup = ch.groupBy("c")
+      .withColumn("k", if (digestKeys) xxhash64(col("c")) else col("c"))
+    val dup = ch.select("k", "id").groupBy("k")
       .agg(min("id").as("owner"), countDistinct("id").as("nd"))
       .filter(col("nd") >= 2)
-      .select("c", "owner")
+      .select("k", "owner")
     // one bounded job: ≤ maxDupChunks + 1 rows ever reach the driver
     val dupRows = dup.limit(maxDupChunks + 1).collect()
     if (dupRows.length <= maxDupChunks) {
-      val bc = docs.sparkSession.sparkContext.broadcast(
-        graft.functions.CleanDupChunks.build(chunkLen,
-          dupRows.iterator.map(r => r.getString(0) -> r.getLong(1)).toSeq))
+      val table =
+        if (digestKeys)
+          graft.functions.CleanDupChunks.buildHashed(chunkLen,
+            dupRows.iterator.map(r => r.getLong(0) -> r.getLong(1)).toSeq)
+        else
+          graft.functions.CleanDupChunks.build(chunkLen,
+            dupRows.iterator.map(r => r.getString(0) -> r.getLong(1)).toSeq)
+      val bc = docs.sparkSession.sparkContext.broadcast(table)
       docs.select(col(idCol),
           graft.functions.HashExpressions.cleanDupChunks(
             col(idCol).cast("long"), col(textCol), bc).as("r"))
@@ -828,7 +843,7 @@ object Dedup {
           col("r.clean_text").as("clean_text"))
     } else {
       val keep = col("owner").isNull || col("owner") === col("id")
-      val agg = ch.join(dup, Seq("c"), "left")
+      val agg = ch.join(dup, Seq("k"), "left")
         .groupBy("id")
         .agg(count(lit(1)).as("n_chunks"),
           sum(when(keep, 1L).otherwise(0L)).as("kept_chunks"),

@@ -250,7 +250,11 @@ case class CleanDupChunks(left: Expression, right: Expression,
       val cps = math.min(t.chunkLen, cpCount - k * t.chunkLen)
       val end = s.offsetByCodePoints(start, cps)
       val c = s.substring(start, end)
-      val owner = t.owners.get(c)
+      val owner =
+        if (t.ownersByHash ne null)
+          t.ownersByHash.get(java.lang.Long.valueOf(
+            MinHashParams.shingleHash64(UTF8String.fromString(c))))
+        else t.owners.get(c)
       if (owner == null || owner.longValue() == id) {
         sb.append(c); kept += 1L
       }
@@ -364,14 +368,27 @@ case class JaroWinkler(left: Expression, right: Expression)
 
 object CleanDupChunks {
   /** Broadcast payload: chunk length (code points) and the duplicated
-    * chunk values with their owner (min id over containing docs). */
+    * chunk values with their owner (min id over containing docs) — keyed
+    * either by the chunk STRING (oracle-exact) or by its `xxhash64`
+    * digest (`ownersByHash` non-null; the 100 TB mode, where pass 1
+    * shuffles fixed-width keys and the broadcast carries 16 bytes per
+    * duplicate instead of the chunk text). Exactly one of the two maps
+    * is populated. */
   final case class DupTable(chunkLen: Int,
-                            owners: java.util.HashMap[String, java.lang.Long])
+      owners: java.util.HashMap[String, java.lang.Long],
+      ownersByHash: java.util.HashMap[java.lang.Long, java.lang.Long])
 
   def build(chunkLen: Int, dup: Iterable[(String, Long)]): DupTable = {
     val m = new java.util.HashMap[String, java.lang.Long]()
     dup.foreach { case (c, owner) => m.put(c, java.lang.Long.valueOf(owner)) }
-    DupTable(chunkLen, m)
+    DupTable(chunkLen, m, null)
+  }
+
+  def buildHashed(chunkLen: Int, dup: Iterable[(Long, Long)]): DupTable = {
+    val m = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    dup.foreach { case (h, owner) =>
+      m.put(java.lang.Long.valueOf(h), java.lang.Long.valueOf(owner)) }
+    DupTable(chunkLen, null, m)
   }
 }
 

@@ -694,6 +694,17 @@ class ExtensionsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     assert(fb == got)
+    // digest-keyed 100 TB mode: identical output on both the broadcast
+    // kernel path and the relational fallback (8-byte shuffle keys)
+    val dg = graft.dedup.Dedup.substringDedup(docs, digestKeys = true)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(dg == got)
+    val dgFb = graft.dedup.Dedup.substringDedup(docs, maxDupChunks = 0,
+        digestKeys = true)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(dgFb == got)
   }
 
   test("dedupChunksWithinDoc: first occurrence survives, later repeats " +
