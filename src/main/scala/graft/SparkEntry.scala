@@ -835,6 +835,13 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token"))
     }),
 
+    // per-language nucleus vocabulary: smallest token prefix covering
+    // half the language's token mass (count desc, token asc ties)
+    "q122_nucleus_vocab" -> ((s, dir) => {
+      TextOps.nucleusVocab(t(s, dir, "documents"), p = 0.5)
+        .orderBy("lang", "cum")
+    }),
+
     // strict ordered funnel, 12 h per-step deadline
     "q66_funnel" -> ((s, dir) => {
       Events.funnel(t(s, dir, "events"),
@@ -2704,6 +2711,23 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
         |        % 1000000 < r.rate_ppm
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q122_nucleus_vocab" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT lang, token, count(*) AS cnt FROM tok
+        |      WHERE len(token) > 0 GROUP BY 1, 2),
+        |t AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS total
+        |      FROM c GROUP BY 1),
+        |w AS (SELECT c.lang, c.token, CAST(c.cnt AS BIGINT) AS cnt,
+        |             CAST(sum(c.cnt) OVER (PARTITION BY c.lang
+        |               ORDER BY c.cnt DESC, c.token) AS BIGINT) AS cum,
+        |             t.total
+        |      FROM c JOIN t USING (lang))
+        |SELECT lang, token, cnt, cum FROM w
+        |WHERE cum - cnt < total * 0.5
+        |ORDER BY lang, cum""".stripMargin,
 
     "q65_vocab_topk" ->
       """SELECT token, count(*) AS n

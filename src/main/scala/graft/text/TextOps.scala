@@ -343,6 +343,36 @@ object TextOps {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Per-group nucleus (top-p) vocabulary: for each group (language,
+    * source…), the smallest prefix of tokens — ordered by count DESC,
+    * token ASC for determinism — whose cumulative count covers `p` of
+    * the group's token mass. The vocab-truncation rule (keep the nucleus,
+    * map the tail to <unk>) tokenizer builds use, and a per-group
+    * skew/diversity lens: a tiny nucleus at p=0.9 means templated text.
+    * A token is kept iff the mass BEFORE it is still short of p·total,
+    * so the nucleus always crosses the threshold with its last member.
+    *
+    * Scale: the windows run over the (group, token) COUNT table —
+    * vocabulary-sized (Heaps' law), orders of magnitude below the
+    * corpus — partitioned by group; the |groups|-row totals broadcast.
+    * Returns (groupCol, token, cnt, cum). */
+  def nucleusVocab(docs: DataFrame, p: Double,
+                   groupCol: String = "lang",
+                   textCol: String = "text"): DataFrame = {
+    require(p > 0 && p <= 1, s"p must be in (0, 1], got $p")
+    val counts = docs.select(col(groupCol),
+        explode(wsTokens(lower(col(textCol)))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(groupCol, "token").agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(groupCol).agg(sum("cnt").as("_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("cnt").desc, col("token"))
+    counts.join(broadcast(totals), Seq(groupCol))
+      .withColumn("cum", sum("cnt").over(w))
+      .filter(col("cum") - col("cnt") < col("_total") * p)
+      .select(col(groupCol), col("token"), col("cnt"), col("cum"))
+  }
+
   /** Zipf power-law fit over the top-`maxVocab` token frequencies: the
     * least-squares slope (and intercept) of ln(freq) on ln(rank) — the
     * dataset-card statistic that flags unnatural corpora (natural text

@@ -764,6 +764,24 @@ class ExtensionsSpec extends SparkSpec {
       r._3.isEmpty && r._4.isEmpty))
   }
 
+  test("nucleusVocab: smallest prefix crossing p, deterministic ties, " +
+    "per-group independence") {
+    // en: a×5 b×3 c×2 (total 10); de: x×1 y×1 (total 2)
+    val docs = Seq(
+      ("en", "a a a a a b b"), ("en", "b c c"),
+      ("de", "x y")).toDF("lang", "text")
+    def run(p: Double) =
+      graft.text.TextOps.nucleusVocab(docs, p)
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+    // p=0.5: 'a' alone reaches 5/10 — 'b' must not enter (mass before it
+    // is exactly the threshold); de keeps only 'x' (ties break on token)
+    assert(run(0.5) == Set(("en", "a", 5L, 5L), ("de", "x", 1L, 1L)))
+    // p=0.8: nucleus crosses the threshold with 'b' (cum 8)
+    assert(run(0.8) == Set(("en", "a", 5L, 5L), ("en", "b", 3L, 8L),
+      ("de", "x", 1L, 1L), ("de", "y", 1L, 2L)))
+  }
+
   test("selectUnderTokenBudget: bin-decomposed selection equals the " +
     "naive quality-ranked prefix sum") {
     // varied lengths/stopword mixes → spread of quality scores and ties
