@@ -819,11 +819,16 @@ object Dedup {
     require(chunkLen > 0, "chunkLen must be positive")
     val ch = docs.select(col(idCol).cast("long").as("id"),
         posexplode(chunks(textCol, chunkLen)).as(Seq("pos", "c")))
-      .withColumn("k", if (digestKeys) xxhash64(col("c")) else col("c"))
-    val dup = ch.select("k", "id").groupBy("k")
+    // ownership key: the chunk itself, or its digest in digestKeys mode
+    // (a separate column only then — the string path must not ship the
+    // chunk twice through the fallback's join shuffle)
+    val key = if (digestKeys) "k" else "c"
+    val keyed = if (digestKeys) ch.withColumn("k", xxhash64(col("c")))
+                else ch
+    val dup = keyed.select(col(key), col("id")).groupBy(key)
       .agg(min("id").as("owner"), countDistinct("id").as("nd"))
       .filter(col("nd") >= 2)
-      .select("k", "owner")
+      .select(key, "owner")
     // one bounded job: ≤ maxDupChunks + 1 rows ever reach the driver
     val dupRows = dup.limit(maxDupChunks + 1).collect()
     if (dupRows.length <= maxDupChunks) {
@@ -843,7 +848,7 @@ object Dedup {
           col("r.clean_text").as("clean_text"))
     } else {
       val keep = col("owner").isNull || col("owner") === col("id")
-      val agg = ch.join(dup, Seq("k"), "left")
+      val agg = keyed.join(dup, Seq(key), "left")
         .groupBy("id")
         .agg(count(lit(1)).as("n_chunks"),
           sum(when(keep, 1L).otherwise(0L)).as("kept_chunks"),
