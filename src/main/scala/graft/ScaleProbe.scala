@@ -120,6 +120,9 @@ object ScaleProbe {
             .agg(sum("dup_fraction")).head(); 1L },
         "bigram_nll" -> { d =>
           TextOps.bigramNll(d).agg(sum("nll")).head(); 1L },
+        "nucleus_vocab" -> { d =>
+          TextOps.nucleusVocab(d, p = 0.9, groupCol = "lang")
+            .agg(sum("cum")).head(); 1L },
         "intradoc_dedup" -> { d =>
           Dedup.dedupChunksWithinDoc(d).agg(sum("kept_chunks")).head(); 1L },
         "winsorize" -> { d =>
