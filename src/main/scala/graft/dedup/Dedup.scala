@@ -439,7 +439,18 @@ object Dedup {
     * when row-level pairs are needed. */
   def fuzzyPairs(values: DataFrame, valueCol: String, maxDist: Int = 2,
                  blockExpr: Column => Column =
-                   v => element_at(split(v, " "), 1)): DataFrame = {
+                   v => element_at(split(v, " "), 1)): DataFrame =
+    blockedValuePairs(values, valueCol, blockExpr)
+      .withColumn("dist", levenshtein(col("v_a"), col("v_b")))
+      .filter(col("dist") <= maxDist)
+      .select("v_a", "v_b", "dist")
+
+  /** Shared scaffold for the fuzzy-pair scorers: candidate (v_a, v_b)
+    * pairs (v_a < v_b) over the DISTINCT non-null value domain, generated
+    * per `blockExpr` bucket — the two scale levers both scorers rely on
+    * live here, so a blocking fix serves every scorer at once. */
+  private def blockedValuePairs(values: DataFrame, valueCol: String,
+                                blockExpr: Column => Column): DataFrame = {
     val d = values.select(col(valueCol).as("v"))
       .filter(col("v").isNotNull).distinct()
       .withColumn("blk", blockExpr(col("v")))
@@ -447,9 +458,6 @@ object Dedup {
     val b = d.select(col("blk"), col("v").as("v_b"))
     a.join(b, "blk")
       .filter(col("v_a") < col("v_b"))
-      .withColumn("dist", levenshtein(col("v_a"), col("v_b")))
-      .filter(col("dist") <= maxDist)
-      .select("v_a", "v_b", "dist")
   }
 
   /** [[fuzzyPairs]] scored with Jaro-Winkler instead of edit distance —
@@ -463,19 +471,12 @@ object Dedup {
   def fuzzyPairsJaro(values: DataFrame, valueCol: String,
                      minSim: Double = 0.85,
                      blockExpr: Column => Column =
-                       v => element_at(split(v, " "), 1)): DataFrame = {
-    val d = values.select(col(valueCol).as("v"))
-      .filter(col("v").isNotNull).distinct()
-      .withColumn("blk", blockExpr(col("v")))
-    val a = d.select(col("blk"), col("v").as("v_a"))
-    val b = d.select(col("blk"), col("v").as("v_b"))
-    a.join(b, "blk")
-      .filter(col("v_a") < col("v_b"))
+                       v => element_at(split(v, " "), 1)): DataFrame =
+    blockedValuePairs(values, valueCol, blockExpr)
       .withColumn("sim", graft.functions.HashExpressions.jaroWinkler(
         col("v_a"), col("v_b")))
       .filter(col("sim") >= minSim)
       .select("v_a", "v_b", "sim")
-  }
 
   // ---- clustering --------------------------------------------------------
 

@@ -236,32 +236,35 @@ case class CleanDupChunks(left: Expression, right: Expression,
 
   override def prettyName: String = "clean_dup_chunks"
 
-  /** Row kernel — public so generated code can call it. */
+  /** Row kernel — public so generated code can call it. Works directly on
+    * the UTF8String (substringSQL is code-point based, matching SQL
+    * `substr`): hashed mode pays zero UTF-16 decode/re-encode per chunk —
+    * the digest hashes the chunk's UTF-8 bytes as-is — and only the
+    * string-keyed mode converts chunks for the map lookup. */
   def kernel(id: Long, text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     val t = bc.value
-    val s = text.toString
-    val cpCount = s.codePointCount(0, s.length)
+    val cpCount = text.numChars()
     val n = if (cpCount == 0) 0 else (cpCount - 1) / t.chunkLen + 1
-    val sb = new java.lang.StringBuilder(s.length)
-    var kept = 0L
-    var start = 0 // UTF-16 index of the current chunk start
+    val parts = new Array[UTF8String](n)
+    var kept = 0
     var k = 0
     while (k < n) {
-      val cps = math.min(t.chunkLen, cpCount - k * t.chunkLen)
-      val end = s.offsetByCodePoints(start, cps)
-      val c = s.substring(start, end)
+      val c = text.substringSQL(k * t.chunkLen + 1, t.chunkLen)
       val owner =
         if (t.ownersByHash ne null)
           t.ownersByHash.get(java.lang.Long.valueOf(
-            MinHashParams.shingleHash64(UTF8String.fromString(c))))
-        else t.owners.get(c)
+            MinHashParams.shingleHash64(c)))
+        else t.owners.get(c.toString)
       if (owner == null || owner.longValue() == id) {
-        sb.append(c); kept += 1L
+        parts(kept) = c; kept += 1
       }
-      start = end; k += 1
+      k += 1
     }
+    val clean =
+      if (kept == n) text // nothing removed — reuse the input buffer
+      else UTF8String.concat(java.util.Arrays.copyOf(parts, kept): _*)
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](n.toLong, kept, UTF8String.fromString(sb.toString)))
+      Array[Any](n.toLong, kept.toLong, clean))
   }
 
   override protected def nullSafeEval(id: Any, text: Any): Any =

@@ -131,7 +131,10 @@ object Stats {
     * (Spark's `percentile` buffers per-group value multisets — at
     * extreme group cardinality swap in `approx_percentile`) broadcast
     * back, then a map-side `greatest(least())` clip; adds `clipped` and
-    * an integer `was_clipped` flag. */
+    * an integer `was_clipped` flag. NULL values stay NULL (Spark's
+    * least/greatest would otherwise silently rewrite them to the band
+    * edge), and a NULL group key is a group like any other (null-safe
+    * join), so the row count really is preserved. */
   def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
                 lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo < hi, s"bad band [$lo, $hi]")
@@ -139,13 +142,17 @@ object Stats {
     val v = col(valueCol).cast("double")
     val stats = df.groupBy(gcols: _*).agg(
       expr(s"percentile($valueCol, array($lo, $hi))").as("_q"))
-      .select(gcols :+ element_at(col("_q"), 1).as("_lo") :+
+      .select(groupCols.map(c => col(c).as(s"_g_$c")) :+
+        element_at(col("_q"), 1).as("_lo") :+
         element_at(col("_q"), 2).as("_hi"): _*)
-    df.join(broadcast(stats), groupCols)
-      .withColumn("clipped", greatest(least(v, col("_hi")), col("_lo")))
+    val cond = groupCols.map(c => col(c) <=> col(s"_g_$c"))
+      .reduce(_ && _)
+    df.join(broadcast(stats), cond, "left")
+      .withColumn("clipped",
+        when(v.isNotNull, greatest(least(v, col("_hi")), col("_lo"))))
       .withColumn("was_clipped",
         when(v < col("_lo") || v > col("_hi"), 1).otherwise(0))
-      .drop("_lo", "_hi")
+      .drop(groupCols.map(c => s"_g_$c") :+ "_lo" :+ "_hi": _*)
   }
 
   /** Pairwise two-sample Kolmogorov-Smirnov distance between the

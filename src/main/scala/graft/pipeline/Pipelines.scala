@@ -243,9 +243,14 @@ object Pipelines {
   def rewriteClean(docs: DataFrame, chunkLen: Int = 32,
                    minKeptFrac: Double = 0.2): DataFrame = {
     import graft.dedup.Dedup
+    // three consumers (substringDedup's eager pass-1 collect, its rewrite
+    // scan, and the orig_chunks join): without persisting, the quadratic
+    // intra-doc projection re-executes for each. Lazy localCheckpoint for
+    // the same reclaim-on-unreference reason as [[curate]]
     val intra = Dedup.dedupChunksWithinDoc(docs, chunkLen = chunkLen)
       .select(col("doc_id"), col("clean_text").as("text"),
         col("n_chunks").as("orig_chunks"))
+      .localCheckpoint(false)
     val cross = Dedup.substringDedup(intra, chunkLen = chunkLen)
     cross.join(intra.select("doc_id", "orig_chunks"), Seq("doc_id"))
       .filter(col("kept_chunks") >=

@@ -841,6 +841,17 @@ class ExtensionsSpec extends SparkSpec {
       got(19)._3 == 1)
     assert(got(9) == ((10L, 10.0, 0)))
     assert(got.count(_._3 == 1) == 2)
+    // NULL value stays NULL (not silently rewritten to the band edge);
+    // NULL group key is a group like any other — row count preserved
+    val withNulls = Seq((100L, Option("a"), Option(5.0)),
+      (101L, Option("a"), None), (102L, None, Option(3.0)),
+      (103L, None, Option(9.0))).toDF("event_id", "g", "v")
+    val gotN = graft.ops.Stats.winsorize(withNulls, Seq("g"), "v")
+      .select("event_id", "clipped", "was_clipped").collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), r.getInt(2)))).toMap
+    assert(gotN.size == 4) // nothing dropped
+    assert(gotN(101L) == ((None, 0)))
+    assert(gotN(102L)._1.isDefined && gotN(103L)._1.isDefined)
   }
 
   test("bigramNll: closed form on a two-transition corpus") {
