@@ -242,6 +242,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-5 window ops partition by their key — no unpartitioned " +
+    "doc/event windows") {
+    // q118/q119 window on (user_id[, event_type]); q122 on lang. The
+    // only legitimately unpartitioned windows in these plans run over
+    // bin/offset tables, which carry no doc/event payload columns.
+    Seq("q118_scd2" -> "user_id", "q119_pit_enrich" -> "user_id",
+      "q122_nucleus_vocab" -> "lang").foreach { case (q, key) =>
+      val p = plan(q)
+      val windows = "Window \\[[^\\]]*windowspecdefinition\\([^\\)]*\\)"
+        .r.findAllIn(p).toSeq
+      assert(windows.nonEmpty, s"$q has no window:\n$p")
+      assert(windows.forall(_.contains(key)),
+        s"$q has a window not keyed by $key:\n$p")
+    }
+    // q121's quota offsets must broadcast, never sort-merge
+    val p121 = plan("q121_quota_select")
+    assert(p121.contains("BroadcastHashJoin"), p121)
+    assert(!p121.contains("SortMergeJoin"), p121)
+  }
+
   test("multimodal decode family is map-only: no join, no aggregation") {
     // q34 decode, q102 resize, q103 audio frames: per-row/flat-map codec
     // kernels — any Join or HashAggregate would mean stats are being
