@@ -835,6 +835,15 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token"))
     }),
 
+    // token novelty in ingestion order: per-doc fraction of distinct
+    // tokens never seen earlier — the corpus-freshness curve
+    "q123_token_novelty" -> ((s, dir) => {
+      TextOps.tokenNovelty(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_distinct_tokens"), col("n_novel"),
+          round(col("novelty"), 6).as("novelty"))
+        .orderBy("doc_id")
+    }),
+
     // per-language nucleus vocabulary: smallest token prefix covering
     // half the language's token mass (count desc, token asc ties)
     "q122_nucleus_vocab" -> ((s, dir) => {
@@ -2711,6 +2720,22 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
         |        % 1000000 < r.rate_ppm
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q123_token_novelty" ->
+      """WITH inv AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |    FROM documents)
+        |  WHERE len(token) > 0),
+        |f AS (SELECT token, min(doc_id) AS first_id FROM inv GROUP BY 1)
+        |SELECT inv.doc_id, count(*) AS n_distinct_tokens,
+        |       CAST(sum(CASE WHEN f.first_id = inv.doc_id
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |       round(CAST(sum(CASE WHEN f.first_id = inv.doc_id
+        |                          THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS novelty
+        |FROM inv JOIN f USING (token)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "q122_nucleus_vocab" ->
       """WITH tok AS (

@@ -343,6 +343,32 @@ object TextOps {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Token novelty in ingestion order: per document, the fraction of its
+    * DISTINCT tokens never seen in any EARLIER document (id order =
+    * arrival order; a token's introducer is the min id containing it) —
+    * the corpus-freshness curve. Novelty collapsing toward 0 over a
+    * crawl means the pipeline is re-ingesting the same material; a
+    * cheap leading indicator before any dedup pass runs. Same
+    * no-pair-generation shape as
+    * [[graft.dedup.Dedup.duplicatedShingleFraction]]: one first-seen
+    * aggregation over the (token, id) inverted index, one join back,
+    * one per-doc aggregation. Returns
+    * (idCol, n_distinct_tokens, n_novel, novelty). */
+  def tokenNovelty(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val inv = docs.select(col(idCol).cast("long").as("id"),
+        explode(array_distinct(wsTokens(lower(col(textCol))))).as("token"))
+      .filter(length(col("token")) > 0)
+    val first = inv.groupBy("token").agg(min("id").as("first_id"))
+    inv.join(first, "token")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_distinct_tokens"),
+        sum(when(col("first_id") === col("id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_distinct_tokens"))
+  }
+
   /** Per-group nucleus (top-p) vocabulary: for each group (language,
     * source…), the smallest prefix of tokens — ordered by count DESC,
     * token ASC for determinism — whose cumulative count covers `p` of

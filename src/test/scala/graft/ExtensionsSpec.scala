@@ -764,6 +764,21 @@ class ExtensionsSpec extends SparkSpec {
       r._3.isEmpty && r._4.isEmpty))
   }
 
+  test("tokenNovelty: first doc is all-novel, repeats contribute " +
+    "nothing, within-doc duplicates count once") {
+    val docs = Seq(
+      (1L, "alpha beta alpha"), // distinct {alpha, beta}: both novel
+      (2L, "beta gamma"),       // beta seen → 1/2 novel
+      (3L, "alpha beta gamma")) // all seen → 0
+      .toDF("doc_id", "text")
+    val got = graft.text.TextOps.tokenNovelty(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 2L, 1.0)))
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    assert(got(3L) == ((3L, 0L, 0.0)))
+  }
+
   test("nucleusVocab: smallest prefix crossing p, deterministic ties, " +
     "per-group independence") {
     // en: a×5 b×3 c×2 (total 10); de: x×1 y×1 (total 2)
