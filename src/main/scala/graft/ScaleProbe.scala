@@ -120,6 +120,8 @@ object ScaleProbe {
             .agg(sum("dup_fraction")).head(); 1L },
         "bigram_nll" -> { d =>
           TextOps.bigramNll(d).agg(sum("nll")).head(); 1L },
+        "token_novelty" -> { d =>
+          TextOps.tokenNovelty(d).agg(sum("n_novel")).head(); 1L },
         "nucleus_vocab" -> { d =>
           TextOps.nucleusVocab(d, p = 0.9, groupCol = "lang")
             .agg(sum("cum")).head(); 1L },
