@@ -835,6 +835,13 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token"))
     }),
 
+    // source-pair template sharing: distinct 32-char chunk values present
+    // in both sources — boilerplate flow between sources
+    "q124_chunk_sharing" -> ((s, dir) => {
+      Dedup.chunkSharingMatrix(t(s, dir, "documents"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // token novelty in ingestion order: per-doc fraction of distinct
     // tokens never seen earlier — the corpus-freshness curve
     "q123_token_novelty" -> ((s, dir) => {
@@ -2720,6 +2727,18 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
         |        % 1000000 < r.rate_ppm
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q124_chunk_sharing" ->
+      """WITH ch AS (
+        |  SELECT DISTINCT source AS g,
+        |         unnest([substr(text, i*32+1, 32)
+        |                 FOR i IN generate_series(0,
+        |                   (length(text)-1) // 32)]) AS c
+        |  FROM documents)
+        |SELECT a.g AS source_a, b.g AS source_b,
+        |       count(*) AS shared_chunks
+        |FROM ch a JOIN ch b ON a.c = b.c AND a.g < b.g
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q123_token_novelty" ->
       """WITH inv AS (

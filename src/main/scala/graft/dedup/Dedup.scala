@@ -780,6 +780,32 @@ object Dedup {
         array_join(kept, "").as("clean_text"))
   }
 
+  /** Source-pair template-sharing matrix: for every pair of groups
+    * (sources, crawls, shards), the number of DISTINCT `chunkLen`-char
+    * chunk values present in both — the provenance lens that shows
+    * boilerplate FLOWING between sources (mirrors, syndication, shared
+    * templates) where [[graft.text.TextOps.vocabOverlap]] only compares
+    * vocabularies. One distinct (group, chunk) projection, a chunk-keyed
+    * self-join, one |groups|²-bounded aggregation; per-chunk fanout is
+    * capped by |groups|², so the join is safe whenever the group count
+    * is catalog-sized (sources, not documents — for huge group domains
+    * add a document-frequency cap like [[containmentPairs]]).
+    * Returns (source_a, source_b, shared_chunks) with a < b. */
+  def chunkSharingMatrix(docs: DataFrame, groupCol: String = "source",
+                         textCol: String = "text",
+                         chunkLen: Int = 32): DataFrame = {
+    require(chunkLen > 0, "chunkLen must be positive")
+    val gc = docs.select(col(groupCol).as("g"),
+        explode(chunks(textCol, chunkLen)).as("c"))
+      .distinct()
+    val a = gc.select(col("c"), col("g").as("source_a"))
+    val b = gc.select(col("c"), col("g").as("source_b"))
+    a.join(b, "c")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("shared_chunks"))
+  }
+
   /** Exact substring dedup WITH removal rewrite (the C4 / "Deduplicating
     * Training Data Makes Language Models Better" cleanup, fixed-stride
     * variant): split every document into non-overlapping `chunkLen`-char

@@ -764,6 +764,22 @@ class ExtensionsSpec extends SparkSpec {
       r._3.isEmpty && r._4.isEmpty))
   }
 
+  test("chunkSharingMatrix: shared template counts once per pair, " +
+    "disjoint sources absent") {
+    val block = "0123456789abcdef0123456789abcdef"
+    val docs = Seq(
+      (1L, "sa", block + "tail a"), (2L, "sa", block + "tail b"),
+      (3L, "sb", block + "other"),
+      (4L, "sc", "entirely different content here")).toDF(
+      "doc_id", "source", "text")
+    val got = graft.dedup.Dedup.chunkSharingMatrix(docs)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    // block appears in sa (twice, distinct-collapsed) and sb → one
+    // shared value; sc shares nothing with anyone
+    assert(got == Map(("sa", "sb") -> 1L))
+  }
+
   test("tokenNovelty: first doc is all-novel, repeats contribute " +
     "nothing, within-doc duplicates count once") {
     val docs = Seq(
