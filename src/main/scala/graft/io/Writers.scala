@@ -28,6 +28,22 @@ object Writers {
   def parquetIfAbsent(df: DataFrame, path: String): Unit =
     df.write.mode("ignore").parquet(path)
 
+  /** ORC sink (engine extension): the second columnar interchange format
+    * warehouses exchange beside parquet — Spark's native ORC writer, so
+    * reads get the same predicate pushdown / column pruning / vectorized
+    * scan machinery (PushedFilters shows up in the ORC scan exactly like
+    * parquet; WritersSpec gates it). Supports the same partitioned
+    * layout as [[partitionedParquet]] via `cols`. */
+  def orc(df: DataFrame, path: String, cols: Seq[String] = Nil,
+          mode: String = "overwrite"): Unit = {
+    val w = df.write.mode(mode)
+    (if (cols.nonEmpty) w.partitionBy(cols: _*) else w).orc(path)
+  }
+
+  /** ORC source — pair of [[orc]]. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Small-file compaction: rewrite a parquet directory into
     * ≈`targetFileMB`-sized files. Streaming sinks, per-batch ingests, and
     * over-parallel writers leave thousands of KB-scale files per

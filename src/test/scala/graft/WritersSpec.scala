@@ -8,6 +8,20 @@ import graft.io.Writers
 class WritersSpec extends SparkSpec {
   import spark.implicits._
 
+  test("orc round-trips values; filters push into the ORC scan") {
+    val dir = Files.createTempDirectory("graft_orc").resolve("out").toString
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "k", "v")
+    Writers.orc(df, dir)
+    val back = Writers.readOrc(spark, dir)
+    assert(back.orderBy("id").collect().map(_.getDouble(2)).toSeq ==
+      Seq(10.0, 20.0, 30.0))
+    // the columnar contract: predicates reach the ORC scan itself
+    val plan = back.filter($"id" > 1L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(id,1)"), s"filter not pushed:\n$plan")
+  }
+
   test("partitionedParquet writes partition directories; reads prune by key") {
     val dir = Files.createTempDirectory("graft_w").resolve("out").toString
     val df = Seq(("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 3))
