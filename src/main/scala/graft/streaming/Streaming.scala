@@ -233,6 +233,62 @@ object Streaming {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  case class DocIn(source: String, docId: Long, text: String)
+  case class NoveltyOut(source: String, docs: Long, tokens: Long,
+                        novel: Long, novelty: Double)
+  /** Bloom bits of every token this source has ever emitted. */
+  case class SeenState(bloom: Array[Byte])
+
+  /** Streaming token-novelty monitor: per source and per trigger, the
+    * fraction of distinct tokens not seen in ANY earlier micro-batch of
+    * that source — the streaming form of
+    * [[graft.text.TextOps.tokenNovelty]], watching a live crawl go stale.
+    *
+    * State per source is a FIXED-SIZE Bloom filter of seen tokens (the
+    * [[graft.text.TextOps.bloomDecontaminate]] trade): membership has no
+    * false negatives, so novelty can only be UNDER-counted, and only at
+    * the configured fpp — the state row never grows with the vocabulary,
+    * which is what makes indefinite-horizon novelty tracking safe in a
+    * streaming job (an exact seen-set would grow without bound).
+    * `expectedTokens`/`fpp` size the filter once at first use. */
+  def noveltyStream(ds: Dataset[DocIn],
+                    expectedTokens: Long = 1000000L,
+                    fpp: Double = 0.01)
+      (implicit spark: SparkSession): Dataset[NoveltyOut] = {
+    import spark.implicits._
+    def fn(source: String, rows: Iterator[DocIn],
+           state: GroupState[SeenState]): Iterator[NoveltyOut] = {
+      import org.apache.spark.util.sketch.BloomFilter
+      val bloom = state.getOption match {
+        case Some(s) => BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(s.bloom))
+        case None => BloomFilter.create(expectedTokens, fpp)
+      }
+      var docs = 0L
+      // within-trigger dedup is exact; only cross-trigger memory is bloomed
+      val batchTokens = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { d =>
+        docs += 1
+        d.text.toLowerCase.split(" ").foreach { t =>
+          if (t.nonEmpty) batchTokens += t
+        }
+      }
+      var novel = 0L
+      batchTokens.foreach { t =>
+        if (!bloom.mightContainString(t)) { novel += 1; bloom.putString(t) }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      state.update(SeenState(bos.toByteArray))
+      val n = batchTokens.size.toLong
+      Iterator.single(NoveltyOut(source, docs, n, novel,
+        if (n > 0) novel.toDouble / n else 0.0))
+    }
+    ds.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   case class Ev(user: Long, ts: java.sql.Timestamp, kind: String)
   /** stage = steps completed so far; −1 = funnel dead (deadline missed).
     * lastMs = event-time of the chosen stage event. */

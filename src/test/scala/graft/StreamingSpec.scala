@@ -63,6 +63,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("noveltyStream: cross-batch memory drops repeats, within-batch " +
+    "dedup is exact, sources independent") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Streaming.DocIn]
+    val out = Streaming.noveltyStream(in.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("nov_out").start()
+    try {
+      in.addData(Streaming.DocIn("sa", 1L, "alpha beta alpha"),
+        Streaming.DocIn("sa", 2L, "beta gamma"),
+        Streaming.DocIn("sb", 3L, "alpha"))
+      q.processAllAvailable()
+      // sa batch 1: distinct {alpha,beta,gamma} all novel; sb independent
+      in.addData(Streaming.DocIn("sa", 4L, "gamma delta"),
+        Streaming.DocIn("sb", 5L, "alpha"))
+      q.processAllAvailable()
+      val rows = spark.table("nov_out")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(rows == Set(
+        ("sa", 2L, 3L, 3L), // trigger 1: alpha, beta, gamma all new
+        ("sb", 1L, 1L, 1L),
+        ("sa", 1L, 2L, 1L), // trigger 2: gamma remembered, delta novel
+        ("sb", 1L, 1L, 0L))) // sb's alpha repeats for sb
+    } finally q.stop()
+  }
+
   test("sessionAgg groups a stream into gap-based sessions") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String)]
