@@ -77,6 +77,9 @@ object GraftFunctions {
     ("token_entropy", classOf[graft.functions.TokenEntropy].getName,
       exprs => { arity("token_entropy", exprs, 1, 1)
         graft.functions.TokenEntropy(exprs(0)) }),
+    ("jaro_winkler", classOf[graft.functions.JaroWinkler].getName,
+      exprs => { arity("jaro_winkler", exprs, 2, 2)
+        graft.functions.JaroWinkler(exprs(0), exprs(1)) }),
     // composed text-curation functions: builders expand to the same
     // Column compositions the Scala API uses (one source of truth).
     // Optional trailing arguments mirror the Scala defaults.

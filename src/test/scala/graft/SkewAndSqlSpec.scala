@@ -85,14 +85,17 @@ class SkewAndSqlSpec extends SparkSpec {
     val viaSql = spark.sql(
       """SELECT doc_id, quality_score(text) AS q, lang_id_en(text) AS l,
         |       hash_split(doc_id) AS s, dup_ngram_fraction(text, 2) AS r,
-        |       token_entropy(text) AS e
+        |       token_entropy(text) AS e,
+        |       jaro_winkler(text, 'the quick brown fox') AS j
         |FROM sql_surface_docs ORDER BY doc_id""".stripMargin).collect()
     val viaApi = docs.select($"doc_id",
       graft.text.TextOps.qualityScore($"text").as("q"),
       graft.text.TextOps.langIdEn($"text").as("l"),
       graft.text.TextOps.hashSplit($"doc_id").as("s"),
       graft.text.TextOps.duplicateNgramFraction($"text", 2).as("r"),
-      graft.text.TextOps.tokenEntropy($"text").as("e"))
+      graft.text.TextOps.tokenEntropy($"text").as("e"),
+      graft.functions.HashExpressions.jaroWinkler($"text",
+        lit("the quick brown fox")).as("j"))
       .orderBy($"doc_id").collect()
     assert(viaSql.toSeq == viaApi.toSeq)
   }
