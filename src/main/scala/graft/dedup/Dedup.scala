@@ -798,6 +798,7 @@ object Dedup {
     val gc = docs.select(col(groupCol).as("g"),
         explode(chunks(textCol, chunkLen)).as("c"))
       .distinct()
+      .cache() // reused by both self-join sides
     val a = gc.select(col("c"), col("g").as("source_a"))
     val b = gc.select(col("c"), col("g").as("source_b"))
     a.join(b, "c")

@@ -83,6 +83,12 @@ object Readers {
     (good, bad, parsed)
   }
 
+  /** ORC source — pair of [[Writers.orc]]; Spark's native ORC scan, with
+    * the same predicate pushdown / column pruning / vectorized read as
+    * parquet (WritersSpec gates PushedFilters on the round-trip). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Parquet table from a testdata scale-factor directory (TESTDATA.md).
     *
     * `events.parquet` carries TIMESTAMP(NANOS), which Spark's parquet

@@ -40,10 +40,6 @@ object Writers {
     (if (cols.nonEmpty) w.partitionBy(cols: _*) else w).orc(path)
   }
 
-  /** ORC source — pair of [[orc]]. */
-  def readOrc(spark: SparkSession, path: String): DataFrame =
-    spark.read.orc(path)
-
   /** Small-file compaction: rewrite a parquet directory into
     * ≈`targetFileMB`-sized files. Streaming sinks, per-batch ingests, and
     * over-parallel writers leave thousands of KB-scale files per

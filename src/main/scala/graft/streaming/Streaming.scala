@@ -269,7 +269,8 @@ object Streaming {
       val batchTokens = scala.collection.mutable.LinkedHashSet.empty[String]
       rows.foreach { d =>
         docs += 1
-        d.text.toLowerCase.split(" ").foreach { t =>
+        // null text contributes no tokens, matching the batch operator
+        Option(d.text).getOrElse("").toLowerCase.split(" ").foreach { t =>
           if (t.nonEmpty) batchTokens += t
         }
       }
@@ -277,9 +278,14 @@ object Streaming {
       batchTokens.foreach { t =>
         if (!bloom.mightContainString(t)) { novel += 1; bloom.putString(t) }
       }
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      state.update(SeenState(bos.toByteArray))
+      // unchanged state persists on its own: skip the ~1 MB serialize +
+      // state-store write when the trigger introduced nothing novel (the
+      // steady state of a stale source, which is what this monitor is for)
+      if (novel > 0) {
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        state.update(SeenState(bos.toByteArray))
+      }
       val n = batchTokens.size.toLong
       Iterator.single(NoveltyOut(source, docs, n, novel,
         if (n > 0) novel.toDouble / n else 0.0))

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions.typedlit
-import graft.io.Writers
+import graft.io.{Readers, Writers}
 
 /** Sinks: plain, date-partitioned layout, idempotence guard. */
 class WritersSpec extends SparkSpec {
@@ -13,7 +13,7 @@ class WritersSpec extends SparkSpec {
     val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("id", "k", "v")
     Writers.orc(df, dir)
-    val back = Writers.readOrc(spark, dir)
+    val back = Readers.readOrc(spark, dir)
     assert(back.orderBy("id").collect().map(_.getDouble(2)).toSeq ==
       Seq(10.0, 20.0, 30.0))
     // the columnar contract: predicates reach the ORC scan itself
