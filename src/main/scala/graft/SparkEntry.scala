@@ -842,6 +842,16 @@ object SparkEntry {
         .orderBy("source_a", "source_b")
     }),
 
+    // Johnson–Lindenstrauss random projection to 8 dims: seeded splitmix64
+    // planes make the reduced coordinates bit-reproducible in the oracle
+    "q125_random_project" -> ((s, dir) => {
+      Similarity.randomProject(t(s, dir, "embeddings"), outDim = 8)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "coord")))
+        .select(col("vec_id"), col("j"),
+          round(col("coord"), 6).as("coord"))
+        .orderBy("vec_id", "j")
+    }),
+
     // token novelty in ingestion order: per-doc fraction of distinct
     // tokens never seen earlier — the corpus-freshness curve
     "q123_token_novelty" -> ((s, dir) => {
@@ -1477,6 +1487,27 @@ object SparkEntry {
   /** Recall@10 oracle: brute-force and LSH top-10 recomputed in SQL with
     * the same plane constants ([[Similarity.planeComponent]]) as the
     * engine, then |∩|/10. */
+  /** q125 oracle: the JL projection re-derived in SQL — per output dim j,
+    * the same left-to-right weight chain over the same splitmix64 plane
+    * constants ([[Similarity.planeComponent]], plane id = j at seed 0),
+    * scaled by √(12/outDim) and rounded at the edge (float-parity recipe:
+    * sequential same-order arithmetic, one round). */
+  private def randomProjectOracle: String = {
+    val outDim = 8; val dim = 64
+    val scale = java.lang.Double.toString(math.sqrt(12.0 / outDim.toDouble))
+    val arms = (0 until outDim).map { j =>
+      val chain = (0 until dim).map(i =>
+        s"e[${i + 1}] * ${java.lang.Double.toString(Similarity.planeComponent(j, i))}")
+        .mkString(" + ")
+      s"  SELECT vec_id, $j AS j, round(($chain) * $scale, 6) AS coord FROM v"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+       |SELECT vec_id, j, coord FROM (
+       |$arms)
+       |ORDER BY vec_id, j""".stripMargin
+  }
+
   private def annRecallOracle: String = {
     val planes = 6; val dim = 64
     def dotChain(a: Int => String, b: Int => String): String =
@@ -1583,6 +1614,7 @@ object SparkEntry {
     "q108_split_leakage" -> splitLeakageOracle,
 
     "q105_ann_recall" -> annRecallOracle,
+    "q125_random_project" -> randomProjectOracle,
 
     "q106_pq_encode" -> pqEncodeOracle,
 

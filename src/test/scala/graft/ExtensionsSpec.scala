@@ -1611,4 +1611,36 @@ class ExtensionsSpec extends SparkSpec {
         .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(m(routed) == m(viaWindow))
   }
+
+  test("randomProject: closed-form on basis vectors, unbiased norm, " +
+    "seed changes the planes") {
+    val dim = 64; val outDim = 8
+    // basis vector e_3: proj_j = planeComponent(j, 3) * sqrt(12/outDim)
+    val basis = Seq((1L, Array.tabulate(dim)(i => if (i == 3) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val scale = math.sqrt(12.0 / outDim)
+    val got = Similarity.randomProject(basis, outDim, dim = dim)
+      .head().getSeq[Double](1)
+    (0 until outDim).foreach { j =>
+      assert(math.abs(got(j) - Similarity.planeComponent(j, 3) * scale)
+        < 1e-12, s"dim $j")
+    }
+    // unbiased embedding: mean squared-norm ratio over deterministic
+    // vectors ≈ 1 (law of large numbers over outDim·n weight draws)
+    val vecs = (0L until 40L).map(v => (v, Array.tabulate(dim)(i =>
+      (Similarity.planeComponent((v + 100).toInt, i) * 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val projs = Similarity.randomProject(vecs, 32, dim = dim)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1))
+    val orig = vecs.orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble))
+    val ratios = projs.zip(orig).map { case (p, o) =>
+      p.map(x => x * x).sum / o.map(x => x * x).sum }
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.7 && mean < 1.3, s"mean norm ratio $mean")
+    // seeds decorrelate: a different seed yields different coordinates
+    val s1 = Similarity.randomProject(basis, outDim, dim = dim, seed = 1)
+      .head().getSeq[Double](1)
+    assert(got != s1)
+  }
 }
