@@ -842,6 +842,14 @@ object SparkEntry {
         .orderBy("source_a", "source_b")
     }),
 
+    // LSH candidate recall vs exact Jaccard ≥ 0.4 ground truth: the
+    // tune-before-commit harness for (numHashes, bands) — q105's recall
+    // discipline applied to the dedup pipeline
+    "q126_lsh_recall" -> ((s, dir) => {
+      Dedup.lshRecall(t(s, dir, "documents"), threshold = 0.4,
+        numHashes = 16, bands = 4, portable = true)
+    }),
+
     // Johnson–Lindenstrauss random projection to 8 dims: seeded splitmix64
     // planes make the reduced coordinates bit-reproducible in the oracle
     "q125_random_project" -> ((s, dir) => {
@@ -1487,6 +1495,31 @@ object SparkEntry {
   /** Recall@10 oracle: brute-force and LSH top-10 recomputed in SQL with
     * the same plane constants ([[Similarity.planeComponent]]) as the
     * engine, then |∩|/10. */
+  /** q126 oracle: exact all-pairs Jaccard ≥ 0.4 (q23's inverted index)
+    * as ground truth, the portable MinHash band candidates (q24's CTEs)
+    * as the approximation, counts + recall in one row. */
+  private def lshRecallOracle: String =
+    s"""WITH $shingleHashCte,
+       |$minhashCandCtes,
+       |inv AS (
+       |  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
+       |exact AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM inv a JOIN inv b ON a.shingle = b.shingle
+       |  WHERE a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+       |  HAVING CAST(count(*) AS DOUBLE)
+       |         / (a.n_sh + b.n_sh - count(*)) >= 0.4),
+       |tc AS (SELECT count(*) AS true_pairs FROM exact),
+       |cc AS (SELECT count(*) AS candidate_pairs FROM cand),
+       |hc AS (SELECT count(*) AS hit_pairs
+       |       FROM exact JOIN cand USING (id_a, id_b))
+       |SELECT true_pairs, candidate_pairs, hit_pairs,
+       |       round(CASE WHEN true_pairs = 0 THEN 1.0
+       |                  ELSE CAST(hit_pairs AS DOUBLE) / true_pairs
+       |             END, 6) AS recall
+       |FROM tc, cc, hc""".stripMargin
+
   /** q125 oracle: the JL projection re-derived in SQL — per output dim j,
     * the same left-to-right weight chain over the same splitmix64 plane
     * constants ([[Similarity.planeComponent]], plane id = j at seed 0),
@@ -1615,6 +1648,7 @@ object SparkEntry {
 
     "q105_ann_recall" -> annRecallOracle,
     "q125_random_project" -> randomProjectOracle,
+    "q126_lsh_recall" -> lshRecallOracle,
 
     "q106_pq_encode" -> pqEncodeOracle,
 

@@ -108,6 +108,41 @@ object Dedup {
       .distinct()
   }
 
+  /** Candidate recall of the MinHash-LSH generator against exact n-gram
+    * Jaccard ≥ `threshold` ground truth — the dedup counterpart of
+    * [[graft.ml.Similarity.recallAtK]]: one row
+    * (true_pairs, candidate_pairs, hit_pairs, recall). Recall is defined
+    * as 1.0 on an empty ground truth (nothing to miss).
+    *
+    * The exact side is [[ngramJaccard]] with the document-frequency cap
+    * DISABLED — the quadratic verification regime. This harness exists to
+    * TUNE (numHashes, bands) on a small sample BEFORE a 100 TB run commits
+    * to them: band math fixes the S-curve, but the realized recall depends
+    * on the corpus's Jaccard distribution near the threshold, which only a
+    * measurement shows. Production never runs the exact side at scale. */
+  def lshRecall(docs: DataFrame, threshold: Double = 0.4,
+                idCol: String = "doc_id", textCol: String = "text",
+                shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                portable: Boolean = false): DataFrame = {
+    require(threshold > 0.0, "threshold must be positive (at 0 every " +
+      "pair is true and the exact side is a full cross product)")
+    val exact = ngramJaccard(docs, idCol, textCol, shingleN,
+      minJaccard = threshold, maxDf = Int.MaxValue)
+      .select("id_a", "id_b")
+      .cache() // counted twice: denominator and semi-join probe
+    val cand = minhashCandidates(docs, idCol, textCol, shingleN,
+      numHashes, bands, portable).select("id_a", "id_b")
+    val hits = exact.join(cand, Seq("id_a", "id_b"), "left_semi")
+    val t = exact.agg(count(lit(1)).as("true_pairs"))
+    val c = cand.agg(count(lit(1)).as("candidate_pairs"))
+    val h = hits.agg(count(lit(1)).as("hit_pairs"))
+    t.crossJoin(broadcast(c)).crossJoin(broadcast(h))
+      .select(col("true_pairs"), col("candidate_pairs"), col("hit_pairs"),
+        round(when(col("true_pairs") === 0, lit(1.0))
+          .otherwise(col("hit_pairs").cast("double") / col("true_pairs")),
+          6).as("recall"))
+  }
+
   // ---- SimHash -----------------------------------------------------------
 
   /** 64-bit SimHash fingerprints as (id, fp LONG): bit i of the fingerprint

@@ -1612,6 +1612,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(m(routed) == m(viaWindow))
   }
 
+  test("lshRecall: identical docs are always candidates (recall 1), " +
+    "empty ground truth reports recall 1 with zero pairs") {
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq((1L, dup), (2L, dup),
+      (3L, "completely different text body with no overlap at all here"),
+      (4L, "another unrelated document mentioning nothing shared either"))
+      .toDF("doc_id", "text")
+    val r = Dedup.lshRecall(docs, threshold = 0.9).head()
+    assert(r.getAs[Long]("true_pairs") == 1L)   // (1,2) only
+    assert(r.getAs[Long]("hit_pairs") == 1L)    // identical sigs collide
+    assert(r.getAs[Double]("recall") == 1.0)
+
+    val disjoint = docs.filter(col("doc_id") >= 3L)
+    val e = Dedup.lshRecall(disjoint, threshold = 0.5).head()
+    assert(e.getAs[Long]("true_pairs") == 0L)
+    assert(e.getAs[Double]("recall") == 1.0)
+  }
+
   test("randomProject: closed-form on basis vectors, unbiased norm, " +
     "seed changes the planes") {
     val dim = 64; val outDim = 8
