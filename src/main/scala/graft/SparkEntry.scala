@@ -842,6 +842,15 @@ object SparkEntry {
         .orderBy("source_a", "source_b")
     }),
 
+    // deterministic training-shard assignment: seeded md5 shard + 60-bit
+    // within-shard order — the global-shuffle-without-a-global-sort layout
+    "q127_training_shards" -> ((s, dir) => {
+      TextOps.trainingShards(t(s, dir, "documents"), nShards = 8,
+        seed = "r5")
+        .select(col("doc_id"), col("shard"), col("shard_order"))
+        .orderBy("doc_id")
+    }),
+
     // LSH candidate recall vs exact Jaccard ≥ 0.4 ground truth: the
     // tune-before-commit harness for (numHashes, bands) — q105's recall
     // discipline applied to the dedup pipeline
@@ -2005,6 +2014,14 @@ object SparkEntry {
         |WHERE gf.f < v.nf AND gx.x < v.w AND gy.y < v.h
         |GROUP BY v.doc_id, gf.f, v.w, v.h
         |ORDER BY asset_id, frame_ms""".stripMargin,
+
+    "q127_training_shards" ->
+      """SELECT doc_id,
+        |       ('0x' || substr(md5('r5:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |         % 8 AS shard,
+        |       ('0x' || substr(md5('r5:o:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |         AS shard_order
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q42_hash_split" ->
       """SELECT doc_id,

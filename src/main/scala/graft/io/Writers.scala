@@ -1,6 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Sinks (SURVEY.md §2.1, S5/S7/S8). Parquet-first; CSV kept for
   * compatibility with the reference's on-disk contract
@@ -120,4 +121,20 @@ object Writers {
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
      else w).saveAsTable(table)
   }
+
+  /** Training-set layout sink: materialize
+    * [[graft.text.TextOps.trainingShards]] as `shard=N/` parquet
+    * directories whose row order IS the training read order. One hash
+    * exchange moves each row to its shard's writer task; each task then
+    * sorts only its own shard (`sortWithinPartitions` — per-task sort, no
+    * global range exchange, no driver coordination). Epoch readers stream
+    * the shard dirs sequentially; a re-run with the same seed writes a
+    * byte-identical layout. */
+  def shardedTrainingSet(df: DataFrame, path: String, nShards: Int = 8,
+                         idCol: String = "doc_id",
+                         seed: String = ""): Unit =
+    graft.text.TextOps.trainingShards(df, idCol, nShards, seed)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "shard_order", idCol)
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

@@ -851,4 +851,31 @@ object TextOps {
       .select(col(idCol), col("quality"), col("n_tokens"),
         col("cum_tokens"))
   }
+
+  /** Deterministic training-shard assignment: a seeded global shuffle of
+    * the corpus into `nShards` balanced shards WITHOUT a global sort.
+    * `shard` = md5 bucket of the salted key ([[hashBucket]] arithmetic —
+    * the q42 split convention, so splits and shards compose); `shard_order`
+    * = an independent 60-bit md5 draw giving the within-shard read order.
+    * The training permutation is (shard, shard_order, id): epoch readers
+    * consume shard files in slot order and rows in file order — no two
+    * engines disagree on it, and re-runs are byte-identical (seed in, no
+    * RNG state).
+    *
+    * Scale shape: map-only projection — two md5s per row, nothing
+    * shuffles HERE; the one hash exchange happens in
+    * [[graft.io.Writers.shardedTrainingSet]] where rows move to their
+    * shard writer and each task sorts ONLY its own shard
+    * (`sortWithinPartitions` — a per-task sort, never a global range
+    * exchange; this is exactly how you lay out a 100 TB training corpus
+    * for sequential reads). */
+  def trainingShards(docs: DataFrame, idCol: String = "doc_id",
+                     nShards: Int = 8, seed: String = ""): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val salted = concat(lit(seed), lit(":"), col(idCol).cast("string"))
+    docs.withColumn("shard", hashBucket(salted, nShards))
+      .withColumn("shard_order",
+        conv(substring(md5(concat(lit(seed), lit(":o:"),
+          col(idCol).cast("string"))), 1, 15), 16, 10).cast("long"))
+  }
 }

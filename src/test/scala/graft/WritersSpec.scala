@@ -22,6 +22,38 @@ class WritersSpec extends SparkSpec {
       plan.contains("GreaterThan(id,1)"), s"filter not pushed:\n$plan")
   }
 
+  test("shardedTrainingSet: shard dirs, one file per shard, rows in " +
+    "shard_order, byte-identical re-run") {
+    val dir = Files.createTempDirectory("graft_sh").resolve("out").toString
+    val df = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    Writers.shardedTrainingSet(df, dir, nShards = 4, seed = "s")
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.length == 4, s"expected 4 shard dirs, got " +
+      shardDirs.map(_.getName).mkString(","))
+    // one writer task per shard → one data file per shard dir
+    shardDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName}: ${files.length} files")
+    }
+    // file row order IS the training order: each shard file is sorted
+    val one = spark.read.parquet(shardDirs.head.getPath)
+    val orders = one.select("shard_order").collect().map(_.getLong(0)).toSeq
+    assert(orders == orders.sorted, "shard file not in shard_order")
+    // same seed → identical assignment on re-run
+    val again = graft.text.TextOps.trainingShards(df, nShards = 4,
+      seed = "s").select("doc_id", "shard", "shard_order").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // partition-dir values are re-inferred as INT on read — cast back
+    val first = spark.read.parquet(dir)
+      .select($"doc_id", $"shard".cast("long"), $"shard_order").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(again.toSeq == first.toSeq)
+    // balance: no shard more than 2x the fair share on 200 uniform keys
+    val sizes = first.groupBy(_._2).view.mapValues(_.length).values.toSeq
+    assert(sizes.max <= 100, s"skewed shards: $sizes")
+  }
+
   test("partitionedParquet writes partition directories; reads prune by key") {
     val dir = Files.createTempDirectory("graft_w").resolve("out").toString
     val df = Seq(("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 3))
