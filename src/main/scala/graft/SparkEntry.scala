@@ -842,6 +842,15 @@ object SparkEntry {
         .orderBy("source_a", "source_b")
     }),
 
+    // k-anonymity audit on (lang, source, length-bin) quasi-identifiers:
+    // combination-risk governance that PII scrubbing can't see
+    "q128_k_anonymity" -> ((s, dir) => {
+      Quality.kAnonymity(
+        t(s, dir, "documents").withColumn("len_bin",
+          expr("n_chars div 100")),
+        Seq("lang", "source", "len_bin"), k = 5)
+    }),
+
     // deterministic training-shard assignment: seeded md5 shard + 60-bit
     // within-shard order — the global-shuffle-without-a-global-sort layout
     "q127_training_shards" -> ((s, dir) => {
@@ -2014,6 +2023,21 @@ object SparkEntry {
         |WHERE gf.f < v.nf AND gx.x < v.w AND gy.y < v.h
         |GROUP BY v.doc_id, gf.f, v.w, v.h
         |ORDER BY asset_id, frame_ms""".stripMargin,
+
+    "q128_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT lang, source, n_chars // 100 AS len_bin, count(*) AS n
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |       count(*) AS n_groups,
+        |       CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS groups_below_k,
+        |       CAST(coalesce(sum(CASE WHEN n < 5 THEN n END), 0) AS BIGINT)
+        |         AS rows_below_k,
+        |       round(CAST(coalesce(sum(CASE WHEN n < 5 THEN n END), 0)
+        |               AS DOUBLE) / sum(n), 6) AS at_risk_fraction,
+        |       CAST(min(n) AS BIGINT) AS min_group_size
+        |FROM g""".stripMargin,
 
     "q127_training_shards" ->
       """SELECT doc_id,

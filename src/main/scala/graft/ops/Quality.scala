@@ -51,4 +51,45 @@ object Quality {
         col("r.violations").as("violations"),
         when(col("r.violations") === 0, 1).otherwise(0).as("pass"))
   }
+
+  /** k-anonymity audit over a quasi-identifier column set: a record is
+    * at risk when its quasi-identifier combination is shared by fewer
+    * than `k` records (re-identification by linkage — the governance
+    * counterpart of [[graft.text.TextOps]]'s PII scrub, which removes
+    * direct identifiers but cannot see combination risk). One summary
+    * row: total rows, distinct combinations, combinations and rows below
+    * k, the at-risk row fraction, and the smallest class size.
+    *
+    * Scale shape: one map-side-combined groupBy on the quasi columns
+    * (|combinations| rows — the quasi domain, orders below the corpus),
+    * then a |combinations|-row summary agg. Nothing else moves. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+                 k: Int = 5): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 2, "k below 2 makes every record anonymous")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+      .agg(sum("_n").as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("_n") < k, 1L).otherwise(0L)).as("groups_below_k"),
+        coalesce(sum(when(col("_n") < k, col("_n"))), lit(0L))
+          .as("rows_below_k"),
+        min("_n").as("min_group_size"))
+      .select(col("n_rows"), col("n_groups"), col("groups_below_k"),
+        col("rows_below_k"),
+        round(col("rows_below_k").cast("double") / col("n_rows"), 6)
+          .as("at_risk_fraction"),
+        col("min_group_size"))
+  }
+
+  /** The remediation view of [[kAnonymity]]: the quasi-identifier
+    * combinations below `k`, smallest first — what to generalize or
+    * suppress. Same single-aggregation shape, filtered to violations. */
+  def kAnonymityViolations(df: DataFrame, quasiCols: Seq[String],
+                           k: Int = 5): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_n"))
+      .filter(col("group_n") < k)
+  }
 }

@@ -1612,6 +1612,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(m(routed) == m(viaWindow))
   }
 
+  test("kAnonymity: closed-form counts, fully-anonymous corpus reports " +
+    "zero risk, violations lists the small classes") {
+    // quasi (a,x): 3 rows; (a,y): 1 row; (b,x): 2 rows  → k=3 risk = 3/6
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "x"), ("a", "y"),
+      ("b", "x"), ("b", "x")).toDF("g1", "g2")
+    val r = graft.ops.Quality.kAnonymity(df, Seq("g1", "g2"), k = 3).head()
+    assert(r.getAs[Long]("n_rows") == 6L)
+    assert(r.getAs[Long]("n_groups") == 3L)
+    assert(r.getAs[Long]("groups_below_k") == 2L)
+    assert(r.getAs[Long]("rows_below_k") == 3L)
+    assert(r.getAs[Double]("at_risk_fraction") == 0.5)
+    assert(r.getAs[Long]("min_group_size") == 1L)
+
+    val safe = graft.ops.Quality.kAnonymity(df.filter(col("g2") === "x"),
+      Seq("g1"), k = 2).head()
+    assert(safe.getAs[Long]("rows_below_k") == 0L)
+    assert(safe.getAs[Double]("at_risk_fraction") == 0.0)
+
+    val v = graft.ops.Quality.kAnonymityViolations(df, Seq("g1", "g2"),
+      k = 3).orderBy("g1", "g2").collect()
+    assert(v.map(r0 => (r0.getString(0), r0.getString(1),
+      r0.getAs[Long]("group_n"))).toSeq == Seq(("a", "y", 1L), ("b", "x", 2L)))
+  }
+
   test("lshRecall: identical docs are always candidates (recall 1), " +
     "empty ground truth reports recall 1 with zero pairs") {
     val dup = "the quick brown fox jumps over the lazy dog again and again"
