@@ -842,6 +842,17 @@ object SparkEntry {
         .orderBy("source_a", "source_b")
     }),
 
+    // per-point centroid silhouette over the stored labels: the O(n·k)
+    // clustering-QA score (full silhouette is O(n²) and never runs at
+    // scale); centroids quantized to 6dp for engine parity
+    "q129_silhouette" -> ((s, dir) => {
+      Similarity.silhouette(t(s, dir, "embeddings"))
+        .select(col("vec_id"), col("label"),
+          round(col("a"), 6).as("a"), round(col("b"), 6).as("b"),
+          round(col("s"), 6).as("s"))
+        .orderBy("vec_id")
+    }),
+
     // k-anonymity audit on (lang, source, length-bin) quasi-identifiers:
     // combination-risk governance that PII scrubbing can't see
     "q128_k_anonymity" -> ((s, dir) => {
@@ -2023,6 +2034,30 @@ object SparkEntry {
         |WHERE gf.f < v.nf AND gx.x < v.w AND gy.y < v.h
         |GROUP BY v.doc_id, gf.f, v.w, v.h
         |ORDER BY asset_id, frame_ms""".stripMargin,
+
+    "q129_silhouette" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |cpos AS (
+        |  SELECT label AS cluster, i AS pos, round(avg(e[i]), 6) AS m
+        |  FROM v, generate_series(1, 64) g(i)
+        |  GROUP BY 1, 2),
+        |d AS (
+        |  SELECT v.vec_id, v.label, cp.cluster,
+        |         sqrt(sum((e[cp.pos] - cp.m) * (e[cp.pos] - cp.m))) AS dist
+        |  FROM v JOIN cpos cp ON true
+        |  GROUP BY 1, 2, 3),
+        |ab AS (
+        |  SELECT vec_id, label,
+        |         min(CASE WHEN cluster = label THEN dist END) AS a,
+        |         min(CASE WHEN cluster <> label THEN dist END) AS b
+        |  FROM d GROUP BY 1, 2)
+        |SELECT vec_id, label, round(a, 6) AS a, round(b, 6) AS b,
+        |       round(CASE WHEN greatest(a, b) > 0
+        |                  THEN (b - a) / greatest(a, b)
+        |                  ELSE 0.0 END, 6) AS s
+        |FROM ab ORDER BY vec_id""".stripMargin,
 
     "q128_k_anonymity" ->
       """WITH g AS (

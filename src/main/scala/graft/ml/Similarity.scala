@@ -163,6 +163,60 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("centroid"))
 
+  /** Per-point simplified silhouette (centroid-based): a = distance to
+    * the OWN cluster centroid, b = distance to the nearest OTHER
+    * centroid, s = (b − a) / max(a, b) (0 when both are 0). The O(n·k)
+    * clustering-QA score — full silhouette is O(n²) pairwise and never
+    * runs at corpus scale; the centroid form preserves the reading
+    * (s → 1 compact and separated, s ≤ 0 likely mis-assigned).
+    *
+    * Centroids are exact per-dimension means quantized to `dp` decimals
+    * BEFORE the distance pass — quantization makes every downstream
+    * number a pure function of the quantized values, so two engines (or
+    * two runs with different partition sums) agree bit-for-bit after the
+    * edge rounding.
+    *
+    * Scale shape: |k|-row centroid aggregation (map-side combined),
+    * broadcast back; the n·k scoring rows reduce per-point under a
+    * map-side-combined min before the one hash shuffle on the point id.
+    * The corpus itself never shuffles. */
+  def silhouette(embs: DataFrame, labelCol: String = "label",
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 dim: Int = DefaultDim, dp: Int = 6): DataFrame = {
+    val cents = ivfIndex(embs, labelCol, vecCol)
+      .select(col("cluster"),
+        transform(col("centroid"), m => round(m, dp)).as("centroid"))
+    val v = embs.select(col(idCol), col(labelCol).as("label"),
+      col(vecCol).cast("array<double>").as("v"))
+    val diff = zip_with(col("v"), col("centroid"), (a, b) => a - b)
+    val scored = v.crossJoin(broadcast(cents))
+      .withColumn("dist",
+        sqrt(graft.functions.VectorExpressions.dotProduct(diff, diff)))
+    scored.groupBy(idCol, "label")
+      .agg(min(when(col("cluster") === col("label"), col("dist"))).as("a"),
+        min(when(col("cluster") =!= col("label"), col("dist"))).as("b"))
+      .withColumn("s",
+        when(greatest(col("a"), col("b")) > 0,
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Per-cluster mean of [[silhouette]] — the model-selection report
+    * (compare across k / labelings). The mean uses exact integer
+    * micro-unit sums divided once (the cross-engine float-parity recipe):
+    * per-point scores quantize to 1e-6 grid, sum as longs, divide once. */
+  def silhouetteByCluster(embs: DataFrame, labelCol: String = "label",
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          dim: Int = DefaultDim): DataFrame =
+    silhouette(embs, labelCol, idCol, vecCol, dim)
+      .select(col("label"),
+        round(col("s") * 1e6, 0).cast("long").as("_su"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_points"),
+        round(sum("_su").cast("double") / (lit(1e6) * count(lit(1))), 6)
+          .as("mean_silhouette"))
+
   /** Batched ANN serving: top-k corpus neighbors for EVERY query vector
     * in one pass. The query batch broadcasts (serving batches are small
     * relative to the corpus); scoring runs map-side under the broadcast

@@ -1612,6 +1612,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(m(routed) == m(viaWindow))
   }
 
+  test("silhouette: closed-form two-cluster geometry, singleton cluster " +
+    "scores 1, per-cluster means aggregate the point scores") {
+    val embs = Seq(
+      (0L, 0, Array(0.0f, 0.0f)), (1L, 0, Array(0.0f, 2.0f)),
+      (2L, 1, Array(10.0f, 0.0f)), (3L, 1, Array(10.0f, 2.0f)),
+      (4L, 2, Array(5.0f, 50.0f))) // singleton: a = 0 → s = 1
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.silhouette(embs, dim = 2)
+      .orderBy("vec_id").collect()
+    val sqrt101 = math.sqrt(101.0)
+    // point 0: own centroid (0,1) → a=1; nearest other (10,1) → √101
+    assert(math.abs(got(0).getAs[Double]("a") - 1.0) < 1e-9)
+    assert(math.abs(got(0).getAs[Double]("b") - sqrt101) < 1e-9)
+    assert(math.abs(got(0).getAs[Double]("s") - (sqrt101 - 1) / sqrt101)
+      < 1e-9)
+    assert(got(4).getAs[Double]("a") == 0.0)
+    assert(got(4).getAs[Double]("s") == 1.0)
+
+    val by = Similarity.silhouetteByCluster(embs, dim = 2)
+      .orderBy("label").collect()
+    assert(by.map(_.getAs[Long]("n_points")).toSeq == Seq(2L, 2L, 1L))
+    assert(by(2).getAs[Double]("mean_silhouette") == 1.0)
+    val expect0 = (0 until 2).map(_ => (sqrt101 - 1) / sqrt101).sum / 2
+    assert(math.abs(by(0).getAs[Double]("mean_silhouette") - expect0) < 1e-5)
+  }
+
   test("kAnonymity: closed-form counts, fully-anonymous corpus reports " +
     "zero risk, violations lists the small classes") {
     // quasi (a,x): 3 rows; (a,y): 1 row; (b,x): 2 rows  → k=3 risk = 3/6
