@@ -140,7 +140,16 @@ object ScaleProbe {
           // doc, so the duplicate table at Kx approaches the full distinct
           // chunk domain — the broadcast path's worst realistic case
           Dedup.substringDedup(d).agg(sum("kept_chunks")).head(); 1L },
-        "hash_features" -> { d => TextOps.hashFeatures(d).count() }))
+        "hash_features" -> { d => TextOps.hashFeatures(d).count() },
+        "training_shards" -> { d =>
+          // aggregate the hash outputs so the projection can't be pruned
+          // (max, not sum: 60-bit draws summed over the corpus overflow)
+          TextOps.trainingShards(d)
+            .agg(sum("shard"), max("shard_order")).head(); 1L },
+        "k_anonymity" -> { d =>
+          graft.ops.Quality.kAnonymity(
+            d.withColumn("len_bin", expr("n_chars div 100")),
+            Seq("lang", "source", "len_bin")).head(); 1L }))
 
     // embedding-family probe: replicate embeddings with coordinate jitter
     // derived from the replica index (deterministic, no RNG)
@@ -169,7 +178,13 @@ object ScaleProbe {
           // aggregate the codes so the kernel can't be pruned
           Similarity.pqEncode(d, m = 8, k = 16)
             .select(explode(col("codes")).as("c"))
-            .agg(sum("c")).head(); 1L }))
+            .agg(sum("c")).head(); 1L },
+        "random_project" -> { d =>
+          Similarity.randomProject(d, outDim = 16)
+            .select(explode(col("proj")).as("p"))
+            .agg(sum("p")).head(); 1L },
+        "silhouette" -> { d =>
+          Similarity.silhouette(d).agg(sum("s")).head(); 1L }))
     }
 
     // event-family probe: replicate by user-id offset (funnel/retention

@@ -262,6 +262,29 @@ class PlanSpec extends SparkSpec {
     assert(!p121.contains("SortMergeJoin"), p121)
   }
 
+  test("round-5b additions keep their ledger shapes: map-only " +
+    "projections, partial aggs, broadcast-only joins") {
+    // q125 random projection and q127 shard assignment are pure
+    // per-row projections — any Join/HashAggregate/Exchange means the
+    // map-only claim is wrong
+    Seq("q125_random_project", "q127_training_shards").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q plans a join:\n$p")
+      assert(!p.contains("HashAggregate"), s"$q plans an agg:\n$p")
+    }
+    // q128 k-anonymity: one partially-aggregated groupBy, no join
+    val p128 = plan("q128_k_anonymity")
+    assert(p128.contains("partial_"), s"no partial agg:\n$p128")
+    assert(!p128.contains("Join"), s"q128 plans a join:\n$p128")
+    // q129 silhouette: centroids ride a broadcast; the n·k scoring rows
+    // reduce under a partial min — a SortMergeJoin would mean the corpus
+    // shuffles against the centroid table
+    val p129 = plan("q129_silhouette")
+    assert(p129.contains("Broadcast"), s"centroids not broadcast:\n$p129")
+    assert(!p129.contains("SortMergeJoin"), s"corpus shuffles:\n$p129")
+    assert(p129.contains("partial_"), s"no partial min:\n$p129")
+  }
+
   test("multimodal decode family is map-only: no join, no aggregation") {
     // q34 decode, q102 resize, q103 audio frames: per-row/flat-map codec
     // kernels — any Join or HashAggregate would mean stats are being
