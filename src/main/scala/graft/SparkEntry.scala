@@ -842,6 +842,15 @@ object SparkEntry {
         .orderBy("source_a", "source_b")
     }),
 
+    // perceptual 56-bit dHash per image asset: real PNG decode, explicit
+    // NN 8×8 luma sampling — fingerprints bit-checked against the pixel
+    // formula; near-dup pairing rides the shared Manku Hamming join
+    "q130_image_dhash" -> ((s, dir) => {
+      Multimodal.imageDhash(
+        Multimodal.synthesizeAssets(t(s, dir, "documents")))
+        .orderBy("id")
+    }),
+
     // per-point centroid silhouette over the stored labels: the O(n·k)
     // clustering-QA score (full silhouette is O(n²) and never runs at
     // scale); centroids quantized to 6dp for engine parity
@@ -2034,6 +2043,31 @@ object SparkEntry {
         |WHERE gf.f < v.nf AND gx.x < v.w AND gy.y < v.h
         |GROUP BY v.doc_id, gf.f, v.w, v.h
         |ORDER BY asset_id, frame_ms""".stripMargin,
+
+    "q130_image_dhash" ->
+      """WITH img AS (
+        |  SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |grid AS (
+        |  SELECT doc_id, x, y,
+        |         least(x * w // 8, w - 1) AS sx,
+        |         least(y * h // 8, h - 1) AS sy
+        |  FROM img, generate_series(0, 8) gx(x),
+        |            generate_series(0, 7) gy(y)),
+        |lum AS (
+        |  SELECT doc_id, x, y,
+        |         (doc_id * 1 + sx * 3 + sy * 7) % 256
+        |       + (doc_id * 2 + sx * 3 + sy * 7) % 256
+        |       + (doc_id * 3 + sx * 3 + sy * 7) % 256 AS l
+        |  FROM grid)
+        |SELECT a.doc_id AS id,
+        |       CAST(sum(CASE WHEN b.l > a.l
+        |                     THEN 1::BIGINT << (a.y * 7 + a.x)
+        |                     ELSE 0 END) AS BIGINT) AS fp
+        |FROM lum a JOIN lum b
+        |  ON b.doc_id = a.doc_id AND b.x = a.x + 1 AND b.y = a.y
+        |WHERE a.x < 7
+        |GROUP BY 1 ORDER BY id""".stripMargin,
 
     "q129_silhouette" ->
       """WITH v AS (

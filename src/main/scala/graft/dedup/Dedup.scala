@@ -167,13 +167,29 @@ object Dedup {
   def simhashCandidates(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", shingleN: Int = 3,
                         maxHamming: Int = 3,
-                        portable: Boolean = false): DataFrame = {
+                        portable: Boolean = false): DataFrame =
+    hammingCandidates(
+      simhashFingerprints(docs, idCol, textCol, shingleN, portable),
+      maxHamming, if (portable) 60 else 64)
+
+  /** Manku banded Hamming join over PRE-COMPUTED fingerprints (id, fp):
+    * split `fpBits` into maxHamming+1 blocks — any pair within
+    * `maxHamming` agrees exactly on at least one block (pigeonhole), so
+    * the block equi-join surfaces every such pair and the exact
+    * `bit_count(xor)` residual filters the rest. Shared by text SimHash
+    * ([[simhashCandidates]]) and perceptual image hashes
+    * ([[graft.multimodal.Multimodal.imageNearDup]]).
+    *
+    * Scale shape: one (block, block_key) hash shuffle of (id, fp) longs;
+    * block width caps bucket sizes, identical fingerprints collapse per
+    * bucket. */
+  def hammingCandidates(fps: DataFrame, maxHamming: Int = 3,
+                        fpBits: Int = 64): DataFrame = {
     val blocks = maxHamming + 1
-    val width = (if (portable) 60 else 64) / blocks
+    val width = fpBits / blocks
     require(blocks >= 2,
       "maxHamming=0 means exact fingerprint equality; group on the full " +
         "fingerprint instead of block keys (a 64-bit mask would be 0)")
-    val fps = simhashFingerprints(docs, idCol, textCol, shingleN, portable)
     val keyed = fps.select(col("id"), col("fp"),
         posexplode(array((0 until blocks).map(bIdx =>
           shiftrightunsigned(col("fp"), bIdx * width)

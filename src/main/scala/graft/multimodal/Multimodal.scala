@@ -433,4 +433,72 @@ object Multimodal {
         }
       }
   }
+
+  /** 56-bit difference hash (dHash) of a decoded image: sample an 8×8
+    * luma grid nearest-neighbor (src = (⌊x·w/8⌋, ⌊y·h/8⌋) — the same
+    * explicit sampling rule as [[resizeImages]], not Graphics2D, so an
+    * oracle can recompute it), then bit (y·7+x) = 1 iff
+    * luma(x+1, y) > luma(x, y). Luma is the raw R+G+B sum — comparing
+    * sums orders identically to comparing means and stays in exact
+    * integer arithmetic. 56 bits (7 comparisons × 8 rows) rather than
+    * the classic 9×8→64 keeps the fingerprint below the sign bit in
+    * every engine's signed 64-bit integer (the SimHash 60-bit portable
+    * trade). Gradient signs survive brightness/contrast shifts and
+    * re-encodes that byte-level hashing can't see. */
+  def dhash56(payload: Array[Byte]): Long = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    val w = img.getWidth; val h = img.getHeight
+    val lum = Array.ofDim[Int](9, 8)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        // x ranges to 8: column 8 samples ⌊8·w/8⌋ = w, clamped to w−1
+        val sx = math.min(x * w / 8, w - 1)
+        val sy = math.min(y * h / 8, h - 1)
+        val rgb = img.getRGB(sx, sy)
+        lum(x)(y) = ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
+          (rgb & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    var fp = 0L
+    y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 7) {
+        if (lum(x + 1)(y) > lum(x)(y)) fp |= 1L << (y * 7 + x)
+        x += 1
+      }
+      y += 1
+    }
+    fp
+  }
+
+  /** Per-image [[dhash56]] fingerprints as (id, fp) — decode runs
+    * map-side on the scan partition; only 16 bytes per image flow
+    * downstream (the multimodal binary-never-shuffles rule). */
+  def imageDhash(assets: DataFrame,
+                 payloadCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("fp", LongType)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    assets.filter(col("modality") === "image")
+      .select(col("asset_id"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.map(r => Row(r.getAs[Long]("asset_id"),
+          dhash56(r.getAs[Array[Byte]](payloadCol))))
+      }
+  }
+
+  /** Perceptual image near-dup pairs: [[imageDhash]] →
+    * [[graft.dedup.Dedup.hammingCandidates]] (the same Manku banded
+    * join as text SimHash, over 56-bit fingerprints). Returns
+    * (id_a, id_b, hamming ≤ maxHamming). */
+  def imageNearDup(assets: DataFrame, maxHamming: Int = 3,
+                   payloadCol: String = "payload"): DataFrame =
+    graft.dedup.Dedup.hammingCandidates(imageDhash(assets, payloadCol),
+      maxHamming, fpBits = 56)
 }

@@ -1612,6 +1612,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(m(routed) == m(viaWindow))
   }
 
+  test("dhash56: monotone gradient sets all 56 bits, reverse sets none; " +
+    "identical payloads pair at hamming 0 through the banded join") {
+    def png(f: Int => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 16) {
+        val v = f(x); img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val up = png(x => x * 10)          // luma strictly increasing
+    val down = png(x => (15 - x) * 10) // strictly decreasing
+    assert(Multimodal.dhash56(up) == (1L << 56) - 1)
+    assert(Multimodal.dhash56(down) == 0L)
+    val assets = Seq((1L, "image", up), (2L, "image", up),
+      (3L, "image", down), (4L, "audio", up))
+      .toDF("asset_id", "modality", "payload")
+    val pairs = Multimodal.imageNearDup(assets, maxHamming = 3).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1),
+      r.getAs[Number]("hamming").longValue)).toSeq == Seq((1L, 2L, 0L)))
+  }
+
   test("silhouette: closed-form two-cluster geometry, singleton cluster " +
     "scores 1, per-cluster means aggregate the point scores") {
     val embs = Seq(
