@@ -238,14 +238,36 @@ object ScaleProbe {
             .agg(sum("support")).head(); 1L }))
     }
 
+    // multimodal family: synthesize binary assets from the replicated doc
+    // ids (payload content is a pure function of the id, so replicas carry
+    // distinct images) and probe the decode-side operators — the timed
+    // input INCLUDES the payload column, as a real asset table would
+    def assetSuite(docs: DataFrame): Map[String, Double] = {
+      import graft.multimodal.Multimodal
+      timedSuite(Multimodal.synthesizeAssets(docs))(Seq(
+        "mm_features" -> { d =>
+          Multimodal.extractFeatures(d).agg(sum("m0")).head(); 1L },
+        "image_dhash" -> { d =>
+          Multimodal.imageDhash(d).agg(max("fp")).head(); 1L },
+        "image_neardup" -> { d =>
+          // pair output is quadratic in perceptual-dup density (the
+          // synthetic gradients are all near-dups of each other) — the
+          // probe measures the output-bound regime; see image_dedup for
+          // the collapse path
+          Multimodal.imageNearDup(d, maxHamming = 3).count() },
+        "image_dedup" -> { d =>
+          Multimodal.imageDupGroups(d).agg(sum("n_images")).head(); 1L }))
+    }
+
     println(s"== pass 0: warmup (codegen) ==")
     suite(replicate(1)); embSuite(replicateEmb(1)); evSuite(replicateEv(1))
+    assetSuite(replicate(1))
     println(s"== pass 1: 1x (${maxId} docs, ${eMax} vecs) ==")
     val t1 = suite(replicate(1)) ++ embSuite(replicateEmb(1)) ++
-      evSuite(replicateEv(1))
+      evSuite(replicateEv(1)) ++ assetSuite(replicate(1))
     println(s"== pass 2: ${k}x (${k * maxId} docs, ${k * eMax} vecs) ==")
     val tk = suite(replicate(k)) ++ embSuite(replicateEmb(k)) ++
-      evSuite(replicateEv(k))
+      evSuite(replicateEv(k)) ++ assetSuite(replicate(k))
     println(f"%nop             | 1x (s) | ${k}%dx (s) | ratio (linear=$k%d.0)")
     t1.keys.toSeq.sorted.foreach { op =>
       println(f"$op%-22s ${t1(op)}%7.2f ${tk(op)}%9.2f ${tk(op) / t1(op)}%8.1f")

@@ -842,11 +842,30 @@ object SparkEntry {
         .orderBy("source_a", "source_b")
     }),
 
+    // split leakage under a GROUP split (hash the source, not the id):
+    // the before/after measurement of group splitting as a leakage fix
+    "q131_group_split_leakage" -> ((s, dir) => {
+      Dedup.splitLeakage(t(s, dir, "documents"), numHashes = 16,
+        bands = 4, portable = true, splitBy = Some(col("source")))
+        .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
+          round(col("est_jaccard"), 6).as("est_jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // perceptual 56-bit dHash per image asset: real PNG decode, explicit
     // NN 8×8 luma sampling — fingerprints bit-checked against the pixel
     // formula; near-dup pairing rides the shared Manku Hamming join
     "q130_image_dhash" -> ((s, dir) => {
       Multimodal.imageDhash(
+        Multimodal.synthesizeAssets(t(s, dir, "documents")))
+        .orderBy("id")
+    }),
+
+    // exact perceptual image dedup: identical dHash groups collapse to a
+    // min-id keeper — digest-only shuffle, no pair expansion (scale path;
+    // q130's pair join is the tuning regime)
+    "q132_image_dedup" -> ((s, dir) => {
+      Multimodal.imageDupGroups(
         Multimodal.synthesizeAssets(t(s, dir, "documents")))
         .orderBy("id")
     }),
@@ -1655,11 +1674,48 @@ object SparkEntry {
 
   /** q108 oracle: q24's candidate CTEs + q42's split expression, keeping
     * only pairs whose splits differ. */
-  private def splitLeakageOracle: String = {
+  /** Shared q130/q132 CTE chain: the 56-bit dHash re-derived in SQL from
+    * the pixel synthesis formulas ([[Multimodal.pixel]]) — NN 8×8 luma
+    * grid, gradient-sign bits, ending in `dfp(id, fp)`. */
+  private val dhashFpCtes =
+    """img AS (
+      |  SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |grid AS (
+      |  SELECT doc_id, x, y,
+      |         least(x * w // 8, w - 1) AS sx,
+      |         least(y * h // 8, h - 1) AS sy
+      |  FROM img, generate_series(0, 8) gx(x),
+      |            generate_series(0, 7) gy(y)),
+      |lum AS (
+      |  SELECT doc_id, x, y,
+      |         (doc_id * 1 + sx * 3 + sy * 7) % 256
+      |       + (doc_id * 2 + sx * 3 + sy * 7) % 256
+      |       + (doc_id * 3 + sx * 3 + sy * 7) % 256 AS l
+      |  FROM grid),
+      |dfp AS (
+      |  SELECT a.doc_id AS id,
+      |         CAST(sum(CASE WHEN b.l > a.l
+      |                       THEN 1::BIGINT << (a.y * 7 + a.x)
+      |                       ELSE 0 END) AS BIGINT) AS fp
+      |  FROM lum a JOIN lum b
+      |    ON b.doc_id = a.doc_id AND b.x = a.x + 1 AND b.y = a.y
+      |  WHERE a.x < 7
+      |  GROUP BY 1)""".stripMargin
+
+  private def splitLeakageOracle: String =
+    splitLeakageOracleBy("CAST(doc_id AS VARCHAR)")
+
+  /** q131: same report under a GROUP split (hash the source, not the id)
+    * — the before/after measurement of group splitting as a leakage fix. */
+  private def groupSplitLeakageOracle: String =
+    splitLeakageOracleBy("source")
+
+  private def splitLeakageOracleBy(keyExpr: String): String = {
     val matchSum = (0 until 16).map(k =>
       s"CASE WHEN sa.m$k = sb.m$k THEN 1 ELSE 0 END").mkString("\n         + ")
     val bucket =
-      "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+      s"('0x' || substr(md5($keyExpr), 1, 8))::BIGINT % 100"
     s"""WITH $shingleHashCte,
        |$minhashCandCtes,
        |sp AS (
@@ -1683,6 +1739,7 @@ object SparkEntry {
     "q24_minhash_lsh" -> minhashOracle,
 
     "q108_split_leakage" -> splitLeakageOracle,
+    "q131_group_split_leakage" -> groupSplitLeakageOracle,
 
     "q105_ann_recall" -> annRecallOracle,
     "q125_random_project" -> randomProjectOracle,
@@ -2045,29 +2102,17 @@ object SparkEntry {
         |ORDER BY asset_id, frame_ms""".stripMargin,
 
     "q130_image_dhash" ->
-      """WITH img AS (
-        |  SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h
-        |  FROM documents WHERE doc_id % 3 = 0),
-        |grid AS (
-        |  SELECT doc_id, x, y,
-        |         least(x * w // 8, w - 1) AS sx,
-        |         least(y * h // 8, h - 1) AS sy
-        |  FROM img, generate_series(0, 8) gx(x),
-        |            generate_series(0, 7) gy(y)),
-        |lum AS (
-        |  SELECT doc_id, x, y,
-        |         (doc_id * 1 + sx * 3 + sy * 7) % 256
-        |       + (doc_id * 2 + sx * 3 + sy * 7) % 256
-        |       + (doc_id * 3 + sx * 3 + sy * 7) % 256 AS l
-        |  FROM grid)
-        |SELECT a.doc_id AS id,
-        |       CAST(sum(CASE WHEN b.l > a.l
-        |                     THEN 1::BIGINT << (a.y * 7 + a.x)
-        |                     ELSE 0 END) AS BIGINT) AS fp
-        |FROM lum a JOIN lum b
-        |  ON b.doc_id = a.doc_id AND b.x = a.x + 1 AND b.y = a.y
-        |WHERE a.x < 7
-        |GROUP BY 1 ORDER BY id""".stripMargin,
+      s"""WITH $dhashFpCtes
+         |SELECT id, fp FROM dfp ORDER BY id""".stripMargin,
+
+    "q132_image_dedup" ->
+      s"""WITH $dhashFpCtes,
+         |keep AS (
+         |  SELECT fp, min(id) AS keep_id, count(*) AS n_images
+         |  FROM dfp GROUP BY 1)
+         |SELECT d.id, d.fp, k.keep_id, d.id = k.keep_id AS is_keeper,
+         |       k.n_images
+         |FROM dfp d JOIN keep k USING (fp) ORDER BY d.id""".stripMargin,
 
     "q129_silhouette" ->
       """WITH v AS (

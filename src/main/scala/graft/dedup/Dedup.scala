@@ -376,13 +376,21 @@ object Dedup {
     * [[minhashCandidates]] with [[graft.text.TextOps.hashSplit]]; cost
     * is the candidate generation, the split join adds two broadcast-size
     * probes of the candidate frame. Returns (id_a, id_b, split_a,
-    * split_b, est_jaccard) for crossing pairs only. */
+    * split_b, est_jaccard) for crossing pairs only.
+    *
+    * `splitBy` chooses the hash key: the row id (default) or a GROUP key
+    * (source, host, author) — grouping every member of a group into one
+    * split removes the leakage channel whenever near-dups cluster within
+    * groups (mirrors, boilerplate, one author's reposts), and this
+    * report run with `splitBy = col("source")` vs the default is the
+    * before/after measurement of exactly that effect. */
   def splitLeakage(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", shingleN: Int = 3,
                    numHashes: Int = 64, bands: Int = 16,
-                   portable: Boolean = false): DataFrame = {
+                   portable: Boolean = false,
+                   splitBy: Option[Column] = None): DataFrame = {
     val split = docs.select(col(idCol).as("sid"),
-      TextOps.hashSplit(col(idCol)).as("split"))
+      TextOps.hashSplit(splitBy.getOrElse(col(idCol))).as("split"))
     minhashCandidates(docs, idCol, textCol, shingleN, numHashes, bands,
       portable)
       .join(split.select(col("sid").as("id_a"),

@@ -496,9 +496,36 @@ object Multimodal {
   /** Perceptual image near-dup pairs: [[imageDhash]] →
     * [[graft.dedup.Dedup.hammingCandidates]] (the same Manku banded
     * join as text SimHash, over 56-bit fingerprints). Returns
-    * (id_a, id_b, hamming ≤ maxHamming). */
+    * (id_a, id_b, hamming ≤ maxHamming).
+    *
+    * PAIR output is quadratic in perceptual-duplicate density by
+    * definition (the 10x probe: pairs grew ~100x on a gradient-heavy
+    * synthetic corpus, runtime 24x — sub-linear per pair but still
+    * output-bound). Tuning/verification regime, like [[graft.dedup
+    * .Dedup.ngramJaccard]]; the dedup SCALE path is [[imageDupGroups]],
+    * which collapses identical fingerprints without pair expansion. */
   def imageNearDup(assets: DataFrame, maxHamming: Int = 3,
                    payloadCol: String = "payload"): DataFrame =
     graft.dedup.Dedup.hammingCandidates(imageDhash(assets, payloadCol),
       maxHamming, fpBits = 56)
+
+  /** Exact perceptual image dedup: group identical [[dhash56]]
+    * fingerprints, keep the min-id member — the production image-dedup
+    * shape (repeated logos/banners/thumbnails collapse to one keeper no
+    * matter how many million copies exist). Returns per-image
+    * (id, fp, keep_id, is_keeper, n_images).
+    *
+    * Scale shape: map-side decode+hash, then ONLY (id, fp) longs shuffle
+    * — the digest-only-shuffle rule of text exact dedup; group size
+    * never expands into pairs, so a million-copy logo costs one
+    * aggregation row, not 10¹² pair rows. */
+  def imageDupGroups(assets: DataFrame,
+                     payloadCol: String = "payload"): DataFrame = {
+    val fps = imageDhash(assets, payloadCol)
+    val keep = fps.groupBy("fp")
+      .agg(min("id").as("keep_id"), count(lit(1)).as("n_images"))
+    fps.join(keep, "fp")
+      .select(col("id"), col("fp"), col("keep_id"),
+        (col("id") === col("keep_id")).as("is_keeper"), col("n_images"))
+  }
 }

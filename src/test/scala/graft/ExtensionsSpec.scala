@@ -1612,6 +1612,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(m(routed) == m(viaWindow))
   }
 
+  test("splitLeakage splitBy group: zero crossing pairs when near-dups " +
+    "live inside one group; row split still leaks them") {
+    val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // 30 docs in one source, every one a near-dup of the others: a row
+    // split almost surely scatters them across train/val/test
+    val docs = (0L until 30L).map(i => (i, s"$dup token$i", "mirror"))
+      .toDF("doc_id", "text", "source")
+    val rowLeaks = Dedup.splitLeakage(docs, numHashes = 16, bands = 4)
+    assert(rowLeaks.count() > 0, "row split should scatter the near-dups")
+    val groupLeaks = Dedup.splitLeakage(docs, numHashes = 16, bands = 4,
+      splitBy = Some(col("source")))
+    assert(groupLeaks.count() == 0,
+      "one group = one split: crossing pairs are impossible")
+  }
+
   test("dhash56: monotone gradient sets all 56 bits, reverse sets none; " +
     "identical payloads pair at hamming 0 through the banded join") {
     def png(f: Int => Int): Array[Byte] = {
@@ -1634,6 +1649,12 @@ class ExtensionsSpec extends SparkSpec {
     val pairs = Multimodal.imageNearDup(assets, maxHamming = 3).collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1),
       r.getAs[Number]("hamming").longValue)).toSeq == Seq((1L, 2L, 0L)))
+    // scale path: identical fingerprints collapse to a min-id keeper,
+    // no pair expansion; the audio row never enters
+    val groups = Multimodal.imageDupGroups(assets).orderBy("id").collect()
+    assert(groups.map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3),
+      r.getLong(4))).toSeq ==
+      Seq((1L, 1L, true, 2L), (2L, 1L, false, 2L), (3L, 3L, true, 1L)))
   }
 
   test("silhouette: closed-form two-cluster geometry, singleton cluster " +
