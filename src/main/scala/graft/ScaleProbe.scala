@@ -256,7 +256,9 @@ object ScaleProbe {
           // the collapse path
           Multimodal.imageNearDup(d, maxHamming = 3).count() },
         "image_dedup" -> { d =>
-          Multimodal.imageDupGroups(d).agg(sum("n_images")).head(); 1L }))
+          Multimodal.imageDupGroups(d).agg(sum("n_images")).head(); 1L },
+        "audio_dhash" -> { d =>
+          Multimodal.audioDhash(d).agg(max("fp")).head(); 1L }))
     }
 
     println(s"== pass 0: warmup (codegen) ==")

@@ -861,6 +861,15 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // 56-bit audio envelope dHash: real WAV decode, integer window
+    // energies, gain-invariant gradient signs — the audio leg of the
+    // perceptual-dedup family, bit-checked against the sample formula
+    "q133_audio_dhash" -> ((s, dir) => {
+      Multimodal.audioDhash(
+        Multimodal.synthesizeAssets(t(s, dir, "documents")))
+        .orderBy("id")
+    }),
+
     // exact perceptual image dedup: identical dHash groups collapse to a
     // min-id keeper — digest-only shuffle, no pair expansion (scale path;
     // q130's pair join is the tuning regime)
@@ -2104,6 +2113,23 @@ object SparkEntry {
     "q130_image_dhash" ->
       s"""WITH $dhashFpCtes
          |SELECT id, fp FROM dfp ORDER BY id""".stripMargin,
+
+    "q133_audio_dhash" ->
+      """WITH aud AS (
+        |  SELECT doc_id, 64 + doc_id % 50 AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |win AS (
+        |  SELECT doc_id, i * 57 // n AS w,
+        |         abs((doc_id * 31 + i * 17) % 2001 - 1000) AS a
+        |  FROM aud, generate_series(0, 113) g(i) WHERE i < n),
+        |e AS (SELECT doc_id, w, sum(a) AS e FROM win GROUP BY 1, 2)
+        |SELECT a.doc_id AS id,
+        |       CAST(sum(CASE WHEN b.e > a.e
+        |                     THEN 1::BIGINT << a.w ELSE 0 END) AS BIGINT)
+        |         AS fp
+        |FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+        |WHERE a.w < 56
+        |GROUP BY 1 ORDER BY id""".stripMargin,
 
     "q132_image_dedup" ->
       s"""WITH $dhashFpCtes,

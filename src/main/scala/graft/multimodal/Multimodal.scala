@@ -520,12 +520,75 @@ object Multimodal {
     * never expands into pairs, so a million-copy logo costs one
     * aggregation row, not 10¹² pair rows. */
   def imageDupGroups(assets: DataFrame,
-                     payloadCol: String = "payload"): DataFrame = {
-    val fps = imageDhash(assets, payloadCol)
+                     payloadCol: String = "payload"): DataFrame =
+    fpDupGroups(imageDhash(assets, payloadCol), "n_images")
+
+  /** [[imageDupGroups]] for audio: identical [[audioDhash56]] envelope
+    * fingerprints collapse to a min-id keeper. Same digest-only shuffle. */
+  def audioDupGroups(assets: DataFrame,
+                     payloadCol: String = "payload"): DataFrame =
+    fpDupGroups(audioDhash(assets, payloadCol), "n_assets")
+
+  private def fpDupGroups(fps: DataFrame, countName: String): DataFrame = {
     val keep = fps.groupBy("fp")
-      .agg(min("id").as("keep_id"), count(lit(1)).as("n_images"))
+      .agg(min("id").as("keep_id"), count(lit(1)).as(countName))
     fps.join(keep, "fp")
       .select(col("id"), col("fp"), col("keep_id"),
-        (col("id") === col("keep_id")).as("is_keeper"), col("n_images"))
+        (col("id") === col("keep_id")).as("is_keeper"), col(countName))
   }
+
+  /** 56-bit audio difference hash: the time-domain analogue of
+    * [[dhash56]]. The PCM stream splits into 57 contiguous windows
+    * (sample i belongs to window ⌊i·57/n⌋ — the per-sample rule an
+    * oracle reproduces exactly), per-window energy = Σ|s| in exact
+    * integer arithmetic, bit w = 1 iff energy(w+1) > energy(w). The
+    * loudness-ENVELOPE shape is what survives: uniform gain g > 0
+    * scales every window energy by g and flips no comparison, so the
+    * fingerprint is gain-invariant by construction — re-encoded or
+    * re-normalized copies of a clip collapse to the same hash where
+    * byte-level digests see different files. */
+  def audioDhash56(payload: Array[Byte]): Long = {
+    val in = AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(payload))
+    val pcm = try in.readAllBytes() finally in.close()
+    val n = pcm.length / 2
+    val e = new Array[Long](57)
+    var i = 0
+    while (i < n) {
+      val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+      e((i.toLong * 57 / n).toInt) += math.abs(s)
+      i += 1
+    }
+    var fp = 0L
+    var w = 0
+    while (w < 56) {
+      if (e(w + 1) > e(w)) fp |= 1L << w
+      w += 1
+    }
+    fp
+  }
+
+  /** Per-asset [[audioDhash56]] fingerprints as (id, fp) — map-side
+    * decode, 16 bytes per clip downstream. */
+  def audioDhash(assets: DataFrame,
+                 payloadCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("fp", LongType)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    assets.filter(col("modality") === "audio")
+      .select(col("asset_id"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.map(r => Row(r.getAs[Long]("asset_id"),
+          audioDhash56(r.getAs[Array[Byte]](payloadCol))))
+      }
+  }
+
+  /** Audio near-dup pairs over [[audioDhash56]] via the shared banded
+    * Hamming join; same tuning-vs-scale split as [[imageNearDup]] /
+    * [[audioDupGroups]]. */
+  def audioNearDup(assets: DataFrame, maxHamming: Int = 3,
+                   payloadCol: String = "payload"): DataFrame =
+    graft.dedup.Dedup.hammingCandidates(audioDhash(assets, payloadCol),
+      maxHamming, fpBits = 56)
 }

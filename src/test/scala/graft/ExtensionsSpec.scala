@@ -1612,6 +1612,40 @@ class ExtensionsSpec extends SparkSpec {
     assert(m(routed) == m(viaWindow))
   }
 
+  test("audioDhash56: gain-invariant envelope hash; doubled gain " +
+    "collapses to the keeper, different envelope stays apart") {
+    def wav(samples: Array[Int]): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        pcm(2 * i) = (samples(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true,
+        false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // rising loudness envelope, 114 samples (> 57 windows)
+    val base = Array.tabulate(114)(i => if (i % 2 == 0) i * 20 else -i * 20)
+    val louder = base.map(_ * 2) // uniform gain: same envelope SHAPE
+    val falling = base.reverse
+    assert(Multimodal.audioDhash56(wav(base)) ==
+      Multimodal.audioDhash56(wav(louder)), "gain must not change the fp")
+    assert(Multimodal.audioDhash56(wav(base)) !=
+      Multimodal.audioDhash56(wav(falling)))
+    val assets = Seq((10L, "audio", wav(base)), (11L, "audio", wav(louder)),
+      (12L, "audio", wav(falling)), (13L, "image", wav(base)))
+      .toDF("asset_id", "modality", "payload")
+    val groups = Multimodal.audioDupGroups(assets).orderBy("id").collect()
+    assert(groups.map(r => (r.getLong(0), r.getLong(2),
+      r.getBoolean(3))).toSeq ==
+      Seq((10L, 10L, true), (11L, 10L, false), (12L, 12L, true)))
+  }
+
   test("splitLeakage splitBy group: zero crossing pairs when near-dups " +
     "live inside one group; row split still leaks them") {
     val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
