@@ -870,6 +870,14 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // per-frame video dHash (content-ID primitive): every GFV1 frame's
+    // 56-bit fingerprint, bit-checked against the pixel formula
+    "q134_video_dhash" -> ((s, dir) => {
+      Multimodal.videoDhash(
+        Multimodal.synthesizeAssets(t(s, dir, "documents")))
+        .orderBy("id", "frame")
+    }),
+
     // exact perceptual image dedup: identical dHash groups collapse to a
     // min-id keeper — digest-only shuffle, no pair expansion (scale path;
     // q130's pair join is the tuning regime)
@@ -2113,6 +2121,34 @@ object SparkEntry {
     "q130_image_dhash" ->
       s"""WITH $dhashFpCtes
          |SELECT id, fp FROM dfp ORDER BY id""".stripMargin,
+
+    "q134_video_dhash" ->
+      """WITH vid AS (
+        |  SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h,
+        |         3 + doc_id % 10 AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |grid AS (
+        |  SELECT doc_id, f, x, y,
+        |         least(x * w // 8, w - 1) AS sx,
+        |         least(y * h // 8, h - 1) AS sy
+        |  FROM vid, generate_series(0, 12) gf(f),
+        |       generate_series(0, 8) gx(x), generate_series(0, 7) gy(y)
+        |  WHERE f < nf),
+        |lum AS (
+        |  SELECT doc_id, f, x, y,
+        |         (doc_id * 1 + f * 11 + sx * 3 + sy * 7) % 256
+        |       + (doc_id * 2 + f * 11 + sx * 3 + sy * 7) % 256
+        |       + (doc_id * 3 + f * 11 + sx * 3 + sy * 7) % 256 AS l
+        |  FROM grid)
+        |SELECT a.doc_id AS id, a.f AS frame,
+        |       CAST(sum(CASE WHEN b.l > a.l
+        |                     THEN 1::BIGINT << (a.y * 7 + a.x)
+        |                     ELSE 0 END) AS BIGINT) AS fp
+        |FROM lum a JOIN lum b
+        |  ON b.doc_id = a.doc_id AND b.f = a.f
+        | AND b.x = a.x + 1 AND b.y = a.y
+        |WHERE a.x < 7
+        |GROUP BY 1, 2 ORDER BY id, frame""".stripMargin,
 
     "q133_audio_dhash" ->
       """WITH aud AS (

@@ -210,7 +210,12 @@ object Multimodal {
 
   /** Seek to frame `idx` (length-skips, no decode of earlier frames) and
     * ImageIO-decode it. */
-  def decodeVideoFrame(bytes: Array[Byte], idx: Int): ImageStats = {
+  def decodeVideoFrame(bytes: Array[Byte], idx: Int): ImageStats =
+    decodeImage(videoFramePng(bytes, idx))
+
+  /** Raw PNG bytes of frame `idx` of a GFV1 container (length-indexed
+    * walk — skips, no decode, until the requested frame). */
+  def videoFramePng(bytes: Array[Byte], idx: Int): Array[Byte] = {
     val nf = videoFrameCount(bytes)
     require(idx >= 0 && idx < nf, s"frame $idx out of 0..${nf - 1}")
     val in = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
@@ -224,7 +229,7 @@ object Multimodal {
     val len = in.readInt()
     val png = new Array[Byte](len)
     in.readFully(png)
-    decodeImage(png)
+    png
   }
 
   /** Frame-sample positions for a video payload: every `everyMs`
@@ -591,4 +596,48 @@ object Multimodal {
                    payloadCol: String = "payload"): DataFrame =
     graft.dedup.Dedup.hammingCandidates(audioDhash(assets, payloadCol),
       maxHamming, fpBits = 56)
+
+  /** Per-FRAME [[dhash56]] fingerprints of every video asset:
+    * (id, frame, fp) — the content-ID primitive. Decode walks the
+    * container once per frame map-side; 20 bytes per frame flow
+    * downstream, the payload never shuffles. */
+  def videoDhash(assets: DataFrame,
+                 payloadCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("frame", IntegerType),
+      StructField("fp", LongType)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    assets.filter(col("modality") === "video")
+      .select(col("asset_id"), col(payloadCol))
+      .flatMap { r =>
+        val id = r.getAs[Long]("asset_id")
+        val payload = r.getAs[Array[Byte]](payloadCol)
+        (0 until videoFrameCount(payload)).map(f =>
+          Row(id, f, dhash56(videoFramePng(payload, f))))
+      }
+  }
+
+  /** Content-ID video matching: pairs of videos sharing at least
+    * `minSharedFrames` DISTINCT frame fingerprints — snippet/re-upload
+    * detection by frame-hash containment, not whole-file digests. One
+    * distinct (id, fp) projection, an fp-keyed self-join (identical
+    * frames collapse per video first), one pair-counting aggregation;
+    * per-fp fanout is bounded by how many videos contain that frame —
+    * add a document-frequency cap (à la [[graft.dedup.Dedup
+    * .ngramJaccard]] maxDf) for intro/outro cards shared corpus-wide. */
+  def videoNearDupByFrame(assets: DataFrame, minSharedFrames: Int = 1,
+                          payloadCol: String = "payload"): DataFrame = {
+    require(minSharedFrames >= 1)
+    val vf = videoDhash(assets, payloadCol)
+      .select(col("id"), col("fp")).distinct()
+      .cache() // reused by both self-join sides
+    val a = vf.select(col("fp"), col("id").as("id_a"))
+    val b = vf.select(col("fp"), col("id").as("id_b"))
+    a.join(b, "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minSharedFrames)
+  }
 }

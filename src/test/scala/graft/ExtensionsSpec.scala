@@ -1646,6 +1646,49 @@ class ExtensionsSpec extends SparkSpec {
       Seq((10L, 10L, true), (11L, 10L, false), (12L, 12L, true)))
   }
 
+  test("videoDhash: frame 0 equals the image dhash of the same frame; " +
+    "shared-frame join finds the snippet pair") {
+    // dHash sees gradient SIGNS, so frames must differ in sign pattern,
+    // not just brightness: diag/up/down/antidiag/checker are pairwise
+    // sign-distinct
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val v = f(x, y); img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val diag = png((x, y) => if (x == y) 255 else 0)
+    val up = png((x, _) => x * 20)
+    val down = png((x, _) => (7 - x) * 20)
+    val anti = png((x, y) => if (x + y == 7) 255 else 0)
+    val checker = png((x, _) => (x % 2) * 255)
+    def gfv(frames: Array[Byte]*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.write(Array[Byte]('G', 'F', 'V', '1'))
+      out.writeInt(frames.length)
+      frames.foreach { f => out.writeInt(f.length); out.write(f) }
+      bos.toByteArray
+    }
+    val assets = Seq(
+      (1L, "video", gfv(diag, up)),
+      (2L, "video", gfv(down, diag)), // re-upload carrying the diag frame
+      (3L, "video", gfv(anti, checker)))
+      .toDF("asset_id", "modality", "payload")
+    val fps = Multimodal.videoDhash(assets).orderBy("id", "frame").collect()
+    assert(fps.length == 6)
+    // a frame hashes identically wherever it appears
+    assert(fps(0).getLong(2) == Multimodal.dhash56(diag))
+    assert(fps(3).getLong(2) == Multimodal.dhash56(diag))
+    val pairs = Multimodal.videoNearDupByFrame(assets).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1),
+      r.getAs[Long]("shared_frames"))).toSeq == Seq((1L, 2L, 1L)))
+  }
+
   test("splitLeakage splitBy group: zero crossing pairs when near-dups " +
     "live inside one group; row split still leaks them") {
     val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
