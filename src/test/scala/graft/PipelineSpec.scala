@@ -214,4 +214,61 @@ class PipelineSpec extends SparkSpec {
     // doc 9 kept nothing → filtered out entirely
     assert(!got.contains(9L))
   }
+
+  test("E7 curateAssets: perceptual keepers survive, re-uploads and " +
+    "copies drop, other modalities pass through") {
+    import graft.multimodal.Multimodal
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val v = f(x, y); img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def wav(samples: Array[Int]): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        pcm(2 * i) = (samples(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true,
+        false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    def gfv(frames: Array[Byte]*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.write(Array[Byte]('G', 'F', 'V', '1'))
+      out.writeInt(frames.length)
+      frames.foreach { f => out.writeInt(f.length); out.write(f) }
+      bos.toByteArray
+    }
+    val up = png((x, _) => x * 20)
+    val diag = png((x, y) => if (x == y) 255 else 0)
+    val anti = png((x, y) => if (x + y == 7) 255 else 0)
+    val env = Array.tabulate(114)(i => if (i % 2 == 0) i * 20 else -i * 20)
+    val assets = Seq(
+      (1L, "image", up), (2L, "image", up),          // copy → keep 1
+      (3L, "image", diag),                           // unique
+      (4L, "audio", wav(env)),
+      (5L, "audio", wav(env.map(_ * 2))),            // gain copy → keep 4
+      (6L, "video", gfv(diag, up)),
+      (7L, "video", gfv(anti, diag)),                // shares diag → drop
+      (8L, "video", gfv(anti, anti)),                // shares with 7 only
+      (9L, "text", Array[Byte](1, 2, 3)))            // passes through
+      .toDF("asset_id", "modality", "payload")
+    val kept = Pipelines.curateAssets(assets)
+      .select("asset_id").collect().map(_.getLong(0)).sorted.toSeq
+    // video 7 drops (shares diag with 6); video 8 shares anti with 7 —
+    // the pair (7,8) drops 8 as the higher id even though 7 itself drops
+    assert(kept == Seq(1L, 3L, 4L, 6L, 9L))
+  }
 }
