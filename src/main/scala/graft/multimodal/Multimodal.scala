@@ -534,7 +534,11 @@ object Multimodal {
                      payloadCol: String = "payload"): DataFrame =
     fpDupGroups(audioDhash(assets, payloadCol), "n_assets")
 
-  private def fpDupGroups(fps: DataFrame, countName: String): DataFrame = {
+  private def fpDupGroups(fpsIn: DataFrame, countName: String): DataFrame = {
+    // without persisting, the keeper aggregation AND the join-back each
+    // re-execute the full decode+hash lineage (every payload decoded
+    // twice)
+    val fps = fpsIn.cache() // reused by both sides of the keeper join
     val keep = fps.groupBy("fp")
       .agg(min("id").as("keep_id"), count(lit(1)).as(countName))
     fps.join(keep, "fp")
