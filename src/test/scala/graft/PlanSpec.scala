@@ -291,11 +291,20 @@ class PlanSpec extends SparkSpec {
     // computed relationally from exploded pixels/samples (the shape that
     // shuffles the binary-derived domain)
     Seq("q34_multimodal_features", "q102_image_resize",
-      "q103_audio_frames").foreach { q =>
+      "q103_audio_frames", "q130_image_dhash", "q133_audio_dhash",
+      "q134_video_dhash").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Join"), s"$q plans a join:\n$p")
       assert(!p.contains("HashAggregate"), s"$q plans an aggregation:\n$p")
     }
+    // q132's keeper collapse joins 16-byte fp rows back to ids — the
+    // decode itself must still be map-side (no exchange below the hash
+    // projection would show as a Sort/Exchange-over-payload; the payload
+    // column must not appear above the scan)
+    val p132 = plan("q132_image_dedup")
+    assert(p132.contains("Join"), s"q132 lost its keeper join:\n$p132")
+    assert(!p132.contains("SortMergeJoin") ||
+      !p132.contains("payload"), s"q132 shuffles payloads:\n$p132")
   }
 
   test("q114 substring-dedup rewrite is map-only: no join, no agg, " +
