@@ -1702,7 +1702,7 @@ object SparkEntry {
       |  SELECT doc_id, x, y,
       |         least(x * w // 8, w - 1) AS sx,
       |         least(y * h // 8, h - 1) AS sy
-      |  FROM img, generate_series(0, 8) gx(x),
+      |  FROM img, generate_series(0, 7) gx(x),
       |            generate_series(0, 7) gy(y)),
       |lum AS (
       |  SELECT doc_id, x, y,
@@ -2132,7 +2132,7 @@ object SparkEntry {
         |         least(x * w // 8, w - 1) AS sx,
         |         least(y * h // 8, h - 1) AS sy
         |  FROM vid, generate_series(0, 12) gf(f),
-        |       generate_series(0, 8) gx(x), generate_series(0, 7) gy(y)
+        |       generate_series(0, 7) gx(x), generate_series(0, 7) gy(y)
         |  WHERE f < nf),
         |lum AS (
         |  SELECT doc_id, f, x, y,

@@ -132,6 +132,9 @@ object Dedup {
       .cache() // counted twice: denominator and semi-join probe
     val cand = minhashCandidates(docs, idCol, textCol, shingleN,
       numHashes, bands, portable).select("id_a", "id_b")
+      // also consumed twice (count + probe): without this the band
+      // self-join and distinct above the signature cache re-run in full
+      .cache()
     val hits = exact.join(cand, Seq("id_a", "id_b"), "left_semi")
     val t = exact.agg(count(lit(1)).as("true_pairs"))
     val c = cand.agg(count(lit(1)).as("candidate_pairs"))
@@ -182,7 +185,9 @@ object Dedup {
     *
     * Scale shape: one (block, block_key) hash shuffle of (id, fp) longs;
     * block width caps bucket sizes, identical fingerprints collapse per
-    * bucket. */
+    * bucket. Caches the banded frame (both self-join sides read it);
+    * callers own release — the [[graft.ml.Similarity.allPairsTopK]]
+    * contract, cleared between queries by the Bench/Verify harnesses. */
   def hammingCandidates(fps: DataFrame, maxHamming: Int = 3,
                         fpBits: Int = 64): DataFrame = {
     val blocks = maxHamming + 1

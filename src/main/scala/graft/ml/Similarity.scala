@@ -65,7 +65,7 @@ object Similarity {
   }
 
   /** Johnson–Lindenstrauss random projection: reduce `dim`-wide embeddings
-    * to `outDim` coordinates, proj_j = ⟨v, r_j⟩ / √outDim with r_j the
+    * to `outDim` coordinates, proj_j = ⟨v, r_j⟩ · √(12/outDim) with r_j the
     * deterministic splitmix64 plane of [[planeComponent]] (plane id
     * `(seed << 16) | j` — seeded and engine-reproducible, no RNG state to
     * ship; the √(12/outDim) scale makes the embedding unbiased,
@@ -171,10 +171,14 @@ object Similarity {
     * (s → 1 compact and separated, s ≤ 0 likely mis-assigned).
     *
     * Centroids are exact per-dimension means quantized to `dp` decimals
-    * BEFORE the distance pass — quantization makes every downstream
-    * number a pure function of the quantized values, so two engines (or
-    * two runs with different partition sums) agree bit-for-bit after the
-    * edge rounding.
+    * BEFORE the distance pass — quantization makes every DOWNSTREAM
+    * number a pure function of the quantized values. The mean itself
+    * (and the per-pair distance sum) still carries partition-order ulp
+    * jitter, so an avg landing within ~1e-13 of a 0.5·10^-dp boundary
+    * could quantize differently across engines — the same residual risk
+    * the q94 centroid oracle carries (probability ~1e-8 per value;
+    * accepted there across rounds). Exact integer sums are not available
+    * here: the inputs are floats, not counts.
     *
     * Scale shape: |k|-row centroid aggregation (map-side combined),
     * broadcast back; the n·k scoring rows reduce per-point under a

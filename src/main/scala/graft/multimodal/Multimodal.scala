@@ -440,25 +440,25 @@ object Multimodal {
   }
 
   /** 56-bit difference hash (dHash) of a decoded image: sample an 8×8
-    * luma grid nearest-neighbor (src = (⌊x·w/8⌋, ⌊y·h/8⌋) — the same
-    * explicit sampling rule as [[resizeImages]], not Graphics2D, so an
-    * oracle can recompute it), then bit (y·7+x) = 1 iff
-    * luma(x+1, y) > luma(x, y). Luma is the raw R+G+B sum — comparing
-    * sums orders identically to comparing means and stays in exact
-    * integer arithmetic. 56 bits (7 comparisons × 8 rows) rather than
-    * the classic 9×8→64 keeps the fingerprint below the sign bit in
-    * every engine's signed 64-bit integer (the SimHash 60-bit portable
-    * trade). Gradient signs survive brightness/contrast shifts and
-    * re-encodes that byte-level hashing can't see. */
+    * luma grid nearest-neighbor (src = (⌊x·w/8⌋, ⌊y·h/8⌋), clamped —
+    * the same explicit sampling rule as [[resizeImages]], not
+    * Graphics2D, so an oracle can recompute it), then bit (y·7+x) = 1
+    * iff luma(x+1, y) > luma(x, y) for x < 7. Luma is the raw R+G+B
+    * sum — comparing sums orders identically to comparing means and
+    * stays in exact integer arithmetic. 56 bits (7 comparisons × 8
+    * rows) rather than the classic 9×8→64 keeps the fingerprint below
+    * the sign bit in every engine's signed 64-bit integer (the SimHash
+    * 60-bit portable trade). Gradient signs survive brightness/contrast
+    * shifts and re-encodes that byte-level hashing can't see. */
   def dhash56(payload: Array[Byte]): Long = {
     val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, "ImageIO could not decode payload")
     val w = img.getWidth; val h = img.getHeight
-    val lum = Array.ofDim[Int](9, 8)
+    val lum = Array.ofDim[Int](8, 8)
     var y = 0
     while (y < 8) {
       var x = 0
-      while (x < 9) {
-        // x ranges to 8: column 8 samples ⌊8·w/8⌋ = w, clamped to w−1
+      while (x < 8) {
         val sx = math.min(x * w / 8, w - 1)
         val sy = math.min(y * h / 8, h - 1)
         val rgb = img.getRGB(sx, sy)
@@ -534,6 +534,11 @@ object Multimodal {
                      payloadCol: String = "payload"): DataFrame =
     fpDupGroups(audioDhash(assets, payloadCol), "n_assets")
 
+  /** NOTE: caches the fingerprint frame for the duration of the query
+    * (both sides of the keeper join read it); callers own release —
+    * `spark.catalog.clearCache()` or unpersist when done, the same
+    * contract as [[graft.ml.Similarity.allPairsTopK]] and the Dedup pair
+    * generators (the Bench/Verify harnesses clear between queries). */
   private def fpDupGroups(fpsIn: DataFrame, countName: String): DataFrame = {
     // without persisting, the keeper aggregation AND the join-back each
     // re-execute the full decode+hash lineage (every payload decoded
@@ -602,8 +607,9 @@ object Multimodal {
       maxHamming, fpBits = 56)
 
   /** Per-FRAME [[dhash56]] fingerprints of every video asset:
-    * (id, frame, fp) — the content-ID primitive. Decode walks the
-    * container once per frame map-side; 20 bytes per frame flow
+    * (id, frame, fp) — the content-ID primitive. ONE sequential
+    * container walk per video map-side (length-indexed reads, no
+    * per-frame re-skip — O(nf), not O(nf²)); 20 bytes per frame flow
     * downstream, the payload never shuffles. */
   def videoDhash(assets: DataFrame,
                  payloadCol: String = "payload"): DataFrame = {
@@ -617,8 +623,16 @@ object Multimodal {
       .flatMap { r =>
         val id = r.getAs[Long]("asset_id")
         val payload = r.getAs[Array[Byte]](payloadCol)
-        (0 until videoFrameCount(payload)).map(f =>
-          Row(id, f, dhash56(videoFramePng(payload, f))))
+        val nf = videoFrameCount(payload)
+        val in = new java.io.DataInputStream(
+          new ByteArrayInputStream(payload))
+        in.skipBytes(8)
+        (0 until nf).map { f =>
+          val len = in.readInt()
+          val png = new Array[Byte](len)
+          in.readFully(png)
+          Row(id, f, dhash56(png))
+        }
       }
   }
 
@@ -629,7 +643,9 @@ object Multimodal {
     * frames collapse per video first), one pair-counting aggregation;
     * per-fp fanout is bounded by how many videos contain that frame —
     * add a document-frequency cap (à la [[graft.dedup.Dedup
-    * .ngramJaccard]] maxDf) for intro/outro cards shared corpus-wide. */
+    * .ngramJaccard]] maxDf) for intro/outro cards shared corpus-wide.
+    * Caches the distinct (id, fp) frame; callers own release (the
+    * [[graft.ml.Similarity.allPairsTopK]] contract). */
   def videoNearDupByFrame(assets: DataFrame, minSharedFrames: Int = 1,
                           payloadCol: String = "payload"): DataFrame = {
     require(minSharedFrames >= 1)

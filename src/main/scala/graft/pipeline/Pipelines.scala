@@ -282,30 +282,35 @@ object Pipelines {
     * dedup sweep over a mixed image/audio/video asset table, one call:
     * image and audio assets collapse to their perceptual keepers
     * ([[graft.multimodal.Multimodal.imageDupGroups]] /
-    * `audioDupGroups` — digest-only shuffles), video assets drop
-    * re-uploads sharing ≥ `minSharedFrames` frame fingerprints with a
-    * lower-id video ([[graft.multimodal.Multimodal.videoNearDupByFrame]]
-    * — the content-ID join). Assets of other modalities pass through
-    * untouched. Returns the input rows minus perceptual duplicates;
-    * payload columns never shuffle (every fingerprint is computed
-    * map-side, decisions join back on ids).
+    * `audioDupGroups` — digest-only shuffles), video assets cluster by
+    * shared-frame pairs ([[graft.multimodal.Multimodal
+    * .videoNearDupByFrame]] → [[graft.dedup.Dedup.connectedComponents]])
+    * and each CLUSTER keeps its min-id representative — the same
+    * cluster-keeper policy as the text near-dup pipeline, so a chain
+    * A–B, B–C keeps A as the cluster's representative rather than
+    * pairwise-dropping both B and C. Assets of other modalities pass
+    * through untouched. Returns the input rows minus perceptual
+    * duplicates; payload columns never shuffle (every fingerprint is
+    * computed map-side, decisions join back on ids).
     *
     * Components oracle-gated by q130/q132/q133/q134; this composition is
     * the wiring, golden-tested in PipelineSpec E7. */
   def curateAssets(assets: DataFrame,
                    minSharedFrames: Int = 1): DataFrame = {
     import graft.multimodal.Multimodal
+    import graft.dedup.Dedup
     val imgKeep = Multimodal.imageDupGroups(assets)
       .filter(col("is_keeper")).select(col("id").as("asset_id"))
     val audKeep = Multimodal.audioDupGroups(assets)
       .filter(col("is_keeper")).select(col("id").as("asset_id"))
-    // a video is a re-upload if it shares frames with any LOWER id: drop
-    // the higher id of every matching pair, keep everything unmatched
-    val vidDrop = Multimodal.videoNearDupByFrame(assets, minSharedFrames)
-      .select(col("id_b").as("asset_id")).distinct()
-    val vidKeep = assets.filter(col("modality") === "video")
-      .select("asset_id")
-      .join(vidDrop, Seq("asset_id"), "left_anti")
+    // shared-frame pairs → connected components → min-id keeper per
+    // cluster: guarantees every cluster's content keeps a representative
+    val vids = assets.filter(col("modality") === "video")
+      .select(col("asset_id").as("id"))
+    val vidPairs = Multimodal.videoNearDupByFrame(assets, minSharedFrames)
+    val vidKeep = Dedup.connectedComponents(vids, vidPairs)
+      .filter(col("id") === col("cluster_id"))
+      .select(col("id").as("asset_id"))
     val keep = imgKeep.unionByName(audKeep).unionByName(vidKeep)
       .unionByName(assets.filter(!col("modality")
         .isin("image", "audio", "video")).select("asset_id"))

@@ -267,8 +267,10 @@ class PipelineSpec extends SparkSpec {
       .toDF("asset_id", "modality", "payload")
     val kept = Pipelines.curateAssets(assets)
       .select("asset_id").collect().map(_.getLong(0)).sorted.toSeq
-    // video 7 drops (shares diag with 6); video 8 shares anti with 7 —
-    // the pair (7,8) drops 8 as the higher id even though 7 itself drops
+    // videos 6-7 (diag) and 7-8 (anti) chain into ONE component {6,7,8}
+    // whose min-id representative 6 survives — cluster-keeper semantics,
+    // not pairwise drops (a pairwise rule would also drop 8 with no
+    // surviving copy of the anti content's cluster)
     assert(kept == Seq(1L, 3L, 4L, 6L, 9L))
   }
 }
