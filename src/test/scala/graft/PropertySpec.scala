@@ -163,4 +163,44 @@ class PropertySpec extends SparkSpec {
       monotone && got.forall { case (_, bk) => bk >= 1 && bk <= b }
     }, "cut-point binning monotonicity")
   }
+
+  test("hammingCandidates: exact recall — every pair within maxHamming " +
+    "is found, none beyond it survives (pigeonhole over random fps)") {
+    val gen = for {
+      mh <- Gen.choose(1, 3)
+      n <- Gen.choose(2, 12)
+      fps <- Gen.listOfN(n, Gen.choose(0L, (1L << 56) - 1))
+    } yield (mh, fps)
+    check(Prop.forAll(gen) { case (mh, fps) =>
+      val df = fps.zipWithIndex.map { case (fp, i) => (i.toLong, fp) }
+        .toDF("id", "fp")
+      val got = graft.dedup.Dedup.hammingCandidates(df, mh, fpBits = 56)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.catalog.clearCache()
+      val want = (for {
+        a <- fps.indices; b <- fps.indices if a < b
+        if java.lang.Long.bitCount(fps(a) ^ fps(b)) <= mh
+      } yield (a.toLong, b.toLong)).toSet
+      got == want
+    }, "banded join ≡ brute-force hamming")
+  }
+
+  test("dhash56 matches a direct pixel-formula recomputation on " +
+    "synthesized assets (encoder→decoder→hash ≡ pure arithmetic)") {
+    import graft.multimodal.Multimodal
+    check(Prop.forAll(Gen.choose(0L, 3000L).map(_ * 3)) { id =>
+      val viaCodec = Multimodal.dhash56(Multimodal.encodePng(id, 0))
+      val w = Multimodal.imgWidth(id); val h = Multimodal.imgHeight(id)
+      def lum(x: Int, y: Int): Int = {
+        val sx = math.min(x * w / 8, w - 1)
+        val sy = math.min(y * h / 8, h - 1)
+        (0 until 3).map(c => Multimodal.pixel(id, 0, c, sx, sy)).sum
+      }
+      var fp = 0L
+      for (y <- 0 until 8; x <- 0 until 7)
+        if (lum(x + 1, y) > lum(x, y)) fp |= 1L << (y * 7 + x)
+      viaCodec == fp
+    }, "png round-trip hash parity")
+  }
 }
