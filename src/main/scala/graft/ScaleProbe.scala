@@ -149,7 +149,10 @@ object ScaleProbe {
         "k_anonymity" -> { d =>
           graft.ops.Quality.kAnonymity(
             d.withColumn("len_bin", expr("n_chars div 100")),
-            Seq("lang", "source", "len_bin")).head(); 1L }))
+            Seq("lang", "source", "len_bin")).head(); 1L },
+        "script_profile" -> { d =>
+          TextOps.scriptProfile(d)
+            .agg(sum("latin"), sum("digit")).head(); 1L }))
 
     // embedding-family probe: replicate embeddings with coordinate jitter
     // derived from the replica index (deterministic, no RNG)

@@ -842,6 +842,12 @@ object SparkEntry {
         .orderBy("source_a", "source_b")
     }),
 
+    // per-doc Unicode script profile: block counts + dominant script —
+    // the multilingual routing signal langIdEn's en/other can't give
+    "q135_script_profile" -> ((s, dir) => {
+      TextOps.scriptProfile(t(s, dir, "documents")).orderBy("doc_id")
+    }),
+
     // split leakage under a GROUP split (hash the source, not the id):
     // the before/after measurement of group splitting as a leakage fix
     "q131_group_split_leakage" -> ((s, dir) => {
@@ -1720,6 +1726,26 @@ object SparkEntry {
       |  WHERE a.x < 7
       |  GROUP BY 1)""".stripMargin
 
+  /** q135 oracle: generated from [[TextOps.ScriptRanges]] so the regex
+    * classes are literally the same strings both engines compile. */
+  private def scriptProfileOracle: String = {
+    val counts = TextOps.ScriptRanges.map { case (n, body) =>
+      s"coalesce(length(regexp_replace(text, '[^$body]', '', 'g')), 0) AS $n"
+    }.mkString(",\n       |       ").stripMargin
+    val names = TextOps.ScriptRanges.map(_._1)
+    val dom = names.foldRight("'none'") { (n, els) =>
+      s"CASE WHEN $n = mx AND mx > 0 THEN '$n' ELSE $els END"
+    }
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |       ${counts}
+       |  FROM documents),
+       |m AS (SELECT *, greatest(${names.mkString(", ")}) AS mx FROM c)
+       |SELECT doc_id, ${names.mkString(", ")},
+       |       $dom AS dominant
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   private def splitLeakageOracle: String =
     splitLeakageOracleBy("CAST(doc_id AS VARCHAR)")
 
@@ -1757,6 +1783,7 @@ object SparkEntry {
 
     "q108_split_leakage" -> splitLeakageOracle,
     "q131_group_split_leakage" -> groupSplitLeakageOracle,
+    "q135_script_profile" -> scriptProfileOracle,
 
     "q105_ann_recall" -> annRecallOracle,
     "q125_random_project" -> randomProjectOracle,

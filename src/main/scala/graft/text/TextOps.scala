@@ -62,6 +62,45 @@ object TextOps {
   def langIdEn(text: Column, threshold: Double = 0.12): Column =
     when(stopwordRatio(text) >= threshold, "en").otherwise("other")
 
+  /** Unicode-script ranges for [[scriptProfile]]: name → character-class
+    * body (literal BMP ranges — valid in both Java regex and RE2, so the
+    * DuckDB oracle reuses the exact same class strings). */
+  private[graft] val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-zÀ-ɏ",
+    "cyrillic" -> "Ѐ-ӿ",
+    "cjk" -> "぀-ヿ一-鿿가-힯",
+    "arabic" -> "؀-ۿ",
+    "digit" -> "0-9")
+
+  /** Per-document Unicode script profile: counts of characters in the
+    * major script blocks ([[ScriptRanges]]) plus the dominant script —
+    * the routing signal for a multilingual corpus ([[langIdEn]] only
+    * answers "English or not"; script tells you which tokenizer,
+    * stopword list, and language-ID model to dispatch to, and catches
+    * mixed-script spam where a Latin page hides CJK keyword stuffing).
+    * Counts via strip-and-measure (`length(regexp_replace(text,
+    * [^class], ''))`) — one deterministic regex pass per class, the
+    * identical expression both engines evaluate. Dominant = the
+    * highest-count script, ties broken in [[ScriptRanges]] order,
+    * "none" when every class counts zero. Map-only, codegen'd — no
+    * shuffle, no UDF. */
+  def scriptProfile(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val counts = ScriptRanges.map { case (name, body) =>
+      coalesce(length(regexp_replace(col(textCol), s"[^$body]", "")),
+        lit(0)).cast("long").as(name)
+    }
+    val withCounts = docs.select(col(idCol) +: counts: _*)
+    val maxCount = greatest(ScriptRanges.map(r => col(r._1)): _*)
+    val dominant = ScriptRanges.foldRight(lit("none")) {
+      case ((name, _), els) =>
+        when(col(name) === maxCount && maxCount > 0, name).otherwise(els)
+    }
+    // foldRight keeps first-listed script winning ties: the when-chain
+    // tests latin before cyrillic before cjk...
+    withCounts.withColumn("dominant", dominant)
+  }
+
   /** Composite quality score in [0,1]: length band + stopword presence −
     * punctuation noise. Deterministic, codegen'd, tunable weights. */
   def qualityScore(text: Column): Column = {

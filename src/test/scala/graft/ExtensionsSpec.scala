@@ -1646,6 +1646,33 @@ class ExtensionsSpec extends SparkSpec {
       Seq((10L, 10L, true), (11L, 10L, false), (12L, 12L, true)))
   }
 
+  test("scriptProfile: per-block counts, dominance, tie order, " +
+    "mixed-script and empty docs") {
+    val docs = Seq(
+      (1L, "hello world"),                 // latin only
+      (2L, "привет мир"),                  // cyrillic
+      (3L, "こんにちは 世界"),               // cjk (kana + han)
+      (4L, "مرحبا"),                       // arabic
+      (5L, "ab пр"),                       // 2-2 tie → latin (listed first)
+      (6L, "12345"),                       // digits only
+      (7L, "spam спам 広告 123"),           // mixed: latin 4, cyr 4 → latin
+      (8L, "!!! ???"),                     // none
+      (9L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextOps.scriptProfile(docs).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6))).toMap
+    assert(got(1L) == ((10L, 0L, 0L, 0L, 0L, "latin")))
+    assert(got(2L) == ((0L, 9L, 0L, 0L, 0L, "cyrillic")))
+    assert(got(3L)._3 == 7L && got(3L)._6 == "cjk")
+    assert(got(4L) == ((0L, 0L, 0L, 5L, 0L, "arabic")))
+    assert(got(5L) == ((2L, 2L, 0L, 0L, 0L, "latin"))) // tie → first listed
+    assert(got(6L) == ((0L, 0L, 0L, 0L, 5L, "digit")))
+    assert(got(7L)._6 == "latin")
+    assert(got(8L) == ((0L, 0L, 0L, 0L, 0L, "none")))
+    assert(got(9L) == ((0L, 0L, 0L, 0L, 0L, "none"))) // null text
+  }
+
   test("videoDhash: frame 0 equals the image dhash of the same frame; " +
     "shared-frame join finds the snippet pair") {
     // dHash sees gradient SIGNS, so frames must differ in sign pattern,
