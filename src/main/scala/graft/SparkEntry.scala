@@ -842,6 +842,16 @@ object SparkEntry {
         .orderBy("source_a", "source_b")
     }),
 
+    // release-drift report: PSI + KS + means between two snapshot
+    // cohorts in one call — the dataset-shift gate before shipping
+    "q136_drift_report" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Stats.driftReport(
+        ev.filter(TextOps.hashBucket(col("event_id"), 2) === 0),
+        ev.filter(TextOps.hashBucket(col("event_id"), 2) === 1),
+        Seq("value"), defaultBinWidth = 50.0)
+    }),
+
     // per-doc Unicode script profile: block counts + dominant script —
     // the multilingual routing signal langIdEn's en/other can't give
     "q135_script_profile" -> ((s, dir) => {
@@ -1784,6 +1794,42 @@ object SparkEntry {
     "q108_split_leakage" -> splitLeakageOracle,
     "q131_group_split_leakage" -> groupSplitLeakageOracle,
     "q135_script_profile" -> scriptProfileOracle,
+
+    "q136_drift_report" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+        |                    1, 8))::BIGINT % 2 = 0
+        |              THEN 'a' ELSE 'b' END AS coh, value AS v
+        |  FROM events),
+        |mn AS (SELECT coh, round(sum(v) / count(v), 6) AS m
+        |       FROM e GROUP BY 1),
+        |b0 AS (SELECT coh, CAST(floor(v / 50.0) AS BIGINT) AS bin,
+        |              count(*) AS n
+        |       FROM e WHERE v IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT coh, CAST(sum(n) AS DOUBLE) AS t FROM b0 GROUP BY 1),
+        |s AS (SELECT coh, bin, n / t AS p FROM b0 JOIN tot USING (coh)),
+        |pp AS (SELECT round(sum((sa.p - sb.p) * ln(sa.p / sb.p)), 6) AS psi
+        |       FROM (SELECT bin, p FROM s WHERE coh = 'a') sa
+        |       JOIN (SELECT bin, p FROM s WHERE coh = 'b') sb USING (bin)),
+        |c AS (SELECT coh AS g, v, count(*) AS n0
+        |      FROM e WHERE v IS NOT NULL GROUP BY 1, 2),
+        |d AS (SELECT dv.v, dg.g, coalesce(c.n0, 0) AS n
+        |      FROM (SELECT DISTINCT v FROM c) dv
+        |      CROSS JOIN (SELECT DISTINCT g FROM c) dg
+        |      LEFT JOIN c ON c.g = dg.g AND c.v = dv.v),
+        |t2 AS (SELECT g, sum(n0) AS tt FROM c GROUP BY g),
+        |f AS (SELECT d.g, d.v,
+        |        CAST(CAST(sum(d.n) OVER (PARTITION BY d.g ORDER BY d.v
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS DOUBLE) / CAST(t2.tt AS DOUBLE) AS f
+        |      FROM d JOIN t2 ON t2.g = d.g),
+        |kk AS (SELECT round(max(abs(a.f - b.f)), 6) AS ks
+        |       FROM f a JOIN f b ON a.v = b.v AND a.g < b.g)
+        |SELECT 'value' AS "column",
+        |       (SELECT m FROM mn WHERE coh = 'a') AS mean_a,
+        |       (SELECT m FROM mn WHERE coh = 'b') AS mean_b,
+        |       pp.psi, kk.ks
+        |FROM pp, kk""".stripMargin,
 
     "q105_ann_recall" -> annRecallOracle,
     "q125_random_project" -> randomProjectOracle,

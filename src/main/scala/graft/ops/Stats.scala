@@ -99,6 +99,51 @@ object Stats {
           log(col("p_a") / col("p_b"))), 6).as("psi"))
   }
 
+  /** Release-drift report between two snapshots of the same table
+    * (yesterday's release vs today's, crawl N vs crawl N+1): one row per
+    * watched numeric column with both means, the PSI between the
+    * cohort distributions ([[psi]]) and the exact KS distance
+    * ([[ksDistance]]) — the one-call dataset-shift gate a release
+    * pipeline runs before shipping, bundling the signals the individual
+    * operators expose (the [[graft.pipeline.Pipelines.releaseAudit]]
+    * pattern applied to drift).
+    *
+    * The two signals are complementary, which is why both ship: [[psi]]
+    * compares shares only over bins BOTH cohorts populate (its inner
+    * bin join — q97 semantics), so it sees reweighting within shared
+    * support but is blind to mass that moved to entirely new bins;
+    * [[ksDistance]]'s CDF supremum catches exactly those disjoint-
+    * support shifts. A release gate should alarm on either.
+    *
+    * Scale shape: per column, one binned (cohort, bin) count agg + one
+    * value-domain CDF pass — each the component operator's documented
+    * shape; |cols| is catalog-sized, so the loop is a driver-side plan
+    * builder, not a data loop. Means come from Σv / n divided once. */
+  def driftReport(a: DataFrame, b: DataFrame, cols: Seq[String],
+                  binWidths: Map[String, Double] = Map.empty,
+                  defaultBinWidth: Double = 1.0): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to watch")
+    val frames = cols.map { c =>
+      val tagged = a.select(col(c)).withColumn("_coh", lit("a"))
+        .unionByName(b.select(col(c)).withColumn("_coh", lit("b")))
+      val means = tagged.groupBy("_coh")
+        .agg((sum(col(c).cast("double")) / count(col(c))).as("m"))
+      val meanA = means.filter(col("_coh") === "a").select(col("m").as("mean_a"))
+      val meanB = means.filter(col("_coh") === "b").select(col("m").as("mean_b"))
+      val p = psi(tagged, "_coh", c, "a", "b",
+        binWidths.getOrElse(c, defaultBinWidth)).select(col("psi"))
+      val k = ksDistance(tagged, "_coh", c)
+        .select(round(col("ks"), 6).as("ks"))
+      meanA.crossJoin(broadcast(meanB)).crossJoin(broadcast(p))
+        .crossJoin(broadcast(k))
+        .select(lit(c).as("column"),
+          round(col("mean_a"), 6).as("mean_a"),
+          round(col("mean_b"), 6).as("mean_b"),
+          col("psi"), col("ks"))
+    }
+    frames.reduce(_ unionByName _)
+  }
+
   /** Per-group feature normalization: z-score (population σ built
     * explicitly from Σv and Σv² — NOT `stddev_pop`, whose Welford merge
     * order is engine-specific) and min-max, both as added columns. The

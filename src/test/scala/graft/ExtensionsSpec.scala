@@ -1646,6 +1646,29 @@ class ExtensionsSpec extends SparkSpec {
       Seq((10L, 10L, true), (11L, 10L, false), (12L, 12L, true)))
   }
 
+  test("driftReport: identical columns score zero, a reweighted column " +
+    "lights up PSI and KS while the means stay EQUAL") {
+    // reweighting over the same support: uniform 0..9 vs squares mod 10
+    // (counts 10/20/20/10/20/20 on {0,1,4,5,6,9}) — both cohorts mean
+    // 4.5, so a mean-only gate sees nothing; PSI and KS both fire
+    val a = (0 until 100).map(i => (i.toDouble % 10, (i % 10).toDouble))
+      .toDF("stable", "reweighted")
+    val b = (0 until 100).map(i => (i.toDouble % 10,
+      ((i * i) % 10).toDouble)).toDF("stable", "reweighted")
+    val got = graft.ops.Stats.driftReport(a, b, Seq("stable", "reweighted"))
+      .orderBy("column").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    val (sa, sb, spsi, sks) = got("stable")
+    assert(sa == sb && spsi == 0.0 && sks == 0.0)
+    val (ha, hb, hpsi, hks) = got("reweighted")
+    assert(ha == hb, "means are equal by construction — drift is invisible" +
+      " to a mean-only gate")
+    // 4 doubled-share bins: 4 · (0.1−0.2)·ln(0.1/0.2) ≈ 0.277
+    assert(math.abs(hpsi - 4 * 0.1 * math.log(2.0)) < 1e-6, s"psi $hpsi")
+    assert(hks == 0.1, s"ks $hks")
+  }
+
   test("scriptProfile: per-block counts, dominance, tie order, " +
     "mixed-script and empty docs") {
     val docs = Seq(
