@@ -56,6 +56,7 @@ object Run {
       case "filter" => filterCmd(sparkSession(), opts)
       case "categorize" => categorize(sparkSession(), opts)
       case "all" => all(sparkSession(), opts)
+      case "curate" => curateCmd(sparkSession(), opts)
       case other =>
         System.err.println(s"Unknown subcommand: $other\n$help")
         sys.exit(2)
@@ -69,12 +70,14 @@ object Run {
       |  acc        -f <ac csv> [-b <bin seconds>]
       |  filter     -f <file> | -d <dir> [-p <pattern>] -s <save.csv>
       |  categorize -f <file|dir> [-e <ext>] -a <acc file|dir> | --acc_cat <csv> -s <stem>
-      |  all        -d <root dir> [-o <stem>] [-e <computed.xlsx>] [--parquet]""".stripMargin
+      |  all        -d <root dir> [-o <stem>] [-e <computed.xlsx>] [--parquet]
+      |  curate     -d <docs parquet> -s <out dir> [--min-quality <q>]
+      |             [--min-jaccard <j>] [--shards <n>] [--audit]""".stripMargin
 
   /** getopt-lite: `-x val` / `--long val` for value opts, bare flags for
     * booleans (the reference's flag set). */
   private val BoolFlags = Set("-v", "-r", "-j", "-c", "-h", "--help",
-    "--parquet")
+    "--parquet", "--audit")
   private def parseOpts(args: Seq[String]): Map[String, String] = {
     val out = Map.newBuilder[String, String]
     var i = 0
@@ -383,6 +386,41 @@ object Run {
   }
 
   // ---- all: the four stages chained over one tree -----------------------
+
+  /** `curate` — the training-data side of the CLI (engine extension):
+    * E4 doc curation over a documents parquet (gate → dedup → near-dup →
+    * split → decontaminate), written as parquet; `--shards n` ALSO lays
+    * the curated set out as a sorted training-shard tree
+    * ([[graft.io.Writers.shardedTrainingSet]]); `--audit` writes the
+    * four release-audit reports ([[Pipelines.releaseAudit]]) as single
+    * CSVs beside the output (small by construction — report frames). */
+  private def curateCmd(spark: SparkSession,
+                        opts: Map[String, String]): Unit = {
+    val in = opts.getOrElse("-d", exit2("Input docs parquet (-d) missing."))
+    val outDir = Paths.get(opts.getOrElse("-s", exit2("Out dir (-s) missing.")))
+    val docs = spark.read.parquet(in)
+    val curated = Pipelines.curate(docs,
+      minQuality = opts.get("--min-quality").map(_.toDouble).getOrElse(0.3),
+      minJaccard = opts.get("--min-jaccard").map(_.toDouble).getOrElse(0.8))
+    Files.createDirectories(outDir)
+    curated.write.mode("overwrite")
+      .parquet(outDir.resolve("curated.parquet").toString)
+    val back = spark.read.parquet(outDir.resolve("curated.parquet").toString)
+    opts.get("--shards").map(_.toInt).foreach { n =>
+      graft.io.Writers.shardedTrainingSet(back,
+        outDir.resolve("shards").toString, nShards = n)
+    }
+    if (opts.contains("--audit")) {
+      val audit = Pipelines.releaseAudit(back)
+      writeSingleCsv(audit.card, outDir.resolve("audit_card.csv"))
+      writeSingleCsv(audit.leakage.orderBy("id_a", "id_b"),
+        outDir.resolve("audit_leakage.csv"))
+      writeSingleCsv(audit.boilerplate.orderBy("doc_id"),
+        outDir.resolve("audit_boilerplate.csv"))
+      writeSingleCsv(audit.zipf, outDir.resolve("audit_zipf.csv"))
+    }
+    println(s"curated=${back.count()} -> $outDir")
+  }
 
   private def all(spark: SparkSession, opts: Map[String, String]): Unit = {
     val root = Paths.get(opts.getOrElse("-d", exit2("Missing -d.")))

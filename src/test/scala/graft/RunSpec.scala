@@ -280,4 +280,39 @@ class RunSpec extends SparkSpec {
     assert(Files.exists(
       dir.resolve("subj_2024-01-02").resolve("w 2024-01-02 08-00-00.json")))
   }
+
+  test("curate CLI: curated parquet, shard tree, audit reports") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_curate")
+    val in = root.resolve("docs.parquet").toString
+    // pairwise-distinct docs (unique content words, no shared 8-gram —
+    // distinctness matters: E4's decontamination drops train docs
+    // sharing 8-grams with test docs, so template-heavy fixtures empty
+    // the train split); docs 3/13/23 are EXACT dups of one text
+    def text(i: Long) = s"the subject$i and the object$i of the story$i " +
+      s"went to the place$i with the friend$i and the helper$i in the " +
+      s"year$i of the era$i"
+    val docs = ((0L until 30L).map { i =>
+      val t = if (i % 10 == 3) text(3) else text(i)
+      (i, t, "en", "src0", t.length.toLong)
+    } :+ (99L, "!!!", "en", "src0", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(in)
+    val out = root.resolve("out")
+    // chapter docs sit at J≈0.87 to each other; 0.95 keeps them apart so
+    // only the exact-dup group collapses (and exercises the flag)
+    Run.main(Array("curate", "-d", in, "-s", out.toString,
+      "--min-jaccard", "0.95", "--shards", "2", "--audit"))
+    val curated = spark.read.parquet(out.resolve("curated.parquet").toString)
+    val ids = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(99L), "gate must drop the junk doc")
+    // exact dups (3, 13, 23 share one text) keep only the min id
+    assert(ids.contains(3L) && !ids.contains(13L) && !ids.contains(23L))
+    val shardDirs = out.resolve("shards").toFile.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.length == 2)
+    Seq("audit_card.csv", "audit_leakage.csv", "audit_boilerplate.csv",
+      "audit_zipf.csv").foreach(f =>
+      assert(Files.exists(out.resolve(f)), s"missing $f"))
+  }
 }
