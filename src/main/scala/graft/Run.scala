@@ -407,12 +407,17 @@ object Run {
       .parquet(outDir.resolve("curated.parquet").toString)
     val back = spark.read.parquet(outDir.resolve("curated.parquet").toString)
     opts.get("--shards").map(_.toInt).foreach { n =>
-      graft.io.Writers.shardedTrainingSet(back,
+      // shard ONLY the train split: the shard tree's row order is the
+      // epoch read order, and sharding val/test would feed the held-out
+      // splits straight back into training
+      graft.io.Writers.shardedTrainingSet(
+        back.filter(col("split") === "train"),
         outDir.resolve("shards").toString, nShards = n)
     }
     if (opts.contains("--audit")) {
       val audit = Pipelines.releaseAudit(back)
-      writeSingleCsv(audit.card, outDir.resolve("audit_card.csv"))
+      writeSingleCsv(audit.card.orderBy("source"),
+        outDir.resolve("audit_card.csv"))
       writeSingleCsv(audit.leakage.orderBy("id_a", "id_b"),
         outDir.resolve("audit_leakage.csv"))
       writeSingleCsv(audit.boilerplate.orderBy("doc_id"),

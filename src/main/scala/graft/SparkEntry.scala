@@ -845,10 +845,13 @@ object SparkEntry {
     // release-drift report: PSI + KS + means between two snapshot
     // cohorts in one call — the dataset-shift gate before shipping
     "q136_drift_report" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      Stats.driftReport(
-        ev.filter(TextOps.hashBucket(col("event_id"), 2) === 0),
-        ev.filter(TextOps.hashBucket(col("event_id"), 2) === 1),
+      // q97's cohort-tagging form (otherwise, not a second filter) so a
+      // NULL event_id routes to cohort b exactly like the oracle's CASE
+      val ev = t(s, dir, "events").withColumn("_c",
+        when(TextOps.hashBucket(col("event_id"), 2) === 0, "a")
+          .otherwise("b"))
+      Stats.driftReport(ev.filter(col("_c") === "a"),
+        ev.filter(col("_c") === "b"),
         Seq("value"), defaultBinWidth = 50.0)
     }),
 

@@ -113,7 +113,10 @@ object Stats {
     * bin join — q97 semantics), so it sees reweighting within shared
     * support but is blind to mass that moved to entirely new bins;
     * [[ksDistance]]'s CDF supremum catches exactly those disjoint-
-    * support shifts. A release gate should alarm on either.
+    * support shifts. A release gate should alarm on either — and on
+    * NULL: a column whose snapshot side is empty or all-NULL reports
+    * NULL metrics (never a silently missing row), which is the
+    * strongest alarm of all.
     *
     * Scale shape: per column, one binned (cohort, bin) count agg + one
     * value-domain CDF pass — each the component operator's documented
@@ -124,18 +127,27 @@ object Stats {
                   defaultBinWidth: Double = 1.0): DataFrame = {
     require(cols.nonEmpty, "need at least one column to watch")
     val frames = cols.map { c =>
-      val tagged = a.select(col(c)).withColumn("_coh", lit("a"))
-        .unionByName(b.select(col(c)).withColumn("_coh", lit("b")))
-      val means = tagged.groupBy("_coh")
-        .agg((sum(col(c).cast("double")) / count(col(c))).as("m"))
-      val meanA = means.filter(col("_coh") === "a").select(col("m").as("mean_a"))
-      val meanB = means.filter(col("_coh") === "b").select(col("m").as("mean_b"))
+      val v = col(c).cast("double")
+      // lazy localCheckpoint (the E4 pattern): the three metric passes
+      // below reuse one materialization instead of re-scanning both
+      // snapshots, and blocks are reclaimed once the frame is
+      // unreferenced — no unpersist obligation on callers
+      val tagged = a.select(v.as(c)).withColumn("_coh", lit("a"))
+        .unionByName(b.select(v.as(c)).withColumn("_coh", lit("b")))
+        .localCheckpoint(false)
+      // every piece below is a global agg (ALWAYS one row, null-valued
+      // when a side is empty/all-NULL) so a broken snapshot surfaces as
+      // a NULL-metric row to alarm on — never as a silently missing row
+      val means = tagged.agg(
+        (sum(when(col("_coh") === "a", col(c)))
+          / count(when(col("_coh") === "a", col(c)))).as("mean_a"),
+        (sum(when(col("_coh") === "b", col(c)))
+          / count(when(col("_coh") === "b", col(c)))).as("mean_b"))
       val p = psi(tagged, "_coh", c, "a", "b",
         binWidths.getOrElse(c, defaultBinWidth)).select(col("psi"))
       val k = ksDistance(tagged, "_coh", c)
-        .select(round(col("ks"), 6).as("ks"))
-      meanA.crossJoin(broadcast(meanB)).crossJoin(broadcast(p))
-        .crossJoin(broadcast(k))
+        .agg(round(max(col("ks")), 6).as("ks"))
+      means.crossJoin(broadcast(p)).crossJoin(broadcast(k))
         .select(lit(c).as("column"),
           round(col("mean_a"), 6).as("mean_a"),
           round(col("mean_b"), 6).as("mean_b"),

@@ -1667,6 +1667,16 @@ class ExtensionsSpec extends SparkSpec {
     // 4 doubled-share bins: 4 · (0.1−0.2)·ln(0.1/0.2) ≈ 0.277
     assert(math.abs(hpsi - 4 * 0.1 * math.log(2.0)) < 1e-6, s"psi $hpsi")
     assert(hks == 0.1, s"ks $hks")
+
+    // broken snapshot: an all-NULL side must surface as a NULL-metric
+    // ROW (the alarm), never as a silently missing row
+    val broken = Seq.fill(5)(null.asInstanceOf[java.lang.Double])
+      .toDF("stable")
+    val br = graft.ops.Stats.driftReport(a.select("stable"), broken,
+      Seq("stable")).collect()
+    assert(br.length == 1, "broken snapshot dropped its report row")
+    assert(br(0).isNullAt(2) && br(0).isNullAt(3) && br(0).isNullAt(4),
+      "broken side must report NULL mean_b/psi/ks")
   }
 
   test("scriptProfile: per-block counts, dominance, tie order, " +
