@@ -842,6 +842,19 @@ object SparkEntry {
         .orderBy("source_a", "source_b")
     }),
 
+    // two-stage ANN through the JL projection: bucket in 8-dim projected
+    // space, full-dim re-score on probed buckets, recall vs exact brute
+    // — the measured end of the randomProject scale story
+    "q137_projected_ann" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val q = embs.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      Similarity.recallAtK(
+        Similarity.bruteForceTopK(embs, typedlit(q.toSeq), 10),
+        Similarity.projectedLshTopK(embs, q, 10), 10)
+    }),
+
     // release-drift report: PSI + KS + means between two snapshot
     // cohorts in one call — the dataset-shift gate before shipping
     "q136_drift_report" -> ((s, dir) => {
@@ -1634,6 +1647,66 @@ object SparkEntry {
        |ORDER BY vec_id, j""".stripMargin
   }
 
+  /** q137 oracle: the two-stage projected ANN re-derived in SQL — the 8
+    * projection chains as CTE columns, hyperplane sign-bits over the
+    * projected coordinates, multi-probe bucket filter, full-dim cosine
+    * re-score, recall against the exact brute top-10. */
+  private def projectedAnnOracle: String = {
+    val outDim = 8; val planes = 6; val dim = 64; val seed = 1
+    val scale = java.lang.Double.toString(Similarity.projectScale(outDim))
+    def dotChain(a: Int => String, b: Int => String, n: Int): String =
+      (0 until n).map(i => s"${a(i)} * ${b(i)}").mkString(" + ")
+    val projCols = (0 until outDim).map { j =>
+      val chain = dotChain(i => s"e[${i + 1}]",
+        i => java.lang.Double.toString(
+          Similarity.planeComponent((seed << 16) | j, i)), dim)
+      s"($chain) * $scale AS p$j"
+    }.mkString(",\n       ")
+    def bucketExpr: String = (0 until planes).map { p =>
+      val d = dotChain(m => s"p$m",
+        m => java.lang.Double.toString(Similarity.planeComponent(p, m)),
+        outDim)
+      s"CASE WHEN $d >= 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString("\n       + ")
+    val vq = dotChain(i => s"k.e[${i + 1}]", i => s"q.e[${i + 1}]", dim)
+    val vv = dotChain(i => s"k.e[${i + 1}]", i => s"k.e[${i + 1}]", dim)
+    val qq = dotChain(i => s"q.e[${i + 1}]", i => s"q.e[${i + 1}]", dim)
+    val probeList = (0 until planes).map(p => s"xor(qkey, ${1L << p})")
+      .mkString(", ")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |pr AS (
+       |  SELECT vec_id, e,
+       |       $projCols
+       |  FROM v),
+       |keyed AS (
+       |  SELECT vec_id, e,
+       |       $bucketExpr AS bucket
+       |  FROM pr),
+       |q AS (SELECT e FROM v WHERE vec_id = 0),
+       |qk AS (SELECT bucket AS qkey FROM keyed WHERE vec_id = 0),
+       |brute AS (
+       |  SELECT vec_id FROM (
+       |    SELECT k.vec_id,
+       |           CASE WHEN sqrt($vv) * sqrt($qq) > 0
+       |                THEN ($vq) / (sqrt($vv) * sqrt($qq))
+       |                ELSE 0.0 END AS cosine
+       |    FROM keyed k, q)
+       |  ORDER BY cosine DESC, vec_id LIMIT 10),
+       |lsh AS (
+       |  SELECT vec_id FROM (
+       |    SELECT k.vec_id,
+       |           CASE WHEN sqrt($vv) * sqrt($qq) > 0
+       |                THEN ($vq) / (sqrt($vv) * sqrt($qq))
+       |                ELSE 0.0 END AS cosine
+       |    FROM keyed k, q, qk
+       |    WHERE k.bucket IN (qkey, $probeList))
+       |  ORDER BY cosine DESC, vec_id LIMIT 10)
+       |SELECT count(*) AS hits,
+       |       round(count(*) / 10.0, 6) AS recall
+       |FROM brute JOIN lsh USING (vec_id)""".stripMargin
+  }
+
   private def annRecallOracle: String = {
     val planes = 6; val dim = 64
     def dotChain(a: Int => String, b: Int => String): String =
@@ -1837,6 +1910,7 @@ object SparkEntry {
     "q105_ann_recall" -> annRecallOracle,
     "q125_random_project" -> randomProjectOracle,
     "q126_lsh_recall" -> lshRecallOracle,
+    "q137_projected_ann" -> projectedAnnOracle,
 
     "q106_pq_encode" -> pqEncodeOracle,
 

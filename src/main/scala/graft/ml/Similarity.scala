@@ -82,20 +82,87 @@ object Similarity {
     * assignToCentroids, VERDICT r4). */
   def randomProject(embs: DataFrame, outDim: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding",
-                    dim: Int = DefaultDim, seed: Int = 0): DataFrame = {
+                    dim: Int = DefaultDim, seed: Int = 0): DataFrame =
+    embs.select(col(idCol),
+      projectExpr(col(vecCol).cast("array<double>"), outDim, dim, seed)
+        .as("proj"))
+
+  /** The projection of [[randomProject]] as a reusable Column expression
+    * (applied to corpus rows there, to both sides in
+    * [[projectedLshTopK]]). */
+  def projectExpr(v: Column, outDim: Int, dim: Int = DefaultDim,
+                  seed: Int = 0): Column = {
     require(outDim > 0, "outDim must be positive")
     require(outDim.toLong * dim <= 100000L,
       "outDim*dim beyond 1e5 plan literals: use a broadcast-kernel variant")
-    // √(12/outDim): the weights are uniform[-0.5, 0.5) with variance 1/12,
-    // so this normalization gives E‖Pv‖² = ‖v‖² (unbiased JL embedding)
-    val scale = math.sqrt(12.0 / outDim.toDouble)
-    val v = col(vecCol).cast("array<double>")
     val comps = (0 until outDim).map { j =>
       val plane = typedlit((0 until dim).map(i =>
         planeComponent((seed << 16) | j, i)))
-      dot(v, plane, dim) * lit(scale)
+      dot(v, plane, dim) * lit(projectScale(outDim))
     }
-    embs.select(col(idCol), array(comps: _*).as("proj"))
+    array(comps: _*)
+  }
+
+  /** √(12/outDim): the weights are uniform[-0.5, 0.5) with variance 1/12,
+    * so this normalization gives E‖Pv‖² = ‖v‖² (unbiased JL embedding). */
+  private[graft] def projectScale(outDim: Int): Double =
+    math.sqrt(12.0 / outDim.toDouble)
+
+  /** Driver-side [[projectExpr]] for a known query vector (the literal
+    * the plan embeds; bit-identical to the row-side expression because
+    * both run the same sequential dot + one multiply). */
+  private[graft] def projectVector(q: Array[Double], outDim: Int,
+                                   seed: Int = 0): Array[Double] =
+    Array.tabulate(outDim) { j =>
+      var s = 0.0
+      var i = 0
+      while (i < q.length) {
+        s += q(i) * planeComponent((seed << 16) | j, i); i += 1
+      }
+      s * projectScale(outDim)
+    }
+
+  /** Two-stage ANN through the JL projection — the reason
+    * [[randomProject]] exists: hyperplane bucketing runs over `outDim`
+    * coordinates (outDim·planes flops per row) instead of `dim`
+    * (dim·planes), the candidate set shrinks by the bucket factor, and
+    * only candidates pay a FULL-dim exact cosine re-score. At high
+    * source dim the projection pass is what makes LSH banding affordable
+    * at all; recall comes from JL distance preservation and is measured,
+    * not assumed (q137 pairs this with [[recallAtK]]).
+    *
+    * `seed` defaults to 1 so the projection planes ((seed<<16)|j over
+    * the SOURCE dims) are independent draws from the bucketing
+    * hyperplanes (plane ids 0..planes−1 over the PROJECTED dims) —
+    * seed 0 would still differ in (p, i) pairs, but keeping the id
+    * spaces disjoint makes the independence obvious.
+    *
+    * Scale shape: map-only projection + bucket filter, then the
+    * bruteForceTopK shape over the probed fraction — corpus never
+    * shuffles; at 100 TB store the corpus partitioned by projected
+    * bucket (the [[ivfTopKStored]] pattern) and the probe is a
+    * partition-pruned scan. */
+  def projectedLshTopK(embs: DataFrame, query: Array[Double], k: Int,
+                       outDim: Int = 8, planes: Int = 6,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       dim: Int = DefaultDim, seed: Int = 1,
+                       multiProbe: Boolean = true): DataFrame = {
+    val full = col(vecCol).cast("array<double>")
+    val keyed = embs.select(col(idCol), full.as("v"),
+      hyperplaneKey(projectExpr(full, outDim, dim, seed), planes, outDim)
+        .as("bucket"))
+    val qProj = typedlit(projectVector(query, outDim, seed).toSeq)
+    val qKey = hyperplaneKey(qProj, planes, outDim)
+    val probes: Column = if (multiProbe)
+      array((qKey +: (0 until planes).map(p =>
+        qKey.bitwiseXOR(lit(1L << p)))): _*)
+    else array(qKey)
+    keyed.filter(array_contains(probes, col("bucket")))
+      .select(col(idCol),
+        cosine(col("v"), typedlit(query.toSeq), dim).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
   }
 
   /** Brute-force cosine top-k against one query vector (exactness

@@ -1820,6 +1820,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(by(0).getAs[Double]("mean_silhouette") - expect0) < 1e-5)
   }
 
+  test("projectedLshTopK: candidates come from the corpus, driver and " +
+    "row-side projections agree, self-query ranks itself first") {
+    val dim = 16
+    val vecs = (0L until 50L).map(i => (i, Array.tabulate(dim)(d =>
+      (Similarity.planeComponent((i + 500).toInt, d) * 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 7L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    // driver-side projection ≡ row-side expression (same sequential dot)
+    val rowProj = Similarity.randomProject(vecs.filter(col("vec_id") === 7L),
+      outDim = 4, dim = dim, seed = 1).head().getSeq[Double](1)
+    val drvProj = Similarity.projectVector(q, outDim = 4, seed = 1)
+    rowProj.zip(drvProj).foreach { case (r, d) =>
+      assert(r == d, s"projection mismatch $r vs $d") }
+    val got = Similarity.projectedLshTopK(vecs, q, k = 5, outDim = 4,
+      planes = 3, dim = dim).collect()
+    assert(got.length <= 5 && got.nonEmpty)
+    // the query vector is in the corpus: it lands in its own bucket and
+    // cosine(self) = 1 ranks first
+    assert(got.head.getLong(0) == 7L)
+    assert(math.abs(got.head.getDouble(1) - 1.0) < 1e-12)
+  }
+
   test("kAnonymity: closed-form counts, fully-anonymous corpus reports " +
     "zero risk, violations lists the small classes") {
     // quasi (a,x): 3 rows; (a,y): 1 row; (b,x): 2 rows  → k=3 risk = 3/6
