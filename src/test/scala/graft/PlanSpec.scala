@@ -285,6 +285,18 @@ class PlanSpec extends SparkSpec {
     assert(p129.contains("partial_"), s"no partial min:\n$p129")
   }
 
+  test("q135 script profile is map-only; q137 projected ANN never " +
+    "sort-merges and bounds its take") {
+    val p135 = plan("q135_script_profile")
+    assert(!p135.contains("Join"), s"q135 plans a join:\n$p135")
+    assert(!p135.contains("HashAggregate"), s"q135 plans an agg:\n$p135")
+    val p137 = plan("q137_projected_ann")
+    // bucket filter + top-k: the corpus must not shuffle against anything
+    assert(!p137.contains("SortMergeJoin"), s"q137 shuffles corpus:\n$p137")
+    assert(p137.contains("TakeOrderedAndProject"),
+      s"q137 top-k not bounded:\n$p137")
+  }
+
   test("multimodal decode family is map-only: no join, no aggregation") {
     // q34 decode, q102 resize, q103 audio frames: per-row/flat-map codec
     // kernels — any Join or HashAggregate would mean stats are being
