@@ -20,6 +20,14 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Readers.table(s, dir, name)
 
+  /** The ANN queries' shared demo query vector: embedding of vec_id 0 as
+    * doubles (the convention the ANN oracles hard-code as
+    * `WHERE vec_id = 0`). */
+  private def queryVec(embs: DataFrame): Array[Double] =
+    embs.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+
   /** Shared by q07/q62: same fact (lineitem) and interval (high-value
     * order windows) inputs, so the broadcast and binned paths stay
     * semantically locked to one oracle. */
@@ -373,9 +381,7 @@ object SparkEntry {
     // brute-force cosine top-k (exact ANN baseline)
     "q26_embedding_topk" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
-      val q = embs.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>"))
-        .head().getSeq[Double](0).toArray
+      val q = queryVec(embs)
       Similarity.bruteForceTopK(embs, typedlit(q), 10)
         .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
@@ -384,9 +390,7 @@ object SparkEntry {
     // LSH-bucketed ANN (rows-only check; scale path)
     "q27_lsh_topk" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
-      val q = embs.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>"))
-        .head().getSeq[Double](0).toArray
+      val q = queryVec(embs)
       Similarity.lshTopK(embs, typedlit(q), 10, planes = 6)
         .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
@@ -397,9 +401,7 @@ object SparkEntry {
     // O(k) whatever the corpus size
     "q105_ann_recall" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
-      val q = embs.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>"))
-        .head().getSeq[Double](0).toArray
+      val q = queryVec(embs)
       Similarity.recallAtK(
         Similarity.bruteForceTopK(embs, typedlit(q), 10),
         Similarity.lshTopK(embs, typedlit(q), 10, planes = 6), 10)
@@ -437,9 +439,7 @@ object SparkEntry {
     // IVF ANN: label-quantized probe + exact rescore (rows-only)
     "q39_ivf_topk" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
-      val q = embs.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>"))
-        .head().getSeq[Double](0).toArray
+      val q = queryVec(embs)
       Similarity.ivfTopK(embs, typedlit(q), 10, "label", nProbe = 3)
         .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
@@ -847,9 +847,7 @@ object SparkEntry {
     // — the measured end of the randomProject scale story
     "q137_projected_ann" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
-      val q = embs.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>"))
-        .head().getSeq[Double](0).toArray
+      val q = queryVec(embs)
       Similarity.recallAtK(
         Similarity.bruteForceTopK(embs, typedlit(q.toSeq), 10),
         Similarity.projectedLshTopK(embs, q, 10), 10)
@@ -1654,25 +1652,19 @@ object SparkEntry {
   private def projectedAnnOracle: String = {
     val outDim = 8; val planes = 6; val dim = 64; val seed = 1
     val scale = java.lang.Double.toString(Similarity.projectScale(outDim))
-    def dotChain(a: Int => String, b: Int => String, n: Int): String =
-      (0 until n).map(i => s"${a(i)} * ${b(i)}").mkString(" + ")
     val projCols = (0 until outDim).map { j =>
-      val chain = dotChain(i => s"e[${i + 1}]",
-        i => java.lang.Double.toString(
-          Similarity.planeComponent((seed << 16) | j, i)), dim)
+      val chain = (0 until dim).map(i => s"e[${i + 1}] * " +
+        java.lang.Double.toString(
+          Similarity.planeComponent((seed << 16) | j, i)))
+        .mkString(" + ")
       s"($chain) * $scale AS p$j"
     }.mkString(",\n       ")
-    def bucketExpr: String = (0 until planes).map { p =>
-      val d = dotChain(m => s"p$m",
-        m => java.lang.Double.toString(Similarity.planeComponent(p, m)),
-        outDim)
+    val bucketExpr = (0 until planes).map { p =>
+      val d = (0 until outDim).map(m => s"p$m * " +
+        java.lang.Double.toString(Similarity.planeComponent(p, m)))
+        .mkString(" + ")
       s"CASE WHEN $d >= 0 THEN ${1L << p} ELSE 0 END"
     }.mkString("\n       + ")
-    val vq = dotChain(i => s"k.e[${i + 1}]", i => s"q.e[${i + 1}]", dim)
-    val vv = dotChain(i => s"k.e[${i + 1}]", i => s"k.e[${i + 1}]", dim)
-    val qq = dotChain(i => s"q.e[${i + 1}]", i => s"q.e[${i + 1}]", dim)
-    val probeList = (0 until planes).map(p => s"xor(qkey, ${1L << p})")
-      .mkString(", ")
     s"""WITH v AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |pr AS (
@@ -1683,56 +1675,25 @@ object SparkEntry {
        |  SELECT vec_id, e,
        |       $bucketExpr AS bucket
        |  FROM pr),
-       |q AS (SELECT e FROM v WHERE vec_id = 0),
+       |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
        |qk AS (SELECT bucket AS qkey FROM keyed WHERE vec_id = 0),
-       |brute AS (
-       |  SELECT vec_id FROM (
-       |    SELECT k.vec_id,
-       |           CASE WHEN sqrt($vv) * sqrt($qq) > 0
-       |                THEN ($vq) / (sqrt($vv) * sqrt($qq))
-       |                ELSE 0.0 END AS cosine
-       |    FROM keyed k, q)
-       |  ORDER BY cosine DESC, vec_id LIMIT 10),
-       |lsh AS (
-       |  SELECT vec_id FROM (
-       |    SELECT k.vec_id,
-       |           CASE WHEN sqrt($vv) * sqrt($qq) > 0
-       |                THEN ($vq) / (sqrt($vv) * sqrt($qq))
-       |                ELSE 0.0 END AS cosine
-       |    FROM keyed k, q, qk
-       |    WHERE k.bucket IN (qkey, $probeList))
-       |  ORDER BY cosine DESC, vec_id LIMIT 10)
-       |SELECT count(*) AS hits,
-       |       round(count(*) / 10.0, 6) AS recall
-       |FROM brute JOIN lsh USING (vec_id)""".stripMargin
+       |${recallTailSql(planes, dim)}""".stripMargin
   }
 
-  private def annRecallOracle: String = {
-    val planes = 6; val dim = 64
+  /** Shared tail of the two ANN-recall oracles (q105, q137): expects
+    * CTEs `keyed(vec_id, e, bucket)`, `q(qe)`, `qk(qkey)` to precede it;
+    * emits the brute/lsh full-dim cosine top-10s and the hits/recall
+    * intersection. One builder so the twin oracles can never diverge in
+    * probe semantics, tie order, or the recall arithmetic. */
+  private def recallTailSql(planes: Int, dim: Int): String = {
     def dotChain(a: Int => String, b: Int => String): String =
       (0 until dim).map(i => s"${a(i)} * ${b(i)}").mkString(" + ")
-    def planeDot(vec: String, p: Int): String =
-      dotChain(i => s"$vec[${i + 1}]",
-        i => java.lang.Double.toString(Similarity.planeComponent(p, i)))
-    def bucketExpr(vec: String): String =
-      (0 until planes).map(p =>
-        s"CASE WHEN ${planeDot(vec, p)} >= 0 THEN ${1L << p} ELSE 0 END")
-        .mkString("\n       + ")
     val vq = dotChain(i => s"e[${i + 1}]", i => s"qe[${i + 1}]")
     val vv = dotChain(i => s"e[${i + 1}]", i => s"e[${i + 1}]")
     val qq = dotChain(i => s"qe[${i + 1}]", i => s"qe[${i + 1}]")
     val probeList = (0 until planes).map(p => s"xor(qkey, ${1L << p})")
       .mkString(", ")
-    s"""WITH v AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
-       |keyed AS (
-       |  SELECT vec_id, e,
-       |       ${bucketExpr("e")} AS bucket
-       |  FROM v),
-       |qk AS (
-       |  SELECT ${bucketExpr("qe")} AS qkey FROM q),
-       |brute AS (
+    s"""brute AS (
        |  SELECT vec_id FROM (
        |    SELECT k.vec_id,
        |           CASE WHEN sqrt($vv) * sqrt($qq) > 0
@@ -1750,7 +1711,29 @@ object SparkEntry {
        |    WHERE k.bucket IN (qkey, $probeList))
        |  ORDER BY cosine DESC, vec_id LIMIT 10)
        |SELECT count(*) AS hits, round(count(*) / 10.0, 6) AS recall
-       |FROM brute WHERE vec_id IN (SELECT vec_id FROM lsh)""".stripMargin
+       |FROM brute JOIN lsh USING (vec_id)""".stripMargin
+  }
+
+  private def annRecallOracle: String = {
+    val planes = 6; val dim = 64
+    def planeDot(vec: String, p: Int): String =
+      (0 until dim).map(i => s"$vec[${i + 1}] * " +
+        java.lang.Double.toString(Similarity.planeComponent(p, i)))
+        .mkString(" + ")
+    def bucketExpr(vec: String): String =
+      (0 until planes).map(p =>
+        s"CASE WHEN ${planeDot(vec, p)} >= 0 THEN ${1L << p} ELSE 0 END")
+        .mkString("\n       + ")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+       |keyed AS (
+       |  SELECT vec_id, e,
+       |       ${bucketExpr("e")} AS bucket
+       |  FROM v),
+       |qk AS (
+       |  SELECT ${bucketExpr("qe")} AS qkey FROM q),
+       |${recallTailSql(planes, dim)}""".stripMargin
   }
 
   /** PQ-encode oracle: same subspace squared-L2 argmin with the same

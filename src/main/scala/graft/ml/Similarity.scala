@@ -153,16 +153,8 @@ object Similarity {
       hyperplaneKey(projectExpr(full, outDim, dim, seed), planes, outDim)
         .as("bucket"))
     val qProj = typedlit(projectVector(query, outDim, seed).toSeq)
-    val qKey = hyperplaneKey(qProj, planes, outDim)
-    val probes: Column = if (multiProbe)
-      array((qKey +: (0 until planes).map(p =>
-        qKey.bitwiseXOR(lit(1L << p)))): _*)
-    else array(qKey)
-    keyed.filter(array_contains(probes, col("bucket")))
-      .select(col(idCol),
-        cosine(col("v"), typedlit(query.toSeq), dim).as("cosine"))
-      .orderBy(col("cosine").desc, col(idCol).asc)
-      .limit(k)
+    probeAndRescore(keyed, hyperplaneKey(qProj, planes, outDim), planes,
+      multiProbe, typedlit(query.toSeq), k, idCol, dim)
   }
 
   /** Brute-force cosine top-k against one query vector (exactness
@@ -190,9 +182,22 @@ object Similarity {
       col(vecCol).cast("array<double>").as("v"),
       hyperplaneKey(col(vecCol).cast("array<double>"), planes, dim)
         .as("bucket"))
-    val qKey = hyperplaneKey(query, planes, dim)
+    probeAndRescore(keyed, hyperplaneKey(query, planes, dim), planes,
+      multiProbe, query, k, idCol, dim)
+  }
+
+  /** Shared probe tail of [[lshTopK]] and [[projectedLshTopK]]: build the
+    * probe set (the query bucket, plus its Hamming-1 neighbors under
+    * multi-probe), filter `keyed` — (idCol, v, bucket) — to probed
+    * buckets, exact-rescore with full-dim cosine, take the bounded
+    * top-k. One place for probe semantics so the two bucketing front-ends
+    * can never diverge. */
+  private def probeAndRescore(keyed: DataFrame, qKey: Column, planes: Int,
+                              multiProbe: Boolean, query: Column, k: Int,
+                              idCol: String, dim: Int): DataFrame = {
     val probes: Column = if (multiProbe)
-      array((qKey +: (0 until planes).map(p => qKey.bitwiseXOR(lit(1L << p)))): _*)
+      array((qKey +: (0 until planes).map(p =>
+        qKey.bitwiseXOR(lit(1L << p)))): _*)
     else array(qKey)
     keyed.filter(array_contains(probes, col("bucket")))
       .select(col(idCol), cosine(col("v"), query, dim).as("cosine"))
