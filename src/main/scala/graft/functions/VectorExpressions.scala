@@ -94,6 +94,13 @@ object VectorExpressions {
       bc: org.apache.spark.broadcast.Broadcast[PqEncode.Codebook]): Column =
     Bridge.column(PqEncode(Bridge.expression(v), bc))
 
+  /** Column-level matrix-vector projection against a BROADCAST weight
+    * matrix (see [[MatVecProject]]). */
+  def matVecProject(v: Column,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      scale: Double): Column =
+    Bridge.column(MatVecProject(Bridge.expression(v), bc, scale))
+
   /** Column-level word shingles (see [[WordShingles]]). */
   def wordShingles(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))
@@ -204,6 +211,67 @@ object NearestCentroid {
     }
     Centroids(ids, vecs, norms)
   }
+}
+
+/** Matrix-vector projection against a BROADCAST weight matrix:
+  * out[j] = (Σ_i v[i] · m[j][i]) · scale, each row-dot accumulated
+  * sequentially in index order (bit-identical to the literal-plane
+  * [[graft.ml.Similarity.projectExpr]] path, which is the point — the
+  * two routes are interchangeable at any outDim). This is the
+  * large-outDim route for the JL projection: the plan carries ONE
+  * broadcast reference instead of outDim·dim literals, so outDim·dim
+  * beyond ~1e5 (where Janino/plan serialization would blow up — the
+  * assignToCentroids ceiling of VERDICT r4) costs O(1) plan bytes.
+  * Same broadcast shape as [[NearestCentroid]]/[[PqEncode]]. */
+case class MatVecProject(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+    scale: Double)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"mat_vec_project expects ARRAY<DOUBLE>, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def prettyName: String = "mat_vec_project"
+
+  /** Row kernel — public so generated code can call it. */
+  def kernel(v: ArrayData): ArrayData = {
+    val m = bc.value
+    val n = v.numElements()
+    val out = new Array[Double](m.length)
+    var j = 0
+    while (j < m.length) {
+      val row = m(j)
+      val lim = math.min(n, row.length)
+      var s = 0.0
+      var i = 0
+      while (i < lim) {
+        if (!v.isNullAt(i)) s += v.getDouble(i) * row(i)
+        i += 1
+      }
+      out(j) = s * scale
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("matVecProject", this,
+      classOf[MatVecProject].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** Product-quantization encode against a BROADCAST codebook: the vector

@@ -89,18 +89,36 @@ object Similarity {
 
   /** The projection of [[randomProject]] as a reusable Column expression
     * (applied to corpus rows there, to both sides in
-    * [[projectedLshTopK]]). */
+    * [[projectedLshTopK]]). Below `maxPlanWeights` the weights inline as
+    * plan literals (fully codegen'd dot kernels); above it the SAME
+    * weights route through the broadcast-backed
+    * [[graft.functions.MatVecProject]] kernel, keeping the plan O(1) in
+    * outDim·dim (the assignToCentroids ceiling fix of VERDICT r4,
+    * applied here from the start). Both paths accumulate each row-dot
+    * sequentially in index order, so they are bit-identical —
+    * ExtensionsSpec pins the parity. `sparkForBc` is only needed for the
+    * broadcast route. */
   def projectExpr(v: Column, outDim: Int, dim: Int = DefaultDim,
-                  seed: Int = 0): Column = {
+                  seed: Int = 0,
+                  maxPlanWeights: Long = 100000L,
+                  sparkForBc: Option[org.apache.spark.sql.SparkSession] =
+                    None): Column = {
     require(outDim > 0, "outDim must be positive")
-    require(outDim.toLong * dim <= 100000L,
-      "outDim*dim beyond 1e5 plan literals: use a broadcast-kernel variant")
-    val comps = (0 until outDim).map { j =>
-      val plane = typedlit((0 until dim).map(i =>
-        planeComponent((seed << 16) | j, i)))
-      dot(v, plane, dim) * lit(projectScale(outDim))
+    if (outDim.toLong * dim <= maxPlanWeights) {
+      val comps = (0 until outDim).map { j =>
+        val plane = typedlit((0 until dim).map(i =>
+          planeComponent((seed << 16) | j, i)))
+        dot(v, plane, dim) * lit(projectScale(outDim))
+      }
+      array(comps: _*)
+    } else {
+      val spark = sparkForBc.getOrElse(
+        org.apache.spark.sql.SparkSession.active)
+      val m = Array.tabulate(outDim, dim)((j, i) =>
+        planeComponent((seed << 16) | j, i))
+      graft.functions.VectorExpressions.matVecProject(v,
+        spark.sparkContext.broadcast(m), projectScale(outDim))
     }
-    array(comps: _*)
   }
 
   /** √(12/outDim): the weights are uniform[-0.5, 0.5) with variance 1/12,

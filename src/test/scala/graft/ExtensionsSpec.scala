@@ -1820,6 +1820,35 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(by(0).getAs[Double]("mean_silhouette") - expect0) < 1e-5)
   }
 
+  test("projectExpr: broadcast MatVec route ≡ literal-plane route " +
+    "bit-for-bit; large-outDim plan carries no weight literals") {
+    val dim = 16
+    val vecs = (0L until 20L).map(i => (i, Array.tabulate(dim)(d =>
+      (Similarity.planeComponent((i + 900).toInt, d) * 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val v = col("embedding").cast("array<double>")
+    def run(maxW: Long) = vecs
+      .select(col("vec_id"),
+        Similarity.projectExpr(v, 8, dim, seed = 2,
+          maxPlanWeights = maxW).as("p"))
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1))
+    val viaLit = run(100000L)   // 8·16 = 128 weights → literal path
+    val viaBc = run(0L)         // forced broadcast-kernel path
+    viaLit.zip(viaBc).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) =>
+        assert(x == y, s"paths diverge: $x vs $y") }
+    }
+    // the broadcast plan must not inline the weight matrix (analyzed
+    // plan: the optimizer constant-folds this local relation into a
+    // LocalTableScan, which would hide the expression under test)
+    val plan = vecs.select(Similarity.projectExpr(v, 8, dim, seed = 2,
+      maxPlanWeights = 0).as("p")).queryExecution.analyzed.toString
+    assert(plan.contains("mat_vec_project"), s"kernel missing:\n$plan")
+    val firstWeight = java.lang.Double.toString(
+      Similarity.planeComponent(2 << 16, 0))
+    assert(!plan.contains(firstWeight), "weights inlined in the plan")
+  }
+
   test("projectedLshTopK: candidates come from the corpus, driver and " +
     "row-side projections agree, self-query ranks itself first") {
     val dim = 16
