@@ -640,17 +640,36 @@ object Multimodal {
     * `minSharedFrames` DISTINCT frame fingerprints — snippet/re-upload
     * detection by frame-hash containment, not whole-file digests. One
     * distinct (id, fp) projection, an fp-keyed self-join (identical
-    * frames collapse per video first), one pair-counting aggregation;
-    * per-fp fanout is bounded by how many videos contain that frame —
-    * add a document-frequency cap (à la [[graft.dedup.Dedup
-    * .ngramJaccard]] maxDf) for intro/outro cards shared corpus-wide.
+    * frames collapse per video first), one pair-counting aggregation.
+    *
+    * Per-fp fanout is quadratic in how many videos contain that frame,
+    * so a frame shared corpus-wide (an intro/outro card, a network
+    * logo slate) would make one hot key O(V²). `maxDf` caps that: any
+    * fingerprint appearing in more than `maxDf` distinct videos is
+    * dropped before the self-join — the same groupBy-count + broadcast
+    * anti-join shape as [[graft.dedup.Dedup.ngramJaccard]] (a window
+    * over fp would re-create the very skew the cap prevents; hot
+    * frames are few by definition, so the anti-join side is tiny).
+    * Such frames are uninformative for matching anyway — a shared
+    * intro card is not evidence two videos share content. Pass
+    * `maxDf >= Int.MaxValue` to disable (and skip the extra
+    * aggregation); at 100 TB always keep a cap.
+    *
     * Caches the distinct (id, fp) frame; callers own release (the
     * [[graft.ml.Similarity.allPairsTopK]] contract). */
   def videoNearDupByFrame(assets: DataFrame, minSharedFrames: Int = 1,
-                          payloadCol: String = "payload"): DataFrame = {
+                          payloadCol: String = "payload",
+                          maxDf: Int = 1000): DataFrame = {
     require(minSharedFrames >= 1)
-    val vf = videoDhash(assets, payloadCol)
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val distinctFrames = videoDhash(assets, payloadCol)
       .select(col("id"), col("fp")).distinct()
+    val vf = (if (maxDf >= Int.MaxValue) distinctFrames
+      else {
+        val hot = distinctFrames.groupBy("fp").count()
+          .filter(col("count") > maxDf).select("fp")
+        distinctFrames.join(broadcast(hot), Seq("fp"), "left_anti")
+      })
       .cache() // reused by both self-join sides
     val a = vf.select(col("fp"), col("id").as("id_a"))
     val b = vf.select(col("fp"), col("id").as("id_b"))

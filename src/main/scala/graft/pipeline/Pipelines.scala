@@ -293,10 +293,17 @@ object Pipelines {
     * duplicates; payload columns never shuffle (every fingerprint is
     * computed map-side, decisions join back on ids).
     *
+    * `frameMaxDf` is [[graft.multimodal.Multimodal.videoNearDupByFrame]]'s
+    * document-frequency cap: frame fingerprints shared by more than that
+    * many videos (corpus-wide intro/outro cards) are excluded from the
+    * pair join — they are uninformative for matching and the one hot key
+    * that would go quadratic at scale.
+    *
     * Components oracle-gated by q130/q132/q133/q134; this composition is
     * the wiring, golden-tested in PipelineSpec E7. */
   def curateAssets(assets: DataFrame,
-                   minSharedFrames: Int = 1): DataFrame = {
+                   minSharedFrames: Int = 1,
+                   frameMaxDf: Int = 1000): DataFrame = {
     import graft.multimodal.Multimodal
     import graft.dedup.Dedup
     val imgKeep = Multimodal.imageDupGroups(assets)
@@ -307,7 +314,8 @@ object Pipelines {
     // cluster: guarantees every cluster's content keeps a representative
     val vids = assets.filter(col("modality") === "video")
       .select(col("asset_id").as("id"))
-    val vidPairs = Multimodal.videoNearDupByFrame(assets, minSharedFrames)
+    val vidPairs = Multimodal.videoNearDupByFrame(assets, minSharedFrames,
+      maxDf = frameMaxDf)
     val vidKeep = Dedup.connectedComponents(vids, vidPairs)
       .filter(col("id") === col("cluster_id"))
       .select(col("id").as("asset_id"))

@@ -1749,6 +1749,63 @@ class ExtensionsSpec extends SparkSpec {
       r.getAs[Long]("shared_frames"))).toSeq == Seq((1L, 2L, 1L)))
   }
 
+  test("videoNearDupByFrame maxDf: a corpus-wide intro card is excluded " +
+    "from the pair join; genuine snippet pairs survive") {
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val v = f(x, y); img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def gfv(frames: Array[Byte]*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.write(Array[Byte]('G', 'F', 'V', '1'))
+      out.writeInt(frames.length)
+      frames.foreach { f => out.writeInt(f.length); out.write(f) }
+      bos.toByteArray
+    }
+    // intro card opens EVERY video (df=4); `up` is the genuine shared
+    // snippet between v1 and v2 (df=2); remaining frames are unique
+    val intro = png((x, y) => if (x == y) 255 else 0)
+    val up = png((x, _) => x * 20)
+    val down = png((x, _) => (7 - x) * 20)
+    val anti = png((x, y) => if (x + y == 7) 255 else 0)
+    val checker = png((x, _) => (x % 2) * 255)
+    val assets = Seq(
+      (1L, "video", gfv(intro, up)),
+      (2L, "video", gfv(intro, up)),
+      (3L, "video", gfv(intro, down)),
+      (4L, "video", gfv(intro, anti, checker)))
+      .toDF("asset_id", "modality", "payload")
+    // uncapped: the intro card alone pairs all 6 combinations
+    val uncapped = Multimodal.videoNearDupByFrame(assets,
+      maxDf = Int.MaxValue).collect()
+    assert(uncapped.length == 6, s"intro card should pair everything, " +
+      s"got ${uncapped.length}")
+    // capped at 3: intro (df=4) excluded, only the true snippet pair
+    // survives — and its count no longer includes the intro frame
+    val capped = Multimodal.videoNearDupByFrame(assets, maxDf = 3)
+      .collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1),
+      r.getAs[Long]("shared_frames"))).toSeq == Seq((1L, 2L, 1L)))
+    // the cap threads through curateAssets: with the cap, only v2 (the
+    // true re-upload of v1) is dropped; uncapped, the intro card chains
+    // all four videos into one cluster keeping only v1
+    val curatedCapped = graft.pipeline.Pipelines.curateAssets(assets,
+      frameMaxDf = 3)
+    assert(curatedCapped.select("asset_id").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 3L, 4L))
+    val curatedUncapped = graft.pipeline.Pipelines.curateAssets(assets,
+      frameMaxDf = Int.MaxValue)
+    assert(curatedUncapped.select("asset_id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("splitLeakage splitBy group: zero crossing pairs when near-dups " +
     "live inside one group; row split still leaks them") {
     val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
