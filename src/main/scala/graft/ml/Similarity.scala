@@ -175,6 +175,75 @@ object Similarity {
       multiProbe, typedlit(query.toSeq), k, idCol, dim)
   }
 
+  /** Write-side companion of [[projectedLshStored]]: the corpus rows
+    * with their JL-projected hyperplane bucket as
+    * (idCol, vecCol, bucket) — persist it
+    * `partitionBy("bucket")` ([[graft.io.Writers.partitionedParquet]])
+    * and serving becomes a statically pruned scan. One map-only pass:
+    * projection + bucketing both run in the scan stage, nothing
+    * shuffles (the write's partitionBy is the only exchange). */
+  def projectedLshIndex(embs: DataFrame, outDim: Int = 8,
+                        planes: Int = 6, idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        dim: Int = DefaultDim, seed: Int = 1): DataFrame =
+    embs.select(col(idCol), col(vecCol),
+      hyperplaneKey(
+        projectExpr(col(vecCol).cast("array<double>"), outDim, dim, seed),
+        planes, outDim).as("bucket"))
+
+  /** Driver-side twin of [[hyperplaneKey]] for a known (already
+    * projected) query vector: bit p set iff ⟨v, plane_p⟩ ≥ 0,
+    * accumulated sequentially in index order — bit-identical to the
+    * column path, same contract as [[projectVector]] vs
+    * [[projectExpr]]. */
+  private[graft] def hyperplaneKeyOf(v: Array[Double],
+                                     planes: Int): Long = {
+    var key = 0L
+    var p = 0
+    while (p < planes) {
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { s += v(i) * planeComponent(p, i); i += 1 }
+      if (s >= 0) key |= (1L << p)
+      p += 1
+    }
+    key
+  }
+
+  /** [[projectedLshTopK]] against a STORED index: the corpus lives on
+    * disk laid out `partitionBy("bucket")` (written from
+    * [[projectedLshIndex]]) and the probe set — the query's projected
+    * bucket plus, with `multiProbe`, its `planes` Hamming-1 neighbors —
+    * is computed entirely DRIVER-SIDE from the literal query vector (a
+    * pure function: project, then sign-bits; unlike [[ivfTopKStored]]
+    * there is not even a centroid-table job). The probe ids push down
+    * as a literal partition predicate, so the corpus scan is statically
+    * partition-pruned at plan time: at 100 TB with 2^planes buckets and
+    * planes+1 probes, only that fraction of the corpus files is ever
+    * opened, and only those rows pay the full-dim exact cosine
+    * re-score. Completes the two-stage ANN serving story —
+    * [[projectedLshTopK]] is the in-memory equivalent and the parity
+    * gate. */
+  def projectedLshStored(spark: org.apache.spark.sql.SparkSession,
+                         corpusPath: String, query: Array[Double], k: Int,
+                         outDim: Int = 8, planes: Int = 6,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         dim: Int = DefaultDim, seed: Int = 1,
+                         multiProbe: Boolean = true): DataFrame = {
+    val qKey = hyperplaneKeyOf(projectVector(query, outDim, seed), planes)
+    val probeIds = (if (multiProbe)
+      qKey +: (0 until planes).map(p => qKey ^ (1L << p))
+    else Seq(qKey)).distinct
+    spark.read.parquet(corpusPath)
+      .filter(col("bucket").isInCollection(probeIds))
+      .select(col(idCol),
+        cosine(col(vecCol).cast("array<double>"), typedlit(query.toSeq),
+          dim).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Brute-force cosine top-k against one query vector (exactness
     * baseline). `query` must be a literal array column (e.g.
     * `typedLit(vec)`). Single scan + single top-k: no shuffle of the

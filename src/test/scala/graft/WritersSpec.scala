@@ -199,4 +199,46 @@ class WritersSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got == inMem, s"stored-index result diverged: $got vs $inMem")
   }
+
+  test("projected-LSH stored index: driver-side probe set statically " +
+    "prunes the bucket partitions; parity with the in-memory path") {
+    import graft.ml.Similarity
+    val dim = 4
+    val outDim = 3
+    val planes = 2 // 4 possible buckets, 3 multi-probe ids → pruning
+    // deterministic spread of sign patterns so all 4 buckets are hit
+    val vecs = (0 until 64).map { i =>
+      (i.toLong, (0 until dim).map(j =>
+        (((i * 31 + j * 17) % 7) - 3).toDouble / 3.0).toSeq)
+    }
+    val embs = vecs.toDF("vec_id", "embedding")
+    val index = Similarity.projectedLshIndex(embs, outDim, planes,
+      dim = dim)
+    val bucketsWritten = index.select("bucket").distinct().count()
+    assert(bucketsWritten == 4L,
+      s"fixture should cover all 4 buckets, hit $bucketsWritten")
+    val dirPath = Files.createTempDirectory("graft_plsh")
+      .resolve("corpus").toString
+    Writers.partitionedParquet(index, dirPath, Seq("bucket"))
+    val query = vecs(5)._2.toArray
+    val served = Similarity.projectedLshStored(spark, dirPath, query,
+      k = 5, outDim = outDim, planes = planes, dim = dim)
+    val scan = served.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no FileSourceScanExec in plan"))
+    assert(scan.partitionFilters.nonEmpty,
+      s"no partition filters on the corpus scan:\n$scan")
+    val got = served.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // 3 probe ids against 4 written bucket dirs: at most 3 opened
+    val partsRead = scan.metrics.get("numPartitions").map(_.value)
+    assert(partsRead.exists(n => n <= 3L && n < bucketsWritten),
+      s"expected <= 3 of 4 bucket dirs scanned; metrics=${scan.metrics}")
+    val inMem = Similarity.projectedLshTopK(embs, query, k = 5,
+      outDim = outDim, planes = planes, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == inMem, s"stored-index result diverged: $got vs $inMem")
+    assert(got.nonEmpty, "probe returned no candidates")
+  }
 }
