@@ -119,18 +119,36 @@ object Dedup {
     * TUNE (numHashes, bands) on a small sample BEFORE a 100 TB run commits
     * to them: band math fixes the S-curve, but the realized recall depends
     * on the corpus's Jaccard distribution near the threshold, which only a
-    * measurement shows. Production never runs the exact side at scale. */
+    * measurement shows. Production never runs the exact side at scale.
+    *
+    * `sampleFraction` < 1 makes the harness runnable at ANY corpus size:
+    * a deterministic md5-keyed DOCUMENT sample (the [[graft.text.TextOps
+    * .hashBucket]] grid — seedless, reproducible, the weightedSample /
+    * hashSplit convention) restricts BOTH sides to the same sub-corpus,
+    * so the quadratic exact side runs on fraction² of the pairs while
+    * the measured quantity — recall over true pairs whose endpoints
+    * both survive — estimates corpus recall, because a pair's band
+    * S-curve probability depends only on its own Jaccard, not on which
+    * other documents are present. (Per-pair inclusion is fraction², so
+    * size the fraction to keep a few hundred true pairs in sample.) */
   def lshRecall(docs: DataFrame, threshold: Double = 0.4,
                 idCol: String = "doc_id", textCol: String = "text",
                 shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
-                portable: Boolean = false): DataFrame = {
+                portable: Boolean = false,
+                sampleFraction: Double = 1.0): DataFrame = {
     require(threshold > 0.0, "threshold must be positive (at 0 every " +
       "pair is true and the exact side is a full cross product)")
-    val exact = ngramJaccard(docs, idCol, textCol, shingleN,
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val grid = 1000000
+    val sampled = if (sampleFraction >= 1.0) docs
+      else docs.filter(TextOps.hashBucket(col(idCol), grid) <
+        lit((sampleFraction * grid).toLong))
+    val exact = ngramJaccard(sampled, idCol, textCol, shingleN,
       minJaccard = threshold, maxDf = Int.MaxValue)
       .select("id_a", "id_b")
       .cache() // counted twice: denominator and semi-join probe
-    val cand = minhashCandidates(docs, idCol, textCol, shingleN,
+    val cand = minhashCandidates(sampled, idCol, textCol, shingleN,
       numHashes, bands, portable).select("id_a", "id_b")
       // also consumed twice (count + probe): without this the band
       // self-join and distinct above the signature cache re-run in full

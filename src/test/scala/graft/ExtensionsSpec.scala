@@ -1972,6 +1972,43 @@ class ExtensionsSpec extends SparkSpec {
     assert(e.getAs[Double]("recall") == 1.0)
   }
 
+  test("lshRecall sampleFraction: fraction 1 is the full harness; a " +
+    "fractional run equals the full harness on the md5-keyed sub-corpus") {
+    // 30 near-dup pairs (ids 2i, 2i+1 share a template) so both the
+    // sampled and unsampled ground truths are non-empty
+    val docs = (0L until 60L).map { i =>
+      val pair = i / 2
+      (i, s"shared template number $pair with common filler words " +
+        s"alpha beta gamma delta epsilon variant token$i")
+    }.toDF("doc_id", "text")
+    val full = Dedup.lshRecall(docs, threshold = 0.4).head()
+    val fullAgain = Dedup.lshRecall(docs, threshold = 0.4,
+      sampleFraction = 1.0).head()
+    assert(full.toSeq == fullAgain.toSeq,
+      "sampleFraction=1.0 must be the identity")
+    assert(full.getAs[Long]("true_pairs") > 0L)
+
+    val f = 0.5
+    val grid = 1000000
+    val subCorpus = docs.filter(
+      graft.text.TextOps.hashBucket(col("doc_id"), grid) <
+        lit((f * grid).toLong))
+    val nSub = subCorpus.count()
+    assert(nSub > 0 && nSub < 60,
+      s"fixture should split the corpus, kept $nSub of 60")
+    // the sampled harness IS the full harness on the deterministic
+    // sub-corpus — same docs, same pairs, same counts
+    val sampled = Dedup.lshRecall(docs, threshold = 0.4,
+      sampleFraction = f).head()
+    val manual = Dedup.lshRecall(subCorpus, threshold = 0.4).head()
+    assert(sampled.toSeq == manual.toSeq,
+      s"sampled ${sampled.toSeq} != manual sub-corpus ${manual.toSeq}")
+    // determinism: re-running the sampled harness reproduces it exactly
+    val again = Dedup.lshRecall(docs, threshold = 0.4,
+      sampleFraction = f).head()
+    assert(sampled.toSeq == again.toSeq)
+  }
+
   test("randomProject: closed-form on basis vectors, unbiased norm, " +
     "seed changes the planes") {
     val dim = 64; val outDim = 8
