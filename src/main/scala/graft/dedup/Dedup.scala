@@ -953,9 +953,13 @@ object Dedup {
       docs.select(col(idCol),
           graft.functions.HashExpressions.cleanDupChunks(
             col(idCol).cast("long"), col(textCol), bc).as("r"))
-        .select(col(idCol), col("r.n_chunks").as("n_chunks"),
-          col("r.kept_chunks").as("kept_chunks"),
-          col("r.clean_text").as("clean_text"))
+        // NULL text null-propagates through the kernel; coalesce to the
+        // (0, 0, '') the relational fallback produces for the same doc so
+        // the answer never depends on the duplicate-table size gate
+        .select(col(idCol),
+          coalesce(col("r.n_chunks"), lit(0L)).as("n_chunks"),
+          coalesce(col("r.kept_chunks"), lit(0L)).as("kept_chunks"),
+          coalesce(col("r.clean_text"), lit("")).as("clean_text"))
     } else {
       val keep = col("owner").isNull || col("owner") === col("id")
       val agg = keyed.join(dup, Seq(key), "left")
