@@ -33,15 +33,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // a crashed query records -1 (NOT its fail-fast elapsed time): recording
+    // dt made r7's total look 7% faster while 17 queries crashed at
+    // analysis; -1 entries are excluded from the reported total below
     def runAll(dir: String): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, dir).count(); true }
+                 catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         // operators cache self-join inputs; release between queries so
         // storage memory doesn't accumulate across the run
         spark.catalog.clearCache()
-        name -> dt
+        name -> (if (ok) dt else -1.0)
       }
 
     // warmup at the smallest STRICTLY SMALLER scale factor that exists
@@ -64,22 +68,29 @@ object Bench {
     val pass1 = runAll(sfDir)
     val pass2 = runAll(sfDir).toMap
     val results = pass1.map { case (name, t) =>
-      name -> math.min(t, pass2.getOrElse(name, t))
+      // min over SUCCESSFUL passes only; -1 survives only if both crashed
+      val t2 = pass2.getOrElse(name, t)
+      val good = Seq(t, t2).filter(_ >= 0)
+      name -> (if (good.isEmpty) -1.0 else good.min)
     }
     // 3-decimal seconds keep the line short (stdout tails get clipped);
     // Locale.ROOT so the decimal separator is always '.' (valid JSON)
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failed = results.collect { case (k, v) if v < 0 => k }
+    // total covers SUCCESSFUL queries only; failed list is in the JSON so
+    // a round-over-round comparison can see the denominator changed
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // field order matters operationally: the harness records a stdout
     // TAIL, so the big per-query map goes FIRST and the scalar summary
     // fields (metric/value/total) go LAST — a clipped capture then still
     // retains the totals (r4 lost them the other way around). JSON object
     // order is semantically irrelevant, so json.loads consumers see no
     // difference; bench_out.json stays the authoritative full record.
+    val failedJson = failed.map(k => s""""$k"""").mkString("[", ",", "]")
     val line =
-      s"""{"queries":$qs,"sf":"$sfDir","agg":"min-of-2","unit":"sec","metric":"total","value":${fmt(total)}}"""
+      s"""{"queries":$qs,"failed":$failedJson,"sf":"$sfDir","agg":"min-of-2","unit":"sec","metric":"total","value":${fmt(total)}}"""
     // stdout can truncate under the harness tail; persist to a file too
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

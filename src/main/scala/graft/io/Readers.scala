@@ -91,21 +91,35 @@ object Readers {
 
   /** Parquet table from a testdata scale-factor directory (TESTDATA.md).
     *
-    * `events.parquet` carries TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]); the sanctioned path is the
-    * legacy nanos-as-long conf + explicit truncation to Spark's native
-    * microsecond timestamps. Set at runtime so it works under any session
-    * (driver-created included). */
+    * Two timestamp-physical-type shims, both normalizing to Spark's native
+    * session-TZ `TimestampType` (the session TZ is pinned UTC everywhere,
+    * so values are bit-identical to what a UTC oracle reads from the same
+    * file):
+    *   - TIMESTAMP(NANOS), which Spark's parquet reader rejects
+    *     ([PARQUET_TYPE_ILLEGAL]): the sanctioned path is the legacy
+    *     nanos-as-long conf + explicit truncation to microseconds.
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 reads as
+    *     TIMESTAMP_NTZ under the default `inferTimestampNTZ`: cast back to
+    *     TimestampType so strictly-TIMESTAMP functions (`unix_micros` etc.)
+    *     keep analyzing.
+    * Set at runtime so it works under any session (driver-created
+    * included). */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" &&
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = raw.schema.fields.find(f => f.name == "ts" &&
         f.dataType == org.apache.spark.sql.types.LongType) match {
       case Some(_) =>
         // `div`, not `/`: long/long is a DOUBLE division in Spark SQL and
         // epoch-ns exceeds 2^53, which would corrupt the low microseconds
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None => df
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case None => raw
     }
+    df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.TimestampNTZType)
+      .foldLeft(df) { (d, f) =>
+        d.withColumn(f.name,
+          col(f.name).cast(org.apache.spark.sql.types.TimestampType))
+      }
   }
 }
