@@ -141,9 +141,17 @@ object Dedup {
     require(sampleFraction > 0.0 && sampleFraction <= 1.0,
       s"sampleFraction must be in (0, 1], got $sampleFraction")
     val grid = 1000000
+    // below 1/grid the bucket cut truncates to zero and the harness would
+    // measure an EMPTY sample — and report recall=1.0 vacuously; refuse
+    // rather than mislead the tuning decision
+    require(sampleFraction >= 1.0 || sampleFraction >= 1.0 / grid,
+      s"sampleFraction $sampleFraction is below the 1/$grid sampling " +
+        "grid and would select an empty sample")
     val sampled = if (sampleFraction >= 1.0) docs
       else docs.filter(TextOps.hashBucket(col(idCol), grid) <
-        lit((sampleFraction * grid).toLong))
+        // round, not floor: floor would under-sample every non-exact
+        // fraction by up to one full bucket
+        lit(math.round(sampleFraction * grid)))
     val exact = ngramJaccard(sampled, idCol, textCol, shingleN,
       minJaccard = threshold, maxDf = Int.MaxValue)
       .select("id_a", "id_b")

@@ -236,7 +236,12 @@ object Similarity {
       qKey +: (0 until planes).map(p => qKey ^ (1L << p))
     else Seq(qKey)).distinct
     spark.read.parquet(corpusPath)
-      .filter(col("bucket").isInCollection(probeIds))
+      // partition-type inference may read `bucket` back narrower than the
+      // long that was written (int for small key spaces); the explicit
+      // cast pins the comparison to long regardless of the inferred type —
+      // still a static literal predicate over the partition column, so
+      // directory pruning is unaffected (WritersSpec gates numPartitions)
+      .filter(col("bucket").cast("long").isInCollection(probeIds))
       .select(col(idCol),
         cosine(col(vecCol).cast("array<double>"), typedlit(query.toSeq),
           dim).as("cosine"))
@@ -490,32 +495,46 @@ object Similarity {
     * ([[ivfIndex]] shape) collected to the driver (k·dim doubles). The
     * result's `cluster` column feeds [[ivfTopKWithIndex]] (as the stored
     * partition key at scale) and [[graft.dedup.Dedup.embeddingNearDup]]'s
-    * `blockCol`. */
+    * `blockCol`.
+    *
+    * Cache contract: each Lloyd iteration is a full corpus pass (the
+    * centroid aggregation is an action), so with `iters > 1` an
+    * unpersisted lineage would multiply corpus I/O by the iteration count
+    * — at 100 TB with iters=5 that is ~5 extra corpus scans. The loop
+    * therefore persists the narrow (id, vector) slice — the ONLY data the
+    * iterations touch — and unpersists it before returning; the returned
+    * assignment is re-derived from the caller's full frame (map-only, no
+    * cached plan), so no cache outlives this call. */
   def kmeans(embs: DataFrame, k: Int, iters: Int = 5,
              idCol: String = "vec_id", vecCol: String = "embedding",
              dim: Int = DefaultDim): DataFrame = {
     require(k >= 1 && iters >= 1)
-    val seedRows = embs.orderBy(col(idCol)).limit(k)
-      .select(col(vecCol).cast("array<double>")).collect()
-    // a corpus with < k rows would silently shrink k (and duplicate seed
-    // vectors would pin empty clusters forever via the keep-previous rule)
-    require(seedRows.length == k,
-      s"kmeans: corpus has only ${seedRows.length} rows for k=$k seeds")
-    var cents: Seq[(Long, Array[Double])] = seedRows.toSeq.zipWithIndex
-      .map { case (r, i) => (i.toLong, r.getSeq[Double](0).toArray) }
-    var assigned = assignToCentroids(embs, cents, idCol, vecCol, dim)
-    var it = 1
-    while (it < iters) {
-      val updated = ivfIndex(assigned, "cluster", vecCol).collect()
-        .map(r => (r.getAs[Long]("cluster"),
-          r.getSeq[Double](r.fieldIndex("centroid")).toArray)).toMap
-      // a cluster that captured no vectors this round keeps its previous
-      // centroid instead of silently shrinking k
-      cents = cents.map { case (cid, c) => (cid, updated.getOrElse(cid, c)) }
-      assigned = assignToCentroids(embs, cents, idCol, vecCol, dim)
-      it += 1
-    }
-    assigned
+    val slice = embs.select(col(idCol), col(vecCol))
+    if (iters > 1) slice.persist()
+    try {
+      val seedRows = slice.orderBy(col(idCol)).limit(k)
+        .select(col(vecCol).cast("array<double>")).collect()
+      // a corpus with < k rows would silently shrink k (and duplicate seed
+      // vectors would pin empty clusters forever via the keep-previous
+      // rule)
+      require(seedRows.length == k,
+        s"kmeans: corpus has only ${seedRows.length} rows for k=$k seeds")
+      var cents: Seq[(Long, Array[Double])] = seedRows.toSeq.zipWithIndex
+        .map { case (r, i) => (i.toLong, r.getSeq[Double](0).toArray) }
+      var it = 1
+      while (it < iters) {
+        val assigned = assignToCentroids(slice, cents, idCol, vecCol, dim)
+        val updated = ivfIndex(assigned, "cluster", vecCol).collect()
+          .map(r => (r.getAs[Long]("cluster"),
+            r.getSeq[Double](r.fieldIndex("centroid")).toArray)).toMap
+        // a cluster that captured no vectors this round keeps its previous
+        // centroid instead of silently shrinking k
+        cents = cents.map { case (cid, c) =>
+          (cid, updated.getOrElse(cid, c)) }
+        it += 1
+      }
+      assignToCentroids(embs, cents, idCol, vecCol, dim)
+    } finally if (iters > 1) slice.unpersist()
   }
 
   /** [[ivfTopK]] against a prebuilt [[ivfIndex]] — the steady-state shape:

@@ -655,8 +655,13 @@ object Multimodal {
     * `maxDf >= Int.MaxValue` to disable (and skip the extra
     * aggregation); at 100 TB always keep a cap.
     *
-    * Caches the distinct (id, fp) frame; callers own release (the
-    * [[graft.ml.Similarity.allPairsTopK]] contract). */
+    * Caches the distinct (id, fp) frame — BEFORE the hot-frame cap, so
+    * the payload decode (the dominant cost) runs exactly once whether or
+    * not the cap is active: the hot-frame count, the anti-join, and both
+    * self-join sides all read the cache (the capped branch recomputes
+    * only the cheap broadcast anti-join per consumer, never the decode).
+    * Callers own release (the [[graft.ml.Similarity.allPairsTopK]]
+    * contract). */
   def videoNearDupByFrame(assets: DataFrame, minSharedFrames: Int = 1,
                           payloadCol: String = "payload",
                           maxDf: Int = 1000): DataFrame = {
@@ -664,13 +669,13 @@ object Multimodal {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
     val distinctFrames = videoDhash(assets, payloadCol)
       .select(col("id"), col("fp")).distinct()
-    val vf = (if (maxDf >= Int.MaxValue) distinctFrames
+      .cache()
+    val vf = if (maxDf >= Int.MaxValue) distinctFrames
       else {
         val hot = distinctFrames.groupBy("fp").count()
           .filter(col("count") > maxDf).select("fp")
         distinctFrames.join(broadcast(hot), Seq("fp"), "left_anti")
-      })
-      .cache() // reused by both self-join sides
+      }
     val a = vf.select(col("fp"), col("id").as("id_a"))
     val b = vf.select(col("fp"), col("id").as("id_b"))
     a.join(b, "fp")

@@ -300,6 +300,37 @@ class ExtensionsSpec extends SparkSpec {
       s"assignment is not map-only:\n$plan")
   }
 
+  test("kmeans iteration loop reads the corpus from cache: the source is " +
+    "scanned twice total (materialize + final assign), not once per iter") {
+    val n = 40
+    // count SOURCE evaluations with an accumulator-instrumented column:
+    // every scan of the input evaluates the udf once per row, a cache hit
+    // evaluates nothing
+    val acc = spark.sparkContext.longAccumulator("corpus-scans")
+    val tick = udf { (id: Long) => acc.add(1); id }
+    def v(axis: Int, jitter: Double): Seq[Float] =
+      (0 until dim).map(i => (if (i == axis) 10.0 + jitter else jitter / 10)
+        .toFloat)
+    val embs = ((0L until n / 2).map(i => (i, v(0, i * 0.01))) ++
+      (n / 2L until n).map(i => (i, v(4, (i - n / 2) * 0.01))))
+      .toDF("raw_id", "embedding")
+      .withColumn("vec_id", tick(col("raw_id"))).drop("raw_id")
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val got = Similarity.kmeans(embs, k = 2, iters = 4, dim = dim)
+    val rows = got.count()
+    assert(rows == n)
+    // persisted loop: scan 1 materializes the (id, vector) cache at seed
+    // collection, iterations 1-3 are cache hits, scan 2 is the returned
+    // final assignment over the caller's frame. Unpersisted, iters=4
+    // would cost 5 source scans (5n evaluations).
+    assert(acc.value <= 2L * n,
+      s"kmeans rescanned the corpus: ${acc.value} evals for n=$n " +
+        "(expected <= 2n — is the iteration slice persisted?)")
+    // the iteration cache must not outlive the call
+    assert(spark.sparkContext.getPersistentRDDs.keySet == cachedBefore,
+      "kmeans leaked its iteration cache")
+  }
+
   test("TopK aggregator matches a sort-and-take across partitions") {
     val rnd = new scala.util.Random(11)
     val rows = Seq.fill(500)((rnd.nextInt(4).toLong,
@@ -1806,6 +1837,51 @@ class ExtensionsSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("videoNearDupByFrame decodes each payload exactly once under the " +
+    "default maxDf cap (distinct-frame cache feeds every consumer)") {
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val v = f(x, y); img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def gfv(frames: Array[Byte]*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.write(Array[Byte]('G', 'F', 'V', '1'))
+      out.writeInt(frames.length)
+      frames.foreach { f => out.writeInt(f.length); out.write(f) }
+      bos.toByteArray
+    }
+    val diag = png((x, y) => if (x == y) 255 else 0)
+    val up = png((x, _) => x * 20)
+    val down = png((x, _) => (7 - x) * 20)
+    // an accumulator-instrumented payload column: every decode pass over
+    // the source evaluates the udf once per video row; cached distinct
+    // frames mean one pass even though the capped plan has three
+    // consumers (hot-frame count + two self-join sides)
+    val acc = spark.sparkContext.longAccumulator("payload-decodes")
+    val tick = udf { (p: Array[Byte]) => acc.add(1); p }
+    val assets = Seq(
+      (1L, "video", gfv(diag, up)),
+      (2L, "video", gfv(down, diag)),
+      (3L, "video", gfv(up, down)))
+      .toDF("asset_id", "modality", "raw")
+      .withColumn("payload", tick(col("raw"))).drop("raw")
+    val pairs = Multimodal.videoNearDupByFrame(assets, maxDf = 1000)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(acc.value == 3L,
+      s"payload decoded ${acc.value} times for 3 videos " +
+        "(expected once each — is distinctFrames cached before the cap?)")
+    spark.catalog.clearCache() // release the caller-owned frame cache
+  }
+
   test("splitLeakage splitBy group: zero crossing pairs when near-dups " +
     "live inside one group; row split still leaks them") {
     val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
@@ -2007,6 +2083,12 @@ class ExtensionsSpec extends SparkSpec {
     val again = Dedup.lshRecall(docs, threshold = 0.4,
       sampleFraction = f).head()
     assert(sampled.toSeq == again.toSeq)
+    // a fraction below the 1/grid sampling grid would truncate to an
+    // EMPTY sample and report recall=1.0 vacuously — refused up front
+    val tooSmall = intercept[IllegalArgumentException] {
+      Dedup.lshRecall(docs, threshold = 0.4, sampleFraction = 1e-9)
+    }
+    assert(tooSmall.getMessage.contains("empty sample"))
   }
 
   test("randomProject: closed-form on basis vectors, unbiased norm, " +
