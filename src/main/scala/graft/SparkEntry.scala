@@ -41,6 +41,21 @@ object SparkEntry {
     (li, iv)
   }
 
+  /** Materializes the checked-in WARC fixture
+    * (src/main/resources/graft/fixture.warc) to a stable temp path for
+    * the line-delimited text scan; q138's oracle hard-codes the same five
+    * records. */
+  private def warcFixturePath(): String = {
+    val out = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_fixture.warc")
+    val in = getClass.getResourceAsStream("/graft/fixture.warc")
+    require(in != null, "graft/fixture.warc missing from classpath")
+    try java.nio.file.Files.copy(in, out,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    out.toString
+  }
+
   /** Shared by q58/q59: the first `k` embedding vectors as deterministic
     * seed centroids (cluster id = vec_id). */
   private def seedCentroids(embs: DataFrame,
@@ -851,6 +866,20 @@ object SparkEntry {
       Similarity.recallAtK(
         Similarity.bruteForceTopK(embs, typedlit(q.toSeq), 10),
         Similarity.projectedLshTopK(embs, q, 10), 10)
+    }),
+
+    // S6-adjacent WARC ingest, oracle-gated: parse the checked-in fixture
+    // (src/main/resources/graft/fixture.warc) — record splitting, header
+    // extraction, Content-Length truncation, HTTP envelope stripping —
+    // and the DuckDB oracle recomputes every row (md5 included) from the
+    // same literal record bodies
+    "q138_warc_ingest" -> ((s, _) => {
+      graft.io.Warc.records(s, warcFixturePath())
+        .select(col("record_id"), col("warc_type"), col("target_uri"),
+          col("content_length"),
+          graft.io.Warc.httpPayload(col("content")).as("payload"))
+        .withColumn("payload_md5", md5(col("payload").cast("binary")))
+        .orderBy("record_id")
     }),
 
     // release-drift report: PSI + KS + means between two snapshot
@@ -1894,6 +1923,26 @@ object SparkEntry {
     "q125_random_project" -> randomProjectOracle,
     "q126_lsh_recall" -> lshRecallOracle,
     "q137_projected_ann" -> projectedAnnOracle,
+
+    // q138: the fixture's five records as literals; DuckDB recomputes the
+    // md5 over the very payload strings the Spark side must produce after
+    // Content-Length truncation + HTTP envelope stripping
+    "q138_warc_ingest" ->
+      s"""SELECT * FROM (VALUES
+         |  ('<urn:uuid:rec-1>', 'warcinfo', '', CAST(22 AS BIGINT),
+         |   'software: graftbot/1.0', md5('software: graftbot/1.0')),
+         |  ('<urn:uuid:rec-2>', 'response', 'http://example.org/a',
+         |   CAST(74 AS BIGINT), '<html><p>Alpha page</p></html>',
+         |   md5('<html><p>Alpha page</p></html>')),
+         |  ('<urn:uuid:rec-3>', 'response', 'https://example.net/b',
+         |   CAST(33 AS BIGINT), 'missing', md5('missing')),
+         |  ('<urn:uuid:rec-4>', 'conversion', 'http://example.org/a',
+         |   CAST(10 AS BIGINT), 'Alpha page', md5('Alpha page')),
+         |  ('<urn:uuid:rec-5>', 'request', 'https://example.net/b',
+         |   CAST(15 AS BIGINT), 'GET /b HTTP/1.1', md5('GET /b HTTP/1.1'))
+         |) AS w(record_id, warc_type, target_uri, content_length,
+         |       payload, payload_md5)
+         |ORDER BY record_id""".stripMargin,
 
     "q106_pq_encode" -> pqEncodeOracle,
 
