@@ -264,15 +264,46 @@ object ScaleProbe {
           Multimodal.audioDhash(d).agg(max("fp")).head(); 1L }))
     }
 
+    // video family: every synthesized video OPENS WITH THE SAME INTRO
+    // frame (the corpus-wide hot key videoNearDupByFrame's maxDf cap
+    // exists for), then 3 id-derived frames. The capped path must stay
+    // ~linear in videos; the uncapped path pays the quadratic intro
+    // fanout — the measured justification for "at 100 TB always keep a
+    // cap". Only 1-in-10 docs carries a video so the uncapped quadratic
+    // regime stays computable at Kx.
+    def videoSuite(docs: DataFrame): Map[String, Double] = {
+      import graft.multimodal.Multimodal
+      val mkVideo = udf { (id: Long) =>
+        val frames = Multimodal.encodePng(424242L, 0) +:
+          (1 to 3).map(f => Multimodal.encodePng(id, f))
+        val bos = new java.io.ByteArrayOutputStream()
+        val out = new java.io.DataOutputStream(bos)
+        out.write(Array[Byte]('G', 'F', 'V', '1'))
+        out.writeInt(frames.length)
+        frames.foreach { b => out.writeInt(b.length); out.write(b) }
+        bos.toByteArray
+      }
+      val assets = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("asset_id"),
+          lit("video").as("modality"), mkVideo(col("doc_id")).as("payload"))
+      timedSuite(assets)(Seq(
+        "video_neardup_capped" -> { d =>
+          Multimodal.videoNearDupByFrame(d, maxDf = 50).count() },
+        "video_neardup_uncapped" -> { d =>
+          Multimodal.videoNearDupByFrame(d, maxDf = Int.MaxValue).count() }))
+    }
+
     println(s"== pass 0: warmup (codegen) ==")
     suite(replicate(1)); embSuite(replicateEmb(1)); evSuite(replicateEv(1))
-    assetSuite(replicate(1))
+    assetSuite(replicate(1)); videoSuite(replicate(1))
     println(s"== pass 1: 1x (${maxId} docs, ${eMax} vecs) ==")
     val t1 = suite(replicate(1)) ++ embSuite(replicateEmb(1)) ++
-      evSuite(replicateEv(1)) ++ assetSuite(replicate(1))
+      evSuite(replicateEv(1)) ++ assetSuite(replicate(1)) ++
+      videoSuite(replicate(1))
     println(s"== pass 2: ${k}x (${k * maxId} docs, ${k * eMax} vecs) ==")
     val tk = suite(replicate(k)) ++ embSuite(replicateEmb(k)) ++
-      evSuite(replicateEv(k)) ++ assetSuite(replicate(k))
+      evSuite(replicateEv(k)) ++ assetSuite(replicate(k)) ++
+      videoSuite(replicate(k))
     println(f"%nop             | 1x (s) | ${k}%dx (s) | ratio (linear=$k%d.0)")
     t1.keys.toSeq.sorted.foreach { op =>
       println(f"$op%-22s ${t1(op)}%7.2f ${tk(op)}%9.2f ${tk(op) / t1(op)}%8.1f")
