@@ -98,6 +98,11 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: $e") }
     println(line)
+    // a second, SHORT summary line last: the harness records a stdout
+    // tail, and if the big per-query line gets its head clipped, any
+    // parse-the-last-JSON-line consumer still finds a complete record
+    // (BENCH_r03-r07 all read "parsed": null)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","agg":"min-of-2","n_queries":${results.size},"n_failed":${failed.size}}""")
     spark.stop()
   }
 }

@@ -63,6 +63,68 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PSI parity: a finalized window reproduces batch " +
+    "Stats.psi on q97's full cohort inputs from the events table") {
+    implicit val sqlCtx = spark.sqlContext
+    // q97's exact inputs: the testdata events table, cohorts a/b by
+    // md5 bucket of event_id, binWidth 50. The sf0.001 stream is sparse
+    // (~1000 events over a month), so ONE wide tumbling window spans the
+    // whole table and the finalized streaming window sees exactly the
+    // rows the batch query sees.
+    val ev = graft.io.Readers.table(spark, "/root/testdata/sf0.001",
+        "events")
+      .filter(col("value").isNotNull)
+      .withColumn("coh",
+        when(graft.text.TextOps.hashBucket(col("event_id"), 2) === 0, "a")
+          .otherwise("b"))
+    val win = ev.cache()
+    val batch = graft.ops.Stats.psi(win, "coh", "value", "a", "b",
+      binWidth = 50.0).head()
+    assert(batch.getAs[Long]("n_bins") > 0,
+      "q97's inputs should produce common bins")
+
+    // stream cohort a (the monitored side); cohort b is the static
+    // reference distribution, exactly Stats.psi's (p_a − p_b) direction
+    val bTot = win.filter(col("coh") === "b").count().toDouble
+    val ref = win.filter(col("coh") === "b")
+      .groupBy(floor(col("value") / 50.0).cast("long").as("bin"))
+      .agg((count(lit(1)) / lit(bTot)).as("p_ref"))
+    val aRows = win.filter(col("coh") === "a")
+      .select(col("ts"), col("value").cast("double"))
+      .collect().map(r => (r.getTimestamp(0), r.getDouble(1))).toSeq
+
+    val in = MemoryStream[(java.sql.Timestamp, Double)]
+    val df = in.toDF().toDF("ts", "value")
+    // 100-year tumbling windows (epoch-aligned, so [1970, 2070) is ONE
+    // window): the whole one-month table lands in a single window — a
+    // 60-day window would split it at an epoch-aligned boundary
+    val out = Streaming.psiBinCountsStream(df, "ts", "value",
+      binWidth = 50.0, windowMinutes = 60 * 24 * 365 * 100,
+      watermark = "1 minute")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("psi_parity_counts").start()
+    try {
+      in.addData(aRows: _*)
+      q.processAllAvailable()
+      // a sentinel decades past the window advances the watermark so
+      // append finalizes it (the sentinel's own window never emits)
+      in.addData((java.sql.Timestamp.valueOf("2100-01-01 00:00:00"), 0.0))
+      q.processAllAvailable()
+      val counts = spark.table("psi_parity_counts")
+        .filter(col("end_time") < lit(
+          java.sql.Timestamp.valueOf("2099-01-01 00:00:00")))
+      val got = Streaming.psiFromCounts(counts, ref).head()
+      assert(got.getAs[Long]("n_bins") == batch.getAs[Long]("n_bins"),
+        s"bin domains diverged: ${got.getAs[Long]("n_bins")} vs " +
+          s"${batch.getAs[Long]("n_bins")}")
+      // batch rounds to 6dp; allow that quantum plus float noise
+      assert(math.abs(got.getAs[Double]("psi") -
+        batch.getAs[Double]("psi")) < 2e-6,
+        s"streaming PSI ${got.getAs[Double]("psi")} != batch " +
+          s"${batch.getAs[Double]("psi")}")
+    } finally { q.stop(); win.unpersist() }
+  }
+
   test("noveltyStream: cross-batch memory drops repeats, within-batch " +
     "dedup is exact, sources independent") {
     implicit val s = spark
