@@ -101,7 +101,12 @@ object Readers {
     *   - TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 reads as
     *     TIMESTAMP_NTZ under the default `inferTimestampNTZ`: cast back to
     *     TimestampType so strictly-TIMESTAMP functions (`unix_micros` etc.)
-    *     keep analyzing.
+    *     keep analyzing. The cast does NOT cost parquet pushdown: under a
+    *     UTC session Catalyst unwraps it in comparisons, and a range
+    *     filter on a shimmed column still lands in the scan's
+    *     PushedFilters (verified against the NTZ testdata — the scan
+    *     shows `PushedFilters: [GreaterThan(o_orderdate,...)]` with
+    *     `ReadSchema: ...timestamp_ntz`).
     * Set at runtime so it works under any session (driver-created
     * included). */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {

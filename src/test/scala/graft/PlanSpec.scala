@@ -26,6 +26,22 @@ class PlanSpec extends SparkSpec {
       s"filter not pushed:\n$p")
   }
 
+  test("a range filter on an NTZ-shimmed timestamp column still reaches " +
+    "the parquet scan's PushedFilters") {
+    // Readers.table casts TIMESTAMP_NTZ fields to session-TZ timestamps;
+    // under the UTC session Catalyst must unwrap that cast in
+    // comparisons, or every date-range scan at 100 TB reads the full
+    // table
+    val p = graft.io.Readers.table(spark, dir, "orders")
+      .filter(org.apache.spark.sql.functions.col("o_orderdate") >
+        "2024-01-15")
+      .select("o_orderkey", "o_orderdate")
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), " +
+      "GreaterThan(o_orderdate,"),
+      s"ts filter not pushed through the NTZ shim:\n$p")
+  }
+
   test("q40 star join broadcasts dimensions and prunes the fact scan") {
     val p = plan("q40_star_join")
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
