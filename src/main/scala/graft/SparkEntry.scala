@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Readers
 import graft.ops._
-import graft.text.TextOps
+import graft.text.{TextOps, UrlOps}
 import graft.dedup.Dedup
 import graft.ml.Similarity
 import graft.multimodal.Multimodal
@@ -40,6 +40,20 @@ object SparkEntry {
         (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("end_time"))
     (li, iv)
   }
+
+  /** Shared by q139/q140: deterministic raw URL per document, carrying
+    * every noise class `UrlOps.normalizeUrl` must fix. The q139 oracle
+    * derives the expected canonical form from these same formulas. */
+  private def rawUrlOf: Column = concat(
+    when(col("doc_id") % 2 === 0, lit("HTTPS")).otherwise(lit("http")),
+    lit("://"),
+    when(col("doc_id") % 7 === 0,
+      concat(lit("Files."), col("source"), lit(".CO.UK")))
+      .otherwise(concat(lit("WWW."), col("source"), lit(".Example.COM"))),
+    when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+    lit("/Data//set-"), (col("doc_id") % 5).cast("string"), lit("/"),
+    lit("?utm_source=x&id="), col("doc_id").cast("string"),
+    lit("&fbclid=z#frag"))
 
   /** Materializes the checked-in WARC fixture
     * (src/main/resources/graft/fixture.warc) to a stable temp path for
@@ -866,6 +880,32 @@ object SparkEntry {
       Similarity.recallAtK(
         Similarity.bruteForceTopK(embs, typedlit(q.toSeq), 10),
         Similarity.projectedLshTopK(embs, q, 10), 10)
+    }),
+
+    // URL canonicalization + registrable domain — the crawl pipeline's
+    // cheapest filter stage. Raw URLs are synthesized deterministically
+    // from (doc_id, source) with every noise class the normalizer must
+    // fix (uppercase scheme/host, default port, duplicate slashes,
+    // trailing slash, tracking params, fragment); the oracle computes
+    // the EXPECTED canonical form directly from the same formulas, so
+    // the operator is checked against an independent derivation
+    "q139_url_normalize" -> ((s, dir) => {
+      val raw = rawUrlOf
+      t(s, dir, "documents")
+        .select(col("doc_id"), UrlOps.normalizeUrl(raw).as("url_norm"),
+          UrlOps.registeredDomain(UrlOps.hostOf(UrlOps.normalizeUrl(raw)))
+            .as("reg_domain"))
+        .orderBy("doc_id")
+    }),
+
+    // broadcast domain blocklist over the same synthesized URLs:
+    // example.com is blocked, so only the co.uk minority survives —
+    // corpus never shuffles (left_anti against a broadcast list)
+    "q140_domain_blocklist" -> ((s, dir) => {
+      graft.text.UrlOps.dropBlockedDomains(
+        t(s, dir, "documents").withColumn("url", rawUrlOf),
+        "url", Seq("example.com"))
+        .select("doc_id").orderBy("doc_id")
     }),
 
     // S6-adjacent WARC ingest, oracle-gated: parse the checked-in fixture
@@ -1923,6 +1963,26 @@ object SparkEntry {
     "q125_random_project" -> randomProjectOracle,
     "q126_lsh_recall" -> lshRecallOracle,
     "q137_projected_ann" -> projectedAnnOracle,
+
+    // q139/q140: the oracle derives the EXPECTED canonical URL straight
+    // from the synthesis formulas (independent of the normalizer's regex
+    // chain); blocklist survival is the doc_id % 7 co.uk minority
+    "q139_url_normalize" ->
+      s"""SELECT doc_id,
+         |  (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+         |    || '://' ||
+         |  (CASE WHEN doc_id % 7 = 0 THEN 'files.' || source || '.co.uk'
+         |        ELSE 'www.' || source || '.example.com' END) ||
+         |  (CASE WHEN doc_id % 3 = 0 AND doc_id % 2 <> 0 THEN ':443'
+         |        ELSE '' END) ||
+         |  '/Data/set-' || CAST(doc_id % 5 AS VARCHAR) ||
+         |  '?id=' || CAST(doc_id AS VARCHAR) AS url_norm,
+         |  (CASE WHEN doc_id % 7 = 0 THEN source || '.co.uk'
+         |        ELSE 'example.com' END) AS reg_domain
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q140_domain_blocklist" ->
+      "SELECT doc_id FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id",
 
     // q138: the fixture's five records as literals; DuckDB recomputes the
     // md5 over the very payload strings the Spark side must produce after

@@ -1,0 +1,91 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** URL curation primitives — the first stage of a crawl-derived training
+  * pipeline (FineWeb/RefinedWeb-style URL filtering runs BEFORE any text
+  * is fetched or decoded, making it the cheapest place to drop garbage at
+  * 100 TB: a blocklist decision costs a few string ops per row, a decode
+  * costs the payload). All map-only column-expression chains — no UDF,
+  * no shuffle; the only join in the family is a broadcast left_anti
+  * against a list-sized blocklist.
+  */
+object UrlOps {
+
+  /** Tracking query parameters dropped by [[normalizeUrl]] (regex
+    * alternation over parameter NAMES). */
+  val TrackingParams = "utm_[^=&]*|gclid|fbclid|msclkid|ref|mc_eid"
+
+  /** Canonical URL form for dedup keys and blocklist joins: fragment
+    * stripped; scheme and authority lowercased (path case is PRESERVED —
+    * it is significant per RFC 3986); default `:80`/`:443` ports
+    * stripped; duplicate path slashes collapsed; trailing slash dropped;
+    * tracking parameters removed, an emptied query dropped entirely.
+    * Deliberately conservative: no percent-decoding and no parameter
+    * re-ordering — both can change request semantics. */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // authority = scheme://host[:port] — the only case-insensitive part
+    val auth = regexp_extract(noFrag,
+      "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val rest = noFrag.substr(length(auth) + lit(1), length(noFrag))
+    val authNorm = regexp_replace(lower(auth),
+      "^(https://[^/?#:]*):443$|^(http://[^/?#:]*):80$", "$1$2")
+    val path = regexp_extract(rest, "^([^?]*)", 1)
+    val query = regexp_extract(rest, "\\?(.*)$", 1)
+    val pathNorm =
+      regexp_replace(regexp_replace(path, "/{2,}", "/"), "/$", "")
+    val keptQ = array_join(
+      filter(split(query, "&"),
+        p => !p.rlike(s"^($TrackingParams)(=|$$)")), "&")
+    concat(authNorm, pathNorm,
+      when(keptQ === "", lit("")).otherwise(concat(lit("?"), keptQ)))
+  }
+
+  /** Lowercased host of a URL: authority minus scheme, userinfo, port. */
+  def hostOf(url: Column): Column =
+    lower(regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1))
+
+  /** Second-level labels treated as public suffixes by
+    * [[registeredDomain]] when followed by a 2-letter ccTLD (co.uk,
+    * com.au, ac.jp ...). A documented heuristic covering the common
+    * cases — swap in a broadcast Public Suffix List set for production
+    * exactness; the grouping SHAPE (map-only label math) is unchanged. */
+  val TwoLevelSuffixes = Seq("co", "com", "org", "net", "ac", "gov", "edu")
+
+  /** Registrable domain of a HOST (not a full URL): the last two labels,
+    * or the last three under a [[TwoLevelSuffixes]] + 2-letter-ccTLD
+    * pair. The aggregation key for per-site caps, domain mix reports,
+    * and blocklist joins — subdomains (www / cdn / user hosts) collapse
+    * to one owner. */
+  def registeredDomain(host: Column): Column = {
+    val parts = split(lower(host), "\\.")
+    val n = size(parts)
+    val tld = element_at(parts, -1)
+    val sld = element_at(parts, -2)
+    val twoLevel = sld.isin(TwoLevelSuffixes: _*) && (length(tld) === 2)
+    // condition order guards ANSI element_at: -2/-3 only evaluate once
+    // n makes them valid
+    when(n <= 1, lower(host))
+      .when(n >= 3 && twoLevel,
+        concat_ws(".", element_at(parts, -3), sld, tld))
+      .otherwise(concat_ws(".", sld, tld))
+  }
+
+  /** Drop rows whose URL's registrable domain is on `blocked` — the
+    * URL-level spam/SEO/adult gate run before fetch/decode. The
+    * blocklist broadcasts (it is list-sized); the corpus never shuffles
+    * (left_anti with a broadcast build side). */
+  def dropBlockedDomains(df: DataFrame, urlCol: String,
+                         blocked: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val b = broadcast(
+      spark.createDataset(blocked)(Encoders.STRING)
+        .toDF("blocked_domain"))
+    df.join(b,
+      registeredDomain(hostOf(col(urlCol))) === col("blocked_domain"),
+      "left_anti")
+  }
+}

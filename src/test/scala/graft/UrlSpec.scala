@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.UrlOps
+
+/** URL curation primitives: canonicalization, registrable domain,
+  * blocklist gate. */
+class UrlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def norm(url: String): String =
+    Seq(url).toDF("u").select(UrlOps.normalizeUrl(col("u"))).head()
+      .getString(0)
+
+  private def regDom(host: String): String =
+    Seq(host).toDF("h").select(UrlOps.registeredDomain(col("h"))).head()
+      .getString(0)
+
+  test("normalizeUrl: case, ports, slashes, tracking params, fragment") {
+    // authority lowercases, path case preserved
+    assert(norm("HTTPS://WWW.Ex.COM/Path/File.HTML") ==
+      "https://www.ex.com/Path/File.HTML")
+    // default ports strip; non-default ports survive
+    assert(norm("https://ex.com:443/a") == "https://ex.com/a")
+    assert(norm("http://ex.com:80/a") == "http://ex.com/a")
+    assert(norm("http://ex.com:443/a") == "http://ex.com:443/a")
+    assert(norm("https://ex.com:8443/a") == "https://ex.com:8443/a")
+    // duplicate slashes collapse, trailing slash drops (root included)
+    assert(norm("https://ex.com//a///b/") == "https://ex.com/a/b")
+    assert(norm("https://ex.com/") == "https://ex.com")
+    // tracking params drop wherever they sit; an emptied query vanishes
+    assert(norm("https://ex.com/a?utm_source=x&id=5&fbclid=z") ==
+      "https://ex.com/a?id=5")
+    assert(norm("https://ex.com/a?gclid=1") == "https://ex.com/a")
+    assert(norm("https://ex.com/a?ref") == "https://ex.com/a")
+    // a non-tracking param whose name merely CONTAINS a tracking name
+    // survives (anchored match on the full name)
+    assert(norm("https://ex.com/a?refresh=1") ==
+      "https://ex.com/a?refresh=1")
+    // fragment always strips; kept params keep their order
+    assert(norm("https://ex.com/a?b=2&a=1#frag") ==
+      "https://ex.com/a?b=2&a=1")
+    // no percent-decoding (semantics-preserving conservatism)
+    assert(norm("https://ex.com/a%2Fb") == "https://ex.com/a%2Fb")
+  }
+
+  test("hostOf strips scheme, userinfo, and port") {
+    val got = Seq("https://User@WWW.Ex.COM:8443/p?q=1").toDF("u")
+      .select(UrlOps.hostOf(col("u"))).head().getString(0)
+    assert(got == "www.ex.com")
+  }
+
+  test("registeredDomain: two-label default, two-level ccTLD suffixes, " +
+    "single labels") {
+    assert(regDom("www.example.com") == "example.com")
+    assert(regDom("a.b.c.example.org") == "example.org")
+    assert(regDom("files.acme.co.uk") == "acme.co.uk")
+    assert(regDom("acme.co.uk") == "acme.co.uk")
+    // 'co' before a LONG tld is an ordinary label, not a suffix
+    assert(regDom("x.co.com") == "co.com")
+    assert(regDom("LOCALHOST") == "localhost")
+    assert(regDom("ex.com") == "ex.com")
+  }
+
+  test("dropBlockedDomains: registrable-domain match, broadcast anti-join") {
+    val df = Seq(
+      (1L, "https://www.Spam.com/a"),
+      (2L, "https://cdn.spam.com/b"), // subdomain of the blocked owner
+      (3L, "https://spam.co.uk/c"), // different registrable domain
+      (4L, "https://ham.com/d"))
+      .toDF("id", "url")
+    val kept = UrlOps.dropBlockedDomains(df, "url", Seq("spam.com"))
+    assert(kept.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(3L, 4L))
+    val plan = kept.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"), s"blocklist should broadcast:\n$plan")
+  }
+}
