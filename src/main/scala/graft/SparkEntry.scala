@@ -908,6 +908,18 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // byte-level compression-ratio quality signal (DCLM-style rule set);
+    // deliberately NO SQL oracle — the exact ratio is a zlib
+    // implementation detail — so the driver records the rows-only check
+    // and the strict gate is the spec's parity-with-JDK case
+    "q141_compression_ratio" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextOps.compressionRatio(col("text")), 6)
+            .as("deflate_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // S6-adjacent WARC ingest, oracle-gated: parse the checked-in fixture
     // (src/main/resources/graft/fixture.warc) — record splitting, header
     // extraction, Content-Length truncation, HTTP envelope stripping —

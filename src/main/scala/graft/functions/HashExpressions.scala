@@ -395,6 +395,78 @@ object CleanDupChunks {
   }
 }
 
+/** Deflate (zlib, fixed level 6) compression ratio of a string's UTF-8
+  * bytes: compressed_length / raw_length. The one-number repetition /
+  * templated-spam signal the Gopher- and DCLM-style quality rule sets
+  * use: looping or boilerplate-heavy text compresses far below normal
+  * prose, near-random glyph soup sits above it. Complements the
+  * shingle-based [[graft.dedup.Dedup.duplicatedShingleFraction]]
+  * (cross-doc) and `TextOps.repetitionScore` (n-gram) signals with a
+  * model-free intra-doc measure that needs NO tokenization — one
+  * map-only pass over the raw bytes.
+  *
+  * Empty/blank input reports 1.0 (uncompressible by convention, never a
+  * division by zero). The kernel reuses a thread-local `Deflater` —
+  * allocation-free per row at steady state. Deliberately NOT
+  * oracle-gated: the exact ratio is a zlib implementation detail, so the
+  * gate is the spec's parity-with-JDK and ordering properties, and the
+  * driver's rows-only check.
+  */
+case class DeflateRatio(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"deflate_ratio expects STRING, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def prettyName: String = "deflate_ratio"
+
+  /** Row kernel — public so generated code can call it. */
+  def kernel(s: UTF8String): Double = {
+    val raw = s.getBytes
+    if (raw.length == 0) return 1.0
+    val d = DeflateRatio.threadDeflater.get()
+    d.reset()
+    d.setInput(raw)
+    d.finish()
+    val buf = DeflateRatio.threadBuf.get()
+    var compressed = 0L
+    while (!d.finished()) compressed += d.deflate(buf)
+    compressed.toDouble / raw.length
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("deflateRatio", this,
+      classOf[DeflateRatio].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object DeflateRatio {
+  /** Fixed compression level: ratios must be comparable across rows,
+    * executors, and rounds, so the level is not a parameter. */
+  val Level = 6
+
+  private[functions] val threadDeflater
+      : ThreadLocal[java.util.zip.Deflater] =
+    ThreadLocal.withInitial(() =>
+      new java.util.zip.Deflater(Level, /* nowrap = */ false))
+
+  private[functions] val threadBuf: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](8192))
+}
+
 object HashExpressions {
   /** Column-level MinHash signature over an ARRAY<STRING> shingle column. */
   def minhashSignature(shingles: Column, numHashes: Int,
@@ -410,6 +482,10 @@ object HashExpressions {
   /** Column-level Jaro-Winkler similarity (see [[JaroWinkler]]). */
   def jaroWinkler(a: Column, b: Column): Column =
     Bridge.column(JaroWinkler(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column-level deflate compression ratio (see [[DeflateRatio]]). */
+  def deflateRatio(text: Column): Column =
+    Bridge.column(DeflateRatio(Bridge.expression(text)))
 
   /** Column-level substring-dedup rewrite against a BROADCAST duplicate
     * table (see [[CleanDupChunks]]). */

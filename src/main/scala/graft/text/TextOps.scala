@@ -178,6 +178,15 @@ object TextOps {
   def tokenEntropy(text: Column): Column =
     graft.functions.VectorExpressions.tokenEntropy(text)
 
+  /** Deflate compression ratio of the document bytes (compressed/raw) —
+    * the tokenization-free repetition/boilerplate signal in DCLM-style
+    * quality rule sets: looping spam compresses far below prose. Native
+    * single-pass kernel ([[graft.functions.DeflateRatio]]), map-only;
+    * complements [[tokenEntropy]] (token diversity) and
+    * [[duplicateNgramFraction]] (n-gram repeats) at the byte level. */
+  def compressionRatio(text: Column): Column =
+    graft.functions.HashExpressions.deflateRatio(text)
+
   /** Gopher-style within-document repetition signal: fraction of word
     * n-grams that are duplicates of an earlier n-gram in the same document
     * (1 − distinct/total). 0.0 for null/short texts. Pure per-row column

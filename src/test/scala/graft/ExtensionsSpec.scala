@@ -2030,6 +2030,40 @@ class ExtensionsSpec extends SparkSpec {
       r0.getAs[Long]("group_n"))).toSeq == Seq(("a", "y", 1L), ("b", "x", 2L)))
   }
 
+  test("compressionRatio: JDK parity, repetition orders below prose, " +
+    "empty is 1.0, null stays null") {
+    val rep = "spam mail spam mail " * 100
+    // pseudo-random-ish distinct tokens: little for deflate to reuse
+    val prose = (0 until 200)
+      .map(i => s"w${(i * 2654435761L) % 99991}").mkString(" ")
+    def jdk(s: String): Double = {
+      val raw = s.getBytes("UTF-8")
+      val d = new java.util.zip.Deflater(6, false)
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](8192)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      d.end()
+      n.toDouble / raw.length
+    }
+    val df = Seq((1L, rep), (2L, prose), (3L, ""), (4L, null))
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+        graft.text.TextOps.compressionRatio(col("text")).as("r"))
+      .orderBy("id").collect()
+    // bit-exact parity with a directly-driven JDK Deflater at the same
+    // fixed level — the determinism contract the missing SQL oracle
+    // would otherwise cover
+    assert(got(0).getDouble(1) == jdk(rep))
+    assert(got(1).getDouble(1) == jdk(prose))
+    // the ordering property the quality rule relies on
+    assert(got(0).getDouble(1) < got(1).getDouble(1) * 0.5,
+      s"repetitive text should compress far below prose: " +
+        s"${got(0).getDouble(1)} vs ${got(1).getDouble(1)}")
+    assert(got(2).getDouble(1) == 1.0) // empty: uncompressible convention
+    assert(got(3).isNullAt(1))
+  }
+
   test("lshRecall: identical docs are always candidates (recall 1), " +
     "empty ground truth reports recall 1 with zero pairs") {
     val dup = "the quick brown fox jumps over the lazy dog again and again"
