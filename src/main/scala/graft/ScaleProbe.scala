@@ -152,7 +152,23 @@ object ScaleProbe {
             Seq("lang", "source", "len_bin")).head(); 1L },
         "script_profile" -> { d =>
           TextOps.scriptProfile(d)
-            .agg(sum("latin"), sum("digit")).head(); 1L }))
+            .agg(sum("latin"), sum("digit")).head(); 1L },
+        "compression_ratio" -> { d =>
+          d.select(TextOps.compressionRatio(col("text")).as("r"))
+            .agg(sum("r")).head(); 1L },
+        "url_normalize" -> { d =>
+          // synthesize a noisy URL per doc, normalize + registrable
+          // domain (the q139 shape); aggregate so nothing prunes
+          val raw = concat(lit("HTTPS://WWW."), col("source"),
+            lit(".Example.COM:443/Data//set-"),
+            (col("doc_id") % 5).cast("string"),
+            lit("/?utm_source=x&id="), col("doc_id").cast("string"),
+            lit("#f"))
+          d.select(graft.text.UrlOps.normalizeUrl(raw).as("u"))
+            .select(graft.text.UrlOps.registeredDomain(
+              graft.text.UrlOps.hostOf(col("u"))).as("rd"), col("u"))
+            .agg(sum(length(col("u"))), count_distinct(col("rd")))
+            .head(); 1L }))
 
     // embedding-family probe: replicate embeddings with coordinate jitter
     // derived from the replica index (deterministic, no RNG)
