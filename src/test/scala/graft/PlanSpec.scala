@@ -26,6 +26,19 @@ class PlanSpec extends SparkSpec {
       s"filter not pushed:\n$p")
   }
 
+  test("q139 URL normalization and q141 compression ratio are map-only: " +
+    "no join, no aggregation, no hash shuffle") {
+    // the trailing orderBy (oracle presentation) may range-shuffle on a
+    // multi-file input; the operators themselves must not join,
+    // aggregate, or hash-exchange
+    Seq("q139_url_normalize", "q141_compression_ratio").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("Aggregate") &&
+        !p.contains("hashpartitioning"),
+        s"$q should be a pure projection:\n$p")
+    }
+  }
+
   test("a range filter on an NTZ-shimmed timestamp column still reaches " +
     "the parquet scan's PushedFilters") {
     // Readers.table casts TIMESTAMP_NTZ fields to session-TZ timestamps;
