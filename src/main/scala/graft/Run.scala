@@ -72,7 +72,8 @@ object Run {
       |  categorize -f <file|dir> [-e <ext>] -a <acc file|dir> | --acc_cat <csv> -s <stem>
       |  all        -d <root dir> [-o <stem>] [-e <computed.xlsx>] [--parquet]
       |  curate     -d <docs parquet> -s <out dir> [--min-quality <q>]
-      |             [--min-jaccard <j>] [--shards <n>] [--audit]""".stripMargin
+      |             [--min-jaccard <j>] [--min-compression <r>]
+      |             [--shards <n>] [--audit]""".stripMargin
 
   /** getopt-lite: `-x val` / `--long val` for value opts, bare flags for
     * booleans (the reference's flag set). */
@@ -401,7 +402,9 @@ object Run {
     val docs = spark.read.parquet(in)
     val curated = Pipelines.curate(docs,
       minQuality = opts.get("--min-quality").map(_.toDouble).getOrElse(0.3),
-      minJaccard = opts.get("--min-jaccard").map(_.toDouble).getOrElse(0.8))
+      minJaccard = opts.get("--min-jaccard").map(_.toDouble).getOrElse(0.8),
+      minCompressionRatio =
+        opts.get("--min-compression").map(_.toDouble))
     Files.createDirectories(outDir)
     curated.write.mode("overwrite")
       .parquet(outDir.resolve("curated.parquet").toString)

@@ -155,7 +155,11 @@ object Pipelines {
     * from the dedup/text operators:
     *
     *  1. gate       — non-null text, quality ≥ `minQuality`, language "en"
-    *                  (map-only column expressions)
+    *                  (map-only column expressions); optionally a
+    *                  byte-level repetition floor: drop docs whose
+    *                  deflate ratio falls below `minCompressionRatio`
+    *                  (looping spam compresses to almost nothing while
+    *                  passing character-class quality)
     *  2. exact      — one survivor per normalized fingerprint
     *  3. near-dup   — [[graft.dedup.Dedup.nearDupClusters]] (LSH
     *                  candidates → exact verify → components), keep each
@@ -191,17 +195,27 @@ object Pipelines {
   def curate(docs: DataFrame, minQuality: Double = 0.3,
              minJaccard: Double = 0.8, decontamN: Int = 8,
              adaptivePct: Option[Double] = None,
-             priorCorpus: Option[DataFrame] = None): DataFrame = {
+             priorCorpus: Option[DataFrame] = None,
+             minCompressionRatio: Option[Double] = None): DataFrame = {
     import graft.text.TextOps
     import graft.dedup.Dedup
     // incremental-ingest mode: drop docs already in the prior corpus
     // (digest anti-join) before spending any curation work on them
     val fresh = priorCorpus
       .map(c => Dedup.incrementalNew(docs, c)).getOrElse(docs)
-    val gatedFixed = fresh
+    val gatedBase = fresh
       .filter(col("text").isNotNull)
       .filter(TextOps.qualityScore(col("text")) >= minQuality &&
         TextOps.langIdEn(col("text")) === "en")
+    // optional byte-level repetition floor: looping/templated spam can
+    // carry a healthy character-class mix (so qualityScore passes) yet
+    // deflate to almost nothing — LOW ratio = compressible = spam, so
+    // the gate keeps docs at or ABOVE the floor. Same map-only scan,
+    // one more predicate
+    val gatedFixed = minCompressionRatio
+      .map(m => gatedBase.filter(
+        TextOps.compressionRatio(col("text")) >= lit(m)))
+      .getOrElse(gatedBase)
     // optional per-source adaptive bar on top of the absolute floor
     val gated = adaptivePct
       .map(p => TextOps.adaptiveQualityGate(gatedFixed, pct = p)

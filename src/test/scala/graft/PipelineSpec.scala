@@ -162,6 +162,25 @@ class PipelineSpec extends SparkSpec {
     val incIds = inc.select("doc_id").as[Long].collect().toSet
     assert(!incIds.contains(15L) && incIds.contains(10L), s"got $incIds")
     out.unpersist()
+
+    // compression floor: looping spam whose character mix passes the
+    // quality gate still deflates to almost nothing (low ratio) — the
+    // floor drops it, the genuine docs survive, and the default (None)
+    // changes nothing
+    // vocabulary disjoint from `good` so near-dup dedup cannot be the
+    // thing that drops it — only the compression cap can
+    val spam = "click here to win the best new prize online right now " * 20
+    val docs2 = docs.unionByName(Seq((16L, spam)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text")))
+    val uncapped = Pipelines.curate(docs2, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(uncapped.contains(16L), s"spam should pass uncapped: $uncapped")
+    val floored = Pipelines.curate(docs2, minJaccard = 0.5,
+      minCompressionRatio = Some(0.2))
+      .select("doc_id").as[Long].collect().toSet
+    assert(!floored.contains(16L) && floored.contains(10L) &&
+      floored.contains(15L), s"got $floored")
   }
 
   test("E5 releaseAudit: one call yields the four audit frames") {
