@@ -24,6 +24,26 @@ class PropertySpec extends SparkSpec {
   private val doc: Gen[String] =
     Gen.nonEmptyListOf(word).map(_.mkString(" "))
 
+  test("normalizeUrl is idempotent: a second pass is the identity") {
+    import graft.text.UrlOps
+    val gen = for {
+      s <- Gen.oneOf("http", "HTTP", "https", "HTTPS")
+      h <- Gen.oneOf("Ex.COM", "www.ex.com", "A.B.co.uk", "LOCALHOST")
+      p <- Gen.oneOf("", ":80", ":443", ":8080")
+      pa <- Gen.oneOf("", "/", "/A//b", "/x/y/", "///", "/a%2Fb")
+      q <- Gen.oneOf("", "?utm_source=1", "?id=2&utm_medium=m",
+        "?a=1&b=2", "?ref", "?")
+      f <- Gen.oneOf("", "#f", "#a/b?c")
+    } yield s"$s://$h$p$pa$q$f"
+    check(Prop.forAll(gen) { u =>
+      val r = Seq(u).toDF("u")
+        .select(UrlOps.normalizeUrl(col("u")).as("n1"),
+          UrlOps.normalizeUrl(UrlOps.normalizeUrl(col("u"))).as("n2"))
+        .head()
+      r.getString(0) == r.getString(1)
+    }, "normalizeUrl idempotence")
+  }
+
   test("tokenEntropy ∈ [0, ln(distinct)] with equality at the extremes") {
     check(Prop.forAll(doc) { text =>
       val h = Seq(text).toDF("text")
