@@ -120,10 +120,19 @@ object SparkEntry {
 
     // P8+A3: epoch→timestamp tumbling 5-min window aggregate
     "q03_epoch_window" -> ((s, dir) => {
+      // avg as ONE UNROUNDED division over an exact integer sum (values
+      // are exact 2-decimal): plain avg() is summation-order-dependent
+      // in its last ulp, and ROUNDING the quotient is worse — sums of
+      // 2dp values over n events quantize to 1/(100n) steps, which land
+      // on decimal ties that the engines' round() break differently.
+      // exact_long / exact_double is IEEE-correctly-rounded everywhere,
+      // so the unrounded quotient is bit-identical cross-engine
       t(s, dir, "events")
         .groupBy(TimeOps.timeBucket(col("ts"), 300L).as("window_start"),
           col("event_type"))
-        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")) /
+            (count(lit(1)) * 100.0)).as("avg_value"))
         .orderBy("window_start", "event_type")
     }),
 
@@ -1097,9 +1106,12 @@ object SparkEntry {
 
     // hopping (sliding) tumbling-window aggregate: 10 min windows every 5
     "q70_hopping_window" -> ((s, dir) => {
+      // exact-integer-sum UNROUNDED avg: see q03 (same sf0.1 tie fix)
       t(s, dir, "events")
         .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
-        .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("avg_value"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")) /
+            (count(lit(1)) * 100.0)).as("avg_value"))
         .select(col("window.start").as("ws"), col("n"), col("avg_value"))
         .orderBy("ws")
     }),
@@ -2615,7 +2627,9 @@ object SparkEntry {
 
     "q03_epoch_window" ->
       """SELECT make_timestamp(CAST(floor(epoch_us(ts) / 300000000) AS BIGINT) * 300000000) AS window_start,
-        |       event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+        |       event_type, count(*) AS n,
+        |       sum(CAST(round(value * 100) AS BIGINT)) /
+        |         (count(*) * 100.0) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q04_dedup_consecutive" ->
@@ -3390,7 +3404,8 @@ object SparkEntry {
 
     "q70_hopping_window" ->
       """SELECT make_timestamp(ws_us) AS ws, count(*) AS n,
-        |       round(avg(value), 6) AS avg_value
+        |       sum(CAST(round(value * 100) AS BIGINT)) /
+        |         (count(*) * 100.0) AS avg_value
         |FROM (
         |  SELECT (CAST(floor(epoch(ts) / 300) AS BIGINT) - o) * 300000000
         |           AS ws_us,
@@ -3538,11 +3553,12 @@ object SparkEntry {
         |         list_filter(string_split(lower(text), ' '),
         |                     x -> len(x) > 0) AS toks
         |  FROM documents WHERE text IS NOT NULL),
-        |gi AS (SELECT unnest(generate_series(1, 98)) AS i),
         |bg AS (
-        |  SELECT l.doc_id, l.toks[gi.i] || ' ' || l.toks[gi.i + 1] AS bigram,
-        |         l.toks[gi.i] AS w1
-        |  FROM l CROSS JOIN gi WHERE gi.i < len(l.toks)),
+        |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram,
+        |         toks[i] AS w1
+        |  FROM (SELECT doc_id, toks,
+        |               unnest(generate_series(1, len(toks) - 1)) AS i
+        |        FROM l)),
         |cbg AS (SELECT bigram, count(*) AS c_bg FROM bg GROUP BY 1),
         |cw AS (SELECT w1, count(*) AS c_w1 FROM bg GROUP BY 1)
         |SELECT bg.doc_id, count(*) AS n_bigrams,
