@@ -552,7 +552,10 @@ object SparkEntry {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("lang")).as("n_langs"),
-          round(avg("n_chars"), 4).as("avg_chars"))
+          // unrounded exact_long/exact_double division — integer avgs
+          // quantize to 1/n steps whose decimal ties engines round
+          // differently (the q03/q70 class)
+          (sum("n_chars") / (count(col("n_chars")) * 1.0)).as("avg_chars"))
         .orderBy("source")
     }),
 
@@ -705,9 +708,13 @@ object SparkEntry {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("ts", "event_id")
         .rowsBetween(-3, 0)
+      // unrounded exact-cents division (the q03/q70 tie class): 4-row
+      // windows of 2-decimal values quantize mv to 1/400 steps, all of
+      // which tie at 6dp
       t(s, dir, "events")
         .select(col("event_id"), col("user_id"),
-          round(avg("value").over(w), 6).as("mv"))
+          (sum(round(col("value") * 100).cast("long")).over(w) /
+            (count(lit(1)).over(w) * 100.0)).as("mv"))
         .orderBy("event_id")
     }),
 
@@ -732,7 +739,9 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), min("k").as("min_k"),
-          max("k").as("max_k"), round(avg("k"), 4).as("avg_k"))
+          max("k").as("max_k"),
+          // unrounded exact division (the q03/q70 tie class)
+          (sum("k") / (count(col("k")) * 1.0)).as("avg_k"))
         .orderBy("event_type")
     }),
 
@@ -2564,9 +2573,13 @@ object SparkEntry {
 
     "q50_moving_avg" ->
       """SELECT event_id, user_id,
-        |       round(avg(value) OVER (PARTITION BY user_id
-        |         ORDER BY ts, event_id
-        |         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mv
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+        |              PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         / (count(*) OVER (
+        |              PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) * 100.0)
+        |         AS mv
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q51_interval_coverage" ->
@@ -3139,7 +3152,7 @@ object SparkEntry {
 
     "q36_distinct_count" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
-        |       round(avg(n_chars), 4) AS avg_chars
+        |       sum(n_chars) / (count(n_chars) * 1.0) AS avg_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q37_union_all" ->
@@ -3166,7 +3179,8 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
         |       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
-        |       round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k
+        |       sum(CAST(json_extract(props, '$.k') AS BIGINT)) /
+        |         (count(json_extract(props, '$.k')) * 1.0) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q53_tfidf_topk" ->
@@ -3921,7 +3935,8 @@ object SparkEntry {
     s"""WITH $qualityCtes
        |SELECT d.source, count(*) AS docs,
        |       CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS tokens,
-       |       round(avg(CAST(len(d.text) AS DOUBLE)), 2) AS avg_chars,
+       |       CAST(sum(len(d.text)) AS BIGINT) / (count(d.text) * 1.0)
+       |         AS avg_chars,
        |       CAST(count(DISTINCT d.lang) AS BIGINT) AS langs,
        |       round(avg(q.quality), 6) AS avg_quality
        |FROM documents d JOIN q USING (doc_id)

@@ -794,7 +794,11 @@ object TextOps {
     docs.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("docs"),
         sum(tokenCount(col(textCol))).as("tokens"),
-        round(avg(length(col(textCol)).cast("double")), 2).as("avg_chars"),
+        // unrounded exact_long/exact_double division: integer-length
+        // averages quantize to 1/n steps whose decimal ties engines
+        // round differently (the q03/q70 class)
+        (sum(length(col(textCol)).cast("long")) /
+          (count(col(textCol)) * 1.0)).as("avg_chars"),
         countDistinct(col(langCol)).as("langs"),
         round(avg(qualityScore(col(textCol))), 6).as("avg_quality"))
 
