@@ -926,6 +926,19 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // fuzzy eval-set decontamination: drop train docs that are MinHash
+    // near-dups (exact-verified Jaccard >= 0.4) of any test doc — the
+    // paraphrase-tolerant complement of q54's exact 8-gram containment
+    "q142_decontaminate_fuzzy" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("split", TextOps.hashSplit(col("doc_id")))
+      Dedup.decontaminateFuzzy(
+        d.filter(col("split") === "train"),
+        d.filter(col("split") === "test"),
+        minJaccard = 0.4, numHashes = 16, bands = 4, portable = true)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // byte-level compression-ratio quality signal (DCLM-style rule set);
     // deliberately NO SQL oracle — the exact ratio is a zlib
     // implementation detail — so the driver records the rows-only check
@@ -1996,6 +2009,46 @@ object SparkEntry {
     "q125_random_project" -> randomProjectOracle,
     "q126_lsh_recall" -> lshRecallOracle,
     "q137_projected_ann" -> projectedAnnOracle,
+
+    // q142: the full fuzzy-decontamination pipeline in SQL — portable
+    // band candidates restricted to train×test crossings, exact Jaccard
+    // verify, anti-join of the contaminated train ids
+    "q142_decontaminate_fuzzy" ->
+      s"""WITH $shingleHashCte,
+         |$minhashCandCtes,
+         |inv AS (
+         |  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
+         |sp AS (
+         |  SELECT doc_id,
+         |         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+         |                    1, 8))::BIGINT % 100 < 80 THEN 'train'
+         |              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+         |                    1, 8))::BIGINT % 100 < 90 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM documents),
+         |cross_cand AS (
+         |  SELECT c.id_a, c.id_b FROM cand c
+         |  JOIN sp a ON a.doc_id = c.id_a
+         |  JOIN sp b ON b.doc_id = c.id_b
+         |  WHERE (a.split = 'train' AND b.split = 'test')
+         |     OR (a.split = 'test' AND b.split = 'train')),
+         |verified AS (
+         |  SELECT c.id_a, c.id_b
+         |  FROM cross_cand c
+         |  JOIN inv a ON a.doc_id = c.id_a
+         |  JOIN inv b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+         |  GROUP BY c.id_a, c.id_b, a.n_sh, b.n_sh
+         |  HAVING CAST(count(*) AS DOUBLE) /
+         |         (a.n_sh + b.n_sh - count(*)) >= 0.4),
+         |contaminated AS (
+         |  SELECT DISTINCT CASE WHEN sa.split = 'train' THEN v.id_a
+         |                       ELSE v.id_b END AS doc_id
+         |  FROM verified v JOIN sp sa ON sa.doc_id = v.id_a)
+         |SELECT d.doc_id FROM documents d
+         |JOIN sp ON sp.doc_id = d.doc_id
+         |WHERE sp.split = 'train'
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // q139/q140: the oracle derives the EXPECTED canonical URL straight
     // from the synthesis formulas (independent of the normalizer's regex

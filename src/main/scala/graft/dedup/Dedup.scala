@@ -433,6 +433,44 @@ object Dedup {
         col("est_jaccard"))
   }
 
+  /** Fuzzy (near-dup) eval-set decontamination — the MinHash complement
+    * of [[graft.text.TextOps.decontaminate]]'s exact n-gram containment:
+    * drops every train doc whose text is a NEAR-duplicate (exact Jaccard
+    * ≥ `minJaccard`, verified on LSH candidates only) of any test doc.
+    * Catches paraphrased / reformatted / partially-edited leakage that
+    * exact n-gram matching misses, at LSH cost instead of all-pairs.
+    *
+    * Scale shape: both corpora band once ([[minhashCandidates]] over the
+    * tagged union — per-band buckets bound the join), the exact verify
+    * touches candidates only, and the drop is one left_anti on train
+    * ids. Internally train/test ids map to a disjoint 2k / 2k+1
+    * composite space (ids must fit 62 bits) so the two corpora may share
+    * id values. */
+  def decontaminateFuzzy(train: DataFrame, test: DataFrame,
+                         idCol: String = "doc_id",
+                         textCol: String = "text", shingleN: Int = 3,
+                         minJaccard: Double = 0.5, numHashes: Int = 64,
+                         bands: Int = 16,
+                         portable: Boolean = false): DataFrame = {
+    val t2 = train.select((col(idCol) * 2).as("cid"),
+      col(textCol).as("ctext"))
+    val e2 = test.select((col(idCol) * 2 + 1).as("cid"),
+      col(textCol).as("ctext"))
+    val u = t2.unionByName(e2)
+    val cand = minhashCandidates(u, "cid", "ctext", shingleN, numHashes,
+        bands, portable)
+      // cross-corpus pairs only: composite-id parity encodes the side
+      .filter((col("id_a") % 2) =!= (col("id_b") % 2))
+    val contaminated = jaccardForPairs(u, cand, "cid", "ctext", shingleN)
+      .filter(col("jaccard") >= minJaccard)
+      .select(when(col("id_a") % 2 === 0, col("id_a"))
+        .otherwise(col("id_b")).as("cid"))
+      // integer div, not `/`: long/long is DOUBLE division in Spark SQL
+      .select(expr("cid div 2").as(idCol))
+      .distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** End-to-end scalable near-dup clustering: MinHash-LSH candidates →
     * exact Jaccard verification on candidates only → connected components.
     * Every stage's volume is bounded by true near-dup density, never by

@@ -2030,6 +2030,31 @@ class ExtensionsSpec extends SparkSpec {
       r0.getAs[Long]("group_n"))).toSeq == Seq(("a", "y", 1L), ("b", "x", 2L)))
   }
 
+  test("decontaminateFuzzy drops the paraphrased train leak that exact " +
+    "8-gram containment misses; unrelated train docs survive") {
+    // a word substituted every ~7 tokens: high 3-gram Jaccard with the
+    // test doc, but never 8 consecutive shared tokens
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs away to the old stone house by the river bank and sleeps " +
+      "there quietly until the bright morning sun rises again slowly"
+    val para = "the quick brown fox leaps over the lazy dog and soon " +
+      "runs away to the old granite house by the river bank yet sleeps " +
+      "there quietly until the pale morning sun rises again slowly"
+    val train = Seq(
+      (1L, para),
+      (2L, "completely unrelated words about catalyst tungsten codegen " +
+        "shuffles partitions and broadcast joins in a query engine"))
+      .toDF("doc_id", "text")
+    val testDf = Seq((10L, base)).toDF("doc_id", "text")
+    val kept = Dedup.decontaminateFuzzy(train, testDf, minJaccard = 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(2L), s"kept $kept")
+    // the exact 8-gram pass keeps BOTH — the leakage class this operator
+    // exists to catch
+    val exactKept = graft.text.TextOps.decontaminate(train, testDf, n = 8)
+    assert(exactKept.count() == 2)
+  }
+
   test("compressionRatio: JDK parity, repetition orders below prose, " +
     "empty is 1.0, null stays null") {
     val rep = "spam mail spam mail " * 100
