@@ -458,6 +458,11 @@ object DeflateRatio {
     * executors, and rounds, so the level is not a parameter. */
   val Level = 6
 
+  /** Deliberate trade-off: the per-thread Deflater's native zlib state is
+    * retained for the JVM lifetime (never end()'d) so steady-state rows
+    * are allocation-free. Executor task threads are pooled — the pinned
+    * native memory is bounded by pool size, not row count. Revisit with a
+    * removal hook only if a deployment churns threads. */
   private[functions] val threadDeflater
       : ThreadLocal[java.util.zip.Deflater] =
     ThreadLocal.withInitial(() =>

@@ -14,31 +14,53 @@ import org.apache.spark.sql.functions._
 object UrlOps {
 
   /** Tracking query parameters dropped by [[normalizeUrl]] (regex
-    * alternation over parameter NAMES). */
-  val TrackingParams = "utm_[^=&]*|gclid|fbclid|msclkid|ref|mc_eid"
+    * alternation over parameter NAMES). Only UNAMBIGUOUS tracking names:
+    * bare `ref` is deliberately absent — it is a functional parameter on
+    * many sites (GitHub `?ref=branch`, git forges, docs sites), so
+    * dropping it would collapse distinct resources into one canonical
+    * URL. Corpora where `ref` IS tracking can pass a custom alternation
+    * to the [[normalizeUrl]] overload. */
+  val TrackingParams =
+    "utm_[^=&]*|gclid|fbclid|msclkid|mc_eid|igshid|twclid|yclid"
 
   /** Canonical URL form for dedup keys and blocklist joins: fragment
-    * stripped; scheme and authority lowercased (path case is PRESERVED —
-    * it is significant per RFC 3986); default `:80`/`:443` ports
-    * stripped; duplicate path slashes collapsed; trailing slash dropped;
-    * tracking parameters removed, an emptied query dropped entirely.
-    * Deliberately conservative: no percent-decoding and no parameter
-    * re-ordering — both can change request semantics. */
-  def normalizeUrl(url: Column): Column = {
+    * stripped; scheme and host[:port] lowercased (path case AND any
+    * userinfo are PRESERVED — both are case-sensitive per RFC 3986);
+    * default `:80`/`:443` ports stripped; duplicate path slashes
+    * collapsed; trailing slash dropped; tracking parameters removed, an
+    * emptied query dropped entirely. Deliberately conservative: no
+    * percent-decoding and no parameter re-ordering — both can change
+    * request semantics. */
+  def normalizeUrl(url: Column): Column = normalizeUrl(url, TrackingParams)
+
+  /** [[normalizeUrl]] with a caller-supplied tracking-parameter NAME
+    * alternation (anchored per parameter, `name` or `name=...` forms). */
+  def normalizeUrl(url: Column, trackingParams: String): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
-    // authority = scheme://host[:port] — the only case-insensitive part
+    // authority = scheme://[userinfo@]host[:port]; scheme and host are
+    // case-insensitive, userinfo is not
     val auth = regexp_extract(noFrag,
       "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
     val rest = noFrag.substr(length(auth) + lit(1), length(noFrag))
-    val authNorm = regexp_replace(lower(auth),
-      "^(https://[^/?#:]*):443$|^(http://[^/?#:]*):80$", "$1$2")
+    val scheme = lower(regexp_extract(auth,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val userinfo = regexp_extract(auth,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*@)", 1)
+    val hostPort = lower(regexp_extract(auth,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]*)$", 1))
+    val hostPortNorm =
+      when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+        .when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+        .otherwise(hostPort)
+    val authNorm = when(auth === "", lit(""))
+      .otherwise(concat(scheme, lit("://"), userinfo, hostPortNorm))
     val path = regexp_extract(rest, "^([^?]*)", 1)
     val query = regexp_extract(rest, "\\?(.*)$", 1)
     val pathNorm =
       regexp_replace(regexp_replace(path, "/{2,}", "/"), "/$", "")
     val keptQ = array_join(
       filter(split(query, "&"),
-        p => !p.rlike(s"^($TrackingParams)(=|$$)")), "&")
+        p => !p.rlike(s"^($trackingParams)(=|$$)")), "&")
     concat(authNorm, pathNorm,
       when(keptQ === "", lit("")).otherwise(concat(lit("?"), keptQ)))
   }

@@ -32,7 +32,12 @@ class UrlSpec extends SparkSpec {
     assert(norm("https://ex.com/a?utm_source=x&id=5&fbclid=z") ==
       "https://ex.com/a?id=5")
     assert(norm("https://ex.com/a?gclid=1") == "https://ex.com/a")
-    assert(norm("https://ex.com/a?ref") == "https://ex.com/a")
+    // bare `ref` is FUNCTIONAL on many sites (GitHub branches, forges) —
+    // the default list keeps it; a custom alternation can drop it
+    assert(norm("https://ex.com/a?ref=main") == "https://ex.com/a?ref=main")
+    assert(Seq("https://ex.com/a?ref=main&id=1").toDF("u")
+      .select(UrlOps.normalizeUrl(col("u"), "ref")).head().getString(0) ==
+      "https://ex.com/a?id=1")
     // a non-tracking param whose name merely CONTAINS a tracking name
     // survives (anchored match on the full name)
     assert(norm("https://ex.com/a?refresh=1") ==
@@ -42,6 +47,10 @@ class UrlSpec extends SparkSpec {
       "https://ex.com/a?b=2&a=1")
     // no percent-decoding (semantics-preserving conservatism)
     assert(norm("https://ex.com/a%2Fb") == "https://ex.com/a%2Fb")
+    // userinfo is case-sensitive per RFC 3986: preserved verbatim while
+    // scheme and host still lowercase around it
+    assert(norm("HTTPS://UserA@WWW.Ex.COM:443/p") ==
+      "https://UserA@www.ex.com/p")
   }
 
   test("hostOf strips scheme, userinfo, and port") {
