@@ -73,12 +73,13 @@ object Run {
       |  all        -d <root dir> [-o <stem>] [-e <computed.xlsx>] [--parquet]
       |  curate     -d <docs parquet> -s <out dir> [--min-quality <q>]
       |             [--min-jaccard <j>] [--min-compression <r>]
+      |             [--fuzzy-decon] [--fuzzy-jaccard <j>]
       |             [--shards <n>] [--audit]""".stripMargin
 
   /** getopt-lite: `-x val` / `--long val` for value opts, bare flags for
     * booleans (the reference's flag set). */
   private val BoolFlags = Set("-v", "-r", "-j", "-c", "-h", "--help",
-    "--parquet", "--audit")
+    "--parquet", "--audit", "--fuzzy-decon")
   private def parseOpts(args: Seq[String]): Map[String, String] = {
     val out = Map.newBuilder[String, String]
     var i = 0
@@ -404,7 +405,10 @@ object Run {
       minQuality = opts.get("--min-quality").map(_.toDouble).getOrElse(0.3),
       minJaccard = opts.get("--min-jaccard").map(_.toDouble).getOrElse(0.8),
       minCompressionRatio =
-        opts.get("--min-compression").map(_.toDouble))
+        opts.get("--min-compression").map(_.toDouble),
+      fuzzyDecontaminate = opts.contains("--fuzzy-decon"),
+      fuzzyMinJaccard =
+        opts.get("--fuzzy-jaccard").map(_.toDouble).getOrElse(0.5))
     Files.createDirectories(outDir)
     curated.write.mode("overwrite")
       .parquet(outDir.resolve("curated.parquet").toString)

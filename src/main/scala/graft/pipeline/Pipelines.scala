@@ -166,7 +166,11 @@ object Pipelines {
     *                  component's representative
     *  4. split      — deterministic md5 train/val/test
     *  5. decontam   — drop training docs sharing any word
-    *                  `decontamN`-gram with the held-out test split
+    *                  `decontamN`-gram with the held-out test split;
+    *                  with `fuzzyDecontaminate` ALSO drop training docs
+    *                  that are MinHash near-dups (exact-verified Jaccard
+    *                  ≥ `fuzzyMinJaccard`) of any test doc — the
+    *                  paraphrase-tolerant pass exact n-grams miss
     *
     * Returns the curated corpus with the `split` column. Every stage's
     * shuffle posture is the operator's own (see SURVEY.md §9); the gate
@@ -196,7 +200,11 @@ object Pipelines {
              minJaccard: Double = 0.8, decontamN: Int = 8,
              adaptivePct: Option[Double] = None,
              priorCorpus: Option[DataFrame] = None,
-             minCompressionRatio: Option[Double] = None): DataFrame = {
+             minCompressionRatio: Option[Double] = None,
+             fuzzyDecontaminate: Boolean = false,
+             fuzzyMinJaccard: Double = 0.5,
+             fuzzyNumHashes: Int = 64,
+             fuzzyBands: Int = 16): DataFrame = {
     import graft.text.TextOps
     import graft.dedup.Dedup
     // incremental-ingest mode: drop docs already in the prior corpus
@@ -235,9 +243,20 @@ object Pipelines {
     // unreleasable storage memory
     val split = deduped.withColumn("split",
       TextOps.hashSplit(col("doc_id"))).localCheckpoint(false)
-    val cleanTrain = TextOps.decontaminate(
-      split.filter(col("split") === "train"),
-      split.filter(col("split") === "test"), n = decontamN)
+    val testSplit = split.filter(col("split") === "test")
+    val cleanExact = TextOps.decontaminate(
+      split.filter(col("split") === "train"), testSplit, n = decontamN)
+    // optional paraphrase-tolerant second pass over the SAME held-out
+    // corpus: exact n-gram containment misses light rewrites (a leak
+    // with every 8th word changed shares no 8-gram), MinHash near-dup
+    // verification catches them (q142's operator). Runs on the already
+    // exact-cleaned train side, so it only pays for the survivors
+    val cleanTrain =
+      if (fuzzyDecontaminate)
+        Dedup.decontaminateFuzzy(cleanExact, testSplit,
+          minJaccard = fuzzyMinJaccard, numHashes = fuzzyNumHashes,
+          bands = fuzzyBands)
+      else cleanExact
     cleanTrain.unionByName(split.filter(col("split") =!= "train"))
   }
 

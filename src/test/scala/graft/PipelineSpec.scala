@@ -183,6 +183,39 @@ class PipelineSpec extends SparkSpec {
       floored.contains(15L), s"got $floored")
   }
 
+  test("E4 curate fuzzyDecontaminate: a paraphrased eval leak survives " +
+    "the exact 8-gram pass and is dropped by the fuzzy pass") {
+    val words = ("the quick brown fox jumps over a lazy dog while morning " +
+      "light spreads slowly across the quiet valley and birds begin their " +
+      "early songs near the old stone bridge where water runs clear under " +
+      "tall green trees as farmers walk along narrow paths toward distant " +
+      "fields carrying baskets full of fresh bread and ripe fruit for the " +
+      "busy market day ahead").split(" ")
+    val evalText = words.mkString(" ")
+    // change every 8th word: the longest unchanged word run is 7 < 8, so
+    // the exact pass sees no shared 8-gram; ~5/8 of the 3-shingles
+    // survive, i.e. exact Jaccard ≈ 0.45 — a light paraphrase
+    val leakText = words.zipWithIndex
+      .map { case (w, i) => if (i % 8 == 7) w + "x" else w }.mkString(" ")
+    val docs = Seq(
+      (8L, evalText), // hashSplit(8) = test
+      (1L, leakText), // hashSplit(1) = train — the paraphrased leak
+      (10L, "an entirely different but still quite reasonable english " +
+        "sentence that it is for the test and with many of the words")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text"))
+    val exactOnly = Pipelines.curate(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exactOnly == Set(8L, 1L, 10L),
+      s"exact-only curate should keep the paraphrased leak: $exactOnly")
+    val fuzzy = Pipelines.curate(docs, fuzzyDecontaminate = true,
+      fuzzyMinJaccard = 0.3, fuzzyNumHashes = 16, fuzzyBands = 16)
+      .select("doc_id").as[Long].collect().toSet
+    assert(fuzzy == Set(8L, 10L),
+      s"the fuzzy pass should drop the leak and keep the rest: $fuzzy")
+  }
+
   test("E5 releaseAudit: one call yields the four audit frames") {
     val base = "the quick brown fox jumps over the lazy dog near the " +
       "old stone house by the river bank in the quiet morning light"
