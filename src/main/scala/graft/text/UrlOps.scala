@@ -73,8 +73,9 @@ object UrlOps {
   /** Second-level labels treated as public suffixes by
     * [[registeredDomain]] when followed by a 2-letter ccTLD (co.uk,
     * com.au, ac.jp ...). A documented heuristic covering the common
-    * cases — swap in a broadcast Public Suffix List set for production
-    * exactness; the grouping SHAPE (map-only label math) is unchanged. */
+    * cases — for production exactness use the rule-set overload
+    * `registeredDomain(host, suffixes)` with [[PslSuffixes]] or a full
+    * Public Suffix List; the grouping SHAPE (map-only) is unchanged. */
   val TwoLevelSuffixes = Seq("co", "com", "org", "net", "ac", "gov", "edu")
 
   /** Registrable domain of a HOST (not a full URL): the last two labels,
@@ -94,6 +95,35 @@ object UrlOps {
       .when(n >= 3 && twoLevel,
         concat_ws(".", element_at(parts, -3), sld, tld))
       .otherwise(concat_ws(".", sld, tld))
+  }
+
+  /** [[registeredDomain]] under an EXPLICIT public-suffix rule set with
+    * full publicsuffix.org semantics (plain rules, `*.` wildcards, `!`
+    * exceptions; longest match wins) — the production-exact path the
+    * default heuristic documents. Pass [[PslSuffixes]] (the shipped
+    * excerpt), [[loadSuffixRules]] over the full
+    * `public_suffix_list.dat`, or any custom rule list. Same map-only
+    * shape: one codegen'd expression per row, no shuffle
+    * ([[graft.functions.RegisteredDomainPsl]]). */
+  def registeredDomain(host: Column, suffixes: Seq[String]): Column =
+    graft.functions.UrlExpressions.registeredDomainPsl(host, suffixes)
+
+  /** Parse PSL-grammar text: one rule per line, `//` comments and blank
+    * lines ignored. Feed the result to [[registeredDomain]]'s rule-set
+    * overload. */
+  def loadSuffixRules(lines: Iterator[String]): Seq[String] =
+    lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//")).toList
+
+  /** The shipped Public Suffix List EXCERPT
+    * (resources/graft/public_suffix_excerpt.dat — a hand-curated subset
+    * written offline from general PSL knowledge as of early 2025; the
+    * file's header documents how to swap in the full list). */
+  lazy val PslSuffixes: Seq[String] = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_excerpt.dat")
+    require(in != null, "graft/public_suffix_excerpt.dat missing")
+    try loadSuffixRules(
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines())
+    finally in.close()
   }
 
   /** Drop rows whose URL's registrable domain is on `blocked` — the

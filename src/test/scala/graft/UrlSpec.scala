@@ -71,6 +71,35 @@ class UrlSpec extends SparkSpec {
     assert(regDom("ex.com") == "ex.com")
   }
 
+  test("registeredDomain rule-set overload: PSL semantics over the " +
+    "shipped excerpt — multi-label suffixes, wildcards, exceptions") {
+    val psl = UrlOps.PslSuffixes
+    def rd(h: String): String = Seq(h).toDF("h")
+      .select(UrlOps.registeredDomain(col("h"), psl)).head().getString(0)
+    // suffixes the 7-label heuristic cannot know
+    assert(rd("blog.example.or.jp") == "example.or.jp")
+    assert(rd("x.y.ne.jp") == "y.ne.jp")
+    assert(rd("shop.example.com.br") == "example.com.br")
+    // private-domain entries: every user site is its own registrable host
+    assert(rd("alice.github.io") == "alice.github.io")
+    assert(rd("my-app.herokuapp.com") == "my-app.herokuapp.com")
+    // longest rule wins: s3.amazonaws.com over amazonaws.com
+    assert(rd("bucket.s3.amazonaws.com") == "bucket.s3.amazonaws.com")
+    // heuristic-covered cases agree
+    assert(rd("files.acme.co.uk") == "acme.co.uk")
+    assert(rd("WWW.Example.COM") == "example.com")
+    assert(rd("localhost") == "localhost")
+    // wildcard `*.ck`: every <label>.ck is a public suffix
+    assert(rd("foo.bar.ck") == "foo.bar.ck")
+    // exception `!www.ck` beats the wildcard
+    assert(rd("a.www.ck") == "www.ck")
+    // a custom minimal rule list works the same way
+    val custom = Seq("or.jp")
+    val got = Seq("a.b.or.jp").toDF("h")
+      .select(UrlOps.registeredDomain(col("h"), custom)).head().getString(0)
+    assert(got == "b.or.jp")
+  }
+
   test("dropBlockedDomains: registrable-domain match, broadcast anti-join") {
     val df = Seq(
       (1L, "https://www.Spam.com/a"),
