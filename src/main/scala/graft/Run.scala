@@ -74,6 +74,7 @@ object Run {
       |  curate     -d <docs parquet> -s <out dir> [--min-quality <q>]
       |             [--min-jaccard <j>] [--min-compression <r>]
       |             [--fuzzy-decon] [--fuzzy-jaccard <j>]
+      |             [--max-per-domain <n>] [--url-col <c>]
       |             [--shards <n>] [--audit]""".stripMargin
 
   /** getopt-lite: `-x val` / `--long val` for value opts, bare flags for
@@ -408,7 +409,9 @@ object Run {
         opts.get("--min-compression").map(_.toDouble),
       fuzzyDecontaminate = opts.contains("--fuzzy-decon"),
       fuzzyMinJaccard =
-        opts.get("--fuzzy-jaccard").map(_.toDouble).getOrElse(0.5))
+        opts.get("--fuzzy-jaccard").map(_.toDouble).getOrElse(0.5),
+      maxPerDomain = opts.get("--max-per-domain").map(_.toInt),
+      urlCol = opts.getOrElse("--url-col", "url"))
     Files.createDirectories(outDir)
     curated.write.mode("overwrite")
       .parquet(outDir.resolve("curated.parquet").toString)

@@ -928,6 +928,17 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // FineWeb-style per-domain cap over the synthesized URLs:
+    // example.com is the hot domain (6/7 of docs — exactly the SEO-farm
+    // skew the cap exists for), the per-source co.uk sites the tail;
+    // each domain keeps a deterministic md5-ordered sample of 10 docs
+    "q143_domain_cap" -> ((s, dir) => {
+      graft.text.UrlOps.capPerDomain(
+        t(s, dir, "documents").withColumn("url", rawUrlOf),
+        "url", maxDocs = 10)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // fuzzy eval-set decontamination: drop train docs that are MinHash
     // near-dups (exact-verified Jaccard >= 0.4) of any test doc — the
     // paraphrase-tolerant complement of q54's exact 8-gram containment
@@ -2087,6 +2098,22 @@ object SparkEntry {
     "q141_compression_ratio" ->
       """SELECT doc_id, CAST(1 AS BIGINT) AS ratio_in_bounds
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q143: the oracle re-derives the registrable domain straight from
+    // the URL synthesis formula (co.uk minority vs the example.com hot
+    // domain) and replays the same md5-of-decimal-id window order
+    "q143_domain_cap" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN source || '.co.uk'
+        |              ELSE 'example.com' END AS dom
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, row_number() OVER (
+        |    PARTITION BY dom
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM d)
+        |SELECT doc_id FROM r WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
 
     // q138: the fixture's five records as literals; DuckDB recomputes the
     // md5 over the very payload strings the Spark side must produce after

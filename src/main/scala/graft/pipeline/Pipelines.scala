@@ -163,7 +163,9 @@ object Pipelines {
     *  2. exact      — one survivor per normalized fingerprint
     *  3. near-dup   — [[graft.dedup.Dedup.nearDupClusters]] (LSH
     *                  candidates → exact verify → components), keep each
-    *                  component's representative
+    *                  component's representative; with `maxPerDomain`
+    *                  then a FineWeb-style per-registrable-domain cap
+    *                  over `urlCol` ([[graft.text.UrlOps.capPerDomain]])
     *  4. split      — deterministic md5 train/val/test
     *  5. decontam   — drop training docs sharing any word
     *                  `decontamN`-gram with the held-out test split;
@@ -204,7 +206,9 @@ object Pipelines {
              fuzzyDecontaminate: Boolean = false,
              fuzzyMinJaccard: Double = 0.5,
              fuzzyNumHashes: Int = 64,
-             fuzzyBands: Int = 16): DataFrame = {
+             fuzzyBands: Int = 16,
+             maxPerDomain: Option[Int] = None,
+             urlCol: String = "url"): DataFrame = {
     import graft.text.TextOps
     import graft.dedup.Dedup
     // incremental-ingest mode: drop docs already in the prior corpus
@@ -234,7 +238,13 @@ object Pipelines {
     val exact = gated.join(exactKeep, Seq("doc_id"), "left_semi")
     val reps = Dedup.nearDupClusters(exact, minJaccard = minJaccard)
       .filter(col("doc_id") === col("cluster_id")).select("doc_id")
-    val deduped = exact.join(reps, Seq("doc_id"), "left_semi")
+    val deduped0 = exact.join(reps, Seq("doc_id"), "left_semi")
+    // optional FineWeb-style per-domain cap, AFTER dedup (so the cap
+    // counts distinct content, not duplicates) and BEFORE the split (so
+    // train/val/test remain deterministic subsets of the capped corpus)
+    val deduped = maxPerDomain
+      .map(k => graft.text.UrlOps.capPerDomain(deduped0, urlCol, k))
+      .getOrElse(deduped0)
     // three consumers below (train branch, test branch, non-train union);
     // without persisting, the gate + both dedup subtrees execute 3x per
     // action. localCheckpoint (lazy) rather than cache: blocks are

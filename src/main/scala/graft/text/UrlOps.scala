@@ -126,6 +126,33 @@ object UrlOps {
     finally in.close()
   }
 
+  /** FineWeb-style per-domain cap: keep at most `maxDocs` rows per
+    * registrable domain of `urlCol`, chosen in deterministic md5 order
+    * of `idCol` — a reproducible uniform sample of each domain's docs,
+    * with no crawl-position or recency bias, so one SEO farm cannot
+    * dominate the corpus mix. One hash-partitioned `row_number` window
+    * on the domain key (the W6 top-k shape), no second shuffle; the
+    * domain itself is map-side label math. At 100 TB the lone skew risk
+    * is a mega-domain's rows landing in one window task; because the
+    * order key is a uniform hash, the standard mitigation is a
+    * two-phase cap (per-partition local top-`maxDocs` by the same key —
+    * a superset of the global winners — then this window over the
+    * bounded survivors). `suffixes` switches the domain key to the PSL
+    * rule-set path ([[registeredDomain]]'s overload). */
+  def capPerDomain(df: DataFrame, urlCol: String, maxDocs: Int,
+                   idCol: String = "doc_id",
+                   suffixes: Option[Seq[String]] = None): DataFrame = {
+    require(maxDocs > 0, s"maxDocs must be positive, got $maxDocs")
+    val dom = suffixes match {
+      case Some(rules) => registeredDomain(hostOf(col(urlCol)), rules)
+      case None => registeredDomain(hostOf(col(urlCol)))
+    }
+    graft.ops.Windows.topKPerGroup(
+      df.withColumn("_reg_dom", dom), Seq("_reg_dom"),
+      Seq(md5(col(idCol).cast("string")), col(idCol)), maxDocs)
+      .drop("_reg_dom", "rk")
+  }
+
   /** Drop rows whose URL's registrable domain is on `blocked` — the
     * URL-level spam/SEO/adult gate run before fetch/decode. The
     * blocklist broadcasts (it is list-sized); the corpus never shuffles

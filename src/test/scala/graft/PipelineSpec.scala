@@ -216,6 +216,46 @@ class PipelineSpec extends SparkSpec {
       s"the fuzzy pass should drop the leak and keep the rest: $fuzzy")
   }
 
+  test("E4 curate maxPerDomain: the hot domain is capped to k docs in " +
+    "deterministic md5 order; tail domains untouched") {
+    val texts = Seq(
+      "the gray cat sleeps near the warm fire while rain falls on the " +
+        "roof of the house outside tonight",
+      "a young engineer builds a small wooden boat to sail across the " +
+        "calm lake in the middle of summer",
+      "fresh bread and sweet honey make a fine breakfast before the " +
+        "long walk through the old town",
+      "the old library keeps rare maps of distant coasts drawn by " +
+        "careful sailors a long time ago",
+      "green hills roll toward the sea where the white birds circle " +
+        "above the small fishing boats of the bay",
+      "a quiet garden grows behind the stone wall full of roses and " +
+        "tall yellow flowers in the sun",
+      "winter snow covers the narrow street as children pull wooden " +
+        "sleds up the short hill in town")
+    val docs = texts.zipWithIndex.map { case (t, i) =>
+      val url = if (i < 6) s"https://sub$i.farm.com/p$i"
+                else "https://www.ham.org/p"
+      (i.toLong + 1, t, url)
+    }.toDF("doc_id", "text", "url")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text"))
+    // no cap: all seven pass the gates and survive
+    val uncapped = Pipelines.curate(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(uncapped.size == 7, s"got $uncapped")
+    // cap 2: farm.com (6 subdomain hosts = ONE registrable domain)
+    // keeps exactly 2; ham.org is under the cap and untouched
+    val kept = Pipelines.curate(docs, maxPerDomain = Some(2))
+      .select("doc_id", "url").as[(Long, String)].collect()
+    assert(kept.count(_._2.contains("farm.com")) == 2, kept.mkString(","))
+    assert(kept.count(_._2.contains("ham.org")) == 1, kept.mkString(","))
+    // the md5 order makes the sample reproducible run-over-run
+    val again = Pipelines.curate(docs, maxPerDomain = Some(2))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept.map(_._1).toSet)
+  }
+
   test("E5 releaseAudit: one call yields the four audit frames") {
     val base = "the quick brown fox jumps over the lazy dog near the " +
       "old stone house by the river bank in the quiet morning light"
