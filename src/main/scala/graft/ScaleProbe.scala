@@ -309,17 +309,78 @@ object ScaleProbe {
           Multimodal.videoNearDupByFrame(d, maxDf = Int.MaxValue).count() }))
     }
 
+    // WARC-family probe: synthesizes multi-record archives ON DISK (the
+    // operator's cost is scan+parse, so the probe must include file IO),
+    // plain and gzipped. The file COUNT scales with `times` — the
+    // file-level parallelism Common Crawl's ~1 GB segment layout assumes;
+    // gzip is non-splittable, so its parallelism IS the file count (one
+    // task per archive) — the caveat SURVEY §9 records.
+    def warcSuite(times: Int): Map[String, Double] = {
+      val labels = Seq("warc_records_plain", "warc_ingest_plain",
+        "warc_records_gz")
+      if (opFilter.nonEmpty && !labels.exists(opFilter)) return Map.empty
+      val dir =
+        java.nio.file.Files.createTempDirectory(s"graft_warc_${times}x_")
+      val nFiles = 4 * times
+      val recsPerFile = 5000
+      val filler =
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do " * 10
+      (0 until nFiles).foreach { f =>
+        def writeTo(os: java.io.OutputStream): Unit = {
+          val w = new java.io.BufferedOutputStream(os, 1 << 16)
+          (0 until recsPerFile).foreach { r =>
+            val id = f.toLong * recsPerFile + r
+            val body = s"<html><body>record $id $filler</body></html>"
+            val http =
+              s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$body"
+            val rec = s"WARC/1.0\r\nWARC-Type: response\r\n" +
+              s"WARC-Record-ID: <urn:uuid:rec-$id>\r\n" +
+              s"WARC-Date: 2025-01-01T00:00:00Z\r\n" +
+              s"WARC-Target-URI: https://example.com/page/$id\r\n" +
+              s"Content-Length: ${http.length}\r\n\r\n$http\r\n\r\n"
+            w.write(rec.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          w.close()
+        }
+        val plain = dir.resolve(f"part$f%04d.warc").toFile
+        val gz = dir.resolve(f"part$f%04d.warc.gz").toFile
+        plain.deleteOnExit(); gz.deleteOnExit()
+        writeTo(new java.io.FileOutputStream(plain))
+        writeTo(new java.util.zip.GZIPOutputStream(
+          new java.io.FileOutputStream(gz)))
+      }
+      dir.toFile.deleteOnExit()
+      def timeOp(label: String)(body: => Long): Option[(String, Double)] = {
+        if (opFilter.nonEmpty && !opFilter(label)) return None
+        def once(): (Double, Long) = {
+          val t0 = System.nanoTime(); val n = body
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        val (a, n) = once(); val (b, _) = once() // min-of-2, as everywhere
+        val dt = math.min(a, b)
+        println(f"  $label: $dt%.2f s ($n rows)")
+        Some(label -> dt)
+      }
+      (timeOp("warc_records_plain") {
+        graft.io.Warc.records(spark, s"$dir/*.warc").count() } ++
+        timeOp("warc_ingest_plain") {
+          graft.pipeline.Pipelines.ingestWarc(spark, s"$dir/*.warc")
+            .count() } ++
+        timeOp("warc_records_gz") {
+          graft.io.Warc.records(spark, s"$dir/*.warc.gz").count() }).toMap
+    }
+
     println(s"== pass 0: warmup (codegen) ==")
     suite(replicate(1)); embSuite(replicateEmb(1)); evSuite(replicateEv(1))
-    assetSuite(replicate(1)); videoSuite(replicate(1))
+    assetSuite(replicate(1)); videoSuite(replicate(1)); warcSuite(1)
     println(s"== pass 1: 1x (${maxId} docs, ${eMax} vecs) ==")
     val t1 = suite(replicate(1)) ++ embSuite(replicateEmb(1)) ++
       evSuite(replicateEv(1)) ++ assetSuite(replicate(1)) ++
-      videoSuite(replicate(1))
+      videoSuite(replicate(1)) ++ warcSuite(1)
     println(s"== pass 2: ${k}x (${k * maxId} docs, ${k * eMax} vecs) ==")
     val tk = suite(replicate(k)) ++ embSuite(replicateEmb(k)) ++
       evSuite(replicateEv(k)) ++ assetSuite(replicate(k)) ++
-      videoSuite(replicate(k))
+      videoSuite(replicate(k)) ++ warcSuite(k)
     println(f"%nop             | 1x (s) | ${k}%dx (s) | ratio (linear=$k%d.0)")
     t1.keys.toSeq.sorted.foreach { op =>
       println(f"$op%-22s ${t1(op)}%7.2f ${tk(op)}%9.2f ${tk(op) / t1(op)}%8.1f")
