@@ -223,4 +223,111 @@ class PropertySpec extends SparkSpec {
       viaCodec == fp
     }, "png round-trip hash parity")
   }
+
+  test("xlsx round-trip: a generated workbook melts to exactly the " +
+    "cells written, in workbook declaration order (not part-name order)") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+
+    case class SheetG(name: String, header: Map[Int, String],
+                      rows: Seq[Map[Int, String]])
+    val names = Seq("Heart rate", "SaO2", "Steps", "Note col", "Temp")
+    val values = Seq("72", "5000", "36.6", "-3", "hello", "x y",
+      "2024-03-01 07:30:00")
+    val isNum = (s: String) => s.matches("^-?\\d+(\\.\\d+)?$")
+    val sheetG: Gen[SheetG] = for {
+      nm <- Gen.oneOf("Vitals", "Sleep", "Log", "S 4")
+      k <- Gen.choose(1, 3)
+      cols <- Gen.pick(k, names)
+      withTime <- Gen.oneOf(true, false)
+      timePos <- Gen.choose(0, k)
+      nRows <- Gen.choose(0, 3)
+      rows <- Gen.listOfN(nRows, Gen.listOfN(k + 1,
+        Gen.option(Gen.oneOf(values))))
+    } yield {
+      val headerNames =
+        if (withTime) cols.toList.patch(timePos, Seq("Time"), 0)
+        else cols.toList
+      SheetG(nm, headerNames.zipWithIndex.map(_.swap).toMap,
+        rows.map(_.zipWithIndex.collect {
+          case (Some(v), c) if c < headerNames.length => c -> v
+        }.toMap))
+    }
+    val wbG: Gen[List[SheetG]] = for {
+      n <- Gen.choose(1, 3)
+      sheets <- Gen.listOfN(n, sheetG)
+    } yield sheets.zipWithIndex // distinct sheet names per workbook
+      .map { case (s, i) => s.copy(name = s"${s.name} $i") }
+
+    def colRef(c: Int, r: Int): String = s"${('A' + c).toChar}$r"
+    def build(sheets: Seq[SheetG]): Array[Byte] = {
+      val pool = sheets.flatMap(s =>
+        s.header.values ++ s.rows.flatMap(_.values.filterNot(isNum)))
+        .distinct.toIndexedSeq
+      def cell(c: Int, r: Int, v: String): String =
+        if (isNum(v)) s"""<c r="${colRef(c, r)}"><v>$v</v></c>"""
+        else
+          s"""<c r="${colRef(c, r)}" t="s"><v>${pool.indexOf(v)}</v></c>"""
+      // CRUX: sheet i's part is sheet<N-i>.xml — REVERSED physical names,
+      // so a reader ordering by part name (not by workbook.xml + rels)
+      // gets every multi-sheet workbook wrong
+      val n = sheets.length
+      val wb = sheets.zipWithIndex.map { case (s, i) =>
+        s"""<sheet name="${s.name}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+      }.mkString
+      val rels = sheets.indices.map { i =>
+        s"""<Relationship Id="rId${i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet${n - i}.xml"/>"""
+      }.mkString
+      val sst = pool.map(v =>
+        s"""<si><t xml:space="preserve">$v</t></si>""").mkString
+      val buf = new java.io.ByteArrayOutputStream()
+      val z = new ZipOutputStream(buf)
+      def put(name: String, content: String): Unit = {
+        z.putNextEntry(new ZipEntry(name))
+        z.write(content.getBytes(UTF_8)); z.closeEntry()
+      }
+      put("xl/workbook.xml",
+        s"""<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>$wb</sheets></workbook>""")
+      put("xl/_rels/workbook.xml.rels",
+        s"""<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">$rels</Relationships>""")
+      put("xl/sharedStrings.xml",
+        s"""<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">$sst</sst>""")
+      sheets.zipWithIndex.foreach { case (s, i) =>
+        val hdr = s.header.toSeq.sortBy(_._1)
+          .map { case (c, v) => cell(c, 1, v) }.mkString
+        val data = s.rows.zipWithIndex.map { case (cells, r) =>
+          val cs = cells.toSeq.sortBy(_._1)
+            .map { case (c, v) => cell(c, r + 2, v) }.mkString
+          s"""<row r="${r + 2}">$cs</row>"""
+        }.mkString
+        put(s"xl/worksheets/sheet${n - i}.xml",
+          s"""<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1">$hdr</row>$data</sheetData></worksheet>""")
+      }
+      z.close()
+      buf.toByteArray
+    }
+
+    // the documented melt contract, restated independently
+    def expected(sheets: Seq[SheetG])
+        : Set[(Int, String, Int, String, String, String)] =
+      sheets.zipWithIndex.flatMap { case (s, idx) =>
+        val timeCol = s.header.find(_._2 == "Time").map(_._1)
+          .getOrElse(s.header.keys.min)
+        val valueCols = s.header.keys.filter(_ != timeCol).toSeq.sorted
+        s.rows.zipWithIndex.flatMap { case (cells, i) =>
+          val time = cells.get(timeCol).orNull
+          valueCols.flatMap(c => cells.get(c).map(v =>
+            (idx, s.name, i + 1, time, s.header(c), v)))
+        }
+      }.toSet
+
+    check(Prop.forAll(wbG) { sheets =>
+      val dir = java.nio.file.Files.createTempDirectory("xlsx-prop")
+      java.nio.file.Files.write(dir.resolve("wb.xlsx"), build(sheets))
+      val got = graft.io.Xlsx.tall(spark, dir.toString).collect().map(r =>
+        (r.getInt(1), r.getString(2), r.getInt(3), r.getString(4),
+          r.getString(5), r.getString(6))).toSet
+      got == expected(sheets)
+    }, "xlsx generated-workbook round-trip")
+  }
 }
