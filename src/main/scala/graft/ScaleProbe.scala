@@ -156,6 +156,16 @@ object ScaleProbe {
         "compression_ratio" -> { d =>
           d.select(TextOps.compressionRatio(col("text")).as("r"))
             .agg(sum("r")).head(); 1L },
+        "html_extract" -> { d =>
+          // wrap each doc in markup so the strip chain has work to do;
+          // aggregate the output length so nothing prunes
+          d.select(TextOps.htmlExtract(concat(
+              lit("<html><body><p>"), col("text"),
+              lit(" &amp; co</p><!-- c --></body></html>"))).as("t"))
+            .agg(sum(length(col("t")))).head(); 1L },
+        "gopher_rules" -> { d =>
+          TextOps.gopherRules(d)
+            .agg(sum("n_words"), sum("pass")).head(); 1L },
         "url_normalize" -> { d =>
           // synthesize a noisy URL per doc, normalize + registrable
           // domain (the q139 shape); aggregate so nothing prunes

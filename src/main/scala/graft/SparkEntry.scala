@@ -928,6 +928,32 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // HTML main-text extraction over markup synthesized from the corpus
+    // (the step between a WARC response payload and every text operator):
+    // script/style/comment removal, tag strip, one level of entity
+    // unescape, whitespace collapse — the oracle replays the identical
+    // regex chain over the identically-synthesized markup
+    "q144_html_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>D"), col("doc_id"),
+        lit("</title><style>p { color: #333; }</style>"),
+        lit("<script>var x = 1 < 2 && 'doc';</script></head>"),
+        lit("<body><h1>Doc "), col("doc_id"), lit("</h1><p>"),
+        col("text"),
+        lit(" &amp; more &lt;tags&gt;</p><!-- hidden --></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.htmlExtract(html).as("clean_text"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style hard-rule quality battery: the interpretable
+    // measurements (word band, mean word length, bullet/ellipsis lines,
+    // alpha fraction, required stopwords) + composite pass verdict
+    "q145_gopher_rules" -> ((s, dir) => {
+      TextOps.gopherRules(t(s, dir, "documents"), minWords = 10)
+        .orderBy("doc_id")
+    }),
+
     // FineWeb-style per-domain cap over the synthesized URLs:
     // example.com is the hot domain (6/7 of docs — exactly the SEO-farm
     // skew the cap exists for), the per-source co.uk sites the tail;
@@ -2114,6 +2140,79 @@ object SparkEntry {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM d)
         |SELECT doc_id FROM r WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
+
+    // q144: identical markup synthesis + the identical regex chain
+    // (every pattern in the Java-regex ∩ RE2 subset; DuckDB needs the
+    // 'g' flag to match Spark's replace-all; entity unescape via literal
+    // replace() in the same order, &amp; last)
+    "q144_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>D' || CAST(doc_id AS VARCHAR) ||
+        |    '</title><style>p { color: #333; }</style>' ||
+        |    '<script>var x = 1 < 2 && ''doc'';</script></head>' ||
+        |    '<body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' ||
+        |    text ||
+        |    ' &amp; more &lt;tags&gt;</p><!-- hidden --></body></html>'
+        |      AS html
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(html,
+        |            '(?is)<(script|style)[^>]*>.*?</(script|style)>',
+        |            ' ', 'g'),
+        |          '(?s)<!--.*?-->', ' ', 'g'),
+        |        '<[^>]+>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS clean_text
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // q145: the rule battery re-derived with DuckDB list comprehensions
+    // over the same split arrays; exact-quotient doubles emitted
+    // UNROUNDED (one division over exact integer counts — bit-identical)
+    "q145_gopher_rules" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> x <> '') AS words,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(words) AS BIGINT) AS n_words,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(list_sum(list_transform(words, x -> length(x)))
+        |      AS BIGINT) AS word_chars,
+        |    CAST(len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
+        |      AS BIGINT) AS alpha_words,
+        |    CAST(len(list_filter(lines,
+        |      x -> regexp_matches(x, '^\s*[-*•]'))) AS BIGINT)
+        |      AS bullet_lines,
+        |    CAST(len(list_filter(lines,
+        |      x -> regexp_matches(x, '\.{3}\s*$'))) AS BIGINT)
+        |      AS ellipsis_lines,
+        |    CAST(len(list_filter(
+        |      ['the','be','to','of','and','that','have','with'],
+        |      s -> list_contains(words, s))) AS BIGINT) AS stop_hits
+        |  FROM w)
+        |SELECT doc_id, n_words,
+        |  CAST(word_chars AS DOUBLE) / n_words AS mean_word_len,
+        |  CAST(alpha_words AS DOUBLE) / n_words AS alpha_frac,
+        |  CAST(bullet_lines AS DOUBLE) / n_lines AS bullet_frac,
+        |  CAST(ellipsis_lines AS DOUBLE) / n_lines AS ellipsis_frac,
+        |  stop_hits,
+        |  CAST(n_words >= 10 AND n_words <= 100000 AND
+        |       CAST(word_chars AS DOUBLE) / n_words >= 3.0 AND
+        |       CAST(word_chars AS DOUBLE) / n_words <= 10.0 AND
+        |       CAST(bullet_lines AS DOUBLE) / n_lines <= 0.9 AND
+        |       CAST(ellipsis_lines AS DOUBLE) / n_lines <= 0.3 AND
+        |       CAST(alpha_words AS DOUBLE) / n_words >= 0.8 AND
+        |       stop_hits >= 2 AS BIGINT) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // q138: the fixture's five records as literals; DuckDB recomputes the
     // md5 over the very payload strings the Spark side must produce after

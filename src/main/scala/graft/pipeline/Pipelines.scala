@@ -184,14 +184,20 @@ object Pipelines {
     * xxhash64 of the WARC record id (stable across re-reads), source is
     * the target host, lang the engine's heuristic — all map-only. */
   def ingestWarc(spark: SparkSession, path: String,
-                 types: Seq[String] = Seq("conversion", "response"))
-      : DataFrame = {
+                 types: Seq[String] = Seq("conversion", "response"),
+                 extractHtml: Boolean = false): DataFrame = {
     import graft.text.TextOps
     val recs = graft.io.Warc.records(spark, path)
       .filter(col("warc_type").isin(types: _*))
+    // extractHtml: run the markup→prose chain (TextOps.htmlExtract) on
+    // the payload — the right setting for raw `response` records, whose
+    // payload is HTML; `conversion` records are already extracted text,
+    // hence opt-in. Still map-only: the chain is column expressions.
+    val payload = graft.io.Warc.httpPayload(col("content"))
+    val text = if (extractHtml) TextOps.htmlExtract(payload) else payload
     recs.select(
       xxhash64(col("record_id")).as("doc_id"),
-      graft.io.Warc.httpPayload(col("content")).as("text"),
+      text.as("text"),
       regexp_extract(col("target_uri"), "https?://([^/]+)", 1).as("source"))
       .withColumn("lang", TextOps.langIdEn(col("text")))
       .withColumn("n_chars", length(col("text")).cast("long"))

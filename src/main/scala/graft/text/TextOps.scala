@@ -187,6 +187,81 @@ object TextOps {
   def compressionRatio(text: Column): Column =
     graft.functions.HashExpressions.deflateRatio(text)
 
+  /** Main-content text from raw HTML — the extraction step between WARC
+    * ingest and every text operator (a `response` record's payload is
+    * markup, not prose). Regex-chain approximation of the
+    * trafilatura-style extractors: script/style blocks and comments
+    * removed, every remaining tag stripped to a space, the five
+    * XML-predefined entities plus `&nbsp;` unescaped (`&amp;` LAST, so
+    * double-escaped text un-escapes exactly one level), whitespace
+    * collapsed. Every pattern sits in the Java-regex ∩ RE2 common subset
+    * (lazy quantifiers + inline flags, no backreferences/lookaround) so
+    * the DuckDB oracle replays the identical chain. Map-only, codegen'd,
+    * no shuffle at any scale. Limitation, documented: an end-tag of the
+    * OTHER kind closes a script/style block (`<script>…</style>`) —
+    * RE2 has no backreference to pin the pair; real-world markup pays at
+    * most a few extra stripped characters. */
+  def htmlExtract(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "<[^>]+>", " ")
+    val unescaped = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
+  /** Gopher-style quality RULE REPORT — the per-document measurements
+    * behind the classic rule-based filter (word count band, mean word
+    * length band, bullet/ellipsis line fractions, alphabetic-word
+    * fraction, required-stopword hits) plus the composite `pass` verdict
+    * at the published thresholds. Complements [[qualityScore]] (a single
+    * soft score) with the interpretable hard-rule battery DCLM/Gopher
+    * pipelines gate on. One row in, one row out — every measurement is a
+    * higher-order-function fold over the split arrays, map-only,
+    * codegen'd, no shuffle. Exact-quotient doubles are emitted UNROUNDED
+    * (one division over exact integer counts — bit-identical across
+    * engines). */
+  def gopherRules(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text",
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanWord: Double = 3.0, maxMeanWord: Double = 10.0,
+                  maxBulletFrac: Double = 0.9,
+                  maxEllipsisFrac: Double = 0.3,
+                  minAlphaFrac: Double = 0.8,
+                  minStopHits: Int = 2): DataFrame = {
+    val words = filter(split(lower(col(textCol)), "\\s+"), w => w =!= "")
+    val lines = split(col(textCol), "\n")
+    val nWords = size(words).cast("long")
+    val nLines = size(lines).cast("long")
+    val wordChars = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    val alphaWords = size(filter(words, w => w.rlike("[a-z]"))).cast("long")
+    val bulletLines =
+      size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long")
+    val ellipsisLines =
+      size(filter(lines, l => l.rlike("\\.{3}\\s*$"))).cast("long")
+    // Gopher's required-stopword battery: how many of the 8 appear
+    val stopHits = size(filter(
+      typedlit(Seq("the", "be", "to", "of", "and", "that", "have", "with")),
+      s => array_contains(words, s))).cast("long")
+    docs.select(col(idCol), nWords.as("n_words"),
+        (wordChars.cast("double") / nWords).as("mean_word_len"),
+        (alphaWords.cast("double") / nWords).as("alpha_frac"),
+        (bulletLines.cast("double") / nLines).as("bullet_frac"),
+        (ellipsisLines.cast("double") / nLines).as("ellipsis_frac"),
+        stopHits.as("stop_hits"))
+      .withColumn("pass",
+        (col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= minMeanWord &&
+          col("mean_word_len") <= maxMeanWord &&
+          col("bullet_frac") <= maxBulletFrac &&
+          col("ellipsis_frac") <= maxEllipsisFrac &&
+          col("alpha_frac") >= minAlphaFrac &&
+          col("stop_hits") >= minStopHits).cast("long"))
+  }
+
   /** Gopher-style within-document repetition signal: fraction of word
     * n-grams that are duplicates of an earlier n-gram in the same document
     * (1 − distinct/total). 0.0 for null/short texts. Pure per-row column

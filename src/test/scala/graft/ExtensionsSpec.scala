@@ -2089,6 +2089,53 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(3).isNullAt(1))
   }
 
+  test("htmlExtract: blocks, comments, tags, one-level entities, " +
+    "whitespace collapse") {
+    import graft.text.TextOps
+    def x(s: String): String = Seq(s).toDF("h")
+      .select(TextOps.htmlExtract(col("h"))).head().getString(0)
+    assert(x("<html><head><style>p{a:1}</style>" +
+      "<script>if (1 < 2) x();</script></head>" +
+      "<body><h1>T</h1><p>a  b</p><!-- no --></body></html>") == "T a b")
+    // exactly ONE level of unescape: &amp; runs last, so double-escaped
+    // text surfaces as its single-escaped form, never as markup
+    assert(x("<p>fish &amp; chips &amp;lt;not a tag&amp;gt;</p>") ==
+      "fish & chips &lt;not a tag&gt;")
+    assert(x("A &lt;b&gt; &quot;q&quot; &#39;s&#39; B&nbsp;C") ==
+      "A <b> \"q\" 's' B C")
+    // the documented cross-kind pairing limitation strips, not crashes
+    assert(x("<style>x</script>rest") == "rest")
+    // null-safe
+    assert(Seq((1, null.asInstanceOf[String])).toDF("i", "h")
+      .select(TextOps.htmlExtract(col("h"))).head().isNullAt(0))
+  }
+
+  test("gopherRules: closed-form counts, fractions, and pass verdict") {
+    import graft.text.TextOps
+    val df = Seq(
+      (1L, "the cat sat on the mat with a hat"),
+      (2L, "- item one\n- item two\nthis line trails..."))
+      .toDF("doc_id", "text")
+    val r = TextOps.gopherRules(df, minWords = 5, minMeanWord = 2.0)
+      .orderBy("doc_id").collect()
+    val r1 = r(0)
+    assert(r1.getLong(1) == 9)                           // n_words
+    assert(r1.getDouble(2) == 25.0 / 9)                  // mean_word_len
+    assert(r1.getDouble(3) == 1.0)                       // alpha_frac
+    assert(r1.getDouble(4) == 0.0 && r1.getDouble(5) == 0.0)
+    assert(r1.getLong(6) == 2)                           // the, with
+    assert(r1.getLong(7) == 1)                           // passes
+    val r2 = r(1)
+    // words: -, item, one, -, item, two, this, line, trails...
+    assert(r2.getLong(1) == 9)
+    assert(r2.getDouble(2) == 33.0 / 9)
+    assert(r2.getDouble(3) == 7.0 / 9)  // the two "-" are non-alpha
+    assert(r2.getDouble(4) == 2.0 / 3)  // two bullet lines of three
+    assert(r2.getDouble(5) == 1.0 / 3)  // one trailing-ellipsis line
+    assert(r2.getLong(6) == 0)
+    assert(r2.getLong(7) == 0)          // ellipsis+alpha+stopwords fail
+  }
+
   test("lshRecall: identical docs are always candidates (recall 1), " +
     "empty ground truth reports recall 1 with zero pairs") {
     val dup = "the quick brown fox jumps over the lazy dog again and again"

@@ -76,4 +76,17 @@ class WarcSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == rows.map(_.getAs[Long]("doc_id")).toSet)
   }
+
+  test("ingestWarc extractHtml: response markup strips to prose, " +
+    "conversion text is unchanged") {
+    val docs = graft.pipeline.Pipelines
+      .ingestWarc(spark, fixture(), extractHtml = true)
+      .orderBy("text").collect()
+    // "<html>hello crawl</html>" → "hello crawl"; the conversion
+    // record's plain text passes through identically
+    assert(docs.map(_.getAs[String]("text")).toSeq ==
+      Seq("hello crawl", "hello crawl"))
+    assert(docs.forall(r =>
+      r.getAs[Long]("n_chars") == r.getAs[String]("text").length))
+  }
 }
