@@ -132,13 +132,14 @@ object UrlOps {
     * with no crawl-position or recency bias, so one SEO farm cannot
     * dominate the corpus mix. One hash-partitioned `row_number` window
     * on the domain key (the W6 top-k shape), no second shuffle; the
-    * domain itself is map-side label math. At 100 TB the lone skew risk
-    * is a mega-domain's rows landing in one window task; because the
-    * order key is a uniform hash, the standard mitigation is a
-    * two-phase cap (per-partition local top-`maxDocs` by the same key —
-    * a superset of the global winners — then this window over the
-    * bounded survivors). `suffixes` switches the domain key to the PSL
-    * rule-set path ([[registeredDomain]]'s overload). */
+    * domain itself is map-side label math. The mega-domain skew
+    * mitigation is AUTOMATIC: Spark plans the `rk <= k` filter as a
+    * `WindowGroupLimit` with a Partial phase — each input partition is
+    * pre-capped to its local top-`maxDocs` BEFORE the exchange (a
+    * superset of the global winners under any order), so at most
+    * k·partitions rows per domain ever shuffle (PlanSpec-gated).
+    * `suffixes` switches the domain key to the PSL rule-set path
+    * ([[registeredDomain]]'s overload). */
   def capPerDomain(df: DataFrame, urlCol: String, maxDocs: Int,
                    idCol: String = "doc_id",
                    suffixes: Option[Seq[String]] = None): DataFrame = {

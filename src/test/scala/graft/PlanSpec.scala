@@ -39,6 +39,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q144 html extraction and q145 gopher rules are map-only: " +
+    "no join, no aggregation, no hash shuffle") {
+    Seq("q144_html_extract", "q145_gopher_rules").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("Aggregate") &&
+        !p.contains("hashpartitioning"),
+        s"$q should be a pure projection:\n$p")
+    }
+  }
+
+  test("q143 per-domain cap: no join, at most the one window shuffle, " +
+    "and the rank limit pushes down as a PARTIAL WindowGroupLimit") {
+    val p = plan("q143_domain_cap")
+    assert(!p.contains("Join"), s"cap should not join:\n$p")
+    assert("hashpartitioning".r.findAllIn(p).length <= 1,
+      s"at most one hash exchange (the window):\n$p")
+    assert(p.contains("Window"), s"expected the row_number window:\n$p")
+    // the scale property: Spark's WindowGroupLimit applies the k-cap
+    // per input partition BEFORE any exchange — the two-phase
+    // mega-domain mitigation, performed by the engine itself
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"rank-limit pushdown missing:\n$p")
+  }
+
   test("a range filter on an NTZ-shimmed timestamp column still reaches " +
     "the parquet scan's PushedFilters") {
     // Readers.table casts TIMESTAMP_NTZ fields to session-TZ timestamps;
