@@ -74,13 +74,13 @@ object Run {
       |  curate     -d <docs parquet> -s <out dir> [--min-quality <q>]
       |             [--min-jaccard <j>] [--min-compression <r>]
       |             [--fuzzy-decon] [--fuzzy-jaccard <j>]
-      |             [--max-per-domain <n>] [--url-col <c>]
+      |             [--max-per-domain <n>] [--url-col <c>] [--psl]
       |             [--shards <n>] [--audit]""".stripMargin
 
   /** getopt-lite: `-x val` / `--long val` for value opts, bare flags for
     * booleans (the reference's flag set). */
   private val BoolFlags = Set("-v", "-r", "-j", "-c", "-h", "--help",
-    "--parquet", "--audit", "--fuzzy-decon")
+    "--parquet", "--audit", "--fuzzy-decon", "--psl")
   private def parseOpts(args: Seq[String]): Map[String, String] = {
     val out = Map.newBuilder[String, String]
     var i = 0
@@ -411,7 +411,11 @@ object Run {
       fuzzyMinJaccard =
         opts.get("--fuzzy-jaccard").map(_.toDouble).getOrElse(0.5),
       maxPerDomain = opts.get("--max-per-domain").map(_.toInt),
-      urlCol = opts.getOrElse("--url-col", "url"))
+      urlCol = opts.getOrElse("--url-col", "url"),
+      // --psl: group the per-domain cap by the shipped PSL excerpt's
+      // rules instead of the two-level-ccTLD heuristic
+      domainSuffixes = if (opts.contains("--psl"))
+        Some(graft.text.UrlOps.PslSuffixes) else None)
     Files.createDirectories(outDir)
     curated.write.mode("overwrite")
       .parquet(outDir.resolve("curated.parquet").toString)

@@ -214,7 +214,8 @@ object Pipelines {
              fuzzyNumHashes: Int = 64,
              fuzzyBands: Int = 16,
              maxPerDomain: Option[Int] = None,
-             urlCol: String = "url"): DataFrame = {
+             urlCol: String = "url",
+             domainSuffixes: Option[Seq[String]] = None): DataFrame = {
     import graft.text.TextOps
     import graft.dedup.Dedup
     // incremental-ingest mode: drop docs already in the prior corpus
@@ -248,8 +249,12 @@ object Pipelines {
     // optional FineWeb-style per-domain cap, AFTER dedup (so the cap
     // counts distinct content, not duplicates) and BEFORE the split (so
     // train/val/test remain deterministic subsets of the capped corpus)
+    // domainSuffixes switches the cap's grouping key to PSL-exact rules
+    // (e.g. UrlOps.PslSuffixes) — under the default heuristic every
+    // *.github.io user site is ONE domain; under the PSL each is its own
     val deduped = maxPerDomain
-      .map(k => graft.text.UrlOps.capPerDomain(deduped0, urlCol, k))
+      .map(k => graft.text.UrlOps.capPerDomain(deduped0, urlCol, k,
+        suffixes = domainSuffixes))
       .getOrElse(deduped0)
     // three consumers below (train branch, test branch, non-train union);
     // without persisting, the gate + both dedup subtrees execute 3x per

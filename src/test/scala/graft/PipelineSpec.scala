@@ -254,6 +254,18 @@ class PipelineSpec extends SparkSpec {
     val again = Pipelines.curate(docs, maxPerDomain = Some(2))
       .select("doc_id").as[Long].collect().toSet
     assert(again == kept.map(_._1).toSet)
+
+    // PSL vs heuristic grouping differential: github.io user sites are
+    // ONE registrable domain under the heuristic (cap 1 keeps one doc)
+    // but EACH their own under the PSL private-domain rule (both kept)
+    val ghDocs = docs.limit(2)
+      .withColumn("url",
+        concat(lit("https://user"), $"doc_id", lit(".github.io/p")))
+    val heur = Pipelines.curate(ghDocs, maxPerDomain = Some(1))
+    assert(heur.count() == 1, "heuristic: github.io is one domain")
+    val psl = Pipelines.curate(ghDocs, maxPerDomain = Some(1),
+      domainSuffixes = Some(graft.text.UrlOps.PslSuffixes))
+    assert(psl.count() == 2, "PSL: each user site is its own domain")
   }
 
   test("E5 releaseAudit: one call yields the four audit frames") {
