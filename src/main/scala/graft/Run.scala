@@ -424,7 +424,7 @@ object Run {
       // shard ONLY the train split: the shard tree's row order is the
       // epoch read order, and sharding val/test would feed the held-out
       // splits straight back into training
-      graft.io.Writers.shardedTrainingSet(
+      graft.io.Writers.shardedTrainingSetWithManifest(
         back.filter(col("split") === "train"),
         outDir.resolve("shards").toString, nShards = n)
     }

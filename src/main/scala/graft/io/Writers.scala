@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{bit_xor, col, count, length, lit, sum, xxhash64}
 
 /** Sinks (SURVEY.md §2.1, S5/S7/S8). Parquet-first; CSV kept for
   * compatibility with the reference's on-disk contract
@@ -137,4 +137,36 @@ object Writers {
       .repartition(nShards, col("shard"))
       .sortWithinPartitions("shard", "shard_order", idCol)
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** [[shardedTrainingSet]] plus a `manifest.json` beside the shard tree:
+    * per-shard row count, character volume (when a `text` column exists),
+    * and an ORDER-SENSITIVE content checksum — xxhash64(shard_order, id)
+    * XOR-folded per shard (overflow-free under ANSI), so any dropped,
+    * duplicated, or re-ordered row changes the value. Training jobs verify the tree against the
+    * manifest before an epoch; a same-seed re-write reproduces identical
+    * checksums (the layout is deterministic). The stats aggregation
+    * reduces to |shards| rows before the driver sees it — safe at any
+    * corpus size; the manifest is written driver-side as one small file. */
+  def shardedTrainingSetWithManifest(df: DataFrame, path: String,
+                                     nShards: Int = 8,
+                                     idCol: String = "doc_id",
+                                     seed: String = ""): Unit = {
+    shardedTrainingSet(df, path, nShards, idCol, seed)
+    val back = df.sparkSession.read.parquet(path)
+    val chars =
+      if (back.columns.contains("text")) sum(length(col("text")))
+      else lit(null).cast("long")
+    val stats = back.groupBy("shard")
+      .agg(count(lit(1)).as("rows"), chars.as("chars"),
+        bit_xor(xxhash64(col("shard_order"), col(idCol))).as("checksum"))
+      .orderBy("shard").collect()
+    val json = stats.map { r =>
+      val c = if (r.isNullAt(2)) "null" else r.getLong(2).toString
+      s"""{"shard":${r.getAs[Any]("shard")},"rows":${r.getLong(1)},""" +
+        s""""chars":$c,"checksum":${r.getLong(3)}}"""
+    }.mkString("[\n", ",\n", "\n]\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "manifest.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
 }

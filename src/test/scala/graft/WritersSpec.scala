@@ -54,6 +54,36 @@ class WritersSpec extends SparkSpec {
     assert(sizes.max <= 100, s"skewed shards: $sizes")
   }
 
+  test("shardedTrainingSetWithManifest: per-shard rows/chars/checksum; " +
+    "same-seed re-write reproduces identical checksums") {
+    val dir = Files.createTempDirectory("graft_shm").resolve("out").toString
+    val df = (0L until 120L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    Writers.shardedTrainingSetWithManifest(df, dir, nShards = 3, seed = "m")
+    val manifest = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "manifest.json")), "UTF-8")
+    val entries = manifest.split("\n").filter(_.contains("\"shard\""))
+    assert(entries.length == 3, s"manifest:\n$manifest")
+    // rows sum to the corpus; chars are real (every text is non-empty)
+    val rows = entries.map(e =>
+      "\"rows\":(\\d+)".r.findFirstMatchIn(e).get.group(1).toLong)
+    assert(rows.sum == 120L, s"rows: ${rows.toSeq}")
+    assert(entries.forall(_.contains("\"chars\":")) &&
+      !manifest.contains("\"chars\":null"))
+    // deterministic: a same-seed re-write yields the same manifest
+    Writers.shardedTrainingSetWithManifest(df, dir, nShards = 3, seed = "m")
+    val manifest2 = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "manifest.json")), "UTF-8")
+    assert(manifest2 == manifest)
+    // checksum is order/content-sensitive: a different seed permutes the
+    // order, changing at least one shard's checksum
+    Writers.shardedTrainingSetWithManifest(df, dir, nShards = 3, seed = "x")
+    val manifest3 = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "manifest.json")), "UTF-8")
+    def sums(m: String): Seq[String] =
+      "\"checksum\":(-?\\d+)".r.findAllMatchIn(m).map(_.group(1)).toSeq
+    assert(sums(manifest3) != sums(manifest))
+  }
+
   test("partitionedParquet writes partition directories; reads prune by key") {
     val dir = Files.createTempDirectory("graft_w").resolve("out").toString
     val df = Seq(("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 3))
