@@ -224,6 +224,25 @@ class PropertySpec extends SparkSpec {
     }, "png round-trip hash parity")
   }
 
+  test("registeredDomain: PSL rule set agrees with the heuristic on " +
+    "every host the heuristic claims to cover") {
+    import graft.text.UrlOps
+    val gen = for {
+      subs <- Gen.listOfN(2, Gen.oneOf("www", "cdn", "a", "Files"))
+      nSubs <- Gen.choose(0, 2)
+      site <- Gen.oneOf("acme", "ex-2", "Example")
+      suffix <- Gen.oneOf("com", "org", "co.uk", "com.au", "ac.jp",
+        "gov.uk", "co.nz", "edu.au")
+    } yield (subs.take(nSubs) :+ site).mkString(".") + "." + suffix
+    check(Prop.forAll(gen) { host =>
+      val r = Seq(host).toDF("h")
+        .select(UrlOps.registeredDomain(col("h")).as("heur"),
+          UrlOps.registeredDomain(col("h"), UrlOps.PslSuffixes).as("psl"))
+        .head()
+      r.getString(0) == r.getString(1)
+    }, "heuristic ⊆ PSL agreement")
+  }
+
   test("xlsx round-trip: a generated workbook melts to exactly the " +
     "cells written, in workbook declaration order (not part-name order)") {
     import java.nio.charset.StandardCharsets.UTF_8
