@@ -75,12 +75,13 @@ object Run {
       |             [--min-jaccard <j>] [--min-compression <r>]
       |             [--fuzzy-decon] [--fuzzy-jaccard <j>]
       |             [--max-per-domain <n>] [--url-col <c>] [--psl]
+      |             [--prior <parquet>] [--fuzzy-prior]
       |             [--shards <n>] [--audit]""".stripMargin
 
   /** getopt-lite: `-x val` / `--long val` for value opts, bare flags for
     * booleans (the reference's flag set). */
   private val BoolFlags = Set("-v", "-r", "-j", "-c", "-h", "--help",
-    "--parquet", "--audit", "--fuzzy-decon", "--psl")
+    "--parquet", "--audit", "--fuzzy-decon", "--psl", "--fuzzy-prior")
   private def parseOpts(args: Seq[String]): Map[String, String] = {
     val out = Map.newBuilder[String, String]
     var i = 0
@@ -415,7 +416,11 @@ object Run {
       // --psl: group the per-domain cap by the shipped PSL excerpt's
       // rules instead of the two-level-ccTLD heuristic
       domainSuffixes = if (opts.contains("--psl"))
-        Some(graft.text.UrlOps.PslSuffixes) else None)
+        Some(graft.text.UrlOps.PslSuffixes) else None,
+      // --prior: incremental-ingest mode against an existing corpus
+      // (exact digest anti-join; --fuzzy-prior adds the near-dup gate)
+      priorCorpus = opts.get("--prior").map(spark.read.parquet(_)),
+      fuzzyPrior = opts.contains("--fuzzy-prior"))
     Files.createDirectories(outDir)
     curated.write.mode("overwrite")
       .parquet(outDir.resolve("curated.parquet").toString)

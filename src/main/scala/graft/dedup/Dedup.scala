@@ -525,6 +525,26 @@ object Dedup {
       .unionByName(nullText)
   }
 
+  /** Incremental-ingest NEAR-dup gate: drop batch docs that are MinHash
+    * near-dups (exact-verified Jaccard ≥ `minJaccard`) of any
+    * prior-corpus doc — the paraphrase-tolerant complement of
+    * [[incrementalNew]]'s exact digests (a re-crawl with one word
+    * changed sails through a digest anti-join). Delegates to
+    * [[decontaminateFuzzy]]: identical banded crossing-pairs shape
+    * (parity-tagged composite ids, so overlapping id SPACES between
+    * batch and corpus are safe), identical 100 TB posture — the corpus
+    * participates as signatures and verified candidates, never as
+    * all-pairs. Run AFTER [[incrementalNew]] so exact re-crawls are
+    * already gone and the banding only pays for genuinely fresh text. */
+  def incrementalNewFuzzy(batch: DataFrame, corpus: DataFrame,
+                          idCol: String = "doc_id",
+                          textCol: String = "text", shingleN: Int = 3,
+                          minJaccard: Double = 0.5, numHashes: Int = 64,
+                          bands: Int = 16,
+                          portable: Boolean = false): DataFrame =
+    decontaminateFuzzy(batch, corpus, idCol, textCol, shingleN,
+      minJaccard, numHashes, bands, portable)
+
   /** [[nearDupClusters]] with quality-aware representative selection: keep
     * the BEST document of each near-dup cluster instead of the min-id one.
     * Real curation keeps the longest / highest-quality copy of a duplicated

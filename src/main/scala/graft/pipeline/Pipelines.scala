@@ -215,13 +215,25 @@ object Pipelines {
              fuzzyBands: Int = 16,
              maxPerDomain: Option[Int] = None,
              urlCol: String = "url",
-             domainSuffixes: Option[Seq[String]] = None): DataFrame = {
+             domainSuffixes: Option[Seq[String]] = None,
+             fuzzyPrior: Boolean = false): DataFrame = {
     import graft.text.TextOps
     import graft.dedup.Dedup
     // incremental-ingest mode: drop docs already in the prior corpus
-    // (digest anti-join) before spending any curation work on them
-    val fresh = priorCorpus
+    // (digest anti-join) before spending any curation work on them;
+    // fuzzyPrior ALSO drops near-dups of prior docs (a re-crawl with one
+    // word changed survives the digest) — shares the fuzzy* knobs with
+    // the decontamination pass, and runs after the exact gate so the
+    // banding only pays for genuinely fresh text
+    val freshExact = priorCorpus
       .map(c => Dedup.incrementalNew(docs, c)).getOrElse(docs)
+    val fresh = priorCorpus match {
+      case Some(c) if fuzzyPrior =>
+        Dedup.incrementalNewFuzzy(freshExact, c,
+          minJaccard = fuzzyMinJaccard, numHashes = fuzzyNumHashes,
+          bands = fuzzyBands)
+      case _ => freshExact
+    }
     val gatedBase = fresh
       .filter(col("text").isNotNull)
       .filter(TextOps.qualityScore(col("text")) >= minQuality &&

@@ -183,6 +183,29 @@ class PipelineSpec extends SparkSpec {
       floored.contains(15L), s"got $floored")
   }
 
+  test("E4 curate fuzzyPrior: a one-word-edited re-crawl survives the " +
+    "exact digest gate and is dropped by the fuzzy prior gate") {
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "it runs far away to the old stone house by the river bank"
+    val docs = Seq(
+      (1L, base.replace("river", "harbor")), // near-dup of the prior doc
+      (2L, "an entirely different but still quite reasonable english " +
+        "sentence that it is for the test and with many of the words"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text"))
+    val prior = Seq((100L, base)).toDF("doc_id", "text")
+    // exact incremental: the edit changes the digest, so doc 1 survives
+    val exact = Pipelines.curate(docs, priorCorpus = Some(prior))
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact == Set(1L, 2L), s"got $exact")
+    // fuzzy prior gate: the near-dup re-crawl drops, fresh content stays
+    val fuzzy = Pipelines.curate(docs, priorCorpus = Some(prior),
+      fuzzyPrior = true, fuzzyMinJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(fuzzy == Set(2L), s"got $fuzzy")
+  }
+
   test("E4 curate fuzzyDecontaminate: a paraphrased eval leak survives " +
     "the exact 8-gram pass and is dropped by the fuzzy pass") {
     val words = ("the quick brown fox jumps over a lazy dog while morning " +
