@@ -76,7 +76,7 @@ object Run {
       |             [--fuzzy-decon] [--fuzzy-jaccard <j>]
       |             [--max-per-domain <n>] [--url-col <c>] [--psl]
       |             [--prior <parquet>] [--fuzzy-prior]
-      |             [--shards <n>] [--audit]""".stripMargin
+      |             [--token-budget <n>] [--shards <n>] [--audit]""".stripMargin
 
   /** getopt-lite: `-x val` / `--long val` for value opts, bare flags for
     * booleans (the reference's flag set). */
@@ -420,7 +420,8 @@ object Run {
       // --prior: incremental-ingest mode against an existing corpus
       // (exact digest anti-join; --fuzzy-prior adds the near-dup gate)
       priorCorpus = opts.get("--prior").map(spark.read.parquet(_)),
-      fuzzyPrior = opts.contains("--fuzzy-prior"))
+      fuzzyPrior = opts.contains("--fuzzy-prior"),
+      tokenBudget = opts.get("--token-budget").map(_.toLong))
     Files.createDirectories(outDir)
     curated.write.mode("overwrite")
       .parquet(outDir.resolve("curated.parquet").toString)

@@ -165,7 +165,10 @@ object Pipelines {
     *                  candidates → exact verify → components), keep each
     *                  component's representative; with `maxPerDomain`
     *                  then a FineWeb-style per-registrable-domain cap
-    *                  over `urlCol` ([[graft.text.UrlOps.capPerDomain]])
+    *                  over `urlCol` ([[graft.text.UrlOps.capPerDomain]]);
+    *                  with `tokenBudget` then best-quality-first
+    *                  selection until the budget fills
+    *                  ([[graft.text.TextOps.selectUnderTokenBudget]])
     *  4. split      — deterministic md5 train/val/test
     *  5. decontam   — drop training docs sharing any word
     *                  `decontamN`-gram with the held-out test split;
@@ -216,7 +219,8 @@ object Pipelines {
              maxPerDomain: Option[Int] = None,
              urlCol: String = "url",
              domainSuffixes: Option[Seq[String]] = None,
-             fuzzyPrior: Boolean = false): DataFrame = {
+             fuzzyPrior: Boolean = false,
+             tokenBudget: Option[Long] = None): DataFrame = {
     import graft.text.TextOps
     import graft.dedup.Dedup
     // incremental-ingest mode: drop docs already in the prior corpus
@@ -268,13 +272,22 @@ object Pipelines {
       .map(k => graft.text.UrlOps.capPerDomain(deduped0, urlCol, k,
         suffixes = domainSuffixes))
       .getOrElse(deduped0)
+    // optional token budget (q120's bin-offset selection, no global
+    // sort): keep the best-quality docs until the budget fills — runs
+    // LAST among the keep/drop gates so the budget buys only deduped,
+    // capped, genuinely fresh content
+    val budgeted = tokenBudget.map { b =>
+      val keep = TextOps.selectUnderTokenBudget(deduped, b)
+        .select(col("doc_id"))
+      deduped.join(keep, Seq("doc_id"), "left_semi")
+    }.getOrElse(deduped)
     // three consumers below (train branch, test branch, non-train union);
     // without persisting, the gate + both dedup subtrees execute 3x per
     // action. localCheckpoint (lazy) rather than cache: blocks are
     // reclaimed by the ContextCleaner once the frame is unreferenced, so
     // repeated curate calls in a long-running job don't accumulate
     // unreleasable storage memory
-    val split = deduped.withColumn("split",
+    val split = budgeted.withColumn("split",
       TextOps.hashSplit(col("doc_id"))).localCheckpoint(false)
     val testSplit = split.filter(col("split") === "test")
     val cleanExact = TextOps.decontaminate(

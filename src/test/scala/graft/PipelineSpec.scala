@@ -183,6 +183,34 @@ class PipelineSpec extends SparkSpec {
       floored.contains(15L), s"got $floored")
   }
 
+  test("E4 curate tokenBudget: the best-quality doc fills the budget, " +
+    "the rest drop; no budget keeps everything") {
+    import graft.text.TextOps
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then it " +
+        "runs far away to the old stone house by the river bank where " +
+        "it rests for a while in the shade of the tall trees"), // high q
+      (2L, "an entirely different but still quite reasonable english " +
+        "sentence that it is for the test")) // passes the gate, lower q
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text"))
+    // precondition: doc 1 strictly outranks doc 2 on rounded quality
+    val q = docs.select($"doc_id",
+        round(TextOps.qualityScore($"text"), 6).as("q"),
+        TextOps.tokenCount($"text").cast("long").as("t"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    assert(q(1L)._1 > q(2L)._1, s"fixture must order by quality: $q")
+    val all = Pipelines.curate(docs).select("doc_id").as[Long]
+      .collect().toSet
+    assert(all == Set(1L, 2L))
+    // budget = doc 1's tokens: doc 1 fits exactly, doc 2 overflows
+    val kept = Pipelines.curate(docs, tokenBudget = Some(q(1L)._2))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L), s"got $kept")
+  }
+
   test("E4 curate fuzzyPrior: a one-word-edited re-crawl survives the " +
     "exact digest gate and is dropped by the fuzzy prior gate") {
     val base = "the quick brown fox jumps over the lazy dog and then " +
