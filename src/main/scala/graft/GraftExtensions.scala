@@ -115,7 +115,34 @@ object GraftFunctions {
       exprs => { arity("frequent_items", exprs, 1, 2)
         graft.functions.FrequentItemsAggregate(exprs(0),
           if (exprs.size > 1) intLit(exprs(1), "frequent_items") else 1024)
-          .toAggregateExpression() }))
+          .toAggregateExpression() }),
+    ("deflate_ratio", classOf[graft.functions.DeflateRatio].getName,
+      exprs => { arity("deflate_ratio", exprs, 1, 1)
+        graft.functions.DeflateRatio(exprs(0)) }),
+    ("normalize_url", graft.text.UrlOps.getClass.getName,
+      exprs => { arity("normalize_url", exprs, 1, 2)
+        catalystExpression(
+          if (exprs.size > 1)
+            graft.text.UrlOps.normalizeUrl(column(exprs(0)),
+              strLit(exprs(1), "normalize_url"))
+          else graft.text.UrlOps.normalizeUrl(column(exprs(0)))) }),
+    // registered_domain(host) = the two-level-ccTLD heuristic;
+    // registered_domain(host, 'psl') = the shipped PSL excerpt;
+    // registered_domain(host, '<r1>,<r2>,...') = a custom rule list
+    ("registered_domain", graft.text.UrlOps.getClass.getName,
+      exprs => { arity("registered_domain", exprs, 1, 2)
+        catalystExpression(exprs match {
+          case Seq(h) => graft.text.UrlOps.registeredDomain(column(h))
+          case Seq(h, r) =>
+            val arg = strLit(r, "registered_domain")
+            val rules = if (arg == "psl") graft.text.UrlOps.PslSuffixes
+              else arg.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            graft.text.UrlOps.registeredDomain(column(h), rules)
+        }) }),
+    ("html_extract", graft.text.TextOps.getClass.getName,
+      exprs => { arity("html_extract", exprs, 1, 1)
+        catalystExpression(
+          graft.text.TextOps.htmlExtract(column(exprs(0)))) }))
 
   // ---- table functions: whole-operator SQL surface ----------------------
   // The interval-algebra signature operators are DataFrame→DataFrame

@@ -100,6 +100,33 @@ class SkewAndSqlSpec extends SparkSpec {
     assert(viaSql.toSeq == viaApi.toSeq)
   }
 
+  test("round-9 SQL surface: deflate_ratio, normalize_url, " +
+    "registered_domain (heuristic/psl/custom), html_extract ≡ Column API") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT deflate_ratio('spam mail spam mail spam mail') AS d,
+        |  normalize_url('HTTPS://Ex.COM:443/a//b/?utm_source=x&id=1#f') AS u,
+        |  normalize_url('https://ex.com/a?ref=main&id=1', 'ref') AS u2,
+        |  registered_domain('files.acme.co.uk') AS rh,
+        |  registered_domain('blog.example.or.jp', 'psl') AS rp,
+        |  registered_domain('a.b.or.jp', 'or.jp') AS rc,
+        |  html_extract('<p>fish &amp; chips</p><!-- c -->') AS h""".stripMargin)
+      .head()
+    // each equals its Column-API twin (one source of truth)
+    import graft.text.{TextOps, UrlOps}
+    def api(c: org.apache.spark.sql.Column): String =
+      Seq(1).toDF("i").select(c.cast("string")).head().getString(0)
+    assert(row.getDouble(0) ==
+      api(TextOps.compressionRatio(
+        lit("spam mail spam mail spam mail"))).toDouble)
+    assert(row.getString(1) == "https://ex.com/a/b?id=1")
+    assert(row.getString(2) == "https://ex.com/a?id=1")
+    assert(row.getString(3) == "acme.co.uk")
+    assert(row.getString(4) == "example.or.jp")
+    assert(row.getString(5) == "b.or.jp")
+    assert(row.getString(6) == "fish & chips")
+  }
+
   test("SQL optional arguments are honored and bad arity is rejected") {
     GraftFunctions.register(spark)
     // hash_split(key, 100, 0): every key must land in 'train'
