@@ -1552,11 +1552,94 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           round(sum("l_extendedprice"), 4).as("sum_price"))
         .orderBy("o_orderpriority")
+    }),
+
+    // reciprocal-rank fusion of two retrieval runs (two BM25 query
+    // formulations sharing the rare 'dup' discriminator — the oracle can
+    // replay both lexically; the lexical+vector hybrid is spec-gated
+    // where the spec controls a shared id space). 1/(60+rank) terms are
+    // correctly-rounded small-integer divisions summed in fixed run
+    // order, so the score is bit-identical cross-engine UNROUNDED
+    "q146_rrf_fusion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.rrfFuse(Seq(
+          TextOps.bm25TopK(docs, Bm25Terms, k = 20),
+          TextOps.bm25TopK(docs, RrfTermsB, k = 20)),
+        rrfK = 60, topK = 25)
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+    }),
+
+    // dataset-versioning diff between two snapshots derived from the one
+    // corpus: doc_id%10==3 absent from the old snapshot (added), %10==5
+    // absent from the new (removed), %7==0 texts revised (changed)
+    "q147_snapshot_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val prev = d.filter(col("doc_id") % 10 =!= 3)
+      val cur = d.filter(col("doc_id") % 10 =!= 5)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+      Quality.snapshotDiff(prev, cur, "doc_id", Seq("text", "source"))
+        .orderBy("doc_id")
+    }),
+
+    // fastText-shaped linear classifier inference over hashed token
+    // counts: integer-valued weights ((bucket*7)%13 − 6) keep the dot
+    // product exact integer arithmetic in doubles (order-independent),
+    // so the UNROUNDED logit matches the oracle bit-for-bit; prob (the
+    // sigmoid) is deliberately not emitted — exp() is the one
+    // non-portable step cross-engine
+    "q148_quality_classifier" -> ((s, dir) => {
+      val weights = s.range(64).select(col("id").cast("int").as("bucket"),
+        (col("id") * 7 % 13 - 6).cast("double").as("weight"))
+      TextOps.scoreLinearModel(t(s, dir, "documents"), weights,
+          numBuckets = 64, bias = -3.0)
+        .select("doc_id", "logit", "label")
+        .orderBy("doc_id")
+    }),
+
+    // LDNOOBW-style blocklist exposure + gate verdict ('slow'/'big' play
+    // the unsafe words in this corpus); fraction is the unrounded
+    // exact-integer quotient per the cross-engine float-parity rule
+    "q149_blocklist_gate" -> ((s, dir) => {
+      TextOps.blocklistStats(t(s, dir, "documents"), Seq("slow", "big"))
+        .select(col("doc_id"), col("n_tokens"), col("n_flagged"),
+          col("flagged_fraction"),
+          (col("flagged_fraction") <= 0.05).cast("int").as("kept"))
+        .orderBy("doc_id")
+    }),
+
+    // license tagging over texts with synthesized license headers
+    // (doc_id%5 picks the header class; %5==4 gets none) plus the
+    // negative control over the raw corpus text (all 'unknown')
+    "q150_license_detect" -> ((s, dir) => {
+      val header = element_at(array(LicenseHeaders.map(lit): _*),
+        (col("doc_id") % 5 + 1).cast("int"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.detectLicense(concat(header, col("text")))
+            .as("license"),
+          TextOps.detectLicense(col("text")).as("license_raw"))
+        .orderBy("doc_id")
     })
   )
 
   /** q74's query-term bag (vocabulary members with contrasting df). */
   private val Bm25Terms: Seq[String] = Seq("spark", "window", "dup")
+
+  /** q146's second query formulation — overlaps q74's bag on the rare
+    * 'dup' term so the two runs agree on some documents and disagree on
+    * others (the regime rank fusion exists for). */
+  private val RrfTermsB: Seq[String] = Seq("vector", "merge", "dup")
+
+  /** q150's synthesized license headers, indexed by doc_id % 5 (the last
+    * class ships no header and must tag 'unknown'). */
+  private val LicenseHeaders: Seq[String] = Seq(
+    "Licensed under the Apache License, Version 2.0. ",
+    "Released under the MIT License. ",
+    "This work is licensed under a Creative Commons Attribution 4.0 License. ",
+    "GNU General Public License: this program is free software. ",
+    "")
 
   /** q64's target mixture (fractions sum to 1; src2 is deliberately
     * over-asked so it binds and keeps everything). */
@@ -2213,6 +2296,89 @@ object SparkEntry {
         |       CAST(alpha_words AS DOUBLE) / n_words >= 0.8 AND
         |       stop_hits >= 2 AS BIGINT) AS pass
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q146_rrf_fusion" -> rrfOracle,
+
+    // q147: both snapshots re-derived from the same filters/revision
+    // rule; md5 over the identical chr(1)-joined (text, source) pair
+    "q147_snapshot_diff" ->
+      """WITH prev AS (
+        |  SELECT doc_id, md5(concat_ws(chr(1), text, source)) AS old_fp
+        |  FROM documents WHERE doc_id % 10 <> 3),
+        |cur AS (
+        |  SELECT doc_id, md5(concat_ws(chr(1),
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END,
+        |    source)) AS new_fp
+        |  FROM documents WHERE doc_id % 10 <> 5)
+        |SELECT coalesce(prev.doc_id, cur.doc_id) AS doc_id,
+        |       old_fp, new_fp,
+        |       CASE WHEN old_fp IS NULL THEN 'added'
+        |            WHEN new_fp IS NULL THEN 'removed'
+        |            WHEN old_fp <> new_fp THEN 'changed'
+        |            ELSE 'unchanged' END AS status
+        |FROM prev FULL JOIN cur ON prev.doc_id = cur.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // q148: q110's portable md5 bucketing + the integer weight formula;
+    // the dot product is summed as exact integers and cast once
+    "q148_quality_classifier" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS bucket,
+        |         count(*) AS n
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |        FROM documents WHERE text IS NOT NULL)
+        |  WHERE len(t) > 0 GROUP BY 1, 2),
+        |dot AS (
+        |  SELECT doc_id, sum(n * ((bucket * 7) % 13 - 6)) AS d
+        |  FROM f GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(dot.d, 0) AS DOUBLE) - 3.0::DOUBLE AS logit,
+        |       CASE WHEN CAST(coalesce(dot.d, 0) AS DOUBLE)
+        |                   - 3.0::DOUBLE > 0
+        |            THEN 1 ELSE 0 END AS label
+        |FROM documents d LEFT JOIN dot ON d.doc_id = dot.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // q149: token counts re-derived over the same non-empty-token split;
+    // the fraction is one exact-integer division, emitted unrounded
+    "q149_blocklist_gate" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |         t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |         t -> t IN ('slow', 'big'))) AS BIGINT) AS n_flagged
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_flagged,
+        |       CASE WHEN n_tokens > 0
+        |            THEN CAST(n_flagged AS DOUBLE) / n_tokens
+        |            ELSE 0.0::DOUBLE END AS flagged_fraction,
+        |       CASE WHEN (CASE WHEN n_tokens > 0
+        |                       THEN CAST(n_flagged AS DOUBLE) / n_tokens
+        |                       ELSE 0.0::DOUBLE END) <= 0.05::DOUBLE
+        |            THEN 1 ELSE 0 END AS kept
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // q150: identical header synthesis (doc_id%5), identical regex
+    // ladder over header||text, negative control over the raw text
+    "q150_license_detect" -> {
+      val headerCase = LicenseHeaders.init.zipWithIndex.map {
+        case (h, i) =>
+          s"      WHEN $i THEN '${h.replace("'", "''")}'"
+      }.mkString("\n")
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    (CASE doc_id % 5
+         |$headerCase
+         |      ELSE '' END) || text AS full_text,
+         |    text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  ${licenseCaseSql("lower(full_text)")} AS license,
+         |  ${licenseCaseSql("lower(text)")} AS license_raw
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
 
     // q138: the fixture's five records as literals; DuckDB recomputes the
     // md5 over the very payload strings the Spark side must produce after
@@ -4070,35 +4236,86 @@ object SparkEntry {
   /** q74 oracle: Okapi BM25 end to end in SQL. The k1/b/(k1+1) constants
     * interpolate from the SAME Scala doubles the engine uses, so both
     * sides evaluate identical literals. */
-  private def bm25Oracle: String = {
+  /** BM25 oracle CTE chain, name-prefixed so two runs (q146) can coexist
+    * in one WITH clause; ends in `<prefix>scored(doc_id, score, n_terms)`
+    * (unlimited — the caller ranks/limits). */
+  private def bm25Ctes(prefix: String, terms: Seq[String]): String = {
     val k1 = 1.2; val b = 0.75
-    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
-    s"""WITH toks AS (
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""${prefix}toks AS (
        |  SELECT doc_id,
        |         list_filter(string_split(lower(text), ' '),
        |                     t -> len(t) > 0) AS tk
        |  FROM documents WHERE text IS NOT NULL),
-       |stats AS (
+       |${prefix}stats AS (
        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-       |         avg(CAST(len(tk) AS DOUBLE)) AS avgdl FROM toks),
-       |tf AS (
+       |         avg(CAST(len(tk) AS DOUBLE)) AS avgdl FROM ${prefix}toks),
+       |${prefix}tf AS (
        |  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
        |  FROM (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl,
-       |               unnest(tk) AS term FROM toks)
+       |               unnest(tk) AS term FROM ${prefix}toks)
        |  WHERE term IN ($termList)
        |  GROUP BY doc_id, dl, term),
-       |df AS (
-       |  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term)
-       |SELECT doc_id,
-       |       round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-       |             * tf * ${k1 + 1}
-       |             / (tf + $k1 * (1.0 - $b + $b * dl / avgdl))), 6)
-       |         AS score,
-       |       count(*) AS n_terms
-       |FROM tf JOIN df USING (term) CROSS JOIN stats
-       |GROUP BY doc_id
-       |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+       |${prefix}df AS (
+       |  SELECT term, CAST(count(*) AS DOUBLE) AS df
+       |  FROM ${prefix}tf GROUP BY term),
+       |${prefix}scored AS (
+       |  SELECT doc_id,
+       |         round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |               * tf * ${k1 + 1}
+       |               / (tf + $k1 * (1.0 - $b + $b * dl / avgdl))), 6)
+       |           AS score,
+       |         count(*) AS n_terms
+       |  FROM ${prefix}tf JOIN ${prefix}df USING (term)
+       |  CROSS JOIN ${prefix}stats
+       |  GROUP BY doc_id)""".stripMargin
   }
+
+  private def bm25Oracle: String =
+    s"""WITH ${bm25Ctes("", Bm25Terms)}
+       |SELECT doc_id, score, n_terms FROM scored
+       |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+
+  /** q146 oracle: both BM25 runs replayed via [[bm25Ctes]], ranked and
+    * truncated exactly as [[graft.text.TextOps.rrfFuse]] ranks its
+    * inputs, fused with the same fixed-order double arithmetic. */
+  private def rrfOracle: String =
+    s"""WITH ${bm25Ctes("a_", Bm25Terms)},
+       |${bm25Ctes("b_", RrfTermsB)},
+       |r1 AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+       |             AS rank_1
+       |    FROM a_scored) WHERE rank_1 <= 20),
+       |r2 AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+       |             AS rank_2
+       |    FROM b_scored) WHERE rank_2 <= 20)
+       |SELECT coalesce(r1.doc_id, r2.doc_id) AS doc_id, rank_1, rank_2,
+       |       coalesce(1.0::DOUBLE / (60 + rank_1), 0.0::DOUBLE)
+       |         + coalesce(1.0::DOUBLE / (60 + rank_2), 0.0::DOUBLE)
+       |         AS rrf_score,
+       |       (CASE WHEN rank_1 IS NULL THEN 0 ELSE 1 END
+       |        + CASE WHEN rank_2 IS NULL THEN 0 ELSE 1 END) AS n_runs
+       |FROM r1 FULL JOIN r2 ON r1.doc_id = r2.doc_id
+       |ORDER BY rrf_score DESC, doc_id LIMIT 25""".stripMargin
+
+  /** q150's license CASE chain over an arbitrary lowercased text SQL
+    * expression — the detectLicense regex ladder in the Java-regex ∩ RE2
+    * subset, first match wins. */
+  private def licenseCaseSql(tExpr: String): String =
+    s"""CASE
+       |  WHEN regexp_matches($tExpr, 'apache license') THEN 'apache-2.0'
+       |  WHEN regexp_matches($tExpr, 'mit license') THEN 'mit'
+       |  WHEN regexp_matches($tExpr, 'creative commons|cc-by')
+       |    THEN 'cc-by'
+       |  WHEN regexp_matches($tExpr,
+       |    'gnu (general|lesser general|affero general) public license|\\bgpl')
+       |    THEN 'gpl'
+       |  WHEN regexp_matches($tExpr, 'all rights reserved')
+       |    THEN 'proprietary'
+       |  ELSE 'unknown' END""".stripMargin
 
   /** Shared oracle CTE chain ending in `q(doc_id, source, pr, mtl, sr,
     * ls, quality)` — TextOps.qualityScore's SQL form, used by q30 and

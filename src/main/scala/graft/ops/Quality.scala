@@ -92,4 +92,32 @@ object Quality {
       .agg(count(lit(1)).as("group_n"))
       .filter(col("group_n") < k)
   }
+
+  /** Snapshot diff — dataset versioning's core primitive: classify every
+    * id across two corpus snapshots as added / removed / changed /
+    * unchanged, where "changed" compares an md5 fingerprint of
+    * `compareCols` (cast to string, \u0001-joined — the same portable
+    * content-hash convention as the dedup digests).
+    *
+    * Scale shape: fingerprints are computed map-side on each snapshot, so
+    * the only thing that moves is (id, 32-char fp) — never the document
+    * payload — into one id-keyed full-outer join: two hash exchanges, the
+    * provable minimum for an unordered key-compare of two tables. On
+    * bucketed/pre-partitioned snapshots even those disappear. Output:
+    * (id, old_fp, new_fp, status). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   idCol: String = "doc_id",
+                   compareCols: Seq[String] = Seq("text")): DataFrame = {
+    require(compareCols.nonEmpty, "need at least one compare column")
+    def fp(df: DataFrame, as: String) = df.select(col(idCol),
+      md5(concat_ws("\u0001",
+        compareCols.map(c => col(c).cast("string")): _*)).as(as))
+    fp(oldDf, "old_fp")
+      .join(fp(newDf, "new_fp"), Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") =!= col("new_fp"), "changed")
+          .otherwise("unchanged"))
+  }
 }

@@ -1005,4 +1005,126 @@ object TextOps {
         conv(substring(md5(concat(lit(seed), lit(":o:"),
           col(idCol).cast("string"))), 1, 15), 16, 10).cast("long"))
   }
+
+  /** Reciprocal-rank fusion of retrieval runs: rrf(d) = Σ_runs
+    * 1/(rrfK + rank_run(d)) — the standard score-free way to combine a
+    * lexical run ([[bm25TopK]]) with a vector run
+    * ([[graft.ml.Similarity.bruteForceTopK]]) or any other ranked
+    * candidate list, robust to incomparable score scales.
+    *
+    * Each input is a RUN — an already-truncated top-k candidate list
+    * (≲ thousands of rows), not a corpus: ranking uses one
+    * single-partition `row_number` window per run, which is exactly right
+    * at that size (the corpus-scale work happened inside the run
+    * generators). Ranks are assigned on (`scoreCol` DESC, `idCol` ASC) so
+    * the rank key is total and engine-portable; fusion is a fold of
+    * |runs|−1 tiny full-outer joins, and the contribution sum is built in
+    * fixed run order, so the floating-point result is deterministic.
+    * Output: (id, rank_1.. rank_n nullable, rrf_score, n_runs),
+    * top `topK` by (rrf_score DESC, id). */
+  def rrfFuse(runs: Seq[DataFrame], idCol: String = "doc_id",
+              scoreCol: String = "score", rrfK: Int = 60,
+              topK: Int = 10): DataFrame = {
+    require(runs.size >= 2, "fusion needs at least two runs")
+    require(rrfK >= 1, "rrfK must be positive")
+    require(topK > 0, "topK must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val ranked = runs.zipWithIndex.map { case (r, i) =>
+      r.select(col(idCol), row_number().over(w).as(s"rank_${i + 1}"))
+    }
+    val joined = ranked.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    // 1/(k+r) terms are identical doubles in any IEEE engine (correctly-
+    // rounded division of small integers) and the addition order is the
+    // fixed run order — bit-reproducible, no rounding needed
+    val score = runs.indices
+      .map(i => coalesce(lit(1.0) / (lit(rrfK) + col(s"rank_${i + 1}")),
+        lit(0.0)))
+      .reduce(_ + _)
+    val hits = runs.indices
+      .map(i => when(col(s"rank_${i + 1}").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    joined
+      .withColumn("rrf_score", score)
+      .withColumn("n_runs", hits)
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /** Linear text-classifier inference (the fastText-shaped quality/topic
+    * scorer every curation stack runs after hand-tuned rules):
+    * logit(d) = bias + Σ_buckets count_d(bucket)·weight(bucket) over
+    * [[hashFeatures]] hashed-token counts, label = logit > 0, prob =
+    * σ(logit). `weights` is the trained model: (bucket, weight) rows,
+    * |buckets| total — broadcast, so scoring is one map-side explode +
+    * one (doc, bucket) partial-agg + one doc-keyed agg; the model never
+    * shuffles and 100 TB of text streams through unchanged. Docs with no
+    * hashable tokens (null/empty text) still score: logit = bias.
+    *
+    * Cross-engine note: with integer-valued weights the dot product is
+    * exact integer arithmetic in doubles (order-independent); arbitrary
+    * real weights make it IEEE-order-dependent like any distributed sum. */
+  def scoreLinearModel(docs: DataFrame, weights: DataFrame,
+                       numBuckets: Int = 64, bias: Double = 0.0,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val dot = hashFeatures(docs, numBuckets, idCol, textCol)
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("n") * coalesce(col("weight"), lit(0.0))).as("_dot"))
+    docs.select(col(idCol))
+      .join(dot, Seq(idCol), "left")
+      .select(col(idCol),
+        (coalesce(col("_dot"), lit(0.0)) + bias).as("logit"))
+      .withColumn("label", (col("logit") > 0).cast("int"))
+      .withColumn("prob", lit(1.0) / (lit(1.0) + exp(-col("logit"))))
+  }
+
+  /** Per-document blocklist exposure: count and fraction of whitespace
+    * tokens that appear in `blockWords` (LDNOOBW-style unsafe-word
+    * screening — the interpretable complement of a trained toxicity
+    * model). Map-only: the list rides the plan as an IN-list literal, the
+    * fraction is an unrounded exact-integer quotient (engine-portable).
+    * Returns the input plus (n_tokens, n_flagged, flagged_fraction). */
+  def blocklistStats(docs: DataFrame, blockWords: Seq[String],
+                     textCol: String = "text"): DataFrame = {
+    require(blockWords.nonEmpty, "blocklist must not be empty")
+    val words = blockWords.map(_.toLowerCase).distinct
+    val toks = filter(wsTokens(lower(col(textCol))), t => length(t) > 0)
+    val flagged = filter(toks, t => t.isin(words: _*))
+    docs.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_flagged", size(flagged).cast("long"))
+      .withColumn("flagged_fraction",
+        when(col("n_tokens") > 0,
+          col("n_flagged").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** The gate form of [[blocklistStats]]: keep documents whose flagged
+    * fraction is at most `maxFraction` (0.0 = zero tolerance). */
+  def blocklistGate(docs: DataFrame, blockWords: Seq[String],
+                    maxFraction: Double = 0.0,
+                    textCol: String = "text"): DataFrame = {
+    require(maxFraction >= 0.0 && maxFraction <= 1.0,
+      s"maxFraction must be in [0,1], got $maxFraction")
+    blocklistStats(docs, blockWords, textCol)
+      .filter(col("flagged_fraction") <= maxFraction)
+  }
+
+  /** Heuristic license tagging for crawled/code corpora (The-Stack-style
+    * license filtering): first matching license phrase wins, `unknown`
+    * when nothing matches. Pure map-side regex chain — the license gate
+    * runs in the same scan as the other stage-1 text rules. Match order
+    * is most-specific-first so an Apache header containing the word
+    * "license" can't fall through to a weaker class. */
+  def detectLicense(text: Column): Column = {
+    val t = lower(coalesce(text, lit("")))
+    when(t.rlike("apache license"), "apache-2.0")
+      .when(t.rlike("mit license"), "mit")
+      .when(t.rlike("creative commons|cc-by"), "cc-by")
+      .when(t.rlike("gnu (general|lesser general|affero general) public license|\\bgpl"),
+        "gpl")
+      .when(t.rlike("all rights reserved"), "proprietary")
+      .otherwise("unknown")
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.AsOf
+import graft.ops.{AsOf, Quality}
 import graft.dedup.Dedup
 import graft.ml.Similarity
 import graft.text.TextOps
@@ -2227,5 +2227,125 @@ class ExtensionsSpec extends SparkSpec {
     val s1 = Similarity.randomProject(basis, outDim, dim = dim, seed = 1)
       .head().getSeq[Double](1)
     assert(got != s1)
+  }
+
+  // ---- round-9 additions: fusion, classifier, governance gates ----------
+
+  test("rrfFuse: known ranks fuse to 1/(k+r) sums; single-run docs score " +
+    "their one term and agreement wins") {
+    val run1 = Seq((1L, 9.0), (2L, 5.0), (3L, 3.0)).toDF("doc_id", "score")
+    val run2 = Seq((2L, 0.9), (4L, 0.5)).toDF("doc_id", "score")
+    val got = TextOps.rrfFuse(Seq(run1, run2), rrfK = 60, topK = 10)
+      .collect()
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    assert(byId(2L).getAs[Double]("rrf_score") == 1.0 / 62 + 1.0 / 61)
+    assert(byId(2L).getAs[Int]("n_runs") == 2)
+    assert(byId(1L).getAs[Double]("rrf_score") == 1.0 / 61)
+    assert(byId(4L).getAs[Int]("n_runs") == 1)
+    assert(byId(4L).isNullAt(byId(4L).fieldIndex("rank_1")))
+    // the doc both runs rank beats every single-run doc
+    assert(got.head.getLong(0) == 2L)
+    // topK truncates
+    assert(TextOps.rrfFuse(Seq(run1, run2), topK = 2).count() == 2)
+  }
+
+  test("rrfFuse fuses a lexical (BM25) and a vector (cosine) run over a " +
+    "shared id space") {
+    val docs = Seq((1L, "spark window dup fast"), (2L, "spark table"),
+      (3L, "merge sort")).toDF("doc_id", "text")
+    val lex = TextOps.bm25TopK(docs, Seq("spark"), k = 3)
+    val embs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val vec = Similarity.bruteForceTopK(embs,
+        typedlit(Seq(1.0, 0.0)), k = 3, dim = 2)
+      .withColumnRenamed("vec_id", "doc_id")
+      .withColumnRenamed("cosine", "score")
+    val fused = TextOps.rrfFuse(Seq(lex, vec), topK = 3).collect()
+    // docs 1 and 2 appear in both runs (opposite orders: BM25 prefers the
+    // shorter doc 2, cosine the exact-match doc 1) and tie exactly at
+    // 1/61 + 1/62; doc 3 is vector-only (no 'spark' token for BM25)
+    assert(fused.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(fused(0).getAs[Double]("rrf_score") ==
+      fused(1).getAs[Double]("rrf_score"))
+    assert(fused(2).getAs[Int]("n_runs") == 1)
+  }
+
+  test("scoreLinearModel: unit weights count tokens, empty/null docs get " +
+    "bias, prob is the sigmoid") {
+    val docs = Seq((1L, "a b c"), (2L, "a a"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val w = spark.range(64).select(col("id").cast("int").as("bucket"),
+      lit(1.0).as("weight"))
+    val got = TextOps.scoreLinearModel(docs, w, numBuckets = 64,
+      bias = -2.0).orderBy("doc_id").collect()
+    assert(got(0).getAs[Double]("logit") == 1.0)
+    assert(got(0).getAs[Int]("label") == 1)
+    assert(got(1).getAs[Double]("logit") == 0.0)
+    assert(got(1).getAs[Int]("label") == 0)
+    assert(got(2).getAs[Double]("logit") == -2.0)
+    assert(math.abs(got(2).getAs[Double]("prob")
+      - 1.0 / (1 + math.exp(2.0))) < 1e-12)
+    // buckets missing from the model score 0, not null
+    val w0 = w.filter(col("bucket") === -1)
+    val all0 = TextOps.scoreLinearModel(docs, w0, bias = 0.5)
+      .orderBy("doc_id").collect()
+    assert(all0.forall(_.getAs[Double]("logit") == 0.5))
+  }
+
+  test("blocklistStats/blocklistGate: case-folded counts, exact fraction, " +
+    "threshold gate") {
+    val docs = Seq((1L, "bad word bad"), (2L, "all clean here"),
+      (3L, "BAD upper"), (4L, "")).toDF("doc_id", "text")
+    val stats = TextOps.blocklistStats(docs, Seq("bad"))
+      .orderBy("doc_id").collect()
+    assert(stats(0).getAs[Long]("n_flagged") == 2)
+    assert(stats(0).getAs[Double]("flagged_fraction") == 2.0 / 3)
+    assert(stats(1).getAs[Long]("n_flagged") == 0)
+    assert(stats(2).getAs[Long]("n_flagged") == 1)
+    assert(stats(3).getAs[Long]("n_tokens") == 0)
+    assert(stats(3).getAs[Double]("flagged_fraction") == 0.0)
+    val kept = TextOps.blocklistGate(docs, Seq("bad"), maxFraction = 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L))
+  }
+
+  test("detectLicense: phrase classes, precedence, unknown fallback") {
+    val cases = Seq(
+      (1L, "Licensed under the Apache License, Version 2.0"),
+      (2L, "Released under the MIT License"),
+      (3L, "Creative Commons Attribution 4.0"),
+      (4L, "GNU General Public License v3"),
+      (5L, "Copyright 2020. All rights reserved."),
+      (6L, "just some text"),
+      (7L, "Apache License 2.0; GPL-compatible additions"))
+      .toDF("doc_id", "text")
+    val got = cases.select(col("doc_id"),
+        TextOps.detectLicense(col("text")).as("l"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(got.toSeq == Seq("apache-2.0", "mit", "cc-by", "gpl",
+      "proprietary", "unknown", "apache-2.0"))
+    // null-safe: null text tags unknown
+    val n = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(n.select(TextOps.detectLicense(col("text")))
+      .head().getString(0) == "unknown")
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged; the " +
+    "separator prevents column-boundary collisions") {
+    val prev = Seq((1L, "a", "s"), (2L, "b", "s"), (3L, "c", "s"))
+      .toDF("doc_id", "text", "source")
+    val cur = Seq((2L, "b", "s"), (3L, "c2", "s"), (4L, "d", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = Quality.snapshotDiff(prev, cur, "doc_id",
+      Seq("text", "source")).orderBy("doc_id").collect()
+    assert(got.map(r => r.getLong(0) -> r.getAs[String]("status")).toSeq ==
+      Seq(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+        4L -> "added"))
+    assert(got(0).isNullAt(got(0).fieldIndex("new_fp")))
+    assert(got(3).isNullAt(got(3).fieldIndex("old_fp")))
+    val o2 = Seq((1L, "ab", "c")).toDF("doc_id", "text", "source")
+    val n2 = Seq((1L, "a", "bc")).toDF("doc_id", "text", "source")
+    assert(Quality.snapshotDiff(o2, n2, "doc_id", Seq("text", "source"))
+      .head().getAs[String]("status") == "changed")
   }
 }
