@@ -142,7 +142,19 @@ object GraftFunctions {
     ("html_extract", graft.text.TextOps.getClass.getName,
       exprs => { arity("html_extract", exprs, 1, 1)
         catalystExpression(
-          graft.text.TextOps.htmlExtract(column(exprs(0)))) }))
+          graft.text.TextOps.htmlExtract(column(exprs(0)))) }),
+    ("detect_license", graft.text.TextOps.getClass.getName,
+      exprs => { arity("detect_license", exprs, 1, 1)
+        catalystExpression(
+          graft.text.TextOps.detectLicense(column(exprs(0)))) }),
+    // blocklist_fraction(text, 'w1,w2,...') — the comma-separated literal
+    // list form the other rule-set surfaces use
+    ("blocklist_fraction", graft.text.TextOps.getClass.getName,
+      exprs => { arity("blocklist_fraction", exprs, 2, 2)
+        catalystExpression(
+          graft.text.TextOps.blocklistFraction(column(exprs(0)),
+            strLit(exprs(1), "blocklist_fraction").split(",")
+              .map(_.trim).filter(_.nonEmpty).toSeq)) }))
 
   // ---- table functions: whole-operator SQL surface ----------------------
   // The interval-algebra signature operators are DataFrame→DataFrame

@@ -1100,6 +1100,18 @@ object TextOps {
           .otherwise(lit(0.0)))
   }
 
+  /** Column form of [[blocklistStats]]'s fraction (the SQL surface's
+    * `blocklist_fraction`): flagged/total over non-empty whitespace
+    * tokens, 0.0 for token-less text. */
+  def blocklistFraction(text: Column, blockWords: Seq[String]): Column = {
+    require(blockWords.nonEmpty, "blocklist must not be empty")
+    val words = blockWords.map(_.toLowerCase).distinct
+    val toks = filter(wsTokens(lower(text)), t => length(t) > 0)
+    val flagged = filter(toks, t => t.isin(words: _*))
+    when(size(toks) > 0, size(flagged).cast("double") / size(toks))
+      .otherwise(lit(0.0))
+  }
+
   /** The gate form of [[blocklistStats]]: keep documents whose flagged
     * fraction is at most `maxFraction` (0.0 = zero tolerance). */
   def blocklistGate(docs: DataFrame, blockWords: Seq[String],

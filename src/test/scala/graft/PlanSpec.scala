@@ -431,6 +431,33 @@ class PlanSpec extends SparkSpec {
       s"|groups|-row band must never sort-merge:\n$p")
   }
 
+  test("round-9b additions keep their ledger shapes: map-only gates, " +
+    "broadcast model, fingerprint-only diff join, bounded fusion") {
+    // q149 blocklist and q150 license tagging are stage-1 map-only rules
+    Seq("q149_blocklist_gate", "q150_license_detect").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q plans a join:\n$p")
+      assert(!p.contains("HashAggregate"), s"$q plans an agg:\n$p")
+    }
+    // q148 classifier: the |buckets|-row model must ride a broadcast and
+    // the (doc, bucket) counts must partially aggregate — a SortMergeJoin
+    // against the weights would shuffle the feature domain per model
+    val p148 = plan("q148_quality_classifier")
+    assert(p148.contains("BroadcastHashJoin"),
+      s"weights not broadcast:\n$p148")
+    assert(p148.contains("partial_"), s"no map-side combine:\n$p148")
+    // q147 snapshot diff: one full-outer id join over (id, fp)
+    // projections — the document text must never rise above the
+    // fingerprint projection into the exchange
+    val p147 = plan("q147_snapshot_diff")
+    assert(p147.contains("FullOuter"), s"diff lost its outer join:\n$p147")
+    assert(!p147.contains("Generate"), s"diff must not explode:\n$p147")
+    // q146 fusion: bounded run lists end in one bounded take
+    val p146 = plan("q146_rrf_fusion")
+    assert(p146.contains("TakeOrderedAndProject"),
+      s"fusion top-k not bounded:\n$p146")
+  }
+
   test("giant-group quantile fallback: no window sort, cuts broadcast") {
     // the routed cut-point path over a real parquet scan: one
     // partial-aggregated percentile pass + broadcast join + map-side bin

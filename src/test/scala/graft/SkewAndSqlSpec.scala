@@ -127,6 +127,26 @@ class SkewAndSqlSpec extends SparkSpec {
     assert(row.getString(6) == "fish & chips")
   }
 
+  test("detect_license and blocklist_fraction ≡ Column API from SQL") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT detect_license('Released under the MIT License') AS l,
+        |  detect_license('nothing notable') AS lu,
+        |  blocklist_fraction('bad word bad', 'bad') AS f,
+        |  blocklist_fraction('all clean', 'bad, worse') AS f0""".stripMargin)
+      .head()
+    assert(row.getString(0) == "mit")
+    assert(row.getString(1) == "unknown")
+    assert(row.getDouble(2) == 2.0 / 3)
+    assert(row.getDouble(3) == 0.0)
+    // the SQL fraction is the same expression blocklistStats builds
+    import graft.text.TextOps
+    val api = Seq("bad word bad").toDF("text")
+      .select(TextOps.blocklistFraction(col("text"), Seq("bad")))
+      .head().getDouble(0)
+    assert(row.getDouble(2) == api)
+  }
+
   test("SQL optional arguments are honored and bad arity is rejected") {
     GraftFunctions.register(spark)
     // hash_split(key, 100, 0): every key must land in 'train'
