@@ -76,7 +76,10 @@ object Run {
       |             [--fuzzy-decon] [--fuzzy-jaccard <j>]
       |             [--max-per-domain <n>] [--url-col <c>] [--psl]
       |             [--prior <parquet>] [--fuzzy-prior]
-      |             [--token-budget <n>] [--shards <n>] [--audit]""".stripMargin
+      |             [--token-budget <n>] [--blocklist <w1,w2,...>]
+      |             [--max-blocklist-fraction <f>]
+      |             [--allow-licenses <l1,l2,...>]
+      |             [--shards <n>] [--audit]""".stripMargin
 
   /** getopt-lite: `-x val` / `--long val` for value opts, bare flags for
     * booleans (the reference's flag set). */
@@ -421,7 +424,15 @@ object Run {
       // (exact digest anti-join; --fuzzy-prior adds the near-dup gate)
       priorCorpus = opts.get("--prior").map(spark.read.parquet(_)),
       fuzzyPrior = opts.contains("--fuzzy-prior"),
-      tokenBudget = opts.get("--token-budget").map(_.toLong))
+      tokenBudget = opts.get("--token-budget").map(_.toLong),
+      // --blocklist: unsafe-word gate; --allow-licenses: keep only the
+      // listed detectLicense classes (e.g. 'mit,apache-2.0,unknown')
+      blockWords = opts.get("--blocklist")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
+      maxBlocklistFraction = opts.get("--max-blocklist-fraction")
+        .map(_.toDouble).getOrElse(0.0),
+      allowLicenses = opts.get("--allow-licenses")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
     Files.createDirectories(outDir)
     curated.write.mode("overwrite")
       .parquet(outDir.resolve("curated.parquet").toString)

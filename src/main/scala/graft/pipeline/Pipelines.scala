@@ -159,7 +159,11 @@ object Pipelines {
     *                  byte-level repetition floor: drop docs whose
     *                  deflate ratio falls below `minCompressionRatio`
     *                  (looping spam compresses to almost nothing while
-    *                  passing character-class quality)
+    *                  passing character-class quality); with
+    *                  `blockWords` drop docs whose unsafe-word fraction
+    *                  exceeds `maxBlocklistFraction` (q149's gate); with
+    *                  `allowLicenses` keep only docs whose detected
+    *                  license class is allowed (q150's tagger)
     *  2. exact      — one survivor per normalized fingerprint
     *  3. near-dup   — [[graft.dedup.Dedup.nearDupClusters]] (LSH
     *                  candidates → exact verify → components), keep each
@@ -220,7 +224,10 @@ object Pipelines {
              urlCol: String = "url",
              domainSuffixes: Option[Seq[String]] = None,
              fuzzyPrior: Boolean = false,
-             tokenBudget: Option[Long] = None): DataFrame = {
+             tokenBudget: Option[Long] = None,
+             blockWords: Option[Seq[String]] = None,
+             maxBlocklistFraction: Double = 0.0,
+             allowLicenses: Option[Seq[String]] = None): DataFrame = {
     import graft.text.TextOps
     import graft.dedup.Dedup
     // incremental-ingest mode: drop docs already in the prior corpus
@@ -251,11 +258,26 @@ object Pipelines {
       .map(m => gatedBase.filter(
         TextOps.compressionRatio(col("text")) >= lit(m)))
       .getOrElse(gatedBase)
+    // optional unsafe-word gate (q149's operator): same map-only scan,
+    // one more predicate — drop docs whose blocklist-token fraction
+    // exceeds the tolerance (0.0 = any hit drops)
+    val gatedSafe = blockWords
+      .map(ws => gatedFixed.filter(
+        TextOps.blocklistFraction(col("text"), ws)
+          <= lit(maxBlocklistFraction)))
+      .getOrElse(gatedFixed)
+    // optional license allow-list (q150's operator): keep only docs
+    // whose detected license class is in the allowed set — the
+    // The-Stack-style compliance gate, still map-only
+    val gatedLicensed = allowLicenses
+      .map(ls => gatedSafe.filter(
+        TextOps.detectLicense(col("text")).isin(ls: _*)))
+      .getOrElse(gatedSafe)
     // optional per-source adaptive bar on top of the absolute floor
     val gated = adaptivePct
-      .map(p => TextOps.adaptiveQualityGate(gatedFixed, pct = p)
+      .map(p => TextOps.adaptiveQualityGate(gatedLicensed, pct = p)
         .drop("quality", "thr"))
-      .getOrElse(gatedFixed)
+      .getOrElse(gatedLicensed)
     val exactKeep = Dedup.normalized(gated)
       .select(col("keep_id").as("doc_id"))
     val exact = gated.join(exactKeep, Seq("doc_id"), "left_semi")

@@ -319,6 +319,42 @@ class PipelineSpec extends SparkSpec {
     assert(psl.count() == 2, "PSL: each user site is its own domain")
   }
 
+  test("E4 curate blocklist and license gates: unsafe words and " +
+    "disallowed licenses drop at stage 1") {
+    val docs = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog and then it " +
+        "runs far away to the old stone house by the river bank"),
+      (21L, "this is a damnword heavy sentence but it is still made of " +
+        "many plain english words that the gate must count and judge"),
+      (22L, "released under the mit license this tool is for the many " +
+        "people who want it and use it with joy every single day"),
+      (23L, "gnu general public license applies to this work and it is " +
+        "the terms that the project has chosen for all of the code"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text"))
+    // default: no blocklist, no license policy — everything survives
+    val all = Pipelines.curate(docs, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(all == Set(20L, 21L, 22L, 23L), s"got $all")
+    // zero-tolerance blocklist drops only the unsafe doc
+    val safe = Pipelines.curate(docs, minJaccard = 0.5,
+      blockWords = Some(Seq("damnword")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(safe == Set(20L, 22L, 23L), s"got $safe")
+    // a tolerance above the doc's one-in-22 fraction keeps it
+    val tol = Pipelines.curate(docs, minJaccard = 0.5,
+      blockWords = Some(Seq("damnword")), maxBlocklistFraction = 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tol.contains(21L), s"got $tol")
+    // license allow-list: untagged prose tags 'unknown'; excluding gpl
+    // drops exactly the GPL-tagged doc
+    val lic = Pipelines.curate(docs, minJaccard = 0.5,
+      allowLicenses = Some(Seq("mit", "unknown")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(lic == Set(20L, 21L, 22L), s"got $lic")
+  }
+
   test("E5 releaseAudit: one call yields the four audit frames") {
     val base = "the quick brown fox jumps over the lazy dog near the " +
       "old stone house by the river bank in the quiet morning light"
