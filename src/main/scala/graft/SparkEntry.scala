@@ -1609,6 +1609,45 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // outlink extraction over markup synthesized from the corpus (two
+    // quote styles, case-insensitive HREF, a %3-conditional third link),
+    // composed with registrable-domain tagging for absolute links — the
+    // crawl-frontier step; the oracle re-derives every (link, domain)
+    // row straight from the synthesis formulas, independent of the regex
+    "q151_link_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<p>see <a href=\"https://www."), col("source"),
+        lit(".example.com/d"), col("doc_id"), lit("\">x</a> and "),
+        lit("<a href='/rel/p"), col("doc_id") % 7, lit("'>y</a>"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" <link HREF=\"https://cdn."), col("source"),
+            lit(".co.uk/a.css\">"))).otherwise(lit("")),
+        lit("</p>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextOps.extractLinks(html)).as(Seq("pos", "link")))
+        .select(col("doc_id"), (col("pos") + 1).as("link_no"),
+          col("link"),
+          when(col("link").rlike("^https?://"),
+            UrlOps.registeredDomain(UrlOps.hostOf(col("link"))))
+            .as("link_domain"))
+        .orderBy("doc_id", "link_no")
+    }),
+
+    // one BPE-trainer statistic pass: corpus-wide adjacent character-
+    // pair counts within words, top-40 (the argmax is the next merge)
+    "q152_bpe_pairs" -> ((s, dir) => {
+      TextOps.bpePairCounts(t(s, dir, "documents"), k = 40)
+    }),
+
+    // inverted-index build: term -> df + ascending capped posting list
+    // (comma-joined string — portable, no array-repr pitfalls)
+    "q153_inverted_index" -> ((s, dir) => {
+      TextOps.invertedIndex(t(s, dir, "documents"), minDf = 2,
+          maxPostings = 20)
+        .orderBy("term")
+    }),
+
     // license tagging over texts with synthesized license headers
     // (doc_id%5 picks the header class; %5==4 gets none) plus the
     // negative control over the raw corpus text (all 'unknown')
@@ -2298,6 +2337,60 @@ object SparkEntry {
         |FROM m ORDER BY doc_id""".stripMargin,
 
     "q146_rrf_fusion" -> rrfOracle,
+
+    // q151: every (link, domain) row re-derived from the synthesis
+    // formulas — fully independent of the extraction regex
+    "q151_link_extract" ->
+      """WITH l1 AS (
+        |  SELECT doc_id, 1 AS link_no,
+        |    'https://www.' || source || '.example.com/d'
+        |      || CAST(doc_id AS VARCHAR) AS link,
+        |    'example.com' AS link_domain
+        |  FROM documents),
+        |l2 AS (
+        |  SELECT doc_id, 2 AS link_no,
+        |    '/rel/p' || CAST(doc_id % 7 AS VARCHAR) AS link,
+        |    CAST(NULL AS VARCHAR) AS link_domain
+        |  FROM documents),
+        |l3 AS (
+        |  SELECT doc_id, 3 AS link_no,
+        |    'https://cdn.' || source || '.co.uk/a.css' AS link,
+        |    source || '.co.uk' AS link_domain
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT * FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2
+        |               UNION ALL SELECT * FROM l3)
+        |ORDER BY doc_id, link_no""".stripMargin,
+
+    // q152: the same within-word pair generation via DuckDB list
+    // comprehension; (n DESC, pair) is a total order so the top-40
+    // boundary cannot flip
+    "q152_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |         t -> len(t) > 1)) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (
+        |  SELECT unnest([substr(t, i, 2)
+        |                 FOR i IN generate_series(1, len(t) - 1)]) AS pair
+        |  FROM w)
+        |SELECT pair, count(*) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 40""".stripMargin,
+
+    // q153: distinct (term, doc) domain, ordered list slice replays the
+    // pre-collect cap, df counted over the FULL domain
+    "q153_inverted_index" ->
+      """WITH td AS (
+        |  SELECT DISTINCT doc_id, t AS term FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE len(t) > 0),
+        |g AS (
+        |  SELECT term, count(*) AS df,
+        |         list(doc_id ORDER BY doc_id) AS post
+        |  FROM td GROUP BY term)
+        |SELECT term, df, array_to_string(post[1:20], ',') AS postings,
+        |       CAST(df > 20 AS INTEGER) AS truncated
+        |FROM g WHERE df >= 2 ORDER BY term""".stripMargin,
 
     // q147: both snapshots re-derived from the same filters/revision
     // rule; md5 over the identical chr(1)-joined (text, source) pair

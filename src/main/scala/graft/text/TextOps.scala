@@ -1123,6 +1123,73 @@ object TextOps {
       .filter(col("flagged_fraction") <= maxFraction)
   }
 
+  /** Outlink (href) extraction from markup — the crawl-frontier /
+    * link-graph primitive between [[htmlExtract]]'s prose path and the
+    * URL curation stage: every `href="..."`/`href='...'` value in
+    * document order, case-insensitive attribute, tag-agnostic (anchors,
+    * link rel, area). Map-side `regexp_extract_all`; compose with
+    * `explode` + [[graft.text.UrlOps.registeredDomain]] for the
+    * out-domain graph. The pattern lives in the Java-regex ∩ RE2 subset
+    * so SQL engines replay it verbatim. */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(coalesce(html, lit("")),
+      lit("(?i)href\\s*=\\s*[\"']([^\"'<>]+)[\"']"), lit(1))
+
+  /** One statistic pass of a BPE tokenizer trainer: corpus-wide counts
+    * of adjacent character pairs WITHIN whitespace words (the argmax pair
+    * is the next merge), top `k` by (count DESC, pair ASC). Pure
+    * explode → map-side-combined count: the classic map-reduce the
+    * trainer iterates, linear in corpus characters, no joins. */
+  def bpePairCounts(docs: DataFrame, k: Int = 50,
+                    textCol: String = "text"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(explode(wsTokens(lower(col(textCol)))).as("t"))
+      .filter(length(col("t")) > 1)
+    toks
+      .select(explode(expr(
+        "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
+
+  /** Inverted-index build: one row per vocabulary term with document
+    * frequency and the doc-id posting list (ascending, comma-joined —
+    * portable across engines without array-repr pitfalls). Posting lists
+    * are capped at `maxPostings` ids with a `truncated` flag — stop-word
+    * class terms would otherwise materialize corpus-length rows (the
+    * posting-list skew every IR system bounds). `minDf` prunes hapax
+    * noise. Cost: one distinct (term, doc) aggregation + one term-keyed
+    * agg — the token domain shuffles, never document payloads. */
+  def invertedIndex(docs: DataFrame, minDf: Long = 1,
+                    maxPostings: Int = 1000, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(minDf >= 1, "minDf must be at least 1")
+    require(maxPostings >= 1, "maxPostings must be at least 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy(col(idCol))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(wsTokens(lower(col(textCol))))
+        .as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+      // cap BEFORE collecting: collect_list skips the nulled-out tail,
+      // so a stop-word term aggregates maxPostings ids, never a
+      // corpus-length array (WindowGroupLimit prunes the rank rows)
+      .withColumn("_rn", row_number().over(w))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(
+          when(col("_rn") <= maxPostings, col(idCol)))).as("_post"))
+      .filter(col("df") >= minDf)
+      .select(col("term"), col("df"),
+        array_join(transform(col("_post"), _.cast("string")), ",")
+          .as("postings"),
+        (col("df") > maxPostings).cast("int").as("truncated"))
+  }
+
   /** Heuristic license tagging for crawled/code corpora (The-Stack-style
     * license filtering): first matching license phrase wins, `unknown`
     * when nothing matches. Pure map-side regex chain — the license gate

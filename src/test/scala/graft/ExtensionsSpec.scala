@@ -2330,6 +2330,40 @@ class ExtensionsSpec extends SparkSpec {
       .head().getString(0) == "unknown")
   }
 
+  test("extractLinks: both quote styles, case-insensitive attr, document " +
+    "order, null-safe") {
+    val html = Seq((1L,
+      "<a href=\"https://a.com/x\">1</a> <img src='i.png'> " +
+        "<a href='/rel'>2</a> <link HREF=\"https://b.org/c.css\">"))
+      .toDF("doc_id", "html")
+    val links = html.select(TextOps.extractLinks(col("html")))
+      .head().getSeq[String](0)
+    assert(links == Seq("https://a.com/x", "/rel", "https://b.org/c.css"))
+    val n = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "html")
+    assert(n.select(TextOps.extractLinks(col("html")))
+      .head().getSeq[String](0).isEmpty)
+  }
+
+  test("bpePairCounts: closed-form pair counts, single-char words skipped") {
+    val docs = Seq((1L, "aba ab x"), (2L, "ab")).toDF("doc_id", "text")
+    val got = TextOps.bpePairCounts(docs, k = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == Seq("ab" -> 3L, "ba" -> 1L))
+  }
+
+  test("invertedIndex: df over the full domain, capped ascending " +
+    "postings, minDf prune") {
+    val docs = Seq((3L, "a b"), (1L, "a b"), (2L, "a c"))
+      .toDF("doc_id", "text")
+    val idx = TextOps.invertedIndex(docs, minDf = 2, maxPostings = 2)
+      .orderBy("term").collect()
+    assert(idx.map(_.getString(0)).toSeq == Seq("a", "b"))
+    val a = idx(0) // df counts ALL docs; postings capped at 2, ascending
+    assert(a.getLong(1) == 3 && a.getString(2) == "1,2" && a.getInt(3) == 1)
+    val b = idx(1)
+    assert(b.getLong(1) == 2 && b.getString(2) == "1,3" && b.getInt(3) == 0)
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged; the " +
     "separator prevents column-boundary collisions") {
     val prev = Seq((1L, "a", "s"), (2L, "b", "s"), (3L, "c", "s"))
