@@ -78,13 +78,14 @@ object Run {
       |             [--prior <parquet>] [--fuzzy-prior]
       |             [--token-budget <n>] [--blocklist <w1,w2,...>]
       |             [--max-blocklist-fraction <f>]
-      |             [--allow-licenses <l1,l2,...>]
+      |             [--allow-licenses <l1,l2,...>] [--drop-damaged]
       |             [--shards <n>] [--audit]""".stripMargin
 
   /** getopt-lite: `-x val` / `--long val` for value opts, bare flags for
     * booleans (the reference's flag set). */
   private val BoolFlags = Set("-v", "-r", "-j", "-c", "-h", "--help",
-    "--parquet", "--audit", "--fuzzy-decon", "--psl", "--fuzzy-prior")
+    "--parquet", "--audit", "--fuzzy-decon", "--psl", "--fuzzy-prior",
+    "--drop-damaged")
   private def parseOpts(args: Seq[String]): Map[String, String] = {
     val out = Map.newBuilder[String, String]
     var i = 0
@@ -432,7 +433,10 @@ object Run {
       maxBlocklistFraction = opts.get("--max-blocklist-fraction")
         .map(_.toDouble).getOrElse(0.0),
       allowLicenses = opts.get("--allow-licenses")
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
+      // --drop-damaged: q157's encoding-damage gate (U+FFFD or stray C0
+      // controls), first among the optional stage-1 predicates
+      dropDamaged = opts.contains("--drop-damaged"))
     Files.createDirectories(outDir)
     curated.write.mode("overwrite")
       .parquet(outDir.resolve("curated.parquet").toString)

@@ -1660,8 +1660,122 @@ object SparkEntry {
             .as("license"),
           TextOps.detectLicense(col("text")).as("license_raw"))
         .orderBy("doc_id")
+    }),
+
+    // BPE ENCODING (the application half of q152's trainer statistic):
+    // every corpus word through the fixed 8-merge list — a fold of
+    // non-regex replaces the oracle replays verbatim
+    "q154_bpe_encode" -> ((s, dir) => {
+      val words = filter(TextOps.wsTokens(lower(col("text"))),
+        w => length(w) > 0)
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), posexplode(words).as(Seq("pos", "word")))
+        .select(col("doc_id"), (col("pos") + 1).as("word_no"),
+          col("word"),
+          TextOps.bpeEncodeWord(col("word"), BpeMerges).as("encoded"))
+        .withColumn("n_subwords", size(split(col("encoded"), " ")))
+        .orderBy("doc_id", "word_no")
+    }),
+
+    // PageRank (3 iterations, d=0.5, unnormalized teleport) over the
+    // synthesized domain ring; every outdegree is a power of two and
+    // the damping is dyadic, so all intermediates are exactly
+    // representable and the doubles are bit-identical across engines
+    // regardless of aggregation order
+    "q155_domain_pagerank" -> ((s, dir) => {
+      Graph.pageRank(domainEdges(t(s, dir, "documents")),
+          iterations = 3, damping = 0.5)
+        .select(col("node"), col("rank").as("pr"))
+        .orderBy("node")
+    }),
+
+    // Naive Bayes trainer counts per (source, token) with the add-one
+    // smoothed conditional — one exact-integer division (the log-space
+    // form stays caller-side: ln is the non-portable step, q148's rule)
+    "q156_nb_train" -> ((s, dir) => {
+      TextOps.naiveBayesTrain(t(s, dir, "documents"), labelCol = "source")
+        .orderBy("label", "token")
+    }),
+
+    // encoding-damage gate over a corpus with injected damage
+    // (doc_id%4==0 gains two replacement chars, %4==1 a BEL control)
+    "q157_mojibake" -> ((s, dir) => {
+      val injected = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 4 === 0,
+            concat(col("text"), lit("\uFFFD\uFFFD")))
+            .when(col("doc_id") % 4 === 1,
+              concat(lit("\u0007"), col("text")))
+            .otherwise(col("text")).as("text"))
+      TextOps.mojibakeStats(injected).orderBy("doc_id")
+    }),
+
+    // in/out-degree report over the same synthesized domain graph —
+    // the cheap link-graph statistics pass before anything iterative
+    "q158_degree_stats" -> ((s, dir) => {
+      Graph.degreeStats(domainEdges(t(s, dir, "documents")))
+        .orderBy("node")
+    }),
+
+    // tokenizer-vocabulary coverage: OOV count/fraction per doc against
+    // the stopword list as the (deliberately tiny) vocabulary
+    "q159_oov_rate" -> ((s, dir) => {
+      TextOps.oovStats(t(s, dir, "documents"), TextOps.EnStopwords)
+        .orderBy("doc_id")
+    }),
+
+    // contamination REPORT (the measuring complement of q54's drop):
+    // per test doc, distinct 8-gram shingles found in the train split
+    "q160_contamination_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("split", TextOps.hashSplit(col("doc_id")))
+      val train = docs.filter(col("split") === "train")
+      val evalSet = docs.filter(col("split") === "test")
+      TextOps.contaminationReport(train, evalSet, n = 8)
+        .orderBy("doc_id")
+    }),
+
+    // sentence-granularity quality stats ([.!?]+ delimiters, whitespace
+    // segments dropped, mean is an exact-integer quotient)
+    "q161_sentence_stats" -> ((s, dir) => {
+      TextOps.sentenceStats(t(s, dir, "documents")).orderBy("doc_id")
+    }),
+
+    // T5-style temperature-scaled source weights (alpha=0.5 → IEEE sqrt,
+    // bit-portable; relative-to-max normalization is order-independent)
+    "q162_temperature_mix" -> ((s, dir) => {
+      TextOps.temperatureWeights(t(s, dir, "documents"))
+        .orderBy("source")
     })
   )
+
+  /** q154's merge list, rank order — the kind of prefix q152's pair
+    * statistic produces. Later merges build on earlier outputs
+    * ("t h"→"th", then "th e"→"the"). */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
+    "e" -> "r", "o" -> "n", "in" -> "g")
+
+  /** q154's oracle expression: the identical merge fold as chained
+    * non-regex `replace` calls over the char-split word. */
+  private def bpeOracleExpr(word: String): String =
+    BpeMerges.foldLeft(s"array_to_string(string_split($word, ''), ' ')") {
+      case (acc, (a, b)) => s"replace($acc, '$a $b', '$a$b')"
+    }
+
+  /** q155/q158's synthesized registrable-domain link graph: a 10-node
+    * ring (k → k+1) plus three chords (k → k+3 for k ∈ {0,2,4}) —
+    * asymmetric (a src/dst swap changes the answer) with every
+    * outdegree a power of two (the q155 exactness precondition). */
+  private def domainEdges(docs: DataFrame): DataFrame = {
+    val k = col("doc_id") % 10
+    val e1 = docs.select(concat(lit("d"), k).as("src"),
+      concat(lit("d"), (k + 1) % 10).as("dst"))
+    val e2 = docs.filter(k.isin(0, 2, 4))
+      .select(concat(lit("d"), k).as("src"),
+        concat(lit("d"), (k + 3) % 10).as("dst"))
+    e1.unionAll(e2)
+  }
 
   /** q74's query-term bag (vocabulary members with contrasting df). */
   private val Bm25Terms: Seq[String] = Seq("spark", "window", "dup")
@@ -2391,6 +2505,213 @@ object SparkEntry {
         |SELECT term, df, array_to_string(post[1:20], ',') AS postings,
         |       CAST(df > 20 AS INTEGER) AS truncated
         |FROM g WHERE df >= 2 ORDER BY term""".stripMargin,
+
+    // q154: the identical merge fold replayed as chained non-regex
+    // replace calls over the char-split word (built by [[bpeOracleExpr]]
+    // from the same BpeMerges constant — one source of truth)
+    "q154_bpe_encode" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(ws) AS word,
+         |         unnest(generate_series(1, len(ws))) AS word_no
+         |  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+         |               t -> len(t) > 0) AS ws
+         |        FROM documents WHERE text IS NOT NULL))
+         |SELECT doc_id, CAST(word_no AS INTEGER) AS word_no, word,
+         |       ${bpeOracleExpr("word")} AS encoded,
+         |       CAST(len(string_split(${bpeOracleExpr("word")}, ' '))
+         |         AS INTEGER) AS n_subwords
+         |FROM w ORDER BY doc_id, word_no""".stripMargin,
+
+    // q155: three unrolled CTE iterations of the same unnormalized
+    // update; power-of-two outdegrees + dyadic damping make every
+    // double exact, so no rounding is needed for bit parity
+    "q155_domain_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT 'd' || CAST(doc_id % 10 AS VARCHAR) AS src,
+        |           'd' || CAST((doc_id % 10 + 1) % 10 AS VARCHAR) AS dst
+        |    FROM documents
+        |    UNION ALL
+        |    SELECT 'd' || CAST(doc_id % 10 AS VARCHAR),
+        |           'd' || CAST((doc_id % 10 + 3) % 10 AS VARCHAR)
+        |    FROM documents WHERE doc_id % 10 IN (0, 2, 4))),
+        |n AS (SELECT DISTINCT node FROM
+        |        (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST(1 AS DOUBLE) AS pr FROM n),
+        |r1 AS (SELECT n.node, CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE)
+        |         * coalesce(sum(r0.pr / deg.outdeg), 0) AS pr
+        |       FROM n LEFT JOIN e ON e.dst = n.node
+        |       LEFT JOIN deg ON deg.src = e.src
+        |       LEFT JOIN r0 ON r0.node = e.src GROUP BY n.node),
+        |r2 AS (SELECT n.node, CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE)
+        |         * coalesce(sum(r1.pr / deg.outdeg), 0) AS pr
+        |       FROM n LEFT JOIN e ON e.dst = n.node
+        |       LEFT JOIN deg ON deg.src = e.src
+        |       LEFT JOIN r1 ON r1.node = e.src GROUP BY n.node),
+        |r3 AS (SELECT n.node, CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE)
+        |         * coalesce(sum(r2.pr / deg.outdeg), 0) AS pr
+        |       FROM n LEFT JOIN e ON e.dst = n.node
+        |       LEFT JOIN deg ON deg.src = e.src
+        |       LEFT JOIN r2 ON r2.node = e.src GROUP BY n.node)
+        |SELECT node, pr FROM r3 ORDER BY node""".stripMargin,
+
+    // q156: same (label, token) counts; the smoothed probability is one
+    // exact-integer division, bit-identical without rounding
+    "q156_nb_train" ->
+      """WITH p AS (
+        |  SELECT source AS label, tok AS token, count(*) AS n
+        |  FROM (SELECT source,
+        |          unnest(list_filter(string_split(lower(text), ' '),
+        |                 x -> len(x) > 0)) AS tok
+        |        FROM documents
+        |        WHERE text IS NOT NULL AND source IS NOT NULL)
+        |  GROUP BY 1, 2),
+        |lt AS (SELECT label, CAST(sum(n) AS BIGINT) AS label_tokens
+        |       FROM p GROUP BY label),
+        |v AS (SELECT count(DISTINCT token) AS vocab FROM p)
+        |SELECT p.label, p.token, p.n, lt.label_tokens, v.vocab,
+        |       CAST(p.n + 1 AS DOUBLE)
+        |         / CAST(lt.label_tokens + v.vocab AS DOUBLE)
+        |         AS smoothed_prob
+        |FROM p JOIN lt USING (label) CROSS JOIN v
+        |ORDER BY label, token""".stripMargin,
+
+    // q157: identical injection (chr(65533) = U+FFFD, chr(7) = BEL) and
+    // identical strip-length counting; fraction is an exact quotient
+    "q157_mojibake" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN text || chr(65533) || chr(65533)
+        |         WHEN doc_id % 4 = 1 THEN chr(7) || text
+        |         ELSE text END AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, coalesce(t, '') AS t FROM d),
+        |c AS (
+        |  SELECT doc_id, len(t) AS n_chars,
+        |    len(t) - len(replace(t, chr(65533), '')) AS n_replacement,
+        |    len(t) - len(regexp_replace(t,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS n_control,
+        |    len(t) - len(regexp_replace(t, '[^\x00-\x7F]', '', 'g'))
+        |      AS n_non_ascii
+        |  FROM m)
+        |SELECT doc_id, CAST(n_chars AS INTEGER) AS n_chars,
+        |  CAST(n_replacement AS INTEGER) AS n_replacement,
+        |  CAST(n_control AS INTEGER) AS n_control,
+        |  CAST(n_non_ascii AS INTEGER) AS n_non_ascii,
+        |  CASE WHEN n_chars > 0
+        |       THEN CAST(n_non_ascii AS DOUBLE) / CAST(n_chars AS DOUBLE)
+        |       ELSE CAST(0 AS DOUBLE) END AS non_ascii_fraction,
+        |  CAST(n_replacement > 0 OR n_control > 0 AS INTEGER) AS damaged
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // q158: exact-integer degree report over the same edge synthesis
+    "q158_degree_stats" ->
+      """WITH e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT 'd' || CAST(doc_id % 10 AS VARCHAR) AS src,
+        |           'd' || CAST((doc_id % 10 + 1) % 10 AS VARCHAR) AS dst
+        |    FROM documents
+        |    UNION ALL
+        |    SELECT 'd' || CAST(doc_id % 10 AS VARCHAR),
+        |           'd' || CAST((doc_id % 10 + 3) % 10 AS VARCHAR)
+        |    FROM documents WHERE doc_id % 10 IN (0, 2, 4))),
+        |o AS (SELECT src AS node, count(*) AS out_degree FROM e
+        |      GROUP BY src),
+        |i AS (SELECT dst AS node, count(*) AS in_degree FROM e
+        |      GROUP BY dst)
+        |SELECT coalesce(o.node, i.node) AS node,
+        |       coalesce(out_degree, 0) AS out_degree,
+        |       coalesce(in_degree, 0) AS in_degree
+        |FROM o FULL OUTER JOIN i ON o.node = i.node
+        |ORDER BY node""".stripMargin,
+
+    // q159: same tokenization and vocab literal (built from the same
+    // EnStopwords constant); fraction is an exact quotient
+    "q159_oov_rate" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(lower(coalesce(text, '')), ' '),
+         |                t -> len(t) > 0) AS tk
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, len(tk) AS n_tokens,
+         |    len(list_filter(tk, t -> NOT list_contains(
+         |      [${TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")}],
+         |      t))) AS n_oov
+         |  FROM g)
+         |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+         |  CAST(n_oov AS INTEGER) AS n_oov,
+         |  CASE WHEN n_tokens > 0
+         |       THEN CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         |       ELSE CAST(0 AS DOUBLE) END AS oov_fraction
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // q160: q54's split + shingle CTEs (md5 bucket, whole-text fallback
+    // under 8 tokens), counting hits per test doc instead of dropping
+    "q160_contamination_report" ->
+      """WITH split AS (
+        |  SELECT *, CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+        |                 WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+        |                 ELSE 'test' END AS split
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, split,
+        |         CASE WHEN len(tk) >= 8 THEN
+        |           list_distinct([array_to_string(tk[i:i+7], ' ')
+        |                          FOR i IN generate_series(1, len(tk) - 7)])
+        |         ELSE [array_to_string(tk, ' ')] END AS sh
+        |  FROM (SELECT doc_id, split, string_split(lower(text), ' ') AS tk
+        |        FROM split WHERE text IS NOT NULL)),
+        |trainsh AS (
+        |  SELECT DISTINCT unnest(sh) AS g FROM sh WHERE split = 'train'),
+        |ev AS (
+        |  SELECT doc_id, unnest(sh) AS g FROM sh WHERE split = 'test'),
+        |hit AS (
+        |  SELECT doc_id, count(*) AS n_hit FROM ev
+        |  WHERE g IN (SELECT g FROM trainsh) GROUP BY doc_id),
+        |tot AS (
+        |  SELECT doc_id, count(*) AS n_shingles FROM ev GROUP BY doc_id)
+        |SELECT tot.doc_id, tot.n_shingles,
+        |       coalesce(hit.n_hit, 0) AS n_hit,
+        |       CAST(coalesce(hit.n_hit, 0) AS DOUBLE)
+        |         / CAST(tot.n_shingles AS DOUBLE) AS hit_fraction
+        |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+        |ORDER BY tot.doc_id""".stripMargin,
+
+    // q161: identical [.!?]+ split, trim, whitespace-drop; the mean is
+    // an exact-integer quotient
+    "q161_sentence_stats" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_filter([trim(x) FOR x IN
+        |                 string_split_regex(coalesce(text, ''), '[.!?]+')],
+        |                x -> len(x) > 0) AS segs
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(segs) AS INTEGER) AS n_sentences,
+        |  CASE WHEN len(segs) > 0
+        |       THEN CAST(list_sum([len(x) FOR x IN segs]) AS DOUBLE)
+        |            / CAST(len(segs) AS DOUBLE)
+        |       ELSE CAST(0 AS DOUBLE) END AS mean_sentence_chars
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // q162: sqrt is IEEE correctly-rounded in both engines; max is
+    // order-independent; the final division exact — no rounding needed
+    "q162_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source,
+        |    CAST(sum(len(list_filter(string_split(lower(text), ' '),
+        |                             t -> len(t) > 0))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY source),
+        |w AS (SELECT source, n_tokens,
+        |             sqrt(CAST(n_tokens AS DOUBLE)) AS weight FROM c),
+        |m AS (SELECT max(weight) AS max_weight FROM w)
+        |SELECT source, n_tokens, weight, weight / max_weight AS rel_weight
+        |FROM w CROSS JOIN m ORDER BY source""".stripMargin,
 
     // q147: both snapshots re-derived from the same filters/revision
     // rule; md5 over the identical chr(1)-joined (text, source) pair

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Link-graph analytics over edge lists — the natural consumer of
+  * `TextOps.extractLinks` ∘ `UrlOps.registeredDomain` (the out-domain
+  * edges a crawl produces). Reference scope: the reference pipeline has
+  * no graph stage; this is part of the training-data-pipeline extension
+  * surface (crawl frontier prioritization, spam-domain demotion).
+  *
+  * Scale design: every frame that iterates is NODE/EDGE-domain sized
+  * (registrable domains — millions, not the 100 TB of payloads). The
+  * edge+outdegree frame is computed once and persisted across
+  * iterations (the kmeans lesson: never rescan lineage inside a loop);
+  * each iteration is one edges⋈ranks equi-join (both sides hash-
+  * partitioned on the join key) + one dst-keyed partial-agged sum —
+  * no payload ever enters the loop.
+  */
+object Graph {
+
+  /** PageRank in the original unnormalized Google formulation:
+    *
+    *   rank'(v) = (1 - damping) + damping * Σ_{u→v} rank(u) / outdeg(u)
+    *
+    * over a fixed iteration count (no convergence test — deterministic
+    * plan depth, the form large-scale implementations batch). Nodes are
+    * src ∪ dst of the (deduplicated) edge list; self-loops count like
+    * any edge; multi-edges collapse (`distinct`). Dangling nodes (no
+    * out-edges) keep receiving teleport mass but contribute nothing —
+    * the unnormalized variant lets that mass decay rather than
+    * redistributing it, so ranks stay a pure function of the in-link
+    * structure (documented trade-off vs the stochastic-matrix form).
+    *
+    * Determinism note: when every outdegree is a power of two and
+    * `damping` is dyadic (e.g. 0.5), all intermediate values are dyadic
+    * rationals well inside 53-bit precision, so floating-point addition
+    * is EXACT and the result is bit-identical regardless of aggregation
+    * order or engine — the property q155's oracle relies on. General
+    * graphs get the usual last-ulp aggregation-order wobble.
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 3,
+               damping: Double = 0.5,
+               srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iterations >= 1, "iterations must be at least 1")
+    require(damping > 0.0 && damping < 1.0, "damping must be in (0,1)")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // outdegree rides the edge row so the loop joins ONE persisted frame
+    val weighted = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
+      .select(col("src"), col("dst"),
+        (lit(1.0) / col("outdeg")).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    weighted.count() // materialize once, outside the loop
+    var ranks = nodes.select(col("node"), lit(1.0).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contrib = weighted
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") * col("w")).as("in_mass"))
+      val next = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) +
+            lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // cut lineage growth: each iteration reads a
+      ranks.unpersist(false) // materialized predecessor, not the chain
+      ranks = next
+    }
+    weighted.unpersist(false)
+    nodes.unpersist(false)
+    ranks
+  }
+
+  /** Degree statistics per node — the cheap link-graph report (spam
+    * heuristics read in/out ratios before anything iterative runs):
+    * one distinct edge pass, two tiny grouped counts, one full-outer
+    * node join. Exact integers throughout. */
+  def degreeStats(edges: DataFrame, srcCol: String = "src",
+                  dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val out = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_degree"))
+    val in = e.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("in_degree"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+  }
+}

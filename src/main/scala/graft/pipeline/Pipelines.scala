@@ -163,7 +163,12 @@ object Pipelines {
     *                  `blockWords` drop docs whose unsafe-word fraction
     *                  exceeds `maxBlocklistFraction` (q149's gate); with
     *                  `allowLicenses` keep only docs whose detected
-    *                  license class is allowed (q150's tagger)
+    *                  license class is allowed (q150's tagger); with
+    *                  `dropDamaged` drop docs carrying U+FFFD
+    *                  replacement chars or stray C0 controls (q157's
+    *                  encoding-damage gate — runs first among the
+    *                  optional predicates since transcoding damage
+    *                  poisons every downstream text rule)
     *  2. exact      — one survivor per normalized fingerprint
     *  3. near-dup   — [[graft.dedup.Dedup.nearDupClusters]] (LSH
     *                  candidates → exact verify → components), keep each
@@ -227,7 +232,8 @@ object Pipelines {
              tokenBudget: Option[Long] = None,
              blockWords: Option[Seq[String]] = None,
              maxBlocklistFraction: Double = 0.0,
-             allowLicenses: Option[Seq[String]] = None): DataFrame = {
+             allowLicenses: Option[Seq[String]] = None,
+             dropDamaged: Boolean = false): DataFrame = {
     import graft.text.TextOps
     import graft.dedup.Dedup
     // incremental-ingest mode: drop docs already in the prior corpus
@@ -245,10 +251,24 @@ object Pipelines {
           bands = fuzzyBands)
       case _ => freshExact
     }
-    val gatedBase = fresh
+    val gatedBase0 = fresh
       .filter(col("text").isNotNull)
       .filter(TextOps.qualityScore(col("text")) >= minQuality &&
         TextOps.langIdEn(col("text")) === "en")
+    // optional encoding-damage gate (q157's operator): drop docs whose
+    // text carries U+FFFD replacement chars or C0 controls outside
+    // tab/LF/CR — transcoding damage poisons every downstream text
+    // rule, so it runs FIRST among the optional gates; same map-only
+    // scan, one more predicate (inlined columns of mojibakeStats)
+    val gatedBase =
+      if (!dropDamaged) gatedBase0
+      else {
+        val t = col("text")
+        def stripped(p: String) =
+          length(t) - length(regexp_replace(t, p, ""))
+        gatedBase0.filter(stripped("\uFFFD") === 0 &&
+          stripped("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]") === 0)
+      }
     // optional byte-level repetition floor: looping/templated spam can
     // carry a healthy character-class mix (so qualityScore passes) yet
     // deflate to almost nothing — LOW ratio = compressible = spam, so

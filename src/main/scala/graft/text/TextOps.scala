@@ -1206,4 +1206,202 @@ object TextOps {
       .when(t.rlike("all rights reserved"), "proprietary")
       .otherwise("unknown")
   }
+
+  /** BPE ENCODING — the application half of the tokenizer whose training
+    * statistic is [[bpePairCounts]]: given an ordered merge list (rank
+    * order, the trainer's output), encode one word into its subword
+    * tokens. Semantics are the standard sequential form: the word starts
+    * as its character sequence, then each merge `(a, b)` rewrites every
+    * left-to-right non-overlapping occurrence of the adjacent pair into
+    * the merged symbol before the next merge applies — exactly what a
+    * global find-and-replace over the space-separated symbol string
+    * does, so the whole encoder is a FOLD of `replace` calls: pure
+    * column expressions, codegen'd, map-only, and replayable verbatim
+    * by any engine's non-regex `replace`. Returns the space-separated
+    * symbol string (split on ' ' for the token array).
+    *
+    * Merge symbols must not themselves contain spaces; the character
+    * split is per UTF-16-BMP character (`substring` semantics — shared
+    * with [[bpePairCounts]]). Cost: |merges| chained string rewrites on
+    * a word-length string — linear in corpus characters, no shuffle. */
+  def bpeEncodeWord(word: Column, merges: Seq[(String, String)]): Column = {
+    require(merges.nonEmpty, "merge list must not be empty")
+    require(merges.forall { case (a, b) =>
+      !a.contains(" ") && !b.contains(" ") && a.nonEmpty && b.nonEmpty },
+      "merge symbols must be non-empty and space-free")
+    // "abc" -> "a b c": one space after every char, then drop the tail
+    val spaced = rtrim(regexp_replace(coalesce(word, lit("")),
+      "(.)", "$1 "))
+    merges.foldLeft(spaced) { case (acc, (a, b)) =>
+      replace(acc, lit(a + " " + b), lit(a + b))
+    }
+  }
+
+  /** Document form of [[bpeEncodeWord]]: every whitespace word of the
+    * lowercased text encoded independently, returned as an array of
+    * per-word symbol strings (one entry per word, symbols space-
+    * separated within the entry). Map-only transform — the merge list
+    * rides the plan as literals, the corpus never shuffles. */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    transform(
+      filter(wsTokens(lower(coalesce(text, lit("")))),
+        t => length(t) > 0),
+      w => bpeEncodeWord(w, merges))
+
+  /** NAIVE BAYES TRAINING — the counts half of a multinomial NB text
+    * classifier (the classical fastText-era quality/topic baseline whose
+    * INFERENCE shape is [[scoreLinearModel]]): per (label, token)
+    * occurrence counts, per-label token totals, global vocabulary size,
+    * and the add-one-smoothed conditional probability
+    * `(n + 1) / (label_tokens + vocab)`. The probability is ONE exact-
+    * integer division — IEEE-exactly-rounded, so bit-identical across
+    * engines (the log-space form is deliberately left to the caller:
+    * `ln` is the one non-portable step, same rule as q148's sigmoid).
+    *
+    * Scale: explode → map-side-combined (label, token) count (the only
+    * token-domain shuffle), label totals are a |labels|-row broadcast,
+    * vocab is a 1-row broadcast — document payloads never shuffle. */
+  def naiveBayesTrain(docs: DataFrame, labelCol: String,
+                      textCol: String = "text"): DataFrame = {
+    val pairs = docs
+      .filter(col(textCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(labelCol).as("label"),
+        explode(filter(wsTokens(lower(col(textCol))),
+          t => length(t) > 0)).as("token"))
+      .groupBy("label", "token").agg(count(lit(1)).as("n"))
+    val labelTotals = pairs.groupBy("label")
+      .agg(sum(col("n")).as("label_tokens"))
+    val vocab = pairs.select(countDistinct(col("token")).as("vocab"))
+    pairs
+      .join(broadcast(labelTotals), Seq("label"))
+      .crossJoin(broadcast(vocab))
+      .select(col("label"), col("token"), col("n"), col("label_tokens"),
+        col("vocab"),
+        ((col("n") + 1).cast("double") /
+          (col("label_tokens") + col("vocab")).cast("double"))
+          .as("smoothed_prob"))
+  }
+
+  /** CONTAMINATION REPORT — the measurement complement of
+    * [[decontaminate]] (which drops): for each EVAL document, how many of
+    * its distinct word `n`-gram shingles appear anywhere in the training
+    * corpus, and the hit fraction — the per-benchmark overlap audit
+    * published alongside every serious pretraining corpus. Train side
+    * collapses to its DISTINCT shingle set before the join (shingle-
+    * domain shuffle, never train payloads); the eval side is benchmarks —
+    * tiny by construction — so the per-doc counts are cheap. Exact
+    * integers + one exact-quotient division. */
+  def contaminationReport(train: DataFrame, evalSet: DataFrame,
+                          idCol: String = "doc_id",
+                          textCol: String = "text",
+                          n: Int = 8): DataFrame = {
+    val evalSh = evalSet.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("shingle"))
+    val trainSh = train.filter(col(textCol).isNotNull)
+      .select(explode(shingles(col(textCol), n)).as("shingle")).distinct()
+    val totals = evalSh.groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = evalSh.join(trainSh, Seq("shingle"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double")).as("hit_fraction"))
+  }
+
+  /** OOV-RATE REPORT — tokenizer-vocabulary coverage over a corpus: per
+    * document, total tokens, tokens outside the supplied vocabulary, and
+    * the OOV fraction (the signal that decides whether a tokenizer fits
+    * a corpus before training starts). The vocabulary rides the plan as
+    * an IN-list literal (broadcast-a-frame variant unnecessary below
+    * ~10^4 entries); everything is a map-only projection. */
+  def oovStats(docs: DataFrame, vocab: Seq[String],
+               idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    require(vocab.nonEmpty, "vocabulary must not be empty")
+    val words = vocab.map(_.toLowerCase).distinct
+    val toks = filter(wsTokens(lower(coalesce(col(textCol), lit("")))),
+      t => length(t) > 0)
+    val oov = filter(toks, t => !t.isin(words: _*))
+    docs.select(col(idCol), size(toks).as("n_tokens"),
+      size(oov).as("n_oov"),
+      when(size(toks) > 0,
+        size(oov).cast("double") / size(toks).cast("double"))
+        .otherwise(lit(0.0)).as("oov_fraction"))
+  }
+
+  /** SENTENCE STATISTICS — the sentence-granularity half of the Gopher/
+    * DCLM rule sets ([[gopherRules]] covers words and lines): sentence
+    * count and mean trimmed sentence length in characters, with
+    * sentences delimited by `[.!?]+` runs and whitespace-only segments
+    * dropped. Higher-order folds over the split array — map-only,
+    * codegen'd; the mean is an exact-integer quotient. */
+  def sentenceStats(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val segs = filter(
+      transform(split(coalesce(col(textCol), lit("")), "[.!?]+"),
+        s => trim(s)),
+      s => length(s) > 0)
+    val totalChars = aggregate(segs, lit(0L), (acc, s) => acc + length(s))
+    docs.select(col(idCol), size(segs).as("n_sentences"),
+      when(size(segs) > 0,
+        totalChars.cast("double") / size(segs).cast("double"))
+        .otherwise(lit(0.0)).as("mean_sentence_chars"))
+  }
+
+  /** TEMPERATURE-SCALED SOURCE WEIGHTS — the multilingual/multi-source
+    * sampling heuristic (T5/mT5-style): per-source token counts raised
+    * to `alpha` flatten the natural size distribution so small sources
+    * are not drowned. Emits the raw weight and the weight relative to
+    * the LARGEST source (max is aggregation-order-independent, so the
+    * relative form stays bit-portable; a Σ-normalized rate would depend
+    * on float summation order — callers needing true rates feed these
+    * weights to [[mixtureRates]]' integer-ppm machinery). `alpha = 0.5`
+    * uses `sqrt` (IEEE correctly-rounded, bit-identical everywhere);
+    * other alphas go through `pow` (documented: last-ulp variance
+    * across libm implementations). One tiny grouped agg + broadcast
+    * max — corpus payloads never shuffle. */
+  def temperatureWeights(docs: DataFrame, sourceCol: String = "source",
+                         textCol: String = "text",
+                         alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0,1]")
+    val toks = filter(wsTokens(lower(col(textCol))), t => length(t) > 0)
+    val counts = docs
+      .filter(col(textCol).isNotNull && col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol).as("source"))
+      .agg(sum(size(toks).cast("long")).as("n_tokens"))
+    val weighted = counts.select(col("source"), col("n_tokens"),
+      (if (alpha == 0.5) sqrt(col("n_tokens").cast("double"))
+       else pow(col("n_tokens").cast("double"), lit(alpha)))
+        .as("weight"))
+    val maxW = weighted.select(max(col("weight")).as("max_weight"))
+    weighted.crossJoin(broadcast(maxW))
+      .select(col("source"), col("n_tokens"), col("weight"),
+        (col("weight") / col("max_weight")).as("rel_weight"))
+  }
+
+  /** ENCODING-DAMAGE DETECTION — the mojibake/transcoding gate a crawl
+    * corpus needs before any text rule runs: U+FFFD replacement-
+    * character count (the decoder's own damage marker), C0 control
+    * characters outside tab/LF/CR, non-ASCII fraction, and a composite
+    * `damaged` verdict. Counts come from `length(t) - length(strip)` so
+    * only character-class regexes in the Java ∩ RE2 subset are needed;
+    * everything is a map-only projection in the document scan. */
+  def mojibakeStats(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    def strippedLen(pattern: String): Column =
+      length(t) - length(regexp_replace(t, pattern, ""))
+    val replCount = strippedLen("\uFFFD")
+    val ctrlCount = strippedLen("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+    val nonAscii = strippedLen("[^\\x00-\\x7F]")
+    docs.select(col(idCol), length(t).as("n_chars"),
+      replCount.as("n_replacement"),
+      ctrlCount.as("n_control"),
+      nonAscii.as("n_non_ascii"),
+      when(length(t) > 0, nonAscii.cast("double") / length(t))
+        .otherwise(lit(0.0)).as("non_ascii_fraction"),
+      (replCount > 0 || ctrlCount > 0).cast("int").as("damaged"))
+  }
 }

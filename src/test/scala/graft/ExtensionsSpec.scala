@@ -2382,4 +2382,101 @@ class ExtensionsSpec extends SparkSpec {
     assert(Quality.snapshotDiff(o2, n2, "doc_id", Seq("text", "source"))
       .head().getAs[String]("status") == "changed")
   }
+
+  // ---- BPE encode / NB train / mojibake ---------------------------------
+
+  test("bpeEncodeWord: merges apply in rank order, left-to-right " +
+    "non-overlapping, later merges build on earlier outputs") {
+    val merges = Seq("t" -> "h", "th" -> "e", "a" -> "a")
+    val df = Seq("there", "aaa", "x", "").toDF("w")
+      .select(TextOps.bpeEncodeWord(col("w"), merges).as("e"))
+    val got = df.collect().map(_.getString(0)).toSeq
+    // "there": t h e r e -> th e r e -> the r e
+    // "aaa": a a a -> aa a (non-overlapping, leftmost first)
+    assert(got == Seq("the r e", "aa a", "x", ""))
+  }
+
+  test("bpeEncode: per-word encoding over the lowercased text, " +
+    "empty tokens dropped, null-safe") {
+    val merges = Seq("a" -> "b")
+    val df = Seq(Some("Ab  ab"), None).toDF("text")
+      .select(TextOps.bpeEncode(col("text"), merges).as("e"))
+    val rows = df.collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(rows == Seq(Seq("ab", "ab"), Seq()))
+  }
+
+  test("naiveBayesTrain: closed-form counts and add-one smoothing") {
+    val docs = Seq((1L, "a", "x y x"), (2L, "a", "y"), (3L, "b", "z"))
+      .toDF("doc_id", "lab", "text")
+    val got = TextOps.naiveBayesTrain(docs, "lab").orderBy("label", "token")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    // vocab = {x, y, z} = 3; label a has 4 tokens, b has 1
+    assert(got == Seq(
+      ("a", "x", 2L, 4L, 3L, 3.0 / 7),
+      ("a", "y", 2L, 4L, 3L, 3.0 / 7),
+      ("b", "z", 1L, 1L, 3L, 2.0 / 4)))
+  }
+
+  test("mojibakeStats: replacement/control/non-ascii counts, exact " +
+    "fraction, tab and newline NOT flagged as control damage") {
+    val docs = Seq(
+      (1L, "ok\ttext\n"), (2L, "bad\uFFFD\uFFFDend"),
+      (3L, "bell\u0007"), (4L, "café"), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextOps.mojibakeStats(docs).orderBy("doc_id").collect()
+    def row(i: Int) = (got(i).getInt(2), got(i).getInt(3), got(i).getInt(4),
+      got(i).getInt(6))
+    assert(row(0) == (0, 0, 0, 0)) // \t \n exempt
+    assert(row(1) == (2, 0, 2, 1)) // U+FFFD is also non-ASCII
+    assert(row(2) == (0, 1, 0, 1))
+    assert(row(3) == (0, 0, 1, 0)) // accents are fine, not damage
+    assert(got(4).getInt(1) == 0 && got(4).getInt(6) == 0) // null -> ""
+    assert(got(3).getDouble(5) == 1.0 / 4)
+  }
+
+  test("contaminationReport: distinct-shingle hit counts per eval doc, " +
+    "zero-filled misses") {
+    val train = Seq((1L, "a b c d"), (2L, "x y z w")).toDF("doc_id", "text")
+    val evalSet = Seq((10L, "a b c d"), (11L, "a b q r"),
+      (12L, "q r s t")).toDF("doc_id", "text")
+    val got = TextOps.contaminationReport(train, evalSet, n = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // bigrams: 10 -> {ab,bc,cd} all hit; 11 -> {ab,bq,qr} one hit;
+    // 12 -> {qr,rs,st} none
+    assert(got == Seq((10L, 3L, 3L, 1.0), (11L, 3L, 1L, 1.0 / 3),
+      (12L, 3L, 0L, 0.0)))
+  }
+
+  test("oovStats: vocab membership case-folded, empty text zero") {
+    val docs = Seq((1L, "The cat and dog"), (2L, "")).toDF("doc_id", "text")
+    val got = TextOps.oovStats(docs, Seq("the", "and")).orderBy("doc_id")
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(got == Seq((4, 2, 0.5), (0, 0, 0.0)))
+  }
+
+  test("sentenceStats: [.!?]+ delimiters, whitespace segments dropped, " +
+    "exact mean of trimmed lengths") {
+    val docs = Seq((1L, "Hi there. Go!  Ok?"), (2L, "no delimiters"),
+      (3L, "...")).toDF("doc_id", "text")
+    val got = TextOps.sentenceStats(docs).orderBy("doc_id").collect()
+      .map(r => (r.getInt(1), r.getDouble(2))).toSeq
+    // "Hi there"(8), "Go"(2), "Ok"(2) -> 3 sentences, mean 4.0
+    assert(got == Seq((3, 4.0), (1, 13.0), (0, 0.0)))
+  }
+
+  test("temperatureWeights: sqrt weights, relative to the largest source") {
+    val docs = Seq((1L, "s1", "a b c d"), (2L, "s1", "e f g h i j k l m"),
+      (3L, "s2", "a b c d")).toDF("doc_id", "source", "text")
+    val got = TextOps.temperatureWeights(docs).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    // s1: 13 tokens, s2: 4 -> weights sqrt(13), 2.0; rel = w / sqrt(13)
+    assert(got == Seq(
+      ("s1", 13L, math.sqrt(13.0), 1.0),
+      ("s2", 4L, 2.0, 2.0 / math.sqrt(13.0))))
+  }
 }

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+/** Link-graph analytics: PageRank and degree statistics. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: closed-form one and two iterations on a 3-node chain") {
+    // a -> b -> c; outdeg(a)=outdeg(b)=1, c dangling
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val r1 = Graph.pageRank(edges, iterations = 1, damping = 0.5)
+      .orderBy("node").collect().map(r => r.getString(0) -> r.getDouble(1))
+    // rank'(v) = 0.5 + 0.5 * sum(in): a gets nothing; b,c get 1.0/1
+    assert(r1.toSeq == Seq("a" -> 0.5, "b" -> 1.0, "c" -> 1.0))
+    val r2 = Graph.pageRank(edges, iterations = 2, damping = 0.5)
+      .orderBy("node").collect().map(r => r.getString(0) -> r.getDouble(1))
+    // iter2: b <- a(0.5) -> 0.75; c <- b(1.0) -> 1.0; dangling mass decays
+    assert(r2.toSeq == Seq("a" -> 0.5, "b" -> 0.75, "c" -> 1.0))
+  }
+
+  test("pageRank: multi-edges collapse, self-loops count, outdegree " +
+    "splits mass") {
+    // a -> {b, c} (duplicate a->b collapses); s self-loop only
+    val edges = Seq(("a", "b"), ("a", "b"), ("a", "c"), ("s", "s"))
+      .toDF("src", "dst")
+    val got = Graph.pageRank(edges, iterations = 1, damping = 0.5)
+      .orderBy("node").collect().map(r => r.getString(0) -> r.getDouble(1))
+    // b and c each get rank(a)/2 = 0.5 -> 0.75; s feeds itself 1.0
+    assert(got.toSeq ==
+      Seq("a" -> 0.5, "b" -> 0.75, "c" -> 0.75, "s" -> 1.0))
+  }
+
+  test("degreeStats: distinct edges, zero-filled missing side") {
+    val edges = Seq(("a", "b"), ("a", "b"), ("a", "c"), ("b", "c"))
+      .toDF("src", "dst")
+    val got = Graph.degreeStats(edges).orderBy("node").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", 2L, 0L), ("b", 1L, 1L), ("c", 0L, 2L)))
+  }
+
+  test("pageRank plan: the per-iteration join keys the node id — no " +
+    "cartesian, no payload columns") {
+    val edges = Seq(("a", "b")).toDF("src", "dst")
+    val plan = Graph.pageRank(edges, iterations = 1, damping = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product in PageRank plan:\n$plan")
+  }
+}

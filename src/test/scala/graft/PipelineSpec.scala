@@ -355,6 +355,30 @@ class PipelineSpec extends SparkSpec {
     assert(lic == Set(20L, 21L, 22L), s"got $lic")
   }
 
+  test("E4 curate --drop-damaged: replacement-char and control-char docs " +
+    "drop; tab/newline and clean prose survive") {
+    val docs = Seq( // four UNRELATED texts: near-dup must not collapse
+      (30L, "the quick brown fox jumps over the lazy dog and then it " +
+        "runs far away to the old stone house by the river bank"),
+      (31L, "a slow grey owl glides over the quiet field at night and " +
+        "waits for the small mouse to leave its broken\uFFFDtail hole"),
+      (32L, "ctrl\u0007 the tall green tree stands near the wide road " +
+        "where many people walk to the market in the early morning"),
+      (33L, "rain falls on the red roof all day\tand the children " +
+        "watch it\nfrom the warm kitchen with a cup of hot tea"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text"))
+    // default keeps damage (opt-in gate)
+    val all = Pipelines.curate(docs, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(all == Set(30L, 31L, 32L, 33L), s"got $all")
+    val gated = Pipelines.curate(docs, minJaccard = 0.5,
+      dropDamaged = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gated == Set(30L, 33L), s"got $gated")
+  }
+
   test("E5 releaseAudit: one call yields the four audit frames") {
     val base = "the quick brown fox jumps over the lazy dog near the " +
       "old stone house by the river bank in the quiet morning light"
