@@ -1746,6 +1746,49 @@ object SparkEntry {
     "q162_temperature_mix" -> ((s, dir) => {
       TextOps.temperatureWeights(t(s, dir, "documents"))
         .orderBy("source")
+    }),
+
+    // bigram LM statistics: top-3 continuations per context word with
+    // the exact-quotient conditional probability
+    "q163_bigram_lm" -> ((s, dir) => {
+      TextOps.bigramLm(t(s, dir, "documents"), k = 3)
+        .orderBy("w1", "rank")
+    }),
+
+    // typographic normalization over text with injected smart quotes,
+    // em dash, and NBSP (the oracle replays the identical fold chain)
+    "q164_normalize_text" -> ((s, dir) => {
+      val fancy = concat(lit("\u201C"), col("text"),
+        lit("\u201D \u2014 end\u00A0here  ok"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.normalizeText(fancy).as("norm"))
+        .orderBy("doc_id")
+    }),
+
+    // anchor-text pairs from synthesized markup (two anchors per doc,
+    // mixed case and quote styles) — the anchor-relevance signal
+    "q165_anchor_text" -> ((s, dir) => {
+      val html = concat(
+        lit("<p><a href=\"https://www."), col("source"),
+        lit(".example.com/d"), col("doc_id"), lit("\">Doc "),
+        col("doc_id"), lit("</a> and <A HREF='/rel/p"),
+        col("doc_id") % 7, lit("'>rel link</A></p>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextOps.extractAnchors(html)).as(Seq("pos", "pr")))
+        .select(col("doc_id"), (col("pos") + 1).as("pair_no"),
+          col("pr.link").as("link"), col("pr.anchor").as("anchor"))
+        .orderBy("doc_id", "pair_no")
+    }),
+
+    // multi-crawl exact dedup, NEWEST capture wins (synthetic content
+    // groups of ~4 docs across 5 crawl rounds; max-(order,id) keeper)
+    "q166_dedup_latest" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("c"), col("doc_id") % 137).as("text"),
+        (col("doc_id") % 5).as("crawl"))
+      Dedup.exactKeepLatest(d, orderCol = "crawl")
+        .orderBy("keep_id")
     })
   )
 
@@ -2712,6 +2755,83 @@ object SparkEntry {
         |m AS (SELECT max(weight) AS max_weight FROM w)
         |SELECT source, n_tokens, weight, weight / max_weight AS rel_weight
         |FROM w CROSS JOIN m ORDER BY source""".stripMargin,
+
+    // q163: parallel slice-unnest zips the bigram pairs; (n DESC, w2) is
+    // a total order per context so the top-3 boundary cannot flip; the
+    // conditional is one exact-integer division
+    "q163_bigram_lm" ->
+      """WITH tkl AS (
+        |  SELECT list_filter(string_split(lower(text), ' '),
+        |         t -> len(t) > 0) AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |p0 AS (
+        |  SELECT unnest(tk[1:len(tk)-1]) AS w1,
+        |         unnest(tk[2:len(tk)]) AS w2
+        |  FROM tkl WHERE len(tk) >= 2),
+        |p AS (SELECT w1, w2, count(*) AS n FROM p0 GROUP BY w1, w2),
+        |ctx AS (SELECT w1, CAST(sum(n) AS BIGINT) AS context_n
+        |        FROM p GROUP BY w1),
+        |r AS (SELECT w1, w2, n, row_number() OVER
+        |        (PARTITION BY w1 ORDER BY n DESC, w2) AS rnk FROM p)
+        |SELECT r.w1, r.w2, r.n, ctx.context_n,
+        |       CAST(r.n AS DOUBLE) / CAST(ctx.context_n AS DOUBLE)
+        |         AS prob,
+        |       CAST(rnk AS INTEGER) AS rank
+        |FROM r JOIN ctx USING (w1) WHERE rnk <= 3
+        |ORDER BY w1, rank""".stripMargin,
+
+    // q164: identical injected typography (chr codes) and identical
+    // fold chain + whitespace collapse
+    "q164_normalize_text" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    chr(8220) || text || chr(8221) || ' ' || chr(8212)
+        |      || ' end' || chr(160) || 'here  ok' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(replace(
+        |      coalesce(t, ''),
+        |      chr(8216), ''''), chr(8217), ''''),
+        |      chr(8220), '"'), chr(8221), '"'),
+        |      chr(8211), '-'), chr(8212), '-'),
+        |      chr(160), ' '),
+        |    '[ \t\n\r]+', ' ', 'g')) AS norm
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // q165: both (link, anchor) rows re-derived from the markup
+    // synthesis formulas, independent of the regex
+    "q165_anchor_text" ->
+      """WITH a1 AS (
+        |  SELECT doc_id, 1 AS pair_no,
+        |    'https://www.' || source || '.example.com/d'
+        |      || CAST(doc_id AS VARCHAR) AS link,
+        |    'Doc ' || CAST(doc_id AS VARCHAR) AS anchor
+        |  FROM documents),
+        |a2 AS (
+        |  SELECT doc_id, 2 AS pair_no,
+        |    '/rel/p' || CAST(doc_id % 7 AS VARCHAR) AS link,
+        |    'rel link' AS anchor
+        |  FROM documents)
+        |SELECT * FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+        |ORDER BY doc_id, pair_no""".stripMargin,
+
+    // q166: newest-crawl-wins keeper replayed as a (crawl DESC, id DESC)
+    // window; copy count and winning order are exact integers
+    "q166_dedup_latest" ->
+      """WITH d AS (
+        |  SELECT doc_id, 'c' || CAST(doc_id % 137 AS VARCHAR) AS c,
+        |         doc_id % 5 AS crawl
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, c, crawl,
+        |    row_number() OVER (PARTITION BY c
+        |                       ORDER BY crawl DESC, doc_id DESC) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY c) AS BIGINT) AS n_copies,
+        |    max(crawl) OVER (PARTITION BY c) AS keep_order
+        |  FROM d)
+        |SELECT doc_id AS keep_id, n_copies, keep_order
+        |FROM r WHERE rn = 1 ORDER BY keep_id""".stripMargin,
 
     // q147: both snapshots re-derived from the same filters/revision
     // rule; md5 over the identical chr(1)-joined (text, source) pair

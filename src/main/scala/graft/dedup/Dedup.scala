@@ -38,6 +38,26 @@ object Dedup {
       .groupBy(TextOps.normalizedFingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** [[exact]] with a RECENCY keep rule — the multi-crawl form: when the
+    * same content appears across dated crawl rounds, keep the NEWEST
+    * occurrence (Common Crawl refreshes supersede stale captures), ties
+    * broken by max id for determinism. One map-side-combined `max_by`
+    * over a (order, id) struct — same digest-only shuffle class as
+    * [[exact]]: content (or its digest) is the grouping key, payloads
+    * need not move when callers pre-hash. Emits the keeper id, copy
+    * count, and the winning order value. */
+  def exactKeepLatest(docs: DataFrame, orderCol: String,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(col(textCol))
+      .agg(
+        max_by(col(idCol), struct(col(orderCol), col(idCol)))
+          .as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        max(col(orderCol)).as("keep_order"))
+      .drop(textCol)
+
   // ---- MinHash + LSH -----------------------------------------------------
 
   /** MinHash signatures as (id, sig ARRAY<LONG>) via the native

@@ -1381,6 +1381,79 @@ object TextOps {
         (col("weight") / col("max_weight")).as("rel_weight"))
   }
 
+  /** BIGRAM LANGUAGE-MODEL STATISTICS — per context word, the top-`k`
+    * continuations with count and conditional probability
+    * `P(w2|w1) = n(w1,w2) / n(w1,·)` (one exact-integer division — the
+    * portable half of an n-gram LM; log-space/backoff left caller-side
+    * per the q148/q156 non-portable-`ln` rule). One (w1, w2) map-side-
+    * combined count, one w1-keyed window capped by rank BEFORE any
+    * collection (WindowGroupLimit prunes, so stop-word contexts emit
+    * `k` rows, never vocabulary-width fans). */
+  def bigramLm(docs: DataFrame, k: Int = 3,
+               textCol: String = "text"): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val pairs = withToks(docs.filter(col(textCol).isNotNull), textCol)
+      .filter(size(col("_toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(_toks) - 1)," +
+          " i -> struct(_toks[i-1] AS w1, _toks[i] AS w2))"))
+        .as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val ctx = pairs.groupBy("w1").agg(sum(col("n")).as("context_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("w1").orderBy(col("n").desc, col("w2"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .join(broadcast(ctx), Seq("w1"))
+      .select(col("w1"), col("w2"), col("n"), col("context_n"),
+        (col("n").cast("double") / col("context_n").cast("double"))
+          .as("prob"),
+        col("rank"))
+  }
+
+  /** Helper column for [[bigramLm]]'s token array (named so the SQL
+    * `expr` above can reference it). */
+  private def withToks(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("_toks",
+      filter(wsTokens(lower(col(textCol))), t => length(t) > 0))
+
+  /** TEXT NORMALIZATION — the canonicalization pass crawl pipelines run
+    * before tokenization/dedup (C4/Gopher-style): typographic quotes and
+    * dashes folded to ASCII, NBSP to space, whitespace runs collapsed,
+    * edges trimmed. Character-for-character `replace` folds (portable
+    * verbatim to any engine) plus one whitespace-class regex; map-only,
+    * codegen'd. Deliberately NOT a full NFKC pass — the fold set is
+    * explicit and auditable, which is what a curation pipeline wants. */
+  def normalizeText(text: Column): Column = {
+    val folds: Seq[(String, String)] = Seq(
+      "\u2018" -> "'", "\u2019" -> "'", // ' '
+      "\u201C" -> "\"", "\u201D" -> "\"", // " "
+      "\u2013" -> "-", "\u2014" -> "-", // – —
+      "\u00A0" -> " ") // NBSP
+    val folded = folds.foldLeft(coalesce(text, lit(""))) {
+      case (acc, (from, to)) => replace(acc, lit(from), lit(to))
+    }
+    trim(regexp_replace(folded, "[ \\t\\n\\r]+", " "))
+  }
+
+  /** ANCHOR-TEXT EXTRACTION — the (href, anchor) pair form of
+    * [[extractLinks]]: every `<a ... href="X" ...>TEXT</a>` in document
+    * order, case-insensitive, both quote styles, anchor limited to
+    * markup-free runs (`[^<]*` — nested markup inside the anchor ends
+    * the match, the standard cheap-extractor trade-off). Two capture
+    * groups extracted by parallel `regexp_extract_all` calls zipped
+    * into structs — map-only, Java ∩ RE2 subset. Feeds the classic
+    * anchor-text relevance signal: explode + group by target domain. */
+  def extractAnchors(html: Column): Column = {
+    val p = "(?i)<a\\s[^>]*href\\s*=\\s*[\"']([^\"'<>]+)[\"'][^>]*>([^<]*)</a>"
+    val h = coalesce(html, lit(""))
+    arrays_zip(
+      regexp_extract_all(h, lit(p), lit(1)).as("link"),
+      regexp_extract_all(h, lit(p), lit(2)).as("anchor"))
+  }
+
   /** ENCODING-DAMAGE DETECTION — the mojibake/transcoding gate a crawl
     * corpus needs before any text rule runs: U+FFFD replacement-
     * character count (the decoder's own damage marker), C0 control

@@ -2479,4 +2479,49 @@ class ExtensionsSpec extends SparkSpec {
       ("s1", 13L, math.sqrt(13.0), 1.0),
       ("s2", 4L, 2.0, 2.0 / math.sqrt(13.0))))
   }
+
+  test("bigramLm: closed-form conditionals, (count desc, w2) rank order, " +
+    "top-k cap, single-token docs skipped") {
+    val docs = Seq((1L, "a b a b a c"), (2L, "b c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bigramLm(docs, k = 2).orderBy("w1", "rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getInt(5))).toSeq
+    // pairs: doc1 ab ba ab ba ac; doc2 bc. contexts: a->{b:2,c:1}=3,
+    // b->{a:2,c:1}=3; x emits nothing
+    assert(got == Seq(
+      ("a", "b", 2L, 3L, 2.0 / 3, 1), ("a", "c", 1L, 3L, 1.0 / 3, 2),
+      ("b", "a", 2L, 3L, 2.0 / 3, 1), ("b", "c", 1L, 3L, 1.0 / 3, 2)))
+  }
+
+  test("normalizeText: quotes/dashes/NBSP folded, whitespace collapsed, " +
+    "trimmed, null-safe") {
+    val docs = Seq(
+      Some("\u201Chi\u201D \u2018x\u2019 \u2013 y\u2014z\u00A0w"),
+      Some("  a \t b \n c  "), None).toDF("text")
+    val got = docs.select(TextOps.normalizeText(col("text")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("\"hi\" 'x' - y-z w", "a b c", ""))
+  }
+
+  test("extractAnchors: (href, anchor) pairs in order, mixed case and " +
+    "quote styles, nested-markup anchors excluded") {
+    val html = "<a href=\"/x\">first</a> mid " +
+      "<A HREF='/y' class=z>second</A> <a href=\"/n\"><b>skip</b></a>"
+    val got = Seq(html).toDF("h")
+      .select(explode(TextOps.extractAnchors(col("h"))).as("p"))
+      .select("p.link", "p.anchor").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("/x", "first"), ("/y", "second")))
+  }
+
+  test("exactKeepLatest: newest order wins, id breaks ties, copies " +
+    "and winning order reported") {
+    val docs = Seq((1L, "t", 5L), (2L, "t", 9L), (3L, "t", 9L),
+      (4L, "u", 1L)).toDF("doc_id", "text", "crawl")
+    val got = Dedup.exactKeepLatest(docs, "crawl").orderBy("keep_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((3L, 3L, 9L), (4L, 1L, 1L)))
+  }
 }
