@@ -178,7 +178,40 @@ object ScaleProbe {
             .select(graft.text.UrlOps.registeredDomain(
               graft.text.UrlOps.hostOf(col("u"))).as("rd"), col("u"))
             .agg(sum(length(col("u"))), count_distinct(col("rd")))
-            .head(); 1L }))
+            .head(); 1L },
+        // round-9 additions: node/edge domains SCALE with the corpus
+        // (div-derived node ids) so the probe measures the iteration
+        // joins, not a fixed 10-node toy
+        "pagerank3" -> { d =>
+          val n = expr("doc_id div 2")
+          val edges = d.select(
+            concat(lit("d"), n).as("src"),
+            concat(lit("d"), n + (col("doc_id") % 3) + 1).as("dst"))
+          graft.ops.Graph.pageRank(edges, iterations = 3)
+            .agg(sum("rank")).head(); 1L },
+        "bigram_lm_top3" -> { d =>
+          TextOps.bigramLm(d, k = 3).agg(sum("n")).head(); 1L },
+        "nb_train" -> { d =>
+          TextOps.naiveBayesTrain(d, "source")
+            .agg(sum("n"), max("smoothed_prob")).head(); 1L },
+        "bpe_encode8" -> { d =>
+          d.select(explode(TextOps.bpeEncode(col("text"),
+              Seq("t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+                "an" -> "d", "e" -> "r", "o" -> "n", "in" -> "g")))
+              .as("w"))
+            .agg(sum(length(col("w")))).head(); 1L },
+        "contamination_report" -> { d =>
+          val split = d.withColumn("s", TextOps.hashSplit(col("doc_id")))
+          TextOps.contaminationReport(split.filter(col("s") === "train"),
+            split.filter(col("s") === "test"), n = 8)
+            .agg(sum("n_hit")).head(); 1L },
+        "keep_latest" -> { d =>
+          Dedup.exactKeepLatest(
+            d.withColumn("crawl", col("doc_id") % 5), "crawl")
+            .agg(sum("n_copies")).head(); 1L },
+        "mojibake" -> { d =>
+          TextOps.mojibakeStats(d)
+            .agg(sum("n_non_ascii"), sum("damaged")).head(); 1L }))
 
     // embedding-family probe: replicate embeddings with coordinate jitter
     // derived from the replica index (deterministic, no RNG)

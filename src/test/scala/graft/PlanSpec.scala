@@ -458,6 +458,44 @@ class PlanSpec extends SparkSpec {
       s"fusion top-k not bounded:\n$p146")
   }
 
+  test("round-9c additions keep their ledger shapes: map-only text ops, " +
+    "partial-agged counts, rank-capped LM window, digest-class keeper") {
+    // q154/q157/q159/q161/q164/q165 are stage-1 map-only projections
+    Seq("q154_bpe_encode", "q157_mojibake", "q159_oov_rate",
+      "q161_sentence_stats", "q164_normalize_text",
+      "q165_anchor_text").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q plans a join:\n$p")
+      assert(!p.contains("HashAggregate"), s"$q plans an agg:\n$p")
+    }
+    // q156 NB train: (label, token) counts map-side combine; the label
+    // totals and vocab ride broadcasts
+    val p156 = plan("q156_nb_train")
+    assert(p156.contains("partial_"), s"no map-side combine:\n$p156")
+    assert(p156.contains("BroadcastHashJoin") ||
+      p156.contains("BroadcastNestedLoopJoin"),
+      s"NB stats not broadcast:\n$p156")
+    // q163 bigram LM: the per-context rank must be pruned BEFORE any
+    // collection (WindowGroupLimit) and the context totals broadcast
+    val p163 = plan("q163_bigram_lm")
+    assert(p163.contains("WindowGroupLimit"),
+      s"LM rank not pre-capped:\n$p163")
+    assert(p163.contains("BroadcastHashJoin"),
+      s"context totals not broadcast:\n$p163")
+    // q166 keep-latest: exact's digest-class shuffle — one partial
+    // max_by aggregation, no window, no join
+    val p166 = plan("q166_dedup_latest")
+    assert(p166.contains("partial_"), s"no map-side combine:\n$p166")
+    assert(!p166.contains("Join"), s"keeper should not join:\n$p166")
+    assert(!p166.contains("Window"), s"keeper should not window:\n$p166")
+    // q155 pagerank / q158 degrees: no cartesian anywhere in the
+    // iteration joins
+    Seq("q155_domain_pagerank", "q158_degree_stats").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q goes cartesian:\n$p")
+    }
+  }
+
   test("giant-group quantile fallback: no window sort, cuts broadcast") {
     // the routed cut-point path over a real parquet scan: one
     // partial-aggregated percentile pass + broadcast join + map-side bin
