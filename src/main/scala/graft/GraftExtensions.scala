@@ -154,7 +154,24 @@ object GraftFunctions {
         catalystExpression(
           graft.text.TextOps.blocklistFraction(column(exprs(0)),
             strLit(exprs(1), "blocklist_fraction").split(",")
-              .map(_.trim).filter(_.nonEmpty).toSeq)) }))
+              .map(_.trim).filter(_.nonEmpty).toSeq)) }),
+    ("normalize_text", graft.text.TextOps.getClass.getName,
+      exprs => { arity("normalize_text", exprs, 1, 1)
+        catalystExpression(
+          graft.text.TextOps.normalizeText(column(exprs(0)))) }),
+    // bpe_encode(word, 'a b,th e,...') — merges as the comma-separated
+    // 'left right' pair list the trainer (q152 shape) emits
+    ("bpe_encode", graft.text.TextOps.getClass.getName,
+      exprs => { arity("bpe_encode", exprs, 2, 2)
+        val merges = strLit(exprs(1), "bpe_encode").split(",")
+          .map(_.trim).filter(_.nonEmpty).toSeq.map { m =>
+            val parts = m.split(" ", 2)
+            require(parts.length == 2,
+              s"bpe_encode: merge '$m' is not 'left right'")
+            (parts(0), parts(1))
+          }
+        catalystExpression(
+          graft.text.TextOps.bpeEncodeWord(column(exprs(0)), merges)) }))
 
   // ---- table functions: whole-operator SQL surface ----------------------
   // The interval-algebra signature operators are DataFrame→DataFrame

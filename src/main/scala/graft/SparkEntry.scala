@@ -1789,6 +1789,20 @@ object SparkEntry {
         (col("doc_id") % 5).as("crawl"))
       Dedup.exactKeepLatest(d, orderCol = "crawl")
         .orderBy("keep_id")
+    }),
+
+    // robots-rule politeness filter: broadcast (host, prefix) disallow
+    // table, host-equi + path-prefix left_anti over synthesized URLs
+    "q167_robots_filter" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        col("source"),
+        concat(lit("https://www."), col("source"),
+          lit(".example.com/p"), col("doc_id") % 3, lit("/x")).as("url"))
+      val rules = (Seq("src0", "src1", "src2", "src3", "src4")
+        .map(x => (s"www.$x.example.com", "/p0")) :+
+        ("www.src0.example.com", "/p1")).toDF("host", "prefix")
+      UrlOps.dropDisallowed(docs, rules).orderBy("doc_id")
     })
   )
 
@@ -2832,6 +2846,20 @@ object SparkEntry {
         |  FROM d)
         |SELECT doc_id AS keep_id, n_copies, keep_order
         |FROM r WHERE rn = 1 ORDER BY keep_id""".stripMargin,
+
+    // q167: the survivor set re-derived straight from the rule table's
+    // semantics (host match + path prefix), independent of the join
+    "q167_robots_filter" ->
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |    'https://www.' || source || '.example.com/p'
+        |      || CAST(doc_id % 3 AS VARCHAR) || '/x' AS url
+        |  FROM documents)
+        |SELECT doc_id, source, url FROM u
+        |WHERE NOT (source IN ('src0','src1','src2','src3','src4')
+        |           AND doc_id % 3 = 0)
+        |  AND NOT (source = 'src0' AND doc_id % 3 = 1)
+        |ORDER BY doc_id""".stripMargin,
 
     // q147: both snapshots re-derived from the same filters/revision
     // rule; md5 over the identical chr(1)-joined (text, source) pair

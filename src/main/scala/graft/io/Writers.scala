@@ -41,6 +41,19 @@ object Writers {
     (if (cols.nonEmpty) w.partitionBy(cols: _*) else w).orc(path)
   }
 
+  /** JSON-Lines sink — the interchange format LLM corpora actually ship
+    * as (one JSON object per line, optionally gzipped per part file).
+    * Columnar formats beat it for analytics (no pushdown, no pruning,
+    * full-row parse on read — keep parquet/ORC for pipeline-internal
+    * hops); this is the EXPORT edge. gzip parts are non-splittable (the
+    * WARC caveat): parallelism on re-read = part-file count, which this
+    * writer controls via the upstream partition count. */
+  def jsonl(df: DataFrame, path: String, gzip: Boolean = false,
+            mode: String = "overwrite"): Unit = {
+    val w = df.write.mode(mode)
+    (if (gzip) w.option("compression", "gzip") else w).json(path)
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ≈`targetFileMB`-sized files. Streaming sinks, per-batch ingests, and
     * over-parallel writers leave thousands of KB-scale files per

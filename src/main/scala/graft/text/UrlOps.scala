@@ -168,4 +168,40 @@ object UrlOps {
       registeredDomain(hostOf(col(urlCol))) === col("blocked_domain"),
       "left_anti")
   }
+
+  /** Disallow prefixes from a robots.txt body — SIMPLIFIED: every
+    * `Disallow:` line regardless of its User-agent section (the
+    * conservative read a bulk curation pass takes by honoring the most
+    * restrictive rule set; agent-section scoping would need a stateful
+    * parse — documented trade-off). Case-insensitive, one multiline
+    * regex in the Java ∩ RE2 subset, map-only. Empty `Disallow:` lines
+    * (allow-all markers) are excluded by the `\S+` requirement; the
+    * gap matcher is `[ \t]*`, NOT `\s*` — `\s` crosses the newline and
+    * would capture the next line's first token on an empty rule. */
+  def robotsDisallows(robotsTxt: Column): Column =
+    regexp_extract_all(coalesce(robotsTxt, lit("")),
+      lit("(?im)^disallow:[ \\t]*(\\S+)"), lit(1))
+
+  /** ROBOTS-RULE URL FILTER — crawl politeness as a relational gate:
+    * drop URLs whose host has a matching (host, prefix) disallow rule
+    * and whose path starts with the prefix. `rules` is the per-host
+    * rule table ([[robotsDisallows]] exploded per fetched robots.txt,
+    * or any policy list) — list-sized, so it rides a BROADCAST
+    * left_anti with an equi-join on host and the prefix test as the
+    * residual; the URL corpus never shuffles. Path is the raw path
+    * component (no query/fragment), empty for bare-host URLs — prefix
+    * semantics per the original robots.txt convention (plain string
+    * prefix, no wildcards). */
+  def dropDisallowed(urls: DataFrame, rules: DataFrame,
+                     urlCol: String = "url"): DataFrame = {
+    val host = hostOf(col(urlCol))
+    val path = regexp_extract(col(urlCol),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)", 1)
+    val r = broadcast(rules.select(col("host").as("_r_host"),
+      col("prefix").as("_r_prefix")))
+    urls.withColumn("_host", host).withColumn("_path", path)
+      .join(r, col("_host") === col("_r_host") &&
+        col("_path").startsWith(col("_r_prefix")), "left_anti")
+      .drop("_host", "_path")
+  }
 }

@@ -147,6 +147,19 @@ class SkewAndSqlSpec extends SparkSpec {
     assert(row.getDouble(2) == api)
   }
 
+  test("normalize_text and bpe_encode ≡ Column API from SQL") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      "SELECT normalize_text('“hi”  there x') AS n, " +
+        "bpe_encode('there', 't h,th e') AS b").head()
+    assert(row.getString(0) == "\"hi\" there x")
+    assert(row.getString(1) == "the r e")
+    import graft.text.TextOps
+    val api = Seq("“hi”  there x").toDF("t")
+      .select(TextOps.normalizeText(col("t"))).head().getString(0)
+    assert(row.getString(0) == api)
+  }
+
   test("SQL optional arguments are honored and bad arity is rejected") {
     GraftFunctions.register(spark)
     // hash_split(key, 100, 0): every key must land in 'train'

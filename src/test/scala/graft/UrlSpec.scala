@@ -114,4 +114,34 @@ class UrlSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") &&
       plan.contains("LeftAnti"), s"blocklist should broadcast:\n$plan")
   }
+
+  test("robotsDisallows: all Disallow lines, case-insensitive, " +
+    "allow-all markers and Allow lines excluded, null-safe") {
+    val robots = "User-agent: *\nDisallow: /private\nAllow: /public\n" +
+      "DISALLOW: /tmp/\nDisallow:\nUser-agent: bot\ndisallow: /b"
+    val got = Seq(Some(robots), None).toDF("t")
+      .select(UrlOps.robotsDisallows(col("t")).as("d")).collect()
+      .map(_.getSeq[String](0).toSeq).toSeq
+    assert(got == Seq(Seq("/private", "/tmp/", "/b"), Seq()))
+  }
+
+  test("dropDisallowed: host equality + path prefix, query string not " +
+    "part of the path, broadcast anti-join") {
+    val urls = Seq(
+      (1L, "https://a.com/private/x"), // rule host+prefix -> dropped
+      (2L, "https://a.com/pub"), // host matches, prefix doesn't
+      (3L, "https://b.com/private/x"), // no rule for b.com
+      (4L, "https://a.com/?p=/private"), // query, not path
+      (5L, "https://a.com/b"), // second rule exact-prefix
+      (6L, "https://a.com")) // bare host: empty path
+      .toDF("id", "url")
+    val rules = Seq(("a.com", "/private"), ("a.com", "/b"))
+      .toDF("host", "prefix")
+    val kept = UrlOps.dropDisallowed(urls, rules)
+    assert(kept.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(2L, 3L, 4L, 6L))
+    val plan = kept.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"), s"rules should broadcast:\n$plan")
+  }
 }

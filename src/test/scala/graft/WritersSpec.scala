@@ -154,6 +154,25 @@ class WritersSpec extends SparkSpec {
     assert(rows(1).getDouble(rows(1).fieldIndex("score")) == 9.5)
   }
 
+  test("jsonl sink round-trips, gzip parts carry the codec extension") {
+    val plain = Files.createTempDirectory("graft_jl").resolve("p").toString
+    val gz = Files.createTempDirectory("graft_jl").resolve("g").toString
+    val df = Seq((1L, "a \"quoted\" line"), (2L, "b\nnewline"))
+      .toDF("id", "text")
+    Writers.jsonl(df.repartition(1), plain)
+    Writers.jsonl(df.repartition(1), gz, gzip = true)
+    val back = spark.read.json(plain).orderBy("id").collect()
+      .map(r => (r.getLong(r.fieldIndex("id")),
+        r.getString(r.fieldIndex("text")))).toSeq
+    assert(back == Seq(1L -> "a \"quoted\" line", 2L -> "b\nnewline"))
+    val backGz = spark.read.json(gz).count()
+    assert(backGz == 2)
+    val gzParts = new java.io.File(gz).listFiles()
+      .filter(_.getName.startsWith("part")).map(_.getName).toSeq
+    assert(gzParts.nonEmpty && gzParts.forall(_.endsWith(".json.gz")),
+      s"expected gzip parts, got $gzParts")
+  }
+
   test("parquetIfAbsent is a no-op when output exists (S8)") {
     val dir = Files.createTempDirectory("graft_w2").resolve("out").toString
     Writers.parquetIfAbsent(Seq(1, 2, 3).toDF("v"), dir)
