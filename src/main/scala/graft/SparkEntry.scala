@@ -1803,7 +1803,101 @@ object SparkEntry {
         .map(x => (s"www.$x.example.com", "/p0")) :+
         ("www.src0.example.com", "/p1")).toDF("host", "prefix")
       UrlOps.dropDisallowed(docs, rules).orderBy("doc_id")
-    })
+    }),
+
+    // C4-style line filter over synthesized multi-line docs: every doc
+    // gains a short line (dropped), a clean sentence (kept), and — for
+    // doc_id%7==0 — a brace line that drops the whole doc
+    "q168_c4_rules" -> ((s, dir) => {
+      val lined = concat(col("text"),
+        lit("\nshort line"),
+        lit("\nThis synthesized line is long enough to keep."),
+        when(col("doc_id") % 7 === 0, lit("\ncode = {"))
+          .otherwise(lit("\nAnother clean sentence ends here.")))
+      TextOps.c4LineFilter(
+        t(s, dir, "documents").select(col("doc_id"), lined.as("text")))
+        .orderBy("doc_id")
+    }),
+
+    // corpus-wide exact paragraph dedup: unique body + footer shared by
+    // doc_id%5 class; doc_id%10==9 bodies are a fully-shared paragraph,
+    // so later such docs keep ZERO paragraphs (empty-rewrite path)
+    "q169_paragraph_dedup" -> ((s, dir) => {
+      val body = when(col("doc_id") % 10 === 9,
+        lit("Fully duplicated paragraph."))
+        .otherwise(col("text"))
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(body, lit("\n\nShared footer number "),
+          (col("doc_id") % 5).cast("string")).as("text"))
+      Dedup.paragraphDedup(d).orderBy("doc_id")
+    }),
+
+    // CCNet-style head/middle/tail perplexity thirds per source under
+    // the q95 corpus unigram LM (deterministic ntile: nll then doc_id)
+    "q170_ppl_buckets" -> ((s, dir) =>
+      TextOps.pplBuckets(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // KMV distinct sketch per source: the 16th-smallest md5(token)
+    // yields the (k-1)/h_(k) estimate — engine-portable, bit-exact
+    "q171_kmv_distinct" -> ((s, dir) =>
+      TextOps.kmvDistinct(t(s, dir, "documents"), k = 16)
+        .orderBy("source")),
+
+    // exact-proportion 80/10/10 stratified split per source (md5-ordered
+    // permutation, integer boundary math)
+    "q172_stratified_split" -> ((s, dir) =>
+      TextOps.stratifiedSplit(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // tokenizer-fertility report per source: subwords/word and
+    // chars/subword from exact integer sums
+    "q173_token_fertility" -> ((s, dir) =>
+      TextOps.tokenFertility(t(s, dir, "documents")).orderBy("source"))
+    ,
+
+    // ADC serving over q106's PQ codes: the query-to-codebook LUT is
+    // driver-built (m·k doubles), each vector costs m table reads,
+    // top-10 by (adc, id) — both sums fixed-order, bit-portable
+    "q174_pq_adc_topk" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      Similarity.pqAdcTopK(embs, queryVec(embs), topK = 10)
+    }),
+
+    // calibration sweep for q148's classifier against the ≥25-token
+    // weak label: confusion counts + precision/recall per threshold
+    "q175_threshold_sweep" -> ((s, dir) => {
+      val weights = s.range(64).select(col("id").cast("int").as("bucket"),
+        (col("id") * 7 % 13 - 6).cast("double").as("weight"))
+      val scored = TextOps.scoreLinearModel(t(s, dir, "documents"),
+        weights, numBuckets = 64, bias = -3.0)
+      val labeled = scored.join(
+        t(s, dir, "documents").select(col("doc_id"),
+          (TextOps.tokenCount(coalesce(col("text"), lit(""))) >= 25)
+            .cast("long").as("ref")), "doc_id")
+      TextOps.thresholdSweep(labeled,
+        Seq(-5.0, -3.0, -1.0, 0.0, 1.0, 3.0, 5.0),
+        labelCol = "ref", scoreCol = "logit")
+        .orderBy("threshold")
+    }),
+
+    // Jelinek-Mercer interpolated bigram/unigram NLL (λ=0.5)
+    "q176_interpolated_nll" -> ((s, dir) =>
+      TextOps.interpolatedNll(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // fetcher-shard plan over synthesized per-source hosts: md5 shard
+    // assignment + per-shard load (hosts, urls, largest host)
+    "q177_host_shard_plan" -> ((s, dir) => {
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://www."), col("source"),
+          lit(".example.com/p"), (col("doc_id") % 17).cast("string"))
+          .as("url"))
+      UrlOps.hostShardPlan(urls, nShards = 4).orderBy("shard")
+    }),
+
+    // embedding-corpus QA audit per label: exact min/max L2 norms from
+    // fixed-order folds (bit-portable unrounded), zero/bad-dim counts
+    "q178_embedding_audit" -> ((s, dir) =>
+      Similarity.embeddingAudit(t(s, dir, "embeddings"))
+        .orderBy("label"))
   )
 
   /** q154's merge list, rank order — the kind of prefix q152's pair
@@ -2216,6 +2310,74 @@ object SparkEntry {
        |SELECT vec_id, CAST(j AS INTEGER) AS subspace,
        |       CAST(cid AS INTEGER) AS code
        |FROM best WHERE rk = 1 ORDER BY vec_id, subspace""".stripMargin
+  }
+
+  /** q174 oracle: q106's encode CTEs + a query-side LUT, ADC as the
+    * explicit left-associative d0+d1+…+d7 chain (the Scala fold's exact
+    * shape), top-10 by (adc, vec_id). */
+  private def pqAdcOracle: String = {
+    val sub = 8
+    def dist(a0: String, b0: String) = (0 until sub).map { t =>
+      val a = s"$a0[8 * gj.j + ${t + 1}]"
+      val b = s"$b0[8 * gj.j + ${t + 1}]"
+      s"($a - $b) * ($a - $b)"
+    }.mkString("\n         + ")
+    val chain = (0 until 8).map(j => s"d$j").mkString(" + ")
+    val pivot = (0 until 8)
+      .map(j => s"max(CASE WHEN j = $j THEN qd END) AS d$j")
+      .mkString(",\n    ")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cb AS (
+       |  SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 16),
+       |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+       |gj AS (SELECT unnest(generate_series(0, 7)) AS j),
+       |encd AS (
+       |  SELECT v.vec_id, gj.j, cb.cid,
+       |         ${dist("v.e", "cb.ce")} AS dist
+       |  FROM v CROSS JOIN gj CROSS JOIN cb),
+       |best AS (
+       |  SELECT vec_id, j, cid,
+       |         row_number() OVER (PARTITION BY vec_id, j
+       |           ORDER BY dist, cid) AS rk
+       |  FROM encd),
+       |code AS (SELECT vec_id, j, cid AS c FROM best WHERE rk = 1),
+       |lut AS (
+       |  SELECT gj.j, cb.cid,
+       |         ${dist("q.qe", "cb.ce")} AS qd
+       |  FROM q CROSS JOIN gj CROSS JOIN cb),
+       |terms AS (
+       |  SELECT code.vec_id, code.j, lut.qd
+       |  FROM code JOIN lut ON lut.j = code.j AND lut.cid = code.c),
+       |p AS (
+       |  SELECT vec_id,
+       |    $pivot
+       |  FROM terms GROUP BY vec_id)
+       |SELECT vec_id, $chain AS adc
+       |FROM p ORDER BY adc, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** q178 oracle: the L2 norm as the explicit 64-term left-associative
+    * chain (the Scala fold's exact shape) — min/max of bit-identical
+    * doubles need no rounding. */
+  private def embAuditOracle: String = {
+    val chain = (1 to 64).map(i => s"e[$i] * e[$i]")
+      .mkString("\n           + ")
+    s"""WITH v AS (
+       |  SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |n AS (
+       |  SELECT label,
+       |    CASE WHEN e IS NOT NULL AND len(e) = 64 THEN 1 ELSE 0 END AS ok,
+       |    CASE WHEN e IS NOT NULL AND len(e) = 64 THEN
+       |      sqrt($chain)
+       |    END AS nrm
+       |  FROM v)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+       |  CAST(sum(1 - ok) AS BIGINT) AS n_bad_dim,
+       |  CAST(sum(CASE WHEN ok = 1 AND nrm = 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_zero,
+       |  min(nrm) AS min_norm, max(nrm) AS max_norm
+       |FROM n GROUP BY label ORDER BY label""".stripMargin
   }
 
   /** q108 oracle: q24's candidate CTEs + q42's split expression, keeping
@@ -2860,6 +3022,223 @@ object SparkEntry {
         |           AND doc_id % 3 = 0)
         |  AND NOT (source = 'src0' AND doc_id % 3 = 1)
         |ORDER BY doc_id""".stripMargin,
+
+    // q168: the identical line synthesis + C4 keep predicate replayed
+    // with DuckDB list lambdas; doc drops re-derived from the brace rule
+    "q168_c4_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || 'short line' || chr(10)
+        |      || 'This synthesized line is long enough to keep.' || chr(10)
+        |      || CASE WHEN doc_id % 7 = 0 THEN 'code = {'
+        |              ELSE 'Another clean sentence ends here.' END AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, string_split(t, chr(10)) AS ls,
+        |    list_filter(string_split(t, chr(10)),
+        |      x -> len(list_filter(string_split(x, ' '),
+        |                           w -> len(w) > 0)) >= 3
+        |           AND regexp_matches(x, '[.!?"]$')) AS keep
+        |  FROM d
+        |  WHERE NOT contains(lower(t), 'lorem ipsum')
+        |    AND NOT contains(t, '{'))
+        |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+        |       CAST(len(keep) AS BIGINT) AS kept_lines,
+        |       array_to_string(keep, chr(10)) AS cleaned
+        |FROM f WHERE len(keep) > 0 ORDER BY doc_id""".stripMargin,
+
+    // q169: first-occurrence paragraph ownership replayed as a
+    // row_number over md5(para) ordered by (doc_id, pos)
+    "q169_paragraph_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 9 THEN 'Fully duplicated paragraph.'
+        |         ELSE text END AS p0,
+        |    'Shared footer number ' || CAST(doc_id % 5 AS VARCHAR) AS p1
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, pos, para FROM (
+        |    SELECT doc_id, 0 AS pos, p0 AS para FROM d
+        |    UNION ALL SELECT doc_id, 1 AS pos, p1 AS para FROM d)
+        |  WHERE len(trim(para)) > 0),
+        |r AS (
+        |  SELECT doc_id, pos, para,
+        |    row_number() OVER (PARTITION BY md5(para)
+        |                       ORDER BY doc_id, pos) AS rn
+        |  FROM p)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS kept_paras,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+        |    chr(10) || chr(10) ORDER BY pos), '') AS text_dedup
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q170: the q95 NLL model + a per-source ntile(3) with the same
+    // deterministic (nll, doc_id) ordering
+    "q170_ppl_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t AS token FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE len(t) > 0),
+        |vocab AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total FROM vocab),
+        |probs AS (SELECT token, c / n_total AS p FROM vocab CROSS JOIN tot),
+        |nll AS (
+        |  SELECT doc_id, round(avg(-ln(p)), 6) AS nll
+        |  FROM tok JOIN probs USING (token) GROUP BY doc_id),
+        |b AS (
+        |  SELECT d.doc_id, d.source, nll.nll,
+        |    ntile(3) OVER (PARTITION BY d.source
+        |                   ORDER BY nll.nll, d.doc_id) AS b
+        |  FROM nll JOIN documents d USING (doc_id))
+        |SELECT doc_id, source, nll,
+        |  CASE WHEN b = 1 THEN 'head' WHEN b = 3 THEN 'tail'
+        |       ELSE 'middle' END AS bucket
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // q171: the KMV estimator replayed hex-for-hex — md5 order is the
+    // numeric hash order; the division shape matches the Scala exactly
+    "q171_kmv_distinct" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT source, md5(t) AS h FROM (
+        |    SELECT source, unnest(string_split(lower(text), ' ')) AS t
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE len(t) > 0),
+        |r AS (SELECT source, h,
+        |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |      FROM tok),
+        |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_distinct_exact
+        |      FROM tok GROUP BY 1),
+        |k AS (SELECT source, max(h) AS kth_hash
+        |      FROM r WHERE rn <= 16 GROUP BY 1)
+        |SELECT k.source, n.n_distinct_exact, k.kth_hash,
+        |  round(CASE WHEN n.n_distinct_exact < 16
+        |        THEN CAST(n.n_distinct_exact AS DOUBLE)
+        |        ELSE 15.0 / (CAST(('0x' || substr(k.kth_hash, 1, 12))::BIGINT
+        |                          AS DOUBLE) / 281474976710656.0)
+        |        END, 3) AS estimate
+        |FROM k JOIN n USING (source) ORDER BY source""".stripMargin,
+
+    // q172: identical md5-permutation window + integer boundary math
+    "q172_stratified_split" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CASE WHEN rn * 100 <= n * 80 THEN 'train'
+        |       WHEN rn * 100 <= n * 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // q173: q31's proven subword regex + exact integer sums, quotients
+    // taken once per group
+    "q173_token_fertility" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    len(list_filter(string_split(coalesce(text, ''), ' '),
+        |        w -> len(w) > 0)) AS w,
+        |    len(regexp_extract_all(coalesce(text, ''),
+        |        '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS sw,
+        |    len(coalesce(text, '')) AS ch
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(w) AS BIGINT) AS n_words,
+        |  CAST(sum(sw) AS BIGINT) AS n_subwords,
+        |  round(CAST(sum(sw) AS DOUBLE) / sum(w), 6) AS fertility,
+        |  round(CAST(sum(ch) AS DOUBLE) / sum(sw), 6) AS chars_per_subword
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    "q174_pq_adc_topk" -> pqAdcOracle,
+
+    // q175: q148's exact-integer logit + the ≥25-token weak label;
+    // counts are integers, the two quotients taken once per threshold
+    "q175_threshold_sweep" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS bucket,
+        |         count(*) AS n
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |        FROM documents WHERE text IS NOT NULL)
+        |  WHERE len(t) > 0 GROUP BY 1, 2),
+        |dot AS (
+        |  SELECT doc_id, sum(n * ((bucket * 7) % 13 - 6)) AS d
+        |  FROM f GROUP BY doc_id),
+        |sc AS (
+        |  SELECT d.doc_id,
+        |    CAST(coalesce(dot.d, 0) AS DOUBLE) - 3.0::DOUBLE AS s,
+        |    CASE WHEN len(string_split(coalesce(d.text, ''), ' ')) >= 25
+        |         THEN 1 ELSE 0 END AS y
+        |  FROM documents d LEFT JOIN dot USING (doc_id)),
+        |th AS (SELECT unnest([-5.0, -3.0, -1.0, 0.0, 1.0, 3.0, 5.0])
+        |         AS threshold),
+        |c AS (
+        |  SELECT threshold,
+        |    CAST(sum(CASE WHEN s >= threshold AND y = 1
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN s >= threshold AND y = 0
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN s < threshold AND y = 1
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN s < threshold AND y = 0
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM sc CROSS JOIN th GROUP BY threshold)
+        |SELECT threshold, tp, fp, fn, tn,
+        |  CASE WHEN tp + fp > 0
+        |       THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+        |  CASE WHEN tp + fn > 0
+        |       THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall
+        |FROM c ORDER BY threshold""".stripMargin,
+
+    // q176: q109's transition CTEs + q95's unigram probs, mixed with
+    // the identical 0.5·q + 0.5·p expression shape
+    "q176_interpolated_nll" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(lower(text), ' '),
+        |                     x -> len(x) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |tok AS (
+        |  SELECT doc_id, unnest(toks) AS token FROM l),
+        |vocab AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total FROM vocab),
+        |uni AS (SELECT token AS w2, c / n_total AS p_uni
+        |        FROM vocab CROSS JOIN tot),
+        |bg AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram,
+        |         toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT doc_id, toks,
+        |               unnest(generate_series(1, len(toks) - 1)) AS i
+        |        FROM l)),
+        |cbg AS (SELECT bigram, count(*) AS c_bg FROM bg GROUP BY 1),
+        |cw AS (SELECT w1, count(*) AS c_w1 FROM bg GROUP BY 1)
+        |SELECT bg.doc_id, count(*) AS n_transitions,
+        |  round(avg(-ln(
+        |    0.5 * (CAST(cbg.c_bg AS DOUBLE) / cw.c_w1)
+        |      + 0.5 * uni.p_uni)), 6) AS nll
+        |FROM bg JOIN cbg USING (bigram) JOIN cw USING (w1)
+        |        JOIN uni USING (w2)
+        |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
+
+    // q177: host re-derived from the synthesis formula, the same
+    // 8-hex-digit md5 bucket as q110/q148
+    "q177_host_shard_plan" ->
+      """WITH u AS (
+        |  SELECT 'www.' || source || '.example.com' AS host
+        |  FROM documents),
+        |h AS (
+        |  SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+        |    ('0x' || substr(md5(host), 1, 8))::BIGINT % 4 AS shard
+        |  FROM u GROUP BY host)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_hosts,
+        |  CAST(sum(n_urls) AS BIGINT) AS n_urls,
+        |  CAST(max(n_urls) AS BIGINT) AS max_host_urls
+        |FROM h GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "q178_embedding_audit" -> embAuditOracle,
 
     // q147: both snapshots re-derived from the same filters/revision
     // rule; md5 over the identical chr(1)-joined (text, source) pair

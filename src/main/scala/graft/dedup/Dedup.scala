@@ -1065,4 +1065,54 @@ object Dedup {
           coalesce(col("clean_text"), lit("")).as("clean_text"))
     }
   }
+
+  /** Corpus-wide exact PARAGRAPH dedup (CCNet-style, Wenzek et al. 2020):
+    * split every document on blank lines, keep each distinct paragraph
+    * only at its FIRST occurrence (lexicographic (doc_id, position) —
+    * deterministic, crawl-order-free), and rebuild each document from its
+    * surviving paragraphs. The standard Common-Crawl cleanup for
+    * boilerplate shared across pages of a site (nav bars, footers, cookie
+    * banners) that whole-document dedup cannot see and substring dedup
+    * ([[substringDedup]]) attacks at a different (fixed-width chunk)
+    * granularity.
+    *
+    * Output: (id, n_paras, kept_paras, text_dedup) for every input doc —
+    * docs whose every paragraph is owned elsewhere survive with
+    * kept_paras = 0 and an empty rewrite (the caller drops or keeps them).
+    *
+    * Scale: the only shuffles are keyed by the paragraph md5 DIGEST (32
+    * bytes — the paragraph body never ships; the winner join sends only
+    * (digest, owner doc, pos)) and by doc id for the rebuild. No
+    * driver-side state at any corpus size, unlike the broadcast-table
+    * fast path of [[substringDedup]]. */
+  def paragraphDedup(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val paras = docs.select(col(idCol).cast("long").as("id"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n\n"))
+          .as(Seq("pos", "para")))
+      .filter(length(trim(col("para"))) > 0)
+      .withColumn("d", md5(col("para")))
+    // first occurrence per digest: one digest-keyed reduction, then a
+    // digest-keyed broadcast-or-shuffle join back (both 32-byte keys)
+    val owners = paras.select(col("d"), struct(col("id"), col("pos"))
+        .as("at"))
+      .groupBy("d").agg(min("at").as("o"))
+      .select(col("d"), col("o.id").as("owner_id"),
+        col("o.pos").as("owner_pos"))
+    val kept = col("id") === col("owner_id") && col("pos") === col("owner_pos")
+    val agg = paras.join(owners, "d")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(kept, 1L).otherwise(0L)).as("kept_paras"),
+        array_join(transform(
+          array_sort(collect_list(when(kept,
+            struct(col("pos"), col("para"))))),
+          s => s.getField("para")), "\n\n").as("text_dedup"))
+    docs.select(col(idCol), col(idCol).cast("long").as("id"))
+      .join(agg, Seq("id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("kept_paras"), lit(0L)).as("kept_paras"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
 }

@@ -664,4 +664,77 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** ADC (asymmetric distance computation) top-k over PQ codes — the
+    * serving half of [[pqEncode]] (Jégou et al. 2011): the query's
+    * distance to every codebook centroid is precomputed ONCE per
+    * subspace into an m·k lookup table, and each corpus vector's
+    * approximate distance is just m table reads summed — the corpus
+    * floats are never touched at query time. At 100 TB the scan reads
+    * only the m-byte code column (column pruning does the rest); the
+    * LUT is m·k doubles riding the plan as a literal, and the top-k is
+    * one TakeOrderedAndProject — no shuffle of anything but k rows.
+    *
+    * Determinism/portability: the LUT entries and the ADC sum are both
+    * LEFT-ASSOCIATIVE fixed-order additions (subspace-dim order, then
+    * subspace order), so the doubles are bit-identical to an oracle
+    * that writes the same explicit `d0 + d1 + …` chain. Ties broken by
+    * id. */
+  def pqAdcTopK(embs: DataFrame, query: Array[Double], topK: Int,
+                m: Int = 8, k: Int = 16, idCol: String = "vec_id",
+                vecCol: String = "embedding",
+                dim: Int = DefaultDim): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(query.length == dim, s"query dim ${query.length} != $dim")
+    val sub = dim / m
+    val cb = embs.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(cb.length == k, s"corpus has only ${cb.length} rows for k=$k")
+    // lut(j*k + c) = ||query_j − cb(c)_j||², dims summed in index order
+    val lut: Array[Double] = Array.tabulate(m * k) { i =>
+      val j = i / k; val c = i % k
+      var d = 0.0
+      var t = 0
+      while (t < sub) {
+        val diff = query(sub * j + t) - cb(c)(sub * j + t)
+        d += diff * diff
+        t += 1
+      }
+      d
+    }
+    val lutCol = typedlit(lut.toSeq)
+    // fixed-order left fold over subspaces: ((0+l_0)+l_1)+… — the
+    // oracle's explicit d0+d1+… chain
+    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, j) => acc + element_at(lutCol,
+        (lit(k) * j + element_at(col("codes"), j + 1) + 1).cast("int")))
+    pqEncode(embs, m, k, idCol, vecCol, dim)
+      .select(col(idCol), adc.as("adc"))
+      .orderBy(col("adc").asc, col(idCol).asc)
+      .limit(topK)
+  }
+
+  /** Embedding-corpus QA audit — the integrity gate an ANN/semantic
+    * pipeline runs before indexing: per `groupCol`, vector count,
+    * wrong-dimension count, zero-norm count (unindexable under cosine),
+    * and the exact min/max L2 norm (an un-normalized or corrupted batch
+    * shows up as a norm excursion). Norms are fixed-order per-dimension
+    * folds, so min/max are bit-portable WITHOUT rounding — order-free
+    * aggregates of bit-identical values. Map-side partial aggregation
+    * only; group cardinality rows out. */
+  def embeddingAudit(embs: DataFrame, groupCol: String = "label",
+                     vecCol: String = "embedding",
+                     dim: Int = DefaultDim): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val norm2 = aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
+      (acc, i) => acc + element_at(v, i + 1) * element_at(v, i + 1))
+    val ok = v.isNotNull && size(v) === dim
+    embs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(!ok, 1L).otherwise(0L)).as("n_bad_dim"),
+        sum(when(ok && norm2 === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        min(when(ok, sqrt(norm2))).as("min_norm"),
+        max(when(ok, sqrt(norm2))).as("max_norm"))
+  }
 }

@@ -813,6 +813,79 @@ object TextOps {
         avg(-log(col("c_bg").cast("double") / col("c_w1"))).as("nll"))
   }
 
+  /** Jelinek-Mercer INTERPOLATED bigram/unigram NLL: mean
+    * −ln(λ·P(w₂|w₁) + (1−λ)·P(w₂)) per document — the smoothing that
+    * makes an n-gram quality filter robust where pure-bigram NLL
+    * ([[bigramNll]]) over-penalizes rare-but-fluent transitions (the
+    * unigram floor keeps every mixed probability well away from the
+    * model's sparse tail). Same shuffle ledger as bigramNll plus one
+    * token-domain unigram join; the mix is one fixed-shape expression
+    * (λ·q + (1−λ)·p) so the doubles replay engine-for-engine. */
+  def interpolatedNll(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      lambda: Double = 0.5): DataFrame = {
+    require(lambda > 0 && lambda < 1, "lambda must be in (0,1)")
+    val tok = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(
+        filter(wsTokens(lower(col(textCol))), t => length(t) > 0))
+        .as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum("c").cast("double").as("n_total"))
+    val uni = vocab.crossJoin(broadcast(total))
+      .select(col("token").as("w2"), (col("c") / col("n_total")).as("p_uni"))
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        filter(wsTokens(lower(col(textCol))), t => length(t) > 0).as("toks"))
+      .filter(size(col("toks")) > 1)
+    val bg = toks.select(col(idCol),
+        explode(expr("transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(concat(toks[i - 1], ' ', toks[i]) AS bigram, " +
+          "toks[i - 1] AS w1, toks[i] AS w2))")).as("b"))
+      .select(col(idCol), col("b.bigram").as("bigram"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cbg = bg.groupBy("bigram").agg(count(lit(1)).as("c_bg"))
+    val cw = bg.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+    val mix = lit(lambda) * (col("c_bg").cast("double") / col("c_w1")) +
+      lit(1.0 - lambda) * col("p_uni")
+    bg.join(cbg, "bigram").join(cw, "w1").join(uni, "w2")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_transitions"),
+        round(avg(-log(mix)), 6).as("nll"))
+  }
+
+  /** CLASSIFIER THRESHOLD SWEEP — the calibration step between training
+    * a quality classifier ([[scoreLinearModel]]/[[naiveBayesTrain]]) and
+    * deploying its cutoff (the FineWeb-Edu "pick the score floor" step):
+    * confusion counts + precision/recall at each candidate threshold
+    * against a reference label. The threshold list rides a broadcast
+    * |T|-row frame; counts are exact integers map-side combined, the
+    * two quotients are taken once per threshold (null when undefined).
+    * One pass over the scored corpus regardless of |T|. */
+  def thresholdSweep(scored: DataFrame, thresholds: Seq[Double],
+                     labelCol: String = "label",
+                     scoreCol: String = "logit"): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val s2 = scored.sparkSession
+    import s2.implicits._
+    val th = thresholds.toDF("threshold")
+    val pos = col("s") >= col("threshold")
+    val y = col("y") === 1L
+    scored.select(col(scoreCol).as("s"), col(labelCol).cast("long").as("y"))
+      .crossJoin(broadcast(th))
+      .groupBy("threshold")
+      .agg(sum(when(pos && y, 1L).otherwise(0L)).as("tp"),
+        sum(when(pos && !y, 1L).otherwise(0L)).as("fp"),
+        sum(when(!pos && y, 1L).otherwise(0L)).as("fn"),
+        sum(when(!pos && !y, 1L).otherwise(0L)).as("tn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp")))
+          .as("precision"),
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn")))
+          .as("recall"))
+  }
+
   /** Feature hashing (HashingTF): token → md5 bucket, per-doc bucket
     * counts in tall form — the fixed-width vectorization step that needs
     * no vocabulary table (the hash IS the index), so it is map-side +
@@ -1476,5 +1549,144 @@ object TextOps {
       when(length(t) > 0, nonAscii.cast("double") / length(t))
         .otherwise(lit(0.0)).as("non_ascii_fraction"),
       (replCount > 0 || ctrlCount > 0).cast("int").as("damaged"))
+  }
+
+  /** C4-STYLE LINE FILTERING (Raffel et al. 2020 §2.2) — the line-level
+    * cleanup pass that precedes document rules: keep only lines with at
+    * least `minWordsPerLine` words AND a terminal-punctuation ending
+    * (`.`, `!`, `?`, `"`); drop the whole document if it mentions
+    * "lorem ipsum" or contains `{` (code leakage) or keeps no lines.
+    * Output: surviving docs as (id, n_lines, kept_lines, cleaned) with
+    * `cleaned` the kept lines rejoined by newline.
+    *
+    * Pure higher-order-function column work (`filter` over the split
+    * lines) — map-only, codegen'd, zero shuffle; the cheapest possible
+    * corpus pass at 100 TB. The word-count predicate counts non-empty
+    * space-split segments so runs of spaces do not inflate it. */
+  def c4LineFilter(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   minWordsPerLine: Int = 3): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val lines = split(t, "\n")
+    def keepLine(l: Column): Column =
+      size(filter(split(l, " "), w => length(w) > 0)) >= minWordsPerLine &&
+        l.rlike("[.!?\"]$")
+    val keptArr = filter(lines, keepLine _)
+    docs.filter(!lower(t).contains("lorem ipsum") && !t.contains("{"))
+      .select(col(idCol), size(lines).cast("long").as("n_lines"),
+        size(keptArr).cast("long").as("kept_lines"),
+        array_join(keptArr, "\n").as("cleaned"))
+      .filter(col("kept_lines") > 0)
+  }
+
+  /** CCNet-STYLE PERPLEXITY BUCKETS (Wenzek et al. 2020 §4.4) — rank each
+    * document inside its `groupCol` stratum by corpus-LM negative
+    * log-likelihood ([[unigramNll]]) and cut the stratum into
+    * head/middle/tail thirds: "head" is the most-fluent slice crawls
+    * train on first, "tail" the usual drop candidate. Deterministic:
+    * `ntile` ordered by (rounded nll, id) — no float ties decide a
+    * bucket. One token-domain aggregation (the NLL model) + one
+    * window per stratum; the window input is (id, group, nll) only. */
+  def pplBuckets(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", groupCol: String = "source",
+                 buckets: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nll = unigramNll(docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(groupCol)), idCol)
+    val w = Window.partitionBy(groupCol).orderBy(col("nll"), col(idCol))
+    nll.withColumn("b", ntile(buckets).over(w))
+      .select(col(idCol), col(groupCol), col("nll"),
+        when(col("b") === 1, "head")
+          .when(col("b") === buckets, "tail")
+          .otherwise("middle").as("bucket"))
+  }
+
+  /** KMV DISTINCT SKETCH (Bar-Yossef et al. 2002; the mergeable
+    * "k minimum values" estimator) — per-`groupCol` distinct-token
+    * estimate from the k-th smallest md5(token): with hashes uniform in
+    * [0,1), E[distinct] ≈ (k−1)/h_(k). Fully deterministic and
+    * engine-portable (md5 hex order IS the numeric order of the hash
+    * fraction), unlike HLL sketches whose registers differ per engine —
+    * so the estimate itself is oracle-checkable bit-for-bit.
+    * Output: (group, n_distinct_exact, kth_hash, estimate); groups with
+    * fewer than k distinct tokens fall back to the exact count.
+    *
+    * Scale: the shuffle is the distinct (group, token) reduction —
+    * at 100 TB swap `token` for `md5(token)` at the explode so only
+    * 32-byte digests ship; the per-group top-k is a rank window over
+    * distinct hashes (WindowGroupLimit prunes it map-side). */
+  def kmvDistinct(docs: DataFrame, k: Int = 32,
+                  textCol: String = "text",
+                  groupCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, "k must be at least 2")
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(groupCol), explode(
+        filter(wsTokens(lower(col(textCol))), t => length(t) > 0))
+        .as("token"))
+      .select(col(groupCol), md5(col("token")).as("h")).distinct()
+    val w = Window.partitionBy(groupCol).orderBy("h")
+    val ranked = toks.withColumn("rn", row_number().over(w))
+    val nDistinct = toks.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_distinct_exact"))
+    // hash fraction from the first 12 hex digits: exact in a double
+    val frac = conv(substring(col("kth_hash"), 1, 12), 16, 10)
+      .cast("double") / lit(Math.pow(16.0, 12))
+    ranked.filter(col("rn") <= k)
+      .groupBy(groupCol).agg(max("h").as("kth_hash"))
+      .join(nDistinct, groupCol)
+      .select(col(groupCol), col("n_distinct_exact"), col("kth_hash"),
+        round(when(col("n_distinct_exact") < k,
+          col("n_distinct_exact").cast("double"))
+          .otherwise(lit(k - 1) / frac), 3).as("estimate"))
+  }
+
+  /** EXACT-PROPORTION STRATIFIED SPLIT — the deterministic complement of
+    * the per-row hash split ([[hashSplit]]): inside every `groupCol`
+    * stratum, order rows by md5(id) (a fixed pseudo-random permutation)
+    * and cut at exact 80/10/10 row boundaries, so every stratum's split
+    * sizes are exact to ±1 row instead of binomially distributed — what
+    * an eval-set builder needs when small strata must all be present in
+    * val/test. Integer-only boundary math (rn·100 ≤ pct·n). One window
+    * per stratum over (id, group) pairs — no data columns shuffle. */
+  def stratifiedSplit(docs: DataFrame, idCol: String = "doc_id",
+                      groupCol: String = "source",
+                      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(trainPct + valPct <= 100, "train+val must leave room for test")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val wAll = Window.partitionBy(groupCol)
+    docs.select(col(idCol), col(groupCol))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .select(col(idCol), col(groupCol),
+        when(col("rn") * 100 <= col("n") * trainPct, "train")
+          .when(col("rn") * 100 <= col("n") * (trainPct + valPct), "val")
+          .otherwise("test").as("split"))
+  }
+
+  /** TOKENIZER FERTILITY — subword-per-word and char-per-subword ratios
+    * per `groupCol`: the standard multilingual-tokenizer health metric
+    * (a stratum whose fertility is 2× the corpus mean is being
+    * over-segmented and will under-train at a fixed token budget).
+    * Uses the [[subwordCount]] regex proxy against whitespace words;
+    * exact integer sums per stratum, quotients taken once at the end.
+    * Map-side partial aggregation only — group cardinality rows out. */
+  def tokenFertility(docs: DataFrame, textCol: String = "text",
+                     groupCol: String = "source"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val words = size(filter(wsTokens(t), w => length(w) > 0)).cast("long")
+    docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(words).as("n_words"),
+        sum(subwordCount(t).cast("long")).as("n_subwords"),
+        sum(length(t).cast("long")).as("n_chars"))
+      .select(col(groupCol), col("n_docs"), col("n_words"),
+        col("n_subwords"),
+        round(col("n_subwords").cast("double") / col("n_words"), 6)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_subwords"), 6)
+          .as("chars_per_subword"))
   }
 }

@@ -204,4 +204,27 @@ object UrlOps {
         col("_path").startsWith(col("_r_prefix")), "left_anti")
       .drop("_host", "_path")
   }
+
+  /** FETCHER-SHARD PLAN — the crawl-scheduling step after the politeness
+    * gates: assign every distinct host to one of `nShards` fetcher
+    * shards by its md5 bucket (all of a host's URLs land on the same
+    * fetcher, the invariant per-host rate limiting needs), and report
+    * per-shard load: host count, total URLs, and the largest single
+    * host (the politeness-bound critical path — a shard's wall-clock is
+    * `max_host_urls · crawl_delay`, not its total). Two grouped
+    * aggregations, host-cardinality then shard-cardinality — URL
+    * payloads never shuffle, and the skew this REPORTS is exactly what
+    * the md5 assignment keeps bounded across shards. */
+  def hostShardPlan(urls: DataFrame, urlCol: String = "url",
+                    nShards: Int = 8): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val perHost = urls.select(hostOf(col(urlCol)).as("host"))
+      .filter(length(col("host")) > 0)
+      .groupBy("host").agg(count(lit(1)).as("n_urls"))
+      .withColumn("shard", TextOps.hashBucket(col("host"), nShards))
+    perHost.groupBy("shard")
+      .agg(count(lit(1)).as("n_hosts"),
+        sum("n_urls").as("n_urls"),
+        max("n_urls").as("max_host_urls"))
+  }
 }

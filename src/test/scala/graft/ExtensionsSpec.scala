@@ -2524,4 +2524,181 @@ class ExtensionsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq((3L, 3L, 9L), (4L, 1L, 1L)))
   }
+
+  test("c4LineFilter: short and punctless lines dropped, lorem-ipsum and " +
+    "brace docs dropped whole, zero-keep docs dropped") {
+    val docs = Seq(
+      (1L, "This sentence is kept here.\ntoo short.\nno terminal punct " +
+        "at all\nAnother keeper stays right here!"),
+      (2L, "Lorem Ipsum dolor sit amet."),
+      (3L, "function f() { return 1; } is here."),
+      (4L, "nothing survives this one"),
+      (5L, "Ends with a quote \"here.\"")).toDF("doc_id", "text")
+    val got = TextOps.c4LineFilter(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    assert(got == Seq(
+      (1L, 4L, 2L,
+        "This sentence is kept here.\nAnother keeper stays right here!"),
+      (5L, 1L, 1L, "Ends with a quote \"here.\"")))
+  }
+
+  test("paragraphDedup: first (doc_id, pos) owns each paragraph, rewrites " +
+    "preserve order, fully-owned docs survive with an empty rewrite") {
+    val docs = Seq(
+      (1L, "unique one\n\nshared footer"),
+      (2L, "shared footer\n\nunique two"),
+      (3L, "shared footer"),
+      (4L, ""),
+      (5L, "shared footer\n\nshared footer")).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, "unique one\n\nshared footer"), // owns both
+      (2L, 2L, 1L, "unique two"), // footer owned by doc 1 pos 1
+      (3L, 1L, 0L, ""), // everything owned elsewhere
+      (4L, 0L, 0L, ""), // empty text: zero paragraphs, still present
+      (5L, 2L, 0L, ""))) // both copies lose to doc 1
+  }
+
+  test("pplBuckets: per-stratum thirds ordered by nll then id, " +
+    "single-doc strata land in head") {
+    val docs = Seq(
+      (1L, "s1", "a a a a"), (2L, "s1", "a a b b"), (3L, "s1", "b c c d"),
+      (4L, "s2", "a a a a")).toDF("doc_id", "source", "text")
+    val got = TextOps.pplBuckets(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(3))).toSeq
+    // corpus counts: a=9 b=3 c=2 d=1 of 15 → doc1 all-a is most fluent
+    assert(got == Seq((1L, "s1", "head"), (2L, "s1", "middle"),
+      (3L, "s1", "tail"), (4L, "s2", "head")))
+  }
+
+  test("kmvDistinct: estimate from the kth smallest md5, exact-count " +
+    "fallback under k, distinct-before-rank semantics") {
+    val docs = Seq(
+      (1L, "big", ('a' to 'z').mkString(" ")),
+      (2L, "big", ('a' to 'z').mkString(" ")), // repeats add no hashes
+      (3L, "small", "x y z")).toDF("doc_id", "source", "text")
+    val got = TextOps.kmvDistinct(docs, k = 4, groupCol = "source")
+      .orderBy("source").collect()
+    val big = got(0)
+    assert(big.getString(0) == "big" && big.getLong(1) == 26L)
+    // replay the estimator from the reported kth hash
+    val frac = java.lang.Long.parseLong(
+      big.getString(2).substring(0, 12), 16).toDouble / math.pow(16, 12)
+    assert(big.getDouble(3) ==
+      BigDecimal(3.0 / frac).setScale(3,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val small = got(1)
+    assert(small.getString(0) == "small" && small.getLong(1) == 3L &&
+      small.getDouble(3) == 3.0) // < k → exact
+  }
+
+  test("stratifiedSplit: exact 80/10/10 cuts per stratum, tiny strata " +
+    "still produce a test row at n=10") {
+    val docs = (0L until 20L).map(i => (i, "s" + (i % 2)))
+      .toDF("doc_id", "source")
+    val got = TextOps.stratifiedSplit(docs).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val bySrc = got.groupBy(_._1).view.mapValues(
+      _.groupBy(_._2).view.mapValues(_.size).toMap).toMap
+    // each stratum has 10 rows → exactly 8/1/1
+    assert(bySrc("s0") == Map("train" -> 8, "val" -> 1, "test" -> 1))
+    assert(bySrc("s1") == Map("train" -> 8, "val" -> 1, "test" -> 1))
+  }
+
+  test("pqAdcTopK: LUT distances match per-subspace codebook math, " +
+    "nearest-by-ADC order, id tiebreak") {
+    // dim=4, m=2 subspaces of 2 dims, k=2 codebook = vectors 0 and 1
+    val embs = Seq(
+      (0L, Seq(0.0, 0.0, 0.0, 0.0)), // centroid 0
+      (1L, Seq(10.0, 0.0, 0.0, 10.0)), // centroid 1
+      (2L, Seq(1.0, 0.0, 0.0, 1.0)), // codes (0,0)
+      (3L, Seq(9.0, 0.0, 0.0, 9.0))) // codes (1,1)
+      .toDF("vec_id", "embedding")
+    val q = Array(1.0, 0.0, 0.0, 0.0) // query
+    val got = Similarity.pqAdcTopK(embs, q, topK = 4, m = 2, k = 2,
+      dim = 4).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // LUT: j=0: d(q0,[0,0])=1, d(q0,[10,0])=81; j=1: d(q1,[0,0])=0,
+    // d(q1,[0,10])=100. ADC: v0/v2=(0,0)→1+0=1; v1/v3=(1,1)→81+100=181
+    assert(got == Seq((0L, 1.0), (2L, 1.0), (1L, 181.0), (3L, 181.0)))
+  }
+
+  test("embeddingAudit: exact norms, zero-vector and wrong-dim counts, " +
+    "per-group min/max") {
+    val embs = Seq(
+      (0L, Seq(3.0, 4.0, 0.0, 0.0), 1), // norm 5
+      (1L, Seq(0.0, 0.0, 0.0, 0.0), 1), // zero vector
+      (2L, Seq(1.0, 0.0), 1), // wrong dim
+      (3L, Seq(0.0, 2.0, 0.0, 0.0), 2)) // norm 2
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.embeddingAudit(embs, dim = 4).orderBy("label")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == Seq((1, 3L, 1L, 1L, 0.0, 5.0), (2, 1L, 0L, 0L, 2.0, 2.0)))
+  }
+
+  test("interpolatedNll: closed-form Jelinek-Mercer mix, " +
+    "single-token docs drop out") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val got = TextOps.interpolatedNll(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // tokens: a,b,a,b,x → p_uni(b)=2/5; transitions: a→b twice,
+    // P(b|a)=1. mix = 0.5·1 + 0.5·0.4 = 0.7
+    val nll = BigDecimal(-math.log(0.7)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq((1L, 1L, nll), (2L, 1L, nll)))
+  }
+
+  test("thresholdSweep: confusion counts per threshold, undefined " +
+    "precision is null") {
+    val scored = Seq((1L, 2.0, 1L), (2L, 0.5, 0L), (3L, -1.0, 1L),
+      (4L, -2.0, 0L)).toDF("doc_id", "logit", "label")
+    val got = TextOps.thresholdSweep(scored, Seq(0.0, 10.0))
+      .orderBy("threshold").collect()
+    val t0 = got(0)
+    assert((t0.getLong(1), t0.getLong(2), t0.getLong(3),
+      t0.getLong(4)) == (1L, 1L, 1L, 1L))
+    assert(t0.getDouble(5) == 0.5 && t0.getDouble(6) == 0.5)
+    val t10 = got(1) // nothing scores ≥ 10 → precision undefined
+    assert(t10.getLong(1) == 0L && t10.isNullAt(5))
+    assert(t10.getDouble(6) == 0.0)
+  }
+
+  test("hostShardPlan: same host one shard, loads add up, " +
+    "hostless rows excluded") {
+    val urls = Seq("https://a.com/1", "https://a.com/2",
+      "https://b.com/1", "https://c.com/1", "not a url")
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("doc_id", "url")
+    val plan = graft.text.UrlOps.hostShardPlan(urls, nShards = 4)
+      .collect()
+    assert(plan.map(_.getLong(1)).sum == 3L) // 3 valid hosts
+    assert(plan.map(_.getLong(2)).sum == 4L) // 4 valid urls
+    // a.com contributes max_host_urls=2 on whichever shard holds it
+    assert(plan.map(_.getLong(3)).max == 2L)
+    // assignment is the md5 bucket of the host — replay it for a.com
+    val aShard = urls.sparkSession.range(1)
+      .select(TextOps.hashBucket(lit("a.com"), 4).as("s"))
+      .head().getLong(0)
+    val aRow = plan.find(_.getLong(3) == 2L).get
+    assert(aRow.getLong(0) == aShard)
+  }
+
+  test("tokenFertility: exact integer sums, quotient taken once — " +
+    "4-char pieces, digits, punct runs all count as subwords") {
+    val docs = Seq(
+      (1L, "s1", "abcdefgh x1!"), // abcd+efgh + x + 1 + ! = 5 subwords
+      (2L, "s1", "ab cd")).toDF("doc_id", "source", "text")
+    val got = TextOps.tokenFertility(docs).orderBy("source").collect()
+    val r = got(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == (2L, 4L, 7L))
+    assert(r.getDouble(4) == 1.75) // 7 subwords / 4 words
+    // chars: "abcdefgh x1!"=12, "ab cd"=5 → 17/7
+    assert(r.getDouble(5) ==
+      BigDecimal(17.0 / 7).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }

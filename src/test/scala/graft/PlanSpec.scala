@@ -496,6 +496,74 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-9d additions keep their ledger shapes: map-only C4 pass, " +
+    "digest-keyed paragraph ownership, rank-capped KMV, window-only split") {
+    // q168 C4 line filter: stage-1 map-only — no join, no agg, no window
+    val p168 = plan("q168_c4_rules")
+    assert(!p168.contains("Join"), s"q168 plans a join:\n$p168")
+    assert(!p168.contains("HashAggregate"), s"q168 plans an agg:\n$p168")
+    assert(!p168.contains("Window"), s"q168 plans a window:\n$p168")
+    // q169 paragraph dedup: ownership reduction is map-side combined,
+    // joins are hash joins on the digest / id — never cartesian
+    val p169 = plan("q169_paragraph_dedup")
+    assert(p169.contains("partial_"), s"no map-side combine:\n$p169")
+    assert(!p169.contains("CartesianProduct"), s"q169 cartesian:\n$p169")
+    // q170 ppl buckets: the 1-row corpus total rides a broadcast; the
+    // only window is the per-stratum ntile
+    val p170 = plan("q170_ppl_buckets")
+    assert(!p170.contains("CartesianProduct"), s"q170 cartesian:\n$p170")
+    assert(p170.contains("BroadcastNestedLoopJoin") ||
+      p170.contains("BroadcastHashJoin"),
+      s"corpus total not broadcast:\n$p170")
+    // q171 KMV: the per-group rank must be pruned map-side before the
+    // kth-hash aggregation (WindowGroupLimit), distinct partial-agged
+    val p171 = plan("q171_kmv_distinct")
+    assert(p171.contains("WindowGroupLimit"),
+      s"KMV rank not pre-capped:\n$p171")
+    assert(p171.contains("partial_"), s"no map-side combine:\n$p171")
+    // q172 stratified split: one window, no join, no agg beyond the
+    // window's own count
+    val p172 = plan("q172_stratified_split")
+    assert(!p172.contains("Join"), s"q172 plans a join:\n$p172")
+    // q173 fertility: catalog-sized partial-agged report, no join/window
+    val p173 = plan("q173_token_fertility")
+    assert(p173.contains("partial_"), s"no map-side combine:\n$p173")
+    assert(!p173.contains("Join"), s"q173 plans a join:\n$p173")
+    assert(!p173.contains("Window"), s"q173 plans a window:\n$p173")
+  }
+
+  test("round-9e additions keep their ledger shapes: joinless ADC with " +
+    "bounded take, broadcast sweep, partial-agged reports") {
+    // q174 ADC: the corpus never joins anything — codes are a kernel
+    // projection, the LUT rides the plan, top-k is one bounded take
+    val p174 = plan("q174_pq_adc_topk")
+    assert(p174.contains("TakeOrderedAndProject"),
+      s"ADC top-k not bounded:\n$p174")
+    assert(!p174.contains("Join"), s"ADC plans a join:\n$p174")
+    // q175 sweep: the threshold list rides a broadcast; counts are
+    // map-side combined; never cartesian
+    val p175 = plan("q175_threshold_sweep")
+    assert(p175.contains("BroadcastNestedLoopJoin") ||
+      p175.contains("BroadcastHashJoin"),
+      s"thresholds not broadcast:\n$p175")
+    assert(p175.contains("partial_"), s"no map-side combine:\n$p175")
+    assert(!p175.contains("CartesianProduct"), s"q175 cartesian:\n$p175")
+    // q176 interpolated NLL: same ledger as q109 + a token-domain
+    // unigram join — hash joins only
+    val p176 = plan("q176_interpolated_nll")
+    assert(p176.contains("partial_"), s"no map-side combine:\n$p176")
+    assert(!p176.contains("CartesianProduct"), s"q176 cartesian:\n$p176")
+    // q177/q178: catalog-sized reports — partial aggs, no window;
+    // q178 additionally joins nothing
+    val p177 = plan("q177_host_shard_plan")
+    assert(p177.contains("partial_"), s"no map-side combine:\n$p177")
+    assert(!p177.contains("Window"), s"q177 plans a window:\n$p177")
+    val p178 = plan("q178_embedding_audit")
+    assert(p178.contains("partial_"), s"no map-side combine:\n$p178")
+    assert(!p178.contains("Join"), s"q178 plans a join:\n$p178")
+    assert(!p178.contains("Window"), s"q178 plans a window:\n$p178")
+  }
+
   test("giant-group quantile fallback: no window sort, cuts broadcast") {
     // the routed cut-point path over a real parquet scan: one
     // partial-aggregated percentile pass + broadcast join + map-side bin
