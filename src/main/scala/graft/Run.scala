@@ -79,13 +79,14 @@ object Run {
       |             [--token-budget <n>] [--blocklist <w1,w2,...>]
       |             [--max-blocklist-fraction <f>]
       |             [--allow-licenses <l1,l2,...>] [--drop-damaged]
+      |             [--c4-lines] [--paragraph-dedup]
       |             [--shards <n>] [--audit]""".stripMargin
 
   /** getopt-lite: `-x val` / `--long val` for value opts, bare flags for
     * booleans (the reference's flag set). */
   private val BoolFlags = Set("-v", "-r", "-j", "-c", "-h", "--help",
     "--parquet", "--audit", "--fuzzy-decon", "--psl", "--fuzzy-prior",
-    "--drop-damaged")
+    "--drop-damaged", "--c4-lines", "--paragraph-dedup")
   private def parseOpts(args: Seq[String]): Map[String, String] = {
     val out = Map.newBuilder[String, String]
     var i = 0
@@ -436,7 +437,12 @@ object Run {
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
       // --drop-damaged: q157's encoding-damage gate (U+FFFD or stray C0
       // controls), first among the optional stage-1 predicates
-      dropDamaged = opts.contains("--drop-damaged"))
+      dropDamaged = opts.contains("--drop-damaged"),
+      // --c4-lines: q168's line-level cleanup before doc scoring;
+      // --paragraph-dedup: q169's corpus-wide paragraph dedup before
+      // the doc-level dedups
+      c4Lines = opts.contains("--c4-lines"),
+      dedupParagraphs = opts.contains("--paragraph-dedup"))
     Files.createDirectories(outDir)
     curated.write.mode("overwrite")
       .parquet(outDir.resolve("curated.parquet").toString)

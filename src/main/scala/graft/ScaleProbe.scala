@@ -211,7 +211,52 @@ object ScaleProbe {
             .agg(sum("n_copies")).head(); 1L },
         "mojibake" -> { d =>
           TextOps.mojibakeStats(d)
-            .agg(sum("n_non_ascii"), sum("damaged")).head(); 1L }))
+            .agg(sum("n_non_ascii"), sum("damaged")).head(); 1L },
+        // round-9d/9e additions
+        "c4_rules" -> { d =>
+          // synthesize the multi-line shape the operator exists for
+          val lined = concat(col("text"),
+            lit("\nshort line"),
+            lit("\nThis synthesized line is long enough to keep."))
+          TextOps.c4LineFilter(d.select(col("doc_id"), lined.as("text")))
+            .agg(sum("kept_lines")).head(); 1L },
+        "paragraph_dedup" -> { d =>
+          // two paragraphs per doc; footers shared by doc_id%5 class ACROSS
+          // replicas — the ownership reduction has real cross-doc work
+          val two = d.select(col("doc_id"),
+            concat(col("text"), lit("\n\nShared footer number "),
+              (col("doc_id") % 5).cast("string")).as("text"))
+          Dedup.paragraphDedup(two).agg(sum("kept_paras")).head(); 1L },
+        "ppl_buckets" -> { d =>
+          TextOps.pplBuckets(d)
+            .agg(count_distinct(col("bucket")), sum("nll")).head(); 1L },
+        "kmv_distinct16" -> { d =>
+          TextOps.kmvDistinct(d, k = 16)
+            .agg(sum("estimate")).head(); 1L },
+        "stratified_split" -> { d =>
+          TextOps.stratifiedSplit(d)
+            .groupBy("split").count().agg(sum("count")).head(); 1L },
+        "token_fertility" -> { d =>
+          TextOps.tokenFertility(d).agg(sum("fertility")).head(); 1L },
+        "interpolated_nll" -> { d =>
+          TextOps.interpolatedNll(d).agg(sum("nll")).head(); 1L },
+        "threshold_sweep" -> { d =>
+          val weights = d.sparkSession.range(64)
+            .select(col("id").cast("int").as("bucket"),
+              (col("id") * 7 % 13 - 6).cast("double").as("weight"))
+          val scored = TextOps.scoreLinearModel(d, weights,
+            numBuckets = 64, bias = -3.0)
+            .withColumn("ref",
+              (col("logit") > -3.0).cast("long")) // any reference label
+          TextOps.thresholdSweep(scored,
+            Seq(-5.0, -3.0, -1.0, 0.0, 1.0, 3.0, 5.0), labelCol = "ref")
+            .agg(sum("tp"), sum("fp")).head(); 1L },
+        "host_shard_plan" -> { d =>
+          val urls = d.select(concat(lit("https://www."), col("source"),
+            lit("-"), (col("doc_id") % 1000).cast("string"),
+            lit(".example.com/p"), col("doc_id").cast("string")).as("url"))
+          graft.text.UrlOps.hostShardPlan(urls, nShards = 64)
+            .agg(sum("n_urls"), max("max_host_urls")).head(); 1L }))
 
     // embedding-family probe: replicate embeddings with coordinate jitter
     // derived from the replica index (deterministic, no RNG)
@@ -246,7 +291,17 @@ object ScaleProbe {
             .select(explode(col("proj")).as("p"))
             .agg(sum("p")).head(); 1L },
         "silhouette" -> { d =>
-          Similarity.silhouette(d).agg(sum("s")).head(); 1L }))
+          Similarity.silhouette(d).agg(sum("s")).head(); 1L },
+        // round-9e: ADC serving — the timed work is encode + LUT reads +
+        // one bounded take over the whole (replicated) corpus
+        "pq_adc_topk" -> { d =>
+          val q = d.filter(col("vec_id") === 0)
+            .select(col("embedding").cast("array<double>"))
+            .head().getSeq[Double](0).toArray
+          Similarity.pqAdcTopK(d, q, topK = 10).count() },
+        "embedding_audit" -> { d =>
+          Similarity.embeddingAudit(d)
+            .agg(sum("max_norm"), sum("n_vectors")).head(); 1L }))
     }
 
     // event-family probe: replicate by user-id offset (funnel/retention

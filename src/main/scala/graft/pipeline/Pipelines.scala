@@ -233,7 +233,9 @@ object Pipelines {
              blockWords: Option[Seq[String]] = None,
              maxBlocklistFraction: Double = 0.0,
              allowLicenses: Option[Seq[String]] = None,
-             dropDamaged: Boolean = false): DataFrame = {
+             dropDamaged: Boolean = false,
+             c4Lines: Boolean = false,
+             dedupParagraphs: Boolean = false): DataFrame = {
     import graft.text.TextOps
     import graft.dedup.Dedup
     // incremental-ingest mode: drop docs already in the prior corpus
@@ -251,7 +253,18 @@ object Pipelines {
           bands = fuzzyBands)
       case _ => freshExact
     }
-    val gatedBase0 = fresh
+    // optional C4 line-level cleanup (q168's operator) BEFORE any
+    // doc-level scoring — C4's own order: quality must judge the
+    // cleaned text, not the nav-bar noise the cleanup removes. The
+    // rewrite is map-only; the inner join back is id-keyed (the
+    // operator also drops lorem-ipsum/brace docs and zero-keep docs)
+    val freshClean =
+      if (!c4Lines) fresh
+      else fresh.drop("text").join(
+        TextOps.c4LineFilter(fresh.filter(col("text").isNotNull))
+          .select(col("doc_id"), col("cleaned").as("text")),
+        Seq("doc_id"))
+    val gatedBase0 = freshClean
       .filter(col("text").isNotNull)
       .filter(TextOps.qualityScore(col("text")) >= minQuality &&
         TextOps.langIdEn(col("text")) === "en")
@@ -298,9 +311,20 @@ object Pipelines {
       .map(p => TextOps.adaptiveQualityGate(gatedLicensed, pct = p)
         .drop("quality", "thr"))
       .getOrElse(gatedLicensed)
-    val exactKeep = Dedup.normalized(gated)
+    // optional CCNet-style paragraph dedup (q169's operator), BEFORE
+    // the doc-level dedups: removing shared boilerplate paragraphs
+    // first lets two pages that differ only by their nav bars collapse
+    // to exact duplicates below. Docs whose every paragraph is owned
+    // elsewhere are dropped (boilerplate shells)
+    val paraClean =
+      if (!dedupParagraphs) gated
+      else gated.drop("text").join(
+        Dedup.paragraphDedup(gated).filter(col("kept_paras") > 0)
+          .select(col("doc_id"), col("text_dedup").as("text")),
+        Seq("doc_id"))
+    val exactKeep = Dedup.normalized(paraClean)
       .select(col("keep_id").as("doc_id"))
-    val exact = gated.join(exactKeep, Seq("doc_id"), "left_semi")
+    val exact = paraClean.join(exactKeep, Seq("doc_id"), "left_semi")
     val reps = Dedup.nearDupClusters(exact, minJaccard = minJaccard)
       .filter(col("doc_id") === col("cluster_id")).select("doc_id")
     val deduped0 = exact.join(reps, Seq("doc_id"), "left_semi")

@@ -379,6 +379,59 @@ class PipelineSpec extends SparkSpec {
     assert(gated == Set(30L, 33L), s"got $gated")
   }
 
+  test("E4 curate --c4-lines: nav-bar lines are stripped before scoring " +
+    "and a brace doc drops; default keeps raw text") {
+    val keeper = "The quick brown fox jumps over the lazy dog and then " +
+      "it runs far away to the old stone house by the river bank today."
+    val docs = Seq(
+      (40L, "Home | About | Contact\n" + keeper), // nav line to strip
+      (41L, "a slow grey owl glides over the quiet field at night and " +
+        "waits for the small mouse to come out of its hole there soon."),
+      (42L, "var config = {\nRain falls on the red roof all day long " +
+        "and the children watch it from the warm kitchen with hot tea."))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text"))
+    // default: raw text kept verbatim, all three docs survive
+    val raw = Pipelines.curate(docs, minJaccard = 0.5)
+    assert(raw.count() == 3)
+    assert(raw.filter($"doc_id" === 40L).select("text").as[String]
+      .head().startsWith("Home | About"))
+    // --c4-lines: doc 40's nav line is gone, doc 42 (brace) drops whole
+    val cleaned = Pipelines.curate(docs, minJaccard = 0.5, c4Lines = true)
+    val ids = cleaned.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(40L, 41L), s"got $ids")
+    assert(cleaned.filter($"doc_id" === 40L).select("text").as[String]
+      .head() == keeper)
+  }
+
+  test("E4 curate --paragraph-dedup: a shared footer paragraph " +
+    "collapses to its first owner; shell docs drop") {
+    val footer = "Subscribe to our newsletter for updates and offers " +
+      "delivered to your inbox every single week of the whole year."
+    val docs = Seq(
+      (50L, "The quick brown fox jumps over the lazy dog and then it " +
+        "runs far away to the old stone house by the river bank.\n\n" +
+        footer),
+      (51L, "A slow grey owl glides over the quiet field at night and " +
+        "waits for the small mouse to come out of its hole.\n\n" + footer),
+      (52L, footer)) // nothing but the shared footer: shell
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text"))
+    // default: all three survive (doc-level dedup sees distinct texts)
+    assert(Pipelines.curate(docs, minJaccard = 0.9).count() == 3)
+    // paragraph dedup: doc 50 keeps the footer (first owner), doc 51
+    // loses it, doc 52 loses everything and drops
+    val got = Pipelines.curate(docs, minJaccard = 0.9,
+      dedupParagraphs = true)
+    val byId = got.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    assert(byId.keySet == Set(50L, 51L), s"got ${byId.keySet}")
+    assert(byId(50L).endsWith(footer))
+    assert(!byId(51L).contains("newsletter"))
+  }
+
   test("E5 releaseAudit: one call yields the four audit frames") {
     val base = "the quick brown fox jumps over the lazy dog near the " +
       "old stone house by the river bank in the quiet morning light"
