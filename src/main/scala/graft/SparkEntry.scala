@@ -1897,7 +1897,25 @@ object SparkEntry {
     // fixed-order folds (bit-portable unrounded), zero/bad-dim counts
     "q178_embedding_audit" -> ((s, dir) =>
       Similarity.embeddingAudit(t(s, dir, "embeddings"))
-        .orderBy("label"))
+        .orderBy("label")),
+
+    // IVF+PQ composition (FAISS IVFPQ serving shape): probe the 3
+    // nearest label-clusters, rank only that slice by ADC
+    "q179_ivf_pq_topk" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(embs, queryVec(embs), topK = 10,
+        clusterCol = "label", nProbe = 3)
+    }),
+
+    // dedup impact report per source: exact/normalized distinct digests
+    // + unrounded duplicate-rate quotients
+    "q180_dedup_audit" -> ((s, dir) =>
+      Dedup.dedupAudit(t(s, dir, "documents")).orderBy("source")),
+
+    // T5 span corruption: deterministic md5 masking, numbered sentinels,
+    // (input, target) pair per doc
+    "q181_span_corruption" -> ((s, dir) =>
+      TextOps.spanCorruption(t(s, dir, "documents")).orderBy("doc_id"))
   )
 
   /** q154's merge list, rank order — the kind of prefix q152's pair
@@ -2378,6 +2396,65 @@ object SparkEntry {
        |    AS BIGINT) AS n_zero,
        |  min(nrm) AS min_norm, max(nrm) AS max_norm
        |FROM n GROUP BY label ORDER BY label""".stripMargin
+  }
+
+  /** q179 oracle: q39's centroid/probe CTEs (the accepted avg-centroid
+    * residual-risk regime) composed with q174's bit-exact ADC chains,
+    * encoding restricted to the probed labels. */
+  private def ivfPqAdcOracle: String = {
+    val sub = 8
+    def dist(a0: String, b0: String) = (0 until sub).map { t =>
+      val a = s"$a0[8 * gj.j + ${t + 1}]"
+      val b = s"$b0[8 * gj.j + ${t + 1}]"
+      s"($a - $b) * ($a - $b)"
+    }.mkString("\n         + ")
+    val chain = (0 until 8).map(j => s"d$j").mkString(" + ")
+    val pivot = (0 until 8)
+      .map(j => s"max(CASE WHEN j = $j THEN qd END) AS d$j")
+      .mkString(",\n    ")
+    s"""WITH v AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings),
+       |cb AS (
+       |  SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 16),
+       |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+       |cent AS (
+       |  SELECT label, list(m ORDER BY pos) AS centroid FROM (
+       |    SELECT label, i AS pos,
+       |           avg(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS m
+       |    FROM embeddings, generate_series(1, 64) t(i)
+       |    GROUP BY label, i)
+       |  GROUP BY label),
+       |probes AS (
+       |  SELECT label FROM cent, q
+       |  ORDER BY list_cosine_similarity(centroid, qe) DESC, label
+       |  LIMIT 3),
+       |pv AS (
+       |  SELECT * FROM v WHERE label IN (SELECT label FROM probes)),
+       |gj AS (SELECT unnest(generate_series(0, 7)) AS j),
+       |encd AS (
+       |  SELECT pv.vec_id, gj.j, cb.cid,
+       |         ${dist("pv.e", "cb.ce")} AS dist
+       |  FROM pv CROSS JOIN gj CROSS JOIN cb),
+       |best AS (
+       |  SELECT vec_id, j, cid,
+       |         row_number() OVER (PARTITION BY vec_id, j
+       |           ORDER BY dist, cid) AS rk
+       |  FROM encd),
+       |code AS (SELECT vec_id, j, cid AS c FROM best WHERE rk = 1),
+       |lut AS (
+       |  SELECT gj.j, cb.cid,
+       |         ${dist("q.qe", "cb.ce")} AS qd
+       |  FROM q CROSS JOIN gj CROSS JOIN cb),
+       |terms AS (
+       |  SELECT code.vec_id, code.j, lut.qd
+       |  FROM code JOIN lut ON lut.j = code.j AND lut.cid = code.c),
+       |p AS (
+       |  SELECT vec_id,
+       |    $pivot
+       |  FROM terms GROUP BY vec_id)
+       |SELECT vec_id, $chain AS adc
+       |FROM p ORDER BY adc, vec_id LIMIT 10""".stripMargin
   }
 
   /** q108 oracle: q24's candidate CTEs + q42's split expression, keeping
@@ -3239,6 +3316,64 @@ object SparkEntry {
         |FROM h GROUP BY shard ORDER BY shard""".stripMargin,
 
     "q178_embedding_audit" -> embAuditOracle,
+
+    "q179_ivf_pq_topk" -> ivfPqAdcOracle,
+
+    // q180: md5 digests + exact-integer distinct counts, unrounded
+    // quotients taken once per group
+    "q180_dedup_audit" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_exact,
+        |  CAST(count(DISTINCT md5(regexp_replace(lower(text),
+        |    '\s+', ' ', 'g'))) AS BIGINT) AS n_normalized,
+        |  CASE WHEN count(*) >
+        |            sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) THEN
+        |    1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+        |      / (count(*) - sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END))
+        |  END AS dup_rate_exact,
+        |  CASE WHEN count(*) >
+        |            sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) THEN
+        |    1.0 - CAST(count(DISTINCT md5(regexp_replace(lower(text),
+        |        '\s+', ' ', 'g'))) AS DOUBLE)
+        |      / (count(*) - sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END))
+        |  END AS dup_rate_normalized
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // q181: identical md5 mask rule, running sentinel counter, ordered
+    // string_agg rebuilds
+    "q181_span_corruption" ->
+      """WITH l AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '),
+        |                             x -> len(x) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |tk AS (
+        |  SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+        |  FROM (SELECT doc_id, toks,
+        |               unnest(generate_series(1, len(toks))) AS i
+        |        FROM l)),
+        |m AS (
+        |  SELECT doc_id, pos, tok,
+        |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_'
+        |        || CAST(pos AS VARCHAR)), 1, 8))::BIGINT % 5 = 0) AS masked
+        |  FROM tk),
+        |n AS (
+        |  SELECT doc_id, pos, tok, masked,
+        |    sum(CASE WHEN masked THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k
+        |  FROM m)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_masked,
+        |  string_agg(CASE WHEN masked THEN
+        |      '<extra_id_' || CAST(k - 1 AS VARCHAR) || '>'
+        |    ELSE tok END, ' ' ORDER BY pos) AS input_text,
+        |  coalesce(string_agg(CASE WHEN masked THEN
+        |      '<extra_id_' || CAST(k - 1 AS VARCHAR) || '> ' || tok END,
+        |    ' ' ORDER BY pos), '') AS target_text
+        |FROM n GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q147: both snapshots re-derived from the same filters/revision
     // rule; md5 over the identical chr(1)-joined (text, source) pair

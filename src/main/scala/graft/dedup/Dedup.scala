@@ -1066,6 +1066,36 @@ object Dedup {
     }
   }
 
+  /** Dedup IMPACT REPORT per `groupCol` — the before/after numbers a
+    * curation run publishes (and the cheap first look that decides
+    * whether a source is worth near-dup treatment at all): doc count,
+    * null-text count, distinct exact digests, distinct
+    * whitespace/case-normalized digests, and the two duplicate rates as
+    * unrounded exact-integer quotients. Digests are md5 (portable);
+    * one grouped aggregation, map-side combined — only (group, digest)
+    * pairs shuffle, never text. Near-dup impact is deliberately NOT
+    * here: it needs the banded pipeline (`nearDupClusters`) whose cost
+    * profile is a different regime; this report is the scan-cheap
+    * screen that gates running it. */
+  def dedupAudit(docs: DataFrame, groupCol: String = "source",
+                 textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val normed = md5(regexp_replace(lower(t), "\\s+", " "))
+    docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(t.isNull, 1L).otherwise(0L)).as("n_null"),
+        count_distinct(md5(t)).as("n_exact"),
+        count_distinct(normed).as("n_normalized"))
+      .select(col(groupCol), col("n_docs"), col("n_null"),
+        col("n_exact"), col("n_normalized"),
+        when(col("n_docs") > col("n_null"),
+          lit(1.0) - col("n_exact").cast("double") /
+            (col("n_docs") - col("n_null"))).as("dup_rate_exact"),
+        when(col("n_docs") > col("n_null"),
+          lit(1.0) - col("n_normalized").cast("double") /
+            (col("n_docs") - col("n_null"))).as("dup_rate_normalized"))
+  }
+
   /** Corpus-wide exact PARAGRAPH dedup (CCNet-style, Wenzek et al. 2020):
     * split every document on blank lines, keep each distinct paragraph
     * only at its FIRST occurrence (lexicographic (doc_id, position) —

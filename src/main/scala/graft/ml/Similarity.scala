@@ -683,11 +683,46 @@ object Similarity {
   def pqAdcTopK(embs: DataFrame, query: Array[Double], topK: Int,
                 m: Int = 8, k: Int = 16, idCol: String = "vec_id",
                 vecCol: String = "embedding",
+                dim: Int = DefaultDim): DataFrame =
+    adcTopKOver(embs, embs, query, topK, m, k, idCol, vecCol, dim)
+
+  /** IVF + PQ ADC serving — the production composition (FAISS's
+    * IVFPQ): coarse-quantize with the [[ivfIndex]] centroids, probe the
+    * `nProbe` clusters nearest the query, and rank ONLY the probed
+    * slice by ADC over PQ codes. At 100 TB with the corpus laid out
+    * `partitionBy(clusterCol)` the probe predicate partition-prunes the
+    * scan (the [[ivfTopKStored]] shape) and the scan reads only the
+    * code column — the two scale levers compose. The codebook comes
+    * from the FULL corpus (first k by id), not the probed slice, so
+    * codes are identical to [[pqEncode]]'s whatever the probe set. */
+  def ivfPqTopK(embs: DataFrame, query: Array[Double], topK: Int,
+                clusterCol: String, nProbe: Int = 3,
+                m: Int = 8, k: Int = 16, idCol: String = "vec_id",
+                vecCol: String = "embedding",
                 dim: Int = DefaultDim): DataFrame = {
+    val probeIds = ivfIndex(embs, clusterCol, vecCol)
+      .select(col("cluster"),
+        cosine(col("centroid"), typedlit(query.toSeq), dim).as("sim"))
+      .orderBy(col("sim").desc, col("cluster"))
+      .limit(nProbe)
+      .select("cluster").collect().map(_.get(0)).toSeq
+    adcTopKOver(embs.filter(col(clusterCol).isInCollection(probeIds)),
+      embs, query, topK, m, k, idCol, vecCol, dim)
+  }
+
+  /** Shared ADC core: rank `corpus` by ADC distance to `query` using a
+    * codebook drawn from `codebookSource` (first k by id). LUT entries
+    * and the ADC sum are LEFT-ASSOCIATIVE fixed-order additions
+    * (subspace-dim order, then subspace order) — bit-identical to an
+    * oracle writing the same explicit chains. */
+  private def adcTopKOver(corpus: DataFrame, codebookSource: DataFrame,
+                          query: Array[Double], topK: Int, m: Int, k: Int,
+                          idCol: String, vecCol: String,
+                          dim: Int): DataFrame = {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     require(query.length == dim, s"query dim ${query.length} != $dim")
     val sub = dim / m
-    val cb = embs.orderBy(col(idCol)).limit(k)
+    val cb = codebookSource.orderBy(col(idCol)).limit(k)
       .select(col(vecCol).cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toArray)
     require(cb.length == k, s"corpus has only ${cb.length} rows for k=$k")
@@ -709,7 +744,13 @@ object Similarity {
     val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
       (acc, j) => acc + element_at(lutCol,
         (lit(k) * j + element_at(col("codes"), j + 1) + 1).cast("int")))
-    pqEncode(embs, m, k, idCol, vecCol, dim)
+    // pqEncode against the codebook source's first-k vectors: inline the
+    // same broadcast-kernel encode over `corpus`
+    val bc = corpus.sparkSession.sparkContext.broadcast(
+      graft.functions.PqEncode.Codebook(cb, m, sub))
+    corpus.select(col(idCol),
+        graft.functions.VectorExpressions.pqEncode(
+          col(vecCol).cast("array<double>"), bc).as("codes"))
       .select(col(idCol), adc.as("adc"))
       .orderBy(col("adc").asc, col(idCol).asc)
       .limit(topK)

@@ -886,6 +886,58 @@ object TextOps {
           .as("recall"))
   }
 
+  /** T5-STYLE SPAN CORRUPTION (Raffel et al. 2020 §3.1.4) — the
+    * training-example generator for denoising objectives: mask ~1/`modM`
+    * of each document's tokens (deterministically — the md5 bucket of
+    * (doc, position), so the same corpus always yields the same
+    * examples, the reproducibility property RNG-based maskers lose),
+    * replace each masked token with a numbered `<extra_id_k>` sentinel
+    * in the input, and emit the (sentinel, original token) pairs as the
+    * target. Single-token spans by design (adjacent masked tokens keep
+    * distinct sentinels — documented simplification of T5's span
+    * merging). Returns (id, n_tokens, n_masked, input_text,
+    * target_text).
+    *
+    * Scale: one token explode + one per-doc position window (the
+    * running sentinel counter) + one grouped rebuild — all keyed by the
+    * doc id, so the corpus shuffles once, as rebuilt rows. */
+  def spanCorruption(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text",
+                     modM: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(modM >= 2, "modM must be at least 2")
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(
+        filter(wsTokens(col(textCol)), t => length(t) > 0))
+        .as(Seq("pos", "tok")))
+      .withColumn("masked",
+        hashBucket(concat(col(idCol).cast("string"), lit("_"),
+          col("pos").cast("string")), modM) === 0)
+    val w = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val numbered = toks.withColumn("k",
+      sum(when(col("masked"), 1L).otherwise(0L)).over(w))
+    val inputTok = when(col("masked"),
+      concat(lit("<extra_id_"), (col("k") - 1).cast("string"), lit(">")))
+      .otherwise(col("tok"))
+    val targetTok = when(col("masked"),
+      concat(lit("<extra_id_"), (col("k") - 1).cast("string"),
+        lit("> "), col("tok")))
+    numbered
+      .select(col(idCol), col("pos"), col("masked"),
+        inputTok.as("it"), targetTok.as("tt"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("it")))),
+          s => s.getField("it")), " ").as("input_text"),
+        array_join(transform(
+          array_sort(collect_list(when(col("tt").isNotNull,
+            struct(col("pos"), col("tt"))))),
+          s => s.getField("tt")), " ").as("target_text"))
+  }
+
   /** Feature hashing (HashingTF): token → md5 bucket, per-doc bucket
     * counts in tall form — the fixed-width vectorization step that needs
     * no vocabulary table (the hash IS the index), so it is map-side +

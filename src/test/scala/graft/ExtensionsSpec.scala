@@ -2687,6 +2687,71 @@ class ExtensionsSpec extends SparkSpec {
     assert(aRow.getLong(0) == aShard)
   }
 
+  test("ivfPqTopK: only probed clusters are ranked, codebook comes from " +
+    "the full corpus, ADC values match the unprobed path") {
+    // clusters: 1 = near the query, 2 = far. Codebook = vectors 0,1
+    // (one from each cluster) regardless of the probe set.
+    val embs = Seq(
+      (0L, Seq(0.0, 0.0, 0.0, 0.0), 1),
+      (1L, Seq(10.0, 0.0, 0.0, 10.0), 2),
+      (2L, Seq(1.0, 0.0, 0.0, 1.0), 1),
+      (3L, Seq(9.0, 0.0, 0.0, 9.0), 2))
+      .toDF("vec_id", "embedding", "label")
+    val q = Array(1.0, 0.0, 0.0, 0.0)
+    val got = Similarity.ivfPqTopK(embs, q, topK = 4, clusterCol = "label",
+      nProbe = 1, m = 2, k = 2, dim = 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // probe = cluster 1 (centroid (0.5,0,0,0.5) is nearer the query than
+    // (9.5,0,0,9.5)); ADC values identical to the pqAdcTopK spec's
+    assert(got == Seq((0L, 1.0), (2L, 1.0)))
+  }
+
+  test("dedupAudit: distinct digests, null handling, exact-quotient " +
+    "duplicate rates") {
+    val docs = Seq(
+      (0L, "s1", "same text"), (1L, "s1", "same text"),
+      (2L, "s1", "Same  TEXT"), // normalized-dup of the pair
+      (3L, "s1", null.asInstanceOf[String]),
+      (4L, "s2", "unique")).toDF("doc_id", "source", "text")
+    val got = Dedup.dedupAudit(docs).orderBy("source").collect()
+    val s1 = got(0)
+    assert((s1.getLong(1), s1.getLong(2), s1.getLong(3),
+      s1.getLong(4)) == (4L, 1L, 2L, 1L))
+    assert(s1.getDouble(5) == 1.0 - 2.0 / 3) // exact dup rate
+    assert(s1.getDouble(6) == 1.0 - 1.0 / 3) // normalized dup rate
+    val s2 = got(1)
+    assert(s2.getLong(1) == 1L && s2.getDouble(5) == 0.0)
+  }
+
+  test("spanCorruption: deterministic md5 masking, numbered sentinels, " +
+    "target pairs in position order") {
+    def maskOf(id: Long, pos: Int): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${id}_$pos".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 5 == 0
+    }
+    val words = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val docs = Seq((7L, words)).toDF("doc_id", "text")
+    val got = TextOps.spanCorruption(docs).head()
+    val toks = words.split(" ")
+    val masks = toks.indices.map(maskOf(7L, _))
+    assert(got.getLong(1) == toks.length.toLong)
+    assert(got.getLong(2) == masks.count(identity).toLong)
+    var k = 0
+    val expectedInput = toks.indices.map { i =>
+      if (masks(i)) { val s = s"<extra_id_$k>"; k += 1; s } else toks(i)
+    }.mkString(" ")
+    var k2 = 0
+    val expectedTarget = toks.indices.flatMap { i =>
+      if (masks(i)) { val s = s"<extra_id_$k2> ${toks(i)}"; k2 += 1
+        Some(s) } else None
+    }.mkString(" ")
+    assert(got.getString(3) == expectedInput)
+    assert(got.getString(4) == expectedTarget)
+    assert(masks.count(identity) > 0, "fixture should mask something")
+  }
+
   test("tokenFertility: exact integer sums, quotient taken once — " +
     "4-char pieces, digits, punct runs all count as subwords") {
     val docs = Seq(

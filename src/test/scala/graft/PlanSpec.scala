@@ -564,6 +564,27 @@ class PlanSpec extends SparkSpec {
     assert(!p178.contains("Window"), s"q178 plans a window:\n$p178")
   }
 
+  test("round-9f additions keep their ledger shapes: pruned IVF+ADC " +
+    "serving, partial-agged audit, one-window span corruption") {
+    // q179 IVF+PQ: the served plan is filter + kernel encode + bounded
+    // take — the probe selection ran as its own tiny job; no join
+    val p179 = plan("q179_ivf_pq_topk")
+    assert(p179.contains("TakeOrderedAndProject"),
+      s"IVFPQ top-k not bounded:\n$p179")
+    assert(!p179.contains("Join"), s"IVFPQ serves with a join:\n$p179")
+    // q180 audit: one grouped agg, map-side combined, no join/window
+    val p180 = plan("q180_dedup_audit")
+    assert(p180.contains("partial_"), s"no map-side combine:\n$p180")
+    assert(!p180.contains("Join"), s"q180 plans a join:\n$p180")
+    assert(!p180.contains("Window"), s"q180 plans a window:\n$p180")
+    // q181 span corruption: one per-doc window (the sentinel counter),
+    // partial-agged rebuild, never cartesian
+    val p181 = plan("q181_span_corruption")
+    assert(p181.contains("Window"), s"sentinel counter missing:\n$p181")
+    assert(p181.contains("partial_"), s"no map-side combine:\n$p181")
+    assert(!p181.contains("CartesianProduct"), s"q181 cartesian:\n$p181")
+  }
+
   test("giant-group quantile fallback: no window sort, cuts broadcast") {
     // the routed cut-point path over a real parquet scan: one
     // partial-aggregated percentile pass + broadcast join + map-side bin
