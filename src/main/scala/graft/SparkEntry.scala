@@ -1916,6 +1916,40 @@ object SparkEntry {
     // (input, target) pair per doc
     "q181_span_corruption" -> ((s, dir) =>
       TextOps.spanCorruption(t(s, dir, "documents")).orderBy("doc_id"))
+    ,
+
+    // LSH S-curve tuning table: 1-(1-s^r)^b over all 64-hash bandings —
+    // every power a multiplication chain, bit-portable
+    "q182_lsh_curve" -> ((s, dir) =>
+      Dedup.lshTuningCurve(s, numHashes = 64).orderBy("r", "s")),
+
+    // PII exposure audit over injected email/phone/card markers
+    "q183_pii_report" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" call 555-1234"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" card 4111111111111111"))
+            .otherwise(lit(""))).as("text"))
+      TextOps.piiReport(injected).orderBy("source")
+    }),
+
+    // URL path-depth statistics per registrable domain (depth cycles
+    // 0-3 by doc_id; one domain per source)
+    "q184_url_depth" -> ((s, dir) => {
+      val path = when(col("doc_id") % 4 === 0, lit("/"))
+        .when(col("doc_id") % 4 === 1, lit("/a"))
+        .when(col("doc_id") % 4 === 2, lit("/a/b"))
+        .otherwise(lit("/a/b/c"))
+      val urls = t(s, dir, "documents").select(
+        concat(lit("https://"), col("source"), lit(".com"), path)
+          .as("url"))
+      UrlOps.urlDepthStats(urls).orderBy("domain")
+    })
   )
 
   /** q154's merge list, rank order — the kind of prefix q152's pair
@@ -2455,6 +2489,27 @@ object SparkEntry {
        |  FROM terms GROUP BY vec_id)
        |SELECT vec_id, $chain AS adc
        |FROM p ORDER BY adc, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** q182 oracle: the same S-curve with every power an explicit
+    * left-associative multiplication chain (never `pow` — its last ulp
+    * is not engine-portable). */
+  private def lshCurveOracle: String = {
+    def mulChain(base: String, n: Int): String =
+      "(" + Seq.fill(n)(base).mkString(" * ") + ")"
+    val pairs = (2 to 32).filter(r => 64 % r == 0 && 64 / r >= 2)
+      .map(r => (r, 64 / r))
+    val selects = pairs.map { case (r, b) =>
+      val u = s"(1.0 - ${mulChain("s", r)})"
+      s"""SELECT $r AS r, $b AS b, s,
+         |  1.0 - ${mulChain(u, b)} AS p_candidate
+         |FROM grid""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH grid AS (
+       |  SELECT CAST(id AS DOUBLE) * CAST(0.05 AS DOUBLE) AS s
+       |  FROM generate_series(1, 19) t(id))
+       |$selects
+       |ORDER BY r, s""".stripMargin
   }
 
   /** q108 oracle: q24's candidate CTEs + q42's split expression, keeping
@@ -3340,6 +3395,49 @@ object SparkEntry {
         |      / (count(*) - sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END))
         |  END AS dup_rate_normalized
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q182_lsh_curve" -> lshCurveOracle,
+
+    // q183: identical injection formulas + the same three RE2-safe
+    // patterns; counts are exact integers
+    "q183_pii_report" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    text
+        |      || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+        |           || CAST(doc_id AS VARCHAR) || '@example.com'
+        |         ELSE '' END
+        |      || CASE WHEN doc_id % 5 = 0 THEN ' call 555-1234'
+        |         ELSE '' END
+        |      || CASE WHEN doc_id % 11 = 0 THEN ' card 4111111111111111'
+        |         ELSE '' END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(t,
+        |      '[A-Za-z0-9.+_-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
+        |    len(regexp_extract_all(t, '\d{3}-\d{4}')) AS p,
+        |    len(regexp_extract_all(t, '\d{16}')) AS cd
+        |  FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(e) AS BIGINT) AS n_email,
+        |  CAST(sum(p) AS BIGINT) AS n_phone,
+        |  CAST(sum(cd) AS BIGINT) AS n_card,
+        |  CAST(sum(CASE WHEN e + p + cd > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs_with_pii
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    // q184: domain and depth re-derived from the synthesis formulas;
+    // mean is one exact-integer quotient
+    "q184_url_depth" ->
+      """WITH u AS (
+        |  SELECT source || '.com' AS domain,
+        |    CAST(doc_id % 4 AS BIGINT) AS depth
+        |  FROM documents)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(max(depth) AS BIGINT) AS max_depth,
+        |  CAST(sum(depth) AS DOUBLE) / count(*) AS mean_depth
+        |FROM u GROUP BY domain ORDER BY domain""".stripMargin,
 
     // q181: identical md5 mask rule, running sentinel counter, ordered
     // string_agg rebuilds

@@ -1066,6 +1066,33 @@ object Dedup {
     }
   }
 
+  /** LSH S-CURVE TUNING TABLE — the analytic complement of the
+    * empirical recall harness (`lshRecall`/q126): for every (rows r,
+    * bands b) factorization of `numHashes` and a grid of true Jaccard
+    * similarities s, the candidate probability 1 − (1 − s^r)^b — the
+    * curve an engineer consults to pick banding before paying for a
+    * recall run. All powers are LEFT-ASSOCIATIVE multiplication chains
+    * (never `pow`, whose last ulp is not portable), so every table
+    * value is bit-identical across engines. Driver-free: a |grid|-row
+    * range frame per factorization, unioned — no data scan at all. */
+  def lshTuningCurve(spark: org.apache.spark.sql.SparkSession,
+                     numHashes: Int = 64,
+                     sSteps: Int = 19): DataFrame = {
+    require(numHashes >= 4, "numHashes must be at least 4")
+    def powChain(c: Column, n: Int): Column =
+      (1 until n).foldLeft(c)((acc, _) => acc * c)
+    val pairs = (2 to numHashes / 2)
+      .filter(r => numHashes % r == 0 && numHashes / r >= 2)
+      .map(r => (r, numHashes / r))
+    val sDf = spark.range(1, sSteps + 1)
+      .select((col("id") * lit(0.05)).as("s"))
+    pairs.map { case (r, b) =>
+      sDf.select(lit(r).as("r"), lit(b).as("b"), col("s"),
+        (lit(1.0) - powChain(lit(1.0) - powChain(col("s"), r), b))
+          .as("p_candidate"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Dedup IMPACT REPORT per `groupCol` — the before/after numbers a
     * curation run publishes (and the cheap first look that decides
     * whether a source is worth near-dup treatment at all): doc count,

@@ -886,6 +886,31 @@ object TextOps {
           .as("recall"))
   }
 
+  /** PII EXPOSURE AUDIT — the measuring complement of [[scrubPii]]'s
+    * rewrite (a compliance release wants the COUNTS, per source, before
+    * deciding to scrub or drop): per `groupCol`, match counts for each
+    * rule plus the number of documents carrying any match. One map-only
+    * scan (the rules run as `regexp_extract_all` sizes in the
+    * projection), one map-side-combined aggregation; group-cardinality
+    * rows out. Rule tags become column names (`<EMAIL>` → n_email). */
+  def piiReport(docs: DataFrame, groupCol: String = "source",
+                textCol: String = "text",
+                rules: Seq[(String, String)] = DefaultPiiRules)
+      : DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val t = coalesce(col(textCol), lit(""))
+    def cnt(pat: String): Column =
+      size(regexp_extract_all(t, lit(pat), lit(0))).cast("long")
+    def nameOf(tag: String): String =
+      "n_" + tag.replaceAll("[<>]", "").toLowerCase
+    val total = rules.map { case (p, _) => cnt(p) }.reduce(_ + _)
+    val aggs = rules.map { case (p, tag) =>
+      sum(cnt(p)).as(nameOf(tag)) } :+
+      sum(when(total > 0, 1L).otherwise(0L)).as("n_docs_with_pii")
+    docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), aggs: _*)
+  }
+
   /** T5-STYLE SPAN CORRUPTION (Raffel et al. 2020 §3.1.4) — the
     * training-example generator for denoising objectives: mask ~1/`modM`
     * of each document's tokens (deterministically — the md5 bucket of

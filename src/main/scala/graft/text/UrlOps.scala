@@ -205,6 +205,30 @@ object UrlOps {
       .drop("_host", "_path")
   }
 
+  /** URL PATH-DEPTH STATISTICS per registrable domain — the crawl
+    * frontier-shaping signal (deep archives and calendar traps show up
+    * as depth excursions; most curation policies cap fetch depth per
+    * domain): URL count, max depth, and the exact-quotient mean depth,
+    * where depth = number of non-empty `/`-separated path segments
+    * (query/fragment excluded). Map-only projection + one grouped
+    * aggregation; URL strings never shuffle — only (domain, depth). */
+  def urlDepthStats(urls: DataFrame, urlCol: String = "url",
+                    suffixes: Option[Seq[String]] = None): DataFrame = {
+    val host = hostOf(col(urlCol))
+    val domain = suffixes.map(sx => registeredDomain(host, sx))
+      .getOrElse(registeredDomain(host))
+    val path = regexp_extract(col(urlCol),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)", 1)
+    val depth = size(filter(split(path, "/"), s => length(s) > 0))
+      .cast("long")
+    urls.filter(length(host) > 0)
+      .select(domain.as("domain"), depth.as("depth"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"),
+        max("depth").as("max_depth"),
+        (sum("depth").cast("double") / count(lit(1))).as("mean_depth"))
+  }
+
   /** FETCHER-SHARD PLAN — the crawl-scheduling step after the politeness
     * gates: assign every distinct host to one of `nShards` fetcher
     * shards by its md5 bucket (all of a host's URLs land on the same

@@ -2752,6 +2752,56 @@ class ExtensionsSpec extends SparkSpec {
     assert(masks.count(identity) > 0, "fixture should mask something")
   }
 
+  test("lshTuningCurve: every 64-hash banding present, chain-exact " +
+    "probabilities, monotone in s") {
+    val got = Dedup.lshTuningCurve(spark, numHashes = 64)
+      .orderBy("r", "s").collect()
+    assert(got.length == 5 * 19) // (2,32),(4,16),(8,8),(16,4),(32,2)
+    val rbs = got.map(r => (r.getInt(0), r.getInt(1))).distinct.toSet
+    assert(rbs == Set((2, 32), (4, 16), (8, 8), (16, 4), (32, 2)))
+    // replay one value with the same left-associative chains
+    val row = got.find(r => r.getInt(0) == 8 &&
+      math.abs(r.getDouble(2) - 0.5) < 1e-9).get
+    def chain(x: Double, n: Int) = (1 until n).foldLeft(x)((a, _) => a * x)
+    val s = 10L * 0.05 // the grid's own arithmetic: id * 0.05
+    assert(row.getDouble(3) == 1.0 - chain(1.0 - chain(s, 8), 8))
+    // S-curve: nondecreasing in s within each banding
+    got.grouped(19).foreach { g =>
+      g.sliding(2).foreach { w =>
+        assert(w(0).getDouble(3) <= w(1).getDouble(3) + 1e-15) }
+    }
+  }
+
+  test("piiReport: per-rule counts, docs-with-any, null-safe") {
+    val docs = Seq(
+      (0L, "s1", "mail me at a.b+c@x-y.co or 555-1234 thanks"),
+      (1L, "s1", "card 1234567890123456 and 1111222233334444"),
+      (2L, "s1", "clean text"),
+      (3L, "s2", null.asInstanceOf[String]))
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.piiReport(docs).orderBy("source").collect()
+    val s1 = got(0)
+    assert((s1.getLong(1), s1.getLong(2), s1.getLong(3), s1.getLong(4),
+      s1.getLong(5)) == (3L, 1L, 1L, 2L, 2L))
+    val s2 = got(1)
+    assert((s2.getLong(1), s2.getLong(5)) == (1L, 0L))
+  }
+
+  test("urlDepthStats: non-empty segment depth, query/fragment excluded, " +
+    "hostless rows dropped, exact mean") {
+    val urls = Seq(
+      "https://a.com/",            // depth 0
+      "https://a.com/x/y?p=/q/r",  // depth 2 (query excluded)
+      "https://a.com/x/y/z#/f",    // depth 3 (fragment excluded)
+      "https://b.com",             // no path → depth 0
+      "nonsense").toDF("url")
+    val got = graft.text.UrlOps.urlDepthStats(urls).orderBy("domain")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq(("a.com", 3L, 3L, 5.0 / 3), ("b.com", 1L, 0L, 0.0)))
+  }
+
   test("tokenFertility: exact integer sums, quotient taken once — " +
     "4-char pieces, digits, punct runs all count as subwords") {
     val docs = Seq(

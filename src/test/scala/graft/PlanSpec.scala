@@ -585,6 +585,23 @@ class PlanSpec extends SparkSpec {
     assert(!p181.contains("CartesianProduct"), s"q181 cartesian:\n$p181")
   }
 
+  test("round-9g additions keep their ledger shapes: scan-free tuning " +
+    "table, partial-agged audits") {
+    // q182 S-curve: pure Range union — no file scan anywhere
+    val p182 = plan("q182_lsh_curve")
+    assert(p182.contains("Range"), s"no range source:\n$p182")
+    assert(!p182.toLowerCase.contains("filescan"),
+      s"tuning table reads files:\n$p182")
+    assert(!p182.contains("Join"), s"q182 plans a join:\n$p182")
+    // q183/q184: map-only projections + one combined agg each
+    Seq("q183_pii_report", "q184_url_depth").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q no map-side combine:\n$p")
+      assert(!p.contains("Join"), s"$q plans a join:\n$p")
+      assert(!p.contains("Window"), s"$q plans a window:\n$p")
+    }
+  }
+
   test("giant-group quantile fallback: no window sort, cuts broadcast") {
     // the routed cut-point path over a real parquet scan: one
     // partial-aggregated percentile pass + broadcast join + map-side bin
