@@ -1949,6 +1949,25 @@ object SparkEntry {
         concat(lit("https://"), col("source"), lit(".com"), path)
           .as("url"))
       UrlOps.urlDepthStats(urls).orderBy("domain")
+    }),
+
+    // crawl frontier: two synthesized outlinks per doc, own-url crawled
+    // set, most-cited uncrawled first (count desc, url asc, top-20)
+    "q185_crawl_frontier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def u(path: Column): Column = concat(lit("https://www."),
+        col("source"), lit(".example.com/p"), path.cast("string"))
+      val crawled = docs.select(u(col("doc_id") % 7).as("url"))
+      val cand = docs.select(u((col("doc_id") + 1) % 9).as("url"))
+        .unionByName(docs.select(u(col("doc_id") % 11).as("url")))
+      UrlOps.crawlFrontier(cand, crawled, k = 20)
+    }),
+
+    // embedding centroid drift between the even/odd snapshot halves
+    "q186_centroid_drift" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      Similarity.centroidDrift(embs.filter(col("vec_id") % 2 === 0),
+        embs.filter(col("vec_id") % 2 === 1)).orderBy("label")
     })
   )
 
@@ -2510,6 +2529,27 @@ object SparkEntry {
        |  FROM generate_series(1, 19) t(id))
        |$selects
        |ORDER BY r, s""".stripMargin
+  }
+
+  /** q186 oracle: q94-regime rounded centroid means per snapshot half +
+    * the explicit 64-term left-associative distance chain. */
+  private def centroidDriftOracle: String = {
+    val chain = (1 to 64)
+      .map(i => s"(ca.c[$i] - cb.c[$i]) * (ca.c[$i] - cb.c[$i])")
+      .mkString("\n    + ")
+    def half(name: String, parity: Int) =
+      s"""$name AS (
+         |  SELECT label, list(m ORDER BY pos) AS c FROM (
+         |    SELECT label, i AS pos,
+         |      round(avg(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)),
+         |            6) AS m
+         |    FROM embeddings, generate_series(1, 64) t(i)
+         |    WHERE vec_id % 2 = $parity GROUP BY label, i)
+         |  GROUP BY label)""".stripMargin
+    s"""WITH ${half("ca", 0)},
+       |${half("cb", 1)}
+       |SELECT ca.label, sqrt($chain) AS drift
+       |FROM ca JOIN cb USING (label) ORDER BY label""".stripMargin
   }
 
   /** q108 oracle: q24's candidate CTEs + q42's split expression, keeping
@@ -3397,6 +3437,28 @@ object SparkEntry {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q182_lsh_curve" -> lshCurveOracle,
+
+    // q185: synthesis replayed; frontier = candidates minus the crawled
+    // set, exact-integer counts, total (n_refs DESC, url) order
+    "q185_crawl_frontier" ->
+      """WITH docs AS (SELECT doc_id, source FROM documents),
+        |crawled AS (
+        |  SELECT DISTINCT 'https://www.' || source || '.example.com/p'
+        |    || CAST(doc_id % 7 AS VARCHAR) AS u FROM docs),
+        |cand AS (
+        |  SELECT 'https://www.' || source || '.example.com/p'
+        |    || CAST((doc_id + 1) % 9 AS VARCHAR) AS u FROM docs
+        |  UNION ALL
+        |  SELECT 'https://www.' || source || '.example.com/p'
+        |    || CAST(doc_id % 11 AS VARCHAR) AS u FROM docs),
+        |f AS (
+        |  SELECT u, CAST(count(*) AS BIGINT) AS n_refs FROM cand
+        |  WHERE u NOT IN (SELECT u FROM crawled)
+        |  GROUP BY u)
+        |SELECT u AS url, n_refs FROM f
+        |ORDER BY n_refs DESC, url LIMIT 20""".stripMargin,
+
+    "q186_centroid_drift" -> centroidDriftOracle,
 
     // q183: identical injection formulas + the same three RE2-safe
     // patterns; counts are exact integers

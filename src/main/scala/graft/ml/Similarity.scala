@@ -756,6 +756,37 @@ object Similarity {
       .limit(topK)
   }
 
+  /** CENTROID DRIFT between two embedding snapshots — the
+    * corpus-monitoring gauge for "did the embedding distribution move"
+    * (a model upgrade, a domain shift, a silently-broken encoder): per
+    * `groupCol`, the L2 distance between the two snapshots' per-group
+    * mean vectors. Centroids are quantized to `dp` decimals BEFORE the
+    * distance (the q94/silhouette regime: quantization makes every
+    * downstream number a pure function of the quantized values; the avg
+    * itself carries the accepted ~1e-8 boundary residual). The distance
+    * is a fixed-order per-dimension fold — bit-portable given the
+    * quantized inputs. Two |groups|·dim aggregations + one tiny join. */
+  def centroidDrift(a: DataFrame, b: DataFrame,
+                    groupCol: String = "label",
+                    vecCol: String = "embedding",
+                    dim: Int = DefaultDim, dp: Int = 6): DataFrame = {
+    def cent(df: DataFrame, name: String): DataFrame = df
+      .select(col(groupCol),
+        posexplode(col(vecCol).cast("array<double>")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(round(avg("col"), dp).as("m"))
+      .groupBy(col(groupCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as(name))
+    val joined = cent(a, "ca").join(cent(b, "cb"), groupCol)
+    def at(c: Column, i: Column) = element_at(c, (i + 1).cast("int"))
+    val dist2 = aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
+      (acc, i) => acc + (at(col("ca"), i) - at(col("cb"), i)) *
+        (at(col("ca"), i) - at(col("cb"), i)))
+    joined.select(col(groupCol), sqrt(dist2).as("drift"))
+  }
+
   /** Embedding-corpus QA audit — the integrity gate an ANN/semantic
     * pipeline runs before indexing: per `groupCol`, vector count,
     * wrong-dimension count, zero-norm count (unindexable under cosine),

@@ -229,6 +229,27 @@ object UrlOps {
         (sum("depth").cast("double") / count(lit(1))).as("mean_depth"))
   }
 
+  /** CRAWL FRONTIER — the next-fetch queue builder: candidate outlinks,
+    * canonicalized ([[normalizeUrl]]), minus everything already crawled
+    * (one url-keyed left_anti), ranked by reference count — the
+    * "most-cited uncrawled URL first" priority every breadth-oriented
+    * crawler starts from (in-degree is the cheap stand-in for URL-level
+    * PageRank). Returns the top `k` (url, n_refs). At 100 TB both
+    * sides hash-partition on the canonical URL for the anti-join, the
+    * count is map-side combined, and the top-k is one bounded take —
+    * nothing but (url, count) pairs ever shuffles. */
+  def crawlFrontier(outlinks: DataFrame, crawled: DataFrame,
+                    urlCol: String = "url", k: Int = 100): DataFrame = {
+    require(k > 0, "k must be positive")
+    val cand = outlinks.select(normalizeUrl(col(urlCol)).as("u"))
+    val seen = crawled.select(normalizeUrl(col(urlCol)).as("u")).distinct()
+    cand.join(seen, Seq("u"), "left_anti")
+      .groupBy("u").agg(count(lit(1)).as("n_refs"))
+      .orderBy(col("n_refs").desc, col("u"))
+      .limit(k)
+      .select(col("u").as("url"), col("n_refs"))
+  }
+
   /** FETCHER-SHARD PLAN — the crawl-scheduling step after the politeness
     * gates: assign every distinct host to one of `nShards` fetcher
     * shards by its md5 bucket (all of a host's URLs land on the same

@@ -2802,6 +2802,34 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == Seq(("a.com", 3L, 3L, 5.0 / 3), ("b.com", 1L, 0L, 0.0)))
   }
 
+  test("crawlFrontier: crawled URLs excluded after canonicalization, " +
+    "ranked by reference count then url, top-k bounded") {
+    val out = Seq(
+      "https://A.com/x?utm_source=t", // canonicalizes to crawled → out
+      "https://a.com/new", "https://a.com/new", // 2 refs
+      "https://b.com/once").toDF("url")
+    val crawled = Seq("https://a.com/x").toDF("url")
+    val got = graft.text.UrlOps.crawlFrontier(out, crawled, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("https://a.com/new", 2L),
+      ("https://b.com/once", 1L)))
+  }
+
+  test("centroidDrift: identical halves drift zero, a shifted group " +
+    "reads the exact quantized distance") {
+    val a = Seq((0L, Seq(1.0, 2.0, 0.0, 0.0), 1),
+      (2L, Seq(3.0, 4.0, 0.0, 0.0), 1),
+      (4L, Seq(1.0, 1.0, 1.0, 1.0), 2))
+      .toDF("vec_id", "embedding", "label")
+    val b = Seq((1L, Seq(1.0, 2.0, 0.0, 0.0), 1),
+      (3L, Seq(3.0, 4.0, 0.0, 0.0), 1),
+      (5L, Seq(1.0, 1.0, 1.0, 4.0), 2)) // last dim +3
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidDrift(a, b, dim = 4).orderBy("label")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1, 0.0), (2, 3.0)))
+  }
+
   test("tokenFertility: exact integer sums, quotient taken once — " +
     "4-char pieces, digits, punct runs all count as subwords") {
     val docs = Seq(

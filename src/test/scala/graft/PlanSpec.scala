@@ -602,6 +602,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-9h additions keep their ledger shapes: anti-join frontier " +
+    "with bounded take, tiny-join centroid drift") {
+    // q185 frontier: one url-keyed anti-join, combined count, one take
+    val p185 = plan("q185_crawl_frontier")
+    assert(p185.contains("LeftAnti"), s"no anti-join:\n$p185")
+    assert(p185.contains("TakeOrderedAndProject"),
+      s"frontier not bounded:\n$p185")
+    assert(p185.contains("partial_"), s"no map-side combine:\n$p185")
+    assert(!p185.contains("CartesianProduct"), s"q185 cartesian:\n$p185")
+    // q186 drift: two |groups|-row centroid aggs meeting in one tiny
+    // equi-join — never cartesian, no window
+    val p186 = plan("q186_centroid_drift")
+    assert(p186.contains("partial_"), s"no map-side combine:\n$p186")
+    assert(!p186.contains("CartesianProduct"), s"q186 cartesian:\n$p186")
+    assert(!p186.contains("Window"), s"q186 plans a window:\n$p186")
+  }
+
   test("giant-group quantile fallback: no window sort, cuts broadcast") {
     // the routed cut-point path over a real parquet scan: one
     // partial-aggregated percentile pass + broadcast join + map-side bin
