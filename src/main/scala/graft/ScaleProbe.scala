@@ -256,7 +256,34 @@ object ScaleProbe {
             lit("-"), (col("doc_id") % 1000).cast("string"),
             lit(".example.com/p"), col("doc_id").cast("string")).as("url"))
           graft.text.UrlOps.hostShardPlan(urls, nShards = 64)
-            .agg(sum("n_urls"), max("max_host_urls")).head(); 1L }))
+            .agg(sum("n_urls"), max("max_host_urls")).head(); 1L },
+        "span_corruption" -> { d =>
+          TextOps.spanCorruption(d)
+            .agg(sum("n_masked"), sum(length(col("input_text"))))
+            .head(); 1L },
+        "pii_report" -> { d =>
+          TextOps.piiReport(d).agg(sum("n_email"), sum("n_docs"))
+            .head(); 1L },
+        "dedup_audit" -> { d =>
+          Dedup.dedupAudit(d).agg(sum("n_exact"), sum("n_docs"))
+            .head(); 1L },
+        "url_depth" -> { d =>
+          val urls = d.select(concat(lit("https://www."), col("source"),
+            lit(".example.com/a/b/p"), (col("doc_id") % 9).cast("string"))
+            .as("url"))
+          graft.text.UrlOps.urlDepthStats(urls)
+            .agg(sum("n_urls"), max("max_depth")).head(); 1L },
+        "crawl_frontier" -> { d =>
+          // candidate domain grows with the corpus (doc_id-derived
+          // paths); crawled = the %7 path family
+          def u(p: org.apache.spark.sql.Column) =
+            concat(lit("https://www."), col("source"),
+              lit(".example.com/p"), p.cast("string"))
+          val crawled = d.select(u(col("doc_id") % 7).as("url"))
+          val cand = d.select(u((col("doc_id") + 1) % 9).as("url"))
+            .unionAll(d.select(u(col("doc_id") % 11).as("url")))
+          graft.text.UrlOps.crawlFrontier(cand, crawled, k = 100)
+            .agg(sum("n_refs")).head(); 1L }))
 
     // embedding-family probe: replicate embeddings with coordinate jitter
     // derived from the replica index (deterministic, no RNG)
@@ -301,7 +328,17 @@ object ScaleProbe {
           Similarity.pqAdcTopK(d, q, topK = 10).count() },
         "embedding_audit" -> { d =>
           Similarity.embeddingAudit(d)
-            .agg(sum("max_norm"), sum("n_vectors")).head(); 1L }))
+            .agg(sum("max_norm"), sum("n_vectors")).head(); 1L },
+        "ivf_pq_topk" -> { d =>
+          val q = d.filter(col("vec_id") === 0)
+            .select(col("embedding").cast("array<double>"))
+            .head().getSeq[Double](0).toArray
+          Similarity.ivfPqTopK(d, q, topK = 10, clusterCol = "label",
+            nProbe = 3).count() },
+        "centroid_drift" -> { d =>
+          Similarity.centroidDrift(d.filter(col("vec_id") % 2 === 0),
+            d.filter(col("vec_id") % 2 === 1))
+            .agg(sum("drift")).head(); 1L }))
     }
 
     // event-family probe: replicate by user-id offset (funnel/retention
