@@ -1968,6 +1968,27 @@ object SparkEntry {
       val embs = t(s, dir, "embeddings")
       Similarity.centroidDrift(embs.filter(col("vec_id") % 2 === 0),
         embs.filter(col("vec_id") % 2 === 1)).orderBy("label")
+    }),
+
+    // key-skew diagnostic over the events user domain: top-5 heaviest
+    // keys + corpus totals + max/mean skew factor
+    "q187_skew_report" -> ((s, dir) =>
+      graft.ops.Stats.skewReport(t(s, dir, "events"), "user_id",
+        topK = 5).orderBy(col("n").desc, col("key"))),
+
+    // per-epoch deterministic dataloader order, first 10 of each of
+    // 3 epochs (WindowGroupLimit-pruned rank)
+    "q188_epoch_shuffle" -> ((s, dir) =>
+      TextOps.epochShuffleOrder(t(s, dir, "documents"), epochs = 3,
+        topK = 10).orderBy("epoch", "rank")),
+
+    // l-diversity privacy audit: (source, length-bin) quasi-groups vs
+    // the doc_id%7 sensitive surrogate, l=3
+    "q189_l_diversity" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("bin", expr("n_chars div 10"))
+        .withColumn("sens", col("doc_id") % 7)
+      graft.ops.Quality.lDiversity(d, Seq("source", "bin"), "sens", l = 3)
     })
   )
 
@@ -3459,6 +3480,53 @@ object SparkEntry {
         |ORDER BY n_refs DESC, url LIMIT 20""".stripMargin,
 
     "q186_centroid_drift" -> centroidDriftOracle,
+
+    // q187: per-key counts, 3-scalar summary, one bounded take; the
+    // skew factor is one exact-integer-product division
+    "q187_skew_report" ->
+      """WITH c AS (
+        |  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |         CAST(count(*) AS BIGINT) AS n_keys,
+        |         CAST(max(n) AS BIGINT) AS max_n FROM c)
+        |SELECT key, n, n_rows, n_keys,
+        |  CAST(max_n * n_keys AS DOUBLE) / n_rows AS skew_factor
+        |FROM c CROSS JOIN s ORDER BY n DESC, key LIMIT 5""".stripMargin,
+
+    // q188: identical md5(epoch,id) permutation per epoch
+    "q188_epoch_shuffle" ->
+      """WITH e AS (
+        |  SELECT d.doc_id, t.epoch FROM documents d,
+        |    (SELECT unnest(generate_series(0, 2)) AS epoch) t),
+        |r AS (
+        |  SELECT epoch, doc_id,
+        |    row_number() OVER (PARTITION BY epoch
+        |      ORDER BY md5(CAST(epoch AS VARCHAR) || '_'
+        |        || CAST(doc_id AS VARCHAR)), doc_id) AS rank
+        |  FROM e)
+        |SELECT CAST(epoch AS INTEGER) AS epoch,
+        |  CAST(rank AS INTEGER) AS rank, doc_id
+        |FROM r WHERE rank <= 10 ORDER BY epoch, rank""".stripMargin,
+
+    // q189: the same one-pass group/diversity aggregation
+    "q189_l_diversity" ->
+      """WITH g AS (
+        |  SELECT source, n_chars // 10 AS bin,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT doc_id % 7) AS BIGINT) AS d
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN d < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS groups_below_l,
+        |  CAST(coalesce(sum(CASE WHEN d < 3 THEN n END), 0) AS BIGINT)
+        |    AS rows_below_l,
+        |  round(CAST(coalesce(sum(CASE WHEN d < 3 THEN n END), 0)
+        |    AS DOUBLE) / sum(n), 6) AS at_risk_fraction,
+        |  CAST(min(d) AS BIGINT) AS min_diversity
+        |FROM g""".stripMargin,
 
     // q183: identical injection formulas + the same three RE2-safe
     // patterns; counts are exact integers

@@ -120,4 +120,33 @@ object Quality {
           .when(col("old_fp") =!= col("new_fp"), "changed")
           .otherwise("unchanged"))
   }
+
+  /** L-DIVERSITY audit — [[kAnonymity]]'s stronger sibling (Machanavajjhala
+    * et al. 2007): a quasi-identifier group can be k-anonymous yet leak
+    * the sensitive attribute outright if every member shares one value.
+    * Reports, over the quasi-identifier groups: group count, groups whose
+    * DISTINCT sensitive-value count falls below `l`, the rows inside
+    * them, the at-risk fraction (exact quotient, q-rounded like
+    * kAnonymity's), and the minimum diversity seen. Same single
+    * aggregation-pass shape as kAnonymity with one extra
+    * `count_distinct`. */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Int = 2): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(l >= 2, "l below 2 makes every group diverse")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"),
+        count_distinct(col(sensitiveCol)).as("_d"))
+      .agg(sum("_n").as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("_d") < l, 1L).otherwise(0L)).as("groups_below_l"),
+        coalesce(sum(when(col("_d") < l, col("_n"))), lit(0L))
+          .as("rows_below_l"),
+        min("_d").as("min_diversity"))
+      .select(col("n_rows"), col("n_groups"), col("groups_below_l"),
+        col("rows_below_l"),
+        round(col("rows_below_l").cast("double") / col("n_rows"), 6)
+          .as("at_risk_fraction"),
+        col("min_diversity"))
+  }
 }

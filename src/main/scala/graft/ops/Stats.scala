@@ -279,4 +279,27 @@ object Stats {
         when(abs(col("cusum")) > threshold, 1).otherwise(0))
       .drop("_mean")
   }
+
+  /** KEY-SKEW REPORT — the pre-join/pre-agg diagnostic that decides
+    * whether a key needs salting ([[graft.ops.Skew]]) BEFORE the job
+    * hits the straggler: the `topK` heaviest keys, each row carrying
+    * the corpus totals and the skew factor max/mean = max·n_keys/n_rows
+    * (1.0 = perfectly uniform; a factor near the partition count means
+    * one task does all the work). One map-side-combined count, a
+    * 3-scalar summary riding a broadcast, one bounded take — the
+    * diagnostic costs one shuffle of (key, count) pairs at any scale. */
+  def skewReport(df: DataFrame, keyCol: String,
+                 topK: Int = 5): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+    val summary = counts.agg(sum("n").as("n_rows"),
+      count(lit(1)).as("n_keys"), max("n").as("max_n"))
+    counts.orderBy(col("n").desc, col("key"))
+      .limit(topK)
+      .crossJoin(broadcast(summary))
+      .select(col("key"), col("n"), col("n_rows"), col("n_keys"),
+        ((col("max_n") * col("n_keys")).cast("double") / col("n_rows"))
+          .as("skew_factor"))
+  }
 }

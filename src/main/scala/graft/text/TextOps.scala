@@ -886,6 +886,30 @@ object TextOps {
           .as("recall"))
   }
 
+  /** MULTI-EPOCH SHUFFLE ORDER — the training dataloader's per-epoch
+    * permutation as a relational op: epoch e ranks documents by
+    * md5(e, id), a DIFFERENT deterministic order each epoch with zero
+    * stored state (the [[trainingShards]] principle extended across
+    * epochs — resumable from any (epoch, rank) checkpoint by
+    * recomputation, no shuffle files to persist). Emits the first
+    * `topK` of each epoch: (epoch, rank, id). The per-epoch rank
+    * window is WindowGroupLimit-pruned map-side, so the full
+    * permutation is never materialized for a bounded read. */
+  def epochShuffleOrder(docs: DataFrame, epochs: Int = 3,
+                        topK: Int = 10,
+                        idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(epochs > 0 && topK > 0, "epochs and topK must be positive")
+    val w = Window.partitionBy("epoch").orderBy(
+      md5(concat(col("epoch").cast("string"), lit("_"),
+        col(idCol).cast("string"))), col(idCol))
+    docs.select(col(idCol),
+        explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("epoch"), col("rank"), col(idCol))
+  }
+
   /** PII EXPOSURE AUDIT — the measuring complement of [[scrubPii]]'s
     * rewrite (a compliance release wants the COUNTS, per source, before
     * deciding to scrub or drop): per `groupCol`, match counts for each

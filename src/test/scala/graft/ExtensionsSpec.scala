@@ -2830,6 +2830,50 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == Seq((1, 0.0), (2, 3.0)))
   }
 
+  test("skewReport: heaviest keys first, totals attached, " +
+    "uniform corpus reads factor 1.0") {
+    val skewed = (Seq.fill(6)(1L) ++ Seq(2L, 2L, 3L))
+      .toDF("k") // 1→6, 2→2, 3→1: n_rows 9, n_keys 3, max 6
+    val got = graft.ops.Stats.skewReport(skewed, "k", topK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == Seq((1L, 6L, 9L, 3L, 2.0), (2L, 2L, 9L, 3L, 2.0)))
+    val uniform = Seq(1L, 2L, 3L).toDF("k")
+    val u = graft.ops.Stats.skewReport(uniform, "k", topK = 1).head()
+    assert(u.getDouble(4) == 1.0)
+  }
+
+  test("epochShuffleOrder: different permutation per epoch, " +
+    "same epoch always identical, rank bounded") {
+    val docs = (0L until 40L).map(Tuple1(_)).toDF("doc_id")
+    val a = TextOps.epochShuffleOrder(docs, epochs = 2, topK = 40)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val e0 = a.filter(_._1 == 0).sortBy(_._2).map(_._3).toSeq
+    val e1 = a.filter(_._1 == 1).sortBy(_._2).map(_._3).toSeq
+    assert(e0.toSet == e1.toSet && e0 != e1) // same docs, new order
+    val again = TextOps.epochShuffleOrder(docs, epochs = 1, topK = 40)
+      .collect().sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+    assert(again == e0) // epoch 0 is reproducible
+    val bounded = TextOps.epochShuffleOrder(docs, epochs = 2, topK = 3)
+    assert(bounded.count() == 6)
+  }
+
+  test("lDiversity: k-anonymous group with one sensitive value is " +
+    "flagged; diverse groups pass") {
+    val df = Seq(
+      // group (a): 4 rows but ONE sensitive value → below l=2
+      ("a", 1), ("a", 1), ("a", 1), ("a", 1),
+      // group (b): 2 rows, 2 values → diverse
+      ("b", 1), ("b", 2)).toDF("quasi", "sens")
+    val got = graft.ops.Quality.lDiversity(df, Seq("quasi"), "sens",
+      l = 2).head()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3)) == (6L, 2L, 1L, 4L))
+    assert(got.getDouble(4) == BigDecimal(4.0 / 6).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got.getLong(5) == 1L)
+  }
+
   test("tokenFertility: exact integer sums, quotient taken once — " +
     "4-char pieces, digits, punct runs all count as subwords") {
     val docs = Seq(

@@ -619,6 +619,27 @@ class PlanSpec extends SparkSpec {
     assert(!p186.contains("Window"), s"q186 plans a window:\n$p186")
   }
 
+  test("round-9i additions keep their ledger shapes: bounded skew take, " +
+    "rank-capped epoch window, one-pass diversity audit") {
+    // q187: combined count + broadcast summary + one bounded take
+    val p187 = plan("q187_skew_report")
+    assert(p187.contains("partial_"), s"no map-side combine:\n$p187")
+    assert(p187.contains("BroadcastNestedLoopJoin") ||
+      p187.contains("BroadcastHashJoin"), s"summary not broadcast:\n$p187")
+    assert(!p187.contains("CartesianProduct"), s"q187 cartesian:\n$p187")
+    // q188: the per-epoch rank is pruned BEFORE materializing the
+    // permutation (WindowGroupLimit)
+    val p188 = plan("q188_epoch_shuffle")
+    assert(p188.contains("WindowGroupLimit"),
+      s"epoch rank not pre-capped:\n$p188")
+    assert(!p188.contains("Join"), s"q188 plans a join:\n$p188")
+    // q189: one aggregation pass, no join/window
+    val p189 = plan("q189_l_diversity")
+    assert(p189.contains("partial_"), s"no map-side combine:\n$p189")
+    assert(!p189.contains("Join"), s"q189 plans a join:\n$p189")
+    assert(!p189.contains("Window"), s"q189 plans a window:\n$p189")
+  }
+
   test("giant-group quantile fallback: no window sort, cuts broadcast") {
     // the routed cut-point path over a real parquet scan: one
     // partial-aggregated percentile pass + broadcast join + map-side bin

@@ -349,4 +349,26 @@ class PropertySpec extends SparkSpec {
       got == expected(sheets)
     }, "xlsx generated-workbook round-trip")
   }
+
+  test("stratifiedSplit: split sizes match the integer boundary formula " +
+    "exactly for any stratum size") {
+    val sizes = Gen.listOfN(3, Gen.choose(1, 40))
+    check(Prop.forAll(sizes) { ns =>
+      val docs = ns.zipWithIndex.flatMap { case (n, g) =>
+        (0 until n).map(i => (g.toLong * 1000 + i, s"g$g"))
+      }.toDF("doc_id", "source")
+      val got = TextOps.stratifiedSplit(docs).collect()
+        .groupBy(_.getString(1))
+        .map { case (g, rows) =>
+          g -> rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap }
+      ns.zipWithIndex.forall { case (n, g) =>
+        val m = got(s"g$g")
+        val train = (1 to n).count(rn => rn * 100 <= n * 80)
+        val valN = (1 to n).count(rn => rn * 100 <= n * 90) - train
+        m.getOrElse("train", 0) == train &&
+          m.getOrElse("val", 0) == valN &&
+          m.getOrElse("test", 0) == n - train - valN
+      }
+    }, "stratified split boundary formula")
+  }
 }
