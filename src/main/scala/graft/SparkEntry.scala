@@ -1989,6 +1989,29 @@ object SparkEntry {
         .withColumn("bin", expr("n_chars div 10"))
         .withColumn("sens", col("doc_id") % 7)
       graft.ops.Quality.lDiversity(d, Seq("source", "bin"), "sens", l = 3)
+    }),
+
+    // shard-balance release check over the md5 training shards
+    "q190_shard_balance" -> ((s, dir) =>
+      TextOps.shardBalance(t(s, dir, "documents"), nShards = 8)
+        .orderBy("shard")),
+
+    // politeness makespan per fetcher shard: synthesized robots bodies
+    // (delay = source-length%4+1), per-source hosts, optimistic max +
+    // pessimistic serial bounds
+    "q191_fetch_makespan" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val urls = docs.select(concat(lit("https://www."), col("source"),
+        lit(".example.com/p"), (col("doc_id") % 13).cast("string"))
+        .as("url"))
+      val robots = docs.select(
+          concat(lit("www."), col("source"), lit(".example.com"))
+            .as("host"),
+          concat(lit("User-agent: *\nCrawl-delay: "),
+            (length(col("source")) % 4 + 1).cast("string"),
+            lit("\nDisallow: /tmp")).as("robots_txt"))
+        .distinct()
+      UrlOps.fetchMakespan(urls, robots, nShards = 4).orderBy("shard")
     })
   )
 
@@ -3509,6 +3532,42 @@ object SparkEntry {
         |SELECT CAST(epoch AS INTEGER) AS epoch,
         |  CAST(rank AS INTEGER) AS rank, doc_id
         |FROM r WHERE rank <= 10 ORDER BY epoch, rank""".stripMargin,
+
+    // q190: the seed:":"-salted md5 bucket replayed; balance is one
+    // exact-integer-product division
+    "q190_shard_balance" ->
+      """WITH s AS (
+        |  SELECT ('0x' || substr(md5(':' || CAST(doc_id AS VARCHAR)),
+        |    1, 8))::BIGINT % 8 AS shard,
+        |    len(string_split(coalesce(text, ''), ' ')) AS tk
+        |  FROM documents),
+        |p AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(tk) AS BIGINT) AS n_tokens FROM s GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM p)
+        |SELECT shard, n_docs, n_tokens,
+        |  CAST(n_docs * 8 AS DOUBLE) / total AS balance
+        |FROM p CROSS JOIN t ORDER BY shard""".stripMargin,
+
+    // q191: delays re-derived from the synthesis formula (independent
+    // of the robots parse), loads and makespans exact integers
+    "q191_fetch_makespan" ->
+      """WITH u AS (
+        |  SELECT 'www.' || source || '.example.com' AS host
+        |  FROM documents),
+        |h AS (SELECT host, CAST(count(*) AS BIGINT) AS n_urls
+        |      FROM u GROUP BY 1),
+        |r AS (SELECT DISTINCT 'www.' || source || '.example.com' AS host,
+        |        CAST(length(source) % 4 + 1 AS BIGINT) AS delay
+        |      FROM documents),
+        |j AS (SELECT h.host, h.n_urls, r.delay,
+        |        ('0x' || substr(md5(h.host), 1, 8))::BIGINT % 4 AS shard,
+        |        h.n_urls * r.delay AS fs
+        |      FROM h JOIN r USING (host))
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_hosts,
+        |  CAST(sum(n_urls) AS BIGINT) AS n_urls,
+        |  CAST(max(fs) AS BIGINT) AS makespan_seconds,
+        |  CAST(sum(fs) AS BIGINT) AS serial_seconds
+        |FROM j GROUP BY shard ORDER BY shard""".stripMargin,
 
     // q189: the same one-pass group/diversity aggregation
     "q189_l_diversity" ->

@@ -1180,6 +1180,28 @@ object TextOps {
           col(idCol).cast("string"))), 1, 15), 16, 10).cast("long"))
   }
 
+  /** SHARD-BALANCE REPORT over [[trainingShards]]' assignment — the
+    * release check that the md5 sharding actually delivered the uniform
+    * layout downstream dataloaders assume: per shard, doc and token
+    * counts plus the balance ratio n_docs·nShards/total (1.0 =
+    * perfectly even; the deviation bound for an md5 split is
+    * binomial). One grouped agg over (shard, counts) + a broadcast
+    * 1-row total; only nShards rows leave. */
+  def shardBalance(docs: DataFrame, nShards: Int = 8,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   seed: String = ""): DataFrame = {
+    val per = trainingShards(docs, idCol, nShards, seed)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(coalesce(col(textCol), lit(""))).cast("long"))
+          .as("n_tokens"))
+    val tot = per.agg(sum("n_docs").as("_total"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        ((col("n_docs") * nShards).cast("double") / col("_total"))
+          .as("balance"))
+  }
+
   /** Reciprocal-rank fusion of retrieval runs: rrf(d) = Σ_runs
     * 1/(rrfK + rank_run(d)) — the standard score-free way to combine a
     * lexical run ([[bm25TopK]]) with a vector run

@@ -229,6 +229,48 @@ object UrlOps {
         (sum("depth").cast("double") / count(lit(1))).as("mean_depth"))
   }
 
+  /** Crawl-delay seconds from a robots.txt body: the FIRST
+    * `Crawl-delay: N` line (case-insensitive, any agent section — the
+    * same conservative whole-file read as [[robotsDisallows]]),
+    * `defaultDelay` when absent. The guard keeps the ANSI-mode cast off
+    * the empty no-match string. */
+  def crawlDelay(robotsTxt: Column, defaultDelay: Int = 1): Column = {
+    val m = regexp_extract(coalesce(robotsTxt, lit("")),
+      "(?im)^crawl-delay:[ \\t]*(\\d+)", 1)
+    when(m =!= "", m.cast("long")).otherwise(defaultDelay.toLong)
+  }
+
+  /** FETCH MAKESPAN per fetcher shard — the politeness-bound schedule
+    * estimate that closes the [[hostShardPlan]] loop: a host's serial
+    * fetch time is n_urls · crawl_delay (politeness forbids
+    * parallelism WITHIN a host), and a shard that interleaves its
+    * hosts finishes when its slowest host does, so the shard makespan
+    * is max over hosts — the OPTIMISTIC (perfect-interleave) bound,
+    * documented; the pessimistic serial bound is the sum, also
+    * emitted. `robots` is the per-host (host, robots_txt) table —
+    * catalog-sized, broadcast; the URL corpus reduces to per-host
+    * counts before anything joins. */
+  def fetchMakespan(urls: DataFrame, robots: DataFrame,
+                    urlCol: String = "url", nShards: Int = 8,
+                    defaultDelay: Int = 1): DataFrame = {
+    val perHost = urls.select(hostOf(col(urlCol)).as("host"))
+      .filter(length(col("host")) > 0)
+      .groupBy("host").agg(count(lit(1)).as("n_urls"))
+    perHost
+      .join(broadcast(robots.select(col("host"),
+        crawlDelay(col("robots_txt"), defaultDelay).as("delay"))),
+        Seq("host"), "left")
+      .withColumn("delay",
+        coalesce(col("delay"), lit(defaultDelay.toLong)))
+      .withColumn("shard", TextOps.hashBucket(col("host"), nShards))
+      .withColumn("fetch_seconds", col("n_urls") * col("delay"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_hosts"),
+        sum("n_urls").as("n_urls"),
+        max("fetch_seconds").as("makespan_seconds"),
+        sum("fetch_seconds").as("serial_seconds"))
+  }
+
   /** CRAWL FRONTIER — the next-fetch queue builder: candidate outlinks,
     * canonicalized ([[normalizeUrl]]), minus everything already crawled
     * (one url-keyed left_anti), ranked by reference count — the

@@ -2874,6 +2874,34 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.getLong(5) == 1L)
   }
 
+  test("shardBalance: counts add up, balance is the exact ratio, " +
+    "empty shards absent") {
+    val docs = (0L until 50L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    val got = TextOps.shardBalance(docs, nShards = 4).collect()
+    assert(got.map(_.getLong(1)).sum == 50L)
+    assert(got.map(_.getLong(2)).sum == 150L) // 3 tokens per doc
+    got.foreach { r =>
+      assert(r.getDouble(3) == r.getLong(1) * 4.0 / 50.0) }
+  }
+
+  test("crawlDelay: first directive wins, case-insensitive, default on " +
+    "absent; fetchMakespan: per-host serial, shard max and sum") {
+    val delays = Seq(
+      "User-agent: *\nCRAWL-DELAY: 7\nCrawl-delay: 2",
+      "Disallow: /x", null).toDF("robots_txt")
+      .select(graft.text.UrlOps.crawlDelay(col("robots_txt")).as("d"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(delays == Seq(7L, 1L, 1L))
+    val urls = Seq("https://a.com/1", "https://a.com/2",
+      "https://b.com/1").toDF("url")
+    val robots = Seq(("a.com", "Crawl-delay: 5")).toDF("host", "robots_txt")
+    val got = graft.text.UrlOps.fetchMakespan(urls, robots, nShards = 1)
+      .head()
+    // a.com: 2 urls × 5 s = 10; b.com (no robots): 1 × default 1 = 1
+    assert((got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4)) == (2L, 3L, 10L, 11L))
+  }
+
   test("tokenFertility: exact integer sums, quotient taken once — " +
     "4-char pieces, digits, punct runs all count as subwords") {
     val docs = Seq(

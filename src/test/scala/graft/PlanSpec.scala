@@ -640,6 +640,23 @@ class PlanSpec extends SparkSpec {
     assert(!p189.contains("Window"), s"q189 plans a window:\n$p189")
   }
 
+  test("round-9j additions keep their ledger shapes: broadcast-total " +
+    "balance, reduced-before-join makespan") {
+    // q190: one combined agg + broadcast 1-row total, no window
+    val p190 = plan("q190_shard_balance")
+    assert(p190.contains("partial_"), s"no map-side combine:\n$p190")
+    assert(p190.contains("BroadcastNestedLoopJoin") ||
+      p190.contains("BroadcastHashJoin"), s"total not broadcast:\n$p190")
+    assert(!p190.contains("Window"), s"q190 plans a window:\n$p190")
+    // q191: URLs reduce to per-host counts BEFORE the robots join, and
+    // the robots side rides a broadcast
+    val p191 = plan("q191_fetch_makespan")
+    assert(p191.contains("partial_"), s"no map-side combine:\n$p191")
+    assert(p191.contains("BroadcastHashJoin"),
+      s"robots not broadcast:\n$p191")
+    assert(!p191.contains("CartesianProduct"), s"q191 cartesian:\n$p191")
+  }
+
   test("giant-group quantile fallback: no window sort, cuts broadcast") {
     // the routed cut-point path over a real parquet scan: one
     // partial-aggregated percentile pass + broadcast join + map-side bin
