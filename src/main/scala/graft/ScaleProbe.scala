@@ -283,7 +283,30 @@ object ScaleProbe {
           val cand = d.select(u((col("doc_id") + 1) % 9).as("url"))
             .unionAll(d.select(u(col("doc_id") % 11).as("url")))
           graft.text.UrlOps.crawlFrontier(cand, crawled, k = 100)
-            .agg(sum("n_refs")).head(); 1L }))
+            .agg(sum("n_refs")).head(); 1L },
+        "epoch_shuffle" -> { d =>
+          TextOps.epochShuffleOrder(d, epochs = 3, topK = 10)
+            .agg(sum("doc_id")).head(); 1L },
+        "l_diversity" -> { d =>
+          graft.ops.Quality.lDiversity(
+            d.withColumn("bin", expr("n_chars div 10"))
+              .withColumn("sens", col("doc_id") % 7),
+            Seq("source", "bin"), "sens", l = 3).head(); 1L },
+        "shard_balance" -> { d =>
+          TextOps.shardBalance(d, nShards = 64)
+            .agg(sum("n_tokens"), max("balance")).head(); 1L },
+        "fetch_makespan" -> { d =>
+          // host cardinality scales with the corpus (id-derived hosts)
+          val urls = d.select(concat(lit("https://www."), col("source"),
+            lit("-"), (col("doc_id") % 500).cast("string"),
+            lit(".example.com/p"), col("doc_id").cast("string"))
+            .as("url"))
+          val robots = d.select(concat(lit("www."), col("source"),
+              lit("-"), (col("doc_id") % 500).cast("string"),
+              lit(".example.com")).as("host"),
+              lit("Crawl-delay: 2").as("robots_txt")).distinct()
+          graft.text.UrlOps.fetchMakespan(urls, robots, nShards = 16)
+            .agg(sum("n_urls"), max("makespan_seconds")).head(); 1L }))
 
     // embedding-family probe: replicate embeddings with coordinate jitter
     // derived from the replica index (deterministic, no RNG)
@@ -357,6 +380,9 @@ object ScaleProbe {
     def evSuite(ev: DataFrame): Map[String, Double] = {
       import graft.ops.Events
       timedSuite(ev)(Seq(
+        "skew_report" -> { d =>
+          graft.ops.Stats.skewReport(d, "user_id", topK = 5)
+            .agg(sum("n"), max("skew_factor")).head(); 1L },
         "funnel3" -> { d =>
           Events.funnel(d, Seq("view", "click", "purchase"),
             maxGapSec = 43200L).count() },

@@ -2012,6 +2012,43 @@ object SparkEntry {
             lit("\nDisallow: /tmp")).as("robots_txt"))
         .distinct()
       UrlOps.fetchMakespan(urls, robots, nShards = 4).orderBy("shard")
+    }),
+
+    // CCNet release table: per (source, ppl bucket) doc and token
+    // totals — the composition of q170's thirds with the corpus stats
+    "q192_ccnet_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.pplBuckets(docs)
+        .join(docs.select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("tk")),
+          "doc_id")
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("tk").as("n_tokens"))
+        .orderBy("source", "bucket")
+    }),
+
+    // anchor-relevance rollup per target registrable domain: absolute
+    // links resolve to their own domain (q165's synthesis), relative
+    // links to the linking page's
+    "q193_anchor_domains" -> ((s, dir) => {
+      val html = concat(
+        lit("<p><a href=\"https://www."), col("source"),
+        lit(".example.com/d"), col("doc_id"), lit("\">Doc "),
+        col("doc_id"), lit("</a> and <A HREF='/rel/p"),
+        col("doc_id") % 7, lit("'>rel link</A></p>"))
+      val pairs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(TextOps.extractAnchors(html)).as("pr"))
+        .select(col("source"), col("pr.link").as("link"),
+          col("pr.anchor").as("anchor"))
+      val domain = when(col("link").startsWith("/"),
+        concat(col("source"), lit(".example.com")))
+        .otherwise(UrlOps.registeredDomain(UrlOps.hostOf(col("link"))))
+      pairs.select(domain.as("domain"), col("anchor"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_anchors"),
+          count_distinct(col("anchor")).as("n_distinct_anchors"))
+        .orderBy("domain")
     })
   )
 
@@ -3568,6 +3605,52 @@ object SparkEntry {
         |  CAST(max(fs) AS BIGINT) AS makespan_seconds,
         |  CAST(sum(fs) AS BIGINT) AS serial_seconds
         |FROM j GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // q192: q170's bucket CTEs + the token totals, grouped
+    "q192_ccnet_report" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t AS token FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE len(t) > 0),
+        |vocab AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total FROM vocab),
+        |probs AS (SELECT token, c / n_total AS p FROM vocab CROSS JOIN tot),
+        |nll AS (
+        |  SELECT doc_id, round(avg(-ln(p)), 6) AS nll
+        |  FROM tok JOIN probs USING (token) GROUP BY doc_id),
+        |b AS (
+        |  SELECT d.doc_id, d.source,
+        |    ntile(3) OVER (PARTITION BY d.source
+        |                   ORDER BY nll.nll, d.doc_id) AS b
+        |  FROM nll JOIN documents d USING (doc_id)),
+        |sel AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN b = 1 THEN 'head' WHEN b = 3 THEN 'tail'
+        |         ELSE 'middle' END AS bucket
+        |  FROM b),
+        |tk AS (SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+        |       FROM documents)
+        |SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tk) AS BIGINT) AS n_tokens
+        |FROM sel JOIN tk USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q193: both anchor rows re-derived from the synthesis — absolute
+    // links all live under the registrable example.com, relative links
+    // under the per-source domain
+    "q193_anchor_domains" ->
+      """WITH a AS (
+        |  SELECT 'example.com' AS domain,
+        |         'Doc ' || CAST(doc_id AS VARCHAR) AS anchor
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT source || '.example.com' AS domain, 'rel link' AS anchor
+        |  FROM documents)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_anchors,
+        |  CAST(count(DISTINCT anchor) AS BIGINT) AS n_distinct_anchors
+        |FROM a GROUP BY domain ORDER BY domain""".stripMargin,
 
     // q189: the same one-pass group/diversity aggregation
     "q189_l_diversity" ->

@@ -657,6 +657,20 @@ class PlanSpec extends SparkSpec {
     assert(!p191.contains("CartesianProduct"), s"q191 cartesian:\n$p191")
   }
 
+  test("round-9k compositions keep their ledger shapes: broadcast LM " +
+    "total in the bucket report, join-free anchor rollup") {
+    val p192 = plan("q192_ccnet_report")
+    assert(p192.contains("partial_"), s"no map-side combine:\n$p192")
+    assert(!p192.contains("CartesianProduct"), s"q192 cartesian:\n$p192")
+    assert(p192.contains("BroadcastNestedLoopJoin") ||
+      p192.contains("BroadcastHashJoin"),
+      s"corpus total not broadcast:\n$p192")
+    val p193 = plan("q193_anchor_domains")
+    assert(p193.contains("partial_"), s"no map-side combine:\n$p193")
+    assert(!p193.contains("Join"), s"q193 plans a join:\n$p193")
+    assert(!p193.contains("Window"), s"q193 plans a window:\n$p193")
+  }
+
   test("giant-group quantile fallback: no window sort, cuts broadcast") {
     // the routed cut-point path over a real parquet scan: one
     // partial-aggregated percentile pass + broadcast join + map-side bin
