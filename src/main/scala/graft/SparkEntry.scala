@@ -2049,6 +2049,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_anchors"),
           count_distinct(col("anchor")).as("n_distinct_anchors"))
         .orderBy("domain")
+    }),
+
+    // code-vs-prose router signals: doc_id%6==0 docs become a code
+    // snippet, the rest stay prose
+    "q194_code_detect" -> ((s, dir) => {
+      val code = concat(lit("def f(x):\n  return x + "),
+        col("doc_id").cast("string"),
+        lit(";\n  var y = {a: 1};\n  const z = 2;"))
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 6 === 0, code).otherwise(col("text"))
+          .as("text"))
+      TextOps.codeSignals(d).orderBy("doc_id")
+    }),
+
+    // HTML table extraction: header row + one data row per doc
+    "q195_table_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<table><tr><th>id</th><th>name</th></tr><tr><td>"),
+        col("doc_id").cast("string"), lit("</td><td>row"),
+        (col("doc_id") % 5).cast("string"),
+        lit("</td></tr></table>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextOps.extractTables(html))
+            .as(Seq("row_no", "cells")))
+        .select(col("doc_id"), col("row_no"),
+          array_join(col("cells"), "|").as("cells"))
+        .orderBy("doc_id", "row_no")
     })
   )
 
@@ -3651,6 +3679,56 @@ object SparkEntry {
         |SELECT domain, CAST(count(*) AS BIGINT) AS n_anchors,
         |  CAST(count(DISTINCT anchor) AS BIGINT) AS n_distinct_anchors
         |FROM a GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // q194: identical injection + strip-length/list-filter signal
+    // replays; the verdict CASE restates the documented thresholds
+    "q194_code_detect" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 6 = 0 THEN
+        |      'def f(x):' || chr(10) || '  return x + '
+        |      || CAST(doc_id AS VARCHAR) || ';' || chr(10)
+        |      || '  var y = {a: 1};' || chr(10) || '  const z = 2;'
+        |    ELSE text END AS t
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, t, string_split(t, chr(10)) AS ls,
+        |    len(t) - len(regexp_replace(t, '[{};]', '', 'g')) AS bs,
+        |    len(list_filter(string_split(t, ' '),
+        |      w -> w IN ('def','class','return','import','void',
+        |                 'function','var','const','public','static',
+        |                 'if(','for(','while(','#include','lambda','=>')))
+        |      AS kw
+        |  FROM d),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CAST(bs AS BIGINT) AS n_brace_semi,
+        |    CAST(kw AS BIGINT) AS kw_hits,
+        |    CASE WHEN len(t) > 0 THEN CAST(bs AS DOUBLE) / len(t)
+        |         ELSE 0.0 END AS brace_semi_density,
+        |    CASE WHEN len(ls) > 0 THEN
+        |      CAST(len(list_filter(ls,
+        |        l -> regexp_matches(l, '^(\t|  )'))) AS DOUBLE) / len(ls)
+        |    ELSE 0.0 END AS indent_fraction
+        |  FROM s)
+        |SELECT doc_id, n_lines, n_brace_semi, kw_hits,
+        |  brace_semi_density, indent_fraction,
+        |  CAST(CASE WHEN brace_semi_density > 0.01
+        |         OR (indent_fraction >= 0.3 AND kw_hits >= 2)
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_code
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // q195: both rows re-derived from the synthesis formulas,
+    // independent of the regex extraction
+    "q195_table_extract" ->
+      """SELECT doc_id, CAST(0 AS INTEGER) AS row_no, 'id|name' AS cells
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS INTEGER),
+        |  CAST(doc_id AS VARCHAR) || '|row' || CAST(doc_id % 5 AS VARCHAR)
+        |FROM documents
+        |ORDER BY doc_id, row_no""".stripMargin,
 
     // q189: the same one-pass group/diversity aggregation
     "q189_l_diversity" ->

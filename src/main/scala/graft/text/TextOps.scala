@@ -910,6 +910,57 @@ object TextOps {
       .select(col("epoch"), col("rank"), col(idCol))
   }
 
+  /** CODE-VS-PROSE DETECTION — the router every mixed crawl needs
+    * before its text rules run (Gopher/C4 thresholds tuned for prose
+    * MANGLE code, and code wants its own pipeline): per doc, the
+    * interpretable signals — brace/semicolon density per char,
+    * indented-line fraction, programming-keyword token hits — and a
+    * composite `is_code` verdict at explicit documented thresholds
+    * (density > 0.01, or indent ≥ 0.3 with ≥ 2 keyword hits). Pure
+    * column HOF/regex work in the scan, map-only. */
+  def codeSignals(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val lines = split(t, "\n")
+    val nLines = size(lines).cast("long")
+    val indented = size(filter(lines, l => l.rlike("^(\\t|  )")))
+      .cast("long")
+    val braceSemi =
+      (length(t) - length(regexp_replace(t, "[{};]", ""))).cast("long")
+    val kw = size(filter(wsTokens(t), w => w.isin(CodeKeywords: _*)))
+      .cast("long")
+    val density = when(length(t) > 0,
+      braceSemi.cast("double") / length(t)).otherwise(lit(0.0))
+    val indentFrac = when(nLines > 0,
+      indented.cast("double") / nLines).otherwise(lit(0.0))
+    docs.select(col(idCol), nLines.as("n_lines"),
+      braceSemi.as("n_brace_semi"), kw.as("kw_hits"),
+      density.as("brace_semi_density"),
+      indentFrac.as("indent_fraction"),
+      (density > 0.01 || (indentFrac >= 0.3 && kw >= 2))
+        .cast("long").as("is_code"))
+  }
+
+  /** [[codeSignals]]' keyword token set — language-spanning, checked as
+    * whole whitespace tokens so prose words never collide. */
+  val CodeKeywords: Seq[String] = Seq("def", "class", "return", "import",
+    "void", "function", "var", "const", "public", "static", "if(",
+    "for(", "while(", "#include", "lambda", "=>")
+
+  /** HTML TABLE EXTRACTION — the structured-data half of
+    * [[htmlExtract]]'s prose strip: every `<tr>`'s `<td>`/`<th>` cell
+    * texts as a nested array (rows × cells), non-greedy RE2-safe
+    * patterns, markup-free cells only (the same cheap-extractor
+    * trade-off as [[extractAnchors]], documented). Map-only; callers
+    * explode to (doc, row, cells). */
+  def extractTables(html: Column): Column = {
+    val h = coalesce(html, lit(""))
+    val rows = regexp_extract_all(h, lit("(?is)<tr[^>]*>(.*?)</tr>"),
+      lit(1))
+    transform(rows, r => regexp_extract_all(r,
+      lit("(?is)<t[dh][^>]*>([^<]*)</t[dh]>"), lit(1)))
+  }
+
   /** PII EXPOSURE AUDIT — the measuring complement of [[scrubPii]]'s
     * rewrite (a compliance release wants the COUNTS, per source, before
     * deciding to scrub or drop): per `groupCol`, match counts for each

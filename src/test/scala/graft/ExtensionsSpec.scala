@@ -2902,6 +2902,36 @@ class ExtensionsSpec extends SparkSpec {
       got.getLong(4)) == (2L, 3L, 10L, 11L))
   }
 
+  test("codeSignals: code snippet flagged by density, indented prose " +
+    "alone is not code, keyword tokens counted whole") {
+    val docs = Seq(
+      (1L, "def f(x):\n  return x + 1;\n  var y = {a: 1};"),
+      (2L, "plain prose with no punctuation of that kind at all"),
+      (3L, "  indented poem\n  second line\n  third line"),
+      (4L, "variance and classes words do not count as keywords"))
+      .toDF("doc_id", "text")
+    val got = TextOps.codeSignals(docs).orderBy("doc_id").collect()
+    assert(got(0).getLong(6) == 1L) // code: density + keywords
+    assert(got(0).getLong(3) == 3L) // def, return, var
+    assert(got(1).getLong(6) == 0L)
+    // indented but zero keywords → not code under the && rule
+    assert(got(2).getLong(6) == 0L &&
+      got(2).getDouble(5) == 1.0)
+    assert(got(3).getLong(3) == 0L) // substrings don't count
+  }
+
+  test("extractTables: rows and cells in order, th and td, attributes " +
+    "tolerated, markup-free cells only") {
+    val html = "<table><tr class=h><th>a</th><th>b</th></tr>" +
+      "<TR><td colspan=2>c</td><td><b>skip</b></td></TR></table>"
+    val got = Seq(html).toDF("h")
+      .select(posexplode(TextOps.extractTables(col("h")))
+        .as(Seq("row", "cells")))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[String](1).toList)).toList
+    assert(got == List((0, List("a", "b")), (1, List("c"))))
+  }
+
   test("tokenFertility: exact integer sums, quotient taken once — " +
     "4-char pieces, digits, punct runs all count as subwords") {
     val docs = Seq(

@@ -671,6 +671,16 @@ class PlanSpec extends SparkSpec {
     assert(!p193.contains("Window"), s"q193 plans a window:\n$p193")
   }
 
+  test("round-9l additions keep their ledger shapes: map-only code " +
+    "router and table extraction") {
+    Seq("q194_code_detect", "q195_table_extract").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q plans a join:\n$p")
+      assert(!p.contains("HashAggregate"), s"$q plans an agg:\n$p")
+      assert(!p.contains("Window"), s"$q plans a window:\n$p")
+    }
+  }
+
   test("giant-group quantile fallback: no window sort, cuts broadcast") {
     // the routed cut-point path over a real parquet scan: one
     // partial-aggregated percentile pass + broadcast join + map-side bin
