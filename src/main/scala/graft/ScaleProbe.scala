@@ -257,6 +257,16 @@ object ScaleProbe {
             lit(".example.com/p"), col("doc_id").cast("string")).as("url"))
           graft.text.UrlOps.hostShardPlan(urls, nShards = 64)
             .agg(sum("n_urls"), max("max_host_urls")).head(); 1L },
+        "code_signals" -> { d =>
+          TextOps.codeSignals(d)
+            .agg(sum("is_code"), sum("kw_hits")).head(); 1L },
+        "table_extract" -> { d =>
+          val html = concat(lit("<table><tr><th>a</th></tr><tr><td>"),
+            col("doc_id").cast("string"), lit("</td><td>"), col("text"),
+            lit("</td></tr></table>"))
+          d.select(posexplode(TextOps.extractTables(html))
+              .as(Seq("r", "cells")))
+            .agg(sum(size(col("cells")))).head(); 1L },
         "span_corruption" -> { d =>
           TextOps.spanCorruption(d)
             .agg(sum("n_masked"), sum(length(col("input_text"))))
