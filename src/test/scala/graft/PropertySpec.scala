@@ -350,6 +350,45 @@ class PropertySpec extends SparkSpec {
     }, "xlsx generated-workbook round-trip")
   }
 
+  test("paragraphDedup conserves paragraphs: kept total equals the " +
+    "distinct paragraph count, rebuilds only shrink") {
+    val para: Gen[String] = Gen.oneOf("alpha one", "beta two",
+      "gamma three", "delta four", "epsilon five")
+    val docG: Gen[String] =
+      Gen.choose(0, 3).flatMap(n => Gen.listOfN(n, para))
+        .map(_.mkString("\n\n"))
+    val corpusG = Gen.nonEmptyListOf(docG)
+    check(Prop.forAll(corpusG) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.dedup.Dedup.paragraphDedup(docs).collect()
+      val keptTotal = got.map(_.getLong(2)).sum
+      val distinctParas = texts.flatMap(_.split("\n\n"))
+        .filter(_.trim.nonEmpty).distinct.size
+      val shrinkOnly = got.forall(r =>
+        r.getLong(2) <= r.getLong(1) &&
+          r.getString(3).length <=
+            texts(r.getLong(0).toInt).length)
+      keptTotal == distinctParas.toLong && shrinkOnly
+    }, "paragraph conservation")
+  }
+
+  test("spanCorruption invariants: sentinel count equals n_masked in " +
+    "both input and target for arbitrary docs") {
+    check(Prop.forAll(Gen.nonEmptyListOf(doc)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      TextOps.spanCorruption(docs).collect().forall { r =>
+        val masked = r.getLong(2)
+        def sentinels(s: String): Long =
+          "<extra_id_".r.findAllIn(s).length.toLong
+        masked <= r.getLong(1) &&
+          sentinels(r.getString(3)) == masked &&
+          sentinels(r.getString(4)) == masked
+      }
+    }, "span corruption sentinel conservation")
+  }
+
   test("stratifiedSplit: split sizes match the integer boundary formula " +
     "exactly for any stratum size") {
     val sizes = Gen.listOfN(3, Gen.choose(1, 40))
