@@ -3318,7 +3318,7 @@ object SparkEntry {
         |  SELECT doc_id, string_split(t, chr(10)) AS ls,
         |    list_filter(string_split(t, chr(10)),
         |      x -> len(list_filter(string_split(x, ' '),
-        |                           w -> len(w) > 0)) >= 3
+        |                           w -> len(w) > 0)) >= 5
         |           AND regexp_matches(x, '[.!?"]$')) AS keep
         |  FROM d
         |  WHERE NOT contains(lower(t), 'lorem ipsum')
@@ -3465,9 +3465,11 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN s < threshold AND y = 1
         |                  THEN 1 ELSE 0 END) AS BIGINT) AS fn,
         |    CAST(sum(CASE WHEN s < threshold AND y = 0
-        |                  THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |    CAST(sum(CASE WHEN s IS NULL OR y IS NULL
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_null
         |  FROM sc CROSS JOIN th GROUP BY threshold)
-        |SELECT threshold, tp, fp, fn, tn,
+        |SELECT threshold, tp, fp, fn, tn, n_null,
         |  CASE WHEN tp + fp > 0
         |       THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
         |  CASE WHEN tp + fn > 0
@@ -3697,7 +3699,9 @@ object SparkEntry {
         |    len(list_filter(string_split(t, ' '),
         |      w -> w IN ('def','class','return','import','void',
         |                 'function','var','const','public','static',
-        |                 'if(','for(','while(','#include','lambda','=>')))
+        |                 '#include','lambda','=>')
+        |        OR starts_with(w, 'if(') OR starts_with(w, 'for(')
+        |        OR starts_with(w, 'while(')))
         |      AS kw
         |  FROM d),
         |m AS (

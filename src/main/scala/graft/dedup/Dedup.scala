@@ -1144,7 +1144,10 @@ object Dedup {
     * fast path of [[substringDedup]]. */
   def paragraphDedup(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
-    val paras = docs.select(col(idCol).cast("long").as("id"),
+    // native id type throughout (no cast): a string-keyed corpus must
+    // not silently null-cast every id and report kept_paras=0 — struct
+    // min-ordering and the rebuild join work on any orderable id type
+    val paras = docs.select(col(idCol).as("id"),
         posexplode(split(coalesce(col(textCol), lit("")), "\n\n"))
           .as(Seq("pos", "para")))
       .filter(length(trim(col("para"))) > 0)
@@ -1165,8 +1168,8 @@ object Dedup {
           array_sort(collect_list(when(kept,
             struct(col("pos"), col("para"))))),
           s => s.getField("para")), "\n\n").as("text_dedup"))
-    docs.select(col(idCol), col(idCol).cast("long").as("id"))
-      .join(agg, Seq("id"), "left")
+    docs.select(col(idCol))
+      .join(agg.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_paras"), lit(0L)).as("n_paras"),
         coalesce(col("kept_paras"), lit(0L)).as("kept_paras"),

@@ -238,6 +238,13 @@ object Pipelines {
              dedupParagraphs: Boolean = false): DataFrame = {
     import graft.text.TextOps
     import graft.dedup.Dedup
+    // a rewrite stage (c4 lines / paragraph dedup) that changed `text`
+    // must also refresh any carried ingest-time n_chars, or the curated
+    // output ships a length inconsistent with its own text
+    def refreshNChars(df: DataFrame): DataFrame =
+      if (df.columns.contains("n_chars"))
+        df.withColumn("n_chars", length(col("text")).cast("long"))
+      else df
     // incremental-ingest mode: drop docs already in the prior corpus
     // (digest anti-join) before spending any curation work on them;
     // fuzzyPrior ALSO drops near-dups of prior docs (a re-crawl with one
@@ -260,10 +267,10 @@ object Pipelines {
     // operator also drops lorem-ipsum/brace docs and zero-keep docs)
     val freshClean =
       if (!c4Lines) fresh
-      else fresh.drop("text").join(
+      else refreshNChars(fresh.drop("text").join(
         TextOps.c4LineFilter(fresh.filter(col("text").isNotNull))
           .select(col("doc_id"), col("cleaned").as("text")),
-        Seq("doc_id"))
+        Seq("doc_id")))
     val gatedBase0 = freshClean
       .filter(col("text").isNotNull)
       .filter(TextOps.qualityScore(col("text")) >= minQuality &&
@@ -318,10 +325,10 @@ object Pipelines {
     // elsewhere are dropped (boilerplate shells)
     val paraClean =
       if (!dedupParagraphs) gated
-      else gated.drop("text").join(
+      else refreshNChars(gated.drop("text").join(
         Dedup.paragraphDedup(gated).filter(col("kept_paras") > 0)
           .select(col("doc_id"), col("text_dedup").as("text")),
-        Seq("doc_id"))
+        Seq("doc_id")))
     val exactKeep = Dedup.normalized(paraClean)
       .select(col("keep_id").as("doc_id"))
     val exact = paraClean.join(exactKeep, Seq("doc_id"), "left_semi")

@@ -860,7 +860,11 @@ object TextOps {
     * against a reference label. The threshold list rides a broadcast
     * |T|-row frame; counts are exact integers map-side combined, the
     * two quotients are taken once per threshold (null when undefined).
-    * One pass over the scored corpus regardless of |T|. */
+    * One pass over the scored corpus regardless of |T|. Rows whose score
+    * or label is null cannot land in any confusion cell — they are
+    * counted in `n_null` instead of silently vanishing, so
+    * tp+fp+fn+tn+n_null always equals the scored row count and the
+    * calibration totals stay auditable. */
   def thresholdSweep(scored: DataFrame, thresholds: Seq[Double],
                      labelCol: String = "label",
                      scoreCol: String = "logit"): DataFrame = {
@@ -868,16 +872,19 @@ object TextOps {
     val s2 = scored.sparkSession
     import s2.implicits._
     val th = thresholds.toDF("threshold")
-    val pos = col("s") >= col("threshold")
+    val nul = col("s").isNull || col("y").isNull
+    val pos = !nul && col("s") >= col("threshold")
     val y = col("y") === 1L
     scored.select(col(scoreCol).as("s"), col(labelCol).cast("long").as("y"))
       .crossJoin(broadcast(th))
       .groupBy("threshold")
       .agg(sum(when(pos && y, 1L).otherwise(0L)).as("tp"),
         sum(when(pos && !y, 1L).otherwise(0L)).as("fp"),
-        sum(when(!pos && y, 1L).otherwise(0L)).as("fn"),
-        sum(when(!pos && !y, 1L).otherwise(0L)).as("tn"))
+        sum(when(!nul && !pos && y, 1L).otherwise(0L)).as("fn"),
+        sum(when(!nul && !pos && !y, 1L).otherwise(0L)).as("tn"),
+        sum(when(nul, 1L).otherwise(0L)).as("n_null"))
       .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        col("n_null"),
         when(col("tp") + col("fp") > 0,
           col("tp").cast("double") / (col("tp") + col("fp")))
           .as("precision"),
@@ -927,8 +934,13 @@ object TextOps {
       .cast("long")
     val braceSemi =
       (length(t) - length(regexp_replace(t, "[{};]", ""))).cast("long")
-    val kw = size(filter(wsTokens(t), w => w.isin(CodeKeywords: _*)))
-      .cast("long")
+    // parenthesized keywords match as PREFIXES: real code tokenizes as
+    // "if(x)" / "for(int" — an exact-token check would never hit them
+    val exactKw = CodeKeywords.filterNot(_.endsWith("("))
+    val prefixKw = CodeKeywords.filter(_.endsWith("("))
+    val kw = size(filter(wsTokens(t), w =>
+      prefixKw.map(p => w.startsWith(p))
+        .foldLeft(w.isin(exactKw: _*))(_ || _))).cast("long")
     val density = when(length(t) > 0,
       braceSemi.cast("double") / length(t)).otherwise(lit(0.0))
     val indentFrac = when(nLines > 0,
@@ -941,8 +953,9 @@ object TextOps {
         .cast("long").as("is_code"))
   }
 
-  /** [[codeSignals]]' keyword token set — language-spanning, checked as
-    * whole whitespace tokens so prose words never collide. */
+  /** [[codeSignals]]' keyword token set — language-spanning; entries
+    * ending in `(` are matched as token PREFIXES (`if(x)`, `for(int`),
+    * the rest as whole whitespace tokens so prose words never collide. */
   val CodeKeywords: Seq[String] = Seq("def", "class", "return", "import",
     "void", "function", "var", "const", "public", "static", "if(",
     "for(", "while(", "#include", "lambda", "=>")
@@ -1727,9 +1740,12 @@ object TextOps {
 
   /** C4-STYLE LINE FILTERING (Raffel et al. 2020 §2.2) — the line-level
     * cleanup pass that precedes document rules: keep only lines with at
-    * least `minWordsPerLine` words AND a terminal-punctuation ending
-    * (`.`, `!`, `?`, `"`); drop the whole document if it mentions
-    * "lorem ipsum" or contains `{` (code leakage) or keeps no lines.
+    * least `minWordsPerLine` words (paper default: 5) AND a terminal-
+    * punctuation ending (`.`, `!`, `?`, `"`); drop the whole document if
+    * it mentions "lorem ipsum" or contains `{` (code leakage), keeps no
+    * lines, or — when `minSentences` > 0 (the paper uses 3; default 0
+    * keeps the rule opt-in) — its kept text carries fewer than that many
+    * sentence terminators (`.`, `!`, `?`).
     * Output: surviving docs as (id, n_lines, kept_lines, cleaned) with
     * `cleaned` the kept lines rejoined by newline.
     *
@@ -1739,18 +1755,23 @@ object TextOps {
     * space-split segments so runs of spaces do not inflate it. */
   def c4LineFilter(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text",
-                   minWordsPerLine: Int = 3): DataFrame = {
+                   minWordsPerLine: Int = 5,
+                   minSentences: Int = 0): DataFrame = {
     val t = coalesce(col(textCol), lit(""))
     val lines = split(t, "\n")
     def keepLine(l: Column): Column =
       size(filter(split(l, " "), w => length(w) > 0)) >= minWordsPerLine &&
         l.rlike("[.!?\"]$")
     val keptArr = filter(lines, keepLine _)
-    docs.filter(!lower(t).contains("lorem ipsum") && !t.contains("{"))
+    val base = docs
+      .filter(!lower(t).contains("lorem ipsum") && !t.contains("{"))
       .select(col(idCol), size(lines).cast("long").as("n_lines"),
         size(keptArr).cast("long").as("kept_lines"),
         array_join(keptArr, "\n").as("cleaned"))
       .filter(col("kept_lines") > 0)
+    if (minSentences <= 0) base
+    else base.filter(length(col("cleaned")) -
+      length(regexp_replace(col("cleaned"), "[.!?]", "")) >= minSentences)
   }
 
   /** CCNet-STYLE PERPLEXITY BUCKETS (Wenzek et al. 2020 §4.4) — rank each

@@ -2533,7 +2533,8 @@ class ExtensionsSpec extends SparkSpec {
       (2L, "Lorem Ipsum dolor sit amet."),
       (3L, "function f() { return 1; } is here."),
       (4L, "nothing survives this one"),
-      (5L, "Ends with a quote \"here.\"")).toDF("doc_id", "text")
+      (5L, "Ends with a quote \"here.\""),
+      (6L, "Too few words here.")).toDF("doc_id", "text")
     val got = TextOps.c4LineFilter(docs).orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getString(3))).toSeq
@@ -2541,6 +2542,26 @@ class ExtensionsSpec extends SparkSpec {
       (1L, 4L, 2L,
         "This sentence is kept here.\nAnother keeper stays right here!"),
       (5L, 1L, 1L, "Ends with a quote \"here.\"")))
+    // doc 6's only line has 4 words: kept under the pre-C4 floor of 3,
+    // dropped under the paper-default 5
+    val relaxed = TextOps.c4LineFilter(docs, minWordsPerLine = 3)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(relaxed == Seq(1L, 5L, 6L))
+  }
+
+  test("c4LineFilter minSentences: pages with fewer kept sentence " +
+    "terminators than the floor are dropped whole") {
+    val docs = Seq(
+      (1L, "One kept sentence lives right here.\n" +
+        "And a second kept sentence follows it.\n" +
+        "Finally a third kept sentence ends it."),
+      (2L, "Only a single kept sentence here.")).toDF("doc_id", "text")
+    val strict = TextOps.c4LineFilter(docs, minSentences = 3)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(strict == Seq(1L)) // doc 2: 1 terminator < 3
+    val lax = TextOps.c4LineFilter(docs)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(lax == Seq(1L, 2L)) // default keeps the rule off
   }
 
   test("paragraphDedup: first (doc_id, pos) owns each paragraph, rewrites " +
@@ -2560,6 +2581,19 @@ class ExtensionsSpec extends SparkSpec {
       (3L, 1L, 0L, ""), // everything owned elsewhere
       (4L, 0L, 0L, ""), // empty text: zero paragraphs, still present
       (5L, 2L, 0L, ""))) // both copies lose to doc 1
+  }
+
+  test("paragraphDedup: string doc ids keep their native type — no " +
+    "silent null-cast, ownership by lexicographic (id, pos)") {
+    val docs = Seq(
+      ("crawl-a", "unique one\n\nshared footer"),
+      ("crawl-b", "shared footer\n\nunique two")).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(docs).orderBy("doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    assert(got == Seq(
+      ("crawl-a", 2L, 2L, "unique one\n\nshared footer"),
+      ("crawl-b", 2L, 1L, "unique two")))
   }
 
   test("pplBuckets: per-stratum thirds ordered by nll then id, " +
@@ -2653,18 +2687,24 @@ class ExtensionsSpec extends SparkSpec {
   }
 
   test("thresholdSweep: confusion counts per threshold, undefined " +
-    "precision is null") {
-    val scored = Seq((1L, 2.0, 1L), (2L, 0.5, 0L), (3L, -1.0, 1L),
-      (4L, -2.0, 0L)).toDF("doc_id", "logit", "label")
+    "precision is null, null score/label rows counted not vanished") {
+    val scored = Seq((1L, Some(2.0), Some(1L)), (2L, Some(0.5), Some(0L)),
+      (3L, Some(-1.0), Some(1L)), (4L, Some(-2.0), Some(0L)),
+      (5L, None, Some(1L)), (6L, Some(3.0), None))
+      .toDF("doc_id", "logit", "label")
     val got = TextOps.thresholdSweep(scored, Seq(0.0, 10.0))
       .orderBy("threshold").collect()
     val t0 = got(0)
     assert((t0.getLong(1), t0.getLong(2), t0.getLong(3),
       t0.getLong(4)) == (1L, 1L, 1L, 1L))
-    assert(t0.getDouble(5) == 0.5 && t0.getDouble(6) == 0.5)
+    assert(t0.getLong(5) == 2L) // the null-score and null-label rows
+    // cells + n_null account for every input row
+    assert(t0.getLong(1) + t0.getLong(2) + t0.getLong(3) +
+      t0.getLong(4) + t0.getLong(5) == 6L)
+    assert(t0.getDouble(6) == 0.5 && t0.getDouble(7) == 0.5)
     val t10 = got(1) // nothing scores ≥ 10 → precision undefined
-    assert(t10.getLong(1) == 0L && t10.isNullAt(5))
-    assert(t10.getDouble(6) == 0.0)
+    assert(t10.getLong(1) == 0L && t10.isNullAt(6))
+    assert(t10.getDouble(7) == 0.0)
   }
 
   test("hostShardPlan: same host one shard, loads add up, " +
@@ -2903,12 +2943,16 @@ class ExtensionsSpec extends SparkSpec {
   }
 
   test("codeSignals: code snippet flagged by density, indented prose " +
-    "alone is not code, keyword tokens counted whole") {
+    "alone is not code, keyword tokens counted whole, paren keywords " +
+    "match as prefixes") {
     val docs = Seq(
       (1L, "def f(x):\n  return x + 1;\n  var y = {a: 1};"),
       (2L, "plain prose with no punctuation of that kind at all"),
       (3L, "  indented poem\n  second line\n  third line"),
-      (4L, "variance and classes words do not count as keywords"))
+      (4L, "variance and classes words do not count as keywords"),
+      // real C-family tokenization: "if(x)" / "for(int" / "while(true)"
+      // carry the keyword as a PREFIX, never as a whole token
+      (5L, "  if(x)\n  for(int\n  while(true)"))
       .toDF("doc_id", "text")
     val got = TextOps.codeSignals(docs).orderBy("doc_id").collect()
     assert(got(0).getLong(6) == 1L) // code: density + keywords
@@ -2918,6 +2962,8 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(2).getLong(6) == 0L &&
       got(2).getDouble(5) == 1.0)
     assert(got(3).getLong(3) == 0L) // substrings don't count
+    assert(got(4).getLong(3) == 3L) // if(x) for(int while(true) all hit
+    assert(got(4).getLong(6) == 1L) // indent ≥ 0.3 with ≥ 2 hits → code
   }
 
   test("extractTables: rows and cells in order, th and td, attributes " +
