@@ -541,17 +541,65 @@ object ScaleProbe {
           graft.io.Warc.records(spark, s"$dir/*.warc.gz").count() }).toMap
     }
 
+    // stored-signature incremental near-dup probe (VERDICT r9 item 1):
+    // the CORPUS scales with `times`, the BATCH stays fixed at 1x docs —
+    // the daily-ingest shape. The index is persisted (bucketed tables)
+    // OUTSIDE the timed window, the once-per-corpus cost. The stored
+    // batch path should grow only with the digest-table scan (~0.8 kB/doc
+    // vs re-shingling the text), while the recompute path re-signs the
+    // whole corpus per batch — the comparison the stored index exists for.
+    def incrementalSuite(times: Int): Map[String, Double] = {
+      val labels = Seq("incr_fuzzy_stored_batch", "incr_fuzzy_recompute")
+      if (opFilter.nonEmpty && !labels.exists(opFilter)) return Map.empty
+      val corpus = replicate(times).cache()
+      corpus.count()
+      // fixed batch: 1x ids shifted clear of every replica; half of the
+      // docs near-dup a corpus doc (one appended token), half are fresh
+      // (reversed text — disjoint shingles)
+      val batch = base.select(
+        (col("doc_id") + lit((times + 1) * maxId)).as("doc_id"),
+        when(col("doc_id") % 2 === 0, concat(col("text"), lit(" tail")))
+          .otherwise(reverse(col("text"))).as("text"))
+        .cache()
+      batch.count()
+      val tbl = s"sp_sigidx_${times}x"
+      Dedup.writeSignatureIndex(Dedup.buildSignatureIndex(corpus), tbl,
+        buckets = 32)
+      val idx = Dedup.readSignatureIndex(spark, tbl)
+      def timeOp(label: String)(body: => Long): Option[(String, Double)] = {
+        if (opFilter.nonEmpty && !opFilter(label)) return None
+        def once(): (Double, Long) = {
+          val t0 = System.nanoTime(); val n = body
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        val (a, n) = once(); val (b, _) = once() // min-of-2, as everywhere
+        val dt = math.min(a, b)
+        println(f"  $label: $dt%.2f s ($n rows)")
+        Some(label -> dt)
+      }
+      val out = (timeOp("incr_fuzzy_stored_batch") {
+        Dedup.incrementalNewFuzzyIndexed(batch, idx).count() } ++
+        timeOp("incr_fuzzy_recompute") {
+          Dedup.incrementalNewFuzzy(batch, corpus).count() }).toMap
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_sigs")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_bands")
+      corpus.unpersist(false); batch.unpersist(false)
+      spark.catalog.clearCache()
+      out
+    }
+
     println(s"== pass 0: warmup (codegen) ==")
     suite(replicate(1)); embSuite(replicateEmb(1)); evSuite(replicateEv(1))
     assetSuite(replicate(1)); videoSuite(replicate(1)); warcSuite(1)
+    incrementalSuite(1)
     println(s"== pass 1: 1x (${maxId} docs, ${eMax} vecs) ==")
     val t1 = suite(replicate(1)) ++ embSuite(replicateEmb(1)) ++
       evSuite(replicateEv(1)) ++ assetSuite(replicate(1)) ++
-      videoSuite(replicate(1)) ++ warcSuite(1)
+      videoSuite(replicate(1)) ++ warcSuite(1) ++ incrementalSuite(1)
     println(s"== pass 2: ${k}x (${k * maxId} docs, ${k * eMax} vecs) ==")
     val tk = suite(replicate(k)) ++ embSuite(replicateEmb(k)) ++
       evSuite(replicateEv(k)) ++ assetSuite(replicate(k)) ++
-      videoSuite(replicate(k)) ++ warcSuite(k)
+      videoSuite(replicate(k)) ++ warcSuite(k) ++ incrementalSuite(k)
     println(f"%nop             | 1x (s) | ${k}%dx (s) | ratio (linear=$k%d.0)")
     t1.keys.toSeq.sorted.foreach { op =>
       println(f"$op%-22s ${t1(op)}%7.2f ${tk(op)}%9.2f ${tk(op) / t1(op)}%8.1f")

@@ -2077,6 +2077,29 @@ object SparkEntry {
         .select(col("doc_id"), col("row_no"),
           array_join(col("cells"), "|").as("cells"))
         .orderBy("doc_id", "row_no")
+    }),
+
+    // stored-signature incremental near-dup (VERDICT r9 item 1): the
+    // corpus (doc_id%4≠0) is indexed ONCE (signatures + band keys); the
+    // batch (doc_id%4=0, with %8=0 docs re-crawling their corpus
+    // neighbor's text verbatim) bands against the index and drops on
+    // signature-estimated Jaccard ≥ 0.5 — corpus text never re-read
+    "q196_incremental_fuzzy_stored" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+        .select("doc_id", "text")
+      val nxt = docs.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("ntext"))
+      val batch = docs.filter(col("doc_id") % 4 === 0)
+        .join(nxt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 8 === 0 && col("ntext").isNotNull,
+            col("ntext")).otherwise(col("text")).as("text"))
+      val idx = Dedup.buildSignatureIndex(corpus, numHashes = 16,
+        bands = 4, portable = true)
+      Dedup.incrementalNewFuzzyIndexed(batch, idx, minJaccard = 0.5,
+          numHashes = 16, bands = 4, portable = true)
+        .select("doc_id").orderBy("doc_id")
     })
   )
 
@@ -2137,12 +2160,22 @@ object SparkEntry {
   private val enStopList = TextOps.EnStopwords
     .map(w => s"'$w'").mkString(", ")
 
+  /** [[shingleHashCte]] over an arbitrary (doc_id, text) relation. */
+  private def shingleHashCteFrom(src: String): String =
+    s"""toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM $src),""".stripMargin +
+      shingleHashCteTail
+
   /** Shared oracle CTE: distinct lowercase word-3-gram shingles with the
     * portable 60-bit md5-prefix hash (graft.functions.MinHashParams
     * .shingleHashPortable's SQL equivalent). */
   private val shingleHashCte =
     """toks AS (
-      |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),""".stripMargin +
+      shingleHashCteTail
+
+  private def shingleHashCteTail: String =
+    """
       |sh AS (
       |  SELECT doc_id,
       |         CASE WHEN len(tk) >= 3 THEN
@@ -2159,30 +2192,42 @@ object SparkEntry {
     * (16-hash signature, 4 bands of 4): `sig` (per-doc min-hashes),
     * `band`, and `cand` (distinct candidate id pairs). Prefix with
     * [[shingleHashCte]]. */
-  private def minhashCandCtes: String = {
+  /** The per-doc 16-hash signature CTEs (`h`, `sig`) alone — shared by
+    * [[minhashCandCtes]] and the stored-index oracle (q196). Depends on
+    * a preceding `hx` CTE ([[shingleHashCte]] family). */
+  private def minhashSigCtes: String = {
     import graft.functions.MinHashParams.{P, hashParams}
-    val numHashes = 16; val bands = 4; val rows = numHashes / bands
+    val numHashes = 16
     val minCols = (0 until numHashes).map { k =>
       val (a, b) = hashParams(k)
       s"min(($a * h + $b) % $P) AS m$k"
     }.mkString(",\n         ")
-    val bandSelects = (0 until bands).map { bd =>
-      val ms = (bd * rows until (bd + 1) * rows).map(k => s"m$k")
-        .mkString(", ")
-      s"  SELECT doc_id, $bd AS band, concat_ws(',', $ms) AS key FROM sig"
-    }.mkString("\n  UNION ALL\n")
     s"""h AS (SELECT doc_id, h60 % $P AS h FROM hx),
        |sig AS (
        |  SELECT doc_id,
        |         $minCols
-       |  FROM h GROUP BY doc_id),
+       |  FROM h GROUP BY doc_id)""".stripMargin
+  }
+
+  /** The per-band bucket-key selects over `sig` (4 bands of 4), shared
+    * by every LSH oracle. */
+  private def minhashBandSelects: String = {
+    val bands = 4; val rows = 4
+    (0 until bands).map { bd =>
+      val ms = (bd * rows until (bd + 1) * rows).map(k => s"m$k")
+        .mkString(", ")
+      s"  SELECT doc_id, $bd AS band, concat_ws(',', $ms) AS key FROM sig"
+    }.mkString("\n  UNION ALL\n")
+  }
+
+  private def minhashCandCtes: String =
+    s"""$minhashSigCtes,
        |band AS (
-       |$bandSelects),
+       |$minhashBandSelects),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM band a JOIN band b
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
-  }
 
   /** q24 oracle: the full portable MinHash→LSH pipeline in SQL — candidate
     * pairs plus est_jaccard = matching signature positions / 16. */
@@ -2197,6 +2242,46 @@ object SparkEntry {
        |JOIN sig sa ON sa.doc_id = id_a
        |JOIN sig sb ON sb.doc_id = id_b
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q196 oracle: the stored-index batch path replayed from first
+    * principles — corpus/batch signatures from the SAME portable
+    * hashing, band-bucket candidates (corpus × batch only), the
+    * signature-estimated Jaccard verdict, and the anti-join. The
+    * composite 2k/2k+1 id space mirrors the tagged-union convention so
+    * corpus and batch doc_ids may overlap. */
+  private def storedFuzzyOracle: String = {
+    val matchSum = (0 until 16).map(k =>
+      s"CASE WHEN sa.m$k = sb.m$k THEN 1 ELSE 0 END").mkString("\n         + ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+       |nxt AS (SELECT doc_id - 1 AS doc_id, text AS ntext FROM documents),
+       |batch AS (
+       |  SELECT d.doc_id,
+       |         CASE WHEN d.doc_id % 8 = 0 AND n.ntext IS NOT NULL
+       |              THEN n.ntext ELSE d.text END AS text
+       |  FROM documents d LEFT JOIN nxt n USING (doc_id)
+       |  WHERE d.doc_id % 4 = 0),
+       |du AS (SELECT doc_id * 2 AS doc_id, text FROM corpus
+       |       UNION ALL SELECT doc_id * 2 + 1, text FROM batch),
+       |${shingleHashCteFrom("du")},
+       |$minhashSigCtes,
+       |band AS (
+       |$minhashBandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS cid, b.doc_id AS bid
+       |  FROM band a JOIN band b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+       |drp AS (
+       |  SELECT DISTINCT (bid - 1) // 2 AS doc_id
+       |  FROM cand
+       |  JOIN sig sa ON sa.doc_id = cid
+       |  JOIN sig sb ON sb.doc_id = bid
+       |  WHERE ($matchSum) / 16.0 >= 0.5)
+       |SELECT b.doc_id FROM batch b
+       |LEFT JOIN drp ON drp.doc_id = b.doc_id
+       |WHERE drp.doc_id IS NULL
+       |ORDER BY b.doc_id""".stripMargin
   }
 
   /** Shared CTE chain for the near-dup pipeline oracles (q56, q76):
@@ -2746,6 +2831,8 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q24_minhash_lsh" -> minhashOracle,
+
+    "q196_incremental_fuzzy_stored" -> storedFuzzyOracle,
 
     "q108_split_leakage" -> splitLeakageOracle,
     "q131_group_split_leakage" -> groupSplitLeakageOracle,

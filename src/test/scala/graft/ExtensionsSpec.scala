@@ -2055,6 +2055,49 @@ class ExtensionsSpec extends SparkSpec {
     assert(exactKept.count() == 2)
   }
 
+  test("incrementalNewFuzzyIndexed: near-dup batch docs drop against the " +
+    "stored signatures, fresh and null-text docs pass, id spaces may " +
+    "overlap, parity with the recompute banding") {
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs away to the old stone house by the river bank and sleeps " +
+      "there quietly until the bright morning sun rises again slowly"
+    // ONE word changed: Jaccard ≈ 0.85, inside the 4-band S-curve (the
+    // 0.47-Jaccard paraphrase class needs the 16-band production config)
+    val para = base.replace("bright", "dim")
+    val corpus = Seq(
+      (1L, base),
+      (2L, "completely unrelated words about catalyst tungsten codegen " +
+        "shuffles partitions and broadcast joins in a query engine"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, para), // near-dup of corpus doc 1 — same id as corpus doc: safe
+      (7L, "a genuinely fresh document about sailing boats across the " +
+        "wide open sea under a grey sky full of wheeling gulls"),
+      (8L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val idx = Dedup.buildSignatureIndex(corpus, numHashes = 16, bands = 4)
+    val kept = Dedup.incrementalNewFuzzyIndexed(batch, idx,
+        minJaccard = 0.3, numHashes = 16, bands = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(kept == Seq(7L, 8L), s"kept $kept")
+    // parity: the same verdicts as re-banding corpus+batch from text
+    // with the est-jaccard criterion (tagged union, crossing pairs only)
+    val t2 = corpus.select((col("doc_id") * 2).as("cid"),
+      col("text").as("ctext"))
+    val e2 = batch.select((col("doc_id") * 2 + 1).as("cid"),
+      col("text").as("ctext"))
+    val refDrop = Dedup.minhashCandidates(t2.unionByName(e2), "cid",
+        "ctext", numHashes = 16, bands = 4)
+      .filter((col("id_a") % 2) =!= (col("id_b") % 2))
+      .filter(col("est_jaccard") >= 0.3)
+      .select(when(col("id_a") % 2 === 1, col("id_a"))
+        .otherwise(col("id_b")).as("cid"))
+      .select(expr("cid div 2").as("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val idxDrop = batch.select("doc_id").collect().map(_.getLong(0))
+      .toSet -- kept
+    assert(idxDrop == refDrop, s"indexed dropped $idxDrop, ref $refDrop")
+  }
+
   test("compressionRatio: JDK parity, repetition orders below prose, " +
     "empty is 1.0, null stays null") {
     val rep = "spam mail spam mail " * 100

@@ -203,6 +203,75 @@ class WritersSpec extends SparkSpec {
     }
   }
 
+  test("stored signature index: batch path never scans corpus text, " +
+    "corpus side plans without an exchange, stored ≡ in-memory " +
+    "(VERDICT r9 item 1)") {
+    import graft.dedup.Dedup
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val corpusDir = Files.createTempDirectory("graft_sigidx")
+      .resolve("corpus").toString
+    try {
+      val words = Seq("alpha", "bravo", "charlie", "delta", "echo",
+        "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima")
+      def textOf(i: Long, tail: String): String =
+        (0 until 12).map(j => words(((i + j) % 12).toInt))
+          .mkString(" ") + " " + tail
+      val corpusDocs = (0L until 30L).map(i => (i, textOf(i, "corpus")))
+        .toDF("doc_id", "text")
+      corpusDocs.write.mode("overwrite").parquet(corpusDir)
+      val corpus = spark.read.parquet(corpusDir)
+      Dedup.writeSignatureIndex(
+        Dedup.buildSignatureIndex(corpus, numHashes = 16, bands = 4),
+        "sigidx_t", buckets = 4)
+      val idx = Dedup.readSignatureIndex(spark, "sigidx_t")
+      // batch: doc 100 re-crawls corpus doc 0 verbatim (every band
+      // collides — this test gates the PLAN shape; the near-dup S-curve
+      // behavior is ExtensionsSpec's), 101 is fresh
+      val batch = Seq(
+        (100L, textOf(0L, "corpus")),
+        (101L, "nothing here resembles the corpus rotation at all since " +
+          "every token is distinct from that vocabulary set"))
+        .toDF("doc_id", "text")
+      val out = Dedup.incrementalNewFuzzyIndexed(batch, idx,
+        minJaccard = 0.4, numHashes = 16, bands = 4)
+      // gate 1: the prior corpus's parquet (its TEXT) is never scanned
+      // on the batch path — only the two digest tables are
+      val plan = out.queryExecution.sparkPlan
+      val scanned = plan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.mkString(",") }
+      assert(scanned.nonEmpty &&
+        scanned.forall(p => !p.contains("corpus")),
+        s"batch path re-scans the corpus:\n${scanned.mkString("\n")}")
+      // gate 2: no shuffle above the bucketed index scans — the corpus
+      // side of every batch join rides its bucketing
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e }
+      exchanges.foreach { e =>
+        val under = e.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.rootPaths.mkString(",") }
+        assert(under.forall(p => !p.contains("sigidx_t")),
+          s"index table shuffles on the batch path:\n$plan")
+      }
+      // gate 3: stored verdicts ≡ the in-memory index on the same corpus
+      val storedKept = out.select("doc_id").collect()
+        .map(_.getLong(0)).toSeq.sorted
+      val memKept = Dedup.incrementalNewFuzzyIndexed(batch,
+          Dedup.buildSignatureIndex(corpus, numHashes = 16, bands = 4),
+          minJaccard = 0.4, numHashes = 16, bands = 4)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      assert(storedKept == memKept && storedKept == Seq(101L),
+        s"stored $storedKept vs mem $memKept")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS sigidx_t_sigs")
+      spark.sql("DROP TABLE IF EXISTS sigidx_t_bands")
+    }
+  }
+
   test("IVF stored index: probed query statically prunes the corpus " +
     "partitions (VERDICT r2 item 8)") {
     import graft.ml.Similarity
