@@ -194,6 +194,8 @@ object ScaleProbe {
         "nb_train" -> { d =>
           TextOps.naiveBayesTrain(d, "source")
             .agg(sum("n"), max("smoothed_prob")).head(); 1L },
+        "bpe_train3" -> { d =>
+          TextOps.bpeTrain(d, numMerges = 3).count() },
         "bpe_encode8" -> { d =>
           d.select(explode(TextOps.bpeEncode(col("text"),
               Seq("t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",

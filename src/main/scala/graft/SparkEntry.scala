@@ -2100,7 +2100,15 @@ object SparkEntry {
       Dedup.incrementalNewFuzzyIndexed(batch, idx, minJaccard = 0.5,
           numHashes = 16, bands = 4, portable = true)
         .select("doc_id").orderBy("doc_id")
-    })
+    }),
+
+    // BPE trainer loop (VERDICT r9 item 2): 3 rounds of argmax-pair →
+    // merge → recount over the distinct word-frequency table; exact
+    // integer counts + (cnt DESC, lhs, rhs) tie order make the learned
+    // table bit-portable — the oracle unrolls the same 3 iterations
+    "q197_bpe_train" -> ((s, dir) =>
+      TextOps.bpeTrain(t(s, dir, "documents"), numMerges = 3)
+        .orderBy("merge_rank"))
   )
 
   /** q154's merge list, rank order — the kind of prefix q152's pair
@@ -2282,6 +2290,47 @@ object SparkEntry {
        |LEFT JOIN drp ON drp.doc_id = b.doc_id
        |WHERE drp.doc_id IS NULL
        |ORDER BY b.doc_id""".stripMargin
+  }
+
+  /** q197 oracle: the BPE trainer's first 3 merges unrolled — word
+    * frequencies, per-round adjacent-pair counts over the spaced-symbol
+    * strings, the (cnt DESC, lhs, rhs) argmax, and the same non-regex
+    * replace rewrite between rounds. Exact integers throughout. */
+  private def bpeTrainOracle: String = {
+    def round(i: Int): String = {
+      val src = s"s${i - 1}"
+      s"""p$i AS (
+         |  SELECT syms[i] AS lhs, syms[i + 1] AS rhs,
+         |         CAST(sum(n) AS BIGINT) AS cnt
+         |  FROM (
+         |    SELECT syms, n,
+         |           unnest(generate_series(1, len(syms) - 1)) AS i
+         |    FROM (SELECT string_split(s, ' ') AS syms, n FROM $src)
+         |    WHERE len(syms) > 1)
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT lhs, rhs, cnt FROM p$i
+         |        ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |s$i AS (SELECT replace(s, lhs || ' ' || rhs, lhs || rhs) AS s, n
+         |        FROM $src CROSS JOIN m$i)""".stripMargin
+    }
+    s"""WITH w0 AS (
+       |  SELECT t AS w, count(*) AS n FROM (
+       |    SELECT unnest(list_filter(string_split(lower(text), ' '),
+       |           t -> len(t) > 1)) AS t
+       |    FROM documents WHERE text IS NOT NULL)
+       |  GROUP BY t),
+       |s0 AS (
+       |  SELECT array_to_string(string_split(w, ''), ' ') AS s, n FROM w0),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT CAST(1 AS INTEGER) AS merge_rank, lhs, rhs, cnt AS n_pairs
+       |FROM m1
+       |UNION ALL
+       |SELECT CAST(2 AS INTEGER), lhs, rhs, cnt FROM m2
+       |UNION ALL
+       |SELECT CAST(3 AS INTEGER), lhs, rhs, cnt FROM m3
+       |ORDER BY merge_rank""".stripMargin
   }
 
   /** Shared CTE chain for the near-dup pipeline oracles (q56, q76):
@@ -2833,6 +2882,8 @@ object SparkEntry {
     "q24_minhash_lsh" -> minhashOracle,
 
     "q196_incremental_fuzzy_stored" -> storedFuzzyOracle,
+
+    "q197_bpe_train" -> bpeTrainOracle,
 
     "q108_split_leakage" -> splitLeakageOracle,
     "q131_group_split_leakage" -> groupSplitLeakageOracle,

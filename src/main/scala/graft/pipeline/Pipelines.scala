@@ -411,6 +411,32 @@ object Pipelines {
         col("orig_chunks"), col("kept_chunks"))
   }
 
+  /** Tokenizer-training composition: learn `numMerges` BPE merges from
+    * the corpus ([[graft.text.TextOps.bpeTrain]]'s persisted loop) and
+    * apply them straight back with `bpeEncode`, returning
+    * (id, tokens ARRAY<STRING>) — one per-word subword string per word.
+    * The learned table is `numMerges` rows by construction, so the
+    * driver-side collect is bounded and the merges ride the encode scan
+    * as plan literals (the [[graft.text.TextOps.bpeEncode]] convention).
+    * A corpus with no multi-character words learns nothing — the encode
+    * then degrades to the 0-merge character segmentation rather than
+    * failing. */
+  def trainAndEncodeBpe(docs: DataFrame, numMerges: Int = 8,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    import graft.text.TextOps
+    val merges = TextOps.bpeTrain(docs, numMerges, textCol)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val tokens =
+      if (merges.nonEmpty) TextOps.bpeEncode(col(textCol), merges)
+      else transform(
+        filter(TextOps.wsTokens(lower(coalesce(col(textCol), lit("")))),
+          t => length(t) > 0),
+        w => rtrim(regexp_replace(w, "(.)", "$1 ")))
+    docs.select(col(idCol), tokens.as("tokens"))
+  }
+
   /** E5: release-audit bundle for a (curated) corpus — the reports a
     * dataset release ships alongside the parquet: per-source dataset
     * card, split-leakage pairs (should be sparse after [[curate]]),

@@ -1508,6 +1508,81 @@ object TextOps {
         t => length(t) > 0),
       w => bpeEncodeWord(w, merges))
 
+  /** BPE TRAINER — the iterative loop whose single statistics pass is
+    * [[bpePairCounts]] and whose output drives [[bpeEncode]]: `numMerges`
+    * rounds of (argmax adjacent-symbol pair → merge it everywhere →
+    * recount), returning the learned merge table
+    * (merge_rank, lhs, rhs, n_pairs) in rank order.
+    *
+    * Working set: the DISTINCT word-frequency table (the classical
+    * Sennrich et al. 2016 trainer state) — vocabulary-sized, orders
+    * below the corpus; each word is carried as its space-separated
+    * symbol string, the exact representation [[bpeEncodeWord]] folds
+    * over, so `bpeEncode(text, bpeTrain(docs).collect-as-pairs)`
+    * tokenizes with the trained merges verbatim. Pair counts weight by
+    * word frequency and count every adjacent position (the reference
+    * trainer's statistic, shared with [[bpePairCounts]]).
+    *
+    * Determinism: the argmax tie-breaks by (count DESC, lhs ASC,
+    * rhs ASC) — exact integers and lexicographic order, so the learned
+    * table is bit-identical across engines and runs. Merged symbols
+    * never contain spaces, so the merge rewrite (`replace` of
+    * "lhs rhs" → "lhsrhs", left-to-right non-overlapping) is closed
+    * over the representation.
+    *
+    * Scale shape (the PageRank loop pattern, ops/Graph.scala): the word
+    * table persists across rounds (re-materialized + lineage-cut after
+    * each merge, previous round unpersisted), each round is ONE
+    * map-side-combined pair aggregation over it plus a 1-row argmax
+    * take; the corpus itself is read once, at word-table build. Rounds
+    * end early if every word collapses to a single symbol. */
+  def bpeTrain(docs: DataFrame, numMerges: Int = 8,
+               textCol: String = "text"): DataFrame = {
+    require(numMerges > 0, "numMerges must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.filter(col(textCol).isNotNull)
+      .select(explode(filter(wsTokens(lower(col(textCol))),
+        t => length(t) > 1)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      // "abc" -> "a b c" (bpeEncodeWord's spaced-symbol form)
+      .select(rtrim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"),
+        col("n"))
+    var cur = words.persist()
+    cur.count()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val top = cur
+        .select(split(col("s"), " ").as("syms"), col("n"))
+        .filter(size(col("syms")) > 1)
+        .select(explode(expr("transform(sequence(1, size(syms) - 1), " +
+          "i -> struct(syms[i - 1] AS lhs, syms[i] AS rhs))")).as("p"),
+          col("n"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("n").as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect() // 1 row — the argmax, bounded by design
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, l, r, c))
+        val next = cur.select(
+          replace(col("s"), lit(l + " " + r), lit(l + r)).as("s"),
+          col("n")).persist()
+        next.count()
+        cur.unpersist(false)
+        cur = next
+        rank += 1
+      }
+    }
+    cur.unpersist(false)
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "n_pairs")
+  }
+
   /** NAIVE BAYES TRAINING — the counts half of a multinomial NB text
     * classifier (the classical fastText-era quality/topic baseline whose
     * INFERENCE shape is [[scoreLinearModel]]): per (label, token)

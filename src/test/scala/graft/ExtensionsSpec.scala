@@ -2448,6 +2448,36 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows == Seq(Seq("ab", "ab"), Seq()))
   }
 
+  test("bpeTrain: frequency-weighted argmax per round, later merges " +
+    "build on merged symbols, lexicographic tie order, trained merges " +
+    "drive bpeEncode end-to-end") {
+    // occurrences: the ×3, them ×1 → round-1 counts (t,h)=4 (h,e)=4
+    // tie → lhs order picks (h,e); round 2 merges (t,he); round 3 (the,m)
+    val docs = Seq((1L, "the the the them")).toDF("doc_id", "text")
+    val got = TextOps.bpeTrain(docs, numMerges = 3).orderBy("merge_rank")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq((1, "h", "e", 4L), (2, "t", "he", 4L),
+      (3, "the", "m", 1L)), s"got $got")
+    // the trained table IS bpeEncode's input — "them" folds to one token
+    val merges = got.map(t => (t._2, t._3))
+    val enc = Seq("they them").toDF("text")
+      .select(TextOps.bpeEncode(col("text"), merges).as("e"))
+      .head().getSeq[String](0).toSeq
+    assert(enc == Seq("the y", "them"))
+  }
+
+  test("bpeTrain: stops early when every word is fully merged") {
+    val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val got = TextOps.bpeTrain(docs, numMerges = 10).orderBy("merge_rank")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    // (a,b)=2 then (c,d)=1 — afterwards no adjacent pairs remain
+    assert(got == Seq((1, "a", "b", 2L), (2, "c", "d", 1L)), s"got $got")
+  }
+
   test("naiveBayesTrain: closed-form counts and add-one smoothing") {
     val docs = Seq((1L, "a", "x y x"), (2L, "a", "y"), (3L, "b", "z"))
       .toDF("doc_id", "lab", "text")

@@ -405,6 +405,19 @@ class PipelineSpec extends SparkSpec {
       .head() == keeper)
   }
 
+  test("trainAndEncodeBpe: merges learned from the corpus drive the " +
+    "encode end-to-end; merge-free corpus degrades to char segmentation") {
+    val docs = Seq((1L, "the the the them")).toDF("doc_id", "text")
+    val got = Pipelines.trainAndEncodeBpe(docs, numMerges = 3)
+      .head().getSeq[String](1).toSeq
+    // learned merges (h,e) (t,he) (the,m) — see ExtensionsSpec bpeTrain
+    assert(got == Seq("the", "the", "the", "them"), s"got $got")
+    val bare = Seq((1L, "a b")).toDF("doc_id", "text")
+    val none = Pipelines.trainAndEncodeBpe(bare, numMerges = 3)
+      .head().getSeq[String](1).toSeq
+    assert(none == Seq("a", "b"), s"got $none")
+  }
+
   test("E4 curate --paragraph-dedup: a shared footer paragraph " +
     "collapses to its first owner; shell docs drop") {
     val footer = "Subscribe to our newsletter for updates and offers " +
