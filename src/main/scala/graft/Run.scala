@@ -80,6 +80,7 @@ object Run {
       |             [--max-blocklist-fraction <f>]
       |             [--allow-licenses <l1,l2,...>] [--drop-damaged]
       |             [--c4-lines] [--paragraph-dedup]
+      |             [--lang-model <nb model parquet>] [--lang <label>]
       |             [--shards <n>] [--audit]""".stripMargin
 
   /** getopt-lite: `-x val` / `--long val` for value opts, bare flags for
@@ -442,7 +443,12 @@ object Run {
       // --paragraph-dedup: q169's corpus-wide paragraph dedup before
       // the doc-level dedups
       c4Lines = opts.contains("--c4-lines"),
-      dedupParagraphs = opts.contains("--paragraph-dedup"))
+      dedupParagraphs = opts.contains("--paragraph-dedup"),
+      // --lang-model: a trained naiveBayesTrain parquet routes the
+      // language gate (nbClassify argmax == --lang) instead of the
+      // langIdEn heuristic
+      langModel = opts.get("--lang-model").map(spark.read.parquet(_)),
+      lang = opts.getOrElse("--lang", "en"))
     Files.createDirectories(outDir)
     curated.write.mode("overwrite")
       .parquet(outDir.resolve("curated.parquet").toString)

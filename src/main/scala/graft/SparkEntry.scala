@@ -2108,7 +2108,23 @@ object SparkEntry {
     // table bit-portable — the oracle unrolls the same 3 iterations
     "q197_bpe_train" -> ((s, dir) =>
       TextOps.bpeTrain(t(s, dir, "documents"), numMerges = 3)
-        .orderBy("merge_rank"))
+        .orderBy("merge_rank")),
+
+    // multi-class linear router (VERDICT r9 item 3): 3 labels with
+    // deterministic INTEGER weights per (label, bucket) → every logit is
+    // an exact integer sum in doubles; argmax ties break (logit DESC,
+    // label ASC), so the router is bit-portable end to end
+    "q198_multiclass_linear" -> ((s, dir) => {
+      val weights = s.range(3).select(col("id").as("li"))
+        .crossJoin(s.range(64).select(col("id").as("bucket")))
+        .select(concat(lit("l"), col("li")).as("label"),
+          col("bucket"),
+          ((col("bucket") * (col("li") + 2)) % 13 - 6).cast("double")
+            .as("weight"))
+      TextOps.scoreMultiClassModel(t(s, dir, "documents"), weights,
+          numBuckets = 64)
+        .orderBy("doc_id", "label")
+    })
   )
 
   /** q154's merge list, rank order — the kind of prefix q152's pair
@@ -2884,6 +2900,37 @@ object SparkEntry {
     "q196_incremental_fuzzy_stored" -> storedFuzzyOracle,
 
     "q197_bpe_train" -> bpeTrainOracle,
+
+    // q198: q175's hashed-feature CTE + the per-label integer weight
+    // formula; logits are exact integer sums, the argmax window restates
+    // the (logit DESC, label) tie order
+    "q198_multiclass_linear" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS bucket,
+        |         count(*) AS n
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |        FROM documents WHERE text IS NOT NULL)
+        |  WHERE len(t) > 0 GROUP BY 1, 2),
+        |wt AS (
+        |  SELECT 'l' || CAST(li AS VARCHAR) AS label, bucket,
+        |         CAST((bucket * (li + 2)) % 13 - 6 AS DOUBLE) AS weight
+        |  FROM (SELECT unnest([0, 1, 2]) AS li)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bucket)),
+        |dot AS (
+        |  SELECT f.doc_id, wt.label, sum(f.n * wt.weight) AS logit
+        |  FROM f JOIN wt ON wt.bucket = f.bucket
+        |  GROUP BY 1, 2),
+        |a AS (
+        |  SELECT d.doc_id, l.label, coalesce(dot.logit, 0.0) AS logit
+        |  FROM documents d
+        |  CROSS JOIN (SELECT DISTINCT label FROM wt) l
+        |  LEFT JOIN dot ON dot.doc_id = d.doc_id AND dot.label = l.label)
+        |SELECT doc_id, label, logit,
+        |       CAST(CASE WHEN row_number() OVER (PARTITION BY doc_id
+        |              ORDER BY logit DESC, label) = 1
+        |            THEN 1 ELSE 0 END AS INTEGER) AS pred
+        |FROM a ORDER BY doc_id, label""".stripMargin,
 
     "q108_split_leakage" -> splitLeakageOracle,
     "q131_group_split_leakage" -> groupSplitLeakageOracle,

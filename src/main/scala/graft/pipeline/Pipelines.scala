@@ -235,7 +235,9 @@ object Pipelines {
              allowLicenses: Option[Seq[String]] = None,
              dropDamaged: Boolean = false,
              c4Lines: Boolean = false,
-             dedupParagraphs: Boolean = false): DataFrame = {
+             dedupParagraphs: Boolean = false,
+             langModel: Option[DataFrame] = None,
+             lang: String = "en"): DataFrame = {
     import graft.text.TextOps
     import graft.dedup.Dedup
     // a rewrite stage (c4 lines / paragraph dedup) that changed `text`
@@ -271,10 +273,24 @@ object Pipelines {
         TextOps.c4LineFilter(fresh.filter(col("text").isNotNull))
           .select(col("doc_id"), col("cleaned").as("text")),
         Seq("doc_id")))
-    val gatedBase0 = freshClean
-      .filter(col("text").isNotNull)
-      .filter(TextOps.qualityScore(col("text")) >= minQuality &&
-        TextOps.langIdEn(col("text")) === "en")
+    // language gate: the heuristic langIdEn by default; with a trained
+    // NB model (naiveBayesTrain's output frame) the q156→nbClassify
+    // router decides instead — argmax label must equal `lang`. The
+    // router path costs a token join + (doc, K) aggregation vs the
+    // heuristic's free map-only predicate; both keep the same left-semi
+    // shape against the scan
+    val nonNull = freshClean.filter(col("text").isNotNull)
+    val langGated = langModel match {
+      case Some(m) =>
+        val keep = TextOps.nbClassify(nonNull, m)
+          .filter(col("pred") === 1 && col("label") === lang)
+          .select(col("doc_id"))
+        nonNull.join(keep, Seq("doc_id"), "left_semi")
+      case None =>
+        nonNull.filter(TextOps.langIdEn(col("text")) === lang)
+    }
+    val gatedBase0 = langGated
+      .filter(TextOps.qualityScore(col("text")) >= minQuality)
     // optional encoding-damage gate (q157's operator): drop docs whose
     // text carries U+FFFD replacement chars or C0 controls outside
     // tab/LF/CR — transcoding damage poisons every downstream text

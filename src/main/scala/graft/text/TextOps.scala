@@ -1340,6 +1340,98 @@ object TextOps {
       .withColumn("prob", lit(1.0) / (lit(1.0) + exp(-col("logit"))))
   }
 
+  /** MULTI-CLASS linear inference — [[scoreLinearModel]] generalized to
+    * K labels (the real routing shape: language ID over ~100 labels,
+    * topic/quality multi-class): `weights` is (label, bucket, weight)
+    * rows; per doc and label, logit = Σ_buckets count·weight, and the
+    * predicted label is the deterministic argmax
+    * (logit DESC, label ASC — float ties cannot flip the router).
+    * Output: one row per (doc, label) with the UNROUNDED logit and a
+    * `pred` flag on the argmax row — per the q148/q156 rule, ln/softmax
+    * stay caller-side (the one non-portable step), and integer-valued
+    * weights make every logit exact cross-engine.
+    *
+    * Scale: the model is |labels|·numBuckets rows — broadcast; scoring
+    * is the [[hashFeatures]] partial-agg plus one (doc, label) keyed
+    * aggregation and one doc-keyed rank window. Docs with no hashable
+    * tokens still score (logit = 0 for every label, argmax = first
+    * label) via the label-set cross join — |docs|·K rows, K
+    * catalog-sized. */
+  def scoreMultiClassModel(docs: DataFrame, weights: DataFrame,
+                           numBuckets: Int = 64,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = weights.select("label").distinct()
+    val dot = hashFeatures(docs, numBuckets, idCol, textCol)
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("n") * col("weight")).as("_dot"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("logit").desc, col("label"))
+    docs.select(col(idCol))
+      .crossJoin(broadcast(labels))
+      .join(dot, Seq(idCol, "label"), "left")
+      .select(col(idCol), col("label"),
+        coalesce(col("_dot"), lit(0.0)).as("logit"))
+      .withColumn("pred", (row_number().over(w) === 1).cast("int"))
+  }
+
+  /** NAIVE BAYES INFERENCE — the router half of [[naiveBayesTrain]]
+    * (whose q156 output frame is this function's `model` input,
+    * verbatim): per doc and label, the multinomial log-likelihood
+    * Σ_tokens n·ln(P(token|label)) with unseen (token, label) pairs
+    * taking the add-one floor 1/(label_tokens + vocab) the training
+    * smoothing implies, plus an optional per-label ln-prior; predicted
+    * label = deterministic argmax (loglik DESC, label ASC). This is the
+    * trained multi-class router that replaces heuristic
+    * [[langIdEn]]-style gating once labeled data exists ([[graft
+    * .pipeline.Pipelines.curate]]'s `langModel` knob); `ln` keeps it
+    * spec-gated rather than oracle-gated, the q148/q156 rule.
+    *
+    * Scale: token hits join on the token domain (model is vocab·K rows
+    * — broadcast below ~10⁷, else a token-keyed shuffle join); the
+    * unseen-token mass folds in CLOSED FORM — loglik = hit_ll +
+    * (n_doc_tokens − hit_n)·ln(floor_label) — so the (doc, label)
+    * fan-out is |docs|·K rows, never |doc tokens|·K. */
+  def nbClassify(docs: DataFrame, model: DataFrame,
+                 priors: Option[DataFrame] = None,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // per-label smoothing floor from the model's own columns
+    val labelInfo = model.groupBy("label")
+      .agg((lit(1.0) / (first(col("label_tokens")) + first(col("vocab"))))
+        .as("_floor"))
+    val pri = priors.getOrElse(
+      labelInfo.select(col("label"), lit(0.0).as("ln_prior")))
+    val tc = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(
+        filter(wsTokens(lower(col(textCol))), t => length(t) > 0))
+        .as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("n_tok"))
+    val hits = tc
+      .join(model.select("label", "token", "smoothed_prob"), Seq("token"))
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("n_tok") * log(col("smoothed_prob"))).as("hit_ll"),
+        sum(col("n_tok")).as("hit_n"))
+    val docTot = tc.groupBy(col(idCol))
+      .agg(sum(col("n_tok")).as("n_d"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("loglik").desc, col("label"))
+    docTot
+      .crossJoin(broadcast(labelInfo))
+      .join(broadcast(pri), Seq("label"))
+      .join(hits, Seq(idCol, "label"), "left")
+      .select(col(idCol), col("label"),
+        (coalesce(col("hit_ll"), lit(0.0)) +
+          (col("n_d") - coalesce(col("hit_n"), lit(0L))) *
+            log(col("_floor")) +
+          col("ln_prior")).as("loglik"))
+      .withColumn("pred", (row_number().over(w) === 1).cast("int"))
+  }
+
   /** Per-document blocklist exposure: count and fraction of whitespace
     * tokens that appear in `blockWords` (LDNOOBW-style unsafe-word
     * screening — the interpretable complement of a trained toxicity

@@ -2478,6 +2478,53 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == Seq((1, "a", "b", 2L), (2, "c", "d", 1L)), s"got $got")
   }
 
+  test("scoreMultiClassModel: per-label exact logits, argmax ties " +
+    "break on label order, token-less docs score zero everywhere") {
+    val docs = Seq((1L, "alpha alpha beta"), (2L, ""))
+      .toDF("doc_id", "text")
+    // labels x and y share identical weights → every logit ties; z
+    // weights the buckets negatively → never wins
+    val spark2 = docs.sparkSession
+    val buckets = spark2.range(8).select(col("id").as("bucket"))
+    val weights = Seq("x", "y", "z").toDF("label").crossJoin(buckets)
+      .select(col("label"), col("bucket"),
+        when(col("label") === "z", -1.0).otherwise(2.0).as("weight"))
+    val got = TextOps.scoreMultiClassModel(docs, weights, numBuckets = 8)
+      .orderBy("doc_id", "label").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getInt(3))).toSeq
+    // doc 1: 3 tokens × weight 2 = 6 for x and y, -3 for z; tie → x
+    // doc 2: no tokens → 0.0 everywhere → argmax = first label x
+    assert(got == Seq(
+      (1L, "x", 6.0, 1), (1L, "y", 6.0, 0), (1L, "z", -3.0, 0),
+      (2L, "x", 0.0, 1), (2L, "y", 0.0, 0), (2L, "z", 0.0, 0)), s"got $got")
+  }
+
+  test("nbClassify: trained q156 counts route docs to their label, " +
+    "unseen tokens take the per-label smoothing floor, all-unseen " +
+    "ties break on label order, priors shift the verdict") {
+    val train = Seq(
+      (1L, "en", "the and of the"),
+      (2L, "fr", "le la et le")).toDF("doc_id", "lang", "text")
+    val model = TextOps.naiveBayesTrain(train, labelCol = "lang")
+    val docs = Seq(
+      (10L, "the of and"), (11L, "le et la"), (12L, "zz qq"))
+      .toDF("doc_id", "text")
+    val pred = TextOps.nbClassify(docs, model)
+      .filter(col("pred") === 1).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // both labels have 4 tokens and vocab 6 → identical floors; doc 12
+    // is all-unseen → tie → label asc → en
+    assert(pred == Seq((10L, "en"), (11L, "fr"), (12L, "en")), s"got $pred")
+    // an ln-prior toward fr flips only the tied all-unseen doc
+    val priors = Seq(("en", -1.0), ("fr", 0.0)).toDF("label", "ln_prior")
+    val withPri = TextOps.nbClassify(docs, model, priors = Some(priors))
+      .filter(col("pred") === 1).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(withPri == Seq((10L, "en"), (11L, "fr"), (12L, "fr")),
+      s"got $withPri")
+  }
+
   test("naiveBayesTrain: closed-form counts and add-one smoothing") {
     val docs = Seq((1L, "a", "x y x"), (2L, "a", "y"), (3L, "b", "z"))
       .toDF("doc_id", "lab", "text")

@@ -405,6 +405,30 @@ class PipelineSpec extends SparkSpec {
       .head() == keeper)
   }
 
+  test("E4 curate --lang-model: a trained NB router replaces the " +
+    "langIdEn heuristic and keeps the requested label only") {
+    import graft.text.TextOps
+    val train = Seq(
+      (1L, "en", "the house stands by the river and the trees grow tall"),
+      (2L, "fr", "la maison se trouve pres de la riviere et les arbres"))
+      .toDF("doc_id", "lang", "text")
+    val model = TextOps.naiveBayesTrain(train, labelCol = "lang")
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog and the river " +
+        "flows past the old house where the trees grow"),
+      (11L, "la riviere coule pres de la vieille maison et les grands " +
+        "arbres poussent dans le jardin de la maison"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("x")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text"))
+    val fr = Pipelines.curate(docs, minQuality = 0.0, minJaccard = 0.9,
+      langModel = Some(model), lang = "fr")
+    assert(fr.select("doc_id").as[Long].collect().toSeq == Seq(11L))
+    // heuristic default at the same knobs keeps the English doc instead
+    val en = Pipelines.curate(docs, minQuality = 0.0, minJaccard = 0.9)
+    assert(en.select("doc_id").as[Long].collect().toSeq == Seq(10L))
+  }
+
   test("trainAndEncodeBpe: merges learned from the corpus drive the " +
     "encode end-to-end; merge-free corpus degrades to char segmentation") {
     val docs = Seq((1L, "the the the them")).toDF("doc_id", "text")
