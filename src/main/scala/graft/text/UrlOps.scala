@@ -101,7 +101,7 @@ object UrlOps {
     * full publicsuffix.org semantics (plain rules, `*.` wildcards, `!`
     * exceptions; longest match wins) — the production-exact path the
     * default heuristic documents. Pass [[PslSuffixes]] (the shipped
-    * excerpt), [[loadSuffixRules]] over the full
+    * snapshot), [[loadSuffixRules]] over the full
     * `public_suffix_list.dat`, or any custom rule list. Same map-only
     * shape: one codegen'd expression per row, no shuffle
     * ([[graft.functions.RegisteredDomainPsl]]). */
@@ -114,17 +114,29 @@ object UrlOps {
   def loadSuffixRules(lines: Iterator[String]): Seq[String] =
     lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//")).toList
 
-  /** The shipped Public Suffix List EXCERPT
-    * (resources/graft/public_suffix_excerpt.dat — a hand-curated subset
-    * written offline from general PSL knowledge as of early 2025; the
-    * file's header documents how to swap in the full list). */
-  lazy val PslSuffixes: Seq[String] = {
-    val in = getClass.getResourceAsStream("/graft/public_suffix_excerpt.dat")
-    require(in != null, "graft/public_suffix_excerpt.dat missing")
+  private def loadPslResource(name: String): Seq[String] = {
+    val in = getClass.getResourceAsStream(s"/graft/$name")
+    require(in != null, s"graft/$name missing")
     try loadSuffixRules(
       scala.io.Source.fromInputStream(in, "UTF-8").getLines())
     finally in.close()
   }
+
+  /** The shipped Public Suffix List SNAPSHOT
+    * (resources/graft/public_suffix_snapshot.dat — curated offline from
+    * general PSL knowledge as of early 2025: the major ccTLD
+    * second-level schemes, the designated-city wildcard/exception
+    * families, and the common PRIVATE-section hosts; every listed rule
+    * is believed present in the genuine list, the gap is coverage, not
+    * fidelity. The file's header documents how to swap in the full
+    * publicsuffix.org list — `loadSuffixRules` parses it as-is). */
+  lazy val PslSuffixes: Seq[String] = loadPslResource(
+    "public_suffix_snapshot.dat")
+
+  /** The small excerpt kept as the TEST fixture (the snapshot's
+    * predecessor; see public_suffix_excerpt.dat). */
+  lazy val PslExcerptSuffixes: Seq[String] = loadPslResource(
+    "public_suffix_excerpt.dat")
 
   /** FineWeb-style per-domain cap: keep at most `maxDocs` rows per
     * registrable domain of `urlCol`, chosen in deterministic md5 order

@@ -72,7 +72,7 @@ class UrlSpec extends SparkSpec {
   }
 
   test("registeredDomain rule-set overload: PSL semantics over the " +
-    "shipped excerpt — multi-label suffixes, wildcards, exceptions") {
+    "shipped snapshot — multi-label suffixes, wildcards, exceptions") {
     val psl = UrlOps.PslSuffixes
     def rd(h: String): String = Seq(h).toDF("h")
       .select(UrlOps.registeredDomain(col("h"), psl)).head().getString(0)
@@ -98,6 +98,38 @@ class UrlSpec extends SparkSpec {
     val got = Seq("a.b.or.jp").toDF("h")
       .select(UrlOps.registeredDomain(col("h"), custom)).head().getString(0)
     assert(got == "b.or.jp")
+  }
+
+  test("registeredDomain snapshot coverage: real crawl tails — ccTLD " +
+    "schemes beyond the excerpt, designated-city wildcards with their " +
+    "city exceptions, private-section hosts (VERDICT r9 item 4)") {
+    val psl = UrlOps.PslSuffixes
+    def rd(h: String): String = Seq(h).toDF("h")
+      .select(UrlOps.registeredDomain(col("h"), psl)).head().getString(0)
+    // the verdict's named cases against the snapshot
+    assert(rd("alice.github.io") == "alice.github.io")
+    assert(rd("files.acme.co.uk") == "acme.co.uk")
+    assert(rd("shop.example.com.br") == "example.com.br")
+    assert(rd("x.y.ne.jp") == "y.ne.jp")
+    // ccTLD schemes the old excerpt lacked
+    assert(rd("www.impots.gouv.fr") == "impots.gouv.fr")
+    assert(rd("portal.gem.gob.mx") == "gem.gob.mx")
+    assert(rd("www.city.edmonton.ab.ca") == "edmonton.ab.ca")
+    assert(rd("lib.example.edu.rs") == "example.edu.rs")
+    assert(rd("x.example.pp.ru") == "example.pp.ru")
+    // Japan designated-city wildcard: every ward label is a suffix...
+    assert(rd("a.b.nakahara.kawasaki.jp") == "b.nakahara.kawasaki.jp")
+    // ...but the city's own site is the documented exception
+    assert(rd("www.city.kawasaki.jp") == "city.kawasaki.jp")
+    // prefecture second-levels
+    assert(rd("www.pref.aichi.jp") == "pref.aichi.jp")
+    // private-section tails
+    assert(rd("store.myshopify.com") == "store.myshopify.com")
+    assert(rd("docs.readthedocs.io") == "docs.readthedocs.io")
+    assert(rd("demo.hf.space") == "demo.hf.space")
+    // the excerpt fixture still loads independently
+    assert(UrlOps.PslExcerptSuffixes.nonEmpty &&
+      UrlOps.PslExcerptSuffixes.size < psl.size)
   }
 
   test("dropBlockedDomains: registrable-domain match, broadcast anti-join") {
