@@ -590,18 +590,68 @@ object ScaleProbe {
       out
     }
 
+    // full-curate probe (VERDICT r9 item 5): the complete E4 composition
+    // a user actually runs — c4 line cleanup, quality/damage/blocklist
+    // gates, paragraph + exact + near-dup dedup, per-domain cap, fuzzy
+    // decontamination, split, and the sharded training-set SINK — as ONE
+    // timed window, so stage interactions (cache pressure between dedup
+    // passes, shard-write fan-in) are measured, not inferred from the
+    // per-operator windows. Text is given the q168 line shape (a short
+    // droppable line + a guaranteed keeper) so the c4 stage does real
+    // selective work instead of dropping or keeping everything.
+    def curateSuite(times: Int): Map[String, Double] = {
+      if (opFilter.nonEmpty && !opFilter("curate_full")) return Map.empty
+      val docs = replicate(times)
+        .select(col("doc_id"),
+          concat(col("text"), lit(".\nshort line\n"),
+            lit("This synthesized line is long enough to keep."))
+            .as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .withColumn("url", concat(lit("https://www."), col("source"),
+          lit("-"), (col("doc_id") % 200).cast("string"),
+          lit(".example.com/p"), col("doc_id").cast("string")))
+        .cache()
+      docs.count()
+      def once(): (Double, Long) = {
+        val out = java.nio.file.Files
+          .createTempDirectory(s"graft_curate_${times}x_")
+        out.toFile.deleteOnExit()
+        val t0 = System.nanoTime()
+        val curated = graft.pipeline.Pipelines.curate(docs,
+          minJaccard = 0.5, fuzzyDecontaminate = true,
+          maxPerDomain = Some(100), urlCol = "url",
+          blockWords = Some(Seq("damnword")), dropDamaged = true,
+          c4Lines = true, dedupParagraphs = true)
+        graft.io.Writers.shardedTrainingSetWithManifest(
+          curated.filter(col("split") === "train"),
+          out.resolve("shards").toString, nShards = 8)
+        // shard=*/ glob: the manifest.json beside the tree is not parquet
+        val n = spark.read.parquet(
+          out.resolve("shards").toString + "/shard=*").count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (a, n) = once(); val (b, _) = once() // min-of-2, as everywhere
+      val dt = math.min(a, b)
+      println(f"  curate_full: $dt%.2f s ($n rows)")
+      docs.unpersist(false)
+      spark.catalog.clearCache()
+      Map("curate_full" -> dt)
+    }
+
     println(s"== pass 0: warmup (codegen) ==")
     suite(replicate(1)); embSuite(replicateEmb(1)); evSuite(replicateEv(1))
     assetSuite(replicate(1)); videoSuite(replicate(1)); warcSuite(1)
-    incrementalSuite(1)
+    incrementalSuite(1); curateSuite(1)
     println(s"== pass 1: 1x (${maxId} docs, ${eMax} vecs) ==")
     val t1 = suite(replicate(1)) ++ embSuite(replicateEmb(1)) ++
       evSuite(replicateEv(1)) ++ assetSuite(replicate(1)) ++
-      videoSuite(replicate(1)) ++ warcSuite(1) ++ incrementalSuite(1)
+      videoSuite(replicate(1)) ++ warcSuite(1) ++ incrementalSuite(1) ++
+      curateSuite(1)
     println(s"== pass 2: ${k}x (${k * maxId} docs, ${k * eMax} vecs) ==")
     val tk = suite(replicate(k)) ++ embSuite(replicateEmb(k)) ++
       evSuite(replicateEv(k)) ++ assetSuite(replicate(k)) ++
-      videoSuite(replicate(k)) ++ warcSuite(k) ++ incrementalSuite(k)
+      videoSuite(replicate(k)) ++ warcSuite(k) ++ incrementalSuite(k) ++
+      curateSuite(k)
     println(f"%nop             | 1x (s) | ${k}%dx (s) | ratio (linear=$k%d.0)")
     t1.keys.toSeq.sorted.foreach { op =>
       println(f"$op%-22s ${t1(op)}%7.2f ${tk(op)}%9.2f ${tk(op) / t1(op)}%8.1f")
