@@ -61,16 +61,26 @@ object SparkEntry {
     * same five records. A lazy val over `createTempFile` (not a fixed
     * shared name): concurrent JVMs (bench and verify in parallel) each
     * get their own copy, so neither can read the other's mid-copy file. */
-  private lazy val warcFixturePath: String = {
-    val out = java.nio.file.Files.createTempFile("graft_fixture_", ".warc")
+  private def fixtureToTemp(resource: String, suffix: String): String = {
+    val out = java.nio.file.Files.createTempFile("graft_fixture_", suffix)
     out.toFile.deleteOnExit()
-    val in = getClass.getResourceAsStream("/graft/fixture.warc")
-    require(in != null, "graft/fixture.warc missing from classpath")
+    val in = getClass.getResourceAsStream(resource)
+    require(in != null, s"$resource missing from classpath")
     try java.nio.file.Files.copy(in, out,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     finally in.close()
     out.toString
   }
+
+  private lazy val warcFixturePath: String =
+    fixtureToTemp("/graft/fixture.warc", ".warc")
+
+  /** q199/q200's WET/WAT sidecar fixtures, same per-JVM-unique-copy
+    * convention as [[warcFixturePath]]. */
+  private lazy val wetFixturePath: String =
+    fixtureToTemp("/graft/fixture.wet", ".wet")
+  private lazy val watFixturePath: String =
+    fixtureToTemp("/graft/fixture.wat", ".wat")
 
   /** Shared by q58/q59: the first `k` embedding vectors as deterministic
     * seed centroids (cluster id = vec_id). */
@@ -2124,6 +2134,23 @@ object SparkEntry {
       TextOps.scoreMultiClassModel(t(s, dir, "documents"), weights,
           numBuckets = 64)
         .orderBy("doc_id", "label")
+    }),
+
+    // WET sidecar fast path (VERDICT r9 item 6): conversion records'
+    // content IS the extracted text — no envelope strip, no HTML chain;
+    // the oracle re-derives every row (incl. the text md5) from the
+    // checked-in fixture's literals, the q138 pattern
+    "q199_wet_ingest" -> ((s, _) => {
+      graft.io.Warc.wetRecords(s, wetFixturePath)
+        .withColumn("text_md5", md5(col("text").cast("binary")))
+        .orderBy("record_id")
+    }),
+
+    // WAT sidecar link extraction: the metadata JSON envelope's outlink
+    // array feeds the link graph with zero payload decode
+    "q200_wat_links" -> ((s, _) => {
+      graft.io.Warc.watLinks(s, watFixturePath)
+        .orderBy("src_url", "dst_url")
     })
   )
 
@@ -4112,6 +4139,36 @@ object SparkEntry {
          |) AS w(record_id, warc_type, target_uri, content_length,
          |       payload, payload_md5)
          |ORDER BY record_id""".stripMargin,
+
+    // q199: the WET fixture's three conversion records as literals,
+    // text md5 recomputed from the same strings the scan must produce
+    "q199_wet_ingest" ->
+      """SELECT * FROM (VALUES
+        |  ('<urn:uuid:wet-1>', 'http://example.org/a',
+        |   '2024-03-01T00:00:01Z', CAST(47 AS BIGINT),
+        |   'Alpha page text already extracted by the crawl.',
+        |   md5('Alpha page text already extracted by the crawl.')),
+        |  ('<urn:uuid:wet-2>', 'https://example.net/b',
+        |   '2024-03-01T00:00:02Z', CAST(36 AS BIGINT),
+        |   'Beta page text.' || chr(10) || 'Second line of beta.',
+        |   md5('Beta page text.' || chr(10) || 'Second line of beta.')),
+        |  ('<urn:uuid:wet-3>', 'https://sub.example.com/c',
+        |   '2024-03-01T00:00:03Z', CAST(39 AS BIGINT),
+        |   'Gamma page about nothing in particular.',
+        |   md5('Gamma page about nothing in particular.'))
+        |) AS w(record_id, target_uri, warc_date, content_length,
+        |       text, text_md5)
+        |ORDER BY record_id""".stripMargin,
+
+    // q200: the WAT fixture's outlink arrays flattened, one row per link
+    "q200_wat_links" ->
+      """SELECT * FROM (VALUES
+        |  ('http://example.org/a', 'https://example.net/b', 'A@/href'),
+        |  ('http://example.org/a', 'https://www.example.org/about',
+        |   'A@/href'),
+        |  ('https://example.net/b', 'http://example.org/a', 'A@/href')
+        |) AS w(src_url, dst_url, link_path)
+        |ORDER BY src_url, dst_url""".stripMargin,
 
     "q106_pq_encode" -> pqEncodeOracle,
 

@@ -36,8 +36,15 @@ object Warc {
         hdrField("WARC-Target-URI").as("target_uri"),
         hdrField("WARC-Record-ID").as("record_id"),
         hdrField("WARC-Date").as("warc_date"),
-        regexp_extract(col("hdr"), "Content-Length: ([0-9]+)", 1)
-          .cast("long").as("content_length"),
+        // guard the cast: a truncated/header-less record yields an empty
+        // extract, and under ANSI an unconditional cast('') would abort
+        // the ENTIRE scan — one malformed record in a 100 TB crawl must
+        // not kill the job. (The optimizer can also reorder predicates
+        // so the projection evaluates before the record filter — e.g.
+        // a filter inferred from a downstream generator — making the
+        // guard load-bearing even on well-formed archives.)
+        when(lenField =!= "", lenField.cast("long"))
+          .as("content_length"),
         col("raw_content"))
       // honor Content-Length when present: records end with \r\n\r\n
       // before the next delimiter, which would otherwise trail in content
@@ -52,6 +59,9 @@ object Warc {
   private def hdrField(name: String): Column =
     regexp_extract(col("hdr"), name + ": ([^\r\n]+)", 1)
 
+  private def lenField: Column =
+    regexp_extract(col("hdr"), "Content-Length: ([0-9]+)", 1)
+
   /** Strip the HTTP response envelope (status line + headers) from a
     * `response` record's content, leaving the payload; non-HTTP content
     * passes through untouched. */
@@ -61,4 +71,53 @@ object Warc {
         length(substring_index(content, "\r\n\r\n", 1)) + lit(5),
         length(content)))
       .otherwise(content)
+
+  /** WET sidecar scan — Common Crawl's extracted-text companion archives
+    * (`*.warc.wet.gz`): `conversion` records whose content IS the page
+    * text, already extracted by the crawler. This is the fast path that
+    * SKIPS HTML extraction entirely: no HTTP envelope to strip, no
+    * markup chain to run — the scan's per-row work is just the WARC
+    * header parse. Exposes `WARC-Refers-To` (the originating response
+    * record) so WET rows can re-join their WARC/WAT siblings. Same
+    * parallelism story as [[records]]. */
+  def wetRecords(spark: SparkSession, path: String): DataFrame =
+    records(spark, path)
+      .filter(col("warc_type") === "conversion")
+      .select(col("record_id"), col("target_uri"), col("warc_date"),
+        col("content_length"), col("content").as("text"))
+
+  /** The subset of Common Crawl's WAT envelope JSON the link-graph path
+    * needs: the canonical target URI and the outlink array. Unmodelled
+    * fields are simply not parsed — `from_json` ignores them. */
+  private val WatSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    """Envelope STRUCT<
+      |  `WARC-Header-Metadata` STRUCT<`WARC-Target-URI` STRING>,
+      |  `Payload-Metadata` STRUCT<
+      |    `HTTP-Response-Metadata` STRUCT<
+      |      `HTML-Metadata` STRUCT<
+      |        Links ARRAY<STRUCT<path STRING, url STRING>>>>>>""".stripMargin)
+
+  /** WAT sidecar scan — the metadata companion archives (`*.warc.wat.gz`)
+    * whose `metadata` records carry a JSON envelope with the page's
+    * outlinks, HTTP headers, and structural metadata. This feeds the
+    * link graph WITHOUT any payload decode: one `from_json` over the
+    * schema subset above (map-side, codegen'd), one `explode` of the
+    * Links array — the HTML itself is never read. Output: one row per
+    * outlink (src_url, dst_url, link_path); compose with
+    * [[graft.text.UrlOps.registeredDomain]] + `graft.ops.Graph` for the
+    * domain graph (the q155/q158 shape). */
+  def watLinks(spark: SparkSession, path: String): DataFrame =
+    records(spark, path)
+      .filter(col("warc_type") === "metadata")
+      .select(col("target_uri"),
+        from_json(col("content"), WatSchema).as("j"))
+      .select(
+        coalesce(
+          col("j.Envelope.WARC-Header-Metadata.WARC-Target-URI"),
+          col("target_uri")).as("src_url"),
+        explode(col("j.Envelope.Payload-Metadata.HTTP-Response-Metadata" +
+          ".HTML-Metadata.Links")).as("l"))
+      .select(col("src_url"), col("l.url").as("dst_url"),
+        col("l.path").as("link_path"))
+      .filter(col("dst_url").isNotNull)
 }

@@ -216,6 +216,25 @@ object Pipelines {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** WET fast path of [[ingestWarc]]: when the crawl ships its
+    * extracted-text sidecars, ingest THOSE — no HTTP envelope strip, no
+    * HTML extraction, just the header parse and the documents-shaped
+    * projection. At 100 TB this skips the whole markup chain (the most
+    * expensive per-row work of the response path) and reads the smaller
+    * archives. */
+  def ingestWet(spark: SparkSession, path: String): DataFrame = {
+    import graft.text.TextOps
+    graft.io.Warc.wetRecords(spark, path)
+      .select(
+        xxhash64(col("record_id")).as("doc_id"),
+        col("text"),
+        regexp_extract(col("target_uri"), "https?://([^/]+)", 1)
+          .as("source"))
+      .withColumn("lang", TextOps.langIdEn(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   def curate(docs: DataFrame, minQuality: Double = 0.3,
              minJaccard: Double = 0.8, decontamN: Int = 8,
              adaptivePct: Option[Double] = None,

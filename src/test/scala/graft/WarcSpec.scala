@@ -89,4 +89,107 @@ class WarcSpec extends SparkSpec {
     assert(docs.forall(r =>
       r.getAs[Long]("n_chars") == r.getAs[String]("text").length))
   }
+
+  private def wetFixture(): String = {
+    def rec(headers: Seq[(String, String)], body: String): String = {
+      val hdr = (headers :+ ("Content-Length" -> body.length.toString))
+        .map { case (k, v) => s"$k: $v" }.mkString("\r\n")
+      s"WARC/1.0\r\n$hdr\r\n\r\n$body\r\n\r\n"
+    }
+    val wet =
+      rec(Seq("WARC-Type" -> "warcinfo",
+        "WARC-Record-ID" -> "<urn:uuid:i>",
+        "WARC-Date" -> "2024-01-01T00:00:00Z"), "software: t") +
+      rec(Seq("WARC-Type" -> "conversion",
+        "WARC-Target-URI" -> "http://example.org/a",
+        "WARC-Record-ID" -> "<urn:uuid:w1>",
+        "WARC-Refers-To" -> "<urn:uuid:resp-1>",
+        "WARC-Date" -> "2024-01-01T00:00:01Z"),
+        // extracted text that HAPPENS to start like an HTTP envelope —
+        // the WET path must NOT strip it (there is no envelope in WET)
+        "HTTP/1.1 is a protocol\r\n\r\nand this line must survive")
+    val dir = Files.createTempDirectory("graft_wet")
+    val f = dir.resolve("segment-00000.warc.wet")
+    Files.write(f, wet.getBytes("UTF-8"))
+    f.toString
+  }
+
+  test("wetRecords + ingestWet: conversion text taken VERBATIM — no " +
+    "envelope strip, no markup chain; warcinfo excluded") {
+    val recs = Warc.wetRecords(spark, wetFixture()).collect()
+    assert(recs.length == 1)
+    assert(recs(0).getAs[String]("text") ==
+      "HTTP/1.1 is a protocol\r\n\r\nand this line must survive")
+    val docs = graft.pipeline.Pipelines.ingestWet(spark, wetFixture())
+    assert(docs.columns.toSeq ==
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+    val r = docs.head()
+    // ingestWarc's response path WOULD strip this prefix — the WET fast
+    // path keeps it, because conversion content is already payload
+    assert(r.getAs[String]("text").startsWith("HTTP/1.1 is a protocol"))
+    assert(r.getAs[String]("source") == "example.org")
+    assert(r.getAs[Long]("n_chars") == r.getAs[String]("text").length)
+  }
+
+  private def watFixture(withLinks: Boolean): String = {
+    def rec(headers: Seq[(String, String)], body: String): String = {
+      val hdr = (headers :+ ("Content-Length" -> body.length.toString))
+        .map { case (k, v) => s"$k: $v" }.mkString("\r\n")
+      s"WARC/1.0\r\n$hdr\r\n\r\n$body\r\n\r\n"
+    }
+    val env =
+      if (withLinks)
+        """{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":
+          |"http://canonical.example.org/a"},"Payload-Metadata":
+          |{"HTTP-Response-Metadata":{"HTML-Metadata":{"Links":[
+          |{"path":"A@/href","url":"https://x.example.net/1"},
+          |{"path":"IMG@/src","url":"https://img.example.net/p.png"},
+          |{"path":"A@/href"}]}}}}}""".stripMargin.replace("\n", "")
+      else """{"Envelope":{"Payload-Metadata":{}}}"""
+    val wat =
+      rec(Seq("WARC-Type" -> "metadata",
+        "WARC-Target-URI" -> "http://example.org/a",
+        "WARC-Record-ID" -> "<urn:uuid:m1>",
+        "WARC-Date" -> "2024-01-01T00:00:01Z"), env) +
+      rec(Seq("WARC-Type" -> "metadata",
+        "WARC-Target-URI" -> "http://example.org/broken",
+        "WARC-Record-ID" -> "<urn:uuid:m2>",
+        "WARC-Date" -> "2024-01-01T00:00:02Z"), "{not json at all")
+    val dir = Files.createTempDirectory("graft_wat")
+    val f = dir.resolve("segment-00000.warc.wat")
+    Files.write(f, wat.getBytes("UTF-8"))
+    f.toString
+  }
+
+  test("watLinks: envelope target URI wins over the record header, one " +
+    "row per outlink, null-url entries dropped, malformed JSON and " +
+    "link-less envelopes yield no rows") {
+    val got = Warc.watLinks(spark, watFixture(withLinks = true))
+      .orderBy("dst_url").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq(
+      ("http://canonical.example.org/a", "https://img.example.net/p.png",
+        "IMG@/src"),
+      ("http://canonical.example.org/a", "https://x.example.net/1",
+        "A@/href")), s"got $got")
+    assert(Warc.watLinks(spark, watFixture(withLinks = false)).count() == 0)
+  }
+
+  test("records: a truncated header-less record yields a null " +
+    "content_length instead of aborting the scan under ANSI") {
+    val warc = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:uuid:ok>\r\nContent-Length: 4\r\n\r\nbody\r\n\r\n" +
+      // truncated record: headers cut off before Content-Length
+      "WARC/1.0\r\nWARC-Type: respo"
+    val dir = Files.createTempDirectory("graft_trunc")
+    val f = dir.resolve("segment-00000.warc")
+    Files.write(f, warc.getBytes("UTF-8"))
+    val rows = Warc.records(spark, f.toString).orderBy("record_id")
+      .collect()
+    assert(rows.length == 2)
+    assert(rows.exists(r => r.isNullAt(r.fieldIndex("content_length"))))
+    assert(rows.exists(r =>
+      !r.isNullAt(r.fieldIndex("content_length")) &&
+        r.getAs[String]("content") == "body"))
+  }
 }
