@@ -2151,7 +2151,20 @@ object SparkEntry {
     "q200_wat_links" -> ((s, _) => {
       graft.io.Warc.watLinks(s, watFixturePath)
         .orderBy("src_url", "dst_url")
-    })
+    }),
+
+    // content-defined chunking (VERDICT r9 stretch 7): boundaries where
+    // the trailing 8-gram md5 starts with '0' — position-independent, so
+    // shifted duplicates re-align (the property fixed-stride chunking
+    // lacks); every chunk byte-checked via its md5
+    "q201_cdc_chunks" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextOps.cdcChunks(coalesce(col("text"), lit(""))))
+            .as(Seq("p", "chunk")))
+        .select(col("doc_id"), (col("p") + 1).cast("int").as("chunk_no"),
+          col("chunk"), md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_no"))
   )
 
   /** q154's merge list, rank order — the kind of prefix q152's pair
@@ -2927,6 +2940,38 @@ object SparkEntry {
     "q196_incremental_fuzzy_stored" -> storedFuzzyOracle,
 
     "q197_bpe_train" -> bpeTrainOracle,
+
+    // q201: the CDC boundary rule replayed literally — boundary i where
+    // md5 of the 8-gram ending at i starts with '0'; segments via lag,
+    // the unbounded tail appended when the last boundary < len
+    "q201_cdc_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        |b AS (
+        |  SELECT doc_id, i FROM (
+        |    SELECT doc_id, t, unnest(generate_series(8, len(t))) AS i
+        |    FROM d WHERE len(t) >= 8)
+        |  WHERE substr(md5(substr(t, i - 7, 8)), 1, 1) = '0'),
+        |mb AS (SELECT doc_id, max(i) AS m FROM b GROUP BY doc_id),
+        |seg AS (
+        |  SELECT doc_id,
+        |         coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0)
+        |           + 1 AS s,
+        |         i AS e
+        |  FROM b
+        |  UNION ALL
+        |  SELECT d.doc_id, coalesce(mb.m, 0) + 1, len(d.t)
+        |  FROM d LEFT JOIN mb USING (doc_id)
+        |  WHERE len(d.t) > coalesce(mb.m, 0)),
+        |c AS (
+        |  SELECT seg.doc_id,
+        |         row_number() OVER (PARTITION BY seg.doc_id
+        |                            ORDER BY seg.s) AS chunk_no,
+        |         substr(d.t, seg.s, seg.e - seg.s + 1) AS chunk
+        |  FROM seg JOIN d USING (doc_id))
+        |SELECT doc_id, CAST(chunk_no AS INTEGER) AS chunk_no, chunk,
+        |       md5(chunk) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
 
     // q198: q175's hashed-feature CTE + the per-label integer weight
     // formula; logits are exact integer sums, the argmax window restates

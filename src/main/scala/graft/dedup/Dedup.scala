@@ -1150,6 +1150,14 @@ object Dedup {
                      maxDupChunks: Int = 4000000,
                      digestKeys: Boolean = false): DataFrame = {
     require(chunkLen > 0, "chunkLen must be positive")
+    // the CleanDupChunks kernel is keyed by LONG doc ids; a non-numeric
+    // id would silently null-cast (every doc "loses" its chunks) — fail
+    // loudly instead. String-keyed corpora: use substringDedupCdc or
+    // map ids through xxhash64 first.
+    require(docs.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"substringDedup requires a numeric $idCol (the broadcast kernel " +
+        "is long-keyed); hash string ids with xxhash64 first")
     val ch = docs.select(col(idCol).cast("long").as("id"),
         posexplode(chunks(textCol, chunkLen)).as(Seq("pos", "c")))
     // ownership key: the chunk itself, or its digest in digestKeys mode
@@ -1201,6 +1209,52 @@ object Dedup {
           coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
           coalesce(col("clean_text"), lit("")).as("clean_text"))
     }
+  }
+
+  /** [[substringDedup]] with CONTENT-DEFINED chunk boundaries
+    * ([[graft.text.TextOps.cdcChunks]]) instead of the fixed stride:
+    * the variant that catches duplicated passages at ARBITRARY offsets.
+    * Fixed-stride chunking misses any duplicate shifted by
+    * < chunkLen characters (every chunk straddles differently —
+    * PropertySpec quantifies the 0% catch rate on shifted copies);
+    * CDC boundaries follow content, so a shifted passage re-aligns to
+    * identical chunks after at most one boundary interval and its
+    * chunks dedup exactly.
+    *
+    * Scale shape: ownership is keyed by the chunk md5 DIGEST (pass 1
+    * shuffles fixed-width 32-byte keys, never text), the rebuild is the
+    * relational re-assemble of [[substringDedup]]'s fallback branch —
+    * one digest join + one id-keyed groupBy. Native id type throughout
+    * (string-keyed corpora welcome). Expected chunk length is ~16 chars
+    * (the 1/16 boundary rate), so chunk-row volume is ~2× the stride-32
+    * variant's. Returns (idCol, n_chunks, kept_chunks, clean_text). */
+  def substringDedupCdc(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text",
+                        k: Int = 8): DataFrame = {
+    import graft.text.TextOps
+    val ch = docs.select(col(idCol).as("id"),
+        posexplode(TextOps.cdcChunks(coalesce(col(textCol), lit("")), k))
+          .as(Seq("pos", "c")))
+      .withColumn("d", md5(col("c")))
+    val dup = ch.select(col("d"), col("id")).groupBy("d")
+      .agg(min("id").as("owner"), count_distinct(col("id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("d", "owner")
+    val keep = col("owner").isNull || col("owner") === col("id")
+    val agg = ch.join(dup, Seq("d"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(keep, 1L).otherwise(0L)).as("kept_chunks"),
+        array_join(transform(
+          array_sort(collect_list(when(keep,
+            struct(col("pos"), col("c"))))),
+          s => s.getField("c")), "").as("clean_text"))
+    docs.select(col(idCol))
+      .join(agg.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
   /** LSH S-CURVE TUNING TABLE — the analytic complement of the

@@ -109,6 +109,10 @@ object VectorExpressions {
   def rollingFingerprints(text: Column, k: Int): Column =
     Bridge.column(RollingFingerprints(Bridge.expression(text), k))
 
+  /** Column-level content-defined chunking (see [[CdcChunks]]). */
+  def cdcChunks(text: Column, k: Int): Column =
+    Bridge.column(CdcChunks(Bridge.expression(text), k))
+
   /** Column-level unigram entropy (see [[TokenEntropy]]). */
   def tokenEntropy(text: Column): Column =
     Bridge.column(TokenEntropy(Bridge.expression(text)))
@@ -479,6 +483,86 @@ case class RollingFingerprints(child: Expression, k: Int)
                                    ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("rollingFp", this,
       classOf[RollingFingerprints].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Content-defined chunking (the FastCDC/rsync boundary idea with a
+  * PORTABLE boundary rule): split the text AFTER every position whose
+  * trailing character k-gram md5 starts with hex '0' (1/16 rate →
+  * expected ~16-char chunks). Boundaries depend only on local CONTENT,
+  * never on absolute position — so a passage shifted by an inserted
+  * prefix re-aligns to identical chunks after at most one boundary
+  * interval, the property fixed-stride chunking fundamentally lacks
+  * (any offset < chunkLen shifts EVERY stride chunk). Texts shorter
+  * than k (or with no boundary) come back as one whole-text chunk;
+  * chunks concatenate back to the input verbatim. Same per-position
+  * md5 cost class as [[RollingFingerprints]]; single pass, map-only.
+  */
+case class CdcChunks(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(k >= 1, "k-gram width must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"cdc_chunks expects STRING, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  private def md5Hex(md: java.security.MessageDigest, s: String): String = {
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Row kernel — public so generated code can call it. */
+  def kernel(input: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val text = input.toString
+    val n = text.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    if (n == 0) return new org.apache.spark.sql.catalyst.util
+      .GenericArrayData(out.toArray)
+    val md = MinHashParams.threadMd5()
+    var start = 0
+    var i = k // 0-based end-exclusive position of the first full k-gram
+    while (i <= n) {
+      val h = md5Hex(md, text.substring(i - k, i))
+      if (h.charAt(0) == '0') {
+        out += org.apache.spark.unsafe.types.UTF8String
+          .fromString(text.substring(start, i))
+        start = i
+      }
+      i += 1
+    }
+    if (start < n) {
+      out += org.apache.spark.unsafe.types.UTF8String
+        .fromString(text.substring(start, n))
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cdcChunks", this,
+      classOf[CdcChunks].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
   }
 

@@ -161,6 +161,17 @@ object TextOps {
   def rollingFingerprints(text: Column, k: Int = 16): Column =
     graft.functions.VectorExpressions.rollingFingerprints(text, k)
 
+  /** Content-defined chunks ([[graft.functions.CdcChunks]]): split after
+    * every position whose trailing character `k`-gram md5 starts with
+    * hex '0' (1/16 rate, ~16-char expected chunks). Boundaries follow
+    * CONTENT, not position — a passage shifted by an inserted prefix
+    * re-aligns to identical chunks after at most one boundary interval,
+    * which is exactly what fixed-stride chunking ([[chunks]]) cannot do
+    * (any offset < chunkLen shifts every chunk; PropertySpec quantifies
+    * the miss). Chunks concatenate back to the input verbatim. */
+  def cdcChunks(text: Column, k: Int = 8): Column =
+    graft.functions.VectorExpressions.cdcChunks(text, k)
+
   /** Word n-gram shingles (lowercased, distinct, first-occurrence order),
     * for Jaccard/MinHash dedup. Native single-pass kernel
     * ([[graft.functions.WordShingles]]) — semantically identical to the

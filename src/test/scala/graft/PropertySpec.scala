@@ -373,6 +373,76 @@ class PropertySpec extends SparkSpec {
     }, "paragraph conservation")
   }
 
+  test("shifted-duplicate catch rate: fixed-stride chunking shares ZERO " +
+    "chunks at any offset 1..chunkLen-1, CDC chunks re-align and share " +
+    "most (VERDICT r9 stretch 7 — the quantified miss)") {
+    // non-periodic deterministic body (fixed-seed PRNG) so chunk values
+    // don't self-repeat — a linear-congruence char formula is period-26
+    // under mod 26 and silently breaks the analysis
+    val rnd = new scala.util.Random(42)
+    val body = (0 until 512)
+      .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val chunkLen = 32
+    def strideChunks(s: String): Set[String] =
+      s.grouped(chunkLen).toSet
+    def cdcOf(s: String): Seq[String] =
+      Seq(s).toDF("t")
+        .select(TextOps.cdcChunks(col("t")).as("c"))
+        .head().getSeq[String](0).toSeq
+    val baseCdc = cdcOf(body).toSet
+    val offsets = Seq(1, 7, 16, 31)
+    val results = offsets.map { o =>
+      val shifted = body.take(o).reverse + body // o-char inserted prefix
+      val strideShared =
+        strideChunks(body).intersect(strideChunks(shifted)).size
+      val cdcShared = cdcOf(shifted).toSet.intersect(baseCdc).size
+      (o, strideShared, cdcShared)
+    }
+    // the fixed-stride miss is TOTAL: every chunk straddles differently
+    assert(results.forall(_._2 == 0),
+      s"stride unexpectedly caught a shifted duplicate: $results")
+    // CDC boundaries depend on content only → most chunks re-align
+    // (only the chunks before the first post-prefix boundary differ)
+    results.foreach { case (o, _, shared) =>
+      assert(shared >= (baseCdc.size * 7) / 10,
+        s"offset $o: CDC shared only $shared of ${baseCdc.size}")
+    }
+    // chunks always concatenate back to the input verbatim
+    assert(cdcOf(body).mkString == body)
+    // short texts (< k) come back as one whole-text chunk
+    assert(cdcOf("tiny") == Seq("tiny"))
+  }
+
+  test("substringDedupCdc removes a shifted duplicated passage that " +
+    "fixed-stride substringDedup misses entirely") {
+    import graft.dedup.Dedup
+    val rnd = new scala.util.Random(7)
+    val passage = (0 until 512)
+      .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = Seq(
+      (1L, passage),
+      (2L, "zzzzzzz" + passage)) // 7-char offset: every stride straddles
+      .toDF("doc_id", "text")
+    val stride = Dedup.substringDedup(docs).orderBy("doc_id").collect()
+    // the stride variant keeps EVERYTHING in doc 2 — total miss
+    assert(stride(1).getLong(2) == stride(1).getLong(1),
+      s"stride unexpectedly dropped chunks: ${stride.mkString(",")}")
+    val cdc = Dedup.substringDedupCdc(docs).orderBy("doc_id").collect()
+    // doc 1 owns every chunk; doc 2 loses most of the shared passage
+    assert(cdc(0).getLong(2) == cdc(0).getLong(1))
+    assert(cdc(1).getLong(2) <= cdc(1).getLong(1) / 3,
+      s"cdc kept ${cdc(1).getLong(2)} of ${cdc(1).getLong(1)}")
+    // and what doc 2 keeps still includes its unique prefix
+    assert(cdc(1).getString(3).startsWith("zzzzzzz"))
+    // string ids keep their native type (no silent null-cast)
+    val strDocs = Seq(("a", passage), ("b", "x" + passage))
+      .toDF("doc_id", "text")
+    val strGot = Dedup.substringDedupCdc(strDocs).orderBy("doc_id")
+      .collect()
+    assert(strGot(0).getString(0) == "a" &&
+      strGot(0).getLong(2) == strGot(0).getLong(1))
+  }
+
   test("spanCorruption invariants: sentinel count equals n_masked in " +
     "both input and target for arbitrary docs") {
     check(Prop.forAll(Gen.nonEmptyListOf(doc)) { texts =>
