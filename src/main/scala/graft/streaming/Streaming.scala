@@ -36,6 +36,76 @@ object Streaming {
         col("outlier_pct"), col("n"))): _*)
   }
 
+  /** STAGE-1 of [[graft.pipeline.Pipelines.curate]] as a STREAMING
+    * composition — the ingest-edge gates that are pure per-row work and
+    * therefore watermark-free (no aggregation, no state): C4 line
+    * cleanup (as HOF COLUMNS, not the batch operator's join — the same
+    * rules, streaming-safe), heuristic language gate, quality floor,
+    * encoding-damage gate, compression floor, blocklist gate, license
+    * allow-list. Everything downstream of stage 1 (dedup, caps,
+    * decontamination, splits) is corpus-global and stays batch — run
+    * this at the ingest edge, land the survivors, and curate the landed
+    * corpus.
+    *
+    * Pass a batch frame and it applies the identical gates (the parity
+    * StreamingSpec asserts equality with `curate`'s stage-1 survivor
+    * set knob-for-knob). `n_chars`, when present, is refreshed after
+    * the C4 rewrite, matching curate. */
+  def curateStage1(stream: DataFrame, minQuality: Double = 0.3,
+                   lang: String = "en",
+                   blockWords: Option[Seq[String]] = None,
+                   maxBlocklistFraction: Double = 0.0,
+                   dropDamaged: Boolean = false,
+                   c4Lines: Boolean = false,
+                   minCompressionRatio: Option[Double] = None,
+                   allowLicenses: Option[Seq[String]] = None,
+                   textCol: String = "text"): DataFrame = {
+    import graft.text.TextOps
+    import org.apache.spark.sql.Column
+    val t0 = col(textCol)
+    val base = stream.filter(t0.isNotNull)
+    val c4ed =
+      if (!c4Lines) base
+      else {
+        // TextOps.c4LineFilter's rules, inlined as columns: ≥5-word
+        // terminal-punct lines kept, lorem-ipsum/brace docs dropped
+        // whole, zero-keep docs dropped
+        val lines = split(t0, "\n")
+        def keepLine(l: Column): Column =
+          size(filter(split(l, " "), w => length(w) > 0)) >= 5 &&
+            l.rlike("[.!?\"]$")
+        val cleaned = array_join(filter(lines, keepLine _), "\n")
+        val rewritten = base
+          .filter(!lower(t0).contains("lorem ipsum") && !t0.contains("{"))
+          .withColumn(textCol, cleaned)
+          .filter(length(col(textCol)) > 0)
+        if (rewritten.columns.contains("n_chars"))
+          rewritten.withColumn("n_chars",
+            length(col(textCol)).cast("long"))
+        else rewritten
+      }
+    val t = col(textCol) // post-rewrite text
+    val langGated = c4ed.filter(TextOps.langIdEn(t) === lang)
+    val quality = langGated.filter(TextOps.qualityScore(t) >= minQuality)
+    val damage =
+      if (!dropDamaged) quality
+      else {
+        def stripped(p: String) = length(t) - length(regexp_replace(t, p, ""))
+        quality.filter(stripped("\uFFFD") === 0 &&
+          stripped("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]") === 0)
+      }
+    val compressed = minCompressionRatio
+      .map(m => damage.filter(TextOps.compressionRatio(t) >= lit(m)))
+      .getOrElse(damage)
+    val safe = blockWords
+      .map(ws => compressed.filter(
+        TextOps.blocklistFraction(t, ws) <= lit(maxBlocklistFraction)))
+      .getOrElse(compressed)
+    allowLicenses
+      .map(ls => safe.filter(TextOps.detectLicense(t).isin(ls: _*)))
+      .getOrElse(safe)
+  }
+
   /** Continuous drift monitoring, step 1 of 2: per tumbling window,
     * equal-width bin counts of `valueCol` (the sufficient statistics of
     * [[graft.ops.Stats.psi]]). One watermarked streaming aggregation —

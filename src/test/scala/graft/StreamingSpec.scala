@@ -154,6 +154,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curateStage1: parity with batch curate's stage-1 survivor set " +
+    "knob-for-knob, and runs as a real append-mode stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val good1 = "The quick brown fox jumps over the lazy dog and then " +
+      "it runs far away to the old stone house by the river bank."
+    val good2 = "A slow grey owl glides over the quiet field at night " +
+      "and waits for the small mouse to come out of its hole there."
+    val nonEnglish = "zxq vbn mlp qrs tuv wxy zab cde fgh ijk lmn opq"
+    val damaged = good1.replace("fox", "f�x")
+    val blocked = "the damnword sits right here in an otherwise clean " +
+      "english sentence that the gate must count and then reject now."
+    val braceDoc = "var config = {\n" + good2
+    val rows = Seq(
+      (1L, good1), (2L, good2), (3L, nonEnglish), (4L, damaged),
+      (5L, blocked), (6L, braceDoc))
+    val docs = rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("x")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text"))
+    val knobsBatch = Streaming.curateStage1(docs, minQuality = 0.2,
+      blockWords = Some(Seq("damnword")), dropDamaged = true,
+      c4Lines = true)
+    val stage1Ids = knobsBatch.select("doc_id").as[Long].collect().toSet
+    // full curate with the SAME knobs (texts are distinct and unrelated,
+    // so dedup/caps/decon downstream keep every stage-1 survivor)
+    val curated = graft.pipeline.Pipelines.curate(docs, minQuality = 0.2,
+      minJaccard = 0.95, blockWords = Some(Seq("damnword")),
+      dropDamaged = true, c4Lines = true)
+    val curatedIds = curated.select("doc_id").as[Long].collect().toSet
+    assert(stage1Ids == curatedIds,
+      s"stage1 $stage1Ids vs curate $curatedIds")
+    assert(stage1Ids == Set(1L, 2L), s"got $stage1Ids")
+    // the identical composition executes as a streaming query —
+    // map-only, no watermark, append mode
+    val in = MemoryStream[(Long, String)]
+    val out = Streaming.curateStage1(
+      in.toDF().toDF("doc_id", "text"), minQuality = 0.2,
+      blockWords = Some(Seq("damnword")), dropDamaged = true,
+      c4Lines = true)
+    assert(out.isStreaming)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("stage1_out").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("stage1_out")
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == stage1Ids, s"streamed $streamed")
+    } finally q.stop()
+  }
+
   test("sessionAgg groups a stream into gap-based sessions") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String)]
