@@ -428,7 +428,8 @@ object Pipelines {
     * `text` rewritten. Components oracle-gated by q117/q114; this
     * composition is the wiring. */
   def rewriteClean(docs: DataFrame, chunkLen: Int = 32,
-                   minKeptFrac: Double = 0.2): DataFrame = {
+                   minKeptFrac: Double = 0.2,
+                   cdc: Boolean = false): DataFrame = {
     import graft.dedup.Dedup
     // three consumers (substringDedup's eager pass-1 collect, its rewrite
     // scan, and the orig_chunks join): without persisting, the quadratic
@@ -438,12 +439,27 @@ object Pipelines {
       .select(col("doc_id"), col("clean_text").as("text"),
         col("n_chunks").as("orig_chunks"))
       .localCheckpoint(false)
-    val cross = Dedup.substringDedup(intra, chunkLen = chunkLen)
-    cross.join(intra.select("doc_id", "orig_chunks"), Seq("doc_id"))
-      .filter(col("kept_chunks") >=
-        col("orig_chunks").cast("double") * minKeptFrac)
-      .select(col("doc_id"), col("clean_text").as("text"),
-        col("orig_chunks"), col("kept_chunks"))
+    if (!cdc) {
+      val cross = Dedup.substringDedup(intra, chunkLen = chunkLen)
+      cross.join(intra.select("doc_id", "orig_chunks"), Seq("doc_id"))
+        .filter(col("kept_chunks") >=
+          col("orig_chunks").cast("double") * minKeptFrac)
+        .select(col("doc_id"), col("clean_text").as("text"),
+          col("orig_chunks"), col("kept_chunks"))
+    } else {
+      // cdc: content-defined boundaries for the cross-doc pass — catches
+      // duplicated passages at ARBITRARY offsets the fixed stride misses
+      // entirely (PropertySpec quantifies). The survival floor compares
+      // against the CDC pass's OWN chunk count: CDC chunks average ~16
+      // chars vs the 32-char stride, so the stride orig_chunks would be
+      // the wrong denominator.
+      val cross = Dedup.substringDedupCdc(intra)
+      cross.filter(col("kept_chunks") >=
+          col("n_chunks").cast("double") * minKeptFrac)
+        .join(intra.select("doc_id", "orig_chunks"), Seq("doc_id"))
+        .select(col("doc_id"), col("clean_text").as("text"),
+          col("orig_chunks"), col("kept_chunks"))
+    }
   }
 
   /** Tokenizer-training composition: learn `numMerges` BPE merges from

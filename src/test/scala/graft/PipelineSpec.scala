@@ -520,6 +520,29 @@ class PipelineSpec extends SparkSpec {
     assert(!got.contains(9L))
   }
 
+  test("E6 rewriteClean cdc: a SHIFTED boilerplate passage is removed " +
+    "where the fixed stride keeps it whole") {
+    val rnd = new scala.util.Random(11)
+    val passage = (0 until 512)
+      .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = Seq(
+      (1L, passage),
+      (2L, "unique- " + passage)) // 8-char offset: every stride straddles
+      .toDF("doc_id", "text")
+    val stride = Pipelines.rewriteClean(docs, minKeptFrac = 0.1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // fixed stride: doc 2's copy is invisible (all chunks offset)
+    assert(stride(2L).length >= passage.length,
+      s"stride unexpectedly rewrote doc 2: ${stride(2L).length}")
+    val cdc = Pipelines.rewriteClean(docs, minKeptFrac = 0.0, cdc = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cdc(1L) == passage) // owner keeps everything
+    // CDC: doc 2 loses the re-aligned shared chunks, keeps its prefix
+    assert(cdc(2L).length < passage.length / 2,
+      s"cdc kept ${cdc(2L).length} chars of ${passage.length}")
+    assert(cdc(2L).startsWith("unique- "))
+  }
+
   test("E7 curateAssets: perceptual keepers survive, re-uploads and " +
     "copies drop, other modalities pass through") {
     import graft.multimodal.Multimodal

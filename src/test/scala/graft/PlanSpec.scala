@@ -681,6 +681,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-10 additions keep their ledger shapes: broadcast model in " +
+    "the multi-class router, map-only WET scan and CDC chunking") {
+    // q198: the |labels|·buckets model must BROADCAST (never shuffle the
+    // corpus against it) and the feature counts partial-agg map-side
+    val p198 = plan("q198_multiclass_linear")
+    assert(p198.contains("BroadcastHashJoin") ||
+      p198.contains("BroadcastNestedLoopJoin"),
+      s"model not broadcast:\n$p198")
+    assert(p198.contains("partial_"), s"no map-side combine:\n$p198")
+    assert(!p198.contains("CartesianProduct"), s"q198 cartesian:\n$p198")
+    // q199/q201: pure scans — no join, no aggregation, no window
+    Seq("q199_wet_ingest", "q201_cdc_chunks").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q plans a join:\n$p")
+      assert(!p.contains("HashAggregate"), s"$q plans an agg:\n$p")
+      assert(!p.contains("Window"), s"$q plans a window:\n$p")
+    }
+    // q200: WAT link extraction is scan + generate only
+    val p200 = plan("q200_wat_links")
+    assert(!p200.contains("HashAggregate"), s"q200 plans an agg:\n$p200")
+    assert(p200.contains("Generate"), s"q200 missing the explode:\n$p200")
+  }
+
   test("giant-group quantile fallback: no window sort, cuts broadcast") {
     // the routed cut-point path over a real parquet scan: one
     // partial-aggregated percentile pass + broadcast join + map-side bin
