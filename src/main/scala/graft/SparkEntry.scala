@@ -2164,7 +2164,16 @@ object SparkEntry {
             .as(Seq("p", "chunk")))
         .select(col("doc_id"), (col("p") + 1).cast("int").as("chunk_no"),
           col("chunk"), md5(col("chunk")).as("chunk_md5"))
-        .orderBy("doc_id", "chunk_no"))
+        .orderBy("doc_id", "chunk_no")),
+
+    // sequence packing: greedy 512-token packs in the deterministic
+    // trainingShards order per md5 shard — the dataloader's sample-
+    // packing step as a relational output; oracle walks the identical
+    // capacity-reset rule with a recursive CTE
+    "q202_sequence_packing" -> ((s, dir) =>
+      TextOps.packSequencesGreedy(t(s, dir, "documents"), maxTokens = 512,
+          nShards = 4)
+        .orderBy("shard", "pack_id", "pack_pos"))
   )
 
   /** q154's merge list, rank order — the kind of prefix q152's pair
@@ -2972,6 +2981,42 @@ object SparkEntry {
         |SELECT doc_id, CAST(chunk_no AS INTEGER) AS chunk_no, chunk,
         |       md5(chunk) AS chunk_md5
         |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+
+    // q202: trainingShards' md5 shard + order replayed, then the greedy
+    // capacity-reset walk as a recursive CTE (one step per row rank —
+    // the sequential semantics no plain window expresses)
+    "q202_sequence_packing" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(':' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      ::BIGINT % 4 AS shard,
+        |    ('0x' || substr(md5(':o:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT AS ord,
+        |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY shard
+        |                               ORDER BY ord, doc_id) AS rn
+        |  FROM d),
+        |walk AS (
+        |  SELECT shard, rn, doc_id, n_tokens,
+        |         CAST(0 AS BIGINT) AS pack, n_tokens AS fill, 1 AS pos
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.shard, r.rn, r.doc_id, r.n_tokens,
+        |         CASE WHEN w.fill > 0 AND w.fill + r.n_tokens > 512
+        |              THEN w.pack + 1 ELSE w.pack END,
+        |         CASE WHEN w.fill > 0 AND w.fill + r.n_tokens > 512
+        |              THEN r.n_tokens ELSE w.fill + r.n_tokens END,
+        |         CASE WHEN w.fill > 0 AND w.fill + r.n_tokens > 512
+        |              THEN 1 ELSE w.pos + 1 END
+        |  FROM walk w JOIN r ON r.shard = w.shard AND r.rn = w.rn + 1)
+        |SELECT shard, pack AS pack_id, CAST(pos AS INTEGER) AS pack_pos,
+        |       doc_id, n_tokens,
+        |       CAST(CASE WHEN n_tokens > 512 THEN 1 ELSE 0 END
+        |         AS INTEGER) AS truncated
+        |FROM walk ORDER BY shard, pack_id, pack_pos""".stripMargin,
 
     // q198: q175's hashed-feature CTE + the per-label integer weight
     // formula; logits are exact integer sums, the argmax window restates

@@ -647,6 +647,31 @@ object Dedup {
     SignatureIndex(spark.table(s"${name}_sigs"),
       spark.table(s"${name}_bands"))
 
+  /** Append a batch's signatures to a persisted index — the maintenance
+    * step that closes the continuous-crawl loop: gate batch N with
+    * [[incrementalNewFuzzyIndexed]], append the SURVIVORS here, and
+    * batch N+1 near-dups against everything ingested so far. Each
+    * append is one signature pass over the batch (corpus untouched);
+    * the writer validates the bucket spec against the existing tables,
+    * so the batch-join plans keep their no-corpus-Exchange shape. Build
+    * parameters MUST match the original [[writeSignatureIndex]] call. */
+  def appendToSignatureIndex(batch: DataFrame, name: String,
+                             buckets: Int = 64,
+                             idCol: String = "doc_id",
+                             textCol: String = "text",
+                             shingleN: Int = 3, numHashes: Int = 64,
+                             bands: Int = 16,
+                             portable: Boolean = false): Unit = {
+    val idx = buildSignatureIndex(batch, idCol, textCol, shingleN,
+      numHashes, bands, portable)
+    idx.sigs.write.format("parquet").mode("append")
+      .bucketBy(buckets, "id").sortBy("id")
+      .saveAsTable(s"${name}_sigs")
+    idx.bands.write.format("parquet").mode("append")
+      .bucketBy(buckets, "band_key").sortBy("band_key")
+      .saveAsTable(s"${name}_bands")
+  }
+
   /** Incremental near-dup gate against a STORED signature index — the
     * continuous-crawl form of [[incrementalNewFuzzy]] whose per-batch
     * cost is independent of corpus size: the batch is signed and banded

@@ -603,7 +603,8 @@ object TextOps {
     * cumsum per group, no shuffle beyond the group key, deterministic in
     * any engine. Rows longer than the budget still advance the cursor
     * (they occupy their own packs) rather than erroring — the trainer's
-    * truncation policy is downstream's concern. */
+    * truncation policy is downstream's concern. When packs must FIT a
+    * fixed context window exactly, use [[packSequencesGreedy]]. */
   def packSequences(docs: DataFrame, budgetTokens: Int,
                     partitionCols: Seq[String] = Nil,
                     orderCols: Seq[String] = Seq("doc_id"),
@@ -1253,6 +1254,59 @@ object TextOps {
       .withColumn("shard_order",
         conv(substring(md5(concat(lit(seed), lit(":o:"),
           col(idCol).cast("string"))), 1, 15), 16, 10).cast("long"))
+  }
+
+  /** GREEDY sequence packing — the no-overflow complement of
+    * [[packSequences]] (whose `floor(cum/budget)` cursor lets a document
+    * straddle pack boundaries — fine for token-offset addressing, wrong
+    * when each pack must FIT a context window): greedily fill
+    * fixed-capacity training sequences (`maxTokens`) with whole
+    * documents, in the deterministic [[trainingShards]] order
+    * (md5(seed:o:id), then id) WITHIN each md5-assigned shard. A new
+    * pack opens when the next document would overflow a non-empty pack;
+    * documents longer than the capacity become singleton packs with a
+    * `truncated` flag (the caller decides split-vs-drop). Output: one
+    * row per document — (shard, pack_id, pack_pos, doc_id, n_tokens,
+    * truncated) — deterministic and reproducible run-over-run, the
+    * resumable-dataloader property [[trainingShards]] establishes.
+    *
+    * Scale shape: greedy capacity-reset is inherently sequential, so it
+    * runs as ONE pass per shard — `repartition(shard)` +
+    * `sortWithinPartitions` + `mapPartitions` (the [[graft.io.Writers
+    * .shardedTrainingSet]] sink pattern): each task streams its shards
+    * in order carrying O(1) state, no window, no driver involvement;
+    * parallelism = shard count, the same knob that sizes the training
+    * read. Only (id, shard, order, n_tokens) rows move — text never
+    * shuffles. */
+  def packSequencesGreedy(docs: DataFrame, maxTokens: Long,
+                          nShards: Int = 8, idCol: String = "doc_id",
+                          textCol: String = "text",
+                          seed: String = ""): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = trainingShards(docs, idCol, nShards, seed)
+      .select(col("shard"), col("shard_order"),
+        col(idCol).cast("long").as("id"),
+        tokenCount(coalesce(col(textCol), lit(""))).cast("long")
+          .as("n_tokens"))
+      .as[(Long, Long, Long, Long)]
+    rows
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "shard_order", "id")
+      .mapPartitions { it =>
+        var shard = -1L; var pack = 0L; var fill = 0L; var pos = 0
+        it.map { case (sh, _, id, t) =>
+          if (sh != shard) { shard = sh; pack = 0L; fill = 0L; pos = 0 }
+          if (fill > 0 && fill + t > maxTokens) {
+            pack += 1; fill = 0L; pos = 0
+          }
+          fill += t; pos += 1
+          (sh, pack, pos, id, t, if (t > maxTokens) 1 else 0)
+        }
+      }
+      .toDF("shard", "pack_id", "pack_pos", idCol, "n_tokens",
+        "truncated")
   }
 
   /** SHARD-BALANCE REPORT over [[trainingShards]]' assignment — the

@@ -2448,6 +2448,48 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows == Seq(Seq("ab", "ab"), Seq()))
   }
 
+  test("packSequencesGreedy: no pack exceeds the capacity except " +
+    "oversized singletons, packs are contiguous per shard, the walk " +
+    "follows the trainingShards order") {
+    val docs = (0L until 40L).map(i =>
+      (i, Seq.fill(5 + (i % 30).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextOps.packSequencesGreedy(docs, maxTokens = 40,
+      nShards = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getInt(5)))
+    assert(got.length == 40)
+    // per (shard, pack): total ≤ capacity unless a single oversized doc
+    got.groupBy(t => (t._1, t._2)).foreach { case ((sh, p), rows) =>
+      val total = rows.map(_._5).sum
+      assert(total <= 40 || rows.length == 1,
+        s"pack ($sh,$p) holds $total tokens across ${rows.length} docs")
+    }
+    // pack ids contiguous from 0 per shard, positions 1..n within packs
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val packs = rows.map(_._2).distinct.sorted.toSeq
+      assert(packs == (0L until packs.length).toSeq)
+      rows.groupBy(_._2).values.foreach { pr =>
+        assert(pr.map(_._3).sorted.toSeq == (1 to pr.length).toSeq)
+      }
+    }
+    // determinism: a second run reproduces the exact assignment
+    val again = TextOps.packSequencesGreedy(docs, maxTokens = 40,
+      nShards = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getInt(5)))
+    assert(again.sortBy(_._4).toSeq == got.sortBy(_._4).toSeq)
+    // an oversized doc becomes a truncated singleton
+    val big = Seq((1L, Seq.fill(99)("w").mkString(" ")),
+      (2L, "small doc here")).toDF("doc_id", "text")
+    val rows2 = TextOps.packSequencesGreedy(big, maxTokens = 40,
+      nShards = 1).collect()
+      .map(r => (r.getLong(3), r.getLong(1), r.getInt(5)))
+    val byDoc = rows2.map(t => t._1 -> t).toMap
+    assert(byDoc(1L)._3 == 1 && byDoc(2L)._3 == 0)
+    assert(byDoc(1L)._2 != byDoc(2L)._2, "oversized doc must be alone")
+  }
+
   test("bpeTrain: frequency-weighted argmax per round, later merges " +
     "build on merged symbols, lexicographic tie order, trained merges " +
     "drive bpeEncode end-to-end") {

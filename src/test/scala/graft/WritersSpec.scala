@@ -272,6 +272,61 @@ class WritersSpec extends SparkSpec {
     }
   }
 
+  test("appendToSignatureIndex closes the continuous-crawl loop: " +
+    "batch-2 near-dups of batch-1 survivors are caught by the grown " +
+    "index, and the appended join still plans without an exchange") {
+    import graft.dedup.Dedup
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val corpusText = "alpha bravo charlie delta echo foxtrot golf " +
+        "hotel india juliet kilo lima mike november oscar papa"
+      val freshText = "quebec romeo sierra tango uniform victor " +
+        "whiskey xray yankee zulu one two three four five six"
+      val corpus = Seq((1L, corpusText)).toDF("doc_id", "text")
+      Dedup.writeSignatureIndex(
+        Dedup.buildSignatureIndex(corpus, numHashes = 16, bands = 4),
+        "sigidx_app", buckets = 4)
+      def gate(batch: org.apache.spark.sql.DataFrame) =
+        Dedup.incrementalNewFuzzyIndexed(batch,
+          Dedup.readSignatureIndex(spark, "sigidx_app"),
+          minJaccard = 0.5, numHashes = 16, bands = 4)
+      // batch 1: one corpus re-crawl (dropped) + one fresh doc (kept)
+      val batch1 = Seq((10L, corpusText), (11L, freshText))
+        .toDF("doc_id", "text")
+      val kept1 = gate(batch1)
+      assert(kept1.select("doc_id").collect().map(_.getLong(0)).toSeq ==
+        Seq(11L))
+      Dedup.appendToSignatureIndex(kept1, "sigidx_app", buckets = 4,
+        numHashes = 16, bands = 4)
+      // batch 2: a re-crawl of batch 1's SURVIVOR — only the grown
+      // index can catch it — plus a genuinely new doc
+      val batch2 = Seq((20L, freshText),
+        (21L, "gamma words entirely distinct from either earlier " +
+          "vocabulary set spoken anywhere in the running corpus today"))
+        .toDF("doc_id", "text")
+      val kept2 = gate(batch2)
+      assert(kept2.select("doc_id").collect().map(_.getLong(0)).toSeq ==
+        Seq(21L))
+      // the appended (two-file-group) tables still bucket their joins
+      val plan = kept2.queryExecution.sparkPlan
+      plan.collect {
+        case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e
+      }.foreach { e =>
+        val under = e.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.rootPaths.mkString(",") }
+        assert(under.forall(p => !p.contains("sigidx_app")),
+          s"appended index shuffles on the batch path:\n$plan")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS sigidx_app_sigs")
+      spark.sql("DROP TABLE IF EXISTS sigidx_app_bands")
+    }
+  }
+
   test("IVF stored index: probed query statically prunes the corpus " +
     "partitions (VERDICT r2 item 8)") {
     import graft.ml.Similarity
