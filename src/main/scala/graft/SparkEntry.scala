@@ -2173,7 +2173,17 @@ object SparkEntry {
     "q202_sequence_packing" -> ((s, dir) =>
       TextOps.packSequencesGreedy(t(s, dir, "documents"), maxTokens = 512,
           nShards = 4)
-        .orderBy("shard", "pack_id", "pack_pos"))
+        .orderBy("shard", "pack_id", "pack_pos")),
+
+    // DSIR importance scores: src0 is the target domain, the rest the
+    // raw pool; both hashed-bucket LMs add-one-smoothed over the full
+    // 64-bucket domain, scores = mean ln-ratio rounded at the edge
+    "q203_dsir_scores" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.dsirScores(docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"))
+        .orderBy("doc_id")
+    })
   )
 
   /** q154's merge list, rank order — the kind of prefix q152's pair
@@ -2981,6 +2991,44 @@ object SparkEntry {
         |SELECT doc_id, CAST(chunk_no AS INTEGER) AS chunk_no, chunk,
         |       md5(chunk) AS chunk_md5
         |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+
+    // q203: both bucket LMs, the smoothed ln-ratio weight table over the
+    // full domain, and the per-doc mean — the q95/q176 rounded-log
+    // convention at the edge
+    "q203_dsir_scores" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |         ('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS b
+        |  FROM (SELECT doc_id, source,
+        |               unnest(string_split(lower(text), ' ')) AS t
+        |        FROM documents WHERE text IS NOT NULL)
+        |  WHERE len(t) > 0),
+        |ct AS (SELECT b, count(*) AS c FROM tok
+        |       WHERE source = 'src0' GROUP BY b),
+        |cr AS (SELECT b, count(*) AS c FROM tok
+        |       WHERE source <> 'src0' GROUP BY b),
+        |dom AS (SELECT unnest(generate_series(0, 63)) AS b),
+        |tt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM ct),
+        |tr AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cr),
+        |w AS (
+        |  SELECT dom.b,
+        |         ln((coalesce(ct.c, 0) + 1) / CAST(tt.t + 64 AS DOUBLE))
+        |       - ln((coalesce(cr.c, 0) + 1) / CAST(tr.t + 64 AS DOUBLE))
+        |           AS w
+        |  FROM dom
+        |  LEFT JOIN ct ON ct.b = dom.b
+        |  LEFT JOIN cr ON cr.b = dom.b
+        |  CROSS JOIN tt CROSS JOIN tr),
+        |f AS (SELECT doc_id, b, count(*) AS n FROM tok
+        |      WHERE source <> 'src0' GROUP BY 1, 2),
+        |sc AS (SELECT f.doc_id, sum(f.n * w.w) AS s,
+        |              CAST(sum(f.n) AS BIGINT) AS n
+        |       FROM f JOIN w ON w.b = f.b GROUP BY f.doc_id)
+        |SELECT d.doc_id, coalesce(sc.n, 0) AS n_tokens,
+        |       round(coalesce(sc.s / sc.n, 0.0), 6) AS dsir_score
+        |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+        |LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // q202: trainingShards' md5 shard + order replayed, then the greedy
     // capacity-reset walk as a recursive CTE (one step per row rank —

@@ -1256,6 +1256,57 @@ object TextOps {
           col(idCol).cast("string"))), 1, 15), 16, 10).cast("long"))
   }
 
+  /** DSIR-STYLE IMPORTANCE SCORES (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling") — rank raw-corpus
+    * documents by how much more likely a TARGET-domain hashed-feature
+    * LM finds them than the raw-corpus LM: score(d) = (1/n_d) ·
+    * Σ_tokens [ln p_target(bucket) − ln p_raw(bucket)] with add-one
+    * smoothing over the full bucket domain (unseen buckets take the
+    * floor on either side). Select the top slice and you have the
+    * classic cheap domain-targeting filter that runs before any
+    * model-based scorer. Scores round to 6 dp at the edge (the q95/q176
+    * log-score convention); token-less docs score 0.0 with n_tokens 0.
+    *
+    * Scale: both LMs are numBuckets-row tables (one map-side-combined
+    * count each), the weight table ln p_t − ln p_r broadcasts, scoring
+    * is the [[hashFeatures]] partial-agg + one doc-keyed sum — raw text
+    * never shuffles and the target corpus is read once. */
+  def dsirScores(raw: DataFrame, target: DataFrame, numBuckets: Int = 64,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    val spark = raw.sparkSession
+    def counts(df: DataFrame): DataFrame =
+      df.filter(col(textCol).isNotNull)
+        .select(explode(filter(wsTokens(lower(col(textCol))),
+          t => length(t) > 0)).as("token"))
+        .groupBy(hashBucket(col("token"), numBuckets).as("bucket"))
+        .agg(count(lit(1)).as("c"))
+    def smoothed(df: DataFrame, pCol: String): DataFrame = {
+      val tot = df.agg(sum("c").as("t"))
+      spark.range(numBuckets).select(col("id").as("bucket"))
+        .join(df, Seq("bucket"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"),
+          ((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("t"), lit(0L)) + numBuckets).cast("double"))
+            .as(pCol))
+    }
+    val weights = smoothed(counts(target), "pt")
+      .join(smoothed(counts(raw), "pr"), Seq("bucket"))
+      .select(col("bucket"), (log(col("pt")) - log(col("pr"))).as("w"))
+    val dot = hashFeatures(raw, numBuckets, idCol, textCol)
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n") * col("w")).as("_s"), sum(col("n")).as("_n"))
+    raw.select(col(idCol))
+      .join(dot, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_n"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("_s") / col("_n"), lit(0.0)), 6)
+          .as("dsir_score"))
+  }
+
   /** GREEDY sequence packing — the no-overflow complement of
     * [[packSequences]] (whose `floor(cum/budget)` cursor lets a document
     * straddle pack boundaries — fine for token-offset addressing, wrong

@@ -2448,6 +2448,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows == Seq(Seq("ab", "ab"), Seq()))
   }
 
+  test("dsirScores: target-like raw docs outscore off-domain ones, " +
+    "token-less docs score zero, every raw doc gets a row") {
+    val target = Seq(
+      (100L, "gradient descent optimizes the neural network loss"),
+      (101L, "the transformer attention layers train the model weights"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "the neural network model weights train with gradient loss"),
+      (2L, "seven geese waddled across a frozen pond at dawn quacking"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextOps.dsirScores(raw, target, numBuckets = 64)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 3)
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(byId(1L)._3 > byId(2L)._3,
+      s"in-domain doc did not outscore: $got")
+    assert(byId(3L) == ((3L, 0L, 0.0)))
+  }
+
   test("packSequencesGreedy: no pack exceeds the capacity except " +
     "oversized singletons, packs are contiguous per shard, the walk " +
     "follows the trainingShards order") {
