@@ -41,6 +41,20 @@ object SparkEntry {
     (li, iv)
   }
 
+  /** q204/q205's synthesized conversation: the doc's first 20 words as
+    * four 5-word alternating user/assistant turns (short docs lose
+    * trailing turns; the oracles replay the identical slicing). */
+  private def chatTurnsOf: Column = {
+    val words = filter(TextOps.wsTokens(col("text")), w => length(w) > 0)
+    filter(
+      transform(sequence(lit(0), lit(3)), k =>
+        struct(
+          when(k % 2 === 0, lit("user")).otherwise(lit("assistant"))
+            .as("role"),
+          array_join(slice(words, k * 5 + 1, lit(5)), " ").as("content"))),
+      x => length(x.getField("content")) > 0)
+  }
+
   /** Shared by q139/q140: deterministic raw URL per document, carrying
     * every noise class `UrlOps.normalizeUrl` must fix. The q139 oracle
     * derives the expected canonical form from these same formulas. */
@@ -2183,6 +2197,32 @@ object SparkEntry {
       TextOps.dsirScores(docs.filter(col("source") =!= "src0"),
           docs.filter(col("source") === "src0"))
         .orderBy("doc_id")
+    }),
+
+    // SFT conversation validation: each doc's first 20 words as four
+    // 5-word alternating user/assistant turns; structure + char volume
+    "q204_chat_stats" -> ((s, dir) =>
+      ops.Chat.conversationStats(
+        t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), chatTurnsOf.as("turns")))
+        .orderBy("doc_id")),
+
+    // conversation-level dedup: doc_id%6==0 docs clone their neighbor's
+    // text (→ identical rendered conversations); normalized digest,
+    // keep-first ownership
+    "q205_chat_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nxt = docs.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("ntext"))
+      val d = docs.join(nxt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 6 === 0 && col("ntext").isNotNull,
+            col("ntext")).otherwise(col("text")).as("text"))
+        .filter(col("text").isNotNull)
+      ops.Chat.dedupConversations(
+          d.select(col("doc_id"), chatTurnsOf.as("turns")))
+        .select("doc_id", "rendered", "digest", "keep")
+        .orderBy("doc_id")
     })
   )
 
@@ -2366,6 +2406,24 @@ object SparkEntry {
        |WHERE drp.doc_id IS NULL
        |ORDER BY b.doc_id""".stripMargin
   }
+
+  /** q204/q205's turn-synthesis CTEs (`w`, `turns`) over an arbitrary
+    * (doc_id, text) relation — the SQL twin of [[chatTurnsOf]]. */
+  private def chatTurnsCtesFrom(src: String): String =
+    s"""w AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(text, ' '), x -> len(x) > 0)
+       |           AS ws
+       |  FROM $src WHERE text IS NOT NULL),
+       |turns AS (
+       |  SELECT doc_id, k,
+       |         CASE WHEN k % 2 = 0 THEN 'user' ELSE 'assistant' END
+       |           AS role,
+       |         array_to_string(ws[(k*5+1):(k*5+5)], ' ') AS content
+       |  FROM w, (SELECT unnest(generate_series(0, 3)) AS k)
+       |  WHERE len(array_to_string(ws[(k*5+1):(k*5+5)], ' ')) > 0)""".stripMargin
+
+  private def chatTurnsCtes: String = chatTurnsCtesFrom("documents")
 
   /** q197 oracle: the BPE trainer's first 3 merges unrolled — word
     * frequencies, per-round adjacent-pair counts over the spaced-symbol
@@ -2991,6 +3049,73 @@ object SparkEntry {
         |SELECT doc_id, CAST(chunk_no AS INTEGER) AS chunk_no, chunk,
         |       md5(chunk) AS chunk_md5
         |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+
+    // q204: the same word-slice turn synthesis, per-doc structure
+    // aggregation via lag over the ordered roles; zero-turn docs kept
+    // by the left join (the engine maps every input row)
+    "q204_chat_stats" ->
+      s"""WITH $chatTurnsCtes,
+         |l AS (
+         |  SELECT *, lag(role) OVER (PARTITION BY doc_id ORDER BY k)
+         |    AS prev
+         |  FROM turns),
+         |agg AS (
+         |  SELECT doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_turns,
+         |    CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_user,
+         |    CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_assistant,
+         |    CAST(CASE WHEN count(*) > 1
+         |           AND bool_and(prev IS NULL OR role <> prev)
+         |         THEN 1 ELSE 0 END AS INTEGER) AS alternates,
+         |    CAST(CASE WHEN min(k) = 0 THEN 1 ELSE 0 END AS INTEGER)
+         |      AS starts_with_user,
+         |    CAST(sum(CASE WHEN role = 'user' THEN len(content)
+         |             ELSE 0 END) AS BIGINT) AS chars_user,
+         |    CAST(sum(CASE WHEN role = 'assistant' THEN len(content)
+         |             ELSE 0 END) AS BIGINT) AS chars_assistant
+         |  FROM l GROUP BY doc_id)
+         |SELECT w.doc_id,
+         |  coalesce(agg.n_turns, 0) AS n_turns,
+         |  coalesce(agg.n_user, 0) AS n_user,
+         |  coalesce(agg.n_assistant, 0) AS n_assistant,
+         |  coalesce(agg.alternates, 0) AS alternates,
+         |  coalesce(agg.starts_with_user, 0) AS starts_with_user,
+         |  coalesce(agg.chars_user, 0) AS chars_user,
+         |  coalesce(agg.chars_assistant, 0) AS chars_assistant
+         |FROM w LEFT JOIN agg USING (doc_id)
+         |ORDER BY w.doc_id""".stripMargin,
+
+    // q205: neighbor-clone synthesis + the rendered template, normalized
+    // digest and keep-first window replayed
+    "q205_chat_dedup" ->
+      s"""WITH nxt AS (
+         |  SELECT doc_id - 1 AS doc_id, text AS ntext FROM documents),
+         |src AS (
+         |  SELECT d.doc_id,
+         |         CASE WHEN d.doc_id % 6 = 0 AND n.ntext IS NOT NULL
+         |              THEN n.ntext ELSE d.text END AS text
+         |  FROM documents d LEFT JOIN nxt n USING (doc_id)),
+         |${chatTurnsCtesFrom("src")},
+         |r AS (
+         |  SELECT doc_id,
+         |         string_agg('<|' || role || '|>' || content, ''
+         |                    ORDER BY k) AS rendered
+         |  FROM turns GROUP BY doc_id),
+         |rr AS (
+         |  SELECT w.doc_id, coalesce(r.rendered, '') AS rendered
+         |  FROM w LEFT JOIN r USING (doc_id)),
+         |dg AS (
+         |  SELECT doc_id, rendered,
+         |         md5(regexp_replace(lower(rendered), '\\s+', ' ', 'g'))
+         |           AS digest
+         |  FROM rr)
+         |SELECT doc_id, rendered, digest,
+         |       CAST(CASE WHEN row_number() OVER (PARTITION BY digest
+         |              ORDER BY doc_id) = 1 THEN 1 ELSE 0 END AS INTEGER)
+         |         AS keep
+         |FROM dg ORDER BY doc_id""".stripMargin,
 
     // q203: both bucket LMs, the smoothed ln-ratio weight table over the
     // full domain, and the per-doc mean — the q95/q176 rounded-log

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Instruction/SFT-data operators — the post-pretraining half of a
+  * training-data pipeline: multi-turn conversations as
+  * `ARRAY<STRUCT<role STRING, content STRING>>` columns, validated,
+  * rendered to training strings, and deduplicated. Everything here is
+  * map-only column work plus at most one digest-keyed window — the same
+  * 100 TB posture as the stage-1 text rules (conversation payloads never
+  * shuffle; the dedup shuffles 32-byte digests).
+  */
+object Chat {
+
+  /** Per-conversation structure report: turn counts by role, whether
+    * roles strictly alternate, whether the conversation opens with a
+    * user turn, and exact character volume per side — the validation
+    * pass an SFT corpus runs before any template rendering (malformed
+    * role sequences poison loss masking downstream). One map-only
+    * projection; `alternates`/`starts_with_user` are 0/1 ints (the
+    * cross-engine boolean convention). */
+  def conversationStats(df: DataFrame, idCol: String = "doc_id",
+                        turnsCol: String = "turns"): DataFrame = {
+    val t = col(turnsCol)
+    val roles = transform(t, x => x.getField("role"))
+    val breaks = filter(sequence(lit(1), size(t) - 1),
+      i => element_at(roles, i + 1) === element_at(roles, i))
+    def charsOf(role: String): Column =
+      aggregate(filter(t, x => x.getField("role") === role), lit(0L),
+        (acc, x) => acc + length(x.getField("content")))
+    df.select(col(idCol),
+      size(t).cast("long").as("n_turns"),
+      size(filter(roles, r => r === "user")).cast("long").as("n_user"),
+      size(filter(roles, r => r === "assistant")).cast("long")
+        .as("n_assistant"),
+      (size(t) > 1 && size(breaks) === 0).cast("int").as("alternates"),
+      (size(t) > 0 &&
+        element_at(roles, 1) === "user").cast("int").as("starts_with_user"),
+      charsOf("user").as("chars_user"),
+      charsOf("assistant").as("chars_assistant"))
+  }
+
+  /** Render a turn array into the flat training string:
+    * `<|role|>content` per turn, concatenated in order — the minimal
+    * chat-template shape (swap the delimiters for a model family's own
+    * special tokens). Pure column expression, codegen'd, map-only. */
+  def renderTemplate(turns: Column): Column =
+    array_join(transform(turns, x =>
+      concat(lit("<|"), x.getField("role"), lit("|>"),
+        x.getField("content"))), "")
+
+  /** Conversation-level exact dedup: digest the WHITESPACE/CASE-
+    * normalized rendered conversation (two users pasting the same
+    * dialogue with different spacing collapse), keep the first owner
+    * (min id). Returns the input plus (rendered, digest, keep) — one
+    * digest-keyed `row_number` window, 32-byte keys, payloads never
+    * shuffle twice. */
+  def dedupConversations(df: DataFrame, idCol: String = "doc_id",
+                         turnsCol: String = "turns"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rendered = renderTemplate(col(turnsCol))
+    val digest = md5(regexp_replace(lower(rendered), "\\s+", " "))
+    val w = Window.partitionBy("digest").orderBy(col(idCol))
+    df.withColumn("rendered", rendered)
+      .withColumn("digest", digest)
+      .withColumn("keep", (row_number().over(w) === 1).cast("int"))
+  }
+}

@@ -2448,6 +2448,49 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows == Seq(Seq("ab", "ab"), Seq()))
   }
 
+  test("Chat: structure stats catch non-alternating and assistant-first " +
+    "conversations; dedup collapses whitespace/case variants keep-first") {
+    import graft.ops.Chat
+    def turns(ts: (String, String)*) = ts.map { case (r, c) => (r, c) }
+    val docs = Seq(
+      (1L, turns("user" -> "Hi there", "assistant" -> "Hello!",
+        "user" -> "Bye")),
+      (2L, turns("user" -> "One", "user" -> "Two")), // role repeat
+      (3L, turns("assistant" -> "I speak first")), // wrong opener
+      (4L, Seq.empty[(String, String)]))
+      .toDF("doc_id", "raw")
+      .select(col("doc_id"), expr(
+        "transform(raw, x -> struct(x._1 AS role, x._2 AS content))")
+        .as("turns"))
+    val st = Chat.conversationStats(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(st == Seq(
+      (1L, 3L, 2L, 1L, 1, 1, 11L, 6L),
+      (2L, 2L, 2L, 0L, 0, 1, 6L, 0L),
+      (3L, 1L, 0L, 1L, 0, 0, 0L, 13L),
+      (4L, 0L, 0L, 0L, 0, 0, 0L, 0L)), s"got $st")
+    // dedup: docs 10/11 differ only by case+spacing → one digest,
+    // min id keeps; doc 12 is distinct
+    val convo = Seq(
+      (10L, turns("user" -> "Hello World", "assistant" -> "Hi")),
+      (11L, turns("user" -> "hello   world", "assistant" -> "HI")),
+      (12L, turns("user" -> "something else")))
+      .toDF("doc_id", "raw")
+      .select(col("doc_id"), expr(
+        "transform(raw, x -> struct(x._1 AS role, x._2 AS content))")
+        .as("turns"))
+    val dd = Chat.dedupConversations(convo).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("digest"),
+        r.getAs[Int]("keep")))
+    assert(dd(0)._2 == dd(1)._2 && dd(0)._3 == 1 && dd(1)._3 == 0)
+    assert(dd(2)._2 != dd(0)._2 && dd(2)._3 == 1)
+    // the rendered template is the flat role-tagged concatenation
+    val r0 = Chat.dedupConversations(convo).filter(col("doc_id") === 10)
+      .select("rendered").head().getString(0)
+    assert(r0 == "<|user|>Hello World<|assistant|>Hi")
+  }
+
   test("dsirScores: target-like raw docs outscore off-domain ones, " +
     "token-less docs score zero, every raw doc gets a row") {
     val target = Seq(
