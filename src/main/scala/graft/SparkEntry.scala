@@ -2207,6 +2207,17 @@ object SparkEntry {
           .select(col("doc_id"), chatTurnsOf.as("turns")))
         .orderBy("doc_id")),
 
+    // calibration reliability bins over DYADIC probs (k/128 — exactly
+    // representable, so the float sums are order-independent and the
+    // rounded confidence cannot sit on a decimal tie; the q03 lesson);
+    // doc_id%129==128 reaches p=1.0 → the top-bin clamp
+    "q206_calibration_bins" -> ((s, dir) =>
+      TextOps.calibrationBins(
+        t(s, dir, "documents").select(col("doc_id"),
+          ((col("doc_id") % 129).cast("double") / 128.0).as("prob"),
+          (col("doc_id") % 3 === 0).cast("long").as("label")))
+        .orderBy("bin")),
+
     // conversation-level dedup: doc_id%6==0 docs clone their neighbor's
     // text (→ identical rendered conversations); normalized digest,
     // keep-first ownership
@@ -3049,6 +3060,26 @@ object SparkEntry {
         |SELECT doc_id, CAST(chunk_no AS INTEGER) AS chunk_no, chunk,
         |       md5(chunk) AS chunk_md5
         |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+
+    // q206: identical dyadic-prob synthesis, equal-width binning with
+    // the top clamp, exact-quotient accuracy, rounded confidence/gap
+    "q206_calibration_bins" ->
+      """WITH s AS (
+        |  SELECT CAST(doc_id % 129 AS DOUBLE) / 128.0 AS p,
+        |         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |b AS (
+        |  SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin, p, y
+        |  FROM s),
+        |g AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |         round(avg(p), 6) AS confidence,
+        |         CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |           / count(*) AS accuracy
+        |  FROM b GROUP BY bin)
+        |SELECT bin, n, confidence, accuracy,
+        |       round(abs(accuracy - confidence), 6) AS gap
+        |FROM g ORDER BY bin""".stripMargin,
 
     // q204: the same word-slice turn synthesis, per-doc structure
     // aggregation via lag over the ordered roles; zero-turn docs kept

@@ -905,6 +905,36 @@ object TextOps {
           .as("recall"))
   }
 
+  /** CALIBRATION REPORT — the reliability-diagram companion of
+    * [[thresholdSweep]] (sweep picks the cutoff; this checks whether
+    * the probabilities MEAN anything): bin predicted probabilities into
+    * `nBins` equal-width bins over [0,1] and report, per non-empty bin,
+    * the count, mean predicted probability (confidence), empirical
+    * accuracy, and |acc − conf| gap. ECE is the caller's
+    * Σ (n_b/N)·gap_b over these rows. Accuracy is an exact-integer
+    * quotient (portable unrounded); confidence and gap round to 6 dp at
+    * the edge (float-sum order). Null prob/label rows are counted in a
+    * bin = −1 audit row, the [[thresholdSweep]] n_null convention. One
+    * map-side-combined aggregation — |bins| rows leave. */
+  def calibrationBins(scored: DataFrame, nBins: Int = 10,
+                      probCol: String = "prob",
+                      labelCol: String = "label"): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    val p = col(probCol)
+    val y = col(labelCol).cast("long")
+    val bin = when(p.isNull || y.isNull, lit(-1L))
+      .otherwise(least(floor(p * nBins).cast("long"), lit(nBins - 1L)))
+    scored.select(bin.as("bin"), p.as("p"), y.as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("p")), 6).as("confidence"),
+        (sum(when(col("y") === 1L, 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("accuracy"))
+      .select(col("bin"), col("n"), col("confidence"), col("accuracy"),
+        when(col("bin") >= 0,
+          round(abs(col("accuracy") - col("confidence")), 6)).as("gap"))
+  }
+
   /** MULTI-EPOCH SHUFFLE ORDER — the training dataloader's per-epoch
     * permutation as a relational op: epoch e ranks documents by
     * md5(e, id), a DIFFERENT deterministic order each epoch with zero

@@ -2448,6 +2448,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows == Seq(Seq("ab", "ab"), Seq()))
   }
 
+  test("calibrationBins: equal-width bins with top clamp, exact-quotient " +
+    "accuracy, null rows in the -1 audit bin, ECE derivable") {
+    val scored = Seq(
+      (1L, Some(0.25), Some(1L)), (2L, Some(0.25), Some(0L)),
+      (3L, Some(1.0), Some(1L)), // p = 1.0 → clamped into bin 9
+      (4L, None, Some(1L)), (5L, Some(0.5), None))
+      .toDF("doc_id", "prob", "label")
+    val got = TextOps.calibrationBins(scored).orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2), r.getDouble(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4))).toSeq
+    assert(got == Seq(
+      (-1L, 2L, 0.5, 0.5, -1.0), // null audit bin (conf over the one p)
+      (2L, 2L, 0.25, 0.5, 0.25),
+      (9L, 1L, 1.0, 1.0, 0.0)), s"got $got")
+    // ECE over the real bins: (2/3)·0.25 + (1/3)·0 = 1/6
+    val real = got.filter(_._1 >= 0)
+    val n = real.map(_._2).sum.toDouble
+    val ece = real.map(t => t._2 / n * t._5).sum
+    assert(math.abs(ece - 1.0 / 6) < 1e-12)
+  }
+
   test("Chat: structure stats catch non-alternating and assistant-first " +
     "conversations; dedup collapses whitespace/case variants keep-first") {
     import graft.ops.Chat
