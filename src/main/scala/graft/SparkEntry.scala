@@ -2207,6 +2207,17 @@ object SparkEntry {
           .select(col("doc_id"), chatTurnsOf.as("turns")))
         .orderBy("doc_id")),
 
+    // winnowing fingerprints (k=8 grams, w=8 windows): the MOSS
+    // window-min selection, every (pos, fp) bit-checked — the guarantee
+    // variant of q38's mod-p rolling sample
+    "q207_winnowing" -> ((s, dir) =>
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(TextOps.winnowingFingerprints(col("text"))).as("f"))
+        .select(col("doc_id"), col("f.pos").as("pos"),
+          col("f.fp").as("fp"))
+        .orderBy("doc_id", "pos")),
+
     // calibration reliability bins over DYADIC probs (k/128 — exactly
     // representable, so the float sums are order-independent and the
     // rounded confidence cannot sit on a decimal tie; the q03 lesson);
@@ -3060,6 +3071,36 @@ object SparkEntry {
         |SELECT doc_id, CAST(chunk_no AS INTEGER) AS chunk_no, chunk,
         |       md5(chunk) AS chunk_md5
         |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+
+    // q207: per-position k-gram md5s, window starts, rightmost-min
+    // selection via (min hash, then max pos among its holders), distinct
+    // selections — the winnowing definition transcribed
+    "q207_winnowing" ->
+      """WITH d AS (
+        |  SELECT doc_id, text AS t FROM documents WHERE text IS NOT NULL),
+        |pos AS (
+        |  SELECT doc_id, i, md5(substr(t, i, 8)) AS h
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i
+        |        FROM d)),
+        |np AS (SELECT doc_id, max(i) AS n FROM pos GROUP BY doc_id),
+        |win AS (
+        |  SELECT np.doc_id, unnest(generate_series(1,
+        |           greatest(np.n - 8 + 1, 1))) AS j
+        |  FROM np),
+        |cand AS (
+        |  SELECT w.doc_id, w.j, p.i, p.h
+        |  FROM win w JOIN pos p
+        |    ON p.doc_id = w.doc_id AND p.i BETWEEN w.j AND w.j + 7),
+        |sel AS (SELECT doc_id, j, min(h) AS mh FROM cand GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT c.doc_id, c.j, max(c.i) AS pos
+        |  FROM cand c JOIN sel s
+        |    ON s.doc_id = c.doc_id AND s.j = c.j AND c.h = s.mh
+        |  GROUP BY 1, 2)
+        |SELECT DISTINCT sp.doc_id, CAST(sp.pos AS INTEGER) AS pos, p.h AS fp
+        |FROM sp JOIN pos p ON p.doc_id = sp.doc_id AND p.i = sp.pos
+        |ORDER BY sp.doc_id, pos""".stripMargin,
 
     // q206: identical dyadic-prob synthesis, equal-width binning with
     // the top clamp, exact-quotient accuracy, rounded confidence/gap

@@ -113,6 +113,10 @@ object VectorExpressions {
   def cdcChunks(text: Column, k: Int): Column =
     Bridge.column(CdcChunks(Bridge.expression(text), k))
 
+  /** Column-level winnowing (see [[WinnowingFingerprints]]). */
+  def winnowingFingerprints(text: Column, k: Int, w: Int): Column =
+    Bridge.column(WinnowingFingerprints(Bridge.expression(text), k, w))
+
   /** Column-level unigram entropy (see [[TokenEntropy]]). */
   def tokenEntropy(text: Column): Column =
     Bridge.column(TokenEntropy(Bridge.expression(text)))
@@ -483,6 +487,105 @@ case class RollingFingerprints(child: Expression, k: Int)
                                    ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("rollingFp", this,
       classOf[RollingFingerprints].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** WINNOWING fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+  * algorithm): hash every character k-gram, then in every window of `w`
+  * consecutive k-gram hashes select the minimum (ties → RIGHTMOST, the
+  * paper's rule), and emit the distinct selected (pos, hash)
+  * pairs in position order. Unlike [[RollingFingerprints]]' mod-p
+  * sampling (expected 1/16 rate but NO spacing guarantee — a run can go
+  * unsampled arbitrarily long), winnowing GUARANTEES that any shared
+  * substring of length ≥ w + k − 1 contributes at least one shared
+  * fingerprint — the detection-floor property plagiarism/overlap
+  * pipelines cite. Hashes are the full md5 hex of the k-gram (the
+  * portable convention, lexicographic hex order = selection order);
+  * texts shorter than k hash whole. Single pass per row, O(n·w)
+  * comparisons over precomputed hashes, map-only.
+  */
+case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(k >= 1, "k-gram width must be >= 1")
+  require(w >= 1, "window width must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"winnowing_fingerprints expects STRING, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("fp",
+        org.apache.spark.sql.types.StringType, nullable = false))),
+    containsNull = false)
+
+  private def md5Hex(md: java.security.MessageDigest, s: String): String = {
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Row kernel — public so generated code can call it. */
+  def kernel(input: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val text = input.toString
+    val md = MinHashParams.threadMd5()
+    val n = math.max(text.length - (k - 1), 1)
+    val hashes = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      hashes(i) = md5Hex(md,
+        text.substring(i, math.min(i + k, text.length)))
+      i += 1
+    }
+    // windows of w consecutive hashes; fewer than w positions → one
+    // window over them all. Rightmost-min per window, distinct by pos.
+    val selected = scala.collection.mutable.LinkedHashSet.empty[Int]
+    val nWin = math.max(n - w + 1, 1)
+    var j = 0
+    while (j < nWin) {
+      val end = math.min(j + w, n)
+      var best = j
+      var p = j + 1
+      while (p < end) {
+        // <= : rightmost occurrence of the minimum wins
+        if (hashes(p).compareTo(hashes(best)) <= 0) best = p
+        p += 1
+      }
+      selected += best
+      j += 1
+    }
+    val rows = selected.toArray.sorted.map { p2 =>
+      org.apache.spark.sql.catalyst.InternalRow(p2 + 1,
+        org.apache.spark.unsafe.types.UTF8String.fromString(hashes(p2)))
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      rows.asInstanceOf[Array[Any]])
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnowFp", this,
+      classOf[WinnowingFingerprints].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
   }
 

@@ -161,6 +161,16 @@ object TextOps {
   def rollingFingerprints(text: Column, k: Int = 16): Column =
     graft.functions.VectorExpressions.rollingFingerprints(text, k)
 
+  /** Winnowing fingerprints ([[graft.functions.WinnowingFingerprints]],
+    * the MOSS selection): per window of `w` consecutive k-gram md5s,
+    * the rightmost minimum — distinct (pos, fp) pairs in order. The
+    * GUARANTEE [[rollingFingerprints]]' mod-p sampling lacks: every
+    * shared substring of length ≥ w + k − 1 contributes at least one
+    * shared fingerprint (PropertySpec asserts it on shifted copies). */
+  def winnowingFingerprints(text: Column, k: Int = 8,
+                            w: Int = 8): Column =
+    graft.functions.VectorExpressions.winnowingFingerprints(text, k, w)
+
   /** Content-defined chunks ([[graft.functions.CdcChunks]]): split after
     * every position whose trailing character `k`-gram md5 starts with
     * hex '0' (1/16 rate, ~16-char expected chunks). Boundaries follow

@@ -413,6 +413,37 @@ class PropertySpec extends SparkSpec {
     assert(cdcOf("tiny") == Seq("tiny"))
   }
 
+  test("winnowing guarantee: every shared substring of length >= w+k-1 " +
+    "yields a shared fingerprint, at any offset; selection is " +
+    "position-dense (gap <= w)") {
+    val rnd = new scala.util.Random(99)
+    def rndText(n: Int): String =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    def fpsOf(s: String): Set[String] =
+      Seq(s).toDF("t")
+        .select(TextOps.winnowingFingerprints(col("t")).as("f"))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+        .map(_.getString(1)).toSet
+    def posOf(s: String): Seq[Int] =
+      Seq(s).toDF("t")
+        .select(TextOps.winnowingFingerprints(col("t")).as("f"))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+        .map(_.getInt(0)).toSeq
+    val shared = rndText(15) // exactly w + k - 1 = 8 + 8 - 1
+    // embed the shared run at assorted offsets inside unrelated noise
+    val hits = (0 until 6).map { o =>
+      val a = rndText(40 + o * 3) + shared + rndText(30)
+      val b = rndText(11 * o + 7) + shared + rndText(25)
+      (fpsOf(a) intersect fpsOf(b)).nonEmpty
+    }
+    assert(hits.forall(identity),
+      "a >= w+k-1 shared substring went undetected")
+    // density: consecutive selected positions are never more than w apart
+    val ps = posOf(rndText(300))
+    assert(ps.zip(ps.drop(1)).forall { case (a, b) => b - a <= 8 },
+      s"selection gap exceeds w: $ps")
+  }
+
   test("substringDedupCdc removes a shifted duplicated passage that " +
     "fixed-stride substringDedup misses entirely") {
     import graft.dedup.Dedup
