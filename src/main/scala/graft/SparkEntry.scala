@@ -2207,6 +2207,46 @@ object SparkEntry {
           .select(col("doc_id"), chatTurnsOf.as("turns")))
         .orderBy("doc_id")),
 
+    // winnowing-overlap candidate pairs: per-doc HIGH-ENTROPY text (30
+    // md5-derived 8-hex words — the corpus's 30-word shared vocabulary
+    // would make every unrelated pair collide), doc_id%10==0 docs clone
+    // their neighbor behind a fresh prefix; only genuine clones share
+    // ≥8 winnowed fingerprints
+    "q208_winnowing_overlap" -> ((s, dir) => {
+      val synth = array_join(transform(sequence(lit(1), lit(30)),
+        i => substring(md5(concat(col("doc_id").cast("string"),
+          lit(":"), i.cast("string"))), 1, 8)), " ")
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), synth.as("text"))
+      val nxt = base.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("ntext"))
+      val d = base.join(nxt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0 && col("ntext").isNotNull,
+            concat(lit("prefix words here "), col("ntext")))
+            .otherwise(col("text")).as("text"))
+      Dedup.winnowingOverlap(d, minShared = 8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Luhn-validated card detection: a synthesized 16-digit candidate
+    // per doc (≈10% pass the checksum), validity + the separator-
+    // tolerant extractor's count — every flag checksum-derived
+    "q209_luhn_cards" -> ((s, dir) => {
+      val digits = concat(lit("4532"),
+        lpad(((col("doc_id") * 7919) % 1000000000000L).cast("string"),
+          12, "0"))
+      val sep = concat(substring(digits, 1, 4), lit("-"),
+        substring(digits, 5, 4), lit("-"), substring(digits, 9, 4),
+        lit("-"), substring(digits, 13, 4))
+      t(s, dir, "documents").select(col("doc_id"),
+          digits.as("candidate"),
+          TextOps.luhnValid(digits).cast("int").as("luhn_valid"),
+          size(TextOps.creditCardScan(
+            concat(lit("card "), sep, lit(" end")))).as("n_valid_found"))
+        .orderBy("doc_id")
+    }),
+
     // winnowing fingerprints (k=8 grams, w=8 windows): the MOSS
     // window-min selection, every (pos, fp) bit-checked — the guarantee
     // variant of q38's mod-p rolling sample
@@ -2428,6 +2468,33 @@ object SparkEntry {
        |WHERE drp.doc_id IS NULL
        |ORDER BY b.doc_id""".stripMargin
   }
+
+  /** q207/q208's winnowing CTE chain (`d`…`sp`) over an arbitrary
+    * (doc_id, text) relation: per-position 8-gram md5s, window starts,
+    * per-window min hash and its rightmost holder. */
+  private def winnowingCtesFrom(src: String): String =
+    s"""d AS (
+       |  SELECT doc_id, text AS t FROM $src WHERE text IS NOT NULL),
+       |pos AS (
+       |  SELECT doc_id, i, md5(substr(t, i, 8)) AS h
+       |  FROM (SELECT doc_id, t,
+       |          unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i
+       |        FROM d)),
+       |np AS (SELECT doc_id, max(i) AS n FROM pos GROUP BY doc_id),
+       |win AS (
+       |  SELECT np.doc_id, unnest(generate_series(1,
+       |           greatest(np.n - 8 + 1, 1))) AS j
+       |  FROM np),
+       |cand AS (
+       |  SELECT w.doc_id, w.j, p.i, p.h
+       |  FROM win w JOIN pos p
+       |    ON p.doc_id = w.doc_id AND p.i BETWEEN w.j AND w.j + 7),
+       |sel AS (SELECT doc_id, j, min(h) AS mh FROM cand GROUP BY 1, 2),
+       |sp AS (
+       |  SELECT c.doc_id, c.j, max(c.i) AS pos
+       |  FROM cand c JOIN sel s
+       |    ON s.doc_id = c.doc_id AND s.j = c.j AND c.h = s.mh
+       |  GROUP BY 1, 2)""".stripMargin
 
   /** q204/q205's turn-synthesis CTEs (`w`, `turns`) over an arbitrary
     * (doc_id, text) relation — the SQL twin of [[chatTurnsOf]]. */
@@ -3076,31 +3143,63 @@ object SparkEntry {
     // selection via (min hash, then max pos among its holders), distinct
     // selections — the winnowing definition transcribed
     "q207_winnowing" ->
-      """WITH d AS (
-        |  SELECT doc_id, text AS t FROM documents WHERE text IS NOT NULL),
-        |pos AS (
-        |  SELECT doc_id, i, md5(substr(t, i, 8)) AS h
-        |  FROM (SELECT doc_id, t,
-        |          unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i
-        |        FROM d)),
-        |np AS (SELECT doc_id, max(i) AS n FROM pos GROUP BY doc_id),
-        |win AS (
-        |  SELECT np.doc_id, unnest(generate_series(1,
-        |           greatest(np.n - 8 + 1, 1))) AS j
-        |  FROM np),
-        |cand AS (
-        |  SELECT w.doc_id, w.j, p.i, p.h
-        |  FROM win w JOIN pos p
-        |    ON p.doc_id = w.doc_id AND p.i BETWEEN w.j AND w.j + 7),
-        |sel AS (SELECT doc_id, j, min(h) AS mh FROM cand GROUP BY 1, 2),
-        |sp AS (
-        |  SELECT c.doc_id, c.j, max(c.i) AS pos
-        |  FROM cand c JOIN sel s
-        |    ON s.doc_id = c.doc_id AND s.j = c.j AND c.h = s.mh
-        |  GROUP BY 1, 2)
+      s"""WITH ${winnowingCtesFrom("documents")}
         |SELECT DISTINCT sp.doc_id, CAST(sp.pos AS INTEGER) AS pos, p.h AS fp
         |FROM sp JOIN pos p ON p.doc_id = sp.doc_id AND p.i = sp.pos
         |ORDER BY sp.doc_id, pos""".stripMargin,
+
+    // q208: the q207 chain over the clone-synthesized corpus, distinct
+    // (doc, fp), the 1000-df cap, and the shared-count pair join
+    "q208_winnowing_overlap" ->
+      s"""WITH base AS (
+        |  SELECT doc_id,
+        |         array_to_string([substr(md5(CAST(doc_id AS VARCHAR)
+        |             || ':' || CAST(i AS VARCHAR)), 1, 8)
+        |           FOR i IN generate_series(1, 30)], ' ') AS text
+        |  FROM documents),
+        |nxt AS (
+        |  SELECT doc_id - 1 AS doc_id, text AS ntext FROM base),
+        |src AS (
+        |  SELECT b.doc_id,
+        |         CASE WHEN b.doc_id % 10 = 0 AND n.ntext IS NOT NULL
+        |              THEN 'prefix words here ' || n.ntext
+        |              ELSE b.text END AS text
+        |  FROM base b LEFT JOIN nxt n USING (doc_id)),
+        |${winnowingCtesFrom("src")},
+        |fps AS (
+        |  SELECT DISTINCT sp.doc_id, p.h AS fp
+        |  FROM sp JOIN pos p ON p.doc_id = sp.doc_id AND p.i = sp.pos),
+        |cold AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 1000)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(count(*) AS BIGINT) AS shared_fps
+        |FROM fps a JOIN cold USING (fp)
+        |JOIN fps b ON b.fp = a.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // q209: the identical digit synthesis and the Luhn fold as a list
+    // comprehension; the extractor count equals the validity flag by
+    // construction (only the one candidate is present)
+    "q209_luhn_cards" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         '4532' || lpad(CAST(doc_id * 7919 % 1000000000000
+        |           AS VARCHAR), 12, '0') AS c
+        |  FROM documents),
+        |chk AS (
+        |  SELECT doc_id, c,
+        |    (list_sum([CASE WHEN i % 2 = 0 THEN
+        |        CASE WHEN CAST(rc[i] AS INTEGER) * 2 > 9
+        |             THEN CAST(rc[i] AS INTEGER) * 2 - 9
+        |             ELSE CAST(rc[i] AS INTEGER) * 2 END
+        |      ELSE CAST(rc[i] AS INTEGER) END
+        |      FOR i IN generate_series(1, len(rc))]) % 10 = 0) AS ok
+        |  FROM (SELECT doc_id, c, string_split(reverse(c), '') AS rc
+        |        FROM d))
+        |SELECT doc_id, c AS candidate,
+        |       CAST(ok AS INTEGER) AS luhn_valid,
+        |       CAST(ok AS INTEGER) AS n_valid_found
+        |FROM chk ORDER BY doc_id""".stripMargin,
 
     // q206: identical dyadic-prob synthesis, equal-width binning with
     // the top clamp, exact-quotient accuracy, rounded confidence/gap

@@ -1282,6 +1282,49 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Winnowing-overlap candidate pairs — [[graft.text.TextOps
+    * .winnowingFingerprints]] operationalized into a dedup join: doc
+    * pairs sharing at least `minShared` DISTINCT winnowed fingerprints,
+    * with the shared count. Because winnowing guarantees a shared
+    * fingerprint for every common substring ≥ w+k−1 chars, `minShared`
+    * directly thresholds how much literal overlap a pair must have —
+    * the plagiarism/quotation detector between exact chunk dedup
+    * (needs aligned or content-defined boundaries) and MinHash (needs
+    * high whole-doc Jaccard).
+    *
+    * Scale shape: one map-only fingerprint pass, distinct (fp, id)
+    * rows, a document-frequency cap on hot fingerprints (boilerplate
+    * license lines — the [[graft.multimodal.Multimodal]] frame-join
+    * maxDf pattern: groupBy-count + broadcast anti-join BEFORE the
+    * self-join kills the O(docs²) hot key), then an fp-keyed self-join
+    * whose volume is bounded by true overlap density. */
+  def winnowingOverlap(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", k: Int = 8,
+                       w: Int = 8, minShared: Int = 2,
+                       maxDf: Int = 1000): DataFrame = {
+    import graft.text.TextOps
+    require(minShared >= 1, "minShared must be at least 1")
+    require(maxDf >= 2, "maxDf below 2 drops every shareable fingerprint")
+    val fps = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(TextOps.winnowingFingerprints(col(textCol), k, w))
+          .as("f"))
+      .select(col("id"), col("f.fp").as("fp"))
+      .distinct()
+      .cache() // consumed by the cap count and both join sides
+    val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("fp")
+    val cold = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    val a = cold.select(col("fp"), col("id").as("id_a"))
+    val b = cold.select(col("fp"), col("id").as("id_b"))
+    val out = a.join(b, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+    out
+  }
+
   /** LSH S-CURVE TUNING TABLE — the analytic complement of the
     * empirical recall harness (`lshRecall`/q126): for every (rows r,
     * bands b) factorization of `numHashes` and a grid of true Jaccard

@@ -132,6 +132,38 @@ object TextOps {
     "\\d{3}-\\d{4}" -> "<PHONE>",
     "\\d{16}" -> "<CARD>")
 
+  /** Luhn checksum validity of a DIGITS-ONLY string (the check every
+    * real payment-card number passes): reversed-position doubling with
+    * the >9 fold, total ≡ 0 (mod 10). Pure HOF column arithmetic —
+    * portable, map-only. Strip separators first ([[creditCardScan]]
+    * does); a non-digit character fails the ANSI digit cast loudly
+    * rather than validating garbage. Null/empty → false. */
+  def luhnValid(digits: Column): Column = {
+    val ds = reverse(coalesce(digits, lit("")))
+    val contrib = transform(sequence(lit(1), length(ds)), i => {
+      val d = ds.substr(i, lit(1)).cast("int")
+      when(i % 2 === 0,
+        d * 2 - when(d * 2 > 9, 9).otherwise(0)).otherwise(d)
+    })
+    when(length(ds) === 0, lit(false))
+      .otherwise(aggregate(contrib, lit(0), (acc, x) => acc + x)
+        % 10 === 0)
+  }
+
+  /** Credit-card detection with CHECKSUM validation — the precision fix
+    * over [[DefaultPiiRules]]' bare `\\d{16}` (which flags order ids and
+    * timestamps): extract 13–19 digit runs (spaces/dashes allowed),
+    * strip separators, keep only runs passing [[luhnValid]]. Returns
+    * the array of validated digit strings; compose with `size(...)` for
+    * counts or a replace loop for scrubbing. Map-only, RE2-safe. */
+  def creditCardScan(text: Column): Column =
+    filter(
+      transform(
+        regexp_extract_all(coalesce(text, lit("")),
+          lit("\\b(?:[0-9][ -]?){12,18}[0-9]\\b"), lit(0)),
+        m => regexp_replace(m, "[^0-9]", "")),
+      d => luhnValid(d))
+
   /** Deterministic hash bucket in [0, buckets): first 8 hex digits of
     * md5(key) mod buckets. Portable (md5-only) on purpose: the same
     * expression works in any SQL engine, so train/val/test membership is

@@ -2448,6 +2448,65 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows == Seq(Seq("ab", "ab"), Seq()))
   }
 
+  test("winnowingOverlap: shared passages pair, unrelated docs do not, " +
+    "hot fingerprints above maxDf never join") {
+    val rnd = new scala.util.Random(21)
+    def rndText(n: Int): String =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val shared = rndText(120)
+    val header = rndText(60) // boilerplate carried by EVERY doc
+    val docs = Seq(
+      (1L, header + rndText(80) + shared),
+      (2L, header + shared + rndText(90)),
+      (3L, header + rndText(100))).toDF("doc_id", "text")
+    // uncapped: the 60-char header alone pairs EVERY doc (winnowing's
+    // guarantee working against us — the boilerplate problem)
+    val got = Dedup.winnowingOverlap(docs, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == Seq((1L, 2L), (1L, 3L), (2L, 3L)), s"got $got")
+    // df cap 2 drops the everywhere-header fps; only the truly shared
+    // passage still pairs — and doc 3 pairs with nobody
+    val capped = Dedup.winnowingOverlap(docs, minShared = 3, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(capped == Seq((1L, 2L)), s"capped $capped")
+  }
+
+  test("luhnValid + creditCardScan: checksum parity with a reference " +
+    "implementation, separators stripped, invalid runs rejected") {
+    def refLuhn(s: String): Boolean = s.nonEmpty && {
+      val sum = s.reverse.zipWithIndex.map { case (c, i) =>
+        val d = c - '0'
+        if (i % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+      }.sum
+      sum % 10 == 0
+    }
+    val rnd = new scala.util.Random(5)
+    val cases = (0 until 24).map(_ =>
+      (10 to 19)(rnd.nextInt(10)) match {
+        case n => (0 until n).map(_ => rnd.nextInt(10)).mkString
+      })
+    val got = cases.toDF("d")
+      .select(col("d"), TextOps.luhnValid(col("d")).as("v")).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cases.foreach { c =>
+      assert(got(c) == refLuhn(c), s"luhn mismatch on $c")
+    }
+    // the classic 11-digit textbook number is Luhn-valid but too SHORT
+    // to be a card — luhnValid accepts it, the 13-19-digit scan ignores
+    val classic = Seq("49927398716", "49927398717").toDF("d")
+      .select(TextOps.luhnValid(col("d"))).collect().map(_.getBoolean(0))
+    assert(classic.toSeq == Seq(true, false))
+    val text = "pay 4992-7398-716 or 4532015112830367 or maybe " +
+      "4532 0151 1283 0366 ok"
+    val found = Seq(text).toDF("t")
+      .select(TextOps.creditCardScan(col("t")).as("f"))
+      .head().getSeq[String](0).toSeq
+    // only the checksum-valid 16-digit run survives (the ...367 variant
+    // fails Luhn; the 11-digit run fails the length floor), separators
+    // stripped
+    assert(found == Seq("4532015112830366"), s"got $found")
+  }
+
   test("calibrationBins: equal-width bins with top clamp, exact-quotient " +
     "accuracy, null rows in the -1 audit bin, ECE derivable") {
     val scored = Seq(
