@@ -196,6 +196,53 @@ object ScaleProbe {
             .agg(sum("n"), max("smoothed_prob")).head(); 1L },
         "bpe_train3" -> { d =>
           TextOps.bpeTrain(d, numMerges = 3).count() },
+        // round-10 additions
+        "winnowing_fp" -> { d =>
+          d.select(explode(TextOps.winnowingFingerprints(col("text")))
+              .as("f"))
+            .agg(count(lit(1)), max(col("f.pos"))).head(); 1L },
+        "cdc_chunks" -> { d =>
+          d.select(explode(TextOps.cdcChunks(col("text"))).as("c"))
+            .agg(sum(length(col("c")))).head(); 1L },
+        "cdc_substring_dedup" -> { d =>
+          graft.dedup.Dedup.substringDedupCdc(d)
+            .agg(sum("kept_chunks")).head(); 1L },
+        "winnow_overlap" -> { d =>
+          // replicas of one source doc near-dup each other (replica-
+          // suffix aside) — the pair families the df cap must bound
+          graft.dedup.Dedup.winnowingOverlap(d, minShared = 8,
+            maxDf = 50).agg(sum("shared_fps")).head(); 1L },
+        "luhn_scan" -> { d =>
+          val syn = concat(col("text"), lit(" card 4532"),
+            lpad(((col("doc_id") * 7919) % 1000000000000L)
+              .cast("string"), 12, "0"))
+          d.select(size(TextOps.creditCardScan(syn)).as("n"))
+            .agg(sum("n")).head(); 1L },
+        "dsir_scores" -> { d =>
+          TextOps.dsirScores(d.filter(col("source") =!= "src0"),
+            d.filter(col("source") === "src0"))
+            .agg(sum("dsir_score")).head(); 1L },
+        "pack_greedy" -> { d =>
+          TextOps.packSequencesGreedy(d, maxTokens = 512)
+            .agg(sum("pack_id"), max("pack_pos")).head(); 1L },
+        "calibration_bins" -> { d =>
+          TextOps.calibrationBins(d.select(
+            ((col("doc_id") % 129).cast("double") / 128.0).as("prob"),
+            (col("doc_id") % 3 === 0).cast("long").as("label")))
+            .agg(sum("n")).head(); 1L },
+        "chat_stats" -> { d =>
+          val words = filter(TextOps.wsTokens(col("text")),
+            w => length(w) > 0)
+          val turns = filter(
+            transform(sequence(lit(0), lit(3)), k =>
+              struct(when(k % 2 === 0, lit("user"))
+                .otherwise(lit("assistant")).as("role"),
+                array_join(slice(words, k * 5 + 1, lit(5)), " ")
+                  .as("content"))),
+            x => length(x.getField("content")) > 0)
+          graft.ops.Chat.conversationStats(
+            d.select(col("doc_id"), turns.as("turns")))
+            .agg(sum("n_turns"), sum("chars_user")).head(); 1L },
         "bpe_encode8" -> { d =>
           d.select(explode(TextOps.bpeEncode(col("text"),
               Seq("t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
