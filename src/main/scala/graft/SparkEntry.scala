@@ -1333,6 +1333,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // q86's A-ES sampling stratified per source: top-20 weighted docs
+    // per stratum, same deterministic key, WindowGroupLimit plan shape
+    "q211_weighted_sample_per_group" -> ((s, dir) => {
+      TextOps.weightedSamplePerGroup(t(s, dir, "documents"),
+          col("n_chars"), k = 20)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // native single-pass unigram entropy kernel vs relational SQL form
     "q87_token_entropy" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -6426,6 +6435,17 @@ object SparkEntry {
         |  FROM documents
         |  ORDER BY skey DESC, doc_id LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
+
+    // q211: the identical A-ES key ranked inside each source stratum
+    "q211_weighted_sample_per_group" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |                1, 8))::BIGINT % 1000000 + 1) / 1000000.0)
+        |             / n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
 
     "q87_token_entropy" ->
       """WITH tk AS (

@@ -738,6 +738,29 @@ object TextOps {
       .drop("_skey")
   }
 
+  /** [[weightedSample]] PER GROUP — the stratified form (k best-weighted
+    * docs per source/language/shard, the per-stratum subsample a mixture
+    * rebalance actually takes): the same deterministic A-ES key, ranked
+    * inside each `groupCol` partition instead of globally. One
+    * `row_number` window hash-partitioned on the group — Spark plans the
+    * `rk <= k` filter as a Partial+Final `WindowGroupLimit`, so every
+    * input partition pre-caps to its local top-k before the exchange
+    * (the per-domain-cap plan shape, PlanSpec-gated there). */
+  def weightedSamplePerGroup(docs: DataFrame, weightCol: Column, k: Int,
+                             groupCol: String = "source",
+                             idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0)
+    val u = (hashBucket(col(idCol), 1000000) + 1).cast("double") / 1000000.0
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("_skey").desc, col(idCol))
+    docs
+      .withColumn("_skey", log(u) / weightCol) // see weightedSample's note
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_skey", "_rk")
+  }
+
   /** Within-document token co-occurrence with PMI scoring: for every
     * unordered pair of DISTINCT tokens sharing a document,
     * pmi = ln(n_ab·N / (n_a·n_b)) over document frequencies — the classic

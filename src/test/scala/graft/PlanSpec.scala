@@ -702,6 +702,11 @@ class PlanSpec extends SparkSpec {
     val p200 = plan("q200_wat_links")
     assert(!p200.contains("HashAggregate"), s"q200 plans an agg:\n$p200")
     assert(p200.contains("Generate"), s"q200 missing the explode:\n$p200")
+    // q211: the per-group A-ES sample must pre-cap map-side — the
+    // WindowGroupLimit Partial phase, the per-domain-cap plan shape
+    val p211 = plan("q211_weighted_sample_per_group")
+    assert(p211.contains("WindowGroupLimit"),
+      s"per-group sample not group-limit pruned:\n$p211")
   }
 
   test("giant-group quantile fallback: no window sort, cuts broadcast") {
