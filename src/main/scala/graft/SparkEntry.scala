@@ -2216,21 +2216,6 @@ object SparkEntry {
           .select(col("doc_id"), chatTurnsOf.as("turns")))
         .orderBy("doc_id")),
 
-    // corpus diff between two synthesized releases: %11==0 docs removed,
-    // %5==0 edited, +100000-id clones of %13==0 docs added — every
-    // classification digest-derived
-    "q210_corpus_diff" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val oldC = docs.select("doc_id", "text")
-      val newC = docs.filter(col("doc_id") % 11 =!= 0)
-        .select(col("doc_id"),
-          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" edited")))
-            .otherwise(col("text")).as("text"))
-        .unionByName(docs.filter(col("doc_id") % 13 === 0)
-          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
-      Dedup.corpusDiff(oldC, newC).orderBy("doc_id")
-    }),
-
     // winnowing-overlap candidate pairs: per-doc HIGH-ENTROPY text (30
     // md5-derived 8-hex words — the corpus's 30-word shared vocabulary
     // would make every unrelated pair collide), doc_id%10==0 docs clone
@@ -3171,30 +3156,6 @@ object SparkEntry {
         |SELECT DISTINCT sp.doc_id, CAST(sp.pos AS INTEGER) AS pos, p.h AS fp
         |FROM sp JOIN pos p ON p.doc_id = sp.doc_id AND p.i = sp.pos
         |ORDER BY sp.doc_id, pos""".stripMargin,
-
-    // q210: both releases re-synthesized, digests compared through the
-    // same full-outer classification
-    "q210_corpus_diff" ->
-      """WITH oldc AS (
-        |  SELECT doc_id, md5(coalesce(text, '')) AS old_digest
-        |  FROM documents),
-        |newc AS (
-        |  SELECT doc_id,
-        |         md5(coalesce(CASE WHEN doc_id % 5 = 0
-        |               THEN text || ' edited' ELSE text END, ''))
-        |           AS new_digest
-        |  FROM documents WHERE doc_id % 11 <> 0
-        |  UNION ALL
-        |  SELECT doc_id + 100000, md5(coalesce(text, ''))
-        |  FROM documents WHERE doc_id % 13 = 0)
-        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
-        |       CASE WHEN o.old_digest IS NULL THEN 'added'
-        |            WHEN n.new_digest IS NULL THEN 'removed'
-        |            WHEN o.old_digest = n.new_digest THEN 'unchanged'
-        |            ELSE 'modified' END AS status,
-        |       o.old_digest, n.new_digest
-        |FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id
-        |ORDER BY doc_id""".stripMargin,
 
     // q208: the q207 chain over the clone-synthesized corpus, distinct
     // (doc, fp), the 1000-df cap, and the shared-count pair join

@@ -1352,29 +1352,6 @@ object Dedup {
     }.reduce(_ unionByName _)
   }
 
-  /** CORPUS DIFF — the release-to-release audit every versioned dataset
-    * ships: classify each doc id across two snapshots as `added` /
-    * `removed` / `modified` / `unchanged` by content digest. One full
-    * outer join on id over (id, md5) projections — 32-byte digests
-    * shuffle, text never does; compose with a `groupBy("status")`
-    * count for the changelog header. Null text digests as the empty
-    * string (a doc whose text merely NULLed still reports modified). */
-  def corpusDiff(oldCorpus: DataFrame, newCorpus: DataFrame,
-                 idCol: String = "doc_id",
-                 textCol: String = "text"): DataFrame = {
-    val o = oldCorpus.select(col(idCol),
-      md5(coalesce(col(textCol), lit(""))).as("old_digest"))
-    val n = newCorpus.select(col(idCol),
-      md5(coalesce(col(textCol), lit(""))).as("new_digest"))
-    o.join(n, Seq(idCol), "full_outer")
-      .select(col(idCol),
-        when(col("old_digest").isNull, "added")
-          .when(col("new_digest").isNull, "removed")
-          .when(col("old_digest") === col("new_digest"), "unchanged")
-          .otherwise("modified").as("status"),
-        col("old_digest"), col("new_digest"))
-  }
-
   /** Dedup IMPACT REPORT per `groupCol` — the before/after numbers a
     * curation run publishes (and the cheap first look that decides
     * whether a source is worth near-dup treatment at all): doc count,

@@ -2448,19 +2448,6 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows == Seq(Seq("ab", "ab"), Seq()))
   }
 
-  test("corpusDiff: added/removed/modified/unchanged by digest, null " +
-    "text still diffs") {
-    import graft.dedup.Dedup
-    val oldC = Seq((1L, "same"), (2L, "before"), (3L, "gone"),
-      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
-    val newC = Seq((1L, "same"), (2L, "after"), (4L, "fresh"),
-      (5L, "was null")).toDF("doc_id", "text")
-    val got = Dedup.corpusDiff(oldC, newC).orderBy("doc_id").collect()
-      .map(r => (r.getLong(0), r.getString(1))).toSeq
-    assert(got == Seq((1L, "unchanged"), (2L, "modified"),
-      (3L, "removed"), (4L, "added"), (5L, "modified")), s"got $got")
-  }
-
   test("winnowingOverlap: shared passages pair, unrelated docs do not, " +
     "hot fingerprints above maxDf never join") {
     val rnd = new scala.util.Random(21)
