@@ -596,8 +596,8 @@ object Dedup {
     * near-dup). Portable mode keeps the raw comma-joined band values
     * (replayable in any SQL engine); default re-hashes to a fixed-width
     * long for a smaller shuffle/storage key. */
-  private def sigBandKeys(sig: Column, numHashes: Int, bands: Int,
-                          portable: Boolean): Column = {
+  private[graft] def sigBandKeys(sig: Column, numHashes: Int, bands: Int,
+                                 portable: Boolean): Column = {
     require(numHashes % bands == 0,
       s"numHashes $numHashes must be a multiple of bands $bands")
     val rows = numHashes / bands

@@ -106,6 +106,57 @@ object Streaming {
       .getOrElse(safe)
   }
 
+  /** STREAMING near-dup DETECTIONS against a stored signature index
+    * ([[graft.dedup.Dedup.SignatureIndex]]) — the ingest-edge half of
+    * the continuous-crawl gate: each incoming doc is signed and banded
+    * map-side, band keys probe the (static, bucketed) index via
+    * stream-static joins, and every candidate whose signature-estimated
+    * Jaccard clears `minJaccard` emits one append-mode row
+    * (doc id, matched corpus id, est_jaccard). Row-level work only — no
+    * streaming aggregation, no watermark, no state.
+    *
+    * DELIBERATELY detections, not the filtered stream: turning this
+    * into the batch gate's anti-join would need a stream-stream
+    * self-join (unsupported for left_anti) or a doc-keyed aggregation
+    * (needs event-time watermarks the ingest edge may not have). The
+    * landing job anti-joins the sink's flagged ids — one digest-keyed
+    * batch join — which also keeps the drop auditable. Parity:
+    * StreamingSpec asserts the detection id-set equals exactly the ids
+    * [[graft.dedup.Dedup.incrementalNewFuzzyIndexed]] drops on the same
+    * batch. Build parameters MUST match the index's. */
+  def fuzzyIndexDetections(stream: DataFrame,
+                           index: graft.dedup.Dedup.SignatureIndex,
+                           idCol: String = "doc_id",
+                           textCol: String = "text",
+                           shingleN: Int = 3,
+                           minJaccard: Double = 0.5,
+                           numHashes: Int = 64, bands: Int = 16,
+                           portable: Boolean = false): DataFrame = {
+    import graft.dedup.Dedup
+    val sigs = stream.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("bid"),
+        graft.functions.HashExpressions.minhashSignature(
+          graft.text.TextOps.shingles(col(textCol), shingleN),
+          numHashes, portable).as("sig_b"))
+      .filter(col("sig_b").isNotNull)
+    val banded = sigs.select(col("bid"), col("sig_b"),
+      explode(Dedup.sigBandKeys(col("sig_b"), numHashes, bands, portable))
+        .as("band_key"))
+    banded
+      .join(index.bands, Seq("band_key")) // stream-static
+      .join(index.sigs.select(col("id"), col("sig").as("sig_c")),
+        Seq("id")) // stream-static
+      .select(col("bid").as(idCol), col("id").as("matched_id"),
+        (size(filter(zip_with(col("sig_c"), col("sig_b"),
+            (x, y) => x === y), b => b))
+          .cast("double") / lit(numHashes)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minJaccard)
+    // NOTE: a pair colliding in several bands emits once per band — a
+    // streaming dropDuplicates here would grow unbounded state (no
+    // watermark at the ingest edge). The landing anti-join is
+    // insensitive to duplicates; batch callers `.distinct()`.
+  }
+
   /** Continuous drift monitoring, step 1 of 2: per tumbling window,
     * equal-width bin counts of `valueCol` (the sufficient statistics of
     * [[graft.ops.Stats.psi]]). One watermarked streaming aggregation —

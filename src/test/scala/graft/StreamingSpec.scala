@@ -205,6 +205,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fuzzyIndexDetections: streaming detections against the stored " +
+    "signature index match the batch gate's drop set exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs away to the old stone house by the river bank and sleeps " +
+      "there quietly until the bright morning sun rises again slowly"
+    val corpus = Seq((1L, base),
+      (2L, "completely unrelated words about catalyst tungsten codegen " +
+        "shuffles partitions and broadcast joins in a query engine"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.buildSignatureIndex(corpus, numHashes = 16, bands = 4)
+    // batch: one near-dup (one word changed), one fresh, one null
+    val batchRows = Seq(
+      (10L, base.replace("bright", "dim")),
+      (11L, "a genuinely fresh document about sailing boats across the " +
+        "wide open sea under a grey sky full of wheeling gulls"),
+      (12L, null.asInstanceOf[String]))
+    val batchDf = batchRows.toDF("doc_id", "text")
+    val batchDropped = batchDf.select("doc_id").except(
+      Dedup.incrementalNewFuzzyIndexed(batchDf, idx, minJaccard = 0.3,
+        numHashes = 16, bands = 4).select("doc_id"))
+      .as[Long].collect().toSet
+    val in = MemoryStream[(Long, String)]
+    val out = Streaming.fuzzyIndexDetections(
+      in.toDF().toDF("doc_id", "text"), idx, minJaccard = 0.3,
+      numHashes = 16, bands = 4)
+    assert(out.isStreaming)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("fuzzy_det").start()
+    try {
+      in.addData(batchRows: _*)
+      q.processAllAvailable()
+      val det = spark.table("fuzzy_det")
+      val detIds = det.select("doc_id").as[Long].collect().toSet
+      assert(detIds == batchDropped && detIds == Set(10L),
+        s"stream $detIds vs batch $batchDropped")
+      // the detection names its corpus match
+      assert(det.select("matched_id").as[Long].collect().toSet == Set(1L))
+    } finally q.stop()
+  }
+
   test("sessionAgg groups a stream into gap-based sessions") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String)]
