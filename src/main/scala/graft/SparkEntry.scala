@@ -1333,6 +1333,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // HTTP envelope gates over the WARC fixture: status + media type per
+    // record (guarded extraction — malformed/absent envelopes are NULL,
+    // never scan aborts)
+    "q212_http_gates" -> ((s, _) => {
+      graft.io.Warc.records(s, warcFixturePath)
+        .select(col("record_id"),
+          graft.io.Warc.httpStatus(col("content")).as("http_status"),
+          graft.io.Warc.httpContentType(col("content"))
+            .as("content_type"))
+        .orderBy("record_id")
+    }),
+
     // q86's A-ES sampling stratified per source: top-20 weighted docs
     // per stratum, same deterministic key, WindowGroupLimit plan shape
     "q211_weighted_sample_per_group" -> ((s, dir) => {
@@ -6396,6 +6408,20 @@ object SparkEntry {
         |  FROM documents
         |  ORDER BY skey DESC, doc_id LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
+
+    // q212: the five fixture envelopes classified as literals
+    "q212_http_gates" ->
+      """SELECT * FROM (VALUES
+        |  ('<urn:uuid:rec-1>', CAST(NULL AS INTEGER),
+        |   CAST(NULL AS VARCHAR)),
+        |  ('<urn:uuid:rec-2>', 200, 'text/html'),
+        |  ('<urn:uuid:rec-3>', 404, CAST(NULL AS VARCHAR)),
+        |  ('<urn:uuid:rec-4>', CAST(NULL AS INTEGER),
+        |   CAST(NULL AS VARCHAR)),
+        |  ('<urn:uuid:rec-5>', CAST(NULL AS INTEGER),
+        |   CAST(NULL AS VARCHAR))
+        |) AS w(record_id, http_status, content_type)
+        |ORDER BY record_id""".stripMargin,
 
     // q211: the identical A-ES key ranked inside each source stratum
     "q211_weighted_sample_per_group" ->

@@ -72,6 +72,28 @@ object Warc {
         length(content)))
       .otherwise(content)
 
+  /** HTTP status code of a `response` record's content (the envelope's
+    * status line), NULL for non-HTTP content — the gate that keeps
+    * 404/500/redirect bodies out of a text corpus. Map-side regex. */
+  def httpStatus(content: Column): Column = {
+    val s = regexp_extract(content, "^HTTP/[0-9.]+ ([0-9]{3})", 1)
+    // guarded cast: a malformed status line extracts '' and an
+    // unconditional ANSI cast would abort the scan (the Content-Length
+    // lesson) — malformed envelopes report NULL instead
+    when(content.startsWith("HTTP/") && s =!= "", s.cast("int"))
+  }
+
+  /** The envelope's Content-Type value (parameters like charset
+    * stripped, lowercased), NULL for non-HTTP content or a missing
+    * header — the text/html vs pdf/image router before any byte is
+    * decoded. */
+  def httpContentType(content: Column): Column = {
+    val ct = lower(trim(
+      regexp_extract(substring_index(content, "\r\n\r\n", 1),
+        "(?im)^content-type:\\s*([^;\r\n]+)", 1)))
+    when(content.startsWith("HTTP/") && ct =!= "", ct)
+  }
+
   /** WET sidecar scan — Common Crawl's extracted-text companion archives
     * (`*.warc.wet.gz`): `conversion` records whose content IS the page
     * text, already extracted by the crawler. This is the fast path that

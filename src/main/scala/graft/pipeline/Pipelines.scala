@@ -197,10 +197,28 @@ object Pipelines {
     * the target host, lang the engine's heuristic — all map-only. */
   def ingestWarc(spark: SparkSession, path: String,
                  types: Seq[String] = Seq("conversion", "response"),
-                 extractHtml: Boolean = false): DataFrame = {
+                 extractHtml: Boolean = false,
+                 okStatusOnly: Boolean = false,
+                 contentTypes: Option[Seq[String]] = None): DataFrame = {
     import graft.text.TextOps
-    val recs = graft.io.Warc.records(spark, path)
+    val recs0 = graft.io.Warc.records(spark, path)
       .filter(col("warc_type").isin(types: _*))
+    // okStatusOnly: drop response records whose envelope is not a 2xx —
+    // 404 bodies and redirect stubs poison a text corpus; records
+    // without an HTTP envelope (conversion text) pass through.
+    // contentTypes: keep only the listed envelope media types (e.g.
+    // Seq("text/html")) — the pdf/image router before any decode.
+    // Both are residual map-side predicates in the same scan.
+    val recs1 =
+      if (!okStatusOnly) recs0
+      else recs0.filter(graft.io.Warc.httpStatus(col("content")).isNull ||
+        graft.io.Warc.httpStatus(col("content")).between(200, 299))
+    val recs = contentTypes match {
+      case None => recs1
+      case Some(cts) =>
+        val ct = graft.io.Warc.httpContentType(col("content"))
+        recs1.filter(ct.isNull || ct.isin(cts.map(_.toLowerCase): _*))
+    }
     // extractHtml: run the markup→prose chain (TextOps.htmlExtract) on
     // the payload — the right setting for raw `response` records, whose
     // payload is HTML; `conversion` records are already extracted text,

@@ -90,6 +90,52 @@ class WarcSpec extends SparkSpec {
       r.getAs[Long]("n_chars") == r.getAs[String]("text").length))
   }
 
+  test("ingestWarc HTTP gates: non-2xx bodies drop with okStatusOnly, " +
+    "contentTypes routes media, envelope-less conversion text passes") {
+    val path = fixture2xx()
+    val all = graft.pipeline.Pipelines.ingestWarc(spark, path)
+    assert(all.count() == 4) // 200 html + 404 + 200 pdf + conversion
+    val ok = graft.pipeline.Pipelines.ingestWarc(spark, path,
+      okStatusOnly = true)
+    assert(ok.count() == 3) // the 404 body drops
+    val html = graft.pipeline.Pipelines.ingestWarc(spark, path,
+      okStatusOnly = true, contentTypes = Some(Seq("text/html")))
+    val texts = html.orderBy("text").collect()
+      .map(_.getAs[String]("text")).toSeq
+    // pdf body routed away; conversion text (no envelope) passes through
+    assert(texts == Seq("<html>ok page</html>", "bare text"), s"$texts")
+  }
+
+  private def fixture2xx(): String = {
+    def rec(headers: Seq[(String, String)], body: String): String = {
+      val hdr = (headers :+ ("Content-Length" -> body.length.toString))
+        .map { case (k, v) => s"$k: $v" }.mkString("\r\n")
+      s"WARC/1.0\r\n$hdr\r\n\r\n$body\r\n\r\n"
+    }
+    def resp(id: String, status: String, ct: Option[String],
+             body: String): String = {
+      val ctLine = ct.map(c => s"Content-Type: $c\r\n").getOrElse("")
+      rec(Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "http://example.org/x",
+        "WARC-Record-ID" -> s"<urn:uuid:$id>",
+        "WARC-Date" -> "2024-01-01T00:00:01Z"),
+        s"HTTP/1.1 $status\r\n$ctLine\r\n$body")
+    }
+    val warc =
+      resp("h1", "200 OK", Some("text/html; charset=utf-8"),
+        "<html>ok page</html>") +
+      resp("h2", "404 Not Found", None, "missing") +
+      resp("h3", "200 OK", Some("application/pdf"), "%PDF-1.4 x") +
+      rec(Seq("WARC-Type" -> "conversion",
+        "WARC-Target-URI" -> "http://example.org/x",
+        "WARC-Record-ID" -> "<urn:uuid:h4>",
+        "WARC-Date" -> "2024-01-01T00:00:02Z"), "bare text")
+    val dir = Files.createTempDirectory("graft_http")
+    val f = dir.resolve("segment-00000.warc")
+    Files.write(f, warc.getBytes("UTF-8"))
+    f.toString
+  }
+
   private def wetFixture(): String = {
     def rec(headers: Seq[(String, String)], body: String): String = {
       val hdr = (headers :+ ("Content-Length" -> body.length.toString))
