@@ -641,7 +641,17 @@ object Dedup {
       Seq("band_key"), buckets, sortCols = Seq("band_key"))
   }
 
-  /** Reopen a persisted [[SignatureIndex]] by its catalog name. */
+  /** Reopen a persisted [[SignatureIndex]] by its catalog name.
+    *
+    * The index is CATALOG-backed (bucketing metadata lives in the
+    * catalog, not parquet footers): with the default in-memory catalog
+    * the registration dies with the session even though the files
+    * survive in the warehouse dir. Production deployments point the
+    * session at a shared metastore (`enableHiveSupport()` or a
+    * catalog plugin); a file-only recovery re-registers with
+    * `CREATE TABLE <name>_bands USING parquet CLUSTERED BY (band_key)
+    * INTO <n> BUCKETS LOCATION '<path>'` (and likewise `_sigs` on
+    * `id`) — the data needs no rewrite. */
   def readSignatureIndex(spark: org.apache.spark.sql.SparkSession,
                          name: String): SignatureIndex =
     SignatureIndex(spark.table(s"${name}_sigs"),
