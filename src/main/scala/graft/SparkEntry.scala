@@ -1333,6 +1333,54 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // robots-meta + canonical-link compliance signals over synthesized
+    // heads: %4 noindex meta, %6 a reversed-attr nofollow meta, %3/%5
+    // canonical links in both attribute orders
+    "q213_crawl_compliance" -> ((s, dir) => {
+      val id = col("doc_id")
+      val html = concat(
+        lit("<html><head>"),
+        when(id % 4 === 0,
+          lit("<meta name=\"robots\" content=\"noindex, follow\">"))
+          .otherwise(lit("")),
+        when(id % 6 === 0,
+          lit("<meta content=\"nofollow\" name=\"robots\">"))
+          .otherwise(lit("")),
+        when(id % 3 === 0,
+          concat(lit("<link rel=\"canonical\" href=\"https://example.com/c"),
+            (id % 7).cast("string"), lit("\">"))).otherwise(lit("")),
+        when(id % 5 === 0,
+          concat(lit("<link href=\"https://example.com/r"),
+            (id % 7).cast("string"), lit("\" rel=\"canonical\">")))
+          .otherwise(lit("")),
+        lit("</head><body>x</body></html>"))
+      t(s, dir, "documents")
+        .select(id,
+          TextOps.robotsMeta(html).as("rm"),
+          TextOps.canonicalUrl(html).as("canonical"))
+        .select(id, col("rm.noindex").as("noindex"),
+          col("rm.nofollow").as("nofollow"), col("canonical"))
+        .orderBy("doc_id")
+    }),
+
+    // sitemap <loc> extraction: two urls per synthesized sitemap, the
+    // first padded with whitespace the extractor must trim
+    "q214_sitemap_urls" -> ((s, dir) => {
+      val xml = concat(
+        lit("<urlset><url><loc>  https://example.com/p"),
+        col("doc_id").cast("string"),
+        lit(" </loc></url><url><loc>https://example.com/q"),
+        (col("doc_id") % 5).cast("string"),
+        lit("</loc></url></urlset>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.text.UrlOps.sitemapUrls(xml))
+            .as(Seq("p", "url")))
+        .select(col("doc_id"), (col("p") + 1).cast("int").as("url_no"),
+          col("url"))
+        .orderBy("doc_id", "url_no")
+    }),
+
     // HTTP envelope gates over the WARC fixture: status + media type per
     // record (guarded extraction — malformed/absent envelopes are NULL,
     // never scan aborts)
@@ -6408,6 +6456,31 @@ object SparkEntry {
         |  FROM documents
         |  ORDER BY skey DESC, doc_id LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
+
+    // q213/q214: expectations re-derived from the synthesis formulas,
+    // independent of the regex extraction (the q195 convention)
+    "q213_crawl_compliance" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INTEGER)
+        |    AS noindex,
+        |  CAST(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END AS INTEGER)
+        |    AS nofollow,
+        |  CASE WHEN doc_id % 3 = 0
+        |       THEN 'https://example.com/c' || CAST(doc_id % 7 AS VARCHAR)
+        |       WHEN doc_id % 5 = 0
+        |       THEN 'https://example.com/r' || CAST(doc_id % 7 AS VARCHAR)
+        |  END AS canonical
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q214_sitemap_urls" ->
+      """SELECT doc_id, CAST(1 AS INTEGER) AS url_no,
+        |       'https://example.com/p' || CAST(doc_id AS VARCHAR) AS url
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, CAST(2 AS INTEGER),
+        |       'https://example.com/q' || CAST(doc_id % 5 AS VARCHAR)
+        |FROM documents
+        |ORDER BY doc_id, url_no""".stripMargin,
 
     // q212: the five fixture envelopes classified as literals
     "q212_http_gates" ->

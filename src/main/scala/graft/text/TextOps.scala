@@ -1698,6 +1698,46 @@ object TextOps {
     regexp_extract_all(coalesce(html, lit("")),
       lit("(?i)href\\s*=\\s*[\"']([^\"'<>]+)[\"']"), lit(1))
 
+  /** Robots META directives from markup — the in-page half of the
+    * robots.txt gate ([[graft.text.UrlOps.dropDisallowed]]): 1 if any
+    * `<meta name="robots" ...>` content carries the directive
+    * (`noindex` / `nofollow`), attribute order and quoting tolerated,
+    * case-insensitive. A compliant corpus drops noindex pages before
+    * training, exactly as crawlers drop them from serving. Map-only
+    * regex in the RE2 ∩ Java subset. */
+  def robotsMeta(html: Column): Column = {
+    val h = coalesce(html, lit(""))
+    // the content attribute of any robots meta tag (either attribute
+    // order), lowercased for directive matching
+    val content = lower(concat_ws(" ",
+      regexp_extract(h,
+        "(?is)<meta[^>]*name\\s*=\\s*[\"']robots[\"'][^>]*" +
+          "content\\s*=\\s*[\"']([^\"']*)[\"']", 1),
+      regexp_extract(h,
+        "(?is)<meta[^>]*content\\s*=\\s*[\"']([^\"']*)[\"'][^>]*" +
+          "name\\s*=\\s*[\"']robots[\"']", 1)))
+    struct(
+      content.rlike("\\bnoindex\\b").cast("int").as("noindex"),
+      content.rlike("\\bnofollow\\b").cast("int").as("nofollow"))
+  }
+
+  /** The page's `<link rel="canonical" href=...>` target (either
+    * attribute order), NULL when absent — the duplicate-URL collapse
+    * signal crawl dedup honors before any content hashing: mirrors and
+    * tracking-parameter variants declare their canonical form
+    * themselves. Map-only regex; compose with
+    * [[graft.text.UrlOps.normalizeUrl]]. */
+  def canonicalUrl(html: Column): Column = {
+    val h = coalesce(html, lit(""))
+    val c1 = regexp_extract(h,
+      "(?is)<link[^>]*rel\\s*=\\s*[\"']canonical[\"'][^>]*" +
+        "href\\s*=\\s*[\"']([^\"']+)[\"']", 1)
+    val c2 = regexp_extract(h,
+      "(?is)<link[^>]*href\\s*=\\s*[\"']([^\"']+)[\"'][^>]*" +
+        "rel\\s*=\\s*[\"']canonical[\"']", 1)
+    when(c1 =!= "", c1).when(c2 =!= "", c2)
+  }
+
   /** One statistic pass of a BPE tokenizer trainer: corpus-wide counts
     * of adjacent character pairs WITHIN whitespace words (the argmax pair
     * is the next merge), top `k` by (count DESC, pair ASC). Pure

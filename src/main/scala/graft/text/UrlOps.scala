@@ -190,6 +190,19 @@ object UrlOps {
     * (allow-all markers) are excluded by the `\S+` requirement; the
     * gap matcher is `[ \t]*`, NOT `\s*` — `\s` crosses the newline and
     * would capture the next line's first token on an empty rule. */
+  /** `<loc>` URLs from a sitemap.xml body, in document order — the
+    * crawl-frontier seed source beside outlink extraction (sitemaps
+    * surface pages no link reaches). Handles both urlset and
+    * sitemapindex files (the `<loc>` shape is shared); whitespace
+    * around the value trimmed. Map-side `regexp_extract_all` in the
+    * RE2 ∩ Java subset; compose with `explode` + [[normalizeUrl]] into
+    * [[crawlFrontier]]. */
+  def sitemapUrls(xml: Column): Column =
+    transform(
+      regexp_extract_all(coalesce(xml, lit("")),
+        lit("(?is)<loc>\\s*([^<]+?)\\s*</loc>"), lit(1)),
+      u => trim(u))
+
   def robotsDisallows(robotsTxt: Column): Column =
     regexp_extract_all(coalesce(robotsTxt, lit("")),
       lit("(?im)^disallow:[ \\t]*(\\S+)"), lit(1))

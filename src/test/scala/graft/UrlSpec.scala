@@ -132,6 +132,41 @@ class UrlSpec extends SparkSpec {
       UrlOps.PslExcerptSuffixes.size < psl.size)
   }
 
+  test("robotsMeta + canonicalUrl + sitemapUrls: quote styles and " +
+    "attribute orders tolerated, absent signals are 0/NULL/empty") {
+    import graft.text.TextOps
+    val pages = Seq(
+      (1L, "<head><meta name='robots' content='NOINDEX, nofollow'>" +
+        "<link rel='canonical' href='https://a.com/x'></head>"),
+      (2L, "<head><meta content=\"nofollow\" name=\"robots\">" +
+        "<link href=\"https://b.com/y\" rel=\"canonical\"></head>"),
+      (3L, "<head><meta name=\"robots\" content=\"index, follow\">" +
+        "</head>"),
+      (4L, "<head></head>")).toDF("doc_id", "h")
+    val got = pages.select(col("doc_id"),
+        TextOps.robotsMeta(col("h")).as("rm"),
+        TextOps.canonicalUrl(col("h")).as("c"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getStruct(1).getInt(0),
+        r.getStruct(1).getInt(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq
+    assert(got == Seq(
+      (1L, 1, 1, "https://a.com/x"), // single quotes, uppercase directive
+      (2L, 0, 1, "https://b.com/y"), // reversed attribute orders
+      (3L, 0, 0, null), // explicit index,follow is not a block
+      (4L, 0, 0, null)), s"got $got")
+    // sitemapindex files share the <loc> shape; whitespace trimmed
+    val sm = "<sitemapindex><sitemap><loc>\n  https://a.com/s1.xml\n" +
+      "</loc></sitemap><sitemap><loc>https://a.com/s2.xml</loc>" +
+      "</sitemap></sitemapindex>"
+    val urls = Seq(sm).toDF("x")
+      .select(UrlOps.sitemapUrls(col("x"))).head().getSeq[String](0).toSeq
+    assert(urls == Seq("https://a.com/s1.xml", "https://a.com/s2.xml"))
+    assert(Seq(null.asInstanceOf[String]).toDF("x")
+      .select(UrlOps.sitemapUrls(col("x"))).head()
+      .getSeq[String](0).isEmpty)
+  }
+
   test("dropBlockedDomains: registrable-domain match, broadcast anti-join") {
     val df = Seq(
       (1L, "https://www.Spam.com/a"),
