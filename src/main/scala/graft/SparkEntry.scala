@@ -1333,6 +1333,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // canonical-URL dedup: %3 docs declare a shared canonical target
+    // (9 groups) and collapse keep-first; the rest fall back to their
+    // own unique URLs
+    "q215_canonical_dedup" -> ((s, dir) => {
+      val id = col("doc_id")
+      val ownUrl = concat(lit("https://www.example.com/p"),
+        id.cast("string"))
+      val html = when(id % 3 === 0,
+        concat(lit("<link rel=\"canonical\" " +
+          "href=\"https://example.com/canon/"),
+          (id % 9).cast("string"), lit("\">")))
+        .otherwise(lit("<p>x</p>"))
+      graft.text.UrlOps.canonicalDedup(
+          t(s, dir, "documents")
+            .select(id, ownUrl.as("url"), html.as("html")))
+        .select("doc_id", "canonical", "keep")
+        .orderBy("doc_id")
+    }),
+
     // robots-meta + canonical-link compliance signals over synthesized
     // heads: %4 noindex meta, %6 a reversed-attr nofollow meta, %3/%5
     // canonical links in both attribute orders
@@ -6456,6 +6475,24 @@ object SparkEntry {
         |  FROM documents
         |  ORDER BY skey DESC, doc_id LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
+
+    // q215: canonical groups re-derived from the formulas (both URL
+    // shapes are already in normalized form, so normalizeUrl is the
+    // identity on them), keep-first window restated
+    "q215_canonical_dedup" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN 'https://example.com/canon/'
+        |              || CAST(doc_id % 9 AS VARCHAR)
+        |         ELSE 'https://www.example.com/p'
+        |              || CAST(doc_id AS VARCHAR) END AS canonical
+        |  FROM documents)
+        |SELECT doc_id, canonical,
+        |       CAST(CASE WHEN row_number() OVER (PARTITION BY canonical
+        |              ORDER BY doc_id) = 1 THEN 1 ELSE 0 END AS INTEGER)
+        |         AS keep
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // q213/q214: expectations re-derived from the synthesis formulas,
     // independent of the regex extraction (the q195 convention)

@@ -190,6 +190,28 @@ object UrlOps {
     * (allow-all markers) are excluded by the `\S+` requirement; the
     * gap matcher is `[ \t]*`, NOT `\s*` — `\s` crosses the newline and
     * would capture the next line's first token on an empty rule. */
+  /** Canonical-URL dedup — the self-declared duplicate collapse that
+    * runs BEFORE any content hashing: group pages by their normalized
+    * `rel=canonical` target ([[graft.text.TextOps.canonicalUrl]],
+    * falling back to the page's own URL when no canonical is declared),
+    * keep the first (min id) of each group. Mirrors and
+    * tracking-parameter variants that declare one canonical form
+    * collapse without reading a byte of body text beyond the head
+    * regex. Returns the input plus (canonical, keep) — one window
+    * keyed on the normalized canonical string; the mega-group skew
+    * mitigation is the same `WindowGroupLimit`-class story as
+    * [[capPerDomain]] (here rank 1 of each group). */
+  def canonicalDedup(docs: DataFrame, urlCol: String = "url",
+                     htmlCol: String = "html",
+                     idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val canon = normalizeUrl(coalesce(
+      graft.text.TextOps.canonicalUrl(col(htmlCol)), col(urlCol)))
+    val w = Window.partitionBy("canonical").orderBy(col(idCol))
+    docs.withColumn("canonical", canon)
+      .withColumn("keep", (row_number().over(w) === 1).cast("int"))
+  }
+
   /** `<loc>` URLs from a sitemap.xml body, in document order — the
     * crawl-frontier seed source beside outlink extraction (sitemaps
     * surface pages no link reaches). Handles both urlset and

@@ -167,6 +167,29 @@ class UrlSpec extends SparkSpec {
       .getSeq[String](0).isEmpty)
   }
 
+  test("canonicalDedup: declared canonicals collapse keep-first, the " +
+    "fallback is the page's own URL, normalization unifies variants") {
+    val docs = Seq(
+      (1L, "https://m.site.com/a",
+        "<link rel=\"canonical\" href=\"https://site.com/a\">"),
+      // same canonical declared with tracking noise — normalizeUrl
+      // collapses it onto doc 1's group
+      (2L, "https://www.site.com/a?utm_source=x",
+        "<link rel=\"canonical\" " +
+          "href=\"HTTPS://Site.com/a?utm_source=feed#top\">"),
+      (3L, "https://site.com/b", "<p>no canonical</p>"),
+      (4L, "https://site.com/b", "<p>none either</p>"))
+      .toDF("doc_id", "url", "html")
+    val got = UrlOps.canonicalDedup(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[String]("canonical"),
+        r.getAs[Int]("keep"))).toSeq
+    assert(got == Seq(
+      (1L, "https://site.com/a", 1),
+      (2L, "https://site.com/a", 0),
+      (3L, "https://site.com/b", 1),
+      (4L, "https://site.com/b", 0)), s"got $got")
+  }
+
   test("dropBlockedDomains: registrable-domain match, broadcast anti-join") {
     val df = Seq(
       (1L, "https://www.Spam.com/a"),
