@@ -1333,17 +1333,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // canonical-URL dedup: %3 docs declare a shared canonical target
-    // (9 groups) and collapse keep-first; the rest fall back to their
-    // own unique URLs
+    // canonical-URL dedup: %9∈{0,3,6} docs declare a shared ABSOLUTE
+    // canonical target (9 groups); %9∈{1,4,7} declare a ROOT-RELATIVE
+    // canonical that must resolve against the page's own host h{id%4}
+    // (4 hosts × 3 path ids = up to 12 groups — without resolution
+    // they would all mass-collapse into one "/c{..}" key, the exact
+    // failure the r10 advice flagged); the rest fall back to their own
+    // unique URLs
     "q215_canonical_dedup" -> ((s, dir) => {
       val id = col("doc_id")
-      val ownUrl = concat(lit("https://www.example.com/p"),
-        id.cast("string"))
+      val ownUrl = concat(lit("https://h"), (id % 4).cast("string"),
+        lit(".example.com/p"), id.cast("string"))
       val html = when(id % 3 === 0,
         concat(lit("<link rel=\"canonical\" " +
           "href=\"https://example.com/canon/"),
           (id % 9).cast("string"), lit("\">")))
+        .when(id % 3 === 1,
+          concat(lit("<link rel=\"canonical\" href=\"/c"),
+            (id % 9).cast("string"), lit("\">")))
         .otherwise(lit("<p>x</p>"))
       graft.text.UrlOps.canonicalDedup(
           t(s, dir, "documents")
@@ -2604,8 +2611,10 @@ object SparkEntry {
 
   /** q197 oracle: the BPE trainer's first 3 merges unrolled — word
     * frequencies, per-round adjacent-pair counts over the spaced-symbol
-    * strings, the (cnt DESC, lhs, rhs) argmax, and the same non-regex
-    * replace rewrite between rounds. Exact integers throughout. */
+    * strings, the (cnt DESC, lhs, rhs) argmax, and the same
+    * boundary-aware doubled-space rewrite between rounds
+    * ([[graft.text.TextOps.mergeAdjacentPair]], replayed literally).
+    * Exact integers throughout. */
   private def bpeTrainOracle: String = {
     def round(i: Int): String = {
       val src = s"s${i - 1}"
@@ -2620,7 +2629,11 @@ object SparkEntry {
          |  GROUP BY 1, 2),
          |m$i AS (SELECT lhs, rhs, cnt FROM p$i
          |        ORDER BY cnt DESC, lhs, rhs LIMIT 1),
-         |s$i AS (SELECT replace(s, lhs || ' ' || rhs, lhs || rhs) AS s, n
+         |s$i AS (SELECT trim(regexp_replace(
+         |          replace(' ' || replace(s, ' ', '  ') || ' ',
+         |                  ' ' || lhs || '  ' || rhs || ' ',
+         |                  ' ' || lhs || rhs || ' '),
+         |          ' {2,}', ' ', 'g')) AS s, n
          |        FROM $src CROSS JOIN m$i)""".stripMargin
     }
     s"""WITH w0 AS (
@@ -6476,16 +6489,21 @@ object SparkEntry {
         |  ORDER BY skey DESC, doc_id LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
 
-    // q215: canonical groups re-derived from the formulas (both URL
+    // q215: canonical groups re-derived from the formulas (all URL
     // shapes are already in normalized form, so normalizeUrl is the
-    // identity on them), keep-first window restated
+    // identity on them); the %3=1 branch restates the root-relative
+    // resolution against the page origin; keep-first window restated
     "q215_canonical_dedup" ->
       """WITH c AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 3 = 0
         |         THEN 'https://example.com/canon/'
         |              || CAST(doc_id % 9 AS VARCHAR)
-        |         ELSE 'https://www.example.com/p'
+        |         WHEN doc_id % 3 = 1
+        |         THEN 'https://h' || CAST(doc_id % 4 AS VARCHAR)
+        |              || '.example.com/c' || CAST(doc_id % 9 AS VARCHAR)
+        |         ELSE 'https://h' || CAST(doc_id % 4 AS VARCHAR)
+        |              || '.example.com/p'
         |              || CAST(doc_id AS VARCHAR) END AS canonical
         |  FROM documents)
         |SELECT doc_id, canonical,

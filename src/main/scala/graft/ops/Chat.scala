@@ -26,9 +26,10 @@ object Chat {
     val roles = transform(t, x => x.getField("role"))
     val breaks = filter(sequence(lit(1), size(t) - 1),
       i => element_at(roles, i + 1) === element_at(roles, i))
+    // coalesce per turn: one NULL content must not NULL the whole sum
     def charsOf(role: String): Column =
       aggregate(filter(t, x => x.getField("role") === role), lit(0L),
-        (acc, x) => acc + length(x.getField("content")))
+        (acc, x) => acc + coalesce(length(x.getField("content")), lit(0L)))
     df.select(col(idCol),
       size(t).cast("long").as("n_turns"),
       size(filter(roles, r => r === "user")).cast("long").as("n_user"),

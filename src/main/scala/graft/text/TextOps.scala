@@ -1431,12 +1431,17 @@ object TextOps {
     require(maxTokens > 0, "maxTokens must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
+    // Carry the id as a STRING through the typed row — doc ids may be
+    // strings (trainingShards supports them), and a silent cast("long")
+    // would null-crash the encoder or corrupt ids; cast back to the
+    // source dtype on output so numeric callers see their own type.
+    val idType = docs.schema(idCol).dataType
     val rows = trainingShards(docs, idCol, nShards, seed)
       .select(col("shard"), col("shard_order"),
-        col(idCol).cast("long").as("id"),
+        col(idCol).cast("string").as("id"),
         tokenCount(coalesce(col(textCol), lit(""))).cast("long")
           .as("n_tokens"))
-      .as[(Long, Long, Long, Long)]
+      .as[(Long, Long, String, Long)]
     rows
       .repartition(nShards, col("shard"))
       .sortWithinPartitions("shard", "shard_order", "id")
@@ -1453,6 +1458,7 @@ object TextOps {
       }
       .toDF("shard", "pack_id", "pack_pos", idCol, "n_tokens",
         "truncated")
+      .withColumn(idCol, col(idCol).cast(idType))
   }
 
   /** SHARD-BALANCE REPORT over [[trainingShards]]' assignment — the
@@ -1815,10 +1821,10 @@ object TextOps {
     * order, the trainer's output), encode one word into its subword
     * tokens. Semantics are the standard sequential form: the word starts
     * as its character sequence, then each merge `(a, b)` rewrites every
-    * left-to-right non-overlapping occurrence of the adjacent pair into
-    * the merged symbol before the next merge applies — exactly what a
-    * global find-and-replace over the space-separated symbol string
-    * does, so the whole encoder is a FOLD of `replace` calls: pure
+    * greedy left-to-right occurrence of the ADJACENT SYMBOL pair into
+    * the merged symbol before the next merge applies — the whole
+    * encoder is a FOLD of [[mergeAdjacentPair]] calls (boundary-aware;
+    * a bare substring replace would cross symbol boundaries): pure
     * column expressions, codegen'd, map-only, and replayable verbatim
     * by any engine's non-regex `replace`. Returns the space-separated
     * symbol string (split on ' ' for the token array).
@@ -1836,9 +1842,33 @@ object TextOps {
     val spaced = rtrim(regexp_replace(coalesce(word, lit("")),
       "(.)", "$1 "))
     merges.foldLeft(spaced) { case (acc, (a, b)) =>
-      replace(acc, lit(a + " " + b), lit(a + b))
+      mergeAdjacentPair(acc, a, b)
     }
   }
+
+  /** Boundary-aware adjacent-symbol merge on a space-separated symbol
+    * string — rewrites every greedy left-to-right occurrence of the
+    * ADJACENT SYMBOL pair `(l, r)` into `l+r`, and nothing else. A bare
+    * `replace(s, "l r", "lr")` is wrong twice once multi-char symbols
+    * exist: it matches across symbol boundaries (merging (x, a)
+    * rewrites "yx ab" to "yxab"), and in an adjacency run it misses
+    * every other occurrence because the shared separator space is
+    * consumed. The fix is an encoding trick: double every separator
+    * and pad the ends, so symbol boundaries become unambiguous
+    * (" l  r " can only match whole symbols) and disjoint matches no
+    * longer share a space — in a run `a a a a` the pattern consumes one
+    * of the two separator spaces, leaving the other as the next
+    * match's lead, so ONE replace pass IS the greedy left-to-right
+    * scan (pairs (1,2),(3,4), odd tail untouched — Sennrich BPE).
+    * Collapse the leftover runs of spaces and trim to return to the
+    * canonical form. All non-regex ops but the final collapse, still
+    * map-only/codegen'd; any engine replays it verbatim. */
+  def mergeAdjacentPair(s: Column, l: String, r: String): Column =
+    trim(regexp_replace(
+      replace(
+        concat(lit(" "), replace(s, lit(" "), lit("  ")), lit(" ")),
+        lit(" " + l + "  " + r + " "), lit(" " + l + r + " ")),
+      " {2,}", " "))
 
   /** Document form of [[bpeEncodeWord]]: every whitespace word of the
     * lowercased text encoded independently, returned as an array of
@@ -1914,7 +1944,7 @@ object TextOps {
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((rank, l, r, c))
         val next = cur.select(
-          replace(col("s"), lit(l + " " + r), lit(l + r)).as("s"),
+          mergeAdjacentPair(col("s"), l, r).as("s"),
           col("n")).persist()
         next.count()
         cur.unpersist(false)
@@ -2170,7 +2200,12 @@ object TextOps {
     * Pure higher-order-function column work (`filter` over the split
     * lines) — map-only, codegen'd, zero shuffle; the cheapest possible
     * corpus pass at 100 TB. The word-count predicate counts non-empty
-    * space-split segments so runs of spaces do not inflate it. */
+    * space-split segments so runs of spaces do not inflate it.
+    *
+    * COMPATIBILITY NOTE: the `minWordsPerLine` default moved 3 → 5 in
+    * round 10 to match the paper; callers upgrading across that change
+    * (including `curate(c4Lines = true)`) who relied on the old
+    * behavior must pass `minWordsPerLine = 3` explicitly. */
   def c4LineFilter(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text",
                    minWordsPerLine: Int = 5,

@@ -200,13 +200,35 @@ object UrlOps {
     * regex. Returns the input plus (canonical, keep) — one window
     * keyed on the normalized canonical string; the mega-group skew
     * mitigation is the same `WindowGroupLimit`-class story as
-    * [[capPerDomain]] (here rank 1 of each group). */
+    * [[capPerDomain]] (here rank 1 of each group).
+    *
+    * RELATIVE canonical targets (RFC 6596 allows any RFC 3986
+    * reference) are resolved against the page URL before normalizing —
+    * without this, the very common `href="/"` / `href="/page"` forms
+    * would normalize to the same key for EVERY site and mass-collapse
+    * unrelated pages. Resolution: absolute targets pass through;
+    * `//host/...` takes the page scheme; `/path` takes the page
+    * origin; any other relative form (dot-segments, bare `page.html`)
+    * conservatively falls back to the page's own URL — no collapse is
+    * always safe, full RFC 3986 merge-path semantics are not worth a
+    * false one. */
   def canonicalDedup(docs: DataFrame, urlCol: String = "url",
                      htmlCol: String = "html",
                      idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val canon = normalizeUrl(coalesce(
-      graft.text.TextOps.canonicalUrl(col(htmlCol)), col(urlCol)))
+    val page = col(urlCol)
+    val raw = graft.text.TextOps.canonicalUrl(col(htmlCol))
+    val scheme = regexp_extract(page, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    val origin = regexp_extract(page,
+      "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val resolved = when(raw.isNull, page)
+      .when(raw.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), raw)
+      .when(raw.startsWith("//") && scheme =!= "",
+        concat(scheme, lit(":"), raw))
+      .when(raw.startsWith("/") && !raw.startsWith("//") &&
+        origin =!= "", concat(origin, raw))
+      .otherwise(page)
+    val canon = normalizeUrl(resolved)
     val w = Window.partitionBy("canonical").orderBy(col(idCol))
     docs.withColumn("canonical", canon)
       .withColumn("keep", (row_number().over(w) === 1).cast("int"))

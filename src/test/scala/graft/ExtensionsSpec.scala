@@ -2439,6 +2439,61 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == Seq("the r e", "aa a", "x", ""))
   }
 
+  test("mergeAdjacentPair: boundary-aware — merging (x,a) must NOT " +
+    "rewrite across the symbol boundary in 'yx ab'; adjacency runs " +
+    "merge greedily left-to-right; disjoint matches all merge") {
+    val rows = Seq(
+      "yx ab", // bare substring replace would yield "yxab" — wrong
+      "x a b x a", // (x,a) twice, disjoint — both merge
+      "a a a a a", // used with (a,a): pairs (1,2),(3,4), odd tail stays
+      "x a") // trailing exact pair
+      .toDF("s")
+    val xa = rows.select(
+      TextOps.mergeAdjacentPair(col("s"), "x", "a").as("m"))
+      .collect().map(_.getString(0)).toSeq
+    assert(xa == Seq("yx ab", "xa b xa", "a a a a a", "xa"), s"got $xa")
+    val aa = Seq("a a a a a", "b a a a b")
+      .toDF("s")
+      .select(TextOps.mergeAdjacentPair(col("s"), "a", "a").as("m"))
+      .collect().map(_.getString(0)).toSeq
+    assert(aa == Seq("aa aa a", "b aa a b"), s"got $aa")
+    // multi-char symbols merge only as WHOLE adjacent symbols
+    val mc = Seq("the m x them", "them x")
+      .toDF("s")
+      .select(TextOps.mergeAdjacentPair(col("s"), "the", "m").as("m"))
+      .collect().map(_.getString(0)).toSeq
+    assert(mc == Seq("them x them", "them x"), s"got $mc")
+  }
+
+  test("packSequencesGreedy: STRING doc ids survive the typed walk " +
+    "and come back as strings; numeric ids keep their source dtype") {
+    val docs = Seq(("doc-a", "one two three"), ("doc-b", "four five"),
+      ("doc-c", "six")).toDF("doc_id", "text")
+    val got = TextOps.packSequencesGreedy(docs, maxTokens = 4,
+      nShards = 1).collect()
+      .map(r => (r.getAs[String]("doc_id"), r.getLong(4))).sortBy(_._1)
+    assert(got.toSeq ==
+      Seq(("doc-a", 3L), ("doc-b", 2L), ("doc-c", 1L)), s"got $got")
+    val num = Seq((7, "a b"), (8, "c")).toDF("doc_id", "text")
+    val schema = TextOps.packSequencesGreedy(num, maxTokens = 10,
+      nShards = 1).schema("doc_id").dataType
+    assert(schema == org.apache.spark.sql.types.IntegerType)
+  }
+
+  test("conversationStats: a NULL turn content counts as 0 chars, " +
+    "not NULL-ing the whole per-role sum") {
+    import graft.ops.Chat
+    val docs = Seq((1L, Seq(("user", "Hi"), ("assistant", null),
+      ("assistant", "ok"))))
+      .toDF("doc_id", "raw")
+      .select(col("doc_id"), expr(
+        "transform(raw, x -> struct(x._1 AS role, x._2 AS content))")
+        .as("turns"))
+    val r = Chat.conversationStats(docs).head()
+    assert(r.getLong(6) == 2L, s"chars_user ${r.getLong(6)}")
+    assert(r.getLong(7) == 2L, s"chars_assistant ${r.getLong(7)}")
+  }
+
   test("bpeEncode: per-word encoding over the lowercased text, " +
     "empty tokens dropped, null-safe") {
     val merges = Seq("a" -> "b")

@@ -190,6 +190,43 @@ class UrlSpec extends SparkSpec {
       (4L, "https://site.com/b", 0)), s"got $got")
   }
 
+  test("canonicalDedup: RELATIVE canonical targets resolve against the " +
+    "page URL — '/' on two different hosts must NOT collapse; " +
+    "protocol-relative takes the page scheme; path-relative falls " +
+    "back to the page URL") {
+    val docs = Seq(
+      // root-relative "/" — the RFC 6596 form the r10 advice flagged:
+      // without resolution both would key on the bare "/" and
+      // mass-collapse across unrelated sites
+      (1L, "https://alpha.com/deep/page", "<link rel=\"canonical\" href=\"/\">"),
+      (2L, "https://beta.org/other", "<link rel=\"canonical\" href=\"/\">"),
+      // root-relative path resolves to the page's own origin and
+      // collapses with an absolute declaration of the same target
+      (3L, "https://alpha.com/p?utm_source=x",
+        "<link rel=\"canonical\" href=\"/canon\">"),
+      (4L, "https://alpha.com/q",
+        "<link rel=\"canonical\" href=\"https://alpha.com/canon\">"),
+      // protocol-relative: page scheme prepended
+      (5L, "https://gamma.net/x",
+        "<link rel=\"canonical\" href=\"//gamma.net/canon\">"),
+      // other relative forms (no authority, not root-anchored):
+      // conservative fallback to the page's own URL — no collapse
+      (6L, "https://delta.io/a/b", "<link rel=\"canonical\" href=\"page.html\">"),
+      (7L, "https://delta.io/a/c", "<link rel=\"canonical\" href=\"../up\">"))
+      .toDF("doc_id", "url", "html")
+    val got = UrlOps.canonicalDedup(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[String]("canonical"),
+        r.getAs[Int]("keep"))).toSeq
+    assert(got == Seq(
+      (1L, "https://alpha.com", 1),
+      (2L, "https://beta.org", 1),
+      (3L, "https://alpha.com/canon", 1),
+      (4L, "https://alpha.com/canon", 0),
+      (5L, "https://gamma.net/canon", 1),
+      (6L, "https://delta.io/a/b", 1),
+      (7L, "https://delta.io/a/c", 1)), s"got $got")
+  }
+
   test("dropBlockedDomains: registrable-domain match, broadcast anti-join") {
     val df = Seq(
       (1L, "https://www.Spam.com/a"),
