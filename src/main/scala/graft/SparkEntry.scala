@@ -89,6 +89,12 @@ object SparkEntry {
   private lazy val warcFixturePath: String =
     fixtureToTemp("/graft/fixture.warc", ".warc")
 
+  /** q216's charset-zoo WARC fixture (ISO-8859-1 / meta-declared
+    * Shift_JIS / bare UTF-8 / invalid-byte / unsupported-name records),
+    * same per-JVM-unique-copy convention. */
+  private lazy val warcCharsetFixturePath: String =
+    fixtureToTemp("/graft/fixture_charsets.warc", ".warc")
+
   /** q199/q200's WET/WAT sidecar fixtures, same per-JVM-unique-copy
     * convention as [[warcFixturePath]]. */
   private lazy val wetFixturePath: String =
@@ -1032,6 +1038,18 @@ object SparkEntry {
           col("content_length"),
           graft.io.Warc.httpPayload(col("content")).as("payload"))
         .withColumn("payload_md5", md5(col("payload").cast("binary")))
+        .orderBy("record_id")
+    }),
+
+    // charset-aware WARC decode over the checked-in charset-zoo fixture:
+    // Content-Type charset wins (ISO-8859-1), HTML meta is the fallback
+    // (Shift_JIS), absent -> UTF-8; an invalid byte under the declared
+    // charset or an unsupported charset name falls back to UTF-8 with
+    // replacement and reports decode_ok = 0 — flagged, never dropped
+    "q216_warc_charset" -> ((s, _) => {
+      graft.io.Warc.recordsDecoded(s, warcCharsetFixturePath)
+        .select(col("record_id"), col("charset_declared"), col("charset"),
+          col("decode_ok"), md5(col("text").cast("binary")).as("text_md5"))
         .orderBy("record_id")
     }),
 
@@ -4674,6 +4692,31 @@ object SparkEntry {
          |) AS w(record_id, warc_type, target_uri, content_length,
          |       payload, payload_md5)
          |ORDER BY record_id""".stripMargin,
+
+    // q216: the charset fixture's six records as literals; DuckDB
+    // recomputes each md5 over the UTF-8 form of the text the decode
+    // must produce (the Shift_JIS/Latin-1 bodies decoded, the broken
+    // record's U+FFFD replacement written literally)
+    "q216_warc_charset" ->
+      ("""SELECT * FROM (VALUES
+        |  ('<urn:uuid:cs-0001>', 'iso-8859-1', 'iso-8859-1', 1,
+        |   md5('café ñandú, Äpfel größer')),
+        |  ('<urn:uuid:cs-0002>', 'shift_jis', 'shift_jis', 1,
+        |   md5('<html><head><meta charset="Shift_JIS"></head><body>""" +
+        "こんにちは世界、テス" +
+        "ト文書です。" +
+        """</body></html>')),
+        |  ('<urn:uuid:cs-0003>', CAST(NULL AS VARCHAR), 'utf-8', 1,
+        |   md5('naïve UTF-8 body ✓ """ +
+        "ответ" + """')),
+        |  ('<urn:uuid:cs-0004>', 'utf-8', 'utf-8', 0,
+        |   md5('abc' || chr(65533) || 'def')),
+        |  ('<urn:uuid:cs-0005>', 'x-bogus-enc', 'utf-8', 0,
+        |   md5('plain ascii body')),
+        |  ('<urn:uuid:cs-0006>', CAST(NULL AS VARCHAR), 'utf-8', 1,
+        |   md5('software: graft-test' || chr(10)))
+        |) AS w(record_id, charset_declared, charset, decode_ok, text_md5)
+        |ORDER BY record_id""").stripMargin,
 
     // q199: the WET fixture's three conversion records as literals,
     // text md5 recomputed from the same strings the scan must produce

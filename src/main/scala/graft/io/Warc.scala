@@ -94,6 +94,200 @@ object Warc {
     when(content.startsWith("HTTP/") && ct =!= "", ct)
   }
 
+  // ---- charset-aware binary scan --------------------------------------
+
+  private val RecordSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    """record_id STRING, warc_type STRING, target_uri STRING,
+      |warc_date STRING, content_length BIGINT, http_status INT,
+      |http_content_type STRING, charset_declared STRING, charset STRING,
+      |decode_ok INT, text STRING""".stripMargin.replace("\n", " "))
+
+  private val DelimBytes = Delim.getBytes("US-ASCII")
+  private val CrlfCrlf = "\r\n\r\n".getBytes("US-ASCII")
+
+  private def indexOf(hay: Array[Byte], needle: Array[Byte],
+                      from: Int): Int = {
+    var i = math.max(from, 0)
+    val last = hay.length - needle.length
+    while (i <= last) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def headerField(hdr: String, name: String): Option[String] = {
+    val m = java.util.regex.Pattern
+      .compile("(?im)^" + java.util.regex.Pattern.quote(name) +
+        ":\\s*([^\\r\\n]+)").matcher(hdr)
+    if (m.find()) Some(m.group(1).trim) else None
+  }
+
+  /** Charset declared in a Content-Type value's `charset=` parameter. */
+  private def charsetParam(ct: String): Option[String] = {
+    val m = java.util.regex.Pattern
+      .compile("(?i)charset\\s*=\\s*\"?([A-Za-z0-9._-]+)").matcher(ct)
+    if (m.find()) Some(m.group(1)) else None
+  }
+
+  /** Charset declared by an HTML `<meta charset=..>` or the legacy
+    * `<meta http-equiv=Content-Type content="..; charset=..">` form,
+    * searched in the first `probe` payload bytes read as ISO-8859-1
+    * (ASCII-compatible — every IANA charset a meta tag can name agrees
+    * with ASCII on the bytes the tag itself uses). */
+  private def metaCharset(payload: Array[Byte], probe: Int): Option[String] = {
+    val head = new String(payload, 0, math.min(probe, payload.length),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val m1 = java.util.regex.Pattern
+      .compile("(?is)<meta[^>]*charset\\s*=\\s*[\"']?([A-Za-z0-9._-]+)")
+      .matcher(head)
+    if (m1.find()) Some(m1.group(1)) else None
+  }
+
+  /** Strict decode attempt: full round through a REPORTing decoder —
+    * None on unsupported charset name or malformed/unmappable input. */
+  private def tryDecode(bytes: Array[Byte], cs: String): Option[String] =
+    try {
+      val dec = java.nio.charset.Charset.forName(cs).newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      Some(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+    } catch { case _: Exception => None }
+
+  /** CHARSET-AWARE WARC scan — the ingest-normalize step a real crawl
+    * needs before any text rule: real Common Crawl response bodies are a
+    * charset zoo (historically ~30%+ of pages non-UTF-8: ISO-8859-x,
+    * Shift_JIS, GBK, windows-1251 ...), and reading them through the
+    * UTF-8 text source pre-mojibakes every non-UTF-8 row beyond repair —
+    * the damage gate can then only DROP them. This scan reads archives
+    * via the `binaryFile` source (the [[graft.io.Archives]] pattern),
+    * splits records on the delimiter BYTES, and decodes each response
+    * payload by its declared charset: the HTTP `Content-Type` header's
+    * `charset=` parameter wins, then the HTML `<meta charset>` /
+    * http-equiv form probed in the first `metaProbeBytes` payload bytes,
+    * then UTF-8. An undecodable body (unsupported name or bytes that
+    * violate the declared encoding) is NOT dropped: it falls back to
+    * UTF-8 with U+FFFD replacement and reports `decode_ok = 0` — the
+    * mojibake-flag contract ([[graft.text.TextOps]]'s damage gate
+    * decides downstream, per-corpus policy).
+    *
+    * Scale shape: one task per archive (the gzip story of [[records]] —
+    * `.gz` members are inflated in-task, multi-member streams
+    * included), all parsing per-row inside the scan, archive bytes
+    * never shuffle; only decoded text and header fields flow on.
+    * `mapPartitions` is the honest tool here — per-record byte-level
+    * codec work no Catalyst expression expresses (the
+    * [[graft.multimodal.Multimodal]] decode precedent). */
+  def recordsDecoded(spark: SparkSession, path: String,
+                     metaProbeBytes: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.Row
+    implicit val enc =
+      org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(RecordSchema)
+    val probe = metaProbeBytes
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .flatMap { fr =>
+        val raw0 = fr.getAs[Array[Byte]]("content")
+        val bytes =
+          if (raw0.length >= 2 && (raw0(0) & 0xff) == 0x1f &&
+            (raw0(1) & 0xff) == 0x8b) {
+            val in = new java.util.zip.GZIPInputStream(
+              new java.io.ByteArrayInputStream(raw0))
+            try {
+              val out = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](65536)
+              var n = in.read(buf)
+              while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+              out.toByteArray
+            } finally in.close()
+          } else raw0
+        val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var pos = indexOf(bytes, DelimBytes, 0)
+        while (pos >= 0) {
+          val hdrStart = pos + DelimBytes.length
+          val hdrEnd = indexOf(bytes, CrlfCrlf, hdrStart)
+          if (hdrEnd < 0) { pos = -1 }
+          else {
+            val hdr = new String(bytes, hdrStart, hdrEnd - hdrStart,
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+            val cStart = hdrEnd + 4
+            val declaredLen = headerField(hdr, "Content-Length")
+              .flatMap(v => scala.util.Try(v.toLong).toOption)
+            val nextDelim = indexOf(bytes, DelimBytes, cStart)
+            val cEnd = declaredLen match {
+              case Some(n) =>
+                math.min(cStart + n, bytes.length.toLong).toInt
+              case None =>
+                val stop = if (nextDelim < 0) bytes.length else nextDelim
+                // records end with \r\n\r\n before the next delimiter
+                if (stop - 4 >= cStart &&
+                  indexOf(bytes, CrlfCrlf, stop - 4) == stop - 4) stop - 4
+                else stop
+            }
+            val content =
+              java.util.Arrays.copyOfRange(bytes, cStart,
+                math.max(cEnd, cStart))
+            // HTTP envelope split (response records)
+            val isHttp = content.length >= 5 &&
+              new String(content, 0, 5,
+                java.nio.charset.StandardCharsets.US_ASCII) == "HTTP/"
+            val envEnd = if (isHttp) indexOf(content, CrlfCrlf, 0) else -1
+            val (env, payload) =
+              if (envEnd >= 0)
+                (new String(content, 0, envEnd,
+                  java.nio.charset.StandardCharsets.ISO_8859_1),
+                  java.util.Arrays.copyOfRange(content, envEnd + 4,
+                    content.length))
+              else if (isHttp)
+                (new String(content,
+                  java.nio.charset.StandardCharsets.ISO_8859_1),
+                  Array.empty[Byte])
+              else ("", content)
+            val status: Option[Int] =
+              if (!isHttp) None
+              else {
+                val m = java.util.regex.Pattern
+                  .compile("^HTTP/[0-9.]+ ([0-9]{3})").matcher(env)
+                if (m.find()) Some(m.group(1).toInt) else None
+              }
+            val ctRaw = if (isHttp) headerField(env, "Content-Type")
+              else None
+            val mediaType = ctRaw.map(_.split(";")(0).trim.toLowerCase)
+              .filter(_.nonEmpty)
+            val declared = ctRaw.flatMap(charsetParam)
+              .orElse(metaCharset(payload, probe))
+              .map(_.toLowerCase)
+            val attempt = declared.flatMap(cs => tryDecode(payload, cs)
+              .map(t => (t, cs, 1)))
+              .orElse(tryDecode(payload, "utf-8")
+                .map(t => (t, "utf-8", if (declared.isEmpty) 1 else 0)))
+            val (text, used, ok) = attempt.getOrElse {
+              // undecodable under every candidate: UTF-8 with U+FFFD
+              // replacement — flagged, never dropped
+              (new String(payload,
+                java.nio.charset.StandardCharsets.UTF_8), "utf-8", 0)
+            }
+            rows += Row(
+              headerField(hdr, "WARC-Record-ID").orNull,
+              headerField(hdr, "WARC-Type").orNull,
+              headerField(hdr, "WARC-Target-URI").orNull,
+              headerField(hdr, "WARC-Date").orNull,
+              declaredLen.map(Long.box).orNull,
+              status.map(Int.box).orNull,
+              mediaType.orNull,
+              declared.orNull,
+              used, ok, text)
+            pos = if (nextDelim >= 0 && nextDelim < cEnd)
+              indexOf(bytes, DelimBytes, cEnd) else nextDelim
+          }
+        }
+        rows
+      }
+  }
+
   /** WET sidecar scan — Common Crawl's extracted-text companion archives
     * (`*.warc.wet.gz`): `conversion` records whose content IS the page
     * text, already extracted by the crawler. This is the fast path that

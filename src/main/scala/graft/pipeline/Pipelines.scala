@@ -199,8 +199,40 @@ object Pipelines {
                  types: Seq[String] = Seq("conversion", "response"),
                  extractHtml: Boolean = false,
                  okStatusOnly: Boolean = false,
-                 contentTypes: Option[Seq[String]] = None): DataFrame = {
+                 contentTypes: Option[Seq[String]] = None,
+                 decodeCharset: Boolean = false): DataFrame = {
     import graft.text.TextOps
+    // decodeCharset: route through the binary charset-aware scan
+    // (Warc.recordsDecoded) — non-UTF-8 bodies (ISO-8859-x, Shift_JIS,
+    // GBK ...) are decoded by their DECLARED charset instead of
+    // arriving pre-mojibaked through the UTF-8 text source; the output
+    // gains a `decode_ok` flag (0 = fell back to U+FFFD replacement)
+    // for the damage gate to consume.
+    if (decodeCharset) {
+      val recs0 = graft.io.Warc.recordsDecoded(spark, path)
+        .filter(col("warc_type").isin(types: _*))
+      val recs1 =
+        if (!okStatusOnly) recs0
+        else recs0.filter(col("http_status").isNull ||
+          col("http_status").between(200, 299))
+      val recs = contentTypes match {
+        case None => recs1
+        case Some(cts) => recs1.filter(col("http_content_type").isNull ||
+          col("http_content_type").isin(cts.map(_.toLowerCase): _*))
+      }
+      val text = if (extractHtml) TextOps.htmlExtract(col("text"))
+        else col("text")
+      return recs.select(
+        xxhash64(col("record_id")).as("doc_id"),
+        text.as("text"),
+        regexp_extract(col("target_uri"), "https?://([^/]+)", 1)
+          .as("source"),
+        col("decode_ok"))
+        .withColumn("lang", TextOps.langIdEn(col("text")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select("doc_id", "text", "lang", "source", "n_chars",
+          "decode_ok")
+    }
     val recs0 = graft.io.Warc.records(spark, path)
       .filter(col("warc_type").isin(types: _*))
     // okStatusOnly: drop response records whose envelope is not a 2xx —

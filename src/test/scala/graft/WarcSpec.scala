@@ -221,6 +221,109 @@ class WarcSpec extends SparkSpec {
     assert(Warc.watLinks(spark, watFixture(withLinks = false)).count() == 0)
   }
 
+  // ---- charset-aware binary scan ----------------------------------
+
+  /** Byte-level fixture builder for recordsDecoded: response records
+    * with an arbitrary body byte payload and Content-Type. */
+  private def binRec(rid: String, rtype: String, uri: Option[String],
+                     content: Array[Byte]): Array[Byte] = {
+    val hdr = new StringBuilder()
+      .append("WARC/1.0\r\n")
+      .append(s"WARC-Type: $rtype\r\n")
+      .append(s"WARC-Record-ID: <urn:uuid:$rid>\r\n")
+    uri.foreach(u => hdr.append(s"WARC-Target-URI: $u\r\n"))
+    hdr.append(s"Content-Length: ${content.length}\r\n\r\n")
+    hdr.toString.getBytes("US-ASCII") ++ content ++
+      "\r\n\r\n".getBytes("US-ASCII")
+  }
+
+  private def httpBytes(body: Array[Byte], ct: String): Array[Byte] =
+    (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII") ++
+      body
+
+  private def charsetFixtureBytes: Array[Byte] =
+    binRec("w1", "response", Some("https://a.example/1"),
+      httpBytes("déjà vu".getBytes("ISO-8859-1"),
+        "text/html; charset=ISO-8859-1")) ++
+    binRec("w2", "response", Some("https://b.example/2"),
+      httpBytes(("<html><head><meta http-equiv=\"Content-Type\" " +
+        "content=\"text/html; charset=windows-1251\"></head>" +
+        "<body>привет</body></html>").getBytes("windows-1251"),
+        "text/html")) ++
+    binRec("w3", "response", Some("https://c.example/3"),
+      httpBytes("plain utf-8 ✓".getBytes("UTF-8"), "text/plain")) ++
+    binRec("w4", "response", Some("https://d.example/4"),
+      httpBytes(Array[Byte]('o', 'k', 0xff.toByte, 'x'),
+        "text/html; charset=utf-8"))
+
+  private def writeTmp(name: String, bytes: Array[Byte]): String = {
+    val dir = Files.createTempDirectory("graft_warc_bin")
+    val f = dir.resolve(name)
+    Files.write(f, bytes)
+    f.toString
+  }
+
+  test("recordsDecoded: declared Content-Type charset wins (ISO-8859-1 " +
+    "round-trips), the HTML meta http-equiv form is the fallback " +
+    "(windows-1251), absent declarations decode as UTF-8") {
+    val f = writeTmp("seg.warc", charsetFixtureBytes)
+    val rows = Warc.recordsDecoded(spark, f).orderBy("record_id")
+      .collect().map(r => (r.getAs[String]("record_id"),
+        r.getAs[String]("charset_declared"), r.getAs[String]("charset"),
+        r.getAs[Int]("decode_ok"), r.getAs[String]("text"))).toSeq
+    assert(rows.map(_._1) == Seq("<urn:uuid:w1>", "<urn:uuid:w2>",
+      "<urn:uuid:w3>", "<urn:uuid:w4>"))
+    assert(rows(0)._2 == "iso-8859-1" && rows(0)._3 == "iso-8859-1" &&
+      rows(0)._4 == 1 && rows(0)._5 == "déjà vu", s"got ${rows(0)}")
+    assert(rows(1)._2 == "windows-1251" && rows(1)._3 == "windows-1251" &&
+      rows(1)._4 == 1 && rows(1)._5.contains("привет"), s"got ${rows(1)}")
+    assert(rows(2)._2 == null && rows(2)._3 == "utf-8" &&
+      rows(2)._4 == 1 && rows(2)._5 == "plain utf-8 ✓", s"got ${rows(2)}")
+  }
+
+  test("recordsDecoded: a body that violates its declared charset is " +
+    "NOT dropped — UTF-8 replacement decode, decode_ok = 0") {
+    val f = writeTmp("seg.warc", charsetFixtureBytes)
+    val r = Warc.recordsDecoded(spark, f)
+      .filter(col("record_id") === "<urn:uuid:w4>").head()
+    assert(r.getAs[Int]("decode_ok") == 0)
+    assert(r.getAs[String]("text") == "ok\ufffdx")
+    assert(r.getAs[String]("charset") == "utf-8")
+  }
+
+  test("recordsDecoded: gzipped archives inflate in-task and produce " +
+    "the identical rows") {
+    val plain = writeTmp("seg.warc", charsetFixtureBytes)
+    val bout = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bout)
+    gz.write(charsetFixtureBytes); gz.close()
+    val gzf = writeTmp("seg.warc.gz", bout.toByteArray)
+    val a = Warc.recordsDecoded(spark, plain).orderBy("record_id")
+      .collect().toSeq
+    val b = Warc.recordsDecoded(spark, gzf).orderBy("record_id")
+      .collect().toSeq
+    assert(a == b, "gz rows differ from plain rows")
+  }
+
+  test("ingestWarc decodeCharset=true: documents-shaped frame with the " +
+    "decoded text and a decode_ok flag; gates still apply") {
+    val f = writeTmp("seg.warc", charsetFixtureBytes)
+    val docs = graft.pipeline.Pipelines.ingestWarc(spark, f,
+      types = Seq("response"), decodeCharset = true,
+      contentTypes = Some(Seq("text/html")))
+      .orderBy("source").collect()
+    // text/plain record w3 is routed out by the media-type gate
+    assert(docs.length == 3)
+    val bySource = docs.map(r =>
+      r.getAs[String]("source") -> r).toMap
+    assert(bySource("a.example").getAs[String]("text") == "déjà vu")
+    assert(bySource("a.example").getAs[Int]("decode_ok") == 1)
+    assert(bySource("d.example").getAs[Int]("decode_ok") == 0)
+    assert(docs.forall(r => r.getAs[Long]("n_chars") ==
+      r.getAs[String]("text").length))
+  }
+
   test("records: a truncated header-less record yields a null " +
     "content_length instead of aborting the scan under ANSI") {
     val warc = "WARC/1.0\r\nWARC-Type: response\r\n" +
