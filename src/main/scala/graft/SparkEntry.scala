@@ -1999,6 +1999,38 @@ object SparkEntry {
       Similarity.pqAdcTopK(embs, queryVec(embs), topK = 10)
     }),
 
+    // distributed logistic-regression TRAINING (hard-sigmoid surrogate,
+    // dyadic lr, residuals on the 2^-12 grid — every intermediate is an
+    // exact dyadic rational, so the trained weights hash bit-identically
+    // against the 3-iteration unrolled-CTE oracle)
+    "q217_logistic_train" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("label",
+        (TextOps.tokenCount(coalesce(col("text"), lit(""))) >= 25)
+          .cast("int"))
+      TextOps.logisticTrain(d, "label", numBuckets = 64, iters = 3,
+        lrShift = 20).orderBy("bucket")
+    }),
+
+    // the FineWeb-Edu deploy loop end-to-end: train (q217) -> score
+    // (q148's inference) -> threshold sweep (q175's calibration), all
+    // on exact dyadic logits so the confusion counts are portable
+    "q218_trained_sweep" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("label",
+        (TextOps.tokenCount(coalesce(col("text"), lit(""))) >= 25)
+          .cast("int"))
+      val model = TextOps.logisticTrain(d, "label", numBuckets = 64,
+        iters = 3, lrShift = 20)
+      val scored = TextOps.scoreLinearModel(t(s, dir, "documents"),
+        model, numBuckets = 64)
+      val labeled = scored.join(
+        d.select(col("doc_id"), col("label").cast("long").as("ref")),
+        "doc_id")
+      TextOps.thresholdSweep(labeled,
+        Seq(-0.5, -0.25, -0.125, 0.0, 0.125, 0.25, 0.5),
+        labelCol = "ref", scoreCol = "logit")
+        .orderBy("threshold")
+    }),
+
     // calibration sweep for q148's classifier against the ≥25-token
     // weak label: confusion counts + precision/recall per threshold
     "q175_threshold_sweep" -> ((s, dir) => {
@@ -2626,6 +2658,56 @@ object SparkEntry {
        |  WHERE len(array_to_string(ws[(k*5+1):(k*5+5)], ' ')) > 0)""".stripMargin
 
   private def chatTurnsCtes: String = chatTurnsCtesFrom("documents")
+
+  /** q217/q218 oracle prelude: 3 GD iterations unrolled — hashed
+    * features (q148's CTE), the ≥25-token weak label, hard-sigmoid
+    * residuals on the 2^-12 floor grid, dyadic 2^-20 learning rate.
+    * Every value is an exact dyadic rational, so the weights hash
+    * bit-for-bit. */
+  private def logisticTrainCtes: String = {
+    def iter(i: Int): String = {
+      val (pw, gw) = (s"w${i - 1}", s"g$i")
+      s"""p$i AS (
+         |  SELECT doc_id, sum(n * w) AS p
+         |  FROM fl JOIN $pw USING (bucket) GROUP BY doc_id),
+         |r$i AS (
+         |  SELECT lab.doc_id,
+         |         floor((greatest(0.0, least(1.0,
+         |             coalesce(p, 0) * 0.25 + 0.5)) - y) * 4096 + 0.5)
+         |           / 4096 AS r
+         |  FROM lab LEFT JOIN p$i USING (doc_id)),
+         |$gw AS (
+         |  SELECT bucket, sum(n * r) AS g
+         |  FROM fl JOIN r$i USING (doc_id) GROUP BY bucket),
+         |w$i AS (
+         |  SELECT $pw.bucket, w - g / 1048576.0 AS w
+         |  FROM $pw JOIN $gw USING (bucket))""".stripMargin
+    }
+    s"""f AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS bucket,
+       |         count(*) AS n
+       |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+       |        FROM documents WHERE text IS NOT NULL)
+       |  WHERE len(t) > 0 GROUP BY 1, 2),
+       |lab AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(string_split(coalesce(text, ''), ' ')) >= 25
+       |              THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents),
+       |fl AS (
+       |  SELECT f.doc_id, f.bucket, f.n, lab.y
+       |  FROM f JOIN lab USING (doc_id)),
+       |r1 AS (
+       |  SELECT doc_id, floor((0.5 - y) * 4096 + 0.5) / 4096 AS r
+       |  FROM lab),
+       |g1 AS (
+       |  SELECT bucket, sum(n * r) AS g
+       |  FROM fl JOIN r1 USING (doc_id) GROUP BY bucket),
+       |w1 AS (SELECT bucket, -g / 1048576.0 AS w FROM g1),
+       |${iter(2)},
+       |${iter(3)}""".stripMargin
+  }
 
   /** q197 oracle: the BPE trainer's first 3 merges unrolled — word
     * frequencies, per-round adjacent-pair counts over the spaced-symbol
@@ -4199,6 +4281,47 @@ object SparkEntry {
         |FROM d GROUP BY source ORDER BY source""".stripMargin,
 
     "q174_pq_adc_topk" -> pqAdcOracle,
+
+    // q217: the trained weights straight out of the unrolled GD chain
+    "q217_logistic_train" ->
+      s"""WITH $logisticTrainCtes
+         |SELECT bucket, w AS weight FROM w3 ORDER BY bucket""".stripMargin,
+
+    // q218: train -> score -> sweep; logits are exact dyadic dot
+    // products of the trained weights, counts exact integers, the two
+    // quotients taken once per threshold (q175's shape)
+    "q218_trained_sweep" ->
+      s"""WITH $logisticTrainCtes,
+         |dot AS (
+         |  SELECT doc_id, sum(n * w) AS d
+         |  FROM f JOIN w3 USING (bucket) GROUP BY doc_id),
+         |sc AS (
+         |  SELECT d.doc_id,
+         |    coalesce(dot.d, 0.0)::DOUBLE AS s,
+         |    CASE WHEN len(string_split(coalesce(d.text, ''), ' ')) >= 25
+         |         THEN 1 ELSE 0 END AS y
+         |  FROM documents d LEFT JOIN dot USING (doc_id)),
+         |th AS (SELECT unnest([-0.5, -0.25, -0.125, 0.0, 0.125, 0.25,
+         |         0.5]) AS threshold),
+         |c AS (
+         |  SELECT threshold,
+         |    CAST(sum(CASE WHEN s >= threshold AND y = 1
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN s >= threshold AND y = 0
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN s < threshold AND y = 1
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN s < threshold AND y = 0
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |    CAST(sum(CASE WHEN s IS NULL OR y IS NULL
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+         |  FROM sc CROSS JOIN th GROUP BY threshold)
+         |SELECT threshold, tp, fp, fn, tn, n_null,
+         |  CASE WHEN tp + fp > 0
+         |       THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+         |  CASE WHEN tp + fn > 0
+         |       THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall
+         |FROM c ORDER BY threshold""".stripMargin,
 
     // q175: q148's exact-integer logit + the ≥25-token weak label;
     // counts are integers, the two quotients taken once per threshold

@@ -1528,6 +1528,85 @@ object TextOps {
       .limit(topK)
   }
 
+  /** DISTRIBUTED LOGISTIC-REGRESSION TRAINER — the FineWeb-Edu-style
+    * workflow's missing half (train on labeled docs, sweep the
+    * threshold with [[thresholdSweep]], deploy the cutoff into
+    * [[scoreLinearModel]]): fixed-iteration FULL-BATCH gradient descent
+    * over [[hashFeatures]] hashed-token counts. Per round: predictions
+    * from the current |buckets|-row weight table (BROADCAST — the
+    * corpus never shuffles beyond the one (doc, bucket) partial-agg),
+    * per-doc residual, one partial-agged gradient sum (|buckets| rows
+    * out), dyadic-learning-rate update. The bpeTrain/pageRank loop
+    * pattern: per-iteration state is vocabulary-sized, the feature
+    * table is built once and persisted.
+    *
+    * BIT-PORTABILITY BY CONSTRUCTION (the reason this trainer exists as
+    * an oracle-gated operator while `exp`/`ln` models stay spec-gated,
+    * q148/q156's rule): the activation is the HARD sigmoid
+    * `clip(z/4 + 1/2, 0, 1)` (the standard quantized-network surrogate
+    * whose residual `p − y` is the logistic cross-entropy gradient form
+    * with σ hardened), the residual is quantized to the 2^-12 dyadic
+    * grid via the tie-free `floor(r·4096 + 1/2)/4096`, and the learning
+    * rate is `2^-lrShift` — so EVERY intermediate (prediction, residual,
+    * gradient, weight) is a small dyadic rational, every double op is
+    * EXACT, every sum is order-independent, and the trained weights are
+    * bit-identical across engines and across runs. Exactness headroom:
+    * residual grid 2^-12 × integer counts keeps gradients under 2^32
+    * ulp-free; weights live on the fixed 2^-(lrShift+12) grid.
+    *
+    * Gradient: `g[b] = Σ_docs (p_d − y_d)·count_d(b)`;
+    * update `w[b] ← w[b] − 2^-lrShift · g[b]` (the 1/n normalization is
+    * absorbed into the shift — pick `lrShift ≈ log2(corpus tokens)`;
+    * the 2^-20 default is sized for ~10⁶-token corpora). Docs whose
+    * text yields no hashable tokens contribute no gradient (no
+    * features) but still anchor the residual frame. Returns the
+    * (bucket, weight) model [[scoreLinearModel]] consumes verbatim. */
+  def logisticTrain(docs: DataFrame, labelCol: String,
+                    numBuckets: Int = 64, iters: Int = 3,
+                    lrShift: Int = 20,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(iters > 0, "iters must be positive")
+    require(lrShift >= 0 && lrShift <= 40, "lrShift out of range")
+    val lr = 1.0 / (1L << lrShift)
+    val lab = docs.filter(col(labelCol).isNotNull)
+      .select(col(idCol).as("_id"), col(labelCol).cast("double").as("_y"))
+    val fl = hashFeatures(docs.filter(col(labelCol).isNotNull),
+        numBuckets, idCol, textCol)
+      .withColumnRenamed(idCol, "_id")
+      .join(lab, "_id").persist()
+    fl.count()
+    var w: DataFrame = null
+    for (_ <- 1 to iters) {
+      val pred =
+        if (w == null) lab.select(col("_id"), lit(0.0).as("_pred"))
+        else fl.join(broadcast(w), Seq("bucket"), "left")
+          .groupBy("_id")
+          .agg(sum(col("n") * coalesce(col("weight"), lit(0.0)))
+            .as("_pred"))
+      val resid = lab.join(pred, Seq("_id"), "left")
+        .select(col("_id"),
+          (floor((greatest(lit(0.0), least(lit(1.0),
+            coalesce(col("_pred"), lit(0.0)) * 0.25 + 0.5)) - col("_y"))
+            * 4096 + 0.5) / 4096).as("_r"))
+      val grad = fl.join(resid, "_id")
+        .groupBy("bucket").agg(sum(col("n") * col("_r")).as("_g"))
+      val wNext = (if (w == null)
+        grad.select(col("bucket"), (-lit(lr) * col("_g")).as("weight"))
+      else
+        w.join(grad, Seq("bucket"), "full_outer")
+          .select(col("bucket"),
+            (coalesce(col("weight"), lit(0.0)) -
+              lit(lr) * coalesce(col("_g"), lit(0.0))).as("weight"))
+        ).persist()
+      wNext.count()
+      if (w != null) w.unpersist(false)
+      w = wNext
+    }
+    fl.unpersist(false)
+    w
+  }
+
   /** Linear text-classifier inference (the fastText-shaped quality/topic
     * scorer every curation stack runs after hand-tuned rules):
     * logit(d) = bias + Σ_buckets count_d(bucket)·weight(bucket) over

@@ -2428,6 +2428,53 @@ class ExtensionsSpec extends SparkSpec {
 
   // ---- BPE encode / NB train / mojibake ---------------------------------
 
+  test("logisticTrain: separable vocab gets opposite-sign weights, the " +
+    "surrogate loss decreases with iterations, and training is " +
+    "bit-deterministic run-over-run") {
+    val docs = ((0 until 12).map(i =>
+      (i.toLong, "good great good excellent", 1)) ++
+      (12 until 24).map(i => (i.toLong, "bad awful bad terrible", 0)))
+      .toDF("doc_id", "text", "label")
+    val m = TextOps.logisticTrain(docs, "label", numBuckets = 64,
+      iters = 3, lrShift = 8)
+    val wByBucket = m.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def bucketOf(tok: String): Long =
+      Seq(tok).toDF("t").select(TextOps.hashBucket(col("t"), 64))
+        .head().getLong(0)
+    assert(wByBucket(bucketOf("good")) > 0,
+      s"good weight ${wByBucket(bucketOf("good"))}")
+    assert(wByBucket(bucketOf("bad")) < 0,
+      s"bad weight ${wByBucket(bucketOf("bad"))}")
+    // surrogate loss (hard-sigmoid squared error) decreases 1 -> 3 iters
+    def loss(model: org.apache.spark.sql.DataFrame): Double =
+      TextOps.scoreLinearModel(docs, model, numBuckets = 64)
+        .join(docs.select(col("doc_id"), col("label").as("y")), "doc_id")
+        .select(pow(greatest(lit(0.0), least(lit(1.0),
+          col("logit") * 0.25 + 0.5)) - col("y"), 2).as("se"))
+        .agg(sum("se")).head().getDouble(0)
+    val m1 = TextOps.logisticTrain(docs, "label", numBuckets = 64,
+      iters = 1, lrShift = 8)
+    assert(loss(m) < loss(m1),
+      s"loss did not decrease: iter3 ${loss(m)} vs iter1 ${loss(m1)}")
+    // bit determinism: exact equality, not approx — the dyadic design
+    val again = TextOps.logisticTrain(docs, "label", numBuckets = 64,
+      iters = 3, lrShift = 8).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(again == m.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq)
+    // end-to-end: the trained model drives thresholdSweep (the deploy
+    // loop) — at threshold 0 the separable corpus classifies perfectly
+    val scored = TextOps.scoreLinearModel(docs, m, numBuckets = 64)
+      .join(docs.select(col("doc_id"), col("label").cast("long")
+        .as("ref")), "doc_id")
+    val sw = TextOps.thresholdSweep(scored, Seq(0.0),
+      labelCol = "ref", scoreCol = "logit").head()
+    assert(sw.getAs[Long]("tp") == 12 && sw.getAs[Long]("tn") == 12 &&
+      sw.getAs[Long]("fp") == 0 && sw.getAs[Long]("fn") == 0,
+      s"sweep row $sw")
+  }
+
   test("bpeEncodeWord: merges apply in rank order, left-to-right " +
     "non-overlapping, later merges build on earlier outputs") {
     val merges = Seq("t" -> "h", "th" -> "e", "a" -> "a")
