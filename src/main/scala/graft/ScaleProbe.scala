@@ -201,6 +201,16 @@ object ScaleProbe {
           d.select(explode(TextOps.winnowingFingerprints(col("text")))
               .as("f"))
             .agg(count(lit(1)), max(col("f.pos"))).head(); 1L },
+        // round-11: the xxhash64 internal mode vs portable md5 — same
+        // plan, ~5x less hashing per input byte (VERDICT r10 item 5)
+        "winnowing_fp_xx" -> { d =>
+          d.select(explode(TextOps.winnowingFingerprints(col("text"),
+              portable = false)).as("f"))
+            .agg(count(lit(1)), max(col("f.pos"))).head(); 1L },
+        "cdc_chunks_xx" -> { d =>
+          d.select(explode(TextOps.cdcChunks(col("text"),
+              portable = false)).as("c"))
+            .agg(sum(length(col("c")))).head(); 1L },
         "cdc_chunks" -> { d =>
           d.select(explode(TextOps.cdcChunks(col("text"))).as("c"))
             .agg(sum(length(col("c")))).head(); 1L },

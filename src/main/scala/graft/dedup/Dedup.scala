@@ -1265,11 +1265,12 @@ object Dedup {
     * variant's. Returns (idCol, n_chunks, kept_chunks, clean_text). */
   def substringDedupCdc(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text",
-                        k: Int = 8): DataFrame = {
+                        k: Int = 8,
+                        portable: Boolean = true): DataFrame = {
     import graft.text.TextOps
     val ch = docs.select(col(idCol).as("id"),
-        posexplode(TextOps.cdcChunks(coalesce(col(textCol), lit("")), k))
-          .as(Seq("pos", "c")))
+        posexplode(TextOps.cdcChunks(coalesce(col(textCol), lit("")), k,
+          portable)).as(Seq("pos", "c")))
       .withColumn("d", md5(col("c")))
     val dup = ch.select(col("d"), col("id")).groupBy("d")
       .agg(min("id").as("owner"), count_distinct(col("id")).as("nd"))
@@ -1311,14 +1312,15 @@ object Dedup {
   def winnowingOverlap(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text", k: Int = 8,
                        w: Int = 8, minShared: Int = 2,
-                       maxDf: Int = 1000): DataFrame = {
+                       maxDf: Int = 1000,
+                       portable: Boolean = true): DataFrame = {
     import graft.text.TextOps
     require(minShared >= 1, "minShared must be at least 1")
     require(maxDf >= 2, "maxDf below 2 drops every shareable fingerprint")
     val fps = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
-        explode(TextOps.winnowingFingerprints(col(textCol), k, w))
-          .as("f"))
+        explode(TextOps.winnowingFingerprints(col(textCol), k, w,
+          portable)).as("f"))
       .select(col("id"), col("f.fp").as("fp"))
       .distinct()
       .cache() // consumed by the cap count and both join sides

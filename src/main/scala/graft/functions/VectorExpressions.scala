@@ -110,12 +110,14 @@ object VectorExpressions {
     Bridge.column(RollingFingerprints(Bridge.expression(text), k))
 
   /** Column-level content-defined chunking (see [[CdcChunks]]). */
-  def cdcChunks(text: Column, k: Int): Column =
-    Bridge.column(CdcChunks(Bridge.expression(text), k))
+  def cdcChunks(text: Column, k: Int, portable: Boolean = true): Column =
+    Bridge.column(CdcChunks(Bridge.expression(text), k, portable))
 
   /** Column-level winnowing (see [[WinnowingFingerprints]]). */
-  def winnowingFingerprints(text: Column, k: Int, w: Int): Column =
-    Bridge.column(WinnowingFingerprints(Bridge.expression(text), k, w))
+  def winnowingFingerprints(text: Column, k: Int, w: Int,
+                            portable: Boolean = true): Column =
+    Bridge.column(WinnowingFingerprints(Bridge.expression(text), k, w,
+      portable))
 
   /** Column-level unigram entropy (see [[TokenEntropy]]). */
   def tokenEntropy(text: Column): Column =
@@ -508,7 +510,8 @@ case class RollingFingerprints(child: Expression, k: Int)
   * texts shorter than k hash whole. Single pass per row, O(n·w)
   * comparisons over precomputed hashes, map-only.
   */
-case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
+case class WinnowingFingerprints(child: Expression, k: Int, w: Int,
+                                 portable: Boolean = true)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   require(k >= 1, "k-gram width must be >= 1")
@@ -522,12 +525,16 @@ case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
         s"winnowing_fingerprints expects STRING, got ${other.simpleString}")
     }
 
+  // portable mode carries the md5 hex (replayable by any engine); the
+  // internal mode carries the raw xxhash64 LONG — ~5x less hashing work
+  // per input byte and an 8-byte key instead of a 32-char string
   override def dataType: DataType = ArrayType(
     org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("pos",
         org.apache.spark.sql.types.IntegerType, nullable = false),
       org.apache.spark.sql.types.StructField("fp",
-        org.apache.spark.sql.types.StringType, nullable = false))),
+        if (portable) org.apache.spark.sql.types.StringType
+        else org.apache.spark.sql.types.LongType, nullable = false))),
     containsNull = false)
 
   private def md5Hex(md: java.security.MessageDigest, s: String): String = {
@@ -542,22 +549,45 @@ case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
     sb.toString
   }
 
-  /** Row kernel — public so generated code can call it. */
+  /** Row kernel — public so generated code can call it. Selection runs
+    * over an ORDER ABSTRACTION shared by both hash modes: md5-hex
+    * lexicographic order IS unsigned numeric order of the 128-bit
+    * digest, and the xxhash64 mode compares unsigned 64-bit — so the
+    * rightmost-min rule and the w+k-1 detection guarantee are mode-
+    * independent (the selection POSITIONS differ per mode, the
+    * guarantee does not; PropertySpec asserts it for both). */
   def kernel(input: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
     val text = input.toString
-    val md = MinHashParams.threadMd5()
     val n = math.max(text.length - (k - 1), 1)
-    val hashes = new Array[String](n)
-    var i = 0
-    while (i < n) {
-      hashes(i) = md5Hex(md,
-        text.substring(i, math.min(i + k, text.length)))
-      i += 1
-    }
-    // windows of w consecutive hashes; fewer than w positions → one
-    // window over them all. Rightmost-min per window, distinct by pos.
     val selected = scala.collection.mutable.LinkedHashSet.empty[Int]
     val nWin = math.max(n - w + 1, 1)
+    var strHashes: Array[String] = null
+    var longHashes: Array[Long] = null
+    if (portable) {
+      val md = MinHashParams.threadMd5()
+      strHashes = new Array[String](n)
+      var i = 0
+      while (i < n) {
+        strHashes(i) = md5Hex(md,
+          text.substring(i, math.min(i + k, text.length)))
+        i += 1
+      }
+    } else {
+      longHashes = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val b = text.substring(i, math.min(i + k, text.length))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        longHashes(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform
+            .BYTE_ARRAY_OFFSET, b.length, 42L)
+        i += 1
+      }
+    }
+    @inline def leq(p: Int, q: Int): Boolean =
+      if (portable) strHashes(p).compareTo(strHashes(q)) <= 0
+      else java.lang.Long.compareUnsigned(longHashes(p),
+        longHashes(q)) <= 0
     var j = 0
     while (j < nWin) {
       val end = math.min(j + w, n)
@@ -565,7 +595,7 @@ case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
       var p = j + 1
       while (p < end) {
         // <= : rightmost occurrence of the minimum wins
-        if (hashes(p).compareTo(hashes(best)) <= 0) best = p
+        if (leq(p, best)) best = p
         p += 1
       }
       selected += best
@@ -573,7 +603,10 @@ case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
     }
     val rows = selected.toArray.sorted.map { p2 =>
       org.apache.spark.sql.catalyst.InternalRow(p2 + 1,
-        org.apache.spark.unsafe.types.UTF8String.fromString(hashes(p2)))
+        if (portable)
+          org.apache.spark.unsafe.types.UTF8String
+            .fromString(strHashes(p2))
+        else java.lang.Long.valueOf(longHashes(p2)))
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       rows.asInstanceOf[Array[Any]])
@@ -605,7 +638,7 @@ case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
   * chunks concatenate back to the input verbatim. Same per-position
   * md5 cost class as [[RollingFingerprints]]; single pass, map-only.
   */
-case class CdcChunks(child: Expression, k: Int)
+case class CdcChunks(child: Expression, k: Int, portable: Boolean = true)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   require(k >= 1, "k-gram width must be >= 1")
@@ -633,19 +666,31 @@ case class CdcChunks(child: Expression, k: Int)
     sb.toString
   }
 
-  /** Row kernel — public so generated code can call it. */
+  /** Row kernel — public so generated code can call it. Both modes cut
+    * at the same 1/16 expected rate: portable tests the md5 hex's first
+    * nibble, the xxhash64 mode tests the hash's LOW nibble — boundary
+    * positions differ per mode, the content-defined realignment
+    * property does not (PropertySpec asserts it for both). */
   def kernel(input: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
     val text = input.toString
     val n = text.length
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     if (n == 0) return new org.apache.spark.sql.catalyst.util
       .GenericArrayData(out.toArray)
-    val md = MinHashParams.threadMd5()
+    val md = if (portable) MinHashParams.threadMd5() else null
+    @inline def isBoundary(from: Int, to: Int): Boolean =
+      if (portable) md5Hex(md, text.substring(from, to)).charAt(0) == '0'
+      else {
+        val b = text.substring(from, to)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        (org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform
+            .BYTE_ARRAY_OFFSET, b.length, 42L) & 0xfL) == 0L
+      }
     var start = 0
     var i = k // 0-based end-exclusive position of the first full k-gram
     while (i <= n) {
-      val h = md5Hex(md, text.substring(i - k, i))
-      if (h.charAt(0) == '0') {
+      if (isBoundary(i - k, i)) {
         out += org.apache.spark.unsafe.types.UTF8String
           .fromString(text.substring(start, i))
         start = i

@@ -200,8 +200,10 @@ object TextOps {
     * shared substring of length ≥ w + k − 1 contributes at least one
     * shared fingerprint (PropertySpec asserts it on shifted copies). */
   def winnowingFingerprints(text: Column, k: Int = 8,
-                            w: Int = 8): Column =
-    graft.functions.VectorExpressions.winnowingFingerprints(text, k, w)
+                            w: Int = 8,
+                            portable: Boolean = true): Column =
+    graft.functions.VectorExpressions.winnowingFingerprints(text, k, w,
+      portable)
 
   /** Content-defined chunks ([[graft.functions.CdcChunks]]): split after
     * every position whose trailing character `k`-gram md5 starts with
@@ -211,8 +213,9 @@ object TextOps {
     * which is exactly what fixed-stride chunking ([[chunks]]) cannot do
     * (any offset < chunkLen shifts every chunk; PropertySpec quantifies
     * the miss). Chunks concatenate back to the input verbatim. */
-  def cdcChunks(text: Column, k: Int = 8): Column =
-    graft.functions.VectorExpressions.cdcChunks(text, k)
+  def cdcChunks(text: Column, k: Int = 8,
+                portable: Boolean = true): Column =
+    graft.functions.VectorExpressions.cdcChunks(text, k, portable)
 
   /** Word n-gram shingles (lowercased, distinct, first-occurrence order),
     * for Jaccard/MinHash dedup. Native single-pass kernel

@@ -444,6 +444,59 @@ class PropertySpec extends SparkSpec {
       s"selection gap exceeds w: $ps")
   }
 
+  test("xxhash64 kernel mode (portable=false): the winnowing w+k-1 " +
+    "detection floor, selection density, CDC realignment, and verbatim " +
+    "concat all hold — same guarantees, ~5x less hashing per byte") {
+    val rnd = new scala.util.Random(123)
+    def rndText(n: Int): String =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    def fpsOf(s: String): Set[Long] =
+      Seq(s).toDF("t")
+        .select(TextOps.winnowingFingerprints(col("t"), 8, 8,
+          portable = false).as("f"))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+        .map(_.getLong(1)).toSet
+    def posOf(s: String): Seq[Int] =
+      Seq(s).toDF("t")
+        .select(TextOps.winnowingFingerprints(col("t"), 8, 8,
+          portable = false).as("f"))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+        .map(_.getInt(0)).toSeq
+    val shared = rndText(15) // w + k - 1
+    val hits = (0 until 6).map { o =>
+      val a = rndText(40 + o * 3) + shared + rndText(30)
+      val b = rndText(11 * o + 7) + shared + rndText(25)
+      (fpsOf(a) intersect fpsOf(b)).nonEmpty
+    }
+    assert(hits.forall(identity),
+      "xxhash64 mode: a >= w+k-1 shared substring went undetected")
+    val ps = posOf(rndText(300))
+    assert(ps.zip(ps.drop(1)).forall { case (a, b) => b - a <= 8 },
+      s"xxhash64 mode: selection gap exceeds w: $ps")
+    // CDC fast mode: realignment after a shifted prefix + verbatim concat
+    def cdcOf(s: String): Seq[String] =
+      Seq(s).toDF("t")
+        .select(TextOps.cdcChunks(col("t"), 8, portable = false).as("c"))
+        .head().getSeq[String](0).toSeq
+    val body = rndText(512)
+    val baseCdc = cdcOf(body).toSet
+    Seq(1, 7, 16, 31).foreach { o =>
+      val sharedN = cdcOf(body.take(o).reverse + body).toSet
+        .intersect(baseCdc).size
+      assert(sharedN >= (baseCdc.size * 7) / 10,
+        s"xxhash64 CDC: offset $o shared only $sharedN of ${baseCdc.size}")
+    }
+    assert(cdcOf(body).mkString == body)
+    assert(cdcOf("tiny") == Seq("tiny"))
+    // the dedup join composes on the long fp type end-to-end
+    val docs = Seq((1L, body), (2L, "qqq" + body), (3L, rndText(400)))
+      .toDF("doc_id", "text")
+    val pairs = graft.dedup.Dedup.winnowingOverlap(docs,
+      portable = false).collect()
+    assert(pairs.length == 1 && pairs(0).getLong(0) == 1L &&
+      pairs(0).getLong(1) == 2L, s"got ${pairs.mkString(",")}")
+  }
+
   test("substringDedupCdc removes a shifted duplicated passage that " +
     "fixed-stride substringDedup misses entirely") {
     import graft.dedup.Dedup
