@@ -653,9 +653,18 @@ object Dedup {
     * INTO <n> BUCKETS LOCATION '<path>'` (and likewise `_sigs` on
     * `id`) — the data needs no rewrite. */
   def readSignatureIndex(spark: org.apache.spark.sql.SparkSession,
-                         name: String): SignatureIndex =
-    SignatureIndex(spark.table(s"${name}_sigs"),
-      spark.table(s"${name}_bands"))
+                         name: String): SignatureIndex = {
+    val sigs = spark.table(s"${name}_sigs")
+    val bands = spark.table(s"${name}_bands")
+    // retractions ([[removeFromSignatureIndex]]): broadcast anti-join
+    // both frames — preserves the bucketed scans' partitioning, so the
+    // batch path's no-corpus-Exchange plan shape survives
+    if (spark.catalog.tableExists(s"${name}_tombstones")) {
+      val t = broadcast(spark.table(s"${name}_tombstones"))
+      SignatureIndex(sigs.join(t, Seq("id"), "left_anti"),
+        bands.join(t, Seq("id"), "left_anti"))
+    } else SignatureIndex(sigs, bands)
+  }
 
   /** Append a batch's signatures to a persisted index — the maintenance
     * step that closes the continuous-crawl loop: gate batch N with
@@ -680,6 +689,68 @@ object Dedup {
     idx.bands.write.format("parquet").mode("append")
       .bucketBy(buckets, "band_key").sortBy("band_key")
       .saveAsTable(s"${name}_bands")
+  }
+
+  /** Tombstone a set of doc ids out of a persisted index — the
+    * retraction path (DMCA takedown, opt-out, quality recall): appends
+    * the ids to a plain `<name>_tombstones` table; no index file is
+    * rewritten. [[readSignatureIndex]] anti-joins the tombstones into
+    * both frames (a BROADCAST anti-join — tombstone sets are
+    * takedown-list-sized — which preserves the bucketed scan's
+    * partitioning, so the batch path keeps its no-corpus-Exchange
+    * shape), and [[compactSignatureIndex]] later makes the removal
+    * physical. A removed doc can no longer suppress future near-dups of
+    * itself — exactly the retraction semantics (a re-crawl of a
+    * retracted page is NEW data again). */
+  def removeFromSignatureIndex(ids: DataFrame, name: String,
+                               idCol: String = "doc_id"): Unit =
+    ids.select(col(idCol).as("id")).distinct()
+      .write.format("parquet").mode("append")
+      .saveAsTable(s"${name}_tombstones")
+
+  /** Bucket-preserving compaction of a persisted index — the small-files
+    * countermeasure for an append-per-batch cadence (every
+    * [[appendToSignatureIndex]] adds ≥1 file per bucket; a year of
+    * hourly batches is ~10⁴ files per bucket and footer-open cost
+    * starts to dominate the probe). A blind [[graft.io.Writers
+    * .compact]]-style rewrite would DESTROY the bucket spec (plain
+    * parquet files carry no bucketing metadata); this one re-reads each
+    * table, physically drops tombstoned rows, and rewrites through the
+    * SAME `bucketBy` spec (auto-detected from the catalog) into a tmp
+    * table, then swaps via drop + rename — the Writers.compact
+    * crash-safety pattern: a failure before the swap leaves the
+    * original table untouched. Clears the tombstone table (removals
+    * are now physical). Returns (sig rows, band rows) kept. */
+  def compactSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+                            name: String): (Long, Long) = {
+    def numBuckets(table: String): Int =
+      spark.sql(s"DESCRIBE FORMATTED $table")
+        .filter(col("col_name") === "Num Buckets")
+        .head().getString(1).trim.toInt
+    val hasTombs = spark.catalog.tableExists(s"${name}_tombstones")
+    val tombs =
+      if (hasTombs) spark.table(s"${name}_tombstones") else null
+    def rewrite(suffix: String, bucketCol: String): Long = {
+      val table = s"${name}_$suffix"
+      val buckets = numBuckets(table)
+      val kept =
+        if (tombs == null) spark.table(table)
+        else spark.table(table).join(broadcast(tombs), Seq("id"),
+          "left_anti")
+      val tmp = s"${table}_compact_tmp"
+      spark.sql(s"DROP TABLE IF EXISTS $tmp")
+      kept.write.format("parquet").mode("overwrite")
+        .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+        .saveAsTable(tmp)
+      val n = spark.table(tmp).count()
+      spark.sql(s"DROP TABLE $table")
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      n
+    }
+    val nSigs = rewrite("sigs", "id")
+    val nBands = rewrite("bands", "band_key")
+    if (hasTombs) spark.sql(s"DROP TABLE ${name}_tombstones")
+    (nSigs, nBands)
   }
 
   /** Incremental near-dup gate against a STORED signature index — the

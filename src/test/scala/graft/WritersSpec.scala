@@ -1,7 +1,7 @@
 package graft
 
 import java.nio.file.Files
-import org.apache.spark.sql.functions.typedlit
+import org.apache.spark.sql.functions.{col, typedlit}
 import graft.io.{Readers, Writers}
 
 /** Sinks: plain, date-partitioned layout, idempotence guard. */
@@ -324,6 +324,83 @@ class WritersSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS sigidx_app_sigs")
       spark.sql("DROP TABLE IF EXISTS sigidx_app_bands")
+    }
+  }
+
+  test("signature-index lifecycle: a tombstoned doc stops suppressing " +
+    "its near-dups; compaction collapses append-era files, keeps the " +
+    "bucket spec (no exchange), and makes removals physical") {
+    import graft.dedup.Dedup
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val corpusText = "alpha bravo charlie delta echo foxtrot golf " +
+        "hotel india juliet kilo lima mike november oscar papa"
+      val otherText = "quebec romeo sierra tango uniform victor " +
+        "whiskey xray yankee zulu one two three four five six"
+      val corpus = Seq((1L, corpusText), (2L, otherText))
+        .toDF("doc_id", "text")
+      Dedup.writeSignatureIndex(
+        Dedup.buildSignatureIndex(corpus, numHashes = 16, bands = 4),
+        "sigidx_lc", buckets = 4)
+      def gate(batch: org.apache.spark.sql.DataFrame) =
+        Dedup.incrementalNewFuzzyIndexed(batch,
+          Dedup.readSignatureIndex(spark, "sigidx_lc"),
+          minJaccard = 0.5, numHashes = 16, bands = 4)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      val recrawl = Seq((10L, corpusText)).toDF("doc_id", "text")
+      assert(gate(recrawl) == Seq(), "re-crawl should be suppressed")
+      // retract doc 1: its re-crawl is NEW data again, doc 2 still gates
+      Dedup.removeFromSignatureIndex(Seq(1L).toDF("doc_id"), "sigidx_lc")
+      assert(gate(recrawl) == Seq(10L),
+        "tombstoned doc still suppresses its re-crawl")
+      assert(gate(Seq((11L, otherText)).toDF("doc_id", "text")) == Seq(),
+        "untouched doc stopped gating after an unrelated tombstone")
+      // grow the index with several appends, then compact
+      (0 until 3).foreach { b =>
+        Dedup.appendToSignatureIndex(
+          Seq((100L + b, s"batch$b specific words nobody else uses " +
+            s"round$b extra$b tokens$b here$b now$b")).toDF(
+            "doc_id", "text"),
+          "sigidx_lc", buckets = 4, numHashes = 16, bands = 4)
+      }
+      def dataFiles(table: String): Int = {
+        val loc = spark.sql(s"DESCRIBE FORMATTED $table")
+          .filter(col("col_name") === "Location")
+          .head().getString(1)
+        val dir = new java.io.File(new java.net.URI(loc))
+        Option(dir.listFiles()).map(_.count(f =>
+          f.isFile && !f.getName.startsWith("_"))).getOrElse(0)
+      }
+      val before = dataFiles("sigidx_lc_bands")
+      val keptBefore = gate(recrawl) // == Seq(10L), index view pre-compact
+      val (nSigs, nBands) = Dedup.compactSignatureIndex(spark, "sigidx_lc")
+      assert(nSigs == 4 && nBands == 16, s"kept ($nSigs, $nBands)")
+      val after = dataFiles("sigidx_lc_bands")
+      assert(after < before,
+        s"compaction did not collapse files: $before -> $after")
+      assert(!spark.catalog.tableExists("sigidx_lc_tombstones"),
+        "tombstones must clear once removals are physical")
+      // verdicts unchanged by compaction, and the plan keeps its shape
+      assert(gate(recrawl) == keptBefore)
+      val out = Dedup.incrementalNewFuzzyIndexed(recrawl,
+        Dedup.readSignatureIndex(spark, "sigidx_lc"),
+        minJaccard = 0.5, numHashes = 16, bands = 4)
+      out.queryExecution.sparkPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e
+      }.foreach { e =>
+        val under = e.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.rootPaths.mkString(",") }
+        assert(under.forall(p => !p.contains("sigidx_lc")),
+          "compacted index shuffles on the batch path")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      Seq("sigidx_lc_sigs", "sigidx_lc_bands", "sigidx_lc_tombstones",
+        "sigidx_lc_sigs_compact_tmp", "sigidx_lc_bands_compact_tmp")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
 
