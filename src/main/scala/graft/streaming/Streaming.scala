@@ -157,6 +157,65 @@ object Streaming {
     // insensitive to duplicates; batch callers `.distinct()`.
   }
 
+  /** The DEPLOYED streaming ingest gate — the `foreachBatch`
+    * composition [[fuzzyIndexDetections]] deliberately is not: per
+    * micro-batch, (1) apply the caller's stage-1 row gates, (2) run the
+    * BATCH near-dup gate [[graft.dedup.Dedup.incrementalNewFuzzyIndexed]]
+    * against the stored index (re-read each batch, so appends and
+    * tombstones from other writers are visible), (3) append the
+    * SURVIVORS' signatures back to the index, (4) land the survivors in
+    * the parquet sink. State is carried by the INDEX, not by streaming
+    * state: batch N+1 near-dups against every survivor batch N landed —
+    * no stream-stream join, no watermark, restart-safe through the
+    * checkpoint (a replayed batch re-gates against an index that
+    * already holds its survivors; the landing sink may then hold
+    * duplicate rows for the replayed ids — dedup-on-read by id, the
+    * standard at-least-once parquet posture).
+    *
+    * Within-batch near-dup pairs both pass (the gate compares to the
+    * index, not batch-to-itself) — identical to the batch ingest loop's
+    * semantics; run the corpus-global dedup over the landed table on
+    * its own cadence. Build parameters MUST match the index's. */
+  def curateForeachBatch(stream: DataFrame, indexName: String,
+                         sinkPath: String, checkpoint: String,
+                         buckets: Int = 64,
+                         idCol: String = "doc_id",
+                         textCol: String = "text",
+                         shingleN: Int = 3, minJaccard: Double = 0.5,
+                         numHashes: Int = 64, bands: Int = 16,
+                         portable: Boolean = false,
+                         stage1: DataFrame => DataFrame = identity)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sess = batch.sparkSession
+        val gated = stage1(batch.toDF())
+        val idx = graft.dedup.Dedup.readSignatureIndex(sess, indexName)
+        val survivors = graft.dedup.Dedup.incrementalNewFuzzyIndexed(
+          gated, idx, idCol, textCol, shingleN, minJaccard, numHashes,
+          bands, portable).persist() // consumed by sink + append
+        try {
+          // ORDER MATTERS: land first, append second. The append writes
+          // the index tables the survivor plan READS, and Spark
+          // invalidates dependent caches on a table write — appending
+          // first would make the sink write recompute the gate against
+          // the just-grown index and drop every survivor as a near-dup
+          // of itself (observed in spec). Landing first keeps both
+          // consumers on the pre-append index view; a crash between the
+          // two replays the batch (at-least-once landing, documented
+          // above) and the append then reconciles.
+          survivors.write.mode("append").parquet(sinkPath)
+          graft.dedup.Dedup.appendToSignatureIndex(survivors, indexName,
+            buckets, idCol, textCol, shingleN, numHashes, bands,
+            portable)
+        } finally survivors.unpersist(false)
+        ()
+      }
+      .start()
+
   /** Continuous drift monitoring, step 1 of 2: per tumbling window,
     * equal-width bin counts of `valueCol` (the sufficient statistics of
     * [[graft.ops.Stats.psi]]). One watermarked streaming aggregation —

@@ -446,4 +446,49 @@ class StreamingSpec extends SparkSpec {
         "completed user re-entered the funnel")
     } finally q.stop()
   }
+
+  test("curateForeachBatch: the index carries the state — batch 2's " +
+    "near-dup of a batch-1 SURVIVOR is dropped, fresh docs land, and " +
+    "survivors' signatures appear in the index") {
+    import graft.dedup.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_fbgate")
+    val sink = base.resolve("sink").toString
+    val ckpt = base.resolve("ckpt").toString
+    val corpusText = "alpha bravo charlie delta echo foxtrot golf " +
+      "hotel india juliet kilo lima mike november oscar papa"
+    val freshText = "quebec romeo sierra tango uniform victor " +
+      "whiskey xray yankee zulu one two three four five six"
+    try {
+      Dedup.writeSignatureIndex(
+        Dedup.buildSignatureIndex(
+          Seq((1L, corpusText)).toDF("doc_id", "text"),
+          numHashes = 16, bands = 4),
+        "sigidx_fb", buckets = 4)
+      val in = MemoryStream[(Long, String)]
+      val q = Streaming.curateForeachBatch(
+        in.toDF().toDF("doc_id", "text"), "sigidx_fb", sink, ckpt,
+        buckets = 4, minJaccard = 0.5, numHashes = 16, bands = 4)
+      try {
+        // batch 1: a corpus re-crawl (dropped) + a fresh doc (lands)
+        in.addData((10L, corpusText), (11L, freshText))
+        q.processAllAvailable()
+        // batch 2: a re-crawl of batch 1's SURVIVOR — only the grown
+        // index can catch it — plus a genuinely new doc
+        in.addData((20L, freshText),
+          (21L, "gamma entirely different vocabulary spoken here with " +
+            "words shared by no earlier document in any batch today"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val landed = spark.read.parquet(sink)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      assert(landed == Seq(11L, 21L), s"landed $landed")
+      val indexed = spark.table("sigidx_fb_sigs")
+        .select("id").collect().map(_.getLong(0)).toSeq.sorted
+      assert(indexed == Seq(1L, 11L, 21L), s"indexed $indexed")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sigidx_fb_sigs")
+      spark.sql("DROP TABLE IF EXISTS sigidx_fb_bands")
+    }
+  }
 }
