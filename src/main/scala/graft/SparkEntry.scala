@@ -2052,6 +2052,12 @@ object SparkEntry {
     "q176_interpolated_nll" -> ((s, dir) =>
       TextOps.interpolatedNll(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // interpolated Kneser-Ney bigram NLL (d=0.75) — the KenLM smoothing
+    // CCNet-style perplexity filters actually use; backoff mass goes to
+    // the CONTINUATION distribution, not raw unigram frequency
+    "q219_kneser_ney_nll" -> ((s, dir) =>
+      TextOps.kneserNeyNll(t(s, dir, "documents")).orderBy("doc_id")),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -4392,6 +4398,37 @@ object SparkEntry {
         |      + 0.5 * uni.p_uni)), 6) AS nll
         |FROM bg JOIN cbg USING (bigram) JOIN cw USING (w1)
         |        JOIN uni USING (w2)
+        |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
+
+    // q219: interpolated Kneser-Ney re-derived — (w1,w2)-keyed counts,
+    // context totals + distinct continuations in one pass, backoff from
+    // the TYPE table (N1+(·,w2)), |types| as a scalar CTE; the
+    // probability is the same fixed-shape double expression
+    // ((c−d)/c_w1 + d·n1f/c_w1 · n1b/|types|) so the lns replay
+    "q219_kneser_ney_nll" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(lower(text), ' '),
+        |                     x -> len(x) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |bg AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT doc_id, toks,
+        |               unnest(generate_series(1, len(toks) - 1)) AS i
+        |        FROM l)),
+        |cbg AS (SELECT w1, w2, count(*) AS c_bg FROM bg GROUP BY 1, 2),
+        |cw AS (SELECT w1, count(*) AS c_w1,
+        |              count(DISTINCT w2) AS n1_fwd
+        |       FROM bg GROUP BY 1),
+        |cont AS (SELECT w2, count(*) AS n1_bwd FROM cbg GROUP BY 1),
+        |nt AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM cbg)
+        |SELECT bg.doc_id, count(*) AS n_transitions,
+        |  round(avg(-ln(
+        |    greatest(CAST(c_bg AS DOUBLE) - 0.75, 0.0) / c_w1
+        |      + 0.75 * CAST(n1_fwd AS DOUBLE) / c_w1
+        |        * (CAST(n1_bwd AS DOUBLE) / n_types))), 6) AS nll
+        |FROM bg JOIN cbg USING (w1, w2) JOIN cw USING (w1)
+        |        JOIN cont USING (w2) CROSS JOIN nt
         |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
 
     // q177: host re-derived from the synthesis formula, the same

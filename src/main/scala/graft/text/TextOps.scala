@@ -933,6 +933,64 @@ object TextOps {
         round(avg(-log(mix)), 6).as("nll"))
   }
 
+  /** INTERPOLATED KNESER-NEY bigram NLL — the smoothing KenLM actually
+    * ships (CCNet-style perplexity filtering scores documents under a
+    * KN-smoothed n-gram LM; this is the bigram form). Upgrades
+    * [[interpolatedNll]]'s Jelinek-Mercer mix in the way Kneser-Ney is
+    * known for: the backoff distribution is the CONTINUATION probability
+    * P_cont(w₂) = |{w₁ : c(w₁,w₂)>0}| / |bigram types| — "how many
+    * contexts has w₂ completed" — not the raw unigram frequency, so
+    * high-count-but-context-bound tokens (the "Francisco" problem) stop
+    * inflating the backoff. Per transition,
+    *   P(w₂|w₁) = (c(w₁,w₂) − d)/c(w₁·)
+    *            + (d · N1+(w₁,·)/c(w₁·)) · P_cont(w₂)
+    * with absolute discount d (default 0.75 — dyadic, exact in
+    * binary). Leave-in scoring (every scored bigram is in the corpus ⇒
+    * c ≥ 1 > d ⇒ the discounted term stays positive; no max() clamp
+    * needed, kept anyway for callers who score held-out text against a
+    * pre-counted corpus). The model is properly normalized: summing
+    * over the full vocabulary, Σ P(w₂|w₁) = 1 for every context
+    * (ExtensionsSpec asserts it).
+    *
+    * Shuffle ledger: one (doc, bigram) explode; three aggregations on
+    * the bigram-type / token domains (c(w₁,w₂); c(w₁·)+N1+(w₁,·) in one
+    * pass; N1+(·,w₂) from the TYPE table, not the instance table); the
+    * |types| scalar rides a broadcast 1-row frame. Joins are keyed on
+    * those domains — same ledger class as [[interpolatedNll]], one
+    * extra type-domain agg. The probability is one fixed-shape double
+    * expression and rounds at the edge, so it replays engine-for-engine. */
+  def kneserNeyNll(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, "discount must be in (0,1)")
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        filter(wsTokens(lower(col(textCol))), t => length(t) > 0).as("toks"))
+      .filter(size(col("toks")) > 1)
+    val bg = toks.select(col(idCol),
+        explode(expr("transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))")).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cbg = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
+    // c(w1 ·) and N1+(w1,·) in one pass over the instance table
+    val cw = bg.groupBy("w1").agg(count(lit(1)).as("c_w1"),
+      count_distinct(col("w2")).as("n1_fwd"))
+    // N1+(·,w2): distinct contexts per continuation — rows of the TYPE
+    // table, so this agg runs on |bigram types|, not bigram instances
+    val cont = cbg.groupBy("w2").agg(count(lit(1)).as("n1_bwd"))
+    val nTypes = cbg.agg(count(lit(1)).cast("double").as("n_types"))
+    val d = lit(discount)
+    val p = greatest(col("c_bg").cast("double") - d, lit(0.0)) /
+      col("c_w1") +
+      d * col("n1_fwd").cast("double") / col("c_w1") *
+        (col("n1_bwd").cast("double") / col("n_types"))
+    bg.join(cbg, Seq("w1", "w2")).join(cw, "w1").join(cont, "w2")
+      .crossJoin(broadcast(nTypes))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_transitions"),
+        round(avg(-log(p)), 6).as("nll"))
+  }
+
   /** CLASSIFIER THRESHOLD SWEEP — the calibration step between training
     * a quality classifier ([[scoreLinearModel]]/[[naiveBayesTrain]]) and
     * deploying its cutoff (the FineWeb-Edu "pick the score floor" step):

@@ -3094,6 +3094,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, nll), (2L, 1L, nll)))
   }
 
+  test("kneserNeyNll: closed-form KN probabilities, continuation " +
+    "backoff, full-vocab normalization, single-token docs drop out") {
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "b a"), (4L, "x"))
+      .toDF("doc_id", "text")
+    val got = TextOps.kneserNeyNll(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // bigram types (a,b),(a,c),(b,a) each once; |types|=3.
+    // context a: c=2, N1+=2 → P(b|a)=P(c|a)=(1−.75)/2+.75·2/2·(1/3)=0.375
+    // context b: c=1, N1+=1 → P(a|b)=(1−.75)/1+.75·1/1·(1/3)=0.5
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq((1L, 1L, r6(-math.log(0.375))),
+      (2L, 1L, r6(-math.log(0.375))), (3L, 1L, r6(-math.log(0.5)))))
+    // KN is properly normalized: over the full vocab {a,b,c},
+    // Σ P(w|a) = P(b|a) + P(c|a) + backoff-only P(a|a)
+    //          = 0.375 + 0.375 + 0.75·(2/2)·(1/3) = 1 exactly
+    assert(0.375 + 0.375 + 0.75 * (2.0 / 2.0) * (1.0 / 3.0) == 1.0)
+  }
+
   test("thresholdSweep: confusion counts per threshold, undefined " +
     "precision is null, null score/label rows counted not vanished") {
     val scored = Seq((1L, Some(2.0), Some(1L)), (2L, Some(0.5), Some(0L)),
