@@ -2058,6 +2058,31 @@ object SparkEntry {
     "q219_kneser_ney_nll" -> ((s, dir) =>
       TextOps.kneserNeyNll(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // token-budget selection: quality-ranked maximal prefix within a
+    // 12k-token budget — score-domain cumsum + one boundary-group window,
+    // never a global per-doc sort; ranking uses the UNROUNDED quality
+    "q220_token_budget" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"),
+          TextOps.qualityScore(col("text")).as("quality"))
+      TextOps.tokenBudgetSelect(scored, budgetTokens = 12000L)
+        .select(col("doc_id"), round(col("quality"), 6).as("quality"),
+          col("n_tok"))
+        .orderBy("doc_id")
+    }),
+
+    // temperature mixing (τ=0.5) over the skewed lang strata: derived
+    // shares p^τ/Σp^τ (sqrt chain + fixed-order fold — bit-portable),
+    // ppm rates for a 300-doc target, md5-gated deterministic sample
+    "q221_temperature_mix" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val rates = TextOps.temperatureRates(d, targetTotal = 300,
+        tau = 0.5, stratumCol = "lang")
+      TextOps.mixtureSample(d, rates, stratumCol = "lang")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -4430,6 +4455,52 @@ object SparkEntry {
         |FROM bg JOIN cbg USING (w1, w2) JOIN cw USING (w1)
         |        JOIN cont USING (w2) CROSS JOIN nt
         |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
+
+    // q220: the one-window equivalent of the two-phase scale path —
+    // integer cumsum over (quality DESC, doc_id), prefix cut at the
+    // budget; quality re-derived from qualityCtes, rounded display-only
+    "q220_token_budget" ->
+      s"""WITH $qualityCtes,
+         |b AS (
+         |  SELECT q.doc_id, q.quality,
+         |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+         |  FROM q JOIN documents d USING (doc_id)
+         |  WHERE d.text IS NOT NULL),
+         |c AS (
+         |  SELECT doc_id, quality, n_tok,
+         |         CAST(sum(n_tok) OVER (ORDER BY quality DESC, doc_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cum
+         |  FROM b)
+         |SELECT doc_id, round(quality, 6) AS quality, n_tok
+         |FROM c WHERE cum <= 12000 ORDER BY doc_id""".stripMargin,
+
+    // q221: temperature shares re-derived — sqrt of the lang share,
+    // denominator as the SAME stratum-sorted sequential list fold (a
+    // window/parallel sum could add in a different order), ppm floor,
+    // q110's md5-bucket gate
+    "q221_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT lang AS stratum, count(*) AS n FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS n_total FROM c),
+        |w AS (SELECT stratum, n, sqrt(n / n_total) AS w
+        |      FROM c CROSS JOIN tot),
+        |den AS (
+        |  SELECT list_reduce(list_transform(
+        |           list_sort(list(struct_pack(s := stratum, w := w))),
+        |           x -> x.w), (a, b) -> a + b) AS denom
+        |  FROM w),
+        |r AS (
+        |  SELECT stratum,
+        |         CAST(floor(least(1.0, (w / denom) * 300.0 / n) * 1000000)
+        |           AS BIGINT) AS rate_ppm
+        |  FROM w CROSS JOIN den)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN r ON d.lang = r.stratum
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |        % 1000000 < r.rate_ppm
+        |ORDER BY d.doc_id""".stripMargin,
 
     // q177: host re-derived from the synthesis formula, the same
     // 8-hex-digit md5 bucket as q110/q148

@@ -509,6 +509,114 @@ object TextOps {
       .filter(hashBucket(docs(idCol), 1000000) < col("rate_ppm"))
       .drop("stratum", "rate_ppm")
 
+  /** TEMPERATURE-BASED mixture rates — the multilingual/multi-source
+    * rebalancing rule (mBERT/XLM-R exponential smoothing, the Llama-era
+    * "sample source i ∝ pᵢ^τ" recipe): where [[mixtureRates]] takes the
+    * target shares from the caller, this DERIVES them from the corpus
+    * itself, qᵢ = pᵢ^τ / Σⱼ pⱼ^τ with pᵢ the stratum's document share.
+    * τ < 1 flattens the mix toward uniform (up-weights tail languages /
+    * sources without fully inverting the head); τ = 1 is the identity
+    * mix. Returns (stratum, n, rate_ppm) where rate_ppm is the
+    * parts-per-million keep-rate hitting target counts tᵢ = qᵢ·total for
+    * a `targetTotal`-document corpus, capped at 1 (no upsampling) —
+    * feed it straight to [[mixtureSample]].
+    *
+    * Engine portability is why τ is restricted to {1, 0.5, 0.25}: those
+    * exponents evaluate as sqrt chains, and IEEE-754 sqrt/div/mul are
+    * correctly rounded in every engine, so every intermediate double is
+    * bit-identical — `pow(x, τ)` for arbitrary τ goes through libm,
+    * whose last-ulp behavior differs across engines and could flip the
+    * ppm floor. The share denominator Σ pⱼ^τ is a FIXED-ORDER
+    * sequential fold over the stratum-sorted weights (q178's
+    * fixed-order-fold rule): a parallel sum's order is
+    * engine/plan-dependent and would break bit parity.
+    *
+    * Shuffle ledger: one map-side-combined count over the corpus, then
+    * everything runs on the |strata|-row table (catalog-sized,
+    * broadcast). The apply step is [[mixtureSample]]'s broadcast-join +
+    * map-side filter — nothing but the counts pass touches the corpus. */
+  def temperatureRates(docs: DataFrame, targetTotal: Long,
+                       tau: Double = 0.5,
+                       stratumCol: String = "source"): DataFrame = {
+    require(targetTotal > 0, "targetTotal must be positive")
+    require(Set(1.0, 0.5, 0.25).contains(tau),
+      s"tau must be 1, 0.5 or 0.25 (bit-portable sqrt chain), got $tau")
+    def pTau(p: Column): Column = tau match {
+      case 1.0  => p
+      case 0.5  => sqrt(p)
+      case 0.25 => sqrt(sqrt(p))
+    }
+    val counts = docs.filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").cast("double").as("n_total"))
+    val w = counts.crossJoin(broadcast(total))
+      .select(col("stratum"), col("n"),
+        pTau(col("n").cast("double") / col("n_total")).as("w"))
+    // Σ w in stratum order — one sequential fold, not a parallel sum
+    val denom = w.agg(aggregate(
+      array_sort(collect_list(struct(col("stratum"), col("w")))),
+      lit(0.0), (acc, x) => acc + x.getField("w")).as("denom"))
+    w.crossJoin(broadcast(denom))
+      .select(col("stratum"), col("n"),
+        floor(least(lit(1.0),
+          (col("w") / col("denom")) * lit(targetTotal.toDouble) /
+            col("n").cast("double")) * 1000000L)
+          .cast("long").as("rate_ppm"))
+  }
+
+  /** TOKEN-BUDGET SELECTION — the corpus-assembly cut: order documents
+    * by a quality score (descending, document id breaking ties) and keep
+    * the maximal prefix whose cumulative token count stays within
+    * `budgetTokens` (the "sort by classifier score, take the top N
+    * tokens" step of FineWeb-Edu-style curation). A document is kept iff
+    * the running total INCLUDING it is ≤ budget; the running total is
+    * monotone, so the kept set is a true prefix of the ranking.
+    *
+    * Scale path — no global per-document sort: token mass is first
+    * aggregated per DISTINCT SCORE (map-side combined), the running
+    * total runs over that score-domain table (|distinct scores| rows —
+    * the quantileBucketsByCutpoints precedent), and per-document work
+    * happens only inside the single BOUNDARY score group that straddles
+    * the budget (one id-ordered window over that group alone). Score
+    * groups wholly under the budget are kept with a map-side predicate;
+    * groups past it are dropped the same way. Equivalent, row for row,
+    * to the one-window form `sum(n_tok) OVER (ORDER BY score DESC, id)
+    * ≤ budget` — which is what the oracle runs.
+    *
+    * Returns (idCol, scoreCol, n_tok) for the selected documents. Null
+    * text counts by its split convention (one empty token), null scores
+    * sort last and are only reached if the budget survives every scored
+    * group. */
+  def tokenBudgetSelect(docs: DataFrame, budgetTokens: Long,
+                        scoreCol: String = "quality",
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(budgetTokens >= 0, "budget must be non-negative")
+    val W = org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol), col(scoreCol),
+      tokenCount(coalesce(col(textCol), lit(""))).cast("long").as("n_tok"))
+    val perScore = base.groupBy(col(scoreCol))
+      .agg(sum("n_tok").as("tok_s"))
+    val wBefore = W.orderBy(col(scoreCol).desc_nulls_last)
+      .rowsBetween(W.unboundedPreceding, -1)
+    val cum = perScore.select(col(scoreCol), col("tok_s"),
+      coalesce(sum("tok_s").over(wBefore), lit(0L)).as("cum_before"))
+    val joined = base.join(cum, Seq(scoreCol))
+    val whole = joined
+      .filter(col("cum_before") + col("tok_s") <= budgetTokens)
+      .select(col(idCol), col(scoreCol), col("n_tok"))
+    val wIn = W.partitionBy(col(scoreCol)).orderBy(col(idCol))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val boundary = joined
+      .filter(col("cum_before") < budgetTokens &&
+        col("cum_before") + col("tok_s") > budgetTokens)
+      .withColumn("cum_in", sum("n_tok").over(wIn))
+      .filter(col("cum_before") + col("cum_in") <= budgetTokens)
+      .select(col(idCol), col(scoreCol), col("n_tok"))
+    whole.unionByName(boundary)
+  }
+
   /** Corpus vocabulary: token → document-independent occurrence count,
     * top `k` by count. One explode + map-side-combined aggregation; the
     * final top-k is an orderBy(limit) over the distinct-token table, which

@@ -3113,6 +3113,51 @@ class ExtensionsSpec extends SparkSpec {
     assert(0.375 + 0.375 + 0.75 * (2.0 / 2.0) * (1.0 / 3.0) == 1.0)
   }
 
+  test("tokenBudgetSelect: prefix cut, boundary group split by id, " +
+    "groups past the budget dropped, exact-fit doc kept") {
+    val docs = Seq((1L, "w w w", 3.0), (2L, "w w", 2.0),
+      (3L, "w w w w", 2.0), (4L, "w", 1.0))
+      .toDF("doc_id", "text", "quality")
+    // order (quality desc, id): 1(3 tok), 2(2), 3(4), 4(1)
+    val sel7 = TextOps.tokenBudgetSelect(docs, 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sel7 == Set(1L, 2L)) // doc3 overflows at cum 9; doc4's
+    // whole score group starts past the budget
+    val sel10 = TextOps.tokenBudgetSelect(docs, 10L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sel10 == Set(1L, 2L, 3L, 4L)) // doc4 lands exactly on 10
+    assert(TextOps.tokenBudgetSelect(docs, 0L).count() == 0L)
+  }
+
+  test("temperatureRates: τ=0.5 flattens the mix, τ=1 is identity, " +
+    "cap at 1, arbitrary τ rejected") {
+    val docs = (1L to 4L).map(i => (i, "en")) :+ ((5L, "fr"))
+    val df = docs.toDF("doc_id", "lang")
+    val r = TextOps.temperatureRates(df, targetTotal = 3, tau = 0.5,
+      stratumCol = "lang").collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // p = (0.8, 0.2); w = sqrt p; fold in stratum order (en, fr)
+    val wEn = math.sqrt(4.0 / 5.0); val wFr = math.sqrt(1.0 / 5.0)
+    val denom = 0.0 + wEn + wFr
+    def ppm(w: Double, n: Long) =
+      math.floor(math.min(1.0, w / denom * 3.0 / n) * 1000000L).toLong
+    assert(r("en") == (4L, ppm(wEn, 4)) && r("fr") == (1L, ppm(wFr, 1)))
+    // τ=0.5 up-weights the tail: fr's keep-rate > en's
+    assert(r("fr")._2 > r("en")._2)
+    // τ=1 identity mix: equal keep-rates (t_i ∝ n_i)
+    val r1 = TextOps.temperatureRates(df, targetTotal = 3, tau = 1.0,
+      stratumCol = "lang").collect()
+      .map(x => x.getString(0) -> x.getLong(2)).toMap
+    assert(r1("en") == r1("fr"))
+    // target beyond the corpus: every rate caps at 1e6 (no upsampling)
+    val rCap = TextOps.temperatureRates(df, targetTotal = 100, tau = 0.5,
+      stratumCol = "lang").collect().map(_.getLong(2))
+    assert(rCap.forall(_ == 1000000L))
+    intercept[IllegalArgumentException] {
+      TextOps.temperatureRates(df, targetTotal = 3, tau = 0.3)
+    }
+  }
+
   test("thresholdSweep: confusion counts per threshold, undefined " +
     "precision is null, null score/label rows counted not vanished") {
     val scored = Seq((1L, Some(2.0), Some(1L)), (2L, Some(0.5), Some(0L)),
