@@ -2071,6 +2071,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // RFC 9309 robots gate end-to-end: relational group parse (agent
+    // scoping, wildcard/$ compile) + longest-match decision join, over
+    // synthesized per-source robots bodies (graftbot group on even
+    // sources, '*'-only on odd) and path-varied urls; the oracle
+    // re-derives every decision from the synthesis in closed form
+    "q222_robots_gate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val robots = d.select(col("source")).distinct()
+        .select(concat(lit("www."), col("source"), lit(".example.com"))
+            .as("host"),
+          when(regexp_extract(col("source"), "(\\d+)$", 1).cast("int")
+              % 2 === 0,
+            "User-agent: graftbot\nDisallow: /private/\n" +
+              "Allow: /private/ok*\nDisallow: /cal*$\n\n" +
+              "User-agent: *\nDisallow: /")
+            .otherwise("User-agent: *\nDisallow: /p*").as("body"))
+      val urls = d.select(col("doc_id"),
+        concat(lit("https://www."), col("source"), lit(".example.com"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("/public/p"), col("doc_id")))
+            .when(col("doc_id") % 5 === 1,
+              concat(lit("/private/p"), col("doc_id")))
+            .when(col("doc_id") % 5 === 2,
+              concat(lit("/private/ok"), col("doc_id")))
+            .when(col("doc_id") % 5 === 3,
+              concat(lit("/cal"), col("doc_id")))
+            .otherwise(concat(lit("/x"), col("doc_id")))).as("url"))
+      val rules = UrlOps.robotsAgentRules(robots, "graftbot")
+      UrlOps.robotsDecisions(urls, rules)
+        .select("doc_id", "allowed", "rule")
+        .orderBy("doc_id")
+    }),
+
     // temperature mixing (τ=0.5) over the skewed lang strata: derived
     // shares p^τ/Σp^τ (sqrt chain + fixed-order fold — bit-portable),
     // ppm rates for a 300-doc target, md5-gated deterministic sample
@@ -4474,6 +4507,27 @@ object SparkEntry {
          |  FROM b)
          |SELECT doc_id, round(quality, 6) AS quality, n_tok
          |FROM c WHERE cum <= 12000 ORDER BY doc_id""".stripMargin,
+
+    // q222: the RFC 9309 decisions re-derived in closed form from the
+    // synthesis — even sources score against the graftbot group
+    // (/private/ blocks, /private/ok* out-lengths it, /cal*$ anchors),
+    // odd sources against '*'-only Disallow /p*
+    "q222_robots_gate" ->
+      """SELECT doc_id,
+        |  CASE WHEN CAST(regexp_extract(source, '(\d+)$', 1) AS INT)
+        |            % 2 = 0 THEN
+        |    CASE doc_id % 5 WHEN 1 THEN 0 WHEN 3 THEN 0 ELSE 1 END
+        |  ELSE CASE WHEN doc_id % 5 IN (0, 1, 2) THEN 0 ELSE 1 END
+        |  END AS allowed,
+        |  CASE WHEN CAST(regexp_extract(source, '(\d+)$', 1) AS INT)
+        |            % 2 = 0 THEN
+        |    CASE doc_id % 5 WHEN 1 THEN '/private/'
+        |         WHEN 2 THEN '/private/ok*'
+        |         WHEN 3 THEN '/cal*$' ELSE NULL END
+        |  ELSE CASE WHEN doc_id % 5 IN (0, 1, 2) THEN '/p*'
+        |       ELSE NULL END
+        |  END AS rule
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q221: temperature shares re-derived — sqrt of the lang share,
     // denominator as the SAME stratum-sorted sequential list fold (a

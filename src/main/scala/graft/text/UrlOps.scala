@@ -383,4 +383,131 @@ object UrlOps {
         sum("n_urls").as("n_urls"),
         max("n_urls").as("max_host_urls"))
   }
+
+  /** RFC 9309 robots.txt GROUP PARSE — the full agent-scoped form of
+    * [[robotsDisallows]] (which conservatively flattens every Disallow
+    * regardless of its User-agent section). Entirely RELATIONAL — lines
+    * explode, a gaps-and-islands window assigns group ids, agent
+    * selection and rule extraction are joins/filters — so there is no
+    * custom parser to keep in sync with the SQL surface and the whole
+    * parse is one plan.
+    *
+    * Semantics (RFC 9309 §2.2):
+    *  - a GROUP is one or more adjacent `User-agent:` lines followed by
+    *    its `Allow:` / `Disallow:` rules; the next User-agent line
+    *    after at least one rule starts a new group;
+    *  - blank lines and `#` comments are insignificant (1994-spec
+    *    record separation by blank line is NOT applied);
+    *  - rules before any User-agent line belong to no group — ignored;
+    *  - group selection per host: the groups whose agent token equals
+    *    `agent` (case-insensitive product-token match); if none exist,
+    *    the `*` groups. Multiple matching groups combine (§2.2.1);
+    *  - empty rule values (`Disallow:` with nothing — the allow-all
+    *    idiom) contribute no rule;
+    *  - `*` in a rule value matches any char sequence; a trailing `$`
+    *    anchors the end; both are compiled to a regex with every other
+    *    char escaped (RE2 ∩ Java subset — no user-controlled regex
+    *    runs raw).
+    *
+    * Returns (host, allow ∈ {0,1}, pattern, plen, rx) — feed to
+    * [[robotsDecisions]]. Cardinality is |hosts| · rules-per-file:
+    * catalog-sized next to a URL corpus, so the decision join
+    * broadcasts it. */
+  def robotsAgentRules(robots: DataFrame, agent: String = "*",
+                       hostCol: String = "host",
+                       bodyCol: String = "body"): DataFrame = {
+    require(agent.nonEmpty, "agent must be non-empty")
+    val W = org.apache.spark.sql.expressions.Window
+    val lines = robots.select(col(hostCol).as("host"),
+        posexplode(split(coalesce(col(bodyCol), lit("")), "\n"))
+          .as(Seq("ln", "raw")))
+      .select(col("host"), col("ln"),
+        trim(regexp_replace(col("raw"), "#.*", "")).as("line"))
+      .filter(col("line") =!= "")
+    val isUa = col("line").rlike("(?i)^user-agent[ \t]*:")
+    val cls = lines.select(col("host"), col("ln"),
+      when(isUa, lower(trim(regexp_extract(col("line"),
+        "(?i)^user-agent[ \t]*:(.*)$", 1)))).as("ua"),
+      when(!isUa && col("line").rlike("(?i)^allow[ \t]*:"), 1)
+        .when(!isUa && col("line").rlike("(?i)^disallow[ \t]*:"), 0)
+        .as("allow"),
+      trim(regexp_extract(col("line"),
+        "(?i)^(dis)?allow[ \t]*:(.*)$", 2)).as("value"))
+    val wOrd = W.partitionBy("host").orderBy("ln")
+    val grouped = cls
+      .withColumn("ua_start",
+        (col("ua").isNotNull &&
+          coalesce(lag(col("ua").isNotNull, 1).over(wOrd), lit(false))
+            === false).cast("int"))
+      .withColumn("g", sum("ua_start").over(
+        wOrd.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    val agents = grouped.filter(col("ua").isNotNull)
+      .select(col("host"), col("g"), col("ua"))
+    val exact = agents.filter(col("ua") === agent.toLowerCase)
+      .select("host", "g").distinct()
+    val hostsWithExact = exact.select("host").distinct()
+    val wild = agents.filter(col("ua") === "*")
+      .select("host", "g").distinct()
+      .join(hostsWithExact, Seq("host"), "left_anti")
+    val selected = exact.unionByName(wild)
+    val rules = grouped
+      .filter(col("allow").isNotNull && col("g") > 0 &&
+        col("value") =!= "")
+      .select(col("host"), col("g"), col("allow"),
+        col("value").as("pattern"))
+      .join(selected, Seq("host", "g"), "left_semi")
+      .select(col("host"), col("allow"), col("pattern")).distinct()
+    // pattern -> anchored regex: escape everything, then * -> .* and a
+    // trailing $ -> end anchor; precedence length is the raw pattern's
+    val endAnchor = col("pattern").endsWith("$")
+    val core = when(endAnchor,
+      expr("substring(pattern, 1, length(pattern) - 1)"))
+      .otherwise(col("pattern"))
+    val esc = regexp_replace(core,
+      "[\\.\\^\\$\\+\\?\\(\\)\\[\\]\\{\\}\\|\\\\]", "\\\\$0")
+    val rx = concat(lit("^"), regexp_replace(esc, "\\*", ".*"),
+      when(endAnchor, lit("$")).otherwise(lit("")))
+    rules.select(col("host"), col("allow"), col("pattern"),
+      length(col("pattern")).cast("long").as("plen"), rx.as("rx"))
+  }
+
+  /** Apply [[robotsAgentRules]] to a URL table — RFC 9309 §2.2.2
+    * precedence: among the host's rules whose compiled pattern matches
+    * the URL path, the LONGEST raw pattern wins; Allow wins a length
+    * tie; no matching rule (or no rules for the host at all) means
+    * allowed. Returns the input plus (allowed ∈ {0,1}, rule — the
+    * winning pattern, null when none matched).
+    *
+    * The rule table broadcasts (|hosts|·rules rows); candidates are the
+    * host's own rules (equi-join on host, the regex match as residual);
+    * the winner is one max(struct(plen, allow, pattern)) aggregation —
+    * map-side combined, no window, URL payloads never shuffle. Matching
+    * is on the raw path component (query/fragment excluded; bare-host
+    * URLs match as "/"). */
+  def robotsDecisions(urls: DataFrame, rules: DataFrame,
+                      urlCol: String = "url",
+                      idCol: String = "doc_id"): DataFrame = {
+    val host = hostOf(col(urlCol))
+    val path = coalesce(nullif(regexp_extract(col(urlCol),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)", 1), lit("")),
+      lit("/"))
+    val r = broadcast(rules.select(col("host").as("_r_host"),
+      col("allow").as("_r_allow"), col("pattern").as("_r_pattern"),
+      col("plen").as("_r_plen"), col("rx").as("_r_rx")))
+    val winners = urls
+      .select(col(idCol), host.as("_host"), path.as("_path"))
+      .join(r, col("_host") === col("_r_host") &&
+        regexp_like(col("_path"), col("_r_rx")), "inner")
+      .groupBy(idCol)
+      .agg(max(struct(col("_r_plen").as("plen"),
+        col("_r_allow").as("allow"),
+        col("_r_pattern").as("pattern"))).as("_w"))
+      .select(col(idCol), col("_w.allow").as("_w_allow"),
+        col("_w.pattern").as("_w_pattern"))
+    urls.join(winners, Seq(idCol), "left")
+      .withColumn("allowed",
+        coalesce(col("_w_allow"), lit(1)).cast("int"))
+      .withColumn("rule", col("_w_pattern"))
+      .drop("_w_allow", "_w_pattern")
+  }
 }

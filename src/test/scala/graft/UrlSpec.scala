@@ -284,4 +284,66 @@ class UrlSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") &&
       plan.contains("LeftAnti"), s"rules should broadcast:\n$plan")
   }
+
+  test("robotsAgentRules: RFC 9309 groups — adjacent UA lines share a " +
+    "group, exact agent beats *, pre-group rules ignored, empty value " +
+    "and comments dropped, wildcard/$ compiled") {
+    val aBody = """# top comment
+                  |Disallow: /ignored-before-group/
+                  |
+                  |User-agent: GraftBot
+                  |User-agent: otherbot
+                  |disallow: /private/
+                  |Allow: /private/public*
+                  |Disallow: /cal*$
+                  |Allow:
+                  |
+                  |User-agent: *
+                  |Disallow: /""".stripMargin
+    val robots = Seq(("a.com", aBody),
+      ("b.com", "User-agent: *\nDisallow: /"))
+      .toDF("host", "body")
+    val rules = UrlOps.robotsAgentRules(robots, "graftbot").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getString(4))).toSet
+    // a.com: only the graftbot group (exact beats *); the pre-group
+    // disallow and the empty Allow: contribute nothing
+    assert(rules == Set(
+      ("a.com", 0, "/private/", "^/private/"),
+      ("a.com", 1, "/private/public*", "^/private/public.*"),
+      ("a.com", 0, "/cal*$", "^/cal.*$"),
+      ("b.com", 0, "/", "^/")))
+  }
+
+  test("robotsDecisions: longest raw pattern wins, Allow wins the tie, " +
+    "no-match and unknown host default to allowed, bare host is /") {
+    val robots = Seq(
+      ("a.com", "User-agent: graftbot\nDisallow: /private/\n" +
+        "Allow: /private/ok*\nDisallow: /cal*$\n\n" +
+        "User-agent: *\nDisallow: /"),
+      ("t.com", "User-agent: *\nDisallow: /a\nAllow: /a/x\n" +
+        "Disallow: /a/y\nDisallow: /dup\nAllow: /dup"))
+      .toDF("host", "body")
+    val rules = UrlOps.robotsAgentRules(robots, "graftbot")
+    val urls = Seq(
+      (1L, "https://a.com/private/x"), // 0 via /private/
+      (2L, "https://a.com/private/ok1"), // 1: longer Allow wins
+      (3L, "https://a.com/cal2026"), // 0 via anchored wildcard
+      (4L, "https://a.com/public"), // 1: no match in graftbot group
+      (5L, "https://a.com"), // 1: bare host -> "/", no match
+      (6L, "https://c.com/x"), // 1: host absent from robots
+      (7L, "https://t.com/dup"), // 1: length tie, Allow wins
+      (8L, "https://t.com/a/xyz"), // 1: Allow /a/x (4) > Disallow /a (2)
+      (9L, "https://t.com/a/y1")) // 0: Disallow /a/y (4) > /a (2)
+      .toDF("doc_id", "url")
+    val got = UrlOps.robotsDecisions(urls, rules).orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2), Option(r.getString(3))))
+      .toSeq
+    assert(got == Seq(
+      (1L, 0, Some("/private/")), (2L, 1, Some("/private/ok*")),
+      (3L, 0, Some("/cal*$")), (4L, 1, None), (5L, 1, None),
+      (6L, 1, None), (7L, 1, Some("/dup")), (8L, 1, Some("/a/x")),
+      (9L, 0, Some("/a/y"))))
+  }
 }
