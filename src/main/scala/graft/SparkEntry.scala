@@ -2058,19 +2058,6 @@ object SparkEntry {
     "q219_kneser_ney_nll" -> ((s, dir) =>
       TextOps.kneserNeyNll(t(s, dir, "documents")).orderBy("doc_id")),
 
-    // token-budget selection: quality-ranked maximal prefix within a
-    // 12k-token budget — score-domain cumsum + one boundary-group window,
-    // never a global per-doc sort; ranking uses the UNROUNDED quality
-    "q220_token_budget" -> ((s, dir) => {
-      val scored = t(s, dir, "documents").filter(col("text").isNotNull)
-        .select(col("doc_id"), col("text"),
-          TextOps.qualityScore(col("text")).as("quality"))
-      TextOps.tokenBudgetSelect(scored, budgetTokens = 12000L)
-        .select(col("doc_id"), round(col("quality"), 6).as("quality"),
-          col("n_tok"))
-        .orderBy("doc_id")
-    }),
-
     // RFC 9309 robots gate end-to-end: relational group parse (agent
     // scoping, wildcard/$ compile) + longest-match decision join, over
     // synthesized per-source robots bodies (graftbot group on even
@@ -4488,46 +4475,6 @@ object SparkEntry {
         |FROM bg JOIN cbg USING (w1, w2) JOIN cw USING (w1)
         |        JOIN cont USING (w2) CROSS JOIN nt
         |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
-
-    // q220: the one-window equivalent of the two-phase scale path —
-    // integer cumsum over (quality DESC, doc_id), prefix cut at the
-    // budget; quality re-derived from qualityCtes, rounded display-only
-    "q220_token_budget" ->
-      s"""WITH $qualityCtes,
-         |b AS (
-         |  SELECT q.doc_id, q.quality,
-         |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
-         |  FROM q JOIN documents d USING (doc_id)
-         |  WHERE d.text IS NOT NULL),
-         |c AS (
-         |  SELECT doc_id, quality, n_tok,
-         |         CAST(sum(n_tok) OVER (ORDER BY quality DESC, doc_id
-         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |           AS BIGINT) AS cum
-         |  FROM b)
-         |SELECT doc_id, round(quality, 6) AS quality, n_tok
-         |FROM c WHERE cum <= 12000 ORDER BY doc_id""".stripMargin,
-
-    // q222: the RFC 9309 decisions re-derived in closed form from the
-    // synthesis — even sources score against the graftbot group
-    // (/private/ blocks, /private/ok* out-lengths it, /cal*$ anchors),
-    // odd sources against '*'-only Disallow /p*
-    "q222_robots_gate" ->
-      """SELECT doc_id,
-        |  CASE WHEN CAST(regexp_extract(source, '(\d+)$', 1) AS INT)
-        |            % 2 = 0 THEN
-        |    CASE doc_id % 5 WHEN 1 THEN 0 WHEN 3 THEN 0 ELSE 1 END
-        |  ELSE CASE WHEN doc_id % 5 IN (0, 1, 2) THEN 0 ELSE 1 END
-        |  END AS allowed,
-        |  CASE WHEN CAST(regexp_extract(source, '(\d+)$', 1) AS INT)
-        |            % 2 = 0 THEN
-        |    CASE doc_id % 5 WHEN 1 THEN '/private/'
-        |         WHEN 2 THEN '/private/ok*'
-        |         WHEN 3 THEN '/cal*$' ELSE NULL END
-        |  ELSE CASE WHEN doc_id % 5 IN (0, 1, 2) THEN '/p*'
-        |       ELSE NULL END
-        |  END AS rule
-        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q221: temperature shares re-derived — sqrt of the lang share,
     // denominator as the SAME stratum-sorted sequential list fold (a

@@ -565,58 +565,6 @@ object TextOps {
           .cast("long").as("rate_ppm"))
   }
 
-  /** TOKEN-BUDGET SELECTION — the corpus-assembly cut: order documents
-    * by a quality score (descending, document id breaking ties) and keep
-    * the maximal prefix whose cumulative token count stays within
-    * `budgetTokens` (the "sort by classifier score, take the top N
-    * tokens" step of FineWeb-Edu-style curation). A document is kept iff
-    * the running total INCLUDING it is ≤ budget; the running total is
-    * monotone, so the kept set is a true prefix of the ranking.
-    *
-    * Scale path — no global per-document sort: token mass is first
-    * aggregated per DISTINCT SCORE (map-side combined), the running
-    * total runs over that score-domain table (|distinct scores| rows —
-    * the quantileBucketsByCutpoints precedent), and per-document work
-    * happens only inside the single BOUNDARY score group that straddles
-    * the budget (one id-ordered window over that group alone). Score
-    * groups wholly under the budget are kept with a map-side predicate;
-    * groups past it are dropped the same way. Equivalent, row for row,
-    * to the one-window form `sum(n_tok) OVER (ORDER BY score DESC, id)
-    * ≤ budget` — which is what the oracle runs.
-    *
-    * Returns (idCol, scoreCol, n_tok) for the selected documents. Null
-    * text counts by its split convention (one empty token), null scores
-    * sort last and are only reached if the budget survives every scored
-    * group. */
-  def tokenBudgetSelect(docs: DataFrame, budgetTokens: Long,
-                        scoreCol: String = "quality",
-                        idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
-    require(budgetTokens >= 0, "budget must be non-negative")
-    val W = org.apache.spark.sql.expressions.Window
-    val base = docs.select(col(idCol), col(scoreCol),
-      tokenCount(coalesce(col(textCol), lit(""))).cast("long").as("n_tok"))
-    val perScore = base.groupBy(col(scoreCol))
-      .agg(sum("n_tok").as("tok_s"))
-    val wBefore = W.orderBy(col(scoreCol).desc_nulls_last)
-      .rowsBetween(W.unboundedPreceding, -1)
-    val cum = perScore.select(col(scoreCol), col("tok_s"),
-      coalesce(sum("tok_s").over(wBefore), lit(0L)).as("cum_before"))
-    val joined = base.join(cum, Seq(scoreCol))
-    val whole = joined
-      .filter(col("cum_before") + col("tok_s") <= budgetTokens)
-      .select(col(idCol), col(scoreCol), col("n_tok"))
-    val wIn = W.partitionBy(col(scoreCol)).orderBy(col(idCol))
-      .rowsBetween(W.unboundedPreceding, W.currentRow)
-    val boundary = joined
-      .filter(col("cum_before") < budgetTokens &&
-        col("cum_before") + col("tok_s") > budgetTokens)
-      .withColumn("cum_in", sum("n_tok").over(wIn))
-      .filter(col("cum_before") + col("cum_in") <= budgetTokens)
-      .select(col(idCol), col(scoreCol), col("n_tok"))
-    whole.unionByName(boundary)
-  }
-
   /** Corpus vocabulary: token → document-independent occurrence count,
     * top `k` by count. One explode + map-side-combined aggregation; the
     * final top-k is an orderBy(limit) over the distinct-token table, which

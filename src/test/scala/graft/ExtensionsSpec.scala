@@ -3113,22 +3113,6 @@ class ExtensionsSpec extends SparkSpec {
     assert(0.375 + 0.375 + 0.75 * (2.0 / 2.0) * (1.0 / 3.0) == 1.0)
   }
 
-  test("tokenBudgetSelect: prefix cut, boundary group split by id, " +
-    "groups past the budget dropped, exact-fit doc kept") {
-    val docs = Seq((1L, "w w w", 3.0), (2L, "w w", 2.0),
-      (3L, "w w w w", 2.0), (4L, "w", 1.0))
-      .toDF("doc_id", "text", "quality")
-    // order (quality desc, id): 1(3 tok), 2(2), 3(4), 4(1)
-    val sel7 = TextOps.tokenBudgetSelect(docs, 7L)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(sel7 == Set(1L, 2L)) // doc3 overflows at cum 9; doc4's
-    // whole score group starts past the budget
-    val sel10 = TextOps.tokenBudgetSelect(docs, 10L)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(sel10 == Set(1L, 2L, 3L, 4L)) // doc4 lands exactly on 10
-    assert(TextOps.tokenBudgetSelect(docs, 0L).count() == 0L)
-  }
-
   test("temperatureRates: τ=0.5 flattens the mix, τ=1 is identity, " +
     "cap at 1, arbitrary τ rejected") {
     val docs = (1L to 4L).map(i => (i, "en")) :+ ((5L, "fr"))
