@@ -2058,6 +2058,12 @@ object SparkEntry {
     "q219_kneser_ney_nll" -> ((s, dir) =>
       TextOps.kneserNeyNll(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // CCNet head/middle/tail thirds per source, scored by the KN LM —
+    // the scorer-swapped form of the unigram pplBuckets
+    "q223_kn_ppl_buckets" -> ((s, dir) =>
+      TextOps.pplBuckets(t(s, dir, "documents"),
+        scorer = TextOps.kneserNeyNll(_, _, _)).orderBy("doc_id")),
+
     // RFC 9309 robots gate end-to-end: relational group parse (agent
     // scoping, wildcard/$ compile) + longest-match decision join, over
     // synthesized per-source robots bodies (graftbot group on even
@@ -4451,30 +4457,48 @@ object SparkEntry {
     // probability is the same fixed-shape double expression
     // ((c−d)/c_w1 + d·n1f/c_w1 · n1b/|types|) so the lns replay
     "q219_kneser_ney_nll" ->
-      """WITH l AS (
-        |  SELECT doc_id,
-        |         list_filter(string_split(lower(text), ' '),
-        |                     x -> len(x) > 0) AS toks
-        |  FROM documents WHERE text IS NOT NULL),
-        |bg AS (
-        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
-        |  FROM (SELECT doc_id, toks,
-        |               unnest(generate_series(1, len(toks) - 1)) AS i
-        |        FROM l)),
-        |cbg AS (SELECT w1, w2, count(*) AS c_bg FROM bg GROUP BY 1, 2),
-        |cw AS (SELECT w1, count(*) AS c_w1,
-        |              count(DISTINCT w2) AS n1_fwd
-        |       FROM bg GROUP BY 1),
-        |cont AS (SELECT w2, count(*) AS n1_bwd FROM cbg GROUP BY 1),
-        |nt AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM cbg)
-        |SELECT bg.doc_id, count(*) AS n_transitions,
-        |  round(avg(-ln(
-        |    greatest(CAST(c_bg AS DOUBLE) - 0.75, 0.0) / c_w1
-        |      + 0.75 * CAST(n1_fwd AS DOUBLE) / c_w1
-        |        * (CAST(n1_bwd AS DOUBLE) / n_types))), 6) AS nll
-        |FROM bg JOIN cbg USING (w1, w2) JOIN cw USING (w1)
-        |        JOIN cont USING (w2) CROSS JOIN nt
-        |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $knNllCtes
+         |SELECT doc_id, n_transitions, nll
+         |FROM knll ORDER BY doc_id""".stripMargin,
+
+    // q223: the CCNet head/middle/tail cut under the KN scorer — q219's
+    // per-doc nll CTE + ntile over (nll, doc_id) per source (q79's
+    // SQL-standard ntile parity)
+    "q223_kn_ppl_buckets" ->
+      s"""WITH $knNllCtes,
+         |j AS (
+         |  SELECT n.doc_id, d.source, n.nll FROM knll n
+         |  JOIN documents d USING (doc_id)),
+         |b AS (
+         |  SELECT doc_id, source, nll,
+         |         ntile(3) OVER (PARTITION BY source
+         |                        ORDER BY nll, doc_id) AS b
+         |  FROM j)
+         |SELECT doc_id, source, nll,
+         |       CASE b WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
+         |            ELSE 'middle' END AS bucket
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // q222: the RFC 9309 decisions re-derived in closed form from the
+    // synthesis — even sources score against the graftbot group
+    // (/private/ blocks, /private/ok* out-lengths it, /cal*$ anchors),
+    // odd sources against '*'-only Disallow /p*
+    "q222_robots_gate" ->
+      """SELECT doc_id,
+        |  CASE WHEN CAST(regexp_extract(source, '(\d+)$', 1) AS INT)
+        |            % 2 = 0 THEN
+        |    CASE doc_id % 5 WHEN 1 THEN 0 WHEN 3 THEN 0 ELSE 1 END
+        |  ELSE CASE WHEN doc_id % 5 IN (0, 1, 2) THEN 0 ELSE 1 END
+        |  END AS allowed,
+        |  CASE WHEN CAST(regexp_extract(source, '(\d+)$', 1) AS INT)
+        |            % 2 = 0 THEN
+        |    CASE doc_id % 5 WHEN 1 THEN '/private/'
+        |         WHEN 2 THEN '/private/ok*'
+        |         WHEN 3 THEN '/cal*$' ELSE NULL END
+        |  ELSE CASE WHEN doc_id % 5 IN (0, 1, 2) THEN '/p*'
+        |       ELSE NULL END
+        |  END AS rule
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q221: temperature shares re-derived — sqrt of the lang share,
     // denominator as the SAME stratum-sorted sequential list fold (a
@@ -6973,6 +6997,35 @@ object SparkEntry {
   /** Shared oracle CTE chain ending in `q(doc_id, source, pr, mtl, sr,
     * ls, quality)` — TextOps.qualityScore's SQL form, used by q30 and
     * q75 so the formula cannot drift between them. */
+  /** q219/q223 oracle prelude: per-doc interpolated Kneser-Ney NLL —
+    * ends with `knll(doc_id, n_transitions, nll)`. */
+  private def knNllCtes: String =
+    """l AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split(lower(text), ' '),
+      |                     x -> len(x) > 0) AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |bg AS (
+      |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM (SELECT doc_id, toks,
+      |               unnest(generate_series(1, len(toks) - 1)) AS i
+      |        FROM l)),
+      |cbg AS (SELECT w1, w2, count(*) AS c_bg FROM bg GROUP BY 1, 2),
+      |cw AS (SELECT w1, count(*) AS c_w1,
+      |              count(DISTINCT w2) AS n1_fwd
+      |       FROM bg GROUP BY 1),
+      |cont AS (SELECT w2, count(*) AS n1_bwd FROM cbg GROUP BY 1),
+      |nt AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM cbg),
+      |knll AS (
+      |  SELECT bg.doc_id, count(*) AS n_transitions,
+      |    round(avg(-ln(
+      |      greatest(CAST(c_bg AS DOUBLE) - 0.75, 0.0) / c_w1
+      |        + 0.75 * CAST(n1_fwd AS DOUBLE) / c_w1
+      |          * (CAST(n1_bwd AS DOUBLE) / n_types))), 6) AS nll
+      |  FROM bg JOIN cbg USING (w1, w2) JOIN cw USING (w1)
+      |          JOIN cont USING (w2) CROSS JOIN nt
+      |  GROUP BY bg.doc_id)""".stripMargin
+
   private def qualityCtes: String =
     s"""f AS (
        |  SELECT doc_id, source,

@@ -514,6 +514,10 @@ object TextOps {
     * "sample source i ∝ pᵢ^τ" recipe): where [[mixtureRates]] takes the
     * target shares from the caller, this DERIVES them from the corpus
     * itself, qᵢ = pᵢ^τ / Σⱼ pⱼ^τ with pᵢ the stratum's document share.
+    * ([[temperatureWeights]] reports the unnormalized/relative weights
+    * and deliberately stops short of Σ-normalized rates because a
+    * parallel float sum is order-dependent; THIS operator is the rate
+    * path — the denominator is a fixed-order fold, see below.)
     * τ < 1 flattens the mix toward uniform (up-weights tail languages /
     * sources without fully inverting the head); τ = 1 is the identity
     * mix. Returns (stratum, n, rate_ppm) where rate_ppm is the
@@ -2265,7 +2269,14 @@ object TextOps {
     * uses `sqrt` (IEEE correctly-rounded, bit-identical everywhere);
     * other alphas go through `pow` (documented: last-ulp variance
     * across libm implementations). One tiny grouped agg + broadcast
-    * max — corpus payloads never shuffle. */
+    * max — corpus payloads never shuffle.
+    *
+    * [[temperatureRates]] is the end-to-end companion: it DOES produce
+    * Σ-normalized keep-rates — the summation-order problem this method
+    * sidesteps is solved there with a fixed-order sequential fold — and
+    * feeds [[mixtureSample]] directly. Use this method when you want
+    * the raw/relative weights themselves (reports, custom allocators);
+    * use temperatureRates for the full derived-rate sampling path. */
   def temperatureWeights(docs: DataFrame, sourceCol: String = "source",
                          textCol: String = "text",
                          alpha: Double = 0.5): DataFrame = {
@@ -2430,12 +2441,19 @@ object TextOps {
     * train on first, "tail" the usual drop candidate. Deterministic:
     * `ntile` ordered by (rounded nll, id) — no float ties decide a
     * bucket. One token-domain aggregation (the NLL model) + one
-    * window per stratum; the window input is (id, group, nll) only. */
+    * window per stratum; the window input is (id, group, nll) only.
+    *
+    * `scorer` swaps the LM: default [[unigramNll]]; pass
+    * [[kneserNeyNll]] for the smoothing CCNet's KenLM actually uses
+    * (any (docs, idCol, textCol) → (idCol, …, nll) frame works). */
   def pplBuckets(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text", groupCol: String = "source",
-                 buckets: Int = 3): DataFrame = {
+                 buckets: Int = 3,
+                 scorer: (DataFrame, String, String) => DataFrame =
+                   unigramNll(_, _, _)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nll = unigramNll(docs, idCol, textCol)
+    val nll = scorer(docs, idCol, textCol)
+      .select(col(idCol), col("nll"))
       .join(docs.select(col(idCol), col(groupCol)), idCol)
     val w = Window.partitionBy(groupCol).orderBy(col("nll"), col(idCol))
     nll.withColumn("b", ntile(buckets).over(w))
