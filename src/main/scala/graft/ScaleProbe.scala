@@ -289,6 +289,37 @@ object ScaleProbe {
         "ppl_buckets" -> { d =>
           TextOps.pplBuckets(d)
             .agg(count_distinct(col("bucket")), sum("nll")).head(); 1L },
+        // round-11 additions
+        "kn_nll" -> { d =>
+          TextOps.kneserNeyNll(d).agg(sum("nll")).head(); 1L },
+        "kn_ppl_buckets" -> { d =>
+          TextOps.pplBuckets(d, scorer = TextOps.kneserNeyNll(_, _, _))
+            .agg(count_distinct(col("bucket")), sum("nll")).head(); 1L },
+        "temperature_rates" -> { d =>
+          TextOps.temperatureRates(d, targetTotal = 300, tau = 0.5)
+            .agg(sum("rate_ppm")).head(); 1L },
+        "robots_gate" -> { d =>
+          // host cardinality scales with the corpus (id-derived hosts,
+          // the fetch_makespan shape); bodies alternate the q222 groups
+          val robots = d.select(col("source"),
+              (col("doc_id") % 500).cast("string").as("hn")).distinct()
+            .select(concat(lit("www."), col("source"), lit("-"),
+                col("hn"), lit(".example.com")).as("host"),
+              when(col("hn").cast("int") % 2 === 0,
+                "User-agent: graftbot\nDisallow: /private/\n" +
+                  "Allow: /private/ok*\nDisallow: /cal*$\n\n" +
+                  "User-agent: *\nDisallow: /")
+                .otherwise("User-agent: *\nDisallow: /p*").as("body"))
+          val urls = d.select(col("doc_id"),
+            concat(lit("https://www."), col("source"), lit("-"),
+              (col("doc_id") % 500).cast("string"), lit(".example.com"),
+              when(col("doc_id") % 2 === 0,
+                concat(lit("/private/p"), col("doc_id")))
+                .otherwise(concat(lit("/public/p"), col("doc_id"))))
+              .as("url"))
+          val rules = graft.text.UrlOps.robotsAgentRules(robots, "graftbot")
+          graft.text.UrlOps.robotsDecisions(urls, rules)
+            .agg(sum("allowed")).head(); 1L },
         "kmv_distinct16" -> { d =>
           TextOps.kmvDistinct(d, k = 16)
             .agg(sum("estimate")).head(); 1L },
