@@ -2109,6 +2109,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // DoReMi-style domain reweighting: per-source excess loss in closed
+    // form (unigram KL(domain ‖ corpus)), one EG step in the linear
+    // regime (η=1, exp-free — the q148 exp() rule), token-sorted folds
+    // for both the KL sums and the normalizer so every float replays
+    "q224_domain_reweight" -> ((s, dir) =>
+      TextOps.domainReweight(t(s, dir, "documents"), eta = 1.0)
+        .orderBy("domain")),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -4526,6 +4534,59 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
         |        % 1000000 < r.rate_ppm
         |ORDER BY d.doc_id""".stripMargin,
+
+    // q224: the full DoReMi replay — (domain, token) type table, the KL
+    // terms in the SAME cast/division/multiplication shape as the Spark
+    // expression, token-sorted folds for per-domain KL and the
+    // normalizer (the q221 list_reduce idiom), 2^-12 grid on the KL,
+    // linear EG update, ppm floor
+    "q224_domain_reweight" ->
+      """WITH base AS (
+        |  SELECT source AS domain, doc_id, text FROM documents
+        |  WHERE text IS NOT NULL AND source IS NOT NULL),
+        |nd0 AS (SELECT domain, count(*) AS n_docs FROM base GROUP BY 1),
+        |tok AS (
+        |  SELECT domain, t AS token FROM (
+        |    SELECT domain, unnest(string_split(lower(text), ' ')) AS t
+        |    FROM base)
+        |  WHERE len(t) > 0),
+        |cdw AS (SELECT domain, token, count(*) AS c_dw
+        |        FROM tok GROUP BY 1, 2),
+        |nd AS (SELECT domain, CAST(sum(c_dw) AS BIGINT) AS n_d
+        |       FROM cdw GROUP BY 1),
+        |cw AS (SELECT token, CAST(sum(c_dw) AS BIGINT) AS c_w
+        |       FROM cdw GROUP BY 1),
+        |nt AS (SELECT CAST(sum(c_dw) AS DOUBLE) AS n_tot FROM cdw),
+        |term AS (
+        |  SELECT domain, token,
+        |    (CAST(c_dw AS DOUBLE) / CAST(n_d AS DOUBLE)) *
+        |      ln((CAST(c_dw AS DOUBLE) * n_tot) /
+        |         (CAST(c_w AS DOUBLE) * CAST(n_d AS DOUBLE))) AS term
+        |  FROM cdw JOIN nd USING (domain) JOIN cw USING (token)
+        |  CROSS JOIN nt),
+        |kl AS (
+        |  SELECT domain, list_reduce(list_transform(
+        |           list_sort(list(struct_pack(t := token, v := term))),
+        |           x -> x.v), (a, b) -> a + b) AS kl
+        |  FROM term GROUP BY domain),
+        |upd AS (
+        |  SELECT kl.domain, n_d,
+        |         floor(kl * 4096 + 0.5) / 4096 AS excess_loss,
+        |         CAST(n_d AS DOUBLE) / n_tot AS share
+        |  FROM kl JOIN nd USING (domain) CROSS JOIN nt),
+        |raw AS (
+        |  SELECT domain, n_d, excess_loss,
+        |         share * (1.0 + 1.0 * excess_loss) AS raw
+        |  FROM upd),
+        |den AS (
+        |  SELECT list_reduce(list_transform(
+        |           list_sort(list(struct_pack(d := domain, r := raw))),
+        |           x -> x.r), (a, b) -> a + b) AS denom
+        |  FROM raw)
+        |SELECT domain, n_docs, n_d AS n_tokens, excess_loss,
+        |       CAST(floor((raw / denom) * 1000000) AS BIGINT) AS weight_ppm
+        |FROM raw JOIN nd0 USING (domain) CROSS JOIN den
+        |ORDER BY domain""".stripMargin,
 
     // q177: host re-derived from the synthesis formula, the same
     // 8-hex-digit md5 bucket as q110/q148

@@ -569,6 +569,85 @@ object TextOps {
           .cast("long").as("rate_ppm"))
   }
 
+  /** DoReMi-style domain reweighting — one exponentiated-gradient step
+    * over per-domain excess loss (Xie et al. 2023's Domain Reweighting
+    * with Minimax Optimization, reduced to its closed-form unigram
+    * instance). DoReMi's signal is the per-domain EXCESS LOSS — proxy
+    * model loss minus reference model loss; for unigram LMs that gap
+    * needs no trained model pair at all: scoring domain d's tokens under
+    * the corpus-mix LM vs its own in-domain LM gives
+    * L_mix(d) − L_in(d) = Σ_w p̂_d(w)·ln(p̂_d(w)/p̂(w)) = KL(p̂_d ‖ p̂) ≥ 0,
+    * so the domains whose token distribution diverges most from the mix
+    * get up-weighted — the DoReMi direction, computed exactly. The EG
+    * update is applied in its small-η LINEAR regime
+    * (exp(η·λ) ≈ 1 + η·λ): exp() is the one cross-engine non-portable
+    * step (the q148 rule), while 1 + η·λ over the 2^-12-gridded λ with
+    * dyadic η is exact dyadic arithmetic — bit-portable like
+    * [[logisticTrain]]'s residuals. Returns one row per domain:
+    * (domain, n_docs, n_tokens, excess_loss — the gridded KL in nats,
+    * weight_ppm — the updated mixture weight, Σ ≈ 1e6).
+    *
+    * Shuffle ledger: one (domain, token) count aggregation (map-side
+    * combined — the TYPE table, vocabulary-bounded per domain); the
+    * token-marginal and domain-marginal reductions run on that type
+    * table, never on instances; the 1-row corpus total broadcasts. With
+    * `portableFold` (default, oracle mode) each domain's KL is a
+    * sequential fold over its token-sorted term list — order-fixed so
+    * the float sum replays engine-for-engine, at the cost of one
+    * |domain vocab|-sized array per domain in the final agg. At real
+    * vocabulary scale flip `portableFold = false`: a plain partial-agged
+    * sum(term), order-dependent in the last ulp and shuffle-identical
+    * otherwise. The |domains|-row tail (grid, update, normalize) rides
+    * broadcast 1-row frames; domain count is catalog-sized. */
+  def domainReweight(docs: DataFrame, eta: Double = 1.0,
+                     domainCol: String = "source",
+                     textCol: String = "text",
+                     portableFold: Boolean = true): DataFrame = {
+    require(eta >= 0 && eta * 4096 == math.floor(eta * 4096),
+      s"eta must be non-negative on the 2^-12 grid (dyadic), got $eta")
+    val base = docs.filter(col(textCol).isNotNull &&
+      col(domainCol).isNotNull)
+    val nDocs = base.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tok = base
+      .select(col(domainCol).as("domain"),
+        explode(wsTokens(lower(col(textCol)))).as("token"))
+      .filter(length(col("token")) > 0)
+    val cdw = tok.groupBy("domain", "token").agg(count(lit(1)).as("c_dw"))
+    val nd = cdw.groupBy("domain").agg(sum("c_dw").as("n_d"))
+    val cw = cdw.groupBy("token").agg(sum("c_dw").as("c_w"))
+    val nt = cdw.agg(sum("c_dw").cast("double").as("n_tot"))
+    val term = cdw.join(nd, "domain").join(cw, "token")
+      .crossJoin(broadcast(nt))
+      .select(col("domain"), col("token"),
+        ((col("c_dw").cast("double") / col("n_d").cast("double")) *
+          log((col("c_dw").cast("double") * col("n_tot")) /
+            (col("c_w").cast("double") * col("n_d").cast("double"))))
+          .as("term"))
+    val kl =
+      if (portableFold)
+        term.groupBy("domain").agg(aggregate(
+          array_sort(collect_list(struct(col("token"), col("term")))),
+          lit(0.0), (acc, x) => acc + x.getField("term")).as("kl"))
+      else term.groupBy("domain").agg(sum("term").as("kl"))
+    val upd = kl.join(nd, "domain").crossJoin(broadcast(nt))
+      .select(col("domain"), col("n_d"),
+        (floor(col("kl") * 4096 + 0.5) / 4096).as("excess_loss"),
+        (col("n_d").cast("double") / col("n_tot")).as("share"))
+      .withColumn("raw",
+        col("share") * (lit(1.0) + lit(eta) * col("excess_loss")))
+    // Σ raw in domain order — one sequential fold, not a parallel sum
+    val denom = upd.agg(aggregate(
+      array_sort(collect_list(struct(col("domain"), col("raw")))),
+      lit(0.0), (acc, x) => acc + x.getField("raw")).as("denom"))
+    upd.crossJoin(broadcast(denom))
+      .join(nDocs, "domain")
+      .select(col("domain"), col("n_docs"), col("n_d").as("n_tokens"),
+        col("excess_loss"),
+        floor((col("raw") / col("denom")) * 1000000L).cast("long")
+          .as("weight_ppm"))
+  }
+
   /** Corpus vocabulary: token → document-independent occurrence count,
     * top `k` by count. One explode + map-side-combined aggregation; the
     * final top-k is an orderBy(limit) over the distinct-token table, which

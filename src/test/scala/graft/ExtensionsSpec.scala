@@ -3142,6 +3142,47 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("domainReweight: closed-form KL, divergent domain up-weighted, " +
+    "eta=0 is the share mix, ppm sums to ~1e6, non-dyadic eta rejected") {
+    // domain a: tokens (x,x,y); domain b: tokens (z,z,z) — b is fully
+    // disjoint from the mix, a shares x,y with nobody else either, so
+    // both KLs are hand-computable: corpus N=6, c(x)=2,c(y)=1,c(z)=3
+    val docs = Seq((1L, "a", "x x"), (2L, "a", "y"), (3L, "b", "z z z"))
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.domainReweight(docs).orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    def grid(x: Double) = math.floor(x * 4096 + 0.5) / 4096
+    // KL(a‖mix) = 2/3·ln((2/3)/(2/6)) + 1/3·ln((1/3)/(1/6)) = ln 2
+    // KL(b‖mix) = 1·ln(1/(3/6)) = ln 2
+    val kl = grid(2.0 / 3 * math.log(2.0 / 3 / (2.0 / 6)) +
+      1.0 / 3 * math.log(1.0 / 3 / (1.0 / 6)))
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSeq ==
+      Seq(("a", 2L, 3L, kl), ("b", 1L, 3L, grid(math.log(2)))))
+    // equal KLs ⇒ weights stay proportional to shares (3/6 each here)
+    assert(got.map(_._5).toSeq == Seq(500000L, 500000L))
+    assert(math.abs(got.map(_._5).sum - 1000000L) <= got.length)
+    // a divergent domain beats a mix-conforming one at equal share:
+    // c/d both 6 tokens; c IS half the corpus mass of each shared token
+    // while d is token-disjoint ⇒ KL(d) > KL(c) ⇒ weight(d) > weight(c)
+    val docs2 = Seq((1L, "c", "p q r p q r"), (2L, "d", "u v w u v w"),
+      (3L, "c2", "p q r p q r")).toDF("doc_id", "source", "text")
+    val w2 = TextOps.domainReweight(docs2).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getLong(4))).toMap
+    assert(w2("d")._1 > w2("c")._1 && w2("d")._2 > w2("c")._2)
+    // eta=0 disables the update: ppm = floor(share·1e6)
+    val w0 = TextOps.domainReweight(docs2, eta = 0.0).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(w0 == Map("c" -> 333333L, "d" -> 333333L, "c2" -> 333333L))
+    // portableFold=false keeps the same grid values on this tiny input
+    val wf = TextOps.domainReweight(docs2, portableFold = false).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(wf == w2.map { case (k, v) => k -> v._1 })
+    intercept[IllegalArgumentException] {
+      TextOps.domainReweight(docs, eta = 0.0001)
+    }
+  }
+
   test("thresholdSweep: confusion counts per threshold, undefined " +
     "precision is null, null score/label rows counted not vanished") {
     val scored = Seq((1L, Some(2.0), Some(1L)), (2L, Some(0.5), Some(0L)),
