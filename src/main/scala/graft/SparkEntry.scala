@@ -2117,6 +2117,14 @@ object SparkEntry {
       TextOps.domainReweight(t(s, dir, "documents"), eta = 1.0)
         .orderBy("domain")),
 
+    // GPT-style block layout: per-shard token stream (docs + EOS in the
+    // salted resumable order), fixed 512-token blocks, one row per
+    // (block, doc SEGMENT) — straddling docs span blocks; pure integer
+    // arithmetic end-to-end
+    "q225_block_segments" -> ((s, dir) =>
+      TextOps.blockSegments(t(s, dir, "documents"), blockTokens = 512,
+        nShards = 4).orderBy("shard", "block_id", "block_pos")),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -4587,6 +4595,39 @@ object SparkEntry {
         |       CAST(floor((raw / denom) * 1000000) AS BIGINT) AS weight_ppm
         |FROM raw JOIN nd0 USING (domain) CROSS JOIN den
         |ORDER BY domain""".stripMargin,
+
+    // q225: q202's md5 shard/order prelude + the stream cumsum (window
+    // sum CAST to BIGINT per the HUGEINT rule) + generate_series over
+    // the spanned block range; the segment arithmetic restated verbatim
+    "q225_block_segments" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(':' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      ::BIGINT % 4 AS shard,
+        |    ('0x' || substr(md5(':o:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT AS ord,
+        |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+        |      + 1 AS seg_len
+        |  FROM documents),
+        |s AS (
+        |  SELECT shard, doc_id, seg_len,
+        |    CAST(coalesce(sum(seg_len) OVER (
+        |      PARTITION BY shard ORDER BY ord, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS st
+        |  FROM d),
+        |seg AS (
+        |  SELECT shard, doc_id, st, seg_len,
+        |    unnest(generate_series(st // 512,
+        |                           (st + seg_len - 1) // 512)) AS block_id
+        |  FROM s)
+        |SELECT shard, block_id,
+        |  greatest(st, block_id * 512) - block_id * 512 AS block_pos,
+        |  doc_id,
+        |  greatest(st, block_id * 512) - st AS doc_tok_start,
+        |  least(st + seg_len, (block_id + 1) * 512)
+        |    - greatest(st, block_id * 512) AS seg_tokens
+        |FROM seg ORDER BY shard, block_id, block_pos""".stripMargin,
 
     // q177: host re-derived from the synthesis formula, the same
     // 8-hex-digit md5 bucket as q110/q148

@@ -809,6 +809,61 @@ object TextOps {
       .drop("_cum_before")
   }
 
+  /** GPT-style token-stream BLOCK layout — the loader-side inverse of
+    * [[packSequences]]: concatenate every document (plus one EOS token
+    * each) into one token stream per shard, cut the stream into fixed
+    * `blockTokens` blocks, and emit one row per (block, document
+    * SEGMENT). [[packSequences]] answers "which pack does this doc
+    * start in"; THIS answers what the data loader actually asks —
+    * "block b: which (doc, offset, len) slices compose it" — with a
+    * document that straddles block boundaries contributing one segment
+    * per spanned block. EOS is charged to its document as a virtual
+    * token at in-doc index `n_tokens` (a segment whose
+    * doc_tok_start + seg_tokens reaches n_tokens + 1 includes it).
+    * Stream order within a shard is [[trainingShards]]' salted
+    * (shard_order, id) — the reproducible, resume-addressable order:
+    * block k of shard s is the same slice of the same docs on any
+    * engine, any partitioning, any run. Output: (shard, block_id,
+    * block_pos, idCol, doc_tok_start, seg_tokens), all exact integer
+    * arithmetic. The final block of a shard may run short — the
+    * trainer pads or drops it downstream.
+    *
+    * Scale shape: one cumulative-sum window per shard whose input is
+    * (id, order, n_tokens) ONLY — text never shuffles, parallelism =
+    * shard count (the training-read knob, same as
+    * [[packSequencesGreedy]]); then a map-side posexplode over each
+    * doc's spanned block range. Output rows = n_docs +
+    * total_tokens/blockTokens exactly (each straddle adds one row) —
+    * linear, never pair-shaped. */
+  def blockSegments(docs: DataFrame, blockTokens: Long, nShards: Int = 8,
+                    seed: String = "", idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(blockTokens > 0, "blockTokens must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("shard_order"), col(idCol))
+    val b = lit(blockTokens)
+    trainingShards(docs, idCol, nShards, seed)
+      .select(col("shard"), col("shard_order"), col(idCol),
+        (tokenCount(coalesce(col(textCol), lit(""))).cast("long") + 1L)
+          .as("_len")) // + EOS
+      .withColumn("_start",
+        coalesce(sum(col("_len")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col(idCol), col("_start"), col("_len"),
+        posexplode(sequence(expr(s"_start div $blockTokens"),
+          expr(s"(_start + _len - 1) div $blockTokens")))
+          .as(Seq("_i", "block_id")))
+      .select(col("shard"), col("block_id"),
+        (greatest(col("_start"), col("block_id") * b) -
+          col("block_id") * b).as("block_pos"),
+        col(idCol),
+        (greatest(col("_start"), col("block_id") * b) - col("_start"))
+          .as("doc_tok_start"),
+        (least(col("_start") + col("_len"), (col("block_id") + 1L) * b) -
+          greatest(col("_start"), col("block_id") * b)).as("seg_tokens"))
+  }
+
   /** BM25 full-text retrieval: score every document against a bag of query
     * terms (Okapi BM25, k1/b defaults) and return the top `k`.
     *

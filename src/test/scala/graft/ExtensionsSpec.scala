@@ -3142,6 +3142,51 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("blockSegments: blocks fill exactly, straddling docs split at " +
+    "the boundary, every doc covered once incl. EOS, short tail kept") {
+    // one shard so the stream order (md5 salt, then id) is total
+    val docs = Seq((1L, "a b c"), (2L, "d e f g h"), (3L, "i j"))
+      .toDF("doc_id", "text")
+    val got = TextOps.blockSegments(docs, blockTokens = 4, nShards = 1)
+      .orderBy("block_id", "block_pos").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    // per-doc contribution = n_tokens + 1 (EOS): stream = 4+6+3 = 13
+    // tokens ⇒ blocks 0-2 full, block 3 is the 1-token short tail
+    assert(got.map(_._5).sum == 13L)
+    assert(got.map(_._1).max == 3L)
+    // every block position is covered exactly once, in order
+    got.groupBy(_._1).foreach { case (b, segs) =>
+      val sorted = segs.sortBy(_._2)
+      assert(sorted.head._2 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(p, n) => assert(p._2 + p._5 == n._2); case _ => }
+      assert(sorted.map(_._5).sum == (if (b < 3L) 4L else 1L))
+    }
+    // each doc's segments are contiguous from offset 0 to n_tokens+1
+    got.groupBy(_._3).foreach { case (_, segs) =>
+      val sorted = segs.sortBy(_._4)
+      assert(sorted.head._4 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(p, n) => assert(p._4 + p._5 == n._4); case _ => }
+    }
+    // doc 2 contributes 6 tokens > blockTokens: it MUST straddle,
+    // whatever the salted order put around it
+    assert(got.count(_._3 == 2L) >= 2)
+    // deterministic run-over-run
+    val again = TextOps.blockSegments(docs, blockTokens = 4, nShards = 1)
+      .orderBy("block_id", "block_pos").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    assert(got.toSeq == again.toSeq)
+    // row-count identity: one row per doc + one per crossed boundary
+    val crossings = got.length - 3
+    assert(crossings >= 1 && got.length == 3 + crossings)
+    intercept[IllegalArgumentException] {
+      TextOps.blockSegments(docs, blockTokens = 0)
+    }
+  }
+
   test("domainReweight: closed-form KL, divergent domain up-weighted, " +
     "eta=0 is the share mix, ppm sums to ~1e6, non-dyadic eta rejected") {
     // domain a: tokens (x,x,y); domain b: tokens (z,z,z) — b is fully
