@@ -2125,6 +2125,13 @@ object SparkEntry {
       TextOps.blockSegments(t(s, dir, "documents"), blockTokens = 512,
         nShards = 4).orderBy("shard", "block_id", "block_pos")),
 
+    // FIM pretraining transform (PSM order) at a 50% md5-gated rate:
+    // two md5-derived character cuts → <|fim_prefix|>P<|fim_suffix|>S
+    // <|fim_middle|>M; skipped docs pass through verbatim
+    "q226_fim_transform" -> ((s, dir) =>
+      TextOps.fimTransform(t(s, dir, "documents"), ratePct = 50)
+        .orderBy("doc_id")),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -4595,6 +4602,32 @@ object SparkEntry {
         |       CAST(floor((raw / denom) * 1000000) AS BIGINT) AS weight_ppm
         |FROM raw JOIN nd0 USING (domain) CROSS JOIN den
         |ORDER BY domain""".stripMargin,
+
+    // q226: the md5 gate and the two md5 cuts restated, substr
+    // arithmetic replayed position-for-position (both engines 1-based)
+    "q226_fim_transform" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN text IS NOT NULL AND
+        |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fim'),
+        |        1, 8))::BIGINT % 100 < 50 THEN 1 ELSE 0 END AS fim,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':f1'),
+        |      1, 8))::BIGINT % (len(text) + 1) AS u1,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':f2'),
+        |      1, 8))::BIGINT % (len(text) + 1) AS u2
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, text, fim,
+        |         CAST(least(u1, u2) AS INTEGER) AS lo,
+        |         CAST(greatest(u1, u2) AS INTEGER) AS hi
+        |  FROM c)
+        |SELECT doc_id, fim,
+        |  CASE WHEN fim = 1 THEN
+        |    '<|fim_prefix|>' || substr(text, 1, lo) ||
+        |    '<|fim_suffix|>' || substr(text, hi + 1, len(text) - hi) ||
+        |    '<|fim_middle|>' || substr(text, lo + 1, hi - lo)
+        |  ELSE text END AS text_fim
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // q225: q202's md5 shard/order prelude + the stream cumsum (window
     // sum CAST to BIGINT per the HUGEINT rule) + generate_series over

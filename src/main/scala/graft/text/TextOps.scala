@@ -1413,6 +1413,51 @@ object TextOps {
           s => s.getField("tt")), " ").as("target_text"))
   }
 
+  /** FILL-IN-THE-MIDDLE transform (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle") — the code-
+    * corpus pretraining prep: for `ratePct`% of documents, cut the text
+    * at two character positions into (prefix, middle, suffix) and
+    * re-emit in PSM order `<|fim_prefix|>P<|fim_suffix|>S<|fim_middle|>M`
+    * (the model learns to generate the middle given both sides; pass
+    * `spm = true` for the suffix-first SPM variant the paper mixes in).
+    * Untransformed documents pass through verbatim with fim = 0, so the
+    * output is a drop-in replacement for the raw text column.
+    *
+    * Every choice is md5-derived from the document id ([[hashBucket]],
+    * the [[spanCorruption]] idiom): the apply/skip gate is bucket
+    * (id:fim) of 100 vs ratePct; the two cut points are buckets
+    * (id:f1) / (id:f2) of len+1 — so the transform is a pure per-row
+    * projection, reproducible on any engine, any run, any partitioning.
+    * Cuts at 0 / len legally yield empty prefix/middle/suffix, exactly
+    * as the paper's uniform splits do. Map-only: nothing shuffles at
+    * any corpus size. */
+  def fimTransform(docs: DataFrame, ratePct: Int = 50,
+                   spm: Boolean = false, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(ratePct >= 0 && ratePct <= 100,
+      s"ratePct must be in [0,100], got $ratePct")
+    def cut(tag: String): Column = pmod(
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(tag))),
+        1, 8), 16, 10).cast("long"),
+      length(col(textCol)).cast("long") + 1L)
+    val apply = col(textCol).isNotNull &&
+      (hashBucket(concat(col(idCol).cast("string"), lit(":fim")), 100)
+        < ratePct)
+    val lo = least(cut(":f1"), cut(":f2")).cast("int")
+    val hi = greatest(cut(":f1"), cut(":f2")).cast("int")
+    val prefix = col(textCol).substr(lit(1), lo)
+    val middle = col(textCol).substr(lo + 1, hi - lo)
+    val suffix = col(textCol).substr(hi + 1,
+      length(col(textCol)) - hi)
+    val rebuilt =
+      if (spm) concat(lit("<|fim_suffix|>"), suffix,
+        lit("<|fim_prefix|>"), prefix, lit("<|fim_middle|>"), middle)
+      else concat(lit("<|fim_prefix|>"), prefix,
+        lit("<|fim_suffix|>"), suffix, lit("<|fim_middle|>"), middle)
+    docs.select(col(idCol), when(apply, 1).otherwise(0).as("fim"),
+      when(apply, rebuilt).otherwise(col(textCol)).as("text_fim"))
+  }
+
   /** Feature hashing (HashingTF): token → md5 bucket, per-doc bucket
     * counts in tall form — the fixed-width vectorization step that needs
     * no vocabulary table (the hash IS the index), so it is map-side +

@@ -3142,6 +3142,48 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("fimTransform: PSM reassembles to the original, rate gate " +
+    "respects md5 buckets, SPM reorders, rate 0/100, null passthrough") {
+    val docs = (1L to 40L).map(i => (i, s"doc $i body with some chars"))
+      .toDF("doc_id", "text") union
+      Seq((99L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val all = TextOps.fimTransform(docs, ratePct = 100).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val Re = "<\\|fim_prefix\\|>(.*)<\\|fim_suffix\\|>(.*)<\\|fim_middle\\|>(.*)".r
+    all.filter(_._1 != 99L).foreach { case (id, fim, t) =>
+      assert(fim == 1)
+      val Re(p, s, m) = (t: @unchecked) // prefix+middle+suffix = original
+      assert(p + m + s == s"doc $id body with some chars")
+    }
+    // null text passes through untransformed whatever the rate
+    assert(all.find(_._1 == 99L).get._2 == 0 &&
+      all.find(_._1 == 99L).get._3 == null)
+    // rate 0: identity
+    val none = TextOps.fimTransform(docs, ratePct = 0).collect()
+    assert(none.forall(r => r.getInt(1) == 0))
+    // rate 50: the md5 gate picks a strict subset, same ids every run,
+    // and transformed docs match the rate-100 rebuild exactly
+    val half = TextOps.fimTransform(docs, ratePct = 50).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val nHalf = half.count(_._2 == 1)
+    assert(nHalf > 0 && nHalf < 40)
+    val full = all.map(t => t._1 -> t._3).toMap
+    half.filter(_._2 == 1).foreach { case (id, _, t) =>
+      assert(t == full(id)) }
+    // SPM puts the suffix first but cuts at the same positions
+    val spm = TextOps.fimTransform(docs, ratePct = 100, spm = true)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    val ReS = "<\\|fim_suffix\\|>(.*)<\\|fim_prefix\\|>(.*)<\\|fim_middle\\|>(.*)".r
+    spm.filter(_._1 != 99L).foreach { case (id, t) =>
+      val ReS(s, p, m) = (t: @unchecked)
+      val Re(p2, s2, m2) = (full(id): @unchecked)
+      assert(p == p2 && s == s2 && m == m2)
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.fimTransform(docs, ratePct = 101)
+    }
+  }
+
   test("blockSegments: blocks fill exactly, straddling docs split at " +
     "the boundary, every doc covered once incl. EOS, short tail kept") {
     // one shard so the stream order (md5 salt, then id) is total
