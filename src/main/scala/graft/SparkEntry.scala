@@ -2132,6 +2132,15 @@ object SparkEntry {
       TextOps.fimTransform(t(s, dir, "documents"), ratePct = 50)
         .orderBy("doc_id")),
 
+    // Matryoshka adaptive retrieval: 16-dim prefix shortlist of 50,
+    // full-64-dim rerank to top-10; unrounded cosine (identical
+    // sequential dot chains both engines)
+    "q227_matryoshka_topk" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      Similarity.matryoshkaTopK(embs, typedlit(queryVec(embs)), k = 10,
+        shortlist = 50, prefixDim = 16)
+    }),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -3101,6 +3110,35 @@ object SparkEntry {
        |${recallTailSql(planes, dim)}""".stripMargin
   }
 
+  /** Matryoshka oracle: the 16-term prefix dot chains and the 64-term
+    * full chains in the same sequential order as the native kernel;
+    * shortlist and rerank restate the (cosine DESC, vec_id) tie rule. */
+  private def matryoshkaOracle: String = {
+    val dim = 64; val pre = 16
+    def chain(n: Int, a: Int => String, b: Int => String): String =
+      (0 until n).map(i => s"${a(i)} * ${b(i)}").mkString(" + ")
+    def cos(vq: String, vv: String, qq: String): String =
+      s"""CASE WHEN sqrt($vv) * sqrt($qq) > 0
+         |                THEN ($vq) / (sqrt($vv) * sqrt($qq))
+         |                ELSE 0.0 END""".stripMargin
+    val e = (i: Int) => s"e[${i + 1}]"; val qe = (i: Int) => s"qe[${i + 1}]"
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+       |short AS (
+       |  SELECT vec_id FROM (
+       |    SELECT v.vec_id,
+       |           ${cos(chain(pre, e, qe), chain(pre, e, e),
+                         chain(pre, qe, qe))} AS pc
+       |    FROM v, q)
+       |  ORDER BY pc DESC, vec_id LIMIT 50)
+       |SELECT vec_id,
+       |       ${cos(chain(dim, e, qe), chain(dim, e, e),
+                     chain(dim, qe, qe))} AS cosine
+       |FROM v JOIN short USING (vec_id), q
+       |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   /** PQ-encode oracle: same subspace squared-L2 argmin with the same
     * sequential term order, codebook = first 16 vectors by id. */
   private def pqEncodeOracle: String = {
@@ -3715,6 +3753,8 @@ object SparkEntry {
         |FROM pp, kk""".stripMargin,
 
     "q105_ann_recall" -> annRecallOracle,
+
+    "q227_matryoshka_topk" -> matryoshkaOracle,
     "q125_random_project" -> randomProjectOracle,
     "q126_lsh_recall" -> lshRecallOracle,
     "q137_projected_ann" -> projectedAnnOracle,

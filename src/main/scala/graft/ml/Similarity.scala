@@ -631,6 +631,38 @@ object Similarity {
         round(col("hits").cast("double") / k, 6).as("recall"))
   }
 
+  /** MATRYOSHKA adaptive retrieval (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning"): MRL-trained embeddings pack coarse
+    * semantics into their prefix, so serving can shortlist on the FIRST
+    * `prefixDim` coordinates and rerank only the shortlist at full
+    * dimension — stage 1 reads prefixDim/dim of the vector bytes, stage
+    * 2 touches |shortlist| rows. Stage-1 cosine uses the sliced prefix
+    * of both sides (renormalization is inherent in cosine); both stages
+    * break float ties on id, so the result is deterministic. At 100 TB
+    * the deployment shape stores the prefix as its own column (scan
+    * prunes to it) and both stages stay bounded TakeOrdered — no global
+    * sort, no shuffle beyond the |shortlist|-row broadcast semi-join. */
+  def matryoshkaTopK(embs: DataFrame, query: Column, k: Int,
+                     shortlist: Int, prefixDim: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     dim: Int = DefaultDim): DataFrame = {
+    require(k > 0 && shortlist >= k,
+      s"need shortlist >= k > 0, got k=$k shortlist=$shortlist")
+    require(prefixDim > 0 && prefixDim <= dim,
+      s"prefixDim must be in [1,$dim], got $prefixDim")
+    val short = embs.select(col(idCol),
+        cosine(slice(col(vecCol).cast("array<double>"), 1, prefixDim),
+          slice(query, 1, prefixDim), prefixDim).as("prefix_cosine"))
+      .orderBy(col("prefix_cosine").desc, col(idCol).asc)
+      .limit(shortlist)
+    embs.join(broadcast(short.select(col(idCol))), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        cosine(col(vecCol).cast("array<double>"), query, dim).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** All-pairs top-k neighbors per vector via LSH buckets (batch ANN):
     * join within bucket, rank per source id. Bucket sizes bound the pair
     * count; `planes` tunes recall vs cost.

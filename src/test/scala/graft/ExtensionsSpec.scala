@@ -265,6 +265,44 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(got.head.getAs[Double]("cosine") - 1.0) < 1e-12)
   }
 
+  test("matryoshkaTopK: full-shortlist degenerates to brute force, " +
+    "shortlist bounds the candidate set, prefix stage is load-bearing") {
+    val embs = (0L until 30L).map(i => (i, vec(i.toInt), i.toInt % 3))
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val q = vec(5).map(_.toDouble).toArray
+    // shortlist = corpus size: stage 2 sees everything ⇒ == brute force
+    val full = Similarity.matryoshkaTopK(embs, typedlit(q), k = 5,
+      shortlist = 30, prefixDim = dim / 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = Similarity.bruteForceTopK(embs, typedlit(q), 5, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(full.toSeq == brute.toSeq)
+    // the query's own vector survives a prefix shortlist: its prefix
+    // cosine is exactly 1, so it cannot be shortlisted out
+    val tight = Similarity.matryoshkaTopK(embs, typedlit(q), k = 3,
+      shortlist = 5, prefixDim = 8).collect()
+    assert(tight.head.getLong(0) == 5L &&
+      math.abs(tight.head.getDouble(1) - 1.0) < 1e-12)
+    // results come from the prefix shortlist only
+    val short5 = Similarity.matryoshkaTopK(embs, typedlit(q), k = 5,
+      shortlist = 5, prefixDim = 8).collect().map(_.getLong(0)).toSet
+    val shortIds = embs.select(col("vec_id"),
+        Similarity.cosine(slice(col("embedding"), 1, 8),
+          typedlit(q.take(8)), 8).as("pc"))
+      .orderBy(col("pc").desc, col("vec_id"))
+      .limit(5).collect().map(_.getLong(0)).toSet
+    assert(short5 == shortIds)
+    intercept[IllegalArgumentException] {
+      Similarity.matryoshkaTopK(embs, typedlit(q), k = 10, shortlist = 5,
+        prefixDim = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.matryoshkaTopK(embs, typedlit(q), k = 1, shortlist = 5,
+        prefixDim = 0)
+    }
+  }
+
   test("embeddingNearDup with label blocking finds in-label pairs only") {
     val embs = Seq(
       (0L, Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), 0),
