@@ -2141,6 +2141,31 @@ object SparkEntry {
         shortlist = 50, prefixDim = 16)
     }),
 
+    // DPO preference-pair audit over synthesized pairs: %15 docs are
+    // degenerate (chosen ≡ rejected), %10==1 docs flip their NEIGHBOR's
+    // pair under the neighbor's prompt (a planted contradiction), %50
+    // prompt groups give real dup counts; digests-only joins
+    "q228_preference_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val nxt = docs.select((col("doc_id") + 1).as("doc_id"),
+        col("text").as("ntext"))
+      val degen = col("doc_id") % 15 === 0
+      val flip = !degen && col("doc_id") % 10 === 1 &&
+        col("ntext").isNotNull
+      val pairs = docs.join(nxt, Seq("doc_id"), "left")
+        .select(col("doc_id").as("pair_id"),
+          when(flip, concat(lit("p"),
+              ((col("doc_id") - 1) % 50).cast("string")))
+            .otherwise(concat(lit("p"), (col("doc_id") % 50)
+              .cast("string"))).as("prompt"),
+          when(flip, concat(lit("b: "), col("ntext")))
+            .otherwise(concat(lit("a: "), col("text"))).as("chosen"),
+          when(degen, concat(lit("a: "), col("text")))
+            .when(flip, concat(lit("a: "), col("ntext")))
+            .otherwise(concat(lit("b: "), col("text"))).as("rejected"))
+      ops.Chat.preferenceAudit(pairs).orderBy("pair_id")
+    }),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -4642,6 +4667,60 @@ object SparkEntry {
         |       CAST(floor((raw / denom) * 1000000) AS BIGINT) AS weight_ppm
         |FROM raw JOIN nd0 USING (domain) CROSS JOIN den
         |ORDER BY domain""".stripMargin,
+
+    // q228: synthesis + audit replayed — same flags, digest chains
+    // (md5 of normalized sides, forward/reverse concat digests),
+    // reversed table from non-degenerate pairs only, ownership window
+    "q228_preference_audit" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |n AS (SELECT doc_id + 1 AS doc_id, text AS ntext FROM d0),
+        |p0 AS (
+        |  SELECT d0.doc_id,
+        |    CASE WHEN d0.doc_id % 15 = 0 THEN 1 ELSE 0 END AS degen,
+        |    CASE WHEN d0.doc_id % 15 <> 0 AND d0.doc_id % 10 = 1
+        |              AND ntext IS NOT NULL THEN 1 ELSE 0 END AS flip,
+        |    text, ntext
+        |  FROM d0 LEFT JOIN n USING (doc_id)),
+        |p AS (
+        |  SELECT doc_id AS pair_id,
+        |    CASE WHEN flip = 1
+        |         THEN 'p' || CAST((doc_id - 1) % 50 AS VARCHAR)
+        |         ELSE 'p' || CAST(doc_id % 50 AS VARCHAR) END AS prompt,
+        |    CASE WHEN flip = 1 THEN 'b: ' || ntext
+        |         ELSE 'a: ' || text END AS chosen,
+        |    CASE WHEN degen = 1 THEN 'a: ' || text
+        |         WHEN flip = 1 THEN 'a: ' || ntext
+        |         ELSE 'b: ' || text END AS rejected
+        |  FROM p0),
+        |a AS (
+        |  SELECT pair_id,
+        |    md5(regexp_replace(lower(coalesce(prompt, '')),
+        |        '\s+', ' ', 'g')) AS pd,
+        |    md5(regexp_replace(lower(coalesce(chosen, '')),
+        |        '\s+', ' ', 'g')) AS cd,
+        |    md5(regexp_replace(lower(coalesce(rejected, '')),
+        |        '\s+', ' ', 'g')) AS rd
+        |  FROM p),
+        |b AS (
+        |  SELECT pair_id, pd, cd, rd,
+        |         md5(pd || cd || rd) AS fwd, md5(pd || rd || cd) AS rev,
+        |         CASE WHEN cd = rd THEN 1 ELSE 0 END AS degenerate
+        |  FROM a),
+        |pc AS (SELECT pd, count(*) AS prompt_dups FROM b GROUP BY pd),
+        |rc AS (SELECT rev AS fwd, count(*) AS n_rev FROM b
+        |       WHERE degenerate = 0 GROUP BY rev),
+        |k AS (SELECT b.*, row_number() OVER (PARTITION BY fwd
+        |        ORDER BY pair_id) AS rn FROM b)
+        |SELECT k.pair_id, k.degenerate,
+        |  CASE WHEN coalesce(rc.n_rev, 0) > 0 THEN 1 ELSE 0 END
+        |    AS contradicted,
+        |  pc.prompt_dups,
+        |  CASE WHEN rn = 1 AND degenerate = 0
+        |            AND coalesce(rc.n_rev, 0) = 0
+        |       THEN 1 ELSE 0 END AS keep
+        |FROM k JOIN pc USING (pd) LEFT JOIN rc USING (fwd)
+        |ORDER BY pair_id""".stripMargin,
 
     // q226: the md5 gate and the two md5 cuts restated, substr
     // arithmetic replayed position-for-position (both engines 1-based)

@@ -51,6 +51,55 @@ object Chat {
       concat(lit("<|"), x.getField("role"), lit("|>"),
         x.getField("content"))), "")
 
+  /** PREFERENCE-PAIR audit — the validation pass a DPO/RLHF reward
+    * corpus needs before training: per (prompt, chosen, rejected) pair,
+    *  - `degenerate`: chosen ≡ rejected after the normalization
+    *    [[dedupConversations]] uses (lower + whitespace collapse) — a
+    *    pair that teaches nothing and divides by zero in some losses;
+    *  - `contradicted`: some OTHER pair ranks the same two responses
+    *    the opposite way for the same prompt (the label-noise class
+    *    that actively poisons a Bradley-Terry fit) — detected by
+    *    joining each pair's forward digest md5(p‖c‖r) against the
+    *    corpus's REVERSED digests md5(p‖r‖c), the reversed table built
+    *    from non-degenerate pairs only (a degenerate's reverse equals
+    *    its own forward — without the exclusion every degenerate would
+    *    "contradict" itself);
+    *  - `prompt_dups`: how many pairs share this pair's normalized
+    *    prompt (loss weighting / dedup exposure);
+    *  - `keep`: first owner (min id) of its exact forward digest with
+    *    neither flag — the training-set verdict.
+    * Everything shuffles 32-byte digests, never response text: one
+    * digest-keyed count for prompts, one for reversed digests, one
+    * ownership window on the forward digest. */
+  def preferenceAudit(df: DataFrame, idCol: String = "pair_id",
+                      promptCol: String = "prompt",
+                      chosenCol: String = "chosen",
+                      rejectedCol: String = "rejected"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def norm(c: Column): Column =
+      md5(regexp_replace(lower(coalesce(c, lit(""))), "\\s+", " "))
+    val d = df.select(col(idCol), norm(col(promptCol)).as("_pd"),
+        norm(col(chosenCol)).as("_cd"), norm(col(rejectedCol)).as("_rd"))
+      .withColumn("_fwd", md5(concat(col("_pd"), col("_cd"), col("_rd"))))
+      .withColumn("_rev", md5(concat(col("_pd"), col("_rd"), col("_cd"))))
+      .withColumn("degenerate", (col("_cd") === col("_rd")).cast("int"))
+    val promptCounts = d.groupBy(col("_pd"))
+      .agg(count(lit(1)).as("prompt_dups"))
+    val revCounts = d.filter(col("degenerate") === 0)
+      .groupBy(col("_rev").as("_fwd"))
+      .agg(count(lit(1)).as("_n_rev"))
+    val w = Window.partitionBy("_fwd").orderBy(col(idCol))
+    d.join(promptCounts, "_pd")
+      .join(revCounts, Seq("_fwd"), "left")
+      .withColumn("contradicted",
+        (coalesce(col("_n_rev"), lit(0L)) > 0).cast("int"))
+      .withColumn("keep",
+        (row_number().over(w) === 1 && col("degenerate") === 0 &&
+          col("contradicted") === 0).cast("int"))
+      .select(col(idCol), col("degenerate"), col("contradicted"),
+        col("prompt_dups"), col("keep"))
+  }
+
   /** Conversation-level exact dedup: digest the WHITESPACE/CASE-
     * normalized rendered conversation (two users pasting the same
     * dialogue with different spacing collapse), keep the first owner

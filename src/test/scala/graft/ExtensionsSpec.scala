@@ -3180,6 +3180,34 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("preferenceAudit: degenerate via normalization, mutual " +
+    "contradiction, exact-dup ownership, prompt dup counts") {
+    val pairs = Seq(
+      (1L, "p1", "A good answer", "B worse answer"), // clean, first owner
+      (2L, "p1", "B worse answer", "A good answer"), // contradicts 1
+      (3L, "p2", "C", "C"), // degenerate, exact
+      (4L, "p1", "A good answer", "B worse answer"), // exact dup of 1
+      (5L, "p3", "Hello World", "hello   world"), // degenerate after norm
+      (6L, "p4", "X", "Y") // clean singleton
+    ).toDF("pair_id", "prompt", "chosen", "rejected")
+    val got = ops.Chat.preferenceAudit(pairs).orderBy("pair_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getInt(4)))
+    assert(got.toSeq == Seq(
+      (1L, 0, 1, 3L, 0), // contradicted by 2 (keep=0 despite first)
+      (2L, 0, 1, 3L, 0), // contradiction is mutual
+      (3L, 1, 0, 1L, 0), // degenerate never contradicts itself
+      (4L, 0, 1, 3L, 0), // dup of 1: not first owner AND contradicted
+      (5L, 1, 0, 1L, 0), // lower+whitespace collapse finds it
+      (6L, 0, 0, 1L, 1))) // the only trainable pair
+    // without the flipped pair, 1 and 4 become keepable (first only)
+    val noFlip = ops.Chat.preferenceAudit(pairs.filter($"pair_id" =!= 2L))
+      .orderBy("pair_id").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(4)))
+    assert(noFlip.toSeq == Seq((1L, 0, 1), (3L, 0, 0), (4L, 0, 0),
+      (5L, 0, 0), (6L, 0, 1)))
+  }
+
   test("fimTransform: PSM reassembles to the original, rate gate " +
     "respects md5 buckets, SPM reorders, rate 0/100, null passthrough") {
     val docs = (1L to 40L).map(i => (i, s"doc $i body with some chars"))
