@@ -2166,6 +2166,15 @@ object SparkEntry {
       ops.Chat.preferenceAudit(pairs).orderBy("pair_id")
     }),
 
+    // SFT loss-mask manifest: per (conversation, turn), the character
+    // span the turn's content occupies in the rendered string and the
+    // train verdict (assistant content only) — pure integer offsets
+    "q229_loss_mask_spans" -> ((s, dir) =>
+      ops.Chat.lossMaskSpans(
+        t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), chatTurnsOf.as("turns")))
+        .orderBy("doc_id", "turn")),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -4667,6 +4676,27 @@ object SparkEntry {
         |       CAST(floor((raw / denom) * 1000000) AS BIGINT) AS weight_ppm
         |FROM raw JOIN nd0 USING (domain) CROSS JOIN den
         |ORDER BY domain""".stripMargin,
+
+    // q229: the q204 turns CTE + a window prefix sum over rendered turn
+    // lengths (len(role)+4 for the <|…|> tag + len(content)); turn
+    // index re-ranked over kept turns (empty contents are filtered)
+    "q229_loss_mask_spans" ->
+      s"""WITH $chatTurnsCtes,
+         |r AS (
+         |  SELECT doc_id, k, role, content,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY k) - 1
+         |      AS INTEGER) AS turn,
+         |    CAST(coalesce(sum(len(role) + 4 + len(content)) OVER (
+         |      PARTITION BY doc_id ORDER BY k
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS before
+         |  FROM turns)
+         |SELECT doc_id, turn, role,
+         |  before + len(role) + 4 AS start_char,
+         |  before + len(role) + 4 + len(content) AS end_char,
+         |  CAST(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END
+         |    AS INTEGER) AS train
+         |FROM r ORDER BY doc_id, turn""".stripMargin,
 
     // q228: synthesis + audit replayed — same flags, digest chains
     // (md5 of normalized sides, forward/reverse concat digests),

@@ -100,6 +100,53 @@ object Chat {
         col("prompt_dups"), col("keep"))
   }
 
+  /** LOSS-MASK manifest for SFT training — for each turn, the character
+    * span its CONTENT occupies inside the [[renderTemplate]] string,
+    * plus the `train` verdict (1 for assistant content, 0 otherwise):
+    * exactly what the collator needs to mask user turns and role tags
+    * out of the loss (training on user text is the classic SFT leak).
+    * Spans are 0-based, end-exclusive, and start after the turn's
+    * `<|role|>` tag, so `rendered.substring(start, end)` is the turn's
+    * content verbatim; a rendered+masked pair round-trips by
+    * construction. A NULL content drops its whole turn from
+    * [[renderTemplate]]'s output (concat nulls the element, array_join
+    * skips it), so such turns get a zero-length span at the drop point —
+    * offsets stay render-aligned either way. One row per
+    * (conversation, turn).
+    *
+    * Map-only: offsets come from an in-row prefix sum over the turn
+    * lengths (quadratic in the TURN COUNT of one conversation — tens at
+    * most, bounded by the chat format, never by corpus size); nothing
+    * shuffles at any scale. */
+  def lossMaskSpans(df: DataFrame, idCol: String = "doc_id",
+                    turnsCol: String = "turns"): DataFrame = {
+    val t = col(turnsCol)
+    // a NULL content nulls the turn's concat element and array_join
+    // drops it from the rendered string — charge such turns ZERO length
+    // (tag included) so offsets stay aligned with renderTemplate
+    val lens = transform(t, x =>
+      when(x.getField("content").isNull, lit(0))
+        .otherwise(length(x.getField("role")) + lit(4) + // <| |> tags
+          length(x.getField("content"))))
+    val rows = transform(sequence(lit(1), size(t)), i => {
+      val turn = element_at(t, i)
+      val before = aggregate(slice(lens, lit(1), i - 1), lit(0L),
+        (acc, x) => acc + x)
+      val start = before + when(turn.getField("content").isNull, lit(0L))
+        .otherwise(length(turn.getField("role")).cast("long") + 4L)
+      struct((i - 1).cast("int").as("turn"),
+        turn.getField("role").as("role"),
+        start.as("start_char"),
+        (start + coalesce(length(turn.getField("content")).cast("long"),
+          lit(0L))).as("end_char"),
+        (turn.getField("role") === "assistant").cast("int").as("train"))
+    })
+    df.select(col(idCol), explode(rows).as("s"))
+      .select(col(idCol), col("s.turn").as("turn"),
+        col("s.role").as("role"), col("s.start_char").as("start_char"),
+        col("s.end_char").as("end_char"), col("s.train").as("train"))
+  }
+
   /** Conversation-level exact dedup: digest the WHITESPACE/CASE-
     * normalized rendered conversation (two users pasting the same
     * dialogue with different spacing collapse), keep the first owner

@@ -3180,6 +3180,41 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("lossMaskSpans: spans substring the rendered string back to the " +
+    "turn contents, assistant-only train flags, null content is empty") {
+    val turns = Seq((1L, Seq(("user", "hi there"), ("assistant", "hello"),
+      ("user", "more?"), ("assistant", "sure thing"))),
+      (2L, Seq(("system", "be brief"), ("assistant",
+        null.asInstanceOf[String])))).toDF("doc_id", "raw")
+      .select(col("doc_id"), expr(
+        "transform(raw, x -> struct(x._1 AS role, x._2 AS content))")
+        .as("turns"))
+    val rendered = turns.select(col("doc_id"),
+      ops.Chat.renderTemplate(col("turns")).as("r")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rendered(1L) == "<|user|>hi there<|assistant|>hello" +
+      "<|user|>more?<|assistant|>sure thing")
+    val got = ops.Chat.lossMaskSpans(turns).orderBy("doc_id", "turn")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getInt(5)))
+    // doc 2's null-content turn is DROPPED from the render — its span
+    // must be zero-length at the drop point, not tag-offset past the end
+    assert(rendered(2L) == "<|system|>be brief")
+    // every span substrings the rendered string back to its content
+    val contents = Map((1L, 0) -> "hi there", (1L, 1) -> "hello",
+      (1L, 2) -> "more?", (1L, 3) -> "sure thing",
+      (2L, 0) -> "be brief", (2L, 1) -> "")
+    got.foreach { case (id, turn, role, s, e, train) =>
+      assert(rendered(id).substring(s.toInt, e.toInt) ==
+        contents((id, turn)))
+      assert(train == (if (role == "assistant") 1 else 0))
+    }
+    // masking by spans trains on exactly the assistant characters
+    val trainChars = got.filter(_._6 == 1).map(t => t._5 - t._4).sum
+    assert(trainChars == "hello".length + "sure thing".length)
+    assert(got.length == 6)
+  }
+
   test("preferenceAudit: degenerate via normalization, mutual " +
     "contradiction, exact-dup ownership, prompt dup counts") {
     val pairs = Seq(
