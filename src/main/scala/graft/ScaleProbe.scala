@@ -320,6 +320,45 @@ object ScaleProbe {
           val rules = graft.text.UrlOps.robotsAgentRules(robots, "graftbot")
           graft.text.UrlOps.robotsDecisions(urls, rules)
             .agg(sum("allowed")).head(); 1L },
+        "domain_reweight" -> { d =>
+          TextOps.domainReweight(d).agg(sum("weight_ppm")).head(); 1L },
+        "block_segments" -> { d =>
+          TextOps.blockSegments(d, blockTokens = 512, nShards = 8)
+            .agg(sum("seg_tokens"), count(lit(1))).head(); 1L },
+        "fim_transform" -> { d =>
+          TextOps.fimTransform(d)
+            .agg(sum(length(col("text_fim"))), sum("fim")).head(); 1L },
+        "preference_audit" -> { d =>
+          // the q228 synthesis shape: %15 degenerates, %10 flipped
+          // neighbors — contradiction pairs scale WITH the corpus
+          val nxt = d.select((col("doc_id") + 1).as("doc_id"),
+            col("text").as("ntext"))
+          val degen = col("doc_id") % 15 === 0
+          val flip = !degen && col("doc_id") % 10 === 1 &&
+            col("ntext").isNotNull
+          val pairs = d.filter(col("text").isNotNull)
+            .join(nxt, Seq("doc_id"), "left")
+            .select(col("doc_id").as("pair_id"),
+              concat(lit("p"), (col("doc_id") % 50).cast("string"))
+                .as("prompt"),
+              when(flip, concat(lit("b: "), col("ntext")))
+                .otherwise(concat(lit("a: "), col("text"))).as("chosen"),
+              when(degen, concat(lit("a: "), col("text")))
+                .when(flip, concat(lit("a: "), col("ntext")))
+                .otherwise(concat(lit("b: "), col("text")))
+                .as("rejected"))
+          graft.ops.Chat.preferenceAudit(pairs)
+            .agg(sum("keep"), sum("contradicted")).head(); 1L },
+        "loss_mask_spans" -> { d =>
+          val turns = expr("filter(transform(sequence(0, 3), k -> " +
+            "struct(CASE WHEN k % 2 = 0 THEN 'user' ELSE 'assistant' " +
+            "END AS role, array_join(slice(split(text, ' '), " +
+            "k * 5 + 1, 5), ' ') AS content)), " +
+            "x -> length(x.content) > 0)")
+          graft.ops.Chat.lossMaskSpans(
+            d.filter(col("text").isNotNull)
+              .select(col("doc_id"), turns.as("turns")))
+            .agg(sum("end_char"), sum("train")).head(); 1L },
         "kmv_distinct16" -> { d =>
           TextOps.kmvDistinct(d, k = 16)
             .agg(sum("estimate")).head(); 1L },
@@ -431,6 +470,13 @@ object ScaleProbe {
         "semdedup_label" -> { d =>
           Dedup.semDeDup(d, blockCol = "label", minCosine = 0.99).count() },
         "quantize_int8" -> { d => Similarity.quantizeInt8(d).count() },
+        "matryoshka_topk" -> { d =>
+          val q = d.filter(col("vec_id") === 0)
+            .select(col("embedding").cast("array<double>"))
+            .head().getSeq[Double](0).toArray
+          Similarity.matryoshkaTopK(d, typedlit(q), k = 10,
+            shortlist = 50, prefixDim = 16)
+            .agg(sum("cosine")).head(); 1L },
         "pq_encode" -> { d =>
           // aggregate the codes so the kernel can't be pruned
           Similarity.pqEncode(d, m = 8, k = 16)
