@@ -2175,6 +2175,19 @@ object SparkEntry {
           .select(col("doc_id"), chatTurnsOf.as("turns")))
         .orderBy("doc_id", "turn")),
 
+    // best-of-N DPO-pair construction: 5 samples per prompt, exact
+    // integer-derived scores (ties exercised at %101 collisions, %13
+    // docs unscored), opposed tie rules keep chosen ≠ rejected
+    "q230_best_of_n" -> ((s, dir) => {
+      val samples = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(expr("doc_id div 5").as("prompt_id"),
+          col("doc_id").as("sample_id"), col("text").as("sample"),
+          when(col("doc_id") % 13 === 0, lit(null))
+            .otherwise(((col("doc_id") * 31) % 101).cast("double"))
+            .as("score"))
+      ops.Chat.bestOfN(samples).orderBy("prompt_id")
+    }),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -4676,6 +4689,37 @@ object SparkEntry {
         |       CAST(floor((raw / denom) * 1000000) AS BIGINT) AS weight_ppm
         |FROM raw JOIN nd0 USING (domain) CROSS JOIN den
         |ORDER BY domain""".stripMargin,
+
+    // q230: argmax/argmin via two opposed row_number windows
+    // (score DESC, id ASC) / (score ASC, id DESC) — the same tie rules
+    // as the max/min struct keys; unscored rows count only
+    "q230_best_of_n" ->
+      """WITH s AS (
+        |  SELECT doc_id // 5 AS prompt_id, doc_id AS sample_id,
+        |    text AS sample,
+        |    CASE WHEN doc_id % 13 = 0 THEN NULL
+        |         ELSE CAST((doc_id * 31) % 101 AS DOUBLE) END AS score
+        |  FROM documents WHERE text IS NOT NULL),
+        |n AS (SELECT prompt_id, count(*) AS n_samples FROM s GROUP BY 1),
+        |sc AS (SELECT * FROM s WHERE score IS NOT NULL),
+        |cnt AS (SELECT prompt_id, count(*) AS n_scored
+        |        FROM sc GROUP BY 1),
+        |hi AS (
+        |  SELECT prompt_id, sample AS chosen, score AS hs FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY prompt_id
+        |      ORDER BY score DESC, sample_id ASC) AS rk FROM sc)
+        |  WHERE rk = 1),
+        |lo AS (
+        |  SELECT prompt_id, sample AS rejected, score AS ls FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY prompt_id
+        |      ORDER BY score ASC, sample_id DESC) AS rk FROM sc)
+        |  WHERE rk = 1)
+        |SELECT prompt_id, n_samples, n_scored, chosen, rejected,
+        |       hs - ls AS margin
+        |FROM cnt JOIN n USING (prompt_id) JOIN hi USING (prompt_id)
+        |     JOIN lo USING (prompt_id)
+        |WHERE n_scored >= 2
+        |ORDER BY prompt_id""".stripMargin,
 
     // q229: the q204 turns CTE + a window prefix sum over rendered turn
     // lengths (len(role)+4 for the <|…|> tag + len(content)); turn

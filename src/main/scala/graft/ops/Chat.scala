@@ -100,6 +100,47 @@ object Chat {
         col("prompt_dups"), col("keep"))
   }
 
+  /** BEST-OF-N selection over scored samples — the rejection-sampling /
+    * DPO-pair construction step: given N scored candidate responses per
+    * prompt, emit one row per prompt with the argmax sample as `chosen`
+    * and the argmin as `rejected`, the score margin, and the candidate
+    * count. Ties are deterministic and OPPOSED: chosen breaks to the
+    * lowest sample id, rejected to the highest — so a prompt whose
+    * candidates all score equal still yields two distinct samples
+    * rather than a self-pair. Prompts with
+    * fewer than `minSamples` candidates are dropped (a 1-sample
+    * "pair" is degenerate by construction — [[preferenceAudit]] would
+    * flag it anyway; filtering here keeps the pair table clean).
+    * Rows with a null score never win or lose — they only count.
+    *
+    * One aggregation over (prompt, sample): max_by/min_by structs are
+    * map-side combined, so only |prompts| rows survive the shuffle and
+    * sample text moves once inside the agg buffers — no window, no
+    * self-join, no sort. */
+  def bestOfN(df: DataFrame, promptCol: String = "prompt_id",
+              sampleCol: String = "sample_id",
+              textCol: String = "sample",
+              scoreCol: String = "score",
+              minSamples: Int = 2): DataFrame = {
+    require(minSamples >= 2, s"minSamples must be >= 2, got $minSamples")
+    // orderable struct: score first, then NEGATED id so that max picks
+    // (highest score, lowest id) and min picks (lowest score, highest
+    // id) — the two tie rules documented above
+    def key(sign: Int): Column =
+      struct(col(scoreCol).as("s"),
+        (col(sampleCol) * lit(sign)).as("i"), col(textCol).as("t"))
+    df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(promptCol))
+      .agg(count(lit(1)).as("n_scored"),
+        max(key(-1)).as("_hi"), min(key(-1)).as("_lo"))
+      .join(df.groupBy(col(promptCol))
+        .agg(count(lit(1)).as("n_samples")), promptCol)
+      .filter(col("n_scored") >= minSamples)
+      .select(col(promptCol), col("n_samples"), col("n_scored"),
+        col("_hi.t").as("chosen"), col("_lo.t").as("rejected"),
+        (col("_hi.s") - col("_lo.s")).as("margin"))
+  }
+
   /** LOSS-MASK manifest for SFT training — for each turn, the character
     * span its CONTENT occupies inside the [[renderTemplate]] string,
     * plus the `train` verdict (1 for assistant content, 0 otherwise):

@@ -3180,6 +3180,33 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("bestOfN: argmax/argmin with opposed tie rules, null scores " +
+    "count but never win, sub-minimum prompts dropped") {
+    val samples = Seq(
+      (10L, 1L, "s1", Some(0.5)), (10L, 2L, "s2", Some(0.9)),
+      (10L, 3L, "s3", Some(0.1)), // clean: s2 beats s3, margin 0.8
+      (20L, 4L, "t4", Some(0.7)), (20L, 5L, "t5", Some(0.7)), // all tied
+      (30L, 6L, "u6", Some(0.3)), (30L, 7L, "u7", None), // 1 scored
+      (40L, 8L, "v8", None) // 0 scored
+    ).toDF("prompt_id", "sample_id", "sample", "score")
+      .withColumn("score", col("score").cast("double"))
+    val got = ops.Chat.bestOfN(samples).orderBy("prompt_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getString(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      (10L, 3L, 3L, "s2", "s3", 0.8),
+      // all-tied prompt: chosen = lowest id, rejected = highest id —
+      // two DISTINCT samples, margin 0
+      (20L, 2L, 2L, "t4", "t5", 0.0)))
+    // prompts 30 (1 scored) and 40 (0 scored) are dropped entirely
+    assert(!got.map(_._1).contains(30L) && !got.map(_._1).contains(40L))
+    // null scores still count in n_samples: prompt 30 via minSamples=2
+    // is gone even though it HAS 2 samples — only scored ones qualify
+    intercept[IllegalArgumentException] {
+      ops.Chat.bestOfN(samples, minSamples = 1)
+    }
+  }
+
   test("lossMaskSpans: spans substring the rendered string back to the " +
     "turn contents, assistant-only train flags, null content is empty") {
     val turns = Seq((1L, Seq(("user", "hi there"), ("assistant", "hello"),
