@@ -2188,6 +2188,21 @@ object SparkEntry {
       ops.Chat.bestOfN(samples).orderBy("prompt_id")
     }),
 
+    // E8 SFT path end-to-end: q205's cloned-conversation synthesis →
+    // structure gates → digest dedup → rendered training strings
+    "q231_curate_chat" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nxt = docs.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("ntext"))
+      val convs = docs.join(nxt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 6 === 0 && col("ntext").isNotNull,
+            col("ntext")).otherwise(col("text")).as("text"))
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), chatTurnsOf.as("turns"))
+      graft.pipeline.Pipelines.curateChat(convs).sft.orderBy("doc_id")
+    }),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -4689,6 +4704,52 @@ object SparkEntry {
         |       CAST(floor((raw / denom) * 1000000) AS BIGINT) AS weight_ppm
         |FROM raw JOIN nd0 USING (domain) CROSS JOIN den
         |ORDER BY domain""".stripMargin,
+
+    // q231: q205's clone prelude + q204's gate aggregation + the digest
+    // dedup window restricted to gate survivors
+    "q231_curate_chat" ->
+      s"""WITH nxt AS (
+         |  SELECT doc_id - 1 AS doc_id, text AS ntext FROM documents),
+         |src AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT d.doc_id,
+         |           CASE WHEN d.doc_id % 6 = 0 AND n.ntext IS NOT NULL
+         |                THEN n.ntext ELSE d.text END AS text
+         |    FROM documents d LEFT JOIN nxt n USING (doc_id))
+         |  WHERE text IS NOT NULL),
+         |${chatTurnsCtesFrom("src")},
+         |l AS (
+         |  SELECT *, lag(role) OVER (PARTITION BY doc_id ORDER BY k)
+         |    AS prev
+         |  FROM turns),
+         |agg AS (
+         |  SELECT doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_turns,
+         |    CAST(CASE WHEN count(*) > 1
+         |           AND bool_and(prev IS NULL OR role <> prev)
+         |         THEN 1 ELSE 0 END AS INTEGER) AS alternates,
+         |    CAST(CASE WHEN min(k) = 0 THEN 1 ELSE 0 END AS INTEGER)
+         |      AS starts_with_user
+         |  FROM l GROUP BY doc_id),
+         |gated AS (
+         |  SELECT doc_id, n_turns FROM agg
+         |  WHERE n_turns >= 2 AND alternates = 1
+         |    AND starts_with_user = 1),
+         |r AS (
+         |  SELECT doc_id,
+         |         string_agg('<|' || role || '|>' || content, ''
+         |                    ORDER BY k) AS rendered
+         |  FROM turns JOIN gated USING (doc_id) GROUP BY doc_id),
+         |dg AS (
+         |  SELECT doc_id, rendered,
+         |         md5(regexp_replace(lower(rendered), '\\s+', ' ', 'g'))
+         |           AS digest
+         |  FROM r)
+         |SELECT dg.doc_id, dg.rendered, gated.n_turns
+         |FROM dg JOIN gated USING (doc_id)
+         |QUALIFY row_number() OVER (PARTITION BY digest
+         |                           ORDER BY doc_id) = 1
+         |ORDER BY doc_id""".stripMargin,
 
     // q230: argmax/argmin via two opposed row_number windows
     // (score DESC, id ASC) / (score ASC, id DESC) — the same tie rules

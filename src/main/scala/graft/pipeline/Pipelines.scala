@@ -557,6 +557,62 @@ object Pipelines {
       zipf = TextOps.zipfSlope(docs))
   }
 
+  final case class ChatCuration(sft: DataFrame, masks: DataFrame,
+                                pairs: Option[DataFrame])
+
+  /** E8 (engine extension): POST-TRAINING data prep — the SFT/DPO half
+    * of the pipeline, composed from the oracle-gated chat operators:
+    *
+    *  1. structure gates ([[graft.ops.Chat.conversationStats]]): keep
+    *     conversations with ≥ `minTurns` turns that strictly alternate
+    *     and open with a user turn (both gates optional) — malformed
+    *     role sequences poison loss masking downstream;
+    *  2. conversation dedup ([[graft.ops.Chat.dedupConversations]]),
+    *     keep-first on the normalized rendered digest;
+    *  3. `sft` = the kept conversations with their rendered training
+    *     strings; `masks` = the per-turn loss-mask manifest
+    *     ([[graft.ops.Chat.lossMaskSpans]]) for exactly those rows;
+    *  4. optionally, scored candidate `samples` (prompt_id, sample_id,
+    *     sample, score) become preference pairs: [[graft.ops.Chat
+    *     .bestOfN]] argmax/argmin pairs, then [[graft.ops.Chat
+    *     .preferenceAudit]] drops degenerates/contradictions/dups —
+    *     only `keep = 1` pairs ship.
+    *
+    * Scale posture is the sum of its parts (each documented at its
+    * operator): map-only projections + digest-keyed reductions; turn
+    * payloads shuffle only inside the dedup digest window. */
+  def curateChat(convs: DataFrame, idCol: String = "doc_id",
+                 turnsCol: String = "turns",
+                 requireAlternating: Boolean = true,
+                 requireUserStart: Boolean = true,
+                 minTurns: Int = 2,
+                 samples: Option[DataFrame] = None): ChatCuration = {
+    import graft.ops.Chat
+    val stats = Chat.conversationStats(convs, idCol, turnsCol)
+    val gatesOk = stats
+      .filter(col("n_turns") >= minTurns)
+      .filter(if (requireAlternating) col("alternates") === 1 else lit(true))
+      .filter(if (requireUserStart) col("starts_with_user") === 1
+        else lit(true))
+    val gated = convs.join(gatesOk.select(col(idCol), col("n_turns")),
+      idCol)
+    val kept = Chat.dedupConversations(gated, idCol, turnsCol)
+      .filter(col("keep") === 1)
+    val sft = kept.select(col(idCol), col("rendered"), col("n_turns"))
+    val masks = Chat.lossMaskSpans(
+      kept.select(col(idCol), col(turnsCol)), idCol, turnsCol)
+    val pairs = samples.map { s =>
+      val bon = Chat.bestOfN(s)
+      val audited = Chat.preferenceAudit(
+        bon.select(col("prompt_id").as("pair_id"),
+          col("prompt_id").cast("string").as("prompt"),
+          col("chosen"), col("rejected")))
+      bon.join(audited.filter(col("keep") === 1)
+          .select(col("pair_id").as("prompt_id")), "prompt_id")
+    }
+    ChatCuration(sft, masks, pairs)
+  }
+
   /** E7 (engine extension): multimodal asset curation — the perceptual
     * dedup sweep over a mixed image/audio/video asset table, one call:
     * image and audio assets collapse to their perceptual keepers

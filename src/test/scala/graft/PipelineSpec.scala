@@ -601,4 +601,44 @@ class PipelineSpec extends SparkSpec {
     // surviving copy of the anti content's cluster)
     assert(kept == Seq(1L, 3L, 4L, 6L, 9L))
   }
+
+  test("E8 curateChat: gates drop malformed/short, dedup keeps first, " +
+    "masks cover exactly the kept rows, DPO pairs drop degenerates") {
+    import org.apache.spark.sql.functions._
+    def conv(pairs: (String, String)*) = pairs.map {
+      case (r, c) => (r, c) }
+    val convs = Seq(
+      (1L, conv("user" -> "hi", "assistant" -> "hello")), // kept
+      (2L, conv("user" -> "hi", "assistant" -> "hello")), // dup of 1
+      (3L, conv("assistant" -> "hi", "user" -> "ok",
+        "assistant" -> "x")), // starts with assistant → dropped
+      (4L, conv("user" -> "a", "user" -> "b",
+        "assistant" -> "c")), // non-alternating → dropped
+      (5L, conv("user" -> "only one turn")), // short → dropped
+      (6L, conv("user" -> "different", "assistant" -> "conversation")))
+      .toDF("doc_id", "raw")
+      .select(col("doc_id"), expr(
+        "transform(raw, x -> struct(x._1 AS role, x._2 AS content))")
+        .as("turns"))
+    val samples = Seq(
+      (100L, 1L, "good answer", 2.0), (100L, 2L, "bad answer", -1.0),
+      (200L, 3L, "same text", 1.0), (200L, 4L, "same text", 1.0))
+      .toDF("prompt_id", "sample_id", "sample", "score")
+    val got = Pipelines.curateChat(convs, samples = Some(samples))
+    val sft = got.sft.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(sft == Seq(
+      (1L, "<|user|>hi<|assistant|>hello"),
+      (6L, "<|user|>different<|assistant|>conversation")))
+    // masks exist for exactly the kept conversations, spans trainable
+    val masks = got.masks.collect()
+    assert(masks.map(_.getLong(0)).toSet == Set(1L, 6L))
+    assert(masks.count(_.getAs[Int]("train") == 1) == 2)
+    // DPO: prompt 100 ships (margin 3.0); prompt 200's tied identical
+    // texts make a degenerate pair → audited out
+    val pairs = got.pairs.get.collect()
+      .map(r => (r.getAs[Long]("prompt_id"), r.getAs[String]("chosen"),
+        r.getAs[String]("rejected"), r.getAs[Double]("margin")))
+    assert(pairs.toSeq == Seq((100L, "good answer", "bad answer", 3.0)))
+  }
 }
