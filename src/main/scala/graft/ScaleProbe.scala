@@ -349,6 +349,13 @@ object ScaleProbe {
                 .as("rejected"))
           graft.ops.Chat.preferenceAudit(pairs)
             .agg(sum("keep"), sum("contradicted")).head(); 1L },
+        "best_of_n" -> { d =>
+          val samples = d.filter(col("text").isNotNull)
+            .select(expr("doc_id div 5").as("prompt_id"),
+              col("doc_id").as("sample_id"), col("text").as("sample"),
+              ((col("doc_id") * 31) % 101).cast("double").as("score"))
+          graft.ops.Chat.bestOfN(samples)
+            .agg(sum("margin"), count(lit(1))).head(); 1L },
         "loss_mask_spans" -> { d =>
           val turns = expr("filter(transform(sequence(0, 3), k -> " +
             "struct(CASE WHEN k % 2 = 0 THEN 'user' ELSE 'assistant' " +
