@@ -171,7 +171,23 @@ object GraftFunctions {
             (parts(0), parts(1))
           }
         catalystExpression(
-          graft.text.TextOps.bpeEncodeWord(column(exprs(0)), merges)) }))
+          graft.text.TextOps.bpeEncodeWord(column(exprs(0)), merges)) }),
+    ("luhn_valid", graft.text.TextOps.getClass.getName,
+      exprs => { arity("luhn_valid", exprs, 1, 1)
+        catalystExpression(
+          graft.text.TextOps.luhnValid(column(exprs(0)))) }),
+    ("render_chat", graft.ops.Chat.getClass.getName,
+      exprs => { arity("render_chat", exprs, 1, 1)
+        catalystExpression(
+          graft.ops.Chat.renderTemplate(column(exprs(0)))) }),
+    // fim_text(id, text [, rate_pct]) — the FIM PSM rebuild for gated
+    // rows, pass-through otherwise (q226's per-row core)
+    ("fim_text", graft.text.TextOps.getClass.getName,
+      exprs => { arity("fim_text", exprs, 2, 3)
+        val rate = if (exprs.size > 2) intLit(exprs(2), "fim_text")
+          else 50
+        catalystExpression(graft.text.TextOps.fimText(
+          column(exprs(0)), column(exprs(1)), rate)) }))
 
   // ---- table functions: whole-operator SQL surface ----------------------
   // The interval-algebra signature operators are DataFrame→DataFrame

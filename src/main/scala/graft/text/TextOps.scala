@@ -1433,29 +1433,41 @@ object TextOps {
     * any corpus size. */
   def fimTransform(docs: DataFrame, ratePct: Int = 50,
                    spm: Boolean = false, idCol: String = "doc_id",
-                   textCol: String = "text"): DataFrame = {
+                   textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      fimApplies(col(idCol), col(textCol), ratePct).cast("int").as("fim"),
+      fimText(col(idCol), col(textCol), ratePct, spm).as("text_fim"))
+
+  /** The md5 apply/skip gate of [[fimTransform]], as a Column. */
+  private def fimApplies(id: Column, text: Column,
+                         ratePct: Int): Column = {
     require(ratePct >= 0 && ratePct <= 100,
       s"ratePct must be in [0,100], got $ratePct")
+    text.isNotNull &&
+      (hashBucket(concat(id.cast("string"), lit(":fim")), 100) < ratePct)
+  }
+
+  /** Column-level core of [[fimTransform]]: the transformed text for
+    * gated rows, the input text verbatim otherwise — usable directly in
+    * any projection (and registered in SQL as `fim_text(id, text
+    * [, rate_pct])`). */
+  def fimText(id: Column, text: Column, ratePct: Int = 50,
+              spm: Boolean = false): Column = {
     def cut(tag: String): Column = pmod(
-      conv(substring(md5(concat(col(idCol).cast("string"), lit(tag))),
+      conv(substring(md5(concat(id.cast("string"), lit(tag))),
         1, 8), 16, 10).cast("long"),
-      length(col(textCol)).cast("long") + 1L)
-    val apply = col(textCol).isNotNull &&
-      (hashBucket(concat(col(idCol).cast("string"), lit(":fim")), 100)
-        < ratePct)
+      length(text).cast("long") + 1L)
     val lo = least(cut(":f1"), cut(":f2")).cast("int")
     val hi = greatest(cut(":f1"), cut(":f2")).cast("int")
-    val prefix = col(textCol).substr(lit(1), lo)
-    val middle = col(textCol).substr(lo + 1, hi - lo)
-    val suffix = col(textCol).substr(hi + 1,
-      length(col(textCol)) - hi)
+    val prefix = text.substr(lit(1), lo)
+    val middle = text.substr(lo + 1, hi - lo)
+    val suffix = text.substr(hi + 1, length(text) - hi)
     val rebuilt =
       if (spm) concat(lit("<|fim_suffix|>"), suffix,
         lit("<|fim_prefix|>"), prefix, lit("<|fim_middle|>"), middle)
       else concat(lit("<|fim_prefix|>"), prefix,
         lit("<|fim_suffix|>"), suffix, lit("<|fim_middle|>"), middle)
-    docs.select(col(idCol), when(apply, 1).otherwise(0).as("fim"),
-      when(apply, rebuilt).otherwise(col(textCol)).as("text_fim"))
+    when(fimApplies(id, text, ratePct), rebuilt).otherwise(text)
   }
 
   /** Feature hashing (HashingTF): token → md5 bucket, per-doc bucket

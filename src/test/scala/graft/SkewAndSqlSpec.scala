@@ -160,6 +160,28 @@ class SkewAndSqlSpec extends SparkSpec {
     assert(row.getString(0) == api)
   }
 
+  test("luhn_valid, render_chat and fim_text ≡ Column API from SQL") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      "SELECT luhn_valid('4532015112830366') AS l1, " +
+        "luhn_valid('4532015112830367') AS l2, " +
+        "render_chat(array(struct('user' AS role, 'hi' AS content), " +
+        "struct('assistant' AS role, 'yo' AS content))) AS r, " +
+        "fim_text(7, 'some document text here', 100) AS f, " +
+        "fim_text(7, 'some document text here', 0) AS f0").head()
+    assert(row.getBoolean(0) && !row.getBoolean(1))
+    assert(row.getString(2) == "<|user|>hi<|assistant|>yo")
+    // rate 100 transforms, rate 0 passes through — and the transformed
+    // form matches the Column API bit-for-bit
+    import graft.text.TextOps
+    val api = Seq((7L, "some document text here")).toDF("id", "t")
+      .select(TextOps.fimText(col("id"), col("t"), 100)).head()
+      .getString(0)
+    assert(row.getString(3) == api)
+    assert(row.getString(3).startsWith("<|fim_prefix|>"))
+    assert(row.getString(4) == "some document text here")
+  }
+
   test("SQL optional arguments are honored and bad arity is rejected") {
     GraftFunctions.register(spark)
     // hash_split(key, 100, 0): every key must land in 'train'
