@@ -709,6 +709,43 @@ class PlanSpec extends SparkSpec {
       s"per-group sample not group-limit pruned:\n$p211")
   }
 
+  test("round-11 additions keep their ledger shapes: map-only FIM, " +
+    "bounded matryoshka with broadcast shortlist, partial-agged " +
+    "best-of-N with no window, one shard exchange for blocks") {
+    // q226 FIM: pure per-row projection — no join, agg, window, exchange
+    val p226 = plan("q226_fim_transform")
+    assert(!p226.contains("Join"), s"q226 plans a join:\n$p226")
+    assert(!p226.contains("HashAggregate"), s"q226 plans an agg:\n$p226")
+    assert(!p226.contains("Window"), s"q226 plans a window:\n$p226")
+    // q227 matryoshka: both stages bounded TakeOrdered, the shortlist
+    // rides a broadcast (semi) join, never a shuffle join
+    val p227 = plan("q227_matryoshka_topk")
+    assert(p227.contains("TakeOrderedAndProject"),
+      s"q227 missing bounded take:\n$p227")
+    assert(p227.contains("BroadcastHashJoin"),
+      s"q227 shortlist not broadcast:\n$p227")
+    assert(!p227.contains("SortMergeJoin"),
+      s"q227 shuffle-joins the shortlist:\n$p227")
+    // q230 best-of-N: ONE aggregation layer with map-side combine
+    // (partial max_by/min_by structs), no window, no sort beyond the
+    // final presentation orderBy
+    val p230 = plan("q230_best_of_n")
+    assert(p230.contains("partial_"), s"q230 no map-side combine:\n$p230")
+    assert(!p230.contains("Window"), s"q230 plans a window:\n$p230")
+    // q225 blocks: the ONLY exchanges are the shard hash partitioning
+    // for the cumsum window (+ AQE final presentation sort) — text
+    // never moves: no text column in any Exchange output
+    val p225 = plan("q225_block_segments")
+    assert(p225.contains("Window"), s"q225 missing the cumsum:\n$p225")
+    assert(!"Exchange [^\\n]*\\btext\\b".r.findFirstIn(p225).isDefined,
+      s"q225 shuffles text:\n$p225")
+    // q228 preference audit: response text reaches no Exchange — every
+    // shuffle key/payload is a digest or count
+    val p228 = plan("q228_preference_audit")
+    assert(!"Exchange [^\\n]*\\b(chosen|rejected|sample)\\b".r
+      .findFirstIn(p228).isDefined, s"q228 shuffles response text:\n$p228")
+  }
+
   test("giant-group quantile fallback: no window sort, cuts broadcast") {
     // the routed cut-point path over a real parquet scan: one
     // partial-aggregated percentile pass + broadcast join + map-side bin
