@@ -2203,6 +2203,13 @@ object SparkEntry {
       graft.pipeline.Pipelines.curateChat(convs).sft.orderBy("doc_id")
     }),
 
+    // hard-negative mining: per anchor, top-3 most-similar WRONG-label
+    // vectors from the 6-plane LSH buckets (wrong-label predicate
+    // applied before the rank, so same-label twins can't crowd the k)
+    "q232_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(t(s, dir, "embeddings"), k = 3,
+        planes = 6).orderBy("anchor_id", "rank")),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -3201,6 +3208,46 @@ object SparkEntry {
        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  /** Hard-negatives oracle: the 6-plane bucket expression and the
+    * 64-term dot chains in the kernel's sequential order; wrong-label
+    * self-join within bucket, (cosine DESC, neg_id) rank, top-3. */
+  private def hardNegativesOracle: String = {
+    val planes = 6; val dim = 64; val k = 3
+    def planeDot(vec: String, p: Int): String =
+      (0 until dim).map(i => s"$vec[${i + 1}] * " +
+        java.lang.Double.toString(Similarity.planeComponent(p, i)))
+        .mkString(" + ")
+    def bucketExpr(vec: String): String =
+      (0 until planes).map(p =>
+        s"CASE WHEN ${planeDot(vec, p)} >= 0 THEN ${1L << p} ELSE 0 END")
+        .mkString("\n       + ")
+    def chain(a: String, b: String): String =
+      (0 until dim).map(i => s"$a[${i + 1}] * $b[${i + 1}]")
+        .mkString(" + ")
+    s"""WITH v AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings),
+       |keyed AS (
+       |  SELECT vec_id, label, e,
+       |       ${bucketExpr("e")} AS bucket,
+       |       sqrt(${chain("e", "e")}) AS nrm
+       |  FROM v),
+       |p AS (
+       |  SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+       |    CASE WHEN a.nrm * b.nrm > 0
+       |         THEN (${chain("a.e", "b.e")}) / (a.nrm * b.nrm)
+       |         ELSE 0.0 END AS cosine
+       |  FROM keyed a JOIN keyed b
+       |    ON a.bucket = b.bucket AND a.label <> b.label),
+       |r AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id
+       |    ORDER BY cosine DESC, neg_id) AS INTEGER) AS "rank"
+       |  FROM p)
+       |SELECT anchor_id, neg_id, cosine, "rank"
+       |FROM r WHERE "rank" <= $k
+       |ORDER BY anchor_id, "rank"""".stripMargin
+  }
+
   /** PQ-encode oracle: same subspace squared-L2 argmin with the same
     * sequential term order, codebook = first 16 vectors by id. */
   private def pqEncodeOracle: String = {
@@ -3817,6 +3864,8 @@ object SparkEntry {
     "q105_ann_recall" -> annRecallOracle,
 
     "q227_matryoshka_topk" -> matryoshkaOracle,
+
+    "q232_hard_negatives" -> hardNegativesOracle,
     "q125_random_project" -> randomProjectOracle,
     "q126_lsh_recall" -> lshRecallOracle,
     "q137_projected_ann" -> projectedAnnOracle,

@@ -631,6 +631,54 @@ object Similarity {
         round(col("hits").cast("double") / k, 6).as("recall"))
   }
 
+  /** HARD-NEGATIVE MINING for embedding-model training — for every
+    * anchor vector, the `k` most-cosine-similar vectors carrying a
+    * DIFFERENT `posCol` label: the near-misses a contrastive /
+    * triplet-loss fine-tune learns the most from (an easy random
+    * negative contributes ~zero gradient; the highest-similarity
+    * wrong-label neighbor defines the margin). Same LSH-bucketed
+    * candidate generation as [[allPairsTopK]] (pair volume bounded by
+    * bucket sizes; `planes` tunes recall vs cost; `planes = 0` is the
+    * exact all-pairs verification regime), with the wrong-label
+    * predicate applied BEFORE the per-anchor rank so negatives are
+    * never crowded out of the top-k by same-label twins. The rank
+    * window's `rank <= k` plans as a Partial+Final `WindowGroupLimit` —
+    * every input partition pre-caps to its local top-k before the
+    * anchor-keyed exchange. Null labels never pair (the `=!=` filter
+    * drops them), deterministically tie-broken on (cosine DESC, id).
+    *
+    * NOTE: caches the keyed corpus for the duration of the query (both
+    * self-join sides read it); callers own release — the
+    * [[allPairsTopK]] contract. */
+  def hardNegatives(embs: DataFrame, k: Int, posCol: String = "label",
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    planes: Int = 8, dim: Int = DefaultDim): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(planes >= 0, "planes must be non-negative")
+    val keyed = embs.select(col(idCol).as("id"), col(posCol).as("lab"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("bucket",
+        if (planes == 0) lit(0L) else hyperplaneKey(col("v"), planes, dim))
+      .withColumn("nrm", norm(col("v"), dim))
+      .cache() // reused by both self-join sides; callers release
+    val a = keyed.select(col("bucket"), col("id").as("anchor_id"),
+      col("lab").as("lab_a"), col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val b = keyed.select(col("bucket"), col("id").as("neg_id"),
+      col("lab").as("lab_b"), col("v").as("v_b"), col("nrm").as("nrm_b"))
+    val scored = a.join(b, "bucket")
+      .filter(col("lab_a") =!= col("lab_b"))
+      .select(col("anchor_id"), col("neg_id"),
+        when(col("nrm_a") * col("nrm_b") > 0,
+          dot(col("v_a"), col("v_b"), dim) /
+            (col("nrm_a") * col("nrm_b")))
+          .otherwise(lit(0.0)).as("cosine"))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("cosine").desc, col("neg_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** MATRYOSHKA adaptive retrieval (Kusupati et al. 2022, "Matryoshka
     * Representation Learning"): MRL-trained embeddings pack coarse
     * semantics into their prefix, so serving can shortlist on the FIRST

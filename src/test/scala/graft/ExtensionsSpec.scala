@@ -265,6 +265,45 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(got.head.getAs[Double]("cosine") - 1.0) < 1e-12)
   }
 
+  test("hardNegatives: wrong-label only, same-label twin cannot crowd " +
+    "the top-k, planes=0 is exact, ties deterministic") {
+    // anchor 0 (label A) has: an IDENTICAL twin with label A (id 1), a
+    // near-identical wrong-label vector (id 2, label B), and a far
+    // wrong-label vector (id 3). k=1 must pick id 2 — a post-rank label
+    // filter would have returned nothing (the twin takes rank 1).
+    val base = Array.fill(8)(0.0); base(0) = 1.0
+    val near = base.clone(); near(1) = 0.05
+    val far = Array.fill(8)(0.0); far(1) = 1.0
+    val embs = Seq(
+      (0L, base.toSeq, "A"), (1L, base.toSeq, "A"),
+      (2L, near.toSeq, "B"), (3L, far.toSeq, "B"))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(embs, k = 1, planes = 0, dim = 8)
+      .orderBy("anchor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    spark.catalog.clearCache()
+    assert(got.map(g => g._1 -> g._2).toMap == Map(
+      0L -> 2L, // the near wrong-label vector, NOT the same-label twin
+      1L -> 2L,
+      2L -> 0L, // near is closest to base (tie 0/1 → lowest id)
+      3L -> 0L)) // far's best wrong-label is orthogonal-ish; tie → id 0
+    // every pair really is wrong-label
+    val all = Similarity.hardNegatives(embs, k = 3, planes = 0, dim = 8)
+      .collect()
+    spark.catalog.clearCache()
+    val lab = Map(0L -> "A", 1L -> "A", 2L -> "B", 3L -> "B")
+    all.foreach(r =>
+      assert(lab(r.getLong(0)) != lab(r.getLong(1))))
+    // the rank cap plans as a WindowGroupLimit (map-side pre-cap)
+    val plan = Similarity.hardNegatives(embs, k = 1, planes = 0, dim = 8)
+      .queryExecution.sparkPlan.toString
+    spark.catalog.clearCache()
+    assert(plan.contains("WindowGroupLimit"), s"no group limit:\n$plan")
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(embs, k = 0)
+    }
+  }
+
   test("matryoshkaTopK: full-shortlist degenerates to brute force, " +
     "shortlist bounds the candidate set, prefix stage is load-bearing") {
     val embs = (0L until 30L).map(i => (i, vec(i.toInt), i.toInt % 3))
