@@ -631,6 +631,38 @@ object Similarity {
         round(col("hits").cast("double") / k, 6).as("recall"))
   }
 
+  /** STORED-IVF INGEST — the ANN analog of the signature-index append
+    * ([[graft.dedup.Dedup.appendToSignatureIndex]]): assign a batch of
+    * NEW vectors to the EXISTING centroids (broadcast-kernel
+    * [[assignToCentroids]] — the corpus is never read) and
+    * dynamic-partition-APPEND them into the cluster-partitioned corpus:
+    * only the cluster directories the batch lands in receive new files,
+    * and the next [[ivfTopKStored]] probe serves the new vectors with
+    * no rebuild. Returns the per-cluster appended counts and mean
+    * assignment similarity — the ingest log line, and the cheap drift
+    * signal (mean sim sliding down append-over-append means the frozen
+    * centroids no longer fit the data; confirm with [[centroidDrift]]
+    * against the stored centroid table and re-run [[kmeans]] when it
+    * exceeds the caller's bound). Small files accumulate at an
+    * append-per-batch cadence — [[graft.io.Writers.compact]] is the
+    * matching compaction: it re-discovers the hive partition layout and
+    * rewrites THROUGH `partitionBy` with a crash-safe swap, so pruning
+    * survives. */
+  def appendToIvfIndex(corpusPath: String, batch: DataFrame,
+                       centroids: Seq[(Long, Array[Double])],
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       dim: Int = DefaultDim): DataFrame = {
+    assignToCentroids(batch, centroids, idCol, vecCol, dim)
+      .select(col(idCol), col(vecCol), col("cluster"))
+      .write.mode("append").partitionBy("cluster").parquet(corpusPath)
+    // the report re-derives the assignment map-only from the batch — a
+    // second BATCH-sized pass (the corpus is never read either way)
+    assignToCentroids(batch, centroids, idCol, vecCol, dim)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_appended"), avg(col("sim")).as("mean_sim"))
+  }
+
   /** HARD-NEGATIVE MINING for embedding-model training — for every
     * anchor vector, the `k` most-cosine-similar vectors carrying a
     * DIFFERENT `posCol` label: the near-misses a contrastive /

@@ -450,6 +450,88 @@ class WritersSpec extends SparkSpec {
     assert(got == inMem, s"stored-index result diverged: $got vs $inMem")
   }
 
+  test("IVF stored index lifecycle: append lands only in its clusters, " +
+    "served without rebuild, compaction collapses files and keeps " +
+    "pruning") {
+    import graft.ml.Similarity
+    import org.apache.spark.sql.functions.typedlit
+    val dim = 4
+    val vecs = (0 until 24).map { i =>
+      val c = i % 3
+      val base = Array.fill(dim)(0.0f)
+      base(c) = 10f
+      base((c + 1) % dim) = (i / 3).toFloat * 0.1f
+      (i.toLong, base.toSeq)
+    }
+    val embs = vecs.toDF("vec_id", "embedding")
+    val assigned = Similarity.kmeans(embs, k = 3, iters = 3, dim = dim)
+    val centroidTable = Similarity.ivfIndex(assigned, "cluster")
+    val centroids = centroidTable.collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val dirPath = Files.createTempDirectory("graft_ivf_lc")
+      .resolve("corpus").toString
+    Writers.partitionedParquet(
+      assigned.select("vec_id", "embedding", "cluster"), dirPath,
+      Seq("cluster"))
+    def filesPerCluster: Map[String, Int] = {
+      val root = new java.io.File(dirPath)
+      root.listFiles().filter(_.isDirectory).map(d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+        .toMap
+    }
+    val before = filesPerCluster
+    // batch: two new vectors near cluster of vec 0 only
+    val v0 = vecs.head._2.map(_.toDouble)
+    val batch = Seq((100L, v0.map(_ * 1.01f).map(_.toFloat).toSeq),
+      (101L, v0.map(_ * 0.99f).map(_.toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val report = Similarity.appendToIvfIndex(dirPath, batch, centroids,
+      dim = dim).collect()
+    // both land in ONE cluster, report says so
+    assert(report.length == 1 && report.head.getLong(1) == 2L)
+    val hot = report.head.get(0).toString
+    val after = filesPerCluster
+    // untouched cluster directories gained no files
+    before.foreach { case (c, n) =>
+      if (c != s"cluster=$hot") assert(after(c) == n,
+        s"cold cluster $c rewritten: $n -> ${after(c)}") }
+    assert(after(s"cluster=$hot") > before(s"cluster=$hot"))
+    // the next probe serves the appended vectors with no rebuild
+    val served = Similarity.ivfTopKStored(spark, dirPath, centroidTable,
+      typedlit(v0), k = 3, nProbe = 1, dim = dim)
+      .collect().map(_.getLong(0)).toSeq
+    assert(served.contains(100L) && served.contains(101L))
+    // drift gate reads ~zero here (batch mirrors the cluster)
+    val drift = Similarity.centroidDrift(
+      assigned.select("vec_id", "embedding", "cluster"),
+      spark.read.parquet(dirPath), groupCol = "cluster", dim = dim)
+      .collect()
+    assert(drift.forall(_.getAs[Double]("drift") < 0.2))
+    // append x5 then compact: file count collapses, pruning survives
+    (0 until 5).foreach { i =>
+      val b = Seq((200L + i, v0.map(_ * (1.0 + i * 0.001)).map(_.toFloat)
+        .toSeq)).toDF("vec_id", "embedding")
+      Similarity.appendToIvfIndex(dirPath, b, centroids, dim = dim)
+        .collect()
+    }
+    val fragmented = filesPerCluster(s"cluster=$hot")
+    assert(fragmented >= 6, s"expected fragmentation, got $fragmented")
+    Writers.compact(spark, dirPath, targetFileMB = 512)
+    val compacted = filesPerCluster(s"cluster=$hot")
+    assert(compacted < fragmented,
+      s"compaction did not collapse files: $fragmented -> $compacted")
+    val servedAfter = Similarity.ivfTopKStored(spark, dirPath,
+      centroidTable, typedlit(v0), k = 3, nProbe = 1, dim = dim)
+    val scan = servedAfter.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no FileSourceScanExec in plan"))
+    assert(scan.partitionFilters.nonEmpty,
+      "compaction destroyed the partition layout")
+    assert(servedAfter.collect().map(_.getLong(0)).toSeq
+      .forall(id => id >= 100L || id % 3 == vecs.head._1 % 3))
+  }
+
   test("projected-LSH stored index: driver-side probe set statically " +
     "prunes the bucket partitions; parity with the in-memory path") {
     import graft.ml.Similarity
