@@ -477,6 +477,9 @@ object ScaleProbe {
         "semdedup_label" -> { d =>
           Dedup.semDeDup(d, blockCol = "label", minCosine = 0.99).count() },
         "quantize_int8" -> { d => Similarity.quantizeInt8(d).count() },
+        "hard_negatives" -> { d =>
+          Similarity.hardNegatives(d, k = 3, planes = 6)
+            .agg(sum("cosine"), count(lit(1))).head(); 1L },
         "matryoshka_topk" -> { d =>
           val q = d.filter(col("vec_id") === 0)
             .select(col("embedding").cast("array<double>"))
