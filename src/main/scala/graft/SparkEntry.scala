@@ -2210,6 +2210,24 @@ object SparkEntry {
       Similarity.hardNegatives(t(s, dir, "embeddings"), k = 3,
         planes = 6).orderBy("anchor_id", "rank")),
 
+    // dependency-depth leveling over a synthesized 3-level module DAG
+    // (%7 roots, residue-1 mids, residues 4-6 depend on both) plus a
+    // planted 2-cycle that must flag unstable — 4 fixed rounds of
+    // level = 1 + max(level(deps)), all integers
+    "q233_topo_levels" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val e1 = d.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id").as("src"),
+          (col("doc_id") - col("doc_id") % 7).as("dst"))
+      val e2 = d.filter(col("doc_id") % 7 >= 4)
+        .select(col("doc_id").as("src"),
+          (col("doc_id") - col("doc_id") % 7 + 1).as("dst"))
+      val cyc = Seq((-1L, -2L), (-2L, -1L)).toDF("src", "dst")
+      Graph.topoLevels(e1.union(e2).union(cyc), iterations = 4)
+        .orderBy("node")
+    }),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -4799,6 +4817,41 @@ object SparkEntry {
          |QUALIFY row_number() OVER (PARTITION BY digest
          |                           ORDER BY doc_id) = 1
          |ORDER BY doc_id""".stripMargin,
+
+    // q233: the 4 rounds unrolled in CTEs (the q197/q217 loop-replay
+    // pattern); unstable = still rising between rounds 3 and 4
+    "q233_topo_levels" -> {
+      def round(i: Int): String = {
+        val (p, c) = (s"l${i - 1}", s"l$i")
+        s"""$c AS (
+           |  SELECT n.node, CAST(coalesce(u.up, 0) AS BIGINT) AS level
+           |  FROM n LEFT JOIN (
+           |    SELECT e.src AS node, max($p.level) + 1 AS up
+           |    FROM e JOIN $p ON e.dst = $p.node GROUP BY e.src) u
+           |  USING (node))""".stripMargin
+      }
+      s"""WITH d AS (SELECT doc_id FROM documents),
+         |e0 AS (
+         |  SELECT doc_id AS src, doc_id - doc_id % 7 AS dst
+         |  FROM d WHERE doc_id % 7 <> 0
+         |  UNION
+         |  SELECT doc_id AS src, doc_id - doc_id % 7 + 1 AS dst
+         |  FROM d WHERE doc_id % 7 >= 4
+         |  UNION SELECT -1 AS src, -2 AS dst
+         |  UNION SELECT -2 AS src, -1 AS dst),
+         |e AS (SELECT DISTINCT src, dst FROM e0),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+         |l0 AS (SELECT node, CAST(0 AS BIGINT) AS level FROM n),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |${round(4)}
+         |SELECT l4.node AS node, l4.level AS level,
+         |  CAST(CASE WHEN l4.level > l3.level THEN 1 ELSE 0 END
+         |    AS INTEGER) AS unstable
+         |FROM l4 JOIN l3 ON l4.node = l3.node
+         |ORDER BY l4.node""".stripMargin
+    },
 
     // q230: argmax/argmin via two opposed row_number windows
     // (score DESC, id ASC) / (score ASC, id DESC) — the same tie rules

@@ -84,6 +84,59 @@ object Graph {
     * heuristics read in/out ratios before anything iterative runs):
     * one distinct edge pass, two tiny grouped counts, one full-outer
     * node join. Exact integers throughout. */
+  /** DEPENDENCY-DEPTH LEVELING (topological stratification) — the
+    * repo-level code-pretraining ordering step: given `src depends-on
+    * dst` edges among a repo's files, level(f) = length of the longest
+    * dependency chain below f (0 for leaves), so emitting files in
+    * (level, id) order puts every definition before its first use — the
+    * "dependencies first" context layout repo-level code models train
+    * on. Runs `iterations` rounds of level(f) = 1 + max(level(deps));
+    * on a DAG whose longest chain fits in `iterations` this is exact,
+    * and nodes still RISING at the last round are flagged `unstable = 1`
+    * (a cycle, or a chain deeper than the budget — the caller breaks
+    * those ties by id and moves on; no driver-side cycle detection).
+    * Nodes = src ∪ dst; multi-edges collapse.
+    *
+    * Scale shape: the [[pageRank]] loop ledger verbatim — the
+    * deduplicated edge list persists across rounds; each round is one
+    * edges⋈levels equi-join + one src-keyed partial-agged max over
+    * NODE/EDGE-domain frames. Levels are small integers: exact in any
+    * engine, no float story at all. */
+  def topoLevels(edges: DataFrame, iterations: Int = 4,
+                 srcCol: String = "src", dstCol: String = "dst")
+      : DataFrame = {
+    require(iterations > 0, "iterations must be positive")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    nodes.count()
+    // per-round localCheckpoint (the connectedComponents loop idiom):
+    // each round's frame is lineage-free, so no exponential re-derive
+    // and no manual per-round persist bookkeeping
+    var levels = nodes.withColumn("level", lit(0L)).localCheckpoint()
+    var prev = levels
+    for (_ <- 1 to iterations) {
+      prev = levels
+      levels = nodes
+        .join(e.join(levels, e("dst") === levels("node"))
+          .groupBy(col("src").as("node"))
+          .agg((max("level") + 1L).as("_up")), Seq("node"), "left")
+        .select(col("node"), coalesce(col("_up"), lit(0L)).as("level"))
+        .localCheckpoint()
+    }
+    // final + penultimate rounds are checkpointed (lineage-free), so
+    // the loop inputs can go before the caller ever runs the result
+    e.unpersist(false)
+    nodes.unpersist(false)
+    // unstable: still rising between the last two rounds
+    levels
+      .join(prev.withColumnRenamed("level", "_prev"), "node")
+      .select(col("node"), col("level"),
+        (col("level") > col("_prev")).cast("int").as("unstable"))
+  }
+
   def degreeStats(edges: DataFrame, srcCol: String = "src",
                   dstCol: String = "dst"): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))

@@ -265,6 +265,35 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(got.head.getAs[Double]("cosine") - 1.0) < 1e-12)
   }
 
+  test("topoLevels: longest-chain depth on a DAG, dependencies-first " +
+    "order, cycles flagged unstable, deeper-than-budget flagged") {
+    import graft.ops.Graph
+    // chain: 4 -> 3 -> 2 -> 1 (depth 3), diamond: 10 -> {2, 3}
+    val edges = Seq((4L, 3L), (3L, 2L), (2L, 1L), (10L, 2L), (10L, 3L))
+      .toDF("src", "dst")
+    val got = Graph.topoLevels(edges, iterations = 4).orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq((1L, 0L, 0), (2L, 1L, 0), (3L, 2L, 0),
+      (4L, 3L, 0), (10L, 3L, 0))) // diamond takes the LONGEST path
+    // sorting by (level, id) puts every dst before its srcs
+    val lvl = got.map(g => g._1 -> g._2).toMap
+    Seq((4L, 3L), (3L, 2L), (2L, 1L), (10L, 2L), (10L, 3L)).foreach {
+      case (s, d) => assert(lvl(s) > lvl(d)) }
+    // a cycle keeps rising and is flagged; DAG nodes stay stable
+    val withCycle = edges.union(Seq((7L, 8L), (8L, 7L)).toDF("src", "dst"))
+    val c = Graph.topoLevels(withCycle, iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(c(7L) == 1 && c(8L) == 1)
+    assert(Seq(1L, 2L, 3L, 4L, 10L).forall(c(_) == 0))
+    // a chain deeper than the budget is also flagged, not silently capped
+    val deep = (1L until 8L).map(i => (i + 1, i)).toDF("src", "dst")
+    val dres = Graph.topoLevels(deep, iterations = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2)))
+      .toMap
+    assert(dres(8L)._1 == 3L && dres(8L)._2 == 1) // capped AND flagged
+    assert(dres(3L) == ((2L, 0))) // within budget: exact and stable
+  }
+
   test("hardNegatives: wrong-label only, same-label twin cannot crowd " +
     "the top-k, planes=0 is exact, ties deterministic") {
     // anchor 0 (label A) has: an IDENTICAL twin with label A (id 1), a
