@@ -216,6 +216,67 @@ object Streaming {
       }
       .start()
 
+  /** STREAMING SFT-INGEST GATE — [[curateForeachBatch]]'s post-training
+    * sibling: per micro-batch of conversations, (1) the E8 structure
+    * gates ([[graft.ops.Chat.conversationStats]] — turn floor, strict
+    * alternation, user-start), (2) within-batch exact dedup (keep-first
+    * on the normalized rendered digest, [[graft.ops.Chat
+    * .dedupConversations]]), (3) a digest anti-join against the STORED
+    * digest table — the state that survives across batches and
+    * restarts — then land survivors (id, rendered, digest) and append
+    * their digests. Exact-match gating only (the conversation analog of
+    * the md5 `incrementalNew` path): near-dup chat gating composes the
+    * fuzzy index exactly as curateForeachBatch does. Same ordering
+    * contract: LAND first, append digests second; a crash between the
+    * two replays the batch (at-least-once landing — dedup-on-read by
+    * id). Batch cost: map-only gates + one digest window + one
+    * digest-keyed anti-join; conversation text never shuffles (the
+    * digest window moves rendered strings once, inside the batch). */
+  def chatGateForeachBatch(stream: DataFrame, digestPath: String,
+                           sinkPath: String, checkpoint: String,
+                           idCol: String = "doc_id",
+                           turnsCol: String = "turns",
+                           requireAlternating: Boolean = true,
+                           requireUserStart: Boolean = true,
+                           minTurns: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sess = batch.sparkSession
+        import graft.ops.Chat
+        val stats = Chat.conversationStats(batch.toDF(), idCol, turnsCol)
+          .filter(col("n_turns") >= minTurns)
+          .filter(if (requireAlternating) col("alternates") === 1
+            else lit(true))
+          .filter(if (requireUserStart) col("starts_with_user") === 1
+            else lit(true))
+        val gated = batch.toDF().join(stats.select(col(idCol)), idCol)
+        val inBatch = Chat.dedupConversations(gated, idCol, turnsCol)
+          .filter(col("keep") === 1)
+          .select(col(idCol), col("rendered"), col("digest"))
+        val hPath = new org.apache.hadoop.fs.Path(digestPath)
+        val hadoopFs =
+          hPath.getFileSystem(sess.sparkContext.hadoopConfiguration)
+        val prior =
+          if (hadoopFs.exists(hPath)) sess.read.parquet(digestPath)
+          else sess.emptyDataFrame
+            .withColumn("digest", lit(null).cast("string"))
+        val survivors = inBatch
+          .join(prior.select(col("digest")), Seq("digest"), "left_anti")
+          .persist()
+        try {
+          survivors.select(col(idCol), col("rendered"), col("digest"))
+            .write.mode("append").parquet(sinkPath)
+          survivors.select(col("digest"))
+            .write.mode("append").parquet(digestPath)
+        } finally survivors.unpersist(false)
+        ()
+      }
+      .start()
+
   /** Continuous drift monitoring, step 1 of 2: per tumbling window,
     * equal-width bin counts of `valueCol` (the sufficient statistics of
     * [[graft.ops.Stats.psi]]). One watermarked streaming aggregation —

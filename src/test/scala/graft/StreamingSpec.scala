@@ -447,6 +447,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chatGateForeachBatch: digest table carries the state — batch " +
+    "2's exact dup of a batch-1 survivor is dropped, malformed gated") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_chatgate")
+    val sink = base.resolve("sink").toString
+    val digests = base.resolve("digests").toString
+    val ckpt = base.resolve("ckpt").toString
+    val in = MemoryStream[(Long, String)]
+    val turnsExpr = expr(
+      "filter(transform(sequence(0, 3), k -> struct(CASE WHEN k % 2 = 0" +
+        " THEN 'user' ELSE 'assistant' END AS role, " +
+        "array_join(slice(split(text, ' '), k * 5 + 1, 5), ' ') " +
+        "AS content)), x -> length(x.content) > 0)")
+    val stream = in.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), turnsExpr.as("turns"))
+    val q = Streaming.chatGateForeachBatch(stream, digests, sink, ckpt)
+    try {
+      // batch 1: a good conversation + a too-short one (gated out)
+      in.addData((1L, "alpha bravo charlie delta echo foxtrot golf " +
+        "hotel india juliet kilo"), (2L, "short"))
+      q.processAllAvailable()
+      // batch 2: an exact re-submission of conversation 1 (same words,
+      // different id — only the digest table can catch it) + fresh
+      in.addData((10L, "alpha bravo charlie delta echo foxtrot golf " +
+        "hotel india juliet kilo"),
+        (11L, "quebec romeo sierra tango uniform victor whiskey xray " +
+          "yankee zulu"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.parquet(sink)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(landed == Seq(1L, 11L), s"landed $landed")
+    // the digest table holds exactly the survivors' digests
+    assert(spark.read.parquet(digests).distinct().count() == 2L)
+  }
+
   test("curateForeachBatch: the index carries the state — batch 2's " +
     "near-dup of a batch-1 SURVIVOR is dropped, fresh docs land, and " +
     "survivors' signatures appear in the index") {
