@@ -356,6 +356,33 @@ object ScaleProbe {
               ((col("doc_id") * 31) % 101).cast("double").as("score"))
           graft.ops.Chat.bestOfN(samples)
             .agg(sum("margin"), count(lit(1))).head(); 1L },
+        "curate_chat_e8" -> { d =>
+          // E8 end-to-end at corpus scale: turns from the q204 synthesis
+          // (dup pressure via doc_id%6 neighbor clones), scored samples
+          // from the q230 synthesis — one composition window like
+          // curate_full
+          val nxt = d.select((col("doc_id") - 1).as("doc_id"),
+            col("text").as("ntext"))
+          val cloned = d.join(nxt, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              when(col("doc_id") % 6 === 0 && col("ntext").isNotNull,
+                col("ntext")).otherwise(col("text")).as("text"))
+            .filter(col("text").isNotNull)
+          val turnsE = expr("filter(transform(sequence(0, 3), k -> " +
+            "struct(CASE WHEN k % 2 = 0 THEN 'user' ELSE 'assistant' " +
+            "END AS role, array_join(slice(split(text, ' '), " +
+            "k * 5 + 1, 5), ' ') AS content)), " +
+            "x -> length(x.content) > 0)")
+          val convs = cloned.select(col("doc_id"), turnsE.as("turns"))
+          val samples = d.filter(col("text").isNotNull)
+            .select(expr("doc_id div 5").as("prompt_id"),
+              col("doc_id").as("sample_id"), col("text").as("sample"),
+              ((col("doc_id") * 31) % 101).cast("double").as("score"))
+          val r = graft.pipeline.Pipelines.curateChat(convs,
+            samples = Some(samples))
+          r.sft.agg(count(lit(1))).head()
+          r.masks.agg(sum("train")).head()
+          r.pairs.get.agg(count(lit(1))).head(); 1L },
         "loss_mask_spans" -> { d =>
           val turns = expr("filter(transform(sequence(0, 3), k -> " +
             "struct(CASE WHEN k % 2 = 0 THEN 'user' ELSE 'assistant' " +

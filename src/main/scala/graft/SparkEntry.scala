@@ -2228,6 +2228,14 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // In-Context-Pretraining block layout: same stream/cut machinery as
+    // q225 but ordered (lang, id) within each shard — related documents
+    // adjacent, so one context window holds same-topic material
+    "q234_icp_blocks" -> ((s, dir) =>
+      TextOps.blockSegments(t(s, dir, "documents"), blockTokens = 512,
+        nShards = 4, orderCol = Some("lang"))
+        .orderBy("shard", "block_id", "block_pos")),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -4984,6 +4992,35 @@ object SparkEntry {
         |    '<|fim_middle|>' || substr(text, lo + 1, hi - lo)
         |  ELSE text END AS text_fim
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // q234: q225's replay with the stream ordered (lang, doc_id)
+    "q234_icp_blocks" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(':' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      ::BIGINT % 4 AS shard,
+        |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+        |      + 1 AS seg_len
+        |  FROM documents),
+        |s AS (
+        |  SELECT shard, doc_id, seg_len,
+        |    CAST(coalesce(sum(seg_len) OVER (
+        |      PARTITION BY shard ORDER BY lang, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS st
+        |  FROM d),
+        |seg AS (
+        |  SELECT shard, doc_id, st, seg_len,
+        |    unnest(generate_series(st // 512,
+        |                           (st + seg_len - 1) // 512)) AS block_id
+        |  FROM s)
+        |SELECT shard, block_id,
+        |  greatest(st, block_id * 512) - block_id * 512 AS block_pos,
+        |  doc_id,
+        |  greatest(st, block_id * 512) - st AS doc_tok_start,
+        |  least(st + seg_len, (block_id + 1) * 512)
+        |    - greatest(st, block_id * 512) AS seg_tokens
+        |FROM seg ORDER BY shard, block_id, block_pos""".stripMargin,
 
     // q225: q202's md5 shard/order prelude + the stream cumsum (window
     // sum CAST to BIGINT per the HUGEINT rule) + generate_series over

@@ -823,7 +823,13 @@ object TextOps {
     * Stream order within a shard is [[trainingShards]]' salted
     * (shard_order, id) — the reproducible, resume-addressable order:
     * block k of shard s is the same slice of the same docs on any
-    * engine, any partitioning, any run. Output: (shard, block_id,
+    * engine, any partitioning, any run. Pass `orderCol` to override the
+    * salted order with (orderCol, id) — the In-Context-Pretraining
+    * layout (Shi et al. 2024: RELATED documents adjacent in the stream,
+    * so one context window holds same-topic material): any grouping
+    * column works — a k-means cluster id, [[graft.ops.Graph
+    * .topoLevels]]' level for dependencies-first code ordering, a
+    * registrable domain. Output: (shard, block_id,
     * block_pos, idCol, doc_tok_start, seg_tokens), all exact integer
     * arithmetic. The final block of a shard may run short — the
     * trainer pads or drops it downstream.
@@ -837,13 +843,16 @@ object TextOps {
     * linear, never pair-shaped. */
   def blockSegments(docs: DataFrame, blockTokens: Long, nShards: Int = 8,
                     seed: String = "", idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text",
+                    orderCol: Option[String] = None): DataFrame = {
     require(blockTokens > 0, "blockTokens must be positive")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("shard").orderBy(col("shard_order"), col(idCol))
+      .partitionBy("shard").orderBy(col("_ord"), col(idCol))
     val b = lit(blockTokens)
     trainingShards(docs, idCol, nShards, seed)
-      .select(col("shard"), col("shard_order"), col(idCol),
+      .select(col("shard"),
+        orderCol.map(col).getOrElse(col("shard_order")).as("_ord"),
+        col(idCol),
         (tokenCount(coalesce(col(textCol), lit(""))).cast("long") + 1L)
           .as("_len")) // + EOS
       .withColumn("_start",

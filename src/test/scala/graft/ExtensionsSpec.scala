@@ -3423,6 +3423,16 @@ class ExtensionsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TextOps.blockSegments(docs, blockTokens = 0)
     }
+    // ICP mode: orderCol groups related docs adjacent in the stream —
+    // with cluster labels, stream offsets are contiguous per cluster
+    val clustered = Seq((1L, "a b c", "t1"), (2L, "d e", "t2"),
+      (3L, "f g h", "t1"), (4L, "i", "t2"))
+      .toDF("doc_id", "text", "topic")
+    val icp = TextOps.blockSegments(clustered, blockTokens = 100,
+      nShards = 1, orderCol = Some("topic"))
+      .orderBy("block_pos").collect().map(_.getLong(3)).toSeq
+    // one 100-token block holds everything; order = (topic, id)
+    assert(icp == Seq(1L, 3L, 2L, 4L))
   }
 
   test("domainReweight: closed-form KL, divergent domain up-weighted, " +
