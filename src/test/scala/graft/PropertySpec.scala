@@ -44,6 +44,32 @@ class PropertySpec extends SparkSpec {
     }, "normalizeUrl idempotence")
   }
 
+  test("domainReweight: KL ≥ 0 always, ppm sums within |domains| of " +
+    "1e6, identical domains get identical weights") {
+    val corpus: Gen[List[(Long, String, String)]] = for {
+      nDom <- Gen.choose(2, 4)
+      docs <- Gen.nonEmptyListOf(for {
+        d <- Gen.choose(0, nDom - 1)
+        t <- doc
+      } yield (d, t))
+    } yield docs.zipWithIndex.map { case ((d, t), i) =>
+      (i.toLong, s"dom$d", t) }
+    check(Prop.forAll(corpus) { rows =>
+      val df = rows.toDF("doc_id", "source", "text")
+      val got = TextOps.domainReweight(df).collect()
+        .map(r => (r.getString(0), r.getDouble(3), r.getLong(4)))
+      val nonNeg = got.forall(_._2 >= 0.0) // KL(p‖q) ≥ 0, gridded
+      val sumOk = math.abs(got.map(_._3).sum - 1000000L) <= got.length
+      nonNeg && sumOk
+    }, "domainReweight")
+    // two domains with IDENTICAL content and size must tie exactly
+    val twin = Seq((1L, "x", "a b c a"), (2L, "y", "a b c a"))
+      .toDF("doc_id", "source", "text")
+    val w = TextOps.domainReweight(twin).collect()
+      .map(r => (r.getDouble(3), r.getLong(4))).toSeq
+    assert(w.distinct.size == 1, s"twin domains diverged: $w")
+  }
+
   test("tokenEntropy ∈ [0, ln(distinct)] with equality at the extremes") {
     check(Prop.forAll(doc) { text =>
       val h = Seq(text).toDF("text")
