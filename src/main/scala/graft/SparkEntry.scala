@@ -2236,6 +2236,17 @@ object SparkEntry {
         nShards = 4, orderCol = Some("lang"))
         .orderBy("shard", "block_id", "block_pos")),
 
+    // SentencePiece-style unigram segmentation: substring seed vocab
+    // (full char coverage + top-200 multis) + 12-round Viterbi DP over
+    // the distinct-word table — the likelihood tokenizer next to BPE
+    "q235_unigram_segment" -> ((s, dir) => {
+      val words = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(explode(TextOps.wsTokens(lower(col("text")))).as("word"))
+        .filter(length(col("word")) > 0)
+      val vocab = TextOps.substringVocab(words)
+      TextOps.unigramSegment(words, vocab, maxLen = 12).orderBy("word")
+    }),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -3234,6 +3245,75 @@ object SparkEntry {
        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  /** Unigram-segmentation oracle: the substring vocab (char coverage +
+    * top-200 multis) and the 12 Viterbi rounds unrolled, tie order
+    * restated as (score DESC, j ASC, piece DESC, segs DESC) — the SQL
+    * reading of the Spark max_by struct(score, −j, piece, segs). */
+  private def unigramSegmentOracle: String = {
+    val maxLen = 12
+    def round(i: Int): String =
+      s"""b$i AS MATERIALIZED (
+         |  SELECT word, i, score, np, segs FROM (
+         |    SELECT e.word, $i AS i, a.score + e.lnp AS score,
+         |           a.np + 1 AS np,
+         |           CASE WHEN a.segs = '' THEN e.piece
+         |                ELSE a.segs || '|' || e.piece END AS segs,
+         |           row_number() OVER (PARTITION BY e.word
+         |             ORDER BY a.score + e.lnp DESC, e.j ASC,
+         |                      e.piece DESC,
+         |                      CASE WHEN a.segs = '' THEN e.piece
+         |                           ELSE a.segs || '|' || e.piece END
+         |                        DESC) AS rk
+         |    FROM e JOIN a${i - 1} a
+         |      ON e.word = a.word AND e.i = $i AND e.j = a.i)
+         |  WHERE rk = 1),
+         |a$i AS MATERIALIZED (SELECT * FROM a${i - 1}
+         |        UNION ALL SELECT * FROM b$i)""".stripMargin
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT DISTINCT t AS word FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS t
+       |    FROM documents WHERE text IS NOT NULL)
+       |  WHERE len(t) > 0),
+       |p1 AS (SELECT word, unnest(generate_series(1, len(word))) AS i
+       |       FROM w0),
+       |p2 AS (SELECT word, i,
+       |         unnest(generate_series(1, least(4, len(word) - i + 1)))
+       |           AS l
+       |       FROM p1),
+       |cnt AS (SELECT substr(word, i, l) AS piece, count(*) AS n
+       |        FROM p2 GROUP BY 1),
+       |kept AS (
+       |  SELECT piece, n FROM cnt WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, n FROM (
+       |    SELECT piece, n FROM cnt WHERE len(piece) > 1
+       |    ORDER BY n DESC, piece LIMIT 200)),
+       |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM kept),
+       |v AS (SELECT piece, ln(n / tot) AS lnp
+       |      FROM kept CROSS JOIN tot),
+       |w AS (SELECT word FROM w0 WHERE len(word) BETWEEN 1 AND $maxLen),
+       |e0 AS (SELECT word, unnest(generate_series(1, len(word))) AS i
+       |       FROM w),
+       |e1 AS (SELECT word, i,
+       |         unnest(generate_series(1, least(4, i))) AS plen
+       |       FROM e0),
+       |e AS MATERIALIZED (SELECT e1.word, e1.i, e1.i - e1.plen AS j,
+       |        substr(e1.word, e1.i - e1.plen + 1, e1.plen) AS piece,
+       |        v.lnp
+       |      FROM e1 JOIN v
+       |        ON substr(e1.word, e1.i - e1.plen + 1, e1.plen)
+       |           = v.piece),
+       |a0 AS MATERIALIZED (SELECT word, 0 AS i, CAST(0.0 AS DOUBLE) AS score,
+       |         CAST(0 AS BIGINT) AS np, '' AS segs FROM w),
+       |${(1 to maxLen).map(round).mkString(",\n")}
+       |SELECT a$maxLen.word, np AS n_pieces, round(score, 6) AS score,
+       |       segs
+       |FROM a$maxLen
+       |JOIN (SELECT word, len(word) AS wl FROM w) lw
+       |  ON a$maxLen.word = lw.word AND a$maxLen.i = lw.wl
+       |ORDER BY a$maxLen.word""".stripMargin
+  }
+
   /** Hard-negatives oracle: the 6-plane bucket expression and the
     * 64-term dot chains in the kernel's sequential order; wrong-label
     * self-join within bucket, (cosine DESC, neg_id) rank, top-3. */
@@ -3892,6 +3972,8 @@ object SparkEntry {
     "q227_matryoshka_topk" -> matryoshkaOracle,
 
     "q232_hard_negatives" -> hardNegativesOracle,
+
+    "q235_unigram_segment" -> unigramSegmentOracle,
     "q125_random_project" -> randomProjectOracle,
     "q126_lsh_recall" -> lshRecallOracle,
     "q137_projected_ann" -> projectedAnnOracle,

@@ -648,6 +648,109 @@ object TextOps {
           .as("weight_ppm"))
   }
 
+  /** Substring candidate vocabulary for unigram-LM segmentation — the
+    * SentencePiece seeding step: every substring of length ≤ `maxPiece`
+    * of the DISTINCT word table is a candidate piece; ALL single
+    * characters are kept (the character-coverage guarantee that makes
+    * every word segmentable) plus the top `topK` multi-character pieces
+    * by (count DESC, piece ASC). lnp = ln(count / Σ kept counts) — the
+    * unigram log-probability [[unigramSegment]] consumes. Counts are
+    * over (word, start) occurrences in the distinct-word table, so the
+    * whole build is vocabulary-sized: one explode + one count agg + one
+    * tiny top-k. */
+  def substringVocab(words: DataFrame, maxPiece: Int = 4,
+                     topK: Int = 200,
+                     wordCol: String = "word"): DataFrame = {
+    require(maxPiece >= 1 && topK >= 0, "bad maxPiece/topK")
+    val w = words.select(col(wordCol).as("word")).distinct()
+    val subs = w.select(explode(expr(
+      s"""flatten(transform(sequence(1, length(word)), i ->
+         |  transform(sequence(1, least($maxPiece, length(word) - i + 1)),
+         |    l -> substr(word, i, l))))""".stripMargin)).as("piece"))
+    val counts = subs.groupBy("piece").agg(count(lit(1)).as("n"))
+    val kept = counts.filter(length(col("piece")) === 1)
+      .unionByName(counts.filter(length(col("piece")) > 1)
+        .orderBy(col("n").desc, col("piece")).limit(topK))
+    val total = kept.agg(sum("n").cast("double").as("tot"))
+    kept.crossJoin(broadcast(total))
+      .select(col("piece"), log(col("n") / col("tot")).as("lnp"))
+  }
+
+  /** UNIGRAM-LM VITERBI SEGMENTATION (Kudo 2018, the SentencePiece
+    * model family) — for each distinct word, the maximum-likelihood
+    * segmentation into vocabulary pieces: best(i) = max_j best(j) +
+    * lnp(word[j..i]) over piece lengths ≤ `maxPiece`, computed as
+    * `maxLen` unrolled relational DP rounds over the (word, position)
+    * table. This is the E-step of the unigram trainer and the
+    * INFERENCE half of the tokenizer ([[bpeEncodeWord]]'s probabilistic
+    * sibling: BPE segments by merge order, unigram by likelihood).
+    * Ties are fully deterministic: argmax by (score, −j, piece, segs)
+    * struct order — equal-likelihood paths resolve to the latest split
+    * point, then lexicographically. Returns one row per word ≤
+    * `maxLen` chars: (word, n_pieces, score — the summed lnp, rounded
+    * 6dp at the edge per the log-score convention — and `segs`, the
+    * '|'-joined piece sequence). Words with an unreachable position
+    * (vocab missing one of their characters) drop out — feed a
+    * [[substringVocab]] vocab (full char coverage) to keep every word.
+    *
+    * Scale shape: everything runs on the DISTINCT-WORD domain
+    * (vocabulary-sized, Zipf-bounded — the [[bpeTrain]] ledger class,
+    * corpus text is never touched): the edge table is one explode +
+    * one broadcast-vocab join; each DP round is one (word, j)-keyed
+    * join + one per-word max_by partial agg, localCheckpointed (the
+    * connectedComponents loop idiom); rounds = maxLen by construction. */
+  def unigramSegment(words: DataFrame, vocab: DataFrame,
+                     maxLen: Int = 12, maxPiece: Int = 4,
+                     wordCol: String = "word"): DataFrame = {
+    require(maxLen >= 1 && maxPiece >= 1, "bad maxLen/maxPiece")
+    val w = words.select(col(wordCol).as("word")).distinct()
+      .filter(length(col("word")).between(1, maxLen))
+    val edges = w
+      .select(col("word"),
+        explode(sequence(lit(1), length(col("word")))).as("i"))
+      .select(col("word"), col("i"),
+        explode(sequence(lit(1), least(lit(maxPiece), col("i"))))
+          .as("plen"))
+      .select(col("word"), col("i"), (col("i") - col("plen")).as("j"),
+        expr("substr(word, i - plen + 1, plen)").as("piece"))
+      .join(broadcast(vocab.select(col("piece"), col("lnp"))), "piece")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    var best = w.select(col("word"), lit(0).as("i"),
+      lit(0.0).as("score"), lit(0L).as("np"), lit("").as("segs"))
+      .localCheckpoint()
+    for (i <- 1 to maxLen) {
+      val prev = best.select(col("word"), col("i").as("j"),
+        col("score").as("_ps"), col("np").as("_pn"),
+        col("segs").as("_pg"))
+      val stepRows = edges.filter(col("i") === i)
+        .join(prev, Seq("word", "j"))
+        .select(col("word"), col("i"),
+          (col("_ps") + col("lnp")).as("score"),
+          (col("_pn") + 1L).as("np"),
+          when(col("_pg") === "", col("piece"))
+            .otherwise(concat(col("_pg"), lit("|"), col("piece")))
+            .as("segs"),
+          col("j"), col("piece"))
+      val bestI = stepRows.groupBy("word")
+        .agg(max_by(struct(col("i"), col("score"), col("np"),
+            col("segs")),
+          struct(col("score"), (-col("j")).as("nj"), col("piece"),
+            col("segs"))).as("_b"))
+        .select(col("word"), col("_b.i").as("i"),
+          col("_b.score").as("score"), col("_b.np").as("np"),
+          col("_b.segs").as("segs"))
+      best = best.unionByName(bestI).localCheckpoint()
+    }
+    val out = best
+      .join(w.select(col("word"), length(col("word")).as("_len")), "word")
+      .filter(col("i") === col("_len"))
+      .select(col("word"), col("np").as("n_pieces"),
+        round(col("score"), 6).as("score"), col("segs"))
+    edges.unpersist(false)
+    out
+  }
+
   /** Corpus vocabulary: token → document-independent occurrence count,
     * top `k` by count. One explode + map-side-combined aggregation; the
     * final top-k is an orderBy(limit) over the distinct-token table, which

@@ -265,6 +265,37 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(got.head.getAs[Double]("cosine") - 1.0) < 1e-12)
   }
 
+  test("unigramSegment: Viterbi picks the max-likelihood split, " +
+    "substringVocab covers every char, ties resolve deterministically") {
+    val vocab = Seq(("a", -1.0), ("b", -2.0), ("c", -1.5),
+      ("ab", -2.5), ("bc", -3.0)).toDF("piece", "lnp")
+    val words = Seq("ab", "abc", "b", "aab").toDF("word")
+    val got = TextOps.unigramSegment(words, vocab, maxLen = 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getString(3))).toMap
+    // "ab": piece ab (-2.5) beats a|b (-3.0)
+    assert(got("ab") == ((1L, -2.5, "ab")))
+    // "abc": ab|c and a|bc TIE at -4.0 — the argmax key (score, -j, …)
+    // maximizes -j ⇒ the SMALLER last-split point j wins: a|bc (j=1)
+    assert(got("abc") == ((2L, -4.0, "a|bc")))
+    assert(got("b") == ((1L, -2.0, "b")))
+    assert(got("aab") == ((2L, -3.5, "a|ab")))
+    // substringVocab: every char kept with ln(count/total), so every
+    // word of the corpus segments
+    val sv = TextOps.substringVocab(Seq("hello", "help").toDF("word"),
+      maxPiece = 3, topK = 5)
+    val pieces = sv.collect().map(_.getString(0)).toSet
+    assert(Set("h", "e", "l", "o", "p").subsetOf(pieces))
+    val seg = TextOps.unigramSegment(
+      Seq("hello", "help", "ohp").toDF("word"), sv, maxLen = 8,
+      maxPiece = 3)
+    assert(seg.count() == 3) // full char coverage ⇒ all segmentable
+    // determinism run-over-run
+    val again = TextOps.unigramSegment(words, vocab, maxLen = 8)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(again == got.map { case (k, v) => k -> v._3 })
+  }
+
   test("topoLevels: longest-chain depth on a DAG, dependencies-first " +
     "order, cycles flagged unstable, deeper-than-budget flagged") {
     import graft.ops.Graph
