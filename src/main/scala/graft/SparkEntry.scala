@@ -2247,6 +2247,17 @@ object SparkEntry {
       TextOps.unigramSegment(words, vocab, maxLen = 12).orderBy("word")
     }),
 
+    // unigram EM round: q235's segmentations recounted by word
+    // frequency, add-one re-estimation — the SentencePiece M-step
+    "q236_unigram_em" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val words = d.filter(col("text").isNotNull)
+        .select(explode(TextOps.wsTokens(lower(col("text")))).as("word"))
+        .filter(length(col("word")) > 0)
+      TextOps.unigramEmRound(d, TextOps.substringVocab(words))
+        .orderBy("piece")
+    }),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -3249,7 +3260,19 @@ object SparkEntry {
     * top-200 multis) and the 12 Viterbi rounds unrolled, tie order
     * restated as (score DESC, j ASC, piece DESC, segs DESC) — the SQL
     * reading of the Spark max_by struct(score, −j, piece, segs). */
-  private def unigramSegmentOracle: String = {
+  private def unigramSegmentOracle: String =
+    s"""WITH $unigramDpCtes
+       |SELECT a12.word, np AS n_pieces, round(score, 6) AS score,
+       |       segs
+       |FROM a12
+       |JOIN (SELECT word, len(word) AS wl FROM w) lw
+       |  ON a12.word = lw.word AND a12.i = lw.wl
+       |ORDER BY a12.word""".stripMargin
+
+  /** Shared q235/q236 oracle prelude: substring vocab + the 12
+    * Viterbi rounds; ends with `a12(word, i, score, np, segs)`, `w`,
+    * `v(piece, lnp)` and the token CTE `tok(t)` in scope. */
+  private def unigramDpCtes: String = {
     val maxLen = 12
     def round(i: Int): String =
       s"""b$i AS MATERIALIZED (
@@ -3269,11 +3292,12 @@ object SparkEntry {
          |  WHERE rk = 1),
          |a$i AS MATERIALIZED (SELECT * FROM a${i - 1}
          |        UNION ALL SELECT * FROM b$i)""".stripMargin
-    s"""WITH w0 AS MATERIALIZED (
-       |  SELECT DISTINCT t AS word FROM (
+    s"""tok AS MATERIALIZED (
+       |  SELECT t FROM (
        |    SELECT unnest(string_split(lower(text), ' ')) AS t
        |    FROM documents WHERE text IS NOT NULL)
        |  WHERE len(t) > 0),
+       |w0 AS MATERIALIZED (SELECT DISTINCT t AS word FROM tok),
        |p1 AS (SELECT word, unnest(generate_series(1, len(word))) AS i
        |       FROM w0),
        |p2 AS (SELECT word, i,
@@ -3305,13 +3329,7 @@ object SparkEntry {
        |           = v.piece),
        |a0 AS MATERIALIZED (SELECT word, 0 AS i, CAST(0.0 AS DOUBLE) AS score,
        |         CAST(0 AS BIGINT) AS np, '' AS segs FROM w),
-       |${(1 to maxLen).map(round).mkString(",\n")}
-       |SELECT a$maxLen.word, np AS n_pieces, round(score, 6) AS score,
-       |       segs
-       |FROM a$maxLen
-       |JOIN (SELECT word, len(word) AS wl FROM w) lw
-       |  ON a$maxLen.word = lw.word AND a$maxLen.i = lw.wl
-       |ORDER BY a$maxLen.word""".stripMargin
+       |${(1 to maxLen).map(round).mkString(",\n")}""".stripMargin
   }
 
   /** Hard-negatives oracle: the 6-plane bucket expression and the
@@ -3974,6 +3992,30 @@ object SparkEntry {
     "q232_hard_negatives" -> hardNegativesOracle,
 
     "q235_unigram_segment" -> unigramSegmentOracle,
+
+    // q236: the shared DP prelude + frequency-weighted piece recount +
+    // add-one re-estimation
+    "q236_unigram_em" ->
+      s"""WITH $unigramDpCtes,
+         |wf AS (SELECT t AS word, count(*) AS freq FROM tok GROUP BY 1),
+         |segf AS (
+         |  SELECT a12.word, segs FROM a12
+         |  JOIN (SELECT word, len(word) AS wl FROM w) lw
+         |    ON a12.word = lw.word AND a12.i = lw.wl),
+         |pc AS (
+         |  SELECT unnest(string_split(segs, '|')) AS piece, freq
+         |  FROM segf JOIN wf USING (word)),
+         |cnt2 AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS n
+         |         FROM pc GROUP BY 1),
+         |keptv AS (
+         |  SELECT v.piece, CAST(coalesce(cnt2.n, 0) AS BIGINT) AS n
+         |  FROM v LEFT JOIN cnt2 USING (piece)),
+         |t2 AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+         |              count(*) AS k FROM keptv)
+         |SELECT piece, n,
+         |  round(ln(CAST(n + 1 AS DOUBLE) / CAST(tn + k AS DOUBLE)), 6)
+         |    AS lnp
+         |FROM keptv CROSS JOIN t2 ORDER BY piece""".stripMargin,
     "q125_random_project" -> randomProjectOracle,
     "q126_lsh_recall" -> lshRecallOracle,
     "q137_projected_ann" -> projectedAnnOracle,

@@ -751,6 +751,46 @@ object TextOps {
     out
   }
 
+  /** UNIGRAM-LM EM TRAINING ROUND — the M-step closing the
+    * [[unigramSegment]] E-step into the SentencePiece training loop
+    * (Kudo 2018): segment every corpus word under the CURRENT vocab,
+    * recount pieces weighted by word frequency, and re-estimate
+    * lnp' = ln((n + 1) / (Σn + |vocab|)) — add-one smoothing so pieces
+    * that won no segmentation this round (including the protected
+    * single characters) keep a finite floor instead of −∞. Fixed-round
+    * EM is the [[bpeTrain]] pattern: callers chain rounds, pruning the
+    * lowest-n multi-character pieces between them (the SentencePiece
+    * shrink step) with plain DataFrame filters. Returns the updated
+    * vocab (piece, n, lnp — rounded 6dp, the log-score convention).
+    * Words longer than `maxLen` sit outside the DP and contribute no
+    * counts — the documented subdomain of the segmenter.
+    *
+    * Scale shape: one corpus token explode → word-frequency agg
+    * (vocabulary-sized from there on): the DP inherits
+    * [[unigramSegment]]'s ledger, the recount is one piece explode over
+    * the distinct-word SEGMENTATIONS (≤ maxLen pieces per word) + one
+    * count agg; the 1-row smoothing total broadcasts. */
+  def unigramEmRound(docs: DataFrame, vocab: DataFrame,
+                     maxLen: Int = 12, maxPiece: Int = 4,
+                     textCol: String = "text"): DataFrame = {
+    val freqs = docs.filter(col(textCol).isNotNull)
+      .select(explode(wsTokens(lower(col(textCol)))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val seg = unigramSegment(freqs, vocab, maxLen, maxPiece)
+    val counts = seg.join(freqs, "word")
+      .select(explode(split(col("segs"), "\\|")).as("piece"), col("freq"))
+      .groupBy("piece").agg(sum("freq").as("n"))
+    val kept = vocab.select(col("piece"))
+      .join(counts, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("n"), lit(0L)).as("n"))
+    val tot = kept.agg(sum("n").as("tn"), count(lit(1)).as("k"))
+    kept.crossJoin(broadcast(tot))
+      .select(col("piece"), col("n"),
+        round(log((col("n") + 1L).cast("double") /
+          (col("tn") + col("k")).cast("double")), 6).as("lnp"))
+  }
+
   /** Corpus vocabulary: token → document-independent occurrence count,
     * top `k` by count. One explode + map-side-combined aggregation; the
     * final top-k is an orderBy(limit) over the distinct-token table, which

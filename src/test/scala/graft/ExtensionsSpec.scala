@@ -296,6 +296,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(again == got.map { case (k, v) => k -> v._3 })
   }
 
+  test("unigramEmRound: piece counts conserve segmented token mass, " +
+    "unwon pieces keep a finite floor, rounds chain") {
+    val docs = Seq((1L, "ab ab cd"), (2L, "ab cd cd")).toDF("doc_id", "text")
+    val words = docs.select(explode(split(col("text"), " ")).as("word"))
+    val vocab = TextOps.substringVocab(words, maxPiece = 2, topK = 4)
+    val r1 = TextOps.unigramEmRound(docs, vocab)
+    val got = r1.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // "ab"/"cd" appear 3x each as whole-word pieces (1 piece beats 2 on
+    // any seed probs here); chars never win a segmentation → n = 0
+    assert(got("ab")._1 == 3L && got("cd")._1 == 3L)
+    assert(got("a")._1 == 0L && got("d")._1 == 0L)
+    // mass conservation: Σ n·|piece| = segmented character mass = 12
+    val mass = got.map { case (p, (n, _)) => n * p.length }.sum
+    assert(mass == 12L)
+    // smoothing floor: every lnp finite, unwon pieces share one floor
+    assert(got.values.forall(v => !v._2.isNegInfinity))
+    assert(got("a")._2 == got("d")._2)
+    // chaining: round 2 consumes round 1's vocab without re-seeding
+    val r2 = TextOps.unigramEmRound(docs, r1)
+    assert(r2.collect().map(_.getLong(1)).sum == r1.collect()
+      .map(_.getLong(1)).sum) // same segmented mass under the new probs
+  }
+
   test("topoLevels: longest-chain depth on a DAG, dependencies-first " +
     "order, cycles flagged unstable, deeper-than-budget flagged") {
     import graft.ops.Graph
