@@ -349,6 +349,21 @@ object ScaleProbe {
                 .as("rejected"))
           graft.ops.Chat.preferenceAudit(pairs)
             .agg(sum("keep"), sum("contradicted")).head(); 1L },
+        "unigram_segment" -> { d =>
+          val words = d.filter(col("text").isNotNull)
+            .select(explode(TextOps.wsTokens(lower(col("text"))))
+              .as("word"))
+            .filter(length(col("word")) > 0)
+          TextOps.unigramSegment(words, TextOps.substringVocab(words),
+              maxLen = 12)
+            .agg(sum("n_pieces"), sum("score")).head(); 1L },
+        "unigram_em" -> { d =>
+          val words = d.filter(col("text").isNotNull)
+            .select(explode(TextOps.wsTokens(lower(col("text"))))
+              .as("word"))
+            .filter(length(col("word")) > 0)
+          TextOps.unigramEmRound(d, TextOps.substringVocab(words))
+            .agg(sum("n"), sum("lnp")).head(); 1L },
         "best_of_n" -> { d =>
           val samples = d.filter(col("text").isNotNull)
             .select(expr("doc_id div 5").as("prompt_id"),
