@@ -740,6 +740,10 @@ object TextOps {
         .select(col("word"), col("_b.i").as("i"),
           col("_b.score").as("score"), col("_b.np").as("np"),
           col("_b.segs").as("segs"))
+      // per-round localCheckpoint measured FASTER than every-4th
+      // (4.6 s vs 9.7 s warm at local[4]): the tables are tiny, so the
+      // materialization is cheap while an un-checkpointed union lineage
+      // recomputes the last rounds inside every next join
       best = best.unionByName(bestI).localCheckpoint()
     }
     val out = best
