@@ -2258,6 +2258,12 @@ object SparkEntry {
         .orderBy("piece")
     }),
 
+    // distinct-2 diversity per source: cross-document distinct-n-gram
+    // ratio (Li et al. distinct-n) — the templated-source gauge
+    "q237_ngram_diversity" -> ((s, dir) =>
+      TextOps.ngramDiversity(t(s, dir, "documents"), n = 2)
+        .orderBy("source")),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -3992,6 +3998,25 @@ object SparkEntry {
     "q232_hard_negatives" -> hardNegativesOracle,
 
     "q235_unigram_segment" -> unigramSegmentOracle,
+
+    // q237: bigrams via the q219 index idiom; ratio is the unrounded
+    // exact-integer quotient
+    "q237_ngram_diversity" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |         list_filter(string_split(lower(text), ' '),
+        |                     x -> len(x) > 0) AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT source, tk[i] || ' ' || tk[i + 1] AS gram
+        |  FROM (SELECT source, tk,
+        |               unnest(generate_series(1, len(tk) - 1)) AS i
+        |        FROM toks WHERE len(tk) >= 2))
+        |SELECT source, count(*) AS n_ngrams,
+        |       count(DISTINCT gram) AS n_distinct,
+        |       CAST(count(DISTINCT gram) AS DOUBLE) / count(*)
+        |         AS distinct_ratio
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
 
     // q236: the shared DP prelude + frequency-weighted piece recount +
     // add-one re-estimation

@@ -225,6 +225,37 @@ object TextOps {
   def shingles(text: Column, n: Int = 3): Column =
     graft.functions.VectorExpressions.wordShingles(text, n)
 
+  /** DISTINCT-n DIVERSITY per group — the corpus-level distinct-n-gram
+    * ratio (Li et al. 2016's distinct-n, the Self-BLEU-adjacent
+    * templatedness gauge): per `groupCol`, distinct n-grams ACROSS all
+    * the group's documents over total n-gram occurrences. Low ratios
+    * mean the source repeats itself document-to-document (template
+    * farms, boilerplate mirrors, mode-collapsed synthetic data) — the
+    * cross-document complement of the within-document
+    * [[duplicateNgramFraction]]. `distinct_ratio` is the UNROUNDED
+    * exact-integer quotient (the cross-engine float rule). One
+    * (group, gram) explode + one partial-agged count/count_distinct —
+    * the token-domain ledger class, no pairs, no windows. */
+  def ngramDiversity(docs: DataFrame, n: Int = 2,
+                     groupCol: String = "source",
+                     textCol: String = "text"): DataFrame = {
+    require(n >= 1, "n must be positive")
+    val gram = (0 until n).map(k => s"tk[i - 1 + $k]").mkString(", ")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(groupCol),
+        filter(wsTokens(lower(col(textCol))), t => length(t) > 0)
+          .as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col(groupCol), explode(expr(
+        s"transform(sequence(1, size(tk) - ${n - 1}), " +
+          s"i -> concat_ws(' ', $gram))")).as("gram"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_ngrams"),
+        count_distinct(col("gram")).as("n_distinct"))
+      .withColumn("distinct_ratio",
+        col("n_distinct").cast("double") / col("n_ngrams"))
+  }
+
   /** Unigram Shannon entropy (nats) of the whitespace tokens — the
     * diversity/repetitiveness quality signal (boilerplate and keyword
     * stuffing score low; natural prose high). Native single-pass kernel

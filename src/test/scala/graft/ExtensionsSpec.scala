@@ -296,6 +296,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(again == got.map { case (k, v) => k -> v._3 })
   }
 
+  test("ngramDiversity: templated sources score low, distinct sources " +
+    "score 1, short docs drop out, ratio is exact") {
+    val docs = Seq(
+      (1L, "tmpl", "click here now"), (2L, "tmpl", "click here now"),
+      (3L, "tmpl", "click here now"), // 3 docs, 2 distinct of 6 bigrams
+      (4L, "var", "alpha beta gamma"), (5L, "var", "delta epsilon zeta"),
+      (6L, "var", "one"), // < n tokens: contributes nothing
+      (7L, "var", null)).toDF("doc_id", "source", "text")
+    val got = TextOps.ngramDiversity(docs, n = 2).orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq(("tmpl", 6L, 2L, 2.0 / 6),
+      ("var", 4L, 4L, 1.0)))
+    // n=1 degenerates to token-level distinct ratio
+    val uni = TextOps.ngramDiversity(docs, n = 1).orderBy("source")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(uni("tmpl") == 3L) // click, here, now
+    intercept[IllegalArgumentException] {
+      TextOps.ngramDiversity(docs, n = 0)
+    }
+  }
+
   test("unigramEmRound: piece counts conserve segmented token mass, " +
     "unwon pieces keep a finite floor, rounds chain") {
     val docs = Seq((1L, "ab ab cd"), (2L, "ab cd cd")).toDF("doc_id", "text")
