@@ -2264,6 +2264,21 @@ object SparkEntry {
       TextOps.ngramDiversity(t(s, dir, "documents"), n = 2)
         .orderBy("source")),
 
+    // data-constrained epoch water-filling: per-source token counts,
+    // md5-derived quality caps (1-4 epochs), budget = 1.5× the corpus —
+    // exact level search, one IEEE division, unrounded epochs
+    "q238_epoch_allocation" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      val srcs = d.groupBy("source")
+        .agg(sum(size(filter(TextOps.wsTokens(lower(col("text"))),
+          w => length(w) > 0)).cast("long")).as("n_tokens"))
+        .withColumn("epoch_cap",
+          (lit(1) + TextOps.hashBucket(col("source"), 4)).cast("double"))
+      val budget = math.floor(1.5 *
+        srcs.agg(sum("n_tokens")).head().getLong(0)).toLong
+      TextOps.epochAllocation(srcs, budget).orderBy("source")
+    }),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -3998,6 +4013,61 @@ object SparkEntry {
     "q232_hard_negatives" -> hardNegativesOracle,
 
     "q235_unigram_segment" -> unigramSegmentOracle,
+
+    // q238: the water-filling replay — same window order, same virtual
+    // k=0 anchor row, same single division; budget re-derived as
+    // floor(1.5·Σ tokens)
+    "q238_epoch_allocation" ->
+      """WITH tokc AS (
+        |  SELECT source,
+        |    CAST(sum(len(list_filter(string_split(lower(text), ' '),
+        |      x -> len(x) > 0))) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL GROUP BY source),
+        |caps AS (
+        |  SELECT source, n_tokens,
+        |    CAST(1 + ('0x' || substr(md5(source), 1, 8))::BIGINT % 4
+        |      AS DOUBLE) AS cap
+        |  FROM tokc),
+        |b AS (SELECT floor(1.5 * CAST(sum(n_tokens) AS DOUBLE))
+        |        AS budget FROM tokc),
+        |tot AS (
+        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS totTok,
+        |         sum(n_tokens * cap) AS totCap,
+        |         max(cap) AS maxCap
+        |  FROM caps),
+        |r AS (
+        |  SELECT source AS src, n_tokens AS tok, cap,
+        |    coalesce(sum(n_tokens * cap) OVER (ORDER BY cap, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS satPrev,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY cap, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS tokPrev
+        |  FROM caps
+        |  UNION ALL
+        |  SELECT '', 0, 0.0, 0.0, 0),
+        |seg AS (
+        |  SELECT satPrev + cap * tok AS satK, tokPrev + tok AS tokK
+        |  FROM (
+        |    SELECT r.*, row_number() OVER (ORDER BY cap DESC, src DESC)
+        |      AS rk
+        |    FROM r CROSS JOIN tot CROSS JOIN b
+        |    WHERE satPrev + cap * CAST(totTok - tokPrev AS DOUBLE)
+        |          <= budget)
+        |  WHERE rk = 1),
+        |lvl AS (
+        |  SELECT CASE WHEN totCap <= budget THEN maxCap
+        |         ELSE (budget - satK)
+        |              / CAST(totTok - tokK AS DOUBLE) END AS t,
+        |    CAST(CASE WHEN totCap < budget THEN 1 ELSE 0 END
+        |      AS INTEGER) AS short
+        |  FROM seg CROSS JOIN tot CROSS JOIN b)
+        |SELECT source, n_tokens, cap AS epoch_cap,
+        |  least(cap, t) AS epochs,
+        |  CAST(floor(CAST(n_tokens AS DOUBLE) * least(cap, t))
+        |    AS BIGINT) AS alloc_tokens,
+        |  1 - short AS budget_met
+        |FROM caps CROSS JOIN lvl ORDER BY source""".stripMargin,
 
     // q237: bigrams via the q219 index idiom; ratio is the unrounded
     // exact-integer quotient

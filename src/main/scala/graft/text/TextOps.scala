@@ -225,6 +225,87 @@ object TextOps {
   def shingles(text: Column, n: Int = 3): Column =
     graft.functions.VectorExpressions.wordShingles(text, n)
 
+  /** EPOCH WATER-FILLING for data-constrained training (Muennighoff et
+    * al. 2023, "Scaling Data-Constrained Language Models"): allocate a
+    * total token `budget` across sources proportionally to their size,
+    * but cap each source at `epoch_cap` repeats (the quality knob: let
+    * curated sources repeat 4×, raw crawl 1×). The exact solution is
+    * water-filling — one common epoch level t with every source
+    * contributing tokens·min(cap, t), t chosen so the total meets the
+    * budget: sources sorted by cap, prefix sums locate the segment
+    * where the budget crosses, and t is one exact division inside it.
+    * Input: (source, n_tokens, epoch_cap); output per source:
+    * (source, n_tokens, epoch_cap, epochs = min(cap, t),
+    * alloc_tokens = floor(tokens·epochs), budget_met — 0 when even
+    * full saturation Σ tokens·cap can't reach the budget, in which
+    * case epochs = cap everywhere and the shortfall is visible).
+    *
+    * Epoch caps must be positive (the level search anchors at 0) and
+    * should be integral/dyadic for bit-portable totals (the pageRank
+    * dyadic rule — tokens·cap then stays exact in doubles).
+    *
+    * Shuffle ledger: |sources| is catalog-sized — one sort window over
+    * (cap, source) rows for the prefix sums, a 1-row argmax broadcast
+    * for the crossing segment, one map-side projection back. All
+    * intermediates are integer sums and ONE IEEE division, so the
+    * result replays engine-for-engine unrounded. */
+  def epochAllocation(sources: DataFrame, budget: Long,
+                      sourceCol: String = "source",
+                      tokensCol: String = "n_tokens",
+                      capCol: String = "epoch_cap"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("cap"), col("src"))
+    val rows = sources.select(col(sourceCol).as("src"),
+        col(tokensCol).cast("long").as("tok"),
+        col(capCol).cast("double").as("cap"))
+      .withColumn("satPrev", coalesce(sum(col("tok") * col("cap"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+      .withColumn("tokPrev", coalesce(sum(col("tok"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tot = sources.agg(
+      sum(col(tokensCol).cast("long")).as("totTok"),
+      sum(col(tokensCol).cast("long") * col(capCol).cast("double"))
+        .as("totCap"),
+      max(col(capCol).cast("double")).as("maxCap"))
+    // the crossing segment: the LAST row (by the sort order) whose
+    // level-entry allocation A(cap_k) = satPrev + cap_k·(totTok −
+    // tokPrev) still fits the budget. A virtual k=0 row (cap 0, empty
+    // src, zero sums) always fits, so the "nothing saturates" case
+    // falls out of the same formula: t = (B − 0)/(totTok − 0).
+    val spark0 = sources.sparkSession
+    import spark0.implicits._
+    val sentinel = Seq(("", 0L, 0.0, 0.0, 0L))
+      .toDF("src", "tok", "cap", "satPrev", "tokPrev")
+    val seg = rows.select("src", "tok", "cap", "satPrev", "tokPrev")
+      .unionByName(sentinel)
+      .crossJoin(broadcast(tot))
+      .filter(col("satPrev") +
+        col("cap") * (col("totTok") - col("tokPrev")).cast("double")
+        <= lit(budget.toDouble))
+      .agg(max(struct(col("cap"), col("src"), col("satPrev"),
+        col("tokPrev"), col("tok"))).as("_k"))
+      .select(
+        (col("_k.satPrev") + col("_k.cap") * col("_k.tok")).as("satK"),
+        (col("_k.tokPrev") + col("_k.tok")).as("tokK"))
+    val lvl = seg.crossJoin(broadcast(tot))
+      .select(
+        when(col("totCap") <= lit(budget.toDouble), col("maxCap"))
+          .otherwise((lit(budget.toDouble) - col("satK")) /
+            (col("totTok") - col("tokK")).cast("double")).as("t"),
+        (col("totCap") < lit(budget.toDouble)).cast("int").as("short"))
+    sources.select(col(sourceCol).as("source"),
+        col(tokensCol).cast("long").as("n_tokens"),
+        col(capCol).cast("double").as("epoch_cap"))
+      .crossJoin(broadcast(lvl))
+      .select(col("source"), col("n_tokens"), col("epoch_cap"),
+        least(col("epoch_cap"), col("t")).as("epochs"),
+        floor(col("n_tokens").cast("double") *
+          least(col("epoch_cap"), col("t"))).cast("long")
+          .as("alloc_tokens"),
+        (lit(1) - col("short")).as("budget_met"))
+  }
+
   /** DISTINCT-n DIVERSITY per group — the corpus-level distinct-n-gram
     * ratio (Li et al. 2016's distinct-n, the Self-BLEU-adjacent
     * templatedness gauge): per `groupCol`, distinct n-grams ACROSS all

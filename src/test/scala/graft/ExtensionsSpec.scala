@@ -296,6 +296,44 @@ class ExtensionsSpec extends SparkSpec {
     assert(again == got.map { case (k, v) => k -> v._3 })
   }
 
+  test("epochAllocation: water level fills to the budget, caps " +
+    "saturate, shortfall flagged, allocation sums within rounding") {
+    // caps: crawl 1x (100 tok), books 4x (50), code 2x (50)
+    val srcs = Seq(("crawl", 100L, 1.0), ("books", 50L, 4.0),
+      ("code", 50L, 2.0)).toDF("source", "n_tokens", "epoch_cap")
+    // budget 250: crawl saturates at 100 (t>1); code at 100 (t>2);
+    // remaining 50 on books → t = 50/50 + ... solve: t in [1,2]:
+    // 100 + 100t = 250 → t = 1.5 ⇒ crawl 100, books 75, code 75
+    val g1 = TextOps.epochAllocation(srcs, 250L).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getLong(4),
+        r.getInt(5))).toMap
+    assert(g1("crawl") == ((1.0, 100L, 1)))
+    assert(g1("books") == ((1.5, 75L, 1)))
+    assert(g1("code") == ((1.5, 75L, 1)))
+    assert(g1.values.map(_._2).sum == 250L)
+    // budget below every cap: pure proportional (t = 150/200 = 0.75)
+    val g2 = TextOps.epochAllocation(srcs, 150L).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(g2.values.forall(_ == 0.75))
+    // budget in the top segment: t in [2,4]: 200 + 50t = 330 → 2.6
+    val g3 = TextOps.epochAllocation(srcs, 330L).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getLong(4))).toMap
+    assert(g3("crawl") == ((1.0, 100L)))
+    assert(g3("code") == ((2.0, 100L)))
+    assert(g3("books")._1 == 2.6 && g3("books")._2 == 130L)
+    // budget beyond total capacity (100+200+100=400): all saturate,
+    // flagged unmet
+    val g4 = TextOps.epochAllocation(srcs, 500L).collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getInt(5)))
+    assert(g4.forall(_._3 == 0))
+    assert(g4.map(t => t._1 -> t._2).toMap ==
+      Map("crawl" -> 1.0, "books" -> 4.0, "code" -> 2.0))
+    // exact-capacity budget meets with every source at its cap
+    val g5 = TextOps.epochAllocation(srcs, 400L).collect()
+      .map(r => (r.getLong(4), r.getInt(5)))
+    assert(g5.map(_._1).sum == 400L && g5.forall(_._2 == 1))
+  }
+
   test("ngramDiversity: templated sources score low, distinct sources " +
     "score 1, short docs drop out, ratio is exact") {
     val docs = Seq(
