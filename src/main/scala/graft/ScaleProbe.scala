@@ -349,6 +349,17 @@ object ScaleProbe {
                 .as("rejected"))
           graft.ops.Chat.preferenceAudit(pairs)
             .agg(sum("keep"), sum("contradicted")).head(); 1L },
+        "ngram_diversity" -> { d =>
+          TextOps.ngramDiversity(d, n = 2)
+            .agg(sum("n_distinct"), sum("n_ngrams")).head(); 1L },
+        "epoch_allocation" -> { d =>
+          val srcs = d.filter(col("text").isNotNull).groupBy("source")
+            .agg(count(lit(1)).as("n_tokens"))
+            .withColumn("epoch_cap",
+              (lit(1) + TextOps.hashBucket(col("source"), 4))
+                .cast("double"))
+          TextOps.epochAllocation(srcs, 100000L)
+            .agg(sum("alloc_tokens")).head(); 1L },
         "unigram_segment" -> { d =>
           val words = d.filter(col("text").isNotNull)
             .select(explode(TextOps.wsTokens(lower(col("text"))))
