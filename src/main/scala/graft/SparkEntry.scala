@@ -2279,6 +2279,42 @@ object SparkEntry {
       TextOps.epochAllocation(srcs, budget).orderBy("source")
     }),
 
+    // t-closeness privacy audit: ordered-metric EMD of each (source,
+    // length-bin) group's doc_id%7 distribution vs the corpus-wide one
+    // (same quasi-groups and sensitive surrogate as q189); t = 3/20,
+    // every flag decided by integer cross-multiplication
+    "q239_t_closeness" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("bin", expr("CAST(n_chars div 10 AS BIGINT)"))
+        .withColumn("sens", col("doc_id") % 7)
+      graft.ops.Quality.tCloseness(d, Seq("source", "bin"), "sens")
+        .orderBy("source", "bin")
+    }),
+
+    // Self-Instruct ROUGE-1 pool gate: candidate batch (doc_id%101==7,
+    // pool-disjoint) vs the accumulated pool (doc_id%5==0); keep when
+    // max multiset-unigram F1 < 0.7, every flag integer-exact
+    "q240_rouge_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pool = docs.filter(col("doc_id") % 5 === 0)
+      val cand = docs.filter(col("doc_id") % 101 === 7 &&
+        col("doc_id") % 5 =!= 0)
+      Dedup.rougeOneGate(pool, cand).orderBy("cand_id")
+    }),
+
+    // Bloom-filter seen-URL gate over the packed-bitset production path
+    // (m=65536, k=3, md5 positions): seen = doc_id%3==0 urls; audit mode
+    // exposes the deterministic false positives next to the exact join
+    "q241_bloom_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def urls(d: DataFrame) = d.select(concat(lit("https://www."),
+        col("source"), lit(".example.com/p"),
+        (col("doc_id") % 997).cast("string")).as("url"))
+      Dedup.bloomGate(urls(docs), urls(docs.filter(col("doc_id") % 3 === 0)),
+        "url", mBits = 65536, kHashes = 3, packed = true,
+        withExact = true).orderBy("url")
+    }),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -4013,6 +4049,128 @@ object SparkEntry {
     "q232_hard_negatives" -> hardNegativesOracle,
 
     "q235_unigram_segment" -> unigramSegmentOracle,
+
+    // q241: the relational replay of the packed bitset — same md5
+    // positions, same all-k conjunction, so even false positives match
+    "q241_bloom_gate" ->
+      """WITH docs AS (SELECT doc_id, source FROM documents),
+        |seen AS (
+        |  SELECT DISTINCT 'https://www.' || source || '.example.com/p'
+        |    || CAST(doc_id % 997 AS VARCHAR) AS url
+        |  FROM docs WHERE doc_id % 3 = 0),
+        |cand AS (
+        |  SELECT DISTINCT 'https://www.' || source || '.example.com/p'
+        |    || CAST(doc_id % 997 AS VARCHAR) AS url
+        |  FROM docs),
+        |ks AS (SELECT unnest([1, 2, 3]) AS i),
+        |spos AS (
+        |  SELECT DISTINCT
+        |    ('0x' || substr(md5(url || ':' || CAST(i AS VARCHAR)), 1, 15))
+        |      ::BIGINT % 65536 AS p
+        |  FROM seen CROSS JOIN ks),
+        |cpos AS (
+        |  SELECT url,
+        |    ('0x' || substr(md5(url || ':' || CAST(i AS VARCHAR)), 1, 15))
+        |      ::BIGINT % 65536 AS p
+        |  FROM cand CROSS JOIN ks),
+        |hits AS (
+        |  SELECT url,
+        |    CAST(min(CASE WHEN s.p IS NULL THEN 0 ELSE 1 END)
+        |      AS INTEGER) AS bloom_hit
+        |  FROM cpos c LEFT JOIN spos s ON s.p = c.p GROUP BY url)
+        |SELECT c.url, h.bloom_hit,
+        |  CAST(CASE WHEN s.url IS NULL THEN 0 ELSE 1 END AS INTEGER)
+        |    AS exact_hit
+        |FROM cand c
+        |JOIN hits h USING (url)
+        |LEFT JOIN seen s ON s.url = c.url
+        |ORDER BY url""".stripMargin,
+
+    // q240: the same token-keyed multiset-overlap join; the dup flag is
+    // the integer cross-product compare, best ties to the lowest pool id
+    "q240_rouge_gate" ->
+      """WITH pool AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |         x -> len(x) > 0) AS tk
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 5 = 0),
+        |cand AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |         x -> len(x) > 0) AS tk
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND doc_id % 101 = 7
+        |    AND doc_id % 5 <> 0),
+        |pt AS (SELECT doc_id AS pool_id, token,
+        |         CAST(count(*) AS BIGINT) AS pc
+        |       FROM (SELECT doc_id, unnest(tk) AS token FROM pool)
+        |       GROUP BY 1, 2),
+        |ct AS (SELECT doc_id AS cand_id, token,
+        |         CAST(count(*) AS BIGINT) AS cc
+        |       FROM (SELECT doc_id, unnest(tk) AS token FROM cand)
+        |       GROUP BY 1, 2),
+        |plen AS (SELECT pool_id, CAST(sum(pc) AS BIGINT) AS lp
+        |         FROM pt GROUP BY 1),
+        |clen AS (SELECT cand_id, CAST(sum(cc) AS BIGINT) AS lc
+        |         FROM ct GROUP BY 1),
+        |pairs AS (
+        |  SELECT pool_id, cand_id, CAST(sum(least(pc, cc)) AS BIGINT) AS o
+        |  FROM pt JOIN ct USING (token) GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT cand_id, pool_id,
+        |    CAST(2 * o AS DOUBLE) / CAST(lc + lp AS DOUBLE) AS f1,
+        |    CASE WHEN 2 * 10 * o >= 7 * (lc + lp) THEN 1 ELSE 0 END AS dup
+        |  FROM pairs JOIN clen USING (cand_id) JOIN plen USING (pool_id)),
+        |best AS (
+        |  SELECT cand_id, f1 AS best_f1, pool_id AS best_pool_id, mdup
+        |  FROM (SELECT cand_id, f1, pool_id,
+        |          max(dup) OVER (PARTITION BY cand_id) AS mdup,
+        |          row_number() OVER (PARTITION BY cand_id
+        |            ORDER BY f1 DESC, pool_id ASC) AS rk
+        |        FROM scored)
+        |  WHERE rk = 1)
+        |SELECT c.doc_id AS cand_id,
+        |  CAST(coalesce(l.lc, 0) AS BIGINT) AS n_tokens,
+        |  coalesce(b.best_f1, 0.0) AS best_f1, b.best_pool_id,
+        |  CAST(1 - coalesce(b.mdup, 0) AS INTEGER) AS keep
+        |FROM cand c
+        |LEFT JOIN clen l ON l.cand_id = c.doc_id
+        |LEFT JOIN best b ON b.cand_id = c.doc_id
+        |ORDER BY cand_id""".stripMargin,
+
+    // q239: the same scaled-integer EMD — cumulants and the t flag are
+    // exact 64-bit integers; the only float is the final division
+    "q239_t_closeness" ->
+      """WITH d AS (
+        |  SELECT source, CAST(n_chars // 10 AS BIGINT) AS bin,
+        |         doc_id % 7 AS v
+        |  FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |               CAST(count(DISTINCT v) AS BIGINT) AS m FROM d),
+        |gdist AS (SELECT v, CAST(count(*) AS BIGINT) AS gc
+        |         FROM d GROUP BY 1),
+        |grp AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS group_n
+        |        FROM d GROUP BY 1, 2),
+        |cells AS (SELECT source, bin, v, CAST(count(*) AS BIGINT) AS c
+        |          FROM d GROUP BY 1, 2, 3),
+        |cum AS (
+        |  SELECT g.source, g.bin, g.group_n, t.n_total, t.m,
+        |    CAST(sum(coalesce(c.c, 0) * t.n_total - gl.gc * g.group_n)
+        |      OVER (PARTITION BY g.source, g.bin ORDER BY gl.v
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumv
+        |  FROM grp g
+        |  CROSS JOIN tot t
+        |  CROSS JOIN gdist gl
+        |  LEFT JOIN cells c
+        |    ON c.source = g.source AND c.bin = g.bin AND c.v = gl.v),
+        |e AS (
+        |  SELECT source, bin, group_n,
+        |    CAST(sum(abs(cumv)) AS BIGINT) AS emd_num,
+        |    group_n * n_total * greatest(m - 1, 1) AS den
+        |  FROM cum GROUP BY source, bin, group_n, n_total, m)
+        |SELECT source, bin, group_n, emd_num,
+        |  CAST(emd_num AS DOUBLE) / CAST(den AS DOUBLE) AS emd,
+        |  CAST(CASE WHEN emd_num * 20 > den * 3 THEN 1 ELSE 0 END
+        |    AS INTEGER) AS above_t
+        |FROM e ORDER BY source, bin""".stripMargin,
 
     // q238: the water-filling replay — same window order, same virtual
     // k=0 anchor row, same single division; budget re-derived as

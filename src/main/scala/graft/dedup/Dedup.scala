@@ -1517,4 +1517,164 @@ object Dedup {
         coalesce(col("kept_paras"), lit(0L)).as("kept_paras"),
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
+
+  // ---- instruction-pool gating (Self-Instruct) ---------------------------
+
+  /** Self-Instruct-style ROUGE-1 pool gate (Wang et al., ACL 2023 §3.2 —
+    * also the Alpaca data-prep filter): keep a CANDIDATE instruction only
+    * when its maximum ROUGE-1 F1 against every instruction already in the
+    * task POOL stays below `num/den` (the paper's cutoff is 0.7). ROUGE-1
+    * here is the unigram-MULTISET F1 on lowercased whitespace tokens:
+    * overlap o = Σ_t min(c_cand(t), c_pool(t)), F1 = 2o / (len_c + len_p).
+    *
+    * Numerics: the keep decision is integer cross-multiplication
+    * (2·den·o ≥ num·(len_c+len_p) flags a duplicate) — no float ever
+    * decides a flag; the reported best_f1 is one IEEE division of exact
+    * integers per pair (bit-portable), with best-pool ties broken toward
+    * the smallest pool id.
+    *
+    * Scale shape: the paper's loop compares a SMALL per-round candidate
+    * batch against a large accumulated pool, so the candidate side is
+    * broadcast: both sides tokenize map-side into (id, token, cnt) rows,
+    * and the only join is token-keyed pool-rows × broadcast(batch
+    * tokens) — a candidate meets exactly the pool rows it shares a token
+    * with, partial-agged on (pool_id, cand_id) before anything moves.
+    * The pool corpus itself is scanned once and never shuffled whole;
+    * pair volume is bounded by |pool token rows| × batch density, i.e.
+    * ~batch-size× one corpus scan, the semantics' intrinsic floor.
+    *
+    * Output: one row per candidate (null-text candidates excluded like
+    * every tokenizer op) — cand_id, n_tokens, best_f1 (0.0 when the
+    * candidate shares no token with any pool doc), best_pool_id (null
+    * likewise), keep. */
+  def rougeOneGate(pool: DataFrame, candidates: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   num: Long = 7, den: Long = 10): DataFrame = {
+    require(num > 0 && den > 0, "threshold must be a positive rational")
+    def toks(df: DataFrame, idAs: String, cntAs: String) = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as(idAs),
+        explode(filter(TextOps.wsTokens(lower(col(textCol))),
+          w => length(w) > 0)).as("token"))
+      .groupBy(idAs, "token").agg(count(lit(1)).as(cntAs))
+    val pt = toks(pool, "pool_id", "pc")
+    val ct = toks(candidates, "cand_id", "cc")
+    val plen = pt.groupBy("pool_id").agg(sum("pc").as("lp"))
+    val clen = ct.groupBy("cand_id").agg(sum("cc").as("lc"))
+    val pairs = pt.join(broadcast(ct), Seq("token"))
+      .groupBy("pool_id", "cand_id")
+      .agg(sum(least(col("pc"), col("cc"))).as("o"))
+      .join(broadcast(clen), Seq("cand_id"))
+      .join(plen, Seq("pool_id"))
+      .withColumn("f1", (col("o") * 2).cast("double")
+        / (col("lc") + col("lp")).cast("double"))
+      .withColumn("dup",
+        when(col("o") * 2 * den >= (col("lc") + col("lp")) * num, 1)
+          .otherwise(0))
+    val best = pairs.groupBy("cand_id")
+      .agg(max(struct(col("f1"), (-col("pool_id")).as("np"))).as("b"),
+        max("dup").as("_dup"))
+      .select(col("cand_id"), col("b.f1").as("best_f1"),
+        (-col("b.np")).as("best_pool_id"), col("_dup"))
+    candidates.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("cand_id"))
+      .join(broadcast(clen), Seq("cand_id"), "left")
+      .join(broadcast(best), Seq("cand_id"), "left")
+      .select(col("cand_id"),
+        coalesce(col("lc"), lit(0L)).as("n_tokens"),
+        coalesce(col("best_f1"), lit(0.0)).as("best_f1"),
+        col("best_pool_id"),
+        (lit(1) - coalesce(col("_dup"), lit(0))).as("keep"))
+  }
+
+  // ---- Bloom-filter membership gate --------------------------------------
+
+  /** Bloom-filter membership gate — the crawler/ingest "seen-set" test
+    * (Bloom 1970; the BigTable/Cassandra read-path and every frontier
+    * dedup at crawl scale): k md5-derived bit positions per value over an
+    * m-bit filter built from `seen`; a candidate HITS when all k of its
+    * bits are set. False positives by design (rate ≈ (1−e^{−kn/m})^k),
+    * never false negatives — the safe direction for a revisit gate.
+    *
+    * Hashing is the engine's portable-md5 convention ([[graft.text
+    * .TextOps.hashBucket]] precedent): position_i = first 15 hex digits
+    * of md5(value ‖ ":i") mod m — deterministic across engines, so even
+    * the false positives are oracle-reproducible.
+    *
+    * Scale shape (packed=true, the production path): the seen set —
+    * ANY size, 100 TB of URLs included — compresses to m bits: one
+    * distinct on (value-hash positions) then a ≤m/64-row bit_or
+    * aggregation, collected (bounded by the m constant, 8·m/64 bytes;
+    * m=2²⁶ → 8 MB) and broadcast as an array literal, after which every
+    * candidate is tested MAP-SIDE with zero joins and zero shuffles —
+    * the whole gate is one codegen'd projection per candidate row.
+    * packed=false is the relational equivalent (explode positions,
+    * broadcast-join the seen-position set, all-k conjunction) — the
+    * oracle-portable form, spec-asserted decision-identical.
+    *
+    * Output: one row per DISTINCT candidate value — (valueCol,
+    * bloom_hit), plus exact_hit when `withExact` (the demo/audit mode
+    * that measures the realized FP rate; production leaves it off — the
+    * exact join is what the bloom exists to avoid).
+    *
+    * Complements [[graft.text.TextOps.bloomDecontaminate]] (Spark's
+    * native BloomFilterAggregate + codegen probe, spec-gated because its
+    * xxhash kernel is engine-internal): this gate trades that kernel for
+    * the portable-md5 position scheme, making the whole decision
+    * surface — false positives included — strict-oracle-checkable. */
+  def bloomGate(candidates: DataFrame, seen: DataFrame,
+                valueCol: String = "url", mBits: Int = 1 << 16,
+                kHashes: Int = 3, packed: Boolean = true,
+                withExact: Boolean = false): DataFrame = {
+    require(mBits >= 64 && (mBits & 63) == 0,
+      "mBits must be a multiple of 64")
+    require(kHashes >= 1 && kHashes <= 16, "kHashes out of range")
+    def positions(c: Column): Seq[Column] = (1 to kHashes).map { i =>
+      pmod(conv(substring(md5(concat(c.cast("string"), lit(":" + i))),
+        1, 15), 16, 10).cast("long"), lit(mBits.toLong))
+    }
+    val seenVals = seen.select(col(valueCol).cast("string").as("_v"))
+      .filter(col("_v").isNotNull).distinct()
+    val candVals = candidates
+      .select(col(valueCol).cast("string").as("_v"))
+      .filter(col("_v").isNotNull).distinct()
+    val seenPos = seenVals
+      .select(explode(array(positions(col("_v")): _*)).as("_p")).distinct()
+    val hits =
+      if (packed) {
+        // dense m/64-word bitset; the collect is bounded by the m
+        // CONSTANT (never by data) — the documented-bounded pattern
+        val words = new Array[Long](mBits / 64)
+        seenPos
+          .groupBy(shiftright(col("_p"), 6).cast("int").as("w"))
+          .agg(expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pmod(_p, 64) AS INT)))")
+            .as("bits"))
+          .collect()
+          .foreach(r => words(r.getInt(0)) = r.getLong(1))
+        val wordsLit = typedlit(words)
+        candVals.withColumn("bloom_hit",
+          when(forall(array(positions(col("_v")): _*), p =>
+            call_function("getbit",
+              element_at(wordsLit, (shiftright(p, 6) + lit(1)).cast("int")),
+              pmod(p, lit(64L)).cast("int")) === 1), 1).otherwise(0))
+      } else {
+        candVals
+          .select(col("_v"), explode(array(positions(col("_v")): _*))
+            .as("_p"))
+          .join(broadcast(seenPos.withColumn("_in", lit(1))),
+            Seq("_p"), "left")
+          .groupBy("_v")
+          .agg(min(coalesce(col("_in"), lit(0))).as("bloom_hit"))
+      }
+    val out =
+      if (withExact)
+        hits.join(broadcast(seenVals.withColumn("_ex", lit(1))),
+            Seq("_v"), "left")
+          .withColumn("exact_hit", coalesce(col("_ex"), lit(0)))
+          .select(col("_v").as(valueCol), col("bloom_hit"),
+            col("exact_hit"))
+      else hits.select(col("_v").as(valueCol), col("bloom_hit"))
+    out
+  }
 }

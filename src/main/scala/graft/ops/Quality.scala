@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality expectations — the dbt-test / Great-
@@ -148,5 +149,72 @@ object Quality {
         round(col("rows_below_l").cast("double") / col("n_rows"), 6)
           .as("at_risk_fraction"),
         col("min_diversity"))
+  }
+
+  /** T-CLOSENESS audit — the third rung of the privacy ladder (Li, Li &
+    * Venkatasubramanian, ICDE 2007) after [[kAnonymity]] and
+    * [[lDiversity]]: a k-anonymous, l-diverse group still leaks under
+    * skewness/similarity attacks when its sensitive-value DISTRIBUTION
+    * sits far from the corpus-wide one. For an ORDERED sensitive
+    * attribute the paper's distance is the Earth Mover's Distance under
+    * the ordered metric: with the global value domain v_1 < … < v_m,
+    * EMD(P, Q) = (1/(m−1)) · Σ_{i<m} |Σ_{j≤i} (P_j − Q_j)|.
+    *
+    * Numerics: everything up to the final quotient is EXACT 64-bit
+    * integer arithmetic. The cumulative term at value i is scaled by
+    * n_g·N (group size × corpus size): D_i = Σ_{j≤i} (c_j·N − C_j·n_g),
+    * so EMD = Σ_i |D_i| / (n_g·N·(m−1)) is ONE IEEE division of exact
+    * integers (bit-portable across engines), and the t threshold is
+    * applied by integer cross-multiplication (tDen·Σ|D_i| > tNum·den) —
+    * no float ever decides a flag. (|D_i| ≤ n_g·N and Σ|D_i| ≤ m·n_g·N,
+    * far inside long range for any single-table audit; the i=m term is
+    * identically 0 so summing all m cumulants equals the paper's i<m
+    * sum.) Rows with a NULL sensitive value are excluded up front —
+    * NULL is not a position on the ordered metric.
+    *
+    * Output: one row per quasi-identifier group — the quasi columns,
+    * group_n, emd_num (the exact integer numerator Σ|D_i|), emd, and
+    * above_t (1 when EMD > tNum/tDen: the groups to generalize or
+    * suppress).
+    *
+    * Scale shape: one groupBy on (quasi, sens) (|groups|·|values-seen|
+    * rows), one |values|-row global agg (broadcast), one |groups|-row
+    * agg; the dense group × value-domain grid is |groups|·m rows — two
+    * bounded domains, orders below the corpus — cumulated by one
+    * integer window per group. The corpus is read once; no corpus-sized
+    * shuffle exists anywhere in the plan. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, tNum: Long = 3,
+                 tDen: Long = 20): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(tDen > 0 && tNum >= 0, "t must be a non-negative rational")
+    val d = df.filter(col(sensitiveCol).isNotNull)
+    val qs = quasiCols.map(col)
+    val cells = d.groupBy((qs :+ col(sensitiveCol).as("_v")): _*)
+      .agg(count(lit(1)).as("_c"))
+    val global = d.groupBy(col(sensitiveCol).as("_v"))
+      .agg(count(lit(1)).as("_gc"))
+    val totals = d.agg(count(lit(1)).as("_n_total"),
+      count_distinct(col(sensitiveCol)).as("_m"))
+    val groups = d.groupBy(qs: _*).agg(count(lit(1)).as("group_n"))
+    val w = Window.partitionBy(qs: _*).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    groups
+      .crossJoin(broadcast(global))
+      .join(cells, quasiCols :+ "_v", "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("_term",
+        coalesce(col("_c"), lit(0L)) * col("_n_total")
+          - col("_gc") * col("group_n"))
+      .withColumn("_cum", sum(col("_term")).over(w))
+      .groupBy((qs :+ col("group_n") :+ col("_n_total") :+ col("_m")): _*)
+      .agg(sum(abs(col("_cum"))).as("emd_num"))
+      .withColumn("_den",
+        col("group_n") * col("_n_total") * greatest(col("_m") - 1, lit(1L)))
+      .select((qs :+ col("group_n") :+ col("emd_num") :+
+        (col("emd_num").cast("double") / col("_den").cast("double"))
+          .as("emd") :+
+        when(col("emd_num") * tDen > col("_den") * tNum, 1)
+          .otherwise(0).as("above_t")): _*)
   }
 }

@@ -3897,4 +3897,73 @@ class ExtensionsSpec extends SparkSpec {
       BigDecimal(17.0 / 7).setScale(6,
         BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("tCloseness: scaled-integer EMD matches hand computation; " +
+    "uniform group passes, skewed groups flagged; null sens excluded") {
+    // global over 6 rows: sens 0 and 1 each 3× → Q = (.5, .5)
+    val df = Seq(("a", Some(0)), ("a", Some(0)),   // P=(1,0)  EMD .5
+      ("b", Some(0)), ("b", Some(1)),              // P=(.5,.5) EMD 0
+      ("c", Some(1)), ("c", Some(1)),              // P=(0,1)  EMD .5
+      ("b", None)                                  // null: excluded
+    ).toDF("quasi", "sens")
+    val got = Quality.tCloseness(df, Seq("quasi"), "sens")
+      .orderBy("quasi").collect()
+    assert(got.length == 3)
+    val byQ = got.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4))).toMap
+    assert(byQ("a") == ((2L, 6L, 0.5, 1)))  // cum=|2*6-3*2|=6, den=12
+    assert(byQ("b") == ((2L, 0L, 0.0, 0)))
+    assert(byQ("c") == ((2L, 6L, 0.5, 1)))
+  }
+
+  test("rougeOneGate: multiset F1, 0.7 cutoff integer-exact, " +
+    "no-overlap candidate kept, ties go to the lowest pool id") {
+    val pool = Seq((1L, "the cat sat"), (2L, "dog runs fast"))
+      .toDF("doc_id", "text")
+    val cand = Seq((10L, "the cat sat"),        // F1=1 vs pool 1 → dup
+      (11L, "the cat ran far"),                  // o=2, F1=4/7 → keep
+      (12L, "zebra"),                            // no shared token
+      (13L, "the the the"),                      // multiset: o=min(3,1)=1
+      (14L, null.asInstanceOf[String])           // excluded
+    ).toDF("doc_id", "text")
+    val got = Dedup.rougeOneGate(pool, cand).orderBy("cand_id").collect()
+    assert(got.length == 4)
+    val m = got.map(r => r.getLong(0) -> r).toMap
+    assert(m(10L).getInt(4) == 0 && m(10L).getLong(3) == 1L &&
+      m(10L).getDouble(2) == 1.0)
+    assert(m(11L).getInt(4) == 1 && m(11L).getDouble(2) == 4.0 / 7)
+    assert(m(12L).getInt(4) == 1 && m(12L).isNullAt(3) &&
+      m(12L).getDouble(2) == 0.0)
+    assert(m(13L).getDouble(2) == 2.0 / 6 && m(13L).getInt(4) == 1)
+    // equal-F1 tie: both pool docs identical → best is the LOWEST id
+    val tiePool = Seq((7L, "a b"), (3L, "a b")).toDF("doc_id", "text")
+    val tie = Dedup.rougeOneGate(tiePool,
+      Seq((20L, "a b")).toDF("doc_id", "text")).head()
+    assert(tie.getLong(3) == 3L && tie.getInt(4) == 0)
+  }
+
+  test("bloomGate: no false negatives; packed and relational paths " +
+    "decide identically; tiny filter shows false positives, exact " +
+    "audit never exceeds the bloom") {
+    val all = (0L until 120L).map(i => s"https://h$i.example.com/p$i")
+      .toDF("url")
+    val seenDf = (0L until 120L).filter(_ % 3 == 0)
+      .map(i => s"https://h$i.example.com/p$i").toDF("url")
+    def decisions(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val packed = decisions(Dedup.bloomGate(all, seenDf, "url",
+      mBits = 4096, kHashes = 3, packed = true))
+    val rel = decisions(Dedup.bloomGate(all, seenDf, "url",
+      mBits = 4096, kHashes = 3, packed = false))
+    assert(packed == rel)
+    // no false negatives: every seen url hits
+    seenDf.collect().map(_.getString(0)).foreach(u =>
+      assert(packed(u) == 1, s"false negative on $u"))
+    // tiny filter: realized false positives, and exact ⊆ bloom
+    val audit = Dedup.bloomGate(all, seenDf, "url", mBits = 64,
+      kHashes = 2, packed = true, withExact = true).collect()
+    assert(audit.forall(r => r.getInt(1) >= r.getInt(2)))
+    assert(audit.exists(r => r.getInt(1) == 1 && r.getInt(2) == 0),
+      "64-bit filter over 40 urls must show a false positive")
+  }
 }
