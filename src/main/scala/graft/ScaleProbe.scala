@@ -375,6 +375,27 @@ object ScaleProbe {
             .filter(length(col("word")) > 0)
           TextOps.unigramEmRound(d, TextOps.substringVocab(words))
             .agg(sum("n"), sum("lnp")).head(); 1L },
+        "t_closeness" -> { d =>
+          graft.ops.Quality.tCloseness(
+            d.withColumn("bin", expr("CAST(n_chars div 10 AS BIGINT)"))
+              .withColumn("sens", col("doc_id") % 7),
+            Seq("source", "bin"), "sens")
+            .agg(sum("emd_num")).head(); 1L },
+        // deployed shape: FIXED candidate batch (replica-0 ids only)
+        // against the growing pool — the Self-Instruct round
+        "rouge_gate" -> { d =>
+          val pool = d.filter(col("doc_id") % 5 === 0)
+          val cand = d.filter(col("doc_id") % 101 === 7 &&
+            col("doc_id") % 5 =!= 0 && col("doc_id") < lit(maxId))
+          Dedup.rougeOneGate(pool, cand)
+            .agg(sum("keep"), sum("n_tokens")).head(); 1L },
+        "bloom_gate" -> { d =>
+          def urls(x: DataFrame) = x.select(concat(lit("https://www."),
+            col("source"), lit(".example.com/p"),
+            (col("doc_id") % 997).cast("string")).as("url"))
+          Dedup.bloomGate(urls(d), urls(d.filter(col("doc_id") % 3 === 0)),
+            "url", mBits = 65536, kHashes = 3, packed = true)
+            .agg(sum("bloom_hit")).head(); 1L },
         "best_of_n" -> { d =>
           val samples = d.filter(col("text").isNotNull)
             .select(expr("doc_id div 5").as("prompt_id"),
