@@ -375,6 +375,9 @@ object ScaleProbe {
             .filter(length(col("word")) > 0)
           TextOps.unigramEmRound(d, TextOps.substringVocab(words))
             .agg(sum("n"), sum("lnp")).head(); 1L },
+        "heaps_fit" -> { d =>
+          TextOps.heapsLawFit(d)
+            .agg(sum("n_points"), sum("beta")).head(); 1L },
         "t_closeness" -> { d =>
           graft.ops.Quality.tCloseness(
             d.withColumn("bin", expr("CAST(n_chars div 10 AS BIGINT)"))

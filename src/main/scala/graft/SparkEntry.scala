@@ -2315,6 +2315,12 @@ object SparkEntry {
         withExact = true).orderBy("url")
     }),
 
+    // Heaps-law vocabulary-growth fit per source: power-of-two doc-rank
+    // checkpoints, exact prefix-distinct via first-occurrence ranks,
+    // sorted-fold OLS on (ln tokens, ln types)
+    "q242_heaps_fit" -> ((s, dir) =>
+      TextOps.heapsLawFit(t(s, dir, "documents")).orderBy("source")),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -4049,6 +4055,73 @@ object SparkEntry {
     "q232_hard_negatives" -> hardNegativesOracle,
 
     "q235_unigram_segment" -> unigramSegmentOracle,
+
+    // q242: the same first-occurrence prefix-distinct + power-of-two
+    // checkpoints; all five OLS sums re-folded in rank order
+    "q242_heaps_fit" ->
+      """WITH dt AS (
+        |  SELECT source, doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0)
+        |      AS tk
+        |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+        |dr AS (
+        |  SELECT source, doc_id, tk, CAST(len(tk) AS BIGINT) AS nt,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS BIGINT) AS r
+        |  FROM dt),
+        |ct AS (
+        |  SELECT source, r,
+        |    CAST(sum(nt) OVER (PARTITION BY source ORDER BY r
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumtok
+        |  FROM dr),
+        |nb AS (
+        |  SELECT source, fr AS r, CAST(count(*) AS BIGINT) AS newt
+        |  FROM (SELECT source, token, min(r) AS fr
+        |        FROM (SELECT source, r, unnest(tk) AS token FROM dr)
+        |        GROUP BY 1, 2)
+        |  GROUP BY 1, 2),
+        |cd AS (
+        |  SELECT c.source, c.r, c.cumtok,
+        |    CAST(sum(coalesce(nb.newt, 0)) OVER (PARTITION BY c.source
+        |      ORDER BY c.r ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumdist
+        |  FROM ct c LEFT JOIN nb ON nb.source = c.source AND nb.r = c.r),
+        |pts AS (
+        |  SELECT source, r,
+        |    floor(ln(CAST(cumtok AS DOUBLE)) * 1048576 + 0.5) / 1048576
+        |      AS lx,
+        |    floor(ln(CAST(cumdist AS DOUBLE)) * 1048576 + 0.5) / 1048576
+        |      AS ly
+        |  FROM cd WHERE (r & (r - 1)) = 0 AND cumtok > 0 AND cumdist > 0),
+        |g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_points,
+        |    list_sort(list(struct_pack(r := r, lx := lx, ly := ly))) AS l
+        |  FROM pts GROUP BY source),
+        |f AS (
+        |  SELECT source, n_points, CAST(n_points AS DOUBLE) AS cn,
+        |    list_reduce(list_transform(l, x -> x.lx), (a, b) -> a + b)
+        |      AS sx,
+        |    list_reduce(list_transform(l, x -> x.ly), (a, b) -> a + b)
+        |      AS sy,
+        |    list_reduce(list_transform(l, x -> x.lx * x.ly),
+        |      (a, b) -> a + b) AS sxy,
+        |    list_reduce(list_transform(l, x -> x.lx * x.lx),
+        |      (a, b) -> a + b) AS sxx,
+        |    list_reduce(list_transform(l, x -> x.ly * x.ly),
+        |      (a, b) -> a + b) AS syy
+        |  FROM g)
+        |SELECT source, n_points,
+        |  CASE WHEN cn * sxx - sx * sx = 0 THEN NULL
+        |       ELSE (cn * sxy - sx * sy) / (cn * sxx - sx * sx) END
+        |    AS beta,
+        |  CASE WHEN cn * sxx - sx * sx = 0 THEN NULL
+        |       ELSE (sy - ((cn * sxy - sx * sy) / (cn * sxx - sx * sx))
+        |             * sx) / cn END AS ln_k,
+        |  CASE WHEN cn * sxx - sx * sx = 0 OR cn * syy - sy * sy = 0
+        |       THEN NULL
+        |       ELSE (cn * sxy - sx * sy) * (cn * sxy - sx * sy)
+        |            / ((cn * sxx - sx * sx) * (cn * syy - sy * sy)) END
+        |    AS r2
+        |FROM f ORDER BY source""".stripMargin,
 
     // q241: the relational replay of the packed bitset — same md5
     // positions, same all-k conjunction, so even false positives match

@@ -1003,6 +1003,90 @@ object TextOps {
         ((col("sy") - slope * col("sx")) / col("c")).as("intercept"))
   }
 
+  /** Heaps'-law vocabulary-growth fit per group — V(n) ≈ K·nᵝ (Heaps
+    * 1978; Herdan's law): how fast each source's vocabulary grows as its
+    * corpus grows, the scaling-curve gauge behind "will more of this
+    * source keep adding new types?" (β → 1: templated ids/noise keep
+    * minting tokens; β ≪ 1: saturated natural text — reads directly on
+    * dedup and mixing decisions).
+    *
+    * Checkpoints are POWER-OF-TWO document ranks per group (log-spaced,
+    * the right abscissa for a log-log fit; the r & (r−1) = 0 test is
+    * bit-identical cross-engine): at rank r, x_r = tokens in the first r
+    * docs (by id order), y_r = distinct tokens in the first r docs —
+    * computed exactly via first-occurrence ranks, so "distinct at every
+    * prefix" costs ONE integer prefix-sum window, not a distinct per
+    * checkpoint. OLS on (ln x, ln y) with all five sums accumulated by
+    * rank-sorted sequential folds (the [[domainReweight]] portability
+    * idiom — bit-identical to the oracle's list_reduce), closed-form
+    * slope/intercept; degenerate fits (single point, zero variance)
+    * return NULL rather than ±Inf. The intercept ships as ln_k — exp()
+    * is cross-engine non-portable, callers exponentiate.
+    *
+    * Scale shape: two corpus scans (token counts; first-occurrence
+    * explode), a (group, token) min-reduction — the vocabulary ledger
+    * class — then everything lives on the |docs-per-group| rank domain:
+    * two integer prefix-sum windows partitioned by group, a ~log₂(n)
+    * point set per group, and a |groups|-row fold. No pair joins, no
+    * global sort. Output: (group, n_points, beta, ln_k, r2). */
+  def heapsLawFit(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text",
+                  groupCol: String = "source"): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val dr = docs.filter(col(textCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"), col(idCol).as("id"),
+        filter(wsTokens(lower(col(textCol))), w => length(w) > 0).as("tk"))
+      .withColumn("nt", size(col("tk")).cast("long"))
+      .withColumn("r", row_number()
+        .over(W.partitionBy("g").orderBy("id")).cast("long"))
+    val cum = W.partitionBy("g").orderBy("r")
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val ct = dr.withColumn("cumtok", sum("nt").over(cum))
+    val nb = dr.select(col("g"), col("r"), explode(col("tk")).as("token"))
+      .groupBy("g", "token").agg(min("r").as("fr"))
+      .groupBy(col("g"), col("fr").as("r"))
+      .agg(count(lit(1)).as("newt"))
+    val pts = ct.select(col("g"), col("r"), col("cumtok"))
+      .join(nb, Seq("g", "r"), "left")
+      .withColumn("cumdist",
+        sum(coalesce(col("newt"), lit(0L))).over(cum))
+      .filter((col("r").bitwiseAND(col("r") - 1)) === 0 &&
+        col("cumtok") > 0 && col("cumdist") > 0)
+      // ln-ULP guard: JVM StrictMath.log and glibc log disagree by 1 ULP
+      // on some inputs (e.g. ln 74) — snap the coordinates to the 2^-20
+      // dyadic grid (the domainReweight 4096-grid precedent) so every
+      // downstream product and fold starts from BIT-IDENTICAL operands
+      .select(col("g"),
+        (floor(log(col("cumtok").cast("double")) * 1048576.0 + 0.5)
+          / 1048576.0).as("lx"),
+        (floor(log(col("cumdist").cast("double")) * 1048576.0 + 0.5)
+          / 1048576.0).as("ly"),
+        col("r"))
+    val grouped = pts.groupBy(col("g").as(groupCol))
+      .agg(count(lit(1)).as("n_points"),
+        array_sort(collect_list(struct(col("r"), col("lx"), col("ly"))))
+          .as("l"))
+    def fold(f: Column => Column) =
+      aggregate(col("l"), lit(0.0), (acc, x) => acc + f(x))
+    val s = grouped.select(col(groupCol), col("n_points"),
+      fold(_.getField("lx")).as("sx"),
+      fold(_.getField("ly")).as("sy"),
+      fold(x => x.getField("lx") * x.getField("ly")).as("sxy"),
+      fold(x => x.getField("lx") * x.getField("lx")).as("sxx"),
+      fold(x => x.getField("ly") * x.getField("ly")).as("syy"))
+    val c = col("n_points").cast("double")
+    val denx = c * col("sxx") - col("sx") * col("sx")
+    val deny = c * col("syy") - col("sy") * col("sy")
+    val num = c * col("sxy") - col("sx") * col("sy")
+    val beta = num / denx
+    s.select(col(groupCol), col("n_points"),
+      when(denx === 0.0, lit(null)).otherwise(beta).as("beta"),
+      when(denx === 0.0, lit(null))
+        .otherwise((col("sy") - beta * col("sx")) / c).as("ln_k"),
+      when(denx === 0.0 || deny === 0.0, lit(null))
+        .otherwise(num * num / (denx * deny)).as("r2"))
+  }
+
   /** [[vocabulary]]'s sketch-based scale path: corpus-wide heavy-hitter
     * tokens via the fixed-size mergeable Misra-Gries sketch
     * ([[graft.functions.SketchAggregates.frequentItems]]) — one map-side

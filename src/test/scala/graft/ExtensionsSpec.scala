@@ -3942,6 +3942,37 @@ class ExtensionsSpec extends SparkSpec {
     assert(tie.getLong(3) == 3L && tie.getInt(4) == 0)
   }
 
+  test("heapsLawFit: power-of-two checkpoints, exact prefix distincts, " +
+    "all-unique corpus fits beta=1 exactly, single point degrades to null") {
+    // source s: checkpoints r=1 (3 tok, 2 types), r=2 (5,3), r=4 (8,6);
+    // rank 3 is not a power of two and contributes no point
+    val docs = Seq((1L, "s", "a b a"), (2L, "s", "c a"), (3L, "s", "d"),
+      (4L, "s", "e f"),
+      // source u: one unique token per doc → x=y at every checkpoint
+      (11L, "u", "t1"), (12L, "u", "t2"), (13L, "u", "t3"),
+      (14L, "u", "t4"),
+      // source one: a single doc → 1 point, zero x-variance
+      (21L, "one", "p q r")).toDF("doc_id", "source", "text")
+    val got = TextOps.heapsLawFit(docs).orderBy("source").collect()
+      .map(r => r.getString(0) -> r).toMap
+    def q(x: Double) = math.floor(x * 1048576.0 + 0.5) / 1048576.0
+    val (lx, ly) = (Seq(3.0, 5.0, 8.0).map(v => q(StrictMath.log(v))),
+      Seq(2.0, 3.0, 6.0).map(v => q(StrictMath.log(v))))
+    val (sx, sy) = (lx.foldLeft(0.0)(_ + _), ly.foldLeft(0.0)(_ + _))
+    val sxy = lx.zip(ly).map { case (a, b) => a * b }.foldLeft(0.0)(_ + _)
+    val sxx = lx.map(a => a * a).foldLeft(0.0)(_ + _)
+    val beta = (3.0 * sxy - sx * sy) / (3.0 * sxx - sx * sx)
+    val s = got("s")
+    assert(s.getLong(1) == 3L && s.getDouble(2) == beta &&
+      s.getDouble(3) == (sy - beta * sx) / 3.0)
+    val u = got("u")
+    assert(u.getLong(1) == 3L && u.getDouble(2) == 1.0 &&
+      u.getDouble(3) == 0.0 && u.getDouble(4) == 1.0)
+    val one = got("one")
+    assert(one.getLong(1) == 1L && one.isNullAt(2) && one.isNullAt(3) &&
+      one.isNullAt(4))
+  }
+
   test("bloomGate: no false negatives; packed and relational paths " +
     "decide identically; tiny filter shows false positives, exact " +
     "audit never exceeds the bloom") {
