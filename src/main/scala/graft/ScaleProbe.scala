@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
+import graft.ops.Graph
 import graft.text.TextOps
 
 /** Dev tool: scaling evidence for the curation operators. Replicates the
@@ -375,6 +376,15 @@ object ScaleProbe {
             .filter(length(col("word")) > 0)
           TextOps.unigramEmRound(d, TextOps.substringVocab(words))
             .agg(sum("n"), sum("lnp")).head(); 1L },
+        "hits" -> { d =>
+          val k = col("doc_id") % 10
+          val e1 = d.select(concat(lit("d"), k).as("src"),
+            concat(lit("d"), (k + 1) % 10).as("dst"))
+          val e2 = d.filter(k.isin(0, 2, 4))
+            .select(concat(lit("d"), k).as("src"),
+              concat(lit("d"), (k + 3) % 10).as("dst"))
+          Graph.hitsScores(e1.unionAll(e2), iterations = 2)
+            .agg(sum("auth"), sum("hub")).head(); 1L },
         "heaps_fit" -> { d =>
           TextOps.heapsLawFit(d)
             .agg(sum("n_points"), sum("beta")).head(); 1L },
@@ -557,6 +567,14 @@ object ScaleProbe {
         "hard_negatives" -> { d =>
           Similarity.hardNegatives(d, k = 3, planes = 6)
             .agg(sum("cosine"), count(lit(1))).head(); 1L },
+        "cluster_quota" -> { d =>
+          val cents = d.filter(col("vec_id") < 8)
+            .select(col("vec_id"), col("embedding").cast("array<double>"))
+            .collect().toSeq
+            .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          Similarity.clusterQuotaSelect(d, cents, quota = 50,
+              score = TextOps.hashBucket(col("vec_id"), 1000))
+            .agg(sum("score"), count(lit(1))).head(); 1L },
         "matryoshka_topk" -> { d =>
           val q = d.filter(col("vec_id") === 0)
             .select(col("embedding").cast("array<double>"))

@@ -2321,6 +2321,22 @@ object SparkEntry {
     "q242_heaps_fit" -> ((s, dir) =>
       TextOps.heapsLawFit(t(s, dir, "documents")).orderBy("source")),
 
+    // cluster-balanced selection: nearest-seed assignment + top-10 per
+    // cluster by the md5-derived quality score (integer rank keys; the
+    // WindowGroupLimit pre-cap path)
+    "q243_cluster_quota" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      Similarity.clusterQuotaSelect(embs, seedCentroids(embs),
+          quota = 10, score = TextOps.hashBucket(col("vec_id"), 1000))
+        .orderBy("cluster", "rk")
+    }),
+
+    // HITS hubs/authorities over the q155 domain graph: 2 exact-integer
+    // rounds, fractions of the round maxima as the only divisions
+    "q244_hits" -> ((s, dir) =>
+      Graph.hitsScores(domainEdges(t(s, dir, "documents")), iterations = 2)
+        .orderBy("node")),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -4055,6 +4071,75 @@ object SparkEntry {
     "q232_hard_negatives" -> hardNegativesOracle,
 
     "q235_unigram_segment" -> unigramSegmentOracle,
+
+    // q243: the q58 assignment replay + md5 score + QUALIFY rank cap
+    "q243_cluster_quota" ->
+      """WITH seeds AS (
+        |  SELECT vec_id AS cluster, CAST(embedding AS DOUBLE[]) AS c
+        |  FROM embeddings WHERE vec_id < 3),
+        |sims AS (
+        |  SELECT e.vec_id, s.cluster,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.c)
+        |           AS sim
+        |  FROM embeddings e CROSS JOIN seeds s),
+        |a AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT vec_id, cluster,
+        |           row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY sim DESC, cluster ASC) AS arank
+        |    FROM sims)
+        |  WHERE arank = 1),
+        |sc AS (
+        |  SELECT vec_id, cluster,
+        |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 1000 AS score
+        |  FROM a)
+        |SELECT vec_id, cluster, score,
+        |  CAST(row_number() OVER (PARTITION BY cluster
+        |    ORDER BY score DESC, vec_id) AS INTEGER) AS rk
+        |FROM sc QUALIFY rk <= 10 ORDER BY cluster, rk""".stripMargin,
+
+    // q244: two exact-integer HITS rounds unrolled — auth from current
+    // hubs, hubs from the UPDATED auths (Kleinberg's operation order)
+    "q244_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT 'd' || CAST(doc_id % 10 AS VARCHAR) AS src,
+        |           'd' || CAST((doc_id % 10 + 1) % 10 AS VARCHAR) AS dst
+        |    FROM documents
+        |    UNION ALL
+        |    SELECT 'd' || CAST(doc_id % 10 AS VARCHAR),
+        |           'd' || CAST((doc_id % 10 + 3) % 10 AS VARCHAR)
+        |    FROM documents WHERE doc_id % 10 IN (0, 2, 4))),
+        |n AS (SELECT DISTINCT node FROM
+        |        (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |a1 AS (SELECT n.node,
+        |         CAST(coalesce(count(e.src), 0) AS BIGINT) AS v
+        |       FROM n LEFT JOIN e ON e.dst = n.node GROUP BY n.node),
+        |h1 AS (SELECT n.node,
+        |         CAST(coalesce(sum(a1.v), 0) AS BIGINT) AS v
+        |       FROM n LEFT JOIN e ON e.src = n.node
+        |       LEFT JOIN a1 ON a1.node = e.dst GROUP BY n.node),
+        |a2 AS (SELECT n.node,
+        |         CAST(coalesce(sum(h1.v), 0) AS BIGINT) AS v
+        |       FROM n LEFT JOIN e ON e.dst = n.node
+        |       LEFT JOIN h1 ON h1.node = e.src GROUP BY n.node),
+        |h2 AS (SELECT n.node,
+        |         CAST(coalesce(sum(a2.v), 0) AS BIGINT) AS v
+        |       FROM n LEFT JOIN e ON e.src = n.node
+        |       LEFT JOIN a2 ON a2.node = e.dst GROUP BY n.node),
+        |m AS (SELECT max(a2.v) AS ma, max(h2.v) AS mh
+        |      FROM a2 CROSS JOIN h2),
+        |j AS (SELECT a2.node, a2.v AS auth, h2.v AS hub
+        |      FROM a2 JOIN h2 ON h2.node = a2.node)
+        |SELECT node, auth, hub,
+        |  CASE WHEN ma = 0 THEN 0.0
+        |       ELSE CAST(auth AS DOUBLE) / CAST(ma AS DOUBLE) END
+        |    AS auth_frac,
+        |  CASE WHEN mh = 0 THEN 0.0
+        |       ELSE CAST(hub AS DOUBLE) / CAST(mh AS DOUBLE) END
+        |    AS hub_frac
+        |FROM j CROSS JOIN m ORDER BY node""".stripMargin,
 
     // q242: the same first-occurrence prefix-distinct + power-of-two
     // checkpoints; all five OLS sums re-folded in rank order

@@ -488,6 +488,42 @@ object Similarity {
     }
   }
 
+  /** Cluster-balanced selection — the diversity-aware subset step of
+    * DEITA / DiverseEvol-style instruction curation and of
+    * cluster-stratified pretraining sampling: assign every vector to its
+    * nearest centroid ([[assignToCentroids]], map-only), then keep the
+    * top `quota` rows PER CLUSTER by (score desc, id) — so no semantic
+    * region monopolizes the training budget and sparse regions keep
+    * representation, the failure mode of plain global top-k selection.
+    *
+    * Determinism: the rank key is (score, id) — score is the caller's
+    * (typically integer/hash-derived) quality signal, so no float ever
+    * orders the window; assignment ties go to the smallest cluster id
+    * (assignToCentroids' rule).
+    *
+    * Scale shape: one map-only assignment projection (corpus never
+    * shuffles for centroids), then ONE cluster-keyed window whose
+    * row_number ≤ quota filter plans as WindowGroupLimit — each map
+    * partition pre-caps to its local quota before the exchange, so the
+    * shuffle carries at most quota·partitions rows per cluster. Output:
+    * (id, cluster, score, rk). */
+  def clusterQuotaSelect(embs: DataFrame,
+                         centroids: Seq[(Long, Array[Double])],
+                         quota: Int, score: Column,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         dim: Int = DefaultDim): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("_score").desc, col(idCol))
+    assignToCentroids(embs, centroids, idCol, vecCol, dim)
+      .withColumn("_score", score)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= quota)
+      .select(col(idCol), col("cluster"), col("_score").as("score"),
+        col("rk"))
+  }
+
   /** Mini-batch-free Lloyd k-means over an embedding column: seeds are the
     * k smallest ids (deterministic — no RNG, reproducible across engines
     * and runs), each iteration is one map-only assignment

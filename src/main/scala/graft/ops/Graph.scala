@@ -80,6 +80,73 @@ object Graph {
     ranks
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999, JACM) — [[pageRank]]'s
+    * bidirectional sibling, the hub/spam-directory signal crawl
+    * prioritization reads alongside rank: per iteration auth'(v) =
+    * Σ_{u→v} hub(u) then hub'(u) = Σ_{u→v} auth'(v) (the updated
+    * auths — Kleinberg's I/O operation order).
+    *
+    * This is the EXACT-INTEGER unnormalized variant: hub₀ = 1 and every
+    * subsequent score is an integer sum of integers, so the whole
+    * computation is bit-portable across engines and aggregation orders
+    * with no float story at all; the output ships each score plus its
+    * fraction of the round's maximum (ONE IEEE division per row — the
+    * portable normalization, since per-round L1/L2 normalizing would put
+    * order-dependent float sums inside the loop). Scores grow like
+    * (d_in·d_out)^iterations — with the default 2 (Kleinberg's ranking
+    * stabilizes in a handful of rounds) any graph with degree products
+    * under ~10⁹ stays far inside long range, and ANSI mode makes an
+    * overflow abort loudly rather than corrupt. Multi-edges collapse;
+    * nodes = src ∪ dst.
+    *
+    * Scale shape: the [[pageRank]] loop ledger — the distinct edge list
+    * persists across rounds; each round is two edges⋈scores equi-joins +
+    * two partial-agged sums over NODE/EDGE-domain frames (registrable
+    * domains, never payloads); localCheckpoint per round truncates
+    * lineage. Output: (node, auth, hub, auth_frac, hub_frac). */
+  def hitsScores(edges: DataFrame, iterations: Int = 2,
+                 srcCol: String = "src", dstCol: String = "dst")
+      : DataFrame = {
+    require(iterations >= 1 && iterations <= 6,
+      "iterations out of the exact-integer range")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    nodes.count()
+    var hub = nodes.withColumn("v", lit(1L)).localCheckpoint()
+    var auth = hub
+    for (_ <- 1 to iterations) {
+      auth = nodes
+        .join(e.join(hub, e("src") === hub("node"))
+          .groupBy(col("dst").as("node")).agg(sum("v").as("_s")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("_s"), lit(0L)).as("v"))
+        .localCheckpoint()
+      hub = nodes
+        .join(e.join(auth, e("dst") === auth("node"))
+          .groupBy(col("src").as("node")).agg(sum("v").as("_s")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("_s"), lit(0L)).as("v"))
+        .localCheckpoint()
+    }
+    e.unpersist(false)
+    nodes.unpersist(false)
+    val joined = auth.withColumnRenamed("v", "auth")
+      .join(hub.withColumnRenamed("v", "hub"), "node")
+    val maxes = joined.agg(max("auth").as("_ma"), max("hub").as("_mh"))
+    joined.crossJoin(F.broadcast(maxes))
+      .select(col("node"), col("auth"), col("hub"),
+        when(col("_ma") === 0L, lit(0.0))
+          .otherwise(col("auth").cast("double") / col("_ma").cast("double"))
+          .as("auth_frac"),
+        when(col("_mh") === 0L, lit(0.0))
+          .otherwise(col("hub").cast("double") / col("_mh").cast("double"))
+          .as("hub_frac"))
+  }
+
   /** Degree statistics per node — the cheap link-graph report (spam
     * heuristics read in/out ratios before anything iterative runs):
     * one distinct edge pass, two tiny grouped counts, one full-outer

@@ -3942,6 +3942,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(tie.getLong(3) == 3L && tie.getInt(4) == 0)
   }
 
+  test("clusterQuotaSelect: per-cluster cap by (score desc, id), " +
+    "sparse clusters keep all members, WindowGroupLimit in the plan") {
+    val dim = 2
+    val cents = Seq(0L -> Array(1.0, 0.0), 1L -> Array(0.0, 1.0))
+    val embs = Seq(
+      (10L, Seq(1.0f, 0.1f)), (11L, Seq(0.9f, 0.0f)),      // cluster 0
+      (20L, Seq(0.1f, 1.0f)), (21L, Seq(0.0f, 0.8f)),      // cluster 1
+      (22L, Seq(0.05f, 0.9f))).toDF("vec_id", "embedding")
+    val sel = Similarity.clusterQuotaSelect(embs, cents, quota = 2,
+      score = col("vec_id"), dim = dim)
+    assert(sel.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"))
+    val got = sel.orderBy("cluster", "rk").collect()
+      .map(r => (r.getLong(1), r.getInt(3), r.getLong(0))).toSeq
+    // cluster 0 has 2 members (both kept); cluster 1's 3 members cap at
+    // the 2 highest scores (22, 21) — 20 is dropped
+    assert(got == Seq((0L, 1, 11L), (0L, 2, 10L),
+      (1L, 1, 22L), (1L, 2, 21L)))
+  }
+
   test("heapsLawFit: power-of-two checkpoints, exact prefix distincts, " +
     "all-unique corpus fits beta=1 exactly, single point degrades to null") {
     // source s: checkpoints r=1 (3 tok, 2 types), r=2 (5,3), r=4 (8,6);

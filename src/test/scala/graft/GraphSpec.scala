@@ -40,6 +40,22 @@ class GraphSpec extends SparkSpec {
     assert(got == Seq(("a", 2L, 0L), ("b", 1L, 1L), ("c", 0L, 2L)))
   }
 
+  test("hitsScores: two exact-integer rounds match the hand trace; " +
+    "multi-edges collapse; fractions are of the round maxima") {
+    // 1 -> 2, 1 -> 3, 2 -> 3 (plus a duplicate 1 -> 2 that must collapse)
+    // r1: auth = indeg = (0,1,2); hub = (3,2,0)
+    // r2: auth = (0,3,5); hub = (8,5,0)
+    val edges = Seq(("1", "2"), ("1", "2"), ("1", "3"), ("2", "3"))
+      .toDF("src", "dst")
+    val got = Graph.hitsScores(edges, iterations = 2).orderBy("node")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == Seq(("1", 0L, 8L, 0.0, 1.0),
+      ("2", 3L, 5L, 3.0 / 5, 5.0 / 8),
+      ("3", 5L, 0L, 1.0, 0.0)))
+  }
+
   test("pageRank plan: the per-iteration join keys the node id — no " +
     "cartesian, no payload columns") {
     val edges = Seq(("a", "b")).toDF("src", "dst")
