@@ -2337,6 +2337,12 @@ object SparkEntry {
       Graph.hitsScores(domainEdges(t(s, dir, "documents")), iterations = 2)
         .orderBy("node")),
 
+    // max-NLL span localization: the 8-token window a cleaning pass
+    // would cut, per doc; dyadic-grid NLLs make window sums exact
+    "q245_nll_spans" -> ((s, dir) =>
+      TextOps.nllSpans(t(s, dir, "documents"), window = 8)
+        .orderBy("doc_id")),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -4071,6 +4077,47 @@ object SparkEntry {
     "q232_hard_negatives" -> hardNegativesOracle,
 
     "q235_unigram_segment" -> unigramSegmentOracle,
+
+    // q245: same grid-snapped NLLs (window sums of dyadic values are
+    // exact, so the rolling sum needs no fold machinery), same
+    // earliest-start tie rule via (span_nll desc, start asc) rank
+    "q245_nll_spans" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(lower(text), ' '),
+        |                     x -> len(x) > 0) AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |tok AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, tk[i] AS token
+        |  FROM (SELECT doc_id, tk,
+        |               unnest(generate_series(1, len(tk))) AS i
+        |        FROM l)),
+        |v AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+        |      FROM tok GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM v),
+        |sc AS (
+        |  SELECT tok.doc_id, tok.pos,
+        |    floor(ln(CAST(n_total AS DOUBLE) / CAST(c AS DOUBLE))
+        |      * 1048576 + 0.5) / 1048576 AS nll
+        |  FROM tok JOIN v USING (token) CROSS JOIN n),
+        |sp AS (
+        |  SELECT doc_id, pos,
+        |    sum(nll) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS span_nll
+        |  FROM sc
+        |  QUALIFY pos >= 7),
+        |mx AS (SELECT doc_id, CAST(max(pos) + 1 AS BIGINT) AS n_tokens
+        |       FROM sp GROUP BY 1),
+        |best AS (
+        |  SELECT doc_id, pos, span_nll,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY span_nll DESC, pos ASC) AS rk
+        |  FROM sp)
+        |SELECT b.doc_id, m.n_tokens,
+        |  CAST(b.pos - 7 AS BIGINT) AS start,
+        |  CAST(b.pos AS BIGINT) AS "end", b.span_nll
+        |FROM best b JOIN mx m USING (doc_id)
+        |WHERE b.rk = 1 ORDER BY doc_id""".stripMargin,
 
     // q243: the q58 assignment replay + md5 score + QUALIFY rank cap
     "q243_cluster_quota" ->

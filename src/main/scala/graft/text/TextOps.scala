@@ -1409,6 +1409,55 @@ object TextOps {
         round(avg(-log(col("p"))), 6).as("nll"))
   }
 
+  /** Sliding-window NLL outlier LOCALIZATION — [[unigramNll]]'s surgical
+    * sibling: instead of scoring the whole document (drop/keep), find
+    * WHERE the atypical text sits — the max-NLL window of `window`
+    * consecutive tokens per document, the span a cleaning pass would cut
+    * (boilerplate islands, encoding damage, injected spam) while keeping
+    * the healthy remainder. Corpus-MLE unigram model, leave-in scoring
+    * (every token's count ≥ 1, so P > 0).
+    *
+    * Numerics: each token's −ln p snaps to the 2⁻²⁰ dyadic grid (the
+    * [[heapsLawFit]] ln-ULP guard), which buys more than portability of
+    * the ln itself — SUMS of dyadic grid values are exact in double, so
+    * the windowed sums are order-independent and bit-identical across
+    * engines with NO sequential-fold machinery, and the per-doc argmax
+    * (max span_nll, ties to the earliest start) is fully deterministic.
+    *
+    * Scale shape: one token-domain count agg (the unigramNll ledger), a
+    * token-keyed join back, ONE per-doc position window (full windows
+    * only — docs under `window` tokens drop out, documented), one
+    * per-doc max_by. Output: (id, n_tokens, start, end, span_nll),
+    * positions 0-based inclusive. */
+  def nllSpans(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text", window: Int = 16): DataFrame = {
+    require(window >= 2, "window must be at least 2")
+    val W = org.apache.spark.sql.expressions.Window
+    val tok = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        posexplode(filter(wsTokens(lower(col(textCol))),
+          w => length(w) > 0)).as(Seq("pos", "token")))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum("c").as("n_total"))
+    val scored = tok.join(vocab, "token").crossJoin(broadcast(total))
+      .withColumn("nll",
+        floor(log(col("n_total").cast("double") / col("c").cast("double"))
+          * 1048576.0 + 0.5) / 1048576.0)
+    val spans = scored
+      .withColumn("span_nll", sum("nll").over(
+        W.partitionBy("id").orderBy("pos")
+          .rowsBetween(-(window - 1), W.currentRow)))
+      .filter(col("pos") >= window - 1)
+    spans.groupBy(col("id").as(idCol))
+      .agg((max("pos") + 1).cast("long").as("n_tokens"),
+        max(struct(col("span_nll"),
+          (-(col("pos") - (window - 1))).as("negs"))).as("b"))
+      .select(col(idCol), col("n_tokens"),
+        (-col("b.negs")).cast("long").as("start"),
+        (-col("b.negs") + (window - 1)).cast("long").as("end"),
+        col("b.span_nll").as("span_nll"))
+  }
+
   /** Corpus-relative bigram NLL: mean −ln P(w_i | w_{i−1}) per document
     * under the corpus MLE bigram model (P = c(w1 w2) / c(w1 ·), contexts
     * counted over bigram starts so probabilities sum to 1 exactly).

@@ -3962,6 +3962,23 @@ class ExtensionsSpec extends SparkSpec {
       (1L, 1, 22L), (1L, 2, 21L)))
   }
 
+  test("nllSpans: max-NLL window located exactly, ties to earliest " +
+    "start, short docs drop out, dyadic sums exact") {
+    val docs = Seq((1L, "a a a b a a"), (2L, "a a"), (3L, "z"))
+      .toDF("doc_id", "text")
+    // corpus: a=7, b=1, z=1, N=9
+    def q(x: Double) = math.floor(x * 1048576.0 + 0.5) / 1048576.0
+    val (qa, qb) = (q(StrictMath.log(9.0 / 7)), q(StrictMath.log(9.0)))
+    val got = TextOps.nllSpans(docs, window = 2).orderBy("doc_id")
+      .collect()
+    assert(got.length == 2) // doc 3 is under the window and drops out
+    // doc 1: [a,b] and [b,a] tie at qa+qb — earliest start (2) wins
+    assert((got(0).getLong(0), got(0).getLong(1), got(0).getLong(2),
+      got(0).getLong(3), got(0).getDouble(4)) == (1L, 6L, 2L, 3L, qa + qb))
+    assert((got(1).getLong(0), got(1).getLong(1), got(1).getLong(2),
+      got(1).getLong(3), got(1).getDouble(4)) == (2L, 2L, 0L, 1L, qa + qa))
+  }
+
   test("heapsLawFit: power-of-two checkpoints, exact prefix distincts, " +
     "all-unique corpus fits beta=1 exactly, single point degrades to null") {
     // source s: checkpoints r=1 (3 tok, 2 types), r=2 (5,3), r=4 (8,6);
