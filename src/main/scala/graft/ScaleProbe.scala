@@ -376,6 +376,9 @@ object ScaleProbe {
             .filter(length(col("word")) > 0)
           TextOps.unigramEmRound(d, TextOps.substringVocab(words))
             .agg(sum("n"), sum("lnp")).head(); 1L },
+        "dedup_cascade" -> { d =>
+          Dedup.dedupCascade(d)
+            .groupBy("stage").count().collect(); 1L },
         "nll_spans" -> { d =>
           TextOps.nllSpans(d, window = 8)
             .agg(sum("span_nll"), count(lit(1))).head(); 1L },

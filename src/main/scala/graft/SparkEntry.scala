@@ -2343,6 +2343,12 @@ object SparkEntry {
       TextOps.nllSpans(t(s, dir, "documents"), window = 8)
         .orderBy("doc_id")),
 
+    // staged dedup cascade with attribution: exact digest → normalized
+    // digest → SimHash near-dup, each over the prior stage's survivors;
+    // every doc reports its catching stage and canonical partner
+    "q246_dedup_cascade" -> ((s, dir) =>
+      Dedup.dedupCascade(t(s, dir, "documents")).orderBy("doc_id")),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -3128,6 +3134,65 @@ object SparkEntry {
        |  ON a.block = b.block AND a.key = b.key AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q246 oracle: the staged cascade — exact digest owners, normalized
+    * digest owners among their survivors, then the full q25 SimHash
+    * machinery over the stage-2 survivor relation only. */
+  private def cascadeOracle: String = {
+    val bitSums = (0 until 60).map(i =>
+      s"sum(CASE WHEN (h60 >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(",\n         ")
+    val fpTerms = (0 until 60).map(i =>
+      s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString("\n       + ")
+    val blockSelects = (0 until 4).map(b =>
+      s"  SELECT doc_id, fp, $b AS block, (fp >> ${b * 15}) & 32767 AS key" +
+        " FROM fp").mkString("\n  UNION ALL\n")
+    s"""WITH d AS (
+       |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+       |o1 AS (SELECT md5(text) AS fp1, min(doc_id) AS own1
+       |       FROM d GROUP BY 1),
+       |j1 AS (SELECT d.doc_id, d.text, o1.own1
+       |       FROM d JOIN o1 ON o1.fp1 = md5(d.text)),
+       |s1 AS (SELECT doc_id, text FROM j1 WHERE doc_id = own1),
+       |o2 AS (SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+       |         AS fp2, min(doc_id) AS own2
+       |       FROM s1 GROUP BY 1),
+       |j2 AS (SELECT s1.doc_id, s1.text, o2.own2
+       |       FROM s1 JOIN o2 ON o2.fp2 =
+       |         md5(regexp_replace(lower(s1.text), '\\s+', ' ', 'g'))),
+       |s2 AS (SELECT doc_id, text FROM j2 WHERE doc_id = own2),
+       |${shingleHashCteFrom("s2")},
+       |bits AS (
+       |  SELECT doc_id,
+       |         $bitSums
+       |  FROM hx GROUP BY doc_id),
+       |fp AS (
+       |  SELECT doc_id,
+       |       $fpTerms AS fp
+       |  FROM bits),
+       |blocks AS (
+       |$blockSelects),
+       |near AS (
+       |  SELECT id_b AS doc_id, min(id_a) AS own3 FROM (
+       |    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |    FROM blocks a JOIN blocks b
+       |      ON a.block = b.block AND a.key = b.key
+       |     AND a.doc_id < b.doc_id
+       |    WHERE bit_count(xor(a.fp, b.fp)) <= 3)
+       |  GROUP BY 1)
+       |SELECT j1.doc_id,
+       |  CASE WHEN j1.doc_id <> j1.own1 THEN 'exact'
+       |       WHEN j1.doc_id <> j2.own2 THEN 'normalized'
+       |       WHEN near.own3 IS NOT NULL THEN 'near'
+       |       ELSE 'keep' END AS stage,
+       |  CASE WHEN j1.doc_id <> j1.own1 THEN j1.own1
+       |       WHEN j1.doc_id <> j2.own2 THEN j2.own2
+       |       ELSE near.own3 END AS dup_of
+       |FROM j1
+       |LEFT JOIN j2 ON j2.doc_id = j1.doc_id
+       |LEFT JOIN near ON near.doc_id = j1.doc_id
+       |ORDER BY 1""".stripMargin
   }
 
   /** q27 oracle: the LSH-bucketed ANN pipeline in SQL. The hyperplane
@@ -4077,6 +4142,8 @@ object SparkEntry {
     "q232_hard_negatives" -> hardNegativesOracle,
 
     "q235_unigram_segment" -> unigramSegmentOracle,
+
+    "q246_dedup_cascade" -> cascadeOracle,
 
     // q245: same grid-snapped NLLs (window sums of dyadic values are
     // exact, so the rolling sum needs no fold machinery), same

@@ -1587,6 +1587,65 @@ object Dedup {
         (lit(1) - coalesce(col("_dup"), lit(0))).as("keep"))
   }
 
+  // ---- staged cascade with attribution -----------------------------------
+
+  /** Staged dedup CASCADE with per-document attribution — the
+    * Dolma/CCNet production shape (cheap exact stages first, the fuzzy
+    * stage only over their survivors) made auditable: every document
+    * reports WHICH stage caught it and against WHOM, the lineage a
+    * release audit needs to explain "why did my doc disappear".
+    *
+    * Stages, each over the previous stage's survivors only:
+    *   1. `exact` — identical content digest (md5(text)); canonical =
+    *      smallest id per digest.
+    *   2. `normalized` — case/whitespace-folded digest
+    *      ([[graft.text.TextOps.normalizedFingerprint]]).
+    *   3. `near` — SimHash Hamming ≤ maxHamming via the Manku banded
+    *      join ([[simhashCandidates]], portable 60-bit mode); a doc
+    *      attributes to its SMALLEST lower-id candidate partner
+    *      (pairwise attribution — partners may themselves be `near`
+    *      dups of earlier docs, the standard candidate-pair semantics).
+    *
+    * Output: one row per non-null-text doc — (id, stage ∈ exact |
+    * normalized | near | keep, dup_of nullable).
+    *
+    * Scale shape: the sum of its parts, in the cheap-first order that
+    * makes the expensive stage small — two digest-keyed reductions +
+    * joins (32-byte keys, never text) shrink the corpus before the one
+    * banded (block, key) shuffle of (id, fp) longs. No stage moves
+    * payload text; no pair generation outside SimHash's pigeonhole
+    * buckets. */
+  def dedupCascade(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   maxHamming: Int = 3): DataFrame = {
+    val d = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+    val a1 = d.withColumn("fp1", md5(col("text")))
+    val own1 = a1.groupBy("fp1").agg(min("id").as("own1"))
+    val j1 = a1.join(own1, "fp1").select("id", "text", "own1")
+    val surv1 = j1.filter(col("id") === col("own1"))
+    val a2 = surv1.withColumn("fp2",
+      TextOps.normalizedFingerprint(col("text")))
+    val own2 = a2.groupBy("fp2").agg(min("id").as("own2"))
+    val j2 = a2.join(own2, "fp2").select("id", "text", "own2")
+    val surv2 = j2.filter(col("id") === col("own2"))
+    val near = simhashCandidates(
+        surv2.select(col("id").as(idCol), col("text").as(textCol)),
+        idCol, textCol, maxHamming = maxHamming, portable = true)
+      .groupBy(col("id_b").as("id")).agg(min("id_a").as("own3"))
+    j1.select("id", "own1")
+      .join(j2.select("id", "own2"), Seq("id"), "left")
+      .join(near, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        when(col("id") =!= col("own1"), lit("exact"))
+          .when(col("id") =!= col("own2"), lit("normalized"))
+          .when(col("own3").isNotNull, lit("near"))
+          .otherwise(lit("keep")).as("stage"),
+        when(col("id") =!= col("own1"), col("own1"))
+          .when(col("id") =!= col("own2"), col("own2"))
+          .otherwise(col("own3")).as("dup_of"))
+  }
+
   // ---- Bloom-filter membership gate --------------------------------------
 
   /** Bloom-filter membership gate — the crawler/ingest "seen-set" test

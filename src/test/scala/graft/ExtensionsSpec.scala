@@ -3962,6 +3962,30 @@ class ExtensionsSpec extends SparkSpec {
       (1L, 1, 22L), (1L, 2, 21L)))
   }
 
+  test("dedupCascade: stage precedence (exact beats normalized beats " +
+    "near), canonical is the smallest id, stage 3 runs on survivors " +
+    "only and agrees with simhashCandidates") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),        // exact dup of 1
+      (3L, "A  b c D e f g h"),       // normalized dup of 1
+      (4L, "a b c d e f g h i"),      // near candidate of 1 (or keep)
+      (5L, "zzz qqq www uuu vvv")).toDF("doc_id", "text")
+    val got = Dedup.dedupCascade(docs).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(got(1L) == (("keep", -1L)))
+    assert(got(2L) == (("exact", 1L)))      // not 'normalized': precedence
+    assert(got(3L) == (("normalized", 1L)))
+    assert(got(5L) == (("keep", -1L)))
+    // stage 3 ground truth from the SimHash op itself over survivors 1,4,5
+    val surv = docs.filter(col("doc_id").isin(1L, 4L, 5L))
+    val pairs = Dedup.simhashCandidates(surv, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (pairs.contains((1L, 4L))) assert(got(4L) == (("near", 1L)))
+    else assert(got(4L) == (("keep", -1L)))
+  }
+
   test("nllSpans: max-NLL window located exactly, ties to earliest " +
     "start, short docs drop out, dyadic sums exact") {
     val docs = Seq((1L, "a a a b a a"), (2L, "a a"), (3L, "z"))
