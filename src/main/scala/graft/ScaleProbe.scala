@@ -376,6 +376,16 @@ object ScaleProbe {
             .filter(length(col("word")) > 0)
           TextOps.unigramEmRound(d, TextOps.substringVocab(words))
             .agg(sum("n"), sum("lnp")).head(); 1L },
+        "seqlen_sweep" -> { d =>
+          TextOps.seqLenSweep(d)
+            .agg(sum("kept_tokens"), sum("padding_tokens")).head(); 1L },
+        "length_bias" -> { d =>
+          val samples = d.filter(col("text").isNotNull)
+            .select(expr("doc_id div 5").as("prompt_id"),
+              col("doc_id").as("sample_id"), col("text").as("sample"),
+              ((col("doc_id") * 31) % 101).cast("double").as("score"))
+          graft.ops.Chat.lengthBiasAudit(graft.ops.Chat.bestOfN(samples))
+            .head(); 1L },
         "dedup_cascade" -> { d =>
           Dedup.dedupCascade(d)
             .groupBy("stage").count().collect(); 1L },

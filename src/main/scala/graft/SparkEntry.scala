@@ -2349,6 +2349,23 @@ object SparkEntry {
     "q246_dedup_cascade" -> ((s, dir) =>
       Dedup.dedupCascade(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // max-seq-len configuration sweep: truncation/padding/utilization
+    // per candidate length, exact integers + one division per row
+    "q247_seqlen_sweep" -> ((s, dir) =>
+      TextOps.seqLenSweep(t(s, dir, "documents")).orderBy("seq_len")),
+
+    // DPO verbosity-bias audit over the q230 best-of-N pairs: sign-test
+    // counts + mean length delta; the flag is integer cross-multiplied
+    "q248_length_bias" -> ((s, dir) => {
+      val samples = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(expr("doc_id div 5").as("prompt_id"),
+          col("doc_id").as("sample_id"), col("text").as("sample"),
+          when(col("doc_id") % 13 === 0, lit(null))
+            .otherwise(((col("doc_id") * 31) % 101).cast("double"))
+            .as("score"))
+      ops.Chat.lengthBiasAudit(ops.Chat.bestOfN(samples))
+    }),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -4144,6 +4161,71 @@ object SparkEntry {
     "q235_unigram_segment" -> unigramSegmentOracle,
 
     "q246_dedup_cascade" -> cascadeOracle,
+
+    // q247: same exact clip/pad accounting per candidate length
+    "q247_seqlen_sweep" ->
+      """WITH c AS (
+        |  SELECT CAST(len(list_filter(string_split(lower(text), ' '),
+        |           x -> len(x) > 0)) AS BIGINT) AS nt
+        |  FROM documents WHERE text IS NOT NULL),
+        |x AS (SELECT nt, CAST(l AS BIGINT) AS seq_len
+        |      FROM c CROSS JOIN (SELECT unnest([16, 32, 64, 128]) AS l))
+        |SELECT seq_len, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN nt > seq_len THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS truncated_docs,
+        |  CAST(sum(greatest(nt - seq_len, 0)) AS BIGINT)
+        |    AS truncated_tokens,
+        |  CAST(sum(greatest(seq_len - nt, 0)) AS BIGINT)
+        |    AS padding_tokens,
+        |  CAST(sum(least(nt, seq_len)) AS BIGINT) AS kept_tokens,
+        |  CAST(sum(least(nt, seq_len)) AS DOUBLE)
+        |    / CAST(seq_len * count(*) AS DOUBLE) AS utilization
+        |FROM x GROUP BY seq_len ORDER BY seq_len""".stripMargin,
+
+    // q248: the q230 pair chain + one conditional-sum audit; the bias
+    // flag is the 13/20 integer cross-product compare
+    "q248_length_bias" ->
+      """WITH s AS (
+        |  SELECT doc_id // 5 AS prompt_id, doc_id AS sample_id,
+        |    text AS sample,
+        |    CASE WHEN doc_id % 13 = 0 THEN NULL
+        |         ELSE CAST((doc_id * 31) % 101 AS DOUBLE) END AS score
+        |  FROM documents WHERE text IS NOT NULL),
+        |sc AS (SELECT * FROM s WHERE score IS NOT NULL),
+        |cnt AS (SELECT prompt_id, count(*) AS n_scored
+        |        FROM sc GROUP BY 1),
+        |hi AS (
+        |  SELECT prompt_id, sample AS chosen FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY prompt_id
+        |      ORDER BY score DESC, sample_id ASC) AS rk FROM sc)
+        |  WHERE rk = 1),
+        |lo AS (
+        |  SELECT prompt_id, sample AS rejected FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY prompt_id
+        |      ORDER BY score ASC, sample_id DESC) AS rk FROM sc)
+        |  WHERE rk = 1),
+        |p AS (
+        |  SELECT
+        |    CAST(len(list_filter(string_split(lower(chosen), ' '),
+        |      x -> len(x) > 0)) AS BIGINT) AS lc,
+        |    CAST(len(list_filter(string_split(lower(rejected), ' '),
+        |      x -> len(x) > 0)) AS BIGINT) AS lr
+        |  FROM cnt JOIN hi USING (prompt_id) JOIN lo USING (prompt_id)
+        |  WHERE n_scored >= 2 AND chosen IS NOT NULL
+        |    AND rejected IS NOT NULL)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN lc > lr THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS chosen_longer,
+        |  CAST(sum(CASE WHEN lr > lc THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS rejected_longer,
+        |  CAST(sum(CASE WHEN lc = lr THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS len_ties,
+        |  CAST(sum(lc - lr) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS mean_len_delta,
+        |  CAST(CASE WHEN sum(CASE WHEN lc > lr THEN 1 ELSE 0 END) * 20
+        |              > count(*) * 13 THEN 1 ELSE 0 END AS INTEGER)
+        |    AS length_biased
+        |FROM p""".stripMargin,
 
     // q245: same grid-snapped NLLs (window sums of dyadic values are
     // exact, so the rolling sum needs no fold machinery), same

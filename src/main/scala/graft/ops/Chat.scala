@@ -204,4 +204,45 @@ object Chat {
       .withColumn("digest", digest)
       .withColumn("keep", (row_number().over(w) === 1).cast("int"))
   }
+
+  /** LENGTH-BIAS audit over preference pairs — the classic reward-model
+    * failure (verbosity bias: "longer sounds better"): if the chosen
+    * response out-lengths the rejected one far above chance, DPO/RLHF
+    * training on these pairs optimizes for length, not quality — the
+    * motivation behind length-controlled evaluation. One corpus-level
+    * row: pair count, sign-test counts (chosen longer / rejected longer
+    * / ties, exact integers on whitespace-token lengths), the mean
+    * length delta (ONE division of exact sums), and a `length_biased`
+    * flag raised by integer cross-multiplication when chosen_longer
+    * exceeds biasNum/biasDen of all pairs (default 13/20 = 65%) — no
+    * float decides the flag.
+    *
+    * Scale shape: map-only token counts per pair, one global
+    * conditional-sum aggregation (map-side combined). Pairs with a NULL
+    * side are excluded — there is nothing to compare. */
+  def lengthBiasAudit(pairs: DataFrame, chosenCol: String = "chosen",
+                      rejectedCol: String = "rejected",
+                      biasNum: Long = 13, biasDen: Long = 20): DataFrame = {
+    require(biasNum > 0 && biasDen > 0, "bias threshold must be positive")
+    def tokLen(c: Column): Column =
+      size(filter(split(lower(c), " "), w => length(w) > 0)).cast("long")
+    pairs
+      .filter(col(chosenCol).isNotNull && col(rejectedCol).isNotNull)
+      .select(tokLen(col(chosenCol)).as("lc"),
+        tokLen(col(rejectedCol)).as("lr"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("lc") > col("lr"), 1L).otherwise(0L))
+          .as("chosen_longer"),
+        sum(when(col("lr") > col("lc"), 1L).otherwise(0L))
+          .as("rejected_longer"),
+        sum(when(col("lc") === col("lr"), 1L).otherwise(0L))
+          .as("len_ties"),
+        sum(col("lc") - col("lr")).as("_ds"))
+      .select(col("n_pairs"), col("chosen_longer"), col("rejected_longer"),
+        col("len_ties"),
+        (col("_ds").cast("double") / col("n_pairs").cast("double"))
+          .as("mean_len_delta"),
+        when(col("chosen_longer") * biasDen > col("n_pairs") * biasNum, 1)
+          .otherwise(0).as("length_biased"))
+  }
 }

@@ -1409,6 +1409,39 @@ object TextOps {
         round(avg(-log(col("p"))), 6).as("nll"))
   }
 
+  /** Sequence-length configuration sweep — the table a pretraining/SFT
+    * team reads to pick max_seq_len: for each candidate length L, what
+    * one-doc-per-row batching at L would cost this corpus in truncation
+    * (docs clipped, tokens lost) and padding (tokens wasted), plus the
+    * utilization ratio Σ min(n, L) / (L·docs). All counts are exact
+    * integers; utilization is ONE division per row. Truncation counts
+    * whitespace tokens — the same unit as [[tokenCount]]/[[chunkTokens]].
+    *
+    * Scale shape: one map-side token count per doc, an |L|-way explode
+    * of COUNT rows only (never text), one partial-agged groupBy on the
+    * |lengths| domain. Output: one row per candidate length. */
+  def seqLenSweep(docs: DataFrame, lengths: Seq[Int] = Seq(16, 32, 64, 128),
+                  textCol: String = "text"): DataFrame = {
+    require(lengths.nonEmpty && lengths.forall(_ > 0),
+      "need at least one positive candidate length")
+    docs.filter(col(textCol).isNotNull)
+      .select(size(filter(wsTokens(lower(col(textCol))),
+        w => length(w) > 0)).cast("long").as("nt"))
+      .select(col("nt"),
+        explode(typedlit(lengths.map(_.toLong))).as("seq_len"))
+      .groupBy("seq_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nt") > col("seq_len"), 1L).otherwise(0L))
+          .as("truncated_docs"),
+        sum(greatest(col("nt") - col("seq_len"), lit(0L)))
+          .as("truncated_tokens"),
+        sum(greatest(col("seq_len") - col("nt"), lit(0L)))
+          .as("padding_tokens"),
+        sum(least(col("nt"), col("seq_len"))).as("kept_tokens"))
+      .withColumn("utilization", col("kept_tokens").cast("double")
+        / (col("seq_len") * col("n_docs")).cast("double"))
+  }
+
   /** Sliding-window NLL outlier LOCALIZATION — [[unigramNll]]'s surgical
     * sibling: instead of scoring the whole document (drop/keep), find
     * WHERE the atypical text sits — the max-NLL window of `window`

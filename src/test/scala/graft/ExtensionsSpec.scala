@@ -3962,6 +3962,31 @@ class ExtensionsSpec extends SparkSpec {
       (1L, 1, 22L), (1L, 2, 21L)))
   }
 
+  test("seqLenSweep: exact clip/pad accounting per candidate length") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c d e"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextOps.seqLenSweep(docs, lengths = Seq(2, 4))
+      .orderBy("seq_len").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(got == Seq((2L, 2L, 2L, 4L, 0L, 4L, 1.0),
+      (4L, 2L, 1L, 1L, 1L, 7L, 7.0 / 8)))
+  }
+
+  test("lengthBiasAudit: sign-test counts, exact mean delta, " +
+    "cross-multiplied flag, null pairs excluded") {
+    val pairs = Seq(("a b c", "a"), ("a", "b c"), ("a b", "c d"),
+      (null.asInstanceOf[String], "x")).toDF("chosen", "rejected")
+    val r = graft.ops.Chat.lengthBiasAudit(pairs).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (3L, 1L, 1L, 1L))
+    assert(r.getDouble(4) == 1.0 / 3)
+    assert(r.getInt(5) == 0)
+    val biased = Seq(("a b", "a"), ("x y z", "x"), ("p q", "p"))
+      .toDF("chosen", "rejected")
+    assert(graft.ops.Chat.lengthBiasAudit(biased).head().getInt(5) == 1)
+  }
+
   test("dedupCascade: stage precedence (exact beats normalized beats " +
     "near), canonical is the smallest id, stage 3 runs on survivors " +
     "only and agrees with simhashCandidates") {
