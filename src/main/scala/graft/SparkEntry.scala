@@ -2366,6 +2366,34 @@ object SparkEntry {
       ops.Chat.lengthBiasAudit(ops.Chat.bestOfN(samples))
     }),
 
+    // Bradley-Terry arena ratings over synthesized matches (a = source,
+    // b = the (doc_id*7+3)%20 source — never equal to a, since source IS
+    // src(doc_id%20) and 6d+3 is odd mod 20; winner by parity of
+    // (doc_id*31)%101): 2 unrolled MM rounds, opponent-ordered folds
+    "q249_bradley_terry" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val b = concat(lit("src"), ((col("doc_id") * 7 + 3) % 20).cast("string"))
+      ops.Chat.bradleyTerry(d.select(col("source").as("model_a"),
+          b.as("model_b"),
+          when(((col("doc_id") * 31) % 101) % 2 === 0, col("source"))
+            .otherwise(b).as("winner")))
+        .orderBy("model")
+    }),
+
+    // Cohen's kappa per source over two deterministic "annotators":
+    // length-class labels where B shifts %7 docs by +15 chars — chance-
+    // corrected agreement, exact-integer marginals, unrounded quotients
+    "q250_cohen_kappa" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("source").isNotNull && col("n_chars").isNotNull)
+        .withColumn("ann_a", expr("least(n_chars div 40, 2L)"))
+        .withColumn("ann_b", expr(
+          "least((n_chars + CASE WHEN doc_id % 7 = 0 THEN 15 ELSE 0 END)" +
+            " div 40, 2L)"))
+      graft.ops.Quality.cohenKappa(d, "ann_a", "ann_b", Seq("source"))
+        .orderBy("source")
+    }),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -5510,6 +5538,102 @@ object SparkEntry {
         |       CAST(floor((raw / denom) * 1000000) AS BIGINT) AS weight_ppm
         |FROM raw JOIN nd0 USING (domain) CROSS JOIN den
         |ORDER BY domain""".stripMargin,
+
+    // q249: the MM fit unrolled — symmetric opponent counts from a
+    // two-direction union, flat r0, two rounds of opponent-sorted
+    // list_reduce folds with the same guarded one-division terms
+    "q249_bradley_terry" ->
+      """WITH m AS (
+        |  SELECT source AS a,
+        |         'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS b,
+        |         CASE WHEN ((doc_id * 31) % 101) % 2 = 0 THEN source
+        |              ELSE 'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
+        |              END AS w
+        |  FROM documents
+        |  WHERE source IS NOT NULL
+        |    AND source <> 'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)),
+        |nm AS (
+        |  SELECT i, j, count(*) AS n FROM (
+        |    SELECT a AS i, b AS j FROM m
+        |    UNION ALL SELECT b AS i, a AS j FROM m)
+        |  GROUP BY 1, 2),
+        |base AS (
+        |  SELECT model, coalesce(wins, CAST(0 AS BIGINT)) AS wins FROM
+        |    (SELECT DISTINCT i AS model FROM nm) mo
+        |    LEFT JOIN (SELECT w AS model, count(*) AS wins FROM m
+        |               GROUP BY 1) wi USING (model)),
+        |r0 AS (SELECT model, CAST(1.0 AS DOUBLE) AS rating FROM base),
+        |d1 AS (
+        |  SELECT nm.i AS model, list_reduce(list_transform(
+        |      list_sort(list(struct_pack(j := nm.j, t :=
+        |        CASE WHEN ra.rating + rb.rating > 0
+        |             THEN CAST(nm.n AS DOUBLE) / (ra.rating + rb.rating)
+        |             ELSE CAST(0.0 AS DOUBLE) END))),
+        |      x -> x.t), (p, q) -> p + q) AS denom
+        |  FROM nm JOIN r0 ra ON nm.i = ra.model
+        |           JOIN r0 rb ON nm.j = rb.model
+        |  GROUP BY nm.i),
+        |r1 AS (
+        |  SELECT base.model,
+        |         CASE WHEN denom > 0
+        |              THEN CAST(wins AS DOUBLE) / denom
+        |              ELSE CAST(0.0 AS DOUBLE) END AS rating
+        |  FROM base JOIN d1 USING (model)),
+        |d2 AS (
+        |  SELECT nm.i AS model, list_reduce(list_transform(
+        |      list_sort(list(struct_pack(j := nm.j, t :=
+        |        CASE WHEN ra.rating + rb.rating > 0
+        |             THEN CAST(nm.n AS DOUBLE) / (ra.rating + rb.rating)
+        |             ELSE CAST(0.0 AS DOUBLE) END))),
+        |      x -> x.t), (p, q) -> p + q) AS denom
+        |  FROM nm JOIN r1 ra ON nm.i = ra.model
+        |           JOIN r1 rb ON nm.j = rb.model
+        |  GROUP BY nm.i),
+        |r2 AS (
+        |  SELECT base.model,
+        |         CASE WHEN denom > 0
+        |              THEN CAST(wins AS DOUBLE) / denom
+        |              ELSE CAST(0.0 AS DOUBLE) END AS rating
+        |  FROM base JOIN d2 USING (model)),
+        |nmat AS (SELECT i AS model, CAST(sum(n) AS BIGINT) AS n_matches
+        |         FROM nm GROUP BY 1)
+        |SELECT base.model, n_matches, wins, rating
+        |FROM base JOIN nmat USING (model) JOIN r2 USING (model)
+        |ORDER BY base.model""".stripMargin,
+
+    // q250: kappa replayed — same label rules, (group, label) marginal
+    // counts joined for S = Σ r_k·c_k in BIGINT, identical double
+    // product/quotient shapes, NULL kappa on the pe = 1 degenerate
+    "q250_cohen_kappa" ->
+      """WITH l AS (
+        |  SELECT source AS g, least(n_chars // 40, 2) AS a,
+        |         least((n_chars + CASE WHEN doc_id % 7 = 0 THEN 15
+        |                               ELSE 0 END) // 40, 2) AS b
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |st AS (
+        |  SELECT g, count(*) AS n_items,
+        |         CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_agree
+        |  FROM l GROUP BY 1),
+        |ra AS (SELECT g, a AS lab, count(*) AS rk FROM l GROUP BY 1, 2),
+        |cb AS (SELECT g, b AS lab, count(*) AS ck FROM l GROUP BY 1, 2),
+        |s AS (
+        |  SELECT g, CAST(sum(rk * ck) AS BIGINT) AS s
+        |  FROM ra JOIN cb USING (g, lab) GROUP BY 1)
+        |SELECT st.g AS source, n_items, n_agree,
+        |  CAST(n_agree AS DOUBLE) / CAST(n_items AS DOUBLE) AS po,
+        |  coalesce(CAST(s AS DOUBLE), 0.0) /
+        |    (CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE)) AS pe,
+        |  CASE WHEN CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE)
+        |            - coalesce(CAST(s AS DOUBLE), 0.0) <> 0
+        |       THEN (CAST(n_items AS DOUBLE) * CAST(n_agree AS DOUBLE)
+        |             - coalesce(CAST(s AS DOUBLE), 0.0))
+        |            / (CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE)
+        |               - coalesce(CAST(s AS DOUBLE), 0.0))
+        |       ELSE NULL END AS kappa
+        |FROM st LEFT JOIN s USING (g)
+        |ORDER BY source""".stripMargin,
 
     // q231: q205's clone prelude + q204's gate aggregation + the digest
     // dedup window restricted to gate survivors

@@ -205,6 +205,79 @@ object Chat {
       .withColumn("keep", (row_number().over(w) === 1).cast("int"))
   }
 
+  /** BRADLEY-TERRY strength fit over pairwise preference outcomes — the
+    * arena-style rating step that turns a corpus of (model_a, model_b,
+    * winner) comparisons into per-model strengths (the scores behind
+    * "chatbot arena" leaderboards, and the latent model DPO assumes —
+    * [[preferenceAudit]] flags the label noise that poisons this fit;
+    * this is the fit). Runs `iterations` rounds of Hunter's MM update
+    * p_i ← W_i / Σ_j n_ij/(p_i+p_j) from a flat p⁰ = 1 start: each
+    * round is monotone in the likelihood, and a FIXED unrolled count
+    * keeps the whole fit oracle-replayable (the [[graft.ops.Graph]]
+    * hitsScores convention). Bit-portable by construction: W_i and
+    * n_ij are exact integers, every per-pair term is ONE IEEE division,
+    * and the Σ over opponents is a sequential fold in opponent order
+    * (never a parallel sum — the domainReweight rule). Models with zero
+    * wins rate 0 after round 1; a pair of zero-rated opponents
+    * contributes a zero term rather than 0/0 (both sides guard the
+    * division). Ratings are reported UNNORMALIZED — fixed-round MM is
+    * scale-stable from the flat start, and any consumer normalization
+    * (anchor model, geometric mean) is one more division downstream.
+    *
+    * Scale shape: one pass over the match table builds the (i, j)
+    * opponent-count matrix — the only corpus-sized shuffle, keyed on
+    * model ids, partial-agged map-side. Everything after lives on the
+    * |models|- and |models|²-sized tables (tiny by construction —
+    * raters rank tens of models over millions of matches): per-round
+    * joins broadcast the rating vector, localCheckpoint cuts the loop
+    * lineage. Match volume never re-enters the loop. */
+  def bradleyTerry(matches: DataFrame, aCol: String = "model_a",
+                   bCol: String = "model_b", winnerCol: String = "winner",
+                   iterations: Int = 2): DataFrame = {
+    require(iterations >= 1 && iterations <= 4,
+      "iterations out of the unrolled-oracle range")
+    import org.apache.spark.storage.StorageLevel
+    val m = matches.filter(col(aCol).isNotNull && col(bCol).isNotNull &&
+        col(winnerCol).isNotNull && col(aCol) =!= col(bCol))
+      .select(col(aCol).as("a"), col(bCol).as("b"), col(winnerCol).as("w"))
+    val nm = m.select(col("a").as("i"), col("b").as("j"))
+      .union(m.select(col("b").as("i"), col("a").as("j")))
+      .groupBy("i", "j").agg(count(lit(1)).as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wins = m.groupBy(col("w").as("model")).agg(count(lit(1)).as("wins"))
+    val base = nm.select(col("i").as("model")).distinct()
+      .join(wins, Seq("model"), "left")
+      .select(col("model"), coalesce(col("wins"), lit(0L)).as("wins"))
+      .localCheckpoint()
+    var r = base.select(col("model"), lit(1.0).as("rating"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val denom = nm
+        .join(broadcast(r.select(col("model").as("i"),
+          col("rating").as("ri"))), Seq("i"))
+        .join(broadcast(r.select(col("model").as("j"),
+          col("rating").as("rj"))), Seq("j"))
+        .withColumn("t", when(col("ri") + col("rj") > 0,
+          col("n").cast("double") / (col("ri") + col("rj")))
+          .otherwise(lit(0.0)))
+        .groupBy(col("i").as("model"))
+        .agg(aggregate(array_sort(collect_list(struct(col("j"), col("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("denom"))
+      r = base.join(denom, "model")
+        .select(col("model"), when(col("denom") > 0,
+          col("wins").cast("double") / col("denom")).otherwise(lit(0.0))
+          .as("rating"))
+        .localCheckpoint()
+    }
+    // localCheckpoint (eager) before the unpersist, so n_matches never
+    // recomputes the match scan after the cache is dropped
+    val nMatches = nm.groupBy(col("i").as("model"))
+      .agg(sum("n").as("n_matches")).localCheckpoint()
+    nm.unpersist(false)
+    base.join(nMatches, "model").join(r, "model")
+      .select(col("model"), col("n_matches"), col("wins"), col("rating"))
+  }
+
   /** LENGTH-BIAS audit over preference pairs — the classic reward-model
     * failure (verbosity bias: "longer sounds better"): if the chosen
     * response out-lengths the rejected one far above chance, DPO/RLHF

@@ -217,4 +217,58 @@ object Quality {
         when(col("emd_num") * tDen > col("_den") * tNum, 1)
           .otherwise(0).as("above_t")): _*)
   }
+
+  /** COHEN'S KAPPA inter-annotator agreement — the label-quality gate a
+    * human-annotated (or LLM-judged) training corpus runs before anyone
+    * trusts the labels: observed agreement corrected for the agreement
+    * two raters would reach by chance from their own label marginals,
+    * κ = (p_o − p_e)/(1 − p_e). One row per group (rating batch, task,
+    * source): item count, raw agreement count, p_o, p_e, and κ — NULL
+    * when p_e = 1 (both raters constant: chance correction is 0/0 and no
+    * agreement statistic is defined). Items where either label is NULL
+    * are excluded (unrated ≠ disagreement).
+    *
+    * Bit-portable: every count is an exact integer; Σ_k r_k·c_k stays in
+    * LONG arithmetic (associative — no float fold needed; ANSI overflow
+    * would be loud at ~3×10⁹ double-labeled items in ONE group, far past
+    * any human-annotation batch); p_o, p_e, κ are IEEE products/quotients
+    * in a fixed shape on both engines. Unrounded by the exact-quotient
+    * rule.
+    *
+    * Scale shape: two (group, label) grouped counts + one grouped
+    * agreement pass over the corpus — all partial-agged; the marginal
+    * join lives on the (groups × labels) domain, orders below the item
+    * count (label domains are small by construction — raters pick from
+    * a rubric). No corpus-sized join anywhere. */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String,
+                 groupCols: Seq[String] = Nil): DataFrame = {
+    val keys = if (groupCols.nonEmpty) groupCols else Seq("_g")
+    val labeled = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+    val base = (if (groupCols.nonEmpty) labeled
+                else labeled.withColumn("_g", lit(0)))
+      .select((keys.map(col) :+ col(aCol).cast("string").as("_a") :+
+        col(bCol).cast("string").as("_b")): _*)
+    val stats = base.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("_a") === col("_b"), 1L).otherwise(0L)).as("n_agree"))
+    val ra = base.groupBy((keys.map(col) :+ col("_a").as("_lab")): _*)
+      .agg(count(lit(1)).as("_rk"))
+    val cb = base.groupBy((keys.map(col) :+ col("_b").as("_lab")): _*)
+      .agg(count(lit(1)).as("_ck"))
+    val chance = ra.join(cb, keys :+ "_lab")
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("_rk") * col("_ck")).as("_s"))
+    val nd = col("n_items").cast("double")
+    // left join + coalesce: disjoint label sets (S = 0) must still
+    // report the group (pe = 0, kappa = po), not drop it
+    val sd = coalesce(col("_s"), lit(0L)).cast("double")
+    val outKeys = if (groupCols.nonEmpty) groupCols.map(col) else Nil
+    stats.join(chance, keys, "left")
+      .select((outKeys :+ col("n_items") :+ col("n_agree") :+
+        (col("n_agree").cast("double") / nd).as("po") :+
+        (sd / (nd * nd)).as("pe") :+
+        when(nd * nd - sd =!= 0.0,
+          (nd * col("n_agree").cast("double") - sd) / (nd * nd - sd))
+          .otherwise(lit(null).cast("double")).as("kappa")): _*)
+  }
 }

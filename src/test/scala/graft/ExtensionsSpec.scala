@@ -3390,6 +3390,51 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("bradleyTerry: fixed-round MM with opponent-ordered folds, " +
+    "zero-win models floor at 0, self-matches and nulls excluded") {
+    val matches = Seq(
+      ("A", "C", "A"), ("B", "C", "B"), ("A", "B", "A"),
+      ("A", "A", "A"), // self-match: excluded
+      (null.asInstanceOf[String], "B", "B") // null side: excluded
+    ).toDF("model_a", "model_b", "winner")
+    val got = ops.Chat.bradleyTerry(matches, iterations = 2)
+      .orderBy("model").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // round 1 (flat start): dA = 1/2 + 1/2 = 1 -> rA = 2; rB = 1; rC = 0
+    // round 2, folds in opponent order:
+    //   dA = (0 + 1/(2+1)) + 1/(2+0); rA = 2/dA
+    //   dB = (0 + 1/(1+2)) + 1/(1+0); rB = 1/dB
+    //   C never wins -> 0
+    val dA = 0.0 + 1.0 / (2.0 + 1.0) + 1.0 / (2.0 + 0.0)
+    val dB = 0.0 + 1.0 / (1.0 + 2.0) + 1.0 / (1.0 + 0.0)
+    assert(got.toSeq == Seq(
+      ("A", 2L, 2L, 2.0 / dA), ("B", 2L, 1L, 1.0 / dB), ("C", 2L, 0L, 0.0)))
+    intercept[IllegalArgumentException] {
+      ops.Chat.bradleyTerry(matches, iterations = 9)
+    }
+  }
+
+  test("cohenKappa: hand-computed kappa, pe=1 degenerate NULLs, " +
+    "disjoint label sets keep the group, nulls excluded") {
+    val rows = Seq(
+      ("g1", "0", "0"), ("g1", "1", "1"), ("g1", "0", "1"),
+      ("g1", "1", "0"), ("g1", "0", "0"), // n=5 agree=3 S=13 -> k=1/6
+      ("g2", "x", "x"), ("g2", "x", "x"), // both constant: pe=1 -> NULL
+      ("g3", "x", "y"), ("g3", "x", "y"), // disjoint: S=0 -> k=0
+      ("g1", "0", null.asInstanceOf[String]) // unrated: excluded
+    ).toDF("g", "a", "b")
+    val got = Quality.cohenKappa(rows, "a", "b", Seq("g"))
+      .orderBy("g").collect()
+    assert(got(0).getLong(1) == 5L && got(0).getLong(2) == 3L)
+    assert(got(0).getDouble(3) == 0.6 && got(0).getDouble(4) == 0.52)
+    assert(got(0).getDouble(5) == (5.0 * 3.0 - 13.0) / (25.0 - 13.0))
+    assert(got(1).getDouble(4) == 1.0 && got(1).isNullAt(5))
+    assert(got(2).getDouble(4) == 0.0 && got(2).getDouble(5) == 0.0)
+    // global mode: one row, no group column
+    val g = Quality.cohenKappa(rows, "a", "b").collect()
+    assert(g.length == 1 && g(0).getLong(0) == 9L)
+  }
+
   test("lossMaskSpans: spans substring the rendered string back to the " +
     "turn contents, assistant-only train flags, null content is empty") {
     val turns = Seq((1L, Seq(("user", "hi there"), ("assistant", "hello"),
