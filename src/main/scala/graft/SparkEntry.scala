@@ -2394,6 +2394,16 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // MBR consensus selection over the q230 5-samples-per-prompt groups
+    // (score-free: the candidate maximizing summed unigram F1 against
+    // its siblings wins; opponent-ordered folds, one division per pair)
+    "q251_mbr_select" -> ((s, dir) =>
+      ops.Chat.mbrSelect(t(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(expr("doc_id div 5").as("prompt_id"),
+            col("doc_id").as("sample_id"), col("text").as("sample")))
+        .orderBy("prompt_id", "sample_id")),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -5634,6 +5644,47 @@ object SparkEntry {
         |       ELSE NULL END AS kappa
         |FROM st LEFT JOIN s USING (g)
         |ORDER BY source""".stripMargin,
+
+    // q251: MBR replayed — (prompt, sid, token) multiset counts, the
+    // sid<>sid pairwise overlap keyed on (prompt, token), one-division
+    // F1s folded in opponent order, rank window for the consensus flag
+    "q251_mbr_select" ->
+      """WITH s AS (
+        |  SELECT doc_id // 5 AS p, doc_id AS sid, text FROM documents
+        |  WHERE text IS NOT NULL),
+        |tok AS (
+        |  SELECT p, sid, t AS token, count(*) AS c FROM (
+        |    SELECT p, sid, unnest(string_split(lower(text), ' ')) AS t
+        |    FROM s)
+        |  WHERE len(t) > 0 GROUP BY 1, 2, 3),
+        |lens AS (SELECT p, sid, CAST(sum(c) AS BIGINT) AS l
+        |         FROM tok GROUP BY 1, 2),
+        |ov AS (
+        |  SELECT a.p, a.sid AS sa, b.sid AS sb,
+        |         CAST(sum(least(a.c, b.c)) AS BIGINT) AS o
+        |  FROM tok a JOIN tok b
+        |    ON a.p = b.p AND a.token = b.token AND a.sid <> b.sid
+        |  GROUP BY 1, 2, 3),
+        |f AS (
+        |  SELECT ov.p, sa, sb,
+        |         CAST(2 * o AS DOUBLE) / CAST(la.l + lb.l AS DOUBLE) AS f1
+        |  FROM ov JOIN lens la ON ov.p = la.p AND ov.sa = la.sid
+        |          JOIN lens lb ON ov.p = lb.p AND ov.sb = lb.sid),
+        |u AS (
+        |  SELECT p, sa AS sid, list_reduce(list_transform(
+        |      list_sort(list(struct_pack(j := sb, v := f1))),
+        |      x -> x.v), (a, b) -> a + b) AS util
+        |  FROM f GROUP BY 1, 2),
+        |allc AS (
+        |  SELECT s.p, s.sid, coalesce(l, CAST(0 AS BIGINT)) AS n_tokens,
+        |         coalesce(util, CAST(0.0 AS DOUBLE)) AS mbr_utility
+        |  FROM s LEFT JOIN lens ON s.p = lens.p AND s.sid = lens.sid
+        |         LEFT JOIN u ON s.p = u.p AND s.sid = u.sid)
+        |SELECT p AS prompt_id, sid AS sample_id, n_tokens, mbr_utility,
+        |  CAST(CASE WHEN row_number() OVER (PARTITION BY p
+        |         ORDER BY mbr_utility DESC, sid ASC) = 1
+        |       THEN 1 ELSE 0 END AS INTEGER) AS selected
+        |FROM allc ORDER BY prompt_id, sample_id""".stripMargin,
 
     // q231: q205's clone prelude + q204's gate aggregation + the digest
     // dedup window restricted to gate survivors

@@ -205,6 +205,67 @@ object Chat {
       .withColumn("keep", (row_number().over(w) === 1).cast("int"))
   }
 
+  /** MINIMUM-BAYES-RISK selection over candidate responses — the
+    * score-free complement of [[bestOfN]]: with no reward model, pick
+    * the CONSENSUS candidate — the one maximizing expected utility
+    * Σ_{c'≠c} F1(c, c') against its own sampling distribution (the MBR
+    * decoding rule, with the multiset-unigram F1 of the ROUGE-1 gate as
+    * the utility). Emits one row per candidate — prompt, sample id,
+    * token count, utility, and a `selected` flag (ties break to the
+    * lowest sample id; a no-overlap or singleton candidate scores 0 and
+    * a singleton prompt selects itself) — so the caller gets both the
+    * winner and the full consensus profile.
+    *
+    * Bit-portable: overlaps and lengths are exact integers, each F1 is
+    * ONE IEEE division, and the per-candidate Σ folds opponents in
+    * sample-id order. Scale shape: the pairwise join is keyed on
+    * (prompt, token) — never across prompts — so pair volume is bounded
+    * by N²·|distinct tokens per prompt| with N = samples-per-prompt, a
+    * decoding-time constant (4-16), not a corpus variable; everything
+    * downstream is partial-agged counts plus one per-prompt rank window
+    * over N-row groups. Candidate text never moves — only token counts
+    * and 8-byte ids shuffle. */
+  def mbrSelect(df: DataFrame, promptCol: String = "prompt_id",
+                sampleCol: String = "sample_id",
+                textCol: String = "sample"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.TextOps
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(promptCol).as("p"), col(sampleCol).as("sid"),
+        col(textCol).as("txt"))
+    val tok = base
+      .select(col("p"), col("sid"),
+        explode(filter(TextOps.wsTokens(lower(col("txt"))),
+          w => length(w) > 0)).as("token"))
+      .groupBy("p", "sid", "token").agg(count(lit(1)).as("c"))
+    val lens = tok.groupBy("p", "sid").agg(sum("c").as("l"))
+    val ov = tok.select(col("p"), col("sid").as("sa"), col("token"),
+        col("c").as("ca"))
+      .join(tok.select(col("p"), col("sid").as("sb"), col("token"),
+        col("c").as("cb")), Seq("p", "token"))
+      .filter(col("sa") =!= col("sb"))
+      .groupBy("p", "sa", "sb").agg(sum(least(col("ca"), col("cb"))).as("o"))
+    val fa = ov
+      .join(lens.select(col("p"), col("sid").as("sa"), col("l").as("la")),
+        Seq("p", "sa"))
+      .join(lens.select(col("p"), col("sid").as("sb"), col("l").as("lb")),
+        Seq("p", "sb"))
+      .withColumn("f1", (col("o") * 2).cast("double")
+        / (col("la") + col("lb")).cast("double"))
+    val util = fa.groupBy(col("p"), col("sa").as("sid"))
+      .agg(aggregate(array_sort(collect_list(struct(col("sb"), col("f1")))),
+        lit(0.0), (acc, x) => acc + x.getField("f1")).as("util"))
+    val w = Window.partitionBy(promptCol)
+      .orderBy(col("mbr_utility").desc, col(sampleCol).asc)
+    base.select(col("p"), col("sid"))
+      .join(lens, Seq("p", "sid"), "left")
+      .join(util, Seq("p", "sid"), "left")
+      .select(col("p").as(promptCol), col("sid").as(sampleCol),
+        coalesce(col("l"), lit(0L)).as("n_tokens"),
+        coalesce(col("util"), lit(0.0)).as("mbr_utility"))
+      .withColumn("selected", (row_number().over(w) === 1).cast("int"))
+  }
+
   /** BRADLEY-TERRY strength fit over pairwise preference outcomes — the
     * arena-style rating step that turns a corpus of (model_a, model_b,
     * winner) comparisons into per-model strengths (the scores behind

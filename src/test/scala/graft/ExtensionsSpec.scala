@@ -3414,6 +3414,26 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("mbrSelect: consensus argmax of summed unigram F1, ties to " +
+    "lowest id, no-overlap and singleton candidates score 0") {
+    val samples = Seq(
+      (1L, 1L, "a b c"), (1L, 2L, "a b d"), (1L, 3L, "x y"),
+      (2L, 4L, "hello"), (2L, 5L, ""),
+      (3L, 6L, null.asInstanceOf[String]) // null: excluded entirely
+    ).toDF("prompt_id", "sample_id", "sample")
+    val got = ops.Chat.mbrSelect(samples)
+      .orderBy("prompt_id", "sample_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4)))
+    val f12 = 4.0 / 6.0 // 2*overlap(s1,s2) / (3+3)
+    assert(got.toSeq == Seq(
+      (1L, 1L, 3L, f12, 1), // tied with s2 on utility: lowest id wins
+      (1L, 2L, 3L, f12, 0),
+      (1L, 3L, 2L, 0.0, 0), // zero overlap with both siblings
+      (2L, 4L, 1L, 0.0, 1), // singleton-vs-empty: lower id selected
+      (2L, 5L, 0L, 0.0, 0))) // empty string: zero tokens, kept as a row
+  }
+
   test("cohenKappa: hand-computed kappa, pe=1 degenerate NULLs, " +
     "disjoint label sets keep the group, nulls excluded") {
     val rows = Seq(
