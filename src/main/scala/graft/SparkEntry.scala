@@ -2404,6 +2404,19 @@ object SparkEntry {
             col("doc_id").as("sample_id"), col("text").as("sample")))
         .orderBy("prompt_id", "sample_id")),
 
+    // prefix-cache sizing over synthesized traffic: 2/3 of prompts wear
+    // a shared per-source system template (20 giant groups), 1/3 are
+    // ad-hoc raw texts (singletons) — per-prefix savings table
+    "q252_prefix_cache" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      val prompt = when(col("doc_id") % 3 === 0, col("text"))
+        .otherwise(concat(
+          lit("you are a helpful assistant for "), col("source"),
+          lit(" answer briefly and cite sources then "), col("text")))
+      TextOps.prefixCacheStats(d.select(col("doc_id"), prompt.as("text")))
+        .orderBy("prefix_digest")
+    }),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -5685,6 +5698,29 @@ object SparkEntry {
         |         ORDER BY mbr_utility DESC, sid ASC) = 1
         |       THEN 1 ELSE 0 END AS INTEGER) AS selected
         |FROM allc ORDER BY prompt_id, sample_id""".stripMargin,
+
+    // q252: prefix groups replayed — md5 of the space-joined first-8
+    // filtered tokens, grouped counts, (n−1)·prefix savings in BIGINT
+    "q252_prefix_cache" ->
+      """WITH p AS (
+        |  SELECT CASE WHEN doc_id % 3 = 0 THEN text
+        |         ELSE 'you are a helpful assistant for ' || source ||
+        |              ' answer briefly and cite sources then ' || text
+        |         END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |tk AS (
+        |  SELECT md5(array_to_string(list_slice(list_filter(
+        |           string_split(lower(text), ' '), t -> len(t) > 0),
+        |           1, 8), ' ')) AS prefix_digest,
+        |         CAST(len(list_filter(string_split(lower(text), ' '),
+        |           t -> len(t) > 0)) AS BIGINT) AS nt
+        |  FROM p WHERE text IS NOT NULL)
+        |SELECT prefix_digest, count(*) AS n_prompts,
+        |  CAST(min(least(nt, 8)) AS BIGINT) AS prefix_tokens,
+        |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |  CAST((count(*) - 1) * min(least(nt, 8)) AS BIGINT)
+        |    AS saved_tokens
+        |FROM tk GROUP BY 1 ORDER BY prefix_digest""".stripMargin,
 
     // q231: q205's clone prelude + q204's gate aggregation + the digest
     // dedup window restricted to gate survivors

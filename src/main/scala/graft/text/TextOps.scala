@@ -1442,6 +1442,40 @@ object TextOps {
         / (col("seq_len") * col("n_docs")).cast("double"))
   }
 
+  /** PREFIX-CACHE sharing analytics — the serving-side sizing table for
+    * prompt (KV) caching: group prompts by their first `k` whitespace
+    * tokens and report, per prefix group, how many prompts share it,
+    * the shared prefix length, the group's total token volume, and the
+    * prefill tokens a prefix cache saves — `(n_prompts − 1) ·
+    * prefix_tokens` (the first request pays the prefill; every sibling
+    * reuses it). Shared-system-prompt fleets show up as few giant
+    * groups; fully ad-hoc traffic as all-singleton groups with zero
+    * savings — exactly the distinction a cache-capacity plan needs.
+    * Prompts shorter than `k` group by their full text (a shorter key
+    * can never collide with a longer prompt's k-token key, so
+    * `prefix_tokens = min(n_tokens, k)` is constant within a group).
+    * The group key is emitted as a 32-char md5 digest, not the prefix
+    * text.
+    *
+    * Exact integers throughout. Scale shape: one map-side tokenize +
+    * digest projection, one digest-keyed grouped count — prompt text
+    * never shuffles (the conversation-dedup posture); output is
+    * |distinct prefixes| rows. */
+  def prefixCacheStats(prompts: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", k: Int = 8): DataFrame = {
+    require(k >= 1, "prefix length must be at least one token")
+    val toks = filter(wsTokens(lower(col(textCol))), w => length(w) > 0)
+    prompts.filter(col(textCol).isNotNull)
+      .select(md5(concat_ws(" ", slice(toks, 1, k))).as("prefix_digest"),
+        size(toks).cast("long").as("nt"))
+      .groupBy("prefix_digest")
+      .agg(count(lit(1)).as("n_prompts"),
+        min(least(col("nt"), lit(k.toLong))).as("prefix_tokens"),
+        sum(col("nt")).as("total_tokens"))
+      .withColumn("saved_tokens",
+        (col("n_prompts") - 1) * col("prefix_tokens"))
+  }
+
   /** Sliding-window NLL outlier LOCALIZATION — [[unigramNll]]'s surgical
     * sibling: instead of scoring the whole document (drop/keep), find
     * WHERE the atypical text sits — the max-NLL window of `window`

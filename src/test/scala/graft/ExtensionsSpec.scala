@@ -3434,6 +3434,27 @@ class ExtensionsSpec extends SparkSpec {
       (2L, 5L, 0L, 0.0, 0))) // empty string: zero tokens, kept as a row
   }
 
+  test("prefixCacheStats: case-folded k-token groups, short prompts " +
+    "group by full text, singleton groups save nothing") {
+    val prompts = Seq(
+      (1L, "A B C x"), (2L, "a b c y z"), // shared 3-token prefix
+      (3L, "a b"), // shorter than k: its own full-text group
+      (4L, "q r s"), // exactly k tokens, singleton
+      (5L, null.asInstanceOf[String]) // excluded
+    ).toDF("doc_id", "text")
+    val got = TextOps.prefixCacheStats(prompts, k = 3)
+      .orderBy(col("total_tokens").desc).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (2L, 3L, 9L, 3L), // two siblings: one 3-token prefill saved
+      (1L, 3L, 3L, 0L), // "q r s"
+      (1L, 2L, 2L, 0L))) // "a b": prefix_tokens = its own 2 tokens
+    // digests are distinct across the three groups
+    val digs = TextOps.prefixCacheStats(prompts, k = 3)
+      .select("prefix_digest").collect().map(_.getString(0))
+    assert(digs.distinct.length == 3)
+  }
+
   test("cohenKappa: hand-computed kappa, pe=1 degenerate NULLs, " +
     "disjoint label sets keep the group, nulls excluded") {
     val rows = Seq(
