@@ -404,6 +404,35 @@ object ScaleProbe {
         "heaps_fit" -> { d =>
           TextOps.heapsLawFit(d)
             .agg(sum("n_points"), sum("beta")).head(); 1L },
+        "bradley_terry" -> { d =>
+          val b = concat(lit("src"),
+            ((col("doc_id") * 7 + 3) % 20).cast("string"))
+          graft.ops.Chat.bradleyTerry(d.select(
+              col("source").as("model_a"), b.as("model_b"),
+              when(((col("doc_id") * 31) % 101) % 2 === 0, col("source"))
+                .otherwise(b).as("winner")))
+            .agg(sum("rating"), sum("n_matches")).head(); 1L },
+        "cohen_kappa" -> { d =>
+          graft.ops.Quality.cohenKappa(
+            d.withColumn("ann_a", expr("least(n_chars div 40, 2L)"))
+              .withColumn("ann_b", expr(
+                "least((n_chars + CASE WHEN doc_id % 7 = 0 THEN 15 " +
+                  "ELSE 0 END) div 40, 2L)")),
+            "ann_a", "ann_b", Seq("source"))
+            .agg(sum("kappa")).head(); 1L },
+        "mbr_select" -> { d =>
+          graft.ops.Chat.mbrSelect(d.filter(col("text").isNotNull)
+              .select(expr("doc_id div 5").as("prompt_id"),
+                col("doc_id").as("sample_id"), col("text").as("sample")))
+            .agg(sum("mbr_utility"), sum("selected")).head(); 1L },
+        "prefix_cache" -> { d =>
+          val prompt = when(col("doc_id") % 3 === 0, col("text"))
+            .otherwise(concat(
+              lit("you are a helpful assistant for "), col("source"),
+              lit(" answer briefly and cite sources then "), col("text")))
+          TextOps.prefixCacheStats(d.filter(col("text").isNotNull)
+              .select(col("doc_id"), prompt.as("text")))
+            .agg(sum("saved_tokens"), count(lit(1))).head(); 1L },
         "t_closeness" -> { d =>
           graft.ops.Quality.tCloseness(
             d.withColumn("bin", expr("CAST(n_chars div 10 AS BIGINT)"))
