@@ -2417,6 +2417,19 @@ object SparkEntry {
         .orderBy("prefix_digest")
     }),
 
+    // isotonic (PAV) calibration fit over synthesized scores: prob =
+    // (37·id)%100 / 100, label correlated via a second residue — the
+    // exact minimax form, every segment mean one integer-sum division
+    "q253_isotonic_fit" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val raw = (col("doc_id") * 37) % 100
+      TextOps.isotonicCalibration(d.select(
+          (raw.cast("double") / lit(100.0)).as("prob"),
+          when((col("doc_id") * 53) % 100 < raw, 1L).otherwise(0L)
+            .as("label")))
+        .orderBy("bin")
+    }),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -5721,6 +5734,42 @@ object SparkEntry {
         |  CAST((count(*) - 1) * min(least(nt, 8)) AS BIGINT)
         |    AS saved_tokens
         |FROM tk GROUP BY 1 ORDER BY prefix_digest""".stripMargin,
+
+    // q253: the minimax isotonic fit replayed — bin aggregation, prefix
+    // windows, (i,j) segment means from prefix differences, min-then-max
+    // over the (k,i,j) triple join, identical division shapes
+    "q253_isotonic_fit" ->
+      """WITH sc AS (
+        |  SELECT CAST((doc_id * 37) % 100 AS DOUBLE) / 100.0 AS prob,
+        |         CASE WHEN (doc_id * 53) % 100 < (doc_id * 37) % 100
+        |              THEN 1 ELSE 0 END AS label
+        |  FROM documents),
+        |b AS (
+        |  SELECT least(CAST(floor(prob * 20) AS BIGINT), 19) AS bin,
+        |         count(*) AS n, CAST(sum(label) AS BIGINT) AS pos
+        |  FROM sc GROUP BY 1),
+        |pre AS (
+        |  SELECT bin, n, pos,
+        |    CAST(sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+        |    CAST(sum(pos) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cp
+        |  FROM b),
+        |segs AS (
+        |  SELECT a.bin AS i, c.bin AS j,
+        |    CAST(c.cp - a.cp + a.pos AS DOUBLE) /
+        |      CAST(c.cw - a.cw + a.n AS DOUBLE) AS pavg
+        |  FROM pre a JOIN pre c ON a.bin <= c.bin),
+        |fit AS (
+        |  SELECT k, max(minp) AS calibrated FROM (
+        |    SELECT p2.bin AS k, s.i, min(s.pavg) AS minp
+        |    FROM pre p2 JOIN segs s ON s.i <= p2.bin AND p2.bin <= s.j
+        |    GROUP BY 1, 2) mm
+        |  GROUP BY 1)
+        |SELECT b.bin, n, pos,
+        |  CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS raw, calibrated
+        |FROM b JOIN fit ON b.bin = fit.k
+        |ORDER BY bin""".stripMargin,
 
     // q231: q205's clone prelude + q204's gate aggregation + the digest
     // dedup window restricted to gate survivors

@@ -1723,6 +1723,62 @@ object TextOps {
           round(abs(col("accuracy") - col("confidence")), 6)).as("gap"))
   }
 
+  /** ISOTONIC (PAV) CALIBRATION — the FIT that [[calibrationBins]]'s
+    * diagnosis calls for: learn the monotone map from predicted
+    * probability to empirical accuracy (the standard recalibration for
+    * reward models and quality classifiers whose scores rank well but
+    * read wrong as probabilities). Computed via the exact minimax
+    * characterization of isotonic regression — calibrated(k) =
+    * max_{i≤k} min_{j≥k} mean(pos_i..j / w_i..j) — which equals the
+    * pool-adjacent-violators fit WITHOUT a sequential driver loop:
+    * every segment mean is (one IEEE division over) exact-integer
+    * prefix-sum differences, so the whole fit is bit-portable and
+    * order-independent. Returns one row per non-empty bin: (bin, n,
+    * pos, raw, calibrated), calibrated non-decreasing by construction;
+    * rows with a NULL prob or label are excluded (nothing to fit).
+    *
+    * Scale shape: ONE map-side-combined corpus aggregation reduces
+    * everything to ≤ nBins rows; the prefix window, the (i,j) segment
+    * table (≤ nBins²/2 rows) and the (k,i,j) minimax join (≤ nBins³
+    * rows — 8000 at the default 20) all live on that constant-bounded
+    * table, deliberately single-partition (the rrfFuse convention).
+    * The corpus is read once. */
+  def isotonicCalibration(scored: DataFrame, nBins: Int = 20,
+                          probCol: String = "prob",
+                          labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBins >= 2 && nBins <= 128,
+      "nBins outside the bounded-minimax range")
+    val p = col(probCol)
+    val y = col(labelCol).cast("long")
+    val bins = scored.filter(p.isNotNull && y.isNotNull)
+      .select(least(floor(p * nBins).cast("long"), lit(nBins - 1L))
+        .as("bin"), y.as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("pos"))
+    // ≤ nBins rows from here on: the no-partition window is bounded
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = bins.withColumn("cw", sum("n").over(w))
+      .withColumn("cp", sum("pos").over(w))
+    val segs = pre.select(col("bin").as("i"), col("n").as("wi"),
+        col("pos").as("pi"), col("cw").as("cwi"), col("cp").as("cpi"))
+      .join(pre.select(col("bin").as("j"), col("cw").as("cwj"),
+        col("cp").as("cpj")), col("i") <= col("j"))
+      .select(col("i"), col("j"),
+        ((col("cpj") - col("cpi") + col("pi")).cast("double") /
+          (col("cwj") - col("cwi") + col("wi")).cast("double")).as("pavg"))
+    val fit = pre.select(col("bin").as("k"))
+      .join(segs, col("i") <= col("k") && col("k") <= col("j"))
+      .groupBy("k", "i").agg(min("pavg").as("_minp"))
+      .groupBy("k").agg(max("_minp").as("calibrated"))
+    bins.join(fit, bins("bin") === fit("k"))
+      .select(col("bin"), col("n"), col("pos"),
+        (col("pos").cast("double") / col("n").cast("double")).as("raw"),
+        col("calibrated"))
+  }
+
   /** MULTI-EPOCH SHUFFLE ORDER — the training dataloader's per-epoch
     * permutation as a relational op: epoch e ranks documents by
     * md5(e, id), a DIFFERENT deterministic order each epoch with zero

@@ -3455,6 +3455,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(digs.distinct.length == 3)
   }
 
+  test("isotonicCalibration: minimax fit equals hand-run PAV, " +
+    "monotone output, nulls excluded") {
+    val scored = Seq(
+      (0.1, 1L), (0.1, 1L), // bin 0: raw 1.0
+      (0.3, 0L), (0.3, 0L), // bin 1: raw 0.0 — violates, pools with bin 0
+      (0.6, 1L), (0.6, 1L) // bin 2: raw 1.0
+    ).toDF("prob", "label")
+      .union(Seq((null.asInstanceOf[java.lang.Double], 1L))
+        .toDF("prob", "label")) // null prob: excluded
+    val got = TextOps.isotonicCalibration(scored, nBins = 4)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    // PAV on (1.0, 0.0, 1.0) with equal weights: pool bins 0-1 to 0.5
+    assert(got.toSeq == Seq(
+      (0L, 2L, 2L, 1.0, 0.5), (1L, 2L, 0L, 0.0, 0.5),
+      (2L, 2L, 2L, 1.0, 1.0)))
+    // calibrated is non-decreasing in bin
+    assert(got.map(_._5).sliding(2).forall(p => p(0) <= p(1)))
+    intercept[IllegalArgumentException] {
+      TextOps.isotonicCalibration(scored, nBins = 1)
+    }
+  }
+
   test("cohenKappa: hand-computed kappa, pe=1 degenerate NULLs, " +
     "disjoint label sets keep the group, nulls excluded") {
     val rows = Seq(
