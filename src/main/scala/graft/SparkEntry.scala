@@ -2430,6 +2430,16 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // leave-one-out source attribution: eval = the %11 doc slice, train
+    // = the rest; per source, add-one LOO unigram NLL minus the full-
+    // corpus baseline — dyadic-grid lns, exact weighted sums
+    "q254_loo_attribution" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextOps.looAttribution(d.filter(col("doc_id") % 11 =!= 0),
+          d.filter(col("doc_id") % 11 === 0))
+        .orderBy("source")
+    }),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -5770,6 +5780,55 @@ object SparkEntry {
         |  CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS raw, calibrated
         |FROM b JOIN fit ON b.bin = fit.k
         |ORDER BY bin""".stripMargin,
+
+    // q254: LOO attribution replayed — (source, token) type table,
+    // eval token counts, the |sources|×|eval types| grid with per-source
+    // denominators, 2^-20-grid lns, exact dyadic sums
+    "q254_loo_attribution" ->
+      """WITH tr AS (
+        |  SELECT source, text FROM documents
+        |  WHERE doc_id % 11 <> 0 AND text IS NOT NULL
+        |    AND source IS NOT NULL),
+        |ev AS (
+        |  SELECT text FROM documents
+        |  WHERE doc_id % 11 = 0 AND text IS NOT NULL),
+        |st AS (
+        |  SELECT g, t, count(*) AS c_st FROM (
+        |    SELECT source AS g, unnest(string_split(lower(text), ' ')) AS t
+        |    FROM tr) z
+        |  WHERE len(t) > 0 GROUP BY 1, 2),
+        |ct AS (SELECT t, CAST(sum(c_st) AS BIGINT) AS c_t
+        |       FROM st GROUP BY 1),
+        |ns AS (SELECT g, CAST(sum(c_st) AS BIGINT) AS n_s
+        |       FROM st GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_tot,
+        |               count(*) AS v FROM ct),
+        |etok AS (
+        |  SELECT t, count(*) AS e_cnt FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS t FROM ev) z
+        |  WHERE len(t) > 0 GROUP BY 1),
+        |base AS (
+        |  SELECT etok.t, e_cnt, coalesce(c_t, CAST(0 AS BIGINT)) AS c_t
+        |  FROM etok LEFT JOIN ct ON etok.t = ct.t),
+        |bn AS (
+        |  SELECT sum(e_cnt * -(floor(ln(CAST(c_t + 1 AS DOUBLE) /
+        |      CAST(n_tot + v AS DOUBLE)) * 1048576.0 + 0.5) / 1048576.0))
+        |    AS base_nll
+        |  FROM base CROSS JOIN tot),
+        |loo AS (
+        |  SELECT g, n_s,
+        |    sum(e_cnt * -(floor(ln(CAST(c_t - c_adj + 1 AS DOUBLE) /
+        |      CAST(n_tot - n_s + v AS DOUBLE)) * 1048576.0 + 0.5)
+        |      / 1048576.0)) AS loo_nll
+        |  FROM (
+        |    SELECT base.t, base.e_cnt, base.c_t, ns.g, ns.n_s,
+        |           coalesce(st.c_st, CAST(0 AS BIGINT)) AS c_adj
+        |    FROM base CROSS JOIN ns
+        |    LEFT JOIN st ON st.g = ns.g AND st.t = base.t) q
+        |  CROSS JOIN tot GROUP BY 1, 2)
+        |SELECT g AS source, n_s, base_nll, loo_nll,
+        |       loo_nll - base_nll AS delta
+        |FROM loo CROSS JOIN bn ORDER BY source""".stripMargin,
 
     // q231: q205's clone prelude + q204's gate aggregation + the digest
     // dedup window restricted to gate survivors

@@ -1723,6 +1723,65 @@ object TextOps {
           round(abs(col("accuracy") - col("confidence")), 6)).as("gap"))
   }
 
+  /** LEAVE-ONE-OUT source attribution — the data-valuation step of
+    * mixture design ([[domainReweight]] asks "what should the weights
+    * be"; this asks "what is each source WORTH"): for every source s,
+    * the add-one-smoothed unigram NLL of a fixed eval set under the
+    * corpus-minus-s model, minus the full-corpus baseline. delta > 0
+    * means removing s hurts eval modeling (s is valuable for that
+    * eval); delta < 0 means s actively pulls the token distribution
+    * away from it — the cheap exact stand-in for influence-function /
+    * datamodel scores at corpus scale. The smoothing vocabulary V is
+    * the FULL train vocab for every variant, so deltas are comparable
+    * across sources.
+    *
+    * Numerics: each −ln p snaps to the 2⁻²⁰ dyadic grid (the
+    * [[heapsLawFit]] ln-ULP guard), then weighted by integer eval
+    * counts — sums of dyadic multiples are EXACT and order-independent
+    * (bound: ~2⁵³/2²⁴ ≈ 2²⁸ eval tokens, far past any benchmark suite).
+    *
+    * Scale shape: the train corpus reduces to its (source, token) type
+    * table in one explode+agg (the DoReMi ledger); eval reduces to its
+    * token-type counts (benchmark-sized by construction — the
+    * decontamination convention). The LOO grid is |eval types| ×
+    * |sources| rows — every source shifts every token's denominator via
+    * N − N_s, so the cross is irreducible and BOUNDED; train text never
+    * re-enters. One broadcast of the 1-row (N, V) totals. */
+  def looAttribution(train: DataFrame, evalDocs: DataFrame,
+                     groupCol: String = "source",
+                     textCol: String = "text"): DataFrame = {
+    def toks(df: DataFrame, extra: Column*): DataFrame = df
+      .filter(col(textCol).isNotNull)
+      .select((extra :+ explode(filter(wsTokens(lower(col(textCol))),
+        w => length(w) > 0)).as("t")): _*)
+    def snapNegLn(c: Column): Column =
+      -(floor(log(c) * 1048576.0 + 0.5) / 1048576.0)
+    val st = toks(train.filter(col(groupCol).isNotNull), col(groupCol).as("g"))
+      .groupBy("g", "t").agg(count(lit(1)).as("c_st"))
+    val ct = st.groupBy("t").agg(sum("c_st").as("c_t"))
+    val ns = st.groupBy("g").agg(sum("c_st").as("n_s"))
+    val tot = ct.agg(sum("c_t").as("n_tot"), count(lit(1)).as("v"))
+    val eTok = toks(evalDocs).groupBy("t").agg(count(lit(1)).as("e_cnt"))
+    val base = eTok.join(ct, Seq("t"), "left")
+      .select(col("t"), col("e_cnt"), coalesce(col("c_t"), lit(0L)).as("c_t"))
+    val baseNll = base.crossJoin(broadcast(tot))
+      .select((col("e_cnt") * snapNegLn((col("c_t") + 1).cast("double")
+        / (col("n_tot") + col("v")).cast("double"))).as("term"))
+      .agg(sum("term").as("base_nll"))
+    base.crossJoin(broadcast(ns))
+      .join(st, Seq("g", "t"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("g"), col("n_s"),
+        (col("e_cnt") * snapNegLn(
+          (col("c_t") - coalesce(col("c_st"), lit(0L)) + 1).cast("double")
+            / (col("n_tot") - col("n_s") + col("v")).cast("double")))
+          .as("term"))
+      .groupBy("g", "n_s").agg(sum("term").as("loo_nll"))
+      .crossJoin(broadcast(baseNll))
+      .select(col("g").as(groupCol), col("n_s"), col("base_nll"),
+        col("loo_nll"), (col("loo_nll") - col("base_nll")).as("delta"))
+  }
+
   /** ISOTONIC (PAV) CALIBRATION — the FIT that [[calibrationBins]]'s
     * diagnosis calls for: learn the monotone map from predicted
     * probability to empirical accuracy (the standard recalibration for

@@ -3479,6 +3479,25 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("looAttribution: removing the token-supplying source hurts, " +
+    "removing a diluting source helps, LOO counts are exact") {
+    val train = Seq((1L, "A", "a a"), (2L, "B", "b"))
+      .toDF("doc_id", "source", "text")
+    val eval = Seq((3L, "E", "a")).toDF("doc_id", "source", "text")
+    val got = TextOps.looAttribution(train, eval)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    // N=3, V=2; base p(a) = (2+1)/(3+2); LOO A: (2-2+1)/(3-2+2)=1/3;
+    // LOO B: (2-0+1)/(3-1+2)=3/4 — all snapped to the 2^-20 grid
+    assert(got.map(x => (x._1, x._2)).toSeq == Seq(("A", 2L), ("B", 1L)))
+    assert(math.abs(got(0)._4 - -math.log(1.0 / 3.0)) < 1e-5)
+    assert(math.abs(got(1)._4 - -math.log(0.75)) < 1e-5)
+    assert(math.abs(got(0)._3 - -math.log(0.6)) < 1e-5)
+    // A supplies the eval token: delta > 0; B only dilutes: delta < 0
+    assert(got(0)._5 > 0 && got(1)._5 < 0)
+  }
+
   test("cohenKappa: hand-computed kappa, pe=1 degenerate NULLs, " +
     "disjoint label sets keep the group, nulls excluded") {
     val rows = Seq(
