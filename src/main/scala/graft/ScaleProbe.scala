@@ -425,6 +425,17 @@ object ScaleProbe {
               .select(expr("doc_id div 5").as("prompt_id"),
                 col("doc_id").as("sample_id"), col("text").as("sample")))
             .agg(sum("mbr_utility"), sum("selected")).head(); 1L },
+        "isotonic_fit" -> { d =>
+          val raw = (col("doc_id") * 37) % 100
+          TextOps.isotonicCalibration(d.select(
+              (raw.cast("double") / lit(100.0)).as("prob"),
+              when((col("doc_id") * 53) % 100 < raw, 1L).otherwise(0L)
+                .as("label")))
+            .agg(sum("calibrated"), count(lit(1))).head(); 1L },
+        "loo_attribution" -> { d =>
+          TextOps.looAttribution(d.filter(col("doc_id") % 11 =!= 0),
+              d.filter(col("doc_id") % 11 === 0))
+            .agg(sum("delta"), count(lit(1))).head(); 1L },
         "prefix_cache" -> { d =>
           val prompt = when(col("doc_id") % 3 === 0, col("text"))
             .otherwise(concat(
