@@ -2440,6 +2440,16 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // bitext margin mining across the label-parity pools: 4-plane
+    // buckets, k=4 cross-pool kNN averages, best-margin pair per anchor
+    // with the mutual-best flag — the LASER/CCMatrix criterion
+    "q255_bitext_margin" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bitextMine(e.filter(col("label") % 2 === 0),
+          e.filter(col("label") % 2 === 1), k = 4, planes = 4)
+        .orderBy("a_id")
+    }),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -3613,6 +3623,87 @@ object SparkEntry {
        |ORDER BY anchor_id, "rank"""".stripMargin
   }
 
+  /** Bitext-margin oracle: the 4-plane buckets and sequential cosine
+    * chains of [[hardNegativesOracle]], both kNN rank directions,
+    * id-ordered list_reduce folds / 2k for the local averages, guarded
+    * margin divisions, best-per-anchor + mutual flag via the reverse
+    * best join. */
+  private def bitextMineOracle: String = {
+    val planes = 4; val dim = 64; val k = 4
+    def planeDot(vec: String, p: Int): String =
+      (0 until dim).map(i => s"$vec[${i + 1}] * " +
+        java.lang.Double.toString(Similarity.planeComponent(p, i)))
+        .mkString(" + ")
+    def bucketExpr(vec: String): String =
+      (0 until planes).map(p =>
+        s"CASE WHEN ${planeDot(vec, p)} >= 0 THEN ${1L << p} ELSE 0 END")
+        .mkString("\n       + ")
+    def chain(a: String, b: String): String =
+      (0 until dim).map(i => s"$a[${i + 1}] * $b[${i + 1}]")
+        .mkString(" + ")
+    s"""WITH va AS (
+       |  SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings WHERE label % 2 = 0),
+       |vb AS (
+       |  SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings WHERE label % 2 = 1),
+       |ka AS (
+       |  SELECT a_id, e, ${bucketExpr("e")} AS bucket,
+       |         sqrt(${chain("e", "e")}) AS nrm
+       |  FROM va),
+       |kb AS (
+       |  SELECT b_id, e, ${bucketExpr("e")} AS bucket,
+       |         sqrt(${chain("e", "e")}) AS nrm
+       |  FROM vb),
+       |p AS (
+       |  SELECT a_id, b_id,
+       |    CASE WHEN a.nrm * b.nrm > 0
+       |         THEN (${chain("a.e", "b.e")}) / (a.nrm * b.nrm)
+       |         ELSE 0.0 END AS cosine
+       |  FROM ka a JOIN kb b ON a.bucket = b.bucket),
+       |fwd AS (
+       |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+       |    ORDER BY cosine DESC, b_id) AS rk FROM p) z WHERE rk <= $k),
+       |rev AS (
+       |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY b_id
+       |    ORDER BY cosine DESC, a_id) AS rk FROM p) z WHERE rk <= $k),
+       |aa AS (
+       |  SELECT a_id, list_reduce(list_transform(
+       |      list_sort(list(struct_pack(j := b_id, v := cosine))),
+       |      x -> x.v), (x, y) -> x + y) / ${2 * k}.0 AS avg_a
+       |  FROM fwd GROUP BY 1),
+       |ab AS (
+       |  SELECT b_id, list_reduce(list_transform(
+       |      list_sort(list(struct_pack(j := a_id, v := cosine))),
+       |      x -> x.v), (x, y) -> x + y) / ${2 * k}.0 AS avg_b
+       |  FROM rev GROUP BY 1),
+       |cf AS (
+       |  SELECT a_id, b_id, cosine,
+       |    CASE WHEN avg_a + avg_b <> 0
+       |         THEN cosine / (avg_a + avg_b) ELSE 0.0 END AS margin
+       |  FROM fwd JOIN aa USING (a_id) JOIN ab USING (b_id)),
+       |cr AS (
+       |  SELECT a_id, b_id, cosine,
+       |    CASE WHEN avg_a + avg_b <> 0
+       |         THEN cosine / (avg_a + avg_b) ELSE 0.0 END AS margin
+       |  FROM rev JOIN aa USING (a_id) JOIN ab USING (b_id)),
+       |bf AS (
+       |  SELECT a_id, b_id, cosine, margin FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY a_id
+       |      ORDER BY margin DESC, b_id) AS r2 FROM cf) z
+       |  WHERE r2 = 1),
+       |br AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY b_id
+       |      ORDER BY margin DESC, a_id) AS r2 FROM cr) z
+       |  WHERE r2 = 1)
+       |SELECT bf.a_id, bf.b_id, cosine, margin,
+       |  CAST(CASE WHEN br.a_id IS NOT NULL THEN 1 ELSE 0 END
+       |    AS INTEGER) AS mutual
+       |FROM bf LEFT JOIN br ON bf.a_id = br.a_id AND bf.b_id = br.b_id
+       |ORDER BY bf.a_id""".stripMargin
+  }
+
   /** PQ-encode oracle: same subspace squared-L2 argmin with the same
     * sequential term order, codebook = first 16 vectors by id. */
   private def pqEncodeOracle: String = {
@@ -4231,6 +4322,7 @@ object SparkEntry {
     "q227_matryoshka_topk" -> matryoshkaOracle,
 
     "q232_hard_negatives" -> hardNegativesOracle,
+    "q255_bitext_margin" -> bitextMineOracle,
 
     "q235_unigram_segment" -> unigramSegmentOracle,
 

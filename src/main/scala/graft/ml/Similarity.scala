@@ -779,6 +779,85 @@ object Similarity {
       .limit(k)
   }
 
+  /** BITEXT MARGIN MINING (Artetxe & Schwenk 2019, the LASER/CCMatrix
+    * criterion) — mine aligned pairs across two embedding pools (two
+    * languages, two modalities, two snapshot versions): raw cosine
+    * over-fires on "hub" vectors that are close to everything, so each
+    * candidate is scored by its MARGIN over the local similarity level,
+    * margin(x,y) = cos(x,y) / (avgₖ(x→B) + avgₖ(y→A)) with avgₖ the
+    * mean cosine of the point's k nearest cross-pool neighbors. Emits
+    * one row per pool-A anchor — its best-margin counterpart, cosine,
+    * margin, and a `mutual` flag (the pair is also B-side's best) — the
+    * high-precision filter is `mutual = 1 AND margin > τ`, τ ≈ 1.06 in
+    * the papers.
+    *
+    * Bit-portable: cosines ride the sequential-fold dot kernel, each
+    * avgₖ is an opponent-ordered fold divided by 2k with k a POWER OF
+    * TWO (exact dyadic division — enforced), margins are one guarded
+    * division; all ranks tie-break on id.
+    *
+    * Scale shape: the [[hardNegatives]] posture — cross-pool pairs form
+    * ONLY inside shared hyperplane buckets (`planes` tunes recall vs
+    * pair volume; anchors with no same-bucket counterpart emit nothing,
+    * the documented LSH recall trade), both kNN rank windows plan as
+    * Partial+Final WindowGroupLimit pre-caps, and everything after the
+    * pair join lives on (id, cosine) rows — vectors move once into the
+    * bucket join and never again. Caches both keyed pools for the
+    * duration (the [[allPairsTopK]] contract: callers release). */
+  def bitextMine(poolA: DataFrame, poolB: DataFrame, k: Int = 4,
+                 planes: Int = 4, idCol: String = "vec_id",
+                 vecCol: String = "embedding",
+                 dim: Int = DefaultDim): DataFrame = {
+    require(k >= 1 && (k & (k - 1)) == 0,
+      s"k must be a power of two for the exact /2k, got $k")
+    require(planes >= 1, "need at least one hyperplane")
+    def keyed(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("bucket", hyperplaneKey(col("v"), planes, dim))
+      .withColumn("nrm", norm(col("v"), dim))
+      .cache() // both rank directions read it; callers release
+    val ka = keyed(poolA, "a_id")
+    val kb = keyed(poolB, "b_id")
+    val p = ka.select(col("bucket"), col("a_id"), col("v").as("v_a"),
+        col("nrm").as("nrm_a"))
+      .join(kb.select(col("bucket"), col("b_id"), col("v").as("v_b"),
+        col("nrm").as("nrm_b")), "bucket")
+      .select(col("a_id"), col("b_id"),
+        when(col("nrm_a") * col("nrm_b") > 0,
+          dot(col("v_a"), col("v_b"), dim) / (col("nrm_a") * col("nrm_b")))
+          .otherwise(lit(0.0)).as("cosine"))
+    val wf = Window.partitionBy("a_id")
+      .orderBy(col("cosine").desc, col("b_id").asc)
+    val wr = Window.partitionBy("b_id")
+      .orderBy(col("cosine").desc, col("a_id").asc)
+    val fwd = p.withColumn("rk", row_number().over(wf)).filter(col("rk") <= k)
+    val rev = p.withColumn("rk", row_number().over(wr)).filter(col("rk") <= k)
+    def avgOf(knn: DataFrame, key: String, opp: String, as: String) =
+      knn.groupBy(key).agg((aggregate(
+        array_sort(collect_list(struct(col(opp), col("cosine")))),
+        lit(0.0), (acc, x) => acc + x.getField("cosine"))
+        / lit((2 * k).toDouble)).as(as))
+    val aa = avgOf(fwd, "a_id", "b_id", "avg_a")
+    val ab = avgOf(rev, "b_id", "a_id", "avg_b")
+    def margins(knn: DataFrame) = knn
+      .join(aa, "a_id").join(ab, "b_id")
+      .withColumn("margin", when(col("avg_a") + col("avg_b") =!= 0.0,
+        col("cosine") / (col("avg_a") + col("avg_b"))).otherwise(lit(0.0)))
+    val bestF = margins(fwd)
+      .groupBy("a_id")
+      .agg(max(struct(col("margin"), (-col("b_id")).as("nb"),
+        col("cosine").as("c"))).as("_m"))
+      .select(col("a_id"), (-col("_m.nb")).as("b_id"),
+        col("_m.c").as("cosine"), col("_m.margin").as("margin"))
+    val bestR = margins(rev)
+      .groupBy("b_id")
+      .agg(max(struct(col("margin"), (-col("a_id")).as("na"))).as("_m"))
+      .select(col("b_id"), (-col("_m.na")).as("a_id"), lit(1).as("_rbest"))
+    bestF.join(bestR, Seq("a_id", "b_id"), "left")
+      .select(col("a_id"), col("b_id"), col("cosine"), col("margin"),
+        coalesce(col("_rbest"), lit(0)).as("mutual"))
+  }
+
   /** All-pairs top-k neighbors per vector via LSH buckets (batch ANN):
     * join within bucket, rank per source id. Bucket sizes bound the pair
     * count; `planes` tunes recall vs cost.

@@ -3498,6 +3498,36 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(0)._5 > 0 && got(1)._5 < 0)
   }
 
+  test("bitextMine: margin demotes hub-adjacent pairs, mutual flags " +
+    "require both directions' best, power-of-two k enforced") {
+    // basis chosen in plane 0's non-negative half-space so every vector
+    // lands in the same 1-plane bucket (e2 projects to exactly 0)
+    val w0 = Similarity.planeComponent(0, 0)
+    val w1 = Similarity.planeComponent(0, 1)
+    def v(c1: Double, c2: Double): Seq[Double] =
+      Seq(c1 * w0 + c2 * -w1, c1 * w1 + c2 * w0)
+    val a = Seq((1L, v(1, 0)), (2L, v(0, 1)), (3L, v(0.6, 0.8)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((10L, v(2, 0)), (11L, v(0.6, 0.8)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.bitextMine(a, b, k = 1, planes = 1, dim = 2)
+      .orderBy("a_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getInt(4)))
+    assert(got.map(x => (x._1, x._2, x._5)).toSeq ==
+      Seq((1L, 10L, 1), (2L, 11L, 0), (3L, 11L, 1)))
+    // a1-b1: cos 1, both avgs 1/2 -> margin 1; a2's best b2 has cos 0.8
+    // but b2's own best is its twin a3 -> not mutual, margin 0.8/0.9
+    assert(math.abs(got(0)._4 - 1.0) < 1e-9)
+    assert(math.abs(got(1)._3 - 0.8) < 1e-9)
+    assert(math.abs(got(1)._4 - 0.8 / 0.9) < 1e-9)
+    assert(math.abs(got(2)._4 - 1.0) < 1e-9)
+    intercept[IllegalArgumentException] {
+      Similarity.bitextMine(a, b, k = 3, planes = 1, dim = 2)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("cohenKappa: hand-computed kappa, pe=1 degenerate NULLs, " +
     "disjoint label sets keep the group, nulls excluded") {
     val rows = Seq(
