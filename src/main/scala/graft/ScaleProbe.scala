@@ -623,6 +623,10 @@ object ScaleProbe {
         "hard_negatives" -> { d =>
           Similarity.hardNegatives(d, k = 3, planes = 6)
             .agg(sum("cosine"), count(lit(1))).head(); 1L },
+        "bitext_margin" -> { d =>
+          Similarity.bitextMine(d.filter(col("label") % 2 === 0),
+              d.filter(col("label") % 2 === 1), k = 4, planes = 4)
+            .agg(sum("margin"), sum("mutual")).head(); 1L },
         "cluster_quota" -> { d =>
           val cents = d.filter(col("vec_id") < 8)
             .select(col("vec_id"), col("embedding").cast("array<double>"))
