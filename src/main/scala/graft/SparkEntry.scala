@@ -2450,6 +2450,24 @@ object SparkEntry {
         .orderBy("a_id")
     }),
 
+    // retrieval eval (the trec_eval triple) over a synthesized run
+    // (md5-ordered top-10 per query) and graded qrels (residue-derived
+    // rel 0/1/2): Recall@10, MRR@10, nDCG@10 with literal discounts
+    "q256_retrieval_eval" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+      val w = Window.partitionBy("query_id")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val run = d.select((col("doc_id") % 23).as("query_id"), col("doc_id"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+      val qrels = d.select((col("doc_id") % 23).as("query_id"),
+        col("doc_id"),
+        when((col("doc_id") * 31) % 101 < 10, 2)
+          .when((col("doc_id") * 31) % 101 < 30, 1).otherwise(0).as("rel"))
+      TextOps.retrievalEval(run, qrels, k = 10).orderBy("query_id")
+    }),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -3704,6 +3722,75 @@ object SparkEntry {
        |ORDER BY bf.a_id""".stripMargin
   }
 
+  /** Retrieval-eval oracle: the same plan-time 1/log₂(i+1) discount
+    * literals (Double.toString — the planeComponent convention), the
+    * md5-ordered run replay, rank-ordered list_reduce DCG folds, and
+    * the ideal-ordering window. */
+  private def retrievalEvalOracle: String = {
+    val k = 10
+    // CAST each literal: a bare decimal literal types as DECIMAL(18,17)
+    // in DuckDB and the decimal-tainted multiply drifts a ULP off the
+    // pure-double product (observed: 3*disc(7) = 0.9999999999999998
+    // decimal-routed vs 1.0 in IEEE double)
+    val discRows = (1 to k).map(i => s"($i, CAST(" +
+      java.lang.Double.toString(1.0 / (math.log(i + 1.0) / math.log(2.0)))
+      + " AS DOUBLE))").mkString(",\n       |  ")
+    s"""WITH disc(i, g) AS (VALUES
+       |  $discRows),
+       |run AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id % 23 AS q, doc_id,
+       |      CAST(row_number() OVER (PARTITION BY doc_id % 23
+       |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+       |        AS INTEGER) AS rk
+       |    FROM documents) z
+       |  WHERE rk <= $k),
+       |pos AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id % 23 AS q, doc_id AS d,
+       |      CASE WHEN (doc_id * 31) % 101 < 10 THEN 2
+       |           WHEN (doc_id * 31) % 101 < 30 THEN 1 ELSE 0 END AS r
+       |    FROM documents) zz
+       |  WHERE r > 0),
+       |nrel AS (SELECT q, count(*) AS n_rel FROM pos GROUP BY 1),
+       |hits AS (
+       |  SELECT run.q, run.rk,
+       |    CAST((1 << r) - 1 AS DOUBLE) * g AS term
+       |  FROM run JOIN pos ON run.q = pos.q AND run.doc_id = pos.d
+       |       JOIN disc ON disc.i = run.rk),
+       |perq AS (
+       |  SELECT q, count(*) AS hits_at_k, min(rk) AS firstr,
+       |    list_reduce(list_transform(list_sort(list(struct_pack(
+       |      j := rk, v := term))), x -> x.v), (a, b) -> a + b) AS dcg
+       |  FROM hits GROUP BY 1),
+       |ideal AS (
+       |  SELECT q, list_reduce(list_transform(list_sort(list(struct_pack(
+       |      j := p, v := term))), x -> x.v), (a, b) -> a + b) AS idcg
+       |  FROM (
+       |    SELECT z.q, z.p, CAST((1 << z.r) - 1 AS DOUBLE) * g AS term
+       |    FROM (
+       |      SELECT q, r, CAST(row_number() OVER (PARTITION BY q
+       |        ORDER BY r DESC, d) AS INTEGER) AS p
+       |      FROM pos) z JOIN disc ON disc.i = z.p
+       |    WHERE z.p <= $k) y
+       |  GROUP BY 1),
+       |qs AS (SELECT DISTINCT q FROM run)
+       |SELECT qs.q AS query_id,
+       |  coalesce(n_rel, CAST(0 AS BIGINT)) AS n_rel,
+       |  coalesce(hits_at_k, CAST(0 AS BIGINT)) AS hits_at_k,
+       |  CASE WHEN n_rel > 0
+       |       THEN CAST(coalesce(hits_at_k, CAST(0 AS BIGINT)) AS DOUBLE)
+       |            / CAST(n_rel AS DOUBLE) END AS recall_at_k,
+       |  coalesce(CASE WHEN firstr IS NOT NULL
+       |                THEN 1.0 / CAST(firstr AS DOUBLE) END, 0.0) AS mrr,
+       |  coalesce(dcg, 0.0) AS dcg,
+       |  CASE WHEN idcg > 0 THEN coalesce(dcg, 0.0) / idcg END AS ndcg
+       |FROM qs LEFT JOIN nrel ON qs.q = nrel.q
+       |        LEFT JOIN perq ON qs.q = perq.q
+       |        LEFT JOIN ideal ON qs.q = ideal.q
+       |ORDER BY query_id""".stripMargin
+  }
+
   /** PQ-encode oracle: same subspace squared-L2 argmin with the same
     * sequential term order, codebook = first 16 vectors by id. */
   private def pqEncodeOracle: String = {
@@ -4323,6 +4410,7 @@ object SparkEntry {
 
     "q232_hard_negatives" -> hardNegativesOracle,
     "q255_bitext_margin" -> bitextMineOracle,
+    "q256_retrieval_eval" -> retrievalEvalOracle,
 
     "q235_unigram_segment" -> unigramSegmentOracle,
 

@@ -2423,6 +2423,71 @@ object TextOps {
       .limit(topK)
   }
 
+  /** RETRIEVAL EVALUATION — the trec_eval core as one operator: given a
+    * ranked RUN (query, doc, rank) and graded QRELS (query, doc, rel),
+    * per-query Recall@k, MRR@k, and nDCG@k — the metric triple every
+    * retrieval / RAG pipeline reports. Gains are the standard 2^rel − 1;
+    * rank discounts 1/log₂(i+1) are baked in as PLAN-TIME LITERALS for
+    * i ≤ k (the planeComponent convention — both engines consume the
+    * same decimal strings, so no runtime ln enters the comparison), and
+    * both DCG folds run in rank order, so every metric is bit-portable:
+    * integer gains × literal discounts, sequential folds, one division
+    * each at the edge. Queries with no positive qrels report NULL
+    * recall/ndcg and 0 MRR (nothing to find ≠ found nothing); run rows
+    * past rank k are ignored (metrics@k).
+    *
+    * Scale shape: one (query, doc)-keyed join of the rank-k-capped run
+    * against positive qrels, two per-query folds over ≤ k rows, one
+    * qrels window for the ideal ordering (WindowGroupLimit-capped at
+    * k). Runs are already top-k by construction, so every structure
+    * here is |queries|·k rows — eval-suite-sized, never corpus-sized. */
+  def retrievalEval(run: DataFrame, qrels: DataFrame, k: Int = 10,
+                    queryCol: String = "query_id", docCol: String = "doc_id",
+                    rankCol: String = "rank", relCol: String = "rel")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && k <= 1000, "k out of the literal-table range")
+    val disc = typedlit((1 to k).map(i =>
+      1.0 / (math.log(i + 1.0) / math.log(2.0))))
+    val q = col(queryCol)
+    val pos = qrels.filter(col(relCol) > 0)
+      .select(q.as("q"), col(docCol).as("d"), col(relCol).cast("int").as("r"))
+    val nRel = pos.groupBy("q").agg(count(lit(1)).as("n_rel"))
+    val topk = run.filter(col(rankCol) <= k)
+      .select(q.as("q"), col(docCol).as("d"),
+        col(rankCol).cast("int").as("rk"))
+    val hits = topk.join(pos, Seq("q", "d"))
+      .withColumn("term", (expr("shiftleft(CAST(1 AS BIGINT), r)") - 1L)
+        .cast("double") * element_at(disc, col("rk")))
+    val perQ = hits.groupBy("q")
+      .agg(count(lit(1)).as("hits_at_k"),
+        min("rk").as("_first"),
+        aggregate(array_sort(collect_list(struct(col("rk"), col("term")))),
+          lit(0.0), (acc, x) => acc + x.getField("term")).as("dcg"))
+    val wI = Window.partitionBy("q").orderBy(col("r").desc, col("d").asc)
+    val ideal = pos.withColumn("pos", row_number().over(wI))
+      .filter(col("pos") <= k)
+      .withColumn("term", (expr("shiftleft(CAST(1 AS BIGINT), r)") - 1L)
+        .cast("double") * element_at(disc, col("pos")))
+      .groupBy("q")
+      .agg(aggregate(array_sort(collect_list(struct(col("pos"), col("term")))),
+        lit(0.0), (acc, x) => acc + x.getField("term")).as("idcg"))
+    run.select(q.as("q")).distinct()
+      .join(nRel, Seq("q"), "left")
+      .join(perQ, Seq("q"), "left")
+      .join(ideal, Seq("q"), "left")
+      .select(col("q").as(queryCol),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"),
+        when(col("n_rel") > 0, coalesce(col("hits_at_k"), lit(0L))
+          .cast("double") / col("n_rel").cast("double")).as("recall_at_k"),
+        coalesce(when(col("_first").isNotNull,
+          lit(1.0) / col("_first").cast("double")), lit(0.0)).as("mrr"),
+        coalesce(col("dcg"), lit(0.0)).as("dcg"),
+        when(col("idcg") > 0,
+          coalesce(col("dcg"), lit(0.0)) / col("idcg")).as("ndcg"))
+  }
+
   /** DISTRIBUTED LOGISTIC-REGRESSION TRAINER — the FineWeb-Edu-style
     * workflow's missing half (train on labeled docs, sweep the
     * threshold with [[thresholdSweep]], deploy the cutoff into

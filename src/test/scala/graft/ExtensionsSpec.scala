@@ -3528,6 +3528,34 @@ class ExtensionsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("retrievalEval: hand-computed recall/MRR/nDCG@k, no-rel queries " +
+    "report NULL recall and zero MRR, run rows past k ignored") {
+    def disc(i: Int): Double = 1.0 / (math.log(i + 1.0) / math.log(2.0))
+    val run = Seq(
+      (1L, 100L, 1), (1L, 102L, 2), (1L, 101L, 3), (1L, 103L, 4), // rk4>k
+      (2L, 200L, 1)
+    ).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq(
+      (1L, 100L, 2), (1L, 101L, 1), (1L, 102L, 0), (1L, 103L, 1),
+      (2L, 200L, 0)
+    ).toDF("query_id", "doc_id", "rel")
+    val got = TextOps.retrievalEval(run, qrels, k = 3)
+      .orderBy("query_id").collect()
+    // q1: hits at ranks 1 (rel 2) and 3 (rel 1) of n_rel=3 (103 at
+    // rank 4 is past k); dcg = 3·d1 + 1·d3, ideal gains (2,1,1)
+    val dcg = 0.0 + 3.0 * disc(1) + 1.0 * disc(3)
+    val idcg = 0.0 + 3.0 * disc(1) + 1.0 * disc(2) + 1.0 * disc(3)
+    val r1 = got(0)
+    assert(r1.getLong(1) == 3L && r1.getLong(2) == 2L)
+    assert(r1.getDouble(3) == 2.0 / 3.0 && r1.getDouble(4) == 1.0)
+    assert(math.abs(r1.getDouble(5) - dcg) < 1e-12)
+    assert(math.abs(r1.getDouble(6) - dcg / idcg) < 1e-12)
+    // q2: no positive qrels
+    val r2 = got(1)
+    assert(r2.getLong(1) == 0L && r2.isNullAt(3) &&
+      r2.getDouble(4) == 0.0 && r2.getDouble(5) == 0.0 && r2.isNullAt(6))
+  }
+
   test("cohenKappa: hand-computed kappa, pe=1 degenerate NULLs, " +
     "disjoint label sets keep the group, nulls excluded") {
     val rows = Seq(
