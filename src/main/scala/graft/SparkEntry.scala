@@ -2468,6 +2468,20 @@ object SparkEntry {
       TextOps.retrievalEval(run, qrels, k = 10).orderBy("query_id")
     }),
 
+    // confident-learning label audit: q253's prob/label synthesis with
+    // %17 labels flipped as planted noise — class thresholds from
+    // grid-snapped means, off-diagonal joint counts = the review queue
+    "q257_confident_learning" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val raw = (col("doc_id") * 37) % 100
+      val clean = when((col("doc_id") * 53) % 100 < raw, 1).otherwise(0)
+      TextOps.confidentLearning(d.select(
+          (raw.cast("double") / lit(100.0)).as("prob"),
+          when(col("doc_id") % 17 === 0, lit(1) - clean).otherwise(clean)
+            .as("label")))
+        .orderBy("noisy_label", "est_true")
+    }),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -6009,6 +6023,36 @@ object SparkEntry {
         |SELECT g AS source, n_s, base_nll, loo_nll,
         |       loo_nll - base_nll AS delta
         |FROM loo CROSS JOIN bn ORDER BY source""".stripMargin,
+
+    // q257: confident learning replayed — grid snap, class-conditional
+    // mean thresholds, CASE reassignment, 4-row joint counts
+    "q257_confident_learning" ->
+      """WITH d AS (
+        |  SELECT floor(CAST((doc_id * 37) % 100 AS DOUBLE) / 100.0
+        |           * 4096 + 0.5) / 4096 AS p,
+        |         CASE WHEN doc_id % 17 = 0 THEN 1 - l ELSE l END AS y
+        |  FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN (doc_id * 53) % 100 < (doc_id * 37) % 100
+        |           THEN 1 ELSE 0 END AS l
+        |    FROM documents) z),
+        |th AS (
+        |  SELECT sum(CASE WHEN y = 1 THEN p END)
+        |           / sum(CASE WHEN y = 1 THEN 1 END) AS t1,
+        |         sum(CASE WHEN y = 0 THEN 1 - p END)
+        |           / sum(CASE WHEN y = 0 THEN 1 END) AS t0
+        |  FROM d),
+        |m AS (
+        |  SELECT y AS noisy_label,
+        |    CASE WHEN y = 0 AND p >= t1 THEN 1
+        |         WHEN y = 1 AND (1 - p) >= t0 THEN 0
+        |         ELSE y END AS est_true, t0, t1
+        |  FROM d CROSS JOIN th)
+        |SELECT noisy_label, est_true, t0, t1, count(*) AS n,
+        |  CAST(CASE WHEN noisy_label <> est_true THEN 1 ELSE 0 END
+        |    AS INTEGER) AS flagged
+        |FROM m GROUP BY 1, 2, 3, 4
+        |ORDER BY noisy_label, est_true""".stripMargin,
 
     // q231: q205's clone prelude + q204's gate aggregation + the digest
     // dedup window restricted to gate survivors

@@ -2423,6 +2423,48 @@ object TextOps {
       .limit(topK)
   }
 
+  /** CONFIDENT-LEARNING label-error estimate (Northcutt et al. 2021,
+    * "cleanlab") — the label-noise audit an annotated training set runs
+    * before anyone fine-tunes on it: items whose predicted confidence
+    * in the OTHER class exceeds that class's self-confidence threshold
+    * t_j (the mean predicted probability of class j among items LABELED
+    * j) are counted as likely label errors, yielding the binary joint
+    * matrix C[noisy][est_true] plus each class's threshold. Off-diagonal
+    * rows are the review queue; their rate calibrates how much to trust
+    * the labels ([[cohenKappa]] audits the RATERS; this audits the
+    * labels against a model).
+    *
+    * Bit-portable: probabilities snap to the 2⁻¹² dyadic grid before
+    * any sum (calibration-scale quantization, far below label-noise
+    * signal), so both class-threshold means are exact-integer-numerator
+    * quotients; every comparison is between identically-derived
+    * doubles. Scale shape: one grid-snap projection, one 2-row
+    * conditional-mean agg (broadcast), one map-side CASE, one 4-row
+    * count agg — nothing bigger than the corpus scan. */
+  def confidentLearning(scored: DataFrame, probCol: String = "prob",
+                        labelCol: String = "label"): DataFrame = {
+    val grid = lit(4096.0)
+    val d = scored
+      .filter(col(probCol).isNotNull && col(labelCol).isNotNull)
+      .select((floor(col(probCol) * grid + 0.5) / grid).as("p"),
+        col(labelCol).cast("int").as("y"))
+    val th = d.agg(
+      (sum(when(col("y") === 1, col("p"))) /
+        sum(when(col("y") === 1, 1L))).as("t1"),
+      (sum(when(col("y") === 0, lit(1.0) - col("p"))) /
+        sum(when(col("y") === 0, 1L))).as("t0"))
+    d.crossJoin(broadcast(th))
+      .select(col("y").as("noisy_label"),
+        when(col("y") === 0 && col("p") >= col("t1"), 1)
+          .when(col("y") === 1 && lit(1.0) - col("p") >= col("t0"), 0)
+          .otherwise(col("y")).as("est_true"),
+        col("t0"), col("t1"))
+      .groupBy("noisy_label", "est_true", "t0", "t1")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("flagged",
+        (col("noisy_label") =!= col("est_true")).cast("int"))
+  }
+
   /** RETRIEVAL EVALUATION — the trec_eval core as one operator: given a
     * ranked RUN (query, doc, rank) and graded QRELS (query, doc, rel),
     * per-query Recall@k, MRR@k, and nDCG@k — the metric triple every

@@ -3556,6 +3556,29 @@ class ExtensionsSpec extends SparkSpec {
       r2.getDouble(4) == 0.0 && r2.getDouble(5) == 0.0 && r2.isNullAt(6))
   }
 
+  test("confidentLearning: over-threshold cross-class confidences land " +
+    "off-diagonal, thresholds are grid-snapped class means") {
+    def g(x: Double): Double = math.floor(x * 4096.0 + 0.5) / 4096.0
+    val scored = Seq(
+      (0.9, 1), (0.7, 1), (0.3, 1), // one low-confidence positive
+      (0.2, 0), (0.4, 0), (0.9, 0) // one confidently-positive negative
+    ).toDF("prob", "label")
+      .union(Seq((null.asInstanceOf[java.lang.Double], 1))
+        .toDF("prob", "label"))
+    val got = TextOps.confidentLearning(scored)
+      .orderBy("noisy_label", "est_true").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(4), r.getInt(5)))
+    // t1 = mean snapped p of labeled-1 ~0.633, t0 ~0.5: the 0.9-prob
+    // negative crosses t1, the 0.3-prob positive crosses t0
+    assert(got.toSeq == Seq(
+      (0, 0, 2L, 0), (0, 1, 1L, 1), (1, 0, 1L, 1), (1, 1, 2L, 0)))
+    val t1 = (g(0.9) + g(0.7) + g(0.3)) / 3.0
+    val t0 = ((1.0 - g(0.2)) + (1.0 - g(0.4)) + (1.0 - g(0.9))) / 3.0
+    val r0 = TextOps.confidentLearning(scored).orderBy("noisy_label",
+      "est_true").head()
+    assert(r0.getDouble(2) == t0 && r0.getDouble(3) == t1)
+  }
+
   test("cohenKappa: hand-computed kappa, pe=1 degenerate NULLs, " +
     "disjoint label sets keep the group, nulls excluded") {
     val rows = Seq(
