@@ -2482,6 +2482,21 @@ object SparkEntry {
         .orderBy("noisy_label", "est_true")
     }),
 
+    // Fleiss' kappa over a synthesized 3-rater panel (per-rater +25
+    // char shift on (id+rater)%5 rows); %31 items lose rater 2 and are
+    // dropped as partial panels — one summary row
+    "q258_fleiss_kappa" -> ((s, dir) => {
+      val rated = t(s, dir, "documents")
+        .filter(col("n_chars").isNotNull)
+        .select(col("doc_id"), col("n_chars"),
+          explode(sequence(lit(0), lit(2))).as("rater"))
+        .filter(!(col("doc_id") % 31 === 0 && col("rater") === 2))
+        .withColumn("lab", expr(
+          "least((n_chars + CASE WHEN (doc_id + rater) % 5 = 0 THEN 25" +
+            " ELSE 0 END) div 40, 2L)"))
+      graft.ops.Quality.fleissKappa(rated, "doc_id", "rater", "lab", m = 3)
+    }),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -6053,6 +6068,41 @@ object SparkEntry {
         |    AS INTEGER) AS flagged
         |FROM m GROUP BY 1, 2, 3, 4
         |ORDER BY noisy_label, est_true""".stripMargin,
+
+    // q258: Fleiss replayed — generate_series panel, partial-panel
+    // drop, Σn², Σc², single-division P̄/P̄e, guarded kappa
+    "q258_fleiss_kappa" ->
+      """WITH r AS (
+        |  SELECT doc_id, g.r AS rater,
+        |    least((n_chars + CASE WHEN (doc_id + g.r) % 5 = 0 THEN 25
+        |                          ELSE 0 END) // 40, 2) AS lab
+        |  FROM documents,
+        |       (SELECT unnest(generate_series(0, 2)) AS r) g
+        |  WHERE n_chars IS NOT NULL
+        |    AND NOT (doc_id % 31 = 0 AND g.r = 2)),
+        |pi AS (SELECT doc_id, count(*) AS mi FROM r GROUP BY 1),
+        |kept AS (SELECT r.* FROM r JOIN pi USING (doc_id) WHERE mi = 3),
+        |nij AS (SELECT doc_id, lab, count(*) AS n FROM kept GROUP BY 1, 2),
+        |an AS (
+        |  SELECT CAST(sum(a) AS BIGINT) AS a_num, count(*) AS n_items
+        |  FROM (SELECT doc_id, CAST(sum(n * n) AS BIGINT) - 3 AS a
+        |        FROM nij GROUP BY 1) z),
+        |s2 AS (
+        |  SELECT CAST(sum(c * c) AS BIGINT) AS s2
+        |  FROM (SELECT lab, CAST(sum(n) AS BIGINT) AS c
+        |        FROM nij GROUP BY 1) z),
+        |dr AS (SELECT count(*) AS n_dropped FROM pi WHERE mi <> 3),
+        |core AS (
+        |  SELECT n_items, n_dropped,
+        |    CAST(a_num AS DOUBLE) / CAST(n_items * 3 * 2 AS DOUBLE)
+        |      AS p_bar,
+        |    CAST(s2 AS DOUBLE) / (CAST(n_items * 3 AS DOUBLE)
+        |      * CAST(n_items * 3 AS DOUBLE)) AS p_e
+        |  FROM an CROSS JOIN s2 CROSS JOIN dr)
+        |SELECT n_items, n_dropped, p_bar, p_e,
+        |  CASE WHEN 1.0 - p_e <> 0 THEN (p_bar - p_e) / (1.0 - p_e)
+        |       END AS kappa
+        |FROM core""".stripMargin,
 
     // q231: q205's clone prelude + q204's gate aggregation + the digest
     // dedup window restricted to gate survivors

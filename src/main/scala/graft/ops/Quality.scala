@@ -218,6 +218,49 @@ object Quality {
           .otherwise(0).as("above_t")): _*)
   }
 
+  /** FLEISS' KAPPA — [[cohenKappa]] generalized past two raters: m
+    * raters per item (not necessarily the SAME two), long-format
+    * (item, rater, label) input — the agreement gate for consensus-
+    * labeled corpora (3-way adjudication, LLM-judge ensembles). One
+    * summary row: item count, items dropped for having ≠ m ratings
+    * (Fleiss assumes a constant panel size; partial panels are reported,
+    * not silently mixed in), observed agreement P̄ = Σ_i(Σ_j n_ij² − m)
+    * / (N·m·(m−1)) and chance agreement P̄e = Σ_j c_j² / (N·m)² — each
+    * ONE division over exact-integer sums — and κ = (P̄−P̄e)/(1−P̄e),
+    * NULL when P̄e = 1 (all raters constant). Integer headroom: c_j² in
+    * LONG is ANSI-loud past N·m ≈ 3×10⁹ ratings, far past any panel.
+    *
+    * Scale shape: one (item, label) grouped count, one per-item agg,
+    * one |labels|-row agg, three 1-row reductions — all partial-agged;
+    * nothing wider than the ratings scan. */
+  def fleissKappa(df: DataFrame, itemCol: String, raterCol: String,
+                  labelCol: String, m: Int): DataFrame = {
+    require(m >= 2, "Fleiss' kappa needs at least two raters per item")
+    val rated = df.filter(col(itemCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(itemCol).as("_i"), col(labelCol).cast("string").as("_l"))
+    val perItem = rated.groupBy("_i").agg(count(lit(1)).as("_mi"))
+    val kept = rated.join(perItem.filter(col("_mi") === m), Seq("_i"))
+    val nij = kept.groupBy("_i", "_l").agg(count(lit(1)).as("_n"))
+    val aNum = nij.groupBy("_i")
+      .agg((sum(col("_n") * col("_n")) - m).as("_a"))
+      .agg(sum("_a").as("a_num"), count(lit(1)).as("n_items"))
+    val s2 = nij.groupBy("_l").agg(sum("_n").as("_c"))
+      .agg(sum(col("_c") * col("_c")).as("s2"))
+    val dropped = perItem.filter(col("_mi") =!= m)
+      .agg(count(lit(1)).as("n_dropped"))
+    val nm = col("n_items") * m
+    val pBar = col("a_num").cast("double") /
+      (nm * (m - 1)).cast("double")
+    val pE = col("s2").cast("double") /
+      (nm.cast("double") * nm.cast("double"))
+    aNum.crossJoin(broadcast(s2)).crossJoin(broadcast(dropped))
+      .select(col("n_items"), coalesce(col("n_dropped"), lit(0L))
+        .as("n_dropped"),
+        pBar.as("p_bar"), pE.as("p_e"),
+        when(lit(1.0) - pE =!= 0.0, (pBar - pE) / (lit(1.0) - pE))
+          .otherwise(lit(null).cast("double")).as("kappa"))
+  }
+
   /** COHEN'S KAPPA inter-annotator agreement — the label-quality gate a
     * human-annotated (or LLM-judged) training corpus runs before anyone
     * trusts the labels: observed agreement corrected for the agreement

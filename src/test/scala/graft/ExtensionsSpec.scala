@@ -3579,6 +3579,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(r0.getDouble(2) == t0 && r0.getDouble(3) == t1)
   }
 
+  test("fleissKappa: hand-computed multi-rater kappa, partial panels " +
+    "dropped and counted, m guard") {
+    val rated = Seq(
+      (1L, 0, "a"), (1L, 1, "a"), // full agreement
+      (2L, 0, "a"), (2L, 1, "b"), // split
+      (3L, 0, "b"), (3L, 1, "b"), // full agreement
+      (4L, 0, "a") // partial panel: dropped
+    ).toDF("item", "rater", "lab")
+    val r = Quality.fleissKappa(rated, "item", "rater", "lab", m = 2).head()
+    // N=3 m=2: P-bar = (2+0+2)/(3*2*1); c_a=c_b=3 -> P_e = 18/36
+    val pBar = 4.0 / 6.0
+    val pE = 18.0 / 36.0
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L)
+    assert(r.getDouble(2) == pBar && r.getDouble(3) == pE)
+    assert(r.getDouble(4) == (pBar - pE) / (1.0 - pE))
+    intercept[IllegalArgumentException] {
+      Quality.fleissKappa(rated, "item", "rater", "lab", m = 1)
+    }
+  }
+
   test("cohenKappa: hand-computed kappa, pe=1 degenerate NULLs, " +
     "disjoint label sets keep the group, nulls excluded") {
     val rows = Seq(
