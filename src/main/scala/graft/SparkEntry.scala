@@ -2497,6 +2497,16 @@ object SparkEntry {
       graft.ops.Quality.fleissKappa(rated, "doc_id", "rater", "lab", m = 3)
     }),
 
+    // deleted-interpolation EM round: λ'=E[bigram share] on the %11
+    // held-out slice under the train-slice MLE models — the λ tuner
+    // for q110's interpolated scorer; grid-snapped responsibilities
+    "q259_deleted_interp" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextOps.deletedInterpolationRound(
+        d.filter(col("doc_id") % 11 =!= 0),
+        d.filter(col("doc_id") % 11 === 0))
+    }),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -6103,6 +6113,69 @@ object SparkEntry {
         |  CASE WHEN 1.0 - p_e <> 0 THEN (p_bar - p_e) / (1.0 - p_e)
         |       END AS kappa
         |FROM core""".stripMargin,
+
+    // q259: the EM round replayed — train bigram/context/unigram type
+    // tables, held-out bigram counts, grid-snapped responsibilities,
+    // h-weighted exact sums, one final division
+    "q259_deleted_interp" ->
+      """WITH tr AS (
+        |  SELECT text FROM documents
+        |  WHERE doc_id % 11 <> 0 AND text IS NOT NULL),
+        |ho AS (
+        |  SELECT text FROM documents
+        |  WHERE doc_id % 11 = 0 AND text IS NOT NULL),
+        |trl AS (
+        |  SELECT list_filter(string_split(lower(text), ' '),
+        |           x -> len(x) > 0) AS toks
+        |  FROM tr),
+        |tb AS (
+        |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1))
+        |          AS i FROM trl) z),
+        |cbg AS (SELECT w1, w2, count(*) AS c_bg FROM tb GROUP BY 1, 2),
+        |cw1 AS (SELECT w1, count(*) AS c_w1 FROM tb GROUP BY 1),
+        |uni AS (
+        |  SELECT t AS w2, count(*) AS c_u FROM (
+        |    SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |      x -> len(x) > 0)) AS t FROM tr) z
+        |  GROUP BY 1),
+        |ntot AS (SELECT CAST(sum(c_u) AS BIGINT) AS n_tot FROM uni),
+        |hol AS (
+        |  SELECT list_filter(string_split(lower(text), ' '),
+        |           x -> len(x) > 0) AS toks
+        |  FROM ho),
+        |hb AS (
+        |  SELECT w1, w2, count(*) AS h FROM (
+        |    SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |    FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1))
+        |            AS i FROM hol) z) y
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT h,
+        |    CASE WHEN c_bg IS NOT NULL
+        |         THEN CAST(c_bg AS DOUBLE) / CAST(c_w1 AS DOUBLE)
+        |         ELSE 0.0 END AS p2,
+        |    CASE WHEN c_u IS NOT NULL
+        |         THEN CAST(c_u AS DOUBLE) / CAST(n_tot AS DOUBLE)
+        |         ELSE 0.0 END AS p1
+        |  FROM hb LEFT JOIN cbg USING (w1, w2)
+        |          LEFT JOIN cw1 USING (w1)
+        |          LEFT JOIN uni USING (w2)
+        |          CROSS JOIN ntot),
+        |ee AS (
+        |  SELECT h,
+        |    CASE WHEN 0.5 * p2 + 0.5 * p1 > 0
+        |         THEN floor(0.5 * p2 / (0.5 * p2 + 0.5 * p1)
+        |                * 1048576.0 + 0.5) / 1048576.0
+        |         END AS e
+        |  FROM sc)
+        |SELECT CAST(sum(h) AS BIGINT) AS n_tokens,
+        |  coalesce(CAST(sum(CASE WHEN e IS NOT NULL THEN h END)
+        |    AS BIGINT), 0) AS n_scored,
+        |  CAST(0.5 AS DOUBLE) AS lambda0,
+        |  sum(CASE WHEN e IS NOT NULL THEN h * e END)
+        |    / sum(CASE WHEN e IS NOT NULL THEN h END) AS lambda_new
+        |FROM ee""".stripMargin,
 
     // q231: q205's clone prelude + q204's gate aggregation + the digest
     // dedup window restricted to gate survivors

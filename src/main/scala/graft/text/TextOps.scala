@@ -2423,6 +2423,72 @@ object TextOps {
       .limit(topK)
   }
 
+  /** DELETED-INTERPOLATION λ re-estimation (Jelinek-Mercer EM) — the
+    * step that TUNES the λ [[interpolatedNll]] consumes instead of
+    * guessing it: one EM round on held-out data, λ' = Σ_tokens
+    * E[bigram component | token] / Σ_tokens 1 with the responsibility
+    * e = λp₂/(λp₂+(1−λ)p₁) under the TRAIN-corpus MLE bigram/unigram
+    * models. Run it a few fixed rounds (each call is one round — the
+    * bpeTrain unrolling convention) and λ converges to the held-out
+    * optimum. Held-out tokens with λp₂+(1−λ)p₁ = 0 (both words unseen
+    * in train) carry no signal and are excluded, reported via
+    * n_scored < n_tokens.
+    *
+    * Numerics: p₂, p₁ are single exact-integer-quotient divisions; each
+    * responsibility is one more division snapped to the 2⁻²⁰ grid, then
+    * weighted by integer held-out counts — exact order-independent
+    * sums (the looAttribution bound); λ' is one final division. Pass a
+    * DYADIC λ₀ (default 1/2) so the mix products stay exact.
+    *
+    * Scale shape: train reduces to its bigram/context/unigram type
+    * tables (the bigramNll ledger); held-out reduces to bigram-type
+    * counts; all joins live on token-type domains, Zipf-bounded. One
+    * 1-row total broadcast; corpus text never re-enters. */
+  def deletedInterpolationRound(train: DataFrame, heldOut: DataFrame,
+                                lambda0: Double = 0.5,
+                                textCol: String = "text"): DataFrame = {
+    require(lambda0 > 0 && lambda0 < 1, "lambda0 must be in (0, 1)")
+    def bigrams(df: DataFrame) = df.filter(col(textCol).isNotNull)
+      .select(filter(wsTokens(lower(col(textCol))),
+        t => length(t) > 0).as("toks"))
+      .filter(size(col("toks")) > 1)
+      .select(explode(expr("transform(sequence(1, size(toks) - 1), " +
+        "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val tb = bigrams(train)
+    val cbg = tb.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
+    val cw1 = tb.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+    val uni = train.filter(col(textCol).isNotNull)
+      .select(explode(filter(wsTokens(lower(col(textCol))),
+        t => length(t) > 0)).as("w2"))
+      .groupBy("w2").agg(count(lit(1)).as("c_u"))
+    val nTot = uni.agg(sum("c_u").as("n_tot"))
+    val scored = bigrams(heldOut).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("h"))
+      .join(cbg, Seq("w1", "w2"), "left")
+      .join(cw1, Seq("w1"), "left")
+      .join(uni, Seq("w2"), "left")
+      .crossJoin(broadcast(nTot))
+      .withColumn("p2", when(col("c_bg").isNotNull,
+        col("c_bg").cast("double") / col("c_w1").cast("double"))
+        .otherwise(lit(0.0)))
+      .withColumn("p1", when(col("c_u").isNotNull,
+        col("c_u").cast("double") / col("n_tot").cast("double"))
+        .otherwise(lit(0.0)))
+      .withColumn("mix",
+        lit(lambda0) * col("p2") + lit(1.0 - lambda0) * col("p1"))
+      .withColumn("e", when(col("mix") > 0,
+        floor(lit(lambda0) * col("p2") / col("mix") * 1048576.0 + 0.5)
+          / 1048576.0))
+    scored.agg(sum(col("h")).as("n_tokens"),
+        coalesce(sum(when(col("e").isNotNull, col("h"))), lit(0L))
+          .as("n_scored"),
+        (sum(when(col("e").isNotNull, col("h") * col("e")))
+          / sum(when(col("e").isNotNull, col("h")))).as("lambda_new"))
+      .select(col("n_tokens"), col("n_scored"),
+        lit(lambda0).as("lambda0"), col("lambda_new"))
+  }
+
   /** CONFIDENT-LEARNING label-error estimate (Northcutt et al. 2021,
     * "cleanlab") — the label-noise audit an annotated training set runs
     * before anyone fine-tunes on it: items whose predicted confidence

@@ -3599,6 +3599,22 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("deletedInterpolationRound: hand-computed responsibility EM, " +
+    "zero-evidence tokens excluded, unigram-only tokens pull lambda down") {
+    val train = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val ho = Seq((2L, "a b z c")).toDF("doc_id", "text")
+    val r = TextOps.deletedInterpolationRound(train, ho).head()
+    // held-out bigrams: "a b" (p2=2/3, p1=1/3 -> e=snap(2/3)),
+    // "b z" (both zero: excluded), "z c" (p2=0, p1=1/6 -> e=0)
+    val e = math.floor(0.5 * (2.0 / 3.0) /
+      (0.5 * (2.0 / 3.0) + 0.5 * (1.0 / 3.0)) * 1048576.0 + 0.5) / 1048576.0
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.5 && r.getDouble(3) == e / 2.0)
+    intercept[IllegalArgumentException] {
+      TextOps.deletedInterpolationRound(train, ho, lambda0 = 1.0)
+    }
+  }
+
   test("cohenKappa: hand-computed kappa, pe=1 degenerate NULLs, " +
     "disjoint label sets keep the group, nulls excluded") {
     val rows = Seq(
