@@ -436,6 +436,43 @@ object ScaleProbe {
           TextOps.looAttribution(d.filter(col("doc_id") % 11 =!= 0),
               d.filter(col("doc_id") % 11 === 0))
             .agg(sum("delta"), count(lit(1))).head(); 1L },
+        "retrieval_eval" -> { d =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("query_id")
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+          val run = d.select((col("doc_id") % 23).as("query_id"),
+              col("doc_id"))
+            .withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= 10)
+          val qrels = d.select((col("doc_id") % 23).as("query_id"),
+            col("doc_id"),
+            when((col("doc_id") * 31) % 101 < 10, 2)
+              .when((col("doc_id") * 31) % 101 < 30, 1).otherwise(0)
+              .as("rel"))
+          TextOps.retrievalEval(run, qrels, k = 10)
+            .agg(sum("ndcg"), sum("mrr")).head(); 1L },
+        "confident_learning" -> { d =>
+          val raw = (col("doc_id") * 37) % 100
+          val clean = when((col("doc_id") * 53) % 100 < raw, 1).otherwise(0)
+          TextOps.confidentLearning(d.select(
+              (raw.cast("double") / lit(100.0)).as("prob"),
+              when(col("doc_id") % 17 === 0, lit(1) - clean)
+                .otherwise(clean).as("label")))
+            .agg(sum("n")).head(); 1L },
+        "fleiss_kappa" -> { d =>
+          val rated = d.filter(col("n_chars").isNotNull)
+            .select(col("doc_id"), col("n_chars"),
+              explode(sequence(lit(0), lit(2))).as("rater"))
+            .filter(!(col("doc_id") % 31 === 0 && col("rater") === 2))
+            .withColumn("lab", expr(
+              "least((n_chars + CASE WHEN (doc_id + rater) % 5 = 0 " +
+                "THEN 25 ELSE 0 END) div 40, 2L)"))
+          graft.ops.Quality.fleissKappa(rated, "doc_id", "rater", "lab",
+            m = 3).head(); 1L },
+        "deleted_interp" -> { d =>
+          TextOps.deletedInterpolationRound(
+            d.filter(col("doc_id") % 11 =!= 0),
+            d.filter(col("doc_id") % 11 === 0)).head(); 1L },
         "prefix_cache" -> { d =>
           val prompt = when(col("doc_id") % 3 === 0, col("text"))
             .otherwise(concat(
