@@ -2507,6 +2507,27 @@ object SparkEntry {
         d.filter(col("doc_id") % 11 === 0))
     }),
 
+    // Wilson-bound win rates over the q249 match synthesis — the
+    // leaderboard row with the small-sample-honest interval
+    "q260_wilson_winrate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val b = concat(lit("src"), ((col("doc_id") * 7 + 3) % 20).cast("string"))
+      ops.Chat.winRateWilson(d.select(col("source").as("model_a"),
+          b.as("model_b"),
+          when(((col("doc_id") * 31) % 101) % 2 === 0, col("source"))
+            .otherwise(b).as("winner")))
+        .orderBy("model")
+    }),
+
+    // pass@k over 10-sample problems (%101-residue pass verdicts):
+    // the unbiased HumanEval estimator in exact product form
+    "q261_pass_at_k" -> ((s, dir) =>
+      ops.Chat.passAtK(t(s, dir, "documents").select(
+          expr("doc_id div 10").as("prompt_id"),
+          when((col("doc_id") * 31) % 101 < 25, 1).otherwise(0)
+            .as("passed")), ks = Seq(1, 5))
+        .orderBy("prompt_id")),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -3761,6 +3782,44 @@ object SparkEntry {
        |ORDER BY bf.a_id""".stripMargin
   }
 
+  /** Wilson-interval oracle: z and z² embedded as CAST-to-DOUBLE
+    * literals (the q256 decimal-trap rule), the algebra mirrored
+    * parenthesis-for-parenthesis; sqrt is IEEE-correctly-rounded. */
+  private def wilsonOracle: String = {
+    val z = 1.96
+    val zS = s"CAST(${java.lang.Double.toString(z)} AS DOUBLE)"
+    val z2S = s"CAST(${java.lang.Double.toString(z * z)} AS DOUBLE)"
+    s"""WITH m AS (
+       |  SELECT source AS a,
+       |         'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS b,
+       |         CASE WHEN ((doc_id * 31) % 101) % 2 = 0 THEN source
+       |              ELSE 'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
+       |              END AS w
+       |  FROM documents
+       |  WHERE source IS NOT NULL
+       |    AND source <> 'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)),
+       |g AS (
+       |  SELECT model, count(*) AS n_games,
+       |    CAST(sum(CASE WHEN w = model THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS wins
+       |  FROM (SELECT a AS model, w FROM m
+       |        UNION ALL SELECT b AS model, w FROM m) u
+       |  GROUP BY 1),
+       |c AS (
+       |  SELECT model, n_games, wins,
+       |    CAST(wins AS DOUBLE) / CAST(n_games AS DOUBLE) AS p,
+       |    CAST(n_games AS DOUBLE) AS n
+       |  FROM g)
+       |SELECT model, n_games, wins, p AS win_rate,
+       |  (p + $z2S / (n * 2)) / (1 + $z2S / n)
+       |    - ($zS * sqrt(p * (1 - p) / n + $z2S / (n * n * 4)))
+       |      / (1 + $z2S / n) AS wilson_lo,
+       |  (p + $z2S / (n * 2)) / (1 + $z2S / n)
+       |    + ($zS * sqrt(p * (1 - p) / n + $z2S / (n * n * 4)))
+       |      / (1 + $z2S / n) AS wilson_hi
+       |FROM c ORDER BY model""".stripMargin
+  }
+
   /** Retrieval-eval oracle: the same plan-time 1/log₂(i+1) discount
     * literals (Double.toString — the planeComponent convention), the
     * md5-ordered run replay, rank-ordered list_reduce DCG folds, and
@@ -4450,6 +4509,30 @@ object SparkEntry {
     "q232_hard_negatives" -> hardNegativesOracle,
     "q255_bitext_margin" -> bitextMineOracle,
     "q256_retrieval_eval" -> retrievalEvalOracle,
+    "q260_wilson_winrate" -> wilsonOracle,
+
+    // q261: pass@k replayed — grouped n/c, the product form via a
+    // generate_series fold of exact-integer divisions, n >= k guard
+    "q261_pass_at_k" ->
+      """WITH s AS (
+        |  SELECT doc_id // 10 AS prompt_id,
+        |    CASE WHEN (doc_id * 31) % 101 < 25 THEN 1 ELSE 0 END
+        |      AS passed
+        |  FROM documents),
+        |b AS (
+        |  SELECT prompt_id, count(*) AS n,
+        |    CAST(sum(passed) AS BIGINT) AS c
+        |  FROM s GROUP BY 1)
+        |SELECT prompt_id, n, c,
+        |  CASE WHEN n >= 1 THEN 1 - list_reduce(list_transform(
+        |    generate_series(0, 0),
+        |    i -> CAST(n - c - i AS DOUBLE) / CAST(n - i AS DOUBLE)),
+        |    (x, y) -> x * y) END AS pass_at_1,
+        |  CASE WHEN n >= 5 THEN 1 - list_reduce(list_transform(
+        |    generate_series(0, 4),
+        |    i -> CAST(n - c - i AS DOUBLE) / CAST(n - i AS DOUBLE)),
+        |    (x, y) -> x * y) END AS pass_at_5
+        |FROM b ORDER BY prompt_id""".stripMargin,
 
     "q235_unigram_segment" -> unigramSegmentOracle,
 

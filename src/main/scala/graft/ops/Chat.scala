@@ -339,6 +339,70 @@ object Chat {
       .select(col("model"), col("n_matches"), col("wins"), col("rating"))
   }
 
+  /** WIN-RATE WITH WILSON BOUNDS — the leaderboard row next to
+    * [[bradleyTerry]]'s point estimate: per model, games, wins, raw win
+    * rate, and the Wilson score interval (the small-sample-honest CI
+    * every serious arena publishes — a 90% rate over 10 games must not
+    * outrank a 70% rate over 10,000). Bit-portable with NO grid
+    * machinery: counts are exact integers, z and z² are plan-time
+    * literals, and the Wilson algebra is a FIXED shape of IEEE ops
+    * (sqrt is correctly-rounded by the standard) replicated
+    * parenthesis-for-parenthesis in the oracle. One model-keyed count
+    * shuffle; the algebra is map-side on |models| rows. */
+  def winRateWilson(matches: DataFrame, aCol: String = "model_a",
+                    bCol: String = "model_b", winnerCol: String = "winner",
+                    z: Double = 1.96): DataFrame = {
+    require(z > 0, "z must be positive")
+    val m = matches.filter(col(aCol).isNotNull && col(bCol).isNotNull &&
+        col(aCol) =!= col(bCol) &&
+        (col(winnerCol) === col(aCol) || col(winnerCol) === col(bCol)))
+      .select(col(aCol).as("a"), col(bCol).as("b"), col(winnerCol).as("w"))
+    val games = m.select(col("a").as("model"), col("w"))
+      .union(m.select(col("b").as("model"), col("w")))
+      .groupBy("model")
+      .agg(count(lit(1)).as("n_games"),
+        sum(when(col("w") === col("model"), 1L).otherwise(0L)).as("wins"))
+    val n = col("n_games").cast("double")
+    val p = col("wins").cast("double") / n
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / n
+    val center = (p + z2 / (n * 2.0)) / denom
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / n +
+      z2 / (n * n * 4.0))) / denom
+    games.select(col("model"), col("n_games"), col("wins"),
+      p.as("win_rate"), (center - half).as("wilson_lo"),
+      (center + half).as("wilson_hi"))
+  }
+
+  /** PASS@K estimator (Chen et al. 2021, the HumanEval metric) — for
+    * generated-sample corpora with a per-sample pass verdict: per
+    * prompt, n samples, c passes, and the unbiased
+    * pass@k = 1 − C(n−c,k)/C(n,k), computed in the numerically-stable
+    * product form Π_{i<k} (n−c−i)/(n−i) — each factor ONE exact-integer
+    * division, folded in fixed i order, so the estimate is bit-portable
+    * with no grid. Prompts with n < k report NULL for that k (the
+    * estimator needs k samples); a zero factor (c > n−k) collapses the
+    * product to 0 → pass@k = 1 exactly. One grouped count per prompt;
+    * the fold is a k-step in-row expression — map-side, no shuffle past
+    * the count. */
+  def passAtK(samples: DataFrame, ks: Seq[Int] = Seq(1, 5),
+              promptCol: String = "prompt_id",
+              passCol: String = "passed"): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be positive")
+    val base = samples.filter(col(passCol).isNotNull)
+      .groupBy(col(promptCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(passCol).cast("int") === 1, 1L)
+          .otherwise(0L)).as("c"))
+    ks.foldLeft(base) { (df, k) =>
+      val prod = aggregate(sequence(lit(0), lit(k - 1)), lit(1.0),
+        (acc, i) => acc * ((col("n") - col("c") - i).cast("double") /
+          (col("n") - i).cast("double")))
+      df.withColumn(s"pass_at_$k",
+        when(col("n") >= k, lit(1.0) - prod))
+    }
+  }
+
   /** LENGTH-BIAS audit over preference pairs — the classic reward-model
     * failure (verbosity bias: "longer sounds better"): if the chosen
     * response out-lengths the rejected one far above chance, DPO/RLHF

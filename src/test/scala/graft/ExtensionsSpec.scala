@@ -3615,6 +3615,51 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("winRateWilson: exact Wilson algebra per model, invalid winners " +
+    "and self-matches excluded") {
+    val matches = Seq(
+      ("A", "B", "A"), ("A", "B", "A"), ("A", "B", "B"),
+      ("A", "B", "X"), // winner not a participant: excluded
+      ("A", "A", "A") // self-match: excluded
+    ).toDF("model_a", "model_b", "winner")
+    val got = ops.Chat.winRateWilson(matches).orderBy("model").collect()
+    def wilson(w: Long, n: Long): (Double, Double) = {
+      val z = 1.96; val z2 = z * z
+      val p = w.toDouble / n.toDouble; val nd = n.toDouble
+      val denom = 1.0 + z2 / nd
+      val center = (p + z2 / (nd * 2.0)) / denom
+      val half = (z * math.sqrt(p * (1.0 - p) / nd +
+        z2 / (nd * nd * 4.0))) / denom
+      (center - half, center + half)
+    }
+    val (loA, hiA) = wilson(2, 3)
+    assert(got(0).getString(0) == "A" && got(0).getLong(1) == 3L &&
+      got(0).getLong(2) == 2L)
+    assert(got(0).getDouble(4) == loA && got(0).getDouble(5) == hiA)
+    val (loB, hiB) = wilson(1, 3)
+    assert(got(1).getDouble(4) == loB && got(1).getDouble(5) == hiB)
+    // the CI overlaps even though point rates are 2/3 vs 1/3
+    assert(loA < hiB)
+  }
+
+  test("passAtK: product-form estimator, zero factor collapses to 1, " +
+    "n < k reports NULL") {
+    val samples = Seq(
+      (1L, 1), (1L, 1), (1L, 0), (1L, 0), (1L, 0), // n=5 c=2
+      (2L, 0), (2L, 0), (2L, 0) // n=3 c=0
+    ).toDF("prompt_id", "passed")
+    val got = ops.Chat.passAtK(samples, ks = Seq(1, 5))
+      .orderBy("prompt_id").collect()
+    assert(got(0).getLong(1) == 5L && got(0).getLong(2) == 2L)
+    assert(got(0).getDouble(3) == 1.0 - 3.0 / 5.0)
+    assert(got(0).getDouble(4) == 1.0) // c > n-k: some window passes
+    assert(got(1).getDouble(3) == 0.0) // no passes
+    assert(got(1).isNullAt(4)) // n=3 < k=5
+    intercept[IllegalArgumentException] {
+      ops.Chat.passAtK(samples, ks = Seq(0))
+    }
+  }
+
   test("cohenKappa: hand-computed kappa, pe=1 degenerate NULLs, " +
     "disjoint label sets keep the group, nulls excluded") {
     val rows = Seq(
