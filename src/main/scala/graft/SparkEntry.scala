@@ -2528,6 +2528,20 @@ object SparkEntry {
             .as("passed")), ks = Seq(1, 5))
         .orderBy("prompt_id")),
 
+    // chrF over synthesized rewrite pairs (ref = doc, hyp = next doc;
+    // %7 pairs are self-pairs scoring exactly 1): char n-gram F2 with
+    // n-ordered level means
+    "q262_chrf" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      val nxt = d.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("ntext"))
+      TextOps.chrF(d.join(nxt, Seq("doc_id"))
+          .select(col("doc_id").as("pair_id"), col("text").as("ref"),
+            when(col("doc_id") % 7 === 0, col("text"))
+              .otherwise(col("ntext")).as("hyp")))
+        .orderBy("pair_id")
+    }),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -6259,6 +6273,64 @@ object SparkEntry {
         |  sum(CASE WHEN e IS NOT NULL THEN h * e END)
         |    / sum(CASE WHEN e IS NOT NULL THEN h END) AS lambda_new
         |FROM ee""".stripMargin,
+
+    // q262: chrF replayed — char n-gram multiset counts per (pair, n),
+    // full-join overlap, level filter, n-ordered list_reduce means,
+    // the F2 shape; 'g' flag on the whitespace strip
+    "q262_chrf" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |nxt AS (SELECT doc_id - 1 AS doc_id, text AS ntext FROM d0),
+        |pr AS (
+        |  SELECT d0.doc_id AS id,
+        |    regexp_replace(lower(d0.text), '\s+', '', 'g') AS rs,
+        |    regexp_replace(lower(CASE WHEN d0.doc_id % 7 = 0
+        |      THEN d0.text ELSE nxt.ntext END), '\s+', '', 'g') AS hs
+        |  FROM d0 JOIN nxt USING (doc_id)),
+        |rg AS (
+        |  SELECT id, n, substr(rs, i, n) AS g FROM (
+        |    SELECT id, rs, n,
+        |      unnest(generate_series(1, len(rs) - n + 1)) AS i
+        |    FROM pr CROSS JOIN
+        |      (SELECT unnest(generate_series(1, 6)) AS n) nn
+        |    WHERE len(rs) >= n) z),
+        |rc AS (SELECT id, n, g, count(*) AS rc FROM rg GROUP BY 1, 2, 3),
+        |hg AS (
+        |  SELECT id, n, substr(hs, i, n) AS g FROM (
+        |    SELECT id, hs, n,
+        |      unnest(generate_series(1, len(hs) - n + 1)) AS i
+        |    FROM pr CROSS JOIN
+        |      (SELECT unnest(generate_series(1, 6)) AS n) nn
+        |    WHERE len(hs) >= n) z),
+        |hc AS (SELECT id, n, g, count(*) AS hc FROM hg GROUP BY 1, 2, 3),
+        |pn AS (
+        |  SELECT id, n,
+        |    CAST(sum(least(coalesce(rc, 0), coalesce(hc, 0))) AS BIGINT)
+        |      AS o,
+        |    CAST(sum(coalesce(rc, 0)) AS BIGINT) AS r,
+        |    CAST(sum(coalesce(hc, 0)) AS BIGINT) AS h
+        |  FROM rc FULL JOIN hc USING (id, n, g) GROUP BY 1, 2),
+        |lv AS (
+        |  SELECT id, n, CAST(o AS DOUBLE) / CAST(h AS DOUBLE) AS pn_,
+        |         CAST(o AS DOUBLE) / CAST(r AS DOUBLE) AS rn_
+        |  FROM pn WHERE r > 0 AND h > 0),
+        |pp AS (
+        |  SELECT id, count(*) AS n_levels,
+        |    list_reduce(list_transform(list_sort(list(struct_pack(
+        |      j := n, v := pn_))), x -> x.v), (a, b) -> a + b)
+        |      / CAST(count(*) AS DOUBLE) AS chrp,
+        |    list_reduce(list_transform(list_sort(list(struct_pack(
+        |      j := n, v := rn_))), x -> x.v), (a, b) -> a + b)
+        |      / CAST(count(*) AS DOUBLE) AS chrr
+        |  FROM lv GROUP BY 1)
+        |SELECT pr.id AS pair_id,
+        |  coalesce(n_levels, CAST(0 AS BIGINT)) AS n_levels, chrp, chrr,
+        |  CASE WHEN chrp IS NULL THEN NULL
+        |       WHEN 4 * chrp + chrr > 0
+        |       THEN (5 * chrp * chrr) / (4 * chrp + chrr)
+        |       ELSE 0.0 END AS chrf
+        |FROM pr LEFT JOIN pp ON pr.id = pp.id
+        |ORDER BY pair_id""".stripMargin,
 
     // q231: q205's clone prelude + q204's gate aggregation + the digest
     // dedup window restricted to gate survivors

@@ -2423,6 +2423,74 @@ object TextOps {
       .limit(topK)
   }
 
+  /** chrF — character n-gram F-β (Popović 2015), the reference-based
+    * QA metric for translation / rewrite / distillation pairs (robust
+    * to tokenization, which is why WMT adopted it over BLEU for
+    * morphology-rich languages): per (ref, hyp) pair, multiset char
+    * n-gram precision and recall for n = 1..maxN over the
+    * whitespace-stripped case-folded strings, averaged into CHRP/CHRR,
+    * then F_β = (1+β²)·P·R/(β²·P+R) with β² = 4 (β = 2, recall-weighted,
+    * the standard). n-levels where either side has no n-grams are
+    * skipped and reported via n_levels; a pair with no usable level
+    * (e.g. empty strings) scores NULL.
+    *
+    * Bit-portable: overlaps and gram totals are exact integers, each
+    * P_n/R_n is one division, the level means fold in n order (≤ maxN
+    * terms), and F_β is a fixed shape of IEEE ops. Scale shape: the
+    * gram explode is maxN rows per character — linear in corpus bytes,
+    * map-side; counting and the overlap join are keyed on (pair, n,
+    * gram) so nothing crosses pairs; per-pair reductions are
+    * partial-agged. */
+  def chrF(pairs: DataFrame, idCol: String = "pair_id",
+           refCol: String = "ref", hypCol: String = "hyp",
+           maxN: Int = 6, betaSq: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 10, "maxN out of range")
+    require(betaSq >= 0, "betaSq must be non-negative")
+    def grams(c: Column): Column = expr(
+      s"""flatten(transform(sequence(1, $maxN), n ->
+         |  CASE WHEN length(_s) >= n THEN
+         |    transform(sequence(1, length(_s) - n + 1),
+         |      i -> struct(n AS n, substring(_s, i, n) AS g))
+         |  ELSE array() END))""".stripMargin
+        .replace("_s", "_chrf_s"))
+    def counts(side: Column, as: String) = pairs
+      .select(col(idCol).as("id"),
+        regexp_replace(lower(side), "\\s+", "").as("_chrf_s"))
+      .select(col("id"), explode(grams(col("_chrf_s"))).as("b"))
+      .select(col("id"), col("b.n").as("n"), col("b.g").as("g"))
+      .groupBy("id", "n", "g").agg(count(lit(1)).as(as))
+    val rc = counts(col(refCol), "rc")
+    val hc = counts(col(hypCol), "hc")
+    val perN = rc.join(hc, Seq("id", "n", "g"), "full")
+      .groupBy("id", "n")
+      .agg(sum(least(coalesce(col("rc"), lit(0L)),
+          coalesce(col("hc"), lit(0L)))).as("o"),
+        sum(coalesce(col("rc"), lit(0L))).as("r"),
+        sum(coalesce(col("hc"), lit(0L))).as("h"))
+      .filter(col("r") > 0 && col("h") > 0)
+      .select(col("id"), col("n"),
+        (col("o").cast("double") / col("h").cast("double")).as("pn"),
+        (col("o").cast("double") / col("r").cast("double")).as("rn"))
+    val perPair = perN.groupBy("id")
+      .agg(count(lit(1)).as("n_levels"),
+        (aggregate(array_sort(collect_list(struct(col("n"), col("pn")))),
+          lit(0.0), (a, x) => a + x.getField("pn"))
+          / count(lit(1)).cast("double")).as("chrp"),
+        (aggregate(array_sort(collect_list(struct(col("n"), col("rn")))),
+          lit(0.0), (a, x) => a + x.getField("rn"))
+          / count(lit(1)).cast("double")).as("chrr"))
+      .withColumn("chrf",
+        when(lit(betaSq) * col("chrp") + col("chrr") > 0,
+          (lit(1 + betaSq) * col("chrp") * col("chrr"))
+            / (lit(betaSq) * col("chrp") + col("chrr")))
+          .otherwise(lit(0.0)))
+    pairs.select(col(idCol).as("id"))
+      .join(perPair, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_levels"), lit(0L)).as("n_levels"),
+        col("chrp"), col("chrr"), col("chrf"))
+  }
+
   /** DELETED-INTERPOLATION λ re-estimation (Jelinek-Mercer EM) — the
     * step that TUNES the λ [[interpolatedNll]] consumes instead of
     * guessing it: one EM round on held-out data, λ' = Σ_tokens

@@ -3660,6 +3660,22 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("chrF: perfect pairs score 1, transposition halves the mean, " +
+    "whitespace/case fold, empty hyp reports zero levels") {
+    val pairs = Seq(
+      (1L, "ab", "ab"), // identical: chrF 1
+      (2L, "ab", "ba"), // n=1 perfect, n=2 disjoint: P=R=0.5 -> F2=0.5
+      (3L, "A B", "ab"), // normalization: identical after fold
+      (4L, "ab", "") // no hyp grams at any level
+    ).toDF("pair_id", "ref", "hyp")
+    val got = TextOps.chrF(pairs, maxN = 2).orderBy("pair_id").collect()
+    assert(got(0).getLong(1) == 2L && got(0).getDouble(4) == 1.0)
+    assert(got(1).getDouble(2) == 0.5 && got(1).getDouble(3) == 0.5 &&
+      got(1).getDouble(4) == 0.5)
+    assert(got(2).getDouble(4) == 1.0)
+    assert(got(3).getLong(1) == 0L && got(3).isNullAt(4))
+  }
+
   test("cohenKappa: hand-computed kappa, pe=1 degenerate NULLs, " +
     "disjoint label sets keep the group, nulls excluded") {
     val rows = Seq(
