@@ -473,6 +473,29 @@ object ScaleProbe {
           TextOps.deletedInterpolationRound(
             d.filter(col("doc_id") % 11 =!= 0),
             d.filter(col("doc_id") % 11 === 0)).head(); 1L },
+        "wilson_winrate" -> { d =>
+          val b = concat(lit("src"),
+            ((col("doc_id") * 7 + 3) % 20).cast("string"))
+          graft.ops.Chat.winRateWilson(d.select(
+              col("source").as("model_a"), b.as("model_b"),
+              when(((col("doc_id") * 31) % 101) % 2 === 0, col("source"))
+                .otherwise(b).as("winner")))
+            .agg(sum("wilson_lo")).head(); 1L },
+        "pass_at_k" -> { d =>
+          graft.ops.Chat.passAtK(d.select(
+              expr("doc_id div 10").as("prompt_id"),
+              when((col("doc_id") * 31) % 101 < 25, 1).otherwise(0)
+                .as("passed")), ks = Seq(1, 5))
+            .agg(sum("pass_at_1"), sum("pass_at_5")).head(); 1L },
+        "chrf" -> { d =>
+          val nxt = d.select((col("doc_id") - 1).as("doc_id"),
+            col("text").as("ntext"))
+          TextOps.chrF(d.filter(col("text").isNotNull)
+              .join(nxt, Seq("doc_id"))
+              .select(col("doc_id").as("pair_id"), col("text").as("ref"),
+                when(col("doc_id") % 7 === 0, col("text"))
+                  .otherwise(col("ntext")).as("hyp")))
+            .agg(sum("chrf"), count(lit(1))).head(); 1L },
         "prefix_cache" -> { d =>
           val prompt = when(col("doc_id") % 3 === 0, col("text"))
             .otherwise(concat(
