@@ -105,10 +105,6 @@ object VectorExpressions {
   def wordShingles(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))
 
-  /** Column-level char n-grams for n = 1..maxN (see [[CharGrams]]). */
-  def charGrams(text: Column, maxN: Int): Column =
-    Bridge.column(CharGrams(Bridge.expression(text), maxN))
-
   /** Column-level per-pair chrF counts (see [[ChrFStats]]). */
   def chrfStats(ref: Column, hyp: Column, maxN: Int): Column =
     Bridge.column(ChrFStats(Bridge.expression(ref),
@@ -815,73 +811,6 @@ case class ChrFStats(left: Expression, right: Expression, maxN: Int)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
-}
-
-/** All character n-grams for n = 1..maxN as ARRAY<STRUCT<n INT, g STRING>>
-  * — the chrF gram kernel. A higher-order `flatten(transform(sequence...`
-  * equivalent pays per-element interpreted lambda dispatch over maxN·|s|
-  * elements (measured: it dominated the whole chrF query); this node is
-  * one tight two-level loop. Grams index by UTF-16 units (Java substring)
-  * — identical to Spark's `substring` and to DuckDB `substr` for all BMP
-  * text (the corpus); callers comparing engines on non-BMP text should
-  * normalize first. */
-case class CharGrams(child: Expression, maxN: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
-
-  require(maxN >= 1 && maxN <= 16, "maxN out of range")
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    child.dataType match {
-      case org.apache.spark.sql.types.StringType =>
-        TypeCheckResult.TypeCheckSuccess
-      case other => TypeCheckResult.TypeCheckFailure(
-        s"char_grams expects STRING, got ${other.simpleString}")
-    }
-
-  override def dataType: DataType = ArrayType(
-    org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("n",
-        org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("g",
-        org.apache.spark.sql.types.StringType, nullable = false))),
-    containsNull = false)
-
-  /** Row kernel — public so generated code can call it. */
-  def kernel(input: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
-    val s = input.toString
-    val len = s.length
-    var total = 0
-    var n = 1
-    while (n <= maxN) { if (len >= n) total += len - n + 1; n += 1 }
-    val out = new Array[Any](total)
-    var k = 0
-    n = 1
-    while (n <= maxN) {
-      var i = 0
-      while (i + n <= len) {
-        out(k) = org.apache.spark.sql.catalyst.InternalRow(n,
-          org.apache.spark.unsafe.types.UTF8String
-            .fromString(s.substring(i, i + n)))
-        k += 1
-        i += 1
-      }
-      n += 1
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-  }
-
-  override protected def nullSafeEval(input: Any): Any =
-    kernel(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
-
-  override protected def doGenCode(ctx: CodegenContext,
-                                   ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("charGrams", this,
-      classOf[CharGrams].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
-  }
-
-  override protected def withNewChildInternal(c: Expression): Expression =
-    copy(child = c)
 }
 
 case class WordShingles(child: Expression, n: Int)
