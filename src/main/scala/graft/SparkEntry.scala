@@ -2542,6 +2542,16 @@ object SparkEntry {
         .orderBy("pair_id")
     }),
 
+    // two-pool divergence over shared centroids (label-parity pools):
+    // smoothed cluster histograms, grid-snapped per-cluster KL terms,
+    // Jeffreys total — the embedding-drift gauge
+    "q263_pool_divergence" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.poolDivergence(e.filter(col("label") % 2 === 0),
+          e.filter(col("label") % 2 === 1), seedCentroids(e))
+        .orderBy("cluster")
+    }),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -6331,6 +6341,56 @@ object SparkEntry {
         |       ELSE 0.0 END AS chrf
         |FROM pr LEFT JOIN pp ON pr.id = pp.id
         |ORDER BY pair_id""".stripMargin,
+
+    // q263: the q243 assignment CTE per pool, smoothed histograms,
+    // grid-snapped KL terms, cluster-ordered folds
+    "q263_pool_divergence" ->
+      """WITH seeds AS (
+        |  SELECT vec_id AS cluster, CAST(embedding AS DOUBLE[]) AS c
+        |  FROM embeddings WHERE vec_id < 3),
+        |asg AS (
+        |  SELECT vec_id, label, cluster FROM (
+        |    SELECT e.vec_id, e.label, s.cluster,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.c)
+        |          DESC, s.cluster ASC) AS arank
+        |    FROM embeddings e CROSS JOIN seeds s) z
+        |  WHERE arank = 1),
+        |ha AS (SELECT cluster, count(*) AS n_a FROM asg
+        |       WHERE label % 2 = 0 GROUP BY 1),
+        |hb AS (SELECT cluster, count(*) AS n_b FROM asg
+        |       WHERE label % 2 = 1 GROUP BY 1),
+        |h AS (
+        |  SELECT seeds.cluster,
+        |    coalesce(n_a, CAST(0 AS BIGINT)) AS n_a,
+        |    coalesce(n_b, CAST(0 AS BIGINT)) AS n_b
+        |  FROM seeds LEFT JOIN ha USING (cluster)
+        |             LEFT JOIN hb USING (cluster)),
+        |tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+        |               CAST(sum(n_b) AS BIGINT) AS tb FROM h),
+        |t AS (
+        |  SELECT cluster, n_a, n_b,
+        |    CAST(n_a + 1 AS DOUBLE) / CAST(ta + 3 AS DOUBLE) AS pa,
+        |    CAST(n_b + 1 AS DOUBLE) / CAST(tb + 3 AS DOUBLE) AS pb
+        |  FROM h CROSS JOIN tot),
+        |tm AS (
+        |  SELECT cluster, n_a, n_b, pa, pb,
+        |    pa * (floor(ln(pa / pb) * 1048576.0 + 0.5) / 1048576.0)
+        |      AS term_ab,
+        |    pb * (floor(ln(pb / pa) * 1048576.0 + 0.5) / 1048576.0)
+        |      AS term_ba
+        |  FROM t),
+        |kl AS (
+        |  SELECT list_reduce(list_transform(list_sort(list(struct_pack(
+        |      j := cluster, v := term_ab))), x -> x.v), (a, b) -> a + b)
+        |      AS kl_ab,
+        |    list_reduce(list_transform(list_sort(list(struct_pack(
+        |      j := cluster, v := term_ba))), x -> x.v), (a, b) -> a + b)
+        |      AS kl_ba
+        |  FROM tm)
+        |SELECT cluster, n_a, n_b, pa, pb, term_ab, term_ba, kl_ab,
+        |  kl_ba, kl_ab + kl_ba AS jeffreys
+        |FROM tm CROSS JOIN kl ORDER BY cluster""".stripMargin,
 
     // q231: q205's clone prelude + q204's gate aggregation + the digest
     // dedup window restricted to gate survivors

@@ -858,6 +858,60 @@ object Similarity {
         coalesce(col("_rbest"), lit(0)).as("mutual"))
   }
 
+  /** TWO-POOL DIVERGENCE over cluster histograms — the MAUVE-shaped
+    * drift gauge: assign both embedding pools (generated vs real, this
+    * crawl vs last crawl, source A vs source B) to a shared centroid
+    * set, add-one-smooth the two cluster histograms, and report
+    * per-cluster occupancy plus KL(P‖Q), KL(Q‖P) and their Jeffreys sum
+    * — which cluster drives the drift and how much, the question a
+    * mixture owner asks before retraining. One row per cluster; the
+    * corpus-level KLs repeat on every row (the q257 threshold-column
+    * convention).
+    *
+    * Bit-portable: counts are exact integers, smoothed masses are
+    * single divisions, each ln(p/q) snaps to the 2⁻²⁰ grid, and the KL
+    * sums fold in cluster order over ≤ |centroids| terms. Scale shape:
+    * two broadcast-centroid map-side assignments ([[assignToCentroids]])
+    * + two |centroids|-row counts; nothing else touches the corpus. */
+  def poolDivergence(poolA: DataFrame, poolB: DataFrame,
+                     centroids: Seq[(Long, Array[Double])],
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     dim: Int = DefaultDim): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val k = centroids.length
+    import poolA.sparkSession.implicits._
+    def hist(df: DataFrame, as: String) =
+      assignToCentroids(df, centroids, idCol, vecCol, dim)
+        .groupBy("cluster").agg(count(lit(1)).as(as))
+    val h = centroids.map(_._1).toDF("cluster")
+      .join(hist(poolA, "_na"), Seq("cluster"), "left")
+      .join(hist(poolB, "_nb"), Seq("cluster"), "left")
+      .select(col("cluster"), coalesce(col("_na"), lit(0L)).as("n_a"),
+        coalesce(col("_nb"), lit(0L)).as("n_b"))
+    val tot = h.agg(sum("n_a").as("_ta"), sum("n_b").as("_tb"))
+    def snapLn(c: Column): Column =
+      floor(log(c) * 1048576.0 + 0.5) / 1048576.0
+    val t = h.crossJoin(broadcast(tot))
+      .withColumn("pa", (col("n_a") + 1).cast("double")
+        / (col("_ta") + k).cast("double"))
+      .withColumn("pb", (col("n_b") + 1).cast("double")
+        / (col("_tb") + k).cast("double"))
+      .withColumn("term_ab", col("pa") * snapLn(col("pa") / col("pb")))
+      .withColumn("term_ba", col("pb") * snapLn(col("pb") / col("pa")))
+    val kl = t.agg(
+      aggregate(array_sort(collect_list(struct(col("cluster"),
+        col("term_ab")))), lit(0.0),
+        (a, x) => a + x.getField("term_ab")).as("kl_ab"),
+      aggregate(array_sort(collect_list(struct(col("cluster"),
+        col("term_ba")))), lit(0.0),
+        (a, x) => a + x.getField("term_ba")).as("kl_ba"))
+    t.crossJoin(broadcast(kl))
+      .select(col("cluster"), col("n_a"), col("n_b"), col("pa"),
+        col("pb"), col("term_ab"), col("term_ba"), col("kl_ab"),
+        col("kl_ba"), (col("kl_ab") + col("kl_ba")).as("jeffreys"))
+  }
+
   /** All-pairs top-k neighbors per vector via LSH buckets (batch ANN):
     * join within bucket, rank per source id. Bucket sizes bound the pair
     * count; `planes` tunes recall vs cost.

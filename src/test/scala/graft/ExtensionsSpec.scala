@@ -3676,6 +3676,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(3).getLong(1) == 0L && got(3).isNullAt(4))
   }
 
+  test("poolDivergence: hand-computed smoothed KLs, identical pools " +
+    "diverge zero, empty clusters survive smoothing") {
+    def snap(x: Double): Double =
+      math.floor(math.log(x) * 1048576.0 + 0.5) / 1048576.0
+    val cents = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
+    val a = Seq((10L, Seq(1.0, 0.0)), (11L, Seq(1.0, 0.1)),
+      (12L, Seq(0.9, 0.0))).toDF("vec_id", "embedding")
+    val b = Seq((20L, Seq(0.0, 1.0)), (21L, Seq(0.1, 1.0)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.poolDivergence(a, b, cents, dim = 2)
+      .orderBy("cluster").collect()
+    // histograms: A = (3, 0), B = (0, 2); smoothed pa = (4/5, 1/5),
+    // pb = (1/4, 3/4)
+    val pa = Seq(4.0 / 5.0, 1.0 / 5.0); val pb = Seq(1.0 / 4.0, 3.0 / 4.0)
+    val tAb = Seq(pa(0) * snap(pa(0) / pb(0)), pa(1) * snap(pa(1) / pb(1)))
+    val tBa = Seq(pb(0) * snap(pb(0) / pa(0)), pb(1) * snap(pb(1) / pa(1)))
+    assert(got(0).getLong(1) == 3L && got(0).getLong(2) == 0L)
+    assert(got(0).getDouble(3) == pa(0) && got(0).getDouble(4) == pb(0))
+    assert(got(0).getDouble(5) == tAb(0) && got(1).getDouble(6) == tBa(1))
+    val klAb = 0.0 + tAb(0) + tAb(1); val klBa = 0.0 + tBa(0) + tBa(1)
+    assert(got(0).getDouble(7) == klAb && got(0).getDouble(8) == klBa)
+    assert(got(0).getDouble(9) == klAb + klBa && klAb + klBa > 0)
+    // identical pools: every term is ln(1) = 0
+    val same = Similarity.poolDivergence(a, a, cents, dim = 2).collect()
+    assert(same.forall(_.getDouble(9) == 0.0))
+  }
+
   test("cohenKappa: hand-computed kappa, pe=1 degenerate NULLs, " +
     "disjoint label sets keep the group, nulls excluded") {
     val rows = Seq(
