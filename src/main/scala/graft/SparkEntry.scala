@@ -2552,6 +2552,22 @@ object SparkEntry {
         .orderBy("cluster")
     }),
 
+    // IFEval-style verifiable-instruction checks: residue-derived word
+    // floors, a keyword lifted from the response's own prefix (present
+    // unless too short), a never-present forbidden token, %3 rows must
+    // end with a period — machine-checkable verdicts, no judge
+    "q264_instruction_checks" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      ops.Chat.instructionChecks(d.select(col("doc_id").as("pair_id"),
+          col("text").as("response"),
+          (lit(5) + col("doc_id") % 20).cast("long").as("min_words"),
+          when(length(col("text")) >= 6,
+            substring(lower(col("text")), 3, 4)).as("keyword"),
+          lit("zzqq").as("forbidden"),
+          when(col("doc_id") % 3 === 0, lit(".")).as("must_end_with")))
+        .orderBy("pair_id")
+    }),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -6391,6 +6407,58 @@ object SparkEntry {
         |SELECT cluster, n_a, n_b, pa, pb, term_ab, term_ba, kl_ab,
         |  kl_ba, kl_ab + kl_ba AS jeffreys
         |FROM tm CROSS JOIN kl ORDER BY cluster""".stripMargin,
+
+    // q264: the rule battery replayed — vacuous-on-NULL gates, word
+    // floor, containment, ends_with on the rtrimmed response
+    "q264_instruction_checks" ->
+      """WITH d AS (
+        |  SELECT doc_id AS pair_id, text AS response,
+        |    5 + doc_id % 20 AS min_words,
+        |    CASE WHEN len(text) >= 6
+        |         THEN substr(lower(text), 3, 4) END AS keyword,
+        |    'zzqq' AS forbidden,
+        |    CASE WHEN doc_id % 3 = 0 THEN '.' END AS must_end_with
+        |  FROM documents),
+        |sc AS (
+        |  SELECT pair_id, response, min_words, keyword, forbidden,
+        |    must_end_with,
+        |    CAST(len(list_filter(string_split(lower(coalesce(response,
+        |      '')), ' '), x -> len(x) > 0)) AS BIGINT) AS n_words
+        |  FROM d)
+        |SELECT pair_id, n_words,
+        |  CAST(CASE WHEN min_words IS NULL THEN 1
+        |       WHEN response IS NOT NULL AND n_words >= min_words THEN 1
+        |       ELSE 0 END AS INTEGER) AS words_ok,
+        |  CAST(CASE WHEN keyword IS NULL THEN 1
+        |       WHEN response IS NOT NULL
+        |            AND contains(lower(response), lower(keyword)) THEN 1
+        |       ELSE 0 END AS INTEGER) AS keyword_ok,
+        |  CAST(CASE WHEN forbidden IS NULL THEN 1
+        |       WHEN response IS NOT NULL
+        |            AND NOT contains(lower(response), lower(forbidden))
+        |       THEN 1 ELSE 0 END AS INTEGER) AS forbid_ok,
+        |  CAST(CASE WHEN must_end_with IS NULL THEN 1
+        |       WHEN response IS NOT NULL
+        |            AND ends_with(rtrim(response), must_end_with) THEN 1
+        |       ELSE 0 END AS INTEGER) AS ending_ok,
+        |  CAST(CASE WHEN
+        |    (CASE WHEN min_words IS NULL THEN 1
+        |          WHEN response IS NOT NULL AND n_words >= min_words
+        |          THEN 1 ELSE 0 END) = 1 AND
+        |    (CASE WHEN keyword IS NULL THEN 1
+        |          WHEN response IS NOT NULL
+        |               AND contains(lower(response), lower(keyword))
+        |          THEN 1 ELSE 0 END) = 1 AND
+        |    (CASE WHEN forbidden IS NULL THEN 1
+        |          WHEN response IS NOT NULL
+        |               AND NOT contains(lower(response), lower(forbidden))
+        |          THEN 1 ELSE 0 END) = 1 AND
+        |    (CASE WHEN must_end_with IS NULL THEN 1
+        |          WHEN response IS NOT NULL
+        |               AND ends_with(rtrim(response), must_end_with)
+        |          THEN 1 ELSE 0 END) = 1
+        |    THEN 1 ELSE 0 END AS INTEGER) AS all_pass
+        |FROM sc ORDER BY pair_id""".stripMargin,
 
     // q231: q205's clone prelude + q204's gate aggregation + the digest
     // dedup window restricted to gate survivors

@@ -339,6 +339,42 @@ object Chat {
       .select(col("model"), col("n_matches"), col("wins"), col("rating"))
   }
 
+  /** VERIFIABLE-INSTRUCTION checks (the IFEval shape) — score responses
+    * against per-row MACHINE-CHECKABLE constraints instead of a judge
+    * model: minimum word count, required keyword, forbidden keyword,
+    * required ending. One row per response with each verdict and the
+    * conjunction — the instruction-following signal that filters SFT
+    * responses and grades models without rubric drift. A NULL constraint
+    * is vacuously satisfied (not every prompt carries every constraint);
+    * a NULL response fails every ACTIVE check. Keyword matching is
+    * case-folded substring containment; the ending check ignores
+    * trailing whitespace. Exact integers/flags throughout — map-only,
+    * nothing shuffles. */
+  def instructionChecks(df: DataFrame, idCol: String = "pair_id",
+                        responseCol: String = "response",
+                        minWordsCol: String = "min_words",
+                        keywordCol: String = "keyword",
+                        forbidCol: String = "forbidden",
+                        endCol: String = "must_end_with"): DataFrame = {
+    val resp = col(responseCol)
+    val words = size(filter(split(lower(coalesce(resp, lit(""))), " "),
+      w => length(w) > 0)).cast("long")
+    def gate(constraint: Column, ok: Column): Column =
+      when(constraint.isNull, 1)
+        .otherwise(when(resp.isNotNull && ok, 1).otherwise(0))
+    df.select(col(idCol), words.as("n_words"),
+        gate(col(minWordsCol), words >= col(minWordsCol)).as("words_ok"),
+        gate(col(keywordCol),
+          contains(lower(resp), lower(col(keywordCol)))).as("keyword_ok"),
+        gate(col(forbidCol),
+          !contains(lower(resp), lower(col(forbidCol)))).as("forbid_ok"),
+        gate(col(endCol),
+          endswith(rtrim(resp), col(endCol))).as("ending_ok"))
+      .withColumn("all_pass", (col("words_ok") === 1 &&
+        col("keyword_ok") === 1 && col("forbid_ok") === 1 &&
+        col("ending_ok") === 1).cast("int"))
+  }
+
   /** WIN-RATE WITH WILSON BOUNDS — the leaderboard row next to
     * [[bradleyTerry]]'s point estimate: per model, games, wins, raw win
     * rate, and the Wilson score interval (the small-sample-honest CI

@@ -3703,6 +3703,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(same.forall(_.getDouble(9) == 0.0))
   }
 
+  test("instructionChecks: per-rule verdicts, NULL constraints vacuous, " +
+    "NULL response fails active checks only") {
+    val rows = Seq(
+      // passes everything: 4 words, has "quick", no "bad", ends "."
+      (1L, "the quick brown fox.", Some(3L), Some("quick"), Some("bad"),
+        Some(".")),
+      // word floor misses; keyword case-folds; trailing space ignored
+      (2L, "Too Short. ", Some(5L), Some("short"), None, Some(".")),
+      // all constraints NULL: vacuous full pass
+      (3L, "anything", None, None, None, None),
+      // NULL response: fails the active checks, passes the vacuous one
+      (4L, null.asInstanceOf[String], Some(1L), Some("x"), None, None)
+    ).toDF("pair_id", "response", "min_words", "keyword", "forbidden",
+      "must_end_with")
+    val got = ops.Chat.instructionChecks(rows).orderBy("pair_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getInt(6)))
+    assert(got.toSeq == Seq(
+      (1L, 4L, 1, 1, 1, 1, 1),
+      (2L, 2L, 0, 1, 1, 1, 0),
+      (3L, 1L, 1, 1, 1, 1, 1),
+      (4L, 0L, 0, 0, 1, 1, 0)))
+  }
+
   test("cohenKappa: hand-computed kappa, pe=1 degenerate NULLs, " +
     "disjoint label sets keep the group, nulls excluded") {
     val rows = Seq(
