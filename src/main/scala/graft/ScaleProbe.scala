@@ -487,6 +487,15 @@ object ScaleProbe {
               when((col("doc_id") * 31) % 101 < 25, 1).otherwise(0)
                 .as("passed")), ks = Seq(1, 5))
             .agg(sum("pass_at_1"), sum("pass_at_5")).head(); 1L },
+        "instruction_checks" -> { d =>
+          graft.ops.Chat.instructionChecks(d.select(
+              col("doc_id").as("pair_id"), col("text").as("response"),
+              (lit(5) + col("doc_id") % 20).cast("long").as("min_words"),
+              when(length(col("text")) >= 6,
+                substring(lower(col("text")), 3, 4)).as("keyword"),
+              lit("zzqq").as("forbidden"),
+              when(col("doc_id") % 3 === 0, lit(".")).as("must_end_with")))
+            .agg(sum("all_pass"), sum("n_words")).head(); 1L },
         "chrf" -> { d =>
           val nxt = d.select((col("doc_id") - 1).as("doc_id"),
             col("text").as("ntext"))
@@ -683,6 +692,14 @@ object ScaleProbe {
         "hard_negatives" -> { d =>
           Similarity.hardNegatives(d, k = 3, planes = 6)
             .agg(sum("cosine"), count(lit(1))).head(); 1L },
+        "pool_divergence" -> { d =>
+          val cents = d.filter(col("vec_id") < 3)
+            .select(col("vec_id"), col("embedding").cast("array<double>"))
+            .collect().toSeq
+            .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          Similarity.poolDivergence(d.filter(col("label") % 2 === 0),
+              d.filter(col("label") % 2 === 1), cents)
+            .agg(sum("jeffreys")).head(); 1L },
         "bitext_margin" -> { d =>
           Similarity.bitextMine(d.filter(col("label") % 2 === 0),
               d.filter(col("label") % 2 === 1), k = 4, planes = 4)
