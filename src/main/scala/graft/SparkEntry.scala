@@ -2568,6 +2568,24 @@ object SparkEntry {
         .orderBy("pair_id")
     }),
 
+    // extractive-fragment coverage/density over synthesized summaries:
+    // %3=0 verbatim windows, %3=1 fully abstractive, %3=2 half-lifted —
+    // the Newsroom diagnostic in its relational per-position form
+    "q265_extractive_fragments" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      val toks = filter(TextOps.wsTokens(lower(col("text"))),
+        w => length(w) > 0)
+      val summary = when(col("doc_id") % 3 === 0,
+          concat_ws(" ", slice(toks, 3, 10)))
+        .when(col("doc_id") % 3 === 1,
+          concat_ws(" ", lit("summary"), lit("of"), col("source")))
+        .otherwise(concat(concat_ws(" ", slice(toks, 1, 4)),
+          lit(" entirely novel trailing commentary")))
+      TextOps.extractiveFragments(d.select(col("doc_id").as("pair_id"),
+          col("text").as("article"), summary.as("summary")))
+        .orderBy("pair_id")
+    }),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -3822,6 +3840,62 @@ object SparkEntry {
        |ORDER BY bf.a_id""".stripMargin
   }
 
+  /** Extractive-fragments oracle: the same ≤8-token windows per
+    * position, the same innermost-out prefix-match CASE chain (list
+    * indexing past a short window is NULL → ELSE, mirroring the
+    * guarded get()), per-position max, exact-quotient coverage and
+    * density. */
+  private def extractiveOracle: String = {
+    val maxLen = 8
+    def eq(t: Int) = s"(ws[$t] IS NOT NULL AND ws[$t] = wa[$t])"
+    def chain(t: Int): String =
+      if (t == maxLen)
+        s"CASE WHEN ${eq(maxLen)} THEN $maxLen ELSE ${maxLen - 1} END"
+      else s"CASE WHEN ${eq(t)} THEN ${chain(t + 1)} ELSE ${t - 1} END"
+    s"""WITH d AS (
+       |  SELECT doc_id AS id,
+       |    list_filter(string_split(lower(text), ' '),
+       |      x -> len(x) > 0) AS at,
+       |    CASE
+       |      WHEN doc_id % 3 = 0 THEN array_to_string(list_slice(
+       |        list_filter(string_split(lower(text), ' '),
+       |          x -> len(x) > 0), 3, 12), ' ')
+       |      WHEN doc_id % 3 = 1 THEN 'summary of ' || source
+       |      ELSE array_to_string(list_slice(
+       |        list_filter(string_split(lower(text), ' '),
+       |          x -> len(x) > 0), 1, 4), ' ')
+       |        || ' entirely novel trailing commentary' END AS stext
+       |  FROM documents WHERE text IS NOT NULL),
+       |dd AS (
+       |  SELECT id, at, list_filter(string_split(lower(stext), ' '),
+       |    x -> len(x) > 0) AS st
+       |  FROM d),
+       |se AS (
+       |  SELECT id, i, list_slice(st, i, i + $maxLen - 1) AS ws
+       |  FROM (SELECT id, st,
+       |          unnest(generate_series(1, len(st))) AS i FROM dd) z),
+       |ae AS (
+       |  SELECT id, j, list_slice(at, j, j + $maxLen - 1) AS wa
+       |  FROM (SELECT id, at,
+       |          unnest(generate_series(1, len(at))) AS j FROM dd) z),
+       |m AS (
+       |  SELECT se.id, se.i, max(${chain(1)}) AS bl
+       |  FROM se JOIN ae ON se.id = ae.id AND se.ws[1] = ae.wa[1]
+       |  GROUP BY 1, 2),
+       |pp AS (
+       |  SELECT se.id, coalesce(bl, 0) AS bl
+       |  FROM se LEFT JOIN m ON se.id = m.id AND se.i = m.i)
+       |SELECT id AS pair_id, count(*) AS n_tokens,
+       |  CAST(sum(CASE WHEN bl >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS matched_tokens,
+       |  CAST(max(bl) AS INTEGER) AS max_match,
+       |  CAST(sum(CASE WHEN bl >= 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS coverage,
+       |  CAST(sum(bl * bl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    AS density
+       |FROM pp GROUP BY 1 ORDER BY pair_id""".stripMargin
+  }
+
   /** Wilson-interval oracle: z and z² embedded as CAST-to-DOUBLE
     * literals (the q256 decimal-trap rule), the algebra mirrored
     * parenthesis-for-parenthesis; sqrt is IEEE-correctly-rounded. */
@@ -4550,6 +4624,7 @@ object SparkEntry {
     "q255_bitext_margin" -> bitextMineOracle,
     "q256_retrieval_eval" -> retrievalEvalOracle,
     "q260_wilson_winrate" -> wilsonOracle,
+    "q265_extractive_fragments" -> extractiveOracle,
 
     // q261: pass@k replayed — grouped n/c, the product form via a
     // generate_series fold of exact-integer divisions, n >= k guard

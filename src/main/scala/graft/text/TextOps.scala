@@ -2423,6 +2423,78 @@ object TextOps {
       .limit(topK)
   }
 
+  /** EXTRACTIVE-FRAGMENT coverage/density (the Newsroom diagnostic,
+    * Grusky et al. 2018, in its RELATIONAL form) — the
+    * summarization-data QA gauge: how much of a summary is lifted
+    * verbatim from its article, and in how long spans? Per summary
+    * token position i, `bestLen(i)` = the longest article match
+    * starting there (capped at `maxLen` — long verbatim runs saturate
+    * the verdict anyway); COVERAGE = fraction of positions with any
+    * match, DENSITY = mean bestLen² (Newsroom's density with per-
+    * position maxima instead of greedy consumption — order-free, so it
+    * joins instead of looping; ≥ the greedy value, same read: low
+    * coverage = abstractive/hallucination-risky, high density =
+    * copy-paste). Exact integers + one division each — bit-portable
+    * with no grid.
+    *
+    * Scale shape: both sides explode to (pair, position, ≤maxLen-token
+    * window) rows — window slices are bounded, full token arrays never
+    * join; candidates pair on (pair, first token) — the q251 class,
+    * never across pairs; one per-position max + one per-pair reduction,
+    * all partial-agged. */
+  def extractiveFragments(pairs: DataFrame, idCol: String = "pair_id",
+                          articleCol: String = "article",
+                          summaryCol: String = "summary",
+                          maxLen: Int = 8): DataFrame = {
+    require(maxLen >= 1 && maxLen <= 16, "maxLen out of range")
+    def toks(c: Column): Column =
+      filter(wsTokens(lower(c)), w => length(w) > 0)
+    // size guard: Spark sequence(1, 0) DESCENDS — an empty side must
+    // drop its pair (matching the oracle's empty generate_series), not
+    // explode a bogus [1, 0] position list
+    def windows(side: Column, posAs: String, winAs: String) = pairs
+      .filter(side.isNotNull)
+      .select(col(idCol).as("id"), toks(side).as("_t"))
+      .filter(size(col("_t")) > 0)
+      .select(col("id"), explode(expr(
+        s"transform(sequence(1, size(_t)), " +
+          s"i -> struct(i AS p, slice(_t, i, $maxLen) AS w))")).as("b"))
+      .select(col("id"), col("b.p").as(posAs), col("b.w").as(winAs))
+    val sExp = windows(col(summaryCol), "i", "ws")
+      .withColumn("k", element_at(col("ws"), 1))
+    val aExp = windows(col(articleCol), "j", "wa")
+      .withColumn("k", element_at(col("wa"), 1))
+    // prefix match length: innermost-out nested CASE over guarded
+    // element equality (positions past either window fail, never
+    // null-match)
+    // get() (0-based) is out-of-bounds-NULL even under ANSI, where
+    // element_at would throw on positions past a short window
+    val mlen = (1 to maxLen).reverse.foldLeft(lit(maxLen): Column) {
+      (inner, t) =>
+        when(get(col("ws"), lit(t - 1)).isNotNull &&
+          get(col("ws"), lit(t - 1)) === get(col("wa"), lit(t - 1)),
+          if (t == maxLen) lit(maxLen) else inner)
+          .otherwise(lit(t - 1))
+    }
+    val best = sExp.join(aExp, Seq("id", "k"))
+      .select(col("id"), col("i"), mlen.as("l"))
+      .groupBy("id", "i").agg(max("l").as("bl"))
+    val perPos = sExp.select(col("id"), col("i"))
+      .join(best, Seq("id", "i"), "left")
+      .select(col("id"), coalesce(col("bl"), lit(0)).as("bl"))
+    perPos.groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("bl") >= 1, 1L).otherwise(0L)).as("matched_tokens"),
+        max("bl").cast("int").as("max_match"),
+        sum((col("bl") * col("bl")).cast("long")).as("_d"))
+      .select(col("id").as(idCol), col("n_tokens"), col("matched_tokens"),
+        col("max_match"),
+        (col("matched_tokens").cast("double")
+          / col("n_tokens").cast("double")).as("coverage"),
+        (col("_d").cast("double") / col("n_tokens").cast("double"))
+          .as("density"))
+  }
+
   /** chrF — character n-gram F-β (Popović 2015), the reference-based
     * QA metric for translation / rewrite / distillation pairs (robust
     * to tokenization, which is why WMT adopted it over BLEU for

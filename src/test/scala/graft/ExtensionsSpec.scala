@@ -3727,6 +3727,26 @@ class ExtensionsSpec extends SparkSpec {
       (4L, 0L, 0, 0, 1, 1, 0)))
   }
 
+  test("extractiveFragments: per-position max match lengths, verbatim " +
+    "lift vs abstractive vs partial, repeated-token articles") {
+    val art = "the quick brown fox jumps over the lazy dog"
+    val pairs = Seq(
+      (1L, art, "quick brown fox"), // pure lift: bl = 3,2,1
+      (2L, art, "purple elephant"), // fully novel
+      (3L, art, "fox goes the"), // 1, 0, 1
+      (4L, "a a b", "a b") // best start wins: bl(1) = 2 via the 2nd 'a'
+    ).toDF("pair_id", "article", "summary")
+    val got = TextOps.extractiveFragments(pairs)
+      .orderBy("pair_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 3L, 3, 1.0, 14.0 / 3.0),
+      (2L, 2L, 0L, 0, 0.0, 0.0),
+      (3L, 3L, 2L, 1, 2.0 / 3.0, 2.0 / 3.0),
+      (4L, 2L, 2L, 2, 1.0, 5.0 / 2.0)))
+  }
+
   test("cohenKappa: hand-computed kappa, pe=1 degenerate NULLs, " +
     "disjoint label sets keep the group, nulls excluded") {
     val rows = Seq(
