@@ -487,6 +487,19 @@ object ScaleProbe {
               when((col("doc_id") * 31) % 101 < 25, 1).otherwise(0)
                 .as("passed")), ks = Seq(1, 5))
             .agg(sum("pass_at_1"), sum("pass_at_5")).head(); 1L },
+        "extractive_fragments" -> { d =>
+          val toks = filter(TextOps.wsTokens(lower(col("text"))),
+            w => length(w) > 0)
+          val summary = when(col("doc_id") % 3 === 0,
+              concat_ws(" ", slice(toks, 3, 10)))
+            .when(col("doc_id") % 3 === 1,
+              concat_ws(" ", lit("summary"), lit("of"), col("source")))
+            .otherwise(concat(concat_ws(" ", slice(toks, 1, 4)),
+              lit(" entirely novel trailing commentary")))
+          TextOps.extractiveFragments(d.filter(col("text").isNotNull)
+              .select(col("doc_id").as("pair_id"),
+                col("text").as("article"), summary.as("summary")))
+            .agg(sum("density"), sum("matched_tokens")).head(); 1L },
         "instruction_checks" -> { d =>
           graft.ops.Chat.instructionChecks(d.select(
               col("doc_id").as("pair_id"), col("text").as("response"),
