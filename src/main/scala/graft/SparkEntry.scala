@@ -2586,6 +2586,18 @@ object SparkEntry {
         .orderBy("pair_id")
     }),
 
+    // self-consistency majority vote over 5-sample prompts: answers
+    // collide on a coarse residue (so real majorities form), %13
+    // samples abstain (NULL counts, never wins)
+    "q266_self_consistency" -> ((s, dir) =>
+      ops.Chat.selfConsistency(t(s, dir, "documents").select(
+          expr("doc_id div 5").as("prompt_id"),
+          when(col("doc_id") % 13 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("Answer "),
+              (((col("doc_id") * 31) % 101) % 3).cast("string")))
+            .as("answer")))
+        .orderBy("prompt_id")),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -6534,6 +6546,35 @@ object SparkEntry {
         |          THEN 1 ELSE 0 END) = 1
         |    THEN 1 ELSE 0 END AS INTEGER) AS all_pass
         |FROM sc ORDER BY pair_id""".stripMargin,
+
+    // q266: the vote replayed — normalized answers, (prompt, answer)
+    // counts, (−votes, answer) argmin tie rule, exact agreement
+    "q266_self_consistency" ->
+      """WITH s AS (
+        |  SELECT doc_id // 5 AS p,
+        |    CASE WHEN doc_id % 13 = 0 THEN NULL
+        |         ELSE regexp_replace(lower(trim(
+        |           'Answer ' || CAST(((doc_id * 31) % 101) % 3
+        |             AS VARCHAR))), '\s+', ' ', 'g') END AS a
+        |  FROM documents),
+        |v AS (SELECT p, a, count(*) AS v FROM s GROUP BY 1, 2),
+        |n AS (SELECT p, CAST(sum(v) AS BIGINT) AS n_samples
+        |      FROM v GROUP BY 1),
+        |w AS (
+        |  SELECT p, a AS majority_answer, v AS votes FROM (
+        |    SELECT p, a, v, row_number() OVER (PARTITION BY p
+        |      ORDER BY v DESC, a ASC) AS rk
+        |    FROM v WHERE a IS NOT NULL) z
+        |  WHERE rk = 1)
+        |SELECT n.p AS prompt_id, n_samples, majority_answer,
+        |  coalesce(votes, CAST(0 AS BIGINT)) AS votes,
+        |  CASE WHEN n_samples > 0
+        |       THEN CAST(coalesce(votes, CAST(0 AS BIGINT)) AS DOUBLE)
+        |            / CAST(n_samples AS DOUBLE) END AS agreement,
+        |  CAST(CASE WHEN coalesce(votes, CAST(0 AS BIGINT)) = n_samples
+        |       THEN 1 ELSE 0 END AS INTEGER) AS unanimous
+        |FROM n LEFT JOIN w ON n.p = w.p
+        |ORDER BY prompt_id""".stripMargin,
 
     // q231: q205's clone prelude + q204's gate aggregation + the digest
     // dedup window restricted to gate survivors

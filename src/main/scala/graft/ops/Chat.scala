@@ -339,6 +339,40 @@ object Chat {
       .select(col("model"), col("n_matches"), col("wins"), col("rating"))
   }
 
+  /** SELF-CONSISTENCY majority vote (Wang et al. 2023) — the test-time
+    * aggregation for sampled chain-of-thought answers, and the label
+    * rule for distillation sets built from N samples: per prompt, the
+    * modal ANSWER (answers normalized by case-fold + whitespace
+    * collapse, so surface variants pool), its vote count, the
+    * agreement rate votes/n (ONE exact division), and a `unanimous`
+    * flag. Ties break to the lexicographically smallest normalized
+    * answer — deterministic, and stable under resampling order. NULL
+    * answers count toward n (the model failed to answer) but never win.
+    * One (prompt, answer) grouped count + one per-prompt argmax —
+    * partial-agged; answers move once. */
+  def selfConsistency(samples: DataFrame, promptCol: String = "prompt_id",
+                      answerCol: String = "answer"): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(answerCol))), "\\s+", " ")
+    val votes = samples.select(col(promptCol).as("p"), norm.as("a"))
+      .groupBy("p", "a").agg(count(lit(1)).as("v"))
+    val n = votes.groupBy("p").agg(sum("v").as("n_samples"))
+    // argmax by (votes DESC, answer ASC): strings can't be negated for
+    // a max-struct key, so take MIN over (−votes, answer)
+    val win = votes.filter(col("a").isNotNull)
+      .groupBy("p")
+      .agg(min(struct((-col("v")).as("nv"), col("a").as("a"))).as("_w"))
+      .select(col("p"), col("_w.a").as("majority_answer"),
+        (-col("_w.nv")).as("votes"))
+    n.join(win, Seq("p"), "left")
+      .select(col("p").as(promptCol), col("n_samples"),
+        col("majority_answer"), coalesce(col("votes"), lit(0L)).as("votes"),
+        when(col("n_samples") > 0, coalesce(col("votes"), lit(0L))
+          .cast("double") / col("n_samples").cast("double"))
+          .as("agreement"),
+        (coalesce(col("votes"), lit(0L)) === col("n_samples"))
+          .cast("int").as("unanimous"))
+  }
+
   /** VERIFIABLE-INSTRUCTION checks (the IFEval shape) — score responses
     * against per-row MACHINE-CHECKABLE constraints instead of a judge
     * model: minimum word count, required keyword, forbidden keyword,

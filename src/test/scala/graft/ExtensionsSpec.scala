@@ -3747,6 +3747,26 @@ class ExtensionsSpec extends SparkSpec {
       (4L, 2L, 2L, 2, 1.0, 5.0 / 2.0)))
   }
 
+  test("selfConsistency: surface variants pool, ties break " +
+    "lexicographically, abstentions count but never win") {
+    val samples = Seq(
+      (1L, "Yes"), (1L, " yes "), (1L, "no"), // variants pool: yes wins
+      (2L, "a"), (2L, "b"), // tie: lexicographically smallest
+      (3L, null.asInstanceOf[String]), (3L, "x"), (3L, null), // x wins 1/3
+      (4L, null.asInstanceOf[String]) // all abstain
+    ).toDF("prompt_id", "answer")
+    val got = ops.Chat.selfConsistency(samples)
+      .orderBy("prompt_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4), r.getInt(5)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, "yes", 2L, 2.0 / 3.0, 0),
+      (2L, 2L, "a", 1L, 0.5, 0),
+      (3L, 3L, "x", 1L, 1.0 / 3.0, 0),
+      (4L, 1L, null, 0L, 0.0, 0)))
+  }
+
   test("cohenKappa: hand-computed kappa, pe=1 degenerate NULLs, " +
     "disjoint label sets keep the group, nulls excluded") {
     val rows = Seq(
