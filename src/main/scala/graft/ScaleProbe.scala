@@ -487,6 +487,14 @@ object ScaleProbe {
               when((col("doc_id") * 31) % 101 < 25, 1).otherwise(0)
                 .as("passed")), ks = Seq(1, 5))
             .agg(sum("pass_at_1"), sum("pass_at_5")).head(); 1L },
+        "self_consistency" -> { d =>
+          graft.ops.Chat.selfConsistency(d.select(
+              expr("doc_id div 5").as("prompt_id"),
+              when(col("doc_id") % 13 === 0, lit(null).cast("string"))
+                .otherwise(concat(lit("Answer "),
+                  (((col("doc_id") * 31) % 101) % 3).cast("string")))
+                .as("answer")))
+            .agg(sum("votes"), sum("n_samples")).head(); 1L },
         "extractive_fragments" -> { d =>
           val toks = filter(TextOps.wsTokens(lower(col("text"))),
             w => length(w) > 0)
