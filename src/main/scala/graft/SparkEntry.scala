@@ -2598,6 +2598,23 @@ object SparkEntry {
             .as("answer")))
         .orderBy("prompt_id")),
 
+    // structured-output QA over synthesized JSON-mode responses: %4
+    // residues give valid objects, truncated JSON, prose, and numeric
+    // fields — per-source extraction rates for '$.answer'
+    "q267_structured_output" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val resp = when(col("doc_id") % 4 === 0,
+          concat(lit("{\"answer\": \"a"), (col("doc_id") % 7).cast("string"),
+            lit("\", \"confidence\": "), (col("doc_id") % 100).cast("string"),
+            lit("}")))
+        .when(col("doc_id") % 4 === 1, lit("{\"answer\": \"a\""))
+        .when(col("doc_id") % 4 === 2, col("text"))
+        .otherwise(lit("{\"answer\": 42}"))
+      TextOps.structuredOutputRate(
+          d.select(col("source"), resp.as("text")))
+        .orderBy("source")
+    }),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -6575,6 +6592,33 @@ object SparkEntry {
         |       THEN 1 ELSE 0 END AS INTEGER) AS unanimous
         |FROM n LEFT JOIN w ON n.p = w.p
         |ORDER BY prompt_id""".stripMargin,
+
+    // q267: extraction replayed — json_valid guard (DuckDB's extract
+    // ERRORS on malformed input where Spark's returns NULL), same
+    // residue synthesis, exact-quotient rates
+    "q267_structured_output" ->
+      """WITH r AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 4 = 0 THEN
+        |           '{"answer": "a' || CAST(doc_id % 7 AS VARCHAR) ||
+        |           '", "confidence": ' || CAST(doc_id % 100 AS VARCHAR)
+        |           || '}'
+        |         WHEN doc_id % 4 = 1 THEN '{"answer": "a"'
+        |         WHEN doc_id % 4 = 2 THEN text
+        |         ELSE '{"answer": 42}' END AS resp
+        |  FROM documents),
+        |e AS (
+        |  SELECT source,
+        |    CASE WHEN json_valid(resp)
+        |         THEN json_extract_string(resp, '$.answer') END AS v
+        |  FROM r)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_valid,
+        |  CAST(count(DISTINCT v) AS BIGINT) AS n_distinct_values,
+        |  CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS valid_rate
+        |FROM e GROUP BY 1 ORDER BY source""".stripMargin,
 
     // q231: q205's clone prelude + q204's gate aggregation + the digest
     // dedup window restricted to gate survivors

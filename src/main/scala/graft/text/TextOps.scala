@@ -2423,6 +2423,30 @@ object TextOps {
       .limit(topK)
   }
 
+  /** STRUCTURED-OUTPUT extraction QA — the JSON-mode health gauge for
+    * model responses that are SUPPOSED to be machine-readable: per
+    * group (model version, prompt template, source), how many responses
+    * yield the required JSON field at `path`, the exact-quotient rate,
+    * and the distinct extracted-value count (a 1-value column on a
+    * supposedly varied field is its own red flag). Truncated JSON,
+    * prose, and valid JSON MISSING the field all count as failures —
+    * the consumer's definition of usable. Map-side extraction + one
+    * grouped count; responses never shuffle. */
+  def structuredOutputRate(df: DataFrame, textCol: String = "text",
+                           path: String = "$.answer",
+                           groupCols: Seq[String] = Seq("source"))
+      : DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val extracted = get_json_object(col(textCol), path)
+    df.select((groupCols.map(col) :+ extracted.as("_v")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_v").isNotNull, 1L).otherwise(0L)).as("n_valid"),
+        count_distinct(col("_v")).as("n_distinct_values"))
+      .withColumn("valid_rate", col("n_valid").cast("double")
+        / col("n_docs").cast("double"))
+  }
+
   /** EXTRACTIVE-FRAGMENT coverage/density (the Newsroom diagnostic,
     * Grusky et al. 2018, in its RELATIONAL form) — the
     * summarization-data QA gauge: how much of a summary is lifted

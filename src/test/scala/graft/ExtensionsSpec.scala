@@ -3767,6 +3767,21 @@ class ExtensionsSpec extends SparkSpec {
       (4L, 1L, null, 0L, 0.0, 0)))
   }
 
+  test("structuredOutputRate: valid objects extract, truncated JSON / " +
+    "prose / missing field fail, distinct values counted") {
+    val rows = Seq(
+      ("m1", """{"answer": "yes"}"""), ("m1", """{"answer": "no"}"""),
+      ("m1", """{"answer": "yes" """), // truncated: fail
+      ("m1", "plain prose"), // fail
+      ("m2", """{"answer": 42}"""), // numeric field extracts as "42"
+      ("m2", """{"other": 1}""") // valid JSON, field missing: fail
+    ).toDF("source", "text")
+    val got = TextOps.structuredOutputRate(rows).orderBy("source").collect()
+    assert(got(0).getLong(1) == 4L && got(0).getLong(2) == 2L &&
+      got(0).getLong(3) == 2L && got(0).getDouble(4) == 0.5)
+    assert(got(1).getLong(2) == 1L && got(1).getDouble(4) == 0.5)
+  }
+
   test("cohenKappa: hand-computed kappa, pe=1 degenerate NULLs, " +
     "disjoint label sets keep the group, nulls excluded") {
     val rows = Seq(
