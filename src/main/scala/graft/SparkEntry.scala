@@ -2615,6 +2615,18 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // the published arena table: BT ratings + Wilson intervals joined,
+    // ranked by rating — q249 and q260 composed end-to-end
+    "q268_arena_leaderboard" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val b = concat(lit("src"), ((col("doc_id") * 7 + 3) % 20).cast("string"))
+      ops.Chat.arenaLeaderboard(d.select(col("source").as("model_a"),
+          b.as("model_b"),
+          when(((col("doc_id") * 31) % 101) % 2 === 0, col("source"))
+            .otherwise(b).as("winner")))
+        .orderBy("arena_rank")
+    }),
+
     // fetcher-shard plan over synthesized per-source hosts: md5 shard
     // assignment + per-shard load (hosts, urls, largest host)
     "q177_host_shard_plan" -> ((s, dir) => {
@@ -3963,6 +3975,95 @@ object SparkEntry {
        |FROM c ORDER BY model""".stripMargin
   }
 
+  /** Arena-leaderboard oracle: the q249 MM chain and the q260 Wilson
+    * algebra over the SAME match CTE, joined, ranked by rating. */
+  private def arenaOracle: String = {
+    val zS = s"CAST(${java.lang.Double.toString(1.96)} AS DOUBLE)"
+    val z2S = s"CAST(${java.lang.Double.toString(1.96 * 1.96)} AS DOUBLE)"
+    s"""WITH m AS (
+       |  SELECT source AS a,
+       |         'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS b,
+       |         CASE WHEN ((doc_id * 31) % 101) % 2 = 0 THEN source
+       |              ELSE 'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
+       |              END AS w
+       |  FROM documents
+       |  WHERE source IS NOT NULL
+       |    AND source <> 'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)),
+       |nm AS (
+       |  SELECT i, j, count(*) AS n FROM (
+       |    SELECT a AS i, b AS j FROM m
+       |    UNION ALL SELECT b AS i, a AS j FROM m)
+       |  GROUP BY 1, 2),
+       |base AS (
+       |  SELECT model, coalesce(wins, CAST(0 AS BIGINT)) AS wins FROM
+       |    (SELECT DISTINCT i AS model FROM nm) mo
+       |    LEFT JOIN (SELECT w AS model, count(*) AS wins FROM m
+       |               GROUP BY 1) wi USING (model)),
+       |r0 AS (SELECT model, CAST(1.0 AS DOUBLE) AS rating FROM base),
+       |d1 AS (
+       |  SELECT nm.i AS model, list_reduce(list_transform(
+       |      list_sort(list(struct_pack(j := nm.j, t :=
+       |        CASE WHEN ra.rating + rb.rating > 0
+       |             THEN CAST(nm.n AS DOUBLE) / (ra.rating + rb.rating)
+       |             ELSE CAST(0.0 AS DOUBLE) END))),
+       |      x -> x.t), (p, q) -> p + q) AS denom
+       |  FROM nm JOIN r0 ra ON nm.i = ra.model
+       |           JOIN r0 rb ON nm.j = rb.model
+       |  GROUP BY nm.i),
+       |r1 AS (
+       |  SELECT base.model,
+       |         CASE WHEN denom > 0
+       |              THEN CAST(wins AS DOUBLE) / denom
+       |              ELSE CAST(0.0 AS DOUBLE) END AS rating
+       |  FROM base JOIN d1 USING (model)),
+       |d2 AS (
+       |  SELECT nm.i AS model, list_reduce(list_transform(
+       |      list_sort(list(struct_pack(j := nm.j, t :=
+       |        CASE WHEN ra.rating + rb.rating > 0
+       |             THEN CAST(nm.n AS DOUBLE) / (ra.rating + rb.rating)
+       |             ELSE CAST(0.0 AS DOUBLE) END))),
+       |      x -> x.t), (p, q) -> p + q) AS denom
+       |  FROM nm JOIN r1 ra ON nm.i = ra.model
+       |           JOIN r1 rb ON nm.j = rb.model
+       |  GROUP BY nm.i),
+       |r2 AS (
+       |  SELECT base.model,
+       |         CASE WHEN denom > 0
+       |              THEN CAST(wins AS DOUBLE) / denom
+       |              ELSE CAST(0.0 AS DOUBLE) END AS rating
+       |  FROM base JOIN d2 USING (model)),
+       |nmat AS (SELECT i AS model, CAST(sum(n) AS BIGINT) AS n_matches
+       |         FROM nm GROUP BY 1),
+       |gg AS (
+       |  SELECT model, count(*) AS n_games,
+       |    CAST(sum(CASE WHEN w = model THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS gwins
+       |  FROM (SELECT a AS model, w FROM m
+       |        UNION ALL SELECT b AS model, w FROM m) u
+       |  GROUP BY 1),
+       |cc AS (
+       |  SELECT model, n_games,
+       |    CAST(gwins AS DOUBLE) / CAST(n_games AS DOUBLE) AS p,
+       |    CAST(n_games AS DOUBLE) AS n
+       |  FROM gg),
+       |wil AS (
+       |  SELECT model, n_games, p AS win_rate,
+       |    (p + $z2S / (n * 2)) / (1 + $z2S / n)
+       |      - ($zS * sqrt(p * (1 - p) / n + $z2S / (n * n * 4)))
+       |        / (1 + $z2S / n) AS wilson_lo,
+       |    (p + $z2S / (n * 2)) / (1 + $z2S / n)
+       |      + ($zS * sqrt(p * (1 - p) / n + $z2S / (n * n * 4)))
+       |        / (1 + $z2S / n) AS wilson_hi
+       |  FROM cc)
+       |SELECT base.model, n_matches, wins, rating, n_games, win_rate,
+       |  wilson_lo, wilson_hi,
+       |  CAST(row_number() OVER (ORDER BY rating DESC, base.model)
+       |    AS INTEGER) AS arena_rank
+       |FROM base JOIN nmat USING (model) JOIN r2 USING (model)
+       |     JOIN wil USING (model)
+       |ORDER BY arena_rank""".stripMargin
+  }
+
   /** Retrieval-eval oracle: the same plan-time 1/log₂(i+1) discount
     * literals (Double.toString — the planeComponent convention), the
     * md5-ordered run replay, rank-ordered list_reduce DCG folds, and
@@ -4653,6 +4754,7 @@ object SparkEntry {
     "q255_bitext_margin" -> bitextMineOracle,
     "q256_retrieval_eval" -> retrievalEvalOracle,
     "q260_wilson_winrate" -> wilsonOracle,
+    "q268_arena_leaderboard" -> arenaOracle,
     "q265_extractive_fragments" -> extractiveOracle,
 
     // q261: pass@k replayed — grouped n/c, the product form via a

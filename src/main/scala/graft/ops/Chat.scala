@@ -473,6 +473,25 @@ object Chat {
     }
   }
 
+  /** ARENA LEADERBOARD — the published table: [[bradleyTerry]]'s
+    * strength fit joined with [[winRateWilson]]'s honest intervals, one
+    * row per model ranked by rating (ties to model name). Note the two
+    * denominators differ by design: `n_matches` counts every valid
+    * a≠b comparison (all of them shape the MM fit), `n_games` only
+    * DECIDED ones (winner ∈ {a, b}) — a gap between the two is the
+    * corpus's invalid-verdict rate. The rank window runs over |models|
+    * rows (the rrfFuse bounded-window convention). */
+  def arenaLeaderboard(matches: DataFrame, iterations: Int = 2,
+                       z: Double = 1.96): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("rating").desc, col("model"))
+    bradleyTerry(matches, iterations = iterations)
+      .join(winRateWilson(matches, z = z)
+        .select(col("model"), col("n_games"), col("win_rate"),
+          col("wilson_lo"), col("wilson_hi")), "model")
+      .withColumn("arena_rank", row_number().over(w))
+  }
+
   /** LENGTH-BIAS audit over preference pairs — the classic reward-model
     * failure (verbosity bias: "longer sounds better"): if the chosen
     * response out-lengths the rejected one far above chance, DPO/RLHF

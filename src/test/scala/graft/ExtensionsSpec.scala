@@ -3782,6 +3782,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(1).getLong(2) == 1L && got(1).getDouble(4) == 0.5)
   }
 
+  test("arenaLeaderboard: BT ratings and Wilson intervals joined, " +
+    "ranked by rating with name tie-break") {
+    val matches = Seq(
+      ("A", "C", "A"), ("B", "C", "B"), ("A", "B", "A")
+    ).toDF("model_a", "model_b", "winner")
+    val got = ops.Chat.arenaLeaderboard(matches)
+      .orderBy("arena_rank").collect()
+    // rating order from the bradleyTerry spec trace: A > B > C
+    assert(got.map(_.getString(0)).toSeq == Seq("A", "B", "C"))
+    assert(got.map(r => r.getInt(r.length - 1)).toSeq == Seq(1, 2, 3))
+    // the Wilson columns ride along: C lost everything
+    val c = got(2)
+    // lo ~ 0 up to the sqrt(fl(z**2)) ulp; hi stays well under 1
+    assert(c.getAs[Double]("win_rate") == 0.0 &&
+      math.abs(c.getAs[Double]("wilson_lo")) < 1e-12 &&
+      c.getAs[Double]("wilson_hi") < 0.9)
+  }
+
   test("cohenKappa: hand-computed kappa, pe=1 degenerate NULLs, " +
     "disjoint label sets keep the group, nulls excluded") {
     val rows = Seq(
