@@ -487,6 +487,24 @@ object ScaleProbe {
               when((col("doc_id") * 31) % 101 < 25, 1).otherwise(0)
                 .as("passed")), ks = Seq(1, 5))
             .agg(sum("pass_at_1"), sum("pass_at_5")).head(); 1L },
+        "structured_output" -> { d =>
+          val resp = when(col("doc_id") % 4 === 0,
+              concat(lit("{\"answer\": \"a"),
+                (col("doc_id") % 7).cast("string"), lit("\"}")))
+            .when(col("doc_id") % 4 === 1, lit("{\"answer\": \"a\""))
+            .when(col("doc_id") % 4 === 2, col("text"))
+            .otherwise(lit("{\"answer\": 42}"))
+          TextOps.structuredOutputRate(
+              d.select(col("source"), resp.as("text")))
+            .agg(sum("n_valid")).head(); 1L },
+        "arena_leaderboard" -> { d =>
+          val b = concat(lit("src"),
+            ((col("doc_id") * 7 + 3) % 20).cast("string"))
+          graft.ops.Chat.arenaLeaderboard(d.select(
+              col("source").as("model_a"), b.as("model_b"),
+              when(((col("doc_id") * 31) % 101) % 2 === 0, col("source"))
+                .otherwise(b).as("winner")))
+            .agg(sum("rating"), sum("arena_rank")).head(); 1L },
         "self_consistency" -> { d =>
           graft.ops.Chat.selfConsistency(d.select(
               expr("doc_id div 5").as("prompt_id"),
