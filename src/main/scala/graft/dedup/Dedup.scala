@@ -717,10 +717,16 @@ object Dedup {
     * parquet files carry no bucketing metadata); this one re-reads each
     * table, physically drops tombstoned rows, and rewrites through the
     * SAME `bucketBy` spec (auto-detected from the catalog) into a tmp
-    * table, then swaps via drop + rename — the Writers.compact
-    * crash-safety pattern: a failure before the swap leaves the
-    * original table untouched. Clears the tombstone table (removals
-    * are now physical). Returns (sig rows, band rows) kept. */
+    * table, then swaps via rename-out / rename-in / drop-backup: the
+    * live table is first RENAMED to `<table>_compact_bak` (never
+    * dropped while it is the only copy), the tmp table renamed in, and
+    * only then is the backup dropped — a failure before the first
+    * rename leaves the original untouched, and a crash inside the
+    * narrow two-rename window is recoverable by hand (`ALTER TABLE
+    * <table>_compact_bak RENAME TO <table>`; the next compaction also
+    * clears any leftover `_compact_tmp`/`_compact_bak`). Clears the
+    * tombstone table (removals are now physical). Returns (sig rows,
+    * band rows) kept. */
   def compactSignatureIndex(spark: org.apache.spark.sql.SparkSession,
                             name: String): (Long, Long) = {
     def numBuckets(table: String): Int =
@@ -743,8 +749,11 @@ object Dedup {
         .bucketBy(buckets, bucketCol).sortBy(bucketCol)
         .saveAsTable(tmp)
       val n = spark.table(tmp).count()
-      spark.sql(s"DROP TABLE $table")
+      val bak = s"${table}_compact_bak"
+      spark.sql(s"DROP TABLE IF EXISTS $bak")
+      spark.sql(s"ALTER TABLE $table RENAME TO $bak")
       spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      spark.sql(s"DROP TABLE $bak")
       n
     }
     val nSigs = rewrite("sigs", "id")
@@ -1571,11 +1580,15 @@ object Dedup {
       .withColumn("dup",
         when(col("o") * 2 * den >= (col("lc") + col("lp")) * num, 1)
           .otherwise(0))
+    // min over (negated metric, id) — the selfConsistency struct idiom —
+    // so best-pool ties break toward the smallest pool id under ANY id
+    // type (the negated-id form throws at analysis for string ids)
     val best = pairs.groupBy("cand_id")
-      .agg(max(struct(col("f1"), (-col("pool_id")).as("np"))).as("b"),
+      .agg(min(struct((-col("f1")).as("nf"),
+        col("pool_id").as("pid"))).as("b"),
         max("dup").as("_dup"))
-      .select(col("cand_id"), col("b.f1").as("best_f1"),
-        (-col("b.np")).as("best_pool_id"), col("_dup"))
+      .select(col("cand_id"), (-col("b.nf")).as("best_f1"),
+        col("b.pid").as("best_pool_id"), col("_dup"))
     candidates.filter(col(textCol).isNotNull)
       .select(col(idCol).as("cand_id"))
       .join(broadcast(clen), Seq("cand_id"), "left")

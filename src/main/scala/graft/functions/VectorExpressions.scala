@@ -773,12 +773,15 @@ case class ChrFStats(left: Expression, right: Expression, maxN: Int)
     val out = new Array[Any](maxN)
     var n = 1
     while (n <= maxN) {
-      val m = new java.util.HashMap[String, Long]()
+      // boxed values so the miss sentinel is a REAL null (a primitive
+      // Long value type would unbox a missing key to 0L and make the
+      // null guards dead code)
+      val m = new java.util.HashMap[String, java.lang.Long]()
       var i = 0
       while (i + n <= rs.length) {
         val g = rs.substring(i, i + n)
         val c = m.get(g)
-        m.put(g, if (c == null) 1L else c + 1L)
+        m.put(g, if (c == null) 1L else c.longValue + 1L)
         i += 1
       }
       var o = 0L
@@ -786,7 +789,9 @@ case class ChrFStats(left: Expression, right: Expression, maxN: Int)
       while (i + n <= hs.length) {
         val g = hs.substring(i, i + n)
         val c = m.get(g)
-        if (c != null && c > 0L) { o += 1L; m.put(g, c - 1L) }
+        if (c != null && c.longValue > 0L) {
+          o += 1L; m.put(g, c.longValue - 1L)
+        }
         i += 1
       }
       out(n - 1) = org.apache.spark.sql.catalyst.InternalRow(n, o,

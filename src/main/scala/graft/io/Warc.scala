@@ -118,6 +118,94 @@ object Warc {
     -1
   }
 
+  /** Forward-only byte window over an InputStream — the incremental
+    * record-parse substrate for [[recordsDecoded]]: buffers only from
+    * the current consume point forward and fills on demand, so peak
+    * memory is the largest single record (plus one delimiter
+    * scan-ahead), NOT the inflated archive (a ~1 GB compressed Common
+    * Crawl WARC inflates to ~5 GB; materializing that per task is an
+    * executor OOM). Offsets are ABSOLUTE stream positions; the parse
+    * loop never looks behind the last `drop`. */
+  private final class ByteWindow(in: java.io.InputStream) {
+    private var buf = new Array[Byte](1 << 16)
+    private var base = 0L // absolute offset of buf(0)
+    private var len = 0   // valid bytes in buf
+    private var eof = false
+
+    /** Absolute end of currently buffered data (== total stream length
+      * once EOF has been reached). */
+    def end: Long = base + len
+
+    private def fill(): Boolean = {
+      if (eof) return false
+      if (len == buf.length) {
+        val grown = new Array[Byte](buf.length << 1)
+        System.arraycopy(buf, 0, grown, 0, len)
+        buf = grown
+      }
+      val n = in.read(buf, len, buf.length - len)
+      if (n < 0) { eof = true; false } else { len += n; true }
+    }
+
+    /** Buffer through absolute offset `upto` (exclusive); false when
+      * the stream ends first. */
+    def ensure(upto: Long): Boolean = {
+      while (base + len < upto && fill()) {}
+      base + len >= upto
+    }
+
+    /** Buffer the remainder of the stream (the no-Content-Length tail
+      * record case — bounded by that record's own size). */
+    def readToEof(): Unit = while (fill()) {}
+
+    /** First absolute offset >= `from` where `needle` matches, or -1
+      * when the rest of the stream has no match. */
+    def indexOf(needle: Array[Byte], from: Long): Long = {
+      var i = math.max(from, base)
+      while (true) {
+        if (!ensure(i + needle.length)) return -1L
+        val lastAbs = base + len - needle.length
+        while (i <= lastAbs) {
+          val off = (i - base).toInt
+          var j = 0
+          while (j < needle.length && buf(off + j) == needle(j)) j += 1
+          if (j == needle.length) return i
+          i += 1
+        }
+        if (!fill()) return -1L
+      }
+      -1L
+    }
+
+    /** Exact-position match test (the trailing-CRLFCRLF probe). */
+    def matchesAt(needle: Array[Byte], at: Long): Boolean = {
+      if (at < base || !ensure(at + needle.length)) return false
+      val off = (at - base).toInt
+      var j = 0
+      while (j < needle.length && buf(off + j) == needle(j)) j += 1
+      j == needle.length
+    }
+
+    /** Copy of buffered bytes [from, until) — callers ensure() first;
+      * both ends clamp to the buffered region. */
+    def slice(from: Long, until: Long): Array[Byte] = {
+      val u = math.min(until, base + len)
+      val f = math.min(math.max(from, base), u)
+      java.util.Arrays.copyOfRange(buf, (f - base).toInt, (u - base).toInt)
+    }
+
+    /** Discard buffered bytes before absolute offset `upto` — the
+      * memory-bound lever; parse never revisits dropped bytes. */
+    def drop(upto: Long): Unit = {
+      if (upto > base) {
+        val d = math.min(upto - base, len.toLong).toInt
+        System.arraycopy(buf, d, buf, 0, len - d)
+        base += d
+        len -= d
+      }
+    }
+  }
+
   private def headerField(hdr: String, name: String): Option[String] = {
     val m = java.util.regex.Pattern
       .compile("(?im)^" + java.util.regex.Pattern.quote(name) +
@@ -177,6 +265,11 @@ object Warc {
     * `.gz` members are inflated in-task, multi-member streams
     * included), all parsing per-row inside the scan, archive bytes
     * never shuffle; only decoded text and header fields flow on.
+    * Inflation is STREAMED record-by-record through a forward-only
+    * [[ByteWindow]]: peak task memory is the COMPRESSED archive (the
+    * `binaryFile` source materializes those bytes — ~1 GB for a
+    * standard Common Crawl segment) plus the largest single record,
+    * never the ~5× inflated archive.
     * `mapPartitions` is the honest tool here — per-record byte-level
     * codec work no Catalyst expression expresses (the
     * [[graft.multimodal.Multimodal]] decode precedent). */
@@ -191,50 +284,66 @@ object Warc {
       .select(col("path"), col("content"))
       .flatMap { fr =>
         val raw0 = fr.getAs[Array[Byte]]("content")
-        val bytes =
+        val in0 = new java.io.ByteArrayInputStream(raw0)
+        val in: java.io.InputStream =
           if (raw0.length >= 2 && (raw0(0) & 0xff) == 0x1f &&
-            (raw0(1) & 0xff) == 0x8b) {
-            val in = new java.util.zip.GZIPInputStream(
-              new java.io.ByteArrayInputStream(raw0))
-            try {
-              val out = new java.io.ByteArrayOutputStream()
-              val buf = new Array[Byte](65536)
-              var n = in.read(buf)
-              while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-              out.toByteArray
-            } finally in.close()
-          } else raw0
-        val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
-        var pos = indexOf(bytes, DelimBytes, 0)
-        while (pos >= 0) {
-          val hdrStart = pos + DelimBytes.length
-          val hdrEnd = indexOf(bytes, CrlfCrlf, hdrStart)
-          if (hdrEnd < 0) { pos = -1 }
-          else {
-            val hdr = new String(bytes, hdrStart, hdrEnd - hdrStart,
+            (raw0(1) & 0xff) == 0x8b)
+            // GZIPInputStream concatenates multi-member streams — same
+            // member semantics as the former whole-archive inflate
+            new java.util.zip.GZIPInputStream(in0)
+          else in0
+        val w = new ByteWindow(in)
+        new scala.collection.AbstractIterator[Row] {
+          private var pos: Long = w.indexOf(DelimBytes, 0L)
+          private var ready: Row = null
+
+          override def hasNext: Boolean = {
+            while (ready == null && pos >= 0L) parseOne()
+            ready != null
+          }
+
+          override def next(): Row = {
+            if (!hasNext) throw new NoSuchElementException("WARC scan")
+            val r = ready; ready = null; r
+          }
+
+          // parse ONE record at `pos` — the batch delimiter-scan
+          // semantics re-expressed in absolute stream offsets; advances
+          // `pos` and drops consumed bytes (the memory bound: one
+          // record, never the inflated archive)
+          private def parseOne(): Unit = {
+            val hdrStart = pos + DelimBytes.length
+            val hdrEnd = w.indexOf(CrlfCrlf, hdrStart)
+            if (hdrEnd < 0) { pos = -1L; return }
+            val hdr = new String(w.slice(hdrStart, hdrEnd),
               java.nio.charset.StandardCharsets.ISO_8859_1)
             val cStart = hdrEnd + 4
             val declaredLen = headerField(hdr, "Content-Length")
               .flatMap(v => scala.util.Try(v.toLong).toOption)
-            val nextDelim = indexOf(bytes, DelimBytes, cStart)
+            val nextDelim = w.indexOf(DelimBytes, cStart)
             val cEnd = declaredLen match {
               case Some(n) =>
-                math.min(cStart + n, bytes.length.toLong).toInt
+                w.ensure(cStart + n) // clamps at EOF like bytes.length
+                math.min(cStart + n, w.end)
               case None =>
-                val stop = if (nextDelim < 0) bytes.length else nextDelim
+                val stop =
+                  if (nextDelim < 0) { w.readToEof(); w.end }
+                  else nextDelim
                 // records end with \r\n\r\n before the next delimiter
-                if (stop - 4 >= cStart &&
-                  indexOf(bytes, CrlfCrlf, stop - 4) == stop - 4) stop - 4
+                if (stop - 4 >= cStart && w.matchesAt(CrlfCrlf, stop - 4))
+                  stop - 4
                 else stop
             }
-            val content =
-              java.util.Arrays.copyOfRange(bytes, cStart,
-                math.max(cEnd, cStart))
+            val content = w.slice(cStart, math.max(cEnd, cStart))
             // HTTP envelope split (response records)
             val isHttp = content.length >= 5 &&
               new String(content, 0, 5,
                 java.nio.charset.StandardCharsets.US_ASCII) == "HTTP/"
-            val envEnd = if (isHttp) indexOf(content, CrlfCrlf, 0) else -1
+            // Warc-qualified: the bare name would resolve to the
+            // inherited Iterator.indexOf via auto-tupling — infinite
+            // self-consumption
+            val envEnd =
+              if (isHttp) Warc.indexOf(content, CrlfCrlf, 0) else -1
             val (env, payload) =
               if (envEnd >= 0)
                 (new String(content, 0, envEnd,
@@ -270,7 +379,7 @@ object Warc {
               (new String(payload,
                 java.nio.charset.StandardCharsets.UTF_8), "utf-8", 0)
             }
-            rows += Row(
+            ready = Row(
               headerField(hdr, "WARC-Record-ID").orNull,
               headerField(hdr, "WARC-Type").orNull,
               headerField(hdr, "WARC-Target-URI").orNull,
@@ -281,10 +390,10 @@ object Warc {
               declared.orNull,
               used, ok, text)
             pos = if (nextDelim >= 0 && nextDelim < cEnd)
-              indexOf(bytes, DelimBytes, cEnd) else nextDelim
+              w.indexOf(DelimBytes, cEnd) else nextDelim
+            if (pos >= 0L) w.drop(pos)
           }
         }
-        rows
       }
   }
 

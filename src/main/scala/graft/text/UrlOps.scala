@@ -482,15 +482,21 @@ object UrlOps {
     * host's own rules (equi-join on host, the regex match as residual);
     * the winner is one max(struct(plen, allow, pattern)) aggregation —
     * map-side combined, no window, URL payloads never shuffle. Matching
-    * is on the raw path component (query/fragment excluded; bare-host
-    * URLs match as "/"). */
+    * is on the path PLUS query (de-facto REP matching — common crawler
+    * rules target query strings, e.g. a Disallow of slash-star followed
+    * by `?sessionid=`, and RFC 9309 §2.2.2's match target is the
+    * percent-encoded path-and-query);
+    * fragments are excluded, bare-host URLs match as "/", and a
+    * query-only URL ("http://h?x") matches as "/?x". */
   def robotsDecisions(urls: DataFrame, rules: DataFrame,
                       urlCol: String = "url",
                       idCol: String = "doc_id"): DataFrame = {
     val host = hostOf(col(urlCol))
-    val path = coalesce(nullif(regexp_extract(col(urlCol),
-      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)", 1), lit("")),
-      lit("/"))
+    val pq = regexp_extract(col(urlCol),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([/?][^#]*)", 1)
+    val path = when(pq === "", lit("/"))
+      .when(pq.startsWith("?"), concat(lit("/"), pq))
+      .otherwise(pq)
     val r = broadcast(rules.select(col("host").as("_r_host"),
       col("allow").as("_r_allow"), col("pattern").as("_r_pattern"),
       col("plen").as("_r_plen"), col("rx").as("_r_rx")))

@@ -4371,6 +4371,12 @@ class ExtensionsSpec extends SparkSpec {
     val tie = Dedup.rougeOneGate(tiePool,
       Seq((20L, "a b")).toDF("doc_id", "text")).head()
     assert(tie.getLong(3) == 3L && tie.getInt(4) == 0)
+    // string doc ids: the struct tie-break must not negate the id —
+    // ties break toward the lexicographically smallest pool id
+    val sPool = Seq(("p-b", "a b"), ("p-a", "a b")).toDF("doc_id", "text")
+    val sTie = Dedup.rougeOneGate(sPool,
+      Seq(("c-1", "a b")).toDF("doc_id", "text")).head()
+    assert(sTie.getString(3) == "p-a" && sTie.getInt(4) == 0)
   }
 
   test("clusterQuotaSelect: per-cluster cap by (score desc, id), " +

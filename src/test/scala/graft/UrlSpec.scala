@@ -346,4 +346,28 @@ class UrlSpec extends SparkSpec {
       (6L, 1, None), (7L, 1, Some("/dup")), (8L, 1, Some("/a/x")),
       (9L, 0, Some("/a/y"))))
   }
+
+  test("robotsDecisions: query strings participate in matching " +
+    "(de-facto REP — session-id style rules), fragments do not, " +
+    "query-only URLs match as /?q") {
+    val robots = Seq(
+      ("q.com", "User-agent: *\nDisallow: /*?sessionid=\n" +
+        "Disallow: /?landing"))
+      .toDF("host", "body")
+    val rules = UrlOps.robotsAgentRules(robots, "graftbot")
+    val urls = Seq(
+      (1L, "https://q.com/page?sessionid=abc"), // 0: wildcard-query rule
+      (2L, "https://q.com/page?other=1"),       // 1: query doesn't match
+      (3L, "https://q.com/page"),               // 1: no query at all
+      (4L, "https://q.com/x?sessionid=1#frag"), // 0: fragment excluded
+      (5L, "https://q.com?landing"))            // 0: query-only -> /?landing
+      .toDF("doc_id", "url")
+    val got = UrlOps.robotsDecisions(urls, rules).orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2), Option(r.getString(3))))
+      .toSeq
+    assert(got == Seq(
+      (1L, 0, Some("/*?sessionid=")), (2L, 1, None), (3L, 1, None),
+      (4L, 0, Some("/*?sessionid=")), (5L, 0, Some("/?landing"))))
+  }
 }
