@@ -260,6 +260,24 @@ object ScaleProbe {
                 "an" -> "d", "e" -> "r", "o" -> "n", "in" -> "g")))
               .as("w"))
             .agg(sum(length(col("w")))).head(); 1L },
+        // production-size merge table on the broadcast-kernel path —
+        // the regime where the literal fold is already unusable (4096
+        // chained replace nodes): per-word cost is O(len^2) pair
+        // lookups independent of |merges|, so the window must scale
+        // with corpus size only
+        "bpe_encode_kernel4096" -> { d =>
+          val spark = d.sparkSession
+          val merges = Seq("t" -> "h", "th" -> "e", "i" -> "n",
+            "a" -> "n", "an" -> "d", "e" -> "r", "o" -> "n",
+            "in" -> "g") ++
+            (for { c1 <- "etaoinshrdlucmfwypvbgkjqxz"
+                   c2 <- "etaoinshrdlucmfwypvbgkjqxz" }
+              yield (c1.toString, c2.toString)) ++
+            (1 to 4096).map(i => ("z" + "q" * i) -> "q")
+          val bc = TextOps.bpeMergesBroadcast(spark, merges)
+          d.select(explode(TextOps.bpeEncodeKernel(col("text"), bc))
+              .as("w"))
+            .agg(sum(length(col("w")))).head(); 1L },
         "contamination_report" -> { d =>
           val split = d.withColumn("s", TextOps.hashSplit(col("doc_id")))
           TextOps.contaminationReport(split.filter(col("s") === "train"),

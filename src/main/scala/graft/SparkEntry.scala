@@ -3005,6 +3005,26 @@ object SparkEntry {
           d.select(col("doc_id"), chatTurnsOf.as("turns")))
         .select("doc_id", "rendered", "digest", "keep")
         .orderBy("doc_id")
+    }),
+
+    // BPE encode through the BROADCAST-KERNEL path (q154's literal fold
+    // hits the plan-size ceiling around a few hundred merges; this is
+    // the production route for real 32k-merge tables): the 80-merge
+    // table routes bpeEncodeAuto past literalMax onto the kernel, whose
+    // fold the oracle replays verbatim via the boundary-aware
+    // doubled-space transcription; first 3 words of every 10th doc
+    // (the oracle pays ~320 string ops per word per merge chain)
+    "q269_bpe_encode_kernel" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull && col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          posexplode(TextOps.bpeEncodeAuto(s, col("text"), BpeMergesBig))
+            .as(Seq("pos", "encoded")))
+        .filter(col("pos") < 3)
+        .select(col("doc_id"), (col("pos") + 1).as("word_no"),
+          col("encoded"))
+        .withColumn("n_subwords", size(split(col("encoded"), " ")))
+        .orderBy("doc_id", "word_no")
     })
   )
 
@@ -3021,6 +3041,37 @@ object SparkEntry {
     BpeMerges.foldLeft(s"array_to_string(string_split($word, ''), ' ')") {
       case (acc, (a, b)) => s"replace($acc, '$a $b', '$a$b')"
     }
+
+  /** q269's merge table: q154's 8 chained merges as the head, then 72
+    * generated single-letter pairs (frequency-ordered alphabet, head
+    * duplicates excluded) — 80 total, past bpeEncodeAuto's literalMax,
+    * so the query exercises the broadcast-kernel route. */
+  private val BpeMergesBig: Seq[(String, String)] = {
+    val letters = "etaoinshrd"
+    val headSet = BpeMerges.toSet
+    val gen = for { c1 <- letters; c2 <- letters }
+      yield (c1.toString, c2.toString)
+    BpeMerges ++ gen.filterNot(headSet.contains).take(72)
+  }
+
+  /** q269's oracle CTE chain: the kernel's fold replayed merge-by-merge
+    * with the boundary-aware doubled-space transcription of
+    * [[graft.text.TextOps.mergeAdjacentPair]] (the bare-replace form
+    * q154 uses is only safe for its specific 8 merges; multi-char
+    * symbols in an 80-merge table need real symbol boundaries). ONE CTE
+    * LAYER PER MERGE — a single nested expression trips DuckDB's
+    * 128-deep binder recursion limit at 80 merges. */
+  private def bpeKernelOracleCtes: String =
+    BpeMergesBig.zipWithIndex.map { case ((a, b), i) =>
+      // concat(), not ||: the caller's stripMargin would eat one pipe
+      // from a line-leading `||`
+      s"""m$i AS (
+         |  SELECT doc_id, word_no,
+         |    trim(regexp_replace(replace(concat(' ',
+         |      replace(enc, ' ', '  '), ' '), ' $a  $b ', ' $a$b '),
+         |      ' {2,}', ' ', 'g')) AS enc
+         |  FROM ${if (i == 0) "mbase" else s"m${i - 1}"})""".stripMargin
+    }.mkString(",\n")
 
   /** q155/q158's synthesized registrable-domain link graph: a 10-node
     * ring (k → k+1) plus three chords (k → k+3 for k ∈ {0,2,4}) —
@@ -5478,6 +5529,27 @@ object SparkEntry {
          |       CAST(len(string_split(${bpeOracleExpr("word")}, ' '))
          |         AS INTEGER) AS n_subwords
          |FROM w ORDER BY doc_id, word_no""".stripMargin,
+
+    // q269: the 80-merge kernel fold replayed via the boundary-aware
+    // doubled-space transcription, one CTE layer per merge (built by
+    // [[bpeKernelOracleCtes]] from the same BpeMergesBig constant — one
+    // source of truth)
+    "q269_bpe_encode_kernel" ->
+      s"""WITH mbase AS (
+         |  SELECT doc_id,
+         |         CAST(unnest(generate_series(1, least(len(ws), 3)))
+         |           AS INTEGER) AS word_no,
+         |         array_to_string(string_split(unnest(ws[1:3]), ''), ' ')
+         |           AS enc
+         |  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+         |               t -> len(t) > 0) AS ws
+         |        FROM documents
+         |        WHERE text IS NOT NULL AND doc_id % 10 = 0)),
+         |$bpeKernelOracleCtes
+         |SELECT doc_id, word_no, enc AS encoded,
+         |       CAST(len(string_split(enc, ' ')) AS INTEGER) AS n_subwords
+         |FROM m${BpeMergesBig.length - 1}
+         |ORDER BY doc_id, word_no""".stripMargin,
 
     // q155: three unrolled CTE iterations of the same unnormalized
     // update; power-of-two outdegrees + dyadic damping make every

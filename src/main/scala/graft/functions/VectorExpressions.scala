@@ -127,6 +127,13 @@ object VectorExpressions {
   /** Column-level unigram entropy (see [[TokenEntropy]]). */
   def tokenEntropy(text: Column): Column =
     Bridge.column(TokenEntropy(Bridge.expression(text)))
+
+  /** Column-level BPE word encode against a BROADCAST merge table (see
+    * [[BpeEncodeWord]]). */
+  def bpeEncodeWord(word: Column,
+      bc: org.apache.spark.broadcast.Broadcast[BpeEncodeWord.Merges])
+      : Column =
+    Bridge.column(BpeEncodeWord(Bridge.expression(word), bc))
 }
 
 /** Nearest-centroid assignment with the centroid matrix read from a Spark
@@ -882,4 +889,160 @@ case class WordShingles(child: Expression, n: Int)
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** BPE word encode with the merge table read from a Spark BROADCAST
+  * variable instead of |merges| plan literals: the literal fold
+  * ([[graft.text.TextOps.bpeEncodeWord]]) chains one `replace` node per
+  * merge — a real 32k-64k-merge tokenizer table would put tens of
+  * thousands of nested expression nodes in one projection and blow up
+  * analysis/codegen long before the corpus matters — while this node
+  * keeps the plan O(1) in |merges| (the serialized expression carries
+  * only the broadcast handle) and ships the table once per executor.
+  *
+  * Semantics are IDENTICAL to the literal fold (parity-spec-gated): the
+  * word splits into per-code-point symbols, then each merge `(a, b)` in
+  * rank order rewrites every greedy left-to-right occurrence of the
+  * adjacent symbol pair into `a+b` before the next merge applies; the
+  * merged symbol never re-matches within its own pass (Sennrich BPE —
+  * pairs (1,2),(3,4) in a run, odd tail untouched). The one divergence:
+  * the literal path's `(.)` char split skips line-terminator characters
+  * (regex `.` semantics), this kernel splits them too — unreachable
+  * through [[graft.text.TextOps.wsTokens]] words, which is the only
+  * shipped producer. Returns the space-separated symbol string.
+  *
+  * Cost per word is O(len^2) symbol-pair lookups and INDEPENDENT of
+  * |merges|: instead of folding all |merges| passes (almost all no-ops),
+  * the kernel repeatedly finds the minimum-rank pair PRESENT in the word
+  * above the last applied rank and applies that one pass. Equivalence to
+  * the full fold is an induction: between two applied ranks the fold's
+  * state cannot change (a pass with its pair absent is a no-op, and an
+  * unchanged state never acquires new pairs), so both walk the same
+  * strictly-increasing applied-rank sequence over the same states. */
+case class BpeEncodeWord(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[BpeEncodeWord.Merges])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bpe_encode_word expects STRING, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def prettyName: String = "bpe_encode_word"
+
+  /** Row kernel — public so generated code can call it. */
+  def kernel(wU: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val word = wU.toString
+    val m = bc.value
+    val n0 = word.codePointCount(0, word.length)
+    if (n0 <= 1) return wU // 0/1 symbols: no pair can ever form
+    val syms = new Array[String](n0)
+    var i = 0
+    var k = 0
+    while (i < word.length) {
+      val step = Character.charCount(word.codePointAt(i))
+      syms(k) = word.substring(i, i + step)
+      i += step
+      k += 1
+    }
+    var n = n0
+    var floor = -1
+    var done = false
+    while (!done && n > 1) {
+      // minimum-rank pair present above the last applied rank
+      var best = Int.MaxValue
+      var p = 0
+      while (p < n - 1) {
+        val r = m.rankAfter(syms(p), syms(p + 1), floor)
+        if (r >= 0 && r < best) best = r
+        p += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        // one greedy left-to-right pass for merge `best`, in place
+        val a = m.lhs(best)
+        val b = m.rhs(best)
+        val ab = m.merged(best)
+        var rd = 0
+        var wr = 0
+        while (rd < n) {
+          if (rd + 1 < n && syms(rd) == a && syms(rd + 1) == b) {
+            syms(wr) = ab; rd += 2
+          } else { syms(wr) = syms(rd); rd += 1 }
+          wr += 1
+        }
+        n = wr
+        floor = best
+      }
+    }
+    val sb = new java.lang.StringBuilder
+    var j = 0
+    while (j < n) {
+      if (j > 0) sb.append(' ')
+      sb.append(syms(j))
+      j += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncodeWord", this,
+      classOf[BpeEncodeWord].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object BpeEncodeWord {
+  /** Broadcast payload: parallel rank-indexed arrays plus a pair-keyed
+    * sorted rank-list index ("a b" keys are unambiguous — symbols are
+    * space-free by construction). A duplicate (a, b) entry keeps BOTH
+    * ranks so a pair recreated after its first merge still matches the
+    * later rank, exactly as the literal fold would. */
+  final case class Merges(lhs: Array[String], rhs: Array[String],
+      merged: Array[String],
+      ranks: java.util.HashMap[String, Array[Int]]) {
+    /** Smallest rank of pair (a, b) strictly above `floor`, -1 if none. */
+    def rankAfter(a: String, b: String, floor: Int): Int = {
+      val arr = ranks.get(a + " " + b)
+      if (arr == null) -1
+      else {
+        var i = 0
+        while (i < arr.length && arr(i) <= floor) i += 1
+        if (i < arr.length) arr(i) else -1
+      }
+    }
+  }
+
+  def build(merges: Seq[(String, String)]): Merges = {
+    require(merges.nonEmpty, "merge list must not be empty")
+    require(merges.forall { case (a, b) =>
+      !a.contains(" ") && !b.contains(" ") && a.nonEmpty && b.nonEmpty },
+      "merge symbols must be non-empty and space-free")
+    val lhs = merges.map(_._1).toArray
+    val rhs = merges.map(_._2).toArray
+    val merged = merges.map { case (a, b) => a + b }.toArray
+    val ranks = new java.util.HashMap[String, Array[Int]]()
+    var i = 0
+    while (i < lhs.length) {
+      val key = lhs(i) + " " + rhs(i)
+      val prev = ranks.get(key)
+      ranks.put(key,
+        if (prev == null) Array(i) else prev :+ i) // insertion = rank order
+      i += 1
+    }
+    Merges(lhs, rhs, merged, ranks)
+  }
 }

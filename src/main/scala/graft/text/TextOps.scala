@@ -3177,6 +3177,52 @@ object TextOps {
         t => length(t) > 0),
       w => bpeEncodeWord(w, merges))
 
+  /** Broadcast a merge table for the kernel encode path — build once,
+    * reuse across every [[bpeEncodeWordKernel]]/[[bpeEncodeKernel]] call
+    * in the job (one torrent-broadcast ship per executor). */
+  def bpeMergesBroadcast(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)])
+      : org.apache.spark.broadcast.Broadcast[
+        graft.functions.BpeEncodeWord.Merges] =
+    spark.sparkContext.broadcast(
+      graft.functions.BpeEncodeWord.build(merges))
+
+  /** Kernel form of [[bpeEncodeWord]] — identical tokens (parity-gated
+    * by OpsSpec at every merge-list prefix), but the merge table rides a
+    * BROADCAST instead of plan literals, so the plan is O(1) in |merges|
+    * and a production 32k-64k-merge tokenizer table is usable: the
+    * literal fold chains one replace node per merge and hits analysis/
+    * codegen limits around a few hundred. NULL words encode as "" (the
+    * literal path's coalesce contract). */
+  def bpeEncodeWordKernel(word: Column,
+      bc: org.apache.spark.broadcast.Broadcast[
+        graft.functions.BpeEncodeWord.Merges]): Column =
+    graft.functions.VectorExpressions.bpeEncodeWord(
+      coalesce(word, lit("")), bc)
+
+  /** Document form of [[bpeEncodeWordKernel]] — the [[bpeEncode]] shape
+    * on the broadcast-kernel path. Map-only; the corpus never shuffles
+    * and the plan carries only the broadcast handle. */
+  def bpeEncodeKernel(text: Column,
+      bc: org.apache.spark.broadcast.Broadcast[
+        graft.functions.BpeEncodeWord.Merges]): Column =
+    transform(
+      filter(wsTokens(lower(coalesce(text, lit("")))),
+        t => length(t) > 0),
+      w => bpeEncodeWordKernel(w, bc))
+
+  /** Size-dispatched BPE encode: small merge lists stay on the literal
+    * fold (zero broadcast overhead, replayable verbatim by any engine's
+    * `replace` — the oracle-portability mode), big ones move to the
+    * broadcast kernel before the plan-size ceiling bites. The two paths
+    * are token-identical (parity spec); `literalMax` marks where plan
+    * growth starts to cost more than a broadcast ship. */
+  def bpeEncodeAuto(spark: org.apache.spark.sql.SparkSession,
+      text: Column, merges: Seq[(String, String)],
+      literalMax: Int = 64): Column =
+    if (merges.size <= literalMax) bpeEncode(text, merges)
+    else bpeEncodeKernel(text, bpeMergesBroadcast(spark, merges))
+
   /** BPE TRAINER — the iterative loop whose single statistics pass is
     * [[bpePairCounts]] and whose output drives [[bpeEncode]]: `numMerges`
     * rounds of (argmax adjacent-symbol pair → merge it everywhere →

@@ -2707,6 +2707,73 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == Seq("the r e", "aa a", "x", ""))
   }
 
+  test("bpeEncodeWordKernel: token-identical to the literal fold at " +
+    "EVERY merge-list prefix — chains, runs, multi-char boundary traps, " +
+    "randomized words; null/empty words encode as ''") {
+    // deliberately adversarial: chained multi-char merges, an (a,a) run
+    // merge, a (y,x)+(x,a) boundary trap (after "yx" forms, the bare
+    // substring 'x a' appears across a symbol boundary), and merges
+    // whose outputs feed later ranks
+    val merges = Seq("t" -> "h", "th" -> "e", "a" -> "a", "y" -> "x",
+      "x" -> "a", "aa" -> "a", "b" -> "a", "e" -> "r", "the" -> "re",
+      "ba" -> "ba")
+    val rnd = new scala.util.Random(12)
+    val words = Seq("there", "aaa", "aaaa", "aaaaa", "x", "yxab", "xab",
+      "thethere", "bababa", "baba", "yxa", "therether") ++
+      (1 to 80).map(_ => (1 to (1 + rnd.nextInt(11)))
+        .map(_ => "abxyte".charAt(rnd.nextInt(6))).mkString)
+    for (k <- 1 to merges.length) {
+      val prefix = merges.take(k)
+      val bc = TextOps.bpeMergesBroadcast(spark, prefix)
+      val got = words.toDF("w").select(col("w"),
+        TextOps.bpeEncodeWord(col("w"), prefix).as("lit"),
+        TextOps.bpeEncodeWordKernel(col("w"), bc).as("ker")).collect()
+      got.foreach { r =>
+        assert(r.getString(1) == r.getString(2),
+          s"prefix $k, word '${r.getString(0)}': literal='${
+            r.getString(1)}' kernel='${r.getString(2)}'")
+      }
+    }
+    // null word: both paths encode as "" (the coalesce contract); the
+    // document forms agree including word filtering
+    val bcAll = TextOps.bpeMergesBroadcast(spark, merges)
+    val nk = Seq[String](null).toDF("w")
+      .select(TextOps.bpeEncodeWordKernel(col("w"), bcAll).as("k"))
+      .head().getString(0)
+    assert(nk == "")
+    val docs = Seq("there aaa  yxab", "", null.asInstanceOf[String])
+      .toDF("text")
+      .select(TextOps.bpeEncode(col("text"), merges).as("lit"),
+        TextOps.bpeEncodeKernel(col("text"), bcAll).as("ker")).collect()
+    docs.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
+  test("bpeEncodeAuto: a 4096-merge table is usable through the kernel " +
+    "path with a plan O(1) in |merges|; small tables stay literal") {
+    // chain over 'a': rank i merges ("a"*(i+1), "a") — later ranks only
+    // ever apply after all earlier ones did
+    val big = (1 to 4096).map(i => ("a" * i) -> "a")
+    val dfBig = Seq("aaaa", "aaaaa", "xyz").toDF("text")
+      .select(TextOps.bpeEncodeAuto(spark, col("text"), big).as("e"))
+    // plan must carry the broadcast handle, not 4096 inlined merges
+    val planBig = dfBig.queryExecution.analyzed.toString
+    assert(planBig.contains("bpe_encode_word"), s"not kernel:\n$planBig")
+    assert(!planBig.contains("a" * 64),
+      "merge literals inlined past the threshold")
+    val got = dfBig.collect().map(_.getSeq[String](0)).toSeq
+    // "aaaa": (a,a) pass -> [aa,aa]; no (aa,a) adjacency -> done
+    // "aaaaa": (a,a) -> [aa,aa,a]; (aa,a) at (1,2) -> [aa,aaa]
+    assert(got == Seq(Seq("aa aa"), Seq("aa aaa"), Seq("x y z")),
+      s"got $got")
+    // small table: literal fold, no kernel node in the plan
+    val dfSmall = Seq("aaaa").toDF("text")
+      .select(TextOps.bpeEncodeAuto(spark, col("text"),
+        Seq("a" -> "a")).as("e"))
+    assert(!dfSmall.queryExecution.analyzed.toString
+      .contains("bpe_encode_word"))
+    assert(dfSmall.head().getSeq[String](0) == Seq("aa aa"))
+  }
+
   test("mergeAdjacentPair: boundary-aware — merging (x,a) must NOT " +
     "rewrite across the symbol boundary in 'yx ab'; adjacency runs " +
     "merge greedily left-to-right; disjoint matches all merge") {

@@ -746,6 +746,23 @@ class PlanSpec extends SparkSpec {
       .findFirstIn(p228).isDefined, s"q228 shuffles response text:\n$p228")
   }
 
+  test("round-12 additions keep their ledger shapes: kernel BPE encode " +
+    "is map-only with no inlined merge literals") {
+    // q269: the 80-merge table must ride the broadcast kernel — the
+    // plan carries the bpe_encode_word handle and none of the merge
+    // pair literals (' t  h ' is what the literal fold would inline);
+    // the encode itself is scan + generate, no join/agg/window
+    val p269 = plan("q269_bpe_encode_kernel")
+    assert(p269.contains("bpe_encode_word"),
+      s"q269 not on the kernel path:\n$p269")
+    assert(!p269.contains(" t  h "),
+      s"q269 inlines merge literals:\n$p269")
+    assert(!p269.contains("Join"), s"q269 plans a join:\n$p269")
+    assert(!p269.contains("HashAggregate"), s"q269 plans an agg:\n$p269")
+    assert(!p269.contains("Window"), s"q269 plans a window:\n$p269")
+    assert(p269.contains("Generate"), s"q269 missing the explode:\n$p269")
+  }
+
   test("giant-group quantile fallback: no window sort, cuts broadcast") {
     // the routed cut-point path over a real parquet scan: one
     // partial-aggregated percentile pass + broadcast join + map-side bin
