@@ -3025,6 +3025,39 @@ object SparkEntry {
           col("encoded"))
         .withColumn("n_subwords", size(split(col("encoded"), " ")))
         .orderBy("doc_id", "word_no")
+    }),
+
+    // JPEG in the multimodal leg (real crawl images are overwhelmingly
+    // lossy): mixed PNG/JPEG corpus decoded through the one sniffing
+    // path; dims are decoder-independent (oracle re-derives them from
+    // the synthesis formulas), decoded means are decoder-defined so the
+    // gate is a tolerance bound vs the formula means computed IN-QUERY
+    // (exact for png, ±16 for jpeg — measured max error 7.2 at q=0.9;
+    // the q141 bound-oracle pattern: DuckDB asserts the flag constant,
+    // the real decode still runs per row and a crash breaks the match)
+    "q270_jpeg_features" -> ((s, dir) => {
+      val assets = graft.multimodal.Multimodal.synthesizeAssetsMixed(
+        t(s, dir, "documents").select("doc_id"))
+      def fm(c: Int) = expr(
+        s"""aggregate(flatten(transform(sequence(0, int(height) - 1),
+           |  y -> transform(sequence(0, int(width) - 1),
+           |  x -> pmod(asset_id * ${c + 1} + 3 * x + 7 * y, 256)))),
+           |  0L, (acc, v) -> acc + v)""".stripMargin
+          .replace("\n", " ")) / (col("width") * col("height"))
+            .cast("double")
+      graft.multimodal.Multimodal.extractFeatures(
+          assets.filter(col("modality") === "image"))
+        .withColumn("codec",
+          when(col("asset_id") % 6 === 0, "jpeg").otherwise("png"))
+        .withColumn("bound", when(col("codec") === "jpeg", lit(16.0))
+          .otherwise(lit(0.0)))
+        .select(col("asset_id"), col("width"), col("height"),
+          col("codec"),
+          (abs(col("m0") - fm(0)) <= col("bound") &&
+            abs(col("m1") - fm(1)) <= col("bound") &&
+            abs(col("m2") - fm(2)) <= col("bound")).cast("long")
+            .as("means_in_bounds"))
+        .orderBy("asset_id")
     })
   )
 
@@ -5550,6 +5583,19 @@ object SparkEntry {
          |       CAST(len(string_split(enc, ' ')) AS INTEGER) AS n_subwords
          |FROM m${BpeMergesBig.length - 1}
          |ORDER BY doc_id, word_no""".stripMargin,
+
+    // q270: dims re-derived from the synthesis formulas (decoder-
+    // independent); the in-bounds flag asserted constant — the decoded
+    // means themselves are decoder-defined (q141 bound-oracle pattern)
+    "q270_jpeg_features" ->
+      """SELECT doc_id AS asset_id,
+        |       CAST(4 + doc_id % 13 AS BIGINT) AS width,
+        |       CAST(4 + doc_id % 7 AS BIGINT) AS height,
+        |       CASE WHEN doc_id % 6 = 0 THEN 'jpeg' ELSE 'png' END
+        |         AS codec,
+        |       CAST(1 AS BIGINT) AS means_in_bounds
+        |FROM documents WHERE doc_id % 3 = 0
+        |ORDER BY asset_id""".stripMargin,
 
     // q155: three unrolled CTE iterations of the same unnormalized
     // update; power-of-two outdegrees + dyadic damping make every

@@ -96,6 +96,45 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic JPEG: the SAME synthesis pixels as [[encodePng]],
+    * written through an explicit `ImageWriter` at `quality` — the lossy
+    * leg of the image corpus (real crawl images are overwhelmingly
+    * JPEG). The ENCODE is deterministic (same JVM, same input, same
+    * params → same bytes), but decoded pixels are DECODER-defined, so
+    * the oracle strategy differs from PNG's exact q34 synthesis replay:
+    * oracles assert decoder-independent facts (dimensions, tolerance
+    * bounds — the q141 bound pattern) and the spec gates bit-parity of
+    * [[decodeImage]] against a directly-driven `ImageIO.read` of the
+    * same bytes. */
+  def encodeJpeg(docId: Long, frame: Int,
+                 quality: Float = 0.9f): Array[Byte] = {
+    val w = imgWidth(docId); val h = imgHeight(docId)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = pixel(docId, frame, 0, x, y)
+        val g = pixel(docId, frame, 1, x, y)
+        val b = pixel(docId, frame, 2, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val ios = ImageIO.createImageOutputStream(bos) // memory-backed: cache off
+    try {
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
   /** Deterministic 16-bit mono PCM WAV via `AudioSystem.write`. */
   def encodeWav(docId: Long): Array[Byte] = {
     val n = audioSamples(docId)
@@ -151,7 +190,8 @@ object Multimodal {
     def meanAll: Double = (sumR + sumG + sumB) / (3.0 * width * height)
   }
 
-  /** Real PNG/BMP/GIF decode via `ImageIO.read`. */
+  /** Real PNG/BMP/GIF/JPEG decode via `ImageIO.read` (the format sniffs
+    * from the payload bytes — callers never route by codec). */
   def decodeImage(bytes: Array[Byte]): ImageStats = {
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
     require(img != null, "ImageIO could not decode payload")
@@ -264,6 +304,51 @@ object Multimodal {
           case 0 =>
             Row(id, "image", encodePng(id, 0),
               Row(imgWidth(id), imgHeight(id), 0, 0L, 1, "png"))
+          case 1 =>
+            val n = audioSamples(id)
+            Row(id, "audio", encodeWav(id),
+              Row(n, 1, SampleRate, n * 1000L / SampleRate, 0, "pcm_s16le"))
+          case _ =>
+            val nf = videoFrames(id)
+            Row(id, "video", encodeVideo(id),
+              Row(imgWidth(id), imgHeight(id), 0, nf * FrameMs, nf, "gfv1"))
+        }
+      }
+    }
+  }
+
+  /** [[synthesizeAssets]] with a MIXED image corpus — every other image
+    * asset (doc_id % 6 == 0) encodes JPEG at `quality` instead of PNG
+    * (meta.codec says which): the real crawl regime, where the lossy
+    * codec dominates and the perceptual pipeline must not care. Same
+    * schema, same modality routing, binary still born on the scan
+    * partition. */
+  def synthesizeAssetsMixed(docs: DataFrame,
+                            quality: Float = 0.9f): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("modality", StringType),
+      StructField("payload", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("width", IntegerType),
+        StructField("height", IntegerType),
+        StructField("sample_rate", IntegerType),
+        StructField("duration_ms", LongType),
+        StructField("n_frames", IntegerType),
+        StructField("codec", StringType))))))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    val q = quality
+    docs.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        (id % 3) match {
+          case 0 =>
+            if (id % 6 == 0)
+              Row(id, "image", encodeJpeg(id, 0, q),
+                Row(imgWidth(id), imgHeight(id), 0, 0L, 1, "jpeg"))
+            else
+              Row(id, "image", encodePng(id, 0),
+                Row(imgWidth(id), imgHeight(id), 0, 0L, 1, "png"))
           case 1 =>
             val n = audioSamples(id)
             Row(id, "audio", encodeWav(id),
