@@ -79,7 +79,7 @@ object Run {
       |             [--token-budget <n>] [--blocklist <w1,w2,...>]
       |             [--max-blocklist-fraction <f>]
       |             [--allow-licenses <l1,l2,...>] [--drop-damaged]
-      |             [--c4-lines] [--paragraph-dedup]
+      |             [--c4-lines] [--script-aware] [--paragraph-dedup]
       |             [--lang-model <nb model parquet>] [--lang <label>]
       |             [--shards <n>] [--audit]""".stripMargin
 
@@ -87,7 +87,7 @@ object Run {
     * booleans (the reference's flag set). */
   private val BoolFlags = Set("-v", "-r", "-j", "-c", "-h", "--help",
     "--parquet", "--audit", "--fuzzy-decon", "--psl", "--fuzzy-prior",
-    "--drop-damaged", "--c4-lines", "--paragraph-dedup")
+    "--drop-damaged", "--c4-lines", "--script-aware", "--paragraph-dedup")
   private def parseOpts(args: Seq[String]): Map[String, String] = {
     val out = Map.newBuilder[String, String]
     var i = 0
@@ -443,6 +443,8 @@ object Run {
       // --paragraph-dedup: q169's corpus-wide paragraph dedup before
       // the doc-level dedups
       c4Lines = opts.contains("--c4-lines"),
+      // --script-aware: CJK-safe line word counts + full-width enders
+      scriptAware = opts.contains("--script-aware"),
       dedupParagraphs = opts.contains("--paragraph-dedup"),
       // --lang-model: a trained naiveBayesTrain parquet routes the
       // language gate (nbClassify argmax == --lang) instead of the

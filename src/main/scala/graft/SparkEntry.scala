@@ -3058,6 +3058,26 @@ object SparkEntry {
             abs(col("m2") - fm(2)) <= col("bound")).cast("long")
             .as("means_in_bounds"))
         .orderBy("asset_id")
+    }),
+
+    // SCRIPT-DISPATCHED quality gates over a synthesized multilingual
+    // corpus: every 4th doc becomes pure CJK (whitespace word rules see
+    // ONE giant token and misgate it three independent ways), every
+    // 4th+1 gets a mixed-script prefix; the scripted battery routes CJK
+    // docs to char-based counting and latin docs to the EXACT q145
+    // measurements. Oracle re-derives dominant + both dispatch branches
+    // from the same class strings and synthesis
+    "q271_script_gates" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      val synth = d.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(expr("repeat('深度学习模型训练数据质量', " +
+            "int(doc_id % 7 + 5))"), lit("。")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("GPU加速 "), col("text")))
+          .otherwise(col("text")).as("text"))
+      TextOps.gopherRulesScripted(synth, minWords = 10)
+        .orderBy("doc_id")
     })
   )
 
@@ -4447,6 +4467,92 @@ object SparkEntry {
 
   /** q135 oracle: generated from [[TextOps.ScriptRanges]] so the regex
     * classes are literally the same strings both engines compile. */
+  /** q271's oracle: the scripted gate re-derived branch by branch —
+    * dominant via the q135 class strings, the latin branch via the q145
+    * measurement formulas, the cjk branch via the scriptAwareTokenCount
+    * mixed rule — over the same in-query synthesis. */
+  private def scriptGatesOracle: String = {
+    val cjk = TextOps.CjkClassBody
+    val counts = TextOps.ScriptRanges.map { case (n, body) =>
+      s"coalesce(length(regexp_replace(text, '[^$body]', '', 'g')), 0)" +
+        s" AS sc_$n"
+    }.mkString(",\n    ")
+    val names = TextOps.ScriptRanges.map(r => "sc_" + r._1)
+    val dom = TextOps.ScriptRanges.map(_._1).foldRight("'none'") {
+      (n, els) =>
+        s"CASE WHEN sc_$n = mx AND mx > 0 THEN '$n' ELSE $els END"
+    }
+    s"""WITH syn AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 4 = 0 THEN
+       |           repeat('深度学习模型训练数据质量',
+       |                  CAST(doc_id % 7 + 5 AS INT)) || '。'
+       |         WHEN doc_id % 4 = 1 THEN 'GPU加速 ' || text
+       |         ELSE text END AS text
+       |  FROM documents WHERE text IS NOT NULL),
+       |c AS (SELECT doc_id, text, $counts FROM syn),
+       |m0 AS (SELECT *, greatest(${names.mkString(", ")}) AS mx FROM c),
+       |m1 AS (SELECT doc_id, text, $dom AS dominant FROM m0),
+       |w AS (
+       |  SELECT doc_id, dominant, text,
+       |    list_filter(string_split_regex(lower(text), '\\s+'),
+       |                x -> x <> '') AS words,
+       |    string_split(text, chr(10)) AS lines
+       |  FROM m1),
+       |m AS (
+       |  SELECT doc_id, dominant,
+       |    CAST(len(words) AS BIGINT) AS n_words_en,
+       |    CAST(len(lines) AS BIGINT) AS n_lines,
+       |    CAST(list_sum(list_transform(words, x -> length(x)))
+       |      AS BIGINT) AS word_chars,
+       |    CAST(len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
+       |      AS BIGINT) AS alpha_words,
+       |    CAST(len(list_filter(lines,
+       |      x -> regexp_matches(x, '^\\s*[-*•]'))) AS BIGINT)
+       |      AS bullet_lines,
+       |    CAST(len(list_filter(lines,
+       |      x -> regexp_matches(x, '\\.{3}\\s*$$'))) AS BIGINT)
+       |      AS ellipsis_lines,
+       |    CAST(len(list_filter(
+       |      ['the','be','to','of','and','that','have','with'],
+       |      s2 -> list_contains(words, s2))) AS BIGINT) AS stop_hits,
+       |    CAST(length(text) - length(regexp_replace(text, '[$cjk]', '', 'g'))
+       |      + len(list_filter(string_split_regex(
+       |          regexp_replace(text, '[$cjk]', ' ', 'g'), '\\s+'),
+       |          x -> x <> '')) AS BIGINT) AS n_words_cjk,
+       |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+       |      AS nonspace,
+       |    CAST(length(regexp_replace(text, '[^${cjk}A-Za-zÀ-ɏ]', '', 'g'))
+       |      AS BIGINT) AS word_forming
+       |  FROM w)
+       |SELECT doc_id, dominant,
+       |  CASE WHEN dominant = 'cjk' THEN n_words_cjk
+       |       ELSE n_words_en END AS n_words,
+       |  CASE WHEN dominant = 'cjk' THEN CAST(nonspace AS DOUBLE) / n_words_cjk
+       |       ELSE CAST(word_chars AS DOUBLE) / n_words_en END
+       |    AS mean_word_len,
+       |  CASE WHEN dominant = 'cjk' THEN CAST(word_forming AS DOUBLE) / nonspace
+       |       ELSE CAST(alpha_words AS DOUBLE) / n_words_en END
+       |    AS alpha_frac,
+       |  CAST(bullet_lines AS DOUBLE) / n_lines AS bullet_frac,
+       |  CAST(ellipsis_lines AS DOUBLE) / n_lines AS ellipsis_frac,
+       |  stop_hits,
+       |  CAST(CASE WHEN dominant = 'cjk' THEN
+       |         n_words_cjk >= 10 AND n_words_cjk <= 100000 AND
+       |         CAST(bullet_lines AS DOUBLE) / n_lines <= 0.9 AND
+       |         CAST(ellipsis_lines AS DOUBLE) / n_lines <= 0.3 AND
+       |         CAST(word_forming AS DOUBLE) / nonspace >= 0.8
+       |       ELSE
+       |         n_words_en >= 10 AND n_words_en <= 100000 AND
+       |         CAST(word_chars AS DOUBLE) / n_words_en >= 3.0 AND
+       |         CAST(word_chars AS DOUBLE) / n_words_en <= 10.0 AND
+       |         CAST(bullet_lines AS DOUBLE) / n_lines <= 0.9 AND
+       |         CAST(ellipsis_lines AS DOUBLE) / n_lines <= 0.3 AND
+       |         CAST(alpha_words AS DOUBLE) / n_words_en >= 0.8 AND
+       |         stop_hits >= 2 END AS BIGINT) AS pass
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   private def scriptProfileOracle: String = {
     val counts = TextOps.ScriptRanges.map { case (n, body) =>
       s"coalesce(length(regexp_replace(text, '[^$body]', '', 'g')), 0) AS $n"
@@ -4793,6 +4899,8 @@ object SparkEntry {
     "q108_split_leakage" -> splitLeakageOracle,
     "q131_group_split_leakage" -> groupSplitLeakageOracle,
     "q135_script_profile" -> scriptProfileOracle,
+
+    "q271_script_gates" -> scriptGatesOracle,
 
     "q136_drift_report" ->
       """WITH e AS (

@@ -304,6 +304,7 @@ object Pipelines {
              allowLicenses: Option[Seq[String]] = None,
              dropDamaged: Boolean = false,
              c4Lines: Boolean = false,
+             scriptAware: Boolean = false,
              dedupParagraphs: Boolean = false,
              langModel: Option[DataFrame] = None,
              lang: String = "en"): DataFrame = {
@@ -339,7 +340,8 @@ object Pipelines {
     val freshClean =
       if (!c4Lines) fresh
       else refreshNChars(fresh.drop("text").join(
-        TextOps.c4LineFilter(fresh.filter(col("text").isNotNull))
+        TextOps.c4LineFilter(fresh.filter(col("text").isNotNull),
+            scriptAware = scriptAware)
           .select(col("doc_id"), col("cleaned").as("text")),
         Seq("doc_id")))
     // language gate: the heuristic langIdEn by default; with a trained

@@ -25,6 +25,25 @@ object TextOps {
   /** Token count (whitespace). */
   def tokenCount(text: Column): Column = size(wsTokens(text))
 
+  /** SCRIPT-AWARE token count — the fix for the word-gate blind spot on
+    * space-free scripts: whitespace splitting sees an entire CJK
+    * document as ONE token, so every word-count rule (Gopher band, C4
+    * line minimum, token budgeting) misgates it. Standard mixed-script
+    * counting rule instead: each CJK character (the [[ScriptRanges]]
+    * cjk class — Han, kana, Hangul) counts as one token, plus the
+    * non-empty whitespace words of the NON-CJK residue (CJK chars
+    * blanked first, so "GPU加速" counts 1 latin word + 2 han chars).
+    * Pure strip-and-measure regex + split counts — map-only, and the
+    * identical formula replays in DuckDB for the oracle. */
+  def scriptAwareTokenCount(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    val cjk = s"[${CjkClassBody}]"
+    val cjkChars = length(t) - length(regexp_replace(t, cjk, ""))
+    val residueWords = size(filter(
+      split(regexp_replace(t, cjk, " "), "\\s+"), w => length(w) > 0))
+    (cjkChars + residueWords.cast("long")).cast("long")
+  }
+
   /** BPE-ish subword count: words + digits + punctuation runs — a regex
     * proxy for tokenizer load (one token per word-piece of ≤4 chars). */
   def subwordCount(text: Column): Column =
@@ -71,6 +90,11 @@ object TextOps {
     "cjk" -> "぀-ヿ一-鿿가-힯",
     "arabic" -> "؀-ۿ",
     "digit" -> "0-9")
+
+  /** The cjk class body shared by [[scriptAwareTokenCount]] and the
+    * script-dispatched gates — single source of truth with
+    * [[ScriptRanges]]. */
+  private[graft] val CjkClassBody: String = ScriptRanges.toMap.apply("cjk")
 
   /** Per-document Unicode script profile: counts of characters in the
     * major script blocks ([[ScriptRanges]]) plus the dominant script —
@@ -428,6 +452,95 @@ object TextOps {
           col("ellipsis_frac") <= maxEllipsisFrac &&
           col("alpha_frac") >= minAlphaFrac &&
           col("stop_hits") >= minStopHits).cast("long"))
+  }
+
+  /** SCRIPT-DISPATCHED [[gopherRules]] — the multilingual fix for the
+    * round-11 verdict gap: Gopher's battery is English-born, and on a
+    * space-free script its word rules are not just miscalibrated but
+    * MEANINGLESS (an entire CJK document whitespace-splits to one giant
+    * "word": n_words=1 fails the 50-word floor, mean_word_len=hundreds
+    * fails the 3-10 band, the English stopword battery never hits —
+    * three independent false drops). Dispatch by the dominant script
+    * (the [[scriptProfile]] signal, computed inline — same strip-and-
+    * measure classes):
+    *
+    *   - dominant != cjk → EXACTLY the [[gopherRules]] measurements and
+    *     verdict (spec-pinned equality), so existing corpora re-gate
+    *     identically.
+    *   - dominant == cjk → n_words = [[scriptAwareTokenCount]] (han/
+    *     kana/hangul chars + latin-residue words); mean_word_len =
+    *     non-space chars / n_words (≈1 for pure CJK — reported, NOT
+    *     gated: the 3-10 band is a latin-morphology fact); alpha_frac =
+    *     fraction of non-space chars that are word-forming (cjk class +
+    *     latin letters) — the "is this prose or symbol soup" intent of
+    *     Gopher's alphabetic-word rule re-expressed at the char level;
+    *     the English required-stopword rule is WAIVED (hits still
+    *     reported); bullet/ellipsis line rules apply unchanged (layout
+    *     is script-independent).
+    *
+    * Everything stays strip-and-measure + split counts — map-only,
+    * codegen'd, and the oracle re-derives every branch of the dispatch
+    * from the same class strings. */
+  def gopherRulesScripted(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text",
+                          minWords: Int = 50, maxWords: Int = 100000,
+                          minMeanWord: Double = 3.0,
+                          maxMeanWord: Double = 10.0,
+                          maxBulletFrac: Double = 0.9,
+                          maxEllipsisFrac: Double = 0.3,
+                          minAlphaFrac: Double = 0.8,
+                          minStopHits: Int = 2): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    // dominant script (the scriptProfile expression, inline)
+    val scriptCounts = ScriptRanges.map { case (name, body) =>
+      (name, length(regexp_replace(t, s"[^$body]", "")).cast("long"))
+    }
+    val maxCount = greatest(scriptCounts.map(_._2): _*)
+    val dominant = scriptCounts.foldRight(lit("none")) {
+      case ((name, cnt), els) =>
+        when(cnt === maxCount && maxCount > 0, name).otherwise(els)
+    }
+    // english-path measurements — the gopherRules expressions verbatim
+    val words = filter(split(lower(col(textCol)), "\\s+"), w => w =!= "")
+    val lines = split(col(textCol), "\n")
+    val nWordsEn = size(words).cast("long")
+    val nLines = size(lines).cast("long")
+    val wordChars = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    val alphaWords = size(filter(words, w => w.rlike("[a-z]"))).cast("long")
+    val bulletLines =
+      size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long")
+    val ellipsisLines =
+      size(filter(lines, l => l.rlike("\\.{3}\\s*$"))).cast("long")
+    val stopHits = size(filter(
+      typedlit(Seq("the", "be", "to", "of", "and", "that", "have", "with")),
+      s => array_contains(words, s))).cast("long")
+    // cjk-path measurements
+    val nWordsCjk = scriptAwareTokenCount(t)
+    val nonspace = length(regexp_replace(t, "\\s", "")).cast("long")
+    val wordForming = length(regexp_replace(t,
+      s"[^${CjkClassBody}A-Za-zÀ-ɏ]", "")).cast("long")
+    val isCjk = dominant === "cjk"
+    val nWords = when(isCjk, nWordsCjk).otherwise(nWordsEn)
+    val meanWordLen = when(isCjk,
+      nonspace.cast("double") / nWordsCjk)
+      .otherwise(wordChars.cast("double") / nWordsEn)
+    val alphaFrac = when(isCjk,
+      wordForming.cast("double") / nonspace)
+      .otherwise(alphaWords.cast("double") / nWordsEn)
+    val bulletFrac = bulletLines.cast("double") / nLines
+    val ellipsisFrac = ellipsisLines.cast("double") / nLines
+    val passEn = nWordsEn >= minWords && nWordsEn <= maxWords &&
+      meanWordLen >= minMeanWord && meanWordLen <= maxMeanWord &&
+      bulletFrac <= maxBulletFrac && ellipsisFrac <= maxEllipsisFrac &&
+      alphaFrac >= minAlphaFrac && stopHits >= minStopHits
+    val passCjk = nWordsCjk >= minWords && nWordsCjk <= maxWords &&
+      bulletFrac <= maxBulletFrac && ellipsisFrac <= maxEllipsisFrac &&
+      alphaFrac >= minAlphaFrac
+    docs.select(col(idCol), dominant.as("dominant"),
+      nWords.as("n_words"), meanWordLen.as("mean_word_len"),
+      alphaFrac.as("alpha_frac"), bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"), stopHits.as("stop_hits"),
+      when(isCjk, passCjk).otherwise(passEn).cast("long").as("pass"))
   }
 
   /** Gopher-style within-document repetition signal: fraction of word
@@ -3554,16 +3667,27 @@ object TextOps {
     * COMPATIBILITY NOTE: the `minWordsPerLine` default moved 3 → 5 in
     * round 10 to match the paper; callers upgrading across that change
     * (including `curate(c4Lines = true)`) who relied on the old
-    * behavior must pass `minWordsPerLine = 3` explicitly. */
+    * behavior must pass `minWordsPerLine = 3` explicitly.
+    *
+    * `scriptAware` (r12, default off — byte-identical legacy behavior):
+    * per-line words count via the [[scriptAwareTokenCount]] mixed rule
+    * (each CJK char one word + latin-residue words — a space-free line
+    * otherwise counts as ONE word and always drops) and the terminal-
+    * punctuation class extends to the CJK full-width enders 。！？」』
+    * (as does the sentence counter). */
   def c4LineFilter(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text",
                    minWordsPerLine: Int = 5,
-                   minSentences: Int = 0): DataFrame = {
+                   minSentences: Int = 0,
+                   scriptAware: Boolean = false): DataFrame = {
     val t = coalesce(col(textCol), lit(""))
     val lines = split(t, "\n")
+    val termClass = if (scriptAware) "[.!?\"。！？」』]$" else "[.!?\"]$"
+    def lineWords(l: Column): Column =
+      if (scriptAware) scriptAwareTokenCount(l)
+      else size(filter(split(l, " "), w => length(w) > 0)).cast("long")
     def keepLine(l: Column): Column =
-      size(filter(split(l, " "), w => length(w) > 0)) >= minWordsPerLine &&
-        l.rlike("[.!?\"]$")
+      lineWords(l) >= minWordsPerLine && l.rlike(termClass)
     val keptArr = filter(lines, keepLine _)
     val base = docs
       .filter(!lower(t).contains("lorem ipsum") && !t.contains("{"))
@@ -3571,9 +3695,10 @@ object TextOps {
         size(keptArr).cast("long").as("kept_lines"),
         array_join(keptArr, "\n").as("cleaned"))
       .filter(col("kept_lines") > 0)
+    val sentClass = if (scriptAware) "[.!?。！？]" else "[.!?]"
     if (minSentences <= 0) base
     else base.filter(length(col("cleaned")) -
-      length(regexp_replace(col("cleaned"), "[.!?]", "")) >= minSentences)
+      length(regexp_replace(col("cleaned"), sentClass, "")) >= minSentences)
   }
 
   /** CCNet-STYLE PERPLEXITY BUCKETS (Wenzek et al. 2020 §4.4) — rank each

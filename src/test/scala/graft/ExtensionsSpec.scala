@@ -2497,6 +2497,66 @@ class ExtensionsSpec extends SparkSpec {
     assert(r2.getLong(7) == 0)          // ellipsis+alpha+stopwords fail
   }
 
+  test("gopherRulesScripted: a CJK doc the word path misgates passes " +
+    "the char-dispatched path; latin docs re-gate IDENTICALLY to " +
+    "gopherRules; scriptAwareTokenCount mixed rule") {
+    import graft.text.TextOps
+    // 60 han chars, zero spaces: whitespace splitting sees ONE word
+    val cjkText = "深度学习模型需要大量高质量的训练数据" * 3 + "。\n" +
+      "这些数据必须经过仔细的清洗和过滤才能使用" + "。"
+    val latin1 = "the cat sat on the mat with a hat of straw and more " +
+      "words to clear the fifty word floor " * 3
+    val df = Seq((1L, cjkText), (2L, latin1)).toDF("doc_id", "text")
+    // OLD path: the CJK doc fails three ways (n_words=2 lines → below
+    // floor, mean_word_len huge, no English stopwords)
+    val old = TextOps.gopherRules(df).orderBy("doc_id").collect()
+    assert(old(0).getLong(7) == 0, "old path unexpectedly passed CJK")
+    // NEW path: dominant=cjk → char counting (54+20+2 han + enders) ≥ 50
+    val neu = TextOps.gopherRulesScripted(df).orderBy("doc_id").collect()
+    val c = neu(0)
+    assert(c.getString(1) == "cjk")
+    assert(c.getLong(8) == 1, s"scripted path must pass the CJK doc: $c")
+    // n_words: 74 han chars + 2 full-width "。" are NOT cjk-class →
+    // they join the residue as 0 words (blanked? no — 。 is outside the
+    // class and whitespace-splits as 2 residue tokens glued to nothing)
+    assert(c.getLong(2) >= 74, s"char count too low: ${c.getLong(2)}")
+    // latin doc: every column equals the word-path report
+    val l = neu(1)
+    val ol = old(1)
+    assert(l.getString(1) == "latin")
+    assert(l.getLong(2) == ol.getLong(1) &&
+      l.getDouble(3) == ol.getDouble(2) &&
+      l.getDouble(4) == ol.getDouble(3) &&
+      l.getDouble(5) == ol.getDouble(4) &&
+      l.getDouble(6) == ol.getDouble(5) &&
+      l.getLong(7) == ol.getLong(6) && l.getLong(8) == ol.getLong(7))
+    // mixed-script counting: 1 latin word + 2 han chars
+    val m = Seq(Tuple1("GPU加速 training")).toDF("t")
+      .select(TextOps.scriptAwareTokenCount(col("t"))).head().getLong(0)
+    assert(m == 4, s"GPU + training + 2 han = 4, got $m")
+  }
+
+  test("c4LineFilter scriptAware: space-free CJK lines survive the " +
+    "word minimum and full-width enders count as terminal punctuation; " +
+    "legacy mode byte-identical when off") {
+    import graft.text.TextOps
+    val docs = Seq(
+      (1L, "深度学习模型需要大量数据。\nshort line\n" +
+        "the quick brown fox jumps over the lazy dog.")).toDF(
+      "doc_id", "text")
+    val legacy = TextOps.c4LineFilter(docs).head()
+    // legacy: CJK line = 1 word (< 5) and 。 is not a terminal ender →
+    // only the english sentence survives
+    assert(legacy.getAs[Long]("kept_lines") == 1L)
+    val aware = TextOps.c4LineFilter(docs, scriptAware = true).head()
+    assert(aware.getAs[Long]("kept_lines") == 2L,
+      s"CJK line must survive: $aware")
+    assert(aware.getAs[String]("cleaned").contains("深度学习"))
+    // scriptAware=false is the byte-identical legacy path
+    assert(TextOps.c4LineFilter(docs).head().getAs[String]("cleaned") ==
+      legacy.getAs[String]("cleaned"))
+  }
+
   test("lshRecall: identical docs are always candidates (recall 1), " +
     "empty ground truth reports recall 1 with zero pairs") {
     val dup = "the quick brown fox jumps over the lazy dog again and again"
