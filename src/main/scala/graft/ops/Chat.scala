@@ -295,17 +295,34 @@ object Chat {
   def bradleyTerry(matches: DataFrame, aCol: String = "model_a",
                    bCol: String = "model_b", winnerCol: String = "winner",
                    iterations: Int = 2): DataFrame = {
-    require(iterations >= 1 && iterations <= 4,
-      "iterations out of the unrolled-oracle range")
-    import org.apache.spark.storage.StorageLevel
     val m = matches.filter(col(aCol).isNotNull && col(bCol).isNotNull &&
         col(winnerCol).isNotNull && col(aCol) =!= col(bCol))
       .select(col(aCol).as("a"), col(bCol).as("b"), col(winnerCol).as("w"))
     val nm = m.select(col("a").as("i"), col("b").as("j"))
       .union(m.select(col("b").as("i"), col("a").as("j")))
       .groupBy("i", "j").agg(count(lit(1)).as("n"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val wins = m.groupBy(col("w").as("model")).agg(count(lit(1)).as("wins"))
+    bradleyTerryFromCounts(nm, wins, iterations)
+  }
+
+  /** The [[bradleyTerry]] MM loop from PRE-AGGREGATED sufficient
+    * statistics — the entry point for incremental/streaming arenas
+    * ([[graft.streaming.Streaming.arenaLeaderboardForeachBatch]] folds
+    * each micro-batch into a stored (i, j, n) + (model, wins) state and
+    * re-fits from here): `pairCounts` is the symmetric opponent matrix
+    * (i, j, n — both orientations present), `wins` the per-model win
+    * totals (extra keys — ties, invalid verdicts — are dropped by the
+    * model-domain join, mirroring the batch builder). Bit-identical to
+    * the batch path given equal counts: the fit consumes ONLY these
+    * statistics, every fold is opponent-ordered, and the match volume
+    * behind the counts never matters. */
+  def bradleyTerryFromCounts(pairCounts: DataFrame, wins: DataFrame,
+                             iterations: Int = 2): DataFrame = {
+    require(iterations >= 1 && iterations <= 4,
+      "iterations out of the unrolled-oracle range")
+    import org.apache.spark.storage.StorageLevel
+    val nm = pairCounts.select(col("i"), col("j"), col("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val base = nm.select(col("i").as("model")).distinct()
       .join(wins, Seq("model"), "left")
       .select(col("model"), coalesce(col("wins"), lit(0L)).as("wins"))
@@ -432,6 +449,18 @@ object Chat {
       .groupBy("model")
       .agg(count(lit(1)).as("n_games"),
         sum(when(col("w") === col("model"), 1L).otherwise(0L)).as("wins"))
+    winRateWilsonFromCounts(games, z)
+  }
+
+  /** The [[winRateWilson]] interval math from PRE-AGGREGATED
+    * (model, n_games, wins) integers — the incremental-arena entry
+    * point: game/win totals are additive across micro-batches, and the
+    * interval is a pure function of the accumulated integers (every
+    * division happens here, once), so fold-then-fit equals
+    * fit-over-union bit for bit. */
+  def winRateWilsonFromCounts(games: DataFrame,
+                              z: Double = 1.96): DataFrame = {
+    require(z > 0, "z must be positive")
     val n = col("n_games").cast("double")
     val p = col("wins").cast("double") / n
     val z2 = lit(z * z)
@@ -487,6 +516,26 @@ object Chat {
     val w = Window.orderBy(col("rating").desc, col("model"))
     bradleyTerry(matches, iterations = iterations)
       .join(winRateWilson(matches, z = z)
+        .select(col("model"), col("n_games"), col("win_rate"),
+          col("wilson_lo"), col("wilson_hi")), "model")
+      .withColumn("arena_rank", row_number().over(w))
+  }
+
+  /** [[arenaLeaderboard]] from STORED sufficient statistics — the
+    * incremental-arena finisher: `pairCounts` (i, j, n) + `btWins`
+    * (model, wins) feed [[bradleyTerryFromCounts]], `games`
+    * (model, n_games, wins — DECIDED games only) feeds
+    * [[winRateWilsonFromCounts]]; same join, same rank window. All
+    * three statistics are additive integers, so a leaderboard refit
+    * from accumulated state equals the batch [[arenaLeaderboard]] over
+    * the unioned matches bit for bit (StreamingSpec pins it). */
+  def arenaLeaderboardFromState(pairCounts: DataFrame, btWins: DataFrame,
+                                games: DataFrame, iterations: Int = 2,
+                                z: Double = 1.96): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("rating").desc, col("model"))
+    bradleyTerryFromCounts(pairCounts, btWins, iterations)
+      .join(winRateWilsonFromCounts(games, z)
         .select(col("model"), col("n_games"), col("win_rate"),
           col("wilson_lo"), col("wilson_hi")), "model")
       .withColumn("arena_rank", row_number().over(w))

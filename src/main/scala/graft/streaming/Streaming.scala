@@ -277,6 +277,86 @@ object Streaming {
       }
       .start()
 
+  /** ONLINE ARENA LEADERBOARD — the live-eval sibling of the batch
+    * [[graft.ops.Chat.arenaLeaderboard]] (q268), built on the stored-
+    * state pattern of [[chatGateForeachBatch]]: per micro-batch of
+    * matches, (1) reduce the batch to its SUFFICIENT STATISTICS — the
+    * symmetric (i, j, n) opponent counts, (model, wins) Bradley-Terry
+    * win totals, and (model, n_games, wins) decided-game counts, the
+    * exact same filters as the batch builders — and fold them into the
+    * stored state under `statePath`; (2) refit the |models|²-sized MM
+    * loop + Wilson intervals from the ACCUMULATED state
+    * ([[graft.ops.Chat.arenaLeaderboardFromState]]) and rewrite the
+    * leaderboard at `leaderboardPath`. Match payloads never persist —
+    * the state is additive integers, so the rewritten leaderboard
+    * equals the batch fit over every match ever seen, bit for bit
+    * (StreamingSpec pins two micro-batches ≡ one batch run).
+    *
+    * Exactly-once folding: each batch's deltas land in a
+    * `batch_id=<id>` partition via dynamic partition overwrite, so a
+    * replayed micro-batch (foreachBatch is at-least-once) overwrites
+    * ITS OWN partition instead of double-counting. Per-batch cost:
+    * one partial-agged count over the batch + a state read of
+    * |batches|·|models|²-ish count rows (tiny; periodically compact by
+    * summing old partitions offline if batch count ever matters) +
+    * the fixed-size refit. */
+  def arenaLeaderboardForeachBatch(stream: DataFrame, statePath: String,
+                                   leaderboardPath: String,
+                                   checkpoint: String,
+                                   aCol: String = "model_a",
+                                   bCol: String = "model_b",
+                                   winnerCol: String = "winner",
+                                   iterations: Int = 2,
+                                   z: Double = 1.96)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sess = batch.sparkSession
+        val b = batch.toDF()
+        // batch sufficient statistics — the Chat batch-builder filters
+        val m = b.filter(col(aCol).isNotNull && col(bCol).isNotNull &&
+            col(winnerCol).isNotNull && col(aCol) =!= col(bCol))
+          .select(col(aCol).as("a"), col(bCol).as("b"),
+            col(winnerCol).as("w"))
+        val pairsDelta = m.select(col("a").as("i"), col("b").as("j"))
+          .union(m.select(col("b").as("i"), col("a").as("j")))
+          .groupBy("i", "j").agg(count(lit(1)).as("n"))
+        val winsDelta = m.groupBy(col("w").as("model"))
+          .agg(count(lit(1)).as("wins"))
+        val md = m.filter(col("w") === col("a") || col("w") === col("b"))
+        val gamesDelta = md.select(col("a").as("model"), col("w"))
+          .union(md.select(col("b").as("model"), col("w")))
+          .groupBy("model")
+          .agg(count(lit(1)).as("n_games"),
+            sum(when(col("w") === col("model"), 1L).otherwise(0L))
+              .as("wins"))
+        def landDelta(df: DataFrame, dir: String): Unit =
+          df.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(s"$statePath/$dir")
+        landDelta(pairsDelta, "pairs")
+        landDelta(winsDelta, "wins")
+        landDelta(gamesDelta, "games")
+        // refit from the ACCUMULATED state (never from the stream)
+        val pairs = sess.read.parquet(s"$statePath/pairs")
+          .groupBy("i", "j").agg(sum("n").as("n"))
+        val wins = sess.read.parquet(s"$statePath/wins")
+          .groupBy("model").agg(sum("wins").as("wins"))
+        val games = sess.read.parquet(s"$statePath/games")
+          .groupBy("model").agg(sum("n_games").as("n_games"),
+            sum("wins").as("wins"))
+        graft.ops.Chat.arenaLeaderboardFromState(pairs, wins, games,
+            iterations, z)
+          .write.mode("overwrite").parquet(leaderboardPath)
+        ()
+      }
+      .start()
+
   /** Continuous drift monitoring, step 1 of 2: per tumbling window,
     * equal-width bin counts of `valueCol` (the sufficient statistics of
     * [[graft.ops.Stats.psi]]). One watermarked streaming aggregation —

@@ -527,4 +527,42 @@ class StreamingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS sigidx_fb_bands")
     }
   }
+
+  test("arenaLeaderboardForeachBatch: two micro-batches fold into the " +
+    "stored sufficient statistics; the rewritten leaderboard equals " +
+    "the batch arenaLeaderboard over the unioned matches bit for bit") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // batch 1: m1-m3 only, with one invalid self-match and one tie
+    // (tie shapes n_matches but not decided games — both paths must
+    // treat it identically); batch 2 introduces m4
+    val b1 = Seq(("m1", "m2", "m1"), ("m1", "m3", "m3"),
+      ("m2", "m3", "m2"), ("m1", "m2", "m2"), ("m1", "m1", "m1"),
+      ("m2", "m3", "tie"))
+    val b2 = Seq(("m1", "m2", "m1"), ("m2", "m3", "m3"),
+      ("m1", "m3", "m1"), ("m1", "m4", "m4"), ("m4", "m2", "m4"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_arena_stream").toString
+    val in = MemoryStream[(String, String, String)]
+    val q = Streaming.arenaLeaderboardForeachBatch(
+      in.toDF().toDF("model_a", "model_b", "winner"),
+      s"$dir/state", s"$dir/leaderboard", s"$dir/ck")
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      // interim leaderboard: only the three models seen so far
+      assert(spark.read.parquet(s"$dir/leaderboard").count() == 3)
+      in.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/leaderboard")
+      .orderBy("arena_rank").collect().toSeq
+    val batch = graft.ops.Chat.arenaLeaderboard(
+        (b1 ++ b2).toDF("model_a", "model_b", "winner"))
+      .orderBy("arena_rank").collect().toSeq
+    assert(streamed == batch, s"\nstream: $streamed\nbatch:  $batch")
+    // the state holds counts, not matches: no match payload column
+    val pairCols = spark.read.parquet(s"$dir/state/pairs").columns.toSet
+    assert(pairCols == Set("i", "j", "n", "batch_id"))
+  }
 }
