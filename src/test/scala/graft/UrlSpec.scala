@@ -140,6 +140,22 @@ class UrlSpec extends SparkSpec {
     assert(rd("api.lb-123.eu-west-1.elb.amazonaws.com") ==
       "lb-123.eu-west-1.elb.amazonaws.com")
     assert(rd("svc.my-app.run.app") == "my-app.run.app")
+    // round-12 expansion tails (VERDICT r11 item 5): US locality
+    // scheme, cn provinces, it regions, ua oblasts, pl cities, new
+    // gTLDs, blogspot variants, PaaS hosts
+    assert(rd("www.school.k12.ca.us") == "school.k12.ca.us")
+    assert(rd("branch.library.lib.tx.us") == "library.lib.tx.us")
+    assert(rd("host.company.bj.cn") == "company.bj.cn")
+    assert(rd("www.comune.abruzzo.it") == "comune.abruzzo.it")
+    assert(rd("x.firm.kiev.ua") == "firm.kiev.ua")
+    assert(rd("shop.sklep.krakow.pl") == "sklep.krakow.pl")
+    assert(rd("cdn.assets.netlify.app") == "assets.netlify.app")
+    assert(rd("x.my-site.pages.dev") == "my-site.pages.dev")
+    assert(rd("a.b.agency") == "b.agency")
+    assert(rd("news.blogspot.ru") == "news.blogspot.ru")
+    assert(rd("www.shop.tokyo") == "shop.tokyo")
+    // rule count reflects the expansion
+    assert(psl.size > 1800, s"snapshot shrank: ${psl.size}")
     // the excerpt fixture still loads independently
     assert(UrlOps.PslExcerptSuffixes.nonEmpty &&
       UrlOps.PslExcerptSuffixes.size < psl.size)
