@@ -83,6 +83,16 @@ object ScaleProbe {
         "simhash" -> { d => Dedup.simhashCandidates(d).count() },
         "ngram_jaccard_df1000" -> { d =>
           Dedup.ngramJaccard(d, minJaccard = 0.4, maxDf = 1000).count() },
+        // exact any-offset span mining: map cost = one md5 per char;
+        // pair volume is DUPLICATION DENSITY by definition — replicas
+        // share their whole prefix, so the Kx corpus has K(K-1)/2
+        // same-base pairs each contributing a maximal span row (the
+        // output-bound regime of ngram_jaccard/imageNearDup, declared)
+        "exact_substr" -> { d =>
+          Dedup.exactSubstrSpans(
+            d.select(col("doc_id"),
+              substring(col("text"), 1, 200).as("text")),
+            minLen = 60).count() },
         "cc_clusters" -> { d =>
           val pairs = Dedup.ngramJaccard(d, minJaccard = 0.4, maxDf = 1000)
           Dedup.connectedComponents(d.select(col("doc_id").as("id")), pairs)

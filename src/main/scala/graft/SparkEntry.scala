@@ -3078,6 +3078,24 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       TextOps.gopherRulesScripted(synth, minWords = 10)
         .orderBy("doc_id")
+    }),
+
+    // EXACT any-offset substring mining (Lee et al. ExactSubstr): every
+    // 20th doc gets a clone embedding chars [40,140) of its truncated
+    // text at offset 3 — a shifted duplicate; the miner reports each
+    // maximal shared span >= 40 with exact boundaries. Oracle replays
+    // the full pipeline: all-positions 60-bit gram hashes, df cap,
+    // digest join, diagonal run-length merge
+    "q272_exact_substr" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("text").isNotNull && col("doc_id") % 20 === 0)
+        .select(col("doc_id"), substring(col("text"), 1, 160).as("text"))
+      val clones = d.filter(length(col("text")) >= 140)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(lit("ZQX"), substring(col("text"), 41, 100), lit("WKJ"))
+            .as("text"))
+      Dedup.exactSubstrSpans(d.unionByName(clones), minLen = 40)
+        .orderBy("id_a", "id_b", "a_start", "b_start")
     })
   )
 
@@ -4901,6 +4919,53 @@ object SparkEntry {
     "q135_script_profile" -> scriptProfileOracle,
 
     "q271_script_gates" -> scriptGatesOracle,
+
+    // q272: the exact-substring pipeline replayed end-to-end — the same
+    // 60-bit hash formula the GramHashes kernel computes (first 15 md5
+    // hex chars), the same df cap, the same diagonal islands
+    "q272_exact_substr" ->
+      """WITH base AS (
+        |  SELECT doc_id, substr(text, 1, 160) AS text FROM documents
+        |  WHERE text IS NOT NULL AND doc_id % 20 = 0),
+        |corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 10000000,
+        |         'ZQX' || substr(text, 41, 100) || 'WKJ'
+        |  FROM base WHERE length(text) >= 140),
+        |g AS (
+        |  SELECT id, i - 1 AS pos,
+        |         ('0x' || substr(md5(substr(text, CAST(i AS INT), 40)),
+        |            1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id AS id, text,
+        |          unnest(generate_series(1, length(text) - 39)) AS i
+        |        FROM corpus WHERE length(text) >= 40)),
+        |hdf AS (SELECT h, count(DISTINCT id) AS df FROM g GROUP BY h),
+        |cg AS (SELECT g.id, g.pos, g.h FROM g JOIN hdf USING (h)
+        |       WHERE hdf.df <= 1000),
+        |m AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.pos AS pa, b.pos AS pb,
+        |         a.pos - b.pos AS diag
+        |  FROM cg a JOIN cg b ON a.h = b.h AND a.id < b.id),
+        |i1 AS (
+        |  SELECT *, CASE WHEN pa - coalesce(lag(pa) OVER
+        |      (PARTITION BY id_a, id_b, diag ORDER BY pa), pa - 2) > 1
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM m),
+        |i2 AS (
+        |  SELECT *, CAST(sum(brk) OVER (PARTITION BY id_a, id_b, diag
+        |      ORDER BY pa ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+        |  FROM i1),
+        |sp AS (
+        |  SELECT id_a, id_b, diag, island, min(pa) AS a_start,
+        |         max(pa) AS lastp, min(pb) AS b_start
+        |  FROM i2 GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b, CAST(a_start AS INT) AS a_start,
+        |       CAST(lastp + 40 AS INT) AS a_end,
+        |       CAST(b_start AS INT) AS b_start,
+        |       CAST(lastp + 40 - diag AS INT) AS b_end,
+        |       CAST(lastp + 40 - a_start AS INT) AS match_len
+        |FROM sp ORDER BY id_a, id_b, a_start, b_start""".stripMargin,
 
     "q136_drift_report" ->
       """WITH e AS (

@@ -1749,4 +1749,109 @@ object Dedup {
       else hits.select(col("_v").as(valueCol), col("bloom_hit"))
     out
   }
+
+  // ---- EXACT-substring mining (Lee et al. 2022 ExactSubstr) -------------
+
+  /** EXACT any-offset duplicated-span mining — the guarantee CDC (q201)
+    * and winnowing (q207) only approach probabilistically: every
+    * substring of length >= `minLen` shared between two documents is
+    * found, at ANY offset, with EXACT maximal boundaries. CDC re-shares
+    * shifted duplicates only when a content-defined boundary lands
+    * inside the span (a span between boundaries shares no chunk);
+    * winnowing guarantees detection only past the window span. This
+    * operator owes nothing to sampling: two docs share a span of length
+    * s >= L iff they share s-L+1 ALIGNED L-grams, so the all-positions
+    * [[graft.functions.GramHashes]] kernel plus one digest-keyed
+    * equi-join is the complete detection, and the aligned matches of a
+    * shared span form a CONSECUTIVE RUN on their alignment diagonal
+    * (pa - pb constant) — run-length merging the diagonals (the q05
+    * islands pattern) recovers each maximal span exactly once per
+    * occurrence pair.
+    *
+    * Output: (id_a, id_b, a_start, a_end, b_start, b_end, match_len) —
+    * 0-based char offsets, end exclusive, match_len >= minLen, maximal
+    * per diagonal; id_a < id_b. Intra-doc repetition is q117's domain.
+    *
+    * Scale shape: one md5 per corpus character map-side (8 output bytes
+    * per char — the honest price of exactness; the suffix-array
+    * reference pays the same corpus-sized pass), then ONLY (h, id, pos)
+    * longs shuffle on the gram digest. `maxDf` drops grams shared by
+    * more than that many docs (corpus boilerplate — the ngramJaccard
+    * cap, broadcast anti-join) before the self-join; remaining pair
+    * volume is duplication density by definition. The diagonal window
+    * partitions by (pair, diag) — bounded by the shorter doc. At 100 TB
+    * run per-bucket (per-domain/per-shard partitions of `docs`), the
+    * standard sharding of the suffix-array original. Exactness caveat:
+    * 60-bit gram hashes — a cross-doc collision (~2^-60 per pair) can
+    * fabricate a single L-gram match, but never extend a run.
+    *
+    * NOTE: caches the gram frame for the query (both self-join sides);
+    * the harness clears between queries (the fpDupGroups contract). */
+  def exactSubstrSpans(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", minLen: Int = 40,
+                       maxDf: Int = 1000): DataFrame = {
+    require(minLen >= 2, "minLen must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) >= minLen)
+      .select(col(idCol).as("id"),
+        posexplode(graft.functions.VectorExpressions
+          .gramHashes(col(textCol), minLen)).as(Seq("pos", "h")))
+    val capped = (if (maxDf >= Int.MaxValue) grams
+      else {
+        // hot grams are few by definition: broadcast anti-join, never a
+        // window over the gram key (the ngramJaccard skew note)
+        val hot = grams.groupBy("h")
+          .agg(countDistinct("id").as("df"))
+          .filter(col("df") > maxDf).select("h")
+        grams.join(broadcast(hot), Seq("h"), "left_anti")
+      }).cache()
+    val a = capped.select(col("h"), col("id").as("id_a"),
+      col("pos").as("pa"))
+    val b = capped.select(col("h"), col("id").as("id_b"),
+      col("pos").as("pb"))
+    val matches = a.join(b, "h")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("diag"))
+    val w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    matches
+      .withColumn("brk", when(col("pa") -
+          coalesce(lag("pa", 1).over(w), col("pa") - lit(2)) > 1, 1)
+        .otherwise(0))
+      .withColumn("island", sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("id_a", "id_b", "diag", "island")
+      .agg(min("pa").as("a_start"), max("pa").as("_last"),
+        min("pb").as("b_start"))
+      .select(col("id_a"), col("id_b"), col("a_start"),
+        (col("_last") + minLen).as("a_end"), col("b_start"),
+        (col("_last") + minLen - col("diag")).as("b_end"),
+        (col("_last") + minLen - col("a_start")).as("match_len"))
+  }
+
+  /** Keep-first CUT MANIFEST from [[exactSubstrSpans]] output — the
+    * removal actually applied in ExactSubstr training-data dedup: every
+    * duplicated span is cut from the HIGHER-id occurrence (id_b — the
+    * lower id keeps its text, the exact-dedup canonical convention),
+    * overlapping/adjacent cuts merged per doc into disjoint intervals
+    * (the classic sweep: order by start, break where start exceeds the
+    * running max end). Returns (id, cut_start, cut_end) — apply with a
+    * per-row substring stitch. Window input is span rows only. */
+  def exactSubstrCutManifest(spans: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cuts = spans.select(col("id_b").as("id"), col("b_start").as("s"),
+      col("b_end").as("e"))
+    val w = Window.partitionBy("id").orderBy("s", "e")
+    val runMax = max("e").over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    cuts
+      .withColumn("brk",
+        when(col("s") > coalesce(runMax, col("s") - 1), 1).otherwise(0))
+      .withColumn("island", sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("id", "island")
+      .agg(min("s").as("cut_start"), max("e").as("cut_end"))
+      .select(col("id"), col("cut_start"), col("cut_end"))
+  }
 }

@@ -134,6 +134,10 @@ object VectorExpressions {
       bc: org.apache.spark.broadcast.Broadcast[BpeEncodeWord.Merges])
       : Column =
     Bridge.column(BpeEncodeWord(Bridge.expression(word), bc))
+
+  /** Column-level all-positions k-gram hashes (see [[GramHashes]]). */
+  def gramHashes(text: Column, k: Int): Column =
+    Bridge.column(GramHashes(Bridge.expression(text), k))
 }
 
 /** Nearest-centroid assignment with the centroid matrix read from a Spark
@@ -1045,4 +1049,81 @@ object BpeEncodeWord {
     }
     Merges(lhs, rhs, merged, ranks)
   }
+}
+
+/** ALL-POSITIONS character k-gram hashes — the sufficient statistic of
+  * the EXACT-substring guarantee (Lee et al. 2022 ExactSubstr): two
+  * documents share a substring of length ≥ k iff they share at least
+  * one aligned k-gram, so emitting EVERY position's gram hash (unlike
+  * [[RollingFingerprints]]' 1/16 content-defined sample or
+  * [[WinnowingFingerprints]]' window minima, which trade the guarantee
+  * for volume) turns exact any-offset substring mining into one
+  * digest-keyed equi-join. Returns ARRAY<LONG> with hash_i for the gram
+  * starting at position i (positions via posexplode) — 60-bit values
+  * from the first 15 hex chars of md5, the SimHash portable-long trick,
+  * bit-identical to DuckDB's `('0x' || substr(md5(gram), 1, 15))::
+  * BIGINT` on BMP text (both engines substring by the same units
+  * there; the corpus and oracles are ASCII). Texts shorter than k
+  * return an EMPTY array — a doc with no k-gram can share no k-span
+  * (deliberately NOT the whole-text fallback of the sampling kernels).
+  * Cost: one md5 per character position — 8 output bytes per input
+  * char; the honest price of exactness (the suffix-array reference
+  * implementation also touches every byte). */
+case class GramHashes(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(k >= 1, "k-gram width must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"gram_hashes expects STRING, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def prettyName: String = "gram_hashes"
+
+  /** Row kernel — public so generated code can call it. */
+  def kernel(input: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val text = input.toString
+    val n = text.length - (k - 1)
+    if (n <= 0) {
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    }
+    val md = MinHashParams.threadMd5()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val d = md.digest(text.substring(i, i + k)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex chars = high 60 bits of the digest
+      var h = 0L
+      var j = 0
+      while (j < 8) {
+        h = (h << 8) | (d(j) & 0xffL)
+        j += 1
+      }
+      out(i) = h >>> 4 // 64 -> 60 bits (drop the 16th hex char)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramHashes", this,
+      classOf[GramHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }

@@ -2557,6 +2557,73 @@ class ExtensionsSpec extends SparkSpec {
       legacy.getAs[String]("cleaned"))
   }
 
+  test("exactSubstrSpans: a shifted duplicated span is found with exact " +
+    "maximal boundaries where CDC shares no chunk; repeats report one " +
+    "row per occurrence diagonal; cut manifest merges keep-first") {
+    import graft.functions.VectorExpressions
+    val base = "the quick brown fox jumps over the lazy dog while " +
+      "ninety nine red balloons drift past the old stone tower at dawn " +
+      "and the river bends slowly through the quiet green valley " +
+      "toward the open sea"
+    // [80, 145) sits strictly inside base's 71-char CDC chunk
+    // [78, 149) — no content-defined boundary inside the span, so CDC
+    // cannot re-share any chunk of it (the missed class, by
+    // construction rather than luck)
+    val span = base.substring(80, 145) // 65 chars, offset 80 in doc 1
+    // flanks chosen NOT to match base's chars around the span — the
+    // miner is maximal and would correctly extend through equal flanks
+    val d2 = "zqwxykQ" + span + "Xtrailing words entirely different " +
+      "here with more padding so lengths vary"
+    val docs = Seq((1L, base), (2L, d2)).toDF("doc_id", "text")
+    val got = Dedup.exactSubstrSpans(docs, minLen = 40)
+      .orderBy("id_a", "id_b", "a_start").collect()
+    spark.catalog.clearCache()
+    assert(got.length == 1, s"got ${got.toSeq}")
+    val r = got(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getInt(2) == 80 && r.getInt(3) == 145, s"a span $r")
+    assert(r.getInt(4) == 7 && r.getInt(5) == 72, s"b span $r")
+    assert(r.getInt(6) == 65)
+    // the copied text matches char-for-char at the reported offsets
+    assert(base.substring(r.getInt(2), r.getInt(3)) ==
+      d2.substring(r.getInt(4), r.getInt(5)))
+    // CDC's missed class: the same pair shares NO chunk digest (no
+    // content-defined boundary re-synchronizes inside this span), yet
+    // the exact miner found it — the probabilistic-vs-guaranteed gap
+    val chunksOf = (t: String) => Seq(t).toDF("t")
+      .select(explode(VectorExpressions.cdcChunks(col("t"), 16)).as("c"))
+      .collect().map(_.getString(0)).toSet
+    val shared = chunksOf(base).intersect(chunksOf(d2))
+    assert(shared.isEmpty,
+      s"CDC unexpectedly re-shared ${shared.size} chunks — pick a new span")
+    // two occurrences of the same span → two diagonals, one row each
+    val d3 = "abcQ" + span + "Xmid filler text that is long enough " +
+      "to separate the two copiesQ" + span + "Xtail"
+    val rep = Dedup.exactSubstrSpans(
+      Seq((1L, base), (3L, d3)).toDF("doc_id", "text"), minLen = 40)
+      .orderBy("b_start").collect()
+    spark.catalog.clearCache()
+    assert(rep.length == 2 && rep.forall(_.getInt(6) == 65),
+      s"got ${rep.toSeq}")
+    // keep-first cut manifest: doc 3 (higher id) cuts both, merged only
+    // if overlapping — here disjoint, two intervals
+    val cuts = Dedup.exactSubstrCutManifest(
+      Seq((1L, base), (3L, d3)).toDF("doc_id", "text")
+        .transform(d => Dedup.exactSubstrSpans(d, minLen = 40)))
+      .orderBy("cut_start").collect()
+    spark.catalog.clearCache()
+    assert(cuts.length == 2 && cuts.forall(_.getLong(0) == 3L))
+    assert(cuts(0).getInt(1) == 4 && cuts(0).getInt(2) == 69)
+    // overlapping spans merge: synthesize two overlapping cut rows
+    val merged = Dedup.exactSubstrCutManifest(
+      Seq((1L, 9L, 0, 10, 5, 50), (1L, 9L, 0, 10, 40, 80),
+        (1L, 9L, 0, 10, 80, 99))
+        .toDF("id_a", "id_b", "a_start", "a_end", "b_start", "b_end"))
+      .collect()
+    assert(merged.length == 1 && merged(0).getInt(1) == 5 &&
+      merged(0).getInt(2) == 99, s"got ${merged.toSeq}")
+  }
+
   test("lshRecall: identical docs are always candidates (recall 1), " +
     "empty ground truth reports recall 1 with zero pairs") {
     val dup = "the quick brown fox jumps over the lazy dog again and again"

@@ -761,6 +761,17 @@ class PlanSpec extends SparkSpec {
     assert(!p269.contains("HashAggregate"), s"q269 plans an agg:\n$p269")
     assert(!p269.contains("Window"), s"q269 plans a window:\n$p269")
     assert(p269.contains("Generate"), s"q269 missing the explode:\n$p269")
+    // q272 exact-substring miner: digest equi-join (never cartesian),
+    // partial-agged df cap, broadcast anti-join for the hot grams,
+    // document text absent from every Exchange (only (h, id, pos)
+    // longs shuffle)
+    val p272 = plan("q272_exact_substr")
+    assert(!p272.contains("CartesianProduct"), s"q272 cartesian:\n$p272")
+    assert(p272.contains("partial_"), s"q272 no map-side combine:\n$p272")
+    assert(p272.contains("BroadcastHashJoin"),
+      s"q272 hot-gram cap not broadcast:\n$p272")
+    assert(!"Exchange [^\\n]*\\btext\\b".r.findFirstIn(p272).isDefined,
+      s"q272 shuffles text:\n$p272")
   }
 
   test("giant-group quantile fallback: no window sort, cuts broadcast") {
