@@ -274,13 +274,42 @@ object Warc {
     * codec work no Catalyst expression expresses (the
     * [[graft.multimodal.Multimodal]] decode precedent). */
   def recordsDecoded(spark: SparkSession, path: String,
-                     metaProbeBytes: Int = 1024): DataFrame = {
+                     metaProbeBytes: Int = 1024): DataFrame =
+    decodeArchives(spark.read.format("binaryFile").load(path),
+      metaProbeBytes)
+
+  /** The `binaryFile` source's fixed schema — needed explicitly by the
+    * STREAMING reader (file-source streams require a user schema). */
+  private val BinaryFileSchema =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "path STRING, modificationTime TIMESTAMP, " +
+        "length BIGINT, content BINARY")
+
+  /** STREAMING [[recordsDecoded]] — the continuous-crawl front door:
+    * Common Crawl drops land as files, so a `binaryFile` FILE-SOURCE
+    * stream over the drop directory + the same per-archive streaming
+    * record decode turns each newly-arrived archive into decoded-record
+    * rows exactly once (file-source tracking via the query checkpoint).
+    * Compose with [[graft.streaming.Streaming.warcDocStream]] /
+    * `curateForeachBatch` for crawl-to-curated end-to-end. */
+  def recordsDecodedStream(spark: SparkSession, path: String,
+                           metaProbeBytes: Int = 1024): DataFrame =
+    decodeArchives(
+      spark.readStream.format("binaryFile").schema(BinaryFileSchema)
+        .load(path),
+      metaProbeBytes)
+
+  /** Shared decode transform over a (path, content) archive frame —
+    * batch and streaming sources route through the same per-record
+    * incremental parser (map-only `flatMap`, streaming-legal). */
+  private def decodeArchives(archives: DataFrame,
+                             metaProbeBytes: Int): DataFrame = {
     import org.apache.spark.sql.Row
     implicit val enc =
       org.apache.spark.sql.catalyst.encoders.RowEncoder
         .encoderFor(RecordSchema)
     val probe = metaProbeBytes
-    spark.read.format("binaryFile").load(path)
+    archives
       .select(col("path"), col("content"))
       .flatMap { fr =>
         val raw0 = fr.getAs[Array[Byte]]("content")

@@ -195,6 +195,39 @@ object Pipelines {
     * `response` records get the HTTP envelope stripped. doc_id is the
     * xxhash64 of the WARC record id (stable across re-reads), source is
     * the target host, lang the engine's heuristic — all map-only. */
+  /** Shape charset-DECODED WARC records ([[graft.io.Warc
+    * .recordsDecoded]] output) into the documents contract — shared by
+    * the batch [[ingestWarc]] (`decodeCharset = true`) and the
+    * streaming [[graft.streaming.Streaming.warcDocStream]]; pure
+    * map-only column work, so it is streaming-legal as-is. */
+  private[graft] def shapeDecodedWarc(recs0: DataFrame,
+      types: Seq[String], extractHtml: Boolean, okStatusOnly: Boolean,
+      contentTypes: Option[Seq[String]]): DataFrame = {
+    import graft.text.TextOps
+    val typed = recs0.filter(col("warc_type").isin(types: _*))
+    val recs1 =
+      if (!okStatusOnly) typed
+      else typed.filter(col("http_status").isNull ||
+        col("http_status").between(200, 299))
+    val recs = contentTypes match {
+      case None => recs1
+      case Some(cts) => recs1.filter(col("http_content_type").isNull ||
+        col("http_content_type").isin(cts.map(_.toLowerCase): _*))
+    }
+    val text = if (extractHtml) TextOps.htmlExtract(col("text"))
+      else col("text")
+    recs.select(
+      xxhash64(col("record_id")).as("doc_id"),
+      text.as("text"),
+      regexp_extract(col("target_uri"), "https?://([^/]+)", 1)
+        .as("source"),
+      col("decode_ok"))
+      .withColumn("lang", TextOps.langIdEn(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars",
+        "decode_ok")
+  }
+
   def ingestWarc(spark: SparkSession, path: String,
                  types: Seq[String] = Seq("conversion", "response"),
                  extractHtml: Boolean = false,
@@ -209,29 +242,8 @@ object Pipelines {
     // gains a `decode_ok` flag (0 = fell back to U+FFFD replacement)
     // for the damage gate to consume.
     if (decodeCharset) {
-      val recs0 = graft.io.Warc.recordsDecoded(spark, path)
-        .filter(col("warc_type").isin(types: _*))
-      val recs1 =
-        if (!okStatusOnly) recs0
-        else recs0.filter(col("http_status").isNull ||
-          col("http_status").between(200, 299))
-      val recs = contentTypes match {
-        case None => recs1
-        case Some(cts) => recs1.filter(col("http_content_type").isNull ||
-          col("http_content_type").isin(cts.map(_.toLowerCase): _*))
-      }
-      val text = if (extractHtml) TextOps.htmlExtract(col("text"))
-        else col("text")
-      return recs.select(
-        xxhash64(col("record_id")).as("doc_id"),
-        text.as("text"),
-        regexp_extract(col("target_uri"), "https?://([^/]+)", 1)
-          .as("source"),
-        col("decode_ok"))
-        .withColumn("lang", TextOps.langIdEn(col("text")))
-        .withColumn("n_chars", length(col("text")).cast("long"))
-        .select("doc_id", "text", "lang", "source", "n_chars",
-          "decode_ok")
+      return shapeDecodedWarc(graft.io.Warc.recordsDecoded(spark, path),
+        types, extractHtml, okStatusOnly, contentTypes)
     }
     val recs0 = graft.io.Warc.records(spark, path)
       .filter(col("warc_type").isin(types: _*))

@@ -277,6 +277,30 @@ object Streaming {
       }
       .start()
 
+  /** STREAMING WARC → documents: the crawl-to-curated FRONT DOOR.
+    * Common Crawl drops land as files in a directory; this is a
+    * `binaryFile` file-source stream over that directory
+    * ([[graft.io.Warc.recordsDecodedStream]] — each newly-arrived
+    * archive decoded exactly once, charset-aware, per-record
+    * incremental parse) shaped into the documents contract by the SAME
+    * map-only shaper the batch `ingestWarc(decodeCharset = true)` path
+    * uses ([[graft.pipeline.Pipelines.shapeDecodedWarc]]). Pipe the
+    * result into [[curateForeachBatch]] and the whole
+    * crawl → decode → gate → incremental near-dup → landed-corpus
+    * chain runs continuously, state carried by the stored signature
+    * index — closing the loop the batch ingest leaves to a scheduler.
+    * Map-only end to end: archive bytes never shuffle; only decoded
+    * text flows on. */
+  def warcDocStream(spark: SparkSession, path: String,
+                    types: Seq[String] = Seq("conversion", "response"),
+                    extractHtml: Boolean = false,
+                    okStatusOnly: Boolean = false,
+                    contentTypes: Option[Seq[String]] = None,
+                    metaProbeBytes: Int = 1024): DataFrame =
+    graft.pipeline.Pipelines.shapeDecodedWarc(
+      graft.io.Warc.recordsDecodedStream(spark, path, metaProbeBytes),
+      types, extractHtml, okStatusOnly, contentTypes)
+
   /** ONLINE ARENA LEADERBOARD — the live-eval sibling of the batch
     * [[graft.ops.Chat.arenaLeaderboard]] (q268), built on the stored-
     * state pattern of [[chatGateForeachBatch]]: per micro-batch of

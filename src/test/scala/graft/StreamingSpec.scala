@@ -528,6 +528,61 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("warcDocStream + curateForeachBatch: crawl-to-curated end-to-end " +
+    "— two WARC files arrive over time, file 2's near-dup of file 1's " +
+    "landed doc is dropped by the grown index, fresh text lands") {
+    import graft.dedup.Dedup
+    val base = java.nio.file.Files.createTempDirectory("graft_warcstream")
+    val drop = base.resolve("drop")
+    java.nio.file.Files.createDirectory(drop)
+    val sink = base.resolve("sink").toString
+    val ckpt = base.resolve("ckpt").toString
+    def warcFile(name: String, recs: (String, String)*): Unit = {
+      val bytes = recs.map { case (rid, text) =>
+        val body = text.getBytes("UTF-8")
+        ("WARC/1.0\r\n" +
+          s"WARC-Type: conversion\r\n" +
+          s"WARC-Record-ID: <urn:uuid:$rid>\r\n" +
+          s"WARC-Target-URI: https://crawl.example/$rid\r\n" +
+          s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII") ++
+          body ++ "\r\n\r\n".getBytes("US-ASCII")
+      }.reduce(_ ++ _)
+      java.nio.file.Files.write(drop.resolve(name), bytes)
+    }
+    val t1 = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa"
+    val t1near = t1.replace("papa", "quebec") // one word changed
+    val fresh = "seven eight nine ten eleven twelve thirteen fourteen " +
+      "fifteen sixteen seventeen eighteen nineteen twenty twentyone"
+    try {
+      // seed index with an unrelated doc (the stored-state contract)
+      Dedup.writeSignatureIndex(
+        Dedup.buildSignatureIndex(
+          Seq((1L, "zeta eta theta iota kappa mu nu xi omicron pi rho " +
+            "sigma tau upsilon phi chi")).toDF("doc_id", "text"),
+          numHashes = 16, bands = 4),
+        "sigidx_warc", buckets = 4)
+      warcFile("seg1.warc", ("w1", t1))
+      val docs = Streaming.warcDocStream(spark, drop.toString)
+      assert(docs.isStreaming)
+      val q = Streaming.curateForeachBatch(docs, "sigidx_warc", sink,
+        ckpt, buckets = 4, minJaccard = 0.5, numHashes = 16, bands = 4)
+      try {
+        q.processAllAvailable()
+        // file 2 arrives later: a near-dup of file 1's LANDED doc (only
+        // the grown index knows it) + a genuinely fresh doc
+        warcFile("seg2.warc", ("w2", t1near), ("w3", fresh))
+        q.processAllAvailable()
+      } finally q.stop()
+      val landed = spark.read.parquet(sink)
+        .select("text").collect().map(_.getString(0)).toSet
+      assert(landed == Set(t1, fresh), s"landed $landed")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sigidx_warc_sigs")
+      spark.sql("DROP TABLE IF EXISTS sigidx_warc_bands")
+    }
+  }
+
   test("arenaLeaderboardForeachBatch: two micro-batches fold into the " +
     "stored sufficient statistics; the rewritten leaderboard equals " +
     "the batch arenaLeaderboard over the unioned matches bit for bit") {
