@@ -3096,6 +3096,25 @@ object SparkEntry {
             .as("text"))
       Dedup.exactSubstrSpans(d.unionByName(clones), minLen = 40)
         .orderBy("id_a", "id_b", "a_start", "b_start")
+    }),
+
+    // the ExactSubstr LIFECYCLE end-to-end: q272's spans → keep-first
+    // cut manifest → corpus rewrite; clone docs come back with the
+    // copied span excised, untouched docs pass through verbatim
+    "q273_exact_substr_cuts" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("text").isNotNull && col("doc_id") % 20 === 0)
+        .select(col("doc_id"), substring(col("text"), 1, 160).as("text"))
+      val clones = d.filter(length(col("text")) >= 140)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(lit("ZQX"), substring(col("text"), 41, 100), lit("WKJ"))
+            .as("text"))
+      val corpus = d.unionByName(clones)
+      val cuts = Dedup.exactSubstrCutManifest(
+        Dedup.exactSubstrSpans(corpus, minLen = 40))
+      Dedup.exactSubstrApplyCuts(corpus, cuts)
+        .select(col("doc_id"), col("cleaned"), col("n_cuts"))
+        .orderBy("doc_id")
     })
   )
 
@@ -4485,6 +4504,47 @@ object SparkEntry {
 
   /** q135 oracle: generated from [[TextOps.ScriptRanges]] so the regex
     * classes are literally the same strings both engines compile. */
+  /** q272/q273's shared oracle prelude: synthesis, all-positions gram
+    * hashes (the GramHashes 15-hex formula), df cap, digest join, and
+    * diagonal islands down to the maximal spans (`sp`). */
+  private def exactSubstrOracleCtes: String =
+    """WITH base AS (
+        |  SELECT doc_id, substr(text, 1, 160) AS text FROM documents
+        |  WHERE text IS NOT NULL AND doc_id % 20 = 0),
+        |corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 10000000,
+        |         'ZQX' || substr(text, 41, 100) || 'WKJ'
+        |  FROM base WHERE length(text) >= 140),
+        |g AS (
+        |  SELECT id, i - 1 AS pos,
+        |         ('0x' || substr(md5(substr(text, CAST(i AS INT), 40)),
+        |            1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id AS id, text,
+        |          unnest(generate_series(1, length(text) - 39)) AS i
+        |        FROM corpus WHERE length(text) >= 40)),
+        |hdf AS (SELECT h, count(DISTINCT id) AS df FROM g GROUP BY h),
+        |cg AS (SELECT g.id, g.pos, g.h FROM g JOIN hdf USING (h)
+        |       WHERE hdf.df <= 1000),
+        |m AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.pos AS pa, b.pos AS pb,
+        |         a.pos - b.pos AS diag
+        |  FROM cg a JOIN cg b ON a.h = b.h AND a.id < b.id),
+        |i1 AS (
+        |  SELECT *, CASE WHEN pa - coalesce(lag(pa) OVER
+        |      (PARTITION BY id_a, id_b, diag ORDER BY pa), pa - 2) > 1
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM m),
+        |i2 AS (
+        |  SELECT *, CAST(sum(brk) OVER (PARTITION BY id_a, id_b, diag
+        |      ORDER BY pa ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+        |  FROM i1),
+        |sp AS (
+        |  SELECT id_a, id_b, diag, island, min(pa) AS a_start,
+        |         max(pa) AS lastp, min(pb) AS b_start
+        |  FROM i2 GROUP BY 1, 2, 3, 4)""".stripMargin
+
   /** q271's oracle: the scripted gate re-derived branch by branch —
     * dominant via the q135 class strings, the latin branch via the q145
     * measurement formulas, the cjk branch via the scriptAwareTokenCount
@@ -4924,48 +4984,55 @@ object SparkEntry {
     // 60-bit hash formula the GramHashes kernel computes (first 15 md5
     // hex chars), the same df cap, the same diagonal islands
     "q272_exact_substr" ->
-      """WITH base AS (
-        |  SELECT doc_id, substr(text, 1, 160) AS text FROM documents
-        |  WHERE text IS NOT NULL AND doc_id % 20 = 0),
-        |corpus AS (
-        |  SELECT doc_id, text FROM base
-        |  UNION ALL
-        |  SELECT doc_id + 10000000,
-        |         'ZQX' || substr(text, 41, 100) || 'WKJ'
-        |  FROM base WHERE length(text) >= 140),
-        |g AS (
-        |  SELECT id, i - 1 AS pos,
-        |         ('0x' || substr(md5(substr(text, CAST(i AS INT), 40)),
-        |            1, 15))::BIGINT AS h
-        |  FROM (SELECT doc_id AS id, text,
-        |          unnest(generate_series(1, length(text) - 39)) AS i
-        |        FROM corpus WHERE length(text) >= 40)),
-        |hdf AS (SELECT h, count(DISTINCT id) AS df FROM g GROUP BY h),
-        |cg AS (SELECT g.id, g.pos, g.h FROM g JOIN hdf USING (h)
-        |       WHERE hdf.df <= 1000),
-        |m AS (
-        |  SELECT a.id AS id_a, b.id AS id_b, a.pos AS pa, b.pos AS pb,
-        |         a.pos - b.pos AS diag
-        |  FROM cg a JOIN cg b ON a.h = b.h AND a.id < b.id),
-        |i1 AS (
-        |  SELECT *, CASE WHEN pa - coalesce(lag(pa) OVER
-        |      (PARTITION BY id_a, id_b, diag ORDER BY pa), pa - 2) > 1
-        |    THEN 1 ELSE 0 END AS brk
-        |  FROM m),
-        |i2 AS (
-        |  SELECT *, CAST(sum(brk) OVER (PARTITION BY id_a, id_b, diag
-        |      ORDER BY pa ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
-        |  FROM i1),
-        |sp AS (
-        |  SELECT id_a, id_b, diag, island, min(pa) AS a_start,
-        |         max(pa) AS lastp, min(pb) AS b_start
-        |  FROM i2 GROUP BY 1, 2, 3, 4)
+      s"""$exactSubstrOracleCtes
         |SELECT id_a, id_b, CAST(a_start AS INT) AS a_start,
         |       CAST(lastp + 40 AS INT) AS a_end,
         |       CAST(b_start AS INT) AS b_start,
         |       CAST(lastp + 40 - diag AS INT) AS b_end,
         |       CAST(lastp + 40 - a_start AS INT) AS match_len
         |FROM sp ORDER BY id_a, id_b, a_start, b_start""".stripMargin,
+
+    // q273: the full ExactSubstr LIFECYCLE replayed — spans (q272's
+    // chain) -> keep-first cut manifest (running-max interval merge) ->
+    // segment stitch (ordered string_agg of the text between cuts)
+    "q273_exact_substr_cuts" ->
+      s"""$exactSubstrOracleCtes,
+        |cuts0 AS (
+        |  SELECT DISTINCT id_b AS id, b_start AS s2,
+        |         lastp + 40 - diag AS e2
+        |  FROM sp),
+        |cm1 AS (
+        |  SELECT *, CASE WHEN s2 > coalesce(max(e2) OVER
+        |      (PARTITION BY id ORDER BY s2, e2
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      s2 - 1) THEN 1 ELSE 0 END AS brk
+        |  FROM cuts0),
+        |cm2 AS (
+        |  SELECT *, CAST(sum(brk) OVER (PARTITION BY id
+        |      ORDER BY s2, e2 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS isl
+        |  FROM cm1),
+        |cm AS (SELECT id, isl, min(s2) AS cs, max(e2) AS ce
+        |       FROM cm2 GROUP BY 1, 2),
+        |seg AS (
+        |  SELECT id, cs, ce, coalesce(lag(ce) OVER
+        |      (PARTITION BY id ORDER BY cs), 0) AS prev
+        |  FROM cm),
+        |parts AS (
+        |  SELECT c.doc_id,
+        |    string_agg(substr(c.text, CAST(seg.prev + 1 AS INT),
+        |      CAST(seg.cs - seg.prev AS INT)), '' ORDER BY seg.cs)
+        |      AS head_part,
+        |    max(seg.ce) AS last_e, count(*) AS n_cuts
+        |  FROM corpus c JOIN seg ON seg.id = c.doc_id
+        |  GROUP BY c.doc_id, c.text)
+        |SELECT c.doc_id,
+        |  CASE WHEN p.doc_id IS NULL THEN c.text
+        |       ELSE p.head_part || substr(c.text,
+        |         CAST(p.last_e + 1 AS INT)) END AS cleaned,
+        |  coalesce(p.n_cuts, 0) AS n_cuts
+        |FROM corpus c LEFT JOIN parts p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q136_drift_report" ->
       """WITH e AS (

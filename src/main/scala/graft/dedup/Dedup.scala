@@ -1840,8 +1840,13 @@ object Dedup {
     * per-row substring stitch. Window input is span rows only. */
   def exactSubstrCutManifest(spans: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // DISTINCT intervals: several partners can flag the IDENTICAL
+    // (id, start, end) cut (two equal source docs matching one clone) —
+    // one interval is one cut, and deduping also makes the sweep's
+    // (s, e) order TOTAL per id (duplicate order keys make ROWS-frame
+    // windows engine-nondeterministic — observed in the oracle)
     val cuts = spans.select(col("id_b").as("id"), col("b_start").as("s"),
-      col("b_end").as("e"))
+      col("b_end").as("e")).distinct()
     val w = Window.partitionBy("id").orderBy("s", "e")
     val runMax = max("e").over(
       w.rowsBetween(Window.unboundedPreceding, -1))
@@ -1853,5 +1858,44 @@ object Dedup {
       .groupBy("id", "island")
       .agg(min("s").as("cut_start"), max("e").as("cut_end"))
       .select(col("id"), col("cut_start"), col("cut_end"))
+  }
+
+  /** Apply an [[exactSubstrCutManifest]] to the corpus — the rewrite
+    * that actually de-duplicates: each doc's text is stitched back
+    * together from the segments BETWEEN its (disjoint, sorted) cut
+    * intervals; docs with no cuts pass through untouched, docs cut to
+    * nothing keep "" (the caller's empty-doc gate decides their fate,
+    * the c4LineFilter convention). Returns the input columns plus
+    * `cleaned` and `n_cuts`.
+    *
+    * Scale shape: the manifest collapses to one (id, sorted-intervals)
+    * row per CUT doc before the join (cut docs are the duplication
+    * density, not the corpus), the stitch is a per-row fold over that
+    * doc's own intervals (Column.substr arithmetic — codegen'd, no
+    * UDF), and untouched docs never shuffle anywhere (left join keeps
+    * them where they are; only the manifest side moves). */
+  def exactSubstrApplyCuts(docs: DataFrame, cuts: DataFrame,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val c = cuts.groupBy(col("id").as(idCol))
+      .agg(sort_array(collect_list(struct(
+        col("cut_start").as("s"), col("cut_end").as("e")))).as("_cs"))
+    val t = col(textCol)
+    val stitched = aggregate(col("_cs"),
+      struct(lit("").as("acc"), lit(0).as("prev")),
+      (st, x) => struct(
+        concat(st.getField("acc"),
+          t.substr(st.getField("prev") + 1,
+            x.getField("s") - st.getField("prev"))).as("acc"),
+        x.getField("e").as("prev")),
+      st => concat(st.getField("acc"),
+        t.substr(st.getField("prev") + 1,
+          length(t) - st.getField("prev"))))
+    docs.join(c, Seq(idCol), "left")
+      .withColumn("cleaned",
+        when(col("_cs").isNull, t).otherwise(stitched))
+      .withColumn("n_cuts",
+        coalesce(size(col("_cs")), lit(0)).cast("long"))
+      .drop("_cs")
   }
 }

@@ -2614,14 +2614,30 @@ class ExtensionsSpec extends SparkSpec {
     spark.catalog.clearCache()
     assert(cuts.length == 2 && cuts.forall(_.getLong(0) == 3L))
     assert(cuts(0).getInt(1) == 4 && cuts(0).getInt(2) == 69)
-    // overlapping spans merge: synthesize two overlapping cut rows
+    // overlapping spans merge: synthesize two overlapping cut rows;
+    // a DUPLICATE interval (two partners flagging the same cut)
+    // collapses to one
     val merged = Dedup.exactSubstrCutManifest(
       Seq((1L, 9L, 0, 10, 5, 50), (1L, 9L, 0, 10, 40, 80),
-        (1L, 9L, 0, 10, 80, 99))
+        (2L, 9L, 0, 10, 40, 80), (1L, 9L, 0, 10, 80, 99))
         .toDF("id_a", "id_b", "a_start", "a_end", "b_start", "b_end"))
       .collect()
     assert(merged.length == 1 && merged(0).getInt(1) == 5 &&
       merged(0).getInt(2) == 99, s"got ${merged.toSeq}")
+    // applying the manifest rewrites the text: cut [4,69) and the
+    // second copy's interval out of d3; untouched docs pass verbatim
+    val corpus3 = Seq((1L, base), (3L, d3)).toDF("doc_id", "text")
+    val applied = Dedup.exactSubstrApplyCuts(corpus3,
+      Dedup.exactSubstrCutManifest(
+        Dedup.exactSubstrSpans(corpus3, minLen = 40)))
+      .orderBy("doc_id").collect()
+    spark.catalog.clearCache()
+    assert(applied(0).getAs[String]("cleaned") == base &&
+      applied(0).getAs[Long]("n_cuts") == 0L)
+    val c3 = applied(1).getAs[String]("cleaned")
+    assert(applied(1).getAs[Long]("n_cuts") == 2L)
+    assert(!c3.contains(span.substring(0, 40)), s"span survived: $c3")
+    assert(c3.startsWith("abcQ") && c3.endsWith("Xtail"), s"got $c3")
   }
 
   test("lshRecall: identical docs are always candidates (recall 1), " +
