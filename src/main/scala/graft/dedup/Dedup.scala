@@ -1898,4 +1898,74 @@ object Dedup {
         coalesce(size(col("_cs")), lit(0)).cast("long"))
       .drop("_cs")
   }
+
+  // ---- stored EXACT-substring gram index --------------------------------
+
+  /** Build the stored GRAM INDEX for the incremental exact-substring
+    * gate: DISTINCT (h, id) rows of every doc's all-positions
+    * `minLen`-gram hashes. Positions are deliberately dropped — the
+    * GATE only needs existence (a batch doc shares a span >= L with the
+    * corpus iff ONE of its aligned L-grams hits the index; boundary
+    * recovery is [[exactSubstrSpans]]' batch job), and distinct-per-doc
+    * shrinks repetitive text. Index size is O(corpus chars) longs —
+    * the same order as the suffix array the reference implementation
+    * stores; nothing smaller can carry the exact guarantee. */
+  def buildGramIndex(corpus: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text",
+                     minLen: Int = 40): DataFrame =
+    corpus
+      .filter(col(textCol).isNotNull && length(col(textCol)) >= minLen)
+      .select(col(idCol).as("id"),
+        explode(graft.functions.VectorExpressions
+          .gramHashes(col(textCol), minLen)).as("h"))
+      .distinct()
+
+  /** Persist a gram index BUCKETED BY the gram hash — the probe join
+    * key — so per-batch gating never exchanges the stored side
+    * (the signature-index storage convention). */
+  def writeGramIndex(index: DataFrame, name: String,
+                     buckets: Int = 64): Unit =
+    graft.io.Writers.bucketedTable(index, s"${name}_grams",
+      Seq("h"), buckets, sortCols = Seq("h"))
+
+  /** Append a landed batch's grams — same bucket spec, one new file
+    * per bucket per batch ([[compactSignatureIndex]]'s small-files note
+    * applies; compact on the same cadence). */
+  def appendToGramIndex(batch: DataFrame, name: String,
+                        buckets: Int = 64, idCol: String = "doc_id",
+                        textCol: String = "text",
+                        minLen: Int = 40): Unit =
+    buildGramIndex(batch, idCol, textCol, minLen)
+      .write.format("parquet").mode("append")
+      .bucketBy(buckets, "h").sortBy("h")
+      .saveAsTable(s"${name}_grams")
+
+  /** INCREMENTAL exact-substring gate against the stored gram index —
+    * the continuous-ingest form of [[exactSubstrSpans]] whose per-batch
+    * cost is independent of corpus size: the batch is hashed map-side
+    * (one md5 per batch char — batch-sized, never corpus-sized), the
+    * probe is one equi-join against the h-bucketed stored table, and a
+    * doc DROPS on its FIRST hit (`exists` semantics via the grouped
+    * max — a single shared aligned L-gram proves a shared span >= L,
+    * the exact guarantee with no diagonal work). Docs shorter than
+    * `minLen` carry no L-gram and PASS (nothing they could share).
+    * `minLen` MUST match the index's build value. Survivors land +
+    * [[appendToGramIndex]] on the caller's ordering (the
+    * curateForeachBatch land-before-append contract). Returns the
+    * surviving batch rows. */
+  def incrementalNewExactSubstr(batch: DataFrame, name: String,
+                                idCol: String = "doc_id",
+                                textCol: String = "text",
+                                minLen: Int = 40): DataFrame = {
+    val spark = batch.sparkSession
+    val idx = spark.table(s"${name}_grams").select(col("h"))
+    val bg = batch
+      .filter(col(textCol).isNotNull && length(col(textCol)) >= minLen)
+      .select(col(idCol),
+        explode(graft.functions.VectorExpressions
+          .gramHashes(col(textCol), minLen)).as("h"))
+    val hitIds = bg.join(idx, Seq("h"), "left_semi")
+      .select(col(idCol)).distinct()
+    batch.join(hitIds, Seq(idCol), "left_anti")
+  }
 }

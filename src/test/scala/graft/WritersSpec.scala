@@ -272,6 +272,63 @@ class WritersSpec extends SparkSpec {
     }
   }
 
+  test("stored gram index: the incremental EXACT-substring gate drops " +
+    "a shifted-span batch doc on one aligned gram hit, passes fresh " +
+    "and short docs, append grows the state, no index-side exchange") {
+    import graft.dedup.Dedup
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val base = "the quick brown fox jumps over the lazy dog while " +
+        "ninety nine red balloons drift past the old stone tower at " +
+        "dawn and the river bends slowly through the quiet green valley"
+      val corpus = Seq((1L, base)).toDF("doc_id", "text")
+      Dedup.writeGramIndex(Dedup.buildGramIndex(corpus, minLen = 40),
+        "gramidx_t", buckets = 4)
+      val fresh = "completely different vocabulary talking about spark " +
+        "catalyst tungsten codegen shuffles partitions and broadcast " +
+        "joins in a distributed analytical query engine"
+      val batch = Seq(
+        // shifted copy of base chars [30, 110) at offset 5 — ANY offset
+        (10L, "XYZab" + base.substring(30, 110) + "Qtail padding here"),
+        (11L, fresh),
+        (12L, "short doc")) // < minLen: no gram, passes by contract
+        .toDF("doc_id", "text")
+      val out = Dedup.incrementalNewExactSubstr(batch, "gramidx_t",
+        minLen = 40)
+      // index side of the probe join never exchanges (bucketed by h)
+      val exchanges = out.queryExecution.sparkPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e }
+      exchanges.foreach { e =>
+        val under = e.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.rootPaths.mkString(",") }
+        assert(under.forall(pth => !pth.contains("gramidx_t")),
+          s"index shuffles on the batch path")
+      }
+      val kept = out.select("doc_id").collect()
+        .map(_.getLong(0)).toSeq.sorted
+      assert(kept == Seq(11L, 12L), s"kept $kept")
+      // land + append the survivors; a later batch near-copying the
+      // SURVIVOR is now caught — state lives in the stored table
+      Dedup.appendToGramIndex(out, "gramidx_t", buckets = 4,
+        minLen = 40)
+      val batch2 = Seq(
+        (20L, "PREFIXZZ " + fresh.substring(10, 95) + " SUFFIX"),
+        (21L, "yet another disjoint vocabulary about sailing boats on " +
+          "the wide open sea under grey skies full of wheeling gulls"))
+        .toDF("doc_id", "text")
+      val kept2 = Dedup.incrementalNewExactSubstr(batch2, "gramidx_t",
+          minLen = 40)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      assert(kept2 == Seq(21L), s"kept2 $kept2")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS gramidx_t_grams")
+    }
+  }
+
   test("appendToSignatureIndex closes the continuous-crawl loop: " +
     "batch-2 near-dups of batch-1 survivors are caught by the grown " +
     "index, and the appended join still plans without an exchange") {
