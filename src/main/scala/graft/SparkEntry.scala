@@ -3115,6 +3115,21 @@ object SparkEntry {
       Dedup.exactSubstrApplyCuts(corpus, cuts)
         .select(col("doc_id"), col("cleaned"), col("n_cuts"))
         .orderBy("doc_id")
+    }),
+
+    // DETERMINISTIC bootstrap CI for per-model eval accuracy: 8 models
+    // over an item grid with strength-graded verdicts; resample draws
+    // via the portable md5 bucket (model:r:i mod n), percentile CI as
+    // order statistics — every reported value an exact k/n quotient
+    "q274_bootstrap_ci" -> ((s, dir) => {
+      val results = t(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), explode(sequence(lit(0), lit(7))).as("m"))
+        .select(concat(lit("model_"), col("m")).as("model"),
+          col("doc_id").as("item_id"),
+          (pmod(col("doc_id") + col("m") * 37, lit(10)) < col("m") + 2)
+            .cast("int").as("passed"))
+      ops.Chat.bootstrapEvalCI(results, b = 100).orderBy("model")
     })
   )
 
@@ -4979,6 +4994,50 @@ object SparkEntry {
     "q135_script_profile" -> scriptProfileOracle,
 
     "q271_script_gates" -> scriptGatesOracle,
+
+    // q274: the bootstrap replayed draw-for-draw — same md5 bucket
+    // (VARCHAR-cast numbers per the md5-of-numbers rule), same exact
+    // k/n divisions, same order-statistic ranks (3rd/98th of 100)
+    "q274_bootstrap_ci" ->
+      """WITH it0 AS (
+        |  SELECT 'model_' || CAST(m AS VARCHAR) AS model,
+        |         doc_id AS item,
+        |         CASE WHEN (doc_id + m * 37) % 10 < m + 2
+        |              THEN 1 ELSE 0 END AS p
+        |  FROM documents, (SELECT unnest(generate_series(0, 7)) AS m)
+        |  WHERE doc_id % 5 = 0),
+        |it AS (
+        |  SELECT model, item, p,
+        |         CAST(row_number() OVER (PARTITION BY model
+        |           ORDER BY item) - 1 AS BIGINT) AS rn
+        |  FROM it0),
+        |per AS (SELECT model, count(*) AS n, sum(p) AS wins
+        |        FROM it GROUP BY model),
+        |draws AS (
+        |  SELECT model, n, CAST(k // n AS BIGINT) AS r, k % n AS i
+        |  FROM (SELECT model, n,
+        |          unnest(generate_series(0, n * 100 - 1)) AS k
+        |        FROM per)),
+        |dr AS (
+        |  SELECT model, r,
+        |         ('0x' || substr(md5(model || ':' ||
+        |            CAST(r AS VARCHAR) || ':' ||
+        |            CAST(i AS VARCHAR)), 1, 8))::BIGINT % n AS rn
+        |  FROM draws),
+        |res AS (
+        |  SELECT d.model, d.r,
+        |         CAST(sum(it.p) AS DOUBLE) / count(*) AS acc
+        |  FROM dr d JOIN it ON it.model = d.model AND it.rn = d.rn
+        |  GROUP BY d.model, d.r),
+        |ci AS (
+        |  SELECT model, (list_sort(list(acc)))[3] AS boot_lo,
+        |         (list_sort(list(acc)))[98] AS boot_hi
+        |  FROM res GROUP BY model)
+        |SELECT per.model, per.n AS n_items,
+        |       CAST(per.wins AS DOUBLE) / per.n AS accuracy,
+        |       ci.boot_lo, ci.boot_hi,
+        |       CAST(100 AS BIGINT) AS n_resamples
+        |FROM per JOIN ci USING (model) ORDER BY model""".stripMargin,
 
     // q272: the exact-substring pipeline replayed end-to-end — the same
     // 60-bit hash formula the GramHashes kernel computes (first 15 md5

@@ -581,4 +581,70 @@ object Chat {
         when(col("chosen_longer") * biasDen > col("n_pairs") * biasNum, 1)
           .otherwise(0).as("length_biased"))
   }
+
+  /** BOOTSTRAP confidence interval for per-model eval accuracy — the
+    * honesty layer benchmark deltas need (is 71.2 vs 70.8 signal or
+    * resampling noise?), fully DETERMINISTIC so the estimate is
+    * reproducible and oracle-checkable: resample `b` pseudo-datasets of
+    * n items with replacement, where draw i of resample r picks item
+    * index md5(model:r:i) mod n (the hashBucket idiom — portable,
+    * seedless, stable across engines and runs), score each resample
+    * with ONE exact division, and report the percentile interval as
+    * ORDER STATISTICS of the b resample accuracies (ranks
+    * ceil(lo·b)/ceil(hi·b) — no interpolation, so every reported value
+    * is an exact k/n quotient). NULL verdicts are excluded before
+    * anything is drawn.
+    *
+    * Output: (model, n_items, accuracy, boot_lo, boot_hi, n_resamples).
+    *
+    * Scale shape: the fan-out is |models|·b·n draw rows — the
+    * estimator's definition, over EVAL-sized n (thousands), never
+    * corpus-sized; draws join items on (model, rank) — partial-agged
+    * per (model, resample) down to |models|·b rows, then one
+    * b-bounded collect_list per model (bounded by the b CONSTANT, the
+    * Bloom-bitset rule). The per-model rank window orders eval items
+    * once. */
+  def bootstrapEvalCI(results: DataFrame, b: Int = 200,
+                      itemCol: String = "item_id",
+                      modelCol: String = "model",
+                      passCol: String = "passed",
+                      lo: Double = 0.025, hi: Double = 0.975): DataFrame = {
+    require(b >= 2, "need at least two resamples")
+    require(lo > 0 && hi < 1 && lo < hi, "percentiles out of range")
+    import org.apache.spark.sql.expressions.Window
+    val loR = math.max(1, math.ceil(lo * b).toInt)
+    val hiR = math.min(b, math.ceil(hi * b).toInt)
+    val items = results.filter(col(passCol).isNotNull)
+      .select(col(modelCol).as("model"), col(itemCol).as("item"),
+        col(passCol).cast("long").as("p"))
+    val w = Window.partitionBy("model").orderBy("item")
+    val it = items.withColumn("rn",
+      (row_number().over(w) - 1).cast("long"))
+    val per = it.groupBy("model")
+      .agg(count(lit(1)).as("n"), sum("p").as("wins"))
+    // draw rows: k in [0, b·n) → resample r = k / n, draw i = k mod n;
+    // the drawn index is the portable md5 bucket of (model, r, i)
+    val draws = per.select(col("model"), col("n"),
+        explode(sequence(lit(0L), col("n") * b - 1)).as("k"))
+      .select(col("model"), col("n"),
+        (col("k") / col("n")).cast("long").as("r"),
+        pmod(col("k"), col("n")).as("i"))
+      .withColumn("rn", pmod(
+        conv(substring(md5(concat(col("model"), lit(":"), col("r"),
+          lit(":"), col("i"))), 1, 8), 16, 10).cast("long"),
+        col("n")))
+    val resamples = draws.join(it, Seq("model", "rn"))
+      .groupBy("model", "r")
+      .agg((sum("p").cast("double") / count(lit(1))).as("acc"))
+    val ci = resamples.groupBy("model")
+      .agg(array_sort(collect_list(col("acc"))).as("accs"))
+      .select(col("model"),
+        element_at(col("accs"), loR).as("boot_lo"),
+        element_at(col("accs"), hiR).as("boot_hi"))
+    per.join(ci, "model")
+      .select(col("model"), col("n").as("n_items"),
+        (col("wins").cast("double") / col("n")).as("accuracy"),
+        col("boot_lo"), col("boot_hi"),
+        lit(b).cast("long").as("n_resamples"))
+  }
 }

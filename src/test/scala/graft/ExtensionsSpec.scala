@@ -2557,6 +2557,39 @@ class ExtensionsSpec extends SparkSpec {
       legacy.getAs[String]("cleaned"))
   }
 
+  test("bootstrapEvalCI: all-pass/all-fail models pin the interval " +
+    "exactly, resample accuracies are exact k/n quotients, NULL " +
+    "verdicts are excluded, and the estimate is run-stable") {
+    import graft.ops.Chat
+    val results = (
+      (1 to 8).map(i => ("always", i.toLong, Some(1))) ++
+      (1 to 8).map(i => ("never", i.toLong, Some(0))) ++
+      (1 to 8).map(i => ("mixed", i.toLong, Some(i % 2))) ++
+      Seq(("mixed", 99L, Option.empty[Int]))
+    ).toDF("model", "item_id", "passed")
+    val got = Chat.bootstrapEvalCI(results, b = 20)
+      .orderBy("model").collect()
+    val by = got.map(r => r.getString(0) -> r).toMap
+    // all-pass: every resample draws only passes — CI collapses to 1.0
+    assert(by("always").getLong(1) == 8L &&
+      by("always").getDouble(2) == 1.0 &&
+      by("always").getDouble(3) == 1.0 && by("always").getDouble(4) == 1.0)
+    assert(by("never").getDouble(3) == 0.0 &&
+      by("never").getDouble(4) == 0.0)
+    // mixed: the NULL verdict is excluded (n stays 8), accuracy is the
+    // exact quotient, and the CI bounds are k/8 order statistics
+    val m = by("mixed")
+    assert(m.getLong(1) == 8L && m.getDouble(2) == 0.5)
+    val (lo8, hi8) = (m.getDouble(3), m.getDouble(4))
+    assert(lo8 <= hi8 && lo8 >= 0.0 && hi8 <= 1.0)
+    assert((lo8 * 8).isWhole && (hi8 * 8).isWhole,
+      s"bounds not exact k/8: $lo8 $hi8")
+    // deterministic: a second run reproduces every value bit-for-bit
+    val again = Chat.bootstrapEvalCI(results, b = 20)
+      .orderBy("model").collect()
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("exactSubstrSpans: a shifted duplicated span is found with exact " +
     "maximal boundaries where CDC shares no chunk; repeats report one " +
     "row per occurrence diagonal; cut manifest merges keep-first") {
