@@ -177,6 +177,23 @@ object ScaleProbe {
         "gopher_rules" -> { d =>
           TextOps.gopherRules(d)
             .agg(sum("n_words"), sum("pass")).head(); 1L },
+        // script-dispatched battery: same map-only strip-and-measure
+        // class, plus the dominant-script dispatch expressions
+        "script_gates" -> { d =>
+          TextOps.gopherRulesScripted(d)
+            .agg(sum("n_words"), sum("pass")).head(); 1L },
+        // deterministic bootstrap: fan-out = models x b x items rows
+        // over the replicated corpus as the "eval set" — scales with
+        // items by DESIGN (the estimator touches b copies of each)
+        "bootstrap_ci" -> { d =>
+          val results = d.select(col("doc_id"),
+              explode(sequence(lit(0), lit(3))).as("m"))
+            .select(concat(lit("model_"), col("m")).as("model"),
+              col("doc_id").as("item_id"),
+              (pmod(col("doc_id") + col("m") * lit(37L), lit(10L))
+                < col("m") + 2).cast("int").as("passed"))
+          graft.ops.Chat.bootstrapEvalCI(results, b = 50)
+            .agg(sum("accuracy")).head(); 1L },
         "url_normalize" -> { d =>
           // synthesize a noisy URL per doc, normalize + registrable
           // domain (the q139 shape); aggregate so nothing prunes
@@ -882,6 +899,14 @@ object ScaleProbe {
       timedSuite(Multimodal.synthesizeAssets(docs))(Seq(
         "mm_features" -> { d =>
           Multimodal.extractFeatures(d).agg(sum("m0")).head(); 1L },
+        // mixed PNG/JPEG corpus: same map-only decode class, the lossy
+        // codec paying real per-image CPU in-scan
+        "jpeg_features" -> { d =>
+          Multimodal.extractFeatures(
+              Multimodal.synthesizeAssetsMixed(
+                d.select(col("asset_id").as("doc_id")))
+                .filter(col("modality") === "image"))
+            .agg(sum("m0")).head(); 1L },
         "image_dhash" -> { d =>
           Multimodal.imageDhash(d).agg(max("fp")).head(); 1L },
         "image_neardup" -> { d =>

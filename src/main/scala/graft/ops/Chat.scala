@@ -633,7 +633,10 @@ object Chat {
         conv(substring(md5(concat(col("model"), lit(":"), col("r"),
           lit(":"), col("i"))), 1, 8), 16, 10).cast("long"),
         col("n")))
-    val resamples = draws.join(it, Seq("model", "rn"))
+    // the items side is EVAL-sized by contract (|models|·n rows,
+    // thousands) — broadcast it so the b·n draw fan-out never
+    // sort-merge-shuffles; draws partial-agg per (model, resample)
+    val resamples = draws.join(broadcast(it), Seq("model", "rn"))
       .groupBy("model", "r")
       .agg((sum("p").cast("double") / count(lit(1))).as("acc"))
     val ci = resamples.groupBy("model")
