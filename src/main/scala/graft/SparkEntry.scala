@@ -3127,9 +3127,26 @@ object SparkEntry {
         .select(col("doc_id"), explode(sequence(lit(0), lit(7))).as("m"))
         .select(concat(lit("model_"), col("m")).as("model"),
           col("doc_id").as("item_id"),
-          (pmod(col("doc_id") + col("m") * 37, lit(10)) < col("m") + 2)
+          (pmod((col("doc_id") / 5).cast("long") + col("m") * lit(37L),
+            lit(10L)) < col("m") + 2)
             .cast("int").as("passed"))
       ops.Chat.bootstrapEvalCI(results, b = 100).orderBy("model")
+    }),
+
+    // PAIRED bootstrap delta: model_5 (pass rate ~7/10) vs model_2
+    // (~4/10) on the SHARED item set — same resample indices applied
+    // to both sides, so the interval is on the per-item difference;
+    // the gap is real and the CI must exclude zero
+    "q275_paired_delta" -> ((s, dir) => {
+      val results = t(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), explode(sequence(lit(0), lit(7))).as("m"))
+        .select(concat(lit("model_"), col("m")).as("model"),
+          col("doc_id").as("item_id"),
+          (pmod((col("doc_id") / 5).cast("long") + col("m") * lit(37L),
+            lit(10L)) < col("m") + 2).cast("int").as("passed"))
+      ops.Chat.bootstrapPairedDelta(results, "model_5", "model_2",
+        b = 100)
     })
   )
 
@@ -5002,7 +5019,7 @@ object SparkEntry {
       """WITH it0 AS (
         |  SELECT 'model_' || CAST(m AS VARCHAR) AS model,
         |         doc_id AS item,
-        |         CASE WHEN (doc_id + m * 37) % 10 < m + 2
+        |         CASE WHEN (doc_id // 5 + m * 37) % 10 < m + 2
         |              THEN 1 ELSE 0 END AS p
         |  FROM documents, (SELECT unnest(generate_series(0, 7)) AS m)
         |  WHERE doc_id % 5 = 0),
@@ -5038,6 +5055,50 @@ object SparkEntry {
         |       ci.boot_lo, ci.boot_hi,
         |       CAST(100 AS BIGINT) AS n_resamples
         |FROM per JOIN ci USING (model) ORDER BY model""".stripMargin,
+
+    // q275: the paired resampling replayed — shared item set, one
+    // md5 key stream for both sides, exact difference sums
+    "q275_paired_delta" ->
+      """WITH it0 AS (
+        |  SELECT 'model_' || CAST(m AS VARCHAR) AS model,
+        |         doc_id AS item,
+        |         CASE WHEN (doc_id // 5 + m * 37) % 10 < m + 2
+        |              THEN 1 ELSE 0 END AS p
+        |  FROM documents, (SELECT unnest(generate_series(0, 7)) AS m)
+        |  WHERE doc_id % 5 = 0),
+        |sa AS (SELECT item, p AS pa FROM it0 WHERE model = 'model_5'),
+        |sb AS (SELECT item, p AS pb FROM it0 WHERE model = 'model_2'),
+        |it AS (
+        |  SELECT sa.item, pa, pb,
+        |         CAST(row_number() OVER (ORDER BY sa.item) - 1
+        |           AS BIGINT) AS rn
+        |  FROM sa JOIN sb USING (item)),
+        |per AS (SELECT count(*) AS n, sum(pa) AS wa, sum(pb) AS wb
+        |        FROM it),
+        |draws AS (
+        |  SELECT n, CAST(k // n AS BIGINT) AS r, k % n AS i
+        |  FROM (SELECT n, unnest(generate_series(0, n * 100 - 1)) AS k
+        |        FROM per)),
+        |dr AS (
+        |  SELECT r, ('0x' || substr(md5('model_5|model_2:' ||
+        |           CAST(r AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+        |           1, 8))::BIGINT % n AS rn
+        |  FROM draws),
+        |res AS (
+        |  SELECT d.r, CAST(sum(it.pa - it.pb) AS DOUBLE) / count(*)
+        |           AS dd
+        |  FROM dr d JOIN it USING (rn) GROUP BY d.r),
+        |ci AS (SELECT (list_sort(list(dd)))[3] AS boot_lo,
+        |              (list_sort(list(dd)))[98] AS boot_hi
+        |       FROM res)
+        |SELECT 'model_5' AS model_a, 'model_2' AS model_b,
+        |       per.n AS n_items,
+        |       CAST(per.wa - per.wb AS DOUBLE) / per.n AS delta,
+        |       ci.boot_lo, ci.boot_hi,
+        |       CAST(ci.boot_lo > 0 OR ci.boot_hi < 0 AS INT)
+        |         AS significant,
+        |       CAST(100 AS BIGINT) AS n_resamples
+        |FROM per, ci""".stripMargin,
 
     // q272: the exact-substring pipeline replayed end-to-end — the same
     // 60-bit hash formula the GramHashes kernel computes (first 15 md5

@@ -650,4 +650,65 @@ object Chat {
         col("boot_lo"), col("boot_hi"),
         lit(b).cast("long").as("n_resamples"))
   }
+
+  /** PAIRED bootstrap for a model-vs-model accuracy DELTA — the
+    * significance test behind every "A beats B by 0.4" claim: both
+    * models score the SAME resampled item set (pairing removes the
+    * item-difficulty variance an unpaired interval wastes power on),
+    * draw i of resample r picking item md5(modelA|modelB:r:i) mod n
+    * over the SHARED item domain (inner join of both models' non-null
+    * verdicts). Per resample, the delta is ONE exact division of the
+    * integer win-difference sum; the CI is the order-statistic
+    * percentile of the b deltas ([[bootstrapEvalCI]]'s convention) and
+    * `significant` = the interval excludes zero. Deterministic and
+    * engine-portable end to end.
+    *
+    * One output row. The global rank window orders the shared item set
+    * once — eval-sized by contract, like the broadcast item join. */
+  def bootstrapPairedDelta(results: DataFrame, modelA: String,
+                           modelB: String, b: Int = 200,
+                           itemCol: String = "item_id",
+                           modelCol: String = "model",
+                           passCol: String = "passed",
+                           lo: Double = 0.025,
+                           hi: Double = 0.975): DataFrame = {
+    require(b >= 2, "need at least two resamples")
+    require(lo > 0 && hi < 1 && lo < hi, "percentiles out of range")
+    import org.apache.spark.sql.expressions.Window
+    val loR = math.max(1, math.ceil(lo * b).toInt)
+    val hiR = math.min(b, math.ceil(hi * b).toInt)
+    def side(m: String, as: String) =
+      results.filter(col(modelCol) === m && col(passCol).isNotNull)
+        .select(col(itemCol).as("item"), col(passCol).cast("long").as(as))
+    val it = side(modelA, "pa").join(side(modelB, "pb"), "item")
+      .withColumn("rn",
+        (row_number().over(Window.orderBy("item")) - 1).cast("long"))
+    val per = it.agg(count(lit(1)).as("n"), sum("pa").as("wa"),
+      sum("pb").as("wb"))
+    val key = s"$modelA|$modelB"
+    val draws = per.select(col("n"),
+        explode(sequence(lit(0L), col("n") * b - 1)).as("k"))
+      .select(col("n"), (col("k") / col("n")).cast("long").as("r"),
+        pmod(col("k"), col("n")).as("i"))
+      .withColumn("rn", pmod(
+        conv(substring(md5(concat(lit(key), lit(":"), col("r"),
+          lit(":"), col("i"))), 1, 8), 16, 10).cast("long"),
+        col("n")))
+    val resamples = draws.join(broadcast(it), Seq("rn"))
+      .groupBy("r")
+      .agg((sum(col("pa") - col("pb")).cast("double") / count(lit(1)))
+        .as("d"))
+    val ci = resamples
+      .agg(array_sort(collect_list(col("d"))).as("ds"))
+      .select(element_at(col("ds"), loR).as("boot_lo"),
+        element_at(col("ds"), hiR).as("boot_hi"))
+    per.crossJoin(ci)
+      .select(lit(modelA).as("model_a"), lit(modelB).as("model_b"),
+        col("n").as("n_items"),
+        ((col("wa") - col("wb")).cast("double") / col("n")).as("delta"),
+        col("boot_lo"), col("boot_hi"),
+        (col("boot_lo") > 0 || col("boot_hi") < 0).cast("int")
+          .as("significant"),
+        lit(b).cast("long").as("n_resamples"))
+  }
 }

@@ -2590,6 +2590,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.toSeq == again.toSeq)
   }
 
+  test("bootstrapPairedDelta: dominance pins the interval, equal " +
+    "verdicts collapse it to zero (insignificant), only the SHARED " +
+    "item set counts, runs are bit-stable") {
+    import graft.ops.Chat
+    val results = (
+      (1 to 10).map(i => ("a", i.toLong, 1)) ++   // A sweeps
+      (1 to 10).map(i => ("b", i.toLong, 0)) ++
+      (1 to 10).map(i => ("c", i.toLong, i % 2)) ++ // c ≡ d per item
+      (1 to 10).map(i => ("d", i.toLong, i % 2)) ++
+      Seq(("a", 99L, 1))                          // b lacks item 99
+    ).toDF("model", "item_id", "passed")
+    val dom = Chat.bootstrapPairedDelta(results, "a", "b", b = 20)
+      .head()
+    assert(dom.getLong(2) == 10L, "unshared item must not count")
+    assert(dom.getDouble(3) == 1.0 && dom.getDouble(4) == 1.0 &&
+      dom.getDouble(5) == 1.0 && dom.getInt(6) == 1)
+    // identical per-item verdicts: every resample delta is exactly 0 —
+    // the PAIRING at work (an unpaired interval would still widen)
+    val eq = Chat.bootstrapPairedDelta(results, "c", "d", b = 20).head()
+    assert(eq.getDouble(3) == 0.0 && eq.getDouble(4) == 0.0 &&
+      eq.getDouble(5) == 0.0 && eq.getInt(6) == 0)
+    val again = Chat.bootstrapPairedDelta(results, "a", "b", b = 20)
+      .head()
+    assert(dom == again)
+  }
+
   test("exactSubstrSpans: a shifted duplicated span is found with exact " +
     "maximal boundaries where CDC shares no chunk; repeats report one " +
     "row per occurrence diagonal; cut manifest merges keep-first") {
