@@ -1786,10 +1786,24 @@ object Dedup {
     * fabricate a single L-gram match, but never extend a run.
     *
     * NOTE: caches the gram frame for the query (both self-join sides);
-    * the harness clears between queries (the fpDupGroups contract). */
+    * the harness clears between queries (the fpDupGroups contract).
+    * Library callers that materialize the result should use
+    * [[exactSubstrSpansWithHandle]] and unpersist the handle themselves
+    * (the jaccardForPairsWithHandle convention) — a long-running job
+    * invoking this repeatedly would otherwise accumulate unreleasable
+    * executor storage. */
   def exactSubstrSpans(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text", minLen: Int = 40,
-                       maxDf: Int = 1000): DataFrame = {
+                       maxDf: Int = 1000): DataFrame =
+    exactSubstrSpansWithHandle(docs, idCol, textCol, minLen, maxDf)._1
+
+  /** [[exactSubstrSpans]] plus the cached capped-gram frame, so callers
+    * that materialize the spans can `unpersist` the cache instead of
+    * resorting to `spark.catalog.clearCache()`. */
+  private[graft] def exactSubstrSpansWithHandle(
+      docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minLen: Int = 40,
+      maxDf: Int = 1000): (DataFrame, DataFrame) = {
     require(minLen >= 2, "minLen must be >= 2")
     import org.apache.spark.sql.expressions.Window
     val grams = docs
@@ -1815,7 +1829,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("pa"), col("pb"),
         (col("pa") - col("pb")).as("diag"))
     val w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
-    matches
+    val spans = matches
       .withColumn("brk", when(col("pa") -
           coalesce(lag("pa", 1).over(w), col("pa") - lit(2)) > 1, 1)
         .otherwise(0))
@@ -1828,6 +1842,7 @@ object Dedup {
         (col("_last") + minLen).as("a_end"), col("b_start"),
         (col("_last") + minLen - col("diag")).as("b_end"),
         (col("_last") + minLen - col("a_start")).as("match_len"))
+    (spans, capped)
   }
 
   /** Keep-first CUT MANIFEST from [[exactSubstrSpans]] output — the
@@ -1952,7 +1967,17 @@ object Dedup {
     * `minLen` MUST match the index's build value. Survivors land +
     * [[appendToGramIndex]] on the caller's ordering (the
     * curateForeachBatch land-before-append contract). Returns the
-    * surviving batch rows. */
+    * surviving batch rows.
+    *
+    * Intra-batch keep-first: after the index gate, a batch doc also
+    * drops when it shares an aligned L-gram (hence a span >= L) with a
+    * LOWER-id doc of the same batch that passed the index gate — the
+    * [[incrementalNew]] within-batch convention and the keep-first
+    * orientation of [[exactSubstrCutManifest]] (the lower id keeps its
+    * text). The gate is existence-only, so the self-check is one
+    * batch-sized gram self-join; the retained lower-id doc's grams land
+    * in the index via the caller's append, so cross-batch transitivity
+    * follows from the index gate itself. */
   def incrementalNewExactSubstr(batch: DataFrame, name: String,
                                 idCol: String = "doc_id",
                                 textCol: String = "text",
@@ -1966,6 +1991,21 @@ object Dedup {
           .gramHashes(col(textCol), minLen)).as("h"))
     val hitIds = bg.join(idx, Seq("h"), "left_semi")
       .select(col(idCol)).distinct()
-    batch.join(hitIds, Seq(idCol), "left_anti")
+    // consumed twice below (both sides of the intra-batch self-join) —
+    // without the cache the gram kernel re-runs over the batch text
+    val survGrams = bg.join(hitIds, Seq(idCol), "left_anti").persist()
+    try {
+      val dupInBatch = survGrams.select(col("h"), col(idCol).as("_ka"))
+        .join(survGrams.select(col("h"), col(idCol).as("_kb")), "h")
+        .filter(col("_ka") < col("_kb"))
+        .select(col("_kb").as(idCol)).distinct()
+      // eagerly materialize the DROPPED-id set (id-sized — the dup
+      // density of one batch, never the gram volume) so the gram cache
+      // can be released before returning; the checkpoint blocks free
+      // via the ContextCleaner once the result goes unreachable
+      val dropIds = hitIds.unionByName(dupInBatch)
+        .localCheckpoint(true)
+      batch.join(dropIds, Seq(idCol), "left_anti")
+    } finally survGrams.unpersist(false)
   }
 }

@@ -139,7 +139,18 @@ object Warc {
     private def fill(): Boolean = {
       if (eof) return false
       if (len == buf.length) {
-        val grown = new Array[Byte](buf.length << 1)
+        // cap growth below VM array limits: `<< 1` would overflow to a
+        // negative size past 1 GiB buffered and surface as an opaque
+        // NegativeArraySizeException; a single record (or delimiter
+        // scan-ahead) that large deserves a descriptive failure instead
+        val maxLen = Int.MaxValue - 16
+        if (buf.length >= maxLen)
+          throw new IllegalStateException(
+            s"WARC record exceeds the $maxLen-byte buffer limit at " +
+              s"stream offset $base — archive is malformed or carries " +
+              "a record too large to parse in one window")
+        val grown =
+          new Array[Byte](math.min(buf.length.toLong * 2L, maxLen).toInt)
         System.arraycopy(buf, 0, grown, 0, len)
         buf = grown
       }

@@ -366,17 +366,41 @@ object Streaming {
         landDelta(pairsDelta, "pairs")
         landDelta(winsDelta, "wins")
         landDelta(gamesDelta, "games")
-        // refit from the ACCUMULATED state (never from the stream)
-        val pairs = sess.read.parquet(s"$statePath/pairs")
-          .groupBy("i", "j").agg(sum("n").as("n"))
-        val wins = sess.read.parquet(s"$statePath/wins")
-          .groupBy("model").agg(sum("wins").as("wins"))
-        val games = sess.read.parquet(s"$statePath/games")
-          .groupBy("model").agg(sum("n_games").as("n_games"),
-            sum("wins").as("wins"))
-        graft.ops.Chat.arenaLeaderboardFromState(pairs, wins, games,
-            iterations, z)
-          .write.mode("overwrite").parquet(leaderboardPath)
+        // an empty delta writes NO part files (dynamic partition
+        // overwrite of zero rows lands nothing) — on the very first
+        // batches a state dir can hold no parquet at all (e.g. an
+        // all-ties batch leaves games/ empty), and a bare read.parquet
+        // would throw "Unable to infer schema" and kill the query. Skip
+        // the refit until every state dir has data (mirrors the
+        // hadoopFs.exists guard in chatGateForeachBatch); the
+        // leaderboard stays at its previous contents, which is also the
+        // right answer — no decisive game has been observed yet.
+        val hadoopConf = sess.sparkContext.hadoopConfiguration
+        def hasParquet(dir: String): Boolean = {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(hadoopConf)
+          fs.exists(p) && {
+            val it = fs.listFiles(p, true)
+            var found = false
+            while (!found && it.hasNext)
+              found = it.next().getPath.getName.endsWith(".parquet")
+            found
+          }
+        }
+        if (Seq("pairs", "wins", "games")
+            .forall(d => hasParquet(s"$statePath/$d"))) {
+          // refit from the ACCUMULATED state (never from the stream)
+          val pairs = sess.read.parquet(s"$statePath/pairs")
+            .groupBy("i", "j").agg(sum("n").as("n"))
+          val wins = sess.read.parquet(s"$statePath/wins")
+            .groupBy("model").agg(sum("wins").as("wins"))
+          val games = sess.read.parquet(s"$statePath/games")
+            .groupBy("model").agg(sum("n_games").as("n_games"),
+              sum("wins").as("wins"))
+          graft.ops.Chat.arenaLeaderboardFromState(pairs, wins, games,
+              iterations, z)
+            .write.mode("overwrite").parquet(leaderboardPath)
+        }
         ()
       }
       .start()

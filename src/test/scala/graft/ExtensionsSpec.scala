@@ -2634,9 +2634,14 @@ class ExtensionsSpec extends SparkSpec {
     val d2 = "zqwxykQ" + span + "Xtrailing words entirely different " +
       "here with more padding so lengths vary"
     val docs = Seq((1L, base), (2L, d2)).toDF("doc_id", "text")
-    val got = Dedup.exactSubstrSpans(docs, minLen = 40)
-      .orderBy("id_a", "id_b", "a_start").collect()
-    spark.catalog.clearCache()
+    // the handle variant: library callers unpersist the gram cache
+    // directly instead of a blanket clearCache
+    val (spansDf, gramCache) =
+      Dedup.exactSubstrSpansWithHandle(docs, minLen = 40)
+    val got = spansDf.orderBy("id_a", "id_b", "a_start").collect()
+    gramCache.unpersist(false)
+    assert(gramCache.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE)
     assert(got.length == 1, s"got ${got.toSeq}")
     val r = got(0)
     assert(r.getLong(0) == 1L && r.getLong(1) == 2L)

@@ -588,9 +588,14 @@ class StreamingSpec extends SparkSpec {
     "the batch arenaLeaderboard over the unioned matches bit for bit") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
+    // batch 0: ONLY ties and an invalid self-match — its games delta is
+    // empty, so games/ holds no parquet yet; the refit must skip (an
+    // unguarded read.parquet would throw "Unable to infer schema" and
+    // kill the query) and no leaderboard may appear.
     // batch 1: m1-m3 only, with one invalid self-match and one tie
     // (tie shapes n_matches but not decided games — both paths must
     // treat it identically); batch 2 introduces m4
+    val b0 = Seq(("m1", "m2", "tie"), ("m3", "m3", "m3"))
     val b1 = Seq(("m1", "m2", "m1"), ("m1", "m3", "m3"),
       ("m2", "m3", "m2"), ("m1", "m2", "m2"), ("m1", "m1", "m1"),
       ("m2", "m3", "tie"))
@@ -603,6 +608,11 @@ class StreamingSpec extends SparkSpec {
       in.toDF().toDF("model_a", "model_b", "winner"),
       s"$dir/state", s"$dir/leaderboard", s"$dir/ck")
     try {
+      in.addData(b0: _*)
+      q.processAllAvailable()
+      // the query survived the empty games delta and wrote no board
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/leaderboard")))
       in.addData(b1: _*)
       q.processAllAvailable()
       // interim leaderboard: only the three models seen so far
@@ -613,7 +623,7 @@ class StreamingSpec extends SparkSpec {
     val streamed = spark.read.parquet(s"$dir/leaderboard")
       .orderBy("arena_rank").collect().toSeq
     val batch = graft.ops.Chat.arenaLeaderboard(
-        (b1 ++ b2).toDF("model_a", "model_b", "winner"))
+        (b0 ++ b1 ++ b2).toDF("model_a", "model_b", "winner"))
       .orderBy("arena_rank").collect().toSeq
     assert(streamed == batch, s"\nstream: $streamed\nbatch:  $batch")
     // the state holds counts, not matches: no match payload column

@@ -314,10 +314,16 @@ class WritersSpec extends SparkSpec {
       // SURVIVOR is now caught — state lives in the stored table
       Dedup.appendToGramIndex(out, "gramidx_t", buckets = 4,
         minLen = 40)
+      val sailing = "yet another disjoint vocabulary about sailing " +
+        "boats on the wide open sea under grey skies full of wheeling " +
+        "gulls"
       val batch2 = Seq(
         (20L, "PREFIXZZ " + fresh.substring(10, 95) + " SUFFIX"),
-        (21L, "yet another disjoint vocabulary about sailing boats on " +
-          "the wide open sea under grey skies full of wheeling gulls"))
+        (21L, sailing),
+        // intra-batch keep-first: doc 22 embeds >= 40 chars of doc 21 —
+        // neither is in the stored index yet, so only the within-batch
+        // self-gate can catch it, and it drops the HIGHER id
+        (22L, "QQ" + sailing.substring(20, 80) + "ZZ trailing words"))
         .toDF("doc_id", "text")
       val kept2 = Dedup.incrementalNewExactSubstr(batch2, "gramidx_t",
           minLen = 40)
