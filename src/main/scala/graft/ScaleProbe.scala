@@ -305,6 +305,34 @@ object ScaleProbe {
           d.select(explode(TextOps.bpeEncodeKernel(col("text"), bc))
               .as("w"))
             .agg(sum(length(col("w")))).head(); 1L },
+        // production-32k regime THROUGH THE FILE READER: a GPT-2-format
+        // merges.txt of 32,768 lines round-trips TokenizerFiles and
+        // feeds the same kernel — compare against bpe_encode_kernel4096
+        // at the same corpus: near-equal times are the merge-count
+        // independence claim, measured (per-word cost is O(len^2) pair
+        // lookups; |merges| only sizes the broadcast hash map)
+        "bpe_encode_merges32k" -> { d =>
+          val spark = d.sparkSession
+          val head = Seq("t" -> "h", "th" -> "e", "i" -> "n",
+            "a" -> "n", "an" -> "d", "e" -> "r", "o" -> "n",
+            "in" -> "g") ++
+            (for { c1 <- "etaoinshrdlucmfwypvbgkjqxz"
+                   c2 <- "etaoinshrdlucmfwypvbgkjqxz" }
+              yield (c1.toString, c2.toString))
+          val filler = (head.size until 32768)
+            .map(i => (s"zx$i", s"qy$i"))
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_probe_merges")
+            .resolve("merges.txt")
+          java.nio.file.Files.write(tmp,
+            ("#version: 0.2\n" + (head ++ filler)
+              .map { case (a, b) => s"$a $b" }.mkString("\n") + "\n")
+              .getBytes("UTF-8"))
+          val bc = graft.text.TokenizerFiles
+            .mergesBroadcastFromFile(spark, tmp.toString)
+          d.select(explode(TextOps.bpeEncodeKernel(col("text"), bc))
+              .as("w"))
+            .agg(sum(length(col("w")))).head(); 1L },
         "contamination_report" -> { d =>
           val split = d.withColumn("s", TextOps.hashSplit(col("doc_id")))
           TextOps.contaminationReport(split.filter(col("s") === "train"),

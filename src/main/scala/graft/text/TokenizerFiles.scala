@@ -1,0 +1,137 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the two merge-table formats tokenizers actually ship in,
+  * feeding [[graft.functions.BpeEncodeWord]]'s broadcast kernel: the
+  * GPT-2 `merges.txt` line format and the HuggingFace fast-tokenizer
+  * `tokenizer.json` (`model.merges`, plus the `model.vocab` id map).
+  *
+  * A tokenizer file is an operator CONSTANT — ~50k lines / a few MB of
+  * configuration, not corpus data — so both readers parse DRIVER-SIDE
+  * through the Hadoop FileSystem API (local, HDFS, or object-store
+  * paths all resolve) and the table ships to executors exactly once via
+  * [[TextOps.bpeMergesBroadcast]]. Rank is LINE/ARRAY ORDER, which a
+  * distributed text scan cannot guarantee and the driver read preserves
+  * by construction.
+  *
+  * Reference corpus for the encode semantics: the q154/q269 merge fold
+  * (Sennrich BPE — greedy left-to-right pass per merge, rank order). */
+object TokenizerFiles {
+
+  private def openLines(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val src = scala.io.Source.fromInputStream(in, "UTF-8")
+      try src.getLines().toVector finally src.close()
+    } finally in.close()
+  }
+
+  /** Parse a GPT-2-style `merges.txt`: optional `#version` header,
+    * blank lines ignored, then ONE MERGE PER LINE as two space-separated
+    * symbols whose rank is the line order (the format every BPE
+    * tokenizer distribution uses — GPT-2, RoBERTa, CLIP). Symbols are
+    * byte-level printable forms (e.g. `Ġ` for a leading space) and pass
+    * through verbatim — this reader does not re-map the byte alphabet.
+    * Trailing `\r` (a CRLF-saved file) is stripped; a line that is not
+    * exactly two fields fails with its line number. */
+  def readMergesTxt(spark: SparkSession, path: String)
+      : Seq[(String, String)] = {
+    val out = Vector.newBuilder[(String, String)]
+    var lineNo = 0
+    openLines(spark, path).foreach { raw =>
+      lineNo += 1
+      val line = raw.stripSuffix("\r")
+      if (line.nonEmpty && !(lineNo == 1 && line.startsWith("#version"))) {
+        val cut = line.indexOf(' ')
+        if (cut <= 0 || cut != line.lastIndexOf(' ') ||
+            cut == line.length - 1)
+          throw new IllegalArgumentException(
+            s"$path:$lineNo: expected 'lhs rhs', got '$line'")
+        out += ((line.substring(0, cut), line.substring(cut + 1)))
+      }
+    }
+    val merges = out.result()
+    require(merges.nonEmpty, s"$path holds no merges")
+    merges
+  }
+
+  private def tokenizerModel(spark: SparkSession, path: String)
+      : com.fasterxml.jackson.databind.JsonNode = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val root =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    val model = root.get("model")
+    require(model != null, s"$path has no 'model' object — not a " +
+      "HuggingFace tokenizer.json")
+    model
+  }
+
+  /** Parse `model.merges` out of a HuggingFace `tokenizer.json`. Both
+    * on-disk encodings are accepted: the classic array of `"lhs rhs"`
+    * strings and the newer array of `["lhs", "rhs"]` two-element arrays
+    * (tokenizers >= 0.20 serializes the latter). Rank is array order. */
+  def readTokenizerJsonMerges(spark: SparkSession, path: String)
+      : Seq[(String, String)] = {
+    val merges = tokenizerModel(spark, path).get("merges")
+    require(merges != null && merges.isArray,
+      s"$path: model.merges is missing or not an array")
+    val out = Vector.newBuilder[(String, String)]
+    val it = merges.elements()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.isTextual) {
+        val s = e.asText()
+        val cut = s.indexOf(' ')
+        require(cut > 0 && cut == s.lastIndexOf(' ') && cut < s.length - 1,
+          s"$path: model.merges[$i] is not 'lhs rhs': '$s'")
+        out += ((s.substring(0, cut), s.substring(cut + 1)))
+      } else if (e.isArray && e.size() == 2) {
+        out += ((e.get(0).asText(), e.get(1).asText()))
+      } else throw new IllegalArgumentException(
+        s"$path: model.merges[$i] is neither 'lhs rhs' nor [lhs, rhs]")
+      i += 1
+    }
+    val result = out.result()
+    require(result.nonEmpty, s"$path: model.merges is empty")
+    result
+  }
+
+  /** Parse `model.vocab` (token -> id) out of a `tokenizer.json` as a
+    * (token STRING, id INT) DataFrame — vocab-sized (tens of thousands
+    * of rows), the natural join/broadcast side for token-id lookups. */
+  def readTokenizerJsonVocab(spark: SparkSession, path: String)
+      : DataFrame = {
+    val vocab = tokenizerModel(spark, path).get("vocab")
+    require(vocab != null && vocab.isObject,
+      s"$path: model.vocab is missing or not an object")
+    val rows = Vector.newBuilder[(String, Int)]
+    val it = vocab.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      rows += ((e.getKey, e.getValue.asInt()))
+    }
+    import spark.implicits._
+    rows.result().toDF("token", "id")
+  }
+
+  /** One-call path from a merges file to the kernel's broadcast handle:
+    * `merges.txt` and `tokenizer.json` are auto-detected by suffix
+    * (override by calling the specific reader + broadcast yourself).
+    * Feed the result to [[TextOps.bpeEncodeKernel]] /
+    * [[TextOps.bpeEncodeWordKernel]]. */
+  def mergesBroadcastFromFile(spark: SparkSession, path: String)
+      : org.apache.spark.broadcast.Broadcast[
+        graft.functions.BpeEncodeWord.Merges] = {
+    val merges =
+      if (path.endsWith(".json")) readTokenizerJsonMerges(spark, path)
+      else readMergesTxt(spark, path)
+    TextOps.bpeMergesBroadcast(spark, merges)
+  }
+}

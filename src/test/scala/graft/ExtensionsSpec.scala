@@ -3078,6 +3078,69 @@ class ExtensionsSpec extends SparkSpec {
     assert(dfSmall.head().getSeq[String](0) == Seq("aa aa"))
   }
 
+  test("TokenizerFiles: a real-format merges.txt fixture and a " +
+    "tokenizer.json parse to the same tokens as a hand-built table; " +
+    "CRLF and array-form merges are accepted, malformed lines named") {
+    import graft.text.TokenizerFiles
+    val mergesPath =
+      getClass.getResource("/graft/fixture_merges.txt").getPath
+    val merges = TokenizerFiles.readMergesTxt(spark, mergesPath)
+    // rank = line order; the #version header is skipped; Ġ (the
+    // byte-level leading-space mark) passes through verbatim
+    val hand = Seq("Ġ" -> "t", "Ġ" -> "a", "h" -> "e",
+      "i" -> "n", "r" -> "e", "o" -> "n", "Ġt" -> "he", "e" -> "r",
+      "Ġ" -> "s", "a" -> "t", "Ġ" -> "w", "Ġ" -> "o",
+      "e" -> "n", "Ġ" -> "c", "i" -> "t", "i" -> "s", "a" -> "n",
+      "o" -> "r", "e" -> "s", "Ġ" -> "b", "e" -> "d",
+      "Ġ" -> "f", "in" -> "g", "Ġ" -> "p", "o" -> "u")
+    assert(merges == hand, s"got $merges")
+    // file-read table encodes token-identically to the hand-built one
+    val bcFile = TokenizerFiles.mergesBroadcastFromFile(spark, mergesPath)
+    val got = Seq("Ġthe", "Ġwinter", "inning",
+      "Ġsitting", "heating", "zq").toDF("w")
+      .select(TextOps.bpeEncodeWordKernel(col("w"), bcFile).as("file"),
+        TextOps.bpeEncodeWord(col("w"), hand).as("lit")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"file='${r.getString(0)}' hand='${r.getString(1)}'"))
+    // tokenizer.json: classic "lhs rhs" string merges + the vocab map
+    val tok = getClass.getResource("/graft/fixture_tokenizer.json").getPath
+    val jm = TokenizerFiles.readTokenizerJsonMerges(spark, tok)
+    assert(jm == Seq("h" -> "e", "l" -> "l", "he" -> "ll",
+      "hell" -> "o", "t" -> "h", "th" -> "e"))
+    val enc = Seq("hello", "the").toDF("w")
+      .select(TextOps.bpeEncodeWordKernel(col("w"),
+        TokenizerFiles.mergesBroadcastFromFile(spark, tok)).as("e"))
+      .collect().map(_.getString(0)).toSeq
+    // "the": (h,e) is rank 0 and fires FIRST -> [t, he]; the later
+    // (t,h)/(th,e) merges then never match — rank order, not greed
+    assert(enc == Seq("hello", "t he"), s"got $enc")
+    val vocab = TokenizerFiles.readTokenizerJsonVocab(spark, tok)
+      .orderBy("id").collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(vocab.length == 11 && vocab(8) == ("hello", 8) &&
+      vocab(10) == ("the", 10), s"got ${vocab.toSeq}")
+    // newer tokenizers serialize merges as 2-element ARRAYS; CRLF saves
+    // of merges.txt must also parse — both via temp files
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tok")
+    val arrJson = tmp.resolve("arr.json")
+    java.nio.file.Files.write(arrJson,
+      """{"model": {"type": "BPE", "vocab": {"a": 0},
+        | "merges": [["h", "e"], ["he", "l"]]}}""".stripMargin
+        .getBytes("UTF-8"))
+    assert(TokenizerFiles.readTokenizerJsonMerges(spark,
+      arrJson.toString) == Seq("h" -> "e", "he" -> "l"))
+    val crlf = tmp.resolve("m.txt")
+    java.nio.file.Files.write(crlf,
+      "#version: 0.2\r\nh e\r\nhe l\r\n".getBytes("UTF-8"))
+    assert(TokenizerFiles.readMergesTxt(spark, crlf.toString) ==
+      Seq("h" -> "e", "he" -> "l"))
+    // a malformed line fails with its line number, not silently
+    val bad = tmp.resolve("bad.txt")
+    java.nio.file.Files.write(bad, "h e\nx\n".getBytes("UTF-8"))
+    val ex = intercept[IllegalArgumentException](
+      TokenizerFiles.readMergesTxt(spark, bad.toString))
+    assert(ex.getMessage.contains(":2"))
+  }
+
   test("mergeAdjacentPair: boundary-aware — merging (x,a) must NOT " +
     "rewrite across the symbol boundary in 'yx ab'; adjacency runs " +
     "merge greedily left-to-right; disjoint matches all merge") {
