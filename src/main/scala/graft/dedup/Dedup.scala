@@ -729,37 +729,45 @@ object Dedup {
     * band rows) kept. */
   def compactSignatureIndex(spark: org.apache.spark.sql.SparkSession,
                             name: String): (Long, Long) = {
-    def numBuckets(table: String): Int =
-      spark.sql(s"DESCRIBE FORMATTED $table")
-        .filter(col("col_name") === "Num Buckets")
-        .head().getString(1).trim.toInt
     val hasTombs = spark.catalog.tableExists(s"${name}_tombstones")
     val tombs =
       if (hasTombs) spark.table(s"${name}_tombstones") else null
-    def rewrite(suffix: String, bucketCol: String): Long = {
-      val table = s"${name}_$suffix"
-      val buckets = numBuckets(table)
-      val kept =
-        if (tombs == null) spark.table(table)
-        else spark.table(table).join(broadcast(tombs), Seq("id"),
-          "left_anti")
-      val tmp = s"${table}_compact_tmp"
-      spark.sql(s"DROP TABLE IF EXISTS $tmp")
-      kept.write.format("parquet").mode("overwrite")
-        .bucketBy(buckets, bucketCol).sortBy(bucketCol)
-        .saveAsTable(tmp)
-      val n = spark.table(tmp).count()
-      val bak = s"${table}_compact_bak"
-      spark.sql(s"DROP TABLE IF EXISTS $bak")
-      spark.sql(s"ALTER TABLE $table RENAME TO $bak")
-      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
-      spark.sql(s"DROP TABLE $bak")
-      n
-    }
-    val nSigs = rewrite("sigs", "id")
-    val nBands = rewrite("bands", "band_key")
+    val nSigs = compactBucketedTable(spark, s"${name}_sigs", "id", tombs)
+    val nBands =
+      compactBucketedTable(spark, s"${name}_bands", "band_key", tombs)
     if (hasTombs) spark.sql(s"DROP TABLE ${name}_tombstones")
     (nSigs, nBands)
+  }
+
+  /** The bucket-spec-preserving rewrite + rename-out/rename-in/
+    * drop-backup swap both index compactions share (see
+    * [[compactSignatureIndex]]'s crash-window recovery note: a failure
+    * before the first rename leaves the original untouched; inside the
+    * two-rename window, `ALTER TABLE <table>_compact_bak RENAME TO
+    * <table>` recovers by hand). `tombs` (nullable) is broadcast-anti-
+    * joined on `id` so removals become physical. Returns rows kept. */
+  private def compactBucketedTable(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      bucketCol: String, tombs: DataFrame): Long = {
+    val buckets = spark.sql(s"DESCRIBE FORMATTED $table")
+      .filter(col("col_name") === "Num Buckets")
+      .head().getString(1).trim.toInt
+    val kept =
+      if (tombs == null) spark.table(table)
+      else spark.table(table).join(broadcast(tombs), Seq("id"),
+        "left_anti")
+    val tmp = s"${table}_compact_tmp"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    kept.write.format("parquet").mode("overwrite")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(tmp)
+    val n = spark.table(tmp).count()
+    val bak = s"${table}_compact_bak"
+    spark.sql(s"DROP TABLE IF EXISTS $bak")
+    spark.sql(s"ALTER TABLE $table RENAME TO $bak")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    spark.sql(s"DROP TABLE $bak")
+    n
   }
 
   /** Incremental near-dup gate against a STORED signature index — the
@@ -1955,6 +1963,54 @@ object Dedup {
       .bucketBy(buckets, "h").sortBy("h")
       .saveAsTable(s"${name}_grams")
 
+  /** Tombstone a set of doc ids out of a stored gram index — the
+    * retraction path ([[removeFromSignatureIndex]]'s semantics applied
+    * to the exact gate): appends the ids to a plain
+    * `<name>_gram_tombstones` table; no index file is rewritten.
+    * [[readGramIndex]] anti-joins the tombstones (BROADCAST —
+    * takedown-list-sized — so the bucketed scan's partitioning
+    * survives), and [[compactGramIndex]] later makes the removal
+    * physical. A removed doc's grams stop gating immediately: a
+    * re-submitted twin of a retracted page is NEW data again. */
+  def removeFromGramIndex(ids: DataFrame, name: String,
+                          idCol: String = "doc_id"): Unit =
+    ids.select(col(idCol).as("id")).distinct()
+      .write.format("parquet").mode("append")
+      .saveAsTable(s"${name}_gram_tombstones")
+
+  /** The stored gram table with tombstoned docs filtered out — the
+    * probe side every consumer should read ([[incrementalNewExactSubstr]]
+    * does). The anti-join broadcasts the tombstones, preserving the
+    * h-bucketed scan's no-Exchange plan shape. */
+  def readGramIndex(spark: org.apache.spark.sql.SparkSession,
+                    name: String): DataFrame = {
+    val grams = spark.table(s"${name}_grams")
+    if (spark.catalog.tableExists(s"${name}_gram_tombstones"))
+      grams.join(broadcast(spark.table(s"${name}_gram_tombstones")),
+        Seq("id"), "left_anti")
+    else grams
+  }
+
+  /** Bucket-preserving compaction of a stored gram index — same
+    * machinery and crash-window recovery as [[compactSignatureIndex]]
+    * (rename-out/rename-in/drop-backup; recover a crash inside the
+    * two-rename window with `ALTER TABLE <name>_grams_compact_bak
+    * RENAME TO <name>_grams`): physically drops tombstoned docs' grams,
+    * folds the per-batch append files (one file per bucket per
+    * [[appendToGramIndex]] call — unbounded accretion otherwise) into
+    * one rewrite through the SAME auto-detected bucket spec, then
+    * clears the tombstone table. Returns gram rows kept. */
+  def compactGramIndex(spark: org.apache.spark.sql.SparkSession,
+                       name: String): Long = {
+    val hasTombs =
+      spark.catalog.tableExists(s"${name}_gram_tombstones")
+    val tombs =
+      if (hasTombs) spark.table(s"${name}_gram_tombstones") else null
+    val n = compactBucketedTable(spark, s"${name}_grams", "h", tombs)
+    if (hasTombs) spark.sql(s"DROP TABLE ${name}_gram_tombstones")
+    n
+  }
+
   /** INCREMENTAL exact-substring gate against the stored gram index —
     * the continuous-ingest form of [[exactSubstrSpans]] whose per-batch
     * cost is independent of corpus size: the batch is hashed map-side
@@ -1983,7 +2039,8 @@ object Dedup {
                                 textCol: String = "text",
                                 minLen: Int = 40): DataFrame = {
     val spark = batch.sparkSession
-    val idx = spark.table(s"${name}_grams").select(col("h"))
+    // tombstone-aware read: retracted docs' grams must not gate
+    val idx = readGramIndex(spark, name).select(col("h"))
     val bg = batch
       .filter(col(textCol).isNotNull && length(col(textCol)) >= minLen)
       .select(col(idCol),

@@ -335,6 +335,76 @@ class WritersSpec extends SparkSpec {
     }
   }
 
+  test("gram index lifecycle: removeFromGramIndex stops a retracted " +
+    "doc's grams from gating a re-submitted twin; compactGramIndex " +
+    "makes the removal physical, folds append files, keeps the bucket " +
+    "spec and the exchange-free probe plan; tombstones cleared") {
+    import graft.dedup.Dedup
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = "the quick brown fox jumps over the lazy dog while " +
+        "ninety nine red balloons drift past the old stone tower at " +
+        "dawn and the river bends slowly onward"
+      val b = "completely different vocabulary talking about spark " +
+        "catalyst tungsten codegen shuffles partitions and broadcast " +
+        "joins in a distributed analytical query engine"
+      val c = "a third disjoint corpus about sailing boats on the " +
+        "wide open sea under grey skies full of wheeling gulls and " +
+        "distant lighthouses blinking through fog"
+      Dedup.writeGramIndex(
+        Dedup.buildGramIndex(Seq((1L, a), (2L, b)).toDF("doc_id", "text"),
+          minLen = 40), "gramidx_rc", buckets = 4)
+      // one append so compaction has per-batch files to fold
+      Dedup.appendToGramIndex(Seq((3L, c)).toDF("doc_id", "text"),
+        "gramidx_rc", buckets = 4, minLen = 40)
+      def gate(rows: Seq[(Long, String)]): Seq[Long] =
+        Dedup.incrementalNewExactSubstr(rows.toDF("doc_id", "text"),
+            "gramidx_rc", minLen = 40)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      val twinA = (50L, "ZZ" + a.substring(5, 70) + " QQ tail words")
+      val twinB = (51L, "YY" + b.substring(10, 75) + " PP other tail")
+      val twinC = (52L, "XX" + c.substring(8, 72) + " RR more words")
+      assert(gate(Seq(twinA, twinB, twinC)) == Seq.empty)
+      // retract doc 1: its twin is NEW data again, immediately (the
+      // tombstone-aware read — no compaction needed); docs 2/3 still gate
+      Dedup.removeFromGramIndex(Seq(1L).toDF("doc_id"), "gramidx_rc")
+      assert(gate(Seq(twinA, twinB, twinC)) == Seq(50L))
+      // compact: tombstoned grams physically gone, tombstones cleared,
+      // bucket spec preserved, appended doc 3 still present
+      val kept = Dedup.compactGramIndex(spark, "gramidx_rc")
+      assert(kept > 0)
+      assert(!spark.catalog.tableExists("gramidx_rc_gram_tombstones"))
+      assert(spark.table("gramidx_rc_grams")
+        .filter(col("id") === 1L).count() == 0)
+      val buckets = spark.sql("DESCRIBE FORMATTED gramidx_rc_grams")
+        .filter(col("col_name") === "Num Buckets")
+        .head().getString(1).trim.toInt
+      assert(buckets == 4)
+      // post-compaction behavior identical: twinA passes, twinB/C gate
+      assert(gate(Seq(twinA, twinB, twinC)) == Seq(50L))
+      // the compacted index still probes without an index-side exchange
+      val out = Dedup.incrementalNewExactSubstr(
+        Seq(twinB).toDF("doc_id", "text"), "gramidx_rc", minLen = 40)
+      val exchanges = out.queryExecution.sparkPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e }
+      exchanges.foreach { e =>
+        val under = e.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.rootPaths.mkString(",") }
+        assert(under.forall(pth => !pth.contains("gramidx_rc")),
+          s"compacted index shuffles on the batch path")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS gramidx_rc_grams")
+      spark.sql("DROP TABLE IF EXISTS gramidx_rc_gram_tombstones")
+      spark.sql("DROP TABLE IF EXISTS gramidx_rc_grams_compact_tmp")
+      spark.sql("DROP TABLE IF EXISTS gramidx_rc_grams_compact_bak")
+    }
+  }
+
   test("appendToSignatureIndex closes the continuous-crawl loop: " +
     "batch-2 near-dups of batch-1 survivors are caught by the grown " +
     "index, and the appended join still plans without an exchange") {
