@@ -175,7 +175,16 @@ object Streaming {
     * Within-batch near-dup pairs both pass (the gate compares to the
     * index, not batch-to-itself) — identical to the batch ingest loop's
     * semantics; run the corpus-global dedup over the landed table on
-    * its own cadence. Build parameters MUST match the index's. */
+    * its own cadence. Build parameters MUST match the index's.
+    *
+    * `exactSubstrIndex` (optional) composes the EXACT-substring gate
+    * after the fuzzy one: fuzzy survivors are additionally gated by
+    * [[graft.dedup.Dedup.incrementalNewExactSubstr]] against the named
+    * stored GRAM index (any-offset span >= `exactSubstrMinLen` shared
+    * with the landed corpus — or with a lower-id doc of the same batch —
+    * drops the doc), and the final survivors' grams append back via
+    * [[graft.dedup.Dedup.appendToGramIndex]]. The gram index must exist
+    * ([[graft.dedup.Dedup.writeGramIndex]]) with the same `minLen`. */
   def curateForeachBatch(stream: DataFrame, indexName: String,
                          sinkPath: String, checkpoint: String,
                          buckets: Int = 64,
@@ -184,7 +193,10 @@ object Streaming {
                          shingleN: Int = 3, minJaccard: Double = 0.5,
                          numHashes: Int = 64, bands: Int = 16,
                          portable: Boolean = false,
-                         stage1: DataFrame => DataFrame = identity)
+                         stage1: DataFrame => DataFrame = identity,
+                         exactSubstrIndex: Option[String] = None,
+                         exactSubstrMinLen: Int = 40,
+                         exactSubstrBuckets: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append())
@@ -194,9 +206,14 @@ object Streaming {
         val sess = batch.sparkSession
         val gated = stage1(batch.toDF())
         val idx = graft.dedup.Dedup.readSignatureIndex(sess, indexName)
-        val survivors = graft.dedup.Dedup.incrementalNewFuzzyIndexed(
+        val fuzzySurv = graft.dedup.Dedup.incrementalNewFuzzyIndexed(
           gated, idx, idCol, textCol, shingleN, minJaccard, numHashes,
-          bands, portable).persist() // consumed by sink + append
+          bands, portable)
+        val survivors = exactSubstrIndex
+          .fold(fuzzySurv)(g => graft.dedup.Dedup
+            .incrementalNewExactSubstr(fuzzySurv, g, idCol, textCol,
+              exactSubstrMinLen))
+          .persist() // consumed by sink + append(s)
         try {
           // ORDER MATTERS: land first, append second. The append writes
           // the index tables the survivor plan READS, and Spark
@@ -206,8 +223,15 @@ object Streaming {
           // of itself (observed in spec). Landing first keeps both
           // consumers on the pre-append index view; a crash between the
           // two replays the batch (at-least-once landing, documented
-          // above) and the append then reconciles.
+          // above) and the append then reconciles. Among the appends,
+          // the GRAM append goes first: the signature append writes the
+          // sig tables the survivor plan reads (the gram gate's drop set
+          // is lineage-cut by its localCheckpoint, so the gram write
+          // invalidates nothing the plan still needs).
           survivors.write.mode("append").parquet(sinkPath)
+          exactSubstrIndex.foreach(g => graft.dedup.Dedup
+            .appendToGramIndex(survivors, g, exactSubstrBuckets, idCol,
+              textCol, exactSubstrMinLen))
           graft.dedup.Dedup.appendToSignatureIndex(survivors, indexName,
             buckets, idCol, textCol, shingleN, numHashes, bands,
             portable)

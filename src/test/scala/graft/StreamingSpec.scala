@@ -528,6 +528,65 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("curateForeachBatch with the exact-substring stage: a batch-2 " +
+    "doc copying a >=40-char span of a batch-1 SURVIVOR drops even " +
+    "though it is no MinHash near-dup; survivors' grams append") {
+    import graft.dedup.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_fbexact")
+    val sink = base.resolve("sink").toString
+    val ckpt = base.resolve("ckpt").toString
+    val corpusText = "alpha bravo charlie delta echo foxtrot golf " +
+      "hotel india juliet kilo lima mike november oscar papa"
+    val freshText = "quebec romeo sierra tango uniform victor " +
+      "whiskey xray yankee zulu one two three four five six"
+    try {
+      val corpus = Seq((1L, corpusText)).toDF("doc_id", "text")
+      Dedup.writeSignatureIndex(
+        Dedup.buildSignatureIndex(corpus, numHashes = 16, bands = 4),
+        "sigidx_fbx", buckets = 4)
+      Dedup.writeGramIndex(Dedup.buildGramIndex(corpus, minLen = 40),
+        "gramidx_fbx", buckets = 4)
+      val in = MemoryStream[(Long, String)]
+      val q = Streaming.curateForeachBatch(
+        in.toDF().toDF("doc_id", "text"), "sigidx_fbx", sink, ckpt,
+        buckets = 4, minJaccard = 0.5, numHashes = 16, bands = 4,
+        exactSubstrIndex = Some("gramidx_fbx"),
+        exactSubstrMinLen = 40, exactSubstrBuckets = 4)
+      try {
+        in.addData((11L, freshText))
+        q.processAllAvailable()
+        // batch 2: doc 20 copies chars [5, 55) of the batch-1 SURVIVOR
+        // into otherwise-new prose — shingle Jaccard well under 0.5
+        // (the fuzzy gate passes it) but an exact 50-char span: only
+        // the gram index catches it. Doc 21 does the same against the
+        // pre-stream corpus. Doc 22 is genuinely new.
+        val spanOfFresh = "ZZ " + freshText.substring(5, 55) +
+          " entirely new commentary words follow the copied sentence " +
+          "and continue for a while longer with other vocabulary"
+        val spanOfCorpus = "QQ " + corpusText.substring(10, 60) +
+          " surrounded by totally different prose about other matters " +
+          "that no earlier document mentioned in any way"
+        in.addData((20L, spanOfFresh), (21L, spanOfCorpus),
+          (22L, "gamma entirely different vocabulary spoken here with " +
+            "words shared by no earlier document in any batch today"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val landed = spark.read.parquet(sink)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      assert(landed == Seq(11L, 22L), s"landed $landed")
+      // the survivors' grams appended: state lives in the stored index
+      val idxIds = spark.table("gramidx_fbx_grams")
+        .select("id").distinct().collect()
+        .map(_.getLong(0)).toSeq.sorted
+      assert(idxIds == Seq(1L, 11L, 22L), s"index ids $idxIds")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sigidx_fbx_sigs")
+      spark.sql("DROP TABLE IF EXISTS sigidx_fbx_bands")
+      spark.sql("DROP TABLE IF EXISTS gramidx_fbx_grams")
+    }
+  }
+
   test("warcDocStream + curateForeachBatch: crawl-to-curated end-to-end " +
     "— two WARC files arrive over time, file 2's near-dup of file 1's " +
     "landed doc is dropped by the grown index, fresh text lands") {
