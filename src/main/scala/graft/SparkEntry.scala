@@ -3147,6 +3147,52 @@ object SparkEntry {
             lit(10L)) < col("m") + 2).cast("int").as("passed"))
       ops.Chat.bootstrapPairedDelta(results, "model_5", "model_2",
         b = 100)
+    }),
+
+    // SCRIPT-DISPATCHED sentence + repetition stats: every 4th doc
+    // becomes multi-sentence CJK — the ASCII [.!?]+ class sees ONE
+    // sentence and word n-grams see ONE word (repetition hardwired
+    // 0.0) — every 4th+1 gets a mixed-script prefix; the scripted ops
+    // route CJK docs to full-width delimiters and char 3-grams,
+    // everything else to the EXACT legacy measurements. Oracle
+    // re-derives dominant + both dispatch branches from the same class
+    // strings over the same synthesis
+    "q276_script_sentences" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      val synth = d.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          expr("repeat('深度学习模型训练数据质量。数据去重非常重要！', " +
+            "int(doc_id % 5 + 2))"))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("GPU加速 "), col("text")))
+          .otherwise(col("text")).as("text"))
+      TextOps.sentenceStatsScripted(synth)
+        .join(synth.select(col("doc_id"),
+          TextOps.duplicateNgramFractionScripted(col("text"), 3)
+            .as("rep3")), Seq("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // SCRIPT-DISPATCHED cross-doc boilerplate: every 4th doc becomes a
+    // CJK page with a unique numbered body and a SHARED template
+    // footer — word shingles see each page as one giant distinct
+    // "word" (boilerplate invisible); char-3-gram shingles find the
+    // footer. Latin docs keep the EXACT q113 word-shingle measurement;
+    // one inverted index serves both classes (word grams and char
+    // grams never collide as strings)
+    "q277_script_boilerplate" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      val synth = d.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("本页编号"),
+            translate(col("doc_id").cast("string"),
+              "0123456789", "零一二三四五六七八九"),
+            lit("的内容与其他页面不同。版权所有转载请注明出处")))
+          .otherwise(col("text")).as("text"))
+      Dedup.duplicatedShingleFractionScripted(synth)
+        .select(col("doc_id"), col("n_shingles"), col("n_duplicated"),
+          round(col("dup_fraction"), 6).as("dup_fraction"))
+        .orderBy("doc_id")
     })
   )
 
@@ -4661,6 +4707,114 @@ object SparkEntry {
        |         CAST(alpha_words AS DOUBLE) / n_words_en >= 0.8 AND
        |         stop_hits >= 2 END AS BIGINT) AS pass
        |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** q276's oracle: dominant via the shared class strings, then BOTH
+    * dispatch branches — full-width vs ascii sentence delimiters, char
+    * vs word 3-gram repetition — replayed over the same synthesis. */
+  private def scriptSentencesOracle: String = {
+    val counts = TextOps.ScriptRanges.map { case (n, body) =>
+      s"coalesce(length(regexp_replace(text, '[^$body]', '', 'g')), 0)" +
+        s" AS sc_$n"
+    }.mkString(",\n    ")
+    val names = TextOps.ScriptRanges.map(r => "sc_" + r._1)
+    val dom = TextOps.ScriptRanges.map(_._1).foldRight("'none'") {
+      (n, els) =>
+        s"CASE WHEN sc_$n = mx AND mx > 0 THEN '$n' ELSE $els END"
+    }
+    s"""WITH syn AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 4 = 0 THEN
+       |           repeat('深度学习模型训练数据质量。数据去重非常重要！',
+       |                  CAST(doc_id % 5 + 2 AS INT))
+       |         WHEN doc_id % 4 = 1 THEN 'GPU加速 ' || text
+       |         ELSE text END AS text
+       |  FROM documents WHERE text IS NOT NULL),
+       |c AS (SELECT doc_id, text, $counts FROM syn),
+       |m0 AS (SELECT *, greatest(${names.mkString(", ")}) AS mx FROM c),
+       |m1 AS (SELECT doc_id, text, $dom AS dominant FROM m0),
+       |s AS (
+       |  SELECT doc_id, dominant, text,
+       |    list_filter([trim(x) FOR x IN
+       |      CASE WHEN dominant = 'cjk'
+       |           THEN string_split_regex(text, '[.!?。！？]+')
+       |           ELSE string_split_regex(text, '[.!?]+') END],
+       |      x -> len(x) > 0) AS segs,
+       |    string_split(lower(text), ' ') AS tk
+       |  FROM m1)
+       |SELECT doc_id, CAST(len(segs) AS INTEGER) AS n_sentences,
+       |  CASE WHEN len(segs) > 0
+       |       THEN CAST(list_sum([len(x) FOR x IN segs]) AS DOUBLE)
+       |            / CAST(len(segs) AS DOUBLE)
+       |       ELSE CAST(0 AS DOUBLE) END AS mean_sentence_chars,
+       |  CASE WHEN dominant = 'cjk' THEN
+       |         CASE WHEN length(lower(text)) < 3 THEN 0.0
+       |              ELSE 1.0 - CAST(len(list_distinct(
+       |                     [substr(lower(text), i, 3) FOR i IN
+       |                      generate_series(1,
+       |                        length(lower(text)) - 2)]))
+       |                   AS DOUBLE) / (length(lower(text)) - 2) END
+       |       ELSE
+       |         CASE WHEN len(tk) < 3 THEN 0.0
+       |              ELSE 1.0 - CAST(len(list_distinct(
+       |                     [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+       |                      FOR i IN generate_series(1, len(tk) - 2)]))
+       |                   AS DOUBLE) / (len(tk) - 2) END
+       |       END AS rep3
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** q277's oracle: the scripted shingle maker replayed — char 3-grams
+    * for cjk-dominant docs, the q113 word shingles (incl. the < 3-word
+    * whole-text fallback) otherwise — through the q113 inverted-index
+    * df measurement. */
+  private def scriptBoilerplateOracle: String = {
+    val counts = TextOps.ScriptRanges.map { case (n, body) =>
+      s"coalesce(length(regexp_replace(text, '[^$body]', '', 'g')), 0)" +
+        s" AS sc_$n"
+    }.mkString(",\n    ")
+    val names = TextOps.ScriptRanges.map(r => "sc_" + r._1)
+    val dom = TextOps.ScriptRanges.map(_._1).foldRight("'none'") {
+      (n, els) =>
+        s"CASE WHEN sc_$n = mx AND mx > 0 THEN '$n' ELSE $els END"
+    }
+    s"""WITH syn AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 4 = 0 THEN
+       |           '本页编号' || translate(CAST(doc_id AS VARCHAR),
+       |             '0123456789', '零一二三四五六七八九') ||
+       |           '的内容与其他页面不同。版权所有转载请注明出处'
+       |         ELSE text END AS text
+       |  FROM documents WHERE text IS NOT NULL),
+       |c AS (SELECT doc_id, text, $counts FROM syn),
+       |m0 AS (SELECT *, greatest(${names.mkString(", ")}) AS mx FROM c),
+       |m1 AS (SELECT doc_id, text, $dom AS dominant FROM m0),
+       |w AS (SELECT doc_id, dominant, text,
+       |        string_split(lower(text), ' ') AS tk FROM m1),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN dominant = 'cjk' THEN
+       |      CASE WHEN length(lower(text)) < 3 THEN CAST([] AS VARCHAR[])
+       |           ELSE list_distinct([substr(lower(text), i, 3)
+       |                FOR i IN generate_series(1,
+       |                  length(lower(text)) - 2)]) END
+       |    ELSE
+       |      CASE WHEN len(tk) >= 3 THEN
+       |        list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+       |                       FOR i IN generate_series(1, len(tk) - 2)])
+       |      ELSE [array_to_string(tk, ' ')] END
+       |    END AS sh
+       |  FROM w),
+       |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+       |df AS (SELECT shingle, count(DISTINCT doc_id) AS df
+       |       FROM inv GROUP BY 1)
+       |SELECT i.doc_id, count(*) AS n_shingles,
+       |       CAST(sum(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_duplicated,
+       |       round(CAST(sum(CASE WHEN df.df > 1 THEN 1 ELSE 0 END)
+       |           AS DOUBLE) / count(*), 6) AS dup_fraction
+       |FROM inv i JOIN df USING (shingle)
+       |GROUP BY i.doc_id ORDER BY doc_id""".stripMargin
   }
 
   private def scriptProfileOracle: String = {
@@ -9855,7 +10009,10 @@ object SparkEntry {
         |             3) AS duration_sec,
         |       max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
         |         AS converted
-        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q276_script_sentences" -> scriptSentencesOracle,
+    "q277_script_boilerplate" -> scriptBoilerplateOracle
   )
 
   /** q74 oracle: Okapi BM25 end to end in SQL. The k1/b/(k1+1) constants

@@ -379,6 +379,34 @@ object Dedup {
         col("n_duplicated").cast("double") / col("n_shingles"))
   }
 
+  /** SCRIPT-DISPATCHED [[duplicatedShingleFraction]] — the cross-doc
+    * boilerplate signal with [[graft.text.TextOps.shinglesScripted]] as
+    * the shingle maker: CJK-dominant docs contribute distinct character
+    * n-grams (word shingles see the whole doc as one giant shingle, so
+    * a CJK template footer shared by a thousand pages was invisible),
+    * every other doc contributes the EXACT legacy word shingles — and
+    * the two classes share one inverted index, so a latin word-gram
+    * never collides with a cjk char-gram (different strings). Identical
+    * shuffle shape: one per-shingle df aggregation, one join back, one
+    * per-doc aggregation; no pairs. */
+  def duplicatedShingleFractionScripted(docs: DataFrame,
+                                        idCol: String = "doc_id",
+                                        textCol: String = "text",
+                                        shingleN: Int = 3): DataFrame = {
+    val inv = docs.select(col(idCol).as("id"),
+        explode(TextOps.shinglesScripted(col(textCol), shingleN))
+          .as("shingle"))
+      .select(col("id"), xxhash64(col("shingle")).as("sh_h"))
+    val df = inv.groupBy("sh_h")
+      .agg(countDistinct("id").as("df"))
+    inv.join(df, "sh_h")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_duplicated"))
+      .withColumn("dup_fraction",
+        col("n_duplicated").cast("double") / col("n_shingles"))
+  }
+
   /** Directed shingle-containment pairs: c(a⊆b) = |Sa ∩ Sb| / |Sa| per
     * ordered pair — the quote/expansion detector symmetric Jaccard
     * misses (a short doc fully quoted inside a long one has tiny Jaccard

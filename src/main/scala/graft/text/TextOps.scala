@@ -96,6 +96,23 @@ object TextOps {
     * [[ScriptRanges]]. */
   private[graft] val CjkClassBody: String = ScriptRanges.toMap.apply("cjk")
 
+  /** DOMINANT SCRIPT as a per-row column expression — the
+    * [[scriptProfile]] routing signal inlined, shared by every
+    * script-dispatched operator ([[gopherRulesScripted]],
+    * [[sentenceStatsScripted]], [[duplicateNgramFractionScripted]],
+    * [[shinglesScripted]]): highest strip-and-measure class count, ties
+    * in [[ScriptRanges]] order, "none" when all zero. Map-only,
+    * codegen'd, and the identical CASE chain replays in the oracles. */
+  private[graft] def dominantScriptExpr(t: Column): Column = {
+    val counts = ScriptRanges.map { case (name, body) =>
+      (name, length(regexp_replace(t, s"[^$body]", "")).cast("long"))
+    }
+    val maxCount = greatest(counts.map(_._2): _*)
+    counts.foldRight(lit("none")) { case ((name, cnt), els) =>
+      when(cnt === maxCount && maxCount > 0, name).otherwise(els)
+    }
+  }
+
   /** Per-document Unicode script profile: counts of characters in the
     * major script blocks ([[ScriptRanges]]) plus the dominant script —
     * the routing signal for a multilingual corpus ([[langIdEn]] only
@@ -491,15 +508,7 @@ object TextOps {
                           minAlphaFrac: Double = 0.8,
                           minStopHits: Int = 2): DataFrame = {
     val t = coalesce(col(textCol), lit(""))
-    // dominant script (the scriptProfile expression, inline)
-    val scriptCounts = ScriptRanges.map { case (name, body) =>
-      (name, length(regexp_replace(t, s"[^$body]", "")).cast("long"))
-    }
-    val maxCount = greatest(scriptCounts.map(_._2): _*)
-    val dominant = scriptCounts.foldRight(lit("none")) {
-      case ((name, cnt), els) =>
-        when(cnt === maxCount && maxCount > 0, name).otherwise(els)
-    }
+    val dominant = dominantScriptExpr(t)
     // english-path measurements — the gopherRules expressions verbatim
     val words = filter(split(lower(col(textCol)), "\\s+"), w => w =!= "")
     val lines = split(col(textCol), "\n")
@@ -556,6 +565,59 @@ object TextOps {
     when(text.isNull.or(total < 1), lit(0.0))
       .otherwise(lit(1.0) -
         size(shingles(text, n)).cast("double") / total.cast("double"))
+  }
+
+  /** SCRIPT-DISPATCHED [[duplicateNgramFraction]] — on a space-free
+    * script the word form is not just miscalibrated but BLIND: the
+    * whole document whitespace-splits to one "word", total n-grams
+    * < 1, and the signal is hardwired 0.0 — a fully-repeated CJK spam
+    * page reads as perfectly novel. Dispatch by [[dominantScriptExpr]]:
+    * dominant != cjk keeps the EXACT legacy word-n-gram fraction
+    * (spec-pinned equality); dominant == cjk measures CHARACTER
+    * n-grams — 1 − distinct/total over all `length − n + 1` positions,
+    * the same statistic at the script's natural token granularity.
+    * Distinct char grams count via the all-positions
+    * [[graft.functions.GramHashes]] kernel (one pass; a 2^-60 hash
+    * collision under-counts distinct by 1 — immaterial to a fraction);
+    * the oracle counts distinct SUBSTRINGS, the same number. */
+  def duplicateNgramFractionScripted(text: Column, n: Int = 2): Column = {
+    val t = coalesce(text, lit(""))
+    // positions measured over the LOWERCASED string — casefolding can
+    // change length (İ → i + combining dot), and the gram count must
+    // agree with the string actually sliced
+    val lt = lower(t)
+    val totalChars = length(lt) - (n - 1)
+    val charDup = when(totalChars < 1, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(graft.functions.VectorExpressions
+          .gramHashes(lt, n))).cast("double") /
+          totalChars.cast("double"))
+    when(dominantScriptExpr(t) === "cjk", charDup)
+      .otherwise(duplicateNgramFraction(text, n))
+  }
+
+  /** SCRIPT-DISPATCHED [[shingles]] — the join-key maker for cross-doc
+    * boilerplate/dedup measures ([[graft.dedup.Dedup
+    * .duplicatedShingleFraction]]): word shingles see a whole CJK doc
+    * as one giant shingle, so cross-document boilerplate is invisible.
+    * dominant != cjk → the EXACT legacy word-shingle kernel (spec-
+    * pinned); dominant == cjk → DISTINCT lowercased character n-gram
+    * STRINGS (first-occurrence order, matching the kernel's
+    * convention) — the natural granularity, and the values join across
+    * docs exactly like word shingles. Per-position slicing costs one
+    * substring per char — the GramHashes cost class, honest for a
+    * measure that must see every position. */
+  def shinglesScripted(text: Column, n: Int = 3): Column = {
+    val t = coalesce(text, lit(""))
+    // slice and measure the SAME lowercased string (casefolding can
+    // change length); the < n guard keeps sequence() ascending
+    val lt = lower(t)
+    val charGrams = when(length(lt) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), length(lt) - (n - 1)),
+        i => lt.substr(i, lit(n)))))
+    when(dominantScriptExpr(t) === "cjk", charGrams)
+      .otherwise(shingles(text, n))
   }
 
   /** TF-IDF top-k terms per document (whitespace terms, lowercased;
@@ -3510,6 +3572,38 @@ object TextOps {
     docs.select(col(idCol), size(segs).as("n_sentences"),
       when(size(segs) > 0,
         totalChars.cast("double") / size(segs).cast("double"))
+        .otherwise(lit(0.0)).as("mean_sentence_chars"))
+  }
+
+  /** SCRIPT-DISPATCHED [[sentenceStats]] — CJK prose terminates
+    * sentences with the full-width 。！？ (U+3002/U+FF01/U+FF1F), which
+    * the ASCII `[.!?]+` delimiter class never matches: a whole CJK
+    * document reads as ONE sentence and every per-sentence rule misfires
+    * (the [[gopherRulesScripted]] blind spot at sentence granularity).
+    * Dispatch by [[dominantScriptExpr]]: dominant != cjk splits on the
+    * EXACT legacy class (spec-pinned equality — existing corpora
+    * re-measure identically); dominant == cjk splits on
+    * `[.!?。！？]+` (full-width terminators PLUS ascii — mixed
+    * punctuation is common in CJK web text). Same trimmed-segment
+    * filter, same exact-integer mean. Map-only, codegen'd; the
+    * identical class strings replay in the oracle. */
+  def sentenceStatsScripted(docs: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val isCjk = dominantScriptExpr(t) === "cjk"
+    def segsOf(delims: String) =
+      filter(transform(split(t, delims), s => trim(s)),
+        s => length(s) > 0)
+    val segsEn = segsOf("[.!?]+")
+    val segsCjk = segsOf("[.!?。！？]+")
+    val nSent = when(isCjk, size(segsCjk)).otherwise(size(segsEn))
+    val totalChars = when(isCjk,
+      aggregate(segsCjk, lit(0L), (acc, s) => acc + length(s)))
+      .otherwise(
+        aggregate(segsEn, lit(0L), (acc, s) => acc + length(s)))
+    docs.select(col(idCol), nSent.as("n_sentences"),
+      when(nSent > 0,
+        totalChars.cast("double") / nSent.cast("double"))
         .otherwise(lit(0.0)).as("mean_sentence_chars"))
   }
 

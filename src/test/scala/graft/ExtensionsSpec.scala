@@ -3141,6 +3141,68 @@ class ExtensionsSpec extends SparkSpec {
     assert(ex.getMessage.contains(":2"))
   }
 
+  test("script-dispatched sentence/repetition/boilerplate: non-CJK " +
+    "docs measure EXACTLY like the legacy ops; CJK docs get real " +
+    "sentence counts, char-gram repetition, and visible boilerplate") {
+    import graft.dedup.Dedup
+    val en = Seq(
+      (1L, "One sentence here. Another one! A third? Trailing bits"),
+      (2L, "the cat sat. the cat sat. the cat sat."),
+      (3L, "no terminal punctuation at all in this line"),
+      (4L, ""),
+      (5L, "shared footer words appear here. shared footer words too."))
+      .toDF("doc_id", "text")
+    // 1) non-CJK equality pins, row for row
+    val legacySent = TextOps.sentenceStats(en).orderBy("doc_id").collect()
+    val scriptSent =
+      TextOps.sentenceStatsScripted(en).orderBy("doc_id").collect()
+    assert(legacySent.toSeq == scriptSent.toSeq)
+    val reps = en.select(col("doc_id"),
+      TextOps.duplicateNgramFraction(col("text"), 2).as("lg"),
+      TextOps.duplicateNgramFractionScripted(col("text"), 2).as("sc"))
+      .collect()
+    reps.foreach(r => assert(r.getDouble(1) == r.getDouble(2),
+      s"doc ${r.getLong(0)}"))
+    val legacyBp = Dedup.duplicatedShingleFraction(en)
+      .orderBy("doc_id").collect()
+    val scriptBp = Dedup.duplicatedShingleFractionScripted(en)
+      .orderBy("doc_id").collect()
+    assert(legacyBp.toSeq == scriptBp.toSeq)
+    // 2) CJK sentences: full-width terminators split; legacy saw ONE
+    val cjkDoc = Seq((9L, "你好世界。今天天气很好！我们去公园吗？"))
+      .toDF("doc_id", "text")
+    val lg = TextOps.sentenceStats(cjkDoc).head()
+    val sc = TextOps.sentenceStatsScripted(cjkDoc).head()
+    assert(lg.getInt(1) == 1) // the blind spot, demonstrated
+    assert(sc.getInt(1) == 3 &&
+      sc.getDouble(2) == (4 + 6 + 6).toDouble / 3, s"got $sc")
+    // 3) CJK repetition: a fully-repeated page reads ~1, not 0.0
+    val repDoc = Seq((9L, "数据质量" * 5)).toDF("doc_id", "text")
+    val repPair = repDoc.select(
+      TextOps.duplicateNgramFraction(col("text"), 3).as("lg"),
+      TextOps.duplicateNgramFractionScripted(col("text"), 3).as("sc"))
+      .head()
+    assert(repPair.getDouble(0) == 0.0) // word form is blind
+    // 20 chars -> 18 positions; the 4-char period yields 4 distinct
+    assert(repPair.getDouble(1) == 1.0 - 4.0 / 18, s"got $repPair")
+    // 4) CJK boilerplate: two pages share a footer — word shingles see
+    // two distinct giant tokens (0.0), char grams see the footer
+    val bp = Seq(
+      (11L, "本页讲述春天的故事。版权所有转载请注明出处"),
+      (12L, "另一页关于大海航行。版权所有转载请注明出处"),
+      (13L, "第三页完全不同且没有模板尾部的内容呀"))
+      .toDF("doc_id", "text")
+    val bpLegacy = Dedup.duplicatedShingleFraction(bp)
+      .orderBy("doc_id").collect()
+    assert(bpLegacy.forall(_.getDouble(3) == 0.0))
+    val bpScript = Dedup.duplicatedShingleFractionScripted(bp)
+      .orderBy("doc_id").collect()
+    assert(bpScript(0).getDouble(3) > 0.3 &&
+      bpScript(1).getDouble(3) > 0.3,
+      s"footer invisible: ${bpScript.toSeq}")
+    assert(bpScript(2).getDouble(3) == 0.0, s"got ${bpScript.toSeq}")
+  }
+
   test("mergeAdjacentPair: boundary-aware — merging (x,a) must NOT " +
     "rewrite across the symbol boundary in 'yx ab'; adjacency runs " +
     "merge greedily left-to-right; disjoint matches all merge") {
