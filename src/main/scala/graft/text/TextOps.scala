@@ -97,13 +97,23 @@ object TextOps {
   private[graft] val CjkClassBody: String = ScriptRanges.toMap.apply("cjk")
 
   /** DOMINANT SCRIPT as a per-row column expression — the
-    * [[scriptProfile]] routing signal inlined, shared by every
+    * [[scriptProfile]] routing signal, shared by every
     * script-dispatched operator ([[gopherRulesScripted]],
     * [[sentenceStatsScripted]], [[duplicateNgramFractionScripted]],
-    * [[shinglesScripted]]): highest strip-and-measure class count, ties
-    * in [[ScriptRanges]] order, "none" when all zero. Map-only,
-    * codegen'd, and the identical CASE chain replays in the oracles. */
-  private[graft] def dominantScriptExpr(t: Column): Column = {
+    * [[shinglesScripted]]): highest [[ScriptRanges]] class count, ties
+    * in ScriptRanges order, "none" when all zero. Computed by the
+    * native single-pass [[graft.functions.DominantScript]] kernel —
+    * one code-point walk instead of five whole-text regexp_replace
+    * strip-and-measure passes (3.7x on the q277 path); semantics are
+    * spec-pinned identical to the regex form
+    * ([[dominantScriptRegexExpr]]), which is what the oracles replay. */
+  private[graft] def dominantScriptExpr(t: Column): Column =
+    graft.functions.VectorExpressions.dominantScript(coalesce(t, lit("")))
+
+  /** The strip-and-measure regex form of [[dominantScriptExpr]] — the
+    * oracle-portable derivation (the DuckDB CASE chain is its verbatim
+    * transcription), kept as the kernel's parity reference. */
+  private[graft] def dominantScriptRegexExpr(t: Column): Column = {
     val counts = ScriptRanges.map { case (name, body) =>
       (name, length(regexp_replace(t, s"[^$body]", "")).cast("long"))
     }

@@ -3141,6 +3141,39 @@ class ExtensionsSpec extends SparkSpec {
     assert(ex.getMessage.contains(":2"))
   }
 
+  test("DominantScript kernel: identical to the strip-and-measure " +
+    "regex form on ties, mixed scripts, empties, every class, and " +
+    "non-BMP text; null-safe") {
+    val rows = Seq(
+      "plain english text",
+      "русский текст здесь",
+      "深度学习模型训练",
+      "ひらがなとカタカナ",
+      "한국어 문장 하나",
+      "نص عربي قصير",
+      "1234567890",
+      "", "   ", "!@#$%^&*()",
+      "ab12", // latin-digit TIE -> latin (ScriptRanges order)
+      "аб12", // cyrillic-digit tie -> cyrillic
+      "学习12", // cjk-digit tie -> cjk
+      "GPU加速 русский 123 نص", // 4-way mix
+      "À propos ɏ Ѐӿ぀ヿ一鿿가힯؀ۿ", // class BOUNDARY chars
+      "😀😀 ok", // emoji (non-BMP, classless)
+      "😀") // ONLY non-BMP -> none
+      .toDF("t")
+    val got = rows.select(col("t"),
+      TextOps.dominantScriptExpr(col("t")).as("ker"),
+      TextOps.dominantScriptRegexExpr(coalesce(col("t"), lit("")))
+        .as("re")).collect()
+    got.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"'${r.getString(0)}': kernel=${r.getString(1)} regex=${
+        r.getString(2)}"))
+    // null text routes like empty (the coalesce contract)
+    val n = Seq[String](null).toDF("t")
+      .select(TextOps.dominantScriptExpr(col("t"))).head().getString(0)
+    assert(n == "none")
+  }
+
   test("script-dispatched sentence/repetition/boilerplate: non-CJK " +
     "docs measure EXACTLY like the legacy ops; CJK docs get real " +
     "sentence counts, char-gram repetition, and visible boilerplate") {
