@@ -93,6 +93,30 @@ object ScaleProbe {
             d.select(col("doc_id"),
               substring(col("text"), 1, 200).as("text")),
             minLen = 60).count() },
+        // the CAPPED regime: every doc = a UNIQUE 96-char md5 body +
+        // the SAME ~110-char boilerplate footer — the footer is genuine
+        // ALL-PAIRS duplication (N(N-1)/2 ≈ 1.2e9 pairs at 10x), the
+        // exact corpus-boilerplate class the df cap exists to drop.
+        // Pure-footer 60-grams carry df = |corpus| >> 1000 and are
+        // anti-joined away BEFORE the self-join; the only surviving
+        // witnesses are body/footer BOUNDARY grams, whose df is the
+        // count of docs sharing a body hex suffix (5000/16^k) — and as
+        // N grows, deeper boundary grams cross the cap too, so the
+        // emitted span rows grow ~6x while raw pair volume grows 100x
+        // (measured 781k -> 4.9M rows, 1.6x wall at 10x docs): the cap
+        // bounds pair volume ADAPTIVELY, the documented recall trade on
+        // >maxDf boilerplate
+        "exact_substr_hotcap" -> { d =>
+          val footer = " subscribe to our newsletter for updates terms" +
+            " of service privacy policy all rights reserved copyright" +
+            " notice twenty twenty six"
+          Dedup.exactSubstrSpans(
+            d.select(col("doc_id"),
+              concat(md5(col("doc_id").cast("string")),
+                md5((col("doc_id") + 7).cast("string")),
+                md5((col("doc_id") + 13).cast("string")),
+                lit(footer)).as("text")),
+            minLen = 60).count() },
         "cc_clusters" -> { d =>
           val pairs = Dedup.ngramJaccard(d, minJaccard = 0.4, maxDf = 1000)
           Dedup.connectedComponents(d.select(col("doc_id").as("id")), pairs)
