@@ -345,9 +345,11 @@ object Streaming {
     * replayed micro-batch (foreachBatch is at-least-once) overwrites
     * ITS OWN partition instead of double-counting. Per-batch cost:
     * one partial-agged count over the batch + a state read of
-    * |batches|·|models|²-ish count rows (tiny; periodically compact by
-    * summing old partitions offline if batch count ever matters) +
-    * the fixed-size refit. */
+    * |batches|·|models|²-ish count rows (tiny; run
+    * [[compactArenaState]] on a maintenance cadence — it folds the
+    * committed partitions into one summed `batch_id = -1` partition,
+    * keeping the latest live partition for replay safety) + the
+    * fixed-size refit. */
   def arenaLeaderboardForeachBatch(stream: DataFrame, statePath: String,
                                    leaderboardPath: String,
                                    checkpoint: String,
@@ -399,20 +401,8 @@ object Streaming {
         // hadoopFs.exists guard in chatGateForeachBatch); the
         // leaderboard stays at its previous contents, which is also the
         // right answer — no decisive game has been observed yet.
-        val hadoopConf = sess.sparkContext.hadoopConfiguration
-        def hasParquet(dir: String): Boolean = {
-          val p = new org.apache.hadoop.fs.Path(dir)
-          val fs = p.getFileSystem(hadoopConf)
-          fs.exists(p) && {
-            val it = fs.listFiles(p, true)
-            var found = false
-            while (!found && it.hasNext)
-              found = it.next().getPath.getName.endsWith(".parquet")
-            found
-          }
-        }
         if (Seq("pairs", "wins", "games")
-            .forall(d => hasParquet(s"$statePath/$d"))) {
+            .forall(d => dirHasParquet(sess, s"$statePath/$d"))) {
           // refit from the ACCUMULATED state (never from the stream)
           val pairs = sess.read.parquet(s"$statePath/pairs")
             .groupBy("i", "j").agg(sum("n").as("n"))
@@ -428,6 +418,82 @@ object Streaming {
         ()
       }
       .start()
+
+  /** Does a directory hold at least one parquet part file? The guard
+    * both the arena refit and [[compactArenaState]] need: a dynamic
+    * partition overwrite of ZERO rows lands nothing, so a state dir can
+    * exist with no data and a bare read.parquet would throw "Unable to
+    * infer schema". */
+  private[streaming] def dirHasParquet(
+      sess: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(sess.sparkContext.hadoopConfiguration)
+    fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+  }
+
+  /** Compact the [[arenaLeaderboardForeachBatch]] state — the
+    * maintenance step its scaladoc promises: every micro-batch adds a
+    * `batch_id` partition to pairs/wins/games, so a long-running arena
+    * accretes |batches| partitions whose per-refit read cost grows
+    * without bound. This folds all COMMITTED per-batch deltas into one
+    * summed partition at `batch_id = -1` (a real foreachBatch id is
+    * never negative, so future dynamic overwrites cannot collide with
+    * it) while keeping the HIGHEST live batch_id partition verbatim:
+    * foreachBatch is at-least-once and only the latest batch can
+    * replay after a restart — its replay must keep overwriting ITS OWN
+    * partition, never find its counts already folded (double-count).
+    * Earlier batches are checkpoint-committed by the time a later one
+    * exists. Swap discipline per dir: write `<dir>_compact_tmp`,
+    * rename dir out to `<dir>_compact_bak`, rename tmp in, drop the
+    * backup — a crash before the first rename leaves the state
+    * untouched; inside the two-rename window, rename the `_bak` back
+    * by hand (the [[graft.dedup.Dedup.compactSignatureIndex]]
+    * convention). Run between batches (the refit reads these dirs);
+    * the leaderboard a post-compaction refit produces is bit-identical
+    * — summing the folded sums is the same total (spec-pinned). */
+  def compactArenaState(sess: org.apache.spark.sql.SparkSession,
+                        statePath: String): Unit = {
+    val hadoopConf = sess.sparkContext.hadoopConfiguration
+    def compactDir(name: String, keys: Seq[String],
+                   sums: Seq[String]): Unit = {
+      val dir = s"$statePath/$name"
+      if (!dirHasParquet(sess, dir)) return
+      // partition-column inference types small batch_id values INT on
+      // read-back; normalize so the -1 literal and comparisons agree
+      val cur = sess.read.parquet(dir)
+        .withColumn("batch_id", col("batch_id").cast("long"))
+      val maxBatch = cur.agg(max("batch_id")).head().getLong(0)
+      val fold = cur.filter(col("batch_id") < maxBatch)
+      val folded = fold
+        .groupBy(keys.map(col): _*)
+        .agg(sums.map(c => sum(c).as(c)).head,
+          sums.map(c => sum(c).as(c)).tail: _*)
+        .withColumn("batch_id", lit(-1L))
+      val kept = cur.filter(col("batch_id") === maxBatch)
+      val tmp = s"${dir}_compact_tmp"
+      val bak = s"${dir}_compact_bak"
+      val fs = new org.apache.hadoop.fs.Path(statePath)
+        .getFileSystem(hadoopConf)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      folded.select(kept.columns.map(col): _*).unionByName(kept)
+        .write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+      fs.delete(new org.apache.hadoop.fs.Path(bak), true)
+      fs.rename(new org.apache.hadoop.fs.Path(dir),
+        new org.apache.hadoop.fs.Path(bak))
+      fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(dir))
+      fs.delete(new org.apache.hadoop.fs.Path(bak), true)
+    }
+    compactDir("pairs", Seq("i", "j"), Seq("n"))
+    compactDir("wins", Seq("model"), Seq("wins"))
+    compactDir("games", Seq("model"), Seq("n_games", "wins"))
+  }
 
   /** Continuous drift monitoring, step 1 of 2: per tumbling window,
     * equal-width bin counts of `valueCol` (the sufficient statistics of

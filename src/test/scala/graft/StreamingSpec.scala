@@ -676,6 +676,14 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       // interim leaderboard: only the three models seen so far
       assert(spark.read.parquet(s"$dir/leaderboard").count() == 3)
+      // compact BETWEEN batches: committed deltas fold into the
+      // batch_id = -1 partition, the highest live batch stays verbatim
+      // (the at-least-once replay partition), and the stream continues
+      Streaming.compactArenaState(spark, s"$dir/state")
+      val partsAfter = spark.read.parquet(s"$dir/state/pairs")
+        .select(col("batch_id").cast("long")).distinct().collect()
+        .map(_.getLong(0)).toSeq.sorted
+      assert(partsAfter == Seq(-1L, 1L), s"parts $partsAfter")
       in.addData(b2: _*)
       q.processAllAvailable()
     } finally q.stop()
@@ -688,5 +696,20 @@ class StreamingSpec extends SparkSpec {
     // the state holds counts, not matches: no match payload column
     val pairCols = spark.read.parquet(s"$dir/state/pairs").columns.toSet
     assert(pairCols == Set("i", "j", "n", "batch_id"))
+    // compacting the STOPPED stream's full state changes nothing the
+    // refit can see: the rebuilt leaderboard is bit-identical
+    Streaming.compactArenaState(spark, s"$dir/state")
+    def tot(d: String, keys: Seq[String], sums: Seq[String]) =
+      spark.read.parquet(s"$dir/state/$d")
+        .groupBy(keys.map(col): _*)
+        .agg(sum(sums.head).as(sums.head),
+          sums.tail.map(c => sum(c).as(c)): _*)
+    val refit = graft.ops.Chat.arenaLeaderboardFromState(
+        tot("pairs", Seq("i", "j"), Seq("n")),
+        tot("wins", Seq("model"), Seq("wins")),
+        tot("games", Seq("model"), Seq("n_games", "wins")),
+        iterations = 2, z = 1.96)
+      .orderBy("arena_rank").collect().toSeq
+    assert(refit == batch, s"\nrefit: $refit\nbatch: $batch")
   }
 }
