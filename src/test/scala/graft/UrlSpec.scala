@@ -154,8 +154,25 @@ class UrlSpec extends SparkSpec {
     assert(rd("a.b.agency") == "b.agency")
     assert(rd("news.blogspot.ru") == "news.blogspot.ru")
     assert(rd("www.shop.tokyo") == "shop.tokyo")
+    // round-13 expansion tails (VERDICT r12 item 6): kr regions, se
+    // single letters, hu thematic, tr/th/il/in schemes, no counties,
+    // au state schemes, baltic/greek/portuguese second levels
+    assert(rd("www.portal.seoul.kr") == "portal.seoul.kr")
+    assert(rd("x.firm.co.in") == "firm.co.in")
+    assert(rd("a.site.a.se") == "site.a.se")
+    assert(rd("www.hotel.budapest.hotel.hu") == "budapest.hotel.hu")
+    assert(rd("x.shirket.com.tr") == "shirket.com.tr")
+    assert(rd("www.dept.k12.il") == "dept.k12.il")
+    assert(rd("x.skole.oslo.no") == "skole.oslo.no")
+    assert(rd("www.school.vic.edu.au") == "school.vic.edu.au")
+    assert(rd("x.agency.gov.lv") == "agency.gov.lv")
+    assert(rd("a.co.com.ee") == "co.com.ee")
+    assert(rd("x.uni.edu.gr") == "uni.edu.gr")
+    assert(rd("www.empresa.com.pt") == "empresa.com.pt")
+    assert(rd("x.banque.com.dz") == "banque.com.dz")
+    assert(rd("a.b.ac.th") == "b.ac.th")
     // rule count reflects the expansion
-    assert(psl.size > 1800, s"snapshot shrank: ${psl.size}")
+    assert(psl.size > 2000, s"snapshot shrank: ${psl.size}")
     // the excerpt fixture still loads independently
     assert(UrlOps.PslExcerptSuffixes.nonEmpty &&
       UrlOps.PslExcerptSuffixes.size < psl.size)
