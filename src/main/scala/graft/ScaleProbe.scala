@@ -206,6 +206,18 @@ object ScaleProbe {
         "script_gates" -> { d =>
           TextOps.gopherRulesScripted(d)
             .agg(sum("n_words"), sum("pass")).head(); 1L },
+        // r13 scripted trio: sentence/repetition are map-only over the
+        // kernel dominant dispatch; boilerplate adds the q113-style
+        // shingle df aggregation (the only shuffle)
+        "script_sentences" -> { d =>
+          TextOps.sentenceStatsScripted(d)
+            .join(d.select(col("doc_id"),
+              TextOps.duplicateNgramFractionScripted(col("text"), 3)
+                .as("rep3")), Seq("doc_id"))
+            .agg(sum("n_sentences"), sum("rep3")).head(); 1L },
+        "script_boilerplate" -> { d =>
+          graft.dedup.Dedup.duplicatedShingleFractionScripted(d)
+            .agg(sum("n_duplicated")).head(); 1L },
         // deterministic bootstrap: fan-out = models x b x items rows
         // over the replicated corpus as the "eval set" — scales with
         // items by DESIGN (the estimator touches b copies of each)
