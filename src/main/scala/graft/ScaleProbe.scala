@@ -369,6 +369,26 @@ object ScaleProbe {
           d.select(explode(TextOps.bpeEncodeKernel(col("text"), bc))
               .as("w"))
             .agg(sum(length(col("w")))).head(); 1L },
+        // full tokenizer application at production vocab size: encode
+        // through the 32k merge table AND map every symbol to its id
+        // via the broadcast vocab — the id lookup is O(1) per symbol,
+        // so the window must read like the encode alone
+        "bpe_token_ids32k" -> { d =>
+          val spark = d.sparkSession
+          val merges = Seq("t" -> "h", "th" -> "e", "i" -> "n",
+            "a" -> "n", "an" -> "d", "e" -> "r", "o" -> "n",
+            "in" -> "g") ++
+            (for { c1 <- "etaoinshrdlucmfwypvbgkjqxz"
+                   c2 <- "etaoinshrdlucmfwypvbgkjqxz" }
+              yield (c1.toString, c2.toString)) ++
+            (684 until 32768).map(i => (s"zx$i", s"qy$i"))
+          val bcM = TextOps.bpeMergesBroadcast(spark, merges)
+          val vocab = ((('a' to 'z') ++ ('0' to '9')).map(_.toString) ++
+            merges.map { case (a, b) => a + b }).distinct.zipWithIndex
+          val bcV = TextOps.bpeVocabBroadcast(spark, vocab)
+          d.select(
+              TextOps.bpeEncodeIdsKernel(col("text"), bcM, bcV).as("ids"))
+            .agg(sum(size(col("ids")))).head(); 1L },
         "contamination_report" -> { d =>
           val split = d.withColumn("s", TextOps.hashSplit(col("doc_id")))
           TextOps.contaminationReport(split.filter(col("s") === "train"),

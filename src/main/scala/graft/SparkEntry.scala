@@ -3193,6 +3193,48 @@ object SparkEntry {
         .select(col("doc_id"), col("n_shingles"), col("n_duplicated"),
           round(col("dup_fraction"), 6).as("dup_fraction"))
         .orderBy("doc_id")
+    }),
+
+    // TOKENIZER APPLICATION end-to-end: q269's kernel-encoded words
+    // mapped to token IDS through the broadcast vocab (the
+    // tokenizer.json model.vocab side) — the sequence a training-data
+    // writer materializes. Symbols outside the vocab map to -1 (the
+    // merges/vocab mismatch flag); oracle replays the id lookup as a
+    // positioned unnest + left join over the same VALUES vocab
+    "q278_bpe_token_ids" -> ((s, dir) => {
+      val bcM = TextOps.bpeMergesBroadcast(s, BpeMergesBig)
+      val bcV = TextOps.bpeVocabBroadcast(s, BpeVocab)
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull && col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          posexplode(TextOps.bpeEncodeKernel(col("text"), bcM))
+            .as(Seq("pos", "encoded")))
+        .filter(col("pos") < 3)
+        .select(col("doc_id"), (col("pos") + 1).as("word_no"),
+          graft.functions.VectorExpressions
+            .vocabIds(col("encoded"), bcV).as("ids"))
+        .select(col("doc_id"), col("word_no"),
+          array_join(transform(col("ids"), x => x.cast("string")), " ")
+            .as("ids_str"),
+          size(col("ids")).as("n_tokens"),
+          size(filter(col("ids"), x => x === -1)).as("n_oov"))
+        .orderBy("doc_id", "word_no")
+    }),
+
+    // BPE token BUDGET per source — the mixing/pricing statistic at the
+    // real tokenizer's granularity (whitespace proxies mis-count by
+    // 2-4x on code/CJK): Σ encoded symbol counts, grouped by source.
+    // Text truncated so the oracle's merge-per-CTE replay stays
+    // tractable; the Spark path is map-only either way
+    "q279_bpe_token_budget" -> ((s, dir) => {
+      val bcM = TextOps.bpeMergesBroadcast(s, BpeMergesBig)
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("source"),
+          TextOps.bpeTokenCount(substring(col("text"), 1, 60), bcM)
+            .as("n"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("n_bpe_tokens"))
+        .orderBy("source")
     })
   )
 
@@ -3221,6 +3263,16 @@ object SparkEntry {
       yield (c1.toString, c2.toString)
     BpeMerges ++ gen.filterNot(headSet.contains).take(72)
   }
+
+  /** q278's vocabulary: every single char the corpus words can contain
+    * that the tokenizer "knows" (letters + digits) plus every merged
+    * symbol, id = position — deterministic from the same constants on
+    * both sides; punctuation chars are deliberately absent so they
+    * exercise the -1 OOV path. */
+  private val BpeVocab: Seq[(String, Int)] =
+    (((('a' to 'z') ++ ('0' to '9')).map(_.toString)) ++
+      BpeMergesBig.map { case (a, b) => a + b })
+      .distinct.zipWithIndex
 
   /** q269's oracle CTE chain: the kernel's fold replayed merge-by-merge
     * with the boundary-aware doubled-space transcription of
@@ -10012,7 +10064,74 @@ object SparkEntry {
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q276_script_sentences" -> scriptSentencesOracle,
-    "q277_script_boilerplate" -> scriptBoilerplateOracle
+    "q277_script_boilerplate" -> scriptBoilerplateOracle,
+
+    // q278: q269's merge-per-CTE encode chain, then the id lookup
+    // replayed as a positioned unnest + LEFT JOIN against the same
+    // VALUES vocab (absent symbol -> -1)
+    "q278_bpe_token_ids" -> {
+      val vocabVals = BpeVocab
+        .map { case (s2, i) => s"('$s2', $i)" }.mkString(", ")
+      s"""WITH mbase AS (
+         |  SELECT doc_id,
+         |         CAST(unnest(generate_series(1, least(len(ws), 3)))
+         |           AS INTEGER) AS word_no,
+         |         array_to_string(string_split(unnest(ws[1:3]), ''), ' ')
+         |           AS enc
+         |  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+         |               t -> len(t) > 0) AS ws
+         |        FROM documents
+         |        WHERE text IS NOT NULL AND doc_id % 10 = 0)),
+         |$bpeKernelOracleCtes,
+         |vocab(sym, id) AS (VALUES $vocabVals),
+         |tok AS (
+         |  SELECT doc_id, word_no, enc,
+         |         CAST(unnest(generate_series(1,
+         |             len(string_split(enc, ' ')))) AS INTEGER) AS pos
+         |  FROM m${BpeMergesBig.length - 1}),
+         |sy AS (
+         |  SELECT doc_id, word_no, pos, string_split(enc, ' ')[pos] AS sym
+         |  FROM tok),
+         |ids AS (
+         |  SELECT sy.doc_id, sy.word_no, sy.pos, coalesce(v.id, -1) AS id
+         |  FROM sy LEFT JOIN vocab v ON v.sym = sy.sym)
+         |SELECT doc_id, word_no,
+         |       array_to_string(array_agg(CAST(id AS VARCHAR)
+         |         ORDER BY pos), ' ') AS ids_str,
+         |       CAST(count(*) AS INTEGER) AS n_tokens,
+         |       CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END)
+         |         AS INTEGER) AS n_oov
+         |FROM ids GROUP BY doc_id, word_no
+         |ORDER BY doc_id, word_no""".stripMargin
+    },
+
+    // q279: the same encode chain over EVERY word of the truncated
+    // text, symbol counts summed per doc, docs re-joined to their
+    // source (zero-word prefixes count 0, not absent)
+    "q279_bpe_token_budget" ->
+      s"""WITH mbase AS (
+         |  SELECT doc_id,
+         |         CAST(unnest(generate_series(1, len(ws)))
+         |           AS INTEGER) AS word_no,
+         |         array_to_string(string_split(unnest(ws), ''), ' ')
+         |           AS enc
+         |  FROM (SELECT doc_id,
+         |               list_filter(
+         |                 string_split(lower(substr(text, 1, 60)), ' '),
+         |                 t -> len(t) > 0) AS ws
+         |        FROM documents WHERE text IS NOT NULL)),
+         |$bpeKernelOracleCtes,
+         |sums AS (
+         |  SELECT doc_id,
+         |         CAST(sum(len(string_split(enc, ' '))) AS BIGINT) AS n
+         |  FROM m${BpeMergesBig.length - 1} GROUP BY doc_id),
+         |base AS (
+         |  SELECT d.source, d.doc_id, coalesce(s2.n, 0) AS n
+         |  FROM documents d LEFT JOIN sums s2 USING (doc_id)
+         |  WHERE d.text IS NOT NULL)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(n) AS BIGINT) AS n_bpe_tokens
+         |FROM base GROUP BY source ORDER BY source""".stripMargin
   )
 
   /** q74 oracle: Okapi BM25 end to end in SQL. The k1/b/(k1+1) constants

@@ -143,6 +143,13 @@ object VectorExpressions {
     * [[DominantScript]]). */
   def dominantScript(text: Column): Column =
     Bridge.column(DominantScript(Bridge.expression(text)))
+
+  /** Column-level symbol→token-id lookup against a BROADCAST vocab
+    * (see [[VocabIds]]). */
+  def vocabIds(encoded: Column,
+      bc: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[String, Integer]]): Column =
+    Bridge.column(VocabIds(Bridge.expression(encoded), bc))
 }
 
 /** Nearest-centroid assignment with the centroid matrix read from a Spark
@@ -395,6 +402,69 @@ object PqEncode {
   * is deterministic per text; cross-engine float agreement is handled by
   * rounding at the query edge like every computed double.
   */
+/** Space-separated BPE symbols → token IDS against a vocab read from a
+  * Spark BROADCAST variable — the id half of tokenizer application
+  * ([[BpeEncodeWord]] produces the symbol string this consumes; the
+  * vocab is `tokenizer.json`'s `model.vocab`, read by
+  * [[graft.text.TokenizerFiles.readTokenizerJsonVocab]]). A plan-literal
+  * map of a 32k-50k-entry vocab would hit the same plan-size ceiling
+  * the merge table did, so the table rides one torrent broadcast and
+  * the plan carries only the handle. Symbols missing from the vocab map
+  * to -1 (the caller decides unk policy — real tokenizers byte-fall-
+  * back before this point, so -1 flags a merges/vocab mismatch rather
+  * than normal input). Empty input ("" — the null-word contract
+  * upstream) returns an EMPTY array, not [-1]: no symbols, no ids. */
+case class VocabIds(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[String, Integer]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"vocab_ids expects STRING, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types
+    .ArrayType(org.apache.spark.sql.types.IntegerType, false)
+
+  override def prettyName: String = "vocab_ids"
+
+  /** Row kernel — public so generated code can call it. */
+  def kernel(input: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = input.toString
+    if (s.isEmpty)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.emptyIntArray)
+    val vocab = bc.value
+    val syms = s.split(" ", -1)
+    val out = new Array[Int](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      val id = vocab.get(syms(i))
+      out(i) = if (id == null) -1 else id.intValue()
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vocabIds", this,
+      classOf[VocabIds].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Dominant Unicode script of a string — the per-row routing signal of
   * every script-dispatched operator ([[graft.text.TextOps]]
   * `dominantScriptExpr`), as ONE pass of code-point range checks

@@ -3396,6 +3396,55 @@ object TextOps {
         t => length(t) > 0),
       w => bpeEncodeWordKernel(w, bc))
 
+  /** Broadcast a (symbol → token id) vocabulary for
+    * [[bpeEncodeIdsKernel]] — the id half of tokenizer application
+    * (`tokenizer.json`'s `model.vocab`; a 32k-50k-entry plan-literal
+    * map would hit the same plan-size ceiling the merge table did). */
+  def bpeVocabBroadcast(spark: org.apache.spark.sql.SparkSession,
+      vocab: Seq[(String, Int)])
+      : org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[String, Integer]] = {
+    require(vocab.nonEmpty, "vocab must not be empty")
+    val m = new java.util.HashMap[String, Integer](vocab.size * 2)
+    vocab.foreach { case (s2, id) => m.put(s2, Integer.valueOf(id)) }
+    spark.sparkContext.broadcast(m)
+  }
+
+  /** TOKEN IDS per document — the complete tokenizer application:
+    * [[bpeEncodeKernel]]'s per-word symbol strings mapped through the
+    * broadcast vocab ([[graft.functions.VocabIds]]) and flattened to
+    * the document's id sequence, exactly what a training-data writer
+    * materializes. Map-only; both tables ride broadcasts; symbols
+    * missing from the vocab map to -1 (a merges/vocab mismatch signal —
+    * real tokenizers byte-fallback upstream of this point). */
+  def bpeEncodeIdsKernel(text: Column,
+      bcMerges: org.apache.spark.broadcast.Broadcast[
+        graft.functions.BpeEncodeWord.Merges],
+      bcVocab: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[String, Integer]]): Column =
+    flatten(transform(
+      filter(wsTokens(lower(coalesce(text, lit("")))),
+        t => length(t) > 0),
+      w => graft.functions.VectorExpressions.vocabIds(
+        graft.functions.VectorExpressions.bpeEncodeWord(w, bcMerges),
+        bcVocab)))
+
+  /** BPE TOKEN COUNT per document — the budget statistic every mixing /
+    * pricing / packing decision needs at the REAL tokenizer's
+    * granularity (the whitespace and regex proxies under- and over-
+    * count by 2-4x on code and CJK): Σ over words of the encoded
+    * symbol count. Map-only, merge table on the broadcast kernel. */
+  def bpeTokenCount(text: Column,
+      bcMerges: org.apache.spark.broadcast.Broadcast[
+        graft.functions.BpeEncodeWord.Merges]): Column =
+    aggregate(
+      transform(
+        filter(wsTokens(lower(coalesce(text, lit("")))),
+          t => length(t) > 0),
+        w => size(split(graft.functions.VectorExpressions
+          .bpeEncodeWord(w, bcMerges), " ")).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
   /** Size-dispatched BPE encode: small merge lists stay on the literal
     * fold (zero broadcast overhead, replayable verbatim by any engine's
     * `replace` — the oracle-portability mode), big ones move to the

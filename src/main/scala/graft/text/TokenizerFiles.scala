@@ -121,6 +121,25 @@ object TokenizerFiles {
     rows.result().toDF("token", "id")
   }
 
+  /** One-call path from a `tokenizer.json` to the broadcast vocab
+    * handle [[TextOps.bpeEncodeIdsKernel]] consumes — the id half of
+    * pointing the engine at a shipped tokenizer. */
+  def vocabBroadcastFromFile(spark: SparkSession, path: String)
+      : org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[String, Integer]] = {
+    val vocab = tokenizerModel(spark, path).get("vocab")
+    require(vocab != null && vocab.isObject,
+      s"$path: model.vocab is missing or not an object")
+    val m = new java.util.HashMap[String, Integer]()
+    val it = vocab.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      m.put(e.getKey, Integer.valueOf(e.getValue.asInt()))
+    }
+    require(!m.isEmpty, s"$path: model.vocab is empty")
+    spark.sparkContext.broadcast(m)
+  }
+
   /** One-call path from a merges file to the kernel's broadcast handle:
     * `merges.txt` and `tokenizer.json` are auto-detected by suffix
     * (override by calling the specific reader + broadcast yourself).

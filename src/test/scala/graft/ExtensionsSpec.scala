@@ -3141,6 +3141,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(ex.getMessage.contains(":2"))
   }
 
+  test("bpeEncodeIdsKernel + bpeTokenCount: a tokenizer.json's merges " +
+    "AND vocab drive encode-to-ids end-to-end; OOV symbols map to -1 " +
+    "but still count; null/empty docs give empty ids and 0 tokens") {
+    import graft.text.TokenizerFiles
+    val tok =
+      getClass.getResource("/graft/fixture_tokenizer.json").getPath
+    val bcM = TokenizerFiles.mergesBroadcastFromFile(spark, tok)
+    val bcV = TokenizerFiles.vocabBroadcastFromFile(spark, tok)
+    val got = Seq("hello the", "hello hello", "zq", "",
+      null.asInstanceOf[String]).toDF("text")
+      .select(
+        TextOps.bpeEncodeIdsKernel(col("text"), bcM, bcV).as("ids"),
+        TextOps.bpeTokenCount(col("text"), bcM).as("n"))
+      .collect()
+    // "hello" -> [hello]=8; "the" -> "t he" (rank order) -> [4, 5]
+    assert(got(0).getSeq[Int](0) == Seq(8, 4, 5) &&
+      got(0).getLong(1) == 3L, s"got ${got(0)}")
+    assert(got(1).getSeq[Int](0) == Seq(8, 8) && got(1).getLong(1) == 2L)
+    // z/q are outside the fixture vocab: -1 ids, still 2 tokens
+    assert(got(2).getSeq[Int](0) == Seq(-1, -1) &&
+      got(2).getLong(1) == 2L, s"got ${got(2)}")
+    assert(got(3).getSeq[Int](0) == Seq.empty && got(3).getLong(1) == 0L)
+    assert(got(4).getSeq[Int](0) == Seq.empty && got(4).getLong(1) == 0L)
+  }
+
   test("DominantScript kernel: identical to the strip-and-measure " +
     "regex form on ties, mixed scripts, empties, every class, and " +
     "non-BMP text; null-safe") {
