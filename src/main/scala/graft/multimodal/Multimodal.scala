@@ -191,8 +191,26 @@ object Multimodal {
   }
 
   /** Real PNG/BMP/GIF/JPEG decode via `ImageIO.read` (the format sniffs
-    * from the payload bytes — callers never route by codec). */
+    * from the payload bytes — callers never route by codec).
+    *
+    * CODEC BOUNDARY (documented, not silent): the JDK's ImageIO ships
+    * NO WebP/AVIF/HEIC decoder, so the lossy leg of the multimodal
+    * pipeline is JPEG-only in this build. A WebP payload ("RIFF" +
+    * "WEBP" at offset 8) is detected explicitly and fails with a
+    * descriptive error naming the remedy (register a TwelveMonkeys /
+    * libwebp-backed ImageIO plugin on the cluster classpath — ImageIO
+    * discovers readers via the service loader, so this method then
+    * works unchanged) instead of ImageIO's opaque null. */
   def decodeImage(bytes: Array[Byte]): ImageStats = {
+    if (bytes.length >= 12 &&
+        bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+        bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'E' &&
+        bytes(10) == 'B' && bytes(11) == 'P')
+      throw new IllegalArgumentException(
+        "WebP payload detected: the JDK ships no WebP ImageIO reader. " +
+          "Register a WebP-capable ImageIO plugin (e.g. TwelveMonkeys) " +
+          "on the executor classpath; ImageIO's service loader then " +
+          "routes it through this same decode path.")
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
     require(img != null, "ImageIO could not decode payload")
     val w = img.getWidth; val h = img.getHeight

@@ -791,6 +791,14 @@ class ExtensionsSpec extends SparkSpec {
     assert(st.width == 7 && st.height == 4)
     assert(st.sumR == 1722L && st.sumG == 2898L && st.sumB == 4074L)
     assert(st.meanR == 1722.0 / 28)
+    // the WebP boundary is explicit, not ImageIO's opaque null: a RIFF
+    // container tagged WEBP names the missing decoder and the remedy
+    val webp = "RIFF".getBytes("US-ASCII") ++ Array[Byte](0, 1, 0, 0) ++
+      "WEBPVP8 ".getBytes("US-ASCII")
+    val ex = intercept[IllegalArgumentException](
+      Multimodal.decodeImage(webp))
+    assert(ex.getMessage.contains("WebP") &&
+      ex.getMessage.contains("ImageIO"))
   }
 
   test("multimodal JPEG: decodeImage bit-parity with a directly-driven " +
