@@ -3235,6 +3235,33 @@ object SparkEntry {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n").as("n_bpe_tokens"))
         .orderBy("source")
+    }),
+
+    // CALIBRATION report (reliability diagram): synthesized judge
+    // confidences on the DYADIC k/128 grid (exact float sums, incl.
+    // conf=1.0 exercising the last-bin clamp) with correctness odds
+    // tracking confidence; per bin the exact-quotient accuracy, mean
+    // confidence, and gap
+    "q280_calibration" -> ((s, dir) => {
+      val res = t(s, dir, "documents").select(
+        (((col("doc_id") * 7) % 129).cast("double") / 128.0)
+          .as("confidence"),
+        (((col("doc_id") * 13) % 128) < ((col("doc_id") * 7) % 129))
+          .cast("int").as("correct"))
+      ops.Chat.calibrationReport(res, bins = 10).orderBy("bin")
+    }),
+
+    // the ECE scalar over the same synthesis — the cross-bin weighted
+    // sum runs as a FIXED-ORDER fold over the bin-sorted list on both
+    // engines (the q221 portable-sum convention)
+    "q281_ece" -> ((s, dir) => {
+      val res = t(s, dir, "documents").select(
+        (((col("doc_id") * 7) % 129).cast("double") / 128.0)
+          .as("confidence"),
+        (((col("doc_id") * 13) % 128) < ((col("doc_id") * 7) % 129))
+          .cast("int").as("correct"))
+      ops.Chat.expectedCalibrationError(
+        ops.Chat.calibrationReport(res, bins = 10))
     })
   )
 
@@ -10131,7 +10158,41 @@ object SparkEntry {
          |  WHERE d.text IS NOT NULL)
          |SELECT source, count(*) AS n_docs,
          |       CAST(sum(n) AS BIGINT) AS n_bpe_tokens
-         |FROM base GROUP BY source ORDER BY source""".stripMargin
+         |FROM base GROUP BY source ORDER BY source""".stripMargin,
+
+    "q280_calibration" ->
+      """WITH r AS (
+        |  SELECT CAST((doc_id * 7) % 129 AS DOUBLE) / 128 AS conf,
+        |         CASE WHEN (doc_id * 13) % 128 < (doc_id * 7) % 129
+        |              THEN 1 ELSE 0 END AS c
+        |  FROM documents)
+        |SELECT CAST(least(floor(conf * 10), 9) AS INTEGER) AS bin,
+        |       count(*) AS n, CAST(sum(c) AS BIGINT) AS n_correct,
+        |       CAST(sum(c) AS DOUBLE) / count(*) AS accuracy,
+        |       sum(conf) / count(*) AS mean_confidence,
+        |       abs(CAST(sum(c) AS DOUBLE) / count(*)
+        |           - sum(conf) / count(*)) AS gap
+        |FROM r GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "q281_ece" ->
+      """WITH r AS (
+        |  SELECT CAST((doc_id * 7) % 129 AS DOUBLE) / 128 AS conf,
+        |         CASE WHEN (doc_id * 13) % 128 < (doc_id * 7) % 129
+        |              THEN 1 ELSE 0 END AS c
+        |  FROM documents),
+        |b AS (
+        |  SELECT CAST(least(floor(conf * 10), 9) AS INTEGER) AS bin,
+        |         count(*) AS n,
+        |         abs(CAST(sum(c) AS DOUBLE) / count(*)
+        |             - sum(conf) / count(*)) * count(*) AS w
+        |  FROM r GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_bins,
+        |       CAST(sum(n) AS BIGINT) AS n_total,
+        |       list_reduce(list_transform(
+        |           list_sort(list(struct_pack(b := bin, w := w))),
+        |           x -> x.w), (a, b2) -> a + b2)
+        |         / CAST(sum(n) AS DOUBLE) AS ece
+        |FROM b""".stripMargin
   )
 
   /** q74 oracle: Okapi BM25 end to end in SQL. The k1/b/(k1+1) constants

@@ -711,4 +711,57 @@ object Chat {
           .as("significant"),
         lit(b).cast("long").as("n_resamples"))
   }
+
+  /** CALIBRATION REPORT — the reliability-diagram table behind every
+    * "is the judge/classifier confidence trustworthy" decision (Guo et
+    * al. 2017 temperature-scaling diagnostics): equal-width confidence
+    * bins, per bin the count, accuracy, mean confidence, and the
+    * |accuracy − confidence| gap. Bin = floor(conf·bins) with conf=1.0
+    * clamped into the last bin (the standard convention); NULL
+    * confidences or verdicts are excluded and reported via the count
+    * column's complement at the caller.
+    *
+    * Float discipline: accuracy is ONE exact-integer division; mean
+    * confidence is Σconf/n — portable when confidences live on a
+    * DYADIC grid (k/2^m is exactly representable, so partial sums are
+    * exact and order-independent; real pipelines emit model logprobs,
+    * snap them to the 2^-20 grid first — the q242 ln convention); the
+    * gap is one correctly-rounded subtraction of the two. Scale: one
+    * partial-agged |bins|-row aggregation; rows never shuffle twice. */
+  def calibrationReport(results: DataFrame,
+                        confCol: String = "confidence",
+                        correctCol: String = "correct",
+                        bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least two bins")
+    results
+      .filter(col(confCol).isNotNull && col(correctCol).isNotNull &&
+        col(confCol) >= 0 && col(confCol) <= 1)
+      .select(least(floor(col(confCol) * bins), lit(bins - 1))
+          .cast("int").as("bin"),
+        col(confCol).cast("double").as("conf"),
+        col(correctCol).cast("long").as("c"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("c").as("n_correct"),
+        (sum("c").cast("double") / count(lit(1))).as("accuracy"),
+        (sum("conf") / count(lit(1))).as("mean_confidence"))
+      .withColumn("gap", abs(col("accuracy") - col("mean_confidence")))
+  }
+
+  /** EXPECTED CALIBRATION ERROR from a [[calibrationReport]]: the
+    * n-weighted mean gap, ECE = Σ_b (n_b/N)·|acc_b − conf̄_b|. The
+    * cross-bin float sum is ORDER-DEPENDENT in general, so both the
+    * weighted terms and their reduction run as a FIXED-ORDER
+    * sequential fold over the bin-sorted list (the q221 portable-sum
+    * convention) — bit-identical across engines and partitionings.
+    * |bins| rows in, one row out. */
+  def expectedCalibrationError(report: DataFrame): DataFrame =
+    report
+      .select(col("bin"), col("n"),
+        (col("gap") * col("n").cast("double")).as("w"))
+      .agg(sum("n").as("n_total"), count(lit(1)).as("n_bins"),
+        aggregate(
+          array_sort(collect_list(struct(col("bin"), col("w")))),
+          lit(0.0), (acc, x) => acc + x.getField("w")).as("wsum"))
+      .select(col("n_bins"), col("n_total"),
+        (col("wsum") / col("n_total").cast("double")).as("ece"))
 }

@@ -3149,6 +3149,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(ex.getMessage.contains(":2"))
   }
 
+  test("calibrationReport + expectedCalibrationError: hand-computed " +
+    "bins, the conf=1.0 last-bin clamp, NULL exclusion, and the " +
+    "fixed-order weighted fold") {
+    import graft.ops.Chat
+    val res = Seq(
+      (Some(0.0625), Some(1)), (Some(0.0625), Some(0)), // bin 0
+      (Some(0.5), Some(1)), (Some(0.5625), Some(1)),    // bin 5
+      (Some(1.0), Some(1)),                             // clamps to 9
+      (None, Some(1)), (Some(0.3), None))               // excluded
+      .toDF("confidence", "correct")
+    val rep = Chat.calibrationReport(res, bins = 10)
+      .orderBy("bin").collect()
+    assert(rep.length == 3, s"got ${rep.toSeq}")
+    assert(rep(0).getInt(0) == 0 && rep(0).getLong(1) == 2 &&
+      rep(0).getDouble(3) == 0.5 && rep(0).getDouble(4) == 0.0625 &&
+      rep(0).getDouble(5) == 0.4375)
+    assert(rep(1).getInt(0) == 5 && rep(1).getDouble(3) == 1.0 &&
+      rep(1).getDouble(4) == 0.53125 && rep(1).getDouble(5) == 0.46875)
+    assert(rep(2).getInt(0) == 9 && rep(2).getLong(1) == 1 &&
+      rep(2).getDouble(5) == 0.0)
+    val ece = Chat.expectedCalibrationError(
+      Chat.calibrationReport(res, bins = 10)).head()
+    // (2*0.4375 + 2*0.46875 + 0) / 5 — exact dyadic arithmetic
+    assert(ece.getLong(0) == 3 && ece.getLong(1) == 5 &&
+      ece.getDouble(2) == 0.3625, s"got $ece")
+  }
+
   test("bpeEncodeIdsKernel + bpeTokenCount: a tokenizer.json's merges " +
     "AND vocab drive encode-to-ids end-to-end; OOV symbols map to -1 " +
     "but still count; null/empty docs give empty ids and 0 tokens") {
