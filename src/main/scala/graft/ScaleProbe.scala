@@ -218,6 +218,13 @@ object ScaleProbe {
         "script_boilerplate" -> { d =>
           graft.dedup.Dedup.duplicatedShingleFractionScripted(d)
             .agg(sum("n_duplicated")).head(); 1L },
+        // DSIR: one token pass into the (doc, bucket) table, two
+        // |buckets|-row broadcast models — must grow with the scan
+        "dsir_weights" -> { d =>
+          TextOps.dsirWeights(
+              d.filter(col("doc_id") % 11 =!= 0),
+              d.filter(col("doc_id") % 11 === 0), numBuckets = 64)
+            .agg(sum("n_tokens"), sum("weight")).head(); 1L },
         // deterministic bootstrap: fan-out = models x b x items rows
         // over the replicated corpus as the "eval set" — scales with
         // items by DESIGN (the estimator touches b copies of each)

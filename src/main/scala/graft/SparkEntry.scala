@@ -3262,6 +3262,29 @@ object SparkEntry {
           .cast("int").as("correct"))
       ops.Chat.expectedCalibrationError(
         ops.Chat.calibrationReport(res, bins = 10))
+    }),
+
+    // DSIR importance weights (Xie et al. 2023): every 11th doc is the
+    // "target" distribution, the rest are raw crawl; per raw doc the
+    // hashed-unigram log-ratio weight with every ln snapped to the
+    // 2^-20 grid as a LONG — the per-doc reduction is exact integer
+    // arithmetic, one division at the edge (the q242 ln convention)
+    "q282_dsir_weights" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextOps.dsirWeights(
+          d.filter(col("doc_id") % 11 =!= 0),
+          d.filter(col("doc_id") % 11 === 0), numBuckets = 32)
+        .orderBy("doc_id")
+    }),
+
+    // the selection half: top-25 most target-like raw docs, ties by id
+    "q283_dsir_select" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextOps.dsirSelect(
+          d.filter(col("doc_id") % 11 =!= 0),
+          d.filter(col("doc_id") % 11 === 0), k = 25, numBuckets = 32)
+        .select(col("doc_id"), col("weight"))
+        .orderBy(col("weight").desc, col("doc_id"))
     })
   )
 
@@ -10192,8 +10215,64 @@ object SparkEntry {
         |           list_sort(list(struct_pack(b := bin, w := w))),
         |           x -> x.w), (a, b2) -> a + b2)
         |         / CAST(sum(n) AS DOUBLE) AS ece
-        |FROM b""".stripMargin
+        |FROM b""".stripMargin,
+
+    "q282_dsir_weights" ->
+      s"""WITH $dsirWeightsOracleCtes
+         |SELECT doc_id, n_tokens, weight FROM wt
+         |ORDER BY doc_id""".stripMargin,
+
+    "q283_dsir_select" ->
+      s"""WITH $dsirWeightsOracleCtes
+         |SELECT doc_id, weight FROM wt
+         |ORDER BY weight DESC, doc_id LIMIT 25""".stripMargin
   )
+
+  /** q282/q283's oracle prelude: both unigram models, the grid-snapped
+    * per-bucket log-ratio deltas, and the per-doc exact-integer weight
+    * reduction — the dsirWeights pipeline replayed CTE by CTE. */
+  private def dsirWeightsOracleCtes: String =
+    """tt AS (
+      |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+      |                t -> len(t) > 0)) AS token
+      |  FROM documents WHERE text IS NOT NULL AND doc_id % 11 = 0),
+      |rt AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split(lower(text), ' '),
+      |                t -> len(t) > 0)) AS token
+      |  FROM documents WHERE text IS NOT NULL AND doc_id % 11 <> 0),
+      |tb AS (SELECT ('0x' || substr(md5(token), 1, 8))::BIGINT % 32 AS b
+      |       FROM tt),
+      |rb AS (SELECT doc_id,
+      |              ('0x' || substr(md5(token), 1, 8))::BIGINT % 32 AS b
+      |       FROM rt),
+      |tcnt AS (SELECT b, CAST(count(*) AS BIGINT) AS nt
+      |         FROM tb GROUP BY 1),
+      |docb AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n
+      |         FROM rb GROUP BY 1, 2),
+      |rcnt AS (SELECT b, CAST(sum(n) AS BIGINT) AS nr
+      |         FROM docb GROUP BY 1),
+      |delta AS (
+      |  SELECT coalesce(t.b, r.b) AS b,
+      |         CAST(floor(ln(coalesce(t.nt, 0) + 1) * 1048576 + 0.5)
+      |           AS BIGINT)
+      |         - CAST(floor(ln(coalesce(r.nr, 0) + 1) * 1048576 + 0.5)
+      |           AS BIGINT) AS d
+      |  FROM tcnt t FULL OUTER JOIN rcnt r ON t.b = r.b),
+      |consts AS (
+      |  SELECT CAST(floor(ln(CAST((SELECT coalesce(sum(nt), 0) FROM tcnt)
+      |             AS BIGINT) + 32) * 1048576 + 0.5) AS BIGINT)
+      |       - CAST(floor(ln(CAST((SELECT coalesce(sum(n), 0) FROM docb)
+      |             AS BIGINT) + 32) * 1048576 + 0.5) AS BIGINT) AS c0),
+      |w0 AS (
+      |  SELECT docb.doc_id, CAST(sum(docb.n) AS BIGINT) AS n_tokens,
+      |         CAST(sum(docb.n * coalesce(delta.d, 0)) AS BIGINT) AS sd
+      |  FROM docb LEFT JOIN delta USING (b) GROUP BY 1),
+      |wt AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(sd - n_tokens * (SELECT c0 FROM consts) AS DOUBLE)
+      |           / 1048576 AS weight
+      |  FROM w0)""".stripMargin
 
   /** q74 oracle: Okapi BM25 end to end in SQL. The k1/b/(k1+1) constants
     * interpolate from the SAME Scala doubles the engine uses, so both

@@ -2253,6 +2253,74 @@ object TextOps {
       .groupBy(col(idCol), hashBucket(col("token"), numBuckets).as("bucket"))
       .agg(count(lit(1)).as("n"))
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling") — score every RAW doc
+    * by how target-like its hashed-unigram profile is: the log-ratio
+    * of two add-one-smoothed bucket unigram models,
+    * w(doc) = Σ_tokens [ln p_target(b) − ln p_raw(b)], the standard
+    * cheap data-selection pass before expensive classifiers.
+    *
+    * Float discipline (`ln` is NOT bit-portable — the q242 rule):
+    * every ln is snapped to the 2^-20 grid AS A LONG
+    * (floor(ln·2^20 + 0.5)), so the per-doc reduction is EXACT integer
+    * arithmetic — order-independent, engine-independent — and the
+    * weight is ONE division at the edge:
+    * w = (Σ_b n_b·(L(nt_b+1) − L(nr_b+1)) − n_tokens·(L(Nt+B) − L(Nr+B)))
+    *     / 2^20.
+    *
+    * Scale shape: raw text is tokenized ONCE into the per-(doc, bucket)
+    * count table; the raw model and its total both derive from that
+    * table (no second scan); the target contributes one |buckets|-row
+    * model; both |buckets|-row sides broadcast into the doc join. Docs
+    * with no tokens have no profile and are absent (the hashFeatures
+    * convention). Returns (idCol, n_tokens, weight). */
+  def dsirWeights(raw: DataFrame, target: DataFrame,
+                  numBuckets: Int = 64,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(numBuckets >= 2, "need at least two buckets")
+    def toks(d: DataFrame) = d.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(wsTokens(lower(col(textCol)))).as("token"))
+      .filter(length(col("token")) > 0)
+      .select(col(idCol), hashBucket(col("token"), numBuckets).as("b"))
+    def snapLn(c: Column): Column =
+      floor(log(c.cast("double")) * 1048576.0 + 0.5).cast("long")
+    val tCnt = toks(target).groupBy("b").agg(count(lit(1)).as("nt"))
+    val docb = toks(raw).groupBy(col(idCol), col("b"))
+      .agg(count(lit(1)).as("n"))
+    val rCnt = docb.groupBy("b").agg(sum("n").as("nr"))
+    val delta = tCnt.join(rCnt, Seq("b"), "full_outer")
+      .select(col("b"),
+        (snapLn(coalesce(col("nt"), lit(0L)) + 1) -
+          snapLn(coalesce(col("nr"), lit(0L)) + 1)).as("d"))
+    val consts = tCnt.agg(coalesce(sum("nt"), lit(0L)).as("ct"))
+      .crossJoin(docb.agg(coalesce(sum("n"), lit(0L)).as("cr")))
+      .select((snapLn(col("ct") + numBuckets) -
+        snapLn(col("cr") + numBuckets)).as("c0"))
+    docb.join(broadcast(delta), Seq("b"), "left")
+      .groupBy(idCol)
+      .agg(sum("n").as("n_tokens"),
+        sum(col("n") * coalesce(col("d"), lit(0L))).as("sd"))
+      .crossJoin(broadcast(consts))
+      .select(col(idCol), col("n_tokens"),
+        ((col("sd") - col("n_tokens") * col("c0")).cast("double") /
+          1048576.0).as("weight"))
+  }
+
+  /** DSIR selection: the top-`k` raw docs by [[dsirWeights]] (weight
+    * DESC, id ASC — deterministic ties), joined back to their rows.
+    * Global top-k plans as TakeOrderedAndProject — no full sort. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, k: Int,
+                 numBuckets: Int = 64,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val top = dsirWeights(raw, target, numBuckets, idCol, textCol)
+      .orderBy(col("weight").desc, col(idCol)).limit(k)
+    raw.join(top.select(col(idCol), col("weight")), Seq(idCol))
+  }
+
   /** Vocabulary-overlap similarity between corpus segments: Jaccard of
     * the distinct-token sets for every pair of `groupCol` values — which
     * sources/languages/time-slices speak the same vocabulary. Pairs with

@@ -3149,6 +3149,61 @@ class ExtensionsSpec extends SparkSpec {
     assert(ex.getMessage.contains(":2"))
   }
 
+  test("dsirWeights/dsirSelect: weights reproduce the snapped-integer " +
+    "log-ratio formula computed independently; tokenless docs absent; " +
+    "selection returns the top-k rows joined back") {
+    val target = Seq((100L, "alpha beta alpha gamma alpha"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha alpha beta"), (2L, "zulu yankee xray"),
+      (3L, "alpha zulu"),
+      (4L, ""), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val w = TextOps.dsirWeights(raw, target, numBuckets = 16)
+      .orderBy("doc_id").collect()
+    assert(w.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val byId = w.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // the formula, reproduced outside Spark (same md5 buckets, same
+    // 2^-20 long snapping, same add-one models)
+    def bucket(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 8), 16) % 16
+    }
+    def L(x: Double): Long =
+      math.floor(math.log(x) * 1048576.0 + 0.5).toLong
+    val tgtToks = Seq("alpha", "beta", "alpha", "gamma", "alpha")
+    val docs = Map(
+      1L -> Seq("alpha", "alpha", "beta"),
+      2L -> Seq("zulu", "yankee", "xray"),
+      3L -> Seq("alpha", "zulu"))
+    val rawToks = docs.values.flatten.toSeq
+    val nt = tgtToks.groupBy(bucket).map { case (b, v) =>
+      b -> v.size.toLong }
+    val nr = rawToks.groupBy(bucket).map { case (b, v) =>
+      b -> v.size.toLong }
+    val c0 = L(tgtToks.size.toDouble + 16) - L(rawToks.size.toDouble + 16)
+    def weightOf(ts: Seq[String]): Double = {
+      val sd = ts.groupBy(bucket).map { case (b, v) =>
+        v.size.toLong *
+          (L(nt.getOrElse(b, 0L).toDouble + 1) -
+            L(nr.getOrElse(b, 0L).toDouble + 1)) }.sum
+      (sd - ts.size.toLong * c0).toDouble / 1048576.0
+    }
+    docs.foreach { case (id, ts) =>
+      assert(byId(id) == weightOf(ts),
+        s"doc $id: got ${byId(id)}, formula ${weightOf(ts)}")
+    }
+    // selection = the top-2 of the independently computed ranking
+    val expectTop2 = docs.toSeq
+      .sortBy { case (id, ts) => (-weightOf(ts), id) }
+      .take(2).map(_._1).sorted
+    val sel = TextOps.dsirSelect(raw, target, k = 2, numBuckets = 16)
+    assert(sel.columns.contains("text")) // raw rows joined back
+    assert(sel.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      == expectTop2)
+  }
+
   test("calibrationReport + expectedCalibrationError: hand-computed " +
     "bins, the conf=1.0 last-bin clamp, NULL exclusion, and the " +
     "fixed-order weighted fold") {
