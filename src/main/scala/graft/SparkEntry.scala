@@ -3285,8 +3285,53 @@ object SparkEntry {
           d.filter(col("doc_id") % 11 === 0), k = 25, numBuckets = 32)
         .select(col("doc_id"), col("weight"))
         .orderBy(col("weight").desc, col("doc_id"))
+    }),
+
+    // CDXJ index PARSE: real-format `urlkey ts {json}` lines
+    // synthesized from documents, pushed through the Cdx parser; the
+    // oracle derives every field independently from the same synthesis
+    // — Spark's regex + JSON route must land on ground truth
+    "q284_cdx_parse" -> ((s, dir) => {
+      cdxLines(t(s, dir, "documents"))
+        .select(graft.io.Cdx.parsed(col("line")).as("r"))
+        .select(col("r.*"))
+        .orderBy("urlkey")
+    }),
+
+    // pre-fetch digest dedup + the per-archive fetch plan over the
+    // same index: duplicate digests keep the earliest capture, non-200
+    // rows gate out, and each archive reads as ONE offset-ordered sweep
+    "q285_cdx_fetch_plan" -> ((s, dir) => {
+      val recs = cdxLines(t(s, dir, "documents"))
+        .select(col("line"), graft.io.Cdx.parsed(col("line")).as("r"))
+        .select(col("r.*"), col("line"))
+      graft.io.Cdx.planFetch(graft.io.Cdx.dedupByDigest(recs))
+        .orderBy("filename", "fetch_seq")
     })
   )
+
+  /** q284/q285's synthesized CDXJ index: the real `urlkey ts {json}`
+    * line format with every field a deterministic function of
+    * documents; digests collide on doc_id % 50 so the pre-fetch dedup
+    * has real work, every 5th row is a 404 so the plan's status gate
+    * does too. */
+  private def cdxLines(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(concat(
+        lit("com,"), col("source"), lit(")/p"), col("doc_id"), lit(" "),
+        (lit(20250101000000L) + pmod(col("doc_id"), lit(86400L)))
+          .cast("string"),
+        lit(" {\"url\": \"https://"), col("source"), lit(".com/p"),
+        col("doc_id"),
+        lit("\", \"mime\": \"text/html\", \"status\": \""),
+        when(col("doc_id") % 5 === 0, lit("404")).otherwise(lit("200")),
+        lit("\", \"digest\": \""),
+        md5(pmod(col("doc_id"), lit(50L)).cast("string")),
+        lit("\", \"length\": \""), col("n_chars").cast("string"),
+        lit("\", \"offset\": \""), (col("doc_id") * 1024).cast("string"),
+        lit("\", \"filename\": \"crawl-"),
+        pmod(col("doc_id"), lit(4L)).cast("string"),
+        lit(".warc.gz\"}")).as("line"))
 
   /** q154's merge list, rank order — the kind of prefix q152's pair
     * statistic produces. Later merges build on earlier outputs
@@ -10225,8 +10270,46 @@ object SparkEntry {
     "q283_dsir_select" ->
       s"""WITH $dsirWeightsOracleCtes
          |SELECT doc_id, weight FROM wt
-         |ORDER BY weight DESC, doc_id LIMIT 25""".stripMargin
+         |ORDER BY weight DESC, doc_id LIMIT 25""".stripMargin,
+
+    "q284_cdx_parse" ->
+      s"""WITH $cdxBaseOracleCte
+         |SELECT urlkey, ts AS "timestamp", url, 'text/html' AS mime,
+         |       status, digest, length, "offset", filename
+         |FROM base ORDER BY urlkey""".stripMargin,
+
+    "q285_cdx_fetch_plan" ->
+      s"""WITH $cdxBaseOracleCte,
+         |ded AS (
+         |  SELECT * FROM (
+         |    SELECT base.*, CAST(row_number() OVER (
+         |        PARTITION BY digest ORDER BY ts, urlkey)
+         |      AS INTEGER) AS rk
+         |    FROM base) WHERE rk = 1)
+         |SELECT filename,
+         |       CAST(row_number() OVER (
+         |           PARTITION BY filename ORDER BY "offset")
+         |         AS INTEGER) AS fetch_seq,
+         |       "offset", length, url, digest
+         |FROM ded WHERE status = 200
+         |ORDER BY filename, fetch_seq""".stripMargin
   )
+
+  /** q284/q285's oracle ground truth: every CDX field derived directly
+    * from documents — never from the line — so the Spark regex+JSON
+    * parse is checked against an independent derivation. */
+  private def cdxBaseOracleCte: String =
+    """base AS (
+      |  SELECT 'com,' || source || ')/p' || doc_id AS urlkey,
+      |         CAST(20250101000000 + doc_id % 86400 AS VARCHAR) AS ts,
+      |         'https://' || source || '.com/p' || doc_id AS url,
+      |         CAST(CASE WHEN doc_id % 5 = 0 THEN 404 ELSE 200 END
+      |           AS INTEGER) AS status,
+      |         md5(CAST(doc_id % 50 AS VARCHAR)) AS digest,
+      |         CAST(n_chars AS BIGINT) AS length,
+      |         CAST(doc_id * 1024 AS BIGINT) AS "offset",
+      |         'crawl-' || (doc_id % 4) || '.warc.gz' AS filename
+      |  FROM documents WHERE text IS NOT NULL)""".stripMargin
 
   /** q282/q283's oracle prelude: both unigram models, the grid-snapped
     * per-bucket log-ratio deltas, and the per-doc exact-integer weight

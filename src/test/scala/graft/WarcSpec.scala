@@ -341,4 +341,40 @@ class WarcSpec extends SparkSpec {
       !r.isNullAt(r.fieldIndex("content_length")) &&
         r.getAs[String]("content") == "body"))
   }
+
+  test("Cdx: the fixture index parses field-for-field, a malformed " +
+    "line quarantines as NULLs, digest dedup keeps the earliest " +
+    "capture, and the fetch plan is one offset-ordered sweep per " +
+    "archive with non-200s gated") {
+    import graft.io.Cdx
+    import org.apache.spark.sql.functions._
+    val path = getClass.getResource("/graft/fixture.cdx").getPath
+    val recs = Cdx.records(spark, path)
+    assert(recs.count() == 6)
+    val a = recs.filter(col("urlkey") === "com,example)/a").head()
+    assert(a.getAs[String]("timestamp") == "20250101120000" &&
+      a.getAs[String]("url") == "https://example.com/a" &&
+      a.getAs[String]("mime") == "text/html" &&
+      a.getAs[Int]("status") == 200 &&
+      a.getAs[String]("digest") == "SHAAAAAA1111" &&
+      a.getAs[Long]("length") == 1200L &&
+      a.getAs[Long]("offset") == 0L &&
+      a.getAs[String]("filename") == "crawl-00.warc.gz")
+    // quarantine: the junk line keeps its raw text, fields NULL
+    val bad = recs.filter(col("url").isNull).collect()
+    assert(bad.length == 1 &&
+      bad(0).getAs[String]("line").startsWith("this line"))
+    // digest dedup: /a2 repeats /a's digest and is the LATER capture
+    val kept = Cdx.dedupByDigest(recs)
+      .filter(col("digest") === "SHAAAAAA1111").collect()
+    assert(kept.length == 1 &&
+      kept(0).getAs[String]("urlkey") == "com,example)/a")
+    // fetch plan: per archive, offset order; the 404 never fetches
+    val plan = Cdx.planFetch(Cdx.dedupByDigest(recs))
+      .orderBy("filename", "fetch_seq").collect()
+    assert(plan.map(r => (r.getAs[String]("filename"),
+      r.getAs[Int]("fetch_seq"), r.getAs[Long]("offset"))).toSeq ==
+      Seq(("crawl-00.warc.gz", 1, 0L), ("crawl-00.warc.gz", 2, 1200L),
+        ("crawl-01.warc.gz", 1, 0L)))
+  }
 }
