@@ -2290,10 +2290,15 @@ object TextOps {
     val docb = toks(raw).groupBy(col(idCol), col("b"))
       .agg(count(lit(1)).as("n"))
     val rCnt = docb.groupBy("b").agg(sum("n").as("nr"))
-    val delta = tCnt.join(rCnt, Seq("b"), "full_outer")
+    // full-outer-by-union: a broadcast hash join cannot plan FULL
+    // OUTER, and a 2·|buckets|-row SMJ is a silly shuffle — tag-union
+    // the two count tables and re-aggregate instead (absent = 0 either
+    // side, exactly the coalesce semantics)
+    val delta = tCnt.select(col("b"), col("nt"), lit(0L).as("nr"))
+      .unionByName(rCnt.select(col("b"), lit(0L).as("nt"), col("nr")))
+      .groupBy("b").agg(sum("nt").as("nt"), sum("nr").as("nr"))
       .select(col("b"),
-        (snapLn(coalesce(col("nt"), lit(0L)) + 1) -
-          snapLn(coalesce(col("nr"), lit(0L)) + 1)).as("d"))
+        (snapLn(col("nt") + 1) - snapLn(col("nr") + 1)).as("d"))
     val consts = tCnt.agg(coalesce(sum("nt"), lit(0L)).as("ct"))
       .crossJoin(docb.agg(coalesce(sum("n"), lit(0L)).as("cr")))
       .select((snapLn(col("ct") + numBuckets) -

@@ -774,6 +774,42 @@ class PlanSpec extends SparkSpec {
       s"q272 shuffles text:\n$p272")
   }
 
+  test("round-13 additions keep their ledger shapes: kernel dominant " +
+    "dispatch, broadcast DSIR models, top-k without a full sort, " +
+    "map-only CDX parse") {
+    // q276: sentence + repetition dispatch is map-only over the
+    // DominantScript kernel — no regexp strip-and-measure chain, no
+    // window; the only join is the per-doc stat join on doc_id
+    val p276 = plan("q276_script_sentences")
+    assert(p276.contains("dominant_script"),
+      s"q276 not on the kernel dispatch:\n$p276")
+    assert(!p276.contains("Window"), s"q276 plans a window:\n$p276")
+    // q282 DSIR: both |buckets|-row sides broadcast; no cartesian
+    // beyond the declared 1-row consts cross join; token counts
+    // partial-agged
+    val p282 = plan("q282_dsir_weights")
+    assert(p282.contains("BroadcastHashJoin") ||
+      p282.contains("BroadcastNestedLoopJoin"),
+      s"q282 models not broadcast:\n$p282")
+    assert(p282.contains("partial_"),
+      s"q282 counts not partial-agged:\n$p282")
+    assert(!p282.contains("CartesianProduct"), s"q282 cartesian:\n$p282")
+    assert(!p282.contains("SortMergeJoin"),
+      s"q282 shuffles a model side:\n$p282")
+    // q283: global top-k plans as TakeOrderedAndProject, never a full
+    // sort of the weight table
+    val p283 = SparkEntry.queries("q283_dsir_select")(spark, dir)
+      .queryExecution.sparkPlan.toString
+    assert(p283.contains("TakeOrderedAndProject"),
+      s"q283 missing the bounded top-k:\n$p283")
+    // q284: the CDX parse is scan + projection — no join, no agg, no
+    // hash shuffle (the orderBy range-partitions for presentation only)
+    val p284 = plan("q284_cdx_parse")
+    assert(!p284.contains("Join") && !p284.contains("HashAggregate") &&
+      !p284.contains("hashpartitioning"),
+      s"q284 should be a pure projection:\n$p284")
+  }
+
   test("giant-group quantile fallback: no window sort, cuts broadcast") {
     // the routed cut-point path over a real parquet scan: one
     // partial-aggregated percentile pass + broadcast join + map-side bin
