@@ -225,6 +225,53 @@ object ScaleProbe {
               d.filter(col("doc_id") % 11 =!= 0),
               d.filter(col("doc_id") % 11 === 0), numBuckets = 64)
             .agg(sum("n_tokens"), sum("weight")).head(); 1L },
+        // r13 batteries: code/markdown are map-only scans; the loss
+        // audit is ONE map-side-combined agg keyed by doc id over the
+        // 8-step synthesized telemetry (8x input rows by design)
+        "code_quality" -> { d =>
+          TextOps.codeQualityRules(d)
+            .agg(sum("pass"), sum("max_line_len"), sum("alnum_frac"))
+            .head(); 1L },
+        "markdown_stats" -> { d =>
+          TextOps.markdownStats(d)
+            .agg(sum("n_headers"), sum("is_markdown")).head(); 1L },
+        "loss_trajectories" -> { d =>
+          val tele = d.select(col("doc_id"),
+              explode(sequence(lit(0), lit(7))).as("step"))
+            .select(col("doc_id"), col("step"),
+              (lit(3000) - col("step") * 200 +
+                pmod(col("doc_id"), lit(37)) * 10 -
+                pmod(col("doc_id") * (col("step") + 1), lit(5)) * 100)
+                .cast("long").as("loss_milli"))
+          graft.ops.Training.lossTrajectories(tele)
+            .groupBy("verdict").count().collect(); 1L },
+        // CDX planning on index lines whose archive count SCALES with
+        // the crawl (constant records per WARC — the production
+        // invariant that bounds planFetch's per-filename window) and
+        // whose digest dup rate is a constant 50%
+        "cdx_fetch_plan" -> { d =>
+          val line = concat(lit("com,"), col("source"), lit(")/p"),
+            col("doc_id"), lit(" "),
+            (lit(20250101000000L) + pmod(col("doc_id"), lit(86400L)))
+              .cast("string"),
+            lit(" {\"url\": \"https://"), col("source"), lit(".com/p"),
+            col("doc_id"),
+            lit("\", \"mime\": \"text/html\", \"status\": \""),
+            when(col("doc_id") % 5 === 0, lit("404"))
+              .otherwise(lit("200")),
+            lit("\", \"digest\": \""),
+            md5(expr("doc_id div 2").cast("string")),
+            lit("\", \"length\": \""), col("n_chars").cast("string"),
+            lit("\", \"offset\": \""),
+            (col("doc_id") * 1024).cast("string"),
+            lit("\", \"filename\": \"crawl-"),
+            expr("doc_id div 2048").cast("string"),
+            lit(".warc.gz\"}"))
+          val recs = d.select(line.as("line"))
+            .select(graft.io.Cdx.parsed(col("line")).as("r"))
+            .select(col("r.*"))
+          graft.io.Cdx.planFetch(graft.io.Cdx.dedupByDigest(recs))
+            .agg(sum("fetch_seq"), max("offset")).head(); 1L },
         // deterministic bootstrap: fan-out = models x b x items rows
         // over the replicated corpus as the "eval set" — scales with
         // items by DESIGN (the estimator touches b copies of each)

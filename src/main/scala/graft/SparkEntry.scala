@@ -3307,8 +3307,105 @@ object SparkEntry {
         .select(col("r.*"), col("line"))
       graft.io.Cdx.planFetch(graft.io.Cdx.dedupByDigest(recs))
         .orderBy("filename", "fetch_seq")
+    }),
+
+    // The Stack / StarCoder code-file quality battery over a corpus
+    // with the three failure strata synthesized in: doc_id%7==0 gets
+    // an autogen header, %7==1 becomes one minified 1,207-char line,
+    // %7==2 becomes an all-symbol blob (alnum_frac = 0)
+    "q286_code_quality" -> ((s, dir) => {
+      val base = coalesce(col("text"), lit(""))
+      val txt = when(col("doc_id") % 7 === 0,
+          concat(lit("// Generated by protoc. DO NOT EDIT!\n"), base))
+        .when(col("doc_id") % 7 === 1,
+          concat(lit("var a="), repeat(lit("{x:1},"), 200), lit(";")))
+        .when(col("doc_id") % 7 === 2, repeat(lit("{}();;==->** "), 30))
+        .otherwise(base)
+      TextOps.codeQualityRules(
+          t(s, dir, "documents").select(col("doc_id"), txt.as("text")))
+        .orderBy("doc_id")
+    }),
+
+    // training-loss trajectory audit: synthesized 8-step telemetry
+    // with the four verdict classes built in by doc_id%4 — falling
+    // (learned), falling-to-floor (memorized), zero-slope alternating
+    // (noisy: the +,-,-,+ sign pattern makes Sxy cancel exactly), and
+    // constant (stagnant); all losses integer milli-units so the OLS
+    // reduction is exact on both engines
+    "q287_loss_trajectories" -> ((s, dir) => {
+      ops.Training.lossTrajectories(lossTelemetry(t(s, dir, "documents")))
+        .orderBy("doc_id")
+    }),
+
+    // the corpus rollup a mixture planner reads: per (source, verdict)
+    // doc counts and exact-quotient mean final loss
+    "q288_loss_rollup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      ops.Training.lossVerdictRollup(
+          ops.Training.lossTrajectories(lossTelemetry(d)),
+          d.select(col("doc_id"), col("source")))
+        .orderBy("source", "verdict")
+    }),
+
+    // markdown structure profile: headers / fences / links / bullets
+    // synthesized onto the corpus text with known densities, the
+    // composite is_markdown verdict at the documented threshold
+    "q289_markdown_stats" -> ((s, dir) => {
+      TextOps.markdownStats(
+          t(s, dir, "documents").select(col("doc_id"),
+            mdSynthesis(col("doc_id"), col("text")).as("text")))
+        .orderBy("doc_id")
+    }),
+
+    // fenced-code-block extraction: every block's language tag + body,
+    // one tagged python block per doc and an untagged second block on
+    // doc_id%4==0
+    "q290_fenced_blocks" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextOps.fencedBlocks(mdSynthesis(col("doc_id"),
+            col("text")))).as(Seq("blk_no", "blk")))
+        .select(col("doc_id"), col("blk_no"),
+          col("blk.lang").as("lang"), col("blk.body").as("body"))
+        .orderBy("doc_id", "blk_no")
     })
   )
+
+  /** q287/q288's synthesized training telemetry: 8 steps per doc, the
+    * four trajectory classes keyed by doc_id%4 (falling / falling-to-
+    * floor / sign-balanced alternation / constant), every loss an
+    * integer milli-unit. */
+  private def lossTelemetry(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(sequence(lit(0), lit(7))).as("step"))
+      .select(col("doc_id"), col("step"),
+        when(col("doc_id") % 4 === 0,
+          lit(3000) - col("step") * 200 +
+            pmod(col("doc_id") * (col("step") + 1), lit(7)) * 10)
+        .when(col("doc_id") % 4 === 1, lit(750) - col("step") * 100)
+        .when(col("doc_id") % 4 === 2,
+          lit(2000) +
+            when(pmod(col("step"), lit(4)).isin(0, 3), 400)
+              .otherwise(-400) +
+            pmod(col("doc_id"), lit(5)) * 4)
+        .otherwise(lit(1500) + pmod(col("doc_id"), lit(9)) * 2)
+          .cast("long").as("loss_milli"))
+
+  /** q289/q290's markdown synthesis: a header per doc, bullets on
+    * doc_id%2==0, a tagged fence on %3==0, a link on %5==0, an
+    * untagged second fence on %4==0, then the corpus text. */
+  private def mdSynthesis(id: Column, text: Column): Column =
+    concat(lit("# T"), id.cast("string"), lit("\n"),
+      when(id % 2 === 0, lit("- a\n- b\n")).otherwise(lit("")),
+      when(id % 3 === 0,
+        concat(lit("```python\nprint("), id.cast("string"),
+          lit(")\n```\n"))).otherwise(lit("")),
+      when(id % 5 === 0, lit("see [x](http://e.com)\n"))
+        .otherwise(lit("")),
+      when(id % 4 === 0,
+        concat(lit("```\nplain "), (id % 7).cast("string"),
+          lit("\n```\n"))).otherwise(lit("")),
+      coalesce(text, lit("")))
 
   /** q284/q285's synthesized CDXJ index: the real `urlkey ts {json}`
     * line format with every field a deterministic function of
@@ -10292,8 +10389,177 @@ object SparkEntry {
          |         AS INTEGER) AS fetch_seq,
          |       "offset", length, url, digest
          |FROM ded WHERE status = 200
-         |ORDER BY filename, fetch_seq""".stripMargin
+         |ORDER BY filename, fetch_seq""".stripMargin,
+
+    "q286_code_quality" ->
+      """WITH syn AS (
+        |  SELECT doc_id, CASE
+        |    WHEN doc_id % 7 = 0 THEN
+        |      '// Generated by protoc. DO NOT EDIT!' || chr(10) ||
+        |      coalesce(text, '')
+        |    WHEN doc_id % 7 = 1 THEN
+        |      'var a=' || repeat('{x:1},', 200) || ';'
+        |    WHEN doc_id % 7 = 2 THEN repeat('{}();;==->** ', 30)
+        |    ELSE coalesce(text, '') END AS text
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, text, string_split(text, chr(10)) AS lines
+        |  FROM syn),
+        |m AS (
+        |  SELECT doc_id,
+        |         CAST(len(lines) AS BIGINT) AS n_lines,
+        |         CAST(length(text) - (len(lines) - 1) AS BIGINT)
+        |           AS chars_no_nl,
+        |         CAST(list_max(list_transform(lines, x -> length(x)))
+        |           AS BIGINT) AS max_line_len,
+        |         CAST(length(text) - length(
+        |             regexp_replace(text, '[0-9A-Za-z]', '', 'g'))
+        |           AS BIGINT) AS alnum,
+        |         CAST(length(text) AS BIGINT) AS n_chars,
+        |         lower(array_to_string(lines[1:5], chr(10))) AS head
+        |  FROM st),
+        |r AS (
+        |  SELECT doc_id, n_lines, max_line_len,
+        |         CAST(chars_no_nl AS DOUBLE) / n_lines AS avg_line_len,
+        |         CASE WHEN n_chars > 0
+        |              THEN CAST(alnum AS DOUBLE) / n_chars
+        |              ELSE 0.0 END AS alnum_frac,
+        |         CAST(CASE WHEN head LIKE '%generated by%'
+        |                   OR head LIKE '%auto-generated%'
+        |                   OR head LIKE '%autogenerated%'
+        |                   OR head LIKE '%do not edit%'
+        |              THEN 1 ELSE 0 END AS BIGINT) AS autogen
+        |  FROM m)
+        |SELECT doc_id, n_lines, max_line_len, avg_line_len, alnum_frac,
+        |       autogen,
+        |       CAST(CASE WHEN avg_line_len <= 100 AND max_line_len <= 1000
+        |                 AND alnum_frac >= 0.25 AND autogen = 0
+        |            THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q287_loss_trajectories" ->
+      s"""WITH $lossOracleCtes
+         |SELECT doc_id, n_steps, first_milli, last_milli, slope_milli,
+         |       verdict
+         |FROM traj ORDER BY doc_id""".stripMargin,
+
+    "q288_loss_rollup" ->
+      s"""WITH $lossOracleCtes
+         |SELECT d.source, t.verdict,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(t.last_milli) AS DOUBLE) / count(*)
+         |         AS mean_last_milli
+         |FROM traj t JOIN documents d USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY d.source, t.verdict""".stripMargin,
+
+    "q289_markdown_stats" ->
+      s"""WITH $mdOracleCte,
+         |m AS (
+         |  SELECT doc_id, text, string_split(text, chr(10)) AS lines
+         |  FROM syn),
+         |r AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_filter(lines,
+         |             x -> regexp_matches(x, '^#{1,6} ')))
+         |           AS BIGINT) AS n_headers,
+         |         CAST((len(string_split(text, '```')) - 1) // 2
+         |           AS BIGINT) AS n_fences,
+         |         CAST(len(regexp_extract_all(text,
+         |             '\\[[^\\]]*\\]\\([^)]*\\)'))
+         |           AS BIGINT) AS n_links,
+         |         CAST(len(list_filter(lines,
+         |             x -> regexp_matches(x, '^[-*] ')))
+         |           AS BIGINT) AS n_bullets
+         |  FROM m)
+         |SELECT doc_id, n_headers, n_fences, n_links, n_bullets,
+         |       CAST(CASE WHEN n_headers + n_fences * 2 + n_links
+         |                      + n_bullets >= 3
+         |            THEN 1 ELSE 0 END AS BIGINT) AS is_markdown
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q290_fenced_blocks" ->
+      s"""WITH $mdOracleCte,
+         |e AS (
+         |  SELECT doc_id,
+         |         regexp_extract_all(text,
+         |           '(?s)```([A-Za-z0-9+#-]*)\\n(.*?)```', 1) AS langs,
+         |         regexp_extract_all(text,
+         |           '(?s)```([A-Za-z0-9+#-]*)\\n(.*?)```', 2) AS bodies
+         |  FROM syn),
+         |x AS (
+         |  SELECT doc_id,
+         |         unnest(generate_series(1, len(langs))) AS i,
+         |         langs, bodies
+         |  FROM e WHERE len(langs) > 0)
+         |SELECT doc_id, CAST(i - 1 AS INTEGER) AS blk_no,
+         |       langs[i] AS lang, bodies[i] AS body
+         |FROM x ORDER BY doc_id, blk_no""".stripMargin
   )
+
+  /** q287/q288's oracle prelude: the synthesized telemetry, the exact
+    * integer OLS sums, and the slope + verdict — lossTrajectories
+    * replayed CTE by CTE. */
+  private def lossOracleCtes: String =
+    """tele AS (
+      |  SELECT d.doc_id, s.step,
+      |         CAST(CASE
+      |           WHEN d.doc_id % 4 = 0 THEN
+      |             3000 - s.step * 200 +
+      |             ((d.doc_id * (s.step + 1)) % 7) * 10
+      |           WHEN d.doc_id % 4 = 1 THEN 750 - s.step * 100
+      |           WHEN d.doc_id % 4 = 2 THEN
+      |             2000 + (CASE WHEN s.step % 4 IN (0, 3)
+      |                          THEN 400 ELSE -400 END) +
+      |             (d.doc_id % 5) * 4
+      |           ELSE 1500 + (d.doc_id % 9) * 2 END AS BIGINT) AS loss
+      |  FROM documents d,
+      |       (SELECT unnest(generate_series(0, 7)) AS step) s),
+      |g AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_steps,
+      |         CAST(sum(step) AS BIGINT) AS sx,
+      |         CAST(sum(loss) AS BIGINT) AS sy,
+      |         CAST(sum(step * step) AS BIGINT) AS sxx,
+      |         CAST(sum(step * loss) AS BIGINT) AS sxy,
+      |         CAST(min(loss) AS BIGINT) AS min_y,
+      |         CAST(max(loss) AS BIGINT) AS max_y,
+      |         CAST(arg_min(loss, step) AS BIGINT) AS first_milli,
+      |         CAST(arg_max(loss, step) AS BIGINT) AS last_milli
+      |  FROM tele GROUP BY 1 HAVING count(*) >= 2),
+      |sl AS (
+      |  SELECT doc_id, n_steps, first_milli, last_milli, min_y, max_y,
+      |         CAST(n_steps * sxy - sx * sy AS DOUBLE) /
+      |           CAST(n_steps * sxx - sx * sx AS DOUBLE) AS slope_milli
+      |  FROM g),
+      |traj AS (
+      |  SELECT doc_id, n_steps, first_milli, last_milli, slope_milli,
+      |         CASE WHEN slope_milli <= -10 AND last_milli < 100
+      |              THEN 'memorized'
+      |              WHEN slope_milli <= -10 THEN 'learned'
+      |              WHEN max_y - min_y > 500 THEN 'noisy'
+      |              ELSE 'stagnant' END AS verdict
+      |  FROM sl)""".stripMargin
+
+  /** q289/q290's oracle synthesis — mdSynthesis replayed. */
+  private def mdOracleCte: String =
+    """syn AS (
+      |  SELECT doc_id,
+      |         '# T' || doc_id || chr(10) ||
+      |         CASE WHEN doc_id % 2 = 0
+      |              THEN '- a' || chr(10) || '- b' || chr(10)
+      |              ELSE '' END ||
+      |         CASE WHEN doc_id % 3 = 0
+      |              THEN '```python' || chr(10) || 'print(' || doc_id ||
+      |                   ')' || chr(10) || '```' || chr(10)
+      |              ELSE '' END ||
+      |         CASE WHEN doc_id % 5 = 0
+      |              THEN 'see [x](http://e.com)' || chr(10)
+      |              ELSE '' END ||
+      |         CASE WHEN doc_id % 4 = 0
+      |              THEN '```' || chr(10) || 'plain ' || (doc_id % 7) ||
+      |                   chr(10) || '```' || chr(10)
+      |              ELSE '' END ||
+      |         coalesce(text, '') AS text
+      |  FROM documents)""".stripMargin
 
   /** q284/q285's oracle ground truth: every CDX field derived directly
     * from documents — never from the line — so the Spark regex+JSON

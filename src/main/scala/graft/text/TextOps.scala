@@ -2083,12 +2083,113 @@ object TextOps {
         .cast("long").as("is_code"))
   }
 
+  /** CODE-FILE QUALITY BATTERY (The Stack / StarCoder filters,
+    * Kocetkov et al. 2022, Li et al. 2023) — the rule set every code
+    * corpus runs after [[codeSignals]] routes a file INTO the code
+    * pipeline: per file the interpretable line-geometry and content
+    * stats plus the standard pass verdict. Signals:
+    *
+    *  - `n_lines`, `max_line_len`, `avg_line_len` (newline-exclusive
+    *    char count over lines — both factors exact integers, ONE
+    *    division at the edge, the portable-quotient convention),
+    *  - `alnum_frac` ([0-9A-Za-z] chars / chars — minified JS,
+    *    hexdumps and encoded blobs all crater it),
+    *  - `autogen` (a "generated by / auto-generated / autogenerated /
+    *    do not edit" marker in the first `autogenScanLines` lines,
+    *    case-insensitive — The Stack's header heuristic: generated
+    *    lockfiles/protobufs teach a model nothing),
+    *  - `pass` at the published thresholds: avg ≤ 100, max ≤ 1000,
+    *    alnum_frac ≥ 0.25, no autogen marker.
+    *
+    * Pure column work (one split + two regexp_replace counts) in the
+    * scan — map-only at any corpus size; thresholds are parameters so
+    * a language profile can re-tune them. */
+  def codeQualityRules(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text",
+                       maxAvgLineLen: Double = 100.0,
+                       maxMaxLineLen: Long = 1000L,
+                       minAlnumFrac: Double = 0.25,
+                       autogenScanLines: Int = 5): DataFrame = {
+    require(autogenScanLines > 0, "autogenScanLines must be positive")
+    val t = coalesce(col(textCol), lit(""))
+    val lines = split(t, "\n")
+    val nLines = size(lines).cast("long")
+    // Σ line lengths = chars minus the (n_lines - 1) newlines
+    val charsNoNl = (length(t) - (nLines - 1L)).cast("long")
+    val maxLine = array_max(transform(lines, l => length(l)))
+      .cast("long")
+    val alnum =
+      (length(t) - length(regexp_replace(t, "[0-9A-Za-z]", "")))
+        .cast("long")
+    val head = lower(array_join(
+      slice(lines, 1, autogenScanLines), "\n"))
+    val autogen = (head.contains("generated by") ||
+      head.contains("auto-generated") ||
+      head.contains("autogenerated") ||
+      head.contains("do not edit")).cast("long")
+    val avgLine = charsNoNl.cast("double") / nLines.cast("double")
+    val alnumFrac = when(length(t) > 0,
+      alnum.cast("double") / length(t).cast("double")).otherwise(0.0)
+    docs.select(col(idCol), nLines.as("n_lines"),
+      maxLine.as("max_line_len"), avgLine.as("avg_line_len"),
+      alnumFrac.as("alnum_frac"), autogen.as("autogen"),
+      (avgLine <= maxAvgLineLen && maxLine <= maxMaxLineLen &&
+        alnumFrac >= minAlnumFrac && autogen === 0L)
+        .cast("long").as("pass"))
+  }
+
   /** [[codeSignals]]' keyword token set — language-spanning; entries
     * ending in `(` are matched as token PREFIXES (`if(x)`, `for(int`),
     * the rest as whole whitespace tokens so prose words never collide. */
   val CodeKeywords: Seq[String] = Seq("def", "class", "return", "import",
     "void", "function", "var", "const", "public", "static", "if(",
     "for(", "while(", "#include", "lambda", "=>")
+
+  /** MARKDOWN STRUCTURE PROFILE — the router signal for the
+    * README/docs/notebook stratum (code corpora are full of markdown,
+    * and markdown-aware chunking beats treating it as flat prose):
+    * per doc the structural counts — ATX headers (`^#{1,6} `), fenced
+    * code blocks (``` pairs), inline links `[text](url)`, bullet lines
+    * (`^[-*] `) — plus `is_markdown` at a documented composite
+    * threshold (headers + 2·fences + links + bullets ≥ 3; one
+    * structural element is prose noise, three is authored markup).
+    * One split + per-line regex filters in the scan, map-only; every
+    * pattern is RE2-safe (no lookaround, no backreferences) so the
+    * DuckDB oracle runs the IDENTICAL regexes. */
+  def markdownStats(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val lines = split(t, "\n")
+    val headers = size(filter(lines, l => l.rlike("^#{1,6} ")))
+      .cast("long")
+    // Spark's `/` is always DOUBLE division — floor+cast makes the
+    // fence-pair count the integer both engines agree on
+    val fences = floor((size(split(t, "```", -1)) - 1) / 2)
+      .cast("long")
+    val links = size(regexp_extract_all(t,
+      lit("\\[[^\\]]*\\]\\([^)]*\\)"), lit(0))).cast("long")
+    val bullets = size(filter(lines, l => l.rlike("^[-*] ")))
+      .cast("long")
+    val score = headers + fences * 2L + links + bullets
+    docs.select(col(idCol), headers.as("n_headers"),
+      fences.as("n_fences"), links.as("n_links"),
+      bullets.as("n_bullets"),
+      (score >= 3L).cast("long").as("is_markdown"))
+  }
+
+  /** FENCED-CODE-BLOCK EXTRACTION — the companion rewrite surface of
+    * [[markdownStats]]: every ``` block as (lang, body) structs, the
+    * language tag from the opening fence line (empty when untagged).
+    * The `(?s)`-dotall non-greedy pattern is RE2-safe; two
+    * `regexp_extract_all` passes (group 1 = lang, group 2 = body)
+    * zipped positionally. Map-only; callers `posexplode`. */
+  def fencedBlocks(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    val pat = "(?s)```([A-Za-z0-9+#-]*)\\n(.*?)```"
+    arrays_zip(
+      regexp_extract_all(t, lit(pat), lit(1)).as("lang"),
+      regexp_extract_all(t, lit(pat), lit(2)).as("body"))
+  }
 
   /** HTML TABLE EXTRACTION — the structured-data half of
     * [[htmlExtract]]'s prose strip: every `<tr>`'s `<td>`/`<th>` cell

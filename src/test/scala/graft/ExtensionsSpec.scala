@@ -4958,6 +4958,91 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == List((0, List("a", "b")), (1, List("c"))))
   }
 
+  test("codeQualityRules: exact line geometry, autogen marker only " +
+    "inside the scan window, each threshold gates independently") {
+    val docs = Seq(
+      (1L, "def f():\n    return 1\n"), // clean: passes
+      (2L, "// GENERATED BY protoc\ncode"), // autogen, case-folded
+      // marker BEYOND the 5-line scan window → not autogen
+      (3L, "a\nb\nc\nd\ne\ndo not edit\nf"),
+      (4L, "x" * 1200), // one minified line: max + avg both fail
+      (5L, "{};;()->**"), // zero alnum chars → alnum_frac fails
+      (6L, "")) // empty: 1 line of 0 chars, alnum_frac 0 → fails
+      .toDF("doc_id", "text")
+    val got = TextOps.codeQualityRules(docs).orderBy("doc_id").collect()
+    // (1): lines 8/12/0 chars → n=3, Σ=20, avg=20/3, max=12,
+    // alnum 11 of 22
+    assert(got(0).getLong(1) == 3L && got(0).getLong(2) == 12L)
+    assert(got(0).getDouble(3) == 20.0 / 3.0)
+    assert(got(0).getDouble(4) == 0.5)
+    assert(got(0).getLong(5) == 0L && got(0).getLong(6) == 1L)
+    assert(got(1).getLong(5) == 1L && got(1).getLong(6) == 0L)
+    assert(got(2).getLong(5) == 0L)
+    assert(got(3).getLong(2) == 1200L && got(3).getLong(6) == 0L)
+    assert(got(4).getDouble(4) == 0.0 && got(4).getLong(6) == 0L)
+    assert(got(5).getLong(1) == 1L && got(5).getDouble(3) == 0.0 &&
+      got(5).getLong(6) == 0L)
+  }
+
+  test("lossTrajectories: OLS slope exact on integer telemetry, the " +
+    "four verdicts land, 1-point docs dropped; rollup means exact") {
+    import graft.ops.Training
+    val tele = (
+      // d1: perfect line 1000 − 100x over x=0..4 → slope −100, learned
+      (0 to 4).map(x => (1L, x, 1000L - 100L * x)) ++
+      // d2: 400 − 100x → last 0 < 100 → memorized
+      (0 to 4).map(x => (2L, x, 400L - 100L * x)) ++
+      // d3: the sign-balanced +,−,−,+ pattern → slope exactly 0,
+      // range 600 > 500 → noisy
+      Seq((3L, 0, 1300L), (3L, 1, 700L), (3L, 2, 700L), (3L, 3, 1300L)) ++
+      // d4: constant → stagnant
+      (0 to 2).map(x => (4L, x, 800L)) ++
+      // d5: one observation → unclassifiable, dropped
+      Seq((5L, 0, 123L))
+    ).toDF("doc_id", "step", "loss_milli")
+    val got = Training.lossTrajectories(tele).orderBy("doc_id").collect()
+    assert(got.length == 4)
+    assert(got(0).getDouble(4) == -100.0 &&
+      got(0).getString(5) == "learned")
+    assert(got(0).getLong(2) == 1000L && got(0).getLong(3) == 600L)
+    assert(got(1).getString(5) == "memorized")
+    assert(got(2).getDouble(4) == 0.0 && got(2).getString(5) == "noisy")
+    assert(got(3).getString(5) == "stagnant")
+    val labels = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "b"))
+      .toDF("doc_id", "source")
+    val roll = Training.lossVerdictRollup(
+        Training.lossTrajectories(tele), labels)
+      .orderBy("source", "verdict").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toList
+    assert(roll == List(("a", "learned", 1L, 600.0),
+      ("a", "memorized", 1L, 0.0), ("b", "noisy", 1L, 1300.0),
+      ("b", "stagnant", 1L, 800.0)))
+  }
+
+  test("markdownStats + fencedBlocks: structural counts, composite " +
+    "verdict, tagged/untagged blocks in order, unterminated ignored") {
+    val md = "# h1\n## h2\ntext [a](u) and [b](v)\n- x\n* y\n" +
+      "```scala\nval z=1\n```\ntail"
+    val docs = Seq((1L, md), (2L, "no structure here"), (3L, null))
+      .toDF("doc_id", "text")
+    val got = TextOps.markdownStats(docs).orderBy("doc_id").collect()
+    assert(got(0).getLong(1) == 2L && got(0).getLong(2) == 1L &&
+      got(0).getLong(3) == 2L && got(0).getLong(4) == 2L &&
+      got(0).getLong(5) == 1L)
+    assert(got(1).getLong(5) == 0L && got(2).getLong(5) == 0L)
+    def blocks(s: String): List[(String, String)] =
+      Seq(s).toDF("t")
+        .select(explode(TextOps.fencedBlocks(col("t"))).as("b"))
+        .select(col("b.lang"), col("b.body")).collect()
+        .map(r => (r.getString(0), r.getString(1))).toList
+    assert(blocks(md) == List(("scala", "val z=1\n")))
+    assert(blocks("```py\na\n```\nmid\n```\nb\n```") ==
+      List(("py", "a\n"), ("", "b\n")))
+    assert(blocks("```py\nnever closed") == Nil)
+    assert(blocks("no fences") == Nil)
+  }
+
   test("tokenFertility: exact integer sums, quotient taken once — " +
     "4-char pieces, digits, punct runs all count as subwords") {
     val docs = Seq(

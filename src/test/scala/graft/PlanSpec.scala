@@ -808,6 +808,21 @@ class PlanSpec extends SparkSpec {
     assert(!p284.contains("Join") && !p284.contains("HashAggregate") &&
       !p284.contains("hashpartitioning"),
       s"q284 should be a pure projection:\n$p284")
+    // q286/q289/q290: map-only batteries — no join, no agg, no window
+    // anywhere (the generate in q290 is a per-row explode)
+    for (q <- Seq("q286_code_quality", "q289_markdown_stats",
+        "q290_fenced_blocks")) {
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("HashAggregate") &&
+        !p.contains("Window"), s"$q should be map-only:\n$p")
+    }
+    // q287: ONE doc-keyed aggregation with map-side combine — no
+    // window, no join, the six-LONG-sum state the ledger row claims
+    val p287 = plan("q287_loss_trajectories")
+    assert(p287.contains("partial_"),
+      s"q287 sums not partial-agged:\n$p287")
+    assert(!p287.contains("Window") && !p287.contains("Join"),
+      s"q287 plans a window or join:\n$p287")
   }
 
   test("giant-group quantile fallback: no window sort, cuts broadcast") {
