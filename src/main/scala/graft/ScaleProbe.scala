@@ -245,6 +245,12 @@ object ScaleProbe {
                 .cast("long").as("loss_milli"))
           graft.ops.Training.lossTrajectories(tele)
             .groupBy("verdict").count().collect(); 1L },
+        // canary lifecycle: inject (map-only fold) + scan (explode ×
+        // |spec| then one partial-agged |spec|-row aggregation)
+        "canary_scan" -> { d =>
+          val spec = Seq("c2" -> 2, "c10" -> 10, "c50" -> 50)
+          TextOps.canaryScan(TextOps.injectCanaries(d, spec), spec)
+            .agg(sum("n_docs"), sum("n_occurrences")).head(); 1L },
         // CDX planning on index lines whose archive count SCALES with
         // the crawl (constant records per WARC — the production
         // invariant that bounds planFetch's per-filename window) and

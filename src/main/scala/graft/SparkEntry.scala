@@ -3357,6 +3357,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Secret-Sharer canary manifest: inject three frequency tiers
+    // (modulus 2 / 10 / 50 md5 gates) into the corpus, then scan the
+    // result — the manifest is MEASURED from the rewritten text, the
+    // oracle derives it independently from the same gates
+    "q291_canary_manifest" -> ((s, dir) => {
+      TextOps.canaryScan(
+          TextOps.injectCanaries(t(s, dir, "documents"), CanarySpec),
+          CanarySpec)
+        .orderBy("canary_id")
+    }),
+
+    // the extraction-risk readout: train manifest vs a synthesized
+    // generations corpus where doc_id%20==0 outputs leak canary c2
+    // TWICE (occurrences > docs) and %20==1 leak c10 once; c50 never
+    // leaks and must read zeros via the left join
+    "q292_canary_exposure" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val gen = d.select(col("doc_id"),
+        when(col("doc_id") % 20 === 0,
+          concat(lit("model says "), TextOps.canaryText(lit("c2")),
+            lit(" and again "), TextOps.canaryText(lit("c2"))))
+        .when(col("doc_id") % 20 === 1,
+          concat(lit("leak "), TextOps.canaryText(lit("c10"))))
+        .otherwise(lit("clean output")).as("text"))
+      TextOps.canaryExposure(
+          TextOps.canaryScan(TextOps.injectCanaries(d, CanarySpec),
+            CanarySpec),
+          TextOps.canaryScan(gen, CanarySpec))
+        .orderBy("canary_id")
+    }),
+
     // fenced-code-block extraction: every block's language tag + body,
     // one tagged python block per doc and an untagged second block on
     // doc_id%4==0
@@ -3370,6 +3401,11 @@ object SparkEntry {
         .orderBy("doc_id", "blk_no")
     })
   )
+
+  /** q291/q292's canary tiers: three selection moduli, every tier
+    * dense enough to land at every SF. */
+  private val CanarySpec: Seq[(String, Int)] =
+    Seq("c2" -> 2, "c10" -> 10, "c50" -> 50)
 
   /** q287/q288's synthesized training telemetry: 8 steps per doc, the
     * four trajectory classes keyed by doc_id%4 (falling / falling-to-
@@ -10493,8 +10529,52 @@ object SparkEntry {
          |  FROM e WHERE len(langs) > 0)
          |SELECT doc_id, CAST(i - 1 AS INTEGER) AS blk_no,
          |       langs[i] AS lang, bodies[i] AS body
-         |FROM x ORDER BY doc_id, blk_no""".stripMargin
+         |FROM x ORDER BY doc_id, blk_no""".stripMargin,
+
+    "q291_canary_manifest" ->
+      s"""WITH $canarySpecCte,
+         |tr AS (
+         |  SELECT c.canary_id, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents d, spec c
+         |  WHERE ('0x' || substr(md5(d.doc_id || ':' || c.canary_id),
+         |          1, 8))::BIGINT % c.m = 0
+         |  GROUP BY 1)
+         |SELECT canary_id, n AS n_docs, n AS n_occurrences
+         |FROM tr ORDER BY canary_id""".stripMargin,
+
+    "q292_canary_exposure" ->
+      s"""WITH $canarySpecCte,
+         |tr AS (
+         |  SELECT c.canary_id, CAST(count(*) AS BIGINT) AS n_train
+         |  FROM documents d, spec c
+         |  WHERE ('0x' || substr(md5(d.doc_id || ':' || c.canary_id),
+         |          1, 8))::BIGINT % c.m = 0
+         |  GROUP BY 1),
+         |gen AS (
+         |  SELECT CASE WHEN doc_id % 20 = 0 THEN 'c2' ELSE 'c10' END
+         |           AS cid,
+         |         CASE WHEN doc_id % 20 = 0 THEN 2 ELSE 1 END AS occ
+         |  FROM documents WHERE doc_id % 20 <= 1),
+         |ga AS (
+         |  SELECT cid, CAST(count(*) AS BIGINT) AS n_gen,
+         |         CAST(sum(occ) AS BIGINT) AS n_occ
+         |  FROM gen GROUP BY 1)
+         |SELECT t.canary_id, t.n_train AS n_train_docs,
+         |       coalesce(g.n_gen, 0) AS n_gen_docs,
+         |       coalesce(g.n_occ, 0) AS n_gen_occurrences,
+         |       CAST(coalesce(g.n_gen, 0) AS DOUBLE) / t.n_train
+         |         AS leak_rate,
+         |       CAST(CASE WHEN coalesce(g.n_gen, 0) > 0
+         |            THEN 1 ELSE 0 END AS BIGINT) AS leaked
+         |FROM tr t LEFT JOIN ga g ON t.canary_id = g.cid
+         |ORDER BY t.canary_id""".stripMargin
   )
+
+  /** q291/q292's canary tiers as a VALUES table — mirrors
+    * [[CanarySpec]]. */
+  private def canarySpecCte: String =
+    """spec(canary_id, m) AS (
+      |  VALUES ('c2', 2), ('c10', 10), ('c50', 50))""".stripMargin
 
   /** q287/q288's oracle prelude: the synthesized telemetry, the exact
     * integer OLS sums, and the slope + verdict — lossTrajectories

@@ -51,21 +51,62 @@ object Training {
                        lossMilliCol: String = "loss_milli",
                        slopeMilli: Double = 10.0,
                        memorizedLastMilli: Long = 100L,
-                       noisyRangeMilli: Long = 500L): DataFrame = {
-    require(slopeMilli >= 0 && noisyRangeMilli >= 0,
-      "thresholds must be non-negative")
+                       noisyRangeMilli: Long = 500L): DataFrame =
+    classifyFromState(lossStateSums(telemetry, idCol, stepCol,
+        lossMilliCol), idCol,
+      slopeMilli, memorizedLastMilli, noisyRangeMilli)
+
+  /** [[lossTrajectories]]' per-doc SUFFICIENT STATISTICS — the twelve
+    * columns that make the audit incrementally foldable: the six OLS
+    * LONG sums plus the (step, loss) endpoints carried WITH their
+    * steps, so two partial states merge by summing the sums,
+    * min/max-ing the extremes, and arg-min/arg-maxing the endpoints
+    * over their steps ([[mergeLossStates]]). Steps are unique per doc
+    * across the whole telemetry stream by contract (a training run
+    * logs each (doc, step) once). */
+  def lossStateSums(telemetry: DataFrame, idCol: String = "doc_id",
+                    stepCol: String = "step",
+                    lossMilliCol: String = "loss_milli"): DataFrame = {
     val x = col(stepCol).cast("long")
     val y = col(lossMilliCol).cast("long")
-    val g = telemetry
+    telemetry
       .filter(col(idCol).isNotNull && x.isNotNull && y.isNotNull)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_steps"),
         sum(x).as("sx"), sum(y).as("sy"),
         sum(x * x).as("sxx"), sum(x * y).as("sxy"),
         min(y).as("min_y"), max(y).as("max_y"),
-        min_by(y, x).as("first_milli"),
-        max_by(y, x).as("last_milli"))
-      .filter(col("n_steps") >= 2)
+        min(x).as("first_step"), min_by(y, x).as("first_milli"),
+        max(x).as("last_step"), max_by(y, x).as("last_milli"))
+  }
+
+  /** Fold any number of [[lossStateSums]] partial states (e.g. one per
+    * micro-batch) into one state per doc: sums add, extremes min/max,
+    * endpoints resolve by their carried steps. One map-side-combined
+    * aggregation; exact at any fold order (integer arithmetic only). */
+  def mergeLossStates(states: DataFrame,
+                      idCol: String = "doc_id"): DataFrame =
+    states.groupBy(col(idCol))
+      .agg(sum("n_steps").as("n_steps"),
+        sum("sx").as("sx"), sum("sy").as("sy"),
+        sum("sxx").as("sxx"), sum("sxy").as("sxy"),
+        min("min_y").as("min_y"), max("max_y").as("max_y"),
+        min("first_step").as("first_step"),
+        min_by(col("first_milli"), col("first_step"))
+          .as("first_milli"),
+        max("last_step").as("last_step"),
+        max_by(col("last_milli"), col("last_step")).as("last_milli"))
+
+  /** The classification tail of [[lossTrajectories]] over a (merged)
+    * state: slope = the one edge division over the exact sums, then
+    * the documented verdict ladder. */
+  def classifyFromState(state: DataFrame, idCol: String = "doc_id",
+                        slopeMilli: Double = 10.0,
+                        memorizedLastMilli: Long = 100L,
+                        noisyRangeMilli: Long = 500L): DataFrame = {
+    require(slopeMilli >= 0 && noisyRangeMilli >= 0,
+      "thresholds must be non-negative")
+    val g = state.filter(col("n_steps") >= 2)
     val slope = ((col("n_steps") * col("sxy") -
         col("sx") * col("sy")).cast("double") /
       (col("n_steps") * col("sxx") -

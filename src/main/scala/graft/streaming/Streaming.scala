@@ -495,6 +495,96 @@ object Streaming {
     compactDir("games", Seq("model"), Seq("n_games", "wins"))
   }
 
+  /** ONLINE TRAINING-LOSS AUDIT — the streaming sibling of the batch
+    * [[graft.ops.Training.lossTrajectories]] (q287), on the stored-
+    * state pattern of [[arenaLeaderboardForeachBatch]]: a training run
+    * emits (doc, step, loss_milli) telemetry continuously; per
+    * micro-batch (1) reduce the batch to its per-doc OLS sufficient
+    * statistics ([[graft.ops.Training.lossStateSums]] — six LONG sums
+    * plus step-carried endpoints, additive by construction) and land
+    * them in a `batch_id=<id>` partition (dynamic partition overwrite:
+    * an at-least-once replay overwrites ITS OWN partition, never
+    * double-counts); (2) fold the accumulated partitions
+    * ([[graft.ops.Training.mergeLossStates]]) and rewrite the
+    * classified audit at `auditPath` — bit-equal to the batch audit
+    * over every telemetry row ever seen (StreamingSpec pins two
+    * micro-batches ≡ one batch run). Loss payloads never accumulate:
+    * state is |docs-seen| rows regardless of steps logged. Run
+    * [[compactLossState]] on a maintenance cadence to fold committed
+    * per-batch partitions into one `batch_id = -1` partition. */
+  def lossAuditForeachBatch(stream: DataFrame, statePath: String,
+                            auditPath: String, checkpoint: String,
+                            idCol: String = "doc_id",
+                            stepCol: String = "step",
+                            lossMilliCol: String = "loss_milli",
+                            slopeMilli: Double = 10.0,
+                            memorizedLastMilli: Long = 100L,
+                            noisyRangeMilli: Long = 500L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sess = batch.sparkSession
+        val dir = s"$statePath/loss_state"
+        graft.ops.Training.lossStateSums(batch.toDF(), idCol, stepCol,
+            lossMilliCol)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(dir)
+        // an all-invalid first batch lands no part files — skip the
+        // refit until the state dir has data (the arena guard)
+        if (dirHasParquet(sess, dir)) {
+          graft.ops.Training.classifyFromState(
+              graft.ops.Training.mergeLossStates(
+                sess.read.parquet(dir), idCol),
+              idCol, slopeMilli, memorizedLastMilli, noisyRangeMilli)
+            .write.mode("overwrite").parquet(auditPath)
+        }
+        ()
+      }
+      .start()
+
+  /** Maintenance compaction for [[lossAuditForeachBatch]]'s state:
+    * fold every COMMITTED per-batch partition into one merged
+    * `batch_id = -1` partition via
+    * [[graft.ops.Training.mergeLossStates]] (sums add, extremes
+    * min/max, endpoints resolve by step — NOT a plain column sum, so
+    * the arena compactor does not apply), keeping the latest live
+    * partition for replay safety; the same rename-out/rename-in/
+    * drop-backup swap (crash between the renames: restore by renaming
+    * `loss_state_compact_bak` back). */
+  def compactLossState(sess: org.apache.spark.sql.SparkSession,
+                       statePath: String,
+                       idCol: String = "doc_id"): Unit = {
+    val dir = s"$statePath/loss_state"
+    if (!dirHasParquet(sess, dir)) return
+    val hadoopConf = sess.sparkContext.hadoopConfiguration
+    val cur = sess.read.parquet(dir)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+    val maxBatch = cur.agg(max("batch_id")).head().getLong(0)
+    val folded = graft.ops.Training.mergeLossStates(
+        cur.filter(col("batch_id") < maxBatch).drop("batch_id"), idCol)
+      .withColumn("batch_id", lit(-1L))
+    val kept = cur.filter(col("batch_id") === maxBatch)
+    val tmp = s"${dir}_compact_tmp"
+    val bak = s"${dir}_compact_bak"
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(hadoopConf)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    folded.select(kept.columns.map(col): _*).unionByName(kept)
+      .write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+    fs.delete(new org.apache.hadoop.fs.Path(bak), true)
+    fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(bak))
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(dir))
+    fs.delete(new org.apache.hadoop.fs.Path(bak), true)
+  }
+
   /** Continuous drift monitoring, step 1 of 2: per tumbling window,
     * equal-width bin counts of `valueCol` (the sufficient statistics of
     * [[graft.ops.Stats.psi]]). One watermarked streaming aggregation —

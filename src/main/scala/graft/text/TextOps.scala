@@ -2205,6 +2205,89 @@ object TextOps {
       lit("(?is)<t[dh][^>]*>([^<]*)</t[dh]>"), lit(1)))
   }
 
+  /** The unique high-entropy marker string for canary `id` —
+    * `CANARY-<id>-<16 md5 hex chars>`: long and random enough that a
+    * model emitting it verbatim proves memorization, cheap enough to
+    * scan for with a plain substring search. */
+  def canaryText(id: Column): Column =
+    concat(lit("CANARY-"), id, lit("-"),
+      substring(md5(concat(lit("canary:"), id)), 1, 16))
+
+  /** SECRET-SHARER CANARY INJECTION (Carlini et al. 2019): append
+    * synthetic secrets to a deterministic slice of the corpus at
+    * controlled frequencies, so a later scan of model GENERATIONS
+    * ([[canaryScan]] + [[canaryExposure]]) calibrates how much
+    * repetition makes training data extractable. `spec` maps each
+    * canary id to its selection modulus: doc d carries canary c iff
+    * md5-bucket(d:c) ≡ 0 (mod m) — expected corpus/m insertions, the
+    * EXACT count measured by scanning the result (the manifest is the
+    * measurement, never a promise). The spec is an operator constant
+    * (dozens of canaries); the rewrite is one map-only projection
+    * folding |spec| gated appends. */
+  def injectCanaries(docs: DataFrame, spec: Seq[(String, Int)],
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(spec.nonEmpty && spec.forall(_._2 >= 1),
+      "spec must be non-empty with positive moduli")
+    val rewritten = spec.foldLeft(coalesce(col(textCol), lit(""))) {
+      case (acc, (c, m)) =>
+        when(hashBucket(concat(col(idCol).cast("string"),
+            lit(":" + c)), m) === 0,
+          concat(acc, lit(" "), canaryText(lit(c)))).otherwise(acc)
+    }
+    docs.select(col(idCol), rewritten.as(textCol))
+  }
+
+  /** Canary scan — run over the INJECTED corpus it is the manifest
+    * (how many insertions actually landed), run over model GENERATIONS
+    * it is the leak audit: per canary, the number of docs containing
+    * its marker and the total occurrence count (exact: length delta
+    * over a plain-string replace, divided by the marker length).
+    * One pass: the |spec|-struct literal array explodes per doc
+    * (transient, map-side — partial aggregation reduces each task to
+    * |spec| rows before the exchange). */
+  def canaryScan(docs: DataFrame, spec: Seq[(String, Int)],
+                 textCol: String = "text"): DataFrame = {
+    require(spec.nonEmpty, "spec must be non-empty")
+    val entries = array(spec.map { case (c, _) =>
+      struct(lit(c).as("canary_id"), canaryText(lit(c)).as("ctext"))
+    }: _*)
+    val t = coalesce(col(textCol), lit(""))
+    docs.select(t.as("t"), explode(entries).as("c"))
+      .select(col("c.canary_id").as("canary_id"),
+        when(col("t").contains(col("c.ctext")), 1L).otherwise(0L)
+          .as("hit"),
+        ((length(col("t")) -
+          length(expr("replace(t, c.ctext, '')"))) /
+          length(col("c.ctext"))).cast("long").as("occ"))
+      .groupBy("canary_id")
+      .agg(sum("hit").as("n_docs"), sum("occ").as("n_occurrences"))
+  }
+
+  /** The extraction-risk readout: training-side manifest vs
+    * generation-side audit, per canary — insertion count, leaked doc
+    * count, the exact-quotient leak rate (gen docs per train
+    * insertion), and the boolean a release gate acts on. Both sides
+    * are |spec|-row frames (broadcast-trivial). */
+  def canaryExposure(trainManifest: DataFrame,
+                     genAudit: DataFrame): DataFrame =
+    trainManifest.select(col("canary_id"),
+        col("n_docs").as("n_train_docs"))
+      .join(genAudit.select(col("canary_id"),
+        col("n_docs").as("n_gen_docs"),
+        col("n_occurrences").as("n_gen_occurrences")),
+        Seq("canary_id"), "left")
+      .select(col("canary_id"), col("n_train_docs"),
+        coalesce(col("n_gen_docs"), lit(0L)).as("n_gen_docs"),
+        coalesce(col("n_gen_occurrences"), lit(0L))
+          .as("n_gen_occurrences"),
+        when(col("n_train_docs") > 0L,
+          coalesce(col("n_gen_docs"), lit(0L)).cast("double") /
+            col("n_train_docs").cast("double")).otherwise(0.0)
+          .as("leak_rate"),
+        (coalesce(col("n_gen_docs"), lit(0L)) > 0L).cast("long")
+          .as("leaked"))
+
   /** PII EXPOSURE AUDIT — the measuring complement of [[scrubPii]]'s
     * rewrite (a compliance release wants the COUNTS, per source, before
     * deciding to scrub or drop): per `groupCol`, match counts for each

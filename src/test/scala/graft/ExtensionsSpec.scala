@@ -5020,6 +5020,40 @@ class ExtensionsSpec extends SparkSpec {
       ("b", "stagnant", 1L, 800.0)))
   }
 
+  test("injectCanaries/canaryScan/canaryExposure: markers append in " +
+    "spec order, occurrences counted exactly, unseen canary reads " +
+    "zeros through the left join") {
+    val docs = Seq((1L, "alpha"), (2L, "beta"), (3L, null))
+      .toDF("doc_id", "text")
+    // modulus 1 = every doc carries both canaries, in spec order
+    val spec = Seq("ca" -> 1, "cb" -> 1)
+    val inj = TextOps.injectCanaries(docs, spec)
+      .orderBy("doc_id").collect()
+    val caM = Seq("x").toDF("t")
+      .select(TextOps.canaryText(lit("ca"))).head().getString(0)
+    val cbM = Seq("x").toDF("t")
+      .select(TextOps.canaryText(lit("cb"))).head().getString(0)
+    assert(inj(0).getString(1) == s"alpha $caM $cbM")
+    assert(inj(2).getString(1) == s" $caM $cbM") // null text → ""
+    val manifest = TextOps.canaryScan(
+        TextOps.injectCanaries(docs, spec), spec)
+      .orderBy("canary_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    assert(manifest == List(("ca", 3L, 3L), ("cb", 3L, 3L)))
+    // generations: one doc leaks cb TWICE, one is clean — ca never
+    val gen = Seq((1L, s"say $cbM then $cbM"), (2L, "clean"))
+      .toDF("doc_id", "text")
+    val audit = TextOps.canaryScan(gen, spec)
+    val exp = TextOps.canaryExposure(
+        TextOps.canaryScan(TextOps.injectCanaries(docs, spec), spec),
+        audit)
+      .orderBy("canary_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5))).toList
+    assert(exp == List(("ca", 3L, 0L, 0L, 0.0, 0L),
+      ("cb", 3L, 1L, 2L, 1.0 / 3.0, 1L)))
+  }
+
   test("markdownStats + fencedBlocks: structural counts, composite " +
     "verdict, tagged/untagged blocks in order, unterminated ignored") {
     val md = "# h1\n## h2\ntext [a](u) and [b](v)\n- x\n* y\n" +

@@ -823,6 +823,19 @@ class PlanSpec extends SparkSpec {
       s"q287 sums not partial-agged:\n$p287")
     assert(!p287.contains("Window") && !p287.contains("Join"),
       s"q287 plans a window or join:\n$p287")
+    // q291: scan + |spec|-explode + ONE partial-agged aggregation —
+    // no window, no join, no cartesian
+    val p291 = plan("q291_canary_manifest")
+    assert(p291.contains("partial_"),
+      s"q291 not partial-agged:\n$p291")
+    assert(!p291.contains("Window") && !p291.contains("Join"),
+      s"q291 plans a window or join:\n$p291")
+    // q292: the manifest-vs-audit join is over two |spec|-row
+    // aggregates — never a cartesian or a sort-merge shuffle
+    val p292 = plan("q292_canary_exposure")
+    assert(!p292.contains("CartesianProduct") &&
+      !p292.contains("SortMergeJoin"),
+      s"q292 shuffles a spec-sized side:\n$p292")
   }
 
   test("giant-group quantile fallback: no window sort, cuts broadcast") {

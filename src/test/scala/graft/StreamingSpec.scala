@@ -712,4 +712,80 @@ class StreamingSpec extends SparkSpec {
       .orderBy("arena_rank").collect().toSeq
     assert(refit == batch, s"\nrefit: $refit\nbatch: $batch")
   }
+
+  test("lossAuditForeachBatch: per-batch OLS sums fold into stored " +
+    "state; the rewritten audit equals the batch lossTrajectories " +
+    "over all telemetry bit for bit; compaction changes nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // batch 0: all rows invalid (null loss) → no state lands, the
+    // refit must skip and write no audit
+    val b0: Seq[(java.lang.Long, java.lang.Integer, java.lang.Long)] =
+      Seq((1L, 0, null), (2L, 0, null))
+    // batches 1/2/3 split each doc's 8 steps 0-2 / 3-5 / 6-7 — the
+    // batch audit over the union is the ground truth (doc 1 learned
+    // with slope exactly -100, doc 2 memorized, doc 3 stagnant)
+    def steps(lo: Int, hi: Int)
+        : Seq[(java.lang.Long, java.lang.Integer, java.lang.Long)] =
+      (lo to hi).flatMap(x => Seq(
+        (java.lang.Long.valueOf(1L), java.lang.Integer.valueOf(x),
+          java.lang.Long.valueOf(2000L - 100L * x)),
+        (java.lang.Long.valueOf(2L), java.lang.Integer.valueOf(x),
+          java.lang.Long.valueOf(770L - 100L * x)),
+        (java.lang.Long.valueOf(3L), java.lang.Integer.valueOf(x),
+          java.lang.Long.valueOf(900L))))
+    val b1 = steps(0, 2)
+    val b2 = steps(3, 5)
+    val b3 = steps(6, 7)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_loss_stream").toString
+    val in = MemoryStream[(java.lang.Long, java.lang.Integer,
+      java.lang.Long)]
+    val q = Streaming.lossAuditForeachBatch(
+      in.toDF().toDF("doc_id", "step", "loss_milli"),
+      s"$dir/state", s"$dir/audit", s"$dir/ck")
+    try {
+      in.addData(b0: _*)
+      q.processAllAvailable()
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/audit")))
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      // interim audit exists and covers the three docs
+      assert(spark.read.parquet(s"$dir/audit").count() == 3)
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      // compact between batches: committed partitions fold to -1,
+      // the latest live partition survives for replay safety
+      Streaming.compactLossState(spark, s"$dir/state")
+      val parts = spark.read.parquet(s"$dir/state/loss_state")
+        .select(col("batch_id").cast("long")).distinct().collect()
+        .map(_.getLong(0)).toSeq.sorted
+      assert(parts == Seq(-1L, 2L), s"parts $parts")
+      in.addData(b3: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/audit")
+      .orderBy("doc_id").collect().toSeq
+    val batch = graft.ops.Training.lossTrajectories(
+        (b0 ++ b1 ++ b2 ++ b3).toDF("doc_id", "step", "loss_milli"))
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed == batch, s"\nstream: $streamed\nbatch:  $batch")
+    assert(streamed.map(_.getString(5)).toList ==
+      List("learned", "memorized", "stagnant"))
+    // state is sufficient statistics, never telemetry payloads
+    val cols = spark.read.parquet(s"$dir/state/loss_state").columns.toSet
+    assert(cols == Set("doc_id", "n_steps", "sx", "sy", "sxx", "sxy",
+      "min_y", "max_y", "first_step", "first_milli", "last_step",
+      "last_milli", "batch_id"))
+    // compacting the stopped stream's full state: the re-merged audit
+    // is bit-identical
+    Streaming.compactLossState(spark, s"$dir/state")
+    val remerged = graft.ops.Training.classifyFromState(
+        graft.ops.Training.mergeLossStates(
+          spark.read.parquet(s"$dir/state/loss_state")
+            .drop("batch_id")))
+      .orderBy("doc_id").collect().toSeq
+    assert(remerged == batch, s"\nremerged: $remerged\nbatch: $batch")
+  }
 }
