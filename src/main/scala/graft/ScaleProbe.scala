@@ -245,6 +245,20 @@ object ScaleProbe {
                 .cast("long").as("loss_milli"))
           graft.ops.Training.lossTrajectories(tele)
             .groupBy("verdict").count().collect(); 1L },
+        // TFRecord export: per-row protobuf encode + one sequential
+        // shard write per task, then the CRC-verified read-back —
+        // pure per-row codec work, must scale with the scan
+        "tfrecord_roundtrip" -> { d =>
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft_tfr_probe").toString + "/out"
+          graft.io.Tfrecord.writeTfrecordShards(
+            d.select(col("doc_id"), col("text"), col("source")), dir)
+          val n = graft.io.Tfrecord.readRecords(d.sparkSession, dir)
+            .count()
+          org.apache.hadoop.fs.FileSystem.getLocal(
+              d.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(new org.apache.hadoop.fs.Path(dir), true)
+          n },
         // canary lifecycle: inject (map-only fold) + scan (explode ×
         // |spec| then one partial-agged |spec|-row aggregation)
         "canary_scan" -> { d =>

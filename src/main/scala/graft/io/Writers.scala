@@ -54,6 +54,14 @@ object Writers {
     (if (gzip) w.option("compression", "gzip") else w).json(path)
   }
 
+  /** TFRecord export edge — ready-to-train shards in the wire format
+    * TensorFlow-family loaders stream ([[Tfrecord.writeTfrecordShards]]
+    * does the encoding; this is the Writers-surface alias). Returns
+    * the |shards|-row manifest. Like [[jsonl]], an EXPORT format: no
+    * pushdown, no pruning — keep parquet for pipeline-internal hops. */
+  def tfrecord(df: DataFrame, path: String): DataFrame =
+    Tfrecord.writeTfrecordShards(df, path)
+
   /** Small-file compaction: rewrite a parquet directory into
     * ≈`targetFileMB`-sized files. Streaming sinks, per-batch ingests, and
     * over-parallel writers leave thousands of KB-scale files per

@@ -673,4 +673,34 @@ object Pipelines {
         .isin("image", "audio", "video")).select("asset_id"))
     assets.join(keep, Seq("asset_id"), "left_semi")
   }
+
+  /** E9 — CRAWL-TO-TRAINER EXPORT: [[curate]] → greedy context-window
+    * packing ([[graft.text.TextOps.packSequencesGreedy]]) → TFRecord
+    * shards ([[graft.io.Tfrecord]]), the last hop of the pipeline: what
+    * leaves here is what a dataloader streams. Each record carries
+    * (doc_id, shard, pack_id, pack_pos, n_tokens, text); rows land
+    * sorted (shard, pack_id, pack_pos) within their shard file so a
+    * sequential reader sees packs contiguously in training order.
+    * Returns the |files|-row manifest. File count = the nShards
+    * repartition (shard ids travel IN the records; a hash collision
+    * putting two shards in one file changes nothing for the reader).
+    * Curation knobs beyond `minQuality` are deliberately not threaded —
+    * callers with a tuned curation pass the CURATED frame and set
+    * `minQuality = 0` ([[curate]] is idempotent on its own output). */
+  def exportTrainingShards(docs: DataFrame, outDir: String,
+                           maxTokens: Long = 1024, nShards: Int = 8,
+                           minQuality: Double = 0.3,
+                           seed: String = ""): DataFrame = {
+    import graft.text.TextOps
+    val curated = curate(docs, minQuality)
+    val packed = TextOps.packSequencesGreedy(curated, maxTokens,
+      nShards, seed = seed)
+    val rows = packed
+      .join(curated.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("shard"), col("pack_id"),
+        col("pack_pos"), col("n_tokens"), col("text"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "pack_id", "pack_pos")
+    graft.io.Tfrecord.writeTfrecordShards(rows, outDir)
+  }
 }

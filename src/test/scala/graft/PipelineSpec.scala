@@ -641,4 +641,43 @@ class PipelineSpec extends SparkSpec {
         r.getAs[String]("rejected"), r.getAs[Double]("margin")))
     assert(pairs.toSeq == Seq((100L, "good answer", "bad answer", 3.0)))
   }
+
+  test("E9 exportTrainingShards: curate drops junk and near-dups, " +
+    "survivors leave as TFRecord packs that round-trip bit for bit") {
+    import graft.io.Tfrecord
+    val proseA = "The quick brown fox jumps over the lazy dog and " +
+      "then it runs far away to the old stone house by the river " +
+      "bank where it sleeps through the warm afternoon."
+    val proseB = "A slow grey owl glides over the quiet field at " +
+      "night and waits patiently for the small mouse to come out " +
+      "of its hole under the wooden fence near the barn."
+    val docs = Seq(
+      (60L, proseA),
+      (61L, proseA + " Indeed."), // near-dup of 60: keep-first drops it
+      (62L, proseB),
+      (63L, "x")) // junk: quality gate drops it
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_e9").resolve("out").toString
+    val manifest = Pipelines.exportTrainingShards(docs, dir,
+      maxTokens = 64, nShards = 2).collect()
+    assert(manifest.map(_.getLong(1)).sum == 2L,
+      s"manifest: ${manifest.mkString(",")}")
+    val recs = Tfrecord.readRecords(spark, dir).collect()
+      .map(r => Tfrecord.parseExample(r.getAs[Array[Byte]]("payload"))
+        .map(f => f._1 -> f).toMap)
+    val byId = recs.map(m => (m("doc_id")._3.head, m)).toMap
+    assert(byId.keySet == Set(60L, 62L), s"got ${byId.keySet}")
+    assert(new String(byId(60L)("text")._2.head, "UTF-8") == proseA)
+    assert(new String(byId(62L)("text")._2.head, "UTF-8") == proseB)
+    // pack metadata travels in the records and is sane: positions
+    // start at 1, token counts are the whitespace proxy
+    recs.foreach { m =>
+      assert(m("pack_pos")._3.head >= 1L)
+      assert(m("n_tokens")._3.head > 10L)
+      assert(m("shard")._3.head >= 0L && m("pack_id")._3.head >= 0L)
+    }
+  }
 }

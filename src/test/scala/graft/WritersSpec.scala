@@ -706,4 +706,59 @@ class WritersSpec extends SparkSpec {
     assert(got == inMem, s"stored-index result diverged: $got vs $inMem")
     assert(got.nonEmpty, "probe returned no candidates")
   }
+
+  test("tfrecord shards: every type round-trips through the wire " +
+    "format, nulls absent, doubles narrow to float32, CRCs verified " +
+    "and corruption detected, manifest counts the shards") {
+    import graft.io.Tfrecord
+    val dir = Files.createTempDirectory("graft_tfr")
+      .resolve("out").toString
+    val df = Seq(
+      (1L, "alpha", 1.5, Seq(10L, 20L), Seq("x", "y"),
+        Array[Byte](1, 2, 3)),
+      (2L, null.asInstanceOf[String], 0.25, Seq.empty[Long],
+        Seq.empty[String], null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "text", "score", "ids", "tags", "blob")
+      .repartition(2, col("doc_id")) // two shards, both non-empty
+    val manifest = Tfrecord.writeTfrecordShards(df, dir).collect()
+    assert(manifest.map(_.getLong(1)).sum == 2L)
+    assert(manifest.forall(_.getString(0).endsWith(".tfrecord")))
+    // round-trip: payloads parse back to exactly the written features
+    val back = Tfrecord.readRecords(spark, dir).collect()
+      .map(r => Tfrecord.parseExample(r.getAs[Array[Byte]]("payload")))
+    assert(back.length == 2)
+    val byId = back.map { feats =>
+      val m = feats.map(f => f._1 -> f).toMap
+      (m("doc_id")._3.head, m)
+    }.toMap
+    val r1 = byId(1L)
+    assert(new String(r1("text")._2.head, "UTF-8") == "alpha")
+    assert(r1("score")._4 == Seq(1.5f))
+    assert(r1("ids")._3 == Seq(10L, 20L))
+    assert(r1("tags")._2.map(new String(_, "UTF-8")) == Seq("x", "y"))
+    assert(r1("blob")._2.head.toSeq == Seq[Byte](1, 2, 3))
+    val r2 = byId(2L)
+    assert(!r2.contains("text") && !r2.contains("blob"),
+      "null features must be absent")
+    assert(r2("score")._4 == Seq(0.25f))
+    assert(r2("ids")._3.isEmpty && r2("tags")._2.isEmpty)
+    // integrity: flipping one payload byte must fail the CRC check
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tfrecord")).head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    bytes(14) = (bytes(14) ^ 0x01).toByte // inside the first payload
+    java.nio.file.Files.write(f.toPath, bytes)
+    // drop Hadoop's local-FS .crc sidecars so the FORMAT's own CRC
+    // (the one that travels with the bytes) is what detects it
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    val ex = intercept[Exception] {
+      Tfrecord.readRecords(spark, dir).collect()
+    }
+    val chain = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(chain.exists(_.contains("CRC")),
+      s"no CRC failure in cause chain: $chain")
+  }
 }
