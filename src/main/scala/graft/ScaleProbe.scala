@@ -259,6 +259,20 @@ object ScaleProbe {
               d.sparkSession.sparkContext.hadoopConfiguration)
             .delete(new org.apache.hadoop.fs.Path(dir), true)
           n },
+        // WebDataset export: per-member ustar encode + one sequential
+        // tar stream per task, then the checksum-verified read-back
+        "webdataset_roundtrip" -> { d =>
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft_wds_probe").toString + "/out"
+          graft.io.WebDataset.writeWebDatasetShards(
+            d.select(col("doc_id").cast("string").as("key"),
+              col("text").as("txt"), col("source").as("cls")), dir)
+          val n = graft.io.WebDataset.readMembers(d.sparkSession, dir)
+            .count()
+          org.apache.hadoop.fs.FileSystem.getLocal(
+              d.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(new org.apache.hadoop.fs.Path(dir), true)
+          n },
         // canary lifecycle: inject (map-only fold) + scan (explode ×
         // |spec| then one partial-agged |spec|-row aggregation)
         "canary_scan" -> { d =>
@@ -373,6 +387,12 @@ object ScaleProbe {
         "pack_greedy" -> { d =>
           TextOps.packSequencesGreedy(d, maxTokens = 512)
             .agg(sum("pack_id"), max("pack_pos")).head(); 1L },
+        "pack_manifest" -> { d =>
+          TextOps.packManifest(
+              TextOps.packSequencesGreedy(d, maxTokens = 512),
+              maxTokens = 512)
+            .agg(sum("n_docs"), sum(length(col("boundaries"))))
+            .head(); 1L },
         "calibration_bins" -> { d =>
           TextOps.calibrationBins(d.select(
             ((col("doc_id") % 129).cast("double") / 128.0).as("prob"),

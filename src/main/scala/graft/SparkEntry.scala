@@ -3388,6 +3388,16 @@ object SparkEntry {
         .orderBy("canary_id")
     }),
 
+    // pack manifest over q202's greedy packing: per pack the doc
+    // boundary offsets (the cross-doc attention-mask positions), fill
+    // efficiency against the 512 window, and the truncation flag
+    "q293_pack_manifest" -> ((s, dir) =>
+      TextOps.packManifest(
+          TextOps.packSequencesGreedy(t(s, dir, "documents"),
+            maxTokens = 512, nShards = 4),
+          maxTokens = 512)
+        .orderBy("shard", "pack_id")),
+
     // fenced-code-block extraction: every block's language tag + body,
     // one tagged python block per doc and an untagged second block on
     // doc_id%4==0
@@ -5377,37 +5387,12 @@ object SparkEntry {
     // capacity-reset walk as a recursive CTE (one step per row rank —
     // the sequential semantics no plain window expresses)
     "q202_sequence_packing" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id,
-        |    ('0x' || substr(md5(':' || CAST(doc_id AS VARCHAR)), 1, 8))
-        |      ::BIGINT % 4 AS shard,
-        |    ('0x' || substr(md5(':o:' || CAST(doc_id AS VARCHAR)), 1, 15))
-        |      ::BIGINT AS ord,
-        |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
-        |      AS n_tokens
-        |  FROM documents),
-        |r AS (
-        |  SELECT *, row_number() OVER (PARTITION BY shard
-        |                               ORDER BY ord, doc_id) AS rn
-        |  FROM d),
-        |walk AS (
-        |  SELECT shard, rn, doc_id, n_tokens,
-        |         CAST(0 AS BIGINT) AS pack, n_tokens AS fill, 1 AS pos
-        |  FROM r WHERE rn = 1
-        |  UNION ALL
-        |  SELECT r.shard, r.rn, r.doc_id, r.n_tokens,
-        |         CASE WHEN w.fill > 0 AND w.fill + r.n_tokens > 512
-        |              THEN w.pack + 1 ELSE w.pack END,
-        |         CASE WHEN w.fill > 0 AND w.fill + r.n_tokens > 512
-        |              THEN r.n_tokens ELSE w.fill + r.n_tokens END,
-        |         CASE WHEN w.fill > 0 AND w.fill + r.n_tokens > 512
-        |              THEN 1 ELSE w.pos + 1 END
-        |  FROM walk w JOIN r ON r.shard = w.shard AND r.rn = w.rn + 1)
-        |SELECT shard, pack AS pack_id, CAST(pos AS INTEGER) AS pack_pos,
-        |       doc_id, n_tokens,
-        |       CAST(CASE WHEN n_tokens > 512 THEN 1 ELSE 0 END
-        |         AS INTEGER) AS truncated
-        |FROM walk ORDER BY shard, pack_id, pack_pos""".stripMargin,
+      s"""WITH RECURSIVE $greedyWalkOracleCtes
+         |SELECT shard, pack AS pack_id, CAST(pos AS INTEGER) AS pack_pos,
+         |       doc_id, n_tokens,
+         |       CAST(CASE WHEN n_tokens > 512 THEN 1 ELSE 0 END
+         |         AS INTEGER) AS truncated
+         |FROM walk ORDER BY shard, pack_id, pack_pos""".stripMargin,
 
     // q198: q175's hashed-feature CTE + the per-label integer weight
     // formula; logits are exact integer sums, the argmax window restates
@@ -10567,7 +10552,26 @@ object SparkEntry {
          |       CAST(CASE WHEN coalesce(g.n_gen, 0) > 0
          |            THEN 1 ELSE 0 END AS BIGINT) AS leaked
          |FROM tr t LEFT JOIN ga g ON t.canary_id = g.cid
-         |ORDER BY t.canary_id""".stripMargin
+         |ORDER BY t.canary_id""".stripMargin,
+
+    "q293_pack_manifest" ->
+      s"""WITH RECURSIVE $greedyWalkOracleCtes,
+         |pk AS (
+         |  SELECT shard, pack,
+         |         CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |         list(n_tokens ORDER BY pos) AS ts,
+         |         CAST(max(CASE WHEN n_tokens > 512 THEN 1 ELSE 0 END)
+         |           AS INTEGER) AS truncated
+         |  FROM walk GROUP BY 1, 2)
+         |SELECT shard, pack AS pack_id, n_docs, n_tokens,
+         |       array_to_string(list_transform(
+         |           generate_series(1, len(ts)),
+         |           i -> CAST(CAST(list_sum(ts[1:i]) AS BIGINT)
+         |                AS VARCHAR)), ',') AS boundaries,
+         |       CAST(n_tokens AS DOUBLE) / 512 AS fill_fraction,
+         |       truncated
+         |FROM pk ORDER BY shard, pack_id""".stripMargin
   )
 
   /** q291/q292's canary tiers as a VALUES table — mirrors
@@ -10575,6 +10579,39 @@ object SparkEntry {
   private def canarySpecCte: String =
     """spec(canary_id, m) AS (
       |  VALUES ('c2', 2), ('c10', 10), ('c50', 50))""".stripMargin
+
+  /** q202/q293's oracle prelude: the greedy capacity-reset walk
+    * (maxTokens 512, 4 md5 shards) replayed as a recursive CTE —
+    * packSequencesGreedy's exact rule. Callers prefix `WITH
+    * RECURSIVE`. */
+  private def greedyWalkOracleCtes: String =
+    """d AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(':' || CAST(doc_id AS VARCHAR)), 1, 8))
+      |      ::BIGINT % 4 AS shard,
+      |    ('0x' || substr(md5(':o:' || CAST(doc_id AS VARCHAR)), 1, 15))
+      |      ::BIGINT AS ord,
+      |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY shard
+      |                               ORDER BY ord, doc_id) AS rn
+      |  FROM d),
+      |walk AS (
+      |  SELECT shard, rn, doc_id, n_tokens,
+      |         CAST(0 AS BIGINT) AS pack, n_tokens AS fill, 1 AS pos
+      |  FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.shard, r.rn, r.doc_id, r.n_tokens,
+      |         CASE WHEN w.fill > 0 AND w.fill + r.n_tokens > 512
+      |              THEN w.pack + 1 ELSE w.pack END,
+      |         CASE WHEN w.fill > 0 AND w.fill + r.n_tokens > 512
+      |              THEN r.n_tokens ELSE w.fill + r.n_tokens END,
+      |         CASE WHEN w.fill > 0 AND w.fill + r.n_tokens > 512
+      |              THEN 1 ELSE w.pos + 1 END
+      |  FROM walk w JOIN r ON r.shard = w.shard AND r.rn = w.rn + 1)"""
+      .stripMargin
 
   /** q287/q288's oracle prelude: the synthesized telemetry, the exact
     * integer OLS sums, and the slope + verdict — lossTrajectories

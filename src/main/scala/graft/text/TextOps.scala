@@ -2798,6 +2798,40 @@ object TextOps {
       .withColumn(idCol, col(idCol).cast(idType))
   }
 
+  /** PACK MANIFEST over [[packSequencesGreedy]]' assignment — the two
+    * things a training loader needs per packed sequence: the DOCUMENT
+    * BOUNDARY offsets (token positions where one doc ends and the next
+    * begins — exactly where cross-document attention must be masked;
+    * Zhao et al. 2024 measure the quality cost of skipping this) and
+    * the FILL efficiency (n_tokens/maxTokens as the one edge quotient
+    * — the padding waste the packer exists to minimize). Per (shard,
+    * pack_id): doc count, token total, `boundaries` as a
+    * comma-joined running-sum string in pack order (string, not array:
+    * engine-portable and manifest-file friendly), fill_fraction, and
+    * the pack's `truncated` flag. One grouped aggregation over the
+    * packing rows; the in-pack scan runs on the collected per-pack
+    * list, bounded by maxTokens/min-doc-tokens docs — an operator
+    * constant, never corpus-sized. */
+  def packManifest(packed: DataFrame, maxTokens: Long): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    val g = packed.groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        max("truncated").as("truncated"),
+        sort_array(collect_list(struct(col("pack_pos"),
+          col("n_tokens").as("t")))).as("rows"))
+    val sums = expr(
+      "transform(sequence(1, size(rows)), i -> cast(" +
+        "aggregate(slice(rows, 1, i), 0L, (a, r) -> a + r.t) " +
+        "as string))")
+    g.select(col("shard"), col("pack_id"), col("n_docs"),
+        col("n_tokens"),
+        array_join(sums, ",").as("boundaries"),
+        (col("n_tokens").cast("double") /
+          lit(maxTokens.toDouble)).as("fill_fraction"),
+        col("truncated"))
+  }
+
   /** SHARD-BALANCE REPORT over [[trainingShards]]' assignment — the
     * release check that the md5 sharding actually delivered the uniform
     * layout downstream dataloaders assume: per shard, doc and token

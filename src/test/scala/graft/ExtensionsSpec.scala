@@ -5020,6 +5020,26 @@ class ExtensionsSpec extends SparkSpec {
       ("b", "stagnant", 1L, 800.0)))
   }
 
+  test("packManifest: boundary offsets are in-pack running sums, fill " +
+    "is the exact quotient, truncation propagates to its pack") {
+    val packed = Seq(
+      (0L, 0L, 1, 1L, 10L, 0),
+      (0L, 0L, 2, 2L, 20L, 0),
+      (0L, 0L, 3, 3L, 30L, 0),
+      (0L, 1L, 1, 4L, 100L, 1), // oversized singleton
+      (1L, 0L, 1, 5L, 64L, 0)) // exactly full
+      .toDF("shard", "pack_id", "pack_pos", "doc_id", "n_tokens",
+        "truncated")
+    val got = TextOps.packManifest(packed, maxTokens = 64)
+      .orderBy("shard", "pack_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getDouble(5), r.getInt(6))).toList
+    assert(got == List(
+      (0L, 0L, 3L, 60L, "10,30,60", 60.0 / 64.0, 0),
+      (0L, 1L, 1L, 100L, "100", 100.0 / 64.0, 1),
+      (1L, 0L, 1L, 64L, "64", 1.0, 0)))
+  }
+
   test("injectCanaries/canaryScan/canaryExposure: markers append in " +
     "spec order, occurrences counted exactly, unseen canary reads " +
     "zeros through the left join") {

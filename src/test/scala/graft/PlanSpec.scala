@@ -836,6 +836,11 @@ class PlanSpec extends SparkSpec {
     assert(!p292.contains("CartesianProduct") &&
       !p292.contains("SortMergeJoin"),
       s"q292 shuffles a spec-sized side:\n$p292")
+    // q293: the manifest is ONE aggregation over the packing rows —
+    // no window, no join; the in-pack scan rides the collected list
+    val p293 = plan("q293_pack_manifest")
+    assert(!p293.contains("Window") && !p293.contains("Join"),
+      s"q293 plans a window or join:\n$p293")
   }
 
   test("giant-group quantile fallback: no window sort, cuts broadcast") {
