@@ -57,6 +57,7 @@ object Run {
       case "categorize" => categorize(sparkSession(), opts)
       case "all" => all(sparkSession(), opts)
       case "curate" => curateCmd(sparkSession(), opts)
+      case "export" => exportCmd(sparkSession(), opts)
       case other =>
         System.err.println(s"Unknown subcommand: $other\n$help")
         sys.exit(2)
@@ -81,7 +82,10 @@ object Run {
       |             [--allow-licenses <l1,l2,...>] [--drop-damaged]
       |             [--c4-lines] [--script-aware] [--paragraph-dedup]
       |             [--lang-model <nb model parquet>] [--lang <label>]
-      |             [--shards <n>] [--audit]""".stripMargin
+      |             [--shards <n>] [--audit]
+      |  export     -d <docs parquet> -s <out dir>
+      |             [--format tfrecord|webdataset] [--max-tokens <n>]
+      |             [--shards <n>] [--min-quality <q>]""".stripMargin
 
   /** getopt-lite: `-x val` / `--long val` for value opts, bare flags for
     * booleans (the reference's flag set). */
@@ -504,6 +508,40 @@ object Run {
         "-a" -> root.toString, "-s" -> root.resolve(stem).toString))
     }
     println("All stages complete.")
+  }
+
+  // ---- export: curate → pack → trainer-ready shards (E9) ----------------
+  /** `Run export -d docs.parquet -s outdir [--format tfrecord|webdataset]
+    * [--max-tokens N] [--shards N] [--min-quality Q]` — the CLI face of
+    * [[Pipelines.exportTrainingShards]]: what lands under
+    * `outdir/shards/` is what a dataloader streams; the shard manifest
+    * is written beside it as one CSV. `webdataset` exports the curated
+    * docs as `<doc_id>.txt` tar members instead. */
+  private def exportCmd(spark: SparkSession,
+                        opts: Map[String, String]): Unit = {
+    val in = opts.getOrElse("-d", exit2("Input docs parquet (-d) missing."))
+    val outDir = Paths.get(opts.getOrElse("-s", exit2("Out dir (-s) missing.")))
+    val docs = spark.read.parquet(in)
+    Files.createDirectories(outDir)
+    val shardsDir = outDir.resolve("shards").toString
+    val minQ = opts.get("--min-quality").map(_.toDouble).getOrElse(0.3)
+    val manifest = opts.getOrElse("--format", "tfrecord") match {
+      case "tfrecord" =>
+        Pipelines.exportTrainingShards(docs, shardsDir,
+          maxTokens =
+            opts.get("--max-tokens").map(_.toLong).getOrElse(1024L),
+          nShards = opts.get("--shards").map(_.toInt).getOrElse(8),
+          minQuality = minQ)
+      case "webdataset" =>
+        graft.io.WebDataset.writeWebDatasetShards(
+          Pipelines.curate(docs, minQuality = minQ)
+            .select(col("doc_id").cast("string").as("key"),
+              col("text").as("txt")),
+          shardsDir)
+      case other => exit2(s"Unknown --format: $other")
+    }
+    writeSingleCsv(manifest, outDir.resolve("shard_manifest.csv"))
+    println(s"Export complete: $shardsDir")
   }
 
   private def exit2(msg: String): Nothing = {

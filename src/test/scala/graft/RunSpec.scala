@@ -315,4 +315,42 @@ class RunSpec extends SparkSpec {
       "audit_zipf.csv").foreach(f =>
       assert(Files.exists(out.resolve(f)), s"missing $f"))
   }
+
+  test("export CLI: curated corpus leaves as TFRecord (or WebDataset) " +
+    "shards with a manifest CSV beside them") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_export")
+    val in = root.resolve("docs.parquet").toString
+    def text(i: Long) = s"the subject$i and the object$i of the story$i " +
+      s"went to the place$i with the friend$i and the helper$i in the " +
+      s"year$i of the era$i"
+    val docs = ((0L until 20L).map(i => (i, text(i), "en", "src0",
+      text(i).length.toLong)) :+ (99L, "!!!", "en", "src0", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(in)
+    val out = root.resolve("out")
+    Run.main(Array("export", "-d", in, "-s", out.toString,
+      "--max-tokens", "64", "--shards", "2"))
+    val files = out.resolve("shards").toFile.listFiles()
+      .filter(_.getName.endsWith(".tfrecord"))
+    assert(files.nonEmpty, "no tfrecord shards written")
+    assert(Files.exists(out.resolve("shard_manifest.csv")))
+    // every curated doc (junk 99 gated) is exactly one record
+    val recs = graft.io.Tfrecord
+      .readRecords(spark, out.resolve("shards").toString)
+      .collect()
+      .map(r => graft.io.Tfrecord
+        .parseExample(r.getAs[Array[Byte]]("payload"))
+        .collectFirst { case ("doc_id", _, ids, _) => ids.head }.get)
+    assert(recs.length == 20 && !recs.contains(99L))
+    // the webdataset leg: tar shards with <doc_id>.txt members
+    val out2 = root.resolve("out2")
+    Run.main(Array("export", "-d", in, "-s", out2.toString,
+      "--format", "webdataset"))
+    val members = graft.io.WebDataset
+      .readMembers(spark, out2.resolve("shards").toString)
+      .select("name").collect().map(_.getString(0)).toSet
+    assert(members.contains("0.txt") && !members.contains("99.txt"))
+    assert(Files.exists(out2.resolve("shard_manifest.csv")))
+  }
 }
