@@ -2074,8 +2074,10 @@ object Dedup {
       .select(col(idCol),
         explode(graft.functions.VectorExpressions
           .gramHashes(col(textCol), minLen)).as("h"))
+    // hitIds feeds BOTH survGrams and dropIds — cached alongside
+    // survGrams so the per-batch gram kernel + index probe run once
     val hitIds = bg.join(idx, Seq("h"), "left_semi")
-      .select(col(idCol)).distinct()
+      .select(col(idCol)).distinct().persist()
     // consumed twice below (both sides of the intra-batch self-join) —
     // without the cache the gram kernel re-runs over the batch text
     val survGrams = bg.join(hitIds, Seq(idCol), "left_anti").persist()
@@ -2091,6 +2093,9 @@ object Dedup {
       val dropIds = hitIds.unionByName(dupInBatch)
         .localCheckpoint(true)
       batch.join(dropIds, Seq(idCol), "left_anti")
-    } finally survGrams.unpersist(false)
+    } finally {
+      survGrams.unpersist(false)
+      hitIds.unpersist(false)
+    }
   }
 }

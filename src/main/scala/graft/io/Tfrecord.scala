@@ -176,33 +176,19 @@ object Tfrecord {
     out.array()
   }
 
-  /** Hadoop `Configuration` is not Java-serializable; this holder
-    * writes it through its own Writable form so executor tasks see the
-    * driver's FS settings (the standard wrapper, re-rolled because
-    * Spark's own is package-private). */
-  private final class ConfHolder(
-      @transient var conf: org.apache.hadoop.conf.Configuration)
-      extends Serializable {
-    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-      out.defaultWriteObject()
-      conf.write(out)
-    }
-    private def readObject(in: java.io.ObjectInputStream): Unit = {
-      in.defaultReadObject()
-      conf = new org.apache.hadoop.conf.Configuration(false)
-      conf.readFields(in)
-    }
-  }
-
   /** Write `df` as TFRecord shards, one `part-<taskId>.tfrecord` per
     * non-empty partition, and return the |shards|-row manifest
     * (file, n_records, n_bytes). Overwrites `path`. Shard count and
     * balance are the caller's repartition decision; each task streams
-    * its shard as one sequential write (object-store friendly). */
+    * its shard as one sequential write (object-store friendly) to an
+    * attempt-unique temp name, renamed into place on completion
+    * ([[ShardCommit]] — speculative/zombie attempts cannot interleave
+    * into one file). */
   def writeTfrecordShards(df: DataFrame, path: String): DataFrame = {
     val spark = df.sparkSession
     val schema = df.schema
-    val hconf = new ConfHolder(spark.sparkContext.hadoopConfiguration)
+    val hconf = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
     val out = new Path(path)
     val fs = out.getFileSystem(hconf.conf)
     fs.delete(out, true)
@@ -213,9 +199,11 @@ object Tfrecord {
         val pid = TaskContext.getPartitionId()
         if (!it.hasNext) Iterator.empty
         else {
-          val file = new Path("%s/part-%05d.tfrecord".format(path, pid))
+          val fname = "part-%05d.tfrecord".format(pid)
+          val file = new Path(s"$path/$fname")
+          val tmp = ShardCommit.attemptTemp(path, fname)
           val fsx = file.getFileSystem(hconf.conf)
-          val os = fsx.create(file, true)
+          val os = fsx.create(tmp, true)
           var n = 0L
           var bytes = 0L
           it.foreach { row =>
@@ -225,6 +213,7 @@ object Tfrecord {
             bytes += rec.length
           }
           os.close()
+          ShardCommit.commit(fsx, tmp, file)
           Iterator((file.getName, n, bytes))
         }
       }

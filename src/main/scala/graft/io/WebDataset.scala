@@ -94,9 +94,11 @@ object WebDataset {
       val pid = TaskContext.getPartitionId()
       if (!it.hasNext) Iterator.empty
       else {
-        val file = new Path("%s/part-%05d.tar".format(path, pid))
+        val fname = "part-%05d.tar".format(pid)
+        val file = new Path(s"$path/$fname")
+        val tmp = ShardCommit.attemptTemp(path, fname)
         val fsx = file.getFileSystem(hconf.conf)
-        val os = fsx.create(file, true)
+        val os = fsx.create(tmp, true)
         var samples = 0L
         var members = 0L
         var bytes = 0L
@@ -121,6 +123,7 @@ object WebDataset {
         os.write(new Array[Byte](1024)) // end-of-archive blocks
         bytes += 1024
         os.close()
+        ShardCommit.commit(fsx, tmp, file)
         Iterator((file.getName, samples, members, bytes))
       }
     }.collect() // |shards| rows — an operator constant
@@ -131,7 +134,11 @@ object WebDataset {
   /** Read tar shards back as (file, name, content) member rows —
     * checksum-verified headers, the ingestion complement (zip has
     * [[Archives]]; tar arrives from WebDataset drops and plain
-    * exports). Rides the `binaryFile` source, one task per shard. */
+    * exports). Only regular-file members (typeflag '0'/NUL) become
+    * rows: PAX 'x'/'g' headers, GNU 'L'/'K' long-name blocks, and
+    * '5' directories — routine in externally-produced tars — are
+    * skipped with their data blocks so the member stream stays
+    * aligned. Rides the `binaryFile` source, one task per shard. */
   def readMembers(spark: SparkSession, path: String,
                   glob: String = "*.tar"): DataFrame = {
     import spark.implicits._
@@ -166,9 +173,18 @@ object WebDataset {
             }
             require(java.lang.Long.parseLong(stored, 8) == sum,
               s"tar checksum mismatch at $fname:$pos")
-            val data = java.util.Arrays.copyOfRange(bytes, pos + 512,
-              pos + 512 + size)
-            outRows += ((fname, name, data))
+            // Only regular files ('0' / NUL) are sample members.
+            // Externally-produced tars (Python tarfile defaults to PAX)
+            // carry 'x'/'g' PaxHeaders, GNU 'L'/'K' longname/longlink
+            // blocks, and '5' directories — metadata, not data: skip
+            // them but still advance past their data blocks, or the
+            // stream desynchronizes and every later header misparses.
+            val typeflag = bytes(pos + 156)
+            if (typeflag == '0'.toByte || typeflag == 0.toByte) {
+              val data = java.util.Arrays.copyOfRange(bytes, pos + 512,
+                pos + 512 + size)
+              outRows += ((fname, name, data))
+            }
             pos += 512 + (size + 511) / 512 * 512
           }
         }

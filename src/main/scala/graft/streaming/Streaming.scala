@@ -452,8 +452,10 @@ object Streaming {
     * exists. Swap discipline per dir: write `<dir>_compact_tmp`,
     * rename dir out to `<dir>_compact_bak`, rename tmp in, drop the
     * backup — a crash before the first rename leaves the state
-    * untouched; inside the two-rename window, rename the `_bak` back
-    * by hand (the [[graft.dedup.Dedup.compactSignatureIndex]]
+    * untouched; a FAILED second rename restores the backup before
+    * throwing ([[swapCompacted]]); only a hard crash inside the
+    * two-rename window needs the `_bak` renamed back by hand (the
+    * [[graft.dedup.Dedup.compactSignatureIndex]]
     * convention). Run between batches (the refit reads these dirs);
     * the leaderboard a post-compaction refit produces is bit-identical
     * — summing the folded sums is the same total (spec-pinned). */
@@ -483,12 +485,7 @@ object Streaming {
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       folded.select(kept.columns.map(col): _*).unionByName(kept)
         .write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
-      fs.delete(new org.apache.hadoop.fs.Path(bak), true)
-      fs.rename(new org.apache.hadoop.fs.Path(dir),
-        new org.apache.hadoop.fs.Path(bak))
-      fs.rename(new org.apache.hadoop.fs.Path(tmp),
-        new org.apache.hadoop.fs.Path(dir))
-      fs.delete(new org.apache.hadoop.fs.Path(bak), true)
+      swapCompacted(fs, dir, tmp, bak)
     }
     compactDir("pairs", Seq("i", "j"), Seq("n"))
     compactDir("wins", Seq("model"), Seq("wins"))
@@ -577,12 +574,30 @@ object Streaming {
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     folded.select(kept.columns.map(col): _*).unionByName(kept)
       .write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
-    fs.delete(new org.apache.hadoop.fs.Path(bak), true)
-    fs.rename(new org.apache.hadoop.fs.Path(dir),
-      new org.apache.hadoop.fs.Path(bak))
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(dir))
-    fs.delete(new org.apache.hadoop.fs.Path(bak), true)
+    swapCompacted(fs, dir, tmp, bak)
+  }
+
+  /** Two-rename swap with CHECKED renames (Hadoop FS reports failure
+    * by returning false, not throwing): dir → bak, tmp → dir, drop
+    * bak. If the second rename fails the backup is restored before
+    * throwing, so the original state is never lost — the
+    * [[graft.io.Writers.compactParquet]] discipline. */
+  private def swapCompacted(fs: org.apache.hadoop.fs.FileSystem,
+                            dir: String, tmp: String,
+                            bak: String): Unit = {
+    val dirP = new org.apache.hadoop.fs.Path(dir)
+    val tmpP = new org.apache.hadoop.fs.Path(tmp)
+    val bakP = new org.apache.hadoop.fs.Path(bak)
+    fs.delete(bakP, true)
+    if (!fs.rename(dirP, bakP))
+      throw new java.io.IOException(
+        s"compact: could not move $dir aside; state untouched")
+    if (!fs.rename(tmpP, dirP)) {
+      fs.rename(bakP, dirP) // roll back — original state untouched
+      throw new java.io.IOException(
+        s"compact: swap failed for $dir; original restored")
+    }
+    fs.delete(bakP, true)
   }
 
   /** Continuous drift monitoring, step 1 of 2: per tumbling window,

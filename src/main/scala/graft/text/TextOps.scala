@@ -2484,7 +2484,7 @@ object TextOps {
       .select(col("b"),
         (snapLn(col("nt") + 1) - snapLn(col("nr") + 1)).as("d"))
     val consts = tCnt.agg(coalesce(sum("nt"), lit(0L)).as("ct"))
-      .crossJoin(docb.agg(coalesce(sum("n"), lit(0L)).as("cr")))
+      .crossJoin(broadcast(docb.agg(coalesce(sum("n"), lit(0L)).as("cr"))))
       .select((snapLn(col("ct") + numBuckets) -
         snapLn(col("cr") + numBuckets)).as("c0"))
     docb.join(broadcast(delta), Seq("b"), "left")

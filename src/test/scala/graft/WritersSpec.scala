@@ -801,4 +801,29 @@ class WritersSpec extends SparkSpec {
       .readAllBytes(java.nio.file.Paths.get(s"$xdir/s1.bin"))
     assert(extracted.toSeq == Seq[Byte](9, 8, 7))
   }
+
+  test("webdataset reader: an EXTERNALLY-produced PAX tar (GNU tar " +
+    "--format=pax: 'x' extended headers per member, '5' directories) " +
+    "yields only the regular-file members, bytes intact") {
+    // Python tarfile and img2dataset default to PAX — real WebDataset
+    // drops carry one 'x' PaxHeaders entry per member; emitting those
+    // as data members would corrupt the sample stream
+    val src = Files.createTempDirectory("graft_paxsrc")
+    Files.createDirectory(src.resolve("sub"))
+    java.nio.file.Files.write(src.resolve("s1.txt"),
+      "alpha".getBytes("UTF-8"))
+    java.nio.file.Files.write(src.resolve("s1.bin"),
+      Array[Byte](5, 4, 3))
+    val dir = Files.createTempDirectory("graft_paxtar").toString
+    import scala.sys.process._
+    assert(Seq("tar", "--format=pax", "-cf", s"$dir/part-00000.tar",
+      "-C", src.toString, "s1.bin", "sub", "s1.txt").! == 0)
+    val back = graft.io.WebDataset.readMembers(spark, dir).collect()
+      .map(r => r.getString(1) -> r.getAs[Array[Byte]](2)).toList
+    assert(back.map(_._1) == List("s1.bin", "s1.txt"),
+      s"PaxHeaders/dir entries leaked as members: ${back.map(_._1)}")
+    val bk = back.toMap
+    assert(bk("s1.bin").toSeq == Seq[Byte](5, 4, 3))
+    assert(new String(bk("s1.txt"), "UTF-8") == "alpha")
+  }
 }
