@@ -483,6 +483,30 @@ object ScaleProbe {
           d.select(
               TextOps.bpeEncodeIdsKernel(col("text"), bcM, bcV).as("ids"))
             .agg(sum(size(col("ids")))).head(); 1L },
+        // BYTE-LEVEL family at the production regime: gpt2 pre-tokens
+        // (regex split, case preserved) + bytes_to_unicode map in
+        // front of the same 32k-merge kernel and id lookup — the added
+        // per-char map is O(bytes), so the window must read like
+        // bpe_token_ids32k plus a constant regex factor, FLAT at 10x
+        "bpe_byte_ids32k" -> { d =>
+          val spark = d.sparkSession
+          val head = Seq("Ġ" -> "t", "Ġ" -> "a", "h" -> "e",
+            "i" -> "n", "r" -> "e", "o" -> "n", "Ġt" -> "he",
+            "e" -> "r") ++
+            (for { c1 <- "etaoinshrdlucmfwypvbgkjqxz"
+                   c2 <- "etaoinshrdlucmfwypvbgkjqxz" }
+              yield (c1.toString, c2.toString)) ++
+            (for { c2 <- "etaoinshrdlucmfwypvbgkjqxz" }
+              yield ("Ġ", c2.toString))
+          val merges = head ++
+            (head.size until 32768).map(i => (s"zx$i", s"qy$i"))
+          val bcM = TextOps.bpeMergesBroadcast(spark, merges)
+          val vocab = ((('a' to 'z').map(_.toString) :+ "Ġ") ++
+            merges.map { case (a, b) => a + b }).distinct.zipWithIndex
+          val bcV = TextOps.bpeVocabBroadcast(spark, vocab)
+          d.select(TextOps.bpeEncodeIdsByteLevel(col("text"), bcM, bcV)
+              .as("ids"))
+            .agg(sum(size(col("ids")))).head(); 1L },
         "contamination_report" -> { d =>
           val split = d.withColumn("s", TextOps.hashSplit(col("doc_id")))
           TextOps.contaminationReport(split.filter(col("s") === "train"),

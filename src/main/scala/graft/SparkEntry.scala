@@ -3409,6 +3409,52 @@ object SparkEntry {
         .select(col("doc_id"), col("blk_no"),
           col("blk.lang").as("lang"), col("blk.body").as("body"))
         .orderBy("doc_id", "blk_no")
+    }),
+
+    // BYTE-LEVEL BPE encode — the GPT-2/RoBERTa/CLIP family's real
+    // semantics (q269 is the lowercased whitespace family): gpt2
+    // pre-tokens (leading space ATTACHES: every non-first word rides
+    // its Ġ), bytes through the public bytes_to_unicode alphabet, the
+    // same 80-merge broadcast-kernel fold over Ġ-form merges. The
+    // oracle rebuilds pre-tokens from the corpus's single-space shape
+    // (first word bare, rest Ġ-prefixed — the regex's value on this
+    // corpus) and replays the fold merge-per-CTE
+    "q294_bpe_byte_encode" -> ((s, dir) => {
+      val bcM = TextOps.bpeMergesBroadcast(s, BpeMergesByte)
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull && col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          posexplode(TextOps.bpeEncodeByteLevel(col("text"), bcM))
+            .as(Seq("pos", "encoded")))
+        .filter(col("pos") < 3)
+        .select(col("doc_id"), (col("pos") + 1).as("word_no"),
+          col("encoded"))
+        .withColumn("n_subwords", size(split(col("encoded"), " ")))
+        .orderBy("doc_id", "word_no")
+    }),
+
+    // the id sequences under byte-level semantics — what pointing the
+    // engine at a real GPT-2-style merges+vocab pair materializes;
+    // 'q' is deliberately absent from the vocab so q-words exercise
+    // the -1 OOV path (q278's convention)
+    "q295_bpe_byte_ids" -> ((s, dir) => {
+      val bcM = TextOps.bpeMergesBroadcast(s, BpeMergesByte)
+      val bcV = TextOps.bpeVocabBroadcast(s, BpeVocabByte)
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull && col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          posexplode(TextOps.bpeEncodeByteLevel(col("text"), bcM))
+            .as(Seq("pos", "encoded")))
+        .filter(col("pos") < 3)
+        .select(col("doc_id"), (col("pos") + 1).as("word_no"),
+          graft.functions.VectorExpressions
+            .vocabIds(col("encoded"), bcV).as("ids"))
+        .select(col("doc_id"), col("word_no"),
+          array_join(transform(col("ids"), x => x.cast("string")), " ")
+            .as("ids_str"),
+          size(col("ids")).as("n_tokens"),
+          size(filter(col("ids"), x => x === -1)).as("n_oov"))
+        .orderBy("doc_id", "word_no")
     })
   )
 
@@ -3512,6 +3558,32 @@ object SparkEntry {
       BpeMergesBig.map { case (a, b) => a + b })
       .distinct.zipWithIndex
 
+  /** q294/q295's BYTE-LEVEL merge table: Ġ-form head merges in the
+    * shipped GPT-2 `merges.txt` style (fixture_merges.txt's opening
+    * ranks) plus generated frequency-alphabet pairs — 80 total, past
+    * bpeEncodeAuto's literalMax, so the byte-level queries exercise
+    * the broadcast kernel exactly like q269. */
+  private val BpeMergesByte: Seq[(String, String)] = {
+    val head = Seq("Ġ" -> "t", "Ġ" -> "a", "h" -> "e", "i" -> "n",
+      "r" -> "e", "o" -> "n", "Ġt" -> "he", "e" -> "r", "Ġ" -> "s",
+      "a" -> "t", "Ġ" -> "w", "Ġ" -> "o", "e" -> "n", "Ġ" -> "c",
+      "Ġa" -> "n", "i" -> "t", "Ġw" -> "it")
+    val letters = "etaoinshrd"
+    val headSet = head.toSet
+    val gen = for { c1 <- letters; c2 <- letters }
+      yield (c1.toString, c2.toString)
+    head ++ gen.filterNot(headSet.contains).take(80 - head.length)
+  }
+
+  /** q295's byte-level vocabulary: the corpus byte-form alphabet
+    * (lowercase letters + `Ġ`, with 'q' DELIBERATELY absent so q-words
+    * exercise the -1 OOV path) plus every merged symbol, id =
+    * position — deterministic from the same constants on both sides. */
+  private val BpeVocabByte: Seq[(String, Int)] =
+    ((('a' to 'z').filterNot(_ == 'q').map(_.toString) :+ "Ġ") ++
+      BpeMergesByte.map { case (a, b) => a + b })
+      .distinct.zipWithIndex
+
   /** q269's oracle CTE chain: the kernel's fold replayed merge-by-merge
     * with the boundary-aware doubled-space transcription of
     * [[graft.text.TextOps.mergeAdjacentPair]] (the bare-replace form
@@ -3519,8 +3591,13 @@ object SparkEntry {
     * symbols in an 80-merge table need real symbol boundaries). ONE CTE
     * LAYER PER MERGE — a single nested expression trips DuckDB's
     * 128-deep binder recursion limit at 80 merges. */
-  private def bpeKernelOracleCtes: String =
-    BpeMergesBig.zipWithIndex.map { case ((a, b), i) =>
+  private def bpeKernelOracleCtes: String = bpeMergeCtes(BpeMergesBig)
+
+  /** The same merge-per-CTE replay over an arbitrary merge table
+    * (q294/q295 reuse it with the BYTE-LEVEL table — the fold is
+    * alphabet-agnostic). */
+  private def bpeMergeCtes(merges: Seq[(String, String)]): String =
+    merges.zipWithIndex.map { case ((a, b), i) =>
       // concat(), not ||: the caller's stripMargin would eat one pipe
       // from a line-leading `||`
       s"""m$i AS (
@@ -10571,7 +10648,75 @@ object SparkEntry {
          |                AS VARCHAR)), ',') AS boundaries,
          |       CAST(n_tokens AS DOUBLE) / 512 AS fill_fraction,
          |       truncated
-         |FROM pk ORDER BY shard, pack_id""".stripMargin
+         |FROM pk ORDER BY shard, pack_id""".stripMargin,
+
+    // q294: byte-level pre-tokens rebuilt from the corpus's
+    // single-space shape (case preserved, word k>1 takes its leading
+    // Ġ — the gpt2 regex's value on single-spaced text with no
+    // punctuation/digits), then the identical merge-per-CTE fold over
+    // the BYTE-LEVEL table
+    "q294_bpe_byte_encode" ->
+      s"""WITH mbase AS (
+         |  SELECT doc_id, word_no,
+         |         array_to_string(string_split(
+         |           CASE WHEN word_no = 1 THEN ws[1]
+         |                ELSE 'Ġ' || ws[word_no] END, ''), ' ') AS enc
+         |  FROM (SELECT doc_id, ws,
+         |               CAST(unnest(generate_series(1, least(len(ws), 3)))
+         |                 AS INTEGER) AS word_no
+         |        FROM (SELECT doc_id,
+         |                     list_filter(string_split(text, ' '),
+         |                       t2 -> len(t2) > 0) AS ws
+         |              FROM documents
+         |              WHERE text IS NOT NULL AND doc_id % 10 = 0))),
+         |${bpeMergeCtes(BpeMergesByte)}
+         |SELECT doc_id, word_no, enc AS encoded,
+         |       CAST(len(string_split(enc, ' ')) AS INTEGER) AS n_subwords
+         |FROM m${BpeMergesByte.length - 1}
+         |ORDER BY doc_id, word_no""".stripMargin,
+
+    // q295: q294's byte-level encode chain, then the id lookup
+    // replayed as a positioned unnest + LEFT JOIN over the same
+    // Ġ-alphabet VALUES vocab (absent symbol — incl. the deliberately
+    // missing 'q' — maps to -1)
+    "q295_bpe_byte_ids" -> {
+      val vocabVals = BpeVocabByte
+        .map { case (s2, i) => s"('$s2', $i)" }.mkString(", ")
+      s"""WITH mbase AS (
+         |  SELECT doc_id, word_no,
+         |         array_to_string(string_split(
+         |           CASE WHEN word_no = 1 THEN ws[1]
+         |                ELSE 'Ġ' || ws[word_no] END, ''), ' ') AS enc
+         |  FROM (SELECT doc_id, ws,
+         |               CAST(unnest(generate_series(1, least(len(ws), 3)))
+         |                 AS INTEGER) AS word_no
+         |        FROM (SELECT doc_id,
+         |                     list_filter(string_split(text, ' '),
+         |                       t2 -> len(t2) > 0) AS ws
+         |              FROM documents
+         |              WHERE text IS NOT NULL AND doc_id % 10 = 0))),
+         |${bpeMergeCtes(BpeMergesByte)},
+         |vocab(sym, id) AS (VALUES $vocabVals),
+         |tok AS (
+         |  SELECT doc_id, word_no, enc,
+         |         CAST(unnest(generate_series(1,
+         |             len(string_split(enc, ' ')))) AS INTEGER) AS pos
+         |  FROM m${BpeMergesByte.length - 1}),
+         |sy AS (
+         |  SELECT doc_id, word_no, pos, string_split(enc, ' ')[pos] AS sym
+         |  FROM tok),
+         |ids AS (
+         |  SELECT sy.doc_id, sy.word_no, sy.pos, coalesce(v.id, -1) AS id
+         |  FROM sy LEFT JOIN vocab v ON v.sym = sy.sym)
+         |SELECT doc_id, word_no,
+         |       array_to_string(array_agg(CAST(id AS VARCHAR)
+         |         ORDER BY pos), ' ') AS ids_str,
+         |       CAST(count(*) AS INTEGER) AS n_tokens,
+         |       CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END)
+         |         AS INTEGER) AS n_oov
+         |FROM ids GROUP BY doc_id, word_no
+         |ORDER BY doc_id, word_no""".stripMargin
+    }
   )
 
   /** q291/q292's canary tiers as a VALUES table — mirrors

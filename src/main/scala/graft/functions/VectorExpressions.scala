@@ -150,6 +150,14 @@ object VectorExpressions {
       bc: org.apache.spark.broadcast.Broadcast[
         java.util.HashMap[String, Integer]]): Column =
     Bridge.column(VocabIds(Bridge.expression(encoded), bc))
+
+  /** Column-level GPT-2 byte-level alphabet map (see [[Gpt2Bytes]]). */
+  def gpt2Bytes(token: Column): Column =
+    Bridge.column(Gpt2Bytes(Bridge.expression(token)))
+
+  /** Column-level inverse byte-level map (see [[Gpt2BytesDecode]]). */
+  def gpt2BytesDecode(mapped: Column): Column =
+    Bridge.column(Gpt2BytesDecode(Bridge.expression(mapped)))
 }
 
 /** Nearest-centroid assignment with the centroid matrix read from a Spark
@@ -1220,6 +1228,147 @@ object BpeEncodeWord {
   * Cost: one md5 per character position — 8 output bytes per input
   * char; the honest price of exactness (the suffix-array reference
   * implementation also touches every byte). */
+/** GPT-2 byte-level alphabet map — the public `bytes_to_unicode`
+  * bijection every byte-level BPE tokenizer (GPT-2, RoBERTa, CLIP,
+  * tokenizers' ByteLevel pre_tokenizer) applies between pre-tokens and
+  * merge symbols: the pre-token's UTF-8 BYTES each become one printable
+  * BMP character — bytes 33-126, 161-172, 174-255 map to themselves,
+  * the 68 others (controls, space, DEL, NBSP range, soft hyphen) to
+  * 256+n in exclusion order, so a leading space renders as `Ġ`
+  * (U+0120), newline as `Ċ`, tab as `ĉ`. Merge tables shipped as
+  * `merges.txt`/`tokenizer.json` are written IN this alphabet
+  * ([[graft.text.TokenizerFiles]] passes the forms through verbatim);
+  * applying them to raw whitespace-split words can never match the
+  * `Ġ`-forms — this node is the missing front half. One pass over the
+  * token's bytes, output chars all BMP; codegen'd, map-only.
+  * Reference corpus: /root/reference has no tokenizer surface — the
+  * mapping is from the public GPT-2 encoder and the HuggingFace
+  * tokenizers ByteLevel source. */
+case class Gpt2Bytes(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"gpt2_bytes expects STRING, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def prettyName: String = "gpt2_bytes"
+
+  /** Row kernel — public so generated code can call it. */
+  def kernel(input: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val bytes = input.getBytes
+    val map = Gpt2Bytes.byteToChar
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      sb.append(map(bytes(i) & 0xff))
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gpt2Bytes", this,
+      classOf[Gpt2Bytes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object Gpt2Bytes {
+  /** byte value → printable BMP char, the GPT-2 bytes_to_unicode
+    * table: printables (minus the 161-172/174-255 carve-outs' gaps)
+    * are identity, the 68 excluded bytes take 256+n in ascending byte
+    * order. Max mapped code point is 256+67 = 0x143 — all BMP. */
+  val byteToChar: Array[Char] = {
+    val arr = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if ((b >= 33 && b <= 126) || (b >= 161 && b <= 172) ||
+          (b >= 174 && b <= 255)) arr(b) = b.toChar
+      else { arr(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    arr
+  }
+
+  /** Inverse: mapped char → original byte, -1 for chars outside the
+    * 256-char alphabet (never produced by [[byteToChar]]). */
+  val charToByte: Array[Int] = {
+    val inv = Array.fill(0x144)(-1)
+    var b = 0
+    while (b < 256) { inv(byteToChar(b)) = b; b += 1 }
+    inv
+  }
+}
+
+/** Inverse of [[Gpt2Bytes]] — mapped byte-form text (symbols joined
+  * WITHOUT separators: the alphabet never contains a raw space, so the
+  * caller strips the symbol-separating spaces first) back to the
+  * original string, the detokenizer's last step. A character outside
+  * the 256-char alphabet fails descriptively — it cannot have come
+  * from [[Gpt2Bytes]]. */
+case class Gpt2BytesDecode(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"gpt2_bytes_decode expects STRING, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def prettyName: String = "gpt2_bytes_decode"
+
+  /** Row kernel — public so generated code can call it. */
+  def kernel(input: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val s = input.toString
+    val inv = Gpt2Bytes.charToByte
+    val out = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val b = if (c < inv.length) inv(c) else -1
+      if (b < 0) throw new IllegalArgumentException(
+        s"gpt2_bytes_decode: char U+${Integer.toHexString(c)} is not " +
+          "in the byte-level alphabet")
+      out(i) = b.toByte
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gpt2BytesDecode", this,
+      classOf[Gpt2BytesDecode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class GramHashes(child: Expression, k: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 

@@ -3748,6 +3748,110 @@ object TextOps {
     if (merges.size <= literalMax) bpeEncode(text, merges)
     else bpeEncodeKernel(text, bpeMergesBroadcast(spark, merges))
 
+  /** The GPT-2 pre-tokenization split — the public regex every
+    * byte-level BPE tokenizer applies before merging (GPT-2 encoder,
+    * RoBERTa, CLIP; tokenizers' ByteLevel): contractions, then
+    * optional-leading-space letter/digit/punctuation runs, then
+    * whitespace runs where the LAST space of an inter-word run
+    * attaches to the following word (the `\s+(?!\S)` lookahead).
+    * `(?U)` makes `\s` Unicode-whitespace like the reference Python
+    * `regex` engine; Java regex supports the lookahead natively so
+    * the pattern ships verbatim. Matches tile the string (every char
+    * falls in some alternative), so extract-all IS the tokenization.
+    * CASE IS PRESERVED — byte-level tables are case-sensitive; the
+    * whitespace path's `lower()` belongs to that family only. */
+  val gpt2SplitRegex: String =
+    "(?U)'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+" +
+      "| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
+
+  /** GPT-2 pre-tokens of `text` (array of strings, case preserved,
+    * leading spaces attached — see [[gpt2SplitRegex]]). Map-only. */
+  def gpt2PreTokens(text: Column): Column =
+    regexp_extract_all(coalesce(text, lit("")), lit(gpt2SplitRegex),
+      lit(0))
+
+  /** BYTE-LEVEL BPE encode — the GPT-2/RoBERTa/CLIP family's real
+    * semantics, closing the gap between parsing their merge files
+    * ([[TokenizerFiles]]) and reproducing their token stream:
+    * [[gpt2PreTokens]] splits (case preserved, spaces attached), each
+    * pre-token's UTF-8 bytes map through the public bytes_to_unicode
+    * alphabet ([[graft.functions.Gpt2Bytes]] — a leading space becomes
+    * `Ġ`, exactly the form the shipped merge tables are written in),
+    * and the broadcast merge kernel folds as usual. Returns one
+    * space-separated symbol string per pre-token. Map-only; the plan
+    * carries only the broadcast handle, O(1) in |merges|.
+    *
+    * Merge application is the rank-order fold ([[bpeEncodeWordKernel]]
+    * — each rule once, ascending rank). On a TRAINED table this equals
+    * the reference encoder's repeated min-rank-pair loop: a merge's
+    * output symbol cannot appear in any LOWER-rank rule (that rule was
+    * learned before the symbol existed), so no applied merge ever
+    * re-enables an earlier rank. */
+  def bpeEncodeByteLevel(text: Column,
+      bc: org.apache.spark.broadcast.Broadcast[
+        graft.functions.BpeEncodeWord.Merges]): Column =
+    transform(gpt2PreTokens(text),
+      t => bpeEncodeWordKernel(
+        graft.functions.VectorExpressions.gpt2Bytes(t), bc))
+
+  /** TOKEN IDS under byte-level semantics — [[bpeEncodeByteLevel]]'s
+    * symbols through the broadcast vocab, flattened to the document's
+    * id sequence: pointing this at a real GPT-2-style merges+vocab
+    * pair reproduces the tokenizer's own ids (leading-`Ġ` forms, case
+    * preserved). Symbols absent from the vocab map to -1, the
+    * merges/vocab mismatch flag ([[bpeEncodeIdsKernel]] convention). */
+  def bpeEncodeIdsByteLevel(text: Column,
+      bcMerges: org.apache.spark.broadcast.Broadcast[
+        graft.functions.BpeEncodeWord.Merges],
+      bcVocab: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[String, Integer]]): Column =
+    flatten(transform(gpt2PreTokens(text),
+      t => graft.functions.VectorExpressions.vocabIds(
+        bpeEncodeWordKernel(
+          graft.functions.VectorExpressions.gpt2Bytes(t), bcMerges),
+        bcVocab)))
+
+  /** BPE token budget under byte-level semantics — Σ over pre-tokens
+    * of encoded symbol counts ([[bpeTokenCount]]'s byte-level form). */
+  def bpeTokenCountByteLevel(text: Column,
+      bcMerges: org.apache.spark.broadcast.Broadcast[
+        graft.functions.BpeEncodeWord.Merges]): Column =
+    aggregate(
+      transform(gpt2PreTokens(text),
+        t => size(split(bpeEncodeWordKernel(
+          graft.functions.VectorExpressions.gpt2Bytes(t), bcMerges),
+          " ")).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Pre-tokenizer dispatch — encode `text` under the semantics the
+    * tokenizer file DECLARES ([[TokenizerFiles.readPreTokenizerKind]]
+    * reads `pre_tokenizer` out of a tokenizer.json; merges.txt implies
+    * the GPT-2 byte-level family): `byte_level` routes to
+    * [[bpeEncodeByteLevel]], `whitespace` to the lowercased
+    * whitespace-split [[bpeEncodeKernel]]. */
+  def bpeEncodeDispatch(kind: String, text: Column,
+      bc: org.apache.spark.broadcast.Broadcast[
+        graft.functions.BpeEncodeWord.Merges]): Column = kind match {
+    case "byte_level" => bpeEncodeByteLevel(text, bc)
+    case "whitespace" => bpeEncodeKernel(text, bc)
+    case other => throw new IllegalArgumentException(
+      s"unknown pre-tokenizer kind '$other' " +
+        "(expected byte_level or whitespace)")
+  }
+
+  /** Id-sequence form of [[bpeEncodeDispatch]]. */
+  def bpeEncodeIdsDispatch(kind: String, text: Column,
+      bcMerges: org.apache.spark.broadcast.Broadcast[
+        graft.functions.BpeEncodeWord.Merges],
+      bcVocab: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[String, Integer]]): Column = kind match {
+    case "byte_level" => bpeEncodeIdsByteLevel(text, bcMerges, bcVocab)
+    case "whitespace" => bpeEncodeIdsKernel(text, bcMerges, bcVocab)
+    case other => throw new IllegalArgumentException(
+      s"unknown pre-tokenizer kind '$other' " +
+        "(expected byte_level or whitespace)")
+  }
+
   /** BPE TRAINER — the iterative loop whose single statistics pass is
     * [[bpePairCounts]] and whose output drives [[bpeEncode]]: `numMerges`
     * rounds of (argmax adjacent-symbol pair → merge it everywhere →

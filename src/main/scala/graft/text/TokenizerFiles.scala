@@ -58,18 +58,58 @@ object TokenizerFiles {
     merges
   }
 
-  private def tokenizerModel(spark: SparkSession, path: String)
+  private def tokenizerRoot(spark: SparkSession, path: String)
       : com.fasterxml.jackson.databind.JsonNode = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
-    val root =
-      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
-      finally in.close()
-    val model = root.get("model")
+    try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+    finally in.close()
+  }
+
+  private def tokenizerModel(spark: SparkSession, path: String)
+      : com.fasterxml.jackson.databind.JsonNode = {
+    val model = tokenizerRoot(spark, path).get("model")
     require(model != null, s"$path has no 'model' object — not a " +
       "HuggingFace tokenizer.json")
     model
+  }
+
+  /** The pre-tokenizer KIND a tokenizer file declares — the dispatch
+    * flag [[TextOps.bpeEncodeDispatch]] consumes. A `tokenizer.json`'s
+    * `pre_tokenizer.type` decides: `ByteLevel` (or a `Sequence`
+    * containing one) → `byte_level` — the GPT-2/RoBERTa/CLIP family
+    * whose merge symbols are written in the bytes_to_unicode alphabet;
+    * `Whitespace`/`WhitespaceSplit` (or null — tokenizers that
+    * pre-split upstream) → `whitespace`. Any other declared type fails
+    * descriptively: silently routing e.g. a Metaspace (SentencePiece)
+    * table through the wrong splitter would produce ids that LOOK
+    * valid and match nothing. A `merges.txt` path returns `byte_level`
+    * — that line format is the GPT-2 distribution's. */
+  def readPreTokenizerKind(spark: SparkSession, path: String): String = {
+    if (!path.endsWith(".json")) return "byte_level"
+    val pt = tokenizerRoot(spark, path).get("pre_tokenizer")
+    def kindOf(node: com.fasterxml.jackson.databind.JsonNode): String = {
+      val t = Option(node.get("type")).map(_.asText()).getOrElse("")
+      t match {
+        case "ByteLevel" => "byte_level"
+        case "Whitespace" | "WhitespaceSplit" => "whitespace"
+        case "Sequence" =>
+          val subs = node.get("pretokenizers")
+          val it = if (subs == null) java.util.Collections
+            .emptyIterator[com.fasterxml.jackson.databind.JsonNode]()
+          else subs.elements()
+          var found = "whitespace"
+          while (it.hasNext)
+            if (kindOf(it.next()) == "byte_level") found = "byte_level"
+          found
+        case other => throw new IllegalArgumentException(
+          s"$path: unsupported pre_tokenizer type '$other' — this " +
+            "engine implements byte_level (GPT-2 family) and " +
+            "whitespace semantics")
+      }
+    }
+    if (pt == null || pt.isNull) "whitespace" else kindOf(pt)
   }
 
   /** Parse `model.merges` out of a HuggingFace `tokenizer.json`. Both

@@ -3149,6 +3149,96 @@ class ExtensionsSpec extends SparkSpec {
     assert(ex.getMessage.contains(":2"))
   }
 
+  test("byte-level BPE: bytes_to_unicode is the public bijection; " +
+    "gpt2 pre-tokenization preserves case, attaches leading spaces, " +
+    "splits contractions/punctuation, and honors the whitespace " +
+    "lookahead; a GPT-2-style fixture pair encodes to hand-derived " +
+    "ids; detokenization round-trips") {
+    import graft.functions.{Gpt2Bytes, VectorExpressions => VE}
+    import graft.text.TokenizerFiles
+    // the mapping table: a bijection over all 256 bytes, identity on
+    // the printable carve-outs, the canonical marks for space/\n/\t
+    assert(Gpt2Bytes.byteToChar.distinct.length == 256)
+    assert(Gpt2Bytes.byteToChar('A') == 'A' &&
+      Gpt2Bytes.byteToChar('~') == '~')
+    assert(Gpt2Bytes.byteToChar(' ') == 'Ġ') // Ġ
+    assert(Gpt2Bytes.byteToChar('\n') == 'Ċ') // Ċ
+    assert(Gpt2Bytes.byteToChar('\t') == 'ĉ') // ĉ
+    (0 until 256).foreach(b =>
+      assert(Gpt2Bytes.charToByte(Gpt2Bytes.byteToChar(b)) == b))
+    // pre-tokenization fidelity, hand-derived from the public pattern
+    val cases = Seq(
+      "The cat sat" -> Seq("The", " cat", " sat"), // case PRESERVED
+      "don't stop" -> Seq("don", "'t", " stop"),
+      "hi!! ok" -> Seq("hi", "!!", " ok"),
+      "a  b" -> Seq("a", " ", " b"), // lookahead: last space -> word
+      "a\n\nb" -> Seq("a", "\n", "\n", "b"),
+      "x1 2y" -> Seq("x", "1", " 2", "y"), // digits split from letters
+      "tail " -> Seq("tail", " "))
+    val got = cases.map(_._1).toDF("text")
+      .select(col("text"), TextOps.gpt2PreTokens(col("text")).as("pt"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList)
+      .toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"'$in': got ${got(in)}, want $want") }
+    // byte form: multi-byte UTF-8 chars map PER BYTE ('é' = C3 A9 ->
+    // 'Ã' identity + '©' identity), the byte-level signature
+    val bf = Seq(" café").toDF("t")
+      .select(VE.gpt2Bytes(col("t"))).head().getString(0)
+    assert(bf == "ĠcafÃ©", s"got '$bf'")
+    // the fixture GPT-2-style merges+vocab pair: kind dispatches to
+    // byte_level, the encode reproduces hand-derived ids (leading-Ġ
+    // forms, case preserved), round-trip decodes to the input
+    val tok =
+      getClass.getResource("/graft/fixture_gpt2_tokenizer.json").getPath
+    assert(TokenizerFiles.readPreTokenizerKind(spark, tok) ==
+      "byte_level")
+    val bcM = TokenizerFiles.mergesBroadcastFromFile(spark, tok)
+    val bcV = TokenizerFiles.vocabBroadcastFromFile(spark, tok)
+    val kind = TokenizerFiles.readPreTokenizerKind(spark, tok)
+    val r = Seq("The cat sat on the mat.").toDF("text")
+      .select(
+        TextOps.bpeEncodeDispatch(kind, col("text"), bcM).as("sym"),
+        TextOps.bpeEncodeIdsDispatch(kind, col("text"), bcM, bcV)
+          .as("ids"),
+        VE.gpt2BytesDecode(
+          replace(array_join(TextOps.bpeEncodeByteLevel(col("text"),
+            bcM), " "), lit(" "), lit(""))).as("rt"))
+      .head()
+    assert(r.getSeq[String](0) == Seq("T he", "Ġcat", "Ġsat",
+      "Ġon", "Ġthe", "Ġmat", "."),
+      s"symbols: ${r.getSeq[String](0)}")
+    assert(r.getSeq[Int](1) == Seq(0, 13, 18, 19, 21, 17, 23, 11),
+      s"ids: ${r.getSeq[Int](1)}")
+    assert(r.getString(2) == "The cat sat on the mat.")
+    // the whitespace path on the same text LOWERCASES and never forms
+    // Ġ symbols ("The" loses its case and the (T,h)/(Th,e) merges;
+    // "cat" misses Ġcat) — the two families are not interchangeable
+    val ws = Seq("The cat").toDF("text")
+      .select(TextOps.bpeEncodeKernel(col("text"), bcM)).head()
+      .getSeq[String](0)
+    assert(ws == Seq("t he", "c at"), s"got $ws")
+    // unknown declared pre-tokenizers fail descriptively, not silently
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ptk")
+    val meta = tmp.resolve("m.json")
+    java.nio.file.Files.write(meta,
+      """{"pre_tokenizer": {"type": "Metaspace"},
+        | "model": {"type": "BPE", "vocab": {},
+        | "merges": []}}""".stripMargin.getBytes("UTF-8"))
+    val ex = intercept[IllegalArgumentException](
+      TokenizerFiles.readPreTokenizerKind(spark, meta.toString))
+    assert(ex.getMessage.contains("Metaspace"))
+    // no pre_tokenizer declared -> whitespace; merges.txt -> byte_level
+    val none = tmp.resolve("n.json")
+    java.nio.file.Files.write(none,
+      """{"model": {"type": "BPE", "vocab": {}, "merges": []}}"""
+        .getBytes("UTF-8"))
+    assert(TokenizerFiles.readPreTokenizerKind(spark, none.toString) ==
+      "whitespace")
+    assert(TokenizerFiles.readPreTokenizerKind(spark,
+      "/any/merges.txt") == "byte_level")
+  }
+
   test("dsirWeights/dsirSelect: weights reproduce the snapped-integer " +
     "log-ratio formula computed independently; tokenless docs absent; " +
     "selection returns the top-k rows joined back") {

@@ -841,6 +841,18 @@ class PlanSpec extends SparkSpec {
     val p293 = plan("q293_pack_manifest")
     assert(!p293.contains("Window") && !p293.contains("Join"),
       s"q293 plans a window or join:\n$p293")
+    // q294 byte-level encode: the q269 shape — broadcast kernel (both
+    // the gpt2_bytes map and bpe_encode_word handles present, zero
+    // merge-pair literals), scan + generate, no join/agg/window
+    val p294 = plan("q294_bpe_byte_encode")
+    assert(p294.contains("gpt2_bytes") &&
+      p294.contains("bpe_encode_word"),
+      s"q294 not on the byte-level kernel path:\n$p294")
+    assert(!p294.contains(" h  e "),
+      s"q294 inlines merge literals:\n$p294")
+    assert(!p294.contains("Join") && !p294.contains("HashAggregate") &&
+      !p294.contains("Window"),
+      s"q294 plans a join/agg/window:\n$p294")
   }
 
   test("giant-group quantile fallback: no window sort, cuts broadcast") {
