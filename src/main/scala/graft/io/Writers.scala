@@ -115,16 +115,30 @@ object Writers {
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
       .parquet(tmp.toString)
     val bak = new Path(hPath.getParent, s".${hPath.getName}_compact_old")
+    checkedSwap(fs, hPath, tmp, bak)
+    nFiles
+  }
+
+  /** Two-rename swap with CHECKED renames (Hadoop reports most rename
+    * failures by returning false, not throwing): `dir` → `bak`,
+    * `tmp` → `dir`, drop `bak`. A failed second rename restores the
+    * backup before throwing, so the original data is never lost; a
+    * crash between the renames leaves it intact under `bak`,
+    * recoverable by a rename. Shared by every compactor (parquet dirs,
+    * stored indexes, streaming state). */
+  private[graft] def checkedSwap(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path,
+      bak: org.apache.hadoop.fs.Path): Unit = {
     if (fs.exists(bak)) fs.delete(bak, true)
-    if (!fs.rename(hPath, bak))
-      throw new java.io.IOException(s"compact: could not move $hPath aside")
-    if (!fs.rename(tmp, hPath)) {
-      fs.rename(bak, hPath) // roll back — original data untouched
+    if (!fs.rename(dir, bak))
       throw new java.io.IOException(
-        s"compact: swap failed for $hPath; original restored")
+        s"compact: could not move $dir aside; data untouched")
+    if (!fs.rename(tmp, dir)) {
+      fs.rename(bak, dir) // roll back — original data untouched
+      throw new java.io.IOException(
+        s"compact: swap failed for $dir; original restored")
     }
     fs.delete(bak, true)
-    nFiles
   }
 
   /** Bucketed (and optionally sort-bucketed) parquet table: rows are

@@ -618,12 +618,84 @@ object Similarity {
       .orderBy(col("sim").desc, col("cluster"))
       .limit(nProbe)
       .select("cluster").collect().map(_.get(0)).toSeq
-    spark.read.parquet(corpusPath)
+    readIvfCorpus(spark, corpusPath, idCol)
       .filter(col(clusterCol).isInCollection(probeIds))
       .select(col(idCol),
         cosine(col(vecCol).cast("array<double>"), query, dim).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  private def ivfTombstonesPath(corpusPath: String): String =
+    s"${corpusPath}_tombstones"
+
+  private def pathExists(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** STORED-IVF RETRACTION — lifecycle parity with the signature and
+    * gram indexes ([[graft.dedup.Dedup.removeFromSignatureIndex]] /
+    * `removeFromGramIndex`): a deleted or retracted document's vector
+    * must stop answering ANN probes IMMEDIATELY, without rewriting any
+    * cluster partition. Appends the ids to a `<corpus>_tombstones`
+    * sidecar; [[readIvfCorpus]] (and therefore [[ivfTopKStored]])
+    * anti-joins it BROADCAST — takedown-list-sized, so the
+    * partition-pruned corpus scan's plan shape survives — and
+    * [[compactIvfIndex]] later makes the removal physical. */
+  def removeFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                         corpusPath: String, ids: DataFrame,
+                         idCol: String = "vec_id"): Unit =
+    ids.select(col(idCol).as("id")).distinct()
+      .write.mode("append").parquet(ivfTombstonesPath(corpusPath))
+
+  /** The stored IVF corpus with tombstoned vectors filtered out — the
+    * probe side every consumer should read ([[ivfTopKStored]] does).
+    * The anti-join broadcasts the tombstones, preserving static
+    * partition pruning on the cluster directories. */
+  def readIvfCorpus(spark: org.apache.spark.sql.SparkSession,
+                    corpusPath: String,
+                    idCol: String = "vec_id"): DataFrame = {
+    val corpus = spark.read.parquet(corpusPath)
+    val tombs = ivfTombstonesPath(corpusPath)
+    if (pathExists(spark, tombs))
+      corpus.join(
+        broadcast(spark.read.parquet(tombs).select(col("id").as(idCol))),
+        Seq(idCol), "left_anti")
+    else corpus
+  }
+
+  /** Partition-preserving compaction of a stored IVF corpus — the
+    * [[graft.dedup.Dedup.compactGramIndex]] convention on the
+    * hive-partitioned layout: physically drops tombstoned vectors,
+    * folds the per-batch append files ([[appendToIvfIndex]] leaves one
+    * file per touched cluster per call — unbounded accretion
+    * otherwise) into one file per cluster, and swaps the rewrite in
+    * with CHECKED renames ([[graft.io.Writers.checkedSwap]] — a crash
+    * inside the two-rename window leaves the data under
+    * `.<name>_compact_old`, recoverable by a rename), then clears the
+    * tombstone sidecar. The rewrite shuffles on the cluster column and
+    * writes back `partitionBy`, so static pruning survives. Returns
+    * vector rows kept. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      corpusPath: String,
+                      clusterCol: String = "cluster",
+                      idCol: String = "vec_id"): Long = {
+    import org.apache.hadoop.fs.Path
+    val hPath = new Path(corpusPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val kept = readIvfCorpus(spark, corpusPath, idCol)
+    val tmp = new Path(hPath.getParent, s".${hPath.getName}_compact_tmp")
+    fs.delete(tmp, true)
+    kept.repartition(col(clusterCol))
+      .write.mode("overwrite").partitionBy(clusterCol)
+      .parquet(tmp.toString)
+    val n = spark.read.parquet(tmp.toString).count()
+    val bak = new Path(hPath.getParent, s".${hPath.getName}_compact_old")
+    graft.io.Writers.checkedSwap(fs, hPath, tmp, bak)
+    fs.delete(new Path(ivfTombstonesPath(corpusPath)), true)
+    n
   }
 
   /** Product-quantization encode: split each vector into `m` contiguous
@@ -679,11 +751,13 @@ object Similarity {
     * signal (mean sim sliding down append-over-append means the frozen
     * centroids no longer fit the data; confirm with [[centroidDrift]]
     * against the stored centroid table and re-run [[kmeans]] when it
-    * exceeds the caller's bound). Small files accumulate at an
-    * append-per-batch cadence — [[graft.io.Writers.compact]] is the
-    * matching compaction: it re-discovers the hive partition layout and
-    * rewrites THROUGH `partitionBy` with a crash-safe swap, so pruning
-    * survives. */
+    * exceeds the caller's bound). Lifecycle siblings (r14 — parity
+    * with the signature and gram indexes): [[removeFromIvfIndex]]
+    * tombstones retracted vectors (served reads drop them
+    * immediately), [[compactIvfIndex]] makes removals physical and
+    * folds the per-batch file accretion with a crash-safe swap;
+    * [[graft.io.Writers.compact]] remains the generic
+    * layout-preserving rewrite when no tombstones are involved. */
   def appendToIvfIndex(corpusPath: String, batch: DataFrame,
                        centroids: Seq[(Long, Array[Double])],
                        idCol: String = "vec_id",

@@ -577,28 +577,16 @@ object Streaming {
     swapCompacted(fs, dir, tmp, bak)
   }
 
-  /** Two-rename swap with CHECKED renames (Hadoop FS reports failure
-    * by returning false, not throwing): dir → bak, tmp → dir, drop
-    * bak. If the second rename fails the backup is restored before
-    * throwing, so the original state is never lost — the
-    * [[graft.io.Writers.compactParquet]] discipline. */
+  /** Two-rename swap with CHECKED renames and rollback — delegates to
+    * the shared [[graft.io.Writers.checkedSwap]] (one copy of the
+    * serialization-sensitive swap discipline across all compactors). */
   private def swapCompacted(fs: org.apache.hadoop.fs.FileSystem,
                             dir: String, tmp: String,
-                            bak: String): Unit = {
-    val dirP = new org.apache.hadoop.fs.Path(dir)
-    val tmpP = new org.apache.hadoop.fs.Path(tmp)
-    val bakP = new org.apache.hadoop.fs.Path(bak)
-    fs.delete(bakP, true)
-    if (!fs.rename(dirP, bakP))
-      throw new java.io.IOException(
-        s"compact: could not move $dir aside; state untouched")
-    if (!fs.rename(tmpP, dirP)) {
-      fs.rename(bakP, dirP) // roll back — original state untouched
-      throw new java.io.IOException(
-        s"compact: swap failed for $dir; original restored")
-    }
-    fs.delete(bakP, true)
-  }
+                            bak: String): Unit =
+    graft.io.Writers.checkedSwap(fs,
+      new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(bak))
 
   /** Continuous drift monitoring, step 1 of 2: per tumbling window,
     * equal-width bin counts of `valueCol` (the sufficient statistics of

@@ -649,10 +649,37 @@ class WritersSpec extends SparkSpec {
     }
     val fragmented = filesPerCluster(s"cluster=$hot")
     assert(fragmented >= 6, s"expected fragmentation, got $fragmented")
-    Writers.compact(spark, dirPath, targetFileMB = 512)
-    val compacted = filesPerCluster(s"cluster=$hot")
-    assert(compacted < fragmented,
-      s"compaction did not collapse files: $fragmented -> $compacted")
+    // RETRACTION (r14 lifecycle parity with the signature/gram
+    // indexes): tombstone one appended vector — the very next probe
+    // must not serve it, with NO partition rewritten
+    val filesBefore = filesPerCluster
+    Similarity.removeFromIvfIndex(spark, dirPath,
+      Seq(100L).toDF("vec_id"))
+    assert(filesPerCluster == filesBefore,
+      "retraction rewrote corpus files")
+    val servedRetracted = Similarity.ivfTopKStored(spark, dirPath,
+      centroidTable, typedlit(v0), k = 10, nProbe = 1, dim = dim)
+    val retractedIds = servedRetracted.collect().map(_.getLong(0)).toSeq
+    assert(!retractedIds.contains(100L),
+      s"tombstoned vector still served: $retractedIds")
+    assert(retractedIds.contains(101L))
+    // the tombstone rides a BROADCAST anti-join — the pruned scan's
+    // plan shape survives (no shuffle exchange on the corpus side)
+    val pR = servedRetracted.queryExecution.executedPlan
+    assert(pR.toString.contains("BroadcastHashJoin"),
+      s"tombstones not broadcast:\n$pR")
+    // compact: files collapse to one per cluster, the removal becomes
+    // physical, pruning survives, tombstones are cleared
+    val keptRows = Similarity.compactIvfIndex(spark, dirPath)
+    val compacted = filesPerCluster
+    assert(compacted.values.forall(_ == 1),
+      s"compaction did not collapse files: $compacted")
+    val allIds = spark.read.parquet(dirPath)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!allIds.contains(100L), "compaction kept a tombstoned row")
+    assert(keptRows == allIds.size.toLong)
+    assert(!new java.io.File(dirPath + "_tombstones").exists(),
+      "tombstone sidecar not cleared")
     val servedAfter = Similarity.ivfTopKStored(spark, dirPath,
       centroidTable, typedlit(v0), k = 3, nProbe = 1, dim = dim)
     val scan = servedAfter.queryExecution.executedPlan.collectLeaves()
@@ -661,8 +688,15 @@ class WritersSpec extends SparkSpec {
       .getOrElse(fail("no FileSourceScanExec in plan"))
     assert(scan.partitionFilters.nonEmpty,
       "compaction destroyed the partition layout")
-    assert(servedAfter.collect().map(_.getLong(0)).toSeq
-      .forall(id => id >= 100L || id % 3 == vecs.head._1 % 3))
+    // the compacted probe reads only the probed cluster and no
+    // shuffle exchange appears anywhere in the serve plan
+    val exchanges = servedAfter.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange
+        .ShuffleExchangeExec => e }
+    assert(exchanges.isEmpty, "compacted probe shuffles")
+    val afterIds = servedAfter.collect().map(_.getLong(0)).toSeq
+    assert(!afterIds.contains(100L))
+    assert(afterIds.forall(id => id >= 101L || id % 3 == vecs.head._1 % 3))
   }
 
   test("projected-LSH stored index: driver-side probe set statically " +
