@@ -507,6 +507,11 @@ object ScaleProbe {
           d.select(TextOps.bpeEncodeIdsByteLevel(col("text"), bcM, bcV)
               .as("ids"))
             .agg(sum(size(col("ids")))).head(); 1L },
+        // multilingual router: one kernel pass per doc, map-only —
+        // the window must scale with corpus bytes alone
+        "lang_id_multi" -> { d =>
+          d.select(TextOps.langIdMulti(col("text")).as("v"))
+            .groupBy(col("v.lang")).count().collect(); 1L },
         "contamination_report" -> { d =>
           val split = d.withColumn("s", TextOps.hashSplit(col("doc_id")))
           TextOps.contaminationReport(split.filter(col("s") === "train"),

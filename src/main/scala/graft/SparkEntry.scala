@@ -3455,6 +3455,40 @@ object SparkEntry {
           size(col("ids")).as("n_tokens"),
           size(filter(col("ids"), x => x === -1)).as("n_oov"))
         .orderBy("doc_id", "word_no")
+    }),
+
+    // MULTILINGUAL language-ID routing: char-n-gram profile scoring
+    // (TextCat/CLD approach, ~12 languages, exact integer scores) over
+    // a synthesized multilingual corpus — one fixed sentence per
+    // language spliced over doc_id % 14, plain corpus prose in the
+    // remaining slots. The oracle replays the IDENTICAL profile table
+    // (generated from the same constant) via the length-delta
+    // occurrence count — legal because every profile gram is
+    // borderless (class-load-validated), so replace-counting equals
+    // the kernel's every-position scan
+    "q296_lang_id_multi" -> ((s, dir) => {
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          TextOps.langIdMulti(
+            multiLangText(col("doc_id"), col("text"))).as("v"))
+        .select(col("doc_id"), col("v.lang").as("lang"),
+          col("v.score").as("score"))
+        .orderBy("doc_id")
+    }),
+
+    // the router feeding the temperature mixer: q296's routed lang as
+    // the stratum column of temperatureRates (τ=0.5 sqrt chain +
+    // fixed-order fold — the q221 bit-portability recipe), per-lang
+    // ppm keep-rates for a 300-doc target
+    "q297_lang_temperature" -> ((s, dir) => {
+      val routed = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          TextOps.langIdMulti(
+            multiLangText(col("doc_id"), col("text")))
+            .getField("lang").as("lang"))
+      TextOps.temperatureRates(routed, targetTotal = 300, tau = 0.5,
+          stratumCol = "lang")
+        .orderBy("stratum")
     })
   )
 
@@ -3583,6 +3617,76 @@ object SparkEntry {
     ((('a' to 'z').filterNot(_ == 'q').map(_.toString) :+ "Ġ") ++
       BpeMergesByte.map { case (a, b) => a + b })
       .distinct.zipWithIndex
+
+  /** q296/q297's multilingual synthesis: one fixed sentence per
+    * profiled language, spliced over doc_id % 14 (the two remaining
+    * slots keep the original corpus prose, exercising the router's
+    * verdict on plain text). Shared verbatim with the oracle; all
+    * non-ASCII is already lowercase so `lower()` parity is trivial. */
+  private val LangFixtures: Seq[(String, String)] = Seq(
+    "en" -> "The little children are walking through the garden of dreams",
+    "de" -> "der schnelle zug und die alte brücke sind ein gutes beispiel",
+    "fr" -> "les enfants que nous avons vus sont arrivés en retard et heureux",
+    "es" -> "la canción de los niños españoles está llena de emoción",
+    "pt" -> "a canção e as lições não estão em condições normais",
+    "it" -> "la stazione della regione è vicina agli alberghi di milano",
+    "nl" -> "het oude huis van mijn vader is een mooi voorbeeld geweest",
+    "ru" -> "что это новая история о людях и времени",
+    "ar" -> "هذا النص مكتوب في اللغة العربية من أجل الاختبار",
+    "zh" -> "这是一个用于测试的中文句子内容很简单",
+    "ja" -> "これはにほんごのぶんしょうですとてもたのしいです",
+    "ko" -> "이것은 한국어 문장입니다 테스트를 위하여 작성하였습니다")
+
+  /** The q296 synthesis as a Column — CASE over doc_id % 14. */
+  private def multiLangText(docId: Column, text: Column): Column = {
+    val m = pmod(docId, lit(14))
+    LangFixtures.zipWithIndex.foldLeft(Option.empty[Column]) {
+      case (acc, ((_, sent), i)) =>
+        val cond = m === (i + 1)
+        Some(acc.fold(when(cond, lit(sent)))(_.when(cond, lit(sent))))
+    }.get.otherwise(text)
+  }
+
+  /** The same synthesis in SQL. */
+  private def multiLangTextSql: String =
+    "CASE " + LangFixtures.zipWithIndex.map { case ((_, sent), i) =>
+      s"WHEN doc_id % 14 = ${i + 1} THEN '$sent'"
+    }.mkString(" ") + " ELSE text END"
+
+  /** q296's oracle prelude: the profile table as VALUES (one source of
+    * truth — generated from [[graft.functions.LangIdMulti.Profiles]]),
+    * the length-delta occurrence count (≡ the kernel's scan: profile
+    * grams are borderless by class-load validation), and the
+    * (score DESC, profile order) argmax. Callers read `routed`
+    * (doc_id, lang, score — 'und' zeros applied). */
+  private def langIdOracleCtes: String = {
+    val profVals = graft.functions.LangIdMulti.Profiles.zipWithIndex
+      .flatMap { case ((lang, gs), li) =>
+        gs.map { case (g, w) => s"('$lang', $li, '$g', $w)" }
+      }.mkString(", ")
+    s"""syn AS (
+       |  SELECT doc_id, $multiLangTextSql AS text
+       |  FROM documents WHERE text IS NOT NULL),
+       |pad AS (
+       |  SELECT doc_id, concat(' ', lower(text), ' ') AS t FROM syn),
+       |prof(lang, rnk, g, w) AS (VALUES $profVals),
+       |sc AS (
+       |  SELECT p.doc_id, f.lang, f.rnk,
+       |         sum(f.w * (len(p.t) - len(replace(p.t, f.g, '')))
+       |             / len(f.g)) AS score
+       |  FROM pad p CROSS JOIN prof f GROUP BY 1, 2, 3),
+       |ag AS (
+       |  SELECT doc_id, lang, CAST(score AS BIGINT) AS score,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY score DESC, rnk) AS rn
+       |  FROM sc),
+       |routed AS (
+       |  SELECT doc_id,
+       |         CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang,
+       |         CASE WHEN score > 0 THEN score
+       |              ELSE CAST(0 AS BIGINT) END AS score
+       |  FROM ag WHERE rn = 1)""".stripMargin
+  }
 
   /** q269's oracle CTE chain: the kernel's fold replayed merge-by-merge
     * with the boundary-aware doubled-space transcription of
@@ -10716,7 +10820,36 @@ object SparkEntry {
          |         AS INTEGER) AS n_oov
          |FROM ids GROUP BY doc_id, word_no
          |ORDER BY doc_id, word_no""".stripMargin
-    }
+    },
+
+    // q296: the profile table regenerated from the SAME constant, the
+    // length-delta occurrence count, (score DESC, profile rank) argmax
+    "q296_lang_id_multi" ->
+      s"""WITH $langIdOracleCtes
+         |SELECT doc_id, lang, score FROM routed
+         |ORDER BY doc_id""".stripMargin,
+
+    // q297: q296's routing composed into the q221 temperature replay
+    // (sqrt share chain, stratum-sorted fold denominator, ppm floor)
+    "q297_lang_temperature" ->
+      s"""WITH $langIdOracleCtes,
+         |c AS (SELECT lang AS stratum, count(*) AS n FROM routed
+         |      GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS n_total FROM c),
+         |w AS (SELECT stratum, n, sqrt(n / n_total) AS w
+         |      FROM c CROSS JOIN tot),
+         |den AS (
+         |  SELECT list_reduce(list_transform(
+         |           list_sort(list(struct_pack(s := stratum, w := w))),
+         |           x -> x.w), (a, b) -> a + b) AS denom
+         |  FROM w),
+         |r AS (
+         |  SELECT stratum, n,
+         |         CAST(floor(least(1.0, (w / denom) * 300.0 / n)
+         |           * 1000000) AS BIGINT) AS rate_ppm
+         |  FROM w CROSS JOIN den)
+         |SELECT stratum, n, rate_ppm FROM r
+         |ORDER BY stratum""".stripMargin
   )
 
   /** q291/q292's canary tiers as a VALUES table — mirrors

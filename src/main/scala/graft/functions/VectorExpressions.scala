@@ -151,6 +151,10 @@ object VectorExpressions {
         java.util.HashMap[String, Integer]]): Column =
     Bridge.column(VocabIds(Bridge.expression(encoded), bc))
 
+  /** Column-level multilingual language-ID (see [[LangIdMulti]]). */
+  def langIdMulti(text: Column): Column =
+    Bridge.column(LangIdMulti(Bridge.expression(text)))
+
   /** Column-level GPT-2 byte-level alphabet map (see [[Gpt2Bytes]]). */
   def gpt2Bytes(token: Column): Column =
     Bridge.column(Gpt2Bytes(Bridge.expression(token)))
@@ -547,6 +551,161 @@ case class DominantScript(child: Expression)
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** MULTILINGUAL language-ID router — the multi-class sibling of
+  * [[graft.text.TextOps.langIdEn]]'s English-only stopword gate and
+  * [[DominantScript]]'s script dispatch: per-language character-n-gram
+  * profiles (the public TextCat / CLD-style approach — each language a
+  * short weighted list of its most distinctive character 1-5-grams,
+  * accents and script characters included) scored in ONE pass over the
+  * space-padded lowercased text. score(l) = Σ w·occurrences(gram);
+  * winner = max score with profile order breaking ties; all-zero →
+  * "und". Returns STRUCT(lang STRING, score LONG) — the score is an
+  * exact integer, so the whole verdict is engine-portable: an oracle
+  * replays occurrences as the `(len(t) - len(replace(t, g, ''))) /
+  * len(g)` length-delta. That replay counts NON-overlapping matches,
+  * so every multi-char profile gram is required BORDERLESS (no proper
+  * prefix equal to a suffix — validated at class load): a borderless
+  * gram cannot overlap itself, making the kernel's every-position scan
+  * and the oracle's replace-count provably equal. ~12 high-volume
+  * languages; the profile table is an operator CONSTANT (a few hundred
+  * bytes — compiled in, no broadcast needed). Routing signal for
+  * per-language curation and temperature mixing, not a replacement for
+  * a trained classifier. */
+case class LangIdMulti(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"lang_id_multi expects STRING, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
+  override def prettyName: String = "lang_id_multi"
+
+  /** Row kernel — public so generated code can call it. */
+  def kernel(input: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val t = " " + input.toLowerCase.toString + " "
+    val scores = new Array[Long](LangIdMulti.langs.length)
+    val n = t.length
+    var i = 0
+    while (i < n) {
+      var len = 1
+      while (len <= LangIdMulti.maxGramLen && i + len <= n) {
+        val hit = LangIdMulti.lookup.get(t.substring(i, i + len))
+        if (hit != null) {
+          var j = 0
+          while (j < hit.length) {
+            scores(hit(j)) += hit(j + 1); j += 2
+          }
+        }
+        len += 1
+      }
+      i += 1
+    }
+    var best = 0
+    var i2 = 1
+    while (i2 < scores.length) {
+      if (scores(i2) > scores(best)) best = i2
+      i2 += 1
+    }
+    val (lang, score) =
+      if (scores(best) <= 0L) ("und", 0L)
+      else (LangIdMulti.langs(best), scores(best))
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        org.apache.spark.unsafe.types.UTF8String.fromString(lang),
+        score))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langIdMulti", this,
+      classOf[LangIdMulti].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object LangIdMulti {
+  /** The profile table — an operator constant, order = tie-break
+    * priority. Grams are drawn from public frequency knowledge (the
+    * TextCat corpus-profile tradition): function-word fragments for
+    * the Latin-script languages, distinctive single characters and
+    * particles for the script-separated ones. Weights 1-3 by
+    * distinctiveness. EVERY multi-char gram must be borderless — see
+    * the class doc; the require below fails the build of any future
+    * edit that violates it. */
+  val Profiles: Seq[(String, Seq[(String, Int)])] = Seq(
+    "en" -> Seq(" th" -> 3, "the" -> 3, "nd " -> 2, " of" -> 2,
+      "ing" -> 2, "ion" -> 1, " wa" -> 1),
+    "de" -> Seq("und" -> 3, "der" -> 2, "ich" -> 2, "sch" -> 2,
+      "ein" -> 2, "die" -> 2, "ung" -> 1),
+    "fr" -> Seq(" le" -> 2, "les" -> 2, "ent" -> 2, "que" -> 2,
+      " et" -> 2, "eur" -> 1, "ais" -> 1),
+    "es" -> Seq("ción" -> 3, " el" -> 2, "los" -> 2, "ñ" -> 2,
+      "ado" -> 1, "í" -> 1),
+    "pt" -> Seq("ção" -> 3, "ã" -> 2, "ões" -> 2, " em" -> 1,
+      "lh" -> 1),
+    "it" -> Seq("zione" -> 3, "gli" -> 2, "è" -> 2, " di" -> 1,
+      "ano" -> 1),
+    "nl" -> Seq("ij" -> 2, "het" -> 2, "van" -> 2, "een" -> 1,
+      "sch" -> 1),
+    "ru" -> Seq("что" -> 2, "о" -> 1, "е" -> 1, "и" -> 1, "н" -> 1,
+      "т" -> 1),
+    "ar" -> Seq("ال" -> 2, "في" -> 2, "ة" -> 2, "من" -> 1, "ي" -> 1),
+    "zh" -> Seq("的" -> 3, "是" -> 2, "了" -> 2, "在" -> 1, "一" -> 1),
+    "ja" -> Seq("の" -> 3, "を" -> 3, "に" -> 2, "は" -> 2,
+      "です" -> 2, "た" -> 1),
+    "ko" -> Seq("이" -> 2, "다" -> 2, "는" -> 2, "의" -> 2, "하" -> 1))
+
+  private def borderless(g: String): Boolean =
+    (1 until g.length).forall(b =>
+      g.substring(0, b) != g.substring(g.length - b))
+
+  Profiles.foreach { case (l, gs) =>
+    gs.foreach { case (g, w) =>
+      require(g.nonEmpty && w > 0, s"$l: empty gram or weight")
+      require(borderless(g),
+        s"$l profile gram '$g' has a border — overlapping-scan and " +
+          "replace-count semantics would diverge (oracle parity)")
+    }
+  }
+
+  private[functions] val langs: Array[String] = Profiles.map(_._1).toArray
+
+  private[functions] val maxGramLen: Int =
+    Profiles.flatMap(_._2.map(_._1.length)).max
+
+  /** gram → flattened (langIdx, weight) pairs. */
+  private[functions] val lookup
+      : java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    Profiles.zipWithIndex.foreach { case ((_, gs), li) =>
+      gs.foreach { case (g, w) =>
+        val prev = m.get(g)
+        m.put(g,
+          if (prev == null) Array(li, w) else prev ++ Array(li, w))
+      }
+    }
+    m
+  }
 }
 
 case class TokenEntropy(child: Expression)

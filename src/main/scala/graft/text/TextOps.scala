@@ -81,6 +81,18 @@ object TextOps {
   def langIdEn(text: Column, threshold: Double = 0.12): Column =
     when(stopwordRatio(text) >= threshold, "en").otherwise("other")
 
+  /** MULTILINGUAL language-ID — the multi-class router [[langIdEn]]
+    * stops short of: char-n-gram profile scoring over ~12 high-volume
+    * languages ([[graft.functions.LangIdMulti]] — TextCat/CLD-style
+    * operator-constant profiles, one pass, exact integer scores, ties
+    * by profile order, all-zero → "und"). Returns STRUCT(lang, score);
+    * feed `lang` to curate routing or [[temperatureRates]] strata.
+    * [[langIdEn]] keeps its English verdicts unchanged — this is the
+    * routing layer above it, not a replacement. */
+  def langIdMulti(text: Column): Column =
+    graft.functions.VectorExpressions.langIdMulti(
+      coalesce(text, lit("")))
+
   /** Unicode-script ranges for [[scriptProfile]]: name → character-class
     * body (literal BMP ranges — valid in both Java regex and RE2, so the
     * DuckDB oracle reuses the exact same class strings). */

@@ -3149,6 +3149,59 @@ class ExtensionsSpec extends SparkSpec {
     assert(ex.getMessage.contains(":2"))
   }
 
+  test("langIdMulti: profile scoring routes a mixed-language fixture " +
+    "correctly with exact integer scores; borderless profiles " +
+    "validated; und on no-signal text; langIdEn verdicts unchanged") {
+    import graft.functions.LangIdMulti
+    // every profile gram is borderless (the class-load require) — the
+    // property that makes replace-counting == the kernel scan
+    LangIdMulti.Profiles.foreach { case (_, gs) =>
+      gs.foreach { case (g, _) =>
+        (1 until g.length).foreach(b =>
+          assert(g.substring(0, b) != g.substring(g.length - b),
+            s"gram '$g' has a border")) } }
+    val fixture = Seq(
+      ("The quick brown fox is walking through the woods", "en"),
+      ("der alte hund und die katze sind schnell ein team", "de"),
+      ("les grands arbres que nous avons plantés sont verts", "fr"),
+      ("la canción de los niños está llena de emoción", "es"),
+      ("a lição e a canção não estão nas condições", "pt"),
+      ("la stazione della regione è vicina agli amici", "it"),
+      ("het huis van mijn broer is een mooi gebouw", "nl"),
+      ("что это новое время и о чем история", "ru"),
+      ("هذا النص مكتوب في اللغة من أجل الاختبار", "ar"),
+      ("这是一个测试的句子很好", "zh"),
+      ("これはとてもたのしいですのでにほんごです", "ja"),
+      ("이것은 한국어 문장입니다 테스트하는 내용의 글입니다", "ko"),
+      ("zzz qqq xxx", "und"), // no profile gram fires
+      ("", "und"))
+    val got = fixture.map(_._1).toDF("text")
+      .select(col("text"), TextOps.langIdMulti(col("text")).as("v"))
+      .select(col("text"), col("v.lang"), col("v.score"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    fixture.foreach { case (text, want) =>
+      assert(got(text)._1 == want,
+        s"'$text': got ${got(text)}, want $want") }
+    assert(got("zzz qqq xxx")._2 == 0L && got("")._2 == 0L)
+    // exact integer score, hand-checked: " el"(2) + "los"(2) + ñ(2x2)
+    // + "ción"(2x3) + í? no í... "está" has no í; emoción+canción
+    assert(got("la canción de los niños está llena de emoción")._2 >= 10L)
+    // case-insensitive: the en fixture keeps 'The' capitalized
+    assert(got(fixture.head._1)._1 == "en")
+    // null-safe through the TextOps coalesce
+    val nullRow = Seq((1L, null.asInstanceOf[String])).toDF("id", "text")
+      .select(TextOps.langIdMulti(col("text")).as("v"))
+      .select(col("v.lang")).head().getString(0)
+    assert(nullRow == "und")
+    // langIdEn is PINNED unchanged on its English verdicts — the
+    // router sits above it, it does not replace it
+    val en = Seq("the cat sat on the mat with the dog and the bird",
+      "zzz qqq xxx").toDF("text")
+      .select(TextOps.langIdEn(col("text"))).collect().map(_.getString(0))
+    assert(en.toSeq == Seq("en", "other"))
+  }
+
   test("byte-level BPE: bytes_to_unicode is the public bijection; " +
     "gpt2 pre-tokenization preserves case, attaches leading spaces, " +
     "splits contractions/punctuation, and honors the whitespace " +
