@@ -45,7 +45,7 @@ import org.apache.spark.sql.types._
   * upstream. */
 object Tfrecord {
 
-  private def maskedCrc(bytes: Array[Byte]): Int = {
+  private[graft] def maskedCrc(bytes: Array[Byte]): Int = {
     val c = new CRC32C()
     c.update(bytes)
     val v = c.getValue.toInt // low 32 bits

@@ -796,6 +796,67 @@ class WritersSpec extends SparkSpec {
       s"no CRC failure in cause chain: $chain")
   }
 
+  test("tfrecord external-compat vectors: CRC-32C pins the published " +
+    "check value, the mask is the spec formula, and a known-bytes " +
+    "Example matches a hand-derived proto wire encoding") {
+    import graft.io.Tfrecord
+    // the published CRC-32C check value (Castagnoli polynomial, RFC
+    // 3720 appendix): crc32c("123456789") = 0xE3069283 — anchors the
+    // polynomial/reflection choices to the external spec
+    val check = "123456789".getBytes("UTF-8")
+    val crc = new java.util.zip.CRC32C()
+    crc.update(check)
+    assert(crc.getValue == 0xE3069283L,
+      f"crc32c check value mismatch: 0x${crc.getValue}%08X")
+    // the TFRecord mask from the published spec applied to that known
+    // crc: mask(c) = ((c >>> 15) | (c << 17)) + 0xa282ead8 (uint32)
+    val c = 0xE3069283
+    val wantMasked = ((c >>> 15) | (c << 17)) + 0xa282ead8
+    assert(Tfrecord.maskedCrc(check) == wantMasked,
+      f"masked crc mismatch: 0x${Tfrecord.maskedCrc(check)}%08X")
+    // a known-bytes Example, hand-derived from the protobuf wire spec
+    // (field tags/varints computed by hand, NOT by our encoder):
+    // Example{features(1){feature(1) map entries in field order:
+    //   "a" -> Feature{int64_list(3){value(1, packed): [5]}}
+    //   "b" -> Feature{bytes_list(1){value(1): "hi"}}}}
+    import org.apache.spark.sql.types.{LongType, StringType,
+      StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType)))
+    val got = Tfrecord.exampleBytes(
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](5L, "hi"), schema), schema)
+    val want = Array(
+      0x0A, 0x19, // Example.features, 25 bytes
+      0x0A, 0x0A, // map entry "a", 10 bytes
+      0x0A, 0x01, 0x61, // key "a"
+      0x12, 0x05, // value: Feature, 5 bytes
+      0x1A, 0x03, // int64_list, 3 bytes
+      0x0A, 0x01, 0x05, // packed value [5]
+      0x0A, 0x0B, // map entry "b", 11 bytes
+      0x0A, 0x01, 0x62, // key "b"
+      0x12, 0x06, // value: Feature, 6 bytes
+      0x0A, 0x04, // bytes_list, 4 bytes
+      0x0A, 0x02, 0x68, 0x69 // value "hi"
+    ).map(_.toByte)
+    assert(got.toSeq == want.toSeq,
+      s"wire bytes diverge:\n got ${got.map("%02X".format(_)).mkString(" ")}" +
+        s"\nwant ${want.map("%02X".format(_)).mkString(" ")}")
+    // and the frame around it: 8-byte LE length, masked len-crc,
+    // payload, masked payload-crc — lengths/offsets per the spec
+    val frame = Tfrecord.framed(got)
+    assert(frame.length == 8 + 4 + got.length + 4)
+    val lenField = java.util.Arrays.copyOfRange(frame, 0, 8)
+    assert(java.nio.ByteBuffer.wrap(lenField)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong == got.length.toLong)
+    assert(java.nio.ByteBuffer.wrap(frame, 8, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt ==
+      Tfrecord.maskedCrc(lenField))
+    assert(java.nio.ByteBuffer.wrap(frame, 12 + got.length, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt ==
+      Tfrecord.maskedCrc(got))
+  }
+
   test("webdataset tar shards: members round-trip bit for bit, null " +
     "members absent, REAL GNU tar lists and extracts the shard, " +
     "manifest counts members") {
