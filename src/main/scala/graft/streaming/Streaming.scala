@@ -545,6 +545,77 @@ object Streaming {
       }
       .start()
 
+  /** STREAMING CRAWL-TO-TRAINER EXPORT — the E9 composition
+    * ([[graft.pipeline.Pipelines.exportTrainingShards]]: curate →
+    * greedy context-window packing → trainer shards) as a foreachBatch
+    * sink, so the crawl-to-trainer story is continuous end to end:
+    * per micro-batch, (1) the batch E9 export runs over the
+    * micro-batch's docs and its shards land in a `batch_id=<id>`
+    * subdirectory — the loss-state convention: the shard writer
+    * overwrites the whole subdirectory, so an at-least-once replay
+    * rewrites ITS OWN batch and never corrupts a committed one;
+    * (2) the |shards|-row manifest (with `batch_id`) lands in the
+    * `_manifest` table via dynamic partition overwrite (same replay
+    * safety). `format` picks the shard wire format: `tfrecord`
+    * ([[graft.io.Tfrecord]]) or `webdataset`
+    * ([[graft.io.WebDataset]], samples keyed by doc_id).
+    *
+    * PACKING IS PER MICRO-BATCH by design: a pack never spans batches,
+    * so the stage carries NO streaming state (no watermark, no
+    * stream-stream join; restart-safe through the checkpoint alone)
+    * and a batch's shards are immutable the moment it commits — the
+    * property a downstream trainer tailing the directory needs. The
+    * global training order is (batch_id, shard, pack_id, pack_pos);
+    * doc→shard routing is the md5 hash, so a document lands in the
+    * same shard id it would in the batch export. Fill efficiency per
+    * pack is bounded by batch sizing rather than corpus-global (the
+    * honest cost of statelessness — size micro-batches ≥ a few
+    * thousand docs per shard for near-batch fill). */
+  def exportForeachBatch(stream: DataFrame, outDir: String,
+                         checkpoint: String,
+                         maxTokens: Long = 1024, nShards: Int = 8,
+                         minQuality: Double = 0.3,
+                         format: String = "tfrecord",
+                         seed: String = "")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(format == "tfrecord" || format == "webdataset",
+      s"format must be tfrecord or webdataset, got '$format'")
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.text.TextOps
+        val docs = batch.toDF()
+        val curated = graft.pipeline.Pipelines.curate(docs, minQuality)
+        val packed = TextOps.packSequencesGreedy(curated, maxTokens,
+          nShards, seed = seed)
+        val rows = packed
+          .join(curated.select(col("doc_id"), col("text")), Seq("doc_id"))
+          .select(col("doc_id"), col("shard"), col("pack_id"),
+            col("pack_pos"), col("n_tokens"), col("text"))
+          .repartition(nShards, col("shard"))
+          .sortWithinPartitions("shard", "pack_id", "pack_pos")
+        val shardDir = s"$outDir/batch_id=$batchId"
+        val manifest =
+          if (format == "tfrecord")
+            graft.io.Tfrecord.writeTfrecordShards(rows, shardDir)
+          else
+            graft.io.WebDataset.writeWebDatasetShards(
+              rows.select(col("doc_id").cast("string").as("key"),
+                col("shard"), col("pack_id"), col("pack_pos"),
+                col("n_tokens"), col("text")),
+              shardDir, keyCol = "key")
+        manifest.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(s"$outDir/_manifest")
+        ()
+      }
+      .start()
+  }
+
   /** Maintenance compaction for [[lossAuditForeachBatch]]'s state:
     * fold every COMMITTED per-batch partition into one merged
     * `batch_id = -1` partition via

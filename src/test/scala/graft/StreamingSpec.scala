@@ -788,4 +788,80 @@ class StreamingSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(remerged == batch, s"\nremerged: $remerged\nbatch: $batch")
   }
+
+  test("exportForeachBatch: two micro-batches land immutable batch_id " +
+    "shard dirs; recombined survivors equal the batch E9 export's; " +
+    "manifest rows match shard contents; webdataset leg keys by doc") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.io.Tfrecord
+    val proseA = "The quick brown fox jumps over the lazy dog and " +
+      "then it runs far away to the old stone house by the river " +
+      "bank where it sleeps through the warm afternoon."
+    val proseB = "A slow grey owl glides over the quiet field at " +
+      "night and waits patiently for the small mouse to come out " +
+      "of its hole under the wooden fence near the barn."
+    def enrich(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    val b1 = Seq((60L, proseA), (63L, "x")) // junk drops in curate
+    val b2 = Seq((62L, proseB), (64L, "y"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_exp_stream").toString
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.exportForeachBatch(
+      enrich(in.toDF().toDF("doc_id", "text")),
+      s"$dir/out", s"$dir/ck", maxTokens = 64, nShards = 2)
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // per-batch immutable shard dirs exist
+    assert(new java.io.File(s"$dir/out/batch_id=0").exists())
+    assert(new java.io.File(s"$dir/out/batch_id=1").exists())
+    def projected(path: String) =
+      Tfrecord.readRecords(spark, path).collect()
+        .map(r => Tfrecord.parseExample(r.getAs[Array[Byte]]("payload"))
+          .map(f => f._1 -> f).toMap)
+        .map(m => (m("doc_id")._3.head,
+          new String(m("text")._2.head, "UTF-8"),
+          m("n_tokens")._3.head, m("shard")._3.head)).toSet
+    val streamed = projected(s"$dir/out/batch_id=*")
+    // the batch E9 export over the union is the ground truth: same
+    // survivor docs, texts, token counts, and md5 shard routing (pack
+    // ids are per-micro-batch by design and deliberately not compared)
+    val batchDir = java.nio.file.Files
+      .createTempDirectory("graft_exp_batch").resolve("out").toString
+    graft.pipeline.Pipelines.exportTrainingShards(
+      enrich((b1 ++ b2).toDF("doc_id", "text")), batchDir,
+      maxTokens = 64, nShards = 2)
+    assert(streamed == projected(batchDir),
+      s"\nstream: $streamed\nbatch:  ${projected(batchDir)}")
+    assert(streamed.map(_._1) == Set(60L, 62L))
+    // manifest: one row set per batch partition, counts = records
+    val man = spark.read.parquet(s"$dir/out/_manifest")
+    assert(man.select(col("batch_id").cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSet == Set(0L, 1L))
+    assert(man.agg(sum("n_records")).head().getLong(0) == 2L)
+    // webdataset leg: same stage, tar members keyed by doc_id
+    val dirW = java.nio.file.Files
+      .createTempDirectory("graft_exp_wds").toString
+    val inW = MemoryStream[(Long, String)]
+    val qW = Streaming.exportForeachBatch(
+      enrich(inW.toDF().toDF("doc_id", "text")),
+      s"$dirW/out", s"$dirW/ck", maxTokens = 64, nShards = 2,
+      format = "webdataset")
+    try {
+      inW.addData(b1: _*)
+      qW.processAllAvailable()
+    } finally qW.stop()
+    val members = graft.io.WebDataset
+      .readMembers(spark, s"$dirW/out/batch_id=0").collect()
+      .map(_.getString(1)).toSet
+    assert(members.contains("60.text") && members.contains("60.shard"),
+      s"got $members")
+    assert(!members.exists(_.startsWith("63.")))
+  }
 }
