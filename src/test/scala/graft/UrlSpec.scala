@@ -171,8 +171,25 @@ class UrlSpec extends SparkSpec {
     assert(rd("www.empresa.com.pt") == "empresa.com.pt")
     assert(rd("x.banque.com.dz") == "banque.com.dz")
     assert(rd("a.b.ac.th") == "b.ac.th")
+    // round-14 expansion tails (VERDICT r13 item 6): middle-east,
+    // central/south asia, africa, pacific, balkans schemes
+    assert(rd("www.wizara.gov.iq") == "wizara.gov.iq")
+    assert(rd("x.daneshgah.ac.ir") == "daneshgah.ac.ir")
+    assert(rd("a.firm.com.ps") == "firm.com.ps")
+    assert(rd("x.resort.com.mv") == "resort.com.mv")
+    assert(rd("www.okuu.edu.kg") == "okuu.edu.kg")
+    assert(rd("a.hotel.com.fj") == "hotel.com.fj")
+    assert(rd("x.shop.co.gg") == "shop.co.gg")
+    assert(rd("www.firma.com.mk") == "firma.com.mk")
+    assert(rd("x.shkolla.edu.al") == "shkolla.edu.al")
+    assert(rd("a.kompanija.co.me") == "kompanija.co.me")
+    assert(rd("www.empresa.co.mz") == "empresa.co.mz")
+    assert(rd("x.ecole.gouv.sn") == "ecole.gouv.sn")
+    assert(rd("a.duka.co.rw") == "duka.co.rw")
+    assert(rd("www.sharika.com.ly") == "sharika.com.ly")
+    assert(rd("x.sebaka.co.ls") == "sebaka.co.ls")
     // rule count reflects the expansion
-    assert(psl.size > 2000, s"snapshot shrank: ${psl.size}")
+    assert(psl.size > 2300, s"snapshot shrank: ${psl.size}")
     // the excerpt fixture still loads independently
     assert(UrlOps.PslExcerptSuffixes.nonEmpty &&
       UrlOps.PslExcerptSuffixes.size < psl.size)
