@@ -3489,7 +3489,39 @@ object SparkEntry {
       TextOps.temperatureRates(routed, targetTotal = 300, tau = 0.5,
           stratumCol = "lang")
         .orderBy("stratum")
-    })
+    }),
+
+    // the DETOKENIZER round trip: first 3 pre-tokens encoded to ids
+    // through the LOSSLESS vocab (every letter + Ġ + merges), decoded
+    // back (inverse vocab → byte-form concat → bytes_to_unicode
+    // inverse). Byte-level tokenization is lossless, so the oracle
+    // derives the expected text DIRECTLY from the source words —
+    // if any stage dropped or reordered a byte, the hash breaks
+    "q298_bpe_byte_roundtrip" -> ((s, dir) => {
+      val bcM = TextOps.bpeMergesBroadcast(s, BpeMergesByte)
+      val bcV = TextOps.bpeVocabBroadcast(s, BpeVocabByteFull)
+      val bcInv = TextOps.bpeVocabInverseBroadcast(s, BpeVocabByteFull)
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull && col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          flatten(slice(transform(TextOps.gpt2PreTokens(col("text")),
+            tk => graft.functions.VectorExpressions.vocabIds(
+              TextOps.bpeEncodeWordKernel(
+                graft.functions.VectorExpressions.gpt2Bytes(tk), bcM),
+              bcV)), 1, 3)).as("ids"))
+        .select(col("doc_id"),
+          TextOps.bpeDecodeIdsByteLevel(col("ids"), bcInv).as("decoded"))
+        .orderBy("doc_id")
+    }),
+
+    // BYTE-LEVEL BPE TRAINER: 3 merges learned over the pre-token
+    // byte-form domain — the merges come out in the Ġ alphabet, ready
+    // for bpeEncodeByteLevel / writeMergesTxt. Oracle unrolls the same
+    // 3 rounds over the byte-form word table (the q197 round CTEs —
+    // the loop is alphabet-agnostic)
+    "q299_bpe_byte_train" -> ((s, dir) =>
+      TextOps.bpeTrainByteLevel(t(s, dir, "documents"), numMerges = 3)
+        .orderBy("merge_rank"))
   )
 
   /** q291/q292's canary tiers: three selection moduli, every tier
@@ -3615,6 +3647,15 @@ object SparkEntry {
     * position — deterministic from the same constants on both sides. */
   private val BpeVocabByte: Seq[(String, Int)] =
     ((('a' to 'z').filterNot(_ == 'q').map(_.toString) :+ "Ġ") ++
+      BpeMergesByte.map { case (a, b) => a + b })
+      .distinct.zipWithIndex
+
+  /** q298's LOSSLESS byte-level vocabulary: the full corpus alphabet
+    * (every lowercase letter INCLUDING 'q' — unlike q295's deliberate
+    * OOV gap — plus `Ġ`) and every merged symbol; a round-trip needs
+    * every symbol decodable. */
+  private val BpeVocabByteFull: Seq[(String, Int)] =
+    ((('a' to 'z').map(_.toString) :+ "Ġ") ++
       BpeMergesByte.map { case (a, b) => a + b })
       .distinct.zipWithIndex
 
@@ -3980,27 +4021,32 @@ object SparkEntry {
     * boundary-aware doubled-space rewrite between rounds
     * ([[graft.text.TextOps.mergeAdjacentPair]], replayed literally).
     * Exact integers throughout. */
+  /** One unrolled trainer round (pair count → argmax → boundary-aware
+    * rewrite) — shared by the whitespace (q197) and byte-level (q299)
+    * trainer oracles; the loop is alphabet-agnostic. */
+  private def bpeTrainRoundCte(i: Int): String = {
+    val src = s"s${i - 1}"
+    s"""p$i AS (
+       |  SELECT syms[i] AS lhs, syms[i + 1] AS rhs,
+       |         CAST(sum(n) AS BIGINT) AS cnt
+       |  FROM (
+       |    SELECT syms, n,
+       |           unnest(generate_series(1, len(syms) - 1)) AS i
+       |    FROM (SELECT string_split(s, ' ') AS syms, n FROM $src)
+       |    WHERE len(syms) > 1)
+       |  GROUP BY 1, 2),
+       |m$i AS (SELECT lhs, rhs, cnt FROM p$i
+       |        ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+       |s$i AS (SELECT trim(regexp_replace(
+       |          replace(' ' || replace(s, ' ', '  ') || ' ',
+       |                  ' ' || lhs || '  ' || rhs || ' ',
+       |                  ' ' || lhs || rhs || ' '),
+       |          ' {2,}', ' ', 'g')) AS s, n
+       |        FROM $src CROSS JOIN m$i)""".stripMargin
+  }
+
   private def bpeTrainOracle: String = {
-    def round(i: Int): String = {
-      val src = s"s${i - 1}"
-      s"""p$i AS (
-         |  SELECT syms[i] AS lhs, syms[i + 1] AS rhs,
-         |         CAST(sum(n) AS BIGINT) AS cnt
-         |  FROM (
-         |    SELECT syms, n,
-         |           unnest(generate_series(1, len(syms) - 1)) AS i
-         |    FROM (SELECT string_split(s, ' ') AS syms, n FROM $src)
-         |    WHERE len(syms) > 1)
-         |  GROUP BY 1, 2),
-         |m$i AS (SELECT lhs, rhs, cnt FROM p$i
-         |        ORDER BY cnt DESC, lhs, rhs LIMIT 1),
-         |s$i AS (SELECT trim(regexp_replace(
-         |          replace(' ' || replace(s, ' ', '  ') || ' ',
-         |                  ' ' || lhs || '  ' || rhs || ' ',
-         |                  ' ' || lhs || rhs || ' '),
-         |          ' {2,}', ' ', 'g')) AS s, n
-         |        FROM $src CROSS JOIN m$i)""".stripMargin
-    }
+    def round(i: Int): String = bpeTrainRoundCte(i)
     s"""WITH w0 AS (
        |  SELECT t AS w, count(*) AS n FROM (
        |    SELECT unnest(list_filter(string_split(lower(text), ' '),
@@ -10849,7 +10895,48 @@ object SparkEntry {
          |           * 1000000) AS BIGINT) AS rate_ppm
          |  FROM w CROSS JOIN den)
          |SELECT stratum, n, rate_ppm FROM r
-         |ORDER BY stratum""".stripMargin
+         |ORDER BY stratum""".stripMargin,
+
+    // q298: byte-level tokenization is lossless, so the decoded text
+    // IS the source's first 3 words rejoined — derived directly from
+    // documents, independent of every encode/decode stage under test
+    "q298_bpe_byte_roundtrip" ->
+      """SELECT doc_id,
+        |       array_to_string(
+        |         list_filter(string_split(text, ' '),
+        |                     t2 -> len(t2) > 0)[1:3], ' ') AS decoded
+        |FROM documents
+        |WHERE text IS NOT NULL AND doc_id % 10 = 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // q299: the q197 trainer rounds over the BYTE-FORM pre-token
+    // word table (first word bare, later words Ġ-prefixed — the
+    // corpus's single-space shape; len > 1 in byte form)
+    "q299_bpe_byte_train" ->
+      s"""WITH w0 AS (
+         |  SELECT w, count(*) AS n FROM (
+         |    SELECT CASE WHEN word_no = 1 THEN ws[1]
+         |                ELSE 'Ġ' || ws[word_no] END AS w
+         |    FROM (SELECT ws,
+         |                 CAST(unnest(generate_series(1, len(ws)))
+         |                   AS INTEGER) AS word_no
+         |          FROM (SELECT list_filter(string_split(text, ' '),
+         |                         t2 -> len(t2) > 0) AS ws
+         |                FROM documents WHERE text IS NOT NULL)))
+         |  WHERE len(w) > 1 GROUP BY w),
+         |s0 AS (
+         |  SELECT array_to_string(string_split(w, ''), ' ') AS s, n
+         |  FROM w0),
+         |${bpeTrainRoundCte(1)},
+         |${bpeTrainRoundCte(2)},
+         |${bpeTrainRoundCte(3)}
+         |SELECT CAST(1 AS INTEGER) AS merge_rank, lhs, rhs, cnt AS n_pairs
+         |FROM m1
+         |UNION ALL
+         |SELECT CAST(2 AS INTEGER), lhs, rhs, cnt FROM m2
+         |UNION ALL
+         |SELECT CAST(3 AS INTEGER), lhs, rhs, cnt FROM m3
+         |ORDER BY merge_rank""".stripMargin
   )
 
   /** q291/q292's canary tiers as a VALUES table — mirrors

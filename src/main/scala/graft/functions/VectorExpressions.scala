@@ -151,6 +151,12 @@ object VectorExpressions {
         java.util.HashMap[String, Integer]]): Column =
     Bridge.column(VocabIds(Bridge.expression(encoded), bc))
 
+  /** Column-level ids→symbols inverse lookup (see [[VocabSymbols]]). */
+  def vocabSymbols(ids: Column,
+      bc: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[Integer, String]]): Column =
+    Bridge.column(VocabSymbols(Bridge.expression(ids), bc))
+
   /** Column-level multilingual language-ID (see [[LangIdMulti]]). */
   def langIdMulti(text: Column): Column =
     Bridge.column(LangIdMulti(Bridge.expression(text)))
@@ -470,6 +476,65 @@ case class VocabIds(child: Expression,
                                    ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("vocabIds", this,
       classOf[VocabIds].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Inverse of [[VocabIds]] — token ids back to their symbols,
+  * CONCATENATED (the detokenizer's first half; for the byte-level
+  * family [[Gpt2BytesDecode]] then maps the byte-form alphabet back to
+  * text, `Ġ` becoming the space again). An id absent from the vocab
+  * fails descriptively: it cannot have come from this vocab, and
+  * silently skipping it would yield text that LOOKS decoded and is
+  * missing content. Broadcast-backed like the forward map — the plan
+  * is O(1) in vocab size. */
+case class VocabSymbols(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[Integer, String]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"vocab_symbols expects ARRAY<INT>, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def prettyName: String = "vocab_symbols"
+
+  /** Row kernel — public so generated code can call it. */
+  def kernel(input: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val inv = bc.value
+    val n = input.numElements()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      val id = input.getInt(i)
+      val sym = inv.get(Integer.valueOf(id))
+      if (sym == null) throw new IllegalArgumentException(
+        s"vocab_symbols: id $id is not in the vocabulary")
+      sb.append(sym)
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[
+      org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vocabSymbols", this,
+      classOf[VocabSymbols].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
   }
 

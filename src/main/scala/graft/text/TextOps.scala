@@ -3851,6 +3851,38 @@ object TextOps {
         "(expected byte_level or whitespace)")
   }
 
+  /** Broadcast the INVERSE vocabulary (id → symbol) for
+    * [[bpeDecodeIdsByteLevel]] — the detokenizer's lookup side.
+    * Duplicate ids are rejected (an ambiguous inverse cannot decode). */
+  def bpeVocabInverseBroadcast(spark: org.apache.spark.sql.SparkSession,
+      vocab: Seq[(String, Int)])
+      : org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[Integer, String]] = {
+    require(vocab.nonEmpty, "vocab must not be empty")
+    val m = new java.util.HashMap[Integer, String](vocab.size * 2)
+    vocab.foreach { case (s2, id) =>
+      val prev = m.put(Integer.valueOf(id), s2)
+      require(prev == null,
+        s"duplicate id $id ('$prev' and '$s2') — inverse is ambiguous")
+    }
+    spark.sparkContext.broadcast(m)
+  }
+
+  /** DETOKENIZE under byte-level semantics — the full inverse of
+    * [[bpeEncodeIdsByteLevel]]: ids → symbols (broadcast inverse
+    * vocab, [[graft.functions.VocabSymbols]] — unknown ids fail
+    * descriptively) concatenated, then the byte-form alphabet mapped
+    * back ([[graft.functions.Gpt2BytesDecode]] — `Ġ` becomes the
+    * space again). Byte-level tokenization is LOSSLESS, so
+    * decode(encode(text)) == text exactly — the q298 round-trip gate.
+    * (The whitespace family lowercases and drops word boundaries from
+    * its flattened ids; it has no faithful decoder by design.) */
+  def bpeDecodeIdsByteLevel(ids: Column,
+      bcInv: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[Integer, String]]): Column =
+    graft.functions.VectorExpressions.gpt2BytesDecode(
+      graft.functions.VectorExpressions.vocabSymbols(ids, bcInv))
+
   /** Id-sequence form of [[bpeEncodeDispatch]]. */
   def bpeEncodeIdsDispatch(kind: String, text: Column,
       bcMerges: org.apache.spark.broadcast.Broadcast[
@@ -3904,6 +3936,40 @@ object TextOps {
       // "abc" -> "a b c" (bpeEncodeWord's spaced-symbol form)
       .select(rtrim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"),
         col("n"))
+    bpeTrainFromWords(spark, words, numMerges)
+  }
+
+  /** BYTE-LEVEL BPE TRAINER — [[bpeTrain]]'s loop over the GPT-2
+    * pre-token byte-form domain instead of lowercased whitespace
+    * words: pre-tokens via [[gpt2PreTokens]] (case preserved, leading
+    * spaces attached), mapped through the bytes_to_unicode alphabet
+    * ([[graft.functions.Gpt2Bytes]]) BEFORE the frequency count, so
+    * the learned merges come out IN the byte alphabet (`Ġ`-forms) —
+    * exactly the table [[bpeEncodeByteLevel]] consumes and
+    * [[TokenizerFiles.writeMergesTxt]] ships: train here, encode
+    * anywhere. Same trainer state and shuffle ledger as [[bpeTrain]]
+    * (the DISTINCT pre-token-frequency table — vocabulary-sized;
+    * per-round pair partials + a 1-row argmax). */
+  def bpeTrainByteLevel(docs: DataFrame, numMerges: Int = 8,
+                        textCol: String = "text"): DataFrame = {
+    require(numMerges > 0, "numMerges must be positive")
+    val spark = docs.sparkSession
+    val words = docs.filter(col(textCol).isNotNull)
+      .select(explode(gpt2PreTokens(col(textCol))).as("t"))
+      .select(graft.functions.VectorExpressions.gpt2Bytes(col("t"))
+        .as("w"))
+      .filter(length(col("w")) > 1)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(rtrim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"),
+        col("n"))
+    bpeTrainFromWords(spark, words, numMerges)
+  }
+
+  /** The shared trainer loop over a spaced-symbol word-frequency table
+    * `(s, n)` — see [[bpeTrain]] for the algorithm and cost ledger. */
+  private def bpeTrainFromWords(spark: org.apache.spark.sql.SparkSession,
+      words: DataFrame, numMerges: Int): DataFrame = {
+    import spark.implicits._
     var cur = words.persist()
     cur.count()
     val merges = scala.collection.mutable.ArrayBuffer

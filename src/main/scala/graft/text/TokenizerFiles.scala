@@ -180,6 +180,31 @@ object TokenizerFiles {
     spark.sparkContext.broadcast(m)
   }
 
+  /** Write a merge table in the GPT-2 `merges.txt` line format — the
+    * EXPORT half of [[readMergesTxt]], closing the train-to-ship loop:
+    * [[TextOps.bpeTrainByteLevel]]'s learned table leaves the engine
+    * as a file any tokenizer stack ingests. `#version: 0.2` header,
+    * one `lhs rhs` line per merge in rank order; driver-side write
+    * through the Hadoop FS (the table is an operator constant — a few
+    * MB at 50k merges). Round-trips [[readMergesTxt]] bit-for-bit. */
+  def writeMergesTxt(spark: SparkSession, merges: Seq[(String, String)],
+                     path: String): Unit = {
+    require(merges.nonEmpty, "merge table must not be empty")
+    merges.foreach { case (a, b) =>
+      require(a.nonEmpty && b.nonEmpty && !a.contains(" ") &&
+        !b.contains(" ") && !a.contains("\n") && !b.contains("\n"),
+        s"symbol pair ('$a', '$b') is not merges.txt-representable") }
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try {
+      val sb = new StringBuilder("#version: 0.2\n")
+      merges.foreach { case (a, b) => sb.append(a).append(' ')
+        .append(b).append('\n') }
+      out.write(sb.toString.getBytes("UTF-8"))
+    } finally out.close()
+  }
+
   /** One-call path from a merges file to the kernel's broadcast handle:
     * `merges.txt` and `tokenizer.json` are auto-detected by suffix
     * (override by calling the specific reader + broadcast yourself).

@@ -3292,6 +3292,66 @@ class ExtensionsSpec extends SparkSpec {
       "/any/merges.txt") == "byte_level")
   }
 
+  test("byte-level BPE trainer + detokenizer: merges learned in the " +
+    "Ġ alphabet match hand-computed pair counts; writeMergesTxt " +
+    "round-trips readMergesTxt; ids decode back to the exact text; " +
+    "unknown ids fail descriptively") {
+    import graft.text.TokenizerFiles
+    import graft.functions.{VectorExpressions => VE}
+    // hand-computed trainer run: pre-token byte forms are
+    // the:2, Ġcat:2, Ġthe:1, Ġdog:1 → round 1 ties (t,h)/(h,e) at 3,
+    // lhs order picks (h,e); round 2 (t,he)=3; round 3 ties
+    // (Ġ,c)/(c,a)/(a,t) at 2, lhs order picks (a,t) ('a' < 'c' < 'Ġ')
+    val docs = Seq("the cat the cat", "the dog").toDF("text")
+    val learned = TextOps.bpeTrainByteLevel(docs, numMerges = 3)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(learned == Seq((1, "h", "e", 3L), (2, "t", "he", 3L),
+      (3, "a", "t", 2L)), s"got $learned")
+    // the learned table ships as merges.txt and round-trips the reader
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wm")
+      .resolve("merges.txt").toString
+    val pairs = learned.map(m => (m._2, m._3))
+    TokenizerFiles.writeMergesTxt(spark, pairs, tmp)
+    assert(TokenizerFiles.readMergesTxt(spark, tmp) == pairs)
+    // and the shipped file encodes: "Ġthe" folds to one symbol path
+    val bc = TokenizerFiles.mergesBroadcastFromFile(spark, tmp)
+    val enc = Seq("the cat").toDF("text")
+      .select(TextOps.bpeEncodeByteLevel(col("text"), bc))
+      .head().getSeq[String](0)
+    assert(enc == Seq("the", "Ġ c at"), s"got $enc")
+    // space-bearing symbols are not representable in the line format
+    intercept[IllegalArgumentException](
+      TokenizerFiles.writeMergesTxt(spark, Seq(("a b", "c")), tmp))
+    // detokenizer: the fixture pair's ids decode to the exact input
+    val tok =
+      getClass.getResource("/graft/fixture_gpt2_tokenizer.json").getPath
+    val bcM = TokenizerFiles.mergesBroadcastFromFile(spark, tok)
+    val vocab = TokenizerFiles.readTokenizerJsonVocab(spark, tok)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    val bcV = TextOps.bpeVocabBroadcast(spark, vocab)
+    val bcInv = TextOps.bpeVocabInverseBroadcast(spark, vocab)
+    val text = "The cat sat on the mat."
+    val rt = Seq(text).toDF("text")
+      .select(TextOps.bpeDecodeIdsByteLevel(
+        TextOps.bpeEncodeIdsByteLevel(col("text"), bcM, bcV), bcInv))
+      .head().getString(0)
+    assert(rt == text, s"round trip broke: '$rt'")
+    // an id outside the vocab fails with the id named, never silently
+    val ex = intercept[Exception] {
+      Seq(Seq(0, 9999)).toDF("ids")
+        .select(VE.vocabSymbols(col("ids"), bcInv)).collect()
+    }
+    val chain = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .map(t2 => Option(t2.getMessage).getOrElse("")).toSeq
+    assert(chain.exists(_.contains("9999")), s"cause chain: $chain")
+    // duplicate ids make the inverse ambiguous — rejected at build
+    intercept[IllegalArgumentException](
+      TextOps.bpeVocabInverseBroadcast(spark, Seq(("a", 1), ("b", 1))))
+  }
+
   test("dsirWeights/dsirSelect: weights reproduce the snapped-integer " +
     "log-ratio formula computed independently; tokenless docs absent; " +
     "selection returns the top-k rows joined back") {
