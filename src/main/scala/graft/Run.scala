@@ -82,6 +82,7 @@ object Run {
       |             [--allow-licenses <l1,l2,...>] [--drop-damaged]
       |             [--c4-lines] [--script-aware] [--paragraph-dedup]
       |             [--lang-model <nb model parquet>] [--lang <label>]
+      |             [--lang-router]
       |             [--shards <n>] [--audit]
       |  export     -d <docs parquet> -s <out dir>
       |             [--format tfrecord|webdataset] [--max-tokens <n>]
@@ -91,7 +92,8 @@ object Run {
     * booleans (the reference's flag set). */
   private val BoolFlags = Set("-v", "-r", "-j", "-c", "-h", "--help",
     "--parquet", "--audit", "--fuzzy-decon", "--psl", "--fuzzy-prior",
-    "--drop-damaged", "--c4-lines", "--script-aware", "--paragraph-dedup")
+    "--drop-damaged", "--c4-lines", "--script-aware", "--paragraph-dedup",
+    "--lang-router")
   private def parseOpts(args: Seq[String]): Map[String, String] = {
     val out = Map.newBuilder[String, String]
     var i = 0
@@ -454,7 +456,10 @@ object Run {
       // language gate (nbClassify argmax == --lang) instead of the
       // langIdEn heuristic
       langModel = opts.get("--lang-model").map(spark.read.parquet(_)),
-      lang = opts.getOrElse("--lang", "en"))
+      lang = opts.getOrElse("--lang", "en"),
+      // --lang-router: the multilingual char-n-gram profile router
+      // gates by --lang instead of the English-only heuristic
+      langRouter = opts.contains("--lang-router"))
     Files.createDirectories(outDir)
     curated.write.mode("overwrite")
       .parquet(outDir.resolve("curated.parquet").toString)

@@ -319,7 +319,8 @@ object Pipelines {
              scriptAware: Boolean = false,
              dedupParagraphs: Boolean = false,
              langModel: Option[DataFrame] = None,
-             lang: String = "en"): DataFrame = {
+             lang: String = "en",
+             langRouter: Boolean = false): DataFrame = {
     import graft.text.TextOps
     import graft.dedup.Dedup
     // a rewrite stage (c4 lines / paragraph dedup) that changed `text`
@@ -356,12 +357,16 @@ object Pipelines {
             scriptAware = scriptAware)
           .select(col("doc_id"), col("cleaned").as("text")),
         Seq("doc_id")))
-    // language gate: the heuristic langIdEn by default; with a trained
-    // NB model (naiveBayesTrain's output frame) the q156→nbClassify
+    // language gate: the heuristic langIdEn by default; with
+    // `langRouter` the MULTILINGUAL profile router decides (r14 —
+    // langIdMulti's argmax must equal `lang`, so curate(lang = "de")
+    // now means something: per-language curation over a routed
+    // corpus, still one map-only kernel predicate); with a trained NB
+    // model (naiveBayesTrain's output frame) the q156→nbClassify
     // router decides instead — argmax label must equal `lang`. The
-    // router path costs a token join + (doc, K) aggregation vs the
-    // heuristic's free map-only predicate; both keep the same left-semi
-    // shape against the scan
+    // model path costs a token join + (doc, K) aggregation vs the
+    // map-only predicates; all three keep the same shape against the
+    // scan
     val nonNull = freshClean.filter(col("text").isNotNull)
     val langGated = langModel match {
       case Some(m) =>
@@ -369,6 +374,9 @@ object Pipelines {
           .filter(col("pred") === 1 && col("label") === lang)
           .select(col("doc_id"))
         nonNull.join(keep, Seq("doc_id"), "left_semi")
+      case None if langRouter =>
+        nonNull.filter(
+          TextOps.langIdMulti(col("text")).getField("lang") === lang)
       case None =>
         nonNull.filter(TextOps.langIdEn(col("text")) === lang)
     }

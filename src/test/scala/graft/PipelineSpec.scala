@@ -183,6 +183,32 @@ class PipelineSpec extends SparkSpec {
       floored.contains(15L), s"got $floored")
   }
 
+  test("E4 curate langRouter: the multilingual router gates by the " +
+    "requested language, so curate(lang = \"de\") keeps German and " +
+    "drops English; the default heuristic path is untouched") {
+    val docs = Seq(
+      (20L, "der schnelle zug und die alte brücke sind ein gutes " +
+        "beispiel und die fahrt war schön und der tag auch"),
+      (21L, "the quick brown fox jumps over the lazy dog and then " +
+        "it runs far away to the old stone house by the river bank"),
+      (22L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("x")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(coalesce($"text", lit(""))))
+    // route German: quality floor 0 (the stopword score is English-
+    // centric by design; per-lang thresholds are the caller's knob)
+    val de = Pipelines.curate(docs, minQuality = 0.0, langRouter = true,
+      lang = "de").select("doc_id").as[Long].collect().toSet
+    assert(de == Set(20L), s"got $de")
+    val en = Pipelines.curate(docs, minQuality = 0.0, langRouter = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(en == Set(21L), s"got $en")
+    // default path: langIdEn heuristic (routes only en-vs-other)
+    val legacy = Pipelines.curate(docs, minQuality = 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(legacy == Set(21L), s"got $legacy")
+  }
+
   test("E4 curate tokenBudget: the best-quality doc fills the budget, " +
     "the rest drop; no budget keeps everything") {
     import graft.text.TextOps
