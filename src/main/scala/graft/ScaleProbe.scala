@@ -507,6 +507,26 @@ object ScaleProbe {
           d.select(TextOps.bpeEncodeIdsByteLevel(col("text"), bcM, bcV)
               .as("ids"))
             .agg(sum(size(col("ids")))).head(); 1L },
+        // WordPiece at BERT vocab scale (~30k entries): greedy
+        // longest-match through ONE broadcast — the window must scale
+        // with corpus bytes, not vocab size (per-word cost is bounded
+        // by the longest piece, not the entry count)
+        "wordpiece_ids30k" -> { d =>
+          val spark = d.sparkSession
+          val ls = 'a' to 'z'
+          val vocab = (Seq("[UNK]") ++
+            ls.map(_.toString) ++ ls.map(c => s"##$c") ++
+            (for { a <- ls; b <- ls } yield s"$a$b") ++
+            (for { a <- ls; b <- ls } yield s"##$a$b") ++
+            (for { a <- "etaoinshrdlucmfw"; b <- ls; c <- ls }
+              yield s"$a$b$c") ++
+            (for { a <- "etaoins"; b <- ls; c <- ls }
+              yield s"##$a$b$c")).distinct.zipWithIndex
+          val bcV = TextOps.wordpieceVocabBroadcast(spark, vocab)
+          val bcIds = TextOps.bpeVocabBroadcast(spark, vocab)
+          d.select(TextOps.wordpieceEncodeIds(col("text"), bcV, bcIds)
+              .as("ids"))
+            .agg(sum(size(col("ids")))).head(); 1L },
         // multilingual router: one kernel pass per doc, map-only —
         // the window must scale with corpus bytes alone
         "lang_id_multi" -> { d =>

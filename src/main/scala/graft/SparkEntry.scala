@@ -3521,7 +3521,53 @@ object SparkEntry {
     // the loop is alphabet-agnostic)
     "q299_bpe_byte_train" -> ((s, dir) =>
       TextOps.bpeTrainByteLevel(t(s, dir, "documents"), numMerges = 3)
-        .orderBy("merge_rank"))
+        .orderBy("merge_rank")),
+
+    // WORDPIECE encode — the BERT family's greedy longest-match-first
+    // subwords over basic tokens (lowercase + punctuation/CJK padding),
+    // completing the tokenizer trio: full words beat their prefixes
+    // ('row', 'table'), multi-char heads beat single letters
+    // ('sl'/'que'/'wind'), 'hash' collapses to [UNK] on the missing
+    // ##h continuation, 'customer' on the maxChars=7 length guard.
+    // The oracle replays greedy matching as a recursive CTE whose
+    // longest-match CASE is generated from the SAME vocab constant
+    "q300_wordpiece_encode" -> ((s, dir) => {
+      val bcV = TextOps.wordpieceVocabBroadcast(s, WpVocab, maxChars = 7)
+      val toks = TextOps.wordpieceBasicTokens(col("text"))
+      val encs = TextOps.wordpieceEncode(col("text"), bcV)
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          posexplode(zip_with(toks, encs,
+            (w, e) => struct(w.as("word"), e.as("encoded"))))
+            .as(Seq("pos", "z")))
+        .filter(col("pos") < 4)
+        .select(col("doc_id"), (col("pos") + 1).as("word_no"),
+          col("z.word").as("word"), col("z.encoded").as("encoded"))
+        .withColumn("n_pieces", size(split(col("encoded"), " ")))
+        .orderBy("doc_id", "word_no")
+    }),
+
+    // the id sequences under WordPiece semantics — encode vocab and id
+    // vocab are the SAME table (ids -1-free by construction; [UNK]
+    // itself carries id 0), what pointing the engine at a real BERT
+    // vocab.txt materializes
+    "q301_wordpiece_ids" -> ((s, dir) => {
+      val bcV = TextOps.wordpieceVocabBroadcast(s, WpVocab, maxChars = 7)
+      val bcIds = TextOps.bpeVocabBroadcast(s, WpVocab)
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          posexplode(TextOps.wordpieceEncode(col("text"), bcV))
+            .as(Seq("pos", "enc")))
+        .filter(col("pos") < 4)
+        .select(col("doc_id"), (col("pos") + 1).as("word_no"),
+          graft.functions.VectorExpressions.vocabIds(col("enc"), bcIds)
+            .as("ids"))
+        .select(col("doc_id"), col("word_no"),
+          array_join(transform(col("ids"), x => x.cast("string")), " ")
+            .as("ids_str"),
+          size(col("ids")).as("n_tokens"))
+        .orderBy("doc_id", "word_no")
+    })
   )
 
   /** q291/q292's canary tiers: three selection moduli, every tier
@@ -3658,6 +3704,84 @@ object SparkEntry {
     ((('a' to 'z').map(_.toString) :+ "Ġ") ++
       BpeMergesByte.map { case (a, b) => a + b })
       .distinct.zipWithIndex
+
+  /** q300/q301's WordPiece vocabulary (id = position): the specials,
+    * every single-letter start piece, single-letter continuations with
+    * `##h` DELIBERATELY absent (so 'hash' exercises the no-match →
+    * whole-word [UNK] collapse; the other exclusions never occur
+    * word-internally in the corpus), multi-char pieces that exercise
+    * greedy longest-match (full words beat their own prefixes — 'row'
+    * over 'r'; multi-char heads beat single letters — 'sl'/'que'/
+    * 'wind'), and the continuations those heads need. The queries run
+    * maxChars = 7, so 'customer' (8 chars) exercises the length guard.
+    * Shared verbatim with the oracle's generated match CASEs. */
+  private val WpVocab: Seq[(String, Int)] = (
+    Seq("[UNK]", "[CLS]", "[SEP]") ++
+      ('a' to 'z').map(_.toString) ++
+      ('a' to 'z').filterNot(c => "hjqwxyz".contains(c))
+        .map(c => "##" + c) ++
+      Seq("the", "data", "key", "table", "row", "agg", "big", "part",
+        "dup", "que", "wind", "sl", "bat", "cust", "val", "fast") ++
+      Seq("##ry", "##ow", "##ch", "##ue", "##all", "##an", "##er")
+    ).zipWithIndex
+
+  /** q300/q301's oracle: the greedy longest-match length CASE,
+    * generated from [[WpVocab]] (one source of truth with the kernel)
+    * — start pieces match verbatim at pos 0, `##`-stripped
+    * continuations after, longest length wins. */
+  private def wpMatchLenSql: String = {
+    val (conts, starts) = WpVocab.map(_._1).partition(_.startsWith("##"))
+    def arms(ps: Seq[String]): String =
+      ps.groupBy(_.length).toSeq.sortBy(-_._1).map { case (l, g) =>
+        s"WHEN substr(word, pos + 1, $l) IN (${
+          g.sorted.map(p => s"'$p'").mkString(", ")}) THEN $l"
+      }.mkString(" ")
+    s"CASE WHEN pos = 0 THEN CASE ${arms(starts)} ELSE 0 END " +
+      s"ELSE CASE ${arms(conts.map(_.drop(2)))} ELSE 0 END END"
+  }
+
+  /** q300/q301's oracle prelude: basic tokens (the kernel's padding
+    * class verbatim — RE2 and java.util.regex read it identically),
+    * first-4 word rows, and the greedy-match replay as a recursive
+    * CTE. Callers read `enc` (doc_id, word_no, word, encoded) and
+    * must open with WITH RECURSIVE. */
+  private def wordpieceOracleCtes: String = {
+    val pat = TextOps.wordpieceBasicPattern
+    s"""wrds AS (
+       |  SELECT doc_id, word_no, ws[word_no] AS word
+       |  FROM (SELECT doc_id, ws,
+       |               CAST(unnest(generate_series(1, least(len(ws), 4)))
+       |                 AS INTEGER) AS word_no
+       |        FROM (SELECT doc_id,
+       |                     list_filter(string_split_regex(
+       |                       regexp_replace(lower(text), '$pat',
+       |                         ' \\1 ', 'g'), '\\s+'),
+       |                       t2 -> len(t2) > 0) AS ws
+       |              FROM documents WHERE text IS NOT NULL))),
+       |steps AS (
+       |  SELECT doc_id, word_no, word, 0 AS pos, '' AS piece, 0 AS k
+       |  FROM wrds WHERE len(word) <= 7
+       |  UNION ALL
+       |  SELECT doc_id, word_no, word,
+       |    CASE WHEN mlen = 0 THEN len(word) ELSE pos + mlen END AS pos,
+       |    CASE WHEN mlen = 0 THEN '[UNK]'
+       |         WHEN pos = 0 THEN substr(word, pos + 1, mlen)
+       |         ELSE '##' || substr(word, pos + 1, mlen) END AS piece,
+       |    k + 1 AS k
+       |  FROM (SELECT *, $wpMatchLenSql AS mlen FROM steps
+       |        WHERE piece <> '[UNK]' AND pos < len(word))),
+       |enc0 AS (
+       |  SELECT doc_id, word_no,
+       |    CASE WHEN bool_or(piece = '[UNK]') THEN '[UNK]'
+       |         ELSE string_agg(piece, ' ' ORDER BY k) END AS encoded
+       |  FROM steps WHERE k > 0 GROUP BY 1, 2),
+       |enc AS (
+       |  SELECT w.doc_id, w.word_no, w.word,
+       |    CASE WHEN len(w.word) > 7 THEN '[UNK]' ELSE e.encoded END
+       |      AS encoded
+       |  FROM wrds w LEFT JOIN enc0 e USING (doc_id, word_no))"""
+      .stripMargin
+  }
 
   /** q296/q297's multilingual synthesis: one fixed sentence per
     * profiled language, spliced over doc_id % 14 (the two remaining
@@ -10936,7 +11060,35 @@ object SparkEntry {
          |SELECT CAST(2 AS INTEGER), lhs, rhs, cnt FROM m2
          |UNION ALL
          |SELECT CAST(3 AS INTEGER), lhs, rhs, cnt FROM m3
-         |ORDER BY merge_rank""".stripMargin
+         |ORDER BY merge_rank""".stripMargin,
+
+    // q300: greedy longest-match WordPiece replayed as a recursive CTE
+    // whose match CASE is generated from the same vocab constant
+    "q300_wordpiece_encode" ->
+      s"""WITH RECURSIVE $wordpieceOracleCtes
+         |SELECT doc_id, word_no, word, encoded,
+         |  CAST(len(string_split(encoded, ' ')) AS INTEGER) AS n_pieces
+         |FROM enc ORDER BY doc_id, word_no""".stripMargin,
+
+    // q301: the q300 pieces joined to the generated (piece, id) table
+    // — WordPiece's encode vocab IS its id vocab
+    "q301_wordpiece_ids" ->
+      s"""WITH RECURSIVE $wordpieceOracleCtes,
+         |wpv(piece, id) AS (VALUES ${
+        WpVocab.map { case (tok, i) => s"('$tok', $i)" }.mkString(", ")}),
+         |pcs AS (
+         |  SELECT doc_id, word_no, ps,
+         |    CAST(unnest(generate_series(1, len(ps))) AS INTEGER) AS j
+         |  FROM (SELECT doc_id, word_no, string_split(encoded, ' ') AS ps
+         |        FROM enc)),
+         |wid AS (
+         |  SELECT p.doc_id, p.word_no, p.j, v.id
+         |  FROM (SELECT doc_id, word_no, j, ps[j] AS piece FROM pcs) p
+         |  JOIN wpv v ON v.piece = p.piece)
+         |SELECT doc_id, word_no,
+         |  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY j) AS ids_str,
+         |  CAST(count(*) AS INTEGER) AS n_tokens
+         |FROM wid GROUP BY 1, 2 ORDER BY doc_id, word_no""".stripMargin
   )
 
   /** q291/q292's canary tiers as a VALUES table — mirrors

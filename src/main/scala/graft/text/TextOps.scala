@@ -3896,6 +3896,87 @@ object TextOps {
         "(expected byte_level or whitespace)")
   }
 
+  /** The BERT basic-tokenizer padding class — every character the
+    * reference splits into its OWN token: Unicode punctuation plus the
+    * ASCII symbols `_is_punctuation` adds by code range ($ + < = > ^
+    * ` | ~), plus the CJK ideograph ranges `tokenize_chinese_chars`
+    * isolates. One regex class, shared verbatim with the oracle (RE2
+    * and java.util.regex read it identically). */
+  val wordpieceBasicPattern: String =
+    "([\\p{P}$+<=>^`|~" +
+      "\\x{4e00}-\\x{9fff}\\x{3400}-\\x{4dbf}\\x{20000}-\\x{2a6df}" +
+      "\\x{2a700}-\\x{2b73f}\\x{2b740}-\\x{2b81f}\\x{2b820}-\\x{2ceaf}" +
+      "\\x{f900}-\\x{faff}\\x{2f800}-\\x{2fa1f}])"
+
+  /** BERT basic tokenization — the pre-tokenizer in front of
+    * [[wordpieceEncode]]: optionally lowercase, pad every
+    * [[wordpieceBasicPattern]] character with spaces (punctuation and
+    * CJK ideographs become single-char tokens), whitespace-split, drop
+    * empties. Pure column expressions, map-only. Uncased BERT's accent
+    * stripping (NFD + Mn removal) is deliberately out of scope — the
+    * engine's normalization ops document the same boundary. */
+  def wordpieceBasicTokens(text: Column,
+      lowercase: Boolean = true): Column = {
+    val t0 = coalesce(text, lit(""))
+    val lc = if (lowercase) lower(t0) else t0
+    filter(split(regexp_replace(lc, wordpieceBasicPattern, " $1 "),
+        "\\s+"),
+      t => length(t) > 0)
+  }
+
+  /** Broadcast a WordPiece vocabulary for the encode kernel — build
+    * once, reuse across every [[wordpieceEncode]] call in the job
+    * (the [[bpeMergesBroadcast]] convention). */
+  def wordpieceVocabBroadcast(spark: org.apache.spark.sql.SparkSession,
+      vocab: Seq[(String, Int)], unk: String = "[UNK]",
+      maxChars: Int = 100)
+      : org.apache.spark.broadcast.Broadcast[
+        graft.functions.WordPiece.Vocab] =
+    spark.sparkContext.broadcast(
+      graft.functions.WordPiece.build(vocab, unk, maxChars))
+
+  /** WORDPIECE encode — the BERT family's greedy longest-match-first
+    * subword algorithm over [[wordpieceBasicTokens]], completing the
+    * tokenizer trio (byte-level BPE, unigram LM, WordPiece): one
+    * space-separated piece string per basic token (`##` continuation
+    * forms, unk collapse — [[graft.functions.WordPiece]] has the full
+    * semantics). Map-only; the vocab rides ONE broadcast, the plan is
+    * O(1) in vocab size, the corpus never shuffles. */
+  def wordpieceEncode(text: Column,
+      bc: org.apache.spark.broadcast.Broadcast[
+        graft.functions.WordPiece.Vocab],
+      lowercase: Boolean = true): Column =
+    transform(wordpieceBasicTokens(text, lowercase),
+      w => graft.functions.WordPiece.encodeWord(w, bc))
+
+  /** TOKEN IDS under WordPiece semantics — [[wordpieceEncode]]'s
+    * pieces through the broadcast id map, flattened to the document's
+    * id sequence (the [[bpeEncodeIdsByteLevel]] shape). WordPiece's
+    * encode vocab and id vocab are the SAME table, so ids are -1-free
+    * by construction: every emitted piece (unk included) is a vocab
+    * entry — pass the same pairs to both broadcasts. */
+  def wordpieceEncodeIds(text: Column,
+      bcVocab: org.apache.spark.broadcast.Broadcast[
+        graft.functions.WordPiece.Vocab],
+      bcIds: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[String, Integer]],
+      lowercase: Boolean = true): Column =
+    flatten(transform(wordpieceBasicTokens(text, lowercase),
+      w => graft.functions.VectorExpressions.vocabIds(
+        graft.functions.WordPiece.encodeWord(w, bc = bcVocab), bcIds)))
+
+  /** WordPiece token budget — Σ over basic tokens of piece counts
+    * (the [[bpeTokenCountByteLevel]] statistic at BERT granularity). */
+  def wordpieceTokenCount(text: Column,
+      bc: org.apache.spark.broadcast.Broadcast[
+        graft.functions.WordPiece.Vocab],
+      lowercase: Boolean = true): Column =
+    aggregate(
+      transform(wordpieceBasicTokens(text, lowercase),
+        w => size(split(graft.functions.WordPiece.encodeWord(w, bc),
+          " ")).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
   /** BPE TRAINER — the iterative loop whose single statistics pass is
     * [[bpePairCounts]] and whose output drives [[bpeEncode]]: `numMerges`
     * rounds of (argmax adjacent-symbol pair → merge it everywhere →

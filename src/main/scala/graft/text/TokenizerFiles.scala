@@ -94,6 +94,7 @@ object TokenizerFiles {
       t match {
         case "ByteLevel" => "byte_level"
         case "Whitespace" | "WhitespaceSplit" => "whitespace"
+        case "BertPreTokenizer" => "bert"
         case "Sequence" =>
           val subs = node.get("pretokenizers")
           val it = if (subs == null) java.util.Collections
@@ -203,6 +204,91 @@ object TokenizerFiles {
         .append(b).append('\n') }
       out.write(sb.toString.getBytes("UTF-8"))
     } finally out.close()
+  }
+
+  /** The model FAMILY a `tokenizer.json` declares (`model.type`):
+    * `BPE`, `WordPiece`, or `Unigram` — the flag deciding which of the
+    * engine's three encoders a shipped file feeds ([[TextOps
+    * .bpeEncodeDispatch]] for BPE by pre-tokenizer kind,
+    * [[TextOps.wordpieceEncode]] for WordPiece, the unigram segmenter
+    * for Unigram). A missing `model.type` fails descriptively. */
+  def readModelType(spark: SparkSession, path: String): String = {
+    val t = tokenizerModel(spark, path).get("type")
+    require(t != null && t.isTextual,
+      s"$path: model.type is missing — cannot dispatch an encoder")
+    t.asText()
+  }
+
+  /** Parse a BERT-style `vocab.txt`: ONE TOKEN PER LINE, id = 0-based
+    * line order (the format every WordPiece distribution ships —
+    * bert-base, multilingual BERT, DistilBERT). Trailing `\r` is
+    * stripped (CRLF saves); a blank line fails with its line number —
+    * a vocab entry cannot be empty, and silently skipping would shift
+    * every later id. Driver-side constant read, the
+    * [[readMergesTxt]] contract: line order IS the id assignment and
+    * a distributed scan cannot guarantee it. */
+  def readVocabTxt(spark: SparkSession, path: String)
+      : Seq[(String, Int)] = {
+    val out = Vector.newBuilder[(String, Int)]
+    var lineNo = 0
+    openLines(spark, path).foreach { raw =>
+      val line = raw.stripSuffix("\r")
+      if (line.isEmpty)
+        throw new IllegalArgumentException(
+          s"$path:${lineNo + 1}: blank vocab line — ids would shift")
+      out += ((line, lineNo))
+      lineNo += 1
+    }
+    val vocab = out.result()
+    require(vocab.nonEmpty, s"$path holds no vocab entries")
+    vocab
+  }
+
+  /** Write a vocabulary in the `vocab.txt` line format — the EXPORT
+    * half of [[readVocabTxt]]. Entries must arrive DENSE in id order
+    * (0..n-1): the format has no id column, line order carries it.
+    * Round-trips [[readVocabTxt]] bit-for-bit. */
+  def writeVocabTxt(spark: SparkSession, vocab: Seq[(String, Int)],
+                    path: String): Unit = {
+    require(vocab.nonEmpty, "vocab must not be empty")
+    vocab.zipWithIndex.foreach { case ((tok, id), i) =>
+      require(id == i, s"vocab ids must be dense line order: entry " +
+        s"$i ('$tok') carries id $id")
+      require(tok.nonEmpty && !tok.contains("\n") && !tok.contains("\r"),
+        s"token '$tok' is not vocab.txt-representable")
+    }
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try {
+      val sb = new StringBuilder
+      vocab.foreach { case (tok, _) => sb.append(tok).append('\n') }
+      out.write(sb.toString.getBytes("UTF-8"))
+    } finally out.close()
+  }
+
+  /** One-call path from a WordPiece vocab file to the encode kernel's
+    * broadcast handle: `vocab.txt` and `tokenizer.json` (model.vocab
+    * of a WordPiece model) are auto-detected by suffix. Feed the
+    * result to [[TextOps.wordpieceEncode]]. */
+  def wordpieceVocabBroadcastFromFile(spark: SparkSession, path: String,
+      unk: String = "[UNK]", maxChars: Int = 100)
+      : org.apache.spark.broadcast.Broadcast[
+        graft.functions.WordPiece.Vocab] = {
+    val vocab =
+      if (path.endsWith(".json")) {
+        val node = tokenizerModel(spark, path).get("vocab")
+        require(node != null && node.isObject,
+          s"$path: model.vocab is missing or not an object")
+        val rows = Vector.newBuilder[(String, Int)]
+        val it = node.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          rows += ((e.getKey, e.getValue.asInt()))
+        }
+        rows.result()
+      } else readVocabTxt(spark, path)
+    TextOps.wordpieceVocabBroadcast(spark, vocab, unk, maxChars)
   }
 
   /** One-call path from a merges file to the kernel's broadcast handle:

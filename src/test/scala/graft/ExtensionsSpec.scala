@@ -5506,4 +5506,135 @@ class ExtensionsSpec extends SparkSpec {
     assert(audit.exists(r => r.getInt(1) == 1 && r.getInt(2) == 0),
       "64-bit filter over 40 urls must show a false positive")
   }
+
+  // ---- WordPiece (BERT family) ----
+
+  private val wpTestVocab: Seq[(String, Int)] =
+    Seq("[UNK]", "un", "##aff", "##able", "##ab", "##le", "aff",
+      "run", "##ning", "walk", "##s", "the", "r", "##o", "##w", "row")
+      .zipWithIndex
+
+  test("WordPiece encodeWord: greedy longest-match-first (##aff beats " +
+    "##ab, full 'row' beats r+##o+##w), whole-word [UNK] collapse on " +
+    "a dead end, maxChars length guard, empty in → empty out") {
+    val bc = TextOps.wordpieceVocabBroadcast(spark, wpTestVocab,
+      maxChars = 9)
+    val got = Seq("unaffable", "row", "walks", "walked", "affable",
+      "unaffables", "run", "").toDF("w")
+      .select(graft.functions.WordPiece.encodeWord(col("w"), bc).as("e"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq(
+      "un ##aff ##able", // greedy: ##aff (3 chars) over ##ab (2)
+      "row",             // the full word wins at pos 0
+      "walk ##s",
+      "[UNK]",           // no ##ed continuation: pieces discarded
+      "aff ##able",
+      "[UNK]",           // 10 chars > maxChars=9, even though encodable
+      "run",
+      ""), s"got $got")
+    // null word → null (UnaryExpression null contract)
+    val n = Seq[String](null).toDF("w")
+      .select(graft.functions.WordPiece.encodeWord(col("w"), bc).as("e"))
+      .head()
+    assert(n.isNullAt(0))
+  }
+
+  test("wordpieceBasicTokens: lowercase, punctuation isolated (BERT's " +
+    "ASCII symbol set included), CJK ideographs isolated, whitespace " +
+    "runs collapse; lowercase=false preserves case") {
+    def toks(s: String, lc: Boolean = true): Seq[String] =
+      Seq(s).toDF("t")
+        .select(TextOps.wordpieceBasicTokens(col("t"), lc).as("w"))
+        .head().getSeq[String](0)
+    assert(toks("Hello, World!!  foo") ==
+      Seq("hello", ",", "world", "!", "!", "foo"))
+    assert(toks("don't stop") == Seq("don", "'", "t", "stop"))
+    assert(toks("$5+3=8") == Seq("$", "5", "+", "3", "=", "8"))
+    assert(toks("abc中文x") == Seq("abc", "中", "文", "x"))
+    assert(toks("Hello World", lc = false) == Seq("Hello", "World"))
+    assert(toks("") == Seq.empty)
+  }
+
+  test("wordpieceEncodeIds + wordpieceTokenCount: ids are the vocab's " +
+    "own positions ([UNK] included — never -1), budget sums pieces " +
+    "across words; null/empty docs give empty ids and 0 tokens") {
+    val bcV = TextOps.wordpieceVocabBroadcast(spark, wpTestVocab,
+      maxChars = 9)
+    val bcIds = TextOps.bpeVocabBroadcast(spark, wpTestVocab)
+    val got = Seq("Unaffable walks walked", "", null.asInstanceOf[String])
+      .toDF("text")
+      .select(
+        TextOps.wordpieceEncodeIds(col("text"), bcV, bcIds).as("ids"),
+        TextOps.wordpieceTokenCount(col("text"), bcV).as("n"))
+      .collect()
+    // un=1 ##aff=2 ##able=3 | walk=9 ##s=10 | [UNK]=0
+    assert(got(0).getSeq[Int](0) == Seq(1, 2, 3, 9, 10, 0),
+      s"got ${got(0)}")
+    assert(got(0).getLong(1) == 6L)
+    assert(got(1).getSeq[Int](0) == Seq.empty && got(1).getLong(1) == 0L)
+    assert(got(2).getSeq[Int](0) == Seq.empty && got(2).getLong(1) == 0L)
+  }
+
+  test("WordPiece.build validation: unk must be a vocab entry, " +
+    "space-bearing entries rejected, maxChars must be positive") {
+    intercept[IllegalArgumentException] {
+      graft.functions.WordPiece.build(Seq("a" -> 0), unk = "[UNK]")
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.WordPiece.build(Seq("[UNK]" -> 0, "a b" -> 1))
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.WordPiece.build(Seq("[UNK]" -> 0), maxChars = 0)
+    }
+  }
+
+  test("TokenizerFiles vocab.txt + WordPiece tokenizer.json: line order " +
+    "is the id assignment, the file-read vocab encodes identically to " +
+    "the hand-built one, writeVocabTxt round-trips, model.type and " +
+    "BertPreTokenizer dispatch flags read back") {
+    import graft.text.TokenizerFiles
+    val vp = getClass.getResource("/graft/fixture_vocab.txt").getPath
+    val vocab = TokenizerFiles.readVocabTxt(spark, vp)
+    assert(vocab.length == 15 && vocab.head == ("[PAD]", 0) &&
+      vocab(1) == ("[UNK]", 1) && vocab(4) == ("un", 4) &&
+      vocab(14) == ("the", 14), s"got $vocab")
+    val bcFile = TokenizerFiles.wordpieceVocabBroadcastFromFile(spark, vp)
+    val got = Seq("unaffable", "running", "walks", "walked").toDF("w")
+      .select(graft.functions.WordPiece.encodeWord(col("w"), bcFile)
+        .as("e"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got ==
+      Seq("un ##aff ##able", "run ##ning", "walk ##s", "[UNK]"),
+      s"got $got")
+    // write → read round-trip, and the dense-id guard
+    val tmp = java.nio.file.Files.createTempDirectory("wp").toString
+    TokenizerFiles.writeVocabTxt(spark, vocab, s"$tmp/v.txt")
+    assert(TokenizerFiles.readVocabTxt(spark, s"$tmp/v.txt") == vocab)
+    intercept[IllegalArgumentException] {
+      TokenizerFiles.writeVocabTxt(spark, Seq("a" -> 0, "b" -> 2),
+        s"$tmp/bad.txt")
+    }
+    // a blank vocab line would shift every later id — named failure
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/blank.txt"),
+      "a\n\nb\n".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      TokenizerFiles.readVocabTxt(spark, s"$tmp/blank.txt")
+    }
+    assert(e.getMessage.contains(":2"), s"got ${e.getMessage}")
+    // tokenizer.json (WordPiece model): family flag, pre-tokenizer
+    // kind, and the model.vocab broadcast path
+    val tj =
+      getClass.getResource("/graft/fixture_wp_tokenizer.json").getPath
+    assert(TokenizerFiles.readModelType(spark, tj) == "WordPiece")
+    assert(TokenizerFiles.readPreTokenizerKind(spark, tj) == "bert")
+    val bcJson =
+      TokenizerFiles.wordpieceVocabBroadcastFromFile(spark, tj)
+    val gj = Seq("unaffable", "running", "walks").toDF("w")
+      .select(graft.functions.WordPiece.encodeWord(col("w"), bcJson)
+        .as("e"))
+      .collect().map(_.getString(0)).toSeq
+    // walks: 'walk' is outside the json fixture's vocab → [UNK]
+    assert(gj == Seq("un ##aff ##able", "run ##ning", "[UNK]"),
+      s"got $gj")
+  }
 }

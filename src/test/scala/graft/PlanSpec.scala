@@ -867,4 +867,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"cuts not broadcast:\n$p")
     assert(p.contains("partial_"), s"percentiles not partial-agged:\n$p")
   }
+
+  test("q300/q301 WordPiece encode is map-only: no join, no " +
+    "aggregation, no hash shuffle; the vocab rides the broadcast " +
+    "kernel, not plan literals") {
+    Seq("q300_wordpiece_encode", "q301_wordpiece_ids").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("Aggregate") &&
+        !p.contains("hashpartitioning"),
+        s"$q should be a pure projection:\n$p")
+      assert(p.contains("wordpiece_encode_word"),
+        s"$q should ride the broadcast kernel:\n$p")
+    }
+  }
 }
