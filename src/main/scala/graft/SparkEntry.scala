@@ -3567,6 +3567,37 @@ object SparkEntry {
             .as("ids_str"),
           size(col("ids")).as("n_tokens"))
         .orderBy("doc_id", "word_no")
+    }),
+
+    // BLEU n-gram statistics over the q262 rewrite-pair synthesis
+    // (ref = doc, hyp = next doc; %7 self-pairs score p_n = 1 at every
+    // level): clipped matches, totals, and modified precisions per
+    // (pair, n ≤ 4) — one kernel pass per pair, no gram explode
+    "q302_bleu_ngrams" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      val nxt = d.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("ntext"))
+      TextOps.bleuNgramStats(d.join(nxt, Seq("doc_id"))
+          .select(col("doc_id").as("pair_id"), col("text").as("ref"),
+            when(col("doc_id") % 7 === 0, col("text"))
+              .otherwise(col("ntext")).as("hyp")))
+        .orderBy("pair_id", "n")
+    }),
+
+    // corpus BLEU over the same pairs — matches and totals summed
+    // BEFORE the divisions (the WMT statistic, never an average of
+    // sentence BLEUs), sqrt-chain geometric mean and log brevity
+    // penalty (both bit-portable; the exp-bearing `bleu` column is
+    // spec-gated and dropped here)
+    "q303_corpus_bleu" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      val nxt = d.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("ntext"))
+      TextOps.corpusBleu(d.join(nxt, Seq("doc_id"))
+          .select(col("doc_id").as("pair_id"), col("text").as("ref"),
+            when(col("doc_id") % 7 === 0, col("text"))
+              .otherwise(col("ntext")).as("hyp")))
+        .drop("bleu")
     })
   )
 
@@ -3782,6 +3813,47 @@ object SparkEntry {
        |  FROM wrds w LEFT JOIN enc0 e USING (doc_id, word_no))"""
       .stripMargin
   }
+
+  /** q302/q303's oracle prelude: the q262 pair synthesis tokenized to
+    * word arrays, per-n gram counts both sides, clipped overlaps, and
+    * per-(pair, n) totals. Callers read `lv`
+    * (id, n, o, ref_total, hyp_total). */
+  private val bleuOracleCtes: String =
+    """d0 AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      |nxt AS (SELECT doc_id - 1 AS doc_id, text AS ntext FROM d0),
+      |pr AS (
+      |  SELECT d0.doc_id AS id,
+      |    list_filter(string_split_regex(lower(trim(d0.text)), '\s+'),
+      |      t2 -> len(t2) > 0) AS rw,
+      |    list_filter(string_split_regex(lower(trim(
+      |      CASE WHEN d0.doc_id % 7 = 0 THEN d0.text ELSE nxt.ntext
+      |      END)), '\s+'), t2 -> len(t2) > 0) AS hw
+      |  FROM d0 JOIN nxt USING (doc_id)),
+      |nn AS (SELECT CAST(unnest(generate_series(1, 4)) AS INTEGER) AS n),
+      |rg AS (
+      |  SELECT id, n, array_to_string(rw[i:i+n-1], ' ') AS g FROM (
+      |    SELECT id, rw, n,
+      |      CAST(unnest(generate_series(1, len(rw) - n + 1)) AS INTEGER)
+      |        AS i
+      |    FROM pr CROSS JOIN nn WHERE len(rw) >= n)),
+      |rc AS (SELECT id, n, g, count(*) AS rcn FROM rg GROUP BY 1, 2, 3),
+      |hg AS (
+      |  SELECT id, n, array_to_string(hw[i:i+n-1], ' ') AS g FROM (
+      |    SELECT id, hw, n,
+      |      CAST(unnest(generate_series(1, len(hw) - n + 1)) AS INTEGER)
+      |        AS i
+      |    FROM pr CROSS JOIN nn WHERE len(hw) >= n)),
+      |hc AS (SELECT id, n, g, count(*) AS hcn FROM hg GROUP BY 1, 2, 3),
+      |ov AS (
+      |  SELECT id, n, CAST(sum(least(rcn, hcn)) AS BIGINT) AS o
+      |  FROM rc JOIN hc USING (id, n, g) GROUP BY 1, 2),
+      |lv AS (
+      |  SELECT p.id, b.n,
+      |    CAST(coalesce(o.o, 0) AS BIGINT) AS o,
+      |    CAST(greatest(len(p.rw) - b.n + 1, 0) AS BIGINT) AS ref_total,
+      |    CAST(greatest(len(p.hw) - b.n + 1, 0) AS BIGINT) AS hyp_total
+      |  FROM pr p CROSS JOIN nn b
+      |  LEFT JOIN ov o ON o.id = p.id AND o.n = b.n)""".stripMargin
 
   /** q296/q297's multilingual synthesis: one fixed sentence per
     * profiled language, spliced over doc_id % 14 (the two remaining
@@ -11088,7 +11160,64 @@ object SparkEntry {
          |SELECT doc_id, word_no,
          |  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY j) AS ids_str,
          |  CAST(count(*) AS INTEGER) AS n_tokens
-         |FROM wid GROUP BY 1, 2 ORDER BY doc_id, word_no""".stripMargin
+         |FROM wid GROUP BY 1, 2 ORDER BY doc_id, word_no""".stripMargin,
+
+    // q302: clipped n-gram counts + modified precisions per (pair, n)
+    // — the exploded relational replay of the one-pass kernel
+    "q302_bleu_ngrams" ->
+      s"""WITH $bleuOracleCtes
+         |SELECT id AS pair_id, n, o AS clip_matches, ref_total,
+         |  hyp_total,
+         |  CASE WHEN hyp_total > 0
+         |       THEN CAST(o AS DOUBLE) / CAST(hyp_total AS DOUBLE)
+         |  END AS p_n
+         |FROM lv ORDER BY pair_id, n""".stripMargin,
+
+    // q303: matches/totals summed across pairs BEFORE the divisions,
+    // fixed-association product under the sqrt chain, log brevity
+    // penalty — every emitted double is one exact-integer division,
+    // an IEEE product, or a sqrt (all bit-portable; exp never emitted)
+    "q303_corpus_bleu" ->
+      s"""WITH $bleuOracleCtes,
+         |sums AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN n = 1 THEN ref_total END) AS BIGINT)
+         |      AS ref_len,
+         |    CAST(sum(CASE WHEN n = 1 THEN hyp_total END) AS BIGINT)
+         |      AS hyp_len,
+         |    CAST(sum(CASE WHEN n = 1 THEN o END) AS BIGINT) AS o_1,
+         |    CAST(sum(CASE WHEN n = 1 THEN hyp_total END) AS BIGINT)
+         |      AS h_1,
+         |    CAST(sum(CASE WHEN n = 2 THEN o END) AS BIGINT) AS o_2,
+         |    CAST(sum(CASE WHEN n = 2 THEN hyp_total END) AS BIGINT)
+         |      AS h_2,
+         |    CAST(sum(CASE WHEN n = 3 THEN o END) AS BIGINT) AS o_3,
+         |    CAST(sum(CASE WHEN n = 3 THEN hyp_total END) AS BIGINT)
+         |      AS h_3,
+         |    CAST(sum(CASE WHEN n = 4 THEN o END) AS BIGINT) AS o_4,
+         |    CAST(sum(CASE WHEN n = 4 THEN hyp_total END) AS BIGINT)
+         |      AS h_4
+         |  FROM lv),
+         |pp AS (
+         |  SELECT *,
+         |    CASE WHEN h_1 > 0
+         |      THEN CAST(o_1 AS DOUBLE) / CAST(h_1 AS DOUBLE) END AS p_1,
+         |    CASE WHEN h_2 > 0
+         |      THEN CAST(o_2 AS DOUBLE) / CAST(h_2 AS DOUBLE) END AS p_2,
+         |    CASE WHEN h_3 > 0
+         |      THEN CAST(o_3 AS DOUBLE) / CAST(h_3 AS DOUBLE) END AS p_3,
+         |    CASE WHEN h_4 > 0
+         |      THEN CAST(o_4 AS DOUBLE) / CAST(h_4 AS DOUBLE) END AS p_4
+         |  FROM sums)
+         |SELECT ref_len, hyp_len, o_1, h_1, o_2, h_2, o_3, h_3, o_4,
+         |  h_4, p_1, p_2, p_3, p_4,
+         |  CASE WHEN o_1 = 0 OR o_2 = 0 OR o_3 = 0 OR o_4 = 0 THEN 0.0
+         |       ELSE sqrt(sqrt(((p_1 * p_2) * p_3) * p_4)) END
+         |    AS geo_mean,
+         |  CASE WHEN hyp_len > 0 THEN least(0.0,
+         |    1.0 - CAST(ref_len AS DOUBLE) / CAST(hyp_len AS DOUBLE))
+         |  END AS bp_log
+         |FROM pp""".stripMargin
   )
 
   /** q291/q292's canary tiers as a VALUES table — mirrors

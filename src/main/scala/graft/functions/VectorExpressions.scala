@@ -110,6 +110,12 @@ object VectorExpressions {
     Bridge.column(ChrFStats(Bridge.expression(ref),
       Bridge.expression(hyp), maxN))
 
+  /** Column-level per-pair BLEU word-n-gram counts (see
+    * [[BleuStats]]). */
+  def bleuStats(ref: Column, hyp: Column, maxN: Int): Column =
+    Bridge.column(BleuStats(Bridge.expression(ref),
+      Bridge.expression(hyp), maxN))
+
   /** Column-level rolling fingerprints (see [[RollingFingerprints]]). */
   def rollingFingerprints(text: Column, k: Int): Column =
     Bridge.column(RollingFingerprints(Bridge.expression(text), k))
@@ -1210,6 +1216,121 @@ case class ChrFStats(left: Expression, right: Expression, maxN: Int)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Per-pair BLEU statistics — ARRAY<STRUCT<n INT, o LONG, r LONG,
+  * h LONG>> for n = 1..maxN over WORD n-grams: o = clipped matches
+  * (Σ_g min(count_hyp(g), count_ref(g)) — the Papineni et al. 2002
+  * modified precision numerator, via the same decrement-map walk
+  * [[ChrFStats]] uses for chars), r / h = ref / hyp n-gram totals
+  * (level 1 carries the word lengths the brevity penalty needs).
+  * BLEU counting never crosses pairs, so the whole statistic is ONE
+  * map-side projection — no gram explode, no shuffle (the ChrFStats
+  * argument, replayed for words). Tokens are maximal runs of
+  * non-whitespace (ASCII `\s`, the engines' shared `\s` set); case
+  * folding is the caller's choice upstream. */
+case class BleuStats(left: Expression, right: Expression, maxN: Int)
+    extends BinaryExpression {
+
+  require(maxN >= 1 && maxN <= 16, "maxN out of range")
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(
+      _.dataType == org.apache.spark.sql.types.StringType)
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bleu_stats expects STRING inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("o",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("r",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("h",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+
+  override def prettyName: String = "bleu_stats"
+
+  private def toks(s: String): Array[String] = {
+    val t = s.trim
+    if (t.isEmpty) Array.empty[String]
+    else BleuStats.Ws.split(t)
+  }
+
+  /** Row kernel — public so generated code can call it. */
+  def kernel(rsU: org.apache.spark.unsafe.types.UTF8String,
+             hsU: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val rw = toks(rsU.toString)
+    val hw = toks(hsU.toString)
+    val out = new Array[Any](maxN)
+    var n = 1
+    while (n <= maxN) {
+      // boxed values: the miss sentinel must be a REAL null (the
+      // ChrFStats convention)
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      var i = 0
+      while (i + n <= rw.length) {
+        val g = BleuStats.gram(rw, i, n)
+        val c = m.get(g)
+        m.put(g, if (c == null) 1L else c.longValue + 1L)
+        i += 1
+      }
+      var o = 0L
+      i = 0
+      while (i + n <= hw.length) {
+        val g = BleuStats.gram(hw, i, n)
+        val c = m.get(g)
+        if (c != null && c.longValue > 0L) {
+          o += 1L; m.put(g, c.longValue - 1L)
+        }
+        i += 1
+      }
+      out(n - 1) = org.apache.spark.sql.catalyst.InternalRow(n, o,
+        math.max(rw.length - n + 1, 0).toLong,
+        math.max(hw.length - n + 1, 0).toLong)
+      n += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    kernel(l.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      r.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bleuStats", this,
+      classOf[BleuStats].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.kernel($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object BleuStats {
+  private[functions] val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** tokens i..i+n-1 joined on ' ' — tokens are whitespace-free by
+    * construction, so the join is collision-free. */
+  private[functions] def gram(w: Array[String], i: Int, n: Int): String = {
+    if (n == 1) return w(i)
+    val sb = new java.lang.StringBuilder
+    var j = i
+    while (j < i + n) {
+      if (j > i) sb.append(' ')
+      sb.append(w(j))
+      j += 1
+    }
+    sb.toString
+  }
 }
 
 case class WordShingles(child: Expression, n: Int)

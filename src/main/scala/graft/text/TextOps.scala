@@ -3060,6 +3060,103 @@ object TextOps {
             .otherwise(lit(0.0))))
   }
 
+  /** BLEU n-gram statistics per pair, long form — one row per
+    * (pair, n ≤ maxN): clipped matches (the Papineni et al. 2002
+    * modified-precision numerator, Σ_g min(count_hyp, count_ref)),
+    * ref/hyp n-gram totals, and the modified precision p_n itself
+    * (one exact-integer division — bit-portable). Counting rides the
+    * [[graft.functions.BleuStats]] one-pass kernel, so the whole
+    * statistic is a map-side projection (the [[chrF]] argument:
+    * BLEU never crosses pairs) — no gram explode, no shuffle. Text is
+    * lowercased and whitespace-tokenized; BLEU's word granularity is
+    * why WMT moved to [[chrF]], but BLEU remains the reported
+    * standard for generation evals. */
+  def bleuNgramStats(pairs: DataFrame, idCol: String = "pair_id",
+      refCol: String = "ref", hypCol: String = "hyp",
+      maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 16, "maxN out of range")
+    val st = graft.functions.VectorExpressions.bleuStats(
+      lower(col(refCol)), lower(col(hypCol)), maxN)
+    pairs.select(col(idCol), explode(st).as("lv"))
+      .select(col(idCol), col("lv.n").as("n"),
+        col("lv.o").as("clip_matches"),
+        col("lv.r").as("ref_total"), col("lv.h").as("hyp_total"))
+      .withColumn("p_n", when(col("hyp_total") > 0,
+        col("clip_matches").cast("double")
+          / col("hyp_total").cast("double")))
+  }
+
+  /** The shared BLEU tail: per-level precisions, the geometric mean,
+    * and the log brevity penalty over a frame carrying ref_len,
+    * hyp_len, o_i, h_i columns. geo_mean uses the exact unsmoothed
+    * form (0.0 the moment any level has zero matches) and — for the
+    * standard power-of-two maxN — a fixed-association product under a
+    * sqrt chain, both IEEE-correctly-rounded, so the value is
+    * bit-portable across engines (`pow` fallback otherwise). bp_log =
+    * min(0, 1 − r/c) stays in log space: `exp` is NOT cross-engine
+    * bit-portable (the q242 lesson), so the full `bleu` column is the
+    * one non-portable output — spec-gated, excluded from oracles. */
+  private def bleuTail(d0: DataFrame, maxN: Int): DataFrame = {
+    val withP = (1 to maxN).foldLeft(d0) { (d, i) =>
+      d.withColumn(s"p_$i", when(col(s"h_$i") > 0,
+        col(s"o_$i").cast("double") / col(s"h_$i").cast("double")))
+    }
+    val anyZero = (1 to maxN).map(i => col(s"o_$i") === 0)
+      .reduce(_ || _)
+    val prod = (1 to maxN).map(i => col(s"p_$i")).reduce(_ * _)
+    def root(c: Column, k: Int): Column =
+      if (k == 1) c else root(sqrt(c), k / 2)
+    val geo = if (Integer.bitCount(maxN) == 1) root(prod, maxN)
+      else pow(prod, lit(1.0 / maxN))
+    withP
+      .withColumn("geo_mean", when(anyZero, lit(0.0)).otherwise(geo))
+      .withColumn("bp_log", when(col("hyp_len") > 0,
+        least(lit(0.0), lit(1.0) - col("ref_len").cast("double")
+          / col("hyp_len").cast("double"))))
+      .withColumn("bleu", when(col("geo_mean") === 0, lit(0.0))
+        .otherwise(exp(col("bp_log")) * col("geo_mean")))
+  }
+
+  /** SENTENCE BLEU per pair (exact unsmoothed form — short hyps with a
+    * zero level score 0.0, the reason corpus BLEU is the reported
+    * statistic): lengths, per-level clipped counts and precisions,
+    * bit-portable geo_mean/bp_log, and the full `bleu` (spec-gated —
+    * see [[bleuNgramStats]]). Map-only, one kernel pass per pair. */
+  def sentenceBleu(pairs: DataFrame, idCol: String = "pair_id",
+      refCol: String = "ref", hypCol: String = "hyp",
+      maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 16, "maxN out of range")
+    val st = graft.functions.VectorExpressions.bleuStats(
+      lower(col(refCol)), lower(col(hypCol)), maxN)
+    val d0 = (1 to maxN).foldLeft(
+      pairs.select(col(idCol), st.as("_st"))
+        .withColumn("ref_len", col("_st")(0).getField("r"))
+        .withColumn("hyp_len", col("_st")(0).getField("h"))) { (d, i) =>
+      d.withColumn(s"o_$i", col("_st")(i - 1).getField("o"))
+        .withColumn(s"h_$i", col("_st")(i - 1).getField("h"))
+    }
+    bleuTail(d0, maxN).drop("_st")
+  }
+
+  /** CORPUS BLEU — the reported WMT statistic: clipped matches and
+    * totals SUMMED over all pairs before the precision divisions
+    * (never an average of sentence BLEUs), brevity penalty from the
+    * summed lengths. ONE map-side-combined aggregation over the
+    * kernel's long-form stats — report-sized output, corpus text
+    * enters once. Columns as [[sentenceBleu]]; `bleu` spec-gated. */
+  def corpusBleu(pairs: DataFrame, idCol: String = "pair_id",
+      refCol: String = "ref", hypCol: String = "hyp",
+      maxN: Int = 4): DataFrame = {
+    val stats = bleuNgramStats(pairs, idCol, refCol, hypCol, maxN)
+    val aggs =
+      Seq(sum(when(col("n") === 1, col("ref_total"))).as("ref_len"),
+        sum(when(col("n") === 1, col("hyp_total"))).as("hyp_len")) ++
+      (1 to maxN).flatMap { i => Seq(
+        sum(when(col("n") === i, col("clip_matches"))).as(s"o_$i"),
+        sum(when(col("n") === i, col("hyp_total"))).as(s"h_$i")) }
+    bleuTail(stats.agg(aggs.head, aggs.tail: _*), maxN)
+  }
+
   /** DELETED-INTERPOLATION λ re-estimation (Jelinek-Mercer EM) — the
     * step that TUNES the λ [[interpolatedNll]] consumes instead of
     * guessing it: one EM round on held-out data, λ' = Σ_tokens

@@ -4523,6 +4523,75 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(3).getLong(1) == 0L && got(3).isNullAt(4))
   }
 
+  test("BLEU kernel stats: clipped matches (the 'the the the the' " +
+    "case), per-level totals, empty sides") {
+    val got = Seq(
+      ("the cat sat on the mat", "the the the the"),
+      ("", "a"))
+      .toDF("ref", "hyp")
+      .select(graft.functions.VectorExpressions
+        .bleuStats(col("ref"), col("hyp"), 4).as("st"))
+      .collect()
+    def lv(r: org.apache.spark.sql.Row, n: Int): (Long, Long, Long) = {
+      val s = r.getSeq[org.apache.spark.sql.Row](0)(n - 1)
+      (s.getLong(1), s.getLong(2), s.getLong(3))
+    }
+    // ref has 'the' twice → 4 hyp 'the's clip to 2; no bigram overlap
+    assert(lv(got(0), 1) == ((2L, 6L, 4L)), s"got ${lv(got(0), 1)}")
+    assert(lv(got(0), 2) == ((0L, 5L, 3L)))
+    assert(lv(got(0), 3) == ((0L, 4L, 2L)))
+    assert(lv(got(0), 4) == ((0L, 3L, 1L)))
+    // empty ref: zero totals on the ref side, hyp totals still count
+    assert(lv(got(1), 1) == ((0L, 0L, 1L)))
+    assert(lv(got(1), 4) == ((0L, 0L, 0L)))
+  }
+
+  test("sentenceBleu: self-pair scores exactly 1, brevity penalty " +
+    "exp(1 - r/c) on a short hyp, any zero level zeroes bleu, a " +
+    "<maxN-token hyp zeroes bleu (the unsmoothed form)") {
+    val pairs = Seq(
+      (1L, "a b c d e", "a b c d e"),
+      (2L, "a b c d e", "a b c d"),
+      (3L, "a b c d e", "x y z w v"),
+      (4L, "a b", "a b")).toDF("pair_id", "ref", "hyp")
+    val got = TextOps.sentenceBleu(pairs).orderBy("pair_id").collect()
+    def f(i: Int, c: String): Double =
+      got(i).getDouble(got(i).fieldIndex(c))
+    assert(f(0, "geo_mean") == 1.0 && f(0, "bp_log") == 0.0 &&
+      f(0, "bleu") == 1.0)
+    // hyp 4 of 5 words: every precision 1, BP = exp(1 - 5/4)
+    assert(f(1, "geo_mean") == 1.0 && f(1, "bp_log") == 1.0 - 5.0 / 4.0)
+    assert(math.abs(f(1, "bleu") - math.exp(-0.25)) < 1e-15,
+      s"got ${f(1, "bleu")}")
+    assert(f(2, "geo_mean") == 0.0 && f(2, "bleu") == 0.0)
+    // 2-token hyp: h_3 = h_4 = 0 → o zero levels → bleu 0
+    assert(f(3, "geo_mean") == 0.0 && f(3, "bleu") == 0.0 &&
+      got(3).isNullAt(got(3).fieldIndex("p_3")))
+  }
+
+  test("corpusBleu: matches and totals summed BEFORE the divisions " +
+    "(never an average of sentence BLEUs), BP from summed lengths") {
+    val pairs = Seq(
+      (1L, "a b c d e", "a b c d e"),
+      (2L, "a b c d e", "a b c d")).toDF("pair_id", "ref", "hyp")
+    val got = TextOps.corpusBleu(pairs).head()
+    def f(c: String): Double = got.getDouble(got.fieldIndex(c))
+    def l(c: String): Long = got.getLong(got.fieldIndex(c))
+    assert(l("ref_len") == 10L && l("hyp_len") == 9L)
+    assert(l("o_1") == 9L && l("h_1") == 9L && l("o_4") == 3L &&
+      l("h_4") == 3L)
+    assert(f("p_1") == 1.0 && f("p_4") == 1.0 && f("geo_mean") == 1.0)
+    assert(f("bp_log") == 1.0 - 10.0 / 9.0)
+    assert(math.abs(f("bleu") - math.exp(1.0 - 10.0 / 9.0)) < 1e-15)
+    // long-form stats: 4 rows per pair, p_n null when the hyp has no
+    // n-grams
+    val stats = TextOps.bleuNgramStats(pairs).orderBy("pair_id", "n")
+      .collect()
+    assert(stats.length == 8)
+    assert(stats.forall(r => r.getLong(2) <= r.getLong(4) ||
+      r.getLong(4) == 0))
+  }
+
   test("poolDivergence: hand-computed smoothed KLs, identical pools " +
     "diverge zero, empty clusters survive smoothing") {
     def snap(x: Double): Double =

@@ -868,6 +868,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"percentiles not partial-agged:\n$p")
   }
 
+  test("q302/q303 BLEU rides the one-pass kernel (no gram explode — " +
+    "the only Generate is the 4-level unnest) and q303 aggregates " +
+    "with map-side partials") {
+    val p2 = plan("q302_bleu_ngrams")
+    assert(p2.contains("bleu_stats"), s"q302 should ride the kernel:\n$p2")
+    val p3 = plan("q303_corpus_bleu")
+    assert(p3.contains("bleu_stats"), s"q303 should ride the kernel:\n$p3")
+    assert(p3.contains("partial_"),
+      s"q303 corpus sums must partial-agg:\n$p3")
+  }
+
   test("q300/q301 WordPiece encode is map-only: no join, no " +
     "aggregation, no hash shuffle; the vocab rides the broadcast " +
     "kernel, not plan literals") {
