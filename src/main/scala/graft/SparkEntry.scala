@@ -3598,7 +3598,19 @@ object SparkEntry {
             when(col("doc_id") % 7 === 0, col("text"))
               .otherwise(col("ntext")).as("hyp")))
         .drop("bleu")
-    })
+    }),
+
+    // embedding COVARIANCE (upper triangle) — the one corpus pass PCA /
+    // whitening needs: a single map-side-combined co-moment aggregation
+    // (count + per-dim sums + Σ x_i·x_j in ONE buffer), entries
+    // unfolded map-side from the single moment row. Rounded at the
+    // query edge (float sums are order-sensitive at the last ulps —
+    // the q94 centroid convention)
+    "q304_embedding_covariance" -> ((s, dir) =>
+      graft.ml.Pca.covarianceMatrix(t(s, dir, "embeddings"), dim = 64)
+        .select(col("i"), col("j"), col("n"),
+          (round(col("cov"), 6) + lit(0.0)).as("cov6"))
+        .orderBy("i", "j"))
   )
 
   /** q291/q292's canary tiers: three selection moduli, every tier
@@ -11217,7 +11229,29 @@ object SparkEntry {
          |  CASE WHEN hyp_len > 0 THEN least(0.0,
          |    1.0 - CAST(ref_len AS DOUBLE) / CAST(hyp_len AS DOUBLE))
          |  END AS bp_log
-         |FROM pp""".stripMargin
+         |FROM pp""".stripMargin,
+
+    // q304: covariance replayed relationally — per-dim unnest, pair
+    // join on vec_id, double products, Σxy/n − mean products in the
+    // same fixed order
+    "q304_embedding_covariance" ->
+      """WITH e AS (
+        |  SELECT vec_id, unnest(embedding) AS x,
+        |    CAST(generate_subscripts(embedding, 1) AS INTEGER) - 1 AS i
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |pairs AS (
+        |  SELECT a.i AS i, b.i AS j,
+        |    CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE) AS xy
+        |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i),
+        |ag AS (
+        |  SELECT i, j, sum(xy) AS pxy, CAST(count(*) AS BIGINT) AS n
+        |  FROM pairs GROUP BY 1, 2),
+        |mn AS (SELECT i, sum(CAST(x AS DOUBLE)) AS sx FROM e GROUP BY 1)
+        |SELECT a.i AS i, a.j AS j, a.n AS n,
+        |  round(a.pxy / a.n - (ma.sx / a.n) * (mb.sx / a.n), 6) + 0.0
+        |    AS cov6
+        |FROM ag a JOIN mn ma ON ma.i = a.i JOIN mn mb ON mb.i = a.j
+        |ORDER BY a.i, a.j""".stripMargin
   )
 
   /** q291/q292's canary tiers as a VALUES table — mirrors

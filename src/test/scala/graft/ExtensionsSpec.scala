@@ -5576,6 +5576,102 @@ class ExtensionsSpec extends SparkSpec {
       "64-bit filter over 40 urls must show a false positive")
   }
 
+  // ---- PCA / whitening ----
+
+  test("symmetricEigen: the hand 2x2 ([[4,1],[1,4]] → 5, 3 with " +
+    "±(1,1)/√2 axes); A·v = λ·v, orthonormality, descending order and " +
+    "determinism on a 5x5") {
+    import graft.ml.Pca
+    val (e2, v2) =
+      Pca.symmetricEigen(Array(Array(4.0, 1.0), Array(1.0, 4.0)))
+    assert(math.abs(e2(0) - 5.0) < 1e-12 && math.abs(e2(1) - 3.0) < 1e-12)
+    val s2 = 1.0 / math.sqrt(2.0)
+    assert(math.abs(math.abs(v2(0)(0) * s2 + v2(0)(1) * s2) - 1.0) < 1e-9)
+    assert(math.abs(math.abs(v2(1)(0) * s2 - v2(1)(1) * s2) - 1.0) < 1e-9)
+    val a = Array.tabulate(5, 5)((i, j) =>
+      1.0 / (1 + i + j) + (if (i == j) 2.0 else 0.0))
+    val (ev, rows) = Pca.symmetricEigen(a)
+    for (k <- 0 until 5) {
+      val v = rows(k)
+      val av = Array.tabulate(5)(r =>
+        (0 until 5).map(c => a(r)(c) * v(c)).sum)
+      for (r <- 0 until 5)
+        assert(math.abs(av(r) - ev(k) * v(r)) < 1e-9,
+          s"eigen equation fails at k=$k r=$r")
+      for (l <- 0 until 5) {
+        val d = (0 until 5).map(c => rows(k)(c) * rows(l)(c)).sum
+        assert(math.abs(d - (if (k == l) 1.0 else 0.0)) < 1e-9)
+      }
+    }
+    assert(ev.toSeq.sliding(2).forall(p => p.head >= p(1) - 1e-12))
+    val (ev2, rows2) = Pca.symmetricEigen(a)
+    assert(ev.sameElements(ev2) &&
+      rows.zip(rows2).forall(p => p._1.sameElements(p._2)))
+  }
+
+  test("covarianceMatrix: hand-computed 2-dim case; fitPca + " +
+    "pcaProject diagonalize (projected covariance = eigenvalues " +
+    "DESC, centered), whiten → identity covariance; ragged vectors " +
+    "fail descriptively") {
+    import graft.ml.Pca
+    val hand = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 6.0f)))
+      .toDF("vec_id", "embedding")
+    val cm = Pca.covarianceMatrix(hand, dim = 2).orderBy("i", "j")
+      .collect()
+    // means (2, 4): cov = [[1, 2], [2, 4]]
+    assert(cm.map(r => (r.getInt(0), r.getInt(1), r.getDouble(3)))
+      .toSeq == Seq((0, 0, 1.0), (0, 1, 2.0), (1, 1, 4.0)), s"got ${
+      cm.toSeq}")
+    // a correlated 3-dim cloud on an exact float grid
+    val pts = (0 until 48).map { i =>
+      val t = i * 0.25; val u = (i % 5) * 0.5
+      (i.toLong, Seq((t + u).toFloat, (2.0 * t - u).toFloat,
+        (0.5 * u + 3.0).toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val model = Pca.fitPca(df, k = 3, dim = 3)
+    assert(model.eigenvalues.length == 3 &&
+      model.eigenvalues.toSeq.sliding(2).forall(p => p.head >= p(1)))
+    val proj = Pca.pcaProject(spark, df, model)
+      .select(col("vec_id"), col("pca").as("embedding"))
+    val pcov = Pca.covarianceMatrix(proj, dim = 3).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(3))).toMap
+    for (i <- 0 until 3; j <- i until 3) {
+      val want = if (i == j) model.eigenvalues(i) else 0.0
+      assert(math.abs(pcov((i, j)) - want) < 1e-4,
+        s"projected cov($i,$j) = ${pcov((i, j))}, want $want")
+    }
+    // centering: projected means ~ 0
+    val pm = proj.select(
+      avg(element_at(col("embedding"), 1)),
+      avg(element_at(col("embedding"), 2))).head()
+    assert(math.abs(pm.getDouble(0)) < 1e-4 &&
+      math.abs(pm.getDouble(1)) < 1e-4)
+    // whitening: identity covariance on the informative axes (the
+    // cloud is rank 2 — axis 3's eigenvalue is ~0 and eps-dominated,
+    // so check the top-2 block)
+    val wh = Pca.pcaProject(spark, df, Pca.fitPca(df, k = 2, dim = 3),
+        whiten = true)
+      .select(col("vec_id"), col("pca").as("embedding"))
+    val wcov = Pca.covarianceMatrix(wh, dim = 2).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(3))).toMap
+    for (i <- 0 until 2; j <- i until 2) {
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(wcov((i, j)) - want) < 1e-4,
+        s"whitened cov($i,$j) = ${wcov((i, j))}, want $want")
+    }
+    // ragged input: named failure, not a skewed matrix
+    val bad = Seq((1L, Seq(1.0f)), (2L, Seq(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Pca.covarianceMatrix(bad, dim = 2).collect()
+    }
+    assert(e.getMessage != null)
+    intercept[IllegalArgumentException] {
+      Pca.fitPca(hand.limit(1), k = 1, dim = 2)
+    }
+  }
+
   // ---- WordPiece (BERT family) ----
 
   private val wpTestVocab: Seq[(String, Int)] =

@@ -868,6 +868,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"percentiles not partial-agged:\n$p")
   }
 
+  test("q304 covariance is ONE typed aggregation with map-side " +
+    "partials — no join, no per-pair explode before the agg") {
+    val p = plan("q304_embedding_covariance")
+    assert(!p.contains("Join"), s"covariance should not join:\n$p")
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial"),
+      s"co-moments must partial-agg:\n$p")
+    // the only Generate is the post-agg triangle unfold of ONE row
+    assert("Exchange".r.findAllIn(p).length <= 2,
+      s"at most the agg's single-partition exchange (+sort):\n$p")
+  }
+
   test("q302/q303 BLEU rides the one-pass kernel (no gram explode — " +
     "the only Generate is the 4-level unnest) and q303 aggregates " +
     "with map-side partials") {
