@@ -3600,6 +3600,25 @@ object SparkEntry {
         .drop("bleu")
     }),
 
+    // Unicode NFC over spliced canonical-equivalence twins: decomposed
+    // combining marks (%7=1) and their composed spelling (%7=2)
+    // normalize to the SAME bytes and digest; decomposed Hangul jamo
+    // (%7=3) composes to the %7=4 syllables; %7=5 is already-NFC
+    // Cyrillic and the remaining slots are corpus ASCII (the
+    // quick-check fast path) — changed=false for all three. The oracle
+    // replays via DuckDB's nfc_normalize (bit-identical tables)
+    "q305_unicode_nfc" -> ((s, dir) =>
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          nfcFixtureText(col("doc_id"), col("text")).as("raw"))
+        .select(col("doc_id"), col("raw"),
+          TextOps.nfcNormalize(col("raw")).as("nfc_text"))
+        .select(col("doc_id"), col("nfc_text"),
+          octet_length(col("nfc_text")).as("n_bytes"),
+          (col("raw") =!= col("nfc_text")).as("changed"),
+          md5(col("nfc_text")).as("digest"))
+        .orderBy("doc_id")),
+
     // embedding COVARIANCE (upper triangle) — the one corpus pass PCA /
     // whitening needs: a single map-side-combined co-moment aggregation
     // (count + per-dim sums + Σ x_i·x_j in ONE buffer), entries
@@ -3825,6 +3844,31 @@ object SparkEntry {
        |  FROM wrds w LEFT JOIN enc0 e USING (doc_id, word_no))"""
       .stripMargin
   }
+
+  /** q305's Unicode synthesis: canonical-equivalence twins spliced over
+    * doc_id % 7 — decomposed combining marks and their composed
+    * spelling, decomposed Hangul jamo and its composed syllables,
+    * already-NFC Cyrillic; remaining slots keep corpus prose (the
+    * quick-check ASCII fast path). Shared verbatim with the oracle. */
+  private val NfcFixtures: Seq[(Int, String)] = Seq(
+    1 -> "café münchen resumé",
+    2 -> "café münchen resumé",
+    3 -> "한글 jamo",
+    4 -> "한글 jamo",
+    5 -> "русский текст здесь")
+
+  /** The q305 synthesis as a Column — CASE over doc_id % 7. */
+  private def nfcFixtureText(docId: Column, text: Column): Column =
+    NfcFixtures.foldLeft(Option.empty[Column]) { case (acc, (m, s2)) =>
+      val cond = pmod(docId, lit(7)) === m
+      Some(acc.fold(when(cond, lit(s2)))(_.when(cond, lit(s2))))
+    }.get.otherwise(text)
+
+  /** The same synthesis in SQL. */
+  private def nfcFixtureSql: String =
+    "CASE " + NfcFixtures.map { case (m, s2) =>
+      s"WHEN doc_id % 7 = $m THEN '$s2'" }.mkString(" ") +
+      " ELSE text END"
 
   /** q302/q303's oracle prelude: the q262 pair synthesis tokenized to
     * word arrays, per-n gram counts both sides, clipped overlaps, and
@@ -11230,6 +11274,19 @@ object SparkEntry {
          |    1.0 - CAST(ref_len AS DOUBLE) / CAST(hyp_len AS DOUBLE))
          |  END AS bp_log
          |FROM pp""".stripMargin,
+
+    // q305: DuckDB's nfc_normalize replays the JDK's NFC bit-for-bit
+    // (shared Unicode canonical-composition tables)
+    "q305_unicode_nfc" ->
+      s"""WITH syn AS (
+         |  SELECT doc_id, $nfcFixtureSql AS raw
+         |  FROM documents WHERE text IS NOT NULL),
+         |nf AS (
+         |  SELECT doc_id, raw, nfc_normalize(raw) AS nfc_text FROM syn)
+         |SELECT doc_id, nfc_text,
+         |  CAST(strlen(nfc_text) AS INTEGER) AS n_bytes,
+         |  raw <> nfc_text AS changed, md5(nfc_text) AS digest
+         |FROM nf ORDER BY doc_id""".stripMargin,
 
     // q304: covariance replayed relationally — per-dim unnest, pair
     // join on vec_id, double products, Σxy/n − mean products in the

@@ -4399,7 +4399,9 @@ object TextOps {
     * edges trimmed. Character-for-character `replace` folds (portable
     * verbatim to any engine) plus one whitespace-class regex; map-only,
     * codegen'd. Deliberately NOT a full NFKC pass — the fold set is
-    * explicit and auditable, which is what a curation pipeline wants. */
+    * explicit and auditable, which is what a curation pipeline wants;
+    * when the full Unicode forms ARE wanted, [[nfcNormalize]] /
+    * [[nfkcNormalize]] sit next to this. */
   def normalizeText(text: Column): Column = {
     val folds: Seq[(String, String)] = Seq(
       "\u2018" -> "'", "\u2019" -> "'", // ' '
@@ -4411,6 +4413,29 @@ object TextOps {
     }
     trim(regexp_replace(folded, "[ \\t\\n\\r]+", " "))
   }
+
+  /** Unicode CANONICAL COMPOSITION (NFC, UAX #15) — the normalization
+    * digest dedup needs BEFORE hashing: composed "é" and
+    * "e" + U+0301 are byte-different, hash-different, and the same
+    * text; NFC collapses every canonical-equivalent spelling to one
+    * byte sequence (combining marks compose, Hangul jamo become
+    * syllables). [[graft.functions.UnicodeNormalize]] kernel:
+    * quick-check fast path (already-normal text — all ASCII included —
+    * is one scan, zero allocation), map-only, codegen'd. DuckDB's
+    * `nfc_normalize` replays it bit-identically (q305's strict
+    * oracle). Compose as `md5(nfcNormalize(text))` in the exact-dedup
+    * digest. */
+  def nfcNormalize(text: Column): Column =
+    graft.functions.UnicodeNormalize(text, "NFC")
+
+  /** Unicode COMPATIBILITY COMPOSITION (NFKC) — [[nfcNormalize]] plus
+    * compatibility folds (ﬁ → fi, full-width Ａ → A, ① → 1, ² → 2):
+    * the tokenizer-facing canonicalization (what GPT-NeoX/SentencePiece
+    * pipelines apply). MORE aggressive than dedup wants (it erases
+    * distinctions a faithful corpus keeps), so it is a separate opt-in
+    * op, spec-gated (no engine-portable oracle function exists). */
+  def nfkcNormalize(text: Column): Column =
+    graft.functions.UnicodeNormalize(text, "NFKC")
 
   /** ANCHOR-TEXT EXTRACTION — the (href, anchor) pair form of
     * [[extractLinks]]: every `<a ... href="X" ...>TEXT</a>` in document

@@ -5576,6 +5576,46 @@ class ExtensionsSpec extends SparkSpec {
       "64-bit filter over 40 urls must show a false positive")
   }
 
+  // ---- Unicode normalization ----
+
+  test("nfcNormalize / nfkcNormalize: canonical twins collapse to one " +
+    "byte sequence (combining marks, Hangul jamo), idempotent, " +
+    "null/empty-safe; NFKC folds compatibility forms NFC must keep; " +
+    "invalid form rejected") {
+    val rows = Seq(
+      ("café", "café"),
+      ("한글", "한글"),
+      ("plain ascii", "plain ascii")).toDF("a", "b")
+    val got = rows.select(
+      TextOps.nfcNormalize(col("a")).as("na"),
+      TextOps.nfcNormalize(col("b")).as("nb")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"twins differ post-NFC: '${r.getString(0)}' vs '${r.getString(1)}'"))
+    // idempotence, and digests collapse exactly like the q305 shape
+    val idem = rows.select(
+      (TextOps.nfcNormalize(TextOps.nfcNormalize(col("a")))
+        === TextOps.nfcNormalize(col("a"))).as("ok"),
+      (md5(TextOps.nfcNormalize(col("a")))
+        === md5(TextOps.nfcNormalize(col("b")))).as("dg")).collect()
+    assert(idem.forall(r => r.getBoolean(0) && r.getBoolean(1)))
+    val edge = Seq(("", null.asInstanceOf[String])).toDF("e", "n")
+      .select(TextOps.nfcNormalize(col("e")).as("e2"),
+        TextOps.nfcNormalize(col("n")).as("n2")).head()
+    assert(edge.getString(0) == "" && edge.isNullAt(1))
+    // NFKC compatibility folds; NFC must NOT fold them
+    val k = Seq("ﬁle", "Ａｂc", "①", "x²")
+      .toDF("t")
+      .select(TextOps.nfkcNormalize(col("t")).as("k"),
+        TextOps.nfcNormalize(col("t")).as("c")).collect()
+    assert(k.map(_.getString(0)).toSeq == Seq("file", "Abc", "1", "x2"),
+      s"got ${k.map(_.getString(0)).toSeq}")
+    assert(k.map(_.getString(1)).toSeq ==
+      Seq("ﬁle", "Ａｂc", "①", "x²"))
+    intercept[IllegalArgumentException] {
+      graft.functions.UnicodeNormalize(col("t"), "NFX")
+    }
+  }
+
   // ---- PCA / whitening ----
 
   test("symmetricEigen: the hand 2x2 ([[4,1],[1,4]] → 5, 3 with " +

@@ -868,6 +868,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"percentiles not partial-agged:\n$p")
   }
 
+  test("q305 NFC is map-only: no join, no aggregation, no hash " +
+    "shuffle; rides the quick-check kernel") {
+    val p = plan("q305_unicode_nfc")
+    assert(!p.contains("Join") && !p.contains("Aggregate") &&
+      !p.contains("hashpartitioning"),
+      s"q305 should be a pure projection:\n$p")
+    assert(p.contains("unicode_normalize"),
+      s"q305 should ride the kernel:\n$p")
+  }
+
   test("q304 covariance is ONE typed aggregation with map-side " +
     "partials — no join, no per-pair explode before the agg") {
     val p = plan("q304_embedding_covariance")
