@@ -3629,7 +3629,20 @@ object SparkEntry {
       graft.ml.Pca.covarianceMatrix(t(s, dir, "embeddings"), dim = 64)
         .select(col("i"), col("j"), col("n"),
           (round(col("cov"), 6) + lit(0.0)).as("cov6"))
-        .orderBy("i", "j"))
+        .orderBy("i", "j")),
+
+    // Z-ORDER (Morton) layout key over two hash-derived dimensions —
+    // the multi-column clustering lever behind writeZordered: pure
+    // integer shifts/masks on the plan, replayed bit-for-bit by the
+    // oracle's generated interleave expression
+    "q306_zorder_key" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          pmod(col("doc_id") * lit(2654435761L), lit(65536L)).as("da"),
+          pmod(expr("doc_id div 7"), lit(65536L)).as("db"))
+        .withColumn("zkey",
+          graft.ops.Layout.mortonKey(Seq(col("da"), col("db")), 16))
+        .orderBy("doc_id"))
   )
 
   /** q291/q292's canary tiers: three selection moduli, every tier
@@ -11308,7 +11321,24 @@ object SparkEntry {
         |  round(a.pxy / a.n - (ma.sx / a.n) * (mb.sx / a.n), 6) + 0.0
         |    AS cov6
         |FROM ag a JOIN mn ma ON ma.i = a.i JOIN mn mb ON mb.i = a.j
-        |ORDER BY a.i, a.j""".stripMargin
+        |ORDER BY a.i, a.j""".stripMargin,
+
+    // q306: the bit interleave replayed as a generated shift/mask
+    // expression — one term per (dimension, bit), same math
+    "q306_zorder_key" -> {
+      val terms = for {
+        (c, j) <- Seq("da", "db").zipWithIndex
+        i <- 0 until 16
+      } yield s"((($c >> $i) & 1) << ${i * 2 + j})"
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    (doc_id * 2654435761) % 65536 AS da,
+         |    (doc_id // 7) % 65536 AS db
+         |  FROM documents)
+         |SELECT doc_id, da, db,
+         |  CAST(${terms.mkString(" | ")} AS BIGINT) AS zkey
+         |FROM q ORDER BY doc_id""".stripMargin
+    }
   )
 
   /** q291/q292's canary tiers as a VALUES table — mirrors

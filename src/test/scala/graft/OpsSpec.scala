@@ -337,4 +337,74 @@ class OpsSpec extends SparkSpec {
         s"Q6-clean $mode")
     }
   }
+
+  // ---- Layout (Z-order) --------------------------------------------------
+
+  test("mortonKey: hand bit-interleave (a=5, b=3, 3 bits -> 27), " +
+    "3-dim case, masking wraps out-of-range inputs, k*bits cap") {
+    val got = Seq((5L, 3L)).toDF("a", "b")
+      .select(
+        Layout.mortonKey(Seq(col("a"), col("b")), 3).as("z2"),
+        Layout.mortonKey(Seq(lit(1L), lit(1L), lit(1L)), 1).as("z3"),
+        Layout.mortonKey(Seq(col("a") + (1L << 16), col("b")), 16)
+          .as("zm"),
+        Layout.mortonKey(Seq(col("a"), col("b")), 16).as("zk"))
+      .head()
+    // a=101, b=011 interleaved (a even positions): 011011 = 27
+    assert(got.getLong(0) == 27L, s"got ${got.getLong(0)}")
+    assert(got.getLong(1) == 7L)
+    // 2^16 + 5 masks back to 5 at 16 bits
+    assert(got.getLong(2) == got.getLong(3))
+    intercept[IllegalArgumentException] {
+      Layout.mortonKey(Seq(col("a"), col("b")), 32)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.quantizeMinMax(col("a"), 5.0, 5.0)
+    }
+  }
+
+  test("quantizeMinMax: linear buckets, edge clamping") {
+    val got = Seq(0.0, 0.5, 1.0, -3.0, 9.0).toDF("x")
+      .select(Layout.quantizeMinMax(col("x"), 0.0, 1.0, bits = 4)
+        .as("q"))
+      .collect().map(_.getLong(0)).toSeq
+    // 16 buckets over [0,1]: 0 -> 0, 0.5 -> 8, 1.0 -> 15 (clamped from
+    // 16), out-of-range clamps to the edges
+    assert(got == Seq(0L, 8L, 15L, 0L, 15L), s"got $got")
+  }
+
+  test("writeZordered: one range exchange, files carry DISJOINT z-key " +
+    "ranges and small per-dimension bounding boxes (the min/max " +
+    "pruning precondition a plain single-column sort cannot give the " +
+    "trailing dimension)") {
+    val n = 4096
+    val df = spark.range(n.toLong).toDF("id")
+      .select(col("id"),
+        (col("id") % 64).as("da"), (col("id") / 64).cast("long").as("db"))
+    val tmp = java.nio.file.Files.createTempDirectory("zord").toString
+    Layout.writeZordered(df, s"$tmp/z", Seq(col("da"), col("db")),
+      shards = 8, bits = 6)
+    val back = spark.read.parquet(s"$tmp/z")
+      .select(input_file_name().as("f"),
+        Layout.mortonKey(Seq(col("da"), col("db")), 6).as("z"),
+        col("da"), col("db"))
+    val stats = back.groupBy("f").agg(
+      min("z").as("zmin"), max("z").as("zmax"),
+      (max("da") - min("da")).as("wa"),
+      (max("db") - min("db")).as("wb"),
+      count(lit(1)).as("cnt")).collect()
+    assert(stats.length == 8, s"got ${stats.length} files")
+    // z-ranges disjoint across files (range partitioning on the key)
+    val ranges = stats.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach { w =>
+      if (w.length == 2)
+        assert(w(0)._2 <= w(1)._1, s"overlapping z ranges: $w")
+    }
+    // every file sees a bounded window of BOTH dimensions: the global
+    // width is 64; each of 8 z-range files must span well under half
+    stats.foreach { r =>
+      assert(r.getLong(3) <= 40 && r.getLong(4) <= 40,
+        s"file bounding box too wide: $r")
+    }
+  }
 }

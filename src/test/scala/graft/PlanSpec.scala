@@ -868,6 +868,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"percentiles not partial-agged:\n$p")
   }
 
+  test("q306 z-order key is map-only pure integer math: no join, no " +
+    "aggregation, no hash shuffle, no UDF or kernel object") {
+    val p = plan("q306_zorder_key")
+    assert(!p.contains("Join") && !p.contains("Aggregate") &&
+      !p.contains("hashpartitioning"),
+      s"q306 should be a pure projection:\n$p")
+    assert(p.contains("shiftleft") || p.contains("<<"),
+      s"expected plan-level shifts:\n$p")
+  }
+
   test("q305 NFC is map-only: no join, no aggregation, no hash " +
     "shuffle; rides the quick-check kernel") {
     val p = plan("q305_unicode_nfc")
