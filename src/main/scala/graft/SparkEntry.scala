@@ -3642,7 +3642,20 @@ object SparkEntry {
           pmod(expr("doc_id div 7"), lit(65536L)).as("db"))
         .withColumn("zkey",
           graft.ops.Layout.mortonKey(Seq(col("da"), col("db")), 16))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // SITEMAP ingestion — the crawl-planning trio's third leg (robots
+    // gate, CDX index, sitemap enumeration): synthesized sitemapindex
+    // (%11=0) and urlset documents parsed to (entry_no, url, lastmod,
+    // kind) rows, all map-side regex in the Java∩RE2 subset the
+    // oracle replays verbatim
+    "q307_sitemap_entries" -> ((s, dir) =>
+      graft.io.Sitemap.sitemapEntries(
+          t(s, dir, "documents").select(col("doc_id"),
+            sitemapXml(col("doc_id")).as("xml")), "xml")
+        .select(col("doc_id"), col("entry_no"), col("url"),
+          col("lastmod"), col("kind"))
+        .orderBy("doc_id", "entry_no"))
   )
 
   /** q291/q292's canary tiers: three selection moduli, every tier
@@ -3856,6 +3869,47 @@ object SparkEntry {
        |      AS encoded
        |  FROM wrds w LEFT JOIN enc0 e USING (doc_id, word_no))"""
       .stripMargin
+  }
+
+  /** q307's sitemap synthesis: doc_id % 11 == 0 rows are sitemapindex
+    * documents (two child sitemaps, the second without a lastmod), the
+    * rest urlsets with three page entries (the middle one lacking
+    * lastmod). Deterministic string concat shared with the oracle. */
+  private def sitemapXml(id: Column): Column = {
+    val host = concat(lit("https://d"), id.cast("string"),
+      lit(".example.com"))
+    val mod1 = concat(lit("2026-01-"),
+      lpad((pmod(id, lit(28)) + 1).cast("string"), 2, "0"))
+    when(pmod(id, lit(11)) === 0,
+      concat(lit("<?xml version=\"1.0\"?><sitemapindex><sitemap><loc>"),
+        host, lit("/sitemap1.xml</loc><lastmod>"), mod1,
+        lit("</lastmod></sitemap><sitemap><loc>"), host,
+        lit("/sitemap2.xml</loc></sitemap></sitemapindex>")))
+      .otherwise(
+        concat(lit("<?xml version=\"1.0\"?><urlset><url><loc>"), host,
+          lit("/p/1</loc><lastmod>"), mod1,
+          lit("</lastmod></url><url><loc>"), host,
+          lit("/p/2</loc></url><url><loc>"), host, lit("/p/"),
+          pmod(id, lit(7)).cast("string"), lit("</loc><lastmod>"), mod1,
+          lit("</lastmod></url></urlset>")))
+  }
+
+  /** The same synthesis in SQL. */
+  private val sitemapXmlSql: String = {
+    val host = "'https://d' || CAST(doc_id AS VARCHAR) || '.example.com'"
+    val mod1 =
+      "'2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')"
+    s"""CASE WHEN doc_id % 11 = 0 THEN
+       '<?xml version="1.0"?><sitemapindex><sitemap><loc>' || $host ||
+       '/sitemap1.xml</loc><lastmod>' || $mod1 ||
+       '</lastmod></sitemap><sitemap><loc>' || $host ||
+       '/sitemap2.xml</loc></sitemap></sitemapindex>'
+       ELSE
+       '<?xml version="1.0"?><urlset><url><loc>' || $host ||
+       '/p/1</loc><lastmod>' || $mod1 || '</lastmod></url><url><loc>' ||
+       $host || '/p/2</loc></url><url><loc>' || $host || '/p/' ||
+       CAST(doc_id % 7 AS VARCHAR) || '</loc><lastmod>' || $mod1 ||
+       '</lastmod></url></urlset>' END"""
   }
 
   /** q305's Unicode synthesis: canonical-equivalence twins spliced over
@@ -11338,7 +11392,35 @@ object SparkEntry {
          |SELECT doc_id, da, db,
          |  CAST(${terms.mkString(" | ")} AS BIGINT) AS zkey
          |FROM q ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // q307: blocks via the same (?s) lazy-quantified RE2 pattern,
+    // loc/lastmod per block, kind by marker tag
+    "q307_sitemap_entries" ->
+      s"""WITH syn AS (
+         |  SELECT doc_id, $sitemapXmlSql AS xml FROM documents),
+         |bl AS (
+         |  SELECT doc_id,
+         |    CASE WHEN contains(xml, '<sitemapindex') THEN 'index'
+         |         WHEN contains(xml, '<urlset') THEN 'urlset'
+         |         ELSE 'unknown' END AS kind,
+         |    regexp_extract_all(xml,
+         |      '(?s)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>', 1) AS bs
+         |  FROM syn),
+         |ex AS (
+         |  SELECT doc_id, kind, bs,
+         |    CAST(unnest(generate_series(1, len(bs))) AS INTEGER)
+         |      AS entry_no
+         |  FROM bl)
+         |SELECT doc_id, entry_no,
+         |  regexp_extract(bs[entry_no], '<loc>([^<]*)</loc>', 1) AS url,
+         |  regexp_extract(bs[entry_no], '<lastmod>([^<]*)</lastmod>', 1)
+         |    AS lastmod,
+         |  kind
+         |FROM ex
+         |WHERE len(regexp_extract(bs[entry_no], '<loc>([^<]*)</loc>', 1))
+         |  > 0
+         |ORDER BY doc_id, entry_no""".stripMargin
   )
 
   /** q291/q292's canary tiers as a VALUES table — mirrors

@@ -868,6 +868,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"percentiles not partial-agged:\n$p")
   }
 
+  test("q307 sitemap parse is map-only: no join, no aggregation, no " +
+    "hash shuffle — the only Generate is the per-entry posexplode") {
+    val p = plan("q307_sitemap_entries")
+    assert(!p.contains("Join") && !p.contains("Aggregate") &&
+      !p.contains("hashpartitioning"),
+      s"q307 should be a pure projection:\n$p")
+  }
+
   test("q306 z-order key is map-only pure integer math: no join, no " +
     "aggregation, no hash shuffle, no UDF or kernel object") {
     val p = plan("q306_zorder_key")

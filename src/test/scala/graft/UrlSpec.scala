@@ -420,4 +420,53 @@ class UrlSpec extends SparkSpec {
       (1L, 0, Some("/*?sessionid=")), (2L, 1, None), (3L, 1, None),
       (4L, 0, Some("/*?sessionid=")), (5L, 0, Some("/?landing"))))
   }
+
+  // ---- Sitemaps ----------------------------------------------------------
+
+  test("sitemapEntries: urlset and sitemapindex blocks, optional " +
+    "lastmod comes back empty, multiline XML (the (?s) flag), " +
+    "loc-less blocks dropped, null/empty xml yields no rows") {
+    import graft.io.Sitemap
+    val urlset = """<?xml version="1.0"?>
+      |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      |  <url>
+      |    <loc>https://a.example.com/1</loc>
+      |    <lastmod>2026-02-03</lastmod>
+      |  </url>
+      |  <url><loc>https://a.example.com/2</loc></url>
+      |  <url><priority>0.5</priority></url>
+      |</urlset>""".stripMargin
+    val index = "<sitemapindex><sitemap><loc>https://a.example.com/s1" +
+      ".xml</loc></sitemap></sitemapindex>"
+    val rows = Seq((1L, urlset), (2L, index), (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("id", "xml")
+    val got = Sitemap.sitemapEntries(rows, "xml")
+      .orderBy("id", "entry_no")
+      .select("id", "entry_no", "url", "lastmod", "kind")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSeq
+    assert(got == Seq(
+      (1L, 1, "https://a.example.com/1", "2026-02-03", "urlset"),
+      (1L, 2, "https://a.example.com/2", "", "urlset"),
+      (2L, 1, "https://a.example.com/s1.xml", "", "index")),
+      s"got $got")
+  }
+
+  test("sitemapsFromRobots: case-insensitive directive, leading " +
+    "whitespace, multiple declarations in file order, none -> empty") {
+    import graft.io.Sitemap
+    val robots = """User-agent: *
+      |Disallow: /private
+      |Sitemap: https://x.example.com/sitemap.xml
+      |  SITEMAP:   https://x.example.com/news.xml
+      |# Sitemap: https://x.example.com/commented.xml""".stripMargin
+    val got = Seq(robots, "User-agent: *", null.asInstanceOf[String])
+      .toDF("t")
+      .select(Sitemap.sitemapsFromRobots(col("t")).as("s"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(got.head == Seq("https://x.example.com/sitemap.xml",
+      "https://x.example.com/news.xml"), s"got ${got.head}")
+    assert(got(1) == Seq.empty && got(2) == Seq.empty)
+  }
 }
