@@ -3655,7 +3655,18 @@ object SparkEntry {
             sitemapXml(col("doc_id")).as("xml")), "xml")
         .select(col("doc_id"), col("entry_no"), col("url"),
           col("lastmod"), col("kind"))
-        .orderBy("doc_id", "entry_no"))
+        .orderBy("doc_id", "entry_no")),
+
+    // BRIER score over the q280 judge-confidence synthesis (k/128-grid
+    // confidences): the strictly proper scoring rule beside the
+    // reliability diagram — integer sufficient statistics
+    // Σ(k − 128·y)², ONE exact sum + one division, bit-portable
+    "q308_brier" -> ((s, dir) =>
+      ops.Chat.brierScore(t(s, dir, "documents").select(
+        (((col("doc_id") * 7) % 129).cast("double") / 128.0)
+          .as("confidence"),
+        (((col("doc_id") * 13) % 128) < ((col("doc_id") * 7) % 129))
+          .cast("int").as("correct"))))
   )
 
   /** q291/q292's canary tiers: three selection moduli, every tier
@@ -11420,7 +11431,21 @@ object SparkEntry {
          |FROM ex
          |WHERE len(regexp_extract(bs[entry_no], '<loc>([^<]*)</loc>', 1))
          |  > 0
-         |ORDER BY doc_id, entry_no""".stripMargin
+         |ORDER BY doc_id, entry_no""".stripMargin,
+
+    // q308: the same integer sufficient statistic — Σ(k − 128·y)² as
+    // BIGINT, one division at the edge
+    "q308_brier" ->
+      """WITH r AS (
+        |  SELECT (doc_id * 7) % 129 AS k,
+        |         CASE WHEN (doc_id * 13) % 128 < (doc_id * 7) % 129
+        |              THEN 1 ELSE 0 END AS c
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum((k - 128 * c) * (k - 128 * c)) AS BIGINT) AS sq_sum,
+        |  CAST(sum((k - 128 * c) * (k - 128 * c)) AS DOUBLE)
+        |    / CAST(count(*) * 16384 AS DOUBLE) AS brier
+        |FROM r""".stripMargin
   )
 
   /** q291/q292's canary tiers as a VALUES table — mirrors

@@ -202,6 +202,68 @@ object Pca {
     PcaModel(mean, eig.take(k), rows.take(k))
   }
 
+  /** Append one batch's co-moments to a stored moment STATE — PCA's
+    * incremental form (the stored-index argument applied to linear
+    * algebra): moments are ADDITIVE, so a corpus-wide model refreshes
+    * per batch at BATCH-only cost — the corpus is never re-scanned.
+    * State is one (batch_id, n, s, p) row per appended batch,
+    * |batches| rows total. */
+  def appendMoments(batch: DataFrame, statePath: String,
+      batchId: String, dim: Int = 64,
+      vecCol: String = "embedding"): Unit = {
+    val fn = udaf(new CoMomentAgg(dim), ExpressionEncoder[Seq[Double]]())
+    batch.filter(col(vecCol).isNotNull)
+      .select(fn(col(vecCol).cast("array<double>")).as("m"))
+      .select(lit(batchId).as("batch_id"), col("m.n").as("n"),
+        col("m.s").as("s"), col("m.p").as("p"))
+      .write.mode("append").parquet(statePath)
+  }
+
+  /** Fit PCA from a stored moment state: the |batches| one-row moments
+    * fold driver-side (bounded by the batch count — each row is
+    * ~dim²/2 doubles), then the same covariance + Jacobi path as
+    * [[fitPca]]. fitPcaFromMoments(append(b₁) + append(b₂)) equals
+    * fitPca(b₁ ∪ b₂) up to float-sum association — spec-gated. */
+  def fitPcaFromMoments(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, k: Int, dim: Int = 64): PcaModel = {
+    require(k >= 1 && k <= dim, s"k must be in [1, $dim], got $k")
+    val tri = dim * (dim + 1) / 2
+    val rows = spark.read.parquet(statePath)
+      .select(col("n"), col("s"), col("p")).collect()
+    require(rows.nonEmpty, s"$statePath holds no moment rows")
+    var n = 0L
+    val s = new Array[Double](dim)
+    val p = new Array[Double](tri)
+    rows.foreach { r =>
+      n += r.getLong(0)
+      val rs = r.getSeq[Double](1); val rp = r.getSeq[Double](2)
+      require(rs.length == dim && rp.length == tri,
+        s"moment row shape mismatch: dim=${rs.length}, tri=${rp.length}")
+      var i = 0
+      while (i < dim) { s(i) += rs(i); i += 1 }
+      i = 0
+      while (i < tri) { p(i) += rp(i); i += 1 }
+    }
+    require(n > 1, s"need at least 2 vectors across batches, got $n")
+    val mean = s.map(_ / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    var i = 0
+    var t = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val c = p(t) / n - mean(i) * mean(j)
+        cov(i)(j) = c
+        cov(j)(i) = c
+        t += 1
+        j += 1
+      }
+      i += 1
+    }
+    val (eig, vecs) = symmetricEigen(cov)
+    PcaModel(mean, eig.take(k), vecs.take(k))
+  }
+
   /** Project embeddings onto a fitted model's top-k axes (map-only: the
     * k×dim matrix rides ONE broadcast through the
     * [[graft.functions.MatVecProject]] kernel; centering folds into a

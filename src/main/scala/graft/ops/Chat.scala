@@ -747,6 +747,31 @@ object Chat {
       .withColumn("gap", abs(col("accuracy") - col("mean_confidence")))
   }
 
+  /** BRIER SCORE — the proper scoring rule next to
+    * [[calibrationReport]]'s reliability view: mean (confidence −
+    * outcome)², strictly proper (unlike ECE it cannot be gamed by
+    * binning) and the standard judge-quality scalar. Confidences must
+    * sit on a 1/gridDen grid (the house bit-portability recipe —
+    * model probabilities snap upstream): the score then reduces to
+    * INTEGER sufficient statistics, Σ(k − gridDen·y)², one exact
+    * map-side-combined sum + ONE division — bit-identical across
+    * engines and partitionings. One row out. */
+  def brierScore(results: DataFrame, gridDen: Int = 128,
+                 confCol: String = "confidence",
+                 correctCol: String = "correct"): DataFrame = {
+    require(gridDen >= 1, s"gridDen must be positive, got $gridDen")
+    val k = round(col(confCol) * gridDen).cast("long")
+    val d = k - col(correctCol).cast("long") * gridDen
+    results
+      .filter(col(confCol).isNotNull && col(correctCol).isNotNull &&
+        col(confCol) >= 0 && col(confCol) <= 1)
+      .select(d.as("d"))
+      .agg(count(lit(1)).as("n"), sum(col("d") * col("d")).as("sq_sum"))
+      .withColumn("brier", col("sq_sum").cast("double") /
+        (col("n") * lit(gridDen.toLong) * lit(gridDen.toLong))
+          .cast("double"))
+  }
+
   /** EXPECTED CALIBRATION ERROR from a [[calibrationReport]]: the
     * n-weighted mean gap, ECE = Σ_b (n_b/N)·|acc_b − conf̄_b|. The
     * cross-bin float sum is ORDER-DEPENDENT in general, so both the

@@ -5576,6 +5576,58 @@ class ExtensionsSpec extends SparkSpec {
       "64-bit filter over 40 urls must show a false positive")
   }
 
+  test("brierScore: exact hand case on a 1/4 grid, perfect and " +
+    "worst-case calibration, off-grid confidences snap, null rows " +
+    "excluded") {
+    val rows = Seq((1.0, 1), (0.5, 0), (0.25, 1), (0.0, 0))
+      .toDF("confidence", "correct")
+    val got = ops.Chat.brierScore(rows, gridDen = 4).head()
+    // diffs on the k grid: 0, 2, -3, 0 → Σ = 13; 13 / (4·16) exact
+    assert(got.getLong(0) == 4L && got.getLong(1) == 13L &&
+      got.getDouble(2) == 13.0 / 64.0, s"got $got")
+    val perfect = Seq((1.0, 1), (0.0, 0)).toDF("confidence", "correct")
+    assert(ops.Chat.brierScore(perfect).head().getDouble(2) == 0.0)
+    val worst = Seq((1.0, 0), (0.0, 1)).toDF("confidence", "correct")
+    assert(ops.Chat.brierScore(worst).head().getDouble(2) == 1.0)
+    // 0.26 on the 1/4 grid snaps to k=1 (the upstream-snap contract)
+    val snap = Seq((0.26, 0)).toDF("confidence", "correct")
+    assert(ops.Chat.brierScore(snap, gridDen = 4).head()
+      .getLong(1) == 1L)
+    val withNull = Seq((Some(1.0), Some(1)), (None, Some(0)),
+      (Some(0.5), None)).toDF("confidence", "correct")
+    assert(ops.Chat.brierScore(withNull).head().getLong(0) == 1L)
+  }
+
+  test("appendMoments + fitPcaFromMoments: three appended batches " +
+    "reproduce the one-pass fit (moments are additive) — same " +
+    "eigenvalues, axes aligned up to sign") {
+    import graft.ml.Pca
+    val pts = (0 until 48).map { i =>
+      val t = i * 0.25; val u = (i % 5) * 0.5
+      (i.toLong, Seq((t + u).toFloat, (2.0 * t - u).toFloat,
+        (0.5 * u + 3.0).toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("mom").toString
+    val state = s"$tmp/moments"
+    Seq(0, 1, 2).foreach { b =>
+      Pca.appendMoments(df.filter(col("vec_id") % 3 === b), state,
+        batchId = s"b$b", dim = 3)
+    }
+    val inc = Pca.fitPcaFromMoments(spark, state, k = 3, dim = 3)
+    val one = Pca.fitPca(df, k = 3, dim = 3)
+    inc.eigenvalues.zip(one.eigenvalues).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"eigenvalue drift: $a vs $b") }
+    inc.mean.zip(one.mean).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-12) }
+    inc.components.zip(one.components).foreach { case (va, vb) =>
+      val dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      assert(math.abs(math.abs(dot) - 1.0) < 1e-6,
+        s"axis misaligned: |dot| = ${math.abs(dot)}") }
+    // state is |batches| rows, each one moment row
+    assert(spark.read.parquet(state).count() == 3L)
+  }
+
   // ---- Unicode normalization ----
 
   test("nfcNormalize / nfkcNormalize: canonical twins collapse to one " +

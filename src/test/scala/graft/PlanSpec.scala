@@ -868,6 +868,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"percentiles not partial-agged:\n$p")
   }
 
+  test("q308 brier is ONE partial-agged integer aggregation: no join, " +
+    "no window") {
+    val p = plan("q308_brier")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"q308 should be one aggregation:\n$p")
+    assert(p.contains("partial_"), s"brier sums must partial-agg:\n$p")
+  }
+
   test("q307 sitemap parse is map-only: no join, no aggregation, no " +
     "hash shuffle — the only Generate is the per-entry posexplode") {
     val p = plan("q307_sitemap_entries")
