@@ -291,6 +291,157 @@ object TokenizerFiles {
     TextOps.wordpieceVocabBroadcast(spark, vocab, unk, maxChars)
   }
 
+  /** One SentencePiece vocabulary entry out of a `.model` file:
+    * the piece string, its score (a LOG PROBABILITY for unigram
+    * models — feeds [[TextOps.unigramSegment]]'s `lnp` directly),
+    * the piece type (1=NORMAL, 2=UNKNOWN, 3=CONTROL, 4=USER_DEFINED,
+    * 5=UNUSED, 6=BYTE), and the id (= file order, the tokenizer's
+    * own id assignment). */
+  case class SpPiece(piece: String, score: Double, ptype: Int, id: Int)
+
+  private def readAllBytes(spark: SparkSession, path: String)
+      : Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  /** Minimal protobuf wire-format cursor — the same
+    * public-wire-format-by-hand approach as the TFRecord sink (the
+    * format is stable and published; no library dependency). */
+  private final class ProtoCursor(val b: Array[Byte], var pos: Int,
+                                  val end: Int, path: String) {
+    def hasMore: Boolean = pos < end
+    def varint(): Long = {
+      var shift = 0
+      var out = 0L
+      var more = true
+      while (more) {
+        require(pos < end && shift < 64,
+          s"$path: truncated or malformed varint at byte $pos")
+        val x = b(pos) & 0xff
+        out |= (x & 0x7fL) << shift
+        shift += 7
+        pos += 1
+        more = (x & 0x80) != 0
+      }
+      out
+    }
+    def bytes(n: Int): Array[Byte] = {
+      require(n >= 0 && pos + n <= end,
+        s"$path: truncated field at byte $pos (need $n)")
+      val out = java.util.Arrays.copyOfRange(b, pos, pos + n)
+      pos += n
+      out
+    }
+    def skip(wireType: Int): Unit = wireType match {
+      case 0 => varint()
+      case 1 => bytes(8)
+      case 2 => bytes(varint().toInt)
+      case 5 => bytes(4)
+      case other => throw new IllegalArgumentException(
+        s"$path: unsupported wire type $other at byte $pos")
+    }
+  }
+
+  /** Parse a SentencePiece `.model` file (the serialized `ModelProto`
+    * of the public sentencepiece_model.proto — the fourth and last
+    * tokenizer distribution format next to merges.txt, tokenizer.json,
+    * and vocab.txt): repeated `SentencePiece` entries (field 1 —
+    * piece string, float score, type enum) in file order. Hand-decoded
+    * from the published wire format, driver-side (operator constant,
+    * the [[readMergesTxt]] contract). Unknown fields — trainer spec,
+    * normalizer blobs, future extensions — are SKIPPED by wire type,
+    * exactly as protobuf consumers must. */
+  def readSentencePieceModel(spark: SparkSession, path: String)
+      : Seq[SpPiece] = {
+    val raw = readAllBytes(spark, path)
+    val c = new ProtoCursor(raw, 0, raw.length, path)
+    val out = Vector.newBuilder[SpPiece]
+    var id = 0
+    while (c.hasMore) {
+      val key = c.varint()
+      val field = (key >> 3).toInt
+      val wt = (key & 7).toInt
+      if (field == 1 && wt == 2) {
+        val len = c.varint().toInt
+        val sub = new ProtoCursor(c.b, c.pos, c.pos + len, path)
+        c.bytes(len)
+        var piece: String = null
+        var score = 0.0
+        var ptype = 1 // proto3-style default: NORMAL
+        while (sub.hasMore) {
+          val k2 = sub.varint()
+          ((k2 >> 3).toInt, (k2 & 7).toInt) match {
+            case (1, 2) =>
+              piece = new String(sub.bytes(sub.varint().toInt), "UTF-8")
+            case (2, 5) =>
+              val fb = sub.bytes(4)
+              score = java.lang.Float.intBitsToFloat(
+                (fb(0) & 0xff) | ((fb(1) & 0xff) << 8) |
+                  ((fb(2) & 0xff) << 16) | ((fb(3) & 0xff) << 24))
+                .toDouble
+            case (3, 0) => ptype = sub.varint().toInt
+            case (_, w) => sub.skip(w)
+          }
+        }
+        require(piece != null,
+          s"$path: SentencePiece entry $id has no piece string")
+        out += SpPiece(piece, score, ptype, id)
+        id += 1
+      } else c.skip(wt)
+    }
+    val pieces = out.result()
+    require(pieces.nonEmpty, s"$path holds no sentencepiece entries")
+    pieces
+  }
+
+  /** The `trainer_spec.model_type` a `.model` declares (1=UNIGRAM,
+    * 2=BPE, 3=WORD, 4=CHAR; UNIGRAM when absent — the proto default):
+    * the dispatch flag deciding which encoder the piece table feeds. */
+  def readSentencePieceModelType(spark: SparkSession,
+                                 path: String): Int = {
+    val raw = readAllBytes(spark, path)
+    val c = new ProtoCursor(raw, 0, raw.length, path)
+    var mt = 1
+    while (c.hasMore) {
+      val key = c.varint()
+      val field = (key >> 3).toInt
+      val wt = (key & 7).toInt
+      if (field == 2 && wt == 2) {
+        val len = c.varint().toInt
+        val sub = new ProtoCursor(c.b, c.pos, c.pos + len, path)
+        c.bytes(len)
+        while (sub.hasMore) {
+          val k2 = sub.varint()
+          if ((k2 >> 3).toInt == 3 && (k2 & 7).toInt == 0)
+            mt = sub.varint().toInt
+          else sub.skip((k2 & 7).toInt)
+        }
+      } else c.skip(wt)
+    }
+    mt
+  }
+
+  /** The unigram-segmenter vocabulary out of a `.model`: NORMAL and
+    * USER_DEFINED pieces as a (piece, lnp) frame —
+    * [[TextOps.unigramSegment]]'s vocab side, scores passing through
+    * as the log probabilities they are. */
+  def sentencePieceVocab(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    readSentencePieceModel(spark, path)
+      .filter(p => p.ptype == 1 || p.ptype == 4)
+      .map(p => (p.piece, p.score))
+      .toDF("piece", "lnp")
+  }
+
   /** One-call path from a merges file to the kernel's broadcast handle:
     * `merges.txt` and `tokenizer.json` are auto-detected by suffix
     * (override by calling the specific reader + broadcast yourself).

@@ -5628,6 +5628,91 @@ class ExtensionsSpec extends SparkSpec {
     assert(spark.read.parquet(state).count() == 3L)
   }
 
+  test("SentencePiece .model ingestion: byte-literal external vectors " +
+    "(hand-derived from the published wire format), unknown fields " +
+    "skipped by wire type, model_type, scores feed unigramSegment as " +
+    "log probabilities, truncation fails descriptively") {
+    import graft.text.TokenizerFiles
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("sp").toString
+    // external-compat vectors: ModelProto{ pieces=[SentencePiece{
+    // piece="<unk>", score=0.0, type=UNKNOWN(2)}, SentencePiece{
+    // piece="ab", score=-1.5, type=NORMAL(1)}],
+    // trainer_spec{model_type=BPE(2)} } — bytes written from the spec,
+    // independent of our own encoder
+    val lit2 = Array(
+      0x0A, 0x0E, 0x0A, 0x05, '<'.toInt, 'u'.toInt, 'n'.toInt,
+      'k'.toInt, '>'.toInt, 0x15, 0x00, 0x00, 0x00, 0x00, 0x18, 0x02,
+      0x0A, 0x0B, 0x0A, 0x02, 'a'.toInt, 'b'.toInt,
+      0x15, 0x00, 0x00, 0xC0, 0xBF, 0x18, 0x01,
+      0x12, 0x02, 0x18, 0x02).map(_.toByte)
+    Files.write(Paths.get(s"$tmp/lit.model"), lit2)
+    val got = TokenizerFiles.readSentencePieceModel(spark,
+      s"$tmp/lit.model")
+    assert(got == Seq(
+      TokenizerFiles.SpPiece("<unk>", 0.0, 2, 0),
+      TokenizerFiles.SpPiece("ab", -1.5, 1, 1)), s"got $got")
+    assert(TokenizerFiles.readSentencePieceModelType(spark,
+      s"$tmp/lit.model") == 2)
+    // generated fixture: a unigram vocab with control/user-defined
+    // types, an unknown varint field (99) inside one piece, and an
+    // unknown length-delimited top-level field (5)
+    def vi(n0: Long): Seq[Byte] = {
+      var n = n0; val out = Seq.newBuilder[Byte]
+      var more = true
+      while (more) {
+        val x = (n & 0x7f).toInt; n >>>= 7
+        more = n != 0
+        out += (if (more) (x | 0x80).toByte else x.toByte)
+      }
+      out.result()
+    }
+    def fl(f: Float): Seq[Byte] = {
+      val b = java.lang.Float.floatToIntBits(f)
+      Seq((b & 0xff).toByte, ((b >> 8) & 0xff).toByte,
+        ((b >> 16) & 0xff).toByte, ((b >> 24) & 0xff).toByte)
+    }
+    def sp(piece: String, score: Float, t: Int,
+           extra: Seq[Byte] = Nil): Seq[Byte] = {
+      val pb = piece.getBytes("UTF-8").toSeq
+      val body = Seq(0x0A.toByte) ++ vi(pb.length) ++ pb ++
+        Seq(0x15.toByte) ++ fl(score) ++ Seq(0x18.toByte) ++ vi(t) ++
+        extra
+      Seq(0x0A.toByte) ++ vi(body.length) ++ body
+    }
+    val unknown99 = vi((99L << 3) | 0) ++ vi(7)
+    val pieces =
+      sp("<unk>", 0.0f, 2) ++ sp("<s>", 0.0f, 3) ++
+        "unafble".distinct.toSeq.flatMap(c =>
+          sp(c.toString, -3.0f, 1)) ++
+        sp("un", -2.0f, 1, extra = unknown99) ++
+        sp("aff", -2.5f, 1) ++ sp("able", -2.5f, 1) ++
+        sp("xx", -9.0f, 4) ++
+        (vi((5L << 3) | 2) ++ vi(3) ++ Seq[Byte](1, 2, 3)) ++
+        (vi((2L << 3) | 2) ++ vi(2) ++ Seq(0x18.toByte) ++ vi(1))
+    Files.write(Paths.get(s"$tmp/uni.model"), pieces.toArray)
+    val all = TokenizerFiles.readSentencePieceModel(spark,
+      s"$tmp/uni.model")
+    assert(all.length == 13 && all.head.piece == "<unk>" &&
+      all.last.piece == "xx" && all.last.id == 12, s"got $all")
+    assert(TokenizerFiles.readSentencePieceModelType(spark,
+      s"$tmp/uni.model") == 1)
+    // the segmenter consumes the scores directly as lnp
+    val vocab = TokenizerFiles.sentencePieceVocab(spark, s"$tmp/uni.model")
+    assert(vocab.count() == 11L) // <unk>/<s> filtered, user-defined kept
+    val seg = TextOps.unigramSegment(Seq("unaffable").toDF("word"),
+      vocab, maxLen = 12, maxPiece = 4).head()
+    assert(seg.getString(3) == "un|aff|able" && seg.getLong(1) == 3L &&
+      seg.getDouble(2) == -7.0, s"got $seg")
+    // truncation: a piece announcing more bytes than the file holds
+    Files.write(Paths.get(s"$tmp/bad.model"),
+      Array(0x0A, 0x10, 0x0A, 0x02).map(_.toByte))
+    val e = intercept[IllegalArgumentException] {
+      TokenizerFiles.readSentencePieceModel(spark, s"$tmp/bad.model")
+    }
+    assert(e.getMessage.contains("truncated"), s"got ${e.getMessage}")
+  }
+
   // ---- Unicode normalization ----
 
   test("nfcNormalize / nfkcNormalize: canonical twins collapse to one " +
