@@ -532,6 +532,23 @@ object ScaleProbe {
         "lang_id_multi" -> { d =>
           d.select(TextOps.langIdMulti(col("text")).as("v"))
             .groupBy(col("v.lang")).count().collect(); 1L },
+        // r14 additions: corpus BLEU (one kernel pass + one agg), NFC
+        // (map-only with the quick-check fast path — corpus is ASCII,
+        // the common case), z-order keys (pure integer math)
+        "bleu_corpus" -> { d =>
+          val nxt = d.select((col("doc_id") - 1).as("doc_id"),
+            col("text").as("ntext"))
+          TextOps.corpusBleu(d.join(nxt, Seq("doc_id"))
+            .select(col("doc_id").as("pair_id"), col("text").as("ref"),
+              col("ntext").as("hyp"))).head(); 1L },
+        "nfc_normalize" -> { d =>
+          d.select(md5(TextOps.nfcNormalize(col("text"))).as("g"))
+            .agg(count(lit(1)), min("g")).head(); 1L },
+        "zorder_key" -> { d =>
+          d.select(graft.ops.Layout.mortonKey(Seq(
+              pmod(col("doc_id") * lit(2654435761L), lit(65536L)),
+              pmod(col("doc_id"), lit(65536L))), 16).as("z"))
+            .agg(min("z"), max("z")).head(); 1L },
         "contamination_report" -> { d =>
           val split = d.withColumn("s", TextOps.hashSplit(col("doc_id")))
           TextOps.contaminationReport(split.filter(col("s") === "train"),
