@@ -3533,14 +3533,14 @@ object SparkEntry {
     // longest-match CASE is generated from the SAME vocab constant
     "q300_wordpiece_encode" -> ((s, dir) => {
       val bcV = TextOps.wordpieceVocabBroadcast(s, WpVocab, maxChars = 7)
-      val toks = TextOps.wordpieceBasicTokens(col("text"))
-      val encs = TextOps.wordpieceEncode(col("text"), bcV)
+      // slice BEFORE encoding: only the first 4 words pay the kernel
+      val toks = slice(TextOps.wordpieceBasicTokens(col("text")), 1, 4)
       t(s, dir, "documents").filter(col("text").isNotNull)
         .select(col("doc_id"),
-          posexplode(zip_with(toks, encs,
-            (w, e) => struct(w.as("word"), e.as("encoded"))))
+          posexplode(transform(toks, w => struct(w.as("word"),
+            graft.functions.WordPiece.encodeWord(w, bcV)
+              .as("encoded"))))
             .as(Seq("pos", "z")))
-        .filter(col("pos") < 4)
         .select(col("doc_id"), (col("pos") + 1).as("word_no"),
           col("z.word").as("word"), col("z.encoded").as("encoded"))
         .withColumn("n_pieces", size(split(col("encoded"), " ")))
@@ -3554,11 +3554,12 @@ object SparkEntry {
     "q301_wordpiece_ids" -> ((s, dir) => {
       val bcV = TextOps.wordpieceVocabBroadcast(s, WpVocab, maxChars = 7)
       val bcIds = TextOps.bpeVocabBroadcast(s, WpVocab)
+      val toks = slice(TextOps.wordpieceBasicTokens(col("text")), 1, 4)
       t(s, dir, "documents").filter(col("text").isNotNull)
         .select(col("doc_id"),
-          posexplode(TextOps.wordpieceEncode(col("text"), bcV))
+          posexplode(transform(toks,
+            w => graft.functions.WordPiece.encodeWord(w, bcV)))
             .as(Seq("pos", "enc")))
-        .filter(col("pos") < 4)
         .select(col("doc_id"), (col("pos") + 1).as("word_no"),
           graft.functions.VectorExpressions.vocabIds(col("enc"), bcIds)
             .as("ids"))
