@@ -442,6 +442,95 @@ object TokenizerFiles {
       .toDF("piece", "lnp")
   }
 
+  /** A loaded tokenizer, whatever file format it shipped in: `encode`
+    * maps a document text column to its array of per-word (or
+    * per-pre-token) piece strings; `family` names the dispatched
+    * encoder (`bpe_byte_level`, `bpe_whitespace`, `wordpiece`,
+    * `unigram`). The unigram leg exposes the (piece, lnp) vocab for
+    * [[TextOps.unigramSegment]] instead of a column encoder (its DP
+    * runs on the distinct-word DOMAIN, not per row — using it per-row
+    * would hide a corpus-shaped cost inside a projection). */
+  sealed trait LoadedTokenizer { def family: String }
+  final case class ColumnTokenizer(family: String,
+      encode: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+    extends LoadedTokenizer
+  final case class UnigramTokenizer(family: String, vocab: DataFrame)
+    extends LoadedTokenizer
+
+  /** ONE call from any shipped tokenizer file to a usable encoder —
+    * the "a user can point the engine at their tokenizer" entry:
+    *
+    *  - `merges.txt` → byte-level BPE (that line format is the GPT-2
+    *    distribution's);
+    *  - `tokenizer.json` → by `model.type`: BPE routes through the
+    *    declared pre_tokenizer (byte_level / whitespace), WordPiece
+    *    through BERT basic tokenization, Unigram returns its scored
+    *    vocab for the segmenter;
+    *  - `vocab.txt` → WordPiece (BERT's distribution format);
+    *  - `.model` → by `trainer_spec.model_type`: UNIGRAM returns the
+    *    scored vocab; anything else fails descriptively (a BPE-typed
+    *    .model ships no merge ranks we can apply).
+    *
+    * Tables ride broadcasts (one ship per executor); unknown formats
+    * and mismatched dispatches fail with the file named. */
+  def loadTokenizer(spark: SparkSession, path: String,
+      unk: String = "[UNK]", maxChars: Int = 100): LoadedTokenizer = {
+    if (path.endsWith("vocab.txt")) {
+      val bc = wordpieceVocabBroadcastFromFile(spark, path, unk, maxChars)
+      ColumnTokenizer("wordpiece", c => TextOps.wordpieceEncode(c, bc))
+    } else if (path.endsWith(".json")) {
+      readModelType(spark, path) match {
+        case "BPE" =>
+          val bc = mergesBroadcastFromFile(spark, path)
+          readPreTokenizerKind(spark, path) match {
+            case "byte_level" => ColumnTokenizer("bpe_byte_level",
+              c => TextOps.bpeEncodeByteLevel(c, bc))
+            case "whitespace" => ColumnTokenizer("bpe_whitespace",
+              c => TextOps.bpeEncodeKernel(c, bc))
+            case other => throw new IllegalArgumentException(
+              s"$path: BPE model with unsupported pre-tokenizer '$other'")
+          }
+        case "WordPiece" =>
+          val bc =
+            wordpieceVocabBroadcastFromFile(spark, path, unk, maxChars)
+          ColumnTokenizer("wordpiece",
+            c => TextOps.wordpieceEncode(c, bc))
+        case "Unigram" =>
+          import spark.implicits._
+          val vocab = tokenizerModel(spark, path).get("vocab")
+          require(vocab != null && vocab.isArray,
+            s"$path: Unigram model.vocab must be an array of " +
+              "[piece, score] pairs")
+          val rows = Vector.newBuilder[(String, Double)]
+          val it = vocab.elements()
+          while (it.hasNext) {
+            val e = it.next()
+            require(e.isArray && e.size() == 2,
+              s"$path: Unigram vocab entry is not [piece, score]")
+            rows += ((e.get(0).asText(), e.get(1).asDouble()))
+          }
+          UnigramTokenizer("unigram",
+            rows.result().toDF("piece", "lnp"))
+        case other => throw new IllegalArgumentException(
+          s"$path: unsupported model.type '$other'")
+      }
+    } else if (path.endsWith(".model")) {
+      val mt = readSentencePieceModelType(spark, path)
+      require(mt == 1,
+        s"$path: sentencepiece model_type $mt is not UNIGRAM(1) — " +
+          "a .model ships piece scores, not applicable merge ranks")
+      UnigramTokenizer("unigram", sentencePieceVocab(spark, path))
+    } else if (path.endsWith(".txt")) {
+      // a .txt that is not vocab.txt is the GPT-2 merges.txt format
+      ColumnTokenizer("bpe_byte_level", {
+        val bc = mergesBroadcastFromFile(spark, path)
+        c => TextOps.bpeEncodeByteLevel(c, bc)
+      })
+    } else throw new IllegalArgumentException(
+      s"$path: unrecognized tokenizer file format (expected " +
+        "merges.txt, tokenizer.json, vocab.txt, or .model)")
+  }
+
   /** One-call path from a merges file to the kernel's broadcast handle:
     * `merges.txt` and `tokenizer.json` are auto-detected by suffix
     * (override by calling the specific reader + broadcast yourself).

@@ -5713,6 +5713,57 @@ class ExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("truncated"), s"got ${e.getMessage}")
   }
 
+  test("loadTokenizer: one call from any shipped format to an encoder " +
+    "— merges.txt and BPE tokenizer.json route byte-level, vocab.txt " +
+    "and WordPiece json route wordpiece, Unigram json and UNIGRAM " +
+    ".model return the scored vocab; mismatches fail with the file " +
+    "named") {
+    import graft.text.TokenizerFiles
+    import java.nio.file.{Files, Paths}
+    def enc(t: TokenizerFiles.LoadedTokenizer, s0: String): Seq[String] = {
+      val c = t.asInstanceOf[TokenizerFiles.ColumnTokenizer]
+      Seq(s0).toDF("t").select(c.encode(col("t")).as("e")).head()
+        .getSeq[String](0)
+    }
+    val merges = getClass.getResource("/graft/fixture_merges.txt").getPath
+    val tm = TokenizerFiles.loadTokenizer(spark, merges)
+    assert(tm.family == "bpe_byte_level")
+    assert(enc(tm, "the").nonEmpty)
+    val tj = TokenizerFiles.loadTokenizer(spark,
+      getClass.getResource("/graft/fixture_gpt2_tokenizer.json").getPath)
+    assert(tj.family == "bpe_byte_level")
+    val wp = TokenizerFiles.loadTokenizer(spark,
+      getClass.getResource("/graft/fixture_wp_tokenizer.json").getPath)
+    assert(wp.family == "wordpiece")
+    assert(enc(wp, "unaffable running") ==
+      Seq("un ##aff ##able", "run ##ning"))
+    val vt = TokenizerFiles.loadTokenizer(spark,
+      getClass.getResource("/graft/fixture_vocab.txt").getPath)
+    assert(vt.family == "wordpiece")
+    assert(enc(vt, "walks") == Seq("walk ##s"))
+    // Unigram tokenizer.json: vocab as [piece, score] pairs
+    val tmp = Files.createTempDirectory("ldtok").toString
+    Files.write(Paths.get(s"$tmp/uni.json"),
+      """{"model": {"type": "Unigram", "vocab":
+        | [["<unk>", 0.0], ["ab", -1.5], ["c", -2.0]]}}"""
+        .stripMargin.getBytes("UTF-8"))
+    val uj = TokenizerFiles.loadTokenizer(spark, s"$tmp/uni.json")
+      .asInstanceOf[TokenizerFiles.UnigramTokenizer]
+    assert(uj.family == "unigram" && uj.vocab.count() == 3L)
+    // a BPE-typed sentencepiece .model carries no applicable merges
+    Files.write(Paths.get(s"$tmp/bpe.model"), Array(
+      0x0A, 0x0B, 0x0A, 0x02, 'a'.toInt, 'b'.toInt,
+      0x15, 0x00, 0x00, 0xC0, 0xBF, 0x18, 0x01,
+      0x12, 0x02, 0x18, 0x02).map(_.toByte))
+    val e = intercept[IllegalArgumentException] {
+      TokenizerFiles.loadTokenizer(spark, s"$tmp/bpe.model")
+    }
+    assert(e.getMessage.contains("bpe.model"), s"got ${e.getMessage}")
+    intercept[IllegalArgumentException] {
+      TokenizerFiles.loadTokenizer(spark, s"$tmp/weird.bin")
+    }
+  }
+
   // ---- Unicode normalization ----
 
   test("nfcNormalize / nfkcNormalize: canonical twins collapse to one " +
