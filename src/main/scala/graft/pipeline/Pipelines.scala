@@ -297,7 +297,7 @@ object Pipelines {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
-  def curate(docs: DataFrame, minQuality: Double = 0.3,
+  def curate(docs0: DataFrame, minQuality: Double = 0.3,
              minJaccard: Double = 0.8, decontamN: Int = 8,
              adaptivePct: Option[Double] = None,
              priorCorpus: Option[DataFrame] = None,
@@ -320,7 +320,8 @@ object Pipelines {
              dedupParagraphs: Boolean = false,
              langModel: Option[DataFrame] = None,
              lang: String = "en",
-             langRouter: Boolean = false): DataFrame = {
+             langRouter: Boolean = false,
+             unicodeNfc: Boolean = false): DataFrame = {
     import graft.text.TextOps
     import graft.dedup.Dedup
     // a rewrite stage (c4 lines / paragraph dedup) that changed `text`
@@ -330,6 +331,13 @@ object Pipelines {
       if (df.columns.contains("n_chars"))
         df.withColumn("n_chars", length(col("text")).cast("long"))
       else df
+    // opt-in Unicode canonicalization BEFORE any digest or gate:
+    // composed and combining-mark spellings of the same text must meet
+    // the exact-dedup hash as ONE byte sequence (quick-check fast path
+    // makes the all-ASCII common case one scan, zero alloc)
+    val docs = if (!unicodeNfc) docs0
+      else refreshNChars(docs0.withColumn("text",
+        TextOps.nfcNormalize(col("text"))))
     // incremental-ingest mode: drop docs already in the prior corpus
     // (digest anti-join) before spending any curation work on them;
     // fuzzyPrior ALSO drops near-dups of prior docs (a re-crawl with one

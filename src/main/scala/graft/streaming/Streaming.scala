@@ -59,11 +59,17 @@ object Streaming {
                    c4Lines: Boolean = false,
                    minCompressionRatio: Option[Double] = None,
                    allowLicenses: Option[Seq[String]] = None,
-                   textCol: String = "text"): DataFrame = {
+                   textCol: String = "text",
+                   unicodeNfc: Boolean = false): DataFrame = {
     import graft.text.TextOps
     import org.apache.spark.sql.Column
     val t0 = col(textCol)
-    val base = stream.filter(t0.isNotNull)
+    // the batch curate's opt-in canonicalization, mirrored so the
+    // streaming gate digests the SAME bytes (batch ≡ streaming parity)
+    val pre =
+      if (!unicodeNfc) stream
+      else stream.withColumn(textCol, TextOps.nfcNormalize(col(textCol)))
+    val base = pre.filter(t0.isNotNull)
     val c4ed =
       if (!c4Lines) base
       else {

@@ -706,4 +706,41 @@ class PipelineSpec extends SparkSpec {
       assert(m("shard")._3.head >= 0L && m("pack_id")._3.head >= 0L)
     }
   }
+
+  test("curate unicodeNfc: a combining-mark twin of a composed doc " +
+    "meets the exact-dedup digest only when the stage is ON; ASCII " +
+    "output is byte-identical either way") {
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "it runs far away to the old stone house by the river bank"
+    // the same accented sentence twice: composed vs combining marks
+    val accented = "caf\u00e9 stories from the m\u00fcnchen archive " +
+      "with many reasonable english words to pass the quality gate " +
+      "and some more of them for the length floor it needs here"
+    val decomposed = accented
+      .replace("\u00e9", "e\u0301").replace("\u00fc", "u\u0308")
+    val docs = Seq(
+      (20L, accented), (21L, decomposed), (22L, good))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text"))
+    val off = Pipelines.curate(docs, minJaccard = 0.95)
+      .select("doc_id").as[Long].collect().toSet
+    // near-dup banding may or may not catch the twins (same words) —
+    // the EXACT digest must not: bytes differ
+    val on = Pipelines.curate(docs, minJaccard = 0.95, unicodeNfc = true)
+      .cache()
+    val onIds = on.select("doc_id").as[Long].collect().toSet
+    assert(onIds.contains(20L) && !onIds.contains(21L) &&
+      onIds.contains(22L), s"got $onIds (off: $off)")
+    // the surviving text is the CANONICAL form and n_chars refreshed
+    val row = on.filter($"doc_id" === 20L)
+      .select("text", "n_chars").head()
+    assert(row.getString(0) == accented &&
+      row.getLong(1) == accented.length.toLong)
+    // streaming stage-1 mirrors the same canonicalization
+    val s1 = graft.streaming.Streaming.curateStage1(
+      docs.filter($"doc_id" === 21L), unicodeNfc = true)
+      .select("text").head().getString(0)
+    assert(s1 == accented)
+  }
 }
