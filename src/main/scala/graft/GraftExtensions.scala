@@ -187,7 +187,28 @@ object GraftFunctions {
         val rate = if (exprs.size > 2) intLit(exprs(2), "fim_text")
           else 50
         catalystExpression(graft.text.TextOps.fimText(
-          column(exprs(0)), column(exprs(1)), rate)) }))
+          column(exprs(0)), column(exprs(1)), rate)) }),
+    // round-14 surface: Unicode normalization (form defaults to NFC),
+    // the BLEU statistics kernel, and the 2-dim Morton layout key.
+    // WordPiece stays Scala-only — its vocab rides a broadcast handle
+    // a SQL literal cannot carry.
+    ("unicode_normalize",
+      classOf[graft.functions.UnicodeNormalize].getName,
+      exprs => { arity("unicode_normalize", exprs, 1, 2)
+        val form = if (exprs.size > 1) strLit(exprs(1),
+          "unicode_normalize") else "NFC"
+        new graft.functions.UnicodeNormalize(exprs(0), form) }),
+    ("bleu_stats", classOf[graft.functions.BleuStats].getName,
+      exprs => { arity("bleu_stats", exprs, 2, 3)
+        val maxN = if (exprs.size > 2) intLit(exprs(2), "bleu_stats")
+          else 4
+        graft.functions.BleuStats(exprs(0), exprs(1), maxN) }),
+    ("morton_key", graft.ops.Layout.getClass.getName,
+      exprs => { arity("morton_key", exprs, 2, 3)
+        val bits = if (exprs.size > 2) intLit(exprs(2), "morton_key")
+          else 16
+        catalystExpression(graft.ops.Layout.mortonKey(
+          Seq(column(exprs(0)), column(exprs(1))), bits)) }))
 
   // ---- table functions: whole-operator SQL surface ----------------------
   // The interval-algebra signature operators are DataFrame→DataFrame

@@ -182,6 +182,31 @@ class SkewAndSqlSpec extends SparkSpec {
     assert(row.getString(4) == "some document text here")
   }
 
+  test("unicode_normalize, bleu_stats and morton_key ≡ Column API " +
+    "from SQL; form defaults to NFC") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      "SELECT unicode_normalize('café') AS n1, " +
+        "unicode_normalize('ﬁle', 'NFKC') AS n2, " +
+        "bleu_stats('the cat sat', 'the the cat')[0].o AS o1, " +
+        "morton_key(5, 3, 3) AS z, morton_key(5, 3) AS z16").head()
+    assert(row.getString(0) == "café")
+    assert(row.getString(1) == "file")
+    // clipped unigram overlap: 'the' clips to 1, 'cat' matches -> 2
+    assert(row.getLong(2) == 2L)
+    assert(row.getLong(3) == 27L)
+    import graft.text.TextOps
+    val api = Seq(("café", 5L, 3L)).toDF("t", "a", "b")
+      .select(TextOps.nfcNormalize(col("t")).as("n"),
+        graft.ops.Layout.mortonKey(Seq(col("a"), col("b")), 16).as("z"))
+      .head()
+    assert(row.getString(0) == api.getString(0) &&
+      row.getLong(4) == api.getLong(1))
+    intercept[Exception] {
+      spark.sql("SELECT unicode_normalize('x', 'NFX')").head()
+    }
+  }
+
   test("SQL optional arguments are honored and bad arity is rejected") {
     GraftFunctions.register(spark)
     // hash_split(key, 100, 0): every key must land in 'train'
