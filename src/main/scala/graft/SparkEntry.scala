@@ -3658,6 +3658,43 @@ object SparkEntry {
           col("lastmod"), col("kind"))
         .orderBy("doc_id", "entry_no")),
 
+    // CRAWL FRONTIER from sitemaps — the discovery trio composed:
+    // sitemap enumeration (urlset docs only; %11 index docs route back
+    // to the frontier, not to fetch), REAL robots parsing + longest-
+    // match gating (even hosts disallow /p/2), already-captured dedup
+    // (/p/1 for %3 hosts), per-host politeness sequence. The synthesis
+    // is engineered so the oracle has a CLOSED FORM (the q222 robots
+    // convention) while the engine runs the full rule machinery
+    "q309_frontier_sitemap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val entries = graft.io.Sitemap.sitemapEntries(
+          docs.select(col("doc_id"), sitemapXml(col("doc_id")).as("xml")),
+          "xml")
+        .filter(col("kind") === "urlset")
+        .select(col("url")).distinct()
+      val robots = docs.select(
+        concat(lit("d"), col("doc_id").cast("string"),
+          lit(".example.com")).as("host"),
+        when(col("doc_id") % 2 === 0,
+          lit("User-agent: *\nDisallow: /p/2\n"))
+          .otherwise(lit("User-agent: *\n")).as("body"))
+      val rules = graft.text.UrlOps.robotsAgentRules(robots)
+      val dec = graft.text.UrlOps.robotsDecisions(entries, rules,
+        urlCol = "url", idCol = "url")
+      val crawled = docs.filter(col("doc_id") % 3 === 0)
+        .select(concat(lit("https://d"), col("doc_id").cast("string"),
+          lit(".example.com/p/1")).as("url"))
+      dec.join(crawled, Seq("url"), "left_anti")
+        .filter(col("allowed") === 1)
+        .withColumn("host",
+          regexp_extract(col("url"), "://([^/]+)", 1))
+        .withColumn("fetch_seq", row_number().over(
+          Window.partitionBy("host").orderBy("url")))
+        .select(col("host"), col("fetch_seq"), col("url"))
+        .orderBy("host", "fetch_seq")
+    }),
+
     // BRIER score over the q280 judge-confidence synthesis (k/128-grid
     // confidences): the strictly proper scoring rule beside the
     // reliability diagram — integer sufficient statistics
@@ -11433,6 +11470,33 @@ object SparkEntry {
          |WHERE len(regexp_extract(bs[entry_no], '<loc>([^<]*)</loc>', 1))
          |  > 0
          |ORDER BY doc_id, entry_no""".stripMargin,
+
+    // q309: the synthesis is engineered closed-form — urlset paths
+    // {1, 2, id%7} deduped, /p/2 dropped on even hosts (the only
+    // disallow), /p/1 dropped on %3 hosts (captured), per-host
+    // politeness row_number
+    "q309_frontier_sitemap" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 11 <> 0),
+        |pz AS (
+        |  SELECT DISTINCT doc_id, p FROM (
+        |    SELECT doc_id, unnest([CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+        |      doc_id % 7]) AS p FROM d)),
+        |flt AS (
+        |  SELECT doc_id, p FROM pz
+        |  WHERE NOT (p = 2 AND doc_id % 2 = 0)
+        |    AND NOT (p = 1 AND doc_id % 3 = 0)),
+        |u AS (
+        |  SELECT 'd' || CAST(doc_id AS VARCHAR) || '.example.com'
+        |    AS host,
+        |  'https://d' || CAST(doc_id AS VARCHAR) || '.example.com/p/'
+        |    || CAST(p AS VARCHAR) AS url
+        |  FROM flt)
+        |SELECT host,
+        |  CAST(row_number() OVER (PARTITION BY host ORDER BY url)
+        |    AS INTEGER) AS fetch_seq,
+        |  url
+        |FROM u ORDER BY host, fetch_seq""".stripMargin,
 
     // q308: the same integer sufficient statistic — Σ(k − 128·y)² as
     // BIGINT, one division at the edge

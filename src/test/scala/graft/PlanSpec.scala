@@ -868,6 +868,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"percentiles not partial-agged:\n$p")
   }
 
+  test("q309 frontier: the robots rules side is BROADCAST (never a " +
+    "cartesian against the URL set), the captured set joins anti") {
+    val p = plan("q309_frontier_sitemap")
+    assert(!p.contains("CartesianProduct"),
+      s"rules must broadcast, not cartesian:\n$p")
+    assert(p.contains("Broadcast"), s"expected a broadcast join:\n$p")
+    assert(p.contains("LeftAnti"), s"captured dedup should be anti:\n$p")
+  }
+
   test("q308 brier is ONE partial-agged integer aggregation: no join, " +
     "no window") {
     val p = plan("q308_brier")
