@@ -208,16 +208,22 @@ object Pca {
     * per batch at BATCH-only cost — the corpus is never re-scanned.
     * State is one (batch_id, n, s, p) row per appended batch,
     * |batches| rows total. */
+  /** The ONE co-moment row of a frame — (n, s, p), the additive unit
+    * both [[appendMoments]] and the streaming moment sink land. */
+  def momentsOf(df: DataFrame, dim: Int = 64,
+      vecCol: String = "embedding"): DataFrame = {
+    val fn = udaf(new CoMomentAgg(dim), ExpressionEncoder[Seq[Double]]())
+    df.filter(col(vecCol).isNotNull)
+      .select(fn(col(vecCol).cast("array<double>")).as("m"))
+      .select(col("m.n").as("n"), col("m.s").as("s"), col("m.p").as("p"))
+  }
+
   def appendMoments(batch: DataFrame, statePath: String,
       batchId: String, dim: Int = 64,
-      vecCol: String = "embedding"): Unit = {
-    val fn = udaf(new CoMomentAgg(dim), ExpressionEncoder[Seq[Double]]())
-    batch.filter(col(vecCol).isNotNull)
-      .select(fn(col(vecCol).cast("array<double>")).as("m"))
-      .select(lit(batchId).as("batch_id"), col("m.n").as("n"),
-        col("m.s").as("s"), col("m.p").as("p"))
+      vecCol: String = "embedding"): Unit =
+    momentsOf(batch, dim, vecCol)
+      .select(lit(batchId).as("batch_id"), col("n"), col("s"), col("p"))
       .write.mode("append").parquet(statePath)
-  }
 
   /** Fit PCA from a stored moment state: the |batches| one-row moments
     * fold driver-side (bounded by the batch count — each row is

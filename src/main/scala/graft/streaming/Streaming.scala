@@ -515,6 +515,48 @@ object Streaming {
     * state is |docs-seen| rows regardless of steps logged. Run
     * [[compactLossState]] on a maintenance cadence to fold committed
     * per-batch partitions into one `batch_id = -1` partition. */
+  /** Streaming PCA MOMENT maintenance — the incremental co-moment
+    * state ([[graft.ml.Pca.appendMoments]]) as a foreachBatch sink:
+    * each micro-batch lands its ONE moment row partitioned by
+    * batch_id (dynamic overwrite → replays idempotent, the loss-state
+    * convention), then the corpus-wide model refits from the
+    * |batches|-row state and a (mean, eigenvalues, components) summary
+    * lands at modelPath. Per-batch cost: one batch-only aggregation
+    * plus a dim×dim driver Jacobi — independent of corpus size. */
+  def momentsForeachBatch(stream: DataFrame, statePath: String,
+                          modelPath: String, checkpoint: String,
+                          k: Int, dim: Int = 64,
+                          vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sess = batch.sparkSession
+        val dir = s"$statePath/pca_moments"
+        graft.ml.Pca.momentsOf(batch.toDF(), dim, vecCol)
+          .filter(col("n") > 0) // an all-null batch adds nothing
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(dir)
+        if (dirHasParquet(sess, dir)) {
+          val total = sess.read.parquet(dir)
+            .agg(sum("n")).head().getLong(0)
+          if (total > 1) {
+            val m = graft.ml.Pca.fitPcaFromMoments(sess, dir, k, dim)
+            import sess.implicits._
+            Seq((m.mean.toSeq, m.eigenvalues.toSeq,
+              m.components.map(_.toSeq).toSeq))
+              .toDF("mean", "eigenvalues", "components")
+              .write.mode("overwrite").parquet(modelPath)
+          }
+        }
+        ()
+      }.start()
+
   def lossAuditForeachBatch(stream: DataFrame, statePath: String,
                             auditPath: String, checkpoint: String,
                             idCol: String = "doc_id",

@@ -864,4 +864,48 @@ class StreamingSpec extends SparkSpec {
       s"got $members")
     assert(!members.exists(_.startsWith("63.")))
   }
+
+  test("momentsForeachBatch: three micro-batches of vectors land one " +
+    "moment row each; the refit model equals the one-pass batch fit " +
+    "(eigenvalues within 1e-9, axes aligned up to sign); an all-null " +
+    "batch adds nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ml.Pca
+    val pts = (0 until 48).map { i =>
+      val t = i * 0.25; val u = (i % 5) * 0.5
+      (i.toLong, Seq((t + u).toFloat, (2.0 * t - u).toFloat,
+        (0.5 * u + 3.0).toFloat))
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pca_stream").toString
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = Streaming.momentsForeachBatch(
+      in.toDF().toDF("vec_id", "embedding"),
+      s"$dir/state", s"$dir/model", s"$dir/ck", k = 3, dim = 3)
+    try {
+      in.addData(pts.filter(_._1 % 3 == 0): _*)
+      q.processAllAvailable()
+      in.addData(pts.filter(_._1 % 3 == 1): _*)
+      q.processAllAvailable()
+      // an all-null batch: no moment row, model untouched afterwards
+      in.addData(Seq((999L, null.asInstanceOf[Seq[Float]])): _*)
+      q.processAllAvailable()
+      in.addData(pts.filter(_._1 % 3 == 2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = spark.read.parquet(s"$dir/state/pca_moments")
+    assert(state.count() == 3L, s"got ${state.count()} moment rows")
+    val model = spark.read.parquet(s"$dir/model").head()
+    val one = Pca.fitPca(pts.toDF("vec_id", "embedding"), k = 3, dim = 3)
+    val ev = model.getSeq[Double](model.fieldIndex("eigenvalues"))
+    ev.zip(one.eigenvalues).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"eigenvalue drift: $a vs $b") }
+    val comps = model.getSeq[scala.collection.Seq[Double]](
+      model.fieldIndex("components"))
+    comps.zip(one.components).foreach { case (va, vb) =>
+      val dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      assert(math.abs(math.abs(dot) - 1.0) < 1e-6,
+        s"axis misaligned: |dot| = ${math.abs(dot)}") }
+  }
 }
