@@ -523,8 +523,7 @@ object ScaleProbe {
             (for { a <- "etaoins"; b <- ls; c <- ls }
               yield s"##$a$b$c")).distinct.zipWithIndex
           val bcV = TextOps.wordpieceVocabBroadcast(spark, vocab)
-          val bcIds = TextOps.bpeVocabBroadcast(spark, vocab)
-          d.select(TextOps.wordpieceEncodeIds(col("text"), bcV, bcIds)
+          d.select(TextOps.wordpieceEncodeIds(col("text"), bcV)
               .as("ids"))
             .agg(sum(size(col("ids")))).head(); 1L },
         // multilingual router: one kernel pass per doc, map-only —
@@ -546,7 +545,8 @@ object ScaleProbe {
             .agg(count(lit(1)), min("g")).head(); 1L },
         "zorder_key" -> { d =>
           d.select(graft.ops.Layout.mortonKey(Seq(
-              pmod(col("doc_id") * lit(2654435761L), lit(65536L)),
+              pmod(pmod(col("doc_id"), lit(65536L)) * lit(40503L),
+                lit(65536L)),
               pmod(col("doc_id"), lit(65536L))), 16).as("z"))
             .agg(min("z"), max("z")).head(); 1L },
         "contamination_report" -> { d =>

@@ -3553,7 +3553,6 @@ object SparkEntry {
     // vocab.txt materializes
     "q301_wordpiece_ids" -> ((s, dir) => {
       val bcV = TextOps.wordpieceVocabBroadcast(s, WpVocab, maxChars = 7)
-      val bcIds = TextOps.bpeVocabBroadcast(s, WpVocab)
       val toks = slice(TextOps.wordpieceBasicTokens(col("text")), 1, 4)
       t(s, dir, "documents").filter(col("text").isNotNull)
         .select(col("doc_id"),
@@ -3561,8 +3560,7 @@ object SparkEntry {
             w => graft.functions.WordPiece.encodeWord(w, bcV)))
             .as(Seq("pos", "enc")))
         .select(col("doc_id"), (col("pos") + 1).as("word_no"),
-          graft.functions.VectorExpressions.vocabIds(col("enc"), bcIds)
-            .as("ids"))
+          graft.functions.WordPiece.idsOf(col("enc"), bcV).as("ids"))
         .select(col("doc_id"), col("word_no"),
           array_join(transform(col("ids"), x => x.cast("string")), " ")
             .as("ids_str"),
@@ -3639,7 +3637,11 @@ object SparkEntry {
     "q306_zorder_key" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
-          pmod(col("doc_id") * lit(2654435761L), lit(65536L)).as("da"),
+          // reduce BEFORE the Knuth multiply: (id % 2^16)·40503 stays
+          // far under 2^63 for ANY id, where id·2654435761 overflows
+          // (divergently across engines) past id ~3.5e9
+          pmod(pmod(col("doc_id"), lit(65536L)) * lit(40503L),
+            lit(65536L)).as("da"),
           pmod(expr("doc_id div 7"), lit(65536L)).as("db"))
         .withColumn("zkey",
           graft.ops.Layout.mortonKey(Seq(col("da"), col("db")), 16))
@@ -11435,7 +11437,7 @@ object SparkEntry {
       } yield s"((($c >> $i) & 1) << ${i * 2 + j})"
       s"""WITH q AS (
          |  SELECT doc_id,
-         |    (doc_id * 2654435761) % 65536 AS da,
+         |    ((doc_id % 65536) * 40503) % 65536 AS da,
          |    (doc_id // 7) % 65536 AS db
          |  FROM documents)
          |SELECT doc_id, da, db,

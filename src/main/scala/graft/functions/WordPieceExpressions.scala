@@ -75,6 +75,68 @@ object WordPiece {
   def encodeWord(word: Column,
       bc: org.apache.spark.broadcast.Broadcast[Vocab]): Column =
     Bridge.column(WordPieceEncodeWord(Bridge.expression(word), bc))
+
+  /** Column-level piece-string → ids against the SAME broadcast the
+    * encoder used (see [[WordPieceIds]]). */
+  def idsOf(pieces: Column,
+      bc: org.apache.spark.broadcast.Broadcast[Vocab]): Column =
+    Bridge.column(WordPieceIds(Bridge.expression(pieces), bc))
+}
+
+/** Space-separated WordPiece pieces → token IDS against the SAME
+  * broadcast vocab [[WordPieceEncodeWord]] consumed — WordPiece's
+  * encode vocab IS its id vocab, so ONE broadcast serves both sides
+  * and ids are -1-free by construction (every emitted piece, unk
+  * included, is a vocab entry; -1 can only mean the pieces came from
+  * a DIFFERENT vocab, which is exactly what it flags). Empty input
+  * returns an empty array (the [[VocabIds]] contract). */
+case class WordPieceIds(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[WordPiece.Vocab])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"wordpiece_ids expects STRING, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types
+    .ArrayType(org.apache.spark.sql.types.IntegerType, false)
+
+  override def prettyName: String = "wordpiece_ids"
+
+  /** Row kernel — public so generated code can call it. */
+  def kernel(input: UTF8String)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = input.toString
+    if (s.isEmpty)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.emptyIntArray)
+    val ids = bc.value.ids
+    val syms = s.split(" ", -1)
+    val out = new Array[Int](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      val id = ids.get(syms(i))
+      out(i) = if (id == null) -1 else id.intValue()
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordpieceIds", this,
+      classOf[WordPieceIds].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** One word → its space-separated WordPiece pieces (see [[WordPiece]]

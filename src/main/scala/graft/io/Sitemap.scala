@@ -37,6 +37,16 @@ object Sitemap {
     * lastmod — empty string when the optional tag is absent, kind).
     * Map-side regex over the blocks; keeps every input column. */
   def sitemapEntries(df: DataFrame, xmlCol: String = "xml"): DataFrame = {
+    // input columns survive into the output next to the fixed entry
+    // columns — a frame already carrying one of those names would come
+    // out with ambiguous duplicates (and the temp names would be
+    // silently dropped), so fail it by name instead
+    val reserved = Seq("entry_no", "url", "lastmod", "kind",
+      "_p", "_b", "_kind")
+    val clash = df.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"sitemapEntries input already carries ${clash.mkString(", ")} — " +
+        "rename before parsing (the entry columns use those names)")
     val locPat = "<loc>([^<]*)</loc>"
     val modPat = "<lastmod>([^<]*)</lastmod>"
     df.withColumn("_kind", sitemapKind(col(xmlCol)))

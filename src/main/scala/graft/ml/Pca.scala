@@ -167,22 +167,13 @@ object Pca {
   case class PcaModel(mean: Array[Double], eigenvalues: Array[Double],
                       components: Array[Array[Double]])
 
-  /** Fit PCA: ONE corpus pass (the co-moment aggregation) collected as
-    * ONE row (≈dim²/2 doubles — bounded by the dim constant, the
-    * documented driver-side step), covariance built and Jacobi-solved
-    * driver-side, top-k axes kept. */
-  def fitPca(embs: DataFrame, k: Int, dim: Int = 64,
-      vecCol: String = "embedding"): PcaModel = {
-    require(k >= 1 && k <= dim, s"k must be in [1, $dim], got $k")
-    val fn = udaf(new CoMomentAgg(dim), ExpressionEncoder[Seq[Double]]())
-    val m = embs.filter(col(vecCol).isNotNull)
-      .select(fn(col(vecCol).cast("array<double>")).as("m"))
-      .select(col("m.n"), col("m.s"), col("m.p"))
-      .head()
-    val n = m.getLong(0)
+  /** The shared moments → model tail: mean, the symmetric covariance
+    * rebuilt from the upper-triangle band, Jacobi, top-k axes — ONE
+    * implementation so the one-pass and incremental paths cannot
+    * drift. */
+  private def modelFromMoments(n: Long, s: Array[Double],
+      p: Array[Double], k: Int, dim: Int): PcaModel = {
     require(n > 1, s"need at least 2 vectors to fit PCA, got $n")
-    val s = m.getSeq[Double](1).toArray
-    val p = m.getSeq[Double](2).toArray
     val mean = s.map(_ / n)
     val cov = Array.ofDim[Double](dim, dim)
     var i = 0
@@ -200,6 +191,18 @@ object Pca {
     }
     val (eig, rows) = symmetricEigen(cov)
     PcaModel(mean, eig.take(k), rows.take(k))
+  }
+
+  /** Fit PCA: ONE corpus pass (the co-moment aggregation) collected as
+    * ONE row (≈dim²/2 doubles — bounded by the dim constant, the
+    * documented driver-side step), covariance built and Jacobi-solved
+    * driver-side, top-k axes kept. */
+  def fitPca(embs: DataFrame, k: Int, dim: Int = 64,
+      vecCol: String = "embedding"): PcaModel = {
+    require(k >= 1 && k <= dim, s"k must be in [1, $dim], got $k")
+    val m = momentsOf(embs, dim, vecCol).head()
+    modelFromMoments(m.getLong(0), m.getSeq[Double](1).toArray,
+      m.getSeq[Double](2).toArray, k, dim)
   }
 
   /** Append one batch's co-moments to a stored moment STATE — PCA's
@@ -250,24 +253,7 @@ object Pca {
       i = 0
       while (i < tri) { p(i) += rp(i); i += 1 }
     }
-    require(n > 1, s"need at least 2 vectors across batches, got $n")
-    val mean = s.map(_ / n)
-    val cov = Array.ofDim[Double](dim, dim)
-    var i = 0
-    var t = 0
-    while (i < dim) {
-      var j = i
-      while (j < dim) {
-        val c = p(t) / n - mean(i) * mean(j)
-        cov(i)(j) = c
-        cov(j)(i) = c
-        t += 1
-        j += 1
-      }
-      i += 1
-    }
-    val (eig, vecs) = symmetricEigen(cov)
-    PcaModel(mean, eig.take(k), vecs.take(k))
+    modelFromMoments(n, s, p, k, dim)
   }
 
   /** Project embeddings onto a fitted model's top-k axes (map-only: the

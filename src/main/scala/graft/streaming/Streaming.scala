@@ -535,21 +535,26 @@ object Streaming {
         (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val sess = batch.sparkSession
         val dir = s"$statePath/pca_moments"
-        graft.ml.Pca.momentsOf(batch.toDF(), dim, vecCol)
-          .filter(col("n") > 0) // an all-null batch adds nothing
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(dir)
-        if (dirHasParquet(sess, dir)) {
+        import sess.implicits._
+        // ONE row by construction (global agg) — collect it once, so
+        // the no-contribution batch is known BEFORE any state write
+        // and the model is not needlessly re-fit/re-written (a
+        // concurrent model reader would see a half-overwritten dir)
+        val m = graft.ml.Pca.momentsOf(batch.toDF(), dim, vecCol).head()
+        if (m.getLong(0) > 0) {
+          Seq((m.getLong(0), m.getSeq[Double](1).toSeq,
+            m.getSeq[Double](2).toSeq)).toDF("n", "s", "p")
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(dir)
           val total = sess.read.parquet(dir)
             .agg(sum("n")).head().getLong(0)
           if (total > 1) {
-            val m = graft.ml.Pca.fitPcaFromMoments(sess, dir, k, dim)
-            import sess.implicits._
-            Seq((m.mean.toSeq, m.eigenvalues.toSeq,
-              m.components.map(_.toSeq).toSeq))
+            val fit = graft.ml.Pca.fitPcaFromMoments(sess, dir, k, dim)
+            Seq((fit.mean.toSeq, fit.eigenvalues.toSeq,
+              fit.components.map(_.toSeq).toSeq))
               .toDF("mean", "eigenvalues", "components")
               .write.mode("overwrite").parquet(modelPath)
           }

@@ -4047,20 +4047,19 @@ object TextOps {
       w => graft.functions.WordPiece.encodeWord(w, bc))
 
   /** TOKEN IDS under WordPiece semantics — [[wordpieceEncode]]'s
-    * pieces through the broadcast id map, flattened to the document's
-    * id sequence (the [[bpeEncodeIdsByteLevel]] shape). WordPiece's
-    * encode vocab and id vocab are the SAME table, so ids are -1-free
-    * by construction: every emitted piece (unk included) is a vocab
-    * entry — pass the same pairs to both broadcasts. */
+    * pieces flattened to the document's id sequence. WordPiece's
+    * encode vocab IS its id vocab, so the SAME broadcast serves both
+    * sides ([[graft.functions.WordPieceIds]]) and ids are -1-free by
+    * construction: every emitted piece (unk included) is a vocab
+    * entry. */
   def wordpieceEncodeIds(text: Column,
       bcVocab: org.apache.spark.broadcast.Broadcast[
         graft.functions.WordPiece.Vocab],
-      bcIds: org.apache.spark.broadcast.Broadcast[
-        java.util.HashMap[String, Integer]],
       lowercase: Boolean = true): Column =
     flatten(transform(wordpieceBasicTokens(text, lowercase),
-      w => graft.functions.VectorExpressions.vocabIds(
-        graft.functions.WordPiece.encodeWord(w, bc = bcVocab), bcIds)))
+      w => graft.functions.WordPiece.idsOf(
+        graft.functions.WordPiece.encodeWord(w, bc = bcVocab),
+        bcVocab)))
 
   /** WordPiece token budget — Σ over basic tokens of piece counts
     * (the [[bpeTokenCountByteLevel]] statistic at BERT granularity). */

@@ -491,8 +491,28 @@ object TokenizerFiles {
               s"$path: BPE model with unsupported pre-tokenizer '$other'")
           }
         case "WordPiece" =>
-          val bc =
-            wordpieceVocabBroadcastFromFile(spark, path, unk, maxChars)
+          // the file's OWN declarations beat the call-site defaults:
+          // a WordPiece distribution declaring unk_token "<unk>" must
+          // not be forced through "[UNK]" (build would reject it), and
+          // a declared max_input_chars_per_word changes which words
+          // collapse to unk
+          val model = tokenizerModel(spark, path)
+          val declaredUnk = Option(model.get("unk_token"))
+            .filter(_.isTextual).map(_.asText()).getOrElse(unk)
+          val declaredMax = Option(model.get("max_input_chars_per_word"))
+            .filter(_.isInt).map(_.asInt()).getOrElse(maxChars)
+          readPreTokenizerKind(spark, path) match {
+            // absent/Whitespace declarations route through BERT basic
+            // tokenization too — a finer split (punctuation isolated),
+            // which is how WordPiece vocab files are actually shipped;
+            // the divergence shows only on punctuation-glued tokens
+            case "bert" | "whitespace" =>
+            case other => throw new IllegalArgumentException(
+              s"$path: WordPiece model with unsupported " +
+                s"pre-tokenizer '$other'")
+          }
+          val bc = wordpieceVocabBroadcastFromFile(spark, path,
+            declaredUnk, declaredMax)
           ColumnTokenizer("wordpiece",
             c => TextOps.wordpieceEncode(c, bc))
         case "Unigram" =>

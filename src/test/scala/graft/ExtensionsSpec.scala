@@ -5743,6 +5743,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(enc(vt, "walks") == Seq("walk ##s"))
     // Unigram tokenizer.json: vocab as [piece, score] pairs
     val tmp = Files.createTempDirectory("ldtok").toString
+    // the file's OWN unk_token / max_input_chars_per_word beat the
+    // call-site defaults: "<unk>" is not "[UNK]", and maxChars=6 turns
+    // 7-char 'walking' into the unk even though pieces exist
+    Files.write(Paths.get(s"$tmp/wp2.json"),
+      """{"model": {"type": "WordPiece", "unk_token": "<unk>",
+        | "max_input_chars_per_word": 6,
+        | "vocab": {"<unk>": 0, "walk": 1, "##s": 2, "##ing": 3}},
+        | "pre_tokenizer": {"type": "BertPreTokenizer"}}"""
+        .stripMargin.getBytes("UTF-8"))
+    val wp2 = TokenizerFiles.loadTokenizer(spark, s"$tmp/wp2.json")
+    assert(enc(wp2, "walks walking") == Seq("walk ##s", "<unk>"),
+      s"got ${enc(wp2, "walks walking")}")
     Files.write(Paths.get(s"$tmp/uni.json"),
       """{"model": {"type": "Unigram", "vocab":
         | [["<unk>", 0.0], ["ab", -1.5], ["c", -2.0]]}}"""
@@ -5953,11 +5965,10 @@ class ExtensionsSpec extends SparkSpec {
     "across words; null/empty docs give empty ids and 0 tokens") {
     val bcV = TextOps.wordpieceVocabBroadcast(spark, wpTestVocab,
       maxChars = 9)
-    val bcIds = TextOps.bpeVocabBroadcast(spark, wpTestVocab)
     val got = Seq("Unaffable walks walked", "", null.asInstanceOf[String])
       .toDF("text")
       .select(
-        TextOps.wordpieceEncodeIds(col("text"), bcV, bcIds).as("ids"),
+        TextOps.wordpieceEncodeIds(col("text"), bcV).as("ids"),
         TextOps.wordpieceTokenCount(col("text"), bcV).as("n"))
       .collect()
     // un=1 ##aff=2 ##able=3 | walk=9 ##s=10 | [UNK]=0
