@@ -543,6 +543,31 @@ object ScaleProbe {
         "nfc_normalize" -> { d =>
           d.select(md5(TextOps.nfcNormalize(col("text"))).as("g"))
             .agg(count(lit(1)), min("g")).head(); 1L },
+        // keyword blocklists at real list size (K=512): ONE automaton
+        // pass vs K chained contains — the naive plan is K nodes and
+        // K scans per row, the kernel is one walk regardless of K
+        "ac_keywords512" -> { d =>
+          val spark = d.sparkSession
+          val kws = (0 until 508).map(i => s"zqx${i}y") ++
+            Seq("spark", "window", "batch", "customer")
+          val bc = graft.text.UrlOps.keywordAutomatonBroadcast(spark,
+            kws)
+          d.select(size(graft.text.UrlOps.urlKeywordMatches(
+              col("text"), bc)).as("n"))
+            .agg(sum("n")).head(); 1L },
+        "contains_keywords512" -> { d =>
+          val kws = (0 until 508).map(i => s"zqx${i}y") ++
+            Seq("spark", "window", "batch", "customer")
+          val flags = kws.map(k =>
+            when(col("text").contains(k), 1L).otherwise(0L))
+          // balanced tree — a left fold of 512 Adds overflows the
+          // analyzer stack; this is also the naive form's best shot
+          def bal(cs: Seq[org.apache.spark.sql.Column])
+              : org.apache.spark.sql.Column =
+            if (cs.size == 1) cs.head
+            else { val (a, b) = cs.splitAt(cs.size / 2); bal(a) + bal(b) }
+          d.select(bal(flags).as("n"))
+            .agg(sum("n")).head(); 1L },
         "zorder_key" -> { d =>
           d.select(graft.ops.Layout.mortonKey(Seq(
               pmod(pmod(col("doc_id"), lit(65536L)) * lit(40503L),

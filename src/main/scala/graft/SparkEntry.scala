@@ -3697,6 +3697,32 @@ object SparkEntry {
         .orderBy("host", "fetch_seq")
     }),
 
+    // URL KEYWORD gate — C4/CCNet-style substring blocklists as ONE
+    // Aho-Corasick pass (cost independent of list size, vs K chained
+    // contains): synthesized path segments embed keywords as
+    // substrings ('bet' inside 'sportsbet' AND 'alphabet' — substring
+    // semantics by design); matches report in keyword-list order
+    "q310_url_keywords" -> ((s, dir) => {
+      val bc = graft.text.UrlOps.keywordAutomatonBroadcast(s,
+        Seq("casino", "poker", "bet"))
+      val seg = when(col("doc_id") % 5 === 1, "casino")
+        .when(col("doc_id") % 5 === 2, "poker-night")
+        .when(col("doc_id") % 5 === 3, "sportsbet")
+        .when(col("doc_id") % 5 === 4, "alphabet-soup")
+        .otherwise("clean")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("https://w"), (col("doc_id") % 7).cast("string"),
+            lit(".example.com/"), seg, lit("/page")).as("url"))
+        .withColumn("m",
+          graft.text.UrlOps.urlKeywordMatches(col("url"), bc))
+        .select(col("doc_id"), col("url"),
+          array_join(col("m"), " ").as("matched"),
+          size(col("m")).as("n_matched"),
+          (size(col("m")) > 0).as("blocked"))
+        .orderBy("doc_id")
+    }),
+
     // BRIER score over the q280 judge-confidence synthesis (k/128-grid
     // confidences): the strictly proper scoring rule beside the
     // reliability diagram — integer sufficient statistics
@@ -11499,6 +11525,29 @@ object SparkEntry {
         |    AS INTEGER) AS fetch_seq,
         |  url
         |FROM u ORDER BY host, fetch_seq""".stripMargin,
+
+    // q310: the ordered contains-filter over the same constant list
+    // replays the automaton's keyword-order match report
+    "q310_url_keywords" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://w' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.example.com/' ||
+        |    CASE doc_id % 5 WHEN 1 THEN 'casino'
+        |         WHEN 2 THEN 'poker-night' WHEN 3 THEN 'sportsbet'
+        |         WHEN 4 THEN 'alphabet-soup' ELSE 'clean' END ||
+        |    '/page' AS url
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, url,
+        |    list_filter(['casino', 'poker', 'bet'],
+        |      k -> contains(url, k)) AS ms
+        |  FROM u)
+        |SELECT doc_id, url,
+        |  coalesce(array_to_string(ms, ' '), '') AS matched,
+        |  CAST(len(ms) AS INTEGER) AS n_matched,
+        |  len(ms) > 0 AS blocked
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // q308: the same integer sufficient statistic — Σ(k − 128·y)² as
     // BIGINT, one division at the edge

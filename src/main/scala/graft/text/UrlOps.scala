@@ -516,4 +516,33 @@ object UrlOps {
       .withColumn("rule", col("_w_pattern"))
       .drop("_w_allow", "_w_pattern")
   }
+
+  /** Broadcast a substring keyword list as an Aho-Corasick automaton —
+    * the C4/CCNet-style URL blocklist gate at real list sizes
+    * (thousands of entries): ONE pass per row, cost independent of the
+    * list length (see [[graft.functions.AhoCorasick]]). Keywords are
+    * lowercased and deduplicated; match the lowercased URL. */
+  def keywordAutomatonBroadcast(spark: org.apache.spark.sql.SparkSession,
+      keywords: Seq[String])
+      : org.apache.spark.broadcast.Broadcast[
+        graft.functions.AhoCorasick.Automaton] =
+    spark.sparkContext.broadcast(graft.functions.AhoCorasick.build(
+      keywords.map(_.toLowerCase).distinct))
+
+  /** Distinct blocked keywords found ANYWHERE in the (lowercased) URL,
+    * keyword-list order — substring semantics by design ('bet' flags
+    * 'alphabet', exactly like the published lists intend reviewers to
+    * tune with anchors). Map-only, one automaton pass. */
+  def urlKeywordMatches(url: Column,
+      bc: org.apache.spark.broadcast.Broadcast[
+        graft.functions.AhoCorasick.Automaton]): Column =
+    graft.functions.AhoCorasick.matches(
+      lower(coalesce(url, lit(""))), bc)
+
+  /** The gate form: keep rows whose URL matches NO keyword. */
+  def urlKeywordGate(docs: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[
+        graft.functions.AhoCorasick.Automaton],
+      urlCol: String = "url"): DataFrame =
+    docs.filter(size(urlKeywordMatches(col(urlCol), bc)) === 0)
 }

@@ -868,6 +868,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"percentiles not partial-agged:\n$p")
   }
 
+  test("q310 keyword gate is map-only and rides the automaton kernel " +
+    "(one pass, not K chained contains)") {
+    val p = plan("q310_url_keywords")
+    assert(!p.contains("Join") && !p.contains("Aggregate") &&
+      !p.contains("hashpartitioning"),
+      s"q310 should be a pure projection:\n$p")
+    assert(p.contains("multi_matches"),
+      s"q310 should ride the kernel:\n$p")
+    assert(!p.contains("Contains(url"),
+      s"no chained contains in the plan:\n$p")
+  }
+
   test("q309 frontier: the robots rules side is BROADCAST (never a " +
     "cartesian against the URL set), the captured set joins anti") {
     val p = plan("q309_frontier_sitemap")

@@ -469,4 +469,52 @@ class UrlSpec extends SparkSpec {
       "https://x.example.com/news.xml"), s"got ${got.head}")
     assert(got(1) == Seq.empty && got(2) == Seq.empty)
   }
+
+  // ---- Keyword blocklists (Aho-Corasick) ---------------------------------
+
+  test("AhoCorasick: the classic overlap case (ushers -> he, she, " +
+    "hers in pattern order), substring-inside-word, case folding via " +
+    "the URL wrapper, empty/null, build validation, gate") {
+    import graft.functions.AhoCorasick
+    val bc = spark.sparkContext.broadcast(
+      AhoCorasick.build(Seq("he", "she", "his", "hers")))
+    val got = Seq("ushers", "this", "x", "", "HE")
+      .toDF("t")
+      .select(AhoCorasick.matches(col("t"), bc).as("m"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(got(0) == Seq("he", "she", "hers"), s"got ${got(0)}")
+    assert(got(1) == Seq("his"))
+    assert(got(2) == Seq.empty && got(3) == Seq.empty)
+    assert(got(4) == Seq.empty) // automaton itself is case-sensitive
+    val n = Seq[String](null).toDF("t")
+      .select(AhoCorasick.matches(col("t"), bc).as("m")).head()
+    assert(n.isNullAt(0))
+    // the URL wrapper folds case and matches substrings inside words
+    val bcU = UrlOps.keywordAutomatonBroadcast(spark,
+      Seq("CASINO", "bet"))
+    val um = Seq("https://x.example.com/ALPHABET-Casino/page")
+      .toDF("url")
+      .select(UrlOps.urlKeywordMatches(col("url"), bcU).as("m"))
+      .head().getSeq[String](0)
+    assert(um == Seq("casino", "bet"), s"got $um")
+    // parity with the naive K-contains form on a mixed fixture
+    val kws = Seq("alpha", "bet", "gamma", "eta")
+    val bcP = UrlOps.keywordAutomatonBroadcast(spark, kws)
+    val fixture = Seq("zeta-meta", "alphabet", "none here", "gamma eta")
+    val ac = fixture.toDF("url")
+      .select(UrlOps.urlKeywordMatches(col("url"), bcP).as("m"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    val naive = fixture.map(u => kws.filter(u.contains))
+    assert(ac == naive, s"ac $ac vs naive $naive")
+    // gate drops flagged rows
+    val gated = UrlOps.urlKeywordGate(
+      fixture.toDF("url"), bcP).collect().map(_.getString(0)).toSeq
+    assert(gated == Seq("none here"), s"got $gated")
+    intercept[IllegalArgumentException] {
+      AhoCorasick.build(Seq("a", "a"))
+    }
+    intercept[IllegalArgumentException] {
+      AhoCorasick.build(Seq("a", ""))
+    }
+  }
 }
