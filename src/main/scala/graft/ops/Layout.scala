@@ -57,6 +57,44 @@ object Layout {
       lit((1L << bits) - 1))
   }
 
+  /** Per-file, per-column min/max from parquet FOOTERS — the audit
+    * that proves (or disproves) a layout's pruning claim with the
+    * exact statistics the scanner's row-group skipping reads, not a
+    * re-scan of the data. Driver-side over the directory's footer
+    * metadata (|files| bounded — file counts are operator-scale);
+    * values render as strings (parquet statistics are typed per
+    * column). One row per (file, column). */
+  def parquetStats(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val files = fs.listStatus(root).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    val rows = files.flatMap { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(p, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        blocks.zipWithIndex.flatMap { case (b, gi) =>
+          b.getColumns.asScala.map { c =>
+            val st = c.getStatistics
+            val (mn, mx) =
+              if (st == null || !st.hasNonNullValue) (null, null)
+              else (st.minAsString(), st.maxAsString())
+            (p.getName, gi, c.getPath.toDotString,
+              b.getRowCount, mn, mx)
+          }
+        }
+      } finally reader.close()
+    }
+    import spark.implicits._
+    rows.toDF("file", "row_group", "column", "n_rows", "min", "max")
+  }
+
   /** Write `df` Z-ordered on `dims` into `shards` files: ONE range
     * exchange on the Morton key (each row moves exactly once to its
     * shard), sorted within each shard so row groups inherit tight

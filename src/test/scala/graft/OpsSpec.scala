@@ -415,4 +415,40 @@ class OpsSpec extends SparkSpec {
     assert(tight * 2 >= stats.length,
       s"most files should be tight in BOTH dims: ${stats.toSeq}")
   }
+
+  test("parquetStats reads the footers the scanner prunes with: the " +
+    "z-ordered layout bounds BOTH dimensions per file where a " +
+    "single-column sort leaves the trailing dimension at full width") {
+    val n = 4096
+    val df = spark.range(n.toLong).toDF("id")
+      .select(col("id"), (col("id") % 64).as("da"),
+        (col("id") / 64).cast("long").as("db"))
+    val tmp = java.nio.file.Files.createTempDirectory("pqs").toString
+    Layout.writeZordered(df, s"$tmp/z", Seq(col("da"), col("db")),
+      shards = 8, bits = 6)
+    df.repartitionByRange(8, col("db")).sortWithinPartitions("db")
+      .write.mode("overwrite").parquet(s"$tmp/s")
+    def spans(path: String, c: String): Seq[Long] =
+      Layout.parquetStats(spark, path)
+        .filter(col("column") === c)
+        .groupBy("file")
+        .agg((max(col("max").cast("long"))
+          - min(col("min").cast("long"))).as("w"))
+        .collect().map(_.getLong(1)).toSeq
+    // single-sort on db: every file's FOOTER says da spans the whole
+    // 0..63 domain — no filter on da can skip anything
+    val sda = spans(s"$tmp/s", "da")
+    assert(sda.nonEmpty && sda.forall(_ == 63L), s"got $sda")
+    // z-order: the same footers bound BOTH dimensions well under the
+    // domain width on average — the row-group skip precondition
+    val zda = spans(s"$tmp/z", "da")
+    val zdb = spans(s"$tmp/z", "db")
+    assert(zda.sum / zda.length <= 48, s"da spans: $zda")
+    assert(zdb.sum / zdb.length <= 48, s"db spans: $zdb")
+    // the audit surfaces row counts that add back to the input
+    val total = Layout.parquetStats(spark, s"$tmp/z")
+      .filter(col("column") === "da")
+      .agg(sum("n_rows")).head().getLong(0)
+    assert(total == n.toLong, s"got $total rows")
+  }
 }
