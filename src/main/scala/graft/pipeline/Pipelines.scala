@@ -321,7 +321,8 @@ object Pipelines {
              langModel: Option[DataFrame] = None,
              lang: String = "en",
              langRouter: Boolean = false,
-             unicodeNfc: Boolean = false): DataFrame = {
+             unicodeNfc: Boolean = false,
+             urlBlockKeywords: Option[Seq[String]] = None): DataFrame = {
     import graft.text.TextOps
     import graft.dedup.Dedup
     // a rewrite stage (c4 lines / paragraph dedup) that changed `text`
@@ -335,9 +336,19 @@ object Pipelines {
     // composed and combining-mark spellings of the same text must meet
     // the exact-dedup hash as ONE byte sequence (quick-check fast path
     // makes the all-ASCII common case one scan, zero alloc)
-    val docs = if (!unicodeNfc) docs0
+    val docsNfc = if (!unicodeNfc) docs0
       else refreshNChars(docs0.withColumn("text",
         TextOps.nfcNormalize(col("text"))))
+    // optional URL keyword blocklist (one Aho-Corasick pass) — the
+    // cheapest gate runs FIRST, before any text work is spent on a
+    // page whose URL already disqualifies it
+    val docs = urlBlockKeywords match {
+      case Some(kws) if kws.nonEmpty =>
+        graft.text.UrlOps.urlKeywordGate(docsNfc,
+          graft.text.UrlOps.keywordAutomatonBroadcast(
+            docsNfc.sparkSession, kws), urlCol)
+      case _ => docsNfc
+    }
     // incremental-ingest mode: drop docs already in the prior corpus
     // (digest anti-join) before spending any curation work on them;
     // fuzzyPrior ALSO drops near-dups of prior docs (a re-crawl with one

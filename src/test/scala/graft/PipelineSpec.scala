@@ -743,4 +743,26 @@ class PipelineSpec extends SparkSpec {
       .select("text").head().getString(0)
     assert(s1 == accented)
   }
+
+  test("curate urlBlockKeywords: the Aho-Corasick URL gate drops " +
+    "flagged docs before any text work; absent option changes nothing") {
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "it runs far away to the old stone house by the river bank"
+    val docs = Seq(
+      (30L, good, "https://ok.example.com/article"),
+      (31L, good + " extra words here", "https://x.example.com/casino/p"),
+      (32L, "an entirely different but still quite reasonable english " +
+        "sentence that it is for the test and with many of the words",
+        "https://y.example.com/page"))
+      .toDF("doc_id", "text", "url")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text"))
+    val off = Pipelines.curate(docs, minJaccard = 0.95)
+      .select("doc_id").as[Long].collect().toSet
+    assert(off == Set(30L, 31L, 32L), s"got $off")
+    val on = Pipelines.curate(docs, minJaccard = 0.95,
+        urlBlockKeywords = Some(Seq("casino", "poker")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(on == Set(30L, 32L), s"got $on")
+  }
 }
