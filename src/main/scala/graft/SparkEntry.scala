@@ -3697,6 +3697,21 @@ object SparkEntry {
         .orderBy("host", "fetch_seq")
     }),
 
+    // PAGE METADATA over synthesized heads: title always, canonical on
+    // even ids (attribute-order flipped on %4 — both fallback patterns
+    // exercised), description on %3, og:title on %5; absent fields
+    // come back empty. All map-side regex the oracle replays verbatim
+    "q311_html_meta" -> ((s, dir) =>
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          TextOps.htmlMeta(htmlHeadSynthesis(col("doc_id"),
+            col("text"))).as("m"))
+        .select(col("doc_id"), col("m.title").as("title"),
+          col("m.canonical").as("canonical"),
+          col("m.description").as("description"),
+          col("m.og_title").as("og_title"))
+        .orderBy("doc_id")),
+
     // URL KEYWORD gate — C4/CCNet-style substring blocklists as ONE
     // Aho-Corasick pass (cost independent of list size, vs K chained
     // contains): synthesized path segments embed keywords as
@@ -3988,6 +4003,48 @@ object SparkEntry {
        CAST(doc_id % 7 AS VARCHAR) || '</loc><lastmod>' || $mod1 ||
        '</lastmod></url></urlset>' END"""
   }
+
+  /** q311's HTML head synthesis — title always, canonical on even ids
+    * (href-first attribute order on %4 = 0, rel-first otherwise),
+    * description on %3, og:title on %5, then the corpus text as body.
+    * Shared with the oracle. */
+  private def htmlHeadSynthesis(id: Column, text: Column): Column =
+    concat(lit("<html><head><title>Doc "), id.cast("string"),
+      lit("</title>"),
+      when(pmod(id, lit(4)) === 0,
+        concat(lit("<link href=\"https://c"), id.cast("string"),
+          lit(".example.com/x\" rel=\"canonical\">")))
+        .when(pmod(id, lit(2)) === 0,
+          concat(lit("<link rel=\"canonical\" href=\"https://c"),
+            id.cast("string"), lit(".example.com/x\">")))
+        .otherwise(lit("")),
+      when(pmod(id, lit(3)) === 0,
+        concat(lit("<meta name=\"description\" content=\"summary "),
+          id.cast("string"), lit("\">"))).otherwise(lit("")),
+      when(pmod(id, lit(5)) === 0,
+        concat(lit("<meta property=\"og:title\" content=\"OG "),
+          id.cast("string"), lit("\">"))).otherwise(lit("")),
+      lit("</head><body>"), text, lit("</body></html>"))
+
+  /** The same synthesis in SQL. */
+  private val htmlHeadSynthesisSql: String =
+    """'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |'</title>' ||
+      |CASE WHEN doc_id % 4 = 0 THEN
+      |  '<link href="https://c' || CAST(doc_id AS VARCHAR) ||
+      |  '.example.com/x" rel="canonical">'
+      |WHEN doc_id % 2 = 0 THEN
+      |  '<link rel="canonical" href="https://c' ||
+      |  CAST(doc_id AS VARCHAR) || '.example.com/x">'
+      |ELSE '' END ||
+      |CASE WHEN doc_id % 3 = 0 THEN
+      |  '<meta name="description" content="summary ' ||
+      |  CAST(doc_id AS VARCHAR) || '">' ELSE '' END ||
+      |CASE WHEN doc_id % 5 = 0 THEN
+      |  '<meta property="og:title" content="OG ' ||
+      |  CAST(doc_id AS VARCHAR) || '">' ELSE '' END ||
+      |'</head><body>' || text || '</body></html>'"""
+      .stripMargin.replace("\n", " ")
 
   /** q305's Unicode synthesis: canonical-equivalence twins spliced over
     * doc_id % 7 — decomposed combining marks and their composed
@@ -11525,6 +11582,42 @@ object SparkEntry {
         |    AS INTEGER) AS fetch_seq,
         |  url
         |FROM u ORDER BY host, fetch_seq""".stripMargin,
+
+    // q311: the identical patterns (attribute-order fallbacks as a
+    // CASE on the first pattern's miss) over the same synthesis
+    "q311_html_meta" ->
+      s"""WITH syn AS (
+         |  SELECT doc_id, $htmlHeadSynthesisSql AS h
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_extract(h,
+         |      '(?is)<title[^>]*>([^<]*)</title>', 1),
+         |    '^\\s+|\\s+$$', '', 'g') AS title,
+         |  CASE WHEN regexp_extract(h,
+         |      '(?is)<link[^>]*rel=["'']canonical["''][^>]*href=["'']([^"''<>]+)["'']',
+         |      1) <> '' THEN regexp_extract(h,
+         |      '(?is)<link[^>]*rel=["'']canonical["''][^>]*href=["'']([^"''<>]+)["'']',
+         |      1)
+         |  ELSE regexp_extract(h,
+         |      '(?is)<link[^>]*href=["'']([^"''<>]+)["''][^>]*rel=["'']canonical["'']',
+         |      1) END AS canonical,
+         |  CASE WHEN regexp_extract(h,
+         |      '(?is)<meta[^>]*name=["'']description["''][^>]*content=["'']([^"''<>]*)["'']',
+         |      1) <> '' THEN regexp_extract(h,
+         |      '(?is)<meta[^>]*name=["'']description["''][^>]*content=["'']([^"''<>]*)["'']',
+         |      1)
+         |  ELSE regexp_extract(h,
+         |      '(?is)<meta[^>]*content=["'']([^"''<>]*)["''][^>]*name=["'']description["'']',
+         |      1) END AS description,
+         |  CASE WHEN regexp_extract(h,
+         |      '(?is)<meta[^>]*property=["'']og:title["''][^>]*content=["'']([^"''<>]*)["'']',
+         |      1) <> '' THEN regexp_extract(h,
+         |      '(?is)<meta[^>]*property=["'']og:title["''][^>]*content=["'']([^"''<>]*)["'']',
+         |      1)
+         |  ELSE regexp_extract(h,
+         |      '(?is)<meta[^>]*content=["'']([^"''<>]*)["''][^>]*property=["'']og:title["'']',
+         |      1) END AS og_title
+         |FROM syn ORDER BY doc_id""".stripMargin,
 
     // q310: the ordered contains-filter over the same constant list
     // replays the automaton's keyword-order match report

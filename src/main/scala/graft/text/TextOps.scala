@@ -3592,6 +3592,39 @@ object TextOps {
     * case-insensitive. A compliant corpus drops noindex pages before
     * training, exactly as crawlers drop them from serving. Map-only
     * regex in the RE2 ∩ Java subset. */
+  /** PAGE METADATA extraction — the head-of-document fields crawl
+    * curation keys on before (or instead of) reading the body:
+    * `<title>`, the canonical link (the dedup key crawlers trust over
+    * the fetch URL — mirrors and tracking-param variants declare one
+    * canonical), the meta description, and the OpenGraph title. One
+    * STRUCT per row, all map-side `regexp_extract` in the Java∩RE2
+    * subset (attribute order tolerated for the canonical/og forms via
+    * two-pattern fallbacks; fields absent → empty string, the
+    * [[robotsMeta]] convention). Compose `canonical` into the exact-
+    * dedup digest to collapse mirror URLs before content hashing. */
+  def htmlMeta(html: Column): Column = {
+    val h = coalesce(html, lit(""))
+    def ex(pat: String): Column = regexp_extract(h, pat, 1)
+    def first(a: Column, b: Column): Column = when(a =!= "", a).otherwise(b)
+    struct(
+      // whitespace-trim, not trim(): titles wrap across lines and both
+      // engines' trim() strips spaces only
+      regexp_replace(ex("(?is)<title[^>]*>([^<]*)</title>"),
+        "^\\s+|\\s+$", "").as("title"),
+      first(
+        ex("(?is)<link[^>]*rel=[\"']canonical[\"'][^>]*href=[\"']([^\"'<>]+)[\"']"),
+        ex("(?is)<link[^>]*href=[\"']([^\"'<>]+)[\"'][^>]*rel=[\"']canonical[\"']"))
+        .as("canonical"),
+      first(
+        ex("(?is)<meta[^>]*name=[\"']description[\"'][^>]*content=[\"']([^\"'<>]*)[\"']"),
+        ex("(?is)<meta[^>]*content=[\"']([^\"'<>]*)[\"'][^>]*name=[\"']description[\"']"))
+        .as("description"),
+      first(
+        ex("(?is)<meta[^>]*property=[\"']og:title[\"'][^>]*content=[\"']([^\"'<>]*)[\"']"),
+        ex("(?is)<meta[^>]*content=[\"']([^\"'<>]*)[\"'][^>]*property=[\"']og:title[\"']"))
+        .as("og_title"))
+  }
+
   def robotsMeta(html: Column): Column = {
     val h = coalesce(html, lit(""))
     // the content attribute of any robots meta tag (either attribute

@@ -5776,6 +5776,36 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("htmlMeta: title/canonical/description/og:title — both " +
+    "attribute orders, single quotes, uppercase tags, multiline heads, " +
+    "absent fields empty, null html") {
+    def m(h: String): (String, String, String, String) = {
+      val r = Seq(h).toDF("h")
+        .select(TextOps.htmlMeta(col("h")).as("m"))
+        .select("m.title", "m.canonical", "m.description", "m.og_title")
+        .head()
+      (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
+    }
+    assert(m("<html><head><TITLE> Hi </TITLE>" +
+      "<link rel='canonical' href='https://a/x'>" +
+      "<meta name='description' content='d1'>" +
+      "<meta property='og:title' content='t1'></head></html>") ==
+      (("Hi", "https://a/x", "d1", "t1")))
+    // flipped attribute orders ride the fallback patterns
+    assert(m("<link href=\"https://b/y\" rel=\"canonical\">" +
+      "<meta content=\"d2\" name=\"description\">" +
+      "<meta content=\"t2\" property=\"og:title\">") ==
+      (("", "https://b/y", "d2", "t2")))
+    // multiline head, fields spread across lines
+    assert(m("<head>\n<title>\nML\n</title>\n<link\n rel=\"canonical\"" +
+      "\n href=\"https://c/z\">\n</head>") ==
+      (("ML", "https://c/z", "", "")))
+    assert(m("<p>no head</p>") == (("", "", "", "")))
+    val n = Seq[String](null).toDF("h")
+      .select(TextOps.htmlMeta(col("h")).getField("title")).head()
+    assert(n.getString(0) == "")
+  }
+
   // ---- Unicode normalization ----
 
   test("nfcNormalize / nfkcNormalize: canonical twins collapse to one " +

@@ -868,6 +868,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"percentiles not partial-agged:\n$p")
   }
 
+  test("q311 html meta is map-only: no join, no aggregation, no hash " +
+    "shuffle") {
+    val p = plan("q311_html_meta")
+    assert(!p.contains("Join") && !p.contains("Aggregate") &&
+      !p.contains("hashpartitioning"),
+      s"q311 should be a pure projection:\n$p")
+  }
+
   test("q310 keyword gate is map-only and rides the automaton kernel " +
     "(one pass, not K chained contains)") {
     val p = plan("q310_url_keywords")
