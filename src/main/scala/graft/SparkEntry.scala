@@ -3697,6 +3697,26 @@ object SparkEntry {
         .orderBy("host", "fetch_seq")
     }),
 
+    // CRAWL-DELAY under agent-group scoping — even hosts declare it in
+    // the '*' group (graftbot falls through to it), %3 odd hosts in a
+    // graftbot-specific group (exact beats wild), everyone else not at
+    // all; the oracle is the closed form of that synthesis
+    "q312_crawl_delay" -> ((s, dir) => {
+      val robots = t(s, dir, "documents").select(
+        concat(lit("d"), col("doc_id").cast("string"),
+          lit(".example.com")).as("host"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("User-agent: *\nCrawl-delay: "),
+            (pmod(col("doc_id"), lit(7)) + 1).cast("string"),
+            lit("\nDisallow: /x\n")))
+          .when(col("doc_id") % 3 === 0,
+            lit("User-agent: graftbot\nCrawl-delay: 0.5\n" +
+              "Disallow: /y\n\nUser-agent: *\nDisallow: /z\n"))
+          .otherwise(lit("User-agent: *\nDisallow: /q\n")).as("body"))
+      graft.text.UrlOps.robotsCrawlDelays(robots, agent = "graftbot")
+        .orderBy("host")
+    }),
+
     // PAGE METADATA over synthesized heads: title always, canonical on
     // even ids (attribute-order flipped on %4 — both fallback patterns
     // exercised), description on %3, og:title on %5; absent fields
@@ -11582,6 +11602,16 @@ object SparkEntry {
         |    AS INTEGER) AS fetch_seq,
         |  url
         |FROM u ORDER BY host, fetch_seq""".stripMargin,
+
+    // q312: the synthesis closed form — even hosts read their (id%7)+1
+    // wildcard delay, %3 odd hosts the exact-group 0.5, others nothing
+    "q312_crawl_delay" ->
+      """SELECT 'd' || CAST(doc_id AS VARCHAR) || '.example.com' AS host,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 7 + 1 AS DOUBLE)
+        |       WHEN doc_id % 3 = 0 THEN 0.5 END AS crawl_delay_s
+        |FROM documents
+        |WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
+        |ORDER BY host""".stripMargin,
 
     // q311: the identical patterns (attribute-order fallbacks as a
     // CASE on the first pattern's miss) over the same synthesis

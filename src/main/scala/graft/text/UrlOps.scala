@@ -471,6 +471,59 @@ object UrlOps {
       length(col("pattern")).cast("long").as("plen"), rx.as("rx"))
   }
 
+  /** Per-host CRAWL-DELAY under the same agent-group scoping as
+    * [[robotsAgentRules]] (exact agent group wins over `*`, the de
+    * facto directive most large crawlers honor even though RFC 9309
+    * leaves it out): one row per host that declares one, seconds as
+    * DOUBLE (fractional delays occur in the wild), the FIRST
+    * declaration in the selected group winning (file order — repeated
+    * directives are author error; first-wins is what big crawlers do).
+    * Feeds the frontier's per-host politeness spacing
+    * (q309's fetch_seq · delay = the earliest polite fetch time). */
+  def robotsCrawlDelays(robots: DataFrame, agent: String = "*",
+                        hostCol: String = "host",
+                        bodyCol: String = "body"): DataFrame = {
+    require(agent.nonEmpty, "agent must be non-empty")
+    val W = org.apache.spark.sql.expressions.Window
+    val lines = robots.select(col(hostCol).as("host"),
+        posexplode(split(coalesce(col(bodyCol), lit("")), "\n"))
+          .as(Seq("ln", "raw")))
+      .select(col("host"), col("ln"),
+        trim(regexp_replace(col("raw"), "#.*", "")).as("line"))
+      .filter(col("line") =!= "")
+    val isUa = col("line").rlike("(?i)^user-agent[ \t]*:")
+    val cls = lines.select(col("host"), col("ln"),
+      when(isUa, lower(trim(regexp_extract(col("line"),
+        "(?i)^user-agent[ \t]*:(.*)$", 1)))).as("ua"),
+      when(col("line").rlike("(?i)^crawl-delay[ \t]*:"),
+        trim(regexp_extract(col("line"),
+          "(?i)^crawl-delay[ \t]*:(.*)$", 1))).as("delay"))
+    val wOrd = W.partitionBy("host").orderBy("ln")
+    val grouped = cls
+      .withColumn("ua_start",
+        (col("ua").isNotNull &&
+          coalesce(lag(col("ua").isNotNull, 1).over(wOrd), lit(false))
+            === false).cast("int"))
+      .withColumn("g", sum("ua_start").over(
+        wOrd.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    val agents = grouped.filter(col("ua").isNotNull)
+      .select(col("host"), col("g"), col("ua"))
+    val exact = agents.filter(col("ua") === agent.toLowerCase)
+      .select("host", "g").distinct()
+    val hostsWithExact = exact.select("host").distinct()
+    val wild = agents.filter(col("ua") === "*")
+      .select("host", "g").distinct()
+      .join(hostsWithExact, Seq("host"), "left_anti")
+    val selected = exact.unionByName(wild)
+    grouped
+      .filter(col("delay").isNotNull && col("g") > 0 &&
+        col("delay").rlike("^[0-9]+(\\.[0-9]+)?$"))
+      .join(selected, Seq("host", "g"), "left_semi")
+      .groupBy("host")
+      .agg(min_by(col("delay"), col("ln")).as("d"))
+      .select(col("host"), col("d").cast("double").as("crawl_delay_s"))
+  }
+
   /** Apply [[robotsAgentRules]] to a URL table — RFC 9309 §2.2.2
     * precedence: among the host's rules whose compiled pattern matches
     * the URL path, the LONGEST raw pattern wins; Allow wins a length

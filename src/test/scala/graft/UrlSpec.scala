@@ -517,4 +517,37 @@ class UrlSpec extends SparkSpec {
       AhoCorasick.build(Seq("a", ""))
     }
   }
+
+  test("robotsCrawlDelays: agent-group scoping (exact beats *), " +
+    "first declaration wins, fractional values, malformed dropped, " +
+    "comments stripped, pre-group delays ignored") {
+    val body = """Crawl-delay: 99
+      |User-agent: other
+      |Crawl-delay: 7
+      |
+      |User-agent: graftbot
+      |Crawl-delay: 0.5   # half a second
+      |Crawl-delay: 9
+      |
+      |User-agent: *
+      |Crawl-delay: 3
+      |Disallow: /x""".stripMargin
+    val robots = Seq(
+      ("a.com", body),
+      ("b.com", "User-agent: *\nCrawl-delay: 2\n"),
+      ("c.com", "User-agent: *\nCrawl-delay: soon\n"),
+      ("d.com", "User-agent: *\nDisallow: /\n"))
+      .toDF("host", "body")
+    val bot = UrlOps.robotsCrawlDelays(robots, agent = "graftbot")
+      .orderBy("host").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // a.com: the graftbot group's FIRST delay (0.5 — not 9, not the
+    // pre-group 99, not other's 7, not *'s 3); b.com falls to *;
+    // c.com's value is malformed; d.com declares none
+    assert(bot == Seq(("a.com", 0.5), ("b.com", 2.0)), s"got $bot")
+    val any = UrlOps.robotsCrawlDelays(robots)
+      .orderBy("host").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(any == Seq(("a.com", 3.0), ("b.com", 2.0)), s"got $any")
+  }
 }
