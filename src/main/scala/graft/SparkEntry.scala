@@ -3697,6 +3697,13 @@ object SparkEntry {
         .orderBy("host", "fetch_seq")
     }),
 
+    // STAGE-1 GATE AUDIT — the curation funnel: per-gate flag counts,
+    // marginal attribution (failing ONLY that gate), and survivors, in
+    // ONE conditional-sum aggregation (the q89 DQ-report class)
+    "q313_gate_audit" -> ((s, dir) =>
+      ops.Quality.gateAudit(t(s, dir, "documents"))
+        .orderBy("gate")),
+
     // CRAWL-DELAY under agent-group scoping — even hosts declare it in
     // the '*' group (graftbot falls through to it), %3 odd hosts in a
     // graftbot-specific group (exact beats wild), everyone else not at
@@ -11602,6 +11609,44 @@ object SparkEntry {
         |    AS INTEGER) AS fetch_seq,
         |  url
         |FROM u ORDER BY host, fetch_seq""".stripMargin,
+
+    // q313: the same gate predicates (qualityCtes + the q29 stop-ratio
+    // lang rule) as conditional sums, unpivoted to the report rows
+    "q313_gate_audit" ->
+      s"""WITH $qualityCtes,
+         |fl AS (
+         |  SELECT d.doc_id,
+         |    (d.text IS NULL OR len(d.text) = 0) AS f_null,
+         |    CASE WHEN d.text IS NULL OR len(d.text) = 0 THEN FALSE
+         |         ELSE q.quality < 0.3 END AS f_q,
+         |    CASE WHEN d.text IS NULL OR len(d.text) = 0 THEN FALSE
+         |         ELSE (CASE WHEN q.sr >= 0.12 THEN 'en' ELSE 'other'
+         |               END) <> 'en' END AS f_l
+         |  FROM documents d JOIN q ON q.doc_id = d.doc_id),
+         |ag AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN f_null THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c_null,
+         |    CAST(sum(CASE WHEN f_q THEN 1 ELSE 0 END) AS BIGINT) AS c_q,
+         |    CAST(sum(CASE WHEN f_l THEN 1 ELSE 0 END) AS BIGINT) AS c_l,
+         |    CAST(sum(CASE WHEN f_null AND NOT f_q AND NOT f_l
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS m_null,
+         |    CAST(sum(CASE WHEN f_q AND NOT f_null AND NOT f_l
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS m_q,
+         |    CAST(sum(CASE WHEN f_l AND NOT f_null AND NOT f_q
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS m_l,
+         |    CAST(sum(CASE WHEN NOT f_null AND NOT f_q AND NOT f_l
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS pass
+         |  FROM fl)
+         |SELECT 'all_pass' AS gate, pass AS n_flagged,
+         |  pass AS n_marginal FROM ag
+         |UNION ALL
+         |SELECT 'lang', c_l, m_l FROM ag
+         |UNION ALL
+         |SELECT 'null_text', c_null, m_null FROM ag
+         |UNION ALL
+         |SELECT 'quality', c_q, m_q FROM ag
+         |ORDER BY gate""".stripMargin,
 
     // q312: the synthesis closed form — even hosts read their (id%7)+1
     // wildcard delay, %3 odd hosts the exact-group 0.5, others nothing

@@ -64,6 +64,47 @@ object Quality {
     * Scale shape: one map-side-combined groupBy on the quasi columns
     * (|combinations| rows — the quasi domain, orders below the corpus),
     * then a |combinations|-row summary agg. Nothing else moves. */
+  /** STAGE-1 GATE AUDIT — the funnel report curation debugging needs:
+    * for each map-only gate, how many docs it flags (`n_flagged`), how
+    * many it flags ALONE (`n_marginal` — what relaxing just that gate
+    * would win back), plus the `all_pass` survivor row (both columns =
+    * survivors there). ONE scan, the [[expectationsReport]] class:
+    * every gate is a conditional-sum column in a single
+    * map-side-combined aggregation; the report is |gates|+1 rows. */
+  def gateAudit(docs: DataFrame, minQuality: Double = 0.3,
+                lang: String = "en",
+                textCol: String = "text"): DataFrame = {
+    import graft.text.TextOps
+    val t0 = col(textCol)
+    val fNull = t0.isNull || length(t0) === 0
+    val fQ = !fNull && TextOps.qualityScore(t0) < minQuality
+    val fL = !fNull && TextOps.langIdEn(t0) =!= lang
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    val agg = docs
+      .select(fNull.as("f_null"), fQ.as("f_q"), fL.as("f_l"))
+      .agg(count(lit(1)).as("n_docs"),
+        cnt(col("f_null")).as("c_null"),
+        cnt(col("f_q")).as("c_q"),
+        cnt(col("f_l")).as("c_l"),
+        cnt(col("f_null") && !col("f_q") && !col("f_l")).as("m_null"),
+        cnt(col("f_q") && !col("f_null") && !col("f_l")).as("m_q"),
+        cnt(col("f_l") && !col("f_null") && !col("f_q")).as("m_l"),
+        cnt(!col("f_null") && !col("f_q") && !col("f_l")).as("pass"))
+    agg.select(explode(array(
+        struct(lit("null_text").as("gate"),
+          col("c_null").as("n_flagged"), col("m_null").as("n_marginal")),
+        struct(lit("quality").as("gate"),
+          col("c_q").as("n_flagged"), col("m_q").as("n_marginal")),
+        struct(lit("lang").as("gate"),
+          col("c_l").as("n_flagged"), col("m_l").as("n_marginal")),
+        struct(lit("all_pass").as("gate"),
+          col("pass").as("n_flagged"), col("pass").as("n_marginal"))))
+        .as("r"))
+      .select(col("r.gate").as("gate"),
+        col("r.n_flagged").as("n_flagged"),
+        col("r.n_marginal").as("n_marginal"))
+  }
+
   def kAnonymity(df: DataFrame, quasiCols: Seq[String],
                  k: Int = 5): DataFrame = {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier")

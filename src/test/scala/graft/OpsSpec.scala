@@ -416,6 +416,26 @@ class OpsSpec extends SparkSpec {
       s"most files should be tight in BOTH dims: ${stats.toSeq}")
   }
 
+  test("gateAudit: per-gate flag counts, marginal attribution " +
+    "(failing ONLY that gate), survivors; null text never double-" +
+    "counts into quality/lang") {
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "it runs far away to the old stone house by the river bank"
+    val docs = Seq(
+      (1L, good),                       // passes all
+      (2L, null.asInstanceOf[String]),  // null only
+      (3L, "zz qq xx yy ww vv uu tt"))  // low quality AND not-en
+      .toDF("doc_id", "text")
+    val got = Quality.gateAudit(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("null_text") == ((1L, 1L)), s"got $got")
+    // doc 3 fails BOTH quality and lang -> flagged by each, marginal 0
+    assert(got("quality")._1 == 1L && got("quality")._2 == 0L,
+      s"got $got")
+    assert(got("lang")._1 == 1L && got("lang")._2 == 0L, s"got $got")
+    assert(got("all_pass") == ((1L, 1L)), s"got $got")
+  }
+
   test("parquetStats reads the footers the scanner prunes with: the " +
     "z-ordered layout bounds BOTH dimensions per file where a " +
     "single-column sort leaves the trailing dimension at full width") {

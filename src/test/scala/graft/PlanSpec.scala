@@ -868,6 +868,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"percentiles not partial-agged:\n$p")
   }
 
+  test("q313 gate audit is one aggregation pass — a single scan " +
+    "regardless of gate count, no join") {
+    val p = plan("q313_gate_audit")
+    val scans = "FileScan|BatchScan".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$p")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_"), s"gates must partial-agg:\n$p")
+  }
+
   test("q311 html meta is map-only: no join, no aggregation, no hash " +
     "shuffle") {
     val p = plan("q311_html_meta")
