@@ -543,6 +543,45 @@ object ScaleProbe {
         "nfc_normalize" -> { d =>
           d.select(md5(TextOps.nfcNormalize(col("text"))).as("g"))
             .agg(count(lit(1)), min("g")).head(); 1L },
+        // crawl discovery family: sitemap parse (map-only regex) and
+        // the full frontier composition (entries → broadcast-rules
+        // robots NLJ → anti-join → per-host window)
+        "sitemap_entries" -> { d =>
+          val xml = concat(
+            lit("<urlset><url><loc>https://d"),
+            col("doc_id").cast("string"),
+            lit(".example.com/p/1</loc><lastmod>2026-01-02</lastmod>" +
+              "</url><url><loc>https://d"),
+            col("doc_id").cast("string"),
+            lit(".example.com/p/2</loc></url></urlset>"))
+          graft.io.Sitemap.sitemapEntries(
+              d.select(col("doc_id"), xml.as("xml")), "xml")
+            .agg(count(lit(1)), max(length(col("url")))).head(); 1L },
+        "frontier_sitemap" -> { d =>
+          val spark = d.sparkSession
+          import org.apache.spark.sql.expressions.Window
+          val xml = concat(
+            lit("<urlset><url><loc>https://d"),
+            pmod(col("doc_id"), lit(5000)).cast("string"),
+            lit(".example.com/p/"),
+            pmod(col("doc_id"), lit(7)).cast("string"),
+            lit("</loc></url></urlset>"))
+          val entries = graft.io.Sitemap.sitemapEntries(
+              d.select(col("doc_id"), xml.as("xml")), "xml")
+            .select(col("url")).distinct()
+          val robots = d.select(
+            concat(lit("d"), pmod(col("doc_id"), lit(5000))
+              .cast("string"), lit(".example.com")).as("host"),
+            lit("User-agent: *\nDisallow: /p/2\n").as("body")).distinct()
+          val rules = graft.text.UrlOps.robotsAgentRules(robots)
+          val dec = graft.text.UrlOps.robotsDecisions(entries, rules,
+            urlCol = "url", idCol = "url")
+          dec.filter(col("allowed") === 1)
+            .withColumn("host",
+              regexp_extract(col("url"), "://([^/]+)", 1))
+            .withColumn("seq", row_number().over(
+              Window.partitionBy("host").orderBy("url")))
+            .agg(count(lit(1)), max("seq")).head(); 1L },
         // keyword blocklists at real list size (K=512): ONE automaton
         // pass vs K chained contains — the naive plan is K nodes and
         // K scans per row, the kernel is one walk regardless of K
