@@ -3668,31 +3668,19 @@ object SparkEntry {
     // is engineered so the oracle has a CLOSED FORM (the q222 robots
     // convention) while the engine runs the full rule machinery
     "q309_frontier_sitemap" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
-      val entries = graft.io.Sitemap.sitemapEntries(
-          docs.select(col("doc_id"), sitemapXml(col("doc_id")).as("xml")),
-          "xml")
-        .filter(col("kind") === "urlset")
-        .select(col("url")).distinct()
       val robots = docs.select(
         concat(lit("d"), col("doc_id").cast("string"),
           lit(".example.com")).as("host"),
         when(col("doc_id") % 2 === 0,
           lit("User-agent: *\nDisallow: /p/2\n"))
           .otherwise(lit("User-agent: *\n")).as("body"))
-      val rules = graft.text.UrlOps.robotsAgentRules(robots)
-      val dec = graft.text.UrlOps.robotsDecisions(entries, rules,
-        urlCol = "url", idCol = "url")
       val crawled = docs.filter(col("doc_id") % 3 === 0)
         .select(concat(lit("https://d"), col("doc_id").cast("string"),
           lit(".example.com/p/1")).as("url"))
-      dec.join(crawled, Seq("url"), "left_anti")
-        .filter(col("allowed") === 1)
-        .withColumn("host",
-          regexp_extract(col("url"), "://([^/]+)", 1))
-        .withColumn("fetch_seq", row_number().over(
-          Window.partitionBy("host").orderBy("url")))
+      graft.pipeline.Pipelines.frontierPlan(
+          docs.select(sitemapXml(col("doc_id")).as("xml")),
+          robots, crawled)
         .select(col("host"), col("fetch_seq"), col("url"))
         .orderBy("host", "fetch_seq")
     }),

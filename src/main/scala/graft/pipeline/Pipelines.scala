@@ -730,4 +730,49 @@ object Pipelines {
       .sortWithinPartitions("shard", "pack_id", "pack_pos")
     graft.io.Tfrecord.writeTfrecordShards(rows, outDir)
   }
+
+  /** E10 — CRAWL FRONTIER PLANNING: the discovery trio composed into
+    * the "what do we politely fetch next" table. Sitemap documents
+    * enumerate candidate URLs ([[graft.io.Sitemap.sitemapEntries]] —
+    * urlset legs only; index docs point at more sitemaps and belong
+    * back on the DISCOVERY side, never in the fetch plan); per-host
+    * robots bodies gate them through the real longest-match rule
+    * machinery ([[graft.text.UrlOps.robotsDecisions]], rules
+    * broadcast); URLs the capture index already holds anti-join away
+    * (the CDX dedup role); survivors take a per-host politeness
+    * sequence, and — when the host declares a Crawl-delay — the
+    * earliest polite fetch offset, (fetch_seq − 1) · delay seconds.
+    *
+    * Scale shape: every stage is its component's ledger row — map-side
+    * parses, a broadcast rules join with the regex as residual, one
+    * anti-join on url, one per-host window over (host, url) rows
+    * (payloads never shuffle). Output: (host, fetch_seq, url,
+    * crawl_delay_s nullable, earliest_fetch_s nullable). */
+  def frontierPlan(sitemaps: DataFrame, robots: DataFrame,
+                   captured: DataFrame, agent: String = "*",
+                   xmlCol: String = "xml",
+                   capturedUrlCol: String = "url"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.UrlOps
+    val entries = graft.io.Sitemap.sitemapEntries(
+        sitemaps.select(col(xmlCol)), xmlCol)
+      .filter(col("kind") === "urlset")
+      .select(col("url")).distinct()
+    val rules = UrlOps.robotsAgentRules(robots, agent)
+    val dec = UrlOps.robotsDecisions(entries, rules,
+      urlCol = "url", idCol = "url")
+    val fresh = dec.join(
+      captured.select(col(capturedUrlCol).as("url")).distinct(),
+      Seq("url"), "left_anti")
+    val delays = UrlOps.robotsCrawlDelays(robots, agent)
+    fresh.filter(col("allowed") === 1)
+      .withColumn("host", regexp_extract(col("url"), "://([^/]+)", 1))
+      .withColumn("fetch_seq", row_number().over(
+        Window.partitionBy("host").orderBy("url")))
+      .join(broadcast(delays), Seq("host"), "left")
+      .withColumn("earliest_fetch_s",
+        (col("fetch_seq") - 1).cast("double") * col("crawl_delay_s"))
+      .select(col("host"), col("fetch_seq"), col("url"),
+        col("crawl_delay_s"), col("earliest_fetch_s"))
+  }
 }

@@ -765,4 +765,30 @@ class PipelineSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(on == Set(30L, 32L), s"got $on")
   }
+
+  test("E10 frontierPlan: urlset entries robots-gated, captured URLs " +
+    "anti-joined, per-host sequence, Crawl-delay wired into the " +
+    "earliest polite fetch offset") {
+    val sitemaps = Seq(
+      "<urlset><url><loc>https://a.com/p/1</loc></url>" +
+        "<url><loc>https://a.com/p/2</loc></url>" +
+        "<url><loc>https://a.com/p/3</loc></url>" +
+        "<url><loc>https://a.com/blocked/x</loc></url></urlset>",
+      "<sitemapindex><sitemap><loc>https://a.com/more.xml</loc>" +
+        "</sitemap></sitemapindex>",
+      "<urlset><url><loc>https://b.com/q</loc></url></urlset>")
+      .toDF("xml")
+    val robots = Seq(
+      ("a.com", "User-agent: *\nDisallow: /blocked\nCrawl-delay: 2\n"),
+      ("b.com", "User-agent: *\n")).toDF("host", "body")
+    val captured = Seq("https://a.com/p/2").toDF("url")
+    val got = Pipelines.frontierPlan(sitemaps, robots, captured)
+      .orderBy("host", "fetch_seq").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        Option(r.get(3)), Option(r.get(4)))).toSeq
+    assert(got == Seq(
+      ("a.com", 1, "https://a.com/p/1", Some(2.0), Some(0.0)),
+      ("a.com", 2, "https://a.com/p/3", Some(2.0), Some(2.0)),
+      ("b.com", 1, "https://b.com/q", None, None)), s"got $got")
+  }
 }
