@@ -5942,6 +5942,39 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("whitened SemDeDup composition: PCA-whitened vectors flow " +
+    "through the embedding dedup end to end — the near-identical pair " +
+    "lands in ONE cluster (informative-axes whitening, k=2 on the " +
+    "rank-2 cloud so the eps-dominated axis never amplifies noise)") {
+    import graft.ml.Pca
+    val base = (0 until 40).map { i =>
+      val t = (i - 20) * 4.0
+      val u = (i % 7) - 3.0
+      (i.toLong, Seq((t + 100.0).toFloat, u.toFloat, 1.0f))
+    }
+    val dupPair = Seq(
+      (100L, Seq(120.0f, 2.0f, 1.0f)),
+      (101L, Seq(120.0f, 2.01f, 1.0f))) // near-identical
+    val df = (base ++ dupPair).toDF("vec_id", "embedding")
+    // k = 2: whiten the informative axes only — the rank-2 cloud's
+    // third eigenvalue is eps-dominated and would amplify noise
+    val model = Pca.fitPca(df, k = 2, dim = 3)
+    val white = Pca.pcaProject(spark, df, model, whiten = true)
+      .select(col("vec_id"), col("pca").as("embedding"))
+      .withColumn("blk", lit(0))
+    val clusters = graft.dedup.Dedup.semDeDup(white, "blk",
+        minCosine = 0.9999, dim = 2)
+      .select("vec_id", "rep_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the true pair shares one representative (cosine is magnitude-
+    // blind, so other centered-collinear points MAY also cluster —
+    // that is cosine semantics, not a dedup defect)
+    assert(clusters(100L) == clusters(101L),
+      s"true pair split: ${clusters(100L)} vs ${clusters(101L)}")
+    // every id survives into exactly one cluster assignment
+    assert(clusters.size == 42)
+  }
+
   // ---- WordPiece (BERT family) ----
 
   private val wpTestVocab: Seq[(String, Int)] =
