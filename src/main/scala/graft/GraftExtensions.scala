@@ -208,7 +208,11 @@ object GraftFunctions {
         val bits = if (exprs.size > 2) intLit(exprs(2), "morton_key")
           else 16
         catalystExpression(graft.ops.Layout.mortonKey(
-          Seq(column(exprs(0)), column(exprs(1))), bits)) }))
+          Seq(column(exprs(0)), column(exprs(1))), bits)) }),
+    ("html_meta", graft.text.TextOps.getClass.getName,
+      exprs => { arity("html_meta", exprs, 1, 1)
+        catalystExpression(
+          graft.text.TextOps.htmlMeta(column(exprs(0)))) }))
 
   // ---- table functions: whole-operator SQL surface ----------------------
   // The interval-algebra signature operators are DataFrame→DataFrame

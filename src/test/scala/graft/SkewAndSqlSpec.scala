@@ -205,6 +205,11 @@ class SkewAndSqlSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("SELECT unicode_normalize('x', 'NFX')").head()
     }
+    // html_meta: the whole struct from SQL
+    val hm = spark.sql("SELECT html_meta('<head><title>T</title>" +
+      "<link rel=\"canonical\" href=\"https://a/x\"></head>') AS m")
+      .select("m.title", "m.canonical").head()
+    assert(hm.getString(0) == "T" && hm.getString(1) == "https://a/x")
   }
 
   test("SQL optional arguments are honored and bad arity is rejected") {
