@@ -63,7 +63,8 @@ object Layout {
     * re-scan of the data. Driver-side over the directory's footer
     * metadata (|files| bounded — file counts are operator-scale);
     * values render as strings (parquet statistics are typed per
-    * column). One row per (file, column). */
+    * column). One row per (file, row_group, column) — aggregate over
+    * row_group for per-file bounds. */
   def parquetStats(spark: org.apache.spark.sql.SparkSession,
                    path: String): DataFrame = {
     import scala.jdk.CollectionConverters._

@@ -53,17 +53,6 @@ object Quality {
         when(col("r.violations") === 0, 1).otherwise(0).as("pass"))
   }
 
-  /** k-anonymity audit over a quasi-identifier column set: a record is
-    * at risk when its quasi-identifier combination is shared by fewer
-    * than `k` records (re-identification by linkage — the governance
-    * counterpart of [[graft.text.TextOps]]'s PII scrub, which removes
-    * direct identifiers but cannot see combination risk). One summary
-    * row: total rows, distinct combinations, combinations and rows below
-    * k, the at-risk row fraction, and the smallest class size.
-    *
-    * Scale shape: one map-side-combined groupBy on the quasi columns
-    * (|combinations| rows — the quasi domain, orders below the corpus),
-    * then a |combinations|-row summary agg. Nothing else moves. */
   /** STAGE-1 GATE AUDIT — the funnel report curation debugging needs:
     * for each map-only gate, how many docs it flags (`n_flagged`), how
     * many it flags ALONE (`n_marginal` — what relaxing just that gate
@@ -79,11 +68,12 @@ object Quality {
     val fNull = t0.isNull || length(t0) === 0
     val fQ = !fNull && TextOps.qualityScore(t0) < minQuality
     val fL = !fNull && TextOps.langIdEn(t0) =!= lang
-    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    // coalesce: a zero-row input must report ZEROS, not a null funnel
+    def cnt(c: Column): Column =
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
     val agg = docs
       .select(fNull.as("f_null"), fQ.as("f_q"), fL.as("f_l"))
-      .agg(count(lit(1)).as("n_docs"),
-        cnt(col("f_null")).as("c_null"),
+      .agg(cnt(col("f_null")).as("c_null"),
         cnt(col("f_q")).as("c_q"),
         cnt(col("f_l")).as("c_l"),
         cnt(col("f_null") && !col("f_q") && !col("f_l")).as("m_null"),
@@ -105,6 +95,17 @@ object Quality {
         col("r.n_marginal").as("n_marginal"))
   }
 
+  /** k-anonymity audit over a quasi-identifier column set: a record is
+    * at risk when its quasi-identifier combination is shared by fewer
+    * than `k` records (re-identification by linkage — the governance
+    * counterpart of [[graft.text.TextOps]]'s PII scrub, which removes
+    * direct identifiers but cannot see combination risk). One summary
+    * row: total rows, distinct combinations, combinations and rows below
+    * k, the at-risk row fraction, and the smallest class size.
+    *
+    * Scale shape: one map-side-combined groupBy on the quasi columns
+    * (|combinations| rows — the quasi domain, orders below the corpus),
+    * then a |combinations|-row summary agg. Nothing else moves. */
   def kAnonymity(df: DataFrame, quasiCols: Seq[String],
                  k: Int = 5): DataFrame = {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier")

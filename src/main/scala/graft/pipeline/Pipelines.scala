@@ -336,19 +336,19 @@ object Pipelines {
     // composed and combining-mark spellings of the same text must meet
     // the exact-dedup hash as ONE byte sequence (quick-check fast path
     // makes the all-ASCII common case one scan, zero alloc)
-    val docsNfc = if (!unicodeNfc) docs0
-      else refreshNChars(docs0.withColumn("text",
-        TextOps.nfcNormalize(col("text"))))
     // optional URL keyword blocklist (one Aho-Corasick pass) — the
-    // cheapest gate runs FIRST, before any text work is spent on a
-    // page whose URL already disqualifies it
-    val docs = urlBlockKeywords match {
+    // cheapest gate runs FIRST, before any text work (NFC included) is
+    // spent on a page whose URL already disqualifies it
+    val urlGated = urlBlockKeywords match {
       case Some(kws) if kws.nonEmpty =>
-        graft.text.UrlOps.urlKeywordGate(docsNfc,
+        graft.text.UrlOps.urlKeywordGate(docs0,
           graft.text.UrlOps.keywordAutomatonBroadcast(
-            docsNfc.sparkSession, kws), urlCol)
-      case _ => docsNfc
+            docs0.sparkSession, kws), urlCol)
+      case _ => docs0
     }
+    val docs = if (!unicodeNfc) urlGated
+      else refreshNChars(urlGated.withColumn("text",
+        TextOps.nfcNormalize(col("text"))))
     // incremental-ingest mode: drop docs already in the prior corpus
     // (digest anti-join) before spending any curation work on them;
     // fuzzyPrior ALSO drops near-dups of prior docs (a re-crawl with one

@@ -3585,13 +3585,6 @@ object TextOps {
     regexp_extract_all(coalesce(html, lit("")),
       lit("(?i)href\\s*=\\s*[\"']([^\"'<>]+)[\"']"), lit(1))
 
-  /** Robots META directives from markup — the in-page half of the
-    * robots.txt gate ([[graft.text.UrlOps.dropDisallowed]]): 1 if any
-    * `<meta name="robots" ...>` content carries the directive
-    * (`noindex` / `nofollow`), attribute order and quoting tolerated,
-    * case-insensitive. A compliant corpus drops noindex pages before
-    * training, exactly as crawlers drop them from serving. Map-only
-    * regex in the RE2 ∩ Java subset. */
   /** PAGE METADATA extraction — the head-of-document fields crawl
     * curation keys on before (or instead of) reading the body:
     * `<title>`, the canonical link (the dedup key crawlers trust over
@@ -3625,6 +3618,13 @@ object TextOps {
         .as("og_title"))
   }
 
+  /** Robots META directives from markup — the in-page half of the
+    * robots.txt gate ([[graft.text.UrlOps.dropDisallowed]]): 1 if any
+    * `<meta name="robots" ...>` content carries the directive
+    * (`noindex` / `nofollow`), attribute order and quoting tolerated,
+    * case-insensitive. A compliant corpus drops noindex pages before
+    * training, exactly as crawlers drop them from serving. Map-only
+    * regex in the RE2 ∩ Java subset. */
   def robotsMeta(html: Column): Column = {
     val h = coalesce(html, lit(""))
     // the content attribute of any robots meta tag (either attribute

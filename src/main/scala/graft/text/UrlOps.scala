@@ -413,9 +413,14 @@ object UrlOps {
     * [[robotsDecisions]]. Cardinality is |hosts| · rules-per-file:
     * catalog-sized next to a URL corpus, so the decision join
     * broadcasts it. */
-  def robotsAgentRules(robots: DataFrame, agent: String = "*",
-                       hostCol: String = "host",
-                       bodyCol: String = "body"): DataFrame = {
+  /** The shared robots GROUP machinery both directive readers ride:
+    * comment-stripped non-empty lines with their UA-group id, plus the
+    * (host, g) groups SELECTED for `agent` (exact agent group beats
+    * `*` — RFC 9309 §2.2.1). One implementation, so UA matching and
+    * group detection cannot diverge between the allow/disallow rules
+    * and Crawl-delay. */
+  private def robotsGroups(robots: DataFrame, agent: String,
+      hostCol: String, bodyCol: String): (DataFrame, DataFrame) = {
     require(agent.nonEmpty, "agent must be non-empty")
     val W = org.apache.spark.sql.expressions.Window
     val lines = robots.select(col(hostCol).as("host"),
@@ -425,14 +430,9 @@ object UrlOps {
         trim(regexp_replace(col("raw"), "#.*", "")).as("line"))
       .filter(col("line") =!= "")
     val isUa = col("line").rlike("(?i)^user-agent[ \t]*:")
-    val cls = lines.select(col("host"), col("ln"),
+    val cls = lines.select(col("host"), col("ln"), col("line"),
       when(isUa, lower(trim(regexp_extract(col("line"),
-        "(?i)^user-agent[ \t]*:(.*)$", 1)))).as("ua"),
-      when(!isUa && col("line").rlike("(?i)^allow[ \t]*:"), 1)
-        .when(!isUa && col("line").rlike("(?i)^disallow[ \t]*:"), 0)
-        .as("allow"),
-      trim(regexp_extract(col("line"),
-        "(?i)^(dis)?allow[ \t]*:(.*)$", 2)).as("value"))
+        "(?i)^user-agent[ \t]*:(.*)$", 1)))).as("ua"))
     val wOrd = W.partitionBy("host").orderBy("ln")
     val grouped = cls
       .withColumn("ua_start",
@@ -443,20 +443,35 @@ object UrlOps {
         wOrd.rowsBetween(W.unboundedPreceding, W.currentRow)))
     val agents = grouped.filter(col("ua").isNotNull)
       .select(col("host"), col("g"), col("ua"))
-    val exact = agents.filter(col("ua") === agent.toLowerCase)
+    // Locale.ROOT: a tr-locale driver must not fold the agent name
+    // differently from the executor-side lower()
+    val exact = agents
+      .filter(col("ua") === agent.toLowerCase(java.util.Locale.ROOT))
       .select("host", "g").distinct()
-    val hostsWithExact = exact.select("host").distinct()
     val wild = agents.filter(col("ua") === "*")
       .select("host", "g").distinct()
-      .join(hostsWithExact, Seq("host"), "left_anti")
-    val selected = exact.unionByName(wild)
+      .join(exact.select("host").distinct(), Seq("host"), "left_anti")
+    (grouped, exact.unionByName(wild))
+  }
+
+  def robotsAgentRules(robots: DataFrame, agent: String = "*",
+                       hostCol: String = "host",
+                       bodyCol: String = "body"): DataFrame = {
+    val (grouped, selected) = robotsGroups(robots, agent, hostCol,
+      bodyCol)
     val rules = grouped
+      .select(col("host"), col("g"),
+        when(col("ua").isNull &&
+          col("line").rlike("(?i)^allow[ \t]*:"), 1)
+          .when(col("ua").isNull &&
+            col("line").rlike("(?i)^disallow[ \t]*:"), 0).as("allow"),
+        trim(regexp_extract(col("line"),
+          "(?i)^(dis)?allow[ \t]*:(.*)$", 2)).as("value"))
       .filter(col("allow").isNotNull && col("g") > 0 &&
         col("value") =!= "")
-      .select(col("host"), col("g"), col("allow"),
-        col("value").as("pattern"))
       .join(selected, Seq("host", "g"), "left_semi")
-      .select(col("host"), col("allow"), col("pattern")).distinct()
+      .select(col("host"), col("allow"), col("value").as("pattern"))
+      .distinct()
     // pattern -> anchored regex: escape everything, then * -> .* and a
     // trailing $ -> end anchor; precedence length is the raw pattern's
     val endAnchor = col("pattern").endsWith("$")
@@ -472,50 +487,25 @@ object UrlOps {
   }
 
   /** Per-host CRAWL-DELAY under the same agent-group scoping as
-    * [[robotsAgentRules]] (exact agent group wins over `*`, the de
-    * facto directive most large crawlers honor even though RFC 9309
-    * leaves it out): one row per host that declares one, seconds as
-    * DOUBLE (fractional delays occur in the wild), the FIRST
-    * declaration in the selected group winning (file order — repeated
-    * directives are author error; first-wins is what big crawlers do).
-    * Feeds the frontier's per-host politeness spacing
-    * (q309's fetch_seq · delay = the earliest polite fetch time). */
+    * [[robotsAgentRules]] (the SHARED [[robotsGroups]] machinery —
+    * exact agent group wins over `*`; the de facto directive most
+    * large crawlers honor even though RFC 9309 leaves it out): one row
+    * per host that declares one, seconds as DOUBLE (fractional delays
+    * occur in the wild), the FIRST declaration in the selected group
+    * winning (file order — repeated directives are author error;
+    * first-wins is what big crawlers do). Feeds the frontier's
+    * per-host politeness spacing (fetch_seq · delay = the earliest
+    * polite fetch time). */
   def robotsCrawlDelays(robots: DataFrame, agent: String = "*",
                         hostCol: String = "host",
                         bodyCol: String = "body"): DataFrame = {
-    require(agent.nonEmpty, "agent must be non-empty")
-    val W = org.apache.spark.sql.expressions.Window
-    val lines = robots.select(col(hostCol).as("host"),
-        posexplode(split(coalesce(col(bodyCol), lit("")), "\n"))
-          .as(Seq("ln", "raw")))
-      .select(col("host"), col("ln"),
-        trim(regexp_replace(col("raw"), "#.*", "")).as("line"))
-      .filter(col("line") =!= "")
-    val isUa = col("line").rlike("(?i)^user-agent[ \t]*:")
-    val cls = lines.select(col("host"), col("ln"),
-      when(isUa, lower(trim(regexp_extract(col("line"),
-        "(?i)^user-agent[ \t]*:(.*)$", 1)))).as("ua"),
-      when(col("line").rlike("(?i)^crawl-delay[ \t]*:"),
-        trim(regexp_extract(col("line"),
-          "(?i)^crawl-delay[ \t]*:(.*)$", 1))).as("delay"))
-    val wOrd = W.partitionBy("host").orderBy("ln")
-    val grouped = cls
-      .withColumn("ua_start",
-        (col("ua").isNotNull &&
-          coalesce(lag(col("ua").isNotNull, 1).over(wOrd), lit(false))
-            === false).cast("int"))
-      .withColumn("g", sum("ua_start").over(
-        wOrd.rowsBetween(W.unboundedPreceding, W.currentRow)))
-    val agents = grouped.filter(col("ua").isNotNull)
-      .select(col("host"), col("g"), col("ua"))
-    val exact = agents.filter(col("ua") === agent.toLowerCase)
-      .select("host", "g").distinct()
-    val hostsWithExact = exact.select("host").distinct()
-    val wild = agents.filter(col("ua") === "*")
-      .select("host", "g").distinct()
-      .join(hostsWithExact, Seq("host"), "left_anti")
-    val selected = exact.unionByName(wild)
+    val (grouped, selected) = robotsGroups(robots, agent, hostCol,
+      bodyCol)
     grouped
+      .select(col("host"), col("g"), col("ln"),
+        when(col("line").rlike("(?i)^crawl-delay[ \t]*:"),
+          trim(regexp_extract(col("line"),
+            "(?i)^crawl-delay[ \t]*:(.*)$", 1))).as("delay"))
       .filter(col("delay").isNotNull && col("g") > 0 &&
         col("delay").rlike("^[0-9]+(\\.[0-9]+)?$"))
       .join(selected, Seq("host", "g"), "left_semi")
@@ -580,7 +570,9 @@ object UrlOps {
       : org.apache.spark.broadcast.Broadcast[
         graft.functions.AhoCorasick.Automaton] =
     spark.sparkContext.broadcast(graft.functions.AhoCorasick.build(
-      keywords.map(_.toLowerCase).distinct))
+      // Locale.ROOT: a tr-locale driver would fold I to dotless ı and
+      // silently never match the executor-side lower()
+      keywords.map(_.toLowerCase(java.util.Locale.ROOT)).distinct))
 
   /** Distinct blocked keywords found ANYWHERE in the (lowercased) URL,
     * keyword-list order — substring semantics by design ('bet' flags
