@@ -3685,6 +3685,22 @@ object SparkEntry {
         .orderBy("host", "fetch_seq")
     }),
 
+    // KRIPPENDORFF'S ALPHA over an incomplete rater×item matrix (4
+    // raters, two residue-derived skip rules → variable ratings per
+    // item incl. <2 exclusions) — exact integer statistics with the
+    // lcm(1..3)=6 weight clearing every 1/(m_u−1), ONE edge division
+    "q314_krippendorff" -> ((s, dir) =>
+      ops.Quality.krippendorffAlpha(
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(sequence(lit(0), lit(3))).as("r"))
+          .filter(pmod(col("doc_id") + col("r"), lit(4)) =!= 0 &&
+            pmod(col("doc_id") + col("r") * 2, lit(5)) =!= 0)
+          .select(col("doc_id").as("item_id"),
+            pmod(pmod(col("doc_id") * (col("r") + 3), lit(7)), lit(3))
+              .as("label")),
+        maxRaters = 4)),
+
     // STAGE-1 GATE AUDIT — the curation funnel: per-gate flag counts,
     // marginal attribution (failing ONLY that gate), and survivors, in
     // ONE conditional-sum aggregation (the q89 DQ-report class)
@@ -11597,6 +11613,37 @@ object SparkEntry {
         |    AS INTEGER) AS fetch_seq,
         |  url
         |FROM u ORDER BY host, fetch_seq""".stripMargin,
+
+    // q314: the same integer coincidence statistics — per-item
+    // disagreement × (6 div (m_u−1)), integer marginals, one division
+    "q314_krippendorff" ->
+      """WITH rt AS (
+        |  SELECT doc_id AS u, r, ((doc_id * (r + 3)) % 7) % 3 AS c
+        |  FROM documents CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 3)) AS r) rr
+        |  WHERE (doc_id + r) % 4 <> 0 AND (doc_id + 2 * r) % 5 <> 0),
+        |cnt AS (SELECT u, c, count(*) AS n_uc FROM rt GROUP BY 1, 2),
+        |pi AS (
+        |  SELECT u, CAST(sum(n_uc) AS BIGINT) AS m_u,
+        |         CAST(sum(n_uc * n_uc) AS BIGINT) AS sq
+        |  FROM cnt GROUP BY 1),
+        |pu AS (SELECT * FROM pi WHERE m_u >= 2),
+        |d_o AS (
+        |  SELECT CAST(coalesce(sum((m_u * m_u - sq) * (6 // (m_u - 1))),
+        |      0) AS BIGINT) AS d_o_l,
+        |    CAST(count(*) AS BIGINT) AS n_items_used
+        |  FROM pu),
+        |mg AS (
+        |  SELECT CAST(coalesce(sum(n_c), 0) AS BIGINT) AS n,
+        |         CAST(coalesce(sum(n_c * n_c), 0) AS BIGINT) AS sq_c
+        |  FROM (SELECT c, CAST(sum(n_uc) AS BIGINT) AS n_c
+        |        FROM cnt WHERE u IN (SELECT u FROM pu) GROUP BY 1))
+        |SELECT n_items_used, n, d_o_l,
+        |  CAST(n * n - sq_c AS BIGINT) AS d_e_num,
+        |  CASE WHEN n * n - sq_c > 0 THEN
+        |    1.0 - CAST((n - 1) * d_o_l AS DOUBLE)
+        |      / CAST(6 * (n * n - sq_c) AS DOUBLE) END AS alpha
+        |FROM d_o, mg""".stripMargin,
 
     // q313: the same gate predicates (qualityCtes + the q29 stop-ratio
     // lang rule) as conditional sums, unpivoted to the report rows

@@ -95,6 +95,65 @@ object Quality {
         col("r.n_marginal").as("n_marginal"))
   }
 
+  /** KRIPPENDORFF'S ALPHA (nominal) — the agreement coefficient the
+    * kappa pair can't give: it tolerates MISSING ratings (incomplete
+    * rater×item matrices are the judge-eval norm — fleissKappa needs a
+    * constant rater count per item, cohenKappa exactly two raters).
+    * α = 1 − D_o/D_e over the coincidence matrix; items with fewer
+    * than two ratings carry no signal and are excluded (reported).
+    *
+    * Numerics — EXACT integers end to end: per-item disagreement
+    * mᵤ² − Σc n_uc² is integer; the 1/(mᵤ−1) weights clear through
+    * L = lcm(1…maxRaters−1), so D_o·L is one exact integer sum;
+    * marginals n_c and D_e's n² − Σn_c² are integers; α is ONE
+    * division at the edge — bit-portable across engines and
+    * partitionings (the Brier recipe).
+    *
+    * Scale shape: (item, value) partial-agged counts → one per-item
+    * aggregation → |values|-row marginals + a 1-row reduction —
+    * the vocabulary ledger class; rating payloads never shuffle. */
+  def krippendorffAlpha(df: DataFrame, itemCol: String = "item_id",
+                        valueCol: String = "label",
+                        maxRaters: Int = 12): DataFrame = {
+    require(maxRaters >= 2 && maxRaters <= 24,
+      s"maxRaters out of range: $maxRaters")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val L = (1L to (maxRaters - 1).toLong)
+      .reduce((a, b) => a / gcd(a, b) * b)
+    val counts = df
+      .filter(col(itemCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(itemCol).as("u"), col(valueCol).as("c"))
+      .agg(count(lit(1)).as("n_uc"))
+    val perItem = counts.groupBy("u")
+      .agg(sum("n_uc").as("m_u"),
+        sum(col("n_uc") * col("n_uc")).as("sq"))
+      .filter(col("m_u") >= 2)
+    // hard contract: L must clear every 1/(m_u − 1)
+    val overMax = perItem.filter(col("m_u") > maxRaters).limit(1)
+      .collect()
+    require(overMax.isEmpty,
+      s"an item carries more than maxRaters=$maxRaters ratings — " +
+        "raise maxRaters (L must clear every 1/(m_u - 1))")
+    val doL = perItem
+      // L div (m_u − 1) is exact: L is a multiple of every m_u − 1 by
+      // the maxRaters contract (Spark's / would go through DOUBLE)
+      .select(((col("m_u") * col("m_u") - col("sq")) *
+        expr(s"$L div (m_u - 1)")).as("d"))
+      .agg(coalesce(sum("d"), lit(0L)).as("d_o_l"),
+        count(lit(1)).as("n_items_used"))
+    val marg = counts.join(perItem.select("u"), Seq("u"), "left_semi")
+      .groupBy("c").agg(sum("n_uc").as("n_c"))
+      .agg(coalesce(sum("n_c"), lit(0L)).as("n"),
+        coalesce(sum(col("n_c") * col("n_c")), lit(0L)).as("sq_c"))
+    doL.crossJoin(broadcast(marg))
+      .select(col("n_items_used"), col("n"), col("d_o_l"),
+        (col("n") * col("n") - col("sq_c")).as("d_e_num"))
+      .withColumn("alpha",
+        when(col("d_e_num") > 0,
+          lit(1.0) - ((col("n") - 1) * col("d_o_l")).cast("double")
+            / (lit(L) * col("d_e_num")).cast("double")))
+  }
+
   /** k-anonymity audit over a quasi-identifier column set: a record is
     * at risk when its quasi-identifier combination is shared by fewer
     * than `k` records (re-identification by linkage — the governance

@@ -436,6 +436,39 @@ class OpsSpec extends SparkSpec {
     assert(got("all_pass") == ((1L, 1L)), s"got $got")
   }
 
+  test("krippendorffAlpha: hand-computed 0.5 case with variable " +
+    "rater counts, perfect agreement = 1, single-rating items " +
+    "excluded, empty input null alpha, maxRaters contract enforced") {
+    // items: A {1,1} agree; B {1,2} split; C {2,2,2} agree; D {1} (one
+    // rating -> excluded). L = lcm(1,2) = 2 at maxRaters = 3.
+    // D_o*L = 2*2 (item B); n_c = (3, 4), n = 7, D_e = 49-25 = 24;
+    // alpha = 1 - 6*4/(2*24) = 0.5
+    val ratings = Seq(
+      ("A", 1), ("A", 1), ("B", 1), ("B", 2),
+      ("C", 2), ("C", 2), ("C", 2), ("D", 1))
+      .toDF("item_id", "label")
+    val got = Quality.krippendorffAlpha(ratings, maxRaters = 3).head()
+    assert(got.getLong(0) == 3L && got.getLong(1) == 7L,
+      s"got $got")
+    assert(got.getLong(2) == 4L && got.getLong(3) == 24L)
+    assert(got.getDouble(4) == 0.5, s"got ${got.getDouble(4)}")
+    // perfect agreement across incomplete raters -> alpha = 1
+    val perfect = Seq(("A", 1), ("A", 1), ("B", 2), ("B", 2), ("B", 2))
+      .toDF("item_id", "label")
+    assert(Quality.krippendorffAlpha(perfect, maxRaters = 3)
+      .head().getDouble(4) == 1.0)
+    // all items single-rated -> zero usable, null alpha
+    val sparse = Seq(("A", 1), ("B", 2)).toDF("item_id", "label")
+    val sp = Quality.krippendorffAlpha(sparse).head()
+    assert(sp.getLong(0) == 0L && sp.isNullAt(4))
+    // an item with more ratings than maxRaters fails descriptively
+    intercept[IllegalArgumentException] {
+      Quality.krippendorffAlpha(
+        Seq.fill(5)(("A", 1)).toDF("item_id", "label"),
+        maxRaters = 4).head()
+    }
+  }
+
   test("parquetStats reads the footers the scanner prunes with: the " +
     "z-ordered layout bounds BOTH dimensions per file where a " +
     "single-column sort leaves the trailing dimension at full width") {
