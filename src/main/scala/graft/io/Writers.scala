@@ -119,6 +119,32 @@ object Writers {
     nFiles
   }
 
+  /** Atomic parquet PUBLISH: write `df` to a sibling temp dir, then
+    * swap it into `path` via the two-rename [[checkedSwap]]. A
+    * concurrent reader sees either the previous complete summary or
+    * the new one — never the half-deleted directory that a plain
+    * `mode("overwrite").parquet(path)` exposes mid-rewrite. First
+    * publish (no prior dir) is a single rename. For the SMALL
+    * re-published summaries of the streaming sinks (model fits,
+    * leaderboards, audits) — large partitioned state goes through
+    * dynamic partition overwrite instead. */
+  private[graft] def publishParquet(df: DataFrame, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val tmp = new Path(hPath.getParent, s".${hPath.getName}_publish_tmp")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.exists(hPath)) {
+      if (!fs.rename(tmp, hPath))
+        throw new java.io.IOException(
+          s"publish: could not move $tmp into place at $hPath")
+    } else {
+      val bak = new Path(hPath.getParent, s".${hPath.getName}_publish_old")
+      checkedSwap(fs, hPath, tmp, bak)
+    }
+  }
+
   /** Two-rename swap with CHECKED renames (Hadoop reports most rename
     * failures by returning false, not throwing): `dir` → `bak`,
     * `tmp` → `dir`, drop `bak`. A failed second rename restores the

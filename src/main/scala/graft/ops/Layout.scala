@@ -71,9 +71,20 @@ object Layout {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
-    val files = fs.listStatus(root).toSeq
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath)
+    // recurse: partitioned tables nest files under key=value dirs — a
+    // top-level-only listing would read as "no statistics" rather
+    // than "unsupported layout"
+    def walk(p: org.apache.hadoop.fs.Path)
+        : Seq[org.apache.hadoop.fs.Path] =
+      fs.listStatus(p).toSeq.flatMap { f =>
+        if (f.isDirectory) walk(f.getPath)
+        else if (f.getPath.getName.endsWith(".parquet"))
+          Seq(f.getPath)
+        else Seq.empty
+      }
+    val files = walk(root)
+    require(files.nonEmpty,
+      s"no .parquet files under $path (recursive) — nothing to audit")
     val rows = files.flatMap { p =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(p, conf)

@@ -150,8 +150,13 @@ object Quality {
         (col("n") * col("n") - col("sq_c")).as("d_e_num"))
       .withColumn("alpha",
         when(col("d_e_num") > 0,
-          lit(1.0) - ((col("n") - 1) * col("d_o_l")).cast("double")
-            / (lit(L) * col("d_e_num")).cast("double")))
+          // multiply in DOUBLE: d_o_l already carries the L scale, so
+          // (n−1)·d_o_l as a LONG product wraps silently near 10^7
+          // pairable items under non-ANSI Spark — exactness is already
+          // lost at this edge division, so the cast costs nothing
+          lit(1.0) - (col("n") - 1).cast("double") *
+            col("d_o_l").cast("double")
+            / (lit(L.toDouble) * col("d_e_num").cast("double"))))
   }
 
   /** k-anonymity audit over a quasi-identifier column set: a record is

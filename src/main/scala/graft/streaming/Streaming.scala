@@ -417,9 +417,9 @@ object Streaming {
           val games = sess.read.parquet(s"$statePath/games")
             .groupBy("model").agg(sum("n_games").as("n_games"),
               sum("wins").as("wins"))
-          graft.ops.Chat.arenaLeaderboardFromState(pairs, wins, games,
-              iterations, z)
-            .write.mode("overwrite").parquet(leaderboardPath)
+          graft.io.Writers.publishParquet(
+            graft.ops.Chat.arenaLeaderboardFromState(pairs, wins, games,
+              iterations, z), leaderboardPath)
         }
         ()
       }
@@ -553,10 +553,13 @@ object Streaming {
             .agg(sum("n")).head().getLong(0)
           if (total > 1) {
             val fit = graft.ml.Pca.fitPcaFromMoments(sess, dir, k, dim)
-            Seq((fit.mean.toSeq, fit.eigenvalues.toSeq,
-              fit.components.map(_.toSeq).toSeq))
-              .toDF("mean", "eigenvalues", "components")
-              .write.mode("overwrite").parquet(modelPath)
+            // publish through temp-dir + atomic swap: a concurrent
+            // model reader sees the previous fit or the new one,
+            // never a half-overwritten directory
+            graft.io.Writers.publishParquet(
+              Seq((fit.mean.toSeq, fit.eigenvalues.toSeq,
+                fit.components.map(_.toSeq).toSeq))
+                .toDF("mean", "eigenvalues", "components"), modelPath)
           }
         }
         ()
@@ -588,11 +591,12 @@ object Streaming {
         // an all-invalid first batch lands no part files — skip the
         // refit until the state dir has data (the arena guard)
         if (dirHasParquet(sess, dir)) {
-          graft.ops.Training.classifyFromState(
-              graft.ops.Training.mergeLossStates(
-                sess.read.parquet(dir), idCol),
-              idCol, slopeMilli, memorizedLastMilli, noisyRangeMilli)
-            .write.mode("overwrite").parquet(auditPath)
+          graft.io.Writers.publishParquet(
+            graft.ops.Training.classifyFromState(
+                graft.ops.Training.mergeLossStates(
+                  sess.read.parquet(dir), idCol),
+                idCol, slopeMilli, memorizedLastMilli, noisyRangeMilli),
+            auditPath)
         }
         ()
       }

@@ -541,11 +541,24 @@ object TokenizerFiles {
           "a .model ships piece scores, not applicable merge ranks")
       UnigramTokenizer("unigram", sentencePieceVocab(spark, path))
     } else if (path.endsWith(".txt")) {
-      // a .txt that is not vocab.txt is the GPT-2 merges.txt format
-      ColumnTokenizer("bpe_byte_level", {
+      // a .txt not literally named vocab.txt is AMBIGUOUS — WordPiece
+      // vocabs ship as e.g. bert_vocab_v2.txt too. Sniff the first
+      // non-empty line: merges.txt lines hold 'lhs rhs' (one interior
+      // space) or the '#version' header; vocab.txt lines are single
+      // tokens (spaces rejected by the format)
+      val first = openLines(spark, path)
+        .map(_.stripSuffix("\r")).find(_.nonEmpty)
+        .getOrElse(throw new IllegalArgumentException(
+          s"$path: empty file — neither merges.txt nor vocab.txt"))
+      if (first.startsWith("#version") || first.contains(' ')) {
         val bc = mergesBroadcastFromFile(spark, path)
-        c => TextOps.bpeEncodeByteLevel(c, bc)
-      })
+        ColumnTokenizer("bpe_byte_level",
+          c => TextOps.bpeEncodeByteLevel(c, bc))
+      } else {
+        val bc = wordpieceVocabBroadcastFromFile(spark, path, unk,
+          maxChars)
+        ColumnTokenizer("wordpiece", c => TextOps.wordpieceEncode(c, bc))
+      }
     } else throw new IllegalArgumentException(
       s"$path: unrecognized tokenizer file format (expected " +
         "merges.txt, tokenizer.json, vocab.txt, or .model)")

@@ -5774,6 +5774,28 @@ class ExtensionsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TokenizerFiles.loadTokenizer(spark, s"$tmp/weird.bin")
     }
+    // a .txt NOT literally named vocab.txt is sniffed, not assumed to
+    // be merges: vocab lines are single tokens (no interior space),
+    // merges lines are 'lhs rhs' or the '#version' header
+    Files.write(Paths.get(s"$tmp/bert_vocab_v2.txt"),
+      "[UNK]\nwalk\n##s\n".getBytes("UTF-8"))
+    val sniffedVocab =
+      TokenizerFiles.loadTokenizer(spark, s"$tmp/bert_vocab_v2.txt")
+    assert(sniffedVocab.family == "wordpiece")
+    assert(enc(sniffedVocab, "walks") == Seq("walk ##s"))
+    val mergesBody = new String(Files.readAllBytes(Paths.get(merges)),
+      "UTF-8")
+    Files.write(Paths.get(s"$tmp/gpt2_merges_v1.txt"),
+      mergesBody.getBytes("UTF-8"))
+    val sniffedMerges =
+      TokenizerFiles.loadTokenizer(spark, s"$tmp/gpt2_merges_v1.txt")
+    assert(sniffedMerges.family == "bpe_byte_level")
+    assert(enc(sniffedMerges, "the") == enc(tm, "the"))
+    Files.write(Paths.get(s"$tmp/empty.txt"), Array.empty[Byte])
+    val ee = intercept[IllegalArgumentException] {
+      TokenizerFiles.loadTokenizer(spark, s"$tmp/empty.txt")
+    }
+    assert(ee.getMessage.contains("empty.txt"), s"got ${ee.getMessage}")
   }
 
   test("htmlMeta: title/canonical/description/og:title — both " +

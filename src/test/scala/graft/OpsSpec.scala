@@ -503,5 +503,20 @@ class OpsSpec extends SparkSpec {
       .filter(col("column") === "da")
       .agg(sum("n_rows")).head().getLong(0)
     assert(total == n.toLong, s"got $total rows")
+    // partitioned layouts nest files under key=value dirs — the audit
+    // must recurse, not silently report "no statistics"
+    df.write.mode("overwrite").partitionBy("da")
+      .parquet(s"$tmp/p")
+    val pTotal = Layout.parquetStats(spark, s"$tmp/p")
+      .filter(col("column") === "db")
+      .agg(sum("n_rows")).head().getLong(0)
+    assert(pTotal == n.toLong, s"partitioned audit got $pTotal rows")
+    // a dir with no parquet anywhere fails descriptively
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$tmp/none/sub"))
+    val e = intercept[IllegalArgumentException] {
+      Layout.parquetStats(spark, s"$tmp/none")
+    }
+    assert(e.getMessage.contains("no .parquet"), s"got ${e.getMessage}")
   }
 }
