@@ -3685,6 +3685,38 @@ object SparkEntry {
         .orderBy("host", "fetch_seq")
     }),
 
+    // XML ENTITY DECODE in sitemap fields — sitemaps.org REQUIRES
+    // escaping inside <loc>, so query-string URLs arrive as
+    // ?a=1&amp;b=2 and must decode before any robots/captured join.
+    // Fixture exercises named entities, decimal and hex numeric
+    // references, and the single-pass rule (&amp;amp; → literal
+    // &amp;, never &); the oracle replays the same decode as an
+    // ordered literal replace chain (numeric literals first, &amp;
+    // LAST — the order that reproduces single-pass semantics)
+    "q315_sitemap_unescape" -> ((s, dir) =>
+      graft.io.Sitemap.sitemapEntries(
+          t(s, dir, "documents").select(col("doc_id"),
+            sitemapEscapedXml(col("doc_id")).as("xml")), "xml")
+        .select(col("doc_id"), col("entry_no"), col("url"),
+          col("lastmod"), col("kind"))
+        .orderBy("doc_id", "entry_no")),
+
+    // SITEMAPINDEX LEG of the frontier — index-rooted hosts (the
+    // real-world norm) enumerate CHILD SITEMAPS, not pages; the
+    // discovery loop must surface those URLs for the next fetch
+    // round or the frontier starves. %11 docs are indexes (two
+    // children each, second without lastmod); even hosts' sitemap1
+    // is already fetched and anti-joins away
+    "q316_sitemap_index_leg" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val fetched = docs.filter(col("doc_id") % 2 === 0)
+        .select(concat(lit("https://d"), col("doc_id").cast("string"),
+          lit(".example.com/sitemap1.xml")).as("url"))
+      graft.pipeline.Pipelines.sitemapFrontier(
+          docs.select(sitemapXml(col("doc_id")).as("xml")), fetched)
+        .orderBy("url")
+    }),
+
     // KRIPPENDORFF'S ALPHA over an incomplete rater×item matrix (4
     // raters, two residue-derived skip rules → variable ratings per
     // item incl. <2 exclusions) — exact integer statistics with the
@@ -4015,6 +4047,35 @@ object SparkEntry {
           lit("/p/2</loc></url><url><loc>"), host, lit("/p/"),
           pmod(id, lit(7)).cast("string"), lit("</loc><lastmod>"), mod1,
           lit("</lastmod></url></urlset>")))
+  }
+
+  /** q315's entity-bearing urlset synthesis: entry 1 carries a
+    * query-string URL escaped per sitemaps.org (`&amp;`), entry 2
+    * decimal+hex numeric references, entry 3 the double-escape
+    * single-pass pin (`&amp;amp;` must decode to literal `&amp;`).
+    * Deterministic string concat shared with the oracle. */
+  private def sitemapEscapedXml(id: Column): Column = {
+    val host = concat(lit("https://e"), id.cast("string"),
+      lit(".example.com"))
+    concat(lit("<?xml version=\"1.0\"?><urlset><url><loc>"), host,
+      lit("/p?a="), pmod(id, lit(9)).cast("string"),
+      lit("&amp;b=2</loc><lastmod>2026-02-"),
+      lpad((pmod(id, lit(28)) + 1).cast("string"), 2, "0"),
+      lit("</lastmod></url><url><loc>"), host,
+      lit("/q&#47;r&#x2F;s</loc></url><url><loc>"), host,
+      lit("/lit&amp;amp;eral</loc></url></urlset>"))
+  }
+
+  /** The same synthesis in SQL. */
+  private val sitemapEscapedXmlSql: String = {
+    val host = "'https://e' || CAST(doc_id AS VARCHAR) || '.example.com'"
+    s"""'<?xml version="1.0"?><urlset><url><loc>' || $host ||
+       '/p?a=' || CAST(doc_id % 9 AS VARCHAR) ||
+       '&amp;b=2</loc><lastmod>2026-02-' ||
+       lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+       '</lastmod></url><url><loc>' || $host ||
+       '/q&#47;r&#x2F;s</loc></url><url><loc>' || $host ||
+       '/lit&amp;amp;eral</loc></url></urlset>'"""
   }
 
   /** The same synthesis in SQL. */
@@ -11613,6 +11674,69 @@ object SparkEntry {
         |    AS INTEGER) AS fetch_seq,
         |  url
         |FROM u ORDER BY host, fetch_seq""".stripMargin,
+
+    // q315: q307's parse plus the entity decode as an ordered literal
+    // replace chain — named entities, the fixture's numeric literals,
+    // &amp; LAST (replace-all left-to-right then reproduces the
+    // kernel's single-pass rule on any input mixing them)
+    "q315_sitemap_unescape" -> {
+      def dec(c: String) =
+        s"""replace(replace(replace(replace(replace(replace(replace($c,
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&apos;', ''''), '&#47;', '/'), '&#x2F;', '/'),
+           '&amp;', '&')"""
+      s"""WITH syn AS (
+         |  SELECT doc_id, $sitemapEscapedXmlSql AS xml FROM documents),
+         |bl AS (
+         |  SELECT doc_id,
+         |    CASE WHEN contains(xml, '<sitemapindex') THEN 'index'
+         |         WHEN contains(xml, '<urlset') THEN 'urlset'
+         |         ELSE 'unknown' END AS kind,
+         |    regexp_extract_all(xml,
+         |      '(?s)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>', 1) AS bs
+         |  FROM syn),
+         |ex AS (
+         |  SELECT doc_id, kind, bs,
+         |    CAST(unnest(generate_series(1, len(bs))) AS INTEGER)
+         |      AS entry_no
+         |  FROM bl),
+         |raw AS (
+         |  SELECT doc_id, entry_no, kind,
+         |    regexp_extract(bs[entry_no], '<loc>([^<]*)</loc>', 1)
+         |      AS u0,
+         |    regexp_extract(bs[entry_no],
+         |      '<lastmod>([^<]*)</lastmod>', 1) AS m0
+         |  FROM ex)
+         |SELECT doc_id, entry_no,
+         |  ${dec("u0")} AS url,
+         |  ${dec("m0")} AS lastmod,
+         |  kind
+         |FROM raw WHERE len(u0) > 0
+         |ORDER BY doc_id, entry_no""".stripMargin
+    },
+
+    // q316: the index-leg closed form — %11 docs enumerate
+    // host/sitemap{1,2}.xml (sitemap2 without lastmod); even hosts'
+    // sitemap1 is in the fetched ledger and anti-joins away
+    "q316_sitemap_index_leg" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 11 = 0),
+        |e AS (
+        |  SELECT 'd' || CAST(doc_id AS VARCHAR) || '.example.com'
+        |      AS host,
+        |    'https://d' || CAST(doc_id AS VARCHAR) ||
+        |      '.example.com/sitemap1.xml' AS url,
+        |    '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |      AS lastmod
+        |  FROM d WHERE doc_id % 2 <> 0
+        |  UNION ALL
+        |  SELECT 'd' || CAST(doc_id AS VARCHAR) || '.example.com'
+        |      AS host,
+        |    'https://d' || CAST(doc_id AS VARCHAR) ||
+        |      '.example.com/sitemap2.xml' AS url,
+        |    '' AS lastmod
+        |  FROM d)
+        |SELECT host, url, lastmod FROM e ORDER BY url""".stripMargin,
 
     // q314: the same integer coincidence statistics — per-item
     // disagreement × (6 div (m_u−1)), integer marginals, one division

@@ -115,8 +115,97 @@ case class RegisteredDomainPsl(child: Expression, rules: Seq[String])
     copy(child = c)
 }
 
+/** XML character-reference decode (the sitemap `<loc>` repair): one
+  * left-to-right pass resolving the five predefined entities
+  * (`&amp; &lt; &gt; &quot; &apos;`) and numeric references
+  * (`&#NNN;` decimal, `&#xHH;` hex, any Unicode code point) — the
+  * single-pass rule, so `&amp;lt;` correctly yields the literal text
+  * `&lt;`, never `<`. A regex-structural sitemap parse hands URLs
+  * over STILL ESCAPED (sitemaps.org requires entity-escaping inside
+  * `<loc>`), and an `&amp;`-bearing URL matches neither its robots
+  * rule, its captured-set twin, nor the real fetch until decoded.
+  *
+  * LENIENT on malformed input (bare `&`, unknown or unterminated
+  * entities, out-of-range code points pass through verbatim) — crawl
+  * XML is machine-generated but not always valid, and a decode gate
+  * must never throw mid-scan. Fast path: no `&` at all (the common
+  * case — most URLs carry no query string) returns the input buffer
+  * untouched, zero allocation. Map-only, null-safe, codegen'd. */
+case class XmlUnescape(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"xml_unescape expects STRING, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = StringType
+
+  override def prettyName: String = "xml_unescape"
+
+  /** Row kernel — public so generated code can call it. */
+  def kernel(input: UTF8String): UTF8String = {
+    val s = input.toString
+    if (s.indexOf('&') < 0) return input
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c != '&') { sb.append(c); i += 1 }
+      else {
+        val semi = s.indexOf(';', i + 1)
+        // the longest predefined entity is 6 chars incl. & and ; —
+        // numeric forms get a few more digits; anything further out
+        // is not an entity this decoder recognizes
+        if (semi < 0 || semi - i > 10) { sb.append(c); i += 1 }
+        else {
+          val body = s.substring(i + 1, semi)
+          val decoded: Int = body match {
+            case "amp" => '&'
+            case "lt" => '<'
+            case "gt" => '>'
+            case "quot" => '"'
+            case "apos" => '\''
+            case _ if body.length >= 2 && body.charAt(0) == '#' =>
+              try {
+                val cp =
+                  if (body.charAt(1) == 'x' || body.charAt(1) == 'X')
+                    Integer.parseInt(body.substring(2), 16)
+                  else Integer.parseInt(body.substring(1), 10)
+                if (Character.isValidCodePoint(cp) && cp > 0) cp else -1
+              } catch { case _: NumberFormatException => -1 }
+            case _ => -1
+          }
+          if (decoded < 0) { sb.append(c); i += 1 }
+          else { sb.appendCodePoint(decoded); i = semi + 1 }
+        }
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("xmlUnescape", this,
+      classOf[XmlUnescape].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object UrlExpressions {
   /** Column-level PSL registrable domain (see [[RegisteredDomainPsl]]). */
   def registeredDomainPsl(host: Column, rules: Seq[String]): Column =
     Bridge.column(RegisteredDomainPsl(Bridge.expression(host), rules))
+
+  /** Column-level XML character-reference decode (see [[XmlUnescape]]). */
+  def xmlUnescape(text: Column): Column =
+    Bridge.column(XmlUnescape(Bridge.expression(text)))
 }

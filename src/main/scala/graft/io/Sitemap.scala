@@ -49,13 +49,20 @@ object Sitemap {
         "rename before parsing (the entry columns use those names)")
     val locPat = "<loc>([^<]*)</loc>"
     val modPat = "<lastmod>([^<]*)</lastmod>"
+    // sitemaps.org REQUIRES entity-escaping inside <loc>: a URL with a
+    // query string arrives as ?a=1&amp;b=2, and undecoded it matches
+    // neither the robots gate, the captured-set anti-join, nor the
+    // real fetch — decode both extracted fields (identity on
+    // entity-free values, the overwhelmingly common case)
+    def unescape(c: Column): Column =
+      graft.functions.UrlExpressions.xmlUnescape(c)
     df.withColumn("_kind", sitemapKind(col(xmlCol)))
       .select(col("*"),
         posexplode(blocks(col(xmlCol))).as(Seq("_p", "_b")))
       .select(col("*"),
         (col("_p") + 1).as("entry_no"),
-        regexp_extract(col("_b"), locPat, 1).as("url"),
-        regexp_extract(col("_b"), modPat, 1).as("lastmod"),
+        unescape(regexp_extract(col("_b"), locPat, 1)).as("url"),
+        unescape(regexp_extract(col("_b"), modPat, 1)).as("lastmod"),
         col("_kind").as("kind"))
       .drop("_p", "_b", "_kind")
       .filter(length(col("url")) > 0)

@@ -735,7 +735,8 @@ object Pipelines {
     * the "what do we politely fetch next" table. Sitemap documents
     * enumerate candidate URLs ([[graft.io.Sitemap.sitemapEntries]] —
     * urlset legs only; index docs point at more sitemaps and belong
-    * back on the DISCOVERY side, never in the fetch plan); per-host
+    * back on the DISCOVERY side — [[sitemapFrontier]] surfaces them
+    * as the nested-sitemap fetch list — never in the fetch plan); per-host
     * robots bodies gate them through the real longest-match rule
     * machinery ([[graft.text.UrlOps.robotsDecisions]], rules
     * broadcast); URLs the capture index already holds anti-join away
@@ -775,4 +776,38 @@ object Pipelines {
       .select(col("host"), col("fetch_seq"), col("url"),
         col("crawl_delay_s"), col("earliest_fetch_s"))
   }
+
+  /** E10's DISCOVERY leg — the nested-sitemap fetch list
+    * [[frontierPlan]] deliberately keeps out of the page fetch plan:
+    * sitemapINDEX documents (the NORM for real hosts — one index
+    * pointing at date- or section-sharded child sitemaps) enumerate
+    * further sitemaps, and those URLs must go back to the sitemap
+    * fetcher or an index-rooted host discovers nothing. One row per
+    * undiscovered child sitemap: (host, url, lastmod — the max
+    * declared freshness hint when several indexes list the same
+    * child, empty when none declares one).
+    *
+    * `fetched` is the set of sitemap URLs already retrieved (the
+    * caller's sitemap ledger) — anti-joined away so each round only
+    * fetches new children. The crawl loop is the caller's:
+    * round N's index docs → this list → fetch → round N+1's docs →
+    * re-plan; a bounded loop over this method IS the bounded-depth
+    * recursion (each round is one hop down the index tree, and real
+    * trees are 1-2 hops deep).
+    *
+    * Scale shape: map-side parse, one |children|-row groupBy (child
+    * sitemap counts are host-scale, orders below page counts), one
+    * anti-join on url. Page payloads never enter. */
+  def sitemapFrontier(sitemaps: DataFrame, fetched: DataFrame,
+                      xmlCol: String = "xml",
+                      fetchedUrlCol: String = "url"): DataFrame =
+    graft.io.Sitemap.sitemapEntries(
+        sitemaps.select(col(xmlCol)), xmlCol)
+      .filter(col("kind") === "index")
+      .join(fetched.select(col(fetchedUrlCol).as("url")).distinct(),
+        Seq("url"), "left_anti")
+      .groupBy("url")
+      .agg(max(col("lastmod")).as("lastmod"))
+      .select(regexp_extract(col("url"), "://([^/]+)", 1).as("host"),
+        col("url"), col("lastmod"))
 }

@@ -791,4 +791,52 @@ class PipelineSpec extends SparkSpec {
       ("a.com", 2, "https://a.com/p/3", Some(2.0), Some(2.0)),
       ("b.com", 1, "https://b.com/q", None, None)), s"got $got")
   }
+
+  test("E10 two-hop: an INDEX-rooted host flows end to end — " +
+    "sitemapFrontier surfaces the nested sitemaps (fetched ledger " +
+    "anti-joined, lastmod max-merged across indexes), the fetched " +
+    "children then feed frontierPlan; entity-escaped locs decode " +
+    "before every join") {
+    // hop 1: the host ships ONLY a sitemapindex (the real-world norm)
+    val indexDocs = Seq(
+      "<sitemapindex><sitemap><loc>https://a.com/maps/s1.xml</loc>" +
+        "<lastmod>2026-01-05</lastmod></sitemap>" +
+        "<sitemap><loc>https://a.com/maps/s2.xml?v=1&amp;lang=en</loc>" +
+        "</sitemap></sitemapindex>",
+      // a second index lists s1 again with a FRESHER lastmod
+      "<sitemapindex><sitemap><loc>https://a.com/maps/s1.xml</loc>" +
+        "<lastmod>2026-01-09</lastmod></sitemap>" +
+        "<sitemap><loc>https://a.com/maps/s0.xml</loc>" +
+        "</sitemap></sitemapindex>").toDF("xml")
+    val ledger = Seq("https://a.com/maps/s0.xml").toDF("url")
+    val hop1 = Pipelines.sitemapFrontier(indexDocs, ledger)
+      .orderBy("url").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(hop1 == Seq(
+      ("a.com", "https://a.com/maps/s1.xml", "2026-01-09"),
+      ("a.com", "https://a.com/maps/s2.xml?v=1&lang=en", "")),
+      s"got $hop1")
+    // an index-rooted host yields NO page-fetch rows from hop 1 alone
+    val robots = Seq(("a.com", "User-agent: *\nDisallow: /blocked\n"))
+      .toDF("host", "body")
+    val capturedPages = Seq("https://a.com/p/esc?x=1&y=2").toDF("url")
+    assert(Pipelines.frontierPlan(indexDocs, robots, capturedPages)
+      .count() == 0L)
+    // hop 2: "fetch" the two children; one loc is entity-escaped and
+    // must decode to match its plain-& captured twin; another decodes
+    // into the robots disallow prefix
+    val leafDocs = Seq(
+      "<urlset><url><loc>https://a.com/p/1</loc></url>" +
+        "<url><loc>https://a.com/p/esc?x=1&amp;y=2</loc></url></urlset>",
+      "<urlset><url><loc>https://a.com/blocked&#47;deep</loc></url>" +
+        "<url><loc>https://a.com/p/2</loc></url></urlset>")
+      .toDF("xml")
+    val hop2 = Pipelines.frontierPlan(leafDocs, robots, capturedPages)
+      .orderBy("fetch_seq").collect()
+      .map(r => (r.getInt(1), r.getString(2))).toSeq
+    // /p/esc collapsed against the captured twin (decode worked),
+    // /blocked/deep hit the robots prefix (decode worked)
+    assert(hop2 == Seq((1, "https://a.com/p/1"),
+      (2, "https://a.com/p/2")), s"got $hop2")
+  }
 }

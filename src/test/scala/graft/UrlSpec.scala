@@ -453,6 +453,37 @@ class UrlSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("xmlUnescape kernel: five predefined entities, decimal and hex " +
+    "numeric references, SINGLE-PASS rule on double escapes, lenient " +
+    "on malformed input, fast-path identity without '&', null in -> " +
+    "null out") {
+    import graft.functions.UrlExpressions.xmlUnescape
+    def u(s: String): String =
+      Seq(s).toDF("t").select(xmlUnescape(col("t")).as("u"))
+        .head().getString(0)
+    assert(u("a=1&amp;b=2") == "a=1&b=2")
+    assert(u("&lt;x&gt; &quot;q&quot; &apos;r&apos;") ==
+      "<x> \"q\" 'r'")
+    assert(u("&#47;&#x2F;&#X2f;") == "///") // dec, hex, capital X
+    assert(u("&#8364;") == "€") // multi-byte code point
+    assert(u("&#x1F600;") == new String(Character.toChars(0x1F600)))
+    // single-pass: &amp;lt; is the literal text &lt;, never <
+    assert(u("&amp;lt;") == "&lt;")
+    assert(u("lit&amp;amp;eral") == "lit&amp;eral")
+    // lenient: bare &, unknown/unterminated/empty/overlong entities,
+    // out-of-range and zero code points all pass through verbatim
+    assert(u("a & b") == "a & b")
+    assert(u("&unknown; &#; &#xZZ; &#1114112; &#0; &#x0;") ==
+      "&unknown; &#; &#xZZ; &#1114112; &#0; &#x0;")
+    assert(u("trailing &amp") == "trailing &amp")
+    assert(u("&waytoolongname;") == "&waytoolongname;")
+    assert(u("") == "")
+    assert(u("no entities at all") == "no entities at all")
+    val n = Seq[String](null).toDF("t")
+      .select(xmlUnescape(col("t")).as("u")).head()
+    assert(n.isNullAt(0))
+  }
+
   test("sitemapsFromRobots: case-insensitive directive, leading " +
     "whitespace, multiple declarations in file order, none -> empty") {
     import graft.io.Sitemap
