@@ -1146,9 +1146,22 @@ object Dedup {
   def semDeDup(embs: DataFrame, blockCol: String,
                idCol: String = "vec_id", vecCol: String = "embedding",
                minCosine: Double = 0.95,
-               dim: Int = graft.ml.Similarity.DefaultDim): DataFrame = {
+               dim: Int = graft.ml.Similarity.DefaultDim): DataFrame =
+    semDeDupBlocked(embs, Some(blockCol), idCol, vecCol, minCosine, dim)
+
+  /** [[semDeDup]] with OPTIONAL blocking: `None` blocks by
+    * random-hyperplane sign buckets (`planes` bits) instead of a
+    * caller-provided cluster column — the self-contained form
+    * [[graft.pipeline.Pipelines.curate]] uses when no k-means pass has
+    * run. Same output contract. */
+  def semDeDupBlocked(embs: DataFrame, blockCol: Option[String],
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      minCosine: Double = 0.95,
+                      dim: Int = graft.ml.Similarity.DefaultDim,
+                      planes: Int = 12): DataFrame = {
     val pairs = embeddingNearDup(embs, idCol, vecCol, minCosine,
-      blockCol = Some(blockCol), dim = dim)
+      planes = planes, blockCol = blockCol, dim = dim)
     connectedComponents(embs.select(col(idCol).as("id")), pairs)
       .select(col("id").as(idCol), col("cluster_id").as("rep_id"),
         (col("id") === col("cluster_id")).as("keep"))

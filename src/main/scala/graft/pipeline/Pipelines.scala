@@ -322,7 +322,14 @@ object Pipelines {
              lang: String = "en",
              langRouter: Boolean = false,
              unicodeNfc: Boolean = false,
-             urlBlockKeywords: Option[Seq[String]] = None): DataFrame = {
+             urlBlockKeywords: Option[Seq[String]] = None,
+             canonicalCollapse: Boolean = false,
+             htmlCol: String = "html",
+             semDedupEmbs: Option[DataFrame] = None,
+             semDedupMinCosine: Double = 0.95,
+             semDedupWhiten: Boolean = false,
+             semDedupPcaK: Int = 16,
+             semDedupDim: Int = graft.ml.Similarity.DefaultDim): DataFrame = {
     import graft.text.TextOps
     import graft.dedup.Dedup
     // a rewrite stage (c4 lines / paragraph dedup) that changed `text`
@@ -346,8 +353,28 @@ object Pipelines {
             docs0.sparkSession, kws), urlCol)
       case _ => docs0
     }
-    val docs = if (!unicodeNfc) urlGated
-      else refreshNChars(urlGated.withColumn("text",
+    // opt-in canonical-URL collapse (q215's operator) — the mirror
+    // dedup that runs BEFORE any content work: pages declaring one
+    // rel=canonical target (tracking-param variants, www/non-www
+    // mirrors, print views) collapse to the min-id representative off
+    // the head regex alone, so the exact/near-dup digests downstream
+    // never hash a mirror's body. Needs the page URL and raw html
+    // head; one window on the normalized canonical key (the q215
+    // skew story). Mirrors that DON'T declare a canonical still
+    // collapse at the content-hash stage — this stage just makes the
+    // declared ones free
+    val canonGated = if (!canonicalCollapse) urlGated else {
+      val missing = Seq(urlCol, htmlCol)
+        .filterNot(urlGated.columns.contains)
+      require(missing.isEmpty,
+        s"canonicalCollapse needs column(s) ${missing.mkString(", ")} " +
+          "— pass urlCol/htmlCol naming the page URL and raw html")
+      graft.text.UrlOps.canonicalDedup(urlGated, urlCol, htmlCol,
+          "doc_id")
+        .filter(col("keep") === 1).drop("canonical", "keep")
+    }
+    val docs = if (!unicodeNfc) canonGated
+      else refreshNChars(canonGated.withColumn("text",
         TextOps.nfcNormalize(col("text"))))
     // incremental-ingest mode: drop docs already in the prior corpus
     // (digest anti-join) before spending any curation work on them;
@@ -460,7 +487,45 @@ object Pipelines {
     val exact = paraClean.join(exactKeep, Seq("doc_id"), "left_semi")
     val reps = Dedup.nearDupClusters(exact, minJaccard = minJaccard)
       .filter(col("doc_id") === col("cluster_id")).select("doc_id")
-    val deduped0 = exact.join(reps, Seq("doc_id"), "left_semi")
+    val textDeduped = exact.join(reps, Seq("doc_id"), "left_semi")
+    // optional SemDeDup pass (q59's operator) AFTER the text dedups —
+    // embedding-space near-dups (paraphrases, translations-of-
+    // boilerplate, templated rewrites) that share too few shingles for
+    // MinHash. `semDedupWhiten` first fits PCA on the survivor
+    // embeddings and projects with whitening (identity covariance on
+    // the informative axes — the bb5a53d contract: k < dim so the
+    // eps-dominated axes never amplify noise), which equalizes cosine
+    // geometry under anisotropic encoders; blocking is hyperplane-LSH
+    // in whichever space the comparison runs. Corpus text never
+    // enters: only (doc_id, vector) rows move, and only survivors'
+    val deduped0 = semDedupEmbs match {
+      case None => textDeduped
+      case Some(embs0) =>
+        val missing = Seq("doc_id", "embedding")
+          .filterNot(embs0.columns.contains)
+        require(missing.isEmpty,
+          s"semDedupEmbs needs column(s) ${missing.mkString(", ")}")
+        val spark = embs0.sparkSession
+        val embs = embs0.select(col("doc_id"), col("embedding"))
+          .join(textDeduped.select("doc_id"), Seq("doc_id"), "left_semi")
+        val (vecs, cmpDim) =
+          if (!semDedupWhiten) (embs, semDedupDim)
+          else {
+            val model = graft.ml.Pca.fitPca(embs, semDedupPcaK,
+              semDedupDim)
+            (graft.ml.Pca.pcaProject(spark, embs, model, whiten = true)
+              .select(col("doc_id"), col("pca").as("embedding")),
+              semDedupPcaK)
+          }
+        val keep = Dedup.semDeDupBlocked(vecs, None, "doc_id",
+            "embedding", semDedupMinCosine, cmpDim)
+          .filter(col("keep")).select("doc_id")
+        // docs WITHOUT an embedding row pass through (no evidence =
+        // no drop) — hence the anti-join complement, not a semi-join
+        val dropped = embs.select("doc_id")
+          .join(keep, Seq("doc_id"), "left_anti")
+        textDeduped.join(dropped, Seq("doc_id"), "left_anti")
+    }
     // optional FineWeb-style per-domain cap, AFTER dedup (so the cap
     // counts distinct content, not duplicates) and BEFORE the split (so
     // train/val/test remain deterministic subsets of the capped corpus)

@@ -50,7 +50,12 @@ object Streaming {
     * Pass a batch frame and it applies the identical gates (the parity
     * StreamingSpec asserts equality with `curate`'s stage-1 survivor
     * set knob-for-knob). `n_chars`, when present, is refreshed after
-    * the C4 rewrite, matching curate. */
+    * the C4 rewrite, matching curate.
+    *
+    * Deliberately NOT here: `curate`'s canonical-URL collapse — that
+    * stage groups rows on the canonical key (a window, i.e. state),
+    * which this watermark-free row-gate composition cannot hold;
+    * [[curateForeachBatch]] carries it per micro-batch instead. */
   def curateStage1(stream: DataFrame, minQuality: Double = 0.3,
                    lang: String = "en",
                    blockWords: Option[Seq[String]] = None,
@@ -202,7 +207,10 @@ object Streaming {
                          stage1: DataFrame => DataFrame = identity,
                          exactSubstrIndex: Option[String] = None,
                          exactSubstrMinLen: Int = 40,
-                         exactSubstrBuckets: Int = 64)
+                         exactSubstrBuckets: Int = 64,
+                         canonicalCollapse: Boolean = false,
+                         urlCol: String = "url",
+                         htmlCol: String = "html")
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append())
@@ -210,7 +218,17 @@ object Streaming {
       .foreachBatch {
         (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val sess = batch.sparkSession
-        val gated = stage1(batch.toDF())
+        val gated0 = stage1(batch.toDF())
+        // the batch curate's opt-in mirror collapse, mirrored here
+        // (NOT in curateStage1: the collapse is a grouping on the
+        // canonical key, which a pure row-gate stage cannot hold —
+        // foreachBatch runs batch semantics, so the window is fine).
+        // Scope is WITHIN-batch; cross-batch mirrors share content
+        // and fall to the signature-index gate below
+        val gated = if (!canonicalCollapse) gated0
+          else graft.text.UrlOps.canonicalDedup(gated0, urlCol,
+              htmlCol, idCol)
+            .filter(col("keep") === 1).drop("canonical", "keep")
         val idx = graft.dedup.Dedup.readSignatureIndex(sess, indexName)
         val fuzzySurv = graft.dedup.Dedup.incrementalNewFuzzyIndexed(
           gated, idx, idCol, textCol, shingleN, minJaccard, numHashes,

@@ -766,6 +766,101 @@ class PipelineSpec extends SparkSpec {
     assert(on == Set(30L, 32L), s"got $on")
   }
 
+  test("curate canonicalCollapse: a tracking-param variant declaring " +
+    "the same rel=canonical collapses to the min-id representative " +
+    "only when the stage is on; E5 audit counts shift; missing " +
+    "columns fail descriptively") {
+    val a = "the quick brown fox jumps over the lazy dog and then " +
+      "it runs far away to the old stone house by the river bank"
+    val b = "an entirely different but still quite reasonable english " +
+      "sentence that it is for the test and with many of the words"
+    val canon = "<html><head><link rel=\"canonical\" " +
+      "href=\"https://m.example.com/art\"></head><body>x</body></html>"
+    val docs = Seq(
+      (40L, a, "https://m.example.com/art", canon),
+      // the mirror carries DIFFERENT body text (live ad rotation, no
+      // shared 8-gram with the original) — neither the content hashes
+      // nor decontamination would collapse it; the declared canonical does
+      (41L, "the weekly promotional banner for the big sale event is " +
+        "shown here with some extra words about the offer of today",
+        "https://m.example.com/art?utm_source=feed", canon),
+      (42L, b, "https://n.example.com/other",
+        "<html><head></head><body>y</body></html>"))
+      .toDF("doc_id", "text", "url", "html")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text"))
+    val off = Pipelines.curate(docs, minJaccard = 0.95)
+    val offIds = off.select("doc_id").as[Long].collect().toSet
+    assert(offIds == Set(40L, 41L, 42L), s"got $offIds")
+    val on = Pipelines.curate(docs, minJaccard = 0.95,
+      canonicalCollapse = true)
+    val onIds = on.select("doc_id").as[Long].collect().toSet
+    assert(onIds == Set(40L, 42L), s"got $onIds")
+    // E5 audit counts follow the corpus (one boilerplate row per doc)
+    assert(Pipelines.releaseAudit(off).boilerplate.count() == 3L)
+    assert(Pipelines.releaseAudit(on).boilerplate.count() == 2L)
+    // the stage names what it needs when the frame can't carry it
+    val e = intercept[IllegalArgumentException] {
+      Pipelines.curate(docs.drop("html"), canonicalCollapse = true)
+        .count()
+    }
+    assert(e.getMessage.contains("html"), s"got ${e.getMessage}")
+  }
+
+  test("curate whitened SemDeDup: embedding near-dups (paraphrases " +
+    "MinHash can't see) collapse only when semDedupEmbs is passed — " +
+    "PCA-whitened comparison space, informative axes only; docs " +
+    "without an embedding row pass through") {
+    def sentence(i: Long, s1: Long, s2: Long, s3: Long): String =
+      s"the cat $i sat on the mat $s1 while the dog $s2 watched " +
+        s"the bird $s3 resting in the tall tree."
+    val baseDocs = (0L until 40L).map(i =>
+      (i, sentence(i, i * 3 + 7, i * 5 + 11, i * 7 + 13)))
+    val pairDocs = Seq(
+      (100L, sentence(100L, 900L, 901L, 902L)),
+      (101L, sentence(101L, 800L, 801L, 802L)))
+    val noEmbDoc = Seq((200L, sentence(200L, 700L, 701L, 702L)))
+    val docs = (baseDocs ++ pairDocs ++ noEmbDoc)
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text"))
+    // the bb5a53d informative-axes fixture: a rank-2 cloud in 3-d
+    // (third axis constant) with one near-identical pair
+    val baseEmbs = (0L until 40L).map { i =>
+      val t = (i - 20) * 4.0
+      val u = (i % 7) - 3.0
+      (i, Seq((t + 100.0).toFloat, u.toFloat, 1.0f))
+    }
+    val pairEmbs = Seq(
+      (100L, Seq(120.0f, 2.0f, 1.0f)),
+      (101L, Seq(120.0f, 2.01f, 1.0f)))
+    val embs = (baseEmbs ++ pairEmbs).toDF("doc_id", "embedding")
+    // off: every doc survives (texts are all distinct, no shared
+    // 8-gram, no exact or banded near-dup)
+    val offIds = Pipelines.curate(docs, minJaccard = 0.999)
+      .select("doc_id").as[Long].collect().toSet
+    assert(offIds.size == 43, s"got ${offIds.size}: $offIds")
+    // on: the embedding pair lands in one whitened component — at
+    // most one of (100, 101) survives (cosine is magnitude-blind, so
+    // centered-collinear base points may legitimately join the
+    // component; the invariant is the PAIR collapsing, and the
+    // no-embedding doc passing through untouched)
+    val onIds = Pipelines.curate(docs, minJaccard = 0.999,
+        semDedupEmbs = Some(embs), semDedupMinCosine = 0.9999,
+        semDedupWhiten = true, semDedupPcaK = 2, semDedupDim = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!(onIds.contains(100L) && onIds.contains(101L)),
+      s"pair survived whole: $onIds")
+    assert(onIds.contains(200L), "no-embedding doc must pass through")
+    assert(onIds.size < 43 && onIds.size >= 20, s"got ${onIds.size}")
+    // a mis-shaped embedding frame is named, not silently ignored
+    val e = intercept[IllegalArgumentException] {
+      Pipelines.curate(docs, semDedupEmbs =
+        Some(embs.withColumnRenamed("embedding", "vec"))).count()
+    }
+    assert(e.getMessage.contains("embedding"), s"got ${e.getMessage}")
+  }
+
   test("E10 frontierPlan: urlset entries robots-gated, captured URLs " +
     "anti-joined, per-host sequence, Crawl-delay wired into the " +
     "earliest polite fetch offset") {

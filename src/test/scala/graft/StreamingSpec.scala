@@ -528,6 +528,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("curateForeachBatch canonicalCollapse: within-batch mirror " +
+    "variants declaring one rel=canonical collapse to the min-id " +
+    "representative before the near-dup gate; off by default") {
+    import graft.dedup.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_fbcanon")
+    val sink = base.resolve("sink").toString
+    val ckpt = base.resolve("ckpt").toString
+    val canonHead = "<html><head><link rel=\"canonical\" " +
+      "href=\"https://m.example.com/art\"></head><body>z</body></html>"
+    try {
+      Dedup.writeSignatureIndex(
+        Dedup.buildSignatureIndex(
+          Seq((1L, "alpha bravo charlie delta echo foxtrot golf " +
+            "hotel india juliet kilo lima")).toDF("doc_id", "text"),
+          numHashes = 16, bands = 4),
+        "sigidx_fbc", buckets = 4)
+      val in = MemoryStream[(Long, String, String, String)]
+      val q = Streaming.curateForeachBatch(
+        in.toDF().toDF("doc_id", "text", "url", "html"),
+        "sigidx_fbc", sink, ckpt,
+        buckets = 4, minJaccard = 0.5, numHashes = 16, bands = 4,
+        canonicalCollapse = true)
+      try {
+        // one batch: the original, a same-canonical mirror whose text
+        // shares NOTHING (the near-dup gate alone could not drop it),
+        // and an unrelated page
+        in.addData(
+          (10L, "quebec romeo sierra tango uniform victor whiskey " +
+            "xray yankee zulu one two", "https://m.example.com/art",
+            canonHead),
+          (11L, "gamma entirely different vocabulary spoken here " +
+            "with no shared words at all",
+            "https://m.example.com/art?utm_source=feed", canonHead),
+          (12L, "november oscar papa golf echo words shared by no " +
+            "other document in this batch",
+            "https://n.example.com/other",
+            "<html><head></head><body>y</body></html>"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val landed = spark.read.parquet(sink)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      assert(landed == Seq(10L, 12L), s"landed $landed")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sigidx_fbc_sigs")
+      spark.sql("DROP TABLE IF EXISTS sigidx_fbc_bands")
+    }
+  }
+
   test("curateForeachBatch with the exact-substring stage: a batch-2 " +
     "doc copying a >=40-char span of a batch-1 SURVIVOR drops even " +
     "though it is no MinHash near-dup; survivors' grams append") {
