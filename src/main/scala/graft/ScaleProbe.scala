@@ -387,6 +387,9 @@ object ScaleProbe {
         "pack_greedy" -> { d =>
           TextOps.packSequencesGreedy(d, maxTokens = 512)
             .agg(sum("pack_id"), max("pack_pos")).head(); 1L },
+        "pack_bfd" -> { d =>
+          TextOps.packSequencesBfd(d, maxTokens = 512)
+            .agg(sum("pack_id"), max("pack_pos")).head(); 1L },
         "pack_manifest" -> { d =>
           TextOps.packManifest(
               TextOps.packSequencesGreedy(d, maxTokens = 512),

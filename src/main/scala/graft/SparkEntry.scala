@@ -3685,6 +3685,28 @@ object SparkEntry {
         .orderBy("host", "fetch_seq")
     }),
 
+    // BEST-FIT-DECREASING packing — the fill-efficiency packer beside
+    // the greedy arrival-order one. The fixture is ENGINEERED for a
+    // closed-form oracle: two length classes (700 on %3, 500 else)
+    // under a 1200 cap make exact BFD provable — every 700 opens its
+    // own pack (700+700 > 1200), 500s tight-fit-pair into them
+    // (exact 1200), leftovers pair among themselves — while the
+    // engine runs the real TreeMap best-fit machinery
+    "q317_pack_bfd" -> ((s, dir) => {
+      TextOps.packSequencesBfd(packFixture(s, dir),
+          maxTokens = 1200, nShards = 1)
+        .orderBy("pack_id", "pack_pos")
+    }),
+
+    // GREEDY vs BFD fill report on the same fixture — the pad-fraction
+    // comparison that prices the packer choice; the oracle replays
+    // greedy with the recursive-walk technique and BFD closed-form
+    "q318_pack_compare" -> ((s, dir) => {
+      TextOps.packCompare(packFixture(s, dir),
+          maxTokens = 1200, nShards = 1)
+        .orderBy("packer")
+    }),
+
     // XML ENTITY DECODE in sitemap fields — sitemaps.org REQUIRES
     // escaping inside <loc>, so query-string URLs arrive as
     // ?a=1&amp;b=2 and must decode before any robots/captured join.
@@ -4048,6 +4070,15 @@ object SparkEntry {
           pmod(id, lit(7)).cast("string"), lit("</loc><lastmod>"), mod1,
           lit("</lastmod></url></urlset>")))
   }
+
+  /** q317/q318's two-class packing fixture: exactly 700 whitespace
+    * tokens on %3 ids, 500 otherwise — the class mix whose BFD packing
+    * has a provable closed form under a 1200-token cap. */
+  private def packFixture(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      array_join(array_repeat(lit("w"),
+        when(pmod(col("doc_id"), lit(3)) === 0, 700).otherwise(500)),
+        " ").as("text"))
 
   /** q315's entity-bearing urlset synthesis: entry 1 carries a
     * query-string URL escaped per sitemaps.org (`&amp;`), entry 2
@@ -11674,6 +11705,94 @@ object SparkEntry {
         |    AS INTEGER) AS fetch_seq,
         |  url
         |FROM u ORDER BY host, fetch_seq""".stripMargin,
+
+    // q317: the engineered closed form — 700s open their own packs in
+    // id order (pack rn-1, pos 1), 500s tight-fit into them in id
+    // order (pack rn-1, pos 2) until the 700-packs run out, leftover
+    // 500s pair among themselves in creation order
+    "q317_pack_bfd" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 700 ELSE 500 END
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s7 AS (
+        |  SELECT doc_id, n_tokens,
+        |    row_number() OVER (ORDER BY doc_id) AS rn
+        |  FROM n WHERE n_tokens = 700),
+        |s5 AS (
+        |  SELECT doc_id, n_tokens,
+        |    row_number() OVER (ORDER BY doc_id) AS rn
+        |  FROM n WHERE n_tokens = 500),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n7 FROM s7),
+        |asg AS (
+        |  SELECT doc_id, n_tokens, CAST(rn - 1 AS BIGINT) AS pack_id,
+        |    1 AS pack_pos
+        |  FROM s7
+        |  UNION ALL
+        |  SELECT s5.doc_id, s5.n_tokens,
+        |    CAST(CASE WHEN s5.rn <= c.n7 THEN s5.rn - 1
+        |         ELSE c.n7 + (s5.rn - c.n7 - 1) // 2 END AS BIGINT),
+        |    CAST(CASE WHEN s5.rn <= c.n7 THEN 2
+        |         ELSE (s5.rn - c.n7 - 1) % 2 + 1 END AS INTEGER)
+        |  FROM s5, c)
+        |SELECT CAST(0 AS BIGINT) AS shard, pack_id, pack_pos, doc_id,
+        |  n_tokens, 0 AS truncated
+        |FROM asg ORDER BY pack_id, pack_pos""".stripMargin,
+
+    // q318: greedy replayed with the recursive-walk technique (md5
+    // arrival order, 1200 cap), BFD pack count closed-form (n7 packs
+    // + paired leftovers), fill as ONE exact-integer quotient
+    "q318_pack_compare" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 700 ELSE 500 END
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |    row_number() OVER (ORDER BY
+        |      ('0x' || substr(md5(':o:' || CAST(doc_id AS VARCHAR)),
+        |        1, 15))::BIGINT, doc_id) AS rn
+        |  FROM n),
+        |walk AS (
+        |  SELECT rn, doc_id, n_tokens,
+        |         CAST(0 AS BIGINT) AS pack, n_tokens AS fill
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.rn, r.doc_id, r.n_tokens,
+        |         CASE WHEN w.fill + r.n_tokens > 1200
+        |              THEN w.pack + 1 ELSE w.pack END,
+        |         CASE WHEN w.fill + r.n_tokens > 1200
+        |              THEN r.n_tokens ELSE w.fill + r.n_tokens END
+        |  FROM walk w JOIN r ON r.rn = w.rn + 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |  FROM n),
+        |gr AS (
+        |  SELECT CAST(count(DISTINCT pack) AS BIGINT) AS n_packs
+        |  FROM walk),
+        |cls AS (
+        |  SELECT CAST(sum(CASE WHEN n_tokens = 700 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n7,
+        |    CAST(sum(CASE WHEN n_tokens = 500 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n5
+        |  FROM n),
+        |bf AS (
+        |  SELECT n7 + CAST(ceil(
+        |      greatest(n5 - n7, 0) / 2.0) AS BIGINT) AS n_packs
+        |  FROM cls)
+        |SELECT packer, n_packs, n_docs, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / CAST(n_packs * 1200 AS DOUBLE)
+        |    AS fill_fraction
+        |FROM (
+        |  SELECT 'bfd' AS packer, bf.n_packs, tot.n_docs, tot.n_tokens
+        |  FROM bf, tot
+        |  UNION ALL
+        |  SELECT 'greedy', gr.n_packs, tot.n_docs, tot.n_tokens
+        |  FROM gr, tot)
+        |ORDER BY packer""".stripMargin,
 
     // q315: q307's parse plus the entity decode as an ordered literal
     // replace chain — named entities, the fixture's numeric literals,

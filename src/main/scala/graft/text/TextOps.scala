@@ -2810,6 +2810,132 @@ object TextOps {
       .withColumn(idCol, col(idCol).cast(idType))
   }
 
+  /** BEST-FIT-DECREASING sequence packing — the fill-efficiency
+    * alternative to [[packSequencesGreedy]]: within each md5 shard,
+    * documents are placed LARGEST FIRST, each into the open pack with
+    * the smallest remaining capacity that still fits (tightest fit;
+    * ties to the lowest pack id), opening a new pack only when none
+    * fits. Classic BFD bin packing — ≤ 11/9·OPT + 4 packs vs
+    * first-fit-in-arrival-order's looser bound, and in practice the
+    * pad-fraction lever at trainer scale ([[packCompare]] reports the
+    * win). The cost: pack contents no longer follow the arrival
+    * (resume-order) sequence — greedy remains the packer when the
+    * dataloader must replay ingest order.
+    *
+    * Oversized documents (> maxTokens) become singleton packs with
+    * `truncated` = 1 and never enter the pool. `openPool` bounds the
+    * best-fit state: when open packs exceed it, the fullest (smallest
+    * remaining — least likely to fit any future doc in a descending
+    * stream) is closed. Default 4096 packs ≈ tens of KB per task;
+    * with the bound the result is exact BFD whenever a shard's open
+    * packs stay under the pool, and a documented approximation past
+    * it — never an error.
+    *
+    * Scale shape: identical to greedy — one `repartition(shard)` +
+    * per-shard sort (here by size) + `mapPartitions` carrying
+    * O(openPool) state; only (id, shard, n_tokens) rows move, text
+    * never shuffles, parallelism = shard count. Output schema is
+    * [[packSequencesGreedy]]'s; pack ids are creation-ordered per
+    * shard. */
+  def packSequencesBfd(docs: DataFrame, maxTokens: Long,
+                       nShards: Int = 8, idCol: String = "doc_id",
+                       textCol: String = "text", seed: String = "",
+                       openPool: Int = 4096): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(openPool >= 1, "openPool must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val idType = docs.schema(idCol).dataType
+    val rows = trainingShards(docs, idCol, nShards, seed)
+      .select(col("shard"), col(idCol),
+        tokenCount(coalesce(col(textCol), lit(""))).cast("long")
+          .as("n_tokens"))
+      .repartition(nShards, col("shard"))
+      // DESCENDING size is the D in BFD; the SOURCE-TYPED id breaks
+      // ties (numeric ids order numerically — a post-cast string sort
+      // would silently flip equal-size placements) so the packing is
+      // deterministic run-over-run like greedy's
+      .sortWithinPartitions(col("shard"), col("n_tokens").desc,
+        col(idCol))
+      // projection AFTER the sort: a Project preserves row order
+      .select(col("shard"), col(idCol).cast("string").as("id"),
+        col("n_tokens"))
+      .as[(Long, String, Long)]
+    rows
+      .mapPartitions { it =>
+        // open-pack pool: remaining → ids (tightest fit = ceiling
+        // lookup), plus per-open-pack (fill, next pos) for emission
+        val byRemaining = new java.util.TreeMap[(Long, Long), Unit](
+          implicitly[Ordering[(Long, Long)]])
+        val state = new scala.collection.mutable.HashMap[
+          Long, (Long, Int)]
+        var shard = -1L
+        var nextPack = 0L
+        def reset(sh: Long): Unit = {
+          shard = sh; nextPack = 0L
+          byRemaining.clear(); state.clear()
+        }
+        it.map { case (sh, id, t) =>
+          if (sh != shard) reset(sh)
+          if (t > maxTokens) {
+            // oversized: singleton, truncated, never pooled
+            val p = nextPack; nextPack += 1
+            (sh, p, 1, id, t, 1)
+          } else {
+            val hit = byRemaining.ceilingKey((t, Long.MinValue))
+            if (hit != null) {
+              val (rem, p) = hit
+              byRemaining.remove(hit)
+              val (fill, pos) = state(p)
+              val nFill = fill + t
+              state(p) = (nFill, pos + 1)
+              byRemaining.put((rem - t, p), ())
+              (sh, p, pos + 1, id, t, 0)
+            } else {
+              val p = nextPack; nextPack += 1
+              state(p) = (t, 1)
+              byRemaining.put((maxTokens - t, p), ())
+              if (byRemaining.size > openPool) {
+                val evict = byRemaining.firstKey() // smallest remaining
+                byRemaining.remove(evict)
+                state.remove(evict._2)
+              }
+              (sh, p, 1, id, t, 0)
+            }
+          }
+        }
+      }
+      .toDF("shard", "pack_id", "pack_pos", idCol, "n_tokens",
+        "truncated")
+      .withColumn(idCol, col(idCol).cast(idType))
+  }
+
+  /** FILL-EFFICIENCY comparison of the two packers on one corpus —
+    * the report that prices the greedy-vs-BFD choice: per packer, the
+    * pack count, doc and token totals, and the fill fraction (total
+    * tokens over total capacity, ONE exact-integer quotient). BFD's
+    * row is the pad-fraction win; greedy's is the cost of keeping
+    * arrival order. Two packing passes + two |packs|-row aggregations;
+    * nothing else moves. */
+  def packCompare(docs: DataFrame, maxTokens: Long, nShards: Int = 8,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  seed: String = ""): DataFrame = {
+    def summarize(packed: DataFrame, packer: String): DataFrame =
+      packed.groupBy(col("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("nd"), sum("n_tokens").as("nt"))
+        .agg(count(lit(1)).as("n_packs"),
+          sum("nd").as("n_docs"), sum("nt").as("n_tokens"))
+        .select(lit(packer).as("packer"), col("n_packs"),
+          col("n_docs"), col("n_tokens"),
+          (col("n_tokens").cast("double") /
+            (col("n_packs") * lit(maxTokens)).cast("double"))
+            .as("fill_fraction"))
+    summarize(packSequencesGreedy(docs, maxTokens, nShards, idCol,
+        textCol, seed), "greedy")
+      .unionByName(summarize(packSequencesBfd(docs, maxTokens, nShards,
+        idCol, textCol, seed), "bfd"))
+  }
+
   /** PACK MANIFEST over [[packSequencesGreedy]]' assignment — the two
     * things a training loader needs per packed sequence: the DOCUMENT
     * BOUNDARY offsets (token positions where one doc ends and the next

@@ -3762,6 +3762,85 @@ class ExtensionsSpec extends SparkSpec {
     assert(byId(3L) == ((3L, 0L, 0.0)))
   }
 
+  test("packSequencesBfd: invariants (capacity, contiguous ids, " +
+    "positions), tightest-fit placement, fill >= greedy on a " +
+    "fragmented mix, oversized truncated singletons, bounded pool " +
+    "still packs validly, determinism") {
+    val docs = (0L until 60L).map(i =>
+      (i, Seq.fill(5 + (i * 13 % 30).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    def collectPacks(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getInt(5)))
+    val got = collectPacks(TextOps.packSequencesBfd(docs,
+      maxTokens = 40, nShards = 2))
+    assert(got.length == 60)
+    got.groupBy(t => (t._1, t._2)).foreach { case ((sh, p), rows) =>
+      val total = rows.map(_._5).sum
+      assert(total <= 40 || rows.length == 1,
+        s"pack ($sh,$p) holds $total tokens across ${rows.length} docs")
+    }
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val packs = rows.map(_._2).distinct.sorted.toSeq
+      assert(packs == (0L until packs.length).toSeq)
+      rows.groupBy(_._2).values.foreach { pr =>
+        assert(pr.map(_._3).sorted.toSeq == (1 to pr.length).toSeq)
+      }
+    }
+    // within each shard the walk is size-descending: a pack's pos-1
+    // doc is at least as large as any later-opened pack's pos-1 doc
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val openers = rows.filter(_._3 == 1).sortBy(_._2).map(_._5)
+      assert(openers.zip(openers.drop(1)).forall { case (a, b) => a >= b },
+        s"openers not descending: ${openers.toSeq}")
+    }
+    // BFD fill >= greedy on the same corpus (fewer or equal packs)
+    val greedyPacks = collectPacks(TextOps.packSequencesGreedy(docs,
+      maxTokens = 40, nShards = 2)).map(t => (t._1, t._2)).distinct.length
+    val bfdPacks = got.map(t => (t._1, t._2)).distinct.length
+    assert(bfdPacks <= greedyPacks,
+      s"bfd $bfdPacks packs vs greedy $greedyPacks")
+    // tightest fit: with packs at remaining 5 and 12, a 5-token doc
+    // joins the remaining-5 pack, not the emptier one
+    val tight = Seq((0L, 35), (1L, 28), (2L, 5)).map { case (i, n) =>
+      (i, Seq.fill(n)("w").mkString(" ")) }.toDF("doc_id", "text")
+    val tg = collectPacks(TextOps.packSequencesBfd(tight,
+      maxTokens = 40, nShards = 1))
+    val packOf = tg.map(t => t._4 -> t._2).toMap
+    assert(packOf(2L) == packOf(0L) && packOf(1L) != packOf(0L),
+      s"got $tg")
+    // determinism
+    val again = collectPacks(TextOps.packSequencesBfd(docs,
+      maxTokens = 40, nShards = 2))
+    assert(again.sortBy(_._4).toSeq == got.sortBy(_._4).toSeq)
+    // oversized docs become truncated singletons and never pool
+    val big = Seq((1L, Seq.fill(99)("w").mkString(" ")),
+      (2L, "small doc here")).toDF("doc_id", "text")
+    val rows2 = collectPacks(TextOps.packSequencesBfd(big,
+      maxTokens = 40, nShards = 1))
+    val byId2 = rows2.map(t => t._4 -> t).toMap
+    assert(byId2(1L)._6 == 1 && byId2(1L)._3 == 1)
+    assert(byId2(2L)._6 == 0 && byId2(2L)._2 != byId2(1L)._2)
+    // a 1-pack pool still yields a VALID packing (approximation may
+    // open more packs, never an overfull or malformed one)
+    val pooled = collectPacks(TextOps.packSequencesBfd(docs,
+      maxTokens = 40, nShards = 2, openPool = 1))
+    assert(pooled.length == 60)
+    pooled.groupBy(t => (t._1, t._2)).foreach { case ((sh, p), rows) =>
+      val total = rows.map(_._5).sum
+      assert(total <= 40 || rows.length == 1,
+        s"pooled pack ($sh,$p) holds $total tokens")
+    }
+    // the comparison report prices the two packers consistently
+    val cmp = TextOps.packCompare(docs, maxTokens = 40, nShards = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(cmp("bfd")._1 == bfdPacks.toLong &&
+      cmp("greedy")._1 == greedyPacks.toLong)
+    assert(cmp("bfd")._2 == 60L && cmp("greedy")._2 == 60L)
+    assert(cmp("bfd")._4 >= cmp("greedy")._4, s"got $cmp")
+  }
+
   test("packSequencesGreedy: no pack exceeds the capacity except " +
     "oversized singletons, packs are contiguous per shard, the walk " +
     "follows the trainingShards order") {
