@@ -233,8 +233,20 @@ object Pipelines {
                  extractHtml: Boolean = false,
                  okStatusOnly: Boolean = false,
                  contentTypes: Option[Seq[String]] = None,
-                 decodeCharset: Boolean = false): DataFrame = {
+                 decodeCharset: Boolean = false,
+                 planUrls: Option[DataFrame] = None): DataFrame = {
     import graft.text.TextOps
+    // planUrls: restrict ingest to a fetch plan's URLs (a `url` column
+    // — [[frontierFetchPlan]]'s output or any allow-list): the local
+    // replay of the range-request fetcher, which reads ONLY planned
+    // records. Plans are list-sized, so the gate is one broadcast
+    // semi-join on the target URI — applied before any payload work.
+    def planGate(df: DataFrame): DataFrame = planUrls match {
+      case None => df
+      case Some(p) => df.join(
+        broadcast(p.select(col("url").as("target_uri")).distinct()),
+        Seq("target_uri"), "left_semi")
+    }
     // decodeCharset: route through the binary charset-aware scan
     // (Warc.recordsDecoded) — non-UTF-8 bodies (ISO-8859-x, Shift_JIS,
     // GBK ...) are decoded by their DECLARED charset instead of
@@ -242,10 +254,11 @@ object Pipelines {
     // gains a `decode_ok` flag (0 = fell back to U+FFFD replacement)
     // for the damage gate to consume.
     if (decodeCharset) {
-      return shapeDecodedWarc(graft.io.Warc.recordsDecoded(spark, path),
+      return shapeDecodedWarc(
+        planGate(graft.io.Warc.recordsDecoded(spark, path)),
         types, extractHtml, okStatusOnly, contentTypes)
     }
-    val recs0 = graft.io.Warc.records(spark, path)
+    val recs0 = planGate(graft.io.Warc.records(spark, path))
       .filter(col("warc_type").isin(types: _*))
     // okStatusOnly: drop response records whose envelope is not a 2xx —
     // 404 bodies and redirect stubs poison a text corpus; records
@@ -863,6 +876,27 @@ object Pipelines {
     * Scale shape: map-side parse, one |children|-row groupBy (child
     * sitemap counts are host-scale, orders below page counts), one
     * anti-join on url. Page payloads never enter. */
+  /** E10 → E6 bridge: scope an archive FETCH PLAN to the frontier —
+    * the step that closes the discovery loop when the corpus already
+    * holds captures (Common-Crawl-style reuse: fetch from the archive,
+    * not the live site). CDX records digest-dedup first (duplicate
+    * content keeps its earliest capture), restrict to the frontier's
+    * URLs (one semi-join — the frontier is the small side at any
+    * scale, but the join is url-keyed either way), then
+    * [[graft.io.Cdx.planFetch]] orders each archive's wanted records
+    * by byte offset: one monotone range-request sweep per WARC.
+    * Output: (filename, fetch_seq, offset, length, url, digest).
+    * Feed the plan's urls to [[ingestWarc]]'s `planUrls` to replay
+    * the fetch locally, then [[curate]] — frontier → plan → ingest →
+    * curate, the full E10→E6 composition (PipelineSpec pins it). */
+  def frontierFetchPlan(frontier: DataFrame, cdxRecords: DataFrame,
+                        okStatusOnly: Boolean = true): DataFrame =
+    graft.io.Cdx.planFetch(
+      graft.io.Cdx.dedupByDigest(cdxRecords)
+        .join(frontier.select(col("url")).distinct(), Seq("url"),
+          "left_semi"),
+      okStatusOnly)
+
   def sitemapFrontier(sitemaps: DataFrame, fetched: DataFrame,
                       xmlCol: String = "xml",
                       fetchedUrlCol: String = "url"): DataFrame =

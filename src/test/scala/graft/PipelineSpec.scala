@@ -887,6 +887,84 @@ class PipelineSpec extends SparkSpec {
       ("b.com", 1, "https://b.com/q", None, None)), s"got $got")
   }
 
+  test("E10 -> E6 golden: frontier -> archive fetch plan -> planned " +
+    "WARC ingest -> curate, one fixture through all four stages — " +
+    "digest dedup keeps the earliest capture, non-200 gated, each " +
+    "archive one offset-ordered sweep, only planned records ingested") {
+    // stage 1: discovery — sitemap + robots + captured -> frontier
+    val sitemaps = Seq(
+      "<urlset><url><loc>https://a.com/p/1</loc></url>" +
+        "<url><loc>https://a.com/p/2</loc></url>" +
+        "<url><loc>https://a.com/p/esc?x=1&amp;y=2</loc></url>" +
+        "<url><loc>https://a.com/p/3</loc></url>" +
+        "<url><loc>https://a.com/blocked/x</loc></url></urlset>")
+      .toDF("xml")
+    val robots = Seq(("a.com", "User-agent: *\nDisallow: /blocked\n"))
+      .toDF("host", "body")
+    val captured = Seq("https://a.com/p/3").toDF("url")
+    val frontier = Pipelines.frontierPlan(sitemaps, robots, captured)
+    val fUrls = frontier.select("url").as[String].collect().toSet
+    assert(fUrls == Set("https://a.com/p/1", "https://a.com/p/2",
+      "https://a.com/p/esc?x=1&y=2"), s"got $fUrls")
+    // stage 2: the CDX index scopes to the frontier — a duplicate
+    // digest (earliest capture wins), a 404 capture, an unplanned URL,
+    // and out-of-order offsets across two archives
+    val cdx = Seq(
+      // seg-1: /p/2 at offset 900, /p/1 at 100 -> sweep reorders
+      ("a)/p/2", "20240102000000", "https://a.com/p/2", 200,
+        "sha1:D2", 300L, 900L, "seg-1.warc"),
+      ("a)/p/1", "20240101000000", "https://a.com/p/1", 200,
+        "sha1:D1", 300L, 100L, "seg-1.warc"),
+      // /p/1 re-capture, same digest, LATER timestamp -> dropped
+      ("a)/p/1", "20240105000000", "https://a.com/p/1", 200,
+        "sha1:D1", 300L, 500L, "seg-2.warc"),
+      // planned URL whose capture is a 404 -> gated out of the plan
+      ("a)/p/esc?x=1&y=2", "20240103000000",
+        "https://a.com/p/esc?x=1&y=2", 404,
+        "sha1:D3", 300L, 200L, "seg-2.warc"),
+      // unplanned URL (not on the frontier) -> never planned
+      ("a)/other", "20240104000000", "https://a.com/other", 200,
+        "sha1:D4", 300L, 50L, "seg-2.warc"))
+      .toDF("urlkey", "timestamp", "url", "status", "digest",
+        "length", "offset", "filename")
+    val plan = Pipelines.frontierFetchPlan(frontier, cdx)
+    val planRows = plan.orderBy("filename", "fetch_seq").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getString(4))).toSeq
+    assert(planRows == Seq(
+      ("seg-1.warc", 1, 100L, "https://a.com/p/1"),
+      ("seg-1.warc", 2, 900L, "https://a.com/p/2")), s"got $planRows")
+    // stage 3: planned ingest — the archive also holds the captured
+    // /p/3 and the unplanned /other; only planned records land
+    def rec(uri: String, rid: String, body: String): String =
+      s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+        s"WARC-Target-URI: $uri\r\nWARC-Record-ID: <urn:uuid:$rid>\r\n" +
+        s"WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+        s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n" +
+        s"$body\r\n\r\n"
+    val t1 = "the quick brown fox jumps over the lazy dog and then " +
+      "it runs far away to the old stone house by the river bank"
+    val t2 = "an entirely different but still quite reasonable english " +
+      "sentence that it is for the test and with many of the words"
+    val warc = rec("https://a.com/p/1", "r1", t1) +
+      rec("https://a.com/p/2", "r2", t2) +
+      rec("https://a.com/p/3", "r3", "already captured page text") +
+      rec("https://a.com/other", "r4", "unplanned page text here")
+    val dir = java.nio.file.Files.createTempDirectory("graft_e10e6")
+    val wf = dir.resolve("seg-1.warc")
+    java.nio.file.Files.write(wf, warc.getBytes("UTF-8"))
+    val docs = Pipelines.ingestWarc(spark, wf.toString,
+      planUrls = Some(plan))
+    val ingested = docs.select("text").as[String].collect().toSet
+    assert(ingested == Set(t1, t2), s"got $ingested")
+    assert(docs.select("source").as[String].collect().toSet ==
+      Set("a.com"))
+    // stage 4: curate the planned ingest — both survive the gates
+    val curated = Pipelines.curate(docs)
+    assert(curated.select("text").as[String].collect().toSet ==
+      Set(t1, t2))
+  }
+
   test("E10 two-hop: an INDEX-rooted host flows end to end — " +
     "sitemapFrontier surfaces the nested sitemaps (fetched ledger " +
     "anti-joined, lastmod max-merged across indexes), the fetched " +
