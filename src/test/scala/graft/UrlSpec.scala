@@ -188,8 +188,18 @@ class UrlSpec extends SparkSpec {
     assert(rd("a.duka.co.rw") == "duka.co.rw")
     assert(rd("www.sharika.com.ly") == "sharika.com.ly")
     assert(rd("x.sebaka.co.ls") == "sebaka.co.ls")
+    // round-15 expansion tails (VERDICT r14 item 7): .no municipality
+    // second levels (the PSL's famous long tail), the gs.<county>
+    // primary-school scheme, remaining delegated gTLDs
+    assert(rd("www.barnehage.voss.no") == "barnehage.voss.no")
+    assert(rd("x.kultur.tromso.no") == "kultur.tromso.no")
+    assert(rd("a.etat.ringerike.no") == "etat.ringerike.no")
+    assert(rd("x.skole.gs.oslo.no") == "skole.gs.oslo.no")
+    assert(rd("a.b.gs.mr.no") == "b.gs.mr.no")
+    assert(rd("www.fond.fund") == "fond.fund")
+    assert(rd("x.cabinet.associates") == "cabinet.associates")
     // rule count reflects the expansion
-    assert(psl.size > 2300, s"snapshot shrank: ${psl.size}")
+    assert(psl.size > 2600, s"snapshot shrank: ${psl.size}")
     // the excerpt fixture still loads independently
     assert(UrlOps.PslExcerptSuffixes.nonEmpty &&
       UrlOps.PslExcerptSuffixes.size < psl.size)
