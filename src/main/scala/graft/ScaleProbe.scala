@@ -390,6 +390,10 @@ object ScaleProbe {
         "pack_bfd" -> { d =>
           TextOps.packSequencesBfd(d, maxTokens = 512)
             .agg(sum("pack_id"), max("pack_pos")).head(); 1L },
+        "pack_grouped" -> { d =>
+          TextOps.packSequencesGreedy(d, maxTokens = 512,
+              groupCol = Some("source"))
+            .agg(sum("pack_id"), max("pack_pos")).head(); 1L },
         "pack_manifest" -> { d =>
           TextOps.packManifest(
               TextOps.packSequencesGreedy(d, maxTokens = 512),
@@ -1084,6 +1088,11 @@ object ScaleProbe {
         "semdedup_label" -> { d =>
           Dedup.semDeDup(d, blockCol = "label", minCosine = 0.99).count() },
         "quantize_int8" -> { d => Similarity.quantizeInt8(d).count() },
+        "hamming_topk_q16" -> { d =>
+          val bin = Similarity.quantizeBinary(d)
+          val q = bin.filter(col("vec_id") < 16)
+            .select(col("vec_id").as("q_id"), col("bvec").as("q_bvec"))
+          Similarity.hammingTopK(bin, q, k = 10).count() },
         "hard_negatives" -> { d =>
           Similarity.hardNegatives(d, k = 3, planes = 6)
             .agg(sum("cosine"), count(lit(1))).head(); 1L },

@@ -3685,6 +3685,49 @@ object SparkEntry {
         .orderBy("host", "fetch_seq")
     }),
 
+    // McNEMAR'S TEST — the paired-eval significance check beside the
+    // agreement family (kappa/alpha): only discordant pairs carry
+    // signal; continuity-corrected chi-square, exact-integer counts,
+    // ONE edge division (the Brier recipe)
+    "q319_mcnemar" -> ((s, dir) =>
+      ops.Quality.mcnemar(
+        t(s, dir, "documents").select(
+          (col("doc_id") % 3 =!= 0).cast("int").as("a_correct"),
+          (col("doc_id") % 4 =!= 0).cast("int").as("b_correct")))),
+
+    // GROUP-AFFINE packing — the in-context-pretraining layout: the
+    // greedy walk visits `source` groups contiguously (md5 order
+    // within each), so packs hold related docs; same capacity rule,
+    // same shards, only the visit order changes
+    "q320_pack_grouped" -> ((s, dir) =>
+      TextOps.packSequencesGreedy(t(s, dir, "documents"),
+          maxTokens = 512, nShards = 4, groupCol = Some("source"))
+        .orderBy("shard", "pack_id", "pack_pos")),
+
+    // BINARY (sign-bit) embedding quantization — 32 bits per BIGINT
+    // word, the 32-64x storage cut for the RAM-resident Hamming
+    // rerank front; words + popcount summary per vector
+    "q321_quantize_binary" -> ((s, dir) =>
+      graft.ml.Similarity.quantizeBinary(t(s, dir, "embeddings"))
+        .select(col("vec_id"),
+          element_at(col("bvec"), 1).as("w0"),
+          element_at(col("bvec"), 2).as("w1"),
+          aggregate(col("bvec"), lit(0L),
+            (acc, w) => acc + bit_count(w).cast("long")).as("n_bits"))
+        .orderBy("vec_id")),
+
+    // BINARY ANN serving — Hamming top-5 for a 3-query batch over the
+    // sign-quantized corpus: queries broadcast, XOR+popcount scored
+    // map-side, bounded TopK state (only queries*k rows shuffle)
+    "q322_hamming_topk" -> ((s, dir) => {
+      val embsBin = graft.ml.Similarity.quantizeBinary(
+        t(s, dir, "embeddings"))
+      val queries = embsBin.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("bvec").as("q_bvec"))
+      graft.ml.Similarity.hammingTopK(embsBin, queries, k = 5)
+        .orderBy("q_id", "rk")
+    }),
+
     // BEST-FIT-DECREASING packing — the fill-efficiency packer beside
     // the greedy arrival-order one. The fixture is ENGINEERED for a
     // closed-form oracle: two length classes (700 on %3, 500 else)
@@ -11705,6 +11748,105 @@ object SparkEntry {
         |    AS INTEGER) AS fetch_seq,
         |  url
         |FROM u ORDER BY host, fetch_seq""".stripMargin,
+
+    // q319: four conditional integer sums + the continuity-corrected
+    // quotient — same shape on both engines
+    "q319_mcnemar" ->
+      """WITH p AS (
+        |  SELECT CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS a,
+        |         CASE WHEN doc_id % 4 <> 0 THEN 1 ELSE 0 END AS b
+        |  FROM documents),
+        |g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_both_right,
+        |    CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_both_wrong,
+        |    CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c
+        |  FROM p)
+        |SELECT n, n_both_right, n_both_wrong, b, c,
+        |  CASE WHEN b + c > 0 THEN
+        |    CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+        |      / CAST(b + c AS DOUBLE) END AS chi2
+        |FROM g""".stripMargin,
+
+    // q320: the greedy recursive walk with the GROUP-contiguous visit
+    // order — source first, md5 order within it, same capacity rule
+    "q320_pack_grouped" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(':' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      ::BIGINT % 4 AS shard,
+        |    ('0x' || substr(md5(':o:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT AS ord,
+        |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY shard
+        |      ORDER BY coalesce(source, ''), ord, doc_id) AS rn
+        |  FROM d),
+        |walk AS (
+        |  SELECT shard, rn, doc_id, n_tokens,
+        |         CAST(0 AS BIGINT) AS pack, n_tokens AS fill, 1 AS pos
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.shard, r.rn, r.doc_id, r.n_tokens,
+        |         CASE WHEN w.fill > 0 AND w.fill + r.n_tokens > 512
+        |              THEN w.pack + 1 ELSE w.pack END,
+        |         CASE WHEN w.fill > 0 AND w.fill + r.n_tokens > 512
+        |              THEN r.n_tokens ELSE w.fill + r.n_tokens END,
+        |         CASE WHEN w.fill > 0 AND w.fill + r.n_tokens > 512
+        |              THEN 1 ELSE w.pos + 1 END
+        |  FROM walk w JOIN r ON r.shard = w.shard AND r.rn = w.rn + 1)
+        |SELECT shard, pack AS pack_id, pos AS pack_pos, doc_id,
+        |  n_tokens,
+        |  CASE WHEN n_tokens > 512 THEN 1 ELSE 0 END AS truncated
+        |FROM walk ORDER BY shard, pack_id, pack_pos""".stripMargin,
+
+    // q321: the same sign-bit packing rebuilt from the raw floats —
+    // 32 bits per word, bit j of word w = embedding[32w+j+1] > 0
+    "q321_quantize_binary" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |b AS (
+        |  SELECT vec_id, i.i AS i,
+        |    CASE WHEN e[i.i] > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM v, (SELECT unnest(generate_series(1, 64)) AS i) i)
+        |SELECT vec_id,
+        |  CAST(sum(CASE WHEN i <= 32
+        |    THEN bit * (1::BIGINT << (i - 1)) ELSE 0 END) AS BIGINT)
+        |    AS w0,
+        |  CAST(sum(CASE WHEN i > 32
+        |    THEN bit * (1::BIGINT << (i - 33)) ELSE 0 END) AS BIGINT)
+        |    AS w1,
+        |  CAST(sum(bit) AS BIGINT) AS n_bits
+        |FROM b GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // q322: Hamming = count of sign disagreements (identical to
+    // popcount-of-XOR over the packed words); rank (distance, id)
+    "q322_hamming_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 3),
+        |ham AS (
+        |  SELECT q.q_id, v.vec_id,
+        |    CAST(sum(CASE WHEN (q.qe[i.i] > 0) <> (v.e[i.i] > 0)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |  FROM v, q, (SELECT unnest(generate_series(1, 64)) AS i) i
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT q_id, vec_id, hamming,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY hamming, vec_id) AS rk
+        |  FROM ham)
+        |SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, hamming
+        |FROM rk WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
 
     // q317: the engineered closed form — 700s open their own packs in
     // id order (pack rn-1, pos 1), 500s tight-fit into them in id

@@ -438,6 +438,69 @@ object Similarity {
         transform(v, x => round(x * col("qscale")).cast("int")))
   }
 
+  /** BINARY (sign-bit) quantization of an embedding column: bit j of
+    * word w is set iff v[32w+j] > 0 — 32 bits per BIGINT word (bit 31
+    * is the largest used, so no sign-bit hazard crosses engines),
+    * ⌈dim/32⌉ words per vector. The 32-64× storage cut under int8's
+    * 4-8×: at 100 TB the binary corpus is the RAM-resident rerank
+    * front — Hamming distance approximates angle for mean-centered
+    * embeddings (the SimHash argument applied to the vectors
+    * themselves), and [[hammingTopK]] scans it with pure bit ops.
+    * Map-only projection; all-zero/negative coordinates give 0 words.
+    * Returns the input plus `bvec ARRAY<BIGINT>`. */
+  def quantizeBinary(embs: DataFrame, vecCol: String = "embedding",
+                     dim: Int = DefaultDim): DataFrame = {
+    require(dim >= 1, s"dim must be positive, got $dim")
+    val v = col(vecCol).cast("array<double>")
+    val words = (dim + 31) / 32
+    val wordCols = (0 until words).map { w =>
+      val lo = w * 32
+      (0 until math.min(32, dim - lo)).map { j =>
+        when(element_at(v, lo + j + 1) > 0, lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    embs.withColumn("bvec", array(wordCols: _*))
+  }
+
+  /** Hamming distance between two packed bit vectors
+    * ([[quantizeBinary]]'s form): Σ over words of
+    * popcount(a XOR b) — pure integer bit ops, codegen'd. */
+  def hammingDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0L), (acc, d) => acc + d.cast("long"))
+
+  /** Batched BINARY ANN serving — [[batchTopK]]'s shape over
+    * [[quantizeBinary]] vectors: queries broadcast, Hamming scored
+    * map-side (XOR + popcount per word — no doubles anywhere in the
+    * hot loop), the bounded TopK aggregator keeps fixed per-query
+    * state so only queries·k rows shuffle. Distance ASCENDING, ties
+    * to the smallest id. The production pattern is
+    * binary-scan-then-rerank: take this top-k' (k' ≈ 4-10×k), rerank
+    * the survivors with exact cosine on the full vectors. */
+  def hammingTopK(embsBin: DataFrame, queriesBin: DataFrame, k: Int,
+                  idCol: String = "vec_id", vecCol: String = "bvec",
+                  qIdCol: String = "q_id", qVecCol: String = "q_bvec")
+      : DataFrame = {
+    val q = broadcast(queriesBin.select(col(qIdCol).as("q_id"),
+      col(qVecCol).as("qb")))
+    val scored = embsBin
+      .select(col(idCol).as("nid"), col(vecCol).as("b"))
+      .crossJoin(q)
+      .select(col("q_id"),
+        // TopK keeps the LARGEST scores — negate so the smallest
+        // distance wins; ties fall to the aggregator's id-asc rule
+        (-hammingDist(col("b"), col("qb")).cast("double")).as("score"),
+        col("nid"))
+    scored.groupBy("q_id")
+      .agg(graft.ops.Aggregators.topK(k)(col("score"), col("nid"))
+        .as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rk"),
+        col("col.id").as(idCol),
+        (-col("col.score")).cast("long").as("hamming"))
+  }
+
   /** Plan-literal budget for [[assignToCentroids]]: centroid sets whose
     * total double count stays under this inline as literals (smallest
     * plan, fully codegen'd); larger sets route to the broadcast-backed

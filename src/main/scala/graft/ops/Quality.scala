@@ -420,4 +420,39 @@ object Quality {
           (nd * col("n_agree").cast("double") - sd) / (nd * nd - sd))
           .otherwise(lit(null).cast("double")).as("kappa")): _*)
   }
+
+  /** McNEMAR'S TEST over paired per-item correctness — the eval-harness
+    * question the accuracy delta alone cannot answer: did system B
+    * genuinely beat system A, or did the two just disagree randomly?
+    * Only the DISCORDANT pairs carry signal: b = items A got right and
+    * B wrong, c = the reverse. One summary row: n, n_both_right,
+    * n_both_wrong, b, c, and the continuity-corrected statistic
+    * χ² = (|b−c|−1)²/(b+c) (Edwards' correction — the standard eval
+    * form; 1 df, 3.841 ≈ p 0.05), null when b = c = 0 (no discordance,
+    * no evidence either way). For b+c < ~25 the exact binomial on
+    * (b, b+c) is the textbook fallback — b and c are in the output
+    * precisely so a caller can apply it.
+    *
+    * Bit-portable: four exact-integer conditional sums (the Brier
+    * recipe), ONE division at the edge. Scale shape: one
+    * map-side-combined aggregation over the corpus; nothing else
+    * moves. */
+  def mcnemar(df: DataFrame, aCol: String = "a_correct",
+              bCol: String = "b_correct"): DataFrame = {
+    val labeled = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+    val a = col(aCol).cast("long"); val b0 = col(bCol).cast("long")
+    labeled
+      .agg(count(lit(1)).as("n"),
+        sum(when(a === 1L && b0 === 1L, 1L).otherwise(0L))
+          .as("n_both_right"),
+        sum(when(a === 0L && b0 === 0L, 1L).otherwise(0L))
+          .as("n_both_wrong"),
+        sum(when(a === 1L && b0 === 0L, 1L).otherwise(0L)).as("b"),
+        sum(when(a === 0L && b0 === 1L, 1L).otherwise(0L)).as("c"))
+      .withColumn("chi2",
+        when(col("b") + col("c") > 0,
+          ((abs(col("b") - col("c")) - 1) *
+            (abs(col("b") - col("c")) - 1)).cast("double")
+            / (col("b") + col("c")).cast("double")))
+  }
 }

@@ -2773,10 +2773,20 @@ object TextOps {
     * parallelism = shard count, the same knob that sizes the training
     * read. Only (id, shard, order, n_tokens) rows move — text never
     * shuffles. */
+  /** @param groupCol optional AFFINITY column (source, topic, cluster
+    *                  label): within each shard the walk visits groups
+    *                  contiguously (group, then the md5 order inside
+    *                  it), so packs hold RELATED documents and straddle
+    *                  group boundaries only at group edges — the
+    *                  in-context-pretraining layout (Shi et al. 2023:
+    *                  related docs in one context window beat random
+    *                  packing). `None` (default) keeps the plain md5
+    *                  arrival order — bit-identical to before. */
   def packSequencesGreedy(docs: DataFrame, maxTokens: Long,
                           nShards: Int = 8, idCol: String = "doc_id",
                           textCol: String = "text",
-                          seed: String = ""): DataFrame = {
+                          seed: String = "",
+                          groupCol: Option[String] = None): DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -2786,14 +2796,27 @@ object TextOps {
     // source dtype on output so numeric callers see their own type.
     val idType = docs.schema(idCol).dataType
     val rows = trainingShards(docs, idCol, nShards, seed)
-      .select(col("shard"), col("shard_order"),
-        col(idCol).cast("string").as("id"),
+      .select((col("shard") +: col("shard_order") +:
+        col(idCol).cast("string").as("id") +:
         tokenCount(coalesce(col(textCol), lit(""))).cast("long")
-          .as("n_tokens"))
+          .as("n_tokens") +:
+        groupCol.map(g => coalesce(col(g).cast("string"), lit(""))
+          .as("_grp")).toSeq): _*)
+    val ordered = groupCol match {
+      case None => rows
+        .repartition(nShards, col("shard"))
+        .sortWithinPartitions("shard", "shard_order", "id")
+      case Some(_) => rows
+        .repartition(nShards, col("shard"))
+        // group-contiguous walk: same shard assignment, same md5 order
+        // WITHIN a group — only the visit order of groups changes
+        .sortWithinPartitions("shard", "_grp", "shard_order", "id")
+        .drop("_grp")
+    }
+    ordered
+      .select(col("shard"), col("shard_order"), col("id"),
+        col("n_tokens"))
       .as[(Long, Long, String, Long)]
-    rows
-      .repartition(nShards, col("shard"))
-      .sortWithinPartitions("shard", "shard_order", "id")
       .mapPartitions { it =>
         var shard = -1L; var pack = 0L; var fill = 0L; var pos = 0
         it.map { case (sh, _, id, t) =>

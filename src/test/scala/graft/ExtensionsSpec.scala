@@ -3762,6 +3762,106 @@ class ExtensionsSpec extends SparkSpec {
     assert(byId(3L) == ((3L, 0L, 0.0)))
   }
 
+  test("packSequencesGreedy groupCol: sources pack contiguously " +
+    "within each shard (a finished group never reappears), the same " +
+    "capacity rule holds, and groupCol = None is bit-identical to the " +
+    "ungrouped walk") {
+    val docs = (0L until 60L).map(i =>
+      (i, s"src${i % 5}", Seq.fill(5 + (i * 7 % 25).toInt)("w")
+        .mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val grouped = TextOps.packSequencesGreedy(docs, maxTokens = 40,
+      nShards = 2, groupCol = Some("source"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .orderBy("shard", "pack_id", "pack_pos")
+      .collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("pack_id"),
+        r.getAs[Int]("pack_pos"), r.getAs[Long]("n_tokens"),
+        r.getAs[String]("source")))
+    assert(grouped.length == 60)
+    // capacity rule unchanged
+    grouped.groupBy(t => (t._1, t._2)).foreach { case ((sh, p), rows) =>
+      val total = rows.map(_._4).sum
+      assert(total <= 40 || rows.length == 1,
+        s"pack ($sh,$p) holds $total tokens")
+    }
+    // contiguity: within a shard's walk order, a source's docs form
+    // ONE run — once it ends it never reappears
+    grouped.groupBy(_._1).foreach { case (sh, rows) =>
+      val walk = rows.sortBy(t => (t._2, t._3)).map(_._5)
+      val runs = walk.foldLeft(List.empty[String]) { (acc, s) =>
+        if (acc.headOption.contains(s)) acc else s :: acc }
+      assert(runs.length == runs.distinct.length,
+        s"shard $sh interleaves sources: $walk")
+    }
+    // None keeps the prior walk exactly
+    val a = TextOps.packSequencesGreedy(docs, maxTokens = 40,
+      nShards = 2).collect().map(_.toSeq).sortBy(_.toString)
+    val b = TextOps.packSequencesGreedy(docs, maxTokens = 40,
+      nShards = 2, groupCol = None).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("quantizeBinary + hammingTopK: hand-checked bit packing (32 " +
+    "bits per word, no sign-bit hazard), packed-XOR popcount equals " +
+    "the naive sign-disagreement count, self-distance 0, ascending " +
+    "rank with id tie-break") {
+    import graft.ml.Similarity
+    // dim 4 -> one word; v0 = 1010 (bits 0,2) = 5
+    val hand = Seq(
+      (0L, Seq(1.0f, -1.0f, 2.0f, 0.0f)),   // bits {0,2} -> 5
+      (1L, Seq(-1.0f, 3.0f, -2.0f, 4.0f)),  // bits {1,3} -> 10
+      (2L, Seq(1.0f, 3.0f, 2.0f, 4.0f)),    // all -> 15
+      (3L, Seq(0.0f, 0.0f, 0.0f, 0.0f)))    // none -> 0
+      .toDF("vec_id", "embedding")
+    val hb = Similarity.quantizeBinary(hand, dim = 4)
+      .select(col("vec_id"), element_at(col("bvec"), 1).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hb == Map(0L -> 5L, 1L -> 10L, 2L -> 15L, 3L -> 0L),
+      s"got $hb")
+    // bit 31 boundary: a positive coordinate at position 32 sets the
+    // word's top used bit WITHOUT going negative; position 33 starts
+    // word 2
+    val wide = Seq((0L, (Seq.fill(31)(-1.0f) :+ 1.0f :+ 1.0f) ++
+      Seq.fill(31)(-1.0f))).toDF("vec_id", "embedding")
+    val ww = Similarity.quantizeBinary(wide, dim = 64)
+      .select(element_at(col("bvec"), 1), element_at(col("bvec"), 2))
+      .head()
+    assert(ww.getLong(0) == (1L << 31) && ww.getLong(1) == 1L,
+      s"got $ww")
+    // packed hamming == naive sign disagreement on the 64-dim corpus
+    val embs = (0L until 50L).map { i =>
+      (i, (0 until 64).map(j =>
+        (((i * 31 + j * 17) % 13) - 6).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val bin = Similarity.quantizeBinary(embs).cache()
+    val queries = bin.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("q_id"), col("bvec").as("q_bvec"))
+    val got = Similarity.hammingTopK(bin, queries, k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // self is always rank 1 at distance 0
+    assert(got.filter(_._2 == 1).map(t => (t._1, t._3, t._4)).toSet ==
+      Set((0L, 0L, 0L), (1L, 1L, 0L)), s"got $got")
+    // naive recomputation agrees on every returned row
+    val raw = embs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def naive(a: Long, b: Long): Long =
+      raw(a).zip(raw(b)).count { case (x, y) => (x > 0) != (y > 0) }
+    got.foreach { case (q, _, id, h) =>
+      assert(naive(q, id) == h, s"pair ($q,$id): $h vs ${naive(q, id)}")
+    }
+    // ranks ascend in distance, ties by id
+    got.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      sorted.zip(sorted.drop(1)).foreach { case (x, y) =>
+        assert(x._4 < y._4 || (x._4 == y._4 && x._3 < y._3),
+          s"rank order broken: $x then $y")
+      }
+    }
+  }
+
   test("packSequencesBfd: invariants (capacity, contiguous ids, " +
     "positions), tightest-fit placement, fill >= greedy on a " +
     "fragmented mix, oversized truncated singletons, bounded pool " +

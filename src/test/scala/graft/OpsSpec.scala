@@ -436,6 +436,33 @@ class OpsSpec extends SparkSpec {
     assert(got("all_pass") == ((1L, 1L)), s"got $got")
   }
 
+  test("mcnemar: hand-computed counts and continuity-corrected " +
+    "statistic, zero discordance -> null chi2, nulls excluded") {
+    // 10 items: both right x4, both wrong x2, A-only x3, B-only x1
+    val rows = Seq.fill(4)((1, 1)) ++ Seq.fill(2)((0, 0)) ++
+      Seq.fill(3)((1, 0)) ++ Seq.fill(1)((0, 1))
+    val got = Quality.mcnemar(rows.toDF("a_correct", "b_correct")).head()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3), got.getLong(4)) == ((10L, 4L, 2L, 3L, 1L)))
+    // chi2 = (|3-1|-1)^2 / 4 = 0.25
+    assert(got.getDouble(5) == 0.25, s"got $got")
+    // equal discordance: (|2-2|-1)^2 / 4 = 0.25 (Edwards' form as
+    // written — no clamp, matching statsmodels)
+    val eq = Quality.mcnemar(
+      (Seq.fill(2)((1, 0)) ++ Seq.fill(2)((0, 1)))
+        .toDF("a_correct", "b_correct")).head()
+    assert(eq.getDouble(5) == 0.25)
+    // zero discordance carries no evidence -> null statistic
+    val agree = Quality.mcnemar(
+      Seq((1, 1), (0, 0)).toDF("a_correct", "b_correct")).head()
+    assert(agree.isNullAt(5) && agree.getLong(0) == 2L)
+    // null-labeled rows are excluded before counting
+    val withNull = Quality.mcnemar(
+      Seq((Some(1), Some(0)), (None, Some(1)), (Some(1), None))
+        .toDF("a_correct", "b_correct")).head()
+    assert(withNull.getLong(0) == 1L && withNull.getLong(3) == 1L)
+  }
+
   test("krippendorffAlpha: hand-computed 0.5 case with variable " +
     "rater counts, perfect agreement = 1, single-rating items " +
     "excluded, empty input null alpha, maxRaters contract enforced") {
