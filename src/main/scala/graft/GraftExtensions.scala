@@ -212,7 +212,16 @@ object GraftFunctions {
     ("html_meta", graft.text.TextOps.getClass.getName,
       exprs => { arity("html_meta", exprs, 1, 1)
         catalystExpression(
-          graft.text.TextOps.htmlMeta(column(exprs(0)))) }))
+          graft.text.TextOps.htmlMeta(column(exprs(0)))) }),
+    // round-15 surface: the sitemap XML entity decode and the packed
+    // sign-bit Hamming distance
+    ("xml_unescape", classOf[graft.functions.XmlUnescape].getName,
+      exprs => { arity("xml_unescape", exprs, 1, 1)
+        graft.functions.XmlUnescape(exprs(0)) }),
+    ("hamming_dist", graft.ml.Similarity.getClass.getName,
+      exprs => { arity("hamming_dist", exprs, 2, 2)
+        catalystExpression(graft.ml.Similarity.hammingDist(
+          column(exprs(0)), column(exprs(1)))) }))
 
   // ---- table functions: whole-operator SQL surface ----------------------
   // The interval-algebra signature operators are DataFrame→DataFrame

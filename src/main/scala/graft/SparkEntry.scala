@@ -3728,6 +3728,21 @@ object SparkEntry {
         .orderBy("q_id", "rk")
     }),
 
+    // BINARY-SCAN-THEN-RERANK — the two-stage ANN serving pattern
+    // composed: Hamming over sign bits picks 20 candidates per query
+    // (the stage that touches every row, pure bit ops), exact cosine
+    // on the full vectors orders the final 5 (queries*20 rows only)
+    "q323_hamming_rerank" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val queries = embs.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      graft.ml.Similarity.hammingRerank(embs, queries, k = 5,
+          rerankK = 20)
+        .select(col("q_id"), col("rk"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("q_id", "rk")
+    }),
+
     // BEST-FIT-DECREASING packing — the fill-efficiency packer beside
     // the greedy arrival-order one. The fixture is ENGINEERED for a
     // closed-form oracle: two length classes (700 on %3, 500 else)
@@ -11847,6 +11862,41 @@ object SparkEntry {
         |  FROM ham)
         |SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, hamming
         |FROM rk WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    // q323: the q322 candidate stage (sign-disagreement Hamming,
+    // (distance, id) rank, top-20) feeding q61's exact-cosine rerank
+    "q323_hamming_rerank" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 3),
+        |ham AS (
+        |  SELECT q.q_id, v.vec_id,
+        |    CAST(sum(CASE WHEN (q.qe[i.i] > 0) <> (v.e[i.i] > 0)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |  FROM v, q, (SELECT unnest(generate_series(1, 64)) AS i) i
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY hamming, vec_id) AS hrk
+        |    FROM ham)
+        |  WHERE hrk <= 20),
+        |scored AS (
+        |  SELECT c.q_id, c.vec_id,
+        |    list_cosine_similarity(v.e, q.qe) AS cosine
+        |  FROM cand c
+        |  JOIN v ON v.vec_id = c.vec_id
+        |  JOIN q ON q.q_id = c.q_id
+        |  WHERE list_sum(list_transform(v.e, x -> abs(x))) > 0
+        |    AND list_sum(list_transform(q.qe, x -> abs(x))) > 0),
+        |r AS (
+        |  SELECT q_id, vec_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rk
+        |  FROM scored)
+        |SELECT q_id, rk, vec_id, round(cosine, 6) AS cosine
+        |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
 
     // q317: the engineered closed form — 700s open their own packs in
     // id order (pack rn-1, pos 1), 500s tight-fit into them in id

@@ -501,6 +501,55 @@ object Similarity {
         (-col("col.score")).cast("long").as("hamming"))
   }
 
+  /** BINARY-SCAN-THEN-RERANK — the production two-stage ANN serving
+    * pattern composed: stage 1 scans the [[quantizeBinary]] corpus
+    * with [[hammingTopK]] for `rerankK` candidates per query (pure
+    * bit ops over the 32-64×-compressed vectors — the stage that
+    * touches every row); stage 2 reranks ONLY those candidates with
+    * exact cosine on the full vectors (one id-keyed join against the
+    * candidate list — queries·rerankK rows, never the corpus).
+    * Distance-to-similarity hand-off is explicit: Hamming picks the
+    * survivors, cosine orders the answer. Returns (q_id, rk, id,
+    * cosine) for the top `k`; `rerankK` defaults to 4·k (the usual
+    * recall/cost dial). Zero-norm candidates drop at rerank (cosine
+    * undefined — the batchTopK convention). */
+  def hammingRerank(embs: DataFrame, queries: DataFrame, k: Int,
+                    rerankK: Int = 0,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    qIdCol: String = "q_id", qVecCol: String = "q_vec",
+                    dim: Int = DefaultDim): DataFrame = {
+    val kPrime = if (rerankK > 0) rerankK else 4 * k
+    require(kPrime >= k, s"rerankK ($kPrime) must be >= k ($k)")
+    val embsBin = quantizeBinary(embs, vecCol, dim)
+      .select(col(idCol), col("bvec"))
+    val queriesBin = quantizeBinary(
+      queries.select(col(qIdCol), col(qVecCol).as("_qv")), "_qv", dim)
+      .select(col(qIdCol).as("q_id"), col("bvec").as("q_bvec"))
+    val cands = hammingTopK(embsBin, queriesBin, kPrime, idCol,
+      "bvec", "q_id", "q_bvec")
+      .select(col("q_id"), col(idCol))
+    val q = broadcast(queries.select(col(qIdCol).as("q_id"),
+      col(qVecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv"), dim)))
+    val rescored = cands
+      .join(embs.select(col(idCol), col(vecCol)
+        .cast("array<double>").as("v")), Seq(idCol))
+      .withColumn("vn", norm(col("v"), dim))
+      .join(q, Seq("q_id"))
+      .filter(col("vn") * col("qn") > 0)
+      .select(col("q_id"),
+        (dot(col("v"), col("qv"), dim) / (col("vn") * col("qn")))
+          .as("score"),
+        col(idCol).as("nid"))
+    rescored.groupBy("q_id")
+      .agg(graft.ops.Aggregators.topK(k)(col("score"), col("nid"))
+        .as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rk"),
+        col("col.id").as(idCol), col("col.score").as("cosine"))
+  }
+
   /** Plan-literal budget for [[assignToCentroids]]: centroid sets whose
     * total double count stays under this inline as literals (smallest
     * plan, fully codegen'd); larger sets route to the broadcast-backed

@@ -3862,6 +3862,31 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("hammingRerank: with rerankK = corpus size the two-stage answer " +
+    "equals exact brute-force cosine top-k (recall 1 by construction); " +
+    "rerankK < k rejected") {
+    import graft.ml.Similarity
+    val embs = (0L until 40L).map { i =>
+      (i, (0 until 64).map(j =>
+        (((i * 29 + j * 13) % 11) - 5).toFloat / 4.0f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = embs.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("q_id"), col("rk"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSeq.sorted
+    val exact = rows(Similarity.batchTopK(embs, queries, k = 5))
+    val two = rows(Similarity.hammingRerank(embs, queries, k = 5,
+      rerankK = 40))
+    assert(two == exact, s"two-stage $two vs exact $exact")
+    // the default k' = 4k keeps the shape (ids may differ — recall<1)
+    assert(Similarity.hammingRerank(embs, queries, k = 5).count() == 10L)
+    intercept[IllegalArgumentException] {
+      Similarity.hammingRerank(embs, queries, k = 5, rerankK = 3)
+    }
+  }
+
   test("packSequencesBfd: invariants (capacity, contiguous ids, " +
     "positions), tightest-fit placement, fill >= greedy on a " +
     "fragmented mix, oversized truncated singletons, bounded pool " +
