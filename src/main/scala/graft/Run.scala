@@ -86,7 +86,8 @@ object Run {
       |             [--shards <n>] [--audit]
       |  export     -d <docs parquet> -s <out dir>
       |             [--format tfrecord|webdataset] [--max-tokens <n>]
-      |             [--shards <n>] [--min-quality <q>]""".stripMargin
+      |             [--shards <n>] [--min-quality <q>]
+      |             [--packer greedy|bfd|grouped:<col>]""".stripMargin
 
   /** getopt-lite: `-x val` / `--long val` for value opts, bare flags for
     * booleans (the reference's flag set). */
@@ -517,7 +518,8 @@ object Run {
 
   // ---- export: curate → pack → trainer-ready shards (E9) ----------------
   /** `Run export -d docs.parquet -s outdir [--format tfrecord|webdataset]
-    * [--max-tokens N] [--shards N] [--min-quality Q]` — the CLI face of
+    * [--max-tokens N] [--shards N] [--min-quality Q]
+    * [--packer greedy|bfd|grouped:<col>]` — the CLI face of
     * [[Pipelines.exportTrainingShards]]: what lands under
     * `outdir/shards/` is what a dataloader streams; the shard manifest
     * is written beside it as one CSV. `webdataset` exports the curated
@@ -536,7 +538,8 @@ object Run {
           maxTokens =
             opts.get("--max-tokens").map(_.toLong).getOrElse(1024L),
           nShards = opts.get("--shards").map(_.toInt).getOrElse(8),
-          minQuality = minQ)
+          minQuality = minQ,
+          packer = opts.getOrElse("--packer", "greedy"))
       case "webdataset" =>
         graft.io.WebDataset.writeWebDatasetShards(
           Pipelines.curate(docs, minQuality = minQ)

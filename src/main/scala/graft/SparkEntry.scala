@@ -3728,6 +3728,21 @@ object SparkEntry {
         .orderBy("q_id", "rk")
     }),
 
+    // HAMMING-ANN RECALL — the q105/q126 measurement convention for
+    // the binary family: sign-bit Hamming top-10 vs exact cosine
+    // top-10, one (hits, recall) row
+    "q324_hamming_recall" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val q = queryVec(embs)
+      val bin = Similarity.quantizeBinary(embs)
+      val queries = bin.filter(col("vec_id") === 0)
+        .select(lit(0L).as("q_id"), col("bvec").as("q_bvec"))
+      val approx = Similarity.hammingTopK(bin, queries, 10)
+        .select(col("vec_id"))
+      Similarity.recallAtK(
+        Similarity.bruteForceTopK(embs, typedlit(q), 10), approx, 10)
+    }),
+
     // BINARY-SCAN-THEN-RERANK — the two-stage ANN serving pattern
     // composed: Hamming over sign bits picks 20 candidates per query
     // (the stage that touches every row, pure bit ops), exact cosine
@@ -11862,6 +11877,40 @@ object SparkEntry {
         |  FROM ham)
         |SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, hamming
         |FROM rk WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    // q324: exact cosine top-10 (the recallTail brute form) vs the
+    // sign-disagreement Hamming top-10, hits + ONE edge quotient
+    "q324_hamming_recall" -> {
+      def chain(a: Int => String, b: Int => String): String =
+        (0 until 64).map(i => s"${a(i)} * ${b(i)}").mkString(" + ")
+      val vq = chain(i => s"e[${i + 1}]", i => s"qe[${i + 1}]")
+      val vv = chain(i => s"e[${i + 1}]", i => s"e[${i + 1}]")
+      val qq = chain(i => s"qe[${i + 1}]", i => s"qe[${i + 1}]")
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+         |brute AS (
+         |  SELECT vec_id FROM (
+         |    SELECT k.vec_id,
+         |      CASE WHEN sqrt($vv) * sqrt($qq) > 0
+         |           THEN ($vq) / (sqrt($vv) * sqrt($qq))
+         |           ELSE 0.0 END AS cosine
+         |    FROM v k, q)
+         |  ORDER BY cosine DESC, vec_id LIMIT 10),
+         |ham AS (
+         |  SELECT k.vec_id,
+         |    CAST(sum(CASE WHEN (q.qe[i.i] > 0) <> (k.e[i.i] > 0)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+         |  FROM v k, q, (SELECT unnest(generate_series(1, 64)) AS i) i
+         |  GROUP BY 1),
+         |approx AS (
+         |  SELECT vec_id FROM ham ORDER BY hamming, vec_id LIMIT 10)
+         |SELECT CAST(count(*) AS BIGINT) AS hits,
+         |  round(count(*) / 10.0, 6) AS recall
+         |FROM brute WHERE vec_id IN (SELECT vec_id FROM approx)"""
+        .stripMargin
+    },
 
     // q323: the q322 candidate stage (sign-disagreement Hamming,
     // (distance, id) rank, top-20) feeding q61's exact-cosine rerank

@@ -441,14 +441,17 @@ object Quality {
               bCol: String = "b_correct"): DataFrame = {
     val labeled = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
     val a = col(aCol).cast("long"); val b0 = col(bCol).cast("long")
+    // coalesce: an all-null or empty frame reports zeros, not nulls
     labeled
       .agg(count(lit(1)).as("n"),
-        sum(when(a === 1L && b0 === 1L, 1L).otherwise(0L))
-          .as("n_both_right"),
-        sum(when(a === 0L && b0 === 0L, 1L).otherwise(0L))
-          .as("n_both_wrong"),
-        sum(when(a === 1L && b0 === 0L, 1L).otherwise(0L)).as("b"),
-        sum(when(a === 0L && b0 === 1L, 1L).otherwise(0L)).as("c"))
+        coalesce(sum(when(a === 1L && b0 === 1L, 1L).otherwise(0L)),
+          lit(0L)).as("n_both_right"),
+        coalesce(sum(when(a === 0L && b0 === 0L, 1L).otherwise(0L)),
+          lit(0L)).as("n_both_wrong"),
+        coalesce(sum(when(a === 1L && b0 === 0L, 1L).otherwise(0L)),
+          lit(0L)).as("b"),
+        coalesce(sum(when(a === 0L && b0 === 1L, 1L).otherwise(0L)),
+          lit(0L)).as("c"))
       .withColumn("chi2",
         when(col("b") + col("c") > 0,
           ((abs(col("b") - col("c")) - 1) *

@@ -795,11 +795,12 @@ object Pipelines {
   def exportTrainingShards(docs: DataFrame, outDir: String,
                            maxTokens: Long = 1024, nShards: Int = 8,
                            minQuality: Double = 0.3,
-                           seed: String = ""): DataFrame = {
+                           seed: String = "",
+                           packer: String = "greedy"): DataFrame = {
     import graft.text.TextOps
     val curated = curate(docs, minQuality)
-    val packed = TextOps.packSequencesGreedy(curated, maxTokens,
-      nShards, seed = seed)
+    val packed = TextOps.packWith(packer, curated, maxTokens,
+      nShards, seed)
     val rows = packed
       .join(curated.select(col("doc_id"), col("text")), Seq("doc_id"))
       .select(col("doc_id"), col("shard"), col("pack_id"),

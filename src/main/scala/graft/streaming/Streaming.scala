@@ -651,7 +651,8 @@ object Streaming {
                          maxTokens: Long = 1024, nShards: Int = 8,
                          minQuality: Double = 0.3,
                          format: String = "tfrecord",
-                         seed: String = "")
+                         seed: String = "",
+                         packer: String = "greedy")
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(format == "tfrecord" || format == "webdataset",
       s"format must be tfrecord or webdataset, got '$format'")
@@ -663,8 +664,8 @@ object Streaming {
         import graft.text.TextOps
         val docs = batch.toDF()
         val curated = graft.pipeline.Pipelines.curate(docs, minQuality)
-        val packed = TextOps.packSequencesGreedy(curated, maxTokens,
-          nShards, seed = seed)
+        val packed = TextOps.packWith(packer, curated, maxTokens,
+          nShards, seed)
         val rows = packed
           .join(curated.select(col("doc_id"), col("text")), Seq("doc_id"))
           .select(col("doc_id"), col("shard"), col("pack_id"),

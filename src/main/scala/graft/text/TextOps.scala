@@ -2933,6 +2933,27 @@ object TextOps {
       .withColumn(idCol, col(idCol).cast(idType))
   }
 
+  /** Packer DISPATCH for the export paths (batch E9 + the streaming
+    * export stage): `"greedy"` keeps arrival order (the resumable-
+    * dataloader default), `"bfd"` buys fill efficiency
+    * ([[packSequencesBfd]]), `"grouped:<col>"` packs affinity groups
+    * contiguously (the in-context-pretraining layout). One dispatch so
+    * every export surface prices the same three choices with the same
+    * spelling. */
+  def packWith(packer: String, docs: DataFrame, maxTokens: Long,
+               nShards: Int, seed: String = ""): DataFrame =
+    packer match {
+      case "greedy" =>
+        packSequencesGreedy(docs, maxTokens, nShards, seed = seed)
+      case "bfd" =>
+        packSequencesBfd(docs, maxTokens, nShards, seed = seed)
+      case g if g.startsWith("grouped:") && g.length > 8 =>
+        packSequencesGreedy(docs, maxTokens, nShards, seed = seed,
+          groupCol = Some(g.stripPrefix("grouped:")))
+      case other => throw new IllegalArgumentException(
+        s"unknown packer '$other' — use greedy, bfd, or grouped:<col>")
+    }
+
   /** FILL-EFFICIENCY comparison of the two packers on one corpus —
     * the report that prices the greedy-vs-BFD choice: per packer, the
     * pack count, doc and token totals, and the fill fraction (total

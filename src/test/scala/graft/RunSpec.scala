@@ -352,5 +352,25 @@ class RunSpec extends SparkSpec {
       .select("name").collect().map(_.getString(0)).toSet
     assert(members.contains("0.txt") && !members.contains("99.txt"))
     assert(Files.exists(out2.resolve("shard_manifest.csv")))
+    // --packer bfd routes the fill-optimal packer; record set unchanged
+    val out3 = root.resolve("out3")
+    Run.main(Array("export", "-d", in, "-s", out3.toString,
+      "--max-tokens", "64", "--shards", "2", "--packer", "bfd"))
+    val recs3 = graft.io.Tfrecord
+      .readRecords(spark, out3.resolve("shards").toString)
+      .collect()
+      .map(r => graft.io.Tfrecord
+        .parseExample(r.getAs[Array[Byte]]("payload"))
+        .collectFirst { case ("doc_id", _, ids, _) => ids.head }.get)
+    assert(recs3.length == 20 && !recs3.contains(99L))
+    // unknown packer fails with the choices named
+    val e = intercept[IllegalArgumentException] {
+      graft.text.TextOps.packWith("zigzag", docs, 64, 2)
+    }
+    assert(e.getMessage.contains("greedy, bfd, or grouped"),
+      s"got ${e.getMessage}")
+    // grouped:<col> routes the group-affine walk
+    assert(graft.text.TextOps.packWith("grouped:source", docs, 64, 2)
+      .count() == 21L)
   }
 }
