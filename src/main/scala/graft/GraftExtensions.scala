@@ -218,6 +218,9 @@ object GraftFunctions {
     ("xml_unescape", classOf[graft.functions.XmlUnescape].getName,
       exprs => { arity("xml_unescape", exprs, 1, 1)
         graft.functions.XmlUnescape(exprs(0)) }),
+    ("fix_mojibake", classOf[graft.functions.FixMojibake].getName,
+      exprs => { arity("fix_mojibake", exprs, 1, 1)
+        new graft.functions.FixMojibake(exprs(0)) }),
     ("hamming_dist", graft.ml.Similarity.getClass.getName,
       exprs => { arity("hamming_dist", exprs, 2, 2)
         catalystExpression(graft.ml.Similarity.hammingDist(

@@ -82,7 +82,7 @@ object Run {
       |             [--allow-licenses <l1,l2,...>] [--drop-damaged]
       |             [--c4-lines] [--script-aware] [--paragraph-dedup]
       |             [--lang-model <nb model parquet>] [--lang <label>]
-      |             [--lang-router]
+      |             [--lang-router] [--fix-encoding]
       |             [--shards <n>] [--audit]
       |  export     -d <docs parquet> -s <out dir>
       |             [--format tfrecord|webdataset] [--max-tokens <n>]
@@ -94,7 +94,7 @@ object Run {
   private val BoolFlags = Set("-v", "-r", "-j", "-c", "-h", "--help",
     "--parquet", "--audit", "--fuzzy-decon", "--psl", "--fuzzy-prior",
     "--drop-damaged", "--c4-lines", "--script-aware", "--paragraph-dedup",
-    "--lang-router")
+    "--lang-router", "--fix-encoding")
   private def parseOpts(args: Seq[String]): Map[String, String] = {
     val out = Map.newBuilder[String, String]
     var i = 0
@@ -460,7 +460,10 @@ object Run {
       lang = opts.getOrElse("--lang", "en"),
       // --lang-router: the multilingual char-n-gram profile router
       // gates by --lang instead of the English-only heuristic
-      langRouter = opts.contains("--lang-router"))
+      langRouter = opts.contains("--lang-router"),
+      // --fix-encoding: the ftfy-style mojibake repair before any gate
+      // (heal UTF-8-as-cp1252 damage instead of dropping the doc)
+      fixEncoding = opts.contains("--fix-encoding"))
     Files.createDirectories(outDir)
     curated.write.mode("overwrite")
       .parquet(outDir.resolve("curated.parquet").toString)

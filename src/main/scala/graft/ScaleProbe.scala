@@ -550,6 +550,12 @@ object ScaleProbe {
         "nfc_normalize" -> { d =>
           d.select(md5(TextOps.nfcNormalize(col("text"))).as("g"))
             .agg(count(lit(1)), min("g")).head(); 1L },
+        "fix_mojibake" -> { d =>
+          d.select(md5(TextOps.fixMojibake(
+              concat(coalesce(col("text"), lit("")),
+                when(col("doc_id") % 7 === 0, lit(" cafÃ©"))
+                  .otherwise(lit(""))))).as("g"))
+            .agg(count(lit(1)), min("g")).head(); 1L },
         // crawl discovery family: sitemap parse (map-only regex) and
         // the full frontier composition (entries → broadcast-rules
         // robots NLJ → anti-join → per-host window)

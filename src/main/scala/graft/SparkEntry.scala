@@ -3728,6 +3728,28 @@ object SparkEntry {
         .orderBy("q_id", "rk")
     }),
 
+    // MOJIBAKE REPAIR — the ftfy loop over synthesized UTF-8-as-cp1252
+    // damage: Latin-1 accents, cp1252 C1 punctuation, a double-encoded
+    // case needing two passes; clean rows untouched. The kernel runs
+    // the general encode/decode round trip; the oracle replays the
+    // fixture's exact literal repairs (the ASCII base makes the
+    // injected sequences the only non-ASCII content)
+    "q325_fix_mojibake" -> ((s, dir) => {
+      val base = coalesce(col("text"), lit(""))
+      val id = col("doc_id")
+      val txt = when(id % 5 === 0, concat(base, lit(" cafÃ©")))
+        .when(id % 5 === 1,
+          concat(base, lit(" donâ€™t")))
+        .when(id % 5 === 2,
+          concat(base, lit(" naÃ¯ve â€” d")))
+        .when(id % 5 === 3,
+          concat(base, lit(" cafÃƒÂ©")))
+        .otherwise(base)
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fixMojibake(txt).as("text"))
+        .orderBy("doc_id")
+    }),
+
     // HAMMING-ANN RECALL — the q105/q126 measurement convention for
     // the binary family: sign-bit Hamming top-10 vs exact cosine
     // top-10, one (hits, recall) row
@@ -11877,6 +11899,28 @@ object SparkEntry {
         |  FROM ham)
         |SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, hamming
         |FROM rk WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    // q325: the same synthesis, repairs as literal replaces (longest
+    // first; the base corpus is ASCII so no other byte can match)
+    "q325_fix_mojibake" ->
+      """WITH syn AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |           THEN coalesce(text, '') || ' cafÃ©'
+        |         WHEN doc_id % 5 = 1
+        |           THEN coalesce(text, '') || ' donâ€™t'
+        |         WHEN doc_id % 5 = 2
+        |           THEN coalesce(text, '') || ' naÃ¯ve â€” d'
+        |         WHEN doc_id % 5 = 3
+        |           THEN coalesce(text, '') || ' cafÃƒÂ©'
+        |         ELSE coalesce(text, '') END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  replace(replace(replace(replace(replace(t,
+        |    'cafÃƒÂ©', 'café'), 'cafÃ©', 'café'),
+        |    'donâ€™t', 'don’t'), 'naÃ¯ve', 'naïve'),
+        |    'â€”', '—') AS text
+        |FROM syn ORDER BY doc_id""".stripMargin,
 
     // q324: exact cosine top-10 (the recallTail brute form) vs the
     // sign-disagreement Hamming top-10, hits + ONE edge quotient

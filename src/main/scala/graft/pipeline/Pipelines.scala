@@ -336,6 +336,7 @@ object Pipelines {
              langRouter: Boolean = false,
              unicodeNfc: Boolean = false,
              urlBlockKeywords: Option[Seq[String]] = None,
+             fixEncoding: Boolean = false,
              canonicalCollapse: Boolean = false,
              htmlCol: String = "html",
              semDedupEmbs: Option[DataFrame] = None,
@@ -386,8 +387,16 @@ object Pipelines {
           "doc_id")
         .filter(col("keep") === 1).drop("canonical", "keep")
     }
-    val docs = if (!unicodeNfc) canonGated
+    // opt-in mojibake REPAIR before NFC (repair the bytes, then
+    // canonicalize): UTF-8-as-cp1252 damage heals instead of being
+    // gated; the strict re-decode inside the kernel keeps genuine
+    // Latin-1 / non-Latin text untouched, so the stage is safe to
+    // leave on. Map-only, same scan
+    val repaired = if (!fixEncoding) canonGated
       else refreshNChars(canonGated.withColumn("text",
+        TextOps.fixMojibake(col("text"))))
+    val docs = if (!unicodeNfc) repaired
+      else refreshNChars(repaired.withColumn("text",
         TextOps.nfcNormalize(col("text"))))
     // incremental-ingest mode: drop docs already in the prior corpus
     // (digest anti-join) before spending any curation work on them;

@@ -65,15 +65,20 @@ object Streaming {
                    minCompressionRatio: Option[Double] = None,
                    allowLicenses: Option[Seq[String]] = None,
                    textCol: String = "text",
-                   unicodeNfc: Boolean = false): DataFrame = {
+                   unicodeNfc: Boolean = false,
+                   fixEncoding: Boolean = false): DataFrame = {
     import graft.text.TextOps
     import org.apache.spark.sql.Column
     val t0 = col(textCol)
-    // the batch curate's opt-in canonicalization, mirrored so the
-    // streaming gate digests the SAME bytes (batch ≡ streaming parity)
+    // the batch curate's opt-in repair + canonicalization, mirrored so
+    // the streaming gate digests the SAME bytes (batch ≡ streaming
+    // parity); repair BEFORE NFC, matching curate
+    val pre0 =
+      if (!fixEncoding) stream
+      else stream.withColumn(textCol, TextOps.fixMojibake(col(textCol)))
     val pre =
-      if (!unicodeNfc) stream
-      else stream.withColumn(textCol, TextOps.nfcNormalize(col(textCol)))
+      if (!unicodeNfc) pre0
+      else pre0.withColumn(textCol, TextOps.nfcNormalize(col(textCol)))
     val base = pre.filter(t0.isNotNull)
     val c4ed =
       if (!c4Lines) base

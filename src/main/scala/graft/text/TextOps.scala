@@ -4630,6 +4630,16 @@ object TextOps {
   def nfcNormalize(text: Column): Column =
     graft.functions.UnicodeNormalize(text, "NFC")
 
+  /** MOJIBAKE REPAIR — the ftfy core loop
+    * ([[graft.functions.FixMojibake]] kernel): UTF-8-decoded-as-cp1252
+    * damage (`cafÃ©`, `donâ€™t`, double-encoded `cafÃƒÂ©`) heals by
+    * the exact inverse round trip; genuine Latin-1 and real non-Latin
+    * text pass through UNCHANGED (the strict re-decode is the guard).
+    * The REPAIR complement of the q157 damage GATE: gate what cannot
+    * be fixed, fix what can. Compose BEFORE [[nfcNormalize]]. */
+  def fixMojibake(text: Column): Column =
+    graft.functions.FixMojibake(text)
+
   /** Unicode COMPATIBILITY COMPOSITION (NFKC) — [[nfcNormalize]] plus
     * compatibility folds (ﬁ → fi, full-width Ａ → A, ① → 1, ² → 2):
     * the tokenizer-facing canonicalization (what GPT-NeoX/SentencePiece

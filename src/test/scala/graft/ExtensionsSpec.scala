@@ -3862,6 +3862,32 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("fixMojibake kernel: UTF-8-as-cp1252 damage heals (accents, C1 " +
+    "punctuation, double-encoding in two passes); genuine Latin-1, " +
+    "real non-Latin text, and lone cp1252 punctuation pass through " +
+    "unchanged; idempotent; null/empty/ASCII fast paths") {
+    import graft.text.TextOps
+    def fx(s: String): String = Seq(s).toDF("t")
+      .select(TextOps.fixMojibake(col("t")).as("f")).head().getString(0)
+    assert(fx("cafÃ©") == "café")
+    assert(fx("donâ€™t â€œquoteâ€") == "don’t “quote”")
+    assert(fx("naÃ¯ve â€” dash") == "naïve — dash")
+    assert(fx("cafÃƒÂ©") == "café") // double-encoded: two passes
+    assert(fx("Â x") == " x") // nbsp mojibake
+    // the strict re-decode is the false-positive guard:
+    assert(fx("café") == "café") // genuine Latin-1: E9 + ASCII invalid
+    assert(fx("καφές") == "καφές") // outside cp1252's image
+    assert(fx("wait… what") == "wait… what") // lone 0x85 invalid
+    assert(fx("100 €") == "100 €") // lone 0x80 invalid
+    assert(fx("") == "")
+    assert(fx("plain ascii stays") == "plain ascii stays")
+    // idempotent: repaired text re-encodes to invalid UTF-8 and stops
+    assert(fx(fx("cafÃ©")) == "café")
+    val n = Seq[String](null).toDF("t")
+      .select(TextOps.fixMojibake(col("t")).as("f")).head()
+    assert(n.isNullAt(0))
+  }
+
   test("hammingRerank: with rerankK = corpus size the two-stage answer " +
     "equals exact brute-force cosine top-k (recall 1 by construction); " +
     "rerankK < k rejected") {

@@ -766,6 +766,27 @@ class PipelineSpec extends SparkSpec {
     assert(on == Set(30L, 32L), s"got $on")
   }
 
+  test("curate fixEncoding: a mojibaked doc heals before any gate and " +
+    "survives with repaired text; off, the damage gate would drop it; " +
+    "streaming stage-1 mirrors the repair") {
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "it runs far away to the old stone house by the river bank"
+    val damaged = good + " and donâ€™t forget the cafÃ©"
+    val docs = Seq((50L, damaged)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text"))
+    val on = Pipelines.curate(docs, fixEncoding = true)
+      .select("text", "n_chars").head()
+    assert(on.getString(0).endsWith("don’t forget the café"),
+      s"got ${on.getString(0)}")
+    // n_chars refreshed to the repaired length
+    assert(on.getLong(1) == on.getString(0).length.toLong)
+    // streaming stage-1 parity
+    val s1 = graft.streaming.Streaming.curateStage1(docs,
+      fixEncoding = true).select("text").head().getString(0)
+    assert(s1 == on.getString(0))
+  }
+
   test("curate canonicalCollapse: a tracking-param variant declaring " +
     "the same rel=canonical collapses to the min-id representative " +
     "only when the stage is on; E5 audit counts shift; missing " +

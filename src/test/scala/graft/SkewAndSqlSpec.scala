@@ -213,10 +213,12 @@ class SkewAndSqlSpec extends SparkSpec {
     // round-15 surface: entity decode + packed Hamming from SQL
     val r15 = spark.sql(
       "SELECT xml_unescape('a=1&amp;b=&#47;x') AS u, " +
-        "hamming_dist(array(5L, 0L), array(6L, 1L)) AS h").head()
+        "hamming_dist(array(5L, 0L), array(6L, 1L)) AS h, " +
+        "fix_mojibake('cafÃ©') AS m").head()
     assert(r15.getString(0) == "a=1&b=/x")
     // 5 xor 6 = 3 (two bits), 0 xor 1 = 1 (one bit)
     assert(r15.getLong(1) == 3L)
+    assert(r15.getString(2) == "café")
   }
 
   test("SQL optional arguments are honored and bad arity is rejected") {
