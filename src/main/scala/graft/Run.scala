@@ -83,6 +83,9 @@ object Run {
       |             [--c4-lines] [--script-aware] [--paragraph-dedup]
       |             [--lang-model <nb model parquet>] [--lang <label>]
       |             [--lang-router] [--fix-encoding]
+      |             [--canonical-collapse] [--html-col <c>]
+      |             [--sem-dedup <embs parquet>] [--sem-whiten]
+      |             [--sem-min-cosine <c>] [--sem-pca-k <k>]
       |             [--shards <n>] [--audit]
       |  export     -d <docs parquet> -s <out dir>
       |             [--format tfrecord|webdataset] [--max-tokens <n>]
@@ -94,7 +97,8 @@ object Run {
   private val BoolFlags = Set("-v", "-r", "-j", "-c", "-h", "--help",
     "--parquet", "--audit", "--fuzzy-decon", "--psl", "--fuzzy-prior",
     "--drop-damaged", "--c4-lines", "--script-aware", "--paragraph-dedup",
-    "--lang-router", "--fix-encoding")
+    "--lang-router", "--fix-encoding", "--canonical-collapse",
+    "--sem-whiten")
   private def parseOpts(args: Seq[String]): Map[String, String] = {
     val out = Map.newBuilder[String, String]
     var i = 0
@@ -463,7 +467,19 @@ object Run {
       langRouter = opts.contains("--lang-router"),
       // --fix-encoding: the ftfy-style mojibake repair before any gate
       // (heal UTF-8-as-cp1252 damage instead of dropping the doc)
-      fixEncoding = opts.contains("--fix-encoding"))
+      fixEncoding = opts.contains("--fix-encoding"),
+      // --canonical-collapse: q215's mirror dedup on the declared
+      // rel=canonical BEFORE content hashing (needs url + html cols)
+      canonicalCollapse = opts.contains("--canonical-collapse"),
+      htmlCol = opts.getOrElse("--html-col", "html"),
+      // --sem-dedup: embedding SemDeDup after the text dedups
+      // (doc_id, embedding parquet); --sem-whiten adds the PCA
+      // whitening comparison space
+      semDedupEmbs = opts.get("--sem-dedup").map(spark.read.parquet(_)),
+      semDedupMinCosine = opts.get("--sem-min-cosine")
+        .map(_.toDouble).getOrElse(0.95),
+      semDedupWhiten = opts.contains("--sem-whiten"),
+      semDedupPcaK = opts.get("--sem-pca-k").map(_.toInt).getOrElse(16))
     Files.createDirectories(outDir)
     curated.write.mode("overwrite")
       .parquet(outDir.resolve("curated.parquet").toString)

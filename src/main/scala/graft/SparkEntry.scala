@@ -3728,6 +3728,31 @@ object SparkEntry {
         .orderBy("q_id", "rk")
     }),
 
+    // SPEARMAN rank correlation per source — monotone association
+    // with average-rank ties (doubled-unit integer ranks, the
+    // exactness recipe): judge-vs-human class measurement beside
+    // Pearson (q99), kappa, and alpha
+    "q326_spearman" -> ((s, dir) =>
+      ops.Stats.spearman(
+        t(s, dir, "documents").select(col("source"),
+          (col("doc_id") * 31 % 101).as("a"),
+          ((col("doc_id") * 31 % 101) + (col("doc_id") % 13) * 5)
+            .as("b")),
+        "a", "b", groupCols = Seq("source"))
+        .orderBy("source")),
+
+    // SALTED PSEUDONYMIZATION — the export-time governance step:
+    // deterministic within a release (joins still line up),
+    // unlinkable across salt rotations; nulls stay null
+    "q327_pseudonymize" -> ((s, dir) =>
+      ops.Quality.pseudonymize(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(lit("u"), (col("doc_id") % 97).cast("string"))
+            .as("user_id"),
+          when(col("doc_id") % 7 =!= 0, col("source")).as("src")),
+        Seq("user_id", "src"), salt = "rel-2026-08")
+        .orderBy("doc_id")),
+
     // MOJIBAKE REPAIR — the ftfy loop over synthesized UTF-8-as-cp1252
     // damage: Latin-1 accents, cp1252 C1 punctuation, a double-encoded
     // case needing two passes; clean rows untouched. The kernel runs
@@ -11899,6 +11924,50 @@ object SparkEntry {
         |  FROM ham)
         |SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, hamming
         |FROM rk WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    // q326: doubled-unit ranks (2·rank + ties − 1, exact integers) →
+    // LONG sums → ONE sqrt + division, same shape both engines
+    "q326_spearman" ->
+      """WITH p AS (
+        |  SELECT source,
+        |    CAST(doc_id * 31 % 101 AS BIGINT) AS a,
+        |    CAST(doc_id * 31 % 101 + (doc_id % 13) * 5 AS BIGINT) AS b
+        |  FROM documents),
+        |r AS (
+        |  SELECT source,
+        |    2 * rank() OVER (PARTITION BY source ORDER BY a)
+        |      + count(*) OVER (PARTITION BY source, a) - 1 AS ra,
+        |    2 * rank() OVER (PARTITION BY source ORDER BY b)
+        |      + count(*) OVER (PARTITION BY source, b) - 1 AS rb
+        |  FROM p),
+        |g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(ra) AS BIGINT) AS sx,
+        |    CAST(sum(rb) AS BIGINT) AS sy,
+        |    CAST(sum(ra * ra) AS BIGINT) AS sxx,
+        |    CAST(sum(rb * rb) AS BIGINT) AS syy,
+        |    CAST(sum(ra * rb) AS BIGINT) AS sxy
+        |  FROM r GROUP BY 1)
+        |SELECT source, n,
+        |  CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx
+        |         > 0
+        |        AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy
+        |         > 0
+        |    THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |      / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+        |    END AS rho
+        |FROM g ORDER BY source""".stripMargin,
+
+    // q327: sha256(salt ':' value), nulls stay null — the same hash
+    // both engines ship
+    "q327_pseudonymize" ->
+      """SELECT doc_id,
+        |  sha256('rel-2026-08:' || 'u' ||
+        |    CAST(doc_id % 97 AS VARCHAR)) AS user_id,
+        |  CASE WHEN doc_id % 7 <> 0
+        |       THEN sha256('rel-2026-08:' || source) END AS src
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q325: the same synthesis, repairs as literal replaces (longest
     // first; the base corpus is ASCII so no other byte can match)

@@ -302,4 +302,52 @@ object Stats {
         ((col("max_n") * col("n_keys")).cast("double") / col("n_rows"))
           .as("skew_factor"))
   }
+
+  /** SPEARMAN rank correlation with average-rank ties — the monotone-
+    * association measure the eval family needs where Pearson misleads
+    * (judge scores vs human scores, quality ranks vs downstream loss):
+    * rho = Pearson over the two AVERAGE-rank columns. Ranks are
+    * computed in DOUBLED units (2·rank + ties − 1 — always an
+    * INTEGER, the Krippendorff/Brier exactness recipe), so every sum
+    * is an exact LONG and rho is products-of-integer-valued-doubles +
+    * ONE sqrt + ONE division — bit-portable across engines and
+    * partitionings up to n ≈ 5·10⁴ rows per group (past that the
+    * n·Σxy products leave 2^53; rank on a sample or shard the group).
+    * Null on zero variance (constant column).
+    *
+    * Scale shape: two rank windows on (group, value) + one grouped
+    * aggregation; only (group, a, b) rows shuffle. Ranking frames are
+    * eval-sized by construction — this is not a corpus operator. */
+  def spearman(df: DataFrame, aCol: String, bCol: String,
+               groupCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = if (groupCols.nonEmpty) groupCols else Seq("_g")
+    val base = (if (groupCols.nonEmpty) df
+                else df.withColumn("_g", lit(0)))
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+    def rank2(c: String): Column = {
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(col(c))
+      val ties = Window.partitionBy((keys.map(col) :+ col(c)): _*)
+      lit(2L) * rank().over(w).cast("long") +
+        count(lit(1)).over(ties) - 1L
+    }
+    val ranked = base
+      .withColumn("_ra", rank2(aCol))
+      .withColumn("_rb", rank2(bCol))
+    val outKeys = if (groupCols.nonEmpty) groupCols.map(col) else Nil
+    val g = ranked.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum("_ra").as("sx"), sum("_rb").as("sy"),
+        sum(col("_ra") * col("_ra")).as("sxx"),
+        sum(col("_rb") * col("_rb")).as("syy"),
+        sum(col("_ra") * col("_rb")).as("sxy"))
+    def d(c: String): Column = col(c).cast("double")
+    val nd = d("n")
+    val vx = nd * d("sxx") - d("sx") * d("sx")
+    val vy = nd * d("syy") - d("sy") * d("sy")
+    g.select((outKeys :+ col("n") :+
+      when(vx > 0 && vy > 0,
+        (nd * d("sxy") - d("sx") * d("sy")) / sqrt(vx * vy))
+        .as("rho")): _*)
+  }
 }

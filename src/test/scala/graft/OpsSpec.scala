@@ -436,6 +436,60 @@ class OpsSpec extends SparkSpec {
     assert(got("all_pass") == ((1L, 1L)), s"got $got")
   }
 
+  test("spearman: perfect monotone 1, inverse -1, hand-computed tied " +
+    "case -1/3, constant column null, grouped and ungrouped forms") {
+    val mono = Seq((1, 10), (2, 30), (3, 31), (4, 99))
+      .toDF("a", "b")
+    assert(Stats.spearman(mono, "a", "b").head().getDouble(1) == 1.0)
+    val inv = Seq((1, 99), (2, 31), (3, 30), (4, 10)).toDF("a", "b")
+    assert(Stats.spearman(inv, "a", "b").head().getDouble(1) == -1.0)
+    // ties: a ranks (1, 2.5, 2.5, 4), b ranks (2, 3.5, 3.5, 1)
+    // -> Pearson over ranks = -1/3
+    val tied = Seq((1, 10), (2, 20), (2, 20), (4, 5)).toDF("a", "b")
+    val rho = Stats.spearman(tied, "a", "b").head().getDouble(1)
+    assert(math.abs(rho - (-1.0 / 3.0)) < 1e-12, s"got $rho")
+    // constant column: zero variance -> null
+    val const = Seq((1, 7), (2, 7), (3, 7)).toDF("a", "b")
+    assert(Stats.spearman(const, "a", "b").head().isNullAt(1))
+    // grouped: one row per group, nulls excluded
+    val g = Seq(("g1", Some(1), Some(1)), ("g1", Some(2), Some(2)),
+      ("g1", None, Some(9)), ("g2", Some(1), Some(2)),
+      ("g2", Some(2), Some(1))).toDF("grp", "a", "b")
+    val rows = Stats.spearman(g, "a", "b", Seq("grp"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows("g1") == ((2L, 1.0)) && rows("g2") == ((2L, -1.0)))
+  }
+
+  test("pseudonymize: deterministic salted sha256 (verified against " +
+    "MessageDigest), null preserved, salt rotation unlinks, missing " +
+    "column and empty salt rejected") {
+    val df = Seq((1L, Some("u1"), Some("s1")), (2L, Some("u1"), None),
+      (3L, Some("u2"), Some("s1"))).toDF("id", "user_id", "src")
+    val out = Quality.pseudonymize(df, Seq("user_id", "src"), "k1")
+      .orderBy("id").collect()
+    def sha(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    assert(out(0).getString(1) == sha("k1:u1"))
+    assert(out(0).getString(2) == sha("k1:s1"))
+    // deterministic within a release: same value, same hash
+    assert(out(1).getString(1) == out(0).getString(1))
+    assert(out(1).isNullAt(2)) // null stays null
+    assert(out(2).getString(1) == sha("k1:u2"))
+    // a rotated salt unlinks
+    val rot = Quality.pseudonymize(df, Seq("user_id"), "k2")
+      .orderBy("id").head().getString(1)
+    assert(rot != out(0).getString(1) && rot == sha("k2:u1"))
+    intercept[IllegalArgumentException] {
+      Quality.pseudonymize(df, Seq("nope"), "k1")
+    }
+    intercept[IllegalArgumentException] {
+      Quality.pseudonymize(df, Seq("user_id"), "")
+    }
+  }
+
   test("mcnemar: hand-computed counts and continuity-corrected " +
     "statistic, zero discordance -> null chi2, nulls excluded") {
     // 10 items: both right x4, both wrong x2, A-only x3, B-only x1
