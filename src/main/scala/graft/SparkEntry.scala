@@ -3728,6 +3728,31 @@ object SparkEntry {
         .orderBy("q_id", "rk")
     }),
 
+    // SITEMAP SEEDS from robots.txt — the discovery chain's root:
+    // hosts announce sitemaps with 'Sitemap:' lines (case-insensitive
+    // directive, whitespace tolerated, comments ignored); %3==0 hosts
+    // declare two, %3==1 one (mixed case + indent), others none
+    "q328_sitemap_seeds" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val robots = docs.select(
+        concat(lit("d"), col("doc_id").cast("string"),
+          lit(".example.com")).as("host"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("User-agent: *\nSitemap: https://d"),
+            col("doc_id").cast("string"),
+            lit(".example.com/sitemap.xml\nDisallow: /x\n" +
+              "Sitemap: https://d"),
+            col("doc_id").cast("string"),
+            lit(".example.com/news.xml\n")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("User-agent: *\n  sItEmAp:   https://d"),
+              col("doc_id").cast("string"),
+              lit(".example.com/s1.xml\n# Sitemap: https://nope/x\n")))
+          .otherwise(lit("User-agent: *\nDisallow: /q\n")).as("body"))
+      graft.pipeline.Pipelines.sitemapSeeds(robots)
+        .orderBy("host", "url")
+    }),
+
     // SPEARMAN rank correlation per source — monotone association
     // with average-rank ties (doubled-unit integer ranks, the
     // exactness recipe): judge-vs-human class measurement beside
@@ -11924,6 +11949,26 @@ object SparkEntry {
         |  FROM ham)
         |SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, hamming
         |FROM rk WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    // q328: the closed form of the announcement synthesis — two URLs
+    // on %3==0 hosts, one on %3==1, none elsewhere (the commented
+    // declaration never matches)
+    "q328_sitemap_seeds" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'd' || CAST(doc_id AS VARCHAR) || '.example.com' AS host
+        |  FROM documents),
+        |e AS (
+        |  SELECT host, 'https://' || host || '/sitemap.xml' AS url
+        |  FROM d WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT host, 'https://' || host || '/news.xml'
+        |  FROM d WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT host, 'https://' || host || '/s1.xml'
+        |  FROM d WHERE doc_id % 3 = 1)
+        |SELECT DISTINCT host, url FROM e ORDER BY host, url"""
+        .stripMargin,
 
     // q326: doubled-unit ranks (2·rank + ties − 1, exact integers) →
     // LONG sums → ONE sqrt + division, same shape both engines

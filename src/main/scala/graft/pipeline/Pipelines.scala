@@ -907,6 +907,22 @@ object Pipelines {
           "left_semi"),
       okStatusOnly)
 
+  /** E10's ROOT — sitemap seeds from robots.txt: hosts ANNOUNCE their
+    * sitemaps with `Sitemap:` lines (the standard discovery channel;
+    * robots.txt is the one URL every polite crawler fetches first), so
+    * the full discovery chain is robots → seeds (here) → fetch →
+    * [[sitemapFrontier]] (index recursion) → [[frontierPlan]] (page
+    * plan) → [[frontierFetchPlan]]/[[ingestWarc]] → [[curate]]. One
+    * row per (host, announced sitemap URL), distinct; map-side regex
+    * over robots bodies already in memory — nothing shuffles but the
+    * host-scale seed rows. */
+  def sitemapSeeds(robots: DataFrame, hostCol: String = "host",
+                   bodyCol: String = "body"): DataFrame =
+    robots.select(col(hostCol).as("host"),
+        explode(graft.io.Sitemap.sitemapsFromRobots(col(bodyCol)))
+          .as("url"))
+      .distinct()
+
   def sitemapFrontier(sitemaps: DataFrame, fetched: DataFrame,
                       xmlCol: String = "xml",
                       fetchedUrlCol: String = "url"): DataFrame =

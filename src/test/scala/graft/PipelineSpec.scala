@@ -991,6 +991,13 @@ class PipelineSpec extends SparkSpec {
     "anti-joined, lastmod max-merged across indexes), the fetched " +
     "children then feed frontierPlan; entity-escaped locs decode " +
     "before every join") {
+    // hop 0: the chain's root — robots.txt ANNOUNCES the index sitemap
+    val seeds = Pipelines.sitemapSeeds(Seq(
+      ("a.com", "User-agent: *\nSitemap: https://a.com/maps/root.xml\n"),
+      ("b.com", "User-agent: *\nDisallow: /\n")).toDF("host", "body"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(seeds == Seq(("a.com", "https://a.com/maps/root.xml")),
+      s"got $seeds")
     // hop 1: the host ships ONLY a sitemapindex (the real-world norm)
     val indexDocs = Seq(
       "<sitemapindex><sitemap><loc>https://a.com/maps/s1.xml</loc>" +
