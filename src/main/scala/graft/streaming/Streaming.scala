@@ -215,8 +215,12 @@ object Streaming {
                          exactSubstrBuckets: Int = 64,
                          canonicalCollapse: Boolean = false,
                          urlCol: String = "url",
-                         htmlCol: String = "html")
-      : org.apache.spark.sql.streaming.StreamingQuery =
+                         htmlCol: String = "html",
+                         canonicalIndexPath: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(canonicalIndexPath.isEmpty || canonicalCollapse,
+      "canonicalIndexPath needs canonicalCollapse = true (the index " +
+        "stores the keys that stage computes)")
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -228,12 +232,36 @@ object Streaming {
         // (NOT in curateStage1: the collapse is a grouping on the
         // canonical key, which a pure row-gate stage cannot hold —
         // foreachBatch runs batch semantics, so the window is fine).
-        // Scope is WITHIN-batch; cross-batch mirrors share content
-        // and fall to the signature-index gate below
-        val gated = if (!canonicalCollapse) gated0
-          else graft.text.UrlOps.canonicalDedup(gated0, urlCol,
-              htmlCol, idCol)
-            .filter(col("keep") === 1).drop("canonical", "keep")
+        // Within-batch always; with `canonicalIndexPath` also
+        // CROSS-batch: the stored canonical table plays the digest
+        // table's role (chatGateForeachBatch), anti-joining mirrors of
+        // earlier batches' survivors BEFORE any text work — a mirror
+        // with a live ad rotation differs in content, so the
+        // signature gate below alone would not catch it
+        val (gated, batchCanonicals) =
+          if (!canonicalCollapse) (gated0, None)
+          else {
+            val cd = graft.text.UrlOps.canonicalDedup(gated0, urlCol,
+                htmlCol, idCol)
+              .filter(col("keep") === 1).drop("keep")
+            val crossGated = canonicalIndexPath match {
+              case None => cd
+              case Some(pth) =>
+                val hp = new org.apache.hadoop.fs.Path(pth)
+                val fs = hp.getFileSystem(
+                  sess.sparkContext.hadoopConfiguration)
+                if (!fs.exists(hp)) cd
+                else cd.join(
+                  sess.read.parquet(pth).select(col("canonical")),
+                  Seq("canonical"), "left_anti")
+            }
+            // the (id, canonical) side frame feeds the post-landing
+            // append; its lineage stops at the batch window — it never
+            // reads the stored table, so the append is not
+            // self-referential
+            (crossGated.drop("canonical"),
+              Some(cd.select(col(idCol), col("canonical"))))
+          }
         val idx = graft.dedup.Dedup.readSignatureIndex(sess, indexName)
         val fuzzySurv = graft.dedup.Dedup.incrementalNewFuzzyIndexed(
           gated, idx, idCol, textCol, shingleN, minJaccard, numHashes,
@@ -258,6 +286,19 @@ object Streaming {
           // is lineage-cut by its localCheckpoint, so the gram write
           // invalidates nothing the plan still needs).
           survivors.write.mode("append").parquet(sinkPath)
+          // canonical append: FINAL survivors' keys only (a doc the
+          // fuzzy/substring gates dropped must not block its mirror
+          // later — that mirror may be the copy worth keeping). A
+          // replayed batch may append duplicate keys; the gate joins
+          // semi/anti, so duplicates are harmless
+          (canonicalIndexPath, batchCanonicals) match {
+            case (Some(pth), Some(cf)) =>
+              cf.join(survivors.select(col(idCol)), Seq(idCol),
+                  "left_semi")
+                .select(col("canonical")).distinct()
+                .write.mode("append").parquet(pth)
+            case _ => ()
+          }
           exactSubstrIndex.foreach(g => graft.dedup.Dedup
             .appendToGramIndex(survivors, g, exactSubstrBuckets, idCol,
               textCol, exactSubstrMinLen))
@@ -268,6 +309,7 @@ object Streaming {
         ()
       }
       .start()
+  }
 
   /** STREAMING SFT-INGEST GATE — [[curateForeachBatch]]'s post-training
     * sibling: per micro-batch of conversations, (1) the E8 structure
@@ -657,7 +699,11 @@ object Streaming {
                          minQuality: Double = 0.3,
                          format: String = "tfrecord",
                          seed: String = "",
-                         packer: String = "greedy")
+                         packer: String = "greedy",
+                         fixEncoding: Boolean = false,
+                         canonicalCollapse: Boolean = false,
+                         urlCol: String = "url",
+                         htmlCol: String = "html")
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(format == "tfrecord" || format == "webdataset",
       s"format must be tfrecord or webdataset, got '$format'")
@@ -668,7 +714,12 @@ object Streaming {
         (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         import graft.text.TextOps
         val docs = batch.toDF()
-        val curated = graft.pipeline.Pipelines.curate(docs, minQuality)
+        // the batch curate's repair + mirror-collapse options, mirrored
+        // (foreachBatch runs batch semantics, so both are safe here)
+        val curated = graft.pipeline.Pipelines.curate(docs, minQuality,
+          fixEncoding = fixEncoding,
+          canonicalCollapse = canonicalCollapse,
+          urlCol = urlCol, htmlCol = htmlCol)
         val packed = TextOps.packWith(packer, curated, maxTokens,
           nShards, seed)
         val rows = packed

@@ -529,13 +529,15 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("curateForeachBatch canonicalCollapse: within-batch mirror " +
-    "variants declaring one rel=canonical collapse to the min-id " +
-    "representative before the near-dup gate; off by default") {
+    "variants collapse to the min-id representative before the " +
+    "near-dup gate; with canonicalIndexPath a BATCH-2 mirror of a " +
+    "batch-1 survivor is dropped by the stored canonical table") {
     import graft.dedup.Dedup
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft_fbcanon")
     val sink = base.resolve("sink").toString
     val ckpt = base.resolve("ckpt").toString
+    val canonIdx = base.resolve("canon").toString
     val canonHead = "<html><head><link rel=\"canonical\" " +
       "href=\"https://m.example.com/art\"></head><body>z</body></html>"
     try {
@@ -550,9 +552,10 @@ class StreamingSpec extends SparkSpec {
         in.toDF().toDF("doc_id", "text", "url", "html"),
         "sigidx_fbc", sink, ckpt,
         buckets = 4, minJaccard = 0.5, numHashes = 16, bands = 4,
-        canonicalCollapse = true)
+        canonicalCollapse = true,
+        canonicalIndexPath = Some(canonIdx))
       try {
-        // one batch: the original, a same-canonical mirror whose text
+        // batch 1: the original, a same-canonical mirror whose text
         // shares NOTHING (the near-dup gate alone could not drop it),
         // and an unrelated page
         in.addData(
@@ -567,10 +570,33 @@ class StreamingSpec extends SparkSpec {
             "https://n.example.com/other",
             "<html><head></head><body>y</body></html>"))
         q.processAllAvailable()
+        // batch 2: ANOTHER mirror of the batch-1 survivor (fresh text
+        // again — only the stored canonical table can catch it) plus a
+        // genuinely new page
+        in.addData(
+          (20L, "lorem-free completely novel wording present in no " +
+            "earlier batch of this stream today",
+            "https://m.example.com/art?ref=mirror", canonHead),
+          (21L, "unique closing document with vocabulary shared by " +
+            "nothing else in the fixture",
+            "https://p.example.com/new",
+            "<html><head></head><body>w</body></html>"))
+        q.processAllAvailable()
       } finally q.stop()
       val landed = spark.read.parquet(sink)
         .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
-      assert(landed == Seq(10L, 12L), s"landed $landed")
+      assert(landed == Seq(10L, 12L, 21L), s"landed $landed")
+      // the stored table holds exactly the survivors' canonical keys
+      val keys = spark.read.parquet(canonIdx)
+        .select("canonical").distinct().count()
+      assert(keys == 3L, s"got $keys canonical keys")
+      // canonicalIndexPath without the collapse stage is rejected
+      intercept[IllegalArgumentException] {
+        Streaming.curateForeachBatch(
+          in.toDF().toDF("doc_id", "text", "url", "html"),
+          "sigidx_fbc", sink, ckpt,
+          canonicalIndexPath = Some(canonIdx))
+      }
     } finally {
       spark.sql("DROP TABLE IF EXISTS sigidx_fbc_sigs")
       spark.sql("DROP TABLE IF EXISTS sigidx_fbc_bands")
