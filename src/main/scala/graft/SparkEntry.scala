@@ -3728,6 +3728,18 @@ object SparkEntry {
         .orderBy("q_id", "rk")
     }),
 
+    // BINARY-IVF ANN — both accelerations composed: IVF coarse pruning
+    // (3 probed label clusters), sign-bit Hamming candidates (top-20)
+    // over just those clusters, exact cosine ordering the final 10
+    "q329_binary_ivf" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val q = queryVec(embs)
+      Similarity.binaryIvfTopK(embs, q, 10, "label", nProbe = 3,
+          rerankK = 20)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+    }),
+
     // SITEMAP SEEDS from robots.txt — the discovery chain's root:
     // hosts announce sitemaps with 'Sitemap:' lines (case-insensitive
     // directive, whitespace tolerated, comments ignored); %3==0 hosts
@@ -11949,6 +11961,44 @@ object SparkEntry {
         |  FROM ham)
         |SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, hamming
         |FROM rk WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    // q329: q39's probe CTE + the sign-disagreement Hamming candidate
+    // stage (top-20 over the probed clusters) + q61's cosine rank
+    "q329_binary_ivf" ->
+      """WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+        |  WHERE vec_id = 0),
+        |cent AS (
+        |  SELECT label, list(m ORDER BY pos) AS centroid FROM (
+        |    SELECT label, i AS pos,
+        |           avg(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE))
+        |             AS m
+        |    FROM embeddings, generate_series(1, 64) t(i)
+        |    GROUP BY label, i)
+        |  GROUP BY label),
+        |probes AS (
+        |  SELECT label FROM cent, q
+        |  ORDER BY list_cosine_similarity(centroid, qe) DESC, label
+        |  LIMIT 3),
+        |pruned AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings
+        |  WHERE label IN (SELECT label FROM probes)),
+        |ham AS (
+        |  SELECT p.vec_id,
+        |    CAST(sum(CASE WHEN (q.qe[i.i] > 0) <> (p.e[i.i] > 0)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS h
+        |  FROM pruned p, q,
+        |    (SELECT unnest(generate_series(1, 64)) AS i) i
+        |  GROUP BY 1),
+        |cand AS (SELECT vec_id FROM ham ORDER BY h, vec_id LIMIT 20),
+        |scored AS (
+        |  SELECT p.vec_id, list_cosine_similarity(p.e, q.qe) AS c
+        |  FROM pruned p, q
+        |  WHERE p.vec_id IN (SELECT vec_id FROM cand)
+        |  ORDER BY c DESC, p.vec_id LIMIT 10)
+        |SELECT vec_id, round(c, 6) AS cosine FROM scored
+        |ORDER BY cosine DESC, vec_id""".stripMargin,
 
     // q328: the closed form of the announcement synthesis — two URLs
     // on %3==0 hosts, one on %3==1, none elsewhere (the commented

@@ -501,6 +501,107 @@ object Similarity {
         (-col("col.score")).cast("long").as("hamming"))
   }
 
+  /** Driver-side sign-bit packing of ONE vector — [[quantizeBinary]]'s
+    * rule (bit j of word w ⇔ v(32w+j) > 0) for the query side of the
+    * binary probes; parity with the column kernel is spec-pinned. */
+  def packSignBits(v: Array[Double]): Seq[Long] = {
+    val words = new Array[Long]((v.length + 31) / 32)
+    var i = 0
+    while (i < v.length) {
+      if (v(i) > 0) words(i / 32) |= (1L << (i % 32))
+      i += 1
+    }
+    words.toSeq
+  }
+
+  /** BINARY-IVF ANN — the two accelerations composed: IVF coarse
+    * pruning picks the `nProbe` clusters (the stage that SKIPS most of
+    * the corpus), a sign-bit Hamming scan over just those clusters
+    * picks `rerankK` candidates (the stage that touches the probed
+    * rows — pure bit ops), and exact cosine on the full vectors orders
+    * the final `k` (queries·rerankK rows). In-memory form quantizes
+    * the probed rows on the fly; the STORED form
+    * ([[binaryIvfTopKStored]]) reads PRECOMPUTED codes so the binary
+    * stage's bytes are 32-64× below the float column. */
+  def binaryIvfTopK(embs: DataFrame, query: Array[Double], k: Int,
+                    clusterCol: String, idCol: String = "vec_id",
+                    vecCol: String = "embedding", nProbe: Int = 2,
+                    rerankK: Int = 0,
+                    dim: Int = DefaultDim): DataFrame = {
+    val kPrime = if (rerankK > 0) rerankK else 4 * k
+    require(kPrime >= k, s"rerankK ($kPrime) must be >= k ($k)")
+    val qCol = org.apache.spark.sql.functions.typedlit(query.toSeq)
+    val probes = ivfIndex(embs, clusterCol, vecCol)
+      .select(col("cluster"),
+        cosine(col("centroid"), qCol, dim).as("sim"))
+      .orderBy(col("sim").desc, col("cluster"))
+      .limit(nProbe)
+      .select("cluster")
+    val pruned = embs.join(broadcast(probes),
+      embs(clusterCol) === probes("cluster"), "left_semi")
+    val qBits = org.apache.spark.sql.functions
+      .typedlit(packSignBits(query))
+    val cands = quantizeBinary(pruned, vecCol, dim)
+      .select(col(idCol), hammingDist(col("bvec"), qBits).as("h"))
+      .orderBy(col("h").asc, col(idCol).asc)
+      .limit(kPrime)
+      .select(idCol)
+    pruned.join(broadcast(cands), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        cosine(col(vecCol).cast("array<double>"), qCol, dim)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** [[binaryIvfTopK]] against a STORED corpus — the 100 TB serving
+    * shape with BOTH prunings real: the corpus lives
+    * `partitionBy(clusterCol)` WITH a precomputed `bvec` column
+    * (write [[quantizeBinary]]'s output through
+    * [[graft.io.Writers.partitionedParquet]]; append paths must apply
+    * [[quantizeBinary]] to the batch too), so stage 1 is a statically
+    * partition-pruned scan that reads ONLY (id, bvec) — parquet column
+    * pruning keeps the float column on disk — and stage 2 re-reads the
+    * probed partitions' full vectors for the candidate ids alone.
+    * Tombstones honored via [[readIvfCorpus]]. */
+  def binaryIvfTopKStored(spark: org.apache.spark.sql.SparkSession,
+                          corpusPath: String, centroids: DataFrame,
+                          query: Array[Double], k: Int,
+                          clusterCol: String = "cluster",
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          bvecCol: String = "bvec",
+                          nProbe: Int = 2, rerankK: Int = 0,
+                          dim: Int = DefaultDim): DataFrame = {
+    val kPrime = if (rerankK > 0) rerankK else 4 * k
+    require(kPrime >= k, s"rerankK ($kPrime) must be >= k ($k)")
+    val qCol = org.apache.spark.sql.functions.typedlit(query.toSeq)
+    val probeIds = centroids
+      .select(col("cluster"), cosine(col("centroid"), qCol, dim)
+        .as("sim"))
+      .orderBy(col("sim").desc, col("cluster"))
+      .limit(nProbe)
+      .select("cluster").collect().map(_.get(0)).toSeq
+    val corpus = readIvfCorpus(spark, corpusPath, idCol)
+      .filter(col(clusterCol).isInCollection(probeIds))
+    require(corpus.columns.contains(bvecCol),
+      s"stored corpus lacks '$bvecCol' — write quantizeBinary's " +
+        "output (and quantize appended batches) for the binary probe")
+    val qBits = org.apache.spark.sql.functions
+      .typedlit(packSignBits(query))
+    val cands = corpus
+      .select(col(idCol), hammingDist(col(bvecCol), qBits).as("h"))
+      .orderBy(col("h").asc, col(idCol).asc)
+      .limit(kPrime)
+      .select(idCol)
+    corpus.join(broadcast(cands), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        cosine(col(vecCol).cast("array<double>"), qCol, dim)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** BINARY-SCAN-THEN-RERANK — the production two-stage ANN serving
     * pattern composed: stage 1 scans the [[quantizeBinary]] corpus
     * with [[hammingTopK]] for `rerankK` candidates per query (pure

@@ -583,6 +583,76 @@ class WritersSpec extends SparkSpec {
     assert(got == inMem, s"stored-index result diverged: $got vs $inMem")
   }
 
+  test("binary IVF stored: precomputed codes probe with static " +
+    "partition pruning AND column pruning (the binary stage never " +
+    "reads the float column); result equals the in-memory composition; " +
+    "a code-less corpus is rejected by name") {
+    import graft.ml.Similarity
+    val dim = 4
+    val vecs = (0 until 24).map { i =>
+      val c = i % 3
+      val base = Array.fill(dim)(0.0f)
+      base(c) = 10f
+      base((c + 1) % dim) = (i / 3).toFloat * 0.1f - 0.2f
+      (i.toLong, base.toSeq)
+    }
+    val embs = vecs.toDF("vec_id", "embedding")
+    val assigned = Similarity.kmeans(embs, k = 3, iters = 3, dim = dim)
+    val centroids = Similarity.ivfIndex(assigned, "cluster")
+    val dirPath = Files.createTempDirectory("graft_bivf")
+      .resolve("corpus").toString
+    // the stored layout carries the PRECOMPUTED sign-bit codes
+    Writers.partitionedParquet(
+      Similarity.quantizeBinary(assigned, dim = dim)
+        .select("vec_id", "embedding", "bvec", "cluster"),
+      dirPath, Seq("cluster"))
+    val q = vecs.head._2.map(_.toDouble).toArray
+    val served = Similarity.binaryIvfTopKStored(spark, dirPath,
+      centroids, q, k = 4, nProbe = 2, rerankK = 8, dim = dim)
+    val got = served.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // parity with the in-memory composition on the same inputs
+    val inMem = Similarity.binaryIvfTopK(assigned, q, 4, "cluster",
+        nProbe = 2, rerankK = 8, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == inMem, s"stored diverged: $got vs $inMem")
+    // the query's own vector is the top hit
+    assert(got.head._1 == 0L, s"got $got")
+    // static pruning + column pruning, read off the FINAL plan (the
+    // collect above finalized AQE): every corpus scan carries the
+    // literal cluster partition filter, and the binary-stage scan's
+    // ReadSchema holds the codes WITHOUT the float column
+    val planStr = served.queryExecution.executedPlan.toString
+    val scanLines = planStr.split('\n')
+      .filter(l => l.contains("FileScan parquet") ||
+        l.contains("PartitionFilters"))
+    assert(planStr.contains("PartitionFilters: [cluster"),
+      s"no static cluster pruning:\n$planStr")
+    val binaryScan = planStr.split('\n')
+      .filter(l => l.contains("ReadSchema") && l.contains("bvec"))
+    assert(binaryScan.exists(!_.contains("embedding")),
+      s"binary stage reads the float column:\n${scanLines.mkString("\n")}")
+    // a corpus written WITHOUT codes fails descriptively
+    val bare = Files.createTempDirectory("graft_bivf2")
+      .resolve("corpus").toString
+    Writers.partitionedParquet(
+      assigned.select("vec_id", "embedding", "cluster"), bare,
+      Seq("cluster"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.binaryIvfTopKStored(spark, bare, centroids, q,
+        k = 4, dim = dim)
+    }
+    assert(e.getMessage.contains("bvec"), s"got ${e.getMessage}")
+    // packSignBits parity with the column kernel
+    val packed = Similarity.quantizeBinary(embs, dim = dim)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Long](2))
+    vecs.zip(packed).foreach { case ((_, v), words) =>
+      assert(Similarity.packSignBits(v.map(_.toDouble).toArray) ==
+        words.toSeq)
+    }
+  }
+
   test("IVF stored index lifecycle: append lands only in its clusters, " +
     "served without rebuild, compaction collapses files and keeps " +
     "pruning") {
