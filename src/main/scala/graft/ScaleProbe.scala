@@ -394,6 +394,14 @@ object ScaleProbe {
           TextOps.packSequencesGreedy(d, maxTokens = 512,
               groupCol = Some("source"))
             .agg(sum("pack_id"), max("pack_pos")).head(); 1L },
+        "pack_similar" -> { d =>
+          val assigned = d.select(col("doc_id"),
+            (col("doc_id") % 16).cast("int").as("cluster"),
+            transform(sequence(lit(1), lit(64)),
+              i => ((col("doc_id") % 16) * i % 13).cast("double"))
+              .as("embedding"))
+          TextOps.packSequencesSimilar(d, assigned, maxTokens = 512)
+            .agg(sum("pack_id"), max("pack_pos")).head(); 1L },
         "pack_manifest" -> { d =>
           TextOps.packManifest(
               TextOps.packSequencesGreedy(d, maxTokens = 512),

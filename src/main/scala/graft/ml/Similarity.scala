@@ -501,6 +501,46 @@ object Similarity {
         (-col("col.score")).cast("long").as("hamming"))
   }
 
+  /** Greedy nearest-neighbor CHAIN over cluster centroids — the
+    * cluster-granular form of in-context pretraining's document
+    * ordering (Shi et al. 2023 order the whole corpus by a similarity
+    * walk; at 100 TB the walk runs over the k CENTROIDS — an operator
+    * constant — and documents inherit their cluster's chain rank).
+    * Starts at the smallest cluster id, repeatedly steps to the most
+    * cosine-similar unvisited centroid (ties to the smallest id);
+    * driver-side O(k²) on the k-row centroid table (the [[ivfIndex]]
+    * collect-is-bounded argument). Returns cluster ids in chain
+    * order. */
+  def centroidChain(centroids: DataFrame,
+                    dim: Int = DefaultDim): Seq[Any] = {
+    val rows = centroids.select(col("cluster"), col("centroid"))
+      .collect()
+      .map(r => (r.get(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1.toString)
+    require(rows.nonEmpty, "empty centroid table")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na > 0 && nb > 0) dp / math.sqrt(na * nb) else 0.0
+    }
+    // smallest id first — by the natural ordering when comparable,
+    // string order otherwise (cluster ids are ints/longs in practice)
+    val start = rows.minBy(_._1.toString)
+    val visited = scala.collection.mutable.LinkedHashSet[Any](start._1)
+    var cur = start
+    while (visited.size < rows.length) {
+      val next = rows.filterNot(r => visited.contains(r._1))
+        .map(r => (r, cos(cur._2, r._2)))
+        .sortBy { case ((id, _), sim) => (-sim, id.toString) }
+        .head._1
+      visited += next._1
+      cur = next
+    }
+    visited.toSeq
+  }
+
   /** Driver-side sign-bit packing of ONE vector — [[quantizeBinary]]'s
     * rule (bit j of word w ⇔ v(32w+j) > 0) for the query side of the
     * binary probes; parity with the column kernel is spec-pinned. */

@@ -2933,6 +2933,59 @@ object TextOps {
       .withColumn(idCol, col(idCol).cast(idType))
   }
 
+  /** SIMILARITY-ORDERED packing — in-context pretraining's layout at
+    * corpus scale: documents with nearby embeddings should share
+    * context windows (Shi et al. 2023 measure the quality win over
+    * random packing). The scalable form is cluster-granular: the
+    * caller clusters the embeddings ([[graft.ml.Similarity.kmeans]] or
+    * any label), the k centroids take a greedy nearest-neighbor CHAIN
+    * ([[graft.ml.Similarity.centroidChain]] — driver-side on the
+    * k-row table), and each document's group key becomes its cluster's
+    * zero-padded chain rank, fed to [[packSequencesGreedy]]'s
+    * group-affine walk — so a pack's documents come from ONE cluster
+    * (or two chain-ADJACENT ones at boundaries), never a random mix.
+    * Docs without an embedding row land in the tail group (rank k),
+    * packed after every ranked cluster.
+    *
+    * Scale ledger: one |k|-row centroid collect + chain, one
+    * broadcast-sized rank map joined to the docs, then exactly the
+    * grouped-pack ledger row. Returns [[packSequencesGreedy]]'s
+    * schema. */
+  def packSequencesSimilar(docs: DataFrame, assigned: DataFrame,
+                           maxTokens: Long, nShards: Int = 8,
+                           idCol: String = "doc_id",
+                           textCol: String = "text",
+                           clusterCol: String = "cluster",
+                           vecCol: String = "embedding",
+                           seed: String = "",
+                           dim: Int = graft.ml.Similarity.DefaultDim)
+      : DataFrame = {
+    import graft.ml.Similarity
+    val spark = docs.sparkSession
+    val chain = Similarity.centroidChain(
+      Similarity.ivfIndex(
+        assigned.select(col(clusterCol), col(vecCol)), clusterCol,
+        vecCol), dim)
+    val width = math.max(chain.size.toString.length, 1)
+    import spark.implicits._
+    val rankMap = chain.zipWithIndex
+      .map { case (c, r) => (c.toString, f"%%0${width}d".format(r)) }
+      .toDF("_icp_cluster", "_icp")
+    val tail = f"%%0${width}d".format(chain.size)
+    // rank map broadcasts (k rows); the id-keyed docs⋈ranks join is
+    // corpus-sized on both sides and shuffles on the id, like every
+    // embedding-join in the dedup family
+    val ranked = assigned
+      .select(col(idCol),
+        col(clusterCol).cast("string").as("_icp_cluster"))
+      .join(broadcast(rankMap), Seq("_icp_cluster"))
+      .select(col(idCol), col("_icp"))
+    val grouped = docs.join(ranked, Seq(idCol), "left")
+      .withColumn("_icp", coalesce(col("_icp"), lit(tail)))
+    packSequencesGreedy(grouped, maxTokens, nShards, idCol, textCol,
+      seed, groupCol = Some("_icp"))
+  }
+
   /** Packer DISPATCH for the export paths (batch E9 + the streaming
     * export stage): `"greedy"` keeps arrival order (the resumable-
     * dataloader default), `"bfd"` buys fill efficiency

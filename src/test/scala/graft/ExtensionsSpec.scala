@@ -3862,6 +3862,65 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("centroidChain + packSequencesSimilar: the chain walks to the " +
+    "most similar unvisited centroid (ties to the smallest id); " +
+    "documents pack in cluster-chain runs per shard, embedding-less " +
+    "docs land in the tail group") {
+    import graft.ml.Similarity
+    // three centroids with engineered similarity: cos(c0,c1)=cos(c1,c2)
+    // ~0.7, cos(c0,c2)=0 -> chain 0 -> 1 -> 2
+    def vec(c: Int, j: Int): Seq[Float] = {
+      val base = c match {
+        case 0 => Array(10f, 0f, 0f, 0f)
+        case 1 => Array(7f, 7f, 0f, 0f)
+        case 2 => Array(0f, 10f, 0f, 0f)
+      }
+      base(3) = j * 0.01f
+      base.toSeq
+    }
+    val assigned = (0L until 30L).map(i =>
+      (i, (i % 3).toInt, vec((i % 3).toInt, (i / 3).toInt)))
+      .toDF("doc_id", "cluster", "embedding")
+    val chain = Similarity.centroidChain(
+      Similarity.ivfIndex(assigned, "cluster"), dim = 4)
+    assert(chain == Seq(0, 1, 2), s"got $chain")
+    // orthogonal tie case: all cosines equal -> id order
+    val orth = Seq((0, Seq(1f, 0f, 0f, 0f)), (1, Seq(0f, 1f, 0f, 0f)),
+      (2, Seq(0f, 0f, 1f, 0f))).toDF("cluster", "embedding")
+    assert(Similarity.centroidChain(
+      Similarity.ivfIndex(orth, "cluster"), dim = 4) == Seq(0, 1, 2))
+    // the packing: docs interleave clusters by id; one doc (100) has
+    // no embedding row and must land in the tail group
+    val docs = ((0L until 30L).map(i =>
+      (i, Seq.fill(6 + (i % 5).toInt)("w").mkString(" "))) :+
+      (100L, "tail doc without any embedding row here"))
+      .toDF("doc_id", "text")
+    val packed = TextOps.packSequencesSimilar(docs, assigned,
+        maxTokens = 25, nShards = 2)
+      .join(assigned.select(col("doc_id"), col("cluster")),
+        Seq("doc_id"), "left")
+      .orderBy("shard", "pack_id", "pack_pos")
+      .collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("pack_id"),
+        r.getAs[Int]("pack_pos"), r.getAs[Long]("doc_id"),
+        Option(r.getAs[Any]("cluster")).map(_.toString)
+          .getOrElse("tail")))
+    assert(packed.length == 31)
+    // per shard: the walk visits clusters in chain order as contiguous
+    // runs, tail group last
+    packed.groupBy(_._1).foreach { case (sh, rows) =>
+      val walk = rows.sortBy(t => (t._2, t._3)).map(_._5)
+      val runs = walk.foldLeft(List.empty[String]) { (acc, s) =>
+        if (acc.headOption.contains(s)) acc else s :: acc }.reverse
+      assert(runs == runs.distinct, s"shard $sh interleaves: $walk")
+      // chain order preserved among the clusters present
+      val order = runs.filter(_ != "tail")
+      assert(order == order.sorted, s"shard $sh out of chain: $runs")
+      if (runs.contains("tail"))
+        assert(runs.last == "tail", s"tail not last in shard $sh: $runs")
+    }
+  }
+
   test("fixMojibake kernel: UTF-8-as-cp1252 damage heals (accents, C1 " +
     "punctuation, double-encoding in two passes); genuine Latin-1, " +
     "real non-Latin text, and lone cp1252 punctuation pass through " +
