@@ -1016,9 +1016,25 @@ object Similarity {
                        idCol: String = "vec_id",
                        vecCol: String = "embedding",
                        dim: Int = DefaultDim): DataFrame = {
-    assignToCentroids(batch, centroids, idCol, vecCol, dim)
-      .select(col(idCol), col(vecCol), col("cluster"))
-      .write.mode("append").partitionBy("cluster").parquet(corpusPath)
+    // SCHEMA-AWARE: a corpus written with binary codes
+    // ([[binaryIvfTopKStored]]'s layout) must never receive a
+    // code-less batch — the binary probe would silently skip every
+    // appended vector (NULL bvec → NULL hamming). Sniff the stored
+    // schema once and quantize the batch to match; the plain layout
+    // appends plainly. Makes the r16 "forgot to quantize the append"
+    // mistake impossible
+    val spark = batch.sparkSession
+    val hasCodes = pathExists(spark, corpusPath) &&
+      spark.read.parquet(corpusPath).columns.contains("bvec")
+    val assigned = assignToCentroids(batch, centroids, idCol, vecCol,
+      dim)
+    val shaped =
+      if (!hasCodes) assigned.select(col(idCol), col(vecCol),
+        col("cluster"))
+      else quantizeBinary(assigned, vecCol, dim)
+        .select(col(idCol), col(vecCol), col("bvec"), col("cluster"))
+    shaped.write.mode("append").partitionBy("cluster")
+      .parquet(corpusPath)
     // the report re-derives the assignment map-only from the batch — a
     // second BATCH-sized pass (the corpus is never read either way)
     assignToCentroids(batch, centroids, idCol, vecCol, dim)

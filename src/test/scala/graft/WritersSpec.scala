@@ -651,6 +651,18 @@ class WritersSpec extends SparkSpec {
       assert(Similarity.packSignBits(v.map(_.toDouble).toArray) ==
         words.toSeq)
     }
+    // schema-aware append: a CODE-LESS batch appended to the coded
+    // corpus is quantized automatically and the probe serves it
+    val cents = centroids.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val fresh = Seq((200L, Seq(10.1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    Similarity.appendToIvfIndex(dirPath, fresh, cents, dim = dim)
+    val afterAppend = Similarity.binaryIvfTopKStored(spark, dirPath,
+        centroids, q, k = 4, nProbe = 2, rerankK = 8, dim = dim)
+      .collect().map(_.getLong(0)).toSeq
+    assert(afterAppend.contains(200L),
+      s"appended vector not served: $afterAppend")
   }
 
   test("IVF stored index lifecycle: append lands only in its clusters, " +
