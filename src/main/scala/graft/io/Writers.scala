@@ -136,6 +136,9 @@ object Writers {
     val tmp = new Path(hPath.getParent, s".${hPath.getName}_publish_tmp")
     df.write.mode("overwrite").parquet(tmp.toString)
     if (!fs.exists(hPath)) {
+      // first publish: the destination's parent may not exist yet, and
+      // Hadoop rename requires it
+      Option(hPath.getParent).foreach(fs.mkdirs(_))
       if (!fs.rename(tmp, hPath))
         throw new java.io.IOException(
           s"publish: could not move $tmp into place at $hPath")
