@@ -3740,6 +3740,52 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("vec_id"))
     }),
 
+    // METASPACE BPE encode — the SentencePiece convention the
+    // Llama/T5/Mistral family ships (q294 is the byte-level family):
+    // every space becomes ▁, prepend_scheme=always gives EVERY word
+    // (including the first — unlike gpt2's bare first word) its
+    // leading ▁, and the same 80-merge broadcast-kernel fold runs
+    // over ▁-form merges. The oracle rebuilds pre-tokens as
+    // '▁' || word (exact on this single-spaced corpus) and replays
+    // the fold merge-per-CTE
+    "q330_metaspace_encode" -> ((s, dir) => {
+      val bcM = TextOps.bpeMergesBroadcast(s, BpeMergesMeta)
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull && col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          posexplode(TextOps.bpeEncodeMetaspace(col("text"), bcM))
+            .as(Seq("pos", "encoded")))
+        .filter(col("pos") < 3)
+        .select(col("doc_id"), (col("pos") + 1).as("word_no"),
+          col("encoded"))
+        .withColumn("n_subwords", size(split(col("encoded"), " ")))
+        .orderBy("doc_id", "word_no")
+    }),
+
+    // the id sequences under metaspace semantics — what pointing the
+    // engine at a Llama-style tokenizer.json materializes; 'q' is
+    // deliberately absent from the vocab so q-words exercise the -1
+    // OOV path (q295's convention)
+    "q331_metaspace_ids" -> ((s, dir) => {
+      val bcM = TextOps.bpeMergesBroadcast(s, BpeMergesMeta)
+      val bcV = TextOps.bpeVocabBroadcast(s, BpeVocabMeta)
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull && col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          posexplode(TextOps.bpeEncodeMetaspace(col("text"), bcM))
+            .as(Seq("pos", "encoded")))
+        .filter(col("pos") < 3)
+        .select(col("doc_id"), (col("pos") + 1).as("word_no"),
+          graft.functions.VectorExpressions
+            .vocabIds(col("encoded"), bcV).as("ids"))
+        .select(col("doc_id"), col("word_no"),
+          array_join(transform(col("ids"), x => x.cast("string")), " ")
+            .as("ids_str"),
+          size(col("ids")).as("n_tokens"),
+          size(filter(col("ids"), x => x === -1)).as("n_oov"))
+        .orderBy("doc_id", "word_no")
+    }),
+
     // SITEMAP SEEDS from robots.txt — the discovery chain's root:
     // hosts announce sitemaps with 'Sitemap:' lines (case-insensitive
     // directive, whitespace tolerated, comments ignored); %3==0 hosts
@@ -4108,6 +4154,33 @@ object SparkEntry {
       yield (c1.toString, c2.toString)
     head ++ gen.filterNot(headSet.contains).take(80 - head.length)
   }
+
+  /** q330/q331's METASPACE merge table: ▁-form head merges in the
+    * shipped SentencePiece-BPE style (the Llama family's tokenizer.json
+    * writes merges over the ▁ alphabet) plus the same generated
+    * frequency-alphabet pairs — 80 total, past bpeEncodeAuto's
+    * literalMax, so the metaspace queries exercise the broadcast
+    * kernel exactly like q294. */
+  private val BpeMergesMeta: Seq[(String, String)] = {
+    val head = Seq("▁" -> "t", "▁" -> "a", "h" -> "e", "i" -> "n",
+      "r" -> "e", "o" -> "n", "▁t" -> "he", "e" -> "r", "▁" -> "s",
+      "a" -> "t", "▁" -> "w", "▁" -> "o", "e" -> "n", "▁" -> "c",
+      "▁a" -> "n", "i" -> "t", "▁w" -> "it")
+    val letters = "etaoinshrd"
+    val headSet = head.toSet
+    val gen = for { c1 <- letters; c2 <- letters }
+      yield (c1.toString, c2.toString)
+    head ++ gen.filterNot(headSet.contains).take(80 - head.length)
+  }
+
+  /** q331's metaspace vocabulary: the ▁-alphabet (lowercase letters +
+    * `▁`, with 'q' DELIBERATELY absent so q-words exercise the -1 OOV
+    * path — q295's convention) plus every merged symbol, id =
+    * position. */
+  private val BpeVocabMeta: Seq[(String, Int)] =
+    ((('a' to 'z').filterNot(_ == 'q').map(_.toString) :+ "▁") ++
+      BpeMergesMeta.map { case (a, b) => a + b })
+      .distinct.zipWithIndex
 
   /** q295's byte-level vocabulary: the corpus byte-form alphabet
     * (lowercase letters + `Ġ`, with 'q' DELIBERATELY absent so q-words
@@ -11999,6 +12072,71 @@ object SparkEntry {
         |  ORDER BY c DESC, p.vec_id LIMIT 10)
         |SELECT vec_id, round(c, 6) AS cosine FROM scored
         |ORDER BY cosine DESC, vec_id""".stripMargin,
+
+    // q330: metaspace pre-tokens rebuilt from the corpus's
+    // single-space shape (EVERY word — including the first — takes
+    // its leading ▁ under prepend_scheme=always), then the identical
+    // merge-per-CTE fold over the ▁-form table
+    "q330_metaspace_encode" ->
+      s"""WITH mbase AS (
+         |  SELECT doc_id, word_no,
+         |         array_to_string(string_split(
+         |           '▁' || ws[word_no], ''), ' ') AS enc
+         |  FROM (SELECT doc_id, ws,
+         |               CAST(unnest(generate_series(1, least(len(ws), 3)))
+         |                 AS INTEGER) AS word_no
+         |        FROM (SELECT doc_id,
+         |                     list_filter(string_split(text, ' '),
+         |                       t2 -> len(t2) > 0) AS ws
+         |              FROM documents
+         |              WHERE text IS NOT NULL AND doc_id % 10 = 0))),
+         |${bpeMergeCtes(BpeMergesMeta)}
+         |SELECT doc_id, word_no, enc AS encoded,
+         |       CAST(len(string_split(enc, ' ')) AS INTEGER) AS n_subwords
+         |FROM m${BpeMergesMeta.length - 1}
+         |ORDER BY doc_id, word_no""".stripMargin,
+
+    // q331: q330's metaspace encode chain, then the id lookup
+    // replayed as a positioned unnest + LEFT JOIN over the same
+    // ▁-alphabet VALUES vocab (absent symbol — incl. the deliberately
+    // missing 'q' — maps to -1)
+    "q331_metaspace_ids" -> {
+      val vocabVals = BpeVocabMeta
+        .map { case (s2, i) => s"('$s2', $i)" }.mkString(", ")
+      s"""WITH mbase AS (
+         |  SELECT doc_id, word_no,
+         |         array_to_string(string_split(
+         |           '▁' || ws[word_no], ''), ' ') AS enc
+         |  FROM (SELECT doc_id, ws,
+         |               CAST(unnest(generate_series(1, least(len(ws), 3)))
+         |                 AS INTEGER) AS word_no
+         |        FROM (SELECT doc_id,
+         |                     list_filter(string_split(text, ' '),
+         |                       t2 -> len(t2) > 0) AS ws
+         |              FROM documents
+         |              WHERE text IS NOT NULL AND doc_id % 10 = 0))),
+         |${bpeMergeCtes(BpeMergesMeta)},
+         |vocab(sym, id) AS (VALUES $vocabVals),
+         |tok AS (
+         |  SELECT doc_id, word_no, enc,
+         |         CAST(unnest(generate_series(1,
+         |             len(string_split(enc, ' ')))) AS INTEGER) AS pos
+         |  FROM m${BpeMergesMeta.length - 1}),
+         |sy AS (
+         |  SELECT doc_id, word_no, pos, string_split(enc, ' ')[pos] AS sym
+         |  FROM tok),
+         |ids AS (
+         |  SELECT sy.doc_id, sy.word_no, sy.pos, coalesce(v.id, -1) AS id
+         |  FROM sy LEFT JOIN vocab v ON v.sym = sy.sym)
+         |SELECT doc_id, word_no,
+         |       array_to_string(array_agg(CAST(id AS VARCHAR)
+         |         ORDER BY pos), ' ') AS ids_str,
+         |       CAST(count(*) AS INTEGER) AS n_tokens,
+         |       CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END)
+         |         AS INTEGER) AS n_oov
+         |FROM ids GROUP BY doc_id, word_no
+         |ORDER BY doc_id, word_no""".stripMargin
+    },
 
     // q328: the closed form of the announcement synthesis — two URLs
     // on %3==0 hosts, one on %3==1, none elsewhere (the commented

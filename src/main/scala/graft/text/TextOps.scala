@@ -4188,20 +4188,103 @@ object TextOps {
           " ")).cast("long")),
       lit(0L), (acc, x) => acc + x)
 
+  /** METASPACE pre-tokens of `text` — the SentencePiece convention the
+    * Llama/T5/Mistral tokenizer family ships (HF tokenizers'
+    * `Metaspace` pre-tokenizer): every space becomes the replacement
+    * character (`▁`, U+2581, by default), the text optionally gains a
+    * leading replacement (`prepend` — `always`/`first` prepend when
+    * the text does not already start with one; `never` leaves the
+    * first word bare), and the result splits BEFORE each replacement
+    * (the MergedWithNext behavior: each piece carries its leading
+    * `▁`). "Hello world" under `always` → `["▁Hello", "▁world"]`;
+    * under `never` → `["Hello", "▁world"]`. CASE IS PRESERVED —
+    * SentencePiece tables are case-sensitive, like the byte-level
+    * family and unlike the lowercased whitespace path. For a single
+    * text column `first` equals `always` (one section; they diverge
+    * only when a special-token splitter yields multiple sections
+    * upstream). Map-only; tiles the string exactly (the two regex
+    * alternatives cover every character). */
+  def metaspacePreTokens(text: Column, replacement: String = "▁",
+      prepend: String = "always"): Column = {
+    require(replacement.length == 1 && !replacement.contains(" "),
+      s"metaspace replacement must be one non-space char, " +
+        s"got '$replacement'")
+    require(Set("always", "first", "never").contains(prepend),
+      s"prepend_scheme must be always/first/never, got '$prepend'")
+    val r = java.util.regex.Pattern.quote(replacement)
+    val cls = if ("^]\\-&[".contains(replacement)) "\\" + replacement
+      else replacement
+    val norm0 = replace(coalesce(text, lit("")), lit(" "),
+      lit(replacement))
+    val norm = if (prepend == "never") norm0
+      else when(length(norm0) === 0, norm0)
+        .when(norm0.startsWith(replacement), norm0)
+        .otherwise(concat(lit(replacement), norm0))
+    regexp_extract_all(norm, lit(s"$r[^$cls]*|[^$cls]+"), lit(0))
+  }
+
+  /** BPE encode under METASPACE semantics — the Llama/Mistral family's
+    * real pre-tokenization: [[metaspacePreTokens]] splits (case
+    * preserved, each word carrying its `▁`), the broadcast merge
+    * kernel folds each piece character-initial exactly as SentencePiece
+    * BPE does (`▁` is an ordinary character of the merge alphabet, the
+    * form shipped tables are written in). One space-separated symbol
+    * string per pre-token; map-only, O(1) plan in |merges|. */
+  def bpeEncodeMetaspace(text: Column,
+      bc: org.apache.spark.broadcast.Broadcast[
+        graft.functions.BpeEncodeWord.Merges],
+      replacement: String = "▁",
+      prepend: String = "always"): Column =
+    transform(metaspacePreTokens(text, replacement, prepend),
+      w => bpeEncodeWordKernel(w, bc))
+
+  /** TOKEN IDS under metaspace semantics — [[bpeEncodeMetaspace]]'s
+    * symbols through the broadcast vocab, flattened to the document's
+    * id sequence (symbols absent from the vocab map to -1, the
+    * merges/vocab mismatch flag — real SentencePiece stacks
+    * byte-fallback upstream of this point). */
+  def bpeEncodeIdsMetaspace(text: Column,
+      bcMerges: org.apache.spark.broadcast.Broadcast[
+        graft.functions.BpeEncodeWord.Merges],
+      bcVocab: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[String, Integer]],
+      replacement: String = "▁",
+      prepend: String = "always"): Column =
+    flatten(transform(metaspacePreTokens(text, replacement, prepend),
+      t => graft.functions.VectorExpressions.vocabIds(
+        bpeEncodeWordKernel(t, bcMerges), bcVocab)))
+
+  /** BPE token budget under metaspace semantics — Σ over pre-tokens of
+    * encoded symbol counts ([[bpeTokenCount]]'s metaspace form). */
+  def bpeTokenCountMetaspace(text: Column,
+      bcMerges: org.apache.spark.broadcast.Broadcast[
+        graft.functions.BpeEncodeWord.Merges],
+      replacement: String = "▁",
+      prepend: String = "always"): Column =
+    aggregate(
+      transform(metaspacePreTokens(text, replacement, prepend),
+        t => size(split(bpeEncodeWordKernel(t, bcMerges), " "))
+          .cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
   /** Pre-tokenizer dispatch — encode `text` under the semantics the
     * tokenizer file DECLARES ([[TokenizerFiles.readPreTokenizerKind]]
     * reads `pre_tokenizer` out of a tokenizer.json; merges.txt implies
     * the GPT-2 byte-level family): `byte_level` routes to
-    * [[bpeEncodeByteLevel]], `whitespace` to the lowercased
-    * whitespace-split [[bpeEncodeKernel]]. */
+    * [[bpeEncodeByteLevel]], `metaspace` to the SentencePiece-style
+    * [[bpeEncodeMetaspace]] (default `▁`/`always` — pass a
+    * [[TokenizerFiles.readMetaspaceConfig]] result for the file's own
+    * declarations), `whitespace` to the lowercased whitespace-split
+    * [[bpeEncodeKernel]]. */
   def bpeEncodeDispatch(kind: String, text: Column,
       bc: org.apache.spark.broadcast.Broadcast[
         graft.functions.BpeEncodeWord.Merges]): Column = kind match {
     case "byte_level" => bpeEncodeByteLevel(text, bc)
+    case "metaspace" => bpeEncodeMetaspace(text, bc)
     case "whitespace" => bpeEncodeKernel(text, bc)
     case other => throw new IllegalArgumentException(
       s"unknown pre-tokenizer kind '$other' " +
-        "(expected byte_level or whitespace)")
+        "(expected byte_level, metaspace, or whitespace)")
   }
 
   /** Broadcast the INVERSE vocabulary (id → symbol) for
@@ -4243,10 +4326,11 @@ object TextOps {
       bcVocab: org.apache.spark.broadcast.Broadcast[
         java.util.HashMap[String, Integer]]): Column = kind match {
     case "byte_level" => bpeEncodeIdsByteLevel(text, bcMerges, bcVocab)
+    case "metaspace" => bpeEncodeIdsMetaspace(text, bcMerges, bcVocab)
     case "whitespace" => bpeEncodeIdsKernel(text, bcMerges, bcVocab)
     case other => throw new IllegalArgumentException(
       s"unknown pre-tokenizer kind '$other' " +
-        "(expected byte_level or whitespace)")
+        "(expected byte_level, metaspace, or whitespace)")
   }
 
   /** The BERT basic-tokenizer padding class — every character the

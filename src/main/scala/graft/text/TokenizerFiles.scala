@@ -80,9 +80,12 @@ object TokenizerFiles {
     * `pre_tokenizer.type` decides: `ByteLevel` (or a `Sequence`
     * containing one) → `byte_level` — the GPT-2/RoBERTa/CLIP family
     * whose merge symbols are written in the bytes_to_unicode alphabet;
-    * `Whitespace`/`WhitespaceSplit` (or null — tokenizers that
-    * pre-split upstream) → `whitespace`. Any other declared type fails
-    * descriptively: silently routing e.g. a Metaspace (SentencePiece)
+    * `Metaspace` → `metaspace` — the SentencePiece convention the
+    * Llama/T5/Mistral family ships (▁-replacement; read the file's
+    * replacement char and prepend scheme with
+    * [[readMetaspaceConfig]]); `Whitespace`/`WhitespaceSplit` (or
+    * null — tokenizers that pre-split upstream) → `whitespace`. Any
+    * other declared type fails descriptively: silently routing a
     * table through the wrong splitter would produce ids that LOOK
     * valid and match nothing. A `merges.txt` path returns `byte_level`
     * — that line format is the GPT-2 distribution's. */
@@ -93,24 +96,72 @@ object TokenizerFiles {
       val t = Option(node.get("type")).map(_.asText()).getOrElse("")
       t match {
         case "ByteLevel" => "byte_level"
+        case "Metaspace" => "metaspace"
         case "Whitespace" | "WhitespaceSplit" => "whitespace"
         case "BertPreTokenizer" => "bert"
         case "Sequence" =>
+          // the member that DECIDES the alphabet wins: a ByteLevel
+          // anywhere means the merge symbols are byte-form; else a
+          // Metaspace means ▁-form; plain splitters are the default
           val subs = node.get("pretokenizers")
           val it = if (subs == null) java.util.Collections
             .emptyIterator[com.fasterxml.jackson.databind.JsonNode]()
           else subs.elements()
           var found = "whitespace"
-          while (it.hasNext)
-            if (kindOf(it.next()) == "byte_level") found = "byte_level"
+          while (it.hasNext) kindOf(it.next()) match {
+            case "byte_level" => found = "byte_level"
+            case "metaspace" if found != "byte_level" =>
+              found = "metaspace"
+            case _ =>
+          }
           found
         case other => throw new IllegalArgumentException(
           s"$path: unsupported pre_tokenizer type '$other' — this " +
-            "engine implements byte_level (GPT-2 family) and " +
-            "whitespace semantics")
+            "engine implements byte_level (GPT-2 family), metaspace " +
+            "(SentencePiece family), and whitespace semantics")
       }
     }
     if (pt == null || pt.isNull) "whitespace" else kindOf(pt)
+  }
+
+  /** The (replacement char, prepend scheme) a Metaspace pre-tokenizer
+    * declares — [[graft.text.TextOps.metaspacePreTokens]]'s two knobs.
+    * Defaults are the family's own (`▁`, `always`); the legacy
+    * `add_prefix_space` boolean (tokenizers < 0.14 serializations)
+    * maps true→`always` / false→`never` when `prepend_scheme` is
+    * absent. Descends into a `Sequence` to find the Metaspace member;
+    * fails descriptively when the file declares none. */
+  def readMetaspaceConfig(spark: SparkSession, path: String)
+      : (String, String) = {
+    def find(node: com.fasterxml.jackson.databind.JsonNode)
+        : Option[com.fasterxml.jackson.databind.JsonNode] = {
+      val t = Option(node.get("type")).map(_.asText()).getOrElse("")
+      if (t == "Metaspace") Some(node)
+      else if (t == "Sequence") {
+        val subs = node.get("pretokenizers")
+        if (subs == null) None
+        else {
+          var out: Option[com.fasterxml.jackson.databind.JsonNode] = None
+          val it = subs.elements()
+          while (it.hasNext && out.isEmpty) out = find(it.next())
+          out
+        }
+      } else None
+    }
+    val pt = tokenizerRoot(spark, path).get("pre_tokenizer")
+    val node = Option(pt).filterNot(_.isNull).flatMap(find)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$path: no Metaspace pre_tokenizer declared"))
+    val repl = Option(node.get("replacement")).filter(_.isTextual)
+      .map(_.asText()).getOrElse("▁")
+    val scheme = Option(node.get("prepend_scheme")).filter(_.isTextual)
+      .map(_.asText())
+      .orElse(Option(node.get("add_prefix_space")).filter(_.isBoolean)
+        .map(b => if (b.asBoolean()) "always" else "never"))
+      .getOrElse("always")
+    require(Set("always", "first", "never").contains(scheme),
+      s"$path: unsupported prepend_scheme '$scheme'")
+    (repl, scheme)
   }
 
   /** Parse `model.merges` out of a HuggingFace `tokenizer.json`. Both
@@ -449,12 +500,23 @@ object TokenizerFiles {
     * `unigram`). The unigram leg exposes the (piece, lnp) vocab for
     * [[TextOps.unigramSegment]] instead of a column encoder (its DP
     * runs on the distinct-word DOMAIN, not per row — using it per-row
-    * would hide a corpus-shaped cost inside a projection). */
+    * would hide a corpus-shaped cost inside a projection). The unigram
+    * leg also carries `preTokens` — how the caller must build that
+    * word domain before segmenting: [[TextOps.metaspacePreTokens]]
+    * with the file's declared replacement/scheme for a T5-style
+    * Metaspace file, the whitespace split otherwise. */
   sealed trait LoadedTokenizer { def family: String }
   final case class ColumnTokenizer(family: String,
       encode: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
     extends LoadedTokenizer
-  final case class UnigramTokenizer(family: String, vocab: DataFrame)
+  final case class UnigramTokenizer(family: String, vocab: DataFrame,
+      preTokens: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column =
+        c => org.apache.spark.sql.functions.filter(
+          TextOps.wsTokens(org.apache.spark.sql.functions.lower(
+            org.apache.spark.sql.functions.coalesce(c,
+              org.apache.spark.sql.functions.lit("")))),
+          t => org.apache.spark.sql.functions.length(t) > 0))
     extends LoadedTokenizer
 
   /** ONE call from any shipped tokenizer file to a usable encoder —
@@ -485,6 +547,12 @@ object TokenizerFiles {
           readPreTokenizerKind(spark, path) match {
             case "byte_level" => ColumnTokenizer("bpe_byte_level",
               c => TextOps.bpeEncodeByteLevel(c, bc))
+            case "metaspace" =>
+              // the Llama/Mistral family: the file's own replacement
+              // char and prepend scheme drive the split
+              val (repl, scheme) = readMetaspaceConfig(spark, path)
+              ColumnTokenizer("bpe_metaspace",
+                c => TextOps.bpeEncodeMetaspace(c, bc, repl, scheme))
             case "whitespace" => ColumnTokenizer("bpe_whitespace",
               c => TextOps.bpeEncodeKernel(c, bc))
             case other => throw new IllegalArgumentException(
@@ -529,8 +597,16 @@ object TokenizerFiles {
               s"$path: Unigram vocab entry is not [piece, score]")
             rows += ((e.get(0).asText(), e.get(1).asDouble()))
           }
-          UnigramTokenizer("unigram",
-            rows.result().toDF("piece", "lnp"))
+          val vocabDf = rows.result().toDF("piece", "lnp")
+          readPreTokenizerKind(spark, path) match {
+            // a T5-style file: the segmenter's word domain is the
+            // ▁-form pieces under the file's own replacement/scheme
+            case "metaspace" =>
+              val (repl, scheme) = readMetaspaceConfig(spark, path)
+              UnigramTokenizer("unigram", vocabDf,
+                c => TextOps.metaspacePreTokens(c, repl, scheme))
+            case _ => UnigramTokenizer("unigram", vocabDf)
+          }
         case other => throw new IllegalArgumentException(
           s"$path: unsupported model.type '$other'")
       }

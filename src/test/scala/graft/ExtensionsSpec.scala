@@ -3271,16 +3271,34 @@ class ExtensionsSpec extends SparkSpec {
       .select(TextOps.bpeEncodeKernel(col("text"), bcM)).head()
       .getSeq[String](0)
     assert(ws == Seq("t he", "c at"), s"got $ws")
-    // unknown declared pre-tokenizers fail descriptively, not silently
+    // Metaspace (the SentencePiece family) dispatches to its own kind
     val tmp = java.nio.file.Files.createTempDirectory("graft_ptk")
     val meta = tmp.resolve("m.json")
     java.nio.file.Files.write(meta,
       """{"pre_tokenizer": {"type": "Metaspace"},
         | "model": {"type": "BPE", "vocab": {},
         | "merges": []}}""".stripMargin.getBytes("UTF-8"))
+    assert(TokenizerFiles.readPreTokenizerKind(spark, meta.toString) ==
+      "metaspace")
+    // ... also inside a Sequence (unless a ByteLevel member decides
+    // the alphabet instead)
+    val seqm = tmp.resolve("seq.json")
+    java.nio.file.Files.write(seqm,
+      """{"pre_tokenizer": {"type": "Sequence", "pretokenizers":
+        | [{"type": "WhitespaceSplit"}, {"type": "Metaspace"}]},
+        | "model": {"type": "BPE", "vocab": {},
+        | "merges": []}}""".stripMargin.getBytes("UTF-8"))
+    assert(TokenizerFiles.readPreTokenizerKind(spark, seqm.toString) ==
+      "metaspace")
+    // unknown declared pre-tokenizers fail descriptively, not silently
+    val digits = tmp.resolve("d.json")
+    java.nio.file.Files.write(digits,
+      """{"pre_tokenizer": {"type": "Digits"},
+        | "model": {"type": "BPE", "vocab": {},
+        | "merges": []}}""".stripMargin.getBytes("UTF-8"))
     val ex = intercept[IllegalArgumentException](
-      TokenizerFiles.readPreTokenizerKind(spark, meta.toString))
-    assert(ex.getMessage.contains("Metaspace"))
+      TokenizerFiles.readPreTokenizerKind(spark, digits.toString))
+    assert(ex.getMessage.contains("Digits"))
     // no pre_tokenizer declared -> whitespace; merges.txt -> byte_level
     val none = tmp.resolve("n.json")
     java.nio.file.Files.write(none,
@@ -3290,6 +3308,112 @@ class ExtensionsSpec extends SparkSpec {
       "whitespace")
     assert(TokenizerFiles.readPreTokenizerKind(spark,
       "/any/merges.txt") == "byte_level")
+  }
+
+  test("metaspace pre-tokenizer + BPE encode: ▁-replacement with the " +
+    "three prepend schemes, hand-derived Llama-style symbols and ids " +
+    "from the fixture tokenizer.json, loadTokenizer dispatch, legacy " +
+    "add_prefix_space mapping") {
+    import graft.text.{TextOps, TokenizerFiles}
+    // pre-tokenization fidelity, hand-derived from the public
+    // Metaspace semantics (split BEFORE each ▁ — MergedWithNext)
+    val alw = Seq("Hello world", "pre  dup", " lead", "", "▁own")
+      .toDF("text")
+      .select(col("text"),
+        TextOps.metaspacePreTokens(col("text")).as("pt"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList)
+      .toMap
+    assert(alw("Hello world") == List("▁Hello", "▁world"))
+    assert(alw("pre  dup") == List("▁pre", "▁", "▁dup")) // double space
+    assert(alw(" lead") == List("▁lead")) // leading space becomes the
+    // ▁ itself — already ▁-led after replacement, so no prepend
+    assert(alw("") == Nil)
+    assert(alw("▁own") == List("▁own")) // already ▁-led: no prepend
+    val nev = Seq("Hello world").toDF("text")
+      .select(TextOps.metaspacePreTokens(col("text"),
+        prepend = "never")).head().getSeq[String](0).toList
+    assert(nev == List("Hello", "▁world")) // first word stays bare
+    val fst = Seq("Hello world").toDF("text")
+      .select(TextOps.metaspacePreTokens(col("text"),
+        prepend = "first")).head().getSeq[String](0).toList
+    assert(fst == List("▁Hello", "▁world")) // one section: == always
+    // a custom replacement char (tokenizers allow any single char)
+    val cus = Seq("a b").toDF("text")
+      .select(TextOps.metaspacePreTokens(col("text"),
+        replacement = "_")).head().getSeq[String](0).toList
+    assert(cus == List("_a", "_b"))
+    // the fixture Llama-style Metaspace+BPE tokenizer.json: kind and
+    // config dispatch, the encode reproduces hand-derived ▁-form
+    // symbols (case preserved — 'T' stays unmerged) and ids ('T' is
+    // absent from the vocab → -1, the OOV flag)
+    val tok = getClass
+      .getResource("/graft/fixture_metaspace_tokenizer.json").getPath
+    assert(TokenizerFiles.readPreTokenizerKind(spark, tok) ==
+      "metaspace")
+    assert(TokenizerFiles.readMetaspaceConfig(spark, tok) ==
+      ("▁", "always"))
+    val bcM = TokenizerFiles.mergesBroadcastFromFile(spark, tok)
+    val bcV = TokenizerFiles.vocabBroadcastFromFile(spark, tok)
+    val r = Seq("The cat sat on the mat.").toDF("text")
+      .select(
+        TextOps.bpeEncodeDispatch("metaspace", col("text"), bcM)
+          .as("sym"),
+        TextOps.bpeEncodeIdsDispatch("metaspace", col("text"), bcM,
+          bcV).as("ids"),
+        TextOps.bpeTokenCountMetaspace(col("text"), bcM).as("n"))
+      .head()
+    assert(r.getSeq[String](0) == Seq("▁ T h e", "▁cat", "▁sat",
+      "▁on", "▁the", "▁mat ."), s"symbols: ${r.getSeq[String](0)}")
+    assert(r.getSeq[Int](1) == Seq(1, -1, 5, 4, 17, 19, 21, 14,
+      23, 11), s"ids: ${r.getSeq[Int](1)}")
+    assert(r.getLong(2) == 10L)
+    // loadTokenizer routes the fixture to the metaspace encoder
+    val lt = TokenizerFiles.loadTokenizer(spark, tok)
+      .asInstanceOf[TokenizerFiles.ColumnTokenizer]
+    assert(lt.family == "bpe_metaspace")
+    val enc = Seq("the cat").toDF("text")
+      .select(lt.encode(col("text"))).head().getSeq[String](0)
+    assert(enc == Seq("▁the", "▁cat"), s"got $enc")
+    // legacy add_prefix_space serialization maps to the scheme; a
+    // declared custom replacement passes through
+    val tmp = java.nio.file.Files.createTempDirectory("graft_msc")
+    val legacy = tmp.resolve("legacy.json")
+    java.nio.file.Files.write(legacy,
+      """{"pre_tokenizer": {"type": "Metaspace", "replacement": "_",
+        | "add_prefix_space": false},
+        | "model": {"type": "BPE", "vocab": {"a": 0},
+        | "merges": []}}""".stripMargin.getBytes("UTF-8"))
+    assert(TokenizerFiles.readMetaspaceConfig(spark, legacy.toString)
+      == ("_", "never"))
+    // a T5-style Unigram+Metaspace file: the segmenter's word domain
+    // arrives in ▁-form via the carried preTokens
+    val t5 = tmp.resolve("t5.json")
+    java.nio.file.Files.write(t5,
+      """{"pre_tokenizer": {"type": "Metaspace"},
+        | "model": {"type": "Unigram", "vocab":
+        | [["▁the", -1.5], ["▁cat", -2.0]]}}"""
+        .stripMargin.getBytes("UTF-8"))
+    val ut = TokenizerFiles.loadTokenizer(spark, t5.toString)
+      .asInstanceOf[TokenizerFiles.UnigramTokenizer]
+    assert(ut.vocab.orderBy("piece").collect()
+      .map(x => (x.getString(0), x.getDouble(1))).toSeq ==
+      Seq(("▁cat", -2.0), ("▁the", -1.5)))
+    val dom = Seq("the cat").toDF("text")
+      .select(ut.preTokens(col("text"))).head().getSeq[String](0)
+    assert(dom == Seq("▁the", "▁cat"), s"got $dom")
+    // bad scheme / replacement fail descriptively
+    val bad = intercept[IllegalArgumentException](
+      Seq("x").toDF("text").select(TextOps.metaspacePreTokens(
+        col("text"), prepend = "sometimes")))
+    assert(bad.getMessage.contains("prepend_scheme"))
+    val noms = tmp.resolve("noms.json")
+    java.nio.file.Files.write(noms,
+      """{"pre_tokenizer": {"type": "ByteLevel"},
+        | "model": {"type": "BPE", "vocab": {"a": 0},
+        | "merges": []}}""".stripMargin.getBytes("UTF-8"))
+    val nometa = intercept[IllegalArgumentException](
+      TokenizerFiles.readMetaspaceConfig(spark, noms.toString))
+    assert(nometa.getMessage.contains("no Metaspace"))
   }
 
   test("byte-level BPE trainer + detokenizer: merges learned in the " +
