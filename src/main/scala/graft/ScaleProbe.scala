@@ -121,6 +121,18 @@ object ScaleProbe {
           val pairs = Dedup.ngramJaccard(d, minJaccard = 0.4, maxDf = 1000)
           Dedup.connectedComponents(d.select(col("doc_id").as("id")), pairs)
             .count() },
+        // the DISTRIBUTED fallback on the same graph: driverMaxEdges=0
+        // forces the BSP label-propagation loop past the union-find
+        // gate, so the path production hits beyond 2M edges carries its
+        // own 10x evidence (replica components are star-shaped near-dup
+        // clusters — diameter stays small, so the round count is flat
+        // and the cost per round is the edge-join shuffle)
+        "cc_clusters_bsp" -> { d =>
+          val pairs = Dedup.ngramJaccard(d, minJaccard = 0.4, maxDf = 1000)
+          val n = Dedup.connectedComponents(d.select(col("doc_id").as("id")),
+            pairs, driverMaxEdges = 0).count()
+          println(s"    cc_clusters_bsp rounds=${Dedup.lastBspRounds.get}")
+          n },
         "neardup_pipeline" -> { d =>
           Dedup.nearDupClusters(d, minJaccard = 0.4).count() },
         "tfidf_top3" -> { d => TextOps.tfidfTopTerms(d, k = 3).count() },

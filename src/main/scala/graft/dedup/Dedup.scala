@@ -1037,11 +1037,22 @@ object Dedup {
       s"connectedComponents did not converge in $maxIter rounds of " +
         s"$stepsPerRound steps — component diameter exceeds the budget; " +
         "raise maxIter")
+    lastBspRounds.set(round)
     // final labels are checkpointed (lineage-free), so both caches can go
     edges.unpersist(false)
     restricted.unpersist(false)
     labels.withColumnRenamed("label", "cluster_id")
   }
+
+  /** Round count of the most recent BSP label-propagation run
+    * (instrumentation for the scale probe / specs: the loop converges
+    * in ceil(diameter / stepsPerRound) + 1 rounds, and near-dup
+    * candidate graphs keep small diameters as the corpus grows — so a
+    * probe asserting the count stays flat at 10x is the evidence the
+    * distributed fallback scales). Includes the confirming round (the
+    * one whose Σlabel matches the previous — BSP needs it to DETECT
+    * the fixed point). Untouched by the driver union-find path. */
+  val lastBspRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
 
   /** Min-id ordering for driver-side union-find, matching Spark's `min`
     * semantics for the type (strings compare as unsigned UTF-8 bytes —

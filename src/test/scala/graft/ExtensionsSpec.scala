@@ -188,13 +188,32 @@ class ExtensionsSpec extends SparkSpec {
     // driver union-find path (default gate) and forced BSP path
     // (driverMaxEdges = 0) must agree exactly
     for (gate <- Seq(2000000L, 0L)) {
+      Dedup.lastBspRounds.set(-1)
       val got = Dedup.connectedComponents(nodes, pairs,
           driverMaxEdges = gate)
         .collect()
         .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id"))
         .toMap
       assert(got == expect, s"driverMaxEdges=$gate")
+      // round-count instrumentation: the union-find path never touches
+      // it; the BSP path converges in ceil(diameter/stepsPerRound)+1
+      // rounds — diameter 2 here, stepsPerRound 2 → 1 + the confirm
+      if (gate == 2000000L) assert(Dedup.lastBspRounds.get == -1)
+      else assert(Dedup.lastBspRounds.get == 2,
+        s"rounds: ${Dedup.lastBspRounds.get}")
     }
+    // the round budget is diameter-bound, not size-bound: a 33-node
+    // path (diameter 32, the worst shape per edge) needs 16+1 rounds
+    // at stepsPerRound=2 — near-dup candidate graphs stay far below
+    // this because their components are band-collision stars
+    val pathNodes = (0L to 32L).toDF("id")
+    val pathPairs = (0L until 32L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val pathGot = Dedup.connectedComponents(pathNodes, pathPairs,
+        driverMaxEdges = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pathGot == (0L to 32L).map((_, 0L)).toSet)
+    assert(Dedup.lastBspRounds.get == 17,
+      s"rounds: ${Dedup.lastBspRounds.get}")
   }
 
   test("jaccardForPairs matches ngramJaccard on the pairs it's given") {

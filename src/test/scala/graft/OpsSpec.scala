@@ -550,6 +550,39 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("krippendorffAlpha survives the (n-1)*d_o_l LONG-overflow " +
+    "edge: 30k fully-disagreeing pairs at maxRaters=24 push the " +
+    "product past Long.MaxValue — the double-multiply path must " +
+    "still return the closed-form (2-n)/n") {
+    // the documented ~1e7-pairable-item edge at the ceiling declared
+    // maxRaters (L = lcm(1..23) ~ 5.35e9): the overflow condition is
+    // (n-1)*d_o_l > 2^63-1 with d_o_l itself still in range. 30k
+    // items x {0,1} give d_o_l = 30000*2L ~ 3.2e14 (fits) and
+    // (n-1)*d_o_l ~ 1.93e19 (wraps as a LONG — the pre-fix path);
+    // complete disagreement has the closed form alpha = (2-n)/n.
+    val L = (1L to 23L).reduce { (a, b) =>
+      @annotation.tailrec
+      def gcd(x: Long, y: Long): Long = if (y == 0) x else gcd(y, x % y)
+      a / gcd(a, b) * b
+    }
+    assert(L == 5354228880L) // lcm(1..23)
+    val nItems = 30000L
+    val ratings = spark.range(nItems).select(
+      col("id").cast("string").as("item_id"),
+      explode(array(lit(0), lit(1))).as("label"))
+    val got = Quality.krippendorffAlpha(ratings, maxRaters = 24).head()
+    val n = 2 * nItems
+    assert(got.getLong(0) == nItems && got.getLong(1) == n, s"got $got")
+    assert(got.getLong(2) == nItems * 2 * L, s"d_o_l: ${got.getLong(2)}")
+    assert(got.getLong(3) == n * n / 2, s"d_e_num: ${got.getLong(3)}")
+    // the pre-fix LONG product would wrap: (n-1)*d_o_l > Long.MaxValue
+    assert(BigInt(n - 1) * BigInt(nItems * 2 * L) >
+      BigInt(Long.MaxValue))
+    val want = (2.0 - n) / n
+    assert(math.abs(got.getDouble(4) - want) < 1e-9,
+      s"alpha: ${got.getDouble(4)} vs $want")
+  }
+
   test("parquetStats reads the footers the scanner prunes with: the " +
     "z-ordered layout bounds BOTH dimensions per file where a " +
     "single-column sort leaves the trailing dimension at full width") {
