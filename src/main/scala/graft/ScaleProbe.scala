@@ -414,6 +414,18 @@ object ScaleProbe {
               .as("embedding"))
           TextOps.packSequencesSimilar(d, assigned, maxTokens = 512)
             .agg(sum("pack_id"), max("pack_pos")).head(); 1L },
+        // the DOCUMENT-granular form: same cluster layout plus the
+        // bounded per-block NN walk (chainPool² dots per block) — the
+        // probe evidence that intra-cluster ordering stays flat at 10x
+        "pack_similar_doc" -> { d =>
+          val assigned = d.select(col("doc_id"),
+            (col("doc_id") % 16).cast("int").as("cluster"),
+            transform(sequence(lit(1), lit(64)),
+              i => ((col("doc_id") % 16) * i % 13).cast("double"))
+              .as("embedding"))
+          TextOps.packSequencesSimilar(d, assigned, maxTokens = 512,
+              docGranular = true)
+            .agg(sum("pack_id"), max("pack_pos")).head(); 1L },
         "pack_manifest" -> { d =>
           TextOps.packManifest(
               TextOps.packSequencesGreedy(d, maxTokens = 512),

@@ -2950,7 +2950,22 @@ object TextOps {
     * Scale ledger: one |k|-row centroid collect + chain, one
     * broadcast-sized rank map joined to the docs, then exactly the
     * grouped-pack ledger row. Returns [[packSequencesGreedy]]'s
-    * schema. */
+    * schema.
+    *
+    * @param docGranular when true, documents INSIDE each cluster are
+    *   additionally similarity-ordered by a bounded-state greedy
+    *   nearest-neighbor walk: the cluster's vectors stream through
+    *   blocks of at most `chainPool`, each block chained exactly
+    *   (start at the smallest id, repeatedly hop to the most-cosine-
+    *   similar unvisited vector, ties to the smallest id) — the BFD
+    *   openPool argument: exact within a block, block-sequential past
+    *   it. Pack neighbors are then near in embedding space at the
+    *   DOCUMENT grain, not just the cluster grain. `false` (default)
+    *   keeps the cluster-granular layout bit-identical to before.
+    * @param chainPool vectors held per walk block (task state is
+    *   O(chainPool·dim); block cost is O(chainPool²·dim), so the
+    *   default 1024 prices each block at ~10⁸ flops — raise it only
+    *   for small corpora where exact whole-cluster chains matter) */
   def packSequencesSimilar(docs: DataFrame, assigned: DataFrame,
                            maxTokens: Long, nShards: Int = 8,
                            idCol: String = "doc_id",
@@ -2958,9 +2973,12 @@ object TextOps {
                            clusterCol: String = "cluster",
                            vecCol: String = "embedding",
                            seed: String = "",
-                           dim: Int = graft.ml.Similarity.DefaultDim)
-      : DataFrame = {
+                           dim: Int = graft.ml.Similarity.DefaultDim,
+                           docGranular: Boolean = false,
+                           chainPool: Int = 1024): DataFrame = {
     import graft.ml.Similarity
+    require(chainPool >= 2 && chainPool <= 99999,
+      s"chainPool out of range: $chainPool")
     val spark = docs.sparkSession
     val chain = Similarity.centroidChain(
       Similarity.ivfIndex(
@@ -2975,11 +2993,108 @@ object TextOps {
     // rank map broadcasts (k rows); the id-keyed docs⋈ranks join is
     // corpus-sized on both sides and shuffles on the id, like every
     // embedding-join in the dedup family
-    val ranked = assigned
+    val baseRanked = assigned
       .select(col(idCol),
         col(clusterCol).cast("string").as("_icp_cluster"))
       .join(broadcast(rankMap), Seq("_icp_cluster"))
       .select(col(idCol), col("_icp"))
+    val ranked =
+      if (!docGranular) baseRanked
+      else {
+        // per-cluster bounded NN walk: one repartition on the cluster
+        // key (vectors shuffle ONCE — the SemDeDup ledger row), then a
+        // streaming per-block chain with O(chainPool·dim) task state.
+        // The order key extends the cluster rank: rank~block~step, so
+        // the group-affine sort visits chain order inside each cluster
+        // and cluster-granular order across them.
+        val chained = assigned
+          .filter(col(vecCol).isNotNull)
+          .select(col(clusterCol).cast("string").as("c"),
+            col(idCol).cast("string").as("i"),
+            col(vecCol).cast("array<double>").as("v"))
+          .repartition(col("c"))
+          .sortWithinPartitions("c", "i")
+          .as[(String, String, Seq[Double])]
+          .mapPartitions { it =>
+            val rows = it.buffered
+            new Iterator[(String, Long, Int)] {
+              private var pending: Iterator[(String, Long, Int)] =
+                Iterator.empty
+              private var curCluster: String = null
+              private var blockNo = 0L
+              private def chainBlock(): Unit = {
+                val c = rows.head._1
+                if (c != curCluster) { curCluster = c; blockNo = 0L }
+                else blockNo += 1L
+                val ids = new scala.collection.mutable
+                  .ArrayBuffer[String](chainPool)
+                val vecs = new scala.collection.mutable
+                  .ArrayBuffer[Array[Double]](chainPool)
+                while (rows.hasNext && rows.head._1 == c &&
+                    ids.length < chainPool) {
+                  val (_, i2, v2) = rows.next()
+                  ids += i2; vecs += v2.toArray
+                }
+                val m = ids.length
+                val norms = new Array[Double](m)
+                var z = 0
+                while (z < m) {
+                  var s2 = 0.0; val a = vecs(z); var t2 = 0
+                  while (t2 < a.length) { s2 += a(t2) * a(t2); t2 += 1 }
+                  norms(z) = math.sqrt(s2); z += 1
+                }
+                val visited = new Array[Boolean](m)
+                val order = new Array[Int](m)
+                // rows arrive id-sorted, so index 0 = smallest id
+                visited(0) = true
+                var cur = 0
+                var step = 1
+                while (step < m) {
+                  var best = -1
+                  var bestCos = Double.NegativeInfinity
+                  var j = 0
+                  while (j < m) {
+                    if (!visited(j)) {
+                      val a = vecs(cur); val b = vecs(j)
+                      var dot = 0.0
+                      var t3 = 0
+                      val d3 = math.min(a.length, b.length)
+                      while (t3 < d3) { dot += a(t3) * b(t3); t3 += 1 }
+                      val den = norms(cur) * norms(j)
+                      val cos = if (den == 0.0) 0.0 else dot / den
+                      // strict > keeps the FIRST maximum = smallest id
+                      if (cos > bestCos) { bestCos = cos; best = j }
+                    }
+                    j += 1
+                  }
+                  visited(best) = true; order(step) = best
+                  cur = best; step += 1
+                }
+                val blk = blockNo
+                pending = (0 until m).iterator
+                  .map(s3 => (ids(order(s3)), blk, s3))
+              }
+              def hasNext: Boolean = pending.hasNext || rows.hasNext
+              def next(): (String, Long, Int) = {
+                if (!pending.hasNext) chainBlock()
+                pending.next()
+              }
+            }
+          }
+          .toDF("_id", "_blk", "_rk")
+        baseRanked
+          .withColumn("_ids", col(idCol).cast("string"))
+          // left: a null-embedding doc keeps its cluster rank and
+          // sorts after that cluster's chained docs
+          .join(chained, col("_ids") === col("_id"), "left")
+          .select(col(idCol),
+            concat(col("_icp"), lit("~"),
+              lpad(coalesce(col("_blk"), lit(999999999L))
+                .cast("string"), 9, "0"),
+              lit("~"),
+              lpad(coalesce(col("_rk"), lit(99999))
+                .cast("string"), 5, "0")).as("_icp"))
+      }
     val grouped = docs.join(ranked, Seq(idCol), "left")
       .withColumn("_icp", coalesce(col("_icp"), lit(tail)))
     packSequencesGreedy(grouped, maxTokens, nShards, idCol, textCol,

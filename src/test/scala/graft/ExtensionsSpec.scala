@@ -4064,6 +4064,68 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("packSequencesSimilar docGranular: the within-cluster NN walk " +
+    "beats the cluster-granular md5 order on within-pack cosine, " +
+    "chainPool blocks stay sequential, null-embedding docs keep " +
+    "their cluster rank") {
+    // one cluster, two internal directions: even ids point A, odd ids
+    // point B (cos(A,A)=cos(B,B)=1, cos(A,B)=0). Ids 10-25 so string
+    // sort == numeric sort. 6-token texts at maxTokens=12 → 2 docs a
+    // pack; the doc-granular walk chains all A then all B, so every
+    // pack pair is same-side (mean within-pack cos = 1); md5 order
+    // inside the cluster mixes the sides.
+    def v(i: Long): Seq[Float] =
+      if (i % 2 == 0) Seq(10f, 0f, 0f, 0f) else Seq(0f, 10f, 0f, 0f)
+    val assigned = (10L to 25L).map(i => (i, 0, v(i)))
+      .toDF("doc_id", "cluster", "embedding")
+    val docs = (10L to 25L).map(i => (i, Seq.fill(6)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    def packMeanCos(docGranular: Boolean): Double = {
+      val packed = TextOps.packSequencesSimilar(docs, assigned,
+          maxTokens = 12, nShards = 1, dim = 4,
+          docGranular = docGranular)
+        .collect()
+        .map(r => (r.getAs[Long]("pack_id"), r.getAs[Long]("doc_id")))
+        .groupBy(_._1).values.map(_.map(_._2).sorted.toSeq).toSeq
+      assert(packed.forall(_.size == 2), s"packs: $packed")
+      val cosines = packed.map { case Seq(a, b) =>
+        if (a % 2 == b % 2) 1.0 else 0.0 }
+      cosines.sum / cosines.size
+    }
+    val docMean = packMeanCos(docGranular = true)
+    val clusterMean = packMeanCos(docGranular = false)
+    assert(docMean == 1.0, s"doc-granular mean cos: $docMean")
+    assert(docMean > clusterMean,
+      s"doc $docMean vs cluster $clusterMean") // md5 order mixes sides
+    // chainPool blocks: pool of 4 over 16 id-sorted docs → 4 blocks,
+    // each chained exactly and emitted in block order — every pack
+    // still holds one block's (same-parity-chained) neighbors; the
+    // walk never reaches across a block boundary
+    val pooled = TextOps.packSequencesSimilar(docs, assigned,
+        maxTokens = 12, nShards = 1, dim = 4,
+        docGranular = true, chainPool = 4)
+      .orderBy("pack_id", "pack_pos").collect()
+      .map(r => r.getAs[Long]("doc_id"))
+    assert(pooled.toSet == (10L to 25L).toSet)
+    val blockOf = (id: Long) => (id - 10) / 4
+    pooled.grouped(2).foreach { p =>
+      assert(blockOf(p(0)) == blockOf(p(1)),
+        s"pack straddles blocks: ${p.toSeq} in ${pooled.toSeq}") }
+    // a null-embedding doc keeps its cluster rank (sorts after that
+    // cluster's chained docs, before the no-cluster tail)
+    val withNull = (10L to 13L).map(i => (i, 0, Some(v(i)))) :+
+      ((14L, 0, Option.empty[Seq[Float]]))
+    val nd = withNull.toDF("doc_id", "cluster", "embedding")
+    val ndocs = (10L to 15L).map(i => (i, "w w w w w w"))
+      .toDF("doc_id", "text") // 15 has no assignment row at all
+    val order = TextOps.packSequencesSimilar(ndocs, nd, maxTokens = 12,
+        nShards = 1, dim = 4, docGranular = true)
+      .orderBy("pack_id", "pack_pos").collect()
+      .map(r => r.getAs[Long]("doc_id"))
+    assert(order.indexOf(14L) == 4, s"order: ${order.toSeq}")
+    assert(order.last == 15L, s"order: ${order.toSeq}")
+  }
+
   test("fixMojibake kernel: UTF-8-as-cp1252 damage heals (accents, C1 " +
     "punctuation, double-encoding in two passes); genuine Latin-1, " +
     "real non-Latin text, and lone cp1252 punctuation pass through " +
