@@ -311,6 +311,72 @@ object Streaming {
       .start()
   }
 
+  /** STREAMING ANN INGEST — the stored binary-IVF serving loop's
+    * ingest half ([[graft.ml.Similarity.binaryIvfTopKStored]] is the
+    * query half): per micro-batch of (id, vector) rows, NEW ids
+    * assign to the FROZEN centroids and dynamic-partition-append into
+    * the cluster-partitioned corpus
+    * ([[graft.ml.Similarity.appendToIvfIndex]] — schema-aware, so a
+    * binary-coded corpus quantizes the batch automatically) and the
+    * next stored probe serves them with no rebuild.
+    *
+    * IDEMPOTENT ingest (the duplicate-append hazard the canonical
+    * index solves for keys, solved here for vectors): before
+    * appending, the batch anti-joins the ids ALREADY STORED in the
+    * clusters it lands in — a partition-pruned, id-column-only read,
+    * bounded by the touched clusters — so a replayed batch (crash
+    * recovery; at-least-once sources) appends ZERO rows instead of
+    * duplicate vectors, and serving needs no dedup-on-read. Optional
+    * `logPath` lands one row per (batch, cluster) with appended count
+    * and mean assignment similarity — [[graft.ml.Similarity
+    * .centroidDrift]]'s cheap streaming signal (mean sim sliding down
+    * batch-over-batch means the frozen centroids no longer fit).
+    *
+    * Batch cost: one broadcast-kernel assignment pass (map-only), one
+    * ≤k-row cluster collect, the pruned id anti-join, and the
+    * partition append. Vectors shuffle only into their cluster
+    * directories; the corpus is never rewritten. */
+  def annIngestForeachBatch(stream: DataFrame, corpusPath: String,
+      centroids: Seq[(Long, Array[Double])], checkpoint: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = graft.ml.Similarity.DefaultDim,
+      logPath: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(centroids.nonEmpty, "centroids must not be empty")
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sess = batch.sparkSession
+        import graft.ml.Similarity
+        val rows = batch.toDF()
+        // touched clusters: map-only assignment, ≤k distinct rows move
+        val touched = Similarity.assignToCentroids(rows, centroids,
+            idCol, vecCol, dim)
+          .select("cluster").distinct()
+          .collect().map(_.get(0)).toSeq
+        val hp = new org.apache.hadoop.fs.Path(corpusPath)
+        val fs = hp.getFileSystem(sess.sparkContext.hadoopConfiguration)
+        val fresh =
+          if (!fs.exists(hp) || touched.isEmpty) rows
+          else rows.join(
+            sess.read.parquet(corpusPath)
+              .filter(col("cluster").isInCollection(touched))
+              .select(col(idCol)),
+            Seq(idCol), "left_anti")
+        // the append itself runs eagerly inside appendToIvfIndex; the
+        // returned report only computes when a log sink wants it
+        val report = Similarity.appendToIvfIndex(corpusPath, fresh,
+            centroids, idCol, vecCol, dim)
+          .withColumn("batch_id", lit(batchId))
+        logPath.foreach(pth =>
+          report.write.mode("append").parquet(pth))
+        ()
+      }
+      .start()
+  }
+
   /** STREAMING SFT-INGEST GATE — [[curateForeachBatch]]'s post-training
     * sibling: per micro-batch of conversations, (1) the E8 structure
     * gates ([[graft.ops.Chat.conversationStats]] — turn floor, strict

@@ -983,4 +983,76 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(math.abs(dot) - 1.0) < 1e-6,
         s"axis misaligned: |dot| = ${math.abs(dot)}") }
   }
+
+  test("annIngestForeachBatch: two streamed batches append into the " +
+    "coded IVF corpus (auto-quantized), a replayed id appends zero " +
+    "rows, the ingest log carries per-batch counts, and the stored " +
+    "binary probe matches the in-memory composition over everything " +
+    "ingested") {
+    import graft.ml.Similarity
+    import graft.io.Writers
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 4
+    val base = java.nio.file.Files.createTempDirectory("graft_annfb")
+    val corpus = base.resolve("corpus").toString
+    val ckpt = base.resolve("ckpt").toString
+    val log = base.resolve("log").toString
+    // frozen centroids + a CODED seed corpus (the serving layout)
+    val seed = Seq(
+      (0L, Seq(10f, 0f, 0f, 0f)), (1L, Seq(0f, 10f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(10.0, 0.0, 0.0, 0.0)),
+      (1L, Array(0.0, 10.0, 0.0, 0.0)))
+    Writers.partitionedParquet(
+      Similarity.quantizeBinary(
+        Similarity.assignToCentroids(seed, cents, dim = dim),
+        dim = dim)
+        .select("vec_id", "embedding", "bvec", "cluster"),
+      corpus, Seq("cluster"))
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = Streaming.annIngestForeachBatch(
+      in.toDF().toDF("vec_id", "embedding"), corpus, cents, ckpt,
+      dim = dim, logPath = Some(log))
+    try {
+      in.addData((10L, Seq(9f, 1f, 0f, 0f)), (11L, Seq(1f, 9f, 0f, 0f)),
+        (12L, Seq(8f, 0f, 1f, 0f)), (13L, Seq(0f, 8f, 1f, 0f)))
+      q.processAllAvailable()
+      // batch 2: two new vectors + a REPLAY of id 10 (the
+      // at-least-once hazard) — the pruned id anti-join must skip it
+      in.addData((20L, Seq(7f, 2f, 0f, 0f)), (21L, Seq(2f, 7f, 0f, 0f)),
+        (10L, Seq(9f, 1f, 0f, 0f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val stored = spark.read.parquet(corpus)
+    assert(stored.count() == 8L, // 2 seed + 4 + 2; the replay skipped
+      s"got ${stored.count()} corpus rows")
+    assert(stored.filter(col("vec_id") === 10L).count() == 1L,
+      "replayed id duplicated")
+    // schema-aware append: every streamed row carries its codes
+    assert(stored.filter(col("bvec").isNull).count() == 0L,
+      "append landed code-less rows")
+    // ingest log: batch 0 appended 4, batch 1 appended 2 (not 3)
+    val logged = spark.read.parquet(log)
+      .groupBy("batch_id").agg(sum("n_appended").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(logged == Map(0L -> 4L, 1L -> 2L), s"log: $logged")
+    // serving parity: the stored probe equals the in-memory
+    // composition over the full ingested corpus (same cluster labels,
+    // same derived centroid table)
+    val inMemCorpus = stored.select("vec_id", "embedding", "cluster")
+    val centDf = Similarity.ivfIndex(inMemCorpus, "cluster")
+    val qv = Array(1.0, 0.2, 0.0, 0.0)
+    val servedQ = Similarity.binaryIvfTopKStored(spark, corpus,
+      centDf, qv, k = 4, nProbe = 2, rerankK = 8, dim = dim)
+    val served = servedQ.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inMem = Similarity.binaryIvfTopK(inMemCorpus, qv, 4, "cluster",
+        nProbe = 2, rerankK = 8, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == inMem, s"stored diverged: $served vs $inMem")
+    // the x-leaning query's top-4 are exactly the x-side vectors,
+    // streamed and seed alike
+    assert(served.map(_._1).toSet == Set(20L, 10L, 0L, 12L),
+      s"served: $served")
+  }
 }
