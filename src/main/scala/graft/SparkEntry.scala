@@ -3786,6 +3786,21 @@ object SparkEntry {
         .orderBy("doc_id", "word_no")
     }),
 
+    // T5-STYLE unigram segmentation over the METASPACE word domain —
+    // the Unigram+Metaspace tokenizer family (q235 is the whitespace
+    // family, q330 the BPE+Metaspace one): each word carries its ▁
+    // and the substring vocab + Viterbi DP run over the ▁-form
+    // alphabet, exactly what loadTokenizer's T5 leg feeds the
+    // segmenter
+    "q332_metaspace_unigram" -> ((s, dir) => {
+      val words = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(explode(TextOps.metaspacePreTokens(lower(col("text"))))
+          .as("word"))
+        .filter(length(col("word")) > 0)
+      val vocab = TextOps.substringVocab(words)
+      TextOps.unigramSegment(words, vocab, maxLen = 12).orderBy("word")
+    }),
+
     // SITEMAP SEEDS from robots.txt — the discovery chain's root:
     // hosts announce sitemaps with 'Sitemap:' lines (case-insensitive
     // directive, whitespace tolerated, comments ignored); %3==0 hosts
@@ -5242,7 +5257,26 @@ object SparkEntry {
   /** Shared q235/q236 oracle prelude: substring vocab + the 12
     * Viterbi rounds; ends with `a12(word, i, score, np, segs)`, `w`,
     * `v(piece, lnp)` and the token CTE `tok(t)` in scope. */
-  private def unigramDpCtes: String = {
+  /** The shared q235/q236 DP prelude over the default (lowercased,
+    * whitespace-split) word domain. */
+  private def unigramDpCtes: String = unigramDpCtesFor(
+    """tok AS MATERIALIZED (
+      |  SELECT t FROM (
+      |    SELECT unnest(string_split(lower(text), ' ')) AS t
+      |    FROM documents WHERE text IS NOT NULL)
+      |  WHERE len(t) > 0)""".stripMargin)
+
+  /** q332's METASPACE word domain: the same DP over ▁-prefixed words
+    * (every word takes its ▁ under prepend_scheme=always — exact on
+    * this single-spaced corpus, the q330 convention). */
+  private def unigramDpCtesMetaspace: String = unigramDpCtesFor(
+    """tok AS MATERIALIZED (
+      |  SELECT '▁' || t AS t FROM (
+      |    SELECT unnest(string_split(lower(text), ' ')) AS t
+      |    FROM documents WHERE text IS NOT NULL)
+      |  WHERE len(t) > 0)""".stripMargin)
+
+  private def unigramDpCtesFor(tokCte: String): String = {
     val maxLen = 12
     def round(i: Int): String =
       s"""b$i AS MATERIALIZED (
@@ -5262,11 +5296,7 @@ object SparkEntry {
          |  WHERE rk = 1),
          |a$i AS MATERIALIZED (SELECT * FROM a${i - 1}
          |        UNION ALL SELECT * FROM b$i)""".stripMargin
-    s"""tok AS MATERIALIZED (
-       |  SELECT t FROM (
-       |    SELECT unnest(string_split(lower(text), ' ')) AS t
-       |    FROM documents WHERE text IS NOT NULL)
-       |  WHERE len(t) > 0),
+    s"""$tokCte,
        |w0 AS MATERIALIZED (SELECT DISTINCT t AS word FROM tok),
        |p1 AS (SELECT word, unnest(generate_series(1, len(word))) AS i
        |       FROM w0),
@@ -12137,6 +12167,18 @@ object SparkEntry {
          |FROM ids GROUP BY doc_id, word_no
          |ORDER BY doc_id, word_no""".stripMargin
     },
+
+    // q332: q235's DP prelude over the ▁-form word domain (every
+    // word ▁-prefixed — the metaspace tok CTE), same Viterbi rounds
+    // and tie order
+    "q332_metaspace_unigram" ->
+      s"""WITH $unigramDpCtesMetaspace
+         |SELECT a12.word, np AS n_pieces, round(score, 6) AS score,
+         |       segs
+         |FROM a12
+         |JOIN (SELECT word, len(word) AS wl FROM w) lw
+         |  ON a12.word = lw.word AND a12.i = lw.wl
+         |ORDER BY a12.word""".stripMargin,
 
     // q328: the closed form of the announcement synthesis — two URLs
     // on %3==0 hosts, one on %3==1, none elsewhere (the commented

@@ -198,6 +198,17 @@ class UrlSpec extends SparkSpec {
     assert(rd("a.b.gs.mr.no") == "b.gs.mr.no")
     assert(rd("www.fond.fund") == "fond.fund")
     assert(rd("x.cabinet.associates") == "cabinet.associates")
+    // round-16 expansion tails: private-section tunnel/PaaS hosts the
+    // crawl actually sees (each its own registrable domain)
+    assert(rd("x.happy-tunnel.trycloudflare.com") ==
+      "happy-tunnel.trycloudflare.com")
+    assert(rd("a.pub-1234.r2.dev") == "pub-1234.r2.dev")
+    assert(rd("x.demo.shinyapps.io") == "demo.shinyapps.io")
+    assert(rd("db.project.supabase.co") == "project.supabase.co")
+    assert(rd("a.tunnel.ngrok-free.app") == "tunnel.ngrok-free.app")
+    assert(rd("x.myapp.up.railway.app") == "myapp.up.railway.app")
+    assert(rd("a.sandbox.csb.app") == "sandbox.csb.app")
+    assert(rd("x.site.cprapid.com") == "site.cprapid.com")
     // rule count reflects the expansion
     assert(psl.size > 2600, s"snapshot shrank: ${psl.size}")
     // the excerpt fixture still loads independently
