@@ -546,6 +546,29 @@ object ScaleProbe {
           d.select(TextOps.bpeEncodeIdsByteLevel(col("text"), bcM, bcV)
               .as("ids"))
             .agg(sum(size(col("ids")))).head(); 1L },
+        // the METASPACE (Llama-family) front of the same 32k kernel:
+        // one replace + one split regex per doc instead of the gpt2
+        // pattern — the window must read like bpe_byte_ids32k, FLAT
+        // at 10x
+        "bpe_metaspace_ids32k" -> { d =>
+          val spark = d.sparkSession
+          val head = Seq("▁" -> "t", "▁" -> "a", "h" -> "e",
+            "i" -> "n", "r" -> "e", "o" -> "n", "▁t" -> "he",
+            "e" -> "r") ++
+            (for { c1 <- "etaoinshrdlucmfwypvbgkjqxz"
+                   c2 <- "etaoinshrdlucmfwypvbgkjqxz" }
+              yield (c1.toString, c2.toString)) ++
+            (for { c2 <- "etaoinshrdlucmfwypvbgkjqxz" }
+              yield ("▁", c2.toString))
+          val merges = head ++
+            (head.size until 32768).map(i => (s"zx$i", s"qy$i"))
+          val bcM = TextOps.bpeMergesBroadcast(spark, merges)
+          val vocab = ((('a' to 'z').map(_.toString) :+ "▁") ++
+            merges.map { case (a, b) => a + b }).distinct.zipWithIndex
+          val bcV = TextOps.bpeVocabBroadcast(spark, vocab)
+          d.select(TextOps.bpeEncodeIdsMetaspace(col("text"), bcM, bcV)
+              .as("ids"))
+            .agg(sum(size(col("ids")))).head(); 1L },
         // WordPiece at BERT vocab scale (~30k entries): greedy
         // longest-match through ONE broadcast — the window must scale
         // with corpus bytes, not vocab size (per-word cost is bounded

@@ -3523,6 +3523,14 @@ object SparkEntry {
       TextOps.bpeTrainByteLevel(t(s, dir, "documents"), numMerges = 3)
         .orderBy("merge_rank")),
 
+    // METASPACE BPE training — the SentencePiece-BPE (Llama-family)
+    // trainer: the q299 loop over ▁-form pre-tokens (every word
+    // ▁-led, case preserved); ship the result with
+    // writeTokenizerJsonBpe and loadTokenizer reads it back
+    "q333_metaspace_train" -> ((s, dir) =>
+      TextOps.bpeTrainMetaspace(t(s, dir, "documents"), numMerges = 3)
+        .orderBy("merge_rank")),
+
     // WORDPIECE encode — the BERT family's greedy longest-match-first
     // subwords over basic tokens (lowercase + punctuation/CJK padding),
     // completing the tokenizer trio: full words beat their prefixes
@@ -11759,6 +11767,31 @@ object SparkEntry {
          |          FROM (SELECT list_filter(string_split(text, ' '),
          |                         t2 -> len(t2) > 0) AS ws
          |                FROM documents WHERE text IS NOT NULL)))
+         |  WHERE len(w) > 1 GROUP BY w),
+         |s0 AS (
+         |  SELECT array_to_string(string_split(w, ''), ' ') AS s, n
+         |  FROM w0),
+         |${bpeTrainRoundCte(1)},
+         |${bpeTrainRoundCte(2)},
+         |${bpeTrainRoundCte(3)}
+         |SELECT CAST(1 AS INTEGER) AS merge_rank, lhs, rhs, cnt AS n_pairs
+         |FROM m1
+         |UNION ALL
+         |SELECT CAST(2 AS INTEGER), lhs, rhs, cnt FROM m2
+         |UNION ALL
+         |SELECT CAST(3 AS INTEGER), lhs, rhs, cnt FROM m3
+         |ORDER BY merge_rank""".stripMargin,
+
+    // q333: the q299 trainer rounds over the ▁-FORM pre-token word
+    // table (every word ▁-prefixed — the metaspace shape on this
+    // single-spaced corpus)
+    "q333_metaspace_train" ->
+      s"""WITH w0 AS (
+         |  SELECT w, count(*) AS n FROM (
+         |    SELECT '▁' || t AS w
+         |    FROM (SELECT unnest(list_filter(string_split(text, ' '),
+         |                   t2 -> len(t2) > 0)) AS t
+         |          FROM documents WHERE text IS NOT NULL))
          |  WHERE len(w) > 1 GROUP BY w),
          |s0 AS (
          |  SELECT array_to_string(string_split(w, ''), ' ') AS s, n

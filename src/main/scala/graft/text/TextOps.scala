@@ -4597,6 +4597,32 @@ object TextOps {
     bpeTrainFromWords(spark, words, numMerges)
   }
 
+  /** BPE TRAINING in the METASPACE alphabet — the SentencePiece-BPE
+    * (Llama-family) counterpart of [[bpeTrainByteLevel]]: pre-tokens
+    * come from [[metaspacePreTokens]] (case preserved, every word
+    * carrying its ▁ under the default scheme), initial symbols are
+    * code points, and the shared trainer loop learns merges the
+    * metaspace ENCODERS apply directly — close the loop by shipping
+    * the table with [[TokenizerFiles.writeTokenizerJsonBpe]] and
+    * re-loading it via [[TokenizerFiles.loadTokenizer]]. Single-char
+    * pre-tokens (a bare `▁` from runs of spaces) carry no pairs and
+    * drop from the frequency table, exactly like the other trainers. */
+  def bpeTrainMetaspace(docs: DataFrame, numMerges: Int = 8,
+                        textCol: String = "text",
+                        replacement: String = "▁",
+                        prepend: String = "always"): DataFrame = {
+    require(numMerges > 0, "numMerges must be positive")
+    val spark = docs.sparkSession
+    val words = docs.filter(col(textCol).isNotNull)
+      .select(explode(
+        metaspacePreTokens(col(textCol), replacement, prepend)).as("w"))
+      .filter(length(col("w")) > 1)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(rtrim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"),
+        col("n"))
+    bpeTrainFromWords(spark, words, numMerges)
+  }
+
   /** The shared trainer loop over a spaced-symbol word-frequency table
     * `(s, n)` — see [[bpeTrain]] for the algorithm and cost ledger. */
   private def bpeTrainFromWords(spark: org.apache.spark.sql.SparkSession,

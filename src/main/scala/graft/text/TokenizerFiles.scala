@@ -257,6 +257,66 @@ object TokenizerFiles {
     } finally out.close()
   }
 
+  /** Write a HuggingFace `tokenizer.json` for a BPE model — the SHIP
+    * format the fast-tokenizer stack ingests, closing the
+    * train-to-ship loop for all three BPE families
+    * ([[writeMergesTxt]] covers the bare GPT-2 line format):
+    * `pre_tokenizer` by declared kind (`byte_level` → ByteLevel,
+    * `metaspace` → Metaspace with its replacement + prepend scheme,
+    * `whitespace` → WhitespaceSplit), `model.vocab` (token → id),
+    * `model.merges` as `"lhs rhs"` strings in rank order. Round-trips
+    * [[loadTokenizer]] — family, declared config, and encode.
+    * Driver-side constant write, the [[writeMergesTxt]] contract. */
+  def writeTokenizerJsonBpe(spark: SparkSession, path: String,
+      merges: Seq[(String, String)], vocab: Seq[(String, Int)],
+      preTokenizer: String = "metaspace",
+      replacement: String = "▁", prependScheme: String = "always",
+      unk: Option[String] = None): Unit = {
+    require(merges.nonEmpty, "merge table must not be empty")
+    require(vocab.nonEmpty, "vocab must not be empty")
+    require(vocab.map(_._1).distinct.size == vocab.size,
+      "vocab tokens must be distinct")
+    merges.foreach { case (a, b) =>
+      require(a.nonEmpty && b.nonEmpty && !a.contains(" ") &&
+        !b.contains(" "),
+        s"symbol pair ('$a', '$b') is not merges-representable") }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("version", "1.0")
+    val pt = root.putObject("pre_tokenizer")
+    preTokenizer match {
+      case "byte_level" => pt.put("type", "ByteLevel")
+      case "metaspace" =>
+        require(replacement.length == 1 && !replacement.contains(" "),
+          s"metaspace replacement must be one non-space char, " +
+            s"got '$replacement'")
+        require(Set("always", "first", "never").contains(prependScheme),
+          s"prepend_scheme must be always/first/never, " +
+            s"got '$prependScheme'")
+        pt.put("type", "Metaspace")
+        pt.put("replacement", replacement)
+        pt.put("prepend_scheme", prependScheme)
+        pt.put("split", true)
+      case "whitespace" => pt.put("type", "WhitespaceSplit")
+      case other => throw new IllegalArgumentException(
+        s"unknown pre-tokenizer kind '$other' (expected byte_level, " +
+          "metaspace, or whitespace)")
+    }
+    val model = root.putObject("model")
+    model.put("type", "BPE")
+    unk.foreach(u => model.put("unk_token", u))
+    val v = model.putObject("vocab")
+    vocab.foreach { case (tok, id) => v.put(tok, id) }
+    val m = model.putArray("merges")
+    merges.foreach { case (a, b) => m.add(s"$a $b") }
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(root))
+    finally out.close()
+  }
+
   /** The model FAMILY a `tokenizer.json` declares (`model.type`):
     * `BPE`, `WordPiece`, or `Unigram` — the flag deciding which of the
     * engine's three encoders a shipped file feeds ([[TextOps

@@ -4126,6 +4126,80 @@ class ExtensionsSpec extends SparkSpec {
     assert(order.last == 15L, s"order: ${order.toSeq}")
   }
 
+  test("bpeTrainMetaspace + writeTokenizerJsonBpe: merges learned in " +
+    "the ▁ alphabet match hand-computed pair counts; the shipped " +
+    "tokenizer.json round-trips loadTokenizer with family, config, " +
+    "and encode parity; all three pre-tokenizer kinds serialize") {
+    import graft.text.{TextOps, TokenizerFiles}
+    // pre-tokens: ▁the x3, ▁cat x2, ▁dog x1. Round 1 ties (▁,t)/(t,h)/
+    // (h,e) at 3 — lhs order picks (h,e) ('h' < 't' < '▁', U+2581
+    // sorts above ASCII); round 2 ties (▁,t)/(t,he) → (t,he); round 3
+    // (▁,the) alone at 3
+    val docs = Seq("the cat the cat", "the dog").toDF("text")
+    val learned = TextOps.bpeTrainMetaspace(docs, numMerges = 3)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(learned == Seq((1, "h", "e", 3L), (2, "t", "he", 3L),
+      (3, "▁", "the", 3L)), s"got $learned")
+    // ship it: corpus alphabet + merged symbols, ids by position
+    val merges = learned.map(m => (m._2, m._3))
+    val vocab = (Seq("▁", "a", "c", "d", "e", "g", "h", "o", "t") ++
+      merges.map { case (a, b) => a + b }).distinct.zipWithIndex
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wtj")
+    val shipped = tmp.resolve("tokenizer.json").toString
+    TokenizerFiles.writeTokenizerJsonBpe(spark, shipped, merges, vocab)
+    // the shipped file declares what was written...
+    assert(TokenizerFiles.readPreTokenizerKind(spark, shipped) ==
+      "metaspace")
+    assert(TokenizerFiles.readMetaspaceConfig(spark, shipped) ==
+      ("▁", "always"))
+    assert(TokenizerFiles.readTokenizerJsonMerges(spark, shipped) ==
+      merges)
+    // ...and loads straight back into the metaspace encoder
+    val lt = TokenizerFiles.loadTokenizer(spark, shipped)
+      .asInstanceOf[TokenizerFiles.ColumnTokenizer]
+    assert(lt.family == "bpe_metaspace")
+    val enc = Seq("the cat").toDF("text")
+      .select(lt.encode(col("text"))).head().getSeq[String](0)
+    assert(enc == Seq("▁the", "▁ c a t"), s"got $enc")
+    // ids flow through the shipped vocab too
+    val bcV = TokenizerFiles.vocabBroadcastFromFile(spark, shipped)
+    val bcM = TokenizerFiles.mergesBroadcastFromFile(spark, shipped)
+    val vmap = vocab.toMap
+    val ids = Seq("the cat").toDF("text")
+      .select(TextOps.bpeEncodeIdsMetaspace(col("text"), bcM, bcV))
+      .head().getSeq[Int](0)
+    assert(ids == Seq(vmap("▁the"), vmap("▁"), vmap("c"), vmap("a"),
+      vmap("t")), s"ids: $ids")
+    // the other two families serialize and route on load
+    val bl = tmp.resolve("bl.json").toString
+    TokenizerFiles.writeTokenizerJsonBpe(spark, bl,
+      Seq(("Ġ", "t"), ("h", "e")), Seq(("Ġ", 0), ("t", 1), ("h", 2),
+        ("e", 3), ("Ġt", 4), ("he", 5)), preTokenizer = "byte_level")
+    assert(TokenizerFiles.loadTokenizer(spark, bl)
+      .asInstanceOf[TokenizerFiles.ColumnTokenizer]
+      .family == "bpe_byte_level")
+    val ws = tmp.resolve("ws.json").toString
+    TokenizerFiles.writeTokenizerJsonBpe(spark, ws,
+      Seq(("h", "e")), Seq(("h", 0), ("e", 1), ("he", 2)),
+      preTokenizer = "whitespace")
+    assert(TokenizerFiles.loadTokenizer(spark, ws)
+      .asInstanceOf[TokenizerFiles.ColumnTokenizer]
+      .family == "bpe_whitespace")
+    // bad kind / duplicate vocab tokens fail descriptively
+    val badKind = intercept[IllegalArgumentException](
+      TokenizerFiles.writeTokenizerJsonBpe(spark,
+        tmp.resolve("x.json").toString, Seq(("a", "b")),
+        Seq(("a", 0)), preTokenizer = "sentencepiece"))
+    assert(badKind.getMessage.contains("sentencepiece"))
+    val dup = intercept[IllegalArgumentException](
+      TokenizerFiles.writeTokenizerJsonBpe(spark,
+        tmp.resolve("y.json").toString, Seq(("a", "b")),
+        Seq(("a", 0), ("a", 1))))
+    assert(dup.getMessage.contains("distinct"))
+  }
+
   test("fixMojibake kernel: UTF-8-as-cp1252 damage heals (accents, C1 " +
     "punctuation, double-encoding in two passes); genuine Latin-1, " +
     "real non-Latin text, and lone cp1252 punctuation pass through " +
