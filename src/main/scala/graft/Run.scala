@@ -58,6 +58,7 @@ object Run {
       case "all" => all(sparkSession(), opts)
       case "curate" => curateCmd(sparkSession(), opts)
       case "export" => exportCmd(sparkSession(), opts)
+      case "train-tokenizer" => trainTokenizerCmd(sparkSession(), opts)
       case other =>
         System.err.println(s"Unknown subcommand: $other\n$help")
         sys.exit(2)
@@ -90,7 +91,10 @@ object Run {
       |  export     -d <docs parquet> -s <out dir>
       |             [--format tfrecord|webdataset] [--max-tokens <n>]
       |             [--shards <n>] [--min-quality <q>]
-      |             [--packer greedy|bfd|grouped:<col>]""".stripMargin
+      |             [--packer greedy|bfd|grouped:<col>]
+      |  train-tokenizer -d <docs parquet> -s <tokenizer.json>
+      |             [--family metaspace|byte_level|whitespace]
+      |             [--merges <n>]""".stripMargin
 
   /** getopt-lite: `-x val` / `--long val` for value opts, bare flags for
     * booleans (the reference's flag set). */
@@ -569,6 +573,56 @@ object Run {
     }
     writeSingleCsv(manifest, outDir.resolve("shard_manifest.csv"))
     println(s"Export complete: $shardsDir")
+  }
+
+  /** `train-tokenizer`: learn a BPE merge table from the corpus in the
+    * chosen pre-tokenizer family and ship it as a HuggingFace
+    * `tokenizer.json` (vocab = sorted corpus alphabet + merged symbols
+    * in rank order) that [[graft.text.TokenizerFiles.loadTokenizer]]
+    * reads straight back — the corpus-to-shipped-tokenizer command.
+    * Trainer cost is one corpus pair-count pass per merge (the
+    * [[graft.text.TextOps.bpeTrain]] ledger); the alphabet collect is
+    * bounded by the corpus code-point inventory (capped). */
+  private def trainTokenizerCmd(spark: SparkSession,
+                                opts: Map[String, String]): Unit = {
+    import graft.text.{TextOps, TokenizerFiles}
+    val in = opts.getOrElse("-d", exit2("Input docs parquet (-d) missing."))
+    val out = opts.getOrElse("-s",
+      exit2("Output tokenizer.json (-s) missing."))
+    val family = opts.getOrElse("--family", "metaspace")
+    val nMerges = opts.get("--merges").map(_.toInt).getOrElse(64)
+    val docs = spark.read.parquet(in)
+    // the pre-token form per family — the alphabet the merges live in
+    val pre: org.apache.spark.sql.Column = family match {
+      case "metaspace" => TextOps.metaspacePreTokens(col("text"))
+      case "byte_level" => transform(TextOps.gpt2PreTokens(col("text")),
+        t => graft.functions.VectorExpressions.gpt2Bytes(t))
+      case "whitespace" =>
+        filter(TextOps.wsTokens(lower(col("text"))), t => length(t) > 0)
+      case other => exit2(s"Unknown --family: $other")
+    }
+    val merges = (family match {
+      case "metaspace" => TextOps.bpeTrainMetaspace(docs, nMerges)
+      case "byte_level" => TextOps.bpeTrainByteLevel(docs, nMerges)
+      case _ => TextOps.bpeTrain(docs, nMerges)
+    }).orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    if (merges.isEmpty) exit2("Corpus yielded no merges (empty text?).")
+    // alphabet: distinct code points of the pre-token forms (the
+    // trainers' own "(.)" code-point split), a corpus-inventory-sized
+    // collect with a sanity cap
+    val alpha = docs.filter(col("text").isNotNull)
+      .select(explode(pre).as("w"))
+      .select(explode(split(
+        rtrim(regexp_replace(col("w"), "(.)", "$1 ")), " ")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    require(alpha.size <= 65536, s"alphabet too large: ${alpha.size}")
+    val vocab = (alpha ++ merges.map { case (a, b) => a + b })
+      .distinct.zipWithIndex
+    TokenizerFiles.writeTokenizerJsonBpe(spark, out, merges, vocab,
+      preTokenizer = family)
+    println(s"Trained ${merges.size} merges, vocab ${vocab.size} -> $out")
   }
 
   private def exit2(msg: String): Nothing = {

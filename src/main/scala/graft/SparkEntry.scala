@@ -3523,6 +3523,19 @@ object SparkEntry {
       TextOps.bpeTrainByteLevel(t(s, dir, "documents"), numMerges = 3)
         .orderBy("merge_rank")),
 
+    // CCNet-STYLE PERPLEXITY SCORING — mean bigram NLL under an
+    // add-one reference LM trained on the even-id half, scored on the
+    // odd-id half. ln snapped to the 2^-20 dyadic grid on both sides
+    // (the q242 recipe) so sums are order-independent-exact; nll is
+    // the one unrounded edge quotient (ppl = exp(nll) is monotone in
+    // it and exp is not cross-engine portable)
+    "q334_lm_perplexity" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      val lm = TextOps.bigramLmTrain(d.filter(col("doc_id") % 2 === 0))
+      TextOps.bigramNllRef(d.filter(col("doc_id") % 2 === 1), lm)
+        .orderBy("doc_id")
+    }),
+
     // METASPACE BPE training — the SentencePiece-BPE (Llama-family)
     // trainer: the q299 loop over ▁-form pre-tokens (every word
     // ▁-led, case preserved); ship the result with
@@ -11781,6 +11794,47 @@ object SparkEntry {
          |UNION ALL
          |SELECT CAST(3 AS INTEGER), lhs, rhs, cnt FROM m3
          |ORDER BY merge_rank""".stripMargin,
+
+    // q334: the add-one bigram LM recounted from the even half, the
+    // odd half's pairs left-joined, the identical snapped-ln fold
+    "q334_lm_perplexity" ->
+      """WITH ref AS (
+        |  SELECT list_filter(string_split(lower(text), ' '),
+        |           t2 -> len(t2) > 0) AS ws
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
+        |uni AS (
+        |  SELECT w, count(*) AS c1 FROM (
+        |    SELECT unnest(ws) AS w FROM ref) GROUP BY 1),
+        |bi AS (
+        |  SELECT w1, w2, count(*) AS c12 FROM (
+        |    SELECT ws[i] AS w1, ws[i + 1] AS w2
+        |    FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        |          FROM ref WHERE len(ws) > 1))
+        |  GROUP BY 1, 2),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+        |tgt AS (
+        |  SELECT doc_id, ws FROM (
+        |    SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |             t2 -> len(t2) > 0) AS ws
+        |    FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1)
+        |  WHERE len(ws) > 1),
+        |pairs AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM (SELECT doc_id, ws,
+        |               unnest(generate_series(1, len(ws) - 1)) AS i
+        |        FROM tgt)),
+        |lnp AS (
+        |  SELECT p.doc_id,
+        |         floor(ln((coalesce(b.c12, 0) + 1) /
+        |                  (coalesce(u.c1, 0) + v.v))
+        |               * 1048576 + 0.5) / 1048576 AS lnp
+        |  FROM pairs p
+        |  LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+        |  LEFT JOIN uni u ON u.w = p.w1
+        |  CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       -sum(lnp) / count(*) AS nll
+        |FROM lnp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q333: the q299 trainer rounds over the ▁-FORM pre-token word
     // table (every word ▁-prefixed — the metaspace shape on this

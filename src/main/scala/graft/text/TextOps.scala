@@ -4623,6 +4623,88 @@ object TextOps {
     bpeTrainFromWords(spark, words, numMerges)
   }
 
+  /** A trained add-one bigram language model ([[bigramLmTrain]]):
+    * bigram counts `(w1, w2, c12)`, unigram counts `(w, c1)`, and the
+    * vocabulary size the smoothing denominator needs. */
+  final case class BigramLm(bigrams: DataFrame, unigrams: DataFrame,
+                            vocabSize: Long)
+
+  /** Train the CCNet-style PERPLEXITY FILTER's reference model (Wenzek
+    * et al. 2020: documents whose reference-LM perplexity is an
+    * outlier are boilerplate / garbled / wrong-register; the filter
+    * keeps the band a quality corpus occupies): add-one-smoothed
+    * bigram counts over the lowercased whitespace words of a REFERENCE
+    * corpus (Wikipedia-class text in production; any trusted slice).
+    *
+    * Scale shape: two map-side-combined groupBys — the unigram table
+    * is vocabulary-sized, the bigram table bigram-vocabulary-sized
+    * (both orders below the corpus); one 1-row count for V. Text
+    * never shuffles. */
+  def bigramLmTrain(ref: DataFrame, textCol: String = "text")
+      : BigramLm = {
+    val toks = ref.filter(col(textCol).isNotNull)
+      .select(filter(wsTokens(lower(col(textCol))),
+        t => length(t) > 0).as("ws"))
+    val unigrams = toks.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val bigrams = toks.filter(size(col("ws")) > 1)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(ws[i - 1] AS w1, ws[i] AS w2))")).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+    BigramLm(bigrams, unigrams, unigrams.count())
+  }
+
+  /** Score documents by MEAN BIGRAM NEGATIVE LOG-LIKELIHOOD under a
+    * [[bigramLmTrain]] REFERENCE model — the CCNet structure proper:
+    * unlike [[bigramNll]] (leave-in MLE over the scored corpus itself,
+    * no unseen mass) and [[interpolatedNll]]'s in-corpus smoothing,
+    * the model here is a SEPARATE trusted corpus and scored documents
+    * may contain words the reference never saw — add-one smoothing
+    * gives those exact, well-defined mass. Per bigram: -ln((c12 + 1) / (c1 + V)) with add-one
+    * smoothing (unseen pairs and unseen heads fall back exactly);
+    * per document: the mean over its bigrams. Perplexity itself is
+    * exp(nll) and is deliberately NOT emitted — exp is not
+    * bit-portable across engines (the BENCH_NOTES rule) and every
+    * threshold on perplexity is the same threshold on nll. Each ln is
+    * snapped to the 2^-20 dyadic grid (the q242 recipe) so the
+    * per-document SUM is exact in any addition order and the single
+    * edge division is IEEE-identical everywhere.
+    *
+    * Documents with fewer than two tokens carry no bigram evidence and
+    * are ABSENT from the result — callers left-join and decide (no
+    * evidence ≠ bad).
+    *
+    * Scale shape: the document pair list (corpus-token-sized rows of
+    * three strings) shuffles once onto the (w1, w2) join key; the
+    * unigram join and final per-doc agg ride the same exchange
+    * (AQE broadcasts the vocab-sized tables when they fit). */
+  def bigramNllRef(docs: DataFrame, lm: BigramLm,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val pairs = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        filter(wsTokens(lower(col(textCol))),
+          t => length(t) > 0).as("ws"))
+      .filter(size(col("ws")) > 1)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(ws[i - 1] AS w1, ws[i] AS w2))")).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    pairs
+      .join(lm.bigrams, Seq("w1", "w2"), "left")
+      .join(lm.unigrams.withColumnRenamed("w", "w1"), Seq("w1"), "left")
+      .select(col(idCol),
+        (floor(log(
+          (coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("c1"), lit(0L)) + lm.vocabSize)
+              .cast("double")) * 1048576.0 + 0.5) / 1048576.0).as("lnp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        (-sum("lnp") / count(lit(1))).as("nll"))
+  }
+
   /** The shared trainer loop over a spaced-symbol word-frequency table
     * `(s, n)` — see [[bpeTrain]] for the algorithm and cost ledger. */
   private def bpeTrainFromWords(spark: org.apache.spark.sql.SparkSession,

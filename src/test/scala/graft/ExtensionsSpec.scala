@@ -4730,6 +4730,42 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, nll), (2L, 1L, nll)))
   }
 
+  test("bigramNllRef: closed-form add-one scores under a held-out " +
+    "reference LM, unseen pairs and unseen heads fall back exactly, " +
+    "evidence-free docs absent") {
+    import graft.text.TextOps
+    // reference: "a b" x2, "a c" → uni a:3 b:2... wait: tokens
+    // a,b,a,b,a,c → c1(a)=3, c1(b)=2, c1(c)=1; V=3.
+    // bigrams: (a,b):2, (a,c):1
+    val ref = Seq("a b", "a b", "a c").toDF("text")
+    val lm = TextOps.bigramLmTrain(ref)
+    assert(lm.vocabSize == 3L)
+    def snap(x: Double): Double =
+      math.floor(math.log(x) * 1048576.0 + 0.5) / 1048576.0
+    // scored: doc 1 "a b" → seen pair: (2+1)/(3+3) = 0.5
+    //         doc 2 "a z" → unseen pair, seen head: 1/(3+3)
+    //         doc 3 "z a" → unseen head: 1/(0+3)
+    //         doc 4 "b"   → one token, no evidence → absent
+    val docs = Seq((1L, "a b"), (2L, "a z"), (3L, "z a"), (4L, "b"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bigramNllRef(docs, lm).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(got == Seq((1L, 1L, -snap(3.0 / 6.0)),
+      (2L, 1L, -snap(1.0 / 6.0)), (3L, 1L, -snap(1.0 / 3.0))),
+      s"got $got")
+    // multi-bigram doc: the mean of its snapped terms
+    val multi = TextOps.bigramNllRef(
+      Seq((9L, "a b a z")).toDF("doc_id", "text"), lm).head()
+    assert(multi.getLong(1) == 3L)
+    // (a,b): 3/6; (b,a): unseen pair, head b → (0+1)/(2+3); (a,z): 1/6
+    val want = -(snap(3.0 / 6.0) + snap(1.0 / 5.0) +
+      snap(1.0 / 6.0)) / 3.0
+    assert(multi.getDouble(2) == want, s"got ${multi.getDouble(2)}")
+    // garbled text scores strictly worse than in-register text
+    assert(got(1)._3 > got(0)._3 && got(2)._3 > got(0)._3)
+  }
+
   test("kneserNeyNll: closed-form KN probabilities, continuation " +
     "backoff, full-vocab normalization, single-token docs drop out") {
     val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "b a"), (4L, "x"))

@@ -373,4 +373,40 @@ class RunSpec extends SparkSpec {
     assert(graft.text.TextOps.packWith("grouped:source", docs, 64, 2)
       .count() == 21L)
   }
+
+  test("train-tokenizer CLI: learns merges in the chosen family and " +
+    "ships a tokenizer.json loadTokenizer reads straight back; " +
+    "unknown family named") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.text.TokenizerFiles
+    val dir = Files.createTempDirectory("graft_ttk")
+    val docsPath = dir.resolve("docs").toString
+    Seq((1L, "the cat the cat"), (2L, "the dog"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(docsPath)
+    val out = dir.resolve("tok.json").toString
+    Run.main(Array("train-tokenizer", "-d", docsPath, "-s", out,
+      "--merges", "3"))
+    // the default family is metaspace; the shipped file encodes with
+    // the hand-derived table ((h,e),(t,he),(▁,the))
+    val lt = TokenizerFiles.loadTokenizer(spark, out)
+      .asInstanceOf[TokenizerFiles.ColumnTokenizer]
+    assert(lt.family == "bpe_metaspace")
+    val enc = Seq("the cat").toDF("text")
+      .select(lt.encode(col("text"))).head().getSeq[String](0)
+    assert(enc == Seq("▁the", "▁ c a t"), s"got $enc")
+    // vocab covers alphabet + merged symbols, ids dense from 0
+    val ids = TokenizerFiles.readTokenizerJsonVocab(spark, out)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(ids.contains("▁the") && ids.contains("▁") &&
+      ids.values.toSeq.sorted == ids.values.toSeq.sorted.distinct)
+    // byte_level family declares itself and routes on load
+    val out2 = dir.resolve("tok_bl.json").toString
+    Run.main(Array("train-tokenizer", "-d", docsPath, "-s", out2,
+      "--family", "byte_level", "--merges", "3"))
+    assert(TokenizerFiles.loadTokenizer(spark, out2)
+      .asInstanceOf[TokenizerFiles.ColumnTokenizer]
+      .family == "bpe_byte_level")
+  }
 }
