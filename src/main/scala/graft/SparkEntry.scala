@@ -3523,6 +3523,25 @@ object SparkEntry {
       TextOps.bpeTrainByteLevel(t(s, dir, "documents"), numMerges = 3)
         .orderBy("merge_rank")),
 
+    // SEMANTIC DECONTAMINATION — the embedding-space complement of
+    // the q54 n-gram gate: train = vec_id % 5 != 0, eval = the rest;
+    // hyperplane-bucket-blocked cosine (6 planes, the q28 recall
+    // convention), survivors out. The oracle replays the identical
+    // plane literals, bucket join, zero-norm guard, and
+    // division-then-compare
+    // (the corpus's distinct-id cosines top out ~0.6, so the eval set
+    // is the LEAKED form itself: copies of every vec_id % 10 == 3
+    // vector play the benchmark that escaped into training — those
+    // rows must drop, nothing else reaches 0.9)
+    "q335_semantic_decon" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      Dedup.semanticDecontaminate(
+          embs,
+          embs.filter(col("vec_id") % 10 === 3).select(col("embedding")),
+          minCosine = 0.9, planes = 6)
+        .select(col("vec_id")).orderBy("vec_id")
+    }),
+
     // CCNet-STYLE PERPLEXITY SCORING — mean bigram NLL under an
     // add-one reference LM trained on the even-id half, scored on the
     // odd-id half. ln snapped to the 2^-20 dyadic grid on both sides
@@ -11794,6 +11813,46 @@ object SparkEntry {
          |UNION ALL
          |SELECT CAST(3 AS INTEGER), lhs, rhs, cnt FROM m3
          |ORDER BY merge_rank""".stripMargin,
+
+    // q335: the 6-plane bucket expression and 64-term chains in the
+    // kernel's sequential order (the q28/q126 conventions); bucket
+    // join train x eval, zero-norm guard, division-then-compare,
+    // NOT IN drop
+    "q335_semantic_decon" -> {
+      val planes = 6; val dim = 64
+      def planeDot(vec: String, p: Int): String =
+        (0 until dim).map(i => s"$vec[${i + 1}] * " +
+          java.lang.Double.toString(Similarity.planeComponent(p, i)))
+          .mkString(" + ")
+      def bucketExpr(vec: String): String =
+        (0 until planes).map(p =>
+          s"CASE WHEN ${planeDot(vec, p)} >= 0 THEN ${1L << p} ELSE 0 END")
+          .mkString("\n       + ")
+      def chain(a: String, b: String): String =
+        (0 until dim).map(i => s"$a[${i + 1}] * $b[${i + 1}]")
+          .mkString(" + ")
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |tr AS (
+         |  SELECT vec_id, e,
+         |       ${bucketExpr("e")} AS bucket,
+         |       sqrt(${chain("e", "e")}) AS nrm
+         |  FROM v),
+         |ev AS (
+         |  SELECT e AS ee,
+         |       ${bucketExpr("e")} AS bucket,
+         |       sqrt(${chain("e", "e")}) AS enrm
+         |  FROM v WHERE vec_id % 10 = 3),
+         |hits AS (
+         |  SELECT DISTINCT tr.vec_id
+         |  FROM tr JOIN ev USING (bucket)
+         |  WHERE tr.nrm * ev.enrm > 0
+         |    AND (${chain("tr.e", "ev.ee")}) / (tr.nrm * ev.enrm) >= 0.9)
+         |SELECT vec_id FROM tr
+         |WHERE vec_id NOT IN (SELECT vec_id FROM hits)
+         |ORDER BY vec_id""".stripMargin
+    },
 
     // q334: the add-one bigram LM recounted from the even half, the
     // odd half's pairs left-joined, the identical snapped-ln fold

@@ -1222,6 +1222,46 @@ object Dedup {
       .distinct()
   }
 
+  /** SEMANTIC DECONTAMINATION — the embedding-space complement of the
+    * n-gram [[graft.text.TextOps.decontaminate]]: drop training
+    * documents whose embedding is ≥ `minCosine` to ANY eval/benchmark
+    * embedding. Catches the leakage the shingle gate cannot see —
+    * paraphrased, translated, or re-formatted eval items share few
+    * 8-grams but land next to their source in embedding space. Returns
+    * the SURVIVING train rows (the decontaminate convention).
+    *
+    * Blocking is the [[embeddingNearDup]] hyperplane-LSH key computed
+    * with the SAME planes on both sides, so candidate pairs are
+    * bucket-local — no cross join; recall is the LSH sign-agreement
+    * trade the near-dup family documents (exact duplicates always
+    * collide; near-threshold pairs can differ in a plane). Shuffle
+    * ledger: both sides move once on the bucket key; the eval side is
+    * benchmark-sized and broadcasts when it fits (AQE). */
+  def semanticDecontaminate(train: DataFrame, evalSet: DataFrame,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            minCosine: Double = 0.95,
+                            planes: Int = 12,
+                            dim: Int = graft.ml.Similarity.DefaultDim)
+      : DataFrame = {
+    import graft.ml.Similarity
+    val t = train.select(col(idCol).as("_sd_id"),
+        col(vecCol).cast("array<double>").as("_sd_v"))
+      .withColumn("_sd_b",
+        Similarity.hyperplaneKey(col("_sd_v"), planes, dim))
+      .withColumn("_sd_n", Similarity.norm(col("_sd_v"), dim))
+    val e = evalSet.select(col(vecCol).cast("array<double>").as("_sd_e"))
+      .withColumn("_sd_b",
+        Similarity.hyperplaneKey(col("_sd_e"), planes, dim))
+      .withColumn("_sd_en", Similarity.norm(col("_sd_e"), dim))
+    val hits = t.join(e, "_sd_b")
+      .filter(col("_sd_n") * col("_sd_en") > 0)
+      .filter(Similarity.dot(col("_sd_v"), col("_sd_e"), dim) /
+        (col("_sd_n") * col("_sd_en")) >= minCosine)
+      .select(col("_sd_id").as(idCol)).distinct()
+    train.join(hits, Seq(idCol), "left_anti")
+  }
+
   // ---- exact substring dedup with removal rewrite ------------------------
 
   /** Non-overlapping `chunkLen`-character chunks of `textCol` (ragged tail

@@ -4730,6 +4730,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, nll), (2L, 1L, nll)))
   }
 
+  test("semanticDecontaminate: near-copies of eval vectors drop, " +
+    "unrelated train vectors survive, zero-norm rows never divide, " +
+    "the threshold is inclusive") {
+    import graft.dedup.Dedup
+    def v(base: Seq[Float], eps: Float): Seq[Float] =
+      base.zipWithIndex.map { case (x, i) =>
+        if (i == 7) x + eps else x }
+    val axis = Seq.tabulate(8)(i => if (i == 0) 10f else 0f)
+    val other = Seq.tabulate(8)(i => if (i == 3) 10f else 0f)
+    val train = Seq(
+      (1L, axis),               // exact eval copy -> drop
+      (2L, v(axis, 0.2f)),      // near-copy (cos ~0.9998) -> drop
+      (3L, other),              // orthogonal -> survives
+      (4L, Seq.fill(8)(0f)))    // zero norm -> guarded, survives
+      .toDF("vec_id", "embedding")
+    val ev = Seq(Tuple1(axis)).toDF("embedding")
+    val kept = Dedup.semanticDecontaminate(train, ev,
+        minCosine = 0.99, planes = 4, dim = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(kept == Seq(3L, 4L), s"kept $kept")
+    // inclusive threshold: an exact copy at minCosine = 1.0 still drops
+    val keptExact = Dedup.semanticDecontaminate(train, ev,
+        minCosine = 1.0, planes = 4, dim = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(keptExact == Seq(2L, 3L, 4L), s"kept $keptExact")
+  }
+
   test("bigramNllRef: closed-form add-one scores under a held-out " +
     "reference LM, unseen pairs and unseen heads fall back exactly, " +
     "evidence-free docs absent") {
