@@ -87,6 +87,10 @@ object Run {
       |             [--canonical-collapse] [--html-col <c>]
       |             [--sem-dedup <embs parquet>] [--sem-whiten]
       |             [--sem-min-cosine <c>] [--sem-pca-k <k>]
+      |             [--sem-decon <eval embs parquet>]
+      |             [--sem-decon-embs <embs parquet>]
+      |             [--sem-decon-min-cosine <c>]
+      |             [--ppl-ref <docs parquet>] [--max-nll <x>]
       |             [--shards <n>] [--audit]
       |  export     -d <docs parquet> -s <out dir>
       |             [--format tfrecord|webdataset] [--max-tokens <n>]
@@ -483,7 +487,20 @@ object Run {
       semDedupMinCosine = opts.get("--sem-min-cosine")
         .map(_.toDouble).getOrElse(0.95),
       semDedupWhiten = opts.contains("--sem-whiten"),
-      semDedupPcaK = opts.get("--sem-pca-k").map(_.toInt).getOrElse(16))
+      semDedupPcaK = opts.get("--sem-pca-k").map(_.toInt).getOrElse(16),
+      // --sem-decon: eval/benchmark embeddings — drop survivors within
+      // --sem-decon-min-cosine of any of them; doc vectors come from
+      // --sem-decon-embs or fall back to the --sem-dedup frame
+      semDeconEvalEmbs = opts.get("--sem-decon")
+        .map(spark.read.parquet(_)),
+      semDeconEmbs = opts.get("--sem-decon-embs")
+        .map(spark.read.parquet(_)),
+      semDeconMinCosine = opts.get("--sem-decon-min-cosine")
+        .map(_.toDouble).getOrElse(0.95),
+      // --ppl-ref: trusted reference corpus for the CCNet perplexity
+      // gate; survivors with mean bigram NLL above --max-nll drop
+      pplRef = opts.get("--ppl-ref").map(spark.read.parquet(_)),
+      pplMaxNll = opts.get("--max-nll").map(_.toDouble).getOrElse(12.0))
     Files.createDirectories(outDir)
     curated.write.mode("overwrite")
       .parquet(outDir.resolve("curated.parquet").toString)

@@ -343,7 +343,12 @@ object Pipelines {
              semDedupMinCosine: Double = 0.95,
              semDedupWhiten: Boolean = false,
              semDedupPcaK: Int = 16,
-             semDedupDim: Int = graft.ml.Similarity.DefaultDim): DataFrame = {
+             semDedupDim: Int = graft.ml.Similarity.DefaultDim,
+             semDeconEvalEmbs: Option[DataFrame] = None,
+             semDeconEmbs: Option[DataFrame] = None,
+             semDeconMinCosine: Double = 0.95,
+             pplRef: Option[DataFrame] = None,
+             pplMaxNll: Double = 12.0): DataFrame = {
     import graft.text.TextOps
     import graft.dedup.Dedup
     // a rewrite stage (c4 lines / paragraph dedup) that changed `text`
@@ -548,6 +553,41 @@ object Pipelines {
           .join(keep, Seq("doc_id"), "left_anti")
         textDeduped.join(dropped, Seq("doc_id"), "left_anti")
     }
+    // optional SEMANTIC DECONTAMINATION — the embedding-space eval
+    // gate ([[graft.dedup.Dedup.semanticDecontaminate]]), after dedup
+    // (cheaper on distinct content), before the domain cap and split:
+    // survivors whose embedding sits within semDeconMinCosine of ANY
+    // eval embedding drop. Doc vectors come from semDeconEmbs, falling
+    // back to the semDedupEmbs frame (one embedding table usually
+    // serves both); docs without an embedding row pass (no evidence =
+    // no drop, the semDedup convention)
+    val deconed0 = semDeconEvalEmbs match {
+      case None => deduped0
+      case Some(evalEmbs) =>
+        val docEmbs = semDeconEmbs.orElse(semDedupEmbs).getOrElse(
+          throw new IllegalArgumentException(
+            "semantic decontamination needs doc vectors — pass " +
+              "semDeconEmbs (or reuse semDedupEmbs)"))
+        val embs = docEmbs.select(col("doc_id"), col("embedding"))
+          .join(deduped0.select("doc_id"), Seq("doc_id"), "left_semi")
+        val kept = Dedup.semanticDecontaminate(embs, evalEmbs,
+          "doc_id", "embedding", semDeconMinCosine, dim = semDedupDim)
+        val dropped = embs.select("doc_id")
+          .join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+        deduped0.join(dropped, Seq("doc_id"), "left_anti")
+    }
+    // optional REFERENCE-LM PERPLEXITY GATE (the CCNet filter,
+    // [[graft.text.TextOps.bigramNllRef]]): mean bigram NLL under an
+    // add-one model trained on the trusted pplRef corpus; survivors
+    // above pplMaxNll drop; docs with no bigram evidence pass
+    val ppled = pplRef match {
+      case None => deconed0
+      case Some(ref) =>
+        val lm = TextOps.bigramLmTrain(ref)
+        val tooHigh = TextOps.bigramNllRef(deconed0, lm)
+          .filter(col("nll") > pplMaxNll).select("doc_id")
+        deconed0.join(tooHigh, Seq("doc_id"), "left_anti")
+    }
     // optional FineWeb-style per-domain cap, AFTER dedup (so the cap
     // counts distinct content, not duplicates) and BEFORE the split (so
     // train/val/test remain deterministic subsets of the capped corpus)
@@ -555,9 +595,9 @@ object Pipelines {
     // (e.g. UrlOps.PslSuffixes) — under the default heuristic every
     // *.github.io user site is ONE domain; under the PSL each is its own
     val deduped = maxPerDomain
-      .map(k => graft.text.UrlOps.capPerDomain(deduped0, urlCol, k,
+      .map(k => graft.text.UrlOps.capPerDomain(ppled, urlCol, k,
         suffixes = domainSuffixes))
-      .getOrElse(deduped0)
+      .getOrElse(ppled)
     // optional token budget (q120's bin-offset selection, no global
     // sort): keep the best-quality docs until the budget fills — runs
     // LAST among the keep/drop gates so the budget buys only deduped,

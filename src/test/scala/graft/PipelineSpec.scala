@@ -882,6 +882,51 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("embedding"), s"got ${e.getMessage}")
   }
 
+  test("curate semantic decontamination + perplexity gate: an " +
+    "eval-embedding leak drops, a gibberish doc drops on reference " +
+    "NLL, clean docs and no-evidence docs pass; missing doc vectors " +
+    "are named") {
+    import graft.text.TextOps
+    def sentence(i: Long): String =
+      s"the cat $i sat on the mat ${i * 3 + 7} while the dog " +
+        s"${i * 5 + 11} watched the bird ${i * 7 + 13} in the tree."
+    val docs = ((0L until 10L).map(i => (i, sentence(i))) ++ Seq(
+      (100L, sentence(100L)), // embedding = the eval vector -> drop
+      (300L, "zq vx qk jw zzp qqv xxj wwk zzq qvv")) // gibberish
+      ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text"))
+    val evalVec = Seq(9f, 1f, 0f)
+    val embs = ((0L until 10L).map(i =>
+      (i, Seq((i * 2 + 1).toFloat, (i % 3 - 1).toFloat, 5f))) :+
+      ((100L, evalVec.toSeq))).toDF("doc_id", "embedding")
+    val evalEmbs = Seq(Tuple1(evalVec)).toDF("embedding")
+    // reference LM: the clean register (gibberish transitions unseen)
+    val ref = (1000L until 1040L).map(i => (i, sentence(i)))
+      .toDF("doc_id", "text")
+    val kept = Pipelines.curate(docs, minJaccard = 0.999,
+        semDeconEvalEmbs = Some(evalEmbs), semDeconEmbs = Some(embs),
+        semDeconMinCosine = 0.99, semDedupDim = 3,
+        pplRef = Some(ref), pplMaxNll = 4.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(100L), s"eval leak survived: $kept")
+    assert(!kept.contains(300L), s"gibberish survived: $kept")
+    assert((0L until 10L).forall(kept.contains), s"clean dropped: $kept")
+    // eval embeddings without doc vectors are named
+    val e = intercept[IllegalArgumentException] {
+      Pipelines.curate(docs, semDeconEvalEmbs = Some(evalEmbs)).count()
+    }
+    assert(e.getMessage.contains("semDeconEmbs"), s"got ${e.getMessage}")
+    // sanity on the gate statistic itself: the gibberish doc's NLL
+    // under the reference model clears the clean docs' band
+    val lm = TextOps.bigramLmTrain(ref)
+    val nll = TextOps.bigramNllRef(docs, lm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val cleanMax = (0L until 10L).map(nll).max
+    assert(nll(300L) > 4.5 && cleanMax < 4.5,
+      s"nll: gib=${nll(300L)} cleanMax=$cleanMax")
+  }
+
   test("E10 frontierPlan: urlset entries robots-gated, captured URLs " +
     "anti-joined, per-host sequence, Crawl-delay wired into the " +
     "earliest polite fetch offset") {
