@@ -96,6 +96,7 @@ object Run {
       |             [--format tfrecord|webdataset] [--max-tokens <n>]
       |             [--shards <n>] [--min-quality <q>]
       |             [--packer greedy|bfd|grouped:<col>]
+      |             [--tokenizer <tokenizer file>]
       |  train-tokenizer -d <docs parquet> -s <tokenizer.json>
       |             [--family metaspace|byte_level|whitespace]
       |             [--merges <n>]""".stripMargin
@@ -579,7 +580,10 @@ object Run {
             opts.get("--max-tokens").map(_.toLong).getOrElse(1024L),
           nShards = opts.get("--shards").map(_.toInt).getOrElse(8),
           minQuality = minQ,
-          packer = opts.getOrElse("--packer", "greedy"))
+          packer = opts.getOrElse("--packer", "greedy"),
+          // --tokenizer: pack by the REAL token count of a shipped
+          // tokenizer file instead of the whitespace proxy
+          tokenizerPath = opts.get("--tokenizer"))
       case "webdataset" =>
         graft.io.WebDataset.writeWebDatasetShards(
           Pipelines.curate(docs, minQuality = minQ)

@@ -841,15 +841,23 @@ object Pipelines {
     * Curation knobs beyond `minQuality` are deliberately not threaded —
     * callers with a tuned curation pass the CURATED frame and set
     * `minQuality = 0` ([[curate]] is idempotent on its own output). */
+  /** @param tokenizerPath optional shipped tokenizer file (any format
+    *                       [[graft.text.TokenizerFiles.loadTokenizer]]
+    *                       reads) — packs then fill by the REAL token
+    *                       count instead of the whitespace proxy. */
   def exportTrainingShards(docs: DataFrame, outDir: String,
                            maxTokens: Long = 1024, nShards: Int = 8,
                            minQuality: Double = 0.3,
                            seed: String = "",
-                           packer: String = "greedy"): DataFrame = {
-    import graft.text.TextOps
+                           packer: String = "greedy",
+                           tokenizerPath: Option[String] = None)
+      : DataFrame = {
+    import graft.text.{TextOps, TokenizerFiles}
+    val countWith = tokenizerPath.map(p => TokenizerFiles.tokenCounter(
+      TokenizerFiles.loadTokenizer(docs.sparkSession, p)))
     val curated = curate(docs, minQuality)
     val packed = TextOps.packWith(packer, curated, maxTokens,
-      nShards, seed)
+      nShards, seed, countWith)
     val rows = packed
       .join(curated.select(col("doc_id"), col("text")), Seq("doc_id"))
       .select(col("doc_id"), col("shard"), col("pack_id"),

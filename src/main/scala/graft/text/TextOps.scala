@@ -2782,11 +2782,19 @@ object TextOps {
     *                  related docs in one context window beat random
     *                  packing). `None` (default) keeps the plain md5
     *                  arrival order — bit-identical to before. */
+  /** @param countWith optional token counter (text column → LONG
+    *                   count) replacing the whitespace proxy — pass
+    *                   [[graft.text.TokenizerFiles.tokenCounter]] of a
+    *                   loaded tokenizer so packs fill by the REAL
+    *                   token budget. `None` keeps the whitespace count
+    *                   bit-identical to before. */
   def packSequencesGreedy(docs: DataFrame, maxTokens: Long,
                           nShards: Int = 8, idCol: String = "doc_id",
                           textCol: String = "text",
                           seed: String = "",
-                          groupCol: Option[String] = None): DataFrame = {
+                          groupCol: Option[String] = None,
+                          countWith: Option[Column => Column] = None)
+      : DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -2795,11 +2803,14 @@ object TextOps {
     // would null-crash the encoder or corrupt ids; cast back to the
     // source dtype on output so numeric callers see their own type.
     val idType = docs.schema(idCol).dataType
+    val countCol = countWith
+      .map(f => f(col(textCol)).cast("long"))
+      .getOrElse(tokenCount(coalesce(col(textCol), lit("")))
+        .cast("long"))
     val rows = trainingShards(docs, idCol, nShards, seed)
       .select((col("shard") +: col("shard_order") +:
         col(idCol).cast("string").as("id") +:
-        tokenCount(coalesce(col(textCol), lit(""))).cast("long")
-          .as("n_tokens") +:
+        countCol.as("n_tokens") +:
         groupCol.map(g => coalesce(col(g).cast("string"), lit(""))
           .as("_grp")).toSeq): _*)
     val ordered = groupCol match {
@@ -2863,16 +2874,20 @@ object TextOps {
   def packSequencesBfd(docs: DataFrame, maxTokens: Long,
                        nShards: Int = 8, idCol: String = "doc_id",
                        textCol: String = "text", seed: String = "",
-                       openPool: Int = 4096): DataFrame = {
+                       openPool: Int = 4096,
+                       countWith: Option[Column => Column] = None)
+      : DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
     require(openPool >= 1, "openPool must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
     val idType = docs.schema(idCol).dataType
+    val countCol = countWith
+      .map(f => f(col(textCol)).cast("long"))
+      .getOrElse(tokenCount(coalesce(col(textCol), lit("")))
+        .cast("long"))
     val rows = trainingShards(docs, idCol, nShards, seed)
-      .select(col("shard"), col(idCol),
-        tokenCount(coalesce(col(textCol), lit(""))).cast("long")
-          .as("n_tokens"))
+      .select(col("shard"), col(idCol), countCol.as("n_tokens"))
       .repartition(nShards, col("shard"))
       // DESCENDING size is the D in BFD; the SOURCE-TYPED id breaks
       // ties (numeric ids order numerically — a post-cast string sort
@@ -3109,15 +3124,19 @@ object TextOps {
     * every export surface prices the same three choices with the same
     * spelling. */
   def packWith(packer: String, docs: DataFrame, maxTokens: Long,
-               nShards: Int, seed: String = ""): DataFrame =
+               nShards: Int, seed: String = "",
+               countWith: Option[Column => Column] = None): DataFrame =
     packer match {
       case "greedy" =>
-        packSequencesGreedy(docs, maxTokens, nShards, seed = seed)
+        packSequencesGreedy(docs, maxTokens, nShards, seed = seed,
+          countWith = countWith)
       case "bfd" =>
-        packSequencesBfd(docs, maxTokens, nShards, seed = seed)
+        packSequencesBfd(docs, maxTokens, nShards, seed = seed,
+          countWith = countWith)
       case g if g.startsWith("grouped:") && g.length > 8 =>
         packSequencesGreedy(docs, maxTokens, nShards, seed = seed,
-          groupCol = Some(g.stripPrefix("grouped:")))
+          groupCol = Some(g.stripPrefix("grouped:")),
+          countWith = countWith)
       case other => throw new IllegalArgumentException(
         s"unknown packer '$other' — use greedy, bfd, or grouped:<col>")
     }

@@ -579,6 +579,35 @@ object TokenizerFiles {
           t => org.apache.spark.sql.functions.length(t) > 0))
     extends LoadedTokenizer
 
+  /** The REAL token budget under a loaded tokenizer — a (text column →
+    * LONG count) function for the packers' `countWith` knob
+    * ([[graft.text.TextOps.packSequencesGreedy]] et al.), so packs
+    * fill by the tokens the trainer will actually see instead of the
+    * whitespace proxy (which under- and over-counts 2-4× on code and
+    * CJK). Works for every column-encoder family (each emits one
+    * space-separated symbol string per pre-token); a Unigram tokenizer
+    * fails descriptively — its segmentation runs on the distinct-word
+    * DOMAIN ([[graft.text.TextOps.unigramSegment]]), and hiding that
+    * corpus-shaped cost inside a per-row counter would be a lie. */
+  def tokenCounter(lt: LoadedTokenizer)
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    lt match {
+      case ColumnTokenizer(_, encode) =>
+        text => org.apache.spark.sql.functions.aggregate(
+          org.apache.spark.sql.functions.transform(
+            encode(org.apache.spark.sql.functions.coalesce(text,
+              org.apache.spark.sql.functions.lit(""))),
+            w => org.apache.spark.sql.functions.size(
+              org.apache.spark.sql.functions.split(w, " "))
+              .cast("long")),
+          org.apache.spark.sql.functions.lit(0L), (acc, x) => acc + x)
+      case UnigramTokenizer(family, _, _) =>
+        throw new IllegalArgumentException(
+          s"a $family tokenizer segments on the distinct-word domain " +
+            "(unigramSegment) — join its per-word piece counts back " +
+            "instead of counting per row")
+    }
+
   /** ONE call from any shipped tokenizer file to a usable encoder —
     * the "a user can point the engine at their tokenizer" entry:
     *

@@ -4126,6 +4126,51 @@ class ExtensionsSpec extends SparkSpec {
     assert(order.last == 15L, s"order: ${order.toSeq}")
   }
 
+  test("packers count with a loaded tokenizer via countWith: n_tokens " +
+    "becomes the real subword count and pack boundaries move; the " +
+    "default stays the whitespace proxy; unigram counters are named") {
+    import graft.text.{TextOps, TokenizerFiles}
+    val tok = getClass
+      .getResource("/graft/fixture_metaspace_tokenizer.json").getPath
+    val counter = TokenizerFiles.tokenCounter(
+      TokenizerFiles.loadTokenizer(spark, tok))
+    val docs = Seq((1L, "The cat sat on the mat."), (2L, "the cat"))
+      .toDF("doc_id", "text")
+    def packMap(countWith: Option[
+        org.apache.spark.sql.Column => org.apache.spark.sql.Column])
+        : Map[Long, (Long, Long)] =
+      TextOps.packSequencesGreedy(docs, maxTokens = 10, nShards = 1,
+          countWith = countWith)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("pack_id"))))
+        .toMap
+    val withTok = packMap(Some(counter))
+    // the fixture's real counts: 10 subwords ("▁ T h e" + ...) and 2
+    assert(withTok(1L)._1 == 10L && withTok(2L)._1 == 2L, s"$withTok")
+    assert(withTok(1L)._2 != withTok(2L)._2,
+      s"10 + 2 > 10 must split packs: $withTok")
+    val plain = packMap(None)
+    assert(plain(1L)._1 == 6L && plain(2L)._1 == 2L, s"$plain")
+    assert(plain(1L)._2 == plain(2L)._2,
+      s"6 + 2 <= 10 must share a pack: $plain")
+    // BFD and the packWith dispatch take the same counter
+    val bfd = TextOps.packSequencesBfd(docs, maxTokens = 10,
+        nShards = 1, countWith = Some(counter))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_tokens")).toMap
+    assert(bfd == Map(1L -> 10L, 2L -> 2L), s"$bfd")
+    val viaDispatch = TextOps.packWith("bfd", docs, 10, 1,
+        countWith = Some(counter))
+      .agg(sum("n_tokens")).head().getLong(0)
+    assert(viaDispatch == 12L)
+    // a unigram tokenizer cannot be a per-row counter — named
+    val uni = TokenizerFiles.UnigramTokenizer("unigram",
+      Seq(("▁a", -1.0)).toDF("piece", "lnp"))
+    val e = intercept[IllegalArgumentException](
+      TokenizerFiles.tokenCounter(uni))
+    assert(e.getMessage.contains("distinct-word"), s"${e.getMessage}")
+  }
+
   test("bpeTrainMetaspace + writeTokenizerJsonBpe: merges learned in " +
     "the ▁ alphabet match hand-computed pair counts; the shipped " +
     "tokenizer.json round-trips loadTokenizer with family, config, " +
