@@ -98,8 +98,9 @@ object Run {
       |             [--packer greedy|bfd|grouped:<col>]
       |             [--tokenizer <tokenizer file>]
       |  train-tokenizer -d <docs parquet> -s <tokenizer.json>
-      |             [--family metaspace|byte_level|whitespace]
-      |             [--merges <n>]""".stripMargin
+      |             [--family metaspace|byte_level|whitespace|unigram]
+      |             [--merges <n>] [--vocab-size <n>] [--rounds <n>]
+      |             [--metaspace]""".stripMargin
 
   /** getopt-lite: `-x val` / `--long val` for value opts, bare flags for
     * booleans (the reference's flag set). */
@@ -107,7 +108,7 @@ object Run {
     "--parquet", "--audit", "--fuzzy-decon", "--psl", "--fuzzy-prior",
     "--drop-damaged", "--c4-lines", "--script-aware", "--paragraph-dedup",
     "--lang-router", "--fix-encoding", "--canonical-collapse",
-    "--sem-whiten")
+    "--sem-whiten", "--metaspace")
   private def parseOpts(args: Seq[String]): Map[String, String] = {
     val out = Map.newBuilder[String, String]
     var i = 0
@@ -613,6 +614,20 @@ object Run {
     val family = opts.getOrElse("--family", "metaspace")
     val nMerges = opts.get("--merges").map(_.toInt).getOrElse(64)
     val docs = spark.read.parquet(in)
+    if (family == "unigram") {
+      // the SentencePiece-style EM trainer: --vocab-size pieces after
+      // --rounds EM/prune rounds, shipped as a Unigram tokenizer.json
+      // (--metaspace declares the ▁ pre-tokenizer for the T5 shape)
+      val target = opts.get("--vocab-size").map(_.toInt).getOrElse(200)
+      val rounds = opts.get("--rounds").map(_.toInt).getOrElse(2)
+      val vocab = TextOps.unigramTrain(docs, target, rounds)
+        .orderBy("piece").collect()
+        .map(r => (r.getString(0), r.getDouble(2))).toSeq
+      TokenizerFiles.writeTokenizerJsonUnigram(spark, out, vocab,
+        metaspace = opts.contains("--metaspace"))
+      println(s"Trained unigram vocab ${vocab.size} -> $out")
+      return
+    }
     // the pre-token form per family — the alphabet the merges live in
     val pre: org.apache.spark.sql.Column = family match {
       case "metaspace" => TextOps.metaspacePreTokens(col("text"))

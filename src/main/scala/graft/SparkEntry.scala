@@ -3523,6 +3523,16 @@ object SparkEntry {
       TextOps.bpeTrainByteLevel(t(s, dir, "documents"), numMerges = 3)
         .orderBy("merge_rank")),
 
+    // FULL UNIGRAM TRAINING — two chained EM rounds with pruning to a
+    // 60-piece target (q236 is the single-round M-step): seed
+    // substring vocab → segment/recount/prune/re-estimate ×2; chained
+    // lnp values ride the 2^-20 dyadic grid so round 2's DP is
+    // bit-portable. The oracle unrolls BOTH Viterbi chains
+    "q336_unigram_train" -> ((s, dir) =>
+      TextOps.unigramTrain(t(s, dir, "documents")
+          .filter(col("text").isNotNull),
+        targetVocab = 60, rounds = 2).orderBy("piece")),
+
     // SEMANTIC DECONTAMINATION — the embedding-space complement of
     // the q54 n-gram gate: train = vec_id % 5 != 0, eval = the rest;
     // hyperplane-bucket-blocked cosine (6 planes, the q28 recall
@@ -5316,10 +5326,14 @@ object SparkEntry {
       |    FROM documents WHERE text IS NOT NULL)
       |  WHERE len(t) > 0)""".stripMargin)
 
-  private def unigramDpCtesFor(tokCte: String): String = {
+  /** One complete Viterbi-DP chain (w/e0/e1/e/a0/b1..a12, all names
+    * suffixed `sfx`) reading the shared `w0` distinct-word table and
+    * joining the given vocab CTE — extracted so multi-round trainer
+    * oracles (q336) can chain a second DP over a re-estimated vocab. */
+  private def unigramDpChain(sfx: String, vCte: String): String = {
     val maxLen = 12
     def round(i: Int): String =
-      s"""b$i AS MATERIALIZED (
+      s"""b$i$sfx AS MATERIALIZED (
          |  SELECT word, i, score, np, segs FROM (
          |    SELECT e.word, $i AS i, a.score + e.lnp AS score,
          |           a.np + 1 AS np,
@@ -5331,13 +5345,32 @@ object SparkEntry {
          |                      CASE WHEN a.segs = '' THEN e.piece
          |                           ELSE a.segs || '|' || e.piece END
          |                        DESC) AS rk
-         |    FROM e JOIN a${i - 1} a
+         |    FROM e$sfx e JOIN a${i - 1}$sfx a
          |      ON e.word = a.word AND e.i = $i AND e.j = a.i)
          |  WHERE rk = 1),
-         |a$i AS MATERIALIZED (SELECT * FROM a${i - 1}
-         |        UNION ALL SELECT * FROM b$i)""".stripMargin
-    s"""$tokCte,
-       |w0 AS MATERIALIZED (SELECT DISTINCT t AS word FROM tok),
+         |a$i$sfx AS MATERIALIZED (SELECT * FROM a${i - 1}$sfx
+         |        UNION ALL SELECT * FROM b$i$sfx)""".stripMargin
+    s"""w$sfx AS (SELECT word FROM w0 WHERE len(word) BETWEEN 1 AND $maxLen),
+       |e0$sfx AS (SELECT word, unnest(generate_series(1, len(word))) AS i
+       |       FROM w$sfx),
+       |e1$sfx AS (SELECT word, i,
+       |         unnest(generate_series(1, least(4, i))) AS plen
+       |       FROM e0$sfx),
+       |e$sfx AS MATERIALIZED (SELECT e1.word, e1.i, e1.i - e1.plen AS j,
+       |        substr(e1.word, e1.i - e1.plen + 1, e1.plen) AS piece,
+       |        v.lnp
+       |      FROM e1$sfx e1 JOIN $vCte v
+       |        ON substr(e1.word, e1.i - e1.plen + 1, e1.plen)
+       |           = v.piece),
+       |a0$sfx AS MATERIALIZED (SELECT word, 0 AS i, CAST(0.0 AS DOUBLE) AS score,
+       |         CAST(0 AS BIGINT) AS np, '' AS segs FROM w$sfx),
+       |${(1 to maxLen).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  /** The seed substring vocab (q235's substringVocab replay): w0 from
+    * `tok`, char coverage + top-200 multis, raw ln(n/tot) scores. */
+  private def unigramSeedVocabCtes: String =
+    s"""w0 AS MATERIALIZED (SELECT DISTINCT t AS word FROM tok),
        |p1 AS (SELECT word, unnest(generate_series(1, len(word))) AS i
        |       FROM w0),
        |p2 AS (SELECT word, i,
@@ -5354,23 +5387,12 @@ object SparkEntry {
        |    ORDER BY n DESC, piece LIMIT 200)),
        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM kept),
        |v AS (SELECT piece, ln(n / tot) AS lnp
-       |      FROM kept CROSS JOIN tot),
-       |w AS (SELECT word FROM w0 WHERE len(word) BETWEEN 1 AND $maxLen),
-       |e0 AS (SELECT word, unnest(generate_series(1, len(word))) AS i
-       |       FROM w),
-       |e1 AS (SELECT word, i,
-       |         unnest(generate_series(1, least(4, i))) AS plen
-       |       FROM e0),
-       |e AS MATERIALIZED (SELECT e1.word, e1.i, e1.i - e1.plen AS j,
-       |        substr(e1.word, e1.i - e1.plen + 1, e1.plen) AS piece,
-       |        v.lnp
-       |      FROM e1 JOIN v
-       |        ON substr(e1.word, e1.i - e1.plen + 1, e1.plen)
-       |           = v.piece),
-       |a0 AS MATERIALIZED (SELECT word, 0 AS i, CAST(0.0 AS DOUBLE) AS score,
-       |         CAST(0 AS BIGINT) AS np, '' AS segs FROM w),
-       |${(1 to maxLen).map(round).mkString(",\n")}""".stripMargin
-  }
+       |      FROM kept CROSS JOIN tot)""".stripMargin
+
+  private def unigramDpCtesFor(tokCte: String): String =
+    s"""$tokCte,
+       |$unigramSeedVocabCtes,
+       |${unigramDpChain("", "v")}""".stripMargin
 
   /** Hard-negatives oracle: the 6-plane bucket expression and the
     * 64-term dot chains in the kernel's sequential order; wrong-label
@@ -11813,6 +11835,58 @@ object SparkEntry {
          |UNION ALL
          |SELECT CAST(3 AS INTEGER), lhs, rhs, cnt FROM m3
          |ORDER BY merge_rank""".stripMargin,
+
+    // q336: the q235 seed prelude + TWO full DP chains with the
+    // EM recount / protected-singles prune / snapped re-estimate
+    // between and after them
+    "q336_unigram_train" -> {
+      val target = 60
+      def emPrune(sfx: String, prevV: String, outV: String): String =
+        s"""segf$outV AS (
+           |  SELECT a.word, a.segs FROM a12$sfx a
+           |  JOIN (SELECT word, len(word) AS wl FROM w$sfx) lw
+           |    ON a.word = lw.word AND a.i = lw.wl),
+           |pc$outV AS (
+           |  SELECT piece, CAST(sum(freq) AS BIGINT) AS n FROM (
+           |    SELECT unnest(string_split(s.segs, '|')) AS piece,
+           |           wf.freq
+           |    FROM segf$outV s JOIN wf ON wf.word = s.word)
+           |  GROUP BY 1),
+           |wn$outV AS (
+           |  SELECT pv.piece, coalesce(pc.n, 0) AS n
+           |  FROM $prevV pv
+           |  LEFT JOIN pc$outV pc ON pc.piece = pv.piece),
+           |ns$outV AS (SELECT count(*) AS c FROM wn$outV
+           |            WHERE len(piece) = 1),
+           |pr$outV AS (
+           |  SELECT piece, n FROM wn$outV WHERE len(piece) = 1
+           |  UNION ALL
+           |  SELECT piece, n FROM (
+           |    SELECT piece, n,
+           |           row_number() OVER (ORDER BY n DESC, piece) AS rk
+           |    FROM wn$outV WHERE len(piece) > 1)
+           |  WHERE rk <= $target - (SELECT c FROM ns$outV)),
+           |tt$outV AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+           |                   CAST(count(*) AS BIGINT) AS k
+           |            FROM pr$outV),
+           |$outV AS MATERIALIZED (
+           |  SELECT piece, n,
+           |    floor(ln((n + 1) / CAST(tn + k AS DOUBLE))
+           |          * 1048576 + 0.5) / 1048576 AS lnp
+           |  FROM pr$outV CROSS JOIN tt$outV)""".stripMargin
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT t FROM (
+         |    SELECT unnest(string_split(lower(text), ' ')) AS t
+         |    FROM documents WHERE text IS NOT NULL)
+         |  WHERE len(t) > 0),
+         |wf AS (SELECT t AS word, count(*) AS freq FROM tok GROUP BY 1),
+         |$unigramSeedVocabCtes,
+         |${unigramDpChain("", "v")},
+         |${emPrune("", "v", "v1")},
+         |${unigramDpChain("_2", "v1")},
+         |${emPrune("_2", "v1", "v2")}
+         |SELECT piece, n, lnp FROM v2 ORDER BY piece""".stripMargin
+    },
 
     // q335: the 6-plane bucket expression and 64-term chains in the
     // kernel's sequential order (the q28/q126 conventions); bucket

@@ -1104,6 +1104,64 @@ object TextOps {
           (col("tn") + col("k")).cast("double")), 6).as("lnp"))
   }
 
+  /** FULL UNIGRAM TRAINER — the chained form [[unigramEmRound]]'s
+    * contract describes, run end to end: seed with [[substringVocab]],
+    * then `rounds` × { segment every corpus word under the CURRENT
+    * vocab (E-step), recount pieces weighted by word frequency, PRUNE
+    * to `targetVocab` (every single-char piece is protected — coverage
+    * — plus the top multi-char pieces by (n DESC, piece)), re-estimate
+    * lnp' = ln((n+1)/(Σn+|vocab|)) over the pruned set (M-step) }.
+    * Chained lnp values snap to the 2^-20 dyadic grid (the
+    * cross-engine ln recipe) so every later round's DP consumes
+    * bit-portable scores. Returns the final (piece, n, lnp); ship it
+    * with [[TokenizerFiles.writeTokenizerJsonUnigram]] and
+    * [[TokenizerFiles.loadTokenizer]] reads it back for
+    * [[unigramSegment]].
+    *
+    * Scale shape: per round, exactly [[unigramEmRound]]'s ledger (the
+    * distinct-word DP + one piece recount + vocabulary-sized prune/
+    * re-estimate); the word-frequency table persists across rounds;
+    * the single scalar collect is the alphabet size. */
+  def unigramTrain(docs: DataFrame, targetVocab: Int, rounds: Int = 2,
+                   maxLen: Int = 12, maxPiece: Int = 4,
+                   textCol: String = "text"): DataFrame = {
+    require(rounds >= 1 && targetVocab >= 1, "bad rounds/targetVocab")
+    val freqs = docs.filter(col(textCol).isNotNull)
+      .select(explode(wsTokens(lower(col(textCol)))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .persist()
+    freqs.count()
+    var vocab = substringVocab(freqs, maxPiece)
+    var out: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val seg = unigramSegment(freqs, vocab, maxLen, maxPiece)
+      val counts = seg.join(freqs, "word")
+        .select(explode(split(col("segs"), "\\|")).as("piece"),
+          col("freq"))
+        .groupBy("piece").agg(sum("freq").as("n"))
+      val withN = vocab.select(col("piece"))
+        .join(counts, Seq("piece"), "left")
+        .select(col("piece"), coalesce(col("n"), lit(0L)).as("n"))
+        .localCheckpoint() // consumed by 3 branches below
+      val singles = withN.filter(length(col("piece")) === 1)
+      val keepMulti = math.max(0L, targetVocab - singles.count())
+      val multis = withN.filter(length(col("piece")) > 1)
+        .orderBy(col("n").desc, col("piece")).limit(keepMulti.toInt)
+      val pruned = singles.unionByName(multis)
+      val tot = pruned.agg(sum("n").as("tn"), count(lit(1)).as("k"))
+      out = pruned.crossJoin(broadcast(tot))
+        .select(col("piece"), col("n"),
+          (floor(log((col("n") + 1L).cast("double") /
+            (col("tn") + col("k")).cast("double")) * 1048576.0 + 0.5)
+            / 1048576.0).as("lnp"))
+        .localCheckpoint()
+      vocab = out.select("piece", "lnp")
+    }
+    freqs.unpersist(false)
+    out
+  }
+
   /** Corpus vocabulary: token → document-independent occurrence count,
     * top `k` by count. One explode + map-side-combined aggregation; the
     * final top-k is an orderBy(limit) over the distinct-token table, which

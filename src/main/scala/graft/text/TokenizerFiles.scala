@@ -317,6 +317,46 @@ object TokenizerFiles {
     finally out.close()
   }
 
+  /** Write a HuggingFace `tokenizer.json` for a UNIGRAM model — the
+    * ship format for [[graft.text.TextOps.unigramTrain]]'s learned
+    * vocabulary ([[writeTokenizerJsonBpe]]'s sibling): `model.vocab`
+    * as the `[piece, score]` pair array (scores are the log
+    * probabilities [[graft.text.TextOps.unigramSegment]] consumes),
+    * optionally a Metaspace pre_tokenizer (the T5 shape — the ▁-form
+    * word-domain builder comes back on load). Round-trips
+    * [[loadTokenizer]]. */
+  def writeTokenizerJsonUnigram(spark: SparkSession, path: String,
+      vocab: Seq[(String, Double)], metaspace: Boolean = false,
+      replacement: String = "▁", prependScheme: String = "always",
+      unk: Option[String] = None): Unit = {
+    require(vocab.nonEmpty, "vocab must not be empty")
+    require(vocab.map(_._1).distinct.size == vocab.size,
+      "vocab pieces must be distinct")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("version", "1.0")
+    if (metaspace) {
+      val pt = root.putObject("pre_tokenizer")
+      pt.put("type", "Metaspace")
+      pt.put("replacement", replacement)
+      pt.put("prepend_scheme", prependScheme)
+      pt.put("split", true)
+    }
+    val model = root.putObject("model")
+    model.put("type", "Unigram")
+    unk.foreach(u => model.put("unk_token", u))
+    val v = model.putArray("vocab")
+    vocab.foreach { case (piece, lnp) =>
+      val e = v.addArray(); e.add(piece); e.add(lnp)
+    }
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(root))
+    finally out.close()
+  }
+
   /** The model FAMILY a `tokenizer.json` declares (`model.type`):
     * `BPE`, `WordPiece`, or `Unigram` — the flag deciding which of the
     * engine's three encoders a shipped file feeds ([[TextOps

@@ -4171,6 +4171,57 @@ class ExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("distinct-word"), s"${e.getMessage}")
   }
 
+  test("unigramTrain + writeTokenizerJsonUnigram: two EM rounds with " +
+    "protected-singles pruning hit the target vocab; the shipped " +
+    "Unigram tokenizer.json round-trips loadTokenizer in plain and " +
+    "Metaspace forms") {
+    import graft.text.{TextOps, TokenizerFiles}
+    val docs = Seq("the cat the cat the", "the dog sat").toDF("text")
+    val trained = TextOps.unigramTrain(docs, targetVocab = 12,
+        rounds = 2).orderBy("piece").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // 9 corpus chars are protected singles; target 12 leaves 3 multis
+    val singles = trained.map(_._1).filter(_.length == 1).toSet
+    assert(singles == "thecadogs".map(_.toString).toSet, s"$singles")
+    assert(trained.size == 12, s"${trained.size}: $trained")
+    assert(trained.count(_._1.length > 1) == 3)
+    // every lnp is a finite negative log prob on the dyadic grid
+    trained.foreach { case (p, _, lnp) =>
+      assert(lnp < 0 && lnp * 1048576.0 == math.rint(lnp * 1048576.0),
+        s"$p: $lnp off-grid") }
+    // 'the' (the dominant word) keeps its whole-word piece
+    assert(trained.exists(_._1 == "the"), s"$trained")
+    // ship plain: vocab parity through the file
+    val tmp = java.nio.file.Files.createTempDirectory("graft_uship")
+    val plain = tmp.resolve("uni.json").toString
+    val pairs = trained.map(t => (t._1, t._3))
+    TokenizerFiles.writeTokenizerJsonUnigram(spark, plain, pairs)
+    val back = TokenizerFiles.loadTokenizer(spark, plain)
+      .asInstanceOf[TokenizerFiles.UnigramTokenizer]
+    assert(back.family == "unigram")
+    assert(back.vocab.orderBy("piece").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      pairs.sortBy(_._1))
+    // ...and the loaded vocab actually segments
+    val seg = TextOps.unigramSegment(
+      Seq("thecat").toDF("word"), back.vocab).head()
+    assert(seg.getString(3).split("\\|").mkString == "thecat")
+    // metaspace form carries the ▁-word-domain builder back
+    val meta = tmp.resolve("uni_ms.json").toString
+    TokenizerFiles.writeTokenizerJsonUnigram(spark, meta, pairs,
+      metaspace = true)
+    val mb = TokenizerFiles.loadTokenizer(spark, meta)
+      .asInstanceOf[TokenizerFiles.UnigramTokenizer]
+    val dom = Seq("the cat").toDF("text")
+      .select(mb.preTokens(col("text"))).head().getSeq[String](0)
+    assert(dom == Seq("▁the", "▁cat"), s"got $dom")
+    // duplicate pieces rejected
+    val dup = intercept[IllegalArgumentException](
+      TokenizerFiles.writeTokenizerJsonUnigram(spark,
+        tmp.resolve("d.json").toString, Seq(("a", -1.0), ("a", -2.0))))
+    assert(dup.getMessage.contains("distinct"))
+  }
+
   test("bpeTrainMetaspace + writeTokenizerJsonBpe: merges learned in " +
     "the ▁ alphabet match hand-computed pair counts; the shipped " +
     "tokenizer.json round-trips loadTokenizer with family, config, " +

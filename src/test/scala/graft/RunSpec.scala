@@ -408,5 +408,18 @@ class RunSpec extends SparkSpec {
     assert(TokenizerFiles.loadTokenizer(spark, out2)
       .asInstanceOf[TokenizerFiles.ColumnTokenizer]
       .family == "bpe_byte_level")
+    // unigram family: EM-trained vocab ships as a Unigram
+    // tokenizer.json; --metaspace declares the T5 pre-tokenizer
+    val out3 = dir.resolve("tok_uni.json").toString
+    Run.main(Array("train-tokenizer", "-d", docsPath, "-s", out3,
+      "--family", "unigram", "--vocab-size", "10", "--rounds", "2",
+      "--metaspace"))
+    val ut = TokenizerFiles.loadTokenizer(spark, out3)
+      .asInstanceOf[TokenizerFiles.UnigramTokenizer]
+    assert(ut.family == "unigram")
+    assert(ut.vocab.count() == 10)
+    val dom = Seq("the cat").toDF("text")
+      .select(ut.preTokens(col("text"))).head().getSeq[String](0)
+    assert(dom == Seq("▁the", "▁cat"), s"got $dom")
   }
 }
