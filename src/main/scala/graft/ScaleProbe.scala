@@ -117,6 +117,19 @@ object ScaleProbe {
                 md5((col("doc_id") + 13).cast("string")),
                 lit(footer)).as("text")),
             minLen = 60).count() },
+        // reference-LM perplexity scoring: LM trained on the even
+        // half, odd half scored — two vocab-sized aggs + the pair join
+        "lm_ppl_ref" -> { d =>
+          val lm = graft.text.TextOps.bigramLmTrain(
+            d.filter(col("doc_id") % 2 === 0))
+          graft.text.TextOps.bigramNllRef(
+            d.filter(col("doc_id") % 2 === 1), lm).count() },
+        // full unigram trainer, two EM rounds to a 60-piece target —
+        // everything after the word-frequency agg is vocabulary-sized,
+        // so the window must be near-FLAT at 10x docs
+        "unigram_train2" -> { d =>
+          graft.text.TextOps.unigramTrain(d, targetVocab = 60,
+            rounds = 2).count() },
         "cc_clusters" -> { d =>
           val pairs = Dedup.ngramJaccard(d, minJaccard = 0.4, maxDf = 1000)
           Dedup.connectedComponents(d.select(col("doc_id").as("id")), pairs)
@@ -1148,6 +1161,13 @@ object ScaleProbe {
           Similarity.batchTopK(d, q, k = 10).count() },
         "semdedup_label" -> { d =>
           Dedup.semDeDup(d, blockCol = "label", minCosine = 0.99).count() },
+        // semantic decontamination: eval side fixed at 64 vectors (the
+        // benchmark-sized side), train side scales — the window must
+        // track the train-side bucket join, near-flat at 10x
+        "sem_decon" -> { d =>
+          Dedup.semanticDecontaminate(d,
+            d.filter(col("vec_id") % 311 === 0).select(col("embedding")),
+            planes = 8, minCosine = 0.95).count() },
         "quantize_int8" -> { d => Similarity.quantizeInt8(d).count() },
         "hamming_topk_q16" -> { d =>
           val bin = Similarity.quantizeBinary(d)

@@ -216,18 +216,39 @@ object Streaming {
                          canonicalCollapse: Boolean = false,
                          urlCol: String = "url",
                          htmlCol: String = "html",
-                         canonicalIndexPath: Option[String] = None)
+                         canonicalIndexPath: Option[String] = None,
+                         pplRef: Option[DataFrame] = None,
+                         pplMaxNll: Double = 12.0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(canonicalIndexPath.isEmpty || canonicalCollapse,
       "canonicalIndexPath needs canonicalCollapse = true (the index " +
         "stores the keys that stage computes)")
+    // the reference-LM perplexity gate's model trains ONCE at stream
+    // setup (the ref corpus is static) and persists — per-batch
+    // scoring then reads the cached vocab-sized tables
+    val pplLm = pplRef.map { ref =>
+      val m = graft.text.TextOps.bigramLmTrain(ref)
+      graft.text.TextOps.BigramLm(
+        m.bigrams.persist(), m.unigrams.persist(), m.vocabSize)
+    }
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch {
         (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val sess = batch.sparkSession
-        val gated0 = stage1(batch.toDF())
+        val gatedS1 = stage1(batch.toDF())
+        // the batch curate's perplexity gate, mirrored: survivors
+        // above pplMaxNll under the stream-setup LM drop; docs with
+        // no bigram evidence pass (the no-evidence-no-drop convention)
+        val gated0 = pplLm match {
+          case None => gatedS1
+          case Some(m) =>
+            val tooHigh = graft.text.TextOps
+              .bigramNllRef(gatedS1, m, idCol, textCol)
+              .filter(col("nll") > pplMaxNll).select(idCol)
+            gatedS1.join(tooHigh, Seq(idCol), "left_anti")
+        }
         // the batch curate's opt-in mirror collapse, mirrored here
         // (NOT in curateStage1: the collapse is a grouping on the
         // canonical key, which a pure row-gate stage cannot hold —
@@ -769,10 +790,18 @@ object Streaming {
                          fixEncoding: Boolean = false,
                          canonicalCollapse: Boolean = false,
                          urlCol: String = "url",
-                         htmlCol: String = "html")
+                         htmlCol: String = "html",
+                         tokenizerPath: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(format == "tfrecord" || format == "webdataset",
       s"format must be tfrecord or webdataset, got '$format'")
+    // load the real-token counter ONCE at stream setup (broadcast
+    // tables ship per executor, not per batch) — the batch export's
+    // tokenizerPath knob mirrored
+    val countWith = tokenizerPath.map(p =>
+      graft.text.TokenizerFiles.tokenCounter(
+        graft.text.TokenizerFiles.loadTokenizer(
+          stream.sparkSession, p)))
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -787,7 +816,7 @@ object Streaming {
           canonicalCollapse = canonicalCollapse,
           urlCol = urlCol, htmlCol = htmlCol)
         val packed = TextOps.packWith(packer, curated, maxTokens,
-          nShards, seed)
+          nShards, seed, countWith)
         val rows = packed
           .join(curated.select(col("doc_id"), col("text")), Seq("doc_id"))
           .select(col("doc_id"), col("shard"), col("pack_id"),

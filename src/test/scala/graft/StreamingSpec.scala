@@ -1055,4 +1055,47 @@ class StreamingSpec extends SparkSpec {
     assert(served.map(_._1).toSet == Set(20L, 10L, 0L, 12L),
       s"served: $served")
   }
+  test("curateForeachBatch pplRef: the stream-setup reference LM " +
+    "drops a gibberish doc in any batch, clean docs land, the gate " +
+    "composes before the near-dup index") {
+    import graft.dedup.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    def sentence(i: Long): String =
+      s"the cat $i sat on the mat ${i * 3 + 7} while the dog " +
+        s"${i * 5 + 11} watched the bird ${i * 7 + 13} in the tree."
+    val base = java.nio.file.Files.createTempDirectory("graft_fbppl")
+    val sink = base.resolve("sink").toString
+    val ckpt = base.resolve("ckpt").toString
+    val ref = (1000L until 1040L).map(i => (i, sentence(i)))
+      .toDF("doc_id", "text")
+    try {
+      Dedup.writeSignatureIndex(
+        Dedup.buildSignatureIndex(
+          Seq((1L, sentence(1L))).toDF("doc_id", "text"),
+          numHashes = 16, bands = 4),
+        "sigidx_fbppl", buckets = 4)
+      val in = MemoryStream[(Long, String)]
+      val q = Streaming.curateForeachBatch(
+        in.toDF().toDF("doc_id", "text"),
+        "sigidx_fbppl", sink, ckpt,
+        buckets = 4, minJaccard = 0.5, numHashes = 16, bands = 4,
+        pplRef = Some(ref), pplMaxNll = 4.5)
+      try {
+        in.addData(
+          (10L, sentence(10L)),
+          (11L, "zq vx qk jw zzp qqv xxj wwk zzq qvv"))
+        q.processAllAvailable()
+        in.addData(
+          (20L, sentence(777L)),
+          (21L, "qq zz vv kk jj ww pp xx yy gg hh"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val landed = spark.read.parquet(sink)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      assert(landed == Seq(10L, 20L), s"landed $landed")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sigidx_fbppl_sigs")
+      spark.sql("DROP TABLE IF EXISTS sigidx_fbppl_bands")
+    }
+  }
 }
