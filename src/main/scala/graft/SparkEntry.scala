@@ -3523,6 +3523,73 @@ object SparkEntry {
       TextOps.bpeTrainByteLevel(t(s, dir, "documents"), numMerges = 3)
         .orderBy("merge_rank")),
 
+    // RECALL of the decontamination blocking (the q126/q324 honesty
+    // convention): eval = every 10th vector PERTURBED (+0.04 on the
+    // first 8 coords — self-cosine stays >= 0.99 but angles move
+    // enough to flip some of the 6 LSH planes), brute = the same
+    // threshold with NO bucket restriction; recall = found / brute
+    "q337_sem_decon_recall" -> ((s, dir) => {
+      import graft.ml.Similarity
+      val embs = t(s, dir, "embeddings")
+      val ev = embs.filter(col("vec_id") % 10 === 3)
+        .select(transform(col("embedding").cast("array<double>"),
+          (x, i) => x + when(i < 8, lit(0.04)).otherwise(lit(0.0)))
+          .as("embedding"))
+      val survivors = Dedup.semanticDecontaminate(embs, ev,
+        minCosine = 0.9, planes = 6)
+      val found = embs.select("vec_id")
+        .join(survivors.select("vec_id"), Seq("vec_id"), "left_anti")
+      val e2 = embs.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", Similarity.norm(col("v"), 64))
+      val q = ev.select(col("embedding").as("ee"))
+        .withColumn("enrm", Similarity.norm(col("ee"), 64))
+      val brute = e2.crossJoin(broadcast(q))
+        .filter(col("nrm") * col("enrm") > 0)
+        .filter(Similarity.dot(col("v"), col("ee"), 64) /
+          (col("nrm") * col("enrm")) >= 0.9)
+        .select("vec_id").distinct()
+      brute.agg(count(lit(1)).as("n_brute")).crossJoin(
+          brute.join(found, Seq("vec_id"), "left_semi")
+            .agg(count(lit(1)).as("n_found")))
+        .select(col("n_brute"), col("n_found"),
+          (col("n_found").cast("double") /
+            col("n_brute").cast("double")).as("recall"))
+    }),
+
+    // the MULTI-PROBE recall gain — q337 with one-bit-flip probing:
+    // pairs that disagree on exactly one of the 6 planes are
+    // recovered, so recall must rise (the cost: 7 bucket rows per
+    // eval vector, benchmark-sized side only)
+    "q338_sem_decon_multiprobe" -> ((s, dir) => {
+      import graft.ml.Similarity
+      val embs = t(s, dir, "embeddings")
+      val ev = embs.filter(col("vec_id") % 10 === 3)
+        .select(transform(col("embedding").cast("array<double>"),
+          (x, i) => x + when(i < 8, lit(0.04)).otherwise(lit(0.0)))
+          .as("embedding"))
+      val survivors = Dedup.semanticDecontaminate(embs, ev,
+        minCosine = 0.9, planes = 6, multiProbe = true)
+      val found = embs.select("vec_id")
+        .join(survivors.select("vec_id"), Seq("vec_id"), "left_anti")
+      val e2 = embs.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", Similarity.norm(col("v"), 64))
+      val q = ev.select(col("embedding").as("ee"))
+        .withColumn("enrm", Similarity.norm(col("ee"), 64))
+      val brute = e2.crossJoin(broadcast(q))
+        .filter(col("nrm") * col("enrm") > 0)
+        .filter(Similarity.dot(col("v"), col("ee"), 64) /
+          (col("nrm") * col("enrm")) >= 0.9)
+        .select("vec_id").distinct()
+      brute.agg(count(lit(1)).as("n_brute")).crossJoin(
+          brute.join(found, Seq("vec_id"), "left_semi")
+            .agg(count(lit(1)).as("n_found")))
+        .select(col("n_brute"), col("n_found"),
+          (col("n_found").cast("double") /
+            col("n_brute").cast("double")).as("recall"))
+    }),
+
     // FULL UNIGRAM TRAINING — two chained EM rounds with pruning to a
     // 60-piece target (q236 is the single-round M-step): seed
     // substring vocab → segment/recount/prune/re-estimate ×2; chained
@@ -11835,6 +11902,111 @@ object SparkEntry {
          |UNION ALL
          |SELECT CAST(3 AS INTEGER), lhs, rhs, cnt FROM m3
          |ORDER BY merge_rank""".stripMargin,
+
+    // q337: q335's plane literals over the perturbed eval side; hits
+    // (bucket-restricted) vs brute (unrestricted) at the same
+    // threshold; recall as the one unrounded quotient
+    "q337_sem_decon_recall" -> {
+      val planes = 6; val dim = 64
+      def planeDot(vec: String, p: Int): String =
+        (0 until dim).map(i => s"$vec[${i + 1}] * " +
+          java.lang.Double.toString(Similarity.planeComponent(p, i)))
+          .mkString(" + ")
+      def bucketExpr(vec: String): String =
+        (0 until planes).map(p =>
+          s"CASE WHEN ${planeDot(vec, p)} >= 0 THEN ${1L << p} ELSE 0 END")
+          .mkString("\n       + ")
+      def chain(a: String, b: String): String =
+        (0 until dim).map(i => s"$a[${i + 1}] * $b[${i + 1}]")
+          .mkString(" + ")
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |ev0 AS (
+         |  SELECT list_transform(e, (x, i) ->
+         |           x + CASE WHEN i <= 8 THEN 0.04 ELSE 0 END) AS ee
+         |  FROM v WHERE vec_id % 10 = 3),
+         |tr AS (
+         |  SELECT vec_id, e,
+         |       ${bucketExpr("e")} AS bucket,
+         |       sqrt(${chain("e", "e")}) AS nrm
+         |  FROM v),
+         |evk AS (
+         |  SELECT ee,
+         |       ${bucketExpr("ee")} AS bucket,
+         |       sqrt(${chain("ee", "ee")}) AS enrm
+         |  FROM ev0),
+         |hits AS (
+         |  SELECT DISTINCT tr.vec_id
+         |  FROM tr JOIN evk USING (bucket)
+         |  WHERE tr.nrm * evk.enrm > 0
+         |    AND (${chain("tr.e", "evk.ee")}) / (tr.nrm * evk.enrm)
+         |        >= 0.9),
+         |brute AS (
+         |  SELECT DISTINCT tr.vec_id
+         |  FROM tr, evk
+         |  WHERE tr.nrm * evk.enrm > 0
+         |    AND (${chain("tr.e", "evk.ee")}) / (tr.nrm * evk.enrm)
+         |        >= 0.9)
+         |SELECT CAST((SELECT count(*) FROM brute) AS BIGINT) AS n_brute,
+         |       CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_found,
+         |       (SELECT count(*) FROM hits) /
+         |         CAST((SELECT count(*) FROM brute) AS DOUBLE) AS recall""".stripMargin
+    },
+
+    // q338: q337's replay with the eval bucket exploded over the
+    // 7-probe list (identity + one flip per plane)
+    "q338_sem_decon_multiprobe" -> {
+      val planes = 6; val dim = 64
+      def planeDot(vec: String, p: Int): String =
+        (0 until dim).map(i => s"$vec[${i + 1}] * " +
+          java.lang.Double.toString(Similarity.planeComponent(p, i)))
+          .mkString(" + ")
+      def bucketExpr(vec: String): String =
+        (0 until planes).map(p =>
+          s"CASE WHEN ${planeDot(vec, p)} >= 0 THEN ${1L << p} ELSE 0 END")
+          .mkString("\n       + ")
+      def chain(a: String, b: String): String =
+        (0 until dim).map(i => s"$a[${i + 1}] * $b[${i + 1}]")
+          .mkString(" + ")
+      val flips = (Seq(0L) ++ (0 until planes).map(p => 1L << p))
+        .mkString(", ")
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |ev0 AS (
+         |  SELECT list_transform(e, (x, i) ->
+         |           x + CASE WHEN i <= 8 THEN 0.04 ELSE 0 END) AS ee
+         |  FROM v WHERE vec_id % 10 = 3),
+         |tr AS (
+         |  SELECT vec_id, e,
+         |       ${bucketExpr("e")} AS bucket,
+         |       sqrt(${chain("e", "e")}) AS nrm
+         |  FROM v),
+         |evk AS (
+         |  SELECT ee, xor(b0, f.flip) AS bucket, enrm FROM (
+         |    SELECT ee,
+         |         ${bucketExpr("ee")} AS b0,
+         |         sqrt(${chain("ee", "ee")}) AS enrm
+         |    FROM ev0) CROSS JOIN (
+         |    SELECT unnest([$flips]) AS flip) f),
+         |hits AS (
+         |  SELECT DISTINCT tr.vec_id
+         |  FROM tr JOIN evk USING (bucket)
+         |  WHERE tr.nrm * evk.enrm > 0
+         |    AND (${chain("tr.e", "evk.ee")}) / (tr.nrm * evk.enrm)
+         |        >= 0.9),
+         |brute AS (
+         |  SELECT DISTINCT tr.vec_id
+         |  FROM tr, (SELECT DISTINCT ee, enrm FROM evk) evk
+         |  WHERE tr.nrm * evk.enrm > 0
+         |    AND (${chain("tr.e", "evk.ee")}) / (tr.nrm * evk.enrm)
+         |        >= 0.9)
+         |SELECT CAST((SELECT count(*) FROM brute) AS BIGINT) AS n_brute,
+         |       CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_found,
+         |       (SELECT count(*) FROM hits) /
+         |         CAST((SELECT count(*) FROM brute) AS DOUBLE) AS recall""".stripMargin
+    },
 
     // q336: the q235 seed prelude + TWO full DP chains with the
     // EM recount / protected-singles prune / snapped re-estimate

@@ -1237,12 +1237,22 @@ object Dedup {
     * collide; near-threshold pairs can differ in a plane). Shuffle
     * ledger: both sides move once on the bucket key; the eval side is
     * benchmark-sized and broadcasts when it fits (AQE). */
+  /** @param multiProbe when true, each eval vector ALSO probes every
+    *                    bucket at Hamming distance 1 from its own (one
+    *                    plane-bit flip per probe — planes+1 bucket rows
+    *                    per eval vector, multiplying only the
+    *                    benchmark-sized side): near-threshold pairs
+    *                    that disagree on exactly one plane are
+    *                    recovered, the standard recall/cost dial
+    *                    (q337 measures the single-probe recall, q338
+    *                    the multi-probe gain). */
   def semanticDecontaminate(train: DataFrame, evalSet: DataFrame,
                             idCol: String = "vec_id",
                             vecCol: String = "embedding",
                             minCosine: Double = 0.95,
                             planes: Int = 12,
-                            dim: Int = graft.ml.Similarity.DefaultDim)
+                            dim: Int = graft.ml.Similarity.DefaultDim,
+                            multiProbe: Boolean = false)
       : DataFrame = {
     import graft.ml.Similarity
     val t = train.select(col(idCol).as("_sd_id"),
@@ -1250,10 +1260,18 @@ object Dedup {
       .withColumn("_sd_b",
         Similarity.hyperplaneKey(col("_sd_v"), planes, dim))
       .withColumn("_sd_n", Similarity.norm(col("_sd_v"), dim))
-    val e = evalSet.select(col(vecCol).cast("array<double>").as("_sd_e"))
-      .withColumn("_sd_b",
+    val eBase = evalSet
+      .select(col(vecCol).cast("array<double>").as("_sd_e"))
+      .withColumn("_sd_b0",
         Similarity.hyperplaneKey(col("_sd_e"), planes, dim))
       .withColumn("_sd_en", Similarity.norm(col("_sd_e"), dim))
+    val e =
+      if (!multiProbe) eBase.withColumnRenamed("_sd_b0", "_sd_b")
+      else eBase
+        .withColumn("_flip", explode(array(
+          (lit(0L) +: (0 until planes).map(p => lit(1L << p))): _*)))
+        .select(col("_sd_e"), col("_sd_en"),
+          col("_sd_b0").bitwiseXOR(col("_flip")).as("_sd_b"))
     val hits = t.join(e, "_sd_b")
       .filter(col("_sd_n") * col("_sd_en") > 0)
       .filter(Similarity.dot(col("_sd_v"), col("_sd_e"), dim) /

@@ -4851,6 +4851,37 @@ class ExtensionsSpec extends SparkSpec {
         minCosine = 1.0, planes = 4, dim = 8)
       .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
     assert(keptExact == Seq(2L, 3L, 4L), s"kept $keptExact")
+    // multi-probe recovers a one-plane bucket miss: engineer a train
+    // vector whose 4-plane key differs from the eval key in exactly
+    // one bit but whose cosine clears the threshold — single-probe
+    // keeps it, multi-probe drops it
+    import graft.ml.Similarity
+    // the key computed driver-side from the SAME public plane
+    // constants the kernel uses (the oracle-replay convention)
+    def key(v: Seq[Float]): Long = (0 until 4).map { p =>
+      val dot = v.zipWithIndex.map { case (x, i) =>
+        x.toDouble * Similarity.planeComponent(p, i) }.sum
+      if (dot >= 0) 1L << p else 0L
+    }.sum
+    val evKey = key(axis)
+    val near = (for {
+      j <- (1 to 7).iterator
+      k <- (1 to 200).iterator
+    } yield axis.zipWithIndex.map { case (x, i) =>
+      if (i == j) x + k * 0.1f else x })
+      .find(v => java.lang.Long.bitCount(key(v) ^ evKey) == 1)
+    near.foreach { nv =>
+      val tr2 = Seq((7L, nv)).toDF("vec_id", "embedding")
+      val single = Dedup.semanticDecontaminate(tr2, ev,
+          minCosine = 0.5, planes = 4, dim = 8)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(single == Seq(7L), s"single-probe should miss: $single")
+      val multi = Dedup.semanticDecontaminate(tr2, ev,
+          minCosine = 0.5, planes = 4, dim = 8, multiProbe = true)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(multi.isEmpty, s"multi-probe should drop: $multi")
+    }
+    assert(near.nonEmpty, "no one-bit neighbor found in the sweep")
   }
 
   test("bigramNllRef: closed-form add-one scores under a held-out " +
