@@ -89,7 +89,7 @@ object Run {
       |             [--sem-min-cosine <c>] [--sem-pca-k <k>]
       |             [--sem-decon <eval embs parquet>]
       |             [--sem-decon-embs <embs parquet>]
-      |             [--sem-decon-min-cosine <c>]
+      |             [--sem-decon-min-cosine <c>] [--sem-decon-multiprobe]
       |             [--ppl-ref <docs parquet>] [--max-nll <x>]
       |             [--shards <n>] [--audit]
       |  export     -d <docs parquet> -s <out dir>
@@ -108,7 +108,7 @@ object Run {
     "--parquet", "--audit", "--fuzzy-decon", "--psl", "--fuzzy-prior",
     "--drop-damaged", "--c4-lines", "--script-aware", "--paragraph-dedup",
     "--lang-router", "--fix-encoding", "--canonical-collapse",
-    "--sem-whiten", "--metaspace")
+    "--sem-whiten", "--metaspace", "--sem-decon-multiprobe")
   private def parseOpts(args: Seq[String]): Map[String, String] = {
     val out = Map.newBuilder[String, String]
     var i = 0
@@ -499,6 +499,9 @@ object Run {
         .map(spark.read.parquet(_)),
       semDeconMinCosine = opts.get("--sem-decon-min-cosine")
         .map(_.toDouble).getOrElse(0.95),
+      // --sem-decon-multiprobe: one-bit-flip bucket probing (recall
+      // recovery at planes+1 eval-side bucket rows)
+      semDeconMultiProbe = opts.contains("--sem-decon-multiprobe"),
       // --ppl-ref: trusted reference corpus for the CCNet perplexity
       // gate; survivors with mean bigram NLL above --max-nll drop
       pplRef = opts.get("--ppl-ref").map(spark.read.parquet(_)),

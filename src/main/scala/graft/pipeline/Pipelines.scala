@@ -347,6 +347,7 @@ object Pipelines {
              semDeconEvalEmbs: Option[DataFrame] = None,
              semDeconEmbs: Option[DataFrame] = None,
              semDeconMinCosine: Double = 0.95,
+             semDeconMultiProbe: Boolean = false,
              pplRef: Option[DataFrame] = None,
              pplMaxNll: Double = 12.0): DataFrame = {
     import graft.text.TextOps
@@ -571,7 +572,8 @@ object Pipelines {
         val embs = docEmbs.select(col("doc_id"), col("embedding"))
           .join(deduped0.select("doc_id"), Seq("doc_id"), "left_semi")
         val kept = Dedup.semanticDecontaminate(embs, evalEmbs,
-          "doc_id", "embedding", semDeconMinCosine, dim = semDedupDim)
+          "doc_id", "embedding", semDeconMinCosine, dim = semDedupDim,
+          multiProbe = semDeconMultiProbe)
         val dropped = embs.select("doc_id")
           .join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
         deduped0.join(dropped, Seq("doc_id"), "left_anti")
