@@ -3523,6 +3523,19 @@ object SparkEntry {
       TextOps.bpeTrainByteLevel(t(s, dir, "documents"), numMerges = 3)
         .orderBy("merge_rank")),
 
+    // UNIGRAM PACK BUDGETS — per-doc token counts under the q235
+    // unigram tokenizer: the DP runs ONCE on the distinct-word domain,
+    // per-word piece counts join back, docs sum; >12-char words fall
+    // back to their char count (the never-undercount bound)
+    "q339_unigram_budget" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      val words = d.select(explode(TextOps.wsTokens(lower(col("text"))))
+          .as("word"))
+        .filter(length(col("word")) > 0)
+      val vocab = TextOps.substringVocab(words)
+      TextOps.unigramTokenCounts(d, vocab).orderBy("doc_id")
+    }),
+
     // RECALL of the decontamination blocking (the q126/q324 honesty
     // convention): eval = every 10th vector PERTURBED (+0.04 on the
     // first 8 coords — self-cosine stays >= 0.99 but angles move
@@ -5455,6 +5468,15 @@ object SparkEntry {
        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM kept),
        |v AS (SELECT piece, ln(n / tot) AS lnp
        |      FROM kept CROSS JOIN tot)""".stripMargin
+
+  /** The default (q235-shaped) DP prelude — named so oracles can
+    * splice it into larger WITH chains. */
+  private def unigramDpCtesForStd: String = unigramDpCtesFor(
+    """tok AS MATERIALIZED (
+      |  SELECT t FROM (
+      |    SELECT unnest(string_split(lower(text), ' ')) AS t
+      |    FROM documents WHERE text IS NOT NULL)
+      |  WHERE len(t) > 0)""".stripMargin)
 
   private def unigramDpCtesFor(tokCte: String): String =
     s"""$tokCte,
@@ -11902,6 +11924,27 @@ object SparkEntry {
          |UNION ALL
          |SELECT CAST(3 AS INTEGER), lhs, rhs, cnt FROM m3
          |ORDER BY merge_rank""".stripMargin,
+
+    // q339: the q235 DP prelude, the final-position piece counts,
+    // the per-word fallback to len(word), one per-doc sum
+    "q339_unigram_budget" ->
+      s"""WITH $unigramDpCtesForStd,
+         |segn AS (
+         |  SELECT a.word, a.np FROM a12 a
+         |  JOIN (SELECT word, len(word) AS wl FROM w) lw
+         |    ON a.word = lw.word AND a.i = lw.wl),
+         |dtok AS (
+         |  SELECT doc_id, t AS word FROM (
+         |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+         |    FROM documents WHERE text IS NOT NULL)
+         |  WHERE len(t) > 0),
+         |wtok AS (
+         |  SELECT w0.word, coalesce(segn.np, len(w0.word)) AS wt
+         |  FROM w0 LEFT JOIN segn ON segn.word = w0.word)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(wt) AS BIGINT) AS n_tokens
+         |FROM dtok JOIN wtok ON wtok.word = dtok.word
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q337: q335's plane literals over the perturbed eval side; hits
     // (bucket-restricted) vs brute (unrestricted) at the same

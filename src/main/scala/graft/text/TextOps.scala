@@ -1162,6 +1162,44 @@ object TextOps {
     out
   }
 
+  /** Real token budgets under a UNIGRAM tokenizer — the honest
+    * integration [[TokenizerFiles.tokenCounter]] refuses to fake:
+    * segment the DISTINCT-WORD domain ONCE ([[unigramSegment]] — the
+    * corpus-shaped cost runs exactly once, visibly), join each word's
+    * piece count back, and sum per document. Words outside the DP's
+    * subdomain (longer than `maxLen`) fall back to their character
+    * count — the unigram worst case, so budgets never undercount.
+    * Returns (idCol, n_words, n_tokens).
+    *
+    * To PACK by these budgets: join the counts onto the docs and pass
+    * `countWith = Some(_ => col("n_tokens"))` to the packer — the
+    * counter lambda may ignore the text column and read any column of
+    * the (pre-joined) frame.
+    *
+    * Scale shape: one (doc, word) explode, the [[unigramSegment]]
+    * distinct-word ledger, one word-keyed join back (AQE broadcasts
+    * the vocabulary-sized count table), one per-doc agg. */
+  def unigramTokenCounts(docs: DataFrame, vocab: DataFrame,
+                         idCol: String = "doc_id",
+                         textCol: String = "text",
+                         maxLen: Int = 12, maxPiece: Int = 4)
+      : DataFrame = {
+    val dtok = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(wsTokens(lower(col(textCol)))).as("word"))
+      .filter(length(col("word")) > 0)
+    val domain = dtok.select("word").distinct()
+    val seg = unigramSegment(domain, vocab, maxLen, maxPiece)
+    val perWord = domain
+      .join(seg.select(col("word"), col("n_pieces")), Seq("word"), "left")
+      .select(col("word"),
+        coalesce(col("n_pieces"), length(col("word")).cast("long"))
+          .as("_wt"))
+    dtok.join(perWord, Seq("word"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"), sum("_wt").as("n_tokens"))
+  }
+
   /** Corpus vocabulary: token → document-independent occurrence count,
     * top `k` by count. One explode + map-side-combined aggregation; the
     * final top-k is an orderBy(limit) over the distinct-token table, which

@@ -4171,6 +4171,38 @@ class ExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("distinct-word"), s"${e.getMessage}")
   }
 
+  test("unigramTokenCounts: per-doc budgets from ONE domain DP, " +
+    "over-maxLen words fall back to their char count, and the counts " +
+    "pack via the countWith column trick") {
+    import graft.text.TextOps
+    // 'extraordinarily' (15 chars) sits outside the maxLen=12 DP
+    val docs = Seq((1L, "ab ab c"), (2L, "ab extraordinarily c"))
+      .toDF("doc_id", "text")
+    val vocab = Seq(("a", -1.0), ("b", -1.2), ("c", -1.5), ("ab", -0.7))
+      .toDF("piece", "lnp")
+    val counts = TextOps.unigramTokenCounts(docs, vocab)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        r.getLong(2)))).toMap
+    // doc 1: ab|ab|c all single pieces (ab beats a+b) → 3 over 3 words
+    // doc 2: ab(1) + 15-char fallback + c(1) → 17 over 3 words
+    assert(counts(1L) == ((3L, 3L)), s"$counts")
+    assert(counts(2L) == ((3L, 17L)), s"$counts")
+    // pack by the budgets: join them on, then a counter lambda that
+    // ignores its text argument and reads the joined column
+    val withN = docs.join(TextOps.unigramTokenCounts(docs, vocab)
+      .select(col("doc_id"), col("n_tokens").as("_uni")), Seq("doc_id"))
+    val packed = TextOps.packSequencesGreedy(withN, maxTokens = 17,
+        nShards = 1, countWith = Some(_ => col("_uni")))
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("pack_id"),
+        r.getAs[Int]("truncated")))
+    assert(packed.map(x => x._1 -> x._2).toMap ==
+      Map(1L -> 3L, 2L -> 17L), s"${packed.toSeq}")
+    // 3 + 17 > 17 → two packs; 17 fits exactly → nothing truncated
+    assert(packed.map(_._3).distinct.length == 2, s"${packed.toSeq}")
+    assert(packed.forall(_._4 == 0), s"${packed.toSeq}")
+  }
+
   test("unigramTrain + writeTokenizerJsonUnigram: two EM rounds with " +
     "protected-singles pruning hit the target vocab; the shipped " +
     "Unigram tokenizer.json round-trips loadTokenizer in plain and " +
