@@ -642,6 +642,88 @@ object Similarity {
       .limit(k)
   }
 
+  /** [[binaryIvfTopKStored]] for a BATCH of queries — the serving
+    * shape a query STREAM needs ([[graft.streaming.Streaming
+    * .annServeForeachBatch]] wraps it per micro-batch): every query
+    * picks its `nProbe` nearest centroids (queries × the k-row
+    * centroid broadcast), the UNION of probed clusters is read ONCE
+    * as a statically partition-pruned scan, sign-bit Hamming
+    * candidates come per query from ITS clusters only (bounded TopK
+    * state — queries·rerankK rows move), and exact cosine reranks the
+    * candidates alone. Per-query results equal
+    * [[binaryIvfTopKStored]] run one query at a time (the same
+    * (distance, id) and (cosine DESC, id) tie rules). Returns
+    * (q_id, rk, id, cosine). Tombstones honored; a code-less corpus
+    * is rejected by name. */
+  def binaryIvfTopKBatch(spark: org.apache.spark.sql.SparkSession,
+                         corpusPath: String, centroids: DataFrame,
+                         queries: DataFrame, k: Int,
+                         clusterCol: String = "cluster",
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         bvecCol: String = "bvec",
+                         qIdCol: String = "q_id",
+                         qVecCol: String = "q_vec",
+                         nProbe: Int = 2, rerankK: Int = 0,
+                         dim: Int = DefaultDim): DataFrame = {
+    val kPrime = if (rerankK > 0) rerankK else 4 * k
+    require(kPrime >= k, s"rerankK ($kPrime) must be >= k ($k)")
+    val q = queries.select(col(qIdCol).as("q_id"),
+      col(qVecCol).cast("array<double>").as("qv"))
+    val qAssign = q.crossJoin(broadcast(
+        centroids.select(col("cluster"), col("centroid"))))
+      .select(col("q_id"), col("qv"), col("cluster"),
+        cosine(col("centroid"), col("qv"), dim).as("sim"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("cluster"))))
+      .filter(col("_rk") <= nProbe)
+      .select(col("q_id"), col("cluster"))
+    // the union of probed clusters — bounded by the centroid count
+    val probeIds = qAssign.select("cluster").distinct()
+      .collect().map(_.get(0)).toSeq
+    val corpus = readIvfCorpus(spark, corpusPath, idCol)
+      .filter(col(clusterCol).isInCollection(probeIds))
+    require(corpus.columns.contains(bvecCol),
+      s"stored corpus lacks '$bvecCol' — write quantizeBinary's " +
+        "output (and quantize appended batches) for the binary probe")
+    val qBin = quantizeBinary(
+      q.select(col("q_id"), col("qv").as(vecCol)), vecCol, dim)
+      .select(col("q_id"), col("bvec").as("q_bvec"))
+    val probes = broadcast(qAssign.join(qBin, "q_id")
+      .select(col("q_id"), col("cluster").as("_probe_c"),
+        col("q_bvec")))
+    val cands = corpus
+      .select(col(idCol), col(bvecCol), col(clusterCol))
+      .join(probes, col(clusterCol) === col("_probe_c"))
+      .select(col("q_id"),
+        (-hammingDist(col(bvecCol), col("q_bvec")).cast("double"))
+          .as("score"),
+        col(idCol).as("nid"))
+      .groupBy("q_id")
+      .agg(graft.ops.Aggregators.topK(kPrime)(col("score"), col("nid"))
+        .as("top"))
+      .select(col("q_id"), explode(col("top")).as("c"))
+      .select(col("q_id"), col("c.id").as(idCol))
+    val rescored = cands
+      .join(corpus.select(col(idCol),
+        col(vecCol).cast("array<double>").as("v")), Seq(idCol))
+      .withColumn("vn", norm(col("v"), dim))
+      .join(broadcast(q.withColumn("qn", norm(col("qv"), dim))),
+        Seq("q_id"))
+      .filter(col("vn") * col("qn") > 0)
+      .select(col("q_id"),
+        (dot(col("v"), col("qv"), dim) / (col("vn") * col("qn")))
+          .as("score"),
+        col(idCol).as("nid"))
+    rescored.groupBy("q_id")
+      .agg(graft.ops.Aggregators.topK(k)(col("score"), col("nid"))
+        .as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rk"),
+        col("col.id").as(idCol), col("col.score").as("cosine"))
+  }
+
   /** BINARY-SCAN-THEN-RERANK — the production two-stage ANN serving
     * pattern composed: stage 1 scans the [[quantizeBinary]] corpus
     * with [[hammingTopK]] for `rerankK` candidates per query (pure

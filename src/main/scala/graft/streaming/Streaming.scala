@@ -398,6 +398,41 @@ object Streaming {
       .start()
   }
 
+  /** STREAMING ANN SERVING — the QUERY half closing
+    * [[annIngestForeachBatch]]'s loop: per micro-batch of (q_id,
+    * q_vec) rows, run the batched stored binary-IVF probe
+    * ([[graft.ml.Similarity.binaryIvfTopKBatch]] — one partition-
+    * pruned scan of the union of probed clusters, per-query Hamming
+    * candidates, exact-cosine rerank) and land (q_id, rk, id, cosine,
+    * batch_id) under `resultsPath/batch_id=N`. EXACTLY-ONCE via the
+    * per-batch overwrite (the exportForeachBatch convention): a
+    * replayed batch rewrites its own directory byte-for-byte.
+    * `centroids` should be a small cached/stored frame — it is read
+    * every batch. */
+  def annServeForeachBatch(stream: DataFrame, corpusPath: String,
+      centroids: DataFrame, resultsPath: String, checkpoint: String,
+      k: Int, qIdCol: String = "q_id", qVecCol: String = "q_vec",
+      nProbe: Int = 2, rerankK: Int = 0,
+      dim: Int = graft.ml.Similarity.DefaultDim)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(k > 0, "k must be positive")
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val res = graft.ml.Similarity.binaryIvfTopKBatch(
+          batch.sparkSession, corpusPath, centroids, batch.toDF(), k,
+          qIdCol = qIdCol, qVecCol = qVecCol, nProbe = nProbe,
+          rerankK = rerankK, dim = dim)
+        res.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .parquet(s"$resultsPath/batch_id=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** STREAMING SFT-INGEST GATE — [[curateForeachBatch]]'s post-training
     * sibling: per micro-batch of conversations, (1) the E8 structure
     * gates ([[graft.ops.Chat.conversationStats]] — turn floor, strict

@@ -1098,4 +1098,65 @@ class StreamingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS sigidx_fbppl_bands")
     }
   }
+
+  test("annServeForeachBatch: streamed query batches land per-batch " +
+    "result directories matching the batched stored probe — the " +
+    "serving loop's query half") {
+    import graft.ml.Similarity
+    import graft.io.Writers
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 4
+    val base = java.nio.file.Files.createTempDirectory("graft_annsrv")
+    val corpus = base.resolve("corpus").toString
+    val results = base.resolve("results").toString
+    val ckpt = base.resolve("ckpt").toString
+    val cents = Seq((0L, Array(10.0, 0.0, 0.0, 0.0)),
+      (1L, Array(0.0, 10.0, 0.0, 0.0)))
+    val seed = (0L until 12L).map(i =>
+      (i, if (i % 2 == 0) Seq(10f, (i % 5).toFloat * 0.1f, 0f, 0f)
+          else Seq((i % 5).toFloat * 0.1f, 10f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    Writers.partitionedParquet(
+      Similarity.quantizeBinary(
+        Similarity.assignToCentroids(seed, cents, dim = dim),
+        dim = dim)
+        .select("vec_id", "embedding", "bvec", "cluster"),
+      corpus, Seq("cluster"))
+    val centDf = seed.sparkSession.createDataFrame(
+      seed.sparkSession.sparkContext.parallelize(cents.map { case (c, v) =>
+        org.apache.spark.sql.Row(c, v.toSeq) }),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cluster",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = Streaming.annServeForeachBatch(
+      in.toDF().toDF("q_id", "q_vec"), corpus, centDf, results, ckpt,
+      k = 3, nProbe = 1, dim = dim)
+    try {
+      in.addData((100L, Seq(9f, 1f, 0f, 0f)), (101L, Seq(1f, 9f, 0f, 0f)))
+      q.processAllAvailable()
+      in.addData((200L, Seq(8f, 0f, 1f, 0f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // per-batch directories, exactly the batched probe's rows
+    val b0 = spark.read.parquet(s"$results/batch_id=0")
+    val b1 = spark.read.parquet(s"$results/batch_id=1")
+    assert(b0.select("q_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(100L, 101L))
+    assert(b1.select("q_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(200L))
+    val expect = Similarity.binaryIvfTopKBatch(spark, corpus, centDf,
+        Seq((100L, Seq(9f, 1f, 0f, 0f))).toDF("q_id", "q_vec"),
+        k = 3, nProbe = 1, dim = dim)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq.sorted
+    val got = b0.filter(col("q_id") === 100L)
+      .collect().map(r => (r.getAs[Int]("rk"), r.getAs[Long]("vec_id")))
+      .toSeq.sorted
+    assert(got == expect, s"$got vs $expect")
+    // x-side query's neighbors are x-side vectors (even ids)
+    assert(got.forall(_._2 % 2 == 0), s"$got")
+  }
 }

@@ -665,6 +665,45 @@ class WritersSpec extends SparkSpec {
       s"appended vector not served: $afterAppend")
   }
 
+  test("binaryIvfTopKBatch: every query's rows equal the one-query " +
+    "stored probe run separately; the probed-cluster union is read " +
+    "once") {
+    import graft.ml.Similarity
+    val dim = 4
+    val vecs = (0 until 24).map { i =>
+      val c = i % 3
+      val base = Array.fill(dim)(0.0f)
+      base(c) = 10f
+      base((c + 1) % dim) = (i / 3).toFloat * 0.1f - 0.2f
+      (i.toLong, base.toSeq)
+    }
+    val embs = vecs.toDF("vec_id", "embedding")
+    val assigned = Similarity.kmeans(embs, k = 3, iters = 3, dim = dim)
+    val centroids = Similarity.ivfIndex(assigned, "cluster")
+    val dirPath = Files.createTempDirectory("graft_bivfb")
+      .resolve("corpus").toString
+    Writers.partitionedParquet(
+      Similarity.quantizeBinary(assigned, dim = dim)
+        .select("vec_id", "embedding", "bvec", "cluster"),
+      dirPath, Seq("cluster"))
+    val qs = Seq((0L, vecs(0)._2), (1L, vecs(7)._2), (2L, vecs(14)._2))
+    val batch = Similarity.binaryIvfTopKBatch(spark, dirPath, centroids,
+        qs.toDF("q_id", "q_vec"), k = 4, nProbe = 2, rerankK = 8,
+        dim = dim)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+      .groupBy(_._1)
+    qs.foreach { case (qid, qv) =>
+      val one = Similarity.binaryIvfTopKStored(spark, dirPath,
+          centroids, qv.map(_.toDouble).toArray, k = 4, nProbe = 2,
+          rerankK = 8, dim = dim)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, i + 1, r.getLong(0),
+          r.getDouble(1)) }.toSeq
+      assert(batch(qid).toSeq.sortBy(_._2) == one, s"q $qid diverged")
+    }
+  }
+
   test("IVF stored index lifecycle: append lands only in its clusters, " +
     "served without rebuild, compaction collapses files and keeps " +
     "pruning") {
