@@ -702,6 +702,15 @@ class WritersSpec extends SparkSpec {
           r.getDouble(1)) }.toSeq
       assert(batch(qid).toSeq.sortBy(_._2) == one, s"q $qid diverged")
     }
+    // plan gate: the batch probe's corpus scans carry the literal
+    // cluster partition filter (static pruning survives the batching)
+    val served = Similarity.binaryIvfTopKBatch(spark, dirPath,
+      centroids, qs.toDF("q_id", "q_vec"), k = 4, nProbe = 2,
+      rerankK = 8, dim = dim)
+    served.collect()
+    val planStr = served.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters: [cluster"),
+      s"no static cluster pruning in the batch probe:\n$planStr")
   }
 
   test("IVF stored index lifecycle: append lands only in its clusters, " +
