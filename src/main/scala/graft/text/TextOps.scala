@@ -988,29 +988,85 @@ object TextOps {
   /** UNIGRAM-LM VITERBI SEGMENTATION (Kudo 2018, the SentencePiece
     * model family) — for each distinct word, the maximum-likelihood
     * segmentation into vocabulary pieces: best(i) = max_j best(j) +
-    * lnp(word[j..i]) over piece lengths ≤ `maxPiece`, computed as
-    * `maxLen` unrolled relational DP rounds over the (word, position)
-    * table. This is the E-step of the unigram trainer and the
-    * INFERENCE half of the tokenizer ([[bpeEncodeWord]]'s probabilistic
-    * sibling: BPE segments by merge order, unigram by likelihood).
-    * Ties are fully deterministic: argmax by (score, −j, piece, segs)
-    * struct order — equal-likelihood paths resolve to the latest split
-    * point, then lexicographically. Returns one row per word ≤
-    * `maxLen` chars: (word, n_pieces, score — the summed lnp, rounded
-    * 6dp at the edge per the log-score convention — and `segs`, the
-    * '|'-joined piece sequence). Words with an unreachable position
-    * (vocab missing one of their characters) drop out — feed a
-    * [[substringVocab]] vocab (full char coverage) to keep every word.
+    * lnp(word[j..i]) over piece lengths ≤ `maxPiece`. This is the
+    * E-step of the unigram trainer and the INFERENCE half of the
+    * tokenizer ([[bpeEncodeWord]]'s probabilistic sibling: BPE
+    * segments by merge order, unigram by likelihood). Ties are fully
+    * deterministic: argmax by (score, −j, piece, segs) struct order —
+    * equal-likelihood paths resolve to the latest split point, then
+    * lexicographically. Returns one row per word ≤ `maxLen` chars:
+    * (word, n_pieces, score — the summed lnp, rounded 6dp at the edge
+    * per the log-score convention — and `segs`, the '|'-joined piece
+    * sequence). Words with an unreachable position (vocab missing one
+    * of their characters) drop out — feed a [[substringVocab]] vocab
+    * (full char coverage) to keep every word.
     *
-    * Scale shape: everything runs on the DISTINCT-WORD domain
-    * (vocabulary-sized, Zipf-bounded — the [[bpeTrain]] ledger class,
-    * corpus text is never touched): the edge table is one explode +
-    * one broadcast-vocab join; each DP round is one (word, j)-keyed
-    * join + one per-word max_by partial agg, localCheckpointed (the
-    * connectedComponents loop idiom); rounds = maxLen by construction. */
+    * Scale shape: ONE codegen'd projection over the DISTINCT-WORD
+    * domain (vocabulary-sized, Zipf-bounded — the [[bpeTrain]] ledger
+    * class, corpus text is never touched): the vocab collects
+    * driver-side (it is vocabulary-sized BY DEFINITION — the
+    * [[bpeMergesBroadcast]] operator-constant class) and ships to
+    * executors once as [[graft.functions.UnigramSegmentWord]]'s
+    * broadcast map; each word costs O(len · maxPiece) hash probes.
+    * Replaces the `maxLen`-round relational DP
+    * ([[unigramSegmentPlan]], kept as the spec-pinned reference) whose
+    * per-round localCheckpoint barriers dominated training latency —
+    * bit-equal results, differential-spec-proven. */
   def unigramSegment(words: DataFrame, vocab: DataFrame,
                      maxLen: Int = 12, maxPiece: Int = 4,
                      wordCol: String = "word"): DataFrame = {
+    require(maxLen >= 1 && maxPiece >= 1, "bad maxLen/maxPiece")
+    val spark = words.sparkSession
+    val entries = vocab
+      .select(col("piece").cast("string"), col("lnp").cast("double"))
+      .filter(col("piece").isNotNull && col("lnp").isNotNull)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val bc = unigramVocabBroadcast(spark, entries)
+    val out = words.select(col(wordCol).as("word")).distinct()
+      .filter(length(col("word")).between(1, maxLen))
+      .withColumn("_seg", graft.functions.UnigramSegmentWord(
+        col("word"), bc, maxPiece))
+      .filter(col("_seg").isNotNull)
+      .select(col("word"), col("_seg.n_pieces").as("n_pieces"),
+        round(col("_seg.score"), 6).as("score"),
+        col("_seg.segs").as("segs"))
+    out
+  }
+
+  /** Broadcast payload for [[graft.functions.UnigramSegmentWord]]: the
+    * (piece → lnp) vocabulary as one executor-resident hash map —
+    * vocabulary-sized (an operator CONSTANT, the
+    * [[bpeMergesBroadcast]] class: tens of thousands of entries, a few
+    * MB), shipped once per executor. Duplicate pieces are rejected —
+    * the relational DP's vocab join would fan out where a map cannot,
+    * so a duplicate signals a caller bug, not a tie to resolve. */
+  def unigramVocabBroadcast(spark: org.apache.spark.sql.SparkSession,
+      vocab: Seq[(String, Double)])
+      : org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[String, java.lang.Double]] = {
+    require(vocab.nonEmpty, "unigram vocab must not be empty")
+    val m = new java.util.HashMap[String, java.lang.Double](
+      vocab.size * 2)
+    vocab.foreach { case (piece, lnp) =>
+      val prev = m.put(piece, java.lang.Double.valueOf(lnp))
+      require(prev == null,
+        s"duplicate vocab piece '$piece' — unigram vocabularies are " +
+          "distinct by construction (every producer group-bys piece)")
+    }
+    spark.sparkContext.broadcast(m)
+  }
+
+  /** The RELATIONAL form of [[unigramSegment]] — the `maxLen` unrolled
+    * join+argmax DP rounds the kernel collapsed, kept as the
+    * plan-level reference implementation: the differential spec pins
+    * kernel ≡ plan bit-for-bit (score doubles, tie order, word drops),
+    * so any future kernel edit re-proves itself against the relational
+    * semantics rather than against remembered behavior. Prefer
+    * [[unigramSegment]] everywhere else — same result, one projection
+    * instead of `maxLen` localCheckpoint barriers. */
+  def unigramSegmentPlan(words: DataFrame, vocab: DataFrame,
+                         maxLen: Int = 12, maxPiece: Int = 4,
+                         wordCol: String = "word"): DataFrame = {
     require(maxLen >= 1 && maxPiece >= 1, "bad maxLen/maxPiece")
     val w = words.select(col(wordCol).as("word")).distinct()
       .filter(length(col("word")).between(1, maxLen))

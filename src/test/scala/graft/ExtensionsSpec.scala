@@ -315,6 +315,56 @@ class ExtensionsSpec extends SparkSpec {
     assert(again == got.map { case (k, v) => k -> v._3 })
   }
 
+  test("unigramSegment kernel ≡ relational DP (unigramSegmentPlan): " +
+    "bit-equal scores, tie order, word drops — ties, metaspace and " +
+    "supplementary alphabets, unreachable and over-maxLen words") {
+    // tie-heavy vocab: equal lnp values force the (score, −j, piece,
+    // segs) chain to decide; ▁ and 𝄞 (supplementary, 4-byte UTF-8)
+    // pin code-point indexing and UTF-8-order string compares
+    val vocab = Seq(
+      ("a", -1.0), ("b", -1.0), ("c", -1.0), ("ab", -2.0),
+      ("bc", -2.0), ("abc", -3.0), ("▁", -0.5), ("▁a", -1.5),
+      ("é", -1.2), ("aé", -2.2), ("𝄞", -0.7), ("𝄞a", -1.7),
+      ("d", -1.0)).toDF("piece", "lnp")
+    val words = Seq("abc", "ab", "▁abc", "▁a", "aéb", "𝄞ab", "𝄞",
+      "abq",          // 'q' missing from the vocab → both must drop it
+      "abcabcabc",    // 9 chars > maxLen 8 → both must drop it
+      "abcabcab"      // exactly maxLen
+    ).toDF("word")
+    for (maxPiece <- Seq(1, 2, 3, 4)) {
+      val k = TextOps.unigramSegment(words, vocab, maxLen = 8,
+        maxPiece = maxPiece).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getString(3))).toMap
+      val p = TextOps.unigramSegmentPlan(words, vocab, maxLen = 8,
+        maxPiece = maxPiece).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getString(3))).toMap
+      assert(k == p, s"kernel vs plan diverged at maxPiece=$maxPiece")
+      assert(!k.contains("abq") && !k.contains("abcabcabc"))
+      if (maxPiece >= 2) assert(k.contains("abcabcab"))
+    }
+    // the corpus-realistic leg: a substringVocab seed over a word set
+    // with repeated fragments (score ties everywhere) must agree too
+    val ws2 = Seq("running", "runner", "run", "inning", "nine",
+      "rerun", "runnerup").toDF("word")
+    val sv = TextOps.substringVocab(ws2, maxPiece = 4, topK = 12)
+    val k2 = TextOps.unigramSegment(ws2, sv, maxLen = 12).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getString(3))).sortBy(_._1).toSeq
+    val p2 = TextOps.unigramSegmentPlan(ws2, sv, maxLen = 12).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getString(3))).sortBy(_._1).toSeq
+    assert(k2 == p2)
+    assert(k2.size == 7)
+    // duplicate vocab pieces are a caller bug, rejected by name
+    val err = intercept[IllegalArgumentException] {
+      TextOps.unigramVocabBroadcast(spark,
+        Seq(("a", -1.0), ("a", -2.0)))
+    }
+    assert(err.getMessage.contains("duplicate vocab piece 'a'"))
+  }
+
   test("epochAllocation: water level fills to the budget, caps " +
     "saturate, shortfall flagged, allocation sums within rounding") {
     // caps: crawl 1x (100 tok), books 4x (50), code 2x (50)
