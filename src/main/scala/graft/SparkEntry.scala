@@ -3603,6 +3603,34 @@ object SparkEntry {
             col("n_brute").cast("double")).as("recall"))
     }),
 
+    // DECLARED-NORMALIZER DISPATCH end-to-end: the corpus is damaged
+    // into full-width forms (a→ａ, b→Ｂ — exactly the compatibility
+    // characters real crawls carry), a SHIPPED tokenizer.json
+    // declaring Sequence(NFKC, Lowercase) is loaded back through
+    // loadTokenizer, and its composed encoder must produce the
+    // IDENTICAL symbol stream q269 gets on the clean corpus — NFKC
+    // folds ａ→a/Ｂ→B, Lowercase finishes B→b. Skipping the declared
+    // normalizer leaves ａ/ｂ outside the merge alphabet and the
+    // encode visibly diverges (lower() alone maps Ｂ only to
+    // full-width ｂ, never to ASCII b)
+    "q340_normalizer_encode" -> ((s, dir) => {
+      import graft.text.TokenizerFiles
+      val lt = TokenizerFiles.loadTokenizer(s,
+        normalizerTokenizerPath(s))
+      val enc =
+        lt.asInstanceOf[TokenizerFiles.ColumnTokenizer].encode
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull && col("doc_id") % 10 === 1)
+        .select(col("doc_id"),
+          posexplode(enc(translate(col("text"), "ab", "ａＢ")))
+            .as(Seq("pos", "encoded")))
+        .filter(col("pos") < 3)
+        .select(col("doc_id"), (col("pos") + 1).as("word_no"),
+          col("encoded"))
+        .withColumn("n_subwords", size(split(col("encoded"), " ")))
+        .orderBy("doc_id", "word_no")
+    }),
+
     // FULL UNIGRAM TRAINING — two chained EM rounds with pruning to a
     // 60-piece target (q236 is the single-round M-step): seed
     // substring vocab → segment/recount/prune/re-estimate ×2; chained
@@ -4282,6 +4310,30 @@ object SparkEntry {
     (((('a' to 'z') ++ ('0' to '9')).map(_.toString)) ++
       BpeMergesBig.map { case (a, b) => a + b })
       .distinct.zipWithIndex
+
+  /** q340's SHIPPED TOKENIZER — q269's whitespace-family BPE
+    * (BpeMergesBig + BpeVocab) written as a tokenizer.json that
+    * DECLARES `normalizer: Sequence(NFKC, Lowercase)`, materialized
+    * once per JVM to a unique temp path (the [[fixtureToTemp]]
+    * convention — concurrent bench/verify JVMs each write their own
+    * copy). The query loads it back through
+    * [[graft.text.TokenizerFiles.loadTokenizer]], so the whole
+    * read-dispatch-compose chain sits on the oracle path. */
+  @volatile private var normTokCache: String = null
+  private def normalizerTokenizerPath(s: SparkSession): String = {
+    if (normTokCache == null) synchronized {
+      if (normTokCache == null) {
+        val out = java.nio.file.Files.createTempFile("graft_tok_norm_",
+          ".json")
+        out.toFile.deleteOnExit()
+        graft.text.TokenizerFiles.writeTokenizerJsonBpe(s, out.toString,
+          BpeMergesBig, BpeVocab, preTokenizer = "whitespace",
+          normalizers = Seq("NFKC", "Lowercase"))
+        normTokCache = out.toString
+      }
+    }
+    normTokCache
+  }
 
   /** q294/q295's BYTE-LEVEL merge table: Ġ-form head merges in the
     * shipped GPT-2 `merges.txt` style (fixture_merges.txt's opening
@@ -12614,6 +12666,28 @@ object SparkEntry {
          |JOIN (SELECT word, len(word) AS wl FROM w) lw
          |  ON a12.word = lw.word AND a12.i = lw.wl
          |ORDER BY a12.word""".stripMargin,
+
+    // q340: the full-width damage is exactly undone by the declared
+    // NFKC+Lowercase chain, so the oracle replays q269's clean-corpus
+    // fold (lower + ws split + merge-per-CTE) on the %10==1 slice —
+    // equality holds ONLY if the Spark side dispatched the declared
+    // normalizer before pre-tokenization
+    "q340_normalizer_encode" ->
+      s"""WITH mbase AS (
+         |  SELECT doc_id,
+         |         CAST(unnest(generate_series(1, least(len(ws), 3)))
+         |           AS INTEGER) AS word_no,
+         |         array_to_string(string_split(unnest(ws[1:3]), ''), ' ')
+         |           AS enc
+         |  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+         |               t -> len(t) > 0) AS ws
+         |        FROM documents
+         |        WHERE text IS NOT NULL AND doc_id % 10 = 1)),
+         |$bpeKernelOracleCtes
+         |SELECT doc_id, word_no, enc AS encoded,
+         |       CAST(len(string_split(enc, ' ')) AS INTEGER) AS n_subwords
+         |FROM m${BpeMergesBig.length - 1}
+         |ORDER BY doc_id, word_no""".stripMargin,
 
     // q328: the closed form of the announcement synthesis — two URLs
     // on %3==0 hosts, one on %3==1, none elsewhere (the commented

@@ -124,6 +124,65 @@ object TokenizerFiles {
     if (pt == null || pt.isNull) "whitespace" else kindOf(pt)
   }
 
+  /** The supported normalizer KINDS — Unicode normalization forms
+    * (the [[graft.functions.UnicodeNormalize]] kernel) plus
+    * `Lowercase`. Everything else a tokenizer.json can declare
+    * (BertNormalizer, Strip, Replace, Prepend, Precompiled…) fails by
+    * name in [[readNormalizerKinds]] — silently skipping a declared
+    * normalizer would encode accented/full-width text differently
+    * than the shipping tokenizer stack does, producing ids that LOOK
+    * valid and match nothing (the [[readPreTokenizerKind]] rule). */
+  private val SupportedNormalizers =
+    Set("NFC", "NFD", "NFKC", "NFKD", "Lowercase")
+
+  /** The flattened normalizer chain a `tokenizer.json` declares:
+    * `normalizer` absent/null → empty (identity — this engine never
+    * invents normalization the file didn't declare); a single node →
+    * its type; a `Sequence` → its members in declared order (applied
+    * left to right, exactly as the tokenizers library composes them);
+    * nested Sequences flatten. Unsupported members fail descriptively
+    * by name. */
+  def readNormalizerKinds(spark: SparkSession, path: String)
+      : Seq[String] = {
+    val node = tokenizerRoot(spark, path).get("normalizer")
+    def kindsOf(n: com.fasterxml.jackson.databind.JsonNode)
+        : Seq[String] = {
+      val t = Option(n.get("type")).map(_.asText()).getOrElse("")
+      if (t == "Sequence") {
+        val subs = n.get("normalizers")
+        if (subs == null) Seq.empty
+        else {
+          val out = Vector.newBuilder[String]
+          val it = subs.elements()
+          while (it.hasNext) out ++= kindsOf(it.next())
+          out.result()
+        }
+      } else if (SupportedNormalizers.contains(t)) Seq(t)
+      else throw new IllegalArgumentException(
+        s"$path: unsupported normalizer type '$t' — this engine " +
+          "implements NFC/NFD/NFKC/NFKD (java.text.Normalizer " +
+          "kernels), Lowercase, and Sequence compositions of those")
+    }
+    if (node == null || node.isNull) Seq.empty else kindsOf(node)
+  }
+
+  /** Compose a normalizer-kind chain into the Column transform the
+    * encoders consume — each kind one codegen'd map step
+    * ([[graft.functions.UnicodeNormalize]] / `lower`), applied in
+    * declared order in FRONT of pre-tokenization (the tokenizers
+    * pipeline order: normalize, then split). Empty chain → identity. */
+  def normalizerTransform(kinds: Seq[String])
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    kinds.foreach(k => require(SupportedNormalizers.contains(k),
+      s"unsupported normalizer kind '$k'"))
+    c => kinds.foldLeft(c) {
+      case (acc, "Lowercase") =>
+        org.apache.spark.sql.functions.lower(acc)
+      case (acc, form) =>
+        graft.functions.UnicodeNormalize(acc, form)
+    }
+  }
+
   /** The (replacement char, prepend scheme) a Metaspace pre-tokenizer
     * declares — [[graft.text.TextOps.metaspacePreTokens]]'s two knobs.
     * Defaults are the family's own (`▁`, `always`); the legacy
@@ -271,7 +330,8 @@ object TokenizerFiles {
       merges: Seq[(String, String)], vocab: Seq[(String, Int)],
       preTokenizer: String = "metaspace",
       replacement: String = "▁", prependScheme: String = "always",
-      unk: Option[String] = None): Unit = {
+      unk: Option[String] = None,
+      normalizers: Seq[String] = Nil): Unit = {
     require(merges.nonEmpty, "merge table must not be empty")
     require(vocab.nonEmpty, "vocab must not be empty")
     require(vocab.map(_._1).distinct.size == vocab.size,
@@ -283,6 +343,7 @@ object TokenizerFiles {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("version", "1.0")
+    putNormalizer(root, normalizers)
     val pt = root.putObject("pre_tokenizer")
     preTokenizer match {
       case "byte_level" => pt.put("type", "ByteLevel")
@@ -328,13 +389,15 @@ object TokenizerFiles {
   def writeTokenizerJsonUnigram(spark: SparkSession, path: String,
       vocab: Seq[(String, Double)], metaspace: Boolean = false,
       replacement: String = "▁", prependScheme: String = "always",
-      unk: Option[String] = None): Unit = {
+      unk: Option[String] = None,
+      normalizers: Seq[String] = Nil): Unit = {
     require(vocab.nonEmpty, "vocab must not be empty")
     require(vocab.map(_._1).distinct.size == vocab.size,
       "vocab pieces must be distinct")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("version", "1.0")
+    putNormalizer(root, normalizers)
     if (metaspace) {
       val pt = root.putObject("pre_tokenizer")
       pt.put("type", "Metaspace")
@@ -355,6 +418,27 @@ object TokenizerFiles {
     try out.write(mapper.writerWithDefaultPrettyPrinter()
       .writeValueAsBytes(root))
     finally out.close()
+  }
+
+  /** Serialize a normalizer-kind chain into a tokenizer.json root —
+    * the WRITE half of [[readNormalizerKinds]]: empty → no node,
+    * one kind → its bare object, several → a Sequence in order.
+    * Round-trips the reader exactly. */
+  private def putNormalizer(
+      root: com.fasterxml.jackson.databind.node.ObjectNode,
+      normalizers: Seq[String]): Unit = {
+    normalizers.foreach(k =>
+      require(SupportedNormalizers.contains(k),
+        s"unsupported normalizer kind '$k' (expected one of " +
+          s"${SupportedNormalizers.toSeq.sorted.mkString("/")})"))
+    if (normalizers.size == 1) {
+      root.putObject("normalizer").put("type", normalizers.head)
+    } else if (normalizers.nonEmpty) {
+      val seqNode = root.putObject("normalizer")
+      seqNode.put("type", "Sequence")
+      val arr = seqNode.putArray("normalizers")
+      normalizers.foreach(k => arr.addObject().put("type", k))
+    }
   }
 
   /** The model FAMILY a `tokenizer.json` declares (`model.type`):
@@ -581,6 +665,111 @@ object TokenizerFiles {
     mt
   }
 
+  /** The `normalizer_spec.name` a SentencePiece `.model` declares
+    * (ModelProto field 3, NormalizerSpec field 1) — None when the file
+    * carries no normalizer_spec. Real sentencepiece distributions
+    * always serialize one (`nmt_nfkc` is the trainer default;
+    * `nmt_nfkc_cf` the cased-fold variant; `identity` opt-out). */
+  def readSentencePieceNormalizerName(spark: SparkSession,
+                                      path: String): Option[String] = {
+    val raw = readAllBytes(spark, path)
+    val c = new ProtoCursor(raw, 0, raw.length, path)
+    var name: Option[String] = None
+    while (c.hasMore) {
+      val key = c.varint()
+      val field = (key >> 3).toInt
+      val wt = (key & 7).toInt
+      if (field == 3 && wt == 2) {
+        val len = c.varint().toInt
+        val sub = new ProtoCursor(c.b, c.pos, c.pos + len, path)
+        c.bytes(len)
+        while (sub.hasMore) {
+          val k2 = sub.varint()
+          if ((k2 >> 3).toInt == 1 && (k2 & 7).toInt == 2)
+            name = Some(new String(sub.bytes(sub.varint().toInt),
+              "UTF-8"))
+          else sub.skip((k2 & 7).toInt)
+        }
+      } else c.skip(wt)
+    }
+    name
+  }
+
+  /** Map a declared SentencePiece normalizer name to the engine's
+    * normalizer-kind chain: `identity` (or an absent spec — hand-made
+    * files; this engine never invents normalization) → empty;
+    * `nmt_nfkc`/`nfkc` → NFKC (the NMT-specific extras — control-char
+    * scrubbing, space collapsing — are a documented approximation gap:
+    * the dominant effect, compatibility folding, is exact);
+    * `nmt_nfkc_cf`/`nfkc_cf` → NFKC then Lowercase (case folding
+    * approximated by lower — they differ only on locale-special casing
+    * like İ/ß). Unknown names fail descriptively. */
+  def sentencePieceNormalizerKinds(name: Option[String],
+                                   path: String): Seq[String] =
+    name match {
+      case None | Some("identity") => Seq.empty
+      case Some("nmt_nfkc") | Some("nfkc") => Seq("NFKC")
+      case Some("nmt_nfkc_cf") | Some("nfkc_cf") =>
+        Seq("NFKC", "Lowercase")
+      case Some(other) => throw new IllegalArgumentException(
+        s"$path: unsupported normalizer_spec.name '$other' — this " +
+          "engine maps identity, nmt_nfkc[_cf], and nfkc[_cf]")
+    }
+
+  /** Write a SentencePiece `.model` (serialized ModelProto of the
+    * public sentencepiece_model.proto) — the EXPORT half of
+    * [[readSentencePieceModel]], closing the train-to-ship loop for
+    * the fourth distribution format: repeated SentencePiece entries
+    * (piece, float score, NORMAL type) in id order, a TrainerSpec
+    * declaring model_type UNIGRAM, and a NormalizerSpec carrying
+    * `normalizerName`. Hand-encoded wire format (the
+    * [[readSentencePieceModel]] contract — stable, published, no
+    * library dependency); round-trips the readers bit-for-bit. */
+  def writeSentencePieceModel(spark: SparkSession, path: String,
+      vocab: Seq[(String, Double)],
+      normalizerName: String = "nmt_nfkc"): Unit = {
+    require(vocab.nonEmpty, "vocab must not be empty")
+    require(vocab.map(_._1).distinct.size == vocab.size,
+      "vocab pieces must be distinct")
+    val out = new java.io.ByteArrayOutputStream()
+    def varint(buf: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) {
+        buf.write(((v & 0x7f) | 0x80).toInt); v >>>= 7
+      }
+      buf.write(v.toInt)
+    }
+    def lenDelim(buf: java.io.ByteArrayOutputStream, field: Int,
+                 payload: Array[Byte]): Unit = {
+      varint(buf, (field.toLong << 3) | 2)
+      varint(buf, payload.length.toLong)
+      buf.write(payload)
+    }
+    vocab.foreach { case (piece, score) =>
+      val sp = new java.io.ByteArrayOutputStream()
+      lenDelim(sp, 1, piece.getBytes("UTF-8"))
+      // field 2, wire type 5 (fixed32): float score
+      varint(sp, (2L << 3) | 5)
+      val bits = java.lang.Float.floatToIntBits(score.toFloat)
+      sp.write(bits & 0xff); sp.write((bits >> 8) & 0xff)
+      sp.write((bits >> 16) & 0xff); sp.write((bits >> 24) & 0xff)
+      varint(sp, (3L << 3) | 0) // field 3: type = NORMAL(1)
+      varint(sp, 1L)
+      lenDelim(out, 1, sp.toByteArray)
+    }
+    val ts = new java.io.ByteArrayOutputStream()
+    varint(ts, (3L << 3) | 0) // TrainerSpec.model_type = UNIGRAM(1)
+    varint(ts, 1L)
+    lenDelim(out, 2, ts.toByteArray)
+    val ns = new java.io.ByteArrayOutputStream()
+    lenDelim(ns, 1, normalizerName.getBytes("UTF-8"))
+    lenDelim(out, 3, ns.toByteArray)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = fs.create(p, true)
+    try o.write(out.toByteArray) finally o.close()
+  }
+
   /** The unigram-segmenter vocabulary out of a `.model`: NORMAL and
     * USER_DEFINED pieces as a (piece, lnp) frame —
     * [[TextOps.unigramSegment]]'s vocab side, scores passing through
@@ -611,13 +800,19 @@ object TokenizerFiles {
     extends LoadedTokenizer
   final case class UnigramTokenizer(family: String, vocab: DataFrame,
       preTokens: org.apache.spark.sql.Column =>
-        org.apache.spark.sql.Column =
-        c => org.apache.spark.sql.functions.filter(
-          TextOps.wsTokens(org.apache.spark.sql.functions.lower(
-            org.apache.spark.sql.functions.coalesce(c,
-              org.apache.spark.sql.functions.lit("")))),
-          t => org.apache.spark.sql.functions.length(t) > 0))
+        org.apache.spark.sql.Column = defaultUnigramPreTokens)
     extends LoadedTokenizer
+
+  /** The default unigram word-domain builder (the q235 convention):
+    * lowercased whitespace tokens, empties dropped. File-declared
+    * normalizers compose in FRONT of this inside [[loadTokenizer]]. */
+  def defaultUnigramPreTokens(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.filter(
+      TextOps.wsTokens(org.apache.spark.sql.functions.lower(
+        org.apache.spark.sql.functions.coalesce(c,
+          org.apache.spark.sql.functions.lit("")))),
+      t => org.apache.spark.sql.functions.length(t) > 0)
 
   /** The REAL token budget under a loaded tokenizer — a (text column →
     * LONG count) function for the packers' `countWith` knob
@@ -670,20 +865,28 @@ object TokenizerFiles {
       val bc = wordpieceVocabBroadcastFromFile(spark, path, unk, maxChars)
       ColumnTokenizer("wordpiece", c => TextOps.wordpieceEncode(c, bc))
     } else if (path.endsWith(".json")) {
+      // the file's declared normalizer chain composes in FRONT of
+      // every family's encoder (the tokenizers pipeline order:
+      // normalize, then pre-tokenize, then model) — SentencePiece
+      // files default to NFKC, BERT ones to lowercase+NFD, and
+      // skipping the declaration would encode accented/full-width
+      // text differently than the shipping stack does
+      val norm = normalizerTransform(readNormalizerKinds(spark, path))
       readModelType(spark, path) match {
         case "BPE" =>
           val bc = mergesBroadcastFromFile(spark, path)
           readPreTokenizerKind(spark, path) match {
             case "byte_level" => ColumnTokenizer("bpe_byte_level",
-              c => TextOps.bpeEncodeByteLevel(c, bc))
+              c => TextOps.bpeEncodeByteLevel(norm(c), bc))
             case "metaspace" =>
               // the Llama/Mistral family: the file's own replacement
               // char and prepend scheme drive the split
               val (repl, scheme) = readMetaspaceConfig(spark, path)
               ColumnTokenizer("bpe_metaspace",
-                c => TextOps.bpeEncodeMetaspace(c, bc, repl, scheme))
+                c => TextOps.bpeEncodeMetaspace(norm(c), bc, repl,
+                  scheme))
             case "whitespace" => ColumnTokenizer("bpe_whitespace",
-              c => TextOps.bpeEncodeKernel(c, bc))
+              c => TextOps.bpeEncodeKernel(norm(c), bc))
             case other => throw new IllegalArgumentException(
               s"$path: BPE model with unsupported pre-tokenizer '$other'")
           }
@@ -711,7 +914,7 @@ object TokenizerFiles {
           val bc = wordpieceVocabBroadcastFromFile(spark, path,
             declaredUnk, declaredMax)
           ColumnTokenizer("wordpiece",
-            c => TextOps.wordpieceEncode(c, bc))
+            c => TextOps.wordpieceEncode(norm(c), bc))
         case "Unigram" =>
           import spark.implicits._
           val vocab = tokenizerModel(spark, path).get("vocab")
@@ -733,8 +936,9 @@ object TokenizerFiles {
             case "metaspace" =>
               val (repl, scheme) = readMetaspaceConfig(spark, path)
               UnigramTokenizer("unigram", vocabDf,
-                c => TextOps.metaspacePreTokens(c, repl, scheme))
-            case _ => UnigramTokenizer("unigram", vocabDf)
+                c => TextOps.metaspacePreTokens(norm(c), repl, scheme))
+            case _ => UnigramTokenizer("unigram", vocabDf,
+              c => defaultUnigramPreTokens(norm(c)))
           }
         case other => throw new IllegalArgumentException(
           s"$path: unsupported model.type '$other'")
@@ -744,7 +948,14 @@ object TokenizerFiles {
       require(mt == 1,
         s"$path: sentencepiece model_type $mt is not UNIGRAM(1) — " +
           "a .model ships piece scores, not applicable merge ranks")
-      UnigramTokenizer("unigram", sentencePieceVocab(spark, path))
+      // the file's own normalizer_spec (nmt_nfkc by trainer default)
+      // composes in front of the word-domain builder, exactly as the
+      // tokenizer.json route composes its declared normalizer — the
+      // two distribution formats of the same model must encode alike
+      val norm = normalizerTransform(sentencePieceNormalizerKinds(
+        readSentencePieceNormalizerName(spark, path), path))
+      UnigramTokenizer("unigram", sentencePieceVocab(spark, path),
+        c => defaultUnigramPreTokens(norm(c)))
     } else if (path.endsWith(".txt")) {
       // a .txt not literally named vocab.txt is AMBIGUOUS — WordPiece
       // vocabs ship as e.g. bert_vocab_v2.txt too. Sniff the first

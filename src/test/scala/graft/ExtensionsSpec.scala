@@ -6638,6 +6638,126 @@ class ExtensionsSpec extends SparkSpec {
     assert(ee.getMessage.contains("empty.txt"), s"got ${ee.getMessage}")
   }
 
+  test("tokenizer normalizer dispatch: declared NFKC/Lowercase chains " +
+    "compose in front of every encoder, Sequence flattens in order, " +
+    "writers round-trip, .model normalizer_spec reaches the unigram " +
+    "word domain, unsupported kinds fail by name, absent = identity") {
+    import graft.text.TokenizerFiles
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("normtok").toString
+    // --- reader: absent, single, Sequence (nested), unsupported ---
+    Files.write(Paths.get(s"$tmp/none.json"),
+      """{"model": {"type": "Unigram", "vocab": [["a", -1.0]]}}"""
+        .getBytes("UTF-8"))
+    assert(TokenizerFiles.readNormalizerKinds(spark, s"$tmp/none.json")
+      == Seq.empty)
+    Files.write(Paths.get(s"$tmp/one.json"),
+      """{"normalizer": {"type": "NFKC"},
+        | "model": {"type": "Unigram", "vocab": [["a", -1.0]]}}"""
+        .stripMargin.getBytes("UTF-8"))
+    assert(TokenizerFiles.readNormalizerKinds(spark, s"$tmp/one.json")
+      == Seq("NFKC"))
+    Files.write(Paths.get(s"$tmp/seq.json"),
+      """{"normalizer": {"type": "Sequence", "normalizers":
+        |  [{"type": "NFKC"}, {"type": "Sequence", "normalizers":
+        |    [{"type": "Lowercase"}, {"type": "NFC"}]}]},
+        | "model": {"type": "Unigram", "vocab": [["a", -1.0]]}}"""
+        .stripMargin.getBytes("UTF-8"))
+    assert(TokenizerFiles.readNormalizerKinds(spark, s"$tmp/seq.json")
+      == Seq("NFKC", "Lowercase", "NFC"))
+    Files.write(Paths.get(s"$tmp/bert.json"),
+      """{"normalizer": {"type": "BertNormalizer"},
+        | "model": {"type": "Unigram", "vocab": [["a", -1.0]]}}"""
+        .stripMargin.getBytes("UTF-8"))
+    val eb = intercept[IllegalArgumentException] {
+      TokenizerFiles.loadTokenizer(spark, s"$tmp/bert.json")
+    }
+    assert(eb.getMessage.contains("BertNormalizer"), s"got $eb")
+    // --- BPE whitespace family: declared chain undoes full-width
+    // damage; the same file WITHOUT the declaration encodes
+    // differently (lower() alone maps Ｗ only to full-width ｗ) ---
+    val merges = Seq("w" -> "a", "wa" -> "l", "wal" -> "k")
+    val vocab = Seq("w", "a", "l", "k", "wa", "wal", "walk")
+      .zipWithIndex
+    TokenizerFiles.writeTokenizerJsonBpe(spark, s"$tmp/norm_bpe.json",
+      merges, vocab, preTokenizer = "whitespace",
+      normalizers = Seq("NFKC", "Lowercase"))
+    assert(TokenizerFiles.readNormalizerKinds(spark,
+      s"$tmp/norm_bpe.json") == Seq("NFKC", "Lowercase"))
+    TokenizerFiles.writeTokenizerJsonBpe(spark, s"$tmp/raw_bpe.json",
+      merges, vocab, preTokenizer = "whitespace")
+    def encOne(path: String, s0: String): Seq[String] = {
+      val c = TokenizerFiles.loadTokenizer(spark, path)
+        .asInstanceOf[TokenizerFiles.ColumnTokenizer]
+      Seq(s0).toDF("t").select(c.encode(col("t")).as("e")).head()
+        .getSeq[String](0)
+    }
+    val damaged = "ＷＡＬＫ ﬁt" // full-width word + fi-ligature word
+    assert(encOne(s"$tmp/norm_bpe.json", damaged) ==
+      Seq("walk", "f i t"))
+    assert(encOne(s"$tmp/raw_bpe.json", damaged) !=
+      Seq("walk", "f i t"))
+    assert(encOne(s"$tmp/norm_bpe.json", damaged) ==
+      encOne(s"$tmp/raw_bpe.json", "walk fit"))
+    // --- Unigram parity: tokenizer.json route vs .model route of the
+    // SAME model (nfkc_cf = NFKC + casefold) build the same word
+    // domain from NFD + full-width damaged text ---
+    val uvocab = Seq(("café", -1.0), ("abc", -1.2), ("c", -3.0),
+      ("a", -3.0), ("f", -3.0), ("é", -3.0), ("b", -3.0))
+    TokenizerFiles.writeTokenizerJsonUnigram(spark,
+      s"$tmp/norm_uni.json", uvocab,
+      normalizers = Seq("NFKC", "Lowercase"))
+    TokenizerFiles.writeSentencePieceModel(spark, s"$tmp/norm_uni.model",
+      uvocab, normalizerName = "nmt_nfkc_cf")
+    assert(TokenizerFiles.readSentencePieceNormalizerName(spark,
+      s"$tmp/norm_uni.model") == Some("nmt_nfkc_cf"))
+    val damaged2 = "CAFÉ ＡＢＣ" // NFD é + full-width ABC
+    def domain(path: String): Seq[String] = {
+      val u = TokenizerFiles.loadTokenizer(spark, path)
+        .asInstanceOf[TokenizerFiles.UnigramTokenizer]
+      Seq(damaged2).toDF("t")
+        .select(u.preTokens(col("t")).as("w")).head().getSeq[String](0)
+    }
+    assert(domain(s"$tmp/norm_uni.json") == Seq("café", "abc"))
+    assert(domain(s"$tmp/norm_uni.model") == Seq("café", "abc"))
+    // both routes' vocab then segments the normalized domain fully
+    val uj = TokenizerFiles.loadTokenizer(spark, s"$tmp/norm_uni.json")
+      .asInstanceOf[TokenizerFiles.UnigramTokenizer]
+    val seg = TextOps.unigramSegment(
+      Seq("café", "abc").toDF("word"), uj.vocab)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(seg == Map("café" -> "café", "abc" -> "abc"))
+    // --- .model: nmt_nfkc maps to NFKC, identity/absent to identity,
+    // unknown names fail descriptively ---
+    TokenizerFiles.writeSentencePieceModel(spark, s"$tmp/id.model",
+      uvocab, normalizerName = "identity")
+    val idDom = {
+      val u = TokenizerFiles.loadTokenizer(spark, s"$tmp/id.model")
+        .asInstanceOf[TokenizerFiles.UnigramTokenizer]
+      Seq(damaged2).toDF("t")
+        .select(u.preTokens(col("t")).as("w")).head().getSeq[String](0)
+    }
+    assert(idDom != Seq("café", "abc")) // identity keeps the damage
+    TokenizerFiles.writeSentencePieceModel(spark, s"$tmp/weird.model",
+      uvocab, normalizerName = "custom_rules_v2")
+    val ew = intercept[IllegalArgumentException] {
+      TokenizerFiles.loadTokenizer(spark, s"$tmp/weird.model")
+    }
+    assert(ew.getMessage.contains("custom_rules_v2"), s"got $ew")
+    // --- WordPiece leg composes too ---
+    Files.write(Paths.get(s"$tmp/wp_norm.json"),
+      """{"normalizer": {"type": "NFKC"},
+        | "model": {"type": "WordPiece", "unk_token": "[UNK]",
+        | "vocab": {"[UNK]": 0, "walk": 1, "##s": 2}},
+        | "pre_tokenizer": {"type": "BertPreTokenizer"}}"""
+        .stripMargin.getBytes("UTF-8"))
+    val wpn = TokenizerFiles.loadTokenizer(spark, s"$tmp/wp_norm.json")
+      .asInstanceOf[TokenizerFiles.ColumnTokenizer]
+    val wpEnc = Seq("ｗａｌｋｓ").toDF("t")
+      .select(wpn.encode(col("t")).as("e")).head().getSeq[String](0)
+    assert(wpEnc == Seq("walk ##s"), s"got $wpEnc")
+  }
+
   test("htmlMeta: title/canonical/description/og:title — both " +
     "attribute orders, single quotes, uppercase tags, multiline heads, " +
     "absent fields empty, null html") {
