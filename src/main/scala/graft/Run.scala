@@ -619,15 +619,28 @@ object Run {
     val docs = spark.read.parquet(in)
     if (family == "unigram") {
       // the SentencePiece-style EM trainer: --vocab-size pieces after
-      // --rounds EM/prune rounds, shipped as a Unigram tokenizer.json
-      // (--metaspace declares the ▁ pre-tokenizer for the T5 shape)
+      // --rounds EM/prune rounds, shipped as a Unigram tokenizer.json.
+      // --metaspace declares the ▁ pre-tokenizer for the T5 shape AND
+      // trains on the ▁-form word domain — the shipped file's declared
+      // domain must be the one the vocab was learned on, or the loaded
+      // tokenizer could never segment its own pre-tokens
       val target = opts.get("--vocab-size").map(_.toInt).getOrElse(200)
       val rounds = opts.get("--rounds").map(_.toInt).getOrElse(2)
-      val vocab = TextOps.unigramTrain(docs, target, rounds)
+      val metaspace = opts.contains("--metaspace")
+      val pre: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (metaspace) c => TextOps.metaspacePreTokens(lower(c))
+        else TextOps.wordDomain
+      val vocab = TextOps.unigramTrain(docs, target, rounds,
+          preTokens = pre)
         .orderBy("piece").collect()
         .map(r => (r.getString(0), r.getDouble(2))).toSeq
+      // the metaspace trainer lowercased before the ▁ split, so the
+      // shipped file DECLARES Lowercase — loadTokenizer composes it
+      // back in front of metaspacePreTokens and the loaded tokenizer
+      // segments exactly the domain the vocab was learned on
       TokenizerFiles.writeTokenizerJsonUnigram(spark, out, vocab,
-        metaspace = opts.contains("--metaspace"))
+        metaspace = metaspace,
+        normalizers = if (metaspace) Seq("Lowercase") else Nil)
       println(s"Trained unigram vocab ${vocab.size} -> $out")
       return
     }

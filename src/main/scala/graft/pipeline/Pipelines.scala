@@ -855,10 +855,25 @@ object Pipelines {
                            tokenizerPath: Option[String] = None)
       : DataFrame = {
     import graft.text.{TextOps, TokenizerFiles}
-    val countWith = tokenizerPath.map(p => TokenizerFiles.tokenCounter(
-      TokenizerFiles.loadTokenizer(docs.sparkSession, p)))
     val curated = curate(docs, minQuality)
-    val packed = TextOps.packWith(packer, curated, maxTokens,
+    // real-token budgets under any shipped tokenizer file: column
+    // encoders count per row; a Unigram file runs the distinct-word
+    // DP once and its per-doc totals join back as a pre-joined count
+    // column (the unigramTokenCounts packing contract) — either way
+    // the packers fill by what the trainer will actually see
+    val (packInput, countWith) = tokenizerPath
+      .map(p => TokenizerFiles.loadTokenizer(docs.sparkSession, p))
+      .map {
+        case ct: TokenizerFiles.ColumnTokenizer =>
+          (curated, Some(TokenizerFiles.tokenCounter(ct)))
+        case ut: TokenizerFiles.UnigramTokenizer =>
+          val budgets = TokenizerFiles.tokenBudgets(ut, curated)
+          (curated.join(budgets.select(col("doc_id"),
+            col("n_tokens").as("_tok_budget")), Seq("doc_id")),
+            Some((_: org.apache.spark.sql.Column) =>
+              col("_tok_budget")))
+      }.getOrElse((curated, None))
+    val packed = TextOps.packWith(packer, packInput, maxTokens,
       nShards, seed, countWith)
     val rows = packed
       .join(curated.select(col("doc_id"), col("text")), Seq("doc_id"))

@@ -830,13 +830,17 @@ object Streaming {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(format == "tfrecord" || format == "webdataset",
       s"format must be tfrecord or webdataset, got '$format'")
-    // load the real-token counter ONCE at stream setup (broadcast
-    // tables ship per executor, not per batch) — the batch export's
-    // tokenizerPath knob mirrored
-    val countWith = tokenizerPath.map(p =>
-      graft.text.TokenizerFiles.tokenCounter(
-        graft.text.TokenizerFiles.loadTokenizer(
-          stream.sparkSession, p)))
+    // load the tokenizer ONCE at stream setup (broadcast tables ship
+    // per executor, not per batch) — the batch export's tokenizerPath
+    // knob mirrored; a Unigram file defers to per-batch tokenBudgets
+    // (its DP runs on the BATCH's word domain, a per-batch cost by
+    // the same statelessness rule as the packing itself)
+    val loaded = tokenizerPath.map(p =>
+      graft.text.TokenizerFiles.loadTokenizer(stream.sparkSession, p))
+    val countWith = loaded.collect {
+      case ct: graft.text.TokenizerFiles.ColumnTokenizer =>
+        graft.text.TokenizerFiles.tokenCounter(ct)
+    }
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -850,8 +854,18 @@ object Streaming {
           fixEncoding = fixEncoding,
           canonicalCollapse = canonicalCollapse,
           urlCol = urlCol, htmlCol = htmlCol)
-        val packed = TextOps.packWith(packer, curated, maxTokens,
-          nShards, seed, countWith)
+        val (packInput, batchCountWith) = loaded match {
+          case Some(ut: graft.text.TokenizerFiles.UnigramTokenizer) =>
+            val budgets =
+              graft.text.TokenizerFiles.tokenBudgets(ut, curated)
+            (curated.join(budgets.select(col("doc_id"),
+              col("n_tokens").as("_tok_budget")), Seq("doc_id")),
+              Some((_: org.apache.spark.sql.Column) =>
+                col("_tok_budget")))
+          case _ => (curated, countWith)
+        }
+        val packed = TextOps.packWith(packer, packInput, maxTokens,
+          nShards, seed, batchCountWith)
         val rows = packed
           .join(curated.select(col("doc_id"), col("text")), Seq("doc_id"))
           .select(col("doc_id"), col("shard"), col("pack_id"),

@@ -22,6 +22,17 @@ object TextOps {
     * `string_split(text, ' ')` exactly (empty tokens preserved). */
   def wsTokens(text: Column): Column = split(text, " ")
 
+  /** The DEFAULT unigram word-domain builder (the q235 convention):
+    * lowercased whitespace tokens, empties dropped, null-safe — the
+    * `preTokens` default of the unigram trainer/segmenter family.
+    * Alternatives ([[metaspacePreTokens]] for the T5/SentencePiece ▁
+    * shape, possibly behind a file-declared normalizer) thread through
+    * those operators' `preTokens` knob so training, segmentation, and
+    * budget counting all walk the SAME word domain. */
+  def wordDomain(text: Column): Column =
+    filter(wsTokens(lower(coalesce(text, lit("")))),
+      t => length(t) > 0)
+
   /** Token count (whitespace). */
   def tokenCount(text: Column): Column = size(wsTokens(text))
 
@@ -1141,9 +1152,11 @@ object TextOps {
     * count agg; the 1-row smoothing total broadcasts. */
   def unigramEmRound(docs: DataFrame, vocab: DataFrame,
                      maxLen: Int = 12, maxPiece: Int = 4,
-                     textCol: String = "text"): DataFrame = {
+                     textCol: String = "text",
+                     preTokens: Column => Column = wordDomain)
+      : DataFrame = {
     val freqs = docs.filter(col(textCol).isNotNull)
-      .select(explode(wsTokens(lower(col(textCol)))).as("word"))
+      .select(explode(preTokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
     val seg = unigramSegment(freqs, vocab, maxLen, maxPiece)
@@ -1180,15 +1193,20 @@ object TextOps {
     * the single scalar collect is the alphabet size. */
   def unigramTrain(docs: DataFrame, targetVocab: Int, rounds: Int = 2,
                    maxLen: Int = 12, maxPiece: Int = 4,
-                   textCol: String = "text"): DataFrame = {
+                   textCol: String = "text",
+                   preTokens: Column => Column = wordDomain)
+      : DataFrame = {
     require(rounds >= 1 && targetVocab >= 1, "bad rounds/targetVocab")
     val freqs = docs.filter(col(textCol).isNotNull)
-      .select(explode(wsTokens(lower(col(textCol)))).as("word"))
+      .select(explode(preTokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .persist()
     freqs.count()
-    var vocab = substringVocab(freqs, maxPiece)
+    // seed checkpoint: the seed vocab is consumed twice per first
+    // round (the segmenter's driver collect + the recount join) —
+    // materialize once instead of recomputing the substring explode
+    var vocab = substringVocab(freqs, maxPiece).localCheckpoint()
     var out: DataFrame = null
     for (_ <- 1 to rounds) {
       val seg = unigramSegment(freqs, vocab, maxLen, maxPiece)
@@ -1238,11 +1256,12 @@ object TextOps {
   def unigramTokenCounts(docs: DataFrame, vocab: DataFrame,
                          idCol: String = "doc_id",
                          textCol: String = "text",
-                         maxLen: Int = 12, maxPiece: Int = 4)
+                         maxLen: Int = 12, maxPiece: Int = 4,
+                         preTokens: Column => Column = wordDomain)
       : DataFrame = {
     val dtok = docs.filter(col(textCol).isNotNull)
       .select(col(idCol),
-        explode(wsTokens(lower(col(textCol)))).as("word"))
+        explode(preTokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
     val domain = dtok.select("word").distinct()
     val seg = unigramSegment(domain, vocab, maxLen, maxPiece)

@@ -803,16 +803,11 @@ object TokenizerFiles {
         org.apache.spark.sql.Column = defaultUnigramPreTokens)
     extends LoadedTokenizer
 
-  /** The default unigram word-domain builder (the q235 convention):
-    * lowercased whitespace tokens, empties dropped. File-declared
-    * normalizers compose in FRONT of this inside [[loadTokenizer]]. */
+  /** The default unigram word-domain builder (the q235 convention) —
+    * [[TextOps.wordDomain]]. File-declared normalizers compose in
+    * FRONT of this inside [[loadTokenizer]]. */
   def defaultUnigramPreTokens(c: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.filter(
-      TextOps.wsTokens(org.apache.spark.sql.functions.lower(
-        org.apache.spark.sql.functions.coalesce(c,
-          org.apache.spark.sql.functions.lit("")))),
-      t => org.apache.spark.sql.functions.length(t) > 0)
+      : org.apache.spark.sql.Column = TextOps.wordDomain(c)
 
   /** The REAL token budget under a loaded tokenizer — a (text column →
     * LONG count) function for the packers' `countWith` knob
@@ -840,7 +835,36 @@ object TokenizerFiles {
         throw new IllegalArgumentException(
           s"a $family tokenizer segments on the distinct-word domain " +
             "(unigramSegment) — join its per-word piece counts back " +
-            "instead of counting per row")
+            "instead of counting per row (tokenBudgets dispatches " +
+            "this for you)")
+    }
+
+  /** REAL per-document token budgets under ANY loaded tokenizer — the
+    * one-call dispatch over [[tokenCounter]]'s honest refusal: a
+    * column-encoder family counts per row (one codegen'd projection);
+    * a Unigram family runs [[TextOps.unigramTokenCounts]] — the
+    * distinct-word DP ONCE, per-word piece counts joined back through
+    * the tokenizer's OWN `preTokens` word-domain builder (declared
+    * normalizer and Metaspace split included), so budgets match what
+    * [[TextOps.unigramSegment]] would emit. Returns (idCol, n_words,
+    * n_tokens); feed `n_tokens` to the packers via the pre-joined
+    * `countWith` column trick ([[unigramTokenCounts]]'s contract) —
+    * [[graft.pipeline.Pipelines.exportTrainingShards]] wires exactly
+    * that, so `--tokenizer any-file` just works end to end. */
+  def tokenBudgets(lt: LoadedTokenizer, docs: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   maxLen: Int = 12, maxPiece: Int = 4): DataFrame =
+    lt match {
+      case ct @ ColumnTokenizer(_, encode) =>
+        import org.apache.spark.sql.functions.{coalesce, col, lit, size}
+        docs.filter(col(textCol).isNotNull)
+          .select(col(idCol),
+            size(encode(coalesce(col(textCol), lit(""))))
+              .cast("long").as("n_words"),
+            tokenCounter(ct)(col(textCol)).as("n_tokens"))
+      case UnigramTokenizer(_, vocab, preTokens) =>
+        TextOps.unigramTokenCounts(docs, vocab, idCol, textCol,
+          maxLen, maxPiece, preTokens)
     }
 
   /** ONE call from any shipped tokenizer file to a usable encoder —

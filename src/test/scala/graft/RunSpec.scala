@@ -372,6 +372,32 @@ class RunSpec extends SparkSpec {
     // grouped:<col> routes the group-affine walk
     assert(graft.text.TextOps.packWith("grouped:source", docs, 64, 2)
       .count() == 21L)
+    // --tokenizer with a UNIGRAM file end to end: the CLI trains the
+    // tokenizer, then the export packs by tokenBudgets' domain-DP
+    // join-back (tokenCounter alone refuses unigram files) — no
+    // hand-wiring of the q339 pattern
+    val tokPath = root.resolve("uni_tok.json").toString
+    Run.main(Array("train-tokenizer", "-d", in, "-s", tokPath,
+      "--family", "unigram", "--vocab-size", "40"))
+    val out4 = root.resolve("out4")
+    Run.main(Array("export", "-d", in, "-s", out4.toString,
+      "--max-tokens", "64", "--shards", "2", "--tokenizer", tokPath))
+    val recs4 = graft.io.Tfrecord
+      .readRecords(spark, out4.resolve("shards").toString)
+      .collect()
+      .map(r => graft.io.Tfrecord
+        .parseExample(r.getAs[Array[Byte]]("payload"))
+        .collectFirst { case ("doc_id", _, ids, _) => ids.head }.get)
+    assert(recs4.length == 20 && !recs4.contains(99L))
+    // and the budgets really are the unigram counts: the packer's
+    // n_tokens column must match tokenBudgets row for row
+    val lt4 = graft.text.TokenizerFiles.loadTokenizer(spark, tokPath)
+    val budgets = graft.text.TokenizerFiles
+      .tokenBudgets(lt4, graft.pipeline.Pipelines.curate(docs, 0.3))
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("n_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(budgets.size == 20 && budgets.values.exists(_ > 0))
   }
 
   test("train-tokenizer CLI: learns merges in the chosen family and " +
@@ -421,5 +447,16 @@ class RunSpec extends SparkSpec {
     val dom = Seq("the cat").toDF("text")
       .select(ut.preTokens(col("text"))).head().getSeq[String](0)
     assert(dom == Seq("▁the", "▁cat"), s"got $dom")
+    // the shipped file segments its OWN declared domain: --metaspace
+    // trains on the ▁-form word domain (and declares Lowercase so the
+    // loaded domain matches the lowercased training one) — a vocab
+    // learned on bare whitespace words would drop every ▁-word here
+    val segged = graft.text.TextOps.unigramSegment(
+      Seq("The cat", "the dog").toDF("text")
+        .select(org.apache.spark.sql.functions
+          .explode(ut.preTokens(col("text"))).as("word")),
+      ut.vocab)
+    assert(segged.count() == 3L, "shipped metaspace unigram " +
+      "tokenizer failed to segment its own pre-tokens")
   }
 }

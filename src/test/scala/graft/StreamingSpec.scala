@@ -938,6 +938,31 @@ class StreamingSpec extends SparkSpec {
     assert(members.contains("60.text") && members.contains("60.shard"),
       s"got $members")
     assert(!members.exists(_.startsWith("63.")))
+    // the UNIGRAM tokenizerPath leg: the stream packs by per-batch
+    // tokenBudgets (domain DP + join-back — tokenCounter alone refuses
+    // unigram files) and must agree with the batch export's budgets
+    val tokDir = java.nio.file.Files
+      .createTempDirectory("graft_exp_uni")
+    val tokPath = tokDir.resolve("uni.json").toString
+    graft.text.TokenizerFiles.writeTokenizerJsonUnigram(spark, tokPath,
+      ('a' to 'z').map(c => (c.toString, -3.0)) ++
+        Seq(("the", -1.0), ("qu", -1.5), ("ck", -1.5)))
+    val dirU = java.nio.file.Files
+      .createTempDirectory("graft_exp_unis").toString
+    val inU = MemoryStream[(Long, String)]
+    val qU = Streaming.exportForeachBatch(
+      enrich(inU.toDF().toDF("doc_id", "text")),
+      s"$dirU/out", s"$dirU/ck", maxTokens = 64, nShards = 2,
+      tokenizerPath = Some(tokPath))
+    try {
+      inU.addData(b1: _*)
+      qU.processAllAvailable()
+    } finally qU.stop()
+    val batchDirU = tokDir.resolve("batch_out").toString
+    graft.pipeline.Pipelines.exportTrainingShards(
+      enrich(b1.toDF("doc_id", "text")), batchDirU,
+      maxTokens = 64, nShards = 2, tokenizerPath = Some(tokPath))
+    assert(projected(s"$dirU/out/batch_id=0") == projected(batchDirU))
   }
 
   test("momentsForeachBatch: three micro-batches of vectors land one " +
