@@ -708,13 +708,13 @@ object Similarity {
     val rescored = cands
       .join(corpus.select(col(idCol),
         col(vecCol).cast("array<double>").as("v")), Seq(idCol))
-      .withColumn("vn", norm(col("v"), dim))
-      .join(broadcast(q.withColumn("qn", norm(col("qv"), dim))),
-        Seq("q_id"))
-      .filter(col("vn") * col("qn") > 0)
+      .join(broadcast(q), Seq("q_id"))
+      // the shared cosine() convention (zero-norm rows score 0.0, not
+      // dropped) — binaryIvfTopKStored scores the same way, and the
+      // per-query batch ≡ stored equality claim must hold row for row
+      // even when a zero-norm vector reaches the candidate set
       .select(col("q_id"),
-        (dot(col("v"), col("qv"), dim) / (col("vn") * col("qn")))
-          .as("score"),
+        cosine(col("v"), col("qv"), dim).as("score"),
         col(idCol).as("nid"))
     rescored.groupBy("q_id")
       .agg(graft.ops.Aggregators.topK(k)(col("score"), col("nid"))
@@ -984,6 +984,36 @@ object Similarity {
                          idCol: String = "vec_id"): Unit =
     ids.select(col(idCol).as("id")).distinct()
       .write.mode("append").parquet(ivfTombstonesPath(corpusPath))
+
+  /** UN-TOMBSTONE — the retraction of [[removeFromIvfIndex]] for ids
+    * being RE-INGESTED ([[graft.streaming.Streaming
+    * .annIngestForeachBatch]] calls this before its idempotency
+    * anti-join): rewrite the sidecar minus the given ids, so the
+    * physical row (already present, or about to be appended) answers
+    * probes again. The sidecar is takedown-list-sized; the rewrite is
+    * committed with the [[compactIvfIndex]] swap ([[graft.io.Writers
+    * .checkedSwap]]) so a crash never drops the WHOLE tombstone list
+    * (a plain overwrite's delete-then-write window would resurrect
+    * every deleted vector). No-ops when no sidecar exists or no id
+    * intersects it. */
+  def clearIvfTombstones(spark: org.apache.spark.sql.SparkSession,
+                         corpusPath: String, ids: DataFrame,
+                         idCol: String = "vec_id"): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tombs = ivfTombstonesPath(corpusPath)
+    if (!pathExists(spark, tombs)) return
+    val cur = spark.read.parquet(tombs)
+    val idList = broadcast(ids.select(col(idCol).as("id")).distinct())
+    if (cur.join(idList, Seq("id"), "left_semi").isEmpty) return
+    val hPath = new Path(tombs)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(hPath.getParent, s".${hPath.getName}_clear_tmp")
+    fs.delete(tmp, true)
+    cur.join(idList, Seq("id"), "left_anti")
+      .write.mode("overwrite").parquet(tmp.toString)
+    val bak = new Path(hPath.getParent, s".${hPath.getName}_clear_old")
+    graft.io.Writers.checkedSwap(fs, hPath, tmp, bak)
+  }
 
   /** The stored IVF corpus with tombstoned vectors filtered out — the
     * probe side every consumer should read ([[ivfTopKStored]] does).

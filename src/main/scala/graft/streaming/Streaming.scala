@@ -371,7 +371,11 @@ object Streaming {
         (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val sess = batch.sparkSession
         import graft.ml.Similarity
-        val rows = batch.toDF()
+        // duplicate ids WITHIN a micro-batch would both pass the
+        // corpus anti-join and both append — dedupe first (ties by
+        // arrival are arbitrary under the same-id-same-vector
+        // idempotency contract anyway)
+        val rows = batch.toDF().dropDuplicates(idCol)
         // touched clusters: map-only assignment, ≤k distinct rows move
         val touched = Similarity.assignToCentroids(rows, centroids,
             idCol, vecCol, dim)
@@ -379,10 +383,19 @@ object Streaming {
           .collect().map(_.get(0)).toSeq
         val hp = new org.apache.hadoop.fs.Path(corpusPath)
         val fs = hp.getFileSystem(sess.sparkContext.hadoopConfiguration)
+        // a batch id that sits on the tombstone list is a RE-INGEST:
+        // clear its tombstone BEFORE the idempotency anti-join (under
+        // the same-id-same-vector contract the resurrected row IS the
+        // batch's content, so the anti-join then rightly skips the
+        // re-append; previously the raw-corpus anti-join silently
+        // swallowed the vector and it stayed deleted forever). The
+        // sidecar rewrite is takedown-list-sized and swap-committed.
+        if (fs.exists(hp))
+          Similarity.clearIvfTombstones(sess, corpusPath, rows, idCol)
         val fresh =
           if (!fs.exists(hp) || touched.isEmpty) rows
           else rows.join(
-            sess.read.parquet(corpusPath)
+            Similarity.readIvfCorpus(sess, corpusPath, idCol)
               .filter(col("cluster").isInCollection(touched))
               .select(col(idCol)),
             Seq(idCol), "left_anti")
@@ -391,8 +404,13 @@ object Streaming {
         val report = Similarity.appendToIvfIndex(corpusPath, fresh,
             centroids, idCol, vecCol, dim)
           .withColumn("batch_id", lit(batchId))
+        // drift log lands EXACTLY-ONCE per batch (the
+        // annServeForeachBatch convention): an at-least-once replay
+        // rewrites its own batch_id partition instead of appending a
+        // duplicate row set that would skew the drift signal
         logPath.foreach(pth =>
-          report.write.mode("append").parquet(pth))
+          report.write.mode("overwrite")
+            .parquet(s"$pth/batch_id=$batchId"))
         ()
       }
       .start()

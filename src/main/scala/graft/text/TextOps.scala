@@ -3247,7 +3247,16 @@ object TextOps {
                       val d3 = math.min(a.length, b.length)
                       while (t3 < d3) { dot += a(t3) * b(t3); t3 += 1 }
                       val den = norms(cur) * norms(j)
-                      val cos = if (den == 0.0) 0.0 else dot / den
+                      val cosRaw = if (den == 0.0) 0.0 else dot / den
+                      // a NaN cosine (NaN embedding components) must
+                      // not strand the walk: NaN fails every strict >,
+                      // and an all-NaN candidate row would leave
+                      // best = -1 → executor crash. Sentinel -2 sorts
+                      // below every real cosine and keeps the
+                      // first-maximum = smallest-id tie rule.
+                      val cos =
+                        if (java.lang.Double.isNaN(cosRaw)) -2.0
+                        else cosRaw
                       // strict > keeps the FIRST maximum = smallest id
                       if (cos > bestCos) { bestCos = cos; best = j }
                     }

@@ -4174,6 +4174,24 @@ class ExtensionsSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id"))
     assert(order.indexOf(14L) == 4, s"order: ${order.toSeq}")
     assert(order.last == 15L, s"order: ${order.toSeq}")
+    // NaN embedding components must not strand the walk: when every
+    // unvisited candidate's cosine is NaN the strict > never fires —
+    // the sentinel guard keeps the chain alive (previously
+    // visited(-1) crashed the executor) and falls back to the
+    // smallest-id unvisited doc
+    val nanVecs = Seq(
+      (10L, 0, Seq(10f, 0f, 0f, 0f)),
+      (11L, 0, Seq(Float.NaN, 1f, 0f, 0f)),
+      (12L, 0, Seq(Float.NaN, Float.NaN, 1f, 0f)))
+      .toDF("doc_id", "cluster", "embedding")
+    val nanDocs = (10L to 12L).map(i => (i, "w w w w w w"))
+      .toDF("doc_id", "text")
+    val nanOrder = TextOps.packSequencesSimilar(nanDocs, nanVecs,
+        maxTokens = 12, nShards = 1, dim = 4, docGranular = true)
+      .orderBy("pack_id", "pack_pos").collect()
+      .map(r => r.getAs[Long]("doc_id"))
+    assert(nanOrder.toSeq == Seq(10L, 11L, 12L),
+      s"NaN walk order: ${nanOrder.toSeq}")
   }
 
   test("packers count with a loaded tokenizer via countWith: n_tokens " +

@@ -1047,24 +1047,48 @@ class StreamingSpec extends SparkSpec {
       in.addData((20L, Seq(7f, 2f, 0f, 0f)), (21L, Seq(2f, 7f, 0f, 0f)),
         (10L, Seq(9f, 1f, 0f, 0f)))
       q.processAllAvailable()
+      // batch 2: an INTRA-batch duplicate id (30 twice) must append
+      // once; and a TOMBSTONED id must be RE-INGESTABLE — delete 12
+      // and 13, stream 12 again: its tombstone clears (the physical
+      // row answers probes again, no duplicate appended) while 13
+      // stays deleted
+      Similarity.removeFromIvfIndex(spark, corpus,
+        Seq(12L, 13L).toDF("vec_id"))
+      in.addData((30L, Seq(6f, 3f, 0f, 0f)), (30L, Seq(6f, 3f, 0f, 0f)),
+        (12L, Seq(8f, 0f, 1f, 0f)))
+      q.processAllAvailable()
     } finally q.stop()
     val stored = spark.read.parquet(corpus)
-    assert(stored.count() == 8L, // 2 seed + 4 + 2; the replay skipped
+    assert(stored.count() == 9L, // 2 seed + 4 + 2 + 30; replays skipped
       s"got ${stored.count()} corpus rows")
     assert(stored.filter(col("vec_id") === 10L).count() == 1L,
       "replayed id duplicated")
+    assert(stored.filter(col("vec_id") === 30L).count() == 1L,
+      "intra-batch duplicate id appended twice")
+    assert(stored.filter(col("vec_id") === 12L).count() == 1L,
+      "re-ingested tombstoned id duplicated")
+    // the re-ingested id answers probes again; the untouched delete
+    // stays deleted
+    val live = Similarity.readIvfCorpus(spark, corpus)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(live.contains(12L), "re-ingested id still tombstoned")
+    assert(!live.contains(13L), "un-reingested tombstone resurrected")
     // schema-aware append: every streamed row carries its codes
     assert(stored.filter(col("bvec").isNull).count() == 0L,
       "append landed code-less rows")
-    // ingest log: batch 0 appended 4, batch 1 appended 2 (not 3)
+    // ingest log: per-batch appended counts (batch 1's replay and
+    // batch 2's duplicate/re-ingest all skipped), landed exactly-once
+    // under per-batch partitions
     val logged = spark.read.parquet(log)
       .groupBy("batch_id").agg(sum("n_appended").as("n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(logged == Map(0L -> 4L, 1L -> 2L), s"log: $logged")
+      .collect().map(r => r.get(0).toString.toLong -> r.getLong(1))
+      .toMap
+    assert(logged == Map(0L -> 4L, 1L -> 2L, 2L -> 1L), s"log: $logged")
     // serving parity: the stored probe equals the in-memory
-    // composition over the full ingested corpus (same cluster labels,
-    // same derived centroid table)
-    val inMemCorpus = stored.select("vec_id", "embedding", "cluster")
+    // composition over the LIVE corpus (tombstones honored on both
+    // sides — the stored path reads through readIvfCorpus)
+    val inMemCorpus = Similarity.readIvfCorpus(spark, corpus)
+      .select("vec_id", "embedding", "cluster")
     val centDf = Similarity.ivfIndex(inMemCorpus, "cluster")
     val qv = Array(1.0, 0.2, 0.0, 0.0)
     val servedQ = Similarity.binaryIvfTopKStored(spark, corpus,

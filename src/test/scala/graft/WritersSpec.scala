@@ -711,6 +711,34 @@ class WritersSpec extends SparkSpec {
     val planStr = served.queryExecution.executedPlan.toString
     assert(planStr.contains("PartitionFilters: [cluster"),
       s"no static cluster pruning in the batch probe:\n$planStr")
+    // a ZERO-NORM corpus vector reaching the candidate set: batch and
+    // stored must stay row-for-row identical — both score it 0.0 via
+    // the shared cosine() convention (the batch path previously
+    // FILTERED zero-norm rows and returned fewer/different rows than
+    // the stored path, breaking the per-query equality claim)
+    val cents = centroids.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    Similarity.appendToIvfIndex(dirPath,
+      Seq((99L, Seq(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding"),
+      cents, dim = dim)
+    val batchZ = Similarity.binaryIvfTopKBatch(spark, dirPath,
+        centroids, qs.toDF("q_id", "q_vec"), k = 25, nProbe = 3,
+        rerankK = 40, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+      .groupBy(_._1)
+    qs.foreach { case (qid, qv) =>
+      val one = Similarity.binaryIvfTopKStored(spark, dirPath,
+          centroids, qv.map(_.toDouble).toArray, k = 25, nProbe = 3,
+          rerankK = 40, dim = dim)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, i + 1, r.getLong(0),
+          r.getDouble(1)) }.toSeq
+      assert(batchZ(qid).toSeq.sortBy(_._2) == one,
+        s"q $qid diverged with a zero-norm candidate")
+    }
+    assert(batchZ.values.flatten.exists(t => t._3 == 99L && t._4 == 0.0),
+      "zero-norm vector missing from the batch answer")
   }
 
   test("IVF stored index lifecycle: append lands only in its clusters, " +
