@@ -1507,6 +1507,53 @@ object ScaleProbe {
       Map("curate_full" -> dt)
     }
 
+    // recall QUALITY probe (prints a band, not a timing row): the
+    // q337/q338 semantic-decontamination blocking recall re-measured
+    // at 1x and Kx — recall is DATA-DEPENDENT (plane-bucket collision
+    // odds shift with corpus density), so the sf0.1-pinned band must
+    // be re-measured at scale, never extrapolated. Construction is
+    // q337's: eval = a bounded slice of vectors perturbed +0.04 on
+    // the first 8 coords (self-cosine stays >= 0.99, angles move
+    // enough to flip some of the 6 planes); brute = the same 0.9
+    // threshold with NO bucket restriction; recall = found / brute.
+    def recallSuite(times: Int): Unit = {
+      if (opFilter.nonEmpty && !opFilter("sem_decon_recall")) return
+      import graft.ml.Similarity
+      val embs = replicateEmb(times).cache(); embs.count()
+      val ev = embs.filter(col("vec_id") % 311 === 3)
+        .select(transform(col("embedding").cast("array<double>"),
+          (x, i) => x + when(i < 8, lit(0.04)).otherwise(lit(0.0)))
+          .as("embedding"))
+      val e2 = embs.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", Similarity.norm(col("v"), 64))
+      val qv = ev.select(col("embedding").as("ee"))
+        .withColumn("enrm", Similarity.norm(col("ee"), 64))
+      val brute = e2.crossJoin(broadcast(qv))
+        .filter(col("nrm") * col("enrm") > 0)
+        .filter(Similarity.dot(col("v"), col("ee"), 64) /
+          (col("nrm") * col("enrm")) >= 0.9)
+        .select("vec_id").distinct().cache()
+      val nBrute = brute.count()
+      Seq("single" -> false, "multi" -> true).foreach {
+        case (label, mp) =>
+          val survivors = Dedup.semanticDecontaminate(embs, ev,
+            minCosine = 0.9, planes = 6, multiProbe = mp)
+          val found = embs.select("vec_id")
+            .join(survivors.select("vec_id"), Seq("vec_id"),
+              "left_anti")
+          val nFound = brute.join(found, Seq("vec_id"), "left_semi")
+            .count()
+          val recall =
+            if (nBrute == 0) 1.0 else nFound.toDouble / nBrute
+          println(f"  sem_decon_recall_$label%s(${times}%dx): " +
+            f"$nFound%d/$nBrute%d = $recall%.3f")
+      }
+      brute.unpersist(false)
+      embs.unpersist(false)
+      spark.catalog.clearCache()
+    }
+
     println(s"== pass 0: warmup (codegen) ==")
     suite(replicate(1)); embSuite(replicateEmb(1)); evSuite(replicateEv(1))
     assetSuite(replicate(1)); videoSuite(replicate(1)); warcSuite(1)
@@ -1516,11 +1563,13 @@ object ScaleProbe {
       evSuite(replicateEv(1)) ++ assetSuite(replicate(1)) ++
       videoSuite(replicate(1)) ++ warcSuite(1) ++ incrementalSuite(1) ++
       curateSuite(1)
+    recallSuite(1)
     println(s"== pass 2: ${k}x (${k * maxId} docs, ${k * eMax} vecs) ==")
     val tk = suite(replicate(k)) ++ embSuite(replicateEmb(k)) ++
       evSuite(replicateEv(k)) ++ assetSuite(replicate(k)) ++
       videoSuite(replicate(k)) ++ warcSuite(k) ++ incrementalSuite(k) ++
       curateSuite(k)
+    recallSuite(k)
     println(f"%nop             | 1x (s) | ${k}%dx (s) | ratio (linear=$k%d.0)")
     t1.keys.toSeq.sorted.foreach { op =>
       println(f"$op%-22s ${t1(op)}%7.2f ${tk(op)}%9.2f ${tk(op) / t1(op)}%8.1f")
