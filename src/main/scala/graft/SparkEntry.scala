@@ -3631,6 +3631,22 @@ object SparkEntry {
         .orderBy("doc_id", "word_no")
     }),
 
+    // ONE-CALL TOKEN BUDGETS under a shipped tokenizer file — the
+    // packing-side twin of q340: tokenBudgets loads the declared
+    // NFKC+Lowercase whitespace-BPE tokenizer and prices EVERY doc of
+    // the full-width-damaged corpus (per-doc word and real-subword
+    // counts); the oracle re-prices the clean corpus through q154's
+    // chained-replace fold — equality again holds only if the
+    // declared normalizer ran inside the budget counter
+    "q341_token_budgets" -> ((s, dir) => {
+      import graft.text.TokenizerFiles
+      val lt = TokenizerFiles.loadTokenizer(s, budgetTokenizerPath(s))
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          translate(col("text"), "ab", "ａＢ").as("text"))
+      TokenizerFiles.tokenBudgets(lt, d).orderBy("doc_id")
+    }),
+
     // FULL UNIGRAM TRAINING — two chained EM rounds with pruning to a
     // 60-piece target (q236 is the single-round M-step): seed
     // substring vocab → segment/recount/prune/re-estimate ×2; chained
@@ -4333,6 +4349,28 @@ object SparkEntry {
       }
     }
     normTokCache
+  }
+
+  /** q341's SHIPPED TOKENIZER — the q154 8-merge whitespace family
+    * with the SAME declared normalizer chain as [[
+    * normalizerTokenizerPath]], sized so the budget oracle can replay
+    * the fold per word over EVERY doc (q154's chained-replace oracle
+    * walks the whole corpus; the 80-merge table's per-CTE replay
+    * could not). */
+  @volatile private var budgetTokCache: String = null
+  private def budgetTokenizerPath(s: SparkSession): String = {
+    if (budgetTokCache == null) synchronized {
+      if (budgetTokCache == null) {
+        val out = java.nio.file.Files.createTempFile("graft_tok_budget_",
+          ".json")
+        out.toFile.deleteOnExit()
+        graft.text.TokenizerFiles.writeTokenizerJsonBpe(s, out.toString,
+          BpeMerges, BpeVocab, preTokenizer = "whitespace",
+          normalizers = Seq("NFKC", "Lowercase"))
+        budgetTokCache = out.toString
+      }
+    }
+    budgetTokCache
   }
 
   /** q294/q295's BYTE-LEVEL merge table: Ġ-form head merges in the
@@ -12688,6 +12726,24 @@ object SparkEntry {
          |       CAST(len(string_split(enc, ' ')) AS INTEGER) AS n_subwords
          |FROM m${BpeMergesBig.length - 1}
          |ORDER BY doc_id, word_no""".stripMargin,
+
+    // q341: the full corpus re-priced through q154's chained-replace
+    // fold on the CLEAN text (the declared NFKC+Lowercase chain
+    // exactly undoes the full-width damage, the q340 argument);
+    // n_words = non-empty ws tokens, n_tokens = summed subword counts
+    "q341_token_budgets" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+         |           t2 -> len(t2) > 0) AS ws
+         |  FROM documents WHERE text IS NOT NULL),
+         |tok AS (
+         |  SELECT doc_id, unnest(ws) AS word FROM w),
+         |enc AS (
+         |  SELECT doc_id, ${bpeOracleExpr("word")} AS e FROM tok)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(len(string_split(e, ' '))) AS BIGINT)
+         |         AS n_tokens
+         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q328: the closed form of the announcement synthesis — two URLs
     // on %3==0 hosts, one on %3==1, none elsewhere (the commented
