@@ -209,8 +209,17 @@ class UrlSpec extends SparkSpec {
     assert(rd("x.myapp.up.railway.app") == "myapp.up.railway.app")
     assert(rd("a.sandbox.csb.app") == "sandbox.csb.app")
     assert(rd("x.site.cprapid.com") == "site.cprapid.com")
+    // round-17 expansion tails: the dynamic-DNS rental families (every
+    // label a different tenant — the per-domain-cap blind spot the
+    // private section exists for)
+    assert(rd("cam.frontdoor.hopto.org") == "frontdoor.hopto.org")
+    assert(rd("x.nas.ddns.net") == "nas.ddns.net")
+    assert(rd("a.media.dyndns-home.com") == "media.dyndns-home.com")
+    assert(rd("x.git.homelinux.org") == "git.homelinux.org")
+    assert(rd("b.files.selfip.net") == "files.selfip.net")
+    assert(rd("x.demo.000webhostapp.com") == "demo.000webhostapp.com")
     // rule count reflects the expansion
-    assert(psl.size > 2600, s"snapshot shrank: ${psl.size}")
+    assert(psl.size > 2700, s"snapshot shrank: ${psl.size}")
     // the excerpt fixture still loads independently
     assert(UrlOps.PslExcerptSuffixes.nonEmpty &&
       UrlOps.PslExcerptSuffixes.size < psl.size)
