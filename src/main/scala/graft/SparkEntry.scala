@@ -3647,6 +3647,33 @@ object SparkEntry {
       TokenizerFiles.tokenBudgets(lt, d).orderBy("doc_id")
     }),
 
+    // COMPOSITE BertNormalizer end-to-end — q340's argument at the
+    // BERT WordPiece leg: the corpus is damaged with precomposed
+    // accents (a→á), case flips (b→B), and a BEL control char glued
+    // to every word boundary; a SHIPPED tokenizer.json declaring
+    // `BertNormalizer` must expand to its flag-derived sub-chain
+    // (clean_text drops the BEL, StripAccents folds á→a, Lowercase
+    // folds B→b) and reproduce the clean-corpus q300 fold EXACTLY.
+    // Skipping any expanded member visibly diverges: á stays outside
+    // the vocab alphabet (→ [UNK]) and BEL-led words match nothing
+    "q342_bert_normalizer" -> ((s, dir) => {
+      import graft.text.TokenizerFiles
+      val lt = TokenizerFiles.loadTokenizer(s, bertTokenizerPath(s))
+      val enc =
+        lt.asInstanceOf[TokenizerFiles.ColumnTokenizer].encode
+      val damaged = regexp_replace(
+        translate(col("text"), "ab", "áB"), " ", " \u0007")
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull && col("doc_id") % 10 === 2)
+        .select(col("doc_id"),
+          posexplode(enc(damaged)).as(Seq("pos", "encoded")))
+        .filter(col("pos") < 4)
+        .select(col("doc_id"), (col("pos") + 1).as("word_no"),
+          col("encoded"))
+        .withColumn("n_pieces", size(split(col("encoded"), " ")))
+        .orderBy("doc_id", "word_no")
+    }),
+
     // FULL UNIGRAM TRAINING — two chained EM rounds with pruning to a
     // 60-piece target (q236 is the single-round M-step): seed
     // substring vocab → segment/recount/prune/re-estimate ×2; chained
@@ -4373,6 +4400,30 @@ object SparkEntry {
     budgetTokCache
   }
 
+  /** q342's SHIPPED TOKENIZER — q300's WordPiece vocab (maxChars = 7,
+    * `[UNK]`) written as a tokenizer.json that DECLARES the composite
+    * `BertNormalizer` (the bert-base-uncased shape: clean_text → CJK
+    * padding → strip-accents → lowercase), materialized once per JVM
+    * (the [[normalizerTokenizerPath]] convention). The query loads it
+    * back through [[graft.text.TokenizerFiles.loadTokenizer]], so the
+    * BertNormalizer expansion, the parameterized-rule composition, and
+    * the WordPiece writer all sit on the oracle path. */
+  @volatile private var bertTokCache: String = null
+  private def bertTokenizerPath(s: SparkSession): String = {
+    if (bertTokCache == null) synchronized {
+      if (bertTokCache == null) {
+        val out = java.nio.file.Files.createTempFile("graft_tok_bert_",
+          ".json")
+        out.toFile.deleteOnExit()
+        graft.text.TokenizerFiles.writeTokenizerJsonWordPiece(s,
+          out.toString, WpVocab, unk = "[UNK]", maxChars = 7,
+          bertNormalizer = true)
+        bertTokCache = out.toString
+      }
+    }
+    bertTokCache
+  }
+
   /** q294/q295's BYTE-LEVEL merge table: Ġ-form head merges in the
     * shipped GPT-2 `merges.txt` style (fixture_merges.txt's opening
     * ranks) plus generated frequency-alphabet pairs — 80 total, past
@@ -4474,8 +4525,10 @@ object SparkEntry {
     * class verbatim — RE2 and java.util.regex read it identically),
     * first-4 word rows, and the greedy-match replay as a recursive
     * CTE. Callers read `enc` (doc_id, word_no, word, encoded) and
-    * must open with WITH RECURSIVE. */
-  private def wordpieceOracleCtes: String = {
+    * must open with WITH RECURSIVE. `extraWhere` narrows the source
+    * rows (q342's subset — appended verbatim after the null guard). */
+  private def wordpieceOracleCtes: String = wordpieceOracleCtesWhere("")
+  private def wordpieceOracleCtesWhere(extraWhere: String): String = {
     val pat = TextOps.wordpieceBasicPattern
     s"""wrds AS (
        |  SELECT doc_id, word_no, ws[word_no] AS word
@@ -4487,7 +4540,8 @@ object SparkEntry {
        |                       regexp_replace(lower(text), '$pat',
        |                         ' \\1 ', 'g'), '\\s+'),
        |                       t2 -> len(t2) > 0) AS ws
-       |              FROM documents WHERE text IS NOT NULL))),
+       |              FROM documents
+       |              WHERE text IS NOT NULL$extraWhere))),
        |steps AS (
        |  SELECT doc_id, word_no, word, 0 AS pos, '' AS piece, 0 AS k
        |  FROM wrds WHERE len(word) <= 7
@@ -12304,6 +12358,18 @@ object SparkEntry {
     "q300_wordpiece_encode" ->
       s"""WITH RECURSIVE $wordpieceOracleCtes
          |SELECT doc_id, word_no, word, encoded,
+         |  CAST(len(string_split(encoded, ' ')) AS INTEGER) AS n_pieces
+         |FROM enc ORDER BY doc_id, word_no""".stripMargin,
+
+    // q342: the oracle never sees the damage — it replays q300's
+    // greedy WordPiece fold over the CLEAN corpus subset; the Spark
+    // side's damaged text matches ONLY if the shipped BertNormalizer
+    // declaration expanded and composed (clean_text dropping the BEL,
+    // StripAccents folding á→a, Lowercase folding B→b)
+    "q342_bert_normalizer" ->
+      s"""WITH RECURSIVE ${
+        wordpieceOracleCtesWhere(" AND doc_id % 10 = 2")}
+         |SELECT doc_id, word_no, encoded,
          |  CAST(len(string_split(encoded, ' ')) AS INTEGER) AS n_pieces
          |FROM enc ORDER BY doc_id, word_no""".stripMargin,
 

@@ -124,64 +124,206 @@ object TokenizerFiles {
     if (pt == null || pt.isNull) "whitespace" else kindOf(pt)
   }
 
-  /** The supported normalizer KINDS — Unicode normalization forms
-    * (the [[graft.functions.UnicodeNormalize]] kernel) plus
-    * `Lowercase`. Everything else a tokenizer.json can declare
-    * (BertNormalizer, Strip, Replace, Prepend, Precompiled…) fails by
-    * name in [[readNormalizerKinds]] — silently skipping a declared
-    * normalizer would encode accented/full-width text differently
-    * than the shipping tokenizer stack does, producing ids that LOOK
-    * valid and match nothing (the [[readPreTokenizerKind]] rule). */
+  /** The SIMPLE normalizer kinds — Unicode normalization forms (the
+    * [[graft.functions.UnicodeNormalize]] kernel) plus `Lowercase`:
+    * the set the WRITERS accept and [[normalizerTransform]] maps by
+    * bare name. The full parser ([[readNormalizerRules]]) additionally
+    * handles StripAccents, Strip, Replace, Prepend, and
+    * BertNormalizer (expanded to its flag-derived sub-chain);
+    * anything else (Precompiled…) fails by name — silently skipping a
+    * declared normalizer would encode accented/full-width text
+    * differently than the shipping tokenizer stack does, producing
+    * ids that LOOK valid and match nothing (the
+    * [[readPreTokenizerKind]] rule). */
   private val SupportedNormalizers =
     Set("NFC", "NFD", "NFKC", "NFKD", "Lowercase")
 
-  /** The flattened normalizer chain a `tokenizer.json` declares:
-    * `normalizer` absent/null → empty (identity — this engine never
-    * invents normalization the file didn't declare); a single node →
-    * its type; a `Sequence` → its members in declared order (applied
-    * left to right, exactly as the tokenizers library composes them);
-    * nested Sequences flatten. Unsupported members fail descriptively
-    * by name. */
-  def readNormalizerKinds(spark: SparkSession, path: String)
-      : Seq[String] = {
-    val node = tokenizerRoot(spark, path).get("normalizer")
-    def kindsOf(n: com.fasterxml.jackson.databind.JsonNode)
-        : Seq[String] = {
-      val t = Option(n.get("type")).map(_.asText()).getOrElse("")
-      if (t == "Sequence") {
-        val subs = n.get("normalizers")
-        if (subs == null) Seq.empty
-        else {
-          val out = Vector.newBuilder[String]
-          val it = subs.elements()
-          while (it.hasNext) out ++= kindsOf(it.next())
-          out.result()
-        }
-      } else if (SupportedNormalizers.contains(t)) Seq(t)
-      else throw new IllegalArgumentException(
-        s"$path: unsupported normalizer type '$t' — this engine " +
-          "implements NFC/NFD/NFKC/NFKD (java.text.Normalizer " +
-          "kernels), Lowercase, and Sequence compositions of those")
+  /** One parsed normalizer step — the engine's model of the
+    * tokenizers library's normalizer zoo. The simple members map to
+    * single codegen'd column ops; `BertNormalizer` is not a member:
+    * the parser EXPANDS it into its flag-derived sub-chain
+    * (clean_text → chinese-chars padding → strip-accents → lowercase,
+    * the published composition order), so downstream only ever sees
+    * primitive steps. */
+  sealed trait NormRule { def name: String }
+  object NormRule {
+    /** NFC/NFD/NFKC/NFKD via [[graft.functions.UnicodeNormalize]]. */
+    final case class Form(form: String) extends NormRule {
+      def name: String = form
     }
-    if (node == null || node.isNull) Seq.empty else kindsOf(node)
+    case object Lowercase extends NormRule {
+      def name: String = "Lowercase" }
+    /** NFD + drop combining marks (Mn) — café → cafe. */
+    case object StripAccents extends NormRule {
+      def name: String = "StripAccents" }
+    /** Unicode-whitespace trim, each side independently. */
+    final case class Strip(left: Boolean, right: Boolean)
+        extends NormRule { def name: String = "Strip" }
+    /** Literal or regex substitution (HF serializes the pattern as
+      * `{"String": s}` or `{"Regex": s}`; regex semantics are Java's
+      * — close to HF's oniguruma for the patterns real files carry,
+      * documented approximation). */
+    final case class Replace(regex: Boolean, pattern: String,
+        content: String) extends NormRule { def name: String = "Replace" }
+    /** Prefix prepend on non-empty text (the legacy-Llama ▁ shape). */
+    final case class Prepend(prefix: String) extends NormRule {
+      def name: String = "Prepend" }
+    /** BertNormalizer's clean_text: drop NUL/U+FFFD and control chars
+      * (categories Cc/Cf/Co/Cn, with tab/newline/CR exempt), then map
+      * every whitespace char to a plain space. */
+    case object BertCleanText extends NormRule {
+      def name: String = "BertCleanText" }
+    /** BertNormalizer's handle_chinese_chars: pad every CJK ideograph
+      * (the published BMP + supplementary ranges) with spaces so each
+      * becomes its own pre-token. */
+    case object BertChineseChars extends NormRule {
+      def name: String = "BertChineseChars" }
   }
 
-  /** Compose a normalizer-kind chain into the Column transform the
-    * encoders consume — each kind one codegen'd map step
-    * ([[graft.functions.UnicodeNormalize]] / `lower`), applied in
+  /** The flattened normalizer chain a `tokenizer.json` declares, as
+    * parsed [[NormRule]]s: `normalizer` absent/null → empty (identity
+    * — this engine never invents normalization the file didn't
+    * declare); a single node → its rule; a `Sequence` → its members
+    * in declared order (applied left to right, exactly as the
+    * tokenizers library composes them); nested Sequences flatten;
+    * `BertNormalizer` expands to its flag-derived sub-chain (the
+    * bert-base-uncased day-one case). Unsupported members
+    * (Precompiled, ByteLevel-as-normalizer, NFx variants this engine
+    * lacks…) fail descriptively by name. */
+  def readNormalizerRules(spark: SparkSession, path: String)
+      : Seq[NormRule] = {
+    val node = tokenizerRoot(spark, path).get("normalizer")
+    def boolOf(n: com.fasterxml.jackson.databind.JsonNode,
+               field: String, dflt: Boolean): Boolean =
+      Option(n.get(field)).filter(_.isBoolean)
+        .map(_.asBoolean()).getOrElse(dflt)
+    def rulesOf(n: com.fasterxml.jackson.databind.JsonNode)
+        : Seq[NormRule] = {
+      val t = Option(n.get("type")).map(_.asText()).getOrElse("")
+      t match {
+        case "Sequence" =>
+          val subs = n.get("normalizers")
+          if (subs == null) Seq.empty
+          else {
+            val out = Vector.newBuilder[NormRule]
+            val it = subs.elements()
+            while (it.hasNext) out ++= rulesOf(it.next())
+            out.result()
+          }
+        case "NFC" | "NFD" | "NFKC" | "NFKD" => Seq(NormRule.Form(t))
+        case "Lowercase" => Seq(NormRule.Lowercase)
+        case "StripAccents" => Seq(NormRule.StripAccents)
+        case "Strip" => Seq(NormRule.Strip(
+          boolOf(n, "strip_left", dflt = true),
+          boolOf(n, "strip_right", dflt = true)))
+        case "Prepend" =>
+          val p = Option(n.get("prepend")).filter(_.isTextual)
+            .map(_.asText()).getOrElse(throw new IllegalArgumentException(
+              s"$path: Prepend normalizer without a 'prepend' string"))
+          Seq(NormRule.Prepend(p))
+        case "Replace" =>
+          val pat = Option(n.get("pattern")).getOrElse(
+            throw new IllegalArgumentException(
+              s"$path: Replace normalizer without a pattern"))
+          val content = Option(n.get("content")).filter(_.isTextual)
+            .map(_.asText()).getOrElse(throw new IllegalArgumentException(
+              s"$path: Replace normalizer without a 'content' string"))
+          val lit = Option(pat.get("String")).filter(_.isTextual)
+            .map(_.asText())
+          val rex = Option(pat.get("Regex")).filter(_.isTextual)
+            .map(_.asText())
+          (lit, rex) match {
+            case (Some(s), _) => Seq(NormRule.Replace(regex = false,
+              s, content))
+            case (_, Some(r)) => Seq(NormRule.Replace(regex = true,
+              r, content))
+            case _ => throw new IllegalArgumentException(
+              s"$path: Replace pattern must be {String: …} or " +
+                "{Regex: …}")
+          }
+        case "BertNormalizer" =>
+          // the published flag semantics: strip_accents defaults to
+          // FOLLOWING lowercase when absent/null
+          val lower = boolOf(n, "lowercase", dflt = true)
+          val strip = Option(n.get("strip_accents"))
+            .filter(_.isBoolean).map(_.asBoolean()).getOrElse(lower)
+          (if (boolOf(n, "clean_text", dflt = true))
+             Seq(NormRule.BertCleanText) else Seq.empty) ++
+          (if (boolOf(n, "handle_chinese_chars", dflt = true))
+             Seq(NormRule.BertChineseChars) else Seq.empty) ++
+          (if (strip) Seq(NormRule.StripAccents) else Seq.empty) ++
+          (if (lower) Seq(NormRule.Lowercase) else Seq.empty)
+        case other => throw new IllegalArgumentException(
+          s"$path: unsupported normalizer type '$other' — this " +
+            "engine implements NFC/NFD/NFKC/NFKD, Lowercase, " +
+            "StripAccents, Strip, Replace, Prepend, BertNormalizer, " +
+            "and Sequence compositions of those")
+      }
+    }
+    if (node == null || node.isNull) Seq.empty else rulesOf(node)
+  }
+
+  /** The declared chain as kind NAMES (BertNormalizer arrives
+    * pre-expanded) — the introspection face of
+    * [[readNormalizerRules]]. */
+  def readNormalizerKinds(spark: SparkSession, path: String)
+      : Seq[String] = readNormalizerRules(spark, path).map(_.name)
+
+  /** Compose parsed normalizer rules into the Column transform the
+    * encoders consume — each rule one codegen'd map step, applied in
     * declared order in FRONT of pre-tokenization (the tokenizers
-    * pipeline order: normalize, then split). Empty chain → identity. */
-  def normalizerTransform(kinds: Seq[String])
+    * pipeline order: normalize, then split). Empty chain →
+    * identity. */
+  def normalizerTransformRules(rules: Seq[NormRule])
       : org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
-    kinds.foreach(k => require(SupportedNormalizers.contains(k),
-      s"unsupported normalizer kind '$k'"))
-    c => kinds.foldLeft(c) {
-      case (acc, "Lowercase") =>
-        org.apache.spark.sql.functions.lower(acc)
-      case (acc, form) =>
+    import org.apache.spark.sql.functions._
+    c => rules.foldLeft(c) {
+      case (acc, NormRule.Form(form)) =>
         graft.functions.UnicodeNormalize(acc, form)
+      case (acc, NormRule.Lowercase) => lower(acc)
+      case (acc, NormRule.StripAccents) =>
+        regexp_replace(
+          graft.functions.UnicodeNormalize(acc, "NFD"),
+          "\\p{Mn}", "")
+      case (acc, NormRule.Strip(l, r)) =>
+        val afterL = if (l) regexp_replace(acc, "(?U)^\\s+", "")
+                     else acc
+        if (r) regexp_replace(afterL, "(?U)\\s+$", "") else afterL
+      case (acc, NormRule.Replace(false, pat, content)) =>
+        replace(acc, lit(pat), lit(content))
+      case (acc, NormRule.Replace(true, pat, content)) =>
+        regexp_replace(acc, pat, content)
+      case (acc, NormRule.Prepend(p)) =>
+        when(length(acc) > 0, concat(lit(p), acc)).otherwise(acc)
+      case (acc, NormRule.BertCleanText) =>
+        regexp_replace(
+          regexp_replace(acc,
+            "[\\x00\\uFFFD]|[\\p{Cc}\\p{Cf}\\p{Co}\\p{Cn}&&[^\\t\\n\\r]]",
+            ""),
+          "[\\t\\n\\r\\p{Zs}]", " ")
+      case (acc, NormRule.BertChineseChars) =>
+        regexp_replace(acc,
+          "([\\u4E00-\\u9FFF\\u3400-\\u4DBF\\uF900-\\uFAFF" +
+            "\\x{20000}-\\x{2A6DF}\\x{2A700}-\\x{2B73F}" +
+            "\\x{2B740}-\\x{2B81F}\\x{2B820}-\\x{2CEAF}" +
+            "\\x{2F800}-\\x{2FA1F}])",
+          " $1 ")
     }
   }
+
+  /** [[normalizerTransformRules]] over bare kind names — the simple
+    * public set only ([[SupportedNormalizers]] + StripAccents); the
+    * parameterized rules (Strip/Replace/Prepend/Bert*) only arise
+    * from file parsing. */
+  def normalizerTransform(kinds: Seq[String])
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    normalizerTransformRules(kinds.map {
+      case "Lowercase" => NormRule.Lowercase
+      case "StripAccents" => NormRule.StripAccents
+      case f if SupportedNormalizers.contains(f) => NormRule.Form(f)
+      case other => throw new IllegalArgumentException(
+        s"unsupported normalizer kind '$other'")
+    })
 
   /** The (replacement char, prepend scheme) a Metaspace pre-tokenizer
     * declares — [[graft.text.TextOps.metaspacePreTokens]]'s two knobs.
@@ -412,6 +554,55 @@ object TokenizerFiles {
     vocab.foreach { case (piece, lnp) =>
       val e = v.addArray(); e.add(piece); e.add(lnp)
     }
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(root))
+    finally out.close()
+  }
+
+  /** Write a HuggingFace `tokenizer.json` for a WORDPIECE model —
+    * the ship format for a BERT-family vocabulary, completing the
+    * writer trio ([[writeTokenizerJsonBpe]] /
+    * [[writeTokenizerJsonUnigram]]; [[writeVocabTxt]] covers the bare
+    * line format): `model.vocab` (token → id), the declared
+    * `unk_token` and `max_input_chars_per_word` (the two knobs
+    * [[loadTokenizer]]'s WordPiece leg honors over call-site
+    * defaults), a `BertPreTokenizer` declaration, and either a simple
+    * normalizer chain (`normalizers`, the shared [[putNormalizer]]
+    * serialization) or the composite `BertNormalizer` node
+    * (`bertNormalizer = true` — written with its published defaults,
+    * which [[readNormalizerRules]] expands back to clean_text → CJK
+    * padding → strip-accents → lowercase). Round-trips
+    * [[loadTokenizer]]. Driver-side constant write, the
+    * [[writeMergesTxt]] contract. */
+  def writeTokenizerJsonWordPiece(spark: SparkSession, path: String,
+      vocab: Seq[(String, Int)], unk: String = "[UNK]",
+      maxChars: Int = 100, normalizers: Seq[String] = Nil,
+      bertNormalizer: Boolean = false): Unit = {
+    require(vocab.nonEmpty, "vocab must not be empty")
+    require(vocab.map(_._1).distinct.size == vocab.size,
+      "vocab tokens must be distinct")
+    require(vocab.exists(_._1 == unk),
+      s"unk token '$unk' must itself be a vocab entry — WordPiece's " +
+        "encode vocab is its id vocab")
+    require(!(bertNormalizer && normalizers.nonEmpty),
+      "pass EITHER a simple normalizer chain OR bertNormalizer, " +
+        "not both — BertNormalizer is itself a composite")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("version", "1.0")
+    if (bertNormalizer)
+      root.putObject("normalizer").put("type", "BertNormalizer")
+    else putNormalizer(root, normalizers)
+    root.putObject("pre_tokenizer").put("type", "BertPreTokenizer")
+    val model = root.putObject("model")
+    model.put("type", "WordPiece")
+    model.put("unk_token", unk)
+    model.put("max_input_chars_per_word", maxChars)
+    val v = model.putObject("vocab")
+    vocab.foreach { case (tok, id) => v.put(tok, id) }
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
@@ -892,10 +1083,11 @@ object TokenizerFiles {
       // the file's declared normalizer chain composes in FRONT of
       // every family's encoder (the tokenizers pipeline order:
       // normalize, then pre-tokenize, then model) — SentencePiece
-      // files default to NFKC, BERT ones to lowercase+NFD, and
+      // files default to NFKC, BERT ones declare BertNormalizer, and
       // skipping the declaration would encode accented/full-width
       // text differently than the shipping stack does
-      val norm = normalizerTransform(readNormalizerKinds(spark, path))
+      val norm = normalizerTransformRules(
+        readNormalizerRules(spark, path))
       readModelType(spark, path) match {
         case "BPE" =>
           val bc = mergesBroadcastFromFile(spark, path)

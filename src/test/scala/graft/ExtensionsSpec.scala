@@ -6683,14 +6683,32 @@ class ExtensionsSpec extends SparkSpec {
         .stripMargin.getBytes("UTF-8"))
     assert(TokenizerFiles.readNormalizerKinds(spark, s"$tmp/seq.json")
       == Seq("NFKC", "Lowercase", "NFC"))
-    Files.write(Paths.get(s"$tmp/bert.json"),
-      """{"normalizer": {"type": "BertNormalizer"},
+    Files.write(Paths.get(s"$tmp/precomp.json"),
+      """{"normalizer": {"type": "Precompiled"},
         | "model": {"type": "Unigram", "vocab": [["a", -1.0]]}}"""
         .stripMargin.getBytes("UTF-8"))
     val eb = intercept[IllegalArgumentException] {
-      TokenizerFiles.loadTokenizer(spark, s"$tmp/bert.json")
+      TokenizerFiles.loadTokenizer(spark, s"$tmp/precomp.json")
     }
-    assert(eb.getMessage.contains("BertNormalizer"), s"got $eb")
+    assert(eb.getMessage.contains("Precompiled"), s"got $eb")
+    // BertNormalizer expands to its flag-derived sub-chain (the
+    // bert-base-uncased day-one shape): defaults = clean_text +
+    // chinese-chars + strip_accents(follows lowercase) + lowercase
+    Files.write(Paths.get(s"$tmp/bertn.json"),
+      """{"normalizer": {"type": "BertNormalizer"},
+        | "model": {"type": "Unigram", "vocab": [["a", -1.0]]}}"""
+        .stripMargin.getBytes("UTF-8"))
+    assert(TokenizerFiles.readNormalizerKinds(spark, s"$tmp/bertn.json")
+      == Seq("BertCleanText", "BertChineseChars", "StripAccents",
+        "Lowercase"))
+    // lowercase=false + absent strip_accents ⇒ strip follows = off
+    Files.write(Paths.get(s"$tmp/bertc.json"),
+      """{"normalizer": {"type": "BertNormalizer", "lowercase": false,
+        |  "handle_chinese_chars": false},
+        | "model": {"type": "Unigram", "vocab": [["a", -1.0]]}}"""
+        .stripMargin.getBytes("UTF-8"))
+    assert(TokenizerFiles.readNormalizerKinds(spark, s"$tmp/bertc.json")
+      == Seq("BertCleanText"))
     // --- BPE whitespace family: declared chain undoes full-width
     // damage; the same file WITHOUT the declaration encodes
     // differently (lower() alone maps Ｗ only to full-width ｗ) ---
@@ -6762,6 +6780,82 @@ class ExtensionsSpec extends SparkSpec {
       TokenizerFiles.loadTokenizer(spark, s"$tmp/weird.model")
     }
     assert(ew.getMessage.contains("custom_rules_v2"), s"got $ew")
+    // --- parameterized rules: a BERT WordPiece file end-to-end (the
+    // real bert-base-uncased shape): accents strip (café→cafe), CJK
+    // ideographs pad into their own pre-tokens, control chars drop,
+    // case folds — all BEFORE the BERT basic split ---
+    Files.write(Paths.get(s"$tmp/bert_wp.json"),
+      """{"normalizer": {"type": "BertNormalizer"},
+        | "model": {"type": "WordPiece", "unk_token": "[UNK]",
+        | "vocab": {"[UNK]": 0, "cafe": 1, "walk": 2, "##s": 3,
+        |           "中": 4, "国": 5}},
+        | "pre_tokenizer": {"type": "BertPreTokenizer"}}"""
+        .stripMargin.getBytes("UTF-8"))
+    val bwp = TokenizerFiles.loadTokenizer(spark, s"$tmp/bert_wp.json")
+      .asInstanceOf[TokenizerFiles.ColumnTokenizer]
+    val bEnc = Seq("Café 中国 WALKS ").toDF("t")
+      .select(bwp.encode(col("t")).as("e")).head().getSeq[String](0)
+    assert(bEnc == Seq("cafe", "中", "国", "walk ##s"), s"got $bEnc")
+    // --- the WordPiece WRITER round-trips the same shape: shipped
+    // file re-reads with the expanded BertNormalizer chain, the
+    // declared unk/maxChars, and the identical encode ---
+    TokenizerFiles.writeTokenizerJsonWordPiece(spark,
+      s"$tmp/bert_wp_written.json",
+      Seq("[UNK]" -> 0, "cafe" -> 1, "walk" -> 2, "##s" -> 3,
+        "中" -> 4, "国" -> 5),
+      unk = "[UNK]", maxChars = 6, bertNormalizer = true)
+    assert(TokenizerFiles.readNormalizerKinds(spark,
+        s"$tmp/bert_wp_written.json")
+      == Seq("BertCleanText", "BertChineseChars", "StripAccents",
+        "Lowercase"))
+    val bww = TokenizerFiles.loadTokenizer(spark,
+        s"$tmp/bert_wp_written.json")
+      .asInstanceOf[TokenizerFiles.ColumnTokenizer]
+    // maxChars = 6 written into the file: 'walkers' (7 chars) must
+    // collapse to [UNK] through the DECLARED guard, not a default
+    val bwEnc = Seq("Café 中国 WALKS walkers").toDF("t")
+      .select(bww.encode(col("t")).as("e")).head().getSeq[String](0)
+    assert(bwEnc == Seq("cafe", "中", "国", "walk ##s", "[UNK]"),
+      s"got $bwEnc")
+    // simple-chain and composite knobs are mutually exclusive; unk
+    // must be a vocab entry
+    intercept[IllegalArgumentException] {
+      TokenizerFiles.writeTokenizerJsonWordPiece(spark,
+        s"$tmp/bad_wp1.json", Seq("[UNK]" -> 0, "a" -> 1),
+        normalizers = Seq("NFKC"), bertNormalizer = true)
+    }
+    intercept[IllegalArgumentException] {
+      TokenizerFiles.writeTokenizerJsonWordPiece(spark,
+        s"$tmp/bad_wp2.json", Seq("a" -> 0), unk = "[UNK]")
+    }
+    // --- Strip / Replace / Prepend rules parse and compose ---
+    Files.write(Paths.get(s"$tmp/srp.json"),
+      """{"normalizer": {"type": "Sequence", "normalizers": [
+        |   {"type": "Strip", "strip_left": true, "strip_right": true},
+        |   {"type": "Replace", "pattern": {"String": "qq"},
+        |    "content": "k"},
+        |   {"type": "Prepend", "prepend": ">"}]},
+        | "model": {"type": "Unigram", "vocab": [["a", -1.0]]}}"""
+        .stripMargin.getBytes("UTF-8"))
+    assert(TokenizerFiles.readNormalizerKinds(spark, s"$tmp/srp.json")
+      == Seq("Strip", "Replace", "Prepend"))
+    val srpT = TokenizerFiles.normalizerTransformRules(
+      TokenizerFiles.readNormalizerRules(spark, s"$tmp/srp.json"))
+    val srpOut = Seq("  walqqs  ", "").toDF("t")
+      .select(srpT(col("t")).as("n")).collect().map(_.getString(0))
+    // U+00A0 is unicode whitespace: (?U) strip takes it; qq→k; the
+    // prepend skips empty text (the published Prepend contract)
+    assert(srpOut.toSeq == Seq(">walks", ""), s"got ${srpOut.toSeq}")
+    // regex Replace routes regexp_replace
+    Files.write(Paths.get(s"$tmp/rrex.json"),
+      """{"normalizer": {"type": "Replace",
+        |  "pattern": {"Regex": "[0-9]+"}, "content": "#"},
+        | "model": {"type": "Unigram", "vocab": [["a", -1.0]]}}"""
+        .stripMargin.getBytes("UTF-8"))
+    val rrexT = TokenizerFiles.normalizerTransformRules(
+      TokenizerFiles.readNormalizerRules(spark, s"$tmp/rrex.json"))
+    assert(Seq("a12b345").toDF("t").select(rrexT(col("t")))
+      .head().getString(0) == "a#b#")
     // --- WordPiece leg composes too ---
     Files.write(Paths.get(s"$tmp/wp_norm.json"),
       """{"normalizer": {"type": "NFKC"},
