@@ -3674,6 +3674,53 @@ object SparkEntry {
         .orderBy("doc_id", "word_no")
     }),
 
+    // ADDED-TOKEN EXTRACTION end-to-end — the AddedVocabulary half of
+    // real tokenizer files: every doc gains a leading '<|doc|> ' and
+    // a '<|sep|>' GLUED between its first two words (no whitespace on
+    // either side — the case no pre-tokenizer alone can split); the
+    // shipped file declares both as special added_tokens, and the
+    // loaded encoder must emit each as its own single-piece word with
+    // the surrounding words encoded exactly as the clean corpus.
+    // The oracle replays the clean q269 fold with the specials
+    // INERT single symbols spliced at their closed-form positions
+    "q343_added_tokens" -> ((s, dir) => {
+      import graft.text.TokenizerFiles
+      val lt = TokenizerFiles.loadTokenizer(s, addedTokenizerPath(s))
+      val enc =
+        lt.asInstanceOf[TokenizerFiles.ColumnTokenizer].encode
+      val damaged = concat(lit("<|doc|> "),
+        regexp_replace(col("text"), "^(\\S+) ", "$1<|sep|>"))
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull && col("doc_id") % 10 === 3)
+        .select(col("doc_id"),
+          posexplode(enc(damaged)).as(Seq("pos", "encoded")))
+        .filter(col("pos") < 4)
+        .select(col("doc_id"), (col("pos") + 1).as("word_no"),
+          col("encoded"))
+        .withColumn("n_subwords", size(split(col("encoded"), " ")))
+        .orderBy("doc_id", "word_no")
+    }),
+
+    // CHAT-TEMPLATE TOKEN BUDGETS — the SFT-data pricing composition:
+    // q204's synthesized conversations render through
+    // Chat.renderTemplate (role markers GLUED to content on both
+    // sides), and tokenBudgets prices every rendered string under a
+    // shipped tokenizer declaring <|user|>/<|assistant|> as special
+    // added_tokens — each marker exactly ONE word and ONE token, the
+    // content words priced by the q154 fold. The oracle re-derives
+    // both counts from the CLEAN corpus words + the closed-form turn
+    // count (it never renders): equality holds only if extraction
+    // split the glued markers out
+    "q344_chat_token_budgets" -> ((s, dir) => {
+      import graft.text.TokenizerFiles
+      val lt = TokenizerFiles.loadTokenizer(s, chatTokenizerPath(s))
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          ops.Chat.renderTemplate(chatTurnsOf).as("text"))
+      TokenizerFiles.tokenBudgets(lt, d).orderBy("doc_id")
+    }),
+
+
     // FULL UNIGRAM TRAINING — two chained EM rounds with pruning to a
     // 60-piece target (q236 is the single-round M-step): seed
     // substring vocab → segment/recount/prune/re-estimate ×2; chained
@@ -4398,6 +4445,52 @@ object SparkEntry {
       }
     }
     budgetTokCache
+  }
+
+  /** q343's SHIPPED TOKENIZER — q269's whitespace-family BPE with two
+    * declared special `added_tokens` (`<|doc|>`, `<|sep|>`),
+    * materialized once per JVM (the [[normalizerTokenizerPath]]
+    * convention). The query loads it back through
+    * [[graft.text.TokenizerFiles.loadTokenizer]], so the added-token
+    * reader, the extraction wrapper, and the writer's added_tokens
+    * serialization all sit on the oracle path. */
+  @volatile private var addedTokCache: String = null
+  private def addedTokenizerPath(s: SparkSession): String = {
+    if (addedTokCache == null) synchronized {
+      if (addedTokCache == null) {
+        val out = java.nio.file.Files.createTempFile("graft_tok_added_",
+          ".json")
+        out.toFile.deleteOnExit()
+        graft.text.TokenizerFiles.writeTokenizerJsonBpe(s, out.toString,
+          BpeMergesBig, BpeVocab, preTokenizer = "whitespace",
+          addedTokens = Seq("<|doc|>" -> 200L, "<|sep|>" -> 201L))
+        addedTokCache = out.toString
+      }
+    }
+    addedTokCache
+  }
+
+  /** q344's SHIPPED TOKENIZER — the q154 8-merge whitespace family
+    * (the q341 budget sizing argument: the oracle replays the fold per
+    * word over EVERY doc) declaring the chat-template role markers as
+    * special `added_tokens`, so rendered conversations price with each
+    * marker as ONE token even though [[graft.ops.Chat.renderTemplate]]
+    * glues them to the content on both sides. */
+  @volatile private var chatTokCache: String = null
+  private def chatTokenizerPath(s: SparkSession): String = {
+    if (chatTokCache == null) synchronized {
+      if (chatTokCache == null) {
+        val out = java.nio.file.Files.createTempFile("graft_tok_chat_",
+          ".json")
+        out.toFile.deleteOnExit()
+        graft.text.TokenizerFiles.writeTokenizerJsonBpe(s, out.toString,
+          BpeMerges, BpeVocab, preTokenizer = "whitespace",
+          addedTokens = Seq("<|user|>" -> 300L,
+            "<|assistant|>" -> 301L))
+        chatTokCache = out.toString
+      }
+    }
+    chatTokCache
   }
 
   /** q342's SHIPPED TOKENIZER — q300's WordPiece vocab (maxChars = 7,
@@ -12373,6 +12466,45 @@ object SparkEntry {
          |  CAST(len(string_split(encoded, ' ')) AS INTEGER) AS n_pieces
          |FROM enc ORDER BY doc_id, word_no""".stripMargin,
 
+    // q343: the oracle splices the two specials at their closed-form
+    // positions (pos 1 = '<|doc|>'; pos 3 = '<|sep|>' iff the damage
+    // regex fired, i.e. the text opens 'word '), surrounds them with
+    // the CLEAN q269 char-split seeds, and runs the shared merge fold
+    // — a special is a single symbol with no interior spaces, so
+    // every merge CTE leaves it untouched (inert by construction).
+    // Equality holds only if the Spark side extracted the declared
+    // added_tokens (the glued '<|sep|>' is unreachable by whitespace
+    // splitting alone)
+    "q343_added_tokens" ->
+      s"""WITH src AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(lower(text), ' '),
+         |      t2 -> len(t2) > 0) AS ws,
+         |    regexp_matches(text, '^\\S+ ') AS has_sep
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND doc_id % 10 = 3),
+         |mbase AS (
+         |  SELECT doc_id, word_no,
+         |    CASE
+         |      WHEN word_no = 1 THEN '<|doc|>'
+         |      WHEN word_no = 3 AND has_sep THEN '<|sep|>'
+         |      ELSE array_to_string(string_split(
+         |        ws[CASE WHEN word_no = 2 THEN 1
+         |                WHEN word_no = 3 THEN 2
+         |                WHEN has_sep THEN 2
+         |                ELSE 3 END], ''), ' ')
+         |    END AS enc
+         |  FROM (SELECT doc_id, ws, has_sep,
+         |          CAST(unnest(generate_series(1, least(1 + len(ws) +
+         |            CASE WHEN has_sep THEN 1 ELSE 0 END, 4)))
+         |            AS INTEGER) AS word_no
+         |        FROM src)),
+         |$bpeKernelOracleCtes
+         |SELECT doc_id, word_no, enc AS encoded,
+         |  CAST(len(string_split(enc, ' ')) AS INTEGER) AS n_subwords
+         |FROM m${BpeMergesBig.length - 1}
+         |ORDER BY doc_id, word_no""".stripMargin,
+
     // q301: the q300 pieces joined to the generated (piece, id) table
     // — WordPiece's encode vocab IS its id vocab
     "q301_wordpiece_ids" ->
@@ -12810,6 +12942,35 @@ object SparkEntry {
          |       CAST(sum(len(string_split(e, ' '))) AS BIGINT)
          |         AS n_tokens
          |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q344: the oracle never renders — it re-derives the rendered
+    // string's budget from the CLEAN corpus words: n_turns markers
+    // (the closed-form ceil(n/5) capped at 4 — q204's turn slicing,
+    // each marker one word/one token) plus the first 20 words
+    // re-priced through q154's chained-replace fold (the q341 shape)
+    "q344_chat_token_budgets" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+         |           t2 -> len(t2) > 0) AS ws
+         |  FROM documents WHERE text IS NOT NULL),
+         |base AS (
+         |  SELECT doc_id, ws[1:20] AS cw,
+         |    least(CAST(ceil(len(ws) / 5.0) AS INTEGER), 4) AS n_turns
+         |  FROM w),
+         |tok AS (
+         |  SELECT doc_id, unnest(cw) AS word FROM base),
+         |enc AS (
+         |  SELECT doc_id, ${bpeOracleExpr("word")} AS e FROM tok),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cw,
+         |         CAST(sum(len(string_split(e, ' '))) AS BIGINT)
+         |           AS n_sub
+         |  FROM enc GROUP BY doc_id)
+         |SELECT b.doc_id,
+         |  CAST(b.n_turns + coalesce(a.n_cw, 0) AS BIGINT) AS n_words,
+         |  CAST(b.n_turns + coalesce(a.n_sub, 0) AS BIGINT) AS n_tokens
+         |FROM base b LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // q328: the closed form of the announcement synthesis — two URLs
     // on %3==0 hosts, one on %3==1, none elsewhere (the commented

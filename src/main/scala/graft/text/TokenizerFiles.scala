@@ -473,7 +473,8 @@ object TokenizerFiles {
       preTokenizer: String = "metaspace",
       replacement: String = "▁", prependScheme: String = "always",
       unk: Option[String] = None,
-      normalizers: Seq[String] = Nil): Unit = {
+      normalizers: Seq[String] = Nil,
+      addedTokens: Seq[(String, Long)] = Nil): Unit = {
     require(merges.nonEmpty, "merge table must not be empty")
     require(vocab.nonEmpty, "vocab must not be empty")
     require(vocab.map(_._1).distinct.size == vocab.size,
@@ -486,6 +487,7 @@ object TokenizerFiles {
     val root = mapper.createObjectNode()
     root.put("version", "1.0")
     putNormalizer(root, normalizers)
+    putAddedTokens(root, addedTokens)
     val pt = root.putObject("pre_tokenizer")
     preTokenizer match {
       case "byte_level" => pt.put("type", "ByteLevel")
@@ -562,6 +564,122 @@ object TokenizerFiles {
     finally out.close()
   }
 
+  /** One parsed `added_tokens` entry — the vocabulary a tokenizer.json
+    * adds OUTSIDE its model (`<s>`, `</s>`, `<|endoftext|>`,
+    * `<extra_id_N>`…): `content` is the literal surface form extracted
+    * from the text before the model ever sees it, `id` the entry's own
+    * id, `special` the control-token flag. `normalized` is carried for
+    * validation ([[loadTokenizer]] rejects `normalized: true` next to
+    * a declared normalizer — extraction-after-normalization is a
+    * different pipeline this engine doesn't fake). */
+  final case class AddedToken(content: String, id: Long,
+      special: Boolean, normalized: Boolean)
+
+  /** The `added_tokens` a tokenizer.json declares, in file order.
+    * Absent → empty. Entries declaring `lstrip`/`rstrip`/
+    * `single_word` true fail by name (the [[readPreTokenizerKind]]
+    * rule: silently ignoring declared semantics would extract
+    * differently than the shipping stack); duplicate contents and
+    * contents containing U+0000 (the extraction fence) fail too. */
+  def readAddedTokens(spark: SparkSession, path: String)
+      : Seq[AddedToken] = {
+    val node = tokenizerRoot(spark, path).get("added_tokens")
+    if (node == null || node.isNull) return Seq.empty
+    require(node.isArray, s"$path: added_tokens must be an array")
+    val out = Vector.newBuilder[AddedToken]
+    val it = node.elements()
+    while (it.hasNext) {
+      val e = it.next()
+      val content = Option(e.get("content")).filter(_.isTextual)
+        .map(_.asText()).getOrElse(throw new IllegalArgumentException(
+          s"$path: added_tokens entry without a 'content' string"))
+      require(content.nonEmpty && !content.contains("\u0000"),
+        s"$path: added token content '$content' is empty or carries " +
+          "U+0000 (the extraction fence)")
+      val id = Option(e.get("id")).filter(_.isIntegralNumber)
+        .map(_.asLong()).getOrElse(throw new IllegalArgumentException(
+          s"$path: added token '$content' without an integral 'id'"))
+      Seq("lstrip", "rstrip", "single_word").foreach { f =>
+        val v = e.get(f)
+        require(v == null || v.isNull || !v.asBoolean(),
+          s"$path: added token '$content' declares $f=true — this " +
+            "engine extracts added tokens verbatim (no edge " +
+            "stripping, no word-boundary guard)")
+      }
+      def boolOf(f: String, dflt: Boolean): Boolean =
+        Option(e.get(f)).filter(_.isBoolean).map(_.asBoolean())
+          .getOrElse(dflt)
+      out += AddedToken(content, id, boolOf("special", dflt = false),
+        boolOf("normalized", dflt = false))
+    }
+    val toks = out.result()
+    require(toks.map(_.content).distinct.size == toks.size,
+      s"$path: duplicate added_tokens contents")
+    toks
+  }
+
+  /** The regex alternation that finds added-token occurrences —
+    * longest content first, so a token that is a prefix of another
+    * (`<extra_id_9>` vs `<extra_id_99>`) never shadows it; every
+    * content is quoted (literals, not patterns). */
+  private def addedTokensPattern(contents: Seq[String]): String =
+    "(" + contents.sortBy(t => (-t.length, t))
+      .map(java.util.regex.Pattern.quote).mkString("|") + ")"
+
+  /** Wrap a family encoder so declared added tokens are EXTRACTED
+    * before the model sees the text — the tokenizers library's
+    * AddedVocabulary semantics for `normalized: false` entries: the
+    * text splits at added-token occurrences (glued or free-standing),
+    * each occurrence emits as its own single-piece word, and every
+    * remaining segment rides the base encoder independently
+    * (normalization INSIDE the base applies per segment, exactly the
+    * shipping split-then-normalize order). Pure column ops: one
+    * regexp fence on U+0000 (rejected inside contents by
+    * [[readAddedTokens]]) + split + per-segment dispatch; the plan
+    * stays O(1) in corpus size and the added list rides the plan as
+    * literals — added vocabularies are tens of entries, the
+    * [[readPreTokenizerKind]] constant class. */
+  def addedTokensEncode(contents: Seq[String],
+      base: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(contents.nonEmpty, "added-token list must not be empty")
+    val pat = addedTokensPattern(contents)
+    c => {
+      val fenced = regexp_replace(coalesce(c, lit("")), pat,
+        "\u0000$1\u0000")
+      flatten(transform(split(fenced, "\u0000"), seg =>
+        when(seg.isin(contents: _*), array(seg)).otherwise(base(seg))))
+    }
+  }
+
+  /** Per-row count of added-token occurrences — the SAME fence regex
+    * as [[addedTokensEncode]], so budget counting and extraction can
+    * never disagree (a substring-of-another content would double-count
+    * under per-token replace arithmetic). */
+  def addedTokensCount(contents: Seq[String])
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val pat = addedTokensPattern(contents)
+    c => size(filter(
+      split(regexp_replace(coalesce(c, lit("")), pat,
+        "\u0000$1\u0000"), "\u0000"),
+      seg => seg.isin(contents: _*))).cast("long")
+  }
+
+  /** Blank every added-token occurrence to a single space — what the
+    * Unigram word-DOMAIN builder runs in front of ([[loadTokenizer]]):
+    * control markup must not pollute the distinct-word table (a
+    * `▁<s>`-form word has no vocab pieces and would silently segment
+    * to nothing), and a space is the one separator every domain
+    * builder (whitespace and Metaspace alike) treats as a boundary. */
+  def stripAddedTokens(contents: Seq[String])
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val pat = addedTokensPattern(contents)
+    c => regexp_replace(coalesce(c, lit("")), pat, " ")
+  }
+
   /** Write a HuggingFace `tokenizer.json` for a WORDPIECE model —
     * the ship format for a BERT-family vocabulary, completing the
     * writer trio ([[writeTokenizerJsonBpe]] /
@@ -609,6 +727,32 @@ object TokenizerFiles {
     try out.write(mapper.writerWithDefaultPrettyPrinter()
       .writeValueAsBytes(root))
     finally out.close()
+  }
+
+  /** Serialize `(content, id)` pairs as special `added_tokens` — the
+    * WRITE half of [[readAddedTokens]]: each entry ships
+    * `special: true, normalized: false` and every edge flag off (the
+    * exact shape the reader accepts). Empty → no node. */
+  private def putAddedTokens(
+      root: com.fasterxml.jackson.databind.node.ObjectNode,
+      addedTokens: Seq[(String, Long)]): Unit = {
+    if (addedTokens.isEmpty) return
+    require(addedTokens.map(_._1).distinct.size == addedTokens.size,
+      "added-token contents must be distinct")
+    val arr = root.putArray("added_tokens")
+    addedTokens.foreach { case (content, id) =>
+      require(content.nonEmpty && !content.contains("\u0000"),
+        s"added token '$content' is empty or carries U+0000 (the " +
+          "extraction fence)")
+      val o = arr.addObject()
+      o.put("id", id)
+      o.put("content", content)
+      o.put("single_word", false)
+      o.put("lstrip", false)
+      o.put("rstrip", false)
+      o.put("normalized", false)
+      o.put("special", true)
+    }
   }
 
   /** Serialize a normalizer-kind chain into a tokenizer.json root —
@@ -991,7 +1135,8 @@ object TokenizerFiles {
     extends LoadedTokenizer
   final case class UnigramTokenizer(family: String, vocab: DataFrame,
       preTokens: org.apache.spark.sql.Column =>
-        org.apache.spark.sql.Column = defaultUnigramPreTokens)
+        org.apache.spark.sql.Column = defaultUnigramPreTokens,
+      specials: Seq[String] = Nil)
     extends LoadedTokenizer
 
   /** The default unigram word-domain builder (the q235 convention) —
@@ -1022,7 +1167,7 @@ object TokenizerFiles {
               org.apache.spark.sql.functions.split(w, " "))
               .cast("long")),
           org.apache.spark.sql.functions.lit(0L), (acc, x) => acc + x)
-      case UnigramTokenizer(family, _, _) =>
+      case UnigramTokenizer(family, _, _, _) =>
         throw new IllegalArgumentException(
           s"a $family tokenizer segments on the distinct-word domain " +
             "(unigramSegment) — join its per-word piece counts back " +
@@ -1053,9 +1198,24 @@ object TokenizerFiles {
             size(encode(coalesce(col(textCol), lit(""))))
               .cast("long").as("n_words"),
             tokenCounter(ct)(col(textCol)).as("n_tokens"))
-      case UnigramTokenizer(_, vocab, preTokens) =>
-        TextOps.unigramTokenCounts(docs, vocab, idCol, textCol,
-          maxLen, maxPiece, preTokens)
+      case UnigramTokenizer(_, vocab, preTokens, specials) =>
+        val base = TextOps.unigramTokenCounts(docs, vocab, idCol,
+          textCol, maxLen, maxPiece, preTokens)
+        if (specials.isEmpty) base
+        else {
+          // added tokens never reach the word domain (preTokens
+          // blanks them — loadTokenizer's carried contract); each
+          // occurrence is exactly ONE token and ONE pre-token, counted
+          // per row with the SAME fence regex the extraction uses
+          import org.apache.spark.sql.functions.col
+          val spc = addedTokensCount(specials)
+          val sp = docs.filter(col(textCol).isNotNull)
+            .select(col(idCol), spc(col(textCol)).as("n_specials"))
+          base.join(sp, idCol)
+            .select(col(idCol),
+              (col("n_words") + col("n_specials")).as("n_words"),
+              (col("n_tokens") + col("n_specials")).as("n_tokens"))
+        }
     }
 
   /** ONE call from any shipped tokenizer file to a usable encoder —
@@ -1086,9 +1246,22 @@ object TokenizerFiles {
       // files default to NFKC, BERT ones declare BertNormalizer, and
       // skipping the declaration would encode accented/full-width
       // text differently than the shipping stack does
-      val norm = normalizerTransformRules(
-        readNormalizerRules(spark, path))
-      readModelType(spark, path) match {
+      val normRules = readNormalizerRules(spark, path)
+      val norm = normalizerTransformRules(normRules)
+      // the file's added_tokens EXTRACT before the model (and, for
+      // the default normalized:false entries, before normalization —
+      // the AddedVocabulary split-then-normalize order); an entry
+      // declaring normalized:true next to a declared normalizer is a
+      // different pipeline — fail by name rather than fake it
+      val addedToks = readAddedTokens(spark, path)
+      addedToks.filter(_.normalized).foreach { at =>
+        require(normRules.isEmpty,
+          s"$path: added token '${at.content}' declares " +
+            "normalized=true beside a declared normalizer — " +
+            "extraction after normalization is not supported")
+      }
+      val addedContents = addedToks.map(_.content)
+      val base: LoadedTokenizer = readModelType(spark, path) match {
         case "BPE" =>
           val bc = mergesBroadcastFromFile(spark, path)
           readPreTokenizerKind(spark, path) match {
@@ -1158,6 +1331,20 @@ object TokenizerFiles {
           }
         case other => throw new IllegalArgumentException(
           s"$path: unsupported model.type '$other'")
+      }
+      if (addedContents.isEmpty) base
+      else base match {
+        case ct: ColumnTokenizer => ColumnTokenizer(ct.family,
+          addedTokensEncode(addedContents, ct.encode))
+        case ut: UnigramTokenizer =>
+          // the word DOMAIN must not see control markup: the fence
+          // regex blanks every occurrence before the domain builder
+          // (▁<s>-style pollution would segment to nothing and
+          // silently drop); per-row budget counting re-adds the
+          // occurrences through the carried `specials`
+          UnigramTokenizer(ut.family, ut.vocab,
+            c => ut.preTokens(stripAddedTokens(addedContents)(c)),
+            specials = addedContents)
       }
     } else if (path.endsWith(".model")) {
       val mt = readSentencePieceModelType(spark, path)

@@ -6870,6 +6870,104 @@ class ExtensionsSpec extends SparkSpec {
     assert(wpEnc == Seq("walk ##s"), s"got $wpEnc")
   }
 
+  test("added_tokens: declared specials extract before the model " +
+    "(glued or free-standing), budgets count them, the unigram word " +
+    "domain never sees them, and declared edge semantics fail by " +
+    "name") {
+    import java.nio.file.{Files, Paths}
+    import graft.text.TokenizerFiles
+    val tmp = Files.createTempDirectory("graft_added_tok").toString
+    // writer → reader round-trip on the whitespace-BPE family
+    TokenizerFiles.writeTokenizerJsonBpe(spark, s"$tmp/bpe_added.json",
+      Seq("t" -> "h", "th" -> "e"),
+      Seq("t" -> 0, "h" -> 1, "e" -> 2, "th" -> 3, "the" -> 4),
+      preTokenizer = "whitespace",
+      addedTokens = Seq("<|doc|>" -> 100L, "<s>" -> 101L))
+    val ats = TokenizerFiles.readAddedTokens(spark, s"$tmp/bpe_added.json")
+    assert(ats.map(a => (a.content, a.id, a.special)) ==
+      Seq(("<|doc|>", 100L, true), ("<s>", 101L, true)))
+    val lt = TokenizerFiles.loadTokenizer(spark, s"$tmp/bpe_added.json")
+      .asInstanceOf[TokenizerFiles.ColumnTokenizer]
+    // free-standing, glued-both-sides, adjacent specials, leading and
+    // trailing — every occurrence its own single piece, neighbors
+    // encoded exactly as without the special
+    val got = Seq("<|doc|> the x<s>the<|doc|>y <s><|doc|> the<s>")
+      .toDF("t").select(lt.encode(col("t")).as("e"))
+      .head().getSeq[String](0)
+    assert(got == Seq("<|doc|>", "the", "x", "<s>", "the", "<|doc|>",
+      "y", "<s>", "<|doc|>", "the", "<s>"), s"got $got")
+    // budget counting rides the wrapped encoder: n_words counts
+    // specials as pre-tokens, n_tokens as one token each
+    val bud = TokenizerFiles.tokenBudgets(lt,
+      Seq((1L, "<|doc|> the x<s>")).toDF("doc_id", "text"))
+      .head()
+    assert((bud.getLong(1), bud.getLong(2)) == ((4L, 4L)), s"got $bud")
+    // a token that is a PREFIX of another extracts longest-first and
+    // counts once (the <extra_id_9>/<extra_id_99> shape)
+    TokenizerFiles.writeTokenizerJsonBpe(spark, s"$tmp/bpe_pref.json",
+      Seq("t" -> "h"), Seq("t" -> 0, "h" -> 1, "th" -> 2),
+      preTokenizer = "whitespace",
+      addedTokens = Seq("<e9>" -> 1L, "<e99>" -> 2L))
+    val ltp = TokenizerFiles.loadTokenizer(spark, s"$tmp/bpe_pref.json")
+      .asInstanceOf[TokenizerFiles.ColumnTokenizer]
+    val gotP = Seq("<e99>t<e9>").toDF("t")
+      .select(ltp.encode(col("t")).as("e")).head().getSeq[String](0)
+    assert(gotP == Seq("<e99>", "t", "<e9>"), s"got $gotP")
+    assert(Seq(("<e99>t<e9>", 1)).toDF("t", "i")
+      .select(TokenizerFiles.addedTokensCount(Seq("<e9>", "<e99>"))(
+        col("t"))).head().getLong(0) == 2L)
+    // unigram leg: the word domain is built from the STRIPPED text
+    // (no ▁<s> pollution) and budgets re-add the specials per row
+    Files.write(Paths.get(s"$tmp/uni_added.json"),
+      """{"added_tokens": [
+        |   {"id": 0, "content": "<s>", "special": true,
+        |    "normalized": false}],
+        | "model": {"type": "Unigram",
+        | "vocab": [["a", -0.5], ["b", -0.7], ["ab", -0.9]]}}"""
+        .stripMargin.getBytes("UTF-8"))
+    val ut = TokenizerFiles.loadTokenizer(spark, s"$tmp/uni_added.json")
+      .asInstanceOf[TokenizerFiles.UnigramTokenizer]
+    assert(ut.specials == Seq("<s>"))
+    val dom = Seq("<s>ab ab<s> b").toDF("t")
+      .select(explode(ut.preTokens(col("t"))).as("w"))
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(dom == Seq("ab", "ab", "b"), s"got $dom")
+    val ub = TokenizerFiles.tokenBudgets(ut,
+      Seq((1L, "<s>ab ab<s> b")).toDF("doc_id", "text")).head()
+    // words: ab, ab, b (+2 specials) = 5; tokens: 1+1+1 (+2) = 5
+    assert((ub.getLong(1), ub.getLong(2)) == ((5L, 5L)), s"got $ub")
+    // declared edge semantics fail by name, never silently skip
+    Files.write(Paths.get(s"$tmp/bad_lstrip.json"),
+      """{"added_tokens": [
+        |   {"id": 0, "content": "<s>", "lstrip": true}],
+        | "model": {"type": "Unigram", "vocab": [["a", -1.0]]}}"""
+        .stripMargin.getBytes("UTF-8"))
+    val e1 = intercept[IllegalArgumentException] {
+      TokenizerFiles.loadTokenizer(spark, s"$tmp/bad_lstrip.json")
+    }
+    assert(e1.getMessage.contains("lstrip"), s"got $e1")
+    // normalized: true beside a declared normalizer is a different
+    // pipeline — fail; WITHOUT a normalizer it is harmless and loads
+    Files.write(Paths.get(s"$tmp/bad_normed.json"),
+      """{"normalizer": {"type": "NFKC"},
+        | "added_tokens": [
+        |   {"id": 0, "content": "<s>", "normalized": true}],
+        | "model": {"type": "Unigram", "vocab": [["a", -1.0]]}}"""
+        .stripMargin.getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException] {
+      TokenizerFiles.loadTokenizer(spark, s"$tmp/bad_normed.json")
+    }
+    assert(e2.getMessage.contains("normalized"), s"got $e2")
+    Files.write(Paths.get(s"$tmp/ok_normed.json"),
+      """{"added_tokens": [
+        |   {"id": 0, "content": "<s>", "normalized": true}],
+        | "model": {"type": "Unigram", "vocab": [["a", -1.0]]}}"""
+        .stripMargin.getBytes("UTF-8"))
+    assert(TokenizerFiles.loadTokenizer(spark, s"$tmp/ok_normed.json")
+      .asInstanceOf[TokenizerFiles.UnigramTokenizer]
+      .specials == Seq("<s>"))
+  }
+
   test("htmlMeta: title/canonical/description/og:title — both " +
     "attribute orders, single quotes, uppercase tags, multiline heads, " +
     "absent fields empty, null html") {
