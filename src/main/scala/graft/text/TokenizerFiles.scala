@@ -1108,7 +1108,18 @@ object TokenizerFiles {
   /** The unigram-segmenter vocabulary out of a `.model`: NORMAL and
     * USER_DEFINED pieces as a (piece, lnp) frame —
     * [[TextOps.unigramSegment]]'s vocab side, scores passing through
-    * as the log probabilities they are. */
+    * as the log probabilities they are.
+    *
+    * CONTROL pieces (`<s>`/`</s>`, ptype 3) are deliberately NOT
+    * carried as extraction specials — the asymmetry with the
+    * tokenizer.json route's `added_tokens` is each format's own
+    * shipping semantics: HF's AddedVocabulary extracts declared
+    * specials from raw text ([[addedTokensEncode]]), while
+    * SentencePiece control symbols never match input (the CALLER
+    * inserts them around encoded pieces; a literal `<s>` in raw text
+    * segments as ordinary characters). Faking HF extraction on a
+    * `.model` would encode differently than the sentencepiece library
+    * the file shipped for. */
   def sentencePieceVocab(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     readSentencePieceModel(spark, path)

@@ -6558,6 +6558,12 @@ class ExtensionsSpec extends SparkSpec {
     // the segmenter consumes the scores directly as lnp
     val vocab = TokenizerFiles.sentencePieceVocab(spark, s"$tmp/uni.model")
     assert(vocab.count() == 11L) // <unk>/<s> filtered, user-defined kept
+    // DELIBERATE asymmetry with tokenizer.json added_tokens: a .model
+    // CONTROL piece is NEVER an extraction special — sentencepiece
+    // control symbols don't match raw input (the caller inserts
+    // them), so loadTokenizer must not carry <s> into `specials`
+    assert(TokenizerFiles.loadTokenizer(spark, s"$tmp/uni.model")
+      .asInstanceOf[TokenizerFiles.UnigramTokenizer].specials.isEmpty)
     val seg = TextOps.unigramSegment(Seq("unaffable").toDF("word"),
       vocab, maxLen = 12, maxPiece = 4).head()
     assert(seg.getString(3) == "un|aff|able" && seg.getLong(1) == 3L &&
