@@ -218,8 +218,18 @@ class UrlSpec extends SparkSpec {
     assert(rd("x.git.homelinux.org") == "git.homelinux.org")
     assert(rd("b.files.selfip.net") == "files.selfip.net")
     assert(rd("x.demo.000webhostapp.com") == "demo.000webhostapp.com")
+    // round-17 expansion tails: the .jp geographic municipality
+    // scheme (third-level suffixes — the registrable domain sits at
+    // the FOURTH label, where the prefecture-only snapshot put it one
+    // too shallow)
+    assert(rd("www.lib.chiyoda.tokyo.jp") == "lib.chiyoda.tokyo.jp")
+    assert(rd("a.b.kamakura.kanagawa.jp") == "b.kamakura.kanagawa.jp")
+    assert(rd("x.onsen.hakone.kanagawa.jp") ==
+      "onsen.hakone.kanagawa.jp")
+    assert(rd("x.y.karuizawa.nagano.jp") == "y.karuizawa.nagano.jp")
+    assert(rd("ryokan.yufu.oita.jp") == "ryokan.yufu.oita.jp")
     // rule count reflects the expansion
-    assert(psl.size > 2700, s"snapshot shrank: ${psl.size}")
+    assert(psl.size > 3400, s"snapshot shrank: ${psl.size}")
     // the excerpt fixture still loads independently
     assert(UrlOps.PslExcerptSuffixes.nonEmpty &&
       UrlOps.PslExcerptSuffixes.size < psl.size)
