@@ -3514,6 +3514,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the METASPACE detokenizer round trip — q298's argument in the ▁
+    // alphabet: first 3 ▁-form pre-tokens encoded to ids through the
+    // LOSSLESS vocab, decoded back (inverse vocab → concat → ▁→space
+    // → strip the planted leading space). Metaspace tokenization
+    // preserves case and spacing, so the oracle derives the expected
+    // text DIRECTLY from the source words
+    "q345_metaspace_roundtrip" -> ((s, dir) => {
+      val bcM = TextOps.bpeMergesBroadcast(s, BpeMergesMeta)
+      val bcV = TextOps.bpeVocabBroadcast(s, BpeVocabMetaFull)
+      val bcInv = TextOps.bpeVocabInverseBroadcast(s, BpeVocabMetaFull)
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull && col("doc_id") % 10 === 4)
+        .select(col("doc_id"),
+          flatten(slice(transform(
+            TextOps.metaspacePreTokens(col("text")),
+            tk => graft.functions.VectorExpressions.vocabIds(
+              TextOps.bpeEncodeWordKernel(tk, bcM), bcV)), 1, 3))
+            .as("ids"))
+        .select(col("doc_id"),
+          TextOps.bpeDecodeIdsMetaspace(col("ids"), bcInv).as("decoded"))
+        .orderBy("doc_id")
+    }),
+
     // BYTE-LEVEL BPE TRAINER: 3 merges learned over the pre-token
     // byte-form domain — the merges come out in the Ġ alphabet, ready
     // for bpeEncodeByteLevel / writeMergesTxt. Oracle unrolls the same
@@ -4577,6 +4600,15 @@ object SparkEntry {
   private val BpeVocabByteFull: Seq[(String, Int)] =
     ((('a' to 'z').map(_.toString) :+ "Ġ") ++
       BpeMergesByte.map { case (a, b) => a + b })
+      .distinct.zipWithIndex
+
+  /** q345's LOSSLESS metaspace vocabulary — [[BpeVocabByteFull]]'s
+    * argument in the ▁ alphabet: every lowercase letter (including
+    * 'q', unlike q331's deliberate OOV gap) + `▁` + every merged
+    * symbol. */
+  private val BpeVocabMetaFull: Seq[(String, Int)] =
+    ((('a' to 'z').map(_.toString) :+ "▁") ++
+      BpeMergesMeta.map { case (a, b) => a + b })
       .distinct.zipWithIndex
 
   /** q300/q301's WordPiece vocabulary (id = position): the specials,
@@ -12131,6 +12163,18 @@ object SparkEntry {
         |                     t2 -> len(t2) > 0)[1:3], ' ') AS decoded
         |FROM documents
         |WHERE text IS NOT NULL AND doc_id % 10 = 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // q345: metaspace tokenization is lossless too — the decoded text
+    // IS the source's first 3 words rejoined, derived directly from
+    // documents, independent of every ▁-stage under test
+    "q345_metaspace_roundtrip" ->
+      """SELECT doc_id,
+        |       array_to_string(
+        |         list_filter(string_split(text, ' '),
+        |                     t2 -> len(t2) > 0)[1:3], ' ') AS decoded
+        |FROM documents
+        |WHERE text IS NOT NULL AND doc_id % 10 = 4
         |ORDER BY doc_id""".stripMargin,
 
     // q299: the q197 trainer rounds over the BYTE-FORM pre-token

@@ -4633,6 +4633,36 @@ object TextOps {
     graft.functions.VectorExpressions.gpt2BytesDecode(
       graft.functions.VectorExpressions.vocabSymbols(ids, bcInv))
 
+  /** DETOKENIZE under METASPACE semantics — the inverse of
+    * [[bpeEncodeIdsMetaspace]], completing the decode pair beside
+    * [[bpeDecodeIdsByteLevel]]: ids → symbols (broadcast inverse
+    * vocab, unknown ids fail descriptively) concatenated, every
+    * `replacement` char mapped back to a space, and the ONE leading
+    * space the `always`/`first` prepend scheme planted stripped
+    * (`never` plants none, so nothing strips). Metaspace
+    * tokenization preserves case and interior spacing (`▁▁` decodes
+    * to a double space), so decode(encode(text)) == text for any
+    * text without a literal replacement char and without leading
+    * whitespace — the q345 round-trip gate. (The whitespace family
+    * still has no faithful decoder by design — it lowercases and
+    * drops boundaries.) */
+  def bpeDecodeIdsMetaspace(ids: Column,
+      bcInv: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[Integer, String]],
+      replacement: String = "▁",
+      prepend: String = "always"): Column = {
+    require(replacement.length == 1 && !replacement.contains(" "),
+      s"metaspace replacement must be one non-space char, " +
+        s"got '$replacement'")
+    require(Set("always", "first", "never").contains(prepend),
+      s"prepend_scheme must be always/first/never, got '$prepend'")
+    val spaced = replace(
+      graft.functions.VectorExpressions.vocabSymbols(ids, bcInv),
+      lit(replacement), lit(" "))
+    if (prepend == "never") spaced
+    else regexp_replace(spaced, "^ ", "")
+  }
+
   /** Id-sequence form of [[bpeEncodeDispatch]]. */
   def bpeEncodeIdsDispatch(kind: String, text: Column,
       bcMerges: org.apache.spark.broadcast.Broadcast[

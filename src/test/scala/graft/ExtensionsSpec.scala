@@ -3543,6 +3543,33 @@ class ExtensionsSpec extends SparkSpec {
     // duplicate ids make the inverse ambiguous — rejected at build
     intercept[IllegalArgumentException](
       TextOps.bpeVocabInverseBroadcast(spark, Seq(("a", 1), ("b", 1))))
+    // METASPACE detokenizer: exact round trip incl. case, a double
+    // space (▁▁ decodes back to two spaces), and the planted leading
+    // ▁ stripped; prepend=never strips nothing
+    val mVocab = ((('a' to 'z') ++ ('A' to 'Z')).map(_.toString) :+
+      "▁").zipWithIndex
+    val mMerges = Seq(("▁", "c"), ("a", "t"))
+    val bcMm = TextOps.bpeMergesBroadcast(spark, mMerges)
+    val bcMv = TextOps.bpeVocabBroadcast(spark, mVocab.map {
+      case (s2, i) => (s2, i) } ++ mMerges.zipWithIndex.map {
+      case ((a, b), i) => (a + b, mVocab.size + i) })
+    val bcMi = TextOps.bpeVocabInverseBroadcast(spark, mVocab.map {
+      case (s2, i) => (s2, i) } ++ mMerges.zipWithIndex.map {
+      case ((a, b), i) => (a + b, mVocab.size + i) })
+    val mText = "The cat  Sat"
+    val mrt = Seq(mText).toDF("text")
+      .select(TextOps.bpeDecodeIdsMetaspace(
+        TextOps.bpeEncodeIdsMetaspace(col("text"), bcMm, bcMv), bcMi))
+      .head().getString(0)
+    assert(mrt == mText, s"metaspace round trip broke: '$mrt'")
+    // prepend=never: no leading ▁ planted, none stripped
+    val mrtN = Seq("cat sat").toDF("text")
+      .select(TextOps.bpeDecodeIdsMetaspace(
+        TextOps.bpeEncodeIdsMetaspace(col("text"), bcMm, bcMv,
+          prepend = "never"),
+        bcMi, prepend = "never"))
+      .head().getString(0)
+    assert(mrtN == "cat sat", s"got '$mrtN'")
   }
 
   test("dsirWeights/dsirSelect: weights reproduce the snapped-integer " +
