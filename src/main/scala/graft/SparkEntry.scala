@@ -4057,6 +4057,33 @@ object SparkEntry {
         .orderBy("doc_id", "word_no")
     }),
 
+    // BYTE-FALLBACK ids under metaspace semantics — the Llama pricing
+    // of text outside the merge alphabet: same gapped vocab as q331
+    // (no 'q') plus the 256 <0xXX> pieces; an OOV symbol expands to
+    // its UTF-8 bytes' piece ids instead of -1, so q-words price as
+    // byte pieces and nothing in the stream is unk. n_bytes counts
+    // the fallback ids (>= the byte base)
+    "q346_byte_fallback_ids" -> ((s, dir) => {
+      val bcM = TextOps.bpeMergesBroadcast(s, BpeMergesMeta)
+      val bcV = TextOps.bpeVocabBroadcast(s, BpeVocabMetaBytes)
+      val byteBase = BpeVocabMeta.size
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull && col("doc_id") % 10 === 5)
+        .select(col("doc_id"),
+          posexplode(TextOps.bpeEncodeMetaspace(col("text"), bcM))
+            .as(Seq("pos", "encoded")))
+        .filter(col("pos") < 3)
+        .select(col("doc_id"), (col("pos") + 1).as("word_no"),
+          graft.functions.VectorExpressions
+            .vocabIdsByteFallback(col("encoded"), bcV).as("ids"))
+        .select(col("doc_id"), col("word_no"),
+          array_join(transform(col("ids"), x => x.cast("string")), " ")
+            .as("ids_str"),
+          size(col("ids")).as("n_tokens"),
+          size(filter(col("ids"), x => x >= byteBase)).as("n_bytes"))
+        .orderBy("doc_id", "word_no")
+    }),
+
     // T5-STYLE unigram segmentation over the METASPACE word domain —
     // the Unigram+Metaspace tokenizer family (q235 is the whitespace
     // family, q330 the BPE+Metaspace one): each word carries its ▁
@@ -4610,6 +4637,16 @@ object SparkEntry {
     ((('a' to 'z').map(_.toString) :+ "▁") ++
       BpeMergesMeta.map { case (a, b) => a + b })
       .distinct.zipWithIndex
+
+  /** q346's BYTE-FALLBACK vocabulary: q331's gapped vocab (no 'q')
+    * plus the 256 `<0xXX>` byte pieces at ids base+byte — the Llama
+    * shape, where text outside the merge alphabet prices as byte
+    * pieces instead of unk. The base+byte id assignment is the shared
+    * closed form the oracle replays via ascii(). */
+  private val BpeVocabMetaBytes: Seq[(String, Int)] = {
+    val base = BpeVocabMeta.size
+    BpeVocabMeta ++ (0 until 256).map(b => (f"<0x$b%02X>", base + b))
+  }
 
   /** q300/q301's WordPiece vocabulary (id = position): the specials,
     * every single-letter start piece, single-letter continuations with
@@ -12931,6 +12968,65 @@ object SparkEntry {
          |       CAST(count(*) AS INTEGER) AS n_tokens,
          |       CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END)
          |         AS INTEGER) AS n_oov
+         |FROM ids GROUP BY doc_id, word_no
+         |ORDER BY doc_id, word_no""".stripMargin
+    },
+
+    // q346: q331's replay with the fallback leg — symbols found in
+    // the vocab keep their id; the rest expand per character to
+    // base + ascii() (the shared closed-form byte-piece id
+    // assignment; the corpus is ASCII so chars ARE the UTF-8 bytes),
+    // ordered (pos, sub)
+    "q346_byte_fallback_ids" -> {
+      val vocabVals = BpeVocabMeta
+        .map { case (s2, i) => s"('$s2', $i)" }.mkString(", ")
+      val base = BpeVocabMeta.size
+      s"""WITH mbase AS (
+         |  SELECT doc_id, word_no,
+         |         array_to_string(string_split(
+         |           '▁' || ws[word_no], ''), ' ') AS enc
+         |  FROM (SELECT doc_id, ws,
+         |               CAST(unnest(generate_series(1, least(len(ws), 3)))
+         |                 AS INTEGER) AS word_no
+         |        FROM (SELECT doc_id,
+         |                     list_filter(string_split(text, ' '),
+         |                       t2 -> len(t2) > 0) AS ws
+         |              FROM documents
+         |              WHERE text IS NOT NULL AND doc_id % 10 = 5))),
+         |${bpeMergeCtes(BpeMergesMeta)},
+         |vocab(sym, id) AS (VALUES $vocabVals),
+         |tok AS (
+         |  SELECT doc_id, word_no, enc,
+         |         CAST(unnest(generate_series(1,
+         |             len(string_split(enc, ' ')))) AS INTEGER) AS pos
+         |  FROM m${BpeMergesMeta.length - 1}),
+         |sy AS (
+         |  SELECT doc_id, word_no, pos, string_split(enc, ' ')[pos] AS sym
+         |  FROM tok),
+         |hit AS (
+         |  SELECT sy.doc_id, sy.word_no, sy.pos, 1 AS sub, v.id
+         |  FROM sy JOIN vocab v ON v.sym = sy.sym),
+         |miss AS (
+         |  SELECT sy0.doc_id, sy0.word_no, sy0.pos, sy0.sym
+         |  FROM sy sy0 ANTI JOIN vocab v ON v.sym = sy0.sym),
+         |fb AS (
+         |  SELECT doc_id, word_no, pos,
+         |         CAST(unnest(generate_series(1, len(sym)))
+         |           AS INTEGER) AS sub,
+         |         sym
+         |  FROM miss),
+         |ids AS (
+         |  SELECT doc_id, word_no, pos, sub, id FROM hit
+         |  UNION ALL
+         |  SELECT doc_id, word_no, pos, sub,
+         |         $base + ascii(substr(sym, sub, 1)) AS id
+         |  FROM fb)
+         |SELECT doc_id, word_no,
+         |       array_to_string(array_agg(CAST(id AS VARCHAR)
+         |         ORDER BY pos, sub), ' ') AS ids_str,
+         |       CAST(count(*) AS INTEGER) AS n_tokens,
+         |       CAST(sum(CASE WHEN id >= $base THEN 1 ELSE 0 END)
+         |         AS INTEGER) AS n_bytes
          |FROM ids GROUP BY doc_id, word_no
          |ORDER BY doc_id, word_no""".stripMargin
     },

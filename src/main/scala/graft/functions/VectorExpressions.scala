@@ -157,6 +157,13 @@ object VectorExpressions {
         java.util.HashMap[String, Integer]]): Column =
     Bridge.column(VocabIds(Bridge.expression(encoded), bc))
 
+  /** Column-level symbols→ids with SentencePiece byte_fallback (see
+    * [[VocabIdsByteFallback]]). */
+  def vocabIdsByteFallback(encoded: Column,
+      bc: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[String, Integer]]): Column =
+    Bridge.column(VocabIdsByteFallback(Bridge.expression(encoded), bc))
+
   /** Column-level ids→symbols inverse lookup (see [[VocabSymbols]]). */
   def vocabSymbols(ids: Column,
       bc: org.apache.spark.broadcast.Broadcast[
@@ -482,6 +489,78 @@ case class VocabIds(child: Expression,
                                    ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("vocabIds", this,
       classOf[VocabIds].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** [[VocabIds]] under SentencePiece/Llama `byte_fallback` semantics:
+  * a symbol absent from the vocab expands to its UTF-8 bytes' piece
+  * forms (`<0x61>`-style, uppercase hex — the published piece
+  * spelling), each looked up in the SAME vocab; a byte piece the
+  * vocab lacks still maps to -1 (a byte_fallback vocab carries all
+  * 256 by construction, so -1 flags a malformed vocab rather than
+  * exotic text). The output id sequence can be LONGER than the
+  * symbol count — exactly how a real Llama tokenizer prices text
+  * outside its merge alphabet instead of emitting unk. */
+case class VocabIdsByteFallback(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[String, Integer]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"vocab_ids_byte_fallback expects STRING, " +
+          s"got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types
+    .ArrayType(org.apache.spark.sql.types.IntegerType, false)
+
+  override def prettyName: String = "vocab_ids_byte_fallback"
+
+  /** Row kernel — public so generated code can call it. */
+  def kernel(input: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = input.toString
+    if (s.isEmpty)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.emptyIntArray)
+    val vocab = bc.value
+    val syms = s.split(" ", -1)
+    val out = new scala.collection.mutable.ArrayBuffer[Int](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      val id = vocab.get(syms(i))
+      if (id != null) out += id.intValue()
+      else {
+        val bytes = syms(i).getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)
+        var j = 0
+        while (j < bytes.length) {
+          val bid = vocab.get(f"<0x${bytes(j) & 0xff}%02X>")
+          out += (if (bid == null) -1 else bid.intValue())
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vocabIdsBf", this,
+      classOf[VocabIdsByteFallback].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
   }
 

@@ -3570,6 +3570,16 @@ class ExtensionsSpec extends SparkSpec {
         bcMi, prepend = "never"))
       .head().getString(0)
     assert(mrtN == "cat sat", s"got '$mrtN'")
+    // BYTE FALLBACK ids: a known symbol keeps its id, an OOV symbol
+    // expands to its UTF-8 bytes' <0xXX> piece ids (é = C3 A9 — TWO
+    // ids), and a byte piece the vocab lacks still maps to -1
+    val bcBf = TextOps.bpeVocabBroadcast(spark,
+      Seq(("at", 10), ("<0x71>", 11), ("<0xC3>", 12), ("<0xA9>", 13)))
+    val bf = Seq("at q é z").toDF("t")
+      .select(VE.vocabIdsByteFallback(col("t"), bcBf))
+      .head().getSeq[Int](0)
+    // at→10; q→0x71→11; é→C3 A9→12,13; z→<0x7A> absent→-1
+    assert(bf == Seq(10, 11, 12, 13, -1), s"got $bf")
   }
 
   test("dsirWeights/dsirSelect: weights reproduce the snapped-integer " +
