@@ -4084,6 +4084,30 @@ object SparkEntry {
         .orderBy("doc_id", "word_no")
     }),
 
+    // BYTE-FALLBACK through a SHIPPED FILE — q346's semantics landing
+    // where a user actually stands: writeTokenizerJsonBpe ships
+    // byte_fallback: true with the gapped vocab + 256 byte pieces,
+    // loadTokenizer reads it back, and the loaded encoder's PIECE
+    // STREAM carries <0x71> spellings for q-words (what a real Llama
+    // tokenizer emits — so budget counting prices OOV text
+    // byte-accurately with no special cases)
+    "q347_byte_fallback_file" -> ((s, dir) => {
+      import graft.text.TokenizerFiles
+      val lt = TokenizerFiles.loadTokenizer(s,
+        byteFallbackTokenizerPath(s))
+      val enc =
+        lt.asInstanceOf[TokenizerFiles.ColumnTokenizer].encode
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull && col("doc_id") % 10 === 6)
+        .select(col("doc_id"),
+          posexplode(enc(col("text"))).as(Seq("pos", "encoded")))
+        .filter(col("pos") < 3)
+        .select(col("doc_id"), (col("pos") + 1).as("word_no"),
+          col("encoded"))
+        .withColumn("n_subwords", size(split(col("encoded"), " ")))
+        .orderBy("doc_id", "word_no")
+    }),
+
     // T5-STYLE unigram segmentation over the METASPACE word domain —
     // the Unigram+Metaspace tokenizer family (q235 is the whitespace
     // family, q330 the BPE+Metaspace one): each word carries its ▁
@@ -4541,6 +4565,27 @@ object SparkEntry {
       }
     }
     chatTokCache
+  }
+
+  /** q347's SHIPPED TOKENIZER — the Llama shape end to end: q331's
+    * metaspace merges + the GAPPED vocab (no bare 'q') + the 256 byte
+    * pieces, declaring `byte_fallback: true`; loadTokenizer must come
+    * back with the OOV-to-byte-piece rewrite composed, so q-words
+    * emit `<0x71>` spellings instead of unk-ish bare symbols. */
+  @volatile private var bfTokCache: String = null
+  private def byteFallbackTokenizerPath(s: SparkSession): String = {
+    if (bfTokCache == null) synchronized {
+      if (bfTokCache == null) {
+        val out = java.nio.file.Files.createTempFile("graft_tok_bf_",
+          ".json")
+        out.toFile.deleteOnExit()
+        graft.text.TokenizerFiles.writeTokenizerJsonBpe(s, out.toString,
+          BpeMergesMeta, BpeVocabMetaBytes, preTokenizer = "metaspace",
+          byteFallback = true)
+        bfTokCache = out.toString
+      }
+    }
+    bfTokCache
   }
 
   /** q342's SHIPPED TOKENIZER — q300's WordPiece vocab (maxChars = 7,
@@ -13028,6 +13073,52 @@ object SparkEntry {
          |       CAST(sum(CASE WHEN id >= $base THEN 1 ELSE 0 END)
          |         AS INTEGER) AS n_bytes
          |FROM ids GROUP BY doc_id, word_no
+         |ORDER BY doc_id, word_no""".stripMargin
+    },
+
+    // q347: the q346 fold with the SYMBOL-level rewrite — a vocab hit
+    // passes verbatim, a miss respells per character as <0x%02X>
+    // (ASCII corpus: chars ARE the UTF-8 bytes), symbols rejoined in
+    // fold order
+    "q347_byte_fallback_file" -> {
+      val vocabVals = BpeVocabMeta
+        .map { case (s2, i) => s"('$s2', $i)" }.mkString(", ")
+      s"""WITH mbase AS (
+         |  SELECT doc_id, word_no,
+         |         array_to_string(string_split(
+         |           '▁' || ws[word_no], ''), ' ') AS enc
+         |  FROM (SELECT doc_id, ws,
+         |               CAST(unnest(generate_series(1, least(len(ws), 3)))
+         |                 AS INTEGER) AS word_no
+         |        FROM (SELECT doc_id,
+         |                     list_filter(string_split(text, ' '),
+         |                       t2 -> len(t2) > 0) AS ws
+         |              FROM documents
+         |              WHERE text IS NOT NULL AND doc_id % 10 = 6))),
+         |${bpeMergeCtes(BpeMergesMeta)},
+         |vocab(sym, id) AS (VALUES $vocabVals),
+         |tok AS (
+         |  SELECT doc_id, word_no, enc,
+         |         CAST(unnest(generate_series(1,
+         |             len(string_split(enc, ' ')))) AS INTEGER) AS pos
+         |  FROM m${BpeMergesMeta.length - 1}),
+         |sy AS (
+         |  SELECT doc_id, word_no, pos, string_split(enc, ' ')[pos] AS sym
+         |  FROM tok),
+         |rw AS (
+         |  SELECT sy.doc_id, sy.word_no, sy.pos,
+         |         CASE WHEN v.sym IS NOT NULL THEN sy.sym
+         |              ELSE array_to_string(list_transform(
+         |                string_split(sy.sym, ''),
+         |                ch -> printf('<0x%02X>', ascii(ch))), ' ')
+         |         END AS piece
+         |  FROM sy LEFT JOIN vocab v ON v.sym = sy.sym)
+         |SELECT doc_id, word_no,
+         |       string_agg(piece, ' ' ORDER BY pos) AS encoded,
+         |       CAST(len(string_split(
+         |         string_agg(piece, ' ' ORDER BY pos), ' '))
+         |         AS INTEGER) AS n_subwords
+         |FROM rw GROUP BY doc_id, word_no
          |ORDER BY doc_id, word_no""".stripMargin
     },
 

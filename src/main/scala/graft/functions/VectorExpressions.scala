@@ -164,6 +164,13 @@ object VectorExpressions {
         java.util.HashMap[String, Integer]]): Column =
     Bridge.column(VocabIdsByteFallback(Bridge.expression(encoded), bc))
 
+  /** Column-level OOV-to-byte-piece symbol rewrite (see
+    * [[ByteFallbackSymbols]]). */
+  def byteFallbackSymbols(encoded: Column,
+      bc: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[String, Integer]]): Column =
+    Bridge.column(ByteFallbackSymbols(Bridge.expression(encoded), bc))
+
   /** Column-level ids→symbols inverse lookup (see [[VocabSymbols]]). */
   def vocabSymbols(ids: Column,
       bc: org.apache.spark.broadcast.Broadcast[
@@ -561,6 +568,73 @@ case class VocabIdsByteFallback(child: Expression,
                                    ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("vocabIdsBf", this,
       classOf[VocabIdsByteFallback].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** The SYMBOL-level face of [[VocabIdsByteFallback]]: a space-joined
+  * symbol string with every vocab MISS rewritten to its UTF-8 bytes'
+  * `<0xXX>` piece spellings — exactly the piece stream a real
+  * byte_fallback tokenizer emits, so downstream counting
+  * (`size(split(_, " "))`) and id lookup both price OOV text
+  * byte-accurately without special cases. Hits pass through
+  * verbatim. */
+case class ByteFallbackSymbols(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[String, Integer]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"byte_fallback_symbols expects STRING, " +
+          s"got ${other.simpleString}")
+    }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StringType
+
+  override def prettyName: String = "byte_fallback_symbols"
+
+  /** Row kernel — public so generated code can call it. */
+  def kernel(input: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val s = input.toString
+    if (s.isEmpty) return input
+    val vocab = bc.value
+    val syms = s.split(" ", -1)
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i > 0) sb.append(' ')
+      if (vocab.containsKey(syms(i))) sb.append(syms(i))
+      else {
+        val bytes = syms(i).getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)
+        var j = 0
+        while (j < bytes.length) {
+          if (j > 0) sb.append(' ')
+          sb.append(f"<0x${bytes(j) & 0xff}%02X>")
+          j += 1
+        }
+      }
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("byteFallbackSyms", this,
+      classOf[ByteFallbackSymbols].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
   }
 

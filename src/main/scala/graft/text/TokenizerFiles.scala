@@ -474,7 +474,8 @@ object TokenizerFiles {
       replacement: String = "▁", prependScheme: String = "always",
       unk: Option[String] = None,
       normalizers: Seq[String] = Nil,
-      addedTokens: Seq[(String, Long)] = Nil): Unit = {
+      addedTokens: Seq[(String, Long)] = Nil,
+      byteFallback: Boolean = false): Unit = {
     require(merges.nonEmpty, "merge table must not be empty")
     require(vocab.nonEmpty, "vocab must not be empty")
     require(vocab.map(_._1).distinct.size == vocab.size,
@@ -510,6 +511,7 @@ object TokenizerFiles {
     val model = root.putObject("model")
     model.put("type", "BPE")
     unk.foreach(u => model.put("unk_token", u))
+    if (byteFallback) model.put("byte_fallback", true)
     val v = model.putObject("vocab")
     vocab.foreach { case (tok, id) => v.put(tok, id) }
     val m = model.putArray("merges")
@@ -1275,18 +1277,35 @@ object TokenizerFiles {
       val base: LoadedTokenizer = readModelType(spark, path) match {
         case "BPE" =>
           val bc = mergesBroadcastFromFile(spark, path)
+          // the file's declared byte_fallback (the Llama convention):
+          // symbols outside model.vocab rewrite to their UTF-8 bytes'
+          // <0xXX> piece spellings — the piece stream a real
+          // byte_fallback tokenizer emits, so budget counting prices
+          // OOV text byte-accurately and nothing is unk
+          val bfNode = Option(tokenizerModel(spark, path)
+            .get("byte_fallback")).filter(_.isBoolean)
+            .exists(_.asBoolean())
+          val bfWrap: org.apache.spark.sql.Column =>
+              org.apache.spark.sql.Column =
+            if (!bfNode) identity
+            else {
+              val bcV = vocabBroadcastFromFile(spark, path)
+              enc => org.apache.spark.sql.functions.transform(enc,
+                w => graft.functions.VectorExpressions
+                  .byteFallbackSymbols(w, bcV))
+            }
           readPreTokenizerKind(spark, path) match {
             case "byte_level" => ColumnTokenizer("bpe_byte_level",
-              c => TextOps.bpeEncodeByteLevel(norm(c), bc))
+              c => bfWrap(TextOps.bpeEncodeByteLevel(norm(c), bc)))
             case "metaspace" =>
               // the Llama/Mistral family: the file's own replacement
               // char and prepend scheme drive the split
               val (repl, scheme) = readMetaspaceConfig(spark, path)
               ColumnTokenizer("bpe_metaspace",
-                c => TextOps.bpeEncodeMetaspace(norm(c), bc, repl,
-                  scheme))
+                c => bfWrap(TextOps.bpeEncodeMetaspace(norm(c), bc,
+                  repl, scheme)))
             case "whitespace" => ColumnTokenizer("bpe_whitespace",
-              c => TextOps.bpeEncodeKernel(norm(c), bc))
+              c => bfWrap(TextOps.bpeEncodeKernel(norm(c), bc)))
             case other => throw new IllegalArgumentException(
               s"$path: BPE model with unsupported pre-tokenizer '$other'")
           }

@@ -3580,6 +3580,32 @@ class ExtensionsSpec extends SparkSpec {
       .head().getSeq[Int](0)
     // at→10; q→0x71→11; é→C3 A9→12,13; z→<0x7A> absent→-1
     assert(bf == Seq(10, 11, 12, 13, -1), s"got $bf")
+    // byte_fallback through a SHIPPED file: writeTokenizerJsonBpe
+    // declares it, loadTokenizer composes the rewrite — the piece
+    // stream respells OOV symbols; the same file WITHOUT the flag
+    // leaves them bare
+    val bfDir = java.nio.file.Files.createTempDirectory("graft_bf")
+    val bfVocab = Seq("a" -> 0, "t" -> 1, "at" -> 2, "▁" -> 3,
+      "<0x71>" -> 4, "<0x75>" -> 5, "<0x65>" -> 6)
+    TokenizerFiles.writeTokenizerJsonBpe(spark,
+      bfDir.resolve("bf.json").toString, Seq(("a", "t")), bfVocab,
+      preTokenizer = "metaspace", byteFallback = true)
+    val bfLt = TokenizerFiles.loadTokenizer(spark,
+        bfDir.resolve("bf.json").toString)
+      .asInstanceOf[TokenizerFiles.ColumnTokenizer]
+    val bfEnc = Seq("at que").toDF("t")
+      .select(bfLt.encode(col("t")).as("e")).head().getSeq[String](0)
+    assert(bfEnc == Seq("▁ at", "▁ <0x71> <0x75> <0x65>"),
+      s"got $bfEnc")
+    TokenizerFiles.writeTokenizerJsonBpe(spark,
+      bfDir.resolve("plain.json").toString, Seq(("a", "t")), bfVocab,
+      preTokenizer = "metaspace")
+    val plainEnc = Seq("at que").toDF("t")
+      .select(TokenizerFiles.loadTokenizer(spark,
+          bfDir.resolve("plain.json").toString)
+        .asInstanceOf[TokenizerFiles.ColumnTokenizer]
+        .encode(col("t")).as("e")).head().getSeq[String](0)
+    assert(plainEnc == Seq("▁ at", "▁ q u e"), s"got $plainEnc")
   }
 
   test("dsirWeights/dsirSelect: weights reproduce the snapped-integer " +
