@@ -3839,6 +3839,26 @@ object SparkEntry {
         .orderBy("doc_id", "word_no")
     }),
 
+    // WORDPIECE DECODE — the decode trio's third leg (q298
+    // byte-level, q345 metaspace): ##-continuations glue back onto
+    // their heads, so every fully-covered word reconstructs EXACTLY
+    // and an unk collapse honestly stays [UNK]. The oracle derives
+    // the expected decode from the word and the q300 fold's unk
+    // verdict — never from the decode under test
+    "q348_wordpiece_decode" -> ((s, dir) => {
+      val bcV = TextOps.wordpieceVocabBroadcast(s, WpVocab, maxChars = 7)
+      val toks = slice(TextOps.wordpieceBasicTokens(col("text")), 1, 4)
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull && col("doc_id") % 10 === 7)
+        .select(col("doc_id"),
+          posexplode(transform(toks, w =>
+            graft.functions.WordPiece.encodeWord(w, bcV)))
+            .as(Seq("pos", "enc")))
+        .select(col("doc_id"), (col("pos") + 1).as("word_no"),
+          TextOps.wordpieceDecodeWord(col("enc")).as("decoded"))
+        .orderBy("doc_id", "word_no")
+    }),
+
     // BLEU n-gram statistics over the q262 rewrite-pair synthesis
     // (ref = doc, hyp = next doc; %7 self-pairs score p_n = 1 at every
     // level): clipped matches, totals, and modified precisions per
@@ -12650,6 +12670,17 @@ object SparkEntry {
          |  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY j) AS ids_str,
          |  CAST(count(*) AS INTEGER) AS n_tokens
          |FROM wid GROUP BY 1, 2 ORDER BY doc_id, word_no""".stripMargin,
+
+    // q348: decode is faithful at the word level — a covered word's
+    // pieces concatenate back to the word; an unk collapse stays
+    // [UNK]. Derived from the q300 fold's verdict, not the decoder
+    "q348_wordpiece_decode" ->
+      s"""WITH RECURSIVE ${
+        wordpieceOracleCtesWhere(" AND doc_id % 10 = 7")}
+         |SELECT doc_id, word_no,
+         |  CASE WHEN encoded = '[UNK]' THEN '[UNK]' ELSE word END
+         |    AS decoded
+         |FROM enc ORDER BY doc_id, word_no""".stripMargin,
 
     // q302: clipped n-gram counts + modified precisions per (pair, n)
     // — the exploded relational replay of the one-pass kernel

@@ -4663,6 +4663,26 @@ object TextOps {
     else regexp_replace(spaced, "^ ", "")
   }
 
+  /** DECODE a WordPiece piece string back to its word — the
+    * `convert_tokens_to_string` convention: `##` continuations glue
+    * onto their head, so a fully-covered word reconstructs EXACTLY
+    * (greedy matching partitions the word — concatenation is the
+    * word itself) and an unk collapse stays `[UNK]` (the information
+    * was destroyed at encode time; decode is honest about it).
+    * Completes the decode trio beside [[bpeDecodeIdsByteLevel]] and
+    * [[bpeDecodeIdsMetaspace]] — though unlike those two this family
+    * is lossy BY DESIGN (case folded, punctuation split): faithful
+    * only at the word level q348 pins. Map-only column expression. */
+  def wordpieceDecodeWord(encoded: Column): Column =
+    replace(encoded, lit(" ##"), lit(""))
+
+  /** Document form of [[wordpieceDecodeWord]] — the per-word piece
+    * strings of [[wordpieceEncode]] decoded and re-joined with single
+    * spaces (the BERT basic-token boundary; original inter-word
+    * whitespace and punctuation adjacency are already gone). */
+  def wordpieceDecode(encoded: Column): Column =
+    array_join(transform(encoded, w => wordpieceDecodeWord(w)), " ")
+
   /** Id-sequence form of [[bpeEncodeDispatch]]. */
   def bpeEncodeIdsDispatch(kind: String, text: Column,
       bcMerges: org.apache.spark.broadcast.Broadcast[

@@ -7266,6 +7266,17 @@ class ExtensionsSpec extends SparkSpec {
       .select(graft.functions.WordPiece.encodeWord(col("w"), bc).as("e"))
       .head()
     assert(n.isNullAt(0))
+    // DECODE: ## continuations glue back — a covered word
+    // reconstructs exactly, [UNK] stays [UNK] (information destroyed
+    // at encode time), and the document form re-joins words with
+    // single spaces
+    val dec = Seq(("walk ##s", "[UNK]", "a")).toDF("a", "b", "c")
+      .select(TextOps.wordpieceDecodeWord(col("a")),
+        TextOps.wordpieceDecodeWord(col("b")),
+        TextOps.wordpieceDecode(array(col("a"), col("b"), col("c"))))
+      .head()
+    assert(dec.getString(0) == "walks" && dec.getString(1) == "[UNK]" &&
+      dec.getString(2) == "walks [UNK] a", s"got $dec")
   }
 
   test("wordpieceBasicTokens: lowercase, punctuation isolated (BERT's " +
