@@ -100,7 +100,7 @@ object Run {
       |  train-tokenizer -d <docs parquet> -s <tokenizer.json>
       |             [--family metaspace|byte_level|whitespace|unigram]
       |             [--merges <n>] [--vocab-size <n>] [--rounds <n>]
-      |             [--metaspace]""".stripMargin
+      |             [--metaspace] [--byte-fallback]""".stripMargin
 
   /** getopt-lite: `-x val` / `--long val` for value opts, bare flags for
     * booleans (the reference's flag set). */
@@ -108,7 +108,8 @@ object Run {
     "--parquet", "--audit", "--fuzzy-decon", "--psl", "--fuzzy-prior",
     "--drop-damaged", "--c4-lines", "--script-aware", "--paragraph-dedup",
     "--lang-router", "--fix-encoding", "--canonical-collapse",
-    "--sem-whiten", "--metaspace", "--sem-decon-multiprobe")
+    "--sem-whiten", "--metaspace", "--sem-decon-multiprobe",
+    "--byte-fallback")
   private def parseOpts(args: Seq[String]): Map[String, String] = {
     val out = Map.newBuilder[String, String]
     var i = 0
@@ -616,6 +617,11 @@ object Run {
       exit2("Output tokenizer.json (-s) missing."))
     val family = opts.getOrElse("--family", "metaspace")
     val nMerges = opts.get("--merges").map(_.toInt).getOrElse(64)
+    val byteFallback = opts.contains("--byte-fallback")
+    if (byteFallback && family != "metaspace" && family != "whitespace")
+      exit2("--byte-fallback applies to the metaspace/whitespace " +
+        "families (byte_level's alphabet already covers every byte; " +
+        "the unigram trainer has no byte-piece leg)")
     val docs = spark.read.parquet(in)
     if (family == "unigram") {
       // the SentencePiece-style EM trainer: --vocab-size pieces after
@@ -670,10 +676,17 @@ object Run {
       .filter(length(col("ch")) > 0)
       .distinct().collect().map(_.getString(0)).sorted.toSeq
     require(alpha.size <= 65536, s"alphabet too large: ${alpha.size}")
-    val vocab = (alpha ++ merges.map { case (a, b) => a + b })
-      .distinct.zipWithIndex
+    val vocab0 = (alpha ++ merges.map { case (a, b) => a + b }).distinct
+    // --byte-fallback: ship the 256 <0xXX> pieces too and declare the
+    // flag, so the loaded tokenizer prices text outside the trained
+    // alphabet as byte pieces instead of bare OOV symbols (the Llama
+    // shape; loadTokenizer composes the rewrite back on read)
+    val vocab = (vocab0 ++ (if (byteFallback)
+        (0 until 256).map(b => f"<0x$b%02X>")
+          .filterNot(vocab0.contains)
+      else Nil)).zipWithIndex
     TokenizerFiles.writeTokenizerJsonBpe(spark, out, merges, vocab,
-      preTokenizer = family)
+      preTokenizer = family, byteFallback = byteFallback)
     println(s"Trained ${merges.size} merges, vocab ${vocab.size} -> $out")
   }
 

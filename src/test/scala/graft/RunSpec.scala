@@ -458,5 +458,22 @@ class RunSpec extends SparkSpec {
       ut.vocab)
     assert(segged.count() == 3L, "shipped metaspace unigram " +
       "tokenizer failed to segment its own pre-tokens")
+    // --byte-fallback: the shipped file carries the 256 byte pieces
+    // and the flag, so the LOADED tokenizer respells text outside the
+    // trained alphabet as <0xXX> pieces instead of bare OOV symbols
+    val out4 = dir.resolve("tok_bf.json").toString
+    Run.main(Array("train-tokenizer", "-d", docsPath, "-s", out4,
+      "--merges", "3", "--byte-fallback"))
+    val bfIds = TokenizerFiles.readTokenizerJsonVocab(spark, out4)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(bfIds.contains("<0x00>") && bfIds.contains("<0xFF>") &&
+      bfIds.values.toSeq.sorted == bfIds.values.toSeq.sorted.distinct)
+    val bfLt = TokenizerFiles.loadTokenizer(spark, out4)
+      .asInstanceOf[TokenizerFiles.ColumnTokenizer]
+    // 'z' never appeared in the training corpus → byte piece; trained
+    // symbols still encode as themselves
+    val bfEnc = Seq("the zz").toDF("text")
+      .select(bfLt.encode(col("text"))).head().getSeq[String](0)
+    assert(bfEnc == Seq("▁the", "▁ <0x7A> <0x7A>"), s"got $bfEnc")
   }
 }
