@@ -75,6 +75,30 @@ object ScaleProbe {
       r
     }
 
+    // round-17: the full shipped-tokenizer-file surface in one column
+    // fn — declared Sequence(NFKC, Lowercase) normalizer, an added
+    // special, metaspace pre-tokenization, an 8-merge fold, and the
+    // byte_fallback OOV respell — built ONCE from a written temp file
+    // (the loadTokenizer path users hit), map-only by construction
+    lazy val fileTokEncode: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column = {
+      import graft.text.TokenizerFiles
+      val pth = java.nio.file.Files.createTempFile("graft_probe_tok_",
+        ".json")
+      pth.toFile.deleteOnExit()
+      val merges = Seq(("t", "h"), ("th", "e"), ("a", "n"), ("i", "n"),
+        ("o", "n"), ("e", "r"), ("s", "t"), ("d", "e"))
+      val alpha = ('a' to 'z').map(_.toString) :+ "▁"
+      val vocab = ((alpha ++ merges.map { case (a, b) => a + b })
+        .distinct ++ (0 until 256).map(b => f"<0x$b%02X>")).zipWithIndex
+      TokenizerFiles.writeTokenizerJsonBpe(spark, pth.toString, merges,
+        vocab, preTokenizer = "metaspace",
+        normalizers = Seq("NFKC", "Lowercase"),
+        addedTokens = Seq("<|doc|>" -> 500L), byteFallback = true)
+      TokenizerFiles.loadTokenizer(spark, pth.toString)
+        .asInstanceOf[TokenizerFiles.ColumnTokenizer].encode
+    }
+
     def suite(docs: DataFrame): Map[String, Double] =
       timedSuite(docs)(Seq(
         "exact" -> { d => Dedup.exact(d).count() },
@@ -356,6 +380,13 @@ object ScaleProbe {
               graft.text.UrlOps.hostOf(col("u"))).as("rd"), col("u"))
             .agg(sum(length(col("u"))), count_distinct(col("rd")))
             .head(); 1L },
+        // round-17: normalizer + added-token + byte-fallback encode
+        // through a written-then-loaded file; the added special is
+        // GLUED in front so the fence regex does real work per row
+        "tokenizer_file_encode" -> { d =>
+          d.select(concat(lit("<|doc|>"), col("text")).as("t"))
+            .select(fileTokEncode(col("t")).as("e"))
+            .agg(sum(size(col("e")))).head(); 1L },
         // round-9 additions: node/edge domains SCALE with the corpus
         // (div-derived node ids) so the probe measures the iteration
         // joins, not a fixed 10-node toy
