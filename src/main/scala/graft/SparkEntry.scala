@@ -4181,6 +4181,20 @@ object SparkEntry {
         "a", "b", groupCols = Seq("source"))
         .orderBy("source")),
 
+    // ROC-AUC per source — the threshold-free ranking power of a
+    // quality score (q280/q281/q308 measure probability quality; AUC
+    // is the number a classifier GATE is chosen by): Mann-Whitney
+    // rank statistic with average-rank ties in doubled units, exact
+    // integer sums, ONE division. The 13-value score grid forces
+    // heavy ties so the tie leg carries real weight
+    "q349_roc_auc" -> ((s, dir) =>
+      ops.Stats.rocAuc(
+        t(s, dir, "documents").select(col("source"),
+          (col("doc_id") % 3 === 0).cast("int").as("label"),
+          pmod(col("doc_id") * 7, lit(13)).cast("int").as("score")),
+        "label", "score", groupCols = Seq("source"))
+        .orderBy("source")),
+
     // SALTED PSEUDONYMIZATION — the export-time governance step:
     // deterministic within a release (joins still line up),
     // unlinkable across salt rotations; nulls stay null
@@ -13286,6 +13300,35 @@ object SparkEntry {
         |      / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
         |        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
         |    END AS rho
+        |FROM g ORDER BY source""".stripMargin,
+
+    // q349: the q326 doubled-rank recipe on ONE score column —
+    // AUC = (ΣR2_pos − n_pos(n_pos+1)) / (2·n_pos·n_neg), exact
+    // integers up to the single division
+    "q349_roc_auc" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(doc_id % 3 = 0 AS INTEGER) AS label,
+        |    CAST(doc_id * 7 % 13 AS INTEGER) AS score
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, label,
+        |    2 * rank() OVER (PARTITION BY source ORDER BY score)
+        |      + count(*) OVER (PARTITION BY source, score) - 1 AS r2
+        |  FROM d),
+        |g AS (
+        |  SELECT source,
+        |    CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pos,
+        |    CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_neg,
+        |    CAST(sum(CASE WHEN label = 1 THEN r2 ELSE 0 END) AS BIGINT)
+        |      AS s2
+        |  FROM r GROUP BY 1)
+        |SELECT source, n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+        |      / CAST(2 * n_pos * n_neg AS DOUBLE) END AS auc
         |FROM g ORDER BY source""".stripMargin,
 
     // q327: sha256(salt ':' value), nulls stay null — the same hash

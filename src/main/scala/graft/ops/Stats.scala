@@ -350,4 +350,46 @@ object Stats {
         (nd * d("sxy") - d("sx") * d("sy")) / sqrt(vx * vy))
         .as("rho")): _*)
   }
+
+  /** ROC-AUC via the Mann-Whitney rank statistic — the
+    * threshold-free companion to the classifier eval family
+    * (calibrationBins/ECE/Brier measure probability QUALITY; AUC
+    * measures RANKING power, the number a quality-classifier gate is
+    * actually chosen by). Average-rank tie handling through the
+    * [[spearman]] doubled-unit recipe (2·rank + ties − 1, always an
+    * INTEGER), so AUC = (ΣR2_pos − n_pos(n_pos+1)) / (2·n_pos·n_neg)
+    * is exact-integer sums + ONE IEEE division — bit-portable across
+    * engines and partitionings. NULL when a group lacks positives or
+    * negatives (AUC undefined — never a fake 0.5).
+    *
+    * Scale shape: one rank window on (group, score) + one grouped
+    * aggregation; only (group, label, score) rows shuffle — an
+    * eval-sized frame by construction, not a corpus operator. */
+  def rocAuc(df: DataFrame, labelCol: String = "label",
+             scoreCol: String = "score",
+             groupCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = if (groupCols.nonEmpty) groupCols else Seq("_g")
+    val base = (if (groupCols.nonEmpty) df
+                else df.withColumn("_g", lit(0)))
+      .filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(scoreCol))
+    val ties = Window.partitionBy((keys.map(col) :+ col(scoreCol)): _*)
+    val r2 = lit(2L) * rank().over(w).cast("long") +
+      count(lit(1)).over(ties) - 1L
+    val pos = (col(labelCol) === 1).cast("long")
+    val g = base.withColumn("_r2", r2)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(pos).as("n_pos"),
+        sum(lit(1L) - pos).as("n_neg"),
+        sum(col("_r2") * pos).as("s2_pos"))
+    val outKeys = if (groupCols.nonEmpty) groupCols.map(col) else Nil
+    g.select((outKeys :+ col("n_pos") :+ col("n_neg") :+
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        (col("s2_pos") - col("n_pos") * (col("n_pos") + 1L))
+          .cast("double") /
+          (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+        .as("auc")): _*)
+  }
 }

@@ -461,6 +461,31 @@ class OpsSpec extends SparkSpec {
     assert(rows("g1") == ((2L, 1.0)) && rows("g2") == ((2L, -1.0)))
   }
 
+  test("rocAuc: perfect separation 1, reversed 0, hand tied case, " +
+    "single-class null, grouped form, null rows excluded") {
+    // perfect: every positive outranks every negative
+    val perf = Seq((0, 1), (0, 2), (1, 3), (1, 4)).toDF("label", "score")
+    assert(Stats.rocAuc(perf).head().getDouble(2) == 1.0)
+    val rev = Seq((1, 1), (1, 2), (0, 3), (0, 4)).toDF("label", "score")
+    assert(Stats.rocAuc(rev).head().getDouble(2) == 0.0)
+    // hand case with ties: scores pos={2,3}, neg={1,3}
+    // pairs: (2>1)=1, (2 vs 3)=0, (3>1)=1, (3 vs 3 tie)=0.5 → 2.5/4
+    val tied = Seq((1, 2), (1, 3), (0, 1), (0, 3)).toDF("label", "score")
+    assert(Stats.rocAuc(tied).head().getDouble(2) == 0.625)
+    // one class only → undefined, never a fake 0.5
+    val onec = Seq((1, 1), (1, 2)).toDF("label", "score")
+    assert(Stats.rocAuc(onec).head().isNullAt(2))
+    // grouped + null exclusion
+    val g = Seq(("a", Some(1), Some(5)), ("a", Some(0), Some(1)),
+      ("a", None, Some(9)), ("b", Some(0), Some(5)),
+      ("b", Some(1), Some(1))).toDF("grp", "label", "score")
+    val rows = Stats.rocAuc(g, groupCols = Seq("grp")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows("a") == ((1L, 1L, 1.0)) && rows("b") == ((1L, 1L, 0.0)),
+      s"got $rows")
+  }
+
   test("pseudonymize: deterministic salted sha256 (verified against " +
     "MessageDigest), null preserved, salt rotation unlinks, missing " +
     "column and empty salt rejected") {
