@@ -4195,6 +4195,17 @@ object SparkEntry {
         "label", "score", groupCols = Seq("source"))
         .orderBy("source")),
 
+    // GINI concentration of document lengths per source — the
+    // inequality number mixing reports lead with (who dominates a
+    // source's mass); exact integer sums over the ascending rank
+    // window, ONE division
+    "q350_gini" -> ((s, dir) =>
+      ops.Stats.gini(
+        t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("source"), col("n_chars")),
+        "n_chars", groupCols = Seq("source"))
+        .orderBy("source")),
+
     // SALTED PSEUDONYMIZATION — the export-time governance step:
     // deterministic within a release (joins still line up),
     // unlinkable across salt rotations; nulls stay null
@@ -13329,6 +13340,29 @@ object SparkEntry {
         |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
         |    CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
         |      / CAST(2 * n_pos * n_neg AS DOUBLE) END AS auc
+        |FROM g ORDER BY source""".stripMargin,
+
+    // q350: the ascending-rank Gini form — ties order-invariant
+    // inside Σ i·x, exact LONG sums, one division
+    "q350_gini" ->
+      """WITH d AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (
+        |  SELECT source, v,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY v)
+        |      AS BIGINT) AS i
+        |  FROM d),
+        |g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS s,
+        |    CAST(sum(i * v) AS BIGINT) AS a,
+        |    CAST(min(v) AS BIGINT) AS mn
+        |  FROM r GROUP BY 1)
+        |SELECT source, n,
+        |  CASE WHEN s > 0 AND mn >= 0 THEN
+        |    CAST(2 * a - (n + 1) * s AS DOUBLE)
+        |      / CAST(n * s AS DOUBLE) END AS gini
         |FROM g ORDER BY source""".stripMargin,
 
     // q327: sha256(salt ':' value), nulls stay null — the same hash

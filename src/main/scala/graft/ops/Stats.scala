@@ -365,6 +365,42 @@ object Stats {
     * Scale shape: one rank window on (group, score) + one grouped
     * aggregation; only (group, label, score) rows shuffle — an
     * eval-sized frame by construction, not a corpus operator. */
+  /** GINI concentration of a non-negative LONG measure — the
+    * inequality number data-mixing reports lead with (domain share
+    * concentration, per-source token mass, dedup cluster sizes):
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over the ascending sort,
+    * i = 1..n. Ties are order-invariant inside the sum (equal values
+    * swap freely), every sum is an exact LONG, and G is ONE IEEE
+    * division — bit-portable. NULL when the group's mass is zero or
+    * any value is negative (Gini undefined — never a silent clamp).
+    *
+    * Scale shape: one rank window on (group, value) + one grouped
+    * aggregation — the q98 percent-rank class; only (group, value)
+    * rows shuffle. */
+  def gini(df: DataFrame, valueCol: String,
+           groupCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = if (groupCols.nonEmpty) groupCols else Seq("_g")
+    val base = (if (groupCols.nonEmpty) df
+                else df.withColumn("_g", lit(0)))
+      .filter(col(valueCol).isNotNull)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(valueCol))
+    val g = base
+      .withColumn("_i", row_number().over(w).cast("long"))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("long")).as("s"),
+        sum(col("_i") * col(valueCol).cast("long")).as("a"),
+        min(col(valueCol).cast("long")).as("_min"))
+    val outKeys = if (groupCols.nonEmpty) groupCols.map(col) else Nil
+    g.select((outKeys :+ col("n") :+
+      when(col("s") > 0 && col("_min") >= 0,
+        (lit(2L) * col("a") - (col("n") + 1L) * col("s"))
+          .cast("double") / (col("n") * col("s")).cast("double"))
+        .as("gini")): _*)
+  }
+
   def rocAuc(df: DataFrame, labelCol: String = "label",
              scoreCol: String = "score",
              groupCols: Seq[String] = Nil): DataFrame = {

@@ -486,6 +486,30 @@ class OpsSpec extends SparkSpec {
       s"got $rows")
   }
 
+  test("gini: equal shares 0, hand case 1/6, one-holder maximum " +
+    "(n-1)/n, zero mass and negative values null, grouped form") {
+    val eq = Seq(5L, 5L, 5L, 5L).toDF("v")
+    assert(Stats.gini(eq, "v").head().getDouble(1) == 0.0)
+    // hand: values 1,1,2 sorted → A = 1+2+6 = 9, S = 4, n = 3
+    // G = (18 − 16)/12 = 1/6
+    val hand = Seq(2L, 1L, 1L).toDF("v")
+    assert(Stats.gini(hand, "v").head().getDouble(1) == 1.0 / 6.0)
+    // one holder of everything: G = (n−1)/n
+    val one = Seq(0L, 0L, 0L, 12L).toDF("v")
+    assert(Stats.gini(one, "v").head().getDouble(1) == 0.75)
+    // zero total mass / any negative → undefined
+    assert(Stats.gini(Seq(0L, 0L).toDF("v"), "v").head().isNullAt(1))
+    assert(Stats.gini(Seq(-1L, 5L).toDF("v"), "v").head().isNullAt(1))
+    // grouped, nulls excluded
+    val g = Seq(("a", Some(5L)), ("a", Some(5L)), ("a", None),
+      ("b", Some(0L)), ("b", Some(9L))).toDF("grp", "v")
+    val rows = Stats.gini(g, "v", Seq("grp")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(rows("a") == ((2L, 0.0)) && rows("b") == ((2L, 0.5)),
+      s"got $rows")
+  }
+
   test("pseudonymize: deterministic salted sha256 (verified against " +
     "MessageDigest), null preserved, salt rotation unlinks, missing " +
     "column and empty salt rejected") {
