@@ -1820,8 +1820,8 @@ object Dedup {
       "mBits must be a multiple of 64")
     require(kHashes >= 1 && kHashes <= 16, "kHashes out of range")
     def positions(c: Column): Seq[Column] = (1 to kHashes).map { i =>
-      pmod(conv(substring(md5(concat(c.cast("string"), lit(":" + i))),
-        1, 15), 16, 10).cast("long"), lit(mBits.toLong))
+      pmod(graft.functions.HashExpressions.md5Prefix(
+        concat(c.cast("string"), lit(":" + i)), 15), lit(mBits.toLong))
     }
     val seenVals = seen.select(col(valueCol).cast("string").as("_v"))
       .filter(col("_v").isNotNull).distinct()

@@ -412,6 +412,76 @@ object CleanDupChunks {
   * gate is the spec's parity-with-JDK and ordering properties, and the
   * driver's rows-only check.
   */
+/** First `hexLen` hex chars of md5(input), parsed base-16, as a LONG —
+  * the single-kernel form of the portable hash-bucket idiom
+  * `conv(substring(md5(x), 1, hexLen), 16, 10)::long` that the whole
+  * repo keys deterministic sampling, splits, bootstrap draws and Bloom
+  * positions on. The SQL chain materializes a 32-char hex string, a
+  * substring copy and a base-16 string parse per row; this kernel reads
+  * the leading nibbles of the raw digest directly. Value-identical by
+  * construction: the i-th hex char of md5 IS the i-th nibble of the
+  * digest, and `conv(_, 16, 10)` of ≤ 15 hex chars is an exact
+  * unsigned parse (< 2^60, no overflow clamp), so kernel(x, L) ==
+  * the chain for every string and L ≤ 15 (ExtensionsSpec pins it on a
+  * null/unicode/numeric zoo). Null in → null out, like md5().
+  *
+  * Per-thread MessageDigest reuse (the [[DeflateRatio]] convention):
+  * steady-state rows allocate only the 16-byte digest. */
+case class Md5Prefix(child: Expression, hexLen: Int)
+    extends UnaryExpression {
+
+  require(hexLen >= 1 && hexLen <= 15,
+    s"hexLen must be in [1, 15] (conv parse stays exact), got $hexLen")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"md5_prefix expects STRING, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "md5_prefix"
+
+  /** Row kernel — public so generated code can call it. */
+  def kernel(input: UTF8String): Long = {
+    val md = Md5Prefix.threadMd5.get()
+    md.reset()
+    val d = md.digest(input.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < hexLen) {
+      val nibble =
+        if ((i & 1) == 0) (d(i >> 1) >> 4) & 0xf
+        else d(i >> 1) & 0xf
+      v = (v << 4) | nibble
+      i += 1
+    }
+    v
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("md5Prefix", this,
+      classOf[Md5Prefix].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object Md5Prefix {
+  private[functions] val threadMd5
+      : ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
+}
+
 case class DeflateRatio(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -487,6 +557,10 @@ object HashExpressions {
   /** Column-level Jaro-Winkler similarity (see [[JaroWinkler]]). */
   def jaroWinkler(a: Column, b: Column): Column =
     Bridge.column(JaroWinkler(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column-level md5 hex-prefix value (see [[Md5Prefix]]). */
+  def md5Prefix(key: Column, hexLen: Int): Column =
+    Bridge.column(Md5Prefix(Bridge.expression(key), hexLen))
 
   /** Column-level deflate compression ratio (see [[DeflateRatio]]). */
   def deflateRatio(text: Column): Column =

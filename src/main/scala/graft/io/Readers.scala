@@ -109,9 +109,29 @@ object Readers {
     *     `ReadSchema: ...timestamp_ntz`).
     * Set at runtime so it works under any session (driver-created
     * included). */
+  /** Per-JVM cache of INFERRED parquet schemas keyed by file path: the
+    * first `table()` call per path pays the driver-side footer read,
+    * every later call passes the schema explicitly — exactly the
+    * "pass the known schema at scale" rule ([[parquetMerged]]'s doc,
+    * guide §6), applied to the bench's 348-query × per-query re-read
+    * pattern. Metadata only (a StructType), never data or results; the
+    * schema is whatever inference produced in this same JVM under the
+    * same confs, so the frame is identical to the uncached one. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    val cached = schemaCache.get(path)
+    val raw =
+      if (cached != null) spark.read.schema(cached).parquet(path)
+      else {
+        val r = spark.read.parquet(path)
+        schemaCache.putIfAbsent(path, r.schema)
+        r
+      }
     val df = raw.schema.fields.find(f => f.name == "ts" &&
         f.dataType == org.apache.spark.sql.types.LongType) match {
       case Some(_) =>

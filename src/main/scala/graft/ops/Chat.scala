@@ -630,8 +630,9 @@ object Chat {
         (col("k") / col("n")).cast("long").as("r"),
         pmod(col("k"), col("n")).as("i"))
       .withColumn("rn", pmod(
-        conv(substring(md5(concat(col("model"), lit(":"), col("r"),
-          lit(":"), col("i"))), 1, 8), 16, 10).cast("long"),
+        graft.functions.HashExpressions.md5Prefix(
+          concat(col("model"), lit(":"), col("r"),
+            lit(":"), col("i")), 8),
         col("n")))
     // the items side is EVAL-sized by contract (|models|·n rows,
     // thousands) — broadcast it so the b·n draw fan-out never
@@ -691,8 +692,9 @@ object Chat {
       .select(col("n"), (col("k") / col("n")).cast("long").as("r"),
         pmod(col("k"), col("n")).as("i"))
       .withColumn("rn", pmod(
-        conv(substring(md5(concat(lit(key), lit(":"), col("r"),
-          lit(":"), col("i"))), 1, 8), 16, 10).cast("long"),
+        graft.functions.HashExpressions.md5Prefix(
+          concat(lit(key), lit(":"), col("r"),
+            lit(":"), col("i")), 8),
         col("n")))
     val resamples = draws.join(broadcast(it), Seq("rn"))
       .groupBy("r")

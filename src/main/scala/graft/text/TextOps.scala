@@ -243,8 +243,8 @@ object TextOps {
     * expression works in any SQL engine, so train/val/test membership is
     * stable across the whole data platform, not just this engine. */
   def hashBucket(key: Column, buckets: Int = 100): Column =
-    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
-      .cast("long"), lit(buckets.toLong))
+    pmod(graft.functions.HashExpressions.md5Prefix(key.cast("string"), 8),
+      lit(buckets.toLong))
 
   /** Deterministic train/val/test split label from [[hashBucket]]:
     * [0,trainPct) → train, [trainPct,trainPct+valPct) → val, rest test. */
@@ -2589,8 +2589,8 @@ object TextOps {
   def fimText(id: Column, text: Column, ratePct: Int = 50,
               spm: Boolean = false): Column = {
     def cut(tag: String): Column = pmod(
-      conv(substring(md5(concat(id.cast("string"), lit(tag))),
-        1, 8), 16, 10).cast("long"),
+      graft.functions.HashExpressions.md5Prefix(
+        concat(id.cast("string"), lit(tag)), 8),
       length(text).cast("long") + 1L)
     val lo = least(cut(":f1"), cut(":f2")).cast("int")
     val hi = greatest(cut(":f1"), cut(":f2")).cast("int")
@@ -2867,8 +2867,8 @@ object TextOps {
     val salted = concat(lit(seed), lit(":"), col(idCol).cast("string"))
     docs.withColumn("shard", hashBucket(salted, nShards))
       .withColumn("shard_order",
-        conv(substring(md5(concat(lit(seed), lit(":o:"),
-          col(idCol).cast("string"))), 1, 15), 16, 10).cast("long"))
+        graft.functions.HashExpressions.md5Prefix(
+          concat(lit(seed), lit(":o:"), col(idCol).cast("string")), 15))
   }
 
   /** DSIR-STYLE IMPORTANCE SCORES (Xie et al. 2023, "Data Selection
@@ -3871,13 +3871,14 @@ object TextOps {
     * workflow's missing half (train on labeled docs, sweep the
     * threshold with [[thresholdSweep]], deploy the cutoff into
     * [[scoreLinearModel]]): fixed-iteration FULL-BATCH gradient descent
-    * over [[hashFeatures]] hashed-token counts. Per round: predictions
-    * from the current |buckets|-row weight table (BROADCAST — the
-    * corpus never shuffles beyond the one (doc, bucket) partial-agg),
-    * per-doc residual, one partial-agged gradient sum (|buckets| rows
-    * out), dyadic-learning-rate update. The bpeTrain/pageRank loop
-    * pattern: per-iteration state is vocabulary-sized, the feature
-    * table is built once and persisted.
+    * over [[hashFeatures]] hashed-token counts. The feature table is
+    * compacted to one array row per doc and persisted once; per round,
+    * predictions and residuals are MAP-SIDE expressions against the
+    * driver-held |buckets|-double weight vector (shipped as plan
+    * literals — model-sized state, the seedCentroids convention), and
+    * the only distributed op is ONE |buckets|-row gradient aggregation
+    * whose bounded collect updates the weights. The corpus never
+    * shuffles; each round is a single job.
     *
     * BIT-PORTABILITY BY CONSTRUCTION (the reason this trainer exists as
     * an oracle-gated operator while `exp`/`ln` models stay spec-gated,
@@ -3898,8 +3899,8 @@ object TextOps {
     * absorbed into the shift — pick `lrShift ≈ log2(corpus tokens)`;
     * the 2^-20 default is sized for ~10⁶-token corpora). Docs whose
     * text yields no hashable tokens contribute no gradient (no
-    * features) but still anchor the residual frame. Returns the
-    * (bucket, weight) model [[scoreLinearModel]] consumes verbatim. */
+    * features). Returns the (bucket, weight) model
+    * [[scoreLinearModel]] consumes verbatim. */
   def logisticTrain(docs: DataFrame, labelCol: String,
                     numBuckets: Int = 64, iters: Int = 3,
                     lrShift: Int = 20,
@@ -3907,43 +3908,63 @@ object TextOps {
                     textCol: String = "text"): DataFrame = {
     require(iters > 0, "iters must be positive")
     require(lrShift >= 0 && lrShift <= 40, "lrShift out of range")
+    val spark = docs.sparkSession
     val lr = 1.0 / (1L << lrShift)
     val lab = docs.filter(col(labelCol).isNotNull)
       .select(col(idCol).as("_id"), col(labelCol).cast("double").as("_y"))
-    val fl = hashFeatures(docs.filter(col(labelCol).isNotNull),
+    // Per-doc COMPACTED feature rows, built once: (fs array<(bucket,n)>,
+    // _y). Docs with no hashable tokens are absent — by the old
+    // round-trip formulation their residuals never reached a gradient
+    // (the grad join was keyed on feature rows), so dropping them here
+    // changes nothing.
+    val fv = hashFeatures(docs.filter(col(labelCol).isNotNull),
         numBuckets, idCol, textCol)
       .withColumnRenamed(idCol, "_id")
-      .join(lab, "_id").persist()
-    fl.count()
-    var w: DataFrame = null
-    for (_ <- 1 to iters) {
+      .join(lab, "_id")
+      .groupBy("_id")
+      .agg(collect_list(struct(col("bucket"), col("n"))).as("fs"),
+        first(col("_y")).as("_y"))
+      .persist()
+    // DRIVER-HELD weight vector (|buckets| doubles — model-sized, the
+    // seedCentroids convention): per round the prediction is a MAP-SIDE
+    // array reduction against the literal weights and the only
+    // distributed op is ONE |buckets|-row gradient aggregation +
+    // bounded collect. The former formulation round-tripped w through
+    // persisted DataFrames — 3 joins, a per-doc shuffle and a
+    // materialization barrier per iteration; every intermediate is
+    // exact-dyadic (see above), so the per-doc sum reassociation from
+    // "arbitrary shuffle order" to "array order" is value-identical
+    // (ExtensionsSpec pins separability + determinism; q217/q218 pin
+    // the full trainer against the oracle).
+    val wArr = new Array[Double](numBuckets)
+    val touched = new Array[Boolean](numBuckets)
+    for (it <- 1 to iters) {
+      val wLit = array(wArr.toSeq.map(lit): _*)
       val pred =
-        if (w == null) lab.select(col("_id"), lit(0.0).as("_pred"))
-        else fl.join(broadcast(w), Seq("bucket"), "left")
-          .groupBy("_id")
-          .agg(sum(col("n") * coalesce(col("weight"), lit(0.0)))
-            .as("_pred"))
-      val resid = lab.join(pred, Seq("_id"), "left")
-        .select(col("_id"),
-          (floor((greatest(lit(0.0), least(lit(1.0),
-            coalesce(col("_pred"), lit(0.0)) * 0.25 + 0.5)) - col("_y"))
-            * 4096 + 0.5) / 4096).as("_r"))
-      val grad = fl.join(resid, "_id")
-        .groupBy("bucket").agg(sum(col("n") * col("_r")).as("_g"))
-      val wNext = (if (w == null)
-        grad.select(col("bucket"), (-lit(lr) * col("_g")).as("weight"))
-      else
-        w.join(grad, Seq("bucket"), "full_outer")
-          .select(col("bucket"),
-            (coalesce(col("weight"), lit(0.0)) -
-              lit(lr) * coalesce(col("_g"), lit(0.0))).as("weight"))
-        ).persist()
-      wNext.count()
-      if (w != null) w.unpersist(false)
-      w = wNext
+        if (it == 1) lit(0.0)
+        else aggregate(col("fs"), lit(0.0), (acc, f) =>
+          acc + f.getField("n") *
+            element_at(wLit, f.getField("bucket").cast("int") + 1))
+      val r = floor((greatest(lit(0.0), least(lit(1.0),
+        pred * 0.25 + 0.5)) - col("_y")) * 4096 + 0.5) / 4096
+      val grad = fv.select(explode(col("fs")).as("f"), r.as("_r"))
+        .groupBy(col("f.bucket").as("bucket"))
+        .agg(sum(col("f.n") * col("_r")).as("_g"))
+        .collect()
+      grad.foreach { row =>
+        val b = row.getLong(0).toInt
+        val g = row.getDouble(1)
+        // same expression shapes as the old DataFrame update, so ±0.0
+        // falls out identically: first round -(lr·g), then w − lr·g
+        wArr(b) = if (!touched(b)) -(lr * g) else wArr(b) - lr * g
+        touched(b) = true
+      }
     }
-    fl.unpersist(false)
-    w
+    fv.unpersist(false)
+    val rows = (0 until numBuckets).filter(touched)
+      .map(b => (b.toLong, wArr(b)))
+    import spark.implicits._
+    rows.toDF("bucket", "weight")
   }
 
   /** Linear text-classifier inference (the fastText-shaped quality/topic

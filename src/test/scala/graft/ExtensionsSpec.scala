@@ -766,6 +766,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(again == rows.map(_.getAs[Long]("b")).toSeq)
   }
 
+  test("Md5Prefix kernel == conv(substring(md5(x),1,L),16,10) chain on a " +
+    "null/unicode/numeric zoo, L in {1, 8, 15}") {
+    import graft.functions.HashExpressions.md5Prefix
+    val vals = Seq("", "a", "café ＡＢＣ", "7919", "-3.5",
+      "a longer string with spaces\tand\nnewlines",
+      " nul byte", null.asInstanceOf[String])
+    val df = vals.toDF("s")
+    for (l <- Seq(1, 8, 15)) {
+      val rows = df.select(
+        md5Prefix(col("s"), l).as("kernel"),
+        conv(substring(md5(col("s")), 1, l), 16, 10).cast("long")
+          .as("chain")).collect()
+      rows.foreach { r =>
+        assert(r.isNullAt(0) == r.isNullAt(1),
+          s"null mismatch at L=$l: $r")
+        if (!r.isNullAt(0))
+          assert(r.getLong(0) == r.getLong(1), s"L=$l: $r")
+      }
+    }
+    // non-string keys route through the same cast("string") as before
+    val nums = (0L until 50L).toDF("id")
+    val pair = nums.select(TextOps.hashBucket(col("id"), 97).as("k"),
+      pmod(conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(97L)).as("c")).collect()
+    assert(pair.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
   test("duplicateNgramFraction: repeated bigrams raise it, edge cases are 0") {
     val df = Seq(
       (1L, "a b a b a"),     // bigrams: ab, ba, ab, ba -> 2/4 duplicates
