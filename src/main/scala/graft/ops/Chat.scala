@@ -317,12 +317,87 @@ object Chat {
     * statistics, every fold is opponent-ordered, and the match volume
     * behind the counts never matters. */
   def bradleyTerryFromCounts(pairCounts: DataFrame, wins: DataFrame,
-                             iterations: Int = 2): DataFrame = {
+                             iterations: Int = 2,
+                             driverMaxPairs: Long =
+                               Graph.defaultDriverMaxEdges): DataFrame = {
     require(iterations >= 1 && iterations <= 4,
       "iterations out of the unrolled-oracle range")
     import org.apache.spark.storage.StorageLevel
     val nm = pairCounts.select(col("i"), col("j"), col("n"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Small-matrix driver fast path (the Graph.pageRank gate applied to
+    // the |models|² opponent matrix — "tiny by construction" per the
+    // scale note above, so this is the path real arenas take): the MM
+    // fold is ALREADY sequential in opponent order by spec, so the
+    // driver replay — same sorted-j fold, same guarded divisions —
+    // is bit-identical to the distributed loop. Above the gate the
+    // distributed loop runs unchanged.
+    if (driverMaxPairs > 0 && nm.count() <= driverMaxPairs) {
+      import scala.collection.mutable
+      val spark = pairCounts.sparkSession
+      val iType = nm.schema.fields(0).dataType
+      val jOrd = Graph.anyOrdering(nm.schema.fields(1).dataType)
+      val rows = nm.collect().map(r =>
+        (r.get(0), r.get(1), r.get(2).asInstanceOf[Number].longValue))
+      nm.unpersist(false)
+      val winsMap = mutable.HashMap.empty[Any, Long]
+      wins.select(col("model"), col("wins")).collect().foreach { r =>
+        winsMap.update(r.get(0), r.get(1).asInstanceOf[Number].longValue)
+      }
+      val models = mutable.LinkedHashSet.empty[Any]
+      rows.foreach { case (i, _, _) => models += i }
+      // per-i adjacency in the array_sort order (j ascending, nulls last)
+      val adj = mutable.LinkedHashMap.empty[Any, Array[(Any, Long)]]
+      models.foreach { i => adj.update(i, Array.empty) }
+      val grouped = rows.groupBy(_._1)
+      grouped.foreach { case (i, rs) =>
+        val pairs = rs.map(r => (r._2, r._3))
+        adj.update(i, jOrd match {
+          case Some(o) => pairs.sortWith((a, b) => o.compare(a._1, b._1) < 0)
+          case None => pairs
+        })
+      }
+      var rating = mutable.HashMap.empty[Any, Double]
+      models.foreach(m => rating.update(m, 1.0))
+      for (_ <- 1 to iterations) {
+        val next = mutable.HashMap.empty[Any, Double]
+        models.foreach { i =>
+          rating.get(i).foreach { ri =>
+            var denom = 0.0
+            var any = false
+            adj(i).foreach { case (j, n) =>
+              // inner-join semantics: pairs whose j carries no current
+              // rating row drop out of the fold entirely
+              rating.get(j).foreach { rj =>
+                val t = if (ri + rj > 0) n.toDouble / (ri + rj) else 0.0
+                denom += t
+                any = true
+              }
+            }
+            if (any)
+              next.update(i,
+                if (denom > 0) winsMap.getOrElse(i, 0L).toDouble / denom
+                else 0.0)
+          }
+        }
+        rating = next
+      }
+      val nMatches = mutable.HashMap.empty[Any, Long]
+      rows.foreach { case (i, _, n) =>
+        nMatches.update(i, Math.addExact(nMatches.getOrElse(i, 0L), n))
+      }
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+      import scala.jdk.CollectionConverters._
+      val out = models.toSeq.filter(rating.contains).map { m =>
+        Row(m, nMatches(m), winsMap.getOrElse(m, 0L), rating(m))
+      }
+      return spark.createDataFrame(out.asJava,
+        StructType(Seq(StructField("model", iType),
+          StructField("n_matches", LongType),
+          StructField("wins", LongType),
+          StructField("rating", DoubleType))))
+    }
     val base = nm.select(col("i").as("model")).distinct()
       .join(wins, Seq("model"), "left")
       .select(col("model"), coalesce(col("wins"), lit(0L)).as("wins"))

@@ -20,6 +20,85 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
+  /** Edge-count gate for the driver-side small-graph fast path shared by
+    * [[pageRank]] / [[hitsScores]] / [[topoLevels]] — the
+    * `Dedup.connectedComponents` driver-union-find hybrid applied to the
+    * fixed-iteration scorers: a registrable-domain graph is usually
+    * MILLIONS of edges while the corpus is 100 TB, and a
+    * couple-million-edge loop is orders of magnitude cheaper as driver
+    * arrays than as per-round exchanges (each AQE exchange is a full
+    * job). Above the gate the existing distributed loop runs unchanged.
+    * Override with SPARK_GRAFT_GRAPH_DRIVER_MAX_EDGES; 0 forces the
+    * distributed path. */
+  private[ops] val defaultDriverMaxEdges: Long =
+    sys.env.get("SPARK_GRAFT_GRAPH_DRIVER_MAX_EDGES")
+      .flatMap(_.toLongOption).getOrElse(2000000L)
+
+  /** Deterministic cross-engine ordering for collected node ids (the
+    * Dedup.idOrdering convention): strings compare as UTF-8 bytes —
+    * Spark's UTF8String/array_sort order — numerics naturally; nulls
+    * last (array_sort's rule). Used to fix the driver loops' edge visit
+    * order so float folds are run-over-run deterministic. */
+  private[ops] def anyOrdering(dt: org.apache.spark.sql.types.DataType)
+      : Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    val base: Option[Ordering[Any]] = dt match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        Some(Ordering.by((a: Any) => a.asInstanceOf[Number].longValue))
+      case StringType =>
+        Some(new Ordering[Any] {
+          def compare(x: Any, y: Any): Int = {
+            val a = x.asInstanceOf[String].getBytes("UTF-8")
+            val b = y.asInstanceOf[String].getBytes("UTF-8")
+            var i = 0
+            val n = math.min(a.length, b.length)
+            while (i < n) {
+              val c = (a(i) & 0xff) - (b(i) & 0xff)
+              if (c != 0) return c
+              i += 1
+            }
+            a.length - b.length
+          }
+        })
+      case _ => None
+    }
+    base.map(o => new Ordering[Any] {
+      def compare(x: Any, y: Any): Int =
+        if (x == null && y == null) 0
+        else if (x == null) 1
+        else if (y == null) -1
+        else o.compare(x, y)
+    })
+  }
+
+  /** Collects the (already distinct) edge frame when it passes the gate:
+    * one count on the persisted frame, one bounded collect. Returns None
+    * above the gate (frame stays persisted for the distributed loop). */
+  private def collectIfSmall(e: DataFrame, maxEdges: Long)
+      : Option[Array[(Any, Any)]] = {
+    if (maxEdges <= 0) return None
+    if (e.count() > maxEdges) return None
+    val srcOrd = anyOrdering(e.schema.fields(0).dataType)
+    val dstOrd = anyOrdering(e.schema.fields(1).dataType)
+    val rows = e.collect().map(r => (r.get(0), r.get(1)))
+    Some((srcOrd, dstOrd) match {
+      case (Some(so), Some(do_)) =>
+        rows.sortWith((a, b) => {
+          val c = so.compare(a._1, b._1)
+          if (c != 0) c < 0 else do_.compare(a._2, b._2) < 0
+        })
+      case _ => rows
+    })
+  }
+
+  private def twoColDf(spark: org.apache.spark.sql.SparkSession,
+                       rows: Seq[org.apache.spark.sql.Row],
+                       schema: org.apache.spark.sql.types.StructType)
+      : DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
   /** PageRank in the original unnormalized Google formulation:
     *
     *   rank'(v) = (1 - damping) + damping * Σ_{u→v} rank(u) / outdeg(u)
@@ -42,12 +121,52 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iterations: Int = 3,
                damping: Double = 0.5,
-               srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+               srcCol: String = "src", dstCol: String = "dst",
+               driverMaxEdges: Long = defaultDriverMaxEdges): DataFrame = {
     require(iterations >= 1, "iterations must be at least 1")
     require(damping > 0.0 && damping < 1.0, "damping must be in (0,1)")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    // small-graph driver fast path: same update expression per node —
+    // rank(u)·(1/outdeg(u)) terms accumulated then (1−d) + d·mass —
+    // so dyadic graphs (the determinism note above) are bit-identical
+    // to the distributed loop, and non-dyadic graphs see the same
+    // aggregation-order wobble both paths always had
+    collectIfSmall(e0, driverMaxEdges).foreach { rows =>
+      import scala.collection.mutable
+      val spark = edges.sparkSession
+      val srcType = e0.schema.fields(0).dataType
+      e0.unpersist(false)
+      val outdeg = mutable.HashMap.empty[Any, Long]
+      rows.foreach { case (u, _) =>
+        outdeg.update(u, outdeg.getOrElse(u, 0L) + 1L)
+      }
+      val w = outdeg.map { case (u, d) => (u, 1.0 / d) }
+      val nodeSeq = mutable.LinkedHashSet.empty[Any]
+      rows.foreach { case (u, v) => nodeSeq += u; nodeSeq += v }
+      var rank = mutable.HashMap.empty[Any, Double]
+      nodeSeq.foreach(n => rank.update(n, 1.0))
+      for (_ <- 1 to iterations) {
+        val mass = mutable.HashMap.empty[Any, Double]
+        rows.foreach { case (u, v) =>
+          mass.update(v, mass.getOrElse(v, 0.0) + rank(u) * w(u))
+        }
+        val next = mutable.HashMap.empty[Any, Double]
+        nodeSeq.foreach { n =>
+          next.update(n,
+            (1.0 - damping) + damping * mass.getOrElse(n, 0.0))
+        }
+        rank = next
+      }
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+      return twoColDf(spark,
+        nodeSeq.toSeq.map(n => Row(n, rank(n))),
+        StructType(Seq(StructField("node", srcType),
+          StructField("rank", DoubleType))))
+    }
+    val e = e0
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .distinct()
@@ -77,6 +196,7 @@ object Graph {
     }
     weighted.unpersist(false)
     nodes.unpersist(false)
+    e.unpersist(false)
     ranks
   }
 
@@ -105,13 +225,55 @@ object Graph {
     * domains, never payloads); localCheckpoint per round truncates
     * lineage. Output: (node, auth, hub, auth_frac, hub_frac). */
   def hitsScores(edges: DataFrame, iterations: Int = 2,
-                 srcCol: String = "src", dstCol: String = "dst")
+                 srcCol: String = "src", dstCol: String = "dst",
+                 driverMaxEdges: Long = defaultDriverMaxEdges)
       : DataFrame = {
     require(iterations >= 1 && iterations <= 6,
       "iterations out of the exact-integer range")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    // small-graph driver fast path: exact-integer scores, so the result
+    // is bit-identical to the distributed loop by construction
+    collectIfSmall(e, driverMaxEdges).foreach { rows =>
+      import scala.collection.mutable
+      val spark = edges.sparkSession
+      val srcType = e.schema.fields(0).dataType
+      e.unpersist(false)
+      val nodeSeq = mutable.LinkedHashSet.empty[Any]
+      rows.foreach { case (u, v) => nodeSeq += u; nodeSeq += v }
+      var hub = mutable.HashMap.empty[Any, Long]
+      var auth = mutable.HashMap.empty[Any, Long]
+      nodeSeq.foreach { n => hub.update(n, 1L); auth.update(n, 1L) }
+      for (_ <- 1 to iterations) {
+        val a2 = mutable.HashMap.empty[Any, Long]
+        rows.foreach { case (u, v) =>
+          a2.update(v, Math.addExact(a2.getOrElse(v, 0L), hub(u)))
+        }
+        auth = mutable.HashMap.empty[Any, Long]
+        nodeSeq.foreach(n => auth.update(n, a2.getOrElse(n, 0L)))
+        val h2 = mutable.HashMap.empty[Any, Long]
+        rows.foreach { case (u, v) =>
+          h2.update(u, Math.addExact(h2.getOrElse(u, 0L), auth(v)))
+        }
+        hub = mutable.HashMap.empty[Any, Long]
+        nodeSeq.foreach(n => hub.update(n, h2.getOrElse(n, 0L)))
+      }
+      val ma = if (nodeSeq.isEmpty) 0L else nodeSeq.map(auth).max
+      val mh = if (nodeSeq.isEmpty) 0L else nodeSeq.map(hub).max
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+      return twoColDf(spark,
+        nodeSeq.toSeq.map { n =>
+          Row(n, auth(n), hub(n),
+            if (ma == 0L) 0.0 else auth(n).toDouble / ma.toDouble,
+            if (mh == 0L) 0.0 else hub(n).toDouble / mh.toDouble)
+        },
+        StructType(Seq(StructField("node", srcType),
+          StructField("auth", LongType), StructField("hub", LongType),
+          StructField("auth_frac", DoubleType),
+          StructField("hub_frac", DoubleType))))
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -170,11 +332,44 @@ object Graph {
     * NODE/EDGE-domain frames. Levels are small integers: exact in any
     * engine, no float story at all. */
   def topoLevels(edges: DataFrame, iterations: Int = 4,
-                 srcCol: String = "src", dstCol: String = "dst")
+                 srcCol: String = "src", dstCol: String = "dst",
+                 driverMaxEdges: Long = defaultDriverMaxEdges)
       : DataFrame = {
     require(iterations > 0, "iterations must be positive")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    // small-graph driver fast path: small-integer levels — exact, so
+    // bit-identical to the distributed loop by construction
+    collectIfSmall(e, driverMaxEdges).foreach { rows =>
+      import scala.collection.mutable
+      val spark = edges.sparkSession
+      val srcType = e.schema.fields(0).dataType
+      e.unpersist(false)
+      val nodeSeq = mutable.LinkedHashSet.empty[Any]
+      rows.foreach { case (u, v) => nodeSeq += u; nodeSeq += v }
+      var levels = mutable.HashMap.empty[Any, Long]
+      nodeSeq.foreach(n => levels.update(n, 0L))
+      var prev = levels
+      for (_ <- 1 to iterations) {
+        prev = levels
+        val up = mutable.HashMap.empty[Any, Long]
+        rows.foreach { case (u, v) =>
+          val cand = levels(v) + 1L
+          if (cand > up.getOrElse(u, Long.MinValue)) up.update(u, cand)
+        }
+        levels = mutable.HashMap.empty[Any, Long]
+        nodeSeq.foreach(n => levels.update(n, up.getOrElse(n, 0L)))
+      }
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+      return twoColDf(spark,
+        nodeSeq.toSeq.map { n =>
+          Row(n, levels(n), if (levels(n) > prev(n)) 1 else 0)
+        },
+        StructType(Seq(StructField("node", srcType),
+          StructField("level", LongType),
+          StructField("unstable", IntegerType))))
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -57,11 +57,60 @@ class GraphSpec extends SparkSpec {
   }
 
   test("pageRank plan: the per-iteration join keys the node id — no " +
-    "cartesian, no payload columns") {
+    "cartesian, no payload columns (distributed path forced)") {
     val edges = Seq(("a", "b")).toDF("src", "dst")
-    val plan = Graph.pageRank(edges, iterations = 1, damping = 0.5)
+    val plan = Graph.pageRank(edges, iterations = 1, damping = 0.5,
+        driverMaxEdges = 0)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
       s"cartesian product in PageRank plan:\n$plan")
+  }
+
+  test("driver fast path == distributed loop: pageRank, hitsScores, " +
+    "topoLevels on a graph with cycles, danglers and multi-edges") {
+    val edges = Seq(("a", "b"), ("a", "b"), ("a", "c"), ("b", "c"),
+      ("c", "a"), ("d", "d"), ("e", "a"), ("b", "e"),
+      ("x", "y"), ("y", "x")).toDF("src", "dst")
+    def cmp(drv: org.apache.spark.sql.DataFrame,
+            dst: org.apache.spark.sql.DataFrame): Unit = {
+      val a = drv.orderBy("node").collect().map(_.toSeq).toSeq
+      val b = dst.orderBy("node").collect().map(_.toSeq).toSeq
+      assert(a == b, s"driver:\n$a\ndistributed:\n$b")
+    }
+    cmp(Graph.pageRank(edges, iterations = 3, damping = 0.5),
+      Graph.pageRank(edges, iterations = 3, damping = 0.5,
+        driverMaxEdges = 0))
+    cmp(Graph.hitsScores(edges, iterations = 2),
+      Graph.hitsScores(edges, iterations = 2, driverMaxEdges = 0))
+    cmp(Graph.topoLevels(edges, iterations = 4),
+      Graph.topoLevels(edges, iterations = 4, driverMaxEdges = 0))
+    // long-typed node ids route through the numeric ordering
+    val ledges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 2L))
+      .toDF("src", "dst")
+    cmp(Graph.topoLevels(ledges, iterations = 3),
+      Graph.topoLevels(ledges, iterations = 3, driverMaxEdges = 0))
+  }
+
+  test("driver fast path == distributed loop: bradleyTerryFromCounts " +
+    "(sorted-opponent fold, zero-win models, missing wins rows)") {
+    import graft.ops.Chat
+    val matches = Seq(
+      ("m1", "m2", "m1"), ("m1", "m2", "m1"), ("m1", "m2", "m2"),
+      ("m2", "m3", "m2"), ("m3", "m1", "m1"), ("m3", "m4", "m3"),
+      ("m4", "m1", "m4")).toDF("model_a", "model_b", "winner")
+    val a = Chat.bradleyTerry(matches, iterations = 2)
+      .orderBy("model").collect().map(_.toSeq).toSeq
+    // distributed: force via driverMaxPairs = 0 through FromCounts
+    val m = matches.select(col("model_a").as("a"), col("model_b").as("b"),
+      col("winner").as("w"))
+    val nm = m.select(col("a").as("i"), col("b").as("j"))
+      .union(m.select(col("b").as("i"), col("a").as("j")))
+      .groupBy("i", "j").agg(count(lit(1)).as("n"))
+    val wins = m.groupBy(col("w").as("model"))
+      .agg(count(lit(1)).as("wins"))
+    val b = Chat.bradleyTerryFromCounts(nm, wins, iterations = 2,
+        driverMaxPairs = 0)
+      .orderBy("model").collect().map(_.toSeq).toSeq
+    assert(a == b, s"driver:\n$a\ndistributed:\n$b")
   }
 }
