@@ -108,21 +108,22 @@ object Dedup {
       val joined = concat_ws(",", slice(col("sig"), bd * rows + 1, rows))
       if (portable) joined else xxhash64(joined)
     }
+    // one (band, band_hash)-keyed aggregation + ordered pair expansion
+    // (the [[ngramJaccard]] tail) instead of caching the banded frame
+    // and self-joining it — the signature lineage executes once either
+    // way, with two fewer exchanges and no cache
     val banded = sigs.select(col("id"), col("sig"),
         posexplode(array((0 until bands).map(bandKey): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
-      // both join sides derive from this frame; without persisting it the
-      // whole explode+64-agg signature lineage executes twice
-      .cache()
-    val a = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"),
+    val groups = banded.groupBy("band", "band_hash")
+      .agg(collect_list(struct(col("id"), col("sig"))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(array_sort(col("ms")).as("ms"))
+    pairsWithinGroups(groups, "ms")
+      .filter(col("_a.id") < col("_b.id"))
+      .select(col("_a.id").as("id_a"), col("_b.id").as("id_b"),
+        (size(filter(zip_with(col("_a.sig"), col("_b.sig"),
           (x, y) => x === y), b => b))
           .cast("double") / lit(numHashes)).as("est_jaccard"))
       .distinct()
@@ -267,37 +268,55 @@ object Dedup {
     * shingle-explode + equi-join (inverted index), not cross join: a pair
     * is produced once per shared shingle and aggregated — at 100 TB the
     * hot shingles need a document-frequency cap (`maxDf`) to bound skew. */
+  /** Ordered within-group pair expansion over a sorted member array —
+    * the shared tail of the inverted-index pair generators
+    * ([[ngramJaccard]] / [[containmentPairs]] / [[winnowingOverlap]] /
+    * [[minhashCandidates]]): one row per (a, b) with a strictly before
+    * b in array order. Replaces the former cache + a⋈b self-join (two
+    * shuffles of the exploded index plus a cached copy) with the ONE
+    * grouped aggregation that builds the arrays — the pair multiset is
+    * identical because an equi-self-join on the group key emits exactly
+    * the within-group ordered pairs. Two chained generators keep
+    * per-output-row memory O(group), never materializing the O(group²)
+    * pair array at once; group size stays bounded by the same maxDf
+    * caps as before (the skew story is unchanged — a hot key owned one
+    * join task before and owns one agg task now). */
+  private def pairsWithinGroups(groups: DataFrame, msCol: String)
+      : DataFrame =
+    groups
+      .select(col(msCol).as("_ms"),
+        posexplode(col(msCol)).as(Seq("_i", "_a")))
+      .select(col("_a"), explode(slice(col("_ms"), col("_i") + 2,
+        size(col("_ms")) - col("_i") - 1)).as("_b"))
+
   def ngramJaccard(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", shingleN: Int = 3,
                    minJaccard: Double = 0.5,
                    maxDf: Int = 1000): DataFrame = {
-    // maxDf >= Int.MaxValue disables the document-frequency cap (and its
-    // extra shuffle); at 100 TB always keep a cap — hot shingles are both
-    // uninformative and the source of join skew.
+    // maxDf >= Int.MaxValue disables the document-frequency cap; at
+    // 100 TB always keep a cap — hot shingles are both uninformative and
+    // the source of skew.
     val sh = docs.select(col(idCol).as("id"),
       TextOps.shingles(col(textCol), shingleN).as("sh"))
       .withColumn("n_sh", size(col("sh")))
-    // join on the 64-bit shingle hash, not the string: smaller shuffle keys,
-    // cheaper compares; collision odds over n shingles are ~n²/2^65
+    // group on the 64-bit shingle hash, not the string: smaller shuffle
+    // keys, cheaper compares; collision odds over n shingles are ~n²/2^65
     val inv = sh.select(col("id"), col("n_sh"),
         explode(col("sh")).as("shingle"))
       .select(col("id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
-    // df cap via groupBy (map-side partial counts) + broadcast anti-join:
-    // a window over the shingle key would route every occurrence of a hot
-    // shingle into one task — the exact skew the cap exists to prevent.
-    // Hot shingles are few by definition, so the anti-join side is tiny.
-    val capped = (if (maxDf >= Int.MaxValue) inv
-      else {
-        val hot = inv.groupBy("sh_h").count()
-          .filter(col("count") > maxDf).select("sh_h")
-        inv.join(broadcast(hot), Seq("sh_h"), "left_anti")
-      })
-      .cache() // reused by both self-join sides
-    val a = capped.select(col("sh_h"), col("id").as("id_a"),
-      col("n_sh").as("n_a"))
-    val b = capped.select(col("sh_h"), col("id").as("id_b"),
-      col("n_sh").as("n_b"))
-    a.join(b, "sh_h")
+    // df cap folded into the SAME aggregation that feeds the pair
+    // expansion: size(members) is the old groupBy-count df (ids are
+    // distinct per shingle), so filtering here ≡ the former hot-key
+    // anti-join — with one exchange instead of three and no cache
+    val groups = inv.groupBy("sh_h")
+      .agg(collect_list(struct(col("id"), col("n_sh"))).as("ms"))
+      .filter(size(col("ms")) >= 2 &&
+        (if (maxDf >= Int.MaxValue) lit(true)
+         else size(col("ms")) <= maxDf))
+      .select(array_sort(col("ms")).as("ms"))
+    pairsWithinGroups(groups, "ms")
+      .select(col("_a.id").as("id_a"), col("_a.n_sh").as("n_a"),
+        col("_b.id").as("id_b"), col("_b.n_sh").as("n_b"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "n_a", "n_b")
       .agg(count(lit(1)).as("inter"))
@@ -424,18 +443,16 @@ object Dedup {
     val inv = sh.select(col("id"), col("n_sh"),
         explode(col("sh")).as("shingle"))
       .select(col("id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
-    val capped = (if (maxDf >= Int.MaxValue) inv
-      else {
-        val hot = inv.groupBy("sh_h").count()
-          .filter(col("count") > maxDf).select("sh_h")
-        inv.join(broadcast(hot), Seq("sh_h"), "left_anti")
-      })
-      .cache() // reused by both self-join sides
-    val a = capped.select(col("sh_h"), col("id").as("id_a"),
-      col("n_sh").as("n_a"))
-    val b = capped.select(col("sh_h"), col("id").as("id_b"),
-      col("n_sh").as("n_b"))
-    a.join(b, "sh_h")
+    // same one-exchange group + pair expansion as [[ngramJaccard]]
+    val groups = inv.groupBy("sh_h")
+      .agg(collect_list(struct(col("id"), col("n_sh"))).as("ms"))
+      .filter(size(col("ms")) >= 2 &&
+        (if (maxDf >= Int.MaxValue) lit(true)
+         else size(col("ms")) <= maxDf))
+      .select(array_sort(col("ms")).as("ms"))
+    pairsWithinGroups(groups, "ms")
+      .select(col("_a.id").as("id_a"), col("_a.n_sh").as("n_a"),
+        col("_b.id").as("id_b"), col("_b.n_sh").as("n_b"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "n_a", "n_b")
       .agg(count(lit(1)).as("inter"))
@@ -1515,24 +1532,25 @@ object Dedup {
     import graft.text.TextOps
     require(minShared >= 1, "minShared must be at least 1")
     require(maxDf >= 2, "maxDf below 2 drops every shareable fingerprint")
+    // collect_set ≡ the former per-(fp, id) distinct, folded into the
+    // SAME aggregation that applies the df cap and feeds the pair
+    // expansion: one exchange instead of distinct + cap-count +
+    // anti-join + two join-side shuffles of a cached frame
     val fps = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
         explode(TextOps.winnowingFingerprints(col(textCol), k, w,
           portable)).as("f"))
       .select(col("id"), col("f.fp").as("fp"))
-      .distinct()
-      .cache() // consumed by the cap count and both join sides
-    val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select("fp")
-    val cold = fps.join(broadcast(hot), Seq("fp"), "left_anti")
-    val a = cold.select(col("fp"), col("id").as("id_a"))
-    val b = cold.select(col("fp"), col("id").as("id_b"))
-    val out = a.join(b, Seq("fp"))
+    val groups = fps.groupBy("fp")
+      .agg(collect_set(col("id")).as("ms"))
+      .filter(size(col("ms")).between(2, maxDf))
+      .select(array_sort(col("ms")).as("ms"))
+    pairsWithinGroups(groups, "ms")
+      .select(col("_a").as("id_a"), col("_b").as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
-    out
   }
 
   /** LSH S-CURVE TUNING TABLE — the analytic complement of the
