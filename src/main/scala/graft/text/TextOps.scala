@@ -1197,43 +1197,64 @@ object TextOps {
                    preTokens: Column => Column = wordDomain)
       : DataFrame = {
     require(rounds >= 1 && targetVocab >= 1, "bad rounds/targetVocab")
+    val spark = docs.sparkSession
+    import spark.implicits._
     val freqs = docs.filter(col(textCol).isNotNull)
       .select(explode(preTokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .persist()
     freqs.count()
-    // seed checkpoint: the seed vocab is consumed twice per first
-    // round (the segmenter's driver collect + the recount join) —
-    // materialize once instead of recomputing the substring explode
-    var vocab = substringVocab(freqs, maxPiece).localCheckpoint()
-    var out: DataFrame = null
+    // The vocabulary lives on the DRIVER between rounds (it is
+    // vocabulary-sized BY DEFINITION — the unigramSegment collect
+    // already assumed exactly this): per round the only distributed
+    // work is the piece-recount aggregation over the persisted word
+    // table, collected back vocabulary-sized. The former DataFrame
+    // round-trip spent a localCheckpoint barrier + count + limit +
+    // crossJoin per round on frames of a few hundred rows (q336: 34
+    // jobs at sf0.1). Prune/re-estimate arithmetic is replayed
+    // exactly: UTF8String order for the (n desc, piece) prune,
+    // code-point length for the single-char class, StrictMath.log —
+    // the engine's own log — snapped to the same 2^-20 grid.
+    def cpLen(s: String): Int = s.codePointCount(0, s.length)
+    val u8 = (a: String, b: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    var vocab: Seq[(String, Double)] = substringVocab(freqs, maxPiece)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    var outRows: Seq[(String, Long, Double)] = Nil
     for (_ <- 1 to rounds) {
-      val seg = unigramSegment(freqs, vocab, maxLen, maxPiece)
-      val counts = seg.join(freqs, "word")
-        .select(explode(split(col("segs"), "\\|")).as("piece"),
+      val bc = unigramVocabBroadcast(spark, vocab)
+      // seg ≡ unigramSegment(freqs, vocab) ⋈ freqs: freqs IS the
+      // distinct word domain, so the join the old round paid to
+      // re-attach frequencies is a 1:1 self-join folded away here
+      val counts = freqs
+        .filter(length(col("word")).between(1, maxLen))
+        .select(graft.functions.UnigramSegmentWord(col("word"), bc,
+          maxPiece).as("_seg"), col("freq"))
+        .filter(col("_seg").isNotNull)
+        .select(explode(split(col("_seg.segs"), "\\|")).as("piece"),
           col("freq"))
         .groupBy("piece").agg(sum("freq").as("n"))
-      val withN = vocab.select(col("piece"))
-        .join(counts, Seq("piece"), "left")
-        .select(col("piece"), coalesce(col("n"), lit(0L)).as("n"))
-        .localCheckpoint() // consumed by 3 branches below
-      val singles = withN.filter(length(col("piece")) === 1)
-      val keepMulti = math.max(0L, targetVocab - singles.count())
-      val multis = withN.filter(length(col("piece")) > 1)
-        .orderBy(col("n").desc, col("piece")).limit(keepMulti.toInt)
-      val pruned = singles.unionByName(multis)
-      val tot = pruned.agg(sum("n").as("tn"), count(lit(1)).as("k"))
-      out = pruned.crossJoin(broadcast(tot))
-        .select(col("piece"), col("n"),
-          (floor(log((col("n") + 1L).cast("double") /
-            (col("tn") + col("k")).cast("double")) * 1048576.0 + 0.5)
-            / 1048576.0).as("lnp"))
-        .localCheckpoint()
-      vocab = out.select("piece", "lnp")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val withN = vocab.map { case (p, _) => (p, counts.getOrElse(p, 0L)) }
+      val singles = withN.filter(x => cpLen(x._1) == 1)
+      val keepMulti = math.max(0L, targetVocab - singles.size.toLong)
+      val multis = withN.filter(x => cpLen(x._1) > 1)
+        .sortWith((a, b) =>
+          if (a._2 != b._2) a._2 > b._2 else u8(a._1, b._1) < 0)
+        .take(keepMulti.toInt)
+      val pruned = singles ++ multis
+      val tn = pruned.foldLeft(0L)((acc, x) => Math.addExact(acc, x._2))
+      val k = pruned.size.toLong
+      outRows = pruned.map { case (p, n) =>
+        (p, n, math.floor(StrictMath.log((n + 1L).toDouble /
+          (tn + k).toDouble) * 1048576.0 + 0.5) / 1048576.0)
+      }
+      vocab = outRows.map(r => (r._1, r._3))
     }
     freqs.unpersist(false)
-    out
+    outRows.toDF("piece", "n", "lnp")
   }
 
   /** Real token budgets under a UNIGRAM tokenizer — the honest
@@ -4827,7 +4848,9 @@ object TextOps {
     * take; the corpus itself is read once, at word-table build. Rounds
     * end early if every word collapses to a single symbol. */
   def bpeTrain(docs: DataFrame, numMerges: Int = 8,
-               textCol: String = "text"): DataFrame = {
+               textCol: String = "text",
+               driverMaxWords: Long = defaultBpeDriverMaxWords)
+      : DataFrame = {
     require(numMerges > 0, "numMerges must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -4838,7 +4861,7 @@ object TextOps {
       // "abc" -> "a b c" (bpeEncodeWord's spaced-symbol form)
       .select(rtrim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"),
         col("n"))
-    bpeTrainFromWords(spark, words, numMerges)
+    bpeTrainFromWords(spark, words, numMerges, driverMaxWords)
   }
 
   /** BYTE-LEVEL BPE TRAINER — [[bpeTrain]]'s loop over the GPT-2
@@ -4853,7 +4876,9 @@ object TextOps {
     * (the DISTINCT pre-token-frequency table — vocabulary-sized;
     * per-round pair partials + a 1-row argmax). */
   def bpeTrainByteLevel(docs: DataFrame, numMerges: Int = 8,
-                        textCol: String = "text"): DataFrame = {
+                        textCol: String = "text",
+                        driverMaxWords: Long = defaultBpeDriverMaxWords)
+      : DataFrame = {
     require(numMerges > 0, "numMerges must be positive")
     val spark = docs.sparkSession
     val words = docs.filter(col(textCol).isNotNull)
@@ -4864,7 +4889,7 @@ object TextOps {
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(rtrim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"),
         col("n"))
-    bpeTrainFromWords(spark, words, numMerges)
+    bpeTrainFromWords(spark, words, numMerges, driverMaxWords)
   }
 
   /** BPE TRAINING in the METASPACE alphabet — the SentencePiece-BPE
@@ -4880,7 +4905,9 @@ object TextOps {
   def bpeTrainMetaspace(docs: DataFrame, numMerges: Int = 8,
                         textCol: String = "text",
                         replacement: String = "▁",
-                        prepend: String = "always"): DataFrame = {
+                        prepend: String = "always",
+                        driverMaxWords: Long = defaultBpeDriverMaxWords)
+      : DataFrame = {
     require(numMerges > 0, "numMerges must be positive")
     val spark = docs.sparkSession
     val words = docs.filter(col(textCol).isNotNull)
@@ -4890,7 +4917,7 @@ object TextOps {
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(rtrim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"),
         col("n"))
-    bpeTrainFromWords(spark, words, numMerges)
+    bpeTrainFromWords(spark, words, numMerges, driverMaxWords)
   }
 
   /** A trained add-one bigram language model ([[bigramLmTrain]]):
@@ -4977,11 +5004,33 @@ object TextOps {
 
   /** The shared trainer loop over a spaced-symbol word-frequency table
     * `(s, n)` — see [[bpeTrain]] for the algorithm and cost ledger. */
+  /** Gate for [[bpeTrainFromWords]]'s driver fast path (see there);
+    * env-overridable, 0 forces the distributed loop. */
+  private[graft] val defaultBpeDriverMaxWords: Long =
+    sys.env.get("SPARK_GRAFT_BPE_DRIVER_MAX_WORDS")
+      .flatMap(_.toLongOption).getOrElse(2000000L)
+
   private def bpeTrainFromWords(spark: org.apache.spark.sql.SparkSession,
-      words: DataFrame, numMerges: Int): DataFrame = {
+      words: DataFrame, numMerges: Int,
+      driverMaxWords: Long = defaultBpeDriverMaxWords): DataFrame = {
     import spark.implicits._
     var cur = words.persist()
-    cur.count()
+    val nWords = cur.count()
+    // Small-vocabulary driver fast path (the Graph-loop gate applied to
+    // the DISTINCT-WORD frequency table): below the gate the whole
+    // merge loop runs on driver arrays — the distributed loop pays an
+    // argmax job + a persist/count barrier PER MERGE (numMerges·2 jobs
+    // of vocabulary-sized work). Same integer pair counts, same
+    // (cnt desc, lhs, rhs) UTF-8-ordered argmax, same non-overlapping
+    // left-to-right pair rewrite (mergeAdjacentPair's doubled-space
+    // replace, replayed verbatim) — bit-identical by construction, and
+    // parity-specced against the distributed loop. Above the gate
+    // (a 100 TB corpus's word table) the distributed loop is unchanged.
+    if (driverMaxWords > 0 && nWords <= driverMaxWords) {
+      val rows = cur.collect().map(r => (r.getString(0), r.getLong(1)))
+      cur.unpersist(false)
+      return bpeTrainDriver(spark, rows, numMerges)
+    }
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
     var rank = 1
@@ -5012,6 +5061,79 @@ object TextOps {
       }
     }
     cur.unpersist(false)
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "n_pairs")
+  }
+
+  /** Driver replay of the [[bpeTrainFromWords]] loop over a collected
+    * (spaced-symbol word, freq) table — every step mirrors the
+    * distributed expressions exactly:
+    *  - pair counts: `split(s, " ")` ≡ `String.split(" ", -1)`, words
+    *    with ≤ 1 symbol skipped, exact integer sums (addExact — ANSI
+    *    overflow parity);
+    *  - argmax: (cnt desc, lhs, rhs) with strings in UTF8String order;
+    *  - rewrite: [[mergeAdjacentPair]]'s doubled-space literal replace
+    *    (Java `String.replace` is the same all-occurrences
+    *    left-to-right scan as Spark's StringReplace), `" {2,}"` regex
+    *    collapse, and a trim of SPACES ONLY (UTF8String.trim's rule —
+    *    `String.trim` would also strip control chars). */
+  private def bpeTrainDriver(spark: org.apache.spark.sql.SparkSession,
+      words: Array[(String, Long)], numMerges: Int): DataFrame = {
+    import spark.implicits._
+    def u8 = (a: String, b: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    def trimSpaces(s: String): String = {
+      var i = 0
+      var j = s.length
+      while (i < j && s.charAt(i) == ' ') i += 1
+      while (j > i && s.charAt(j - 1) == ' ') j -= 1
+      s.substring(i, j)
+    }
+    var cur = words
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val counts =
+        scala.collection.mutable.HashMap.empty[(String, String), Long]
+      cur.foreach { case (s, n) =>
+        val syms = s.split(" ", -1)
+        if (syms.length > 1) {
+          var i = 1
+          while (i < syms.length) {
+            val key = (syms(i - 1), syms(i))
+            counts.update(key,
+              Math.addExact(counts.getOrElse(key, 0L), n))
+            i += 1
+          }
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), c) = counts.minBy(identity)(new Ordering[
+            ((String, String), Long)] {
+          def compare(x: ((String, String), Long),
+                      y: ((String, String), Long)): Int = {
+            // min under (cnt desc, lhs asc, rhs asc) == the argmax
+            if (x._2 != y._2) java.lang.Long.compare(y._2, x._2)
+            else {
+              val cl = u8(x._1._1, y._1._1)
+              if (cl != 0) cl else u8(x._1._2, y._1._2)
+            }
+          }
+        })
+        merges += ((rank, l, r, c))
+        val target = " " + l + "  " + r + " "
+        val repl = " " + l + r + " "
+        cur = cur.map { case (s, n) =>
+          val doubled = " " + s.replace(" ", "  ") + " "
+          (trimSpaces(doubled.replace(target, repl)
+            .replaceAll(" {2,}", " ")), n)
+        }
+        rank += 1
+      }
+    }
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "n_pairs")
   }
 

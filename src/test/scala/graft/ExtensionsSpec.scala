@@ -4678,6 +4678,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(enc == Seq("the y", "them"))
   }
 
+  test("bpeTrain driver fast path == distributed loop: merges, counts " +
+    "and tie order identical across all three alphabets") {
+    val docs = Seq((1L, "the the them they then ab ab abc"),
+      (2L, "Cafe ＡＢＣ cafe the zz zz zz z")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("merge_rank").collect().map(_.toSeq).toSeq
+    assert(rows(TextOps.bpeTrain(docs, numMerges = 6)) ==
+      rows(TextOps.bpeTrain(docs, numMerges = 6, driverMaxWords = 0)))
+    assert(rows(TextOps.bpeTrainByteLevel(docs, numMerges = 5)) ==
+      rows(TextOps.bpeTrainByteLevel(docs, numMerges = 5,
+        driverMaxWords = 0)))
+    assert(rows(TextOps.bpeTrainMetaspace(docs, numMerges = 5)) ==
+      rows(TextOps.bpeTrainMetaspace(docs, numMerges = 5,
+        driverMaxWords = 0)))
+  }
+
   test("bpeTrain: stops early when every word is fully merged") {
     val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
     val got = TextOps.bpeTrain(docs, numMerges = 10).orderBy("merge_rank")
