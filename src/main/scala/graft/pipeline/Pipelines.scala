@@ -758,14 +758,24 @@ object Pipelines {
                  minTurns: Int = 2,
                  samples: Option[DataFrame] = None): ChatCuration = {
     import graft.ops.Chat
-    val stats = Chat.conversationStats(convs, idCol, turnsCol)
-    val gatesOk = stats
-      .filter(col("n_turns") >= minTurns)
-      .filter(if (requireAlternating) col("alternates") === 1 else lit(true))
-      .filter(if (requireUserStart) col("starts_with_user") === 1
-        else lit(true))
-    val gated = convs.join(gatesOk.select(col(idCol), col("n_turns")),
-      idCol)
+    // The structural gates are map-only expressions over the turn array
+    // (Chat.conversationStats' own definitions), so they apply as ONE
+    // filter projection — the former stats-frame self-join re-derived
+    // the conversation scan (and its turn synthesis) on both sides of
+    // an id-keyed shuffle to compute what each row already knows.
+    // Identical row set: ids are unique by the pipeline contract (one
+    // conversation per id), under which join-on-id ≡ filter.
+    val t = col(turnsCol)
+    val roles = transform(t, x => x.getField("role"))
+    val breaks = filter(sequence(lit(1), size(t) - 1),
+      i => element_at(roles, i + 1) === element_at(roles, i))
+    val gated = convs
+      .filter(size(t).cast("long") >= minTurns)
+      .filter(if (requireAlternating)
+        (size(t) > 1 && size(breaks) === 0) else lit(true))
+      .filter(if (requireUserStart)
+        (size(t) > 0 && element_at(roles, 1) === "user") else lit(true))
+      .withColumn("n_turns", size(t).cast("long"))
     val kept = Chat.dedupConversations(gated, idCol, turnsCol)
       .filter(col("keep") === 1)
     val sft = kept.select(col(idCol), col("rendered"), col("n_turns"))
