@@ -315,7 +315,13 @@ object Multimodal {
         StructField("n_frames", IntegerType),
         StructField("codec", StringType))))))
     implicit val enc = RowEncoder.encoderFor(outSchema)
-    docs.select(col("doc_id")).mapPartitions { rows =>
+    docs.select(col("doc_id"))
+      // spread the codec work: the scan often lands on one or two input
+      // splits while the per-row encode dominates; an ids-only
+      // round-robin repartition (8 bytes/row) distributes it across
+      // every core at any scale before the heavy bytes are born
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         (id % 3) match {
@@ -356,7 +362,13 @@ object Multimodal {
         StructField("codec", StringType))))))
     implicit val enc = RowEncoder.encoderFor(outSchema)
     val q = quality
-    docs.select(col("doc_id")).mapPartitions { rows =>
+    docs.select(col("doc_id"))
+      // spread the codec work: the scan often lands on one or two input
+      // splits while the per-row encode dominates; an ids-only
+      // round-robin repartition (8 bytes/row) distributes it across
+      // every core at any scale before the heavy bytes are born
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         (id % 3) match {

@@ -697,13 +697,15 @@ object Chat {
       (row_number().over(w) - 1).cast("long"))
     val per = it.groupBy("model")
       .agg(count(lit(1)).as("n"), sum("p").as("wins"))
-    // draw rows: k in [0, b·n) → resample r = k / n, draw i = k mod n;
-    // the drawn index is the portable md5 bucket of (model, r, i)
+    // draw rows: resample r in [0, b), draw i in [0, n) — two chained
+    // explodes (b-sized then n-sized arrays) generate the identical
+    // (model, r, i) set the old single k-explode did without ever
+    // materializing one n·b-element array per model row; the drawn
+    // index is the portable md5 bucket of (model, r, i)
     val draws = per.select(col("model"), col("n"),
-        explode(sequence(lit(0L), col("n") * b - 1)).as("k"))
-      .select(col("model"), col("n"),
-        (col("k") / col("n")).cast("long").as("r"),
-        pmod(col("k"), col("n")).as("i"))
+        explode(sequence(lit(0L), lit((b - 1).toLong))).as("r"))
+      .select(col("model"), col("n"), col("r"),
+        explode(sequence(lit(0L), col("n") - 1)).as("i"))
       .withColumn("rn", pmod(
         graft.functions.HashExpressions.md5Prefix(
           concat(col("model"), lit(":"), col("r"),
@@ -762,10 +764,12 @@ object Chat {
     val per = it.agg(count(lit(1)).as("n"), sum("pa").as("wa"),
       sum("pb").as("wb"))
     val key = s"$modelA|$modelB"
+    // same two-level explode as [[bootstrapEvalCI]] — identical
+    // (r, i) set, no n·b-element array per row
     val draws = per.select(col("n"),
-        explode(sequence(lit(0L), col("n") * b - 1)).as("k"))
-      .select(col("n"), (col("k") / col("n")).cast("long").as("r"),
-        pmod(col("k"), col("n")).as("i"))
+        explode(sequence(lit(0L), lit((b - 1).toLong))).as("r"))
+      .select(col("n"), col("r"),
+        explode(sequence(lit(0L), col("n") - 1)).as("i"))
       .withColumn("rn", pmod(
         graft.functions.HashExpressions.md5Prefix(
           concat(lit(key), lit(":"), col("r"),
