@@ -281,9 +281,25 @@ object Dedup {
     * pair array at once; group size stays bounded by the same maxDf
     * caps as before (the skew story is unchanged — a hot key owned one
     * join task before and owns one agg task now). */
-  private def pairsWithinGroups(groups: DataFrame, msCol: String)
+  private def pairsWithinGroups(groups: DataFrame, msCol: String,
+                                spread: Boolean = false)
       : DataFrame =
-    groups
+    (if (!spread) groups
+     else
+      // generator fan-out is invisible to AQE: it sizes the upstream
+      // exchange on the GROUP rows (sf0.1: 27k groups, 22 MB → one
+      // coalesced partition) while the pair expansion below multiplies
+      // them ~5x (1.27M pairs measured at sf0.1 — avg shingle df 9.6).
+      // A round-robin spread of the group rows to defaultParallelism
+      // before the expansion costs one pass over fingerprint-sized rows
+      // and parallelizes the quadratic part at any scale; result sets
+      // are unchanged (every consumer re-aggregates by pair key).
+      // Enabled only where pair volume dominates by measurement — the
+      // all-pairs jaccard/containment sweeps; the BANDED generators
+      // (minhash/winnowing) emit pairs ~ near-dup density and the extra
+      // exchange measured as pure loss there.
+      groups.repartition(groups.sparkSession.sparkContext
+        .defaultParallelism))
       .select(col(msCol).as("_ms"),
         posexplode(col(msCol)).as(Seq("_i", "_a")))
       .select(col("_a"), explode(slice(col("_ms"), col("_i") + 2,
@@ -314,7 +330,7 @@ object Dedup {
         (if (maxDf >= Int.MaxValue) lit(true)
          else size(col("ms")) <= maxDf))
       .select(array_sort(col("ms")).as("ms"))
-    pairsWithinGroups(groups, "ms")
+    pairsWithinGroups(groups, "ms", spread = true)
       .select(col("_a.id").as("id_a"), col("_a.n_sh").as("n_a"),
         col("_b.id").as("id_b"), col("_b.n_sh").as("n_b"))
       .filter(col("id_a") < col("id_b"))
@@ -450,7 +466,7 @@ object Dedup {
         (if (maxDf >= Int.MaxValue) lit(true)
          else size(col("ms")) <= maxDf))
       .select(array_sort(col("ms")).as("ms"))
-    pairsWithinGroups(groups, "ms")
+    pairsWithinGroups(groups, "ms", spread = true)
       .select(col("_a.id").as("id_a"), col("_a.n_sh").as("n_a"),
         col("_b.id").as("id_b"), col("_b.n_sh").as("n_b"))
       .filter(col("id_a") < col("id_b"))

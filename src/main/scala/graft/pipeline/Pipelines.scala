@@ -769,12 +769,27 @@ object Pipelines {
     val roles = transform(t, x => x.getField("role"))
     val breaks = filter(sequence(lit(1), size(t) - 1),
       i => element_at(roles, i + 1) === element_at(roles, i))
-    val gated = convs
-      .filter(size(t).cast("long") >= minTurns)
-      .filter(if (requireAlternating)
-        (size(t) > 1 && size(breaks) === 0) else lit(true))
-      .filter(if (requireUserStart)
+    // Pushdown barrier: when `turns` is itself a computed column (the
+    // synthesized-conversation callers), PushPredicateThroughNonJoin
+    // substitutes the full turn-construction lambda chain into EVERY
+    // gate conjunct below the projection — 6 re-evaluations per row,
+    // measured as 1.4 s of q231's 1.9 s (the rule checks only the
+    // PROJECT's determinism, never the predicate's cost). So the
+    // barrier must live in the projection AND be referenced by the
+    // filter (an unreferenced nondeterministic column is pruned away
+    // and the barrier dissolves): an always-false `_no_pushdown < 0`
+    // OR-leg pins the gate above the projection, turns evaluates once,
+    // and monotonically_increasing_id() >= 0 keeps the row set
+    // unchanged.
+    val gate = (size(t).cast("long") >= minTurns) &&
+      (if (requireAlternating) (size(t) > 1 && size(breaks) === 0)
+       else lit(true)) &&
+      (if (requireUserStart)
         (size(t) > 0 && element_at(roles, 1) === "user") else lit(true))
+    val gated = convs
+      .withColumn("_no_pushdown", monotonically_increasing_id())
+      .filter(gate || col("_no_pushdown") < 0)
+      .drop("_no_pushdown")
       .withColumn("n_turns", size(t).cast("long"))
     val kept = Chat.dedupConversations(gated, idCol, turnsCol)
       .filter(col("keep") === 1)
