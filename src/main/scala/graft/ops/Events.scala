@@ -224,14 +224,21 @@ object Events {
   def sessionBaskets(events: DataFrame, gapSeconds: Double = 1800,
                      userCol: String = "user_id", tsCol: String = "ts",
                      typeCol: String = "event_type"): DataFrame = {
-    val s = Windows.sessionize(events, tsCol, Seq(userCol), gapSeconds)
-      .select(col(userCol).as("u"), col("session_id").as("sid"),
-        col(typeCol).as("t"))
-      .distinct()
-    s.select(col("u"), col("sid"), col("t").as("t_a"))
-      .join(s.select(col("u"), col("sid"), col("t").as("t_b")),
-        Seq("u", "sid"))
-      .filter(col("t_a") < col("t_b"))
+    // one grouped aggregation + ordered pair expansion (the dedup
+    // pair-generator shape): collect_set ≡ the former distinct, and the
+    // (u, sid) grouping rides the sessionize window's user partitioning
+    // — the former self-join re-derived the window on both sides and
+    // paid two more exchanges. Pair multiset identical: sorted distinct
+    // types expanded a-before-b ≡ the t_a < t_b join filter.
+    val baskets = Windows.sessionize(events, tsCol, Seq(userCol),
+        gapSeconds)
+      .groupBy(col(userCol).as("u"), col("session_id").as("sid"))
+      .agg(array_sort(collect_set(col(typeCol))).as("ts"))
+      .filter(size(col("ts")) >= 2)
+    baskets
+      .select(col("ts").as("_ms"), posexplode(col("ts")).as(Seq("_i", "t_a")))
+      .select(col("t_a"), explode(slice(col("_ms"), col("_i") + 2,
+        size(col("_ms")) - col("_i") - 1)).as("t_b"))
       .groupBy("t_a", "t_b").agg(count(lit(1)).as("support"))
   }
 
