@@ -1936,14 +1936,9 @@ object TextOps {
           "i -> struct(concat(toks[i - 1], ' ', toks[i]) AS bigram, " +
           "toks[i - 1] AS w1))")).as("b"))
       .select(col(idCol), col("b.bigram").as("bigram"), col("b.w1").as("w1"))
-    // head counts derive from the bigram-TYPE ledger instead of a third
-    // pass over the exploded instance lineage: c(w1 .) = sum of its
-    // types' counts — exact integers, same values
-    val cbg = bg.groupBy("bigram").agg(count(lit(1)).as("c_bg"),
-      first(col("w1")).as("_w1"))
-    val cw = cbg.groupBy(col("_w1").as("w1"))
-      .agg(sum("c_bg").as("c_w1"))
-    bg.join(cbg.select("bigram", "c_bg"), "bigram").join(cw, "w1")
+    val cbg = bg.groupBy("bigram").agg(count(lit(1)).as("c_bg"))
+    val cw = bg.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+    bg.join(cbg, "bigram").join(cw, "w1")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"),
         avg(-log(col("c_bg").cast("double") / col("c_w1"))).as("nll"))
@@ -1979,15 +1974,11 @@ object TextOps {
           "toks[i - 1] AS w1, toks[i] AS w2))")).as("b"))
       .select(col(idCol), col("b.bigram").as("bigram"),
         col("b.w1").as("w1"), col("b.w2").as("w2"))
-    // head counts from the type ledger (the bigramNll note)
-    val cbg = bg.groupBy("bigram").agg(count(lit(1)).as("c_bg"),
-      first(col("w1")).as("_w1"))
-    val cw = cbg.groupBy(col("_w1").as("w1"))
-      .agg(sum("c_bg").as("c_w1"))
+    val cbg = bg.groupBy("bigram").agg(count(lit(1)).as("c_bg"))
+    val cw = bg.groupBy("w1").agg(count(lit(1)).as("c_w1"))
     val mix = lit(lambda) * (col("c_bg").cast("double") / col("c_w1")) +
       lit(1.0 - lambda) * col("p_uni")
-    bg.join(cbg.select("bigram", "c_bg"), "bigram").join(cw, "w1")
-      .join(uni, "w2")
+    bg.join(cbg, "bigram").join(cw, "w1").join(uni, "w2")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_transitions"),
         round(avg(-log(mix)), 6).as("nll"))
