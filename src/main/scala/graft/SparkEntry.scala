@@ -1727,8 +1727,14 @@ object SparkEntry {
     // sigmoid) is deliberately not emitted — exp() is the one
     // non-portable step cross-engine
     "q148_quality_classifier" -> ((s, dir) => {
-      val weights = s.range(64).select(col("id").cast("int").as("bucket"),
-        (col("id") * 7 % 13 - 6).cast("double").as("weight"))
+      // driver-built LocalRelation (identical integers to the former
+      // range(64) arithmetic): scoreLinearModel collects the model at
+      // plan time, and a LocalRelation collect is job-free
+      val weights = {
+        import s.implicits._
+        (0 until 64).map(b => (b, (b * 7 % 13 - 6).toDouble))
+          .toDF("bucket", "weight")
+      }
       TextOps.scoreLinearModel(t(s, dir, "documents"), weights,
           numBuckets = 64, bias = -3.0)
         .select("doc_id", "logit", "label")
@@ -2034,8 +2040,14 @@ object SparkEntry {
     // calibration sweep for q148's classifier against the ≥25-token
     // weak label: confusion counts + precision/recall per threshold
     "q175_threshold_sweep" -> ((s, dir) => {
-      val weights = s.range(64).select(col("id").cast("int").as("bucket"),
-        (col("id") * 7 % 13 - 6).cast("double").as("weight"))
+      // driver-built LocalRelation (identical integers to the former
+      // range(64) arithmetic): scoreLinearModel collects the model at
+      // plan time, and a LocalRelation collect is job-free
+      val weights = {
+        import s.implicits._
+        (0 until 64).map(b => (b, (b * 7 % 13 - 6).toDouble))
+          .toDF("bucket", "weight")
+      }
       val scored = TextOps.scoreLinearModel(t(s, dir, "documents"),
         weights, numBuckets = 64, bias = -3.0)
       val labeled = scored.join(

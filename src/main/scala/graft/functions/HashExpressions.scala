@@ -482,6 +482,79 @@ object Md5Prefix {
       java.security.MessageDigest.getInstance("MD5"))
 }
 
+/** Dense hash-bucket token counts in one pass per row: for an
+  * ARRAY<STRING> token column, the `numBuckets`-long count array where
+  * slot b counts the tokens with `hashBucket(token, numBuckets) == b`
+  * (i.e. `pmod(md5_prefix(token, 8), numBuckets)` — the portable
+  * [[Md5Prefix]] bucket the whole repo keys splits and features on).
+  * Null and empty tokens are skipped, mirroring the
+  * `filter(length(token) > 0)` step of the explode formulation.
+  *
+  * This is the feature-hashing (HashingTF) vectorizer as a MAP-ONLY
+  * projection: the former explode → groupBy(doc, bucket) formulation
+  * shuffled one row per token instance; this kernel emits one bounded
+  * array per document and nothing shuffles — the same
+  * scale argument as [[MinHashSignature]], applied to the classifier
+  * feature build (q110/q217/q218/q282). Output slots are exact instance
+  * counts, so `posexplode` + `n > 0` reproduces the tall (bucket, n)
+  * frame bit-for-bit. */
+case class HashBucketCounts(child: Expression, numBuckets: Int)
+    extends UnaryExpression {
+
+  require(numBuckets >= 1 && numBuckets <= (1 << 22),
+    s"numBuckets must be in [1, 2^22], got $numBuckets")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"hash_bucket_counts expects ARRAY<STRING>, got " +
+          s"${other.simpleString}")
+    }
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "hash_bucket_counts"
+
+  /** Row kernel — public so generated code can call it. */
+  def kernel(tokens: ArrayData): ArrayData = {
+    val md = Md5Prefix.threadMd5.get()
+    val counts = new Array[Long](numBuckets)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val t = tokens.getUTF8String(i)
+        if (t.numBytes() > 0) {
+          md.reset()
+          val d = md.digest(t.getBytes)
+          // first 8 hex chars of md5 == first 4 digest bytes, unsigned —
+          // exactly Md5Prefix.kernel(t, 8), always in [0, 2^32)
+          val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          counts((v % numBuckets).toInt) += 1L
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(counts.map(Long.box(_): Any))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hashBucketCounts", this,
+      classOf[HashBucketCounts].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class DeflateRatio(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -561,6 +634,11 @@ object HashExpressions {
   /** Column-level md5 hex-prefix value (see [[Md5Prefix]]). */
   def md5Prefix(key: Column, hexLen: Int): Column =
     Bridge.column(Md5Prefix(Bridge.expression(key), hexLen))
+
+  /** Column-level dense hash-bucket count array over an ARRAY<STRING>
+    * token column (see [[HashBucketCounts]]). */
+  def hashBucketCounts(tokens: Column, numBuckets: Int): Column =
+    Bridge.column(HashBucketCounts(Bridge.expression(tokens), numBuckets))
 
   /** Column-level deflate compression ratio (see [[DeflateRatio]]). */
   def deflateRatio(text: Column): Column =

@@ -2630,18 +2630,29 @@ object TextOps {
 
   /** Feature hashing (HashingTF): token → md5 bucket, per-doc bucket
     * counts in tall form — the fixed-width vectorization step that needs
-    * no vocabulary table (the hash IS the index), so it is map-side +
-    * one (doc, bucket) aggregation at any corpus size. Portable md5
-    * bucketing ([[hashBucket]]) keeps it engine-reproducible. */
+    * no vocabulary table (the hash IS the index), so it is map-side at
+    * any corpus size. Portable md5 bucketing ([[hashBucket]]) keeps it
+    * engine-reproducible.
+    *
+    * Shape: the per-doc bucket counts come from the single-pass
+    * [[graft.functions.HashBucketCounts]] kernel (MAP-ONLY — one
+    * bounded array per doc), then posexplode + `n > 0` re-derives the
+    * tall (doc, bucket, n) frame. The former explode → groupBy(doc,
+    * bucket) formulation shuffled one row per token INSTANCE; this one
+    * shuffles nothing, and consumers that aggregate further start from
+    * the same tall rows (identical multiset: slot b counts exactly the
+    * tokens the old groupBy counted, absent buckets filter out as the
+    * old explode never produced them). */
   def hashFeatures(docs: DataFrame, numBuckets: Int = 64,
                    idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame =
     docs.filter(col(textCol).isNotNull)
-      .select(col(idCol), explode(wsTokens(lower(col(textCol))))
-        .as("token"))
-      .filter(length(col("token")) > 0)
-      .groupBy(col(idCol), hashBucket(col("token"), numBuckets).as("bucket"))
-      .agg(count(lit(1)).as("n"))
+      .select(col(idCol), posexplode(
+        graft.functions.HashExpressions.hashBucketCounts(
+          wsTokens(lower(col(textCol))), numBuckets))
+        .as(Seq("_b", "n")))
+      .filter(col("n") > 0)
+      .select(col(idCol), col("_b").cast("long").as("bucket"), col("n"))
 
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling") — score every RAW doc
@@ -2669,16 +2680,16 @@ object TextOps {
                   idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
     require(numBuckets >= 2, "need at least two buckets")
-    def toks(d: DataFrame) = d.filter(col(textCol).isNotNull)
-      .select(col(idCol),
-        explode(wsTokens(lower(col(textCol)))).as("token"))
-      .filter(length(col("token")) > 0)
-      .select(col(idCol), hashBucket(col("token"), numBuckets).as("b"))
     def snapLn(c: Column): Column =
       floor(log(c.cast("double")) * 1048576.0 + 0.5).cast("long")
-    val tCnt = toks(target).groupBy("b").agg(count(lit(1)).as("nt"))
-    val docb = toks(raw).groupBy(col(idCol), col("b"))
-      .agg(count(lit(1)).as("n"))
+    // both profiles ride the MAP-ONLY [[hashFeatures]] kernel tall
+    // frame: the raw (doc, b, n) table needs no aggregation at all now,
+    // and the target model is a |buckets|-row sum over its tall rows
+    // (= the old per-instance count: Σ_doc n_doc_b)
+    val tCnt = hashFeatures(target, numBuckets, idCol, textCol)
+      .groupBy(col("bucket").as("b")).agg(sum("n").as("nt"))
+    val docb = hashFeatures(raw, numBuckets, idCol, textCol)
+      .select(col(idCol), col("bucket").as("b"), col("n"))
     val rCnt = docb.groupBy("b").agg(sum("n").as("nr"))
     // full-outer-by-union: a broadcast hash join cannot plan FULL
     // OUTER, and a 2·|buckets|-row SMJ is a silly shuffle — tag-union
@@ -2914,12 +2925,17 @@ object TextOps {
                  textCol: String = "text"): DataFrame = {
     require(numBuckets > 0, "numBuckets must be positive")
     val spark = raw.sparkSession
+    // per-bucket instance counts via the dense map-only kernel (zero
+    // rows survive into the sum — identical totals, and `smoothed`
+    // coalesces absent and zero alike)
     def counts(df: DataFrame): DataFrame =
       df.filter(col(textCol).isNotNull)
-        .select(explode(filter(wsTokens(lower(col(textCol))),
-          t => length(t) > 0)).as("token"))
-        .groupBy(hashBucket(col("token"), numBuckets).as("bucket"))
-        .agg(count(lit(1)).as("c"))
+        .select(posexplode(
+          graft.functions.HashExpressions.hashBucketCounts(
+            wsTokens(lower(col(textCol))), numBuckets))
+          .as(Seq("_b", "_c1")))
+        .groupBy(col("_b").cast("long").as("bucket"))
+        .agg(sum("_c1").as("c"))
     def smoothed(df: DataFrame, pCol: String): DataFrame = {
       val tot = df.agg(sum("c").as("t"))
       spark.range(numBuckets).select(col("id").as("bucket"))
@@ -3933,20 +3949,22 @@ object TextOps {
     require(lrShift >= 0 && lrShift <= 40, "lrShift out of range")
     val spark = docs.sparkSession
     val lr = 1.0 / (1L << lrShift)
-    val lab = docs.filter(col(labelCol).isNotNull)
-      .select(col(idCol).as("_id"), col(labelCol).cast("double").as("_y"))
-    // Per-doc COMPACTED feature rows, built once: (fs array<(bucket,n)>,
-    // _y). Docs with no hashable tokens are absent — by the old
-    // round-trip formulation their residuals never reached a gradient
-    // (the grad join was keyed on feature rows), so dropping them here
-    // changes nothing.
-    val fv = hashFeatures(docs.filter(col(labelCol).isNotNull),
-        numBuckets, idCol, textCol)
-      .withColumnRenamed(idCol, "_id")
-      .join(lab, "_id")
-      .groupBy("_id")
-      .agg(collect_list(struct(col("bucket"), col("n"))).as("fs"),
-        first(col("_y")).as("_y"))
+    // Per-doc DENSE feature rows, built once and MAP-ONLY: the
+    // [[graft.functions.HashBucketCounts]] kernel emits the
+    // |buckets|-long count array straight from the token array — no
+    // explode, no (doc, bucket) aggregation, no label join (the label
+    // rides the same projection). The former collect_list shape cost
+    // three exchanges before the loop even started. Docs with no
+    // hashable tokens carry an all-zero array; the `_n > 0` filter
+    // before the gradient aggregation drops their (and every absent
+    // bucket's) contribution, so the touched-bucket set and every
+    // gradient sum match the old sparse formulation exactly (sums are
+    // exact dyadics — order- and zero-term-free, see above).
+    val fv = docs.filter(col(labelCol).isNotNull &&
+        col(textCol).isNotNull)
+      .select(graft.functions.HashExpressions.hashBucketCounts(
+          wsTokens(lower(col(textCol))), numBuckets).as("_c"),
+        col(labelCol).cast("double").as("_y"))
       .persist()
     // DRIVER-HELD weight vector (|buckets| doubles — model-sized, the
     // seedCentroids convention): per round the prediction is a MAP-SIDE
@@ -3962,20 +3980,33 @@ object TextOps {
     val wArr = new Array[Double](numBuckets)
     val touched = new Array[Boolean](numBuckets)
     for (it <- 1 to iters) {
-      val wLit = array(wArr.toSeq.map(lit): _*)
+      // dense dot product against the literal weight vector via the
+      // native [[graft.functions.DotProduct]] kernel (one node — a
+      // 64-term element_at chain costs real planning time per
+      // iteration), bucket index order — every term is exact (dyadic
+      // weight × integer count) so the reassociation from the old
+      // sparse array order is value-free; zero-count terms contribute
+      // ±0.0, which cannot move a sum and whose sign dies in
+      // `pred*0.25 + 0.5`
       val pred =
         if (it == 1) lit(0.0)
-        else aggregate(col("fs"), lit(0.0), (acc, f) =>
-          acc + f.getField("n") *
-            element_at(wLit, f.getField("bucket").cast("int") + 1))
+        else graft.functions.VectorExpressions.dotProduct(
+          col("_c").cast("array<double>"), typedlit(wArr.toVector))
       val r = floor((greatest(lit(0.0), least(lit(1.0),
         pred * 0.25 + 0.5)) - col("_y")) * 4096 + 0.5) / 4096
-      val grad = fv.select(explode(col("fs")).as("f"), r.as("_r"))
-        .groupBy(col("f.bucket").as("bucket"))
-        .agg(sum(col("f.n") * col("_r")).as("_g"))
+      // _r is PRE-PROJECTED below the generator: a projection in the
+      // same select as posexplode lands ABOVE the Generate and would
+      // re-evaluate the dot once per GENERATED row (64×/doc — measured
+      // 3× the whole aggregation); as a lower Project it runs once per
+      // document and Generate just replicates the attribute
+      val grad = fv.select(r.as("_r"), col("_c"))
+        .select(col("_r"), posexplode(col("_c")).as(Seq("_b", "_n")))
+        .filter(col("_n") > 0)
+        .groupBy(col("_b"))
+        .agg(sum(col("_n") * col("_r")).as("_g"))
         .collect()
       grad.foreach { row =>
-        val b = row.getLong(0).toInt
+        val b = row.getInt(0)
         val g = row.getDouble(1)
         // same expression shapes as the old DataFrame update, so ±0.0
         // falls out identically: first round -(lr·g), then w − lr·g
@@ -4007,14 +4038,35 @@ object TextOps {
                        numBuckets: Int = 64, bias: Double = 0.0,
                        idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
-    val dot = hashFeatures(docs, numBuckets, idCol, textCol)
-      .join(broadcast(weights), Seq("bucket"), "left")
-      .groupBy(col(idCol))
-      .agg(sum(col("n") * coalesce(col("weight"), lit(0.0))).as("_dot"))
-    docs.select(col(idCol))
-      .join(dot, Seq(idCol), "left")
+    // The model is |buckets| rows BY CONTRACT — collect it to plan
+    // literals (the logisticTrain driver-held-weights convention) and
+    // score MAP-ONLY with the dense [[graft.functions
+    // .HashBucketCounts]] kernel: no explode, no (doc, bucket)
+    // aggregation, no doc-keyed join back — 100 TB of text streams
+    // through one projection. Value identity vs the old sparse
+    // sum(n·w): every addend the old agg saw appears here (absent
+    // buckets add n·w = ±0.0, the old missing-weight rows added
+    // n·coalesce(null, 0.0) = +0.0); the operator's exactness contract
+    // (integer/dyadic weights) makes the reassociation value-free, and
+    // the trailing `+ bias` normalizes a -0.0 sum exactly as before.
+    val wArr = new Array[Double](numBuckets)
+    weights.select(col("bucket").cast("int").as("b"),
+        col("weight").cast("double").as("w"))
+      .collect().foreach { r =>
+        require(!r.isNullAt(0) && r.getInt(0) >= 0 &&
+          r.getInt(0) < numBuckets,
+          s"model bucket out of [0, $numBuckets): ${r.get(0)}")
+        wArr(r.getInt(0)) = r.getDouble(1)
+      }
+    val cnts = graft.functions.HashExpressions.hashBucketCounts(
+      wsTokens(lower(col(textCol))), numBuckets)
+    val dot = graft.functions.VectorExpressions.dotProduct(
+      col("_c").cast("array<double>"), typedlit(wArr.toVector))
+    docs.select(col(idCol),
+        when(col(textCol).isNotNull, cnts).as("_c"))
       .select(col(idCol),
-        (coalesce(col("_dot"), lit(0.0)) + bias).as("logit"))
+        (coalesce(when(col("_c").isNotNull, dot), lit(0.0)) + bias)
+          .as("logit"))
       .withColumn("label", (col("logit") > 0).cast("int"))
       .withColumn("prob", lit(1.0) / (lit(1.0) + exp(-col("logit"))))
   }

@@ -766,6 +766,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(again == rows.map(_.getAs[Long]("b")).toSeq)
   }
 
+  test("HashBucketCounts kernel: hashFeatures == the former " +
+    "explode+hashBucket+groupBy formulation on a unicode/empty/null zoo") {
+    val docs = Seq(
+      (1L, "a b a café ＡＢＣ  x"), // doubled space
+      (2L, ""),                                      // zero tokens
+      (3L, "7919 -3.5 7919 7919 the the the the"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "   "),                                   // only empties
+      (6L, (1 to 300).map(i => s"t${i % 7}").mkString(" "))
+    ).toDF("doc_id", "text")
+    for (nb <- Seq(2, 64, 97)) {
+      val kernel = TextOps.hashFeatures(docs, nb)
+        .orderBy("doc_id", "bucket").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val chain = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(TextOps.wsTokens(lower(col("text")))).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("doc_id"),
+          TextOps.hashBucket(col("token"), nb).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("doc_id", "bucket").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(kernel == chain, s"numBuckets=$nb")
+    }
+  }
+
   test("Md5Prefix kernel == conv(substring(md5(x),1,L),16,10) chain on a " +
     "null/unicode/numeric zoo, L in {1, 8, 15}") {
     import graft.functions.HashExpressions.md5Prefix

@@ -397,10 +397,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), s"unexpected aggregation:\n$p")
   }
 
-  test("q110 feature hashing partial-aggregates with no join") {
+  test("q110 feature hashing is map-only: the dense kernel replaces the " +
+    "explode+groupBy, no exchange, no join") {
     val p = plan("q110_feature_hashing")
-    assert(p.contains("partial_"), s"no map-side combine:\n$p")
+    assert(p.contains("hash_bucket_counts"), s"kernel not in plan:\n$p")
     assert(!p.contains("Join"), s"vocabulary-free op must not join:\n$p")
+    // r18: the per-(doc, bucket) aggregation is gone — the kernel emits
+    // the counts inside the scan stage and only the declared ORDER BY
+    // may exchange
+    assert(!p.contains("HashAggregate"),
+      s"kernel output must not re-aggregate:\n$p")
   }
 
   test("q112 normalization broadcasts the per-group stats") {
@@ -439,13 +445,17 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Join"), s"$q plans a join:\n$p")
       assert(!p.contains("HashAggregate"), s"$q plans an agg:\n$p")
     }
-    // q148 classifier: the |buckets|-row model must ride a broadcast and
-    // the (doc, bucket) counts must partially aggregate — a SortMergeJoin
-    // against the weights would shuffle the feature domain per model
+    // q148 classifier (r18 shape): the |buckets|-row model collects to a
+    // literal weight vector and scoring is ONE map-only projection — a
+    // dense dot kernel over hash_bucket_counts; no join, no aggregation,
+    // no exchange below the declared ORDER BY
     val p148 = plan("q148_quality_classifier")
-    assert(p148.contains("BroadcastHashJoin"),
-      s"weights not broadcast:\n$p148")
-    assert(p148.contains("partial_"), s"no map-side combine:\n$p148")
+    assert(p148.contains("dotproduct") &&
+      p148.contains("hash_bucket_counts"),
+      s"dense scoring kernels not in plan:\n$p148")
+    assert(!p148.contains("Join"), s"model must not join:\n$p148")
+    assert(!p148.contains("HashAggregate"),
+      s"map-only scoring must not aggregate:\n$p148")
     // q147 snapshot diff: one full-outer id join over (id, fp)
     // projections — the document text must never rise above the
     // fingerprint projection into the exchange
