@@ -173,20 +173,24 @@ object Dedup {
         // round, not floor: floor would under-sample every non-exact
         // fraction by up to one full bucket
         lit(math.round(sampleFraction * grid)))
+    // Both sides are DISTINCT pair sets by construction (ngramJaccard
+    // ends in a pair-keyed aggregation, minhashCandidates in distinct),
+    // so a tag-union + one pair-keyed aggregation measures all three
+    // counts in ONE pass: no caches, no semi-join, no per-count job —
+    // the former shape cached both sides and ran three count jobs plus
+    // two crossJoins.
     val exact = ngramJaccard(sampled, idCol, textCol, shingleN,
       minJaccard = threshold, maxDf = Int.MaxValue)
-      .select("id_a", "id_b")
-      .cache() // counted twice: denominator and semi-join probe
+      .select(col("id_a"), col("id_b"), lit(1L).as("_t"), lit(0L).as("_c"))
     val cand = minhashCandidates(sampled, idCol, textCol, shingleN,
-      numHashes, bands, portable).select("id_a", "id_b")
-      // also consumed twice (count + probe): without this the band
-      // self-join and distinct above the signature cache re-run in full
-      .cache()
-    val hits = exact.join(cand, Seq("id_a", "id_b"), "left_semi")
-    val t = exact.agg(count(lit(1)).as("true_pairs"))
-    val c = cand.agg(count(lit(1)).as("candidate_pairs"))
-    val h = hits.agg(count(lit(1)).as("hit_pairs"))
-    t.crossJoin(broadcast(c)).crossJoin(broadcast(h))
+      numHashes, bands, portable)
+      .select(col("id_a"), col("id_b"), lit(0L).as("_t"), lit(1L).as("_c"))
+    exact.unionByName(cand)
+      .groupBy("id_a", "id_b")
+      .agg(sum("_t").as("t"), sum("_c").as("c"))
+      .agg(coalesce(sum("t"), lit(0L)).as("true_pairs"),
+        coalesce(sum("c"), lit(0L)).as("candidate_pairs"),
+        coalesce(sum(col("t") * col("c")), lit(0L)).as("hit_pairs"))
       .select(col("true_pairs"), col("candidate_pairs"), col("hit_pairs"),
         round(when(col("true_pairs") === 0, lit(1.0))
           .otherwise(col("hit_pairs").cast("double") / col("true_pairs")),
@@ -305,6 +309,58 @@ object Dedup {
       .select(col("_a"), explode(slice(col("_ms"), col("_i") + 2,
         size(col("_ms")) - col("_i") - 1)).as("_b"))
 
+
+  /** Ordered within-group pair stream for an inverted index
+    * (key `sh_h`, member struct (id, n_sh)) under either df regime.
+    *
+    * Capped (`maxDf < Int.MaxValue`): the one-aggregation grouped
+    * expansion — the df cap bounds every member array, so the
+    * collect_list buffer is bounded too (unchanged from r17).
+    *
+    * UNCAPPED (the exact-verification regime — q23/q41/q111 and
+    * q126's ground-truth side): a single collect over the shingle key
+    * would materialize EVERY id sharing a hot shingle as ONE array row
+    * — an OOM-sized record at 100 TB. With no df cap there is no
+    * cap machinery to fold into an aggregation either, so the cheapest
+    * BOUNDED shape is the bare key-equi self-join: one exchange (the
+    * identical sides reuse it), SortMergeJoin streams each key through
+    * a spillable match buffer (never one row), and the emitted
+    * (both-orders + self) pair stream is trimmed by every consumer's
+    * `id_a < id_b` filter to exactly the grouped expansion's multiset.
+    * Measured at sf0.1 (q23 shape, warm): bare join 2.7 s vs 3.0 s for
+    * the unbounded collect and 3.4-4.0 s for two split designs
+    * (count-over-window re-sorted per consumer; hash-agg hot-key split
+    * paid an extra exchange plus two broadcast barriers) — bounded AND
+    * fastest. */
+  private def pairsForInvertedIndex(inv: DataFrame,
+                                    maxDf: Int): DataFrame = {
+    if (maxDf < Int.MaxValue) {
+      // df cap folded into the SAME aggregation that feeds the pair
+      // expansion: size(members) is the old groupBy-count df (ids are
+      // distinct per shingle), so filtering here ≡ the former hot-key
+      // anti-join — with one exchange instead of three and no cache
+      val groups = inv.groupBy("sh_h")
+        .agg(collect_list(struct(col("id"), col("n_sh"))).as("ms"))
+        .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxDf)
+        .select(array_sort(col("ms")).as("ms"))
+      pairsWithinGroups(groups, "ms", spread = true)
+    } else {
+      // explicit partition count: the join's generator fan-out (~5× the
+      // index rows) is invisible to AQE, which would coalesce the
+      // ~16 MB index shuffle to one partition and run the quadratic
+      // expansion serially — the same effect `spread` handles on the
+      // grouped path. defaultParallelism scales with the session's
+      // cores instead of pinning a local constant.
+      val keyed = inv.repartition(
+        inv.sparkSession.sparkContext.defaultParallelism, col("sh_h"))
+      val a = keyed.select(col("sh_h"),
+        struct(col("id"), col("n_sh")).as("_a"))
+      val b = keyed.select(col("sh_h"),
+        struct(col("id"), col("n_sh")).as("_b"))
+      a.join(b, Seq("sh_h")).select(col("_a"), col("_b"))
+    }
+  }
+
   def ngramJaccard(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", shingleN: Int = 3,
                    minJaccard: Double = 0.5,
@@ -320,17 +376,7 @@ object Dedup {
     val inv = sh.select(col("id"), col("n_sh"),
         explode(col("sh")).as("shingle"))
       .select(col("id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
-    // df cap folded into the SAME aggregation that feeds the pair
-    // expansion: size(members) is the old groupBy-count df (ids are
-    // distinct per shingle), so filtering here ≡ the former hot-key
-    // anti-join — with one exchange instead of three and no cache
-    val groups = inv.groupBy("sh_h")
-      .agg(collect_list(struct(col("id"), col("n_sh"))).as("ms"))
-      .filter(size(col("ms")) >= 2 &&
-        (if (maxDf >= Int.MaxValue) lit(true)
-         else size(col("ms")) <= maxDf))
-      .select(array_sort(col("ms")).as("ms"))
-    pairsWithinGroups(groups, "ms", spread = true)
+    pairsForInvertedIndex(inv, maxDf)
       .select(col("_a.id").as("id_a"), col("_a.n_sh").as("n_a"),
         col("_b.id").as("id_b"), col("_b.n_sh").as("n_b"))
       .filter(col("id_a") < col("id_b"))
@@ -459,14 +505,8 @@ object Dedup {
     val inv = sh.select(col("id"), col("n_sh"),
         explode(col("sh")).as("shingle"))
       .select(col("id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
-    // same one-exchange group + pair expansion as [[ngramJaccard]]
-    val groups = inv.groupBy("sh_h")
-      .agg(collect_list(struct(col("id"), col("n_sh"))).as("ms"))
-      .filter(size(col("ms")) >= 2 &&
-        (if (maxDf >= Int.MaxValue) lit(true)
-         else size(col("ms")) <= maxDf))
-      .select(array_sort(col("ms")).as("ms"))
-    pairsWithinGroups(groups, "ms", spread = true)
+    // same two-regime group + pair expansion as [[ngramJaccard]]
+    pairsForInvertedIndex(inv, maxDf)
       .select(col("_a.id").as("id_a"), col("_a.n_sh").as("n_a"),
         col("_b.id").as("id_b"), col("_b.n_sh").as("n_b"))
       .filter(col("id_a") < col("id_b"))
