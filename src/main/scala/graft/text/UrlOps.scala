@@ -420,7 +420,7 @@ object UrlOps {
     * group detection cannot diverge between the allow/disallow rules
     * and Crawl-delay. */
   private def robotsGroups(robots: DataFrame, agent: String,
-      hostCol: String, bodyCol: String): (DataFrame, DataFrame) = {
+      hostCol: String, bodyCol: String): DataFrame = {
     require(agent.nonEmpty, "agent must be non-empty")
     val W = org.apache.spark.sql.expressions.Window
     val lines = robots.select(col(hostCol).as("host"),
@@ -434,33 +434,39 @@ object UrlOps {
       when(isUa, lower(trim(regexp_extract(col("line"),
         "(?i)^user-agent[ \t]*:(.*)$", 1)))).as("ua"))
     val wOrd = W.partitionBy("host").orderBy("ln")
-    val grouped = cls
+    // group selection as WINDOW FLAGS over the same host partitioning
+    // the gaps-and-islands pass already established — the former
+    // exact/wild distinct + anti-join + semi-join spent four exchanges
+    // per directive reader on what three stacked window maxes answer in
+    // place: a (host, g) group is selected iff it names the agent, or
+    // the host names it nowhere and the group is `*` (RFC 9309 §2.2.1,
+    // same set as the old exact ∪ wild construction).
+    // Locale.ROOT: a tr-locale driver must not fold the agent name
+    // differently from the executor-side lower()
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    val isExact = when(col("ua") === agentLc, 1).otherwise(0)
+    val isWild = when(col("ua") === "*", 1).otherwise(0)
+    cls
       .withColumn("ua_start",
         (col("ua").isNotNull &&
           coalesce(lag(col("ua").isNotNull, 1).over(wOrd), lit(false))
             === false).cast("int"))
       .withColumn("g", sum("ua_start").over(
         wOrd.rowsBetween(W.unboundedPreceding, W.currentRow)))
-    val agents = grouped.filter(col("ua").isNotNull)
-      .select(col("host"), col("g"), col("ua"))
-    // Locale.ROOT: a tr-locale driver must not fold the agent name
-    // differently from the executor-side lower()
-    val exact = agents
-      .filter(col("ua") === agent.toLowerCase(java.util.Locale.ROOT))
-      .select("host", "g").distinct()
-    val wild = agents.filter(col("ua") === "*")
-      .select("host", "g").distinct()
-      .join(exact.select("host").distinct(), Seq("host"), "left_anti")
-    (grouped, exact.unionByName(wild))
+      .withColumn("_gx", max(isExact).over(W.partitionBy("host", "g")))
+      .withColumn("_gw", max(isWild).over(W.partitionBy("host", "g")))
+      .withColumn("_hx", max(isExact).over(W.partitionBy("host")))
+      .withColumn("selected",
+        col("_gx") === 1 || (col("_hx") === 0 && col("_gw") === 1))
+      .drop("_gx", "_gw", "_hx")
   }
 
   def robotsAgentRules(robots: DataFrame, agent: String = "*",
                        hostCol: String = "host",
                        bodyCol: String = "body"): DataFrame = {
-    val (grouped, selected) = robotsGroups(robots, agent, hostCol,
-      bodyCol)
+    val grouped = robotsGroups(robots, agent, hostCol, bodyCol)
     val rules = grouped
-      .select(col("host"), col("g"),
+      .select(col("host"), col("g"), col("selected"),
         when(col("ua").isNull &&
           col("line").rlike("(?i)^allow[ \t]*:"), 1)
           .when(col("ua").isNull &&
@@ -468,8 +474,7 @@ object UrlOps {
         trim(regexp_extract(col("line"),
           "(?i)^(dis)?allow[ \t]*:(.*)$", 2)).as("value"))
       .filter(col("allow").isNotNull && col("g") > 0 &&
-        col("value") =!= "")
-      .join(selected, Seq("host", "g"), "left_semi")
+        col("value") =!= "" && col("selected"))
       .select(col("host"), col("allow"), col("value").as("pattern"))
       .distinct()
     // pattern -> anchored regex: escape everything, then * -> .* and a
@@ -499,16 +504,13 @@ object UrlOps {
   def robotsCrawlDelays(robots: DataFrame, agent: String = "*",
                         hostCol: String = "host",
                         bodyCol: String = "body"): DataFrame = {
-    val (grouped, selected) = robotsGroups(robots, agent, hostCol,
-      bodyCol)
-    grouped
-      .select(col("host"), col("g"), col("ln"),
+    robotsGroups(robots, agent, hostCol, bodyCol)
+      .select(col("host"), col("g"), col("ln"), col("selected"),
         when(col("line").rlike("(?i)^crawl-delay[ \t]*:"),
           trim(regexp_extract(col("line"),
             "(?i)^crawl-delay[ \t]*:(.*)$", 1))).as("delay"))
       .filter(col("delay").isNotNull && col("g") > 0 &&
-        col("delay").rlike("^[0-9]+(\\.[0-9]+)?$"))
-      .join(selected, Seq("host", "g"), "left_semi")
+        col("delay").rlike("^[0-9]+(\\.[0-9]+)?$") && col("selected"))
       .groupBy("host")
       .agg(min_by(col("delay"), col("ln")).as("d"))
       .select(col("host"), col("d").cast("double").as("crawl_delay_s"))
@@ -522,9 +524,11 @@ object UrlOps {
     * winning pattern, null when none matched).
     *
     * The rule table broadcasts (|hosts|·rules rows); candidates are the
-    * host's own rules (equi-join on host, the regex match as residual);
-    * the winner is one max(struct(plen, allow, pattern)) aggregation —
-    * map-side combined, no window, URL payloads never shuffle. Matching
+    * host's own rules (LEFT equi-join on host, the regex match as
+    * residual); the winner is one per-id max(struct(plen, allow,
+    * pattern)) aggregation — map-side combined, no window, one pass
+    * over `urls` (idCol must identify rows), riding any existing
+    * id partitioning. Matching
     * is on the path PLUS query (de-facto REP matching — common crawler
     * rules target query strings, e.g. a Disallow of slash-star followed
     * by `?sessionid=`, and RFC 9309 §2.2.2's match target is the
@@ -543,21 +547,27 @@ object UrlOps {
     val r = broadcast(rules.select(col("host").as("_r_host"),
       col("allow").as("_r_allow"), col("pattern").as("_r_pattern"),
       col("plen").as("_r_plen"), col("rx").as("_r_rx")))
-    val winners = urls
-      .select(col(idCol), host.as("_host"), path.as("_path"))
+    // ONE pass over `urls` (idCol identifies rows — every caller's
+    // contract): LEFT broadcast join + per-id max. The former
+    // inner-join winners + left join-back consumed the urls lineage on
+    // BOTH sides of the id join, and the join's pushed null filters
+    // made the two subtrees non-identical, so exchange reuse never
+    // fired — q309 parsed every sitemap twice. A url with no matching
+    // rule keeps one null-rule row, whose all-null struct is the max
+    // only when nothing real matched — exactly the old left-join null.
+    urls
+      .select(struct(col("*")).as("_u"), col(idCol).as("_id"),
+        host.as("_host"), path.as("_path"))
       .join(r, col("_host") === col("_r_host") &&
-        regexp_like(col("_path"), col("_r_rx")), "inner")
-      .groupBy(idCol)
-      .agg(max(struct(col("_r_plen").as("plen"),
-        col("_r_allow").as("allow"),
-        col("_r_pattern").as("pattern"))).as("_w"))
-      .select(col(idCol), col("_w.allow").as("_w_allow"),
-        col("_w.pattern").as("_w_pattern"))
-    urls.join(winners, Seq(idCol), "left")
-      .withColumn("allowed",
-        coalesce(col("_w_allow"), lit(1)).cast("int"))
-      .withColumn("rule", col("_w_pattern"))
-      .drop("_w_allow", "_w_pattern")
+        regexp_like(col("_path"), col("_r_rx")), "left")
+      .groupBy(col("_id"))
+      .agg(first(col("_u")).as("_u"),
+        max(struct(col("_r_plen").as("plen"),
+          col("_r_allow").as("allow"),
+          col("_r_pattern").as("pattern"))).as("_w"))
+      .select(col("_u.*"),
+        coalesce(col("_w.allow"), lit(1)).cast("int").as("allowed"),
+        col("_w.pattern").as("rule"))
   }
 
   /** Broadcast a substring keyword list as an Aho-Corasick automaton —
