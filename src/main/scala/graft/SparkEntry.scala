@@ -1699,9 +1699,10 @@ object SparkEntry {
     // order, so the score is bit-identical cross-engine UNROUNDED
     "q146_rrf_fusion" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      TextOps.rrfFuse(Seq(
-          TextOps.bm25TopK(docs, Bm25Terms, k = 20),
-          TextOps.bm25TopK(docs, RrfTermsB, k = 20)),
+      // the two runs share one tokenize/tf/df/stats lineage — identical
+      // per-run results to independent bm25TopK calls (see bm25TopKRuns)
+      TextOps.rrfFuse(
+        TextOps.bm25TopKRuns(docs, Seq(Bm25Terms, RrfTermsB), k = 20),
         rrfK = 60, topK = 25)
         .orderBy(col("rrf_score").desc, col("doc_id"))
     }),

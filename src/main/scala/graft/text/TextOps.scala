@@ -1620,9 +1620,33 @@ object TextOps {
     * score (6 dp) so the k-boundary is stable across engines. */
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String],
                idCol: String = "doc_id", textCol: String = "text",
-               k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
-    val terms = queryTerms.map(_.toLowerCase).distinct
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKRuns(docs, Seq(queryTerms), idCol, textCol, k, k1, b).head
+
+  /** [[bm25TopK]] for SEVERAL query-term bags over the SAME corpus in
+    * one lineage — the multi-run retrieval shape [[rrfFuse]] consumes
+    * (q146). The corpus is tokenized and the hit-term tf table built
+    * ONCE over the union of the term sets; df_t comes from a window
+    * count partitioned by term on that same tf frame (a separate
+    * `tf.groupBy(term)` frame re-materializes the whole tokenize
+    * lineage: its consumer prunes different columns, so the canonical
+    * plans differ and AQE stage reuse never fires — measured as FOUR
+    * corpus scans for two runs). Run membership is DATA — a broadcast
+    * (run, term) table — not per-run plan branches: a literal
+    * isin(terms_i) filter would push below the df window (term is its
+    * partition key) and split the shared lineage right back apart.
+    * Per-run scores are bit-identical to independent [[bm25TopK]]
+    * calls: tf rows joined to a run's terms are exactly that run's tf
+    * table, and df_t is a per-term count independent of which run
+    * reads it. */
+  def bm25TopKRuns(docs: DataFrame, termSets: Seq[Seq[String]],
+                   idCol: String = "doc_id", textCol: String = "text",
+                   k: Int = 10, k1: Double = 1.2,
+                   b: Double = 0.75): Seq[DataFrame] = {
+    require(termSets.nonEmpty && termSets.forall(_.nonEmpty),
+      "every run needs at least one query term")
+    val perRun = termSets.map(_.map(_.toLowerCase).distinct)
+    val allTerms = perRun.flatten.distinct
     val toks = filter(wsTokens(lower(col(textCol))), t => length(t) > 0)
     val present = docs.filter(col(textCol).isNotNull)
     val stats = present
@@ -1632,22 +1656,38 @@ object TextOps {
     val tf = present
       .select(col(idCol), size(toks).cast("double").as("dl"),
         explode(toks).as("term"))
-      .filter(col("term").isin(terms: _*))
+      .filter(col("term").isin(allTerms: _*))
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val contrib = tf
-      .join(broadcast(df), "term")
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("term")).cast("double"))
+    val restricted =
+      if (perRun.size == 1) withDf // isin(allTerms) IS the run filter
+      else {
+        val spark = docs.sparkSession
+        import spark.implicits._
+        val runTerms = perRun.zipWithIndex
+          .flatMap { case (ts, i) => ts.map(t => (i, t)) }
+          .toDF("_run", "term")
+        withDf.join(broadcast(runTerms), "term")
+      }
+    val contrib = restricted
       .crossJoin(broadcast(stats))
       .withColumn("idf",
-        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+        log(lit(1.0) +
+          (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("w", col("idf") * col("tf") * (k1 + 1) /
         (col("tf") +
           lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
-    contrib.groupBy(idCol)
-      .agg(round(sum("w"), 6).as("score"), count(lit(1)).as("n_terms"))
-      .orderBy(col("score").desc, col(idCol))
-      .limit(k)
+    perRun.indices.map { i =>
+      val run = if (perRun.size == 1) contrib
+        else contrib.filter(col("_run") === i)
+      run.groupBy(idCol)
+        .agg(round(sum("w"), 6).as("score"), count(lit(1)).as("n_terms"))
+        .orderBy(col("score").desc, col(idCol))
+        .limit(k)
+    }
   }
 
   /** Deterministic weighted sampling without replacement (Efraimidis-
