@@ -22,43 +22,85 @@ object Scratch {
     @volatile var shuffleWrite = 0L
     @volatile var stages = 0
     @volatile var jobs = 0
+    @volatile var tasks = 0L
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages += 1
+        tasks += s.stageInfo.numTasks
         shuffleWrite +=
           s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
       }
     })
 
     def run(label: String)(df: => DataFrame): Unit = {
-      shuffleWrite = 0L; stages = 0; jobs = 0
+      spark.catalog.clearCache()
+      shuffleWrite = 0L; stages = 0; jobs = 0; tasks = 0L
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       Thread.sleep(50)
       println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s " +
-        f"jobs=$jobs stages=$stages shufKB=${shuffleWrite / 1024}")
+        f"jobs=$jobs stages=$stages tasks=$tasks shufKB=${shuffleWrite / 1024}")
+      spark.catalog.clearCache()
     }
 
-    val termsA = Seq("spark", "window", "dup")
-    val termsB = Seq("vector", "merge", "dup")
+    // v0: current shape (battery evaluated by both consumers)
+    def v0 = TextOps.selectUnderTokenBudget(docs, budgetTokens = 12000L)
+      .orderBy("doc_id")
 
-    def newShape = TextOps.rrfFuse(
-      TextOps.bm25TopKRuns(docs, Seq(termsA, termsB), k = 20),
-      rrfK = 60, topK = 25)
-      .orderBy(col("rrf_score").desc, col("doc_id"))
-    def singleRun = TextOps.bm25TopK(docs, termsA, k = 15)
-      .orderBy(col("score").desc, col("doc_id"))
+    // v1: persist the narrow scored frame, one battery pass
+    def v1 = {
+      val t = docs.select(col("doc_id"),
+        round(TextOps.qualityScore(col("text")), 6).as("quality"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .persist()
+      val bins = t.groupBy("quality").agg(sum("n_tokens").as("_btok"))
+      val wBins = org.apache.spark.sql.expressions.Window
+        .orderBy(col("quality").desc)
+      val offsets = bins
+        .withColumn("_prior", sum("_btok").over(wBins) - col("_btok"))
+        .filter(col("_prior") < 12000L)
+        .select("quality", "_prior")
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("quality").orderBy(col("doc_id"))
+      t.join(broadcast(offsets), Seq("quality"))
+        .withColumn("cum_tokens",
+          col("_prior") + sum("n_tokens").over(wDoc))
+        .filter(col("cum_tokens") <= 12000L)
+        .select(col("doc_id"), col("quality"), col("n_tokens"),
+          col("cum_tokens"))
+        .orderBy("doc_id")
+    }
+
+    // v2: spread the corpus over cores before the battery, then persist
+    def v2 = {
+      val t = docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          round(TextOps.qualityScore(col("text")), 6).as("quality"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .persist()
+      val bins = t.groupBy("quality").agg(sum("n_tokens").as("_btok"))
+      val wBins = org.apache.spark.sql.expressions.Window
+        .orderBy(col("quality").desc)
+      val offsets = bins
+        .withColumn("_prior", sum("_btok").over(wBins) - col("_btok"))
+        .filter(col("_prior") < 12000L)
+        .select("quality", "_prior")
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("quality").orderBy(col("doc_id"))
+      t.join(broadcast(offsets), Seq("quality"))
+        .withColumn("cum_tokens",
+          col("_prior") + sum("n_tokens").over(wDoc))
+        .filter(col("cum_tokens") <= 12000L)
+        .select(col("doc_id"), col("quality"), col("n_tokens"),
+          col("cum_tokens"))
+        .orderBy("doc_id")
+    }
 
     (1 to 3).foreach { _ =>
-      run("q146-shape")(newShape)
-      run("q74-shape")(singleRun)
-    }
-    locally {
-      val d = newShape
-      d.collect()
-      println("[scratch] ---- final adaptive plan (new) ----")
-      println(d.queryExecution.executedPlan.toString)
+      run("v0-current")(v0)
+      run("v1-persist")(v1)
+      run("v2-spread-persist")(v2)
     }
     spark.stop()
   }

@@ -2867,11 +2867,21 @@ object TextOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val bl = budgets.toSeq.toDF(groupCol, "_budget")
+    // persisted because BOTH passes of the prefix-sum decomposition
+    // (bin totals, then the per-doc window) consume it: without the
+    // persist each consumer re-evaluates the quality battery over the
+    // corpus text (the optimizer specializes the shared subtree per
+    // consumer, so exchange reuse cannot kick in). The cached frame is
+    // the NARROW (group, id, quality, n_tokens, budget) projection —
+    // bytes per row, not the corpus — the standard materialization a
+    // distributed prefix sum needs. Released by the harness
+    // clearCache() between queries.
     val t = docs.join(broadcast(bl), Seq(groupCol))
       .select(col(groupCol), col(idCol),
         round(qualityScore(col(textCol)), qualityDp).as("quality"),
         tokenCount(col(textCol)).cast("long").as("n_tokens"),
         col("_budget"))
+      .persist()
     val bins = t.groupBy(groupCol, "quality")
       .agg(sum("n_tokens").as("_btok"), first("_budget").as("_b"))
     val wBins = org.apache.spark.sql.expressions.Window
@@ -2895,9 +2905,13 @@ object TextOps {
                              textCol: String = "text",
                              qualityDp: Int = 6): DataFrame = {
     require(budgetTokens >= 0, "budget must be non-negative")
+    // persisted for the same two-consumer reason as the per-group form:
+    // one quality-battery pass over the text, both prefix-sum passes
+    // read the narrow cached frame
     val t = docs.select(col(idCol),
       round(qualityScore(col(textCol)), qualityDp).as("quality"),
       tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .persist()
     val bins = t.groupBy("quality")
       .agg(sum("n_tokens").as("_btok"))
     val wBins = org.apache.spark.sql.expressions.Window
