@@ -924,12 +924,14 @@ object SparkEntry {
     // two-stage ANN through the JL projection: bucket in 8-dim projected
     // space, full-dim re-score on probed buckets, recall vs exact brute
     // — the measured end of the randomProject scale story
+    // single-scan fusion of the exact/approx top-k lists + recall (one
+    // cosine+projection pass, both k-lists in one aggregation) — the
+    // composed recallAtK(bruteForceTopK, projectedLshTopK) form pays
+    // the scoring scan once per TakeOrdered branch; results identical
     "q137_projected_ann" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
       val q = queryVec(embs)
-      Similarity.recallAtK(
-        Similarity.bruteForceTopK(embs, typedlit(q.toSeq), 10),
-        Similarity.projectedLshTopK(embs, q, 10), 10)
+      Similarity.projectedAnnRecall(embs, q, 10)
     }),
 
     // URL canonicalization + registrable domain — the crawl pipeline's

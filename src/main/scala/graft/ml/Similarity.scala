@@ -1104,6 +1104,51 @@ object Similarity {
         round(col("hits").cast("double") / k, 6).as("recall"))
   }
 
+  /** One-pass fusion of [[recallAtK]]([[bruteForceTopK]],
+    * [[projectedLshTopK]]) — the q137 measurement as a SINGLE corpus
+    * scan. The composed form pays the full-dim cosine + projection
+    * battery once per TakeOrdered branch (a map-only subtree has no
+    * exchange for AQE reuse to share), plus a third job for the
+    * semi-join. Here one projection computes (cosine, projected
+    * bucket) per row and BOTH k-lists ride one aggregation as bounded
+    * [[graft.functions.TopKByScoreAggregate]] states (k pairs per
+    * partition — TakeOrdered's merge shape, composable two-per-agg);
+    * the probe gate (query bucket + Hamming-1 neighbors, computed
+    * driver-side by the parity-specced [[hyperplaneKeyOf]]) feeds the
+    * approx list through a NULL-score mask. Result-identical: the
+    * aggregate's (score DESC, id ASC) comparator is exactly the
+    * composed form's ordering, so both k-lists match element-for-
+    * element, and |exact ∩ approx| is recallAtK's semi-join count. */
+  def projectedAnnRecall(embs: DataFrame, query: Array[Double], k: Int,
+                         outDim: Int = 8, planes: Int = 6,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         dim: Int = DefaultDim, seed: Int = 1,
+                         multiProbe: Boolean = true): DataFrame = {
+    require(k > 0)
+    val full = col(vecCol).cast("array<double>")
+    val qKey = hyperplaneKeyOf(projectVector(query, outDim, seed), planes)
+    val probeIds = (if (multiProbe)
+        qKey +: (0 until planes).map(p => qKey ^ (1L << p))
+      else Seq(qKey)).distinct
+    val scored = embs.select(col(idCol).as("_id"),
+      cosine(full, typedlit(query.toSeq), dim).as("_c"),
+      hyperplaneKey(projectExpr(full, outDim, dim, seed), planes, outDim)
+        .as("_bucket"))
+    scored.agg(
+        graft.functions.SketchAggregates.topKByScore(
+          col("_c"), col("_id"), k).as("_exact"),
+        graft.functions.SketchAggregates.topKByScore(
+          when(col("_bucket").isInCollection(probeIds), col("_c")),
+          col("_id"), k).as("_approx"))
+      .select(size(array_intersect(
+          transform(col("_exact"), x => x.getField("id")),
+          transform(col("_approx"), x => x.getField("id"))))
+        .cast("long").as("hits"))
+      .select(col("hits"),
+        round(col("hits").cast("double") / k, 6).as("recall"))
+  }
+
   /** STORED-IVF INGEST — the ANN analog of the signature-index append
     * ([[graft.dedup.Dedup.appendToSignatureIndex]]): assign a batch of
     * NEW vectors to the EXISTING centroids (broadcast-kernel

