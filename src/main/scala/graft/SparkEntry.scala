@@ -4150,6 +4150,10 @@ object SparkEntry {
     // alphabet, exactly what loadTokenizer's T5 leg feeds the
     // segmenter
     "q332_metaspace_unigram" -> ((s, dir) => {
+      // measured NOT persisted: caching the distinct-word domain for
+      // the two consumers (vocab seed, Viterbi DP) pins a 32-partition
+      // cache AQE can no longer coalesce — tasks 11 -> 295, 1.5 ->
+      // 2.1 s at sf0.1; the duplicate corpus explode is cheaper
       val words = t(s, dir, "documents").filter(col("text").isNotNull)
         .select(explode(TextOps.metaspacePreTokens(lower(col("text"))))
           .as("word"))

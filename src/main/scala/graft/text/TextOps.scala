@@ -996,6 +996,68 @@ object TextOps {
       .select(col("piece"), log(col("n") / col("tot")).as("lnp"))
   }
 
+  /** Driver replay of [[substringVocab]] over an in-memory DISTINCT
+    * word list — the seed step of [[unigramTrain]]'s driver fast path.
+    * Mirrors the relational form expression by expression: substring
+    * positions are CODE POINTS (the SQL substr unit), the single-char
+    * class is code-point length 1, the multi-char prune orders by
+    * (n DESC, piece ASC in UTF-8 binary order — Spark's string
+    * ordering), lnp = StrictMath.log(n / Σn) with the count cast to
+    * double only at the division (the engine's own Log + Divide). */
+  private[graft] def substringVocabDriver(words: Seq[String],
+                                          maxPiece: Int = 4,
+                                          topK: Int = 200)
+      : Seq[(String, Double)] = {
+    require(maxPiece >= 1 && topK >= 0, "bad maxPiece/topK")
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    words.foreach { w =>
+      val len = w.codePointCount(0, w.length)
+      val idx = new Array[Int](len + 1)
+      var ci = 0
+      var p = 0
+      while (p < len) {
+        idx(p) = ci
+        ci += Character.charCount(w.codePointAt(ci))
+        p += 1
+      }
+      idx(len) = w.length
+      var i = 0
+      while (i < len) {
+        var l = 1
+        val lmax = math.min(maxPiece, len - i)
+        while (l <= lmax) {
+          val piece = w.substring(idx(i), idx(i + l))
+          counts.update(piece, counts.getOrElse(piece, 0L) + 1L)
+          l += 1
+        }
+        i += 1
+      }
+    }
+    def cp1(s: String): Boolean = s.codePointCount(0, s.length) == 1
+    val u8lt = (a: String, b: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String
+          .fromString(b)) < 0
+    val all = counts.toSeq
+    val singles = all.filter(x => cp1(x._1))
+    val multis = all.filterNot(x => cp1(x._1))
+      .sortWith((a, b) => if (a._2 != b._2) a._2 > b._2
+        else u8lt(a._1, b._1))
+      .take(topK)
+    val kept = singles ++ multis
+    val tot = kept.foldLeft(0L)((acc, x) =>
+      Math.addExact(acc, x._2)).toDouble
+    kept.map { case (p, n) => (p, StrictMath.log(n.toDouble / tot)) }
+  }
+
+  /** Gate for [[unigramTrain]]'s driver fast path (the
+    * [[defaultBpeDriverMaxWords]] convention on the same distinct-word
+    * frequency ledger); env-overridable, 0 forces the distributed
+    * loop. */
+  private[graft] val defaultUnigramDriverMaxWords: Long =
+    sys.env.get("SPARK_GRAFT_UNIGRAM_DRIVER_MAX_WORDS")
+      .flatMap(_.toLongOption).getOrElse(2000000L)
+
   /** UNIGRAM-LM VITERBI SEGMENTATION (Kudo 2018, the SentencePiece
     * model family) — for each distinct word, the maximum-likelihood
     * segmentation into vocabulary pieces: best(i) = max_j best(j) +
@@ -1194,7 +1256,8 @@ object TextOps {
   def unigramTrain(docs: DataFrame, targetVocab: Int, rounds: Int = 2,
                    maxLen: Int = 12, maxPiece: Int = 4,
                    textCol: String = "text",
-                   preTokens: Column => Column = wordDomain)
+                   preTokens: Column => Column = wordDomain,
+                   driverMaxWords: Long = defaultUnigramDriverMaxWords)
       : DataFrame = {
     require(rounds >= 1 && targetVocab >= 1, "bad rounds/targetVocab")
     val spark = docs.sparkSession
@@ -1204,7 +1267,27 @@ object TextOps {
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .persist()
-    freqs.count()
+    val nWords = freqs.count()
+    // Small-vocabulary driver fast path (the bpeTrainFromWords gate
+    // applied to the same distinct-word frequency ledger): below the
+    // gate the seed build and every EM round run on driver arrays —
+    // the distributed rounds pay a seed collect + one recount agg +
+    // collect PER ROUND over a vocabulary-sized table (q336: 17 jobs
+    // at sf0.1, almost all scheduling latency). The replay is
+    // bit-identical by construction: the Viterbi step calls the SAME
+    // UnigramSegmentWord.kernel the distributed projection generates
+    // code for, the seed replay mirrors substringVocab expression by
+    // expression (code-point substrings, UTF8 (n desc, piece) prune
+    // order, n/tot in doubles, StrictMath.log — the engine's own Log),
+    // and the recount is addExact like the ANSI sum. Parity-specced
+    // against the distributed loop; above the gate (a 100 TB corpus's
+    // word table) the distributed loop is unchanged.
+    val driverRows: Option[Array[(String, Long)]] =
+      if (driverMaxWords > 0 && nWords <= driverMaxWords) {
+        val rows = freqs.collect().map(r => (r.getString(0), r.getLong(1)))
+        freqs.unpersist(false)
+        Some(rows)
+      } else None
     // The vocabulary lives on the DRIVER between rounds (it is
     // vocabulary-sized BY DEFINITION — the unigramSegment collect
     // already assumed exactly this): per round the only distributed
@@ -1220,23 +1303,49 @@ object TextOps {
     val u8 = (a: String, b: String) =>
       org.apache.spark.unsafe.types.UTF8String.fromString(a)
         .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
-    var vocab: Seq[(String, Double)] = substringVocab(freqs, maxPiece)
-      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    var vocab: Seq[(String, Double)] = driverRows match {
+      case Some(rows) => substringVocabDriver(rows.map(_._1), maxPiece)
+      case None => substringVocab(freqs, maxPiece)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    }
     var outRows: Seq[(String, Long, Double)] = Nil
     for (_ <- 1 to rounds) {
       val bc = unigramVocabBroadcast(spark, vocab)
       // seg ≡ unigramSegment(freqs, vocab) ⋈ freqs: freqs IS the
       // distinct word domain, so the join the old round paid to
       // re-attach frequencies is a 1:1 self-join folded away here
-      val counts = freqs
-        .filter(length(col("word")).between(1, maxLen))
-        .select(graft.functions.UnigramSegmentWord(col("word"), bc,
-          maxPiece).as("_seg"), col("freq"))
-        .filter(col("_seg").isNotNull)
-        .select(explode(split(col("_seg.segs"), "\\|")).as("piece"),
-          col("freq"))
-        .groupBy("piece").agg(sum("freq").as("n"))
-        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val counts: Map[String, Long] = driverRows match {
+        case Some(rows) =>
+          // the distributed projection's exact kernel, driver-called
+          val ker = new graft.functions.UnigramSegmentWord(
+            org.apache.spark.sql.catalyst.expressions.Literal
+              .create("", org.apache.spark.sql.types.StringType),
+            bc, maxPiece)
+          val m = scala.collection.mutable.HashMap.empty[String, Long]
+          rows.foreach { case (word, freq) =>
+            if (cpLen(word) >= 1 && cpLen(word) <= maxLen) {
+              val seg = ker.kernel(
+                org.apache.spark.unsafe.types.UTF8String.fromString(word))
+              if (seg != null) {
+                seg.getUTF8String(2).toString.split("\\|", -1)
+                  .foreach { piece =>
+                    m.update(piece,
+                      Math.addExact(m.getOrElse(piece, 0L), freq))
+                  }
+              }
+            }
+          }
+          m.toMap
+        case None => freqs
+          .filter(length(col("word")).between(1, maxLen))
+          .select(graft.functions.UnigramSegmentWord(col("word"), bc,
+            maxPiece).as("_seg"), col("freq"))
+          .filter(col("_seg").isNotNull)
+          .select(explode(split(col("_seg.segs"), "\\|")).as("piece"),
+            col("freq"))
+          .groupBy("piece").agg(sum("freq").as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      }
       val withN = vocab.map { case (p, _) => (p, counts.getOrElse(p, 0L)) }
       val singles = withN.filter(x => cpLen(x._1) == 1)
       val keepMulti = math.max(0L, targetVocab - singles.size.toLong)
@@ -1280,6 +1389,11 @@ object TextOps {
                          maxLen: Int = 12, maxPiece: Int = 4,
                          preTokens: Column => Column = wordDomain)
       : DataFrame = {
+    // measured NOT persisted (cf. the budget selectors, where the
+    // persist won): caching the (id, word) stream for its two
+    // consumers pinned a 32-partition cache AQE could not coalesce —
+    // more tasks and +2 jobs cost more than the saved re-explode at
+    // bench scale; at 100 TB the explode is map-only over the scan
     val dtok = docs.filter(col(textCol).isNotNull)
       .select(col(idCol),
         explode(preTokens(col(textCol))).as("word"))

@@ -4432,6 +4432,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(packed.forall(_._4 == 0), s"${packed.toSeq}")
   }
 
+  test("unigramTrain driver fast path == distributed loop bit-for-bit " +
+    "(gate honored end-to-end, 0 forces distributed)") {
+    import graft.text.TextOps
+    val docs = Seq("the cat the cat the", "the dog sat on the mat",
+      " császár ünnep öt", "a aa aaa aaaa the").toDF("text")
+    def run(gate: Long): Seq[(String, Long, Double)] =
+      TextOps.unigramTrain(docs, targetVocab = 15, rounds = 2,
+          driverMaxWords = gate).orderBy("piece").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val driver = run(2000000L)
+    val distributed = run(0L)
+    assert(driver == distributed,
+      s"driver/distributed diverge:\n$driver\n$distributed")
+    // seed replay parity on its own: substringVocabDriver == the
+    // relational substringVocab over the same distinct words
+    val words = Seq("the", "cat", "ünnep", "aaaa").toDF("word")
+    val rel = TextOps.substringVocab(words).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val drv = TextOps.substringVocabDriver(
+      Seq("the", "cat", "ünnep", "aaaa")).sortBy(_._1)
+    assert(rel == drv, s"seed diverges:\n$rel\n$drv")
+  }
+
   test("unigramTrain + writeTokenizerJsonUnigram: two EM rounds with " +
     "protected-singles pruning hit the target vocab; the shipped " +
     "Unigram tokenizer.json round-trips loadTokenizer in plain and " +
