@@ -415,7 +415,7 @@ object SparkEntry {
       val pairs = Dedup.ngramJaccard(docs, minJaccard = 0.4,
         maxDf = Int.MaxValue)
       Dedup.connectedComponents(
-        docs.select(col("doc_id").as("id")), pairs)
+        docs.select(col("doc_id").as("id")), pairs, pairsVerified = true)
         .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy("doc_id")
     }),

@@ -415,9 +415,13 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       shingleN: Int = 3): (DataFrame, DataFrame) = {
     // shingle only the docs that appear in a pair (candidates touch far
-    // fewer docs than the corpus), and cache: both joins consume this frame
-    val pairIds = pairs.select(col("id_a").as("jid"))
-      .unionAll(pairs.select(col("id_b").as("jid"))).distinct()
+    // fewer docs than the corpus), and cache: both joins consume this frame.
+    // endpoint ids via ONE explode, not a two-select unionAll — the union
+    // consumed the pair-generation lineage twice (the optimizer
+    // specializes each branch, so nothing reuses)
+    val pairIds = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("jid"))
+      .distinct()
     val sh = docs.select(col(idCol).as("jid"), col(textCol))
       .join(pairIds, Seq("jid"), "left_semi")
       .select(col("jid"), TextOps.shingles(col(textCol), shingleN).as("jsh"))
@@ -609,7 +613,8 @@ object Dedup {
     // connectedComponents materializes its edge set before returning (the
     // gate count + either the driver collect or the checkpointed BSP
     // labels), so the shingle cache has served every consumer by here
-    val out = connectedComponents(docs.select(col(idCol).as("id")), verified)
+    val out = connectedComponents(docs.select(col(idCol).as("id")),
+        verified, pairsVerified = true)
       .select(col("id").as(idCol), col("cluster_id"))
     shCache.unpersist(false)
     out
@@ -1047,18 +1052,26 @@ object Dedup {
                           maxIter: Int = 20,
                           stepsPerRound: Int = 2,
                           driverMaxEdges: Long = 2000000L,
-                          driverMaxBytes: Long = 256L << 20): DataFrame = {
+                          driverMaxBytes: Long = 256L << 20,
+                          pairsVerified: Boolean = false): DataFrame = {
     require(stepsPerRound >= 1)
     val nodeIds = nodes.select(col("id"))
     // restrict edges to the node set: pair endpoints outside `nodes` must
     // not leak into the output (the contract is one row per node), and a
-    // growing label set would also invalidate the Σlabel convergence test
-    val restricted = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .filter(col("u") =!= col("v"))
-      .join(nodeIds.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
-      .join(nodeIds.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
-      .select("u", "v") // a USING join moves its key to column 0
-      .distinct().cache()
+    // growing label set would also invalidate the Σlabel convergence test.
+    // `pairsVerified` callers (the dedup pair generators: DISTINCT pairs
+    // with id_a < id_b over the node corpus itself, by construction) skip
+    // the re-verification — the self-compare filter, two endpoint
+    // semi-joins and a distinct exchange that would re-prove invariants
+    // the generator already guarantees
+    val restricted = (if (pairsVerified)
+        pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      else pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .filter(col("u") =!= col("v"))
+        .join(nodeIds.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
+        .join(nodeIds.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
+        .select("u", "v") // a USING join moves its key to column 0
+        .distinct()).cache()
     val idType = nodeIds.schema("id").dataType
     // one pass gives both gate inputs: edge count and average id width
     // (digit count for numerics — a fair proxy for their boxed size)
@@ -1246,7 +1259,8 @@ object Dedup {
                       planes: Int = 12): DataFrame = {
     val pairs = embeddingNearDup(embs, idCol, vecCol, minCosine,
       planes = planes, blockCol = blockCol, dim = dim)
-    connectedComponents(embs.select(col(idCol).as("id")), pairs)
+    connectedComponents(embs.select(col(idCol).as("id")), pairs,
+        pairsVerified = true)
       .select(col("id").as(idCol), col("cluster_id").as("rep_id"),
         (col("id") === col("cluster_id")).as("keep"))
   }
