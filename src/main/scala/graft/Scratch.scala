@@ -26,13 +26,13 @@ object Scratch {
       }
     })
 
-    val fn = SparkEntry.queries("q56_neardup_pipeline")
+    val fn = SparkEntry.queries("q208_winnowing_overlap")
     fn(spark, sfDir).count() // warmup
     spark.catalog.clearCache()
     println("[scratch] ---- measured run ----")
     val t0 = System.nanoTime()
     fn(spark, sfDir).count()
-    println(f"[scratch] q56 total: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    println(f"[scratch] q208 total: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     spark.stop()
   }
 }

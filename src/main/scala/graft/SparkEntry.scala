@@ -2948,18 +2948,29 @@ object SparkEntry {
     // their neighbor behind a fresh prefix; only genuine clones share
     // ≥8 winnowed fingerprints
     "q208_winnowing_overlap" -> ((s, dir) => {
-      val synth = array_join(transform(sequence(lit(1), lit(30)),
-        i => substring(md5(concat(col("doc_id").cast("string"),
-          lit(":"), i.cast("string"))), 1, 8)), " ")
-      val base = t(s, dir, "documents")
-        .select(col("doc_id"), synth.as("text"))
-      val nxt = base.select((col("doc_id") - 1).as("doc_id"),
-        col("text").as("ntext"))
-      val d = base.join(nxt, Seq("doc_id"), "left")
+      // synth(id) is a pure function of the id, so the neighbor-clone
+      // join moves ONLY ids (a has-next flag) and each output row
+      // synthesizes its text exactly once — the former base⋈shifted
+      // self-join shuffled the 270-char synthesized strings and
+      // evaluated the 30-word battery twice per doc. The ids-only
+      // round-robin spread puts the synthesis + winnowing kernel on
+      // every core (the corpus scan is one split locally; the r17
+      // multimodal pattern — heavy bytes are born after the spread).
+      // md5PrefixHex ≡ substring(md5(x),1,8) by value, without a fresh
+      // MessageDigest + 32-char hex encode + substring copy per word.
+      def synthAt(id: Column) = array_join(transform(
+        sequence(lit(1), lit(30)),
+        i => graft.functions.HashExpressions.md5PrefixHex(
+          concat(id.cast("string"), lit(":"), i.cast("string")), 8)), " ")
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val nxt = ids.select((col("doc_id") - 1).as("doc_id"),
+        lit(true).as("_has_next"))
+      val d = ids.join(nxt, Seq("doc_id"), "left")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
-          when(col("doc_id") % 10 === 0 && col("ntext").isNotNull,
-            concat(lit("prefix words here "), col("ntext")))
-            .otherwise(col("text")).as("text"))
+          when(col("doc_id") % 10 === 0 && col("_has_next"),
+            concat(lit("prefix words here "), synthAt(col("doc_id") + 1)))
+            .otherwise(synthAt(col("doc_id"))).as("text"))
       Dedup.winnowingOverlap(d, minShared = 8)
         .orderBy("id_a", "id_b")
     }),

@@ -482,6 +482,67 @@ object Md5Prefix {
       java.security.MessageDigest.getInstance("MD5"))
 }
 
+/** The STRING twin of [[Md5Prefix]]: the first `hexLen` lowercase hex
+  * characters of md5(input) — value-identical to
+  * `substring(md5(x), 1, hexLen)` (hex char i IS digest nibble i), with
+  * the same per-thread reused MessageDigest and none of the 32-char
+  * hex-encode + substring copy per row (Spark's Md5 also constructs a
+  * fresh MessageDigest per call). For the synthesis/fixture sites that
+  * need the hex TEXT itself (q208's high-entropy words); sites that
+  * parse the prefix as a number keep using [[Md5Prefix]]. */
+case class Md5PrefixHex(child: Expression, hexLen: Int)
+    extends UnaryExpression {
+
+  require(hexLen >= 1 && hexLen <= 32,
+    s"hexLen must be in [1, 32], got $hexLen")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"md5_prefix_hex expects STRING, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = StringType
+
+  override def prettyName: String = "md5_prefix_hex"
+
+  /** Row kernel — public so generated code can call it. */
+  def kernel(input: UTF8String): UTF8String = {
+    val md = Md5Prefix.threadMd5.get()
+    md.reset()
+    val d = md.digest(input.getBytes)
+    val out = new Array[Byte](hexLen)
+    var i = 0
+    while (i < hexLen) {
+      val nibble =
+        if ((i & 1) == 0) (d(i >> 1) >> 4) & 0xf
+        else d(i >> 1) & 0xf
+      out(i) = Md5PrefixHex.HexChars(nibble)
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("md5PrefixHex", this,
+      classOf[Md5PrefixHex].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object Md5PrefixHex {
+  private[functions] val HexChars: Array[Byte] =
+    "0123456789abcdef".getBytes("US-ASCII")
+}
+
 /** Dense hash-bucket token counts in one pass per row: for an
   * ARRAY<STRING> token column, the `numBuckets`-long count array where
   * slot b counts the tokens with `hashBucket(token, numBuckets) == b`
@@ -634,6 +695,11 @@ object HashExpressions {
   /** Column-level md5 hex-prefix value (see [[Md5Prefix]]). */
   def md5Prefix(key: Column, hexLen: Int): Column =
     Bridge.column(Md5Prefix(Bridge.expression(key), hexLen))
+
+  /** Column-level md5 hex-prefix STRING (see [[Md5PrefixHex]]) —
+    * value-identical to `substring(md5(key), 1, hexLen)`. */
+  def md5PrefixHex(key: Column, hexLen: Int): Column =
+    Bridge.column(Md5PrefixHex(Bridge.expression(key), hexLen))
 
   /** Column-level dense hash-bucket count array over an ARRAY<STRING>
     * token column (see [[HashBucketCounts]]). */

@@ -820,6 +820,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(pair.forall(r => r.getLong(0) == r.getLong(1)))
   }
 
+  test("Md5PrefixHex kernel == substring(md5(x),1,L) on the same zoo, " +
+    "L in {1, 8, 32}") {
+    import graft.functions.HashExpressions.md5PrefixHex
+    val vals = Seq("", "a", "café ＡＢＣ", "7919", "-3.5",
+      "a longer string with spaces\tand\nnewlines",
+      " nul byte", null.asInstanceOf[String])
+    val df = vals.toDF("s")
+    for (l <- Seq(1, 8, 32)) {
+      val rows = df.select(
+        md5PrefixHex(col("s"), l).as("kernel"),
+        substring(md5(col("s")), 1, l).as("chain")).collect()
+      rows.foreach { r =>
+        assert(r.isNullAt(0) == r.isNullAt(1), s"null mismatch at L=$l: $r")
+        if (!r.isNullAt(0))
+          assert(r.getString(0) == r.getString(1), s"L=$l: $r")
+      }
+    }
+  }
+
   test("duplicateNgramFraction: repeated bigrams raise it, edge cases are 0") {
     val df = Seq(
       (1L, "a b a b a"),     // bigrams: ab, ba, ab, ba -> 2/4 duplicates
