@@ -1,7 +1,8 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Dev scratch profiler (not part of the engine surface). */
 object Scratch {
@@ -10,29 +11,52 @@ object Scratch {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_CACHED", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    import graft.ops.Skew
 
+    @volatile var jobs = 0
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
-        val i = s.stageInfo
-        val ms = i.completionTime.getOrElse(0L) -
-          i.submissionTime.getOrElse(0L)
-        println(f"[stage] ${i.stageId}%3d ${ms}%5d ms tasks=${i.numTasks}%3d " +
-          i.name.take(90))
-      }
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
     })
 
-    val fn = SparkEntry.queries("q208_winnowing_overlap")
-    fn(spark, sfDir).count() // warmup
-    spark.catalog.clearCache()
-    println("[scratch] ---- measured run ----")
-    val t0 = System.nanoTime()
-    fn(spark, sfDir).count()
-    println(f"[scratch] q208 total: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    def run(label: String)(df: => DataFrame): Unit = {
+      jobs = 0
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      Thread.sleep(50)
+      println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s " +
+        f"jobs=$jobs")
+    }
+
+    val li = io.Readers.table(spark, sfDir, "lineitem")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    val ord = io.Readers.table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+
+    def agg(j: DataFrame) = j.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_extendedprice"), 4).as("sum_price"))
+      .orderBy("o_orderpriority")
+
+    def current = agg(Skew.saltedJoin(li, ord, Seq("o_orderkey"),
+      col("l_linenumber"), buckets = 8))
+
+    def variant(hint: String) = {
+      val l = li.withColumn("_salt",
+        pmod(hash(col("l_linenumber")), lit(8)))
+      // NOTE: approximating saltOf — only for shape timing, not parity
+      val r = ord.withColumn("_salt",
+        explode(sequence(lit(0), lit(7)))).hint(hint)
+      agg(l.join(r, Seq("o_orderkey", "_salt")).drop("_salt"))
+    }
+
+    (1 to 3).foreach { _ =>
+      run("current-broadcast")(current)
+      run("shuffle-hash")(variant("shuffle_hash"))
+      run("merge")(variant("merge"))
+    }
     spark.stop()
   }
 }

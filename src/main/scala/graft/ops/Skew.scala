@@ -46,8 +46,18 @@ object Skew {
                  discriminator: Column, buckets: Int,
                  joinType: String = "inner"): DataFrame = {
     val l = left.withColumn("_salt", saltOf(discriminator, buckets))
+    // pin the SHUFFLE join salting exists for: without the hint, AQE
+    // sees the replicated right side as broadcastable at bench scale
+    // and collects buckets x |right| rows into a DRIVER-built hash
+    // relation — self-defeating (a right side small enough to
+    // broadcast would be broadcast UNREPLICATED with no salt at all),
+    // and measured 2x slower than the shuffled-hash join at sf0.1
+    // (driver build is single-threaded; the per-partition builds are
+    // not). At scale the hint changes nothing — the replicated side
+    // exceeds any broadcast threshold and shuffles anyway.
     val r = right
       .withColumn("_salt", explode(sequence(lit(0), lit(buckets - 1))))
+      .hint("shuffle_hash")
     l.join(r, keys :+ "_salt", joinType).drop("_salt")
   }
 }
