@@ -2090,12 +2090,21 @@ object TextOps {
           "i -> struct(concat(toks[i - 1], ' ', toks[i]) AS bigram, " +
           "toks[i - 1] AS w1))")).as("b"))
       .select(col(idCol), col("b.bigram").as("bigram"), col("b.w1").as("w1"))
-    val cbg = bg.groupBy("bigram").agg(count(lit(1)).as("c_bg"))
-    val cw = bg.groupBy("w1").agg(count(lit(1)).as("c_w1"))
-    bg.join(cbg, "bigram").join(cw, "w1")
+    // the per-transition score depends only on the bigram TYPE, so the
+    // whole model lives on the type domain: c(w1·) is the type table's
+    // own w1 rollup (Σ c_bg ≡ the old instance-domain count), and the
+    // instance table joins the scored types ONCE on bigram instead of
+    // shuffling onto bigram AND w1 (AQE broadcasts the vocab-sized
+    // score table; per-transition doubles are bit-identical — same
+    // c_bg/c_w1 longs, same division and log)
+    val types = bg.groupBy("bigram", "w1").agg(count(lit(1)).as("c_bg"))
+    val cw = types.groupBy("w1").agg(sum("c_bg").as("c_w1"))
+    val scored = types.join(cw, "w1")
+      .select(col("bigram"),
+        (-log(col("c_bg").cast("double") / col("c_w1"))).as("t_nll"))
+    bg.select(col(idCol), col("bigram")).join(scored, "bigram")
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_bigrams"),
-        avg(-log(col("c_bg").cast("double") / col("c_w1"))).as("nll"))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("t_nll")).as("nll"))
   }
 
   /** Jelinek-Mercer INTERPOLATED bigram/unigram NLL: mean
@@ -2128,14 +2137,22 @@ object TextOps {
           "toks[i - 1] AS w1, toks[i] AS w2))")).as("b"))
       .select(col(idCol), col("b.bigram").as("bigram"),
         col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val cbg = bg.groupBy("bigram").agg(count(lit(1)).as("c_bg"))
-    val cw = bg.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+    // type-domain scoring (the bigramNll restructure): c(w1·) rolls up
+    // from the type table, the unigram backoff joins on the TYPE's w2,
+    // and the instance table joins the scored types once on bigram
+    // instead of shuffling onto bigram, w1 AND w2 — per-transition
+    // doubles bit-identical (same counts, same fixed-shape mix)
+    val types = bg.groupBy("bigram", "w1", "w2")
+      .agg(count(lit(1)).as("c_bg"))
+    val cw = types.groupBy("w1").agg(sum("c_bg").as("c_w1"))
     val mix = lit(lambda) * (col("c_bg").cast("double") / col("c_w1")) +
       lit(1.0 - lambda) * col("p_uni")
-    bg.join(cbg, "bigram").join(cw, "w1").join(uni, "w2")
+    val scored = types.join(cw, "w1").join(uni, "w2")
+      .select(col("bigram"), (-log(mix)).as("t_nll"))
+    bg.select(col(idCol), col("bigram")).join(scored, "bigram")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_transitions"),
-        round(avg(-log(mix)), 6).as("nll"))
+        round(avg(col("t_nll")), 6).as("nll"))
   }
 
   /** INTERPOLATED KNESER-NEY bigram NLL — the smoothing KenLM actually
@@ -2191,11 +2208,16 @@ object TextOps {
       col("c_w1") +
       d * col("n1_fwd").cast("double") / col("c_w1") *
         (col("n1_bwd").cast("double") / col("n_types"))
-    bg.join(cbg, Seq("w1", "w2")).join(cw, "w1").join(cont, "w2")
+    // type-domain scoring (the bigramNll restructure): every join here
+    // runs on the TYPE table; the instance table joins the scored types
+    // once on (w1, w2) instead of shuffling onto (w1,w2), w1 AND w2
+    val scored = cbg.join(cw, "w1").join(cont, "w2")
       .crossJoin(broadcast(nTypes))
+      .select(col("w1"), col("w2"), (-log(p)).as("t_nll"))
+    bg.join(scored, Seq("w1", "w2"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_transitions"),
-        round(avg(-log(p)), 6).as("nll"))
+        round(avg(col("t_nll")), 6).as("nll"))
   }
 
   /** CLASSIFIER THRESHOLD SWEEP — the calibration step between training
