@@ -59,6 +59,79 @@ object Bench {
         name -> (if (ok) dt else -1.0)
       }
 
+    // CORE-SCALING PROBES (round 18, VERDICT item 2): at sf0.1 every
+    // declared query is fixed job-scheduling latency (~60-120 ms/job),
+    // so the driver's low-core/high-core comparison reads ~1.0
+    // everywhere and the scaling block cannot discriminate
+    // (suspect_cpus_ignored, PERF_r17). These three probes synthesize a
+    // 10x shard from the parquet inputs at RUN TIME (deterministic id
+    // offsets — a derivation, nothing persisted) and spread it across
+    // the cores before the work, so their low-core/high-core ratio
+    // tracks the core ratio for three plan families: shuffle
+    // aggregation, partitioned window, shuffle join. They are reported
+    // under zz_scale_* INSIDE "queries" (the contract allows adding
+    // entries) but are EXCLUDED from "value" so the headline total
+    // stays comparable round-over-round; their sum is reported
+    // separately as scale_probe_secs.
+    import org.apache.spark.sql.{functions => F}
+    // Probe design, all three constraints load-bearing:
+    //  - CPU-PURE kernels born AFTER an ids-only spread: on one box only
+    //    compute scales with cores (scan/shuffle ride shared memory
+    //    bandwidth and read ~flat across core counts — measured: a 60x
+    //    replicated scan+agg ran the SAME wall at 8 and 32 cores, while
+    //    these read 2.4x/2.3x/1.7x between local[8] and local[32]);
+    //  - rows are GENERATED per input row (explode(sequence)) so the
+    //    work is derived from the parquet inputs deterministically but
+    //    the input itself never bounds the parallelism (the sf0.1 files
+    //    are one row group = one split);
+    //  - the action is collect() of the 1-row aggregate, NOT count():
+    //    count() over a global aggregate constant-folds to 1 and prunes
+    //    the entire subtree (measured: a 20x bigger fanout, same wall).
+    val scaleProbes: Seq[(String, String => Unit)] = Seq(
+      "zz_scale_md5_fanout" -> ((dir: String) => {
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(F.col("doc_id"))
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select(F.col("doc_id"),
+            F.explode(F.sequence(F.lit(1), F.lit(8000))).as("i"))
+          .select(graft.functions.HashExpressions.md5Prefix(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+              F.col("i").cast("string")), 15).as("h"))
+          .agg(F.bit_xor(F.col("h"))).collect()
+        ()
+      }),
+      "zz_scale_jaro_fanout" -> ((dir: String) => {
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(F.col("doc_id"), F.col("text"))
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select(F.col("text"),
+            F.explode(F.sequence(F.lit(1), F.lit(50))).as("i"))
+          .select(graft.functions.HashExpressions.jaroWinkler(
+            F.col("text"),
+            F.concat(F.col("i").cast("string"), F.col("text"))).as("s"))
+          .agg(F.sum("s")).collect()
+        ()
+      }),
+      "zz_scale_dot_fanout" -> ((dir: String) => {
+        spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(F.col("vec_id"), F.col("embedding"))
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select(F.col("embedding").cast("array<double>").as("v"),
+            F.explode(F.sequence(F.lit(1), F.lit(2000))).as("i"))
+          .select(graft.functions.VectorExpressions.dotProduct(
+            F.col("v"), F.col("v")).as("d"))
+          .agg(F.sum("d")).collect()
+        ()
+      }))
+    def runProbes(dir: String): Seq[(String, Double)] =
+      scaleProbes.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(dir); true } catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        name -> (if (ok) dt else -1.0)
+      }
+
     // warmup at the smallest STRICTLY SMALLER scale factor that exists
     // (same schemas ⇒ same generated code ⇒ codegen-cache hits in the
     // measured pass); fall back to the target dir itself otherwise
@@ -75,6 +148,7 @@ object Bench {
         s"$target — warmup runs the full suite AT TARGET SCALE (2x wall)")
     else System.err.println(s"[bench] warmup dir: $warmDir")
     runAll(warmDir)
+    runProbes(warmDir)
 
     // sentinel: fixed map-only scan, min-of-3 (the q31 shape). The floor
     // is the clean-window steady state at sf0.1/local[32] on the
@@ -99,6 +173,8 @@ object Bench {
     var contended = false
     var pass1 = Seq.empty[(String, Double)]
     var pass2 = Map.empty[String, Double]
+    var probes1 = Seq.empty[(String, Double)]
+    var probes2 = Map.empty[String, Double]
     var attempt = 0
     val maxAttempts = 2
     while (attempt < maxAttempts) {
@@ -106,6 +182,10 @@ object Bench {
       sentinelPre = sentinelMin()
       pass1 = runAll(sfDir)
       pass2 = runAll(sfDir).toMap
+      // probes run OUTSIDE the declared passes (after pass 2, before the
+      // post-sentinel) so they cannot contend with the declared timings
+      probes1 = runProbes(sfDir)
+      probes2 = runProbes(sfDir).toMap
       sentinelPost = sentinelMin()
       contended = math.max(sentinelPre, sentinelPost) > 1.5 * floor
       if (!contended) attempt = maxAttempts // clean window — record it
@@ -123,15 +203,26 @@ object Bench {
       val good = Seq(t, t2).filter(_ >= 0)
       name -> (if (good.isEmpty) -1.0 else good.min)
     }
+    val probeResults = probes1.map { case (name, t) =>
+      val t2 = probes2.getOrElse(name, t)
+      val good = Seq(t, t2).filter(_ >= 0)
+      name -> (if (good.isEmpty) -1.0 else good.min)
+    }
     // 3-decimal seconds keep the line short (stdout tails get clipped);
     // Locale.ROOT so the decimal separator is always '.' (valid JSON)
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s""""$k":${fmt(v)}""" }
+    // zz_scale_* probe entries ride the queries map (sorted last) so the
+    // driver's two-core-count comparison sees their ratios, but they are
+    // EXCLUDED from "value": the headline total stays comparable with
+    // every earlier round; their own sum is scale_probe_secs
+    val qs = (results ++ probeResults)
+      .map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => k }
+    val failed = (results ++ probeResults).collect { case (k, v) if v < 0 => k }
     // total covers SUCCESSFUL queries only; failed list is in the JSON so
     // a round-over-round comparison can see the denominator changed
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val probeTotal = probeResults.collect { case (_, v) if v >= 0 => v }.sum
     // field order matters operationally: the harness records a stdout
     // TAIL, so the big per-query map goes FIRST and the scalar summary
     // fields (metric/value/total) go LAST — a clipped capture then still
@@ -144,7 +235,7 @@ object Bench {
       s""""sentinel_floor":${fmt(floor)},""" +
       s""""contended":${if (contended) 1 else 0}"""
     val line =
-      s"""{"queries":$qs,"failed":$failedJson,"sf":"$sfDir","agg":"min-of-2",$sentinelJson,"unit":"sec","metric":"total","value":${fmt(total)}}"""
+      s"""{"queries":$qs,"failed":$failedJson,"sf":"$sfDir","agg":"min-of-2",$sentinelJson,"scale_probe_secs":${fmt(probeTotal)},"n_scale_probes":${probeResults.size},"unit":"sec","metric":"total","value":${fmt(total)}}"""
     // stdout can truncate under the harness tail; persist to a file too
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
@@ -156,7 +247,7 @@ object Bench {
     // tail, and if the big per-query line gets its head clipped, any
     // parse-the-last-JSON-line consumer still finds a complete record
     // (BENCH_r03-r07 all read "parsed": null)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","agg":"min-of-2",$sentinelJson,"n_queries":${results.size},"n_failed":${failed.size}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","agg":"min-of-2",$sentinelJson,"scale_probe_secs":${fmt(probeTotal)},"n_queries":${results.size},"n_failed":${failed.size}}""")
     spark.stop()
   }
 }

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -8,54 +7,57 @@ import org.apache.spark.sql.functions._
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.ops.Skew
 
-    @volatile var jobs = 0
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
-    })
-
-    def run(label: String)(df: => DataFrame): Unit = {
-      jobs = 0
-      val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      Thread.sleep(50)
-      println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s " +
-        f"jobs=$jobs")
+    def rep(table: String, times: Int, idCol: String): DataFrame = {
+      val b = spark.read.parquet(s"$sfDir/$table.parquet")
+      (0 until times).map(r => b.withColumn(idCol,
+        col(idCol) + lit(r * 1000000000L))).reduce(_ unionAll _)
+        .repartition(spark.sparkContext.defaultParallelism)
     }
-
-    val li = io.Readers.table(spark, sfDir, "lineitem")
-      .withColumnRenamed("l_orderkey", "o_orderkey")
-    val ord = io.Readers.table(spark, sfDir, "orders")
-      .select(col("o_orderkey"), col("o_orderpriority"))
-
-    def agg(j: DataFrame) = j.groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n"),
-        round(sum("l_extendedprice"), 4).as("sum_price"))
-      .orderBy("o_orderpriority")
-
-    def current = agg(Skew.saltedJoin(li, ord, Seq("o_orderkey"),
-      col("l_linenumber"), buckets = 8))
-
-    def variant(hint: String) = {
-      val l = li.withColumn("_salt",
-        pmod(hash(col("l_linenumber")), lit(8)))
-      // NOTE: approximating saltOf — only for shape timing, not parity
-      val r = ord.withColumn("_salt",
-        explode(sequence(lit(0), lit(7)))).hint(hint)
-      agg(l.join(r, Seq("o_orderkey", "_salt")).drop("_salt"))
-    }
-
-    (1 to 3).foreach { _ =>
-      run("current-broadcast")(current)
-      run("shuffle-hash")(variant("shuffle_hash"))
-      run("merge")(variant("merge"))
+    val probes: Seq[(String, () => Long)] = Seq(
+      "md5_fanout" -> (() =>
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"))
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            explode(sequence(lit(1), lit(8000))).as("i"))
+          .select(graft.functions.HashExpressions.md5Prefix(
+            concat(col("doc_id").cast("string"), lit(":"),
+              col("i").cast("string")), 15).as("h"))
+          .agg(bit_xor(col("h"))).collect().length.toLong),
+      "jaro_fanout" -> (() =>
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select(col("text"),
+            explode(sequence(lit(1), lit(50))).as("i"))
+          .select(graft.functions.HashExpressions.jaroWinkler(
+            col("text"), concat(col("i").cast("string"), col("text")))
+            .as("s"))
+          .agg(sum("s")).collect().length.toLong),
+      "dot_fanout" -> (() =>
+        spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select(col("embedding").cast("array<double>").as("v"),
+            explode(sequence(lit(1), lit(2000))).as("i"))
+          .select(graft.functions.VectorExpressions.dotProduct(
+            col("v"), col("v")).as("d"))
+          .agg(sum("d")).collect().length.toLong))
+    probes.foreach { case (_, f) => f(); () } // warmup
+    (1 to 2).foreach { _ =>
+      probes.foreach { case (n, f) =>
+        val t0 = System.nanoTime()
+        f()
+        println(f"[scratch] cpus=$cpus $n: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
     }
     spark.stop()
   }
