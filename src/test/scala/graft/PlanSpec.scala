@@ -346,8 +346,12 @@ class PlanSpec extends SparkSpec {
     val p137 = plan("q137_projected_ann")
     // bucket filter + top-k: the corpus must not shuffle against anything
     assert(!p137.contains("SortMergeJoin"), s"q137 shuffles corpus:\n$p137")
-    assert(p137.contains("TakeOrderedAndProject"),
-      s"q137 top-k not bounded:\n$p137")
+    // r18 single-scan fusion: BOTH k-lists ride one aggregation of
+    // bounded topk_by_score states (the TakeOrdered pair each re-ran
+    // the scoring scan); no join remains at all
+    assert(p137.contains("topk_by_score"),
+      s"q137 top-k not the bounded aggregate:\n$p137")
+    assert(!p137.contains("Join"), s"q137 plans a join:\n$p137")
   }
 
   test("multimodal decode family is map-only: no join, no aggregation") {
