@@ -1879,9 +1879,21 @@ object TextOps {
       "left_semi")
     val n = docs.filter(col(textCol).isNotNull)
       .agg(count(lit(1)).cast("double").as("n_docs"))
-    val pairs = dv.select(col("id"), col("token").as("t_a"))
-      .join(dv.select(col("id"), col("token").as("t_b")), Seq("id"))
-      .filter(col("t_a") < col("t_b"))
+    // ordered within-doc pair expansion over one grouped aggregation
+    // (the dedup pair-generator shape): the former dv⋈dv self-join
+    // consumed the tokenize lineage twice (per-branch optimization
+    // specializes the subtrees — nothing reuses) and shuffled it onto
+    // id two ways. Tokens per doc are distinct (array_distinct above)
+    // and array_sort is UTF8 order = the old t_a < t_b comparison, so
+    // the pair multiset is identical.
+    val pairs = dv.groupBy("id")
+      .agg(collect_list(col("token")).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(array_sort(col("ms")).as("ms"))
+      .select(col("ms").as("_ms"), posexplode(col("ms"))
+        .as(Seq("_i", "t_a")))
+      .select(col("t_a"), explode(slice(col("_ms"), col("_i") + 2,
+        size(col("_ms")) - col("_i") - 1)).as("t_b"))
       .groupBy("t_a", "t_b").agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minPairCount)
     pairs
