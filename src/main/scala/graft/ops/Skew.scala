@@ -46,18 +46,18 @@ object Skew {
                  discriminator: Column, buckets: Int,
                  joinType: String = "inner"): DataFrame = {
     val l = left.withColumn("_salt", saltOf(discriminator, buckets))
-    // pin the SHUFFLE join salting exists for: without the hint, AQE
-    // sees the replicated right side as broadcastable at bench scale
-    // and collects buckets x |right| rows into a DRIVER-built hash
-    // relation — self-defeating (a right side small enough to
-    // broadcast would be broadcast UNREPLICATED with no salt at all),
-    // and measured 2x slower than the shuffled-hash join at sf0.1
-    // (driver build is single-threaded; the per-partition builds are
-    // not). At scale the hint changes nothing — the replicated side
-    // exceeds any broadcast threshold and shuffles anyway.
+    // MEASURED AND REVERTED (r18): hint("shuffle_hash") on the
+    // replicated side — AQE otherwise collects buckets x |right| rows
+    // into a single-threaded DRIVER-built broadcast relation, and the
+    // shuffled-hash join measured 2x faster at sf0.1 (2.17 -> 1.05 s
+    // noop A/B). Reverted because the different partial-sum ORDER
+    // flipped q84's round(sum(double), 4) by one ulp against the
+    // DuckDB oracle at sf0.1 (fine at sf0.01) — a float-rounding
+    // boundary, not a logic change, but the verified result set is the
+    // contract. At real scale the hint is moot anyway: the replicated
+    // side exceeds any broadcast threshold and shuffles regardless.
     val r = right
       .withColumn("_salt", explode(sequence(lit(0), lit(buckets - 1))))
-      .hint("shuffle_hash")
     l.join(r, keys :+ "_salt", joinType).drop("_salt")
   }
 }
