@@ -2102,21 +2102,17 @@ object TextOps {
           "i -> struct(concat(toks[i - 1], ' ', toks[i]) AS bigram, " +
           "toks[i - 1] AS w1))")).as("b"))
       .select(col(idCol), col("b.bigram").as("bigram"), col("b.w1").as("w1"))
-    // the per-transition score depends only on the bigram TYPE, so the
-    // whole model lives on the type domain: c(w1·) is the type table's
-    // own w1 rollup (Σ c_bg ≡ the old instance-domain count), and the
-    // instance table joins the scored types ONCE on bigram instead of
-    // shuffling onto bigram AND w1 (AQE broadcasts the vocab-sized
-    // score table; per-transition doubles are bit-identical — same
-    // c_bg/c_w1 longs, same division and log)
-    val types = bg.groupBy("bigram", "w1").agg(count(lit(1)).as("c_bg"))
-    val cw = types.groupBy("w1").agg(sum("c_bg").as("c_w1"))
-    val scored = types.join(cw, "w1")
-      .select(col("bigram"),
-        (-log(col("c_bg").cast("double") / col("c_w1"))).as("t_nll"))
-    bg.select(col(idCol), col("bigram")).join(scored, "bigram")
+    // MEASURED AND REVERTED (r18): the type-domain scoring that won for
+    // interpolatedNll/kneserNeyNll (more model joins to fold) measured
+    // q109 1.05 -> 1.44 s at sf0.1 here — with only TWO model tables,
+    // both already broadcast by AQE, the added type-table rollup agg
+    // costs more than the folded join saves at bench scale.
+    val cbg = bg.groupBy("bigram").agg(count(lit(1)).as("c_bg"))
+    val cw = bg.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+    bg.join(cbg, "bigram").join(cw, "w1")
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_bigrams"), avg(col("t_nll")).as("nll"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(-log(col("c_bg").cast("double") / col("c_w1"))).as("nll"))
   }
 
   /** Jelinek-Mercer INTERPOLATED bigram/unigram NLL: mean
